@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §0.1 / §7.
+  *
+  * `queries` is the declared operator inventory (SURVEY.md §2): one
+  * key per implemented operator, each locally diffed against DuckDB
+  * before being declared (§5.2). `oracleSql` carries the equivalent
+  * ANSI SQL; keys without an oracle are the legitimately
+  * non-SQL-expressible sketches/iterative ops.
+  */
 object SparkEntry {
+
+  private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame],
+                           Map[String, String])] = Seq(
+    (Scans.defs, Scans.oracles),
+    (Filters.defs, Filters.oracles),
+    (Aggregates.defs, Aggregates.oracles)
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("agg_hash_group")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    groups.map(_._1).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    groups.map(_._2).reduce(_ ++ _)
 }

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.TestData
+import graft.TestData.r4
+
+/** §2.D aggregations (SURVEY.md).
+  *
+  * Every groupBy here plans to `HashAggregateExec` partial+final (the
+  * map-side combine halves shuffle volume — the property that matters
+  * at 100 TB). High-cardinality keys shuffle on the group key; low
+  * cardinality outputs stay tiny. Floats follow the determinism
+  * protocol: aggregate in double, `round(x,4)` mirrored in the oracle.
+  */
+object Aggregates {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  val defs: Map[String, Q] = Map(
+    // TPC-H Q1 shape — the flagship (M1).
+    "agg_hash_group" -> ((s, d) =>
+      TestData.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          r4(sum("l_quantity")).as("sum_qty"),
+          r4(sum("l_extendedprice")).as("sum_base_price"),
+          r4(sum(revenue)).as("sum_disc_price"),
+          r4(avg("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "agg_high_cardinality" -> ((s, d) =>
+      TestData.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
+        .orderBy("user_id", "event_type")),
+
+    "agg_count_distinct" -> ((s, d) =>
+      TestData.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("distinct_users"),
+             count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // HLL++ sketch — oracle-omitted (±2% rsd; property-tested vs exact).
+    "agg_approx_hll" -> ((s, d) =>
+      TestData.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy("event_type")),
+
+    "agg_grouping_sets" -> ((s, d) =>
+      TestData.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+              Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(r4(sum(revenue)).as("rev"),
+             grouping(col("l_returnflag")).as("g_flag"),
+             grouping(col("l_linestatus")).as("g_status"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    "agg_rollup" -> ((s, d) =>
+      TestData.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(r4(sum(revenue)).as("rev"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    "agg_cube" -> ((s, d) =>
+      TestData.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(r4(sum(revenue)).as("rev"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // Deterministic arg-max: max price per customer plus the MIN
+    // orderkey among tied argmax rows, via lexicographic struct max
+    // (negated key ⇒ min). One shuffle, no self-join.
+    "agg_argmax_deterministic" -> ((s, d) =>
+      TestData.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(max(struct(col("o_totalprice").as("p"),
+                        (-col("o_orderkey")).as("nk"))).as("m"))
+        .select(col("o_custkey"),
+                r4(col("m.p")).as("max_price"),
+                (-col("m.nk")).as("argmax_key"))
+        .orderBy("o_custkey")),
+
+    "agg_stats_numeric" -> ((s, d) =>
+      TestData.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          r4(stddev_samp(col("l_extendedprice"))).as("sd_price"),
+          r4(var_samp(col("l_discount"))).as("var_disc"),
+          r4(corr(col("l_extendedprice"), col("l_quantity"))).as("corr_pq"),
+          r4(covar_samp(col("l_extendedprice"), col("l_quantity"))).as("cov_pq"))
+        .orderBy("l_returnflag")),
+
+    // Collect + sort emitted as a joined string (scalar output is
+    // byte-stable across engines; raw lists are not).
+    "agg_collect_sorted" -> ((s, d) =>
+      TestData.nation(s, d)
+        .groupBy("n_regionkey")
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",")
+          .as("nations"))
+        .orderBy("n_regionkey")),
+
+    "agg_percentile_exact" -> ((s, d) =>
+      TestData.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          r4(percentile(col("l_quantity"), lit(0.5))).as("median_qty"),
+          r4(percentile(col("l_quantity"), lit(0.9))).as("p90_qty"))
+        .orderBy("l_returnflag")),
+
+    "agg_pivot" -> ((s, d) =>
+      TestData.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(r4(sum(revenue)))
+        .orderBy("l_returnflag"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_hash_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  floor((sum(l_quantity))*10000 + 0.5)/10000 AS sum_qty,
+        |  floor((sum(l_extendedprice))*10000 + 0.5)/10000 AS sum_base_price,
+        |  floor((sum(l_extendedprice * (1.0 - l_discount)))*10000 + 0.5)/10000 AS sum_disc_price,
+        |  floor((avg(l_discount))*10000 + 0.5)/10000 AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_high_cardinality" ->
+      """SELECT user_id, event_type, count(*) AS n, floor((sum(value))*10000 + 0.5)/10000 AS sum_value
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  floor((sum(l_extendedprice * (1.0 - l_discount)))*10000 + 0.5)/10000 AS rev,
+        |  grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  floor((sum(l_extendedprice * (1.0 - l_discount)))*10000 + 0.5)/10000 AS rev, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  floor((sum(l_extendedprice * (1.0 - l_discount)))*10000 + 0.5)/10000 AS rev, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg_argmax_deterministic" ->
+      """WITH m AS (
+        |  SELECT o_custkey, max(o_totalprice) AS mp FROM orders GROUP BY o_custkey)
+        |SELECT m.o_custkey, floor((m.mp)*10000 + 0.5)/10000 AS max_price,
+        |       min(o.o_orderkey) AS argmax_key
+        |FROM m JOIN orders o ON o.o_custkey = m.o_custkey AND o.o_totalprice = m.mp
+        |GROUP BY m.o_custkey, m.mp ORDER BY m.o_custkey""".stripMargin,
+    "agg_stats_numeric" ->
+      """SELECT l_returnflag,
+        |  floor((stddev_samp(l_extendedprice))*10000 + 0.5)/10000 AS sd_price,
+        |  floor((var_samp(l_discount))*10000 + 0.5)/10000 AS var_disc,
+        |  floor((corr(l_extendedprice, l_quantity))*10000 + 0.5)/10000 AS corr_pq,
+        |  floor((covar_samp(l_extendedprice, l_quantity))*10000 + 0.5)/10000 AS cov_pq
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_collect_sorted" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "agg_percentile_exact" ->
+      """SELECT l_returnflag,
+        |  floor((quantile_cont(l_quantity, 0.5))*10000 + 0.5)/10000 AS median_qty,
+        |  floor((quantile_cont(l_quantity, 0.9))*10000 + 0.5)/10000 AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_pivot" ->
+      """SELECT l_returnflag,
+        |  floor((sum(CASE WHEN l_linestatus = 'F'
+        |    THEN l_extendedprice * (1.0 - l_discount) END))*10000 + 0.5)/10000 AS "F",
+        |  floor((sum(CASE WHEN l_linestatus = 'O'
+        |    THEN l_extendedprice * (1.0 - l_discount) END))*10000 + 0.5)/10000 AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.TestData
+import graft.TestData.r4
+
+/** §2.A scans / sources / sinks (SURVEY.md).
+  *
+  * Scale notes: these plans keep projection + predicates inside
+  * `FileSourceScanExec` (PushedFilters / ReadSchema — verified via
+  * .explain), so at 100 TB only the referenced columns / row groups
+  * are read. The partitioned sink mirrors the reference's S4 "index
+  * shard" write (reference README.md:2) as `partitionBy().parquet`.
+  */
+object Scans {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Explicit schema for `scan_schema_enforced` — matches the physical
+    * parquet types recorded in FIXTURES.md (no inference).
+    */
+  private val lineitemSchema = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)
+  ))
+
+  val defs: Map[String, Q] = Map(
+    "scan_project" -> ((s, d) =>
+      TestData.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "scan_filter_pushdown" -> ((s, d) =>
+      TestData.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "scan_schema_enforced" -> ((s, d) =>
+      s.read.schema(lineitemSchema).parquet(s"$d/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+             r4(sum("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")),
+
+    "source_events_ns" -> ((s, d) =>
+      TestData.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")),
+
+    "sink_parquet_partitioned" -> ((s, d) => {
+      val tmp = s"/root/repo/target/tmp/sink_parquet_partitioned"
+      TestData.events(s, d).write.mode("overwrite")
+        .partitionBy("event_type").parquet(tmp)
+      // Read-back exercises partition discovery; the per-partition
+      // aggregate must equal the same aggregate on the source.
+      s.read.parquet(tmp)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
+        .orderBy("event_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "scan_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "scan_schema_enforced" ->
+      """SELECT l_returnflag, count(*) AS n, floor((sum(l_quantity))*10000 + 0.5)/10000 AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "source_events_ns" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "sink_parquet_partitioned" ->
+      """SELECT event_type, count(*) AS n, floor((sum(value))*10000 + 0.5)/10000 AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
