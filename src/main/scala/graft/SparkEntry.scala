@@ -17,7 +17,10 @@ object SparkEntry {
                            Map[String, String])] = Seq(
     (Scans.defs, Scans.oracles),
     (Filters.defs, Filters.oracles),
-    (Aggregates.defs, Aggregates.oracles)
+    (Aggregates.defs, Aggregates.oracles),
+    (Joins.defs, Joins.oracles),
+    (Windows.defs, Windows.oracles),
+    (SortsSetOps.defs, SortsSetOps.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.TestData
+import graft.TestData.r4
+
+/** §2.C joins (SURVEY.md).
+  *
+  * Strategy choices are pinned where it matters for scale:
+  * `broadcast()` for dimension tables (nation/region never shuffle),
+  * hints for shuffle-hash vs sort-merge on the fact joins so the
+  * physical plan is stable for Bench. The as-of join deliberately
+  * avoids the naive per-key join explosion: it's a single
+  * sort-within-user window pass (one shuffle on user_id), the shape
+  * that survives 100 TB where a time-range self-join would not.
+  */
+object Joins {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    "join_broadcast_inner" -> ((s, d) =>
+      TestData.nation(s, d)
+        .join(broadcast(TestData.region(s, d)),
+              col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")),
+
+    "join_shuffle_hash" -> ((s, d) =>
+      TestData.orders(s, d)
+        .join(TestData.customer(s, d).hint("shuffle_hash"),
+              col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey")),
+
+    "join_sort_merge" -> ((s, d) =>
+      TestData.lineitem(s, d)
+        .join(TestData.orders(s, d).hint("merge"),
+              col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"),
+                r4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                  .as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "join_left_outer" -> ((s, d) =>
+      TestData.customer(s, d)
+        .join(TestData.orders(s, d),
+              col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             r4(sum(coalesce(col("o_totalprice"), lit(0.0)))).as("total_spent"))
+        .orderBy("c_custkey")),
+
+    "join_full_outer" -> ((s, d) => {
+      val a = TestData.customer(s, d)
+        .filter(col("c_acctbal") > 9000.0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val b = TestData.orders(s, d)
+        .filter(col("o_totalprice") > 400000.0)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_big_orders"))
+      a.join(b, col("c_custkey") === col("o_custkey"), "full")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_custkey").isNotNull.as("rich"),
+          col("o_custkey").isNotNull.as("big_spender"),
+          coalesce(col("n_big_orders"), lit(0L)).as("n_big_orders"))
+        .orderBy("custkey")
+    }),
+
+    "join_left_semi" -> ((s, d) =>
+      TestData.customer(s, d)
+        .join(TestData.orders(s, d)
+                .filter(col("o_orderpriority") === "1-URGENT"),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")),
+
+    "join_left_anti" -> ((s, d) =>
+      TestData.customer(s, d)
+        .join(TestData.orders(s, d),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")),
+
+    "join_cross" -> ((s, d) =>
+      TestData.region(s, d).select("r_name")
+        .crossJoin(TestData.nation(s, d).select("n_name"))
+        .orderBy("r_name", "n_name")),
+
+    // Non-equi join: Catalyst extracts (brand, size) vs (brand, size+1)
+    // as equi keys, leaving only the price inequality as a post-filter
+    // — so this hash-joins instead of nested-looping.
+    "join_theta_range" -> ((s, d) => {
+      val p1 = TestData.part(s, d).select(
+        col("p_partkey").as("k1"), col("p_brand").as("b1"),
+        col("p_size").as("s1"), col("p_retailprice").as("rp1"))
+      val p2 = TestData.part(s, d).select(
+        col("p_partkey").as("k2"), col("p_brand").as("b2"),
+        col("p_size").as("s2"), col("p_retailprice").as("rp2"))
+      p1.join(p2,
+          col("b1") === col("b2") && col("s1") === col("s2") + lit(1)
+            && col("rp1") > col("rp2"))
+        .select(col("k1"), col("k2"), col("b1").as("brand"),
+                col("s1"), col("s2"))
+        .orderBy("k1", "k2")
+    }),
+
+    // As-of join, single-pass form: one shuffle on user_id, running
+    // "last click so far" carried by a window — no pairwise join.
+    "join_asof" -> ((s, d) => {
+      val ev = TestData.events(s, d)
+        .select("user_id", "ts", "event_id", "event_type")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("click_id",
+          last(when(col("event_type") === "click", col("event_id")), true).over(w))
+        .withColumn("click_ts",
+          last(when(col("event_type") === "click", col("ts")), true).over(w))
+        .filter(col("event_type") === "purchase" && col("click_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"),
+                col("click_id"), col("click_ts"))
+        .orderBy("event_id")
+    }),
+
+    "join_interval_overlap" -> ((s, d) => {
+      val sg = TestData.events(s, d)
+        .filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id").as("u"),
+                col("ts").as("signup_ts"))
+      val pu = TestData.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+                col("ts").as("purchase_ts"))
+      sg.join(pu, col("u") === col("user_id")
+            && col("purchase_ts") >= col("signup_ts")
+            && col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 10 MINUTES"))
+        .select("signup_id", "purchase_id", "user_id", "signup_ts", "purchase_ts")
+        .orderBy("signup_id", "purchase_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_broadcast_inner" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+    "join_shuffle_hash" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_sort_merge" ->
+      """SELECT l_orderkey, l_linenumber, o_orderstatus,
+        |  floor((l_extendedprice * (1.0 - l_discount))*10000 + 0.5)/10000 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+        |  floor((sum(coalesce(o_totalprice, 0.0)))*10000 + 0.5)/10000 AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "join_full_outer" ->
+      """WITH a AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000.0),
+        |b AS (SELECT o_custkey, count(*) AS n_big_orders FROM orders
+        |      WHERE o_totalprice > 400000.0 GROUP BY o_custkey)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  c_custkey IS NOT NULL AS rich,
+        |  o_custkey IS NOT NULL AS big_spender,
+        |  coalesce(n_big_orders, 0) AS n_big_orders
+        |FROM a FULL OUTER JOIN b ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "join_left_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "join_left_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "join_theta_range" ->
+      """SELECT p1.p_partkey AS k1, p2.p_partkey AS k2,
+        |  p1.p_brand AS brand, p1.p_size AS s1, p2.p_size AS s2
+        |FROM part p1 JOIN part p2
+        |  ON p1.p_brand = p2.p_brand AND p1.p_size = p2.p_size + 1
+        |  AND p1.p_retailprice > p2.p_retailprice
+        |ORDER BY k1, k2""".stripMargin,
+    "join_asof" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+        |  c.event_id AS click_id, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "join_interval_overlap" ->
+      """SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+        |  p.user_id, s.ts AS signup_ts, p.ts AS purchase_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON s.user_id = p.user_id
+        |  AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 10 MINUTE
+        |ORDER BY signup_id, purchase_id""".stripMargin
+  )
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.TestData
+import graft.TestData.r4
+
+/** §2.E window functions (SURVEY.md).
+  *
+  * Every window here is partitioned (user_id / nationkey) except the
+  * two global-cumulative demos — partitioned windows are the shape
+  * that scales (one shuffle on the partition key, per-partition
+  * sort); a global window funnels all rows into one task and is only
+  * acceptable on pre-aggregated (small) inputs, which is what
+  * `win_range_frame` / `win_cumulative` operate on here.
+  */
+object Windows {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    "win_ranking" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      TestData.customer(s, d)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"))
+        .filter(col("rn") <= 5)
+        .orderBy("c_nationkey", "rn")
+    }),
+
+    "win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      TestData.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+          lag("value", 1).over(w).as("prev_value"),
+          lead("value", 1).over(w).as("next_value"),
+          (col("value") - lag("value", 1).over(w)).as("delta"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    "win_moving_avg" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+      TestData.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          r4(avg("value").over(w)).as("ma4"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // 7-day trailing revenue: pre-aggregate to day grain (small), then
+    // RANGE frame over the integer day ordinal.
+    "win_range_frame" -> ((s, d) => {
+      val daily = TestData.orders(s, d)
+        .groupBy(datediff(col("o_orderdate"),
+                          lit("1995-01-01").cast("timestamp")).as("day_ord"))
+        .agg(sum("o_totalprice").as("day_rev"))
+      val w = Window.orderBy("day_ord").rangeBetween(-6, 0)
+      daily.select(col("day_ord"), r4(col("day_rev")).as("day_rev"),
+                   r4(sum("day_rev").over(w)).as("rev_7d"))
+        .orderBy("day_ord")
+    }),
+
+    "win_cumulative" -> ((s, d) => {
+      val w = Window.orderBy("o_orderdate", "o_orderkey")
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      TestData.orders(s, d)
+        .filter(col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          r4(sum("o_totalprice").over(wf)).as("running_total"),
+          r4(percent_rank().over(w)).as("pct_rank"),
+          r4(cume_dist().over(w)).as("cdist"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_orderkey")
+    }),
+
+    "win_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      TestData.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          first("c_name").over(w).as("richest"),
+          last("c_name").over(w).as("poorest"))
+        .orderBy("c_custkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "win_ranking" ->
+      """SELECT * FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
+        |WHERE rn <= 5 ORDER BY c_nationkey, rn""".stripMargin,
+    "win_lag_lead" ->
+      """SELECT user_id, event_id, ts, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  value - lag(value, 1) OVER w AS delta
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "win_moving_avg" ->
+      """SELECT user_id, event_id, ts,
+        |  floor((avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))*10000 + 0.5)/10000 AS ma4
+        |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+    "win_range_frame" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS day_ord,
+        |         sum(o_totalprice) AS day_rev
+        |  FROM orders GROUP BY 1)
+        |SELECT day_ord, floor((day_rev)*10000 + 0.5)/10000 AS day_rev,
+        |  floor((sum(day_rev) OVER (ORDER BY day_ord
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))*10000 + 0.5)/10000 AS rev_7d
+        |FROM daily ORDER BY day_ord""".stripMargin,
+    "win_cumulative" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  floor((sum(o_totalprice) OVER (ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))*10000 + 0.5)/10000
+        |    AS running_total,
+        |  floor((percent_rank() OVER w)*10000 + 0.5)/10000 AS pct_rank,
+        |  floor((cume_dist() OVER w)*10000 + 0.5)/10000 AS cdist,
+        |  ntile(4) OVER w AS quartile
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1995-04-01'
+        |WINDOW w AS (ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "win_first_last" ->
+      """SELECT c_custkey, c_nationkey,
+        |  first_value(c_name) OVER w AS richest,
+        |  last_value(c_name) OVER w AS poorest
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_custkey""".stripMargin
+  )
+}
