@@ -20,7 +20,8 @@ object SparkEntry {
     (Aggregates.defs, Aggregates.oracles),
     (Joins.defs, Joins.oracles),
     (Windows.defs, Windows.oracles),
-    (SortsSetOps.defs, SortsSetOps.oracles)
+    (SortsSetOps.defs, SortsSetOps.oracles),
+    (ScalarFns.defs, ScalarFns.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
