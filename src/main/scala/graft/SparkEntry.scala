@@ -21,7 +21,8 @@ object SparkEntry {
     (Joins.defs, Joins.oracles),
     (Windows.defs, Windows.oracles),
     (SortsSetOps.defs, SortsSetOps.oracles),
-    (ScalarFns.defs, ScalarFns.oracles)
+    (ScalarFns.defs, ScalarFns.oracles),
+    (Vectors.defs, Vectors.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector arithmetic over `ARRAY<DOUBLE>` columns, expressed as
+  * higher-order functions so everything stays inside Catalyst (no
+  * UDF serialization boundary, full codegen of the surrounding plan).
+  *
+  * These are the public-API building blocks for the §2.I operators
+  * (SURVEY.md); the reference's domain is exactly this (README.md:2
+  * "building the embeddings … building the vectordb").
+  */
+object VectorOps {
+
+  /** Σ aᵢ·bᵢ */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** ‖a‖₂ */
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  /** Squared L2 distance Σ (aᵢ−bᵢ)² */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, v) => acc + v)
+
+  /** cos(a, b) = a·b / (‖a‖‖b‖) */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** a / ‖a‖ */
+  def normalize(a: Column): Column = {
+    transform(a, x => x / l2norm(a))
+  }
+}

@@ -1,0 +1,288 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.TestData
+import graft.TestData.r4
+import graft.functions.{VectorCentroid, VectorOps => V}
+
+/** §2.I vector / embedding operators — the reference's domain core
+  * (reference README.md:2: triplet dataset → embeddings → vectordb).
+  *
+  * Scale shapes:
+  *   - Every "query set × corpus" op broadcasts the small query side
+  *     (100 rows) so the corpus never shuffles — at 100 TB the corpus
+  *     scan is embarrassingly parallel and top-k folds per partition
+  *     (`TakeOrderedAndProjectExec`) before the driver merge.
+  *   - The O(n²) pair ops (dup pairs, triplet mining) join on label /
+  *     blocking key, never full cross-product; the LSH variant in
+  *     §2.J is the declared 100 TB escape hatch.
+  *   - `kmeans_assign_fixed` is the IVF coarse quantizer: broadcast
+  *     k centroids, one pass over the corpus, argmin by windowless
+  *     struct-min — this plus `partitionBy(cluster)` parquet is the
+  *     reference's S4 index build restated as a Spark pipeline.
+  */
+object Vectors {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB-side double-cast embedding expr. */
+  private val E = "embedding::DOUBLE[]"
+
+  val defs: Map[String, Q] = Map(
+    "vec_l2_norm" -> ((s, d) =>
+      TestData.embeddings(s, d)
+        .select(col("vec_id"), r4(V.l2norm(col("embedding"))).as("nrm"))
+        .orderBy("vec_id")),
+
+    "vec_normalize" -> ((s, d) =>
+      TestData.embeddings(s, d)
+        .withColumn("nrm", V.l2norm(col("embedding")))
+        .withColumn("unit", transform(col("embedding"), x => x / col("nrm")))
+        .select(col("vec_id"),
+          r4(V.l2norm(col("unit"))).as("unit_norm"),
+          r4(element_at(col("unit"), 1)).as("u0"))
+        .orderBy("vec_id")),
+
+    "vec_dot_pairs" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        .filter(col("id_a") < 100)
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_b") === col("id_a") + lit(100))
+        .select(col("id_a"), col("id_b"),
+                r4(V.dot(col("va"), col("vb"))).as("dp"))
+        .orderBy("id_a")
+    }),
+
+    // Brute-force kNN of one query vector: broadcast the 1-row query,
+    // score the corpus, TakeOrderedAndProject folds top-10 per
+    // partition — no global sort.
+    "vec_cosine_topk" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("score", V.cosine(col("embedding"), col("qv")))
+        .select(col("vec_id"), r4(col("score")).as("cos"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // Batch kNN: 10 query vectors broadcast against the corpus,
+    // per-query top-3 via ranking window on the query id.
+    "knn_batch_topk" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score", V.cosine(col("embedding"), col("qv")))
+      val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("rnk"), col("vec_id").as("nn_id"),
+                r4(col("score")).as("cos"))
+        .orderBy("qid", "rnk")
+    }),
+
+    // Near-duplicate candidate pairs, blocked on label (the exact
+    // O(n²/blocks) baseline; the LSH path in §2.J is the scale form).
+    "dup_pairs_cosine" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val a = e.select(col("vec_id").as("id_a"), col("label").as("lbl"),
+                       col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("label").as("lbl_b"),
+                       col("embedding").as("vb"))
+      a.join(b, col("lbl") === col("lbl_b") && col("id_a") < col("id_b"))
+        .withColumn("score", V.cosine(col("va"), col("vb")))
+        .filter(col("score") > 0.4)
+        .select(col("id_a"), col("id_b"), col("lbl").as("label"),
+                r4(col("score")).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // IVF coarse quantization with fixed centroids (= vectors 0..3):
+    // broadcast centroids, argmin via lexicographic struct-min — one
+    // corpus pass, no window shuffle.
+    "kmeans_assign_fixed" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val cents = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      e.crossJoin(broadcast(cents))
+        .withColumn("dist", V.sqDist(col("embedding"), col("cv")))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cluster"),
+                r4(sqrt(col("m.dist"))).as("dist"))
+        .orderBy("vec_id")
+    }),
+
+    "ivf_partition_stats" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val cents = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      e.crossJoin(broadcast(cents))
+        .withColumn("dist", V.sqDist(col("embedding"), col("cv")))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .groupBy(col("m.cid").as("cluster"))
+        .agg(count(lit(1)).as("n"),
+             r4(avg(sqrt(col("m.dist")))).as("mean_dist"))
+        .orderBy("cluster")
+    }),
+
+    // Typed Aggregator UDAF: per-label element-wise mean vector.
+    "vec_centroid_udaf" -> ((s, d) => {
+      val centroid = udaf(new VectorCentroid(64))
+      TestData.embeddings(s, d)
+        .groupBy("label")
+        .agg(centroid(col("embedding")).as("c"))
+        .select(col("label"),
+          r4(element_at(col("c"), 1)).as("c0"),
+          r4(element_at(col("c"), 2)).as("c1"),
+          r4(element_at(col("c"), 3)).as("c2"),
+          r4(element_at(col("c"), 4)).as("c3"))
+        .orderBy("label")
+    }),
+
+    // The reference's S1: mine (anchor, positive, negative) triplets.
+    // positive = same-label max-cosine (≠ self), negative =
+    // different-label min-cosine; ties broken by min id.
+    "triplet_mine" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val anchors = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("aid"), col("label").as("albl"),
+                col("embedding").as("av"))
+      val scored = e.crossJoin(broadcast(anchors))
+        .filter(col("vec_id") =!= col("aid"))
+        .withColumn("score", V.cosine(col("embedding"), col("av")))
+      val wPos = Window.partitionBy("aid").orderBy(col("score").desc, col("vec_id"))
+      val pos = scored.filter(col("label") === col("albl"))
+        .withColumn("rn", row_number().over(wPos)).filter(col("rn") === 1)
+        .select(col("aid"), col("vec_id").as("pos_id"),
+                r4(col("score")).as("pos_cos"))
+      val wNeg = Window.partitionBy("aid").orderBy(col("score").asc, col("vec_id"))
+      val neg = scored.filter(col("label") =!= col("albl"))
+        .withColumn("rn", row_number().over(wNeg)).filter(col("rn") === 1)
+        .select(col("aid").as("aid2"), col("vec_id").as("neg_id"),
+                r4(col("score")).as("neg_cos"))
+      pos.join(neg, col("aid") === col("aid2"))
+        .select(col("aid").as("anchor_id"), col("pos_id"), col("pos_cos"),
+                col("neg_id"), col("neg_cos"))
+        .orderBy("anchor_id")
+    }),
+
+    // Full Lloyd's k-means (MLlib, seeded) — oracle-omitted
+    // (iterative/init-dependent); property-tested in the suite.
+    "kmeans_lloyd" -> ((s, d) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = TestData.embeddings(s, d)
+        .withColumn("features", array_to_vector(col("embedding")))
+      val model = new KMeans().setK(10).setSeed(42L).setMaxIter(10)
+        .setFeaturesCol("features").fit(e)
+      model.transform(e)
+        .groupBy(col("prediction"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .orderBy(col("cluster_size").desc, col("prediction"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "vec_l2_norm" ->
+      s"""SELECT vec_id,
+        |  floor((sqrt(list_sum(list_transform($E, x -> x*x))))*10000 + 0.5)/10000 AS nrm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "vec_normalize" ->
+      s"""SELECT vec_id,
+        |  floor((sqrt(list_sum(list_transform(list_transform($E,
+        |    x -> x / sqrt(list_sum(list_transform($E, y -> y*y)))),
+        |    x -> x*x))))*10000 + 0.5)/10000 AS unit_norm,
+        |  floor((($E)[1] / sqrt(list_sum(list_transform($E, y -> y*y))))*10000 + 0.5)/10000 AS u0
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "vec_dot_pairs" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  floor((list_dot_product(a.$E, b.$E))*10000 + 0.5)/10000 AS dp
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 100
+        |WHERE a.vec_id < 100 ORDER BY id_a""".stripMargin,
+    "vec_cosine_topk" ->
+      s"""WITH q AS (SELECT $E AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  floor((list_cosine_similarity($E, qv))*10000 + 0.5)/10000 AS cos
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY list_cosine_similarity($E, qv) DESC, vec_id LIMIT 10""".stripMargin,
+    "knn_batch_topk" ->
+      s"""SELECT qid, rnk, nn_id, floor((score)*10000 + 0.5)/10000 AS cos FROM (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nn_id,
+        |    list_cosine_similarity(e.$E, q.$E) AS score,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(e.$E, q.$E) DESC, e.vec_id) AS rnk
+        |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 10) q
+        |  WHERE e.vec_id <> q.vec_id)
+        |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "dup_pairs_cosine" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+        |  floor((list_cosine_similarity(a.$E, b.$E))*10000 + 0.5)/10000 AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.$E, b.$E) > 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    "kmeans_assign_fixed" ->
+      s"""WITH c AS (SELECT vec_id AS cid, $E AS cv FROM embeddings WHERE vec_id < 4),
+        |scored AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(list_zip(e.$E, c.cv),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        |  FROM embeddings e CROSS JOIN c),
+        |best AS (
+        |  SELECT vec_id, cid AS cluster, dist,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM scored)
+        |SELECT vec_id, cluster,
+        |  floor((sqrt(dist))*10000 + 0.5)/10000 AS dist
+        |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "ivf_partition_stats" ->
+      s"""WITH c AS (SELECT vec_id AS cid, $E AS cv FROM embeddings WHERE vec_id < 4),
+        |scored AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(list_zip(e.$E, c.cv),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        |  FROM embeddings e CROSS JOIN c),
+        |best AS (
+        |  SELECT vec_id, cid AS cluster, dist,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM scored)
+        |SELECT cluster, count(*) AS n,
+        |  floor((avg(sqrt(dist)))*10000 + 0.5)/10000 AS mean_dist
+        |FROM best WHERE rn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin,
+    "vec_centroid_udaf" ->
+      s"""SELECT label,
+        |  floor((avg(($E)[1]))*10000 + 0.5)/10000 AS c0,
+        |  floor((avg(($E)[2]))*10000 + 0.5)/10000 AS c1,
+        |  floor((avg(($E)[3]))*10000 + 0.5)/10000 AS c2,
+        |  floor((avg(($E)[4]))*10000 + 0.5)/10000 AS c3
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "triplet_mine" ->
+      s"""WITH a AS (SELECT vec_id AS aid, label AS albl, $E AS av
+        |           FROM embeddings WHERE vec_id < 100),
+        |scored AS (
+        |  SELECT a.aid, a.albl, e.vec_id, e.label,
+        |    list_cosine_similarity(e.$E, a.av) AS score
+        |  FROM embeddings e CROSS JOIN a WHERE e.vec_id <> a.aid),
+        |pos AS (
+        |  SELECT aid, vec_id AS pos_id,
+        |    floor((score)*10000 + 0.5)/10000 AS pos_cos,
+        |    row_number() OVER (PARTITION BY aid ORDER BY score DESC, vec_id) AS rn
+        |  FROM scored WHERE label = albl),
+        |neg AS (
+        |  SELECT aid, vec_id AS neg_id,
+        |    floor((score)*10000 + 0.5)/10000 AS neg_cos,
+        |    row_number() OVER (PARTITION BY aid ORDER BY score ASC, vec_id) AS rn
+        |  FROM scored WHERE label <> albl)
+        |SELECT pos.aid AS anchor_id, pos_id, pos_cos, neg_id, neg_cos
+        |FROM pos JOIN neg ON pos.aid = neg.aid AND pos.rn = 1 AND neg.rn = 1
+        |ORDER BY anchor_id""".stripMargin
+  )
+}
