@@ -22,7 +22,9 @@ object SparkEntry {
     (Windows.defs, Windows.oracles),
     (SortsSetOps.defs, SortsSetOps.oracles),
     (ScalarFns.defs, ScalarFns.oracles),
-    (Vectors.defs, Vectors.oracles)
+    (Vectors.defs, Vectors.oracles),
+    (TextOps.defs, TextOps.oracles),
+    (TextAnalysis.defs, TextAnalysis.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

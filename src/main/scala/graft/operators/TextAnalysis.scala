@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.TestData
+import graft.TestData.r4
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (north star, BASELINE.json:6): language ID, quality scoring,
+  * token counting, document fingerprinting, SimHash.
+  *
+  * Everything is a scan + bounded joins against tiny broadcast
+  * profiles — the shapes stay linear in corpus size, which is what
+  * matters at 100 TB. SimHash is exact integer arithmetic on
+  * md5-derived token hashes (engine-independent, deterministic).
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopwords = Seq("the", "a", "of", "and", "in")
+
+  val defs: Map[String, Q] = Map(
+    // Naive-Bayes-style language ID: per-language token log-frequency
+    // profiles (a 155-row broadcast) scored against each doc; output
+    // is the (true lang × predicted lang) confusion matrix.
+    "text_lang_id" -> ((s, d) => {
+      val toks = TestData.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+                explode(split(col("text"), " ")).as("token"))
+      val langTotals = toks.groupBy(col("lang").as("pl"))
+        .agg(count(lit(1)).as("lang_n"))
+      val profile = toks.groupBy(col("lang").as("pl"), col("token").as("ptok"))
+        .agg(count(lit(1)).as("tok_n"))
+        .join(langTotals, "pl")
+        .select(col("pl"), col("ptok"),
+                log(col("tok_n").cast("double") / col("lang_n")).as("ln_p"))
+      val scores = toks
+        .join(broadcast(profile), col("token") === col("ptok"))
+        .groupBy(col("doc_id"), col("lang"), col("pl"))
+        .agg(sum("ln_p").as("score"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("pl"))
+      scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("lang"), col("pl").as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // Heuristic quality score from length / token / stopword stats.
+    "text_quality_score" -> ((s, d) =>
+      TestData.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")))
+        .withColumn("stop_n",
+          size(filter(col("toks"), t => t.isInCollection(stopwords))))
+        .withColumn("avg_len",
+          aggregate(col("toks"), lit(0), (a, t) => a + length(t))
+            .cast("double") / col("n_toks"))
+        .select(col("doc_id"), col("n_toks"),
+          r4(col("stop_n").cast("double") / col("n_toks")).as("stop_ratio"),
+          r4(col("avg_len")).as("avg_tok_len"),
+          r4(least(col("n_toks").cast("double") / 100.0, lit(1.0)) * 0.5
+            + (lit(1.0) - col("stop_n").cast("double") / col("n_toks")) * 0.3
+            + least(col("avg_len") / 8.0, lit(1.0)) * 0.2).as("quality"))
+        .orderBy("doc_id")),
+
+    // Token counting: whitespace split vs BPE-ish regex tokenizer.
+    "text_token_count" -> ((s, d) =>
+      TestData.documents(s, d)
+        .select(col("doc_id"),
+          col("n_chars"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+            .as("re_tokens"))
+        .orderBy("doc_id")),
+
+    // Order-insensitive content fingerprint (md5 of the sorted
+    // distinct token set) + fingerprint-group size — the grouping
+    // shuffle IS the dedup partition at scale.
+    "text_fingerprint" -> ((s, d) => {
+      val fp = md5(array_join(array_sort(array_distinct(
+        split(col("text"), " "))), " "))
+      val w = Window.partitionBy("fp")
+      TestData.documents(s, d)
+        .withColumn("fp", fp)
+        .withColumn("n_same_fp", count(lit(1)).over(w))
+        .select("doc_id", "fp", "n_same_fp")
+        .orderBy("doc_id")
+    }),
+
+    // 60-bit SimHash over md5-derived token hashes — oracle-omitted
+    // (bit-twiddling is impractical in portable SQL); property-tested.
+    "dedup_simhash" -> ((s, d) => {
+      val toks = TestData.documents(s, d)
+        .select(col("doc_id"),
+                explode(split(col("text"), " ")).as("token"))
+        .withColumn("h", conv(substring(md5(col("token")), 1, 15), 16, 10)
+          .cast("long"))
+      val bitSums = (0 until 60).map { b =>
+        sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1)
+          .otherwise(-1)).as(s"b$b")
+      }
+      val sim = (0 until 60).map { b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      toks.groupBy("doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), sim.as("simhash"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val oracles: Map[String, String] = Map(
+    "text_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |lt AS (SELECT lang AS pl, count(*) AS lang_n FROM t GROUP BY 1),
+        |prof AS (
+        |  SELECT t.lang AS pl, token AS ptok,
+        |         ln(count(*)::DOUBLE / any_value(lang_n)) AS ln_p
+        |  FROM t JOIN lt ON t.lang = lt.pl GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT doc_id, lang, pl, sum(ln_p) AS score
+        |  FROM t JOIN prof ON t.token = prof.ptok
+        |  GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT doc_id, lang, pl,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pl) AS rn
+        |  FROM sc)
+        |SELECT lang, pl AS predicted, count(*) AS n
+        |FROM best WHERE rn = 1 GROUP BY lang, pl
+        |ORDER BY lang, predicted""".stripMargin,
+    "text_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(toks) AS n_toks,
+        |    len(list_filter(toks, x -> x IN $stopSql)) AS stop_n,
+        |    list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) AS avg_len
+        |  FROM t)
+        |SELECT doc_id, n_toks,
+        |  floor((stop_n::DOUBLE / n_toks)*10000 + 0.5)/10000 AS stop_ratio,
+        |  floor((avg_len)*10000 + 0.5)/10000 AS avg_tok_len,
+        |  floor((least(n_toks::DOUBLE / 100.0, 1.0) * 0.5
+        |    + (1.0 - stop_n::DOUBLE / n_toks) * 0.3
+        |    + least(avg_len / 8.0, 1.0) * 0.2)*10000 + 0.5)/10000 AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id, n_chars,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+        |      AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same_fp
+        |FROM f ORDER BY doc_id""".stripMargin
+  )
+}
