@@ -24,7 +24,8 @@ object SparkEntry {
     (ScalarFns.defs, ScalarFns.oracles),
     (Vectors.defs, Vectors.oracles),
     (TextOps.defs, TextOps.oracles),
-    (TextAnalysis.defs, TextAnalysis.oracles)
+    (TextAnalysis.defs, TextAnalysis.oracles),
+    (Streaming.defs, Streaming.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.TestData
+import graft.TestData.r4
+
+/** §2.K streaming analytics over `events` (SURVEY.md).
+  *
+  * The declared queries run the batch form; `window()` /
+  * `session_window()` are the same Catalyst expressions in batch and
+  * Structured Streaming, so these bodies are reusable verbatim under
+  * `readStream` (the `graft.streaming` package + MemoryStream suites
+  * cover the watermark/state semantics that batch can't express).
+  *
+  * Dialect note: DuckDB `time_bucket` origin (2000-01-01) and Spark
+  * `window` origin (1970-01-01) agree for bucket widths that divide
+  * the span between the two epochs — true for 15 min and 1 h.
+  */
+object Streaming {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    "stream_tumbling_agg" -> ((s, d) =>
+      TestData.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+                col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")),
+
+    "stream_sliding_agg" -> ((s, d) =>
+      TestData.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+             countDistinct(col("user_id")).as("users"))
+        .select(col("w.start").as("window_start"), col("n"), col("users"))
+        .orderBy("window_start")),
+
+    // Session windows (5-min gap) per user; duration emitted as exact
+    // integer microseconds (no float risk).
+    "stream_session_window" -> ((s, d) =>
+      TestData.events(s, d)
+        .groupBy(session_window(col("ts"), "5 minutes").as("sw"),
+                 col("user_id"))
+        .agg(count(lit(1)).as("n"),
+             min(col("ts")).as("session_start"),
+             (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+               .as("duration_us"))
+        .select("user_id", "session_start", "n", "duration_us")
+        .orderBy("user_id", "session_start"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling_agg" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |  count(*) AS n, floor((sum(value))*10000 + 0.5)/10000 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "stream_sliding_agg" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |         - k * INTERVAL '15 minutes' AS window_start,
+        |  count(*) AS n, count(DISTINCT user_id) AS users
+        |FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)
+        |GROUP BY 1 ORDER BY window_start""".stripMargin,
+    "stream_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL '5 minutes'
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
+  )
+}

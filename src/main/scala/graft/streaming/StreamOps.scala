@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Structured Streaming pipelines over the `events` schema
+  * (§2.K SURVEY.md / §3.3). The windowed transforms reuse the exact
+  * Catalyst expressions of the batch forms in
+  * `graft.operators.Streaming`; these entry points add the
+  * streaming-only semantics: watermarks (late-data drop + state
+  * eviction), within-watermark dedup, and arbitrary per-key state.
+  *
+  * All operators are keyed so state partitions by key across
+  * executors; watermarks bound state size — the two properties that
+  * keep a stream job stable at production scale.
+  */
+object StreamOps {
+
+  /** Event record for typed streaming tests/pipelines. */
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  /** Per-user running aggregate emitted by [[runningUserStats]]. */
+  case class UserRunning(user_id: Long, n_events: Long, max_value: Double)
+
+  /** Tumbling-window counts with late-data drop after `watermark`. */
+  def tumblingCounts(events: DataFrame, width: String,
+                     watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+              col("n"), col("sum_value"))
+
+  /** Sliding-window counts (width/slide) with watermark. */
+  def slidingCounts(events: DataFrame, width: String, slide: String,
+                    watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("n"))
+
+  /** 5-min-gap session stats per user (merging handled by the
+    * session-window state store).
+    */
+  def sessionStats(events: DataFrame, gap: String,
+                   watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("sw.start").as("session_start"), col("n"))
+
+  /** Exactly-once-ish dedup on event_id: duplicates arriving within
+    * the watermark delay are dropped; state for old ids is evicted
+    * once the watermark passes, bounding memory.
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Arbitrary stateful processing: per-user running count and max
+    * via `flatMapGroupsWithState` (update mode, no timeout — state
+    * lives for the job; production would set a timeout).
+    */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, Double.MinValue))
+          var n = prev.n_events
+          var mx = prev.max_value
+          rows.foreach { e => n += 1; mx = math.max(mx, e.value) }
+          val next = UserRunning(uid, n, mx)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

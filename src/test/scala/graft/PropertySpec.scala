@@ -1,0 +1,122 @@
+package graft
+
+import graft.functions.{VectorOps => V}
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Property / approx-vs-exact tests for the oracle-omitted operators
+  * (SURVEY.md §5.4) plus algebraic invariants of the core ops.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = sf("sf0.001")
+
+  test("cosine: self-similarity 1, symmetry, |cos| <= 1") {
+    val e = TestData.embeddings(spark, sfDir).limit(50).cache()
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val pairs = a.crossJoin(b)
+      .withColumn("cab", V.cosine(col("va"), col("vb")))
+      .withColumn("cba", V.cosine(col("vb"), col("va")))
+      .collect_cosines()
+    pairs.foreach { case (ia, ib, cab, cba) =>
+      assert(math.abs(cab) <= 1.0 + 1e-9, s"|cos($ia,$ib)| > 1")
+      assert(math.abs(cab - cba) < 1e-12, "cosine must be symmetric")
+      if (ia == ib) assert(math.abs(cab - 1.0) < 1e-9, "self-cosine must be 1")
+    }
+  }
+
+  implicit private class CosDf(df: org.apache.spark.sql.DataFrame) {
+    def collect_cosines(): Array[(Long, Long, Double, Double)] =
+      df.select("ia", "ib", "cab", "cba").as[(Long, Long, Double, Double)].collect()
+  }
+
+  test("normalize: unit norm for every vector") {
+    val rows = Vectors.defs("vec_normalize")(spark, sfDir)
+      .select("unit_norm").as[Double].collect()
+    assert(rows.nonEmpty && rows.forall(n => math.abs(n - 1.0) < 1e-3))
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val exact = Aggregates.defs("agg_count_distinct")(spark, sfDir)
+      .select("event_type", "distinct_users").as[(String, Long)].collect().toMap
+    val approx = Aggregates.defs("agg_approx_hll")(spark, sfDir)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex) <= math.max(1L, (ex * 0.05).toLong),
+        s"HLL off by >5% for $k: ${approx(k)} vs $ex")
+    }
+  }
+
+  test("exact dedup is idempotent") {
+    val once = TextOps.defs("dedup_exact_hash")(spark, sfDir).cache()
+    val ids = once.select("survivor_id").as[Long].collect().toSet
+    // Re-deduplicating the survivor set must be a no-op.
+    val docs = TestData.documents(spark, sfDir)
+      .filter(col("doc_id").isInCollection(ids))
+    val twice = docs.withColumn("h", md5(lower(trim(col("text")))))
+      .groupBy("h").agg(min("doc_id").as("survivor_id"),
+                        count(lit(1)).as("group_size"))
+    assert(twice.count() === once.count())
+    assert(twice.filter(col("group_size") > 1).count() === 0L)
+  }
+
+  test("minhash LSH recall >= 0.8 vs exact jaccard ground truth") {
+    val exact = TextOps.defs("dedup_jaccard_pairs")(spark, sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = TextOps.defs("dedup_minhash_lsh")(spark, sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "ground truth must not be empty at sf0.001")
+    // LSH blocks only by language implicitly via token overlap; compare
+    // against exact pairs (which are lang-blocked) by intersection.
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall below 0.8")
+  }
+
+  test("simhash: identical token multisets get identical simhash") {
+    val sims = TextAnalysis.defs("dedup_simhash")(spark, sfDir)
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    val canon = TestData.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(array_join(array_sort(split(col("text"), " ")), " ")).as("k"))
+      .as[(Long, String)].collect()
+    canon.groupBy(_._2).values.filter(_.length > 1).foreach { grp =>
+      val hs = grp.map(g => sims(g._1)).distinct
+      assert(hs.length === 1, "same multiset must hash identically")
+    }
+  }
+
+  test("kmeans_lloyd: clusters partition the corpus") {
+    val sizes = Vectors.defs("kmeans_lloyd")(spark, sfDir)
+      .select("cluster_size").as[Long].collect()
+    val n = TestData.embeddings(spark, sfDir).count()
+    assert(sizes.sum === n)
+    assert(sizes.length <= 10 && sizes.forall(_ > 0))
+  }
+
+  test("set ops: algebraic laws hold") {
+    val a = SortsSetOps.defs("setop_union_distinct")(spark, sfDir).count()
+    val i = SortsSetOps.defs("setop_intersect")(spark, sfDir).count()
+    val e = SortsSetOps.defs("setop_except")(spark, sfDir).count()
+    val richDistinct = TestData.customer(spark, sfDir)
+      .filter(col("c_acctbal") > 5000.0).select("c_custkey").distinct().count()
+    // |A| = |A∩B| + |A\B| ; |A∪B| >= max(|A|,|B|)
+    assert(richDistinct === i + e)
+    assert(a >= richDistinct)
+  }
+
+  test("triplet invariants: pos label = anchor label != neg label") {
+    val t = Vectors.defs("triplet_mine")(spark, sfDir)
+      .select("anchor_id", "pos_id", "neg_id").as[(Long, Long, Long)].collect()
+    val labels = TestData.embeddings(spark, sfDir)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(t.nonEmpty)
+    t.foreach { case (a, p, n) =>
+      assert(p != a, "positive must not be the anchor")
+      assert(labels(p) === labels(a), "positive shares the anchor label")
+      assert(labels(n) !== labels(a), "negative has a different label")
+    }
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{Event, UserRunning}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.sql.Timestamp
+
+/** §2.K oracle-omitted streaming semantics, driven with MemoryStream:
+  * watermark late-data drop, within-watermark dedup, arbitrary
+  * per-key state (SURVEY.md §5.4).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:$sec%02d")
+
+  private def ev(id: Long, minute: Int, user: Long = 1L,
+                 typ: String = "click", value: Double = 1.0): Event =
+    Event(id, ts(minute), user, typ, value)
+
+  test("tumbling window with watermark drops late data past the watermark") {
+    val input = MemoryStream[Event](spark)
+    val q = StreamOps.tumblingCounts(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("tumbling_wm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Window [10:00,10:10): two events.
+      input.addData(ev(1, 1), ev(2, 5))
+      q.processAllAvailable()
+      // Advance event time to 10:21 -> watermark 10:16 > 10:10 closes
+      // the first window with n=2.
+      input.addData(ev(3, 21))
+      q.processAllAvailable()
+      // Late arrival for the closed window: must be DROPPED.
+      input.addData(ev(4, 2))
+      q.processAllAvailable()
+      // Close the second window too.
+      input.addData(ev(5, 40))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_wm")
+        .select("window_start", "n").as[(Timestamp, Long)].collect().toMap
+      assert(rows(ts(0)) === 2L, "late event must not be counted")
+      assert(rows(ts(20)) === 1L)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark drops duplicate ids within the delay") {
+    val input = MemoryStream[Event](spark)
+    val q = StreamOps.dedupWithinWatermark(input.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(ev(10, 1), ev(11, 2), ev(10, 3))   // id 10 duplicated
+      q.processAllAvailable()
+      input.addData(ev(10, 4), ev(12, 5))              // id 10 again, in-delay
+      q.processAllAvailable()
+      val ids = spark.table("dedup_wm").select("event_id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq === Seq(10L, 11L, 12L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps running per-user count and max") {
+    val input = MemoryStream[Event](spark)
+    val q = StreamOps.runningUserStats(input.toDS())
+      .writeStream.format("memory").queryName("running_state")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(ev(1, 0, user = 7, value = 3.0),
+                    ev(2, 1, user = 7, value = 9.0),
+                    ev(3, 1, user = 8, value = 4.0))
+      q.processAllAvailable()
+      input.addData(ev(4, 2, user = 7, value = 5.0))
+      q.processAllAvailable()
+      // Update mode: take the LAST emitted row per user.
+      val last = spark.table("running_state").as[UserRunning].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+      assert(last(7L).n_events === 3L)
+      assert(last(7L).max_value === 9.0)
+      assert(last(8L).n_events === 1L)
+      assert(last(8L).max_value === 4.0)
+    } finally q.stop()
+  }
+
+  test("session windows merge events within gap across micro-batches") {
+    val input = MemoryStream[Event](spark)
+    val q = StreamOps.sessionStats(input.toDF(), "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Session A: 10:00, 10:03 (same session); then a gap.
+      input.addData(ev(1, 0), ev(2, 3))
+      q.processAllAvailable()
+      // 10:04 still merges into session A across the batch boundary;
+      // 10:30 starts session B; 11:00 advances the watermark to close A.
+      input.addData(ev(3, 4), ev(4, 30))
+      q.processAllAvailable()
+      input.addData(ev(5, 60))
+      q.processAllAvailable()
+      input.addData(ev(6, 90))   // push watermark past session B too
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_stream")
+        .select("session_start", "n").as[(Timestamp, Long)].collect().toMap
+      assert(sessions(ts(0)) === 3L, "cross-batch merge into one session")
+      assert(sessions(ts(30)) === 1L)
+    } finally q.stop()
+  }
+}
