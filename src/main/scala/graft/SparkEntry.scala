@@ -25,7 +25,10 @@ object SparkEntry {
     (Vectors.defs, Vectors.oracles),
     (TextOps.defs, TextOps.oracles),
     (TextAnalysis.defs, TextAnalysis.oracles),
-    (Streaming.defs, Streaming.oracles)
+    (Streaming.defs, Streaming.oracles),
+    (UserFns.defs, UserFns.oracles),
+    (AnnSearch.defs, AnnSearch.oracles),
+    (MultimodalOps.defs, MultimodalOps.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

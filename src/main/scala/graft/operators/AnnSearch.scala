@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.TestData
+import graft.TestData.r4
+import graft.functions.{VectorOps => V}
+
+/** IVF-probed approximate nearest-neighbor search — the scale path
+  * for similarity search (north star: similarity search at 100 TB).
+  *
+  * Shape: the corpus is coarse-quantized once (assignment to k
+  * centroids = the partition key of the stored index; see
+  * `kmeans_assign_fixed` + `sink_parquet_partitioned` for the
+  * partitioned-parquet write). A query then probes only its nProbe
+  * nearest centroid partitions, so search cost is
+  * corpus/k × nProbe instead of the full corpus — at 100 TB with
+  * k=4096, nProbe=8 that's a ~500× scan reduction, and partition
+  * pruning on the cluster column turns it into a selective parquet
+  * read rather than a full-table scan.
+  *
+  * Here k=4 fixed centroids (embeddings 0..3) and nProbe=2 keep the
+  * result deterministic and oracle-checkable.
+  */
+object AnnSearch {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    "ann_ivf_topk" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val cents = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      // corpus side: nearest centroid per vector (the stored partition key)
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("dist", V.sqDist(col("embedding"), col("cv")))
+        .groupBy(col("vec_id"), col("label"), col("embedding"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("embedding"), col("m.cid").as("cluster"))
+      // query side: 5 queries, each probing its 2 nearest centroids
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val wProbe = Window.partitionBy("qid").orderBy(col("qdist"), col("cid"))
+      val probes = queries.crossJoin(broadcast(cents))
+        .withColumn("qdist", V.sqDist(col("qv"), col("cv")))
+        .withColumn("pr", row_number().over(wProbe))
+        .filter(col("pr") <= 2)
+        .select(col("qid"), col("qv"), col("cid").as("probe_cluster"))
+      // search only the probed partitions
+      val wTop = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+      assigned.join(broadcast(probes), col("cluster") === col("probe_cluster"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score", V.cosine(col("embedding"), col("qv")))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("vec_id").as("nn_id"),
+                r4(col("score")).as("cos"))
+        .orderBy("qid", "rnk")
+    })
+  )
+
+  private val E = "embedding::DOUBLE[]"
+
+  val oracles: Map[String, String] = Map(
+    "ann_ivf_topk" ->
+      s"""WITH c AS (SELECT vec_id AS cid, $E AS cv FROM embeddings WHERE vec_id < 4),
+        |assigned AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cid AS cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(e.$E, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN c)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, cid AS probe_cluster FROM (
+        |    SELECT q.vec_id AS qid, c.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.$E, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS pr
+        |    FROM embeddings q CROSS JOIN c WHERE q.vec_id < 5)
+        |  WHERE pr <= 2),
+        |hits AS (
+        |  SELECT p.qid, e.vec_id,
+        |    list_cosine_similarity(e.$E, q.$E) AS score
+        |  FROM assigned a
+        |  JOIN probes p ON a.cluster = p.probe_cluster
+        |  JOIN embeddings e ON e.vec_id = a.vec_id
+        |  JOIN embeddings q ON q.vec_id = p.qid
+        |  WHERE e.vec_id <> p.qid)
+        |SELECT qid, rnk, vec_id AS nn_id,
+        |  floor((score)*10000 + 0.5)/10000 AS cos
+        |FROM (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY score DESC, vec_id) AS rnk
+        |      FROM hits)
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  )
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.TestData
+import graft.TestData.r4
+import graft.multimodal.Multimodal
+
+/** Declared queries over the multimodal media pipeline
+  * (`graft.multimodal.Multimodal`): metadata projection, frame
+  * fan-out, and stub-decoded features. The first two are exact and
+  * oracle-checked; the feature extraction is oracle-omitted (blob
+  * byte iteration isn't portable SQL) and covered by MultimodalSpec.
+  */
+object MultimodalOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    "multimodal_meta" -> ((s, d) =>
+      Multimodal.fromDocuments(TestData.documents(s, d))
+        .select(col("doc_id"), col("mime"),
+          length(col("content")).as("n_bytes"),
+          col("width"), col("height"), col("duration_ms"))
+        .orderBy("doc_id")),
+
+    "multimodal_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFramesStub(
+          Multimodal.fromDocuments(TestData.documents(s, d)), 1000L)
+        .select("doc_id", "frame_ts_ms")
+        .orderBy("doc_id", "frame_ts_ms")),
+
+    // Oracle-omitted: mapPartitions feature extraction through the
+    // stub decoder; rows-only check + MultimodalSpec invariants.
+    "multimodal_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+          Multimodal.fromDocuments(TestData.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("mime"), col("n_bytes"),
+          r4(element_at(col("features"), 1)).as("f0"),
+          r4(element_at(col("features"), 4)).as("f3"))
+        .orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3)::INT + 1] AS mime,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  ((n_chars % 640) + 1)::INT AS width,
+        |  ((n_chars % 480) + 1)::INT AS height,
+        |  n_chars * 40 AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frame_sample" ->
+      """SELECT doc_id, unnest(range(0, n_chars * 40, 1000)) AS frame_ts_ms
+        |FROM documents WHERE (doc_id % 3) = 2
+        |ORDER BY doc_id, frame_ts_ms""".stripMargin
+  )
+}
