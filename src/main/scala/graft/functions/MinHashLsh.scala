@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hand-rolled MinHash + banded LSH near-duplicate detection:
+  * shingle → minhash signature → band → bucket-join → exact verify.
+  *
+  * Why not `org.apache.spark.ml.feature.MinHashLSH`: its
+  * `approxSimilarityJoin` uses one hash per band, so candidate
+  * probability per band equals the pair's Jaccard itself — on a
+  * corpus with high baseline similarity (this fixture: 31-token
+  * vocabulary, random-pair token-Jaccard ≈ 0.5) nearly EVERY pair
+  * collides in some band and the "approximate" join degenerates to
+  * O(n²) (measured: 371 s at sf0.1 vs <5 s for this implementation).
+  *
+  * Banded MinHash with r hashes per band gives per-band collision
+  * j^r: with r=3, b=4 a true near-dup at j=0.9 is recalled with
+  * p = 1-(1-0.9³)⁴ ≈ 0.995 while a random j=0.15 pair collides with
+  * p ≈ 1.3% — the candidate set stays ~linear. At 100 TB this is the
+  * only viable shape: the shuffle is on (band, bucket-key) and every
+  * bucket is small, so no task ever sees the full corpus.
+  *
+  * All hashing is deterministic (xxhash64 + fixed odd multipliers),
+  * so results are stable across runs and partitionings.
+  */
+object MinHashLsh {
+
+  /** Distinct word-2-shingles from a token-array column. Shingling
+    * (vs raw tokens) makes near-dup detection order-sensitive and
+    * breaks tiny-vocabulary degeneracy.
+    */
+  def shinglesFromTokens(toks: Column): Column =
+    array_distinct(zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b)))
+
+  /** Exact Jaccard between two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Near-dup pairs with exact-verified Jaccard > `threshold`,
+    * LSH-candidates only. Input must have columns (id, blockKey,
+    * shingles). Output: (id_a, id_b, jac).
+    *
+    * @param numPerm number of minhash permutations (= r * bands)
+    * @param r       hashes per band
+    */
+  def nearDupPairs(docs: DataFrame, threshold: Double,
+                   numPerm: Int = 18, r: Int = 3): DataFrame = {
+    val bands = numPerm / r
+    // Signature: per permutation k, min over shingles of a
+    // deterministic rehash of xxhash64(shingle).
+    // 31-bit base hash keeps a*h+b < 2^53 — no ANSI overflow, still
+    // deterministic.
+    val hashed = docs.withColumn("hs",
+      transform(col("shingles"), s => xxhash64(s).bitwiseAND(lit(0x7FFFFFFFL))))
+    // h_k(s) = (a_k·h + b_k) mod p — the mod is what makes each
+    // permutation independent (without it a·h+b is monotone in h and
+    // every permutation would pick the same argmin shingle).
+    val p = 2147483647L // 2^31 - 1, prime
+    val sigCols = (0 until numPerm).map { k =>
+      val a = ((2 * k + 1) * 2654435761L % p) | 1L  // deterministic, odd
+      val b = 40503L * (k + 1)
+      array_min(transform(col("hs"),
+        h => pmod(h * lit(a) + lit(b), lit(p)))).as(s"mh$k")
+    }
+    val sigs = hashed.select(col("id") +: col("blockKey") +: col("shingles") +: sigCols: _*)
+    // Band keys: hash of the band's r signature values (+ block key).
+    val bandKeys = (0 until bands).map { j =>
+      val cols = (0 until r).map(i => col(s"mh${j * r + i}"))
+      struct(lit(j).as("band"),
+             xxhash64(col("blockKey") +: cols: _*).as("bkey"))
+    }
+    val buckets = sigs
+      .select(col("id"), col("shingles"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("id"), col("shingles"), col("bk.band"), col("bk.bkey"))
+    // Bucket join: candidates collide in >=1 band; distinct-ify.
+    val cands = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+              col("x.shingles").as("sa"), col("y.shingles").as("sb"))
+      .dropDuplicates("id_a", "id_b")
+    cands.withColumn("jac", jaccard(col("sa"), col("sb")))
+      .filter(col("jac") > threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+}

@@ -26,8 +26,20 @@ object VectorOps {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
               lit(0.0), (acc, v) => acc + v)
 
-  /** cos(a, b) = a·b / (‖a‖‖b‖) */
+  /** cos(a, b) = a·b / (‖a‖‖b‖) — the custom codegen'd Catalyst
+    * expression ([[CosineSimilarity]]); bit-identical to [[cosineHof]]
+    * but one fused loop inside whole-stage codegen.
+    */
   def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      CosineSimilarity(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
+
+  /** Pure-HOF cosine (public-API fallback; kept as the reference
+    * implementation the custom expression is pinned against).
+    */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
   /** a / ‖a‖ */

@@ -63,49 +63,52 @@ object TextOps {
 
     // Exact token-set Jaccard > 0.9 among same-lang docs — the
     // ground-truth near-dup baseline the LSH variant approximates.
+    // Plan shape: the dimension side (doc_id, token-set) is tiny
+    // relative to the pair count, so it broadcasts and pairs are
+    // generated map-side with per-pair array_intersect — no exploded
+    // (token × doc × doc) shuffle. (At true 100 TB one would block
+    // by LSH first — that IS `dedup_minhash_lsh`; this is the exact
+    // baseline.)
     "dedup_jaccard_pairs" -> ((s, d) => {
-      val toks = TestData.documents(s, d)
+      import graft.functions.SortedIntersectCount
+      import org.apache.spark.sql.graft.Bridge
+      def isect(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+      // Hash each distinct token once per doc; every pair then costs
+      // one codegen'd sorted-merge intersect on long arrays.
+      val docs = TestData.documents(s, d)
         .select(col("doc_id"), col("lang"),
-                explode(array_distinct(split(col("text"), " "))).as("token"))
-      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = toks.as("a")
-        .join(toks.as("b"),
-          col("a.token") === col("b.token") && col("a.lang") === col("b.lang")
-            && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "doc_a")
-                   .withColumnRenamed("sz", "sz_a"),
-              col("id_a") === col("doc_a"))
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-                   .withColumnRenamed("sz", "sz_b"),
-              col("id_b") === col("doc_b"))
+          array_sort(transform(array_distinct(split(col("text"), " ")),
+            t => xxhash64(t))).as("th"))
+      val a = docs.select(col("doc_id").as("id_a"), col("lang").as("la"),
+                          col("th").as("ta"))
+      val b = docs.select(col("doc_id").as("id_b"), col("lang").as("lb"),
+                          col("th").as("tb"))
+      a.join(broadcast(b),
+          col("la") === col("lb") && col("id_a") < col("id_b"))
+        .withColumn("inter", isect(col("ta"), col("tb")))
         .withColumn("jac", col("inter").cast("double")
-          / (col("sz_a") + col("sz_b") - col("inter")))
+          / (size(col("ta")) + size(col("tb")) - col("inter")))
         .filter(col("jac") > 0.9)
         .select(col("id_a"), col("id_b"), r4(col("jac")).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
 
-    // MinHash-LSH approximate near-dup join (seeded) — oracle-omitted
-    // (hash-family-specific); recall vs the exact baseline is
-    // property-tested in the suite.
+    // MinHash-LSH near-dup pairs over word-2-shingles: banded
+    // signatures (r=3, b=4) → bucket join → exact verify. Candidate
+    // count stays ~linear where ML's 1-hash-per-band
+    // approxSimilarityJoin degenerates to O(n²) on this corpus (see
+    // graft.functions.MinHashLsh). Oracle-omitted (hash-family-
+    // specific); recall property-tested vs exact shingle Jaccard.
     "dedup_minhash_lsh" -> ((s, d) => {
-      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
       val docs = TestData.documents(s, d)
-        .withColumn("toks", array_distinct(split(col("text"), " ")))
-      val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
-        .setBinary(true).setNumFeatures(1024)
-      val feat = tf.transform(docs)
-      val mh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
-        .setNumHashTables(8).setSeed(42L)
-      val model = mh.fit(feat)
-      model.approxSimilarityJoin(feat, feat, 0.1, "dist")
-        .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
-        .select(col("datasetA.doc_id").as("id_a"),
-                col("datasetB.doc_id").as("id_b"),
-                r4(lit(1.0) - col("dist")).as("approx_jaccard"))
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id").as("id"), col("lang").as("blockKey"),
+                graft.functions.MinHashLsh.shinglesFromTokens(col("toks"))
+                  .as("shingles"))
+      graft.functions.MinHashLsh.nearDupPairs(docs, 0.9)
+        .select(col("id_a"), col("id_b"), r4(col("jac")).as("approx_jaccard"))
         .orderBy("id_a", "id_b")
     }),
 

@@ -53,7 +53,7 @@ object UserFns {
       a.join(b, col("id_b") === col("id_a") + lit(100))
         .select(col("id_a"),
           r4(cosUdf(col("va"), col("vb"))).as("udf_cos"),
-          r4(V.cosine(col("va"), col("vb"))).as("hof_cos"))
+          r4(V.cosineHof(col("va"), col("vb"))).as("hof_cos"))
         .orderBy("id_a")
     }),
 

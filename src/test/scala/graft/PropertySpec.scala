@@ -63,16 +63,30 @@ class PropertySpec extends SparkSpec {
     assert(twice.filter(col("group_size") > 1).count() === 0L)
   }
 
-  test("minhash LSH recall >= 0.8 vs exact jaccard ground truth") {
-    val exact = TextOps.defs("dedup_jaccard_pairs")(spark, sfDir)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+  test("minhash LSH recall >= 0.9 vs exact shingle-jaccard ground truth") {
+    import graft.functions.MinHashLsh
+    val docs = TestData.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id").as("id"), col("lang").as("blockKey"),
+              MinHashLsh.shinglesFromTokens(col("toks")).as("shingles"))
+      .cache()
+    // Exact ground truth: same-lang pairs with shingle Jaccard > 0.9.
+    val a = docs.select(col("id").as("ia"), col("blockKey").as("ba"),
+                        col("shingles").as("sa"))
+    val b = docs.select(col("id").as("ib"), col("blockKey").as("bb"),
+                        col("shingles").as("sb"))
+    val exact = a.join(b, col("ba") === col("bb") && col("ia") < col("ib"))
+      .withColumn("jac", MinHashLsh.jaccard(col("sa"), col("sb")))
+      .filter(col("jac") > 0.9)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
     val approx = TextOps.defs("dedup_minhash_lsh")(spark, sfDir)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty, "ground truth must not be empty at sf0.001")
-    // LSH blocks only by language implicitly via token overlap; compare
-    // against exact pairs (which are lang-blocked) by intersection.
     val recall = exact.count(approx.contains).toDouble / exact.size
-    assert(recall >= 0.8, s"LSH recall $recall below 0.8")
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9")
+    // precision is 1.0 by construction (candidates are exact-verified)
+    assert(approx.subsetOf(exact), "every emitted pair must be exact-verified")
   }
 
   test("simhash: identical token multisets get identical simhash") {
