@@ -1,0 +1,36 @@
+package graft.extensions
+
+import graft.functions.{CosineSimilarity, SortedIntersectCount}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering the engine's custom Catalyst
+  * expressions as SQL functions, so `spark.sql` users get the same
+  * codegen'd kernels as the DataFrame API:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.extensions.GraftExtensions ...
+  * SELECT cosine_similarity(a.embedding, b.embedding) FROM ...
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity",
+        "cosine_similarity(a, b) - cosine of two ARRAY<DOUBLE> vectors"),
+      (children: Seq[Expression]) =>
+        CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - |A∩B| of two sorted ARRAY<BIGINT>"),
+      (children: Seq[Expression]) =>
+        SortedIntersectCount(children(0), children(1))))
+  }
+}

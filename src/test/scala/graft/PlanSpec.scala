@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators._
+
+/** Physical-plan audits (SURVEY.md "explain and iterate"): these pin
+  * the *plan shapes* the 100 TB design depends on, so a regression
+  * that silently de-optimizes (lost pushdown, broadcast→shuffle,
+  * global sort instead of top-k) fails CI even though results stay
+  * correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = sf("sf0.001")
+
+  private def plan(key: String): String = {
+    val df = SparkEntry.queries(key)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("scan_project prunes columns at the parquet scan") {
+    val p = plan("scan_project")
+    assert(p.contains("ReadSchema"), p.take(500))
+    assert(p.contains("l_orderkey") && !p.contains("l_extendedprice"),
+      "unused columns must not be read")
+  }
+
+  test("scan_filter_pushdown pushes the predicate to parquet") {
+    val p = plan("scan_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      p.take(800))
+  }
+
+  test("join hints pin the physical join strategies") {
+    assert(plan("join_broadcast_inner").contains("BroadcastHashJoin"))
+    assert(plan("join_shuffle_hash").contains("ShuffledHashJoin"))
+    assert(plan("join_sort_merge").contains("SortMergeJoin"))
+  }
+
+  test("topk_global plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("topk_global")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("aggregations run two-phase (partial + final)") {
+    val p = plan("agg_hash_group")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial+final HashAggregate pair")
+  }
+
+  test("kNN broadcasts the query side so the corpus never shuffles") {
+    val p = plan("knn_batch_topk")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+  }
+
+  test("custom cosine expression compiles into whole-stage codegen") {
+    val df = SparkEntry.queries("dup_pairs_cosine")(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("cosine_similarity"), "custom expression must be in the plan")
+    // '*(n)' prefixes mark whole-stage-codegen stages in the final
+    // adaptive plan; the projection holding the expression must carry
+    // one (doGenCode working, no CodegenFallback).
+    val line = p.linesIterator.find(_.contains("cosine_similarity")).get
+    assert(line.contains("*("), s"cosine projection fell out of codegen: $line")
+  }
+}
