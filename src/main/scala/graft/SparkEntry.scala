@@ -28,7 +28,8 @@ object SparkEntry {
     (Streaming.defs, Streaming.oracles),
     (UserFns.defs, UserFns.oracles),
     (AnnSearch.defs, AnnSearch.oracles),
-    (MultimodalOps.defs, MultimodalOps.oracles)
+    (MultimodalOps.defs, MultimodalOps.oracles),
+    (SourceFormats.defs, SourceFormats.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -32,5 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_count(a, b) - |A∩B| of two sorted ARRAY<BIGINT>"),
       (children: Seq[Expression]) =>
         SortedIntersectCount(children(0), children(1))))
+    // Rewrite the public-API HOF cosine pattern into the fused
+    // codegen'd expression.
+    ext.injectOptimizerRule(_ => graft.plans.CosineFusion)
   }
 }

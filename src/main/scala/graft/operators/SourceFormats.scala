@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.TestData
+import graft.TestData.r4
+import graft.sources.FileFormats
+
+/** CSV / JSON source-and-sink round-trips: write a fixture table in
+  * the text format, read it back with an explicit schema, aggregate.
+  * The oracle computes the same aggregate on the original table, so
+  * any loss in the codec path (quoting, typed parse, double
+  * round-trip) hash-fails. Doubles survive because Spark writes
+  * shortest-round-trip representations.
+  */
+object SourceFormats {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val partSchema = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  private val customerSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val defs: Map[String, Q] = Map(
+    "source_csv_roundtrip" -> ((s, d) => {
+      val back = FileFormats.csvRoundTrip(s, TestData.part(s, d), partSchema,
+        "/root/repo/target/tmp/source_csv_roundtrip")
+      back.groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), r4(sum("p_retailprice")).as("sum_price"),
+             max("p_size").as("max_size"))
+        .orderBy("p_brand")
+    }),
+
+    "source_json_roundtrip" -> ((s, d) => {
+      val back = FileFormats.jsonRoundTrip(s, TestData.customer(s, d),
+        customerSchema, "/root/repo/target/tmp/source_json_roundtrip")
+      back.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), r4(sum("c_acctbal")).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "source_csv_roundtrip" ->
+      """SELECT p_brand, count(*) AS n,
+        |  floor((sum(p_retailprice))*10000 + 0.5)/10000 AS sum_price,
+        |  max(p_size) AS max_size
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "source_json_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  floor((sum(c_acctbal))*10000 + 0.5)/10000 AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}

@@ -29,6 +29,19 @@ class ExtensionSpec extends SparkSpec {
       assert(math.abs(cos.getDouble(0) - 1.0) < 1e-12)
       assert(math.abs(cos.getDouble(1)) < 1e-12)
       assert(cos.getInt(2) === 2)
+
+      // CosineFusion: the HOF pattern must be rewritten to the fused
+      // expression by the injected optimizer rule.
+      import graft.functions.{VectorOps => V}
+      import org.apache.spark.sql.functions._
+      val df = TestData.embeddings(s2, sf("sf0.001")).limit(10)
+        .select(col("vec_id"),
+                V.cosineHof(col("embedding"), col("embedding")).as("c"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("cosine_similarity"),
+        s"HOF cosine not fused:\n${optimized.take(600)}")
+      val vals = df.select("c").collect().map(_.getDouble(0))
+      assert(vals.forall(v => math.abs(v - 1.0) < 1e-9))
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
