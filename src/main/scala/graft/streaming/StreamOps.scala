@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, ValueState}
 
 import java.sql.Timestamp
 
@@ -65,6 +66,42 @@ object StreamOps {
     * via `flatMapGroupsWithState` (update mode, no timeout — state
     * lives for the job; production would set a timeout).
     */
+  /** The Spark 4 `transformWithState` form of [[runningUserStats]]:
+    * a `StatefulProcessor` with explicit `ValueState` — the current
+    * arbitrary-state API (state schema'd + evolvable, RocksDB-ready),
+    * preferred over `flatMapGroupsWithState` for new pipelines.
+    */
+  class RunningStatsProcessor
+      extends StatefulProcessor[Long, Event, UserRunning] {
+    @transient private var state: ValueState[UserRunning] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import org.apache.spark.sql.Encoders
+      state = getHandle.getValueState[UserRunning](
+        "running", Encoders.product[UserRunning], org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserRunning] = {
+      val prev = Option(state.get()).getOrElse(UserRunning(key, 0L, Double.MinValue))
+      var n = prev.n_events
+      var mx = prev.max_value
+      rows.foreach { e => n += 1; mx = math.max(mx, e.value) }
+      val next = UserRunning(key, n, mx)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[runningUserStats]] via `transformWithState`. */
+  def runningUserStatsTws(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   def runningUserStats(events: Dataset[Event]): Dataset[UserRunning] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)

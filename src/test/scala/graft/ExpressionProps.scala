@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.{CosineSimilarity, SortedIntersectCount}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.propBoolean
+
+/** ScalaCheck properties for the custom Catalyst expressions,
+  * evaluated at the expression level (interpreted eval; codegen
+  * parity is covered by the query-level suites which run through
+  * whole-stage codegen).
+  */
+object ExpressionProps extends Properties("graft.expressions") {
+
+  private def cosEval(a: Array[Double], b: Array[Double]): Any =
+    CosineSimilarity(
+      Literal(ArrayData.toArrayData(a), ArrayType(DoubleType)),
+      Literal(ArrayData.toArrayData(b), ArrayType(DoubleType))).eval(null)
+
+  private def isectEval(a: Array[Long], b: Array[Long]): Int =
+    SortedIntersectCount(
+      Literal(ArrayData.toArrayData(a), ArrayType(LongType)),
+      Literal(ArrayData.toArrayData(b), ArrayType(LongType)))
+      .eval(null).asInstanceOf[Int]
+
+  private val vec: Gen[Array[Double]] =
+    Gen.choose(1, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-10.0, 10.0)).map(_.toArray))
+      .suchThat(v => v.exists(_ != 0.0))
+
+  property("cosine is bounded and symmetric") = Prop.forAll(vec, vec) { (a, b0) =>
+    val b = b0.take(a.length).padTo(a.length, 1.0)
+    val ab = cosEval(a, b).asInstanceOf[Double]
+    val ba = cosEval(b, a).asInstanceOf[Double]
+    math.abs(ab) <= 1.0 + 1e-9 && math.abs(ab - ba) < 1e-12
+  }
+
+  property("self-cosine is 1") = Prop.forAll(vec) { a =>
+    math.abs(cosEval(a, a).asInstanceOf[Double] - 1.0) < 1e-9
+  }
+
+  property("length mismatch yields null (HOF parity)") =
+    Prop.forAll(vec, vec) { (a, b) =>
+      (a.length != b.length) ==> (cosEval(a, b) == null)
+    }
+
+  property("scale invariance: cos(ka, b) = cos(a, b) for k > 0") =
+    Prop.forAll(vec, Gen.choose(0.1, 100.0)) { (a, k) =>
+      val scaled = a.map(_ * k)
+      math.abs(cosEval(scaled, a).asInstanceOf[Double] - 1.0) < 1e-9
+    }
+
+  private val sortedLongs: Gen[Array[Long]] =
+    Gen.listOf(Gen.choose(0L, 40L)).map(_.distinct.sorted.toArray)
+
+  property("sorted_intersect_count equals set intersection") =
+    Prop.forAll(sortedLongs, sortedLongs) { (a, b) =>
+      isectEval(a, b) == a.toSet.intersect(b.toSet).size
+    }
+
+  property("intersect is commutative and bounded") =
+    Prop.forAll(sortedLongs, sortedLongs) { (a, b) =>
+      val ab = isectEval(a, b)
+      ab == isectEval(b, a) && ab <= math.min(a.length, b.length)
+    }
+}

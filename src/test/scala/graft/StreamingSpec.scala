@@ -85,6 +85,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState keeps running per-user stats (StatefulProcessor)") {
+    // transformWithState needs multi-column-family state — RocksDB
+    // provider (bundled rocksdbjni), not the default HDFS-backed one.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event](spark)
+    val q = StreamOps.runningUserStatsTws(input.toDS())
+      .writeStream.format("memory").queryName("running_tws")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(ev(1, 0, user = 3, value = 2.0),
+                    ev(2, 1, user = 3, value = 8.0))
+      q.processAllAvailable()
+      input.addData(ev(3, 2, user = 3, value = 5.0),
+                    ev(4, 2, user = 4, value = 1.0))
+      q.processAllAvailable()
+      val last = spark.table("running_tws").as[UserRunning].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+      assert(last(3L).n_events === 3L && last(3L).max_value === 8.0)
+      assert(last(4L).n_events === 1L && last(4L).max_value === 1.0)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("session windows merge events within gap across micro-batches") {
     val input = MemoryStream[Event](spark)
     val q = StreamOps.sessionStats(input.toDF(), "5 minutes", "10 minutes")
