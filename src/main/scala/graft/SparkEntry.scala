@@ -29,12 +29,16 @@ object SparkEntry {
     (UserFns.defs, UserFns.oracles),
     (AnnSearch.defs, AnnSearch.oracles),
     (MultimodalOps.defs, MultimodalOps.oracles),
-    (SourceFormats.defs, SourceFormats.oracles)
+    (SourceFormats.defs, SourceFormats.oracles),
+    (IndexPipeline.defs, IndexPipeline.oracles)
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on sf0.001 (driver smoke-checks rows>0): the
+    * reference's whole story in one job — dedup → embed → coarse
+    * quantize → partitioned IVF index write → shard stats.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("agg_hash_group")(spark, "/root/testdata/sf0.001")
+    queries("pipeline_index_build")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
