@@ -30,7 +30,8 @@ object SparkEntry {
     (AnnSearch.defs, AnnSearch.oracles),
     (MultimodalOps.defs, MultimodalOps.oracles),
     (SourceFormats.defs, SourceFormats.oracles),
-    (IndexPipeline.defs, IndexPipeline.oracles)
+    (IndexPipeline.defs, IndexPipeline.oracles),
+    (ScalePatterns.defs, ScalePatterns.oracles)
   )
 
   /** Flagship on sf0.001 (driver smoke-checks rows>0): the

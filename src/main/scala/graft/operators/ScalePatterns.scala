@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.TestData
+import graft.TestData.r4
+
+/** Scale-pattern operators: the shuffle-shaping techniques a 100 TB
+  * deployment leans on, each oracle-checked for exactness.
+  *
+  *   - Salting: a skewed groupBy key (events are dominated by a few
+  *     event types at production scale) is split into `key × salt`
+  *     partial groups so no single reducer owns a hot key; a second
+  *     tiny aggregation merges the partials. Associative aggregates
+  *     (count/sum) make the two-phase form exact.
+  *   - Bucketing: both join sides are written bucketed by the join
+  *     key into the session warehouse; the join then plans with NO
+  *     shuffle exchange on either side (asserted in PlanSpec) — at
+  *     scale this is the difference between a co-located merge and
+  *     re-shuffling 100 TB per join.
+  */
+object ScalePatterns {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    "agg_skew_salted" -> ((s, d) => {
+      val salted = TestData.events(s, d)
+        .withColumn("salt", pmod(col("user_id"), lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pn"), sum("value").as("pv"))
+      salted.groupBy("event_type")
+        .agg(sum("pn").as("n"), r4(sum("pv")).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    "join_bucketed_colocated" -> ((s, d) => {
+      // Bucketed tables live in the session warehouse; (re)write them
+      // bucketed by the join key, then join the saved tables.
+      // The in-memory catalog forgets tables across sessions while
+      // their warehouse directories persist — clear both first.
+      for (t <- Seq("graft_orders_b", "graft_customer_b")) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(
+          new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, t)
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(loc)
+        }
+      }
+      val o = TestData.orders(s, d).select("o_orderkey", "o_custkey",
+        "o_totalprice")
+      val c = TestData.customer(s, d).select("c_custkey", "c_mktsegment")
+      o.write.mode("overwrite").bucketBy(8, "o_custkey")
+        .sortBy("o_custkey").saveAsTable("graft_orders_b")
+      c.write.mode("overwrite").bucketBy(8, "c_custkey")
+        .sortBy("c_custkey").saveAsTable("graft_customer_b")
+      // merge hint: pin SMJ so the plan demonstrates bucketed
+      // co-location (no exchange, no sort — PlanSpec) instead of a
+      // broadcast that would hide it.
+      s.table("graft_orders_b").hint("merge")
+        .join(s.table("graft_customer_b"),
+              col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_skew_salted" ->
+      """SELECT event_type, count(*) AS n,
+        |  floor((sum(value))*10000 + 0.5)/10000 AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "join_bucketed_colocated" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  floor((sum(o_totalprice))*10000 + 0.5)/10000 AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}

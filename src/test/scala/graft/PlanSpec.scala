@@ -53,6 +53,23 @@ class PlanSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("bucketed join is co-located: SMJ with no shuffle on either side") {
+    val df = SparkEntry.queries("join_bucketed_colocated")(spark, sfDir)
+    df.collect()
+    // AQE prints "== Final Plan ==" then "== Initial Plan ==";
+    // examine only the final tree.
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(p.contains("SortMergeJoin"), p.take(600))
+    // The only exchange allowed is the one feeding the final
+    // aggregation — the join inputs read bucketed files directly.
+    val joinIdx = p.indexOf("SortMergeJoin")
+    val belowJoin = p.substring(joinIdx)
+    assert(!belowJoin.contains("Exchange hashpartitioning"),
+      s"bucketed join must not reshuffle its inputs:\n${belowJoin.take(800)}")
+    assert(belowJoin.contains("SelectedBucketsCount") || belowJoin.contains("Bucketed: true"),
+      "scan must be bucket-aware")
+  }
+
   test("custom cosine expression compiles into whole-stage codegen") {
     val df = SparkEntry.queries("dup_pairs_cosine")(spark, sfDir)
     df.collect() // finalize the adaptive plan
