@@ -88,6 +88,25 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Order-SENSITIVE polynomial rolling hash over the token stream
+    // (h = (h·31 + md5₂₈(tok)) mod p): two docs match iff their token
+    // sequences match — complements the order-insensitive
+    // `text_fingerprint`. md5-derived per-token values keep the fold
+    // engine-independent; all arithmetic stays < 2^37 (ANSI-safe).
+    "text_rolling_hash" -> ((s, d) => {
+      val p = 2147483647L
+      val tokHash = (t: org.apache.spark.sql.Column) =>
+        conv(substring(md5(t), 1, 7), 16, 10).cast("long")
+      val w = Window.partitionBy("rh")
+      TestData.documents(s, d)
+        .withColumn("rh",
+          aggregate(transform(split(col("text"), " "), tokHash), lit(0L),
+            (acc, v) => (acc * 31 + v) % p))
+        .withColumn("n_same_seq", count(lit(1)).over(w))
+        .select("doc_id", "rh", "n_same_seq")
+        .orderBy("doc_id")
+    }),
+
     // 60-bit SimHash over md5-derived token hashes — oracle-omitted
     // (bit-twiddling is impractical in portable SQL); property-tested.
     "dedup_simhash" -> ((s, d) => {
@@ -152,6 +171,15 @@ object TextAnalysis {
         |  len(string_split(text, ' ')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_rolling_hash" ->
+      """WITH f AS (
+        |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(text, ' '),
+        |      t -> ('0x' || substring(md5(t), 1, 7))::BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS rh
+        |  FROM documents)
+        |SELECT doc_id, rh, count(*) OVER (PARTITION BY rh) AS n_same_seq
+        |FROM f ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """WITH f AS (
         |  SELECT doc_id,
