@@ -16,19 +16,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "")
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
-      info("cosine_similarity",
+      info(classOf[CosineSimilarity], "cosine_similarity",
         "cosine_similarity(a, b) - cosine of two ARRAY<DOUBLE> vectors"),
       (children: Seq[Expression]) =>
         CosineSimilarity(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("sorted_intersect_count"),
-      info("sorted_intersect_count",
+      info(classOf[SortedIntersectCount], "sorted_intersect_count",
         "sorted_intersect_count(a, b) - |A∩B| of two sorted ARRAY<BIGINT>"),
       (children: Seq[Expression]) =>
         SortedIntersectCount(children(0), children(1))))

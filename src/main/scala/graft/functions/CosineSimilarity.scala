@@ -29,9 +29,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
 
-  // Mismatched lengths yield NULL — matching the HOF form (zip_with
-  // pads with null, which nulls the whole aggregate), so the
-  // CosineFusion rewrite is exactly semantics-preserving.
+  // Mismatched lengths and null ELEMENTS both yield NULL — matching
+  // the HOF form exactly (zip_with pads with null / a null element
+  // nulls the multiply, which nulls the whole aggregate), so the
+  // CosineFusion rewrite is semantics-preserving on every input.
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -42,6 +43,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getDouble(i); val yv = y.getDouble(i)
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
@@ -65,11 +67,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $xv = $x.getDouble($i);
          |    double $yv = $y.getDouble($i);
          |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  }
          |}
        """.stripMargin
     })

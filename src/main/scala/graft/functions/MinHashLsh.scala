@@ -75,17 +75,23 @@ object MinHashLsh {
       struct(lit(j).as("band"),
              xxhash64(col("blockKey") +: cols: _*).as("bkey"))
     }
+    // Buckets carry only (id, band, bkey): the band-join shuffle
+    // moves fixed-width keys, not shingle arrays — at scale the
+    // arrays are re-attached (below) only for surviving candidates.
     val buckets = sigs
-      .select(col("id"), col("shingles"), explode(array(bandKeys: _*)).as("bk"))
-      .select(col("id"), col("shingles"), col("bk.band"), col("bk.bkey"))
+      .select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bkey"))
     // Bucket join: candidates collide in >=1 band; distinct-ify.
-    val cands = buckets.as("x").join(buckets.as("y"),
+    val candIds = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
           && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-              col("x.shingles").as("sa"), col("y.shingles").as("sb"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cands.withColumn("jac", jaccard(col("sa"), col("sb")))
+    val sh = docs.select(col("id"), col("shingles"))
+    candIds
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sa")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sb")), "id_b")
+      .withColumn("jac", jaccard(col("sa"), col("sb")))
       .filter(col("jac") > threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
   }

@@ -42,8 +42,24 @@ object VectorOps {
   def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
-  /** a / ‖a‖ */
-  def normalize(a: Column): Column = {
-    transform(a, x => x / l2norm(a))
+  /** Assign each row's `embedding` to its nearest centroid (min
+    * squared L2, ties broken by min centroid id) against a broadcast
+    * centroid table with columns (cid, cv). One map-side pass over
+    * the corpus — the IVF coarse-quantization shape shared by
+    * `kmeans_assign_fixed`, `ivf_partition_stats`, `ann_ivf_topk`
+    * and the index-build pipeline. Output: input columns (minus
+    * embedding-join temporaries) + (cluster, dist).
+    */
+  def assignToCentroids(corpus: org.apache.spark.sql.DataFrame,
+                        cents: org.apache.spark.sql.DataFrame,
+                        keyCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, min, struct, sqrt => sq}
+    corpus.crossJoin(broadcast(cents))
+      .withColumn("dist", sqDist(col("embedding"), col("cv")))
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .withColumn("cluster", col("m.cid"))
+      .withColumn("dist", sq(col("m.dist")))
+      .drop("m")
   }
 }

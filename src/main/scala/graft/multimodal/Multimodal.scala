@@ -95,6 +95,9 @@ object Multimodal {
     */
   def sampleFramesStub(media: DataFrame, everyMs: Long): DataFrame =
     media.filter(col("mime") === "video/mp4")
+      // zero-length media emits zero frames (sequence() would throw on
+      // start > stop, so filter first)
+      .filter(col("duration_ms") > 0)
       .select(col("doc_id"), col("duration_ms"),
         explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs)))
           .as("frame_ts_ms"))

@@ -29,14 +29,10 @@ object AnnSearch {
   val defs: Map[String, Q] = Map(
     "ann_ivf_topk" -> ((s, d) => {
       val e = TestData.embeddings(s, d)
-      val cents = e.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val cents = Vectors.fixedCentroids(e)
       // corpus side: nearest centroid per vector (the stored partition key)
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("dist", V.sqDist(col("embedding"), col("cv")))
-        .groupBy(col("vec_id"), col("label"), col("embedding"))
-        .agg(min(struct(col("dist"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("embedding"), col("m.cid").as("cluster"))
+      val assigned = V.assignToCentroids(e, cents, Seq("vec_id", "embedding"))
+        .select(col("vec_id"), col("embedding"), col("cluster"))
       // query side: 5 queries, each probing its 2 nearest centroids
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))

@@ -30,7 +30,7 @@ object IndexPipeline {
     "pipeline_index_build" -> ((s, d) => {
       // S1-ish: exact-dedup the corpus, keep survivor ids.
       val survivors = TestData.documents(s, d)
-        .withColumn("h", md5(lower(trim(col("text")))))
+        .withColumn("h", TextOps.contentHash)
         .groupBy("h")
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
@@ -40,14 +40,10 @@ object IndexPipeline {
               col("doc_id") === col("vec_id"))
         .select(col("vec_id"), col("embedding"), col("label"))
       // S4: coarse-quantize against broadcast fixed centroids.
-      val cents = TestData.embeddings(s, d).filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val assigned = embedded.crossJoin(broadcast(cents))
-        .withColumn("dist", V.sqDist(col("embedding"), col("cv")))
-        .groupBy("vec_id", "label")
-        .agg(min(struct(col("dist"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("label"),
-                col("m.cid").as("cluster"), sqrt(col("m.dist")).as("dist"))
+      val cents = Vectors.fixedCentroids(TestData.embeddings(s, d))
+      val assigned = V
+        .assignToCentroids(embedded, cents, Seq("vec_id", "label"))
+        .select("vec_id", "label", "cluster", "dist")
       // Write the index shards, partitioned by cluster.
       val tmp = "/root/repo/target/tmp/pipeline_index_build"
       assigned.write.mode("overwrite").partitionBy("cluster").parquet(tmp)

@@ -34,11 +34,11 @@ object TextAnalysis {
         .agg(count(lit(1)).as("tok_n"))
         .join(langTotals, "pl")
         .select(col("pl"), col("ptok"),
-                log(col("tok_n").cast("double") / col("lang_n")).as("ln_p"))
+                r4(log(col("tok_n").cast("double") / col("lang_n"))).as("ln_p"))
       val scores = toks
         .join(broadcast(profile), col("token") === col("ptok"))
         .groupBy(col("doc_id"), col("lang"), col("pl"))
-        .agg(sum("ln_p").as("score"))
+        .agg(r4(sum("ln_p")).as("score"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("pl"))
       scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .groupBy(col("lang"), col("pl").as("predicted"))
@@ -139,10 +139,11 @@ object TextAnalysis {
         |lt AS (SELECT lang AS pl, count(*) AS lang_n FROM t GROUP BY 1),
         |prof AS (
         |  SELECT t.lang AS pl, token AS ptok,
-        |         ln(count(*)::DOUBLE / any_value(lang_n)) AS ln_p
+        |         floor((ln(count(*)::DOUBLE / any_value(lang_n)))*10000 + 0.5)/10000 AS ln_p
         |  FROM t JOIN lt ON t.lang = lt.pl GROUP BY 1, 2),
         |sc AS (
-        |  SELECT doc_id, lang, pl, sum(ln_p) AS score
+        |  SELECT doc_id, lang, pl,
+        |         floor((sum(ln_p))*10000 + 0.5)/10000 AS score
         |  FROM t JOIN prof ON t.token = prof.ptok
         |  GROUP BY 1, 2, 3),
         |best AS (

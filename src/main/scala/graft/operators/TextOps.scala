@@ -21,6 +21,11 @@ import graft.TestData.r4
 object TextOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Canonical content hash for exact dedup (shared with the
+    * index-build pipeline so both dedup identically).
+    */
+  def contentHash: org.apache.spark.sql.Column = md5(lower(trim(col("text"))))
+
   val defs: Map[String, Q] = Map(
     "text_tokenize_stats" -> ((s, d) =>
       TestData.documents(s, d)
@@ -54,7 +59,7 @@ object TextOps {
 
     "dedup_exact_hash" -> ((s, d) =>
       TestData.documents(s, d)
-        .withColumn("h", md5(lower(trim(col("text")))))
+        .withColumn("h", contentHash)
         .groupBy("h")
         .agg(min(col("doc_id")).as("survivor_id"),
              count(lit(1)).as("group_size"))

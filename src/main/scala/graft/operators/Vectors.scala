@@ -29,6 +29,13 @@ object Vectors {
   /** DuckDB-side double-cast embedding expr. */
   private val E = "embedding::DOUBLE[]"
 
+  /** The fixed k=4 coarse centroids (= embeddings of vec_id 0..3) as
+    * a (cid, cv) table, shared by the IVF operators and the pipeline.
+    */
+  def fixedCentroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+
   val defs: Map[String, Q] = Map(
     "vec_l2_norm" -> ((s, d) =>
       TestData.embeddings(s, d)
@@ -108,28 +115,16 @@ object Vectors {
     // corpus pass, no window shuffle.
     "kmeans_assign_fixed" -> ((s, d) => {
       val e = TestData.embeddings(s, d)
-      val cents = e.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      e.crossJoin(broadcast(cents))
-        .withColumn("dist", V.sqDist(col("embedding"), col("cv")))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cluster"),
-                r4(sqrt(col("m.dist"))).as("dist"))
+      V.assignToCentroids(e, Vectors.fixedCentroids(e), Seq("vec_id"))
+        .select(col("vec_id"), col("cluster"), r4(col("dist")).as("dist"))
         .orderBy("vec_id")
     }),
 
     "ivf_partition_stats" -> ((s, d) => {
       val e = TestData.embeddings(s, d)
-      val cents = e.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      e.crossJoin(broadcast(cents))
-        .withColumn("dist", V.sqDist(col("embedding"), col("cv")))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("cid"))).as("m"))
-        .groupBy(col("m.cid").as("cluster"))
-        .agg(count(lit(1)).as("n"),
-             r4(avg(sqrt(col("m.dist")))).as("mean_dist"))
+      V.assignToCentroids(e, Vectors.fixedCentroids(e), Seq("vec_id"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"), r4(avg(col("dist"))).as("mean_dist"))
         .orderBy("cluster")
     }),
 
