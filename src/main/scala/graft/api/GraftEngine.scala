@@ -1,0 +1,108 @@
+package graft.api
+
+import graft.TestData
+import graft.functions.{MinHashLsh, VectorOps => V}
+import graft.operators.{TextOps, Vectors}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-facing library facade: the capabilities a CloudVectorDB user
+  * runs today (triplet mining, embedding indexing, similarity
+  * search, dedup — reference README.md:2), exposed as typed
+  * DataFrame→DataFrame methods over caller-supplied tables. The
+  * declared harness queries in `graft.operators` are thin
+  * fixture-bound instantiations of these same shapes.
+  *
+  * Conventions: embeddings tables carry (id: LONG, embedding:
+  * ARRAY<DOUBLE>, …); documents tables carry (id: LONG, text:
+  * STRING, …). All methods are lazy plans — nothing executes until
+  * an action.
+  */
+object GraftEngine {
+  /** Mined contrastive triplet. */
+  case class MinedTriplet(anchorId: Long, posId: Long, negId: Long,
+                          posScore: Double, negScore: Double)
+}
+
+class GraftEngine(val spark: SparkSession) {
+  import GraftEngine.MinedTriplet
+
+  /** Top-k cosine neighbors for every id in `queries` against
+    * `corpus` (both (id, embedding)). Query side is broadcast; use
+    * [[ivfSearch]] when the corpus is indexed.
+    */
+  def knn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("qid"), col("embedding").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
+    corpus.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("score", V.cosine(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighborId"), col("score"))
+  }
+
+  /** Build an IVF index: assign every vector to its nearest centroid
+    * and write cluster-partitioned parquet. Returns the assignment.
+    */
+  def buildIvfIndex(corpus: DataFrame, centroids: DataFrame,
+                    path: String): DataFrame = {
+    val assigned = V.assignToCentroids(
+      corpus.withColumnRenamed("id", "vec_id"), centroids, Seq("vec_id"))
+      .withColumnRenamed("vec_id", "id")
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    assigned
+  }
+
+  /** Exact-dedup survivors of a (id, text) table: min id per
+    * canonical content hash.
+    */
+  def dedupExact(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("h", md5(lower(trim(col("text")))))
+      .groupBy("h").agg(min(col("id")).as("id"))
+      .select("id")
+
+  /** Near-duplicate pairs above `threshold` shingle-Jaccard via
+    * banded MinHash-LSH, blocked by `blockCol` (e.g. language).
+    */
+  def nearDuplicates(documents: DataFrame, blockCol: String,
+                     threshold: Double): DataFrame = {
+    val docs = documents
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("id"), col(blockCol).as("blockKey"),
+              MinHashLsh.shinglesFromTokens(col("toks")).as("shingles"))
+    MinHashLsh.nearDupPairs(docs, threshold)
+  }
+
+  /** The reference's S1: mine (anchor, positive, negative) triplets
+    * from a labeled embedding table (id, embedding, label) for the
+    * given anchor ids. Positive = same-label max-cosine, negative =
+    * other-label min-cosine, ties to min id.
+    */
+  def mineTriplets(embeddings: DataFrame,
+                   anchorFilter: Column): Dataset[MinedTriplet] = {
+    import spark.implicits._
+    val anchors = embeddings.filter(anchorFilter)
+      .select(col("id").as("aid"), col("label").as("albl"),
+              col("embedding").as("av"))
+    val scored = embeddings.crossJoin(broadcast(anchors))
+      .filter(col("id") =!= col("aid"))
+      .withColumn("score", V.cosine(col("embedding"), col("av")))
+    val wPos = Window.partitionBy("aid").orderBy(col("score").desc, col("id"))
+    val wNeg = Window.partitionBy("aid").orderBy(col("score").asc, col("id"))
+    val pos = scored.filter(col("label") === col("albl"))
+      .withColumn("rn", row_number().over(wPos)).filter(col("rn") === 1)
+      .select(col("aid"), col("id").as("posId"), col("score").as("posScore"))
+    val neg = scored.filter(col("label") =!= col("albl"))
+      .withColumn("rn", row_number().over(wNeg)).filter(col("rn") === 1)
+      .select(col("aid").as("aid2"), col("id").as("negId"),
+              col("score").as("negScore"))
+    pos.join(neg, col("aid") === col("aid2"))
+      .select(col("aid").as("anchorId"), col("posId"), col("negId"),
+              col("posScore"), col("negScore"))
+      .as[MinedTriplet]
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.api.GraftEngine
+import org.apache.spark.sql.functions._
+
+/** The user-facing facade, driven the way a library consumer would
+  * (caller-supplied tables with the documented (id, …) shape).
+  */
+class EngineApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val engine = new GraftEngine(spark)
+  private lazy val emb = TestData.embeddings(spark, sf("sf0.001"))
+    .select(col("vec_id").as("id"), col("embedding"), col("label")).cache()
+  private lazy val docs = TestData.documents(spark, sf("sf0.001"))
+    .select(col("doc_id").as("id"), col("text"), col("lang")).cache()
+
+  test("knn returns k ranked neighbors per query, no self-matches") {
+    val res = engine.knn(emb, emb.filter(col("id") < 3), 5).collect()
+    assert(res.length === 15)
+    val byQ = res.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === Seq(1, 2, 3, 4, 5))
+      assert(rows.forall(_.getLong(2) != qid))
+      val scores = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("buildIvfIndex writes cluster-partitioned parquet readable back") {
+    val path = "/root/repo/target/tmp/engine_ivf_index"
+    val assigned = engine.buildIvfIndex(
+      emb, operators.Vectors.fixedCentroids(
+        emb.withColumnRenamed("id", "vec_id")), path)
+    val back = spark.read.parquet(path)
+    assert(back.count() === emb.count())
+    assert(back.select("cluster").distinct().count() === 4)
+    assert(back.columns.contains("cluster"))
+    assert(assigned.count() === emb.count())
+  }
+
+  test("dedupExact keeps one survivor per distinct content") {
+    val withDups = docs.unionAll(docs.limit(10).withColumn("id", col("id") + 10000))
+    val survivors = engine.dedupExact(withDups)
+    assert(survivors.count() === docs.count())
+    // survivors are the min ids — none of the 10 duplicated copies survive
+    assert(survivors.filter(col("id") >= 10000).count() === 0)
+  }
+
+  test("mineTriplets honors label invariants through the typed API") {
+    val triplets = engine.mineTriplets(emb, col("id") < 20).collect()
+    val labels = emb.select("id", "label").as[(Long, Int)].collect().toMap
+    assert(triplets.length === 20)
+    triplets.foreach { t =>
+      assert(labels(t.posId) === labels(t.anchorId))
+      assert(labels(t.negId) !== labels(t.anchorId))
+      assert(t.posScore >= t.negScore)
+    }
+  }
+
+  test("nearDuplicates finds the planted duplicate pairs") {
+    val planted = docs.unionAll(
+      docs.filter(col("id") < 5).withColumn("id", col("id") + 20000))
+    val pairs = engine.nearDuplicates(planted, "lang", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0L until 5L).foreach { i =>
+      assert(pairs.exists(p => p._1 == i && p._2 == i + 20000),
+        s"planted duplicate ($i, ${i + 20000}) not found")
+    }
+  }
+}

@@ -42,6 +42,21 @@ class ExtensionSpec extends SparkSpec {
         s"HOF cosine not fused:\n${optimized.take(600)}")
       val vals = df.select("c").collect().map(_.getDouble(0))
       assert(vals.forall(v => math.abs(v - 1.0) < 1e-9))
+
+      // Negative control: a structurally similar NON-cosine pattern
+      // (normalized squared distance — zip_with lambda is (x-y)*(x-y))
+      // must NOT be fused.
+      val dfNeg = TestData.embeddings(s2, sf("sf0.001")).limit(5)
+        .select(col("vec_id"),
+          (V.sqDist(col("embedding"), col("embedding"))
+            / (V.l2norm(col("embedding")) * V.l2norm(col("embedding"))))
+            .as("nsd"))
+      val optNeg = dfNeg.queryExecution.optimizedPlan.toString
+      assert(!optNeg.contains("cosine_similarity"),
+        s"non-cosine pattern wrongly fused:\n${optNeg.take(600)}")
+      assert(dfNeg.select("nsd").collect()
+        .forall(r => math.abs(r.getDouble(0)) < 1e-12),
+        "self squared-distance must be 0, not cosine 1")
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)

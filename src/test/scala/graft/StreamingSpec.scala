@@ -111,6 +111,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("file streaming source (availableNow) matches the batch aggregate") {
+    // The production entry path: readStream over a parquet directory,
+    // processed with Trigger.AvailableNow — results must equal the
+    // batch run of the same Catalyst expressions.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/repo/target/tmp/stream_file_source"
+    val batchDf = TestData.events(spark, sf("sf0.001"))
+    batchDf.write.mode("overwrite").parquet(dir)
+    val streamIn = spark.readStream.schema(batchDf.schema).parquet(dir)
+    val q = StreamOps.tumblingCounts(streamIn, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("file_stream_agg")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(60000)
+      val streamed = spark.table("file_stream_agg")
+        .select("window_start", "event_type", "n")
+        .as[(Timestamp, String, Long)].collect().toSet
+      val batch = graft.operators.Streaming.defs("stream_tumbling_agg")(
+          spark, sf("sf0.001"))
+        .select("window_start", "event_type", "n")
+        .as[(Timestamp, String, Long)].collect().toSet
+      // Append mode emits only watermark-closed windows — every
+      // emitted window must match its batch counterpart exactly.
+      assert(streamed.nonEmpty)
+      assert(streamed.subsetOf(batch),
+        s"streamed windows diverge from batch: ${streamed.diff(batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("session windows merge events within gap across micro-batches") {
     val input = MemoryStream[Event](spark)
     val q = StreamOps.sessionStats(input.toDF(), "5 minutes", "10 minutes")
