@@ -31,7 +31,8 @@ object SparkEntry {
     (MultimodalOps.defs, MultimodalOps.oracles),
     (SourceFormats.defs, SourceFormats.oracles),
     (IndexPipeline.defs, IndexPipeline.oracles),
-    (ScalePatterns.defs, ScalePatterns.oracles)
+    (ScalePatterns.defs, ScalePatterns.oracles),
+    (Subqueries.defs, Subqueries.oracles)
   )
 
   /** Flagship on sf0.001 (driver smoke-checks rows>0): the

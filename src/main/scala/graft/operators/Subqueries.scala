@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.TestData
+
+/** Subquery forms — scalar, correlated scalar, IN — exercised through
+  * `spark.sql` so Catalyst's rewrite rules do the work:
+  * `RewriteCorrelatedScalarSubquery` turns the correlated aggregate
+  * into a left outer join against a pre-aggregated subtree, and IN
+  * becomes a left-semi join — i.e., at scale these plan to the same
+  * shuffle shapes as the explicit-join operators (§2.C), which is the
+  * point: declarative subqueries cost nothing extra.
+  */
+object Subqueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def withViews(s: SparkSession, d: String): Unit = {
+    TestData.orders(s, d).createOrReplaceTempView("g_orders")
+    TestData.customer(s, d).createOrReplaceTempView("g_customer")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "subquery_scalar" -> ((s, d) => {
+      withViews(s, d)
+      s.sql("""
+        SELECT o_orderkey, o_totalprice FROM g_orders
+        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM g_orders)
+        ORDER BY o_orderkey""")
+    }),
+
+    "subquery_correlated_scalar" -> ((s, d) => {
+      withViews(s, d)
+      s.sql("""
+        SELECT c_custkey, c_nationkey, c_acctbal FROM g_customer c1
+        WHERE c_acctbal > 1.5 * (SELECT avg(c2.c_acctbal) FROM g_customer c2
+                                 WHERE c2.c_nationkey = c1.c_nationkey)
+        ORDER BY c_custkey""")
+    }),
+
+    "subquery_in" -> ((s, d) => {
+      withViews(s, d)
+      s.sql("""
+        SELECT o_orderkey, o_custkey FROM g_orders
+        WHERE o_custkey IN (SELECT c_custkey FROM g_customer
+                            WHERE c_mktsegment = 'BUILDING')
+          AND o_orderpriority = '1-URGENT'
+        ORDER BY o_orderkey""")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "subquery_scalar" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "subquery_correlated_scalar" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c1
+        |WHERE c_acctbal > 1.5 * (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                         WHERE c2.c_nationkey = c1.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "subquery_in" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |  AND o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}
