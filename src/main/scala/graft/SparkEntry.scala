@@ -32,7 +32,8 @@ object SparkEntry {
     (SourceFormats.defs, SourceFormats.oracles),
     (IndexPipeline.defs, IndexPipeline.oracles),
     (ScalePatterns.defs, ScalePatterns.oracles),
-    (Subqueries.defs, Subqueries.oracles)
+    (Subqueries.defs, Subqueries.oracles),
+    (Quantize.defs, Quantize.oracles)
   )
 
   /** Flagship on sf0.001 (driver smoke-checks rows>0): the

@@ -52,6 +52,17 @@ object Aggregates {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
         .orderBy("event_type")),
 
+    // Quantile sketch (Greenwald-Khanna) — oracle-omitted
+    // (sketch-specific); property-tested against the exact percentile.
+    "agg_approx_percentile" -> ((s, d) =>
+      TestData.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_percentile(col("l_quantity"), lit(0.5), lit(1000))
+               .as("approx_median"),
+             approx_percentile(col("l_quantity"), lit(0.9), lit(1000))
+               .as("approx_p90"))
+        .orderBy("l_returnflag")),
+
     "agg_grouping_sets" -> ((s, d) =>
       TestData.lineitem(s, d)
         .groupingSets(

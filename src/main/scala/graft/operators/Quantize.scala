@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.TestData
+import graft.TestData.r4
+
+/** Scalar (int8) quantization of the embedding table — the
+  * compression step a vector DB applies before storing vectors
+  * (reference README.md:2 "building the vectordb"): per-dimension
+  * min/max over the corpus → 8-bit codes → reconstruction error.
+  * At 100 TB the per-dim stats are a 64-row broadcast computed in
+  * one pass, and encoding is map-side — this is how a 4-byte-float
+  * corpus becomes a 1-byte-code corpus plus a tiny codebook.
+  *
+  * The quantize rounding uses the deterministic floor(x+0.5) form so
+  * codes are bit-identical cross-engine.
+  */
+object Quantize {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    "vec_scalar_quantize" -> ((s, d) => {
+      val dims = TestData.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      val stats = dims.groupBy("dim")
+        .agg(min("x").as("mn"), max("x").as("mx"))
+      val q = dims.join(broadcast(stats), "dim")
+        .withColumn("code",
+          floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255.0
+            + 0.5).cast("int"))
+        .withColumn("deq",
+          col("mn") + col("code") / 255.0 * (col("mx") - col("mn")))
+        .withColumn("err", abs(col("x") - col("deq")))
+      q.groupBy("vec_id")
+        .agg(r4(avg("err")).as("mean_err"),
+             r4(max("err")).as("max_err"),
+             sum("code").as("code_sum"))
+        .orderBy("vec_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "vec_scalar_quantize" ->
+      """WITH dims AS (
+        |  SELECT vec_id, i AS dim, (embedding::DOUBLE[])[i + 1] AS x
+        |  FROM embeddings,
+        |       LATERAL (SELECT unnest(range(len(embedding))) AS i) r),
+        |stats AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM dims GROUP BY dim),
+        |q AS (
+        |  SELECT vec_id,
+        |    floor((x - mn) / (mx - mn) * 255.0 + 0.5)::INT AS code,
+        |    abs(x - (mn + floor((x - mn) / (mx - mn) * 255.0 + 0.5)::INT
+        |      / 255.0 * (mx - mn))) AS err
+        |  FROM dims JOIN stats USING (dim))
+        |SELECT vec_id,
+        |  floor((avg(err))*10000 + 0.5)/10000 AS mean_err,
+        |  floor((max(err))*10000 + 0.5)/10000 AS max_err,
+        |  sum(code) AS code_sum
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  )
+}

@@ -37,6 +37,27 @@ object Streaming {
         .select(col("w.start").as("window_start"), col("n"), col("users"))
         .orderBy("window_start")),
 
+    // Conversion funnel over the event stream: per user, first signup
+    // and first purchase at-or-after it; one aggregate row. The
+    // per-user mins are a single shuffle on user_id.
+    "events_funnel" -> ((s, d) => {
+      val ev = TestData.events(s, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("signup_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("purchase_ts"))
+      val firstConv = signups
+        .join(purchases, col("user_id") === col("pu")
+          && col("purchase_ts") >= col("signup_ts"), "left")
+        .groupBy("user_id", "signup_ts")
+        .agg(min("purchase_ts").as("first_purchase_ts"))
+      firstConv.agg(
+          count(lit(1)).as("n_signed_up"),
+          count(col("first_purchase_ts")).as("n_converted"),
+          r4(avg((unix_micros(col("first_purchase_ts"))
+            - unix_micros(col("signup_ts"))) / 60000000.0)).as("avg_minutes_to_convert"))
+    }),
+
     // Session windows (5-min gap) per user; duration emitted as exact
     // integer microseconds (no float risk).
     "stream_session_window" -> ((s, d) =>
@@ -62,6 +83,20 @@ object Streaming {
         |  count(*) AS n, count(DISTINCT user_id) AS users
         |FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)
         |GROUP BY 1 ORDER BY window_start""".stripMargin,
+    "events_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |conv AS (
+        |  SELECT s.user_id, s.signup_ts, min(p.ts) AS first_purchase_ts
+        |  FROM s LEFT JOIN events p ON p.user_id = s.user_id
+        |    AND p.event_type = 'purchase' AND p.ts >= s.signup_ts
+        |  GROUP BY s.user_id, s.signup_ts)
+        |SELECT count(*) AS n_signed_up,
+        |  count(first_purchase_ts) AS n_converted,
+        |  floor((avg((epoch_us(first_purchase_ts) - epoch_us(signup_ts))
+        |    / 60000000.0))*10000 + 0.5)/10000 AS avg_minutes_to_convert
+        |FROM conv""".stripMargin,
     "stream_session_window" ->
       """WITH o AS (
         |  SELECT user_id, ts,

@@ -50,6 +50,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile within tolerance of exact percentile") {
+    val exact = Aggregates.defs("agg_percentile_exact")(spark, sfDir)
+      .select("l_returnflag", "median_qty", "p90_qty")
+      .as[(String, Double, Double)].collect()
+      .map { case (f, m, p) => f -> (m, p) }.toMap
+    val approx = Aggregates.defs("agg_approx_percentile")(spark, sfDir)
+      .select("l_returnflag", "approx_median", "approx_p90")
+      .as[(String, Double, Double)].collect()
+    assert(approx.nonEmpty)
+    approx.foreach { case (f, am, ap) =>
+      val (em, ep) = exact(f)
+      // quantities span 1..50; GK with accuracy 1000 on 2k rows/group
+      // should land within a couple of units
+      assert(math.abs(am - em) <= 2.0, s"median off for $f: $am vs $em")
+      assert(math.abs(ap - ep) <= 2.0, s"p90 off for $f: $ap vs $ep")
+    }
+  }
+
   test("exact dedup is idempotent") {
     val once = TextOps.defs("dedup_exact_hash")(spark, sfDir).cache()
     val ids = once.select("survivor_id").as[Long].collect().toSet
