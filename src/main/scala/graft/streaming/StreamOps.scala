@@ -66,6 +66,29 @@ object StreamOps {
     * via `flatMapGroupsWithState` (update mode, no timeout — state
     * lives for the job; production would set a timeout).
     */
+  /** Stream-stream join: each purchase joined to clicks by the same
+    * user within the preceding `window`. Both sides are watermarked so
+    * the join state is evictable — unbounded state is the failure
+    * mode of stream-stream joins at scale, and the time-range
+    * condition is what lets Spark bound it.
+    */
+  def clickToPurchaseJoin(events: DataFrame, watermark: String,
+                          window: String): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+              col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+      col("cu") === col("user_id")
+        && col("click_ts") <= col("purchase_ts")
+        && col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $window"))
+      .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+  }
+
   /** The Spark 4 `transformWithState` form of [[runningUserStats]]:
     * a `StatefulProcessor` with explicit `ValueState` — the current
     * arbitrary-state API (state schema'd + evolvable, RocksDB-ready),

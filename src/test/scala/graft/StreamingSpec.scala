@@ -111,6 +111,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream join pairs purchases with in-window clicks only") {
+    val input = MemoryStream[Event](spark)
+    val q = StreamOps.clickToPurchaseJoin(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        ev(1, 0, user = 1, typ = "click"),
+        ev(2, 3, user = 1, typ = "purchase"),   // within 5 min of click 1
+        ev(3, 20, user = 1, typ = "click"),
+        ev(4, 40, user = 1, typ = "purchase"),  // no click within 5 min
+        ev(5, 41, user = 2, typ = "purchase"))  // other user, no click
+      q.processAllAvailable()
+      input.addData(ev(6, 80, user = 1, typ = "click")) // advance watermark
+      q.processAllAvailable()
+      val pairs = spark.table("ss_join")
+        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(pairs === Set((2L, 1L)),
+        s"only the in-window purchase-click pair may join, got $pairs")
+    } finally q.stop()
+  }
+
   test("file streaming source (availableNow) matches the batch aggregate") {
     // The production entry path: readStream over a parquet directory,
     // processed with Trigger.AvailableNow — results must equal the
