@@ -33,7 +33,8 @@ object SparkEntry {
     (IndexPipeline.defs, IndexPipeline.oracles),
     (ScalePatterns.defs, ScalePatterns.oracles),
     (Subqueries.defs, Subqueries.oracles),
-    (Quantize.defs, Quantize.oracles)
+    (Quantize.defs, Quantize.oracles),
+    (TimeSeries.defs, TimeSeries.oracles)
   )
 
   /** Flagship on sf0.001 (driver smoke-checks rows>0): the

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.TestData
+import graft.TestData.r4
+
+/** Time-series shaping: calendar gap-fill, and partition-pruned
+  * read-back of a partitioned sink.
+  *
+  *   - `ts_gap_fill` materializes a dense daily calendar (explode of
+  *     a `sequence` between the corpus min/max day — the span is a
+  *     1-row broadcast) and left-joins daily revenue so missing days
+  *     appear as explicit zero rows. The calendar side is O(days),
+  *     never O(rows).
+  *   - `sink_partition_prune` re-reads a `partitionBy(event_type)`
+  *     sink with a partition-key predicate: the filter becomes
+  *     directory pruning (`PartitionFilters`, pinned in PlanSpec),
+  *     not a data read — the property that makes partitioned layouts
+  *     pay off at 100 TB.
+  */
+object TimeSeries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    "ts_gap_fill" -> ((s, d) => {
+      val daily = TestData.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum("o_totalprice").as("rev"), count(lit(1)).as("n_orders"))
+      val span = TestData.orders(s, d)
+        .agg(min(col("o_orderdate").cast("date")).as("d0"),
+             max(col("o_orderdate").cast("date")).as("d1"))
+      val calendar = span
+        .select(explode(sequence(col("d0"), col("d1"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      calendar.join(daily, Seq("day"), "left")
+        .select(col("day").cast("timestamp").as("day"),
+          r4(coalesce(col("rev"), lit(0.0))).as("rev"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("day")
+    }),
+
+    "sink_partition_prune" -> ((s, d) => {
+      val tmp = "/root/repo/target/tmp/sink_partition_prune"
+      TestData.events(s, d).write.mode("overwrite")
+        .partitionBy("event_type").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("event_type") === "click" && col("value") > 100.0)
+        .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ts_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day, sum(o_totalprice) AS rev,
+        |         count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |cal AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT min(o_orderdate::DATE) FROM orders),
+        |    (SELECT max(o_orderdate::DATE) FROM orders),
+        |    INTERVAL 1 DAY))::DATE AS day)
+        |SELECT cal.day::TIMESTAMP AS day,
+        |  floor((coalesce(rev, 0.0))*10000 + 0.5)/10000 AS rev,
+        |  coalesce(n_orders, 0) AS n_orders
+        |FROM cal LEFT JOIN daily ON cal.day = daily.day
+        |ORDER BY day""".stripMargin,
+    "sink_partition_prune" ->
+      """SELECT count(*) AS n, floor((sum(value))*10000 + 0.5)/10000 AS sum_value
+        |FROM events WHERE event_type = 'click' AND value > 100.0""".stripMargin
+  )
+}

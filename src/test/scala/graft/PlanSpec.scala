@@ -70,6 +70,16 @@ class PlanSpec extends SparkSpec {
       "scan must be bucket-aware")
   }
 
+  test("partition-key predicate becomes directory pruning on read-back") {
+    val df = SparkEntry.queries("sink_partition_prune")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+      s"event_type filter must prune partitions, not scan data:\n${p.take(800)}")
+    // the value predicate still goes to parquet as a data filter
+    assert(p.contains("PushedFilters: [IsNotNull(value), GreaterThan(value"),
+      p.take(800))
+  }
+
   test("custom cosine expression compiles into whole-stage codegen") {
     val df = SparkEntry.queries("dup_pairs_cosine")(spark, sfDir)
     df.collect() // finalize the adaptive plan
