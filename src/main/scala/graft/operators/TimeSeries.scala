@@ -40,6 +40,25 @@ object TimeSeries {
         .orderBy("day")
     }),
 
+    // Data clustering: range-repartition + sort-within-partitions on
+    // the filter column before writing, so every parquet row group
+    // covers a narrow shipdate range and min/max stats skip most of
+    // the file for date-range scans — the sort-order lever for
+    // scan-heavy workloads at 100 TB.
+    "sink_sorted_clustered" -> ((s, d) => {
+      val tmp = "/root/repo/target/tmp/sink_sorted_clustered"
+      TestData.lineitem(s, d)
+        .repartitionByRange(4, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("l_shipdate").between(
+          lit("1997-01-01").cast("timestamp"),
+          lit("1997-03-31").cast("timestamp")))
+        .agg(count(lit(1)).as("n"),
+             r4(sum("l_extendedprice")).as("sum_price"))
+    }),
+
     "sink_partition_prune" -> ((s, d) => {
       val tmp = "/root/repo/target/tmp/sink_partition_prune"
       TestData.events(s, d).write.mode("overwrite")
@@ -66,6 +85,11 @@ object TimeSeries {
         |  coalesce(n_orders, 0) AS n_orders
         |FROM cal LEFT JOIN daily ON cal.day = daily.day
         |ORDER BY day""".stripMargin,
+    "sink_sorted_clustered" ->
+      """SELECT count(*) AS n,
+        |  floor((sum(l_extendedprice))*10000 + 0.5)/10000 AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-03-31'""".stripMargin,
     "sink_partition_prune" ->
       """SELECT count(*) AS n, floor((sum(value))*10000 + 0.5)/10000 AS sum_value
         |FROM events WHERE event_type = 'click' AND value > 100.0""".stripMargin
