@@ -34,7 +34,8 @@ object SparkEntry {
     (ScalePatterns.defs, ScalePatterns.oracles),
     (Subqueries.defs, Subqueries.oracles),
     (Quantize.defs, Quantize.oracles),
-    (TimeSeries.defs, TimeSeries.oracles)
+    (TimeSeries.defs, TimeSeries.oracles),
+    (ProductQuantize.defs, ProductQuantize.oracles)
   )
 
   /** Flagship on sf0.001 (driver smoke-checks rows>0): the

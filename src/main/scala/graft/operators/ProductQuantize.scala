@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.TestData
+import graft.TestData.r4
+import graft.functions.{VectorOps => V}
+
+/** Product quantization — the vector-DB compression core (reference
+  * README.md:2 "building the vectordb"): the 64-dim space is split
+  * into M=8 subspaces of 8 dims; each subvector is encoded as the id
+  * of its nearest codeword in a per-subspace codebook. A 256-byte
+  * float vector becomes M codes (here 8 × 2 bits) plus a shared
+  * codebook — at 100 TB the codebook is a 32-row broadcast and
+  * encoding is one map-side pass, the same shape as scalar
+  * quantization but with much better reconstruction at equal bits.
+  *
+  * Codebooks here are deterministic (codewords = the subvectors of
+  * embeddings 0..3, standing in for a trained k-means codebook) so
+  * the full encode is oracle-checkable.
+  */
+object ProductQuantize {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val M = 8  // subspaces
+  private val K = 4  // codewords per subspace (= vectors 0..3)
+
+  val defs: Map[String, Q] = Map(
+    "vec_pq_encode" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      // (vec_id, sub, sv): each vector split into M subvectors
+      val subs = e.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${M - 1}), j -> struct(j AS sub, slice(embedding, j*8+1, 8) AS sv))"))
+        .as("x"))
+        .select(col("vec_id"), col("x.sub"), col("x.sv"))
+      // codebook: (sub, code, cw) from vectors 0..K-1 — 32-row broadcast
+      val codebook = e.filter(col("vec_id") < K)
+        .select(col("vec_id").as("code"), explode(expr(
+          s"transform(sequence(0, ${M - 1}), j -> struct(j AS sub, slice(embedding, j*8+1, 8) AS cw))"))
+          .as("x"))
+        .select(col("x.sub"), col("code"), col("x.cw"))
+      subs.join(broadcast(codebook), "sub")
+        .withColumn("dist", V.sqDist(col("sv"), col("cw")))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("dist"), col("code"))).as("m"))
+        .select(col("vec_id"), col("sub"),
+                col("m.code").as("code"),
+                r4(sqrt(col("m.dist"))).as("sub_err"))
+        .orderBy("vec_id", "sub")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "vec_pq_encode" ->
+      """WITH subs AS (
+        |  SELECT vec_id, j AS sub,
+        |         (embedding::DOUBLE[])[j*8+1 : j*8+8] AS sv
+        |  FROM embeddings, LATERAL (SELECT unnest(range(8)) AS j) r),
+        |codebook AS (
+        |  SELECT j AS sub, vec_id AS code,
+        |         (embedding::DOUBLE[])[j*8+1 : j*8+8] AS cw
+        |  FROM embeddings, LATERAL (SELECT unnest(range(8)) AS j) r
+        |  WHERE vec_id < 4),
+        |scored AS (
+        |  SELECT s.vec_id, s.sub, c.code,
+        |    list_sum(list_transform(list_zip(s.sv, c.cw),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        |  FROM subs s JOIN codebook c ON s.sub = c.sub),
+        |best AS (
+        |  SELECT vec_id, sub, code, dist,
+        |    row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY dist, code) AS rn
+        |  FROM scored)
+        |SELECT vec_id, sub, code,
+        |  floor((sqrt(dist))*10000 + 0.5)/10000 AS sub_err
+        |FROM best WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin
+  )
+}

@@ -139,6 +139,41 @@ class PropertySpec extends SparkSpec {
     assert(a >= richDistinct)
   }
 
+  test("IVF ANN recall@5 vs brute force is measurably high") {
+    val brute = Vectors.defs("knn_batch_topk")(spark, sfDir)
+      .filter(col("qid") < 5)
+      .select("qid", "nn_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = AnnSearch.defs("ann_ivf_topk")(spark, sfDir)
+      .filter(col("rnk") <= 3)
+      .select("qid", "nn_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // brute top-3 per query vs ivf top-3: overlap fraction
+    val recalls = brute.keys.toSeq.sorted.map { q =>
+      val b = brute(q)
+      val hits = ivf.getOrElse(q, Set.empty).count(b.contains)
+      hits.toDouble / b.size
+    }
+    val mean = recalls.sum / recalls.length
+    // nProbe=2 of 4 partitions with random (unclustered) vectors:
+    // expect roughly half the true neighbors to live in probed
+    // partitions; assert a conservative floor and record the value.
+    info(s"IVF recall@3 per query: ${recalls.mkString(", ")} (mean $mean)")
+    assert(mean >= 0.3, s"IVF recall collapsed: $mean")
+  }
+
+  test("PQ encode: codes in range, subspace errors bounded by scalar worst case") {
+    val rows = ProductQuantize.defs("vec_pq_encode")(spark, sfDir)
+      .select("vec_id", "sub", "code", "sub_err")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(rows.length === TestData.embeddings(spark, sfDir).count() * 8)
+    assert(rows.forall { case (_, s, c, e) => s >= 0 && s < 8 && c >= 0 && c < 4 && e >= 0.0 })
+    // codebook vectors encode themselves with zero subspace error
+    rows.filter(_._1 < 4).foreach { case (v, _, c, e) =>
+      assert(c === v && e === 0.0, s"codebook vector $v must self-encode")
+    }
+  }
+
   test("triplet invariants: pos label = anchor label != neg label") {
     val t = Vectors.defs("triplet_mine")(spark, sfDir)
       .select("anchor_id", "pos_id", "neg_id").as[(Long, Long, Long)].collect()
