@@ -47,6 +47,43 @@ object ProductQuantize {
                 col("m.code").as("code"),
                 r4(sqrt(col("m.dist"))).as("sub_err"))
         .orderBy("vec_id", "sub")
+    }),
+
+    // ADC search: the query stays un-quantized; a 32-entry
+    // (sub, code) → distance lookup table is computed once from the
+    // query, and each corpus vector's approximate distance is the sum
+    // of 8 table lookups over its stored codes. At 100 TB the scan
+    // touches only the 8-byte codes — never the float vectors — and
+    // the lookup table is a broadcast. Top-10 for query vec_id 42.
+    "ann_pq_adc_topk" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val subExpr = (src: String) =>
+        s"transform(sequence(0, ${M - 1}), j -> struct(j AS sub, slice($src, j*8+1, 8) AS v))"
+      // corpus codes (as in vec_pq_encode)
+      val subs = e.select(col("vec_id"), explode(expr(subExpr("embedding"))).as("x"))
+        .select(col("vec_id"), col("x.sub"), col("x.v").as("sv"))
+      val codebook = e.filter(col("vec_id") < K)
+        .select(col("vec_id").as("code"), explode(expr(subExpr("embedding"))).as("x"))
+        .select(col("x.sub"), col("code"), col("x.v").as("cw"))
+      val codes = subs.join(broadcast(codebook), "sub")
+        .withColumn("dist", V.sqDist(col("sv"), col("cw")))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("dist"), col("code"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.code").as("code"))
+      // query distance table: (sub, code) -> sqDist(q_sub, codeword)
+      val qsubs = e.filter(col("vec_id") === 42)
+        .select(explode(expr(subExpr("embedding"))).as("x"))
+        .select(col("x.sub"), col("x.v").as("qv"))
+      val dtable = qsubs.join(codebook, "sub")
+        .select(col("sub"), col("code"), V.sqDist(col("qv"), col("cw")).as("dq"))
+      // approximate distance = Σ table[sub, code_v(sub)]
+      codes.join(broadcast(dtable), Seq("sub", "code"))
+        .groupBy("vec_id")
+        .agg(sum("dq").as("adist"))
+        .filter(col("vec_id") =!= 42)
+        .orderBy(col("adist").asc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), r4(sqrt(col("adist"))).as("approx_dist"))
     })
   )
 
@@ -73,6 +110,40 @@ object ProductQuantize {
         |  FROM scored)
         |SELECT vec_id, sub, code,
         |  floor((sqrt(dist))*10000 + 0.5)/10000 AS sub_err
-        |FROM best WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin
+        |FROM best WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+    "ann_pq_adc_topk" ->
+      """WITH subs AS (
+        |  SELECT vec_id, j AS sub,
+        |         (embedding::DOUBLE[])[j*8+1 : j*8+8] AS sv
+        |  FROM embeddings, LATERAL (SELECT unnest(range(8)) AS j) r),
+        |codebook AS (
+        |  SELECT j AS sub, vec_id AS code,
+        |         (embedding::DOUBLE[])[j*8+1 : j*8+8] AS cw
+        |  FROM embeddings, LATERAL (SELECT unnest(range(8)) AS j) r
+        |  WHERE vec_id < 4),
+        |scored AS (
+        |  SELECT s.vec_id, s.sub, c.code,
+        |    list_sum(list_transform(list_zip(s.sv, c.cw),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        |  FROM subs s JOIN codebook c ON s.sub = c.sub),
+        |codes AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      row_number() OVER (PARTITION BY vec_id, sub
+        |        ORDER BY dist, code) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |dtable AS (
+        |  SELECT c.sub, c.code,
+        |    list_sum(list_transform(list_zip(q.sv, c.cw),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dq
+        |  FROM (SELECT sub, sv FROM subs WHERE vec_id = 42) q
+        |  JOIN codebook c ON q.sub = c.sub),
+        |approx AS (
+        |  SELECT k.vec_id, sum(t.dq) AS adist
+        |  FROM codes k JOIN dtable t ON k.sub = t.sub AND k.code = t.code
+        |  GROUP BY k.vec_id)
+        |SELECT vec_id, floor((sqrt(adist))*10000 + 0.5)/10000 AS approx_dist
+        |FROM approx WHERE vec_id <> 42
+        |ORDER BY adist ASC, vec_id LIMIT 10""".stripMargin
   )
 }
