@@ -174,6 +174,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PQ-ADC top-k overlaps exact L2 top-k (compression quality)") {
+    import graft.functions.{VectorOps => V}
+    val e = TestData.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") === 42).select(col("embedding").as("qv"))
+    val exact = e.filter(col("vec_id") =!= 42).crossJoin(q)
+      .withColumn("d", V.sqDist(col("embedding"), col("qv")))
+      .orderBy(col("d").asc, col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    val adc = ProductQuantize.defs("ann_pq_adc_topk")(spark, sfDir)
+      .select("vec_id").as[Long].collect().toSet
+    val overlap = adc.count(exact.contains).toDouble / exact.size
+    info(s"ADC@10 vs exact-L2@10 overlap: $overlap")
+    // 4 codewords x 8 subspaces is a very coarse codebook (2-bit
+    // codes); require the approximation to beat random top-10
+    // selection (10/500 = 2%) by a wide margin.
+    assert(overlap >= 0.1, s"ADC approximation collapsed: $overlap")
+  }
+
   test("triplet invariants: pos label = anchor label != neg label") {
     val t = Vectors.defs("triplet_mine")(spark, sfDir)
       .select("anchor_id", "pos_id", "neg_id").as[(Long, Long, Long)].collect()

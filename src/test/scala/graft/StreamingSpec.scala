@@ -111,6 +111,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch sink writes each micro-batch exactly once by batchId") {
+    // The idempotent-sink pattern: foreachBatch keys output by
+    // batchId so a replayed batch overwrites instead of duplicating.
+    import org.apache.spark.sql.DataFrame
+    val dir = "/root/repo/target/tmp/foreach_batch_sink"
+    new java.io.File(dir).listFiles() // no-op if absent
+    val input = MemoryStream[Event](spark)
+    val q = input.toDF()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+      }
+      .start()
+    try {
+      input.addData(ev(1, 0), ev(2, 1))
+      q.processAllAvailable()
+      input.addData(ev(3, 2))
+      q.processAllAvailable()
+      val written = spark.read.parquet(s"$dir/batch=*")
+      assert(written.count() === 3)
+      assert(written.select("event_id").as[Long].collect().sorted.toSeq
+        === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("stream-stream join pairs purchases with in-window clicks only") {
     val input = MemoryStream[Event](spark)
     val q = StreamOps.clickToPurchaseJoin(input.toDF(), "10 minutes", "5 minutes")
