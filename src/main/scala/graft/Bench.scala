@@ -11,8 +11,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: initializes codegen, parquet reader, and shuffle
-    // machinery so the first timed query doesn't absorb JVM start cost.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // machinery, and touches every fixture table once, so the first
+    // timed query absorbs neither JVM start nor first-read cost.
+    try {
+      SparkEntry.entry(spark).count()
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+        .foreach(t => TestData.table(spark, sfDir, t).count())
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
