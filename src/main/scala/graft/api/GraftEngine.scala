@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   *
   * Conventions: embeddings tables carry (id: LONG, embedding:
   * ARRAY<DOUBLE>, …); documents tables carry (id: LONG, text:
-  * STRING, …). All methods are lazy plans — nothing executes until
-  * an action.
+  * STRING, …). All methods return lazy plans except [[buildIvfIndex]]
+  * (an explicit sink).
   */
 object GraftEngine {
   /** Mined contrastive triplet. */
@@ -44,15 +44,44 @@ class GraftEngine(val spark: SparkSession) {
   }
 
   /** Build an IVF index: assign every vector to its nearest centroid
-    * and write cluster-partitioned parquet. Returns the assignment.
+    * and EAGERLY write cluster-partitioned parquet (vectors included,
+    * so [[ivfSearch]] can read the index back). Returns the written
+    * assignment. This is the one eager method on this class — it is
+    * a sink, not a plan.
     */
   def buildIvfIndex(corpus: DataFrame, centroids: DataFrame,
                     path: String): DataFrame = {
     val assigned = V.assignToCentroids(
-      corpus.withColumnRenamed("id", "vec_id"), centroids, Seq("vec_id"))
+      corpus.withColumnRenamed("id", "vec_id"), centroids,
+      Seq("vec_id", "embedding"))
       .withColumnRenamed("vec_id", "id")
+      .select("id", "embedding", "cluster", "dist")
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
     assigned
+  }
+
+  /** ANN search against a [[buildIvfIndex]]-written index: each query
+    * probes its `nProbe` nearest centroid partitions (partition
+    * pruning on the cluster column makes that a selective read) and
+    * takes top-k by cosine within them.
+    */
+  def ivfSearch(indexPath: String, centroids: DataFrame,
+                queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val index = spark.read.parquet(indexPath)
+    val q = queries.select(col("id").as("qid"), col("embedding").as("qv"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("qdist"), col("cid"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("qdist", V.sqDist(col("qv"), col("cv")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("qid"), col("qv"), col("cid").as("probe_cluster"))
+    val wTop = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
+    index.join(broadcast(probes), col("cluster") === col("probe_cluster"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("score", V.cosine(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighborId"), col("score"))
   }
 
   /** Exact-dedup survivors of a (id, text) table: min id per

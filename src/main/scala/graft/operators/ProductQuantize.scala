@@ -25,27 +25,32 @@ object ProductQuantize {
   private val M = 8  // subspaces
   private val K = 4  // codewords per subspace (= vectors 0..3)
 
+  /** (vec_id, sub, sv): each vector split into M subvectors. */
+  private def subSplit(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), explode(expr(
+      s"transform(sequence(0, ${M - 1}), j -> struct(j AS sub, slice(embedding, j*8+1, 8) AS sv))"))
+      .as("x"))
+      .select(col("vec_id"), col("x.sub"), col("x.sv"))
+
+  /** Codebook (sub, code, cw) from vectors 0..K-1 — a 32-row broadcast. */
+  private def codebook(e: DataFrame): DataFrame =
+    subSplit(e.filter(col("vec_id") < K))
+      .select(col("sub"), col("vec_id").as("code"), col("sv").as("cw"))
+
+  /** Nearest-codeword assignment: (vec_id, sub, code, dist). */
+  private def assignCodes(e: DataFrame): DataFrame =
+    subSplit(e).join(broadcast(codebook(e)), "sub")
+      .withColumn("d", V.sqDist(col("sv"), col("cw")))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d"), col("code"))).as("m"))
+      .select(col("vec_id"), col("sub"),
+              col("m.code").as("code"), col("m.d").as("dist"))
+
   val defs: Map[String, Q] = Map(
     "vec_pq_encode" -> ((s, d) => {
-      val e = TestData.embeddings(s, d)
-      // (vec_id, sub, sv): each vector split into M subvectors
-      val subs = e.select(col("vec_id"), explode(expr(
-        s"transform(sequence(0, ${M - 1}), j -> struct(j AS sub, slice(embedding, j*8+1, 8) AS sv))"))
-        .as("x"))
-        .select(col("vec_id"), col("x.sub"), col("x.sv"))
-      // codebook: (sub, code, cw) from vectors 0..K-1 — 32-row broadcast
-      val codebook = e.filter(col("vec_id") < K)
-        .select(col("vec_id").as("code"), explode(expr(
-          s"transform(sequence(0, ${M - 1}), j -> struct(j AS sub, slice(embedding, j*8+1, 8) AS cw))"))
-          .as("x"))
-        .select(col("x.sub"), col("code"), col("x.cw"))
-      subs.join(broadcast(codebook), "sub")
-        .withColumn("dist", V.sqDist(col("sv"), col("cw")))
-        .groupBy("vec_id", "sub")
-        .agg(min(struct(col("dist"), col("code"))).as("m"))
-        .select(col("vec_id"), col("sub"),
-                col("m.code").as("code"),
-                r4(sqrt(col("m.dist"))).as("sub_err"))
+      assignCodes(TestData.embeddings(s, d))
+        .select(col("vec_id"), col("sub"), col("code"),
+                r4(sqrt(col("dist"))).as("sub_err"))
         .orderBy("vec_id", "sub")
     }),
 
@@ -57,24 +62,11 @@ object ProductQuantize {
     // the lookup table is a broadcast. Top-10 for query vec_id 42.
     "ann_pq_adc_topk" -> ((s, d) => {
       val e = TestData.embeddings(s, d)
-      val subExpr = (src: String) =>
-        s"transform(sequence(0, ${M - 1}), j -> struct(j AS sub, slice($src, j*8+1, 8) AS v))"
-      // corpus codes (as in vec_pq_encode)
-      val subs = e.select(col("vec_id"), explode(expr(subExpr("embedding"))).as("x"))
-        .select(col("vec_id"), col("x.sub"), col("x.v").as("sv"))
-      val codebook = e.filter(col("vec_id") < K)
-        .select(col("vec_id").as("code"), explode(expr(subExpr("embedding"))).as("x"))
-        .select(col("x.sub"), col("code"), col("x.v").as("cw"))
-      val codes = subs.join(broadcast(codebook), "sub")
-        .withColumn("dist", V.sqDist(col("sv"), col("cw")))
-        .groupBy("vec_id", "sub")
-        .agg(min(struct(col("dist"), col("code"))).as("m"))
-        .select(col("vec_id"), col("sub"), col("m.code").as("code"))
+      val codes = assignCodes(e).select("vec_id", "sub", "code")
       // query distance table: (sub, code) -> sqDist(q_sub, codeword)
-      val qsubs = e.filter(col("vec_id") === 42)
-        .select(explode(expr(subExpr("embedding"))).as("x"))
-        .select(col("x.sub"), col("x.v").as("qv"))
-      val dtable = qsubs.join(codebook, "sub")
+      val qsubs = subSplit(e.filter(col("vec_id") === 42))
+        .select(col("sub"), col("sv").as("qv"))
+      val dtable = qsubs.join(codebook(e), "sub")
         .select(col("sub"), col("code"), V.sqDist(col("qv"), col("cw")).as("dq"))
       // approximate distance = Σ table[sub, code_v(sub)]
       codes.join(broadcast(dtable), Seq("sub", "code"))

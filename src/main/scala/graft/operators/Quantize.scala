@@ -25,10 +25,13 @@ object Quantize {
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
       val stats = dims.groupBy("dim")
         .agg(min("x").as("mn"), max("x").as("mx"))
+      // constant dimensions (mx == mn) map to code 0, not 0/0 = NaN
+      // (ANSI mode would throw on casting floor(NaN) to int)
       val q = dims.join(broadcast(stats), "dim")
         .withColumn("code",
-          floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255.0
-            + 0.5).cast("int"))
+          when(col("mx") === col("mn"), lit(0)).otherwise(
+            floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255.0
+              + 0.5).cast("int")))
         .withColumn("deq",
           col("mn") + col("code") / 255.0 * (col("mx") - col("mn")))
         .withColumn("err", abs(col("x") - col("deq")))
@@ -49,8 +52,10 @@ object Quantize {
         |stats AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM dims GROUP BY dim),
         |q AS (
         |  SELECT vec_id,
-        |    floor((x - mn) / (mx - mn) * 255.0 + 0.5)::INT AS code,
-        |    abs(x - (mn + floor((x - mn) / (mx - mn) * 255.0 + 0.5)::INT
+        |    CASE WHEN mx = mn THEN 0
+        |         ELSE floor((x - mn) / (mx - mn) * 255.0 + 0.5)::INT END AS code,
+        |    abs(x - (mn + (CASE WHEN mx = mn THEN 0
+        |         ELSE floor((x - mn) / (mx - mn) * 255.0 + 0.5)::INT END)
         |      / 255.0 * (mx - mn))) AS err
         |  FROM dims JOIN stats USING (dim))
         |SELECT vec_id,

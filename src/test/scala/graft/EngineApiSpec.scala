@@ -27,16 +27,28 @@ class EngineApiSpec extends SparkSpec {
     }
   }
 
-  test("buildIvfIndex writes cluster-partitioned parquet readable back") {
+  test("buildIvfIndex writes a searchable cluster-partitioned index") {
     val path = "/root/repo/target/tmp/engine_ivf_index"
-    val assigned = engine.buildIvfIndex(
-      emb, operators.Vectors.fixedCentroids(
-        emb.withColumnRenamed("id", "vec_id")), path)
+    val cents = operators.Vectors.fixedCentroids(
+      emb.withColumnRenamed("id", "vec_id"))
+    val assigned = engine.buildIvfIndex(emb, cents, path)
     val back = spark.read.parquet(path)
     assert(back.count() === emb.count())
     assert(back.select("cluster").distinct().count() === 4)
-    assert(back.columns.contains("cluster"))
+    assert(back.columns.contains("embedding"), "index must carry the vectors")
     assert(assigned.count() === emb.count())
+
+    // and the index answers queries: ivfSearch over the written files
+    val res = engine.ivfSearch(path, cents, emb.filter(col("id") < 3),
+                               k = 5, nProbe = 2).collect()
+    assert(res.length === 15)
+    assert(res.forall(r => r.getLong(2) != r.getLong(0)), "no self-matches")
+    // probing 2 of 4 partitions: results must overlap brute-force top-5
+    val brute = engine.knn(emb, emb.filter(col("id") < 3), 5)
+      .select("qid", "neighborId").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val hit = res.count(r => brute(r.getLong(0)).contains(r.getLong(2)))
+    assert(hit >= 5, s"IVF search diverged too far from brute force: $hit/15")
   }
 
   test("dedupExact keeps one survivor per distinct content") {

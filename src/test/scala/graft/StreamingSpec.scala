@@ -116,7 +116,12 @@ class StreamingSpec extends SparkSpec {
     // batchId so a replayed batch overwrites instead of duplicating.
     import org.apache.spark.sql.DataFrame
     val dir = "/root/repo/target/tmp/foreach_batch_sink"
-    new java.io.File(dir).listFiles() // no-op if absent
+    // clear stale batch dirs from prior runs
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(dir))
     val input = MemoryStream[Event](spark)
     val q = input.toDF()
       .writeStream
