@@ -107,6 +107,52 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF: document frequency over distinct (doc, token), idf
+    // quantized (r4) so the tf·idf ranking is exact cross-engine
+    // (products of identical doubles; ties broken by token). Emits
+    // each doc's top-scoring term.
+    "text_tfidf_top" -> ((s, d) => {
+      val docs = TestData.documents(s, d)
+      val n = docs.count()
+      val tf = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token").as("t"))
+        .agg(count(lit(1)).as("df"))
+      val idf = df.select(col("t"), r4(log(lit(n.toDouble) / col("df"))).as("idf"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("token"))
+      tf.join(broadcast(idf), col("token") === col("t"))
+        .withColumn("score", col("tf") * col("idf"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("token").as("top_term"),
+                r4(col("score")).as("tfidf"))
+        .orderBy("doc_id")
+    }),
+
+    // Fuzzy dedup: edit-distance pairs, blocked by (lang, n_chars) —
+    // same-length blocking keeps the candidate set tiny while
+    // catching transposition/substitution near-dups that token-set
+    // methods miss. levenshtein is identical in both engines.
+    "dedup_fuzzy_pairs" -> ((s, d) => {
+      val docs = TestData.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      val a = docs.select(col("doc_id").as("id_a"), col("lang").as("la"),
+        col("n_chars").as("ca"), col("text").as("ta"))
+      val b = docs.select(col("doc_id").as("id_b"), col("lang").as("lb"),
+        col("n_chars").as("cb"), col("text").as("tb"))
+      // banded levenshtein (threshold overload): O(n·k) with early
+      // exit instead of O(n²) per pair — same result under the <= 20
+      // filter, ~25x cheaper on far-apart pairs (the common case)
+      a.join(broadcast(b), col("la") === col("lb") && col("ca") === col("cb")
+          && col("id_a") < col("id_b"))
+        .withColumn("lev", levenshtein(col("ta"), col("tb"), 21))
+        .filter(col("lev") >= 0 && col("lev") <= 20)
+        .select(col("id_a"), col("id_b"), col("lev"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // 60-bit SimHash over md5-derived token hashes — oracle-omitted
     // (bit-twiddling is impractical in portable SQL); property-tested.
     "dedup_simhash" -> ((s, d) => {
@@ -172,6 +218,32 @@ object TextAnalysis {
         |  len(string_split(text, ' ')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tfidf_top" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY doc_id, token),
+        |idf AS (
+        |  SELECT token AS t,
+        |    floor((ln((SELECT count(*) FROM documents)::DOUBLE / count(*)))*10000
+        |      + 0.5)/10000 AS idf
+        |  FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT doc_id, token, tf * idf AS score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf * idf DESC, token) AS rn
+        |  FROM tf JOIN idf ON tf.token = idf.t)
+        |SELECT doc_id, token AS top_term,
+        |  floor((score)*10000 + 0.5)/10000 AS tfidf
+        |FROM scored WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_fuzzy_pairs" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  levenshtein(a.text, b.text) AS lev
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 20
+        |ORDER BY id_a, id_b""".stripMargin,
     "text_rolling_hash" ->
       """WITH f AS (
         |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
