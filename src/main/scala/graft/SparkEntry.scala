@@ -35,7 +35,8 @@ object SparkEntry {
     (Subqueries.defs, Subqueries.oracles),
     (Quantize.defs, Quantize.oracles),
     (TimeSeries.defs, TimeSeries.oracles),
-    (ProductQuantize.defs, ProductQuantize.oracles)
+    (ProductQuantize.defs, ProductQuantize.oracles),
+    (GraphOps.defs, GraphOps.oracles)
   )
 
   /** Flagship on sf0.001 (driver smoke-checks rows>0): the

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.TestData
+import graft.functions.SortedIntersectCount
+import org.apache.spark.sql.graft.Bridge
+
+/** Dedup cluster formation: connected components over the near-dup
+  * pair graph (Jaccard > 0.9, same-lang) via iterative min-label
+  * propagation — the final step of a real dedup pipeline (pick one
+  * survivor per component, not per pair).
+  *
+  * The loop is the Spark-idiomatic iterative-algorithm shape: each
+  * round joins labels to neighbors, takes the per-node min, and
+  * `localCheckpoint`s to cut lineage; convergence is detected with a
+  * driver-side count of changed labels. Rounds needed = graph
+  * diameter, which for near-dup clusters (dense cliques) is small.
+  * At 100 TB the same loop runs with edges/labels partitioned by id
+  * — each round is one shuffle join, no driver-side data.
+  */
+object GraphOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def isect(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+
+  val defs: Map[String, Q] = Map(
+    "dedup_components" -> ((s, d) => {
+      val docs = TestData.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          array_sort(transform(array_distinct(split(col("text"), " ")),
+            t => xxhash64(t))).as("th"))
+      val a = docs.select(col("doc_id").as("src"), col("lang").as("la"),
+                          col("th").as("ta"))
+      val b = docs.select(col("doc_id").as("dst"), col("lang").as("lb"),
+                          col("th").as("tb"))
+      val pairs = a.join(broadcast(b),
+          col("la") === col("lb") && col("src") < col("dst"))
+        .withColumn("inter", isect(col("ta"), col("tb")))
+        .withColumn("jac", col("inter").cast("double")
+          / (size(col("ta")) + size(col("tb")) - col("inter")))
+        .filter(col("jac") > 0.9)
+        .select("src", "dst")
+      val edges = pairs
+        .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("comp"))
+        .localCheckpoint()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 50) {
+        val nbr = edges.join(labels, col("dst") === col("id"))
+          .groupBy(col("src")).agg(min(col("comp")).as("nbrComp"))
+        val next = labels.join(nbr, col("id") === col("src"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
+          .localCheckpoint()
+        val changed = next.as("n")
+          .join(labels.as("p"), col("n.id") === col("p.id"))
+          .filter(col("n.comp") =!= col("p.comp")).count()
+        labels = next
+        converged = changed == 0L
+        iter += 1
+      }
+      labels.select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_components" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |edges AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        |        > 0.9),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+        |SELECT a AS doc_id, min(b) AS component
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+  )
+}
