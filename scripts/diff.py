@@ -23,6 +23,15 @@ def norm(df):
             df[c] = df[c].astype("datetime64[us]")
     return df
 
+def kind(dt):
+    """Collapse a pandas dtype to a representation class. int-vs-float is
+    exactly the long/double representation split that breaks the driver's
+    value hash even when float(x) == float(y); width (int32 vs int64)
+    does not affect the hash, so widths are collapsed."""
+    k = np.dtype(dt).kind if not str(dt).startswith("datetime64") else "M"
+    return {"i": "int", "u": "int", "f": "float", "b": "bool",
+            "M": "ts", "O": "obj"}.get(k, str(dt))
+
 def cmp_col(a, b):
     """Exact compare; returns (ok, detail)."""
     if len(a) != len(b):
@@ -81,6 +90,10 @@ def main():
             continue
         bad = []
         for c in ddf.columns:
+            ks, kd = kind(sdf[c].dtype), kind(ddf[c].dtype)
+            if ks != kd:
+                bad.append(f"{c}: dtype spark={sdf[c].dtype}({ks}) duck={ddf[c].dtype}({kd})")
+                continue
             ok, detail = cmp_col(sdf[c].tolist(), ddf[c].tolist())
             if not ok:
                 bad.append(f"{c}: {detail}")

@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   * O(n²) (measured: 371 s at sf0.1 vs <5 s for this implementation).
   *
   * Banded MinHash with r hashes per band gives per-band collision
-  * j^r: with r=3, b=4 a true near-dup at j=0.9 is recalled with
-  * p = 1-(1-0.9³)⁴ ≈ 0.995 while a random j=0.15 pair collides with
-  * p ≈ 1.3% — the candidate set stays ~linear. At 100 TB this is the
+  * j^r: with the default numPerm=18, r=3 (→ b=6 bands) a true
+  * near-dup at j=0.9 is recalled with p = 1-(1-0.9³)⁶ ≈ 0.9996 while
+  * a random j=0.15 pair collides with p ≈ 2% — the candidate set
+  * stays ~linear. At 100 TB this is the
   * only viable shape: the shuffle is on (band, bucket-key) and every
   * bucket is small, so no task ever sees the full corpus.
   *

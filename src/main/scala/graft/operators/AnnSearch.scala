@@ -52,6 +52,37 @@ object AnnSearch {
         .select(col("qid"), col("rnk"), col("vec_id").as("nn_id"),
                 r4(col("score")).as("cos"))
         .orderBy("qid", "rnk")
+    }),
+
+    // The end-to-end IVF story: search the STORED index. The corpus
+    // side is the `partitionBy(cluster)` parquet layout written by
+    // `IndexStore` (the same layout `pipeline_index_build` produces),
+    // and the probe join is on the partition column — so Spark's
+    // dynamic partition pruning turns "probe 2 of k clusters" into
+    // reading only those cluster directories. Round 1 recomputed
+    // assignments in-query and never exercised pruning on the search
+    // path; this is the plan a 100 TB vector DB actually runs.
+    "ann_ivf_pruned_topk" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val cents = Vectors.fixedCentroids(e)
+      val stored = graft.sources.IndexStore.readIvfIndex(s, d)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val wProbe = Window.partitionBy("qid").orderBy(col("qdist"), col("cid"))
+      val probes = queries.crossJoin(broadcast(cents))
+        .withColumn("qdist", V.sqDist(col("qv"), col("cv")))
+        .withColumn("pr", row_number().over(wProbe))
+        .filter(col("pr") <= 2)
+        .select(col("qid"), col("qv"), col("cid").as("probe_cluster"))
+      val wTop = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+      stored.join(broadcast(probes), col("cluster") === col("probe_cluster"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score", V.cosine(col("embedding"), col("qv")))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("vec_id").as("nn_id"),
+                r4(col("score")).as("cos"))
+        .orderBy("qid", "rnk")
     })
   )
 
@@ -59,6 +90,41 @@ object AnnSearch {
 
   val oracles: Map[String, String] = Map(
     "ann_ivf_topk" ->
+      s"""WITH c AS (SELECT vec_id AS cid, $E AS cv FROM embeddings WHERE vec_id < 4),
+        |assigned AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cid AS cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(e.$E, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN c)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, cid AS probe_cluster FROM (
+        |    SELECT q.vec_id AS qid, c.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.$E, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS pr
+        |    FROM embeddings q CROSS JOIN c WHERE q.vec_id < 5)
+        |  WHERE pr <= 2),
+        |hits AS (
+        |  SELECT p.qid, e.vec_id,
+        |    list_cosine_similarity(e.$E, q.$E) AS score
+        |  FROM assigned a
+        |  JOIN probes p ON a.cluster = p.probe_cluster
+        |  JOIN embeddings e ON e.vec_id = a.vec_id
+        |  JOIN embeddings q ON q.vec_id = p.qid
+        |  WHERE e.vec_id <> p.qid)
+        |SELECT qid, rnk, vec_id AS nn_id,
+        |  floor((score)*10000 + 0.5)/10000 AS cos
+        |FROM (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY score DESC, vec_id) AS rnk
+        |      FROM hits)
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // Same relational semantics as ann_ivf_topk — the stored index is
+    // just a materialization of `assigned`; the oracle recomputes it.
+    "ann_ivf_pruned_topk" ->
       s"""WITH c AS (SELECT vec_id AS cid, $E AS cv FROM embeddings WHERE vec_id < 4),
         |assigned AS (
         |  SELECT vec_id, cluster FROM (

@@ -1,10 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.TestData
-import graft.functions.SortedIntersectCount
-import org.apache.spark.sql.graft.Bridge
 
 /** Dedup cluster formation: connected components over the near-dup
   * pair graph (Jaccard > 0.9, same-lang) via iterative min-label
@@ -22,31 +20,24 @@ import org.apache.spark.sql.graft.Bridge
 object GraphOps {
   type Q = (SparkSession, String) => DataFrame
 
-  private def isect(a: Column, b: Column): Column =
-    Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
-
   val defs: Map[String, Q] = Map(
     "dedup_components" -> ((s, d) => {
       val docs = TestData.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          array_sort(transform(array_distinct(split(col("text"), " ")),
-            t => xxhash64(t))).as("th"))
-      val a = docs.select(col("doc_id").as("src"), col("lang").as("la"),
-                          col("th").as("ta"))
-      val b = docs.select(col("doc_id").as("dst"), col("lang").as("lb"),
-                          col("th").as("tb"))
-      val pairs = a.join(broadcast(b),
-          col("la") === col("lb") && col("src") < col("dst"))
-        .withColumn("inter", isect(col("ta"), col("tb")))
-        .withColumn("jac", col("inter").cast("double")
-          / (size(col("ta")) + size(col("tb")) - col("inter")))
-        .filter(col("jac") > 0.9)
-        .select("src", "dst")
+      // Edge stage: the shared shuffle-join Jaccard pairs (no corpus
+      // broadcast — see TextOps.jaccardPairs for the 100 TB shape).
+      val pairs = TextOps.jaccardPairs(docs)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
       val edges = pairs
         .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint()
       var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("comp"))
         .localCheckpoint()
+      // Convergence detection: labels only ever decrease, so
+      // sum(comp) is strictly decreasing until the fixpoint — one
+      // cheap scan of the checkpointed labels per round instead of
+      // the round-1 self-join + count (which re-shuffled both label
+      // tables every iteration just to count changes).
+      var prevSum = labels.agg(sum(col("comp")).cast("long")).first().getLong(0)
       var converged = false
       var iter = 0
       while (!converged && iter < 50) {
@@ -56,11 +47,10 @@ object GraphOps {
           .select(col("id"),
             least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
           .localCheckpoint()
-        val changed = next.as("n")
-          .join(labels.as("p"), col("n.id") === col("p.id"))
-          .filter(col("n.comp") =!= col("p.comp")).count()
+        val s2 = next.agg(sum(col("comp")).cast("long")).first().getLong(0)
         labels = next
-        converged = changed == 0L
+        converged = s2 == prevSum
+        prevSum = s2
         iter += 1
       }
       labels.select(col("id").as("doc_id"), col("comp").as("component"))

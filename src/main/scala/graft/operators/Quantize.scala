@@ -61,7 +61,7 @@ object Quantize {
         |SELECT vec_id,
         |  floor((avg(err))*10000 + 0.5)/10000 AS mean_err,
         |  floor((max(err))*10000 + 0.5)/10000 AS max_err,
-        |  sum(code) AS code_sum
+        |  sum(code)::BIGINT AS code_sum
         |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
   )
 }

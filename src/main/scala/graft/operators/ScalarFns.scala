@@ -151,7 +151,7 @@ object ScalarFns {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_math" ->
       """SELECT l_orderkey, l_linenumber,
-        |  floor(l_extendedprice) AS fl, ceil(l_extendedprice) AS ce,
+        |  floor(l_extendedprice)::BIGINT AS fl, ceil(l_extendedprice)::BIGINT AS ce,
         |  floor((abs(l_discount - 0.05))*10000 + 0.5)/10000 AS abs_d,
         |  floor((pow(l_quantity, 2))*10000 + 0.5)/10000 AS qty_sq,
         |  floor((sqrt(l_extendedprice))*10000 + 0.5)/10000 AS sq,

@@ -26,6 +26,39 @@ object TextOps {
     */
   def contentHash: org.apache.spark.sql.Column = md5(lower(trim(col("text"))))
 
+  /** Exact token-set Jaccard-scored same-lang pairs (id_a < id_b) —
+    * shared by `dedup_jaccard_pairs` and the component-formation edge
+    * stage. Plan shape: a SHUFFLE join on the block key (lang), never
+    * a broadcast of the corpus — both sides hash-partition by lang so
+    * no executor ever holds the whole table (the round-1 broadcast
+    * form OOMs at 100 TB). Per-pair cost is one codegen'd
+    * sorted-merge intersect over pre-hashed sorted token arrays.
+    * Within-block work is still O(block²) — that is what makes this
+    * the *exact baseline*; `dedup_minhash_lsh` is the sub-quadratic
+    * scale path.
+    */
+  def jaccardPairs(documents: DataFrame): DataFrame = {
+    import graft.functions.SortedIntersectCount
+    import org.apache.spark.sql.graft.Bridge
+    def isect(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+    val docs = documents
+      .select(col("doc_id"), col("lang"),
+        array_sort(transform(array_distinct(split(col("text"), " ")),
+          t => xxhash64(t))).as("th"))
+    val a = docs.select(col("doc_id").as("id_a"), col("lang").as("la"),
+                        col("th").as("ta"))
+    val b = docs.select(col("doc_id").as("id_b"), col("lang").as("lb"),
+                        col("th").as("tb"))
+    a.join(b.hint("shuffle_hash"),
+        col("la") === col("lb") && col("id_a") < col("id_b"))
+      .withColumn("inter", isect(col("ta"), col("tb")))
+      .withColumn("jac", col("inter").cast("double")
+        / (size(col("ta")) + size(col("tb")) - col("inter")))
+      .filter(col("jac") > 0.9)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
   val defs: Map[String, Q] = Map(
     "text_tokenize_stats" -> ((s, d) =>
       TestData.documents(s, d)
@@ -68,39 +101,14 @@ object TextOps {
 
     // Exact token-set Jaccard > 0.9 among same-lang docs — the
     // ground-truth near-dup baseline the LSH variant approximates.
-    // Plan shape: the dimension side (doc_id, token-set) is tiny
-    // relative to the pair count, so it broadcasts and pairs are
-    // generated map-side with per-pair array_intersect — no exploded
-    // (token × doc × doc) shuffle. (At true 100 TB one would block
-    // by LSH first — that IS `dedup_minhash_lsh`; this is the exact
-    // baseline.)
-    "dedup_jaccard_pairs" -> ((s, d) => {
-      import graft.functions.SortedIntersectCount
-      import org.apache.spark.sql.graft.Bridge
-      def isect(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
-      // Hash each distinct token once per doc; every pair then costs
-      // one codegen'd sorted-merge intersect on long arrays.
-      val docs = TestData.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          array_sort(transform(array_distinct(split(col("text"), " ")),
-            t => xxhash64(t))).as("th"))
-      val a = docs.select(col("doc_id").as("id_a"), col("lang").as("la"),
-                          col("th").as("ta"))
-      val b = docs.select(col("doc_id").as("id_b"), col("lang").as("lb"),
-                          col("th").as("tb"))
-      a.join(broadcast(b),
-          col("la") === col("lb") && col("id_a") < col("id_b"))
-        .withColumn("inter", isect(col("ta"), col("tb")))
-        .withColumn("jac", col("inter").cast("double")
-          / (size(col("ta")) + size(col("tb")) - col("inter")))
-        .filter(col("jac") > 0.9)
+    // Shuffle join on the lang block key (see `jaccardPairs`).
+    "dedup_jaccard_pairs" -> ((s, d) =>
+      jaccardPairs(TestData.documents(s, d))
         .select(col("id_a"), col("id_b"), r4(col("jac")).as("jaccard"))
-        .orderBy("id_a", "id_b")
-    }),
+        .orderBy("id_a", "id_b")),
 
     // MinHash-LSH near-dup pairs over word-2-shingles: banded
-    // signatures (r=3, b=4) → bucket join → exact verify. Candidate
+    // signatures (r=3, b=6) → bucket join → exact verify. Candidate
     // count stays ~linear where ML's 1-hash-per-band
     // approxSimilarityJoin degenerates to O(n²) on this corpus (see
     // graft.functions.MinHashLsh). Oracle-omitted (hash-family-

@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.TestData
+import graft.operators.Vectors
+import graft.functions.{VectorOps => V}
+
+/** Persistent IVF index layout: coarse-quantized vectors written as
+  * parquet partitioned by `cluster` — the stored form a vector DB
+  * serves searches from (one directory per inverted list). Probing
+  * then becomes partition pruning on the read: a query that probes 2
+  * of k clusters touches 2/k of the files, which at 100 TB with
+  * k=4096 is the difference between a full-table scan and a few
+  * hundred MB.
+  *
+  * Writes are skipped when a committed index (`_SUCCESS`) already
+  * exists for the same (version, sf) — index build is deterministic
+  * in the input, so re-running Verify/Bench reuses the shards instead
+  * of rewriting them every invocation. Bump `Version` when the layout
+  * or assignment recipe changes.
+  */
+object IndexStore {
+
+  private val Version = "v1"
+
+  def ivfIndexPath(sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"/root/repo/target/tmp/ivf_index_${Version}_$tag"
+  }
+
+  /** Build-if-absent; returns the index path. */
+  def ensureIvfIndex(s: SparkSession, d: String): String = {
+    val path = ivfIndexPath(d)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val e = TestData.embeddings(s, d)
+      val cents = Vectors.fixedCentroids(e)
+      V.assignToCentroids(e, cents, Seq("vec_id", "embedding"))
+        .select(col("vec_id"), col("embedding"), col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster").parquet(path)
+    }
+    path
+  }
+
+  /** The stored index as a DataFrame (partition discovery on read). */
+  def readIvfIndex(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ensureIvfIndex(s, d))
+}
