@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Share one persisted loader per fixture table across all timed
+    // queries (the warmup counts below materialize the cache).
+    TestData.enableCache()
     // Untimed warmup: initializes codegen, parquet reader, and shuffle
     // machinery, and touches every fixture table once, so the first
     // timed query absorbs neither JVM start nor first-read cost.

@@ -36,7 +36,8 @@ object SparkEntry {
     (Quantize.defs, Quantize.oracles),
     (TimeSeries.defs, TimeSeries.oracles),
     (ProductQuantize.defs, ProductQuantize.oracles),
-    (GraphOps.defs, GraphOps.oracles)
+    (GraphOps.defs, GraphOps.oracles),
+    (TrainedQuantize.defs, TrainedQuantize.oracles)
   )
 
   /** Flagship on sf0.001 (driver smoke-checks rows>0): the

@@ -21,9 +21,28 @@ import org.apache.spark.sql.functions._
   */
 object TestData {
 
+  // One cached loader per (sfDir, table) per run (SURVEY.md §6):
+  // Bench opts in so its 110 queries share a memory-resident copy of
+  // each fixture instead of re-scanning parquet per query. Verify and
+  // the test suites leave this OFF — their plans must keep exercising
+  // the real parquet scans (pushdown/pruning assertions in PlanSpec,
+  // driver-shaped correctness in Verify).
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  @volatile private var cacheEnabled = false
+
+  /** Enable per-(sfDir, table) persisted loaders for this JVM. */
+  def enableCache(): Unit = { cacheEnabled = true }
+
   /** Generic table loader. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (cacheEnabled)
+      memo.getOrElseUpdate((sfDir, name), {
+        val df = spark.read.parquet(s"$sfDir/$name.parquet")
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df
+      })
+    else spark.read.parquet(s"$sfDir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")

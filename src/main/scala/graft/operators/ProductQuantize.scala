@@ -26,19 +26,19 @@ object ProductQuantize {
   private val K = 4  // codewords per subspace (= vectors 0..3)
 
   /** (vec_id, sub, sv): each vector split into M subvectors. */
-  private def subSplit(e: DataFrame): DataFrame =
+  private[graft] def subSplit(e: DataFrame): DataFrame =
     e.select(col("vec_id"), explode(expr(
       s"transform(sequence(0, ${M - 1}), j -> struct(j AS sub, slice(embedding, j*8+1, 8) AS sv))"))
       .as("x"))
       .select(col("vec_id"), col("x.sub"), col("x.sv"))
 
   /** Codebook (sub, code, cw) from vectors 0..K-1 — a 32-row broadcast. */
-  private def codebook(e: DataFrame): DataFrame =
+  private[graft] def codebook(e: DataFrame): DataFrame =
     subSplit(e.filter(col("vec_id") < K))
       .select(col("sub"), col("vec_id").as("code"), col("sv").as("cw"))
 
   /** Nearest-codeword assignment: (vec_id, sub, code, dist). */
-  private def assignCodes(e: DataFrame): DataFrame =
+  private[graft] def assignCodes(e: DataFrame): DataFrame =
     subSplit(e).join(broadcast(codebook(e)), "sub")
       .withColumn("d", V.sqDist(col("sv"), col("cw")))
       .groupBy("vec_id", "sub")
@@ -69,13 +69,19 @@ object ProductQuantize {
       val dtable = qsubs.join(codebook(e), "sub")
         .select(col("sub"), col("code"), V.sqDist(col("qv"), col("cw")).as("dq"))
       // approximate distance = Σ table[sub, code_v(sub)]
+      // Sort on the r4-QUANTIZED distance (not the raw double sum):
+      // fp addition is non-associative, so Spark's and DuckDB's
+      // accumulation orders can differ at ulp level and flip
+      // near-ties; quantizing the sort key makes near-equal
+      // distances exactly equal, and vec_id breaks the tie the same
+      // way in both engines.
       codes.join(broadcast(dtable), Seq("sub", "code"))
         .groupBy("vec_id")
-        .agg(sum("dq").as("adist"))
+        .agg(r4(sqrt(sum("dq"))).as("approx_dist"))
         .filter(col("vec_id") =!= 42)
-        .orderBy(col("adist").asc, col("vec_id"))
+        .orderBy(col("approx_dist").asc, col("vec_id"))
         .limit(10)
-        .select(col("vec_id"), r4(sqrt(col("adist"))).as("approx_dist"))
+        .select(col("vec_id"), col("approx_dist"))
     })
   )
 
@@ -136,6 +142,6 @@ object ProductQuantize {
         |  GROUP BY k.vec_id)
         |SELECT vec_id, floor((sqrt(adist))*10000 + 0.5)/10000 AS approx_dist
         |FROM approx WHERE vec_id <> 42
-        |ORDER BY adist ASC, vec_id LIMIT 10""".stripMargin
+        |ORDER BY approx_dist ASC, vec_id LIMIT 10""".stripMargin
   )
 }

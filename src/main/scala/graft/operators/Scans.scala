@@ -60,8 +60,10 @@ object Scans {
 
     "sink_parquet_partitioned" -> ((s, d) => {
       val tmp = s"/root/repo/target/tmp/sink_parquet_partitioned"
-      TestData.events(s, d).write.mode("overwrite")
-        .partitionBy("event_type").parquet(tmp)
+      graft.sources.WriteOnce.ensure(tmp, d) {
+        TestData.events(s, d).write.mode("overwrite")
+          .partitionBy("event_type").parquet(tmp)
+      }
       // Read-back exercises partition discovery; the per-partition
       // aggregate must equal the same aggregate on the source.
       s.read.parquet(tmp)

