@@ -89,6 +89,41 @@ object StreamOps {
       .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
   }
 
+  /** Vector record for the streaming index-append pipeline. */
+  case class Vec(vec_id: Long, embedding: Array[Double])
+
+  /** One micro-batch of vectors appended into a cluster-partitioned
+    * IVF index layout (the same `cluster=<k>` directory scheme
+    * `IndexStore` / `pipeline_index_build` write). Idempotent by
+    * batchId: the layout is partitioned by (cluster, batch) and
+    * written with DYNAMIC partition overwrite, so a replayed batch
+    * replaces its own partitions instead of duplicating rows —
+    * assignment is deterministic, so the replacement is exact.
+    * Reads of `cluster = k` stay partition-pruned because `cluster`
+    * remains the leading partition directory.
+    */
+  def ivfAppendBatch(centroids: DataFrame, indexPath: String)
+                    (batch: DataFrame, batchId: Long): Unit = {
+    val assigned = graft.functions.VectorOps
+      .assignToCentroids(batch, centroids, Seq("vec_id", "embedding"))
+      .select(col("vec_id"), col("embedding"),
+              col("cluster"), lit(batchId).as("batch"))
+    assigned.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cluster", "batch").parquet(indexPath)
+  }
+
+  /** Streaming index maintenance: incoming vectors are coarse-
+    * quantized against the broadcast centroids and appended into the
+    * stored IVF layout via [[ivfAppendBatch]] — the point where the
+    * streaming surface meets the index build. Call `.start()` on the
+    * returned writer.
+    */
+  def ivfIndexAppendSink(vectors: DataFrame, centroids: DataFrame,
+                         indexPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.foreachBatch(ivfAppendBatch(centroids, indexPath) _)
+
   /** The Spark 4 `transformWithState` form of [[runningUserStats]]:
     * a `StatefulProcessor` with explicit `ValueState` — the current
     * arbitrary-state API (state schema'd + evolvable, RocksDB-ready),

@@ -141,6 +141,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch IVF append keeps the stored index pruned, correct, idempotent") {
+    import StreamOps.Vec
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/repo/target/tmp/stream_ivf_append"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(dir))
+    val cents = Seq((0, Array(0.0, 0.0)), (1, Array(10.0, 10.0)))
+      .toDF("cid", "cv")
+    val input = MemoryStream[Vec](spark)
+    val q = StreamOps.ivfIndexAppendSink(input.toDF(), cents, dir).start()
+    try {
+      input.addData(Vec(1, Array(0.1, 0.2)), Vec(2, Array(9.9, 10.0)))
+      q.processAllAvailable()
+      input.addData(Vec(3, Array(0.3, 0.1)))
+      q.processAllAvailable()
+      val idx = spark.read.parquet(dir)
+      assert(idx.count() === 3, "appends across micro-batches must accumulate")
+      // Reads by cluster stay partition-pruned on the stored layout.
+      val near0 = idx.filter(col("cluster") === 0)
+      val p = near0.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters: [") && p.contains("cluster"),
+        s"cluster filter must prune partitions:\n${p.take(600)}")
+      assert(near0.select("vec_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+      // Replaying a batch overwrites its own partitions (no dupes).
+      StreamOps.ivfAppendBatch(cents, dir)(
+        Seq(Vec(3, Array(0.3, 0.1))).toDF("vec_id", "embedding"), 1L)
+      assert(spark.read.parquet(dir).count() === 3,
+        "replayed batch must replace, not duplicate")
+    } finally q.stop()
+  }
+
   test("stream-stream join pairs purchases with in-window clicks only") {
     val input = MemoryStream[Event](spark)
     val q = StreamOps.clickToPurchaseJoin(input.toDF(), "10 minutes", "5 minutes")
