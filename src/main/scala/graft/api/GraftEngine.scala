@@ -2,7 +2,7 @@ package graft.api
 
 import graft.TestData
 import graft.functions.{MinHashLsh, VectorOps => V}
-import graft.operators.{TextOps, Vectors}
+import graft.operators.{GraphOps, TextAnalysis, TextOps, TrainedQuantize, Vectors}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -105,6 +105,61 @@ class GraftEngine(val spark: SparkSession) {
               MinHashLsh.shinglesFromTokens(col("toks")).as("shingles"))
     MinHashLsh.nearDupPairs(docs, threshold)
   }
+
+  /** EXACT token-set Jaccard near-dup pairs (> `threshold`), blocked
+    * by `blockCol` plus a sound log-scale size bucket — the
+    * ground-truth baseline [[nearDuplicates]] approximates. Shuffle
+    * join on the block key; O(block²) per block, so prefer
+    * [[nearDuplicates]] when blocks are huge.
+    */
+  def exactJaccardDuplicates(documents: DataFrame, blockCol: String,
+                             threshold: Double): DataFrame =
+    TextOps.jaccardPairs(
+      documents.select(col("id").as("doc_id"), col(blockCol).as("lang"),
+                       col("text")),
+      threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+
+  /** Edit-distance near-dup pairs (lev ≤ `maxEdits`), blocked by
+    * `blockCol` × a length bucket wide enough that no qualifying
+    * pair is missed. Banded levenshtein per candidate pair.
+    */
+  def fuzzyDuplicates(documents: DataFrame, blockCol: String,
+                      maxEdits: Int): DataFrame =
+    TextAnalysis.fuzzyPairs(
+      documents.select(col("id").as("doc_id"), col(blockCol).as("lang"),
+                       col("text"), length(col("text")).as("n_chars")),
+      maxEdits)
+      .select(col("id_a"), col("id_b"), col("lev"))
+
+  /** Collapse a near-dup pair list (id_a, id_b) into connected
+    * components: returns (id, component) with component = min id in
+    * the cluster — pick one survivor per component, not per pair.
+    * Iterative min-label propagation; rounds = cluster diameter.
+    */
+  def dedupComponents(ids: DataFrame, pairs: DataFrame): DataFrame =
+    GraphOps.minLabelComponents(
+      ids.select(col("id")),
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("id"), col("comp").as("component"))
+
+  /** Train k coarse centroids (seeded k-means) over an (id,
+    * embedding) table, in the (cid, cv) shape [[buildIvfIndex]] and
+    * [[ivfSearch]] take — the trained upgrade over any fixed
+    * codebook.
+    */
+  def trainCentroids(embeddings: DataFrame, k: Int, seed: Long): DataFrame =
+    TrainedQuantize.trainCentroids(embeddings, k, seed)
+
+  /** Continuously maintain an IVF index: append each micro-batch of
+    * streaming vectors (vec_id, embedding) into the stored
+    * cluster-partitioned layout, idempotently by batchId. Call
+    * `.start()` on the returned writer.
+    */
+  def appendToIvfIndex(vectors: DataFrame, centroids: DataFrame,
+                       indexPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    graft.streaming.StreamOps.ivfIndexAppendSink(vectors, centroids, indexPath)
 
   /** The reference's S1: mine (anchor, positive, negative) triplets
     * from a labeled embedding table (id, embedding, label) for the

@@ -20,6 +20,43 @@ import graft.TestData
 object GraphOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Connected components by iterative min-label propagation over an
+    * undirected pair list. `ids`: one column `id` (the node universe);
+    * `pairs`: (src, dst) with each undirected edge listed once.
+    * Returns (id, comp) with comp = min node id in the component.
+    *
+    * Each round is one shuffle join + per-node min; `localCheckpoint`
+    * cuts lineage so plan size stays constant across rounds; the
+    * driver holds only two longs. Convergence detection: labels only
+    * ever decrease, so sum(comp) is strictly decreasing until the
+    * fixpoint — one cheap scan of the checkpointed labels per round
+    * instead of a self-join + count. Rounds needed = graph diameter
+    * (small for near-dup cliques).
+    */
+  def minLabelComponents(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = ids.select(col("id"), col("id").as("comp")).localCheckpoint()
+    var prevSum = labels.agg(sum(col("comp")).cast("long")).first().getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val nbr = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("nbrComp"))
+      val next = labels.join(nbr, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val s2 = next.agg(sum(col("comp")).cast("long")).first().getLong(0)
+      labels = next
+      converged = s2 == prevSum
+      prevSum = s2
+      iter += 1
+    }
+    labels
+  }
+
   val defs: Map[String, Q] = Map(
     "dedup_components" -> ((s, d) => {
       val docs = TestData.documents(s, d)
@@ -27,33 +64,8 @@ object GraphOps {
       // broadcast — see TextOps.jaccardPairs for the 100 TB shape).
       val pairs = TextOps.jaccardPairs(docs)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
-      val edges = pairs
-        .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint()
-      var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("comp"))
-        .localCheckpoint()
-      // Convergence detection: labels only ever decrease, so
-      // sum(comp) is strictly decreasing until the fixpoint — one
-      // cheap scan of the checkpointed labels per round instead of
-      // the round-1 self-join + count (which re-shuffled both label
-      // tables every iteration just to count changes).
-      var prevSum = labels.agg(sum(col("comp")).cast("long")).first().getLong(0)
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 50) {
-        val nbr = edges.join(labels, col("dst") === col("id"))
-          .groupBy(col("src")).agg(min(col("comp")).as("nbrComp"))
-        val next = labels.join(nbr, col("id") === col("src"), "left")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
-          .localCheckpoint()
-        val s2 = next.agg(sum(col("comp")).cast("long")).first().getLong(0)
-        labels = next
-        converged = s2 == prevSum
-        prevSum = s2
-        iter += 1
-      }
-      labels.select(col("id").as("doc_id"), col("comp").as("component"))
+      minLabelComponents(docs.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
         .orderBy("doc_id")
     })
   )

@@ -82,6 +82,41 @@ object ProductQuantize {
         .orderBy(col("approx_dist").asc, col("vec_id"))
         .limit(10)
         .select(col("vec_id"), col("approx_dist"))
+    }),
+
+    // The full modern vector-DB search: IVF + PQ combined. The query
+    // probes its nProbe=2 nearest coarse centroids (at scale:
+    // partition pruning on the stored inverted lists), then ADC runs
+    // only over the PQ codes of vectors in the probed clusters — the
+    // scan touches neither the float vectors nor the unprobed
+    // clusters. Cost per query: corpus/k × nProbe code lookups.
+    "ann_ivf_pq_topk" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val cents = Vectors.fixedCentroids(e)
+      val assigned = V.assignToCentroids(e, cents, Seq("vec_id"))
+        .select("vec_id", "cluster")
+      val qv = e.filter(col("vec_id") === 42).select(col("embedding").as("qv"))
+      val probes = cents.crossJoin(broadcast(qv))
+        .withColumn("qd", V.sqDist(col("cv"), col("qv")))
+        .orderBy(col("qd"), col("cid")).limit(2)
+        .select(col("cid").as("probe_cluster"))
+      val probedVecs = assigned
+        .join(broadcast(probes), col("cluster") === col("probe_cluster"))
+        .select("vec_id")
+      val codes = assignCodes(e).select("vec_id", "sub", "code")
+      val qsubs = subSplit(e.filter(col("vec_id") === 42))
+        .select(col("sub"), col("sv").as("qsv"))
+      val dtable = qsubs.join(codebook(e), "sub")
+        .select(col("sub"), col("code"),
+                V.sqDist(col("qsv"), col("cw")).as("dq"))
+      codes.join(probedVecs, "vec_id")
+        .join(broadcast(dtable), Seq("sub", "code"))
+        .groupBy("vec_id")
+        .agg(r4(sqrt(sum("dq"))).as("approx_dist"))
+        .filter(col("vec_id") =!= 42)
+        .orderBy(col("approx_dist").asc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("approx_dist"))
     })
   )
 
@@ -139,6 +174,60 @@ object ProductQuantize {
         |approx AS (
         |  SELECT k.vec_id, sum(t.dq) AS adist
         |  FROM codes k JOIN dtable t ON k.sub = t.sub AND k.code = t.code
+        |  GROUP BY k.vec_id)
+        |SELECT vec_id, floor((sqrt(adist))*10000 + 0.5)/10000 AS approx_dist
+        |FROM approx WHERE vec_id <> 42
+        |ORDER BY approx_dist ASC, vec_id LIMIT 10""".stripMargin,
+    "ann_ivf_pq_topk" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |           FROM embeddings WHERE vec_id < 4),
+        |assigned AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cid AS cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN c)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT cid AS probe_cluster FROM (
+        |    SELECT c.cid,
+        |      list_sum(list_transform(list_zip(q.embedding::DOUBLE[], c.cv),
+        |        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd
+        |    FROM c, (SELECT * FROM embeddings WHERE vec_id = 42) q
+        |    ORDER BY qd, cid LIMIT 2)),
+        |subs AS (
+        |  SELECT vec_id, j AS sub,
+        |         (embedding::DOUBLE[])[j*8+1 : j*8+8] AS sv
+        |  FROM embeddings, LATERAL (SELECT unnest(range(8)) AS j) r),
+        |codebook AS (
+        |  SELECT j AS sub, vec_id AS code,
+        |         (embedding::DOUBLE[])[j*8+1 : j*8+8] AS cw
+        |  FROM embeddings, LATERAL (SELECT unnest(range(8)) AS j) r
+        |  WHERE vec_id < 4),
+        |scored AS (
+        |  SELECT s.vec_id, s.sub, c.code,
+        |    list_sum(list_transform(list_zip(s.sv, c.cw),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        |  FROM subs s JOIN codebook c ON s.sub = c.sub),
+        |codes AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      row_number() OVER (PARTITION BY vec_id, sub
+        |        ORDER BY dist, code) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |dtable AS (
+        |  SELECT c.sub, c.code,
+        |    list_sum(list_transform(list_zip(q.sv, c.cw),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dq
+        |  FROM (SELECT sub, sv FROM subs WHERE vec_id = 42) q
+        |  JOIN codebook c ON q.sub = c.sub),
+        |approx AS (
+        |  SELECT k.vec_id, sum(t.dq) AS adist
+        |  FROM codes k
+        |  JOIN assigned a ON a.vec_id = k.vec_id
+        |  JOIN probes p ON a.cluster = p.probe_cluster
+        |  JOIN dtable t ON k.sub = t.sub AND k.code = t.code
         |  GROUP BY k.vec_id)
         |SELECT vec_id, floor((sqrt(adist))*10000 + 0.5)/10000 AS approx_dist
         |FROM approx WHERE vec_id <> 42

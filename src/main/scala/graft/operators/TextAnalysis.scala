@@ -32,13 +32,18 @@ object TextAnalysis {
     * join on (lang, bucket): both sides co-partition by block key,
     * no corpus broadcast — the shape that survives 100 TB. Each pair
     * is generated exactly once (bucket_b matches exactly one of a's
-    * three emitted keys). The banded `levenshtein(…, 21)` threshold
+    * three emitted keys). The banded `levenshtein(…, k+1)` threshold
     * overload is O(n·k) with early exit instead of O(n²) per pair.
+    *
+    * Blocking is sound (every ≤-k pair survives it), so the DuckDB
+    * oracle uses the plain unblocked join. Input columns:
+    * (doc_id, lang, text, n_chars).
     */
-  def fuzzyPairs(documents: DataFrame): DataFrame = {
+  def fuzzyPairs(documents: DataFrame, maxEdits: Int = 20): DataFrame = {
+    val width = math.max(32, maxEdits + 1) // must exceed the threshold
     val docs = documents
       .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
-              expr("n_chars DIV 32").as("bucket"))
+              expr(s"n_chars DIV $width").as("bucket"))
     val a = docs.select(col("doc_id").as("id_a"), col("lang").as("la"),
         col("text").as("ta"), col("n_chars").as("ca"),
         explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1))
@@ -46,20 +51,20 @@ object TextAnalysis {
     val b = docs.select(col("doc_id").as("id_b"), col("lang").as("lb"),
         col("text").as("tb"), col("n_chars").as("cb"),
         col("bucket").as("bb"))
-    // |len(a) − len(b)| ≤ 20 is a sound pre-filter (length difference
+    // |len(a) − len(b)| ≤ k is a sound pre-filter (length difference
     // lower-bounds edit distance) — an integer check in the join
     // condition that halves the candidate set before the banded
     // levenshtein runs. (A 26-letter histogram counting filter was
     // measured here too: its ~90 % candidate kill rate LOST to the
     // cost of shipping the histograms through the exploded join,
-    // because lev(…, 21) already early-exits cheaply on distant
-    // pairs — so it was removed. Measure, don't guess.)
+    // because the banded levenshtein already early-exits cheaply on
+    // distant pairs — so it was removed. Measure, don't guess.)
     a.join(b.hint("shuffle_hash"),
         col("la") === col("lb") && col("bk") === col("bb")
           && col("id_a") < col("id_b")
-          && abs(col("ca") - col("cb")) <= 20)
-      .withColumn("lev", levenshtein(col("ta"), col("tb"), 21))
-      .filter(col("lev") >= 0 && col("lev") <= 20)
+          && abs(col("ca") - col("cb")) <= maxEdits)
+      .withColumn("lev", levenshtein(col("ta"), col("tb"), maxEdits + 1))
+      .filter(col("lev") >= 0 && col("lev") <= maxEdits)
       .select(col("id_a"), col("id_b"), col("lev"))
       .orderBy("id_a", "id_b")
   }
@@ -263,13 +268,14 @@ object TextAnalysis {
         |SELECT doc_id, token AS top_term,
         |  floor((score)*10000 + 0.5)/10000 AS tfidf
         |FROM scored WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // Unblocked form on purpose: the Spark side's length-bucket
+    // blocking is SOUND (no ≤-20 pair escapes it), so the oracle
+    // checks the semantic result without mirroring the plan trick.
     "dedup_fuzzy_pairs" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  levenshtein(a.text, b.text) AS lev
         |FROM documents a JOIN documents b
-        |  ON a.lang = b.lang
-        |  AND abs((a.n_chars // 32) - (b.n_chars // 32)) <= 1
-        |  AND a.doc_id < b.doc_id
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.text, b.text) <= 20
         |ORDER BY id_a, id_b""".stripMargin,
     "text_rolling_hash" ->

@@ -94,6 +94,28 @@ object Vectors {
         .orderBy("qid", "rnk")
     }),
 
+    // FILTERED kNN — the vector-DB "metadata filter + similarity"
+    // query: neighbors are drawn only from corpus rows passing a
+    // metadata predicate (label = 3). Pre-filtering beats
+    // post-filtering top-k (which under-fills when the filter is
+    // selective), and the predicate reaches the parquet scan as a
+    // pushed filter, so at 100 TB the scan itself shrinks.
+    "knn_filtered_topk" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val scored = e.filter(col("label") === 3)
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score", V.cosine(col("embedding"), col("qv")))
+      val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("rnk"), col("vec_id").as("nn_id"),
+                r4(col("score")).as("cos"))
+        .orderBy("qid", "rnk")
+    }),
+
     // Near-duplicate candidate pairs, blocked on label (the exact
     // O(n²/blocks) baseline; the LSH path in §2.J is the scale form).
     "dup_pairs_cosine" -> ((s, d) => {
@@ -216,6 +238,15 @@ object Vectors {
         |      ORDER BY list_cosine_similarity(e.$E, q.$E) DESC, e.vec_id) AS rnk
         |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 10) q
         |  WHERE e.vec_id <> q.vec_id)
+        |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "knn_filtered_topk" ->
+      s"""SELECT qid, rnk, nn_id, floor((score)*10000 + 0.5)/10000 AS cos FROM (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nn_id,
+        |    list_cosine_similarity(e.$E, q.$E) AS score,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(e.$E, q.$E) DESC, e.vec_id) AS rnk
+        |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 10) q
+        |  WHERE e.vec_id <> q.vec_id AND e.label = 3)
         |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
     "dup_pairs_cosine" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,

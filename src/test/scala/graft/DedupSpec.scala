@@ -43,6 +43,104 @@ class DedupSpec extends SparkSpec {
     assert(out.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("blocked fuzzyPairs equals unblocked brute force on a random corpus") {
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox",
+      "golf", "hotel", "india", "julie", "kilo", "lima")
+    def randDoc(): String =
+      Seq.fill(5 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    def mutate(t: String): String = { // 1-8 random char edits incl. ins/del
+      var x = t
+      (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+        val i = rnd.nextInt(x.length)
+        x = rnd.nextInt(3) match {
+          case 0 => x.substring(0, i) + "q" + x.substring(i)          // insert
+          case 1 if x.length > 1 => x.substring(0, i) + x.substring(i + 1) // delete
+          case _ => x.substring(0, i) + "z" + x.substring(math.min(i + 1, x.length))
+        }
+      }
+      x
+    }
+    val base = (1 to 40).map(i => (i.toLong, if (i % 2 == 0) "en" else "de", randDoc()))
+    val dups = (1 to 20).map(i => (100L + i, base(i)._2, mutate(base(i)._3)))
+    val docs = docsDf(base ++ dups)
+    val blocked = TextAnalysis.fuzzyPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val a = docs.select(col("doc_id").as("ia"), col("lang").as("la"), col("text").as("ta"))
+    val b = docs.select(col("doc_id").as("ib"), col("lang").as("lb"), col("text").as("tb"))
+    val brute = a.join(b, col("la") === col("lb") && col("ia") < col("ib"))
+      .withColumn("lev", levenshtein(col("ta"), col("tb")))
+      .filter(col("lev") <= 20)
+      .select("ia", "ib", "lev")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked == brute,
+      s"missing=${brute.diff(blocked).take(5)} extra=${blocked.diff(brute).take(5)}")
+    assert(brute.nonEmpty, "fixture must actually contain near-dup pairs")
+  }
+
+  test("blocked jaccardPairs equals unblocked brute force on a random corpus") {
+    val rnd = new scala.util.Random(99)
+    val vocab = (0 until 40).map(i => s"tok$i")
+    def randDoc(): Seq[String] =
+      Seq.fill(8 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+    def mutate(t: Seq[String]): Seq[String] = // drop or add one token
+      if (rnd.nextBoolean() && t.size > 2) t.drop(1)
+      else t :+ vocab(rnd.nextInt(vocab.size))
+    val base = (1 to 30).map(i => (i.toLong, if (i % 2 == 0) "en" else "de", randDoc()))
+    val dups = (1 to 15).map(i => (100L + i, base(i)._2, mutate(base(i)._3)))
+    val docs = docsDf((base ++ dups).map { case (i, l, t) => (i, l, t.mkString(" ")) })
+    val blocked = TextOps.jaccardPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = docs.select(col("doc_id"), col("lang"),
+      array_distinct(split(col("text"), " ")).as("ts"))
+    val a = sets.select(col("doc_id").as("ia"), col("lang").as("la"), col("ts").as("sa"))
+    val b = sets.select(col("doc_id").as("ib"), col("lang").as("lb"), col("ts").as("sb"))
+    val brute = a.join(b, col("la") === col("lb") && col("ia") < col("ib"))
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jac", col("i").cast("double")
+        / (size(col("sa")) + size(col("sb")) - col("i")))
+      .filter(col("jac") > 0.9)
+      .select("ia", "ib")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute,
+      s"missing=${brute.diff(blocked).take(5)} extra=${blocked.diff(brute).take(5)}")
+    assert(brute.nonEmpty, "fixture must actually contain near-dup pairs")
+  }
+
+  test("prefix-filtered jaccard equals unblocked brute force on a random corpus") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 60).map(i => s"g$i")
+    def randDoc(): Seq[String] =
+      Seq.fill(10 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+    def mutate(t: Seq[String]): Seq[String] =
+      if (rnd.nextBoolean() && t.size > 3) t.drop(1)
+      else t :+ vocab(rnd.nextInt(vocab.size))
+    val base = (1 to 30).map(i => (i.toLong, if (i % 3 == 0) "en" else "de", randDoc()))
+    val dups = (1 to 15).map(i => (100L + i, base(i)._2, mutate(base(i)._3)))
+    val all = (base ++ dups).map { case (i, l, t) => (i, l, t.distinct) }
+    import spark.implicits._
+    val sets = all.toDF("doc_id", "lang", "elems")
+    val threshold = 0.7
+    val prefixed = TextOps.jaccardPrefixSetPairs(sets, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bitmapped = TextOps.jaccardBitmapSetPairs(sets, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = sets.select(col("doc_id").as("ia"), col("lang").as("la"), col("elems").as("sa"))
+    val b = sets.select(col("doc_id").as("ib"), col("lang").as("lb"), col("elems").as("sb"))
+    val brute = a.join(b, col("la") === col("lb") && col("ia") < col("ib"))
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jac", col("i").cast("double")
+        / (size(col("sa")) + size(col("sb")) - col("i")))
+      .filter(col("jac") > threshold)
+      .select("ia", "ib")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prefixed == brute,
+      s"missing=${brute.diff(prefixed).take(5)} extra=${prefixed.diff(brute).take(5)}")
+    assert(bitmapped == brute,
+      s"bitmap: missing=${brute.diff(bitmapped).take(5)} extra=${bitmapped.diff(brute).take(5)}")
+    assert(brute.nonEmpty, "fixture must actually contain near-dup pairs")
+  }
+
   test("jaccardPairs finds identical-token-set same-lang pairs, cross-lang never") {
     val out = TextOps.jaccardPairs(docsDf(Seq(
         (1L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

@@ -80,4 +80,45 @@ class EngineApiSpec extends SparkSpec {
         s"planted duplicate ($i, ${i + 20000}) not found")
     }
   }
+
+  test("exactJaccardDuplicates + dedupComponents collapse planted clusters") {
+    // plant two copies of docs 0..4 → clusters of ≥3 nodes each
+    val planted = docs.unionAll(
+        docs.filter(col("id") < 5).withColumn("id", col("id") + 20000))
+      .unionAll(docs.filter(col("id") < 5).withColumn("id", col("id") + 30000))
+    val pairs = engine.exactJaccardDuplicates(planted, "lang", 0.9)
+    val pairSet = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0L until 5L).foreach { i =>
+      assert(pairSet.contains((i, i + 20000)) && pairSet.contains((i, i + 30000)),
+        s"planted exact-jaccard cluster around $i incomplete")
+    }
+    val comps = engine.dedupComponents(planted.select("id"), pairs)
+      .as[(Long, Long)].collect().toMap
+    (0L until 5L).foreach { i =>
+      assert(comps(i + 20000) === comps(i) && comps(i + 30000) === comps(i),
+        s"cluster of $i must share one component label")
+    }
+  }
+
+  test("fuzzyDuplicates finds planted single-edit copies via the facade") {
+    val edited = docs.filter(col("id") < 5)
+      .withColumn("id", col("id") + 40000)
+      .withColumn("text", concat(col("text"), lit("x"))) // one insert edit
+    val pairs = engine.fuzzyDuplicates(docs.unionAll(edited), "lang", 20)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0L until 5L).foreach { i =>
+      assert(pairs.contains((i, i + 40000)),
+        s"planted 1-edit duplicate ($i, ${i + 40000}) not found")
+    }
+  }
+
+  test("trainCentroids feeds buildIvfIndex/ivfSearch end-to-end") {
+    val cents = engine.trainCentroids(emb, k = 4, seed = 7L)
+    assert(cents.count() === 4)
+    val path = "/root/repo/target/tmp/engine_ivf_trained"
+    engine.buildIvfIndex(emb, cents, path)
+    val res = engine.ivfSearch(path, cents, emb.filter(col("id") < 3),
+                               k = 5, nProbe = 2)
+    assert(res.count() === 15)
+  }
 }
