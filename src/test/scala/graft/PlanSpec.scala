@@ -103,6 +103,12 @@ class PlanSpec extends SparkSpec {
       s"index scan must be partition-pruned by probe clusters:\n${p.take(1200)}")
   }
 
+  test("filtered kNN pushes the metadata predicate to the corpus scan") {
+    val p = plan("knn_filtered_topk")
+    assert(p.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)"),
+      s"label filter must reach the parquet scan (pre-filtering):\n${p.take(800)}")
+  }
+
   test("custom cosine expression compiles into whole-stage codegen") {
     val df = SparkEntry.queries("dup_pairs_cosine")(spark, sfDir)
     df.collect() // finalize the adaptive plan
