@@ -161,6 +161,14 @@ class GraftEngine(val spark: SparkSession) {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     graft.streaming.StreamOps.ivfIndexAppendSink(vectors, centroids, indexPath)
 
+  /** Fold the small per-batch files produced by [[appendToIvfIndex]]
+    * into one file per cluster (content unchanged, reads stay
+    * pruned) — the maintenance job that keeps streaming-fed indexes
+    * scannable.
+    */
+  def compactIvfIndex(indexPath: String): Unit =
+    graft.streaming.StreamOps.compactIvfIndex(spark, indexPath)
+
   /** The reference's S1: mine (anchor, positive, negative) triplets
     * from a labeled embedding table (id, embedding, label) for the
     * given anchor ids. Positive = same-label max-cosine, negative =

@@ -25,6 +25,12 @@ object SourceFormats {
     StructField("p_size", IntegerType),
     StructField("p_retailprice", DoubleType)))
 
+  private val ordersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType)))
+
   private val customerSchema = StructType(Seq(
     StructField("c_custkey", LongType),
     StructField("c_name", StringType),
@@ -48,6 +54,17 @@ object SourceFormats {
       back.groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), r4(sum("c_acctbal")).as("sum_bal"))
         .orderBy("c_mktsegment")
+    }),
+
+    "source_orc_roundtrip" -> ((s, d) => {
+      val back = FileFormats.orcRoundTrip(s,
+        TestData.orders(s, d).select("o_orderkey", "o_custkey",
+          "o_orderstatus", "o_totalprice"),
+        ordersSchema, "/root/repo/target/tmp/source_orc_roundtrip")
+      back.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("sum_price"),
+             min("o_orderkey").as("min_key"))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -60,6 +77,11 @@ object SourceFormats {
     "source_json_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  floor((sum(c_acctbal))*10000 + 0.5)/10000 AS sum_bal
-        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "source_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  floor((sum(o_totalprice))*10000 + 0.5)/10000 AS sum_price,
+        |  min(o_orderkey) AS min_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -26,4 +26,16 @@ object FileFormats {
     df.write.mode(SaveMode.Overwrite).json(path)
     spark.read.schema(schema).json(path)
   }
+
+  /** Write `df` as ORC and read it back with the given schema —
+    * the columnar alternative to parquet (self-describing, but the
+    * explicit schema keeps the no-inference rule uniform). Exercises
+    * the second columnar codec path incl. its own predicate-pushdown
+    * machinery.
+    */
+  def orcRoundTrip(spark: SparkSession, df: DataFrame, schema: StructType,
+                   path: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).orc(path)
+    spark.read.schema(schema).orc(path)
+  }
 }

@@ -124,6 +124,26 @@ object StreamOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vectors.writeStream.foreachBatch(ivfAppendBatch(centroids, indexPath) _)
 
+  /** Compact an appended IVF index: many small per-batch files (the
+    * by-product of streaming appends) are rewritten into one file
+    * per cluster under a single `batch=-1` partition. Small-file
+    * accumulation is THE failure mode of streaming appends at scale
+    * — scan cost grows with file count, not data size. The snapshot
+    * is materialized (`localCheckpoint`) before the overwrite so the
+    * rewrite never reads the files it is replacing. At 100 TB this
+    * runs per hot cluster on a schedule rather than whole-index.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String): Unit = {
+    val snap = spark.read.parquet(indexPath)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+      .localCheckpoint()
+    snap.withColumn("batch", lit(-1L))
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster", "batch")
+      .parquet(indexPath)
+  }
+
   /** The Spark 4 `transformWithState` form of [[runningUserStats]]:
     * a `StatefulProcessor` with explicit `ValueState` — the current
     * arbitrary-state API (state schema'd + evolvable, RocksDB-ready),

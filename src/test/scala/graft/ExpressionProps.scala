@@ -66,6 +66,49 @@ object ExpressionProps extends Properties("graft.expressions") {
       ab == isectEval(b, a) && ab <= math.min(a.length, b.length)
     }
 
+  // ---- bitset encode / intersect ----
+
+  private val asciiStr: Gen[String] =
+    Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(('a' to 'e') :+ ' ')).map(_.mkString))
+
+  private def ngramsEval(s: String, n: Int): Seq[String] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types.IntegerType
+    graft.functions.CharNgrams(
+      Literal(UTF8String.fromString(s), org.apache.spark.sql.types.StringType),
+      Literal(n, IntegerType)).eval(null)
+      .asInstanceOf[ArrayData].toObjectArray(org.apache.spark.sql.types.StringType)
+      .map(_.toString).toSeq
+  }
+
+  property("char_ngrams equals distinct sliding substrings in first-occurrence order") =
+    Prop.forAll(asciiStr, Gen.choose(1, 4)) { (s, n) =>
+      val expected =
+        if (s.length < n) Seq.empty[String]
+        else (0 to s.length - n).map(i => s.substring(i, i + n)).distinct
+      ngramsEval(s, n) == expected
+    }
+
+  private def bitsetOf(idxs: Array[Int], nwords: Int): ArrayData = {
+    import org.apache.spark.sql.types.IntegerType
+    graft.functions.BitsetFromIndices(
+      Literal(ArrayData.toArrayData(idxs), ArrayType(IntegerType)),
+      Literal(nwords, IntegerType)).eval(null).asInstanceOf[ArrayData]
+  }
+
+  property("bitset encode + popcount-AND equals set intersection size") =
+    Prop.forAll(Gen.listOf(Gen.choose(0, 200)), Gen.listOf(Gen.choose(0, 200))) {
+      (a, b) =>
+        val nwords = 4 // 256 bits covers indices 0..200
+        val expected = a.toSet.intersect(b.toSet).size
+        val inter = graft.functions.BitmapIntersectCount(
+          Literal(bitsetOf(a.distinct.toArray, nwords), ArrayType(LongType)),
+          Literal(bitsetOf(b.distinct.toArray, nwords), ArrayType(LongType)))
+          .eval(null).asInstanceOf[Int]
+        inter == expected
+    }
+
   // ---- bounded_levenshtein vs the reference quadratic DP ----
 
   private def referenceLev(a: String, b: String): Int = {
@@ -78,10 +121,6 @@ object ExpressionProps extends Properties("graft.expressions") {
         else 1 + math.min(math.min(d(i - 1)(j), d(i)(j - 1)), d(i - 1)(j - 1))
     d(a.length)(b.length)
   }
-
-  private val asciiStr: Gen[String] =
-    Gen.choose(0, 40).flatMap(n =>
-      Gen.listOfN(n, Gen.oneOf(('a' to 'e') :+ ' ')).map(_.mkString))
 
   property("bounded_levenshtein equals full DP when within threshold, -1 beyond") =
     Prop.forAll(asciiStr, asciiStr, Gen.choose(0, 25)) { (a, b, k) =>

@@ -172,6 +172,22 @@ class StreamingSpec extends SparkSpec {
         Seq(Vec(3, Array(0.3, 0.1))).toDF("vec_id", "embedding"), 1L)
       assert(spark.read.parquet(dir).count() === 3,
         "replayed batch must replace, not duplicate")
+      // Compaction folds the per-batch files into one file per
+      // cluster; content and pruned reads are unchanged.
+      StreamOps.compactIvfIndex(spark, dir)
+      val compacted = spark.read.parquet(dir)
+      assert(compacted.count() === 3)
+      assert(compacted.select("batch").distinct().as[Long].collect().toSeq
+        === Seq(-1L), "all rows must live in the compacted partition")
+      assert(compacted.filter(col("cluster") === 0)
+        .select("vec_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+      val filesPerCluster = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("cluster=")).map { cd =>
+          cd.listFiles().filter(_.getName.startsWith("batch="))
+            .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+        }
+      assert(filesPerCluster.forall(_ == 1),
+        s"each cluster must compact to one file, got ${filesPerCluster.toSeq}")
     } finally q.stop()
   }
 
