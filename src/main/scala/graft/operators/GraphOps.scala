@@ -34,27 +34,38 @@ object GraphOps {
     * (small for near-dup cliques).
     */
   def minLabelComponents(ids: DataFrame, pairs: DataFrame): DataFrame = {
-    val edges = pairs
-      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    var labels = ids.select(col("id"), col("id").as("comp")).localCheckpoint()
-    var prevSum = labels.agg(sum(col("comp")).cast("long")).first().getLong(0)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 50) {
-      val nbr = edges.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("comp")).as("nbrComp"))
-      val next = labels.join(nbr, col("id") === col("src"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
+    val spark = ids.sparkSession
+    // The label/edge tables are tiny relative to the corpus (two
+    // longs per node / edge); per-round 32-way shuffles of a few
+    // thousand rows are pure per-partition overhead × rounds, and
+    // the dominant source of this query's wall-time variance. Run
+    // the loop under a small fan-out and restore after. At 100 TB,
+    // size this to |labels| / target-rows-per-partition instead.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val edges = pairs
+        .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint()
-      val s2 = next.agg(sum(col("comp")).cast("long")).first().getLong(0)
-      labels = next
-      converged = s2 == prevSum
-      prevSum = s2
-      iter += 1
-    }
-    labels
+      var labels = ids.select(col("id"), col("id").as("comp")).localCheckpoint()
+      var prevSum = labels.agg(sum(col("comp")).cast("long")).first().getLong(0)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 50) {
+        val nbr = edges.join(labels, col("dst") === col("id"))
+          .groupBy(col("src")).agg(min(col("comp")).as("nbrComp"))
+        val next = labels.join(nbr, col("id") === col("src"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
+          .localCheckpoint()
+        val s2 = next.agg(sum(col("comp")).cast("long")).first().getLong(0)
+        labels = next
+        converged = s2 == prevSum
+        prevSum = s2
+        iter += 1
+      }
+      labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   val defs: Map[String, Q] = Map(

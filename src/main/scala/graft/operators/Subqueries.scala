@@ -45,6 +45,30 @@ object Subqueries {
                             WHERE c_mktsegment = 'BUILDING')
           AND o_orderpriority = '1-URGENT'
         ORDER BY o_orderkey""")
+    }),
+
+    // Correlated EXISTS → left-semi join after RewritePredicateSubquery.
+    "subquery_exists" -> ((s, d) => {
+      withViews(s, d)
+      s.sql("""
+        SELECT c_custkey, c_mktsegment FROM g_customer c
+        WHERE EXISTS (SELECT 1 FROM g_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000.0)
+        ORDER BY c_custkey""")
+    }),
+
+    // Correlated NOT EXISTS → left-anti join ("customers who never
+    // placed a big order" — every customer has SOME order in the
+    // fixture, so the price predicate keeps the result non-trivial).
+    "subquery_not_exists" -> ((s, d) => {
+      withViews(s, d)
+      s.sql("""
+        SELECT c_custkey, c_acctbal FROM g_customer c
+        WHERE NOT EXISTS (SELECT 1 FROM g_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 300000.0)
+        ORDER BY c_custkey""")
     })
   )
 
@@ -63,6 +87,18 @@ object Subqueries {
         |WHERE o_custkey IN (SELECT c_custkey FROM customer
         |                    WHERE c_mktsegment = 'BUILDING')
         |  AND o_orderpriority = '1-URGENT'
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "subquery_exists" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "subquery_not_exists" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin
   )
 }

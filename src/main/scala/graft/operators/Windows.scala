@@ -85,6 +85,20 @@ object Windows {
           first("c_name").over(w).as("richest"),
           last("c_name").over(w).as("poorest"))
         .orderBy("c_custkey")
+    }),
+
+    // Distribution functions: ntile buckets + percent_rank/cume_dist
+    // (r4-quantized — they are ratios of ranks, identical in both
+    // engines given the same total order).
+    "win_distribution" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      TestData.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          ntile(4).over(w).as("quartile"),
+          r4(percent_rank().over(w)).as("pct_rank"),
+          r4(cume_dist().over(w)).as("cum_dist"))
+        .orderBy("c_custkey")
     })
   )
 
@@ -135,6 +149,14 @@ object Windows {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_custkey""".stripMargin,
+    "win_distribution" ->
+      """SELECT c_custkey, c_nationkey,
+        |  ntile(4) OVER w AS quartile,
+        |  floor((percent_rank() OVER w)*10000 + 0.5)/10000 AS pct_rank,
+        |  floor((cume_dist() OVER w)*10000 + 0.5)/10000 AS cum_dist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
         |ORDER BY c_custkey""".stripMargin
   )
 }
