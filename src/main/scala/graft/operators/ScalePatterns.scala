@@ -83,9 +83,11 @@ object ScalePatterns {
       // the same input (re-registering the external table when the
       // in-memory catalog forgot it across sessions) and rewrite only
       // when the input sf dir changed.
-      ensureBucketedTable(s, "graft_orders_b", "o_custkey", d,
+      ensureBucketedTable(s, "graft_orders_b", "o_custkey",
+        graft.sources.WriteOnce.inputTag(d, "orders"),
         TestData.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"))
-      ensureBucketedTable(s, "graft_customer_b", "c_custkey", d,
+      ensureBucketedTable(s, "graft_customer_b", "c_custkey",
+        graft.sources.WriteOnce.inputTag(d, "customer"),
         TestData.customer(s, d).select("c_custkey", "c_mktsegment"))
       // merge hint: pin SMJ so the plan demonstrates bucketed
       // co-location (no exchange, no sort — PlanSpec) instead of a

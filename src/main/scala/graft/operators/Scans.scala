@@ -60,7 +60,7 @@ object Scans {
 
     "sink_parquet_partitioned" -> ((s, d) => {
       val tmp = s"/root/repo/target/tmp/sink_parquet_partitioned"
-      graft.sources.WriteOnce.ensure(tmp, d) {
+      graft.sources.WriteOnce.ensure(tmp, graft.sources.WriteOnce.inputTag(d, "events")) {
         TestData.events(s, d).write.mode("overwrite")
           .partitionBy("event_type").parquet(tmp)
       }

@@ -47,7 +47,7 @@ object TimeSeries {
     // scan-heavy workloads at 100 TB.
     "sink_sorted_clustered" -> ((s, d) => {
       val tmp = "/root/repo/target/tmp/sink_sorted_clustered"
-      graft.sources.WriteOnce.ensure(tmp, d) {
+      graft.sources.WriteOnce.ensure(tmp, graft.sources.WriteOnce.inputTag(d, "lineitem")) {
         TestData.lineitem(s, d)
           .repartitionByRange(4, col("l_shipdate"))
           .sortWithinPartitions("l_shipdate")
@@ -63,7 +63,7 @@ object TimeSeries {
 
     "sink_partition_prune" -> ((s, d) => {
       val tmp = "/root/repo/target/tmp/sink_partition_prune"
-      graft.sources.WriteOnce.ensure(tmp, d) {
+      graft.sources.WriteOnce.ensure(tmp, graft.sources.WriteOnce.inputTag(d, "events")) {
         TestData.events(s, d).write.mode("overwrite")
           .partitionBy("event_type").parquet(tmp)
       }

@@ -94,6 +94,23 @@ object Vectors {
         .orderBy("qid", "rnk")
     }),
 
+    // Max-inner-product search: recommendation-style scoring where
+    // vector magnitude matters (cosine's normalization discards it).
+    // Same broadcast-query/top-k-fold shape as vec_cosine_topk; sort
+    // key is r4-quantized so fp accumulation-order near-ties can't
+    // flip the ranking cross-engine.
+    "vec_mips_topk" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 7)
+        .select(col("embedding").as("qv"))
+      e.filter(col("vec_id") =!= 7)
+        .crossJoin(broadcast(q))
+        .withColumn("ip", r4(V.dot(col("embedding"), col("qv"))))
+        .select(col("vec_id"), col("ip").as("inner_product"))
+        .orderBy(col("inner_product").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // FILTERED kNN — the vector-DB "metadata filter + similarity"
     // query: neighbors are drawn only from corpus rows passing a
     // metadata predicate (label = 3). Pre-filtering beats
@@ -239,6 +256,12 @@ object Vectors {
         |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 10) q
         |  WHERE e.vec_id <> q.vec_id)
         |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "vec_mips_topk" ->
+      s"""WITH q AS (SELECT $E AS qv FROM embeddings WHERE vec_id = 7)
+        |SELECT vec_id,
+        |  floor((list_dot_product($E, qv))*10000 + 0.5)/10000 AS inner_product
+        |FROM embeddings, q WHERE vec_id <> 7
+        |ORDER BY inner_product DESC, vec_id LIMIT 10""".stripMargin,
     "knn_filtered_topk" ->
       s"""SELECT qid, rnk, nn_id, floor((score)*10000 + 0.5)/10000 AS cos FROM (
         |  SELECT q.vec_id AS qid, e.vec_id AS nn_id,

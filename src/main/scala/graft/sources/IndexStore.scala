@@ -29,10 +29,14 @@ object IndexStore {
     s"/root/repo/target/tmp/ivf_index_${Version}_$tag"
   }
 
-  /** Build-if-absent; returns the index path. */
+  /** Build-if-absent; returns the index path. The skip marker is
+    * content-sensitive (size + mtime of the input fixture), so a
+    * regenerated fixture rebuilds the index instead of serving stale
+    * shards.
+    */
   def ensureIvfIndex(s: SparkSession, d: String): String = {
     val path = ivfIndexPath(d)
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
+    WriteOnce.ensure(path, WriteOnce.inputTag(d, "embeddings")) {
       val e = TestData.embeddings(s, d)
       val cents = Vectors.fixedCentroids(e)
       V.assignToCentroids(e, cents, Seq("vec_id", "embedding"))

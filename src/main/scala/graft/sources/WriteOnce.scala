@@ -19,6 +19,16 @@ import java.nio.file.Files
   */
 object WriteOnce {
 
+  /** Content-sensitive tag for a fixture table: path + size + mtime.
+    * If the driver regenerates the fixture between rounds (same path,
+    * new bytes), the tag changes and the sink rewrites — guarding
+    * against serving stale sink data to the correctness gate.
+    */
+  def inputTag(sfDir: String, table: String): String = {
+    val f = new File(sfDir, s"$table.parquet")
+    s"${f.getAbsolutePath}:${f.length()}:${f.lastModified()}"
+  }
+
   def ensure(path: String, tag: String)(write: => Unit): String = synchronized {
     val marker = new File(path, "_GRAFT_TAG")
     val fresh = new File(path, "_SUCCESS").exists() && marker.exists() &&
