@@ -1,6 +1,6 @@
 package graft.extensions
 
-import graft.functions.{CosineSimilarity, SortedIntersectCount}
+import graft.functions.{BoundedLevenshtein, CharNgrams, CosineSimilarity, SortedIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -32,8 +32,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_count(a, b) - |A∩B| of two sorted ARRAY<BIGINT>"),
       (children: Seq[Expression]) =>
         SortedIntersectCount(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bounded_levenshtein"),
+      info(classOf[BoundedLevenshtein], "bounded_levenshtein",
+        "bounded_levenshtein(a, b, k) - lev(a, b) if <= k else -1 (banded DP)"),
+      (children: Seq[Expression]) =>
+        BoundedLevenshtein(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("char_ngrams"),
+      info(classOf[CharNgrams], "char_ngrams",
+        "char_ngrams(s, n) - distinct character n-grams in first-occurrence order"),
+      (children: Seq[Expression]) =>
+        CharNgrams(children(0), children(1))))
     // Rewrite the public-API HOF cosine pattern into the fused
-    // codegen'd expression.
+    // codegen'd expression, and thresholded levenshtein predicates
+    // into the banded bounded_levenshtein form.
     ext.injectOptimizerRule(_ => graft.plans.CosineFusion)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinBanding)
   }
 }

@@ -57,6 +57,44 @@ class ExtensionSpec extends SparkSpec {
       assert(dfNeg.select("nsd").collect()
         .forall(r => math.abs(r.getDouble(0)) < 1e-12),
         "self squared-distance must be 0, not cosine 1")
+
+      // New SQL functions round 2.
+      val r2 = s2.sql(
+        """SELECT bounded_levenshtein('kitten', 'sitting', 3) AS b3,
+          |       bounded_levenshtein('kitten', 'sitting', 2) AS b2,
+          |       array_join(char_ngrams('abcab', 2), ',') AS g
+          |""".stripMargin).collect().head
+      assert(r2.getInt(0) === 3)
+      assert(r2.getInt(1) === -1)
+      assert(r2.getString(2) === "ab,bc,ca")
+
+      // LevenshteinBanding: a thresholded builtin-levenshtein filter
+      // is rewritten to the banded expression; results match the
+      // un-extended session's builtin evaluation.
+      val docs = TestData.documents(s2, sf("sf0.001")).limit(50)
+      val predDf = docs.as("x").join(docs.as("y"),
+          col("x.doc_id") < col("y.doc_id"))
+        .filter(levenshtein(col("x.text"), col("y.text")) <= 20)
+        .select(col("x.doc_id"), col("y.doc_id"))
+      val optLev = predDf.queryExecution.optimizedPlan.toString
+      assert(optLev.contains("bounded_levenshtein"),
+        s"thresholded levenshtein not banded:\n${optLev.take(600)}")
+      val viaRule = predDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val builtin = {
+        val dd = TestData.documents(spark, sf("sf0.001")).limit(50)
+        dd.as("x").join(dd.as("y"), col("x.doc_id") < col("y.doc_id"))
+          .filter(levenshtein(col("x.text"), col("y.text")) <= 20)
+          .select(col("x.doc_id"), col("y.doc_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      assert(viaRule == builtin, "banded rewrite must not change results")
+
+      // Negative control: levenshtein as a projected VALUE stays.
+      val proj = docs.select(
+        levenshtein(col("text"), lit("abc")).as("lv"))
+      assert(!proj.queryExecution.optimizedPlan.toString
+        .contains("bounded_levenshtein"),
+        "projected levenshtein must not be rewritten")
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
