@@ -113,6 +113,21 @@ class PlanSpec extends SparkSpec {
       s"label filter must reach the parquet scan (pre-filtering):\n${p.take(800)}")
   }
 
+  test("ngram jaccard shuffles on the salted block key with the codegen'd intersect") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(p.contains("ShuffledHashJoin"),
+      s"bitmap pair join must shuffle on the block key:\n${p.take(800)}")
+    assert(p.contains("bitmap_intersect_count"),
+      "pair scoring must use the codegen'd bitmap intersect")
+  }
+
+  test("EXISTS/NOT EXISTS plan as semi/anti joins (predicate-subquery rewrite)") {
+    assert(plan("subquery_exists").contains("LeftSemi"),
+      "EXISTS must plan as a left-semi join")
+    assert(plan("subquery_not_exists").contains("LeftAnti"),
+      "NOT EXISTS must plan as a left-anti join")
+  }
+
   test("custom cosine expression compiles into whole-stage codegen") {
     val df = SparkEntry.queries("dup_pairs_cosine")(spark, sfDir)
     df.collect() // finalize the adaptive plan
