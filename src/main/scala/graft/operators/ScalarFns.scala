@@ -67,6 +67,17 @@ object ScalarFns {
           (col("l_partkey") % 7).as("mod7"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    "fn_bitwise" -> ((s, d) =>
+      TestData.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey").bitwiseAND(lit(255L)).as("band"),
+          col("l_partkey").bitwiseOR(col("l_suppkey")).as("bor"),
+          col("l_partkey").bitwiseXOR(col("l_suppkey")).as("bxor"),
+          shiftleft(col("l_linenumber"), 2).as("shl"),
+          shiftright(col("l_partkey"), 3).as("shr"),
+          bit_count(col("l_partkey")).as("bits"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     "fn_conditional" -> ((s, d) =>
       TestData.orders(s, d)
         .select(col("o_orderkey"),
@@ -159,6 +170,15 @@ object ScalarFns {
         |  floor((log10(l_extendedprice))*10000 + 0.5)/10000 AS log10_p,
         |  floor((exp(l_discount))*10000 + 0.5)/10000 AS exp_d,
         |  l_partkey % 7 AS mod7
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_partkey & 255 AS band,
+        |  l_partkey | l_suppkey AS bor,
+        |  xor(l_partkey, l_suppkey) AS bxor,
+        |  l_linenumber << 2 AS shl,
+        |  l_partkey >> 3 AS shr,
+        |  bit_count(l_partkey) AS bits
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "fn_conditional" ->
       """SELECT o_orderkey,
