@@ -41,7 +41,10 @@ case class CharNgrams(left: Expression, right: Expression)
   override def nullSafeEval(text: Any, nAny: Any): Any = {
     val s = text.asInstanceOf[UTF8String].toString
     val n = nAny.asInstanceOf[Int]
-    if (s.length < n) return new GenericArrayData(Array.empty[Any])
+    // Registered as a public SQL function: guard values, not just
+    // types — n < 1 would index out of bounds (n ≤ −1) or emit [""]
+    // forever (n = 0). Empty result is the only sensible n-gram set.
+    if (n < 1 || s.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
     while (i + n <= s.length) {

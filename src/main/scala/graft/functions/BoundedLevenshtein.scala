@@ -17,9 +17,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * DP is O(len · (2k+1)) over two reused rows with a per-column
   * lower-bound early exit (as soon as the whole band exceeds k, no
   * completion can come back under it). Distances are counted in
-  * UTF-16 units — identical to code points for BMP text (the corpus
-  * is ASCII); property-tested equal to the builtin on random ASCII
-  * in ExpressionProps.
+  * Unicode CODE POINTS (strings are decoded via `codePoints()`),
+  * matching the builtin's semantics for supplementary-plane input
+  * (emoji, rare CJK) — required because [[graft.plans.LevenshteinBanding]]
+  * rewrites arbitrary user predicates to this expression.
+  * Property-tested equal to the builtin on random ASCII and on
+  * surrogate-pair strings in ExpressionProps.
   */
 case class BoundedLevenshtein(first: Expression, second: Expression,
                               third: Expression)
@@ -33,8 +36,8 @@ case class BoundedLevenshtein(first: Expression, second: Expression,
     copy(first = f, second = s, third = t)
 
   override def nullSafeEval(aAny: Any, bAny: Any, kAny: Any): Any = {
-    val a0 = aAny.asInstanceOf[UTF8String].toString.toCharArray
-    val b0 = bAny.asInstanceOf[UTF8String].toString.toCharArray
+    val a0 = BoundedLevenshtein.codePointsOf(aAny.asInstanceOf[UTF8String].toString)
+    val b0 = BoundedLevenshtein.codePointsOf(bAny.asInstanceOf[UTF8String].toString)
     val k = kAny.asInstanceOf[Int]
     BoundedLevenshtein.compute(a0, b0, k)
   }
@@ -43,8 +46,27 @@ case class BoundedLevenshtein(first: Expression, second: Expression,
 object BoundedLevenshtein {
   private val Big = Int.MaxValue / 2
 
-  /** lev(a, b) if ≤ k else −1. */
-  def compute(a0: Array[Char], b0: Array[Char], k: Int): Int = {
+  /** Decode to code points; a single extra linear pass per string,
+    * amortized over the O(len·k) DP that follows. */
+  def codePointsOf(s: String): Array[Int] = {
+    val n = s.codePointCount(0, s.length)
+    val out = new Array[Int](n)
+    var ci = 0; var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(ci)
+      out(i) = cp
+      ci += Character.charCount(cp)
+      i += 1
+    }
+    out
+  }
+
+  /** Char-array convenience for BMP-only callers/tests. */
+  def compute(a0: Array[Char], b0: Array[Char], k: Int): Int =
+    compute(a0.map(_.toInt), b0.map(_.toInt), k)
+
+  /** lev(a, b) if ≤ k else −1, over code-point arrays. */
+  def compute(a0: Array[Int], b0: Array[Int], k: Int): Int = {
     // DP rows are indexed by the SHORTER string.
     val (a, b) = if (a0.length <= b0.length) (a0, b0) else (b0, a0)
     val n = a.length

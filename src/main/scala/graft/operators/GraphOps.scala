@@ -34,38 +34,51 @@ object GraphOps {
     * (small for near-dup cliques).
     */
   def minLabelComponents(ids: DataFrame, pairs: DataFrame): DataFrame = {
-    val spark = ids.sparkSession
     // The label/edge tables are tiny relative to the corpus (two
     // longs per node / edge); per-round 32-way shuffles of a few
     // thousand rows are pure per-partition overhead × rounds, and
-    // the dominant source of this query's wall-time variance. Run
-    // the loop under a small fan-out and restore after. At 100 TB,
-    // size this to |labels| / target-rows-per-partition instead.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val edges = pairs
-        .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    // the dominant source of this query's wall-time variance. Pin a
+    // small fan-out with EXPLICIT repartition on the join/group keys
+    // — never by mutating session-global spark.sql.shuffle.partitions,
+    // which races with concurrent queries on a shared session and
+    // leaks on crash. localCheckpoint preserves the hash partitioning,
+    // so each round's join reuses it without a fresh exchange. At
+    // 100 TB, size P to |labels| / target-rows-per-partition instead.
+    // `localCheckpoint` captures the physical hash partitioning in
+    // its LogicalRDD, and the `shuffle_hash` hints stop AQE from
+    // flipping the tiny sides to broadcast (which would discard that
+    // partitioning) — so each round's two joins reuse the
+    // checkpointed (dst,P)/(id,P) layouts with NO new exchange, and
+    // the only per-round shuffle is the src re-key feeding the
+    // neighbor-min aggregate. That is the minimum for label
+    // propagation (edges are consumed keyed by dst, produced keyed
+    // by src).
+    val P = 8
+    val edges = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(P, col("dst"))
+      .localCheckpoint()
+    var labels = ids.select(col("id"), col("id").as("comp"))
+      .repartition(P, col("id"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("comp")).cast("long")).first().getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val nbr = edges.join(labels.hint("shuffle_hash"), col("dst") === col("id"))
+        .repartition(P, col("src"))
+        .groupBy(col("src")).agg(min(col("comp")).as("nbrComp"))
+      val next = labels.join(nbr.hint("shuffle_hash"), col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
         .localCheckpoint()
-      var labels = ids.select(col("id"), col("id").as("comp")).localCheckpoint()
-      var prevSum = labels.agg(sum(col("comp")).cast("long")).first().getLong(0)
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 50) {
-        val nbr = edges.join(labels, col("dst") === col("id"))
-          .groupBy(col("src")).agg(min(col("comp")).as("nbrComp"))
-        val next = labels.join(nbr, col("id") === col("src"), "left")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
-          .localCheckpoint()
-        val s2 = next.agg(sum(col("comp")).cast("long")).first().getLong(0)
-        labels = next
-        converged = s2 == prevSum
-        prevSum = s2
-        iter += 1
-      }
-      labels
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val s2 = next.agg(sum(col("comp")).cast("long")).first().getLong(0)
+      labels = next
+      converged = s2 == prevSum
+      prevSum = s2
+      iter += 1
+    }
+    labels
   }
 
   val defs: Map[String, Q] = Map(

@@ -92,8 +92,11 @@ class EngineApiSpec extends SparkSpec {
       assert(pairSet.contains((i, i + 20000)) && pairSet.contains((i, i + 30000)),
         s"planted exact-jaccard cluster around $i incomplete")
     }
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
     val comps = engine.dedupComponents(planted.select("id"), pairs)
       .as[(Long, Long)].collect().toMap
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === partsBefore,
+      "component loop must not mutate session-global shuffle partitions")
     (0L until 5L).foreach { i =>
       assert(comps(i + 20000) === comps(i) && comps(i + 30000) === comps(i),
         s"cluster of $i must share one component label")

@@ -90,6 +90,11 @@ object ExpressionProps extends Properties("graft.expressions") {
       ngramsEval(s, n) == expected
     }
 
+  property("char_ngrams with n < 1 returns empty instead of throwing") =
+    Prop.forAll(asciiStr, Gen.choose(-3, 0)) { (s, n) =>
+      ngramsEval(s, n) == Seq.empty[String]
+    }
+
   private def bitsetOf(idxs: Array[Int], nwords: Int): ArrayData = {
     import org.apache.spark.sql.types.IntegerType
     graft.functions.BitsetFromIndices(
@@ -137,4 +142,36 @@ object ExpressionProps extends Properties("graft.expressions") {
       val ba = graft.functions.BoundedLevenshtein.compute(b.toCharArray, a.toCharArray, k)
       ab == ba && ((ab == 0) == (a == b))
     }
+
+  // ---- code-point semantics: supplementary-plane input must count
+  //      one edit per CODE POINT, not per UTF-16 unit (ADVICE r2) ----
+
+  private val cpStr: Gen[String] =
+    Gen.listOf(Gen.oneOf("a", "b", "c", "😀", "😁",
+      "𝔞", "一")).map(_.mkString)
+
+  private def referenceLevCp(a: Array[Int], b: Array[Int]): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) =
+        if (a(i - 1) == b(j - 1)) d(i - 1)(j - 1)
+        else 1 + math.min(math.min(d(i - 1)(j), d(i)(j - 1)), d(i - 1)(j - 1))
+    d(a.length)(b.length)
+  }
+
+  property("bounded_levenshtein counts code points on surrogate pairs") =
+    Prop.forAll(cpStr, cpStr, Gen.choose(0, 10)) { (a, b, k) =>
+      val acp = graft.functions.BoundedLevenshtein.codePointsOf(a)
+      val bcp = graft.functions.BoundedLevenshtein.codePointsOf(b)
+      val expected = referenceLevCp(acp, bcp)
+      val got = graft.functions.BoundedLevenshtein.compute(acp, bcp, k)
+      if (expected <= k) got == expected else got == -1
+    }
+
+  property("lev('', single emoji) is exactly 1 code point") = Prop.protect {
+    val e = graft.functions.BoundedLevenshtein.codePointsOf("😀")
+    graft.functions.BoundedLevenshtein.compute(Array.empty[Int], e, 1) == 1
+  }
 }

@@ -89,6 +89,17 @@ class ExtensionSpec extends SparkSpec {
       }
       assert(viaRule == builtin, "banded rewrite must not change results")
 
+      // Supplementary-plane parity: the rewrite must agree with the
+      // builtin's code-point semantics (lev('','😀') = 1, not 2).
+      val emoji = s2.sql(
+        """SELECT levenshtein('', '😀') <= 1 AS ok1,
+          |       levenshtein('a😀', 'a') <= 1 AS ok2,
+          |       bounded_levenshtein('😀', '😁', 1) AS d
+          |""".stripMargin).collect().head
+      assert(emoji.getBoolean(0) && emoji.getBoolean(1),
+        "banded rewrite must count code points, not UTF-16 units")
+      assert(emoji.getInt(2) === 1)
+
       // Negative control: levenshtein as a projected VALUE stays.
       val proj = docs.select(
         levenshtein(col("text"), lit("abc")).as("lv"))

@@ -188,6 +188,22 @@ class StreamingSpec extends SparkSpec {
         }
       assert(filesPerCluster.forall(_ == 1),
         s"each cluster must compact to one file, got ${filesPerCluster.toSeq}")
+      // Replay AFTER compaction: batches folded into batch=-1 are
+      // recorded in _COMPACTED_THROUGH and must be skipped, not
+      // re-appended (a restart from an older checkpoint replays them).
+      assert(StreamOps.compactedThrough(spark, dir) === 1L)
+      StreamOps.ivfAppendBatch(cents, dir)(
+        Seq(Vec(3, Array(0.3, 0.1))).toDF("vec_id", "embedding"), 1L)
+      val postReplay = spark.read.parquet(dir)
+      assert(postReplay.count() === 3,
+        "batch replayed after compaction must be skipped, not duplicated")
+      assert(postReplay.select("batch").distinct().as[Long].collect().toSeq
+        === Seq(-1L), "replay after compaction must not recreate batch dirs")
+      // A genuinely NEW batch (id above the marker) still appends.
+      StreamOps.ivfAppendBatch(cents, dir)(
+        Seq(Vec(4, Array(10.2, 9.8))).toDF("vec_id", "embedding"), 2L)
+      assert(spark.read.parquet(dir).count() === 4,
+        "new batches above the compaction marker must still append")
     } finally q.stop()
   }
 
