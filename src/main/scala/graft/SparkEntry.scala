@@ -37,7 +37,8 @@ object SparkEntry {
     (TimeSeries.defs, TimeSeries.oracles),
     (ProductQuantize.defs, ProductQuantize.oracles),
     (GraphOps.defs, GraphOps.oracles),
-    (TrainedQuantize.defs, TrainedQuantize.oracles)
+    (TrainedQuantize.defs, TrainedQuantize.oracles),
+    (EmbedDedup.defs, EmbedDedup.oracles)
   )
 
   /** Flagship on sf0.001 (driver smoke-checks rows>0): the

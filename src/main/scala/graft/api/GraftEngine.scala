@@ -2,7 +2,7 @@ package graft.api
 
 import graft.TestData
 import graft.functions.{MinHashLsh, VectorOps => V}
-import graft.operators.{GraphOps, TextAnalysis, TextOps, TrainedQuantize, Vectors}
+import graft.operators.{EmbedDedup, GraphOps, TextAnalysis, TextOps, TrainedQuantize, Vectors}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -131,6 +131,19 @@ class GraftEngine(val spark: SparkSession) {
                        col("text"), length(col("text")).as("n_chars")),
       maxEdits)
       .select(col("id_a"), col("id_b"), col("lev"))
+
+  /** Embedding-cosine near-duplicate pairs via banded hyperplane-LSH
+    * candidates + exact cosine re-check (precision 1; recall set by
+    * the banding, ≈ 0.999 at cosine 0.99). The scale path for
+    * vector-space dedup: candidate generation is an equality join on
+    * fixed-width (band, bits) keys, never an n² pair scan. Input:
+    * (id, embedding ARRAY<DOUBLE>[dim]); output (id_a, id_b, cos)
+    * with id_a < id_b.
+    */
+  def embeddingDuplicates(vectors: DataFrame, dim: Int,
+                          threshold: Double): DataFrame =
+    EmbedDedup.nearDupPairs(
+      vectors.select(col("id"), col("embedding")), dim, threshold)
 
   /** Collapse a near-dup pair list (id_a, id_b) into connected
     * components: returns (id, component) with component = min id in

@@ -36,8 +36,8 @@ case class BoundedLevenshtein(first: Expression, second: Expression,
     copy(first = f, second = s, third = t)
 
   override def nullSafeEval(aAny: Any, bAny: Any, kAny: Any): Any = {
-    val a0 = BoundedLevenshtein.codePointsOf(aAny.asInstanceOf[UTF8String].toString)
-    val b0 = BoundedLevenshtein.codePointsOf(bAny.asInstanceOf[UTF8String].toString)
+    val a0 = BoundedLevenshtein.decode(aAny.asInstanceOf[UTF8String])
+    val b0 = BoundedLevenshtein.decode(bAny.asInstanceOf[UTF8String])
     val k = kAny.asInstanceOf[Int]
     BoundedLevenshtein.compute(a0, b0, k)
   }
@@ -45,6 +45,22 @@ case class BoundedLevenshtein(first: Expression, second: Expression,
 
 object BoundedLevenshtein {
   private val Big = Int.MaxValue / 2
+
+  /** Code points of a UTF8String, skipping String materialization on
+    * the pure-ASCII hot path (byte count == char count ⇒ every byte
+    * is one code point) — the per-PAIR decode on the fuzzy-dedup
+    * candidate loop.
+    */
+  def decode(u: UTF8String): Array[Int] = {
+    val nb = u.numBytes()
+    if (u.numChars() == nb) {
+      val bytes = u.getBytes
+      val out = new Array[Int](nb)
+      var i = 0
+      while (i < nb) { out(i) = bytes(i); i += 1 }
+      out
+    } else codePointsOf(u.toString)
+  }
 
   /** Decode to code points; a single extra linear pass per string,
     * amortized over the O(len·k) DP that follows. */

@@ -131,10 +131,40 @@ object Aggregates {
         .groupBy("l_returnflag")
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(r4(sum(revenue)))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // Deterministic mode: most frequent l_quantity per flag, ties
+    // broken toward the smallest value. Spark's builtin `mode` is
+    // tie-arbitrary, so both engines run the identical count +
+    // row_number formulation — engine-neutral by construction, and
+    // the same two-phase agg + tiny window shape at any scale (the
+    // window partitions by group key over one row per DISTINCT
+    // value, not per input row).
+    "agg_mode" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+        .orderBy(col("n_rows").desc, col("l_quantity").asc)
+      TestData.lineitem(s, d)
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+                col("n_rows"))
+        .orderBy("l_returnflag")
+    })
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, count(*)::BIGINT AS n_rows
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY n_rows DESC, l_quantity ASC) AS rn FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty, n_rows
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
     "agg_hash_group" ->
       """SELECT l_returnflag, l_linestatus,
         |  floor((sum(l_quantity))*10000 + 0.5)/10000 AS sum_qty,

@@ -83,6 +83,26 @@ object AnnSearch {
         .select(col("qid"), col("rnk"), col("vec_id").as("nn_id"),
                 r4(col("score")).as("cos"))
         .orderBy("qid", "rnk")
+    }),
+
+    // Range search — the other vector-DB query type: ALL neighbors
+    // above a similarity threshold, not a fixed k (radius queries,
+    // dedup-by-similarity, recall evaluation). Query set broadcasts;
+    // the corpus side is one codegen'd scan with the cosine filter
+    // applied map-side, so cost is corpus × |Q| with zero shuffle —
+    // and at 100 TB the same probe-then-prune trick as
+    // ann_ivf_pruned_topk applies upstream of the threshold.
+    "ann_cosine_range" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      e.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score", V.cosine(col("embedding"), col("qv")))
+        .filter(col("score") >= 0.3)
+        .select(col("qid"), col("vec_id").as("nn_id"),
+                r4(col("score")).as("cos"))
+        .orderBy("qid", "nn_id")
     })
   )
 
@@ -156,6 +176,15 @@ object AnnSearch {
         |        row_number() OVER (PARTITION BY qid
         |          ORDER BY score DESC, vec_id) AS rnk
         |      FROM hits)
-        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "ann_cosine_range" ->
+      s"""WITH q AS (SELECT vec_id AS qid, $E AS qv FROM embeddings
+        |           WHERE vec_id < 5)
+        |SELECT q.qid, e.vec_id AS nn_id,
+        |  floor((list_cosine_similarity(e.$E, q.qv))*10000 + 0.5)/10000 AS cos
+        |FROM embeddings e CROSS JOIN q
+        |WHERE e.vec_id <> q.qid
+        |  AND list_cosine_similarity(e.$E, q.qv) >= 0.3
+        |ORDER BY qid, nn_id""".stripMargin
   )
 }

@@ -61,17 +61,24 @@ object GraphOps {
     var labels = ids.select(col("id"), col("id").as("comp"))
       .repartition(P, col("id"))
       .localCheckpoint()
+    def propagate(lbl: DataFrame): DataFrame = {
+      val nbr = edges.join(lbl.hint("shuffle_hash"), col("dst") === col("id"))
+        .repartition(P, col("src"))
+        .groupBy(col("src")).agg(min(col("comp")).as("nbrComp"))
+      lbl.join(nbr.hint("shuffle_hash"), col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
+    }
     var prevSum = labels.agg(sum(col("comp")).cast("long")).first().getLong(0)
     var converged = false
     var iter = 0
-    while (!converged && iter < 50) {
-      val nbr = edges.join(labels.hint("shuffle_hash"), col("dst") === col("id"))
-        .repartition(P, col("src"))
-        .groupBy(col("src")).agg(min(col("comp")).as("nbrComp"))
-      val next = labels.join(nbr.hint("shuffle_hash"), col("id") === col("src"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+    while (!converged && iter < 25) {
+      // TWO propagation steps per materialization: labels only ever
+      // decrease, so overshooting the fixpoint by one step is free,
+      // and halving the checkpoint + convergence-scan jobs halves the
+      // loop's fixed overhead (rounds ≈ graph diameter, so the loop
+      // is overhead-bound for the dense near-dup cliques).
+      val next = propagate(propagate(labels)).localCheckpoint()
       val s2 = next.agg(sum(col("comp")).cast("long")).first().getLong(0)
       labels = next
       converged = s2 == prevSum

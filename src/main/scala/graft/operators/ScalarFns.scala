@@ -131,10 +131,29 @@ object ScalarFns {
           array_join(map_keys(col("m")), ",").as("keys"),
           element_at(col("m"), "k").as("k_value"),
           size(map_values(col("m"))).as("n_values"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // Cryptographic digests: engine-independent by definition (md5 /
+    // sha-256 are specs, not float math) — the workhorse of exact
+    // dedup and content-addressed caching. crc32/xxhash64 exist in
+    // Spark but have no DuckDB 1.0 counterpart, so only the portable
+    // pair is declared.
+    "fn_hash" -> ((s, d) =>
+      TestData.part(s, d)
+        .select(col("p_partkey"),
+          md5(col("p_name")).as("h_md5"),
+          sha2(col("p_name"), 256).as("h_sha256"),
+          md5(concat_ws("|", col("p_brand"), col("p_type"))).as("h_key"))
+        .orderBy("p_partkey"))
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_hash" ->
+      """SELECT p_partkey,
+        |  md5(p_name) AS h_md5,
+        |  sha256(p_name) AS h_sha256,
+        |  md5(concat_ws('|', p_brand, p_type)) AS h_key
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "fn_string" ->
       """SELECT p_partkey,
         |  lower(p_name) AS lo, upper(p_brand) AS up,

@@ -58,12 +58,37 @@ object SortsSetOps {
       richKeys(s, d).intersect(buildingKeys(s, d)).orderBy("c_custkey")),
 
     "setop_except" -> ((s, d) =>
-      richKeys(s, d).except(buildingKeys(s, d)).orderBy("c_custkey"))
+      richKeys(s, d).except(buildingKeys(s, d)).orderBy("c_custkey")),
+
+    // Bag (multiset) set-ops: inputs keep per-customer order
+    // multiplicities, so INTERSECT ALL's min-count / EXCEPT ALL's
+    // count-difference semantics are actually exercised (the distinct
+    // customer-key inputs above would degenerate to the set forms).
+    // Duplicate output rows are identical, so orderBy(key) is a total
+    // order for hashing purposes.
+    "setop_intersect_all" -> ((s, d) =>
+      bigSpenderKeys(s, d).intersectAll(urgentKeys(s, d))
+        .orderBy("o_custkey")),
+
+    "setop_except_all" -> ((s, d) =>
+      bigSpenderKeys(s, d).exceptAll(urgentKeys(s, d))
+        .orderBy("o_custkey"))
   )
+
+  private def bigSpenderKeys(s: SparkSession, d: String): DataFrame =
+    TestData.orders(s, d).filter(col("o_totalprice") > 150000.0)
+      .select("o_custkey")
+  private def urgentKeys(s: SparkSession, d: String): DataFrame =
+    TestData.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
 
   private val richSql = "SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0"
   private val buildingSql =
     "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+  private val bigSpenderSql =
+    "SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0"
+  private val urgentSql =
+    "SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'"
 
   val oracles: Map[String, String] = Map(
     "sort_multi_nulls" ->
@@ -88,6 +113,12 @@ object SortsSetOps {
     "setop_intersect" ->
       s"""SELECT * FROM ($richSql INTERSECT $buildingSql) ORDER BY c_custkey""",
     "setop_except" ->
-      s"""SELECT * FROM ($richSql EXCEPT $buildingSql) ORDER BY c_custkey"""
+      s"""SELECT * FROM ($richSql EXCEPT $buildingSql) ORDER BY c_custkey""",
+    "setop_intersect_all" ->
+      s"""SELECT * FROM ($bigSpenderSql INTERSECT ALL $urgentSql)
+         |ORDER BY o_custkey""".stripMargin,
+    "setop_except_all" ->
+      s"""SELECT * FROM ($bigSpenderSql EXCEPT ALL $urgentSql)
+         |ORDER BY o_custkey""".stripMargin
   )
 }

@@ -70,6 +70,32 @@ object TimeSeries {
       s.read.parquet(tmp)
         .filter(col("event_type") === "click" && col("value") > 100.0)
         .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
+    }),
+
+    // OHLC downsampling: per (user, 15-min bucket) open/high/low/
+    // close/volume — the standard time-series resample. Open/close
+    // are selected (not computed) values, so they pass through both
+    // engines bit-identically; the (ts, event_id) sort key makes the
+    // row_number pick deterministic. One window + one two-phase agg,
+    // both partitioned by the same (user, bucket) key — a single
+    // shuffle at any scale.
+    "ts_ohlc" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "bucket_start")
+      val asc = w.orderBy(col("ts").asc, col("event_id").asc)
+      val desc = w.orderBy(col("ts").desc, col("event_id").desc)
+      TestData.events(s, d)
+        .withColumn("bucket_start",
+          window(col("ts"), "15 minutes").getField("start"))
+        .withColumn("rna", row_number().over(asc))
+        .withColumn("rnd", row_number().over(desc))
+        .groupBy("user_id", "bucket_start")
+        .agg(max(when(col("rna") === 1, col("value"))).as("open"),
+             max(col("value")).as("high"),
+             min(col("value")).as("low"),
+             max(when(col("rnd") === 1, col("value"))).as("close"),
+             count(lit(1)).as("n"))
+        .orderBy("user_id", "bucket_start")
     })
   )
 
@@ -96,6 +122,24 @@ object TimeSeries {
         |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-03-31'""".stripMargin,
     "sink_partition_prune" ->
       """SELECT count(*) AS n, floor((sum(value))*10000 + 0.5)/10000 AS sum_value
-        |FROM events WHERE event_type = 'click' AND value > 100.0""".stripMargin
+        |FROM events WHERE event_type = 'click' AND value > 100.0""".stripMargin,
+    "ts_ohlc" ->
+      """WITH b AS (
+        |  SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
+        |         ts, event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, bucket_start
+        |      ORDER BY ts ASC, event_id ASC) AS rna,
+        |    row_number() OVER (PARTITION BY user_id, bucket_start
+        |      ORDER BY ts DESC, event_id DESC) AS rnd
+        |  FROM b)
+        |SELECT user_id, bucket_start,
+        |  max(CASE WHEN rna = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rnd = 1 THEN value END) AS close,
+        |  count(*)::BIGINT AS n
+        |FROM r GROUP BY 1, 2 ORDER BY user_id, bucket_start""".stripMargin
   )
 }

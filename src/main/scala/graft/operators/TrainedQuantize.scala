@@ -37,7 +37,14 @@ object TrainedQuantize {
     val spark = e.sparkSession
     import spark.implicits._
     val feat = e.withColumn("features", array_to_vector(col("embedding")))
+    // Random init instead of k-means||: the parallel init alone runs
+    // ~5 extra Spark jobs per fit, which dominates when the training
+    // sample is small (codebook training always runs on a sample —
+    // never the 100 TB corpus). Lloyd's from random seeds converges
+    // fine here and stays seeded-deterministic; TrainedSpec pins the
+    // trained-beats-fixed distortion property.
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
+      .setInitMode("random")
       .setFeaturesCol("features").fit(feat)
     model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray) }

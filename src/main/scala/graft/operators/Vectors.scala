@@ -215,7 +215,11 @@ object Vectors {
       import org.apache.spark.ml.functions.array_to_vector
       val e = TestData.embeddings(s, d)
         .withColumn("features", array_to_vector(col("embedding")))
+      // Random init: k-means|| spends ~5 Spark jobs picking seeds,
+      // which dominates on a small training sample (training always
+      // runs on a sample at scale). Seeded, so still deterministic.
       val model = new KMeans().setK(10).setSeed(42L).setMaxIter(10)
+        .setInitMode("random")
         .setFeaturesCol("features").fit(e)
       model.transform(e)
         .groupBy(col("prediction"))

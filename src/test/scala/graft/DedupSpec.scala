@@ -150,4 +150,37 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSet == Set((1L, 2L)), s"got ${out.toSet}")
   }
+
+  test("embedding LSH finds planted high-cosine pairs, plants nothing extra") {
+    import graft.operators.EmbedDedup
+    val rnd = new scala.util.Random(2024)
+    val dim = 16
+    def randVec(): Array[Double] = Array.fill(dim)(rnd.nextGaussian())
+    // 40 random gaussians (pairwise cosine ≈ 0 in expectation) + 15
+    // perturbed copies at cosine ≈ 0.995+ (small additive noise, NOT
+    // exact scaling — exercises the probabilistic banding, not just
+    // the scale-invariance shortcut; fixed seed keeps it stable).
+    val base = (1 to 40).map(i => (i.toLong, randVec()))
+    val dups = (1 to 15).map { i =>
+      val v = base(i)._2
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      (100L + i, v.zipWithIndex.map { case (x, j) =>
+        x + 0.02 * nrm / math.sqrt(dim.toDouble) * rnd.nextGaussian() })
+    }
+    import spark.implicits._
+    val vecs = (base ++ dups).toSeq.toDF("id", "embedding")
+    val got = EmbedDedup.nearDupPairs(vecs, dim, threshold = 0.98)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = vecs.select(col("id").as("ia"), col("embedding").as("va"))
+    val b = vecs.select(col("id").as("ib"), col("embedding").as("vb"))
+    val brute = a.join(b, col("ia") < col("ib"))
+      .withColumn("cos", graft.functions.VectorOps.cosine(col("va"), col("vb")))
+      .filter(col("cos") > 0.98)
+      .select("ia", "ib")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size >= 15, s"fixture must contain planted pairs, got ${brute.size}")
+    assert(got == brute,
+      s"missing=${brute.diff(got).take(5)} extra=${got.diff(brute).take(5)}")
+  }
 }

@@ -103,6 +103,18 @@ class EngineApiSpec extends SparkSpec {
     }
   }
 
+  test("embeddingDuplicates finds planted scaled copies via the facade") {
+    val planted = emb.filter(col("id") < 10)
+      .select((col("id") + 50000L).as("id"),
+        transform(col("embedding"), x => x * lit(2.0)).as("embedding"))
+    val pairs = engine.embeddingDuplicates(
+        emb.select("id", "embedding").unionAll(planted), dim = 64,
+        threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === (0L until 10L).map(i => (i, i + 50000L)).toSet,
+      s"got $pairs")
+  }
+
   test("fuzzyDuplicates finds planted single-edit copies via the facade") {
     val edited = docs.filter(col("id") < 5)
       .withColumn("id", col("id") + 40000)

@@ -174,4 +174,36 @@ object ExpressionProps extends Properties("graft.expressions") {
     val e = graft.functions.BoundedLevenshtein.codePointsOf("😀")
     graft.functions.BoundedLevenshtein.compute(Array.empty[Int], e, 1) == 1
   }
+
+  // ---- hyperplane signatures (embedding LSH) ----
+
+  private val planes16 = graft.functions.HyperplaneSig.planes(32, 16, seed = 7L)
+
+  private def sigEval(v: Array[Double]): Long =
+    graft.functions.HyperplaneSig(
+      Literal(ArrayData.toArrayData(v), ArrayType(DoubleType)), planes16)
+      .eval(null).asInstanceOf[Long]
+
+  private val vec16: Gen[Array[Double]] =
+    Gen.listOfN(16, Gen.choose(-10.0, 10.0)).map(_.toArray)
+      .suchThat(v => v.exists(x => math.abs(x) > 1e-6))
+
+  property("hyperplane signature is invariant under positive scaling") =
+    Prop.forAll(vec16, Gen.choose(0.01, 100.0)) { (v, c) =>
+      sigEval(v) == sigEval(v.map(_ * c))
+    }
+
+  property("hyperplane signature flips every decisive bit under negation") =
+    Prop.forAll(vec16) { v =>
+      // sign(−v·p) = ¬sign(v·p) except for exact-zero projections,
+      // which have measure zero for continuous inputs; tolerate them
+      // by checking only planes with a clearly nonzero projection.
+      val s = sigEval(v)
+      val sNeg = sigEval(v.map(-_))
+      (0 until 32).forall { p =>
+        val dot = planes16(p).zip(v).map { case (a, b) => a * b }.sum
+        math.abs(dot) < 1e-9 ||
+          (((s >> p) & 1L) != ((sNeg >> p) & 1L))
+      }
+    }
 }
