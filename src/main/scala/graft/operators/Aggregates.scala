@@ -152,10 +152,91 @@ object Aggregates {
         .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
                 col("n_rows"))
         .orderBy("l_returnflag")
-    })
+    }),
+
+    // Bivariate statistics: correlation / covariance / least-squares
+    // regression per group — one two-phase hash aggregate (the co-
+    // moments are associative partials), so the shape is identical to
+    // agg_stats_numeric at any scale.
+    "agg_corr_regr" -> ((s, d) =>
+      TestData.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          r4(corr("l_quantity", "l_extendedprice")).as("r"),
+          r4(covar_pop("l_quantity", "l_extendedprice")).as("cov_p"),
+          r4(covar_samp("l_quantity", "l_extendedprice")).as("cov_s"),
+          r4(regr_slope(col("l_extendedprice"), col("l_quantity"))).as("slope"),
+          r4(regr_intercept(col("l_extendedprice"), col("l_quantity"))).as("icept"),
+          r4(regr_r2(col("l_extendedprice"), col("l_quantity"))).as("r2"))
+        .orderBy("l_returnflag")),
+
+    // Boolean / bitwise aggregates: exact integer & boolean lattice
+    // folds (no float drift possible), map-side combinable.
+    "agg_bool_bit" -> ((s, d) =>
+      TestData.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          bool_and(col("value") > 10.0).as("all_gt10"),
+          bool_or(col("value") > 1000.0).as("any_gt1000"),
+          bit_and(col("event_id")).as("b_and"),
+          bit_or(col("event_id")).as("b_or"),
+          bit_xor(col("event_id")).as("b_xor"))
+        .orderBy("event_type")),
+
+    // Fixed-width histogram: bucket = floor(value/50) — a groupBy on
+    // a derived integer key, the building block of distribution
+    // profiling over a 100 TB column (two-phase agg, tiny output).
+    "agg_histogram" -> ((s, d) =>
+      TestData.events(s, d)
+        .groupBy(col("event_type"),
+          floor(col("value") / 50.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bucket")),
+
+    // Wide→long reshape (melt): the inverse of agg_pivot. Zero
+    // shuffle — Generate expands each row map-side; the trailing sort
+    // is only the determinism order.
+    "agg_unpivot" -> ((s, d) =>
+      TestData.lineitem(s, d)
+        .filter(col("l_orderkey") % 10 === 0 && col("l_linenumber") === 1)
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // fixture — sort by every output column for a total order
+        // (remaining ties are identical rows).
+        .orderBy("l_orderkey", "metric", "val"))
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_corr_regr" ->
+      """SELECT l_returnflag,
+        |  floor((corr(l_quantity, l_extendedprice))*10000 + 0.5)/10000 AS r,
+        |  floor((covar_pop(l_quantity, l_extendedprice))*10000 + 0.5)/10000 AS cov_p,
+        |  floor((covar_samp(l_quantity, l_extendedprice))*10000 + 0.5)/10000 AS cov_s,
+        |  floor((regr_slope(l_extendedprice, l_quantity))*10000 + 0.5)/10000 AS slope,
+        |  floor((regr_intercept(l_extendedprice, l_quantity))*10000 + 0.5)/10000 AS icept,
+        |  floor((regr_r2(l_extendedprice, l_quantity))*10000 + 0.5)/10000 AS r2
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_bool_bit" ->
+      """SELECT event_type,
+        |  bool_and(value > 10.0) AS all_gt10,
+        |  bool_or(value > 1000.0) AS any_gt1000,
+        |  bit_and(event_id)::BIGINT AS b_and,
+        |  bit_or(event_id)::BIGINT AS b_or,
+        |  bit_xor(event_id)::BIGINT AS b_xor
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_histogram" ->
+      """SELECT event_type, floor(value / 50.0)::BIGINT AS bucket,
+        |  count(*)::BIGINT AS n
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+    "agg_unpivot" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_quantity, l_extendedprice, l_discount
+        |  FROM lineitem WHERE l_orderkey % 10 = 0 AND l_linenumber = 1)
+        |UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+        |ORDER BY l_orderkey, metric, val""".stripMargin,
     "agg_mode" ->
       """WITH c AS (
         |  SELECT l_returnflag, l_quantity, count(*)::BIGINT AS n_rows

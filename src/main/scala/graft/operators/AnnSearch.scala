@@ -26,32 +26,67 @@ import graft.functions.{VectorOps => V}
 object AnnSearch {
   type Q = (SparkSession, String) => DataFrame
 
+  /** IVF-probed top-5 per query (qid, rnk, nn_id, score): corpus
+    * assigned to the 4 fixed centroids, each of the 5 fixture queries
+    * probes its 2 nearest centroid partitions. Shared by
+    * `ann_ivf_topk` (the search) and `ann_recall_eval` (its quality
+    * measurement).
+    */
+  private def ivfTop5(e: DataFrame): DataFrame = {
+    val cents = Vectors.fixedCentroids(e)
+    // corpus side: nearest centroid per vector (the stored partition key)
+    val assigned = V.assignToCentroids(e, cents, Seq("vec_id", "embedding"))
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    // query side: 5 queries, each probing its 2 nearest centroids
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("qdist"), col("cid"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("qdist", V.sqDist(col("qv"), col("cv")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= 2)
+      .select(col("qid"), col("qv"), col("cid").as("probe_cluster"))
+    // search only the probed partitions
+    val wTop = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+    assigned.join(broadcast(probes), col("cluster") === col("probe_cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("score", V.cosine(col("embedding"), col("qv")))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"), col("vec_id").as("nn_id"), col("score"))
+  }
+
   val defs: Map[String, Q] = Map(
-    "ann_ivf_topk" -> ((s, d) => {
+    "ann_ivf_topk" -> ((s, d) =>
+      ivfTop5(TestData.embeddings(s, d))
+        .select(col("qid"), col("rnk"), col("nn_id"),
+                r4(col("score")).as("cos"))
+        .orderBy("qid", "rnk")),
+
+    // Recall@5 of the IVF probe against exact brute force — the
+    // evaluation loop every ANN deployment runs before trusting an
+    // index (probe width / codebook tuning reads off this number).
+    // Both arms share the one broadcast query set; the brute arm is
+    // the same map-side scan as vec_cosine_topk, so the whole eval is
+    // two scans + a 25-row join at any corpus size.
+    "ann_recall_eval" -> ((s, d) => {
       val e = TestData.embeddings(s, d)
-      val cents = Vectors.fixedCentroids(e)
-      // corpus side: nearest centroid per vector (the stored partition key)
-      val assigned = V.assignToCentroids(e, cents, Seq("vec_id", "embedding"))
-        .select(col("vec_id"), col("embedding"), col("cluster"))
-      // query side: 5 queries, each probing its 2 nearest centroids
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val wProbe = Window.partitionBy("qid").orderBy(col("qdist"), col("cid"))
-      val probes = queries.crossJoin(broadcast(cents))
-        .withColumn("qdist", V.sqDist(col("qv"), col("cv")))
-        .withColumn("pr", row_number().over(wProbe))
-        .filter(col("pr") <= 2)
-        .select(col("qid"), col("qv"), col("cid").as("probe_cluster"))
-      // search only the probed partitions
       val wTop = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
-      assigned.join(broadcast(probes), col("cluster") === col("probe_cluster"))
+      val brute = e.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("score", V.cosine(col("embedding"), col("qv")))
         .withColumn("rnk", row_number().over(wTop))
         .filter(col("rnk") <= 5)
-        .select(col("qid"), col("rnk"), col("vec_id").as("nn_id"),
-                r4(col("score")).as("cos"))
-        .orderBy("qid", "rnk")
+        .select(col("qid"), col("vec_id").as("nn_id"))
+      val ivf = ivfTop5(e).select(col("qid").as("iqid"), col("nn_id").as("inn"))
+      brute.join(ivf,
+          col("qid") === col("iqid") && col("nn_id") === col("inn"), "left")
+        .groupBy("qid")
+        .agg(count(col("inn")).as("n_hit"),
+             r4(count(col("inn")) / 5.0).as("recall"))
+        .orderBy("qid")
     }),
 
     // The end-to-end IVF story: search the STORED index. The corpus
@@ -142,6 +177,53 @@ object AnnSearch {
         |          ORDER BY score DESC, vec_id) AS rnk
         |      FROM hits)
         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // IVF arm = the ann_ivf_topk CTEs; brute arm = unprobed top-5;
+    // recall = matched/5 per query.
+    "ann_recall_eval" ->
+      s"""WITH c AS (SELECT vec_id AS cid, $E AS cv FROM embeddings WHERE vec_id < 4),
+        |assigned AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cid AS cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(e.$E, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN c)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, cid AS probe_cluster FROM (
+        |    SELECT q.vec_id AS qid, c.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.$E, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS pr
+        |    FROM embeddings q CROSS JOIN c WHERE q.vec_id < 5)
+        |  WHERE pr <= 2),
+        |hits AS (
+        |  SELECT p.qid, e.vec_id,
+        |    list_cosine_similarity(e.$E, q.$E) AS score
+        |  FROM assigned a
+        |  JOIN probes p ON a.cluster = p.probe_cluster
+        |  JOIN embeddings e ON e.vec_id = a.vec_id
+        |  JOIN embeddings q ON q.vec_id = p.qid
+        |  WHERE e.vec_id <> p.qid),
+        |ivf AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, vec_id) AS rnk FROM hits)
+        |  WHERE rnk <= 5),
+        |bq AS (SELECT vec_id AS qid, $E AS qv FROM embeddings WHERE vec_id < 5),
+        |bhits AS (
+        |  SELECT bq.qid, e.vec_id,
+        |    list_cosine_similarity(e.$E, bq.qv) AS score
+        |  FROM embeddings e CROSS JOIN bq WHERE e.vec_id <> bq.qid),
+        |brute AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, vec_id) AS rnk FROM bhits)
+        |  WHERE rnk <= 5)
+        |SELECT b.qid, count(i.vec_id)::BIGINT AS n_hit,
+        |  floor((count(i.vec_id) / 5.0)*10000 + 0.5)/10000 AS recall
+        |FROM brute b LEFT JOIN ivf i ON b.qid = i.qid AND b.vec_id = i.vec_id
+        |GROUP BY b.qid ORDER BY b.qid""".stripMargin,
     // Same relational semantics as ann_ivf_topk — the stored index is
     // just a materialization of `assigned`; the oracle recomputes it.
     "ann_ivf_pruned_topk" ->

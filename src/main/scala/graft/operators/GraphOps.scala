@@ -98,6 +98,24 @@ object GraphOps {
       minLabelComponents(docs.select(col("doc_id").as("id")), pairs)
         .select(col("id").as("doc_id"), col("comp").as("component"))
         .orderBy("doc_id")
+    }),
+
+    // The dedup pipeline's last step made queryable: collapse the
+    // component labels to per-language survivor counts (one survivor
+    // per component = distinct component count; removed = the rest).
+    // Edges are same-lang so components never cross languages; the
+    // join is on doc_id and the output is |langs| rows.
+    "dedup_survivors" -> ((s, d) => {
+      val docs = TestData.documents(s, d)
+      val pairs = TextOps.jaccardPairs(docs)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val comp = minLabelComponents(docs.select(col("doc_id").as("id")), pairs)
+      docs.join(comp, docs("doc_id") === comp("id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("comp")).as("n_survivors"),
+             (count(lit(1)) - countDistinct(col("comp"))).as("n_removed"))
+        .orderBy("lang")
     })
   )
 
@@ -117,6 +135,28 @@ object GraphOps {
         |  UNION
         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
         |SELECT a AS doc_id, min(b) AS component
-        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "dedup_survivors" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |edges AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        |        > 0.9),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |comp AS (
+        |  SELECT a AS doc_id, min(b) AS component
+        |  FROM reach GROUP BY a)
+        |SELECT d.lang, count(*)::BIGINT AS n_docs,
+        |  count(DISTINCT c.component)::BIGINT AS n_survivors,
+        |  (count(*) - count(DISTINCT c.component))::BIGINT AS n_removed
+        |FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   )
 }

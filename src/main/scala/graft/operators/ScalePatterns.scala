@@ -98,7 +98,24 @@ object ScalePatterns {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("revenue"))
         .orderBy("c_mktsegment")
-    })
+    }),
+
+    // Deterministic hash sampling: keep a row iff the first hex byte
+    // of md5(primary key) is below the rate threshold (0x0d/0x100 ≈
+    // 5 %). Unlike rand()-based TABLESAMPLE this is reproducible
+    // across engines, runs, AND cluster sizes — the only sampling
+    // discipline usable in a verified training-data pipeline; the
+    // filter is map-side, so sampling 100 TB costs one scan.
+    "sample_hash" -> ((s, d) =>
+      TestData.lineitem(s, d)
+        .filter(substring(md5(concat_ws("|",
+          col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string"))), 1, 2) < "0d")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture —
+        // sort by every output column for a total order.
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -110,6 +127,12 @@ object ScalePatterns {
       """SELECT c_mktsegment, count(*) AS n,
         |  floor((sum(o_totalprice))*10000 + 0.5)/10000 AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "sample_hash" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE substring(md5(concat_ws('|', l_orderkey::VARCHAR,
+        |  l_linenumber::VARCHAR)), 1, 2) < '0d'
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin
   )
 }

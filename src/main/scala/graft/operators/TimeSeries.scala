@@ -96,6 +96,48 @@ object TimeSeries {
              max(when(col("rnd") === 1, col("value"))).as("close"),
              count(lit(1)).as("n"))
         .orderBy("user_id", "bucket_start")
+    }),
+
+    // Batch sessionization: a session breaks after a 30-minute gap.
+    // lag → gap flag → running sum = session ordinal, then one agg —
+    // all three windows/aggs share the user_id partitioning, so the
+    // whole query is a single shuffle. Durations compare as integer
+    // micros (the determinism protocol for time arithmetic).
+    "ts_sessionize" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      TestData.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+               col("us") - col("prev_us") > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum("new_sess").over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+             min("ts").as("session_start"),
+             max("ts").as("session_end"),
+             r4(sum("value")).as("sum_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // Cohort retention: users grouped by first-seen ISO week × the
+    // weeks they were active — the standard engagement matrix. One
+    // window keyed by user_id (the cohort tag), then a distinct-count
+    // per (cohort, week); both engines truncate weeks to Monday.
+    "events_retention" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      TestData.events(s, d)
+        // keep TIMESTAMP (not DATE) — the parquet/pandas dtype both
+        // engines agree on in the driver's compare
+        .withColumn("wk", date_trunc("week", col("ts")))
+        .withColumn("cohort", min("wk").over(w))
+        .groupBy("cohort", "wk")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort", "wk")
     })
   )
 
@@ -140,6 +182,35 @@ object TimeSeries {
         |  max(value) AS high, min(value) AS low,
         |  max(CASE WHEN rnd = 1 THEN value END) AS close,
         |  count(*)::BIGINT AS n
-        |FROM r GROUP BY 1, 2 ORDER BY user_id, bucket_start""".stripMargin
+        |FROM r GROUP BY 1, 2 ORDER BY user_id, bucket_start""".stripMargin,
+    "ts_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |      OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM x),
+        |g AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS session_id
+        |  FROM s)
+        |SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  floor((sum(value))*10000 + 0.5)/10000 AS sum_value
+        |FROM g GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "events_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('week', ts)::TIMESTAMP AS wk FROM events),
+        |c AS (
+        |  SELECT user_id, wk,
+        |    min(wk) OVER (PARTITION BY user_id) AS cohort
+        |  FROM e)
+        |SELECT cohort, wk, count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY cohort, wk""".stripMargin
   )
 }
