@@ -83,17 +83,22 @@ object ScalePatterns {
       // the same input (re-registering the external table when the
       // in-memory catalog forgot it across sessions) and rewrite only
       // when the input sf dir changed.
-      ensureBucketedTable(s, "graft_orders_b", "o_custkey",
-        graft.sources.WriteOnce.inputTag(d, "orders"),
+      // Table name carries a short hash of the input tag so the
+      // sf0.01 (Verify) and sf0.1 (Bench) bucket sets coexist in the
+      // warehouse instead of evicting each other every round.
+      val oTag = graft.sources.WriteOnce.inputTag(d, "orders")
+      val cTag = graft.sources.WriteOnce.inputTag(d, "customer")
+      val oName = graft.sources.WriteOnce.dirFor("graft_orders_b", oTag)
+      val cName = graft.sources.WriteOnce.dirFor("graft_customer_b", cTag)
+      ensureBucketedTable(s, oName, "o_custkey", oTag,
         TestData.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"))
-      ensureBucketedTable(s, "graft_customer_b", "c_custkey",
-        graft.sources.WriteOnce.inputTag(d, "customer"),
+      ensureBucketedTable(s, cName, "c_custkey", cTag,
         TestData.customer(s, d).select("c_custkey", "c_mktsegment"))
       // merge hint: pin SMJ so the plan demonstrates bucketed
       // co-location (no exchange, no sort — PlanSpec) instead of a
       // broadcast that would hide it.
-      s.table("graft_orders_b").hint("merge")
-        .join(s.table("graft_customer_b"),
+      s.table(oName).hint("merge")
+        .join(s.table(cName),
               col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("revenue"))

@@ -59,8 +59,10 @@ object Scans {
         .orderBy("event_id")),
 
     "sink_parquet_partitioned" -> ((s, d) => {
-      val tmp = s"/root/repo/target/tmp/sink_parquet_partitioned"
-      graft.sources.WriteOnce.ensure(tmp, graft.sources.WriteOnce.inputTag(d, "events")) {
+      val tag0 = graft.sources.WriteOnce.inputTag(d, "events")
+      val tmp = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/sink_parquet_partitioned", tag0)
+      graft.sources.WriteOnce.ensure(tmp, tag0) {
         TestData.events(s, d).write.mode("overwrite")
           .partitionBy("event_type").parquet(tmp)
       }

@@ -46,8 +46,10 @@ object TimeSeries {
     // the file for date-range scans — the sort-order lever for
     // scan-heavy workloads at 100 TB.
     "sink_sorted_clustered" -> ((s, d) => {
-      val tmp = "/root/repo/target/tmp/sink_sorted_clustered"
-      graft.sources.WriteOnce.ensure(tmp, graft.sources.WriteOnce.inputTag(d, "lineitem")) {
+      val tag0 = graft.sources.WriteOnce.inputTag(d, "lineitem")
+      val tmp = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/sink_sorted_clustered", tag0)
+      graft.sources.WriteOnce.ensure(tmp, tag0) {
         TestData.lineitem(s, d)
           .repartitionByRange(4, col("l_shipdate"))
           .sortWithinPartitions("l_shipdate")
@@ -62,8 +64,10 @@ object TimeSeries {
     }),
 
     "sink_partition_prune" -> ((s, d) => {
-      val tmp = "/root/repo/target/tmp/sink_partition_prune"
-      graft.sources.WriteOnce.ensure(tmp, graft.sources.WriteOnce.inputTag(d, "events")) {
+      val tag0 = graft.sources.WriteOnce.inputTag(d, "events")
+      val tmp = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/sink_partition_prune", tag0)
+      graft.sources.WriteOnce.ensure(tmp, tag0) {
         TestData.events(s, d).write.mode("overwrite")
           .partitionBy("event_type").parquet(tmp)
       }

@@ -29,6 +29,18 @@ object WriteOnce {
     s"${f.getAbsolutePath}:${f.length()}:${f.lastModified()}"
   }
 
+  /** Per-input sink directory: `base` suffixed with a short hash of
+    * the content tag, so sinks for different scale factors coexist
+    * instead of evicting each other (Verify at sf0.01 and Bench at
+    * sf0.1 alternate in every driver round — a single shared path
+    * made each one rewrite the other's committed sink).
+    */
+  def dirFor(base: String, tag: String): String = {
+    val h = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(tag.getBytes(UTF_8)).take(4).map("%02x".format(_)).mkString
+    s"${base}_$h"
+  }
+
   def ensure(path: String, tag: String)(write: => Unit): String = synchronized {
     val marker = new File(path, "_GRAFT_TAG")
     val fresh = new File(path, "_SUCCESS").exists() && marker.exists() &&
