@@ -145,6 +145,41 @@ class GraftEngine(val spark: SparkSession) {
     EmbedDedup.nearDupPairs(
       vectors.select(col("id"), col("embedding")), dim, threshold)
 
+  /** Deterministic hash sample: keep a row iff the first 4 hex chars
+    * of md5(key columns joined with '|') fall below
+    * `fraction` × 16^4. Reproducible across runs, engines, and
+    * cluster sizes (unlike rand()/TABLESAMPLE) — the sampling
+    * discipline for verified training-data pipelines; evaluates
+    * map-side, so sampling costs one scan at any corpus size.
+    */
+  def sampleByHash(df: DataFrame, keyCols: Seq[String],
+                   fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction=$fraction")
+    val cut = math.round(fraction * 65536).toInt
+    df.filter(conv(substring(md5(concat_ws("|",
+      keyCols.map(c => col(c).cast("string")): _*)), 1, 4), 16, 10)
+      .cast("int") < cut)
+  }
+
+  /** Sessionize an event stream in batch: rows get a per-key session
+    * ordinal that increments whenever the gap since the previous
+    * event exceeds `gapMinutes`. Input needs (key, ts) plus an
+    * `orderCol` tiebreaker for a total order; all three windows share
+    * one shuffle on the key.
+    */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 orderCol: String, gapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, orderCol)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    val us = unix_micros(col(tsCol))
+    val prev = lag(us, 1).over(w)
+    events
+      .withColumn("session_id",
+        sum(when(prev.isNull ||
+                 us - prev > gapMinutes * 60L * 1000000L, 1).otherwise(0))
+          .over(wRun))
+  }
+
   /** Collapse a near-dup pair list (id_a, id_b) into connected
     * components: returns (id, component) with component = min id in
     * the cluster — pick one survivor per component, not per pair.

@@ -193,6 +193,16 @@ object Aggregates {
         .agg(count(lit(1)).as("n"))
         .orderBy("event_type", "bucket")),
 
+    // Interpolated median per group — both engines define median as
+    // quantile_cont(0.5), exact two-point interpolation; same
+    // sort-based aggregate shape as agg_percentile_exact.
+    "agg_median" -> ((s, d) =>
+      TestData.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(r4(median(col("l_quantity"))).as("med_qty"),
+             r4(median(col("l_extendedprice"))).as("med_price"))
+        .orderBy("l_returnflag")),
+
     // Wide→long reshape (melt): the inverse of agg_pivot. Zero
     // shuffle — Generate expands each row map-side; the trailing sort
     // is only the determinism order.
@@ -210,6 +220,11 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_median" ->
+      """SELECT l_returnflag,
+        |  floor((median(l_quantity))*10000 + 0.5)/10000 AS med_qty,
+        |  floor((median(l_extendedprice))*10000 + 0.5)/10000 AS med_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_corr_regr" ->
       """SELECT l_returnflag,
         |  floor((corr(l_quantity, l_extendedprice))*10000 + 0.5)/10000 AS r,

@@ -120,7 +120,28 @@ object ScalePatterns {
         // (l_orderkey, l_linenumber) is NOT unique in the fixture —
         // sort by every output column for a total order.
         .orderBy("l_orderkey", "l_linenumber", "l_quantity",
-          "l_extendedprice"))
+          "l_extendedprice")),
+
+    // Salted join: the skew remedy when BOTH join sides are too large
+    // to broadcast and a hot key would pin one reducer. The fact side
+    // carries salt = pmod(row id, S); the other side is replicated
+    // ×S via a tiny explode, so the hot key's rows spread across S
+    // reducers. Exact for any join + associative aggregate. (AQE's
+    // skewedJoin does this adaptively; the explicit form is the
+    // contract that it stays exact.)
+    "join_skew_salted" -> ((s, d) => {
+      val S = 8
+      val facts = TestData.events(s, d)
+        .withColumn("salt", pmod(col("event_id"), lit(S)))
+      val dim = TestData.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          explode(array((0 until S).map(lit(_)): _*)).as("rep"))
+      facts.join(dim.hint("shuffle_hash"),
+          col("user_id") === col("c_custkey") && col("salt") === col("rep"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
+        .orderBy("c_mktsegment")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -138,6 +159,11 @@ object ScalePatterns {
         |FROM lineitem
         |WHERE substring(md5(concat_ws('|', l_orderkey::VARCHAR,
         |  l_linenumber::VARCHAR)), 1, 2) < '0d'
-        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
+    "join_skew_salted" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  floor((sum(value))*10000 + 0.5)/10000 AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

@@ -69,8 +69,39 @@ object Streaming {
              (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
                .as("duration_us"))
         .select("user_id", "session_start", "n", "duration_us")
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+
+    // REAL Structured Streaming in the correctness gate (the other
+    // §2.K keys share their Catalyst bodies between batch and stream;
+    // this one actually executes the streaming engine): the events
+    // fixture is replayed through a file source with
+    // Trigger.AvailableNow, the tumbling aggregate is maintained by
+    // streaming state in Complete mode, and the memory-sink table —
+    // produced entirely by micro-batch execution — must hash-match
+    // the batch DuckDB oracle.
+    "stream_availablenow_agg" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val batch = TestData.events(s, d)
+      val tag = graft.sources.WriteOnce.inputTag(d, "events")
+      val dir = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/stream_an_source", tag)
+      graft.sources.WriteOnce.ensure(dir, tag) {
+        batch.write.mode("overwrite").parquet(dir)
+      }
+      val qn = s"graft_stream_an_${streamSeq.incrementAndGet()}"
+      val q = s.readStream.schema(batch.schema).parquet(dir)
+        .groupBy(window(col("ts"), "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+                col("n"), col("sum_value"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+      s.table(qn).orderBy("window_start", "event_type")
+    })
   )
+
+  private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   val oracles: Map[String, String] = Map(
     "stream_tumbling_agg" ->
@@ -113,6 +144,11 @@ object Streaming {
         |SELECT user_id, min(ts) AS session_start, count(*) AS n,
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
         |FROM g GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+    "stream_availablenow_agg" ->
+      """SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
+        |  event_type, count(*) AS n,
+        |  floor((sum(value))*10000 + 0.5)/10000 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
   )
 }

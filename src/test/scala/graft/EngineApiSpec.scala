@@ -115,6 +115,35 @@ class EngineApiSpec extends SparkSpec {
       s"got $pairs")
   }
 
+  test("sampleByHash is deterministic, bounded, and monotone in fraction") {
+    val s25a = engine.sampleByHash(docs, Seq("id"), 0.25)
+      .select("id").as[Long].collect().toSet
+    val s25b = engine.sampleByHash(docs, Seq("id"), 0.25)
+      .select("id").as[Long].collect().toSet
+    assert(s25a === s25b, "same fraction must select the same rows")
+    val n = docs.count()
+    // binomial(500, .25): mean 125, sd ~9.7 — 6 sd of slack
+    assert(s25a.size > n * 0.13 && s25a.size < n * 0.37, s"got ${s25a.size}/$n")
+    val s50 = engine.sampleByHash(docs, Seq("id"), 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(s25a.subsetOf(s50), "larger fraction must be a superset")
+    assert(engine.sampleByHash(docs, Seq("id"), 0.0).count() === 0)
+    assert(engine.sampleByHash(docs, Seq("id"), 1.0).count() === n)
+  }
+
+  test("sessionize splits on gaps over the threshold only") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val evs = Seq(
+      (1L, at(0), 1L), (1L, at(10), 2L), (1L, at(50), 3L),  // gap 40 > 30
+      (2L, at(0), 4L), (2L, at(29), 5L), (2L, at(58), 6L))  // gaps 29 ≤ 30
+      .toDF("user_id", "ts", "event_id")
+    val got = engine.sessionize(evs, "user_id", "ts", "event_id", 30)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L,
+                       4L -> 1L, 5L -> 1L, 6L -> 1L), s"got $got")
+  }
+
   test("fuzzyDuplicates finds planted single-edit copies via the facade") {
     val edited = docs.filter(col("id") < 5)
       .withColumn("id", col("id") + 40000)
