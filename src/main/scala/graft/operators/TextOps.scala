@@ -261,6 +261,28 @@ object TextOps {
         .select("survivor_id", "group_size")
         .orderBy("survivor_id")),
 
+    // Aggressive normalization BEFORE hashing — the step that turns
+    // exact dedup into case/punctuation/whitespace-insensitive dedup
+    // (crawl corpora are full of such trivial variants). The fixture
+    // has none, so the query plants one per 10th doc (uppercased, '!'
+    // noise, doubled spaces); normalization must collapse each pair
+    // to one group. All map-side string ops + one hash groupBy.
+    "text_normalize_dedup" -> ((s, d) => {
+      val docs = TestData.documents(s, d).select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(upper(col("text")), lit("  !!")).as("text"))
+      val norm = trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      docs.unionAll(planted)
+        .withColumn("h", md5(norm))
+        .groupBy("h")
+        .agg(min(col("doc_id")).as("canonical_id"),
+             count(lit(1)).as("n_variants"))
+        .select("canonical_id", "n_variants")
+        .orderBy("canonical_id")
+    }),
+
     // Exact token-set Jaccard > 0.9 among same-lang docs — the
     // ground-truth near-dup baseline the LSH variant approximates.
     // Shuffle join on the lang block key (see `jaccardPairs`).
@@ -342,6 +364,18 @@ object TextOps {
       """SELECT min(doc_id) AS survivor_id, count(*) AS group_size
         |FROM documents GROUP BY md5(lower(trim(text)))
         |ORDER BY survivor_id""".stripMargin,
+    "text_normalize_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) || '  !!'
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |n AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h
+        |  FROM u)
+        |SELECT min(doc_id) AS canonical_id, count(*)::BIGINT AS n_variants
+        |FROM n GROUP BY h ORDER BY canonical_id""".stripMargin,
     "dedup_jaccard_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token

@@ -128,6 +128,39 @@ class PlanSpec extends SparkSpec {
       "NOT EXISTS must plan as a left-anti join")
   }
 
+  test("embedding-LSH candidate join shuffles on the band key — no corpus broadcast") {
+    val p = plan("dedup_embedding_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"banded LSH must never degenerate to a nested-loop pair scan:\n${p.take(800)}")
+    // The signature projection itself sits behind a localCheckpoint
+    // (it must run once, not per join branch), so the visible plan
+    // property is the candidate join: an EQUALITY join keyed on
+    // (band, bits) — hash-joinable at any scale.
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[band".r
+        .findFirstIn(p).isDefined,
+      s"candidates must come from an equality join on the band key:\n${p.take(800)}")
+  }
+
+  test("hash sampling stays map-side: no exchange below the sample filter") {
+    val df = SparkEntry.queries("sample_hash")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // One scan → filter → (sort for determinism). The filter must sit
+    // directly on the parquet scan with no join/aggregate/exchange in
+    // between — sampling 100 TB must cost exactly one pass.
+    val filterIdx = p.indexOf("Filter")
+    assert(filterIdx >= 0, p.take(500))
+    assert(!p.substring(filterIdx).contains("Exchange"),
+      s"nothing below the sample filter may shuffle:\n${p.take(800)}")
+  }
+
+  test("salted skew join shuffles both sides — no broadcast of the replicated dim") {
+    val df = SparkEntry.queries("join_skew_salted")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(p.contains("ShuffledHashJoin"),
+      s"salted join must hash-shuffle on (key, salt):\n${p.take(800)}")
+  }
+
   test("custom cosine expression compiles into whole-stage codegen") {
     val df = SparkEntry.queries("dup_pairs_cosine")(spark, sfDir)
     df.collect() // finalize the adaptive plan
