@@ -40,6 +40,44 @@ object Quantize {
              r4(max("err")).as("max_err"),
              sum("code").as("code_sum"))
         .orderBy("vec_id")
+    }),
+
+    // Search over the int8-compressed corpus: queries stay full
+    // precision, the corpus contributes only dequantized codes —
+    // the SQ analogue of PQ's asymmetric-distance search. Per-dim
+    // rows join the broadcast query dims, one two-phase aggregate
+    // computes approximate cosine from (code, stats) alone, and
+    // ranking sorts on the r4-QUANTIZED score (raw double sums flip
+    // near-ties across engines).
+    "ann_sq_topk" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val dims = e.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      val stats = dims.groupBy("dim")
+        .agg(min("x").as("mn"), max("x").as("mx"))
+      val deq = dims.join(broadcast(stats), "dim")
+        .withColumn("code",
+          when(col("mx") === col("mn"), lit(0)).otherwise(
+            floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255.0
+              + 0.5).cast("int")))
+        .withColumn("dq",
+          col("mn") + col("code") / 255.0 * (col("mx") - col("mn")))
+        .select(col("vec_id"), col("dim"), col("dq"))
+      val qdims = dims.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("dim").as("qdim"),
+                col("x").as("qx"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("approx_cos").desc, col("vec_id"))
+      deq.join(broadcast(qdims), col("dim") === col("qdim"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(r4(sum(col("qx") * col("dq")) /
+               (sqrt(sum(col("qx") * col("qx"))) *
+                sqrt(sum(col("dq") * col("dq"))))).as("approx_cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("qid", "rnk", "vec_id", "approx_cos")
+        .orderBy("qid", "rnk")
     })
   )
 
@@ -62,6 +100,34 @@ object Quantize {
         |  floor((avg(err))*10000 + 0.5)/10000 AS mean_err,
         |  floor((max(err))*10000 + 0.5)/10000 AS max_err,
         |  sum(code)::BIGINT AS code_sum
-        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "ann_sq_topk" ->
+      """WITH dims AS (
+        |  SELECT vec_id, i AS dim, (embedding::DOUBLE[])[i + 1] AS x
+        |  FROM embeddings,
+        |       LATERAL (SELECT unnest(range(len(embedding))) AS i) r),
+        |stats AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM dims GROUP BY dim),
+        |deq AS (
+        |  SELECT vec_id, dim,
+        |    mn + (CASE WHEN mx = mn THEN 0
+        |          ELSE floor((x - mn) / (mx - mn) * 255.0 + 0.5)::INT END)
+        |      / 255.0 * (mx - mn) AS dq
+        |  FROM dims JOIN stats USING (dim)),
+        |qd AS (SELECT vec_id AS qid, dim AS qdim, x AS qx
+        |       FROM dims WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT qid, vec_id,
+        |    floor((sum(qx * dq) /
+        |      (sqrt(sum(qx * qx)) * sqrt(sum(dq * dq))))*10000 + 0.5)/10000
+        |      AS approx_cos
+        |  FROM deq JOIN qd ON dim = qdim
+        |  WHERE vec_id <> qid
+        |  GROUP BY qid, vec_id)
+        |SELECT qid, rnk, vec_id, approx_cos
+        |FROM (SELECT qid, vec_id, approx_cos,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY approx_cos DESC, vec_id) AS rnk
+        |      FROM scored)
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
   )
 }

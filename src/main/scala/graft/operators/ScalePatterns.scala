@@ -141,6 +141,26 @@ object ScalePatterns {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
         .orderBy("c_mktsegment")
+    }),
+
+    // Bloom-filter semi-join reduction: a KB-scale filter built from
+    // the selective dim side's keys kills non-joining fact rows
+    // MAP-SIDE, before the shuffle — at 100 TB this is the difference
+    // between shuffling the whole fact table and shuffling the ~1 %
+    // that joins. Sound (no false negatives): the exact join after
+    // the probe makes the result identical to the unfiltered join,
+    // which is exactly what the oracle runs.
+    "join_bloom_prefilter" -> ((s, d) => {
+      import org.apache.spark.sql.graft.Bridge
+      val rich = TestData.customer(s, d).filter(col("c_acctbal") > 9000.0)
+        .select("c_custkey")
+      val bloom = graft.functions.BloomMightContain.serialize(
+        rich.stat.bloomFilter("c_custkey", 20000, 0.03))
+      val probe = Bridge.column(graft.functions.BloomMightContain(
+        Bridge.expression(col("o_custkey")), bloom))
+      TestData.orders(s, d).filter(probe)
+        .join(rich.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("revenue"))
     })
   )
 
@@ -164,6 +184,11 @@ object ScalePatterns {
       """SELECT c_mktsegment, count(*) AS n,
         |  floor((sum(value))*10000 + 0.5)/10000 AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_bloom_prefilter" ->
+      """SELECT count(*) AS n,
+        |  floor((sum(o_totalprice))*10000 + 0.5)/10000 AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal > 9000.0""".stripMargin
   )
 }

@@ -99,6 +99,20 @@ object Windows {
           r4(percent_rank().over(w)).as("pct_rank"),
           r4(cume_dist().over(w)).as("cum_dist"))
         .orderBy("c_custkey")
+    }),
+
+    // nth_value with an unbounded frame: positional pick from a
+    // sorted partition (here: each nation's 2nd/3rd richest
+    // customer), NULL where the partition is too small.
+    "win_nth_value" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      TestData.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          nth_value(col("c_name"), 2).over(w).as("second_richest"),
+          nth_value(col("c_name"), 3).over(w).as("third_richest"))
+        .orderBy("c_custkey")
     })
   )
 
@@ -157,6 +171,14 @@ object Windows {
         |  floor((cume_dist() OVER w)*10000 + 0.5)/10000 AS cum_dist
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "win_nth_value" ->
+      """SELECT c_custkey, c_nationkey,
+        |  nth_value(c_name, 2) OVER w AS second_richest,
+        |  nth_value(c_name, 3) OVER w AS third_richest
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY c_custkey""".stripMargin
   )
 }

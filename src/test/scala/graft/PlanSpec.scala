@@ -161,6 +161,16 @@ class PlanSpec extends SparkSpec {
       s"salted join must hash-shuffle on (key, salt):\n${p.take(800)}")
   }
 
+  test("bloom probe filters the fact side below the join (semi-join reduction)") {
+    val df = SparkEntry.queries("join_bloom_prefilter")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    val joinIdx = p.indexOf("Join")
+    val probeIdx = p.indexOf("bloom_might_contain")
+    assert(probeIdx >= 0, s"probe expression missing from the plan:\n${p.take(600)}")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"the probe must sit below the join, on the fact-side scan:\n${p.take(900)}")
+  }
+
   test("custom cosine expression compiles into whole-stage codegen") {
     val df = SparkEntry.queries("dup_pairs_cosine")(spark, sfDir)
     df.collect() // finalize the adaptive plan
