@@ -145,6 +145,27 @@ class GraftEngine(val spark: SparkSession) {
     EmbedDedup.nearDupPairs(
       vectors.select(col("id"), col("embedding")), dim, threshold)
 
+  /** Semi-join reduction: filter `facts` map-side to rows whose
+    * `factKey` might appear in `dim`'s `dimKey` set, using a
+    * driver-built Bloom filter shipped in the task closure. No false
+    * negatives — joining the surviving rows with `dim` afterwards
+    * yields exactly the unfiltered join — so this is a transparent
+    * shuffle reducer: at 100 TB, the fact table's non-joining rows
+    * die at the scan instead of crossing the network. `expectedKeys`
+    * sizes the filter (overestimate freely; 20k keys at 3 % fpp is
+    * ~15 KB).
+    */
+  def bloomPrefilter(facts: DataFrame, factKey: String,
+                     dim: DataFrame, dimKey: String,
+                     expectedKeys: Long = 1000000L,
+                     fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val bloom = graft.functions.BloomMightContain.serialize(
+      dim.stat.bloomFilter(dimKey, expectedKeys, fpp))
+    facts.filter(Bridge.column(graft.functions.BloomMightContain(
+      Bridge.expression(col(factKey)), bloom)))
+  }
+
   /** Deterministic hash sample: keep a row iff the first 4 hex chars
     * of md5(key columns joined with '|') fall below
     * `fraction` × 16^4. Reproducible across runs, engines, and

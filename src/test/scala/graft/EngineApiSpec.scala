@@ -115,6 +115,18 @@ class EngineApiSpec extends SparkSpec {
       s"got $pairs")
   }
 
+  test("bloomPrefilter keeps every joining row and kills most others") {
+    val dim = docs.filter(col("id") < 10).select(col("id").as("k"))
+    val filtered = engine.bloomPrefilter(docs, "id", dim, "k",
+        expectedKeys = 100)
+      .select("id").as[Long].collect().toSet
+    assert((0L until 10L).toSet.subsetOf(filtered),
+      "no false negatives allowed — every joining key must survive")
+    // 3 % fpp over 490 non-members: generous 10× slack still proves
+    // the filter is doing real map-side reduction.
+    assert(filtered.size <= 10 + 150, s"got ${filtered.size} survivors")
+  }
+
   test("sampleByHash is deterministic, bounded, and monotone in fraction") {
     val s25a = engine.sampleByHash(docs, Seq("id"), 0.25)
       .select("id").as[Long].collect().toSet
