@@ -98,6 +98,32 @@ object Streaming {
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       try q.awaitTermination(120000) finally q.stop()
       s.table(qn).orderBy("window_start", "event_type")
+    }),
+
+    // Streaming STATEFUL DEDUP in the gate: dropDuplicates maintains
+    // a seen-keys state store across micro-batches; the downstream
+    // Complete-mode count per event_type must equal the batch
+    // count(DISTINCT user_id). Shares the replay directory (and its
+    // write) with stream_availablenow_agg.
+    "stream_availablenow_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val batch = TestData.events(s, d)
+      val tag = graft.sources.WriteOnce.inputTag(d, "events")
+      val dir = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/stream_an_source", tag)
+      graft.sources.WriteOnce.ensure(dir, tag) {
+        batch.write.mode("overwrite").parquet(dir)
+      }
+      val qn = s"graft_stream_dedup_${streamSeq.incrementAndGet()}"
+      val q = s.readStream.schema(batch.schema).parquet(dir)
+        .select("user_id", "event_type")
+        .dropDuplicates("user_id", "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_distinct_users"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+      s.table(qn).orderBy("event_type")
     })
   )
 
@@ -149,6 +175,9 @@ object Streaming {
       """SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
         |  event_type, count(*) AS n,
         |  floor((sum(value))*10000 + 0.5)/10000 AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "stream_availablenow_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
