@@ -188,6 +188,21 @@ object ExpressionProps extends Properties("graft.expressions") {
     Gen.listOfN(16, Gen.choose(-10.0, 10.0)).map(_.toArray)
       .suchThat(v => v.exists(x => math.abs(x) > 1e-6))
 
+  // ---- bloom membership probe (semi-join reduction) ----
+
+  property("bloom probe has no false negatives over inserted longs") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))) { keys =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(
+        math.max(keys.size.toLong, 1L), 0.03)
+      keys.foreach(bf.putLong)
+      val expr = graft.functions.BloomMightContain(
+        Literal(0L, LongType), graft.functions.BloomMightContain.serialize(bf))
+      keys.forall { k =>
+        graft.functions.BloomMightContain(Literal(k, LongType), expr.bytes)
+          .eval(null).asInstanceOf[Boolean]
+      }
+    }
+
   property("hyperplane signature is invariant under positive scaling") =
     Prop.forAll(vec16, Gen.choose(0.01, 100.0)) { (v, c) =>
       sigEval(v) == sigEval(v.map(_ * c))
