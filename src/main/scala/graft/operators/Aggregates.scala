@@ -63,6 +63,19 @@ object Aggregates {
                .as("approx_p90"))
         .orderBy("l_returnflag")),
 
+    // Frequent-items sketch (datasketches ItemsSketch via Spark 4's
+    // approx_top_k) — the bounded-memory heavy-hitters pass a 100 TB
+    // profile job runs instead of a full wordcount. Oracle-omitted
+    // (sketch contract is approximate); PropertySpec pins that on the
+    // fixture (cardinality ≪ sketch capacity) the estimates equal the
+    // exact counts.
+    "agg_approx_topk" -> ((s, d) =>
+      TestData.events(s, d)
+        .select(expr("approx_top_k(event_type, 5, 64)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("event_type"), col("e.count").as("est_n"))
+        .orderBy("event_type")),
+
     "agg_grouping_sets" -> ((s, d) =>
       TestData.lineitem(s, d)
         .groupingSets(

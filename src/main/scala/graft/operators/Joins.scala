@@ -123,6 +123,29 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // Forward as-of: for each purchase, the NEXT click at-or-after it.
+    // Same single-pass shape as join_asof but iterated in descending
+    // time order (running "first click ahead"); ties on ts resolve to
+    // the smallest event_id in both engines (DESC, DESC iteration ⇒
+    // last-seen is the minimum id of that instant). The oracle uses
+    // the identical window formulation — engine-neutral by
+    // construction (DuckDB's ASOF JOIN is backward-only).
+    "join_asof_forward" -> ((s, d) => {
+      val ev = TestData.events(s, d)
+        .select("user_id", "ts", "event_id", "event_type")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("click_id",
+          last(when(col("event_type") === "click", col("event_id")), true).over(w))
+        .withColumn("click_ts",
+          last(when(col("event_type") === "click", col("ts")), true).over(w))
+        .filter(col("event_type") === "purchase" && col("click_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"),
+                col("click_id"), col("click_ts"))
+        .orderBy("event_id")
+    }),
+
     "join_interval_overlap" -> ((s, d) => {
       val sg = TestData.events(s, d)
         .filter(col("event_type") === "signup")
@@ -195,6 +218,18 @@ object Joins {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
+    "join_asof_forward" ->
+      """SELECT event_id, user_id, ts, click_id, click_ts FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |      IGNORE NULLS) OVER w AS click_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END
+        |      IGNORE NULLS) OVER w AS click_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |WHERE event_type = 'purchase' AND click_id IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
     "join_interval_overlap" ->
       """SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
         |  p.user_id, s.ts AS signup_ts, p.ts AS purchase_ts

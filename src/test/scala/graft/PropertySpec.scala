@@ -50,6 +50,17 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("approx_top_k equals exact counts when cardinality fits the sketch") {
+    val exact = TestData.events(spark, sfDir)
+      .groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    val approx = Aggregates.defs("agg_approx_topk")(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    // 5 event types ≪ sketch capacity 64 ⇒ the frequent-items sketch
+    // never evicts, so every estimate is exact.
+    assert(approx === exact, s"sketch diverged: $approx vs $exact")
+  }
+
   test("approx_percentile within tolerance of exact percentile") {
     val exact = Aggregates.defs("agg_percentile_exact")(spark, sfDir)
       .select("l_returnflag", "median_qty", "p90_qty")
