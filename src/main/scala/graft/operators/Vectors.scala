@@ -94,6 +94,29 @@ object Vectors {
         .orderBy("qid", "rnk")
     }),
 
+    // Same query as knn_batch_topk, but ranked by the bounded-heap
+    // TopKByScore Aggregator instead of a window: the window form
+    // must shuffle and sort EVERY scored pair per query, while the
+    // two-phase aggregate folds each task's candidates into a k-entry
+    // buffer map-side — the shuffle carries |tasks|·|Q| k-row buffers
+    // instead of n·|Q| rows. Identical output (same tie protocol), so
+    // it shares the window form's oracle semantics.
+    "knn_agg_topk" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score", V.cosine(col("embedding"), col("qv")))
+      val topk = udaf(new graft.functions.TopKByScore(3))
+      scored.groupBy("qid")
+        .agg(topk(col("vec_id"), col("score")).as("tk"))
+        .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("qid"), (col("pos") + 1).as("rnk"),
+                col("e._1").as("nn_id"), r4(col("e._2")).as("cos"))
+        .orderBy("qid", "rnk")
+    }),
+
     // Max-inner-product search: recommendation-style scoring where
     // vector magnitude matters (cosine's normalization discards it).
     // Same broadcast-query/top-k-fold shape as vec_cosine_topk; sort
@@ -252,6 +275,17 @@ object Vectors {
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY list_cosine_similarity($E, qv) DESC, vec_id LIMIT 10""".stripMargin,
     "knn_batch_topk" ->
+      s"""SELECT qid, rnk, nn_id, floor((score)*10000 + 0.5)/10000 AS cos FROM (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nn_id,
+        |    list_cosine_similarity(e.$E, q.$E) AS score,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(e.$E, q.$E) DESC, e.vec_id) AS rnk
+        |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 10) q
+        |  WHERE e.vec_id <> q.vec_id)
+        |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    // Same relational semantics as knn_batch_topk — the Aggregator is
+    // an execution-strategy change, not a semantic one.
+    "knn_agg_topk" ->
       s"""SELECT qid, rnk, nn_id, floor((score)*10000 + 0.5)/10000 AS cos FROM (
         |  SELECT q.vec_id AS qid, e.vec_id AS nn_id,
         |    list_cosine_similarity(e.$E, q.$E) AS score,

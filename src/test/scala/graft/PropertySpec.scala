@@ -50,6 +50,15 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("heap-aggregated top-k equals the window-ranked top-k exactly") {
+    val win = Vectors.defs("knn_batch_topk")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val agg = Vectors.defs("knn_agg_topk")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(win.nonEmpty && win === agg,
+      "the Aggregator strategy must be output-identical to the window form")
+  }
+
   test("approx_top_k equals exact counts when cardinality fits the sketch") {
     val exact = TestData.events(spark, sfDir)
       .groupBy("event_type").count()
