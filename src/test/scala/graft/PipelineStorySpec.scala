@@ -76,4 +76,42 @@ class PipelineStorySpec extends SparkSpec {
     assert(spark.read.parquet(path).count() === before,
       "base index untouched by the append stream")
   }
+
+  test("curation journey: sample → dedup in vector space → prefiltered enrich") {
+    // The round-3 additions as one training-data curation flow: take a
+    // reproducible sample of the corpus, kill embedding-space
+    // near-dups (planted scaled copies), then enrich survivors
+    // against a small metadata set with the Bloom probe — each stage
+    // consumes the previous one's output.
+    val engine = new GraftEngine(spark)
+    val emb = TestData.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id").as("id"), col("embedding"))
+
+    // 1. Deterministic sample — same rows every run.
+    val sampled = engine.sampleByHash(emb, Seq("id"), 0.8)
+    assert(sampled.count() > 0 && sampled.count() < emb.count())
+
+    // 2. Embedding-space dedup over sample ∪ planted scaled copies.
+    val planted = sampled.limit(5)
+      .select((col("id") + 700000L).as("id"),
+        transform(col("embedding"), x => x * lit(3.0)).as("embedding"))
+    val withDups = sampled.unionAll(planted)
+    val dupPairs = engine.embeddingDuplicates(withDups, dim = 64,
+      threshold = 0.99)
+    val comps = engine.dedupComponents(withDups.select("id"), dupPairs)
+    val survivors = comps.filter(col("id") === col("component")).select("id")
+    assert(survivors.count() === sampled.count(),
+      "every planted copy must collapse into its original's component")
+
+    // 3. Bloom-prefiltered enrichment against a small labeled subset.
+    val labeled = TestData.embeddings(spark, sf("sf0.001"))
+      .filter(col("label") === 3)
+      .select(col("vec_id").as("lid"), col("label"))
+    val enriched = engine.bloomPrefilter(
+        survivors, "id", labeled, "lid", expectedKeys = 1000)
+      .join(labeled, col("id") === col("lid"))
+    val exact = survivors.join(labeled, col("id") === col("lid"))
+    assert(enriched.count() === exact.count(),
+      "bloom prefilter must be transparent to the exact join")
+  }
 }
