@@ -27,7 +27,10 @@ object Filters {
           when(col("l_quantity") < 10, lit("low"))
             .when(col("l_quantity") < 30, lit("mid"))
             .otherwise(lit("high")).as("qty_bucket"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // non-unique fixture key: sort by every output column (the
+        // float keys are r4-quantized, so the order is engine-stable)
+        .orderBy("l_orderkey", "l_linenumber", "revenue", "charge",
+          "qty_bucket")),
 
     "filter_compound" -> ((s, d) =>
       TestData.orders(s, d)
@@ -67,7 +70,8 @@ object Filters {
         |  CASE WHEN l_quantity < 10 THEN 'low'
         |       WHEN l_quantity < 30 THEN 'mid'
         |       ELSE 'high' END AS qty_bucket
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, revenue, charge, qty_bucket""".stripMargin,
     "filter_compound" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
         |FROM orders

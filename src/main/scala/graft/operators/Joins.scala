@@ -41,7 +41,9 @@ object Joins {
         .select(col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"),
                 r4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
                   .as("revenue"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // non-unique fixture key: revenue (r4-quantized) completes
+        // the total order; o_orderstatus is constant per orderkey
+        .orderBy("l_orderkey", "l_linenumber", "revenue")),
 
     "join_left_outer" -> ((s, d) =>
       TestData.customer(s, d)
@@ -176,7 +178,7 @@ object Joins {
       """SELECT l_orderkey, l_linenumber, o_orderstatus,
         |  floor((l_extendedprice * (1.0 - l_discount))*10000 + 0.5)/10000 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, revenue""".stripMargin,
     "join_left_outer" ->
       """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
         |  floor((sum(coalesce(o_totalprice, 0.0)))*10000 + 0.5)/10000 AS total_spent

@@ -65,7 +65,10 @@ object ScalarFns {
           r4(log10(col("l_extendedprice"))).as("log10_p"),
           r4(exp(col("l_discount"))).as("exp_d"),
           (col("l_partkey") % 7).as("mod7"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // non-unique fixture key: the r4/integer outputs complete the
+        // total order (fl/ce suffice to separate distinct rows)
+        .orderBy("l_orderkey", "l_linenumber", "fl", "abs_d", "qty_sq",
+          "mod7")),
 
     "fn_bitwise" -> ((s, d) =>
       TestData.lineitem(s, d)
@@ -76,7 +79,8 @@ object ScalarFns {
           shiftleft(col("l_linenumber"), 2).as("shl"),
           shiftright(col("l_partkey"), 3).as("shr"),
           bit_count(col("l_partkey")).as("bits"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // non-unique fixture key: integer outputs complete the order
+        .orderBy("l_orderkey", "l_linenumber", "bor", "bxor")),
 
     "fn_conditional" -> ((s, d) =>
       TestData.orders(s, d)
@@ -189,7 +193,8 @@ object ScalarFns {
         |  floor((log10(l_extendedprice))*10000 + 0.5)/10000 AS log10_p,
         |  floor((exp(l_discount))*10000 + 0.5)/10000 AS exp_d,
         |  l_partkey % 7 AS mod7
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, fl, abs_d, qty_sq, mod7""".stripMargin,
     "fn_bitwise" ->
       """SELECT l_orderkey, l_linenumber,
         |  l_partkey & 255 AS band,
@@ -198,7 +203,8 @@ object ScalarFns {
         |  l_linenumber << 2 AS shl,
         |  l_partkey >> 3 AS shr,
         |  bit_count(l_partkey) AS bits
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, bor, bxor""".stripMargin,
     "fn_conditional" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_totalprice > 300000.0 THEN 'big'

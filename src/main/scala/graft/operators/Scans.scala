@@ -38,13 +38,15 @@ object Scans {
     "scan_project" -> ((s, d) =>
       TestData.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
-        .orderBy("l_orderkey", "l_linenumber")),
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture —
+        // sort by every output column for a cross-engine total order.
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")),
 
     "scan_filter_pushdown" -> ((s, d) =>
       TestData.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
         .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")),
 
     "scan_schema_enforced" -> ((s, d) =>
       s.read.schema(lineitemSchema).parquet(s"$d/lineitem.parquet")
@@ -78,11 +80,12 @@ object Scans {
   val oracles: Map[String, String] = Map(
     "scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate""".stripMargin,
     "scan_filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_shipdate, l_quantity""".stripMargin,
     "scan_schema_enforced" ->
       """SELECT l_returnflag, count(*) AS n, floor((sum(l_quantity))*10000 + 0.5)/10000 AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
