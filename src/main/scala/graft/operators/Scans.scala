@@ -48,6 +48,36 @@ object Scans {
         .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")),
 
+    // Schema evolution: two generations of the same dataset — an old
+    // sink without p_retailprice and a new one with it — read together
+    // with mergeSchema; missing columns surface as NULLs. The standard
+    // situation after a pipeline adds a column mid-corpus at 100 TB
+    // (re-writing history is not an option); the merged read costs one
+    // footer fetch per file extra, nothing else.
+    "scan_merge_schema" -> ((s, d) => {
+      val tag0 = graft.sources.WriteOnce.inputTag(d, "part")
+      val oldGen = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/merge_schema_old", tag0)
+      val newGen = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/merge_schema_new", tag0)
+      graft.sources.WriteOnce.ensure(oldGen, tag0) {
+        TestData.part(s, d).filter(col("p_partkey") % 2 === 0)
+          .select("p_partkey", "p_name", "p_brand")
+          .write.mode("overwrite").parquet(oldGen)
+      }
+      graft.sources.WriteOnce.ensure(newGen, tag0) {
+        TestData.part(s, d).filter(col("p_partkey") % 2 === 1)
+          .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+          .write.mode("overwrite").parquet(newGen)
+      }
+      s.read.option("mergeSchema", "true").parquet(oldGen, newGen)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+             count(col("p_retailprice")).as("n_priced"),
+             r4(sum("p_retailprice")).as("sum_price"))
+        .orderBy("p_brand")
+    }),
+
     "scan_schema_enforced" -> ((s, d) =>
       s.read.schema(lineitemSchema).parquet(s"$d/lineitem.parquet")
         .groupBy("l_returnflag")
@@ -89,6 +119,14 @@ object Scans {
     "scan_schema_enforced" ->
       """SELECT l_returnflag, count(*) AS n, floor((sum(l_quantity))*10000 + 0.5)/10000 AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // The merged read is (old gen ∪ new gen) with p_retailprice NULL
+    // for the old generation — expressed directly over `part`.
+    "scan_merge_schema" ->
+      """SELECT p_brand, count(*) AS n,
+        |  count(CASE WHEN p_partkey % 2 = 1 THEN p_retailprice END) AS n_priced,
+        |  floor((sum(CASE WHEN p_partkey % 2 = 1 THEN p_retailprice END))*10000
+        |    + 0.5)/10000 AS sum_price
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "source_events_ns" ->
       """SELECT event_id, ts, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
