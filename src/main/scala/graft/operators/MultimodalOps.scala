@@ -29,6 +29,17 @@ object MultimodalOps {
         .select("doc_id", "frame_ts_ms")
         .orderBy("doc_id", "frame_ts_ms")),
 
+    // Bounded-fit resize to 320×240: the metadata arithmetic (scale
+    // factor, ceil'd output dims) is the verifiable part — the pixel
+    // re-encode is the documented stub. Aspect ratio preserved by a
+    // single shared scale; payload untouched.
+    "multimodal_resize" -> ((s, d) =>
+      Multimodal.resizeStub(
+          Multimodal.fromDocuments(TestData.documents(s, d)), 320, 240)
+        .select(col("doc_id"), col("mime"), col("width"), col("height"),
+          length(col("content")).as("n_bytes"))
+        .orderBy("doc_id")),
+
     // Oracle-omitted: mapPartitions feature extraction through the
     // stub decoder; rows-only check + MultimodalSpec invariants.
     "multimodal_features" -> ((s, d) =>
@@ -53,6 +64,20 @@ object MultimodalOps {
     "multimodal_frame_sample" ->
       """SELECT doc_id, unnest(range(0, n_chars * 40, 1000)) AS frame_ts_ms
         |FROM documents WHERE (doc_id % 3) = 2
-        |ORDER BY doc_id, frame_ts_ms""".stripMargin
+        |ORDER BY doc_id, frame_ts_ms""".stripMargin,
+    "multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3)::INT + 1] AS mime,
+        |    ((n_chars % 640) + 1)::INT AS w0,
+        |    ((n_chars % 480) + 1)::INT AS h0,
+        |    octet_length(encode(text)) AS n_bytes
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, least(1.0, least(320.0 / w0, 240.0 / h0)) AS scale FROM m)
+        |SELECT doc_id, mime,
+        |  ceil(w0 * scale)::INT AS width, ceil(h0 * scale)::INT AS height,
+        |  n_bytes
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

@@ -86,11 +86,12 @@ object TextAnalysis {
       val toks = TestData.documents(s, d)
         .select(col("doc_id"), col("lang"),
                 explode(split(col("text"), " ")).as("token"))
-      val langTotals = toks.groupBy(col("lang").as("pl"))
-        .agg(count(lit(1)).as("lang_n"))
+      // lang_n = Σ tok_n within the (tiny) profile itself — one
+      // aggregation pass over the tokens instead of two plus a join.
       val profile = toks.groupBy(col("lang").as("pl"), col("token").as("ptok"))
         .agg(count(lit(1)).as("tok_n"))
-        .join(langTotals, "pl")
+        .withColumn("lang_n",
+          sum("tok_n").over(Window.partitionBy("pl")))
         .select(col("pl"), col("ptok"),
                 r4(log(col("tok_n").cast("double") / col("lang_n"))).as("ln_p"))
       val scores = toks
