@@ -49,5 +49,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // into the banded bounded_levenshtein form.
     ext.injectOptimizerRule(_ => graft.plans.CosineFusion)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBanding)
+    // Custom whole-operator tier: FunnelMatch logical node → planner
+    // strategy → one-pass per-key state machine (plans/FunnelMatch).
+    ext.injectPlannerStrategy(_ => graft.plans.FunnelStrategy)
   }
 }

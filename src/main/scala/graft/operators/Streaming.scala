@@ -58,6 +58,23 @@ object Streaming {
             - unix_micros(col("signup_ts"))) / 60000000.0)).as("avg_minutes_to_convert"))
     }),
 
+    // Ordered funnel via the CUSTOM OPERATOR ladder: the FunnelMatch
+    // LogicalPlan is planned by FunnelStrategy into FunnelMatchExec —
+    // one clustering shuffle + in-partition sort + a per-key state
+    // machine streaming each partition once, where the window/join
+    // encoding would cost one shuffle per step. The oracle expresses
+    // the same greedy first-match semantics relationally.
+    "events_funnel_steps" -> ((s, d) => {
+      if (!s.experimental.extraStrategies.contains(graft.plans.FunnelStrategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ graft.plans.FunnelStrategy
+      val ev = TestData.events(s, d)
+        .select("user_id", "ts", "event_id", "event_type")
+      graft.plans.FunnelMatch.of(ev, "user_id", "ts", "event_id",
+          "event_type", Seq("signup", "click", "purchase"))
+        .orderBy("key")
+    }),
+
     // Session windows (5-min gap) per user; duration emitted as exact
     // integer microseconds (no float risk).
     "stream_session_window" -> ((s, d) =>
@@ -178,6 +195,37 @@ object Streaming {
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "stream_availablenow_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Greedy first-match funnel, relationally: step i+1 = first row of
+    // that type strictly after step i's row in (ts, event_id) order.
+    "events_funnel_steps" ->
+      """WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events),
+        |s1 AS (SELECT user_id, ts AS t1, event_id AS e1 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS rn
+        |  FROM ev WHERE event_type = 'signup') WHERE rn = 1),
+        |s2 AS (SELECT user_id, ts AS t2, event_id AS e2 FROM (
+        |  SELECT ev.user_id, ev.ts, ev.event_id,
+        |    row_number() OVER (PARTITION BY ev.user_id
+        |      ORDER BY ev.ts, ev.event_id) AS rn
+        |  FROM ev JOIN s1 USING (user_id)
+        |  WHERE ev.event_type = 'click'
+        |    AND (ev.ts, ev.event_id) > (s1.t1, s1.e1)) WHERE rn = 1),
+        |s3 AS (SELECT user_id FROM (
+        |  SELECT ev.user_id,
+        |    row_number() OVER (PARTITION BY ev.user_id
+        |      ORDER BY ev.ts, ev.event_id) AS rn
+        |  FROM ev JOIN s2 USING (user_id)
+        |  WHERE ev.event_type = 'purchase'
+        |    AND (ev.ts, ev.event_id) > (s2.t2, s2.e2)) WHERE rn = 1),
+        |u AS (SELECT DISTINCT user_id FROM ev)
+        |SELECT u.user_id AS key,
+        |  CASE WHEN s3.user_id IS NOT NULL THEN 3
+        |       WHEN s2.user_id IS NOT NULL THEN 2
+        |       WHEN s1.user_id IS NOT NULL THEN 1
+        |       ELSE 0 END AS steps_completed
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)
+        |ORDER BY key""".stripMargin
   )
 }
