@@ -28,10 +28,31 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    // Full per-query detail goes to a side file (~4 KB for 149 keys —
+    // too long for the harness's 2000-char output tail, which must be
+    // able to see the ENTIRE metric line below or it can't parse it).
+    val fullQs = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val detailPath = "/root/repo/bench_full.json"
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (fullLine + "\n").getBytes("UTF-8")) catch { case _: Throwable => () }
+    // Compact metric line: slowest queries only, trimmed so the whole
+    // line stays well under the 2000-char tail window even with sbt's
+    // trailing "[success]" line after it.
+    val budget = 1300
+    val slowest = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val kept = slowest.foldLeft((List.empty[String], 0)) {
+      case ((acc, len), s) =>
+        if (len + s.length + 1 <= budget) (s :: acc, len + s.length + 1)
+        else (acc, len)
+    }._1.reverse
+    val qs = kept.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":$qs,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
