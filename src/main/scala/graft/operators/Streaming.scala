@@ -75,6 +75,22 @@ object Streaming {
         .orderBy("key")
     }),
 
+    // Same custom operator with a CONVERSION WINDOW: steps past the
+    // first only match within 3 days of the step-0 anchor (greedy, no
+    // re-anchor). Still ONE clustering shuffle at any step count —
+    // the window check is a per-row long compare in the state machine.
+    "events_funnel_within" -> ((s, d) => {
+      if (!s.experimental.extraStrategies.contains(graft.plans.FunnelStrategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ graft.plans.FunnelStrategy
+      val ev = TestData.events(s, d)
+        .select("user_id", "ts", "event_id", "event_type")
+      graft.plans.FunnelMatch.of(ev, "user_id", "ts", "event_id",
+          "event_type", Seq("signup", "click", "purchase"),
+          withinUs = 3L * 86400 * 1000000)
+        .orderBy("key")
+    }),
+
     // Session windows (5-min gap) per user; duration emitted as exact
     // integer microseconds (no float risk).
     "stream_session_window" -> ((s, d) =>
@@ -218,6 +234,38 @@ object Streaming {
         |  FROM ev JOIN s2 USING (user_id)
         |  WHERE ev.event_type = 'purchase'
         |    AND (ev.ts, ev.event_id) > (s2.t2, s2.e2)) WHERE rn = 1),
+        |u AS (SELECT DISTINCT user_id FROM ev)
+        |SELECT u.user_id AS key,
+        |  CASE WHEN s3.user_id IS NOT NULL THEN 3
+        |       WHEN s2.user_id IS NOT NULL THEN 2
+        |       WHEN s1.user_id IS NOT NULL THEN 1
+        |       ELSE 0 END AS steps_completed
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)
+        |ORDER BY key""".stripMargin,
+    // Same greedy ladder bounded to the 3-day anchor window
+    // (259_200_000_000 µs); epoch_us keeps the gap check in exact
+    // integer micros on both engines.
+    "events_funnel_within" ->
+      """WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events),
+        |s1 AS (SELECT user_id, ts AS t1, event_id AS e1 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS rn
+        |  FROM ev WHERE event_type = 'signup') WHERE rn = 1),
+        |s2 AS (SELECT user_id, ts AS t2, event_id AS e2 FROM (
+        |  SELECT ev.user_id, ev.ts, ev.event_id,
+        |    row_number() OVER (PARTITION BY ev.user_id
+        |      ORDER BY ev.ts, ev.event_id) AS rn
+        |  FROM ev JOIN s1 USING (user_id)
+        |  WHERE ev.event_type = 'click'
+        |    AND (ev.ts, ev.event_id) > (s1.t1, s1.e1)
+        |    AND epoch_us(ev.ts) <= epoch_us(s1.t1) + 259200000000) WHERE rn = 1),
+        |s3 AS (SELECT ev.user_id FROM ev JOIN s2 USING (user_id)
+        |  JOIN s1 USING (user_id)
+        |  WHERE ev.event_type = 'purchase'
+        |    AND (ev.ts, ev.event_id) > (s2.t2, s2.e2)
+        |    AND epoch_us(ev.ts) <= epoch_us(s1.t1) + 259200000000
+        |  GROUP BY ev.user_id),
         |u AS (SELECT DISTINCT user_id FROM ev)
         |SELECT u.user_id AS key,
         |  CASE WHEN s3.user_id IS NOT NULL THEN 3

@@ -194,6 +194,43 @@ object TextAnalysis {
     // (lang, length-bucket) — see `fuzzyPairs`.
     "dedup_fuzzy_pairs" -> ((s, d) => fuzzyPairs(TestData.documents(s, d))),
 
+    // Sorted-neighborhood dedup (SNM): sort each lang block by a
+    // normalized key, compare only rank-adjacent docs (window w=4) —
+    // a hard O(n·w) comparison bound instead of the blocked join's
+    // O(Σ block²), trading recall (near-dups must sort close) for
+    // predictable cost: the classic cheap first pass of a dedup
+    // cascade. Rank = one row_number per lang block; candidates =
+    // explode rank+1..rank+w, equi-join back on (lang, rank) — a
+    // co-partitioned shuffle join, no corpus broadcast. (Block key
+    // here is lang — 5 values on the fixture; production SNM blocks
+    // finer, e.g. lang × source, before ranking.)
+    "dedup_sorted_neighborhood" -> ((s, d) => {
+      val w = 4
+      val norm = trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      val ranked = TestData.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+                coalesce(norm, lit("")).as("skey"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("lang").orderBy("skey", "doc_id")))
+      val a = ranked.select(col("lang").as("la"), col("doc_id").as("id_a"),
+          col("text").as("ta"),
+          explode(expr(s"sequence(rnk + 1, rnk + $w)")).as("rb"))
+      val b = ranked.select(col("lang").as("lb"), col("doc_id").as("id_b"),
+          col("text").as("tb"), col("rnk").as("rnk_b"))
+      import org.apache.spark.sql.graft.Bridge
+      val blev = Bridge.column(graft.functions.BoundedLevenshtein(
+        Bridge.expression(col("ta")), Bridge.expression(col("tb")),
+        Bridge.expression(lit(20))))
+      a.join(b.hint("shuffle_hash"),
+          col("la") === col("lb") && col("rb") === col("rnk_b"))
+        .withColumn("lev", blev)
+        .filter(col("lev") >= 0)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+                greatest(col("id_a"), col("id_b")).as("id_b"), col("lev"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // 60-bit SimHash over md5-derived token hashes — oracle-omitted
     // (bit-twiddling is impractical in portable SQL); property-tested.
     "dedup_simhash" -> ((s, d) => {
@@ -278,6 +315,24 @@ object TextAnalysis {
         |SELECT doc_id, token AS top_term,
         |  floor((score)*10000 + 0.5)/10000 AS tfidf
         |FROM scored WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // SNM is NOT sound blocking (rank adjacency is part of the
+    // semantics, not a plan trick), so the oracle mirrors the rank
+    // window exactly; skey stays in [a-z0-9 ] so binary string
+    // ordering agrees between engines.
+    "dedup_sorted_neighborhood" ->
+      """WITH n AS (
+        |  SELECT doc_id, lang, text,
+        |    coalesce(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), '') AS skey
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |        ORDER BY skey, doc_id) AS rnk FROM n),
+        |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |        levenshtein(a.text, b.text) AS lev
+        |      FROM r a JOIN r b ON a.lang = b.lang
+        |        AND b.rnk BETWEEN a.rnk + 1 AND a.rnk + 4)
+        |SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b, lev
+        |FROM p WHERE lev <= 20 ORDER BY id_a, id_b""".stripMargin,
     // Unblocked form on purpose: the Spark side's length-bucket
     // blocking is SOUND (no ≤-20 pair escapes it), so the oracle
     // checks the semantic result without mirroring the plan trick.

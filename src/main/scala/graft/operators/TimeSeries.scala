@@ -40,6 +40,44 @@ object TimeSeries {
         .orderBy("day")
     }),
 
+    // Linear interpolation across the gap-filled daily grid: missing
+    // days get prev + (next − prev) · elapsed/gap instead of zero —
+    // the standard resampling companion to `ts_gap_fill`. Prev/next
+    // anchors via ignoreNulls last/first windows. The fixture is ONE
+    // series, so a single ordered window is the correct plan; per-key
+    // series at scale partition these windows by the series key.
+    "ts_interpolate" -> ((s, d) => {
+      val daily = TestData.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum("o_totalprice").as("rev"))
+      val span = TestData.orders(s, d)
+        .agg(min(col("o_orderdate").cast("date")).as("d0"),
+             max(col("o_orderdate").cast("date")).as("d1"))
+      val calendar = span
+        .select(explode(sequence(col("d0"), col("d1"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      import org.apache.spark.sql.expressions.Window
+      val wPrev = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      calendar.join(daily, Seq("day"), "left")
+        .select(col("day"), col("rev"),
+          last(col("rev"), ignoreNulls = true).over(wPrev).as("pr"),
+          last(when(col("rev").isNotNull, col("day")), ignoreNulls = true)
+            .over(wPrev).as("pd"),
+          first(col("rev"), ignoreNulls = true).over(wNext).as("nr"),
+          first(when(col("rev").isNotNull, col("day")), ignoreNulls = true)
+            .over(wNext).as("nd"))
+        .select(col("day").cast("timestamp").as("day"),
+          r4(when(col("rev").isNotNull, col("rev"))
+            .otherwise(col("pr") + (col("nr") - col("pr"))
+              * datediff(col("day"), col("pd"))
+              / datediff(col("nd"), col("pd")))).as("rev_interp"),
+          col("rev").isNull.as("was_filled"))
+        .orderBy("day")
+    }),
+
     // Data clustering: range-repartition + sort-within-partitions on
     // the filter column before writing, so every parquet row group
     // covers a narrow shipdate range and min/max stats skip most of
@@ -142,6 +180,26 @@ object TimeSeries {
         .groupBy("cohort", "wk")
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("cohort", "wk")
+    }),
+
+    // Event-transition matrix, top-10 edges: per user, each event's
+    // successor (one lead window), counted per (from, to) pair — the
+    // Markov-chain view of the event stream that complements the
+    // funnel keys. Window shuffle + partial-agg groupBy +
+    // TakeOrderedAndProject: every stage map-side-combines.
+    "events_transition_topk" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      TestData.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+                col("event_type"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+                 col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("from_type"), col("to_type"))
+        .limit(10)
     })
   )
 
@@ -161,6 +219,37 @@ object TimeSeries {
         |  coalesce(n_orders, 0) AS n_orders
         |FROM cal LEFT JOIN daily ON cal.day = daily.day
         |ORDER BY day""".stripMargin,
+    // DATE − DATE is integer days in DuckDB, matching Spark datediff;
+    // `/` is double division in both.
+    "ts_interpolate" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1),
+        |cal AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT min(o_orderdate::DATE) FROM orders),
+        |    (SELECT max(o_orderdate::DATE) FROM orders),
+        |    INTERVAL 1 DAY))::DATE AS day),
+        |f AS (SELECT cal.day, daily.rev
+        |      FROM cal LEFT JOIN daily ON cal.day = daily.day),
+        |w AS (SELECT day, rev,
+        |  last_value(rev IGNORE NULLS) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pr,
+        |  last_value(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS)
+        |    OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |  first_value(rev IGNORE NULLS) OVER (ORDER BY day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nr,
+        |  first_value(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS)
+        |    OVER (ORDER BY day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM f)
+        |SELECT day::TIMESTAMP AS day,
+        |  floor((CASE WHEN rev IS NOT NULL THEN rev
+        |    ELSE pr + (nr - pr) * (day - pd) / (nd - pd) END)*10000 + 0.5)/10000
+        |    AS rev_interp,
+        |  (rev IS NULL) AS was_filled
+        |FROM w ORDER BY day""".stripMargin,
     "sink_sorted_clustered" ->
       """SELECT count(*) AS n,
         |  floor((sum(l_extendedprice))*10000 + 0.5)/10000 AS sum_price
@@ -215,6 +304,16 @@ object TimeSeries {
         |    min(wk) OVER (PARTITION BY user_id) AS cohort
         |  FROM e)
         |SELECT cohort, wk, count(DISTINCT user_id)::BIGINT AS n_users
-        |FROM c GROUP BY 1, 2 ORDER BY cohort, wk""".stripMargin
+        |FROM c GROUP BY 1, 2 ORDER BY cohort, wk""".stripMargin,
+    "events_transition_topk" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type,
+        |  count(*) AS n
+        |FROM t WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type LIMIT 10""".stripMargin
   )
 }

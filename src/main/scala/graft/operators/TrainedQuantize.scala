@@ -117,29 +117,79 @@ object TrainedQuantize {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  private val sampleMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
   private def memoKey(s: SparkSession, d: String, kind: String): String =
     System.identityHashCode(s) + "|" +
       graft.sources.WriteOnce.inputTag(d, "embeddings") + "|" + kind
+
+  /** One sample job per (session, fixture) serves every trained
+    * codebook below (two coarse codebooks + two PQ codebooks).
+    */
+  private def fixtureSample(s: SparkSession, d: String): Array[Array[Double]] =
+    sampleMemo.computeIfAbsent(memoKey(s, d, "sample"),
+      _ => trainingSample(TestData.embeddings(s, d)))
 
   /** Train k centroids over an `embedding` array column; returns the
     * same (cid, cv) shape as [[Vectors.fixedCentroids]] so trained
     * and fixed codebooks are drop-in interchangeable.
     */
-  def trainCentroids(e: DataFrame, k: Int, seed: Long): DataFrame = {
-    val spark = e.sparkSession
-    import spark.implicits._
-    localLloyd(trainingSample(e), k, seed).zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cid", "cv")
+  def trainCentroids(e: DataFrame, k: Int, seed: Long): DataFrame =
+    centroidsDf(e.sparkSession, localLloyd(trainingSample(e), k, seed))
+
+  private def centroidsDf(s: SparkSession, cs: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "cv")
   }
 
-  private def fixtureCentroids(s: SparkSession, d: String): DataFrame =
-    memo.computeIfAbsent(memoKey(s, d, "ivf4"),
-      _ => trainCentroids(TestData.embeddings(s, d), 4, seed = 42L))
+  private def codebookDf(s: SparkSession, sample: Array[Array[Double]],
+                         k: Int, seed: Long): DataFrame = {
+    import s.implicits._
+    (0 until 8).flatMap { j =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * 8, j * 8 + 8))
+      localLloyd(subs, k, seed + j).zipWithIndex
+        .map { case (c, code) => (j, code, c.toSeq) }
+    }.toDF("sub", "code", "cw")
+  }
 
-  private[graft] def fixtureCodebook(s: SparkSession, d: String): DataFrame =
-    memo.computeIfAbsent(memoKey(s, d, "pq8x4"),
-      _ => trainedCodebook(TestData.embeddings(s, d), seed = 42L))
+  private def fixtureCentroids(s: SparkSession, d: String, k: Int): DataFrame =
+    memo.computeIfAbsent(memoKey(s, d, s"ivf$k"),
+      _ => centroidsDf(s, localLloyd(fixtureSample(s, d), k, seed = 42L)))
+
+  private[graft] def fixtureCodebook(s: SparkSession, d: String, k: Int): DataFrame =
+    memo.computeIfAbsent(memoKey(s, d, s"pq8x$k"),
+      _ => codebookDf(s, fixtureSample(s, d), k, seed = 42L))
+
+  /** PQ codebook trained on RESIDUALS (x − nearest coarse centroid) —
+    * the IVF-ADC form: residuals concentrate near zero, so the same
+    * codeword budget spends its resolution on the part of the vector
+    * the coarse quantizer didn't explain. The residual sample is
+    * computed driver-side from the already-collected training sample
+    * (coarse assignment of ≤4096 points — microseconds).
+    */
+  private def fixtureResidualCodebook(s: SparkSession, d: String,
+                                      kCoarse: Int, kPq: Int): DataFrame =
+    memo.computeIfAbsent(memoKey(s, d, s"pqres${kCoarse}x$kPq"), _ => {
+      val sample = fixtureSample(s, d)
+      val coarse = localLloyd(sample, kCoarse, seed = 42L)
+      val resid = sample.map { x =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < coarse.length) {
+          var ds = 0.0; var j = 0
+          val cc = coarse(c)
+          while (j < x.length) { val t = x(j) - cc(j); ds += t * t; j += 1 }
+          if (ds < bestD) { bestD = ds; best = c }
+          c += 1
+        }
+        val r = new Array[Double](x.length)
+        var j = 0
+        while (j < x.length) { r(j) = x(j) - coarse(best)(j); j += 1 }
+        r
+      }
+      codebookDf(s, resid, kPq, seed = 42L)
+    })
 
   val defs: Map[String, Q] = Map(
     // IVF with trained coarse centroids: per-shard occupancy and
@@ -147,7 +197,7 @@ object TrainedQuantize {
     // is stable under centroid relabeling.
     "ivf_trained_stats" -> ((s, d) => {
       val e = TestData.embeddings(s, d)
-      V.assignToCentroids(e, fixtureCentroids(s, d), Seq("vec_id"))
+      V.assignToCentroids(e, fixtureCentroids(s, d, 4), Seq("vec_id"))
         .groupBy("cluster")
         .agg(count(lit(1)).as("n"), r4(avg(col("dist"))).as("mean_dist"))
         .select(row_number().over(org.apache.spark.sql.expressions.Window
@@ -162,29 +212,73 @@ object TrainedQuantize {
     // subspace's subvectors. Output: per-vector reconstruction error.
     "vec_pq_trained" -> ((s, d) => {
       val e = TestData.embeddings(s, d)
-      encodeErr(e, fixtureCodebook(s, d))
+      encodeErr(e, fixtureCodebook(s, d, 4))
         .groupBy("vec_id")
         .agg(r4(sqrt(sum(col("dist")))).as("recon_err"))
         .orderBy("vec_id")
+    }),
+
+    // The full TRAINED IVF-PQ search with RESIDUAL encoding — the
+    // textbook IVF-ADC plan, closing the "stand-in codebook" gap
+    // end-to-end. Trained coarse centroids shard the corpus (IVF,
+    // k=8, probe 3); each vector's RESIDUAL (x − its coarse centroid)
+    // is PQ-compressed with residual-trained codebooks (16 codewords
+    // = 4 bits/subspace). The query picks the 3 nearest shards,
+    // builds a PER-SHARD 8×16 ADC table from the query's residual
+    // against that shard (a ≤384-row broadcast), and scans only the
+    // probed shards' CODES — never the raw vectors; non-probed
+    // shards fall out of the broadcast-join. Unlike `ann_ivf_pq_topk`
+    // (whose K=4/no-residual form is pinned small so the whole
+    // computation stays SQL-mirrorable), this key is the production
+    // shape; oracle-omitted (k-means), the recall-vs-exact property
+    // lives in TrainedSpec.
+    "ann_ivf_pq_trained_topk" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val cents = fixtureCentroids(s, d, 8)
+      val codebook = fixtureResidualCodebook(s, d, 8, 16)
+      val assigned = V.assignToCentroids(e, cents, Seq("vec_id"))
+        .select("vec_id", "cluster")
+      // Residual corpus: x − coarse centroid, encoded map-side.
+      val resid = e.join(assigned, "vec_id")
+        .join(broadcast(cents), col("cluster") === col("cid"))
+        .select(col("vec_id"),
+          zip_with(col("embedding"), col("cv"), (a, b) => a - b)
+            .as("embedding"))
+      val codes = encodeErr(resid, codebook).select("vec_id", "sub", "code")
+      val qv = e.filter(col("vec_id") === 42).select(col("embedding").as("qv"))
+      val probes = cents.crossJoin(broadcast(qv))
+        .withColumn("qd", V.sqDist(col("cv"), col("qv")))
+        .orderBy(col("qd"), col("cid")).limit(3)
+        .select(col("cid").as("cluster"),
+          zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qr"))
+      // Per-probed-shard ADC table over the query's residual:
+      // (cluster, sub, code, dq).
+      val qsubs = probes.select(col("cluster"), explode(expr(
+          "transform(sequence(0, 7), j -> struct(j AS sub, slice(qr, j*8+1, 8) AS qsv))"))
+          .as("x"))
+        .select(col("cluster"), col("x.sub").as("sub"), col("x.qsv").as("qsv"))
+      val dtable = qsubs.join(codebook, "sub")
+        .select(col("cluster"), col("sub"), col("code"),
+                V.sqDist(col("qsv"), col("cw")).as("dq"))
+      codes.join(assigned, "vec_id")
+        .join(broadcast(dtable), Seq("cluster", "sub", "code"))
+        .groupBy("vec_id")
+        .agg(r4(sqrt(sum("dq"))).as("approx_dist"))
+        .filter(col("vec_id") =!= 42)
+        .orderBy(col("approx_dist").asc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("approx_dist"))
     })
   )
 
   /** Per-subspace trained (sub, code, cw) codebook — 8 seeded local
     * fits over the ONE shared training sample, split into subvectors
-    * driver-side; the full codebook is a 32-row broadcast exactly
-    * like the fixed one.
+    * driver-side; a K=4 codebook is a 32-row broadcast exactly like
+    * the fixed one.
     */
-  private[graft] def trainedCodebook(e: DataFrame, seed: Long): DataFrame = {
-    val spark = e.sparkSession
-    import spark.implicits._
-    val sample = trainingSample(e)
-    val rows = (0 until 8).flatMap { j =>
-      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * 8, j * 8 + 8))
-      localLloyd(subs, 4, seed + j).zipWithIndex
-        .map { case (c, code) => (j, code, c.toSeq) }
-    }
-    rows.toDF("sub", "code", "cw")
-  }
+  private[graft] def trainedCodebook(e: DataFrame, seed: Long,
+                                     k: Int = 4): DataFrame =
+    codebookDf(e.sparkSession, trainingSample(e), k, seed)
 
   /** Nearest-codeword assignment against an arbitrary (sub, code, cw)
     * codebook: (vec_id, sub, code, dist) — the shared encode shape.

@@ -27,11 +27,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Semantics: events are scanned per key in (ts, tie) order; the
   * match pointer starts at step 0 and advances whenever the current
-  * row's type equals the next expected step. Output: one row
-  * (key: LONG, steps_completed: INT) per key present in the input.
+  * row's type equals the next expected step. `withinUs` bounds the
+  * CONVERSION WINDOW (the product-analytics "complete within N days"
+  * funnel): steps past the first only match while
+  * ts - anchor_ts <= withinUs, where anchor_ts is the step-0 match
+  * (greedy — the anchor never re-arms; `Long.MaxValue` = unbounded).
+  * Output: one row (key: LONG, steps_completed: INT) per key present
+  * in the input.
   */
 case class FunnelMatch(keyCol: String, tsCol: String, tieCol: String,
                        typeCol: String, steps: Seq[String],
+                       withinUs: Long,
                        output: Seq[Attribute],
                        child: LogicalPlan) extends UnaryNode {
   // `output` is a constructor parameter (not a derived val): Catalyst
@@ -55,18 +61,20 @@ object FunnelMatch {
     * must be LONG; ties in `tsCol` are resolved by `tieCol`.
     */
   def of(input: DataFrame, keyCol: String, tsCol: String, tieCol: String,
-         typeCol: String, steps: Seq[String]): DataFrame = {
+         typeCol: String, steps: Seq[String],
+         withinUs: Long = Long.MaxValue): DataFrame = {
     val out = Seq(
       AttributeReference("key", LongType, nullable = false)(),
       AttributeReference("steps_completed", IntegerType, nullable = false)())
     org.apache.spark.sql.graft.Bridge.dataset(input.sparkSession,
-      FunnelMatch(keyCol, tsCol, tieCol, typeCol, steps, out,
+      FunnelMatch(keyCol, tsCol, tieCol, typeCol, steps, withinUs, out,
         input.queryExecution.analyzed))
   }
 }
 
 case class FunnelMatchExec(keyCol: String, tsCol: String, tieCol: String,
                            typeCol: String, steps: Seq[String],
+                           withinUs: Long,
                            output: Seq[Attribute], child: SparkPlan)
     extends UnaryExecNode {
 
@@ -88,40 +96,51 @@ case class FunnelMatchExec(keyCol: String, tsCol: String, tieCol: String,
   override protected def doExecute(): RDD[InternalRow] = {
     val keyIdx = child.output.indexWhere(_.name == keyCol)
     val typeIdx = child.output.indexWhere(_.name == typeCol)
+    val tsIdx = child.output.indexWhere(_.name == tsCol)
     val stepBytes = steps.map(UTF8String.fromString).toArray
+    val window = withinUs
     child.execute().mapPartitions { it =>
       // Explicit one-row lookahead instead of .buffered: Spark's row
       // iterators reuse the same UnsafeRow object, so a cached head
       // would alias the row just consumed — the lookahead copies the
-      // two fields it needs (key primitive + a cloned type string).
+      // three fields it needs (key + ts primitives, a cloned type).
       new Iterator[InternalRow] {
         private val proj =
           UnsafeProjection.create(Array[DataType](LongType, IntegerType))
         private val row = new GenericInternalRow(2)
         private var havePend = false
         private var pendKey = 0L
+        private var pendTs = 0L
         private var pendType: UTF8String = null
         override def hasNext: Boolean = havePend || it.hasNext
         override def next(): InternalRow = {
           var key = 0L
           var stepIdx = 0
-          def advance(t: UTF8String): Unit =
+          var anchorTs = 0L
+          def advance(t: UTF8String, ts: Long): Unit =
             if (stepIdx < stepBytes.length && t != null &&
-                t.equals(stepBytes(stepIdx))) stepIdx += 1
-          if (havePend) { key = pendKey; advance(pendType); havePend = false }
-          else {
+                t.equals(stepBytes(stepIdx)) &&
+                (stepIdx == 0 || window == Long.MaxValue ||
+                 ts - anchorTs <= window)) {
+              if (stepIdx == 0) anchorTs = ts
+              stepIdx += 1
+            }
+          if (havePend) {
+            key = pendKey; advance(pendType, pendTs); havePend = false
+          } else {
             val r = it.next()
             key = r.getLong(keyIdx)
-            advance(r.getUTF8String(typeIdx))
+            advance(r.getUTF8String(typeIdx), r.getLong(tsIdx))
           }
           var sameGroup = true
           while (sameGroup && it.hasNext) {
             val r = it.next()
             val k = r.getLong(keyIdx)
-            if (k == key) advance(r.getUTF8String(typeIdx))
+            if (k == key) advance(r.getUTF8String(typeIdx), r.getLong(tsIdx))
             else {
               havePend = true
               pendKey = k
+              pendTs = r.getLong(tsIdx)
               val t = r.getUTF8String(typeIdx)
               pendType = if (t == null) null else t.clone()
               sameGroup = false
@@ -147,7 +166,7 @@ object FunnelStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case f: FunnelMatch =>
       FunnelMatchExec(f.keyCol, f.tsCol, f.tieCol, f.typeCol, f.steps,
-        f.output, planLater(f.child)) :: Nil
+        f.withinUs, f.output, planLater(f.child)) :: Nil
     case _ => Nil
   }
 }

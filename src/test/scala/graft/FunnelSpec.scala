@@ -37,6 +37,32 @@ class FunnelSpec extends SparkSpec {
     assert(got === Map(1L -> 3, 2L -> 1, 3L -> 0, 4L -> 3, 5L -> 1), s"got $got")
   }
 
+  test("conversion window bounds steps to the step-0 anchor") {
+    ensureStrategy()
+    val ev = Seq(
+      // completes within 5 minutes of the signup anchor
+      (1L, at(0), 1L, "signup"), (1L, at(2), 2L, "click"), (1L, at(4), 3L, "purchase"),
+      // click inside, purchase outside the window
+      (2L, at(0), 4L, "signup"), (2L, at(3), 5L, "click"), (2L, at(9), 6L, "purchase"),
+      // first click outside the window; a LATER in-window click can't
+      // exist (time moved on) — greedy anchor never re-arms, steps = 1
+      (3L, at(0), 7L, "signup"), (3L, at(8), 8L, "click"), (3L, at(9), 9L, "purchase"),
+      // a second signup after window expiry does NOT re-anchor
+      (4L, at(0), 10L, "signup"), (4L, at(10), 11L, "signup"),
+      (4L, at(11), 12L, "click"), (4L, at(12), 13L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.plans.FunnelMatch.of(ev, "user_id", "ts", "event_id",
+        "event_type", Seq("signup", "click", "purchase"),
+        withinUs = 5L * 60 * 1000000)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 1), s"got $got")
+    // unbounded default is unchanged by the window plumbing
+    val unb = graft.plans.FunnelMatch.of(ev, "user_id", "ts", "event_id",
+        "event_type", Seq("signup", "click", "purchase"))
+      .as[(Long, Int)].collect().toMap
+    assert(unb === Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3), s"got $unb")
+  }
+
   test("funnel plans one clustering exchange and streams in FunnelMatchExec") {
     ensureStrategy()
     val ev = TestData.events(spark, sf("sf0.001"))
