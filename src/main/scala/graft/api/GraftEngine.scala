@@ -132,6 +132,45 @@ class GraftEngine(val spark: SparkSession) {
       maxEdits)
       .select(col("id_a"), col("id_b"), col("lev"))
 
+  /** Sorted-neighborhood near-dup pairs (lev ≤ `maxEdits`): rank each
+    * `blockCol` block by a normalized sort key and compare only docs
+    * within `window` ranks — a hard O(n·window) comparison budget,
+    * the cheap first pass of a dedup cascade (recall bounded by how
+    * well near-dups sort together; [[fuzzyDuplicates]] is the
+    * exhaustive-within-block follow-up).
+    */
+  def sortedNeighborhoodDuplicates(documents: DataFrame, blockCol: String,
+                                   window: Int, maxEdits: Int): DataFrame =
+    TextAnalysis.snmPairs(
+      documents.select(col("id").as("doc_id"), col(blockCol).as("lang"),
+                       col("text")),
+      window, maxEdits)
+      .select(col("id_a"), col("id_b"), col("lev"))
+
+  /** Ordered funnel per key (MATCH_RECOGNIZE-lite): how many of
+    * `steps` each key completes in order, scanning events once per
+    * key via the custom FunnelMatch operator (one clustering shuffle
+    * at any step count). `withinUs` bounds the conversion window to
+    * the step-0 anchor; default unbounded.
+    */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+             tieCol: String, typeCol: String, steps: Seq[String],
+             withinUs: Long = Long.MaxValue): DataFrame = {
+    if (!spark.experimental.extraStrategies.contains(graft.plans.FunnelStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.FunnelStrategy
+    graft.plans.FunnelMatch.of(events, keyCol, tsCol, tieCol, typeCol,
+      steps, withinUs)
+  }
+
+  /** Train per-subspace PQ codebooks (8 subspaces × `codewords`
+    * centroids, seeded) over an (id, embedding) table — the (sub,
+    * code, cw) shape the ADC search keys consume.
+    */
+  def trainPqCodebook(embeddings: DataFrame, codewords: Int,
+                      seed: Long): DataFrame =
+    TrainedQuantize.trainedCodebook(embeddings, seed, codewords)
+
   /** Embedding-cosine near-duplicate pairs via banded hyperplane-LSH
     * candidates + exact cosine re-check (precision 1; recall set by
     * the banding, ≈ 0.999 at cosine 0.99). The scale path for

@@ -78,6 +78,44 @@ object TextAnalysis {
       .orderBy("id_a", "id_b")
   }
 
+  /** Sorted-neighborhood dedup (SNM): sort each lang block by a
+    * normalized key, compare only rank-adjacent docs (window w) — a
+    * hard O(n·w) comparison bound instead of the blocked join's
+    * O(Σ block²), trading recall (near-dups must sort close) for
+    * predictable cost: the classic cheap first pass of a dedup
+    * cascade. Rank = one row_number per lang block; candidates =
+    * explode rank+1..rank+w, equi-join back on (lang, rank) — a
+    * co-partitioned shuffle join, no corpus broadcast. (Block key
+    * here is lang — 5 values on the fixture; production SNM blocks
+    * finer, e.g. lang × source, before ranking.) Output:
+    * (id_a, id_b, lev) with id_a < id_b. Input columns:
+    * (doc_id, lang, text).
+    */
+  def snmPairs(documents: DataFrame, window: Int, maxEdits: Int): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(
+      lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val ranked = documents
+      .select(col("doc_id"), col("lang"), col("text"),
+              coalesce(norm, lit("")).as("skey"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy("skey", "doc_id")))
+    val a = ranked.select(col("lang").as("la"), col("doc_id").as("id_a"),
+        col("text").as("ta"),
+        explode(expr(s"sequence(rnk + 1, rnk + $window)")).as("rb"))
+    val b = ranked.select(col("lang").as("lb"), col("doc_id").as("id_b"),
+        col("text").as("tb"), col("rnk").as("rnk_b"))
+    import org.apache.spark.sql.graft.Bridge
+    val blev = Bridge.column(graft.functions.BoundedLevenshtein(
+      Bridge.expression(col("ta")), Bridge.expression(col("tb")),
+      Bridge.expression(lit(maxEdits))))
+    a.join(b.hint("shuffle_hash"),
+        col("la") === col("lb") && col("rb") === col("rnk_b"))
+      .withColumn("lev", blev)
+      .filter(col("lev") >= 0)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+              greatest(col("id_a"), col("id_b")).as("id_b"), col("lev"))
+  }
+
   val defs: Map[String, Q] = Map(
     // Naive-Bayes-style language ID: per-language token log-frequency
     // profiles (a 155-row broadcast) scored against each doc; output
@@ -194,42 +232,10 @@ object TextAnalysis {
     // (lang, length-bucket) — see `fuzzyPairs`.
     "dedup_fuzzy_pairs" -> ((s, d) => fuzzyPairs(TestData.documents(s, d))),
 
-    // Sorted-neighborhood dedup (SNM): sort each lang block by a
-    // normalized key, compare only rank-adjacent docs (window w=4) —
-    // a hard O(n·w) comparison bound instead of the blocked join's
-    // O(Σ block²), trading recall (near-dups must sort close) for
-    // predictable cost: the classic cheap first pass of a dedup
-    // cascade. Rank = one row_number per lang block; candidates =
-    // explode rank+1..rank+w, equi-join back on (lang, rank) — a
-    // co-partitioned shuffle join, no corpus broadcast. (Block key
-    // here is lang — 5 values on the fixture; production SNM blocks
-    // finer, e.g. lang × source, before ranking.)
-    "dedup_sorted_neighborhood" -> ((s, d) => {
-      val w = 4
-      val norm = trim(regexp_replace(regexp_replace(
-        lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-      val ranked = TestData.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("text"),
-                coalesce(norm, lit("")).as("skey"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("lang").orderBy("skey", "doc_id")))
-      val a = ranked.select(col("lang").as("la"), col("doc_id").as("id_a"),
-          col("text").as("ta"),
-          explode(expr(s"sequence(rnk + 1, rnk + $w)")).as("rb"))
-      val b = ranked.select(col("lang").as("lb"), col("doc_id").as("id_b"),
-          col("text").as("tb"), col("rnk").as("rnk_b"))
-      import org.apache.spark.sql.graft.Bridge
-      val blev = Bridge.column(graft.functions.BoundedLevenshtein(
-        Bridge.expression(col("ta")), Bridge.expression(col("tb")),
-        Bridge.expression(lit(20))))
-      a.join(b.hint("shuffle_hash"),
-          col("la") === col("lb") && col("rb") === col("rnk_b"))
-        .withColumn("lev", blev)
-        .filter(col("lev") >= 0)
-        .select(least(col("id_a"), col("id_b")).as("id_a"),
-                greatest(col("id_a"), col("id_b")).as("id_b"), col("lev"))
-        .orderBy("id_a", "id_b")
-    }),
+    // Sorted-neighborhood dedup (SNM) — see `snmPairs`.
+    "dedup_sorted_neighborhood" -> ((s, d) =>
+      snmPairs(TestData.documents(s, d), window = 4, maxEdits = 20)
+        .orderBy("id_a", "id_b")),
 
     // 60-bit SimHash over md5-derived token hashes — oracle-omitted
     // (bit-twiddling is impractical in portable SQL); property-tested.

@@ -51,6 +51,45 @@ class EngineApiSpec extends SparkSpec {
     assert(hit >= 5, s"IVF search diverged too far from brute force: $hit/15")
   }
 
+  test("sortedNeighborhoodDuplicates finds planted adjacent near-dups within budget") {
+    // plant a 1-edit copy of each of 5 docs: normalizes to an adjacent
+    // sort position, so SNM must find it
+    val planted = docs.limit(5)
+      .select((col("id") + 50000L).as("id"),
+              concat(col("text"), lit(" x")).as("text"), col("lang"))
+    val res = engine.sortedNeighborhoodDuplicates(
+      docs.unionAll(planted), "lang", window = 4, maxEdits = 20)
+    val pairs = res.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = (0 until 5).count(i =>
+      pairs.exists { case (a, b) => b == a + 50000L })
+    assert(found >= 1, s"planted neighbor pairs not found: $pairs")
+    // pair normalization: id_a < id_b always
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
+  test("funnel counts ordered steps per key, bounded by the conversion window") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val ev = Seq(
+      (1L, at(0), 1L, "a"), (1L, at(1), 2L, "b"),
+      (2L, at(0), 3L, "a"), (2L, at(30), 4L, "b")
+    ).toDF("k", "ts", "tie", "t")
+    val unbounded = engine.funnel(ev, "k", "ts", "tie", "t", Seq("a", "b"))
+      .as[(Long, Int)].collect().toMap
+    assert(unbounded === Map(1L -> 2, 2L -> 2))
+    val bounded = engine.funnel(ev, "k", "ts", "tie", "t", Seq("a", "b"),
+        withinUs = 10L * 60 * 1000000)
+      .as[(Long, Int)].collect().toMap
+    assert(bounded === Map(1L -> 2, 2L -> 1))
+  }
+
+  test("trainPqCodebook yields 8 x codewords rows and lower distortion than fixed") {
+    val cb = engine.trainPqCodebook(
+      emb.withColumnRenamed("id", "vec_id"), codewords = 4, seed = 42L)
+    assert(cb.count() === 32)
+    assert(cb.select("sub").distinct().count() === 8)
+  }
+
   test("dedupExact keeps one survivor per distinct content") {
     val withDups = docs.unionAll(docs.limit(10).withColumn("id", col("id") + 10000))
     val survivors = engine.dedupExact(withDups)

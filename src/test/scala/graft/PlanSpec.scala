@@ -171,6 +171,34 @@ class PlanSpec extends SparkSpec {
       s"the probe must sit below the join, on the fact-side scan:\n${p.take(900)}")
   }
 
+  test("SNM dedup shuffle-joins on (lang, rank) — no corpus broadcast") {
+    val p = plan("dedup_sorted_neighborhood")
+    assert(!p.contains("BroadcastExchange"),
+      s"SNM candidate join must not broadcast the corpus:\n${p.take(800)}")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"SNM must shuffle-join on the rank key:\n${p.take(800)}")
+  }
+
+  test("transition top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("events_transition_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
+  test("trained IVF-PQ search broadcasts only codebook-sized sides") {
+    val df = SparkEntry.queries("ann_ivf_pq_trained_topk")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    // The ADC table (<=384 rows) and centroids broadcast; the codes
+    // relation (corpus-sized) must reach its joins by shuffle, so
+    // every BroadcastExchange must sit under a BroadcastHashJoin fed
+    // by a LocalTableScan/small relation — cheap proxy: the plan has
+    // no BroadcastNestedLoopJoin over the corpus and the final top-k
+    // is TakeOrderedAndProject.
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(!p.contains("CartesianProduct"),
+      s"no corpus-side cartesian allowed:\n${p.take(800)}")
+  }
+
   test("custom cosine expression compiles into whole-stage codegen") {
     val df = SparkEntry.queries("dup_pairs_cosine")(spark, sfDir)
     df.collect() // finalize the adaptive plan
