@@ -38,7 +38,10 @@ object SparkEntry {
     (ProductQuantize.defs, ProductQuantize.oracles),
     (GraphOps.defs, GraphOps.oracles),
     (TrainedQuantize.defs, TrainedQuantize.oracles),
-    (EmbedDedup.defs, EmbedDedup.oracles)
+    (EmbedDedup.defs, EmbedDedup.oracles),
+    (Relevance.defs, Relevance.oracles),
+    (BinaryQuantize.defs, BinaryQuantize.oracles),
+    (Maintenance.defs, Maintenance.oracles)
   )
 
   /** Flagship on sf0.001 (driver smoke-checks rows>0): the

@@ -76,6 +76,30 @@ object Aggregates {
         .select(col("e.item").as("event_type"), col("e.count").as("est_n"))
         .orderBy("event_type")),
 
+    // MERGEABLE sketches — the property that makes approximate
+    // aggregation work at 100 TB: per-group (in production,
+    // per-partition / per-day) HLL sketches are built independently,
+    // then UNIONED into a global sketch without touching the raw data
+    // again. The declared query emits each group's estimate plus the
+    // merged '(all)' estimate from hll_union_agg over the per-group
+    // sketch BINARIES — the re-aggregation a warehouse rollup table
+    // runs nightly. Oracle-omitted (datasketches binary contract);
+    // PropertySpec pins per-group and merged estimates within 5 % of
+    // exact distinct counts.
+    "agg_sketch_merge" -> ((s, d) => {
+      val sk = TestData.events(s, d)
+        .groupBy("event_type")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      sk.select(col("event_type"),
+          expr("hll_sketch_estimate(sk)").as("est_distinct_users"))
+        .unionByName(sk
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .as("est_distinct_users"))
+          .withColumn("event_type", lit("(all)"))
+          .select("event_type", "est_distinct_users"))
+        .orderBy("event_type")
+    }),
+
     "agg_grouping_sets" -> ((s, d) =>
       TestData.lineitem(s, d)
         .groupingSets(

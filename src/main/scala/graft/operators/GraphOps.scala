@@ -54,8 +54,15 @@ object GraphOps {
     // propagation (edges are consumed keyed by dst, produced keyed
     // by src).
     val P = 8
-    val edges = pairs
-      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    // Materialize the pair list ONCE before mirroring it: the union's
+    // two branches otherwise re-run the caller's entire edge lineage
+    // (for the fixture, the full blocked Jaccard join) twice — the
+    // self-union variant of the self-join-recompute trap. The pair
+    // list itself is tiny (two longs per edge), so the extra
+    // materialization is free relative to one saved edge-stage run.
+    val p0 = pairs.localCheckpoint()
+    val edges = p0
+      .union(p0.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(P, col("dst"))
       .localCheckpoint()
     var labels = ids.select(col("id"), col("id").as("comp"))
@@ -134,6 +141,56 @@ object GraphOps {
              countDistinct(col("comp")).as("n_survivors"),
              (count(lit(1)) - countDistinct(col("comp"))).as("n_removed"))
         .orderBy("lang")
+    }),
+
+    // Triangle counting over the k-NN similarity graph — the
+    // graph-analytics summary of embedding-space structure (triangle
+    // density separates tight semantic clusters from hub-and-spoke
+    // noise). The graph is built the scalable way: candidates come
+    // from the IVF probe (each vector scores only its 2 probed
+    // centroid partitions — a shuffle join on the cluster key, never
+    // a corpus broadcast; at 100 TB the 4 fixture centroids become
+    // k=4096 and the join fans out naturally). Edges = mutualized
+    // top-3 neighbor lists; triangles = the classic two-hop edge
+    // self-join with a < b < c so each triangle counts once.
+    "graph_triangle_count" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.{VectorOps => V}
+      val e = TestData.embeddings(s, d)
+      val cents = Vectors.fixedCentroids(e)
+      val assigned = V.assignToCentroids(e, cents, Seq("vec_id", "embedding"))
+        .select(col("vec_id"), col("embedding"), col("cluster"))
+      val wProbe = Window.partitionBy("qid").orderBy(col("qdist"), col("cid"))
+      val probes = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("qdist", V.sqDist(col("qv"), col("cv")))
+        .withColumn("pr", row_number().over(wProbe))
+        .filter(col("pr") <= 2)
+        .select(col("qid"), col("qv"), col("cid").as("probe_cluster"))
+      val wTop = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("vec_id"))
+      val knn = assigned
+        .join(probes.hint("shuffle_hash"),
+          col("cluster") === col("probe_cluster"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score", V.cosine(col("embedding"), col("qv")))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("vec_id").as("nn"))
+      // Materialize once: three self-join branches below would each
+      // re-run the whole kNN pipeline. The edge list is 2 longs/edge.
+      val edges = knn
+        .select(least(col("qid"), col("nn")).as("a"),
+                greatest(col("qid"), col("nn")).as("b"))
+        .distinct()
+        .localCheckpoint()
+      val tri = edges.select(col("a").as("x"), col("b").as("y"))
+        .join(edges.select(col("a").as("y2"), col("b").as("z2")),
+          col("y") === col("y2"))
+        .join(edges.select(col("a").as("x3"), col("b").as("z3")),
+          col("x") === col("x3") && col("z2") === col("z3"))
+        .agg(count(lit(1)).as("n_triangles"))
+      edges.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
     })
   )
 
@@ -175,6 +232,47 @@ object GraphOps {
         |  count(DISTINCT c.component)::BIGINT AS n_survivors,
         |  (count(*) - count(DISTINCT c.component))::BIGINT AS n_removed
         |FROM documents d JOIN comp c ON d.doc_id = c.doc_id
-        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "graph_triangle_count" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |           FROM embeddings WHERE vec_id < 4),
+        |assigned AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cid AS cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN c)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, cid AS probe_cluster FROM (
+        |    SELECT q.vec_id AS qid, c.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.embedding::DOUBLE[], c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS pr
+        |    FROM embeddings q CROSS JOIN c)
+        |  WHERE pr <= 2),
+        |knn AS (
+        |  SELECT qid, vec_id AS nn FROM (
+        |    SELECT p.qid, e.vec_id,
+        |      row_number() OVER (PARTITION BY p.qid ORDER BY
+        |        list_cosine_similarity(e.embedding::DOUBLE[],
+        |                               q.embedding::DOUBLE[]) DESC,
+        |        e.vec_id) AS rnk
+        |    FROM assigned a
+        |    JOIN probes p ON a.cluster = p.probe_cluster
+        |    JOIN embeddings e ON e.vec_id = a.vec_id
+        |    JOIN embeddings q ON q.vec_id = p.qid
+        |    WHERE e.vec_id <> p.qid)
+        |  WHERE rnk <= 3),
+        |edges AS (
+        |  SELECT DISTINCT least(qid, nn) AS a, greatest(qid, nn) AS b FROM knn),
+        |tri AS (
+        |  SELECT count(*)::BIGINT AS n_triangles
+        |  FROM edges e1
+        |  JOIN edges e2 ON e1.b = e2.a
+        |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT (SELECT count(*)::BIGINT FROM edges) AS n_edges, n_triangles
+        |FROM tri""".stripMargin
   )
 }

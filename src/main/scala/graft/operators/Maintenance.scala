@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.TestData
+import graft.TestData.r4
+
+/** Table-maintenance operators: the jobs that keep a 100 TB dataset
+  * servable between analytic runs — CDC upsert (MERGE) as a
+  * copy-on-write snapshot rewrite, Z-order clustering for multi-column
+  * data skipping, and incremental dedup of an arriving batch against
+  * the standing corpus.
+  */
+object Maintenance {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // MERGE (upsert) semantics without a table format: current
+    // snapshot FULL OUTER JOIN update batch → matched rows take the
+    // update, unmatched updates insert, the rest carry over; the
+    // merged result is rewritten as the next snapshot and read back.
+    // This is copy-on-write MERGE exactly as lakehouse formats execute
+    // it — at scale the join shuffles on the key (or skips unmatched
+    // FILES via min/max pruning, which the Z-order key below is for)
+    // and the rewrite is partition-parallel. WriteOnce skips the
+    // rewrite when the committed snapshot for this input already
+    // exists.
+    "sink_merge_upsert" -> ((s, d) => {
+      val orders = TestData.orders(s, d)
+      val base = orders.filter(expr("o_orderkey % 7 <> 0"))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val upd = orders.filter(expr("o_orderkey % 3 = 0"))
+        .select(col("o_orderkey").as("u_key"),
+          (col("o_totalprice") * lit(1.1)).as("u_price"))
+      val merged = base
+        .join(upd, col("o_orderkey") === col("u_key"), "full_outer")
+        .select(
+          coalesce(col("o_orderkey"), col("u_key")).as("o_orderkey"),
+          coalesce(col("u_price"), col("o_totalprice")).as("price"),
+          when(col("u_key").isNotNull, lit("U"))
+            .otherwise(col("o_orderstatus")).as("status"))
+      val tag = graft.sources.WriteOnce.inputTag(d, "orders")
+      val dir = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/merge_upsert", tag)
+      graft.sources.WriteOnce.ensure(dir, tag) {
+        merged.write.mode("overwrite").parquet(dir)
+      }
+      s.read.parquet(dir)
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), r4(sum(col("price"))).as("sum_price"))
+        .orderBy("status")
+    }),
+
+    // Z-order clustering: interleave the bits of two predicate columns
+    // into one sort key, range-partition + sort the write by it, and
+    // summarize per fixed-width key range. Because the z-curve keeps
+    // both dimensions local, every file (here: every 2¹⁴-wide z
+    // bucket) covers a narrow min/max rectangle in BOTH columns — the
+    // property that lets min/max file stats skip data for predicates
+    // on either column, where a plain sort only skips on its leading
+    // column. The emitted bucket stats ARE the skipping index and are
+    // a pure function of the data (layout-independent), so DuckDB
+    // checks them exactly.
+    "sink_zorder_cluster" -> ((s, d) => {
+      val o = TestData.orders(s, d).select(
+        col("o_orderkey"),
+        expr("o_custkey % 1024").as("x"),
+        expr("datediff(to_date(o_orderdate), date'1970-01-01') % 1024").as("y"))
+        .withColumn("z", expr(
+          "aggregate(sequence(0, 9), 0L, (acc, i) -> " +
+            "acc + shiftleft((x >> i) & 1, 2*i) + shiftleft((y >> i) & 1, 2*i + 1))"))
+      val tag = graft.sources.WriteOnce.inputTag(d, "orders")
+      val dir = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/zorder_sink", tag)
+      graft.sources.WriteOnce.ensure(dir, tag) {
+        o.repartitionByRange(8, col("z")).sortWithinPartitions("z")
+          .write.mode("overwrite").parquet(dir)
+      }
+      s.read.parquet(dir)
+        .groupBy(expr("z DIV 16384").as("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy("z_bucket")
+    }),
+
+    // Incremental dedup: an arriving batch (planted: every 10th doc
+    // re-ingested, half verbatim, half edited) is checked against the
+    // standing corpus by content hash — verbatim re-ingests resolve to
+    // their existing survivor, edited ones pass as new. The corpus
+    // side is the same one-hash-groupBy index `dedup_exact_hash`
+    // maintains; the batch shuffle-joins on the hash (batch-sized, not
+    // corpus-sized, work — at 100 TB a Bloom prefilter of corpus
+    // hashes kills the non-duplicate majority map-side first, see
+    // join_bloom_prefilter).
+    "dedup_incremental" -> ((s, d) => {
+      val docs = TestData.documents(s, d)
+      val corpus = docs
+        .select(TextOps.contentHash.as("h"), col("doc_id"))
+        .groupBy("h").agg(min(col("doc_id")).as("dup_of"))
+      val incoming = docs.filter(expr("doc_id % 10 = 7"))
+        .select((col("doc_id") + lit(1000000L)).as("new_id"),
+          when(expr("doc_id % 20 = 17"), concat(col("text"), lit(" zzz")))
+            .otherwise(col("text")).as("text"))
+      incoming.withColumn("h", TextOps.contentHash)
+        .join(corpus, Seq("h"), "left")
+        .select(col("new_id"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+          when(col("dup_of").isNull, lit(1)).otherwise(lit(0)).as("is_new"))
+        .orderBy("new_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sink_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 7 <> 0),
+        |upd AS (
+        |  SELECT o_orderkey AS u_key, o_totalprice * 1.1 AS u_price FROM orders
+        |  WHERE o_orderkey % 3 = 0),
+        |m AS (
+        |  SELECT coalesce(u_price, o_totalprice) AS price,
+        |    CASE WHEN u_key IS NOT NULL THEN 'U' ELSE o_orderstatus END AS status
+        |  FROM base FULL OUTER JOIN upd ON o_orderkey = u_key)
+        |SELECT status, count(*)::BIGINT AS n,
+        |  floor((sum(price))*10000 + 0.5)/10000 AS sum_price
+        |FROM m GROUP BY status ORDER BY status""".stripMargin,
+    "sink_zorder_cluster" ->
+      """WITH o AS (
+        |  SELECT o_custkey % 1024 AS x,
+        |    datediff('day', DATE '1970-01-01', o_orderdate::DATE) % 1024 AS y
+        |  FROM orders),
+        |z AS (
+        |  SELECT x, y,
+        |    list_sum([(((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i + 1))
+        |              for i in range(0, 10)])::BIGINT AS z
+        |  FROM o)
+        |SELECT z // 16384 AS z_bucket, count(*)::BIGINT AS n,
+        |  min(x) AS min_x, max(x) AS max_x,
+        |  min(y) AS min_y, max(y) AS max_y
+        |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin,
+    "dedup_incremental" ->
+      """WITH corpus AS (
+        |  SELECT md5(lower(trim(text))) AS h, min(doc_id) AS dup_of
+        |  FROM documents GROUP BY 1),
+        |inc AS (
+        |  SELECT doc_id + 1000000 AS new_id,
+        |    CASE WHEN doc_id % 20 = 17 THEN text || ' zzz' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 = 7)
+        |SELECT i.new_id, coalesce(c.dup_of, -1) AS dup_of,
+        |  CASE WHEN c.dup_of IS NULL THEN 1 ELSE 0 END AS is_new
+        |FROM inc i LEFT JOIN corpus c ON md5(lower(trim(i.text))) = c.h
+        |ORDER BY new_id""".stripMargin
+  )
+}

@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.TestData
+import graft.TestData.r4
+import graft.functions.{VectorOps => V}
+
+/** Corpus relevance / language-model scoring — the retrieval side of
+  * a training-data pipeline (BM25 lexical ranking, hybrid
+  * lexical+vector fusion, n-gram LM quality scoring, distribution
+  * entropy).
+  *
+  * Scale shapes: every operator here is explode → aggregate →
+  * small-side broadcast join. The corpus is never broadcast and never
+  * self-joined; the only corpus-sized shuffles are the token/bigram
+  * count aggregations (two-phase, map-side partial). The model sides
+  * (document frequencies for 3 query tokens, corpus stats, bigram
+  * counts over a bounded vocabulary) are orders of magnitude smaller
+  * than the corpus and broadcast.
+  */
+object Relevance {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fixed query for the lexical-ranking keys (tokens verified present
+    * in the fixture vocabulary).
+    */
+  private val QueryTokens = Seq("join", "scan", "merge")
+
+  /** Okapi BM25 (k1 = 1.2, b = 0.75) per-document scores for
+    * `QueryTokens`: idf(q) = ln(1 + (N − df + 0.5)/(df + 0.5)),
+    * contribution = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    * Expression shapes are mirrored literally in the oracle SQL so the
+    * IEEE arithmetic is identical on both engines. Output:
+    * (doc_id, score), docs with no query token absent.
+    */
+  private def bm25(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("token"))
+      .filter(col("token").isin(QueryTokens: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(2.2)
+          / (col("tf") + lit(1.2)
+            * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(sum(col("contrib")).as("score"))
+  }
+
+  /** Shared BM25 oracle CTE block (ends with `scored(doc_id, score)`). */
+  private val Bm25Ctes =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, token, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(toks) AS token FROM toks)
+      |  WHERE token IN ('join', 'scan', 'merge') GROUP BY 1, 2),
+      |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+      |        * t.tf * 2.2
+      |        / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score
+      |  FROM tf t JOIN dfreq f USING (token) JOIN dl d USING (doc_id)
+      |  CROSS JOIN stats s GROUP BY t.doc_id)""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    // Lexical top-k: the text-retrieval ranking every hybrid vector DB
+    // pairs with ANN. Sort key is the r4-quantized score (raw double
+    // sums flip near-ties across engines), doc_id tie-break.
+    "text_bm25_topk" -> ((s, d) =>
+      bm25(TestData.documents(s, d))
+        .select(col("doc_id"), r4(col("score")).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(15)),
+
+    // Hybrid retrieval via Reciprocal Rank Fusion: each arm is pruned
+    // to its top-50 FIRST (TakeOrderedAndProject — the scalable step),
+    // then ranked within the pruned set and fused with
+    // rrf = Σ 1/(60 + rank). Ranks are ints over r4-quantized scores
+    // with id tie-breaks, so the fusion is exactly reproducible
+    // cross-engine. A missing arm contributes 0 (rank emitted as 0).
+    "ann_hybrid_rrf" -> ((s, d) => {
+      val lexTop = bm25(TestData.documents(s, d))
+        .select(col("doc_id").as("lid"), r4(col("score")).as("s4"))
+        .orderBy(col("s4").desc, col("lid")).limit(50)
+        .withColumn("lex_rank",
+          row_number().over(Window.orderBy(col("s4").desc, col("lid"))))
+        .select("lid", "lex_rank")
+      val e = TestData.embeddings(s, d)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val vecTop = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("vid"),
+          r4(V.cosine(col("embedding"), col("qv"))).as("c4"))
+        .orderBy(col("c4").desc, col("vid")).limit(50)
+        .withColumn("vec_rank",
+          row_number().over(Window.orderBy(col("c4").desc, col("vid"))))
+        .select("vid", "vec_rank")
+      lexTop.join(vecTop, col("lid") === col("vid"), "full_outer")
+        .select(
+          coalesce(col("lid"), col("vid")).as("id"),
+          coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+          coalesce(col("vec_rank"), lit(0)).as("vec_rank"),
+          r4(coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("id"))
+        .limit(10)
+    }),
+
+    // Bigram language-model quality score: train add-one-smoothed
+    // bigram counts on the corpus itself, score every document by its
+    // average log-probability — the perplexity-style quality filter a
+    // training-data pipeline runs before keeping a document. The
+    // "model" (bigram/unigram counts over the corpus vocabulary) is
+    // vocabulary-sized, not corpus-sized.
+    "text_bigram_lm_score" -> ((s, d) => {
+      val docs = TestData.documents(s, d)
+      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val bg = toks.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+      val vocab = toks.select(explode(col("toks")).as("t"))
+        .agg(countDistinct(col("t")).as("v"))
+      bg.join(broadcast(c2), Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          r4(avg(log((col("c2") + lit(1.0)) / (col("c1") + col("v")))))
+            .as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
+    // Shannon entropy of the per-language token distribution —
+    // the corpus-diversity statistic (a collapsed-distribution
+    // language in a crawl shows up as an entropy drop). Two-phase
+    // count aggregation + a language-sized join; one corpus scan.
+    "agg_entropy" -> ((s, d) => {
+      val tok = TestData.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+      val cnt = tok.groupBy("lang", "t").agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy("lang").agg(sum(col("c")).as("n_tokens"))
+      cnt.join(broadcast(tot), "lang")
+        .withColumn("p", col("c").cast("double") / col("n_tokens").cast("double"))
+        .groupBy("lang")
+        .agg(max(col("n_tokens")).as("n_tokens"),
+          r4(-sum(col("p") * log(col("p")))).as("entropy"))
+        .orderBy("lang")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_bm25_topk" ->
+      s"""WITH $Bm25Ctes
+        |SELECT doc_id, floor((score)*10000 + 0.5)/10000 AS bm25
+        |FROM scored
+        |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
+    "ann_hybrid_rrf" ->
+      s"""WITH $Bm25Ctes,
+        |lex AS (
+        |  SELECT lid, lex_rank FROM (
+        |    SELECT doc_id AS lid, row_number() OVER (ORDER BY s4 DESC, doc_id) AS lex_rank
+        |    FROM (SELECT doc_id, floor((score)*10000 + 0.5)/10000 AS s4 FROM scored))
+        |  WHERE lex_rank <= 50),
+        |vq AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |vec AS (
+        |  SELECT vid, vec_rank FROM (
+        |    SELECT vec_id AS vid, row_number() OVER (ORDER BY c4 DESC, vec_id) AS vec_rank
+        |    FROM (SELECT e.vec_id,
+        |            floor((list_cosine_similarity(e.embedding::DOUBLE[], vq.qv))*10000 + 0.5)/10000 AS c4
+        |          FROM embeddings e CROSS JOIN vq WHERE e.vec_id <> 0))
+        |  WHERE vec_rank <= 50)
+        |SELECT coalesce(lid, vid) AS id,
+        |  coalesce(lex_rank, 0) AS lex_rank,
+        |  coalesce(vec_rank, 0) AS vec_rank,
+        |  floor((coalesce(1.0/(60 + lex_rank), 0) + coalesce(1.0/(60 + vec_rank), 0))*10000 + 0.5)/10000 AS rrf
+        |FROM lex FULL OUTER JOIN vec ON lid = vid
+        |ORDER BY rrf DESC, id LIMIT 10""".stripMargin,
+    "text_bigram_lm_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+        |  WHERE len(toks) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        |vocab AS (
+        |  SELECT count(DISTINCT t) AS v
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents))
+        |SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+        |  floor((avg(ln((c2.c2 + 1.0) / (c1.c1 + vocab.v))))*10000 + 0.5)/10000 AS avg_logp
+        |FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+    "agg_entropy" ->
+      """WITH cnt AS (
+        |  SELECT lang, t, count(*) AS c
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(c)::BIGINT AS n_tokens FROM cnt GROUP BY lang)
+        |SELECT lang, max(n_tokens) AS n_tokens,
+        |  floor((-sum((c::DOUBLE / n_tokens::DOUBLE) * ln(c::DOUBLE / n_tokens::DOUBLE)))*10000 + 0.5)/10000 AS entropy
+        |FROM cnt JOIN tot USING (lang)
+        |GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}

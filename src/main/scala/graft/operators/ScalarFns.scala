@@ -148,7 +148,25 @@ object ScalarFns {
           md5(col("p_name")).as("h_md5"),
           sha2(col("p_name"), 256).as("h_sha256"),
           md5(concat_ws("|", col("p_brand"), col("p_type"))).as("h_key"))
-        .orderBy("p_partkey"))
+        .orderBy("p_partkey")),
+
+    // Struct construction / field access / nested access / structural
+    // equality — the typed-record surface (multimodal metadata rides
+    // in exactly these). Structs are reshaped to scalars on output
+    // (cross-engine struct parquet encodings differ); the nested field
+    // is named `inr` because INNER is a DuckDB keyword.
+    "fn_struct" -> ((s, d) =>
+      TestData.orders(s, d)
+        .withColumn("st",
+          struct(col("o_orderkey").as("k"), col("o_totalprice").as("p")))
+        .withColumn("nested",
+          struct(struct((col("o_orderkey") * 2).as("q")).as("inr")))
+        .select(col("o_orderkey"),
+          col("st.p").as("price_field"),
+          col("nested.inr.q").as("nested_q"),
+          (col("st") === struct(col("o_orderkey").as("k"),
+            col("o_totalprice").as("p"))).cast("int").as("eq_rebuilt"))
+        .orderBy("o_orderkey"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -240,6 +258,13 @@ object ScalarFns {
       """SELECT event_id, 'k' AS keys,
         |  json_extract(props, '$.k')::INT AS k_value,
         |  1 AS n_values
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_struct" ->
+      """SELECT o_orderkey,
+        |  struct_pack(k := o_orderkey, p := o_totalprice).p AS price_field,
+        |  struct_pack(inr := struct_pack(q := o_orderkey * 2)).inr.q AS nested_q,
+        |  (struct_pack(k := o_orderkey, p := o_totalprice)
+        |    = struct_pack(k := o_orderkey, p := o_totalprice))::INT AS eq_rebuilt
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -122,6 +122,19 @@ object ScalePatterns {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity",
           "l_extendedprice")),
 
+    // STRATIFIED hash sampling: per-stratum rates (here: keep 50 % of
+    // the dominant 'en' documents, 12.5 % of every minority language —
+    // the rebalancing pass a multilingual training mix runs) with the
+    // same deterministic md5-prefix discipline as sample_hash —
+    // reproducible across engines, runs, and cluster sizes, and still
+    // one map-side scan (the rate lookup is a CASE, not a join).
+    "sample_stratified" -> ((s, d) =>
+      TestData.documents(s, d)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <
+          when(col("lang") === "en", lit("80")).otherwise(lit("20")))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     // Salted join: the skew remedy when BOTH join sides are too large
     // to broadcast and a hot key would pin one reducer. The fact side
     // carries salt = pmod(row id, S); the other side is replicated
@@ -180,6 +193,11 @@ object ScalePatterns {
         |WHERE substring(md5(concat_ws('|', l_orderkey::VARCHAR,
         |  l_linenumber::VARCHAR)), 1, 2) < '0d'
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(doc_id::VARCHAR), 1, 2)
+        |  < CASE WHEN lang = 'en' THEN '80' ELSE '20' END
+        |ORDER BY doc_id""".stripMargin,
     "join_skew_salted" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  floor((sum(value))*10000 + 0.5)/10000 AS sum_value

@@ -200,6 +200,27 @@ object TimeSeries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("from_type"), col("to_type"))
         .limit(10)
+    }),
+
+    // Z-score anomaly detection: flag events whose value sits > 3
+    // standard deviations from its type's mean — the data-quality
+    // tripwire a pipeline runs on every ingested batch. The per-type
+    // (mu, sigma) table is TYPE-sized and broadcast; the scoring pass
+    // is map-side. Both moments are r4-quantized BEFORE the z
+    // computation so (value − mu)/sigma is the same IEEE expression on
+    // identical inputs in both engines — the filter boundary cannot
+    // flip.
+    "events_anomaly_zscore" -> ((s, d) => {
+      val ev = TestData.events(s, d)
+      val st = ev.groupBy("event_type")
+        .agg(r4(avg(col("value"))).as("mu"),
+             r4(stddev_samp(col("value"))).as("sigma"))
+      ev.join(broadcast(st), "event_type")
+        .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+                r4(col("z")).as("zscore"))
+        .orderBy("event_id")
     })
   )
 
@@ -314,6 +335,17 @@ object TimeSeries {
         |SELECT event_type AS from_type, next_type AS to_type,
         |  count(*) AS n
         |FROM t WHERE next_type IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type LIMIT 10""".stripMargin
+        |GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type LIMIT 10""".stripMargin,
+    "events_anomaly_zscore" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    floor((avg(value))*10000 + 0.5)/10000 AS mu,
+        |    floor((stddev_samp(value))*10000 + 0.5)/10000 AS sigma
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, event_type, value,
+        |  floor(((value - mu) / sigma)*10000 + 0.5)/10000 AS zscore
+        |FROM events JOIN s USING (event_type)
+        |WHERE abs((value - mu) / sigma) > 3.0
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -113,6 +113,22 @@ object Windows {
           nth_value(col("c_name"), 2).over(w).as("second_richest"),
           nth_value(col("c_name"), 3).over(w).as("third_richest"))
         .orderBy("c_custkey")
+    }),
+
+    // Rolling exact median over a bounded row frame — the robust
+    // (outlier-insensitive) smoother next to win_moving_avg's mean.
+    // Spark's `percentile(…, 0.5)` and DuckDB's `quantile_cont(…, 0.5)`
+    // share the same linear-interpolation contract (pinned by
+    // agg_percentile_exact), and a ≤4-row frame makes the interpolation
+    // a single (a+b)/2 on identical inputs — bit-stable cross-engine.
+    "win_rolling_median" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, 0)
+      TestData.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          r4(percentile(col("value"), lit(0.5)).over(w)).as("rolling_median"))
+        .orderBy("user_id", "ts", "event_id")
     })
   )
 
@@ -179,6 +195,13 @@ object Windows {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "win_rolling_median" ->
+      """SELECT user_id, event_id, ts,
+        |  floor((quantile_cont(value, 0.5) OVER w)*10000 + 0.5)/10000 AS rolling_median
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin
   )
 }

@@ -212,6 +212,26 @@ class PropertySpec extends SparkSpec {
     assert(overlap >= 0.1, s"ADC approximation collapsed: $overlap")
   }
 
+  test("HLL sketch merge: per-group and unioned estimates track exact distincts") {
+    val est = Aggregates.defs("agg_sketch_merge")(spark, sfDir)
+      .select("event_type", "est_distinct_users")
+      .as[(String, Long)].collect().toMap
+    val ev = TestData.events(spark, sfDir)
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    val exactAll = ev.select(countDistinct(col("user_id"))).as[Long].head()
+    assert(est.keySet == exact.keySet + "(all)")
+    // lgConfigK=12 keeps HLL++ error ~1.6 %; allow 5 %.
+    exact.foreach { case (t, n) =>
+      assert(math.abs(est(t) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"per-type estimate off for $t: ${est(t)} vs $n")
+    }
+    assert(math.abs(est("(all)") - exactAll)
+        <= math.max(1L, (exactAll * 0.05).toLong),
+      s"merged estimate off: ${est("(all)")} vs $exactAll")
+  }
+
   test("triplet invariants: pos label = anchor label != neg label") {
     val t = Vectors.defs("triplet_mine")(spark, sfDir)
       .select("anchor_id", "pos_id", "neg_id").as[(Long, Long, Long)].collect()
