@@ -277,6 +277,147 @@ class GraftEngine(val spark: SparkSession) {
   def compactIvfIndex(indexPath: String): Unit =
     graft.streaming.StreamOps.compactIvfIndex(spark, indexPath)
 
+  /** Okapi BM25 (k1=1.2, b=0.75) scores of every (id, text) document
+    * for a bag-of-words query — the lexical arm of hybrid retrieval.
+    * The corpus shuffles once (tf aggregation); document frequencies
+    * and corpus stats broadcast. Output: (id, score), docs matching
+    * no query token absent.
+    */
+  def bm25(documents: DataFrame, queryTokens: Seq[String]): DataFrame =
+    graft.operators.Relevance.bm25(
+      documents.select(col("id").as("doc_id"), col("text")), queryTokens)
+      .select(col("doc_id").as("id"), col("score"))
+
+  /** Reciprocal Rank Fusion of two ranked lists (id, rank): rrf =
+    * Σ 1/(rrfK + rank), arms missing an id contribute 0. The standard
+    * hybrid-search combiner (lexical + vector) — rank-based, so it
+    * needs no score calibration between arms.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, rrfK: Int = 60): DataFrame =
+    a.select(col("id").as("ida"), col("rank").as("ra"))
+      .join(b.select(col("id").as("idb"), col("rank").as("rb")),
+        col("ida") === col("idb"), "full_outer")
+      .select(coalesce(col("ida"), col("idb")).as("id"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("ra")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(rrfK) + col("rb")), lit(0.0))).as("rrf"))
+
+  /** Sign-bit binary codes for an (id, embedding ARRAY<DOUBLE>[64])
+    * table: two 32-bit words per vector (bit i of word w set iff
+    * dim 32w+i > 0) — 64× smaller than fp32, Hamming-searchable with
+    * XOR+popcount. One map-side pass.
+    */
+  def binaryCodes(vectors: DataFrame): DataFrame =
+    graft.operators.BinaryQuantize.codes(
+      vectors.select(col("id").as("vec_id"), col("embedding")))
+      .withColumnRenamed("vec_id", "id")
+
+  /** Hamming-prefilter ANN: rank the corpus by integer Hamming
+    * distance between binary codes, keep `candidates`, rerank those
+    * by exact cosine and return top `k`. The
+    * compress → coarse-rank → exact-rerank cascade: full-precision
+    * vectors are touched for only `candidates` rows at any corpus
+    * size. `query` is a 1-row (id, embedding) table.
+    */
+  def hammingSearch(corpus: DataFrame, query: DataFrame,
+                    candidates: Int, k: Int): DataFrame = {
+    val c = binaryCodes(corpus)
+    val qc = binaryCodes(query).select(col("w0").as("q0"), col("w1").as("q1"))
+    val qv = query.select(col("embedding").as("qv"), col("id").as("qid"))
+    val cand = c.crossJoin(broadcast(qc))
+      .withColumn("hamming",
+        expr("bit_count(w0 ^ q0) + bit_count(w1 ^ q1)").cast("int"))
+      .select("id", "hamming")
+      .orderBy(col("hamming"), col("id")).limit(candidates)
+    cand.join(corpus.select("id", "embedding"), "id")
+      .crossJoin(broadcast(qv))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("score", V.cosine(col("embedding"), col("qv")))
+      .select("id", "hamming", "score")
+      .orderBy(col("score").desc, col("id")).limit(k)
+  }
+
+  /** Copy-on-write MERGE: `updates` rows replace same-`keyCol` rows of
+    * `base` (all non-key columns taken from the update) and insert
+    * where unmatched — the CDC upsert shape. Both inputs need
+    * identical schemas. Returns the merged table (lazy); write it as
+    * the next snapshot.
+    */
+  def mergeUpsert(base: DataFrame, updates: DataFrame,
+                  keyCol: String): DataFrame = {
+    val cols = base.columns
+    require(updates.columns.sameElements(cols),
+      "base and updates must share one schema")
+    val b = cols.foldLeft(base)((df, c) => df.withColumnRenamed(c, s"b_$c"))
+    val u = cols.foldLeft(updates)((df, c) => df.withColumnRenamed(c, s"u_$c"))
+    b.join(u, col(s"b_$keyCol") === col(s"u_$keyCol"), "full_outer")
+      .select(cols.map(c =>
+        coalesce(col(s"u_$c"), col(s"b_$c")).as(c)): _*)
+  }
+
+  /** Z-order clustering key over two non-negative integer columns
+    * (`bits` low bits each, interleaved x-even / y-odd). Range-
+    * partitioning + sorting a write by this key keeps BOTH columns'
+    * min/max narrow per file, so file-stat pruning works for
+    * predicates on either — the multi-column data-skipping layout.
+    */
+  def zOrderKey(x: Column, y: Column, bits: Int = 10): Column =
+    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
+      (acc, i) => acc
+        + call_function("shiftleft",
+            call_function("shiftright", x, i).bitwiseAND(lit(1L)), i * 2)
+        + call_function("shiftleft",
+            call_function("shiftright", y, i).bitwiseAND(lit(1L)),
+            i * 2 + lit(1)))
+
+  /** Incremental dedup of an arriving (id, text) batch against a
+    * standing corpus: returns (id, dup_of, is_new) — verbatim
+    * re-ingests resolve to their existing survivor (min corpus id per
+    * content hash), new content passes. Batch-sized shuffle join on
+    * the hash; Bloom-prefilter the batch against corpus hashes first
+    * at very large scale ([[bloomPrefilter]]).
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val norm = md5(lower(trim(col("text"))))
+    val index = corpus.select(norm.as("h"), col("id"))
+      .groupBy("h").agg(min(col("id")).as("dup_of"))
+    batch.withColumn("h", norm)
+      .join(index, Seq("h"), "left")
+      .select(col("id"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("dup_of").isNull.cast("int").as("is_new"))
+  }
+
+  /** Triangle count over an undirected (a < b) edge list — the
+    * clustering-structure summary of a similarity graph. Two
+    * edge-list self-joins; at scale both shuffle on their join keys.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    e.select(col("a").as("x"), col("b").as("y"))
+      .join(e.select(col("a").as("y2"), col("b").as("z2")),
+        col("y") === col("y2"))
+      .join(e.select(col("a").as("x3"), col("b").as("z3")),
+        col("x") === col("x3") && col("z2") === col("z3"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Per-stratum deterministic hash sampling: each row keeps iff its
+    * md5(key) prefix falls under its stratum's rate — the multilingual
+    * rebalancing pass, reproducible across runs/engines/cluster sizes
+    * and map-side like [[sampleByHash]]. `rates` maps stratum value →
+    * fraction; absent strata use `defaultRate`.
+    */
+  def stratifiedSampleByHash(df: DataFrame, keyCol: String,
+                             strataCol: String, rates: Map[String, Double],
+                             defaultRate: Double): DataFrame = {
+    def cut(f: Double) = lit(math.round(f * 65536).toInt)
+    val rateCol = rates.foldLeft(cut(defaultRate)) { case (acc, (v, f)) =>
+      when(col(strataCol) === v, cut(f)).otherwise(acc)
+    }
+    df.filter(conv(substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10)
+      .cast("int") < rateCol)
+  }
+
   /** The reference's S1: mine (anchor, positive, negative) triplets
     * from a labeled embedding table (id, embedding, label) for the
     * given anchor ids. Positive = same-label max-cosine, negative =

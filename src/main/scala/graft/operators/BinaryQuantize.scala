@@ -34,7 +34,7 @@ object BinaryQuantize {
   /** Sign-bit codes: w0 = dims 0..31, w1 = dims 32..63 (bit i of
     * word w = 1 iff embedding[32w + i] > 0).
     */
-  private def codes(e: DataFrame): DataFrame =
+  def codes(e: DataFrame): DataFrame =
     e.select(col("vec_id"),
       expr("aggregate(sequence(0, 31), 0L, (acc, i) -> " +
         "acc + IF(element_at(embedding, i + 1) > 0D, shiftleft(1L, i), 0L))")

@@ -121,6 +121,42 @@ object GraphOps {
         minLabelComponents(docs.select(col("doc_id").as("id")), pairs)
       })
 
+  /** Undirected edge list (a < b) of the IVF-probed top-3 cosine
+    * neighbor graph over the embeddings fixture — candidates come from
+    * each vector's 2 probed centroid partitions (a shuffle join on the
+    * cluster key, never a corpus broadcast; the 4 fixture centroids
+    * are k=4096 at 100 TB, where the cluster key fans out naturally).
+    * Exposed (pre-checkpoint) so PlanSpec can pin the candidate-join
+    * shape that `graph_triangle_count`'s eager checkpoint hides.
+    */
+  def knnGraphEdges(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{VectorOps => V}
+    val e = TestData.embeddings(s, d)
+    val cents = Vectors.fixedCentroids(e)
+    val assigned = V.assignToCentroids(e, cents, Seq("vec_id", "embedding"))
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("qdist"), col("cid"))
+    val probes = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("qdist", V.sqDist(col("qv"), col("cv")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= 2)
+      .select(col("qid"), col("qv"), col("cid").as("probe_cluster"))
+    val wTop = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("vec_id"))
+    assigned
+      .join(probes.hint("shuffle_hash"),
+        col("cluster") === col("probe_cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("score", V.cosine(col("embedding"), col("qv")))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 3)
+      .select(least(col("qid"), col("vec_id")).as("a"),
+              greatest(col("qid"), col("vec_id")).as("b"))
+      .distinct()
+  }
+
   val defs: Map[String, Q] = Map(
     "dedup_components" -> ((s, d) =>
       fixtureComponents(s, d)
@@ -154,36 +190,9 @@ object GraphOps {
     // top-3 neighbor lists; triangles = the classic two-hop edge
     // self-join with a < b < c so each triangle counts once.
     "graph_triangle_count" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      import graft.functions.{VectorOps => V}
-      val e = TestData.embeddings(s, d)
-      val cents = Vectors.fixedCentroids(e)
-      val assigned = V.assignToCentroids(e, cents, Seq("vec_id", "embedding"))
-        .select(col("vec_id"), col("embedding"), col("cluster"))
-      val wProbe = Window.partitionBy("qid").orderBy(col("qdist"), col("cid"))
-      val probes = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        .crossJoin(broadcast(cents))
-        .withColumn("qdist", V.sqDist(col("qv"), col("cv")))
-        .withColumn("pr", row_number().over(wProbe))
-        .filter(col("pr") <= 2)
-        .select(col("qid"), col("qv"), col("cid").as("probe_cluster"))
-      val wTop = Window.partitionBy("qid")
-        .orderBy(col("score").desc, col("vec_id"))
-      val knn = assigned
-        .join(probes.hint("shuffle_hash"),
-          col("cluster") === col("probe_cluster"))
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("score", V.cosine(col("embedding"), col("qv")))
-        .withColumn("rnk", row_number().over(wTop))
-        .filter(col("rnk") <= 3)
-        .select(col("qid"), col("vec_id").as("nn"))
       // Materialize once: three self-join branches below would each
       // re-run the whole kNN pipeline. The edge list is 2 longs/edge.
-      val edges = knn
-        .select(least(col("qid"), col("nn")).as("a"),
-                greatest(col("qid"), col("nn")).as("b"))
-        .distinct()
-        .localCheckpoint()
+      val edges = knnGraphEdges(s, d).localCheckpoint()
       val tri = edges.select(col("a").as("x"), col("b").as("y"))
         .join(edges.select(col("a").as("y2"), col("b").as("z2")),
           col("y") === col("y2"))

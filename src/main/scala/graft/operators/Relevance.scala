@@ -35,12 +35,12 @@ object Relevance {
     * IEEE arithmetic is identical on both engines. Output:
     * (doc_id, score), docs with no query token absent.
     */
-  private def bm25(docs: DataFrame): DataFrame = {
+  def bm25(docs: DataFrame, queryTokens: Seq[String] = QueryTokens): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
     val dl = toks.select(col("doc_id"), size(col("toks")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val tf = toks.select(col("doc_id"), explode(col("toks")).as("token"))
-      .filter(col("token").isin(QueryTokens: _*))
+      .filter(col("token").isin(queryTokens: _*))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "token")

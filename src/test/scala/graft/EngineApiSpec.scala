@@ -216,4 +216,99 @@ class EngineApiSpec extends SparkSpec {
                                k = 5, nProbe = 2)
     assert(res.count() === 15)
   }
+
+  test("bm25 + rrfFuse build a hybrid ranking through the facade") {
+    val lex = engine.bm25(docs, Seq("join", "scan"))
+    assert(lex.count() > 0)
+    // rank both arms, fuse; every fused id carries a positive rrf and
+    // ids present in both arms beat the same rank in only one
+    import org.apache.spark.sql.expressions.Window
+    val lr = lex.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("id"))))
+      .select("id", "rank").limit(20)
+    val vr = engine.knn(emb, emb.filter(col("id") === 0), 20)
+      .select(col("neighborId").as("id"), col("rank"))
+    val fused = engine.rrfFuse(lr, vr).collect()
+    assert(fused.nonEmpty)
+    assert(fused.forall(_.getDouble(1) > 0))
+    val both = 1.0 / 61 + 1.0 / 61
+    assert(fused.forall(_.getDouble(1) <= both + 1e-12))
+  }
+
+  test("hammingSearch candidates cover the exact top-1 neighbor") {
+    val query = emb.filter(col("id") === 7)
+    val res = engine.hammingSearch(emb, query, candidates = 50, k = 5)
+      .collect()
+    assert(res.length === 5)
+    assert(res.forall(_.getLong(0) != 7L), "no self-match")
+    val exactTop = engine.knn(emb, query, 1).select("neighborId")
+      .as[Long].head()
+    // 50 Hamming candidates out of 500 must retain the true top-1
+    // (sign-bit codes preserve cosine neighborhoods on this fixture)
+    assert(res.map(_.getLong(0)).contains(exactTop),
+      s"exact top-1 $exactTop missing from rerank output")
+  }
+
+  test("mergeUpsert replaces matched rows and inserts the rest") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v")
+    val upd = Seq((2L, "B", 200.0), (9L, "z", 90.0)).toDF("id", "name", "v")
+    val got = engine.mergeUpsert(base, upd, "id")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "a", 10.0), (2L, "B", 200.0),
+      (3L, "c", 30.0), (9L, "z", 90.0)))
+  }
+
+  test("zOrderKey interleaves bits and bounds both dims per key range") {
+    val df = spark.range(0, 1024).select(
+      (col("id") % 32).as("x"), (col("id") / 32).cast("long").as("y"))
+      .withColumn("z", engine.zOrderKey(col("x"), col("y"), bits = 5))
+    val rows = df.as[(Long, Long, Long)].collect()
+    // spot-check the interleave: x=3 (011), y=5 (101) → z = 100111 = 39
+    assert(rows.find(r => r._1 == 3 && r._2 == 5).get._3 === 39L)
+    // every 64-wide z bucket spans at most 8 distinct x and 8 distinct y
+    val spans = rows.groupBy(_._3 / 64).values.map { g =>
+      (g.map(_._1).distinct.size, g.map(_._2).distinct.size)
+    }
+    assert(spans.forall { case (sx, sy) => sx <= 8 && sy <= 8 },
+      "z-order locality violated")
+  }
+
+  test("incrementalDedup resolves verbatim re-ingests, passes edits") {
+    val batch = docs.filter(col("id") < 4)
+      .withColumn("id", col("id") + 70000)
+      .withColumn("text",
+        when(col("id") % 2 === 0, concat(col("text"), lit(" tail")))
+          .otherwise(col("text")))
+    val got = engine.incrementalDedup(docs, batch)
+      .select("id", "dup_of", "is_new")
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    got.foreach { case (id, dupOf, isNew) =>
+      if (id % 2 == 0) assert(isNew === 1 && dupOf === -1L, s"edited $id")
+      else assert(isNew === 0 && dupOf === id - 70000, s"verbatim $id")
+    }
+  }
+
+  test("triangleCount counts each triangle once") {
+    // K4 minus one edge = 2 triangles
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("a", "b")
+    assert(engine.triangleCount(edges).as[Long].head() === 2L)
+  }
+
+  test("stratifiedSampleByHash applies per-stratum rates, deterministic") {
+    val s1 = engine.stratifiedSampleByHash(docs, "id", "lang",
+      Map("en" -> 0.5), defaultRate = 0.1)
+    val s2 = engine.stratifiedSampleByHash(docs, "id", "lang",
+      Map("en" -> 0.5), defaultRate = 0.1)
+    val ids1 = s1.select("id").as[Long].collect().toSet
+    assert(ids1 === s2.select("id").as[Long].collect().toSet,
+      "hash sampling must be reproducible")
+    val byLang = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // loose binomial bounds: en near 50 %, others near 10 %
+    assert(byLang("en").toDouble / totals("en") > 0.3)
+    assert(byLang.filterNot(_._1 == "en").forall { case (l, n) =>
+      n.toDouble / totals(l) < 0.3 })
+  }
 }

@@ -199,6 +199,48 @@ class PlanSpec extends SparkSpec {
       s"no corpus-side cartesian allowed:\n${p.take(800)}")
   }
 
+  test("hamming search plans integer top-k, full vectors fetched post-candidate") {
+    val p = plan("ann_hamming_topk")
+    // Candidate selection over the 2-word codes is a
+    // TakeOrderedAndProject on the int Hamming distance — never a
+    // global sort of the corpus.
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("CartesianProduct"),
+      s"query code must broadcast, not cartesian:\n${p.take(800)}")
+  }
+
+  test("triangle-count kNN graph joins on the cluster key — no corpus broadcast") {
+    // graph_triangle_count eagerly checkpoints the edge list, so the
+    // candidate-join shape is pinned on the pre-checkpoint pipeline.
+    val df = GraphOps.knnGraphEdges(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // The probe↔assigned join must shuffle on the cluster key; the
+    // only broadcast is the centroid table (4 rows) — never the
+    // embedding corpus.
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"candidate generation must shuffle on the cluster key:\n${p.take(800)}")
+  }
+
+  test("stratified sampling stays map-side: no exchange below the filter") {
+    val df = SparkEntry.queries("sample_stratified")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // One scan → filter → sort for output. The only exchange allowed
+    // is the final output ordering's range exchange.
+    val body = p.split("Exchange rangepartitioning")(0)
+    assert(!body.contains("Exchange hashpartitioning"),
+      s"stratum rate lookup must be a CASE, not a join/shuffle:\n${p.take(800)}")
+  }
+
+  test("BM25 broadcasts only model-sized sides (df/stats), corpus shuffles once") {
+    val df = SparkEntry.queries("text_bm25_topk")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"),
+      s"stats join must broadcast the 1-row side:\n${p.take(800)}")
+  }
+
   test("custom cosine expression compiles into whole-stage codegen") {
     val df = SparkEntry.queries("dup_pairs_cosine")(spark, sfDir)
     df.collect() // finalize the adaptive plan
