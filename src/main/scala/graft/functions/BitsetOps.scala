@@ -59,6 +59,57 @@ case class CharNgrams(left: Expression, right: Expression)
   }
 }
 
+/** Distinct k-word shingles of a whitespace-tokenized string, in
+  * first-occurrence order (deterministic) — the word-level sibling of
+  * [[CharNgrams]], feeding the containment/Jaccard set cores. The HOF
+  * form (`split` → `transform(sequence(...), concat ...)` →
+  * `array_distinct`) measured ~4 s of the containment encode at
+  * sf0.1; this is one pass with a hash set. Runs once per document —
+  * CodegenFallback.
+  */
+case class WordShingles(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects (STRING, INT), got (${left.dataType}, ${right.dataType})")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordShingles =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(text: Any, kAny: Any): Any = {
+    val toks = text.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val k = kAny.asInstanceOf[Int]
+    if (k < 1 || toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + k <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** ARRAY<LONG> bitset of `nwords` words with the given bit indices
   * set. Indices ≥ nwords·64 are ignored (call sites size correctly).
   * Runs once per document — CodegenFallback, single pass.

@@ -120,6 +120,29 @@ object AnnSearch {
         .orderBy("qid", "rnk")
     }),
 
+    // Matryoshka (prefix-dimension) search: coarse-rank the corpus by
+    // cosine over the FIRST 16 of 64 dims — 4× less arithmetic and,
+    // with MRL-trained embeddings, most of the ordering — then rerank
+    // the top-50 with the full vectors. Same cascade as the
+    // quantized searches but cutting dimensions instead of precision;
+    // at 100 TB the prefix columns can even live in a separate narrow
+    // parquet so the coarse pass scans a quarter of the bytes.
+    "ann_matryoshka_topk" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvf"),
+                slice(col("embedding"), 1, 16).as("qvp"))
+      val cand = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .withColumn("coarse",
+          V.cosine(slice(col("embedding"), 1, 16), col("qvp")))
+        .select(col("vec_id"), col("embedding"), col("qvf"), col("coarse"))
+        .orderBy(col("coarse").desc, col("vec_id")).limit(50)
+      cand
+        .select(col("vec_id"), r4(col("coarse")).as("coarse_cos"),
+          r4(V.cosine(col("embedding"), col("qvf"))).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(10)
+    }),
+
     // Range search — the other vector-DB query type: ALL neighbors
     // above a similarity threshold, not a fixed k (radius queries,
     // dedup-by-similarity, recall evaluation). Query set broadcasts;
@@ -259,6 +282,18 @@ object AnnSearch {
         |          ORDER BY score DESC, vec_id) AS rnk
         |      FROM hits)
         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "ann_matryoshka_topk" ->
+      s"""WITH qv AS (SELECT $E AS qvf, ($E)[1:16] AS qvp
+        |            FROM embeddings WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT e.vec_id, e.$E AS ev, qv.qvf,
+        |    list_cosine_similarity((e.$E)[1:16], qv.qvp) AS coarse
+        |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0
+        |  ORDER BY coarse DESC, vec_id LIMIT 50)
+        |SELECT vec_id,
+        |  floor((coarse)*10000 + 0.5)/10000 AS coarse_cos,
+        |  floor((list_cosine_similarity(ev, qvf))*10000 + 0.5)/10000 AS cos
+        |FROM cand ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "ann_cosine_range" ->
       s"""WITH q AS (SELECT vec_id AS qid, $E AS qv FROM embeddings
         |           WHERE vec_id < 5)

@@ -114,9 +114,10 @@ object GraphOps {
         graft.sources.WriteOnce.inputTag(d, "documents"),
       _ => {
         val docs = TestData.documents(s, d)
-        // Edge stage: the shared shuffle-join Jaccard pairs (no corpus
-        // broadcast — see TextOps.jaccardPairs for the 100 TB shape).
-        val pairs = TextOps.jaccardPairs(docs)
+        // Edge stage: the memoized shuffle-join Jaccard pairs (no
+        // corpus broadcast — see TextOps.jaccardPairs for the 100 TB
+        // shape), shared with dedup_jaccard_pairs.
+        val pairs = TextOps.fixtureJaccardPairs(s, d)
           .select(col("id_a").as("src"), col("id_b").as("dst"))
         minLabelComponents(docs.select(col("doc_id").as("id")), pairs)
       })

@@ -156,6 +156,38 @@ object ScalePatterns {
         .orderBy("c_mktsegment")
     }),
 
+    // BUCKETED interval join: the scale shape for temporal range
+    // joins. A raw `p.ts BETWEEN s.ts AND s.ts + w` condition can't
+    // equi-partition, so Spark plans it as a nested-loop per key; the
+    // fix is to quantize time into w-wide buckets — each interval
+    // spans at most 2 buckets, the left side emits both, the right
+    // side emits one, and the join becomes an EQUI join on
+    // (user, bucket) with the exact range predicate as a residual.
+    // Every matching pair shares exactly one (bucket from the left's
+    // two) with the right row, so no pair is duplicated and none is
+    // lost — the oracle runs the plain unbucketed join. Output sums
+    // integer microsecond delays: exact.
+    "join_interval_bucketed" -> ((s, d) => {
+      val B = 600L * 1000000L // bucket width = the 10-min window, in µs
+      val ev = TestData.events(s, d)
+      val sg = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("u"), col("ts").as("signup_ts"))
+        .withColumn("b", explode(array(
+          expr(s"unix_micros(signup_ts) DIV $B"),
+          expr(s"unix_micros(signup_ts) DIV $B + 1"))))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"))
+        .withColumn("pb", expr(s"unix_micros(purchase_ts) DIV $B"))
+      sg.join(pu.hint("shuffle_hash"),
+          col("u") === col("user_id") && col("b") === col("pb")
+            && col("purchase_ts") >= col("signup_ts")
+            && col("purchase_ts") <= col("signup_ts")
+                 + expr("INTERVAL 10 MINUTES"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(unix_micros(col("purchase_ts"))
+            - unix_micros(col("signup_ts"))).as("sum_delay_us"))
+    }),
+
     // Bloom-filter semi-join reduction: a KB-scale filter built from
     // the selective dim side's keys kills non-joining fact rows
     // MAP-SIDE, before the shuffle — at 100 TB this is the difference
@@ -203,6 +235,13 @@ object ScalePatterns {
         |  floor((sum(value))*10000 + 0.5)/10000 AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_interval_bucketed" ->
+      """SELECT count(*)::BIGINT AS n_pairs,
+        |  sum(epoch_us(p.ts) - epoch_us(s.ts))::BIGINT AS sum_delay_us
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON s.user_id = p.user_id
+        |  AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 10 MINUTE""".stripMargin,
     "join_bloom_prefilter" ->
       """SELECT count(*) AS n,
         |  floor((sum(o_totalprice))*10000 + 0.5)/10000 AS revenue

@@ -42,6 +42,21 @@ object Vectors {
         .select(col("vec_id"), r4(V.l2norm(col("embedding"))).as("nrm"))
         .orderBy("vec_id")),
 
+    // Per-dimension corpus statistics — the normalization/whitening
+    // stats pass every embedding pipeline runs before quantizing
+    // (scalar-quantizer ranges, mean-centering, dead-dimension
+    // detection). One explode + two-phase aggregate; output is
+    // dim-sized regardless of corpus size.
+    "vec_dim_stats" -> ((s, d) =>
+      TestData.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("dim")
+        .agg(r4(avg(col("v"))).as("mean"),
+             r4(stddev_samp(col("v"))).as("std"),
+             r4(min(col("v"))).as("mn"),
+             r4(max(col("v"))).as("mx"))
+        .orderBy("dim")),
+
     "vec_normalize" -> ((s, d) =>
       TestData.embeddings(s, d)
         .withColumn("nrm", V.l2norm(col("embedding")))
@@ -256,6 +271,17 @@ object Vectors {
       s"""SELECT vec_id,
         |  floor((sqrt(list_sum(list_transform($E, x -> x*x))))*10000 + 0.5)/10000 AS nrm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "vec_dim_stats" ->
+      s"""WITH x AS (
+        |  SELECT i - 1 AS dim, ($E)[i] AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i))
+        |SELECT dim,
+        |  floor((avg(v))*10000 + 0.5)/10000 AS mean,
+        |  floor((stddev_samp(v))*10000 + 0.5)/10000 AS std,
+        |  floor((min(v))*10000 + 0.5)/10000 AS mn,
+        |  floor((max(v))*10000 + 0.5)/10000 AS mx
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
     "vec_normalize" ->
       s"""SELECT vec_id,
         |  floor((sqrt(list_sum(list_transform(list_transform($E,

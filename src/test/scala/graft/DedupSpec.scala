@@ -141,6 +141,42 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture must actually contain near-dup pairs")
   }
 
+  test("both containment cores equal unblocked brute force on a random corpus") {
+    val rnd = new scala.util.Random(13)
+    val vocab = (0 until 80).map(i => s"s$i")
+    def randDoc(): Seq[String] =
+      Seq.fill(12 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
+    val base = (1 to 25).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de", randDoc().distinct))
+    // planted containments: a strict subset of an existing doc
+    val subs = (1 to 10).map { i =>
+      val (_, l, t) = base(i)
+      (200L + i, l, t.take(math.max(2, (t.size * 0.95).toInt)))
+    }
+    import spark.implicits._
+    val sets = (base ++ subs).toDF("doc_id", "lang", "elems")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val viaBitmap = pairs(TextOps.containmentBitmapPairs(sets, 0.9))
+    val viaPrefix = pairs(TextOps.containmentPrefixPairs(sets, 0.9))
+    val a = sets.select(col("doc_id").as("ia"), col("lang").as("la"),
+      col("elems").as("sa"))
+    val b = sets.select(col("doc_id").as("ib"), col("lang").as("lb"),
+      col("elems").as("sb"))
+    val brute = a.join(b, col("la") === col("lb") && col("ia") =!= col("ib"))
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .filter(col("i") * 10 >= size(col("sa")) * 9)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(viaBitmap == brute,
+      s"bitmap: missing=${brute.diff(viaBitmap).take(5)} extra=${viaBitmap.diff(brute).take(5)}")
+    assert(viaPrefix == brute,
+      s"prefix: missing=${brute.diff(viaPrefix).take(5)} extra=${viaPrefix.diff(brute).take(5)}")
+    // planted subsets must be flagged as contained in their supersets
+    (1 to 10).foreach { i =>
+      assert(brute.contains((200L + i, base(i)._1)), s"planted subset $i missing")
+    }
+  }
+
   test("jaccardPairs finds identical-token-set same-lang pairs, cross-lang never") {
     val out = TextOps.jaccardPairs(docsDf(Seq(
         (1L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

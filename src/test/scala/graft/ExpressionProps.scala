@@ -95,6 +95,34 @@ object ExpressionProps extends Properties("graft.expressions") {
       ngramsEval(s, n) == Seq.empty[String]
     }
 
+  private def shinglesEval(s: String, k: Int): Seq[String] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types.IntegerType
+    graft.functions.WordShingles(
+      Literal(UTF8String.fromString(s), org.apache.spark.sql.types.StringType),
+      Literal(k, IntegerType)).eval(null)
+      .asInstanceOf[ArrayData].toObjectArray(org.apache.spark.sql.types.StringType)
+      .map(_.toString).toSeq
+  }
+
+  private val tokenStr: Gen[String] =
+    Gen.listOf(Gen.oneOf("aa", "b", "cc", "d", "", "ee"))
+      .map(_.mkString(" "))
+
+  property("word_shingles equals distinct sliding k-token windows in order") =
+    Prop.forAll(tokenStr, Gen.choose(1, 3)) { (s, k) =>
+      val toks = s.split(" ", -1).toSeq
+      val expected =
+        if (toks.length < k) Seq.empty[String]
+        else (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" ")).distinct
+      shinglesEval(s, k) == expected
+    }
+
+  property("word_shingles with k < 1 returns empty instead of throwing") =
+    Prop.forAll(tokenStr, Gen.choose(-2, 0)) { (s, k) =>
+      shinglesEval(s, k) == Seq.empty[String]
+    }
+
   private def bitsetOf(idxs: Array[Int], nwords: Int): ArrayData = {
     import org.apache.spark.sql.types.IntegerType
     graft.functions.BitsetFromIndices(
