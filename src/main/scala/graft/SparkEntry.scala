@@ -41,7 +41,8 @@ object SparkEntry {
     (EmbedDedup.defs, EmbedDedup.oracles),
     (Relevance.defs, Relevance.oracles),
     (BinaryQuantize.defs, BinaryQuantize.oracles),
-    (Maintenance.defs, Maintenance.oracles)
+    (Maintenance.defs, Maintenance.oracles),
+    (Curation.defs, Curation.oracles)
   )
 
   /** Flagship on sf0.001 (driver smoke-checks rows>0): the

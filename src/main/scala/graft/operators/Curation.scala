@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.TestData
+import graft.TestData.r4
+
+/** Training-data curation operators — the cleaning/selection passes a
+  * corpus goes through between crawling and training: benchmark
+  * decontamination, repetition-based quality filtering, PII
+  * redaction, and the language-mix manifest that decides per-stratum
+  * sampling rates.
+  *
+  * Scale shapes: decontamination broadcasts the (tiny) benchmark
+  * shingle set and stays map-side on the corpus; repetition and PII
+  * are one-pass map-side scans; the mix manifest is a language-sized
+  * aggregate joined back as a broadcast.
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def shingles(text: org.apache.spark.sql.Column, k: Int) = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.WordShingles(
+      Bridge.expression(text), Bridge.expression(lit(k))))
+  }
+
+  val defs: Map[String, Q] = Map(
+    // Benchmark DECONTAMINATION: flag corpus documents sharing any
+    // 5-token shingle with the held-out evaluation set (here: a
+    // planted eval split, doc_id % 97 = 3) — the pass that keeps test
+    // data out of the training mix. The eval side is benchmark-sized
+    // (thousands of docs at worst), so its shingle set broadcasts and
+    // the corpus-side probe is one map-side scan + a small aggregate;
+    // 13-gram character windows (the common production choice) drop
+    // into the same shape via CharNgrams.
+    "dedup_decontaminate" -> ((s, d) => {
+      val docs = TestData.documents(s, d)
+      val evalSet = docs.filter(expr("doc_id % 97 = 3"))
+        .select(col("doc_id").as("eval_id"),
+          explode(shingles(col("text"), 5)).as("sh"))
+        .distinct()
+      val corpus = docs.filter(expr("doc_id % 97 <> 3"))
+        .select(col("doc_id"), explode(shingles(col("text"), 5)).as("sh"))
+      corpus.join(broadcast(evalSet), "sh")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("eval_id")).as("n_eval_hits"),
+             min(col("eval_id")).as("first_eval_id"))
+        .orderBy("doc_id")
+    }),
+
+    // Repetition ratio (Gopher-style quality signal): the fraction of
+    // a document's 2-grams that are repeats — high values mark
+    // degenerate boilerplate/keyword-stuffed pages. total = n_tokens−1
+    // (with duplicates), distinct from the single-pass WordShingles
+    // set; all map-side.
+    "text_repetition_score" -> ((s, d) =>
+      TestData.documents(s, d)
+        .withColumn("n_toks", size(split(col("text"), " ")))
+        .filter(col("n_toks") >= 2)
+        .select(col("doc_id"),
+          (col("n_toks") - 1).as("n_bigrams"),
+          size(shingles(col("text"), 2)).as("n_distinct"),
+          r4(lit(1.0) - size(shingles(col("text"), 2)).cast("double")
+            / (col("n_toks") - 1)).as("rep_ratio"))
+        .orderBy("doc_id")),
+
+    // PII redaction: regex-scrub emails and phone-shaped numbers
+    // (planted — the fixture is synthetic) and count what was removed
+    // per doc. Patterns stay in the Java∩DuckDB regex subset; the
+    // scrub is one map-side pass, the shape of every
+    // normalize-before-training pass.
+    "text_pii_redact" -> ((s, d) => {
+      val planted = TestData.documents(s, d)
+        .withColumn("text",
+          when(expr("doc_id % 10 = 4"),
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@mail.example now")))
+          .when(expr("doc_id % 10 = 9"),
+            concat(col("text"), lit(" call 555-"),
+              (col("doc_id") % 9000 + 1000).cast("string"), lit(" today")))
+          .otherwise(col("text")))
+      val email = "[a-z0-9.]+@[a-z0-9.]+"
+      val phone = "[0-9]{3}-[0-9]{4}"
+      planted.select(col("doc_id"),
+          regexp_count(col("text"), lit(email)).as("n_emails"),
+          regexp_count(col("text"), lit(phone)).as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+            phone, "<PHONE>")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Mix manifest: per-language token counts vs an equal-share
+    // target, yielding the per-stratum sampling rate a weighted
+    // training mix applies (rate = min(1, target/actual); feed it to
+    // sample_stratified / stratifiedSampleByHash). Language-sized
+    // output at any corpus size.
+    "pipeline_mix_manifest" -> ((s, d) => {
+      val tok = TestData.documents(s, d)
+        .select(col("lang"), (size(split(col("text"), " "))).as("nt"))
+      val per = tok.groupBy("lang").agg(sum(col("nt")).as("n_tokens"))
+      val tot = per.agg(sum(col("n_tokens")).as("total"),
+                        count(lit(1)).as("n_langs"))
+      per.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_tokens"),
+          r4(least(lit(1.0),
+            (col("total").cast("double") / col("n_langs"))
+              / col("n_tokens"))).as("sample_rate"))
+        .orderBy("lang")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id, array_to_string(toks[i : i + 4], ' ') AS sh
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i)
+        |  WHERE len(toks) >= 5),
+        |ev AS (
+        |  SELECT DISTINCT doc_id AS eval_id, sh FROM sh WHERE doc_id % 97 = 3),
+        |hits AS (
+        |  SELECT DISTINCT s.doc_id, e.eval_id
+        |  FROM sh s JOIN ev e USING (sh) WHERE s.doc_id % 97 <> 3)
+        |SELECT doc_id, count(*)::BIGINT AS n_eval_hits,
+        |  min(eval_id) AS first_eval_id
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_repetition_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (
+        |  SELECT doc_id, len(toks) - 1 AS n_bigrams,
+        |    len(list_distinct([toks[i] || ' ' || toks[i+1]
+        |                       for i in range(1, len(toks))])) AS n_distinct
+        |  FROM t WHERE len(toks) >= 2)
+        |SELECT doc_id, n_bigrams, n_distinct,
+        |  floor((1.0 - n_distinct::DOUBLE / n_bigrams)*10000 + 0.5)/10000
+        |    AS rep_ratio
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "text_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 4
+        |           THEN text || ' contact user' || doc_id || '@mail.example now'
+        |         WHEN doc_id % 10 = 9
+        |           THEN text || ' call 555-' || (doc_id % 9000 + 1000) || ' today'
+        |         ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) AS n_emails,
+        |  len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}')) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "pipeline_mix_manifest" ->
+      """WITH per AS (
+        |  SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (
+        |  SELECT sum(n_tokens)::BIGINT AS total, count(*)::BIGINT AS n_langs
+        |  FROM per)
+        |SELECT lang, n_tokens,
+        |  floor((least(1.0, (total::DOUBLE / n_langs) / n_tokens))*10000
+        |    + 0.5)/10000 AS sample_rate
+        |FROM per CROSS JOIN tot ORDER BY lang""".stripMargin
+  )
+}
