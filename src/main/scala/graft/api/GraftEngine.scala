@@ -418,6 +418,42 @@ class GraftEngine(val spark: SparkSession) {
       .cast("int") < rateCol)
   }
 
+  /** Fixed-size token chunking with overlap over an (id, text) table
+    * — the RAG/encoder windowing pass. Output: (id, chunk_id,
+    * chunk_text); map-side array arithmetic, no shuffle.
+    */
+  def chunkTokens(documents: DataFrame, size: Int, stride: Int): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      s"need 1 <= stride <= size, got size=$size stride=$stride")
+    documents
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("nc", expr(
+        s"IF(size(toks) <= $size, 1, ((size(toks) - $size + ${stride - 1}) DIV $stride) + 1)"))
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, nc - 1), i -> array_join(slice(toks, i * $stride + 1, $size), ' '))")))
+      .select(col("id"), col("pos").as("chunk_id"), col("col").as("chunk_text"))
+  }
+
+  /** Benchmark decontamination: corpus documents sharing any k-token
+    * shingle with `benchmark` (both (id, text)). The benchmark side is
+    * small by definition, so its shingle set broadcasts and the corpus
+    * probe is one map-side scan. Output: (id, n_eval_hits,
+    * first_eval_id) for contaminated docs only.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    def sh(c: Column) = Bridge.column(graft.functions.WordShingles(
+      Bridge.expression(c), Bridge.expression(lit(k))))
+    val ev = benchmark.select(col("id").as("eval_id"),
+      explode(sh(col("text"))).as("sh")).distinct()
+    corpus.select(col("id"), explode(sh(col("text"))).as("sh"))
+      .join(broadcast(ev), "sh")
+      .groupBy("id")
+      .agg(countDistinct(col("eval_id")).as("n_eval_hits"),
+           min(col("eval_id")).as("first_eval_id"))
+  }
+
   /** The reference's S1: mine (anchor, positive, negative) triplets
     * from a labeled embedding table (id, embedding, label) for the
     * given anchor ids. Positive = same-label max-cosine, negative =

@@ -157,6 +157,46 @@ object Streaming {
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       try q.awaitTermination(120000) finally q.stop()
       s.table(qn).orderBy("event_type")
+    }),
+
+    // STREAM-STREAM JOIN in the gate: two streaming branches of the
+    // replayed events (clicks / purchases) joined on user within a
+    // 30-minute conversion window, with watermarks on both sides
+    // bounding the join state — the micro-batch engine maintains both
+    // sides' buffered state and emits matches in Append mode. The
+    // memory-sink pair table is aggregated per user batch-side and
+    // must hash-match the batch DuckDB join. Shares the replay
+    // directory with the other AvailableNow keys.
+    "stream_availablenow_join" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val batch = TestData.events(s, d)
+      val tag = graft.sources.WriteOnce.inputTag(d, "events")
+      val dir = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/stream_an_source", tag)
+      graft.sources.WriteOnce.ensure(dir, tag) {
+        batch.write.mode("overwrite").parquet(dir)
+      }
+      def side(tpe: String, idAs: String, tsAs: String) =
+        s.readStream.schema(batch.schema).parquet(dir)
+          .filter(col("event_type") === tpe)
+          .select(col("user_id").as(idAs), col("ts").as(tsAs))
+          .withWatermark(tsAs, "1 hour")
+      val clicks = side("click", "c_user", "c_ts")
+      val purchases = side("purchase", "p_user", "p_ts")
+      val qn = s"graft_stream_join_${streamSeq.incrementAndGet()}"
+      val q = clicks.join(purchases,
+          col("c_user") === col("p_user")
+            && col("p_ts") >= col("c_ts")
+            && col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+      s.table(qn)
+        .groupBy(col("c_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+            .as("sum_delay_us"))
+        .orderBy("user_id")
     })
   )
 
@@ -209,6 +249,14 @@ object Streaming {
         |  event_type, count(*) AS n,
         |  floor((sum(value))*10000 + 0.5)/10000 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "stream_availablenow_join" ->
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id AS user_id, count(*)::BIGINT AS n_pairs,
+        |  sum(epoch_us(p.ts) - epoch_us(c.ts))::BIGINT AS sum_delay_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |GROUP BY c.user_id ORDER BY 1""".stripMargin,
     "stream_availablenow_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

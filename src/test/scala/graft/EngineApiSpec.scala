@@ -296,6 +296,36 @@ class EngineApiSpec extends SparkSpec {
     assert(engine.triangleCount(edges).as[Long].head() === 2L)
   }
 
+  test("chunkTokens covers every token with the declared overlap") {
+    val doc = Seq((1L, (1 to 80).map(i => s"t$i").mkString(" ")))
+      .toDF("id", "text")
+    val chunks = engine.chunkTokens(doc, size = 32, stride = 24)
+      .select("chunk_id", "chunk_text").as[(Int, String)].collect()
+      .sortBy(_._1)
+    assert(chunks.length === 3) // ceil((80-32)/24)+1
+    val toks = chunks.map(_._2.split(" ").toSeq)
+    assert(toks(0).head === "t1" && toks(1).head === "t25"
+      && toks(2).head === "t49")
+    assert(toks.flatten.toSet === (1 to 80).map(i => s"t$i").toSet,
+      "chunks must cover every token")
+    assert(toks(0).takeRight(8) === toks(1).take(8), "8-token overlap")
+  }
+
+  test("decontaminate flags exactly the docs overlapping the benchmark") {
+    val bench = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta eta"),
+      (901L, "one two three four five six seven eight")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "clean text with nothing shared at all here today"),
+      (2L, "prefix words then alpha beta gamma delta epsilon tail"), // 5-run from 900
+      (3L, "two three four five six stuck in the middle"),           // 5-run from 901
+      (4L, "alpha beta gamma only four delta epsilon zeta")          // no 5-run
+    ).toDF("id", "text")
+    val got = engine.decontaminate(corpus, bench, k = 5)
+      .select("id", "first_eval_id").as[(Long, Long)].collect().toMap
+    assert(got === Map(2L -> 900L, 3L -> 901L), s"got $got")
+  }
+
   test("stratifiedSampleByHash applies per-stratum rates, deterministic") {
     val s1 = engine.stratifiedSampleByHash(docs, "id", "lang",
       Map("en" -> 0.5), defaultRate = 0.1)
