@@ -13,37 +13,43 @@ import graft.operators._
   */
 object SparkEntry {
 
-  private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame],
+  private val groups: Seq[(String,
+                           Map[String, (SparkSession, String) => DataFrame],
                            Map[String, String])] = Seq(
-    (Scans.defs, Scans.oracles),
-    (Filters.defs, Filters.oracles),
-    (Aggregates.defs, Aggregates.oracles),
-    (Joins.defs, Joins.oracles),
-    (Windows.defs, Windows.oracles),
-    (SortsSetOps.defs, SortsSetOps.oracles),
-    (ScalarFns.defs, ScalarFns.oracles),
-    (Vectors.defs, Vectors.oracles),
-    (TextOps.defs, TextOps.oracles),
-    (TextAnalysis.defs, TextAnalysis.oracles),
-    (Streaming.defs, Streaming.oracles),
-    (UserFns.defs, UserFns.oracles),
-    (AnnSearch.defs, AnnSearch.oracles),
-    (MultimodalOps.defs, MultimodalOps.oracles),
-    (SourceFormats.defs, SourceFormats.oracles),
-    (IndexPipeline.defs, IndexPipeline.oracles),
-    (ScalePatterns.defs, ScalePatterns.oracles),
-    (Subqueries.defs, Subqueries.oracles),
-    (Quantize.defs, Quantize.oracles),
-    (TimeSeries.defs, TimeSeries.oracles),
-    (ProductQuantize.defs, ProductQuantize.oracles),
-    (GraphOps.defs, GraphOps.oracles),
-    (TrainedQuantize.defs, TrainedQuantize.oracles),
-    (EmbedDedup.defs, EmbedDedup.oracles),
-    (Relevance.defs, Relevance.oracles),
-    (BinaryQuantize.defs, BinaryQuantize.oracles),
-    (Maintenance.defs, Maintenance.oracles),
-    (Curation.defs, Curation.oracles)
+    ("Scans", Scans.defs, Scans.oracles),
+    ("Filters", Filters.defs, Filters.oracles),
+    ("Aggregates", Aggregates.defs, Aggregates.oracles),
+    ("Joins", Joins.defs, Joins.oracles),
+    ("Windows", Windows.defs, Windows.oracles),
+    ("SortsSetOps", SortsSetOps.defs, SortsSetOps.oracles),
+    ("ScalarFns", ScalarFns.defs, ScalarFns.oracles),
+    ("Vectors", Vectors.defs, Vectors.oracles),
+    ("TextOps", TextOps.defs, TextOps.oracles),
+    ("TextAnalysis", TextAnalysis.defs, TextAnalysis.oracles),
+    ("Streaming", Streaming.defs, Streaming.oracles),
+    ("UserFns", UserFns.defs, UserFns.oracles),
+    ("AnnSearch", AnnSearch.defs, AnnSearch.oracles),
+    ("MultimodalOps", MultimodalOps.defs, MultimodalOps.oracles),
+    ("SourceFormats", SourceFormats.defs, SourceFormats.oracles),
+    ("IndexPipeline", IndexPipeline.defs, IndexPipeline.oracles),
+    ("ScalePatterns", ScalePatterns.defs, ScalePatterns.oracles),
+    ("Subqueries", Subqueries.defs, Subqueries.oracles),
+    ("Quantize", Quantize.defs, Quantize.oracles),
+    ("TimeSeries", TimeSeries.defs, TimeSeries.oracles),
+    ("ProductQuantize", ProductQuantize.defs, ProductQuantize.oracles),
+    ("GraphOps", GraphOps.defs, GraphOps.oracles),
+    ("TrainedQuantize", TrainedQuantize.defs, TrainedQuantize.oracles),
+    ("EmbedDedup", EmbedDedup.defs, EmbedDedup.oracles),
+    ("Relevance", Relevance.defs, Relevance.oracles),
+    ("BinaryQuantize", BinaryQuantize.defs, BinaryQuantize.oracles),
+    ("Maintenance", Maintenance.defs, Maintenance.oracles),
+    ("Curation", Curation.defs, Curation.oracles)
   )
+
+  /** Operator object implementing a declared key (COVERAGE.md source). */
+  def implementingObject(key: String): String =
+    groups.collectFirst { case (n, d, _) if d.contains(key) => n }
+      .getOrElse(sys.error(s"unknown key: $key"))
 
   /** Flagship on sf0.001 (driver smoke-checks rows>0): the
     * reference's whole story in one job — dedup → embed → coarse
@@ -54,10 +60,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    groups.map(_._1).reduce(_ ++ _)
+    groups.map(_._2).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    groups.map(_._2).reduce(_ ++ _)
+    groups.map(_._3).reduce(_ ++ _)
 }
