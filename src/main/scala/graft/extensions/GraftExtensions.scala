@@ -1,6 +1,6 @@
 package graft.extensions
 
-import graft.functions.{BoundedLevenshtein, CharNgrams, CosineSimilarity, SortedIntersectCount}
+import graft.functions.{BitmapIntersectCount, BitsetFromIndices, BoundedLevenshtein, CharNgrams, CosineSimilarity, SortedIntersectCount, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -44,6 +44,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "char_ngrams(s, n) - distinct character n-grams in first-occurrence order"),
       (children: Seq[Expression]) =>
         CharNgrams(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      info(classOf[WordShingles], "word_shingles",
+        "word_shingles(s, k) - distinct k-token shingles in first-occurrence order"),
+      (children: Seq[Expression]) =>
+        WordShingles(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bitset_from_indices"),
+      info(classOf[BitsetFromIndices], "bitset_from_indices",
+        "bitset_from_indices(idxs, nwords) - ARRAY<BIGINT> bitset with the given bits"),
+      (children: Seq[Expression]) =>
+        BitsetFromIndices(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bitmap_intersect_count"),
+      info(classOf[BitmapIntersectCount], "bitmap_intersect_count",
+        "bitmap_intersect_count(a, b) - popcount(A AND B) over ARRAY<BIGINT> bitsets"),
+      (children: Seq[Expression]) =>
+        BitmapIntersectCount(children(0), children(1))))
     // Rewrite the public-API HOF cosine pattern into the fused
     // codegen'd expression, and thresholded levenshtein predicates
     // into the banded bounded_levenshtein form.

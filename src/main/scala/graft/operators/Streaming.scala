@@ -197,6 +197,53 @@ object Streaming {
           sum(unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
             .as("sum_delay_us"))
         .orderBy("user_id")
+    }),
+
+    // foreachBatch INCREMENTAL UPSERT in the gate: each micro-batch's
+    // partial aggregate is merged (read-merge-overwrite) into a
+    // running parquet snapshot — the streaming-maintained
+    // materialized-view shape (count/sum are associative, so the
+    // merged snapshot equals the batch aggregate regardless of how
+    // AvailableNow splits the input into batches). The snapshot is
+    // checkpointed before the overwrite (reading and overwriting the
+    // same directory inside one plan loses the input); the sink dir
+    // is fresh per invocation so reruns stay deterministic.
+    "stream_foreachbatch_upsert" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val batch = TestData.events(s, d)
+      val tag = graft.sources.WriteOnce.inputTag(d, "events")
+      val dir = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/stream_an_source", tag)
+      graft.sources.WriteOnce.ensure(dir, tag) {
+        batch.write.mode("overwrite").parquet(dir)
+      }
+      val snap = s"/root/repo/target/tmp/fb_upsert_${streamSeq.incrementAndGet()}"
+      // The per-JVM sequence restarts across invocations (Verify at
+      // one scale, then another) while the directory persists — a
+      // stale snapshot would be merged into. Start from an empty dir.
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(snap))
+      val q = s.readStream.schema(batch.schema).parquet(dir)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val partial = b.groupBy("event_type")
+            .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+          val merged =
+            if (new java.io.File(snap, "_SUCCESS").exists())
+              s.read.parquet(snap).unionByName(partial)
+                .groupBy("event_type")
+                .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+            else partial
+          merged.localCheckpoint().write.mode("overwrite").parquet(snap)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+      s.read.parquet(snap)
+        .select(col("event_type"), col("n"), r4(col("sv")).as("sum_value"))
+        .orderBy("event_type")
     })
   )
 
@@ -257,6 +304,10 @@ object Streaming {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |GROUP BY c.user_id ORDER BY 1""".stripMargin,
+    "stream_foreachbatch_upsert" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  floor((sum(value))*10000 + 0.5)/10000 AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_availablenow_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -30,6 +30,17 @@ class ExtensionSpec extends SparkSpec {
       assert(math.abs(cos.getDouble(1)) < 1e-12)
       assert(cos.getInt(2) === 2)
 
+      // The set-core kernels are SQL-reachable too: shingle a string,
+      // fold indices into a bitset, intersect two bitsets.
+      val sets = s2.sql(
+        """SELECT word_shingles('a b c b c', 2) AS sh,
+          |       bitmap_intersect_count(
+          |         bitset_from_indices(array(0, 65), 2),
+          |         bitset_from_indices(array(0, 64, 65), 2)) AS bi
+          |""".stripMargin).collect().head
+      assert(sets.getSeq[String](0) === Seq("a b", "b c", "c b"))
+      assert(sets.getInt(1) === 2)
+
       // CosineFusion: the HOF pattern must be rewritten to the fused
       // expression by the injected optimizer rule.
       import graft.functions.{VectorOps => V}
