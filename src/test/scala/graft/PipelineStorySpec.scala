@@ -114,4 +114,49 @@ class PipelineStorySpec extends SparkSpec {
     assert(enriched.count() === exact.count(),
       "bloom prefilter must be transparent to the exact join")
   }
+
+  test("training-mix journey: decontaminate → chunk → hybrid-retrieve the corpus") {
+    // The round-4 additions as one curation-and-retrieval flow:
+    // scrub benchmark contamination out of the corpus, window the
+    // survivors into model-sized chunks, then answer a query against
+    // the clean corpus with hybrid lexical+vector ranking — each
+    // stage consumes the previous stage's output.
+    val engine = new GraftEngine(spark)
+    val docs = TestData.documents(spark, sf("sf0.001"))
+      .select(col("doc_id").as("id"), col("text"), col("lang"))
+    val emb = TestData.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id").as("id"), col("embedding"))
+
+    // 1. Decontaminate: treat a slice as the benchmark; docs sharing
+    //    5-token shingles with it (including, trivially, the slice
+    //    itself re-ingested) must be dropped.
+    val benchmark = docs.filter(col("id") < 5)
+    val contaminated = engine.decontaminate(docs, benchmark, k = 5)
+    val cIds = contaminated.select("id").as[Long].collect().toSet
+    assert((0L until 5L).forall(cIds.contains),
+      "benchmark members must self-flag")
+    val clean = docs.join(contaminated.select("id"), Seq("id"), "left_anti")
+    assert(clean.count() === docs.count() - cIds.size)
+
+    // 2. Chunk the clean corpus for the encoder window.
+    val chunks = engine.chunkTokens(clean, size = 32, stride = 24)
+    assert(chunks.count() >= clean.count(), "every doc yields >= 1 chunk")
+
+    // 3. Hybrid retrieval over the clean corpus: BM25 arm + vector
+    //    arm, RRF-fused; no contaminated doc may surface.
+    import org.apache.spark.sql.expressions.Window
+    val lex = engine.bm25(clean, Seq("join", "scan"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("id"))))
+      .select("id", "rank").limit(20)
+    val vec = engine.knn(emb.join(clean.select("id"), "id"),
+        emb.filter(col("id") === 0), 20)
+      .select(col("neighborId").as("id"), col("rank"))
+    val fused = engine.rrfFuse(lex, vec)
+      .orderBy(col("rrf").desc, col("id")).limit(10)
+      .select("id").as[Long].collect()
+    assert(fused.length === 10)
+    assert(fused.forall(id => !cIds.contains(id)),
+      "contaminated docs must not surface in retrieval")
+  }
 }
