@@ -221,6 +221,37 @@ object TimeSeries {
         .select(col("event_id"), col("event_type"), col("value"),
                 r4(col("z")).as("zscore"))
         .orderBy("event_id")
+    }),
+
+    // Last-touch attribution: each purchase credits the most recent
+    // preceding marketing touch (click or view) by the same user
+    // within a 7-day window, else "(unattributed)" — the conversion
+    // attribution report. Same single-pass as-of shape as join_asof
+    // (one shuffle on user_id, running last-touch carried by a
+    // window), with delays as exact integer microseconds.
+    "events_attribution" -> ((s, d) => {
+      val ev = TestData.events(s, d)
+        .select("user_id", "ts", "event_id", "event_type")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      val isTouch = col("event_type") === "click" || col("event_type") === "view"
+      ev.withColumn("t_type", last(when(isTouch, col("event_type")), true).over(w))
+        .withColumn("t_ts", last(when(isTouch, col("ts")), true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("attr",
+          when(col("t_type").isNotNull
+              && unix_micros(col("ts")) - unix_micros(col("t_ts"))
+                 <= lit(7L * 86400L * 1000000L),
+            col("t_type"))
+          .otherwise(lit("(unattributed)")))
+        .groupBy("attr")
+        .agg(count(lit(1)).as("n_conversions"),
+          sum(when(col("attr") =!= "(unattributed)",
+            unix_micros(col("ts")) - unix_micros(col("t_ts")))
+            .otherwise(lit(0L))).as("sum_delay_us"))
+        .orderBy("attr")
     })
   )
 
@@ -346,6 +377,27 @@ object TimeSeries {
         |  floor(((value - mu) / sigma)*10000 + 0.5)/10000 AS zscore
         |FROM events JOIN s USING (event_type)
         |WHERE abs((value - mu) / sigma) > 3.0
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "events_attribution" ->
+      """SELECT attr, count(*)::BIGINT AS n_conversions,
+        |  sum(CASE WHEN attr <> '(unattributed)'
+        |        THEN epoch_us(ts) - epoch_us(t_ts) ELSE 0 END)::BIGINT
+        |    AS sum_delay_us
+        |FROM (
+        |  SELECT event_type, ts, t_ts,
+        |    CASE WHEN t_type IS NOT NULL
+        |           AND epoch_us(ts) - epoch_us(t_ts) <= 604800000000
+        |         THEN t_type ELSE '(unattributed)' END AS attr
+        |  FROM (
+        |    SELECT event_id, user_id, ts, event_type,
+        |      last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN event_type END IGNORE NULLS) OVER w AS t_type,
+        |      last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN ts END IGNORE NULLS) OVER w AS t_ts
+        |    FROM events
+        |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |  WHERE event_type = 'purchase')
+        |GROUP BY attr ORDER BY attr""".stripMargin
   )
 }
