@@ -40,6 +40,37 @@ object MultimodalOps {
           length(col("content")).as("n_bytes"))
         .orderBy("doc_id")),
 
+    // Payload-hash dedup over the BINARY column: one hash-groupBy of
+    // md5(content) per mime — exact media dedup (re-uploaded files,
+    // mirrored assets) in the same one-shuffle shape as
+    // dedup_exact_hash. The oracle hashes the source text: the
+    // payload IS its UTF-8 bytes, and DuckDB 1.0 has no BLOB md5.
+    "multimodal_dedup" -> ((s, d) =>
+      Multimodal.fromDocuments(TestData.documents(s, d))
+        .groupBy(col("mime"), md5(col("content")).as("h"))
+        .agg(min(col("doc_id")).as("survivor_id"),
+             count(lit(1)).as("n_copies"))
+        .select("mime", "survivor_id", "n_copies")
+        .orderBy("mime", "survivor_id")),
+
+    // Byte-range chunking of the payload (fixed 256-byte ranges):
+    // the blob-processing primitive for chunked upload, content-
+    // defined storage, and per-range checksumming — map-side
+    // substring arithmetic over the BINARY column, no shuffle. The
+    // fixture payload is ASCII text bytes, so the oracle mirrors with
+    // text substring (byte ≡ char there); Spark computes on BINARY.
+    "multimodal_chunk" -> ((s, d) =>
+      Multimodal.fromDocuments(TestData.documents(s, d))
+        .withColumn("nb", length(col("content")))
+        .withColumn("nc", expr("IF(nb <= 256, 1, ((nb - 1) DIV 256) + 1)"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, nc - 1), i -> struct(" +
+            "md5(substring(content, i * 256 + 1, 256)) AS h, " +
+            "length(substring(content, i * 256 + 1, 256)) AS len))")))
+        .select(col("doc_id"), col("pos").as("chunk_id"),
+          col("col.h").as("chunk_md5"), col("col.len").as("n_bytes"))
+        .orderBy("doc_id", "chunk_id")),
+
     // Oracle-omitted: mapPartitions feature extraction through the
     // stub decoder; rows-only check + MultimodalSpec invariants.
     "multimodal_features" -> ((s, d) =>
@@ -78,6 +109,24 @@ object MultimodalOps {
         |SELECT doc_id, mime,
         |  ceil(w0 * scale)::INT AS width, ceil(h0 * scale)::INT AS height,
         |  n_bytes
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "multimodal_dedup" ->
+      """SELECT ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3)::INT + 1] AS mime,
+        |  min(doc_id) AS survivor_id, count(*)::BIGINT AS n_copies
+        |FROM documents
+        |GROUP BY 1, md5(text)
+        |ORDER BY mime, survivor_id""".stripMargin,
+    "multimodal_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, length(text) AS nb FROM documents),
+        |n AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN nb <= 256 THEN 1 ELSE ((nb - 1) // 256) + 1 END AS nc
+        |  FROM t)
+        |SELECT doc_id, i AS chunk_id,
+        |  md5(substring(text, (i * 256 + 1)::INT, 256)) AS chunk_md5,
+        |  length(substring(text, (i * 256 + 1)::INT, 256)) AS n_bytes
+        |FROM n, LATERAL (SELECT unnest(range(0, nc)) AS i)
+        |ORDER BY doc_id, chunk_id""".stripMargin
   )
 }
