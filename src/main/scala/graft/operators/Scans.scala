@@ -104,6 +104,27 @@ object Scans {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
         .orderBy("event_type")
+    }),
+
+    // The spark.sql TEXT surface end-to-end: temp views + one SQL
+    // string through the full parser → analyzer → optimizer path —
+    // same Catalyst plan the DataFrame keys get, demonstrated as the
+    // API a SQL-first user of this library drives (README "Using the
+    // SQL surface"). Three-table join + grouped aggregate.
+    "sql_end_to_end" -> ((s, d) => {
+      TestData.orders(s, d).createOrReplaceTempView("v_orders")
+      TestData.customer(s, d).createOrReplaceTempView("v_customer")
+      TestData.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql(
+        """SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+          |  floor(sum(l_extendedprice * (1 - l_discount))*10000 + 0.5)/10000
+          |    AS revenue
+          |FROM v_lineitem
+          |JOIN v_orders ON l_orderkey = o_orderkey
+          |JOIN v_customer ON o_custkey = c_custkey
+          |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          |GROUP BY c_mktsegment, o_orderpriority
+          |ORDER BY c_mktsegment, o_orderpriority""".stripMargin)
     })
   )
 
@@ -132,6 +153,16 @@ object Scans {
         |FROM events ORDER BY event_id""".stripMargin,
     "sink_parquet_partitioned" ->
       """SELECT event_type, count(*) AS n, floor((sum(value))*10000 + 0.5)/10000 AS sum_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "sql_end_to_end" ->
+      """SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+        |  floor(sum(l_extendedprice * (1 - l_discount))*10000 + 0.5)/10000
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |GROUP BY c_mktsegment, o_orderpriority
+        |ORDER BY c_mktsegment, o_orderpriority""".stripMargin
   )
 }
