@@ -244,6 +244,51 @@ object Streaming {
       s.read.parquet(snap)
         .select(col("event_type"), col("n"), r4(col("sv")).as("sum_value"))
         .orderBy("event_type")
+    }),
+
+    // transformWithState (Spark 4 arbitrary-state API) in the gate:
+    // the replayed events run through a typed StatefulProcessor with
+    // explicit ValueState on the RocksDB provider (transformWithState
+    // needs multi-column-family state), emitting per-user running
+    // (count, max) updates; the LAST update per user must equal the
+    // batch aggregate however AvailableNow batches the input (running
+    // count/max are monotone, so max over updates = final state). The
+    // provider conf is scoped and restored — it only binds at stream
+    // start, so concurrent BATCH queries are unaffected.
+    "stream_tws_running" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.StreamOps
+      val batch = TestData.events(s, d)
+      val tag = graft.sources.WriteOnce.inputTag(d, "events")
+      val dir = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/stream_an_source", tag)
+      graft.sources.WriteOnce.ensure(dir, tag) {
+        batch.write.mode("overwrite").parquet(dir)
+      }
+      val qn = s"graft_stream_tws_${streamSeq.incrementAndGet()}"
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        val events = s.readStream.schema(batch.schema).parquet(dir)
+          .as[StreamOps.Event]
+        val q = StreamOps.runningUserStatsTws(events)
+          .toDF()
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination(120000) finally q.stop()
+      } finally prev match {
+        case Some(v) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      s.table(qn)
+        .groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"),
+             r4(max(col("max_value"))).as("max_value"))
+        .orderBy("user_id")
     })
   )
 
@@ -304,6 +349,10 @@ object Streaming {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |GROUP BY c.user_id ORDER BY 1""".stripMargin,
+    "stream_tws_running" ->
+      """SELECT user_id, count(*)::BIGINT AS n_events,
+        |  floor((max(value))*10000 + 0.5)/10000 AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_foreachbatch_upsert" ->
       """SELECT event_type, count(*)::BIGINT AS n,
         |  floor((sum(value))*10000 + 0.5)/10000 AS sum_value
