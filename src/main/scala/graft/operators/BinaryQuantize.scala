@@ -7,7 +7,8 @@ import graft.TestData.r4
 import graft.functions.{VectorOps => V}
 
 /** Binary (1-bit sign) quantization + Hamming-distance search — the
-  * most aggressive member of the compression family (fp32 → 1 bit per
+  * most aggressive member of the compression family for the
+  * reference's S4 vector-db build (/root/reference/README.md:2) (fp32 → 1 bit per
   * dimension = 64× smaller than the raw vectors, 4× smaller than the
   * int8 SQ codes, next to PQ's 8 bytes). A 64-dim embedding becomes
   * two 32-bit words; candidate search is XOR + popcount per pair —

@@ -6,7 +6,9 @@ import graft.TestData
 import graft.TestData.r4
 
 /** Training-data curation operators — the cleaning/selection passes a
-  * corpus goes through between crawling and training: benchmark
+  * corpus goes through between crawling and training ("building a very
+  * large dataset", /root/reference/README.md:2; dedup/text-analysis
+  * mandate, BASELINE.json:6): benchmark
   * decontamination, repetition-based quality filtering, PII
   * redaction, and the language-mix manifest that decides per-stratum
   * sampling rates.

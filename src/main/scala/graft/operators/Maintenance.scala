@@ -6,7 +6,7 @@ import graft.TestData
 import graft.TestData.r4
 
 /** Table-maintenance operators: the jobs that keep a 100 TB dataset
-  * servable between analytic runs — CDC upsert (MERGE) as a
+  * servable between analytic runs (north star, BASELINE.json:6) — CDC upsert (MERGE) as a
   * copy-on-write snapshot rewrite, Z-order clustering for multi-column
   * data skipping, and incremental dedup of an arriving batch against
   * the standing corpus.

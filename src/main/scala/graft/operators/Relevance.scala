@@ -10,7 +10,10 @@ import graft.functions.{VectorOps => V}
 /** Corpus relevance / language-model scoring — the retrieval side of
   * a training-data pipeline (BM25 lexical ranking, hybrid
   * lexical+vector fusion, n-gram LM quality scoring, distribution
-  * entropy).
+  * entropy): the text-analysis / similarity-search mandate of the
+  * north star (BASELINE.json:6) next to the vector search the
+  * reference's pipeline builds (/root/reference/README.md:2
+  * "building the vectordb").
   *
   * Scale shapes: every operator here is explode → aggregate →
   * small-side broadcast join. The corpus is never broadcast and never
