@@ -144,17 +144,22 @@ object GraphOps {
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= 2)
       .select(col("qid"), col("qv"), col("cid").as("probe_cluster"))
-    val wTop = Window.partitionBy("qid")
-      .orderBy(col("score").desc, col("vec_id"))
+    // Top-3 per query via the bounded-heap Aggregator (same tie
+    // protocol as the window form — score DESC, id ASC — so the
+    // oracle's row_number formulation is unchanged): the candidate
+    // set shrinks to 3-entry buffers map-side instead of shuffling
+    // and sorting every scored pair per query.
+    val topk = udaf(new graft.functions.TopKByScore(3))
     assigned
       .join(probes.hint("shuffle_hash"),
         col("cluster") === col("probe_cluster"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("score", V.cosine(col("embedding"), col("qv")))
-      .withColumn("rnk", row_number().over(wTop))
-      .filter(col("rnk") <= 3)
-      .select(least(col("qid"), col("vec_id")).as("a"),
-              greatest(col("qid"), col("vec_id")).as("b"))
+      .groupBy("qid")
+      .agg(topk(col("vec_id"), col("score")).as("tk"))
+      .select(col("qid"), explode(col("tk")).as("e"))
+      .select(least(col("qid"), col("e._1")).as("a"),
+              greatest(col("qid"), col("e._1")).as("b"))
       .distinct()
   }
 
