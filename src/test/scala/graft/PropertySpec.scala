@@ -232,6 +232,48 @@ class PropertySpec extends SparkSpec {
       s"merged estimate off: ${est("(all)")} vs $exactAll")
   }
 
+  test("binary codes: hamming(a,a)=0, symmetric, n_pos consistent") {
+    val codes = BinaryQuantize.defs("vec_binary_quantize")(spark, sfDir)
+      .select("vec_id", "w0", "w1", "n_pos")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(codes.nonEmpty)
+    codes.foreach { case (_, w0, w1, nPos) =>
+      assert((w0 >>> 32) == 0 && (w1 >>> 32) == 0,
+        "codes must stay in the low 32 bits (DuckDB shift range)")
+      assert(java.lang.Long.bitCount(w0) + java.lang.Long.bitCount(w1) == nPos)
+    }
+    // hamming distance properties over the first few codes
+    def ham(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val cs = codes.take(20).map(c => (c._2, c._3))
+    for (a <- cs; b <- cs) {
+      assert(ham(a, a) == 0)
+      assert(ham(a, b) == ham(b, a))
+      assert(ham(a, b) >= 0 && ham(a, b) <= 64)
+    }
+  }
+
+  test("hamming and matryoshka cascades retain most of exact top-10") {
+    val exact = Vectors.defs("vec_cosine_topk")(spark, sfDir)
+      .select("vec_id").as[Long].collect().toSet // query = vec 0, top 10
+    def overlap(key: String) = {
+      val got = SparkEntry.queries(key)(spark, sfDir)
+        .select("vec_id").as[Long].collect().toSet
+      exact.intersect(got).size / 10.0
+    }
+    val h = overlap("ann_hamming_topk")
+    val m = overlap("ann_matryoshka_topk")
+    info(s"hamming overlap@10: $h, matryoshka overlap@10: $m")
+    // 50 candidates from 500 vectors: random selection would retain
+    // ~10 % of the exact set; both cascades must do far better. Sign
+    // bits see all 64 dims, so the hamming bar is higher; the
+    // matryoshka prefix sees 16 of 64 dims of an ISOTROPIC random
+    // fixture (1/4 of the signal — real MRL embeddings front-load
+    // variance into the prefix), so its bar is 3× random.
+    assert(h >= 0.5, s"hamming cascade collapsed: $h")
+    assert(m >= 0.3, s"matryoshka cascade collapsed: $m")
+  }
+
   test("triplet invariants: pos label = anchor label != neg label") {
     val t = Vectors.defs("triplet_mine")(spark, sfDir)
       .select("anchor_id", "pos_id", "neg_id").as[(Long, Long, Long)].collect()
