@@ -252,6 +252,36 @@ object TimeSeries {
             unix_micros(col("ts")) - unix_micros(col("t_ts")))
             .otherwise(lit(0L))).as("sum_delay_us"))
         .orderBy("attr")
+    }),
+
+    // RFM segmentation: quartile-bucket every user on recency,
+    // frequency, and monetary value, count users per 3-digit segment
+    // — the classic behavioral cohorting pass. Recency is exact
+    // integer µs from the corpus max; the monetary sort key is
+    // r4-quantized (raw double sums flip near-ties cross-engine) with
+    // a user tie-break. ntile here is a global sort — fine for a
+    // user-dimension table (users ≪ events); at 100 TB the cuts come
+    // from approx_percentile and the bucketing goes map-side.
+    "events_rfm_segments" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = TestData.events(s, d)
+      val user = ev.groupBy("user_id")
+        .agg(max(col("ts")).as("last_ts"),
+             count(lit(1)).as("freq"),
+             r4(sum(col("value"))).as("mon4"))
+      val tot = ev.agg(max(col("ts")).as("corpus_max"))
+      user.crossJoin(broadcast(tot))
+        .withColumn("recency_us",
+          unix_micros(col("corpus_max")) - unix_micros(col("last_ts")))
+        .withColumn("r",
+          ntile(4).over(W.orderBy(col("recency_us"), col("user_id"))))
+        .withColumn("f",
+          ntile(4).over(W.orderBy(col("freq").desc, col("user_id"))))
+        .withColumn("m",
+          ntile(4).over(W.orderBy(col("mon4").desc, col("user_id"))))
+        .groupBy((col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("segment")
     })
   )
 
@@ -398,6 +428,21 @@ object TimeSeries {
         |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |  WHERE event_type = 'purchase')
-        |GROUP BY attr ORDER BY attr""".stripMargin
+        |GROUP BY attr ORDER BY attr""".stripMargin,
+    "events_rfm_segments" ->
+      """WITH u AS (
+        |  SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
+        |    floor((sum(value))*10000 + 0.5)/10000 AS mon4
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT max(ts) AS corpus_max FROM events),
+        |b AS (
+        |  SELECT
+        |    ntile(4) OVER (ORDER BY epoch_us(corpus_max) - epoch_us(last_ts),
+        |                   user_id) AS r,
+        |    ntile(4) OVER (ORDER BY freq DESC, user_id) AS f,
+        |    ntile(4) OVER (ORDER BY mon4 DESC, user_id) AS m
+        |  FROM u CROSS JOIN t)
+        |SELECT r * 100 + f * 10 + m AS segment, count(*)::BIGINT AS n_users
+        |FROM b GROUP BY 1 ORDER BY segment""".stripMargin
   )
 }
