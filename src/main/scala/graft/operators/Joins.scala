@@ -148,6 +148,43 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // Nearest as-of (completes the family: backward, forward,
+    // NEAREST): both directional candidates ride the same one-shuffle
+    // pass — a running last-click in ascending time order and a
+    // running next-click in descending order — then the smaller
+    // absolute delta wins, ties to the backward match. Deltas are
+    // exact integer microseconds, so the pick is float-free; the
+    // oracle runs the identical dual-window formulation.
+    "join_asof_nearest" -> ((s, d) => {
+      val ev = TestData.events(s, d)
+        .select("user_id", "ts", "event_id", "event_type")
+      val wb = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val isClick = col("event_type") === "click"
+      ev
+        .withColumn("b_id", last(when(isClick, col("event_id")), true).over(wb))
+        .withColumn("b_ts", last(when(isClick, col("ts")), true).over(wb))
+        .withColumn("f_id", last(when(isClick, col("event_id")), true).over(wf))
+        .withColumn("f_ts", last(when(isClick, col("ts")), true).over(wf))
+        .filter(col("event_type") === "purchase"
+          && (col("b_id").isNotNull || col("f_id").isNotNull))
+        .withColumn("b_delta",
+          unix_micros(col("ts")) - unix_micros(col("b_ts")))
+        .withColumn("f_delta",
+          unix_micros(col("f_ts")) - unix_micros(col("ts")))
+        .withColumn("use_b", col("f_id").isNull
+          || (col("b_id").isNotNull && col("b_delta") <= col("f_delta")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("use_b"), col("b_id")).otherwise(col("f_id")).as("click_id"),
+          when(col("use_b"), col("b_delta")).otherwise(col("f_delta"))
+            .as("delta_us"))
+        .orderBy("event_id")
+    }),
+
     "join_interval_overlap" -> ((s, d) => {
       val sg = TestData.events(s, d)
         .filter(col("event_type") === "signup")
@@ -231,6 +268,34 @@ object Joins {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |WHERE event_type = 'purchase' AND click_id IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "join_asof_nearest" ->
+      """SELECT event_id, user_id, ts,
+        |  CASE WHEN use_b THEN b_id ELSE f_id END AS click_id,
+        |  CASE WHEN use_b THEN b_delta ELSE f_delta END AS delta_us
+        |FROM (
+        |  SELECT event_id, user_id, ts, event_type, b_id, f_id,
+        |    epoch_us(ts) - epoch_us(b_ts) AS b_delta,
+        |    epoch_us(f_ts) - epoch_us(ts) AS f_delta,
+        |    (f_id IS NULL OR (b_id IS NOT NULL
+        |      AND epoch_us(ts) - epoch_us(b_ts)
+        |          <= epoch_us(f_ts) - epoch_us(ts))) AS use_b
+        |  FROM (
+        |    SELECT event_id, user_id, ts, event_type,
+        |      last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |        IGNORE NULLS) OVER wb AS b_id,
+        |      last_value(CASE WHEN event_type = 'click' THEN ts END
+        |        IGNORE NULLS) OVER wb AS b_ts,
+        |      last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |        IGNORE NULLS) OVER wf AS f_id,
+        |      last_value(CASE WHEN event_type = 'click' THEN ts END
+        |        IGNORE NULLS) OVER wf AS f_ts
+        |    FROM events
+        |    WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+        |WHERE event_type = 'purchase' AND (b_id IS NOT NULL OR f_id IS NOT NULL)
         |ORDER BY event_id""".stripMargin,
     "join_interval_overlap" ->
       """SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
