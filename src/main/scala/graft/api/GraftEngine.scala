@@ -120,6 +120,23 @@ class GraftEngine(val spark: SparkSession) {
       threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
 
+  /** Directional containment pairs |sh(A)∩sh(B)|/|sh(A)| ≥ `threshold`
+    * over word-2-shingle sets — the asymmetric quote/mirror/superset
+    * case Jaccard misses. The exact core is AUTO-SELECTED by a
+    * measured per-block dictionary-cardinality probe
+    * ([[TextOps.containmentPairs]]): dictionary-bitmap AND+popcount
+    * while the universe broadcasts, prefix-filtered postings join on
+    * natural-text universes. Output: (id_a = contained, id_b =
+    * container, n_shared, n_a, containment).
+    */
+  def containmentDuplicates(documents: DataFrame, blockCol: String,
+                            threshold: Double = 0.9): DataFrame =
+    TextOps.containmentPairs(
+      TextOps.shingleSets(
+        documents.select(col("id").as("doc_id"),
+                         col(blockCol).as("lang"), col("text"))),
+      threshold)
+
   /** Edit-distance near-dup pairs (lev ≤ `maxEdits`), blocked by
     * `blockCol` × a length bucket wide enough that no qualifying
     * pair is missed. Banded levenshtein per candidate pair.
@@ -323,14 +340,20 @@ class GraftEngine(val spark: SparkSession) {
     val c = binaryCodes(corpus)
     val qc = binaryCodes(query).select(col("w0").as("q0"), col("w1").as("q1"))
     val qv = query.select(col("embedding").as("qv"), col("id").as("qid"))
-    val cand = c.crossJoin(broadcast(qc))
+    // Exclude the query's own row (Hamming 0) BEFORE the candidate
+    // cut — otherwise it consumes one of the `candidates` slots and
+    // the effective budget is candidates−1 (unlike ann_hamming_topk,
+    // which excludes the query before ranking).
+    val qid = query.select(col("id")).limit(1)
+      .withColumnRenamed("id", "xqid")
+    val cand = c.crossJoin(broadcast(qc)).crossJoin(broadcast(qid))
+      .filter(col("id") =!= col("xqid"))
       .withColumn("hamming",
         expr("bit_count(w0 ^ q0) + bit_count(w1 ^ q1)").cast("int"))
       .select("id", "hamming")
       .orderBy(col("hamming"), col("id")).limit(candidates)
     cand.join(corpus.select("id", "embedding"), "id")
       .crossJoin(broadcast(qv))
-      .filter(col("id") =!= col("qid"))
       .withColumn("score", V.cosine(col("embedding"), col("qv")))
       .select("id", "hamming", "score")
       .orderBy(col("score").desc, col("id")).limit(k)
@@ -349,9 +372,14 @@ class GraftEngine(val spark: SparkSession) {
       "base and updates must share one schema")
     val b = cols.foldLeft(base)((df, c) => df.withColumnRenamed(c, s"b_$c"))
     val u = cols.foldLeft(updates)((df, c) => df.withColumnRenamed(c, s"u_$c"))
+    // Matched-row resolution keys off the UPDATE side's join key, not
+    // per-column coalesce — an update row carrying a legitimate NULL
+    // in a non-key column must win (standard MERGE semantics), not
+    // silently keep the base value.
     b.join(u, col(s"b_$keyCol") === col(s"u_$keyCol"), "full_outer")
       .select(cols.map(c =>
-        coalesce(col(s"u_$c"), col(s"b_$c")).as(c)): _*)
+        when(col(s"u_$keyCol").isNotNull, col(s"u_$c"))
+          .otherwise(col(s"b_$c")).as(c)): _*)
   }
 
   /** Z-order clustering key over two non-negative integer columns

@@ -132,11 +132,14 @@ object AnnSearch {
       val qv = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("qvf"),
                 slice(col("embedding"), 1, 16).as("qvp"))
+      // The candidate cut sorts on the r4-QUANTIZED coarse key (repo
+      // determinism rule: float sort keys quantize; raw double
+      // near-ties flip across engines — the ann_pq_adc_topk lesson).
       val cand = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
         .withColumn("coarse",
           V.cosine(slice(col("embedding"), 1, 16), col("qvp")))
         .select(col("vec_id"), col("embedding"), col("qvf"), col("coarse"))
-        .orderBy(col("coarse").desc, col("vec_id")).limit(50)
+        .orderBy(r4(col("coarse")).desc, col("vec_id")).limit(50)
       cand
         .select(col("vec_id"), r4(col("coarse")).as("coarse_cos"),
           r4(V.cosine(col("embedding"), col("qvf"))).as("cos"))
@@ -289,7 +292,7 @@ object AnnSearch {
         |  SELECT e.vec_id, e.$E AS ev, qv.qvf,
         |    list_cosine_similarity((e.$E)[1:16], qv.qvp) AS coarse
         |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0
-        |  ORDER BY coarse DESC, vec_id LIMIT 50)
+        |  ORDER BY floor((coarse)*10000 + 0.5)/10000 DESC, vec_id LIMIT 50)
         |SELECT vec_id,
         |  floor((coarse)*10000 + 0.5)/10000 AS coarse_cos,
         |  floor((list_cosine_similarity(ev, qvf))*10000 + 0.5)/10000 AS cos

@@ -148,13 +148,16 @@ object GraphOps {
     // protocol as the window form — score DESC, id ASC — so the
     // oracle's row_number formulation is unchanged): the candidate
     // set shrinks to 3-entry buffers map-side instead of shuffling
-    // and sorting every scored pair per query.
+    // and sorting every scored pair per query. The heap key is the
+    // r4-QUANTIZED cosine (repo determinism rule: float sort keys
+    // quantize — raw double near-ties flip across engines), mirrored
+    // in the oracle's row_number ORDER BY.
     val topk = udaf(new graft.functions.TopKByScore(3))
     assigned
       .join(probes.hint("shuffle_hash"),
         col("cluster") === col("probe_cluster"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("score", V.cosine(col("embedding"), col("qv")))
+      .withColumn("score", graft.TestData.r4(V.cosine(col("embedding"), col("qv"))))
       .groupBy("qid")
       .agg(topk(col("vec_id"), col("score")).as("tk"))
       .select(col("qid"), explode(col("tk")).as("e"))
@@ -271,8 +274,8 @@ object GraphOps {
         |  SELECT qid, vec_id AS nn FROM (
         |    SELECT p.qid, e.vec_id,
         |      row_number() OVER (PARTITION BY p.qid ORDER BY
-        |        list_cosine_similarity(e.embedding::DOUBLE[],
-        |                               q.embedding::DOUBLE[]) DESC,
+        |        floor((list_cosine_similarity(e.embedding::DOUBLE[],
+        |                               q.embedding::DOUBLE[]))*10000 + 0.5)/10000 DESC,
         |        e.vec_id) AS rnk
         |    FROM assigned a
         |    JOIN probes p ON a.cluster = p.probe_cluster

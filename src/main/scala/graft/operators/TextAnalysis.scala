@@ -237,8 +237,10 @@ object TextAnalysis {
       snmPairs(TestData.documents(s, d), window = 4, maxEdits = 20)
         .orderBy("id_a", "id_b")),
 
-    // 60-bit SimHash over md5-derived token hashes — oracle-omitted
-    // (bit-twiddling is impractical in portable SQL); property-tested.
+    // 60-bit SimHash over md5-derived token hashes. Oracle-checked:
+    // the hex→int fold is a DuckDB list comprehension over exact
+    // BIGINT shifts (4·(15−i) ≤ 56 stays clear of the bit-63 range
+    // check), the same technique that oracled ann_hamming_topk.
     "dedup_simhash" -> ((s, d) => {
       val toks = TestData.documents(s, d)
         .select(col("doc_id"),
@@ -365,6 +367,26 @@ object TextAnalysis {
         |      AS fp
         |  FROM documents)
         |SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same_fp
-        |FROM f ORDER BY doc_id""".stripMargin
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // Exact-integer 60-bit fold: hex→BIGINT via the '0x' cast, bit
+    // weights summed per (doc, b), recombined with shifts ≤ 59 (DuckDB
+    // << range-checks bit 63; 59 is safe). sum(BIGINT) → HUGEINT, so
+    // the final fold casts ::BIGINT to match Spark's LongType.
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(token), 1, 15))::BIGINT AS hv
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS w
+        |  FROM h, LATERAL (SELECT unnest(range(0, 60)) AS b)
+        |  GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -156,7 +156,9 @@ object TextOps {
     * plain size-blocked merge join 11.7 s; prefix-filtered
     * (AllPairs) 17.8 s — rare-gram prefixes don't exist in a
     * 377-gram universe, so the prefix join explodes; THIS bitmap
-    * core ~2 s. On natural text (element universe in the millions)
+    * core 2.4 s (three-run median at local[32], round 5 — the
+    * round-4 single-shot 8.0 s was attribution jitter, which is why
+    * Bench now reports per-key medians). On natural text (element universe in the millions)
     * the ranking inverts: the dictionary no longer fits a broadcast
     * and [[jaccardPrefixSetPairs]] is the right core — pick by
     * universe size, exactly as production set-join engines do.
@@ -291,6 +293,42 @@ object TextOps {
         col("n_c").cast("long").as("n_a"),
         r4(col("inter").cast("double") / col("n_c")).as("containment"))
   }
+
+  /** Per-lang element-universe cap under which the bitmap core is the
+    * right containment/jaccard engine: the dictionary broadcast stays
+    * KB-scale and the per-pair AND+popcount stays ≤ cap/64 words. Past
+    * it, rare-element prefixes start existing and the prefix-filter
+    * core wins (the crossover measured on the fixture: bitmap ~2 s vs
+    * prefix 5.4 s at universe ≤ 31²; on natural text the ranking
+    * inverts). 4096 elems = 64-word bitmaps — 4× the fixture's pair
+    * cost, still far below a merge over raw element lists.
+    */
+  private[graft] val BitmapUniverseCap = 4096L
+
+  /** Max per-lang distinct-element count, the statistic the core
+    * choice keys on. One cheap two-phase aggregate (approx-distinct
+    * partials map-side) + a bounded single-row collect — the same
+    * stats-probe-then-plan shape a cost-based optimizer uses, and at
+    * 100 TB this is the only part that touches the corpus twice.
+    */
+  private[graft] def maxLangUniverse(sets: DataFrame): Long = {
+    val r = sets
+      .select(col("lang"), explode(array_distinct(col("elems"))).as("g"))
+      .groupBy("lang").agg(approx_count_distinct(col("g")).as("u"))
+      .agg(coalesce(max(col("u")), lit(0L)).as("m"))
+      .collect()
+    if (r.isEmpty) 0L else r(0).getLong(0)
+  }
+
+  /** Auto-selecting directional-containment core: bitmap while every
+    * per-lang dictionary is broadcast-safe, prefix-filter otherwise.
+    * Both cores are exact (DedupSpec pins them equal to brute force),
+    * so the switch is purely a cost decision — results are identical.
+    */
+  def containmentPairs(sets: DataFrame, threshold: Double): DataFrame =
+    if (maxLangUniverse(sets) <= BitmapUniverseCap)
+      containmentBitmapPairs(sets, threshold)
+    else containmentPrefixPairs(sets, threshold)
 
   /** Prefix-filtered directional containment (the large-universe
     * core): A contributes its (n − ⌈t·n⌉ + 1) rarest elements as
@@ -501,16 +539,18 @@ object TextOps {
     // content substantially appears inside another (quotes, mirrors,
     // supersets) — the asymmetric case Jaccard misses because the
     // union in its denominator is dominated by the larger doc.
-    // Core choice by universe size (same discipline as
-    // dedup_ngram_jaccard): the fixture's shingle universe is ≤ 31²
-    // per lang, so rare-shingle prefixes don't exist and the prefix
-    // join explodes (measured 5.4 s) while AND+popcount over ≤16
-    // words wins (~2 s) — containmentBitmapPairs here;
-    // containmentPrefixPairs is the large-universe core, and
-    // DedupSpec pins that the two exact cores agree. Verify predicate
-    // is exact integer (inter·10 ≥ n_a·9): no float boundary to flip.
+    // Core choice by MEASURED universe size ([[containmentPairs]],
+    // same discipline as dedup_ngram_jaccard): the fixture's shingle
+    // universe is ≤ 31² per lang, so rare-shingle prefixes don't
+    // exist and the prefix join explodes (measured 5.4 s) while
+    // AND+popcount over ≤16 words wins (~2 s) — the probe routes the
+    // fixture to containmentBitmapPairs; past BitmapUniverseCap it
+    // routes to containmentPrefixPairs, and DedupSpec pins that the
+    // two exact cores agree (and that the switch engages on a
+    // generated large-universe corpus). Verify predicate is exact
+    // integer (inter·10 ≥ n_a·9): no float boundary to flip.
     "dedup_containment" -> ((s, d) =>
-      containmentBitmapPairs(shingleSets(TestData.documents(s, d)), 0.9)
+      containmentPairs(shingleSets(TestData.documents(s, d)), 0.9)
         .orderBy("id_a", "id_b")),
 
     // S3 stand-in (zero-egress env has no encoder model): 5-dim

@@ -153,7 +153,7 @@ object TrainedQuantize {
     }.toDF("sub", "code", "cw")
   }
 
-  private def fixtureCentroids(s: SparkSession, d: String, k: Int): DataFrame =
+  private[graft] def fixtureCentroids(s: SparkSession, d: String, k: Int): DataFrame =
     memo.computeIfAbsent(memoKey(s, d, s"ivf$k"),
       _ => centroidsDf(s, localLloyd(fixtureSample(s, d), k, seed = 42L)))
 

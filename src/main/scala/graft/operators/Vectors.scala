@@ -246,21 +246,19 @@ object Vectors {
         .orderBy("anchor_id")
     }),
 
-    // Full Lloyd's k-means (MLlib, seeded) — oracle-omitted
-    // (iterative/init-dependent); property-tested in the suite.
+    // Full Lloyd's k-means — oracle-omitted (iterative/
+    // init-dependent); property-tested in the suite. The fit runs on
+    // the bounded 4096-row training sample (one TakeOrdered pass +
+    // driver-local Lloyd's — the only shape that works at 100 TB;
+    // FAISS trains the same way), then ONE distributed assign pass
+    // against broadcast centroids produces the cluster sizes. The
+    // sample job is memoized per (session, fixture) and shared with
+    // every trained-codebook key.
     "kmeans_lloyd" -> ((s, d) => {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
       val e = TestData.embeddings(s, d)
-        .withColumn("features", array_to_vector(col("embedding")))
-      // Random init: k-means|| spends ~5 Spark jobs picking seeds,
-      // which dominates on a small training sample (training always
-      // runs on a sample at scale). Seeded, so still deterministic.
-      val model = new KMeans().setK(10).setSeed(42L).setMaxIter(10)
-        .setInitMode("random")
-        .setFeaturesCol("features").fit(e)
-      model.transform(e)
-        .groupBy(col("prediction"))
+      val cents = TrainedQuantize.fixtureCentroids(s, d, 10)
+      V.assignToCentroids(e, cents, Seq("vec_id"))
+        .groupBy(col("cluster").as("prediction"))
         .agg(count(lit(1)).as("cluster_size"))
         .orderBy(col("cluster_size").desc, col("prediction"))
     })

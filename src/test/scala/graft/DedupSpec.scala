@@ -177,6 +177,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs auto-selects the core by measured universe size") {
+    import spark.implicits._
+    // Small universe (80 distinct elems): probe must stay under the
+    // cap → bitmap core. Large universe (distinct elems per doc drawn
+    // from 100k ids, 60 docs × 30 elems ≈ 1800 >> cap? no — need >
+    // 4096 distinct): give each doc 200 unique elements → ~12k
+    // distinct per lang, well past BitmapUniverseCap.
+    val rnd = new scala.util.Random(7)
+    val small = (1L to 20L).map(i =>
+      (i, "en", Seq.fill(15)(s"s${rnd.nextInt(80)}").distinct)).toDF(
+      "doc_id", "lang", "elems")
+    assert(TextOps.maxLangUniverse(small) <= TextOps.BitmapUniverseCap)
+    val bigBase = (1L to 40L).map { i =>
+      (i, "en", Seq.fill(200)(s"w${rnd.nextInt(100000)}").distinct)
+    }
+    // planted containment in the large universe: 95 % subset of doc 1
+    val planted = bigBase.take(5).map { case (i, l, es) =>
+      (500L + i, l, es.take(math.max(2, (es.size * 0.95).toInt)))
+    }
+    val big = (bigBase ++ planted).toDF("doc_id", "lang", "elems")
+    val u = TextOps.maxLangUniverse(big)
+    assert(u > TextOps.BitmapUniverseCap, s"universe probe $u not past cap")
+    // the dispatcher output (prefix core, per the probe) must equal
+    // unblocked brute force — the switch changes cost, never results
+    val viaAuto = TextOps.containmentPairs(big, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val a = big.select(col("doc_id").as("ia"), col("lang").as("la"),
+      col("elems").as("sa"))
+    val b = big.select(col("doc_id").as("ib"), col("lang").as("lb"),
+      col("elems").as("sb"))
+    val brute = a.join(b, col("la") === col("lb") && col("ia") =!= col("ib"))
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .filter(col("i") * 10 >= size(col("sa")) * 9)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(viaAuto == brute,
+      s"auto: missing=${brute.diff(viaAuto).take(5)} extra=${viaAuto.diff(brute).take(5)}")
+    assert(planted.forall(p => brute.exists(_._1 == p._1)),
+      "planted large-universe subsets must be flagged")
+  }
+
   test("jaccardPairs finds identical-token-set same-lang pairs, cross-lang never") {
     val out = TextOps.jaccardPairs(docsDf(Seq(
         (1L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
