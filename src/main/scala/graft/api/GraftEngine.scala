@@ -382,6 +382,43 @@ class GraftEngine(val spark: SparkSession) {
           .otherwise(col(s"b_$c")).as(c)): _*)
   }
 
+  /** Partition-scoped copy-on-write MERGE against a STORED snapshot
+    * (parquet partitioned on `ptCol`): reads back only the partitions
+    * the update batch touches (directory pruning via a bounded
+    * touched-partition collect — |partitions| values, the driver-side
+    * footprint of a lakehouse touched-file list), applies
+    * [[mergeUpsert]] semantics to that slice, and rewrites it with a
+    * DYNAMIC partition overwrite — untouched partitions keep their
+    * committed bytes. The 100 TB CDC shape: write cost is O(touched
+    * partitions), not O(table). `updates` must carry the full snapshot
+    * schema including `ptCol`.
+    */
+  def mergeUpsertPartitioned(spark: SparkSession, snapshotDir: String,
+                             updates: DataFrame, keyCol: String,
+                             ptCol: String): Unit = {
+    val scoped = touchedSlice(spark, snapshotDir, updates, ptCol)
+    // Materialize before overwriting the partitions being read
+    // (staged-commit stand-in; O(touched partitions) in memory).
+    mergeUpsert(scoped, updates, keyCol)
+      .localCheckpoint()
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(ptCol).parquet(snapshotDir)
+  }
+
+  /** The directory-pruned snapshot slice [[mergeUpsertPartitioned]]
+    * merges against: only partitions named by the update batch
+    * (bounded distinct-collect → IN-list → PartitionFilters on the
+    * parquet read; PlanSpec pins the pruning).
+    */
+  private[graft] def touchedSlice(spark: SparkSession, snapshotDir: String,
+                                  updates: DataFrame, ptCol: String): DataFrame = {
+    val touched = updates.select(ptCol).distinct().collect()
+      .map(_.get(0)).toSeq
+    spark.read.parquet(snapshotDir)
+      .filter(col(ptCol).isInCollection(touched))
+  }
+
   /** Z-order clustering key over two non-negative integer columns
     * (`bits` low bits each, interleaved x-even / y-odd). Range-
     * partitioning + sorting a write by this key keeps BOTH columns'

@@ -164,6 +164,53 @@ object AnnSearch {
         .select(col("qid"), col("vec_id").as("nn_id"),
                 r4(col("score")).as("cos"))
         .orderBy("qid", "nn_id")
+    }),
+
+    // Graph-index ANN (HNSW/NSW-family): bounded beam search over the
+    // stored kNN graph built for graph_triangle_count. Fixed entry
+    // seeds (vec_id < 8), hop count H=3 and beam width B=8 make the
+    // search DETERMINISTIC and fully SQL-expressible — each hop is
+    // one equi-join of the (tiny, broadcast) beam against the
+    // adjacency table, then a rescore + top-B cut on the r4-quantized
+    // cosine. At 100 TB the adjacency is a bucketed table and each
+    // hop touches B·degree rows per query — cost is independent of
+    // corpus size, the property that makes graph indexes the
+    // low-latency ANN family. The corpus is NEVER broadcast: every
+    // per-hop join broadcasts the beam/candidate side (hinted, so the
+    // plan survives a 100× corpus without re-planning).
+    "ann_graph_topk" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val edges = GraphOps.knnGraphEdges(s, d).localCheckpoint()
+      val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val wBeam = Window.partitionBy("qid")
+        .orderBy(col("qscore").desc, col("id"))
+      // score candidates against the corpus and keep the top-B beam
+      def cut(cands: DataFrame, b: Int): DataFrame =
+        e.join(broadcast(cands), col("vec_id") === col("id"))
+          .join(broadcast(queries), "qid")
+          .withColumn("qscore", r4(V.cosine(col("embedding"), col("qv"))))
+          .withColumn("rn", row_number().over(wBeam))
+          .filter(col("rn") <= b)
+          .select(col("qid"), col("id"), col("qscore"))
+      val entry = queries.select(col("qid")).crossJoin(
+          e.filter(col("vec_id") < 8).select(col("vec_id").as("id")))
+        .filter(col("id") =!= col("qid"))
+      var beam = cut(entry, 8)
+      for (_ <- 1 to 3) {
+        val nbrs = beam.join(adj, col("id") === col("src"))
+          .select(col("qid"), col("dst").as("id"))
+        val cands = beam.select("qid", "id").union(nbrs)
+          .filter(col("id") =!= col("qid")).distinct()
+        beam = cut(cands, 8)
+      }
+      beam.withColumn("rnk", row_number().over(wBeam))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("id").as("nn_id"),
+                col("qscore").as("cos"))
+        .orderBy("qid", "rnk")
     })
   )
 
@@ -305,6 +352,104 @@ object AnnSearch {
         |FROM embeddings e CROSS JOIN q
         |WHERE e.vec_id <> q.qid
         |  AND list_cosine_similarity(e.$E, q.qv) >= 0.3
-        |ORDER BY qid, nn_id""".stripMargin
+        |ORDER BY qid, nn_id""".stripMargin,
+    // Beam search unrolled to its fixed H=3 hops: the preamble
+    // rebuilds the same kNN-graph edges as graph_triangle_count's
+    // oracle, then c{i}/b{i} CTEs alternate candidate expansion
+    // (beam ∪ neighbors) and the top-8 cut on the r4-quantized
+    // cosine — identical iteration order to the Spark loop.
+    "ann_graph_topk" ->
+      s"""WITH c AS (SELECT vec_id AS cid, $E AS cv
+        |           FROM embeddings WHERE vec_id < 4),
+        |assigned AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cid AS cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(e.$E, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN c)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, cid AS probe_cluster FROM (
+        |    SELECT q.vec_id AS qid, c.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.$E, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS pr
+        |    FROM embeddings q CROSS JOIN c)
+        |  WHERE pr <= 2),
+        |knn AS (
+        |  SELECT qid, vec_id AS nn FROM (
+        |    SELECT p.qid, e.vec_id,
+        |      row_number() OVER (PARTITION BY p.qid ORDER BY
+        |        floor((list_cosine_similarity(e.$E,
+        |                               q.$E))*10000 + 0.5)/10000 DESC,
+        |        e.vec_id) AS rnk
+        |    FROM assigned a
+        |    JOIN probes p ON a.cluster = p.probe_cluster
+        |    JOIN embeddings e ON e.vec_id = a.vec_id
+        |    JOIN embeddings q ON q.vec_id = p.qid
+        |    WHERE e.vec_id <> p.qid)
+        |  WHERE rnk <= 3),
+        |edges AS (
+        |  SELECT DISTINCT least(qid, nn) AS a, greatest(qid, nn) AS b FROM knn),
+        |adj AS (SELECT a AS src, b AS dst FROM edges
+        |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+        |q AS (SELECT vec_id AS qid, $E AS qv FROM embeddings
+        |      WHERE vec_id < 3),
+        |c0 AS (SELECT q.qid, e.vec_id AS id FROM embeddings e CROSS JOIN q
+        |       WHERE e.vec_id < 8 AND e.vec_id <> q.qid),
+        |b0 AS (SELECT qid, id, qscore FROM (
+        |  SELECT qid, id, qscore,
+        |    row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, id) AS rn
+        |  FROM (SELECT cc.qid, cc.id,
+        |          floor((list_cosine_similarity(e.$E, q.qv))*10000 + 0.5)/10000
+        |            AS qscore
+        |        FROM c0 cc JOIN embeddings e ON e.vec_id = cc.id
+        |        JOIN q ON q.qid = cc.qid))
+        |  WHERE rn <= 8),
+        |c1 AS (SELECT DISTINCT qid, id FROM (
+        |  SELECT qid, id FROM b0
+        |  UNION ALL SELECT b.qid, a.dst AS id FROM b0 b JOIN adj a ON b.id = a.src)
+        |  WHERE id <> qid),
+        |b1 AS (SELECT qid, id, qscore FROM (
+        |  SELECT qid, id, qscore,
+        |    row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, id) AS rn
+        |  FROM (SELECT cc.qid, cc.id,
+        |          floor((list_cosine_similarity(e.$E, q.qv))*10000 + 0.5)/10000
+        |            AS qscore
+        |        FROM c1 cc JOIN embeddings e ON e.vec_id = cc.id
+        |        JOIN q ON q.qid = cc.qid))
+        |  WHERE rn <= 8),
+        |c2 AS (SELECT DISTINCT qid, id FROM (
+        |  SELECT qid, id FROM b1
+        |  UNION ALL SELECT b.qid, a.dst AS id FROM b1 b JOIN adj a ON b.id = a.src)
+        |  WHERE id <> qid),
+        |b2 AS (SELECT qid, id, qscore FROM (
+        |  SELECT qid, id, qscore,
+        |    row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, id) AS rn
+        |  FROM (SELECT cc.qid, cc.id,
+        |          floor((list_cosine_similarity(e.$E, q.qv))*10000 + 0.5)/10000
+        |            AS qscore
+        |        FROM c2 cc JOIN embeddings e ON e.vec_id = cc.id
+        |        JOIN q ON q.qid = cc.qid))
+        |  WHERE rn <= 8),
+        |c3 AS (SELECT DISTINCT qid, id FROM (
+        |  SELECT qid, id FROM b2
+        |  UNION ALL SELECT b.qid, a.dst AS id FROM b2 b JOIN adj a ON b.id = a.src)
+        |  WHERE id <> qid),
+        |b3 AS (SELECT qid, id, qscore FROM (
+        |  SELECT qid, id, qscore,
+        |    row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, id) AS rn
+        |  FROM (SELECT cc.qid, cc.id,
+        |          floor((list_cosine_similarity(e.$E, q.qv))*10000 + 0.5)/10000
+        |            AS qscore
+        |        FROM c3 cc JOIN embeddings e ON e.vec_id = cc.id
+        |        JOIN q ON q.qid = cc.qid))
+        |  WHERE rn <= 8)
+        |SELECT qid, rn AS rnk, id AS nn_id, qscore AS cos FROM (
+        |  SELECT qid, id, qscore,
+        |    row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, id) AS rn
+        |  FROM b3)
+        |WHERE rn <= 5 ORDER BY qid, rnk""".stripMargin
   )
 }

@@ -51,6 +51,72 @@ object Maintenance {
         .orderBy("status")
     }),
 
+    // Partition-SCOPED MERGE: the CDC upsert at 100 TB. The snapshot
+    // is stored partitioned on pt; the update batch names its touched
+    // partitions (a bounded distinct-collect — |partitions| values,
+    // the same driver-side footprint as Delta's touched-file list);
+    // the full-outer join reads ONLY those partitions (directory
+    // pruning), and the rewrite is a DYNAMIC partition overwrite, so
+    // untouched partitions keep their committed bytes. Contrast
+    // sink_merge_upsert above, which rewrites the whole snapshot per
+    // merge — at 100 TB CDC that is a full-table write per batch;
+    // this key's write is O(touched), not O(table). An `_applied`
+    // WriteOnce marker keeps the merge idempotent across re-runs
+    // (re-merging an already-merged snapshot would compound the
+    // price update).
+    "sink_merge_partitioned" -> ((s, d) => {
+      val orders = TestData.orders(s, d)
+      val base = orders.filter(expr("o_orderkey % 7 <> 0"))
+        .select(col("o_orderkey"), col("o_totalprice").as("price"),
+          col("o_orderstatus").as("status"),
+          expr("CAST(o_custkey % 8 AS INT)").as("pt"))
+      val tag = graft.sources.WriteOnce.inputTag(d, "orders")
+      val snapDir = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/merge_part_snapshot", tag)
+      graft.sources.WriteOnce.ensure(snapDir, tag) {
+        base.write.mode("overwrite").partitionBy("pt").parquet(snapDir)
+      }
+      // update batch touches partitions {0, 1} only
+      val upd = orders
+        .filter(expr("o_orderkey % 3 = 0 AND o_custkey % 8 < 2"))
+        .select(col("o_orderkey").as("u_key"),
+          (col("o_totalprice") * lit(1.1)).as("u_price"),
+          expr("CAST(o_custkey % 8 AS INT)").as("u_pt"))
+      val appliedDir = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/merge_part_applied", tag)
+      graft.sources.WriteOnce.ensure(appliedDir, tag) {
+        val touched = upd.select("u_pt").distinct()
+          .collect().map(_.getInt(0)).sorted
+        val scoped = s.read.parquet(snapDir)
+          .filter(col("pt").isin(touched.map(Integer.valueOf): _*))
+        val merged = scoped
+          .join(upd, col("o_orderkey") === col("u_key"), "full_outer")
+          .select(
+            coalesce(col("o_orderkey"), col("u_key")).as("o_orderkey"),
+            coalesce(col("u_price"), col("price")).as("price"),
+            when(col("u_key").isNotNull, lit("U"))
+              .otherwise(col("status")).as("status"),
+            coalesce(col("pt"), col("u_pt")).as("pt"))
+        // Materialize the merged slice BEFORE overwriting its own
+        // source partitions (Spark refuses a write whose plan still
+        // reads the target path). O(touched partitions) in memory —
+        // the small-scale stand-in for a lakehouse staged commit
+        // (write new files, then swap the manifest).
+        merged.localCheckpoint().write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("pt").parquet(snapDir)
+        // commit the applied marker (ensure() then stamps _GRAFT_TAG)
+        val ad = new java.io.File(appliedDir)
+        ad.mkdirs()
+        java.nio.file.Files.write(
+          new java.io.File(ad, "_SUCCESS").toPath, Array.emptyByteArray)
+      }
+      s.read.parquet(snapDir)
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), r4(sum(col("price"))).as("sum_price"))
+        .orderBy("status")
+    }),
+
     // Z-order clustering: interleave the bits of two predicate columns
     // into one sort key, range-partition + sort the write by it, and
     // summarize per fixed-width key range. Because the z-curve keeps
@@ -123,6 +189,29 @@ object Maintenance {
         |  SELECT coalesce(u_price, o_totalprice) AS price,
         |    CASE WHEN u_key IS NOT NULL THEN 'U' ELSE o_orderstatus END AS status
         |  FROM base FULL OUTER JOIN upd ON o_orderkey = u_key)
+        |SELECT status, count(*)::BIGINT AS n,
+        |  floor((sum(price))*10000 + 0.5)/10000 AS sum_price
+        |FROM m GROUP BY status ORDER BY status""".stripMargin,
+    // Scoped merge ≡ (merged touched partitions) ∪ (untouched base
+    // rows verbatim) — the oracle computes both legs relationally.
+    "sink_merge_partitioned" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status,
+        |    (o_custkey % 8)::INT AS pt
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |upd AS (
+        |  SELECT o_orderkey AS u_key, o_totalprice * 1.1 AS u_price,
+        |    (o_custkey % 8)::INT AS u_pt
+        |  FROM orders WHERE o_orderkey % 3 = 0 AND o_custkey % 8 < 2),
+        |touched AS (SELECT DISTINCT u_pt FROM upd),
+        |m AS (
+        |  SELECT coalesce(u_price, price) AS price,
+        |    CASE WHEN u_key IS NOT NULL THEN 'U' ELSE status END AS status
+        |  FROM (SELECT * FROM base WHERE pt IN (SELECT u_pt FROM touched)) b
+        |  FULL OUTER JOIN upd ON b.o_orderkey = u_key
+        |  UNION ALL
+        |  SELECT price, status FROM base
+        |  WHERE pt NOT IN (SELECT u_pt FROM touched))
         |SELECT status, count(*)::BIGINT AS n,
         |  floor((sum(price))*10000 + 0.5)/10000 AS sum_price
         |FROM m GROUP BY status ORDER BY status""".stripMargin,

@@ -199,6 +199,49 @@ object Streaming {
         .orderBy("user_id")
     }),
 
+    // LEFT OUTER stream-stream join in the gate: purchases keep
+    // flowing even without an attributable click — matches emit
+    // immediately (Append), unattributed purchases null-emit when the
+    // engine evicts their state, i.e. once the GLOBAL watermark
+    // (min over both sides' max event time, minus the 1 h delay)
+    // passes their event time; AvailableNow's trailing no-data batch
+    // applies the final watermark. Purchases inside the last
+    // watermark window stay buffered and never emit — the oracle
+    // mirrors exactly that cutoff, so the key also PINS the
+    // no-data-batch + min-watermark semantics against regression.
+    "stream_availablenow_left_join" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val batch = TestData.events(s, d)
+      val tag = graft.sources.WriteOnce.inputTag(d, "events")
+      val dir = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/stream_an_source", tag)
+      graft.sources.WriteOnce.ensure(dir, tag) {
+        batch.write.mode("overwrite").parquet(dir)
+      }
+      def side(tpe: String, idAs: String, tsAs: String) =
+        s.readStream.schema(batch.schema).parquet(dir)
+          .filter(col("event_type") === tpe)
+          .select(col("user_id").as(idAs), col("ts").as(tsAs))
+          .withWatermark(tsAs, "1 hour")
+      val clicks = side("click", "c_user", "c_ts")
+      val purchases = side("purchase", "p_user", "p_ts")
+      val qn = s"graft_stream_ljoin_${streamSeq.incrementAndGet()}"
+      val q = purchases.join(clicks,
+          col("p_user") === col("c_user")
+            && col("c_ts") <= col("p_ts")
+            && col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+      s.table(qn)
+        .groupBy(col("p_user").as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("c_ts")).as("n_matched"),
+          sum(when(col("c_ts").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+        .orderBy("user_id")
+    }),
+
     // foreachBatch INCREMENTAL UPSERT in the gate: each micro-batch's
     // partial aggregate is merged (read-merge-overwrite) into a
     // running parquet snapshot — the streaming-maintained
@@ -349,6 +392,30 @@ object Streaming {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |GROUP BY c.user_id ORDER BY 1""".stripMargin,
+    // Null-emission cutoff = final global watermark: min of the two
+    // sides' max event times minus the 1 h delay; unmatched purchases
+    // STRICTLY older than it were evicted and emitted, the rest are
+    // still buffered at termination and do not appear.
+    "stream_availablenow_left_join" ->
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(ts) FROM c),
+        |                    (SELECT max(ts) FROM p)) - INTERVAL 1 HOUR AS w),
+        |pairs AS (
+        |  SELECT p.user_id FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE),
+        |unm AS (
+        |  SELECT p.user_id FROM p, wm
+        |  WHERE p.ts < wm.w AND NOT EXISTS (
+        |    SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |      AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE)),
+        |rows_all AS (
+        |  SELECT user_id, 1 AS m FROM pairs
+        |  UNION ALL SELECT user_id, 0 AS m FROM unm)
+        |SELECT user_id, count(*)::BIGINT AS n_rows,
+        |  sum(m)::BIGINT AS n_matched,
+        |  sum(1 - m)::BIGINT AS n_unmatched
+        |FROM rows_all GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_tws_running" ->
       """SELECT user_id, count(*)::BIGINT AS n_events,
         |  floor((max(value))*10000 + 0.5)/10000 AS max_value

@@ -89,6 +89,32 @@ object StreamOps {
       .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
   }
 
+  /** LEFT OUTER stream-stream join: every purchase emits — matched
+    * pairs immediately (Append), unattributed purchases as a
+    * null-click row once the CLICK-side watermark passes their event
+    * time (state timeout: no qualifying click can arrive anymore, so
+    * the engine evicts the buffered purchase and emits the outer
+    * row). The production attribution join mode: inner loses the
+    * unconverted traffic; this keeps it, still with bounded state.
+    */
+  def clickToPurchaseLeftJoin(events: DataFrame, watermark: String,
+                              window: String): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+              col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+      col("cu") === col("user_id")
+        && col("click_ts") <= col("purchase_ts")
+        && col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $window"),
+      "left_outer")
+      .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+  }
+
   /** Vector record for the streaming index-append pipeline. */
   case class Vec(vec_id: Long, embedding: Array[Double])
 

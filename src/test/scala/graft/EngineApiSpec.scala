@@ -259,6 +259,44 @@ class EngineApiSpec extends SparkSpec {
       (3L, "c", 30.0), (9L, "z", 90.0)))
   }
 
+  test("mergeUpsert lets a NULL-carrying update win on matched keys") {
+    val base = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0))
+      .toDF("id", "name", "v")
+    val upd = Seq((2L, None: Option[String], 200.0)).toDF("id", "name", "v")
+    val got = engine.mergeUpsert(base, upd, "id")
+      .as[(Long, Option[String], Double)].collect().sortBy(_._1)
+    // standard MERGE: the matched row takes ALL update columns,
+    // including a legitimate NULL — not coalesce-back-to-base
+    assert(got.toSeq === Seq((1L, Some("a"), 10.0), (2L, None, 200.0)))
+  }
+
+  test("mergeUpsertPartitioned rewrites only touched partitions") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("merge_part_test").toString
+    val base = Seq((1L, "a", 10.0, 0), (2L, "b", 20.0, 0),
+                   (3L, "c", 30.0, 1), (4L, "d", 40.0, 2))
+      .toDF("id", "name", "v", "pt")
+    base.write.mode("overwrite").partitionBy("pt").parquet(dir)
+    def files(p: Int): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/pt=$p")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before1 = files(1); val before2 = files(2)
+    // update touches only pt=0 (match on id=2 + insert id=9)
+    val upd = Seq((2L, "B", 200.0, 0), (9L, "z", 90.0, 0))
+      .toDF("id", "name", "v", "pt")
+    engine.mergeUpsertPartitioned(spark, dir, upd, "id", "pt")
+    val got = spark.read.parquet(dir)
+      .select("id", "name", "v").as[(Long, String, Double)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "a", 10.0), (2L, "B", 200.0),
+      (3L, "c", 30.0), (4L, "d", 40.0), (9L, "z", 90.0)))
+    // untouched partitions keep their exact committed files
+    assert(files(1) === before1 && files(2) === before2,
+      "untouched partitions must not be rewritten")
+  }
+
   test("zOrderKey interleaves bits and bounds both dims per key range") {
     val df = spark.range(0, 1024).select(
       (col("id") % 32).as("x"), (col("id") / 32).cast("long").as("y"))

@@ -259,4 +259,40 @@ class PlanSpec extends SparkSpec {
     val line = p.linesIterator.find(_.contains("cosine_similarity")).get
     assert(line.contains("*("), s"cosine projection fell out of codegen: $line")
   }
+
+  test("partition-scoped merge reads only touched partitions (pruned scan)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("merge_prune_plan").toString
+    Seq((1L, 10.0, 0), (2L, 20.0, 1), (3L, 30.0, 2))
+      .toDF("id", "v", "pt")
+      .write.mode("overwrite").partitionBy("pt").parquet(dir)
+    val upd = Seq((9L, 90.0, 0)).toDF("id", "v", "pt")
+    val p = new graft.api.GraftEngine(spark).touchedSlice(spark, dir, upd, "pt")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("pt"),
+      s"touched-partition IN list must prune directories:\n${p.take(800)}")
+    assert(!p.contains("PartitionFilters: []"),
+      s"empty partition filter = full snapshot scan:\n${p.take(800)}")
+  }
+
+  test("graph ANN beam search broadcasts the beam, never the corpus") {
+    val df = SparkEntry.queries("ann_graph_topk")(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    // Every per-hop scoring join is `corpus ⋈ broadcast(candidates)`
+    // (hinted): BroadcastHashJoin on the id key, corpus streamed. The
+    // only embeddings scans allowed under a broadcast are the
+    // pushed-filter query/entry subsets (vec_id < 3 / < 8) — an
+    // UNfiltered corpus scan line must exist exactly as the streamed
+    // probe side, and there is no cartesian pair scan.
+    assert(p.contains("BroadcastHashJoin"),
+      s"beam joins must broadcast the candidate side:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"beam expansion must stay an equi-join:\n${p.take(800)}")
+    val corpusScans = p.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("embeddings.parquet")
+        && !l.contains("LessThan(vec_id")).toList
+    assert(corpusScans.nonEmpty, "expected a streamed full corpus scan")
+  }
 }

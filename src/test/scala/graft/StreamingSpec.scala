@@ -229,6 +229,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits nulls on click-watermark timeout") {
+    val input = MemoryStream[Event](spark)
+    val q = StreamOps.clickToPurchaseLeftJoin(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("ss_left_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        ev(1, 0, user = 1, typ = "click"),
+        ev(2, 3, user = 1, typ = "purchase"),   // within 5 min of click 1
+        ev(4, 40, user = 1, typ = "purchase"),  // no click within 5 min
+        ev(5, 41, user = 2, typ = "purchase"))  // other user, no click
+      q.processAllAvailable()
+      // the matched pair emits without waiting on the watermark
+      val early = spark.table("ss_left_join")
+        .select("purchase_id", "click_id").as[(Long, Option[Long])]
+        .collect().toSet
+      assert(early === Set((2L, Some(1L))),
+        s"matched pair must emit immediately, nulls must WAIT: $early")
+      // The GLOBAL watermark is min(click side, purchase side), so
+      // BOTH sides need later events before purchases 4/5 time out —
+      // and eviction applies the watermark computed at the END of the
+      // previous batch, so a further batch must run to emit the outer
+      // rows (different users, so the late events don't pair up).
+      input.addData(ev(6, 80, user = 3, typ = "click"),
+                    ev(7, 80, user = 4, typ = "purchase"))
+      q.processAllAvailable()
+      input.addData(ev(8, 85, user = 5, typ = "click"),
+                    ev(9, 85, user = 6, typ = "purchase"))
+      q.processAllAvailable()
+      val all = spark.table("ss_left_join")
+        .select("purchase_id", "click_id").as[(Long, Option[Long])]
+        .collect().toSet
+      assert(all === Set((2L, Some(1L)), (4L, None), (5L, None)),
+        s"unmatched purchases must null-emit after timeout: $all")
+    } finally q.stop()
+  }
+
   test("file streaming source (availableNow) matches the batch aggregate") {
     // The production entry path: readStream over a parquet directory,
     // processed with Trigger.AvailableNow — results must equal the
