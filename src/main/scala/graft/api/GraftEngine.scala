@@ -201,6 +201,34 @@ class GraftEngine(val spark: SparkSession) {
     EmbedDedup.nearDupPairs(
       vectors.select(col("id"), col("embedding")), dim, threshold)
 
+  /** SemDeDup-style semantic near-dup pairs: train `k` coarse
+    * centroids on the bounded sample, assign every vector, and pair
+    * up ONLY within a cluster (cos ≥ `threshold`, id_a < id_b). The
+    * clustering bounds the pair work — size k so clusters stay small
+    * at your corpus scale; cross-cluster near-dups are missed by
+    * design (the paper's scalability trade; [[embeddingDuplicates]]
+    * is the LSH alternative without that blind spot). Input:
+    * (id, embedding); output (cluster, id_a, id_b, cos).
+    */
+  def semanticDuplicates(vectors: DataFrame, k: Int, threshold: Double,
+                         seed: Long = 42L): DataFrame = {
+    val cents = TrainedQuantize.trainCentroids(vectors, k, seed)
+    val assigned = V.assignToCentroids(
+        vectors.select(col("id"), col("embedding")), cents,
+        Seq("id", "embedding"))
+      .select(col("id"), col("embedding"), col("cluster"))
+      .localCheckpoint() // the self-join would re-run the assignment
+    val a = assigned.select(col("id").as("id_a"),
+      col("embedding").as("va"), col("cluster"))
+    val b = assigned.select(col("id").as("id_b"),
+      col("embedding").as("vb"), col("cluster").as("cb"))
+    a.join(b.hint("shuffle_hash"),
+        col("cluster") === col("cb") && col("id_a") < col("id_b"))
+      .withColumn("cos", V.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("cluster"), col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Semi-join reduction: filter `facts` map-side to rows whose
     * `factKey` might appear in `dim`'s `dimKey` set, using a
     * driver-built Bloom filter shipped in the task closure. No false

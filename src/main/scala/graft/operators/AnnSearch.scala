@@ -56,6 +56,26 @@ object AnnSearch {
       .select(col("qid"), col("rnk"), col("vec_id").as("nn_id"), col("score"))
   }
 
+  /** One beam-search hop's scoring cut: join the (tiny) candidate
+    * set against the corpus — candidate side BROADCAST by hint, so
+    * the plan survives a 100× corpus without re-planning — score
+    * vs each query, keep the top-`b` per query on the r4-quantized
+    * cosine. Exposed (pre-checkpoint) so PlanSpec can pin the
+    * broadcast direction that `ann_graph_topk`'s per-hop
+    * checkpoints hide.
+    */
+  private[graft] def beamCut(e: DataFrame, queries: DataFrame,
+                             cands: DataFrame, b: Int): DataFrame = {
+    val wBeam = Window.partitionBy("qid")
+      .orderBy(col("qscore").desc, col("id"))
+    e.join(broadcast(cands), col("vec_id") === col("id"))
+      .join(broadcast(queries), "qid")
+      .withColumn("qscore", r4(V.cosine(col("embedding"), col("qv"))))
+      .withColumn("rn", row_number().over(wBeam))
+      .filter(col("rn") <= b)
+      .select(col("qid"), col("id"), col("qscore"))
+  }
+
   val defs: Map[String, Q] = Map(
     "ann_ivf_topk" -> ((s, d) =>
       ivfTop5(TestData.embeddings(s, d))
@@ -86,6 +106,39 @@ object AnnSearch {
         .groupBy("qid")
         .agg(count(col("inn")).as("n_hit"),
              r4(count(col("inn")) / 5.0).as("recall"))
+        .orderBy("qid")
+    }),
+
+    // NDCG@5 of the IVF probe vs exact brute force — recall@5 treats
+    // every hit equally; NDCG discounts late ranks (1/log2(rnk+1)),
+    // so it additionally penalizes an index that finds the right
+    // neighbors in the wrong ORDER. Same two arms as ann_recall_eval
+    // (shared broadcast query set, map-side brute scan, 25-row join);
+    // rel(doc) = membership in the exact top-5, ideal DCG is the
+    // 5-relevant-docs constant. ln-form log2 on both engines; r4 at
+    // the output only (the repo's raw-cosine ranking convention).
+    "ann_ndcg_eval" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val wTop = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+      val brute = e.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score", V.cosine(col("embedding"), col("qv")))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("vec_id").as("nn_id"))
+      val ivf = ivfTop5(e)
+        .select(col("qid").as("iqid"), col("rnk"), col("nn_id").as("inn"))
+      val ln2 = math.log(2.0)
+      val idcg = (1 to 5).map(i => 1.0 / (math.log(i + 1.0) / ln2)).sum
+      ivf.join(brute,
+          col("iqid") === col("qid") && col("inn") === col("nn_id"), "left")
+        .groupBy(col("iqid"))
+        .agg(r4(sum(when(col("nn_id").isNotNull,
+              lit(1.0) / (log(col("rnk") + lit(1.0)) / lit(ln2)))
+            .otherwise(lit(0.0))) / lit(idcg)).as("ndcg"))
+        .select(col("iqid").as("qid"), col("ndcg"))
         .orderBy("qid")
     }),
 
@@ -180,31 +233,30 @@ object AnnSearch {
     // plan survives a 100× corpus without re-planning).
     "ann_graph_topk" -> ((s, d) => {
       val e = TestData.embeddings(s, d)
-      val edges = GraphOps.knnGraphEdges(s, d).localCheckpoint()
+      val edges = GraphOps.fixtureKnnEdges(s, d)
       val adj = edges.select(col("a").as("src"), col("b").as("dst"))
         .union(edges.select(col("b").as("src"), col("a").as("dst")))
       val queries = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val wBeam = Window.partitionBy("qid")
         .orderBy(col("qscore").desc, col("id"))
-      // score candidates against the corpus and keep the top-B beam
       def cut(cands: DataFrame, b: Int): DataFrame =
-        e.join(broadcast(cands), col("vec_id") === col("id"))
-          .join(broadcast(queries), "qid")
-          .withColumn("qscore", r4(V.cosine(col("embedding"), col("qv"))))
-          .withColumn("rn", row_number().over(wBeam))
-          .filter(col("rn") <= b)
-          .select(col("qid"), col("id"), col("qscore"))
+        beamCut(e, queries, cands, b)
       val entry = queries.select(col("qid")).crossJoin(
           e.filter(col("vec_id") < 8).select(col("vec_id").as("id")))
         .filter(col("id") =!= col("qid"))
-      var beam = cut(entry, 8)
+      // Each hop references the previous beam TWICE (the neighbor
+      // expansion and the union back in) — without materialization
+      // the final plan recomputes beam 0 2^H times. The beam is ≤
+      // |queries|·B rows, so checkpointing it per hop is the 100 TB
+      // shape too (graph searches carry tiny frontier state).
+      var beam = cut(entry, 8).localCheckpoint()
       for (_ <- 1 to 3) {
         val nbrs = beam.join(adj, col("id") === col("src"))
           .select(col("qid"), col("dst").as("id"))
         val cands = beam.select("qid", "id").union(nbrs)
           .filter(col("id") =!= col("qid")).distinct()
-        beam = cut(cands, 8)
+        beam = cut(cands, 8).localCheckpoint()
       }
       beam.withColumn("rnk", row_number().over(wBeam))
         .filter(col("rnk") <= 5)
@@ -353,6 +405,56 @@ object AnnSearch {
         |WHERE e.vec_id <> q.qid
         |  AND list_cosine_similarity(e.$E, q.qv) >= 0.3
         |ORDER BY qid, nn_id""".stripMargin,
+    // Same preamble as ann_ivf_topk; idcg in ln-form so both engines
+    // evaluate the identical expression shape, r4 at the output only.
+    "ann_ndcg_eval" ->
+      s"""WITH c AS (SELECT vec_id AS cid, $E AS cv FROM embeddings WHERE vec_id < 4),
+        |assigned AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cid AS cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(e.$E, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN c)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, cid AS probe_cluster FROM (
+        |    SELECT q.vec_id AS qid, c.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.$E, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS pr
+        |    FROM embeddings q CROSS JOIN c WHERE q.vec_id < 5)
+        |  WHERE pr <= 2),
+        |hits AS (
+        |  SELECT p.qid, e.vec_id,
+        |    list_cosine_similarity(e.$E, q.$E) AS score
+        |  FROM assigned a
+        |  JOIN probes p ON a.cluster = p.probe_cluster
+        |  JOIN embeddings e ON e.vec_id = a.vec_id
+        |  JOIN embeddings q ON q.vec_id = p.qid
+        |  WHERE e.vec_id <> p.qid),
+        |ivf AS (
+        |  SELECT qid, rnk, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, vec_id) AS rnk FROM hits)
+        |  WHERE rnk <= 5),
+        |brute AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT q.vec_id AS qid, e.vec_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_cosine_similarity(e.$E, q.$E) DESC, e.vec_id) AS rnk
+        |    FROM embeddings e CROSS JOIN embeddings q
+        |    WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+        |  WHERE rnk <= 5),
+        |idcg AS (SELECT sum(1/(ln(i + 1)/ln(2))) AS v
+        |         FROM (SELECT unnest(range(1, 6)) AS i))
+        |SELECT i.qid,
+        |  floor((sum(CASE WHEN b.vec_id IS NOT NULL
+        |               THEN 1/(ln(i.rnk + 1)/ln(2)) ELSE 0 END)
+        |         / (SELECT v FROM idcg))*10000 + 0.5)/10000 AS ndcg
+        |FROM ivf i LEFT JOIN brute b
+        |  ON i.qid = b.qid AND i.vec_id = b.vec_id
+        |GROUP BY i.qid ORDER BY i.qid""".stripMargin,
     // Beam search unrolled to its fixed H=3 hops: the preamble
     // rebuilds the same kNN-graph edges as graph_triangle_count's
     // oracle, then c{i}/b{i} CTEs alternate candidate expansion

@@ -87,6 +87,46 @@ object EmbedDedup {
       nearDupPairs(e.unionAll(planted), dim = 64, threshold = 0.99)
         .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup scoped to coarse
+    // clusters — assign every embedding to its nearest centroid, pair
+    // up ONLY within a cluster (the clustering bounds the pair work:
+    // at 100 TB, k is sized so clusters stay small, and the pair join
+    // shuffles on the cluster key), flag pairs above the cosine
+    // threshold, drop the higher id of each flagged pair (greedy
+    // keep-first). Cross-cluster near-dups are missed by design —
+    // that approximation is the paper's scalability trade.
+    "dedup_semantic" -> ((s, d) => {
+      import graft.functions.{VectorOps => V}
+      val e = TestData.embeddings(s, d)
+      val assigned = V.assignToCentroids(
+          e, Vectors.fixedCentroids(e), Seq("vec_id", "embedding"))
+        .select(col("vec_id"), col("embedding"), col("cluster"))
+        // the a/b self-join below would re-run the assignment per branch
+        .localCheckpoint()
+      val a = assigned.select(col("vec_id").as("ida"),
+        col("embedding").as("va"), col("cluster").as("ca"))
+      val b = assigned.select(col("vec_id").as("idb"),
+        col("embedding").as("vb"), col("cluster").as("cb"))
+      val pairs = a.join(b.hint("shuffle_hash"),
+          col("ca") === col("cb") && col("ida") < col("idb"))
+        .withColumn("cos", r4(V.cosine(col("va"), col("vb"))))
+        .filter(col("cos") > 0.4)
+        .select(col("ca").as("cluster"), col("ida"), col("idb"))
+        .localCheckpoint() // consumed twice (pair count + drop set)
+      val members = assigned.groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"))
+      val np = pairs.groupBy("cluster")
+        .agg(count(lit(1)).as("n_pairs"))
+      val nd = pairs.select(col("cluster"), col("idb")).distinct()
+        .groupBy("cluster").agg(count(lit(1)).as("n_dropped"))
+      members.join(np, Seq("cluster"), "left")
+        .join(nd, Seq("cluster"), "left")
+        .select(col("cluster"), col("n_members"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+        .orderBy("cluster")
     })
   )
 
@@ -109,6 +149,39 @@ object EmbedDedup {
         |  floor((list_cosine_similarity(a.v, b.v))*10000 + 0.5)/10000 AS cos
         |FROM u a JOIN u b ON a.id < b.id
         |WHERE list_cosine_similarity(a.v, b.v) > 0.99
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    // Same nearest-centroid assignment CTE as the IVF oracles; the
+    // pair predicate quantizes BEFORE the threshold (r4 on both
+    // engines) so the 0.4 boundary cannot flip.
+    "dedup_semantic" ->
+      s"""WITH c AS (SELECT vec_id AS cid, $E AS cv
+        |           FROM embeddings WHERE vec_id < 4),
+        |assigned AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cid AS cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(e.$E, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN c)
+        |  WHERE rn = 1),
+        |ae AS (
+        |  SELECT e.vec_id, e.$E AS v, s.cluster
+        |  FROM embeddings e JOIN assigned s ON e.vec_id = s.vec_id),
+        |pairs AS (
+        |  SELECT x.cluster, x.vec_id AS ida, y.vec_id AS idb
+        |  FROM ae x JOIN ae y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        |  WHERE floor((list_cosine_similarity(x.v, y.v))*10000 + 0.5)/10000 > 0.4),
+        |m AS (SELECT cluster, count(*)::BIGINT AS n_members
+        |      FROM assigned GROUP BY cluster),
+        |np AS (SELECT cluster, count(*)::BIGINT AS n_pairs
+        |       FROM pairs GROUP BY cluster),
+        |nd AS (SELECT cluster, count(DISTINCT idb)::BIGINT AS n_dropped
+        |       FROM pairs GROUP BY cluster)
+        |SELECT m.cluster, m.n_members,
+        |  coalesce(np.n_pairs, 0)::BIGINT AS n_pairs,
+        |  coalesce(nd.n_dropped, 0)::BIGINT AS n_dropped
+        |FROM m LEFT JOIN np ON m.cluster = np.cluster
+        |LEFT JOIN nd ON m.cluster = nd.cluster
+        |ORDER BY m.cluster""".stripMargin
   )
 }

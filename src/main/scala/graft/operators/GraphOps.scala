@@ -129,7 +129,19 @@ object GraphOps {
     * are k=4096 at 100 TB, where the cluster key fans out naturally).
     * Exposed (pre-checkpoint) so PlanSpec can pin the candidate-join
     * shape that `graph_triangle_count`'s eager checkpoint hides.
+    * TWO declared keys (`graph_triangle_count`, `ann_graph_topk`)
+    * consume the checkpointed list — [[fixtureKnnEdges]] memoizes it
+    * per (session, fixture) like the jaccard-pair memo.
     */
+  private val edgesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def fixtureKnnEdges(s: SparkSession, d: String): DataFrame =
+    edgesMemo.computeIfAbsent(
+      System.identityHashCode(s) + "|" +
+        graft.sources.WriteOnce.inputTag(d, "embeddings"),
+      _ => knnGraphEdges(s, d).localCheckpoint())
+
   def knnGraphEdges(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.{VectorOps => V}
@@ -199,9 +211,10 @@ object GraphOps {
     // top-3 neighbor lists; triangles = the classic two-hop edge
     // self-join with a < b < c so each triangle counts once.
     "graph_triangle_count" -> ((s, d) => {
-      // Materialize once: three self-join branches below would each
-      // re-run the whole kNN pipeline. The edge list is 2 longs/edge.
-      val edges = knnGraphEdges(s, d).localCheckpoint()
+      // Materialized once per fixture: three self-join branches below
+      // (and ann_graph_topk's three hops) would each re-run the whole
+      // kNN pipeline. The edge list is 2 longs/edge.
+      val edges = fixtureKnnEdges(s, d)
       val tri = edges.select(col("a").as("x"), col("b").as("y"))
         .join(edges.select(col("a").as("y2"), col("b").as("z2")),
           col("y") === col("y2"))

@@ -154,6 +154,22 @@ class EngineApiSpec extends SparkSpec {
       s"got $pairs")
   }
 
+  test("semanticDuplicates finds exact copies inside their cluster") {
+    // exact copies (not scaled): identical vectors share all centroid
+    // distances, so both land in the same cluster deterministically
+    // and the planted pair is guaranteed to be in-scope
+    val planted = emb.filter(col("id") < 10)
+      .select((col("id") + 60000L).as("id"), col("embedding"))
+    val pairs = engine.semanticDuplicates(
+        emb.select("id", "embedding").unionAll(planted), k = 4,
+        threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((0L until 10L).map(i => (i, i + 60000L)).toSet.subsetOf(pairs),
+      s"every planted exact copy must pair with its original: $pairs")
+    // nothing else in the fixture sits at cosine ≥ 0.999
+    assert(pairs.size === 10, s"unexpected extra pairs: $pairs")
+  }
+
   test("bloomPrefilter keeps every joining row and kills most others") {
     val dim = docs.filter(col("id") < 10).select(col("id").as("k"))
     val filtered = engine.bloomPrefilter(docs, "id", dim, "k",

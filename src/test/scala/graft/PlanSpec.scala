@@ -277,15 +277,20 @@ class PlanSpec extends SparkSpec {
   }
 
   test("graph ANN beam search broadcasts the beam, never the corpus") {
-    val df = SparkEntry.queries("ann_graph_topk")(spark, sfDir)
-    df.collect() // finalize the adaptive plan
-    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
-    // Every per-hop scoring join is `corpus ⋈ broadcast(candidates)`
-    // (hinted): BroadcastHashJoin on the id key, corpus streamed. The
-    // only embeddings scans allowed under a broadcast are the
-    // pushed-filter query/entry subsets (vec_id < 3 / < 8) — an
-    // UNfiltered corpus scan line must exist exactly as the streamed
-    // probe side, and there is no cartesian pair scan.
+    // ann_graph_topk checkpoints each (tiny) beam between hops, so
+    // the declared key's final plan is checkpoint scans; the per-hop
+    // scoring shape is pinned on the exposed pre-checkpoint hop.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = TestData.embeddings(spark, sfDir)
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cands = Seq((0L, 5L), (1L, 6L), (2L, 7L)).toDF("qid", "id")
+    val df = AnnSearch.beamCut(e, queries, cands, 8)
+    val p = df.queryExecution.executedPlan.toString
+    // `corpus ⋈ broadcast(candidates)` (hinted): BroadcastHashJoin on
+    // the id key, corpus streamed — an UNfiltered embeddings scan
+    // exists only as the probe side; no cartesian pair scan.
     assert(p.contains("BroadcastHashJoin"),
       s"beam joins must broadcast the candidate side:\n${p.take(800)}")
     assert(!p.contains("CartesianProduct"),
