@@ -229,6 +229,40 @@ class GraftEngine(val spark: SparkSession) {
       .select(col("cluster"), col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Graph-index ANN search (HNSW/NSW family): bounded beam search
+    * over a kNN graph. `corpus` = (id, embedding); `edges` =
+    * undirected (a, b); `queries` = (qid, qv); `entry` = (qid, id)
+    * seed pairs. Each hop equi-joins the (tiny, broadcast) beam
+    * against the adjacency and rescores — cost is beamWidth·degree
+    * per query and hop, independent of corpus size. The beam is
+    * checkpointed per hop (each hop references it twice; without
+    * materialization the plan recomputes hop 0 2^hops times).
+    * Output: (qid, rnk, id, cos), top-`k` of the final beam.
+    */
+  def graphSearch(corpus: DataFrame, edges: DataFrame, queries: DataFrame,
+                  entry: DataFrame, hops: Int = 3, beamWidth: Int = 8,
+                  k: Int = 10): DataFrame = {
+    val e = corpus.select(col("id").as("vec_id"), col("embedding"))
+    val q = queries.select(col("qid"), col("qv"))
+    val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+    var beam = graft.operators.AnnSearch
+      .beamCut(e, q, entry.select(col("qid"), col("id")), beamWidth)
+      .localCheckpoint()
+    for (_ <- 1 to hops) {
+      val nbrs = beam.join(adj, col("id") === col("src"))
+        .select(col("qid"), col("dst").as("id"))
+      val cands = beam.select("qid", "id").union(nbrs).distinct()
+      beam = graft.operators.AnnSearch
+        .beamCut(e, q, cands, beamWidth).localCheckpoint()
+    }
+    val w = Window.partitionBy("qid")
+      .orderBy(col("qscore").desc, col("id"))
+    beam.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("id"), col("qscore").as("cos"))
+  }
+
   /** Semi-join reduction: filter `facts` map-side to rows whose
     * `factKey` might appear in `dim`'s `dimKey` set, using a
     * driver-built Bloom filter shipped in the task closure. No false

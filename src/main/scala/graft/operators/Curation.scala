@@ -97,6 +97,90 @@ object Curation {
     // training mix applies (rate = min(1, target/actual); feed it to
     // sample_stratified / stratifiedSampleByHash). Language-sized
     // output at any corpus size.
+    // Gopher-style rule filter (Rae et al. 2021 §A1.1 adapted to the
+    // fixture's ranges): hard pass/fail rules instead of a soft score
+    // — length ≥ 30 tokens, stopword ratio ≥ 0.02, mean token length
+    // in [4.2, 5.0]. One map-side pass; the per-(lang, rule) fail
+    // counts are what a curation run reports before committing to a
+    // filter config. Ratios are single int/int divisions (exact IEEE
+    // on both engines), so the rule boundaries cannot flip.
+    "text_quality_rules" -> ((s, d) => {
+      val stops = Seq("the", "a", "of", "and", "in")
+      TestData.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("nt", size(col("toks")))
+        .withColumn("ns",
+          size(filter(col("toks"), t => t.isInCollection(stops))))
+        .withColumn("al",
+          aggregate(col("toks"), lit(0), (a, t) => a + length(t))
+            .cast("double") / col("nt"))
+        .withColumn("r_len", col("nt") >= 30)
+        .withColumn("r_stop",
+          col("ns").cast("double") / col("nt") >= 0.02)
+        .withColumn("r_al", col("al") >= 4.2 && col("al") <= 5.0)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("r_len"), 1L).otherwise(0L)).as("pass_len"),
+          sum(when(col("r_stop"), 1L).otherwise(0L)).as("pass_stop"),
+          sum(when(col("r_al"), 1L).otherwise(0L)).as("pass_avglen"),
+          sum(when(col("r_len") && col("r_stop") && col("r_al"), 1L)
+            .otherwise(0L)).as("pass_all"))
+        .orderBy("lang")
+    }),
+
+    // Temperature-scaled language mixing (the multilingual-training
+    // mix): w_l ∝ n_l^α with α = 0.3 — upweights low-resource
+    // languages relative to proportional sampling. Language-sized
+    // aggregate; pow is evaluated on both engines but only r4-rounded
+    // OUTPUT columns are emitted (no boundary comparisons on it).
+    "pipeline_mix_temperature" -> ((s, d) => {
+      val per = TestData.documents(s, d)
+        .select(col("lang"), size(split(col("text"), " ")).as("nt"))
+        .groupBy("lang").agg(sum(col("nt")).as("n_tokens"))
+      val tot = per.agg(
+        sum(pow(col("n_tokens").cast("double"), lit(0.3))).as("z"))
+      per.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_tokens"),
+          r4(pow(col("n_tokens").cast("double"), lit(0.3)) / col("z"))
+            .as("weight"))
+        .orderBy("lang")
+    }),
+
+    // The staged curation FUNNEL: how many docs survive each
+    // successive filter — length rule, + stopword rule, + exact-dedup
+    // survivorship (min doc_id per content hash), + repetition gate.
+    // The stage counts are the go/no-go dashboard of a curation run;
+    // each stage is the conjunction of all previous ones, so the
+    // counts are monotone non-increasing. One scan + one hash-groupBy
+    // for the dedup stage.
+    "pipeline_curation_funnel" -> ((s, d) => {
+      val docs = TestData.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("nt", size(col("toks")))
+        .withColumn("ns", size(filter(col("toks"),
+          t => t.isInCollection(Seq("the", "a", "of", "and", "in")))))
+        .withColumn("bi", expr(
+          "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+        .withColumn("rep",
+          (col("nt") - lit(1) - size(array_distinct(col("bi")))).cast("double")
+            / (col("nt") - lit(1)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val staged = docs
+        .withColumn("s1", col("nt") >= 30)
+        .withColumn("s2", col("s1")
+          && col("ns").cast("double") / col("nt") >= 0.02)
+        .withColumn("s3", col("s2")
+          && row_number().over(w) === 1)
+        .withColumn("s4", col("s3") && col("rep") < 0.2)
+      staged.agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("s1"), 1L).otherwise(0L)).as("n_length"),
+          sum(when(col("s2"), 1L).otherwise(0L)).as("n_stopword"),
+          sum(when(col("s3"), 1L).otherwise(0L)).as("n_deduped"),
+          sum(when(col("s4"), 1L).otherwise(0L)).as("n_final"))
+    }),
+
     "pipeline_mix_manifest" -> ((s, d) => {
       val tok = TestData.documents(s, d)
         .select(col("lang"), (size(split(col("text"), " "))).as("nt"))
@@ -156,6 +240,53 @@ object Curation {
         |    '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
         |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
         |FROM p ORDER BY doc_id""".stripMargin,
+    "text_quality_rules" ->
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT lang, len(toks) AS nt,
+        |  len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS ns,
+        |  list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) AS al
+        |  FROM t)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN nt >= 30 THEN 1 ELSE 0 END)::BIGINT AS pass_len,
+        |  sum(CASE WHEN ns::DOUBLE / nt >= 0.02 THEN 1 ELSE 0 END)::BIGINT
+        |    AS pass_stop,
+        |  sum(CASE WHEN al >= 4.2 AND al <= 5.0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS pass_avglen,
+        |  sum(CASE WHEN nt >= 30 AND ns::DOUBLE / nt >= 0.02
+        |        AND al >= 4.2 AND al <= 5.0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS pass_all
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+    "pipeline_mix_temperature" ->
+      """WITH per AS (
+        |  SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(pow(n_tokens::DOUBLE, 0.3)) AS z FROM per)
+        |SELECT lang, n_tokens,
+        |  floor((pow(n_tokens::DOUBLE, 0.3) / z)*10000 + 0.5)/10000 AS weight
+        |FROM per CROSS JOIN tot ORDER BY lang""".stripMargin,
+    "pipeline_curation_funnel" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, text, len(toks) AS nt,
+        |  len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS ns,
+        |  [toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))] AS bi
+        |  FROM t),
+        |r AS (SELECT doc_id, nt, ns,
+        |  (nt - 1 - len(list_distinct(bi)))::DOUBLE / (nt - 1) AS rep,
+        |  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM s),
+        |f AS (SELECT
+        |  nt >= 30 AS s1,
+        |  nt >= 30 AND ns::DOUBLE / nt >= 0.02 AS s2,
+        |  nt >= 30 AND ns::DOUBLE / nt >= 0.02 AND rn = 1 AS s3,
+        |  nt >= 30 AND ns::DOUBLE / nt >= 0.02 AND rn = 1 AND rep < 0.2 AS s4
+        |  FROM r)
+        |SELECT count(*)::BIGINT AS n_total,
+        |  sum(CASE WHEN s1 THEN 1 ELSE 0 END)::BIGINT AS n_length,
+        |  sum(CASE WHEN s2 THEN 1 ELSE 0 END)::BIGINT AS n_stopword,
+        |  sum(CASE WHEN s3 THEN 1 ELSE 0 END)::BIGINT AS n_deduped,
+        |  sum(CASE WHEN s4 THEN 1 ELSE 0 END)::BIGINT AS n_final
+        |FROM f""".stripMargin,
     "pipeline_mix_manifest" ->
       """WITH per AS (
         |  SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens

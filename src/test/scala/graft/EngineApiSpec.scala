@@ -154,6 +154,29 @@ class EngineApiSpec extends SparkSpec {
       s"got $pairs")
   }
 
+  test("graphSearch walks a chain graph to the far-end best neighbor") {
+    // 2-D unit vectors at 10° steps; the query points at vector 9's
+    // angle, the entry seed is vector 0, and the only edges form the
+    // chain 0–1–…–9 — so the beam must WALK hop by hop to find the
+    // global best. 9 hops with beam 3 reach it; cos to v9 decreases
+    // monotonically with chain distance, so ranks are the chain order.
+    val vecs = (0 to 9).map { i =>
+      val th = math.toRadians(i * 10.0)
+      (i.toLong, Seq(math.cos(th), math.sin(th)))
+    }
+    val corpus = vecs.toDF("id", "embedding")
+    val edges = (0 to 8).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val th9 = math.toRadians(90.0)
+    val queries = Seq((0L, Seq(math.cos(th9), math.sin(th9))))
+      .toDF("qid", "qv")
+    val entry = Seq((0L, 0L)).toDF("qid", "id")
+    val got = engine.graphSearch(corpus, edges, queries, entry,
+        hops = 9, beamWidth = 3, k = 3)
+      .select("rnk", "id").as[(Int, Long)].collect().toSet
+    assert(got === Set((1, 9L), (2, 8L), (3, 7L)),
+      s"beam must reach the far end of the chain: $got")
+  }
+
   test("semanticDuplicates finds exact copies inside their cluster") {
     // exact copies (not scaled): identical vectors share all centroid
     // distances, so both land in the same cluster deterministically
