@@ -71,6 +71,22 @@ object MultimodalOps {
           col("col.h").as("chunk_md5"), col("col.len").as("n_bytes"))
         .orderBy("doc_id", "chunk_id")),
 
+    // Sliding AUDIO feature windows (500 ms width / 250 ms stride)
+    // over the duration metadata — the ASR/audio-embedding windowing
+    // pass. Pure map-side sequence arithmetic (no shuffle, no decode):
+    // at 100 TB the explode fans out per-window WORK UNITS that the
+    // (stubbed) decoder consumes partition-locally, exactly like
+    // multimodal_frame_sample's frame fan-out.
+    "multimodal_audio_windows" -> ((s, d) =>
+      Multimodal.fromDocuments(TestData.documents(s, d))
+        .filter(col("mime") === "audio/wav")
+        .select(col("doc_id"), col("duration_ms"),
+          posexplode(expr("sequence(0L, duration_ms - 1, 250L)")))
+        .select(col("doc_id"), col("pos").as("win_id"),
+          col("col").as("start_ms"),
+          least(col("col") + 500L, col("duration_ms")).as("end_ms"))
+        .orderBy("doc_id", "win_id")),
+
     // Oracle-omitted: mapPartitions feature extraction through the
     // stub decoder; rows-only check + MultimodalSpec invariants.
     "multimodal_features" -> ((s, d) =>
@@ -96,6 +112,16 @@ object MultimodalOps {
       """SELECT doc_id, unnest(range(0, n_chars * 40, 1000)) AS frame_ts_ms
         |FROM documents WHERE (doc_id % 3) = 2
         |ORDER BY doc_id, frame_ts_ms""".stripMargin,
+    "multimodal_audio_windows" ->
+      """WITH m AS (
+        |  SELECT doc_id, n_chars * 40 AS duration_ms FROM documents
+        |  WHERE (doc_id % 3) = 1),
+        |w AS (
+        |  SELECT doc_id, duration_ms,
+        |    unnest(range(0, duration_ms, 250)) AS start_ms FROM m)
+        |SELECT doc_id, (start_ms // 250)::INT AS win_id, start_ms,
+        |  least(start_ms + 500, duration_ms) AS end_ms
+        |FROM w ORDER BY doc_id, win_id""".stripMargin,
     "multimodal_resize" ->
       """WITH m AS (
         |  SELECT doc_id,

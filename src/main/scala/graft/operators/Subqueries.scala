@@ -69,6 +69,25 @@ object Subqueries {
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_totalprice > 300000.0)
         ORDER BY c_custkey""")
+    }),
+
+    // LATERAL correlated subquery in FROM (Spark 3.2+/DuckDB both
+    // parse it): per-nation top-2 customers by balance — Catalyst
+    // rewrites the lateral into a window/limit per correlation key,
+    // the same shuffle shape as topk_per_group. Sort key is the RAW
+    // stored double (identical bytes in both engines — not a computed
+    // aggregate, so the r4 quantize rule doesn't apply); c_name
+    // breaks balance ties.
+    "subquery_lateral_topk" -> ((s, d) => {
+      withViews(s, d)
+      TestData.nation(s, d).createOrReplaceTempView("g_nation")
+      s.sql("""
+        SELECT n_name, t.c_name, t.c_acctbal
+        FROM g_nation, LATERAL (
+          SELECT c_name, c_acctbal FROM g_customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        ORDER BY n_name, t.c_acctbal DESC, t.c_name""")
     })
   )
 
@@ -99,6 +118,13 @@ object Subqueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_totalprice > 300000.0)
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "subquery_lateral_topk" ->
+      """SELECT n_name, t.c_name, t.c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n_name, t.c_acctbal DESC, t.c_name""".stripMargin
   )
 }
