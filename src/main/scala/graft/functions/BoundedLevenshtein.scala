@@ -89,6 +89,16 @@ object BoundedLevenshtein {
     val m = b.length
     if (m - n > k) return -1
     if (n == 0) return if (m <= k) m else -1
+    // Counting-filter lower bound before the O(n·k) DP: with
+    // D = Σ_c |count_a(c) − count_b(c)|, one insert/delete moves D by
+    // 1 and one substitution by ≤ 2, so lev ≥ D/2 and D > 2k ⇒ −1.
+    // O(n+m) per pair — ~20× cheaper than the DP it skips. (The same
+    // histogram idea LOST as a join-side prefilter in round 3 because
+    // shipping 26-int vectors through the exploded candidate join cost
+    // more than it saved; inside the per-pair eval there is nothing to
+    // ship, and on shared-vocabulary corpora — where the band's
+    // early exit rarely fires — it kills most candidates outright.)
+    if (countingBound(a, b) > 2 * k) return -1
     var prev = new Array[Int](n + 1)
     var cur = new Array[Int](n + 1)
     val boundary = math.min(n, k) + 1
@@ -121,5 +131,30 @@ object BoundedLevenshtein {
       j += 1
     }
     if (prev(n) <= k) prev(n) else -1
+  }
+
+  /** Σ_c |count_a(c) − count_b(c)| — ASCII counts in a flat array,
+    * rarer code points in a small map. */
+  private def countingBound(a: Array[Int], b: Array[Int]): Int = {
+    val ascii = new Array[Int](128)
+    var other: java.util.HashMap[Integer, Integer] = null
+    def bump(cp: Int, d: Int): Unit =
+      if (cp < 128) ascii(cp) += d
+      else {
+        if (other == null) other = new java.util.HashMap[Integer, Integer]()
+        other.merge(cp, d, (x, y) => Integer.valueOf(x + y))
+      }
+    var i = 0
+    while (i < a.length) { bump(a(i), 1); i += 1 }
+    i = 0
+    while (i < b.length) { bump(b(i), -1); i += 1 }
+    var d = 0
+    i = 0
+    while (i < 128) { d += math.abs(ascii(i)); i += 1 }
+    if (other != null) {
+      val it = other.values().iterator()
+      while (it.hasNext) d += math.abs(it.next())
+    }
+    d
   }
 }
