@@ -263,6 +263,38 @@ object AnnSearch {
         .select(col("qid"), col("rnk"), col("id").as("nn_id"),
                 col("qscore").as("cos"))
         .orderBy("qid", "rnk")
+    }),
+
+    // MULTI-VECTOR LATE INTERACTION (ColBERT-style MaxSim): documents
+    // carry a SET of token vectors (here 4 per doc, did = vec_id DIV 4);
+    // score(q, d) = Σ_{qt∈q} max_{dt∈d} cos(qt, dt). The query side
+    // (3 docs × 4 tokens) broadcasts; the corpus streams through one
+    // partial-aggregating groupBy on (qid, did, qtok) then (qid, did) —
+    // at 100 TB the shape is identical with the max pushed map-side.
+    // Determinism: each per-token max is quantized to integer 1e-4
+    // units BEFORE the sum, so the doc score is an exact BIGINT —
+    // order-independent across partial aggregation and a safe sort key
+    // (the raw-double near-tie trap that bit ann_pq_adc_topk).
+    "ann_maxsim_topk" -> ((s, d) => {
+      val t = TestData.embeddings(s, d)
+        .select(expr("vec_id DIV 4").as("did"), col("vec_id"),
+                col("embedding"))
+      val q = t.filter(col("did") < 3)
+        .select(col("did").as("qdid"), col("vec_id").as("qtok"),
+                col("embedding").as("qv"))
+      val w = Window.partitionBy("qdid")
+        .orderBy(col("score_i").desc, col("did"))
+      t.join(broadcast(q), col("did") =!= col("qdid"))
+        .withColumn("cos", V.cosine(col("embedding"), col("qv")))
+        .groupBy("qdid", "did", "qtok")
+        .agg(floor(max(col("cos")) * 10000 + 0.5).cast("long").as("mi"))
+        .groupBy("qdid", "did")
+        .agg(sum(col("mi")).as("score_i"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qdid"), col("rnk"), col("did"),
+          (col("score_i").cast("double") / 10000.0).as("maxsim"))
+        .orderBy("qdid", "rnk")
     })
   )
 
@@ -552,6 +584,23 @@ object AnnSearch {
         |  SELECT qid, id, qscore,
         |    row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, id) AS rn
         |  FROM b3)
-        |WHERE rn <= 5 ORDER BY qid, rnk""".stripMargin
+        |WHERE rn <= 5 ORDER BY qid, rnk""".stripMargin,
+    "ann_maxsim_topk" ->
+      s"""WITH t AS (
+        |  SELECT vec_id // 4 AS did, vec_id, $E AS v FROM embeddings),
+        |q AS (SELECT did AS qdid, vec_id AS qtok, v AS qv FROM t
+        |      WHERE did < 3),
+        |m AS (
+        |  SELECT qdid, did, qtok,
+        |    floor(max(list_cosine_similarity(t.v, qv))*10000 + 0.5)::BIGINT
+        |      AS mi
+        |  FROM t, q WHERE t.did <> qdid GROUP BY 1, 2, 3),
+        |s AS (
+        |  SELECT qdid, did, sum(mi)::BIGINT AS score_i,
+        |    row_number() OVER (PARTITION BY qdid
+        |      ORDER BY sum(mi) DESC, did) AS rnk
+        |  FROM m GROUP BY 1, 2)
+        |SELECT qdid, rnk, did, (score_i::DOUBLE / 10000.0) AS maxsim
+        |FROM s WHERE rnk <= 5 ORDER BY qdid, rnk""".stripMargin
   )
 }

@@ -193,10 +193,48 @@ object Curation {
             (col("total").cast("double") / col("n_langs"))
               / col("n_tokens"))).as("sample_rate"))
         .orderBy("lang")
+    }),
+
+    // SEQUENCE PACKING (concat-and-chunk): the standard LLM-training
+    // packing pass — concatenate each language's doc stream in doc_id
+    // order, split every B=2048 tokens; a doc's bin span is pure
+    // arithmetic on its cumulative start offset. The running offset is
+    // one window cumsum PARTITIONED BY lang (never a global single-
+    // partition window): at 100 TB each language stream computes its
+    // prefix sums independently, and finer stream keys (lang × shard)
+    // drop into the same shape. Token count = whitespace tokens,
+    // matching text_tokenize_stats.
+    "pipeline_pack_sequences" -> ((s, d) => {
+      val B = 2048L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      TestData.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("lang"), col("doc_id"), col("n_tokens"), col("start_off"),
+          expr(s"start_off DIV $B").as("bin_first"),
+          expr(s"(start_off + n_tokens - 1) DIV $B").as("bin_last"))
+        .orderBy("lang", "doc_id")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS start_off
+        |  FROM t)
+        |SELECT lang, doc_id, n_tokens, start_off,
+        |  start_off // 2048 AS bin_first,
+        |  (start_off + n_tokens - 1) // 2048 AS bin_last
+        |FROM o ORDER BY lang, doc_id""".stripMargin,
     "dedup_decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

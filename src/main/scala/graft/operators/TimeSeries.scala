@@ -282,10 +282,87 @@ object TimeSeries {
         .groupBy((col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy("segment")
+    }),
+
+    // RETENTION COHORTS: users cohorted by first-active ISO week,
+    // cells = distinct users from cohort c active in week c+offset —
+    // the classic triangular retention matrix. Two shuffles on
+    // user_id (first-week agg, distinct activity) + one aggregate on
+    // the (cohort, offset) cell key; the first-week side is
+    // user-cardinality and joins back on the same user_id key. Both
+    // engines truncate weeks to ISO Monday.
+    "events_retention_cohorts" -> ((s, d) => {
+      val ev = TestData.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
+      val first = ev.groupBy("user_id")
+        .agg(min(col("week")).as("cohort_week"))
+      ev.join(first, "user_id")
+        .select(col("cohort_week"),
+          expr("datediff(week, cohort_week) DIV 7").as("week_offset"),
+          col("user_id"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // SCD TYPE-2 DIMENSION: collapse each user's event_type stream
+    // into validity intervals [valid_from, valid_to) — lag() flags
+    // change rows, lead() closes each interval at the next change
+    // (open interval → −1, is_current). One shuffle on user_id; both
+    // windows share the (user_id; ts, event_id) sort so Spark runs
+    // them in a single Window exchange. Epoch micros keep the
+    // interval bounds integer cross-engine.
+    "events_scd2_dim" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val marked = TestData.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(W))
+        .filter(col("prev_type").isNull
+          || col("prev_type") =!= col("event_type"))
+        .withColumn("valid_from_us", unix_micros(col("ts")))
+      val Wc = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("valid_from_us", "event_id")
+      marked
+        .withColumn("valid_to_us",
+          coalesce(lead(col("valid_from_us"), 1).over(Wc), lit(-1L)))
+        .withColumn("version", row_number().over(Wc))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("valid_from_us"), col("valid_to_us"),
+          (col("valid_to_us") === -1L).as("is_current"))
+        .orderBy("user_id", "version")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "events_retention_cohorts" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        |  FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY 1)
+        |SELECT f.cohort_week::TIMESTAMP AS cohort_week,
+        |  date_diff('day', f.cohort_week::DATE, a.week::DATE) // 7
+        |    AS week_offset,
+        |  count(DISTINCT a.user_id)::BIGINT AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    "events_scd2_dim" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS vf,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_id, event_type, vf FROM m
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |  row_number() OVER w AS version,
+        |  event_type,
+        |  vf AS valid_from_us,
+        |  coalesce(lead(vf) OVER w, -1)::BIGINT AS valid_to_us,
+        |  coalesce(lead(vf) OVER w, -1) = -1 AS is_current
+        |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY vf, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "ts_gap_fill" ->
       """WITH daily AS (
         |  SELECT o_orderdate::DATE AS day, sum(o_totalprice) AS rev,
