@@ -222,8 +222,82 @@ object GraphOps {
           col("x") === col("x3") && col("z2") === col("z3"))
         .agg(count(lit(1)).as("n_triangles"))
       edges.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+    }),
+
+    // PAGERANK over the kNN graph, 3 fixed iterations in EXACT integer
+    // arithmetic: ranks are micro-units (start 1e6), each step is
+    // r' = 150000 + (85 · Σ_{src→dst} r(src) DIV deg(src)) DIV 100 —
+    // every operation is integer, so partial-aggregation order can't
+    // perturb the result (float PR sums would drift across engines and
+    // COMPOUND over iterations). Per iteration: one shuffle join of
+    // ranks against the mirrored adjacency on src + one aggregate on
+    // dst — the standard distributed PR shape; the rank frontier is
+    // 2 longs/node so the loop state stays tiny at any corpus size.
+    "graph_pagerank" -> ((s, d) => {
+      val edges = fixtureKnnEdges(s, d)
+      val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nodes = TestData.embeddings(s, d).select(col("vec_id"))
+      var ranks = nodes.select(col("vec_id"), lit(1000000L).as("r"))
+      for (_ <- 1 to 3) {
+        // USING-joins + a per-iteration checkpoint: ranks' lineage
+        // would otherwise re-reference deg/adj every iteration (the
+        // self-join ambiguity + recompute trap); the frontier is
+        // 2 longs/node, so materializing it is the 100 TB shape too.
+        val contribs = ranks.withColumnRenamed("vec_id", "src")
+          .join(deg, "src")
+          .select(col("src"), expr("r DIV deg").as("c"))
+          .join(adj, "src")
+          .select(col("dst").as("vec_id"), col("c"))
+          .groupBy("vec_id").agg(sum(col("c")).as("csum"))
+        ranks = nodes.join(contribs, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            (lit(150000L) + expr("85 * coalesce(csum, 0L) DIV 100")).as("r"))
+          .localCheckpoint()
+      }
+      ranks.select(col("vec_id"), col("r").as("rank_u"),
+          (col("r").cast("double") / 1000000.0).as("rank"))
+        .orderBy("vec_id")
     })
   )
+
+  /** DuckDB CTE chain reproducing [[knnGraphEdges]]'s undirected edge
+    * list — shared by the triangle-count and pagerank oracles. */
+  private val EdgesCte =
+    """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      |           FROM embeddings WHERE vec_id < 4),
+      |assigned AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT e.vec_id, c.cid AS cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.cv),
+      |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+      |    FROM embeddings e CROSS JOIN c)
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT qid, cid AS probe_cluster FROM (
+      |    SELECT q.vec_id AS qid, c.cid,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(q.embedding::DOUBLE[], c.cv),
+      |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS pr
+      |    FROM embeddings q CROSS JOIN c)
+      |  WHERE pr <= 2),
+      |knn AS (
+      |  SELECT qid, vec_id AS nn FROM (
+      |    SELECT p.qid, e.vec_id,
+      |      row_number() OVER (PARTITION BY p.qid ORDER BY
+      |        floor((list_cosine_similarity(e.embedding::DOUBLE[],
+      |                               q.embedding::DOUBLE[]))*10000 + 0.5)/10000 DESC,
+      |        e.vec_id) AS rnk
+      |    FROM assigned a
+      |    JOIN probes p ON a.cluster = p.probe_cluster
+      |    JOIN embeddings e ON e.vec_id = a.vec_id
+      |    JOIN embeddings q ON q.vec_id = p.qid
+      |    WHERE e.vec_id <> p.qid)
+      |  WHERE rnk <= 3),
+      |edges AS (
+      |  SELECT DISTINCT least(qid, nn) AS a, greatest(qid, nn) AS b FROM knn)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_components" ->
@@ -265,45 +339,49 @@ object GraphOps {
         |FROM documents d JOIN comp c ON d.doc_id = c.doc_id
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "graph_triangle_count" ->
-      """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-        |           FROM embeddings WHERE vec_id < 4),
-        |assigned AS (
-        |  SELECT vec_id, cluster FROM (
-        |    SELECT e.vec_id, c.cid AS cluster,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.cv),
-        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
-        |    FROM embeddings e CROSS JOIN c)
-        |  WHERE rn = 1),
-        |probes AS (
-        |  SELECT qid, cid AS probe_cluster FROM (
-        |    SELECT q.vec_id AS qid, c.cid,
-        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |        list_sum(list_transform(list_zip(q.embedding::DOUBLE[], c.cv),
-        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS pr
-        |    FROM embeddings q CROSS JOIN c)
-        |  WHERE pr <= 2),
-        |knn AS (
-        |  SELECT qid, vec_id AS nn FROM (
-        |    SELECT p.qid, e.vec_id,
-        |      row_number() OVER (PARTITION BY p.qid ORDER BY
-        |        floor((list_cosine_similarity(e.embedding::DOUBLE[],
-        |                               q.embedding::DOUBLE[]))*10000 + 0.5)/10000 DESC,
-        |        e.vec_id) AS rnk
-        |    FROM assigned a
-        |    JOIN probes p ON a.cluster = p.probe_cluster
-        |    JOIN embeddings e ON e.vec_id = a.vec_id
-        |    JOIN embeddings q ON q.vec_id = p.qid
-        |    WHERE e.vec_id <> p.qid)
-        |  WHERE rnk <= 3),
-        |edges AS (
-        |  SELECT DISTINCT least(qid, nn) AS a, greatest(qid, nn) AS b FROM knn),
+      s"""$EdgesCte,
         |tri AS (
         |  SELECT count(*)::BIGINT AS n_triangles
         |  FROM edges e1
         |  JOIN edges e2 ON e1.b = e2.a
         |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
         |SELECT (SELECT count(*)::BIGINT FROM edges) AS n_edges, n_triangles
-        |FROM tri""".stripMargin
+        |FROM tri""".stripMargin,
+    // 3 unrolled integer-PR iterations over the same edge CTE; every
+    // step is BIGINT arithmetic so the chain is bit-exact vs Spark.
+    "graph_pagerank" ->
+      s"""$EdgesCte,
+        |adj AS (
+        |  SELECT a AS src, b AS dst FROM edges
+        |  UNION ALL SELECT b, a FROM edges),
+        |deg AS (SELECT src, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+        |n AS (SELECT vec_id FROM embeddings),
+        |r0 AS (SELECT vec_id, 1000000::BIGINT AS r FROM n),
+        |r1 AS (
+        |  SELECT n.vec_id,
+        |    150000 + 85 * coalesce(c.csum, 0) // 100 AS r
+        |  FROM n LEFT JOIN (
+        |    SELECT adj.dst, sum(r0.r // deg.deg)::BIGINT AS csum
+        |    FROM r0 JOIN deg ON r0.vec_id = deg.src
+        |    JOIN adj ON deg.src = adj.src GROUP BY 1) c
+        |  ON n.vec_id = c.dst),
+        |r2 AS (
+        |  SELECT n.vec_id,
+        |    150000 + 85 * coalesce(c.csum, 0) // 100 AS r
+        |  FROM n LEFT JOIN (
+        |    SELECT adj.dst, sum(r1.r // deg.deg)::BIGINT AS csum
+        |    FROM r1 JOIN deg ON r1.vec_id = deg.src
+        |    JOIN adj ON deg.src = adj.src GROUP BY 1) c
+        |  ON n.vec_id = c.dst),
+        |r3 AS (
+        |  SELECT n.vec_id,
+        |    150000 + 85 * coalesce(c.csum, 0) // 100 AS r
+        |  FROM n LEFT JOIN (
+        |    SELECT adj.dst, sum(r2.r // deg.deg)::BIGINT AS csum
+        |    FROM r2 JOIN deg ON r2.vec_id = deg.src
+        |    JOIN adj ON deg.src = adj.src GROUP BY 1) c
+        |  ON n.vec_id = c.dst)
+        |SELECT vec_id, r::BIGINT AS rank_u, (r::DOUBLE / 1000000.0) AS rank
+        |FROM r3 ORDER BY vec_id""".stripMargin
   )
 }

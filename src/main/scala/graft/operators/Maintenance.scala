@@ -174,10 +174,66 @@ object Maintenance {
           coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
           when(col("dup_of").isNull, lit(1)).otherwise(lit(0)).as("is_new"))
         .orderBy("new_id")
+    }),
+
+    // TABLE PROFILER: per-column null count / exact distinct / r4
+    // min-max over lineitem's numeric columns, computed in ONE scan
+    // (a single 20-aggregate pass reshaped to rows with stack) — the
+    // stats-collection sweep behind optimizer statistics and data-
+    // quality dashboards. Per-column passes would read the table k
+    // times; at 100 TB this shape reads it once. (count distinct on
+    // several columns in one agg expands to one Expand + aggregate —
+    // still a single scan; swap in approx_count_distinct when exact
+    // cardinalities aren't required.)
+    "profile_columns" -> ((s, d) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_quantity",
+                     "l_extendedprice", "l_discount")
+      val aggs = cols.flatMap { c => Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_dist"),
+        r4(min(col(c)).cast("double")).as(s"${c}_min"),
+        r4(max(col(c)).cast("double")).as(s"${c}_max"))
+      }
+      val stackArgs = cols.map(c =>
+        s"'$c', ${c}_nulls, ${c}_dist, ${c}_min, ${c}_max").mkString(", ")
+      TestData.lineitem(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+          "(col_name, n_nulls, n_distinct, min_v, max_v)"))
+        .orderBy("col_name")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "profile_columns" ->
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS col_name,
+        |    (count(*) - count(l_orderkey))::BIGINT AS n_nulls,
+        |    count(DISTINCT l_orderkey)::BIGINT AS n_distinct,
+        |    floor((min(l_orderkey)::DOUBLE)*10000 + 0.5)/10000 AS min_v,
+        |    floor((max(l_orderkey)::DOUBLE)*10000 + 0.5)/10000 AS max_v
+        |  FROM lineitem
+        |  UNION ALL SELECT 'l_partkey',
+        |    (count(*) - count(l_partkey))::BIGINT,
+        |    count(DISTINCT l_partkey)::BIGINT,
+        |    floor((min(l_partkey)::DOUBLE)*10000 + 0.5)/10000,
+        |    floor((max(l_partkey)::DOUBLE)*10000 + 0.5)/10000 FROM lineitem
+        |  UNION ALL SELECT 'l_quantity',
+        |    (count(*) - count(l_quantity))::BIGINT,
+        |    count(DISTINCT l_quantity)::BIGINT,
+        |    floor((min(l_quantity))*10000 + 0.5)/10000,
+        |    floor((max(l_quantity))*10000 + 0.5)/10000 FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice',
+        |    (count(*) - count(l_extendedprice))::BIGINT,
+        |    count(DISTINCT l_extendedprice)::BIGINT,
+        |    floor((min(l_extendedprice))*10000 + 0.5)/10000,
+        |    floor((max(l_extendedprice))*10000 + 0.5)/10000 FROM lineitem
+        |  UNION ALL SELECT 'l_discount',
+        |    (count(*) - count(l_discount))::BIGINT,
+        |    count(DISTINCT l_discount)::BIGINT,
+        |    floor((min(l_discount))*10000 + 0.5)/10000,
+        |    floor((max(l_discount))*10000 + 0.5)/10000 FROM lineitem)
+        |ORDER BY col_name""".stripMargin,
     "sink_merge_upsert" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders

@@ -331,6 +331,26 @@ object TimeSeries {
           col("valid_from_us"), col("valid_to_us"),
           (col("valid_to_us") === -1L).as("is_current"))
         .orderBy("user_id", "version")
+    }),
+
+    // GAP-BASED WINDOW DEDUP: keep an event only if the previous event
+    // with the same (user_id, event_type) is more than 1 h older — the
+    // declarative batch analog of streaming drop-duplicates-within-
+    // watermark (which compares against the last KEPT row; lag-based
+    // gap dedup is the order-independent relational form). One window
+    // shuffle on (user_id, event_type); event_id gives the unique
+    // trailing sort key.
+    "events_dedup_window" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      TestData.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("gap_us",
+          coalesce(col("ts_us") - lag(col("ts_us"), 1).over(W), lit(-1L)))
+        .filter(col("gap_us") === -1L || col("gap_us") > 3600000000L)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                col("ts_us"), col("gap_us"))
+        .orderBy("event_id")
     })
   )
 
@@ -363,6 +383,16 @@ object TimeSeries {
         |  coalesce(lead(vf) OVER w, -1) = -1 AS is_current
         |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY vf, event_id)
         |ORDER BY user_id, version""".stripMargin,
+    "events_dedup_window" ->
+      """WITH g AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |    coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id),
+        |      -1)::BIGINT AS gap_us
+        |  FROM events)
+        |SELECT event_id, user_id, event_type, ts_us, gap_us FROM g
+        |WHERE gap_us = -1 OR gap_us > 3600000000
+        |ORDER BY event_id""".stripMargin,
     "ts_gap_fill" ->
       """WITH daily AS (
         |  SELECT o_orderdate::DATE AS day, sum(o_totalprice) AS rev,

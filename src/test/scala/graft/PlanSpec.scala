@@ -300,4 +300,13 @@ class PlanSpec extends SparkSpec {
         && !l.contains("LessThan(vec_id")).toList
     assert(corpusScans.nonEmpty, "expected a streamed full corpus scan")
   }
+
+  test("profile_columns reads lineitem exactly once (stacked one-pass agg)") {
+    val p = plan("profile_columns")
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    // Per-column profiling passes would scan k times; the stacked
+    // 20-aggregate pass (Expand for the multi-distinct) scans once.
+    assert(scans == 1, s"expected 1 lineitem scan, saw $scans:\n${p.take(800)}")
+  }
 }
