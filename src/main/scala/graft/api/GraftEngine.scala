@@ -609,4 +609,133 @@ class GraftEngine(val spark: SparkSession) {
               col("posScore"), col("negScore"))
       .as[MinedTriplet]
   }
+
+  /** PageRank over an undirected edge list (a, b), `iters` fixed
+    * iterations in exact integer micro-units (damping 0.85) — see
+    * `graph_pagerank` for the arithmetic; the per-iteration frontier
+    * is 2 longs/node so checkpointing it is free at any scale.
+    * Output: (id, rank_u, rank).
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n = nodes.select(col("id"))
+    var ranks = n.select(col("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = ranks.withColumnRenamed("id", "src")
+        .join(deg, "src")
+        .select(col("src"), expr("r DIV deg").as("c"))
+        .join(adj, "src")
+        .select(col("dst").as("id"), col("c"))
+        .groupBy("id").agg(sum(col("c")).as("csum"))
+      ranks = n.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("85 * coalesce(csum, 0L) DIV 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("id"), col("r").as("rank_u"),
+      (col("r").cast("double") / 1000000.0).as("rank"))
+  }
+
+  /** ColBERT-style MaxSim late interaction: `docTokens`/`queryTokens`
+    * are (id, embedding) with several token vectors per id; score =
+    * Σ_{query token} max_{doc token} cosine, accumulated as exact
+    * integer 1e-4 units (see `ann_maxsim_topk`). Query side broadcasts.
+    * Output: (qid, rnk, id, maxsim), top-`k` docs per query.
+    */
+  def maxSimSearch(docTokens: DataFrame, queryTokens: DataFrame,
+                   k: Int): DataFrame = {
+    val q = queryTokens.select(col("id").as("qid"),
+      col("embedding").as("qv"),
+      monotonically_increasing_id().as("qtok"))
+    val w = Window.partitionBy("qid").orderBy(col("score_i").desc, col("id"))
+    docTokens.join(broadcast(q), col("id") =!= col("qid"))
+      .withColumn("cos", V.cosine(col("embedding"), col("qv")))
+      .groupBy("qid", "id", "qtok")
+      .agg(floor(max(col("cos")) * 10000 + 0.5).cast("long").as("mi"))
+      .groupBy("qid", "id")
+      .agg(sum(col("mi")).as("score_i"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("id"),
+        (col("score_i").cast("double") / 10000.0).as("maxsim"))
+  }
+
+  /** Concat-and-chunk sequence packing: per `streamCol` stream in
+    * `orderCol` order, assign each row's token span to `budget`-token
+    * bins by cumulative offset (see `pipeline_pack_sequences`).
+    * Output adds (n_tokens, start_off, bin_first, bin_last).
+    */
+  def packSequences(documents: DataFrame, streamCol: String,
+                    orderCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(streamCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin_first", expr(s"start_off DIV $budget"))
+      .withColumn("bin_last", expr(s"(start_off + n_tokens - 1) DIV $budget"))
+  }
+
+  /** Triangular retention matrix: users cohorted by first-active
+    * truncated period (`unit`: "week"/"month"/"day"); cells count
+    * distinct users active `offset` periods after their cohort.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       tsCol: String, unit: String): DataFrame = {
+    val days = unit match {
+      case "week" => 7; case "day" => 1
+      case u => throw new IllegalArgumentException(s"unit: $u")
+    }
+    val act = events
+      .select(col(userCol).as("user"), date_trunc(unit, col(tsCol)).as("p"))
+      .distinct()
+    val first = act.groupBy("user").agg(min(col("p")).as("cohort"))
+    act.join(first, "user")
+      .groupBy(col("cohort"),
+        expr(s"datediff(p, cohort) DIV $days").as("offset"))
+      .agg(countDistinct(col("user")).as("n_users"))
+  }
+
+  /** SCD type-2 collapse of an attribute stream: one validity interval
+    * [valid_from_us, valid_to_us) per consecutive run of `attrCol`
+    * per `keyCol` (open interval → −1/is_current); `seqCol` breaks
+    * same-timestamp ties. See `events_scd2_dim`.
+    */
+  def scdType2(events: DataFrame, keyCol: String, tsCol: String,
+               attrCol: String, seqCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(seqCol))
+    val marked = events
+      .withColumn("prev_attr", lag(col(attrCol), 1).over(w))
+      .filter(col("prev_attr").isNull || col("prev_attr") =!= col(attrCol))
+      .withColumn("valid_from_us", unix_micros(col(tsCol)))
+    val wc = Window.partitionBy(keyCol).orderBy("valid_from_us", seqCol)
+    marked
+      .withColumn("valid_to_us",
+        coalesce(lead(col("valid_from_us"), 1).over(wc), lit(-1L)))
+      .withColumn("version", row_number().over(wc))
+      .select(col(keyCol), col("version"), col(attrCol),
+        col("valid_from_us"), col("valid_to_us"),
+        (col("valid_to_us") === -1L).as("is_current"))
+  }
+
+  /** One-scan numeric profiler: (col_name, n_nulls, n_distinct,
+    * min_v, max_v) per requested column via a stacked multi-aggregate
+    * pass — the table is read once regardless of column count.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    val aggs = cols.flatMap { c => Seq(
+      (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
+      countDistinct(col(c)).as(s"${c}_dist"),
+      TestData.r4(min(col(c)).cast("double")).as(s"${c}_min"),
+      TestData.r4(max(col(c)).cast("double")).as(s"${c}_max"))
+    }
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}_nulls, ${c}_dist, ${c}_min, ${c}_max").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_nulls, n_distinct, min_v, max_v)"))
+  }
 }

@@ -418,4 +418,80 @@ class EngineApiSpec extends SparkSpec {
     assert(byLang.filterNot(_._1 == "en").forall { case (l, n) =>
       n.toDouble / totals(l) < 0.3 })
   }
+
+  test("pageRank: ranks stay positive, high-degree hub outranks leaves") {
+    // star: node 0 joined to 1..6, plus a 7-8 pendant pair
+    val edges = ((1L to 6L).map(i => (0L, i)) :+ (7L, 8L)).toDF("a", "b")
+    val nodes = (0L to 8L).toDF("id")
+    val pr = engine.pageRank(nodes, edges, iters = 3)
+      .select("id", "rank_u").as[(Long, Long)].collect().toMap
+    assert(pr.values.forall(_ >= 150000L), s"damping floor violated: $pr")
+    assert(pr(0L) > pr(1L), "hub must outrank a leaf")
+    assert((1L to 6L).map(pr).distinct.size === 1, "leaves are symmetric")
+    assert(pr(7L) === pr(8L), "pendant pair is symmetric")
+  }
+
+  test("maxSimSearch scores multi-vector docs by summed per-token max") {
+    // doc 1's two tokens align with query tokens; doc 2 is orthogonal
+    val dt = Seq(
+      (1L, Array(1.0, 0.0, 0.0)), (1L, Array(0.0, 1.0, 0.0)),
+      (2L, Array(0.0, 0.0, 1.0)), (2L, Array(0.0, 0.0, -1.0))
+    ).toDF("id", "embedding")
+    val qt = Seq(
+      (9L, Array(1.0, 0.0, 0.0)), (9L, Array(0.0, 1.0, 0.0))
+    ).toDF("id", "embedding")
+    val got = engine.maxSimSearch(dt, qt, k = 2)
+      .select("rnk", "id", "maxsim").as[(Int, Long, Double)].collect().sorted
+    assert(got.head === ((1, 1L, 2.0)), s"got ${got.toSeq}")
+    assert(got(1)._2 === 2L && got(1)._3 < 0.1, s"got ${got.toSeq}")
+  }
+
+  test("packSequences assigns contiguous non-overlapping bin spans") {
+    val d = Seq((1L, "a", ("t " * 99).trim), (2L, "a", ("t " * 5).trim),
+                (3L, "a", ("t " * 200).trim), (4L, "b", ("t " * 7).trim))
+      .toDF("id", "lang", "text")
+    val got = engine.packSequences(d, "lang", "id", budget = 100L)
+      .select("id", "start_off", "bin_first", "bin_last")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 0L, 0L, 0L)))     // 99 tokens, bin 0
+    assert(got(1) === ((2L, 99L, 0L, 1L)))    // straddles 100
+    assert(got(2) === ((3L, 104L, 1L, 3L)))   // spans bins 1..3
+    assert(got(3) === ((4L, 0L, 0L, 0L)))     // stream b restarts
+  }
+
+  test("scdType2 collapses runs into versioned intervals") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(h: Int) = new java.sql.Timestamp(ts0.getTime + h * 3600_000L)
+    val ev = Seq((1L, t(0), "A", 10L), (1L, t(1), "A", 11L),
+                 (1L, t(2), "B", 12L), (1L, t(3), "A", 13L))
+      .toDF("user_id", "ts", "status", "event_id")
+    val got = engine.scdType2(ev, "user_id", "ts", "status", "event_id")
+      .select("version", "status", "is_current")
+      .as[(Int, String, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1, "A", false), (2, "B", false),
+      (3, "A", true)), s"got ${got.toSeq}")
+  }
+
+  test("profileColumns reports nulls/distinct/min-max per column") {
+    val d = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 2.5), (2L, null), (2L, 7.5), (null, 2.5))
+      .toDF("k", "v")
+    val got = engine.profileColumns(d, Seq("k", "v"))
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("k") === (("k", 1L, 2L, 1.0, 2.0)))
+    assert(got("v") === (("v", 1L, 2L, 2.5, 7.5)))
+  }
+
+  test("retentionCohorts builds the triangular cohort matrix") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00") // a Monday
+    def wk(w: Int) = new java.sql.Timestamp(ts0.getTime + w * 7L * 86400_000L)
+    val ev = Seq((1L, wk(0)), (1L, wk(1)), (2L, wk(1)), (1L, wk(2)))
+      .toDF("user_id", "ts")
+    val got = engine.retentionCohorts(ev, "user_id", "ts", "week")
+      .select("offset", "n_users").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // cohort wk0 (user 1): offsets 0,1,2; cohort wk1 (user 2): offset 0
+    assert(got === Map(0L -> 2L, 1L -> 1L, 2L -> 1L), s"got $got")
+  }
 }
