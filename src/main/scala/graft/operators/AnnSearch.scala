@@ -83,6 +83,87 @@ object AnnSearch {
                 r4(col("score")).as("cos"))
         .orderBy("qid", "rnk")),
 
+    // FILTERED vector search through the IVF probe: the metadata
+    // predicate (label = 3) composes with partition probing — the
+    // filter applies to the PROBED partitions' rows (pre-filtering),
+    // so top-k is exact over the filtered candidate set rather than
+    // post-filtering an unfiltered top-k (which under-fills k when
+    // the predicate is selective). At 100 TB both prunings reach the
+    // stored index scan: partition pruning on cluster, pushed filter
+    // on label — the same composition PlanSpec pins for
+    // knn_filtered_topk + ann_ivf_pruned_topk.
+    "ann_ivf_filtered_topk" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val cents = Vectors.fixedCentroids(e)
+      val assigned =
+        V.assignToCentroids(e, cents, Seq("vec_id", "embedding", "label"))
+          .filter(col("label") === 3)
+          .select(col("vec_id"), col("embedding"), col("cluster"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val wProbe = Window.partitionBy("qid").orderBy(col("qdist"), col("cid"))
+      val probes = queries.crossJoin(broadcast(cents))
+        .withColumn("qdist", V.sqDist(col("qv"), col("cv")))
+        .withColumn("pr", row_number().over(wProbe))
+        .filter(col("pr") <= 2)
+        .select(col("qid"), col("qv"), col("cid").as("probe_cluster"))
+      val wTop = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("vec_id"))
+      assigned.join(broadcast(probes), col("cluster") === col("probe_cluster"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score", V.cosine(col("embedding"), col("qv")))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("rnk"), col("vec_id").as("nn_id"),
+                r4(col("score")).as("cos"))
+        .orderBy("qid", "rnk")
+    }),
+
+    // MMR DIVERSITY RERANK (Carbonell & Goldstein '98): greedily pick
+    // argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) over the top-10
+    // candidate cut, λ=0.7, 4 picks. All scores are integer 1e-4
+    // units (mmr_u = 7·rel − 3·maxsim, ×10-scaled λ) so every
+    // comparison is exact cross-engine — the iterative selection
+    // would otherwise compound float near-ties. The rerank runs on a
+    // top-N cut (10 rows here, ~100 in production), so the greedy
+    // loop touches only the candidate set — at 100 TB the expensive
+    // part stays the ANN retrieval, never this O(k·N) tail.
+    "ann_rerank_mmr" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val cands = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .withColumn("rel",
+          floor(V.cosine(col("embedding"), col("qv")) * 10000 + 0.5)
+            .cast("long"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"), col("embedding"), col("rel"))
+        .localCheckpoint()
+      val sims = cands.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+        .crossJoin(cands.select(col("vec_id").as("ib"), col("embedding").as("eb")))
+        .filter(col("ia") =!= col("ib"))
+        .withColumn("sim",
+          floor(V.cosine(col("ea"), col("eb")) * 10000 + 0.5).cast("long"))
+        .select("ia", "ib", "sim").localCheckpoint()
+      var selected = cands.orderBy(col("rel").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), lit(1).as("rnk"), (col("rel") * 7L).as("mmr_u"))
+        .localCheckpoint()
+      for (r <- 2 to 4) {
+        val pick = cands
+          .join(selected.select(col("vec_id").as("sv")),
+            col("vec_id") === col("sv"), "left_anti")
+          .join(sims, col("vec_id") === col("ia"))
+          .join(selected.select(col("vec_id").as("sel")),
+            col("ib") === col("sel"))
+          .groupBy(col("vec_id"), col("rel"))
+          .agg(max(col("sim")).as("msim"))
+          .withColumn("mmr_u", col("rel") * 7L - col("msim") * 3L)
+          .orderBy(col("mmr_u").desc, col("vec_id")).limit(1)
+          .select(col("vec_id"), lit(r).as("rnk"), col("mmr_u"))
+        selected = selected.union(pick).localCheckpoint()
+      }
+      selected.select(col("rnk"), col("vec_id"), col("mmr_u")).orderBy("rnk")
+    }),
+
     // Recall@5 of the IVF probe against exact brute force — the
     // evaluation loop every ANN deployment runs before trusting an
     // index (probe width / codebook tuning reads off this number).
@@ -601,6 +682,82 @@ object AnnSearch {
         |      ORDER BY sum(mi) DESC, did) AS rnk
         |  FROM m GROUP BY 1, 2)
         |SELECT qdid, rnk, did, (score_i::DOUBLE / 10000.0) AS maxsim
-        |FROM s WHERE rnk <= 5 ORDER BY qdid, rnk""".stripMargin
+        |FROM s WHERE rnk <= 5 ORDER BY qdid, rnk""".stripMargin,
+    "ann_ivf_filtered_topk" ->
+      s"""WITH c AS (SELECT vec_id AS cid, $E AS cv FROM embeddings WHERE vec_id < 4),
+        |assigned AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cid AS cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(e.$E, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN c)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, cid AS probe_cluster FROM (
+        |    SELECT q.vec_id AS qid, c.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.$E, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS pr
+        |    FROM embeddings q CROSS JOIN c WHERE q.vec_id < 5)
+        |  WHERE pr <= 2),
+        |hits AS (
+        |  SELECT p.qid, e.vec_id,
+        |    list_cosine_similarity(e.$E, q.$E) AS score
+        |  FROM assigned a
+        |  JOIN probes p ON a.cluster = p.probe_cluster
+        |  JOIN embeddings e ON e.vec_id = a.vec_id
+        |  JOIN embeddings q ON q.vec_id = p.qid
+        |  WHERE e.vec_id <> p.qid AND e.label = 3)
+        |SELECT qid, rnk, vec_id AS nn_id,
+        |  floor((score)*10000 + 0.5)/10000 AS cos
+        |FROM (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY score DESC, vec_id) AS rnk
+        |      FROM hits)
+        |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    // 4 unrolled greedy MMR picks in exact integer units; each round's
+    // NOT IN / max-over-selected mirrors the Spark anti-join + agg.
+    "ann_rerank_mmr" ->
+      s"""WITH qv AS (SELECT $E AS v FROM embeddings WHERE vec_id = 0),
+        |cands AS (
+        |  SELECT vec_id, e.$E AS v,
+        |    floor(list_cosine_similarity(e.$E, qv.v)*10000 + 0.5)::BIGINT AS rel
+        |  FROM embeddings e, qv WHERE vec_id <> 0
+        |  ORDER BY rel DESC, vec_id LIMIT 10),
+        |sims AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    floor(list_cosine_similarity(a.v, b.v)*10000 + 0.5)::BIGINT AS sim
+        |  FROM cands a, cands b WHERE a.vec_id <> b.vec_id),
+        |sel1 AS (
+        |  SELECT vec_id, 1 AS rnk, rel * 7 AS mmr_u FROM cands
+        |  ORDER BY rel DESC, vec_id LIMIT 1),
+        |sel2 AS (
+        |  SELECT c.vec_id, 2 AS rnk, c.rel * 7 - max(s.sim) * 3 AS mmr_u
+        |  FROM cands c JOIN sims s ON c.vec_id = s.ia
+        |  JOIN sel1 ON s.ib = sel1.vec_id
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel1)
+        |  GROUP BY c.vec_id, c.rel
+        |  ORDER BY mmr_u DESC, c.vec_id LIMIT 1),
+        |s12 AS (SELECT vec_id FROM sel1 UNION ALL SELECT vec_id FROM sel2),
+        |sel3 AS (
+        |  SELECT c.vec_id, 3 AS rnk, c.rel * 7 - max(s.sim) * 3 AS mmr_u
+        |  FROM cands c JOIN sims s ON c.vec_id = s.ia
+        |  JOIN s12 ON s.ib = s12.vec_id
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM s12)
+        |  GROUP BY c.vec_id, c.rel
+        |  ORDER BY mmr_u DESC, c.vec_id LIMIT 1),
+        |s123 AS (SELECT vec_id FROM s12 UNION ALL SELECT vec_id FROM sel3),
+        |sel4 AS (
+        |  SELECT c.vec_id, 4 AS rnk, c.rel * 7 - max(s.sim) * 3 AS mmr_u
+        |  FROM cands c JOIN sims s ON c.vec_id = s.ia
+        |  JOIN s123 ON s.ib = s123.vec_id
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM s123)
+        |  GROUP BY c.vec_id, c.rel
+        |  ORDER BY mmr_u DESC, c.vec_id LIMIT 1)
+        |SELECT rnk, vec_id, mmr_u::BIGINT AS mmr_u FROM (
+        |  SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+        |  UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4)
+        |ORDER BY rnk""".stripMargin
   )
 }

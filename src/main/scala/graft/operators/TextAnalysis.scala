@@ -258,7 +258,25 @@ object TextAnalysis {
         .agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"), sim.as("simhash"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // HASHING-TRICK featurization: token → md5-prefix bucket (mod 32),
+    // per-doc bucket counts — the fixed-width sparse featurizer behind
+    // linear quality classifiers (fastText-style) that never needs a
+    // vocabulary broadcast: the feature id is a pure hash, so the op
+    // is one map-side explode + one (doc, bucket) aggregate at any
+    // corpus size. Emitted exploded (doc_id, bucket, cnt) — the
+    // cross-engine-safe reshape of a sparse vector.
+    "text_hash_features" -> ((s, d) =>
+      TestData.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("token"))
+        .withColumn("bucket",
+          conv(substring(md5(col("token")), 1, 4), 16, 10)
+            .cast("long") % 32)
+        .groupBy("doc_id", "bucket")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("doc_id", "bucket"))
   )
 
   private val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -387,6 +405,13 @@ object TextAnalysis {
         |  GROUP BY doc_id, b)
         |SELECT doc_id,
         |  sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_hash_features" ->
+      """SELECT doc_id,
+        |  ('0x' || substring(md5(token), 1, 4))::BIGINT % 32 AS bucket,
+        |  count(*)::BIGINT AS cnt
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
   )
 }
