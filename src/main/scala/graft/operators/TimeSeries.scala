@@ -351,6 +351,55 @@ object TimeSeries {
         .select(col("event_id"), col("user_id"), col("event_type"),
                 col("ts_us"), col("gap_us"))
         .orderBy("event_id")
+    }),
+
+    // Truncated EWMA smoothing (α=0.5, 8 taps): a fixed-weight FIR
+    // over the last 8 observations per user, weights renormalized at
+    // series starts. One window shuffle on user_id; the 8-term sum is
+    // a FIXED left-associated expression (not an aggregate), and the
+    // 0.5^i weights are exact binary fractions, so both engines
+    // evaluate bit-identical IEEE — the reason to truncate rather
+    // than window-fold the unbounded recurrence (pow(2, n) overflows
+    // and float fold order varies).
+    "ts_ewma_smooth" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val taps = (0 until 8).map { i =>
+        val x = if (i == 0) col("value") else lag(col("value"), i).over(W)
+        val wgt = lit(math.pow(0.5, i))
+        (when(x.isNotNull, x * wgt).otherwise(lit(0.0)),
+         when(x.isNotNull, wgt).otherwise(lit(0.0)))
+      }
+      TestData.events(s, d)
+        .filter(col("value").isNotNull)
+        .withColumn("num", taps.map(_._1).reduceLeft(_ + _))
+        .withColumn("den", taps.map(_._2).reduceLeft(_ + _))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"),
+          r4(col("num") / col("den")).as("ewma"))
+        .orderBy("event_id")
+    }),
+
+    // Robust outliers via MAD: per event_type, median and median
+    // absolute deviation (exact interpolated percentiles), flag
+    // |x − med| > 3·MAD. Both moments r4-quantized BEFORE the
+    // comparison (the events_anomaly_zscore lesson: quantize moments
+    // first so the filter boundary cannot flip cross-engine). Two
+    // aggregate passes + one broadcast join back — group-sized model
+    // state at any corpus size; MAD tolerates the heavy-tailed value
+    // distributions that wreck mean/stddev z-scores.
+    "ts_outlier_mad" -> ((s, d) => {
+      val ev = TestData.events(s, d).filter(col("value").isNotNull)
+      val med = ev.groupBy("event_type")
+        .agg(r4(expr("percentile(value, 0.5)")).as("med4"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy("event_type", "med4")
+        .agg(r4(expr("percentile(abs(value - med4), 0.5)")).as("mad4"))
+      ev.join(broadcast(mad), "event_type")
+        .filter(abs(col("value") - col("med4")) > col("mad4") * 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med4"), col("mad4"))
+        .orderBy("event_id")
     })
   )
 
@@ -383,6 +432,53 @@ object TimeSeries {
         |  coalesce(lead(vf) OVER w, -1) = -1 AS is_current
         |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY vf, event_id)
         |ORDER BY user_id, version""".stripMargin,
+    "ts_ewma_smooth" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE value IS NOT NULL),
+        |l AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+        |    lag(value, 1) OVER w AS x1, lag(value, 2) OVER w AS x2,
+        |    lag(value, 3) OVER w AS x3, lag(value, 4) OVER w AS x4,
+        |    lag(value, 5) OVER w AS x5, lag(value, 6) OVER w AS x6,
+        |    lag(value, 7) OVER w AS x7
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, ts_us, value,
+        |  floor(((
+        |    (CASE WHEN value IS NOT NULL THEN value * 1.0 ELSE 0.0 END
+        |     + CASE WHEN x1 IS NOT NULL THEN x1 * 0.5 ELSE 0.0 END
+        |     + CASE WHEN x2 IS NOT NULL THEN x2 * 0.25 ELSE 0.0 END
+        |     + CASE WHEN x3 IS NOT NULL THEN x3 * 0.125 ELSE 0.0 END
+        |     + CASE WHEN x4 IS NOT NULL THEN x4 * 0.0625 ELSE 0.0 END
+        |     + CASE WHEN x5 IS NOT NULL THEN x5 * 0.03125 ELSE 0.0 END
+        |     + CASE WHEN x6 IS NOT NULL THEN x6 * 0.015625 ELSE 0.0 END
+        |     + CASE WHEN x7 IS NOT NULL THEN x7 * 0.0078125 ELSE 0.0 END)
+        |    /
+        |    (CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END
+        |     + CASE WHEN x1 IS NOT NULL THEN 0.5 ELSE 0.0 END
+        |     + CASE WHEN x2 IS NOT NULL THEN 0.25 ELSE 0.0 END
+        |     + CASE WHEN x3 IS NOT NULL THEN 0.125 ELSE 0.0 END
+        |     + CASE WHEN x4 IS NOT NULL THEN 0.0625 ELSE 0.0 END
+        |     + CASE WHEN x5 IS NOT NULL THEN 0.03125 ELSE 0.0 END
+        |     + CASE WHEN x6 IS NOT NULL THEN 0.015625 ELSE 0.0 END
+        |     + CASE WHEN x7 IS NOT NULL THEN 0.0078125 ELSE 0.0 END)
+        |  ))*10000 + 0.5)/10000 AS ewma
+        |FROM l ORDER BY event_id""".stripMargin,
+    "ts_outlier_mad" ->
+      """WITH e AS (SELECT * FROM events WHERE value IS NOT NULL),
+        |med AS (
+        |  SELECT event_type,
+        |    floor((quantile_cont(value, 0.5))*10000 + 0.5)/10000 AS med4
+        |  FROM e GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type, med4,
+        |    floor((quantile_cont(abs(value - med4), 0.5))*10000 + 0.5)/10000
+        |      AS mad4
+        |  FROM e JOIN med USING (event_type) GROUP BY 1, 2)
+        |SELECT event_id, event_type, value, med4, mad4
+        |FROM e JOIN mad USING (event_type)
+        |WHERE abs(value - med4) > mad4 * 3.0
+        |ORDER BY event_id""".stripMargin,
     "events_dedup_window" ->
       """WITH g AS (
         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
