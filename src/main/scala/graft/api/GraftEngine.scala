@@ -720,6 +720,65 @@ class GraftEngine(val spark: SparkSession) {
         (col("valid_to_us") === -1L).as("is_current"))
   }
 
+  /** MMR diversity rerank: greedy argmax λ·rel − (1−λ)·max sim-to-
+    * selected over the `candidates` top-relevance cut, `k` picks;
+    * `lambdaTenths` ∈ [0,10] is λ×10 so every score is an exact
+    * integer 1e-4 unit (see `ann_rerank_mmr`). `corpus` = (id,
+    * embedding); `query` = single-row (embedding). The greedy loop
+    * touches only the candidate set — retrieval, not rerank, stays
+    * the expensive stage at scale. Output: (rnk, id, mmr_u).
+    */
+  def mmrRerank(corpus: DataFrame, query: DataFrame, candidates: Int,
+                k: Int, lambdaTenths: Int = 7): DataFrame = {
+    require(lambdaTenths >= 0 && lambdaTenths <= 10,
+      s"lambdaTenths must be in [0,10], got $lambdaTenths")
+    val lam = lambdaTenths.toLong
+    val q = query.select(col("embedding").as("qv"))
+    val cands = corpus.crossJoin(broadcast(q))
+      .withColumn("rel",
+        floor(V.cosine(col("embedding"), col("qv")) * 10000 + 0.5).cast("long"))
+      .orderBy(col("rel").desc, col("id")).limit(candidates)
+      .select(col("id"), col("embedding"), col("rel"))
+      .localCheckpoint()
+    val sims = cands.select(col("id").as("ia"), col("embedding").as("ea"))
+      .crossJoin(cands.select(col("id").as("ib"), col("embedding").as("eb")))
+      .filter(col("ia") =!= col("ib"))
+      .withColumn("sim",
+        floor(V.cosine(col("ea"), col("eb")) * 10000 + 0.5).cast("long"))
+      .select("ia", "ib", "sim").localCheckpoint()
+    var selected = cands.orderBy(col("rel").desc, col("id")).limit(1)
+      .select(col("id"), lit(1).as("rnk"), (col("rel") * lam).as("mmr_u"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val pick = cands
+        .join(selected.select(col("id").as("sv")),
+          col("id") === col("sv"), "left_anti")
+        .join(sims, col("id") === col("ia"))
+        .join(selected.select(col("id").as("sel")), col("ib") === col("sel"))
+        .groupBy(col("id"), col("rel"))
+        .agg(max(col("sim")).as("msim"))
+        .withColumn("mmr_u",
+          col("rel") * lam - col("msim") * (10L - lam))
+        .orderBy(col("mmr_u").desc, col("id")).limit(1)
+        .select(col("id"), lit(r).as("rnk"), col("mmr_u"))
+      selected = selected.union(pick).localCheckpoint()
+    }
+    selected.select(col("rnk"), col("id"), col("mmr_u"))
+  }
+
+  /** Hashing-trick featurization: token → md5-prefix bucket
+    * (mod `buckets`), per-doc counts — vocabulary-free sparse
+    * features, one map-side explode + aggregate. Output: (id,
+    * bucket, cnt) exploded sparse rows.
+    */
+  def hashFeatures(documents: DataFrame, buckets: Int): DataFrame =
+    documents
+      .select(col("id"), explode(split(col("text"), " ")).as("token"))
+      .withColumn("bucket",
+        conv(substring(md5(col("token")), 1, 4), 16, 10)
+          .cast("long") % buckets)
+      .groupBy("id", "bucket").agg(count(lit(1)).as("cnt"))
+
   /** One-scan numeric profiler: (col_name, n_nulls, n_distinct,
     * min_v, max_v) per requested column via a stacked multi-aggregate
     * pass — the table is read once regardless of column count.

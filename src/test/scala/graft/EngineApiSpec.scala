@@ -483,6 +483,38 @@ class EngineApiSpec extends SparkSpec {
     assert(got("v") === (("v", 1L, 2L, 2.5, 7.5)))
   }
 
+  test("mmrRerank trades relevance for diversity as lambda falls") {
+    // corpus: a near-duplicate pair OFF the query axis (so their
+    // mutual sim exceeds their relevance) plus a diverse doc on the
+    // other side; pure relevance keeps the pair, MMR at lambda=0.5
+    // swaps the diverse doc into rank 2
+    val c = Seq(
+      (1L, Array(0.98, 0.199)), (2L, Array(0.9799, 0.19905)),
+      (3L, Array(0.6, -0.8))
+    ).toDF("id", "embedding")
+    val q = Seq(Tuple1(Array(1.0, 0.0))).toDF("embedding")
+    val rel = engine.mmrRerank(c, q, candidates = 3, k = 2,
+        lambdaTenths = 10)
+      .select("rnk", "id").as[(Int, Long)].collect().toMap
+    assert(rel === Map(1 -> 1L, 2 -> 2L), s"pure relevance got $rel")
+    val div = engine.mmrRerank(c, q, candidates = 3, k = 2,
+        lambdaTenths = 5)
+      .select("rnk", "id").as[(Int, Long)].collect().toMap
+    assert(div === Map(1 -> 1L, 2 -> 3L), s"diversified got $div")
+  }
+
+  test("hashFeatures buckets are stable and counts sum to token count") {
+    val d = Seq((1L, "alpha beta alpha"), (2L, "beta")).toDF("id", "text")
+    val got = engine.hashFeatures(d, buckets = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(got.filter(_._1 == 1L).map(_._3).sum === 3L)
+    assert(got.forall(r => r._2 >= 0 && r._2 < 8))
+    // same token, same bucket across docs
+    val beta1 = got.filter(r => r._1 == 1L && r._3 == 1L).map(_._2).toSet
+    val beta2 = got.filter(r => r._1 == 2L).map(_._2).toSet
+    assert(beta2.subsetOf(beta1 ++ got.filter(_._1 == 1L).map(_._2)))
+  }
+
   test("retentionCohorts builds the triangular cohort matrix") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00") // a Monday
     def wk(w: Int) = new java.sql.Timestamp(ts0.getTime + w * 7L * 86400_000L)
