@@ -65,6 +65,28 @@ object SourceFormats {
         .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("sum_price"),
              min("o_orderkey").as("min_key"))
         .orderBy("o_orderstatus")
+    }),
+
+    // Raw text-lines roundtrip: documents serialized one per line as
+    // "doc_id<TAB>lang<TAB>text", read back as value strings, parsed
+    // with bounded split (text itself may contain no tabs in the
+    // fixture; a real pipeline would escape). Verifies the
+    // line-oriented ingest path end-to-end — parse failures or line
+    // splits would break the per-lang token totals.
+    "source_text_roundtrip" -> ((s, d) => {
+      val lines = TestData.documents(s, d)
+        .select(concat_ws("\t", col("doc_id"), col("lang"),
+          col("text")).as("value"))
+      val back = FileFormats.textRoundTrip(s, lines,
+        "/root/repo/target/tmp/source_text_roundtrip")
+      back
+        .withColumn("f", split(col("value"), "\t", 3))
+        .select(col("f").getItem(0).cast("long").as("doc_id"),
+          col("f").getItem(1).as("lang"), col("f").getItem(2).as("text"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("n_chars"),
+             min(col("doc_id")).as("min_id"))
+        .orderBy("lang")
     })
   )
 
@@ -82,6 +104,11 @@ object SourceFormats {
       """SELECT o_orderstatus, count(*) AS n,
         |  floor((sum(o_totalprice))*10000 + 0.5)/10000 AS sum_price,
         |  min(o_orderkey) AS min_key
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "source_text_roundtrip" ->
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  sum(length(text))::BIGINT AS n_chars,
+        |  min(doc_id) AS min_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

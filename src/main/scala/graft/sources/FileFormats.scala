@@ -38,4 +38,16 @@ object FileFormats {
     df.write.mode(SaveMode.Overwrite).orc(path)
     spark.read.schema(schema).orc(path)
   }
+
+  /** Write a single `value` string column as raw text lines and read
+    * it back — the line-oriented ingest path (log shipping, one-doc-
+    * per-line corpora). Caller embeds/parses any record structure;
+    * text files split by line, so reads parallelize per block like
+    * CSV/JSON.
+    */
+  def textRoundTrip(spark: SparkSession, lines: DataFrame,
+                    path: String): DataFrame = {
+    lines.write.mode(SaveMode.Overwrite).text(path)
+    spark.read.text(path)
+  }
 }

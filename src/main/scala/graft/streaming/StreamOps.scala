@@ -260,6 +260,49 @@ object StreamOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Per-user per-type running count emitted by [[userTypeCountsTws]]. */
+  case class UserTypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** `MapState` form of the behavioral counter: one state map per
+    * user keyed by event_type — the state-store layout that scales
+    * with DISTINCT TYPES PER USER rather than users × types (absent
+    * keys cost nothing, unlike a dense per-user vector), and updates
+    * touch only the arriving types' entries. Emits the updated
+    * entries each batch (Update mode semantics).
+    */
+  class TypeCountsProcessor
+      extends StatefulProcessor[Long, Event, UserTypeCount] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import org.apache.spark.sql.Encoders
+      counts = getHandle.getMapState[String, Long](
+        "type_counts", Encoders.STRING, Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserTypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { e =>
+        val prev = if (counts.containsKey(e.event_type))
+          counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, prev + 1L)
+        touched += e.event_type
+      }
+      touched.iterator.map(t => UserTypeCount(key, t, counts.getValue(t)))
+    }
+  }
+
+  /** Per-(user, type) running counts via `transformWithState` MapState. */
+  def userTypeCountsTws(events: Dataset[Event]): Dataset[UserTypeCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   def runningUserStats(events: Dataset[Event]): Dataset[UserRunning] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)

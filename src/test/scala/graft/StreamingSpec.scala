@@ -111,6 +111,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState MapState keeps per-user per-type counts") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event](spark)
+    val q = StreamOps.userTypeCountsTws(input.toDS())
+      .writeStream.format("memory").queryName("type_counts_tws")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(ev(1, 0, user = 7, typ = "view"),
+                    ev(2, 1, user = 7, typ = "click"),
+                    ev(3, 2, user = 7, typ = "view"))
+      q.processAllAvailable()
+      input.addData(ev(4, 3, user = 7, typ = "view"),
+                    ev(5, 3, user = 8, typ = "click"))
+      q.processAllAvailable()
+      val last = spark.table("type_counts_tws")
+        .as[StreamOps.UserTypeCount].collect()
+        .groupBy(r => (r.user_id, r.event_type))
+        .map { case (k, rows) => k -> rows.map(_.n).max }
+      // map entries accumulate across batches; untouched entries
+      // (user 7 "click" in batch 2) keep their batch-1 count
+      assert(last((7L, "view")) === 3L)
+      assert(last((7L, "click")) === 1L)
+      assert(last((8L, "click")) === 1L)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("foreachBatch sink writes each micro-batch exactly once by batchId") {
     // The idempotent-sink pattern: foreachBatch keys output by
     // batchId so a replayed batch overwrites instead of duplicating.
