@@ -43,7 +43,8 @@ object SparkEntry {
     ("Relevance", Relevance.defs, Relevance.oracles),
     ("BinaryQuantize", BinaryQuantize.defs, BinaryQuantize.oracles),
     ("Maintenance", Maintenance.defs, Maintenance.oracles),
-    ("Curation", Curation.defs, Curation.oracles)
+    ("Curation", Curation.defs, Curation.oracles),
+    ("Tokenize", Tokenize.defs, Tokenize.oracles)
   )
 
   /** Operator object implementing a declared key (COVERAGE.md source). */

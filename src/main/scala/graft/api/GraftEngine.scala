@@ -779,6 +779,14 @@ class GraftEngine(val spark: SparkSession) {
           .cast("long") % buckets)
       .groupBy("id", "bucket").agg(count(lit(1)).as("cnt"))
 
+  /** Learn `rounds` BPE merge rules from an (id, text) corpus —
+    * vocabulary-sized state per round, lexicographic tie-break; see
+    * `graft.operators.Tokenize.bpeMerges`. Output: (round, sym_a,
+    * sym_b, merged, pair_count).
+    */
+  def bpeMerges(documents: DataFrame, rounds: Int): DataFrame =
+    graft.operators.Tokenize.bpeMerges(documents, rounds)
+
   /** One-scan numeric profiler: (col_name, n_nulls, n_distinct,
     * min_v, max_v) per requested column via a stacked multi-aggregate
     * pass — the table is read once regardless of column count.

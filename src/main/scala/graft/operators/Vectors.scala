@@ -261,6 +261,32 @@ object Vectors {
         .groupBy(col("cluster").as("prediction"))
         .agg(count(lit(1)).as("cluster_size"))
         .orderBy(col("cluster_size").desc, col("prediction"))
+    }),
+
+    // PCA TOP COMPONENT via one-pass Gram aggregation + driver-local
+    // power iteration: the corpus is read ONCE (map-side-combined
+    // Σx/Σxxᵀ buffers, ~17 KB each), the d×d eigen step runs on the
+    // driver in corpus-size-independent time — the whitening /
+    // dimensionality-reduction fit shape for 100 TB of embeddings.
+    // Oracle-omitted (iterative linear algebra is not portable DuckDB
+    // SQL); PropertySpec pins the eigenpair residual ‖Σv − λv‖ and
+    // the Rayleigh-dominance of the returned direction.
+    "vec_pca_power" -> ((s, d) => {
+      val dim = 64
+      val gram = udaf(new graft.functions.GramMatrix(dim))
+      val flat = TestData.embeddings(s, d)
+        .select(col("embedding").cast("array<double>").as("v"))
+        .agg(gram(col("v")).as("g"))
+        .head().getSeq[Double](0)
+      val (_, _, cov) = graft.functions.GramMatrix.covarianceOf(flat, dim)
+      val (lambda, vec) = graft.functions.GramMatrix.powerIteration(cov, 500)
+      import s.implicits._
+      vec.toSeq.zipWithIndex
+        .map { case (l, i) => (i, l, lambda) }
+        .toDF("dim", "loading", "eigenvalue")
+        .select(col("dim"), r4(col("loading")).as("loading"),
+          r4(col("eigenvalue")).as("eigenvalue"))
+        .orderBy("dim")
     })
   )
 

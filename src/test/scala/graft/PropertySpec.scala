@@ -148,6 +148,31 @@ class PropertySpec extends SparkSpec {
     assert(sizes.length <= 10 && sizes.forall(_ > 0))
   }
 
+  test("vec_pca_power: dominant eigenpair — small residual, Rayleigh-maximal") {
+    import graft.functions.GramMatrix
+    val dim = 64
+    val gram = org.apache.spark.sql.functions.udaf(new GramMatrix(dim))
+    val flat = TestData.embeddings(spark, sfDir)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .agg(gram(col("v")).as("g")).head().getSeq[Double](0)
+    val (_, _, cov) = GramMatrix.covarianceOf(flat, dim)
+    val (lambda, v) = GramMatrix.powerIteration(cov, 500)
+    // residual ‖Σv − λv‖ small relative to λ
+    val av = cov.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+    val resid = math.sqrt(av.zip(v).map { case (a, b) =>
+      val r = a - lambda * b; r * r }.sum)
+    assert(lambda > 0 && resid / lambda < 1e-8, s"residual $resid vs $lambda")
+    // Rayleigh quotient beats axis-aligned directions
+    val rayleighAxis = (0 until dim).map(i => cov(i)(i)).max
+    assert(lambda >= rayleighAxis - 1e-9,
+      s"power-iter lambda $lambda below best axis variance $rayleighAxis")
+    // declared key emits one sign-canonical loading per dim
+    val rows = Vectors.defs("vec_pca_power")(spark, sfDir).collect()
+    assert(rows.length === dim)
+    val loadings = rows.map(_.getDouble(1))
+    assert(math.abs(math.sqrt(loadings.map(l => l * l).sum) - 1.0) < 1e-2)
+  }
+
   test("set ops: algebraic laws hold") {
     val a = SortsSetOps.defs("setop_union_distinct")(spark, sfDir).count()
     val i = SortsSetOps.defs("setop_intersect")(spark, sfDir).count()
