@@ -301,6 +301,22 @@ class PlanSpec extends SparkSpec {
     assert(corpusScans.nonEmpty, "expected a streamed full corpus scan")
   }
 
+  test("ann_maxsim_topk broadcasts the query tokens, never the corpus") {
+    val p = plan("ann_maxsim_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query-token side must broadcast:\n${p.take(600)}")
+    // corpus side streams into a partial aggregate (per-token max
+    // folds map-side before the shuffle)
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial+final aggregation of per-token maxes")
+  }
+
+  test("ann_ivf_filtered_topk pushes the label predicate to the scan") {
+    val p = plan("ann_ivf_filtered_topk")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(label,3"),
+      s"label filter must reach the parquet scan:\n${p.take(800)}")
+  }
+
   test("profile_columns reads lineitem exactly once (stacked one-pass agg)") {
     val p = plan("profile_columns")
     val scans = p.linesIterator.count(l =>
