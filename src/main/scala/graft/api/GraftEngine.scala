@@ -688,14 +688,16 @@ class GraftEngine(val spark: SparkSession) {
       case "week" => 7; case "day" => 1
       case u => throw new IllegalArgumentException(s"unit: $u")
     }
-    val act = events
+    // one shuffle on the user key: collect each user's distinct
+    // period set (bounded by corpus timespan), derive cohort+offsets
+    // map-side (see events_retention_cohorts)
+    events
       .select(col(userCol).as("user"), date_trunc(unit, col(tsCol)).as("p"))
-      .distinct()
-    val first = act.groupBy("user").agg(min(col("p")).as("cohort"))
-    act.join(first, "user")
+      .groupBy("user").agg(collect_set(col("p")).as("ps"))
+      .select(array_min(col("ps")).as("cohort"), explode(col("ps")).as("p"))
       .groupBy(col("cohort"),
         expr(s"datediff(p, cohort) DIV $days").as("offset"))
-      .agg(countDistinct(col("user")).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
   }
 
   /** SCD type-2 collapse of an attribute stream: one validity interval

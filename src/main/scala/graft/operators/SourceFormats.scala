@@ -87,6 +87,32 @@ object SourceFormats {
         .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("n_chars"),
              min(col("doc_id")).as("min_id"))
         .orderBy("lang")
+    }),
+
+    // CORRUPT-RECORD RECOVERY: a JSON source where every 10th record
+    // (c_custkey % 10 = 3) is malformed; PERMISSIVE parse routes bad
+    // lines to _corrupt_record instead of failing the job — the
+    // dirty-ingest posture a 100 TB crawl pipeline must default to
+    // (FAILFAST on petabyte inputs means one bad line kills the job).
+    // Emits good/corrupt counts + an aggregate over the parsed rows,
+    // so silent row drops or mis-routed lines hash-fail.
+    "source_json_corrupt" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/source_json_corrupt"
+      TestData.customer(s, d)
+        .select(when(col("c_custkey") % 10 === 3,
+            concat(lit("NOT{JSON:"), col("c_custkey")))
+          .otherwise(to_json(struct(col("c_custkey"), col("c_acctbal"))))
+          .as("value"))
+        .write.mode("overwrite").text(path)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_acctbal", DoubleType),
+        StructField("_corrupt_record", StringType)))
+      s.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          count(col("c_custkey")).as("n_good"),
+          r4(sum(col("c_acctbal"))).as("sum_bal"))
     })
   )
 
@@ -109,6 +135,15 @@ object SourceFormats {
       """SELECT lang, count(*)::BIGINT AS n,
         |  sum(length(text))::BIGINT AS n_chars,
         |  min(doc_id) AS min_id
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "source_json_corrupt" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  sum(CASE WHEN c_custkey % 10 = 3 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_corrupt,
+        |  sum(CASE WHEN c_custkey % 10 = 3 THEN 0 ELSE 1 END)::BIGINT
+        |    AS n_good,
+        |  floor((sum(CASE WHEN c_custkey % 10 = 3 THEN NULL
+        |             ELSE c_acctbal END))*10000 + 0.5)/10000 AS sum_bal
+        |FROM customer""".stripMargin
   )
 }

@@ -202,6 +202,27 @@ object TimeSeries {
         .limit(10)
     }),
 
+    // 3-STEP PATH ANALYSIS: the transition matrix extended one hop —
+    // top behavioral paths (t1 → t2 → t3) by frequency. Both leads
+    // ride the SAME (user_id; ts, event_id) window sort (one
+    // exchange); the path aggregate is |types|³-bounded and the
+    // top-10 folds per partition (TakeOrdered).
+    "events_path_triples" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      TestData.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+                col("event_type"))
+        .withColumn("t2", lead("event_type", 1).over(w))
+        .withColumn("t3", lead("event_type", 2).over(w))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("t2").as("step2"),
+                 col("t3").as("step3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+        .limit(10)
+    }),
+
     // Z-score anomaly detection: flag events whose value sits > 3
     // standard deviations from its type's mean — the data-quality
     // tripwire a pipeline runs on every ingested batch. The per-type
@@ -286,25 +307,23 @@ object TimeSeries {
 
     // RETENTION COHORTS: users cohorted by first-active ISO week,
     // cells = distinct users from cohort c active in week c+offset —
-    // the classic triangular retention matrix. Two shuffles on
-    // user_id (first-week agg, distinct activity) + one aggregate on
-    // the (cohort, offset) cell key; the first-week side is
-    // user-cardinality and joins back on the same user_id key. Both
-    // engines truncate weeks to ISO Monday.
-    "events_retention_cohorts" -> ((s, d) => {
-      val ev = TestData.events(s, d)
+    // the classic triangular retention matrix. ONE shuffle on user_id
+    // collects each user's distinct-week set (bounded by the corpus
+    // timespan in weeks); cohort = array_min, offsets explode
+    // map-side, and the cell aggregate is (cohort, offset)-sized.
+    // The distinct+agg+self-join formulation costs 6 exchanges; this
+    // one costs 3 (user agg, cell agg, output sort). Both engines
+    // truncate weeks to ISO Monday.
+    "events_retention_cohorts" -> ((s, d) =>
+      TestData.events(s, d)
         .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
-        .distinct()
-      val first = ev.groupBy("user_id")
-        .agg(min(col("week")).as("cohort_week"))
-      ev.join(first, "user_id")
-        .select(col("cohort_week"),
-          expr("datediff(week, cohort_week) DIV 7").as("week_offset"),
-          col("user_id"))
-        .groupBy("cohort_week", "week_offset")
-        .agg(countDistinct(col("user_id")).as("n_users"))
-        .orderBy("cohort_week", "week_offset")
-    }),
+        .groupBy("user_id").agg(collect_set(col("week")).as("weeks"))
+        .select(array_min(col("weeks")).as("cohort_week"),
+          explode(col("weeks")).as("week"))
+        .groupBy(col("cohort_week"),
+          expr("datediff(week, cohort_week) DIV 7").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")),
 
     // SCD TYPE-2 DIMENSION: collapse each user's event_type stream
     // into validity intervals [valid_from, valid_to) — lag() flags
@@ -600,6 +619,18 @@ object TimeSeries {
         |  count(*) AS n
         |FROM t WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type LIMIT 10""".stripMargin,
+    "events_path_triples" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type AS step1, t2 AS step2, t3 AS step3,
+        |  count(*) AS n
+        |FROM t WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 10""".stripMargin,
     "events_anomaly_zscore" ->
       """WITH s AS (
         |  SELECT event_type,
