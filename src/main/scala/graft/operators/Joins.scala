@@ -199,10 +199,43 @@ object Joins {
             && col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 10 MINUTES"))
         .select("signup_id", "purchase_id", "user_id", "signup_ts", "purchase_ts")
         .orderBy("signup_id", "purchase_id")
+    }),
+
+    // NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM): customers
+    // with a scrubbed (NULL) nation key still match the dimension's
+    // sentinel UNKNOWN row — the dims-with-unknown-member pattern.
+    // Null-safe equality keeps the join a HASH join (NULL is just
+    // another key value), where an `OR (a IS NULL AND b IS NULL)`
+    // formulation would degrade to nested-loop.
+    "join_null_safe" -> ((s, d) => {
+      val a = TestData.customer(s, d)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 11 === 5, lit(null))
+            .otherwise(col("c_nationkey")).as("nk"))
+      val dim = TestData.nation(s, d)
+        .select(col("n_nationkey").cast("int").as("dk"), col("n_name"))
+        .unionAll(s.range(1).select(lit(null).cast("int").as("dk"),
+          lit("UNKNOWN").as("n_name")))
+      a.join(dim, col("nk") <=> col("dk"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_name")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "join_null_safe" ->
+      """WITH a AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 11 = 5 THEN NULL
+        |         ELSE c_nationkey END AS nk
+        |  FROM customer),
+        |dim AS (
+        |  SELECT n_nationkey AS dk, n_name FROM nation
+        |  UNION ALL SELECT NULL, 'UNKNOWN')
+        |SELECT n_name, count(*)::BIGINT AS n_customers
+        |FROM a JOIN dim ON nk IS NOT DISTINCT FROM dk
+        |GROUP BY 1 ORDER BY n_name""".stripMargin,
     "join_broadcast_inner" ->
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey

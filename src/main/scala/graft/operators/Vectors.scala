@@ -263,6 +263,58 @@ object Vectors {
         .orderBy(col("cluster_size").desc, col("prediction"))
     }),
 
+    // kNN CLASSIFICATION EVAL: predict each query's label by majority
+    // vote of its top-5 cosine neighbors (excluding itself), report
+    // per-label accuracy — the label-propagation / weak-supervision
+    // quality loop over the embedding space. Ranking key is the
+    // r4-quantized cosine (determinism rule); vote ties break toward
+    // the smaller label. Same broadcast-queries shape as
+    // knn_batch_topk; at 100 TB the neighbor source swaps to the IVF
+    // probe with the eval unchanged.
+    "vec_knn_classify" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+                col("label").as("true_label"))
+      val wTop = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("vec_id"))
+      val neighbors = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score", r4(V.cosine(col("embedding"), col("qv"))))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+      val wVote = Window.partitionBy("qid")
+        .orderBy(col("votes").desc, col("label"))
+      neighbors
+        .groupBy("qid", "true_label", "label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(wVote))
+        .filter(col("vr") === 1)
+        .groupBy("true_label")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("label") === col("true_label"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .orderBy("true_label")
+    }),
+
+    // EMBEDDING DRIFT: per-dimension mean shift between two corpus
+    // halves (vec_id parity stands in for train-vs-serve batches),
+    // scaled by the dimension's corpus stddev — the serving-skew
+    // tripwire run on every embedding refresh. One explode + one
+    // grouped aggregate (dim-sized output); means and std r4-quantized
+    // BEFORE the ratio so the top-10 cut can't flip cross-engine.
+    "vec_drift_detect" -> ((s, d) =>
+      TestData.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("dim")
+        .agg(
+          r4(avg(when(col("vec_id") % 2 === 0, col("v")))).as("mean_a"),
+          r4(avg(when(col("vec_id") % 2 === 1, col("v")))).as("mean_b"),
+          r4(stddev_samp(col("v"))).as("sd"))
+        .withColumn("drift", r4(abs(col("mean_a") - col("mean_b")) / col("sd")))
+        .orderBy(col("drift").desc, col("dim"))
+        .limit(10)),
+
     // PCA TOP COMPONENT via one-pass Gram aggregation + driver-local
     // power iteration: the corpus is read ONCE (map-side-combined
     // Σx/Σxxᵀ buffers, ~17 KB each), the d×d eigen step runs on the
@@ -295,6 +347,48 @@ object Vectors {
       s"""SELECT vec_id,
         |  floor((sqrt(list_sum(list_transform($E, x -> x*x))))*10000 + 0.5)/10000 AS nrm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "vec_knn_classify" ->
+      s"""WITH q AS (
+        |  SELECT vec_id AS qid, $E AS qv, label AS true_label
+        |  FROM embeddings WHERE vec_id < 50),
+        |nn AS (
+        |  SELECT qid, true_label, label FROM (
+        |    SELECT q.qid, q.true_label, e.label,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        floor((list_cosine_similarity(e.$E, q.qv))*10000 + 0.5)/10000
+        |          DESC, e.vec_id) AS rnk
+        |    FROM embeddings e, q WHERE e.vec_id <> q.qid)
+        |  WHERE rnk <= 5),
+        |votes AS (
+        |  SELECT qid, true_label, label, count(*) AS votes FROM nn
+        |  GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT qid, true_label, label FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY votes DESC, label) AS vr FROM votes)
+        |  WHERE vr = 1)
+        |SELECT true_label, count(*)::BIGINT AS n_queries,
+        |  sum(CASE WHEN label = true_label THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_correct
+        |FROM pred GROUP BY 1 ORDER BY true_label""".stripMargin,
+    "vec_drift_detect" ->
+      s"""WITH x AS (
+        |  SELECT vec_id, i - 1 AS dim, ($E)[i] AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)),
+        |st AS (
+        |  SELECT dim,
+        |    floor((avg(CASE WHEN vec_id % 2 = 0 THEN v END))*10000 + 0.5)/10000
+        |      AS mean_a,
+        |    floor((avg(CASE WHEN vec_id % 2 = 1 THEN v END))*10000 + 0.5)/10000
+        |      AS mean_b,
+        |    floor((stddev_samp(v))*10000 + 0.5)/10000 AS sd
+        |  FROM x GROUP BY dim)
+        |SELECT dim, mean_a, mean_b, sd,
+        |  floor((abs(mean_a - mean_b) / sd)*10000 + 0.5)/10000 AS drift
+        |FROM st
+        |ORDER BY floor((abs(mean_a - mean_b) / sd)*10000 + 0.5)/10000 DESC,
+        |  dim LIMIT 10""".stripMargin,
     "vec_dim_stats" ->
       s"""WITH x AS (
         |  SELECT i - 1 AS dim, ($E)[i] AS v
