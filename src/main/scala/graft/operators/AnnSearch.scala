@@ -119,6 +119,50 @@ object AnnSearch {
         .orderBy("qid", "rnk")
     }),
 
+    // PROBE-WIDTH SWEEP: recall@5 vs brute force for nProbe = 1..4 in
+    // ONE query — the probe widths cross-join the (tiny) probe-rank
+    // table rather than re-running the search per width, so the sweep
+    // costs one candidate join however many widths are tested. This
+    // is the tuning curve every IVF deployment reads before fixing
+    // nProbe; at 100 TB it runs on a query SAMPLE with the same plan.
+    "ann_probe_sweep" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val cents = Vectors.fixedCentroids(e)
+      val assigned = V.assignToCentroids(e, cents, Seq("vec_id", "embedding"))
+        .select(col("vec_id"), col("embedding"), col("cluster"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      // exact ground truth: brute-force top-5 per query
+      val wTruth = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("vec_id"))
+      val truth = e.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score", r4(V.cosine(col("embedding"), col("qv"))))
+        .withColumn("rnk", row_number().over(wTruth))
+        .filter(col("rnk") <= 5)
+        .select(col("qid").as("tq"), col("vec_id").as("tn"))
+      val wProbe = Window.partitionBy("qid").orderBy(col("qdist"), col("cid"))
+      val probeRanks = queries.crossJoin(broadcast(cents))
+        .withColumn("qdist", V.sqDist(col("qv"), col("cv")))
+        .withColumn("pr", row_number().over(wProbe))
+        .select(col("qid"), col("qv"), col("cid").as("probe_cluster"),
+          col("pr"))
+      val sweep = s.range(1, 5).select(col("id").cast("int").as("np"))
+      val probes = probeRanks.crossJoin(sweep).filter(col("pr") <= col("np"))
+      val wTop = Window.partitionBy("np", "qid")
+        .orderBy(col("score").desc, col("vec_id"))
+      assigned.join(broadcast(probes), col("cluster") === col("probe_cluster"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score", r4(V.cosine(col("embedding"), col("qv"))))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .join(truth, col("qid") === col("tq") && col("vec_id") === col("tn"),
+          "left_semi")
+        .groupBy("np")
+        .agg(r4(count(lit(1)).cast("double") / 25.0).as("recall"))
+        .orderBy("np")
+    }),
+
     // MMR DIVERSITY RERANK (Carbonell & Goldstein '98): greedily pick
     // argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) over the top-10
     // candidate cut, λ=0.7, 4 picks. All scores are integer 1e-4
@@ -716,6 +760,52 @@ object AnnSearch {
         |          ORDER BY score DESC, vec_id) AS rnk
         |      FROM hits)
         |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "ann_probe_sweep" ->
+      s"""WITH c AS (SELECT vec_id AS cid, $E AS cv FROM embeddings WHERE vec_id < 4),
+        |q AS (SELECT vec_id AS qid, $E AS qv FROM embeddings WHERE vec_id < 5),
+        |truth AS (
+        |  SELECT qid AS tq, vec_id AS tn FROM (
+        |    SELECT q.qid, e.vec_id,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        floor((list_cosine_similarity(e.$E, q.qv))*10000 + 0.5)/10000
+        |          DESC, e.vec_id) AS rnk
+        |    FROM embeddings e, q WHERE e.vec_id <> q.qid)
+        |  WHERE rnk <= 5),
+        |assigned AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cid AS cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(e.$E, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN c)
+        |  WHERE rn = 1),
+        |pranks AS (
+        |  SELECT qid, cid AS probe_cluster, pr FROM (
+        |    SELECT q.qid, c.cid,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        list_sum(list_transform(list_zip(q.qv, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS pr
+        |    FROM q CROSS JOIN c)),
+        |sweep AS (SELECT unnest(range(1, 5))::INT AS np),
+        |probes AS (
+        |  SELECT np, qid, probe_cluster FROM pranks CROSS JOIN sweep
+        |  WHERE pr <= np),
+        |hits AS (
+        |  SELECT np, qid, vec_id FROM (
+        |    SELECT p.np, p.qid, e.vec_id,
+        |      row_number() OVER (PARTITION BY p.np, p.qid ORDER BY
+        |        floor((list_cosine_similarity(e.$E, q.qv))*10000 + 0.5)/10000
+        |          DESC, e.vec_id) AS rnk
+        |    FROM assigned a
+        |    JOIN probes p ON a.cluster = p.probe_cluster
+        |    JOIN embeddings e ON e.vec_id = a.vec_id
+        |    JOIN q ON q.qid = p.qid
+        |    WHERE e.vec_id <> p.qid)
+        |  WHERE rnk <= 5)
+        |SELECT np,
+        |  floor((count(*)::DOUBLE / 25.0)*10000 + 0.5)/10000 AS recall
+        |FROM hits SEMI JOIN truth ON qid = tq AND vec_id = tn
+        |GROUP BY np ORDER BY np""".stripMargin,
     // 4 unrolled greedy MMR picks in exact integer units; each round's
     // NOT IN / max-over-selected mirrors the Spark anti-join + agg.
     "ann_rerank_mmr" ->
