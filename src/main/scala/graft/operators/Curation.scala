@@ -195,6 +195,60 @@ object Curation {
         .orderBy("lang")
     }),
 
+    // K-ANONYMITY AUDIT: quasi-identifier groups (lang × source ×
+    // length bucket) with fewer than k=5 members — the
+    // re-identification risk report a governed training-data release
+    // runs next to PII redaction. One aggregate on the QI key; the
+    // report is group-sized, tiny at any corpus size.
+    "privacy_k_anonymity" -> ((s, d) =>
+      TestData.documents(s, d)
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars DIV 100").as("len_bucket"))
+        .agg(count(lit(1)).as("group_size"))
+        .filter(col("group_size") < 5)
+        .orderBy("lang", "source", "len_bucket")),
+
+    // END-TO-END CORPUS BUILD: the curation chain composed as ONE
+    // declared pipeline — quality gate (≥30 tokens, bigram repetition
+    // < 0.2) → benchmark decontamination (eval 5-shingle broadcast,
+    // eval split excluded) → exact dedup (min doc_id survives) →
+    // 2048-token concat-and-chunk packing — reporting per-language
+    // docs / tokens / bins. Every stage is a shape already audited at
+    // scale (map-side gates, broadcast probe, hash-groupBy dedup,
+    // per-stream cumsum); composing them costs no new shuffle class.
+    "pipeline_corpus_build" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val docs = TestData.documents(s, d)
+        .withColumn("nt", size(split(col("text"), " ")))
+      val quality = docs.filter(col("nt") >= 30)
+        .withColumn("rep", lit(1.0)
+          - size(shingles(col("text"), 2)).cast("double") / (col("nt") - 1))
+        .filter(col("rep") < 0.2)
+      val evalSh = docs.filter(expr("doc_id % 97 = 3"))
+        .select(explode(shingles(col("text"), 5)).as("sh")).distinct()
+      val contaminated = quality.filter(expr("doc_id % 97 <> 3"))
+        .select(col("doc_id"), explode(shingles(col("text"), 5)).as("sh"))
+        .join(broadcast(evalSh), "sh")
+        .select("doc_id").distinct()
+      val clean = quality.filter(expr("doc_id % 97 <> 3"))
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val wDedup = W.partitionBy(md5(lower(trim(col("text")))))
+        .orderBy("doc_id")
+      val unique = clean.withColumn("rn", row_number().over(wDedup))
+        .filter(col("rn") === 1)
+      val wPack = W.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+      unique
+        .withColumn("start_off",
+          coalesce(sum(col("nt").cast("long")).over(wPack), lit(0L)))
+        .withColumn("bin_last", expr("(start_off + nt - 1) DIV 2048"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt").cast("long")).as("n_tokens"),
+          (max(col("bin_last")) + 1).as("n_bins"))
+        .orderBy("lang")
+    }),
+
     // SEQUENCE PACKING (concat-and-chunk): the standard LLM-training
     // packing pass — concatenate each language's doc stream in doc_id
     // order, split every B=2048 tokens; a doc's bin span is pure
@@ -221,6 +275,47 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "privacy_k_anonymity" ->
+      """SELECT lang, source, n_chars // 100 AS len_bucket,
+        |  count(*)::BIGINT AS group_size
+        |FROM documents GROUP BY 1, 2, 3
+        |HAVING count(*) < 5
+        |ORDER BY lang, source, len_bucket""".stripMargin,
+    "pipeline_corpus_build" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang, text, toks, len(toks) AS nt FROM t
+        |  WHERE len(toks) >= 30
+        |    AND 1.0 - len(list_distinct([toks[i] || ' ' || toks[i+1]
+        |          for i in range(1, len(toks))]))::DOUBLE
+        |        / (len(toks) - 1) < 0.2),
+        |sh AS (
+        |  SELECT doc_id, array_to_string(toks[i : i + 4], ' ') AS sh
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i)
+        |  WHERE len(toks) >= 5),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 3),
+        |contam AS (
+        |  SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (sh)
+        |  WHERE s.doc_id % 97 <> 3),
+        |clean AS (
+        |  SELECT * FROM q WHERE doc_id % 97 <> 3
+        |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+        |uniq AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+        |    FROM clean) WHERE rn = 1),
+        |packed AS (
+        |  SELECT lang, doc_id, nt,
+        |    coalesce(sum(nt) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS start_off
+        |  FROM uniq)
+        |SELECT lang, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens,
+        |  (max((start_off + nt - 1) // 2048) + 1)::BIGINT AS n_bins
+        |FROM packed GROUP BY 1 ORDER BY lang""".stripMargin,
     "pipeline_pack_sequences" ->
       """WITH t AS (
         |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
