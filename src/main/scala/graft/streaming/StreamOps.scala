@@ -303,6 +303,56 @@ object StreamOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Session summary emitted when a user's timer expires. */
+  case class SessionClose(user_id: Long, n_events: Long, closed: Boolean)
+
+  /** TIMER-driven session close: each arriving batch refreshes the
+    * user's count and re-arms a processing-time timer `idleMs` ahead;
+    * when the timer expires (no arrivals for `idleMs`), the summary
+    * row is EMITTED BY THE TIMER PATH (`handleExpiredTimer`) and the
+    * state cleared — the state-eviction pattern that stops per-key
+    * state from growing forever on 100 TB event streams (watermarks
+    * evict by event time; timers evict by absence of traffic).
+    */
+  class SessionCloseProcessor(idleMs: Long)
+      extends StatefulProcessor[Long, Event, SessionClose] {
+    @transient private var count: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import org.apache.spark.sql.Encoders
+      count = getHandle.getValueState[Long](
+        "n", Encoders.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessionClose] = {
+      val prev = Option(count.get()).getOrElse(0L)
+      val n = prev + rows.size
+      count.update(n)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs + idleMs)
+      Iterator.single(SessionClose(key, n, closed = false))
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionClose] = {
+      val n = Option(count.get()).getOrElse(0L)
+      count.clear()
+      Iterator.single(SessionClose(key, n, closed = true))
+    }
+  }
+
+  /** Idle-timeout session close via `transformWithState` timers. */
+  def sessionCloseTws(events: Dataset[Event], idleMs: Long): Dataset[SessionClose] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionCloseProcessor(idleMs),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
   def runningUserStats(events: Dataset[Event]): Dataset[UserRunning] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)

@@ -141,6 +141,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState timers close idle sessions and clear state") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event](spark)
+    val q = StreamOps.sessionCloseTws(input.toDS(), idleMs = 50L)
+      .writeStream.format("memory").queryName("session_close_tws")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(ev(1, 0, user = 5), ev(2, 1, user = 5))
+      // ProcessingTime mode keeps scheduling micro-batches to evaluate
+      // timers, so processAllAvailable never settles — POLL the sink
+      // until the timer path has emitted the close row.
+      def closedRows() = spark.table("session_close_tws")
+        .as[StreamOps.SessionClose].collect().filter(_.closed)
+      val deadline = System.currentTimeMillis() + 30000
+      while (closedRows().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val closed = closedRows()
+      assert(closed.exists(c => c.user_id == 5L && c.n_events == 2L),
+        s"user 5's idle session must close via the timer path: ${closed.toSeq}")
+      // after the close, a new arrival restarts the count from cleared state
+      input.addData(ev(5, 9, user = 5))
+      def reopened() = spark.table("session_close_tws")
+        .as[StreamOps.SessionClose].collect()
+        .filter(r => r.user_id == 5L && !r.closed && r.n_events == 1L)
+      val deadline2 = System.currentTimeMillis() + 30000
+      while (reopened().isEmpty && System.currentTimeMillis() < deadline2)
+        Thread.sleep(100)
+      assert(reopened().nonEmpty,
+        "state must restart at 1 after timer eviction cleared it")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("foreachBatch sink writes each micro-batch exactly once by batchId") {
     // The idempotent-sink pattern: foreachBatch keys output by
     // batchId so a replayed batch overwrites instead of duplicating.
