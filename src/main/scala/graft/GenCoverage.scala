@@ -24,8 +24,8 @@ object GenCoverage {
       |Test-only streaming semantics (no declared key, `StreamingSpec`): watermark
       |late-data drop, within-watermark dedup, flatMapGroupsWithState running stats,
       |transformWithState (RocksDB; ValueState + MapState + processing-time TIMER
-eviction), stream-stream join (inner +
-      |left-outer timeout), file-source AvailableNow, foreachBatch idempotent sink,
+      |eviction), stream-stream join (inner + left-outer timeout),
+      |file-source AvailableNow, foreachBatch idempotent sink,
       |cross-batch session merge.""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get("COVERAGE.md"),
       (hdr +: rows).mkString("", "\n", ftr + "\n"))
