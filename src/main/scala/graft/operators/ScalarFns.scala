@@ -82,6 +82,25 @@ object ScalarFns {
         // non-unique fixture key: integer outputs complete the order
         .orderBy("l_orderkey", "l_linenumber", "bor", "bxor")),
 
+    // ANSI-SAFE arithmetic (Spark 4 default ANSI mode throws on
+    // overflow / div-by-zero / bad casts — the `try_` family returns
+    // NULL instead, the posture batch pipelines need so one poison
+    // row can't kill a 100 TB job). Each NULL is coalesced to a
+    // sentinel so the oracle compare carries no nullable columns.
+    "fn_try_safe" -> ((s, d) =>
+      TestData.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          // zero denominator on line 3 → NULL, not an exception
+          coalesce(r4(expr("try_divide(l_extendedprice, l_linenumber - 3)")),
+            lit(-1.0)).as("safe_div"),
+          // l_orderkey ≥ 0, so +1 makes the add always overflow → NULL
+          coalesce(expr(s"try_add(l_orderkey + 1L, ${Long.MaxValue}L)"),
+            lit(-1L)).as("safe_add"),
+          // non-numeric cast → NULL
+          coalesce(expr("try_cast(l_returnflag AS INT)"), lit(-1))
+            .as("safe_cast"))
+        .orderBy("l_orderkey", "l_linenumber", "safe_div")),
+
     "fn_conditional" -> ((s, d) =>
       TestData.orders(s, d)
         .select(col("o_orderkey"),
@@ -201,6 +220,15 @@ object ScalarFns {
         |  (o_orderdate::DATE + 30)::TIMESTAMP AS due_date,
         |  date_diff('day', o_orderdate::DATE, DATE '2002-01-01') AS days_to_2002
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_try_safe" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  coalesce(CASE WHEN l_linenumber = 3 THEN NULL
+        |    ELSE floor((l_extendedprice / (l_linenumber - 3))*10000 + 0.5)/10000
+        |    END, -1.0) AS safe_div,
+        |  -1::BIGINT AS safe_add,
+        |  coalesce(try_cast(l_returnflag AS INT), -1) AS safe_cast
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, safe_div""".stripMargin,
     "fn_math" ->
       """SELECT l_orderkey, l_linenumber,
         |  floor(l_extendedprice)::BIGINT AS fl, ceil(l_extendedprice)::BIGINT AS ce,

@@ -129,6 +129,23 @@ object Windows {
         .select(col("user_id"), col("event_id"), col("ts"),
           r4(percentile(col("value"), lit(0.5)).over(w)).as("rolling_median"))
         .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // Rolling DISTINCT count — neither engine supports
+    // count(DISTINCT) over a frame directly; the portable form
+    // collects the frame into a list and distinct-counts it (frame is
+    // 5 rows, so the per-row list is bounded — this never buffers
+    // unbounded state). The behavioral-variety signal over a sliding
+    // event window.
+    "win_distinct_rolling" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, 0)
+      TestData.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          size(array_distinct(collect_list(col("event_type")).over(w)))
+            .as("n_distinct_5"))
+        .orderBy("user_id", "ts", "event_id")
     })
   )
 
@@ -202,6 +219,13 @@ object Windows {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "win_distinct_rolling" ->
+      """SELECT user_id, event_id, ts,
+        |  len(list_distinct(list(event_type) OVER w))::INT AS n_distinct_5
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts, event_id""".stripMargin
   )
 }
