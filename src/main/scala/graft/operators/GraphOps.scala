@@ -224,6 +224,41 @@ object GraphOps {
       edges.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
     }),
 
+    // LINK PREDICTION by neighbor-set Jaccard: for every 2-hop pair
+    // (a, b) not already an edge, score = |N(a)∩N(b)| / |N(a)∪N(b)| —
+    // the classic similarity-graph densification step (which near-
+    // neighbors should be connected next). Candidates come from the
+    // adjacency self-join on the shared middle vertex (2-hop walk),
+    // never an all-pairs product; intersections are exact integer
+    // counts, the ratio quantized r4 only for display, and the top-10
+    // sort key is the integer pair (inter·1e4 DIV union) — no float
+    // near-tie can flip the cut.
+    "graph_link_predict" -> ((s, d) => {
+      val edges = fixtureKnnEdges(s, d)
+      val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+      // 2-hop candidate pairs via the shared middle vertex
+      val cand = adj.select(col("src").as("m"), col("dst").as("x"))
+        .join(adj.select(col("src").as("m"), col("dst").as("y")), "m")
+        .filter(col("x") < col("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("inter"))
+      // drop existing edges
+      val nonEdges = cand.join(edges,
+          col("x") === col("a") && col("y") === col("b"), "left_anti")
+      nonEdges
+        .join(deg.withColumnRenamed("src", "x")
+          .withColumnRenamed("deg", "dx"), "x")
+        .join(deg.withColumnRenamed("src", "y")
+          .withColumnRenamed("deg", "dy"), "y")
+        .withColumn("uni", col("dx") + col("dy") - col("inter"))
+        .withColumn("score_i", expr("inter * 10000 DIV uni"))
+        .orderBy(col("score_i").desc, col("x"), col("y"))
+        .limit(10)
+        .select(col("x"), col("y"), col("inter"), col("uni"),
+          (col("score_i").cast("double") / 10000.0).as("jaccard"))
+    }),
+
     // PAGERANK over the kNN graph, 3 fixed iterations in EXACT integer
     // arithmetic: ranks are micro-units (start 1e6), each step is
     // r' = 150000 + (85 · Σ_{src→dst} r(src) DIV deg(src)) DIV 100 —
@@ -347,6 +382,26 @@ object GraphOps {
         |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
         |SELECT (SELECT count(*)::BIGINT FROM edges) AS n_edges, n_triangles
         |FROM tri""".stripMargin,
+    "graph_link_predict" ->
+      s"""$EdgesCte,
+        |adj AS (
+        |  SELECT a AS src, b AS dst FROM edges
+        |  UNION ALL SELECT b, a FROM edges),
+        |deg AS (SELECT src, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+        |cand AS (
+        |  SELECT l.dst AS x, r.dst AS y, count(*)::BIGINT AS inter
+        |  FROM adj l JOIN adj r ON l.src = r.src AND l.dst < r.dst
+        |  GROUP BY 1, 2),
+        |ne AS (
+        |  SELECT c.* FROM cand c
+        |  ANTI JOIN edges e ON c.x = e.a AND c.y = e.b),
+        |scored AS (
+        |  SELECT x, y, inter, dx.deg + dy.deg - inter AS uni,
+        |    inter * 10000 // (dx.deg + dy.deg - inter) AS score_i
+        |  FROM ne JOIN deg dx ON ne.x = dx.src
+        |  JOIN deg dy ON ne.y = dy.src)
+        |SELECT x, y, inter, uni, (score_i::DOUBLE / 10000.0) AS jaccard
+        |FROM scored ORDER BY score_i DESC, x, y LIMIT 10""".stripMargin,
     // 3 unrolled integer-PR iterations over the same edge CTE; every
     // step is BIGINT arithmetic so the chain is bit-exact vs Spark.
     "graph_pagerank" ->

@@ -372,6 +372,28 @@ object TimeSeries {
         .orderBy("event_id")
     }),
 
+    // A/B LIFT REPORT: users deterministically hash-assigned to
+    // control/treatment (md5 parity — the same reproducible-split
+    // machinery as sample_hash), conversion = any purchase event.
+    // One shuffle on user_id; the report is variant-sized. Hash
+    // assignment means the split is stable across reruns, engines,
+    // and cluster sizes — the property an experiment framework needs.
+    "events_ab_lift" -> ((s, d) =>
+      TestData.events(s, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("converted"))
+        .withColumn("variant",
+          when(conv(substring(md5(col("user_id").cast("string")), 1, 2),
+            16, 10).cast("int") % 2 === 0, "control")
+            .otherwise("treatment"))
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("converted")).cast("long").as("n_conversions"),
+          r4(sum(col("converted")).cast("double") / count(lit(1)))
+            .as("conv_rate"))
+        .orderBy("variant")),
+
     // Truncated EWMA smoothing (α=0.5, 8 taps): a fixed-weight FIR
     // over the last 8 observations per user, weights renormalized at
     // series starts. One window shuffle on user_id; the 8-term sum is
@@ -451,6 +473,21 @@ object TimeSeries {
         |  coalesce(lead(vf) OVER w, -1) = -1 AS is_current
         |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY vf, event_id)
         |ORDER BY user_id, version""".stripMargin,
+    "events_ab_lift" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY 1),
+        |v AS (
+        |  SELECT CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))::INT
+        |    % 2 = 0 THEN 'control' ELSE 'treatment' END AS variant, converted
+        |  FROM u)
+        |SELECT variant, count(*)::BIGINT AS n_users,
+        |  sum(converted)::BIGINT AS n_conversions,
+        |  floor((sum(converted)::DOUBLE / count(*))*10000 + 0.5)/10000
+        |    AS conv_rate
+        |FROM v GROUP BY 1 ORDER BY variant""".stripMargin,
     "ts_ewma_smooth" ->
       """WITH e AS (
         |  SELECT event_id, user_id, ts, value FROM events
