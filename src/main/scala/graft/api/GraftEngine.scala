@@ -722,6 +722,33 @@ class GraftEngine(val spark: SparkSession) {
         (col("valid_to_us") === -1L).as("is_current"))
   }
 
+  /** Link prediction over an undirected edge list (a, b): 2-hop
+    * candidate pairs scored by neighbor-set Jaccard, existing edges
+    * excluded — see `graph_link_predict`. Output: (x, y, inter, uni,
+    * jaccard), top-`k` by the exact integer score.
+    */
+  def linkPredict(edges: DataFrame, k: Int): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    val adj = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    val cand = adj.select(col("src").as("m"), col("dst").as("x"))
+      .join(adj.select(col("src").as("m"), col("dst").as("y")), "m")
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("inter"))
+    cand.join(e, col("x") === col("a") && col("y") === col("b"), "left_anti")
+      .join(deg.withColumnRenamed("src", "x")
+        .withColumnRenamed("deg", "dx"), "x")
+      .join(deg.withColumnRenamed("src", "y")
+        .withColumnRenamed("deg", "dy"), "y")
+      .withColumn("uni", col("dx") + col("dy") - col("inter"))
+      .withColumn("score_i", expr("inter * 10000 DIV uni"))
+      .orderBy(col("score_i").desc, col("x"), col("y"))
+      .limit(k)
+      .select(col("x"), col("y"), col("inter"), col("uni"),
+        (col("score_i").cast("double") / 10000.0).as("jaccard"))
+  }
+
   /** MMR diversity rerank: greedy argmax λ·rel − (1−λ)·max sim-to-
     * selected over the `candidates` top-relevance cut, `k` picks;
     * `lambdaTenths` ∈ [0,10] is λ×10 so every score is an exact

@@ -483,6 +483,19 @@ class EngineApiSpec extends SparkSpec {
     assert(got("v") === (("v", 1L, 2L, 2.5, 7.5)))
   }
 
+  test("linkPredict ranks the missing triangle edge first") {
+    // square 1-2-3-4-1 plus diagonal 1-3: the missing diagonal (2,4)
+    // shares both neighbors 1 and 3 → highest Jaccard among non-edges
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+      .toDF("a", "b")
+    val got = engine.linkPredict(edges, k = 3)
+      .select("x", "y", "inter").as[(Long, Long, Long)].collect()
+    assert(got.head === ((2L, 4L, 2L)), s"got ${got.toSeq}")
+    // no predicted pair may already be an edge
+    val es = Set((1L,2L),(2L,3L),(3L,4L),(1L,4L),(1L,3L))
+    assert(got.forall(p => !es.contains((p._1, p._2))))
+  }
+
   test("mmrRerank trades relevance for diversity as lambda falls") {
     // corpus: a near-duplicate pair OFF the query axis (so their
     // mutual sim exceeds their relevance) plus a diverse doc on the
