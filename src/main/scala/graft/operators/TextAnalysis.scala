@@ -260,6 +260,39 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // SIMHASH NEAR-DUP PAIRS: documents whose 60-bit simhashes differ
+    // in ≤ 3 bits, found by 4×15-bit BAND blocking — pigeonhole: ≤ 3
+    // flipped bits across 4 bands leaves at least one band identical,
+    // so an equi-join on (band index, band value) is a SOUND candidate
+    // generator (candidates ⊇ matches) and the exact popcount verify
+    // runs on candidates only. This is how simhash dedup actually
+    // deploys at crawl scale (Manku et al. '07): a table-sized
+    // shuffle on band values, never an all-pairs product. Oracle stays
+    // UNBLOCKED (brute-force pairs over the simhash CTE) per the
+    // blocking-soundness rule.
+    "dedup_simhash_pairs" -> ((s, d) => {
+      // the band self-join references the signatures twice — without
+      // materialization the 60-bit fold pipeline runs per branch
+      val sims = defs("dedup_simhash")(s, d).localCheckpoint()
+      val banded = sims.select(col("doc_id"), col("simhash"),
+        posexplode(expr(
+          "transform(sequence(0, 3), i -> shiftright(simhash, 15 * i) & 32767)")))
+        .select(col("doc_id"), col("simhash"),
+          col("pos").as("band_i"), col("col").as("band_v"))
+      val a = banded.select(col("doc_id").as("id_a"),
+        col("simhash").as("sa"), col("band_i"), col("band_v"))
+      val b = banded.select(col("doc_id").as("id_b"),
+        col("simhash").as("sb"), col("band_i").as("bi2"),
+        col("band_v").as("bv2"))
+      a.join(b, col("band_i") === col("bi2") && col("band_v") === col("bv2")
+          && col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "sa", "sb").distinct()
+        .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+        .filter(col("hamming") <= 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // HASHING-TRICK featurization: token → md5-prefix bucket (mod 32),
     // per-doc bucket counts — the fixed-width sparse featurizer behind
     // linear quality classifiers (fastText-style) that never needs a
@@ -406,6 +439,31 @@ object TextAnalysis {
         |SELECT doc_id,
         |  sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // UNBLOCKED brute force over the simhash CTE — the Spark side's
+    // band blocking is sound, so results are identical.
+    "dedup_simhash_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(token), 1, 15))::BIGINT AS hv
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS w
+        |  FROM h, LATERAL (SELECT unnest(range(0, 60)) AS b)
+        |  GROUP BY doc_id, b),
+        |sh AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+        |      AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "text_hash_features" ->
       """SELECT doc_id,
         |  ('0x' || substring(md5(token), 1, 4))::BIGINT % 32 AS bucket,
