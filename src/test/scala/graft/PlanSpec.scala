@@ -317,6 +317,12 @@ class PlanSpec extends SparkSpec {
       s"label filter must reach the parquet scan:\n${p.take(800)}")
   }
 
+  test("dedup_simhash_pairs blocks via an equi-join, never a cartesian") {
+    val p = plan("dedup_simhash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"band blocking must stay an equi-join:\n${p.take(600)}")
+  }
+
   test("profile_columns reads lineitem exactly once (stacked one-pass agg)") {
     val p = plan("profile_columns")
     val scans = p.linesIterator.count(l =>
