@@ -229,7 +229,10 @@ object GraphOps {
     // the classic similarity-graph densification step (which near-
     // neighbors should be connected next). Candidates come from the
     // adjacency self-join on the shared middle vertex (2-hop walk),
-    // never an all-pairs product; intersections are exact integer
+    // never an all-pairs product — a middle vertex of degree D emits
+    // D² pairs, bounded here because kNN graphs cap degree at ~2k;
+    // on general (power-law) graphs cap the per-middle fanout first
+    // (drop or sample hubs) before this join. Intersections are exact integer
     // counts, the ratio quantized r4 only for display, and the top-10
     // sort key is the integer pair (inter·1e4 DIV union) — no float
     // near-tie can flip the cut.

@@ -267,7 +267,11 @@ object TextAnalysis {
     // generator (candidates ⊇ matches) and the exact popcount verify
     // runs on candidates only. This is how simhash dedup actually
     // deploys at crawl scale (Manku et al. '07): a table-sized
-    // shuffle on band values, never an all-pairs product. Oracle stays
+    // shuffle on band values, never an all-pairs product. Bucket
+    // population is corpus/2^15 per band here; at 100 TB widen the
+    // bands (t+1 bands of 60/(t+1) bits generalizes the pigeonhole
+    // for Hamming ≤ t) or sub-block band buckets on a second band —
+    // the same equi-join shape, smaller quadratic cells. Oracle stays
     // UNBLOCKED (brute-force pairs over the simhash CTE) per the
     // blocking-soundness rule.
     "dedup_simhash_pairs" -> ((s, d) => {

@@ -428,7 +428,10 @@ object TimeSeries {
     // first so the filter boundary cannot flip cross-engine). Two
     // aggregate passes + one broadcast join back — group-sized model
     // state at any corpus size; MAD tolerates the heavy-tailed value
-    // distributions that wreck mean/stddev z-scores.
+    // distributions that wreck mean/stddev z-scores. NB exact
+    // `percentile` buffers each group's values — at 100 TB swap in
+    // approx_percentile (the GK sketch, see agg_approx_percentile);
+    // MAD thresholds tolerate sketch error by design.
     "ts_outlier_mad" -> ((s, d) => {
       val ev = TestData.events(s, d).filter(col("value").isNotNull)
       val med = ev.groupBy("event_type")
