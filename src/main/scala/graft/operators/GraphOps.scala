@@ -224,6 +224,32 @@ object GraphOps {
       edges.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
     }),
 
+    // INCREMENTAL kNN-GRAPH MAINTENANCE: when a batch of new vectors
+    // arrives (vec_id ≥ 450 plays the arriving batch), compute ONLY
+    // the new vectors' top-3 edges against the full corpus — batch ×
+    // corpus work, never a corpus × corpus rebuild (the graph-index
+    // sibling of dedup_incremental / the streaming IVF append). The
+    // batch side broadcasts; undirected normalization (a < b) keeps
+    // the appended edges unionable with the stored edge list.
+    "graph_incremental_edges" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val batch = e.filter(col("vec_id") >= 450)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("vec_id"))
+      e.crossJoin(broadcast(batch))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score", TestData.r4(
+          graft.functions.VectorOps.cosine(col("embedding"), col("qv"))))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(least(col("qid"), col("vec_id")).as("a"),
+          greatest(col("qid"), col("vec_id")).as("b"),
+          col("score").as("cos"))
+        .distinct()
+        .orderBy("a", "b")
+    }),
+
     // LINK PREDICTION by neighbor-set Jaccard: for every 2-hop pair
     // (a, b) not already an edge, score = |N(a)∩N(b)| / |N(a)∪N(b)| —
     // the classic similarity-graph densification step (which near-
@@ -385,6 +411,23 @@ object GraphOps {
         |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
         |SELECT (SELECT count(*)::BIGINT FROM edges) AS n_edges, n_triangles
         |FROM tri""".stripMargin,
+    "graph_incremental_edges" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id >= 450),
+        |nn AS (
+        |  SELECT qid, vec_id, score FROM (
+        |    SELECT q.qid, e.vec_id,
+        |      floor((list_cosine_similarity(e.embedding::DOUBLE[], q.qv))
+        |        *10000 + 0.5)/10000 AS score,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        floor((list_cosine_similarity(e.embedding::DOUBLE[], q.qv))
+        |          *10000 + 0.5)/10000 DESC, e.vec_id) AS rnk
+        |    FROM embeddings e, q WHERE e.vec_id <> q.qid)
+        |  WHERE rnk <= 3)
+        |SELECT DISTINCT least(qid, vec_id) AS a, greatest(qid, vec_id) AS b,
+        |  score AS cos
+        |FROM nn ORDER BY a, b""".stripMargin,
     "graph_link_predict" ->
       s"""$EdgesCte,
         |adj AS (
