@@ -225,7 +225,8 @@ object GraphOps {
     }),
 
     // INCREMENTAL kNN-GRAPH MAINTENANCE: when a batch of new vectors
-    // arrives (vec_id ≥ 450 plays the arriving batch), compute ONLY
+    // arrives (vec_id % 97 = 0 plays the arriving batch — ~1 % of the
+    // corpus at every scale factor), compute ONLY
     // the new vectors' top-3 edges against the full corpus — batch ×
     // corpus work, never a corpus × corpus rebuild (the graph-index
     // sibling of dedup_incremental / the streaming IVF append). The
@@ -233,7 +234,7 @@ object GraphOps {
     // the appended edges unionable with the stored edge list.
     "graph_incremental_edges" -> ((s, d) => {
       val e = TestData.embeddings(s, d)
-      val batch = e.filter(col("vec_id") >= 450)
+      val batch = e.filter(col("vec_id") % 97 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
         .orderBy(col("score").desc, col("vec_id"))
@@ -414,7 +415,7 @@ object GraphOps {
     "graph_incremental_edges" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-        |  FROM embeddings WHERE vec_id >= 450),
+        |  FROM embeddings WHERE vec_id % 97 = 0),
         |nn AS (
         |  SELECT qid, vec_id, score FROM (
         |    SELECT q.qid, e.vec_id,
