@@ -117,8 +117,83 @@ object ProductQuantize {
         .orderBy(col("approx_dist").asc, col("vec_id"))
         .limit(10)
         .select(col("vec_id"), col("approx_dist"))
+    }),
+
+    // EXACT REFINE over the ADC candidates (the FAISS `refine` stage):
+    // the compressed index proposes top-10 by table-lookup distance,
+    // then the FULL vectors are fetched for exactly those 10 rows and
+    // exact L2 reranks the final top-5 — full-precision reads scale
+    // with k, not corpus size, which is the entire point of searching
+    // compressed. Candidate side broadcasts into the corpus join.
+    "ann_ivf_pq_rerank_topk" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val qv = e.filter(col("vec_id") === 42).select(col("embedding").as("qv"))
+      defs("ann_ivf_pq_topk")(s, d)
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .crossJoin(broadcast(qv))
+        .withColumn("exact_dist",
+          r4(sqrt(V.sqDist(col("embedding"), col("qv")))))
+        .orderBy(col("exact_dist").asc, col("vec_id"))
+        .limit(5)
+        .select(col("vec_id"), col("exact_dist"), col("approx_dist"))
     })
   )
+
+  /** ADC top-10 (shared by the plain and the exact-rerank keys). */
+  private val AdcTop10Sql: String =
+    """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      |           FROM embeddings WHERE vec_id < 4),
+      |assigned AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT e.vec_id, c.cid AS cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.cv),
+      |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+      |    FROM embeddings e CROSS JOIN c)
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT cid AS probe_cluster FROM (
+      |    SELECT c.cid,
+      |      list_sum(list_transform(list_zip(q.embedding::DOUBLE[], c.cv),
+      |        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd
+      |    FROM c, (SELECT * FROM embeddings WHERE vec_id = 42) q
+      |    ORDER BY qd, cid LIMIT 2)),
+      |subs AS (
+      |  SELECT vec_id, j AS sub,
+      |         (embedding::DOUBLE[])[j*8+1 : j*8+8] AS sv
+      |  FROM embeddings, LATERAL (SELECT unnest(range(8)) AS j) r),
+      |codebook AS (
+      |  SELECT j AS sub, vec_id AS code,
+      |         (embedding::DOUBLE[])[j*8+1 : j*8+8] AS cw
+      |  FROM embeddings, LATERAL (SELECT unnest(range(8)) AS j) r
+      |  WHERE vec_id < 4),
+      |scored AS (
+      |  SELECT s.vec_id, s.sub, c.code,
+      |    list_sum(list_transform(list_zip(s.sv, c.cw),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+      |  FROM subs s JOIN codebook c ON s.sub = c.sub),
+      |codes AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT vec_id, sub, code,
+      |      row_number() OVER (PARTITION BY vec_id, sub
+      |        ORDER BY dist, code) AS rn
+      |    FROM scored) WHERE rn = 1),
+      |dtable AS (
+      |  SELECT c.sub, c.code,
+      |    list_sum(list_transform(list_zip(q.sv, c.cw),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dq
+      |  FROM (SELECT sub, sv FROM subs WHERE vec_id = 42) q
+      |  JOIN codebook c ON q.sub = c.sub),
+      |approx AS (
+      |  SELECT k.vec_id, sum(t.dq) AS adist
+      |  FROM codes k
+      |  JOIN assigned a ON a.vec_id = k.vec_id
+      |  JOIN probes p ON a.cluster = p.probe_cluster
+      |  JOIN dtable t ON k.sub = t.sub AND k.code = t.code
+      |  GROUP BY k.vec_id)
+      |SELECT vec_id, floor((sqrt(adist))*10000 + 0.5)/10000 AS approx_dist
+      |FROM approx WHERE vec_id <> 42
+      |ORDER BY approx_dist ASC, vec_id LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "vec_pq_encode" ->
@@ -178,59 +253,18 @@ object ProductQuantize {
         |SELECT vec_id, floor((sqrt(adist))*10000 + 0.5)/10000 AS approx_dist
         |FROM approx WHERE vec_id <> 42
         |ORDER BY approx_dist ASC, vec_id LIMIT 10""".stripMargin,
-    "ann_ivf_pq_topk" ->
-      """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-        |           FROM embeddings WHERE vec_id < 4),
-        |assigned AS (
-        |  SELECT vec_id, cluster FROM (
-        |    SELECT e.vec_id, c.cid AS cluster,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.cv),
-        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
-        |    FROM embeddings e CROSS JOIN c)
-        |  WHERE rn = 1),
-        |probes AS (
-        |  SELECT cid AS probe_cluster FROM (
-        |    SELECT c.cid,
-        |      list_sum(list_transform(list_zip(q.embedding::DOUBLE[], c.cv),
-        |        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd
-        |    FROM c, (SELECT * FROM embeddings WHERE vec_id = 42) q
-        |    ORDER BY qd, cid LIMIT 2)),
-        |subs AS (
-        |  SELECT vec_id, j AS sub,
-        |         (embedding::DOUBLE[])[j*8+1 : j*8+8] AS sv
-        |  FROM embeddings, LATERAL (SELECT unnest(range(8)) AS j) r),
-        |codebook AS (
-        |  SELECT j AS sub, vec_id AS code,
-        |         (embedding::DOUBLE[])[j*8+1 : j*8+8] AS cw
-        |  FROM embeddings, LATERAL (SELECT unnest(range(8)) AS j) r
-        |  WHERE vec_id < 4),
-        |scored AS (
-        |  SELECT s.vec_id, s.sub, c.code,
-        |    list_sum(list_transform(list_zip(s.sv, c.cw),
-        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
-        |  FROM subs s JOIN codebook c ON s.sub = c.sub),
-        |codes AS (
-        |  SELECT vec_id, sub, code FROM (
-        |    SELECT vec_id, sub, code,
-        |      row_number() OVER (PARTITION BY vec_id, sub
-        |        ORDER BY dist, code) AS rn
-        |    FROM scored) WHERE rn = 1),
-        |dtable AS (
-        |  SELECT c.sub, c.code,
-        |    list_sum(list_transform(list_zip(q.sv, c.cw),
-        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dq
-        |  FROM (SELECT sub, sv FROM subs WHERE vec_id = 42) q
-        |  JOIN codebook c ON q.sub = c.sub),
-        |approx AS (
-        |  SELECT k.vec_id, sum(t.dq) AS adist
-        |  FROM codes k
-        |  JOIN assigned a ON a.vec_id = k.vec_id
-        |  JOIN probes p ON a.cluster = p.probe_cluster
-        |  JOIN dtable t ON k.sub = t.sub AND k.code = t.code
-        |  GROUP BY k.vec_id)
-        |SELECT vec_id, floor((sqrt(adist))*10000 + 0.5)/10000 AS approx_dist
-        |FROM approx WHERE vec_id <> 42
-        |ORDER BY approx_dist ASC, vec_id LIMIT 10""".stripMargin
+    "ann_ivf_pq_topk" -> AdcTop10Sql,
+    "ann_ivf_pq_rerank_topk" ->
+      s"""WITH cand AS ($AdcTop10Sql),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        |      WHERE vec_id = 42)
+        |SELECT cand.vec_id,
+        |  floor((sqrt(list_sum(list_transform(
+        |    list_zip(e.embedding::DOUBLE[], q.qv),
+        |    p -> (p[1] - p[2]) * (p[1] - p[2])))))*10000 + 0.5)/10000
+        |    AS exact_dist,
+        |  approx_dist
+        |FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id, q
+        |ORDER BY exact_dist ASC, cand.vec_id LIMIT 5""".stripMargin
   )
 }
