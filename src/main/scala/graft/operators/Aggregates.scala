@@ -163,6 +163,28 @@ object Aggregates {
           r4(percentile(col("l_quantity"), lit(0.9))).as("p90_qty"))
         .orderBy("l_returnflag")),
 
+    // DISCRETE percentile (percentile_disc semantics: the smallest
+    // STORED value whose cumulative share reaches p — never an
+    // interpolated value that doesn't occur in the data). The rank
+    // index is pure integer arithmetic (ceil(p·n) as (p·n + denom−1)
+    // DIV denom), so the selected rows are exact cross-engine with no
+    // float boundary; emitted values are stored doubles, no r4 needed.
+    "agg_percentile_disc" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("l_returnflag")
+        .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+      TestData.lineitem(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(W.partitionBy("l_returnflag")))
+        .groupBy("l_returnflag")
+        .agg(
+          max(when(col("rn") === expr("(n + 1) DIV 2"), col("l_quantity")))
+            .as("p50_disc"),
+          max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("l_quantity")))
+            .as("p90_disc"))
+        .orderBy("l_returnflag")
+    }),
+
     "agg_pivot" -> ((s, d) =>
       TestData.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -354,6 +376,18 @@ object Aggregates {
         |  floor((quantile_cont(l_quantity, 0.5))*10000 + 0.5)/10000 AS median_qty,
         |  floor((quantile_cont(l_quantity, 0.9))*10000 + 0.5)/10000 AS p90_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_percentile_disc" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN l_quantity END) AS p50_disc,
+        |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN l_quantity END)
+        |    AS p90_disc
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_pivot" ->
       """SELECT l_returnflag,
         |  floor((sum(CASE WHEN l_linestatus = 'F'
