@@ -722,6 +722,56 @@ class GraftEngine(val spark: SparkSession) {
         (col("valid_to_us") === -1L).as("is_current"))
   }
 
+  /** Simhash near-duplicate pairs over an (id, text) corpus: 60-bit
+    * signatures, pairs with Hamming distance ≤ `maxHamming` found by
+    * pigeonhole banding — any partition of the 60 bits into
+    * maxHamming+1 disjoint bands leaves ≥ 1 band identical for a
+    * qualifying pair, so candidates come from an equi-join on (band
+    * index, band value) and the exact popcount verify runs on
+    * candidates only (see `dedup_simhash_pairs`). Output:
+    * (id_a, id_b, hamming) with id_a < id_b.
+    */
+  def simhashDuplicates(documents: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 60,
+      s"maxHamming must be in [0, 60), got $maxHamming")
+    val nBands = maxHamming + 1
+    val width = (60 + nBands - 1) / nBands
+    val toks = documents
+      .select(col("id"), explode(split(col("text"), " ")).as("token"))
+      .withColumn("h", conv(substring(md5(col("token")), 1, 15), 16, 10)
+        .cast("long"))
+    val bitSums = (0 until 60).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val sim = (0 until 60).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sims = toks.groupBy("id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), sim.as("simhash"))
+      .localCheckpoint()
+    val bandCols = (0 until nBands).map { i =>
+      val lo = i * width
+      val bits = math.min(width, 60 - lo)
+      shiftright(col("simhash"), lo).bitwiseAND(lit((1L << bits) - 1))
+    }
+    val banded = sims.select(col("id"), col("simhash"),
+      posexplode(array(bandCols: _*)))
+      .select(col("id"), col("simhash"),
+        col("pos").as("band_i"), col("col").as("band_v"))
+    banded.select(col("id").as("id_a"), col("simhash").as("sa"),
+        col("band_i"), col("band_v"))
+      .join(banded.select(col("id").as("id_b"), col("simhash").as("sb"),
+        col("band_i").as("bi2"), col("band_v").as("bv2")),
+        col("band_i") === col("bi2") && col("band_v") === col("bv2")
+          && col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sa", "sb").distinct()
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Link prediction over an undirected edge list (a, b): 2-hop
     * candidate pairs scored by neighbor-set Jaccard, existing edges
     * excluded — see `graph_link_predict`. Output: (x, y, inter, uni,

