@@ -372,6 +372,27 @@ object TimeSeries {
         .orderBy("event_id")
     }),
 
+    // LOCF FORWARD-FILL (last observation carried forward): sensor
+    // values are NULLed on 'view' events (the planted gap pattern)
+    // and refilled with the most recent non-null reading per user —
+    // `last(..., ignoreNulls)` over a running frame, the gap-repair
+    // idiom for telemetry streams. One window shuffle on user_id;
+    // leading gaps coalesce to −1.
+    "ts_locf_fill" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      TestData.events(s, d)
+        .withColumn("v",
+          when(col("event_type") === "view", lit(null)).otherwise(col("value")))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          coalesce(col("v"), lit(-1.0)).as("raw_v"),
+          coalesce(last(col("v"), ignoreNulls = true).over(W), lit(-1.0))
+            .as("locf_v"))
+        .orderBy("event_id")
+    }),
+
     // A/B LIFT REPORT: users deterministically hash-assigned to
     // control/treatment (md5 parity — the same reproducible-split
     // machinery as sample_hash), conversion = any purchase event.
@@ -476,6 +497,18 @@ object TimeSeries {
         |  coalesce(lead(vf) OVER w, -1) = -1 AS is_current
         |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY vf, event_id)
         |ORDER BY user_id, version""".stripMargin,
+    "ts_locf_fill" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id, user_id, ts_us,
+        |  coalesce(v, -1.0) AS raw_v,
+        |  coalesce(last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0)
+        |    AS locf_v
+        |FROM e ORDER BY event_id""".stripMargin,
     "events_ab_lift" ->
       """WITH u AS (
         |  SELECT user_id,
