@@ -372,6 +372,26 @@ object TimeSeries {
         .orderBy("event_id")
     }),
 
+    // INTER-ARRIVAL HISTOGRAM: decade-bucketed distribution of the
+    // gap between consecutive same-type events per user — the latency/
+    // cadence profile behind session-timeout and watermark tuning.
+    // The decade bucket is the DIGIT COUNT of the integer microsecond
+    // gap (length of its decimal string − 1): exact in both engines,
+    // where floor(log10(x)) would sit a half-ulp from flipping at
+    // exact powers of ten. One window shuffle + a bucket-sized agg.
+    "events_gap_histogram" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      TestData.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(W))
+        .filter(col("gap_us").isNotNull && col("gap_us") > 0)
+        .groupBy(col("event_type"),
+          (length(col("gap_us").cast("string")) - 1).as("decade"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "decade")
+    }),
+
     // LOCF FORWARD-FILL (last observation carried forward): sensor
     // values are NULLed on 'view' events (the planted gap pattern)
     // and refilled with the most recent non-null reading per user —
@@ -497,6 +517,17 @@ object TimeSeries {
         |  coalesce(lead(vf) OVER w, -1) = -1 AS is_current
         |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY vf, event_id)
         |ORDER BY user_id, version""".stripMargin,
+    "events_gap_histogram" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |      AS gap_us
+        |  FROM events)
+        |SELECT event_type, (length(gap_us::VARCHAR) - 1)::INT AS decade,
+        |  count(*)::BIGINT AS n
+        |FROM g WHERE gap_us IS NOT NULL AND gap_us > 0
+        |GROUP BY 1, 2 ORDER BY event_type, decade""".stripMargin,
     "ts_locf_fill" ->
       """WITH e AS (
         |  SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us,
