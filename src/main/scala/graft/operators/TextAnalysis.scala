@@ -260,6 +260,28 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // ZIPF EXPONENT per language: regression slope of ln(freq) on
+    // ln(rank) over the word-frequency table — the distributional
+    // health check for a text corpus (natural language sits near −1;
+    // templated/boilerplate corpora drift off). Word table is
+    // vocabulary-sized; both log inputs are r4-quantized BEFORE the
+    // regression (the corr/regr precedent) and the slope r4'd after.
+    "text_zipf_slope" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n").desc, col("token"))
+      TestData.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(W))
+        .select(col("lang"),
+          r4(log(col("rnk").cast("double"))).as("lr"),
+          r4(log(col("n").cast("double"))).as("lf"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          r4(expr("regr_slope(lf, lr)")).as("zipf_slope"))
+        .orderBy("lang")
+    }),
+
     // SIMHASH NEAR-DUP PAIRS: documents whose 60-bit simhashes differ
     // in ≤ 3 bits, found by 4×15-bit BAND blocking — pigeonhole: ≤ 3
     // flipped bits across 4 bands leaves at least one band identical,
@@ -443,6 +465,21 @@ object TextAnalysis {
         |SELECT doc_id,
         |  sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_zipf_slope" ->
+      """WITH wf AS (
+        |  SELECT lang, token, count(*)::BIGINT AS n
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang,
+        |    floor((ln(row_number() OVER (PARTITION BY lang
+        |      ORDER BY n DESC, token)))*10000 + 0.5)/10000 AS lr,
+        |    floor((ln(n))*10000 + 0.5)/10000 AS lf
+        |  FROM wf)
+        |SELECT lang, count(*)::BIGINT AS n_words,
+        |  floor((regr_slope(lf, lr))*10000 + 0.5)/10000 AS zipf_slope
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     // UNBLOCKED brute force over the simhash CTE — the Spark side's
     // band blocking is sound, so results are identical.
     "dedup_simhash_pairs" ->
