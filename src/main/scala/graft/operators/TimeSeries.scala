@@ -352,6 +352,31 @@ object TimeSeries {
         .orderBy("user_id", "version")
     }),
 
+    // POINT-IN-TIME (AS-OF) JOIN against the SCD2 dimension: each
+    // purchase fact picks the status version in force at its
+    // timestamp (valid_from ≤ ts < valid_to, open interval = current)
+    // — the lookup every fact table runs against a versioned
+    // dimension, and the reason SCD2 keeps intervals at all. Versions
+    // per key are few, so the equi-join on user_id + range residual
+    // is the right shape (the bucketed interval join covers the
+    // dense-interval case).
+    "join_scd2_asof" -> ((s, d) => {
+      val dim = defs("events_scd2_dim")(s, d)
+        .select(col("user_id").as("du"), col("version"),
+          col("event_type").as("status"),
+          col("valid_from_us"), col("valid_to_us"))
+      TestData.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .join(dim, col("user_id") === col("du")
+          && col("valid_from_us") <= col("ts_us")
+          && (col("valid_to_us") === -1L || col("ts_us") < col("valid_to_us")))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("version"), col("status"))
+        .orderBy("event_id")
+    }),
+
     // GAP-BASED WINDOW DEDUP: keep an event only if the previous event
     // with the same (user_id, event_type) is more than 1 h older — the
     // declarative batch analog of streaming drop-duplicates-within-
@@ -488,6 +513,25 @@ object TimeSeries {
     })
   )
 
+  /** SCD2 dimension SQL (shared by the dim key and its as-of join). */
+  private val Scd2Sql: String =
+    """WITH m AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS vf,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_type
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, event_id, event_type, vf FROM m
+      |  WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id,
+      |  row_number() OVER w AS version,
+      |  event_type,
+      |  vf AS valid_from_us,
+      |  coalesce(lead(vf) OVER w, -1)::BIGINT AS valid_to_us,
+      |  coalesce(lead(vf) OVER w, -1) = -1 AS is_current
+      |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY vf, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "events_retention_cohorts" ->
       """WITH a AS (
@@ -500,23 +544,18 @@ object TimeSeries {
         |  count(DISTINCT a.user_id)::BIGINT AS n_users
         |FROM a JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
-    "events_scd2_dim" ->
-      """WITH m AS (
-        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS vf,
-        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |      AS prev_type
-        |  FROM events),
-        |c AS (
-        |  SELECT user_id, event_id, event_type, vf FROM m
-        |  WHERE prev_type IS NULL OR prev_type <> event_type)
-        |SELECT user_id,
-        |  row_number() OVER w AS version,
-        |  event_type,
-        |  vf AS valid_from_us,
-        |  coalesce(lead(vf) OVER w, -1)::BIGINT AS valid_to_us,
-        |  coalesce(lead(vf) OVER w, -1) = -1 AS is_current
-        |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY vf, event_id)
-        |ORDER BY user_id, version""".stripMargin,
+    "events_scd2_dim" -> Scd2Sql,
+    "join_scd2_asof" ->
+      s"""WITH dim AS ($Scd2Sql),
+        |f AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, f.ts_us, dim.version,
+        |  dim.event_type AS status
+        |FROM f JOIN dim ON f.user_id = dim.user_id
+        |  AND dim.valid_from_us <= f.ts_us
+        |  AND (dim.valid_to_us = -1 OR f.ts_us < dim.valid_to_us)
+        |ORDER BY event_id""".stripMargin,
     "events_gap_histogram" ->
       """WITH g AS (
         |  SELECT event_type,
