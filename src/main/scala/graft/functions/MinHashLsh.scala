@@ -22,10 +22,28 @@ import org.apache.spark.sql.functions._
   * only viable shape: the shuffle is on (band, bucket-key) and every
   * bucket is small, so no task ever sees the full corpus.
   *
-  * All hashing is deterministic (xxhash64 + fixed odd multipliers),
-  * so results are stable across runs and partitionings.
+  * All hashing is deterministic (md5-prefix fold + fixed odd
+  * multipliers), so results are stable across runs and partitionings
+  * AND exactly reproducible in DuckDB ('0x'||substring(md5(s),1,7)
+  * ::BIGINT ≡ Spark conv(substring(md5(s),1,7),16,10)) — which is
+  * what lets dedup_minhash_lsh be hash-verified against the oracle
+  * instead of only property-tested.
   */
 object MinHashLsh {
+
+  /** 2^31 - 1 (prime) — the modulus that makes each permutation an
+    * independent shuffle of the base-hash space.
+    */
+  val Prime = 2147483647L
+
+  /** Per-permutation (a, b) for h_k(s) = (a_k·h + b_k) mod Prime.
+    * Deterministic and shared with the DuckDB oracle generator in
+    * TextOps, so both engines compute identical signatures.
+    */
+  def permConstants(numPerm: Int): Seq[(Long, Long)] =
+    (0 until numPerm).map { k =>
+      (((2 * k + 1) * 2654435761L % Prime) | 1L, 40503L * (k + 1))
+    }
 
   /** Distinct word-2-shingles from a token-array column. Shingling
     * (vs raw tokens) makes near-dup detection order-sensitive and
@@ -54,27 +72,28 @@ object MinHashLsh {
                    numPerm: Int = 18, r: Int = 3): DataFrame = {
     val bands = numPerm / r
     // Signature: per permutation k, min over shingles of a
-    // deterministic rehash of xxhash64(shingle).
-    // 31-bit base hash keeps a*h+b < 2^53 — no ANSI overflow, still
-    // deterministic.
+    // deterministic rehash of the shingle's 28-bit md5-prefix fold.
+    // 28-bit base hash keeps a*h+b < 2^59 — no ANSI overflow — and
+    // the md5 fold (unlike xxhash64) exists in DuckDB, so the oracle
+    // mirrors the signature bit-for-bit.
     val hashed = docs.withColumn("hs",
-      transform(col("shingles"), s => xxhash64(s).bitwiseAND(lit(0x7FFFFFFFL))))
+      transform(col("shingles"),
+        s => conv(substring(md5(s), 1, 7), 16, 10).cast("long")))
     // h_k(s) = (a_k·h + b_k) mod p — the mod is what makes each
     // permutation independent (without it a·h+b is monotone in h and
     // every permutation would pick the same argmin shingle).
-    val p = 2147483647L // 2^31 - 1, prime
-    val sigCols = (0 until numPerm).map { k =>
-      val a = ((2 * k + 1) * 2654435761L % p) | 1L  // deterministic, odd
-      val b = 40503L * (k + 1)
+    val sigCols = permConstants(numPerm).zipWithIndex.map { case ((a, b), k) =>
       array_min(transform(col("hs"),
-        h => pmod(h * lit(a) + lit(b), lit(p)))).as(s"mh$k")
+        h => pmod(h * lit(a) + lit(b), lit(Prime)))).as(s"mh$k")
     }
     val sigs = hashed.select(col("id") +: col("blockKey") +: col("shingles") +: sigCols: _*)
-    // Band keys: hash of the band's r signature values (+ block key).
+    // Band keys: the band's r signature values string-joined with the
+    // block key. Exact tuple equality (not a rehash) — no collision
+    // can inject a candidate the oracle's identical equi-join misses.
     val bandKeys = (0 until bands).map { j =>
       val cols = (0 until r).map(i => col(s"mh${j * r + i}"))
       struct(lit(j).as("band"),
-             xxhash64(col("blockKey") +: cols: _*).as("bkey"))
+             concat_ws("|", col("blockKey") +: cols: _*).as("bkey"))
     }
     // Buckets carry only (id, band, bkey): the band-join shuffle
     // moves fixed-width keys, not shingle arrays — at scale the

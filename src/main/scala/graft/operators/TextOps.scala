@@ -503,8 +503,11 @@ object TextOps {
     // signatures (r=3, b=6) → bucket join → exact verify. Candidate
     // count stays ~linear where ML's 1-hash-per-band
     // approxSimilarityJoin degenerates to O(n²) on this corpus (see
-    // graft.functions.MinHashLsh). Oracle-omitted (hash-family-
-    // specific); recall property-tested vs exact shingle Jaccard.
+    // graft.functions.MinHashLsh). Oracle-checked since round 6: the
+    // md5-prefix base hash and exact band-tuple equi-join reproduce
+    // in DuckDB, so the oracle mirrors the WHOLE pipeline (signature
+    // → bands → candidates → exact verify) from the same permutation
+    // constants; recall additionally property-tested in DedupSpec.
     "dedup_minhash_lsh" -> ((s, d) => {
       val docs = TestData.documents(s, d)
         .withColumn("toks", split(col("text"), " "))
@@ -670,6 +673,53 @@ object TextOps {
         |  len(list_filter(toks, t -> t LIKE 'd%')) AS f_d,
         |  len(list_filter(toks, t -> t LIKE 'e%')) AS f_e
         |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Full-pipeline mirror of the banded MinHash-LSH: signatures from
+    // the SAME (a_k, b_k) constants (generated below, never copied by
+    // hand), band keys as exact value tuples, candidates via the same
+    // equi-join, then exact Jaccard verify. Deterministic end to end,
+    // so the hash comparison is meaningful.
+    "dedup_minhash_lsh" -> minhashLshOracle
   )
+
+  private def minhashLshOracle: String = {
+    val p = graft.functions.MinHashLsh.Prime
+    val mhCols = graft.functions.MinHashLsh.permConstants(18).zipWithIndex
+      .map { case ((a, b), k) =>
+        s"    list_min(list_transform(hv, h -> (h*$a + $b) % $p)) AS mh$k"
+      }.mkString(",\n")
+    val bandSel = (0 until 6).map { j =>
+      s"  SELECT id, $j AS band, lang || '|' || mh${3 * j} || '|' || " +
+        s"mh${3 * j + 1} || '|' || mh${3 * j + 2} AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id, lang, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |sh AS (
+       |  SELECT id, lang,
+       |    list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS shingles
+       |  FROM toks),
+       |sig AS (
+       |  SELECT id, lang,
+       |$mhCols
+       |  FROM (SELECT id, lang,
+       |          list_transform(shingles,
+       |            s -> ('0x' || substring(md5(s), 1, 7))::BIGINT) AS hv
+       |        FROM sh)),
+       |bands AS (
+       |$bandSel),
+       |cand AS (
+       |  SELECT a.id AS id_a, b.id AS id_b FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+       |  GROUP BY 1, 2),
+       |ver AS (
+       |  SELECT id_a, id_b,
+       |    len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+       |      (len(sa.shingles) + len(sb.shingles)
+       |       - len(list_intersect(sa.shingles, sb.shingles))) AS jac
+       |  FROM cand JOIN sh sa ON sa.id = cand.id_a JOIN sh sb ON sb.id = cand.id_b)
+       |SELECT id_a, id_b, floor(jac*10000 + 0.5)/10000 AS approx_jaccard
+       |FROM ver WHERE jac > 0.9 ORDER BY id_a, id_b""".stripMargin
+  }
 }
