@@ -665,15 +665,19 @@ class GraftEngine(val spark: SparkSession) {
   /** Concat-and-chunk sequence packing: per `streamCol` stream in
     * `orderCol` order, assign each row's token span to `budget`-token
     * bins by cumulative offset (see `pipeline_pack_sequences`).
-    * Output adds (n_tokens, start_off, bin_first, bin_last).
+    * Output adds (n_tokens, start_off, bin_first, bin_last). The
+    * running offset is the hierarchical (sharded) prefix sum, so a
+    * skewed stream key never funnels through one task; `docsPerShard`
+    * bounds per-task rows (raise it at scale so shard count stays
+    * broadcast-sized).
     */
   def packSequences(documents: DataFrame, streamCol: String,
-                    orderCol: String, budget: Long): DataFrame = {
-    val w = Window.partitionBy(streamCol).orderBy(orderCol)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    documents
+                    orderCol: String, budget: Long,
+                    docsPerShard: Long = 64L): DataFrame = {
+    val counted = documents
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    graft.operators.Curation.shardedPrefixSum(
+        counted, streamCol, orderCol, "n_tokens", "start_off", docsPerShard)
       .withColumn("bin_first", expr(s"start_off DIV $budget"))
       .withColumn("bin_last", expr(s"(start_off + n_tokens - 1) DIV $budget"))
   }

@@ -27,6 +27,52 @@ object Curation {
       Bridge.expression(text), Bridge.expression(lit(k))))
   }
 
+  /** EXCLUSIVE running sum of `valCol` in (`partCol`, `orderCol`)
+    * order as a HIERARCHICAL prefix sum, so no partition value (a
+    * heavily skewed key like language) ever funnels through one task:
+    *
+    *  1. shard each partition into contiguous `orderCol` ranges
+    *     (`orderCol DIV docsPerShard` — contiguity is what lets a
+    *     constant per-shard offset reconstruct the global prefix; a
+    *     mod-S shard could not);
+    *  2. per-(part, shard) exclusive window cumsum — full parallelism,
+    *     |parts|·|shards| tasks;
+    *  3. per-shard totals (shard-count-sized aggregate), exclusive
+    *     cumsum of those per part — a window over the TINY totals
+    *     table;
+    *  4. join the shard offsets back and add.
+    *
+    * Output is bit-identical to the monolithic
+    * `Window.partitionBy(partCol).orderBy(orderCol)` cumsum (integer
+    * addition is associative), which is exactly what the unchanged
+    * DuckDB oracle computes. `docsPerShard` bounds task size; the
+    * default is small so multi-shard reconstruction is genuinely
+    * exercised on the 500-doc fixture (≈8 shards/lang) — at 100 TB
+    * set it so shard count stays broadcast-sized
+    * (e.g. 1M docs/shard ⇒ ~50k shards for 5e10 docs) while each
+    * window task stays in memory.
+    */
+  private[graft] def shardedPrefixSum(
+      df: DataFrame, partCol: String, orderCol: String, valCol: String,
+      outCol: String, docsPerShard: Long = 64L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val sharded = df.withColumn("gpfx_shard",
+      expr(s"$orderCol DIV $docsPerShard"))
+    val wLocal = W.partitionBy(partCol, "gpfx_shard").orderBy(orderCol)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val local = sharded.withColumn("gpfx_local",
+      coalesce(sum(col(valCol)).over(wLocal), lit(0L)))
+    val wShard = W.partitionBy(partCol).orderBy("gpfx_shard")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col(partCol), col("gpfx_shard"))
+      .agg(sum(col(valCol)).as("gpfx_tot"))
+      .withColumn("gpfx_off", coalesce(sum(col("gpfx_tot")).over(wShard), lit(0L)))
+      .select(col(partCol), col("gpfx_shard"), col("gpfx_off"))
+    local.join(broadcast(offsets), Seq(partCol, "gpfx_shard"))
+      .withColumn(outCol, col("gpfx_off") + col("gpfx_local"))
+      .drop("gpfx_shard", "gpfx_local", "gpfx_off")
+  }
+
   val defs: Map[String, Q] = Map(
     // Benchmark DECONTAMINATION: flag corpus documents sharing any
     // 5-token shingle with the held-out evaluation set (here: a
@@ -215,7 +261,8 @@ object Curation {
     // 2048-token concat-and-chunk packing — reporting per-language
     // docs / tokens / bins. Every stage is a shape already audited at
     // scale (map-side gates, broadcast probe, hash-groupBy dedup,
-    // per-stream cumsum); composing them costs no new shuffle class.
+    // sharded hierarchical prefix sum); composing them costs no new
+    // shuffle class.
     "pipeline_corpus_build" -> ((s, d) => {
       val W = org.apache.spark.sql.expressions.Window
       val docs = TestData.documents(s, d)
@@ -236,11 +283,8 @@ object Curation {
         .orderBy("doc_id")
       val unique = clean.withColumn("rn", row_number().over(wDedup))
         .filter(col("rn") === 1)
-      val wPack = W.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-      unique
-        .withColumn("start_off",
-          coalesce(sum(col("nt").cast("long")).over(wPack), lit(0L)))
+        .withColumn("ntl", col("nt").cast("long"))
+      shardedPrefixSum(unique, "lang", "doc_id", "ntl", "start_off")
         .withColumn("bin_last", expr("(start_off + nt - 1) DIV 2048"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -253,20 +297,18 @@ object Curation {
     // packing pass — concatenate each language's doc stream in doc_id
     // order, split every B=2048 tokens; a doc's bin span is pure
     // arithmetic on its cumulative start offset. The running offset is
-    // one window cumsum PARTITIONED BY lang (never a global single-
-    // partition window): at 100 TB each language stream computes its
-    // prefix sums independently, and finer stream keys (lang × shard)
-    // drop into the same shape. Token count = whitespace tokens,
-    // matching text_tokenize_stats.
+    // a HIERARCHICAL prefix sum ([[shardedPrefixSum]]): language is a
+    // heavily skewed key, so a plain per-lang window would funnel the
+    // English partition through ONE task at 100 TB — sharding into
+    // contiguous doc_id ranges keeps |langs|·|shards| tasks busy and
+    // reconstructs identical offsets via per-shard constants. Token
+    // count = whitespace tokens, matching text_tokenize_stats.
     "pipeline_pack_sequences" -> ((s, d) => {
       val B = 2048L
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      TestData.documents(s, d)
+      val counted = TestData.documents(s, d)
         .select(col("lang"), col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
-        .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      shardedPrefixSum(counted, "lang", "doc_id", "n_tokens", "start_off")
         .select(col("lang"), col("doc_id"), col("n_tokens"), col("start_off"),
           expr(s"start_off DIV $B").as("bin_first"),
           expr(s"(start_off + n_tokens - 1) DIV $B").as("bin_last"))

@@ -323,6 +323,19 @@ class PlanSpec extends SparkSpec {
       s"band blocking must stay an equi-join:\n${p.take(600)}")
   }
 
+  test("pipeline_pack_sequences cumsum windows on (lang, shard), not lang alone") {
+    val p = plan("pipeline_pack_sequences")
+    // The hierarchical prefix sum's big window must partition on the
+    // sharded key — a per-lang monolithic window would funnel each
+    // (skewed) language through ONE task at scale.
+    val winSpecs = "windowspecdefinition\\(lang#\\d+, gpfx_shard#\\d+L".r
+    assert(winSpecs.findFirstIn(p).isDefined,
+      s"expected the doc-level window partitioned by (lang, gpfx_shard):\n${p.take(1200)}")
+    assert("Exchange hashpartitioning\\(lang#\\d+, gpfx_shard#\\d+L".r
+        .findFirstIn(p).isDefined,
+      s"expected the cumsum shuffle keyed on (lang, gpfx_shard):\n${p.take(1200)}")
+  }
+
   test("profile_columns reads lineitem exactly once (stacked one-pass agg)") {
     val p = plan("profile_columns")
     val scans = p.linesIterator.count(l =>
