@@ -434,13 +434,16 @@ class GraftEngine(val spark: SparkSession) {
       "base and updates must share one schema")
     val b = cols.foldLeft(base)((df, c) => df.withColumnRenamed(c, s"b_$c"))
     val u = cols.foldLeft(updates)((df, c) => df.withColumnRenamed(c, s"u_$c"))
-    // Matched-row resolution keys off the UPDATE side's join key, not
-    // per-column coalesce — an update row carrying a legitimate NULL
-    // in a non-key column must win (standard MERGE semantics), not
-    // silently keep the base value.
+      .withColumn("u_present", lit(true))
+    // Matched-row resolution keys off a PRESENCE MARKER on the update
+    // side, not per-column coalesce and not the update's join key — an
+    // update row carrying a legitimate NULL in a non-key column must
+    // win (standard MERGE semantics), and a NULL-keyed update row
+    // (which a full-outer join can never match) must still insert its
+    // own values rather than collapse to an all-NULL row.
     b.join(u, col(s"b_$keyCol") === col(s"u_$keyCol"), "full_outer")
       .select(cols.map(c =>
-        when(col(s"u_$keyCol").isNotNull, col(s"u_$c"))
+        when(col("u_present").isNotNull, col(s"u_$c"))
           .otherwise(col(s"b_$c")).as(c)): _*)
   }
 
@@ -646,9 +649,15 @@ class GraftEngine(val spark: SparkSession) {
     */
   def maxSimSearch(docTokens: DataFrame, queryTokens: DataFrame,
                    k: Int): DataFrame = {
+    // Token ids must be STABLE across recomputation of the broadcast
+    // side (monotonically_increasing_id is not — a task-retry relayout
+    // would regroup the per-token maxes): rank within the query by the
+    // token vector itself. Identical duplicate tokens collapse to
+    // arbitrary-but-equivalent ids (equal vectors score equal maxes).
     val q = queryTokens.select(col("id").as("qid"),
       col("embedding").as("qv"),
-      monotonically_increasing_id().as("qtok"))
+      row_number().over(Window.partitionBy(col("id"))
+        .orderBy(col("embedding"))).as("qtok"))
     val w = Window.partitionBy("qid").orderBy(col("score_i").desc, col("id"))
     docTokens.join(broadcast(q), col("id") =!= col("qid"))
       .withColumn("cos", V.cosine(col("embedding"), col("qv")))
@@ -688,8 +697,13 @@ class GraftEngine(val spark: SparkSession) {
     */
   def retentionCohorts(events: DataFrame, userCol: String,
                        tsCol: String, unit: String): DataFrame = {
-    val days = unit match {
-      case "week" => 7; case "day" => 1
+    // Calendar months are variable-length, so the month offset uses
+    // months_between on month-truncated periods (exact integers);
+    // week/day stay fixed-width datediff arithmetic.
+    val offsetExpr = unit match {
+      case "week"  => expr("datediff(p, cohort) DIV 7")
+      case "day"   => expr("datediff(p, cohort)")
+      case "month" => expr("CAST(months_between(p, cohort) AS BIGINT)")
       case u => throw new IllegalArgumentException(s"unit: $u")
     }
     // one shuffle on the user key: collect each user's distinct
@@ -699,8 +713,7 @@ class GraftEngine(val spark: SparkSession) {
       .select(col(userCol).as("user"), date_trunc(unit, col(tsCol)).as("p"))
       .groupBy("user").agg(collect_set(col("p")).as("ps"))
       .select(array_min(col("ps")).as("cohort"), explode(col("ps")).as("p"))
-      .groupBy(col("cohort"),
-        expr(s"datediff(p, cohort) DIV $days").as("offset"))
+      .groupBy(col("cohort"), offsetExpr.as("offset"))
       .agg(count(lit(1)).as("n_users"))
   }
 

@@ -105,14 +105,12 @@ object GraphOps {
     * regenerated fixture recomputes. The generic
     * `minLabelComponents`/facade path is untouched.
     */
-  private val componentsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val componentsMemo = new graft.SessionMemo[DataFrame]
 
   private def fixtureComponents(s: SparkSession, d: String): DataFrame =
-    componentsMemo.computeIfAbsent(
-      System.identityHashCode(s) + "|" +
-        graft.sources.WriteOnce.inputTag(d, "documents"),
-      _ => {
+    componentsMemo.getOrElseUpdate(s,
+      graft.sources.WriteOnce.inputTag(d, "documents"),
+      {
         val docs = TestData.documents(s, d)
         // Edge stage: the memoized shuffle-join Jaccard pairs (no
         // corpus broadcast — see TextOps.jaccardPairs for the 100 TB
@@ -133,14 +131,12 @@ object GraphOps {
     * consume the checkpointed list — [[fixtureKnnEdges]] memoizes it
     * per (session, fixture) like the jaccard-pair memo.
     */
-  private val edgesMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val edgesMemo = new graft.SessionMemo[DataFrame]
 
   def fixtureKnnEdges(s: SparkSession, d: String): DataFrame =
-    edgesMemo.computeIfAbsent(
-      System.identityHashCode(s) + "|" +
-        graft.sources.WriteOnce.inputTag(d, "embeddings"),
-      _ => knnGraphEdges(s, d).localCheckpoint())
+    edgesMemo.getOrElseUpdate(s,
+      graft.sources.WriteOnce.inputTag(d, "embeddings"),
+      knnGraphEdges(s, d).localCheckpoint())
 
   def knnGraphEdges(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

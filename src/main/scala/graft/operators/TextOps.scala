@@ -177,7 +177,7 @@ object TextOps {
     // bucket and a's salt are unique), but the all-pairs work spreads
     // over langs × buckets × S reducers. The replicated side carries
     // only ~8-byte-per-word bitmaps, so the ×S shuffle stays tiny.
-    val S = 16
+    val S = saltWidth(sets)
     val bucketed = encoded.withColumn("sb",
       floor(log(col("n").cast("double")) / lit(math.log(1.0 / threshold)))
         .cast("int"))
@@ -201,6 +201,15 @@ object TextOps {
       .filter(col("jac") > threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
   }
+
+  /** Salt width for the replicated-side blocked joins: sized from the
+    * session's scheduler parallelism (so pair work spreads across
+    * whatever cluster this runs on, not a constant tuned for one box),
+    * floored at 16 so small local runs still get multi-reducer spread.
+    * Results are S-invariant — S only distributes the same pairs.
+    */
+  private def saltWidth(sets: DataFrame): Int =
+    math.max(16, sets.sparkSession.sparkContext.defaultParallelism)
 
   /** Per-lang dictionary-bitmap encode shared by the bitmap set-join
     * cores: element → dense bit index (deterministic alphabetical
@@ -261,7 +270,7 @@ object TextOps {
     // (which dominated the measured runtime: 16 words × 2.4 M pairs).
     val encoded = bitmapEncode(sets)
       .withColumn("sig", expr("aggregate(bm, 0L, (acc, w) -> acc | w)"))
-    val S = 16
+    val S = saltWidth(sets)
     val a = encoded.select(col("doc_id").as("ida"), col("lang").as("la"),
       col("bm").as("ba"), col("n").as("na"), col("sig").as("sa"),
       pmod(col("doc_id"), lit(S)).cast("int").as("salt_a"))
@@ -400,14 +409,12 @@ object TextOps {
     * pipeline moves to [[jaccardPairs]] itself (PlanSpec builds it
     * directly), since the declared key now plans as a checkpoint scan.
     */
-  private val pairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val pairsMemo = new graft.SessionMemo[DataFrame]
 
   def fixtureJaccardPairs(s: SparkSession, d: String): DataFrame =
-    pairsMemo.computeIfAbsent(
-      s"${System.identityHashCode(s)}|" +
-        graft.sources.WriteOnce.inputTag(d, "documents"),
-      _ => jaccardPairs(TestData.documents(s, d)).localCheckpoint())
+    pairsMemo.getOrElseUpdate(s,
+      graft.sources.WriteOnce.inputTag(d, "documents"),
+      jaccardPairs(TestData.documents(s, d)).localCheckpoint())
 
   val defs: Map[String, Q] = Map(
     "text_tokenize_stats" -> ((s, d) =>

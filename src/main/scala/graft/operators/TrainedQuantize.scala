@@ -114,22 +114,19 @@ object TrainedQuantize {
     * driver-local relation — cache the DataFrame, skip the sample
     * job on every reuse.
     */
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val memo = new graft.SessionMemo[DataFrame]
 
-  private val sampleMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private val sampleMemo = new graft.SessionMemo[Array[Array[Double]]]
 
-  private def memoKey(s: SparkSession, d: String, kind: String): String =
-    System.identityHashCode(s) + "|" +
-      graft.sources.WriteOnce.inputTag(d, "embeddings") + "|" + kind
+  private def memoKey(d: String, kind: String): String =
+    graft.sources.WriteOnce.inputTag(d, "embeddings") + "|" + kind
 
   /** One sample job per (session, fixture) serves every trained
     * codebook below (two coarse codebooks + two PQ codebooks).
     */
   private def fixtureSample(s: SparkSession, d: String): Array[Array[Double]] =
-    sampleMemo.computeIfAbsent(memoKey(s, d, "sample"),
-      _ => trainingSample(TestData.embeddings(s, d)))
+    sampleMemo.getOrElseUpdate(s, memoKey(d, "sample"),
+      trainingSample(TestData.embeddings(s, d)))
 
   /** Train k centroids over an `embedding` array column; returns the
     * same (cid, cv) shape as [[Vectors.fixedCentroids]] so trained
@@ -154,12 +151,12 @@ object TrainedQuantize {
   }
 
   private[graft] def fixtureCentroids(s: SparkSession, d: String, k: Int): DataFrame =
-    memo.computeIfAbsent(memoKey(s, d, s"ivf$k"),
-      _ => centroidsDf(s, localLloyd(fixtureSample(s, d), k, seed = 42L)))
+    memo.getOrElseUpdate(s, memoKey(d, s"ivf$k"),
+      centroidsDf(s, localLloyd(fixtureSample(s, d), k, seed = 42L)))
 
   private[graft] def fixtureCodebook(s: SparkSession, d: String, k: Int): DataFrame =
-    memo.computeIfAbsent(memoKey(s, d, s"pq8x$k"),
-      _ => codebookDf(s, fixtureSample(s, d), k, seed = 42L))
+    memo.getOrElseUpdate(s, memoKey(d, s"pq8x$k"),
+      codebookDf(s, fixtureSample(s, d), k, seed = 42L))
 
   /** PQ codebook trained on RESIDUALS (x − nearest coarse centroid) —
     * the IVF-ADC form: residuals concentrate near zero, so the same
@@ -170,7 +167,7 @@ object TrainedQuantize {
     */
   private def fixtureResidualCodebook(s: SparkSession, d: String,
                                       kCoarse: Int, kPq: Int): DataFrame =
-    memo.computeIfAbsent(memoKey(s, d, s"pqres${kCoarse}x$kPq"), _ => {
+    memo.getOrElseUpdate(s, memoKey(d, s"pqres${kCoarse}x$kPq"), {
       val sample = fixtureSample(s, d)
       val coarse = localLloyd(sample, kCoarse, seed = 42L)
       val resid = sample.map { x =>

@@ -546,6 +546,56 @@ class EngineApiSpec extends SparkSpec {
     assert(beta2.subsetOf(beta1 ++ got.filter(_._1 == 1L).map(_._2)))
   }
 
+  test("mergeUpsert inserts a NULL-keyed update row intact") {
+    val base = Seq((Some(1L), "a", 10.0)).toDF("id", "name", "v")
+    val upd = Seq((None: Option[Long], "z", 90.0)).toDF("id", "name", "v")
+    // a full-outer join can never match a NULL key, so the row must
+    // come through as an insert carrying ITS OWN values — not as a
+    // row of NULLs
+    val got = engine.mergeUpsert(base, upd, "id")
+      .as[(Option[Long], String, Double)].collect().sortBy(_._1.getOrElse(-1L))
+    assert(got.toSeq === Seq((None, "z", 90.0), (Some(1L), "a", 10.0)))
+  }
+
+  test("scdType2 facade matches the events_scd2_dim declared key") {
+    val ev = TestData.events(spark, sf("sf0.001"))
+    val viaFacade = engine
+      .scdType2(ev, "user_id", "ts", "event_type", "event_id")
+      .select("user_id", "version", "event_type",
+        "valid_from_us", "valid_to_us", "is_current")
+    val viaKey = SparkEntry.queries("events_scd2_dim")(spark, sf("sf0.001"))
+    assert(viaFacade.exceptAll(viaKey).isEmpty
+        && viaKey.exceptAll(viaFacade).isEmpty,
+      "facade and declared key must not drift")
+  }
+
+  test("retentionCohorts facade matches the events_retention_cohorts key") {
+    val ev = TestData.events(spark, sf("sf0.001"))
+    val viaFacade = engine.retentionCohorts(ev, "user_id", "ts", "week")
+      .select(col("cohort").as("cohort_week"),
+        col("offset").as("week_offset"), col("n_users"))
+    val viaKey = SparkEntry.queries("events_retention_cohorts")(spark, sf("sf0.001"))
+      .select("cohort_week", "week_offset", "n_users")
+    assert(viaFacade.exceptAll(viaKey).isEmpty
+        && viaKey.exceptAll(viaFacade).isEmpty,
+      "facade and declared key must not drift")
+  }
+
+  test("retentionCohorts month unit counts calendar months") {
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-15 10:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-02-20 10:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-04-01 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-02-02 10:00:00")))
+      .toDF("user_id", "ts")
+    val got = engine.retentionCohorts(ev, "user_id", "ts", "month")
+      .select("offset", "n_users").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // user 1: months Jan,Feb,Apr → offsets 0,1,3 (calendar months, not
+    // 30-day buckets); user 2: offset 0
+    assert(got === Map(0L -> 2L, 1L -> 1L, 3L -> 1L), s"got $got")
+  }
+
   test("retentionCohorts builds the triangular cohort matrix") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00") // a Monday
     def wk(w: Int) = new java.sql.Timestamp(ts0.getTime + w * 7L * 86400_000L)

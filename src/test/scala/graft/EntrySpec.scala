@@ -17,4 +17,14 @@ class EntrySpec extends SparkSpec {
     assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
     assert(qs.size >= 100)
   }
+
+  test("COVERAGE.md matches the declared key set (regen: runMain graft.GenCoverage)") {
+    val keyRow = "^\\| `([a-z0-9_]+)` \\|.*".r
+    val documented = scala.io.Source.fromFile("COVERAGE.md", "UTF-8").getLines()
+      .collect { case keyRow(k) => k }.toSet - "Key"
+    val declared = SparkEntry.queries.keySet
+    assert(documented === declared,
+      s"COVERAGE.md is stale — missing: ${declared -- documented}, " +
+        s"extra: ${documented -- declared}")
+  }
 }
