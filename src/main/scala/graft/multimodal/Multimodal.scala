@@ -26,8 +26,11 @@ object Multimodal {
   case class MediaRecord(doc_id: Long, mime: String, content: Array[Byte],
                          width: Int, height: Int, duration_ms: Long)
 
-  /** Extracted features: fixed-width vector + provenance. */
+  /** Extracted features: exact payload statistics (entropy in integer
+    * micro-bits, run-length shape) + the normalized coarse histogram.
+    */
   case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
+                           entropy_ubits: Long, n_runs: Int, max_run: Int,
                            features: Array[Double])
 
   private val Mimes = Array("image/png", "audio/wav", "video/mp4")
@@ -46,22 +49,52 @@ object Multimodal {
       (col("n_chars") % 480 + 1).cast("int").as("height"),
       (col("n_chars") * 40).as("duration_ms"))
 
-  /** STUB DECODER — deterministic fake. A real deployment would call
-    * a native codec here (libjpeg/ffmpeg); none exists in this
-    * container, so features are a byte-histogram sketch: 8 buckets of
-    * byte-value counts normalized by length. Everything around it
-    * (partition iteration, output schema, typed encoder) is the real
-    * plumbing.
+  /** REAL byte analysis of the opaque payload (one pass):
+    *
+    *  - Shannon entropy of the 256-value byte histogram, accumulated
+    *    as exact integer MICRO-BITS: each distinct byte value's term
+    *    −p·log2(p) is quantized to 1e-6 before the (order-free BIGINT)
+    *    sum, so partial-agg order can't drift the result and the
+    *    DuckDB oracle reproduces it term-for-term (the repo's
+    *    quantize-before-sum rule for anything float-iterative);
+    *  - exact maximal-run statistics (n_runs, max_run) — the
+    *    compressibility signal a media-dedup heuristic keys on;
+    *  - the 8-bucket normalized coarse histogram (legacy feature
+    *    vector kept for the facade/spec surface).
+    *
+    * A real deployment would ALSO run a native codec here
+    * (libjpeg/ffmpeg); none exists in this container — that decode
+    * remains the documented stub, but everything computed above is a
+    * true function of the payload bytes.
     */
-  def decodeStub(bytes: Array[Byte]): Array[Double] = {
-    val hist = new Array[Double](8)
+  def analyzeBytes(bytes: Array[Byte]): (Array[Double], Long, Int, Int) = {
+    val counts = new Array[Int](256)
+    var nRuns = 0; var maxRun = 0; var cur = 0; var prev = -1
     var i = 0
     while (i < bytes.length) {
-      hist((bytes(i) & 0xff) >> 5) += 1.0
+      val b = bytes(i) & 0xff
+      counts(b) += 1
+      if (b == prev) cur += 1 else { nRuns += 1; cur = 1; prev = b }
+      if (cur > maxRun) maxRun = cur
       i += 1
     }
-    if (bytes.length > 0) { var j = 0; while (j < 8) { hist(j) /= bytes.length; j += 1 } }
-    hist
+    val n = bytes.length
+    val hist = new Array[Double](8)
+    var entU = 0L
+    val ln2 = math.log(2.0)
+    var v = 0
+    while (v < 256) {
+      val c = counts(v)
+      if (c > 0) {
+        val p = c.toDouble / n
+        // same op order as the oracle: (−p · ln p) / ln 2
+        entU += math.floor(-p * math.log(p) / ln2 * 1000000 + 0.5).toLong
+        hist(v >> 5) += c
+      }
+      v += 1
+    }
+    if (n > 0) { var j = 0; while (j < 8) { hist(j) /= n; j += 1 } }
+    (hist, entU, nRuns, maxRun)
   }
 
   /** Per-partition feature extraction over the opaque content column
@@ -74,7 +107,8 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition init would happen here (codec handles etc.)
         rows.map { case (id, mime, bytes) =>
-          MediaFeatures(id, mime, bytes.length, decodeStub(bytes))
+          val (hist, entU, nRuns, maxRun) = analyzeBytes(bytes)
+          MediaFeatures(id, mime, bytes.length, entU, nRuns, maxRun, hist)
         }
       }
   }

@@ -3,14 +3,15 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.TestData
-import graft.TestData.r4
 import graft.multimodal.Multimodal
 
 /** Declared queries over the multimodal media pipeline
   * (`graft.multimodal.Multimodal`): metadata projection, frame
-  * fan-out, and stub-decoded features. The first two are exact and
-  * oracle-checked; the feature extraction is oracle-omitted (blob
-  * byte iteration isn't portable SQL) and covered by MultimodalSpec.
+  * fan-out, and byte-level payload features. All oracle-checked —
+  * the feature extractor's entropy/run-length statistics are exact
+  * integer arithmetic mirrored over the fixture's all-ASCII payload
+  * (only the codec decode itself remains a stub; MultimodalSpec
+  * keeps the batch-shape invariants).
   */
 object MultimodalOps {
   type Q = (SparkSession, String) => DataFrame
@@ -87,15 +88,22 @@ object MultimodalOps {
           least(col("col") + 500L, col("duration_ms")).as("end_ms"))
         .orderBy("doc_id", "win_id")),
 
-    // Oracle-omitted: mapPartitions feature extraction through the
-    // stub decoder; rows-only check + MultimodalSpec invariants.
+    // REAL payload features through the mapPartitions extractor
+    // (oracle-checked since r6): byte-histogram Shannon entropy as
+    // exact integer micro-bits + exact run-length stats — true
+    // functions of the payload bytes, mirrored in DuckDB over the
+    // (all-ASCII) text the payload encodes. Only the codec decode
+    // itself remains a stub; MultimodalSpec keeps the batch-shape
+    // invariants.
     "multimodal_features" -> ((s, d) =>
       Multimodal.extractFeatures(
           Multimodal.fromDocuments(TestData.documents(s, d)))
         .toDF()
-        .select(col("doc_id"), col("mime"), col("n_bytes"),
-          r4(element_at(col("features"), 1)).as("f0"),
-          r4(element_at(col("features"), 4)).as("f3"))
+        .select(col("doc_id"), col("mime"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          col("entropy_ubits"),
+          col("n_runs").cast("long").as("n_runs"),
+          col("max_run").cast("long").as("max_run"))
         .orderBy("doc_id"))
   )
 
@@ -153,6 +161,43 @@ object MultimodalOps {
         |  md5(substring(text, (i * 256 + 1)::INT, 256)) AS chunk_md5,
         |  length(substring(text, (i * 256 + 1)::INT, 256)) AS n_bytes
         |FROM n, LATERAL (SELECT unnest(range(0, nc)) AS i)
-        |ORDER BY doc_id, chunk_id""".stripMargin
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    // Byte ≡ char on this fixture (verified all-ASCII), so the text
+    // mirrors the BINARY payload exactly. Entropy terms quantized to
+    // integer micro-bits BEFORE the sum on both sides — identical op
+    // order (−p·ln p)/ln 2 — so the aggregate is order-free exact.
+    "multimodal_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents),
+        |ch AS (
+        |  SELECT doc_id, n, i, substring(text, i::INT, 1) AS c
+        |  FROM b, LATERAL (SELECT unnest(range(1, n + 1)) AS i)),
+        |hist AS (
+        |  SELECT doc_id, any_value(n) AS n, count(*) AS cnt
+        |  FROM ch GROUP BY doc_id, c),
+        |ent AS (
+        |  SELECT doc_id,
+        |    sum(floor((-(cnt::DOUBLE / n) * ln(cnt::DOUBLE / n) / ln(2))
+        |        * 1000000 + 0.5))::BIGINT AS entropy_ubits
+        |  FROM hist GROUP BY doc_id),
+        |r AS (
+        |  SELECT doc_id, i, c,
+        |    CASE WHEN lag(c) OVER (PARTITION BY doc_id ORDER BY i)
+        |              IS DISTINCT FROM c THEN 1 ELSE 0 END AS brk
+        |  FROM ch),
+        |g AS (SELECT doc_id,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM r),
+        |rl AS (SELECT doc_id, grp, count(*) AS rl FROM g GROUP BY doc_id, grp),
+        |rs AS (SELECT doc_id, count(*)::BIGINT AS n_runs,
+        |         max(rl)::BIGINT AS max_run FROM rl GROUP BY doc_id)
+        |SELECT b.doc_id AS doc_id,
+        |  ['image/png', 'audio/wav', 'video/mp4'][(b.doc_id % 3)::INT + 1] AS mime,
+        |  b.n::BIGINT AS n_bytes,
+        |  coalesce(ent.entropy_ubits, 0) AS entropy_ubits,
+        |  coalesce(rs.n_runs, 0) AS n_runs,
+        |  coalesce(rs.max_run, 0) AS max_run
+        |FROM b LEFT JOIN ent ON b.doc_id = ent.doc_id
+        |LEFT JOIN rs ON b.doc_id = rs.doc_id
+        |ORDER BY doc_id""".stripMargin
   )
 }

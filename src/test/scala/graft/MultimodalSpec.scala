@@ -25,11 +25,30 @@ class MultimodalSpec extends SparkSpec {
     val run2 = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
     assert(run1.length === media.count())
     run1.zip(run2).foreach { case (a, b) =>
-      assert(a.features.toSeq === b.features.toSeq, "stub decode must be deterministic")
+      assert(a.features.toSeq === b.features.toSeq, "decode must be deterministic")
       assert(math.abs(a.features.sum - 1.0) < 1e-9, "histogram must normalize to 1")
       assert(a.features.length === 8)
       assert(a.n_bytes > 0)
+      assert(a.entropy_ubits === b.entropy_ubits && a.n_runs === b.n_runs)
+      // real-payload invariants: entropy of n distinct-able bytes is
+      // bounded by log2(min(n_bytes, 256)) bits; runs partition bytes
+      assert(a.entropy_ubits > 0
+        && a.entropy_ubits <= math.ceil(math.log(math.min(a.n_bytes, 256).toDouble)
+             / math.log(2.0) * 1000000).toLong)
+      assert(a.n_runs >= 1 && a.n_runs <= a.n_bytes)
+      assert(a.max_run >= 1 && a.max_run.toLong * a.n_runs >= a.n_bytes.toLong,
+        "max_run * n_runs must cover the payload")
     }
+  }
+
+  test("entropy separates planted payload classes") {
+    // uniform-ish text bytes vs a degenerate single-byte payload:
+    // features must carry real payload information
+    val lo = Multimodal.analyzeBytes(Array.fill[Byte](512)('a'.toByte))
+    val hi = Multimodal.analyzeBytes((0 until 512).map(i => (i % 97).toByte).toArray)
+    assert(lo._2 === 0L, "constant payload has zero entropy")
+    assert(hi._2 > 6000000L, "97 near-uniform values carry > 6 bits")
+    assert(lo._4 === 512 && hi._4 === 1, "run structure mirrors the payload")
   }
 
   test("resize stub never upscales and preserves aspect cap") {
