@@ -119,4 +119,28 @@ object GramMatrix {
     }
     (lambda, v)
   }
+
+  /** Top-k eigenpairs via power iteration + Hotelling DEFLATION:
+    * after each component converges, subtract λ·vvᵀ from the working
+    * matrix and iterate again — for a symmetric matrix the deflated
+    * dominant eigenpair is the original's next one, so successive
+    * components come out orthogonal in descending eigenvalue order.
+    * Driver cost d²·iters·k (corpus-size-independent); the corpus is
+    * still read exactly once by the Gram aggregation upstream.
+    */
+  def topComponents(cov: Array[Array[Double]], k: Int, iters: Int)
+      : Seq[(Double, Array[Double])] = {
+    val d = cov.length
+    val work = Array.tabulate(d, d)((i, j) => cov(i)(j))
+    (0 until k).map { _ =>
+      val (lambda, v) = powerIteration(work, iters)
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { work(i)(j) -= lambda * v(i) * v(j); j += 1 }
+        i += 1
+      }
+      (lambda, v)
+    }
+  }
 }

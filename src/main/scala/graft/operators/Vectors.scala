@@ -315,14 +315,16 @@ object Vectors {
         .orderBy(col("drift").desc, col("dim"))
         .limit(10)),
 
-    // PCA TOP COMPONENT via one-pass Gram aggregation + driver-local
-    // power iteration: the corpus is read ONCE (map-side-combined
-    // Σx/Σxxᵀ buffers, ~17 KB each), the d×d eigen step runs on the
-    // driver in corpus-size-independent time — the whitening /
-    // dimensionality-reduction fit shape for 100 TB of embeddings.
-    // Oracle-omitted (iterative linear algebra is not portable DuckDB
-    // SQL); PropertySpec pins the eigenpair residual ‖Σv − λv‖ and
-    // the Rayleigh-dominance of the returned direction.
+    // PCA TOP-4 COMPONENTS via one-pass Gram aggregation + driver-
+    // local power iteration with Hotelling deflation: the corpus is
+    // read ONCE (map-side-combined Σx/Σxxᵀ buffers, ~17 KB each), the
+    // d×d eigen steps run on the driver in corpus-size-independent
+    // time (d²·iters·k) — the whitening / dimensionality-reduction
+    // fit shape for 100 TB of embeddings, now returning the basis a
+    // compression user actually needs. Oracle-omitted (iterative
+    // linear algebra is not portable DuckDB SQL); TrainedSpec pins
+    // per-component residuals ‖Σvᶜ − λᶜvᶜ‖, pairwise orthogonality,
+    // and descending eigenvalues against the SAME covariance.
     "vec_pca_power" -> ((s, d) => {
       val dim = 64
       val gram = udaf(new graft.functions.GramMatrix(dim))
@@ -331,14 +333,16 @@ object Vectors {
         .agg(gram(col("v")).as("g"))
         .head().getSeq[Double](0)
       val (_, _, cov) = graft.functions.GramMatrix.covarianceOf(flat, dim)
-      val (lambda, vec) = graft.functions.GramMatrix.powerIteration(cov, 500)
+      val comps = graft.functions.GramMatrix.topComponents(cov, 4, 500)
       import s.implicits._
-      vec.toSeq.zipWithIndex
-        .map { case (l, i) => (i, l, lambda) }
-        .toDF("dim", "loading", "eigenvalue")
-        .select(col("dim"), r4(col("loading")).as("loading"),
+      comps.zipWithIndex.flatMap { case ((lambda, vec), c) =>
+        vec.toSeq.zipWithIndex.map { case (l, i) => (c, i, l, lambda) }
+      }
+        .toDF("component", "dim", "loading", "eigenvalue")
+        .select(col("component"), col("dim"),
+          r4(col("loading")).as("loading"),
           r4(col("eigenvalue")).as("eigenvalue"))
-        .orderBy("dim")
+        .orderBy("component", "dim")
     })
   )
 

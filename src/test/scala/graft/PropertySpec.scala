@@ -166,11 +166,41 @@ class PropertySpec extends SparkSpec {
     val rayleighAxis = (0 until dim).map(i => cov(i)(i)).max
     assert(lambda >= rayleighAxis - 1e-9,
       s"power-iter lambda $lambda below best axis variance $rayleighAxis")
-    // declared key emits one sign-canonical loading per dim
+    // declared key emits 4 deflated components × dim sign-canonical
+    // loadings, each unit-norm after r4 quantization
     val rows = Vectors.defs("vec_pca_power")(spark, sfDir).collect()
-    assert(rows.length === dim)
-    val loadings = rows.map(_.getDouble(1))
-    assert(math.abs(math.sqrt(loadings.map(l => l * l).sum) - 1.0) < 1e-2)
+    assert(rows.length === 4 * dim)
+    (0 until 4).foreach { c =>
+      val loadings = rows.filter(_.getInt(0) == c).map(_.getDouble(2))
+      assert(math.abs(math.sqrt(loadings.map(l => l * l).sum) - 1.0) < 1e-2)
+    }
+  }
+
+  test("vec_pca_power: deflated top-4 — residuals, orthogonality, ordering") {
+    import graft.functions.GramMatrix
+    val dim = 64
+    val gram = org.apache.spark.sql.functions.udaf(new GramMatrix(dim))
+    val flat = TestData.embeddings(spark, sfDir)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .agg(gram(col("v")).as("g")).head().getSeq[Double](0)
+    val (_, _, cov) = GramMatrix.covarianceOf(flat, dim)
+    val comps = GramMatrix.topComponents(cov, 4, 500)
+    // every eigenpair satisfies the ORIGINAL covariance, not just the
+    // deflated working copy
+    comps.foreach { case (lambda, v) =>
+      val av = cov.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+      val resid = math.sqrt(av.zip(v).map { case (a, b) =>
+        val r = a - lambda * b; r * r }.sum)
+      assert(lambda > 0 && resid / lambda < 1e-6,
+        s"residual $resid vs lambda $lambda")
+    }
+    // pairwise orthogonal, eigenvalues descending
+    for (i <- 0 until 4; j <- i + 1 until 4) {
+      val dot = comps(i)._2.zip(comps(j)._2).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot) < 1e-6, s"components $i,$j not orthogonal: $dot")
+    }
+    val ls = comps.map(_._1)
+    assert(ls === ls.sortBy(-_), s"eigenvalues not descending: $ls")
   }
 
   test("set ops: algebraic laws hold") {
