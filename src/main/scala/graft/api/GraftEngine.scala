@@ -791,18 +791,18 @@ class GraftEngine(val spark: SparkSession) {
 
   /** Link prediction over an undirected edge list (a, b): 2-hop
     * candidate pairs scored by neighbor-set Jaccard, existing edges
-    * excluded — see `graph_link_predict`. Output: (x, y, inter, uni,
-    * jaccard), top-`k` by the exact integer score.
+    * excluded — see `graph_link_predict`. `middleCap` bounds each
+    * middle vertex's candidate fanout at cap² (smallest-id neighbors
+    * kept), so a power-law hub can't dominate the shuffle; with
+    * middleCap ≥ max degree the result is exact. Output: (x, y,
+    * inter, uni, jaccard), top-`k` by the exact integer score.
     */
-  def linkPredict(edges: DataFrame, k: Int): DataFrame = {
+  def linkPredict(edges: DataFrame, k: Int, middleCap: Int = 64): DataFrame = {
     val e = edges.select(col("a"), col("b"))
     val adj = e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b").as("src"), col("a").as("dst")))
     val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
-    val cand = adj.select(col("src").as("m"), col("dst").as("x"))
-      .join(adj.select(col("src").as("m"), col("dst").as("y")), "m")
-      .filter(col("x") < col("y"))
-      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("inter"))
+    val cand = graft.operators.GraphOps.cappedTwoHop(adj, middleCap)
     cand.join(e, col("x") === col("a") && col("y") === col("b"), "left_anti")
       .join(deg.withColumnRenamed("src", "x")
         .withColumnRenamed("deg", "dx"), "x")

@@ -174,6 +174,28 @@ object GraphOps {
       .distinct()
   }
 
+  /** 2-hop shared-middle candidate pairs with a PER-MIDDLE FANOUT CAP:
+    * each middle vertex contributes only its `cap` smallest-id
+    * neighbors (deterministic rank, window spills rather than
+    * exploding), bounding its pair fanout at cap² — the guard that
+    * makes the shared-middle walk safe on power-law graphs where one
+    * hub's D² pairs would dominate the shuffle. With cap ≥ the graph's
+    * max degree the capped walk is EXACTLY the uncapped one (same
+    * pairs, same shared-middle counts); with a smaller cap it returns
+    * a sound subset (every pair still shares ≥1 surviving middle).
+    * Output: (x, y, inter = shared-middle count), x < y.
+    */
+  private[graft] def cappedTwoHop(adj: DataFrame, cap: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy("dst")
+    val capped = adj.withColumn("nrk", row_number().over(W))
+      .filter(col("nrk") <= cap).drop("nrk")
+    capped.select(col("src").as("m"), col("dst").as("x"))
+      .join(capped.select(col("src").as("m"), col("dst").as("y")), "m")
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("inter"))
+  }
+
   val defs: Map[String, Q] = Map(
     "dedup_components" -> ((s, d) =>
       fixtureComponents(s, d)
@@ -251,24 +273,20 @@ object GraphOps {
     // (a, b) not already an edge, score = |N(a)∩N(b)| / |N(a)∪N(b)| —
     // the classic similarity-graph densification step (which near-
     // neighbors should be connected next). Candidates come from the
-    // adjacency self-join on the shared middle vertex (2-hop walk),
-    // never an all-pairs product — a middle vertex of degree D emits
-    // D² pairs, bounded here because kNN graphs cap degree at ~2k;
-    // on general (power-law) graphs cap the per-middle fanout first
-    // (drop or sample hubs) before this join. Intersections are exact integer
-    // counts, the ratio quantized r4 only for display, and the top-10
-    // sort key is the integer pair (inter·1e4 DIV union) — no float
-    // near-tie can flip the cut.
+    // CAPPED shared-middle walk ([[cappedTwoHop]]): a middle vertex of
+    // degree D emits D² pairs, so the walk bounds per-middle fanout at
+    // cap² — a no-op on this degree-capped kNN fixture (cap 64 > max
+    // degree, pinned in PropertySpec) and the safety valve that makes
+    // the key usable on power-law edge lists. Intersections are exact
+    // integer counts, the ratio quantized r4 only for display, and the
+    // top-10 sort key is the integer pair (inter·1e4 DIV union) — no
+    // float near-tie can flip the cut.
     "graph_link_predict" -> ((s, d) => {
       val edges = fixtureKnnEdges(s, d)
       val adj = edges.select(col("a").as("src"), col("b").as("dst"))
         .union(edges.select(col("b").as("src"), col("a").as("dst")))
       val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
-      // 2-hop candidate pairs via the shared middle vertex
-      val cand = adj.select(col("src").as("m"), col("dst").as("x"))
-        .join(adj.select(col("src").as("m"), col("dst").as("y")), "m")
-        .filter(col("x") < col("y"))
-        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("inter"))
+      val cand = cappedTwoHop(adj, 64)
       // drop existing edges
       val nonEdges = cand.join(edges,
           col("x") === col("a") && col("y") === col("b"), "left_anti")

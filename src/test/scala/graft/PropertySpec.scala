@@ -203,6 +203,27 @@ class PropertySpec extends SparkSpec {
     assert(ls === ls.sortBy(-_), s"eigenvalues not descending: $ls")
   }
 
+  test("cappedTwoHop: sound subset under any cap, exact when cap covers max degree") {
+    import spark.implicits._
+    // star hub 0→1..12 plus a chain — degree skew on purpose
+    val edges = ((1L to 12L).map(x => (0L, x)) ++
+      (1L until 8L).map(x => (x, x + 1))).toDF("a", "b")
+    val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+    def pairs(cap: Int): Map[(Long, Long), Long] =
+      GraphOps.cappedTwoHop(adj, cap)
+        .as[(Long, Long, Long)].collect()
+        .map { case (x, y, n) => (x, y) -> n }.toMap
+    val uncapped = pairs(Int.MaxValue)
+    val capped = pairs(3)
+    // sound subset: every capped pair exists uncapped with count <=
+    assert(capped.keySet.subsetOf(uncapped.keySet))
+    capped.foreach { case (k, n) => assert(n <= uncapped(k)) }
+    assert(capped.size < uncapped.size, "cap 3 must actually bite the hub")
+    // cap >= max degree (13 here): recall 1.0, identical counts
+    assert(pairs(13) === uncapped)
+  }
+
   test("set ops: algebraic laws hold") {
     val a = SortsSetOps.defs("setop_union_distinct")(spark, sfDir).count()
     val i = SortsSetOps.defs("setop_intersect")(spark, sfDir).count()
