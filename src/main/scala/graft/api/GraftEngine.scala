@@ -886,12 +886,20 @@ class GraftEngine(val spark: SparkSession) {
   /** One-scan numeric profiler: (col_name, n_nulls, n_distinct,
     * min_v, max_v) per requested column via a stacked multi-aggregate
     * pass — the table is read once regardless of column count.
+    * `approx = true` swaps exact countDistinct for
+    * approx_count_distinct (HLL++): no Expand row multiplication, the
+    * shape to use when cardinalities feed a dashboard rather than an
+    * invoice (see `profile_columns_approx`).
     */
-  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profileColumns(df: DataFrame, cols: Seq[String],
+                     approx: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profileColumns needs at least one column")
+    val distinctAgg: String => org.apache.spark.sql.Column =
+      if (approx) c => approx_count_distinct(col(c), 0.02)
+      else c => countDistinct(col(c))
     val aggs = cols.flatMap { c => Seq(
       (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
-      countDistinct(col(c)).as(s"${c}_dist"),
+      distinctAgg(c).as(s"${c}_dist"),
       TestData.r4(min(col(c)).cast("double")).as(s"${c}_min"),
       TestData.r4(max(col(c)).cast("double")).as(s"${c}_max"))
     }

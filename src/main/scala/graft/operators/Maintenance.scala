@@ -201,6 +201,35 @@ object Maintenance {
         .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
           "(col_name, n_nulls, n_distinct, min_v, max_v)"))
         .orderBy("col_name")
+    }),
+
+    // The 100 TB profiler: same one-scan stacked sweep but with
+    // approx_count_distinct (HLL++), which aggregates WITHOUT the
+    // Expand that multiplies shuffle rows ~6× under multi-column exact
+    // countDistinct — cardinalities become fixed-size sketches merged
+    // map-side. Oracle-omitted (HLL estimates are sketch-impl-specific
+    // so DuckDB's numbers differ by design); PropertySpec bounds every
+    // estimate within ±5 % of the exact profiler's count and PlanSpec
+    // pins the Expand-free single scan.
+    "profile_columns_approx" -> ((s, d) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_quantity",
+                     "l_extendedprice", "l_discount")
+      // rsd 0.02: the sketch grows to a few KB per column (still
+      // fixed-size, still map-side-merged) and the estimate lands
+      // within the ±5 % property bound with margin
+      val aggs = cols.flatMap { c => Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
+        approx_count_distinct(col(c), 0.02).as(s"${c}_dist"),
+        r4(min(col(c)).cast("double")).as(s"${c}_min"),
+        r4(max(col(c)).cast("double")).as(s"${c}_max"))
+      }
+      val stackArgs = cols.map(c =>
+        s"'$c', ${c}_nulls, ${c}_dist, ${c}_min, ${c}_max").mkString(", ")
+      TestData.lineitem(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+          "(col_name, n_nulls, n_distinct, min_v, max_v)"))
+        .orderBy("col_name")
     })
   )
 

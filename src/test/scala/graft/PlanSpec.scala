@@ -344,4 +344,14 @@ class PlanSpec extends SparkSpec {
     // 20-aggregate pass (Expand for the multi-distinct) scans once.
     assert(scans == 1, s"expected 1 lineitem scan, saw $scans:\n${p.take(800)}")
   }
+
+  test("profile_columns_approx drops the multi-distinct Expand, keeps one scan") {
+    val p = plan("profile_columns_approx")
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans == 1, s"expected 1 lineitem scan, saw $scans:\n${p.take(800)}")
+    // HLL sketches aggregate directly — no Expand row multiplication
+    assert(!p.contains("Expand"),
+      s"approx profiler must not expand rows:\n${p.take(800)}")
+  }
 }

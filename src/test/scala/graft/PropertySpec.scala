@@ -203,6 +203,22 @@ class PropertySpec extends SparkSpec {
     assert(ls === ls.sortBy(-_), s"eigenvalues not descending: $ls")
   }
 
+  test("profile_columns_approx tracks the exact profiler within 5 percent") {
+    val exact = Maintenance.defs("profile_columns")(spark, sfDir)
+      .select("col_name", "n_distinct", "n_nulls")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = Maintenance.defs("profile_columns_approx")(spark, sfDir)
+      .select("col_name", "n_distinct", "n_nulls")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (c, (dExact, nulls)) =>
+      val (dApprox, nullsA) = approx(c)
+      assert(nullsA === nulls, s"$c: null counts are exact in both")
+      assert(math.abs(dApprox - dExact).toDouble <= 0.05 * dExact + 1,
+        s"$c: approx $dApprox vs exact $dExact")
+    }
+  }
+
   test("cappedTwoHop: sound subset under any cap, exact when cap covers max degree") {
     import spark.implicits._
     // star hub 0→1..12 plus a chain — degree skew on purpose
