@@ -254,6 +254,48 @@ object Curation {
         .filter(col("group_size") < 5)
         .orderBy("lang", "source", "len_bucket")),
 
+    // EXACT-SUBSTRING DEDUP SPANS (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better"): find every
+    // maximal run of 13-token windows whose content also appears in
+    // ANOTHER document, reported as (start, end) token spans of
+    // length ≥ 20 — the pass that excises verbatim boilerplate/quotes
+    // instead of dropping whole near-dup docs. Shape: window-hash
+    // explode → hash groupBy (dup iff ≥ 2 distinct docs) → join back
+    // → per-doc gaps-and-islands merge (windows ≤ K apart fuse). The
+    // suffix-array formulation this approximates is single-machine;
+    // window hashing is the shuffle-native equivalent and exact for
+    // duplicated substrings ≥ K tokens. Integer positions end to end.
+    "dedup_substring_spans" -> ((s, d) => {
+      val K = 13
+      val W = org.apache.spark.sql.expressions.Window
+      val wins = TestData.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= K)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(toks) - $K), " +
+            s"i -> md5(array_join(slice(toks, i + 1, $K), ' ')))")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+          col("col").as("h"))
+      val dup = wins.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("h")
+      val hits = wins.join(dup, "h").select("doc_id", "p")
+      val wDoc = W.partitionBy("doc_id").orderBy("p")
+      hits
+        .withColumn("brk",
+          when(col("p") - lag(col("p"), 1).over(wDoc) > K, 1).otherwise(0))
+        .withColumn("grp", sum(col("brk")).over(
+          wDoc.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .groupBy("doc_id", "grp")
+        .agg(min(col("p")).as("span_start"),
+          (max(col("p")) + (K - 1)).as("span_end"),
+          count(lit(1)).as("n_windows"))
+        .withColumn("span_len", col("span_end") - col("span_start") + 1)
+        .filter(col("span_len") >= 20)
+        .select("doc_id", "span_start", "span_end", "span_len", "n_windows")
+        .orderBy("doc_id", "span_start")
+    }),
+
     // END-TO-END CORPUS BUILD: the curation chain composed as ONE
     // declared pipeline — quality gate (≥30 tokens, bigram repetition
     // < 0.2) → benchmark decontamination (eval 5-shingle broadcast,
@@ -317,6 +359,32 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_substring_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 13),
+        |w AS (
+        |  SELECT doc_id, i + 1 AS p,
+        |    md5(array_to_string(toks[i + 1 : i + 13], ' ')) AS h
+        |  FROM t, LATERAL (SELECT unnest(range(0, len(toks) - 13 + 1)) AS i)),
+        |dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT doc_id, p FROM w JOIN dup USING (h)),
+        |m AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 13
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM hits),
+        |g AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |      FROM m),
+        |sp AS (
+        |  SELECT doc_id, min(p)::BIGINT AS span_start,
+        |    (max(p) + 12)::BIGINT AS span_end, count(*)::BIGINT AS n_windows
+        |  FROM g GROUP BY doc_id, grp)
+        |SELECT doc_id, span_start, span_end,
+        |  (span_end - span_start + 1)::BIGINT AS span_len, n_windows
+        |FROM sp WHERE span_end - span_start + 1 >= 20
+        |ORDER BY doc_id, span_start""".stripMargin,
     "privacy_k_anonymity" ->
       """SELECT lang, source, n_chars // 100 AS len_bucket,
         |  count(*)::BIGINT AS group_size

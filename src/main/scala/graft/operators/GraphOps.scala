@@ -202,6 +202,23 @@ object GraphOps {
         .select(col("id").as("doc_id"), col("comp").as("component"))
         .orderBy("doc_id")),
 
+    // The SUB-QUADRATIC dedup cluster pass: connected components over
+    // the MinHash-LSH near-dup pairs (banded candidates + exact
+    // verify, TextOps.fixtureMinhashPairs) instead of the exact-
+    // Jaccard edge list — the composition a 100 TB corpus actually
+    // runs, since the exact all-pairs edge stage is the part LSH
+    // exists to replace. Same iterative min-label propagation; the
+    // oracle embeds the full mirrored LSH pipeline as the edge CTE of
+    // the recursive reachability query.
+    "dedup_minhash_components" -> ((s, d) => {
+      val pairs = TextOps.fixtureMinhashPairs(s, d)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      minLabelComponents(
+          TestData.documents(s, d).select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
+    }),
+
     // The dedup pipeline's last step made queryable: collapse the
     // component labels to per-language survivor counts (one survivor
     // per component = distinct component count; removed = the rest).
@@ -389,6 +406,18 @@ object GraphOps {
         |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
         |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
         |        > 0.9),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+        |SELECT a AS doc_id, min(b) AS component
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_components" ->
+      s"""WITH RECURSIVE ${TextOps.minhashLshCtes},
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM ver WHERE jac > 0.9
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM ver WHERE jac > 0.9),
         |reach(a, b) AS (
         |  SELECT doc_id, doc_id FROM documents
         |  UNION

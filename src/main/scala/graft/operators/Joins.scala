@@ -185,6 +185,31 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // Tolerance-bounded as-of (pandas merge_asof(tolerance=...) / kdb
+    // wj semantics): the backward match survives only when it is at
+    // most 10 minutes old — stale matches become NULL but the fact row
+    // is KEPT (attribution with an expiry window). Same one-shuffle
+    // running-last window as join_asof; the tolerance check is
+    // map-side integer-microsecond arithmetic after it.
+    "join_asof_tolerance" -> ((s, d) => {
+      val tolUs = 10L * 60L * 1000000L
+      val ev = TestData.events(s, d)
+        .select("user_id", "ts", "event_id", "event_type")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("b_id",
+          last(when(col("event_type") === "click", col("event_id")), true).over(w))
+        .withColumn("b_ts",
+          last(when(col("event_type") === "click", col("ts")), true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("delta",
+          unix_micros(col("ts")) - unix_micros(col("b_ts")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("delta") <= tolUs, col("b_id")).as("click_id"),
+          when(col("delta") <= tolUs, col("delta")).as("delta_us"))
+        .orderBy("event_id")
+    }),
+
     "join_interval_overlap" -> ((s, d) => {
       val sg = TestData.events(s, d)
         .filter(col("event_type") === "signup")
@@ -301,6 +326,23 @@ object Joins {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |WHERE event_type = 'purchase' AND click_id IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "join_asof_tolerance" ->
+      """SELECT event_id, user_id, ts,
+        |  CASE WHEN epoch_us(ts) - epoch_us(b_ts) <= 600000000
+        |       THEN b_id END AS click_id,
+        |  CASE WHEN epoch_us(ts) - epoch_us(b_ts) <= 600000000
+        |       THEN epoch_us(ts) - epoch_us(b_ts) END AS delta_us
+        |FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |      IGNORE NULLS) OVER w AS b_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END
+        |      IGNORE NULLS) OVER w AS b_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
     "join_asof_nearest" ->
       """SELECT event_id, user_id, ts,

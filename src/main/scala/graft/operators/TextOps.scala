@@ -416,6 +416,25 @@ object TextOps {
       graft.sources.WriteOnce.inputTag(d, "documents"),
       jaccardPairs(TestData.documents(s, d)).localCheckpoint())
 
+  /** Memoized MinHash-LSH near-dup pairs over the documents fixture —
+    * shared by `dedup_minhash_lsh` and the component/cluster consumers
+    * (the banded signature + verify pipeline is the expensive part;
+    * the pair list is 3 scalars/pair).
+    */
+  private val mhPairsMemo = new graft.SessionMemo[DataFrame]
+
+  def fixtureMinhashPairs(s: SparkSession, d: String): DataFrame =
+    mhPairsMemo.getOrElseUpdate(s,
+      graft.sources.WriteOnce.inputTag(d, "documents"), {
+        val docs = TestData.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id").as("id"), col("lang").as("blockKey"),
+            graft.functions.MinHashLsh.shinglesFromTokens(col("toks"))
+              .as("shingles"))
+        graft.functions.MinHashLsh.nearDupPairs(docs, 0.9).localCheckpoint()
+      })
+
   val defs: Map[String, Q] = Map(
     "text_tokenize_stats" -> ((s, d) =>
       TestData.documents(s, d)
@@ -515,17 +534,10 @@ object TextOps {
     // in DuckDB, so the oracle mirrors the WHOLE pipeline (signature
     // → bands → candidates → exact verify) from the same permutation
     // constants; recall additionally property-tested in DedupSpec.
-    "dedup_minhash_lsh" -> ((s, d) => {
-      val docs = TestData.documents(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 2)
-        .select(col("doc_id").as("id"), col("lang").as("blockKey"),
-                graft.functions.MinHashLsh.shinglesFromTokens(col("toks"))
-                  .as("shingles"))
-      graft.functions.MinHashLsh.nearDupPairs(docs, 0.9)
+    "dedup_minhash_lsh" -> ((s, d) =>
+      fixtureMinhashPairs(s, d)
         .select(col("id_a"), col("id_b"), r4(col("jac")).as("approx_jaccard"))
-        .orderBy("id_a", "id_b")
-    }),
+        .orderBy("id_a", "id_b")),
 
     // Fixed-size token chunking with overlap (32-token chunks,
     // stride 24) — the RAG/encoder preprocessing pass that turns
@@ -690,7 +702,11 @@ object TextOps {
     "dedup_minhash_lsh" -> minhashLshOracle
   )
 
-  private def minhashLshOracle: String = {
+  /** The mirrored MinHash-LSH pipeline as a reusable CTE block ending
+    * in `ver(id_a, id_b, jac)` — shared by the pairs oracle below and
+    * the component-clustering oracle in GraphOps.
+    */
+  private[graft] def minhashLshCtes: String = {
     val p = graft.functions.MinHashLsh.Prime
     val mhCols = graft.functions.MinHashLsh.permConstants(18).zipWithIndex
       .map { case ((a, b), k) =>
@@ -700,7 +716,7 @@ object TextOps {
       s"  SELECT id, $j AS band, lang || '|' || mh${3 * j} || '|' || " +
         s"mh${3 * j + 1} || '|' || mh${3 * j + 2} AS bkey FROM sig"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id AS id, lang, string_split(text, ' ') AS t FROM documents
        |  WHERE len(string_split(text, ' ')) >= 2),
        |sh AS (
@@ -725,8 +741,11 @@ object TextOps {
        |    len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
        |      (len(sa.shingles) + len(sb.shingles)
        |       - len(list_intersect(sa.shingles, sb.shingles))) AS jac
-       |  FROM cand JOIN sh sa ON sa.id = cand.id_a JOIN sh sb ON sb.id = cand.id_b)
+       |  FROM cand JOIN sh sa ON sa.id = cand.id_a JOIN sh sb ON sb.id = cand.id_b)""".stripMargin
+  }
+
+  private def minhashLshOracle: String =
+    s"""WITH $minhashLshCtes
        |SELECT id_a, id_b, floor(jac*10000 + 0.5)/10000 AS approx_jaccard
        |FROM ver WHERE jac > 0.9 ORDER BY id_a, id_b""".stripMargin
-  }
 }

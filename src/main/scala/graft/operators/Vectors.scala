@@ -205,6 +205,32 @@ object Vectors {
         .orderBy("cluster")
     }),
 
+    // IVF SHARD REBALANCE PLAN: per-shard occupancy against the
+    // balanced target (total DIV k), with the action a maintenance
+    // job would take — "split" above 1.5× target (into ceil(n/target)
+    // sub-shards), "merge" below 0.5×, "ok" between. The decision
+    // thresholds are exact integer cross-products (n·10 vs target·15),
+    // so no float boundary can flip a shard's action cross-engine.
+    // The occupancy aggregate is |shards|-sized; the single-partition
+    // window that attaches the corpus total runs over that tiny
+    // table, never the corpus.
+    "ivf_shard_rebalance" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val e = TestData.embeddings(s, d)
+      V.assignToCentroids(e, Vectors.fixedCentroids(e), Seq("vec_id"))
+        .groupBy("cluster").agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(W.partitionBy()))
+        .withColumn("target", expr("total DIV 4"))
+        .withColumn("skew_pct", expr("n * 100 DIV target"))
+        .withColumn("n_splits", expr("(n + target - 1) DIV target"))
+        .withColumn("action",
+          when(col("n") * 10 > col("target") * 15, "split")
+            .when(col("n") * 10 < col("target") * 5, "merge")
+            .otherwise("ok"))
+        .select("cluster", "n", "target", "skew_pct", "n_splits", "action")
+        .orderBy("cluster")
+    }),
+
     // Typed Aggregator UDAF: per-label element-wise mean vector.
     "vec_centroid_udaf" -> ((s, d) => {
       val centroid = udaf(new VectorCentroid(64))
@@ -492,6 +518,28 @@ object Vectors {
         |SELECT cluster, count(*) AS n,
         |  floor((avg(sqrt(dist)))*10000 + 0.5)/10000 AS mean_dist
         |FROM best WHERE rn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin,
+    "ivf_shard_rebalance" ->
+      s"""WITH c AS (SELECT vec_id AS cid, $E AS cv FROM embeddings WHERE vec_id < 4),
+        |scored AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(list_zip(e.$E, c.cv),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        |  FROM embeddings e CROSS JOIN c),
+        |best AS (
+        |  SELECT vec_id, cid AS cluster,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM scored),
+        |occ AS (
+        |  SELECT cluster, count(*)::BIGINT AS n FROM best WHERE rn = 1
+        |  GROUP BY cluster),
+        |t AS (SELECT cluster, n, (sum(n) OVER ())::BIGINT AS total FROM occ)
+        |SELECT cluster, n, (total // 4)::BIGINT AS target,
+        |  (n * 100 // (total // 4))::BIGINT AS skew_pct,
+        |  ((n + total // 4 - 1) // (total // 4))::BIGINT AS n_splits,
+        |  CASE WHEN n * 10 > (total // 4) * 15 THEN 'split'
+        |       WHEN n * 10 < (total // 4) * 5 THEN 'merge'
+        |       ELSE 'ok' END AS action
+        |FROM t ORDER BY cluster""".stripMargin,
     "vec_centroid_udaf" ->
       s"""SELECT label,
         |  floor((avg(($E)[1]))*10000 + 0.5)/10000 AS c0,
