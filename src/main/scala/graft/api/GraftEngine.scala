@@ -909,4 +909,28 @@ class GraftEngine(val spark: SparkSession) {
       .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
         "(col_name, n_nulls, n_distinct, min_v, max_v)"))
   }
+
+  /** Exact-substring dedup spans (Lee et al. 2022): maximal runs of
+    * `k`-token windows whose content appears in ≥ 2 distinct docs,
+    * as 1-based token spans of length ≥ `minSpan` — the pass that
+    * excises verbatim boilerplate instead of dropping whole docs.
+    * `documents` = (id, text). Output: (id, span_start, span_end,
+    * span_len, n_windows). See `dedup_substring_spans`.
+    */
+  def substringSpans(documents: DataFrame, k: Int, minSpan: Int): DataFrame =
+    graft.operators.Curation.substringSpans(
+        documents.select(col("id").as("doc_id"), col("text")), k, minSpan)
+      .withColumnRenamed("doc_id", "id")
+
+  /** IVF maintenance plan: per-shard occupancy of `assigned` (any
+    * table with a `cluster` column, e.g. an ivfSearch index read or
+    * assignToCentroids output) against the balanced target for
+    * `numShards`, with the action a rebalance job would take —
+    * "split" above 1.5× target (into n_splits sub-shards), "merge"
+    * below 0.5×, "ok" between. Integer cross-product thresholds; the
+    * corpus total rides a single-partition window over the
+    * |shards|-sized aggregate. See `ivf_shard_rebalance`.
+    */
+  def shardRebalancePlan(assigned: DataFrame, numShards: Int): DataFrame =
+    graft.operators.Vectors.shardRebalance(assigned, numShards)
 }

@@ -73,6 +73,46 @@ object Curation {
       .drop("gpfx_shard", "gpfx_local", "gpfx_off")
   }
 
+  /** Exact-substring dedup spans over a (doc_id, text) table: maximal
+    * runs of `k`-token windows whose content appears in ≥ 2 distinct
+    * documents, as 1-based token spans of length ≥ `minSpan`. Shape:
+    * window-hash explode → hash groupBy (dup iff ≥ 2 distinct docs) →
+    * join back → per-doc gaps-and-islands merge (windows ≤ k apart
+    * fuse). The suffix-array formulation this approximates is
+    * single-machine; window hashing is the shuffle-native equivalent
+    * and exact for duplicated substrings ≥ k tokens. Integer
+    * positions end to end. Output: (doc_id, span_start, span_end,
+    * span_len, n_windows), unordered — callers sort.
+    */
+  def substringSpans(documents: DataFrame, k: Int, minSpan: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wins = documents
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $k), " +
+          s"i -> md5(array_join(slice(toks, i + 1, $k), ' ')))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        col("col").as("h"))
+    val dup = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val hits = wins.join(dup, "h").select("doc_id", "p")
+    val wDoc = W.partitionBy("doc_id").orderBy("p")
+    hits
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1).over(wDoc) > k, 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(
+        wDoc.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .withColumn("span_len", col("span_end") - col("span_start") + 1)
+      .filter(col("span_len") >= minSpan)
+      .select("doc_id", "span_start", "span_end", "span_len", "n_windows")
+  }
+
   val defs: Map[String, Q] = Map(
     // Benchmark DECONTAMINATION: flag corpus documents sharing any
     // 5-token shingle with the held-out evaluation set (here: a
@@ -259,42 +299,10 @@ object Curation {
     // maximal run of 13-token windows whose content also appears in
     // ANOTHER document, reported as (start, end) token spans of
     // length ≥ 20 — the pass that excises verbatim boilerplate/quotes
-    // instead of dropping whole near-dup docs. Shape: window-hash
-    // explode → hash groupBy (dup iff ≥ 2 distinct docs) → join back
-    // → per-doc gaps-and-islands merge (windows ≤ K apart fuse). The
-    // suffix-array formulation this approximates is single-machine;
-    // window hashing is the shuffle-native equivalent and exact for
-    // duplicated substrings ≥ K tokens. Integer positions end to end.
-    "dedup_substring_spans" -> ((s, d) => {
-      val K = 13
-      val W = org.apache.spark.sql.expressions.Window
-      val wins = TestData.documents(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= K)
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(0, size(toks) - $K), " +
-            s"i -> md5(array_join(slice(toks, i + 1, $K), ' ')))")))
-        .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
-          col("col").as("h"))
-      val dup = wins.groupBy("h")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select("h")
-      val hits = wins.join(dup, "h").select("doc_id", "p")
-      val wDoc = W.partitionBy("doc_id").orderBy("p")
-      hits
-        .withColumn("brk",
-          when(col("p") - lag(col("p"), 1).over(wDoc) > K, 1).otherwise(0))
-        .withColumn("grp", sum(col("brk")).over(
-          wDoc.rowsBetween(W.unboundedPreceding, W.currentRow)))
-        .groupBy("doc_id", "grp")
-        .agg(min(col("p")).as("span_start"),
-          (max(col("p")) + (K - 1)).as("span_end"),
-          count(lit(1)).as("n_windows"))
-        .withColumn("span_len", col("span_end") - col("span_start") + 1)
-        .filter(col("span_len") >= 20)
-        .select("doc_id", "span_start", "span_end", "span_len", "n_windows")
-        .orderBy("doc_id", "span_start")
-    }),
+    // instead of dropping whole near-dup docs. See [[substringSpans]].
+    "dedup_substring_spans" -> ((s, d) =>
+      substringSpans(TestData.documents(s, d), 13, 20)
+        .orderBy("doc_id", "span_start")),
 
     // END-TO-END CORPUS BUILD: the curation chain composed as ONE
     // declared pipeline — quality gate (≥30 tokens, bigram repetition

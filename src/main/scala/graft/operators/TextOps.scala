@@ -206,10 +206,15 @@ object TextOps {
     * session's scheduler parallelism (so pair work spreads across
     * whatever cluster this runs on, not a constant tuned for one box),
     * floored at 16 so small local runs still get multi-reducer spread.
-    * Results are S-invariant — S only distributes the same pairs.
+    * Half the parallelism suffices because the salt MULTIPLIES the
+    * (lang × bucket) block keys, which already number ≥ 2× the
+    * langs — and the replicated side's shuffle volume scales with S,
+    * so overshooting costs real bytes (measured: S=32 at local[32]
+    * added ~0.4 s to each bitmap-core key vs S=16). Results are
+    * S-invariant — S only distributes the same pairs.
     */
   private def saltWidth(sets: DataFrame): Int =
-    math.max(16, sets.sparkSession.sparkContext.defaultParallelism)
+    math.max(16, sets.sparkSession.sparkContext.defaultParallelism / 2)
 
   /** Per-lang dictionary-bitmap encode shared by the bitmap set-join
     * cores: element → dense bit index (deterministic alphabetical

@@ -36,6 +36,29 @@ object Vectors {
     e.filter(col("vec_id") < 4)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
 
+  /** Per-shard occupancy of `assigned` (any table with a `cluster`
+    * column) vs the balanced target for `numShards`, with the action
+    * a rebalance job would take — "split" above 1.5× target (into
+    * n_splits sub-shards), "merge" below 0.5×, "ok" between. Integer
+    * cross-product thresholds (no float boundary); the corpus total
+    * rides a single-partition window over the |shards|-sized
+    * aggregate, never the corpus. Shared by `ivf_shard_rebalance`
+    * and the facade's shardRebalancePlan.
+    */
+  def shardRebalance(assigned: DataFrame, numShards: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(W.partitionBy()))
+      .withColumn("target", expr(s"total DIV $numShards"))
+      .withColumn("skew_pct", expr("n * 100 DIV target"))
+      .withColumn("n_splits", expr("(n + target - 1) DIV target"))
+      .withColumn("action",
+        when(col("n") * 10 > col("target") * 15, "split")
+          .when(col("n") * 10 < col("target") * 5, "merge")
+          .otherwise("ok"))
+      .select("cluster", "n", "target", "skew_pct", "n_splits", "action")
+  }
+
   val defs: Map[String, Q] = Map(
     "vec_l2_norm" -> ((s, d) =>
       TestData.embeddings(s, d)
@@ -215,19 +238,9 @@ object Vectors {
     // window that attaches the corpus total runs over that tiny
     // table, never the corpus.
     "ivf_shard_rebalance" -> ((s, d) => {
-      val W = org.apache.spark.sql.expressions.Window
       val e = TestData.embeddings(s, d)
-      V.assignToCentroids(e, Vectors.fixedCentroids(e), Seq("vec_id"))
-        .groupBy("cluster").agg(count(lit(1)).as("n"))
-        .withColumn("total", sum(col("n")).over(W.partitionBy()))
-        .withColumn("target", expr("total DIV 4"))
-        .withColumn("skew_pct", expr("n * 100 DIV target"))
-        .withColumn("n_splits", expr("(n + target - 1) DIV target"))
-        .withColumn("action",
-          when(col("n") * 10 > col("target") * 15, "split")
-            .when(col("n") * 10 < col("target") * 5, "merge")
-            .otherwise("ok"))
-        .select("cluster", "n", "target", "skew_pct", "n_splits", "action")
+      Vectors.shardRebalance(
+          V.assignToCentroids(e, Vectors.fixedCentroids(e), Seq("vec_id")), 4)
         .orderBy("cluster")
     }),
 

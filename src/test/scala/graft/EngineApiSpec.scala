@@ -596,6 +596,33 @@ class EngineApiSpec extends SparkSpec {
     assert(got === Map(0L -> 2L, 1L -> 1L, 3L -> 1L), s"got $got")
   }
 
+  test("substringSpans finds the planted verbatim run and only it") {
+    val boiler = (1 to 30).map(i => s"b$i").mkString(" ")
+    val d = Seq(
+      (1L, s"u1 u2 u3 $boiler v1 v2 v3"),
+      (2L, s"w1 w2 $boiler w3 w4 w5 w6"),
+      (3L, (1 to 40).map(i => s"x$i").mkString(" ")))
+      .toDF("id", "text")
+    val got = engine.substringSpans(d, k = 13, minSpan = 20)
+      .select("id", "span_start", "span_end", "span_len")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // the 30-token boilerplate is the only cross-doc duplicate: doc 1
+    // tokens 4..33, doc 2 tokens 3..32; doc 3 clean
+    assert(got.toSeq === Seq((1L, 4L, 33L, 30L), (2L, 3L, 32L, 30L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("shardRebalancePlan flags the overloaded and starved shards") {
+    val assigned = (Seq.fill(70)(0) ++ Seq.fill(10)(1) ++ Seq.fill(60)(2)
+      ++ Seq.fill(60)(3)).zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("vec_id", "cluster")
+    val got = engine.shardRebalancePlan(assigned, 4)
+      .select("cluster", "n", "target", "n_splits", "action")
+      .as[(Int, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((0, 70L, 50L, 2L, "ok"), (1, 10L, 50L, 1L, "merge"),
+      (2, 60L, 50L, 2L, "ok"), (3, 60L, 50L, 2L, "ok")), s"got ${got.toSeq}")
+  }
+
   test("retentionCohorts builds the triangular cohort matrix") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00") // a Monday
     def wk(w: Int) = new java.sql.Timestamp(ts0.getTime + w * 7L * 86400_000L)
