@@ -100,6 +100,25 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // COUNT-MIN SKETCH point estimates — the bounded-memory frequency
+    // table (heavy-hitter counts without a groupBy state per key).
+    // Built via df.stat.countMinSketch: a driver action over a
+    // KB-scale sketch (the df.stat.bloomFilter precedent — documented
+    // bounded driver work); the probe list is the |event types|
+    // distinct set, also bounded. Oracle-omitted (sketch-specific);
+    // PropertySpec pins the CMS contract: estimate ≥ exact always,
+    // and ≤ exact + eps·N at the declared eps.
+    "agg_count_min_sketch" -> ((s, d) => {
+      import s.implicits._
+      val ev = TestData.events(s, d)
+      val cms = ev.stat.countMinSketch(
+        col("event_type"), eps = 0.001, confidence = 0.99, seed = 42)
+      val types = ev.select("event_type").distinct().as[String].collect().sorted
+      types.toSeq.map(t => (t, cms.estimateCount(t)))
+        .toDF("event_type", "est_n")
+        .orderBy("event_type")
+    }),
+
     "agg_grouping_sets" -> ((s, d) =>
       TestData.lineitem(s, d)
         .groupingSets(

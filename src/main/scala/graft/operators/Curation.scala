@@ -304,6 +304,27 @@ object Curation {
       substringSpans(TestData.documents(s, d), 13, 20)
         .orderBy("doc_id", "span_start")),
 
+    // DATASET CARDS: the per-(lang, source) governance manifest a
+    // training-data release ships — doc/token volumes, exact-dup
+    // counts (docs whose normalized hash appears more than once), and
+    // the short-doc tail. One scan + one hash-partitioned window (dup
+    // groups are tiny) + one (lang, source)-sized aggregate; every
+    // emitted stat is an exact integer.
+    "pipeline_dataset_cards" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      TestData.documents(s, d)
+        .withColumn("nt", size(split(col("text"), " ")).cast("long"))
+        .withColumn("h", md5(lower(trim(col("text")))))
+        .withColumn("dup",
+          when(count(lit(1)).over(W.partitionBy("h")) > 1, 1L).otherwise(0L))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens"),
+          sum(col("dup")).as("n_dup_docs"),
+          sum(when(col("nt") < 30, 1L).otherwise(0L)).as("n_short_docs"))
+        .orderBy("lang", "source")
+    }),
+
     // END-TO-END CORPUS BUILD: the curation chain composed as ONE
     // declared pipeline — quality gate (≥30 tokens, bigram repetition
     // < 0.2) → benchmark decontamination (eval 5-shingle broadcast,
@@ -367,6 +388,22 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_dataset_cards" ->
+      """WITH t AS (
+        |  SELECT lang, source,
+        |    len(string_split(text, ' '))::BIGINT AS nt,
+        |    md5(lower(trim(text))) AS h
+        |  FROM documents),
+        |d AS (
+        |  SELECT lang, source, nt,
+        |    CASE WHEN count(*) OVER (PARTITION BY h) > 1 THEN 1 ELSE 0 END AS dup
+        |  FROM t)
+        |SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |  sum(nt)::BIGINT AS n_tokens,
+        |  sum(dup)::BIGINT AS n_dup_docs,
+        |  sum(CASE WHEN nt < 30 THEN 1 ELSE 0 END)::BIGINT AS n_short_docs
+        |FROM d GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
     "dedup_substring_spans" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -113,6 +113,30 @@ object SourceFormats {
           count(col("_corrupt_record")).as("n_corrupt"),
           count(col("c_custkey")).as("n_good"),
           r4(sum(col("c_acctbal"))).as("sum_bal"))
+    }),
+
+    // The CSV sibling of source_json_corrupt: every 10th line is
+    // unparsable under the typed schema (both columns poisoned);
+    // PERMISSIVE routes those lines to _corrupt_record with their raw
+    // text preserved — count + checksum both populations so a silent
+    // drop OR a mis-parse of either side hash-fails.
+    "source_csv_corrupt" -> ((s, d) => {
+      val path = "/root/repo/target/tmp/source_csv_corrupt"
+      TestData.customer(s, d)
+        .select(when(col("c_custkey") % 10 === 3,
+            concat(lit("X"), col("c_custkey"), lit(",Y")))
+          .otherwise(concat_ws(",", col("c_custkey"), col("c_acctbal")))
+          .as("value"))
+        .write.mode("overwrite").text(path)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_acctbal", DoubleType),
+        StructField("_corrupt_record", StringType)))
+      s.read.schema(schema).option("mode", "PERMISSIVE").csv(path)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          count(col("c_acctbal")).as("n_good"),
+          r4(sum(col("c_acctbal"))).as("sum_bal"))
     })
   )
 
@@ -136,6 +160,15 @@ object SourceFormats {
         |  sum(length(text))::BIGINT AS n_chars,
         |  min(doc_id) AS min_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "source_csv_corrupt" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  sum(CASE WHEN c_custkey % 10 = 3 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_corrupt,
+        |  sum(CASE WHEN c_custkey % 10 = 3 THEN 0 ELSE 1 END)::BIGINT
+        |    AS n_good,
+        |  floor((sum(CASE WHEN c_custkey % 10 = 3 THEN NULL
+        |             ELSE c_acctbal END))*10000 + 0.5)/10000 AS sum_bal
+        |FROM customer""".stripMargin,
     "source_json_corrupt" ->
       """SELECT count(*)::BIGINT AS n_rows,
         |  sum(CASE WHEN c_custkey % 10 = 3 THEN 1 ELSE 0 END)::BIGINT

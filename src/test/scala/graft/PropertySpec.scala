@@ -203,6 +203,21 @@ class PropertySpec extends SparkSpec {
     assert(ls === ls.sortBy(-_), s"eigenvalues not descending: $ls")
   }
 
+  test("agg_count_min_sketch: estimates over-count by at most eps*N") {
+    val exact = TestData.events(spark, sfDir)
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    val est = Aggregates.defs("agg_count_min_sketch")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (t, n) =>
+      assert(est(t) >= n, s"$t: CMS must never under-count")
+      assert(est(t) <= n + (0.001 * total).toLong + 1,
+        s"$t: est ${est(t)} vs exact $n exceeds the eps*N bound")
+    }
+  }
+
   test("profile_columns_approx tracks the exact profiler within 5 percent") {
     val exact = Maintenance.defs("profile_columns")(spark, sfDir)
       .select("col_name", "n_distinct", "n_nulls")
