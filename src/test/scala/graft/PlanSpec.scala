@@ -345,6 +345,12 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 lineitem scan, saw $scans:\n${p.take(800)}")
   }
 
+  test("dedup_substring_spans blocks on window hashes, never a cartesian") {
+    val p = plan("dedup_substring_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"dup-window candidates must come from the hash equi-join:\n${p.take(600)}")
+  }
+
   test("profile_columns_approx drops the multi-distinct Expand, keeps one scan") {
     val p = plan("profile_columns_approx")
     val scans = p.linesIterator.count(l =>
