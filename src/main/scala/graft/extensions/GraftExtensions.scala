@@ -1,6 +1,6 @@
 package graft.extensions
 
-import graft.functions.{BitmapIntersectCount, BitsetFromIndices, BoundedLevenshtein, CharNgrams, CosineSimilarity, SortedIntersectCount, WordShingles}
+import graft.functions.{BitmapIntersectCount, BitsetFromIndices, BoundedLevenshtein, CharNgrams, CosineSimilarity, MinHashSig, SortedIntersectCount, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -62,6 +62,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "bitmap_intersect_count(a, b) - popcount(A AND B) over ARRAY<BIGINT> bitsets"),
       (children: Seq[Expression]) =>
         BitmapIntersectCount(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info(classOf[MinHashSig], "minhash_sig",
+        "minhash_sig(shingles, numPerm) - ARRAY<BIGINT> MinHash signature " +
+          "(md5-prefix base hash, one pass over the shingle set)"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable,
+          "minhash_sig(shingles, numPerm) needs a literal numPerm")
+        MinHashSig(children(0),
+          children(1).eval().asInstanceOf[Number].intValue)
+      }))
     // Rewrite the public-API HOF cosine pattern into the fused
     // codegen'd expression, and thresholded levenshtein predicates
     // into the banded bounded_levenshtein form.

@@ -41,6 +41,19 @@ class ExtensionSpec extends SparkSpec {
       assert(sets.getSeq[String](0) === Seq("a b", "b c", "c b"))
       assert(sets.getInt(1) === 2)
 
+      // minhash_sig: one-pass signature, SQL-reachable; must agree
+      // with the expression the LSH core uses internally, and with
+      // itself across calls (determinism).
+      val mh = s2.sql(
+        """SELECT minhash_sig(word_shingles('a b c b c', 2), 6) AS s1,
+          |       minhash_sig(word_shingles('a b c b c', 2), 6) AS s2,
+          |       minhash_sig(array('zz'), 6) AS s3
+          |""".stripMargin).collect().head
+      val sig1 = mh.getSeq[Long](0)
+      assert(sig1.length === 6 && sig1 === mh.getSeq[Long](1))
+      assert(sig1.forall(v => v >= 0 && v < graft.functions.MinHashLsh.Prime))
+      assert(sig1 !== mh.getSeq[Long](2), "different sets, different sigs")
+
       // CosineFusion: the HOF pattern must be rewritten to the fused
       // expression by the injected optimizer rule.
       import graft.functions.{VectorOps => V}
