@@ -933,4 +933,58 @@ class GraftEngine(val spark: SparkSession) {
     */
   def shardRebalancePlan(assigned: DataFrame, numShards: Int): DataFrame =
     graft.operators.Vectors.shardRebalance(assigned, numShards)
+
+  /** As-of join: each `facts` row picks the reference row in force at
+    * its timestamp — "backward" (latest `refs` row at-or-before) or
+    * "forward" (earliest at-or-after) — per `keyCol`, optionally
+    * expiring matches older/further than `toleranceUs` (NULL ref
+    * columns, fact row kept — merge_asof semantics). Single-pass
+    * form: both sides union into ONE stream sorted per key, a
+    * running last/first carries the reference — one shuffle on the
+    * entity key, no pairwise join, the scalable as-of shape (see
+    * `join_asof`, `join_asof_tolerance`). `refs` needs (keyCol,
+    * tsCol, valueCol); output = facts columns + (valueCol, ref_ts,
+    * delta_us).
+    */
+  def asOfJoin(facts: DataFrame, refs: DataFrame, keyCol: String,
+               tsCol: String, valueCol: String,
+               direction: String = "backward",
+               toleranceUs: Option[Long] = None): DataFrame = {
+    val factCols = facts.columns
+    require(!factCols.contains(valueCol),
+      s"facts already has a '$valueCol' column")
+    val tagged = facts.withColumn("g_is_fact", lit(true))
+      .withColumn("g_v", lit(null).cast(
+        refs.schema(valueCol).dataType.sql))
+      .unionByName(
+        refs.select(col(keyCol), col(tsCol), col(valueCol).as("g_v"))
+          .withColumn("g_is_fact", lit(false)),
+        allowMissingColumns = true)
+    val w = direction match {
+      case "backward" => Window.partitionBy(keyCol)
+        // references sort BEFORE facts at the same instant, so an
+        // equal-timestamp reference is visible to the fact
+        .orderBy(col(tsCol), col("g_is_fact"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      case "forward" => Window.partitionBy(keyCol)
+        .orderBy(col(tsCol).desc, col("g_is_fact"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      case o => throw new IllegalArgumentException(s"direction: $o")
+    }
+    val matched = tagged
+      .withColumn("g_ref_v", last(when(!col("g_is_fact"), col("g_v")), true).over(w))
+      .withColumn("g_ref_ts", last(when(!col("g_is_fact"), col(tsCol)), true).over(w))
+      .filter(col("g_is_fact"))
+      .withColumn("g_delta", if (direction == "backward")
+        unix_micros(col(tsCol)) - unix_micros(col("g_ref_ts"))
+      else unix_micros(col("g_ref_ts")) - unix_micros(col(tsCol)))
+    val within = toleranceUs match {
+      case Some(t) => col("g_delta") <= t
+      case None => col("g_delta").isNotNull
+    }
+    matched.select(factCols.map(col) ++ Seq(
+      when(within, col("g_ref_v")).as(valueCol),
+      when(within, col("g_ref_ts")).as("ref_ts"),
+      when(within, col("g_delta")).as("delta_us")): _*)
+  }
 }

@@ -110,6 +110,59 @@ case class WordShingles(left: Expression, right: Expression)
   }
 }
 
+/** 60-bit md5-prefix folds of every k-token window of a token array,
+  * in positional order — one tight pass per document replacing the
+  * interpreted slice → array_join → md5 → conv chain that dispatched
+  * a lambda stack per window. Each fold is bit-identical to
+  * `conv(substring(md5(w), 1, 15), 16, 10)` over the space-joined
+  * window `w`, so the DuckDB oracle reproduces the same values (and
+  * therefore the same — astronomically rare — fold collisions).
+  * Runs once per document — CodegenFallback with a tight eval.
+  */
+case class WindowHashes(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "window_hashes"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WindowHashes =
+    copy(left = newLeft, right = newRight)
+
+  @transient private lazy val md5 =
+    java.security.MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(toksAny: Any, kAny: Any): Any = {
+    val toks = toksAny.asInstanceOf[ArrayData]
+    val k = kAny.asInstanceOf[Int]
+    val n = toks.numElements()
+    if (k < 1 || n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    val bos = new java.io.ByteArrayOutputStream(256)
+    var i = 0
+    while (i + k <= n) {
+      bos.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) bos.write(' ')
+        val b = toks.getUTF8String(i + j).getBytes
+        bos.write(b, 0, b.length)
+        j += 1
+      }
+      md5.reset()
+      val dg = md5.digest(bos.toByteArray)
+      // first 15 hex nibbles big-endian = bytes 0..6 + hi nibble of 7
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (dg(b) & 0xffL); b += 1 }
+      h = (h << 4) | ((dg(7) & 0xf0L) >> 4)
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** ARRAY<LONG> bitset of `nwords` words with the given bit indices
   * set. Indices ≥ nwords·64 are ignored (call sites size correctly).
   * Runs once per document — CodegenFallback, single pass.

@@ -85,13 +85,18 @@ object Curation {
     * span_len, n_windows), unordered — callers sort.
     */
   def substringSpans(documents: DataFrame, k: Int, minSpan: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
     val W = org.apache.spark.sql.expressions.Window
+    // Window hashes come from the one-pass WindowHashes expression
+    // (60-bit md5-prefix folds; the HOF slice→join→md5 chain paid an
+    // interpreted lambda stack per window) — 8-byte join keys instead
+    // of 32-byte hex strings on the shuffle, same values in DuckDB.
     val wins = documents
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(toks) - $k), " +
-          s"i -> md5(array_join(slice(toks, i + 1, $k), ' ')))")))
+      .select(col("doc_id"), posexplode(Bridge.column(
+        graft.functions.WindowHashes(
+          Bridge.expression(col("toks")), Bridge.expression(lit(k))))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
         col("col").as("h"))
     val dup = wins.groupBy("h")
@@ -410,7 +415,8 @@ object Curation {
         |  WHERE len(string_split(text, ' ')) >= 13),
         |w AS (
         |  SELECT doc_id, i + 1 AS p,
-        |    md5(array_to_string(toks[i + 1 : i + 13], ' ')) AS h
+        |    ('0x' || substring(md5(array_to_string(toks[i + 1 : i + 13], ' ')),
+        |      1, 15))::BIGINT AS h
         |  FROM t, LATERAL (SELECT unnest(range(0, len(toks) - 13 + 1)) AS i)),
         |dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
         |hits AS (SELECT doc_id, p FROM w JOIN dup USING (h)),

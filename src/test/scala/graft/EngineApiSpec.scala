@@ -596,6 +596,34 @@ class EngineApiSpec extends SparkSpec {
     assert(got === Map(0L -> 2L, 1L -> 1L, 3L -> 1L), s"got $got")
   }
 
+  test("asOfJoin picks the in-force reference per direction and tolerance") {
+    def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60_000L)
+    val facts = Seq((1L, t(10), "p1"), (1L, t(30), "p2"), (2L, t(5), "p3"))
+      .toDF("user_id", "ts", "fact_id")
+    val refs = Seq((1L, t(8), 100.0), (1L, t(29), 200.0), (2L, t(50), 300.0))
+      .toDF("user_id", "ts", "price")
+    val back = engine.asOfJoin(facts, refs, "user_id", "ts", "price")
+      .select("fact_id", "price", "delta_us")
+      .as[(String, Option[Double], Option[Long])].collect().sortBy(_._1)
+    assert(back.toSeq === Seq(
+      ("p1", Some(100.0), Some(2L * 60_000_000L)),
+      ("p2", Some(200.0), Some(1L * 60_000_000L)),
+      ("p3", None, None)), s"got ${back.toSeq}")
+    val fwd = engine.asOfJoin(facts, refs, "user_id", "ts", "price",
+        direction = "forward")
+      .select("fact_id", "price").as[(String, Option[Double])]
+      .collect().sortBy(_._1)
+    assert(fwd.toSeq === Seq(("p1", Some(200.0)), ("p2", None),
+      ("p3", Some(300.0))), s"got ${fwd.toSeq}")
+    val tol = engine.asOfJoin(facts, refs, "user_id", "ts", "price",
+        toleranceUs = Some(90_000_000L))
+      .select("fact_id", "price").as[(String, Option[Double])]
+      .collect().sortBy(_._1)
+    // p1's match is 2 min old > 90 s tolerance -> expired, row kept
+    assert(tol.toSeq === Seq(("p1", None), ("p2", Some(200.0)),
+      ("p3", None)), s"got ${tol.toSeq}")
+  }
+
   test("substringSpans finds the planted verbatim run and only it") {
     val boiler = (1 to 30).map(i => s"b$i").mkString(" ")
     val d = Seq(
