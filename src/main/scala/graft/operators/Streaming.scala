@@ -242,6 +242,39 @@ object Streaming {
         .orderBy("user_id")
     }),
 
+    // STREAMING SESSION WINDOWS in the gate: session_window with a
+    // watermark through the micro-batch engine — the state store
+    // MERGES adjacent per-batch partial sessions, and append mode
+    // emits a session only once the watermark passes its end (last
+    // event + gap), i.e. once no future event can extend it. The
+    // memory-sink table must hash-match the batch gaps-and-islands
+    // oracle restricted by the same final-watermark cutoff (sessions
+    // still open at end-of-input never emit — mirrored in SQL).
+    "stream_availablenow_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val batch = TestData.events(s, d)
+      val tag = graft.sources.WriteOnce.inputTag(d, "events")
+      val dir = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/stream_an_source", tag)
+      graft.sources.WriteOnce.ensure(dir, tag) {
+        batch.write.mode("overwrite").parquet(dir)
+      }
+      val qn = s"graft_stream_sess_${streamSeq.incrementAndGet()}"
+      val q = s.readStream.schema(batch.schema).parquet(dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "5 minutes").as("sw"),
+                 col("user_id"))
+        .agg(count(lit(1)).as("n"),
+             (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+               .as("duration_us"))
+        .select(col("sw.start").as("session_start"), col("user_id"),
+                col("n"), col("duration_us"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+      s.table(qn).orderBy("user_id", "session_start")
+    }),
+
     // foreachBatch INCREMENTAL UPSERT in the gate: each micro-batch's
     // partial aggregate is merged (read-merge-overwrite) into a
     // running parquet snapshot — the streaming-maintained
@@ -416,6 +449,29 @@ object Streaming {
         |  sum(m)::BIGINT AS n_matched,
         |  sum(1 - m)::BIGINT AS n_unmatched
         |FROM rows_all GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Gaps-and-islands sessions restricted by the SAME final-watermark
+    // cutoff append mode applies: a session emits only once the
+    // watermark (max ts − 1 h) passes its end (last event + 5 min gap,
+    // STRICT <) — the session containing the stream's max timestamp
+    // is still open at end-of-input and must be absent on both sides.
+    "stream_availablenow_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |i AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g),
+        |sess AS (
+        |  SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+        |    count(*)::BIGINT AS n,
+        |    (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS duration_us
+        |  FROM i GROUP BY user_id, sid),
+        |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+        |SELECT session_start, user_id, n, duration_us FROM sess, wm
+        |WHERE last_ts + INTERVAL 5 MINUTE < wm.w
+        |ORDER BY user_id, session_start""".stripMargin,
     "stream_tws_running" ->
       """SELECT user_id, count(*)::BIGINT AS n_events,
         |  floor((max(value))*10000 + 0.5)/10000 AS max_value
