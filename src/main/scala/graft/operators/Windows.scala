@@ -63,6 +63,24 @@ object Windows {
         .orderBy("day_ord")
     }),
 
+    // TIME-interval RANGE frame at event grain: each event's trailing
+    // 1-hour activity per user (rate-limit / rolling-exposure shape) —
+    // the range rides integer epoch-micros so the frame boundary is
+    // exact, and the summed measure is pre-quantized to integer cents
+    // (RANGE peers and float association order then can't flip a
+    // bit cross-engine). One shuffle on user_id.
+    "win_range_interval" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-3600000000L, 0L)
+      TestData.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("cents")).over(w).as("cents_1h"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
     "win_cumulative" -> ((s, d) => {
       val w = Window.orderBy("o_orderdate", "o_orderkey")
       val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -178,6 +196,18 @@ object Windows {
         |  floor((sum(day_rev) OVER (ORDER BY day_ord
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))*10000 + 0.5)/10000 AS rev_7d
         |FROM daily ORDER BY day_ord""".stripMargin,
+    "win_range_interval" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+        |    floor(value*100 + 0.5)::BIGINT AS cents
+        |  FROM events)
+        |SELECT user_id, event_id, ts,
+        |  (count(*) OVER w)::BIGINT AS n_1h,
+        |  (sum(cents) OVER w)::BIGINT AS cents_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
     "win_cumulative" ->
       """SELECT o_orderkey, o_orderdate,
         |  floor((sum(o_totalprice) OVER (ORDER BY o_orderdate, o_orderkey

@@ -217,6 +217,44 @@ class DedupSpec extends SparkSpec {
       "planted large-universe subsets must be flagged")
   }
 
+  test("substringSpans equals brute force on a random small-vocab corpus") {
+    import spark.implicits._
+    val k = 3; val minSpan = 4
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val docs = (0L until 40L).map { id =>
+      (id, (0 until (8 + rnd.nextInt(20))).map(_ => vocab(rnd.nextInt(vocab.size))))
+    }
+    // brute force: window at 1-based p is duplicated iff its joined
+    // text appears as a window of a DIFFERENT doc; islands merge when
+    // consecutive duplicated positions are <= k apart
+    val winsOf = docs.map { case (id, ts) =>
+      id -> ts.sliding(k).map(_.mkString(" ")).toVector
+    }.toMap
+    val docsPerWin = winsOf.values.flatten.toSeq.groupBy(identity)
+      .map { case (w, _) => w -> winsOf.count(_._2.contains(w)) }
+    val expected = winsOf.toSeq.flatMap { case (id, ws) =>
+      val dupPos = ws.zipWithIndex.collect {
+        case (w, i) if docsPerWin(w) >= 2 => i + 1
+      }
+      val spans = dupPos.foldLeft(List.empty[List[Int]]) {
+        case (Nil, p) => List(List(p))
+        case (cur :: done, p) =>
+          if (p - cur.head <= k) (p :: cur) :: done else List(p) :: cur :: done
+      }.map(g => (g.last, g.head + k - 1, g.size))
+      spans.collect { case (s, e, nw) if e - s + 1 >= minSpan =>
+        (id, s.toLong, e.toLong, (e - s + 1).toLong, nw.toLong)
+      }
+    }.sorted
+    val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = graft.operators.Curation.substringSpans(df, k, minSpan)
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(got === expected,
+      s"spans diverge: got ${got.take(5)}… expected ${expected.take(5)}…")
+    assert(expected.nonEmpty, "fixture must actually exercise spans")
+  }
+
   test("jaccardPairs finds identical-token-set same-lang pairs, cross-lang never") {
     val out = TextOps.jaccardPairs(docsDf(Seq(
         (1L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
