@@ -231,6 +231,52 @@ object ExpressionProps extends Properties("graft.expressions") {
       }
     }
 
+  // --- MinHashSig / WindowHashes: the one-pass expressions must be
+  // bit-identical to the reference md5 arithmetic the DuckDB oracles
+  // mirror (conv(substring(md5(x),1,n),16,10) + mod-p permutations).
+
+  private val token: Gen[String] =
+    Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  property("minhash_sig equals the reference md5-fold permutation minima") =
+    Prop.forAll(Gen.nonEmptyListOf(token)) { toks =>
+      val shingles = toks.distinct.toArray
+      val got = graft.functions.MinHashSig(
+          Literal(ArrayData.toArrayData(shingles.map(
+            org.apache.spark.unsafe.types.UTF8String.fromString)),
+            ArrayType(org.apache.spark.sql.types.StringType)), 18)
+        .eval(null).asInstanceOf[ArrayData].toLongArray.toSeq
+      val p = graft.functions.MinHashLsh.Prime
+      val expected = graft.functions.MinHashLsh.permConstants(18).map {
+        case (a, b) =>
+          shingles.map { s =>
+            val h = java.lang.Long.parseLong(md5Hex(s).take(7), 16)
+            (h * a + b) % p
+          }.min
+      }
+      got == expected
+    }
+
+  property("window_hashes equals the reference per-window md5 folds") =
+    Prop.forAll(Gen.nonEmptyListOf(token), Gen.choose(1, 4)) { (toks, k) =>
+      val arr = toks.toArray
+      val got = graft.functions.WindowHashes(
+          Literal(ArrayData.toArrayData(arr.map(
+            org.apache.spark.unsafe.types.UTF8String.fromString)),
+            ArrayType(org.apache.spark.sql.types.StringType)),
+          Literal(k, org.apache.spark.sql.types.IntegerType))
+        .eval(null).asInstanceOf[ArrayData].toLongArray.toSeq
+      val expected =
+        if (arr.length < k) Seq.empty[Long]
+        else arr.sliding(k).map(w =>
+          java.lang.Long.parseLong(md5Hex(w.mkString(" ")).take(15), 16)).toSeq
+      got == expected
+    }
+
   property("hyperplane signature is invariant under positive scaling") =
     Prop.forAll(vec16, Gen.choose(0.01, 100.0)) { (v, c) =>
       sigEval(v) == sigEval(v.map(_ * c))
