@@ -14,6 +14,28 @@ import org.apache.spark.sql.functions._
   * declared harness queries in `graft.operators` are thin
   * fixture-bound instantiations of these same shapes.
   *
+  * Method families (one line each; see each method's scaladoc):
+  *  - similarity search: [[knn]], [[buildIvfIndex]] /
+  *    [[ivfSearch]], [[hammingSearch]], [[graphSearch]],
+  *    [[maxSimSearch]], [[mmrRerank]], [[bm25]] + [[rrfFuse]];
+  *    training: [[trainCentroids]], [[trainPqCodebook]];
+  *    maintenance: [[appendToIvfIndex]], [[compactIvfIndex]],
+  *    [[shardRebalancePlan]]
+  *  - dedup: [[dedupExact]], [[nearDuplicates]] (MinHash-LSH),
+  *    [[exactJaccardDuplicates]], [[fuzzyDuplicates]],
+  *    [[simhashDuplicates]], [[embeddingDuplicates]],
+  *    [[semanticDuplicates]], [[sortedNeighborhoodDuplicates]],
+  *    [[containmentDuplicates]], [[substringSpans]],
+  *    [[incrementalDedup]], [[decontaminate]], [[dedupComponents]]
+  *  - corpus curation / training data: [[chunkTokens]],
+  *    [[packSequences]], [[hashFeatures]], [[bpeMerges]],
+  *    [[profileColumns]], [[sampleByHash]] / [[stratifiedSampleByHash]]
+  *  - events / time series: [[sessionize]], [[funnel]], [[scdType2]],
+  *    [[retentionCohorts]], [[asOfJoin]]
+  *  - graph: [[pageRank]], [[triangleCount]], [[linkPredict]]
+  *  - table maintenance: [[mergeUpsert]] / [[mergeUpsertPartitioned]],
+  *    [[zOrderKey]], [[bloomPrefilter]]
+  *
   * Conventions: embeddings tables carry (id: LONG, embedding:
   * ARRAY<DOUBLE>, …); documents tables carry (id: LONG, text:
   * STRING, …). All methods return lazy plans except [[buildIvfIndex]]
