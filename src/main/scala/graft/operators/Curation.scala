@@ -299,6 +299,25 @@ object Curation {
         .filter(col("group_size") < 5)
         .orderBy("lang", "source", "len_bucket")),
 
+    // L-DIVERSITY AUDIT: k-anonymity's sharper sibling — a QI group
+    // can be large yet still leak if every member shares the same
+    // sensitive value. Per (nation, market-segment) QI group over the
+    // order fact, count members AND distinct sensitive values
+    // (order priority); report groups with fewer than l=3 distinct
+    // values. Broadcast dim join + one aggregate; the report is
+    // group-sized at any corpus size.
+    "privacy_l_diversity" -> ((s, d) =>
+      TestData.orders(s, d)
+        .join(broadcast(TestData.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"),
+          col("c_mktsegment"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("group_size"),
+          countDistinct(col("o_orderstatus")).as("n_sensitive"))
+        .filter(col("n_sensitive") < 3)
+        .orderBy("nationkey", "c_mktsegment", "yr")),
+
     // EXACT-SUBSTRING DEDUP SPANS (Lee et al. 2022, "Deduplicating
     // Training Data Makes Language Models Better"): find every
     // maximal run of 13-token windows whose content also appears in
@@ -442,6 +461,15 @@ object Curation {
         |FROM documents GROUP BY 1, 2, 3
         |HAVING count(*) < 5
         |ORDER BY lang, source, len_bucket""".stripMargin,
+    "privacy_l_diversity" ->
+      """SELECT c_nationkey::BIGINT AS nationkey, c_mktsegment,
+        |  year(o_orderdate)::BIGINT AS yr,
+        |  count(*)::BIGINT AS group_size,
+        |  count(DISTINCT o_orderstatus)::BIGINT AS n_sensitive
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2, 3
+        |HAVING count(DISTINCT o_orderstatus) < 3
+        |ORDER BY nationkey, c_mktsegment, yr""".stripMargin,
     "pipeline_corpus_build" ->
       """WITH t AS (
         |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks

@@ -185,7 +185,27 @@ object ScalarFns {
           col("nested.inr.q").as("nested_q"),
           (col("st") === struct(col("o_orderkey").as("k"),
             col("o_totalprice").as("p"))).cast("int").as("eq_rebuilt"))
-        .orderBy("o_orderkey"))
+        .orderBy("o_orderkey")),
+
+    // URL parsing (`parse_url`) over deterministically synthesized
+    // crawl-style URLs — the normalization step every web-corpus
+    // pipeline runs before URL dedup. The oracle reconstructs the
+    // same components from the generating columns, so the check pins
+    // parse_url's HOST/PATH/QUERY/param semantics against an
+    // independent derivation. Pure map-side projection.
+    "fn_url_parse" -> ((s, d) =>
+      TestData.documents(s, d)
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/"), col("lang"), lit("/doc/"),
+          col("doc_id").cast("string"), lit("?k="),
+          col("n_chars").cast("string"), lit("&l="), col("lang")))
+        .select(col("doc_id"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("query"),
+          parse_url(col("url"), lit("QUERY"), lit("k")).cast("long")
+            .as("k_param"))
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -293,6 +313,16 @@ object ScalarFns {
         |  struct_pack(inr := struct_pack(q := o_orderkey * 2)).inr.q AS nested_q,
         |  (struct_pack(k := o_orderkey, p := o_totalprice)
         |    = struct_pack(k := o_orderkey, p := o_totalprice))::INT AS eq_rebuilt
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // Independent derivation: rebuild each URL component from the
+    // generating columns instead of string-parsing — pins Spark's
+    // parse_url against construction, not parser-vs-parser.
+    "fn_url_parse" ->
+      """SELECT doc_id,
+        |  source || '.example.com' AS host,
+        |  '/' || lang || '/doc/' || doc_id AS path,
+        |  'k=' || n_chars || '&l=' || lang AS query,
+        |  n_chars::BIGINT AS k_param
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

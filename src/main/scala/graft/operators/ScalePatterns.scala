@@ -135,6 +135,27 @@ object ScalePatterns {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // WEIGHTED (Poisson/Bernoulli) sampling: keep each order with
+    // probability ∝ its weight (o_totalprice) — the importance-
+    // sampling discipline a data-mixing pipeline uses to up-weight
+    // rare high-value strata without a shuffle. Same deterministic
+    // md5 machinery as sample_hash, but the 28-bit uniform is
+    // compared against an integer PER-ROW threshold floor(w·2^28/W):
+    // inclusion is an exact integer comparison (no transcendental, no
+    // float boundary), reproducible across engines/runs/cluster
+    // sizes, and still one map-side scan at 100 TB.
+    "sample_weighted" -> ((s, d) =>
+      TestData.orders(s, d)
+        .withColumn("u28",
+          conv(substring(md5(col("o_orderkey").cast("string")), 1, 7),
+            16, 10).cast("long"))
+        // 2^28 / 4e6 = 67.108864: a ~150k-mean weight keeps ~3.5 %.
+        .filter(col("u28") <
+          floor(col("o_totalprice") * lit(67.108864)).cast("long"))
+        .select(col("o_orderkey"), col("o_totalprice").as("weight"),
+          col("u28"))
+        .orderBy("o_orderkey")),
+
     // Salted join: the skew remedy when BOTH join sides are too large
     // to broadcast and a hot key would pin one reducer. The fact side
     // carries salt = pmod(row id, S); the other side is replicated
@@ -230,6 +251,13 @@ object ScalePatterns {
         |WHERE substring(md5(doc_id::VARCHAR), 1, 2)
         |  < CASE WHEN lang = 'en' THEN '80' ELSE '20' END
         |ORDER BY doc_id""".stripMargin,
+    "sample_weighted" ->
+      """SELECT o_orderkey, o_totalprice AS weight,
+        |  ('0x' || substring(md5(o_orderkey::VARCHAR), 1, 7))::BIGINT AS u28
+        |FROM orders
+        |WHERE ('0x' || substring(md5(o_orderkey::VARCHAR), 1, 7))::BIGINT
+        |  < floor(o_totalprice * 67.108864)::BIGINT
+        |ORDER BY o_orderkey""".stripMargin,
     "join_skew_salted" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  floor((sum(value))*10000 + 0.5)/10000 AS sum_value

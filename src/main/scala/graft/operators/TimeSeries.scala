@@ -510,6 +510,77 @@ object TimeSeries {
         .select(col("event_id"), col("event_type"), col("value"),
           col("med4"), col("mad4"))
         .orderBy("event_id")
+    }),
+
+    // ACTIVITY STREAKS (gaps-and-islands): per-user runs of
+    // consecutive active calendar days. Island id = day-number −
+    // row_number per user (constant within a consecutive run) — the
+    // same integer gaps-and-islands trick dedup_substring_spans uses
+    // on token positions. One distinct shuffle + one user-partitioned
+    // window + two group-sized aggregates; everything is integer
+    // (day numbers vs epoch), so no float boundary exists anywhere.
+    // At 100 TB the window partitions by user — millions of small
+    // partitions, no skewed single task.
+    "events_streaks" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("dayn")
+      val days = TestData.events(s, d)
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("dayn"))
+        .distinct()
+      days
+        .withColumn("island", col("dayn") - row_number().over(W))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(sum(col("len")).as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max(col("len")).as("max_streak"))
+        .orderBy("user_id")
+    }),
+
+    // LAGGED CROSS-CORRELATION between the hourly click and purchase
+    // rates (lead/lag structure detection, lags −2..+2 hours). The
+    // hourly series is a dense integer grid (missing hours are real
+    // zeros); Pearson r at each lag is computed FROM EXACT INTEGER
+    // MOMENTS (n, Σx, Σy, Σxy, Σx², Σy² — all BIGINT, order-free)
+    // and only the final closed-form expression touches doubles —
+    // the repo's quantize-before-float rule taken to its limit:
+    // there is nothing to quantize until the very last division.
+    // Shape: one hourly count aggregate (hour-sized), a broadcast
+    // 5-row lag frame, one hour×lag join — model-sized at any scale.
+    "ts_cross_corr" -> ((s, d) => {
+      val ev = TestData.events(s, d)
+        .select(expr("unix_micros(date_trunc('hour', ts)) DIV 3600000000")
+          .as("h"), col("event_type"))
+      val counts = ev.groupBy("h")
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      val span = ev.agg(min("h").as("h0"), max("h").as("h1"))
+      val grid = span.select(explode(sequence(col("h0"), col("h1"))).as("h"))
+        .join(counts, Seq("h"), "left")
+        .select(col("h"), coalesce(col("x"), lit(0L)).as("x"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val lags = s.range(-2, 3).select(col("id").as("lag"))
+      val a = grid.select(col("h"), col("x"))
+      val b = grid.select(col("h").as("h2"), col("y"))
+      a.crossJoin(broadcast(lags))
+        .join(b, col("h2") === col("h") + col("lag"))
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("lag"), col("n"),
+          r4((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")
+              * (col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))).as("corr4"))
+        .orderBy("lag")
     })
   )
 
@@ -820,6 +891,56 @@ object TimeSeries {
         |    ntile(4) OVER (ORDER BY mon4 DESC, user_id) AS m
         |  FROM u CROSS JOIN t)
         |SELECT r * 100 + f * 10 + m AS segment, count(*)::BIGINT AS n_users
-        |FROM b GROUP BY 1 ORDER BY segment""".stripMargin
+        |FROM b GROUP BY 1 ORDER BY segment""".stripMargin,
+    "events_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    (ts::DATE - DATE '1970-01-01')::BIGINT AS dayn
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, dayn,
+        |    dayn - row_number() OVER (PARTITION BY user_id ORDER BY dayn)
+        |      AS island
+        |  FROM days),
+        |r AS (
+        |  SELECT user_id, island, count(*)::BIGINT AS len
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, sum(len)::BIGINT AS n_active_days,
+        |  count(*)::BIGINT AS n_streaks, max(len)::BIGINT AS max_streak
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Pearson r from exact integer moments — only the final
+    // closed-form expression is floating point, so no r4 is needed
+    // until the last division (both engines see identical BIGINTs).
+    "ts_cross_corr" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+        |    event_type
+        |  FROM events),
+        |counts AS (
+        |  SELECT h,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+        |      AS x,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |      AS y
+        |  FROM ev GROUP BY 1),
+        |grid AS (
+        |  SELECT g.h, coalesce(x, 0)::BIGINT AS x, coalesce(y, 0)::BIGINT AS y
+        |  FROM (SELECT unnest(generate_series((SELECT min(h) FROM ev),
+        |                                      (SELECT max(h) FROM ev))) AS h) g
+        |  LEFT JOIN counts ON g.h = counts.h),
+        |lags AS (SELECT unnest([-2, -1, 0, 1, 2]::BIGINT[]) AS lg),
+        |p AS (
+        |  SELECT lg, a.x, b.y
+        |  FROM grid a CROSS JOIN lags JOIN grid b ON b.h = a.h + lg),
+        |m AS (
+        |  SELECT lg, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x*y)::BIGINT AS sxy,
+        |    sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy
+        |  FROM p GROUP BY 1)
+        |SELECT lg AS lag, n,
+        |  floor(((n * sxy - sx * sy)::DOUBLE /
+        |    sqrt(((n * sxx - sx * sx)::DOUBLE)
+        |      * ((n * syy - sy * sy)::DOUBLE)))*10000 + 0.5)/10000 AS corr4
+        |FROM m ORDER BY lag""".stripMargin
   )
 }
