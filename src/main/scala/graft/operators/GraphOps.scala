@@ -320,6 +320,36 @@ object GraphOps {
           (col("score_i").cast("double") / 10000.0).as("jaccard"))
     }),
 
+    // MULTI-SOURCE BFS DISTANCE over the kNN graph: minimum hop count
+    // from any seed (every 50th vertex) within 3 synchronized rounds;
+    // unreached nodes report −1. Each round is one shuffle join of
+    // the frontier against the mirrored adjacency + one min-aggregate
+    // — the textbook distributed BFS (Pregel's simplest program), and
+    // the reachability primitive under index-shard coverage checks.
+    // All-integer state (2 longs/node), per-round localCheckpoint to
+    // cut the self-referencing lineage — the same loop discipline as
+    // graph_pagerank; distances are exact, so no float boundary
+    // exists anywhere.
+    "graph_bfs_distance" -> ((s, d) => {
+      val edges = fixtureKnnEdges(s, d)
+      val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      val nodes = TestData.embeddings(s, d).select(col("vec_id"))
+      var dist = nodes.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), lit(0L).as("dist"))
+      for (_ <- 1 to 3) {
+        val next = dist.withColumnRenamed("vec_id", "src")
+          .join(adj, "src")
+          .select(col("dst").as("vec_id"), (col("dist") + lit(1L)).as("dist"))
+        dist = dist.union(next)
+          .groupBy("vec_id").agg(min("dist").as("dist"))
+          .localCheckpoint()
+      }
+      nodes.join(dist, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+        .orderBy("vec_id")
+    }),
+
     // PAGERANK over the kNN graph, 3 fixed iterations in EXACT integer
     // arithmetic: ranks are micro-units (start 1e6), each step is
     // r' = 150000 + (85 · Σ_{src→dst} r(src) DIV deg(src)) DIV 100 —
@@ -527,6 +557,35 @@ object GraphOps {
         |    JOIN adj ON deg.src = adj.src GROUP BY 1) c
         |  ON n.vec_id = c.dst)
         |SELECT vec_id, r::BIGINT AS rank_u, (r::DOUBLE / 1000000.0) AS rank
-        |FROM r3 ORDER BY vec_id""".stripMargin
+        |FROM r3 ORDER BY vec_id""".stripMargin,
+    "graph_bfs_distance" ->
+      s"""$EdgesCte,
+        |adj AS (
+        |  SELECT a AS src, b AS dst FROM edges
+        |  UNION ALL SELECT b, a FROM edges),
+        |d0 AS (
+        |  SELECT vec_id, 0::BIGINT AS dist FROM embeddings
+        |  WHERE vec_id % 50 = 0),
+        |d1 AS (
+        |  SELECT vec_id, min(dist)::BIGINT AS dist FROM (
+        |    SELECT vec_id, dist FROM d0
+        |    UNION ALL
+        |    SELECT adj.dst, d0.dist + 1 FROM d0
+        |    JOIN adj ON d0.vec_id = adj.src) GROUP BY 1),
+        |d2 AS (
+        |  SELECT vec_id, min(dist)::BIGINT AS dist FROM (
+        |    SELECT vec_id, dist FROM d1
+        |    UNION ALL
+        |    SELECT adj.dst, d1.dist + 1 FROM d1
+        |    JOIN adj ON d1.vec_id = adj.src) GROUP BY 1),
+        |d3 AS (
+        |  SELECT vec_id, min(dist)::BIGINT AS dist FROM (
+        |    SELECT vec_id, dist FROM d2
+        |    UNION ALL
+        |    SELECT adj.dst, d2.dist + 1 FROM d2
+        |    JOIN adj ON d2.vec_id = adj.src) GROUP BY 1)
+        |SELECT e.vec_id, coalesce(d3.dist, -1)::BIGINT AS dist
+        |FROM embeddings e LEFT JOIN d3 USING (vec_id)
+        |ORDER BY vec_id""".stripMargin
   )
 }

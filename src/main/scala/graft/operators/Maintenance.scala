@@ -117,6 +117,46 @@ object Maintenance {
         .orderBy("status")
     }),
 
+    // SMALL-FILE COMPACTION: the bin-packing rewrite every streaming
+    // or CDC sink needs — micro-batch appends leave hundreds of tiny
+    // files per partition, and scan cost at 100 TB is dominated by
+    // file-open overhead, not bytes. Stage 1 deliberately fragments a
+    // partitioned snapshot (16-way repartition before partitionBy →
+    // up to 16 files per event_type dir); stage 2 compacts by
+    // repartitioning ON the partition column so each type's rows
+    // coalesce into one task → exactly one file per directory (at
+    // real scale: repartitionByRange on (pt, size-estimate) to hit a
+    // target bytes/file instead of 1). The declared output re-reads
+    // the COMPACTED snapshot and checksums it per partition — the
+    // oracle proves compaction moved bytes without changing ONE row —
+    // and MaintenanceSpec pins the file counts (before > 1 = after).
+    "sink_compact_files" -> ((s, d) => {
+      val ev = TestData.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val tag = graft.sources.WriteOnce.inputTag(d, "events")
+      val smallDir = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/compact_small", tag)
+      graft.sources.WriteOnce.ensure(smallDir, tag) {
+        ev.repartition(16, col("event_id"))
+          .write.mode("overwrite").partitionBy("event_type")
+          .parquet(smallDir)
+      }
+      val compactDir = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/compact_out", tag)
+      graft.sources.WriteOnce.ensure(compactDir, tag) {
+        s.read.parquet(smallDir)
+          .repartition(col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type")
+          .parquet(compactDir)
+      }
+      s.read.parquet(compactDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).as("id_checksum"),
+          r4(sum(col("value"))).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // Z-order clustering: interleave the bits of two predicate columns
     // into one sort key, range-partition + sort the write by it, and
     // summarize per fixed-width key range. Because the z-curve keeps
@@ -234,6 +274,14 @@ object Maintenance {
   )
 
   val oracles: Map[String, String] = Map(
+    // Content parity straight off the fixture: if compaction changed
+    // (or dropped, or duplicated) a single row, n / id_checksum /
+    // sum_value diverge.
+    "sink_compact_files" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  sum(event_id)::BIGINT AS id_checksum,
+        |  floor((sum(value))*10000 + 0.5)/10000 AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "profile_columns" ->
       """SELECT * FROM (
         |  SELECT 'l_orderkey' AS col_name,
