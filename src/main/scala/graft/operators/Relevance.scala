@@ -149,6 +149,53 @@ object Relevance {
         .orderBy("doc_id")
     }),
 
+    // CCNET-STYLE PERPLEXITY BUCKETS: score every document with the
+    // corpus bigram LM (same model as text_bigram_lm_score), then
+    // split EACH LANGUAGE into head/middle/tail terciles by LM score
+    // — the partition CCNet uses to keep fluent text and route the
+    // tail to review. Determinism: the tercile sort key is the
+    // INTEGER-quantized score (floor(avg·1e4 + 0.5) — a LongType in
+    // Spark) with doc_id tie-break, so ntile can never flip on a
+    // float ulp; per-bucket score mass is summed in those integer
+    // units (order-free BIGINT). Model sides are vocabulary-sized
+    // broadcasts; the tercile window partitions by lang — at 100 TB
+    // swap ntile for approx_percentile cut points (same shape, no
+    // per-lang total sort).
+    "pipeline_perplexity_buckets" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = TestData.documents(s, d)
+      val toks = docs.select(col("doc_id"), col("lang"),
+        split(col("text"), " ").as("toks"))
+      val bg = toks.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("lang"),
+          col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+      val vocab = toks.select(explode(col("toks")).as("t"))
+        .agg(countDistinct(col("t")).as("v"))
+      val scored = bg.join(broadcast(c2), Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id", "lang")
+        .agg(floor(avg(log((col("c2") + lit(1.0))
+            / (col("c1") + col("v")))) * lit(10000.0) + lit(0.5))
+          .as("score_u"),
+          count(lit(1)).as("n_bigrams"))
+      val W = Window.partitionBy("lang")
+        .orderBy(col("score_u").desc, col("doc_id"))
+      scored.withColumn("b3", ntile(3).over(W))
+        .withColumn("bucket", element_at(
+          array(lit("head"), lit("middle"), lit("tail")), col("b3")))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("n_bigrams"),
+          sum(col("score_u")).as("sum_score_u"))
+        .orderBy("lang", "bucket")
+    }),
+
     // Shannon entropy of the per-language token distribution —
     // the corpus-diversity statistic (a collapsed-distribution
     // language in a crawl shows up as an entropy drop). Two-phase
@@ -209,6 +256,36 @@ object Relevance {
         |  floor((avg(ln((c2.c2 + 1.0) / (c1.c1 + vocab.v))))*10000 + 0.5)/10000 AS avg_logp
         |FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+    "pipeline_perplexity_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+        |  WHERE len(toks) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        |vocab AS (
+        |  SELECT count(DISTINCT t) AS v
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+        |scored AS (
+        |  SELECT b.doc_id, b.lang,
+        |    floor((avg(ln((c2.c2 + 1.0) / (c1.c1 + vocab.v))))*10000 + 0.5)::BIGINT
+        |      AS score_u,
+        |    count(*)::BIGINT AS n_bigrams
+        |  FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+        |  GROUP BY 1, 2),
+        |nt AS (
+        |  SELECT lang, n_bigrams, score_u,
+        |    ntile(3) OVER (PARTITION BY lang ORDER BY score_u DESC, doc_id)
+        |      AS b3
+        |  FROM scored)
+        |SELECT lang,
+        |  CASE b3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+        |    AS bucket,
+        |  count(*)::BIGINT AS n_docs, sum(n_bigrams)::BIGINT AS n_bigrams,
+        |  sum(score_u)::BIGINT AS sum_score_u
+        |FROM nt GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
     "agg_entropy" ->
       """WITH cnt AS (
         |  SELECT lang, t, count(*) AS c

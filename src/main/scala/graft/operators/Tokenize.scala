@@ -17,10 +17,18 @@ import graft.TestData
   * production, 3 here); every round's state is the rewritten
   * vocabulary table, checkpointed.
   *
-  * Oracle-omitted: the greedy left-to-right list-accumulator rewrite
-  * is not expressible in DuckDB 1.0 (`list_reduce` accumulators must
-  * have the element type); BpeSpec instead pins the merges EXACTLY
-  * equal to a direct Scala reference implementation.
+  * Oracle-checked (promoted round 7): the greedy left-to-right
+  * rewrite IS expressible in DuckDB 1.0 once the accumulator is
+  * encoded as a chr(1)-joined STRING — `list_reduce` requires the
+  * accumulator to have the element type, and VARCHAR is the element
+  * type, so the fold seeds with the first symbol and either replaces
+  * the delimited last token (merge hit: x = b and the accumulator
+  * ends with sep‖a) or appends sep‖x. `string_split` restores the
+  * symbol list for the next round's pair count. Exactly the
+  * non-overlapping greedy semantics of [[applyMerge]] ("aaa" + (a,a)
+  * → [aa, a], because the merged token no longer equals `a`).
+  * BpeSpec additionally pins the merges equal to a direct Scala
+  * reference implementation.
   */
 object Tokenize {
   type Q = (SparkSession, String) => DataFrame
@@ -80,5 +88,45 @@ object Tokenize {
       bpeMerges(TestData.documents(s, d), rounds = 3).orderBy("round"))
   )
 
-  val oracles: Map[String, String] = Map.empty
+  /** One merge round in DuckDB: pair-count the current vocabulary,
+    * take the (cnt DESC, a, b) top pair, and apply it with the
+    * string-accumulator greedy fold (see the class scaladoc).
+    */
+  private def roundCtes(prev: String, t: String, next: String): String =
+    s"""p$t AS (
+       |  SELECT syms[i] AS a, syms[i+1] AS b, n
+       |  FROM $prev, LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+       |  WHERE len(syms) >= 2),
+       |t$t AS (
+       |  SELECT a AS ma, b AS mb, sum(n)::BIGINT AS cnt FROM p$t
+       |  GROUP BY 1, 2 ORDER BY cnt DESC, ma, mb LIMIT 1),
+       |$next AS (
+       |  SELECT string_split(list_reduce(syms, (acc, x) -> CASE
+       |      WHEN x = mb AND (acc = ma OR ends_with(acc, chr(1) || ma))
+       |      THEN substring(acc, 1, length(acc) - length(ma)) || ma || mb
+       |      ELSE acc || chr(1) || x END), chr(1)) AS syms, n
+       |  FROM $prev CROSS JOIN t$t)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_bpe_merges" ->
+      s"""WITH w AS (
+        |  SELECT word, count(*)::BIGINT AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE length(word) > 0 GROUP BY 1),
+        |v0 AS (
+        |  SELECT list_transform(range(1, length(word) + 1),
+        |           i -> substring(word, i, 1)) AS syms, n
+        |  FROM w),
+        |${roundCtes("v0", "1", "v1")},
+        |${roundCtes("v1", "2", "v2")},
+        |${roundCtes("v2", "3", "v3")}
+        |SELECT 1 AS round, ma AS sym_a, mb AS sym_b, ma || mb AS merged,
+        |  cnt AS pair_count FROM t1
+        |UNION ALL
+        |SELECT 2, ma, mb, ma || mb, cnt FROM t2
+        |UNION ALL
+        |SELECT 3, ma, mb, ma || mb, cnt FROM t3
+        |ORDER BY round""".stripMargin
+  )
 }
