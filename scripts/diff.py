@@ -108,6 +108,26 @@ def main():
     no_oracle = declared - set(oracle)
     if no_oracle:
         print(f"info: declared without oracle: {sorted(no_oracle)}")
+    # Coverage assertion (round-6 lesson: absent != pass). Every key in
+    # COVERAGE.md (pinned == SparkEntry.queries by EntrySpec) must have
+    # a Spark output dir — a key that crashed in Verify writes nothing
+    # and must FAIL the loop, oracle or omit alike. Skipped when a key
+    # filter is given (fast single-key iteration).
+    if not only:
+        import re
+        try:
+            cov = open("/root/repo/COVERAGE.md").read()
+            all_keys = set(re.findall(r"^\| `([a-z0-9_]+)` \|", cov, re.M))
+            missing = all_keys - declared
+            if missing:
+                print(f"FAIL coverage: {len(missing)} declared keys with no Verify output: {sorted(missing)[:10]}...")
+                n_fail += len(missing)
+            extra = declared - all_keys
+            if extra:
+                print(f"FAIL coverage: outputs not in COVERAGE.md: {sorted(extra)}")
+                n_fail += len(extra)
+        except FileNotFoundError:
+            print("WARN coverage: COVERAGE.md not found, skipping coverage assertion")
     print(f"== {n_ok} ok, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 

@@ -37,11 +37,19 @@ object Bench {
     catch { case _: Throwable => () }
     val keys = SparkEntry.queries.toSeq
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    // A key that throws must NEVER contribute a (tiny) exception-throw
+    // latency as if it were a median — record the error class instead
+    // and surface an aggregate errors count on the metric line.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     for (_ <- 1 to runs; (name, fn) <- keys) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
+      try {
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
+      } catch { case e: Throwable =>
+        errors(name) = e.getClass.getSimpleName
+      }
     }
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted
@@ -55,14 +63,16 @@ object Bench {
     // Full detail (all runs + medians) goes to a side file — too long
     // for the harness's 2000-char output tail, which must be able to
     // see the ENTIRE metric line below or it can't parse it.
-    val fullQs = medians.toSeq.sortBy(-_._2)
+    val fullQs = (medians.toSeq.sortBy(-_._2)
       .map { case (k, v) =>
         val rs = samples(k).map(fmt).mkString("[", ",", "]")
         "\"" + k + "\":{\"median\":" + fmt(v) + ",\"runs\":" + rs + "}"
-      }.mkString("{", ",", "}")
+      } ++ errors.toSeq.map { case (k, c) =>
+        "\"" + k + "\":{\"error\":\"" + c + "\"}"
+      }).mkString("{", ",", "}")
     val detailPath = "/root/repo/bench_full.json"
     val fullLine =
-      s"""{"metric":"total_of_medians","value":${fmt(total)},"unit":"sec","nq":${medians.size},"runs_per_key":$runs,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_of_medians","value":${fmt(total)},"unit":"sec","nq":${medians.size},"errors":${errors.size},"runs_per_key":$runs,"queries":$fullQs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (fullLine + "\n").getBytes("UTF-8")) catch { case _: Throwable => () }
     // Compact metric line: slowest medians only, trimmed so the whole
@@ -77,7 +87,7 @@ object Bench {
         else (acc, len)
     }._1.reverse
     val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total_of_medians","value":${fmt(total)},"unit":"sec","nq":${medians.size},"runs_per_key":$runs,"queries":$qs,"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total_of_medians","value":${fmt(total)},"unit":"sec","nq":${medians.size},"errors":${errors.size},"runs_per_key":$runs,"queries":$qs,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -60,18 +60,30 @@ object TestData {
     table(s, d, "embeddings")
       .withColumn("embedding", col("embedding").cast("array<double>"))
 
-  /** Events loader — the nanosecond-timestamp recipe (FIXTURES.md).
-    * `ts` arrives as epoch-ns LongType under `nanosAsLong`, converted
-    * to a µs-precision timestamp with truncating division, matching
-    * DuckDB's native read of the same file bit-for-bit.
+  /** Events loader — normalizes `ts` to a µs TimestampType regardless
+    * of the fixture generation's physical type (FIXTURES.md has seen
+    * both INT64 TIMESTAMP(NANOS) and plain timestamp[us]):
+    *   - LongType (epoch-ns under `nanosAsLong`): truncating integer
+    *     DIV to µs — `/` is double division in Spark SQL and doubles
+    *     can't hold epoch-nanos (~1.7e18 > 2^53).
+    *   - TIMESTAMP_NTZ (timestamp[us], isAdjustedToUTC=false): cast to
+    *     TimestampType — exact micros-preserving under the UTC session
+    *     timezone every entrypoint sets.
+    *   - TimestampType: already the target shape.
+    * DuckDB reads the same file natively at µs in every generation, so
+    * both engines agree bit-for-bit on the internal micros value.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // NB: integer DIV, not `/` — Long./(Long) is double division in
-    // Spark SQL and doubles can't hold epoch-nanos (~1.7e18 > 2^53),
-    // which silently rounds the low digits.
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => // TIMESTAMP_NTZ (or future variants): value-preserving in UTC
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** Deterministic cross-engine 4-decimal rounding: `round()` differs

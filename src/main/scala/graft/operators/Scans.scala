@@ -90,6 +90,48 @@ object Scans {
         .select("event_id", "ts", "user_id", "event_type", "value")
         .orderBy("event_id")),
 
+    // Schema-ADAPTIVE ingestion (round 7 — the r6 fixture
+    // regeneration demonstrated the failure mode: a producer changed
+    // `ts`'s physical type and a fixed-recipe loader died at analysis
+    // for every downstream query). Two generations of the same event
+    // log — an old producer writing ts as epoch-µs BIGINT, a new one
+    // writing a native timestamp — are read through one normalizing
+    // loader that branches on the ARRIVING dtype per generation dir
+    // (the unit contract for integer ts is epoch-µs, recorded here as
+    // a real lake would record it in table metadata), then unioned
+    // and aggregated. Physical-type drift costs one schema fetch per
+    // generation; analysis never fails, and at 100 TB the per-day
+    // aggregate still pushes projection into both scans.
+    "scan_schema_drift" -> ((s, d) => {
+      val tag0 = graft.sources.WriteOnce.inputTag(d, "events")
+      val oldGen = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/drift_old", tag0)
+      val newGen = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/drift_new", tag0)
+      val ev = TestData.events(s, d)
+      graft.sources.WriteOnce.ensure(oldGen, tag0) {
+        ev.filter(col("event_id") % 2 === 0)
+          .withColumn("ts", unix_micros(col("ts")))
+          .write.mode("overwrite").parquet(oldGen)
+      }
+      graft.sources.WriteOnce.ensure(newGen, tag0) {
+        ev.filter(col("event_id") % 2 === 1)
+          .write.mode("overwrite").parquet(newGen)
+      }
+      def normalized(dir: String): DataFrame = {
+        val df = s.read.parquet(dir)
+        df.schema("ts").dataType match {
+          case LongType => df.withColumn("ts", timestamp_micros(col("ts")))
+          case TimestampType => df
+          case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+        }
+      }
+      normalized(oldGen).unionByName(normalized(newGen))
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
+        .orderBy("day", "event_type")
+    }),
+
     "sink_parquet_partitioned" -> ((s, d) => {
       val tag0 = graft.sources.WriteOnce.inputTag(d, "events")
       val tmp = graft.sources.WriteOnce.dirFor(
@@ -151,6 +193,12 @@ object Scans {
     "source_events_ns" ->
       """SELECT event_id, ts, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    // (old gen ∪ new gen) = full events; DuckDB date_trunc returns
+    // DATE — cast to TIMESTAMP to match Spark (CLAUDE.md trap).
+    "scan_schema_drift" ->
+      """SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+        |  count(*) AS n, floor((sum(value))*10000 + 0.5)/10000 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "sink_parquet_partitioned" ->
       """SELECT event_type, count(*) AS n, floor((sum(value))*10000 + 0.5)/10000 AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -122,14 +122,16 @@ object Streaming {
         batch.write.mode("overwrite").parquet(dir)
       }
       val qn = s"graft_stream_an_${streamSeq.incrementAndGet()}"
-      val q = s.readStream.schema(batch.schema).parquet(dir)
-        .groupBy(window(col("ts"), "30 minutes").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
-        .select(col("w.start").as("window_start"), col("event_type"),
-                col("n"), col("sum_value"))
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination(120000) finally q.stop()
+      withStateFanout(s) {
+        val q = s.readStream.schema(batch.schema).parquet(dir)
+          .groupBy(window(col("ts"), "30 minutes").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
+          .select(col("w.start").as("window_start"), col("event_type"),
+                  col("n"), col("sum_value"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination(120000) finally q.stop()
+      }
       s.table(qn).orderBy("window_start", "event_type")
     }),
 
@@ -148,14 +150,16 @@ object Streaming {
         batch.write.mode("overwrite").parquet(dir)
       }
       val qn = s"graft_stream_dedup_${streamSeq.incrementAndGet()}"
-      val q = s.readStream.schema(batch.schema).parquet(dir)
-        .select("user_id", "event_type")
-        .dropDuplicates("user_id", "event_type")
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_distinct_users"))
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination(120000) finally q.stop()
+      withStateFanout(s) {
+        val q = s.readStream.schema(batch.schema).parquet(dir)
+          .select("user_id", "event_type")
+          .dropDuplicates("user_id", "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_distinct_users"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination(120000) finally q.stop()
+      }
       s.table(qn).orderBy("event_type")
     }),
 
@@ -184,13 +188,15 @@ object Streaming {
       val clicks = side("click", "c_user", "c_ts")
       val purchases = side("purchase", "p_user", "p_ts")
       val qn = s"graft_stream_join_${streamSeq.incrementAndGet()}"
-      val q = clicks.join(purchases,
-          col("c_user") === col("p_user")
-            && col("p_ts") >= col("c_ts")
-            && col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination(120000) finally q.stop()
+      withStateFanout(s) {
+        val q = clicks.join(purchases,
+            col("c_user") === col("p_user")
+              && col("p_ts") >= col("c_ts")
+              && col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination(120000) finally q.stop()
+      }
       s.table(qn)
         .groupBy(col("c_user").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -226,14 +232,16 @@ object Streaming {
       val clicks = side("click", "c_user", "c_ts")
       val purchases = side("purchase", "p_user", "p_ts")
       val qn = s"graft_stream_ljoin_${streamSeq.incrementAndGet()}"
-      val q = purchases.join(clicks,
-          col("p_user") === col("c_user")
-            && col("c_ts") <= col("p_ts")
-            && col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
-          "left_outer")
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination(120000) finally q.stop()
+      withStateFanout(s) {
+        val q = purchases.join(clicks,
+            col("p_user") === col("c_user")
+              && col("c_ts") <= col("p_ts")
+              && col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
+            "left_outer")
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination(120000) finally q.stop()
+      }
       s.table(qn)
         .groupBy(col("p_user").as("user_id"))
         .agg(count(lit(1)).as("n_rows"),
@@ -260,18 +268,20 @@ object Streaming {
         batch.write.mode("overwrite").parquet(dir)
       }
       val qn = s"graft_stream_sess_${streamSeq.incrementAndGet()}"
-      val q = s.readStream.schema(batch.schema).parquet(dir)
-        .withWatermark("ts", "1 hour")
-        .groupBy(session_window(col("ts"), "5 minutes").as("sw"),
-                 col("user_id"))
-        .agg(count(lit(1)).as("n"),
-             (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
-               .as("duration_us"))
-        .select(col("sw.start").as("session_start"), col("user_id"),
-                col("n"), col("duration_us"))
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination(120000) finally q.stop()
+      withStateFanout(s) {
+        val q = s.readStream.schema(batch.schema).parquet(dir)
+          .withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "5 minutes").as("sw"),
+                   col("user_id"))
+          .agg(count(lit(1)).as("n"),
+               (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+                 .as("duration_us"))
+          .select(col("sw.start").as("session_start"), col("user_id"),
+                  col("n"), col("duration_us"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination(120000) finally q.stop()
+      }
       s.table(qn).orderBy("user_id", "session_start")
     }),
 
@@ -302,21 +312,23 @@ object Streaming {
         f.delete()
       }
       rm(new java.io.File(snap))
-      val q = s.readStream.schema(batch.schema).parquet(dir)
-        .writeStream
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          val partial = b.groupBy("event_type")
-            .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
-          val merged =
-            if (new java.io.File(snap, "_SUCCESS").exists())
-              s.read.parquet(snap).unionByName(partial)
-                .groupBy("event_type")
-                .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
-            else partial
-          merged.localCheckpoint().write.mode("overwrite").parquet(snap)
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination(120000) finally q.stop()
+      withStateFanout(s) {
+        val q = s.readStream.schema(batch.schema).parquet(dir)
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val partial = b.groupBy("event_type")
+              .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+            val merged =
+              if (new java.io.File(snap, "_SUCCESS").exists())
+                s.read.parquet(snap).unionByName(partial)
+                  .groupBy("event_type")
+                  .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+              else partial
+            merged.localCheckpoint().write.mode("overwrite").parquet(snap)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination(120000) finally q.stop()
+      }
       s.read.parquet(snap)
         .select(col("event_type"), col("n"), r4(col("sv")).as("sum_value"))
         .orderBy("event_type")
@@ -349,11 +361,13 @@ object Streaming {
         import s.implicits._
         val events = s.readStream.schema(batch.schema).parquet(dir)
           .as[StreamOps.Event]
-        val q = StreamOps.runningUserStatsTws(events)
-          .toDF()
-          .writeStream.format("memory").queryName(qn)
-          .outputMode("update").trigger(Trigger.AvailableNow()).start()
-        try q.awaitTermination(120000) finally q.stop()
+        withStateFanout(s) {
+          val q = StreamOps.runningUserStatsTws(events)
+            .toDF()
+            .writeStream.format("memory").queryName(qn)
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()
+          try q.awaitTermination(120000) finally q.stop()
+        }
       } finally prev match {
         case Some(v) =>
           s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
@@ -369,6 +383,26 @@ object Streaming {
   )
 
   private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Scope the shuffle/state fan-out of a gate streaming query to the
+    * fixture's state volume. Streaming stateful operators bind
+    * `spark.sql.shuffle.partitions` at query START as the state-store
+    * partition count, and every state partition costs per-micro-batch
+    * delta files + fsyncs — so fan-out must track STATE SIZE (≤2k
+    * distinct users in the replay gate), not core count: at 32
+    * partitions the stream-stream join spent ~3× its runtime writing
+    * near-empty state files (measured round 7). At production scale
+    * this is the same sizing knob batch shuffle.partitions is — raise
+    * it with key cardinality; the query shape is unchanged. Restored
+    * in a finally so the downstream batch aggregate (and every other
+    * key — Verify/Bench run keys sequentially) keeps the session
+    * fan-out.
+    */
+  private def withStateFanout[T](s: SparkSession, n: Int = 8)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 
   val oracles: Map[String, String] = Map(
     "stream_tumbling_agg" ->
