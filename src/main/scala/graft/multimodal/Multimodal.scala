@@ -113,6 +113,59 @@ object Multimodal {
       }
   }
 
+  /** Per-doc block-mean hash record (see [[blockHash]]). */
+  case class MediaBlockHash(doc_id: Long, mime: String, n_bytes: Int,
+                            blockhash: Long)
+
+  /** Block-mean perceptual hash (blockhash-style, decode-free): the
+    * payload is split into `b` equal byte ranges (boundaries
+    * `(i·n) / b` with integer floor); bit i is set iff block i's mean
+    * byte value exceeds the whole-payload mean. Means are compared
+    * CROSS-MULTIPLIED in exact integer arithmetic
+    * (`blockSum·n > totalSum·blockLen`) — no division, no float
+    * boundary, so every engine agrees bit-for-bit. On decoded pixels
+    * this is the classic blockhash image fingerprint; over the opaque
+    * payload it is the same near-dup signature on encoded bytes —
+    * small edits flip only their own block's bit, so Hamming distance
+    * on the signature ranks near-duplicate payloads. Exact up to
+    * payloads of ~2^27 bytes (blockSum·n < 2^63 at byte values ≤255).
+    */
+  def blockHash(bytes: Array[Byte], b: Int): Long = {
+    val n = bytes.length
+    var total = 0L
+    var i = 0
+    while (i < n) { total += bytes(i) & 0xff; i += 1 }
+    var hash = 0L
+    var blk = 0
+    while (blk < b) {
+      val st = (blk.toLong * n / b).toInt
+      val en = ((blk + 1).toLong * n / b).toInt
+      var s = 0L
+      var j = st
+      while (j < en) { s += bytes(j) & 0xff; j += 1 }
+      val len = en - st
+      if (len > 0 && s * n > total * len) hash |= 1L << blk
+      blk += 1
+    }
+    hash
+  }
+
+  /** Per-partition block-hash extraction (same `mapInPandas` batch
+    * shape as [[extractFeatures]]; a real deployment would decode to
+    * pixels per partition before hashing — that decode is the
+    * documented stub, the hashing is real byte work).
+    */
+  def blockHashes(media: DataFrame, b: Int): Dataset[MediaBlockHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "mime", "content").as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, mime, bytes) =>
+          MediaBlockHash(id, mime, bytes.length, blockHash(bytes, b))
+        }
+      }
+  }
+
   /** STUB resize: metadata-only transform (a real impl would re-encode
     * content); keeps the binary payload and rewrites dimensions.
     */

@@ -408,6 +408,33 @@ object Curation {
           expr(s"start_off DIV $B").as("bin_first"),
           expr(s"(start_off + n_tokens - 1) DIV $B").as("bin_last"))
         .orderBy("lang", "doc_id")
+    }),
+
+    // GLOBAL TRAINING SHUFFLE into shards (round 7): the
+    // order-randomization pass between curation and training — every
+    // epoch reader needs the corpus in a reproducible pseudo-random
+    // order, sharded so each trainer rank streams its own files.
+    // Deterministic discipline: shard = md5-fold(doc_id) mod S,
+    // position = rank of the SAME hash within the shard — one hash
+    // shuffle, no rand(), identical on every engine/run/cluster size
+    // (the sample_hash reproducibility rule applied to ordering). At
+    // 100 TB set S = corpus_size / target_shard_size (e.g. 1M shards):
+    // hash-balanced shards bound the per-shard window sort, and the
+    // write is shuffle-partitioned by shard — the same shape
+    // pack_sequences' sharded prefix sum pins.
+    "pipeline_shuffle_shards" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val S = 16
+      TestData.documents(s, d)
+        .withColumn("h28",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+            .cast("long"))
+        .withColumn("shard", (col("h28") % S).cast("int"))
+        .withColumn("pos", row_number().over(
+          W.partitionBy(col("shard")).orderBy(col("h28"), col("doc_id")))
+          - 1)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
     })
   )
 
@@ -519,6 +546,17 @@ object Curation {
         |  start_off // 2048 AS bin_first,
         |  (start_off + n_tokens - 1) // 2048 AS bin_last
         |FROM o ORDER BY lang, doc_id""".stripMargin,
+    // Same 28-bit md5-fold as Spark's conv(substring(md5,1,7),16,10);
+    // shard and in-shard rank are both pure functions of that hash.
+    "pipeline_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 7))::BIGINT AS h28
+        |  FROM documents)
+        |SELECT doc_id, (h28 % 16)::INT AS shard,
+        |  row_number() OVER (PARTITION BY h28 % 16 ORDER BY h28, doc_id) - 1
+        |    AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
     "dedup_decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

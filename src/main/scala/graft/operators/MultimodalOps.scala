@@ -95,6 +95,22 @@ object MultimodalOps {
     // (all-ASCII) text the payload encodes. Only the codec decode
     // itself remains a stub; MultimodalSpec keeps the batch-shape
     // invariants.
+    // Block-mean perceptual hash over the BINARY payload (round 7):
+    // the image/media NEAR-dup signature (multimodal_dedup is the
+    // exact-copy pass; this catches re-encodes/crops that keep the
+    // coarse luminance layout). 16 equal byte ranges, bit i = block
+    // mean > payload mean, compared cross-multiplied in exact integer
+    // arithmetic — map-side only, no shuffle, so hashing 100 TB of
+    // media costs one scan; dedup then groups on (mime, blockhash)
+    // or Hamming-joins signatures exactly like ann_hamming_topk.
+    "multimodal_blockhash" -> ((s, d) =>
+      Multimodal.blockHashes(
+          Multimodal.fromDocuments(TestData.documents(s, d)), 16)
+        .toDF()
+        .select(col("doc_id"), col("mime"),
+          col("n_bytes").cast("long").as("n_bytes"), col("blockhash"))
+        .orderBy("doc_id")),
+
     "multimodal_features" -> ((s, d) =>
       Multimodal.extractFeatures(
           Multimodal.fromDocuments(TestData.documents(s, d)))
@@ -162,6 +178,31 @@ object MultimodalOps {
         |  length(substring(text, (i * 256 + 1)::INT, 256)) AS n_bytes
         |FROM n, LATERAL (SELECT unnest(range(0, nc)) AS i)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // Byte ≡ char on the all-ASCII fixture; block bounds (i·n)//16
+    // and the cross-multiplied mean compare are pure integer
+    // arithmetic on both engines. list_sum floats through DOUBLE in
+    // DuckDB → ::BIGINT at every sum (values ≪ 2^53, exact).
+    "multimodal_blockhash" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3)::INT + 1] AS mime,
+        |    text, length(text) AS n,
+        |    list_sum(list_transform(range(1, length(text) + 1),
+        |      j -> ascii(text[j:j])))::BIGINT AS tsum
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, mime, n, tsum, i,
+        |    ((i + 1) * n) // 16 - (i * n) // 16 AS blen,
+        |    CASE WHEN ((i + 1) * n) // 16 > (i * n) // 16 THEN
+        |      list_sum(list_transform(
+        |        range((i * n) // 16 + 1, ((i + 1) * n) // 16 + 1),
+        |        j -> ascii(text[j:j])))::BIGINT
+        |    ELSE 0 END AS bsum
+        |  FROM m, LATERAL (SELECT unnest(range(16)) AS i))
+        |SELECT doc_id, mime, n AS n_bytes,
+        |  sum(CASE WHEN blen > 0 AND bsum * n > tsum * blen
+        |      THEN 1::BIGINT << i ELSE 0 END)::BIGINT AS blockhash
+        |FROM s GROUP BY doc_id, mime, n ORDER BY doc_id""".stripMargin,
     // Byte ≡ char on this fixture (verified all-ASCII), so the text
     // mirrors the BINARY payload exactly. Entropy terms quantized to
     // integer micro-bits BEFORE the sum on both sides — identical op

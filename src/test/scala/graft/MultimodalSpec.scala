@@ -71,4 +71,25 @@ class MultimodalSpec extends SparkSpec {
       assert(n === (dur + 999) / 1000, "one frame per second of duration")
     }
   }
+
+  test("blockHash: uniform payload hashes to 0; an edit flips only its own block's bit") {
+    // uniform bytes: no block mean strictly exceeds the global mean
+    val uniform = Array.fill[Byte](160)(65)
+    assert(Multimodal.blockHash(uniform, 16) === 0L)
+    // raise bytes in exactly one interior block: that block's mean
+    // rises above the global mean, every other block's falls below —
+    // signature = that single bit (locality is what makes Hamming
+    // distance on the signature a near-dup ranking)
+    for (blk <- Seq(0, 7, 15)) {
+      val edited = uniform.clone()
+      val st = blk * 160 / 16; val en = (blk + 1) * 160 / 16
+      (st until en).foreach(i => edited(i) = 90)
+      assert(Multimodal.blockHash(edited, 16) === (1L << blk),
+        s"edit in block $blk must set exactly bit $blk")
+    }
+    // short payload (fewer bytes than blocks): empty blocks contribute
+    // 0 bits, no exception
+    val tiny = Array[Byte](1, 2, 3)
+    assert(Multimodal.blockHash(tiny, 16) >= 0L)
+  }
 }

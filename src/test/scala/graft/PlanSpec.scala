@@ -360,4 +360,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"),
       s"approx profiler must not expand rows:\n${p.take(800)}")
   }
+
+  test("pipeline_shuffle_shards shuffles once on shard (window), no extra exchange") {
+    val p = plan("pipeline_shuffle_shards")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    // One clustering shuffle for the per-shard rank window; the
+    // trailing orderBy adds a range exchange, nothing else.
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, saw $hashEx:\n${p.take(900)}")
+    assert(p.contains("hashpartitioning(shard"),
+      s"the one shuffle must cluster on shard:\n${p.take(900)}")
+  }
+
+  test("multimodal_blockhash hashes map-side — no shuffle below the final sort") {
+    val p = plan("multimodal_blockhash")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"block hashing must not shuffle the payload:\n${p.take(900)}")
+  }
+
+  test("scan_schema_drift reads both generations, single two-phase aggregate") {
+    val p = plan("scan_schema_drift")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 2, s"expected old+new generation scans, saw $scans:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
 }
