@@ -1009,4 +1009,26 @@ class GraftEngine(val spark: SparkSession) {
       when(within, col("g_ref_ts")).as("ref_ts"),
       when(within, col("g_delta")).as("delta_us")): _*)
   }
+
+  /** Deterministic global training shuffle: assigns every row a
+    * (shard, pos) from the md5-fold of its id — reproducible
+    * pseudo-random order at any cluster size, shard count sized to
+    * target shard bytes at scale (see `pipeline_shuffle_shards`).
+    */
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 7), 16, 10)
+      .cast("long")
+    df.withColumn("g_h28", h)
+      .withColumn("shard", (col("g_h28") % numShards).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("g_h28"), col(idCol))) - 1)
+      .drop("g_h28")
+  }
+
+  /** Block-mean perceptual hash per media payload (see
+    * `multimodal_blockhash`): near-dup signature over the opaque
+    * BINARY column; Hamming distance on the result ranks candidates.
+    */
+  def mediaBlockHashes(media: DataFrame, blocks: Int = 16): DataFrame =
+    graft.multimodal.Multimodal.blockHashes(media, blocks).toDF()
 }

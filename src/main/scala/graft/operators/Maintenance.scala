@@ -270,10 +270,68 @@ object Maintenance {
         .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
           "(col_name, n_nulls, n_distinct, min_v, max_v)"))
         .orderBy("col_name")
+    }),
+
+    // DRIFT MONITORING via Population Stability Index (round 7): the
+    // standard serving/training distribution-shift check — fixed
+    // equal-width bins over the monitored metric, reference vs
+    // current populations split at a cutover date, per-bin PSI term
+    // (p_ref − p_cur)·ln(p_ref/p_cur) quantized to integer MICRO-
+    // UNITS before any summing (the repo's quantize-before-sum rule
+    // for transcendental terms: identical op order both engines, the
+    // downstream total is an order-free BIGINT sum). FIXED bins (not
+    // quantiles) keep the pass one map-side scan + a 10-row
+    // aggregate at any corpus size; bins empty on either side emit
+    // NULL terms (standard PSI epsilon-handling is a policy choice —
+    // surfacing the empty bin beats silently smoothing it).
+    "profile_drift_psi" -> ((s, d) => {
+      val cut = lit("1998-07-01").cast("timestamp")
+      val totals = TestData.orders(s, d)
+        .withColumn("bin",
+          least(lit(9), floor(col("o_totalprice") / 50000)).cast("int"))
+        .groupBy("bin")
+        .agg(sum(when(col("o_orderdate") < cut, 1L).otherwise(0L)).as("n_ref"),
+             sum(when(col("o_orderdate") >= cut, 1L).otherwise(0L)).as("n_cur"))
+      val W = org.apache.spark.sql.expressions.Window
+      totals
+        .withColumn("t_ref", sum("n_ref").over(W.partitionBy()))
+        .withColumn("t_cur", sum("n_cur").over(W.partitionBy()))
+        .withColumn("psi_term_u",
+          when(col("n_ref") > 0 && col("n_cur") > 0,
+            floor(((col("n_ref") / col("t_ref"))
+                 - (col("n_cur") / col("t_cur")))
+              * log((col("n_ref") / col("t_ref"))
+                  / (col("n_cur") / col("t_cur")))
+              * 1000000 + 0.5).cast("long")))
+        .select("bin", "n_ref", "n_cur", "psi_term_u")
+        .orderBy("bin")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // Identical op order to the Spark side: p = n::DOUBLE / total,
+    // term = (p_ref − p_cur)·ln(p_ref/p_cur), floor(·1e6 + 0.5).
+    // sum(..) OVER () is HUGEINT in DuckDB → ::BIGINT (CLAUDE.md trap).
+    "profile_drift_psi" ->
+      """WITH b AS (
+        |  SELECT least(9, floor(o_totalprice / 50000))::INT AS bin,
+        |    sum(CASE WHEN o_orderdate < TIMESTAMP '1998-07-01'
+        |        THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+        |    sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-07-01'
+        |        THEN 1 ELSE 0 END)::BIGINT AS n_cur
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT bin, n_ref, n_cur,
+        |    (sum(n_ref) OVER ())::BIGINT AS t_ref,
+        |    (sum(n_cur) OVER ())::BIGINT AS t_cur
+        |  FROM b)
+        |SELECT bin, n_ref, n_cur,
+        |  CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+        |    floor(((n_ref::DOUBLE / t_ref) - (n_cur::DOUBLE / t_cur))
+        |      * ln((n_ref::DOUBLE / t_ref) / (n_cur::DOUBLE / t_cur))
+        |      * 1000000 + 0.5)::BIGINT
+        |  END AS psi_term_u
+        |FROM t ORDER BY bin""".stripMargin,
     // Content parity straight off the fixture: if compaction changed
     // (or dropped, or duplicated) a single row, n / id_checksum /
     // sum_value diverge.

@@ -148,6 +148,31 @@ object Scans {
         .orderBy("event_type")
     }),
 
+    // RECURSIVE CTE through the SQL surface (Spark 4 WITH RECURSIVE,
+    // verified supported in this build): every doc is a node of an
+    // implicit binary tree (parent(i) = (i-1) DIV 2), and the
+    // recursion walks each node's ancestor path to the root
+    // accumulating depth and path character mass — the hierarchy-
+    // rollup shape (org charts, thread trees, taxonomy paths) that
+    // plain joins can't express at unknown depth. Iterations are
+    // bounded by log2(N), and each step is a hash join on the parent
+    // id — at 100 TB the recursion is |levels| shuffles, not a
+    // quadratic closure.
+    "sql_recursive_cte" -> ((s, d) => {
+      TestData.documents(s, d).createOrReplaceTempView("v_documents")
+      s.sql(
+        """WITH RECURSIVE anc(doc_id, cur, depth, path_chars) AS (
+          |  SELECT doc_id, doc_id, 0, n_chars FROM v_documents
+          |  UNION ALL
+          |  SELECT a.doc_id, (a.cur - 1) DIV 2, a.depth + 1,
+          |         a.path_chars + d.n_chars
+          |  FROM anc a JOIN v_documents d ON d.doc_id = (a.cur - 1) DIV 2
+          |  WHERE a.cur > 0
+          |)
+          |SELECT doc_id, max(depth) AS depth, max(path_chars) AS path_chars
+          |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    }),
+
     // The spark.sql TEXT surface end-to-end: temp views + one SQL
     // string through the full parser → analyzer → optimizer path —
     // same Catalyst plan the DataFrame keys get, demonstrated as the
@@ -202,6 +227,18 @@ object Scans {
     "sink_parquet_partitioned" ->
       """SELECT event_type, count(*) AS n, floor((sum(value))*10000 + 0.5)/10000 AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Same recursion in DuckDB dialect (`//` integer division).
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE anc(doc_id, cur, depth, path_chars) AS (
+        |  SELECT doc_id, doc_id, 0, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT a.doc_id, (a.cur - 1) // 2, a.depth + 1,
+        |         a.path_chars + d.n_chars
+        |  FROM anc a JOIN documents d ON d.doc_id = (a.cur - 1) // 2
+        |  WHERE a.cur > 0
+        |)
+        |SELECT doc_id, max(depth) AS depth, max(path_chars) AS path_chars
+        |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "sql_end_to_end" ->
       """SELECT c_mktsegment, o_orderpriority, count(*) AS n,
         |  floor(sum(l_extendedprice * (1 - l_discount))*10000 + 0.5)/10000

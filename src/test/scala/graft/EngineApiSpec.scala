@@ -662,4 +662,31 @@ class EngineApiSpec extends SparkSpec {
     // cohort wk0 (user 1): offsets 0,1,2; cohort wk1 (user 2): offset 0
     assert(got === Map(0L -> 2L, 1L -> 1L, 2L -> 1L), s"got $got")
   }
+
+  test("shuffleShards facade matches the pipeline_shuffle_shards declared key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("pipeline_shuffle_shards")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.shuffleShards(TestData.documents(spark, d), "doc_id", 16)
+      .select("doc_id", "shard", "pos").orderBy("shard", "pos")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+    // positions are a permutation of 0..n-1 within each shard
+    val byShard = viaApi.groupBy(_(1))
+    byShard.foreach { case (_, rows) =>
+      assert(rows.map(_(2).asInstanceOf[Int]).sorted === (0 until rows.size).toList)
+    }
+  }
+
+  test("mediaBlockHashes facade matches the multimodal_blockhash declared key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("multimodal_blockhash")(spark, d)
+      .select("doc_id", "blockhash").collect().map(_.toSeq).toSeq
+    val media = graft.multimodal.Multimodal.fromDocuments(
+      TestData.documents(spark, d))
+    val viaApi = engine.mediaBlockHashes(media, 16)
+      .select("doc_id", "blockhash").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
 }
