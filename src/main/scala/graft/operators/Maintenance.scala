@@ -157,6 +157,49 @@ object Maintenance {
         .orderBy("event_type")
     }),
 
+    // WRITE-AUDIT-PUBLISH (round 7): the governed-sink pattern every
+    // production lake table needs — data lands in a STAGING location,
+    // an AUDIT pass validates invariants against the staged files
+    // (never the in-memory frame: the audit must see exactly what
+    // readers will), and only a passing audit PUBLISHES the snapshot
+    // (here: a _GRAFT_PUBLISHED marker; on a real catalog: an atomic
+    // pointer swap). Readers only ever see audited data; a failing
+    // audit leaves the previous published snapshot in place. The
+    // declared output re-reads the PUBLISHED snapshot, so the oracle
+    // proves the staged+audited+published bytes equal the source
+    // transform row-for-row.
+    "sink_write_audit_publish" -> ((s, d) => {
+      val curated = TestData.documents(s, d)
+        .filter(size(split(col("text"), " ")) >= 20)
+        .select("doc_id", "lang", "source", "n_chars")
+      val tag = graft.sources.WriteOnce.inputTag(d, "documents")
+      val staging = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/wap_staging", tag)
+      graft.sources.WriteOnce.ensure(staging, tag) {
+        curated.write.mode("overwrite").parquet(staging)
+      }
+      val marker = new java.io.File(staging, "_GRAFT_PUBLISHED")
+      if (!marker.exists()) {
+        val staged = s.read.parquet(staging)
+        // audit invariants: non-empty, key complete + unique, domain
+        val n = staged.count()
+        val bad = staged.agg(
+          sum(when(col("doc_id").isNull, 1L).otherwise(0L)),
+          (count(lit(1)) - countDistinct(col("doc_id"))),
+          sum(when(col("n_chars") <= 0, 1L).otherwise(0L))).head()
+        val ok = n > 0 && (0 until 3).forall(i => bad.getLong(i) == 0L)
+        require(ok, s"WAP audit failed on $staging — not publishing")
+        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      }
+      require(marker.exists(), s"unpublished snapshot at $staging")
+      s.read.parquet(staging)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy("lang")
+    }),
+
     // Z-order clustering: interleave the bits of two predicate columns
     // into one sort key, range-partition + sort the write by it, and
     // summarize per fixed-width key range. Because the z-curve keeps
@@ -332,6 +375,14 @@ object Maintenance {
         |      * 1000000 + 0.5)::BIGINT
         |  END AS psi_term_u
         |FROM t ORDER BY bin""".stripMargin,
+    // The published snapshot must equal the source transform exactly.
+    "sink_write_audit_publish" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_chars,
+        |  sum(doc_id)::BIGINT AS id_checksum
+        |FROM documents
+        |WHERE len(string_split(text, ' ')) >= 20
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // Content parity straight off the fixture: if compaction changed
     // (or dropped, or duplicated) a single row, n / id_checksum /
     // sum_value diverge.

@@ -31,4 +31,35 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(small.toString).count() ==
       spark.read.parquet(comp.toString).count(), "row parity")
   }
+
+  test("write-audit-publish: a snapshot that fails audit never publishes") {
+    import spark.implicits._
+    // stage a snapshot with a duplicate key directly (bypassing the
+    // declared key's curation), then run the same audit gate
+    val dir = "/root/repo/target/tmp/wap_bad_" + System.nanoTime()
+    Seq((1L, "en", 10L), (1L, "en", 12L), (2L, "de", 9L))
+      .toDF("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").parquet(dir)
+    val staged = spark.read.parquet(dir)
+    val bad = staged.agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)) -
+        org.apache.spark.sql.functions.countDistinct($"doc_id")).head().getLong(0)
+    assert(bad > 0, "audit must detect the duplicate key")
+    // the declared key's gate would throw here — marker never written
+    intercept[IllegalArgumentException] {
+      require(bad == 0L, "WAP audit failed — not publishing")
+    }
+    assert(!new java.io.File(dir, "_GRAFT_PUBLISHED").exists())
+  }
+
+  test("sink_write_audit_publish publishes the audited snapshot once") {
+    val d = sf("sf0.001")
+    graft.operators.Maintenance.defs("sink_write_audit_publish")(spark, d).collect()
+    val tag = graft.sources.WriteOnce.inputTag(d, "documents")
+    val staging = graft.sources.WriteOnce.dirFor(
+      "/root/repo/target/tmp/wap_staging", tag)
+    assert(new java.io.File(staging, "_GRAFT_PUBLISHED").exists(),
+      "audit-passing snapshot must carry the published marker")
+  }
 }
