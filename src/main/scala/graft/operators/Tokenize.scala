@@ -85,7 +85,38 @@ object Tokenize {
 
   val defs: Map[String, Q] = Map(
     "pipeline_bpe_merges" -> ((s, d) =>
-      bpeMerges(TestData.documents(s, d), rounds = 3).orderBy("round"))
+      bpeMerges(TestData.documents(s, d), rounds = 3).orderBy("round")),
+
+    // TOKENIZER APPLICATION (round 7) — the encode pass that pairs
+    // with the learning pass above: the 3 learned merges are applied
+    // greedily (same [[applyMerge]] semantics) to every word, and the
+    // corpus reports its post-BPE token count per document. Scale
+    // shape: merges apply to the DISTINCT-WORD table (vocabulary-
+    // sized, Zipf-bounded), which then broadcast-joins back to the
+    // (doc, word) stream — the corpus itself is never folded. At
+    // production merge counts (~30k) the per-word fold becomes a
+    // trie-compiled custom expression; the vocab-level apply +
+    // broadcast join shape is unchanged. Learned merges are a
+    // 3-row driver collect (bounded).
+    "pipeline_bpe_apply" -> ((s, d) => {
+      val docs = TestData.documents(s, d)
+      val mseq = bpeMerges(docs, rounds = 3).orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2)))
+      val dw = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val vocabTok = dw.select("word").distinct()
+        .withColumn("syms", expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      val enc = mseq.foldLeft(vocabTok) { case (df, (a, b)) =>
+        df.withColumn("syms", applyMerge(col("syms"), a, b))
+      }.select(col("word"), size(col("syms")).as("n_sym"))
+      dw.join(broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+             sum(col("n_sym").cast("long")).as("n_tokens"))
+        .orderBy("doc_id")
+    })
   )
 
   /** One merge round in DuckDB: pair-count the current vocabulary,
@@ -107,7 +138,51 @@ object Tokenize {
        |      ELSE acc || chr(1) || x END), chr(1)) AS syms, n
        |  FROM $prev CROSS JOIN t$t)""".stripMargin
 
+  /** Apply merge round t's (ma, mb) to a per-word symbol list — the
+    * same string-accumulator greedy fold as [[roundCtes]], carrying
+    * the word key instead of the frequency.
+    */
+  private def applyCte(prev: String, t: String, next: String): String =
+    s"""$next AS (
+       |  SELECT word, string_split(list_reduce(syms, (acc, x) -> CASE
+       |      WHEN x = mb AND (acc = ma OR ends_with(acc, chr(1) || ma))
+       |      THEN substring(acc, 1, length(acc) - length(ma)) || ma || mb
+       |      ELSE acc || chr(1) || x END), chr(1)) AS syms
+       |  FROM $prev CROSS JOIN t$t)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // Learn t1..t3 with the SAME CTEs as pipeline_bpe_merges, apply
+    // them per DISTINCT word, then join back to the (doc, word)
+    // stream — mirroring the Spark vocab-level apply exactly.
+    "pipeline_bpe_apply" ->
+      s"""WITH w AS (
+        |  SELECT word, count(*)::BIGINT AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE length(word) > 0 GROUP BY 1),
+        |v0 AS (
+        |  SELECT list_transform(range(1, length(word) + 1),
+        |           i -> substring(word, i, 1)) AS syms, n
+        |  FROM w),
+        |${roundCtes("v0", "1", "v1")},
+        |${roundCtes("v1", "2", "v2")},
+        |${roundCtes("v2", "3", "v3")},
+        |as0 AS (
+        |  SELECT word, list_transform(range(1, length(word) + 1),
+        |           i -> substring(word, i, 1)) AS syms
+        |  FROM w),
+        |${applyCte("as0", "1", "as1")},
+        |${applyCte("as1", "2", "as2")},
+        |${applyCte("as2", "3", "as3")},
+        |dw AS (
+        |  SELECT doc_id, word
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE length(word) > 0)
+        |SELECT doc_id, count(*)::BIGINT AS n_words,
+        |  sum(len(syms))::BIGINT AS n_tokens
+        |FROM dw JOIN as3 USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "pipeline_bpe_merges" ->
       s"""WITH w AS (
         |  SELECT word, count(*)::BIGINT AS n

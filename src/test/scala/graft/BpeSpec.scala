@@ -70,4 +70,29 @@ class BpeSpec extends SparkSpec {
     // pairs: (aa,a)=1, (a,b)=2, (aa,b)=1
     assert(m(1)._2 === "a" && m(1)._3 === "b" && m(1)._5 === 2L)
   }
+
+  test("bpe apply: token counts are bounded by chars and lossless per word") {
+    val dir = sf("sf0.001")
+    val got = Tokenize.defs("pipeline_bpe_apply")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // every doc: n_words <= n_tokens <= total word chars
+    val charCounts = TestData.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nw"), sum(length(col("w"))).as("nc"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    got.foreach { case (id, nWords, nTokens) =>
+      val (nw, nc) = charCounts(id)
+      assert(nWords === nw, s"doc $id word count")
+      assert(nTokens >= nWords && nTokens <= nc,
+        s"doc $id: $nWords <= $nTokens <= $nc violated")
+    }
+    // the 3 learned merges actually compress: total tokens < total chars
+    val totalTok = got.map(_._3).sum
+    val totalChars = charCounts.values.map(_._2).sum
+    assert(totalTok < totalChars, s"merges must compress: $totalTok vs $totalChars")
+  }
 }
