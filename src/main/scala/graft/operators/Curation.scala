@@ -410,6 +410,56 @@ object Curation {
         .orderBy("lang", "doc_id")
     }),
 
+    // URL-CANONICAL DEDUP (round 7): the crawl-frontier pass that
+    // runs BEFORE content dedup — the same page reached via scheme/
+    // host case variants, default ports, tracking params, param
+    // order, or fragments must collapse to ONE canonical URL. The
+    // fixture synthesizes deterministically messy URLs (case-varied
+    // scheme/host, :443 default port, utm_ param, shuffled param
+    // order, #fragment — and doc_id mod 50 path collisions so real
+    // duplicate groups exist), and the canonicalizer works ON THE URL
+    // STRING alone: lowercase scheme+host, strip the default port,
+    // drop utm_* params, sort the rest, drop the fragment. The oracle
+    // derives the canonical form INDEPENDENTLY from the generating
+    // columns, so it checks the string-level canonicalizer, not a
+    // shared implementation. Map-side projection + one hash-groupBy —
+    // the dedup_exact_hash shape at any corpus size.
+    "dedup_url_canonical" -> ((s, d) => {
+      val messy = TestData.documents(s, d).withColumn("url", concat(
+        when(col("doc_id") % 2 === 0, lit("https")).otherwise(lit("HTTPS")),
+        lit("://"),
+        when(col("doc_id") % 3 === 0, upper(col("source")))
+          .otherwise(col("source")),
+        lit(".example.com"),
+        when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/"), col("lang"), lit("/doc/"),
+        (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("?b=2&utm_source=feed&a=1"))
+          .otherwise(lit("?a=1&b=2")),
+        when(col("doc_id") % 7 === 0, lit("#sec")).otherwise(lit(""))))
+      val canon = messy
+        .withColumn("nofrag", regexp_replace(col("url"), "#.*$", ""))
+        .withColumn("scheme",
+          lower(regexp_extract(col("nofrag"), "^([a-zA-Z]+)://", 1)))
+        .withColumn("host", lower(regexp_replace(
+          regexp_extract(col("nofrag"), "^[a-zA-Z]+://([^/?#]+)", 1),
+          ":443$", "")))
+        .withColumn("path",
+          regexp_extract(col("nofrag"), "://[^/?#]+(/[^?#]*)", 1))
+        .withColumn("q", regexp_extract(col("nofrag"), "\\?([^#]*)", 1))
+        .withColumn("qs", expr(
+          "array_join(array_sort(filter(split(q, '&'), " +
+            "p -> substring(p, 1, 4) != 'utm_' AND p != '')), '&')"))
+        .withColumn("canonical_url", concat(
+          col("scheme"), lit("://"), col("host"), col("path"),
+          when(col("qs") =!= "", concat(lit("?"), col("qs")))
+            .otherwise(lit(""))))
+      canon.groupBy("canonical_url")
+        .agg(min(col("doc_id")).as("survivor_id"),
+             count(lit(1)).as("n_copies"))
+        .orderBy("canonical_url")
+    }),
+
     // GLOBAL TRAINING SHUFFLE into shards (round 7): the
     // order-randomization pass between curation and training — every
     // epoch reader needs the corpus in a reproducible pseudo-random
@@ -546,6 +596,16 @@ object Curation {
         |  start_off // 2048 AS bin_first,
         |  (start_off + n_tokens - 1) // 2048 AS bin_last
         |FROM o ORDER BY lang, doc_id""".stripMargin,
+    // Canonical form derived INDEPENDENTLY from the generating
+    // columns (never from the messy string) — every variant
+    // normalizes to https://<source>.example.com/<lang>/doc/<id%50>
+    // with the sorted non-tracking params.
+    "dedup_url_canonical" ->
+      """SELECT 'https://' || source || '.example.com/' || lang ||
+        |    '/doc/' || (doc_id % 50)::VARCHAR || '?a=1&b=2' AS canonical_url,
+        |  min(doc_id) AS survivor_id, count(*)::BIGINT AS n_copies
+        |FROM documents
+        |GROUP BY 1 ORDER BY canonical_url""".stripMargin,
     // Same 28-bit md5-fold as Spark's conv(substring(md5,1,7),16,10);
     // shard and in-shard rank are both pure functions of that hash.
     "pipeline_shuffle_shards" ->
