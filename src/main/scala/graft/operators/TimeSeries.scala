@@ -460,6 +460,39 @@ object TimeSeries {
             .as("conv_rate"))
         .orderBy("variant")),
 
+    // A/B SIGNIFICANCE (round 7): the two-proportion z-test that
+    // turns events_ab_lift's rates into a ship/no-ship decision —
+    // here on the EVENT-grain purchase share (per-user conversion is
+    // degenerate on this fixture: every user converts, p_pool = 1 and
+    // the z denominator is sqrt(0)). Variants still randomize by USER
+    // hash (clustered assignment, the standard design); all inputs
+    // are EXACT BIGINT counts and the z statistic is one closed-form
+    // IEEE expression over them with op order mirrored verbatim in
+    // the oracle — no order-dependent float aggregation anywhere, so
+    // both engines agree bit-for-bit before the r4 quantize. One
+    // map-side flag + a 2-group aggregate at any scale.
+    "events_ab_significance" -> ((s, d) =>
+      TestData.events(s, d)
+        .withColumn("t",
+          (conv(substring(md5(col("user_id").cast("string")), 1, 2), 16, 10)
+            .cast("int") % 2 =!= 0).cast("int"))
+        .withColumn("purch",
+          when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .agg(
+          sum(when(col("t") === 0, 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("t") === 1, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("t") === 0, col("purch")).otherwise(0L)).as("x_c"),
+          sum(when(col("t") === 1, col("purch")).otherwise(0L)).as("x_t"))
+        .withColumn("p_pool",
+          (col("x_c") + col("x_t")) / (col("n_c") + col("n_t")))
+        .withColumn("z",
+          (col("x_t") / col("n_t") - col("x_c") / col("n_c"))
+            / sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
+              * (lit(1.0) / col("n_c") + lit(1.0) / col("n_t"))))
+        .select(col("n_c"), col("n_t"), col("x_c"), col("x_t"),
+          r4(col("z")).as("z_score"),
+          (abs(col("z")) > lit(1.959964)).as("significant_95"))),
+
     // Truncated EWMA smoothing (α=0.5, 8 taps): a fixed-weight FIR
     // over the last 8 observations per user, weights renormalized at
     // series starts. One window shuffle on user_id; the 8-term sum is
@@ -665,6 +698,34 @@ object TimeSeries {
         |  floor((sum(converted)::DOUBLE / count(*))*10000 + 0.5)/10000
         |    AS conv_rate
         |FROM v GROUP BY 1 ORDER BY variant""".stripMargin,
+    // z computed from the same BIGINT counts with the identical
+    // closed-form op order — bit-identical IEEE before the r4.
+    "events_ab_significance" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))::INT
+        |    % 2 = 0 THEN 0 ELSE 1 END AS t,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS purch
+        |  FROM events),
+        |s AS (
+        |  SELECT
+        |    sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+        |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+        |    sum(CASE WHEN t = 0 THEN purch ELSE 0 END)::BIGINT AS x_c,
+        |    sum(CASE WHEN t = 1 THEN purch ELSE 0 END)::BIGINT AS x_t
+        |  FROM v),
+        |p AS (
+        |  SELECT n_c, n_t, x_c, x_t,
+        |    (x_c + x_t) / (n_c + n_t) AS p_pool
+        |  FROM s),
+        |z AS (
+        |  SELECT n_c, n_t, x_c, x_t,
+        |    (x_t / n_t - x_c / n_c)
+        |      / sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_c + 1.0 / n_t)) AS z
+        |  FROM p)
+        |SELECT n_c, n_t, x_c, x_t,
+        |  floor(z*10000 + 0.5)/10000 AS z_score,
+        |  abs(z) > 1.959964 AS significant_95
+        |FROM z""".stripMargin,
     "ts_ewma_smooth" ->
       """WITH e AS (
         |  SELECT event_id, user_id, ts, value FROM events
