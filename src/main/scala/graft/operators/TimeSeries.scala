@@ -40,6 +40,43 @@ object TimeSeries {
         .orderBy("day")
     }),
 
+    // SEASONAL DECOMPOSITION, STL-lite (round 7): hourly click counts
+    // split into trend + seasonal + remainder — the classical
+    // moving-average decomposition (trend = centered ±12 h window
+    // mean; seasonal = hour-of-day mean of the detrended residual;
+    // remainder = the rest). Cross-engine determinism: EVERY
+    // aggregation stays integer until a final division — trend is
+    // sum(cnt)/count over the RANGE frame (exact BIGINTs; never
+    // avg(), whose internal accumulation order differs between
+    // Spark's running frame and DuckDB's segment tree), and the
+    // residual is quantized to integer micro-units BEFORE the
+    // hour-of-day mean. The hourly grid is time-sized (720 rows/
+    // month), not corpus-sized, so the unpartitioned windows are a
+    // deliberate single-task tail on a tiny table; per-series keys at
+    // scale would partition them.
+    "ts_decompose_seasonal" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val hourly = TestData.events(s, d)
+        .filter(col("event_type") === "click")
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val wT = W.orderBy(col("hr")).rangeBetween(-12, 12)
+      val detrended = hourly
+        .withColumn("trend",
+          sum(col("cnt")).over(wT) / count(lit(1)).over(wT))
+        .withColumn("r_u",
+          floor((col("cnt") - col("trend")) * 1000000 + 0.5).cast("long"))
+      val wS = W.partitionBy(col("hr") % 24)
+      detrended
+        .withColumn("seasonal",
+          (sum(col("r_u")).over(wS) / count(lit(1)).over(wS)) / 1000000.0)
+        .select(col("hr"), col("cnt"),
+          r4(col("trend")).as("trend"),
+          r4(col("seasonal")).as("seasonal"),
+          r4(col("cnt") - col("trend") - col("seasonal")).as("remainder"))
+        .orderBy("hr")
+    }),
+
     // Linear interpolation across the gap-filled daily grid: missing
     // days get prev + (next − prev) · elapsed/gap instead of zero —
     // the standard resampling companion to `ts_gap_fill`. Prev/next
@@ -726,6 +763,32 @@ object TimeSeries {
         |  floor(z*10000 + 0.5)/10000 AS z_score,
         |  abs(z) > 1.959964 AS significant_95
         |FROM z""".stripMargin,
+    // Integer sums + a single division mirror Spark's Long/Long →
+    // double exactly; the residual quantizes to micro-units BEFORE
+    // the hour-of-day mean (order-free BIGINT sum both engines).
+    "ts_decompose_seasonal" ->
+      """WITH h AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*)::BIGINT AS cnt
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |t AS (
+        |  SELECT hr, cnt,
+        |    (sum(cnt) OVER w)::BIGINT::DOUBLE / (count(*) OVER w) AS trend
+        |  FROM h WINDOW w AS (ORDER BY hr RANGE BETWEEN 12 PRECEDING
+        |    AND 12 FOLLOWING)),
+        |r AS (
+        |  SELECT hr, cnt, trend,
+        |    floor((cnt - trend) * 1000000 + 0.5)::BIGINT AS r_u
+        |  FROM t),
+        |s AS (
+        |  SELECT hr, cnt, trend,
+        |    ((sum(r_u) OVER p)::BIGINT::DOUBLE / (count(*) OVER p))
+        |      / 1000000.0 AS seasonal
+        |  FROM r WINDOW p AS (PARTITION BY hr % 24))
+        |SELECT hr, cnt,
+        |  floor(trend*10000 + 0.5)/10000 AS trend,
+        |  floor(seasonal*10000 + 0.5)/10000 AS seasonal,
+        |  floor((cnt - trend - seasonal)*10000 + 0.5)/10000 AS remainder
+        |FROM s ORDER BY hr""".stripMargin,
     "ts_ewma_smooth" ->
       """WITH e AS (
         |  SELECT event_id, user_id, ts, value FROM events
