@@ -135,6 +135,27 @@ object ScalePatterns {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // TRAIN/VAL/TEST SPLIT (round 7): the 80/10/10 split every
+    // training pipeline runs, with the same deterministic md5
+    // discipline as sample_hash — a document's split is a pure
+    // function of its id (byte bucket < 204 / < 230 / rest of 256),
+    // so the split reproduces across engines, runs, cluster sizes,
+    // AND incremental corpus growth (new docs never move old docs
+    // between splits — the property rand()-based splits lose). One
+    // map-side scan + a strata-sized aggregate.
+    "sample_train_split" -> ((s, d) =>
+      TestData.documents(s, d)
+        .withColumn("u",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+            .cast("int"))
+        .withColumn("split",
+          when(col("u") < 204, "train")
+            .when(col("u") < 230, "val").otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split", "lang")),
+
     // WEIGHTED (Poisson/Bernoulli) sampling: keep each order with
     // probability ∝ its weight (o_totalprice) — the importance-
     // sampling discipline a data-mixing pipeline uses to up-weight
@@ -251,6 +272,17 @@ object ScalePatterns {
         |WHERE substring(md5(doc_id::VARCHAR), 1, 2)
         |  < CASE WHEN lang = 'en' THEN '80' ELSE '20' END
         |ORDER BY doc_id""".stripMargin,
+    "sample_train_split" ->
+      """WITH s AS (
+        |  SELECT lang, n_chars,
+        |    CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 2))::INT < 204
+        |      THEN 'train'
+        |    WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 2))::INT < 230
+        |      THEN 'val' ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_chars
+        |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "sample_weighted" ->
       """SELECT o_orderkey, o_totalprice AS weight,
         |  ('0x' || substring(md5(o_orderkey::VARCHAR), 1, 7))::BIGINT AS u28
