@@ -1031,4 +1031,65 @@ class GraftEngine(val spark: SparkSession) {
     */
   def mediaBlockHashes(media: DataFrame, blocks: Int = 16): DataFrame =
     graft.multimodal.Multimodal.blockHashes(media, blocks).toDF()
+
+  /** URL canonicalization (see `dedup_url_canonical`): lowercase
+    * scheme+host, strip default :443 port, drop utm_* params, sort
+    * the rest, drop the fragment. Map-side; group the result for
+    * crawl-frontier dedup.
+    */
+  def canonicalizeUrl(url: Column): Column =
+    graft.operators.Curation.canonicalUrl(url)
+
+  /** Deterministic train/val/test assignment (see
+    * `sample_train_split`): adds a `split` column that is a pure
+    * function of `idCol`'s md5 — reproducible across engines, runs,
+    * cluster sizes, and STABLE under incremental corpus growth (new
+    * rows never move old rows between splits). Fractions quantize to
+    * 1/256 buckets.
+    */
+  def trainValTestSplit(df: DataFrame, idCol: String,
+                        trainPct: Double = 0.8,
+                        valPct: Double = 0.1): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 1.0,
+      s"invalid split fractions ($trainPct, $valPct)")
+    val tCut = math.round(trainPct * 256).toInt
+    val vCut = math.round((trainPct + valPct) * 256).toInt
+    df.withColumn("split",
+      when(conv(substring(md5(col(idCol).cast("string")), 1, 2), 16, 10)
+        .cast("int") < tCut, "train")
+        .when(conv(substring(md5(col(idCol).cast("string")), 1, 2), 16, 10)
+          .cast("int") < vCut, "val")
+        .otherwise(lit("test")))
+  }
+
+  /** Population Stability Index between a reference and a current
+    * population of `valueCol` over `bins` equal-width buckets on
+    * [lo, hi] (values outside clamp to the edge buckets — see
+    * `profile_drift_psi`). Returns per-bin counts and the PSI term in
+    * integer micro-units (NULL when a side is empty in that bin);
+    * sum the terms for the headline PSI. One map-side scan per side +
+    * a bins-sized aggregate at any scale.
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+               lo: Double, hi: Double, bins: Int = 10): DataFrame = {
+    require(bins > 1 && hi > lo, "need bins > 1 and hi > lo")
+    val width = (hi - lo) / bins
+    def binned(df: DataFrame, n: String) = df.select(
+      greatest(lit(0), least(lit(bins - 1),
+        floor((col(valueCol) - lo) / width).cast("int"))).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(n))
+    val W = Window.partitionBy()
+    binned(ref, "n_ref")
+      .join(binned(cur, "n_cur"), Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .withColumn("t_ref", sum("n_ref").over(W))
+      .withColumn("t_cur", sum("n_cur").over(W))
+      .withColumn("psi_term_u",
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          floor(((col("n_ref") / col("t_ref")) - (col("n_cur") / col("t_cur")))
+            * log((col("n_ref") / col("t_ref")) / (col("n_cur") / col("t_cur")))
+            * 1000000 + 0.5).cast("long")))
+      .select("bin", "n_ref", "n_cur", "psi_term_u")
+      .orderBy("bin")
+  }
 }

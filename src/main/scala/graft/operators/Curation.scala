@@ -21,6 +21,26 @@ import graft.TestData.r4
 object Curation {
   type Q = (SparkSession, String) => DataFrame
 
+  /** URL canonicalization as a reusable Column function (the
+    * `dedup_url_canonical` core; also exposed as
+    * `GraftEngine.canonicalizeUrl`): lowercase scheme+host, strip the
+    * default :443 port, drop utm_* tracking params, sort the rest,
+    * drop the fragment. Pure map-side string work.
+    */
+  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nofrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(nofrag, "^([a-zA-Z]+)://", 1))
+    val host = lower(regexp_replace(
+      regexp_extract(nofrag, "^[a-zA-Z]+://([^/?#]+)", 1), ":443$", ""))
+    val path = regexp_extract(nofrag, "://[^/?#]+(/[^?#]*)", 1)
+    val q = regexp_extract(nofrag, "\\?([^#]*)", 1)
+    val qs = array_join(
+      array_sort(filter(split(q, "&"),
+        p => substring(p, 1, 4) =!= "utm_" && p =!= "")), "&")
+    concat(scheme, lit("://"), host, path,
+      when(qs =!= "", concat(lit("?"), qs)).otherwise(lit("")))
+  }
+
   private def shingles(text: org.apache.spark.sql.Column, k: Int) = {
     import org.apache.spark.sql.graft.Bridge
     Bridge.column(graft.functions.WordShingles(
@@ -438,22 +458,7 @@ object Curation {
           .otherwise(lit("?a=1&b=2")),
         when(col("doc_id") % 7 === 0, lit("#sec")).otherwise(lit(""))))
       val canon = messy
-        .withColumn("nofrag", regexp_replace(col("url"), "#.*$", ""))
-        .withColumn("scheme",
-          lower(regexp_extract(col("nofrag"), "^([a-zA-Z]+)://", 1)))
-        .withColumn("host", lower(regexp_replace(
-          regexp_extract(col("nofrag"), "^[a-zA-Z]+://([^/?#]+)", 1),
-          ":443$", "")))
-        .withColumn("path",
-          regexp_extract(col("nofrag"), "://[^/?#]+(/[^?#]*)", 1))
-        .withColumn("q", regexp_extract(col("nofrag"), "\\?([^#]*)", 1))
-        .withColumn("qs", expr(
-          "array_join(array_sort(filter(split(q, '&'), " +
-            "p -> substring(p, 1, 4) != 'utm_' AND p != '')), '&')"))
-        .withColumn("canonical_url", concat(
-          col("scheme"), lit("://"), col("host"), col("path"),
-          when(col("qs") =!= "", concat(lit("?"), col("qs")))
-            .otherwise(lit(""))))
+        .withColumn("canonical_url", canonicalUrl(col("url")))
       canon.groupBy("canonical_url")
         .agg(min(col("doc_id")).as("survivor_id"),
              count(lit(1)).as("n_copies"))

@@ -678,6 +678,49 @@ class EngineApiSpec extends SparkSpec {
     }
   }
 
+  test("canonicalizeUrl collapses case/port/tracking/order/fragment variants") {
+    val urls = Seq(
+      "https://Site.Example.com:443/a/b?z=1&utm_source=x&a=2#frag",
+      "HTTPS://site.example.com/a/b?a=2&z=1",
+      "https://site.example.com/a/b?utm_campaign=y&z=1&a=2")
+      .toDF("url")
+    val canon = urls.select(engine.canonicalizeUrl($"url").as("c"))
+      .distinct().as[String].collect()
+    assert(canon.toSeq === Seq("https://site.example.com/a/b?a=2&z=1"),
+      s"got ${canon.toSeq}")
+  }
+
+  test("trainValTestSplit is exhaustive, deterministic, and growth-stable") {
+    val d = sf("sf0.001")
+    val docs = TestData.documents(spark, d)
+    val split = engine.trainValTestSplit(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(split.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(split.size === docs.count())
+    // growth stability: splitting HALF the corpus assigns the same
+    // splits to the shared ids
+    val half = engine.trainValTestSplit(
+      docs.filter($"doc_id" < 250), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    half.foreach { case (id, sp) => assert(split(id) === sp) }
+    // rough proportions at 500 docs (md5-uniform): train within 70-90%
+    val frac = split.values.count(_ == "train").toDouble / split.size
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+  }
+
+  test("psiDrift facade matches the profile_drift_psi declared key") {
+    val d = sf("sf0.001")
+    val o = TestData.orders(spark, d)
+    val cut = to_timestamp(lit("1998-07-01"))
+    val declared = SparkEntry.queries("profile_drift_psi")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.psiDrift(
+        o.filter($"o_orderdate" < cut), o.filter($"o_orderdate" >= cut),
+        "o_totalprice", 0.0, 500000.0, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared, s"api $viaApi\nvs declared $declared")
+  }
+
   test("mediaBlockHashes facade matches the multimodal_blockhash declared key") {
     val d = sf("sf0.001")
     val declared = SparkEntry.queries("multimodal_blockhash")(spark, d)
