@@ -1062,6 +1062,30 @@ class GraftEngine(val spark: SparkSession) {
         .otherwise(lit("test")))
   }
 
+  /** Two-proportion z-test (see `events_ab_significance`): `df` rows
+    * are the analysis units, `variantCol` is 0/1 (control/treatment),
+    * `successCol` is a 0/1 outcome. All aggregation is exact BIGINT;
+    * the z statistic is one closed-form IEEE expression. Returns one
+    * row: (n_c, n_t, x_c, x_t, z_score, significant_95).
+    */
+  def abTest(df: DataFrame, variantCol: String, successCol: String): DataFrame =
+    df.agg(
+        sum(when(col(variantCol) === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col(variantCol) === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col(variantCol) === 0, col(successCol).cast("long"))
+          .otherwise(0L)).as("x_c"),
+        sum(when(col(variantCol) === 1, col(successCol).cast("long"))
+          .otherwise(0L)).as("x_t"))
+      .withColumn("p_pool",
+        (col("x_c") + col("x_t")) / (col("n_c") + col("n_t")))
+      .withColumn("z",
+        (col("x_t") / col("n_t") - col("x_c") / col("n_c"))
+          / sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
+            * (lit(1.0) / col("n_c") + lit(1.0) / col("n_t"))))
+      .select(col("n_c"), col("n_t"), col("x_c"), col("x_t"),
+        graft.TestData.r4(col("z")).as("z_score"),
+        (abs(col("z")) > lit(1.959964)).as("significant_95"))
+
   /** Population Stability Index between a reference and a current
     * population of `valueCol` over `bins` equal-width buckets on
     * [lo, hi] (values outside clamp to the edge buckets — see

@@ -721,6 +721,26 @@ class EngineApiSpec extends SparkSpec {
     assert(viaApi === declared, s"api $viaApi\nvs declared $declared")
   }
 
+  test("abTest facade matches the events_ab_significance declared key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("events_ab_significance")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val units = TestData.events(spark, d)
+      .withColumn("t",
+        (conv(substring(md5($"user_id".cast("string")), 1, 2), 16, 10)
+          .cast("int") % 2 =!= 0).cast("int"))
+      .withColumn("purch",
+        when($"event_type" === "purchase", 1L).otherwise(0L))
+    val viaApi = engine.abTest(units, "t", "purch")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared, s"api $viaApi vs declared $declared")
+    // a planted strong effect is detected
+    val strong = (Seq.fill(200)((0, 1)) ++ Seq.fill(200)((0, 0))
+      ++ Seq.fill(360)((1, 1)) ++ Seq.fill(40)((1, 0))).toDF("v", "s")
+    val r = engine.abTest(strong, "v", "s").head()
+    assert(r.getBoolean(5), "0.5 vs 0.9 conversion at n=400 must be significant")
+  }
+
   test("mediaBlockHashes facade matches the multimodal_blockhash declared key") {
     val d = sf("sf0.001")
     val declared = SparkEntry.queries("multimodal_blockhash")(spark, d)
