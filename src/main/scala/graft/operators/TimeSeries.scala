@@ -530,6 +530,44 @@ object TimeSeries {
           r4(col("z")).as("z_score"),
           (abs(col("z")) > lit(1.959964)).as("significant_95"))),
 
+    // SEGMENTED UPLIFT (round 7): events_ab_significance computed PER
+    // customer market segment — the "which cohorts moved" drill-down
+    // every experiment readout needs. The segment dim broadcast-joins
+    // onto the event stream (customer ≪ events at every scale), the
+    // four counts stay exact BIGINTs per segment, and z evaluates
+    // ONLY where the cell is non-degenerate (a sparse segment can
+    // have an empty variant or universal conversion at small scale —
+    // CaseWhen's lazy branches keep ANSI division happy; NULL z rows
+    // surface the underpowered cells instead of hiding them).
+    "events_uplift_segments" -> ((s, d) => {
+      val ev = TestData.events(s, d)
+        .withColumn("t",
+          (conv(substring(md5(col("user_id").cast("string")), 1, 2), 16, 10)
+            .cast("int") % 2 =!= 0).cast("int"))
+        .withColumn("purch",
+          when(col("event_type") === "purchase", 1L).otherwise(0L))
+      val seg = TestData.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      ev.join(broadcast(seg), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+          sum(when(col("t") === 0, 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("t") === 1, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("t") === 0, col("purch")).otherwise(0L)).as("x_c"),
+          sum(when(col("t") === 1, col("purch")).otherwise(0L)).as("x_t"))
+        .withColumn("p_pool",
+          (col("x_c") + col("x_t")) / (col("n_c") + col("n_t")))
+        .withColumn("z",
+          when(col("n_c") > 0 && col("n_t") > 0
+               && col("p_pool") > 0 && col("p_pool") < 1,
+            (col("x_t") / col("n_t") - col("x_c") / col("n_c"))
+              / sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
+                * (lit(1.0) / col("n_c") + lit(1.0) / col("n_t")))))
+        .select(col("c_mktsegment"), col("n_c"), col("n_t"),
+          col("x_c"), col("x_t"), r4(col("z")).as("z_score"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Truncated EWMA smoothing (α=0.5, 8 taps): a fixed-weight FIR
     // over the last 8 observations per user, weights renormalized at
     // series starts. One window shuffle on user_id; the 8-term sum is
@@ -763,6 +801,34 @@ object TimeSeries {
         |  floor(z*10000 + 0.5)/10000 AS z_score,
         |  abs(z) > 1.959964 AS significant_95
         |FROM z""".stripMargin,
+    // Per-segment closed form with the same lazy degenerate-cell
+    // guard; r4 of a NULL z stays NULL on both engines.
+    "events_uplift_segments" ->
+      """WITH v AS (
+        |  SELECT c_mktsegment,
+        |    CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))::INT
+        |      % 2 = 0 THEN 0 ELSE 1 END AS t,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS purch
+        |  FROM events JOIN customer ON user_id = c_custkey),
+        |s AS (
+        |  SELECT c_mktsegment,
+        |    sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+        |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+        |    sum(CASE WHEN t = 0 THEN purch ELSE 0 END)::BIGINT AS x_c,
+        |    sum(CASE WHEN t = 1 THEN purch ELSE 0 END)::BIGINT AS x_t
+        |  FROM v GROUP BY 1),
+        |p AS (
+        |  SELECT *, (x_c + x_t) / (n_c + n_t) AS p_pool FROM s),
+        |z AS (
+        |  SELECT c_mktsegment, n_c, n_t, x_c, x_t,
+        |    CASE WHEN n_c > 0 AND n_t > 0 AND p_pool > 0 AND p_pool < 1 THEN
+        |      (x_t / n_t - x_c / n_c)
+        |        / sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_c + 1.0 / n_t))
+        |    END AS z
+        |  FROM p)
+        |SELECT c_mktsegment, n_c, n_t, x_c, x_t,
+        |  floor(z*10000 + 0.5)/10000 AS z_score
+        |FROM z ORDER BY c_mktsegment""".stripMargin,
     // Integer sums + a single division mirror Spark's Long/Long →
     // double exactly; the residual quantizes to micro-units BEFORE
     // the hour-of-day mean (order-free BIGINT sum both engines).
