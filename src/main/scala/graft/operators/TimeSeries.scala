@@ -530,6 +530,39 @@ object TimeSeries {
           r4(col("z")).as("z_score"),
           (abs(col("z")) > lit(1.959964)).as("significant_95"))),
 
+    // TIME-TO-CONVERT PERCENTILES (round 7): p50/p90 of signup→first-
+    // purchase delay — the latency-distribution readout events_funnel's
+    // mean hides (a p90 regression with a flat mean is the standard
+    // funnel pathology). Discrete percentiles via the explicit
+    // rank-at-⌈p·n⌉ form (the agg_percentile_disc dialect-parity
+    // pattern); delays are exact integer µs end to end. The rank
+    // window runs over CONVERTED USERS (users-sized, not
+    // events-sized) — at extreme key counts swap in the sharded rank,
+    // same as pack_sequences.
+    "events_conversion_ttc" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = TestData.events(s, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("signup_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"))
+      val delays = signups.join(purchases,
+          col("user_id") === col("pu") && col("pts") >= col("signup_ts"))
+        .groupBy("user_id", "signup_ts").agg(min("pts").as("fp"))
+        .select(col("user_id"),
+          (unix_micros(col("fp")) - unix_micros(col("signup_ts")))
+            .as("delay_us"))
+      delays
+        .withColumn("rn",
+          row_number().over(W.orderBy("delay_us", "user_id")))
+        .withColumn("n", count(lit(1)).over(W.partitionBy()))
+        .agg(count(lit(1)).as("n_converted"),
+          max(when(col("rn") === expr("(n + 1) DIV 2"), col("delay_us")))
+            .as("p50_delay_us"),
+          max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("delay_us")))
+            .as("p90_delay_us"))
+    }),
+
     // SEGMENTED UPLIFT (round 7): events_ab_significance computed PER
     // customer market segment — the "which cohorts moved" drill-down
     // every experiment readout needs. The segment dim broadcast-joins
@@ -801,6 +834,31 @@ object TimeSeries {
         |  floor(z*10000 + 0.5)/10000 AS z_score,
         |  abs(z) > 1.959964 AS significant_95
         |FROM z""".stripMargin,
+    // Exact integer-µs delays; discrete percentiles via the same
+    // rank-at-⌈p·n⌉ form as agg_percentile_disc.
+    "events_conversion_ttc" ->
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |f AS (
+        |  SELECT s.user_id, s.signup_ts, min(p.ts) AS fp
+        |  FROM s JOIN events p ON p.user_id = s.user_id
+        |    AND p.event_type = 'purchase' AND p.ts >= s.signup_ts
+        |  GROUP BY 1, 2),
+        |d AS (
+        |  SELECT user_id, epoch_us(fp) - epoch_us(signup_ts) AS delay_us
+        |  FROM f),
+        |r AS (
+        |  SELECT delay_us,
+        |    row_number() OVER (ORDER BY delay_us, user_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM d)
+        |SELECT count(*)::BIGINT AS n_converted,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN delay_us END)::BIGINT
+        |    AS p50_delay_us,
+        |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN delay_us END)::BIGINT
+        |    AS p90_delay_us
+        |FROM r""".stripMargin,
     // Per-segment closed form with the same lazy degenerate-cell
     // guard; r4 of a NULL z stays NULL on both engines.
     "events_uplift_segments" ->
