@@ -41,7 +41,10 @@ object Bench {
     // latency as if it were a median — record the error class instead
     // and surface an aggregate errors count on the metric line.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    for (_ <- 1 to runs; (name, fn) <- keys) {
+    // A key stops being timed after its first error (and never lands
+    // in the medians map), so each key appears EXACTLY once in the
+    // report — either a median or an error, never both.
+    for (_ <- 1 to runs; (name, fn) <- keys if !errors.contains(name)) {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
@@ -49,6 +52,7 @@ object Bench {
         samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
       } catch { case e: Throwable =>
         errors(name) = e.getClass.getSimpleName
+        samples.remove(name)
       }
     }
     def median(xs: Vector[Double]): Double = {
@@ -59,6 +63,11 @@ object Bench {
     }
     val medians = samples.map { case (k, v) => k -> median(v) }
     val total = medians.values.sum
+    // Sum of per-key BESTS: the machine-load-independent companion to
+    // the median total (whole-run totals drift ±20 % with load; the
+    // best-of-RUNS sum is what round-over-round comparisons should
+    // use — the r7 bimodal-median archaeology, done once, automated).
+    val bestTotal = samples.values.map(_.min).sum
     def fmt(v: Double): String = f"$v%.3f"
     // Full detail (all runs + medians) goes to a side file — too long
     // for the harness's 2000-char output tail, which must be able to
@@ -66,13 +75,14 @@ object Bench {
     val fullQs = (medians.toSeq.sortBy(-_._2)
       .map { case (k, v) =>
         val rs = samples(k).map(fmt).mkString("[", ",", "]")
-        "\"" + k + "\":{\"median\":" + fmt(v) + ",\"runs\":" + rs + "}"
+        "\"" + k + "\":{\"median\":" + fmt(v) + ",\"best\":" + fmt(samples(k).min) +
+          ",\"runs\":" + rs + "}"
       } ++ errors.toSeq.map { case (k, c) =>
         "\"" + k + "\":{\"error\":\"" + c + "\"}"
       }).mkString("{", ",", "}")
     val detailPath = "/root/repo/bench_full.json"
     val fullLine =
-      s"""{"metric":"total_of_medians","value":${fmt(total)},"unit":"sec","nq":${medians.size},"errors":${errors.size},"runs_per_key":$runs,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_of_medians","value":${fmt(total)},"best_total":${fmt(bestTotal)},"unit":"sec","nq":${medians.size},"errors":${errors.size},"runs_per_key":$runs,"queries":$fullQs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (fullLine + "\n").getBytes("UTF-8")) catch { case _: Throwable => () }
     // Compact metric line: slowest medians only, trimmed so the whole
@@ -87,7 +97,7 @@ object Bench {
         else (acc, len)
     }._1.reverse
     val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total_of_medians","value":${fmt(total)},"unit":"sec","nq":${medians.size},"errors":${errors.size},"runs_per_key":$runs,"queries":$qs,"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total_of_medians","value":${fmt(total)},"best_total":${fmt(bestTotal)},"unit":"sec","nq":${medians.size},"errors":${errors.size},"runs_per_key":$runs,"queries":$qs,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

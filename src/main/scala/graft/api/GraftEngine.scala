@@ -1032,6 +1032,17 @@ class GraftEngine(val spark: SparkSession) {
   def mediaBlockHashes(media: DataFrame, blocks: Int = 16): DataFrame =
     graft.multimodal.Multimodal.blockHashes(media, blocks).toDF()
 
+  /** Media NEAR-dup pairs (see `multimodal_blockhash_pairs`):
+    * Hamming-≤-`maxHamming` pairs over the 16-bit block-mean
+    * perceptual hash, found by the 4-band pigeonhole equi-join
+    * (sound for Hamming ≤ 3) with exact popcount verify on
+    * candidates only — never an all-pairs product. Pairs stay within
+    * a mime type. Returns (mime, id_a, id_b, hamming), id_a < id_b.
+    */
+  def mediaNearDupPairs(media: DataFrame, maxHamming: Int = 2): DataFrame =
+    graft.operators.MultimodalOps.blockHashPairs(
+      mediaBlockHashes(media).localCheckpoint(), maxHamming)
+
   /** URL canonicalization (see `dedup_url_canonical`): lowercase
     * scheme+host, strip default :443 port, drop utm_* params, sort
     * the rest, drop the fragment. Map-side; group the result for
@@ -1045,15 +1056,18 @@ class GraftEngine(val spark: SparkSession) {
     * function of `idCol`'s md5 — reproducible across engines, runs,
     * cluster sizes, and STABLE under incremental corpus growth (new
     * rows never move old rows between splits). Fractions quantize to
-    * 1/256 buckets.
+    * 1/256 buckets by FLOOR — the same arithmetic as the declared
+    * `sample_train_split` key (default 80/10/10 ⇒ cuts 204/230), so
+    * facade and key agree on every hash bucket (EngineApiSpec pins
+    * the parity).
     */
   def trainValTestSplit(df: DataFrame, idCol: String,
                         trainPct: Double = 0.8,
                         valPct: Double = 0.1): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 1.0,
       s"invalid split fractions ($trainPct, $valPct)")
-    val tCut = math.round(trainPct * 256).toInt
-    val vCut = math.round((trainPct + valPct) * 256).toInt
+    val tCut = (trainPct * 256).toInt
+    val vCut = ((trainPct + valPct) * 256).toInt
     df.withColumn("split",
       when(conv(substring(md5(col(idCol).cast("string")), 1, 2), 16, 10)
         .cast("int") < tCut, "train")
@@ -1065,8 +1079,12 @@ class GraftEngine(val spark: SparkSession) {
   /** Two-proportion z-test (see `events_ab_significance`): `df` rows
     * are the analysis units, `variantCol` is 0/1 (control/treatment),
     * `successCol` is a 0/1 outcome. All aggregation is exact BIGINT;
-    * the z statistic is one closed-form IEEE expression. Returns one
-    * row: (n_c, n_t, x_c, x_t, z_score, significant_95).
+    * the z statistic is one closed-form IEEE expression. Degenerate
+    * inputs — an empty variant, or a pooled rate of exactly 0 or 1 —
+    * yield NULL z_score/significant_95 instead of an ANSI
+    * DIVIDE_BY_ZERO (the `events_uplift_segments` guard; `when()` is
+    * lazy, so the divisions never evaluate on guarded rows). Returns
+    * one row: (n_c, n_t, x_c, x_t, z_score, significant_95).
     */
   def abTest(df: DataFrame, variantCol: String, successCol: String): DataFrame =
     df.agg(
@@ -1077,11 +1095,14 @@ class GraftEngine(val spark: SparkSession) {
         sum(when(col(variantCol) === 1, col(successCol).cast("long"))
           .otherwise(0L)).as("x_t"))
       .withColumn("p_pool",
-        (col("x_c") + col("x_t")) / (col("n_c") + col("n_t")))
+        when(col("n_c") + col("n_t") > 0,
+          (col("x_c") + col("x_t")) / (col("n_c") + col("n_t"))))
       .withColumn("z",
-        (col("x_t") / col("n_t") - col("x_c") / col("n_c"))
-          / sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
-            * (lit(1.0) / col("n_c") + lit(1.0) / col("n_t"))))
+        when(col("n_c") > 0 && col("n_t") > 0
+            && col("p_pool") > 0 && col("p_pool") < 1,
+          (col("x_t") / col("n_t") - col("x_c") / col("n_c"))
+            / sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
+              * (lit(1.0) / col("n_c") + lit(1.0) / col("n_t")))))
       .select(col("n_c"), col("n_t"), col("x_c"), col("x_t"),
         graft.TestData.r4(col("z")).as("z_score"),
         (abs(col("z")) > lit(1.959964)).as("significant_95"))

@@ -24,14 +24,19 @@ object Curation {
   /** URL canonicalization as a reusable Column function (the
     * `dedup_url_canonical` core; also exposed as
     * `GraftEngine.canonicalizeUrl`): lowercase scheme+host, strip the
-    * default :443 port, drop utm_* tracking params, sort the rest,
-    * drop the fragment. Pure map-side string work.
+    * scheme's OWN default port (:443 for https, :80 for http — a
+    * scheme-blind strip would conflate `http://host:443/`, a real
+    * non-default port, with `http://host/`), drop utm_* tracking
+    * params, sort the rest, drop the fragment. Pure map-side string
+    * work.
     */
   def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val nofrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(nofrag, "^([a-zA-Z]+)://", 1))
-    val host = lower(regexp_replace(
-      regexp_extract(nofrag, "^[a-zA-Z]+://([^/?#]+)", 1), ":443$", ""))
+    val host0 = lower(regexp_extract(nofrag, "^[a-zA-Z]+://([^/?#]+)", 1))
+    val host = when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .otherwise(host0)
     val path = regexp_extract(nofrag, "://[^/?#]+(/[^?#]*)", 1)
     val q = regexp_extract(nofrag, "\\?([^#]*)", 1)
     val qs = array_join(
@@ -91,6 +96,60 @@ object Curation {
     local.join(broadcast(offsets), Seq(partCol, "gpfx_shard"))
       .withColumn(outCol, col("gpfx_off") + col("gpfx_local"))
       .drop("gpfx_shard", "gpfx_local", "gpfx_off")
+  }
+
+  /** Global `row_number()` within `partCol` (ordered by `orderCols`)
+    * WITHOUT a per-partition-value single-task sort — the rank-shaped
+    * sibling of [[shardedPrefixSum]], for skewed partition keys (a
+    * handful of languages over a 100 TB corpus):
+    *
+    *  1. `repartitionByRange` on (`partCol` ++ `orderCols`): every
+    *     task holds a contiguous slice of the GLOBAL sort order, so a
+    *     per-slice constant offset reconstructs the global rank (a
+    *     hash shard could not);
+    *  2. local `row_number` per (`partCol`, range id) — full
+    *     parallelism, bounded task size regardless of key skew;
+    *  3. per-(part, range) row counts, exclusive cumsum per part — a
+    *     window over the TINY ranges-sized table;
+    *  4. broadcast the offsets back and add.
+    *
+    * Bit-identical to the monolithic
+    * `row_number().over(Window.partitionBy(partCol).orderBy(orderCols))`
+    * PROVIDED (`partCol` ++ `orderCols`) is a total order (callers
+    * append a unique tie-break — same contract the monolithic window
+    * needs for determinism anyway): range boundaries then never split
+    * equal keys, and rank arithmetic is exact integer addition. The
+    * range id is `spark_partition_id()` AFTER the range exchange —
+    * stable across task retries because boundary sampling is
+    * deterministic (fixed per-partition seeds) and row→range
+    * assignment is a pure function of the key; both consumers read
+    * the SAME exchange (ReuseExchange dedupes the identical subtree).
+    * Output rank is BIGINT. `numRanges` defaults to
+    * `defaultParallelism`; at 100 TB size it like shuffle partitions
+    * (rows/range bounded by task memory, ranges-table broadcastable).
+    */
+  private[graft] def rangedRank(
+      df: DataFrame, partCol: String,
+      orderCols: Seq[org.apache.spark.sql.Column], outCol: String,
+      numRanges: Int = 0): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val n = if (numRanges > 0) numRanges
+            else df.sparkSession.sparkContext.defaultParallelism
+    val parted = df.repartitionByRange(n, (col(partCol) +: orderCols): _*)
+      .withColumn("grr_pid", spark_partition_id())
+    val wLocal = W.partitionBy(col(partCol), col("grr_pid"))
+      .orderBy(orderCols: _*)
+    val local = parted.withColumn("grr_local",
+      row_number().over(wLocal).cast("long"))
+    val wOff = W.partitionBy(partCol).orderBy("grr_pid")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offsets = parted.groupBy(col(partCol), col("grr_pid"))
+      .agg(count(lit(1)).as("grr_n"))
+      .withColumn("grr_off", coalesce(sum("grr_n").over(wOff), lit(0L)))
+      .select(col(partCol), col("grr_pid"), col("grr_off"))
+    local.join(broadcast(offsets), Seq(partCol, "grr_pid"))
+      .withColumn(outCol, col("grr_off") + col("grr_local"))
+      .drop("grr_pid", "grr_local", "grr_off")
   }
 
   /** Exact-substring dedup spans over a (doc_id, text) table: maximal

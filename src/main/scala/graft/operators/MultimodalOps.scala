@@ -16,6 +16,40 @@ import graft.multimodal.Multimodal
 object MultimodalOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Hamming-≤-`maxHamming` near-dup pairs over 16-bit block hashes —
+    * the media sibling of `dedup_simhash_pairs` (same Manku '07
+    * pigeonhole): 4×4-bit bands, so any pair within Hamming ≤ 3 keeps
+    * at least one band identical and the (mime, band index, band
+    * value) equi-join is a SOUND candidate generator; the exact
+    * popcount verify runs on candidates only. Pairs never cross mime
+    * (an image re-encode is compared to images). `sigs` must carry
+    * (doc_id, mime, blockhash). At 100 TB widen the signature (more
+    * blocks ⇒ 64-bit hash, 16-bit bands) — 4-bit band values are a
+    * 16-way universe, fine for a fixture-sized corpus but a coarse
+    * block key at web scale; the join shape is unchanged.
+    */
+  def blockHashPairs(sigs: DataFrame, maxHamming: Int = 2): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole is sound only for Hamming <= 3")
+    val banded = sigs.select(col("doc_id"), col("mime"), col("blockhash"),
+        posexplode(expr(
+          "transform(sequence(0, 3), i -> shiftright(blockhash, 4 * i) & 15)")))
+      .select(col("doc_id"), col("mime"), col("blockhash"),
+        col("pos").as("band_i"), col("col").as("band_v"))
+    val a = banded.select(col("doc_id").as("id_a"), col("mime").as("ma"),
+      col("blockhash").as("ha"), col("band_i"), col("band_v"))
+    val b = banded.select(col("doc_id").as("id_b"), col("mime").as("mb"),
+      col("blockhash").as("hb"), col("band_i").as("bi2"),
+      col("band_v").as("bv2"))
+    a.join(b, col("ma") === col("mb") && col("band_i") === col("bi2")
+        && col("band_v") === col("bv2") && col("id_a") < col("id_b"))
+      .select(col("ma").as("mime"), col("id_a"), col("id_b"),
+        col("ha"), col("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("mime"), col("id_a"), col("id_b"), col("hamming"))
+  }
+
   val defs: Map[String, Q] = Map(
     "multimodal_meta" -> ((s, d) =>
       Multimodal.fromDocuments(TestData.documents(s, d))
@@ -111,6 +145,16 @@ object MultimodalOps {
           col("n_bytes").cast("long").as("n_bytes"), col("blockhash"))
         .orderBy("doc_id")),
 
+    // MEDIA NEAR-DUP PAIRS (round 8): Hamming-≤-2 pairs over the
+    // block-mean perceptual hash via the 4-band pigeonhole join — see
+    // `blockHashPairs`. The signature branch is localCheckpoint'd (a
+    // self-join recomputes the payload byte-sum per branch otherwise).
+    // Oracle stays UNBLOCKED (brute-force popcount over the blockhash
+    // CTE) per the blocking-soundness rule.
+    "multimodal_blockhash_pairs" -> ((s, d) =>
+      blockHashPairs(defs("multimodal_blockhash")(s, d).localCheckpoint(), 2)
+        .orderBy("id_a", "id_b")),
+
     "multimodal_features" -> ((s, d) =>
       Multimodal.extractFeatures(
           Multimodal.fromDocuments(TestData.documents(s, d)))
@@ -122,6 +166,34 @@ object MultimodalOps {
           col("max_run").cast("long").as("max_run"))
         .orderBy("doc_id"))
   )
+
+  /** Shared blockhash derivation (doc → 16-bit perceptual hash), the
+    * oracle-side mirror of `Multimodal.blockHashes` — one definition
+    * feeds both the signature key and the pairs key so they cannot
+    * drift.
+    */
+  private val blockhashCtes: String =
+    """m AS (
+      |  SELECT doc_id,
+      |    ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3)::INT + 1] AS mime,
+      |    text, length(text) AS n,
+      |    list_sum(list_transform(range(1, length(text) + 1),
+      |      j -> ascii(text[j:j])))::BIGINT AS tsum
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, mime, n, tsum, i,
+      |    ((i + 1) * n) // 16 - (i * n) // 16 AS blen,
+      |    CASE WHEN ((i + 1) * n) // 16 > (i * n) // 16 THEN
+      |      list_sum(list_transform(
+      |        range((i * n) // 16 + 1, ((i + 1) * n) // 16 + 1),
+      |        j -> ascii(text[j:j])))::BIGINT
+      |    ELSE 0 END AS bsum
+      |  FROM m, LATERAL (SELECT unnest(range(16)) AS i)),
+      |bh AS (
+      |  SELECT doc_id, mime, n AS n_bytes,
+      |    sum(CASE WHEN blen > 0 AND bsum * n > tsum * blen
+      |        THEN 1::BIGINT << i ELSE 0 END)::BIGINT AS blockhash
+      |  FROM s GROUP BY doc_id, mime, n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" ->
@@ -183,26 +255,21 @@ object MultimodalOps {
     // arithmetic on both engines. list_sum floats through DOUBLE in
     // DuckDB → ::BIGINT at every sum (values ≪ 2^53, exact).
     "multimodal_blockhash" ->
-      """WITH m AS (
-        |  SELECT doc_id,
-        |    ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3)::INT + 1] AS mime,
-        |    text, length(text) AS n,
-        |    list_sum(list_transform(range(1, length(text) + 1),
-        |      j -> ascii(text[j:j])))::BIGINT AS tsum
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, mime, n, tsum, i,
-        |    ((i + 1) * n) // 16 - (i * n) // 16 AS blen,
-        |    CASE WHEN ((i + 1) * n) // 16 > (i * n) // 16 THEN
-        |      list_sum(list_transform(
-        |        range((i * n) // 16 + 1, ((i + 1) * n) // 16 + 1),
-        |        j -> ascii(text[j:j])))::BIGINT
-        |    ELSE 0 END AS bsum
-        |  FROM m, LATERAL (SELECT unnest(range(16)) AS i))
-        |SELECT doc_id, mime, n AS n_bytes,
-        |  sum(CASE WHEN blen > 0 AND bsum * n > tsum * blen
-        |      THEN 1::BIGINT << i ELSE 0 END)::BIGINT AS blockhash
-        |FROM s GROUP BY doc_id, mime, n ORDER BY doc_id""".stripMargin,
+      s"""WITH $blockhashCtes
+        |SELECT doc_id, mime, n_bytes, blockhash
+        |FROM bh ORDER BY doc_id""".stripMargin,
+    // Brute-force popcount pairs over the SAME blockhash CTEs — the
+    // Spark side's band blocking is sound (candidates ⊇ matches), so
+    // the oracle stays unblocked. bit_count returns TINYINT → ::INT
+    // to match Spark's int.
+    "multimodal_blockhash_pairs" ->
+      s"""WITH $blockhashCtes
+        |SELECT a.mime AS mime, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.blockhash, b.blockhash))::INT AS hamming
+        |FROM bh a JOIN bh b
+        |  ON a.mime = b.mime AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.blockhash, b.blockhash)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     // Byte ≡ char on this fixture (verified all-ASCII), so the text
     // mirrors the BINARY payload exactly. Entropy terms quantized to
     // integer micro-bits BEFORE the sum on both sides — identical op

@@ -87,18 +87,23 @@ object TextAnalysis {
     * explode rank+1..rank+w, equi-join back on (lang, rank) — a
     * co-partitioned shuffle join, no corpus broadcast. (Block key
     * here is lang — 5 values on the fixture; production SNM blocks
-    * finer, e.g. lang × source, before ranking.) Output:
+    * finer, e.g. lang × source, before ranking.) Ranks come from
+    * [[Curation.rangedRank]] — a per-lang MONOLITHIC window would
+    * funnel each language's entire corpus through one task (the
+    * skewed-window killer); the hierarchical rank keeps task size
+    * bounded at any skew while producing bit-identical ranks, so the
+    * DuckDB oracle stays the plain `row_number()`. Output:
     * (id_a, id_b, lev) with id_a < id_b. Input columns:
     * (doc_id, lang, text).
     */
   def snmPairs(documents: DataFrame, window: Int, maxEdits: Int): DataFrame = {
     val norm = trim(regexp_replace(regexp_replace(
       lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-    val ranked = documents
+    val keyed = documents
       .select(col("doc_id"), col("lang"), col("text"),
               coalesce(norm, lit("")).as("skey"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("lang").orderBy("skey", "doc_id")))
+    val ranked = Curation.rangedRank(
+      keyed, "lang", Seq(col("skey"), col("doc_id")), "rnk")
     val a = ranked.select(col("lang").as("la"), col("doc_id").as("id_a"),
         col("text").as("ta"),
         explode(expr(s"sequence(rnk + 1, rnk + $window)")).as("rb"))
@@ -266,13 +271,14 @@ object TextAnalysis {
     // templated/boilerplate corpora drift off). Word table is
     // vocabulary-sized; both log inputs are r4-quantized BEFORE the
     // regression (the corr/regr precedent) and the slope r4'd after.
+    // Ranks via Curation.rangedRank — a web-scale single-language
+    // vocabulary is 10^8+ rows, too big for a per-lang one-task sort.
     "text_zipf_slope" -> ((s, d) => {
-      val W = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy(col("n").desc, col("token"))
-      TestData.documents(s, d)
+      val freq = TestData.documents(s, d)
         .select(col("lang"), explode(split(col("text"), " ")).as("token"))
         .groupBy("lang", "token").agg(count(lit(1)).as("n"))
-        .withColumn("rnk", row_number().over(W))
+      Curation.rangedRank(
+          freq, "lang", Seq(col("n").desc, col("token")), "rnk")
         .select(col("lang"),
           r4(log(col("rnk").cast("double"))).as("lr"),
           r4(log(col("n").cast("double"))).as("lf"))

@@ -690,6 +690,19 @@ class EngineApiSpec extends SparkSpec {
       s"got ${canon.toSeq}")
   }
 
+  test("canonicalizeUrl strips only the scheme's own default port") {
+    val got = Seq(
+      "http://h.example.com:443/x",  // real non-default port: keep
+      "http://h.example.com:80/x",   // http default: strip
+      "https://h.example.com:80/x",  // real non-default port: keep
+      "https://h.example.com:443/x") // https default: strip
+      .toDF("url").select(engine.canonicalizeUrl($"url").as("c"))
+      .as[String].collect().toSeq
+    assert(got === Seq(
+      "http://h.example.com:443/x", "http://h.example.com/x",
+      "https://h.example.com:80/x", "https://h.example.com/x"), got)
+  }
+
   test("trainValTestSplit is exhaustive, deterministic, and growth-stable") {
     val d = sf("sf0.001")
     val docs = TestData.documents(spark, d)
@@ -706,6 +719,20 @@ class EngineApiSpec extends SparkSpec {
     // rough proportions at 500 docs (md5-uniform): train within 70-90%
     val frac = split.values.count(_ == "train").toDouble / split.size
     assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+  }
+
+  test("trainValTestSplit default cuts match the sample_train_split key") {
+    // The facade's default 80/10/10 must use the SAME floor bucket
+    // arithmetic (cuts 204/230) as the declared key — a round() here
+    // once assigned hash-bucket 204 to a different split.
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("sample_train_split")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.trainValTestSplit(TestData.documents(spark, d), "doc_id")
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy("split", "lang").collect().map(_.toSeq).toSeq
+    assert(viaApi === declared, s"api $viaApi\nvs declared $declared")
   }
 
   test("psiDrift facade matches the profile_drift_psi declared key") {
@@ -739,6 +766,35 @@ class EngineApiSpec extends SparkSpec {
       ++ Seq.fill(360)((1, 1)) ++ Seq.fill(40)((1, 0))).toDF("v", "s")
     val r = engine.abTest(strong, "v", "s").head()
     assert(r.getBoolean(5), "0.5 vs 0.9 conversion at n=400 must be significant")
+  }
+
+  test("abTest yields NULL z on degenerate inputs instead of ANSI divide-by-zero") {
+    // empty treatment arm
+    val oneArm = engine.abTest(Seq((0, 1), (0, 0)).toDF("v", "s"), "v", "s").head()
+    assert(oneArm.isNullAt(4) && oneArm.isNullAt(5), oneArm.toString)
+    // pooled rate exactly 1 (every unit converts)
+    val allWin = engine.abTest(
+      Seq((0, 1), (0, 1), (1, 1)).toDF("v", "s"), "v", "s").head()
+    assert(allWin.isNullAt(4) && allWin.isNullAt(5), allWin.toString)
+    // pooled rate exactly 0
+    val noWin = engine.abTest(
+      Seq((0, 0), (1, 0)).toDF("v", "s"), "v", "s").head()
+    assert(noWin.isNullAt(4) && noWin.isNullAt(5), noWin.toString)
+    // completely empty input still returns one well-formed row
+    val empty = engine.abTest(
+      Seq.empty[(Int, Int)].toDF("v", "s"), "v", "s").head()
+    assert(empty.isNullAt(4), empty.toString)
+  }
+
+  test("mediaNearDupPairs facade matches the multimodal_blockhash_pairs key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("multimodal_blockhash_pairs")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val media = graft.multimodal.Multimodal.fromDocuments(
+      TestData.documents(spark, d))
+    val viaApi = engine.mediaNearDupPairs(media, 2)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
   }
 
   test("mediaBlockHashes facade matches the multimodal_blockhash declared key") {

@@ -186,6 +186,24 @@ class PlanSpec extends SparkSpec {
       s"SNM must shuffle-join on the rank key:\n${p.take(800)}")
   }
 
+  test("SNM + zipf ranks are hierarchical — no per-lang monolithic rank window") {
+    // The r7 verdict's one audited scale-killer: a row_number window
+    // partitioned by lang alone funnels each (skewed) language through
+    // ONE task. Both keys now rank via Curation.rangedRank: the
+    // corpus/vocabulary-sized window must partition on
+    // (lang, grr_pid); only the ranges-sized offsets window may
+    // partition on lang alone (its order key is grr_pid).
+    for (k <- Seq("dedup_sorted_neighborhood", "text_zipf_slope")) {
+      val p = plan(k)
+      assert("windowspecdefinition\\(lang#\\d+, grr_pid#\\d+, ".r
+          .findFirstIn(p).isDefined,
+        s"$k: rank window must partition on (lang, grr_pid):\n${p.take(1200)}")
+      assert("windowspecdefinition\\(lang#\\d+, (skey|n)#\\d+L? (ASC|DESC)".r
+          .findFirstIn(p).isEmpty,
+        s"$k: found a per-lang monolithic rank window:\n${p.take(1200)}")
+    }
+  }
+
   test("transition top-k plans TakeOrderedAndProject, not a global sort") {
     val p = plan("events_transition_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
