@@ -14,6 +14,60 @@ import graft.TestData.r4
 object Maintenance {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Published snapshot ids under `base`, ascending: snap_<id> dirs
+    * carrying both a committed write (_SUCCESS) and the published
+    * marker. Staged-but-unpublished or expired snapshots never appear.
+    */
+  private[graft] def publishedIds(base: String): Seq[Int] =
+    Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("snap_")
+        && new java.io.File(f, "_SUCCESS").exists()
+        && new java.io.File(f, "_GRAFT_PUBLISHED").exists())
+      .map(_.getName.stripPrefix("snap_").toInt).toSeq.sorted
+
+  /** Write-audit-publish of `df` as snapshot `id` under `base`, then
+    * expire published snapshots beyond the newest `retain`. The audit
+    * runs against the STAGED files (what readers will see): non-empty
+    * and `keyCol` complete + unique; a failing audit throws BEFORE
+    * the marker lands, so readers (and [[readAsOf]]) keep serving the
+    * elder snapshot. Idempotent per (input `tag`, id): a committed
+    * published snapshot is never rewritten.
+    */
+  private[graft] def publishSnapshot(base: String, id: Int, df: DataFrame,
+      tag: String, keyCol: String, retain: Int): Unit = {
+    val dir = new java.io.File(base, s"snap_$id").getAbsolutePath
+    graft.sources.WriteOnce.ensure(dir, tag) {
+      df.write.mode("overwrite").parquet(dir)
+    }
+    val marker = new java.io.File(dir, "_GRAFT_PUBLISHED")
+    if (!marker.exists()) {
+      val staged = df.sparkSession.read.parquet(dir)
+      val n = staged.count()
+      val bad = staged.agg(
+        sum(when(col(keyCol).isNull, 1L).otherwise(0L)),
+        count(lit(1)) - countDistinct(col(keyCol))).head()
+      require(n > 0 && bad.getLong(0) == 0L && bad.getLong(1) == 0L,
+        s"snapshot audit failed on $dir — not publishing")
+      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+    }
+    publishedIds(base).dropRight(retain).foreach { old =>
+      val victim = new java.io.File(base, s"snap_$old")
+      victim.listFiles().foreach(_.delete())
+      victim.delete()
+    }
+  }
+
+  /** Time travel: the newest published snapshot with id ≤ `asOf`.
+    * Throws if every such snapshot has been expired by retention —
+    * the same contract as Iceberg's snapshot-not-found.
+    */
+  private[graft] def readAsOf(s: SparkSession, base: String, asOf: Int): DataFrame = {
+    val live = publishedIds(base).filter(_ <= asOf)
+    require(live.nonEmpty,
+      s"no published snapshot <= $asOf under $base (have ${publishedIds(base)})")
+    s.read.parquet(new java.io.File(base, s"snap_${live.max}").getAbsolutePath)
+  }
+
   val defs: Map[String, Q] = Map(
     // MERGE (upsert) semantics without a table format: current
     // snapshot FULL OUTER JOIN update batch → matched rows take the
@@ -200,6 +254,40 @@ object Maintenance {
         .orderBy("lang")
     }),
 
+    // SNAPSHOT STORE + READ-AS-OF (round 8): the WAP sink above keeps
+    // exactly one published marker; a real governed table keeps N
+    // snapshots and serves time travel. `publishSnapshot` stages each
+    // generation under snap_<id>, audits the STAGED files (non-empty,
+    // unique key), publishes via marker, and expires snapshots beyond
+    // the newest `retain` — the Iceberg/Delta snapshot-log contract in
+    // plain parquet. The declared output reads AS-OF snapshot 1 AND
+    // as-of 2 after generation 2 (deletes doc_id%10=3, updates %10=4)
+    // superseded generation 1, proving the elder snapshot stays
+    // readable row-for-row. MaintenanceSpec pins retention (a third
+    // publish expires snap_1) and the audit-fail path.
+    "sink_snapshot_read_asof" -> ((s, d) => {
+      val docs = TestData.documents(s, d)
+      val gen1 = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      val gen2 = gen1.filter(expr("doc_id % 10 != 3"))
+        .withColumn("n_chars",
+          when(expr("doc_id % 10 = 4"), col("n_chars") + lit(1000))
+            .otherwise(col("n_chars")))
+      val tag = graft.sources.WriteOnce.inputTag(d, "documents")
+      val base = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/snap_store", tag)
+      publishSnapshot(base, 1, gen1, tag, "doc_id", retain = 2)
+      publishSnapshot(base, 2, gen2, tag, "doc_id", retain = 2)
+      def summarize(df: DataFrame, id: Int) = df.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("id_checksum"))
+        .withColumn("snapshot_id", lit(id))
+      summarize(readAsOf(s, base, 1), 1)
+        .unionByName(summarize(readAsOf(s, base, 2), 2))
+        .select("snapshot_id", "lang", "n_docs", "sum_chars", "id_checksum")
+        .orderBy("snapshot_id", "lang")
+    }),
+
     // Z-order clustering: interleave the bits of two predicate columns
     // into one sort key, range-partition + sort the write by it, and
     // summarize per fixed-width key range. Because the z-curve keeps
@@ -383,6 +471,25 @@ object Maintenance {
         |FROM documents
         |WHERE len(string_split(text, ' ')) >= 20
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // Each snapshot's as-of read must equal its generation's source
+    // transform exactly — the oracle derives BOTH generations straight
+    // off the fixture (gen2 = deletes %10=3, updates %10=4).
+    "sink_snapshot_read_asof" ->
+      """WITH g2 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 10 = 4 THEN n_chars + 1000
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 10 <> 3)
+        |SELECT * FROM (
+        |  SELECT 1 AS snapshot_id, lang, count(*)::BIGINT AS n_docs,
+        |    sum(n_chars)::BIGINT AS sum_chars,
+        |    sum(doc_id)::BIGINT AS id_checksum
+        |  FROM documents GROUP BY lang
+        |  UNION ALL
+        |  SELECT 2, lang, count(*)::BIGINT, sum(n_chars)::BIGINT,
+        |    sum(doc_id)::BIGINT
+        |  FROM g2 GROUP BY lang)
+        |ORDER BY snapshot_id, lang""".stripMargin,
     // Content parity straight off the fixture: if compaction changed
     // (or dropped, or duplicated) a single row, n / id_checksum /
     // sum_value diverge.

@@ -65,6 +65,54 @@ object ScalePatterns {
       }
     }
 
+  /** Scoped AQE-skew-join configuration: thresholds scaled from the
+    * 256 MB production default down to fixture-sized partitions so
+    * the skew split actually exercises at sf0.001–0.1; broadcast is
+    * disabled for the scope (a broadcast join would hide the skew
+    * machinery this key demonstrates). Restores every key in
+    * `finally` — declared keys run sequentially (the
+    * `withStateFanout` precedent).
+    */
+  private[graft] def withSkewJoinConf[T](s: SparkSession)(body: => T): T = {
+    val scoped = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256b",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256b",
+      // apply the split even where it inserts an extra shuffle — the
+      // demonstration must fire at every fixture scale
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = scoped.keys.map(k => k -> s.conf.getOption(k)).toMap
+    try { scoped.foreach { case (k, v) => s.conf.set(k, v) }; body }
+    finally saved.foreach { case (k, o) =>
+      o.fold(s.conf.unset(k))(v => s.conf.set(k, v)) }
+  }
+
+  /** The forced-skew join behind `join_skew_aqe` (exposed for
+    * PlanSpec): 75 % of events collapse onto one hot key, SMJ pinned
+    * by hint so AQE's OptimizeSkewedJoin (not a broadcast) is the
+    * remedy under test.
+    */
+  private[graft] def skewAqeJoin(s: SparkSession, d: String): DataFrame = {
+    // AQE splits a skewed REDUCE partition along its MAP-output
+    // chunks — a single-file fixture scan is one map task, which is
+    // unsplittable. The explicit repartition stands in for the
+    // thousands of scan tasks a real table has; at 100 TB it is
+    // unnecessary (and would be dropped).
+    val facts = TestData.events(s, d)
+      .repartition(16, col("event_id"))
+      .select(when(expr("event_id % 4 != 0"), lit(1L))
+          .otherwise(col("user_id")).as("k"),
+        col("value"))
+    val dim = TestData.customer(s, d).select("c_custkey", "c_mktsegment")
+    facts.join(dim.hint("merge"), col("k") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
+  }
+
   val defs: Map[String, Q] = Map(
     "agg_skew_salted" -> ((s, d) => {
       val salted = TestData.events(s, d)
@@ -198,6 +246,22 @@ object ScalePatterns {
         .orderBy("c_mktsegment")
     }),
 
+    // AQE SKEW JOIN (round 8): the zero-code alternative to the
+    // manual salt above — Spark's adaptive engine detects the
+    // oversized shuffle partition at runtime and splits it across
+    // tasks (exact: each split joins against a replicated read of the
+    // dim side's matching partition, precisely what the salt does by
+    // hand). The fixture forces a hot key (75 % of events collapse
+    // onto user 1) and the thresholds scale the 256 MB production
+    // default down to fixture bytes; result is config-independent, so
+    // the oracle is the plain join. Materialized via localCheckpoint
+    // INSIDE the scoped conf (AQE decides at execution time — a lazy
+    // return would run under whatever conf the caller holds);
+    // PlanSpec pins the skew=true split on the pre-checkpoint plan.
+    "join_skew_aqe" -> ((s, d) =>
+      withSkewJoinConf(s) { skewAqeJoin(s, d).localCheckpoint() }
+        .orderBy("c_mktsegment")),
+
     // BUCKETED interval join: the scale shape for temporal range
     // joins. A raw `p.ts BETWEEN s.ts AND s.ts + w` condition can't
     // equi-partition, so Spark plans it as a nested-loop per key; the
@@ -256,6 +320,17 @@ object ScalePatterns {
       """SELECT event_type, count(*) AS n,
         |  floor((sum(value))*10000 + 0.5)/10000 AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // AQE's skew split is exact — the oracle is the plain join over
+    // the same forced-skew key remap.
+    "join_skew_aqe" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN event_id % 4 <> 0 THEN 1 ELSE user_id END AS k,
+        |    value
+        |  FROM events)
+        |SELECT c_mktsegment, count(*) AS n,
+        |  floor((sum(value))*10000 + 0.5)/10000 AS sum_value
+        |FROM f JOIN customer ON k = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "join_bucketed_colocated" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  floor((sum(o_totalprice))*10000 + 0.5)/10000 AS revenue

@@ -53,6 +53,33 @@ class MaintenanceSpec extends SparkSpec {
     assert(!new java.io.File(dir, "_GRAFT_PUBLISHED").exists())
   }
 
+  test("snapshot store: retention expires the eldest, as-of serves the elder while live") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    val M = graft.operators.Maintenance
+    val base = "/root/repo/target/tmp/snapstore_spec_" + System.nanoTime()
+    val tag = "spec"
+    def gen(i: Int) = Seq((1L, i.toLong), (2L, i.toLong)).toDF("id", "v")
+    M.publishSnapshot(base, 1, gen(1), tag, "id", retain = 2)
+    M.publishSnapshot(base, 2, gen(2), tag, "id", retain = 2)
+    assert(M.publishedIds(base) == Seq(1, 2))
+    assert(M.readAsOf(spark, base, 1).agg(sum($"v")).head().getLong(0) == 2L,
+      "as-of 1 must read generation 1")
+    M.publishSnapshot(base, 3, gen(3), tag, "id", retain = 2)
+    assert(M.publishedIds(base) == Seq(2, 3), "third publish expires snap_1")
+    assert(!new java.io.File(base, "snap_1").exists())
+    intercept[IllegalArgumentException] { M.readAsOf(spark, base, 1) }
+    // a snapshot failing audit (duplicate key) never publishes;
+    // as-of keeps serving the newest published elder
+    intercept[IllegalArgumentException] {
+      M.publishSnapshot(base, 4,
+        Seq((1L, 9L), (1L, 9L)).toDF("id", "v"), tag, "id", retain = 2)
+    }
+    assert(M.publishedIds(base) == Seq(2, 3))
+    assert(M.readAsOf(spark, base, 4).agg(sum($"v")).head().getLong(0) == 6L,
+      "as-of past a failed publish falls back to the elder snapshot")
+  }
+
   test("sink_write_audit_publish publishes the audited snapshot once") {
     val d = sf("sf0.001")
     graft.operators.Maintenance.defs("sink_write_audit_publish")(spark, d).collect()

@@ -168,6 +168,20 @@ class PlanSpec extends SparkSpec {
       s"salted join must hash-shuffle on (key, salt):\n${p.take(800)}")
   }
 
+  test("join_skew_aqe: AQE splits the forced-skew partition at runtime") {
+    val df = ScalePatterns.withSkewJoinConf(spark) {
+      val d = ScalePatterns.skewAqeJoin(spark, sfDir)
+      d.collect()
+      d
+    }
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(p.contains("SortMergeJoin"), p.take(800))
+    // the final adaptive plan marks the split join and its skewed
+    // shuffle reads
+    assert(p.contains("skew=true") || p.contains("skewed"),
+      s"expected an AQE skew-split join in the final plan:\n${p.take(1200)}")
+  }
+
   test("bloom probe filters the fact side below the join (semi-join reduction)") {
     val df = SparkEntry.queries("join_bloom_prefilter")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
