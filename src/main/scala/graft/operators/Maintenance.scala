@@ -436,6 +436,42 @@ object Maintenance {
               * 1000000 + 0.5).cast("long")))
         .select("bin", "n_ref", "n_cur", "psi_term_u")
         .orderBy("bin")
+    }),
+
+    // The profiler's QUANTILE sweep (round 8): per-column approx
+    // quantiles (Greenwald–Khanna sketch, accuracy 1000 ⇒ rank error
+    // ε = 1/1000) composed into the same ONE-SCAN stacked profile as
+    // profile_columns_approx — nulls/distincts/min/max told you the
+    // column's envelope, the quantiles tell you its shape. GK
+    // summaries are bounded-size and mergeable (partial per partition,
+    // merged at the driver-side of the agg), so the pass stays a
+    // single map-side-combined scan at 100 TB — the exact-percentile
+    // sibling (agg_percentile_exact) needs a per-group sort instead.
+    // Oracle-omitted: the driver's hash compare needs exact equality,
+    // and a GK estimate only coincides with DuckDB's exact quantile
+    // when the target rank sits more than ε·n ranks away from a
+    // value-change boundary — a data-distribution property that is
+    // not stable under driver fixture regeneration. The sketch's
+    // actual published contract IS the rank bound, and PropertySpec
+    // pins exactly that: for every (column, p), the estimate is a
+    // data element whose rank is within ε·n of ⌈p·n⌉.
+    "profile_columns_quantiles" -> ((s, d) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_quantity",
+                     "l_extendedprice", "l_discount")
+      val ps = Seq(0.25, 0.5, 0.75, 0.9)
+      val aggs = cols.flatMap { c => Seq(
+        count(col(c)).as(s"${c}_n"),
+        approx_percentile(col(c).cast("double"),
+          array(ps.map(lit): _*), lit(1000)).as(s"${c}_q"))
+      }
+      val stackArgs = cols.map(c =>
+        s"'$c', ${c}_n, ${c}_q[0], ${c}_q[1], ${c}_q[2], ${c}_q[3]")
+        .mkString(", ")
+      TestData.lineitem(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+          "(col_name, n_rows, p25, p50, p75, p90)"))
+        .orderBy("col_name")
     })
   )
 

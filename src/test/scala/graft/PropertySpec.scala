@@ -70,22 +70,57 @@ class PropertySpec extends SparkSpec {
     assert(approx === exact, s"sketch diverged: $approx vs $exact")
   }
 
-  test("approx_percentile within tolerance of exact percentile") {
-    val exact = Aggregates.defs("agg_percentile_exact")(spark, sfDir)
-      .select("l_returnflag", "median_qty", "p90_qty")
-      .as[(String, Double, Double)].collect()
-      .map { case (f, m, p) => f -> (m, p) }.toMap
+  // The GK sketch's PUBLISHED contract (and the reason the key is a
+  // permanent oracle omit): the estimate is a data element whose RANK
+  // is within ε·n of the target rank, ε = 1/accuracy. Equality with
+  // DuckDB's exact quantile holds only when the target rank sits more
+  // than ε·n away from a value-change boundary — a data-distribution
+  // accident, not a contract — so the rank bound is what we pin.
+  private def assertRankEps(which: String, n: Long, p: Double,
+      lt: Long, le: Long, eps: Double): Unit = {
+    val slack = eps * n + 1.0 // +1 for floor/ceil rank conventions
+    assert(lt <= p * n + slack,
+      s"$which: estimate ranks too high (lt=$lt, n=$n, p=$p)")
+    assert(le >= p * n - slack,
+      s"$which: estimate ranks too low (le=$le, n=$n, p=$p)")
+  }
+
+  test("approx_percentile satisfies the GK rank-eps contract per group") {
     val approx = Aggregates.defs("agg_approx_percentile")(spark, sfDir)
       .select("l_returnflag", "approx_median", "approx_p90")
       .as[(String, Double, Double)].collect()
     assert(approx.nonEmpty)
-    approx.foreach { case (f, am, ap) =>
-      val (em, ep) = exact(f)
-      // quantities span 1..50; GK with accuracy 1000 on 2k rows/group
-      // should land within a couple of units
-      assert(math.abs(am - em) <= 2.0, s"median off for $f: $am vs $em")
-      assert(math.abs(ap - ep) <= 2.0, s"p90 off for $f: $ap vs $ep")
-    }
+    val li = TestData.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("f"),
+              col("l_quantity").cast("double").as("q")).cache()
+    try approx.foreach { case (f, am, ap) =>
+      val r = li.filter(col("f") === f).agg(
+        count(lit(1)), sum(when(col("q") < am, 1L).otherwise(0L)),
+        sum(when(col("q") <= am, 1L).otherwise(0L)),
+        sum(when(col("q") < ap, 1L).otherwise(0L)),
+        sum(when(col("q") <= ap, 1L).otherwise(0L))).head()
+      val n = r.getLong(0)
+      assertRankEps(s"$f median", n, 0.5, r.getLong(1), r.getLong(2), 1e-3)
+      assertRankEps(s"$f p90", n, 0.9, r.getLong(3), r.getLong(4), 1e-3)
+    } finally li.unpersist()
+  }
+
+  test("profile quantile sweep satisfies the GK rank-eps contract per column") {
+    val prof = Maintenance.defs("profile_columns_quantiles")(spark, sfDir)
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    assert(prof.length === 5)
+    val li = TestData.lineitem(spark, sfDir).cache()
+    try prof.foreach { case (c, n, p25, p50, p75, p90) =>
+      val ests = Seq(0.25 -> p25, 0.5 -> p50, 0.75 -> p75, 0.9 -> p90)
+      val x = col(c).cast("double")
+      val aggs = ests.flatMap { case (_, v) => Seq(
+        sum(when(x < v, 1L).otherwise(0L)), sum(when(x <= v, 1L).otherwise(0L)))
+      }
+      val r = li.agg(aggs.head, aggs.tail: _*).head()
+      ests.zipWithIndex.foreach { case ((p, _), i) =>
+        assertRankEps(s"$c p$p", n, p, r.getLong(2 * i), r.getLong(2 * i + 1), 1e-3)
+      }
+    } finally li.unpersist()
   }
 
   test("exact dedup is idempotent") {
