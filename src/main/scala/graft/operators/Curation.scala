@@ -397,6 +397,49 @@ object Curation {
         .filter(col("n_sensitive") < 3)
         .orderBy("nationkey", "c_mktsegment", "yr")),
 
+    // T-CLOSENESS AUDIT (round 8): l-diversity's distributional
+    // sharper sibling — a QI group with all l values present can
+    // still leak if its sensitive-value DISTRIBUTION skews far from
+    // the global one. Sensitive attribute = order priority (5
+    // ORDERED levels), distance = Earth Mover's over the ordered
+    // domain: EMD = Σ_j |Σ_{i≤j}(p_i − q_i)| / (m−1). Per-group
+    // counts pivot to a FIXED 5-column layout, so the whole EMD is
+    // ONE closed-form IEEE expression with deterministic op order
+    // (the events_ab_significance precedent — no float-accumulation
+    // ambiguity to mirror), r4-quantized on both engines. Shape:
+    // broadcast dim join + one pivot aggregate + a broadcast of the
+    // 1-row global distribution; the report is QI-group-sized at any
+    // corpus size.
+    "privacy_t_closeness" -> ((s, d) => {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+                      "4-NOT SPECIFIED", "5-LOW")
+      val fact = TestData.orders(s, d)
+        .join(broadcast(TestData.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").cast("long").as("nationkey"),
+          col("c_mktsegment"), col("o_orderpriority"))
+      val cnt = (i: Int) =>
+        sum(when(col("o_orderpriority") === prios(i), 1L).otherwise(0L))
+      val grp = fact.groupBy("nationkey", "c_mktsegment")
+        .agg(cnt(0).as("c0"), cnt(1).as("c1"), cnt(2).as("c2"),
+             cnt(3).as("c3"), cnt(4).as("c4"),
+             count(lit(1)).as("group_size"))
+      val glob = fact.agg(cnt(0).as("g0"), cnt(1).as("g1"),
+             cnt(2).as("g2"), cnt(3).as("g3"), cnt(4).as("g4"),
+             count(lit(1)).as("n_total"))
+      val dd = (i: Int) =>
+        col(s"c$i").cast("double") / col("group_size") -
+          col(s"g$i").cast("double") / col("n_total")
+      grp.crossJoin(broadcast(glob))
+        .withColumn("emd", r4(
+          (abs(dd(0)) + abs(dd(0) + dd(1)) + abs(dd(0) + dd(1) + dd(2))
+            + abs(dd(0) + dd(1) + dd(2) + dd(3))) / 4.0))
+        .withColumn("t_violation", col("emd") > 0.05)
+        .select("nationkey", "c_mktsegment", "group_size", "emd",
+                "t_violation")
+        .orderBy("nationkey", "c_mktsegment")
+    }),
+
     // EXACT-SUBSTRING DEDUP SPANS (Lee et al. 2022, "Deduplicating
     // Training Data Makes Language Models Better"): find every
     // maximal run of 13-token windows whose content also appears in
@@ -611,6 +654,50 @@ object Curation {
         |GROUP BY 1, 2, 3
         |HAVING count(DISTINCT o_orderstatus) < 3
         |ORDER BY nationkey, c_mktsegment, yr""".stripMargin,
+    // Identical op order to the Spark side: d_i = c_i/n_g − g_i/N
+    // (each division DOUBLE), cumulative sums in fixed i order, abs
+    // terms summed left-to-right, /4, then r4. All counts ::BIGINT
+    // (DuckDB sum(CASE) is HUGEINT).
+    "privacy_t_closeness" ->
+      """WITH f AS (
+        |  SELECT c_nationkey::BIGINT AS nationkey, c_mktsegment,
+        |         o_orderpriority AS p
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (
+        |  SELECT nationkey, c_mktsegment,
+        |    sum(CASE WHEN p = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS c0,
+        |    sum(CASE WHEN p = '2-HIGH' THEN 1 ELSE 0 END)::BIGINT AS c1,
+        |    sum(CASE WHEN p = '3-MEDIUM' THEN 1 ELSE 0 END)::BIGINT AS c2,
+        |    sum(CASE WHEN p = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)::BIGINT AS c3,
+        |    sum(CASE WHEN p = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS c4,
+        |    count(*)::BIGINT AS group_size
+        |  FROM f GROUP BY 1, 2),
+        |gl AS (
+        |  SELECT
+        |    sum(CASE WHEN p = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS g0,
+        |    sum(CASE WHEN p = '2-HIGH' THEN 1 ELSE 0 END)::BIGINT AS g1,
+        |    sum(CASE WHEN p = '3-MEDIUM' THEN 1 ELSE 0 END)::BIGINT AS g2,
+        |    sum(CASE WHEN p = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)::BIGINT AS g3,
+        |    sum(CASE WHEN p = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS g4,
+        |    count(*)::BIGINT AS n_total
+        |  FROM f),
+        |e AS (
+        |  SELECT nationkey, c_mktsegment, group_size,
+        |    floor((abs((c0::DOUBLE / group_size) - (g0::DOUBLE / n_total))
+        |      + abs(((c0::DOUBLE / group_size) - (g0::DOUBLE / n_total))
+        |          + ((c1::DOUBLE / group_size) - (g1::DOUBLE / n_total)))
+        |      + abs(((c0::DOUBLE / group_size) - (g0::DOUBLE / n_total))
+        |          + ((c1::DOUBLE / group_size) - (g1::DOUBLE / n_total))
+        |          + ((c2::DOUBLE / group_size) - (g2::DOUBLE / n_total)))
+        |      + abs(((c0::DOUBLE / group_size) - (g0::DOUBLE / n_total))
+        |          + ((c1::DOUBLE / group_size) - (g1::DOUBLE / n_total))
+        |          + ((c2::DOUBLE / group_size) - (g2::DOUBLE / n_total))
+        |          + ((c3::DOUBLE / group_size) - (g3::DOUBLE / n_total))))
+        |      / 4.0 * 10000 + 0.5) / 10000 AS emd
+        |  FROM g CROSS JOIN gl)
+        |SELECT nationkey, c_mktsegment, group_size, emd,
+        |  emd > 0.05 AS t_violation
+        |FROM e ORDER BY nationkey, c_mktsegment""".stripMargin,
     "pipeline_corpus_build" ->
       """WITH t AS (
         |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks

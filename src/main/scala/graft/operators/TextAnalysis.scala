@@ -341,7 +341,45 @@ object TextAnalysis {
             .cast("long") % 32)
         .groupBy("doc_id", "bucket")
         .agg(count(lit(1)).as("cnt"))
-        .orderBy("doc_id", "bucket"))
+        .orderBy("doc_id", "bucket")),
+
+    // COLLOCATION EXTRACTION via pointwise mutual information
+    // (round 8): the corpus-linguistics pass that finds multi-word
+    // expressions ("new york", "machine learning") worth keeping as
+    // single tokens. Sample space = the per-lang bigram table: c12 =
+    // bigram count, c1/c2 = marginal counts of the left/right word
+    // IN BIGRAM POSITION (derived from the same table, so the
+    // distribution is self-consistent), PMI = ln(c12·N/(c1·c2)).
+    // Shape: one map-side bigram explode + a (lang,w1,w2) count with
+    // map-side combine (corpus-sized shuffle, the wordcount shape),
+    // then every downstream table is VOCABULARY-sized (Zipf-bounded)
+    // — marginals re-aggregate the bigram-type table, never the
+    // corpus, and the per-lang totals broadcast. One transcendental
+    // per surviving bigram, quantized to integer micro-nats before
+    // emission (quantize-before-sum discipline; here there is no sum,
+    // but the BIGINT keeps the compare exact).
+    "text_collocations_pmi" -> ((s, d) => {
+      val big = TestData.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(0, size(toks)-2), " +
+            "i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("b"))
+        .select(col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
+      val left = big.groupBy("lang", "w1").agg(sum("c12").as("c1"))
+      val right = big.groupBy("lang", "w2").agg(sum("c12").as("c2"))
+      val tot = big.groupBy("lang").agg(sum("c12").as("n_big"))
+      big.join(left, Seq("lang", "w1")).join(right, Seq("lang", "w2"))
+        .join(broadcast(tot), Seq("lang"))
+        .filter(col("c12") >= 5)
+        .withColumn("pmi_u",
+          floor(log((col("c12").cast("double") * col("n_big"))
+              / (col("c1").cast("double") * col("c2")))
+            * 1000000 + 0.5).cast("long"))
+        .select("lang", "w1", "w2", "c12", "pmi_u")
+        .orderBy("lang", "w1", "w2")
+    })
   )
 
   private val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -517,6 +555,31 @@ object TextAnalysis {
         |  count(*)::BIGINT AS cnt
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |      FROM documents)
-        |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
+        |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+    // Same marginals (from the bigram table), same single-ln op
+    // order (c12·N as DOUBLE, / (c1·c2 as DOUBLE)), micro-nat
+    // quantization. DuckDB lists are 1-based; range end-exclusive.
+    "text_collocations_pmi" ->
+      """WITH t AS (
+        |  SELECT lang, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (
+        |  SELECT lang, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)),
+        |big AS (
+        |  SELECT lang, w1, w2, count(*)::BIGINT AS c12
+        |  FROM b GROUP BY 1, 2, 3),
+        |l AS (SELECT lang, w1, sum(c12)::BIGINT AS c1 FROM big GROUP BY 1, 2),
+        |r AS (SELECT lang, w2, sum(c12)::BIGINT AS c2 FROM big GROUP BY 1, 2),
+        |n AS (SELECT lang, sum(c12)::BIGINT AS n_big FROM big GROUP BY 1)
+        |SELECT big.lang, big.w1, big.w2, c12,
+        |  floor(ln((c12::DOUBLE * n_big) / (c1::DOUBLE * c2))
+        |    * 1000000 + 0.5)::BIGINT AS pmi_u
+        |FROM big
+        |JOIN l ON big.lang = l.lang AND big.w1 = l.w1
+        |JOIN r ON big.lang = r.lang AND big.w2 = r.w2
+        |JOIN n ON big.lang = n.lang
+        |WHERE c12 >= 5
+        |ORDER BY big.lang, big.w1, big.w2""".stripMargin
   )
 }
