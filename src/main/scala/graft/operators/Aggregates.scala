@@ -294,10 +294,77 @@ object Aggregates {
         // (l_orderkey, l_linenumber) is NOT unique in the synthetic
         // fixture — sort by every output column for a total order
         // (remaining ties are identical rows).
-        .orderBy("l_orderkey", "metric", "val"))
+        .orderBy("l_orderkey", "metric", "val")),
+
+    // AUDIENCE OVERLAP MATRIX (round 8): |A∩B| distinct users for
+    // every segment pair — the campaign/cohort overlap readout. The
+    // 100 TB shape: ONE user-grain aggregate folds each user to a
+    // 5-bit behavior mask, a second map-side-combinable aggregate
+    // folds the corpus to the ≤2^5-row mask HISTOGRAM, and the 15
+    // pair counts expand from that tiny table — the pairwise numbers
+    // never touch user-grain data again (the same
+    // fold-the-distinct-table-not-the-corpus move as
+    // pipeline_bpe_apply). Oracle derives the pairs INDEPENDENTLY
+    // (per-user boolean flags + 15 direct conditional counts, no
+    // bitmask machinery).
+    "agg_segment_overlap" -> ((s, d) => {
+      val cnts = segTypes.zipWithIndex.map { case (t, i) =>
+        sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c$i")
+      }
+      val perUser = TestData.events(s, d)
+        .groupBy("user_id").agg(cnts.head, cnts.tail: _*)
+      val total = segTypes.indices.map(i => col(s"c$i"))
+        .reduce(_ + _)
+      val mask = segTypes.indices.map(i =>
+        when(col(s"c$i") * segTypes.size >= total, lit(1L << i))
+          .otherwise(lit(0L))).reduce(_ + _)
+      val hist = perUser.select(mask.as("mask"))
+        .groupBy("mask").agg(count(lit(1)).as("n_users"))
+      val pairs = for {
+        i <- segTypes.indices; j <- segTypes.indices if i <= j
+      } yield struct(lit(segTypes(i)).as("seg_a"),
+        lit(segTypes(j)).as("seg_b"),
+        when(shiftright(col("mask"), i) % 2 === 1 &&
+             shiftright(col("mask"), j) % 2 === 1, col("n_users"))
+          .otherwise(0L).as("n"))
+      hist.select(explode(array(pairs: _*)).as("p"))
+        .groupBy(col("p.seg_a").as("seg_a"), col("p.seg_b").as("seg_b"))
+        .agg(sum(col("p.n")).as("n_users_both"))
+        .orderBy("seg_a", "seg_b")
+    })
   )
 
+  /** Behavioral segments for `agg_segment_overlap`: the fixture's
+    * event-type domain, bit i of the per-user mask. Membership is
+    * SCALE-FREE — a user is in segment i when their count of type i
+    * is at least their across-type mean (c_i·|types| ≥ total), an
+    * integer-exact predicate with no tuned threshold to drift when
+    * the fixture regenerates at a different density.
+    */
+  private[graft] lazy val segTypes =
+    Seq("click", "error", "purchase", "signup", "view")
+
   val oracles: Map[String, String] = Map(
+    // Independent derivation: per-user counts → boolean flags →
+    // 15 direct conditional distinct-user counts, unioned.
+    "agg_segment_overlap" -> {
+      val flags = segTypes.zipWithIndex.map { case (t, i) =>
+        s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) * " +
+          s"${segTypes.size} >= count(*) AS f$i"
+      }.mkString(",\n        |    ")
+      val pairSelects = (for {
+        i <- segTypes.indices; j <- segTypes.indices if i <= j
+      } yield s"SELECT '${segTypes(i)}' AS seg_a, '${segTypes(j)}' AS seg_b, " +
+        s"sum(CASE WHEN f$i AND f$j THEN 1 ELSE 0 END)::BIGINT " +
+        s"AS n_users_both FROM s").mkString("\n        |UNION ALL\n        |")
+      s"""WITH s AS (
+        |  SELECT user_id,
+        |    $flags
+        |  FROM events GROUP BY user_id)
+        |SELECT * FROM (
+        |$pairSelects)
+        |ORDER BY seg_a, seg_b""".stripMargin
+    },
     "agg_median" ->
       """SELECT l_returnflag,
         |  floor((median(l_quantity))*10000 + 0.5)/10000 AS med_qty,

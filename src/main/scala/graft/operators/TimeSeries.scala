@@ -40,6 +40,42 @@ object TimeSeries {
         .orderBy("day")
     }),
 
+    // CHANGEPOINT DETECTION via two-sided CUSUM (round 8): the
+    // level-shift monitor a pipeline runs over its daily/hourly
+    // volume series. The textbook recursion S_t = max(0, S_{t-1} +
+    // (x_t − μ)) is NOT a window function, but its closed form is:
+    // S_t = P_t − min(0, min_{j≤t} P_j) with P the plain prefix sum
+    // of deviations — so the whole detector is two running windows
+    // over the hourly grid. Determinism: deviations are scaled by
+    // n_hours so everything stays exact BIGINT (x_t·H − T), no float
+    // ever; alarm threshold = T (one grid-interval's worth of mean
+    // cumulated excess) compares scaled BIGINTs. The grid is
+    // TIME-sized (720 rows/month, ts_decompose_seasonal precedent),
+    // so the unpartitioned windows are a deliberate single-task tail
+    // on a tiny table; per-series keys at scale would partition them.
+    "ts_changepoint_cusum" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val hourly = TestData.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val tot = hourly.agg(sum("n").as("t_total"),
+                           count(lit(1)).as("n_hours"))
+      hourly.crossJoin(broadcast(tot))
+        .withColumn("y", col("n") * col("n_hours") - col("t_total"))
+        .withColumn("p", sum("y").over(w))
+        .withColumn("cusum_up_scaled",
+          col("p") - least(lit(0L), min("p").over(w)))
+        .withColumn("cusum_dn_scaled",
+          greatest(lit(0L), max("p").over(w)) - col("p"))
+        .withColumn("alarm_up", col("cusum_up_scaled") > col("t_total"))
+        .withColumn("alarm_dn", col("cusum_dn_scaled") > col("t_total"))
+        .select("hour", "n", "cusum_up_scaled", "cusum_dn_scaled",
+                "alarm_up", "alarm_dn")
+        .orderBy("hour")
+    }),
+
     // SEASONAL DECOMPOSITION, STL-lite (round 7): hourly click counts
     // split into trend + seasonal + remainder — the classical
     // moving-average decomposition (trend = centered ±12 h window
@@ -745,6 +781,32 @@ object TimeSeries {
       |ORDER BY user_id, version""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same prefix-sum closed form, all-BIGINT scaled deviations;
+    // every windowed sum ::BIGINT (DuckDB HUGEINT trap).
+    "ts_changepoint_cusum" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts)::TIMESTAMP AS hour,
+        |         count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS t_total,
+        |             count(*)::BIGINT AS n_hours FROM hourly),
+        |dev AS (
+        |  SELECT hour, n, (n * n_hours - t_total)::BIGINT AS y, t_total
+        |  FROM hourly CROSS JOIN t),
+        |pre AS (
+        |  SELECT hour, n, t_total, (sum(y) OVER w)::BIGINT AS p
+        |  FROM dev WINDOW w AS (ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c AS (
+        |  SELECT hour, n, t_total, p,
+        |    (p - least(0, min(p) OVER w))::BIGINT AS cusum_up_scaled,
+        |    (greatest(0, max(p) OVER w) - p)::BIGINT AS cusum_dn_scaled
+        |  FROM pre WINDOW w AS (ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT hour, n, cusum_up_scaled, cusum_dn_scaled,
+        |  cusum_up_scaled > t_total AS alarm_up,
+        |  cusum_dn_scaled > t_total AS alarm_dn
+        |FROM c ORDER BY hour""".stripMargin,
     "events_retention_cohorts" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week
