@@ -288,6 +288,46 @@ object Maintenance {
         .orderBy("snapshot_id", "lang")
     }),
 
+    // SNAPSHOT DIFF / CHANGE-DATA-FEED (round 8): given two published
+    // snapshots of the governed table (gen2 = gen1 minus deletes
+    // %10=3, with updates %10=4, plus inserts cloned from %10=5),
+    // emit the row-grain change set (insert/update/delete with old
+    // and new values) — what Delta's CDF serves and what any
+    // downstream incremental consumer needs when the producer only
+    // publishes full snapshots. Shape: ONE full-outer shuffle join
+    // on the key between the two snapshot reads; output is
+    // DELTA-sized, never corpus-sized (unchanged rows filtered
+    // before the sort). At 100 TB the join prunes to files whose
+    // key-range stats overlap between generations.
+    "sink_snapshot_diff" -> ((s, d) => {
+      val docs = TestData.documents(s, d)
+      val gen1 = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      val gen2 = gen1.filter(expr("doc_id % 10 != 3"))
+        .withColumn("n_chars",
+          when(expr("doc_id % 10 = 4"), col("n_chars") + lit(1000))
+            .otherwise(col("n_chars")))
+        .unionByName(gen1.filter(expr("doc_id % 10 = 5"))
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            col("lang"), (col("n_chars") + lit(7)).as("n_chars")))
+      val tag = graft.sources.WriteOnce.inputTag(d, "documents")
+      val base = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/snap_store_diff", tag)
+      publishSnapshot(base, 1, gen1, tag, "doc_id", retain = 2)
+      publishSnapshot(base, 2, gen2, tag, "doc_id", retain = 2)
+      val v1 = readAsOf(s, base, 1)
+        .select(col("doc_id"), col("n_chars").as("old_n_chars"))
+      val v2 = readAsOf(s, base, 2)
+        .select(col("doc_id"), col("n_chars").as("new_n_chars"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .withColumn("change",
+          when(col("new_n_chars").isNull, lit("delete"))
+            .when(col("old_n_chars").isNull, lit("insert"))
+            .when(col("old_n_chars") =!= col("new_n_chars"), lit("update")))
+        .filter(col("change").isNotNull)
+        .select("doc_id", "change", "old_n_chars", "new_n_chars")
+        .orderBy("doc_id")
+    }),
+
     // Z-order clustering: interleave the bits of two predicate columns
     // into one sort key, range-partition + sort the write by it, and
     // summarize per fixed-width key range. Because the z-curve keeps
@@ -526,6 +566,27 @@ object Maintenance {
         |    sum(doc_id)::BIGINT
         |  FROM g2 GROUP BY lang)
         |ORDER BY snapshot_id, lang""".stripMargin,
+    // The change set derived straight off the fixture: both
+    // generations rebuilt from `documents`, full-outer joined.
+    "sink_snapshot_diff" ->
+      """WITH g1 AS (SELECT doc_id, n_chars FROM documents),
+        |g2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 4 THEN n_chars + 1000
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 10 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, n_chars + 7
+        |  FROM documents WHERE doc_id % 10 = 5)
+        |SELECT coalesce(g1.doc_id, g2.doc_id) AS doc_id,
+        |  CASE WHEN g2.doc_id IS NULL THEN 'delete'
+        |       WHEN g1.doc_id IS NULL THEN 'insert'
+        |       WHEN g1.n_chars <> g2.n_chars THEN 'update' END AS change,
+        |  g1.n_chars AS old_n_chars, g2.n_chars AS new_n_chars
+        |FROM g1 FULL OUTER JOIN g2 ON g1.doc_id = g2.doc_id
+        |WHERE g2.doc_id IS NULL OR g1.doc_id IS NULL
+        |   OR g1.n_chars <> g2.n_chars
+        |ORDER BY doc_id""".stripMargin,
     // Content parity straight off the fixture: if compaction changed
     // (or dropped, or duplicated) a single row, n / id_checksum /
     // sum_value diverge.

@@ -137,6 +137,32 @@ object SourceFormats {
           count(col("_corrupt_record")).as("n_corrupt"),
           count(col("c_acctbal")).as("n_good"),
           r4(sum(col("c_acctbal"))).as("sum_bal"))
+    }),
+
+    // ONE-OBJECT-PER-ASSET media ingestion (round 8): the synthetic
+    // media payloads land as individual .bin files (executors write
+    // their own partitions — no driver collect), then come back
+    // through Spark's `binaryFile` source with a pathGlobFilter —
+    // the format a crawled image/audio corpus actually arrives in
+    // (millions of objects, listed and read in parallel, file
+    // metadata for free). Identity (doc_id from the file name), size
+    // (source-reported length) and payload md5 are all re-derived
+    // from the FILES and hash-checked against the oracle's
+    // independent derivation from the generating table — a truncated
+    // write, lost file, or encoding drift fails the gate.
+    "source_binaryfile" -> ((s, d) => {
+      val tag = graft.sources.WriteOnce.inputTag(d, "documents")
+      val media = graft.multimodal.Multimodal
+        .fromDocuments(TestData.documents(s, d))
+        .filter(col("doc_id") % 7 === 0)
+      val back = FileFormats.binaryFilesRoundTrip(s, media, "doc_id",
+        "content", "/root/repo/target/tmp/source_binaryfile", tag)
+      back.select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+            .cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("payload_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -177,6 +203,16 @@ object SourceFormats {
         |    AS n_good,
         |  floor((sum(CASE WHEN c_custkey % 10 = 3 THEN NULL
         |             ELSE c_acctbal END))*10000 + 0.5)/10000 AS sum_bal
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+    // Independent derivation from the generating table: the payload
+    // is the doc's UTF-8 bytes (octet_length(encode(..)) — the
+    // multimodal_meta pattern) and DuckDB md5(VARCHAR) hashes those
+    // same bytes.
+    "source_binaryfile" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents WHERE doc_id % 7 = 0
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -50,4 +50,39 @@ object FileFormats {
     lines.write.mode(SaveMode.Overwrite).text(path)
     spark.read.text(path)
   }
+
+  /** Materialize each row's BINARY payload as its own file under a
+    * per-input dir (named `doc_<id>.bin`), then read the directory
+    * back through Spark's `binaryFile` source — the real media-lake
+    * ingest path (an image/audio crawl lands as one object per
+    * asset, and Spark lists + reads them in parallel, one partition
+    * per file batch). EXECUTORS write their partitions' files
+    * directly (foreachPartition, no driver collect); on a cluster
+    * `base` would be shared storage. WriteOnce skips the fan-out
+    * write when the committed file set for this input already
+    * exists.
+    */
+  def binaryFilesRoundTrip(spark: SparkSession, payloads: DataFrame,
+      idCol: String, contentCol: String, base: String,
+      tag: String): DataFrame = {
+    import org.apache.spark.sql.{functions => F, Row}
+    val dir = WriteOnce.dirFor(base, tag)
+    WriteOnce.ensure(dir, tag) {
+      val d = new java.io.File(dir)
+      d.mkdirs()
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".bin")).foreach(_.delete())
+      payloads.select(F.col(idCol).cast("long"), F.col(contentCol))
+        .foreachPartition { (it: Iterator[Row]) =>
+          it.foreach { r =>
+            val f = new java.io.File(dir, f"doc_${r.getLong(0)}%08d.bin")
+            java.nio.file.Files.write(f.toPath, r.getAs[Array[Byte]](1))
+          }
+        }
+      java.nio.file.Files.write(
+        new java.io.File(dir, "_SUCCESS").toPath, Array.emptyByteArray)
+    }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(dir)
+  }
 }
