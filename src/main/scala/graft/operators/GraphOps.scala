@@ -286,6 +286,45 @@ object GraphOps {
         .orderBy("a", "b")
     }),
 
+    // COMMUNITY DETECTION via synchronous label propagation
+    // (round 8): 3 fixed sync rounds over the kNN graph — each node
+    // adopts its neighbors' MODE label, ties broken by min label —
+    // the near-linear community pass (Raghavan et al. 2007) that
+    // groups semantically-clustered vectors without a modularity
+    // solve. Fixed sync rounds (not run-to-convergence) make the
+    // result a pure function of the edge list, so the oracle unrolls
+    // the same 3 rounds; min-label ties keep every argmax
+    // deterministic (integer counts only — no float anywhere). Each
+    // round is one shuffle join + a per-(node,label) count +
+    // per-node top-1 window; localCheckpoint per round keeps the
+    // plan constant (pagerank precedent). Community sizes here are
+    // degree-bounded, so the (node,label) aggregate never exceeds
+    // |adj| rows.
+    "graph_label_propagation" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val edges = fixtureKnnEdges(s, d)
+      val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint()
+      var labels = TestData.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("vec_id").as("label"))
+        .localCheckpoint()
+      for (_ <- 1 to 3) {
+        val top = adj.join(labels, col("dst") === col("id"))
+          .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(W.partitionBy("src")
+            .orderBy(col("cnt").desc, col("label"))))
+          .filter(col("rn") === 1)
+          .select(col("src"), col("label").as("nl"))
+        labels = labels.join(top, col("id") === col("src"), "left")
+          .select(col("id"),
+            coalesce(col("nl"), col("label")).as("label"))
+          .localCheckpoint()
+      }
+      labels.select(col("id").as("vec_id"), col("label").as("community"))
+        .orderBy("vec_id")
+    }),
+
     // LINK PREDICTION by neighbor-set Jaccard: for every 2-hop pair
     // (a, b) not already an edge, score = |N(a)∩N(b)| / |N(a)∪N(b)| —
     // the classic similarity-graph densification step (which near-
@@ -476,6 +515,32 @@ object GraphOps {
         |  (count(*) - count(DISTINCT c.component))::BIGINT AS n_removed
         |FROM documents d JOIN comp c ON d.doc_id = c.doc_id
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    // Same 3 sync rounds unrolled (round k = neighbor-label counts →
+    // per-node mode with min-label tie-break → left join keeps
+    // isolated nodes); integer counts only.
+    "graph_label_propagation" -> {
+      def round(k: Int): String =
+        s"""n$k AS (
+          |  SELECT adj.src, l.label, count(*)::BIGINT AS cnt
+          |  FROM adj JOIN l${k - 1} l ON adj.dst = l.id GROUP BY 1, 2),
+          |p$k AS (
+          |  SELECT src, label FROM (
+          |    SELECT src, label, row_number() OVER (PARTITION BY src
+          |      ORDER BY cnt DESC, label) AS rn FROM n$k)
+          |  WHERE rn = 1),
+          |l$k AS (
+          |  SELECT l.id, coalesce(p$k.label, l.label) AS label
+          |  FROM l${k - 1} l LEFT JOIN p$k ON l.id = p$k.src)""".stripMargin
+      s"""$EdgesCte,
+        |adj AS (SELECT a AS src, b AS dst FROM edges
+        |        UNION ALL SELECT b, a FROM edges),
+        |l0 AS (SELECT vec_id AS id, vec_id AS label FROM embeddings),
+        |${round(1)},
+        |${round(2)},
+        |${round(3)}
+        |SELECT id AS vec_id, label AS community
+        |FROM l3 ORDER BY vec_id""".stripMargin
+    },
     "graph_triangle_count" ->
       s"""$EdgesCte,
         |tri AS (

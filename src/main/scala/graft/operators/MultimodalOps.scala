@@ -155,6 +155,25 @@ object MultimodalOps {
       blockHashPairs(defs("multimodal_blockhash")(s, d).localCheckpoint(), 2)
         .orderBy("id_a", "id_b")),
 
+    // MEDIA DEDUP GROUPS (round 8): the Hamming-≤-2 pair list closed
+    // into connected components — the asset-grain "these N uploads
+    // are the same image" verdict a crawl pipeline stores, completing
+    // the media dedup story (exact copies → multimodal_dedup,
+    // near-dup pairs → blockhash_pairs, GROUPS → here) exactly as
+    // dedup_components closes dedup_jaccard_pairs for text. Reuses
+    // the generic min-label propagation (per-round cost ∝ |pairs|,
+    // diameter-bounded rounds); component id = min doc_id, the same
+    // survivor convention as every dedup family.
+    "multimodal_dedup_components" -> ((s, d) => {
+      val sigs = defs("multimodal_blockhash")(s, d).localCheckpoint()
+      val pairs = blockHashPairs(sigs, 2)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      GraphOps.minLabelComponents(
+          sigs.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
+    }),
+
     "multimodal_features" -> ((s, d) =>
       Multimodal.extractFeatures(
           Multimodal.fromDocuments(TestData.documents(s, d)))
@@ -270,6 +289,21 @@ object MultimodalOps {
         |  ON a.mime = b.mime AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.blockhash, b.blockhash)) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+    // Transitive closure over the same brute-force pair edges
+    // (dedup_components recursive-CTE precedent); edges stay
+    // intra-mime by construction.
+    "multimodal_dedup_components" ->
+      s"""WITH RECURSIVE $blockhashCtes,
+        |edges AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM bh a JOIN bh b ON a.mime = b.mime AND a.doc_id <> b.doc_id
+        |  WHERE bit_count(xor(a.blockhash, b.blockhash)) <= 2),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+        |SELECT a AS doc_id, min(b) AS component
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     // Byte ≡ char on this fixture (verified all-ASCII), so the text
     // mirrors the BINARY payload exactly. Entropy terms quantized to
     // integer micro-bits BEFORE the sum on both sides — identical op

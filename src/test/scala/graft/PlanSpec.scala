@@ -194,8 +194,16 @@ class PlanSpec extends SparkSpec {
 
   test("SNM dedup shuffle-joins on (lang, rank) — no corpus broadcast") {
     val p = plan("dedup_sorted_neighborhood")
-    assert(!p.contains("BroadcastExchange"),
-      s"SNM candidate join must not broadcast the corpus:\n${p.take(800)}")
+    // The hierarchical rank (Curation.rangedRank) legitimately
+    // broadcasts the RANGES-sized per-(lang, partition) offset table
+    // (grr_off) back onto the corpus; any OTHER broadcast would be
+    // the corpus itself. So: every broadcast join in the plan must be
+    // the offsets join (keys (lang, grr_pid)).
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    val nOffsets = "BroadcastHashJoin \\[lang#\\d+, grr_pid#\\d+\\]".r
+      .findAllIn(p).length
+    assert(nBroadcast == nOffsets,
+      s"SNM may broadcast only the rank-offset table:\n${p.take(800)}")
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
       s"SNM must shuffle-join on the rank key:\n${p.take(800)}")
   }
