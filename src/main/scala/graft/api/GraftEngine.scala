@@ -1137,4 +1137,220 @@ class GraftEngine(val spark: SparkSession) {
       .select("bin", "n_ref", "n_cur", "psi_term_u")
       .orderBy("bin")
   }
+
+  /** Audience-overlap matrix (see `agg_segment_overlap`): `members`
+    * carries one row per (unit, segment) membership — the CALLER
+    * defines membership (presence, thresholds, model scores); this
+    * method computes |A∩B| distinct units for every segment pair.
+    * Scale shape: one unit-grain fold to a bitmask, one map-side-
+    * combinable fold to the ≤2^|segments| mask histogram, pair
+    * expansion on that tiny table — pairwise counts never touch
+    * unit-grain data again. The segment domain is collected driver-
+    * side (bounded metadata, ≤62 segments — the pivot-domain
+    * precedent).
+    */
+  def segmentOverlap(members: DataFrame, unitCol: String,
+                     segmentCol: String): DataFrame = {
+    val segs = members.select(segmentCol).distinct()
+      .collect().map(_.get(0).toString).sorted.toSeq
+    require(segs.nonEmpty && segs.size <= 62,
+      s"need 1..62 segments, got ${segs.size}")
+    val mask = segs.zipWithIndex.map { case (t, i) =>
+      max(when(col(segmentCol) === t, lit(1L << i)).otherwise(0L))
+    }.reduce(_ + _)
+    val hist = members.groupBy(col(unitCol))
+      .agg(mask.as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("n_units"))
+    val pairs = for {
+      i <- segs.indices; j <- segs.indices if i <= j
+    } yield struct(lit(segs(i)).as("seg_a"), lit(segs(j)).as("seg_b"),
+      when(shiftright(col("mask"), i) % 2 === 1 &&
+           shiftright(col("mask"), j) % 2 === 1, col("n_units"))
+        .otherwise(0L).as("n"))
+    hist.select(explode(array(pairs: _*)).as("p"))
+      .groupBy(col("p.seg_a").as("seg_a"), col("p.seg_b").as("seg_b"))
+      .agg(sum(col("p.n")).as("n_units_both"))
+      .orderBy("seg_a", "seg_b")
+  }
+
+  /** t-closeness audit (see `privacy_t_closeness`): per-QI-group
+    * Earth Mover's distance between the group's distribution of the
+    * ORDERED sensitive attribute and the global one, flagged against
+    * `t`. The sensitive domain is collected driver-side (bounded,
+    * ordered by its natural sort). EMD is one closed-form expression
+    * over a fixed pivot — no float-accumulation ambiguity —
+    * r4-quantized. Returns (qi…, group_size, emd, t_violation).
+    */
+  def tCloseness(df: DataFrame, qiCols: Seq[String],
+                 sensitiveCol: String, t: Double = 0.05): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier")
+    val dom = df.select(sensitiveCol).distinct()
+      .collect().map(_.get(0).toString).sorted.toSeq
+    require(dom.size >= 2 && dom.size <= 64,
+      s"need 2..64 sensitive values, got ${dom.size}")
+    val cnt = (i: Int) =>
+      sum(when(col(sensitiveCol) === dom(i), 1L).otherwise(0L))
+    val gAggs = dom.indices.map(i => cnt(i).as(s"c$i")) :+
+      count(lit(1)).as("group_size")
+    val grp = df.groupBy(qiCols.map(col): _*).agg(gAggs.head, gAggs.tail: _*)
+    val tAggs = dom.indices.map(i => cnt(i).as(s"g$i")) :+
+      count(lit(1)).as("n_total")
+    val glob = df.agg(tAggs.head, tAggs.tail: _*)
+    val dd = (i: Int) =>
+      col(s"c$i").cast("double") / col("group_size") -
+        col(s"g$i").cast("double") / col("n_total")
+    val emd = (1 until dom.size).map(j =>
+        abs((0 until j).map(dd).reduce(_ + _)))
+      .reduce(_ + _) / (dom.size - 1).toDouble
+    grp.crossJoin(broadcast(glob))
+      .withColumn("emd", TestData.r4(emd))
+      .withColumn("t_violation", col("emd") > t)
+      .select((qiCols.map(col) ++
+        Seq(col("group_size"), col("emd"), col("t_violation"))): _*)
+      .orderBy(qiCols.map(col): _*)
+  }
+
+  /** PMI collocation mining (see `text_collocations_pmi`): per-group
+    * adjacent-bigram pointwise mutual information with marginals
+    * derived from the bigram-type table (vocabulary-sized joins; the
+    * corpus is touched once by the wordcount-shaped bigram count).
+    * Returns (group, w1, w2, c12, pmi_u) for bigrams with
+    * c12 ≥ `minCount`, pmi in integer micro-nats.
+    */
+  def collocationsPmi(documents: DataFrame, groupCol: String,
+                      textCol: String, minCount: Int = 5): DataFrame = {
+    val big = documents
+      .withColumn("toks", split(col(textCol), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col(groupCol), explode(expr(
+        "transform(sequence(0, size(toks)-2), " +
+          "i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("b"))
+      .select(col(groupCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(groupCol, "w1", "w2").agg(count(lit(1)).as("c12"))
+    val left = big.groupBy(groupCol, "w1").agg(sum("c12").as("c1"))
+    val right = big.groupBy(groupCol, "w2").agg(sum("c12").as("c2"))
+    val tot = big.groupBy(groupCol).agg(sum("c12").as("n_big"))
+    big.join(left, Seq(groupCol, "w1")).join(right, Seq(groupCol, "w2"))
+      .join(broadcast(tot), Seq(groupCol))
+      .filter(col("c12") >= minCount)
+      .withColumn("pmi_u",
+        floor(log((col("c12").cast("double") * col("n_big"))
+            / (col("c1").cast("double") * col("c2")))
+          * 1000000 + 0.5).cast("long"))
+      .select(col(groupCol), col("w1"), col("w2"), col("c12"), col("pmi_u"))
+      .orderBy(groupCol, "w1", "w2")
+  }
+
+  /** Two-sided CUSUM changepoint detection (see
+    * `ts_changepoint_cusum`) over an already-aggregated series of
+    * integer observations (`timeCol` ascending, `valueCol` LONG
+    * counts). Uses the prefix-sum closed form S_t = P_t − min(0,
+    * running-min P), with deviations scaled by the series length so
+    * everything stays exact BIGINT. Alarms where the cumulated
+    * excess/deficit exceeds `thresholdMeans` × the series mean ×
+    * length units. The windows are unpartitioned: the series must be
+    * time-sized (grid rows), not corpus-sized.
+    */
+  def cusumChangepoints(series: DataFrame, timeCol: String,
+                        valueCol: String,
+                        thresholdMeans: Double = 1.0): DataFrame = {
+    val W = Window.orderBy(timeCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = series.agg(sum(col(valueCol)).as("t_total"),
+      count(lit(1)).as("n_points"))
+    series.crossJoin(broadcast(tot))
+      .withColumn("y", col(valueCol) * col("n_points") - col("t_total"))
+      .withColumn("p", sum("y").over(W))
+      .withColumn("cusum_up_scaled",
+        col("p") - least(lit(0L), min("p").over(W)))
+      .withColumn("cusum_dn_scaled",
+        greatest(lit(0L), max("p").over(W)) - col("p"))
+      .withColumn("thr",
+        floor(col("t_total") * lit(thresholdMeans)).cast("long"))
+      .withColumn("alarm_up", col("cusum_up_scaled") > col("thr"))
+      .withColumn("alarm_dn", col("cusum_dn_scaled") > col("thr"))
+      .select(col(timeCol), col(valueCol),
+        col("cusum_up_scaled"), col("cusum_dn_scaled"),
+        col("alarm_up"), col("alarm_dn"))
+      .orderBy(timeCol)
+  }
+
+  /** Row-grain snapshot diff / change-data-feed (see
+    * `sink_snapshot_diff`): full-outer join of two table versions on
+    * `keyCol`, classifying each key as insert / delete / update
+    * (any `compareCols` differs, null-safe). Output is delta-sized —
+    * unchanged rows are dropped before any sort. Returns
+    * (key, change, old_<c>, new_<c> for each compare col).
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, keyCol: String,
+                   compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "need at least one compare column")
+    val a = v1.select((keyCol +: compareCols).map(col): _*)
+      .withColumn("_present_a", lit(1))
+      .toDF((s"$keyCol" +: compareCols.map("old_" + _)) :+ "_present_a": _*)
+    val b = v2.select((keyCol +: compareCols).map(col): _*)
+      .withColumn("_present_b", lit(1))
+      .toDF((s"$keyCol" +: compareCols.map("new_" + _)) :+ "_present_b": _*)
+    val changed = compareCols.map(c =>
+      !(col(s"old_$c") <=> col(s"new_$c"))).reduce(_ || _)
+    a.join(b, Seq(keyCol), "full_outer")
+      .withColumn("change",
+        when(col("_present_b").isNull, lit("delete"))
+          .when(col("_present_a").isNull, lit("insert"))
+          .when(changed, lit("update")))
+      .filter(col("change").isNotNull)
+      .select((col(keyCol) +: col("change") +:
+        compareCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c")))): _*)
+      .orderBy(keyCol)
+  }
+
+  /** Synchronous label-propagation communities (see
+    * `graph_label_propagation`): `rounds` fixed sync iterations over
+    * an undirected edge list (src, dst listed once) — each node
+    * adopts its neighbors' mode label, ties to the min label;
+    * deterministic (integer counts only) and a pure function of the
+    * edge list. Returns (id, community).
+    */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+                       rounds: Int = 3): DataFrame = {
+    val adj = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val top = adj.join(labels, col("dst") === col("id"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(Window.partitionBy("src")
+          .orderBy(col("cnt").desc, col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("src"), col("label").as("nl"))
+      labels = labels.join(top, col("id") === col("src"), "left")
+        .select(col("id"), coalesce(col("nl"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels.select(col("id"), col("label").as("community"))
+  }
+
+  /** One-scan per-column approx-quantile sweep (see
+    * `profile_columns_quantiles`): GK sketches (rank error 1/
+    * `accuracy`) for every (column, p) in a single map-side-combined
+    * aggregate. Returns one row per column:
+    * (col_name, n_rows, q_0…q_k in `ps` order as an array).
+    */
+  def profileQuantiles(df: DataFrame, cols: Seq[String],
+                       ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9),
+                       accuracy: Int = 1000): DataFrame = {
+    require(cols.nonEmpty && ps.nonEmpty, "need columns and percentiles")
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}_n"),
+      approx_percentile(col(c).cast("double"),
+        array(ps.map(lit): _*), lit(accuracy)).as(s"${c}_q"))
+    }
+    val stackArgs = cols.map(c => s"'$c', ${c}_n, ${c}_q").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_rows, quantiles)"))
+      .orderBy("col_name")
+  }
 }

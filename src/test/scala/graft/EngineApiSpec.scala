@@ -808,4 +808,118 @@ class EngineApiSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
   }
+
+  test("segmentOverlap facade matches the agg_segment_overlap declared key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("agg_segment_overlap")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    // caller-side membership: same scale-free rule as the key
+    // (count of type >= across-type mean)
+    val members = TestData.events(spark, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .withColumn("tot", sum("c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .withColumn("nseg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .filter($"c" * 5 >= $"tot")
+      .select($"user_id", $"event_type")
+    val viaApi = engine.segmentOverlap(members, "user_id", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared, s"api $viaApi\nvs declared $declared")
+  }
+
+  test("tCloseness facade matches the privacy_t_closeness declared key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("privacy_t_closeness")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val fact = TestData.orders(spark, d)
+      .join(broadcast(TestData.customer(spark, d)),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey".cast("long").as("nationkey"),
+        $"c_mktsegment", $"o_orderpriority")
+    val viaApi = engine.tCloseness(fact,
+        Seq("nationkey", "c_mktsegment"), "o_orderpriority", 0.05)
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared, s"api $viaApi\nvs declared $declared")
+  }
+
+  test("collocationsPmi facade matches the text_collocations_pmi declared key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("text_collocations_pmi")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.collocationsPmi(
+        TestData.documents(spark, d), "lang", "text", 5)
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("cusumChangepoints facade matches the ts_changepoint_cusum key " +
+      "and flags a planted level shift") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("ts_changepoint_cusum")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val hourly = TestData.events(spark, d)
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val viaApi = engine.cusumChangepoints(hourly, "hour", "n", 1.0)
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+    // a planted step change (level 10 -> 30 at t=50 of 100) must alarm
+    // after the shift and never before it
+    val stepped = (1 to 100).map(t => (t, if (t <= 50) 10L else 30L))
+      .toDF("t", "v")
+    val r = engine.cusumChangepoints(stepped, "t", "v", 1.0)
+      .select("t", "alarm_up").as[(Int, Boolean)].collect().toMap
+    assert((1 to 50).forall(!r(_)), "no alarm before the shift")
+    assert(r(100), "sustained +2x shift must alarm by the end")
+  }
+
+  test("snapshotDiff facade matches the sink_snapshot_diff declared key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("sink_snapshot_diff")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val docs = TestData.documents(spark, d)
+      .select($"doc_id", $"lang", $"n_chars")
+    val gen2 = docs.filter(expr("doc_id % 10 != 3"))
+      .withColumn("n_chars",
+        when(expr("doc_id % 10 = 4"), $"n_chars" + 1000)
+          .otherwise($"n_chars"))
+      .unionByName(docs.filter(expr("doc_id % 10 = 5"))
+        .select(($"doc_id" + 10000000L).as("doc_id"), $"lang",
+          ($"n_chars" + 7).as("n_chars")))
+    val viaApi = engine.snapshotDiff(docs, gen2, "doc_id", Seq("n_chars"))
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared, s"api ${viaApi.take(3)}…")
+  }
+
+  test("labelPropagation facade matches the graph_label_propagation key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("graph_label_propagation")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val nodes = TestData.embeddings(spark, d).select($"vec_id".as("id"))
+    val edges = operators.GraphOps.fixtureKnnEdges(spark, d)
+      .select($"a".as("src"), $"b".as("dst"))
+    val viaApi = engine.labelPropagation(nodes, edges, 3)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("profileQuantiles facade matches the profile_columns_quantiles key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("profile_columns_quantiles")(spark, d)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toSeq
+    val viaApi = engine.profileQuantiles(
+        TestData.lineitem(spark, d),
+        Seq("l_orderkey", "l_partkey", "l_quantity",
+          "l_extendedprice", "l_discount"),
+        Seq(0.25, 0.5, 0.75, 0.9), 1000)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[Double](2).toSeq))
+      .toSeq
+    assert(viaApi === declared)
+  }
 }
