@@ -331,6 +331,39 @@ object Aggregates {
         .groupBy(col("p.seg_a").as("seg_a"), col("p.seg_b").as("seg_b"))
         .agg(sum(col("p.n")).as("n_users_both"))
         .orderBy("seg_a", "seg_b")
+    }),
+
+    // SKETCHED AUDIENCE OVERLAP (round 8): the same pairwise
+    // |A∩B| readout as agg_segment_overlap but via HLL inclusion-
+    // exclusion — est(A) + est(B) − est(A∪B) with the union taken in
+    // SKETCH SPACE (hll_union of the two binaries, never re-reading
+    // users). This is the shape that survives when the mask-
+    // histogram trick runs out: segments beyond one machine word,
+    // per-day sketches unioned over arbitrary date ranges, overlap
+    // across tables that can't be co-scanned. Membership = the same
+    // scale-free count≥mean rule, so PropertySpec can bound the
+    // estimate against the exact key's matrix. Oracle-omitted
+    // (datasketches estimates are impl-specific); lgConfigK 14 ⇒
+    // rsd ≈ 0.8 %, property bound ±5 % of the exact union.
+    "agg_hll_intersection" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val members = TestData.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .withColumn("tot", sum("c").over(W))
+        .filter(col("c") * lit(segTypes.size) >= col("tot"))
+        .select("user_id", "event_type")
+      val sk = members.groupBy("event_type")
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      val a = sk.select(col("event_type").as("seg_a"), col("sk").as("ska"))
+      val b = sk.select(col("event_type").as("seg_b"), col("sk").as("skb"))
+      a.join(b, col("seg_a") < col("seg_b"))
+        .select(col("seg_a"), col("seg_b"),
+          expr("hll_sketch_estimate(ska)").as("est_a"),
+          expr("hll_sketch_estimate(skb)").as("est_b"),
+          expr("hll_sketch_estimate(hll_union(ska, skb))").as("est_union"))
+        .withColumn("est_inter", greatest(lit(0L),
+          col("est_a") + col("est_b") - col("est_union")))
+        .orderBy("seg_a", "seg_b")
     })
   )
 

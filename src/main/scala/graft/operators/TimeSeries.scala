@@ -76,6 +76,42 @@ object TimeSeries {
         .orderBy("hour")
     }),
 
+    // AUTOCORRELATION FUNCTION (round 8): ACF at lags 1..12 of the
+    // hourly volume series — the periodicity readout that picks the
+    // season length ts_decompose_seasonal assumes and the lag
+    // structure an anomaly monitor whitens against. Determinism: the
+    // same n·H − T integer deviations as ts_changepoint_cusum, so
+    // every numerator Σ dev_t·dev_{t+k} and the common denominator
+    // Σ dev² are EXACT BIGINTs (sums of integer products, order-
+    // free); the ratio is one r4-quantized division at the end.
+    // (BIGINT products bound the series magnitude to ~2^31 per-point
+    // deviations — beyond that, scale deviations to mean units
+    // first.) Lags come from lead() windows over the TIME-sized
+    // grid; the aggregate is one row.
+    "ts_autocorr" -> ((s, d) => {
+      val lags = 1 to 12
+      val W = org.apache.spark.sql.expressions.Window.orderBy("hour")
+      val hourly = TestData.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val tot = hourly.agg(sum("n").as("t_total"),
+                           count(lit(1)).as("n_hours"))
+      val dv = hourly.crossJoin(broadcast(tot))
+        .withColumn("dev", col("n") * col("n_hours") - col("t_total"))
+      val led = lags.foldLeft(dv) { (df, k) =>
+        df.withColumn(s"l$k", lead("dev", k).over(W))
+      }
+      val aggs = sum(col("dev") * col("dev")).as("den") +:
+        lags.map(k => sum(col("dev") * col(s"l$k")).as(s"num$k"))
+      val stackArgs = lags.map(k => s"$k, num$k").mkString(", ")
+      led.agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${lags.size}, $stackArgs) AS (lag, num)"),
+          col("den"))
+        .withColumn("acf", r4(col("num").cast("double") / col("den")))
+        .select("lag", "num", "den", "acf")
+        .orderBy("lag")
+    }),
+
     // SEASONAL DECOMPOSITION, STL-lite (round 7): hourly click counts
     // split into trend + seasonal + remainder — the classical
     // moving-average decomposition (trend = centered ±12 h window
@@ -781,6 +817,35 @@ object TimeSeries {
       |ORDER BY user_id, version""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same integer deviations; every sum-of-products ::BIGINT; one
+    // trailing r4 division.
+    "ts_autocorr" -> {
+      val lags = 1 to 12
+      val leadCols = lags.map(k => s"lead(dev, $k) OVER w AS l$k")
+        .mkString(",\n        |    ")
+      val numCols = lags.map(k => s"sum(dev * l$k)::BIGINT AS num$k")
+        .mkString(",\n        |    ")
+      val rows = lags.map(k => s"SELECT $k AS lag, num$k AS num, den FROM ag")
+        .mkString("\n        |  UNION ALL ")
+      s"""WITH hourly AS (
+        |  SELECT date_trunc('hour', ts)::TIMESTAMP AS hour,
+        |         count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS t_total,
+        |             count(*)::BIGINT AS n_hours FROM hourly),
+        |dv AS (SELECT hour, (n * n_hours - t_total)::BIGINT AS dev
+        |       FROM hourly CROSS JOIN t),
+        |ld AS (SELECT dev,
+        |    $leadCols
+        |  FROM dv WINDOW w AS (ORDER BY hour)),
+        |ag AS (SELECT sum(dev * dev)::BIGINT AS den,
+        |    $numCols
+        |  FROM ld),
+        |u AS ($rows)
+        |SELECT lag, num, den,
+        |  floor((num::DOUBLE / den)*10000 + 0.5)/10000 AS acf
+        |FROM u ORDER BY lag""".stripMargin
+    },
     // Same prefix-sum closed form, all-BIGINT scaled deviations;
     // every windowed sum ::BIGINT (DuckDB HUGEINT trap).
     "ts_changepoint_cusum" ->

@@ -105,6 +105,26 @@ class PropertySpec extends SparkSpec {
     } finally li.unpersist()
   }
 
+  test("HLL inclusion-exclusion overlap within 5% of the exact matrix") {
+    val exact = Aggregates.defs("agg_segment_overlap")(spark, sfDir)
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    val est = Aggregates.defs("agg_hll_intersection")(spark, sfDir)
+      .select("seg_a", "seg_b", "est_inter")
+      .as[(String, String, Long)].collect()
+    assert(est.length === 10, "5 segments => 10 unordered pairs")
+    est.foreach { case (a, b, ei) =>
+      val exInter = exact((a, b))
+      val exUnion = exact((a, a)) + exact((b, b)) - exInter
+      // inclusion-exclusion compounds ~sqrt(3) sketch errors, each
+      // rsd ~0.8% at lgConfigK=14, and the error scales with the
+      // UNION magnitude, not the intersection
+      val tol = math.max(3L, (exUnion * 0.05).toLong)
+      assert(math.abs(ei - exInter) <= tol,
+        s"($a,$b): est $ei vs exact $exInter (union $exUnion)")
+    }
+  }
+
   test("profile quantile sweep satisfies the GK rank-eps contract per column") {
     val prof = Maintenance.defs("profile_columns_quantiles")(spark, sfDir)
       .as[(String, Long, Double, Double, Double, Double)].collect()
