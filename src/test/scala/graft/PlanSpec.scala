@@ -423,4 +423,30 @@ class PlanSpec extends SparkSpec {
     assert(scans == 2, s"expected old+new generation scans, saw $scans:\n${p.take(900)}")
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
+
+  test("agg_segment_overlap folds user-grain data exactly once") {
+    // The pairwise matrix must come off the mask HISTOGRAM, never a
+    // second pass over user-grain rows: exactly one exchange keyed on
+    // user_id (the per-user fold); the histogram and pair aggregates
+    // shuffle on mask / (seg_a, seg_b) only.
+    val p = plan("agg_segment_overlap")
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userExchanges == 1,
+      s"expected exactly one user-grain exchange, saw $userExchanges:\n${p.take(900)}")
+  }
+
+  test("ts_changepoint_cusum / ts_autocorr aggregate before any window") {
+    // The unpartitioned running windows are the documented time-sized
+    // tail: they must consume the HOURLY aggregate, so the plan's
+    // single-partition exchange feeds from a HashAggregate, and the
+    // corpus-sized scan is below the aggregate, not below the window.
+    for (k <- Seq("ts_changepoint_cusum", "ts_autocorr")) {
+      val p = plan(k)
+      assert(p.contains("HashAggregate"), s"$k: missing hourly aggregate")
+      val idxWindow = p.indexOf("Window")
+      val idxScan = p.indexOf("FileScan")
+      assert(idxWindow >= 0 && idxScan > idxWindow,
+        s"$k: window must sit above the aggregated grid, scan below it")
+    }
+  }
 }
