@@ -135,8 +135,15 @@ object Curation {
     val W = org.apache.spark.sql.expressions.Window
     val n = if (numRanges > 0) numRanges
             else df.sparkSession.sparkContext.defaultParallelism
+    // Materialize the partition-tagged frame ONCE: the local-rank
+    // window and the offsets aggregate are two branches over it, and
+    // un-checkpointed each re-runs the full upstream (scan + sort key
+    // + range shuffle) — the self-join-recompute trap. One
+    // materialization ≈ one shuffle write at any scale; the two
+    // recomputed corpus passes it replaces cost more.
     val parted = df.repartitionByRange(n, (col(partCol) +: orderCols): _*)
       .withColumn("grr_pid", spark_partition_id())
+      .localCheckpoint()
     val wLocal = W.partitionBy(col(partCol), col("grr_pid"))
       .orderBy(orderCols: _*)
     val local = parted.withColumn("grr_local",
