@@ -333,6 +333,35 @@ object Aggregates {
         .orderBy("seg_a", "seg_b")
     }),
 
+    // WEIGHTED MEDIAN (round 8): the order statistic under a weight
+    // column (here: price weighted by quantity — "the price of the
+    // median UNIT SOLD", which line-grain median misses when cheap
+    // lines carry big quantities). Definition: least v with
+    // cumweight(≤v)·2 ≥ totweight — exact BIGINT comparisons on
+    // integer weights, the value an actual data element. Shape:
+    // per-(group, value) pre-aggregate (map-side combinable)
+    // collapses ties BEFORE the window, then the cumulative runs
+    // over the value-DISTINCT rows (price-domain-sized, not
+    // line-grain); values r4-quantized as both sort key and output
+    // (float sort-key rule).
+    "agg_weighted_median" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val g = TestData.lineitem(s, d)
+        .select(col("l_returnflag"),
+          r4(col("l_extendedprice")).as("v"),
+          col("l_quantity").cast("long").as("w"))
+        .groupBy("l_returnflag", "v").agg(sum("w").as("w"))
+      g.withColumn("cw", sum("w").over(W.partitionBy("l_returnflag")
+          .orderBy("v")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("tw", sum("w").over(W.partitionBy("l_returnflag")))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy("l_returnflag")
+        .agg(min(col("v")).as("weighted_median"),
+          min(col("tw")).as("total_weight"))
+        .orderBy("l_returnflag")
+    }),
+
     // SKETCHED AUDIENCE OVERLAP (round 8): the same pairwise
     // |A∩B| readout as agg_segment_overlap but via HLL inclusion-
     // exclusion — est(A) + est(B) − est(A∪B) with the union taken in
@@ -378,6 +407,24 @@ object Aggregates {
     Seq("click", "error", "purchase", "signup", "view")
 
   val oracles: Map[String, String] = Map(
+    // Same least-v-with-cw*2>=tw form; windowed sums ::BIGINT
+    // (HUGEINT trap); values r4'd before grouping on both sides.
+    "agg_weighted_median" ->
+      """WITH g AS (
+        |  SELECT l_returnflag,
+        |    floor((l_extendedprice)*10000 + 0.5)/10000 AS v,
+        |    sum(l_quantity::BIGINT)::BIGINT AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, v,
+        |    (sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cw,
+        |    (sum(w) OVER (PARTITION BY l_returnflag))::BIGINT AS tw
+        |  FROM g)
+        |SELECT l_returnflag, min(v) AS weighted_median,
+        |  min(tw)::BIGINT AS total_weight
+        |FROM c WHERE cw * 2 >= tw
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // Independent derivation: per-user counts → boolean flags →
     // 15 direct conditional distinct-user counts, unioned.
     "agg_segment_overlap" -> {

@@ -602,6 +602,30 @@ object TimeSeries {
           r4(col("z")).as("z_score"),
           (abs(col("z")) > lit(1.959964)).as("significant_95"))),
 
+    // SAMPLE-RATIO MISMATCH (round 8): the experiment-health gate
+    // that must run BEFORE events_ab_significance is read — a
+    // randomizer bug that skews assignment (crash on one arm, bot
+    // filtering, cache keying) makes the z-test's answer meaningless
+    // regardless of its p-value. Chi-square goodness-of-fit of the
+    // USER-grain assignment counts against the designed 50/50: with
+    // equal expected cells the statistic collapses to
+    // (n_c − n_t)²/(n_c + n_t) — exact BIGINT numerator, ONE double
+    // division, r4. Flag at the df=1 95 % critical value. One
+    // distinct-users aggregate at any scale.
+    "events_ab_srm" -> ((s, d) =>
+      TestData.events(s, d)
+        .select(col("user_id")).distinct()
+        .withColumn("t",
+          (conv(substring(md5(col("user_id").cast("string")), 1, 2), 16, 10)
+            .cast("int") % 2 =!= 0).cast("int"))
+        .agg(sum(when(col("t") === 0, 1L).otherwise(0L)).as("n_c"),
+             sum(when(col("t") === 1, 1L).otherwise(0L)).as("n_t"))
+        .withColumn("chi2", r4(
+          ((col("n_c") - col("n_t")) * (col("n_c") - col("n_t")))
+            / (col("n_c") + col("n_t")).cast("double")))
+        .select(col("n_c"), col("n_t"), col("chi2"),
+          (col("chi2") > lit(3.841459)).as("srm_detected"))),
+
     // TIME-TO-CONVERT PERCENTILES (round 7): p50/p90 of signup→first-
     // purchase delay — the latency-distribution readout events_funnel's
     // mean hides (a p90 regression with a flat mean is the standard
@@ -933,6 +957,24 @@ object TimeSeries {
         |  floor((sum(converted)::DOUBLE / count(*))*10000 + 0.5)/10000
         |    AS conv_rate
         |FROM v GROUP BY 1 ORDER BY variant""".stripMargin,
+    // Same BIGINT counts; (n_c − n_t)² stays integer, one DOUBLE
+    // division, r4.
+    "events_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (
+        |  SELECT
+        |    sum(CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))::INT
+        |      % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+        |    sum(CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))::INT
+        |      % 2 = 0 THEN 0 ELSE 1 END)::BIGINT AS n_t
+        |  FROM u),
+        |c AS (
+        |  SELECT n_c, n_t,
+        |    floor((((n_c - n_t) * (n_c - n_t)) / (n_c + n_t)::DOUBLE)
+        |      *10000 + 0.5)/10000 AS chi2
+        |  FROM a)
+        |SELECT n_c, n_t, chi2, chi2 > 3.841459 AS srm_detected
+        |FROM c""".stripMargin,
     // z computed from the same BIGINT counts with the identical
     // closed-form op order — bit-identical IEEE before the r4.
     "events_ab_significance" ->
