@@ -328,6 +328,41 @@ object Maintenance {
         .orderBy("doc_id")
     }),
 
+    // CONTENT-CHECKSUM MANIFEST (round 8): the cheap table-equality
+    // proof a governed sink publishes next to its data — per
+    // partition, row count, key checksum, and an ORDER-FREE content
+    // checksum (sum of 28-bit md5 folds of the canonical row string).
+    // Any engine/system can recompute the same three numbers from
+    // its own copy and prove row-for-row parity without a sorted
+    // compare or a shuffle join — the cross-system reconciliation
+    // primitive behind migration cutovers and replica audits.
+    // Because the fold-sum is commutative, the checksum is
+    // partition-layout- and task-order-independent: one map-side
+    // scan + a partitions-sized aggregate at any corpus size. The
+    // declared query checksums the WRITTEN sink files (what a
+    // downstream consumer would actually verify); the oracle
+    // recomputes from the generating table.
+    "sink_content_checksum" -> ((s, d) => {
+      val docs = TestData.documents(s, d)
+        .select("doc_id", "lang", "text")
+      val tag = graft.sources.WriteOnce.inputTag(d, "documents")
+      val dir = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/checksum_sink", tag)
+      graft.sources.WriteOnce.ensure(dir, tag) {
+        docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+      }
+      s.read.parquet(dir)
+        .withColumn("fold",
+          conv(substring(md5(concat_ws("|",
+            col("doc_id").cast("string"), col("text"))), 1, 7), 16, 10)
+            .cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("id_checksum"),
+          sum(col("fold")).as("content_checksum"))
+        .orderBy("lang")
+    }),
+
     // Z-order clustering: interleave the bits of two predicate columns
     // into one sort key, range-partition + sort the write by it, and
     // summarize per fixed-width key range. Because the z-curve keeps
@@ -587,6 +622,14 @@ object Maintenance {
         |WHERE g2.doc_id IS NULL OR g1.doc_id IS NULL
         |   OR g1.n_chars <> g2.n_chars
         |ORDER BY doc_id""".stripMargin,
+    // The oracle recomputes the manifest from the generating table —
+    // proving the written files carry exactly the source rows.
+    "sink_content_checksum" ->
+      """SELECT lang, count(*)::BIGINT AS n_rows,
+        |  sum(doc_id)::BIGINT AS id_checksum,
+        |  sum(('0x' || substring(md5(doc_id::VARCHAR || '|' || text),
+        |       1, 7))::BIGINT)::BIGINT AS content_checksum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // Content parity straight off the fixture: if compaction changed
     // (or dropped, or duplicated) a single row, n / id_checksum /
     // sum_value diverge.

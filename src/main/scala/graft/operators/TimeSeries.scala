@@ -434,6 +434,39 @@ object TimeSeries {
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_week", "week_offset")),
 
+    // COHORT LTV CURVES (round 8): events_retention_cohorts with
+    // VALUE — per (signup-cohort week, week offset) purchase revenue
+    // and its cumulative ("LTV by week N") curve, the payback
+    // readout under every acquisition decision. Determinism: revenue
+    // quantizes to integer CENTS per event BEFORE any sum (floor
+    // cents, the quantize-before-sum rule — a running DOUBLE sum
+    // would accumulate in engine-specific order), so both the weekly
+    // sum and the running cumulative are exact BIGINTs. Shape: one
+    // user-grain aggregate for cohort assignment, broadcast-free
+    // join back on user, a (cohort, offset) aggregate; the running
+    // window is per-cohort over the offsets grid (time-sized).
+    "events_cohort_ltv" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = TestData.events(s, d)
+      val cohort = ev.select(col("user_id"),
+          date_trunc("week", col("ts")).as("week"))
+        .groupBy("user_id").agg(min("week").as("cohort_week"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("u"),
+          date_trunc("week", col("ts")).as("pweek"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      cohort.join(rev, col("user_id") === col("u"))
+        .groupBy(col("cohort_week"),
+          expr("datediff(pweek, cohort_week) DIV 7").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_buyers"),
+          sum(col("cents")).as("revenue_cents"))
+        .withColumn("cum_revenue_cents",
+          sum("revenue_cents").over(W.partitionBy("cohort_week")
+            .orderBy("week_offset")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // SCD TYPE-2 DIMENSION: collapse each user's event_type stream
     // into validity intervals [valid_from, valid_to) — lag() flags
     // change rows, lead() closes each interval at the next change
@@ -896,6 +929,31 @@ object TimeSeries {
         |  cusum_up_scaled > t_total AS alarm_up,
         |  cusum_dn_scaled > t_total AS alarm_dn
         |FROM c ORDER BY hour""".stripMargin,
+    // Cents quantized per event before ANY sum; weekly and running
+    // totals are exact BIGINTs; week arithmetic mirrors
+    // events_retention_cohorts.
+    "events_cohort_ltv" ->
+      """WITH c AS (
+        |  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, date_trunc('week', ts) AS pweek,
+        |    floor(value * 100 + 0.5)::BIGINT AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT c.cohort_week::TIMESTAMP AS cohort_week,
+        |    date_diff('day', c.cohort_week::DATE, r.pweek::DATE) // 7
+        |      AS week_offset,
+        |    count(DISTINCT r.user_id)::BIGINT AS n_buyers,
+        |    sum(cents)::BIGINT AS revenue_cents
+        |  FROM c JOIN r USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_buyers, revenue_cents,
+        |  (sum(revenue_cents) OVER (PARTITION BY cohort_week
+        |     ORDER BY week_offset
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |    AS cum_revenue_cents
+        |FROM g ORDER BY cohort_week, week_offset""".stripMargin,
     "events_retention_cohorts" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week
