@@ -323,6 +323,69 @@ object Curation {
         .orderBy("lang")
     }),
 
+    // EPOCH QUOTA APPORTIONMENT (round 8): turn mix shares into
+    // integer per-source example counts for one training epoch —
+    // largest-remainder (Hamilton) apportionment of a B-token budget
+    // over per-lang token counts. ENTIRELY integer: base =
+    // (B·c_i) DIV C, remainder = (B·c_i) MOD C, and the B − Σbase
+    // leftover units go to the largest remainders (ties → lang asc),
+    // so Σ quota = B exactly — no float shares to round and no
+    // engine to disagree. (B·c_i must fit BIGINT: at petabyte token
+    // counts apportion in millions-of-tokens units first.) The rank
+    // window is sources-sized; everything upstream is the wordcount
+    // aggregate.
+    "pipeline_mix_epoch_schedule" -> ((s, d) => {
+      val B = 1000000L
+      val W = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rem").desc, col("lang"))
+      val per = TestData.documents(s, d)
+        .select(col("lang"), size(split(col("text"), " ")).as("nt"))
+        .groupBy("lang").agg(sum(col("nt")).as("n_tokens"))
+      val tot = per.agg(sum("n_tokens").as("c_total"))
+      val appo = per.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($B * n_tokens) DIV c_total"))
+        .withColumn("rem", expr(s"($B * n_tokens) % c_total"))
+      val baseSum = appo.agg(sum("base").as("base_sum"))
+      appo.crossJoin(broadcast(baseSum))
+        .withColumn("rk", row_number().over(W))
+        .withColumn("extra",
+          when(col("rk") <= lit(B) - col("base_sum"), 1L).otherwise(0L))
+        .select(col("lang"), col("n_tokens"), col("base"), col("extra"),
+          (col("base") + col("extra")).as("epoch_quota"))
+        .orderBy("lang")
+    }),
+
+    // BALANCED DOWNSAMPLING (round 8): cap every class at the
+    // minority class's size by keeping each lang's `cap` smallest
+    // md5-rank docs — the class-balancing pass before training a
+    // lang-ID/quality classifier. Hash-rank selection is
+    // deterministic, reproducible across engines and cluster sizes,
+    // and UNBIASED w.r.t. any data ordering (md5 of the id, ties
+    // impossible on a unique id). Emits the per-class audit (before,
+    // after, id checksum of the kept set — order-free BIGINT sum) so
+    // the exact selection is hash-verified, not just its size. The
+    // rank window partitions by class; at extreme class sizes swap
+    // in rangedRank (same contract).
+    "sample_balanced_downsample" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("u28"), col("doc_id"))
+      val docs = TestData.documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("u28",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+            .cast("long"))
+      val cap = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .agg(min("n").as("cap"))
+      docs.crossJoin(broadcast(cap))
+        .withColumn("rk", row_number().over(W))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_before"),
+          sum(when(col("rk") <= col("cap"), 1L).otherwise(0L)).as("n_after"),
+          sum(when(col("rk") <= col("cap"), col("doc_id")).otherwise(0L))
+            .as("kept_id_checksum"))
+        .orderBy("lang")
+    }),
+
     // The staged curation FUNNEL: how many docs survive each
     // successive filter — length rule, + stopword rule, + exact-dedup
     // survivorship (min doc_id per content hash), + repetition gate.
@@ -834,6 +897,47 @@ object Curation {
         |        AND al >= 4.2 AND al <= 5.0 THEN 1 ELSE 0 END)::BIGINT
         |    AS pass_all
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+    // Same all-integer apportionment (// and % on BIGINTs), same
+    // largest-remainder rank with lang tie-break.
+    "pipeline_mix_epoch_schedule" ->
+      """WITH per AS (
+        |  SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_tokens)::BIGINT AS c_total FROM per),
+        |a AS (
+        |  SELECT lang, n_tokens,
+        |    ((1000000 * n_tokens) // c_total)::BIGINT AS base,
+        |    ((1000000 * n_tokens) % c_total)::BIGINT AS rem
+        |  FROM per CROSS JOIN t),
+        |b AS (SELECT sum(base)::BIGINT AS base_sum FROM a),
+        |r AS (
+        |  SELECT a.lang, a.n_tokens, a.base, base_sum,
+        |    row_number() OVER (ORDER BY rem DESC, lang) AS rk
+        |  FROM a CROSS JOIN b)
+        |SELECT lang, n_tokens, base,
+        |  (CASE WHEN rk <= 1000000 - base_sum THEN 1 ELSE 0 END)::BIGINT
+        |    AS extra,
+        |  (base + CASE WHEN rk <= 1000000 - base_sum THEN 1 ELSE 0 END)::BIGINT
+        |    AS epoch_quota
+        |FROM r ORDER BY lang""".stripMargin,
+    // Same md5-rank selection; kept-set checksum proves the exact
+    // rows, not just the count.
+    "sample_balanced_downsample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 7))::BIGINT AS u28
+        |  FROM documents),
+        |c AS (SELECT min(n)::BIGINT AS cap FROM
+        |        (SELECT count(*) AS n FROM d GROUP BY lang)),
+        |r AS (
+        |  SELECT d.*, cap,
+        |    row_number() OVER (PARTITION BY lang ORDER BY u28, doc_id) AS rk
+        |  FROM d CROSS JOIN c)
+        |SELECT lang, count(*)::BIGINT AS n_before,
+        |  sum(CASE WHEN rk <= cap THEN 1 ELSE 0 END)::BIGINT AS n_after,
+        |  sum(CASE WHEN rk <= cap THEN doc_id ELSE 0 END)::BIGINT
+        |    AS kept_id_checksum
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     "pipeline_mix_temperature" ->
       """WITH per AS (
         |  SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens

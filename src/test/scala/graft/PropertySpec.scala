@@ -105,6 +105,27 @@ class PropertySpec extends SparkSpec {
     } finally li.unpersist()
   }
 
+  test("epoch apportionment sums to exactly the budget; quotas track shares") {
+    val rows = Curation.defs("pipeline_mix_epoch_schedule")(spark, sfDir)
+      .select("n_tokens", "epoch_quota").as[(Long, Long)].collect()
+    assert(rows.length >= 2)
+    assert(rows.map(_._2).sum === 1000000L,
+      "largest-remainder must hand out the whole budget, no more")
+    val c = rows.map(_._1).sum
+    rows.foreach { case (nt, q) =>
+      // quota differs from the exact rational share by < 1 unit
+      assert(math.abs(q - 1000000.0 * nt / c) < 1.0, s"($nt, $q)")
+    }
+  }
+
+  test("balanced downsample caps every class at the minority size") {
+    val rows = Curation.defs("sample_balanced_downsample")(spark, sfDir)
+      .select("n_before", "n_after").as[(Long, Long)].collect()
+    val cap = rows.map(_._1).min
+    assert(rows.forall(_._2 == cap),
+      s"every class must land exactly at the minority size $cap: ${rows.toSeq}")
+  }
+
   test("HLL inclusion-exclusion overlap within 5% of the exact matrix") {
     val exact = Aggregates.defs("agg_segment_overlap")(spark, sfDir)
       .as[(String, String, Long)].collect()
