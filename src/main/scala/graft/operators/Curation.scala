@@ -467,6 +467,33 @@ object Curation {
         .filter(col("n_sensitive") < 3)
         .orderBy("nationkey", "c_mktsegment", "yr")),
 
+    // DIFFERENTIALLY-PRIVATE RELEASE (round 8): the Laplace
+    // mechanism over per-group counts (ε=1, sensitivity 1 ⇒ scale
+    // b=1) — completing the privacy stack: k-anonymity and
+    // l-diversity/t-closeness AUDIT a release, DP noising PERFORMS
+    // one. Noise is SEEDED: u = (md5-fold(group)+0.5)/2^28 ∈ (0,1)
+    // (the +0.5 makes u = exactly 0.5 impossible — ln(0) guard),
+    // noise = −sign(u−½)·ln(1−2|u−½|), quantized to integer
+    // MICRO-units before the count is added (quantize-before-sum:
+    // one transcendental, identical op order both engines, the
+    // released value an exact BIGINT in micro-counts). Seeding makes
+    // the release reproducible/oracle-able; a production system
+    // would draw u from a CSPRNG — same expression, same plan.
+    // Map-side + groups-sized aggregate at any corpus size.
+    "privacy_dp_noise" -> ((s, d) => {
+      val u = (conv(substring(md5(col("lang")), 1, 7), 16, 10)
+        .cast("double") + lit(0.5)) / lit(268435456.0)
+      val noiseU = floor(
+        -signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+          * 1000000 + 0.5).cast("long")
+      TestData.documents(s, d)
+        .groupBy("lang").agg(count(lit(1)).as("true_count"))
+        .withColumn("noise_u", noiseU)
+        .withColumn("released_count_u",
+          col("true_count") * 1000000L + col("noise_u"))
+        .orderBy("lang")
+    }),
+
     // T-CLOSENESS AUDIT (round 8): l-diversity's distributional
     // sharper sibling — a QI group with all l values present can
     // still leak if its sensitive-value DISTRIBUTION skews far from
@@ -724,6 +751,23 @@ object Curation {
         |GROUP BY 1, 2, 3
         |HAVING count(DISTINCT o_orderstatus) < 3
         |ORDER BY nationkey, c_mktsegment, yr""".stripMargin,
+    // Same seeded inverse-CDF draw, identical op order, micro-unit
+    // quantize before the count joins the sum.
+    "privacy_dp_noise" ->
+      """WITH g AS (
+        |  SELECT lang, count(*)::BIGINT AS true_count
+        |  FROM documents GROUP BY lang),
+        |n AS (
+        |  SELECT lang, true_count,
+        |    floor(-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))
+        |      * 1000000 + 0.5)::BIGINT AS noise_u
+        |  FROM (SELECT lang, true_count,
+        |          ((('0x' || substring(md5(lang), 1, 7))::BIGINT::DOUBLE + 0.5)
+        |            / 268435456.0) AS u
+        |        FROM g))
+        |SELECT lang, true_count, noise_u,
+        |  (true_count * 1000000 + noise_u)::BIGINT AS released_count_u
+        |FROM n ORDER BY lang""".stripMargin,
     // Identical op order to the Spark side: d_i = c_i/n_g − g_i/N
     // (each division DOUBLE), cumulative sums in fixed i order, abs
     // terms summed left-to-right, /4, then r4. All counts ::BIGINT
