@@ -174,6 +174,37 @@ object GraphOps {
       .distinct()
   }
 
+  /** `rounds` rounds of k-core peeling (drop degree-<k nodes and
+    * their edges) over the fixture kNN graph; see the declared key's
+    * scaladoc. Exposed with the round count as a parameter so the
+    * spec can pin rounds-invariance (3 rounds = 4 rounds on this
+    * fixture ⇒ the fixed-round cut IS the fixpoint 2-core here).
+    */
+  private[graft] def kCore(s: SparkSession, d: String,
+                           k: Int, rounds: Int): DataFrame = {
+    val edges0 = fixtureKnnEdges(s, d)
+    var adj = edges0.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges0.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("kid"))
+      adj = adj.join(keep, col("src") === col("kid"))
+        .select(col("src"), col("dst"))
+        .join(keep.select(col("kid").as("kid2")), col("dst") === col("kid2"))
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    }
+    val coreDeg = adj.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("core_degree"))
+    TestData.embeddings(s, d).select(col("vec_id"))
+      .join(coreDeg, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("core_degree"), lit(0L)).as("core_degree"),
+        col("core_degree").isNotNull.as("in_core"))
+      .orderBy("vec_id")
+  }
+
   /** 2-hop shared-middle candidate pairs with a PER-MIDDLE FANOUT CAP:
     * each middle vertex contributes only its `cap` smallest-id
     * neighbors (deterministic rank, window spills rather than
@@ -324,6 +355,20 @@ object GraphOps {
       labels.select(col("id").as("vec_id"), col("label").as("community"))
         .orderBy("vec_id")
     }),
+
+    // K-CORE PRUNING (round 8): 3 fixed rounds of drop-degree-<k
+    // (k=2) over the kNN graph — the standard densest-region filter
+    // that strips leaf/whisker noise before community or motif
+    // analysis (graph_triangle_count's triangles all live in the
+    // 2-core). Fixed rounds, not run-to-fixpoint, for the same
+    // reason as label propagation: the result is a pure function of
+    // the edge list that an unrolled oracle reproduces; each round
+    // is one degree aggregate + one semi-join (both ∝ |edges|), and
+    // on this fixture 3 rounds reach the fixpoint anyway (peeling
+    // depth, pinned by the n_rounds-invariance property in the
+    // spec). Emits every node with its final in-core flag and
+    // surviving degree.
+    "graph_k_core" -> ((s, d) => kCore(s, d, k = 2, rounds = 3)),
 
     // LINK PREDICTION by neighbor-set Jaccard: for every 2-hop pair
     // (a, b) not already an edge, score = |N(a)∩N(b)| / |N(a)∪N(b)| —
@@ -515,6 +560,30 @@ object GraphOps {
         |  (count(*) - count(DISTINCT c.component))::BIGINT AS n_removed
         |FROM documents d JOIN comp c ON d.doc_id = c.doc_id
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    // Same 3 pruning rounds unrolled: degrees over the surviving
+    // edge set, keep deg ≥ 2, filter edges to kept nodes.
+    "graph_k_core" -> {
+      def round(i: Int): String =
+        s"""d$i AS (
+          |  SELECT src, count(*)::BIGINT AS deg FROM e${i - 1} GROUP BY src),
+          |k$i AS (SELECT src AS id FROM d$i WHERE deg >= 2),
+          |e$i AS (
+          |  SELECT e.src, e.dst FROM e${i - 1} e
+          |  JOIN k$i a ON e.src = a.id
+          |  JOIN k$i b ON e.dst = b.id)""".stripMargin
+      s"""$EdgesCte,
+        |e0 AS (SELECT a AS src, b AS dst FROM edges
+        |       UNION ALL SELECT b, a FROM edges),
+        |${round(1)},
+        |${round(2)},
+        |${round(3)},
+        |cd AS (SELECT src AS id, count(*)::BIGINT AS core_degree
+        |       FROM e3 GROUP BY src)
+        |SELECT v.vec_id, coalesce(cd.core_degree, 0)::BIGINT AS core_degree,
+        |  cd.id IS NOT NULL AS in_core
+        |FROM embeddings v LEFT JOIN cd ON v.vec_id = cd.id
+        |ORDER BY v.vec_id""".stripMargin
+    },
     // Same 3 sync rounds unrolled (round k = neighbor-label counts →
     // per-node mode with min-label tie-break → left join keeps
     // isolated nodes); integer counts only.

@@ -105,6 +105,18 @@ class PropertySpec extends SparkSpec {
     } finally li.unpersist()
   }
 
+  test("k-core peeling reaches its fixpoint within the declared 3 rounds") {
+    val three = GraphOps.kCore(spark, sfDir, 2, 3)
+      .collect().map(_.toSeq).toSeq
+    val four = GraphOps.kCore(spark, sfDir, 2, 4)
+      .collect().map(_.toSeq).toSeq
+    assert(three === four,
+      "a 4th peel must be a no-op — the fixed-round cut is the 2-core")
+    // and every in-core node really has core degree >= 2
+    assert(three.filter(_(2) == true).forall(r =>
+      r(1).asInstanceOf[Long] >= 2L))
+  }
+
   test("epoch apportionment sums to exactly the budget; quotas track shares") {
     val rows = Curation.defs("pipeline_mix_epoch_schedule")(spark, sfDir)
       .select("n_tokens", "epoch_quota").as[(Long, Long)].collect()
