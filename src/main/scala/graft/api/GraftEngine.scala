@@ -1353,4 +1353,123 @@ class GraftEngine(val spark: SparkSession) {
         "(col_name, n_rows, quantiles)"))
       .orderBy("col_name")
   }
+
+  /** Sample-ratio-mismatch check (see `events_ab_srm`): chi-square
+    * goodness-of-fit of the 0/1 `variantCol` assignment counts
+    * against a designed 50/50 — (n_c−n_t)²/(n_c+n_t), exact BIGINT
+    * numerator, one division. Run this BEFORE reading [[abTest]]'s
+    * z. Returns one row (n_c, n_t, chi2, srm_detected at 95 %).
+    */
+  def srmCheck(assignments: DataFrame, variantCol: String): DataFrame =
+    assignments
+      .agg(sum(when(col(variantCol) === 0, 1L).otherwise(0L)).as("n_c"),
+           sum(when(col(variantCol) === 1, 1L).otherwise(0L)).as("n_t"))
+      .withColumn("chi2", when(col("n_c") + col("n_t") > 0, TestData.r4(
+        ((col("n_c") - col("n_t")) * (col("n_c") - col("n_t")))
+          / (col("n_c") + col("n_t")).cast("double"))))
+      .select(col("n_c"), col("n_t"), col("chi2"),
+        (col("chi2") > lit(3.841459)).as("srm_detected"))
+
+  /** Weighted median per group (see `agg_weighted_median`): least v
+    * with cumweight(≤v)·2 ≥ totweight over integer weights. The
+    * per-(group, value) pre-aggregate collapses ties map-side; the
+    * cumulative runs over value-distinct rows. `valueCol` should be
+    * pre-quantized if float (r4) — it is used as a sort key.
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String): DataFrame = {
+    val W = Window.partitionBy(groupCol)
+    val g = df.select(col(groupCol), col(valueCol).as("v"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy(groupCol, "v").agg(sum("w").as("w"))
+    g.withColumn("cw", sum("w").over(W.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tw", sum("w").over(W))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy(groupCol)
+      .agg(min(col("v")).as("weighted_median"),
+        min(col("tw")).as("total_weight"))
+      .orderBy(groupCol)
+  }
+
+  /** Order-free content-checksum manifest (see
+    * `sink_content_checksum`): per `partitionCol` — row count, sum of
+    * `keyCol`, and the commutative sum of 28-bit md5 folds of the
+    * '|'-joined `contentCols`. Recompute on any copy of the table to
+    * prove row-for-row parity without a sorted compare.
+    */
+  def contentChecksum(df: DataFrame, partitionCol: String, keyCol: String,
+                      contentCols: Seq[String]): DataFrame =
+    df.withColumn("fold",
+        conv(substring(md5(concat_ws("|",
+          contentCols.map(c => col(c).cast("string")): _*)), 1, 7), 16, 10)
+          .cast("long"))
+      .groupBy(partitionCol)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(keyCol)).as("id_checksum"),
+        sum(col("fold")).as("content_checksum"))
+      .orderBy(partitionCol)
+
+  /** Largest-remainder apportionment of an integer `budget` over
+    * per-group weights (see `pipeline_mix_epoch_schedule`): quotas
+    * are all-integer and sum to the budget exactly. `weights` carries
+    * (group, weight). budget·weight must fit a BIGINT.
+    */
+  def epochQuotas(weights: DataFrame, groupCol: String, weightCol: String,
+                  budget: Long): DataFrame = {
+    val W = Window.orderBy(col("rem").desc, col(groupCol))
+    val tot = weights.agg(sum(col(weightCol)).as("c_total"))
+    val appo = weights.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($budget * $weightCol) DIV c_total"))
+      .withColumn("rem", expr(s"($budget * $weightCol) % c_total"))
+    val baseSum = appo.agg(sum("base").as("base_sum"))
+    appo.crossJoin(broadcast(baseSum))
+      .withColumn("rk", row_number().over(W))
+      .withColumn("extra",
+        when(col("rk") <= lit(budget) - col("base_sum"), 1L).otherwise(0L))
+      .select(col(groupCol), col(weightCol),
+        (col("base") + col("extra")).as("quota"))
+      .orderBy(groupCol)
+  }
+
+  /** Balanced downsample audit (see `sample_balanced_downsample`):
+    * caps every class at the minority class size by lowest-md5-rank
+    * selection on `idCol`; returns the kept row set (add the audit
+    * aggregate downstream as the declared key does). Deterministic,
+    * order-unbiased, stable across cluster sizes.
+    */
+  def balancedDownsample(df: DataFrame, classCol: String,
+                         idCol: String): DataFrame = {
+    val W = Window.partitionBy(classCol).orderBy(col("_u28"), col(idCol))
+    val withRank = df.withColumn("_u28",
+        conv(substring(md5(col(idCol).cast("string")), 1, 7), 16, 10)
+          .cast("long"))
+    val cap = withRank.groupBy(classCol).agg(count(lit(1)).as("n"))
+      .agg(min("n").as("_cap"))
+    withRank.crossJoin(broadcast(cap))
+      .withColumn("_rk", row_number().over(W))
+      .filter(col("_rk") <= col("_cap"))
+      .drop("_u28", "_rk", "_cap")
+  }
+
+  /** Seeded Laplace release of per-group counts (see
+    * `privacy_dp_noise`): ε-DP noisy counts in integer micro-units,
+    * noise drawn by inverse CDF from an md5-fold uniform seeded on
+    * the group value — reproducible; swap the uniform for a CSPRNG
+    * draw in production.
+    */
+  def dpNoisyCounts(df: DataFrame, groupCol: String,
+                    epsilon: Double = 1.0): DataFrame = {
+    require(epsilon > 0, "epsilon must be positive")
+    val u = (conv(substring(md5(col(groupCol).cast("string")), 1, 7), 16, 10)
+      .cast("double") + lit(0.5)) / lit(268435456.0)
+    val noiseU = floor(
+      -signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+        / epsilon * 1000000 + 0.5).cast("long")
+    df.groupBy(groupCol).agg(count(lit(1)).as("true_count"))
+      .withColumn("noise_u", noiseU)
+      .withColumn("released_count_u",
+        col("true_count") * 1000000L + col("noise_u"))
+      .orderBy(groupCol)
+  }
 }

@@ -904,6 +904,86 @@ class EngineApiSpec extends SparkSpec {
     assert(viaApi === declared)
   }
 
+  test("srmCheck facade matches the events_ab_srm declared key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("events_ab_srm")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val assignments = TestData.events(spark, d)
+      .select($"user_id").distinct()
+      .withColumn("t",
+        (conv(substring(md5($"user_id".cast("string")), 1, 2), 16, 10)
+          .cast("int") % 2 =!= 0).cast("int"))
+    val viaApi = engine.srmCheck(assignments, "t")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+    // a planted 60/40 skew at n=1000 must be flagged
+    val skewed = (Seq.fill(600)(0) ++ Seq.fill(400)(1)).toDF("t")
+    assert(engine.srmCheck(skewed, "t").head().getBoolean(3),
+      "600/400 must trip the SRM gate")
+  }
+
+  test("weightedMedian facade matches the agg_weighted_median declared key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("agg_weighted_median")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val li = TestData.lineitem(spark, d)
+      .select($"l_returnflag",
+        TestData.r4($"l_extendedprice").as("v"), $"l_quantity")
+    val viaApi = engine.weightedMedian(li, "l_returnflag", "v", "l_quantity")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("contentChecksum facade matches the sink_content_checksum key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("sink_content_checksum")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.contentChecksum(
+        TestData.documents(spark, d), "lang", "doc_id",
+        Seq("doc_id", "text"))
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("epochQuotas facade matches the pipeline_mix_epoch_schedule key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("pipeline_mix_epoch_schedule")(spark, d)
+      .select("lang", "n_tokens", "epoch_quota")
+      .collect().map(_.toSeq).toSeq
+    val per = TestData.documents(spark, d)
+      .select($"lang", size(split($"text", " ")).as("nt"))
+      .groupBy("lang").agg(sum($"nt").as("n_tokens"))
+    val viaApi = engine.epochQuotas(per, "lang", "n_tokens", 1000000L)
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("balancedDownsample facade matches the declared key's audit") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("sample_balanced_downsample")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val kept = engine.balancedDownsample(
+      TestData.documents(spark, d).select($"doc_id", $"lang"),
+      "lang", "doc_id")
+    val before = TestData.documents(spark, d)
+      .groupBy("lang").agg(count(lit(1)).as("n_before"))
+    val viaApi = before.join(
+        kept.groupBy("lang").agg(count(lit(1)).as("n_after"),
+          sum($"doc_id").as("kept_id_checksum")), Seq("lang"))
+      .orderBy("lang").collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("dpNoisyCounts facade matches the privacy_dp_noise declared key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("privacy_dp_noise")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.dpNoisyCounts(
+        TestData.documents(spark, d), "lang", 1.0)
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
   test("profileQuantiles facade matches the profile_columns_quantiles key") {
     val d = sf("sf0.001")
     val declared = SparkEntry.queries("profile_columns_quantiles")(spark, d)
