@@ -76,6 +76,57 @@ object TimeSeries {
         .orderBy("hour")
     }),
 
+    // VISUAL DOWNSAMPLING, LTTB-style (round 8): one representative
+    // point per day from the hourly series — the largest-triangle
+    // downsampler every monitoring UI runs before plotting. The
+    // classic LTTB anchors each bucket's pick on the PREVIOUS PICK
+    // (a sequential chain); this is the parallel variant that
+    // anchors on the neighbor buckets' MEAN points — every bucket
+    // selects independently, one window pass, no sequential
+    // dependency to distribute. All integer: anchor means in
+    // floor'd micro-units, triangle area (×2) as the cross product
+    // of DIFFERENCES from the prev anchor — differences keep the
+    // BIGINT products ~1e17, while absolute epoch coordinates would
+    // overflow. Ties break to the earlier hour; series endpoints are
+    // kept verbatim (the LTTB convention). Grid is time-sized.
+    "ts_downsample_lttb" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val hourly = TestData.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("xh", expr("unix_micros(hour) DIV 3600000000"))
+        .withColumn("b", expr("xh DIV 24"))
+      val wb = W.orderBy("b")
+      val anchors = hourly.groupBy("b")
+        .agg(count(lit(1)).as("cnt"), sum("xh").as("sxh"),
+          sum("n").as("sn"))
+        .withColumn("xm_u", expr("(sxh * 1000000) DIV cnt"))
+        .withColumn("ym_u", expr("(sn * 1000000) DIV cnt"))
+        .withColumn("xp", lag("xm_u", 1).over(wb))
+        .withColumn("yp", lag("ym_u", 1).over(wb))
+        .withColumn("xn", lead("xm_u", 1).over(wb))
+        .withColumn("yn", lead("ym_u", 1).over(wb))
+        .select("b", "xp", "yp", "xn", "yn")
+      val pts = hourly.join(anchors, Seq("b"))
+        .withColumn("area2",
+          when(col("xp").isNotNull && col("xn").isNotNull,
+            abs((col("xn") - col("xp")) * (col("n") * 1000000L - col("yp"))
+              - (col("xh") * 1000000L - col("xp"))
+                * (col("yn") - col("yp")))))
+      val interior = pts.filter(col("area2").isNotNull)
+        .withColumn("rk", row_number().over(
+          W.partitionBy("b").orderBy(col("area2").desc, col("hour"))))
+        .filter(col("rk") === 1)
+        .select(col("b").as("bucket_day"), col("hour"), col("n"),
+          col("area2"))
+      val span = hourly.agg(min("hour").as("h0"), max("hour").as("h1"))
+      val ends = hourly.crossJoin(broadcast(span))
+        .filter(col("hour") === col("h0") || col("hour") === col("h1"))
+        .select(col("b").as("bucket_day"), col("hour"), col("n"),
+          lit(null).cast("long").as("area2"))
+      interior.unionByName(ends).orderBy("hour")
+    }),
+
     // AUTOCORRELATION FUNCTION (round 8): ACF at lags 1..12 of the
     // hourly volume series — the periodicity readout that picks the
     // season length ts_decompose_seasonal assumes and the lag
@@ -635,6 +686,51 @@ object TimeSeries {
           r4(col("z")).as("z_score"),
           (abs(col("z")) > lit(1.959964)).as("significant_95"))),
 
+    // CUPED VARIANCE REDUCTION (round 8): the adjusted experiment
+    // readout (Deng et al. 2013) every mature platform reports next
+    // to the raw means — y_adj = y − θ(x − x̄) with the pre-period
+    // covariate x absorbing between-user variance. EVERYTHING
+    // derives from integer sums: per-user (x, y) counts fold to
+    // per-variant and global Σx, Σy, Σxy, Σx² (exact BIGINTs), θ =
+    // (N·Σxy − ΣxΣy)/(N·Σx² − (Σx)²) is ONE closed-form division,
+    // and the adjusted mean needs only mean_y − θ·(mean_x_variant −
+    // mean_x_global) — the per-user adjusted values never
+    // materialize. NULL θ when the covariate is constant (the lazy
+    // when() guard). Two aggregate passes over user grain at any
+    // scale.
+    "events_ab_cuped" -> ((s, d) => {
+      val cut = lit("2024-01-15").cast("timestamp")
+      val perUser = TestData.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("x"),
+          sum(when(col("ts") >= cut && col("event_type") === "purchase",
+            1L).otherwise(0L)).as("y"))
+        .withColumn("t",
+          (conv(substring(md5(col("user_id").cast("string")), 1, 2), 16, 10)
+            .cast("int") % 2 =!= 0).cast("int"))
+      val g = perUser.agg(count(lit(1)).as("nn"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      perUser.groupBy("t")
+        .agg(count(lit(1)).as("n_users"),
+          sum("x").as("vx"), sum("y").as("vy"))
+        .crossJoin(broadcast(g))
+        .withColumn("theta",
+          when(col("nn") * col("sxx") - col("sx") * col("sx") =!= 0,
+            (col("nn") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (col("nn") * col("sxx") - col("sx") * col("sx"))))
+        .withColumn("mean_y", col("vy").cast("double") / col("n_users"))
+        .select(col("t").as("variant"), col("n_users"),
+          col("vy").as("sum_y"),
+          r4(col("theta")).as("theta"),
+          r4(col("mean_y")).as("mean_y"),
+          r4(col("mean_y") - col("theta")
+            * (col("vx").cast("double") / col("n_users")
+              - col("sx").cast("double") / col("nn"))).as("mean_y_cuped"))
+        .orderBy("variant")
+    }),
+
     // SAMPLE-RATIO MISMATCH (round 8): the experiment-health gate
     // that must run BEFORE events_ab_significance is read — a
     // randomizer bug that skews assignment (crash on one arm, bot
@@ -874,6 +970,48 @@ object TimeSeries {
       |ORDER BY user_id, version""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same micro-unit anchors (integer // floors), same
+    // difference-form cross product, same tie-break and endpoint
+    // convention.
+    "ts_downsample_lttb" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts)::TIMESTAMP AS hour,
+        |         count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |h3 AS (
+        |  SELECT hour, n, epoch_us(hour) // 3600000000 AS xh,
+        |    (epoch_us(hour) // 3600000000) // 24 AS b
+        |  FROM hourly),
+        |bm AS (
+        |  SELECT b, (sum(xh)::BIGINT * 1000000) // count(*)::BIGINT AS xm_u,
+        |    (sum(n)::BIGINT * 1000000) // count(*)::BIGINT AS ym_u
+        |  FROM h3 GROUP BY 1),
+        |an AS (
+        |  SELECT b,
+        |    lag(xm_u) OVER (ORDER BY b) AS xp,
+        |    lag(ym_u) OVER (ORDER BY b) AS yp,
+        |    lead(xm_u) OVER (ORDER BY b) AS xn,
+        |    lead(ym_u) OVER (ORDER BY b) AS yn
+        |  FROM bm),
+        |pts AS (
+        |  SELECT h3.b, hour, n,
+        |    CASE WHEN xp IS NOT NULL AND xn IS NOT NULL THEN
+        |      abs((xn - xp) * (n * 1000000 - yp)
+        |        - (xh * 1000000 - xp) * (yn - yp))::BIGINT
+        |    END AS area2
+        |  FROM h3 JOIN an ON h3.b = an.b),
+        |sel AS (
+        |  SELECT b AS bucket_day, hour, n, area2 FROM (
+        |    SELECT b, hour, n, area2,
+        |      row_number() OVER (PARTITION BY b
+        |        ORDER BY area2 DESC, hour) AS rk
+        |    FROM pts WHERE area2 IS NOT NULL) WHERE rk = 1),
+        |e AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM h3),
+        |ends AS (
+        |  SELECT b AS bucket_day, hour, n, NULL::BIGINT AS area2
+        |  FROM h3, e WHERE hour = h0 OR hour = h1)
+        |SELECT * FROM (SELECT * FROM sel UNION ALL SELECT * FROM ends)
+        |ORDER BY hour""".stripMargin,
     // Same integer deviations; every sum-of-products ::BIGINT; one
     // trailing r4 division.
     "ts_autocorr" -> {
@@ -1015,6 +1153,42 @@ object TimeSeries {
         |  floor((sum(converted)::DOUBLE / count(*))*10000 + 0.5)/10000
         |    AS conv_rate
         |FROM v GROUP BY 1 ORDER BY variant""".stripMargin,
+    // θ and both means from the same BIGINT sums, identical op
+    // order; lazy CASE keeps the constant-covariate NULL path.
+    "events_ab_cuped" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+        |        THEN 1 ELSE 0 END)::BIGINT AS x,
+        |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+        |        AND event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS y
+        |  FROM events GROUP BY 1),
+        |pv AS (
+        |  SELECT x, y,
+        |    CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))::INT
+        |      % 2 = 0 THEN 0 ELSE 1 END AS t
+        |  FROM pu),
+        |g AS (
+        |  SELECT count(*)::BIGINT AS nn, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+        |    sum(x * x)::BIGINT AS sxx
+        |  FROM pv),
+        |v AS (
+        |  SELECT t, count(*)::BIGINT AS n_users, sum(x)::BIGINT AS vx,
+        |    sum(y)::BIGINT AS vy
+        |  FROM pv GROUP BY 1),
+        |c AS (
+        |  SELECT t, n_users, vx, vy, nn, sx,
+        |    CASE WHEN nn * sxx - sx * sx <> 0 THEN
+        |      (nn * sxy - sx * sy)::DOUBLE / (nn * sxx - sx * sx) END AS theta,
+        |    vy::DOUBLE / n_users AS mean_y
+        |  FROM v CROSS JOIN g)
+        |SELECT t AS variant, n_users, vy AS sum_y,
+        |  floor((theta)*10000 + 0.5)/10000 AS theta,
+        |  floor((mean_y)*10000 + 0.5)/10000 AS mean_y,
+        |  floor((mean_y - theta * (vx::DOUBLE / n_users - sx::DOUBLE / nn))
+        |    *10000 + 0.5)/10000 AS mean_y_cuped
+        |FROM c ORDER BY variant""".stripMargin,
     // Same BIGINT counts; (n_c − n_t)² stays integer, one DOUBLE
     // division, r4.
     "events_ab_srm" ->
