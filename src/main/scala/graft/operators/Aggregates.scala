@@ -333,6 +333,38 @@ object Aggregates {
         .orderBy("seg_a", "seg_b")
     }),
 
+    // GINI CONCENTRATION (round 8): revenue-concentration
+    // coefficient per customer nation — the inequality readout
+    // behind "top 1 % of customers drive X %" dashboards. The
+    // rank-sum closed form G = (2·Σ(i·x_i) − (n+1)·Σx_i)/(n·Σx_i)
+    // over values sorted ascending is EXACT-INTEGER end to end when
+    // x is in cents: rank·cents products are BIGINTs, ties
+    // contribute the same Σi·x_i under any tie order (equal x), and
+    // the single division is r4'd. Per-group rank via the window
+    // over (nation, cents) — at skewed group sizes swap in
+    // rangedRank, same contract.
+    "agg_gini_concentration" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("nationkey").orderBy("cents", "o_orderkey")
+      val o = TestData.orders(s, d)
+        .join(broadcast(TestData.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").cast("long").as("nationkey"),
+          col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      o.withColumn("i", row_number().over(W).cast("long"))
+        .groupBy("nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("cents").as("sum_cents"),
+          sum(col("i") * col("cents")).as("rank_sum"))
+        .withColumn("gini", r4(
+          (lit(2L) * col("rank_sum")
+            - (col("n_orders") + 1L) * col("sum_cents")).cast("double")
+            / (col("n_orders") * col("sum_cents"))))
+        .select("nationkey", "n_orders", "sum_cents", "gini")
+        .orderBy("nationkey")
+    }),
+
     // WEIGHTED MEDIAN (round 8): the order statistic under a weight
     // column (here: price weighted by quantity — "the price of the
     // median UNIT SOLD", which line-grain median misses when cheap
@@ -407,6 +439,27 @@ object Aggregates {
     Seq("click", "error", "purchase", "signup", "view")
 
   val oracles: Map[String, String] = Map(
+    // Same rank-sum closed form over ascending cents; rank·cents
+    // products ::BIGINT; one r4'd division.
+    "agg_gini_concentration" ->
+      """WITH o AS (
+        |  SELECT c_nationkey::BIGINT AS nationkey, o_orderkey,
+        |    floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT nationkey, cents,
+        |    row_number() OVER (PARTITION BY nationkey
+        |      ORDER BY cents, o_orderkey) AS i
+        |  FROM o),
+        |g AS (
+        |  SELECT nationkey, count(*)::BIGINT AS n_orders,
+        |    sum(cents)::BIGINT AS sum_cents,
+        |    sum(i * cents)::BIGINT AS rank_sum
+        |  FROM r GROUP BY 1)
+        |SELECT nationkey, n_orders, sum_cents,
+        |  floor(((2 * rank_sum - (n_orders + 1) * sum_cents)::DOUBLE
+        |    / (n_orders * sum_cents))*10000 + 0.5)/10000 AS gini
+        |FROM g ORDER BY nationkey""".stripMargin,
     // Same least-v-with-cw*2>=tw form; windowed sums ::BIGINT
     // (HUGEINT trap); values r4'd before grouping on both sides.
     "agg_weighted_median" ->

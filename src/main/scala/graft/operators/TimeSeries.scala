@@ -686,6 +686,34 @@ object TimeSeries {
           r4(col("z")).as("z_score"),
           (abs(col("z")) > lit(1.959964)).as("significant_95"))),
 
+    // DAU/WAU/MAU + STICKINESS (round 8): the engagement dashboard —
+    // per day, distinct actives that day / trailing 7 / trailing 30,
+    // and DAU/MAU. Exact form: the (user, day) DISTINCT pair table
+    // range-joins the day calendar (pairs × ≤30 fanout, pairs are
+    // user·day-grain, NOT event-grain) and three conditional
+    // distincts aggregate per day. At 100 TB the trailing distincts
+    // become per-day HLL sketches UNIONED over the window (the
+    // agg_sketch_merge algebra — fixed-size state, no pair fanout);
+    // the exact form here is also the oracle's form. Day emitted as
+    // TIMESTAMP (ts_gap_fill date-dtype convention).
+    "events_dau_wau_mau" -> ((s, d) => {
+      val ud = TestData.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("pday")).distinct()
+      val days = ud.select(col("pday").as("day")).distinct()
+      val diff = datediff(col("day"), col("pday"))
+      ud.join(days, diff.between(0, 29))
+        .groupBy("day")
+        .agg(
+          countDistinct(when(diff === 0, col("user_id"))).as("dau"),
+          countDistinct(when(diff <= 6, col("user_id"))).as("wau"),
+          countDistinct(col("user_id")).as("mau"))
+        .withColumn("stickiness",
+          r4(col("dau").cast("double") / col("mau")))
+        .select(col("day").cast("timestamp").as("day"),
+          col("dau"), col("wau"), col("mau"), col("stickiness"))
+        .orderBy("day")
+    }),
+
     // CUPED VARIANCE REDUCTION (round 8): the adjusted experiment
     // readout (Deng et al. 2013) every mature platform reports next
     // to the raw means — y_adj = y − θ(x − x̄) with the pre-period
@@ -1153,6 +1181,25 @@ object TimeSeries {
         |  floor((sum(converted)::DOUBLE / count(*))*10000 + 0.5)/10000
         |    AS conv_rate
         |FROM v GROUP BY 1 ORDER BY variant""".stripMargin,
+    // Same pair-table range join, same conditional distincts, day
+    // cast ::TIMESTAMP.
+    "events_dau_wau_mau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, ts::DATE AS pday FROM events),
+        |days AS (SELECT DISTINCT pday AS day FROM ud),
+        |j AS (
+        |  SELECT day, pday, user_id FROM ud
+        |  JOIN days ON date_diff('day', pday, day) BETWEEN 0 AND 29)
+        |SELECT day::TIMESTAMP AS day,
+        |  count(DISTINCT CASE WHEN date_diff('day', pday, day) = 0
+        |    THEN user_id END)::BIGINT AS dau,
+        |  count(DISTINCT CASE WHEN date_diff('day', pday, day) <= 6
+        |    THEN user_id END)::BIGINT AS wau,
+        |  count(DISTINCT user_id)::BIGINT AS mau,
+        |  floor((count(DISTINCT CASE WHEN date_diff('day', pday, day) = 0
+        |      THEN user_id END)::DOUBLE / count(DISTINCT user_id))
+        |    *10000 + 0.5)/10000 AS stickiness
+        |FROM j GROUP BY day ORDER BY day""".stripMargin,
     // θ and both means from the same BIGINT sums, identical op
     // order; lazy CASE keeps the constant-covariate NULL path.
     "events_ab_cuped" ->
