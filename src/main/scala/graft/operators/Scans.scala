@@ -192,6 +192,27 @@ object Scans {
           |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
           |GROUP BY c_mktsegment, o_orderpriority
           |ORDER BY c_mktsegment, o_orderpriority""".stripMargin)
+    }),
+
+    // The SQL-surface PIVOT clause (round 8): Spark's parser-level
+    // wide reshape — the agg_pivot DataFrame key driven the way a
+    // SQL-first user writes it. Catalyst rewrites PIVOT into the
+    // same conditional-aggregate plan the oracle states explicitly
+    // (one scan, one aggregate — the IN list must be literal, which
+    // is exactly what keeps the plan static and map-side-combinable
+    // at scale; a dynamic pivot needs the two-pass collect the
+    // agg_pivot scaladoc documents).
+    "sql_pivot" -> ((s, d) => {
+      TestData.orders(s, d).createOrReplaceTempView("v_orders_p")
+      s.sql(
+        """SELECT * FROM (
+          |  SELECT o_orderpriority, o_orderstatus, o_totalprice
+          |  FROM v_orders_p)
+          |PIVOT (
+          |  count(*) AS n,
+          |  floor(sum(o_totalprice)*10000 + 0.5)/10000 AS total
+          |  FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+          |ORDER BY o_orderpriority""".stripMargin)
     })
   )
 
@@ -227,6 +248,22 @@ object Scans {
     "sink_parquet_partitioned" ->
       """SELECT event_type, count(*) AS n, floor((sum(value))*10000 + 0.5)/10000 AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // The conditional-aggregate form Catalyst rewrites PIVOT into,
+    // stated explicitly (every (priority, status) combo is populated
+    // at both scales — no empty-cell NULL ambiguity to mirror).
+    "sql_pivot" ->
+      """SELECT o_orderpriority,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS f_n,
+        |  floor(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)
+        |    *10000 + 0.5)/10000 AS f_total,
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS o_n,
+        |  floor(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)
+        |    *10000 + 0.5)/10000 AS o_total,
+        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS p_n,
+        |  floor(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)
+        |    *10000 + 0.5)/10000 AS p_total
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // Same recursion in DuckDB dialect (`//` integer division).
     "sql_recursive_cte" ->
       """WITH RECURSIVE anc(doc_id, cur, depth, path_chars) AS (

@@ -686,6 +686,40 @@ object TimeSeries {
           r4(col("z")).as("z_score"),
           (abs(col("z")) > lit(1.959964)).as("significant_95"))),
 
+    // SLO BURN-RATE ALERTING (round 8): the SRE multi-window
+    // multi-burn-rate page condition (Google SRE workbook) over the
+    // event stream's error share — burn = error_rate / error_budget
+    // (99 % SLO ⇒ budget 1 %) on a 1 h and a 6 h window, page only
+    // when BOTH exceed their thresholds (14.4 / 6.0) so a brief
+    // spike or a slow leak alone doesn't page. Counts are exact
+    // BIGINTs (the 6 h window is a RANGE frame over the integer
+    // epoch-hour, so gaps in the grid still mean 6 CLOCK hours, not
+    // 6 rows); burns are r4'd ratios; the alert compares the
+    // QUANTIZED burns so both engines flip identically. Hourly grid
+    // is time-sized (unpartitioned-window tail, decompose
+    // precedent); production partitions by service.
+    "events_slo_burn_rate" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w6 = W.orderBy("xh").rangeBetween(-5, 0)
+      TestData.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("errors"))
+        .withColumn("xh", expr("unix_micros(hour) DIV 3600000000"))
+        .withColumn("err6", sum("errors").over(w6))
+        .withColumn("tot6", sum("total").over(w6))
+        .withColumn("burn_1h",
+          r4(col("errors").cast("double") / col("total") / 0.01))
+        .withColumn("burn_6h",
+          r4(col("err6").cast("double") / col("tot6") / 0.01))
+        .withColumn("page_alert",
+          col("burn_1h") > 14.4 && col("burn_6h") > 6.0)
+        .select("hour", "total", "errors", "err6", "tot6",
+          "burn_1h", "burn_6h", "page_alert")
+        .orderBy("hour")
+    }),
+
     // DAU/WAU/MAU + STICKINESS (round 8): the engagement dashboard —
     // per day, distinct actives that day / trailing 7 / trailing 30,
     // and DAU/MAU. Exact form: the (user, day) DISTINCT pair table
@@ -1181,6 +1215,33 @@ object TimeSeries {
         |  floor((sum(converted)::DOUBLE / count(*))*10000 + 0.5)/10000
         |    AS conv_rate
         |FROM v GROUP BY 1 ORDER BY variant""".stripMargin,
+    // Same integer-hour RANGE frame; windowed sums ::BIGINT; same
+    // division order; alert on the quantized burns.
+    "events_slo_burn_rate" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts)::TIMESTAMP AS hour,
+        |    count(*)::BIGINT AS total,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+        |      AS errors,
+        |    (epoch_us(date_trunc('hour', ts)::TIMESTAMP) // 3600000000)
+        |      AS xh
+        |  FROM events GROUP BY 1, 4),
+        |w AS (
+        |  SELECT hour, total, errors,
+        |    (sum(errors) OVER r)::BIGINT AS err6,
+        |    (sum(total) OVER r)::BIGINT AS tot6
+        |  FROM hourly WINDOW r AS (ORDER BY xh
+        |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)),
+        |b AS (
+        |  SELECT hour, total, errors, err6, tot6,
+        |    floor((errors::DOUBLE / total / 0.01)*10000 + 0.5)/10000
+        |      AS burn_1h,
+        |    floor((err6::DOUBLE / tot6 / 0.01)*10000 + 0.5)/10000
+        |      AS burn_6h
+        |  FROM w)
+        |SELECT hour, total, errors, err6, tot6, burn_1h, burn_6h,
+        |  burn_1h > 14.4 AND burn_6h > 6.0 AS page_alert
+        |FROM b ORDER BY hour""".stripMargin,
     // Same pair-table range join, same conditional distincts, day
     // cast ::TIMESTAMP.
     "events_dau_wau_mau" ->
