@@ -1452,6 +1452,53 @@ class GraftEngine(val spark: SparkSession) {
       .drop("_u28", "_rk", "_cap")
   }
 
+  /** Per-group Gini concentration (see `agg_gini_concentration`)
+    * over integer `valueCol` (use cents for money): rank-sum closed
+    * form, exact integers until one r4'd division. `idCol` breaks
+    * rank ties deterministically (equal values give the same
+    * rank-sum under any tie order, so the tie-break only pins the
+    * plan, not the result).
+    */
+  def giniConcentration(df: DataFrame, groupCol: String, valueCol: String,
+                        idCol: String): DataFrame = {
+    val W = Window.partitionBy(groupCol).orderBy("v", idCol)
+    df.select(col(groupCol), col(idCol), col(valueCol).cast("long").as("v"))
+      .withColumn("i", row_number().over(W).cast("long"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"),
+        sum(col("i") * col("v")).as("rank_sum"))
+      .withColumn("gini", TestData.r4(
+        (lit(2L) * col("rank_sum") - (col("n") + 1L) * col("sum_v"))
+          .cast("double") / (col("n") * col("sum_v"))))
+      .select(col(groupCol), col("n"), col("sum_v"), col("gini"))
+      .orderBy(groupCol)
+  }
+
+  /** Trailing-window distinct actives (see `events_dau_wau_mau`):
+    * per day — distinct `unitCol` over trailing 1 / `midDays` /
+    * `longDays` windows plus the short/long stickiness ratio. Exact
+    * form (pair-table range join); swap in per-day HLL sketches
+    * unioned over the window at extreme scale.
+    */
+  def activeUnits(events: DataFrame, unitCol: String, tsCol: String,
+                  midDays: Int = 7, longDays: Int = 30): DataFrame = {
+    require(0 < midDays && midDays <= longDays, "need 0 < mid <= long")
+    val ud = events.select(col(unitCol).as("u"),
+      to_date(col(tsCol)).as("pday")).distinct()
+    val days = ud.select(col("pday").as("day")).distinct()
+    val diff = datediff(col("day"), col("pday"))
+    ud.join(days, diff.between(0, longDays - 1))
+      .groupBy("day")
+      .agg(countDistinct(when(diff === 0, col("u"))).as("short_active"),
+        countDistinct(when(diff <= midDays - 1, col("u"))).as("mid_active"),
+        countDistinct(col("u")).as("long_active"))
+      .withColumn("stickiness", TestData.r4(
+        col("short_active").cast("double") / col("long_active")))
+      .select(col("day").cast("timestamp").as("day"), col("short_active"),
+        col("mid_active"), col("long_active"), col("stickiness"))
+      .orderBy("day")
+  }
+
   /** Seeded Laplace release of per-group counts (see
     * `privacy_dp_noise`): ε-DP noisy counts in integer micro-units,
     * noise drawn by inverse CDF from an md5-fold uniform seeded on

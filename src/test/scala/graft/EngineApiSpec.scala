@@ -984,6 +984,31 @@ class EngineApiSpec extends SparkSpec {
     assert(viaApi === declared)
   }
 
+  test("giniConcentration facade matches the agg_gini_concentration key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("agg_gini_concentration")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val o = TestData.orders(spark, d)
+      .join(broadcast(TestData.customer(spark, d)),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey".cast("long").as("nationkey"), $"o_orderkey",
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+    val viaApi = engine.giniConcentration(o, "nationkey", "cents",
+        "o_orderkey")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("activeUnits facade matches the events_dau_wau_mau declared key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("events_dau_wau_mau")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.activeUnits(TestData.events(spark, d),
+        "user_id", "ts", 7, 30)
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
   test("profileQuantiles facade matches the profile_columns_quantiles key") {
     val d = sf("sf0.001")
     val declared = SparkEntry.queries("profile_columns_quantiles")(spark, d)
