@@ -1,0 +1,117 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.propBoolean
+
+/** ScalaCheck properties for the round-8 CLOSED FORMS — the
+  * algebraic identities that let sequential textbook definitions run
+  * as declarative window/aggregate plans (and be oracle-mirrored
+  * exactly). The Spark implementations are oracle-checked on the
+  * fixture; these properties pin that the closed forms themselves
+  * equal their sequential definitions on arbitrary inputs, so the
+  * oracle agreement isn't a fixture accident.
+  */
+object ClosedFormProps extends Properties("graft.closedforms") {
+
+  private val series: Gen[List[Long]] =
+    Gen.choose(1, 200).flatMap(n => Gen.listOfN(n, Gen.choose(-1000L, 1000L)))
+
+  // ts_changepoint_cusum: S_t = max(0, S_{t-1} + y_t)  ≡  P_t − min(0, min_{j≤t} P_j)
+  property("cusum prefix-sum closed form equals the textbook recursion") =
+    Prop.forAll(series) { ys =>
+      val direct = ys.scanLeft(0L)((s, y) => math.max(0L, s + y)).tail
+      val prefix = ys.scanLeft(0L)(_ + _).tail
+      val closed = prefix.zipWithIndex.map { case (p, i) =>
+        p - math.min(0L, prefix.take(i + 1).min)
+      }
+      direct == closed
+    }
+
+  // the two-sided twin used for cusum_dn
+  property("downward cusum closed form equals its recursion") =
+    Prop.forAll(series) { ys =>
+      val direct = ys.scanLeft(0L)((s, y) => math.max(0L, s - y)).tail
+      val prefix = ys.scanLeft(0L)(_ + _).tail
+      val closed = prefix.zipWithIndex.map { case (p, i) =>
+        math.max(0L, prefix.take(i + 1).max) - p
+      }
+      direct == closed
+    }
+
+  private val weights: Gen[List[Long]] =
+    Gen.choose(2, 12).flatMap(n => Gen.listOfN(n, Gen.choose(1L, 1000000L)))
+
+  // pipeline_mix_epoch_schedule: DIV/MOD + largest-remainder rank
+  property("largest-remainder quotas sum to the budget, each within 1 of exact") =
+    Prop.forAll(weights, Gen.choose(1L, 10000000L)) { (ws, budget) =>
+      val c = ws.sum
+      val base = ws.map(w => budget * w / c)
+      val rem = ws.map(w => budget * w % c)
+      val leftover = (budget - base.sum).toInt
+      val extraIdx = rem.zipWithIndex
+        .sortBy { case (r, i) => (-r, i) }.take(leftover).map(_._2).toSet
+      val quota = base.zipWithIndex.map { case (b, i) =>
+        b + (if (extraIdx(i)) 1L else 0L)
+      }
+      (quota.sum == budget) :| s"sum ${quota.sum} != $budget" &&
+        quota.zip(ws).forall { case (q, w) =>
+          val exact = budget.toDouble * w / c
+          q == math.floor(exact).toLong || q == math.ceil(exact).toLong
+        } :| "every quota must be the floor or ceil of its exact share"
+    }
+
+  private val weighted: Gen[List[(Long, Long)]] =
+    Gen.choose(1, 60).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(-100L, 100L), Gen.choose(1L, 50L))))
+
+  // agg_weighted_median: least v with 2·cumweight(≤v) ≥ totweight
+  // satisfies the defining inequalities of a weighted median
+  property("cumweight rule yields a true weighted median") =
+    Prop.forAll(weighted) { xs =>
+      val tw = xs.map(_._2).sum
+      val byV = xs.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .toSeq.sortBy(_._1)
+      val cum = byV.scanLeft((Long.MinValue, 0L)) {
+        case ((_, acc), (v, w)) => (v, acc + w)
+      }.tail
+      val med = cum.find { case (_, cw) => 2 * cw >= tw }.get._1
+      val below = xs.filter(_._1 < med).map(_._2).sum
+      val above = xs.filter(_._1 > med).map(_._2).sum
+      (2 * below <= tw) :| s"mass below $med exceeds half" &&
+        (2 * above <= tw) :| s"mass above $med exceeds half"
+    }
+
+  // events_ab_cuped: the sums-only adjusted mean equals the
+  // per-unit definition mean(y − θ(x − x̄)) exactly in exact
+  // arithmetic (verified here in rationals via BigDecimal)
+  property("CUPED adjusted mean from sums equals the per-unit definition") =
+    Prop.forAll(Gen.choose(2, 50).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 100L), Gen.choose(0L, 100L))))) { xs =>
+      val n = xs.length
+      val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+      val sxx = xs.map(p => p._1 * p._1).sum
+      val sxy = xs.map(p => p._1 * p._2).sum
+      val den = n * sxx - sx * sx
+      (den != 0L) ==> {
+        val theta = BigDecimal(n * sxy - sx * sy) / BigDecimal(den)
+        val xbar = BigDecimal(sx) / n
+        val perUnit = xs.map { case (x, y) =>
+          BigDecimal(y) - theta * (BigDecimal(x) - xbar)
+        }.sum / n
+        val fromSums = BigDecimal(sy) / n -
+          theta * (BigDecimal(sx) / n - xbar)
+        // xbar here is the same population, so the correction term is
+        // zero and both reduce to mean_y — the NON-trivial case is a
+        // sub-population vs global x̄:
+        val half = xs.take(n / 2 max 1)
+        val (hx, hy, hn) = (half.map(_._1).sum, half.map(_._2).sum, half.length)
+        val perUnitHalf = half.map { case (x, y) =>
+          BigDecimal(y) - theta * (BigDecimal(x) - xbar)
+        }.sum / hn
+        val fromSumsHalf = BigDecimal(hy) / hn -
+          theta * (BigDecimal(hx) / hn - xbar)
+        (perUnit - fromSums).abs < BigDecimal("1e-18") &&
+          (perUnitHalf - fromSumsHalf).abs < BigDecimal("1e-18")
+      }
+    }
+}
