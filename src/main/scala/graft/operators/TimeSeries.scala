@@ -686,6 +686,39 @@ object TimeSeries {
           r4(col("z")).as("z_score"),
           (abs(col("z")) > lit(1.959964)).as("significant_95"))),
 
+    // EVENT-TIME LATENESS PROFILE (round 8): how late do events
+    // arrive relative to the stream's high-water mark? — the readout
+    // that CHOOSES the Structured Streaming watermark delay (too
+    // short drops the tail, too long bloats state; §2.K's streaming
+    // keys assume a delay, this measures one). Arrival order =
+    // event_id (the fixture's ingest sequence); lateness = running
+    // max of event time OVER the arrival order, minus the event's
+    // own time — computed PER USER, matching real ingestion where
+    // ordering guarantees are per key/partition (a global arrival
+    // window would be the corpus-sized single-task anti-pattern).
+    // Exact integer µs throughout; fixed log-ish buckets; the
+    // per-bucket aggregate is bucket-sized at any scale.
+    "events_lateness_profile" -> ((s, d) => {
+      val Wc = org.apache.spark.sql.expressions.Window
+      val W = Wc.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Wc.unboundedPreceding, Wc.currentRow)
+      TestData.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("late_us",
+          greatest(lit(0L), max("ts_us").over(W) - col("ts_us")))
+        .withColumn("bucket",
+          when(col("late_us") === 0, 0)
+            .when(col("late_us") <= 60000000L, 1)
+            .when(col("late_us") <= 600000000L, 2)
+            .when(col("late_us") <= 3600000000L, 3)
+            .otherwise(4))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_events"),
+          max(col("late_us")).as("max_late_us"))
+        .orderBy("bucket")
+    }),
+
     // SLO BURN-RATE ALERTING (round 8): the SRE multi-window
     // multi-burn-rate page condition (Google SRE workbook) over the
     // event stream's error share — burn = error_rate / error_budget
@@ -1215,6 +1248,27 @@ object TimeSeries {
         |  floor((sum(converted)::DOUBLE / count(*))*10000 + 0.5)/10000
         |    AS conv_rate
         |FROM v GROUP BY 1 ORDER BY variant""".stripMargin,
+    // Same per-user running max over arrival order; exact µs;
+    // windowed max stays BIGINT.
+    "events_lateness_profile" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |l AS (
+        |  SELECT user_id, event_id,
+        |    greatest(0, (max(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW)) - ts_us)::BIGINT AS late_us
+        |  FROM e),
+        |b AS (
+        |  SELECT CASE WHEN late_us = 0 THEN 0
+        |    WHEN late_us <= 60000000 THEN 1
+        |    WHEN late_us <= 600000000 THEN 2
+        |    WHEN late_us <= 3600000000 THEN 3
+        |    ELSE 4 END AS bucket, late_us
+        |  FROM l)
+        |SELECT bucket, count(*)::BIGINT AS n_events,
+        |  max(late_us)::BIGINT AS max_late_us
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     // Same integer-hour RANGE frame; windowed sums ::BIGINT; same
     // division order; alert on the quantized burns.
     "events_slo_burn_rate" ->
