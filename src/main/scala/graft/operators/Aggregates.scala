@@ -333,6 +333,40 @@ object Aggregates {
         .orderBy("seg_a", "seg_b")
     }),
 
+    // PARETO SHARE (round 8): "the top decile of customers drives
+    // X % of revenue" — the dashboard number next to the Gini. Per
+    // nation: customers ranked by revenue cents DESC (tie → min
+    // custkey), top ⌈n/10⌉ summed, share = top/total r4'd once.
+    // Integer cents end to end; the rank window runs over the
+    // CUSTOMER-grain aggregate (customers-sized, not order-grain).
+    "agg_pareto_share" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("nationkey")
+        .orderBy(col("cents").desc, col("custkey"))
+      val perCust = TestData.orders(s, d)
+        .join(broadcast(TestData.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"),
+          col("c_custkey").as("custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("cents"))
+      perCust
+        .withColumn("rk", row_number().over(W))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("nationkey")))
+        .withColumn("top", col("rk") <= expr("(n + 9) DIV 10"))
+        .groupBy("nationkey")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when(col("top"), 1L).otherwise(0L)).as("n_top"),
+          sum(when(col("top"), col("cents")).otherwise(0L)).as("top_cents"),
+          sum(col("cents")).as("total_cents"))
+        .withColumn("top_share",
+          r4(col("top_cents").cast("double") / col("total_cents")))
+        .select("nationkey", "n_customers", "n_top", "top_cents",
+          "total_cents", "top_share")
+        .orderBy("nationkey")
+    }),
+
     // GINI CONCENTRATION (round 8): revenue-concentration
     // coefficient per customer nation — the inequality readout
     // behind "top 1 % of customers drive X %" dashboards. The
@@ -439,6 +473,32 @@ object Aggregates {
     Seq("click", "error", "purchase", "signup", "view")
 
   val oracles: Map[String, String] = Map(
+    // Same DESC rank with custkey tie-break, same ceil-div top cut,
+    // integer cents, one r4'd division.
+    "agg_pareto_share" ->
+      """WITH pc AS (
+        |  SELECT c_nationkey::BIGINT AS nationkey, c_custkey AS custkey,
+        |    sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT nationkey, cents,
+        |    row_number() OVER (PARTITION BY nationkey
+        |      ORDER BY cents DESC, custkey) AS rk,
+        |    count(*) OVER (PARTITION BY nationkey) AS n
+        |  FROM pc),
+        |g AS (
+        |  SELECT nationkey, count(*)::BIGINT AS n_customers,
+        |    sum(CASE WHEN rk <= (n + 9) // 10 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_top,
+        |    sum(CASE WHEN rk <= (n + 9) // 10 THEN cents ELSE 0 END)::BIGINT
+        |      AS top_cents,
+        |    sum(cents)::BIGINT AS total_cents
+        |  FROM r GROUP BY 1)
+        |SELECT nationkey, n_customers, n_top, top_cents, total_cents,
+        |  floor((top_cents::DOUBLE / total_cents)*10000 + 0.5)/10000
+        |    AS top_share
+        |FROM g ORDER BY nationkey""".stripMargin,
     // Same rank-sum closed form over ascending cents; rank·cents
     // products ::BIGINT; one r4'd division.
     "agg_gini_concentration" ->
