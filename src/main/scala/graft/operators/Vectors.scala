@@ -244,6 +244,46 @@ object Vectors {
         .orderBy("cluster")
     }),
 
+    // IVF DELETE + COMPACT (round 8): apply a tombstone batch
+    // (vec_id % 53 = 0) to the STORED index and rewrite ONLY the
+    // touched inverted lists — the vector-DB deletion path (GDPR
+    // erasure, re-embeds) that must not cost a full index rebuild.
+    // Touched-cluster discovery is a bounded driver IN-list (≤ k
+    // clusters — the partition-prune precedent); untouched
+    // partitions are served from the ORIGINAL files, compacted ones
+    // from the new write, and the declared output summarizes the
+    // union per cluster (count + surviving-id checksum), so a
+    // tombstone that survived, an extra deletion, or a corrupted
+    // untouched shard all hash-fail. WriteOnce keys the compacted
+    // dir by the input tag.
+    "ivf_delete_compact" -> ((s, d) => {
+      val s0 = graft.sources.IndexStore.readIvfIndex(s, d)
+      val tomb = TestData.embeddings(s, d)
+        .filter(col("vec_id") % 53 === 0).select(col("vec_id").as("tid"))
+      val touched = s0.join(broadcast(tomb), col("vec_id") === col("tid"))
+        .select("cluster").distinct().collect().map(_.get(0)).toSeq
+      val tag = graft.sources.WriteOnce.inputTag(d, "embeddings")
+      val dir = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/ivf_compact", tag)
+      graft.sources.WriteOnce.ensure(dir, tag) {
+        s0.filter(col("cluster").isInCollection(touched))
+          .join(broadcast(tomb), col("vec_id") === col("tid"), "left_anti")
+          .write.mode("overwrite").partitionBy("cluster").parquet(dir)
+      }
+      val after = s.read.parquet(dir).select("vec_id", "cluster")
+        .unionByName(s0.filter(!col("cluster").isInCollection(touched))
+          .select("vec_id", "cluster"))
+      val before = s0.groupBy("cluster").agg(count(lit(1)).as("n_before"))
+      after.groupBy("cluster")
+        .agg(count(lit(1)).as("n_after"),
+          sum("vec_id").as("id_checksum_after"))
+        .join(before, Seq("cluster"))
+        .withColumn("n_deleted", col("n_before") - col("n_after"))
+        .select("cluster", "n_before", "n_after", "n_deleted",
+          "id_checksum_after")
+        .orderBy("cluster")
+    }),
+
     // Typed Aggregator UDAF: per-label element-wise mean vector.
     "vec_centroid_udaf" -> ((s, d) => {
       val centroid = udaf(new VectorCentroid(64))
@@ -531,6 +571,26 @@ object Vectors {
         |SELECT cluster, count(*) AS n,
         |  floor((avg(sqrt(dist)))*10000 + 0.5)/10000 AS mean_dist
         |FROM best WHERE rn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin,
+    // Post-deletion truth recomputed from the fixture assignment:
+    // remaining = vec_id % 53 <> 0 within each cluster.
+    "ivf_delete_compact" ->
+      s"""WITH c AS (SELECT vec_id AS cid, $E AS cv FROM embeddings WHERE vec_id < 4),
+        |scored AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(list_zip(e.$E, c.cv),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        |  FROM embeddings e CROSS JOIN c),
+        |best AS (
+        |  SELECT vec_id, cid AS cluster,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM scored),
+        |a AS (SELECT vec_id, cluster FROM best WHERE rn = 1)
+        |SELECT cluster, count(*)::BIGINT AS n_before,
+        |  sum(CASE WHEN vec_id % 53 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_after,
+        |  sum(CASE WHEN vec_id % 53 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_deleted,
+        |  sum(CASE WHEN vec_id % 53 <> 0 THEN vec_id ELSE 0 END)::BIGINT
+        |    AS id_checksum_after
+        |FROM a GROUP BY cluster ORDER BY cluster""".stripMargin,
     "ivf_shard_rebalance" ->
       s"""WITH c AS (SELECT vec_id AS cid, $E AS cv FROM embeddings WHERE vec_id < 4),
         |scored AS (
