@@ -105,6 +105,57 @@ class PropertySpec extends SparkSpec {
     } finally li.unpersist()
   }
 
+  test("content checksum detects a single-row tamper, and only in its partition") {
+    val engine = new graft.api.GraftEngine(spark)
+    val docs = TestData.documents(spark, sfDir).select("doc_id", "lang", "text")
+    val clean = engine.contentChecksum(docs, "lang", "doc_id",
+        Seq("doc_id", "text"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // flip one character of one document's text
+    val victim = docs.orderBy("doc_id").select("doc_id", "lang")
+      .head()
+    val tampered = docs.withColumn("text",
+      when(col("doc_id") === victim.getLong(0),
+        concat(col("text"), lit("X"))).otherwise(col("text")))
+    val dirty = engine.contentChecksum(tampered, "lang", "doc_id",
+        Seq("doc_id", "text"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val vLang = victim.getString(1)
+    assert(clean(vLang)._4 != dirty(vLang)._4,
+      "tampered partition's content checksum must change")
+    (clean.keySet - vLang).foreach { l =>
+      assert(clean(l) === dirty(l), s"untouched partition $l must not change")
+    }
+  }
+
+  test("lateness buckets partition the event count; bucket 0 max is 0") {
+    val prof = TimeSeries.defs("events_lateness_profile")(spark, sfDir)
+      .as[(Int, Long, Long)].collect()
+    val total = TestData.events(spark, sfDir).count()
+    assert(prof.map(_._2).sum === total,
+      "every event lands in exactly one lateness bucket")
+    prof.find(_._1 == 0).foreach { case (_, _, maxLate) =>
+      assert(maxLate === 0L, "bucket 0 is the on-time bucket")
+    }
+  }
+
+  test("ivf delete-compact conserves rows: before = after + deleted, no tombstone survives") {
+    val r = Vectors.defs("ivf_delete_compact")(spark, sfDir)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (c, before, after, deleted, _) =>
+      assert(before === after + deleted, s"cluster $c row conservation")
+    }
+    // the summed surviving-id checksum must exclude every tombstone
+    val expect = TestData.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 53 =!= 0)
+      .agg(sum("vec_id")).head().getLong(0)
+    assert(r.map(_._5).sum === expect,
+      "surviving-id checksum across clusters must equal the non-tombstoned sum")
+  }
+
   test("k-core peeling reaches its fixpoint within the declared 3 rounds") {
     val three = GraphOps.kCore(spark, sfDir, 2, 3)
       .collect().map(_.toSeq).toSeq
