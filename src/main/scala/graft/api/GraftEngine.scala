@@ -1332,6 +1332,39 @@ class GraftEngine(val spark: SparkSession) {
     labels.select(col("id"), col("label").as("community"))
   }
 
+  /** `rounds` rounds of k-core peeling for ARBITRARY k (the r8 key
+    * hardwired k=2; see `graph_k_core`): each round drops nodes of
+    * degree < k and their edges from the undirected view of `edges`
+    * (src, dst listed once). Fixed sync rounds, not run-to-fixpoint
+    * — a pure function of the edge list; when `rounds` reaches the
+    * graph's peeling depth the cut IS the k-core fixpoint
+    * (PropertySpec pins rounds-invariance at k=3 on the fixture).
+    * Returns every node of `nodes` (id) with (core_degree, in_core).
+    */
+  def kCore(nodes: DataFrame, edges: DataFrame,
+            k: Int, rounds: Int = 3): DataFrame = {
+    require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
+    var adj = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("kid"))
+      adj = adj.join(keep, col("src") === col("kid"))
+        .select(col("src"), col("dst"))
+        .join(keep.select(col("kid").as("kid2")), col("dst") === col("kid2"))
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    }
+    val coreDeg = adj.groupBy(col("src").as("cid"))
+      .agg(count(lit(1)).as("core_degree"))
+    nodes.select(col("id"))
+      .join(coreDeg, col("id") === col("cid"), "left")
+      .select(col("id"),
+        coalesce(col("core_degree"), lit(0L)).as("core_degree"),
+        col("core_degree").isNotNull.as("in_core"))
+  }
+
   /** One-scan per-column approx-quantile sweep (see
     * `profile_columns_quantiles`): GK sketches (rank error 1/
     * `accuracy`) for every (column, p) in a single map-side-combined
@@ -1353,6 +1386,20 @@ class GraftEngine(val spark: SparkSession) {
         "(col_name, n_rows, quantiles)"))
       .orderBy("col_name")
   }
+
+  /** Quantile-shift drift (see `profile_drift_quantile`): for every
+    * (column, p), GK quantile estimates over the reference rows
+    * (`curFlag` false) and current rows (`curFlag` true) from ONE
+    * conditional scan, with their r4'd shift — distribution drift
+    * without profile_drift_psi's fixed binning (a shift inside one
+    * bin is invisible to PSI; the sweep sees any shift above the
+    * rank resolution). Returns (col_name, p, n_ref, n_cur, q_ref,
+    * q_cur, shift).
+    */
+  def quantileDrift(df: DataFrame, curFlag: Column, cols: Seq[String],
+                    ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9),
+                    accuracy: Int = 1000): DataFrame =
+    graft.operators.Maintenance.quantileDrift(df, curFlag, cols, ps, accuracy)
 
   /** Sample-ratio-mismatch check (see `events_ab_srm`): chi-square
     * goodness-of-fit of the 0/1 `variantCol` assignment counts

@@ -311,10 +311,14 @@ object Aggregates {
       val cnts = segTypes.zipWithIndex.map { case (t, i) =>
         sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c$i")
       }
+      // Denominator is count(*) over ALL the user's events — NOT the
+      // sum of the segType counts — mirroring the oracle exactly, so
+      // a regenerated fixture with event types outside segTypes
+      // cannot silently diverge the two sides (r8 advice item).
       val perUser = TestData.events(s, d)
-        .groupBy("user_id").agg(cnts.head, cnts.tail: _*)
-      val total = segTypes.indices.map(i => col(s"c$i"))
-        .reduce(_ + _)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("ctotal"), cnts: _*)
+      val total = col("ctotal")
       val mask = segTypes.indices.map(i =>
         when(col(s"c$i") * segTypes.size >= total, lit(1L << i))
           .otherwise(lit(0L))).reduce(_ + _)

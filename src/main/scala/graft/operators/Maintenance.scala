@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.TestData
 import graft.TestData.r4
@@ -325,7 +325,12 @@ object Maintenance {
             .when(col("old_n_chars") =!= col("new_n_chars"), lit("update")))
         .filter(col("change").isNotNull)
         .select("doc_id", "change", "old_n_chars", "new_n_chars")
-        .orderBy("doc_id")
+        // change as a secondary sort key: if the synthetic insert-id
+        // offset (doc_id + 1e7) ever collided with a real doc_id on a
+        // larger fixture, the colliding rows would tie on doc_id
+        // alone and row order could differ between engines (r8
+        // advice item) — the full key set is always unique.
+        .orderBy("doc_id", "change", "old_n_chars", "new_n_chars")
     }),
 
     // CONTENT-CHECKSUM MANIFEST (round 8): the cheap table-equality
@@ -547,8 +552,59 @@ object Maintenance {
         .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
           "(col_name, n_rows, p25, p50, p75, p90)"))
         .orderBy("col_name")
-    })
+    }),
+
+    // QUANTILE-SHIFT DRIFT (round 9, r8 verdict item 6): distribution
+    // drift WITHOUT fixed bins — profile_drift_psi needs a binning
+    // that was chosen when the reference was profiled, and a shift
+    // entirely inside one bin is invisible to it; the quantile sweep
+    // sees any shift ≥ the rank resolution. One conditional GK scan
+    // ([[quantileDrift]]): per column, the ref-half and cur-half
+    // sketches accumulate in the SAME map-side-combined aggregate
+    // (CASE-gated inputs), then each (column, p) row reads
+    // q_ref/q_cur and their r4 shift. Same scale shape as the
+    // profiler: one pass, bounded sketch state, at any corpus size.
+    // Oracle-omitted for the same reason as profile_columns_quantiles
+    // (GK estimates cannot be equality-oracled); PropertySpec pins
+    // the rank-ε contract on BOTH halves.
+    "profile_drift_quantile" -> ((s, d) =>
+      quantileDrift(TestData.lineitem(s, d),
+        col("l_shipdate") >= lit("1995-06-01"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        Seq(0.25, 0.5, 0.75, 0.9), 1000))
   )
+
+  /** Conditional one-scan quantile-drift sweep: for every column in
+    * `cols` and percentile in `ps`, GK estimates over the rows where
+    * `curFlag` is false (reference) and true (current), side by side
+    * with the r4'd shift. Shared by the declared key and the facade's
+    * `quantileDrift` (parity-pinned in EngineApiSpec).
+    */
+  private[graft] def quantileDrift(df: DataFrame, curFlag: Column,
+      cols: Seq[String], ps: Seq[Double], accuracy: Int): DataFrame = {
+    require(cols.nonEmpty && ps.nonEmpty, "need columns and percentiles")
+    val aggs = cols.flatMap { c => Seq(
+      count(when(!curFlag, col(c))).as(s"${c}_nr"),
+      count(when(curFlag, col(c))).as(s"${c}_nc"),
+      approx_percentile(when(!curFlag, col(c).cast("double")),
+        array(ps.map(lit): _*), lit(accuracy)).as(s"${c}_qr"),
+      approx_percentile(when(curFlag, col(c).cast("double")),
+        array(ps.map(lit): _*), lit(accuracy)).as(s"${c}_qc"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, " +
+        cols.map(c => s"'$c', ${c}_nr, ${c}_nc, ${c}_qr, ${c}_qc")
+          .mkString(", ") +
+        ") AS (col_name, n_ref, n_cur, qr, qc)"))
+      .select(col("col_name"), col("n_ref"), col("n_cur"),
+        posexplode(arrays_zip(col("qr"), col("qc"))))
+      .select(col("col_name"),
+        element_at(lit(ps.toArray), col("pos") + 1).as("p"),
+        col("n_ref"), col("n_cur"),
+        col("col.qr").as("q_ref"), col("col.qc").as("q_cur"),
+        TestData.r4(col("col.qc") - col("col.qr")).as("shift"))
+      .orderBy("col_name", "p")
+  }
 
   val oracles: Map[String, String] = Map(
     // Identical op order to the Spark side: p = n::DOUBLE / total,
@@ -621,7 +677,8 @@ object Maintenance {
         |FROM g1 FULL OUTER JOIN g2 ON g1.doc_id = g2.doc_id
         |WHERE g2.doc_id IS NULL OR g1.doc_id IS NULL
         |   OR g1.n_chars <> g2.n_chars
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id, change, old_n_chars NULLS FIRST,
+        |  new_n_chars NULLS FIRST""".stripMargin,
     // The oracle recomputes the manifest from the generating table —
     // proving the written files carry exactly the source rows.
     "sink_content_checksum" ->

@@ -23,16 +23,27 @@ object MultimodalOps {
     * value) equi-join is a SOUND candidate generator; the exact
     * popcount verify runs on candidates only. Pairs never cross mime
     * (an image re-encode is compared to images). `sigs` must carry
-    * (doc_id, mime, blockhash). At 100 TB widen the signature (more
-    * blocks ⇒ 64-bit hash, 16-bit bands) — 4-bit band values are a
-    * 16-way universe, fine for a fixture-sized corpus but a coarse
-    * block key at web scale; the join shape is unchanged.
+    * (doc_id, mime, blockhash). Signature width is PARAMETERIZED
+    * (round 9): the declared key keeps the fixture's 16-bit / 4×4-bit
+    * shape; at 100 TB call with `bits = 64, bands = 4` (16-bit band
+    * values ⇒ a 65 536-way universe per band — a real block key at
+    * web scale, vs the 4-bit bands' 16-way). Pigeonhole soundness
+    * (any pair within Hamming ≤ bands−1 keeps ≥1 band identical)
+    * holds at every width and is property-tested at BOTH 16-bit and
+    * 64-bit in DedupSpec; the join shape is width-independent.
     */
-  def blockHashPairs(sigs: DataFrame, maxHamming: Int = 2): DataFrame = {
-    require(maxHamming <= 3, "4-band pigeonhole is sound only for Hamming <= 3")
+  def blockHashPairs(sigs: DataFrame, maxHamming: Int = 2,
+                     bits: Int = 16, bands: Int = 4): DataFrame = {
+    require(bands >= 1 && bits % bands == 0 && bits / bands <= 32,
+      "bits must split into bands of <= 32 bits")
+    require(maxHamming < bands,
+      s"$bands-band pigeonhole is sound only for Hamming <= ${bands - 1}")
+    val bw = bits / bands
+    val mask = (1L << bw) - 1
     val banded = sigs.select(col("doc_id"), col("mime"), col("blockhash"),
         posexplode(expr(
-          "transform(sequence(0, 3), i -> shiftright(blockhash, 4 * i) & 15)")))
+          s"transform(sequence(0, ${bands - 1}), " +
+            s"i -> shiftright(blockhash, $bw * i) & $mask)")))
       .select(col("doc_id"), col("mime"), col("blockhash"),
         col("pos").as("band_i"), col("col").as("band_v"))
     val a = banded.select(col("doc_id").as("id_a"), col("mime").as("ma"),

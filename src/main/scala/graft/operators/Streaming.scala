@@ -334,6 +334,111 @@ object Streaming {
         .orderBy("event_type")
     }),
 
+    // STREAMING CHANGE-DATA-FEED (round 9): composes the snapshot
+    // store (`sink_snapshot_read_asof`) with `foreachBatch` into the
+    // incremental CDF a downstream streaming consumer subscribes to
+    // — the r8 verdict's missing piece between batch CDC
+    // (`sink_snapshot_diff`) and the streaming sink. Three planted
+    // table generations arrive as one micro-batch each (one file per
+    // generation, `maxFilesPerTrigger = 1`, mtimes forced ascending
+    // so FileStreamSource admits them in generation order); each
+    // batch PUBLISHES its generation into the snapshot store (staged
+    // write → audit → marker, the WAP contract) and APPENDS the
+    // row-grain diff vs the previously published generation to the
+    // CDF dir — so the feed carries exactly (generation, doc_id,
+    // change, old, new) per change, delta-sized, never corpus-sized.
+    // Gen2's planted changes are IDENTICAL to sink_snapshot_diff's
+    // (MaintenanceSpec pins the per-batch delta = that key's rows);
+    // gen3 plants a second wave on top. At 100 TB each batch's diff
+    // is one key-shuffle join between two snapshot generations —
+    // the same plan as batch CDC, amortized per micro-batch.
+    "stream_snapshot_cdf" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = TestData.documents(s, d)
+      val gen1 = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      val gen2 = gen1.filter(expr("doc_id % 10 != 3"))
+        .withColumn("n_chars",
+          when(expr("doc_id % 10 = 4"), col("n_chars") + lit(1000))
+            .otherwise(col("n_chars")))
+        .unionByName(gen1.filter(expr("doc_id % 10 = 5"))
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            col("lang"), (col("n_chars") + lit(7)).as("n_chars")))
+      val gen3 = gen2.filter(expr("doc_id % 10 != 6"))
+        .withColumn("n_chars",
+          when(expr("doc_id % 10 = 7"), col("n_chars") + lit(500))
+            .otherwise(col("n_chars")))
+        .unionByName(gen2.filter(expr("doc_id % 10 = 8"))
+          .select((col("doc_id") + lit(20000000L)).as("doc_id"),
+            col("lang"), (col("n_chars") + lit(11)).as("n_chars")))
+      val tag = graft.sources.WriteOnce.inputTag(d, "documents")
+      val srcDir = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/stream_cdf_src", tag)
+      graft.sources.WriteOnce.ensure(srcDir, tag) {
+        val dir = new java.io.File(srcDir); dir.mkdirs()
+        for ((df, g) <- Seq(gen1, gen2, gen3).zipWithIndex.map {
+            case (df, i) => (df, i + 1) }) {
+          val stage = s"${srcDir}_stage_g$g"
+          df.withColumn("gen", lit(g))
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dest = new java.io.File(dir, s"gen$g.parquet")
+          java.nio.file.Files.copy(part.toPath, dest.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // FileStreamSource admits files in mtime order — force one
+          // generation per micro-batch, in generation order.
+          dest.setLastModified(1700000000000L + g * 60000L)
+          new java.io.File(stage).listFiles().foreach(_.delete())
+          new java.io.File(stage).delete()
+        }
+        java.nio.file.Files.write(
+          new java.io.File(dir, "_SUCCESS").toPath, Array.emptyByteArray)
+      }
+      val seq = streamSeq.incrementAndGet()
+      val snapBase = s"/root/repo/target/tmp/stream_cdf_snap_$seq"
+      val cdfDir = s"/root/repo/target/tmp/stream_cdf_out_$seq"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(snapBase)); rm(new java.io.File(cdfDir))
+      new java.io.File(snapBase).mkdirs()
+      val schema = gen1.withColumn("gen", lit(1)).schema
+      withStateFanout(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val rows = b.localCheckpoint()
+            val g = rows.agg(max("gen")).head().getInt(0)
+            Maintenance.publishSnapshot(snapBase, g, rows.drop("gen"),
+              tag, "doc_id", retain = 3)
+            if (g > 1) {
+              val v1 = Maintenance.readAsOf(s, snapBase, g - 1)
+                .select(col("doc_id"), col("n_chars").as("old_n_chars"))
+              val v2 = rows
+                .select(col("doc_id"), col("n_chars").as("new_n_chars"))
+              v1.join(v2, Seq("doc_id"), "full_outer")
+                .withColumn("change",
+                  when(col("new_n_chars").isNull, lit("delete"))
+                    .when(col("old_n_chars").isNull, lit("insert"))
+                    .when(col("old_n_chars") =!= col("new_n_chars"),
+                      lit("update")))
+                .filter(col("change").isNotNull)
+                .withColumn("generation", lit(g))
+                .write.mode("append").parquet(cdfDir)
+            }
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination(120000) finally q.stop()
+      }
+      s.read.parquet(cdfDir)
+        .select("generation", "doc_id", "change",
+          "old_n_chars", "new_n_chars")
+        .orderBy(col("generation"), col("doc_id"), col("change"),
+          col("old_n_chars"), col("new_n_chars"))
+    }),
+
     // transformWithState (Spark 4 arbitrary-state API) in the gate:
     // the replayed events run through a typed StatefulProcessor with
     // explicit ValueState on the RocksDB provider (transformWithState
@@ -405,6 +510,48 @@ object Streaming {
   }
 
   val oracles: Map[String, String] = Map(
+    // The CDF oracle re-derives all three generations from the
+    // generating table and unions the two adjacent diffs — the feed
+    // must carry exactly the planted changes, tagged per generation.
+    "stream_snapshot_cdf" ->
+      """WITH g1 AS (SELECT doc_id, n_chars FROM documents),
+        |g2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 4 THEN n_chars + 1000
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 10 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, n_chars + 7
+        |  FROM documents WHERE doc_id % 10 = 5),
+        |g3 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 7 THEN n_chars + 500
+        |         ELSE n_chars END AS n_chars
+        |  FROM g2 WHERE doc_id % 10 <> 6
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, n_chars + 11 FROM g2
+        |  WHERE doc_id % 10 = 8),
+        |d12 AS (
+        |  SELECT 2 AS generation, coalesce(g1.doc_id, g2.doc_id) AS doc_id,
+        |    CASE WHEN g2.doc_id IS NULL THEN 'delete'
+        |         WHEN g1.doc_id IS NULL THEN 'insert'
+        |         WHEN g1.n_chars <> g2.n_chars THEN 'update' END AS change,
+        |    g1.n_chars AS old_n_chars, g2.n_chars AS new_n_chars
+        |  FROM g1 FULL OUTER JOIN g2 ON g1.doc_id = g2.doc_id
+        |  WHERE g2.doc_id IS NULL OR g1.doc_id IS NULL
+        |     OR g1.n_chars <> g2.n_chars),
+        |d23 AS (
+        |  SELECT 3 AS generation, coalesce(g2.doc_id, g3.doc_id) AS doc_id,
+        |    CASE WHEN g3.doc_id IS NULL THEN 'delete'
+        |         WHEN g2.doc_id IS NULL THEN 'insert'
+        |         WHEN g2.n_chars <> g3.n_chars THEN 'update' END AS change,
+        |    g2.n_chars AS old_n_chars, g3.n_chars AS new_n_chars
+        |  FROM g2 FULL OUTER JOIN g3 ON g2.doc_id = g3.doc_id
+        |  WHERE g3.doc_id IS NULL OR g2.doc_id IS NULL
+        |     OR g2.n_chars <> g3.n_chars)
+        |SELECT * FROM (SELECT * FROM d12 UNION ALL SELECT * FROM d23)
+        |ORDER BY generation, doc_id, change,
+        |  old_n_chars NULLS FIRST, new_n_chars NULLS FIRST""".stripMargin,
     "stream_tumbling_agg" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |  count(*) AS n, floor((sum(value))*10000 + 0.5)/10000 AS sum_value

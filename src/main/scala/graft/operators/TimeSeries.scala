@@ -22,6 +22,44 @@ import graft.TestData.r4
 object TimeSeries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Sketch-path DAU/WAU/MAU (the 100 TB form of
+    * `events_dau_wau_mau`): ONE user-distinct pass folds each day to
+    * a fixed-size HLL sketch of its active users (DAYS-sized table,
+    * KB per row), then each day-sketch explodes its ≤30 day-offsets
+    * and the trailing unions aggregate with `hll_union_agg` over the
+    * DAY-grain sketch table — the user·day pair table never fans
+    * out, so cost is events-scan + days×30 sketch merges regardless
+    * of corpus size (vs the exact form's user·day×30 shuffle).
+    * Estimates are approximate (rsd ≈ 1.04/√2^lgK ≈ 0.8 % at
+    * lgK=14) ⇒ declared key is a documented omit; PropertySpec binds
+    * every day's dau/wau/mau to within ±5 % of the exact key.
+    */
+  private[graft] def dauSketched(s: SparkSession, d: String,
+                                 lgK: Int = 14): DataFrame = {
+    val daySk = TestData.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("pday")).distinct()
+      .groupBy("pday")
+      .agg(expr(s"hll_sketch_agg(user_id, $lgK)").as("sk"))
+    val days = daySk.select(col("pday").as("day"))
+    val fan = daySk
+      .select(col("pday"), col("sk"),
+        explode(sequence(lit(0), lit(29))).as("o"))
+      .withColumn("day", date_add(col("pday"), col("o")))
+    fan.join(broadcast(days), "day")
+      .groupBy("day")
+      .agg(
+        expr("hll_sketch_estimate(hll_union_agg(CASE WHEN o = 0 THEN sk END))")
+          .as("dau"),
+        expr("hll_sketch_estimate(hll_union_agg(CASE WHEN o <= 6 THEN sk END))")
+          .as("wau"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("mau"))
+      .withColumn("stickiness",
+        r4(col("dau").cast("double") / col("mau")))
+      .select(col("day").cast("timestamp").as("day"),
+        col("dau"), col("wau"), col("mau"), col("stickiness"))
+      .orderBy("day")
+  }
+
   val defs: Map[String, Q] = Map(
     "ts_gap_fill" -> ((s, d) => {
       val daily = TestData.orders(s, d)
@@ -84,10 +122,17 @@ object TimeSeries {
     // anchors on the neighbor buckets' MEAN points — every bucket
     // selects independently, one window pass, no sequential
     // dependency to distribute. All integer: anchor means in
-    // floor'd micro-units, triangle area (×2) as the cross product
-    // of DIFFERENCES from the prev anchor — differences keep the
-    // BIGINT products ~1e17, while absolute epoch coordinates would
-    // overflow. Ties break to the earlier hour; series endpoints are
+    // floor'd MILLI-units (1e3), triangle area (×2) as the cross
+    // product of DIFFERENCES from the prev anchor. Concrete overflow
+    // bound (Spark 4 ANSI throws on Long overflow): each product is
+    // ≤ gap_hours·1e3 × max_hourly_count·1e3, so with a 1-year
+    // bucket gap (8 760 h ⇒ Δx ≈ 8.8e6) the hourly count may reach
+    // ~1e12 before hitting 2^63 — micro-units (the r8 version)
+    // overflowed already at count ~1e6 with multi-day gaps. Milli
+    // precision only quantizes the anchor means; the argmax is
+    // deterministic either way (hour tie-break, oracle mirrors the
+    // identical integer arithmetic). Ties break to the earlier
+    // hour; series endpoints are
     // kept verbatim (the LTTB convention). Grid is time-sized.
     "ts_downsample_lttb" -> ((s, d) => {
       val W = org.apache.spark.sql.expressions.Window
@@ -100,8 +145,8 @@ object TimeSeries {
       val anchors = hourly.groupBy("b")
         .agg(count(lit(1)).as("cnt"), sum("xh").as("sxh"),
           sum("n").as("sn"))
-        .withColumn("xm_u", expr("(sxh * 1000000) DIV cnt"))
-        .withColumn("ym_u", expr("(sn * 1000000) DIV cnt"))
+        .withColumn("xm_u", expr("(sxh * 1000) DIV cnt"))
+        .withColumn("ym_u", expr("(sn * 1000) DIV cnt"))
         .withColumn("xp", lag("xm_u", 1).over(wb))
         .withColumn("yp", lag("ym_u", 1).over(wb))
         .withColumn("xn", lead("xm_u", 1).over(wb))
@@ -110,8 +155,8 @@ object TimeSeries {
       val pts = hourly.join(anchors, Seq("b"))
         .withColumn("area2",
           when(col("xp").isNotNull && col("xn").isNotNull,
-            abs((col("xn") - col("xp")) * (col("n") * 1000000L - col("yp"))
-              - (col("xh") * 1000000L - col("xp"))
+            abs((col("xn") - col("xp")) * (col("n") * 1000L - col("yp"))
+              - (col("xh") * 1000L - col("xp"))
                 * (col("yn") - col("yp")))))
       val interior = pts.filter(col("area2").isNotNull)
         .withColumn("rk", row_number().over(
@@ -753,26 +798,35 @@ object TimeSeries {
         .orderBy("hour")
     }),
 
-    // DAU/WAU/MAU + STICKINESS (round 8): the engagement dashboard —
-    // per day, distinct actives that day / trailing 7 / trailing 30,
-    // and DAU/MAU. Exact form: the (user, day) DISTINCT pair table
-    // range-joins the day calendar (pairs × ≤30 fanout, pairs are
-    // user·day-grain, NOT event-grain) and three conditional
-    // distincts aggregate per day. At 100 TB the trailing distincts
-    // become per-day HLL sketches UNIONED over the window (the
-    // agg_sketch_merge algebra — fixed-size state, no pair fanout);
-    // the exact form here is also the oracle's form. Day emitted as
+    // DAU/WAU/MAU + STICKINESS (round 8, re-planned round 9): the
+    // engagement dashboard — per day, distinct actives that day /
+    // trailing 7 / trailing 30, and DAU/MAU. Exact form: each
+    // (user, day) DISTINCT pair EXPLODES its 30 day-offsets (pairs ×
+    // ≤30 fanout, pairs are user·day-grain, NOT event-grain) and
+    // equi-joins the broadcast calendar on the landing day — an
+    // r8 non-equi `datediff BETWEEN` version planned a
+    // BroadcastNestedLoopJoin that probed EVERY calendar day per
+    // pair row (3 650× per-row at 10 y of history); the exploded
+    // offset is a constant 30× with a hash equi-join, the
+    // join_interval_bucketed move (PlanSpec pins no BNLJ). At
+    // 100 TB the trailing distincts become per-day HLL sketches
+    // UNIONED over the window (`TimeSeries.dauSketched`, bound to
+    // this exact form by a PropertySpec rsd property); the exact
+    // form here is also the oracle's form. Day emitted as
     // TIMESTAMP (ts_gap_fill date-dtype convention).
     "events_dau_wau_mau" -> ((s, d) => {
       val ud = TestData.events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("pday")).distinct()
       val days = ud.select(col("pday").as("day")).distinct()
-      val diff = datediff(col("day"), col("pday"))
-      ud.join(days, diff.between(0, 29))
+      val fan = ud
+        .select(col("user_id"), col("pday"),
+          explode(sequence(lit(0), lit(29))).as("o"))
+        .withColumn("day", date_add(col("pday"), col("o")))
+      fan.join(broadcast(days), "day")
         .groupBy("day")
         .agg(
-          countDistinct(when(diff === 0, col("user_id"))).as("dau"),
-          countDistinct(when(diff <= 6, col("user_id"))).as("wau"),
+          countDistinct(when(col("o") === 0, col("user_id"))).as("dau"),
+          countDistinct(when(col("o") <= 6, col("user_id"))).as("wau"),
           countDistinct(col("user_id")).as("mau"))
         .withColumn("stickiness",
           r4(col("dau").cast("double") / col("mau")))
@@ -780,6 +834,13 @@ object TimeSeries {
           col("dau"), col("wau"), col("mau"), col("stickiness"))
         .orderBy("day")
     }),
+
+    // SKETCH-PATH DAU/WAU/MAU (round 9): the declared surface for
+    // [[dauSketched]] — per-day HLL sketches unioned over the
+    // trailing windows, fixed-size state, no user·day fanout.
+    // Documented omit (HLL estimates can't be equality-oracled);
+    // PropertySpec binds every day to ±5 % of the exact key.
+    "events_dau_sketch" -> ((s, d) => dauSketched(s, d)),
 
     // CUPED VARIANCE REDUCTION (round 8): the adjusted experiment
     // readout (Deng et al. 2013) every mature platform reports next
@@ -1078,8 +1139,8 @@ object TimeSeries {
         |    (epoch_us(hour) // 3600000000) // 24 AS b
         |  FROM hourly),
         |bm AS (
-        |  SELECT b, (sum(xh)::BIGINT * 1000000) // count(*)::BIGINT AS xm_u,
-        |    (sum(n)::BIGINT * 1000000) // count(*)::BIGINT AS ym_u
+        |  SELECT b, (sum(xh)::BIGINT * 1000) // count(*)::BIGINT AS xm_u,
+        |    (sum(n)::BIGINT * 1000) // count(*)::BIGINT AS ym_u
         |  FROM h3 GROUP BY 1),
         |an AS (
         |  SELECT b,
@@ -1091,8 +1152,8 @@ object TimeSeries {
         |pts AS (
         |  SELECT h3.b, hour, n,
         |    CASE WHEN xp IS NOT NULL AND xn IS NOT NULL THEN
-        |      abs((xn - xp) * (n * 1000000 - yp)
-        |        - (xh * 1000000 - xp) * (yn - yp))::BIGINT
+        |      abs((xn - xp) * (n * 1000 - yp)
+        |        - (xh * 1000 - xp) * (yn - yp))::BIGINT
         |    END AS area2
         |  FROM h3 JOIN an ON h3.b = an.b),
         |sel AS (

@@ -265,19 +265,34 @@ object Vectors {
       val tag = graft.sources.WriteOnce.inputTag(d, "embeddings")
       val dir = graft.sources.WriteOnce.dirFor(
         "/root/repo/target/tmp/ivf_compact", tag)
-      graft.sources.WriteOnce.ensure(dir, tag) {
+      if (touched.nonEmpty) graft.sources.WriteOnce.ensure(dir, tag) {
         s0.filter(col("cluster").isInCollection(touched))
           .join(broadcast(tomb), col("vec_id") === col("tid"), "left_anti")
           .write.mode("overwrite").partitionBy("cluster").parquet(dir)
       }
-      val after = s.read.parquet(dir).select("vec_id", "cluster")
-        .unionByName(s0.filter(!col("cluster").isInCollection(touched))
-          .select("vec_id", "cluster"))
+      // Untouched clusters read from the live index; touched ones
+      // from the compacted dir — skipped entirely when no tombstone
+      // landed (an empty compacted dir has no schema to infer).
+      val untouched =
+        (if (touched.isEmpty) s0
+         else s0.filter(!col("cluster").isInCollection(touched)))
+          .select("vec_id", "cluster")
+      val after =
+        if (touched.isEmpty) untouched
+        else s.read.parquet(dir).select("vec_id", "cluster")
+          .unionByName(untouched)
       val before = s0.groupBy("cluster").agg(count(lit(1)).as("n_before"))
-      after.groupBy("cluster")
-        .agg(count(lit(1)).as("n_after"),
-          sum("vec_id").as("id_checksum_after"))
-        .join(before, Seq("cluster"))
+      // LEFT join from `before` + coalesce: a cluster whose vectors
+      // are ALL tombstoned must still report (n_after = 0,
+      // id_checksum_after = 0) — the oracle's conditional-sum form
+      // emits exactly that (r8 advice item).
+      before
+        .join(after.groupBy("cluster")
+          .agg(count(lit(1)).as("n_after"),
+            sum("vec_id").as("id_checksum_after")), Seq("cluster"), "left")
+        .withColumn("n_after", coalesce(col("n_after"), lit(0L)))
+        .withColumn("id_checksum_after",
+          coalesce(col("id_checksum_after"), lit(0L)))
         .withColumn("n_deleted", col("n_before") - col("n_after"))
         .select("cluster", "n_before", "n_after", "n_deleted",
           "id_checksum_after")

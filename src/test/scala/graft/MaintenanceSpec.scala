@@ -80,6 +80,29 @@ class MaintenanceSpec extends SparkSpec {
       "as-of past a failed publish falls back to the elder snapshot")
   }
 
+  test("stream CDF: each micro-batch delta equals the batch's planted changes") {
+    val d = sf("sf0.001")
+    val cdf = SparkEntry.queries("stream_snapshot_cdf")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    // Gen 2 plants the SAME changes as sink_snapshot_diff — that
+    // key's (oracle-checked) rows ARE the expected batch-2 delta.
+    val batch2 = cdf.filter(_.head == 2).map(_.tail)
+    val expected = SparkEntry.queries("sink_snapshot_diff")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(batch2 === expected,
+      "generation-2 CDF delta must equal the batch CDC key's rows")
+    // Gen 3's wave: planted counts from the generating table.
+    val docs = TestData.documents(spark, d)
+    import org.apache.spark.sql.functions.{col, expr}
+    val nDel = docs.filter(expr("doc_id % 10 = 6")).count()
+    val nUpd = docs.filter(expr("doc_id % 10 = 7")).count()
+    val nIns = docs.filter(expr("doc_id % 10 = 8")).count()
+    val batch3 = cdf.filter(_.head == 3)
+    assert(batch3.count(_(2) == "delete") === nDel)
+    assert(batch3.count(_(2) == "update") === nUpd)
+    assert(batch3.count(_(2) == "insert") === nIns)
+  }
+
   test("sink_write_audit_publish publishes the audited snapshot once") {
     val d = sf("sf0.001")
     graft.operators.Maintenance.defs("sink_write_audit_publish")(spark, d).collect()

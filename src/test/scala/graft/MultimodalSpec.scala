@@ -92,4 +92,63 @@ class MultimodalSpec extends SparkSpec {
     val tiny = Array[Byte](1, 2, 3)
     assert(Multimodal.blockHash(tiny, 16) >= 0L)
   }
+
+  // The scale claim for media near-dup (r8 verdict item 2): at the
+  // production width — 64-bit signature, 4×16-bit bands, a 65 536-way
+  // universe per band — the pigeonhole band join must return EXACTLY
+  // the brute-force Hamming-≤-3 pair set (blocking sound ⇒ candidates
+  // ⊇ matches; popcount verify ⇒ candidates are filtered back to
+  // matches). Brute force runs driver-side over the fixture sigs.
+  test("64-bit/16-bit-band blockhash pairs equal brute force (pigeonhole sound)") {
+    // Planted corpus: random 64-bit signatures are essentially never
+    // within Hamming 3 of each other (fixture sigs at this width have
+    // zero near pairs — empty-vs-empty would prove nothing), so plant
+    // near-dups at every Hamming distance 1..5: distances ≤ 3 MUST be
+    // found, 4..5 MUST be rejected by the popcount verify even though
+    // a band may still collide.
+    val rnd = new scala.util.Random(42)
+    val mimes = Array("image/png", "audio/wav", "video/mp4")
+    val base = (0 until 200).map(i => (i.toLong, mimes(i % 3), rnd.nextLong()))
+    def flip(h: Long, k: Int): Long = {
+      var out = h
+      var flipped = Set.empty[Int]
+      while (flipped.size < k) {
+        val b = rnd.nextInt(64)
+        if (!flipped(b)) { flipped += b; out ^= 1L << b }
+      }
+      out
+    }
+    val planted = (1 to 5).flatMap { h =>
+      (0 until 8).map { j =>
+        val (id, m, sig) = base(h * 8 + j)
+        (1000L + h * 100 + j, m, flip(sig, h))
+      }
+    }
+    val rows = base ++ planted
+    val sigs = spark.createDataFrame(rows).toDF("doc_id", "mime", "blockhash")
+    val got = graft.operators.MultimodalOps
+      .blockHashPairs(sigs, maxHamming = 3, bits = 64, bands = 4)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (ia, ma, ha) <- rows; (ib, mb, hb) <- rows
+      if ia < ib && ma == mb
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(got === brute,
+      s"blocking lost or invented pairs: got ${got.size}, brute ${brute.size}")
+    assert(brute.size >= 24, s"planting failed: only ${brute.size} near pairs")
+  }
+
+  // Width guard-rails: invalid band splits and unsound Hamming
+  // budgets must be rejected, not silently mis-blocked.
+  test("blockHashPairs rejects unsound width parameters") {
+    val sigs = Multimodal.blockHashes(media, 16).toDF()
+    intercept[IllegalArgumentException] {
+      graft.operators.MultimodalOps.blockHashPairs(sigs, 4, 16, 4)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.MultimodalOps.blockHashPairs(sigs, 2, 60, 7)
+    }
+  }
 }

@@ -435,6 +435,21 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one user-grain exchange, saw $userExchanges:\n${p.take(900)}")
   }
 
+  test("events_dau_wau_mau equi-joins the calendar — no nested-loop probe") {
+    // The r8 form's `datediff BETWEEN 0 AND 29` had no equi-key and
+    // planned a BroadcastNestedLoopJoin: every (user, day) pair row
+    // probed EVERY calendar day (3 650× per-row at 10 y of history).
+    // The r9 form explodes the 30 day-offsets and hash-joins the
+    // broadcast days-sized calendar on the landing day — constant
+    // 30× fanout, equi-keyed.
+    val p = plan("events_dau_wau_mau")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"),
+      s"calendar join regressed to a nested loop:\n${p.take(900)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the broadcast calendar equi-join:\n${p.take(900)}")
+  }
+
   test("ts_changepoint_cusum / ts_autocorr aggregate before any window") {
     // The unpartitioned running windows are the documented time-sized
     // tail: they must consume the HOURLY aggregate, so the plan's

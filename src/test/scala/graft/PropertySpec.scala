@@ -209,6 +209,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sketch-path DAU/WAU/MAU within 5% of the exact form every day") {
+    val exact = TimeSeries.defs("events_dau_wau_mau")(spark, sfDir)
+      .select("day", "dau", "wau", "mau")
+      .collect().map(r => r.get(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val est = TimeSeries.defs("events_dau_sketch")(spark, sfDir)
+      .select("day", "dau", "wau", "mau").collect()
+    assert(est.length === exact.size, "sketch path must emit the same days")
+    est.foreach { r =>
+      val (ed, ew, em) = exact(r.get(0))
+      // per-day HLL at lgK=14: rsd ~0.8%; unions don't compound
+      // (HLL union is lossless in sketch space) — 5% is generous
+      for (((got, ex), name) <- Seq((r.getLong(1), ed), (r.getLong(2), ew),
+          (r.getLong(3), em)).zip(Seq("dau", "wau", "mau")))
+        assert(math.abs(got - ex) <= math.max(2L, (ex * 0.05).toLong),
+          s"${r.get(0)} $name: sketch $got vs exact $ex")
+    }
+  }
+
   test("profile quantile sweep satisfies the GK rank-eps contract per column") {
     val prof = Maintenance.defs("profile_columns_quantiles")(spark, sfDir)
       .as[(String, Long, Double, Double, Double, Double)].collect()
@@ -223,6 +242,26 @@ class PropertySpec extends SparkSpec {
       val r = li.agg(aggs.head, aggs.tail: _*).head()
       ests.zipWithIndex.foreach { case ((p, _), i) =>
         assertRankEps(s"$c p$p", n, p, r.getLong(2 * i), r.getLong(2 * i + 1), 1e-3)
+      }
+    } finally li.unpersist()
+  }
+
+  test("quantile-drift sweep satisfies the GK rank-eps contract on BOTH halves") {
+    val drift = Maintenance.defs("profile_drift_quantile")(spark, sfDir)
+      .as[(String, Double, Long, Long, Double, Double, Double)].collect()
+    assert(drift.length === 12, "3 columns x 4 percentiles")
+    val li = TestData.lineitem(spark, sfDir).cache()
+    val cur = col("l_shipdate") >= lit("1995-06-01")
+    try drift.foreach { case (c, p, nRef, nCur, qRef, qCur, shift) =>
+      assert(math.abs(shift - math.floor((qCur - qRef) * 10000 + 0.5) / 10000)
+        < 1e-9, s"$c p$p: shift must be the r4'd quantile difference")
+      for ((flag, n, q, side) <- Seq((!cur, nRef, qRef, "ref"),
+          (cur, nCur, qCur, "cur"))) {
+        val x = col(c).cast("double")
+        val r = li.filter(flag).agg(
+          sum(when(x < q, 1L).otherwise(0L)),
+          sum(when(x <= q, 1L).otherwise(0L))).head()
+        assertRankEps(s"$c p$p $side", n, p, r.getLong(0), r.getLong(1), 1e-3)
       }
     } finally li.unpersist()
   }
