@@ -403,6 +403,98 @@ object Aggregates {
         .orderBy("nationkey")
     }),
 
+    // THEIL T INDEX (round 9): the decomposable inequality measure
+    // next to the Gini — T = (1/n)·Σ (x/μ)·ln(x/μ) over order value
+    // cents per nation. Determinism: x/μ = x·n/S with exact BIGINT
+    // x·n (cents ≲ 5e7 × n ≲ 2^31 stays < 2^63), each order's
+    // transcendental term quantized to integer MICRO-NATS before the
+    // (order-free) sum — the PSI/entropy/PMI precedent — and the
+    // final ÷n is integer DIV. Shape: nation-grain stats broadcast
+    // back onto the order stream, one corpus-grain aggregate.
+    "agg_theil_index" -> ((s, d) => {
+      val o = TestData.orders(s, d)
+        .join(broadcast(TestData.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").cast("long").as("nationkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val stats = o.groupBy("nationkey")
+        .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+      o.join(broadcast(stats), "nationkey")
+        .withColumn("ratio",
+          (col("cents") * col("n")).cast("double") / col("s"))
+        .withColumn("term_u",
+          floor(col("ratio") * log(col("ratio")) * 1000000 + 0.5)
+            .cast("long"))
+        .groupBy("nationkey")
+        .agg(max("n").as("n_orders"),
+          sum("term_u").as("sum_term_u"))
+        .withColumn("theil_micro", expr("sum_term_u DIV n_orders"))
+        .withColumn("theil", r4(col("theil_micro") / 1000000.0))
+        .select("nationkey", "n_orders", "sum_term_u", "theil_micro", "theil")
+        .orderBy("nationkey")
+    }),
+
+    // BENFORD FIRST-DIGIT DEVIATION (round 9): the forensic
+    // data-quality screen — leading-digit distribution of order
+    // values vs Benford's log10(1+1/d), in integer PPM. The digit
+    // comes from the BIGINT-floored value's string head (identical
+    // in both engines; no float formatting), observed shares are
+    // exact integer n_d·1e6 DIV n, the expected share's log10 is the
+    // only transcendental and is quantized per digit (9 values).
+    // One corpus scan → 9-row aggregate at any scale.
+    "agg_benford_deviation" -> ((s, d) => {
+      val digits = TestData.orders(s, d)
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      digits
+        .withColumn("n_total", sum("n_obs").over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .withColumn("obs_ppm", expr("n_obs * 1000000 DIV n_total"))
+        .withColumn("exp_ppm",
+          floor(log10(lit(1.0) + lit(1.0) / col("digit")) * 1000000 + 0.5)
+            .cast("long"))
+        .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+        .select("digit", "n_obs", "obs_ppm", "exp_ppm", "dev_ppm")
+        .orderBy("digit")
+    }),
+
+    // WINSORIZED MEAN (round 9): the outlier-robust mean every
+    // metrics platform reports when heavy tails make the raw mean
+    // lie — clamp at the exact p05/p95 order statistics (integer
+    // cents, the agg_percentile_disc rank convention with stable
+    // tie-break) and average the clamped values. Shape: the 3-row
+    // cut table broadcasts back onto the line stream; two passes
+    // over the group, both map-side-combinable aggregates.
+    "agg_winsorized_mean" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("l_returnflag")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+      val li = TestData.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      val cuts = li
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(W.partitionBy("l_returnflag")))
+        .groupBy("l_returnflag")
+        .agg(max("n").as("n_rows"),
+          max(when(col("rn") === expr("(n + 1) DIV 20"), col("cents")))
+            .as("p05_cents"),
+          max(when(col("rn") === expr("(19 * (n + 1)) DIV 20"), col("cents")))
+            .as("p95_cents"))
+      li.join(broadcast(cuts), "l_returnflag")
+        .withColumn("clamped",
+          greatest(col("p05_cents"), least(col("p95_cents"), col("cents"))))
+        .groupBy("l_returnflag")
+        .agg(max("n_rows").as("n_rows"),
+          max("p05_cents").as("p05_cents"),
+          max("p95_cents").as("p95_cents"),
+          r4(sum("cents").cast("double") / count(lit(1))).as("mean_cents"),
+          r4(sum("clamped").cast("double") / count(lit(1)))
+            .as("winsorized_mean_cents"))
+        .orderBy("l_returnflag")
+    }),
+
     // WEIGHTED MEDIAN (round 8): the order statistic under a weight
     // column (here: price weighted by quantity — "the price of the
     // median UNIT SOLD", which line-grain median misses when cheap
@@ -524,6 +616,68 @@ object Aggregates {
         |  floor(((2 * rank_sum - (n_orders + 1) * sum_cents)::DOUBLE
         |    / (n_orders * sum_cents))*10000 + 0.5)/10000 AS gini
         |FROM g ORDER BY nationkey""".stripMargin,
+    // Identical op order: BIGINT cents·n first, one double division,
+    // ln, micro-nat floor BEFORE the sum, integer // at the end.
+    "agg_theil_index" ->
+      """WITH o AS (
+        |  SELECT c_nationkey::BIGINT AS nationkey,
+        |    floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |st AS (
+        |  SELECT nationkey, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s
+        |  FROM o GROUP BY 1),
+        |t AS (
+        |  SELECT o.nationkey, st.n,
+        |    floor(((o.cents * st.n)::DOUBLE / st.s)
+        |      * ln((o.cents * st.n)::DOUBLE / st.s) * 1000000 + 0.5)::BIGINT
+        |      AS term_u
+        |  FROM o JOIN st USING (nationkey))
+        |SELECT nationkey, max(n)::BIGINT AS n_orders,
+        |  sum(term_u)::BIGINT AS sum_term_u,
+        |  (sum(term_u)::BIGINT // max(n)::BIGINT)::BIGINT AS theil_micro,
+        |  floor(((sum(term_u)::BIGINT // max(n)::BIGINT) / 1000000.0)
+        |    *10000 + 0.5)/10000 AS theil
+        |FROM t GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "agg_benford_deviation" ->
+      """WITH d AS (
+        |  SELECT substring(floor(o_totalprice)::BIGINT::VARCHAR, 1, 1)::INT
+        |    AS digit, count(*)::BIGINT AS n_obs
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT *, (sum(n_obs) OVER ())::BIGINT AS n_total FROM d)
+        |SELECT digit, n_obs,
+        |  (n_obs * 1000000 // n_total)::BIGINT AS obs_ppm,
+        |  floor(log10(1.0 + 1.0 / digit) * 1000000 + 0.5)::BIGINT AS exp_ppm,
+        |  ((n_obs * 1000000 // n_total)
+        |    - floor(log10(1.0 + 1.0 / digit) * 1000000 + 0.5))::BIGINT
+        |    AS dev_ppm
+        |FROM t ORDER BY digit""".stripMargin,
+    "agg_winsorized_mean" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    floor(l_extendedprice * 100 + 0.5)::BIGINT AS cents
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, cents,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM li),
+        |cuts AS (
+        |  SELECT l_returnflag, max(n)::BIGINT AS n_rows,
+        |    max(CASE WHEN rn = (n + 1) // 20 THEN cents END)::BIGINT
+        |      AS p05_cents,
+        |    max(CASE WHEN rn = (19 * (n + 1)) // 20 THEN cents END)::BIGINT
+        |      AS p95_cents
+        |  FROM r GROUP BY 1)
+        |SELECT li.l_returnflag, max(n_rows)::BIGINT AS n_rows,
+        |  max(p05_cents)::BIGINT AS p05_cents,
+        |  max(p95_cents)::BIGINT AS p95_cents,
+        |  floor((sum(cents)::DOUBLE / count(*))*10000 + 0.5)/10000
+        |    AS mean_cents,
+        |  floor((sum(greatest(p05_cents, least(p95_cents, cents)))::DOUBLE
+        |      / count(*))*10000 + 0.5)/10000 AS winsorized_mean_cents
+        |FROM li JOIN cuts USING (l_returnflag)
+        |GROUP BY li.l_returnflag ORDER BY li.l_returnflag""".stripMargin,
     // Same least-v-with-cw*2>=tw form; windowed sums ::BIGINT
     // (HUGEINT trap); values r4'd before grouping on both sides.
     "agg_weighted_median" ->

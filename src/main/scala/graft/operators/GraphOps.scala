@@ -370,6 +370,56 @@ object GraphOps {
     // surviving degree.
     "graph_k_core" -> ((s, d) => kCore(s, d, k = 2, rounds = 3)),
 
+    // DEGREE ASSORTATIVITY (round 9): Pearson correlation of the
+    // endpoint degrees over the directed edge view — do high-degree
+    // nodes attach to high-degree nodes (r > 0, social) or to leaves
+    // (r < 0, hub-and-spoke)? The one-number topology readout that
+    // says whether degree-based partitioning will skew. Everything
+    // from five exact BIGINT sums over the edge list (deg ≤ fixture
+    // kNN cap, deg² ≤ 2^24 — ANSI-safe at any corpus size); one
+    // sqrt + division at the end, r4'd. Shape: degree aggregate +
+    // one edges-grain join on each endpoint, corpus never broadcast.
+    "graph_degree_assortativity" -> ((s, d) => {
+      val edges = fixtureKnnEdges(s, d)
+      val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+      adj
+        .join(deg.select(col("src").as("sx"), col("deg").as("dx")),
+          col("src") === col("sx"))
+        .join(deg.select(col("src").as("sy"), col("deg").as("dy")),
+          col("dst") === col("sy"))
+        .agg(count(lit(1)).as("n_edges_directed"),
+          sum("dx").as("sx_"), sum("dy").as("sy_"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
+        .withColumn("assortativity", graft.TestData.r4(
+          (col("n_edges_directed") * col("sxy") - col("sx_") * col("sy_"))
+            .cast("double")
+            / sqrt((col("n_edges_directed") * col("sxx")
+                - col("sx_") * col("sx_")).cast("double")
+              * (col("n_edges_directed") * col("syy")
+                - col("sy_") * col("sy_")).cast("double"))))
+        .select("n_edges_directed", "assortativity")
+    }),
+
+    // DEDUP CLUSTER-SIZE HISTOGRAM (round 9): the report a dedup run
+    // publishes — how many duplicate clusters of each size, how many
+    // docs they hold (cluster_size 1 = uniques; the tail of large
+    // clusters is what survivor selection collapses). Consumes the
+    // memoized component labels; the histogram is a two-level
+    // aggregate over the components table — component-grain then
+    // size-grain, both map-side-combinable, nothing corpus-grain.
+    "dedup_cluster_stats" -> ((s, d) =>
+      fixtureComponents(s, d)
+        .groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+        .select("cluster_size", "n_clusters", "n_docs")
+        .orderBy("cluster_size")),
+
     // LINK PREDICTION by neighbor-set Jaccard: for every 2-hop pair
     // (a, b) not already an edge, score = |N(a)∩N(b)| / |N(a)∪N(b)| —
     // the classic similarity-graph densification step (which near-
@@ -510,6 +560,49 @@ object GraphOps {
       |  SELECT DISTINCT least(qid, nn) AS a, greatest(qid, nn) AS b FROM knn)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "graph_degree_assortativity" ->
+      s"""$EdgesCte,
+        |adj AS (
+        |  SELECT a AS src, b AS dst FROM edges
+        |  UNION ALL SELECT b, a FROM edges),
+        |deg AS (SELECT src, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+        |j AS (
+        |  SELECT dx.deg AS dxv, dy.deg AS dyv
+        |  FROM adj JOIN deg dx ON adj.src = dx.src
+        |           JOIN deg dy ON adj.dst = dy.src),
+        |st AS (
+        |  SELECT count(*)::BIGINT AS n, sum(dxv)::BIGINT AS sx,
+        |    sum(dyv)::BIGINT AS sy, sum(dxv * dyv)::BIGINT AS sxy,
+        |    sum(dxv * dxv)::BIGINT AS sxx, sum(dyv * dyv)::BIGINT AS syy
+        |  FROM j)
+        |SELECT n AS n_edges_directed,
+        |  floor(((n * sxy - sx * sy)::DOUBLE
+        |    / sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE))
+        |    *10000 + 0.5)/10000 AS assortativity
+        |FROM st""".stripMargin,
+    // Same recursive min-label closure as dedup_components, rolled up
+    // to the size histogram.
+    "dedup_cluster_stats" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |edges AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        |        > 0.9),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |comp AS (SELECT a AS doc_id, min(b) AS component
+        |         FROM reach GROUP BY a),
+        |cs AS (SELECT component, count(*)::BIGINT AS cluster_size
+        |       FROM comp GROUP BY 1)
+        |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+        |  (cluster_size * count(*))::BIGINT AS n_docs
+        |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "dedup_components" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks

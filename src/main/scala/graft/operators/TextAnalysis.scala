@@ -179,6 +179,60 @@ object TextAnalysis {
     // Order-insensitive content fingerprint (md5 of the sorted
     // distinct token set) + fingerprint-group size — the grouping
     // shuffle IS the dedup partition at scale.
+    // TYPE-TOKEN RICHNESS (round 9): vocabulary-richness quality
+    // signals per doc — TTR (distinct types / tokens) and the hapax
+    // ratio (types seen once in the doc / types): low-richness docs
+    // are boilerplate/spam, the classic pretraining-quality filter
+    // next to text_quality_score and text_repetition_score. Shape:
+    // explode to (doc, token) → two-level map-side-combinable
+    // aggregate; the (doc, token) shuffle is the dedup partition at
+    // scale. Counts exact BIGINTs, ratios r4'd once.
+    "text_ttr_richness" -> ((s, d) =>
+      TestData.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_toks"), count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .withColumn("ttr",
+          r4(col("n_types").cast("double") / col("n_toks")))
+        .withColumn("hapax_ratio",
+          r4(col("n_hapax").cast("double") / col("n_types")))
+        .select("doc_id", "n_toks", "n_types", "n_hapax", "ttr",
+          "hapax_ratio")
+        .orderBy("doc_id")),
+
+    // N-GRAM NOVELTY (round 9): how much of each doc's trigram set
+    // is FIRST seen in that doc (first occurrence = min doc_id over
+    // the corpus) — the incremental-crawl novelty score that ranks
+    // what a near-dup filter should even look at; docs full of
+    // already-seen n-grams are recombinations. Shape: distinct
+    // (doc, trigram) pairs shuffle ON THE TRIGRAM to the
+    // first-occurrence aggregate, then join back — both exchanges
+    // trigram-sharded, nothing corpus-grain on one task. Docs with
+    // < 3 tokens have no trigrams and are excluded (stated, not
+    // silent).
+    "text_ngram_novelty" -> ((s, d) => {
+      val tri = TestData.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 3), " +
+            "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
+          .as("tri"))
+        .distinct()
+      val first = tri.groupBy("tri").agg(min("doc_id").as("fdoc"))
+      tri.join(first, "tri")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("fdoc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          r4(col("n_novel").cast("double") / col("n_shingles")))
+        .select("doc_id", "n_shingles", "n_novel", "novelty")
+        .orderBy("doc_id")
+    }),
+
     "text_fingerprint" -> ((s, d) => {
       val fp = md5(array_join(array_sort(array_distinct(
         split(col("text"), " "))), " "))
@@ -385,6 +439,32 @@ object TextAnalysis {
   private val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    "text_ttr_richness" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, count(*)::BIGINT AS c FROM t GROUP BY 1, 2)
+        |SELECT doc_id, sum(c)::BIGINT AS n_toks, count(*)::BIGINT AS n_types,
+        |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+        |  floor((count(*)::DOUBLE / sum(c))*10000 + 0.5)/10000 AS ttr,
+        |  floor((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*))
+        |    *10000 + 0.5)/10000 AS hapax_ratio
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_ngram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tg AS (
+        |  SELECT DISTINCT doc_id, tri FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tri
+        |    FROM t WHERE len(toks) >= 3)),
+        |f AS (SELECT tri, min(doc_id) AS fdoc FROM tg GROUP BY 1)
+        |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+        |  sum(CASE WHEN fdoc = doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+        |  floor((sum(CASE WHEN fdoc = doc_id THEN 1 ELSE 0 END)::DOUBLE
+        |      / count(*))*10000 + 0.5)/10000 AS novelty
+        |FROM tg JOIN f USING (tri)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_lang_id" ->
       """WITH t AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token

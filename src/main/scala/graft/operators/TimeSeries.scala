@@ -172,6 +172,40 @@ object TimeSeries {
       interior.unionByName(ends).orderBy("hour")
     }),
 
+    // THEIL–SEN ROBUST TREND (round 9): median of all pairwise
+    // slopes of the hourly volume series — the trend estimate that
+    // shrugs off the outliers that flip an OLS fit (the robust
+    // sibling of ts_changepoint_cusum's level shifts). Grid is
+    // TIME-sized, so the pair fanout is hours², not corpus² — at 10
+    // years of hourly data that is ~7.7e9 pairs, sharded by the join
+    // (never one task); the median runs over the DISTINCT quantized
+    // slopes (weighted-median move), not the raw pairs. Slopes are
+    // quantized floor(Δn·1e4/Δx + 0.5) in DOUBLE (exact-int inputs,
+    // IEEE-identical both engines — integer DIV would disagree on
+    // negative slopes: Spark truncates, DuckDB floors). Median =
+    // least slope with cumcount ≥ (m+1) DIV 2, the percentile_disc
+    // convention.
+    "ts_theil_sen" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val hourly = TestData.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("xh", expr("unix_micros(hour) DIV 3600000000"))
+        .select("xh", "n")
+      val b = hourly.select(col("xh").as("x2"), col("n").as("n2"))
+      val slopes = hourly.join(b, col("x2") > col("xh"))
+        .select(floor((col("n2") - col("n")) * lit(10000.0)
+          / (col("x2") - col("xh")) + lit(0.5)).cast("long").as("slope_q"))
+        .groupBy("slope_q").agg(count(lit(1)).as("c"))
+      slopes
+        .withColumn("m", sum("c").over(W.partitionBy()))
+        .withColumn("cum", sum("c").over(W.orderBy("slope_q")))
+        .filter(col("cum") >= expr("(m + 1) DIV 2"))
+        .agg(max("m").as("n_pairs"), min("slope_q").as("slope_med_q"))
+        .withColumn("slope_per_hour", r4(col("slope_med_q") / 10000.0))
+        .select("n_pairs", "slope_med_q", "slope_per_hour")
+    }),
+
     // AUTOCORRELATION FUNCTION (round 8): ACF at lags 1..12 of the
     // hourly volume series — the periodicity readout that picks the
     // season length ts_decompose_seasonal assumes and the lag
@@ -842,6 +876,96 @@ object TimeSeries {
     // PropertySpec binds every day to ±5 % of the exact key.
     "events_dau_sketch" -> ((s, d) => dauSketched(s, d)),
 
+    // NEW vs RETURNING users (round 9): per day, how much of the DAU
+    // is first-ever-seen — the acquisition/retention split on every
+    // growth dashboard. Shape: the (user, day) DISTINCT pair table
+    // joins the USER-grain first-seen aggregate on user_id (both
+    // user-sharded shuffles, no calendar fanout at all); the per-day
+    // rollup is days-sized. At 100 TB the first-seen table is the
+    // standing user dimension an incremental pipeline maintains.
+    "events_new_returning" -> ((s, d) => {
+      val ud = TestData.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("pday")).distinct()
+      val first = ud.groupBy("user_id").agg(min("pday").as("fday"))
+      ud.join(first, "user_id")
+        .groupBy(col("pday"))
+        .agg(count(lit(1)).as("dau"),
+          sum(when(col("pday") === col("fday"), 1L).otherwise(0L))
+            .as("new_users"))
+        .withColumn("returning_users", col("dau") - col("new_users"))
+        .withColumn("new_ratio",
+          r4(col("new_users").cast("double") / col("dau")))
+        .select(col("pday").cast("timestamp").as("day"),
+          col("dau"), col("new_users"), col("returning_users"),
+          col("new_ratio"))
+        .orderBy("day")
+    }),
+
+    // WEEKLY CHURN (round 9): per calendar week, actives / retained
+    // into the next week / churned, and the churn rate — the
+    // companion to events_retention_cohorts at the week grain every
+    // subscription dashboard leads with. Shape: the DISTINCT
+    // (user, week) pair table LEFT-joins itself shifted one week on
+    // (user_id, week+7d) — an equi-join on the pair grain, no
+    // calendar fanout; the final rollup is weeks-sized. The last
+    // week has no successor week in the data and reports full churn
+    // — the standard right-censoring caveat, noted not hidden.
+    "events_churn_weekly" -> ((s, d) => {
+      val uw = TestData.events(s, d)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).as("wk")).distinct()
+      val nxt = uw.select(col("user_id").as("uid2"),
+        (col("wk") - expr("INTERVAL 7 DAYS")).as("wk2"))
+      uw.join(nxt, col("user_id") === col("uid2") && col("wk") === col("wk2"),
+          "left")
+        .groupBy("wk")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("uid2").isNotNull, 1L).otherwise(0L)).as("n_retained"))
+        .withColumn("n_churned", col("n_active") - col("n_retained"))
+        .withColumn("churn_rate",
+          r4(col("n_churned").cast("double") / col("n_active")))
+        .select(col("wk").as("week"), col("n_active"), col("n_retained"),
+          col("n_churned"), col("churn_rate"))
+        .orderBy("week")
+    }),
+
+    // POWER / MDE READOUT (round 9): the pre-experiment sizing
+    // number next to events_ab_significance's post-hoc z — with the
+    // current per-variant user counts and pooled conversion rate,
+    // what absolute lift is detectable at 80 % power / α=0.05
+    // (MDE = 2.8026·√(p̄(1−p̄)(1/n_c+1/n_t))), and how many users
+    // per arm would a 10 %-relative lift need
+    // (n = 2·7.8489·p̄(1−p̄)/δ², δ = 0.1·p̄)? Everything derives
+    // from exact BIGINT user counts; √ and the two divisions are
+    // the only float steps, identical op order both engines, r4'd
+    // once. USER-grain conversion (any purchase), not event-grain.
+    "events_power_mde" -> ((s, d) =>
+      TestData.events(s, d)
+        .withColumn("t",
+          (conv(substring(md5(col("user_id").cast("string")), 1, 2), 16, 10)
+            .cast("int") % 2 =!= 0).cast("int"))
+        .groupBy("user_id", "t")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .agg(
+          sum(when(col("t") === 0, 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("t") === 1, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("t") === 0, col("conv")).otherwise(0L)).as("x_c"),
+          sum(when(col("t") === 1, col("conv")).otherwise(0L)).as("x_t"))
+        .withColumn("p_pool",
+          (col("x_c") + col("x_t")).cast("double")
+            / (col("n_c") + col("n_t")))
+        .withColumn("mde_abs",
+          r4(lit(2.8026) * sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
+            * (lit(1.0) / col("n_c") + lit(1.0) / col("n_t")))))
+        .withColumn("n_per_arm_10pct",
+          ceil(lit(2.0) * lit(7.8489) * col("p_pool")
+            * (lit(1.0) - col("p_pool"))
+            / (lit(0.1) * col("p_pool") * lit(0.1) * col("p_pool"))))
+        .select(col("n_c"), col("n_t"), col("x_c"), col("x_t"),
+          r4(col("p_pool")).as("p_pool"), col("mde_abs"),
+          col("n_per_arm_10pct"))),
+
     // CUPED VARIANCE REDUCTION (round 8): the adjusted experiment
     // readout (Deng et al. 2013) every mature platform reports next
     // to the raw means — y_adj = y − θ(x − x̄) with the pre-period
@@ -1376,6 +1500,79 @@ object TimeSeries {
         |      THEN user_id END)::DOUBLE / count(DISTINCT user_id))
         |    *10000 + 0.5)/10000 AS stickiness
         |FROM j GROUP BY day ORDER BY day""".stripMargin,
+    "ts_theil_sen" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)::TIMESTAMP) // 3600000000
+        |      AS xh,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT floor((b.n - a.n) * 10000.0 / (b.xh - a.xh) + 0.5)::BIGINT
+        |    AS slope_q
+        |  FROM hourly a JOIN hourly b ON b.xh > a.xh),
+        |s AS (SELECT slope_q, count(*)::BIGINT AS c FROM p GROUP BY 1),
+        |t AS (
+        |  SELECT slope_q, c,
+        |    (sum(c) OVER ())::BIGINT AS m,
+        |    (sum(c) OVER (ORDER BY slope_q))::BIGINT AS cum
+        |  FROM s)
+        |SELECT max(m)::BIGINT AS n_pairs, min(slope_q)::BIGINT AS slope_med_q,
+        |  floor((min(slope_q) / 10000.0)*10000 + 0.5)/10000 AS slope_per_hour
+        |FROM t WHERE cum >= (m + 1) // 2""".stripMargin,
+    "events_new_returning" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, ts::DATE AS pday FROM events),
+        |f AS (SELECT user_id, min(pday) AS fday FROM ud GROUP BY 1)
+        |SELECT pday::TIMESTAMP AS day,
+        |  count(*)::BIGINT AS dau,
+        |  sum(CASE WHEN pday = fday THEN 1 ELSE 0 END)::BIGINT AS new_users,
+        |  (count(*) - sum(CASE WHEN pday = fday THEN 1 ELSE 0 END))::BIGINT
+        |    AS returning_users,
+        |  floor((sum(CASE WHEN pday = fday THEN 1 ELSE 0 END)::DOUBLE
+        |      / count(*))*10000 + 0.5)/10000 AS new_ratio
+        |FROM ud JOIN f USING (user_id)
+        |GROUP BY pday ORDER BY day""".stripMargin,
+    "events_churn_weekly" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+        |SELECT a.wk::TIMESTAMP AS week,
+        |  count(*)::BIGINT AS n_active,
+        |  sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_retained,
+        |  (count(*) - sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END))
+        |    ::BIGINT AS n_churned,
+        |  floor(((count(*) - sum(CASE WHEN b.user_id IS NOT NULL
+        |      THEN 1 ELSE 0 END))::DOUBLE / count(*))*10000 + 0.5)/10000
+        |    AS churn_rate
+        |FROM uw a LEFT JOIN uw b
+        |  ON a.user_id = b.user_id AND b.wk = a.wk + INTERVAL 7 DAY
+        |GROUP BY a.wk ORDER BY week""".stripMargin,
+    // Identical op order: p̄ then MDE then the sizing division; ceil
+    // is DOUBLE in DuckDB → ::BIGINT (CLAUDE.md dtype trap).
+    "events_power_mde" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))::INT
+        |      % 2 = 0 THEN 0 ELSE 1 END AS t,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS conv
+        |  FROM events GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT
+        |    sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+        |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+        |    sum(CASE WHEN t = 0 THEN conv ELSE 0 END)::BIGINT AS x_c,
+        |    sum(CASE WHEN t = 1 THEN conv ELSE 0 END)::BIGINT AS x_t
+        |  FROM pu),
+        |p AS (
+        |  SELECT *, (x_c + x_t)::DOUBLE / (n_c + n_t) AS p_pool FROM agg)
+        |SELECT n_c, n_t, x_c, x_t,
+        |  floor((p_pool)*10000 + 0.5)/10000 AS p_pool,
+        |  floor((2.8026 * sqrt(p_pool * (1.0 - p_pool)
+        |      * (1.0 / n_c + 1.0 / n_t)))*10000 + 0.5)/10000 AS mde_abs,
+        |  ceil(2.0 * 7.8489 * p_pool * (1.0 - p_pool)
+        |    / (0.1 * p_pool * 0.1 * p_pool))::BIGINT AS n_per_arm_10pct
+        |FROM p""".stripMargin,
     // θ and both means from the same BIGINT sums, identical op
     // order; lazy CASE keeps the constant-covariate NULL path.
     "events_ab_cuped" ->
