@@ -1566,4 +1566,222 @@ class GraftEngine(val spark: SparkSession) {
         col("true_count") * 1000000L + col("noise_u"))
       .orderBy(groupCol)
   }
+  /** Theil T inequality index per group (see `agg_theil_index`):
+    * T = (1/n)·Σ (x/μ)·ln(x/μ) over INTEGER `centsCol` values, each
+    * order's transcendental term quantized to integer micro-nats
+    * BEFORE the order-free sum (the repo's quantize-before-sum rule);
+    * group stats broadcast back onto the row stream. Keep
+    * centsCol·n below 2^63 (document the bound at your scale).
+    */
+  def theilIndex(df: DataFrame, groupCol: String,
+                 centsCol: String): DataFrame = {
+    val o = df.select(col(groupCol).as("g"), col(centsCol).as("cents"))
+    val stats = o.groupBy("g").agg(count(lit(1)).as("n"),
+      sum("cents").as("s"))
+    o.join(broadcast(stats), "g")
+      .withColumn("ratio",
+        (col("cents") * col("n")).cast("double") / col("s"))
+      .withColumn("term_u",
+        floor(col("ratio") * log(col("ratio")) * 1000000 + 0.5)
+          .cast("long"))
+      .groupBy("g")
+      .agg(max("n").as("n_rows"), sum("term_u").as("sum_term_u"))
+      .withColumn("theil_micro", expr("sum_term_u DIV n_rows"))
+      .withColumn("theil", TestData.r4(col("theil_micro") / 1000000.0))
+      .select(col("g").as(groupCol), col("n_rows"), col("sum_term_u"),
+        col("theil_micro"), col("theil"))
+      .orderBy(groupCol)
+  }
+
+  /** Benford leading-digit deviation (see `agg_benford_deviation`):
+    * observed first-digit shares of `valueCol` vs log10(1+1/d), in
+    * integer PPM — the forensic screen for fabricated or truncated
+    * numeric columns. Digit via the BIGINT-floored value's string
+    * head (no float formatting); requires positive values.
+    */
+  def benfordDeviation(df: DataFrame, valueCol: String): DataFrame =
+    df.select(substring(floor(col(valueCol)).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      .withColumn("n_total", sum("n_obs").over(Window.partitionBy()))
+      .withColumn("obs_ppm", expr("n_obs * 1000000 DIV n_total"))
+      .withColumn("exp_ppm",
+        floor(log10(lit(1.0) + lit(1.0) / col("digit")) * 1000000 + 0.5)
+          .cast("long"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .select("digit", "n_obs", "obs_ppm", "exp_ppm", "dev_ppm")
+      .orderBy("digit")
+
+  /** Winsorized mean per group (see `agg_winsorized_mean`): clamp
+    * INTEGER `centsCol` at the exact p05/p95 order statistics (rank
+    * convention rn = (n+1) DIV 20 / 19(n+1) DIV 20, ties broken by
+    * `tieCols` — pass a unique key) and average the clamped values;
+    * the groups-sized cut table broadcasts back onto the rows.
+    */
+  def winsorizedMean(df: DataFrame, groupCol: String, centsCol: String,
+                     tieCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy((centsCol +: tieCols).map(col): _*)
+    val li = df.select((groupCol +: tieCols).map(col)
+      :+ col(centsCol).as("cents"): _*)
+    val cuts = li
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .groupBy(groupCol)
+      .agg(max("n").as("n_rows"),
+        max(when(col("rn") === expr("(n + 1) DIV 20"), col("cents")))
+          .as("p05"),
+        max(when(col("rn") === expr("(19 * (n + 1)) DIV 20"), col("cents")))
+          .as("p95"))
+    li.join(broadcast(cuts), groupCol)
+      .withColumn("clamped",
+        greatest(col("p05"), least(col("p95"), col("cents"))))
+      .groupBy(groupCol)
+      .agg(max("n_rows").as("n_rows"), max("p05").as("p05"),
+        max("p95").as("p95"),
+        TestData.r4(sum("cents").cast("double") / count(lit(1)))
+          .as("mean"),
+        TestData.r4(sum("clamped").cast("double") / count(lit(1)))
+          .as("winsorized_mean"))
+      .orderBy(groupCol)
+  }
+
+  /** Type-token richness per doc (see `text_ttr_richness`): TTR and
+    * hapax ratio from the (doc, token) aggregate — the vocabulary-
+    * richness quality signal. Expects (id, text).
+    */
+  def ttrRichness(docs: DataFrame): DataFrame =
+    docs.select(col("id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(sum("c").as("n_toks"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr",
+        TestData.r4(col("n_types").cast("double") / col("n_toks")))
+      .withColumn("hapax_ratio",
+        TestData.r4(col("n_hapax").cast("double") / col("n_types")))
+      .orderBy("id")
+
+  /** N-gram novelty per doc for ARBITRARY n (see `text_ngram_novelty`,
+    * which declares n = 3): fraction of the doc's distinct n-grams
+    * whose corpus-wide first occurrence (min id) is this doc. Both
+    * exchanges are n-gram-sharded. Docs with < n tokens are excluded.
+    * Expects (id, text).
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 1 && n <= 8, "n-gram order out of range")
+    val parts = (0 until n).map(i => s"toks[i+$i]").mkString(", ' ', ")
+    val ng = docs.select(col("id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> concat($parts))"))
+        .as("ng"))
+      .distinct()
+    val first = ng.groupBy("ng").agg(min("id").as("fid"))
+    ng.join(first, "ng")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("fid") === col("id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        TestData.r4(col("n_novel").cast("double") / col("n_shingles")))
+      .orderBy("id")
+  }
+
+  /** Degree assortativity of an undirected edge list (src, dst listed
+    * once; see `graph_degree_assortativity`): Pearson r of endpoint
+    * degrees over the directed view, from five exact BIGINT sums.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val adj = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    adj
+      .join(deg.select(col("src").as("sx"), col("deg").as("dx")),
+        col("src") === col("sx"))
+      .join(deg.select(col("src").as("sy"), col("deg").as("dy")),
+        col("dst") === col("sy"))
+      .agg(count(lit(1)).as("n_edges_directed"),
+        sum("dx").as("sx_"), sum("dy").as("sy_"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .withColumn("assortativity", TestData.r4(
+        (col("n_edges_directed") * col("sxy") - col("sx_") * col("sy_"))
+          .cast("double")
+          / sqrt((col("n_edges_directed") * col("sxx")
+              - col("sx_") * col("sx_")).cast("double")
+            * (col("n_edges_directed") * col("syy")
+              - col("sy_") * col("sy_")).cast("double"))))
+      .select("n_edges_directed", "assortativity")
+  }
+
+  /** Theil–Sen robust trend of an integer series (see `ts_theil_sen`):
+    * median of all pairwise slopes of (`xCol`, `yCol`), slopes
+    * quantized via IEEE floor (never integer DIV — engines disagree
+    * on negative truncation), median over the DISTINCT quantized
+    * slopes. Pair fanout is series², so feed a GRID (hourly/daily
+    * aggregate), not raw rows.
+    */
+  def theilSen(series: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val a = series.select(col(xCol).as("x1"), col(yCol).as("y1"))
+    val b = series.select(col(xCol).as("x2"), col(yCol).as("y2"))
+    val slopes = a.join(b, col("x2") > col("x1"))
+      .select(floor((col("y2") - col("y1")) * lit(10000.0)
+        / (col("x2") - col("x1")) + lit(0.5)).cast("long").as("slope_q"))
+      .groupBy("slope_q").agg(count(lit(1)).as("c"))
+    slopes
+      .withColumn("m", sum("c").over(Window.partitionBy()))
+      .withColumn("cum", sum("c").over(Window.orderBy("slope_q")))
+      .filter(col("cum") >= expr("(m + 1) DIV 2"))
+      .agg(max("m").as("n_pairs"), min("slope_q").as("slope_med_q"))
+      .withColumn("slope_per_unit",
+        TestData.r4(col("slope_med_q") / 10000.0))
+  }
+
+  /** New-vs-returning split per day (see `events_new_returning`):
+    * expects (user_id, ts); first-seen via the user-grain min-day
+    * aggregate, no calendar fanout.
+    */
+  def newReturning(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(col("user_id"), to_date(col("ts")).as("pday")).distinct()
+    val first = ud.groupBy("user_id").agg(min("pday").as("fday"))
+    ud.join(first, "user_id")
+      .groupBy(col("pday"))
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("pday") === col("fday"), 1L).otherwise(0L))
+          .as("new_users"))
+      .withColumn("returning_users", col("dau") - col("new_users"))
+      .withColumn("new_ratio",
+        TestData.r4(col("new_users").cast("double") / col("dau")))
+      .select(col("pday").cast("timestamp").as("day"), col("dau"),
+        col("new_users"), col("returning_users"), col("new_ratio"))
+      .orderBy("day")
+  }
+
+  /** Weekly churn (see `events_churn_weekly`): expects (user_id, ts);
+    * the distinct user-week pair table left-joins itself shifted one
+    * week forward. The last week has no successor and reports full
+    * churn (right-censoring).
+    */
+  def churnWeekly(events: DataFrame): DataFrame = {
+    val uw = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val nxt = uw.select(col("user_id").as("uid2"),
+      (col("wk") - expr("INTERVAL 7 DAYS")).as("wk2"))
+    uw.join(nxt,
+        col("user_id") === col("uid2") && col("wk") === col("wk2"), "left")
+      .groupBy("wk")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("uid2").isNotNull, 1L).otherwise(0L))
+          .as("n_retained"))
+      .withColumn("n_churned", col("n_active") - col("n_retained"))
+      .withColumn("churn_rate",
+        TestData.r4(col("n_churned").cast("double") / col("n_active")))
+      .select(col("wk").as("week"), col("n_active"), col("n_retained"),
+        col("n_churned"), col("churn_rate"))
+      .orderBy("week")
+  }
 }

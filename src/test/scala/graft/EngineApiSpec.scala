@@ -929,7 +929,7 @@ class EngineApiSpec extends SparkSpec {
     assert(c3.subsetOf(c2), "k-cores must be nested: 3-core within 2-core")
   }
 
-  test("facade surface: the public method count matches the documented 72") {
+  test("facade surface: the public method count matches the documented 81") {
     // The r8 docs drifted (claimed 74, grep said 73, neither defined
     // "method"): the canonical count is PUBLIC USER-FACING methods —
     // reflection minus the `spark` constructor accessor and the
@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 72, "documented facade count drifted; methods: "
+    assert(names.length === 81, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1084,5 +1084,113 @@ class EngineApiSpec extends SparkSpec {
       assert(r(2).asInstanceOf[Long] > 0 && r(3).asInstanceOf[Long] > 0,
         "both halves must be populated on the fixture")
     }
+  }
+  test("theilIndex facade matches the agg_theil_index key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("agg_theil_index")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val o = TestData.orders(spark, d)
+      .join(broadcast(TestData.customer(spark, d)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val viaApi = engine.theilIndex(o, "nationkey", "cents")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("benfordDeviation facade matches the agg_benford_deviation key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("agg_benford_deviation")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.benfordDeviation(
+        TestData.orders(spark, d), "o_totalprice")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("winsorizedMean facade matches the agg_winsorized_mean key values") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("agg_winsorized_mean")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val li = TestData.lineitem(spark, d)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+    val viaApi = engine.winsorizedMean(li, "l_returnflag", "cents",
+        Seq("l_orderkey", "l_linenumber"))
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("ttrRichness facade matches the text_ttr_richness key values") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("text_ttr_richness")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.ttrRichness(
+        TestData.documents(spark, d).select(col("doc_id").as("id"),
+          col("text")))
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("ngramNovelty facade at n=3 matches the text_ngram_novelty key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("text_ngram_novelty")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val in = TestData.documents(spark, d)
+      .select(col("doc_id").as("id"), col("text"))
+    val viaApi = engine.ngramNovelty(in, 3)
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+    // generalized n: bigram novelty must cover >= trigram's doc set
+    // (every doc with >= 3 tokens also has >= 2), and ratios stay in [0,1]
+    val bi = engine.ngramNovelty(in, 2).collect()
+    assert(bi.length >= declared.length)
+    bi.foreach { r =>
+      val nov = r.getDouble(3)
+      assert(nov >= 0.0 && nov <= 1.0)
+    }
+  }
+
+  test("degreeAssortativity facade matches the graph key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("graph_degree_assortativity")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val edges = operators.GraphOps.fixtureKnnEdges(spark, d)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val viaApi = engine.degreeAssortativity(edges)
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("theilSen facade matches the ts_theil_sen key values") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("ts_theil_sen")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val hourly = TestData.events(spark, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("xh", expr("unix_micros(hour) DIV 3600000000"))
+    val viaApi = engine.theilSen(hourly, "xh", "n")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("newReturning facade matches the events_new_returning key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("events_new_returning")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.newReturning(TestData.events(spark, d))
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("churnWeekly facade matches the events_churn_weekly key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("events_churn_weekly")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.churnWeekly(TestData.events(spark, d))
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
   }
 }

@@ -450,6 +450,37 @@ class PlanSpec extends SparkSpec {
       s"expected the broadcast calendar equi-join:\n${p.take(900)}")
   }
 
+  test("text_ngram_novelty shuffles on the trigram key — no cartesian") {
+    val p = plan("text_ngram_novelty")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert("hashpartitioning\\((tri|ng)".r.findFirstIn(p).isDefined,
+      s"first-occurrence join must shuffle on the n-gram key:\n${p.take(900)}")
+  }
+
+  test("theil / winsorized broadcast only the group-stats side") {
+    // Both keys join a groups-sized stats/cuts table back onto the
+    // row stream: that side must broadcast; the corpus must not.
+    for (k <- Seq("agg_theil_index", "agg_winsorized_mean")) {
+      val p = plan(k)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$k: groups-sized side should broadcast:\n${p.take(600)}")
+      assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoopJoin"), s"$k:\n${p.take(600)}")
+    }
+  }
+
+  test("ts_theil_sen medians over the DISTINCT-slope aggregate, not raw pairs") {
+    // The cumulative window must consume the slope-grain HashAggregate
+    // (slopes-sized), with the pair join below the aggregate.
+    val p = plan("ts_theil_sen")
+    assert(p.contains("HashAggregate"), p.take(600))
+    val idxWindow = p.indexOf("Window")
+    val idxJoin = p.indexOf("Join", idxWindow)
+    assert(idxWindow >= 0 && idxJoin > idxWindow,
+      s"pair join must sit below the median window:\n${p.take(900)}")
+  }
+
   test("ts_changepoint_cusum / ts_autocorr aggregate before any window") {
     // The unpartitioned running windows are the documented time-sized
     // tail: they must consume the HOURLY aggregate, so the plan's
