@@ -1784,4 +1784,114 @@ class GraftEngine(val spark: SparkSession) {
         col("n_churned"), col("churn_rate"))
       .orderBy("week")
   }
+  /** Herfindahl–Hirschman concentration per group (see
+    * `agg_hhi_concentration`): unit shares of INTEGER `centsCol` in
+    * exact PPM, HHI = Σ share_ppm² DIV 1e6 (ANSI-safe by
+    * construction: the sum is bounded by (Σ share)² = 1e12), plus
+    * the r4'd effective-competitor count. `unitCol` is the
+    * market-participant grain (customer, supplier, source).
+    */
+  def hhiConcentration(df: DataFrame, groupCol: String, unitCol: String,
+                       centsCol: String): DataFrame = {
+    val cu = df.groupBy(col(groupCol), col(unitCol))
+      .agg(sum(col(centsCol)).as("cents"))
+    val stats = cu.groupBy(groupCol).agg(sum("cents").as("s"))
+    cu.join(broadcast(stats), groupCol)
+      .withColumn("share_ppm", expr("cents * 1000000 DIV s"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_units"),
+        expr("sum(share_ppm * share_ppm) DIV 1000000").as("hhi_ppm"))
+      .withColumn("effective_n",
+        when(col("hhi_ppm") > 0, TestData.r4(lit(1000000.0) / col("hhi_ppm"))))
+      .orderBy(groupCol)
+  }
+
+  /** Generalization ladder (see `privacy_generalization_ladder`):
+    * for each bucket width in `widths` (ascending; plus a final
+    * "dropped" level), group by `qiCols` + bucketed `numCol`, and
+    * report per level the group count, min group size, k-violations,
+    * and whether the level is the MINIMAL compliant one. Widths
+    * should each divide the next so the ladder is monotone
+    * (ClosedFormProps pins that merging never shrinks groups).
+    */
+  def generalizationLadder(df: DataFrame, qiCols: Seq[String],
+                           numCol: String, widths: Seq[Long],
+                           k: Int = 5): DataFrame = {
+    require(widths.nonEmpty && k >= 1, "need widths and k >= 1")
+    val bucket = widths.zipWithIndex.foldRight(lit(0L)) {
+      case ((w, i), rest) =>
+        when(col("level") === i, expr(s"$numCol DIV $w")).otherwise(rest)
+    }
+    val lvls = df
+      .select((qiCols.map(col) :+ col(numCol)) :+
+        explode(lit((0 to widths.size).toArray)).as("level"): _*)
+      .withColumn("bucket", bucket)
+    val perGroup = lvls
+      .groupBy(("level" +: qiCols :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("gs"))
+    perGroup.groupBy("level")
+      .agg(count(lit(1)).as("n_groups"),
+        min("gs").as("min_group_size"),
+        sum(when(col("gs") < k, 1L).otherwise(0L)).as("n_violations"))
+      .withColumn("chosen",
+        col("n_violations") === 0 &&
+          col("level") === min(when(col("n_violations") === 0,
+            col("level"))).over(Window.partitionBy()))
+      .orderBy("level")
+  }
+
+  /** STL-style seasonal strength (see `ts_seasonal_strength`) of an
+    * integer series (`xCol` grid index, `yCol` count): centered-mean
+    * detrend over ±`trendHalf` grid steps, seasonal = per-(x mod
+    * `period`) mean, F_s = max(0, 1 − SS_remainder/SS_detrended)
+    * with both sums of squares in the exact n·Σx²−(Σx)² BIGINT form
+    * (residuals quantized to integer units first).
+    */
+  def seasonalStrength(series: DataFrame, xCol: String, yCol: String,
+                       period: Int = 24, trendHalf: Int = 12): DataFrame = {
+    require(period >= 2 && trendHalf >= 1, "period >= 2, trendHalf >= 1")
+    val wT = Window.orderBy(col(xCol)).rangeBetween(-trendHalf, trendHalf)
+    val det = series
+      .withColumn("trend", sum(col(yCol)).over(wT) / count(lit(1)).over(wT))
+      .withColumn("x_", floor(col(yCol) - col("trend") + 0.5).cast("long"))
+    val wS = Window.partitionBy(col(xCol) % period)
+    val rem = det
+      .withColumn("seas", sum(col("x_")).over(wS) / count(lit(1)).over(wS))
+      .withColumn("r_", floor(col("x_") - col("seas") + 0.5).cast("long"))
+    rem.agg(count(lit(1)).as("n_points"),
+        sum("x_").as("sx"), sum(col("x_") * col("x_")).as("sxx"),
+        sum("r_").as("sr"), sum(col("r_") * col("r_")).as("srr"))
+      .withColumn("ss_detrended",
+        col("n_points") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("ss_remainder",
+        col("n_points") * col("srr") - col("sr") * col("sr"))
+      .withColumn("strength", TestData.r4(greatest(lit(0.0),
+        lit(1.0) - col("ss_remainder").cast("double")
+          / col("ss_detrended"))))
+      .select("n_points", "ss_detrended", "ss_remainder", "strength")
+  }
+
+  /** Peak trailing-window concurrency per key (see
+    * `events_concurrency_peak`): fold to the minute grid, RANGE
+    * window of `windowMinutes`, earliest-minute tie-break. Expects
+    * (`keyCol`, ts).
+    */
+  def concurrencyPeak(events: DataFrame, keyCol: String,
+                      windowMinutes: Int = 30): DataFrame = {
+    require(windowMinutes >= 1, "window must be positive")
+    val byMin = events
+      .groupBy(col(keyCol), expr("unix_micros(ts) DIV 60000000").as("m"))
+      .agg(count(lit(1)).as("cnt"))
+    val wR = Window.partitionBy(keyCol).orderBy("m")
+      .rangeBetween(-(windowMinutes - 1), 0)
+    byMin
+      .withColumn("conc", sum("cnt").over(wR))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(keyCol).orderBy(col("conc").desc, col("m"))))
+      .filter(col("rk") === 1)
+      .select(col(keyCol),
+        timestamp_micros(col("m") * 60000000L).as("peak_minute"),
+        col("conc").as("peak_concurrency"))
+      .orderBy(keyCol)
+  }
 }

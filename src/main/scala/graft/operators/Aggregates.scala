@@ -403,6 +403,34 @@ object Aggregates {
         .orderBy("nationkey")
     }),
 
+    // HERFINDAHL–HIRSCHMAN INDEX (round 9): market concentration per
+    // nation over customer revenue shares — the antitrust-style
+    // readout next to Gini/Theil/Pareto, and the one regulators
+    // quote. ALL integer: share_ppm = cents·1e6 DIV S (exact),
+    // hhi_ppm = Σ share_ppm² DIV 1e6 (each square ≤ 1e12, the sum
+    // ≤ (Σ share)² = 1e12 — ANSI-safe by construction at any n);
+    // effective-competitor count 1e6/hhi r4'd once. Customer-grain
+    // aggregate → nation stats broadcast back → one rollup.
+    "agg_hhi_concentration" -> ((s, d) => {
+      val cust = TestData.orders(s, d)
+        .join(broadcast(TestData.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"),
+          col("c_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("cents"))
+      val stats = cust.groupBy("nationkey").agg(sum("cents").as("s"))
+      cust.join(broadcast(stats), "nationkey")
+        .withColumn("share_ppm", expr("cents * 1000000 DIV s"))
+        .groupBy("nationkey")
+        .agg(count(lit(1)).as("n_customers"),
+          expr("sum(share_ppm * share_ppm) DIV 1000000").as("hhi_ppm"))
+        .withColumn("effective_n",
+          when(col("hhi_ppm") > 0, r4(lit(1000000.0) / col("hhi_ppm"))))
+        .select("nationkey", "n_customers", "hhi_ppm", "effective_n")
+        .orderBy("nationkey")
+    }),
+
     // THEIL T INDEX (round 9): the decomposable inequality measure
     // next to the Gini — T = (1/n)·Σ (x/μ)·ln(x/μ) over order value
     // cents per nation. Determinism: x/μ = x·n/S with exact BIGINT
@@ -616,6 +644,24 @@ object Aggregates {
         |  floor(((2 * rank_sum - (n_orders + 1) * sum_cents)::DOUBLE
         |    / (n_orders * sum_cents))*10000 + 0.5)/10000 AS gini
         |FROM g ORDER BY nationkey""".stripMargin,
+    // cents·1e6 // S exact per customer; Σ share² // 1e6 exact; the
+    // only float is the final effective-n division, r4'd.
+    "agg_hhi_concentration" ->
+      """WITH cu AS (
+        |  SELECT c_nationkey::BIGINT AS nationkey, c_custkey,
+        |    sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |st AS (SELECT nationkey, sum(cents)::BIGINT AS s FROM cu GROUP BY 1),
+        |sh AS (
+        |  SELECT cu.nationkey, (cents * 1000000 // s)::BIGINT AS share_ppm
+        |  FROM cu JOIN st USING (nationkey))
+        |SELECT nationkey, count(*)::BIGINT AS n_customers,
+        |  (sum(share_ppm * share_ppm) // 1000000)::BIGINT AS hhi_ppm,
+        |  CASE WHEN (sum(share_ppm * share_ppm) // 1000000) > 0 THEN
+        |    floor((1000000.0 / (sum(share_ppm * share_ppm) // 1000000))
+        |      *10000 + 0.5)/10000 END AS effective_n
+        |FROM sh GROUP BY nationkey ORDER BY nationkey""".stripMargin,
     // Identical op order: BIGINT cents·n first, one double division,
     // ln, micro-nat floor BEFORE the sum, integer // at the end.
     "agg_theil_index" ->

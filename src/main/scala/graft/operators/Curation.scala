@@ -448,6 +448,41 @@ object Curation {
         .filter(col("group_size") < 5)
         .orderBy("lang", "source", "len_bucket")),
 
+    // GENERALIZATION LADDER (round 9): k-anonymity's FIX, not just
+    // its audit — widen the quasi-identifier (length bucket 10 →
+    // 100 → 1000 → dropped) until every QI group reaches k=5, and
+    // report the whole ladder with the minimal compliant level
+    // flagged. This is the generalization step every release
+    // pipeline runs between the audit and the publish. Shape: the
+    // corpus explodes ×4 fixed levels (constant fanout), one
+    // (level, QI) aggregate, then a LEVELS-sized (4-row) rollup +
+    // window — nothing corpus-grain past the first aggregate.
+    "privacy_generalization_ladder" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val lvls = TestData.documents(s, d)
+        .select(col("lang"), col("source"), col("n_chars"),
+          explode(lit(Array(0, 1, 2, 3))).as("level"))
+        .withColumn("len_bucket",
+          when(col("level") === 0, expr("n_chars DIV 10"))
+            .when(col("level") === 1, expr("n_chars DIV 100"))
+            .when(col("level") === 2, expr("n_chars DIV 1000"))
+            .otherwise(lit(0L)))
+      val perGroup = lvls
+        .groupBy("level", "lang", "source", "len_bucket")
+        .agg(count(lit(1)).as("gs"))
+      perGroup.groupBy("level")
+        .agg(count(lit(1)).as("n_groups"),
+          min("gs").as("min_group_size"),
+          sum(when(col("gs") < 5, 1L).otherwise(0L)).as("n_violations"))
+        .withColumn("chosen",
+          col("n_violations") === 0 &&
+            col("level") === min(when(col("n_violations") === 0,
+              col("level"))).over(W.partitionBy()))
+        .select("level", "n_groups", "min_group_size", "n_violations",
+          "chosen")
+        .orderBy("level")
+    }),
+
     // L-DIVERSITY AUDIT: k-anonymity's sharper sibling — a QI group
     // can be large yet still leak if every member shares the same
     // sensitive value. Per (nation, market-segment) QI group over the
@@ -742,6 +777,28 @@ object Curation {
         |FROM documents GROUP BY 1, 2, 3
         |HAVING count(*) < 5
         |ORDER BY lang, source, len_bucket""".stripMargin,
+    "privacy_generalization_ladder" ->
+      """WITH lv AS (
+        |  SELECT d.lang, d.source, l.level,
+        |    CASE WHEN l.level = 0 THEN d.n_chars // 10
+        |         WHEN l.level = 1 THEN d.n_chars // 100
+        |         WHEN l.level = 2 THEN d.n_chars // 1000
+        |         ELSE 0 END AS len_bucket
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS level) l),
+        |pg AS (
+        |  SELECT level, lang, source, len_bucket, count(*)::BIGINT AS gs
+        |  FROM lv GROUP BY 1, 2, 3, 4),
+        |agg AS (
+        |  SELECT level, count(*)::BIGINT AS n_groups,
+        |    min(gs)::BIGINT AS min_group_size,
+        |    sum(CASE WHEN gs < 5 THEN 1 ELSE 0 END)::BIGINT AS n_violations
+        |  FROM pg GROUP BY 1)
+        |SELECT level, n_groups, min_group_size, n_violations,
+        |  (n_violations = 0 AND level =
+        |    (min(CASE WHEN n_violations = 0 THEN level END) OVER ()))
+        |    AS chosen
+        |FROM agg ORDER BY level""".stripMargin,
     "privacy_l_diversity" ->
       """SELECT c_nationkey::BIGINT AS nationkey, c_mktsegment,
         |  year(o_orderdate)::BIGINT AS yr,

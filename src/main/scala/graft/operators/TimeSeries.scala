@@ -172,6 +172,74 @@ object TimeSeries {
       interior.unionByName(ends).orderBy("hour")
     }),
 
+    // SEASONAL STRENGTH (round 9): the one-number readout of
+    // ts_decompose_seasonal — F_s = max(0, 1 − Var(remainder)/
+    // Var(detrended)) (Hyndman's STL strength): ~0 means the hr%24
+    // seasonal explains nothing, →1 means the series is pure
+    // season. Determinism: residuals quantized to INTEGER counts
+    // (floor(x+0.5), double math identical both engines) BEFORE the
+    // sums; both variances via the n·Σx²−(Σx)² closed form over
+    // exact BIGINTs (resid ≤ ~2^31 ⇒ products < 2^63, documented);
+    // one r4'd ratio at the end. Time-sized grid throughout.
+    "ts_seasonal_strength" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val hourly = TestData.events(s, d)
+        .filter(col("event_type") === "click")
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val wT = W.orderBy(col("hr")).rangeBetween(-12, 12)
+      val det = hourly
+        .withColumn("trend",
+          sum(col("cnt")).over(wT) / count(lit(1)).over(wT))
+        .withColumn("x", floor(col("cnt") - col("trend") + 0.5)
+          .cast("long"))
+      val wS = W.partitionBy(col("hr") % 24)
+      val rem = det
+        .withColumn("seas",
+          sum(col("x")).over(wS) / count(lit(1)).over(wS))
+        .withColumn("r", floor(col("x") - col("seas") + 0.5).cast("long"))
+      rem.agg(count(lit(1)).as("n_hours"),
+          sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"),
+          sum("r").as("sr"), sum(col("r") * col("r")).as("srr"))
+        .withColumn("ss_detrended",
+          col("n_hours") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("ss_remainder",
+          col("n_hours") * col("srr") - col("sr") * col("sr"))
+        .withColumn("strength", r4(greatest(lit(0.0),
+          lit(1.0) - col("ss_remainder").cast("double")
+            / col("ss_detrended"))))
+        .select("n_hours", "ss_detrended", "ss_remainder", "strength")
+    }),
+
+    // CONCURRENCY PEAK (round 9): per event type, the highest count
+    // of events inside any trailing 30-minute window, and when it
+    // happened — the capacity-planning number (peak concurrent
+    // sessions/requests) every ops review asks for. Shape: events
+    // fold to the MINUTE grid first (map-side combinable), the
+    // rolling count is a RANGE frame over integer minutes on the
+    // time-sized grid (gaps handled by RANGE, no gap-fill needed),
+    // and the peak is one more grid-sized aggregate. The peak always
+    // lands on a minute that has events, so the grid never needs
+    // densifying. Earliest minute wins ties (deterministic).
+    "events_concurrency_peak" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val byMin = TestData.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 60000000").as("m"))
+        .agg(count(lit(1)).as("cnt"))
+      val wR = W.partitionBy("event_type").orderBy("m")
+        .rangeBetween(-29, 0)
+      byMin
+        .withColumn("conc", sum("cnt").over(wR))
+        .withColumn("rk", row_number().over(
+          W.partitionBy("event_type").orderBy(col("conc").desc, col("m"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"),
+          timestamp_micros(col("m") * 60000000L).as("peak_minute"),
+          col("conc").as("peak_concurrency"))
+        .orderBy("event_type")
+    }),
+
     // THEIL–SEN ROBUST TREND (round 9): median of all pairwise
     // slopes of the hourly volume series — the trend estimate that
     // shrugs off the outliers that flip an OLS fit (the robust
@@ -1500,6 +1568,53 @@ object TimeSeries {
         |      THEN user_id END)::DOUBLE / count(DISTINCT user_id))
         |    *10000 + 0.5)/10000 AS stickiness
         |FROM j GROUP BY day ORDER BY day""".stripMargin,
+    // Same quantize-before-sum residuals (floor(x+0.5) on identical
+    // double math), both variances the n·Σx²−(Σx)² BIGINT form.
+    "ts_seasonal_strength" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*)::BIGINT AS cnt
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |det AS (
+        |  SELECT hr, cnt,
+        |    floor(cnt - (sum(cnt) OVER w)::DOUBLE / (count(*) OVER w)
+        |      + 0.5)::BIGINT AS x
+        |  FROM hourly
+        |  WINDOW w AS (ORDER BY hr RANGE BETWEEN 12 PRECEDING
+        |    AND 12 FOLLOWING)),
+        |rem AS (
+        |  SELECT x,
+        |    floor(x - (sum(x) OVER s)::DOUBLE / (count(*) OVER s)
+        |      + 0.5)::BIGINT AS r
+        |  FROM det WINDOW s AS (PARTITION BY hr % 24)),
+        |agg AS (
+        |  SELECT count(*)::BIGINT AS n_hours, sum(x)::BIGINT AS sx,
+        |    sum(x * x)::BIGINT AS sxx, sum(r)::BIGINT AS sr,
+        |    sum(r * r)::BIGINT AS srr
+        |  FROM rem)
+        |SELECT n_hours,
+        |  (n_hours * sxx - sx * sx)::BIGINT AS ss_detrended,
+        |  (n_hours * srr - sr * sr)::BIGINT AS ss_remainder,
+        |  floor((greatest(0.0, 1.0 - (n_hours * srr - sr * sr)::DOUBLE
+        |      / (n_hours * sxx - sx * sx)))*10000 + 0.5)/10000 AS strength
+        |FROM agg""".stripMargin,
+    "events_concurrency_peak" ->
+      """WITH m AS (
+        |  SELECT event_type, epoch_us(ts) // 60000000 AS m,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, m,
+        |    (sum(cnt) OVER (PARTITION BY event_type ORDER BY m
+        |      RANGE BETWEEN 29 PRECEDING AND CURRENT ROW))::BIGINT AS conc
+        |  FROM m),
+        |r AS (
+        |  SELECT event_type, m, conc,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY conc DESC, m) AS rk
+        |  FROM c)
+        |SELECT event_type, make_timestamp(m * 60000000) AS peak_minute,
+        |  conc AS peak_concurrency
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
     "ts_theil_sen" ->
       """WITH hourly AS (
         |  SELECT epoch_us(date_trunc('hour', ts)::TIMESTAMP) // 3600000000

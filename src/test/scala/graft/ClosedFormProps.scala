@@ -114,4 +114,50 @@ object ClosedFormProps extends Properties("graft.closedforms") {
           (perUnitHalf - fromSumsHalf).abs < BigDecimal("1e-18")
       }
     }
+  // ts_theil_sen: "least distinct slope with cumcount >= (m+1) DIV 2"
+  // over grouped slope counts equals the direct rank-(m+1)/2 element
+  // of the sorted slope multiset (the percentile_disc convention).
+  property("distinct-slope cumulative median equals the direct multiset median") =
+    Prop.forAll(Gen.choose(1, 120).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(-500L, 500L)))) { slopes =>
+      val m = slopes.length.toLong
+      val direct = slopes.sorted.apply(((m + 1) / 2 - 1).toInt)
+      val grouped = slopes.groupBy(identity).view
+        .mapValues(_.length.toLong).toSeq.sortBy(_._1)
+      val cum = grouped.scanLeft(("sentinel" -> 0L)._2)(_ + _._2).tail
+      val closed = grouped.zip(cum)
+        .collectFirst { case ((v, _), c) if c >= (m + 1) / 2 => v }.get
+      (closed == direct) :| s"closed $closed vs direct $direct (m=$m)"
+    }
+
+  // agg_hhi_concentration: PPM quantization loses at most 3 ppm of
+  // HHI (shares floor-quantized: Σ2xδ <= 2e6 ppm², plus the final
+  // integer division) — and never over-counts.
+  property("ppm-quantized HHI within 3 ppm below the exact index, never above") =
+    Prop.forAll(Gen.choose(1, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(1L, 1000000L)))) { cents =>
+      val s = cents.sum
+      val shares = cents.map(c => c * 1000000L / s)
+      val hhiQ = shares.map(x => x * x).sum / 1000000L
+      val exact = cents.map(c => BigDecimal(c) / BigDecimal(s)).map(x => x * x).sum
+      val exactPpm = (exact * 1000000).toDouble
+      (hhiQ <= math.floor(exactPpm) + 1e-9) :| s"over-count: $hhiQ vs $exactPpm" &&
+        (hhiQ >= exactPpm - 3.0) :| s"lost >3ppm: $hhiQ vs $exactPpm"
+    }
+
+  // privacy_generalization_ladder: widening the bucket (w2 a multiple
+  // of w1) only MERGES groups, so the min group size is monotone
+  // non-decreasing and the violation count non-increasing up the
+  // ladder — the property that makes "minimal compliant level" well
+  // defined.
+  property("generalization ladder is monotone: wider buckets never shrink groups") =
+    Prop.forAll(Gen.choose(1, 200).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0L, 5000L)))) { vals =>
+      def sizes(w: Long) = vals.groupBy(_ / w).values.map(_.length).toList
+      val ws = List(10L, 100L, 1000L)
+      val mins = ws.map(w => sizes(w).min)
+      val viols = ws.map(w => sizes(w).count(_ < 5))
+      (mins == mins.sorted) :| s"min sizes not monotone: $mins" &&
+        (viols == viols.sorted.reverse) :| s"violations not monotone: $viols"
+    }
 }

@@ -929,7 +929,7 @@ class EngineApiSpec extends SparkSpec {
     assert(c3.subsetOf(c2), "k-cores must be nested: 3-core within 2-core")
   }
 
-  test("facade surface: the public method count matches the documented 81") {
+  test("facade surface: the public method count matches the documented 85") {
     // The r8 docs drifted (claimed 74, grep said 73, neither defined
     // "method"): the canonical count is PUBLIC USER-FACING methods —
     // reflection minus the `spark` constructor accessor and the
@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 81, "documented facade count drifted; methods: "
+    assert(names.length === 85, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1190,6 +1190,54 @@ class EngineApiSpec extends SparkSpec {
     val declared = SparkEntry.queries("events_churn_weekly")(spark, d)
       .collect().map(_.toSeq).toSeq
     val viaApi = engine.churnWeekly(TestData.events(spark, d))
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+  test("hhiConcentration facade matches the agg_hhi_concentration key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("agg_hhi_concentration")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val in = TestData.orders(spark, d)
+      .join(broadcast(TestData.customer(spark, d)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val viaApi = engine.hhiConcentration(in, "nationkey", "c_custkey", "cents")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("generalizationLadder facade matches the privacy ladder key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("privacy_generalization_ladder")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.generalizationLadder(TestData.documents(spark, d),
+        Seq("lang", "source"), "n_chars", Seq(10L, 100L, 1000L), 5)
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("seasonalStrength facade matches the ts_seasonal_strength key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("ts_seasonal_strength")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val hourly = TestData.events(spark, d)
+      .filter(col("event_type") === "click")
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val viaApi = engine.seasonalStrength(hourly, "hr", "cnt", 24, 12)
+      .collect().map(_.toSeq).toSeq
+    // facade emits n_points; the key names it n_hours — values match
+    assert(viaApi === declared)
+  }
+
+  test("concurrencyPeak facade matches the events_concurrency_peak key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("events_concurrency_peak")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.concurrencyPeak(TestData.events(spark, d),
+        "event_type", 30)
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
   }

@@ -266,6 +266,48 @@ class PropertySpec extends SparkSpec {
     } finally li.unpersist()
   }
 
+  test("round-9 readouts respect their analytic ranges") {
+    // assortativity is a Pearson r
+    val a = GraphOps.defs("graph_degree_assortativity")(spark, sfDir).head()
+    assert(math.abs(a.getDouble(1)) <= 1.0)
+    // seasonal strength is clamped to [0, 1]
+    val st = TimeSeries.defs("ts_seasonal_strength")(spark, sfDir).head()
+    assert(st.getDouble(3) >= 0.0 && st.getDouble(3) <= 1.0)
+    // benford observed shares sum to 1e6 ppm minus at most 9 floors
+    val b = Aggregates.defs("agg_benford_deviation")(spark, sfDir).collect()
+    val obs = b.map(_.getLong(2)).sum
+    assert(obs <= 1000000L && obs >= 1000000L - 9,
+      s"obs_ppm must partition the corpus: $obs")
+    // winsorized mean lies inside the clamp interval; raw mean need not
+    val wm = Aggregates.defs("agg_winsorized_mean")(spark, sfDir).collect()
+    wm.foreach { r =>
+      val (p05, p95, w) = (r.getLong(2), r.getLong(3), r.getDouble(5))
+      assert(w >= p05 && w <= p95, s"winsorized mean $w outside [$p05,$p95]")
+    }
+    // theil index is non-negative up to one micro-nat of quantization
+    val th = Aggregates.defs("agg_theil_index")(spark, sfDir).collect()
+    th.foreach(r => assert(r.getLong(3) >= -1L,
+      s"theil_micro ${r.getLong(3)} below quantization floor"))
+    // HHI bounded by the monopoly value; effective_n at most n_units
+    val h = Aggregates.defs("agg_hhi_concentration")(spark, sfDir).collect()
+    h.foreach { r =>
+      assert(r.getLong(2) <= 1000000L)
+      assert(r.getDouble(3) <= r.getLong(1) + 1e-6)
+    }
+    // concurrency peak dominates the busiest single minute per type
+    val peak = TimeSeries.defs("events_concurrency_peak")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val busiest = TestData.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 60000000").as("m"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type").agg(max("c").as("mx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    busiest.foreach { case (t, mx) =>
+      assert(peak(t) >= mx, s"$t: peak ${peak(t)} < busiest minute $mx")
+    }
+  }
+
   test("exact dedup is idempotent") {
     val once = TextOps.defs("dedup_exact_hash")(spark, sfDir).cache()
     val ids = once.select("survivor_id").as[Long].collect().toSet
