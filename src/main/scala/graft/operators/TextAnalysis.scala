@@ -121,6 +121,20 @@ object TextAnalysis {
               greatest(col("id_a"), col("id_b")).as("id_b"), col("lev"))
   }
 
+  /** Deflated byte count of `in` via the caller's (reused) Deflater —
+    * the single code path for `text_compression_ratio` and its spec,
+    * so the property tests pin the exact bytes the key emits.
+    */
+  private[graft] def deflatedSize(in: Array[Byte],
+      deflater: java.util.zip.Deflater, buf: Array[Byte]): Long = {
+    deflater.reset()
+    deflater.setInput(in)
+    deflater.finish()
+    var out = 0L
+    while (!deflater.finished()) out += deflater.deflate(buf)
+    out
+  }
+
   val defs: Map[String, Q] = Map(
     // Naive-Bayes-style language ID: per-language token log-frequency
     // profiles (a 155-row broadcast) scored against each doc; output
@@ -179,6 +193,36 @@ object TextAnalysis {
     // Order-insensitive content fingerprint (md5 of the sorted
     // distinct token set) + fingerprint-group size — the grouping
     // shuffle IS the dedup partition at scale.
+    // COMPRESSION-RATIO QUALITY (round 9): deflate ratio per doc —
+    // the Gopher-style quality signal (highly compressible ⇒
+    // repetitive/boilerplate; near-incompressible ⇒ noise; natural
+    // text sits in between) completing the quality family
+    // (quality_score, repetition_score, ttr_richness). Runs in
+    // mapPartitions with ONE Deflater per partition (the native-
+    // resource amortization shape used for media decode). Level 6 +
+    // default strategy is deterministic for a fixed input, but no
+    // SQL engine can reproduce zlib ⇒ documented omit; PropertySpec
+    // pins the signal's CONTRACT: planted repetitive text compresses
+    // far better than planted random-ish text, ratios are positive,
+    // and sizes are exact.
+    "text_compression_ratio" -> ((s, d) => {
+      import s.implicits._
+      TestData.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { rows =>
+          val deflater = new java.util.zip.Deflater(6)
+          val buf = new Array[Byte](1 << 16)
+          rows.map { case (id, text) =>
+            val in = text.getBytes("UTF-8")
+            (id, in.length.toLong, deflatedSize(in, deflater, buf))
+          }
+        }
+        .toDF("doc_id", "n_bytes", "n_deflated")
+        .withColumn("ratio",
+          r4(col("n_deflated").cast("double") / col("n_bytes")))
+        .orderBy("doc_id")
+    }),
+
     // TYPE-TOKEN RICHNESS (round 9): vocabulary-richness quality
     // signals per doc — TTR (distinct types / tokens) and the hapax
     // ratio (types seen once in the doc / types): low-richness docs

@@ -172,6 +172,29 @@ object TimeSeries {
       interior.unionByName(ends).orderBy("hour")
     }),
 
+    // SEASONALITY HEATMAP (round 9): the (day-of-week × hour) grid
+    // behind every traffic dashboard — per cell, total events, the
+    // number of distinct calendar days that hit the cell, and the
+    // average per occurrence. One corpus scan → ≤168-row aggregate
+    // at any scale; the distinct-day count folds through a
+    // (cell, date) pre-aggregate so the distinct never sees event
+    // grain twice. ISO day-of-week (Mon=1) matches both engines'
+    // isodow/dayofweek conventions via explicit expressions.
+    "events_seasonality_heatmap" -> ((s, d) => {
+      val cellDay = TestData.events(s, d)
+        .groupBy(
+          expr("(((dayofweek(ts) + 5) % 7) + 1)").as("iso_dow"),
+          hour(col("ts")).as("hr"),
+          to_date(col("ts")).as("pday"))
+        .agg(count(lit(1)).as("n"))
+      cellDay.groupBy("iso_dow", "hr")
+        .agg(sum("n").as("n_events"), count(lit(1)).as("n_days"))
+        .withColumn("avg_per_day",
+          r4(col("n_events").cast("double") / col("n_days")))
+        .select("iso_dow", "hr", "n_events", "n_days", "avg_per_day")
+        .orderBy("iso_dow", "hr")
+    }),
+
     // SEASONAL STRENGTH (round 9): the one-number readout of
     // ts_decompose_seasonal — F_s = max(0, 1 − Var(remainder)/
     // Var(detrended)) (Hyndman's STL strength): ~0 means the hr%24
@@ -1568,6 +1591,16 @@ object TimeSeries {
         |      THEN user_id END)::DOUBLE / count(DISTINCT user_id))
         |    *10000 + 0.5)/10000 AS stickiness
         |FROM j GROUP BY day ORDER BY day""".stripMargin,
+    "events_seasonality_heatmap" ->
+      """WITH cd AS (
+        |  SELECT isodow(ts)::INT AS iso_dow, hour(ts)::INT AS hr,
+        |    ts::DATE AS pday, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT iso_dow, hr, sum(n)::BIGINT AS n_events,
+        |  count(*)::BIGINT AS n_days,
+        |  floor((sum(n)::DOUBLE / count(*))*10000 + 0.5)/10000
+        |    AS avg_per_day
+        |FROM cd GROUP BY 1, 2 ORDER BY iso_dow, hr""".stripMargin,
     // Same quantize-before-sum residuals (floor(x+0.5) on identical
     // double math), both variances the n·Σx²−(Σx)² BIGINT form.
     "ts_seasonal_strength" ->

@@ -266,6 +266,34 @@ class PropertySpec extends SparkSpec {
     } finally li.unpersist()
   }
 
+  test("compression ratio: exact sizes, and repetition compresses better") {
+    val out = TextAnalysis.defs("text_compression_ratio")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val docs = TestData.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(out.size === docs.length)
+    // the emitted sizes ARE the shared deflate path's output, row for row
+    val defl = new java.util.zip.Deflater(6)
+    val buf = new Array[Byte](1 << 16)
+    docs.take(50).foreach { case (id, text) =>
+      val in = text.getBytes("UTF-8")
+      val (nb, nd, ratio) = out(id)
+      assert(nb === in.length.toLong)
+      assert(nd === TextAnalysis.deflatedSize(in, defl, buf))
+      assert(ratio > 0.0 && nd > 0L)
+    }
+    // signal contract: a planted pure-repetition payload compresses
+    // far better than a planted high-entropy payload of the same size
+    val rep = ("spark " * 200).getBytes("UTF-8")
+    val rnd = new scala.util.Random(7)
+    val noisy = Array.fill(rep.length)((rnd.nextInt(90) + 33).toByte)
+    val rRep = TextAnalysis.deflatedSize(rep, defl, buf).toDouble / rep.length
+    val rNoise = TextAnalysis.deflatedSize(noisy, defl, buf).toDouble / noisy.length
+    assert(rRep < rNoise / 4,
+      s"repetition must compress far better: $rRep vs $rNoise")
+  }
+
   test("round-9 readouts respect their analytic ranges") {
     // assortativity is a Pearson r
     val a = GraphOps.defs("graph_degree_assortativity")(spark, sfDir).head()
