@@ -1894,4 +1894,48 @@ class GraftEngine(val spark: SparkSession) {
         col("conc").as("peak_concurrency"))
       .orderBy(keyCol)
   }
+  /** Deflate compression-ratio quality signal (see
+    * `text_compression_ratio`): per doc, UTF-8 byte count, deflated
+    * byte count (one Deflater per partition), and the r4'd ratio —
+    * repetitive/boilerplate text compresses far below natural text.
+    * Expects (id, text).
+    */
+  def compressionRatio(docs: DataFrame): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    docs.select(col("id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        rows.map { case (id, text) =>
+          val in = text.getBytes("UTF-8")
+          (id, in.length.toLong,
+            graft.operators.TextAnalysis.deflatedSize(in, deflater, buf))
+        }
+      }
+      .toDF("id", "n_bytes", "n_deflated")
+      .withColumn("ratio",
+        TestData.r4(col("n_deflated").cast("double") / col("n_bytes")))
+      .orderBy("id")
+  }
+
+  /** ISO-dow × hour seasonality grid (see `events_seasonality_heatmap`):
+    * per cell, events, distinct days hit, and the r4'd average per
+    * occurrence; the distinct-day count folds through a (cell, date)
+    * pre-aggregate. Expects a `ts` column.
+    */
+  def seasonalityHeatmap(events: DataFrame): DataFrame = {
+    val cellDay = events
+      .groupBy(
+        expr("(((dayofweek(ts) + 5) % 7) + 1)").as("iso_dow"),
+        hour(col("ts")).as("hr"),
+        to_date(col("ts")).as("pday"))
+      .agg(count(lit(1)).as("n"))
+    cellDay.groupBy("iso_dow", "hr")
+      .agg(sum("n").as("n_events"), count(lit(1)).as("n_days"))
+      .withColumn("avg_per_day",
+        TestData.r4(col("n_events").cast("double") / col("n_days")))
+      .select("iso_dow", "hr", "n_events", "n_days", "avg_per_day")
+      .orderBy("iso_dow", "hr")
+  }
 }

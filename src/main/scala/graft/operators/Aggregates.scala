@@ -471,9 +471,14 @@ object Aggregates {
     // only transcendental and is quantized per digit (9 values).
     // One corpus scan → 9-row aggregate at any scale.
     "agg_benford_deviation" -> ((s, d) => {
+      // values < 1 would floor to digit 0 (Benford is defined on the
+      // leading SIGNIFICANT digit) — filter the digit domain 1..9
+      // explicitly, mirrored in the oracle, so a fixture with
+      // sub-unit values can't divide by zero in the expected term.
       val digits = TestData.orders(s, d)
         .select(substring(floor(col("o_totalprice")).cast("long")
           .cast("string"), 1, 1).cast("int").as("digit"))
+        .filter(col("digit").between(1, 9))
         .groupBy("digit").agg(count(lit(1)).as("n_obs"))
       digits
         .withColumn("n_total", sum("n_obs").over(
@@ -686,9 +691,10 @@ object Aggregates {
         |FROM t GROUP BY nationkey ORDER BY nationkey""".stripMargin,
     "agg_benford_deviation" ->
       """WITH d AS (
-        |  SELECT substring(floor(o_totalprice)::BIGINT::VARCHAR, 1, 1)::INT
-        |    AS digit, count(*)::BIGINT AS n_obs
-        |  FROM orders GROUP BY 1),
+        |  SELECT digit, count(*)::BIGINT AS n_obs FROM (
+        |    SELECT substring(floor(o_totalprice)::BIGINT::VARCHAR, 1, 1)::INT
+        |      AS digit FROM orders)
+        |  WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
         |t AS (SELECT *, (sum(n_obs) OVER ())::BIGINT AS n_total FROM d)
         |SELECT digit, n_obs,
         |  (n_obs * 1000000 // n_total)::BIGINT AS obs_ppm,

@@ -228,9 +228,12 @@ object TimeSeries {
           col("n_hours") * col("sxx") - col("sx") * col("sx"))
         .withColumn("ss_remainder",
           col("n_hours") * col("srr") - col("sr") * col("sr"))
-        .withColumn("strength", r4(greatest(lit(0.0),
-          lit(1.0) - col("ss_remainder").cast("double")
-            / col("ss_detrended"))))
+        // NULL on a constant detrended series (zero variance) — no
+        // engine-specific inf/NaN reaches the output.
+        .withColumn("strength", when(col("ss_detrended") > 0,
+          r4(greatest(lit(0.0),
+            lit(1.0) - col("ss_remainder").cast("double")
+              / col("ss_detrended")))))
         .select("n_hours", "ss_detrended", "ss_remainder", "strength")
     }),
 
@@ -1046,13 +1049,18 @@ object TimeSeries {
         .withColumn("p_pool",
           (col("x_c") + col("x_t")).cast("double")
             / (col("n_c") + col("n_t")))
+        // NULL (not inf/error) when a variant is empty or conversion
+        // is degenerate — latent-proof vs an empty-arm fixture, and
+        // DuckDB/Spark disagree on double-division-by-zero behavior.
         .withColumn("mde_abs",
-          r4(lit(2.8026) * sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
-            * (lit(1.0) / col("n_c") + lit(1.0) / col("n_t")))))
+          when(col("n_c") > 0 && col("n_t") > 0 && col("p_pool") > 0,
+            r4(lit(2.8026) * sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
+              * (lit(1.0) / col("n_c") + lit(1.0) / col("n_t"))))))
         .withColumn("n_per_arm_10pct",
-          ceil(lit(2.0) * lit(7.8489) * col("p_pool")
-            * (lit(1.0) - col("p_pool"))
-            / (lit(0.1) * col("p_pool") * lit(0.1) * col("p_pool"))))
+          when(col("p_pool") > 0,
+            ceil(lit(2.0) * lit(7.8489) * col("p_pool")
+              * (lit(1.0) - col("p_pool"))
+              / (lit(0.1) * col("p_pool") * lit(0.1) * col("p_pool")))))
         .select(col("n_c"), col("n_t"), col("x_c"), col("x_t"),
           r4(col("p_pool")).as("p_pool"), col("mde_abs"),
           col("n_per_arm_10pct"))),
@@ -1627,8 +1635,10 @@ object TimeSeries {
         |SELECT n_hours,
         |  (n_hours * sxx - sx * sx)::BIGINT AS ss_detrended,
         |  (n_hours * srr - sr * sr)::BIGINT AS ss_remainder,
-        |  floor((greatest(0.0, 1.0 - (n_hours * srr - sr * sr)::DOUBLE
-        |      / (n_hours * sxx - sx * sx)))*10000 + 0.5)/10000 AS strength
+        |  CASE WHEN (n_hours * sxx - sx * sx) > 0 THEN
+        |    floor((greatest(0.0, 1.0 - (n_hours * srr - sr * sr)::DOUBLE
+        |      / (n_hours * sxx - sx * sx)))*10000 + 0.5)/10000 END
+        |    AS strength
         |FROM agg""".stripMargin,
     "events_concurrency_peak" ->
       """WITH m AS (
@@ -1716,10 +1726,13 @@ object TimeSeries {
         |  SELECT *, (x_c + x_t)::DOUBLE / (n_c + n_t) AS p_pool FROM agg)
         |SELECT n_c, n_t, x_c, x_t,
         |  floor((p_pool)*10000 + 0.5)/10000 AS p_pool,
-        |  floor((2.8026 * sqrt(p_pool * (1.0 - p_pool)
-        |      * (1.0 / n_c + 1.0 / n_t)))*10000 + 0.5)/10000 AS mde_abs,
-        |  ceil(2.0 * 7.8489 * p_pool * (1.0 - p_pool)
-        |    / (0.1 * p_pool * 0.1 * p_pool))::BIGINT AS n_per_arm_10pct
+        |  CASE WHEN n_c > 0 AND n_t > 0 AND p_pool > 0 THEN
+        |    floor((2.8026 * sqrt(p_pool * (1.0 - p_pool)
+        |      * (1.0 / n_c + 1.0 / n_t)))*10000 + 0.5)/10000 END AS mde_abs,
+        |  CASE WHEN p_pool > 0 THEN
+        |    ceil(2.0 * 7.8489 * p_pool * (1.0 - p_pool)
+        |      / (0.1 * p_pool * 0.1 * p_pool))::BIGINT END
+        |    AS n_per_arm_10pct
         |FROM p""".stripMargin,
     // θ and both means from the same BIGINT sums, identical op
     // order; lazy CASE keeps the constant-covariate NULL path.

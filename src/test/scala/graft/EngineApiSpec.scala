@@ -929,7 +929,7 @@ class EngineApiSpec extends SparkSpec {
     assert(c3.subsetOf(c2), "k-cores must be nested: 3-core within 2-core")
   }
 
-  test("facade surface: the public method count matches the documented 85") {
+  test("facade surface: the public method count matches the documented 87") {
     // The r8 docs drifted (claimed 74, grep said 73, neither defined
     // "method"): the canonical count is PUBLIC USER-FACING methods —
     // reflection minus the `spark` constructor accessor and the
@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 85, "documented facade count drifted; methods: "
+    assert(names.length === 87, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1238,6 +1238,25 @@ class EngineApiSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     val viaApi = engine.concurrencyPeak(TestData.events(spark, d),
         "event_type", 30)
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+  test("compressionRatio facade matches the text_compression_ratio key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("text_compression_ratio")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.compressionRatio(
+        TestData.documents(spark, d)
+          .select(col("doc_id").as("id"), col("text")))
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("seasonalityHeatmap facade matches the events_seasonality_heatmap key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("events_seasonality_heatmap")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.seasonalityHeatmap(TestData.events(spark, d))
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
   }
