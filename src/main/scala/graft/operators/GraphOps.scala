@@ -138,7 +138,26 @@ object GraphOps {
       graft.sources.WriteOnce.inputTag(d, "embeddings"),
       knnGraphEdges(s, d).localCheckpoint())
 
-  def knnGraphEdges(s: SparkSession, d: String): DataFrame = {
+  /** DIRECTED top-3 kNN edge list (qid, nn, score) over the probed
+    * candidate set — the shared stage [[knnGraphEdges]] collapses to
+    * its undirected view and `vec_outlier_lof` consumes with scores
+    * (LOF needs per-edge distances and per-node k-dist). Memoized per
+    * (session, fixture) like the undirected list.
+    */
+  private val directedMemo = new graft.SessionMemo[DataFrame]
+
+  private[graft] def directedKnnEdges(s: SparkSession, d: String): DataFrame =
+    directedMemo.getOrElseUpdate(s,
+      graft.sources.WriteOnce.inputTag(d, "embeddings"),
+      directedKnn(s, d).localCheckpoint())
+
+  def knnGraphEdges(s: SparkSession, d: String): DataFrame =
+    directedKnnEdges(s, d)
+      .select(least(col("qid"), col("nn")).as("a"),
+              greatest(col("qid"), col("nn")).as("b"))
+      .distinct()
+
+  private[graft] def directedKnn(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.{VectorOps => V}
     val e = TestData.embeddings(s, d)
@@ -169,9 +188,7 @@ object GraphOps {
       .groupBy("qid")
       .agg(topk(col("vec_id"), col("score")).as("tk"))
       .select(col("qid"), explode(col("tk")).as("e"))
-      .select(least(col("qid"), col("e._1")).as("a"),
-              greatest(col("qid"), col("e._1")).as("b"))
-      .distinct()
+      .select(col("qid"), col("e._1").as("nn"), col("e._2").as("score"))
   }
 
   /** `rounds` rounds of k-core peeling (drop degree-<k nodes and

@@ -258,8 +258,9 @@ class PlanSpec extends SparkSpec {
 
   test("triangle-count kNN graph joins on the cluster key — no corpus broadcast") {
     // graph_triangle_count eagerly checkpoints the edge list, so the
-    // candidate-join shape is pinned on the pre-checkpoint pipeline.
-    val df = GraphOps.knnGraphEdges(spark, sfDir)
+    // candidate-join shape is pinned on the pre-checkpoint pipeline
+    // (directedKnn — knnGraphEdges now reads the memoized checkpoint).
+    val df = GraphOps.directedKnn(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
     // The probe↔assigned join must shuffle on the cluster key; the
     // only broadcast is the centroid table (4 rows) — never the
