@@ -44,7 +44,8 @@ object SparkEntry {
     ("BinaryQuantize", BinaryQuantize.defs, BinaryQuantize.oracles),
     ("Maintenance", Maintenance.defs, Maintenance.oracles),
     ("Curation", Curation.defs, Curation.oracles),
-    ("Tokenize", Tokenize.defs, Tokenize.oracles)
+    ("Tokenize", Tokenize.defs, Tokenize.oracles),
+    ("Stats", Stats.defs, Stats.oracles)
   )
 
   /** Operator object implementing a declared key (COVERAGE.md source). */

@@ -1790,6 +1790,10 @@ class GraftEngine(val spark: SparkSession) {
     * construction: the sum is bounded by (Σ share)² = 1e12), plus
     * the r4'd effective-competitor count. `unitCol` is the
     * market-participant grain (customer, supplier, source).
+    * Bound: the per-unit pre-scaling `cents * 1000000` requires each
+    * unit's summed `centsCol` to stay below ~9.2e12 (2^63/1e6) or
+    * Spark 4 ANSI throws — same convention as theilIndex's
+    * "keep centsCol·n below 2^63" note.
     */
   def hhiConcentration(df: DataFrame, groupCol: String, unitCol: String,
                        centsCol: String): DataFrame = {
@@ -1865,9 +1869,12 @@ class GraftEngine(val spark: SparkSession) {
         col("n_points") * col("sxx") - col("sx") * col("sx"))
       .withColumn("ss_remainder",
         col("n_points") * col("srr") - col("sr") * col("sr"))
-      .withColumn("strength", TestData.r4(greatest(lit(0.0),
-        lit(1.0) - col("ss_remainder").cast("double")
-          / col("ss_detrended"))))
+      // NULL on a constant detrended series (zero variance), exactly
+      // as the declared key does — no engine NaN reaches the output.
+      .withColumn("strength", when(col("ss_detrended") > 0,
+        TestData.r4(greatest(lit(0.0),
+          lit(1.0) - col("ss_remainder").cast("double")
+            / col("ss_detrended")))))
       .select("n_points", "ss_detrended", "ss_remainder", "strength")
   }
 

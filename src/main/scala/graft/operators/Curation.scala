@@ -724,6 +724,35 @@ object Curation {
           - 1)
         .select("doc_id", "shard", "pos")
         .orderBy("shard", "pos")
+    }),
+
+    // SUPPRESSION CURVE (round 10): k-anonymity's OTHER fix — where
+    // the generalization ladder widens the QI, suppression drops the
+    // undersized groups; this key publishes the cost curve (rows
+    // lost at k ∈ {2,5,10,20}) a release pipeline reads to pick its
+    // k. Shape: ONE QI-grain aggregate, then a ×4 fixed explode on
+    // the GROUP-grain table (never the corpus) and a 4-row rollup.
+    // Monotonicity in k (suppressing never shrinks as k grows) is
+    // pinned in ClosedFormProps.
+    "privacy_suppression_curve" -> ((s, d) => {
+      val groups = TestData.documents(s, d)
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars DIV 100").as("len_bucket"))
+        .agg(count(lit(1)).as("gs"))
+      groups
+        .select(col("gs"), explode(lit(Array(2, 5, 10, 20))).as("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("gs") < col("k"), 1L).otherwise(0L))
+            .as("n_small_groups"),
+          sum(when(col("gs") < col("k"), col("gs")).otherwise(0L))
+            .as("n_suppressed"),
+          sum("gs").as("n_rows"))
+        .withColumn("suppressed_frac",
+          r4(col("n_suppressed").cast("double") / col("n_rows")))
+        .select("k", "n_groups", "n_small_groups", "n_suppressed",
+          "n_rows", "suppressed_frac")
+        .orderBy("k")
     })
   )
 
@@ -1080,6 +1109,23 @@ object Curation {
         |SELECT lang, n_tokens,
         |  floor((least(1.0, (total::DOUBLE / n_langs) / n_tokens))*10000
         |    + 0.5)/10000 AS sample_rate
-        |FROM per CROSS JOIN tot ORDER BY lang""".stripMargin
+        |FROM per CROSS JOIN tot ORDER BY lang""".stripMargin,
+    // Same QI as privacy_k_anonymity, group-grain ×4 explode.
+    "privacy_suppression_curve" ->
+      """WITH g AS (
+        |  SELECT lang, source, n_chars // 100 AS len_bucket,
+        |    count(*)::BIGINT AS gs
+        |  FROM documents GROUP BY 1, 2, 3),
+        |x AS (
+        |  SELECT gs, k FROM g
+        |  CROSS JOIN (SELECT unnest([2, 5, 10, 20]) AS k) l)
+        |SELECT k, count(*)::BIGINT AS n_groups,
+        |  sum(CASE WHEN gs < k THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_small_groups,
+        |  sum(CASE WHEN gs < k THEN gs ELSE 0 END)::BIGINT AS n_suppressed,
+        |  sum(gs)::BIGINT AS n_rows,
+        |  floor((sum(CASE WHEN gs < k THEN gs ELSE 0 END)::DOUBLE
+        |    / sum(gs)::BIGINT) * 10000 + 0.5) / 10000 AS suppressed_frac
+        |FROM x GROUP BY k ORDER BY k""".stripMargin
   )
 }

@@ -393,7 +393,10 @@ object GraphOps {
     // (r < 0, hub-and-spoke)? The one-number topology readout that
     // says whether degree-based partitioning will skew. Everything
     // from five exact BIGINT sums over the edge list (deg ≤ fixture
-    // kNN cap, deg² ≤ 2^24 — ANSI-safe at any corpus size); one
+    // kNN cap). Concrete ANSI bound: the Pearson numerator's
+    // n_edges_directed·sxy term scales as n²·deg² and overflows 2^63
+    // around ~1.5M directed edges at deg ≈ 64; past that, compute
+    // numerator/denominator from mean-centered doubles instead; one
     // sqrt + division at the end, r4'd. Shape: degree aggregate +
     // one edges-grain join on each endpoint, corpus never broadcast.
     "graph_degree_assortativity" -> ((s, d) => {
@@ -535,6 +538,82 @@ object GraphOps {
       }
       ranks.select(col("vec_id"), col("r").as("rank_u"),
           (col("r").cast("double") / 1000000.0).as("rank"))
+        .orderBy("vec_id")
+    }),
+
+    // LOCAL CLUSTERING COEFFICIENT (round 10): per node, the
+    // fraction of its neighbor pairs that are themselves connected
+    // — the "is this node in a clique or a star" readout that,
+    // rolled up, says whether the kNN graph's communities are dense
+    // (LPA will find them) or stringy (it won't). Triangles-at-node
+    // via the wedge join (neighbor pairs n1 < n2 per center, then a
+    // semi-join against the edge set) — Σ deg² work, bounded by the
+    // kNN degree cap (general graphs: cap the wedge fanout or go
+    // approximate). Exact integers until the one r4'd division;
+    // isolated/degree-1 nodes report NULL lcc (stated).
+    "graph_clustering_coeff" -> ((s, d) => {
+      val edges = fixtureKnnEdges(s, d)
+      val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+      val a2 = adj.select(col("src").as("src2"), col("dst").as("dst2"))
+      val tri = adj
+        .join(a2, col("src") === col("src2") && col("dst") < col("dst2"))
+        .join(edges, col("dst") === col("a") && col("dst2") === col("b"))
+        .groupBy(col("src").as("v")).agg(count(lit(1)).as("n_tri"))
+      TestData.embeddings(s, d).select(col("vec_id"))
+        .join(deg.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")
+        .join(tri.withColumnRenamed("v", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("deg"), lit(0L)).as("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+        .withColumn("lcc", when(col("deg") >= 2,
+          TestData.r4((lit(2L) * col("n_tri")).cast("double")
+            / (col("deg") * (col("deg") - 1)).cast("double"))))
+        .orderBy("vec_id")
+    }),
+
+    // HITS HUBS/AUTHORITIES (round 10): 3 fixed synchronous rounds
+    // over the DIRECTED kNN edges (qid → nn; the undirected view
+    // would collapse hub = auth) — which nodes point at the
+    // consensus (hubs) vs which ARE the consensus (authorities),
+    // the link-analysis sibling of graph_pagerank. Determinism is
+    // the pagerank recipe: integer MICRO-unit scores, each
+    // half-round L1-normalized via ·1e6 DIV Σ (bound: score·1e6 ≤
+    // n·1e12 < 2^63 for n ≲ 9e6 nodes — drop to 1e3 units past
+    // that), per-round localCheckpoint against the lineage blowup,
+    // unrolled 3-round oracle. Each half-round is one edge-grain
+    // join + node-grain aggregate; the normalizer is a broadcast
+    // 1-row scalar.
+    "graph_hits" -> ((s, d) => {
+      val edges = directedKnnEdges(s, d)
+        .select(col("qid").as("src"), col("nn").as("dst"))
+        .localCheckpoint()
+      val nodes = TestData.embeddings(s, d).select(col("vec_id"))
+      var hub = nodes.select(col("vec_id"), lit(1000000L).as("h"))
+      var auth = nodes.select(col("vec_id"), lit(0L).as("a"))
+      for (_ <- 1 to 3) {
+        val araw = nodes.join(
+            hub.withColumnRenamed("vec_id", "src").join(edges, "src")
+              .groupBy(col("dst").as("vec_id")).agg(sum("h").as("ar")),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"), coalesce(col("ar"), lit(0L)).as("ar"))
+        val sa = araw.agg(sum("ar").as("sa"))
+        auth = araw.crossJoin(broadcast(sa))
+          .select(col("vec_id"), expr("ar * 1000000 DIV sa").as("a"))
+          .localCheckpoint()
+        val hraw = nodes.join(
+            auth.withColumnRenamed("vec_id", "dst").join(edges, "dst")
+              .groupBy(col("src").as("vec_id")).agg(sum("a").as("hr")),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"), coalesce(col("hr"), lit(0L)).as("hr"))
+        val sh = hraw.agg(sum("hr").as("sh"))
+        hub = hraw.crossJoin(broadcast(sh))
+          .select(col("vec_id"), expr("hr * 1000000 DIV sh").as("h"))
+          .localCheckpoint()
+      }
+      hub.join(auth, "vec_id")
+        .select(col("vec_id"), col("h").as("hub_u"), col("a").as("auth_u"))
         .orderBy("vec_id")
     })
   )
@@ -830,6 +909,95 @@ object GraphOps {
         |    JOIN adj ON d2.vec_id = adj.src) GROUP BY 1)
         |SELECT e.vec_id, coalesce(d3.dist, -1)::BIGINT AS dist
         |FROM embeddings e LEFT JOIN d3 USING (vec_id)
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+    // Same wedge join (neighbor pairs n1 < n2 per center, semi-join
+    // against the undirected edge set), same NULL-below-degree-2.
+    "graph_clustering_coeff" ->
+      s"""$EdgesCte,
+        |adj AS (
+        |  SELECT a AS src, b AS dst FROM edges
+        |  UNION ALL SELECT b, a FROM edges),
+        |deg AS (SELECT src, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+        |tri AS (
+        |  SELECT a1.src AS v, count(*)::BIGINT AS n_tri
+        |  FROM adj a1
+        |  JOIN adj a2 ON a1.src = a2.src AND a1.dst < a2.dst
+        |  JOIN edges e ON e.a = a1.dst AND e.b = a2.dst
+        |  GROUP BY 1)
+        |SELECT emb.vec_id, coalesce(deg.deg, 0)::BIGINT AS deg,
+        |  coalesce(tri.n_tri, 0)::BIGINT AS n_tri,
+        |  CASE WHEN coalesce(deg.deg, 0) >= 2 THEN
+        |    floor((2 * coalesce(tri.n_tri, 0))::DOUBLE
+        |      / (deg.deg * (deg.deg - 1))::DOUBLE * 10000 + 0.5) / 10000
+        |  END AS lcc
+        |FROM embeddings emb
+        |LEFT JOIN deg ON emb.vec_id = deg.src
+        |LEFT JOIN tri ON emb.vec_id = tri.v
+        |ORDER BY emb.vec_id""".stripMargin,
+    // Unrolled 3 rounds over the DIRECTED knn list (the EdgesCte's
+    // `knn` CTE), integer micro-units, // normalization per
+    // half-round — identical op order to the Spark loop.
+    "graph_hits" ->
+      s"""$EdgesCte,
+        |de AS (SELECT qid AS src, nn AS dst FROM knn),
+        |nn_ AS (SELECT vec_id FROM embeddings),
+        |h0 AS (SELECT vec_id, 1000000::BIGINT AS h FROM nn_),
+        |a1r AS (
+        |  SELECT nn_.vec_id, coalesce(x.ar, 0)::BIGINT AS ar
+        |  FROM nn_ LEFT JOIN (
+        |    SELECT de.dst AS vec_id, sum(h0.h)::BIGINT AS ar
+        |    FROM h0 JOIN de ON h0.vec_id = de.src GROUP BY 1) x
+        |  USING (vec_id)),
+        |a1 AS (SELECT vec_id,
+        |  (ar * 1000000 // (SELECT sum(ar) FROM a1r))::BIGINT AS a
+        |  FROM a1r),
+        |h1r AS (
+        |  SELECT nn_.vec_id, coalesce(x.hr, 0)::BIGINT AS hr
+        |  FROM nn_ LEFT JOIN (
+        |    SELECT de.src AS vec_id, sum(a1.a)::BIGINT AS hr
+        |    FROM a1 JOIN de ON a1.vec_id = de.dst GROUP BY 1) x
+        |  USING (vec_id)),
+        |h1 AS (SELECT vec_id,
+        |  (hr * 1000000 // (SELECT sum(hr) FROM h1r))::BIGINT AS h
+        |  FROM h1r),
+        |a2r AS (
+        |  SELECT nn_.vec_id, coalesce(x.ar, 0)::BIGINT AS ar
+        |  FROM nn_ LEFT JOIN (
+        |    SELECT de.dst AS vec_id, sum(h1.h)::BIGINT AS ar
+        |    FROM h1 JOIN de ON h1.vec_id = de.src GROUP BY 1) x
+        |  USING (vec_id)),
+        |a2 AS (SELECT vec_id,
+        |  (ar * 1000000 // (SELECT sum(ar) FROM a2r))::BIGINT AS a
+        |  FROM a2r),
+        |h2r AS (
+        |  SELECT nn_.vec_id, coalesce(x.hr, 0)::BIGINT AS hr
+        |  FROM nn_ LEFT JOIN (
+        |    SELECT de.src AS vec_id, sum(a2.a)::BIGINT AS hr
+        |    FROM a2 JOIN de ON a2.vec_id = de.dst GROUP BY 1) x
+        |  USING (vec_id)),
+        |h2 AS (SELECT vec_id,
+        |  (hr * 1000000 // (SELECT sum(hr) FROM h2r))::BIGINT AS h
+        |  FROM h2r),
+        |a3r AS (
+        |  SELECT nn_.vec_id, coalesce(x.ar, 0)::BIGINT AS ar
+        |  FROM nn_ LEFT JOIN (
+        |    SELECT de.dst AS vec_id, sum(h2.h)::BIGINT AS ar
+        |    FROM h2 JOIN de ON h2.vec_id = de.src GROUP BY 1) x
+        |  USING (vec_id)),
+        |a3 AS (SELECT vec_id,
+        |  (ar * 1000000 // (SELECT sum(ar) FROM a3r))::BIGINT AS a
+        |  FROM a3r),
+        |h3r AS (
+        |  SELECT nn_.vec_id, coalesce(x.hr, 0)::BIGINT AS hr
+        |  FROM nn_ LEFT JOIN (
+        |    SELECT de.src AS vec_id, sum(a3.a)::BIGINT AS hr
+        |    FROM a3 JOIN de ON a3.vec_id = de.dst GROUP BY 1) x
+        |  USING (vec_id)),
+        |h3 AS (SELECT vec_id,
+        |  (hr * 1000000 // (SELECT sum(hr) FROM h3r))::BIGINT AS h
+        |  FROM h3r)
+        |SELECT h3.vec_id, h3.h AS hub_u, a3.a AS auth_u
+        |FROM h3 JOIN a3 USING (vec_id)
+        |ORDER BY h3.vec_id""".stripMargin
   )
 }

@@ -1,0 +1,469 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.TestData
+import graft.TestData.r4
+
+/** §2.R10 statistical-testing operators (SURVEY.md).
+  *
+  * The experimentation stack's nonparametric wing: rank/ECDF tests
+  * (Mann-Whitney U, Kolmogorov-Smirnov), association measures
+  * (Cramér's V, Spearman ρ) and a resampling CI (deterministic
+  * Poisson bootstrap). The shared scale discipline: NOTHING here
+  * ranks at corpus grain. Every rank/ECDF readout folds the corpus
+  * to a VALUE-DISTINCT cell table first (the agg_weighted_median
+  * "aggregate-below-window" move) whose size is bounded by the
+  * quantized value DOMAIN, not the row count — windows then run over
+  * that bounded grid. All sums are exact BIGINTs; transcendentals
+  * and divisions happen once, in mirrored op order, r4-quantized.
+  */
+object Stats {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-user total event value (micro-quantized BEFORE the sum —
+    * running DOUBLE sums are engine-order-specific), md5-hash variant
+    * split (the events_ab_lift assignment), folded to the WHOLE-UNIT
+    * value grid: one row per distinct unit value with control /
+    * treatment user counts. Grid size is bounded by the value DOMAIN
+    * (~thousands of units) at any corpus size — this is what makes
+    * the unpartitioned cumulative windows downstream scale-safe.
+    */
+  private def variantUnitCells(s: SparkSession, d: String): DataFrame =
+    TestData.events(s, d)
+      .withColumn("v_u", floor(col("value") * 1000000 + 0.5).cast("long"))
+      .groupBy("user_id").agg(sum("v_u").as("sum_u"))
+      .withColumn("variant",
+        when(conv(substring(md5(col("user_id").cast("string")), 1, 2),
+          16, 10).cast("int") % 2 === 0, "control").otherwise("treatment"))
+      .withColumn("x", expr("sum_u DIV 1000000"))
+      .groupBy("x")
+      .agg(sum(when(col("variant") === "control", 1L).otherwise(0L))
+             .as("cc"),
+           sum(when(col("variant") === "treatment", 1L).otherwise(0L))
+             .as("ct"))
+
+  val defs: Map[String, Q] = Map(
+    // MANN-WHITNEY U (round 10): the nonparametric A/B test the
+    // experimentation stack reaches for when per-user value is
+    // heavy-tailed and the t-test's mean is untrustworthy. U counts
+    // cross-variant wins (ties = ½), computed ENTIRELY from the
+    // value-distinct cell table: U2 = Σ_v ct(v)·(2·cumcc(<v) + cc(v))
+    // — 2× units keep the tie half-counts integer. The tie-corrected
+    // normal approximation z uses Σ(t³−t) from the same grid.
+    // Bounds: t³ ≤ n_users³ only if ALL users tie on one unit value
+    // — the realistic bound is per-cell counts, documented < 2^21.
+    // Shape: user-shard aggregate → domain-sized grid → one window
+    // over the grid → 1-row readout. No corpus-grain window.
+    "agg_mann_whitney" -> ((s, d) => {
+      val W = Window.orderBy("x")
+      variantUnitCells(s, d)
+        .withColumn("cum_cc_lt",
+          coalesce(sum("cc").over(
+            W.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .agg(sum("cc").as("n_control"), sum("ct").as("n_treatment"),
+          sum(col("ct") * (lit(2L) * col("cum_cc_lt") + col("cc")))
+            .as("u2_treatment"),
+          sum((col("cc") + col("ct")) * (col("cc") + col("ct"))
+            * (col("cc") + col("ct")) - (col("cc") + col("ct")))
+            .as("tie_sum"))
+        .withColumn("var_u",
+          (col("n_control") * col("n_treatment")).cast("double")
+            * ((col("n_control") + col("n_treatment") + 1).cast("double")
+              - col("tie_sum").cast("double")
+                / ((col("n_control") + col("n_treatment"))
+                  * (col("n_control") + col("n_treatment") - 1))
+                  .cast("double"))
+            / 12.0)
+        .withColumn("z", when(col("var_u") > 0, r4(
+          ((col("u2_treatment") - col("n_control") * col("n_treatment"))
+            .cast("double") / 2.0) / sqrt(col("var_u")))))
+        .select("n_control", "n_treatment", "u2_treatment", "tie_sum", "z")
+    }),
+
+    // KOLMOGOROV-SMIRNOV TWO-SAMPLE (round 10): distribution-shape
+    // drift between the variants — D = max |F_c − F_t| over the
+    // value grid, which the usual "did the experiment move the whole
+    // distribution, not just the mean" gate reads next to the MW
+    // test. Exact integers via cross-multiplication:
+    // d_num = max |cumcc·n_t − cumct·n_c| (bounded by n_c·n_t < 2^63
+    // up to ~3e9 users); the only floats are the final D division
+    // and the asymptotic p ≈ 2·exp(−2·D²·n_c·n_t/(n_c+n_t)), both in
+    // mirrored op order, r4'd. Same domain-sized grid as the U test.
+    "agg_ks_test" -> ((s, d) => {
+      val W = Window.orderBy("x")
+      variantUnitCells(s, d)
+        .withColumn("cum_cc", sum("cc").over(
+          W.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cum_ct", sum("ct").over(
+          W.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n_c", sum("cc").over(Window.partitionBy()))
+        .withColumn("n_t", sum("ct").over(Window.partitionBy()))
+        .agg(max("n_c").as("n_control"), max("n_t").as("n_treatment"),
+          max(abs(col("cum_cc") * col("n_t") - col("cum_ct") * col("n_c")))
+            .as("d_num"))
+        .withColumn("d_stat", r4(col("d_num").cast("double")
+          / (col("n_control") * col("n_treatment")).cast("double")))
+        .withColumn("p_approx", r4(least(lit(1.0),
+          lit(2.0) * exp(lit(-2.0)
+            * pow(col("d_num").cast("double")
+                / (col("n_control") * col("n_treatment")).cast("double"), 2)
+            * (col("n_control") * col("n_treatment")).cast("double")
+            / (col("n_control") + col("n_treatment")).cast("double")))))
+        .select("n_control", "n_treatment", "d_num", "d_stat", "p_approx")
+    }),
+
+    // CRAMÉR'S V (round 10): effect size of the nation × market-
+    // segment association — the "is this categorical dependence real
+    // or just big-n significant" readout a segmentation analysis
+    // publishes next to the χ² p-value. The FULL grid (distinct
+    // nations × distinct segments, zero cells included via cross
+    // join + left join — excluded zero cells would understate χ²)
+    // is cells-sized at any corpus size; margins are window sums
+    // over the grid. Each cell's χ² term is one mirrored IEEE
+    // expression quantized to integer MICRO-units before the sum
+    // (entropy/PSI precedent), so no n⁴ integer products anywhere.
+    "agg_cramers_v" -> ((s, d) => {
+      val f = TestData.customer(s, d)
+        .select(col("c_nationkey").cast("long").as("nationkey"),
+          col("c_mktsegment"))
+      val cells = f.groupBy("nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))
+      val grid = f.select("nationkey").distinct()
+        .crossJoin(f.select("c_mktsegment").distinct())
+        .join(cells, Seq("nationkey", "c_mktsegment"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      grid
+        .withColumn("r_i", sum("cnt").over(Window.partitionBy("nationkey")))
+        .withColumn("c_j", sum("cnt").over(
+          Window.partitionBy("c_mktsegment")))
+        .withColumn("n", sum("cnt").over(Window.partitionBy()))
+        .withColumn("e", (col("r_i") * col("c_j")).cast("double")
+          / col("n").cast("double"))
+        .withColumn("term_u", floor(
+          (col("cnt").cast("double") - col("e"))
+            * (col("cnt").cast("double") - col("e")) / col("e")
+            * 1000000 + 0.5).cast("long"))
+        .agg(max("n").as("n_rows"),
+          countDistinct("nationkey").as("n_r"),
+          countDistinct("c_mktsegment").as("n_c"),
+          sum("term_u").as("chi2_micro"))
+        .withColumn("cramers_v", r4(sqrt(
+          (col("chi2_micro").cast("double") / 1000000.0)
+            / (col("n_rows")
+              * least(col("n_r") - 1, col("n_c") - 1)).cast("double"))))
+        .select("n_rows", "n_r", "n_c", "chi2_micro", "cramers_v")
+    }),
+
+    // SPEARMAN ρ (round 10): rank correlation of quantity vs
+    // discount per return flag — the monotone-association readout
+    // that survives nonlinearity and outliers where Pearson lies.
+    // Ranks are never materialized per ROW: the corpus folds to the
+    // JOINT (qty, discount) cell table (≤ 50·11 cells per group —
+    // the rank grids are the bounded attribute DOMAINS), marginal
+    // 2×average-ranks come from cumulative windows over each
+    // marginal (2·avg_rank = 2·cum_lt + c + 1, integer under ties),
+    // and ρ's sums are exact BIGINTs over centered rank deviations
+    // d = 2r − (n+1) (Σ c·d = 0 exactly, so ρ = Sxy/√(Sxx·Syy)
+    // directly). Bound: |d| ≤ 2n ⇒ Sxy ≤ 4n³ < 2^63 for n ≲ 1.3e6
+    // rows per group; past that, scale d to doubles first.
+    "agg_spearman_rho" -> ((s, d) => {
+      val li = TestData.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          floor(col("l_quantity") + 0.5).cast("long").as("qx"),
+          floor(col("l_discount") * 100 + 0.5).cast("long").as("qy"))
+      // Three consumers (the joint join + both marginals) — checkpoint
+      // the tiny cell table once instead of re-scanning lineitem 3×.
+      val cells = li.groupBy("flag", "qx", "qy")
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      def marginalRank(valCol: String): DataFrame = {
+        val w = Window.partitionBy("flag").orderBy(valCol)
+        cells.groupBy("flag", valCol).agg(sum("c").as("cm"))
+          .withColumn("cum_lt", coalesce(sum("cm").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("n", sum("cm").over(Window.partitionBy("flag")))
+          .withColumn(s"d_$valCol",
+            lit(2L) * col("cum_lt") + col("cm") + 1 - (col("n") + 1))
+          .select(col("flag"), col(valCol), col(s"d_$valCol"))
+      }
+      cells
+        .join(marginalRank("qx"), Seq("flag", "qx"))
+        .join(marginalRank("qy"), Seq("flag", "qy"))
+        .groupBy("flag")
+        .agg(sum("c").as("n"),
+          sum(col("c") * col("d_qx") * col("d_qy")).as("sxy"),
+          sum(col("c") * col("d_qx") * col("d_qx")).as("sxx"),
+          sum(col("c") * col("d_qy") * col("d_qy")).as("syy"))
+        .withColumn("rho", when(col("sxx") > 0 && col("syy") > 0,
+          r4(col("sxy").cast("double")
+            / sqrt(col("sxx").cast("double") * col("syy").cast("double")))))
+        .select("flag", "n", "sxy", "sxx", "syy", "rho")
+        .orderBy("flag")
+    }),
+
+    // POISSON-BOOTSTRAP CI (round 10): the resampling confidence
+    // interval for the mean order value — the scale-correct
+    // bootstrap (each row draws an independent Poisson(1) replicate
+    // weight; no sampling-with-replacement shuffle exists at 100 TB).
+    // Seeding: ONE md5 per row folds to a 28-bit base draw; each of
+    // the B=32 replicates re-mixes it with an odd multiplicative
+    // constant mod 2^28 (product < 2^60 — ANSI-safe) — the md5 is
+    // the cost at corpus scale, so it is paid once, not B times
+    // (measured 5.4 s → the md5-per-(row,b) form was the bench's
+    // slowest key). The uniform feeds the Poisson(1) inverse CDF
+    // (9-step literal threshold ladder, capped at 8 — residual mass
+    // ~1e-7; the privacy_dp_noise seeded-draw precedent); production
+    // swaps the CSPRNG, same plan. Shape: ×B map-side explode →
+    // B-group aggregate (partial agg collapses each task to ≤B
+    // rows) → order stats over the 32 replicate means
+    // (percentile_disc rank convention, stable tie-break on b).
+    // Replicate means are quantized (×1e4 cents) before ranking.
+    "sample_bootstrap_ci" -> ((s, d) => {
+      val B = 32
+      val o = TestData.orders(s, d)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("h28",
+          conv(substring(md5(col("o_orderkey").cast("string")), 1, 7),
+            16, 10).cast("long"))
+      val u = (((col("h28") * (lit(2654435761L) + col("b") * lit(96542L)))
+        % 268435456L).cast("double") + lit(0.5)) / lit(268435456.0)
+      val pois = when(u < 0.3678794412, 0L).when(u < 0.7357588823, 1L)
+        .when(u < 0.9196986029, 2L).when(u < 0.9810118431, 3L)
+        .when(u < 0.9963401532, 4L).when(u < 0.9994058152, 5L)
+        .when(u < 0.9999167589, 6L).when(u < 0.9999897508, 7L)
+        .otherwise(8L)
+      val reps = o
+        .select(col("o_orderkey"), col("cents"), col("h28"),
+          explode(lit((0 until B).toArray)).as("b"))
+        .withColumn("w", pois)
+        .groupBy("b")
+        .agg(sum("w").as("n_eff"), sum(col("w") * col("cents")).as("wsum"))
+        .filter(col("n_eff") > 0)
+        .withColumn("mean_q", floor(col("wsum").cast("double")
+          / col("n_eff").cast("double") * 10000 + 0.5).cast("long"))
+      val wR = Window.orderBy("mean_q", "b")
+      val boot = reps
+        .withColumn("rn", row_number().over(wR))
+        .withColumn("nb", count(lit(1)).over(Window.partitionBy()))
+        .agg(max("nb").as("b_replicates"),
+          max(when(col("rn") === expr("(nb + 1) DIV 20"), col("mean_q")))
+            .as("lo_q"),
+          max(when(col("rn") === expr("(19 * (nb + 1)) DIV 20"),
+            col("mean_q"))).as("hi_q"))
+      val point = o.agg(count(lit(1)).as("n_orders"),
+        r4(sum("cents").cast("double") / count(lit(1))).as("mean_cents"))
+      point.crossJoin(boot)
+        .withColumn("boot_lo_cents", r4(col("lo_q") / 10000.0))
+        .withColumn("boot_hi_cents", r4(col("hi_q") / 10000.0))
+        .select("n_orders", "mean_cents", "b_replicates",
+          "boot_lo_cents", "boot_hi_cents")
+    })
+  )
+
+  /** Shared DuckDB CTE reproducing [[variantUnitCells]]. */
+  private val CellsCte =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    sum(floor(value * 1000000 + 0.5)::BIGINT)::BIGINT AS sum_u
+      |  FROM events GROUP BY 1),
+      |v AS (
+      |  SELECT (sum_u // 1000000)::BIGINT AS x,
+      |    CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))::INT
+      |      % 2 = 0 THEN 'control' ELSE 'treatment' END AS variant
+      |  FROM pu),
+      |cells AS (
+      |  SELECT x,
+      |    sum(CASE WHEN variant = 'control' THEN 1 ELSE 0 END)::BIGINT
+      |      AS cc,
+      |    sum(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END)::BIGINT
+      |      AS ct
+      |  FROM v GROUP BY 1)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "agg_mann_whitney" ->
+      s"""$CellsCte,
+        |cum AS (
+        |  SELECT *,
+        |    (coalesce(sum(cc) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+        |      AS cum_cc_lt
+        |  FROM cells),
+        |a AS (
+        |  SELECT sum(cc)::BIGINT AS n_control,
+        |    sum(ct)::BIGINT AS n_treatment,
+        |    sum(ct * (2 * cum_cc_lt + cc))::BIGINT AS u2_treatment,
+        |    sum((cc + ct) * (cc + ct) * (cc + ct) - (cc + ct))::BIGINT
+        |      AS tie_sum
+        |  FROM cum),
+        |b AS (
+        |  SELECT *,
+        |    (n_control * n_treatment)::DOUBLE
+        |      * ((n_control + n_treatment + 1)::DOUBLE
+        |        - tie_sum::DOUBLE
+        |          / ((n_control + n_treatment)
+        |            * (n_control + n_treatment - 1))::DOUBLE)
+        |      / 12.0 AS var_u
+        |  FROM a)
+        |SELECT n_control, n_treatment, u2_treatment, tie_sum,
+        |  CASE WHEN var_u > 0 THEN
+        |    floor(((u2_treatment - n_control * n_treatment)::DOUBLE / 2.0)
+        |      / sqrt(var_u) * 10000 + 0.5) / 10000 END AS z
+        |FROM b""".stripMargin,
+    "agg_ks_test" ->
+      s"""$CellsCte,
+        |cum AS (
+        |  SELECT *,
+        |    (sum(cc) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS cum_cc,
+        |    (sum(ct) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS cum_ct,
+        |    (sum(cc) OVER ())::BIGINT AS n_c,
+        |    (sum(ct) OVER ())::BIGINT AS n_t
+        |  FROM cells),
+        |a AS (
+        |  SELECT max(n_c)::BIGINT AS n_control,
+        |    max(n_t)::BIGINT AS n_treatment,
+        |    max(abs(cum_cc * n_t - cum_ct * n_c))::BIGINT AS d_num
+        |  FROM cum)
+        |SELECT n_control, n_treatment, d_num,
+        |  floor(d_num::DOUBLE / (n_control * n_treatment)::DOUBLE
+        |    * 10000 + 0.5) / 10000 AS d_stat,
+        |  floor(least(1.0, 2.0 * exp(-2.0
+        |    * pow(d_num::DOUBLE / (n_control * n_treatment)::DOUBLE, 2)
+        |    * (n_control * n_treatment)::DOUBLE
+        |    / (n_control + n_treatment)::DOUBLE)) * 10000 + 0.5) / 10000
+        |    AS p_approx
+        |FROM a""".stripMargin,
+    "agg_cramers_v" ->
+      """WITH f AS (
+        |  SELECT c_nationkey::BIGINT AS nationkey, c_mktsegment
+        |  FROM customer),
+        |cells AS (
+        |  SELECT nationkey, c_mktsegment, count(*)::BIGINT AS cnt
+        |  FROM f GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT n.nationkey, s.c_mktsegment,
+        |    coalesce(c.cnt, 0)::BIGINT AS cnt
+        |  FROM (SELECT DISTINCT nationkey FROM f) n
+        |  CROSS JOIN (SELECT DISTINCT c_mktsegment FROM f) s
+        |  LEFT JOIN cells c ON n.nationkey = c.nationkey
+        |    AND s.c_mktsegment = c.c_mktsegment),
+        |m AS (
+        |  SELECT *,
+        |    (sum(cnt) OVER (PARTITION BY nationkey))::BIGINT AS r_i,
+        |    (sum(cnt) OVER (PARTITION BY c_mktsegment))::BIGINT AS c_j,
+        |    (sum(cnt) OVER ())::BIGINT AS n
+        |  FROM grid),
+        |t AS (
+        |  SELECT *,
+        |    (r_i * c_j)::DOUBLE / n::DOUBLE AS e
+        |  FROM m),
+        |a AS (
+        |  SELECT max(n)::BIGINT AS n_rows,
+        |    count(DISTINCT nationkey)::BIGINT AS n_r,
+        |    count(DISTINCT c_mktsegment)::BIGINT AS n_c,
+        |    sum(floor((cnt::DOUBLE - e) * (cnt::DOUBLE - e) / e
+        |      * 1000000 + 0.5)::BIGINT)::BIGINT AS chi2_micro
+        |  FROM t)
+        |SELECT n_rows, n_r, n_c, chi2_micro,
+        |  floor(sqrt((chi2_micro::DOUBLE / 1000000.0)
+        |    / (n_rows * least(n_r - 1, n_c - 1))::DOUBLE) * 10000 + 0.5)
+        |    / 10000 AS cramers_v
+        |FROM a""".stripMargin,
+    "agg_spearman_rho" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag,
+        |    floor(l_quantity + 0.5)::BIGINT AS qx,
+        |    floor(l_discount * 100 + 0.5)::BIGINT AS qy
+        |  FROM lineitem),
+        |cells AS (
+        |  SELECT flag, qx, qy, count(*)::BIGINT AS c
+        |  FROM li GROUP BY 1, 2, 3),
+        |xm AS (
+        |  SELECT flag, qx,
+        |    2 * (coalesce(sum(cm) OVER (PARTITION BY flag ORDER BY qx
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0))::BIGINT
+        |      + cm + 1
+        |      - ((sum(cm) OVER (PARTITION BY flag))::BIGINT + 1) AS d_qx
+        |  FROM (SELECT flag, qx, sum(c)::BIGINT AS cm FROM cells
+        |        GROUP BY 1, 2)),
+        |ym AS (
+        |  SELECT flag, qy,
+        |    2 * (coalesce(sum(cm) OVER (PARTITION BY flag ORDER BY qy
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0))::BIGINT
+        |      + cm + 1
+        |      - ((sum(cm) OVER (PARTITION BY flag))::BIGINT + 1) AS d_qy
+        |  FROM (SELECT flag, qy, sum(c)::BIGINT AS cm FROM cells
+        |        GROUP BY 1, 2)),
+        |a AS (
+        |  SELECT cells.flag, sum(c)::BIGINT AS n,
+        |    sum(c * d_qx * d_qy)::BIGINT AS sxy,
+        |    sum(c * d_qx * d_qx)::BIGINT AS sxx,
+        |    sum(c * d_qy * d_qy)::BIGINT AS syy
+        |  FROM cells
+        |  JOIN xm ON cells.flag = xm.flag AND cells.qx = xm.qx
+        |  JOIN ym ON cells.flag = ym.flag AND cells.qy = ym.qy
+        |  GROUP BY 1)
+        |SELECT flag, n, sxy, sxx, syy,
+        |  CASE WHEN sxx > 0 AND syy > 0 THEN
+        |    floor(sxy::DOUBLE / sqrt(sxx::DOUBLE * syy::DOUBLE)
+        |      * 10000 + 0.5) / 10000 END AS rho
+        |FROM a ORDER BY flag""".stripMargin,
+    "sample_bootstrap_ci" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    floor(o_totalprice * 100 + 0.5)::BIGINT AS cents,
+        |    ('0x' || substring(md5(o_orderkey::VARCHAR), 1, 7))::BIGINT
+        |      AS h28
+        |  FROM orders),
+        |reps AS (
+        |  SELECT b, sum(w)::BIGINT AS n_eff,
+        |    sum(w * cents)::BIGINT AS wsum
+        |  FROM (
+        |    SELECT cents, b,
+        |      CASE WHEN u < 0.3678794412 THEN 0 WHEN u < 0.7357588823 THEN 1
+        |        WHEN u < 0.9196986029 THEN 2 WHEN u < 0.9810118431 THEN 3
+        |        WHEN u < 0.9963401532 THEN 4 WHEN u < 0.9994058152 THEN 5
+        |        WHEN u < 0.9999167589 THEN 6 WHEN u < 0.9999897508 THEN 7
+        |        ELSE 8 END AS w
+        |    FROM (
+        |      SELECT o.cents AS cents, t.b AS b,
+        |        ((((o.h28 * (2654435761 + t.b * 96542)) % 268435456)
+        |          ::DOUBLE + 0.5) / 268435456.0) AS u
+        |      FROM o CROSS JOIN range(32) AS t(b)) q1) q2
+        |  GROUP BY b HAVING sum(w) > 0),
+        |rk AS (
+        |  SELECT b,
+        |    floor(wsum::DOUBLE / n_eff::DOUBLE * 10000 + 0.5)::BIGINT
+        |      AS mean_q
+        |  FROM reps),
+        |rr AS (
+        |  SELECT mean_q,
+        |    row_number() OVER (ORDER BY mean_q, b) AS rn,
+        |    (count(*) OVER ())::BIGINT AS nb
+        |  FROM rk),
+        |boot AS (
+        |  SELECT max(nb)::BIGINT AS b_replicates,
+        |    max(CASE WHEN rn = (nb + 1) // 20 THEN mean_q END)::BIGINT
+        |      AS lo_q,
+        |    max(CASE WHEN rn = (19 * (nb + 1)) // 20 THEN mean_q END)::BIGINT
+        |      AS hi_q
+        |  FROM rr),
+        |point AS (
+        |  SELECT count(*)::BIGINT AS n_orders,
+        |    floor(sum(cents)::DOUBLE / count(*) * 10000 + 0.5) / 10000
+        |      AS mean_cents
+        |  FROM o)
+        |SELECT n_orders, mean_cents, b_replicates,
+        |  floor(lo_q / 10000.0 * 10000 + 0.5) / 10000 AS boot_lo_cents,
+        |  floor(hi_q / 10000.0 * 10000 + 0.5) / 10000 AS boot_hi_cents
+        |FROM point CROSS JOIN boot""".stripMargin
+  )
+}

@@ -477,6 +477,94 @@ object TextAnalysis {
             * 1000000 + 0.5).cast("long"))
         .select("lang", "w1", "w2", "c12", "pmi_u")
         .orderBy("lang", "w1", "w2")
+    }),
+
+    // FLESCH READABILITY (round 10): the classic reading-ease score
+    // per doc from three exact integer counts — words (the re-token
+    // regex), sentences (runs of [.!?], floor 1 — this fixture's
+    // word-soup has none, so every doc is "one sentence"; the guard
+    // is what matters), syllables (per word: vowel-group runs,
+    // floor 1 — the standard heuristic). The per-word syllable fold
+    // is one array HOF over the doc's own token list (doc-local,
+    // map-side; no shuffle at all before the final sort). The score
+    // is one mirrored IEEE expression over the three counts, r4'd.
+    "text_readability" -> ((s, d) => {
+      val words = regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))
+      TestData.documents(s, d)
+        .withColumn("n_words", size(words).cast("long"))
+        .withColumn("n_sentences", greatest(lit(1L),
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+            .cast("long")))
+        .withColumn("n_syllables", aggregate(
+          transform(words, w => greatest(lit(1),
+            size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))))),
+          lit(0L), (acc, x) => acc + x))
+        .filter(col("n_words") > 0)
+        .withColumn("flesch", r4(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double")
+            / col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double")
+            / col("n_words").cast("double"))))
+        .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch")
+        .orderBy("doc_id")
+    }),
+
+    // YULE'S K (round 10): the sample-size-invariant vocabulary-
+    // richness constant per language — K = 10⁴·(Σf² − N)/N² over the
+    // token frequency spectrum (0 for all-distinct text, →10⁴ for
+    // one repeated token); the corpus-level sibling of per-doc
+    // ttr_richness (TTR shrinks with N, K doesn't — that's why
+    // corpus-level comparisons need it). Shape: the (lang, token)
+    // TYPE table is vocabulary-sized; everything after is a
+    // lang-grain rollup of exact BIGINTs; one mirrored division,
+    // r4'd. Bound: Σf² ≤ N² < 2^63 for N ≲ 3e9 tokens per lang —
+    // shard the token counts first past that.
+    "text_yule_k" -> ((s, d) =>
+      TestData.documents(s, d)
+        .select(col("lang"),
+          explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+            .as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("f"))
+        .groupBy("lang")
+        .agg(sum("f").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(col("f") * col("f")).as("s2"))
+        .withColumn("yule_k", r4(lit(10000.0)
+          * (col("s2") - col("n_tokens")).cast("double")
+          / (col("n_tokens").cast("double")
+            * col("n_tokens").cast("double"))))
+        .select("lang", "n_tokens", "n_types", "s2", "yule_k")
+        .orderBy("lang")),
+
+    // TERM BURSTINESS (round 10): Church's "one sense per discourse"
+    // readout — for the top-20 corpus terms, total occurrences (cf),
+    // documents containing (df), burstiness cf/df (occurrences per
+    // containing doc: function words ≈ uniform, topical words
+    // clump), and the smoothed IDF. The spine is the (token, doc)
+    // DISTINCT pair table shuffled on the token (vocabulary-sized
+    // aggregate output); the top-k rank runs over the vocab-sized
+    // type table (the text_wordcount_topk precedent), never the
+    // corpus. IDF's ln is the only transcendental — mirrored op
+    // order, r4'd.
+    "text_term_burstiness" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val toks = TestData.documents(s, d)
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+            .as("tok"))
+      val byTok = toks.groupBy("tok")
+        .agg(count(lit(1)).as("cf"), countDistinct("doc_id").as("df"))
+      val nDocs = TestData.documents(s, d)
+        .agg(countDistinct("doc_id").as("n_docs"))
+      byTok.crossJoin(broadcast(nDocs))
+        .withColumn("rk", row_number().over(
+          W.orderBy(col("cf").desc, col("tok"))))
+        .filter(col("rk") <= 20)
+        .withColumn("burstiness",
+          r4(col("cf").cast("double") / col("df").cast("double")))
+        .withColumn("idf", r4(log((col("n_docs") + 1).cast("double")
+          / (col("df") + 1).cast("double"))))
+        .select("rk", "tok", "cf", "df", "burstiness", "idf")
+        .orderBy("rk")
     })
   )
 
@@ -704,6 +792,64 @@ object TextAnalysis {
         |JOIN r ON big.lang = r.lang AND big.w2 = r.w2
         |JOIN n ON big.lang = n.lang
         |WHERE c12 >= 5
-        |ORDER BY big.lang, big.w1, big.w2""".stripMargin
+        |ORDER BY big.lang, big.w1, big.w2""".stripMargin,
+    // Same counts (re-token words, [.!?]+ runs floor 1, per-word
+    // vowel-group runs floor 1), same mirrored score expression.
+    // list_sum returns DOUBLE in DuckDB — exact for these integer
+    // values, cast back to BIGINT.
+    "text_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS n_words,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+        |      AS n_sentences,
+        |    coalesce(list_sum(list_transform(
+        |      regexp_extract_all(text, '[a-z0-9]+'),
+        |      w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))),
+        |      0)::BIGINT AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  floor((206.835
+        |    - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+        |    - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE))
+        |    * 10000 + 0.5) / 10000 AS flesch
+        |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+    "text_yule_k" ->
+      """WITH f AS (
+        |  SELECT lang, tok, count(*)::BIGINT AS f
+        |  FROM (SELECT lang, unnest(regexp_extract_all(text, '[a-z0-9]+'))
+        |          AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |a AS (
+        |  SELECT lang, sum(f)::BIGINT AS n_tokens,
+        |    count(*)::BIGINT AS n_types, sum(f * f)::BIGINT AS s2
+        |  FROM f GROUP BY 1)
+        |SELECT lang, n_tokens, n_types, s2,
+        |  floor(10000.0 * (s2 - n_tokens)::DOUBLE
+        |    / (n_tokens::DOUBLE * n_tokens::DOUBLE) * 10000 + 0.5) / 10000
+        |    AS yule_k
+        |FROM a ORDER BY lang""".stripMargin,
+    "text_term_burstiness" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+'))
+        |    AS tok
+        |  FROM documents),
+        |bt AS (
+        |  SELECT tok, count(*)::BIGINT AS cf,
+        |    count(DISTINCT doc_id)::BIGINT AS df
+        |  FROM toks GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs
+        |       FROM documents),
+        |rk AS (
+        |  SELECT tok, cf, df, n_docs,
+        |    row_number() OVER (ORDER BY cf DESC, tok) AS rk
+        |  FROM bt CROSS JOIN nd)
+        |SELECT rk::INT AS rk, tok, cf, df,
+        |  floor(cf::DOUBLE / df::DOUBLE * 10000 + 0.5) / 10000
+        |    AS burstiness,
+        |  floor(ln((n_docs + 1)::DOUBLE / (df + 1)::DOUBLE)
+        |    * 10000 + 0.5) / 10000 AS idf
+        |FROM rk WHERE rk <= 20 ORDER BY rk""".stripMargin
   )
 }

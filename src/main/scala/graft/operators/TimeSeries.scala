@@ -1326,6 +1326,170 @@ object TimeSeries {
               * (col("n") * col("syy") - col("sy") * col("sy"))
                 .cast("double"))).as("corr4"))
         .orderBy("lag")
+    }),
+
+    // MANN-KENDALL TREND TEST (round 10): the nonparametric "is this
+    // metric actually trending" gate over the hourly series — sign-
+    // based, so the seasonal spikes that wreck an OLS slope's t-test
+    // don't move it. S = Σ_{i<j} sign(x_j − x_i) over the SAME
+    // time-grid² pair join ts_theil_sen builds (grid², not corpus²;
+    // join-sharded); the tie-corrected variance
+    // Var = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18 comes from the
+    // value-DISTINCT tie table. Everything integer until the final
+    // continuity-corrected z = (S − sign(S))/√Var, mirrored op
+    // order, r4'd. n³ stays tiny at any corpus size (n = grid
+    // hours, not rows).
+    "ts_mann_kendall" -> ((s, d) => {
+      val hourly = TestData.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("xh", expr("unix_micros(hour) DIV 3600000000"))
+        .select("xh", "n")
+        .localCheckpoint()
+      val b = hourly.select(col("xh").as("x2"), col("n").as("n2"))
+      val sPairs = hourly.join(b, col("x2") > col("xh"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(signum(col("n2") - col("n")).cast("long")).as("s_stat"))
+      val ties = hourly.groupBy("n").agg(count(lit(1)).as("t"))
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+               .as("tie_term"),
+             sum(lit(1L)).as("n_distinct"),
+             sum("t").as("n_hours"))
+      sPairs.crossJoin(ties)
+        .withColumn("var_num",
+          col("n_hours") * (col("n_hours") - 1)
+            * (lit(2L) * col("n_hours") + 5) - col("tie_term"))
+        .withColumn("z", when(col("var_num") > 0, r4(
+          (col("s_stat") - signum(col("s_stat")).cast("long")).cast("double")
+            / sqrt(col("var_num").cast("double") / 18.0))))
+        .select("n_hours", "n_pairs", "s_stat", "tie_term", "var_num", "z")
+    }),
+
+    // LEVEL-SHIFT SCAN (round 10): the step-change detector that
+    // complements ts_changepoint_cusum — at every hour boundary,
+    // compare the mean of the NEXT 24 occupied hours against the
+    // PREVIOUS 24 via two RANGE frames over the hour grid, and rank
+    // the largest absolute shifts. Exact BIGINT range-frame sums
+    // (never avg() — engine-internal accumulation order differs);
+    // one mirrored double expression per boundary, micro-quantized
+    // for the sort key; full-window boundaries only (both frames
+    // must hold exactly 24 occupied hours — partial edges excluded,
+    // stated). Grid-sized window at any corpus size.
+    "ts_level_shift" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val hourly = TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val wL = W.orderBy("hr").rangeBetween(-24, -1)
+      val wR = W.orderBy("hr").rangeBetween(0, 23)
+      hourly
+        .withColumn("sum_l", sum("cnt").over(wL))
+        .withColumn("cnt_l", count(lit(1)).over(wL))
+        .withColumn("sum_r", sum("cnt").over(wR))
+        .withColumn("cnt_r", count(lit(1)).over(wR))
+        .filter(col("cnt_l") === 24 && col("cnt_r") === 24)
+        .withColumn("shift_q", floor(
+          (col("sum_r").cast("double") / 24.0
+            - col("sum_l").cast("double") / 24.0) * 10000 + 0.5)
+          .cast("long"))
+        .withColumn("rk", row_number().over(
+          W.orderBy(abs(col("shift_q")).desc, col("hr"))))
+        .filter(col("rk") <= 5)
+        .select(col("rk"), col("hr"),
+          r4(col("sum_l") / 24.0).as("pre_mean"),
+          r4(col("sum_r") / 24.0).as("post_mean"),
+          r4(col("shift_q") / 10000.0).as("shift"))
+        .orderBy("rk")
+    }),
+
+    // KAPLAN-MEIER SURVIVAL (round 10): time-to-first-purchase with
+    // right-censoring — the estimator every activation/conversion
+    // analysis needs once not everyone converts (non-converters are
+    // censored at last-seen, never dropped: dropping them biases
+    // conversion fast). Risk sets from cumulative sums over the
+    // DISTINCT duration grid (hours — observation-window-bounded,
+    // never user-grain); each event time's ln(1 − d/n) quantized to
+    // integer MICRO-NATS before the cumulative sum (the product
+    // becomes exp of an exact BIGINT sum — PSI/entropy precedent);
+    // S drops to exactly 0 if the last risk set dies out (ln guard
+    // via the zero flag). On this fixture every user converts, so
+    // the censor branch is exercised by the planted-censoring
+    // property in PropertySpec instead.
+    "events_survival_km" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val pu = TestData.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .groupBy("user_id")
+        .agg(min("ts_us").as("t0"),
+          min(when(col("event_type") === "purchase", col("ts_us")))
+            .as("tconv"),
+          max("ts_us").as("tlast"))
+        .withColumn("event",
+          when(col("tconv").isNotNull, 1L).otherwise(0L))
+        .withColumn("dur_hr",
+          when(col("event") === 1, expr("(tconv - t0) DIV 3600000000"))
+            .otherwise(expr("(tlast - t0) DIV 3600000000")))
+      val risk = pu.groupBy("dur_hr")
+        .agg(sum("event").as("d_t"),
+          sum(lit(1L) - col("event")).as("c_t"))
+        .withColumn("n_total",
+          sum(col("d_t") + col("c_t")).over(W.partitionBy()))
+        .withColumn("n_risk", col("n_total")
+          - coalesce(sum(col("d_t") + col("c_t")).over(
+              W.orderBy("dur_hr")
+                .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      risk.filter(col("d_t") > 0)
+        .withColumn("term_u", when(col("n_risk") > col("d_t"),
+          floor(log((col("n_risk") - col("d_t")).cast("double")
+            / col("n_risk").cast("double")) * 1000000 + 0.5).cast("long")))
+        .withColumn("zero_flag",
+          max(when(col("n_risk") === col("d_t"), 1).otherwise(0)).over(
+            W.orderBy("dur_hr").rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn("cum_u", sum("term_u").over(
+          W.orderBy("dur_hr").rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn("survival", when(col("zero_flag") === 1, lit(0.0))
+          .otherwise(r4(exp(col("cum_u") / 1000000.0))))
+        .select(col("dur_hr").as("t_hr"), col("n_risk"),
+          col("d_t").as("n_events"), col("c_t").as("n_censored"),
+          col("survival"))
+        .orderBy("t_hr")
+    }),
+
+    // INTER-ARRIVAL BURSTINESS (round 10): per event type, the
+    // Goh-Barabási burstiness B = (σ−μ)/(σ+μ) of inter-arrival gaps
+    // (B→−1 periodic, 0 Poisson, →1 bursty) plus the CV — the
+    // capacity-planning readout that says whether concurrency peaks
+    // are rate or clustering. Gaps per (user, type) via the
+    // user-sharded lag (the events_gap_histogram window — never a
+    // global arrival ordering); σ from the exact n·Σx²−(Σx)² BIGINT
+    // closed form over SECOND-quantized gaps (bound: n·gap_sec²
+    // < 2^63 ⇒ gaps to ~30 days safe to ~1e9 gaps/type; past that
+    // quantize to minutes). One sqrt + two divisions at the end,
+    // mirrored, r4'd.
+    "events_burstiness" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      TestData.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("lag_us", lag(col("ts_us"), 1).over(W))
+        .withColumn("gap_sec",
+          expr("(ts_us - lag_us) DIV 1000000"))
+        .filter(col("gap_sec").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum("gap_sec").as("sx"),
+          sum(col("gap_sec") * col("gap_sec")).as("sxx"))
+        .filter(col("n_gaps") >= 2)
+        .withColumn("mu", col("sx").cast("double") / col("n_gaps"))
+        .withColumn("sigma", sqrt(
+          (col("n_gaps") * col("sxx") - col("sx") * col("sx")).cast("double")
+            / (col("n_gaps") * (col("n_gaps") - 1)).cast("double")))
+        .withColumn("burstiness", when(col("sigma") + col("mu") > 0,
+          r4((col("sigma") - col("mu")) / (col("sigma") + col("mu")))))
+        .withColumn("cv", when(col("mu") > 0, r4(col("sigma") / col("mu"))))
+        .select(col("event_type"), col("n_gaps"), col("sx"), col("sxx"),
+          r4(col("mu")).as("mean_gap_sec"), col("burstiness"), col("cv"))
+        .orderBy("event_type")
     })
   )
 
@@ -2171,6 +2335,139 @@ object TimeSeries {
         |  floor(((n * sxy - sx * sy)::DOUBLE /
         |    sqrt(((n * sxx - sx * sx)::DOUBLE)
         |      * ((n * syy - sy * sy)::DOUBLE)))*10000 + 0.5)/10000 AS corr4
-        |FROM m ORDER BY lag""".stripMargin
+        |FROM m ORDER BY lag""".stripMargin,
+    // Same pair table as ts_theil_sen, same sign convention; tie
+    // table over the value-distinct grid; z's op order mirrored.
+    "ts_mann_kendall" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)::TIMESTAMP)
+        |      // 3600000000 AS xh,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT count(*)::BIGINT AS n_pairs,
+        |    sum(sign(b.n - a.n))::BIGINT AS s_stat
+        |  FROM hourly a JOIN hourly b ON b.xh > a.xh),
+        |t AS (
+        |  SELECT sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term,
+        |    count(*)::BIGINT AS n_distinct, sum(t)::BIGINT AS n_hours
+        |  FROM (SELECT n, count(*)::BIGINT AS t FROM hourly GROUP BY 1)),
+        |a AS (
+        |  SELECT n_hours, n_pairs, s_stat, tie_term,
+        |    (n_hours * (n_hours - 1) * (2 * n_hours + 5)
+        |      - tie_term)::BIGINT AS var_num
+        |  FROM p CROSS JOIN t)
+        |SELECT n_hours, n_pairs, s_stat, tie_term, var_num,
+        |  CASE WHEN var_num > 0 THEN
+        |    floor((s_stat - sign(s_stat))::DOUBLE
+        |      / sqrt(var_num::DOUBLE / 18.0) * 10000 + 0.5) / 10000 END AS z
+        |FROM a""".stripMargin,
+    // Same RANGE frames over the hour grid, full-window boundaries
+    // only, micro-quantized sort key with the (|shift| DESC, hr)
+    // tie-break.
+    "ts_level_shift" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT hr,
+        |    (sum(cnt) OVER (ORDER BY hr
+        |      RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))::BIGINT AS sum_l,
+        |    (count(*) OVER (ORDER BY hr
+        |      RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))::BIGINT AS cnt_l,
+        |    (sum(cnt) OVER (ORDER BY hr
+        |      RANGE BETWEEN CURRENT ROW AND 23 FOLLOWING))::BIGINT AS sum_r,
+        |    (count(*) OVER (ORDER BY hr
+        |      RANGE BETWEEN CURRENT ROW AND 23 FOLLOWING))::BIGINT AS cnt_r
+        |  FROM hourly),
+        |f AS (
+        |  SELECT hr, sum_l, sum_r,
+        |    floor((sum_r::DOUBLE / 24.0 - sum_l::DOUBLE / 24.0)
+        |      * 10000 + 0.5)::BIGINT AS shift_q
+        |  FROM w WHERE cnt_l = 24 AND cnt_r = 24),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY abs(shift_q) DESC, hr)
+        |    AS rk
+        |  FROM f)
+        |SELECT rk::INT AS rk, hr,
+        |  floor((sum_l / 24.0) * 10000 + 0.5) / 10000 AS pre_mean,
+        |  floor((sum_r / 24.0) * 10000 + 0.5) / 10000 AS post_mean,
+        |  floor((shift_q / 10000.0) * 10000 + 0.5) / 10000 AS shift
+        |FROM r WHERE rk <= 5 ORDER BY rk""".stripMargin,
+    // Same risk-set cumulative over the distinct duration grid, same
+    // micro-nat ln quantization, same zero flag.
+    "events_survival_km" ->
+      """WITH pu AS (
+        |  SELECT user_id, min(epoch_us(ts))::BIGINT AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      ::BIGINT AS tconv,
+        |    max(epoch_us(ts))::BIGINT AS tlast
+        |  FROM events GROUP BY 1),
+        |du AS (
+        |  SELECT CASE WHEN tconv IS NOT NULL THEN 1 ELSE 0 END AS event,
+        |    CASE WHEN tconv IS NOT NULL
+        |      THEN (tconv - t0) // 3600000000
+        |      ELSE (tlast - t0) // 3600000000 END AS dur_hr
+        |  FROM pu),
+        |risk AS (
+        |  SELECT dur_hr, sum(event)::BIGINT AS d_t,
+        |    sum(1 - event)::BIGINT AS c_t
+        |  FROM du GROUP BY 1),
+        |rr AS (
+        |  SELECT *,
+        |    (sum(d_t + c_t) OVER ())::BIGINT
+        |      - (coalesce(sum(d_t + c_t) OVER (ORDER BY dur_hr
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        0))::BIGINT AS n_risk
+        |  FROM risk),
+        |ev AS (
+        |  SELECT dur_hr, n_risk, d_t, c_t,
+        |    CASE WHEN n_risk > d_t THEN
+        |      floor(ln((n_risk - d_t)::DOUBLE / n_risk::DOUBLE)
+        |        * 1000000 + 0.5)::BIGINT END AS term_u,
+        |    max(CASE WHEN n_risk = d_t THEN 1 ELSE 0 END) OVER (
+        |      ORDER BY dur_hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zf
+        |  FROM rr WHERE d_t > 0),
+        |km AS (
+        |  SELECT dur_hr, n_risk, d_t, c_t, zf,
+        |    (sum(term_u) OVER (ORDER BY dur_hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS cum_u
+        |  FROM ev)
+        |SELECT dur_hr AS t_hr, n_risk, d_t AS n_events, c_t AS n_censored,
+        |  CASE WHEN zf = 1 THEN 0.0
+        |    ELSE floor(exp(cum_u / 1000000.0) * 10000 + 0.5) / 10000 END
+        |    AS survival
+        |FROM km ORDER BY t_hr""".stripMargin,
+    // Same user-sharded gap window (the events_gap_histogram one),
+    // second-quantized gaps, n·Σx²−(Σx)² closed form, mirrored
+    // σ/μ op order.
+    "events_burstiness" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id))
+        |      // 1000000 AS gap_sec
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_gaps,
+        |    sum(gap_sec)::BIGINT AS sx,
+        |    sum(gap_sec * gap_sec)::BIGINT AS sxx
+        |  FROM g WHERE gap_sec IS NOT NULL
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        |m AS (
+        |  SELECT *, sx::DOUBLE / n_gaps AS mu,
+        |    sqrt((n_gaps * sxx - sx * sx)::DOUBLE
+        |      / (n_gaps * (n_gaps - 1))::DOUBLE) AS sigma
+        |  FROM a)
+        |SELECT event_type, n_gaps, sx, sxx,
+        |  floor(mu * 10000 + 0.5) / 10000 AS mean_gap_sec,
+        |  CASE WHEN sigma + mu > 0 THEN
+        |    floor((sigma - mu) / (sigma + mu) * 10000 + 0.5) / 10000 END
+        |    AS burstiness,
+        |  CASE WHEN mu > 0 THEN floor(sigma / mu * 10000 + 0.5) / 10000 END
+        |    AS cv
+        |FROM m ORDER BY event_type""".stripMargin
   )
 }

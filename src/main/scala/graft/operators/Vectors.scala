@@ -437,6 +437,43 @@ object Vectors {
           r4(col("loading")).as("loading"),
           r4(col("eigenvalue")).as("eigenvalue"))
         .orderBy("component", "dim")
+    }),
+
+    // CENTROID SILHOUETTE (round 10): the simplified (centroid-
+    // based) silhouette per vector — a = distance to own centroid,
+    // b = nearest OTHER centroid, s = (b−a)/max(a,b) — the index-
+    // health readout that says whether the IVF coarse quantizer's
+    // cells are actually separated (s → 0: probe more cells or
+    // re-train; the full pairwise silhouette is O(n²) and never
+    // runs at corpus scale — this is the standard surrogate).
+    // Distances micro-quantized BEFORE the argmin (float sort keys
+    // quantize; ties break on cid, mirrored), so a/b/s are exact
+    // from there. Shape: one broadcast centroid cross join (k
+    // rows/vec), two map-side-combinable aggregates — no shuffle
+    // wider than the corpus-grain groupBy.
+    "ann_centroid_silhouette" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val dists = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(fixedCentroids(e)))
+        .withColumn("d_u",
+          floor(sqrt(V.sqDist(col("embedding"), col("cv"))) * 1000000
+            + 0.5).cast("long"))
+        .select("vec_id", "cid", "d_u")
+        .localCheckpoint()
+      val own = dists.groupBy("vec_id")
+        .agg(min(struct(col("d_u"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cluster"),
+          col("m.d_u").as("a_u"))
+      dists.join(own, "vec_id")
+        .filter(col("cid") =!= col("cluster"))
+        .groupBy("vec_id", "cluster", "a_u")
+        .agg(min("d_u").as("b_u"))
+        .withColumn("sil", when(greatest(col("a_u"), col("b_u")) > 0,
+          r4((col("b_u") - col("a_u")).cast("double")
+            / greatest(col("a_u"), col("b_u")).cast("double")))
+          .otherwise(lit(0.0)))
+        .select("vec_id", "cluster", "a_u", "b_u", "sil")
+        .orderBy("vec_id")
     })
   )
 
@@ -654,6 +691,35 @@ object Vectors {
         |  FROM scored WHERE label <> albl)
         |SELECT pos.aid AS anchor_id, pos_id, pos_cos, neg_id, neg_cos
         |FROM pos JOIN neg ON pos.aid = neg.aid AND pos.rn = 1 AND neg.rn = 1
-        |ORDER BY anchor_id""".stripMargin
+        |ORDER BY anchor_id""".stripMargin,
+    // Same micro-quantized distances, same (d_u, cid) argmin
+    // tie-break, same (b−a)/max(a,b) with the both-zero guard.
+    "ann_centroid_silhouette" ->
+      s"""WITH c AS (SELECT vec_id AS cid, $E AS cv
+        |           FROM embeddings WHERE vec_id < 4),
+        |dists AS (
+        |  SELECT e.vec_id, c.cid,
+        |    floor(sqrt(list_sum(list_transform(list_zip(e.$E, c.cv),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2])))) * 1000000 + 0.5)::BIGINT
+        |      AS d_u
+        |  FROM embeddings e CROSS JOIN c),
+        |own AS (
+        |  SELECT vec_id, cid AS cluster, d_u AS a_u FROM (
+        |    SELECT vec_id, cid, d_u,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d_u, cid)
+        |        AS rn
+        |    FROM dists)
+        |  WHERE rn = 1),
+        |b AS (
+        |  SELECT d.vec_id, own.cluster, own.a_u, min(d.d_u)::BIGINT AS b_u
+        |  FROM dists d
+        |  JOIN own ON d.vec_id = own.vec_id AND d.cid <> own.cluster
+        |  GROUP BY 1, 2, 3)
+        |SELECT vec_id, cluster, a_u, b_u,
+        |  CASE WHEN greatest(a_u, b_u) > 0 THEN
+        |    floor((b_u - a_u)::DOUBLE / greatest(a_u, b_u)::DOUBLE
+        |      * 10000 + 0.5) / 10000
+        |  ELSE 0.0 END AS sil
+        |FROM b ORDER BY vec_id""".stripMargin
   )
 }
