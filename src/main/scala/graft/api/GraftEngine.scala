@@ -1945,4 +1945,483 @@ class GraftEngine(val spark: SparkSession) {
       .select("iso_dow", "hr", "n_events", "n_days", "avg_per_day")
       .orderBy("iso_dow", "hr")
   }
+
+  /** Two-group value-distinct cell table shared by [[mannWhitney]]
+    * and [[ksTest]]: one row per distinct value of `valueCol` (an
+    * already-quantized integer — quantize BEFORE calling, the grid
+    * size is the value domain) with per-group counts.
+    */
+  private def twoGroupCells(df: DataFrame, valueCol: String,
+                            groupCol: String, aLabel: String,
+                            bLabel: String): DataFrame =
+    df.groupBy(col(valueCol).as("x"))
+      .agg(sum(when(col(groupCol) === aLabel, 1L).otherwise(0L)).as("cc"),
+        sum(when(col(groupCol) === bLabel, 1L).otherwise(0L)).as("ct"))
+
+  /** Mann-Whitney U (see `agg_mann_whitney`): 2×U for group
+    * `bLabel`, tie sum Σ(t³−t), and the tie-corrected z — all from
+    * the value-distinct grid, never a corpus-grain rank.
+    */
+  def mannWhitney(df: DataFrame, valueCol: String, groupCol: String,
+                  aLabel: String = "control",
+                  bLabel: String = "treatment"): DataFrame = {
+    val W = Window.orderBy("x")
+    twoGroupCells(df, valueCol, groupCol, aLabel, bLabel)
+      .withColumn("cum_cc_lt",
+        coalesce(sum("cc").over(
+          W.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .agg(sum("cc").as("n_control"), sum("ct").as("n_treatment"),
+        sum(col("ct") * (lit(2L) * col("cum_cc_lt") + col("cc")))
+          .as("u2_treatment"),
+        sum((col("cc") + col("ct")) * (col("cc") + col("ct"))
+          * (col("cc") + col("ct")) - (col("cc") + col("ct")))
+          .as("tie_sum"))
+      .withColumn("var_u",
+        (col("n_control") * col("n_treatment")).cast("double")
+          * ((col("n_control") + col("n_treatment") + 1).cast("double")
+            - col("tie_sum").cast("double")
+              / ((col("n_control") + col("n_treatment"))
+                * (col("n_control") + col("n_treatment") - 1))
+                .cast("double"))
+          / 12.0)
+      .withColumn("z", when(col("var_u") > 0, TestData.r4(
+        ((col("u2_treatment") - col("n_control") * col("n_treatment"))
+          .cast("double") / 2.0) / sqrt(col("var_u")))))
+      .select("n_control", "n_treatment", "u2_treatment", "tie_sum", "z")
+  }
+
+  /** Two-sample Kolmogorov-Smirnov (see `agg_ks_test`): integer
+    * cross-multiplied D numerator over the value grid + asymptotic
+    * p-value. Bound: cum·n ≤ n_a·n_b < 2^63.
+    */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+             aLabel: String = "control",
+             bLabel: String = "treatment"): DataFrame = {
+    val W = Window.orderBy("x")
+    twoGroupCells(df, valueCol, groupCol, aLabel, bLabel)
+      .withColumn("cum_cc", sum("cc").over(
+        W.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_ct", sum("ct").over(
+        W.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n_c", sum("cc").over(Window.partitionBy()))
+      .withColumn("n_t", sum("ct").over(Window.partitionBy()))
+      .agg(max("n_c").as("n_control"), max("n_t").as("n_treatment"),
+        max(abs(col("cum_cc") * col("n_t") - col("cum_ct") * col("n_c")))
+          .as("d_num"))
+      .withColumn("d_stat", TestData.r4(col("d_num").cast("double")
+        / (col("n_control") * col("n_treatment")).cast("double")))
+      .withColumn("p_approx", TestData.r4(least(lit(1.0),
+        lit(2.0) * exp(lit(-2.0)
+          * pow(col("d_num").cast("double")
+              / (col("n_control") * col("n_treatment")).cast("double"), 2)
+          * (col("n_control") * col("n_treatment")).cast("double")
+          / (col("n_control") + col("n_treatment")).cast("double")))))
+      .select("n_control", "n_treatment", "d_num", "d_stat", "p_approx")
+  }
+
+  /** Cramér's V (see `agg_cramers_v`): χ² effect size of the
+    * `colA` × `colB` association over the FULL grid (zero cells
+    * included); per-cell terms micro-quantized before the sum.
+    */
+  def cramersV(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val f = df.select(col(colA).as("ka"), col(colB).as("kb"))
+    val cells = f.groupBy("ka", "kb").agg(count(lit(1)).as("cnt"))
+    val grid = f.select("ka").distinct()
+      .crossJoin(f.select("kb").distinct())
+      .join(cells, Seq("ka", "kb"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    grid
+      .withColumn("r_i", sum("cnt").over(Window.partitionBy("ka")))
+      .withColumn("c_j", sum("cnt").over(Window.partitionBy("kb")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy()))
+      .withColumn("e", (col("r_i") * col("c_j")).cast("double")
+        / col("n").cast("double"))
+      .withColumn("term_u", floor(
+        (col("cnt").cast("double") - col("e"))
+          * (col("cnt").cast("double") - col("e")) / col("e")
+          * 1000000 + 0.5).cast("long"))
+      .agg(max("n").as("n_rows"), countDistinct("ka").as("n_r"),
+        countDistinct("kb").as("n_c"), sum("term_u").as("chi2_micro"))
+      .withColumn("cramers_v", TestData.r4(sqrt(
+        (col("chi2_micro").cast("double") / 1000000.0)
+          / (col("n_rows")
+            * least(col("n_r") - 1, col("n_c") - 1)).cast("double"))))
+      .select("n_rows", "n_r", "n_c", "chi2_micro", "cramers_v")
+  }
+
+  /** Spearman ρ per group (see `agg_spearman_rho`) over two
+    * integer-quantized columns; rank grids are the value DOMAINS.
+    * Bound: 4n³ < 2^63 per group (n ≲ 1.3e6).
+    */
+  def spearmanRho(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val li = df.select(col(groupCol).as("g"), col(xCol).as("qx"),
+      col(yCol).as("qy"))
+    val cells = li.groupBy("g", "qx", "qy").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    def marginalRank(valCol: String): DataFrame = {
+      val w = Window.partitionBy("g").orderBy(valCol)
+      cells.groupBy("g", valCol).agg(sum("c").as("cm"))
+        .withColumn("cum_lt", coalesce(sum("cm").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum("cm").over(Window.partitionBy("g")))
+        .withColumn(s"d_$valCol",
+          lit(2L) * col("cum_lt") + col("cm") + 1 - (col("n") + 1))
+        .select(col("g"), col(valCol), col(s"d_$valCol"))
+    }
+    cells
+      .join(marginalRank("qx"), Seq("g", "qx"))
+      .join(marginalRank("qy"), Seq("g", "qy"))
+      .groupBy("g")
+      .agg(sum("c").as("n"),
+        sum(col("c") * col("d_qx") * col("d_qy")).as("sxy"),
+        sum(col("c") * col("d_qx") * col("d_qx")).as("sxx"),
+        sum(col("c") * col("d_qy") * col("d_qy")).as("syy"))
+      .withColumn("rho", when(col("sxx") > 0 && col("syy") > 0,
+        TestData.r4(col("sxy").cast("double")
+          / sqrt(col("sxx").cast("double") * col("syy").cast("double")))))
+      .select(col("g").as(groupCol), col("n"), col("sxy"), col("sxx"),
+        col("syy"), col("rho"))
+      .orderBy(groupCol)
+  }
+
+  /** Mann-Kendall trend test (see `ts_mann_kendall`) over an
+    * integer series (`xCol` grid index, `yCol` value): S from the
+    * grid² pair join, tie-corrected variance, continuity-corrected
+    * z. Grid-sized, never corpus-sized.
+    */
+  def mannKendall(series: DataFrame, xCol: String,
+                  yCol: String): DataFrame = {
+    val a = series.select(col(xCol).as("xh"), col(yCol).as("n"))
+      .localCheckpoint()
+    val b = a.select(col("xh").as("x2"), col("n").as("n2"))
+    val sPairs = a.join(b, col("x2") > col("xh"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(signum(col("n2") - col("n")).cast("long")).as("s_stat"))
+    val ties = a.groupBy("n").agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+             .as("tie_term"),
+           sum("t").as("n_points"))
+    sPairs.crossJoin(ties)
+      .withColumn("var_num",
+        col("n_points") * (col("n_points") - 1)
+          * (lit(2L) * col("n_points") + 5) - col("tie_term"))
+      .withColumn("z", when(col("var_num") > 0, TestData.r4(
+        (col("s_stat") - signum(col("s_stat")).cast("long")).cast("double")
+          / sqrt(col("var_num").cast("double") / 18.0))))
+      .select("n_points", "n_pairs", "s_stat", "tie_term", "var_num", "z")
+  }
+
+  /** Kaplan-Meier estimator (see `events_survival_km`) over a
+    * durations table (`durCol` integer time, `eventCol` 1 = event /
+    * 0 = right-censored): risk sets from cumulative sums over the
+    * distinct-duration grid, micro-nat ln terms, exact-zero tail.
+    */
+  def kaplanMeier(durations: DataFrame, durCol: String,
+                  eventCol: String): DataFrame = {
+    val risk = durations
+      .select(col(durCol).as("dur"), col(eventCol).cast("long").as("ev"))
+      .groupBy("dur")
+      .agg(sum("ev").as("d_t"), sum(lit(1L) - col("ev")).as("c_t"))
+      .withColumn("n_total",
+        sum(col("d_t") + col("c_t")).over(Window.partitionBy()))
+      .withColumn("n_risk", col("n_total")
+        - coalesce(sum(col("d_t") + col("c_t")).over(
+            Window.orderBy("dur")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    risk.filter(col("d_t") > 0)
+      .withColumn("term_u", when(col("n_risk") > col("d_t"),
+        floor(log((col("n_risk") - col("d_t")).cast("double")
+          / col("n_risk").cast("double")) * 1000000 + 0.5).cast("long")))
+      .withColumn("zero_flag",
+        max(when(col("n_risk") === col("d_t"), 1).otherwise(0)).over(
+          Window.orderBy("dur")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_u", sum("term_u").over(
+        Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("survival", when(col("zero_flag") === 1, lit(0.0))
+        .otherwise(TestData.r4(exp(col("cum_u") / 1000000.0))))
+      .select(col("dur").as("t"), col("n_risk"),
+        col("d_t").as("n_events"), col("c_t").as("n_censored"),
+        col("survival"))
+      .orderBy("t")
+  }
+
+  /** Goh-Barabási burstiness per group (see `events_burstiness`)
+    * over a pre-computed integer gap table: B = (σ−μ)/(σ+μ) + CV
+    * from the exact n·Σx²−(Σx)² closed form. Bound: n·gap² < 2^63.
+    */
+  def burstiness(gaps: DataFrame, groupCol: String,
+                 gapCol: String): DataFrame =
+    gaps.select(col(groupCol).as("g"), col(gapCol).as("gap"))
+      .filter(col("gap").isNotNull)
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap").as("sx"),
+        sum(col("gap") * col("gap")).as("sxx"))
+      .filter(col("n_gaps") >= 2)
+      .withColumn("mu", col("sx").cast("double") / col("n_gaps"))
+      .withColumn("sigma", sqrt(
+        (col("n_gaps") * col("sxx") - col("sx") * col("sx")).cast("double")
+          / (col("n_gaps") * (col("n_gaps") - 1)).cast("double")))
+      .withColumn("burstiness", when(col("sigma") + col("mu") > 0,
+        TestData.r4((col("sigma") - col("mu"))
+          / (col("sigma") + col("mu")))))
+      .withColumn("cv", when(col("mu") > 0,
+        TestData.r4(col("sigma") / col("mu"))))
+      .select(col("g").as(groupCol), col("n_gaps"), col("sx"), col("sxx"),
+        TestData.r4(col("mu")).as("mean_gap"), col("burstiness"),
+        col("cv"))
+      .orderBy(groupCol)
+
+  /** Level-shift scan (see `ts_level_shift`): top-`topK` step
+    * changes of an integer series by |next-`window` mean −
+    * prior-`window` mean|, full occupied windows only.
+    */
+  def levelShift(series: DataFrame, xCol: String, yCol: String,
+                 window: Int = 24, topK: Int = 5): DataFrame = {
+    require(window >= 1 && topK >= 1, "window and topK must be positive")
+    val wL = Window.orderBy(xCol).rangeBetween(-window, -1)
+    val wR = Window.orderBy(xCol).rangeBetween(0, window - 1)
+    series
+      .withColumn("sum_l", sum(col(yCol)).over(wL))
+      .withColumn("cnt_l", count(lit(1)).over(wL))
+      .withColumn("sum_r", sum(col(yCol)).over(wR))
+      .withColumn("cnt_r", count(lit(1)).over(wR))
+      .filter(col("cnt_l") === window && col("cnt_r") === window)
+      .withColumn("shift_q", floor(
+        (col("sum_r").cast("double") / window
+          - col("sum_l").cast("double") / window) * 10000 + 0.5)
+        .cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(abs(col("shift_q")).desc, col(xCol))))
+      .filter(col("rk") <= topK)
+      .select(col("rk"), col(xCol),
+        TestData.r4(col("sum_l") / window.toDouble).as("pre_mean"),
+        TestData.r4(col("sum_r") / window.toDouble).as("post_mean"),
+        TestData.r4(col("shift_q") / 10000.0).as("shift"))
+      .orderBy("rk")
+  }
+
+  /** Local clustering coefficient (see `graph_clustering_coeff`)
+    * over `nodes` (one `id` column) and an undirected `pairs`
+    * (src, dst) edge list (each edge once, src < dst).
+    */
+  def clusteringCoefficient(nodes: DataFrame,
+                            pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("src").as("a"), col("dst").as("b"))
+    val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    val a2 = adj.select(col("src").as("src2"), col("dst").as("dst2"))
+    val tri = adj
+      .join(a2, col("src") === col("src2") && col("dst") < col("dst2"))
+      .join(edges, col("dst") === col("a") && col("dst2") === col("b"))
+      .groupBy(col("src").as("v")).agg(count(lit(1)).as("n_tri"))
+    nodes.select(col("id"))
+      .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .join(tri.withColumnRenamed("v", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("lcc", when(col("deg") >= 2,
+        TestData.r4((lit(2L) * col("n_tri")).cast("double")
+          / (col("deg") * (col("deg") - 1)).cast("double"))))
+      .orderBy("id")
+  }
+
+  /** HITS hubs/authorities (see `graph_hits`): `rounds` fixed
+    * synchronous rounds over a DIRECTED (src, dst) edge list,
+    * integer micro-unit scores, L1 normalization per half-round.
+    */
+  def hits(nodes: DataFrame, edges: DataFrame,
+           rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "rounds must be positive")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val n = nodes.select(col("id"))
+    var hub = n.select(col("id"), lit(1000000L).as("h"))
+    var auth = n.select(col("id"), lit(0L).as("a"))
+    for (_ <- 1 to rounds) {
+      val araw = n.join(
+          hub.withColumnRenamed("id", "src").join(e, "src")
+            .groupBy(col("dst").as("id")).agg(sum("h").as("ar")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("ar"), lit(0L)).as("ar"))
+      val sa = araw.agg(sum("ar").as("sa"))
+      auth = araw.crossJoin(broadcast(sa))
+        .select(col("id"), expr("ar * 1000000 DIV sa").as("a"))
+        .localCheckpoint()
+      val hraw = n.join(
+          auth.withColumnRenamed("id", "dst").join(e, "dst")
+            .groupBy(col("src").as("id")).agg(sum("a").as("hr")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("hr"), lit(0L)).as("hr"))
+      val sh = hraw.agg(sum("hr").as("sh"))
+      hub = hraw.crossJoin(broadcast(sh))
+        .select(col("id"), expr("hr * 1000000 DIV sh").as("h"))
+        .localCheckpoint()
+    }
+    hub.join(auth, "id")
+      .select(col("id"), col("h").as("hub_u"), col("a").as("auth_u"))
+      .orderBy("id")
+  }
+
+  /** Centroid silhouette (see `ann_centroid_silhouette`) of
+    * `vectors` (id, embedding) against `cents` (cid, cv):
+    * micro-quantized distances, (b−a)/max(a,b).
+    */
+  def centroidSilhouette(vectors: DataFrame,
+                         cents: DataFrame): DataFrame = {
+    val dists = vectors.select(col("id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d_u",
+        floor(sqrt(V.sqDist(col("embedding"), col("cv"))) * 1000000
+          + 0.5).cast("long"))
+      .select("id", "cid", "d_u")
+      .localCheckpoint()
+    val own = dists.groupBy("id")
+      .agg(min(struct(col("d_u"), col("cid"))).as("m"))
+      .select(col("id"), col("m.cid").as("cluster"),
+        col("m.d_u").as("a_u"))
+    dists.join(own, "id")
+      .filter(col("cid") =!= col("cluster"))
+      .groupBy("id", "cluster", "a_u")
+      .agg(min("d_u").as("b_u"))
+      .withColumn("sil", when(greatest(col("a_u"), col("b_u")) > 0,
+        TestData.r4((col("b_u") - col("a_u")).cast("double")
+          / greatest(col("a_u"), col("b_u")).cast("double")))
+        .otherwise(lit(0.0)))
+      .select("id", "cluster", "a_u", "b_u", "sil")
+      .orderBy("id")
+  }
+
+  /** k-anonymity suppression cost curve (see
+    * `privacy_suppression_curve`) over caller QI columns at the
+    * given `ks` thresholds (group-grain explode, never corpus).
+    */
+  def suppressionCurve(df: DataFrame, qiCols: Seq[String],
+                       ks: Seq[Int] = Seq(2, 5, 10, 20)): DataFrame = {
+    require(qiCols.nonEmpty && ks.nonEmpty, "need QI columns and ks")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("gs"))
+      .select(col("gs"), explode(lit(ks.toArray)).as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("gs") < col("k"), 1L).otherwise(0L))
+          .as("n_small_groups"),
+        sum(when(col("gs") < col("k"), col("gs")).otherwise(0L))
+          .as("n_suppressed"),
+        sum("gs").as("n_rows"))
+      .withColumn("suppressed_frac",
+        TestData.r4(col("n_suppressed").cast("double") / col("n_rows")))
+      .orderBy("k")
+  }
+
+  /** Deterministic Poisson-bootstrap CI (see `sample_bootstrap_ci`)
+    * for the mean of integer `valueCol`, seeded by md5(`keyCol`)
+    * with per-replicate multiplicative remix; `b` replicates.
+    */
+  def bootstrapCi(df: DataFrame, keyCol: String, valueCol: String,
+                  b: Int = 32): DataFrame = {
+    require(b >= 2 && b <= 1000, "need 2..1000 replicates")
+    val o = df.select(col(keyCol).as("k"), col(valueCol).as("v"))
+    val u = (((col("h28") * (lit(2654435761L) + col("b") * lit(96542L)))
+      % 268435456L).cast("double") + lit(0.5)) / lit(268435456.0)
+    val pois = when(u < 0.3678794412, 0L).when(u < 0.7357588823, 1L)
+      .when(u < 0.9196986029, 2L).when(u < 0.9810118431, 3L)
+      .when(u < 0.9963401532, 4L).when(u < 0.9994058152, 5L)
+      .when(u < 0.9999167589, 6L).when(u < 0.9999897508, 7L)
+      .otherwise(8L)
+    val reps = o
+      .withColumn("h28",
+        conv(substring(md5(col("k").cast("string")), 1, 7), 16, 10)
+          .cast("long"))
+      .select(col("k"), col("v"), col("h28"),
+        explode(lit((0 until b).toArray)).as("b"))
+      .withColumn("w", pois)
+      .groupBy("b")
+      .agg(sum("w").as("n_eff"), sum(col("w") * col("v")).as("wsum"))
+      .filter(col("n_eff") > 0)
+      .withColumn("mean_q", floor(col("wsum").cast("double")
+        / col("n_eff").cast("double") * 10000 + 0.5).cast("long"))
+    val boot = reps
+      .withColumn("rn", row_number().over(Window.orderBy("mean_q", "b")))
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy()))
+      .agg(max("nb").as("b_replicates"),
+        max(when(col("rn") === expr("(nb + 1) DIV 20"), col("mean_q")))
+          .as("lo_q"),
+        max(when(col("rn") === expr("(19 * (nb + 1)) DIV 20"),
+          col("mean_q"))).as("hi_q"))
+    val point = o.agg(count(lit(1)).as("n_rows"),
+      TestData.r4(sum("v").cast("double") / count(lit(1))).as("mean"))
+    point.crossJoin(boot)
+      .withColumn("boot_lo", TestData.r4(col("lo_q") / 10000.0))
+      .withColumn("boot_hi", TestData.r4(col("hi_q") / 10000.0))
+      .select("n_rows", "mean", "b_replicates", "boot_lo", "boot_hi")
+  }
+
+  /** Flesch readability (see `text_readability`) of (`id`, `text`)
+    * rows: re-token words, [.!?]+ sentence runs (floor 1),
+    * vowel-group syllables (floor 1 per word), r4'd score.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val words = regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))
+    docs
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("n_sentences", greatest(lit(1L),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .cast("long")))
+      .withColumn("n_syllables", aggregate(
+        transform(words, w => greatest(lit(1),
+          size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))))),
+        lit(0L), (acc, x) => acc + x))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch", TestData.r4(lit(206.835)
+        - lit(1.015) * (col("n_words").cast("double")
+          / col("n_sentences").cast("double"))
+        - lit(84.6) * (col("n_syllables").cast("double")
+          / col("n_words").cast("double"))))
+      .select("id", "n_words", "n_sentences", "n_syllables", "flesch")
+      .orderBy("id")
+  }
+
+  /** Yule's K per group (see `text_yule_k`) of (`groupCol`, `text`)
+    * rows: K = 10⁴·(Σf²−N)/N² over the token frequency spectrum.
+    */
+  def yuleK(docs: DataFrame, groupCol: String): DataFrame =
+    docs.select(col(groupCol).as("g"),
+        explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+          .as("tok"))
+      .groupBy("g", "tok").agg(count(lit(1)).as("f"))
+      .groupBy("g")
+      .agg(sum("f").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("f") * col("f")).as("s2"))
+      .withColumn("yule_k", TestData.r4(lit(10000.0)
+        * (col("s2") - col("n_tokens")).cast("double")
+        / (col("n_tokens").cast("double")
+          * col("n_tokens").cast("double"))))
+      .select(col("g").as(groupCol), col("n_tokens"), col("n_types"),
+        col("s2"), col("yule_k"))
+      .orderBy(groupCol)
+
+  /** Top-`k` term burstiness (see `text_term_burstiness`) of
+    * (`id`, `text`) rows: cf, df, cf/df clumpiness, smoothed IDF.
+    */
+  def termBurstiness(docs: DataFrame, k: Int = 20): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val toks = docs.select(col("id"),
+      explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+        .as("tok"))
+    val byTok = toks.groupBy("tok")
+      .agg(count(lit(1)).as("cf"), countDistinct("id").as("df"))
+    val nDocs = docs.agg(countDistinct("id").as("n_docs"))
+    byTok.crossJoin(broadcast(nDocs))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cf").desc, col("tok"))))
+      .filter(col("rk") <= k)
+      .withColumn("burstiness",
+        TestData.r4(col("cf").cast("double") / col("df").cast("double")))
+      .withColumn("idf", TestData.r4(log((col("n_docs") + 1).cast("double")
+        / (col("df") + 1).cast("double"))))
+      .select("rk", "tok", "cf", "df", "burstiness", "idf")
+      .orderBy("rk")
+  }
 }

@@ -225,9 +225,6 @@ object Stats {
       val o = TestData.orders(s, d)
         .select(col("o_orderkey"),
           floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-        .withColumn("h28",
-          conv(substring(md5(col("o_orderkey").cast("string")), 1, 7),
-            16, 10).cast("long"))
       val u = (((col("h28") * (lit(2654435761L) + col("b") * lit(96542L)))
         % 268435456L).cast("double") + lit(0.5)) / lit(268435456.0)
       val pois = when(u < 0.3678794412, 0L).when(u < 0.7357588823, 1L)
@@ -236,6 +233,9 @@ object Stats {
         .when(u < 0.9999167589, 6L).when(u < 0.9999897508, 7L)
         .otherwise(8L)
       val reps = o
+        .withColumn("h28",
+          conv(substring(md5(col("o_orderkey").cast("string")), 1, 7),
+            16, 10).cast("long"))
         .select(col("o_orderkey"), col("cents"), col("h28"),
           explode(lit((0 until B).toArray)).as("b"))
         .withColumn("w", pois)

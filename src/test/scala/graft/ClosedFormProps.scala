@@ -160,4 +160,145 @@ object ClosedFormProps extends Properties("graft.closedforms") {
       (mins == mins.sorted) :| s"min sizes not monotone: $mins" &&
         (viols == viols.sorted.reverse) :| s"violations not monotone: $viols"
     }
+
+  // ---- round 10 ----
+
+  private val twoSamples: Gen[(List[Long], List[Long])] = for {
+    n1 <- Gen.choose(1, 60); n2 <- Gen.choose(1, 60)
+    xs <- Gen.listOfN(n1, Gen.choose(0L, 20L))   // narrow domain → ties
+    ys <- Gen.listOfN(n2, Gen.choose(0L, 20L))
+  } yield (xs, ys)
+
+  /** agg_mann_whitney's grid closed form: 2×U for the second sample
+    * from value-distinct cells (2·cum< + tie count), as the key
+    * computes it.
+    */
+  private def u2FromCells(xs: List[Long], ys: List[Long]): Long = {
+    val vals = (xs ++ ys).distinct.sorted
+    val cc = vals.map(v => xs.count(_ == v).toLong)
+    val ct = vals.map(v => ys.count(_ == v).toLong)
+    val cumLt = cc.scanLeft(0L)(_ + _).init
+    vals.indices.map(i => ct(i) * (2 * cumLt(i) + cc(i))).sum
+  }
+
+  property("Mann-Whitney grid form equals the pairwise definition") =
+    Prop.forAll(twoSamples) { case (xs, ys) =>
+      val brute = (for (x <- xs; y <- ys) yield {
+        if (y > x) 2L else if (y == x) 1L else 0L
+      }).sum
+      u2FromCells(xs, ys) == brute
+    }
+
+  property("Mann-Whitney complementarity: U2(a) + U2(b) = 2·n1·n2") =
+    Prop.forAll(twoSamples) { case (xs, ys) =>
+      u2FromCells(xs, ys) + u2FromCells(ys, xs) ==
+        2L * xs.length * ys.length
+    }
+
+  // agg_ks_test: the cross-multiplied grid maximum equals the
+  // brute-force ECDF gap over every pooled support point.
+  property("KS grid maximum equals the brute-force ECDF gap") =
+    Prop.forAll(twoSamples) { case (xs, ys) =>
+      val n1 = xs.length.toLong; val n2 = ys.length.toLong
+      val vals = (xs ++ ys).distinct.sorted
+      val grid = vals.map(v =>
+        math.abs(xs.count(_ <= v) * n2 - ys.count(_ <= v) * n1)).max
+      val brute = (xs ++ ys).distinct.map(v =>
+        math.abs(xs.count(_ <= v) * n2 - ys.count(_ <= v) * n1)).max
+      grid == brute && grid <= n1 * n2
+    }
+
+  // agg_spearman_rho: the joint-cell 2×average-rank deviations sum
+  // to zero EXACTLY (the identity that lets ρ skip the mean
+  // subtraction), and the cell form reproduces per-element ranks.
+  property("Spearman 2×avg-rank deviations: cell form = per-element, Σ = 0") =
+    Prop.forAll(Gen.choose(2, 80).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0L, 15L)))) { vs =>
+      val n = vs.length.toLong
+      def d2(v: Long): Long = {
+        val lt = vs.count(_ < v).toLong; val eq = vs.count(_ == v).toLong
+        2 * lt + eq + 1 - (n + 1)
+      }
+      val perElem = vs.map(d2)
+      perElem.sum == 0L && perElem.forall(d => math.abs(d) <= 2 * n)
+    }
+
+  // ts_mann_kendall: anchor cases + tie-variance non-negativity.
+  property("Mann-Kendall S: monotone series saturate, ties only shrink Var") =
+    Prop.forAll(Gen.choose(2, 60).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0L, 10L)))) { vs =>
+      val n = vs.length.toLong
+      def s(series: List[Long]): Long =
+        (for (i <- series.indices; j <- i + 1 until series.length)
+          yield java.lang.Long.signum(series(j) - series(i)).toLong).sum
+      val inc = vs.sorted.zipWithIndex.map { case (v, i) => v + 3 * i }
+      val tieTerm = vs.groupBy(identity).values
+        .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) })
+        .sum
+      val varNum = n * (n - 1) * (2 * n + 5) - tieTerm
+      s(inc) == n * (n - 1) / 2 &&
+        s(List.fill(vs.length)(7L)) == 0L &&
+        varNum >= 0 && math.abs(s(vs)) <= n * (n - 1) / 2
+    }
+
+  // events_survival_km: the micro-nat-quantized exp(Σ ln) form
+  // tracks the direct product within quantization tolerance and is
+  // non-increasing.
+  property("Kaplan-Meier quantized log-sum tracks the direct product") =
+    Prop.forAll(Gen.choose(1, 50).flatMap(n =>
+        Gen.listOfN(n, Gen.zip(Gen.choose(0L, 30L), Gen.oneOf(0, 1))))) {
+      durs =>
+      val byT = durs.groupBy(_._1).toList.sortBy(_._1)
+      val nTot = durs.length.toLong
+      var atRisk = nTot
+      var cum = 0L
+      var direct = 1.0
+      var prev = 2.0
+      var ok = true
+      byT.foreach { case (_, g) =>
+        val d = g.count(_._2 == 1).toLong
+        val c = g.count(_._2 == 0).toLong
+        if (d > 0) {
+          if (atRisk == d) { direct = 0.0; cum = Long.MinValue / 2 }
+          else {
+            cum += math.floor(math.log((atRisk - d).toDouble / atRisk)
+              * 1000000 + 0.5).toLong
+            direct *= (atRisk - d).toDouble / atRisk
+          }
+          val closed = if (cum < -1000000L * 100) 0.0
+            else math.exp(cum / 1000000.0)
+          ok &&= math.abs(closed - direct) <= 1e-3
+          ok &&= closed <= prev + 1e-9
+          prev = closed
+        }
+        atRisk -= d + c
+      }
+      ok
+    }
+
+  // privacy_suppression_curve: suppression cost is monotone in k.
+  property("suppression curve is monotone non-decreasing in k") =
+    Prop.forAll(Gen.choose(1, 100).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(1L, 30L)))) { gs =>
+      val ks = List(2L, 5L, 10L, 20L)
+      val cost = ks.map(k => gs.filter(_ < k).sum)
+      cost == cost.sorted
+    }
+
+  // sample_bootstrap_ci: the Poisson(1) inverse-CDF ladder is a real
+  // Poisson — thresholds strictly increase and the expected weight
+  // over a uniform grid is 1 within the cap's truncation error.
+  property("Poisson(1) inverse-CDF ladder has unit mean on the uniform grid") =
+    Prop.forAll(Gen.const(())) { _ =>
+      val thr = List(0.3678794412, 0.7357588823, 0.9196986029,
+        0.9810118431, 0.9963401532, 0.9994058152, 0.9999167589,
+        0.9999897508)
+      def w(u: Double): Int = thr.indexWhere(u < _) match {
+        case -1 => 8; case i => i
+      }
+      val grid = (0 until 100000).map(i => (i + 0.5) / 100000.0)
+      val mean = grid.map(w).sum.toDouble / grid.length
+      thr == thr.sorted && thr.distinct == thr &&
+        (math.abs(mean - 1.0) < 0.005) :| s"mean drifted: $mean"
+    }
 }

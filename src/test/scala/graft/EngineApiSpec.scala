@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 87, "documented facade count drifted; methods: "
+    assert(names.length === 103, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1257,6 +1257,258 @@ class EngineApiSpec extends SparkSpec {
     val declared = SparkEntry.queries("events_seasonality_heatmap")(spark, d)
       .collect().map(_.toSeq).toSeq
     val viaApi = engine.seasonalityHeatmap(TestData.events(spark, d))
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  /** The round-10 keys' per-user value table (micro-quantized sums,
+    * md5 variant split, whole-unit grid value) — input to the
+    * Mann-Whitney / KS parity pins.
+    */
+  private def variantUsers(d: String) =
+    TestData.events(spark, d)
+      .withColumn("v_u", floor(col("value") * 1000000 + 0.5).cast("long"))
+      .groupBy("user_id").agg(sum("v_u").as("sum_u"))
+      .withColumn("variant",
+        when(conv(substring(md5(col("user_id").cast("string")), 1, 2),
+          16, 10).cast("int") % 2 === 0, "control").otherwise("treatment"))
+      .withColumn("x", expr("sum_u DIV 1000000"))
+
+  test("mannWhitney facade matches the agg_mann_whitney key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("agg_mann_whitney")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.mannWhitney(variantUsers(d), "x", "variant")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("ksTest facade matches the agg_ks_test key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("agg_ks_test")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.ksTest(variantUsers(d), "x", "variant")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("cramersV facade matches the agg_cramers_v key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("agg_cramers_v")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.cramersV(
+        TestData.customer(spark, d)
+          .select(col("c_nationkey").cast("long").as("nationkey"),
+            col("c_mktsegment")),
+        "nationkey", "c_mktsegment")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("spearmanRho facade matches the agg_spearman_rho key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("agg_spearman_rho")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val li = TestData.lineitem(spark, d)
+      .select(col("l_returnflag").as("flag"),
+        floor(col("l_quantity") + 0.5).cast("long").as("qx"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("qy"))
+    val viaApi = engine.spearmanRho(li, "flag", "qx", "qy")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("mannKendall facade matches the ts_mann_kendall key values") {
+    val d = sf("sf0.001")
+    // the key emits n_distinct-free columns; facade's n_points ==
+    // the key's n_hours, rest identical
+    val declared = SparkEntry.queries("ts_mann_kendall")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val hourly = TestData.events(spark, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("xh", expr("unix_micros(hour) DIV 3600000000"))
+      .select("xh", "n")
+    val viaApi = engine.mannKendall(hourly, "xh", "n")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("kaplanMeier facade matches the events_survival_km key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("events_survival_km")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val pu = TestData.events(spark, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .groupBy("user_id")
+      .agg(min("ts_us").as("t0"),
+        min(when(col("event_type") === "purchase", col("ts_us")))
+          .as("tconv"),
+        max("ts_us").as("tlast"))
+      .withColumn("event", when(col("tconv").isNotNull, 1L).otherwise(0L))
+      .withColumn("dur_hr",
+        when(col("event") === 1, expr("(tconv - t0) DIV 3600000000"))
+          .otherwise(expr("(tlast - t0) DIV 3600000000")))
+    val viaApi = engine.kaplanMeier(pu, "dur_hr", "event")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("kaplanMeier handles planted censoring and the zero tail") {
+    // 4 at-risk: death at t=1 (S=3/4), censor at t=2 (no drop, no
+    // row), both remaining die at t=3 (n_risk = d_t ⇒ S = exactly 0).
+    val dur = Seq((1L, 1L), (2L, 0L), (3L, 1L), (3L, 1L))
+      .toDF("dur", "ev")
+    val rows = engine.kaplanMeier(dur, "dur", "ev")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.toSeq === Seq((1L, 4L, 1L, 0L, 0.75), (3L, 2L, 2L, 0L, 0.0)))
+  }
+
+  test("burstiness facade matches the events_burstiness key values") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("events_burstiness")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    val gaps = TestData.events(spark, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("lag_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("gap_sec", expr("(ts_us - lag_us) DIV 1000000"))
+    val viaApi = engine.burstiness(gaps, "event_type", "gap_sec")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("levelShift facade matches the ts_level_shift key values") {
+    val d = sf("sf0.01")
+    val declared = SparkEntry.queries("ts_level_shift")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val hourly = TestData.events(spark, d)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val viaApi = engine.levelShift(hourly, "hr", "cnt")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+    assert(declared.nonEmpty, "sf0.01 must produce full windows")
+  }
+
+  test("clusteringCoefficient facade matches the graph_clustering_coeff key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("graph_clustering_coeff")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val pairs = graft.operators.GraphOps.fixtureKnnEdges(spark, d)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val nodes = TestData.embeddings(spark, d).select(col("vec_id").as("id"))
+    val viaApi = engine.clusteringCoefficient(nodes, pairs)
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("hits facade matches the graph_hits key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("graph_hits")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val edges = graft.operators.GraphOps.directedKnnEdges(spark, d)
+      .select(col("qid").as("src"), col("nn").as("dst"))
+    val nodes = TestData.embeddings(spark, d).select(col("vec_id").as("id"))
+    val viaApi = engine.hits(nodes, edges)
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("centroidSilhouette facade matches the ann_centroid_silhouette key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("ann_centroid_silhouette")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val e = TestData.embeddings(spark, d)
+    val viaApi = engine.centroidSilhouette(
+        e.select(col("vec_id").as("id"), col("embedding")),
+        graft.operators.Vectors.fixedCentroids(e))
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+    // contract: s ∈ [−1, 1]
+    viaApi.foreach { r =>
+      val s = r(4).asInstanceOf[Double]
+      assert(s >= -1.0 && s <= 1.0)
+    }
+  }
+
+  test("suppressionCurve facade matches the privacy_suppression_curve key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("privacy_suppression_curve")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val qi = TestData.documents(spark, d)
+      .withColumn("len_bucket", expr("n_chars DIV 100"))
+    val viaApi = engine.suppressionCurve(qi,
+        Seq("lang", "source", "len_bucket"))
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("bootstrapCi facade matches the sample_bootstrap_ci key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("sample_bootstrap_ci")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val o = TestData.orders(spark, d)
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val viaApi = engine.bootstrapCi(o, "o_orderkey", "cents")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+    // the interval must bracket: lo ≤ hi
+    val r = viaApi.head
+    assert(r(3).asInstanceOf[Double] <= r(4).asInstanceOf[Double])
+  }
+
+  test("readability facade matches the text_readability key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("text_readability")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.readability(
+        TestData.documents(spark, d)
+          .select(col("doc_id").as("id"), col("text")))
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("readability counts known syllables") {
+    val t = Seq((1L, "the quick banana is ok")).toDF("id", "text")
+    val r = engine.readability(t).collect().head
+    // the(1) quick(1: 'ui' one group... 'quick' -> 'ui' 'i'? groups:
+    // "ui" counts as one run, no second vowel run) banana(3) is(1)
+    // ok(1) = 7
+    assert(r.getLong(1) === 5L)                     // words
+    assert(r.getLong(3) === 7L)                     // syllables
+  }
+
+  test("yuleK facade matches the text_yule_k key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("text_yule_k")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.yuleK(
+        TestData.documents(spark, d).select(col("lang"), col("text")),
+        "lang")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("yuleK limiting cases: all-distinct K = 0, one repeated token K→1e4") {
+    val t = Seq(("a", "one two three four"), ("b", "same same same same"))
+      .toDF("lang", "text")
+    val rows = engine.yuleK(t, "lang").collect()
+      .map(r => (r.getString(0), r.getDouble(4))).toMap
+    assert(rows("a") === 0.0)
+    assert(rows("b") === 10000.0 * (16 - 4) / 16.0)
+  }
+
+  test("termBurstiness facade matches the text_term_burstiness key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("text_term_burstiness")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.termBurstiness(
+        TestData.documents(spark, d)
+          .select(col("doc_id").as("id"), col("text")))
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
   }

@@ -496,4 +496,37 @@ class PlanSpec extends SparkSpec {
         s"$k: window must sit above the aggregated grid, scan below it")
     }
   }
+
+  test("Mann-Whitney / KS cumulative windows consume the value-distinct grid") {
+    // The rank/ECDF cumulatives must run over the domain-bounded cell
+    // aggregate (the agg_weighted_median move), never the per-user
+    // rows: the window sits above a HashAggregate, the corpus scan
+    // below it.
+    for (k <- Seq("agg_mann_whitney", "agg_ks_test")) {
+      val p = plan(k)
+      assert(p.contains("HashAggregate"), s"$k: missing cell aggregate")
+      val idxWindow = p.indexOf("Window")
+      val idxScan = p.indexOf("FileScan")
+      assert(idxWindow >= 0 && idxScan > idxWindow,
+        s"$k: cumulative window must consume the cell grid, not rows")
+    }
+  }
+
+  test("bootstrap CI hashes once per row: a single md5 below the explode") {
+    // The seeded draw pays ONE md5 per row and remixes per replicate
+    // with integer arithmetic — the plan must contain exactly one md5
+    // call site (the ×B generator re-mixes h28, it never re-hashes).
+    val df = SparkEntry.queries("sample_bootstrap_ci")(spark, sfDir)
+    val analyzed = df.queryExecution.analyzed.toString
+    val mentions = "(?i)md5".r.findAllIn(analyzed).length
+    assert(mentions === 1, s"expected one md5 site, got $mentions")
+  }
+
+  test("cramers_v margins ride windows over the cells grid, scan below") {
+    val p = plan("agg_cramers_v")
+    val idxWindow = p.indexOf("Window")
+    val idxScan = p.indexOf("FileScan")
+    assert(idxWindow >= 0 && idxScan > idxWindow,
+      "margin windows must consume the contingency cells, not rows")
+  }
 }
