@@ -2402,6 +2402,215 @@ class GraftEngine(val spark: SparkSession) {
         col("s2"), col("yule_k"))
       .orderBy(groupCol)
 
+  /** Shared rank-convention cut table for [[tukeyFences]] /
+    * [[trimmedMean]]: exact order statistics of integer `valueCol`
+    * per `groupCol` at ranks (n+1)·num DIV den, stable tie-break on
+    * `tieCols`.
+    */
+  private def rankCut(df: DataFrame, groupCol: String, valueCol: String,
+                      tieCols: Seq[String], loNum: Int, hiNum: Int,
+                      den: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy((valueCol +: tieCols).map(col): _*)
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .groupBy(groupCol)
+      .agg(max("n").as("n_rows"),
+        max(when(col("rn") === expr(s"($loNum * (n + 1)) DIV $den"),
+          col(valueCol))).as("lo_cut"),
+        max(when(col("rn") === expr(s"($hiNum * (n + 1)) DIV $den"),
+          col(valueCol))).as("hi_cut"))
+  }
+
+  /** Tukey boxplot fences (see `agg_tukey_fences`): exact q1/q3,
+    * 1.5·IQR fences compared in DOUBLED units (all-integer), and
+    * the outlier counts per group.
+    */
+  def tukeyFences(df: DataFrame, groupCol: String, valueCol: String,
+                  tieCols: Seq[String]): DataFrame = {
+    val cuts = rankCut(df, groupCol, valueCol, tieCols, 1, 3, 4)
+      .withColumnRenamed("lo_cut", "q1").withColumnRenamed("hi_cut", "q3")
+      .withColumn("iqr", col("q3") - col("q1"))
+    df.join(broadcast(cuts), groupCol)
+      .groupBy(groupCol)
+      .agg(max("n_rows").as("n_rows"), max("q1").as("q1"),
+        max("q3").as("q3"), max("iqr").as("iqr"),
+        sum(when(lit(2L) * col(valueCol)
+          < lit(2L) * col("q1") - lit(3L) * col("iqr"), 1L)
+          .otherwise(0L)).as("n_low"),
+        sum(when(lit(2L) * col(valueCol)
+          > lit(2L) * col("q3") + lit(3L) * col("iqr"), 1L)
+          .otherwise(0L)).as("n_high"))
+      .withColumn("outlier_frac", TestData.r4(
+        (col("n_low") + col("n_high")).cast("double") / col("n_rows")))
+      .orderBy(groupCol)
+  }
+
+  /** Trimmed mean (see `agg_trimmed_mean`): drop outside the exact
+    * p05/p95 order statistics, mean of the kept rows.
+    */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+                  tieCols: Seq[String]): DataFrame = {
+    val cuts = rankCut(df, groupCol, valueCol, tieCols, 1, 19, 20)
+    df.join(broadcast(cuts), groupCol)
+      .groupBy(groupCol)
+      .agg(max("n_rows").as("n_rows"),
+        max("lo_cut").as("p05"), max("hi_cut").as("p95"),
+        sum(when(col(valueCol).between(col("lo_cut"), col("hi_cut")), 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(col(valueCol).between(col("lo_cut"), col("hi_cut")),
+          col(valueCol)).otherwise(0L)).as("kept_sum"),
+        TestData.r4(sum(valueCol).cast("double") / count(lit(1)))
+          .as("mean"))
+      .withColumn("trimmed_mean",
+        TestData.r4(col("kept_sum").cast("double") / col("n_kept")))
+      .orderBy(groupCol)
+  }
+
+  /** Ljung-Box Q (see `ts_ljung_box`) of an integer series already
+    * aggregated to (`xCol` order key, `yCol` count): exact-integer
+    * ACF terms, one mirrored `lags`-term expression.
+    */
+  def ljungBox(series: DataFrame, xCol: String, yCol: String,
+               lags: Int = 12): DataFrame = {
+    require(lags >= 1 && lags <= 48, "1..48 lags")
+    val W = Window.orderBy(xCol)
+    val tot = series.agg(sum(yCol).as("t_total"),
+      count(lit(1)).as("n_points"))
+    val dv = series.crossJoin(broadcast(tot))
+      .withColumn("dev", col(yCol) * col("n_points") - col("t_total"))
+    val led = (1 to lags).foldLeft(dv) { (df, k) =>
+      df.withColumn(s"l$k", lead("dev", k).over(W))
+    }
+    val aggs = (max("n_points").as("n_points") +:
+      sum(col("dev") * col("dev")).as("den") +:
+      (1 to lags).map(k => sum(col("dev") * col(s"l$k")).as(s"num$k")))
+    val q = (col("n_points") * (col("n_points") + 2)).cast("double") *
+      (1 to lags).map(k =>
+        pow(col(s"num$k").cast("double") / col("den").cast("double"), 2)
+          / (col("n_points") - k).cast("double")).reduce(_ + _)
+    led.agg(aggs.head, aggs.tail: _*)
+      .withColumn("q_stat", TestData.r4(q))
+      .select("n_points", "den", "q_stat")
+  }
+
+  /** Seasonal anomaly scan (see `ts_seasonal_anomaly`): hours whose
+    * detrended+deseasonalized residual exceeds `zTenThousandths`
+    * ×MAD/10⁴ of the residual median (default 44478 = 3·1.4826·10⁴).
+    */
+  def seasonalAnomaly(series: DataFrame, xCol: String, yCol: String,
+                      period: Int = 24, trendHalf: Int = 12,
+                      zTenThousandths: Long = 44478L): DataFrame = {
+    require(period >= 2 && trendHalf >= 1, "period >= 2, trendHalf >= 1")
+    val wT = Window.orderBy(col(xCol)).rangeBetween(-trendHalf, trendHalf)
+    val det = series
+      .withColumn("trend",
+        sum(col(yCol)).over(wT) / count(lit(1)).over(wT))
+      .withColumn("r_u",
+        floor((col(yCol) - col("trend")) * 1000000 + 0.5).cast("long"))
+    val wS = Window.partitionBy(col(xCol) % period)
+    val resid = det
+      .withColumn("seas", sum(col("r_u")).over(wS) / count(lit(1)).over(wS))
+      .withColumn("r2_u", floor(col("r_u") - col("seas") + 0.5).cast("long"))
+      .select(col(xCol), col(yCol), col("r2_u"))
+      .localCheckpoint()
+    def rankStat(df: DataFrame, valCol: String): DataFrame =
+      df.withColumn("rn", row_number().over(
+          Window.orderBy(col(valCol), col(xCol))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .agg(max(when(col("rn") === expr("(n + 1) DIV 2"), col(valCol)))
+          .as("stat"))
+    val med = rankStat(resid, "r2_u")
+    val withMed = resid.crossJoin(broadcast(med))
+      .withColumn("adev", abs(col("r2_u") - col("stat")))
+    val mad = rankStat(withMed.select(col(xCol), col("adev")), "adev")
+      .withColumnRenamed("stat", "mad_u")
+    withMed.crossJoin(broadcast(mad))
+      .filter(col("mad_u") > 0 &&
+        col("adev") * 10000 > lit(zTenThousandths) * col("mad_u"))
+      .select(col(xCol), col(yCol), col("r2_u"),
+        col("stat").as("med_u"), col("mad_u"))
+      .orderBy(xCol)
+  }
+
+  /** Markov transition entropy (see `events_transition_entropy`)
+    * over a (`fromCol`, `toCol`) pair table: per from-state, the
+    * micro-nat-quantized Shannon entropy of the next distribution.
+    */
+  def transitionEntropy(pairs: DataFrame, fromCol: String,
+                        toCol: String): DataFrame = {
+    val c = pairs.groupBy(col(fromCol).as("f"), col(toCol).as("t"))
+      .agg(count(lit(1)).as("c"))
+    val tot = c.groupBy("f")
+      .agg(sum("c").as("n_transitions"), count(lit(1)).as("n_to"))
+    c.join(broadcast(tot), "f")
+      .withColumn("p", col("c").cast("double")
+        / col("n_transitions").cast("double"))
+      .withColumn("term_u",
+        floor(-(col("p") * log(col("p"))) * 1000000 + 0.5).cast("long"))
+      .groupBy("f")
+      .agg(max("n_transitions").as("n_transitions"),
+        max("n_to").as("n_to"), sum("term_u").as("entropy_micro"))
+      .withColumn("entropy", TestData.r4(col("entropy_micro") / 1000000.0))
+      .select(col("f").as(fromCol), col("n_transitions"), col("n_to"),
+        col("entropy_micro"), col("entropy"))
+      .orderBy(fromCol)
+  }
+
+  /** Per-doc character entropy (see `text_char_entropy`) of
+    * (`id`, `text`) rows, micro-nat terms quantized before the sum.
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val ch = docs.select(col("id"),
+        explode(regexp_extract_all(col("text"), lit("."), lit(0)))
+          .as("ch"))
+      .groupBy("id", "ch").agg(count(lit(1)).as("c"))
+    val tot = ch.groupBy("id")
+      .agg(sum("c").as("n_chars_seen"), count(lit(1)).as("n_distinct"))
+    ch.join(tot, "id")
+      .withColumn("p", col("c").cast("double")
+        / col("n_chars_seen").cast("double"))
+      .withColumn("term_u",
+        floor(-(col("p") * log(col("p"))) * 1000000 + 0.5).cast("long"))
+      .groupBy("id")
+      .agg(max("n_chars_seen").as("n_chars_seen"),
+        max("n_distinct").as("n_distinct"),
+        sum("term_u").as("entropy_micro"))
+      .withColumn("entropy", TestData.r4(col("entropy_micro") / 1000000.0))
+      .orderBy("id")
+  }
+
+  /** 2-level residual quantizer encode (see `vec_residual_quantize`)
+    * of `vectors` (id, embedding DOUBLE[]) against `coarse`
+    * (cid, cv) and residual codebook `resid` (cid, cv).
+    */
+  def residualQuantize(vectors: DataFrame, coarse: DataFrame,
+                       resid: DataFrame): DataFrame = {
+    val c1 = coarse.select(col("cid").as("c1"), col("cv").as("cv1"))
+    val c2 = resid.select(col("cid").as("c2"), col("cv").as("cv2"))
+    val a1 = vectors.select(col("id"), col("embedding"))
+      .crossJoin(broadcast(c1))
+      .withColumn("d1_u",
+        floor(V.sqDist(col("embedding"), col("cv1")) * 1000000 + 0.5)
+          .cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy("d1_u", "c1")))
+      .filter(col("rn") === 1)
+      .withColumn("r", zip_with(col("embedding"), col("cv1"),
+        (a, b) => a - b))
+      .select(col("id"), col("c1"), col("d1_u").as("err1_u"), col("r"))
+    a1.crossJoin(broadcast(c2))
+      .withColumn("d2_u",
+        floor(V.sqDist(col("r"), col("cv2")) * 1000000 + 0.5).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy("d2_u", "c2")))
+      .filter(col("rn") === 1)
+      .withColumn("improved", col("d2_u") < col("err1_u"))
+      .select(col("id"), col("c1"), col("c2"), col("err1_u"),
+        col("d2_u").as("err2_u"), col("improved"))
+      .orderBy("id")
+  }
+
   /** Top-`k` term burstiness (see `text_term_burstiness`) of
     * (`id`, `text`) rows: cf, df, cf/df clumpiness, smoothed IDF.
     */

@@ -78,6 +78,51 @@ object Quantize {
         .filter(col("rnk") <= 5)
         .select("qid", "rnk", "vec_id", "approx_cos")
         .orderBy("qid", "rnk")
+    }),
+
+    // RESIDUAL QUANTIZER, 2 LEVELS (round 10): the RVQ encode step —
+    // assign to the coarse centroid, then quantize the RESIDUAL
+    // against a second fixed codebook; the additive-codebook
+    // compression (c1 + c2 ≈ x) modern vector stores layer between
+    // IVF and PQ. Fixture codebooks are fixed slices (the trained-
+    // codebook swap is the TrainedQuantize precedent). Determinism:
+    // arrays cast to DOUBLE up front (float-vs-double op mismatch is
+    // the cross-engine trap), distances micro-quantized BEFORE each
+    // argmin with (dist, cid) tie-break. Shape: two broadcast
+    // codebook cross joins, both map-side; per-vec output with the
+    // reconstruction-error drop the second level buys.
+    "vec_residual_quantize" -> ((s, d) => {
+      import graft.functions.{VectorOps => V}
+      val W = org.apache.spark.sql.expressions.Window
+      val e = TestData.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("emb"))
+      val c1 = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("c1"), col("emb").as("cv1"))
+      val c2 = e.filter(col("vec_id") >= 4 && col("vec_id") < 8)
+        .select(col("vec_id").as("c2"), col("emb").as("cv2"))
+      val a1 = e.crossJoin(broadcast(c1))
+        .withColumn("d1_u",
+          floor(V.sqDist(col("emb"), col("cv1")) * 1000000 + 0.5)
+            .cast("long"))
+        .withColumn("rn", row_number().over(
+          W.partitionBy("vec_id").orderBy("d1_u", "c1")))
+        .filter(col("rn") === 1)
+        .withColumn("resid", zip_with(col("emb"), col("cv1"),
+          (a, b) => a - b))
+        .select(col("vec_id"), col("c1"), col("d1_u").as("err1_u"),
+          col("resid"))
+      a1.crossJoin(broadcast(c2))
+        .withColumn("d2_u",
+          floor(V.sqDist(col("resid"), col("cv2")) * 1000000 + 0.5)
+            .cast("long"))
+        .withColumn("rn", row_number().over(
+          W.partitionBy("vec_id").orderBy("d2_u", "c2")))
+        .filter(col("rn") === 1)
+        .withColumn("improved", col("d2_u") < col("err1_u"))
+        .select(col("vec_id"), col("c1"), col("c2"), col("err1_u"),
+          col("d2_u").as("err2_u"), col("improved"))
+        .orderBy("vec_id")
     })
   )
 
@@ -128,6 +173,39 @@ object Quantize {
         |        row_number() OVER (PARTITION BY qid
         |          ORDER BY approx_cos DESC, vec_id) AS rnk
         |      FROM scored)
-        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // Same double-cast arrays, micro-quantized distances, (dist,
+    // cid) argmin tie-break, residual via list_zip subtraction.
+    "vec_residual_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |c1 AS (SELECT vec_id AS c1, emb AS cv1 FROM e WHERE vec_id < 4),
+        |c2 AS (SELECT vec_id AS c2, emb AS cv2 FROM e
+        |       WHERE vec_id >= 4 AND vec_id < 8),
+        |a1p AS (
+        |  SELECT e.vec_id, c1.c1, e.emb, c1.cv1,
+        |    floor(list_sum(list_transform(list_zip(e.emb, c1.cv1),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) * 1000000 + 0.5)::BIGINT
+        |      AS d1_u
+        |  FROM e CROSS JOIN c1),
+        |a1 AS (
+        |  SELECT vec_id, c1, d1_u AS err1_u,
+        |    list_transform(list_zip(emb, cv1), p -> p[1] - p[2]) AS resid
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY d1_u, c1) AS rn
+        |        FROM a1p)
+        |  WHERE rn = 1),
+        |b1p AS (
+        |  SELECT a1.vec_id, a1.c1, a1.err1_u, c2.c2,
+        |    floor(list_sum(list_transform(list_zip(a1.resid, c2.cv2),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) * 1000000 + 0.5)::BIGINT
+        |      AS d2_u
+        |  FROM a1 CROSS JOIN c2)
+        |SELECT vec_id, c1, c2, err1_u, d2_u AS err2_u,
+        |  d2_u < err1_u AS improved
+        |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY d2_u, c2) AS rn
+        |      FROM b1p)
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
   )
 }

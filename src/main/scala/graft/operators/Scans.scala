@@ -213,6 +213,41 @@ object Scans {
           |  floor(sum(o_totalprice)*10000 + 0.5)/10000 AS total
           |  FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
           |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // FILE PROVENANCE AUDIT (round 10): the `_metadata` hidden
+    // column — per physical input file, row count, file count, and
+    // the key range it covers; the layout audit a compaction/
+    // clustering job reads to find small-file and range-overlap
+    // problems. The staged copy buckets by pmod(o_orderkey, 4), so
+    // file MEMBERSHIP is a pure function of content — file NAMES
+    // (uuid part files) never reach the output, which is what makes
+    // an engine-independent oracle possible (DuckDB re-derives the
+    // same audit from the bucket expression). n_files counts
+    // DISTINCT _metadata.file_name within the bucket (1 per bucket
+    // here — the write is single-file-per-partition; the audit shape
+    // is what scales).
+    "scan_file_provenance" -> ((s, d) => {
+      val tag0 = graft.sources.WriteOnce.inputTag(d, "orders")
+      val tmp = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/scan_file_provenance", tag0)
+      graft.sources.WriteOnce.ensure(tmp, tag0) {
+        TestData.orders(s, d)
+          .withColumn("bucket", pmod(col("o_orderkey"), lit(4L)))
+          .repartition(1)
+          .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      }
+      // partition-dir read-back infers bucket as INT — cast back to
+      // the generating LONG so the oracle's o_orderkey % 4 matches.
+      s.read.parquet(tmp)
+        .select(col("bucket").cast("long").as("bucket"), col("o_orderkey"),
+          col("_metadata.file_name").as("fname"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("fname").as("n_files"),
+          min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"))
+        .orderBy("bucket")
     })
   )
 
@@ -285,6 +320,16 @@ object Scans {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
         |GROUP BY c_mktsegment, o_orderpriority
-        |ORDER BY c_mktsegment, o_orderpriority""".stripMargin
+        |ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
+    // Independent derivation: file membership is a pure function of
+    // the bucket expression; n_files = 1 is the stated contract of
+    // the single-partition-per-bucket write the key performs.
+    "scan_file_provenance" ->
+      """SELECT (o_orderkey % 4)::BIGINT AS bucket,
+        |  count(*)::BIGINT AS n_rows,
+        |  1::BIGINT AS n_files,
+        |  min(o_orderkey)::BIGINT AS min_key,
+        |  max(o_orderkey)::BIGINT AS max_key
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }

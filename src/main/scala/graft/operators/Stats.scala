@@ -203,6 +203,89 @@ object Stats {
         .orderBy("flag")
     }),
 
+    // TUKEY FENCES (round 10): the boxplot outlier screen per return
+    // flag — exact q1/q3 order statistics (percentile_disc rank
+    // convention, stable unique tie-break), fences at 1.5·IQR, and
+    // the count outside each fence. ALL-INTEGER: fences compare in
+    // DOUBLED cents (2·q1 − 3·IQR needs no halves), so there is no
+    // float boundary anywhere. Shape: the 2-row cut table broadcasts
+    // back onto the line stream; both aggregates map-side-combine.
+    "agg_tukey_fences" -> ((s, d) => {
+      val W = Window.partitionBy("l_returnflag")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+      val li = TestData.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      val cuts = li
+        .withColumn("rn", row_number().over(W))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("l_returnflag")))
+        .groupBy("l_returnflag")
+        .agg(max("n").as("n_rows"),
+          max(when(col("rn") === expr("(n + 1) DIV 4"), col("cents")))
+            .as("q1_cents"),
+          max(when(col("rn") === expr("(3 * (n + 1)) DIV 4"), col("cents")))
+            .as("q3_cents"))
+        .withColumn("iqr_cents", col("q3_cents") - col("q1_cents"))
+      li.join(broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(max("n_rows").as("n_rows"),
+          max("q1_cents").as("q1_cents"),
+          max("q3_cents").as("q3_cents"),
+          max("iqr_cents").as("iqr_cents"),
+          sum(when(lit(2L) * col("cents")
+            < lit(2L) * col("q1_cents") - lit(3L) * col("iqr_cents"), 1L)
+            .otherwise(0L)).as("n_low"),
+          sum(when(lit(2L) * col("cents")
+            > lit(2L) * col("q3_cents") + lit(3L) * col("iqr_cents"), 1L)
+            .otherwise(0L)).as("n_high"))
+        .withColumn("outlier_frac", r4(
+          (col("n_low") + col("n_high")).cast("double") / col("n_rows")))
+        .select("l_returnflag", "n_rows", "q1_cents", "q3_cents",
+          "iqr_cents", "n_low", "n_high", "outlier_frac")
+        .orderBy("l_returnflag")
+    }),
+
+    // TRIMMED MEAN (round 10): the winsorized mean's sibling — DROP
+    // the tails outside the exact p05/p95 order statistics instead
+    // of clamping them (the robust-metrics pair every platform
+    // offers; trimming discards tail mass, winsorizing caps it —
+    // reporting both bounds the tail influence). Same rank-convention
+    // cut table, broadcast back; kept-row mean in exact integer cents
+    // until the final r4 division.
+    "agg_trimmed_mean" -> ((s, d) => {
+      val W = Window.partitionBy("l_returnflag")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+      val li = TestData.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      val cuts = li
+        .withColumn("rn", row_number().over(W))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("l_returnflag")))
+        .groupBy("l_returnflag")
+        .agg(max("n").as("n_rows"),
+          max(when(col("rn") === expr("(n + 1) DIV 20"), col("cents")))
+            .as("p05_cents"),
+          max(when(col("rn") === expr("(19 * (n + 1)) DIV 20"), col("cents")))
+            .as("p95_cents"))
+      li.join(broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(max("n_rows").as("n_rows"),
+          max("p05_cents").as("p05_cents"),
+          max("p95_cents").as("p95_cents"),
+          sum(when(col("cents").between(col("p05_cents"), col("p95_cents")),
+            1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("cents").between(col("p05_cents"), col("p95_cents")),
+            col("cents")).otherwise(0L)).as("kept_cents"),
+          r4(sum("cents").cast("double") / count(lit(1))).as("mean_cents"))
+        .withColumn("trimmed_mean_cents",
+          r4(col("kept_cents").cast("double") / col("n_kept")))
+        .select("l_returnflag", "n_rows", "n_kept", "p05_cents",
+          "p95_cents", "mean_cents", "trimmed_mean_cents")
+        .orderBy("l_returnflag")
+    }),
+
     // POISSON-BOOTSTRAP CI (round 10): the resampling confidence
     // interval for the mean order value — the scale-correct
     // bootstrap (each row draws an independent Poisson(1) replicate
@@ -416,6 +499,73 @@ object Stats {
         |    floor(sxy::DOUBLE / sqrt(sxx::DOUBLE * syy::DOUBLE)
         |      * 10000 + 0.5) / 10000 END AS rho
         |FROM a ORDER BY flag""".stripMargin,
+    "agg_tukey_fences" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    floor(l_extendedprice * 100 + 0.5)::BIGINT AS cents
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, cents,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM li),
+        |cuts AS (
+        |  SELECT l_returnflag, max(n)::BIGINT AS n_rows,
+        |    max(CASE WHEN rn = (n + 1) // 4 THEN cents END)::BIGINT
+        |      AS q1_cents,
+        |    max(CASE WHEN rn = (3 * (n + 1)) // 4 THEN cents END)::BIGINT
+        |      AS q3_cents
+        |  FROM r GROUP BY 1),
+        |c2 AS (
+        |  SELECT *, (q3_cents - q1_cents)::BIGINT AS iqr_cents FROM cuts)
+        |SELECT li.l_returnflag, max(n_rows)::BIGINT AS n_rows,
+        |  max(q1_cents)::BIGINT AS q1_cents,
+        |  max(q3_cents)::BIGINT AS q3_cents,
+        |  max(iqr_cents)::BIGINT AS iqr_cents,
+        |  sum(CASE WHEN 2 * cents < 2 * q1_cents - 3 * iqr_cents
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_low,
+        |  sum(CASE WHEN 2 * cents > 2 * q3_cents + 3 * iqr_cents
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_high,
+        |  floor(((sum(CASE WHEN 2 * cents < 2 * q1_cents - 3 * iqr_cents
+        |      THEN 1 ELSE 0 END)
+        |    + sum(CASE WHEN 2 * cents > 2 * q3_cents + 3 * iqr_cents
+        |      THEN 1 ELSE 0 END))::DOUBLE / max(n_rows))
+        |    * 10000 + 0.5) / 10000 AS outlier_frac
+        |FROM li JOIN c2 USING (l_returnflag)
+        |GROUP BY li.l_returnflag ORDER BY li.l_returnflag""".stripMargin,
+    "agg_trimmed_mean" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    floor(l_extendedprice * 100 + 0.5)::BIGINT AS cents
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, cents,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM li),
+        |cuts AS (
+        |  SELECT l_returnflag, max(n)::BIGINT AS n_rows,
+        |    max(CASE WHEN rn = (n + 1) // 20 THEN cents END)::BIGINT
+        |      AS p05_cents,
+        |    max(CASE WHEN rn = (19 * (n + 1)) // 20 THEN cents END)::BIGINT
+        |      AS p95_cents
+        |  FROM r GROUP BY 1)
+        |SELECT li.l_returnflag, max(n_rows)::BIGINT AS n_rows,
+        |  sum(CASE WHEN cents BETWEEN p05_cents AND p95_cents
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  max(p05_cents)::BIGINT AS p05_cents,
+        |  max(p95_cents)::BIGINT AS p95_cents,
+        |  floor((sum(cents)::DOUBLE / count(*)) * 10000 + 0.5) / 10000
+        |    AS mean_cents,
+        |  floor((sum(CASE WHEN cents BETWEEN p05_cents AND p95_cents
+        |      THEN cents ELSE 0 END)::DOUBLE
+        |    / sum(CASE WHEN cents BETWEEN p05_cents AND p95_cents
+        |      THEN 1 ELSE 0 END)) * 10000 + 0.5) / 10000
+        |    AS trimmed_mean_cents
+        |FROM li JOIN cuts USING (l_returnflag)
+        |GROUP BY li.l_returnflag ORDER BY li.l_returnflag""".stripMargin,
     "sample_bootstrap_ci" ->
       """WITH o AS (
         |  SELECT o_orderkey,

@@ -484,6 +484,49 @@ object Streaming {
         .agg(max(col("n_events")).as("n_events"),
              r4(max(col("max_value"))).as("max_value"))
         .orderBy("user_id")
+    }),
+
+    // MULTI-SOURCE UNION (round 10): two independent file streams
+    // (the staged click and purchase feeds — in production, two
+    // kafka topics / landing dirs) unioned into ONE streaming
+    // aggregate. The semantics a lakehouse ingest job relies on:
+    // the union is source-transparent — micro-batches interleave
+    // but the complete-mode aggregate equals the batch union. Each
+    // source keeps its own offset tracking; the oracle is the batch
+    // union by construction.
+    "stream_availablenow_union" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val batch = TestData.events(s, d)
+      val tag = graft.sources.WriteOnce.inputTag(d, "events")
+      val dirA = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/stream_un_a", tag)
+      val dirB = graft.sources.WriteOnce.dirFor(
+        "/root/repo/target/tmp/stream_un_b", tag)
+      graft.sources.WriteOnce.ensure(dirA, tag) {
+        batch.filter(col("event_type") === "click")
+          .write.mode("overwrite").parquet(dirA)
+      }
+      graft.sources.WriteOnce.ensure(dirB, tag) {
+        batch.filter(col("event_type") === "purchase")
+          .write.mode("overwrite").parquet(dirB)
+      }
+      val qn = s"graft_stream_union_${streamSeq.incrementAndGet()}"
+      withStateFanout(s) {
+        val a = s.readStream.schema(batch.schema).parquet(dirA)
+        val b = s.readStream.schema(batch.schema).parquet(dirB)
+        val q = a.unionByName(b)
+          .withColumn("v_u",
+            floor(col("value") * 1000000 + 0.5).cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            min("v_u").as("min_value_u"),
+            max("v_u").as("max_value_u"),
+            sum("v_u").as("sum_value_u"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination(120000) finally q.stop()
+      }
+      s.table(qn).orderBy("event_type")
     })
   )
 
@@ -726,6 +769,15 @@ object Streaming {
         |       ELSE 0 END AS steps_completed
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |  LEFT JOIN s3 USING (user_id)
-        |ORDER BY key""".stripMargin
+        |ORDER BY key""".stripMargin,
+    // The union is source-transparent: batch union of the two
+    // staged feeds, micro-quantized value sum (exact BIGINT).
+    "stream_availablenow_union" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  min(floor(value * 1000000 + 0.5)::BIGINT)::BIGINT AS min_value_u,
+        |  max(floor(value * 1000000 + 0.5)::BIGINT)::BIGINT AS max_value_u,
+        |  sum(floor(value * 1000000 + 0.5)::BIGINT)::BIGINT AS sum_value_u
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }

@@ -535,6 +535,38 @@ object TextAnalysis {
         .select("lang", "n_tokens", "n_types", "s2", "yule_k")
         .orderBy("lang")),
 
+    // CHARACTER ENTROPY (round 10): per-doc Shannon entropy of the
+    // character distribution — the Gopher-style quality gate that
+    // catches what token-level stats miss (key-mash noise scores
+    // HIGH, repeated-char padding scores LOW; natural text sits in a
+    // narrow band). Per-(doc, char) counts shuffle on the doc (char
+    // alphabet bounds the per-doc fanout); each −p·ln p term
+    // quantized to integer MICRO-NATS before the order-free sum
+    // (the PSI/entropy protocol); doc-grain join, never broadcast.
+    "text_char_entropy" -> ((s, d) => {
+      val ch = TestData.documents(s, d)
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("text"), lit("."), lit(0)))
+            .as("ch"))
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      val tot = ch.groupBy("doc_id")
+        .agg(sum("c").as("n_chars_seen"),
+          count(lit(1)).as("n_distinct_chars"))
+      ch.join(tot, "doc_id")
+        .withColumn("p", col("c").cast("double")
+          / col("n_chars_seen").cast("double"))
+        .withColumn("term_u",
+          floor(-(col("p") * log(col("p"))) * 1000000 + 0.5).cast("long"))
+        .groupBy("doc_id")
+        .agg(max("n_chars_seen").as("n_chars_seen"),
+          max("n_distinct_chars").as("n_distinct_chars"),
+          sum("term_u").as("entropy_micro"))
+        .withColumn("entropy", r4(col("entropy_micro") / 1000000.0))
+        .select("doc_id", "n_chars_seen", "n_distinct_chars",
+          "entropy_micro", "entropy")
+        .orderBy("doc_id")
+    }),
+
     // TERM BURSTINESS (round 10): Church's "one sense per discourse"
     // readout — for the top-20 corpus terms, total occurrences (cf),
     // documents containing (df), burstiness cf/df (occurrences per
@@ -830,6 +862,28 @@ object TextAnalysis {
         |    / (n_tokens::DOUBLE * n_tokens::DOUBLE) * 10000 + 0.5) / 10000
         |    AS yule_k
         |FROM a ORDER BY lang""".stripMargin,
+    "text_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, ch, count(*)::BIGINT AS c
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |t AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_chars_seen,
+        |    count(*)::BIGINT AS n_distinct_chars
+        |  FROM ch GROUP BY 1),
+        |u AS (
+        |  SELECT ch.doc_id, t.n_chars_seen, t.n_distinct_chars,
+        |    floor(-((ch.c::DOUBLE / t.n_chars_seen::DOUBLE)
+        |      * ln(ch.c::DOUBLE / t.n_chars_seen::DOUBLE))
+        |      * 1000000 + 0.5)::BIGINT AS term_u
+        |  FROM ch JOIN t USING (doc_id))
+        |SELECT doc_id, max(n_chars_seen)::BIGINT AS n_chars_seen,
+        |  max(n_distinct_chars)::BIGINT AS n_distinct_chars,
+        |  sum(term_u)::BIGINT AS entropy_micro,
+        |  floor((sum(term_u)::BIGINT / 1000000.0) * 10000 + 0.5) / 10000
+        |    AS entropy
+        |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_term_burstiness" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+'))

@@ -1455,6 +1455,127 @@ object TimeSeries {
         .orderBy("t_hr")
     }),
 
+    // LJUNG-BOX WHITENESS TEST (round 10): Q = n(n+2)·Σ_{k≤12}
+    // r_k²/(n−k) over the hourly series — the "is anything left"
+    // gate run after deseasonalizing/whitening: if Q clears the
+    // χ²₁₂ 95 % bar the series still has structure an anomaly
+    // monitor must model. Reuses ts_autocorr's integer machinery
+    // verbatim (dev = cnt·n − T exact BIGINTs, so every r_k =
+    // num_k/den is two exact integers); Q is ONE mirrored
+    // left-to-right 12-term IEEE expression (the t_closeness
+    // single-expression precedent), r4'd. Grid-sized at any corpus.
+    "ts_ljung_box" -> ((s, d) => {
+      val lags = 1 to 12
+      val W = org.apache.spark.sql.expressions.Window.orderBy("hour")
+      val hourly = TestData.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val tot = hourly.agg(sum("n").as("t_total"),
+                           count(lit(1)).as("n_hours"))
+      val dv = hourly.crossJoin(broadcast(tot))
+        .withColumn("dev", col("n") * col("n_hours") - col("t_total"))
+      val led = lags.foldLeft(dv) { (df, k) =>
+        df.withColumn(s"l$k", lead("dev", k).over(W))
+      }
+      val aggs = (max("n_hours").as("n_hours") +:
+        sum(col("dev") * col("dev")).as("den") +:
+        lags.map(k => sum(col("dev") * col(s"l$k")).as(s"num$k")))
+      val q = (col("n_hours") * (col("n_hours") + 2)).cast("double") *
+        lags.map(k =>
+          pow(col(s"num$k").cast("double") / col("den").cast("double"), 2)
+            / (col("n_hours") - k).cast("double")).reduce(_ + _)
+      led.agg(aggs.head, aggs.tail: _*)
+        .withColumn("q_stat", r4(q))
+        .withColumn("is_white", col("q_stat") < 21.026)
+        .select("n_hours", "den", "q_stat", "is_white")
+    }),
+
+    // SEASONAL ANOMALY (round 10): the readout ts_decompose_seasonal
+    // exists to feed — hours whose deseasonalized residual sits
+    // beyond 3·1.4826·MAD of the residual median (the robust z the
+    // MAD key applies to raw values, here applied AFTER removing
+    // trend + season, so a daily peak is not an "anomaly"). All
+    // comparisons integer in micro-units ×10⁴ cross-multiplication
+    // (|r−med|·10⁴ > 44478·MAD — no float boundary); median/MAD via
+    // the rank convention with (value, hr) stable tie-break, over
+    // the TIME-sized grid (the decompose single-task contract).
+    "ts_seasonal_anomaly" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val hourly = TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val wT = W.orderBy(col("hr")).rangeBetween(-12, 12)
+      val det = hourly
+        .withColumn("trend",
+          sum(col("cnt")).over(wT) / count(lit(1)).over(wT))
+        .withColumn("r_u",
+          floor((col("cnt") - col("trend")) * 1000000 + 0.5).cast("long"))
+      val wS = W.partitionBy(col("hr") % 24)
+      val resid = det
+        .withColumn("seas",
+          sum(col("r_u")).over(wS) / count(lit(1)).over(wS))
+        .withColumn("r2_u", floor(col("r_u") - col("seas") + 0.5)
+          .cast("long"))
+        .select("hr", "cnt", "r2_u")
+        .localCheckpoint()
+      def rankStat(df: DataFrame, valCol: String): DataFrame =
+        df.withColumn("rn", row_number().over(
+            W.orderBy(col(valCol), col("hr"))))
+          .withColumn("n", count(lit(1)).over(W.partitionBy()))
+          .agg(max(when(col("rn") === expr("(n + 1) DIV 2"), col(valCol)))
+            .as("stat"))
+      val med = rankStat(resid, "r2_u")
+      val withMed = resid.crossJoin(broadcast(med))
+        .withColumn("adev", abs(col("r2_u") - col("stat")))
+      val mad = rankStat(withMed.select(col("hr"), col("adev")), "adev")
+        .withColumnRenamed("stat", "mad_u")
+      // MAD = 0 (over half the grid identical) ⇒ flag nothing rather
+      // than everything-nonzero (stated; mirrored in the oracle).
+      withMed.crossJoin(broadcast(mad))
+        .filter(col("mad_u") > 0 &&
+          col("adev") * 10000 > lit(44478L) * col("mad_u"))
+        .select(col("hr"), col("cnt"), col("r2_u"),
+          col("stat").as("med_u"), col("mad_u"))
+        .orderBy("hr")
+    }),
+
+    // TRANSITION ENTROPY (round 10): per from-state, the Shannon
+    // entropy of the next-event distribution — the sequence-
+    // predictability readout next to events_transition_topk (a
+    // near-zero entropy state is a deterministic funnel step; a
+    // high one is a browse hub). Pairs via the user-sharded lead
+    // window (never a global ordering); per-term −p·ln p quantized
+    // to integer MICRO-NATS before the order-free sum (PSI/entropy
+    // protocol); states-sized output.
+    "events_transition_entropy" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = TestData.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("c"))
+      val tot = pairs.groupBy("from_type")
+        .agg(sum("c").as("n_transitions"),
+          count(lit(1)).as("n_to_types"))
+      pairs.join(broadcast(tot), "from_type")
+        .withColumn("p", col("c").cast("double")
+          / col("n_transitions").cast("double"))
+        .withColumn("term_u",
+          floor(-(col("p") * log(col("p"))) * 1000000 + 0.5).cast("long"))
+        .groupBy("from_type")
+        .agg(max("n_transitions").as("n_transitions"),
+          max("n_to_types").as("n_to_types"),
+          sum("term_u").as("entropy_micro"))
+        .withColumn("entropy", r4(col("entropy_micro") / 1000000.0))
+        .select("from_type", "n_transitions", "n_to_types",
+          "entropy_micro", "entropy")
+        .orderBy("from_type")
+    }),
+
     // INTER-ARRIVAL BURSTINESS (round 10): per event type, the
     // Goh-Barabási burstiness B = (σ−μ)/(σ+μ) of inter-arrival gaps
     // (B→−1 periodic, 0 Poisson, →1 bursty) plus the CV — the
@@ -2440,6 +2561,126 @@ object TimeSeries {
         |    ELSE floor(exp(cum_u / 1000000.0) * 10000 + 0.5) / 10000 END
         |    AS survival
         |FROM km ORDER BY t_hr""".stripMargin,
+    // Same integer dev machinery as ts_autocorr, Q as one mirrored
+    // left-to-right 12-term expression.
+    "ts_ljung_box" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts)::TIMESTAMP AS hour,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT sum(n)::BIGINT AS t_total,
+        |               count(*)::BIGINT AS n_hours FROM hourly),
+        |dv AS (
+        |  SELECT hour, (n * n_hours - t_total)::BIGINT AS dev, n_hours
+        |  FROM hourly CROSS JOIN tot),
+        |led AS (
+        |  SELECT *,
+        |    lead(dev, 1) OVER w AS l1, lead(dev, 2) OVER w AS l2,
+        |    lead(dev, 3) OVER w AS l3, lead(dev, 4) OVER w AS l4,
+        |    lead(dev, 5) OVER w AS l5, lead(dev, 6) OVER w AS l6,
+        |    lead(dev, 7) OVER w AS l7, lead(dev, 8) OVER w AS l8,
+        |    lead(dev, 9) OVER w AS l9, lead(dev, 10) OVER w AS l10,
+        |    lead(dev, 11) OVER w AS l11, lead(dev, 12) OVER w AS l12
+        |  FROM dv WINDOW w AS (ORDER BY hour)),
+        |a AS (
+        |  SELECT max(n_hours)::BIGINT AS n_hours,
+        |    sum(dev * dev)::BIGINT AS den,
+        |    sum(dev * l1)::BIGINT AS num1, sum(dev * l2)::BIGINT AS num2,
+        |    sum(dev * l3)::BIGINT AS num3, sum(dev * l4)::BIGINT AS num4,
+        |    sum(dev * l5)::BIGINT AS num5, sum(dev * l6)::BIGINT AS num6,
+        |    sum(dev * l7)::BIGINT AS num7, sum(dev * l8)::BIGINT AS num8,
+        |    sum(dev * l9)::BIGINT AS num9, sum(dev * l10)::BIGINT AS num10,
+        |    sum(dev * l11)::BIGINT AS num11, sum(dev * l12)::BIGINT AS num12
+        |  FROM led),
+        |q AS (
+        |  SELECT n_hours, den,
+        |    floor(((n_hours * (n_hours + 2))::DOUBLE *
+        |      (pow(num1::DOUBLE / den::DOUBLE, 2) / (n_hours - 1)::DOUBLE
+        |       + pow(num2::DOUBLE / den::DOUBLE, 2) / (n_hours - 2)::DOUBLE
+        |       + pow(num3::DOUBLE / den::DOUBLE, 2) / (n_hours - 3)::DOUBLE
+        |       + pow(num4::DOUBLE / den::DOUBLE, 2) / (n_hours - 4)::DOUBLE
+        |       + pow(num5::DOUBLE / den::DOUBLE, 2) / (n_hours - 5)::DOUBLE
+        |       + pow(num6::DOUBLE / den::DOUBLE, 2) / (n_hours - 6)::DOUBLE
+        |       + pow(num7::DOUBLE / den::DOUBLE, 2) / (n_hours - 7)::DOUBLE
+        |       + pow(num8::DOUBLE / den::DOUBLE, 2) / (n_hours - 8)::DOUBLE
+        |       + pow(num9::DOUBLE / den::DOUBLE, 2) / (n_hours - 9)::DOUBLE
+        |       + pow(num10::DOUBLE / den::DOUBLE, 2)
+        |         / (n_hours - 10)::DOUBLE
+        |       + pow(num11::DOUBLE / den::DOUBLE, 2)
+        |         / (n_hours - 11)::DOUBLE
+        |       + pow(num12::DOUBLE / den::DOUBLE, 2)
+        |         / (n_hours - 12)::DOUBLE))
+        |      * 10000 + 0.5) / 10000 AS q_stat
+        |  FROM a)
+        |SELECT n_hours, den, q_stat, q_stat < 21.026 AS is_white
+        |FROM q""".stripMargin,
+    // Same trend/seasonal residual quantization as the decompose
+    // key, rank-convention median/MAD with (value, hr) tie-break,
+    // integer ×10⁴ cross-multiplied threshold, MAD-0 guard.
+    "ts_seasonal_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1),
+        |det AS (
+        |  SELECT hr, cnt,
+        |    floor((cnt - (sum(cnt) OVER w)::DOUBLE / (count(*) OVER w))
+        |      * 1000000 + 0.5)::BIGINT AS r_u
+        |  FROM hourly
+        |  WINDOW w AS (ORDER BY hr RANGE BETWEEN 12 PRECEDING
+        |    AND 12 FOLLOWING)),
+        |resid AS (
+        |  SELECT hr, cnt,
+        |    floor(r_u - (sum(r_u) OVER (PARTITION BY hr % 24))::DOUBLE
+        |      / (count(*) OVER (PARTITION BY hr % 24)) + 0.5)::BIGINT
+        |      AS r2_u
+        |  FROM det),
+        |med AS (
+        |  SELECT max(CASE WHEN rn = (n + 1) // 2 THEN r2_u END)::BIGINT
+        |    AS med_u
+        |  FROM (SELECT r2_u,
+        |          row_number() OVER (ORDER BY r2_u, hr) AS rn,
+        |          count(*) OVER () AS n
+        |        FROM resid)),
+        |ad AS (
+        |  SELECT resid.*, med.med_u, abs(r2_u - med_u)::BIGINT AS adev
+        |  FROM resid CROSS JOIN med),
+        |mad AS (
+        |  SELECT max(CASE WHEN rn = (n + 1) // 2 THEN adev END)::BIGINT
+        |    AS mad_u
+        |  FROM (SELECT adev,
+        |          row_number() OVER (ORDER BY adev, hr) AS rn,
+        |          count(*) OVER () AS n
+        |        FROM ad))
+        |SELECT hr, cnt, r2_u, med_u, mad_u
+        |FROM ad CROSS JOIN mad
+        |WHERE mad_u > 0 AND adev * 10000 > 44478 * mad_u
+        |ORDER BY hr""".stripMargin,
+    // Same user-sharded lead pairs, micro-nat per-term quantization.
+    "events_transition_entropy" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*)::BIGINT AS c
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (
+        |  SELECT from_type, sum(c)::BIGINT AS n_transitions,
+        |    count(*)::BIGINT AS n_to_types
+        |  FROM c GROUP BY 1),
+        |u AS (
+        |  SELECT c.from_type, t.n_transitions, t.n_to_types,
+        |    floor(-((c.c::DOUBLE / t.n_transitions::DOUBLE)
+        |      * ln(c.c::DOUBLE / t.n_transitions::DOUBLE))
+        |      * 1000000 + 0.5)::BIGINT AS term_u
+        |  FROM c JOIN t USING (from_type))
+        |SELECT from_type, max(n_transitions)::BIGINT AS n_transitions,
+        |  max(n_to_types)::BIGINT AS n_to_types,
+        |  sum(term_u)::BIGINT AS entropy_micro,
+        |  floor((sum(term_u)::BIGINT / 1000000.0) * 10000 + 0.5) / 10000
+        |    AS entropy
+        |FROM u GROUP BY from_type ORDER BY from_type""".stripMargin,
     // Same user-sharded gap window (the events_gap_histogram one),
     // second-quantized gaps, n·Σx²−(Σx)² closed form, mirrored
     // σ/μ op order.

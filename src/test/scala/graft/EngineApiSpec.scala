@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 103, "documented facade count drifted; methods: "
+    assert(names.length === 110, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1511,5 +1511,119 @@ class EngineApiSpec extends SparkSpec {
           .select(col("doc_id").as("id"), col("text")))
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
+  }
+
+  private def centsLineitem(d: String) =
+    TestData.lineitem(spark, d)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+
+  test("tukeyFences facade matches the agg_tukey_fences key values") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("agg_tukey_fences")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.tukeyFences(centsLineitem(d), "l_returnflag",
+        "cents", Seq("l_orderkey", "l_linenumber"))
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("trimmedMean facade matches the agg_trimmed_mean key values") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("agg_trimmed_mean")(spark, d)
+      .collect().map(r => r.toSeq).toSeq
+    val viaApi = engine.trimmedMean(centsLineitem(d), "l_returnflag",
+        "cents", Seq("l_orderkey", "l_linenumber"))
+      .collect().map(_.toSeq).toSeq
+    // same column multiset, facade order: flag, n_rows, p05, p95,
+    // n_kept, kept_sum(extra), mean, trimmed_mean — compare the
+    // shared values by name
+    val decIdx = SparkEntry.queries("agg_trimmed_mean")(spark, d)
+      .columns.zipWithIndex.toMap
+    val apiCols = engine.trimmedMean(centsLineitem(d), "l_returnflag",
+        "cents", Seq("l_orderkey", "l_linenumber")).columns.zipWithIndex.toMap
+    for ((dn, an) <- Seq("l_returnflag" -> "l_returnflag",
+        "n_rows" -> "n_rows", "n_kept" -> "n_kept",
+        "p05_cents" -> "p05", "p95_cents" -> "p95",
+        "mean_cents" -> "mean", "trimmed_mean_cents" -> "trimmed_mean")) {
+      val dcol = declared.map(_(decIdx(dn)))
+      val acol = viaApi.map(_(apiCols(an)))
+      assert(dcol === acol, s"$dn vs $an")
+    }
+  }
+
+  test("ljungBox facade matches the ts_ljung_box key values") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("ts_ljung_box")(spark, d)
+      .select("n_hours", "den", "q_stat")
+      .collect().map(_.toSeq).toSeq
+    val hourly = TestData.events(spark, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val viaApi = engine.ljungBox(hourly, "hour", "n")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("seasonalAnomaly facade matches the ts_seasonal_anomaly key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("ts_seasonal_anomaly")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val hourly = TestData.events(spark, d)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val viaApi = engine.seasonalAnomaly(hourly, "hr", "cnt")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("transitionEntropy facade matches the events_transition_entropy key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("events_transition_entropy")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = TestData.events(spark, d)
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+    val viaApi = engine.transitionEntropy(pairs, "from_type", "to_type")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("charEntropy facade matches the text_char_entropy key values") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("text_char_entropy")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.charEntropy(
+        TestData.documents(spark, d)
+          .select(col("doc_id").as("id"), col("text")))
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("residualQuantize facade matches the vec_residual_quantize key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("vec_residual_quantize")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val e = TestData.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    val viaApi = engine.residualQuantize(
+        e.select(col("vec_id").as("id"), col("embedding")),
+        e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv")),
+        e.filter(col("vec_id") >= 4 && col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv")))
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+    // level 2 never reports a NEGATIVE error and the improvement
+    // flag is consistent with the two errors
+    viaApi.foreach { r =>
+      assert(r(4).asInstanceOf[Long] >= 0L)
+      assert(r(5) === (r(4).asInstanceOf[Long] < r(3).asInstanceOf[Long]))
+    }
   }
 }
