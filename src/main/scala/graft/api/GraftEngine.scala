@@ -2611,6 +2611,172 @@ class GraftEngine(val spark: SparkSession) {
       .orderBy("id")
   }
 
+  /** Growth accounting (see `events_user_lifecycle`) over a
+    * DISTINCT (`idCol`, `periodCol` integer) activity pair table:
+    * per period, new / retained / resurrected actives + churn into
+    * the period + quick ratio. Churn past the last observed period
+    * is right-censored out.
+    */
+  def userLifecycle(pairs: DataFrame, idCol: String,
+                    periodCol: String): DataFrame = {
+    val uw = pairs.select(col(idCol).as("u"), col(periodCol).as("wk"))
+      .distinct().localCheckpoint()
+    val first = uw.groupBy("u").agg(min("wk").as("first_wk"))
+    val prev = uw.select(col("u"), (col("wk") + 1).as("wk"),
+      lit(1).as("was_prev"))
+    val counts = uw.join(first, "u")
+      .join(prev, Seq("u", "wk"), "left")
+      .withColumn("status",
+        when(col("wk") === col("first_wk"), "new")
+          .when(col("was_prev").isNotNull, "retained")
+          .otherwise("resurrected"))
+      .groupBy("wk")
+      .agg(sum(when(col("status") === "new", 1L).otherwise(0L))
+        .as("n_new"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val churn = uw.select(col("u"), (col("wk") + 1).as("wk"))
+      .join(uw, Seq("u", "wk"), "left_anti")
+      .groupBy("wk").agg(count(lit(1)).as("n_churned"))
+    counts.join(churn, Seq("wk"), "left")
+      .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
+      .withColumn("quick_ratio", when(col("n_churned") > 0,
+        TestData.r4((col("n_new") + col("n_resurrected")).cast("double")
+          / col("n_churned"))))
+      .select(col("wk").as(periodCol), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"), col("quick_ratio"))
+      .orderBy(periodCol)
+  }
+
+  /** Jensen-Shannon divergence (see `text_js_divergence`) of each
+    * group's token distribution vs the corpus mix, over (`groupCol`,
+    * `text`) rows; vocabulary-shaped (absent-token mass collapses to
+    * the (1 − Σq)·ln2 closure term).
+    */
+  def jsDivergence(docs: DataFrame, groupCol: String): DataFrame = {
+    val c = docs
+      .select(col(groupCol).as("g"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy("g", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val nl = c.groupBy("g").agg(sum("c").as("n_g"))
+    val ct = c.groupBy("tok").agg(sum("c").as("c_tok"))
+    val nAll = nl.agg(sum("n_g").as("n_corpus"))
+    c.join(broadcast(nl), "g")
+      .join(ct, "tok")
+      .crossJoin(broadcast(nAll))
+      .withColumn("p", col("c").cast("double") / col("n_g").cast("double"))
+      .withColumn("q", col("c_tok").cast("double")
+        / col("n_corpus").cast("double"))
+      .withColumn("term_u", floor(
+        (col("p") * log(lit(2.0) * col("p") / (col("p") + col("q")))
+          + col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))))
+          * 1000000 + 0.5).cast("long"))
+      .groupBy("g")
+      .agg(max("n_g").as("n_g"), max("n_corpus").as("n_corpus"),
+        sum("term_u").as("sum_term_u"), sum("c_tok").as("sum_q_num"))
+      .withColumn("jsd", TestData.r4(
+        (col("sum_term_u") / 1000000.0
+          + (lit(1.0) - col("sum_q_num").cast("double")
+            / col("n_corpus")) * log(lit(2.0))) / 2.0))
+      .select(col("g").as(groupCol), col("n_g"), col("sum_term_u"),
+        col("jsd"))
+      .orderBy(groupCol)
+  }
+
+  /** Top-`k` diagonal-Mahalanobis outliers (see
+    * `vec_mahalanobis_outlier`) of (id, embedding) rows:
+    * milli-quantized coordinates, exact-integer per-dim variances,
+    * micro-quantized z² terms, sort+limit top-k.
+    */
+  def mahalanobisOutliers(vectors: DataFrame, k: Int = 20): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val dims = vectors
+      .select(col("id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("x_m",
+        floor(col("x").cast("double") * 1000 + 0.5).cast("long"))
+    val stats = dims.groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("x_m").as("sx"),
+        sum(col("x_m") * col("x_m")).as("sxx"))
+      .withColumn("mean_m", col("sx").cast("double") / col("n"))
+      .withColumn("var_m",
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          / (col("n") * (col("n") - 1)).cast("double"))
+      .filter(col("var_m") > 0)
+      .select("dim", "mean_m", "var_m")
+    dims.join(broadcast(stats), "dim")
+      .withColumn("term_u", floor(
+        (col("x_m").cast("double") - col("mean_m"))
+          * (col("x_m").cast("double") - col("mean_m")) / col("var_m")
+          * 1000000 + 0.5).cast("long"))
+      .groupBy("id")
+      .agg(sum("term_u").as("score_u"))
+      .orderBy(col("score_u").desc, col("id"))
+      .limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score_u").desc, col("id"))))
+      .withColumn("score", TestData.r4(col("score_u") / 1000000.0))
+      .select("rk", "id", "score_u", "score")
+      .orderBy("rk")
+  }
+
+  /** Interpolated as-of join (see `join_asof_interpolated`): probes
+    * (`id`, `tCol` micros) sample the integer series (`xCol` grid
+    * index, `yCol` value, grid unit = `unitMicros`) linearly between
+    * bracketing occupied points; gaps over `maxGap` grid steps and
+    * probes outside the span drop.
+    */
+  def asofInterpolate(series: DataFrame, probes: DataFrame,
+                      xCol: String, yCol: String, tCol: String,
+                      unitMicros: Long = 3600000000L,
+                      maxGap: Int = 168): DataFrame = {
+    val W = Window.orderBy(xCol)
+    val brackets = series
+      .withColumn("h1", lead(xCol, 1).over(W))
+      .withColumn("c1", lead(yCol, 1).over(W))
+      .filter(col("h1").isNotNull && col("h1") - col(xCol) <= maxGap)
+      .select(explode(sequence(col(xCol), col("h1") - 1)).as("cal"),
+        col(xCol).as("h0"), col(yCol).as("c0"), col("h1"), col("c1"))
+    probes
+      .withColumn("cal", expr(s"$tCol DIV $unitMicros"))
+      .join(brackets, "cal")
+      .withColumn("frac",
+        (col(tCol) - col("h0") * unitMicros).cast("double")
+          / ((col("h1") - col("h0")) * unitMicros).cast("double"))
+      .withColumn("interp", TestData.r4(col("c0")
+        + (col("c1") - col("c0")).cast("double") * col("frac")))
+      .select(col("id"), col("h0"), col("c0"), col("h1"), col("c1"),
+        col("interp"))
+      .orderBy("id")
+  }
+
+  /** Seasonal-naive backtest (see `ts_snaive_smape`) of an integer
+    * series (`xCol` grid index, `yCol` positive count): sMAPE + MAE
+    * of forecasting each point with the point `seasonLag` steps
+    * earlier (equi-join on the grid — lag() would misalign gaps).
+    */
+  def snaiveBacktest(series: DataFrame, xCol: String, yCol: String,
+                     seasonLag: Int = 168): DataFrame = {
+    require(seasonLag >= 1, "seasonLag must be positive")
+    val prevS = series.select((col(xCol) + seasonLag).as(xCol),
+      col(yCol).as("fc"))
+    series.join(prevS, xCol)
+      .withColumn("term_u", floor(
+        lit(2.0) * abs(col(yCol) - col("fc")).cast("double")
+          / (col(yCol) + col("fc")).cast("double") * 1000000 + 0.5)
+        .cast("long"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col(yCol) - col("fc"))).as("abs_err_sum"),
+        sum("term_u").as("smape_sum_u"))
+      .withColumn("mae", TestData.r4(col("abs_err_sum").cast("double")
+        / col("n_scored")))
+      .withColumn("smape", TestData.r4(col("smape_sum_u").cast("double")
+        / col("n_scored") / 1000000.0))
+      .select("n_scored", "abs_err_sum", "mae", "smape")
+  }
+
   /** Top-`k` term burstiness (see `text_term_burstiness`) of
     * (`id`, `text`) rows: cf, df, cf/df clumpiness, smoothed IDF.
     */

@@ -245,6 +245,45 @@ object Joins {
         .groupBy("n_name")
         .agg(count(lit(1)).as("n_customers"))
         .orderBy("n_name")
+    }),
+
+    // INTERPOLATED AS-OF JOIN (round 10): each purchase probes the
+    // hourly click-count series and gets the LINEARLY INTERPOLATED
+    // value between the bracketing occupied hours — the financial
+    // "sample a sparse quote curve at trade time" op, one step past
+    // join_asof_nearest's step function. Scale shape: the series'
+    // consecutive-pair table (lead over the TIME-sized grid)
+    // explodes its calendar hours (gap fanout capped at 168 h —
+    // longer holes are excluded, stated) and the corpus-sized probe
+    // stream EQUI-joins on its floor hour — never a non-equi range
+    // probe, never a probe-grain window. The interpolation fraction
+    // is one mirrored double expression, r4'd. Probes outside the
+    // covered span drop (stated).
+    "join_asof_interpolated" -> ((s, d) => {
+      val W = Window.orderBy("hr")
+      val series = TestData.events(s, d)
+        .filter(col("event_type") === "click")
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val brackets = series
+        .withColumn("h1", lead("hr", 1).over(W))
+        .withColumn("c1", lead("cnt", 1).over(W))
+        .filter(col("h1").isNotNull && col("h1") - col("hr") <= 168)
+        .select(explode(sequence(col("hr"), col("h1") - 1)).as("cal_hr"),
+          col("hr").as("h0"), col("cnt").as("c0"),
+          col("h1"), col("c1"))
+      TestData.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), unix_micros(col("ts")).as("t_us"))
+        .withColumn("cal_hr", expr("t_us DIV 3600000000"))
+        .join(brackets, "cal_hr")
+        .withColumn("frac",
+          (col("t_us") - col("h0") * 3600000000L).cast("double")
+            / ((col("h1") - col("h0")) * 3600000000L).cast("double"))
+        .withColumn("interp", r4(col("c0")
+          + (col("c1") - col("c0")).cast("double") * col("frac")))
+        .select("event_id", "h0", "c0", "h1", "c1", "interp")
+        .orderBy("event_id")
     })
   )
 
@@ -379,6 +418,33 @@ object Joins {
         |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON s.user_id = p.user_id
         |  AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 10 MINUTE
-        |ORDER BY signup_id, purchase_id""".stripMargin
+        |ORDER BY signup_id, purchase_id""".stripMargin,
+    // Same bracket-pair explode + floor-hour equi-join, same capped
+    // gap, mirrored interpolation op order.
+    "join_asof_interpolated" ->
+      """WITH series AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*)::BIGINT AS cnt
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |br AS (
+        |  SELECT hr AS h0, cnt AS c0, h1, c1 FROM (
+        |    SELECT hr, cnt, lead(hr) OVER (ORDER BY hr) AS h1,
+        |      lead(cnt) OVER (ORDER BY hr) AS c1
+        |    FROM series)
+        |  WHERE h1 IS NOT NULL AND h1 - hr <= 168),
+        |cal AS (
+        |  SELECT unnest(generate_series(h0, h1 - 1)) AS cal_hr,
+        |    h0, c0, h1, c1
+        |  FROM br),
+        |p AS (
+        |  SELECT event_id, epoch_us(ts) AS t_us,
+        |    epoch_us(ts) // 3600000000 AS cal_hr
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, h0, c0, h1, c1,
+        |  floor((c0 + (c1 - c0)::DOUBLE
+        |    * ((t_us - h0 * 3600000000)::DOUBLE
+        |      / ((h1 - h0) * 3600000000)::DOUBLE)) * 10000 + 0.5) / 10000
+        |    AS interp
+        |FROM p JOIN cal USING (cal_hr)
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -535,6 +535,49 @@ object TextAnalysis {
         .select("lang", "n_tokens", "n_types", "s2", "yule_k")
         .orderBy("lang")),
 
+    // JENSEN-SHANNON DIVERGENCE (round 10): JSD(lang ‖ corpus) over
+    // token distributions per language — the bounded, symmetric
+    // "how far is this slice from the mix" readout a training-mix
+    // designer reads next to the temperature-sampling weights (PSI
+    // needs numeric bins; JSD works on the vocabulary itself).
+    // Algebra that keeps it vocabulary-shaped: tokens the lang never
+    // uses contribute exactly q·ln2, so their total collapses to
+    // (1 − Σ_{t∈lang} q_t)·ln2 — computed from the lang's OWN rows;
+    // no lang × vocabulary completion join exists anywhere. Present-
+    // token terms micro-nat-quantized before the sum (protocol);
+    // the closure term and final ÷2 are one mirrored expression.
+    "text_js_divergence" -> ((s, d) => {
+      val c = TestData.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val nl = c.groupBy("lang").agg(sum("c").as("n_lang"))
+      val ct = c.groupBy("tok").agg(sum("c").as("c_tok"))
+      val nAll = nl.agg(sum("n_lang").as("n_corpus"))
+      c.join(broadcast(nl), "lang")
+        .join(ct, "tok")
+        .crossJoin(broadcast(nAll))
+        .withColumn("p", col("c").cast("double")
+          / col("n_lang").cast("double"))
+        .withColumn("q", col("c_tok").cast("double")
+          / col("n_corpus").cast("double"))
+        .withColumn("term_u", floor(
+          (col("p") * log(lit(2.0) * col("p") / (col("p") + col("q")))
+            + col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))))
+            * 1000000 + 0.5).cast("long"))
+        .groupBy("lang")
+        .agg(max("n_lang").as("n_lang"),
+          max("n_corpus").as("n_corpus"),
+          sum("term_u").as("sum_term_u"),
+          sum("c_tok").as("sum_q_num"))
+        .withColumn("jsd", r4(
+          (col("sum_term_u") / 1000000.0
+            + (lit(1.0) - col("sum_q_num").cast("double")
+              / col("n_corpus")) * log(lit(2.0))) / 2.0))
+        .select("lang", "n_lang", "sum_term_u", "jsd")
+        .orderBy("lang")
+    }),
+
     // CHARACTER ENTROPY (round 10): per-doc Shannon entropy of the
     // character distribution — the Gopher-style quality gate that
     // catches what token-level stats miss (key-mash noise scores
@@ -861,6 +904,39 @@ object TextAnalysis {
         |  floor(10000.0 * (s2 - n_tokens)::DOUBLE
         |    / (n_tokens::DOUBLE * n_tokens::DOUBLE) * 10000 + 0.5) / 10000
         |    AS yule_k
+        |FROM a ORDER BY lang""".stripMargin,
+    // Same vocabulary-shaped algebra: present-token terms micro-nat
+    // quantized, absent-token mass as the (1 − Σq)·ln2 closure.
+    "text_js_divergence" ->
+      """WITH c AS (
+        |  SELECT lang, tok, count(*)::BIGINT AS c
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |nl AS (SELECT lang, sum(c)::BIGINT AS n_lang FROM c GROUP BY 1),
+        |ct AS (SELECT tok, sum(c)::BIGINT AS c_tok FROM c GROUP BY 1),
+        |na AS (SELECT sum(n_lang)::BIGINT AS n_corpus FROM nl),
+        |t AS (
+        |  SELECT lang, n_lang, n_corpus, c_tok,
+        |    floor((p * ln(2.0 * p / (p + q))
+        |      + q * ln(2.0 * q / (p + q))) * 1000000 + 0.5)::BIGINT
+        |      AS term_u
+        |  FROM (
+        |    SELECT c.lang, nl.n_lang, na.n_corpus, ct.c_tok,
+        |      c.c::DOUBLE / nl.n_lang::DOUBLE AS p,
+        |      ct.c_tok::DOUBLE / na.n_corpus::DOUBLE AS q
+        |    FROM c JOIN nl USING (lang) JOIN ct USING (tok)
+        |    CROSS JOIN na) q1),
+        |a AS (
+        |  SELECT lang, max(n_lang)::BIGINT AS n_lang,
+        |    max(n_corpus)::BIGINT AS n_corpus,
+        |    sum(term_u)::BIGINT AS sum_term_u,
+        |    sum(c_tok)::BIGINT AS sum_q_num
+        |  FROM t GROUP BY 1)
+        |SELECT lang, n_lang, sum_term_u,
+        |  floor(((sum_term_u / 1000000.0
+        |    + (1.0 - sum_q_num::DOUBLE / n_corpus) * ln(2.0)) / 2.0)
+        |    * 10000 + 0.5) / 10000 AS jsd
         |FROM a ORDER BY lang""".stripMargin,
     "text_char_entropy" ->
       """WITH ch AS (

@@ -1455,6 +1455,123 @@ object TimeSeries {
         .orderBy("t_hr")
     }),
 
+    // USER LIFECYCLE / GROWTH ACCOUNTING (round 10): per week, the
+    // new / retained / resurrected split of actives plus churn into
+    // the week — the growth-accounting identity every WAU dashboard
+    // decomposes into (actives_w = new + retained + resurrected;
+    // actives_{w-1} = retained + churned_w) and the quick ratio
+    // (new+resurrected)/churned. Everything on the DISTINCT
+    // (user, week) pair grain: first-seen aggregate + two shifted
+    // self-joins, all user-sharded — no calendar fanout, no window.
+    // Churn beyond the last observed week is right-censored out
+    // (the churn_weekly convention, stated).
+    "events_user_lifecycle" -> ((s, d) => {
+      val uw = TestData.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) DIV 86400000000 DIV 7").as("wk"))
+        .distinct()
+        .localCheckpoint()
+      val first = uw.groupBy("user_id").agg(min("wk").as("first_wk"))
+      val prev = uw.select(col("user_id"), (col("wk") + 1).as("wk"),
+        lit(1).as("was_prev"))
+      val counts = uw.join(first, "user_id")
+        .join(prev, Seq("user_id", "wk"), "left")
+        .withColumn("status",
+          when(col("wk") === col("first_wk"), "new")
+            .when(col("was_prev").isNotNull, "retained")
+            .otherwise("resurrected"))
+        .groupBy("wk")
+        .agg(sum(when(col("status") === "new", 1L).otherwise(0L))
+          .as("n_new"),
+          sum(when(col("status") === "retained", 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+            .as("n_resurrected"))
+      val churn = uw.select(col("user_id"), (col("wk") + 1).as("wk"))
+        .join(uw, Seq("user_id", "wk"), "left_anti")
+        .groupBy("wk").agg(count(lit(1)).as("n_churned"))
+      counts.join(churn, Seq("wk"), "left")
+        .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
+        .withColumn("quick_ratio", when(col("n_churned") > 0,
+          r4((col("n_new") + col("n_resurrected")).cast("double")
+            / col("n_churned"))))
+        .select("wk", "n_new", "n_retained", "n_resurrected",
+          "n_churned", "quick_ratio")
+        .orderBy("wk")
+    }),
+
+    // RETENTION HALF-LIFE (round 10): fit ln(retention_k) ~ ln(k)
+    // over day offsets 1..14 (power-law decay — the standard
+    // retention-curve model) and report the slope + the half-life
+    // it implies. The curve points come from the exact
+    // (user, day-offset) machinery; BOTH logs are quantized to
+    // integer MICRO-units before the OLS sums, so the slope
+    // numerator/denominator are exact BIGINTs (products ≤ ~1e14 —
+    // safe) and the only float steps are two mirrored divisions.
+    // Days-sized readout at any corpus size.
+    "events_retention_halflife" -> ((s, d) => {
+      val ud = TestData.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .distinct()
+      val first = ud.groupBy("user_id").agg(min("day").as("d0"))
+      val cohort = first.agg(count(lit(1)).as("n_users"))
+      val pts = ud.join(first, "user_id")
+        .withColumn("k", col("day") - col("d0"))
+        .filter(col("k").between(1, 14))
+        .groupBy("k").agg(countDistinct("user_id").as("n_k"))
+        .crossJoin(broadcast(cohort))
+        .withColumn("r", col("n_k").cast("double")
+          / col("n_users").cast("double"))
+        .filter(col("r") > 0)
+        .withColumn("x_u", floor(log(col("k").cast("double")) * 1000000
+          + 0.5).cast("long"))
+        .withColumn("y_u", floor(log(col("r")) * 1000000 + 0.5)
+          .cast("long"))
+      pts.agg(count(lit(1)).as("n_points"),
+          sum("x_u").as("sx"), sum("y_u").as("sy"),
+          sum(col("x_u") * col("y_u")).as("sxy"),
+          sum(col("x_u") * col("x_u")).as("sxx"))
+        // degenerate single-x fit (≤1 point) ⇒ NULL, not an inf leak
+        .withColumn("slope", when(
+          col("n_points") * col("sxx") - col("sx") * col("sx") > 0, r4(
+          (col("n_points") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / (col("n_points") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"))))
+        .withColumn("halflife_days", when(col("slope") < 0,
+          r4(-log(lit(2.0)) / col("slope"))))
+        .select("n_points", "sx", "sy", "slope", "halflife_days")
+    }),
+
+    // SEASONAL-NAIVE BACKTEST (round 10): forecast every hour with
+    // the same hour LAST WEEK (the baseline every real forecaster
+    // must beat) and score it — sMAPE + MAE over the overlap. The
+    // lag is an EQUI-JOIN on hr−168 over the occupied-hour grid
+    // (lag() over rows would silently misalign across gaps); each
+    // sMAPE term is micro-quantized before the order-free sum;
+    // MAE's numerator stays an exact BIGINT.
+    "ts_snaive_smape" -> ((s, d) => {
+      val hourly = TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val prevWeek = hourly.select((col("hr") + 168).as("hr"),
+        col("cnt").as("fc"))
+      hourly.join(prevWeek, "hr")
+        .withColumn("term_u", floor(
+          lit(2.0) * abs(col("cnt") - col("fc")).cast("double")
+            / (col("cnt") + col("fc")).cast("double") * 1000000 + 0.5)
+          .cast("long"))
+        .agg(count(lit(1)).as("n_scored"),
+          sum(abs(col("cnt") - col("fc"))).as("abs_err_sum"),
+          sum("term_u").as("smape_sum_u"))
+        .withColumn("mae", r4(col("abs_err_sum").cast("double")
+          / col("n_scored")))
+        .withColumn("smape", r4(col("smape_sum_u").cast("double")
+          / col("n_scored") / 1000000.0))
+        .select("n_scored", "abs_err_sum", "mae", "smape")
+    }),
+
     // LJUNG-BOX WHITENESS TEST (round 10): Q = n(n+2)·Σ_{k≤12}
     // r_k²/(n−k) over the hourly series — the "is anything left"
     // gate run after deseasonalizing/whitening: if Q clears the
@@ -2561,6 +2678,104 @@ object TimeSeries {
         |    ELSE floor(exp(cum_u / 1000000.0) * 10000 + 0.5) / 10000 END
         |    AS survival
         |FROM km ORDER BY t_hr""".stripMargin,
+    // Same distinct pair grain, same shifted self-joins, same
+    // right-censoring of churn past the last observed week.
+    "events_user_lifecycle" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    (epoch_us(ts) // 86400000000) // 7 AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk)::BIGINT AS first_wk
+        |      FROM uw GROUP BY 1),
+        |cls AS (
+        |  SELECT uw.wk,
+        |    CASE WHEN uw.wk = f.first_wk THEN 'new'
+        |         WHEN p.user_id IS NOT NULL THEN 'retained'
+        |         ELSE 'resurrected' END AS status
+        |  FROM uw
+        |  JOIN f ON uw.user_id = f.user_id
+        |  LEFT JOIN (SELECT user_id, wk + 1 AS wk FROM uw) p
+        |    ON uw.user_id = p.user_id AND uw.wk = p.wk),
+        |cnt AS (
+        |  SELECT wk,
+        |    sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_new,
+        |    sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_retained,
+        |    sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_resurrected
+        |  FROM cls GROUP BY 1),
+        |ch AS (
+        |  SELECT n.wk, count(*)::BIGINT AS n_churned
+        |  FROM (SELECT user_id, wk + 1 AS wk FROM uw) n
+        |  LEFT JOIN uw ON n.user_id = uw.user_id AND n.wk = uw.wk
+        |  WHERE uw.user_id IS NULL GROUP BY 1)
+        |SELECT cnt.wk, n_new, n_retained, n_resurrected,
+        |  coalesce(ch.n_churned, 0)::BIGINT AS n_churned,
+        |  CASE WHEN coalesce(ch.n_churned, 0) > 0 THEN
+        |    floor(((n_new + n_resurrected)::DOUBLE
+        |      / coalesce(ch.n_churned, 0)) * 10000 + 0.5) / 10000
+        |  END AS quick_ratio
+        |FROM cnt LEFT JOIN ch ON cnt.wk = ch.wk
+        |ORDER BY cnt.wk""".stripMargin,
+    // Same micro-quantized logs before the OLS sums, mirrored
+    // slope/half-life divisions.
+    "events_retention_halflife" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day)::BIGINT AS d0 FROM ud GROUP BY 1),
+        |coh AS (SELECT count(*)::BIGINT AS n_users FROM f),
+        |pts AS (
+        |  SELECT floor(ln(k::DOUBLE) * 1000000 + 0.5)::BIGINT AS x_u,
+        |    floor(ln(n_k::DOUBLE / n_users::DOUBLE) * 1000000 + 0.5)
+        |      ::BIGINT AS y_u
+        |  FROM (
+        |    SELECT (ud.day - f.d0)::BIGINT AS k,
+        |      count(DISTINCT ud.user_id)::BIGINT AS n_k
+        |    FROM ud JOIN f ON ud.user_id = f.user_id
+        |    WHERE ud.day - f.d0 BETWEEN 1 AND 14
+        |    GROUP BY 1) q CROSS JOIN coh
+        |  WHERE n_k::DOUBLE / n_users::DOUBLE > 0),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n_points,
+        |    sum(x_u)::BIGINT AS sx, sum(y_u)::BIGINT AS sy,
+        |    sum(x_u * y_u)::BIGINT AS sxy, sum(x_u * x_u)::BIGINT AS sxx
+        |  FROM pts),
+        |b AS (
+        |  SELECT n_points, sx, sy,
+        |    CASE WHEN n_points * sxx - sx * sx > 0 THEN
+        |      floor(((n_points * sxy - sx * sy)::DOUBLE
+        |        / (n_points * sxx - sx * sx)::DOUBLE) * 10000 + 0.5)
+        |        / 10000 END AS slope
+        |  FROM a)
+        |SELECT n_points, sx, sy, slope,
+        |  CASE WHEN slope < 0 THEN
+        |    floor((-ln(2.0) / slope) * 10000 + 0.5) / 10000 END
+        |    AS halflife_days
+        |FROM b""".stripMargin,
+    // Same hr−168 equi-join over the occupied grid, micro-quantized
+    // sMAPE terms, exact-integer MAE numerator.
+    "ts_snaive_smape" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1),
+        |j AS (
+        |  SELECT a.cnt, b.cnt AS fc,
+        |    floor(2.0 * abs(a.cnt - b.cnt)::DOUBLE
+        |      / (a.cnt + b.cnt)::DOUBLE * 1000000 + 0.5)::BIGINT AS term_u
+        |  FROM hourly a JOIN hourly b ON a.hr = b.hr + 168),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n_scored,
+        |    sum(abs(cnt - fc))::BIGINT AS abs_err_sum,
+        |    sum(term_u)::BIGINT AS smape_sum_u
+        |  FROM j)
+        |SELECT n_scored, abs_err_sum,
+        |  floor((abs_err_sum::DOUBLE / n_scored) * 10000 + 0.5) / 10000
+        |    AS mae,
+        |  floor((smape_sum_u::DOUBLE / n_scored / 1000000.0)
+        |    * 10000 + 0.5) / 10000 AS smape
+        |FROM a""".stripMargin,
     // Same integer dev machinery as ts_autocorr, Q as one mirrored
     // left-to-right 12-term expression.
     "ts_ljung_box" ->

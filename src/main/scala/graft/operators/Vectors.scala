@@ -439,6 +439,51 @@ object Vectors {
         .orderBy("component", "dim")
     }),
 
+    // DIAGONAL MAHALANOBIS OUTLIERS (round 10): per-dimension
+    // z-scores squared and summed — the embedding-space outlier
+    // screen that catches corrupt/degenerate vectors a cosine-based
+    // dedup never sees (full Mahalanobis needs the covariance
+    // inverse; the diagonal form is the standard at-scale
+    // surrogate). Determinism: coordinates quantized to integer
+    // MILLI-units first, so per-dim sums are exact BIGINTs (bound:
+    // n·x_m² < 2^63 ⇒ n ≲ 9e12 at unit scale — the milli choice IS
+    // the bound trade); variances via n·Σx²−(Σx)²; each z² term
+    // micro-quantized before the per-vector sum. Top-20 via global
+    // sort+limit (TakeOrderedAndProject — never a corpus-grain rank
+    // window); the dims-stats table is a dims-sized broadcast.
+    "vec_mahalanobis_outlier" -> ((s, d) => {
+      val dims = TestData.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("x_m",
+          floor(col("x").cast("double") * 1000 + 0.5).cast("long"))
+      val stats = dims.groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum("x_m").as("sx"),
+          sum(col("x_m") * col("x_m")).as("sxx"))
+        .withColumn("mean_m", col("sx").cast("double") / col("n"))
+        .withColumn("var_m",
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            / (col("n") * (col("n") - 1)).cast("double"))
+        .filter(col("var_m") > 0)
+        .select("dim", "mean_m", "var_m")
+      val scored = dims.join(broadcast(stats), "dim")
+        .withColumn("term_u", floor(
+          (col("x_m").cast("double") - col("mean_m"))
+            * (col("x_m").cast("double") - col("mean_m")) / col("var_m")
+            * 1000000 + 0.5).cast("long"))
+        .groupBy("vec_id")
+        .agg(sum("term_u").as("score_u"))
+        .orderBy(col("score_u").desc, col("vec_id"))
+        .limit(20)
+      scored
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_u").desc, col("vec_id"))))
+        .withColumn("score", r4(col("score_u") / 1000000.0))
+        .select("rk", "vec_id", "score_u", "score")
+        .orderBy("rk")
+    }),
+
     // CENTROID SILHOUETTE (round 10): the simplified (centroid-
     // based) silhouette per vector — a = distance to own centroid,
     // b = nearest OTHER centroid, s = (b−a)/max(a,b) — the index-
@@ -692,6 +737,35 @@ object Vectors {
         |SELECT pos.aid AS anchor_id, pos_id, pos_cos, neg_id, neg_cos
         |FROM pos JOIN neg ON pos.aid = neg.aid AND pos.rn = 1 AND neg.rn = 1
         |ORDER BY anchor_id""".stripMargin,
+    // Same milli-quantized coordinates, same exact-integer variance
+    // closed form, micro-quantized z² terms, sort+limit top-20.
+    "vec_mahalanobis_outlier" ->
+      s"""WITH dims AS (
+        |  SELECT vec_id, i AS dim,
+        |    floor((embedding::DOUBLE[])[i + 1] * 1000 + 0.5)::BIGINT AS x_m
+        |  FROM embeddings,
+        |       LATERAL (SELECT unnest(range(len(embedding))) AS i) r),
+        |stats AS (
+        |  SELECT dim, sx::DOUBLE / n AS mean_m,
+        |    (n * sxx - sx * sx)::DOUBLE / (n * (n - 1))::DOUBLE AS var_m
+        |  FROM (
+        |    SELECT dim, count(*)::BIGINT AS n, sum(x_m)::BIGINT AS sx,
+        |      sum(x_m * x_m)::BIGINT AS sxx
+        |    FROM dims GROUP BY 1)
+        |  WHERE (n * sxx - sx * sx)::DOUBLE / (n * (n - 1))::DOUBLE > 0),
+        |scored AS (
+        |  SELECT vec_id,
+        |    sum(floor((x_m::DOUBLE - mean_m) * (x_m::DOUBLE - mean_m)
+        |      / var_m * 1000000 + 0.5)::BIGINT)::BIGINT AS score_u
+        |  FROM dims JOIN stats USING (dim)
+        |  GROUP BY 1),
+        |top AS (
+        |  SELECT vec_id, score_u,
+        |    row_number() OVER (ORDER BY score_u DESC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT rk::INT AS rk, vec_id, score_u,
+        |  floor((score_u / 1000000.0) * 10000 + 0.5) / 10000 AS score
+        |FROM top WHERE rk <= 20 ORDER BY rk""".stripMargin,
     // Same micro-quantized distances, same (d_u, cid) argmin
     // tie-break, same (b−a)/max(a,b) with the both-zero guard.
     "ann_centroid_silhouette" ->

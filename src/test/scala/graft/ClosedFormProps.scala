@@ -285,6 +285,38 @@ object ClosedFormProps extends Properties("graft.closedforms") {
       cost == cost.sorted
     }
 
+  // text_js_divergence: the vocabulary-shaped form (present-token
+  // terms + the (1 − Σq)·ln2 closure for absent tokens) equals the
+  // full-union textbook JSD, and stays within [0, ln 2].
+  property("JSD closure form equals the full-union definition") =
+    Prop.forAll(Gen.choose(1, 20).flatMap(n =>
+        Gen.zip(Gen.listOfN(n, Gen.choose(0L, 50L)),
+                Gen.listOfN(n, Gen.choose(0L, 50L))))) { case (as0, bs0) =>
+      // P must be a real distribution — plant one guaranteed token
+      val as = 1L :: as0
+      val bs = 0L :: bs0
+      val (na, nb) = (as.sum, bs.sum)
+      val nAll = na + nb
+      def h(p: Double, q: Double): Double =
+        (if (p > 0) p * math.log(2 * p / (p + q)) else 0.0) +
+          (if (q > 0) q * math.log(2 * q / (p + q)) else 0.0)
+      // P = dist of sample A; Q = pooled corpus dist
+      val pooled = as.zip(bs).map { case (a, b) => a + b }
+      val full = as.indices.map { i =>
+        h(as(i).toDouble / na, pooled(i).toDouble / nAll)
+      }.sum / 2
+      // closure form: only indices where A is present, plus the
+      // absent-mass term
+      val present = as.indices.filter(as(_) > 0)
+      val sumQ = present.map(pooled(_).toDouble / nAll).sum
+      val closure = (present.map { i =>
+        h(as(i).toDouble / na, pooled(i).toDouble / nAll)
+      }.sum + (1.0 - sumQ) * math.log(2.0)) / 2
+      (math.abs(full - closure) < 1e-9) :| s"full=$full closure=$closure" &&
+        (closure >= -1e-12 && closure <= math.log(2.0) + 1e-12) :|
+          s"out of [0, ln2]: $closure"
+    }
+
   // sample_bootstrap_ci: the Poisson(1) inverse-CDF ladder is a real
   // Poisson — thresholds strictly increase and the expected weight
   // over a uniform grid is 1 within the cap's truncation error.

@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 110, "documented facade count drifted; methods: "
+    assert(names.length === 115, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1600,6 +1600,93 @@ class EngineApiSpec extends SparkSpec {
     val viaApi = engine.charEntropy(
         TestData.documents(spark, d)
           .select(col("doc_id").as("id"), col("text")))
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("userLifecycle facade matches the events_user_lifecycle key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("events_user_lifecycle")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val pairs = TestData.events(spark, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000 DIV 7").as("wk"))
+    val viaApi = engine.userLifecycle(pairs, "user_id", "wk")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+    // growth-accounting identity: actives_w = new+retained+resurrected
+    // and actives_{w-1} = retained_w + churned_w (interior weeks)
+    val rows = declared.map(r => (r(0).asInstanceOf[Long],
+      r(1).asInstanceOf[Long] + r(2).asInstanceOf[Long]
+        + r(3).asInstanceOf[Long],
+      r(2).asInstanceOf[Long], r(4).asInstanceOf[Long]))
+    rows.sliding(2).foreach {
+      case Seq((w0, act0, _, _), (w1, _, ret1, ch1)) if w1 == w0 + 1 =>
+        assert(act0 === ret1 + ch1,
+          s"week $w0 actives must equal retained+churned of week $w1")
+      case _ =>
+    }
+  }
+
+  test("jsDivergence facade matches the text_js_divergence key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("text_js_divergence")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.jsDivergence(
+        TestData.documents(spark, d).select(col("lang"), col("text")),
+        "lang")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+    // JSD is bounded by ln 2
+    viaApi.foreach { r =>
+      val j = r(3).asInstanceOf[Double]
+      assert(j >= 0.0 && j <= 0.6932, s"jsd out of [0, ln2]: $j")
+    }
+  }
+
+  test("mahalanobisOutliers facade matches the vec_mahalanobis_outlier key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("vec_mahalanobis_outlier")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.mahalanobisOutliers(
+        TestData.embeddings(spark, d)
+          .select(col("vec_id").as("id"), col("embedding")))
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("asofInterpolate facade matches the join_asof_interpolated key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("join_asof_interpolated")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val series = TestData.events(spark, d)
+      .filter(col("event_type") === "click")
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val probes = TestData.events(spark, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("id"), unix_micros(col("ts")).as("t_us"))
+    val viaApi = engine.asofInterpolate(series, probes, "hr", "cnt",
+        "t_us")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+    // interpolation stays inside the bracket values
+    viaApi.foreach { r =>
+      val c0 = r(2).asInstanceOf[Long].toDouble
+      val c1 = r(4).asInstanceOf[Long].toDouble
+      val v = r(5).asInstanceOf[Double]
+      assert(v >= math.min(c0, c1) - 1e-4 && v <= math.max(c0, c1) + 1e-4)
+    }
+  }
+
+  test("snaiveBacktest facade matches the ts_snaive_smape key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("ts_snaive_smape")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val series = TestData.events(spark, d)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val viaApi = engine.snaiveBacktest(series, "hr", "cnt")
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
   }
