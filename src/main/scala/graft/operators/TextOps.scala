@@ -544,6 +544,68 @@ object TextOps {
         .select(col("id_a"), col("id_b"), r4(col("jac")).as("approx_jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // LSH BANDING TUNER (round 10): the knob table an operator reads
+    // before picking (bands, rows) — for r ∈ {2, 3, 6} over the same
+    // 18 permutations: the S-curve threshold (1/b)^(1/r), the
+    // candidate-pair volume that banding actually produces on this
+    // corpus, and how many survive exact verification at 0.9. More
+    // rows per band ⇒ strictly nested candidate sets (every r=6 band
+    // contains a full r=3 band contains a full r=2-aligned pair —
+    // DedupSpec pins the nesting), so the table shows the exact
+    // recall/cost trade. Signatures computed ONCE (the one-pass
+    // MinHashSig expression, checkpointed); each banding is one
+    // fixed-width band-key shuffle; verification joins shingles back
+    // for surviving candidates only.
+    "dedup_lsh_tuning" -> ((s, d) => {
+      import org.apache.spark.sql.graft.Bridge
+      import graft.functions.{MinHashLsh => M, MinHashSig}
+      val numPerm = 18
+      val docs = TestData.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id").as("id"), col("lang").as("blockKey"),
+          M.shinglesFromTokens(col("toks")).as("shingles"))
+      val hashed = docs.withColumn("mhs",
+        Bridge.column(MinHashSig(Bridge.expression(col("shingles")),
+          numPerm)))
+      val sigCols = (0 until numPerm).map(k =>
+        element_at(col("mhs"), k + 1).as(s"mh$k"))
+      val sigs = hashed
+        .select(col("id") +: col("blockKey") +: sigCols: _*)
+        .localCheckpoint()
+      val sh = docs.select(col("id"), col("shingles")).localCheckpoint()
+      val perR = Seq(2, 3, 6).map { r =>
+        val bands = numPerm / r
+        val bandKeys = (0 until bands).map { j =>
+          val cols = (0 until r).map(i => col(s"mh${j * r + i}"))
+          struct(lit(j).as("band"),
+            concat_ws("|", col("blockKey") +: cols: _*).as("bkey"))
+        }
+        val buckets = sigs
+          .select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+          .select(col("id"), col("bk.band"), col("bk.bkey"))
+        val cand = buckets.as("x").join(buckets.as("y"),
+            col("x.band") === col("y.band")
+              && col("x.bkey") === col("y.bkey")
+              && col("x.id") < col("y.id"))
+          .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+          .localCheckpoint()
+        val nVer = cand
+          .join(sh.select(col("id").as("id_a"), col("shingles").as("sa")),
+            "id_a")
+          .join(sh.select(col("id").as("id_b"), col("shingles").as("sb")),
+            "id_b")
+          .filter(M.jaccard(col("sa"), col("sb")) > 0.9)
+        cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(nVer.agg(count(lit(1)).as("n_verified")))
+          .select(lit(r).as("rows_per_band"), lit(bands).as("bands"),
+            lit(TextOps.sCurveThreshold(bands, r)).as("threshold"),
+            col("n_candidates"), col("n_verified"))
+      }
+      perR.reduce(_ unionByName _).orderBy("rows_per_band")
+    }),
+
     // Fixed-size token chunking with overlap (32-token chunks,
     // stride 24) — the RAG/encoder preprocessing pass that turns
     // documents into model-window-sized pieces without losing
@@ -704,13 +766,84 @@ object TextOps {
     // hand), band keys as exact value tuples, candidates via the same
     // equi-join, then exact Jaccard verify. Deterministic end to end,
     // so the hash comparison is meaningful.
-    "dedup_minhash_lsh" -> minhashLshOracle
+    "dedup_minhash_lsh" -> minhashLshOracle,
+    "dedup_lsh_tuning" -> lshTuningOracle
   )
 
   /** The mirrored MinHash-LSH pipeline as a reusable CTE block ending
     * in `ver(id_a, id_b, jac)` — shared by the pairs oracle below and
     * the component-clustering oracle in GraphOps.
     */
+  /** Rounded S-curve threshold (1/b)^(1/r) — computed ONCE in Scala
+    * and interpolated into BOTH the Spark literal and the oracle SQL
+    * so no engine evaluates the pow.
+    */
+  private[graft] def sCurveThreshold(bands: Int, r: Int): Double =
+    math.floor(math.pow(1.0 / bands, 1.0 / r) * 10000 + 0.5) / 10000
+
+  /** Band-key SELECTs for an 18-perm signature at `r` rows/band. */
+  private def tuningBandsSql(r: Int): String = {
+    val bands = 18 / r
+    (0 until bands).map { j =>
+      val cols = (0 until r).map(i => s"mh${j * r + i}")
+        .mkString(" || '|' || ")
+      s"  SELECT id, $j AS band, lang || '|' || $cols AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n")
+  }
+
+  private def lshTuningOracle: String = {
+    val perR = Seq(2, 3, 6).map { r =>
+      val bands = 18 / r
+      s"""b$r AS (
+         |${tuningBandsSql(r)}),
+         |c$r AS (
+         |  SELECT a.id AS id_a, b.id AS id_b FROM b$r a JOIN b$r b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |v$r AS (
+         |  SELECT count(*)::BIGINT AS n FROM c$r
+         |  JOIN sh sa ON sa.id = c$r.id_a JOIN sh sb ON sb.id = c$r.id_b
+         |  WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+         |    (len(sa.shingles) + len(sb.shingles)
+         |     - len(list_intersect(sa.shingles, sb.shingles))) > 0.9)"""
+        .stripMargin
+    }.mkString(",\n")
+    val rows = Seq(2, 3, 6).map { r =>
+      val bands = 18 / r
+      s"""SELECT $r AS rows_per_band, $bands AS bands,
+         |  ${sCurveThreshold(bands, r)} AS threshold,
+         |  (SELECT count(*) FROM c$r)::BIGINT AS n_candidates,
+         |  (SELECT n FROM v$r)::BIGINT AS n_verified""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $minhashSigCtes,
+       |$perR
+       |$rows
+       |ORDER BY rows_per_band""".stripMargin
+  }
+
+  /** Shared toks → shingles → 18-perm signature CTE prefix. */
+  private def minhashSigCtes: String = {
+    val p = graft.functions.MinHashLsh.Prime
+    val mhCols = graft.functions.MinHashLsh.permConstants(18).zipWithIndex
+      .map { case ((a, b), k) =>
+        s"    list_min(list_transform(hv, h -> (h*$a + $b) % $p)) AS mh$k"
+      }.mkString(",\n")
+    s"""toks AS (
+       |  SELECT doc_id AS id, lang, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |sh AS (
+       |  SELECT id, lang,
+       |    list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS shingles
+       |  FROM toks),
+       |sig AS (
+       |  SELECT id, lang,
+       |$mhCols
+       |  FROM (SELECT id, lang,
+       |          list_transform(shingles,
+       |            s -> ('0x' || substring(md5(s), 1, 7))::BIGINT) AS hv
+       |        FROM sh))""".stripMargin
+  }
+
   private[graft] def minhashLshCtes: String = {
     val p = graft.functions.MinHashLsh.Prime
     val mhCols = graft.functions.MinHashLsh.permConstants(18).zipWithIndex

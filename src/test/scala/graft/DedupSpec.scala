@@ -297,4 +297,35 @@ class DedupSpec extends SparkSpec {
     assert(got == brute,
       s"missing=${brute.diff(got).take(5)} extra=${got.diff(brute).take(5)}")
   }
+
+  test("LSH banding nesting: wider rows-per-band only SHRINK candidates") {
+    // Structural half (a theorem under 18-perm alignment, checked
+    // exhaustively): every r=6 band's index range contains a full
+    // r=3 band, and every r=3 band contains an aligned r=2 band —
+    // so a collision at larger r implies one at smaller r and the
+    // candidate sets nest.
+    for (j <- 0 until 3) {
+      val r6 = (6 * j) to (6 * j + 5)
+      assert((0 until 6).exists(k =>
+        (3 * k) >= r6.start && (3 * k + 2) <= r6.end),
+        s"r=6 band $j must contain a full r=3 band")
+    }
+    for (j <- 0 until 6) {
+      val r3 = (3 * j) to (3 * j + 2)
+      assert((0 until 9).exists(k =>
+        (2 * k) >= r3.start && (2 * k + 1) <= r3.end),
+        s"r=3 band $j must contain a full r=2 band")
+    }
+    // Fixture half: the declared tuning table is monotone and never
+    // verifies more than it proposes.
+    val rows = SparkEntry.queries("dedup_lsh_tuning")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getInt(0), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq === Seq(2, 3, 6))
+    val cands = rows.map(_._2)
+    assert(cands(0) >= cands(1) && cands(1) >= cands(2),
+      s"candidate counts must shrink with rows/band: ${cands.toSeq}")
+    rows.foreach { case (r, c, v) =>
+      assert(v <= c, s"r=$r verified $v exceeds candidates $c")
+    }
+  }
 }

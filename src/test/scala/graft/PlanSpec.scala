@@ -522,6 +522,35 @@ class PlanSpec extends SparkSpec {
     assert(mentions === 1, s"expected one md5 site, got $mentions")
   }
 
+  test("round-10 join-shaped keys plan equi-joins — no nested loop, no cartesian") {
+    // ts_mann_kendall / ts_theil_sen intentionally theta-join the
+    // TIME-sized grid (documented); everything that touches corpus
+    // grain must stay hash-equi. asof_interpolated is the critical
+    // one: the probe side is corpus-sized.
+    for (k <- Seq("join_asof_interpolated", "events_user_lifecycle",
+        "events_survival_km", "ts_snaive_smape",
+        "graph_hits", "graph_clustering_coeff", "text_char_entropy",
+        "vec_mahalanobis_outlier", "events_transition_entropy")) {
+      val p = plan(k)
+      assert(!p.contains("BroadcastNestedLoopJoin")
+          && !p.contains("CartesianProduct"),
+        s"$k must not plan a nested-loop/cartesian:\n${p.take(700)}")
+    }
+    // text_js_divergence carries exactly ONE BNLJ — the 1-row
+    // n_corpus scalar broadcast (intended); the token join itself
+    // must be hash-equi (the r8 "assert the broadcast IS the
+    // intended one" lesson).
+    val pj = plan("text_js_divergence")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(pj).length
+    assert(bnlj === 1 && !pj.contains("CartesianProduct"),
+      s"js_divergence: expected only the scalar BNLJ, got $bnlj")
+  }
+
+  test("vec_mahalanobis_outlier plans TakeOrderedAndProject, not a rank window") {
+    val p = plan("vec_mahalanobis_outlier")
+    assert(p.contains("TakeOrderedAndProject"), p.take(700))
+  }
+
   test("cramers_v margins ride windows over the cells grid, scan below") {
     val p = plan("agg_cramers_v")
     val idxWindow = p.indexOf("Window")
