@@ -2085,6 +2085,425 @@ class GraftEngine(val spark: SparkSession) {
       .orderBy(groupCol)
   }
 
+  /** Kendall τ-b per group (see `agg_kendall_tau`) over two
+    * integer-quantized columns: concordant/discordant counts from a
+    * theta self-join of the bounded joint-value grid, tie terms from
+    * the marginals. Bound: C, D ≤ n²/2 < 2^63 per group (n ≲ 4.2e9);
+    * the (n0−n1)(n0−n2) product multiplies DOUBLES.
+    */
+  def kendallTau(df: DataFrame, groupCol: String, xCol: String,
+                 yCol: String): DataFrame = {
+    val li = df.select(col(groupCol).as("g"), col(xCol).as("qx"),
+      col(yCol).as("qy"))
+    val cells = li.groupBy("g", "qx", "qy").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val cd = cells.as("a").join(cells.as("b"),
+        col("a.g") === col("b.g")
+          && col("a.qx") < col("b.qx") && col("a.qy") =!= col("b.qy"))
+      .groupBy(col("a.g").as("g"))
+      .agg(sum(when(col("a.qy") < col("b.qy"),
+          col("a.c") * col("b.c")).otherwise(0L)).as("n_concordant"),
+        sum(when(col("a.qy") > col("b.qy"),
+          col("a.c") * col("b.c")).otherwise(0L)).as("n_discordant"))
+    def tieSum(k: String, out: String): DataFrame =
+      cells.groupBy("g", k).agg(sum("c").as("t"))
+        .groupBy("g")
+        .agg(sum(expr("(t * (t - 1)) DIV 2")).as(out))
+    cells.groupBy("g").agg(sum("c").as("n"))
+      .join(cd, "g")
+      .join(tieSum("qx", "ties_x"), "g")
+      .join(tieSum("qy", "ties_y"), "g")
+      .withColumn("n0", expr("(n * (n - 1)) DIV 2"))
+      .withColumn("tau_b", when(
+        col("n0") > col("ties_x") && col("n0") > col("ties_y"),
+        TestData.r4((col("n_concordant") - col("n_discordant"))
+          .cast("double")
+          / sqrt((col("n0") - col("ties_x")).cast("double")
+            * (col("n0") - col("ties_y")).cast("double")))))
+      .select(col("g").as(groupCol), col("n"), col("n_concordant"),
+        col("n_discordant"), col("ties_x"), col("ties_y"), col("tau_b"))
+      .orderBy(groupCol)
+  }
+
+  /** One-way ANOVA F (see `agg_anova_f`) of an integer `valueCol`
+    * across `groupCol` groups, from per-group sufficient statistics.
+    * Bounds: Σx² exact while n·max(x)² < 2^63; per-group sx²/n terms
+    * whole-unit quantized (mean²·n_g < 9.2e18).
+    */
+  def anovaF(df: DataFrame, groupCol: String,
+             valueCol: String): DataFrame = {
+    val g = df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_g"), sum(valueCol).as("sx"),
+        sum(col(valueCol) * col(valueCol)).as("sxx"))
+      .withColumn("t_u", floor(col("sx").cast("double")
+        * col("sx").cast("double") / col("n_g").cast("double") + 0.5)
+        .cast("long"))
+    g.agg(count(lit(1)).as("k_groups"), sum("n_g").as("n_total"),
+        sum("sx").as("sum_all"), sum("sxx").as("sxx_all"),
+        sum("t_u").as("t_sum_u"))
+      .withColumn("ssb", col("t_sum_u").cast("double")
+        - col("sum_all").cast("double") * col("sum_all").cast("double")
+          / col("n_total").cast("double"))
+      .withColumn("ssw",
+        col("sxx_all").cast("double") - col("t_sum_u").cast("double"))
+      .withColumn("f_stat", when(
+        col("ssw") > 0 && col("n_total") > col("k_groups"),
+        TestData.r4((col("ssb") / (col("k_groups") - 1).cast("double"))
+          / (col("ssw")
+            / (col("n_total") - col("k_groups")).cast("double")))))
+      .select(col("k_groups"), col("n_total"), col("t_sum_u"),
+        TestData.r4(col("ssb")).as("ssb"),
+        TestData.r4(col("ssw")).as("ssw"), col("f_stat"))
+  }
+
+  /** Welch's unequal-variance t (see `agg_welch_t`) between the two
+    * labelled groups of an integer `valueCol`, via the value-distinct
+    * cell grid. Bound: Σx² exact while n·max(x)² < 2^63. Either
+    * variance 0 ⇒ NULL t and df.
+    */
+  def welchT(df: DataFrame, valueCol: String, groupCol: String,
+             aLabel: String = "control",
+             bLabel: String = "treatment"): DataFrame =
+    twoGroupCells(df, valueCol, groupCol, aLabel, bLabel)
+      .agg(sum("cc").as("n_c"), sum("ct").as("n_t"),
+        sum(col("cc") * col("x")).as("sx_c"),
+        sum(col("ct") * col("x")).as("sx_t"),
+        sum(col("cc") * col("x") * col("x")).as("sxx_c"),
+        sum(col("ct") * col("x") * col("x")).as("sxx_t"))
+      .withColumn("m_c",
+        col("sx_c").cast("double") / col("n_c").cast("double"))
+      .withColumn("m_t",
+        col("sx_t").cast("double") / col("n_t").cast("double"))
+      .withColumn("v_c", (col("sxx_c").cast("double")
+        - col("sx_c").cast("double") * col("sx_c").cast("double")
+          / col("n_c").cast("double"))
+        / (col("n_c") - 1).cast("double"))
+      .withColumn("v_t", (col("sxx_t").cast("double")
+        - col("sx_t").cast("double") * col("sx_t").cast("double")
+          / col("n_t").cast("double"))
+        / (col("n_t") - 1).cast("double"))
+      .withColumn("se2", col("v_c") / col("n_c").cast("double")
+        + col("v_t") / col("n_t").cast("double"))
+      .withColumn("t_stat", when(col("v_c") > 0 && col("v_t") > 0,
+        TestData.r4((col("m_t") - col("m_c")) / sqrt(col("se2")))))
+      .withColumn("df_welch", when(col("v_c") > 0 && col("v_t") > 0,
+        TestData.r4(col("se2") * col("se2")
+          / (col("v_c") / col("n_c") * (col("v_c") / col("n_c"))
+              / (col("n_c") - 1).cast("double")
+            + col("v_t") / col("n_t") * (col("v_t") / col("n_t"))
+              / (col("n_t") - 1).cast("double")))))
+      .select(col("n_c").as("n_control"), col("n_t").as("n_treatment"),
+        TestData.r4(col("m_c")).as("mean_control"),
+        TestData.r4(col("m_t")).as("mean_treatment"),
+        col("t_stat"), col("df_welch"))
+
+  /** PACF at lags 1..3 (see `ts_pacf`) of an integer-valued series
+    * ordered by `orderCol` — Durbin–Levinson unrolled over exact
+    * BIGINT ACF terms; micro-quantized ratios, degenerate-series
+    * guards (constant series / |r1|=1 ⇒ NULLs).
+    */
+  def pacfLags3(series: DataFrame, orderCol: String,
+                valueCol: String): DataFrame = {
+    val W = Window.orderBy(orderCol)
+    val tot = series.agg(sum(valueCol).as("t_total"),
+                         count(lit(1)).as("n_rows"))
+    val dv = series.crossJoin(broadcast(tot))
+      .withColumn("dev", col(valueCol) * col("n_rows") - col("t_total"))
+    val led = (1 to 3).foldLeft(dv) { (df2, k) =>
+      df2.withColumn(s"l$k", lead("dev", k).over(W))
+    }
+    val M = 1000000L
+    def ru(k: Int) = when(col("den") > 0,
+      floor(col(s"num$k").cast("double") / col("den").cast("double")
+        * M + 0.5).cast("long"))
+    led.agg(sum(col("dev") * col("dev")).as("den"),
+        sum(col("dev") * col("l1")).as("num1"),
+        sum(col("dev") * col("l2")).as("num2"),
+        sum(col("dev") * col("l3")).as("num3"))
+      .withColumn("r1u", ru(1))
+      .withColumn("r2u", ru(2))
+      .withColumn("r3u", ru(3))
+      .withColumn("den22", lit(M * M) - col("r1u") * col("r1u"))
+      .withColumn("p22u", when(col("den22") =!= 0, floor(
+        (col("r2u") * M - col("r1u") * col("r1u")).cast("double")
+          / col("den22").cast("double") * M + 0.5).cast("long")))
+      .withColumn("p21u", floor(col("r1u").cast("double")
+        * (lit(M) - col("p22u")).cast("double") / (M.toDouble) + 0.5)
+        .cast("long"))
+      .withColumn("num33", col("r3u") * M
+        - col("p21u") * col("r2u") - col("p22u") * col("r1u"))
+      .withColumn("den33", lit(M * M)
+        - col("p21u") * col("r1u") - col("p22u") * col("r2u"))
+      .withColumn("pacf1",
+        TestData.r4(col("r1u").cast("double") / M.toDouble))
+      .withColumn("pacf2",
+        TestData.r4(col("p22u").cast("double") / M.toDouble))
+      .withColumn("pacf3", when(col("den33") =!= 0,
+        TestData.r4(col("num33").cast("double")
+          / col("den33").cast("double"))))
+      .select(expr("stack(3, 1, r1u, pacf1, 2, r2u, pacf2, " +
+        "3, r3u, pacf3) AS (lag, acf_micro, pacf)"))
+      .orderBy("lag")
+  }
+
+  /** Cohen's d / Hedges' g (see `agg_cohens_d`) between the two
+    * labelled groups of an integer `valueCol`, from the value-
+    * distinct cell grid's sufficient statistics. Bound: Σx² exact
+    * while n·max(x)² < 2^63. Zero pooled variance ⇒ NULL d and g.
+    */
+  def cohensD(df: DataFrame, valueCol: String, groupCol: String,
+              aLabel: String = "control",
+              bLabel: String = "treatment"): DataFrame =
+    twoGroupCells(df, valueCol, groupCol, aLabel, bLabel)
+      .agg(sum("cc").as("n_c"), sum("ct").as("n_t"),
+        sum(col("cc") * col("x")).as("sx_c"),
+        sum(col("ct") * col("x")).as("sx_t"),
+        sum(col("cc") * col("x") * col("x")).as("sxx_c"),
+        sum(col("ct") * col("x") * col("x")).as("sxx_t"))
+      .withColumn("m_c",
+        col("sx_c").cast("double") / col("n_c").cast("double"))
+      .withColumn("m_t",
+        col("sx_t").cast("double") / col("n_t").cast("double"))
+      .withColumn("ss_c", col("sxx_c").cast("double")
+        - col("sx_c").cast("double") * col("sx_c").cast("double")
+          / col("n_c").cast("double"))
+      .withColumn("ss_t", col("sxx_t").cast("double")
+        - col("sx_t").cast("double") * col("sx_t").cast("double")
+          / col("n_t").cast("double"))
+      .withColumn("sp2", (col("ss_c") + col("ss_t"))
+        / (col("n_c") + col("n_t") - 2).cast("double"))
+      .withColumn("cohens_d", when(col("sp2") > 0,
+        TestData.r4((col("m_t") - col("m_c")) / sqrt(col("sp2")))))
+      .withColumn("hedges_g", when(col("sp2") > 0,
+        TestData.r4((col("m_t") - col("m_c")) / sqrt(col("sp2"))
+          * (lit(1.0) - lit(3.0)
+            / ((col("n_c") + col("n_t")) * 4 - 9).cast("double")))))
+      .select(col("n_c").as("n_control"), col("n_t").as("n_treatment"),
+        TestData.r4(col("sp2")).as("pooled_var"), col("cohens_d"),
+        col("hedges_g"))
+
+  /** Wald–Wolfowitz runs test (see `ts_runs_test`) of an integer
+    * series around its exact median: doubled-median order-stat
+    * selection, runs via one ordered lag, z from the classical
+    * μ/σ² closed forms. Equal-to-median rows drop; a one-sided
+    * split (n1·n2 = 0) ⇒ NULL z.
+    */
+  def runsTest(series: DataFrame, orderCol: String,
+               valueCol: String): DataFrame = {
+    val base = series.select(col(orderCol).as("hr"),
+      col(valueCol).as("n")).localCheckpoint()
+    val tot = base.agg(count(lit(1)).as("h_cnt"))
+    val med2 = base.crossJoin(broadcast(tot))
+      .withColumn("rn", row_number().over(Window.orderBy("n", "hr")))
+      .agg(sum(when(col("rn") === expr("(h_cnt + 1) DIV 2"), col("n"))
+          .otherwise(0L)
+        + when(col("rn") === expr("(h_cnt + 2) DIV 2"), col("n"))
+          .otherwise(0L)).as("med2"))
+    base.crossJoin(broadcast(med2))
+      .withColumn("sgn", when(col("n") * 2 > col("med2"), 1)
+        .when(col("n") * 2 < col("med2"), -1).otherwise(0))
+      .filter(col("sgn") =!= 0)
+      .withColumn("chg", when(
+        lag("sgn", 1).over(Window.orderBy("hr")).isNull
+          || lag("sgn", 1).over(Window.orderBy("hr")) =!= col("sgn"),
+        1L).otherwise(0L))
+      .agg(sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_neg"),
+        sum("chg").as("n_runs"))
+      .withColumn("nn", col("n_pos") + col("n_neg"))
+      .withColumn("p2", col("n_pos") * col("n_neg") * 2)
+      .withColumn("mu", lit(1.0)
+        + col("p2").cast("double") / col("nn").cast("double"))
+      .withColumn("var_r", col("p2").cast("double")
+        * (col("p2") - col("nn")).cast("double")
+        / (col("nn").cast("double") * col("nn").cast("double")
+          * (col("nn") - 1).cast("double")))
+      .withColumn("z_runs", when(
+        col("n_pos") > 0 && col("n_neg") > 0 && col("var_r") > 0,
+        TestData.r4((col("n_runs").cast("double") - col("mu"))
+          / sqrt(col("var_r")))))
+      .select("n_pos", "n_neg", "n_runs", "z_runs")
+  }
+
+  /** Single-frequency periodogram amplitudes (see
+    * `ts_spectral_peak`) of an integer series at caller-chosen
+    * candidate periods over the integer `indexCol` grid. The trig
+    * basis is evaluated once driver-side and enters the plan as
+    * literal micro-unit lookup arrays — no per-row transcendental.
+    * Bound: |dev|·1e6·n_rows < 2^63.
+    */
+  def spectralPeak(series: DataFrame, indexCol: String,
+                   valueCol: String,
+                   periods: Seq[Int] = Seq(12, 24, 168)): DataFrame = {
+    val tot = series.agg(sum(valueCol).as("t_total"),
+                         count(lit(1)).as("n_rows"))
+    val dv = series.crossJoin(broadcast(tot))
+      .withColumn("dev",
+        col(valueCol) * col("n_rows") - col("t_total"))
+    def basis(t: Int, f: Double => Double): Column =
+      element_at(array(graft.operators.TimeSeries.trigU(t, f)
+        .map(lit(_)): _*), (col(indexCol) % t).cast("int") + 1)
+    val aggs = periods.flatMap(t => Seq(
+      sum(col("dev") * basis(t, math.cos)).as(s"sc$t"),
+      sum(col("dev") * basis(t, math.sin)).as(s"ss$t")))
+    val stackArgs = periods.map(t => s"$t, sc$t, ss$t").mkString(", ")
+    dv.agg(aggs.head, (aggs.tail :+ max("n_rows").as("h_cnt")): _*)
+      .select(expr(s"stack(${periods.size}, $stackArgs)" +
+        " AS (period, s_cos, s_sin)"), col("h_cnt"))
+      .withColumn("amplitude", TestData.r4(
+        sqrt(col("s_cos").cast("double") * col("s_cos").cast("double")
+          + col("s_sin").cast("double") * col("s_sin").cast("double"))
+        * 2.0 / (col("h_cnt").cast("double")
+          * col("h_cnt").cast("double") * 1000000.0)))
+      .select("period", "s_cos", "s_sin", "amplitude")
+      .orderBy("period")
+  }
+
+  /** Directed-graph reciprocity (see `graph_reciprocity`): the
+    * fraction of (src, dst) edges whose reversal also exists — one
+    * self-equi-join on the reversed key pair plus a global
+    * aggregate. Edges are assumed distinct.
+    */
+  def reciprocity(edges: DataFrame, srcCol: String,
+                  dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"),
+      lit(1L).as("m"))
+    e.join(rev, Seq("src", "dst"), "left")
+      .agg(count(lit(1)).as("n_edges"),
+        coalesce(sum("m"), lit(0L)).as("n_mutual"))
+      .withColumn("reciprocity", TestData.r4(
+        col("n_mutual").cast("double") / col("n_edges").cast("double")))
+  }
+
+  /** Haberman adjusted standardized residuals per contingency cell
+    * (see `agg_contingency_stdres`) — the drill-down behind
+    * [[cramersV]]. Full grid (zero cells present), margins via
+    * windows over the cell-sized grid; degenerate margins ⇒ NULL.
+    */
+  def contingencyStdres(df: DataFrame, rowCol: String,
+                        colCol: String): DataFrame = {
+    val f = df.select(col(rowCol).as("rk"), col(colCol).as("ck"))
+    val cells = f.groupBy("rk", "ck").agg(count(lit(1)).as("cnt"))
+    val grid = f.select("rk").distinct()
+      .crossJoin(f.select("ck").distinct())
+      .join(cells, Seq("rk", "ck"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    grid
+      .withColumn("r_i", sum("cnt").over(Window.partitionBy("rk")))
+      .withColumn("c_j", sum("cnt").over(Window.partitionBy("ck")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy()))
+      .withColumn("e", (col("r_i") * col("c_j")).cast("double")
+        / col("n").cast("double"))
+      .withColumn("den2", col("e")
+        * (lit(1.0) - col("r_i").cast("double") / col("n").cast("double"))
+        * (lit(1.0) - col("c_j").cast("double") / col("n").cast("double")))
+      .withColumn("adj_residual", when(col("den2") > 0,
+        TestData.r4((col("cnt").cast("double") - col("e"))
+          / sqrt(col("den2")))))
+      .select(col("rk").as(rowCol), col("ck").as(colCol), col("cnt"),
+        TestData.r4(col("e")).as("expected"), col("adj_residual"))
+      .orderBy(rowCol, colCol)
+  }
+
+  /** Mutual information + normalized MI (see
+    * `agg_mutual_information`) between two categorical columns —
+    * micro-nat per-term quantization (the entropy/PSI protocol).
+    * Bound: cnt·ln(n)·1e6 < 2^63 ⇒ n ≲ 2e11 rows.
+    */
+  def mutualInformation(df: DataFrame, rowCol: String,
+                        colCol: String): DataFrame = {
+    val cells = df.select(col(rowCol).as("rk"), col(colCol).as("ck"))
+      .groupBy("rk", "ck").agg(count(lit(1)).as("cnt"))
+      .withColumn("r_i", sum("cnt").over(Window.partitionBy("rk")))
+      .withColumn("c_j", sum("cnt").over(Window.partitionBy("ck")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy()))
+    val mi = cells
+      .withColumn("t_u", floor(col("cnt").cast("double")
+        * log(col("n").cast("double") * col("cnt").cast("double")
+          / (col("r_i").cast("double") * col("c_j").cast("double")))
+        * 1000000 + 0.5).cast("long"))
+      .agg(max("n").as("n"), sum("t_u").as("mi_sum_u"))
+    def margEnt(k: String, out: String): DataFrame =
+      cells.groupBy(col(k)).agg(max("n").as("n"), sum("cnt").as("m"))
+        .withColumn("h_u", floor(-(col("m").cast("double")
+            / col("n").cast("double"))
+          * log(col("m").cast("double") / col("n").cast("double"))
+          * 1000000 + 0.5).cast("long"))
+        .agg(sum("h_u").as(out))
+    mi.crossJoin(margEnt("rk", "hr_u"))
+      .crossJoin(margEnt("ck", "hc_u"))
+      .withColumn("mi_nats", TestData.r4(col("mi_sum_u").cast("double")
+        / (lit(1000000.0) * col("n").cast("double"))))
+      .withColumn("h_row", TestData.r4(col("hr_u") / 1000000.0))
+      .withColumn("h_col", TestData.r4(col("hc_u") / 1000000.0))
+      .withColumn("nmi", when(least(col("hr_u"), col("hc_u")) > 0,
+        TestData.r4((col("mi_sum_u").cast("double")
+            / (lit(1000000.0) * col("n").cast("double")))
+          / (least(col("hr_u"), col("hc_u")).cast("double")
+            / 1000000.0))))
+      .select("n", "mi_nats", "h_row", "h_col", "nmi")
+  }
+
+  /** Stationary distribution of a first-order Markov chain (see
+    * `events_markov_stationary`) from raw transition rows (fromCol,
+    * toCol — one row per observed transition): micro-unit
+    * row-stochastic matrix, `rounds` fixed synchronous power-
+    * iteration rounds from uniform with a DIV renormalization per
+    * round. Bound-free at any state count (Σπ = 1e6, p ≤ 1e6 ⇒
+    * every product sum ≤ 1e12).
+    */
+  def markovStationary(transitions: DataFrame, fromCol: String,
+                       toCol: String, rounds: Int = 3): DataFrame = {
+    val tr = transitions
+      .select(col(fromCol).as("from_s"), col(toCol).as("to_s"))
+      .groupBy("from_s", "to_s").agg(count(lit(1)).as("c"))
+    val p = tr
+      .withColumn("rt", sum("c").over(Window.partitionBy("from_s")))
+      .withColumn("p_u", expr("(c * 1000000) DIV rt"))
+      .select("from_s", "to_s", "p_u")
+      .localCheckpoint()
+    val states = transitions
+      .select(col(fromCol).as("state"))
+      .union(transitions.select(col(toCol).as("state")))
+      .distinct().localCheckpoint()
+    val k = states.agg(count(lit(1)).as("k"))
+    var pi = states.crossJoin(broadcast(k))
+      .select(col("state"), expr("1000000 DIV k").as("pi"))
+    for (_ <- 1 to rounds) {
+      val raw = states.join(
+          pi.withColumnRenamed("state", "from_s")
+            .join(p, "from_s")
+            .groupBy(col("to_s").as("state"))
+            .agg(sum(col("pi") * col("p_u")).as("r")),
+          Seq("state"), "left")
+        .select(col("state"), coalesce(col("r"), lit(0L)).as("r"))
+      val tot = raw.agg(sum("r").as("tr"))
+      pi = raw.crossJoin(broadcast(tot))
+        .select(col("state"),
+          expr("CASE WHEN tr > 0 THEN r * 1000000 DIV tr" +
+            " ELSE CAST(0 AS BIGINT) END").as("pi"))
+        .localCheckpoint()
+    }
+    pi.select(col("state"), col("pi").as("pi_micro")).orderBy("state")
+  }
+
+  /** Signed-random-projection LSH signatures (see
+    * `vec_hyperplane_lsh`): `nPlanes` sign bits against fixed ±1
+    * hyperplanes from the library's seeded driver-side generator;
+    * dots quantized ×1e4 before the strict sign test.
+    */
+  def hyperplaneLsh(df: DataFrame, idCol: String, vecCol: String,
+                    nPlanes: Int = 16, dim: Int = 64): DataFrame = {
+    val sig = graft.operators.Vectors.srpPlanes(nPlanes, dim)
+      .zipWithIndex.map { case (pl, i) =>
+        val plArr = array(pl.map(v => lit(v.toDouble)): _*)
+        when(floor(graft.functions.VectorOps.dot(col(vecCol), plArr)
+          * 10000 + 0.5) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    df.select(col(idCol), sig.as("sig16")).orderBy(idCol)
+  }
+
   /** Mann-Kendall trend test (see `ts_mann_kendall`) over an
     * integer series (`xCol` grid index, `yCol` value): S from the
     * grid² pair join, tie-corrected variance, continuity-corrected

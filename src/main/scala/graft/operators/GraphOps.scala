@@ -615,6 +615,29 @@ object GraphOps {
       hub.join(auth, "vec_id")
         .select(col("vec_id"), col("h").as("hub_u"), col("a").as("auth_u"))
         .orderBy("vec_id")
+    }),
+
+    // RECIPROCITY (round 10): the fraction of directed kNN edges
+    // whose reverse edge also exists — the symmetry readout that
+    // says how much the mutual-kNN graph (what dedup_components
+    // clusters on) actually loses versus the raw directed top-k
+    // list. Shape: ONE self-equi-join on the reversed key pair over
+    // the edge list (edge-grain, shuffles on (src, dst) — no
+    // node-grain hotspot, no nested loop) + one global aggregate.
+    // The directed list is the memoized [[directedKnnEdges]]
+    // checkpoint, so both the probe and build sides read a
+    // materialized frame. Counts are exact BIGINTs; the single
+    // division is r4-quantized.
+    "graph_reciprocity" -> ((s, d) => {
+      val edges = directedKnnEdges(s, d)
+        .select(col("qid").as("src"), col("nn").as("dst"))
+      val rev = edges.select(col("dst").as("src"),
+        col("src").as("dst"), lit(1L).as("m"))
+      edges.join(rev, Seq("src", "dst"), "left")
+        .agg(count(lit(1)).as("n_edges"),
+          coalesce(sum("m"), lit(0L)).as("n_mutual"))
+        .withColumn("reciprocity", TestData.r4(
+          col("n_mutual").cast("double") / col("n_edges").cast("double")))
     })
   )
 
@@ -998,6 +1021,20 @@ object GraphOps {
         |  FROM h3r)
         |SELECT h3.vec_id, h3.h AS hub_u, a3.a AS auth_u
         |FROM h3 JOIN a3 USING (vec_id)
-        |ORDER BY h3.vec_id""".stripMargin
+        |ORDER BY h3.vec_id""".stripMargin,
+    // Directed knn list (the EdgesCte `knn` CTE) left-joined to its
+    // own reversal; exact counts, one r4 division.
+    "graph_reciprocity" ->
+      s"""$EdgesCte,
+        |de AS (SELECT qid AS src, nn AS dst FROM knn),
+        |rev AS (SELECT dst AS src, src AS dst, 1::BIGINT AS m FROM de),
+        |j AS (SELECT de.src, de.dst, rev.m
+        |      FROM de LEFT JOIN rev
+        |        ON de.src = rev.src AND de.dst = rev.dst)
+        |SELECT count(*)::BIGINT AS n_edges,
+        |  coalesce(sum(m), 0)::BIGINT AS n_mutual,
+        |  floor(coalesce(sum(m), 0)::DOUBLE / count(*)::DOUBLE
+        |    * 10000 + 0.5) / 10000 AS reciprocity
+        |FROM j""".stripMargin
   )
 }

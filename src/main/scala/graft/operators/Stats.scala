@@ -286,6 +286,265 @@ object Stats {
         .orderBy("l_returnflag")
     }),
 
+    // KENDALL τ-b (round 10): the concordance-based rank correlation
+    // published next to Spearman ρ when the reader wants a pair-level
+    // probability interpretation ("how often do two random rows order
+    // the same way on qty and discount"). NEVER pairwise at corpus
+    // grain: the corpus folds to the same JOINT (qty, discount) cell
+    // grid as agg_spearman_rho (≤ 50·11 cells per flag — the bounded
+    // attribute DOMAINS), and concordant/discordant counts come from
+    // ONE theta self-join over that grid (grid² ≤ 3·550² rows at ANY
+    // corpus size — the ts_mann_kendall time-grid precedent). Tie
+    // terms n1/n2 from the marginals; tx·(tx−1) is always even so
+    // DIV 2 is exact. Bounds: C, D ≤ n²/2 < 2^63 for n ≲ 4.2e9 rows
+    // per flag; the (n0−n1)·(n0−n2) product under the √ would hit
+    // ~n⁴, so the √ multiplies DOUBLES (mirrored op order, r4).
+    "agg_kendall_tau" -> ((s, d) => {
+      val li = TestData.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          floor(col("l_quantity") + 0.5).cast("long").as("qx"),
+          floor(col("l_discount") * 100 + 0.5).cast("long").as("qy"))
+      val cells = li.groupBy("flag", "qx", "qy")
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val cd = cells.as("a").join(cells.as("b"),
+          col("a.flag") === col("b.flag")
+            && col("a.qx") < col("b.qx") && col("a.qy") =!= col("b.qy"))
+        .groupBy(col("a.flag").as("flag"))
+        .agg(sum(when(col("a.qy") < col("b.qy"),
+            col("a.c") * col("b.c")).otherwise(0L)).as("n_concordant"),
+          sum(when(col("a.qy") > col("b.qy"),
+            col("a.c") * col("b.c")).otherwise(0L)).as("n_discordant"))
+      def tieSum(k: String, out: String): DataFrame =
+        cells.groupBy("flag", k).agg(sum("c").as("t"))
+          .groupBy("flag")
+          .agg(sum(expr("(t * (t - 1)) DIV 2")).as(out))
+      cells.groupBy("flag").agg(sum("c").as("n"))
+        .join(cd, "flag")
+        .join(tieSum("qx", "ties_x"), "flag")
+        .join(tieSum("qy", "ties_y"), "flag")
+        .withColumn("n0", expr("(n * (n - 1)) DIV 2"))
+        .withColumn("tau_b", when(
+          col("n0") > col("ties_x") && col("n0") > col("ties_y"),
+          r4((col("n_concordant") - col("n_discordant")).cast("double")
+            / sqrt((col("n0") - col("ties_x")).cast("double")
+              * (col("n0") - col("ties_y")).cast("double")))))
+        .select("flag", "n", "n_concordant", "n_discordant",
+          "ties_x", "ties_y", "tau_b")
+        .orderBy("flag")
+    }),
+
+    // ONE-WAY ANOVA F (round 10): does document length differ by
+    // language — the k-group mean-difference gate that runs before
+    // any per-language length normalization is tuned. Everything is
+    // sufficient statistics: one map-side-combining pass computes
+    // per-group (n, Σx, Σx²) exact BIGINTs (x = n_chars; Σx² is
+    // exact to ~9e18/max(x²) ≈ 1e11 rows at x ~ 1e4 — documented,
+    // past that pre-scale x). The only divisions (sx²/n per group)
+    // happen on the ≤ dozens-of-groups readout, each term quantized
+    // to WHOLE units before the cross-group sum (entropy/PSI
+    // precedent; unit choice documented: term < 2^63 needs
+    // mean²·n_g < 9.2e18). F assembled once in doubles, r4.
+    "agg_anova_f" -> ((s, d) => {
+      val g = TestData.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_g"), sum("n_chars").as("sx"),
+          sum(col("n_chars") * col("n_chars")).as("sxx"))
+        .withColumn("t_u", floor(col("sx").cast("double")
+          * col("sx").cast("double") / col("n_g").cast("double") + 0.5)
+          .cast("long"))
+      g.agg(count(lit(1)).as("k_groups"), sum("n_g").as("n_total"),
+          sum("sx").as("sum_all"), sum("sxx").as("sxx_all"),
+          sum("t_u").as("t_sum_u"))
+        .withColumn("ssb", col("t_sum_u").cast("double")
+          - col("sum_all").cast("double") * col("sum_all").cast("double")
+            / col("n_total").cast("double"))
+        .withColumn("ssw",
+          col("sxx_all").cast("double") - col("t_sum_u").cast("double"))
+        .withColumn("f_stat", when(
+          col("ssw") > 0 && col("n_total") > col("k_groups"),
+          r4((col("ssb") / (col("k_groups") - 1).cast("double"))
+            / (col("ssw")
+              / (col("n_total") - col("k_groups")).cast("double")))))
+        .select(col("k_groups"), col("n_total"), col("t_sum_u"),
+          r4(col("ssb")).as("ssb"), r4(col("ssw")).as("ssw"),
+          col("f_stat"))
+    }),
+
+    // WELCH'S t (round 10): the unequal-variance two-sample t on
+    // per-user total value — the parametric companion the MW-U /
+    // KS readouts are compared against (same md5 variant split,
+    // same user-grain fold). Sufficient statistics (n, Σx, Σx²) come
+    // EXACTLY from the whole-unit value grid (x ≤ ~1e4 units ⇒ Σx²
+    // exact for n ≲ 9e10 users — documented); every division and the
+    // Welch–Satterthwaite df happen once on the 1-row readout in
+    // mirrored op order, r4. Degenerate guard: either variance 0 ⇒
+    // NULL t and df (a constant-metric variant is a broken assign).
+    "agg_welch_t" -> ((s, d) => {
+      variantUnitCells(s, d)
+        .agg(sum("cc").as("n_c"), sum("ct").as("n_t"),
+          sum(col("cc") * col("x")).as("sx_c"),
+          sum(col("ct") * col("x")).as("sx_t"),
+          sum(col("cc") * col("x") * col("x")).as("sxx_c"),
+          sum(col("ct") * col("x") * col("x")).as("sxx_t"))
+        .withColumn("m_c",
+          col("sx_c").cast("double") / col("n_c").cast("double"))
+        .withColumn("m_t",
+          col("sx_t").cast("double") / col("n_t").cast("double"))
+        .withColumn("v_c", (col("sxx_c").cast("double")
+          - col("sx_c").cast("double") * col("sx_c").cast("double")
+            / col("n_c").cast("double"))
+          / (col("n_c") - 1).cast("double"))
+        .withColumn("v_t", (col("sxx_t").cast("double")
+          - col("sx_t").cast("double") * col("sx_t").cast("double")
+            / col("n_t").cast("double"))
+          / (col("n_t") - 1).cast("double"))
+        .withColumn("se2", col("v_c") / col("n_c").cast("double")
+          + col("v_t") / col("n_t").cast("double"))
+        .withColumn("t_stat", when(col("v_c") > 0 && col("v_t") > 0,
+          r4((col("m_t") - col("m_c")) / sqrt(col("se2")))))
+        .withColumn("df_welch", when(col("v_c") > 0 && col("v_t") > 0,
+          r4(col("se2") * col("se2")
+            / (col("v_c") / col("n_c") * (col("v_c") / col("n_c"))
+                / (col("n_c") - 1).cast("double")
+              + col("v_t") / col("n_t") * (col("v_t") / col("n_t"))
+                / (col("n_t") - 1).cast("double")))))
+        .select(col("n_c").as("n_control"), col("n_t").as("n_treatment"),
+          r4(col("m_c")).as("mean_control"),
+          r4(col("m_t")).as("mean_treatment"),
+          col("t_stat"), col("df_welch"))
+    }),
+
+    // COHEN'S d / HEDGES' g (round 10): the standardized effect size
+    // published NEXT to a significance test — agg_welch_t answers
+    // "is the variant different", this answers "by how many pooled
+    // standard deviations" (the number a power calculation and a
+    // ship/no-ship review actually consume). Same sufficient
+    // statistics as Welch from the same whole-unit value grid (n,
+    // Σx, Σx² exact BIGINTs; Σx² exact for n ≲ 9e10 users at x ~1e4
+    // units — documented). Pooled variance uses the classical
+    // (n_c−1)s_c² + (n_t−1)s_t² form; Hedges' small-sample factor is
+    // the standard J ≈ 1 − 3/(4N−9) approximation. All divisions on
+    // the 1-row readout, mirrored op order, r4. Zero pooled variance
+    // ⇒ NULL d and g (a constant metric has no effect scale).
+    "agg_cohens_d" -> ((s, d) => {
+      variantUnitCells(s, d)
+        .agg(sum("cc").as("n_c"), sum("ct").as("n_t"),
+          sum(col("cc") * col("x")).as("sx_c"),
+          sum(col("ct") * col("x")).as("sx_t"),
+          sum(col("cc") * col("x") * col("x")).as("sxx_c"),
+          sum(col("ct") * col("x") * col("x")).as("sxx_t"))
+        .withColumn("m_c",
+          col("sx_c").cast("double") / col("n_c").cast("double"))
+        .withColumn("m_t",
+          col("sx_t").cast("double") / col("n_t").cast("double"))
+        .withColumn("ss_c", col("sxx_c").cast("double")
+          - col("sx_c").cast("double") * col("sx_c").cast("double")
+            / col("n_c").cast("double"))
+        .withColumn("ss_t", col("sxx_t").cast("double")
+          - col("sx_t").cast("double") * col("sx_t").cast("double")
+            / col("n_t").cast("double"))
+        .withColumn("sp2", (col("ss_c") + col("ss_t"))
+          / (col("n_c") + col("n_t") - 2).cast("double"))
+        .withColumn("cohens_d", when(col("sp2") > 0,
+          r4((col("m_t") - col("m_c")) / sqrt(col("sp2")))))
+        .withColumn("hedges_g", when(col("sp2") > 0,
+          r4((col("m_t") - col("m_c")) / sqrt(col("sp2"))
+            * (lit(1.0) - lit(3.0)
+              / ((col("n_c") + col("n_t")) * 4 - 9).cast("double")))))
+        .select(col("n_c").as("n_control"), col("n_t").as("n_treatment"),
+          r4(col("sp2")).as("pooled_var"), col("cohens_d"),
+          col("hedges_g"))
+    }),
+
+    // ADJUSTED STANDARDIZED RESIDUALS (round 10): the per-cell
+    // drill-down behind agg_cramers_v — V says "nationkey and
+    // segment are associated", this says WHICH cells drive it
+    // (Haberman's adjusted residuals; |adj| > 2 is the usual
+    // flag). Same FULL contingency grid (zero cells present via
+    // cross-join + left-join), margins via windows over the
+    // CELL-sized grid (the cramers_v plan shape — scan below,
+    // windows above the bounded grid). Everything is one closed-form
+    // double expression per cell from exact BIGINT (cnt, r_i, c_j,
+    // n), mirrored op order, r4. Degenerate single-row/column
+    // margins (r_i = n or c_j = n) ⇒ NULL residual.
+    "agg_contingency_stdres" -> ((s, d) => {
+      val f = TestData.customer(s, d)
+        .select(col("c_nationkey").cast("long").as("nationkey"),
+          col("c_mktsegment"))
+      val cells = f.groupBy("nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))
+      val grid = f.select("nationkey").distinct()
+        .crossJoin(f.select("c_mktsegment").distinct())
+        .join(cells, Seq("nationkey", "c_mktsegment"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      grid
+        .withColumn("r_i", sum("cnt").over(Window.partitionBy("nationkey")))
+        .withColumn("c_j", sum("cnt").over(
+          Window.partitionBy("c_mktsegment")))
+        .withColumn("n", sum("cnt").over(Window.partitionBy()))
+        .withColumn("e", (col("r_i") * col("c_j")).cast("double")
+          / col("n").cast("double"))
+        .withColumn("den2", col("e")
+          * (lit(1.0) - col("r_i").cast("double") / col("n").cast("double"))
+          * (lit(1.0) - col("c_j").cast("double") / col("n").cast("double")))
+        .withColumn("adj_residual", when(col("den2") > 0,
+          r4((col("cnt").cast("double") - col("e")) / sqrt(col("den2")))))
+        .select(col("nationkey"), col("c_mktsegment"), col("cnt"),
+          r4(col("e")).as("expected"), col("adj_residual"))
+        .orderBy("nationkey", "c_mktsegment")
+    }),
+
+    // MUTUAL INFORMATION (round 10): MI and normalized MI between
+    // nationkey and market segment — the information-theoretic
+    // association score published next to Cramér's V (V is
+    // χ²-normalized; NMI = MI/min(H_r, H_c) is the [0,1] reading a
+    // feature-selection pass ranks by). Determinism: the entropy/PSI
+    // precedent — every transcendental term is quantized to integer
+    // MICRO-NATS before its sum, identical op order in both engines:
+    // MI terms cnt·ln(n·cnt/(r_i·c_j)) over PRESENT cells only
+    // (cnt = 0 contributes exactly 0), marginal-entropy terms
+    // −(m/n)·ln(m/n) over the margins. Bound: cnt·ln(n)·1e6 < 2^63
+    // ⇒ n ≲ 2e11 rows (documented; past that drop to milli-nats).
+    // One r4 division each at the readout.
+    "agg_mutual_information" -> ((s, d) => {
+      val f = TestData.customer(s, d)
+        .select(col("c_nationkey").cast("long").as("nationkey"),
+          col("c_mktsegment"))
+      val cells = f.groupBy("nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("r_i", sum("cnt").over(Window.partitionBy("nationkey")))
+        .withColumn("c_j", sum("cnt").over(
+          Window.partitionBy("c_mktsegment")))
+        .withColumn("n", sum("cnt").over(Window.partitionBy()))
+      val mi = cells
+        .withColumn("t_u", floor(col("cnt").cast("double")
+          * log(col("n").cast("double") * col("cnt").cast("double")
+            / (col("r_i").cast("double") * col("c_j").cast("double")))
+          * 1000000 + 0.5).cast("long"))
+        .agg(max("n").as("n"), sum("t_u").as("mi_sum_u"))
+      def margEnt(k: String, out: String): DataFrame =
+        cells.groupBy(col(k)).agg(max("n").as("n"),
+            sum("cnt").as("m"))
+          .withColumn("h_u", floor(-(col("m").cast("double")
+              / col("n").cast("double"))
+            * log(col("m").cast("double") / col("n").cast("double"))
+            * 1000000 + 0.5).cast("long"))
+          .agg(sum("h_u").as(out))
+      mi.crossJoin(margEnt("nationkey", "hr_u"))
+        .crossJoin(margEnt("c_mktsegment", "hc_u"))
+        .withColumn("mi_nats", r4(col("mi_sum_u").cast("double")
+          / (lit(1000000.0) * col("n").cast("double"))))
+        .withColumn("h_row", r4(col("hr_u") / 1000000.0))
+        .withColumn("h_col", r4(col("hc_u") / 1000000.0))
+        .withColumn("nmi", when(least(col("hr_u"), col("hc_u")) > 0,
+          r4((col("mi_sum_u").cast("double")
+              / (lit(1000000.0) * col("n").cast("double")))
+            / (least(col("hr_u"), col("hc_u")).cast("double")
+              / 1000000.0))))
+        .select("n", "mi_nats", "h_row", "h_col", "nmi")
+    }),
+
     // POISSON-BOOTSTRAP CI (round 10): the resampling confidence
     // interval for the mean order value — the scale-correct
     // bootstrap (each row draws an independent Poisson(1) replicate
@@ -458,6 +717,84 @@ object Stats {
         |    / (n_rows * least(n_r - 1, n_c - 1))::DOUBLE) * 10000 + 0.5)
         |    / 10000 AS cramers_v
         |FROM a""".stripMargin,
+    "agg_contingency_stdres" ->
+      """WITH f AS (
+        |  SELECT c_nationkey::BIGINT AS nationkey, c_mktsegment
+        |  FROM customer),
+        |cells AS (
+        |  SELECT nationkey, c_mktsegment, count(*)::BIGINT AS cnt
+        |  FROM f GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT n.nationkey, s.c_mktsegment,
+        |    coalesce(c.cnt, 0)::BIGINT AS cnt
+        |  FROM (SELECT DISTINCT nationkey FROM f) n
+        |  CROSS JOIN (SELECT DISTINCT c_mktsegment FROM f) s
+        |  LEFT JOIN cells c ON n.nationkey = c.nationkey
+        |    AND s.c_mktsegment = c.c_mktsegment),
+        |m AS (
+        |  SELECT *,
+        |    (sum(cnt) OVER (PARTITION BY nationkey))::BIGINT AS r_i,
+        |    (sum(cnt) OVER (PARTITION BY c_mktsegment))::BIGINT AS c_j,
+        |    (sum(cnt) OVER ())::BIGINT AS n
+        |  FROM grid),
+        |t AS (
+        |  SELECT *,
+        |    (r_i * c_j)::DOUBLE / n::DOUBLE AS e
+        |  FROM m),
+        |u AS (
+        |  SELECT *,
+        |    e * (1.0 - r_i::DOUBLE / n::DOUBLE)
+        |      * (1.0 - c_j::DOUBLE / n::DOUBLE) AS den2
+        |  FROM t)
+        |SELECT nationkey, c_mktsegment, cnt,
+        |  floor(e * 10000 + 0.5) / 10000 AS expected,
+        |  CASE WHEN den2 > 0 THEN
+        |    floor((cnt::DOUBLE - e) / sqrt(den2) * 10000 + 0.5) / 10000
+        |    END AS adj_residual
+        |FROM u ORDER BY nationkey, c_mktsegment""".stripMargin,
+    "agg_mutual_information" ->
+      """WITH f AS (
+        |  SELECT c_nationkey::BIGINT AS nationkey, c_mktsegment
+        |  FROM customer),
+        |cells AS (
+        |  SELECT nationkey, c_mktsegment, count(*)::BIGINT AS cnt
+        |  FROM f GROUP BY 1, 2),
+        |m AS (
+        |  SELECT *,
+        |    (sum(cnt) OVER (PARTITION BY nationkey))::BIGINT AS r_i,
+        |    (sum(cnt) OVER (PARTITION BY c_mktsegment))::BIGINT AS c_j,
+        |    (sum(cnt) OVER ())::BIGINT AS n
+        |  FROM cells),
+        |mi AS (
+        |  SELECT max(n)::BIGINT AS n,
+        |    sum(floor(cnt::DOUBLE
+        |      * ln(n::DOUBLE * cnt::DOUBLE / (r_i::DOUBLE * c_j::DOUBLE))
+        |      * 1000000 + 0.5)::BIGINT)::BIGINT AS mi_sum_u
+        |  FROM m),
+        |hr AS (
+        |  SELECT sum(floor(-(g.m::DOUBLE / g.n::DOUBLE)
+        |      * ln(g.m::DOUBLE / g.n::DOUBLE) * 1000000 + 0.5)::BIGINT
+        |    )::BIGINT AS hr_u
+        |  FROM (SELECT nationkey, max(n)::BIGINT AS n,
+        |          sum(cnt)::BIGINT AS m
+        |        FROM m GROUP BY 1) g),
+        |hc AS (
+        |  SELECT sum(floor(-(g.m::DOUBLE / g.n::DOUBLE)
+        |      * ln(g.m::DOUBLE / g.n::DOUBLE) * 1000000 + 0.5)::BIGINT
+        |    )::BIGINT AS hc_u
+        |  FROM (SELECT c_mktsegment, max(n)::BIGINT AS n,
+        |          sum(cnt)::BIGINT AS m
+        |        FROM m GROUP BY 1) g)
+        |SELECT n,
+        |  floor(mi_sum_u::DOUBLE / (1000000.0 * n::DOUBLE)
+        |    * 10000 + 0.5) / 10000 AS mi_nats,
+        |  floor(hr_u / 1000000.0 * 10000 + 0.5) / 10000 AS h_row,
+        |  floor(hc_u / 1000000.0 * 10000 + 0.5) / 10000 AS h_col,
+        |  CASE WHEN least(hr_u, hc_u) > 0 THEN
+        |    floor((mi_sum_u::DOUBLE / (1000000.0 * n::DOUBLE))
+        |      / (least(hr_u, hc_u)::DOUBLE / 1000000.0)
+        |      * 10000 + 0.5) / 10000 END AS nmi
+        |FROM mi CROSS JOIN hr CROSS JOIN hc""".stripMargin,
     "agg_spearman_rho" ->
       """WITH li AS (
         |  SELECT l_returnflag AS flag,
@@ -566,6 +903,132 @@ object Stats {
         |    AS trimmed_mean_cents
         |FROM li JOIN cuts USING (l_returnflag)
         |GROUP BY li.l_returnflag ORDER BY li.l_returnflag""".stripMargin,
+    "agg_kendall_tau" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag,
+        |    floor(l_quantity + 0.5)::BIGINT AS qx,
+        |    floor(l_discount * 100 + 0.5)::BIGINT AS qy
+        |  FROM lineitem),
+        |cells AS (
+        |  SELECT flag, qx, qy, count(*)::BIGINT AS c
+        |  FROM li GROUP BY 1, 2, 3),
+        |cd AS (
+        |  SELECT a.flag,
+        |    sum(CASE WHEN a.qy < b.qy THEN a.c * b.c ELSE 0 END)::BIGINT
+        |      AS n_concordant,
+        |    sum(CASE WHEN a.qy > b.qy THEN a.c * b.c ELSE 0 END)::BIGINT
+        |      AS n_discordant
+        |  FROM cells a JOIN cells b
+        |    ON a.flag = b.flag AND a.qx < b.qx AND a.qy <> b.qy
+        |  GROUP BY 1),
+        |tx AS (
+        |  SELECT flag, sum((t * (t - 1)) // 2)::BIGINT AS ties_x
+        |  FROM (SELECT flag, qx, sum(c)::BIGINT AS t FROM cells
+        |        GROUP BY 1, 2) GROUP BY 1),
+        |ty AS (
+        |  SELECT flag, sum((t * (t - 1)) // 2)::BIGINT AS ties_y
+        |  FROM (SELECT flag, qy, sum(c)::BIGINT AS t FROM cells
+        |        GROUP BY 1, 2) GROUP BY 1),
+        |nn AS (
+        |  SELECT flag, sum(c)::BIGINT AS n,
+        |    ((sum(c) * (sum(c) - 1)) // 2)::BIGINT AS n0
+        |  FROM cells GROUP BY 1)
+        |SELECT nn.flag, n, n_concordant, n_discordant, ties_x, ties_y,
+        |  CASE WHEN n0 > ties_x AND n0 > ties_y THEN
+        |    floor((n_concordant - n_discordant)::DOUBLE
+        |      / sqrt((n0 - ties_x)::DOUBLE * (n0 - ties_y)::DOUBLE)
+        |      * 10000 + 0.5) / 10000 END AS tau_b
+        |FROM nn JOIN cd ON nn.flag = cd.flag
+        |JOIN tx ON nn.flag = tx.flag JOIN ty ON nn.flag = ty.flag
+        |ORDER BY nn.flag""".stripMargin,
+    "agg_anova_f" ->
+      """WITH g AS (
+        |  SELECT lang, count(*)::BIGINT AS n_g,
+        |    sum(n_chars)::BIGINT AS sx,
+        |    sum(n_chars * n_chars)::BIGINT AS sxx,
+        |    floor(sum(n_chars)::DOUBLE * sum(n_chars)::DOUBLE
+        |      / count(*)::DOUBLE + 0.5)::BIGINT AS t_u
+        |  FROM documents GROUP BY 1),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS k_groups, sum(n_g)::BIGINT AS n_total,
+        |    sum(sx)::BIGINT AS sum_all, sum(sxx)::BIGINT AS sxx_all,
+        |    sum(t_u)::BIGINT AS t_sum_u
+        |  FROM g),
+        |b AS (
+        |  SELECT *,
+        |    t_sum_u::DOUBLE
+        |      - sum_all::DOUBLE * sum_all::DOUBLE / n_total::DOUBLE AS ssb,
+        |    sxx_all::DOUBLE - t_sum_u::DOUBLE AS ssw
+        |  FROM a)
+        |SELECT k_groups, n_total, t_sum_u,
+        |  floor(ssb * 10000 + 0.5) / 10000 AS ssb,
+        |  floor(ssw * 10000 + 0.5) / 10000 AS ssw,
+        |  CASE WHEN ssw > 0 AND n_total > k_groups THEN
+        |    floor((ssb / (k_groups - 1)::DOUBLE)
+        |      / (ssw / (n_total - k_groups)::DOUBLE) * 10000 + 0.5) / 10000
+        |    END AS f_stat
+        |FROM b""".stripMargin,
+    "agg_welch_t" ->
+      s"""$CellsCte,
+        |a AS (
+        |  SELECT sum(cc)::BIGINT AS n_c, sum(ct)::BIGINT AS n_t,
+        |    sum(cc * x)::BIGINT AS sx_c, sum(ct * x)::BIGINT AS sx_t,
+        |    sum(cc * x * x)::BIGINT AS sxx_c,
+        |    sum(ct * x * x)::BIGINT AS sxx_t
+        |  FROM cells),
+        |b AS (
+        |  SELECT *,
+        |    sx_c::DOUBLE / n_c::DOUBLE AS m_c,
+        |    sx_t::DOUBLE / n_t::DOUBLE AS m_t,
+        |    (sxx_c::DOUBLE - sx_c::DOUBLE * sx_c::DOUBLE / n_c::DOUBLE)
+        |      / (n_c - 1)::DOUBLE AS v_c,
+        |    (sxx_t::DOUBLE - sx_t::DOUBLE * sx_t::DOUBLE / n_t::DOUBLE)
+        |      / (n_t - 1)::DOUBLE AS v_t
+        |  FROM a),
+        |c AS (
+        |  SELECT *, v_c / n_c::DOUBLE + v_t / n_t::DOUBLE AS se2 FROM b)
+        |SELECT n_c AS n_control, n_t AS n_treatment,
+        |  floor(m_c * 10000 + 0.5) / 10000 AS mean_control,
+        |  floor(m_t * 10000 + 0.5) / 10000 AS mean_treatment,
+        |  CASE WHEN v_c > 0 AND v_t > 0 THEN
+        |    floor((m_t - m_c) / sqrt(se2) * 10000 + 0.5) / 10000
+        |    END AS t_stat,
+        |  CASE WHEN v_c > 0 AND v_t > 0 THEN
+        |    floor(se2 * se2
+        |      / (v_c / n_c * (v_c / n_c) / (n_c - 1)::DOUBLE
+        |        + v_t / n_t * (v_t / n_t) / (n_t - 1)::DOUBLE)
+        |      * 10000 + 0.5) / 10000 END AS df_welch
+        |FROM c""".stripMargin,
+    "agg_cohens_d" ->
+      s"""$CellsCte,
+        |a AS (
+        |  SELECT sum(cc)::BIGINT AS n_c, sum(ct)::BIGINT AS n_t,
+        |    sum(cc * x)::BIGINT AS sx_c, sum(ct * x)::BIGINT AS sx_t,
+        |    sum(cc * x * x)::BIGINT AS sxx_c,
+        |    sum(ct * x * x)::BIGINT AS sxx_t
+        |  FROM cells),
+        |b AS (
+        |  SELECT *,
+        |    sx_c::DOUBLE / n_c::DOUBLE AS m_c,
+        |    sx_t::DOUBLE / n_t::DOUBLE AS m_t,
+        |    sxx_c::DOUBLE - sx_c::DOUBLE * sx_c::DOUBLE / n_c::DOUBLE
+        |      AS ss_c,
+        |    sxx_t::DOUBLE - sx_t::DOUBLE * sx_t::DOUBLE / n_t::DOUBLE
+        |      AS ss_t
+        |  FROM a),
+        |c AS (
+        |  SELECT *, (ss_c + ss_t) / (n_c + n_t - 2)::DOUBLE AS sp2
+        |  FROM b)
+        |SELECT n_c AS n_control, n_t AS n_treatment,
+        |  floor(sp2 * 10000 + 0.5) / 10000 AS pooled_var,
+        |  CASE WHEN sp2 > 0 THEN
+        |    floor((m_t - m_c) / sqrt(sp2) * 10000 + 0.5) / 10000
+        |    END AS cohens_d,
+        |  CASE WHEN sp2 > 0 THEN
+        |    floor((m_t - m_c) / sqrt(sp2)
+        |      * (1.0 - 3.0 / ((n_c + n_t) * 4 - 9)::DOUBLE)
+        |      * 10000 + 0.5) / 10000 END AS hedges_g
+        |FROM c""".stripMargin,
     "sample_bootstrap_ci" ->
       """WITH o AS (
         |  SELECT o_orderkey,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.TestData
 import graft.TestData.r4
@@ -21,6 +21,17 @@ import graft.TestData.r4
   */
 object TimeSeries {
   type Q = (SparkSession, String) => DataFrame
+
+  /** Micro-quantized single-period trig basis, evaluated ONCE here
+    * and interpolated into BOTH engines as literal lookup arrays
+    * (`ts_spectral_peak`) — neither engine evaluates cos/sin, so the
+    * half-ulp boundary risk of quantizing a transcendental computed
+    * by two different libms never arises (the dedup_lsh_tuning
+    * Scala-side-threshold precedent).
+    */
+  private[graft] def trigU(t: Int, f: Double => Double): IndexedSeq[Long] =
+    (0 until t).map(k =>
+      math.floor(f(2 * math.Pi * k / t) * 1000000 + 0.5).toLong)
 
   /** Sketch-path DAU/WAU/MAU (the 100 TB form of
     * `events_dau_wau_mau`): ONE user-distinct pass folds each day to
@@ -334,6 +345,224 @@ object TimeSeries {
         .withColumn("acf", r4(col("num").cast("double") / col("den")))
         .select("lag", "num", "den", "acf")
         .orderBy("lag")
+    }),
+
+    // PARTIAL AUTOCORRELATION (round 10): PACF at lags 1..3 via the
+    // Durbin–Levinson closed forms — the AR-order readout an ARIMA
+    // fit starts from (ACF says "correlated at lag k", PACF says
+    // "correlated AFTER removing the shorter lags"). The recursion is
+    // NOT iterated per-row: at p ≤ 3 it unrolls to three closed-form
+    // ratios of the lag-1..3 autocorrelations, so the whole key is
+    // ts_autocorr's exact-BIGINT machinery + a 1-row scalar chain.
+    // Determinism: each ACF ratio is quantized to integer MICRO-units
+    // first (the pagerank/entropy precedent — float drift would
+    // compound through the φ chain), then every Durbin–Levinson
+    // numerator/denominator is exact integer arithmetic < 2^53 (even
+    // the DOUBLE intermediates are exact), one guarded division per
+    // φ. Degenerate guards: den=0 (constant series) and |r1|=1
+    // (perfect lag-1 correlation) yield NULLs, not NaNs.
+    "ts_pacf" -> ((s, d) => {
+      val lags = 1 to 3
+      val W = org.apache.spark.sql.expressions.Window.orderBy("hour")
+      val hourly = TestData.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val tot = hourly.agg(sum("n").as("t_total"),
+                           count(lit(1)).as("n_hours"))
+      val dv = hourly.crossJoin(broadcast(tot))
+        .withColumn("dev", col("n") * col("n_hours") - col("t_total"))
+      val led = lags.foldLeft(dv) { (df, k) =>
+        df.withColumn(s"l$k", lead("dev", k).over(W))
+      }
+      val M = 1000000L
+      def ru(k: Int) = when(col("den") > 0,
+        floor(col(s"num$k").cast("double") / col("den").cast("double")
+          * M + 0.5).cast("long"))
+      led.agg(sum(col("dev") * col("dev")).as("den"),
+          sum(col("dev") * col("l1")).as("num1"),
+          sum(col("dev") * col("l2")).as("num2"),
+          sum(col("dev") * col("l3")).as("num3"))
+        .withColumn("r1u", ru(1))
+        .withColumn("r2u", ru(2))
+        .withColumn("r3u", ru(3))
+        .withColumn("den22", lit(M * M) - col("r1u") * col("r1u"))
+        .withColumn("p22u", when(col("den22") =!= 0, floor(
+          (col("r2u") * M - col("r1u") * col("r1u")).cast("double")
+            / col("den22").cast("double") * M + 0.5).cast("long")))
+        .withColumn("p21u", floor(col("r1u").cast("double")
+          * (lit(M) - col("p22u")).cast("double") / (M.toDouble) + 0.5)
+          .cast("long"))
+        .withColumn("num33", col("r3u") * M
+          - col("p21u") * col("r2u") - col("p22u") * col("r1u"))
+        .withColumn("den33", lit(M * M)
+          - col("p21u") * col("r1u") - col("p22u") * col("r2u"))
+        .withColumn("pacf1", r4(col("r1u").cast("double") / M.toDouble))
+        .withColumn("pacf2", r4(col("p22u").cast("double") / M.toDouble))
+        .withColumn("pacf3", when(col("den33") =!= 0,
+          r4(col("num33").cast("double") / col("den33").cast("double"))))
+        .select(expr("stack(3, 1, r1u, pacf1, 2, r2u, pacf2, " +
+          "3, r3u, pacf3) AS (lag, acf_micro, pacf)"))
+        .orderBy("lag")
+    }),
+
+    // WALD–WOLFOWITZ RUNS TEST (round 10): is the hourly volume
+    // series RANDOM around its median, or does it clump (trend /
+    // regime persistence ⇒ too few runs; oscillation ⇒ too many)?
+    // The distribution-free randomness gate a monitor runs before
+    // trusting an i.i.d. assumption anywhere downstream. All-integer
+    // machinery: the exact median comes from the two middle order
+    // statistics over the HOUR-sized grid (doubled-median trick —
+    // med2 = lo+hi stays integer, signs compare 2n vs med2; the
+    // agg_median selection protocol), equal-to-median hours drop
+    // (standard), runs = 1 + sign-changes via ONE lag over the
+    // ordered sub-grid (row-adjacency is the DEFINITION here — runs
+    // count consecutive observations, so a gappy hour grid is fine,
+    // unlike seasonal lags). z assembles μ = 1 + 2·n1·n2/N and
+    // σ² = 2n1n2(2n1n2−N)/(N²(N−1)) once in doubles, mirrored op
+    // order, r4; one-sided degenerate splits (n1·n2 = 0) ⇒ NULL.
+    // Shape: corpus → hour grid aggregate; everything after is
+    // time-sized. 2n1n2 ≤ N²/2 < 2^63 for N < 4.2e9 hours.
+    "ts_runs_test" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val hourly = TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val tot = hourly.agg(count(lit(1)).as("h_cnt"))
+      val med2 = hourly.crossJoin(broadcast(tot))
+        .withColumn("rn",
+          row_number().over(W.orderBy("n", "hr")))
+        .agg(sum(when(col("rn") === expr("(h_cnt + 1) DIV 2"), col("n"))
+            .otherwise(0L)
+          + when(col("rn") === expr("(h_cnt + 2) DIV 2"), col("n"))
+            .otherwise(0L)).as("med2"))
+      val signed = hourly.crossJoin(broadcast(med2))
+        .withColumn("sgn", when(col("n") * 2 > col("med2"), 1)
+          .when(col("n") * 2 < col("med2"), -1).otherwise(0))
+        .filter(col("sgn") =!= 0)
+      signed
+        .withColumn("chg", when(
+          lag("sgn", 1).over(W.orderBy("hr")).isNull
+            || lag("sgn", 1).over(W.orderBy("hr")) =!= col("sgn"), 1L)
+          .otherwise(0L))
+        .agg(sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_neg"),
+          sum("chg").as("n_runs"))
+        .withColumn("nn", col("n_pos") + col("n_neg"))
+        .withColumn("p2", col("n_pos") * col("n_neg") * 2)
+        .withColumn("mu", lit(1.0)
+          + col("p2").cast("double") / col("nn").cast("double"))
+        .withColumn("var_r", col("p2").cast("double")
+          * (col("p2") - col("nn")).cast("double")
+          / (col("nn").cast("double") * col("nn").cast("double")
+            * (col("nn") - 1).cast("double")))
+        .withColumn("z_runs", when(
+          col("n_pos") > 0 && col("n_neg") > 0 && col("var_r") > 0,
+          r4((col("n_runs").cast("double") - col("mu"))
+            / sqrt(col("var_r")))))
+        .select("n_pos", "n_neg", "n_runs", "z_runs")
+    }),
+
+    // SPECTRAL PEAK SCAN (round 10): single-frequency periodogram
+    // power at the CANDIDATE periods an hourly ops series plausibly
+    // carries (12 h, 24 h, 168 h) — the "which season length"
+    // readout that picks between ts_decompose_seasonal's period
+    // choices, without an FFT (at 100 TB the series is still
+    // time-sized, but candidate-period projection is one aggregate
+    // pass; a full FFT is a driver-side luxury this plan never
+    // needs). Determinism: the cos/sin basis is evaluated ONCE in
+    // Scala, micro-quantized, and interpolated into BOTH engines as
+    // literal lookup arrays (the dedup_lsh_tuning threshold
+    // precedent — neither engine evaluates a transcendental), so
+    // Σ dev·cos_u and Σ dev·sin_u are EXACT BIGINT sums of integer
+    // products over the same n·H − T deviations as ts_autocorr.
+    // Bound: |dev|·1e6·H < 2^63 ⇒ max hourly count ≲ 9.2e18/(1e6·H²)
+    // (~1.7e7/hour at a one-year H = 8 766 grid — documented).
+    // Amplitude A = 2·√(sc²+ss²)/(1e6·H·H) is assembled once in
+    // doubles (IEEE products of identical exact integers — engine-
+    // identical), r4.
+    "ts_spectral_peak" -> ((s, d) => {
+      val periods = Seq(12, 24, 168)
+      val hourly = TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val tot = hourly.agg(sum("n").as("t_total"),
+                           count(lit(1)).as("n_hours"))
+      val dv = hourly.crossJoin(broadcast(tot))
+        .withColumn("dev", col("n") * col("n_hours") - col("t_total"))
+      def basis(t: Int, f: Double => Double): Column =
+        element_at(array(trigU(t, f).map(lit(_)): _*),
+          (col("hr") % t).cast("int") + 1)
+      val aggs = periods.flatMap(t => Seq(
+        sum(col("dev") * basis(t, math.cos)).as(s"sc$t"),
+        sum(col("dev") * basis(t, math.sin)).as(s"ss$t")))
+      val stackArgs =
+        periods.map(t => s"$t, sc$t, ss$t").mkString(", ")
+      dv.agg(aggs.head, (aggs.tail :+ max("n_hours").as("h_cnt")): _*)
+        .select(expr(s"stack(${periods.size}, $stackArgs)" +
+          " AS (period, s_cos, s_sin)"), col("h_cnt"))
+        .withColumn("amplitude", r4(
+          sqrt(col("s_cos").cast("double") * col("s_cos").cast("double")
+            + col("s_sin").cast("double") * col("s_sin").cast("double"))
+          * 2.0 / (col("h_cnt").cast("double")
+            * col("h_cnt").cast("double") * 1000000.0)))
+        .select("period", "s_cos", "s_sin", "amplitude")
+        .orderBy("period")
+    }),
+
+    // MARKOV STATIONARY DISTRIBUTION (round 10): the long-run
+    // occupancy of the event-type transition chain — "where do user
+    // journeys spend their time" — the summary the per-row
+    // events_transition_entropy/topk readouts feed into. Transitions
+    // use the SAME user-sharded lead() grain as transition_entropy;
+    // the chain itself is TYPE×TYPE (a handful of cells at any
+    // corpus size), so the iteration runs over a tiny frame. The
+    // iteration is irreducible (LPA/HITS precedent): 3 FIXED sync
+    // rounds from the uniform vector, all-integer micro-units —
+    // P row-normalized by DIV, each round π' = (Σ_f π_f·p_u) then a
+    // DIV renormalization to 1e6 total mass (dangling states lose
+    // mass to the renormalizer, deterministically). Bounds: Σπ = 1e6
+    // and p_u ≤ 1e6 ⇒ every raw mass ≤ 1e12 and raw·1e6 ≤ 1e18
+    // < 2^63 at ANY state count. Oracle unrolls the 3 rounds.
+    "events_markov_stationary" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val tr = TestData.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("c"))
+      val p = tr
+        .withColumn("rt", sum("c").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("from_type")))
+        .withColumn("p_u", expr("(c * 1000000) DIV rt"))
+        .select("from_type", "to_type", "p_u")
+        .localCheckpoint()
+      val states = TestData.events(s, d).select("event_type").distinct()
+        .localCheckpoint()
+      val k = states.agg(count(lit(1)).as("k"))
+      var pi = states.crossJoin(broadcast(k))
+        .select(col("event_type"), expr("1000000 DIV k").as("pi"))
+      for (_ <- 1 to 3) {
+        val raw = states.join(
+            pi.withColumnRenamed("event_type", "from_type")
+              .join(p, "from_type")
+              .groupBy(col("to_type").as("event_type"))
+              .agg(sum(col("pi") * col("p_u")).as("r")),
+            Seq("event_type"), "left")
+          .select(col("event_type"), coalesce(col("r"), lit(0L)).as("r"))
+        val tot = raw.agg(sum("r").as("tr"))
+        pi = raw.crossJoin(broadcast(tot))
+          .select(col("event_type"),
+            expr("CASE WHEN tr > 0 THEN r * 1000000 DIV tr" +
+              " ELSE CAST(0 AS BIGINT) END").as("pi"))
+          .localCheckpoint()
+      }
+      pi.select(col("event_type"), col("pi").as("pi_micro"))
+        .orderBy("event_type")
     }),
 
     // SEASONAL DECOMPOSITION, STL-lite (round 7): hourly click counts
@@ -1821,6 +2050,179 @@ object TimeSeries {
         |SELECT lag, num, den,
         |  floor((num::DOUBLE / den)*10000 + 0.5)/10000 AS acf
         |FROM u ORDER BY lag""".stripMargin
+    },
+    // Durbin–Levinson unrolled over the same exact-BIGINT ACF terms;
+    // micro-quantized ratios, every product < 2^53 so the DOUBLE
+    // intermediates are exact on both engines.
+    "ts_pacf" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts)::TIMESTAMP AS hour,
+        |         count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS t_total,
+        |             count(*)::BIGINT AS n_hours FROM hourly),
+        |dv AS (SELECT hour, (n * n_hours - t_total)::BIGINT AS dev
+        |       FROM hourly CROSS JOIN t),
+        |ld AS (SELECT dev,
+        |    lead(dev, 1) OVER w AS l1,
+        |    lead(dev, 2) OVER w AS l2,
+        |    lead(dev, 3) OVER w AS l3
+        |  FROM dv WINDOW w AS (ORDER BY hour)),
+        |ag AS (SELECT sum(dev * dev)::BIGINT AS den,
+        |    sum(dev * l1)::BIGINT AS num1,
+        |    sum(dev * l2)::BIGINT AS num2,
+        |    sum(dev * l3)::BIGINT AS num3
+        |  FROM ld),
+        |r AS (SELECT *,
+        |    CASE WHEN den > 0 THEN floor(num1::DOUBLE / den::DOUBLE
+        |      * 1000000 + 0.5)::BIGINT END AS r1u,
+        |    CASE WHEN den > 0 THEN floor(num2::DOUBLE / den::DOUBLE
+        |      * 1000000 + 0.5)::BIGINT END AS r2u,
+        |    CASE WHEN den > 0 THEN floor(num3::DOUBLE / den::DOUBLE
+        |      * 1000000 + 0.5)::BIGINT END AS r3u
+        |  FROM ag),
+        |p2 AS (SELECT *,
+        |    (1000000000000 - r1u * r1u)::BIGINT AS den22 FROM r),
+        |p3 AS (SELECT *,
+        |    CASE WHEN den22 <> 0 THEN
+        |      floor((r2u * 1000000 - r1u * r1u)::DOUBLE / den22::DOUBLE
+        |        * 1000000 + 0.5)::BIGINT END AS p22u
+        |  FROM p2),
+        |p4 AS (SELECT *,
+        |    floor(r1u::DOUBLE * (1000000 - p22u)::DOUBLE / 1000000.0
+        |      + 0.5)::BIGINT AS p21u
+        |  FROM p3),
+        |p5 AS (SELECT *,
+        |    (r3u * 1000000 - p21u * r2u - p22u * r1u)::BIGINT AS num33,
+        |    (1000000000000 - p21u * r1u - p22u * r2u)::BIGINT AS den33
+        |  FROM p4),
+        |u AS (
+        |  SELECT 1 AS lag, r1u AS acf_micro,
+        |    floor(r1u::DOUBLE / 1000000.0 * 10000 + 0.5) / 10000 AS pacf
+        |  FROM p5
+        |  UNION ALL SELECT 2, r2u,
+        |    floor(p22u::DOUBLE / 1000000.0 * 10000 + 0.5) / 10000
+        |  FROM p5
+        |  UNION ALL SELECT 3, r3u,
+        |    CASE WHEN den33 <> 0 THEN
+        |      floor(num33::DOUBLE / den33::DOUBLE * 10000 + 0.5) / 10000 END
+        |  FROM p5)
+        |SELECT lag, acf_micro, pacf FROM u ORDER BY lag""".stripMargin,
+    // Doubled-median order-stat selection, one lag over the nonzero
+    // sub-grid, all-integer until the final z assembly (mirrored op
+    // order).
+    "ts_runs_test" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT AS h_cnt FROM hourly),
+        |rk AS (SELECT n, h_cnt, row_number() OVER (ORDER BY n, hr) AS rn
+        |       FROM hourly CROSS JOIN t),
+        |m AS (SELECT sum(
+        |    CASE WHEN rn = (h_cnt + 1) // 2 THEN n ELSE 0 END
+        |    + CASE WHEN rn = (h_cnt + 2) // 2 THEN n ELSE 0 END
+        |  )::BIGINT AS med2 FROM rk),
+        |sg AS (SELECT hr, CASE WHEN n * 2 > med2 THEN 1
+        |    WHEN n * 2 < med2 THEN -1 ELSE 0 END AS sgn
+        |  FROM hourly CROSS JOIN m),
+        |nz AS (SELECT hr, sgn FROM sg WHERE sgn <> 0),
+        |ch AS (SELECT sgn,
+        |    CASE WHEN lag(sgn) OVER (ORDER BY hr) IS NULL
+        |      OR lag(sgn) OVER (ORDER BY hr) <> sgn THEN 1 ELSE 0 END
+        |      AS chg
+        |  FROM nz),
+        |a AS (SELECT
+        |    sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |    sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)::BIGINT AS n_neg,
+        |    sum(chg)::BIGINT AS n_runs
+        |  FROM ch),
+        |b AS (SELECT *, (n_pos + n_neg)::BIGINT AS nn,
+        |    (n_pos * n_neg * 2)::BIGINT AS p2 FROM a),
+        |c AS (SELECT *, 1.0 + p2::DOUBLE / nn::DOUBLE AS mu,
+        |    p2::DOUBLE * (p2 - nn)::DOUBLE
+        |      / (nn::DOUBLE * nn::DOUBLE * (nn - 1)::DOUBLE) AS var_r
+        |  FROM b)
+        |SELECT n_pos, n_neg, n_runs,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 AND var_r > 0 THEN
+        |    floor((n_runs::DOUBLE - mu) / sqrt(var_r) * 10000 + 0.5)
+        |      / 10000 END AS z_runs
+        |FROM c""".stripMargin,
+    // Same Scala-evaluated micro-unit trig arrays as the Spark side
+    // (interpolated literals — no transcendental in either engine);
+    // exact BIGINT projections, one double assembly.
+    "ts_spectral_peak" -> {
+      def arr(t: Int, f: Double => Double): String =
+        trigU(t, f).mkString("[", ", ", "]")
+      def pick(t: Int, f: Double => Double): String =
+        s"(${arr(t, f)})[(hr % $t) + 1]"
+      s"""WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS t_total,
+        |             count(*)::BIGINT AS n_hours FROM hourly),
+        |dv AS (SELECT hr, (n * n_hours - t_total)::BIGINT AS dev,
+        |         n_hours
+        |       FROM hourly CROSS JOIN t),
+        |ag AS (SELECT
+        |    sum(dev * ${pick(12, math.cos)})::BIGINT AS sc12,
+        |    sum(dev * ${pick(12, math.sin)})::BIGINT AS ss12,
+        |    sum(dev * ${pick(24, math.cos)})::BIGINT AS sc24,
+        |    sum(dev * ${pick(24, math.sin)})::BIGINT AS ss24,
+        |    sum(dev * ${pick(168, math.cos)})::BIGINT AS sc168,
+        |    sum(dev * ${pick(168, math.sin)})::BIGINT AS ss168,
+        |    max(n_hours)::BIGINT AS h_cnt
+        |  FROM dv),
+        |u AS (
+        |  SELECT 12 AS period, sc12 AS s_cos, ss12 AS s_sin, h_cnt
+        |  FROM ag
+        |  UNION ALL SELECT 24, sc24, ss24, h_cnt FROM ag
+        |  UNION ALL SELECT 168, sc168, ss168, h_cnt FROM ag)
+        |SELECT period, s_cos, s_sin,
+        |  floor(sqrt(s_cos::DOUBLE * s_cos::DOUBLE
+        |      + s_sin::DOUBLE * s_sin::DOUBLE)
+        |    * 2.0 / (h_cnt::DOUBLE * h_cnt::DOUBLE * 1000000.0)
+        |    * 10000 + 0.5) / 10000 AS amplitude
+        |FROM u ORDER BY period""".stripMargin
+    },
+    // 3 unrolled power-iteration rounds over the TYPE×TYPE micro-unit
+    // transition matrix — identical op order to the Spark loop
+    // (sum of π·p products, then one DIV renormalization per round).
+    "events_markov_stationary" -> {
+      def round(i: Int): String = {
+        val prev = if (i == 1) "pi0" else s"pi${i - 1}"
+        s"""r$i AS (SELECT st.event_type, coalesce(x.r, 0)::BIGINT AS r
+          |  FROM st LEFT JOIN (
+          |    SELECT p.to_type AS event_type,
+          |      sum($prev.pi * p.p_u)::BIGINT AS r
+          |    FROM $prev JOIN p ON $prev.event_type = p.from_type
+          |    GROUP BY 1) x USING (event_type)),
+          |pi$i AS (SELECT event_type,
+          |  CASE WHEN (SELECT sum(r) FROM r$i) > 0 THEN
+          |    (r * 1000000 // (SELECT sum(r) FROM r$i))::BIGINT
+          |  ELSE 0::BIGINT END AS pi FROM r$i)""".stripMargin
+      }
+      s"""WITH seq AS (
+        |  SELECT event_type, lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |    count(*)::BIGINT AS c
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |p AS (
+        |  SELECT from_type, to_type,
+        |    ((c * 1000000)
+        |      // (sum(c) OVER (PARTITION BY from_type)))::BIGINT AS p_u
+        |  FROM tr),
+        |st AS (SELECT DISTINCT event_type FROM events),
+        |kk AS (SELECT count(*)::BIGINT AS k FROM st),
+        |pi0 AS (SELECT event_type, (1000000 // k)::BIGINT AS pi
+        |        FROM st CROSS JOIN kk),
+        |${round(1)},
+        |${round(2)},
+        |${round(3)}
+        |SELECT event_type, pi AS pi_micro FROM pi3
+        |ORDER BY event_type""".stripMargin
     },
     // Same prefix-sum closed form, all-BIGINT scaled deviations;
     // every windowed sum ::BIGINT (DuckDB HUGEINT trap).

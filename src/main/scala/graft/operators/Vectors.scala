@@ -29,6 +29,21 @@ object Vectors {
   /** DuckDB-side double-cast embedding expr. */
   private val E = "embedding::DOUBLE[]"
 
+  /** Fixed ±1 hyperplanes for `vec_hyperplane_lsh` — a seeded 64-bit
+    * LCG (Knuth multiplier) evaluated once driver-side; the SAME
+    * literal arrays are interpolated into the Spark plan and the
+    * DuckDB oracle, so no engine evaluates any randomness.
+    */
+  private[graft] def srpPlanes(nPlanes: Int, dim: Int): Seq[IndexedSeq[Int]] = {
+    var x = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L; x
+    }
+    Seq.tabulate(nPlanes)(_ =>
+      IndexedSeq.tabulate(dim)(_ =>
+        if (((next() >>> 41) & 1L) == 0L) 1 else -1))
+  }
+
   /** The fixed k=4 coarse centroids (= embeddings of vec_id 0..3) as
     * a (cid, cv) table, shared by the IVF operators and the pipeline.
     */
@@ -64,6 +79,33 @@ object Vectors {
       TestData.embeddings(s, d)
         .select(col("vec_id"), r4(V.l2norm(col("embedding"))).as("nrm"))
         .orderBy("vec_id")),
+
+    // SIGNED RANDOM PROJECTION / HYPERPLANE LSH (round 10): the
+    // classic cosine-LSH signature (Charikar 2002) — 16 sign bits
+    // against FIXED ±1 hyperplanes, the bucketing key an
+    // embedding-space blocker shards on when MinHash (set-shaped)
+    // doesn't apply. Determinism: the planes come from a seeded
+    // Scala LCG evaluated ONCE driver-side and interpolated into
+    // BOTH engines as literal arrays (the spectral-basis/lsh_tuning
+    // precedent); each dot product is quantized (×1e4, the
+    // vec_dot_pairs protocol) BEFORE the strict >0 sign test, so
+    // the bit is engine-identical. Sign flips of near-zero dots are
+    // a property of ANY SRP blocker — soundness comes from multi-
+    // band OR-ing downstream, not from this key. Shape: one
+    // map-side pass, no shuffle before the final sort; 16×64 HOF
+    // dot products per row (at corpus scale, fold the 16 planes
+    // into ONE custom expression pass — the SortedIntersectCount
+    // precedent; documented trade at 500-row fixture grain).
+    "vec_hyperplane_lsh" -> ((s, d) => {
+      val sig = srpPlanes(16, 64).zipWithIndex.map { case (pl, i) =>
+        val plArr = array(pl.map(v => lit(v.toDouble)): _*)
+        when(floor(V.dot(col("embedding"), plArr) * 10000 + 0.5) > 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      TestData.embeddings(s, d)
+        .select(col("vec_id"), sig.as("sig16"))
+        .orderBy("vec_id")
+    }),
 
     // Per-dimension corpus statistics — the normalization/whitening
     // stats pass every embedding pipeline runs before quantizing
@@ -527,6 +569,19 @@ object Vectors {
       s"""SELECT vec_id,
         |  floor((sqrt(list_sum(list_transform($E, x -> x*x))))*10000 + 0.5)/10000 AS nrm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // Same Scala-seeded literal planes as the Spark plan; dot
+    // quantized ×1e4 before the strict sign test (vec_dot_pairs
+    // protocol).
+    "vec_hyperplane_lsh" -> {
+      val terms = srpPlanes(16, 64).zipWithIndex.map { case (pl, i) =>
+        s"(CASE WHEN floor(list_dot_product($E, " +
+          s"${pl.mkString("[", ", ", "]")}::DOUBLE[]) * 10000 + 0.5)" +
+          s" > 0 THEN ${1L << i} ELSE 0 END)"
+      }
+      s"""SELECT vec_id,
+        |  (${terms.mkString("\n  + ")})::BIGINT AS sig16
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+    },
     "vec_knn_classify" ->
       s"""WITH q AS (
         |  SELECT vec_id AS qid, $E AS qv, label AS true_label

@@ -223,6 +223,297 @@ object ClosedFormProps extends Properties("graft.closedforms") {
       perElem.sum == 0L && perElem.forall(d => math.abs(d) <= 2 * n)
     }
 
+  // agg_kendall_tau: the cell-grid theta-join concordance counts
+  // equal the brute-force pairwise definition, and the tau-b
+  // normalizer's tie algebra is consistent (C + D + tied-pairs
+  // partition all n0 pairs).
+  property("Kendall grid concordance equals the pairwise definition") =
+    Prop.forAll(Gen.choose(2, 50).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.choose(0L, 8L), Gen.choose(0L, 5L))))) { pts =>
+      val cells = pts.groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq
+      val gridC = (for (((xa, ya), ca) <- cells; ((xb, yb), cb) <- cells
+        if xa < xb && ya < yb) yield ca * cb).sum
+      val gridD = (for (((xa, ya), ca) <- cells; ((xb, yb), cb) <- cells
+        if xa < xb && ya > yb) yield ca * cb).sum
+      val idx = pts.zipWithIndex
+      val bruteC = (for ((a, i) <- idx; (b, j) <- idx if i < j)
+        yield if ((a._1 < b._1 && a._2 < b._2)
+          || (b._1 < a._1 && b._2 < a._2)) 1L else 0L).sum
+      val bruteD = (for ((a, i) <- idx; (b, j) <- idx if i < j)
+        yield if ((a._1 < b._1 && a._2 > b._2)
+          || (b._1 < a._1 && b._2 > a._2)) 1L else 0L).sum
+      val n = pts.length.toLong
+      val n0 = n * (n - 1) / 2
+      val tiedX = (for ((a, i) <- idx; (b, j) <- idx
+        if i < j && a._1 == b._1) yield 1L).sum
+      val tiedY = (for ((a, i) <- idx; (b, j) <- idx
+        if i < j && a._2 == b._2) yield 1L).sum
+      val tiedBoth = (for ((a, i) <- idx; (b, j) <- idx
+        if i < j && a == b) yield 1L).sum
+      (gridC == bruteC) :| s"C grid $gridC != brute $bruteC" &&
+        (gridD == bruteD) :| s"D grid $gridD != brute $bruteD" &&
+        (gridC + gridD + tiedX + tiedY - tiedBoth == n0) :|
+          "C + D + ties must partition the n0 pairs"
+    }
+
+  // agg_anova_f: the sufficient-statistic split reproduces the SS
+  // partition identity SSB + SSW = SST within whole-unit rounding
+  // (each group's sx²/n term is floor-quantized to ≤ 0.5 units).
+  property("ANOVA sufficient-statistic SSB/SSW track the direct partition") =
+    Prop.forAll(Gen.choose(2, 6).flatMap(k => Gen.listOfN(k,
+        Gen.choose(2, 30).flatMap(n => Gen.listOfN(n,
+          Gen.choose(0L, 2000L)))))) { groups =>
+      val all = groups.flatten
+      val n = all.length.toDouble
+      val grand = all.sum.toDouble / n
+      val directSsb = groups.map(g =>
+        g.length * math.pow(g.sum.toDouble / g.length - grand, 2)).sum
+      val directSsw = groups.map(g => {
+        val m = g.sum.toDouble / g.length
+        g.map(x => math.pow(x - m, 2)).sum
+      }).sum
+      val tU = groups.map(g => math.floor(
+        g.sum.toDouble * g.sum.toDouble / g.length + 0.5)).sum
+      val ssb = tU - all.sum.toDouble * all.sum.toDouble / n
+      val ssw = all.map(x => x.toDouble * x).sum - tU
+      val tol = 0.5 * (groups.length + 1)
+      (math.abs(ssb - directSsb) <= tol) :|
+        s"SSB $ssb vs direct $directSsb" &&
+        (math.abs(ssw - directSsw) <= tol) :|
+          s"SSW $ssw vs direct $directSsw"
+    }
+
+  // agg_welch_t: grid sufficient statistics reproduce the
+  // per-element mean and sample variance exactly (the only floats
+  // are the final divisions, identical in both forms).
+  property("Welch sufficient statistics equal per-element mean/variance") =
+    Prop.forAll(Gen.choose(2, 60).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0L, 100L)))) { xs =>
+      val n = xs.length.toDouble
+      val cells = xs.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      val sx = cells.map { case (v, c) => c * v }.sum
+      val sxx = cells.map { case (v, c) => c * v * v }.sum
+      val mGrid = sx.toDouble / n
+      val vGrid = (sxx.toDouble - sx.toDouble * sx.toDouble / n) / (n - 1)
+      val mDirect = xs.sum.toDouble / n
+      val vDirect = xs.map(x =>
+        (x - mDirect) * (x - mDirect)).sum / (n - 1)
+      (mGrid == mDirect) :| "means differ" &&
+        (math.abs(vGrid - vDirect) <= 1e-6 * math.max(1.0, vDirect)) :|
+          s"variance grid $vGrid vs direct $vDirect"
+    }
+
+  // ts_pacf: on an exact AR(1)-shaped ACF (r, r², r³) the
+  // Durbin–Levinson φ22 vanishes up to the micro-quantization of the
+  // inputs — the algebraic "higher lags add nothing" anchor.
+  property("PACF φ22 vanishes on AR(1)-shaped quantized ACFs") =
+    Prop.forAll(Gen.choose(-900000L, 900000L)) { r1u =>
+      val M = 1000000L
+      val r2u = math.floor(r1u.toDouble * r1u / M + 0.5).toLong
+      val den22 = M * M - r1u * r1u
+      val p22u = math.floor(
+        (r2u * M - r1u * r1u).toDouble / den22 * M + 0.5).toLong
+      math.abs(p22u) <= 3
+    }
+
+  // agg_cohens_d: the grid sufficient-statistic pooled variance
+  // equals the direct two-sample pooled variance, and d's relation
+  // to the pooled-t statistic t = d·√(n1·n2/N) holds on the same
+  // numbers (the classical identity the effect size is defined by).
+  property("Cohen's d pooled variance and t-identity from grid stats") =
+    Prop.forAll(Gen.zip(
+        Gen.choose(2, 40).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 50L))),
+        Gen.choose(2, 40).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 50L)))))
+      { case (as, bs) =>
+        def ss(xs: Seq[Long]): Double = {
+          val m = xs.sum.toDouble / xs.length
+          xs.map(x => (x - m) * (x - m)).sum
+        }
+        val (na, nb) = (as.length.toDouble, bs.length.toDouble)
+        def stats(xs: Seq[Long]): (Long, Long) =
+          (xs.sum, xs.map(x => x * x).sum)
+        val (sxa, sxxa) = stats(as); val (sxb, sxxb) = stats(bs)
+        val ssA = sxxa.toDouble - sxa.toDouble * sxa / na
+        val ssB = sxxb.toDouble - sxb.toDouble * sxb / nb
+        val sp2 = (ssA + ssB) / (na + nb - 2)
+        val sp2Direct = (ss(as) + ss(bs)) / (na + nb - 2)
+        val ok1 = math.abs(sp2 - sp2Direct) <=
+          1e-6 * math.max(1.0, sp2Direct)
+        val ok2 = if (sp2 > 1e-9) {
+          val d = (sxb / nb - sxa / na) / math.sqrt(sp2)
+          val t = (sxb / nb - sxa / na) /
+            math.sqrt(sp2 * (1 / na + 1 / nb))
+          math.abs(t - d * math.sqrt(na * nb / (na + nb))) <=
+            1e-6 * math.max(1.0, math.abs(t))
+        } else true
+        ok1 :| s"sp2 $sp2 vs direct $sp2Direct" && ok2 :| "t != d·√(n1n2/N)"
+      }
+
+  // ts_runs_test: the lag-change run count equals an independent
+  // block-segmentation count, and the doubled-median sign split
+  // drops exactly the equal-to-median elements.
+  property("runs count equals block segmentation under the doubled median") =
+    Prop.forAll(Gen.choose(3, 80).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0L, 6L)))) { xs =>
+      val sorted = xs.sorted
+      val h = xs.length
+      val med2 = sorted((h + 1) / 2 - 1) + sorted((h + 2) / 2 - 1)
+      val signs = xs.map(x => java.lang.Long.signum(2 * x - med2))
+        .filter(_ != 0)
+      val lagRuns = if (signs.isEmpty) 0
+        else 1 + signs.zip(signs.tail).count { case (a, b) => a != b }
+      val blockRuns = signs.foldLeft((0, 0)) { case ((runs, prev), s) =>
+        if (s != prev) (runs + 1, s) else (runs, s)
+      }._1
+      val dropped = xs.count(x => 2 * x == med2)
+      (lagRuns == blockRuns) :| s"lag $lagRuns vs blocks $blockRuns" &&
+        (signs.length + dropped == h) :| "sign split must partition"
+    }
+
+  // ts_spectral_peak: (a) each micro-quantized basis row sums to
+  // ~0 over a full period (orthogonality survives quantization to
+  // ≤ half a unit per entry); (b) the key's amplitude estimator
+  // recovers a planted cosine's amplitude over whole periods.
+  property("spectral basis quantization keeps orthogonality and recovers amplitude") =
+    Prop.forAll(Gen.zip(Gen.oneOf(12, 24, 168), Gen.choose(5L, 60L),
+        Gen.choose(2, 4))) { case (t, amp, reps) =>
+      val cosU = (0 until t).map(k =>
+        math.floor(math.cos(2 * math.Pi * k / t) * 1000000 + 0.5).toLong)
+      val sinU = (0 until t).map(k =>
+        math.floor(math.sin(2 * math.Pi * k / t) * 1000000 + 0.5).toLong)
+      val h = t * reps
+      val xs = (0 until h).map(k => 100 +
+        math.floor(amp * math.cos(2 * math.Pi * k / t) + 0.5).toLong)
+      val total = xs.sum
+      val dev = xs.map(_ * h - total)
+      val sc = dev.zipWithIndex.map { case (d, k) => d * cosU(k % t) }.sum
+      val ss = dev.zipWithIndex.map { case (d, k) => d * sinU(k % t) }.sum
+      val est = math.sqrt(sc.toDouble * sc + ss.toDouble * ss) * 2 /
+        (h.toDouble * h * 1000000.0)
+      (math.abs(cosU.sum) <= t && math.abs(sinU.sum) <= t) :|
+        "quantized basis must stay near-orthogonal to the constant" &&
+        (math.abs(est - amp) <= 1.0 + 0.02 * amp) :|
+          s"amplitude estimate $est vs planted $amp"
+    }
+
+  // graph_reciprocity: the reversed-join mutual count equals twice
+  // the number of unordered pairs present in both directions (edges
+  // distinct, no self-loops).
+  property("reciprocity mutual count is twice the mutual unordered pairs") =
+    Prop.forAll(Gen.choose(1, 60).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.choose(0, 8), Gen.choose(0, 8))))) { raw =>
+      val edges = raw.filter(p => p._1 != p._2).distinct
+      val eset = edges.toSet
+      val mutual = edges.count(e => eset((e._2, e._1)))
+      val pairs = edges.filter(e => e._1 < e._2)
+        .count(e => eset((e._2, e._1)))
+      mutual == 2 * pairs
+    }
+
+  // agg_contingency_stdres: expected margins reproduce observed
+  // margins exactly, and on a 2×2 table all four adjusted residuals
+  // have the same magnitude (the classical single-df identity).
+  property("contingency expecteds keep margins; 2x2 adj residuals agree") =
+    Prop.forAll(Gen.listOfN(4, Gen.choose(1L, 50L))) { cs =>
+      val Seq(a, b, c, d) = cs
+      val n = (a + b + c + d).toDouble
+      val rows = Seq(a + b, c + d); val cols = Seq(a + c, b + d)
+      val obs = Seq(Seq(a, b), Seq(c, d))
+      val e = for (i <- 0 to 1; j <- 0 to 1)
+        yield rows(i) * cols(j) / n
+      val margOk = (0 to 1).forall(i =>
+        math.abs(e(2 * i) + e(2 * i + 1) - rows(i)) < 1e-9 * n)
+      val adj = for (i <- 0 to 1; j <- 0 to 1) yield {
+        val eij = rows(i) * cols(j) / n
+        val den2 = eij * (1 - rows(i) / n) * (1 - cols(j) / n)
+        if (den2 > 0) (obs(i)(j) - eij) / math.sqrt(den2) else 0.0
+      }
+      val mags = adj.map(math.abs)
+      margOk :| "expected margins must equal observed margins" &&
+        (mags.max - mags.min <= 1e-9 * (1 + mags.max)) :|
+          s"2x2 adjusted residuals must share magnitude: $adj"
+    }
+
+  // agg_mutual_information: MI = H_row + H_col − H_joint on exact
+  // doubles, MI ≥ 0, and NMI ≤ 1 (within fp slack) on random tables.
+  property("MI equals the entropy identity and NMI stays in [0,1]") =
+    Prop.forAll(Gen.choose(2, 4).flatMap(r => Gen.choose(2, 4).flatMap(c =>
+        Gen.listOfN(r * c, Gen.choose(0L, 30L)).map(xs => (r, c, xs))))
+      .suchThat { case (_, _, xs) => xs.sum > 0 }) { case (r, c, xs) =>
+      val n = xs.sum.toDouble
+      def h(ps: Seq[Double]): Double =
+        ps.filter(_ > 0).map(p => -p * math.log(p)).sum
+      val cells = xs.zipWithIndex.map { case (v, i) =>
+        (i / c, i % c, v) }.filter(_._3 > 0)
+      val rowM = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+      val colM = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+      val mi = cells.map { case (i, j, v) =>
+        (v / n) * math.log(n * v / (rowM(i).toDouble * colM(j))) }.sum
+      val hr = h(rowM.values.map(_ / n).toSeq)
+      val hc = h(colM.values.map(_ / n).toSeq)
+      val hj = h(cells.map(_._3 / n))
+      val idOk = math.abs(mi - (hr + hc - hj)) <= 1e-9 * (1 + hr + hc)
+      val nmiOk = if (math.min(hr, hc) > 1e-12)
+        mi / math.min(hr, hc) <= 1 + 1e-9 else true
+      idOk :| s"MI $mi != Hr+Hc-Hj ${hr + hc - hj}" &&
+        (mi >= -1e-9) :| "MI must be non-negative" &&
+        nmiOk :| "NMI must stay at or below 1"
+    }
+
+  // events_markov_stationary: the integer micro-unit iteration (a
+  // pure-Scala replica) conserves mass up to DIV rounding every
+  // round, and the uniform chain is an exact fixpoint.
+  property("Markov micro-iteration conserves mass; uniform chain is a fixpoint") =
+    Prop.forAll(Gen.choose(2, 5).flatMap(k => Gen.listOfN(k * k,
+        Gen.choose(0L, 20L)).map(xs => (k, xs)))
+      .suchThat { case (k, xs) =>
+        (0 until k).forall(i => (0 until k).map(j => xs(i * k + j)).sum > 0)
+      }) { case (k, xs) =>
+      def rowTot(i: Int) = (0 until k).map(j => xs(i * k + j)).sum
+      val pU = Array.tabulate(k, k)((i, j) =>
+        xs(i * k + j) * 1000000L / rowTot(i))
+      var pi = Array.fill(k)(1000000L / k)
+      var massOk = true
+      for (_ <- 1 to 3) {
+        val raw = Array.tabulate(k)(t =>
+          (0 until k).map(f => pi(f) * pU(f)(t)).sum)
+        val tot = raw.sum
+        pi = raw.map(r => if (tot > 0) r * 1000000L / tot else 0L)
+        massOk &&= pi.sum <= 1000000L && pi.sum >= 1000000L - k
+      }
+      val uniP = Array.tabulate(k, k)((_, _) => 1000000L / k)
+      var uPi = Array.fill(k)(1000000L / k)
+      for (_ <- 1 to 3) {
+        val raw = Array.tabulate(k)(t =>
+          (0 until k).map(f => uPi(f) * uniP(f)(t)).sum)
+        val tot = raw.sum
+        uPi = raw.map(r => r * 1000000L / tot)
+      }
+      massOk :| "renormalized mass must stay within K units of 1e6" &&
+        (uPi.toSeq == Seq.fill(k)(1000000L / k).map(identity)) :|
+          s"uniform chain must be a fixpoint, got ${uPi.toSeq}"
+    }
+
+  // vec_hyperplane_lsh: quantized sign bits are invariant under
+  // positive scaling (away from the ±1-unit quantization boundary)
+  // and complementary under negation.
+  property("SRP sign bits: scale-invariant off-boundary, complementary under -v") =
+    Prop.forAll(Gen.zip(
+        Gen.listOfN(8, Gen.choose(-10000, 10000)
+          .suchThat(d => math.abs(d) >= 2)),
+        Gen.choose(11, 29).map(_ / 10.0))) { case (dotsE4, scale) =>
+      def bit(d: Double): Int =
+        if (math.floor(d * 10000 + 0.5) > 0) 1 else 0
+      val dots = dotsE4.map(_ / 10000.0)
+      val scaleOk = dots.forall(d => bit(d) == bit(d * scale))
+      val negOk = dots.forall(d =>
+        bit(d) + bit(-d) == (if (math.floor(d * 10000 + 0.5) == 0
+          && math.floor(-d * 10000 + 0.5) == 0) 0 else 1))
+      scaleOk :| "sign bit must survive positive scaling off-boundary" &&
+        negOk :| "bits of v and -v must be complementary off zero"
+    }
+
   // ts_mann_kendall: anchor cases + tie-variance non-negativity.
   property("Mann-Kendall S: monotone series saturate, ties only shrink Var") =
     Prop.forAll(Gen.choose(2, 60).flatMap(n =>

@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 115, "documented facade count drifted; methods: "
+    assert(names.length === 127, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1314,6 +1314,145 @@ class EngineApiSpec extends SparkSpec {
         floor(col("l_quantity") + 0.5).cast("long").as("qx"),
         floor(col("l_discount") * 100 + 0.5).cast("long").as("qy"))
     val viaApi = engine.spearmanRho(li, "flag", "qx", "qy")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("kendallTau facade matches the agg_kendall_tau key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("agg_kendall_tau")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val li = TestData.lineitem(spark, d)
+      .select(col("l_returnflag").as("flag"),
+        floor(col("l_quantity") + 0.5).cast("long").as("qx"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("qy"))
+    val viaApi = engine.kendallTau(li, "flag", "qx", "qy")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("anovaF facade matches the agg_anova_f key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("agg_anova_f")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.anovaF(
+        TestData.documents(spark, d), "lang", "n_chars")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("welchT facade matches the agg_welch_t key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("agg_welch_t")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.welchT(variantUsers(d), "x", "variant")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("pacfLags3 facade matches the ts_pacf key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("ts_pacf")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val hourly = TestData.events(spark, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val viaApi = engine.pacfLags3(hourly, "hour", "n")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("cohensD facade matches the agg_cohens_d key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("agg_cohens_d")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.cohensD(variantUsers(d), "x", "variant")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("runsTest facade matches the ts_runs_test key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("ts_runs_test")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val hourly = TestData.events(spark, d)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val viaApi = engine.runsTest(hourly, "hr", "n")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("spectralPeak facade matches the ts_spectral_peak key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("ts_spectral_peak")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val hourly = TestData.events(spark, d)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val viaApi = engine.spectralPeak(hourly, "hr", "n")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("reciprocity facade matches the graph_reciprocity key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("graph_reciprocity")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val edges = graft.operators.GraphOps.directedKnnEdges(spark, d)
+      .select(col("qid"), col("nn"))
+    val viaApi = engine.reciprocity(edges, "qid", "nn")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("contingencyStdres facade matches the agg_contingency_stdres key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("agg_contingency_stdres")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val f = TestData.customer(spark, d)
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment"))
+    val viaApi = engine.contingencyStdres(f, "nationkey", "c_mktsegment")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("mutualInformation facade matches the agg_mutual_information key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("agg_mutual_information")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val f = TestData.customer(spark, d)
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment"))
+    val viaApi = engine.mutualInformation(f, "nationkey", "c_mktsegment")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("markovStationary facade matches the events_markov_stationary key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("events_markov_stationary")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val transitions = TestData.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val viaApi = engine
+      .markovStationary(transitions, "event_type", "next_type")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("hyperplaneLsh facade matches the vec_hyperplane_lsh key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("vec_hyperplane_lsh")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.hyperplaneLsh(
+        TestData.embeddings(spark, d), "vec_id", "embedding")
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
   }
