@@ -2504,6 +2504,103 @@ class GraftEngine(val spark: SparkSession) {
     df.select(col(idCol), sig.as("sig16")).orderBy(idCol)
   }
 
+  /** Neyman (variance-optimal) stratified allocation (see
+    * `sample_neyman_allocation`) of an integer `budget` across the
+    * strata of an integer-valued column: allocation ∝ N_h·S_h with
+    * exact Hamilton largest-remainder rounding (Σ = budget exactly).
+    * Bound: n·max(x)² < 2^63 per stratum — pre-scale the value
+    * column accordingly.
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+                       valueCol: String, budget: Long): DataFrame = {
+    val W = Window.orderBy(col("rem").desc, col(stratumCol))
+    val st = df
+      .groupBy(stratumCol)
+      .agg(count(lit(1)).as("n_h"), sum(valueCol).as("sx"),
+        sum(col(valueCol) * col(valueCol)).as("sxx"))
+      .withColumn("s_units", sqrt(
+        (col("n_h").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+        / (col("n_h").cast("double") * (col("n_h") - 1).cast("double"))))
+      .withColumn("w_u",
+        floor(col("n_h").cast("double") * col("s_units") + 0.5)
+          .cast("long"))
+    val tot = st.agg(sum("w_u").as("w_total"))
+    val appo = st.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($budget * w_u) DIV w_total"))
+      .withColumn("rem", expr(s"($budget * w_u) % w_total"))
+    val baseSum = appo.agg(sum("base").as("base_sum"))
+    appo.crossJoin(broadcast(baseSum))
+      .withColumn("rk", row_number().over(W))
+      .withColumn("extra",
+        when(col("rk") <= lit(budget) - col("base_sum"), 1L)
+          .otherwise(0L))
+      .select(col(stratumCol), col("n_h"),
+        TestData.r4(col("s_units")).as("s_units"), col("w_u"),
+        (col("base") + col("extra")).as("n_alloc"))
+      .orderBy(stratumCol)
+  }
+
+  /** Nearest-standard-aspect-ratio bucketing (see
+    * `multimodal_aspect_bucket`): all-integer 720ths ratio, 5-row
+    * anchor rank per item, per-bucket count + average dims.
+    */
+  def aspectBucket(df: DataFrame, idCol: String, widthCol: String,
+                   heightCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val anchors = Seq((405L, "9:16"), (540L, "3:4"), (720L, "1:1"),
+      (960L, "4:3"), (1280L, "16:9")).toDF("anchor", "bucket")
+    val W = Window.partitionBy("gid")
+      .orderBy(abs(col("ar_u") - col("anchor")), col("anchor"))
+    df.select(col(idCol).as("gid"),
+        col(widthCol).cast("long").as("w"),
+        col(heightCol).cast("long").as("h"))
+      .withColumn("ar_u", expr("(w * 720) DIV h"))
+      .crossJoin(broadcast(anchors))
+      .withColumn("rn", row_number().over(W))
+      .filter(col("rn") === 1)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_images"),
+        sum("w").as("sw"), sum("h").as("sh"))
+      .withColumn("avg_width",
+        TestData.r4(col("sw").cast("double") / col("n_images")))
+      .withColumn("avg_height",
+        TestData.r4(col("sh").cast("double") / col("n_images")))
+      .select("bucket", "n_images", "avg_width", "avg_height")
+      .orderBy("bucket")
+  }
+
+  /** Conditional bigram entropy H(w₂|w₁) per group (see
+    * `text_conditional_entropy`) over a space-tokenized text column
+    * — micro-nat per-term quantization, vocabulary-shaped joins.
+    */
+  def conditionalEntropy(df: DataFrame, groupCol: String,
+                         textCol: String): DataFrame = {
+    val bi = df
+      .withColumn("toks", split(col(textCol), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col(groupCol).as("g"), explode(expr(
+        "transform(sequence(0, size(toks)-2)," +
+          " i -> concat(toks[i], ' ', toks[i+1]))")).as("bg"))
+      .groupBy("g", "bg").agg(count(lit(1)).as("c_b"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val marg = bi.groupBy("g", "w1").agg(sum("c_b").as("c_1"))
+    bi.join(marg, Seq("g", "w1"))
+      .withColumn("t_u", floor(col("c_b").cast("double")
+        * log(col("c_1").cast("double") / col("c_b").cast("double"))
+        * 1000000 + 0.5).cast("long"))
+      .groupBy("g")
+      .agg(sum("c_b").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        sum("t_u").as("h_sum_u"))
+      .withColumn("cond_entropy_nats", TestData.r4(
+        col("h_sum_u").cast("double")
+          / (lit(1000000.0) * col("n_bigrams").cast("double"))))
+      .select(col("g").as(groupCol), col("n_bigrams"),
+        col("n_distinct_bigrams"), col("cond_entropy_nats"))
+      .orderBy(groupCol)
+  }
+
   /** Mann-Kendall trend test (see `ts_mann_kendall`) over an
     * integer series (`xCol` grid index, `yCol` value): S from the
     * grid² pair join, tie-corrected variance, continuity-corrected

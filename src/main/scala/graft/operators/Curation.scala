@@ -355,6 +355,53 @@ object Curation {
         .orderBy("lang")
     }),
 
+    // NEYMAN ALLOCATION (round 10): the survey-sampling answer to
+    // "given a budget of B QA samples, how many from each stratum" —
+    // allocate ∝ N_h·S_h (big AND variable strata get more), the
+    // variance-optimal split for estimating the overall mean. Exact
+    // machinery: per-stratum (n, Σx, Σx²) in WHOLE currency units
+    // (not cents — n·x² must stay < 2^63: x ≲ 1e5 units keeps Σx²
+    // safe to ~9e8 rows/stratum, where cents would overflow at
+    // ~9e4 — the unit choice IS the documented trade) are exact
+    // BIGINTs; S_h = sqrt((n·Σx²−(Σx)²)/(n(n−1))) uses IEEE sqrt —
+    // correctly-rounded, hence engine-identical on identical input
+    // doubles — then the weight is quantized to an integer BEFORE
+    // the Hamilton largest-remainder apportionment (DIV/MOD +
+    // remainder rank, the pipeline_mix_epoch_schedule precedent;
+    // Σ alloc = B exactly). B·w_u < 2^63 for w_u ≲ 9.2e14. Stratum
+    // rank window is strata-sized.
+    "sample_neyman_allocation" -> ((s, d) => {
+      val B = 10000L
+      val W = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rem").desc, col("l_returnflag"))
+      val st = TestData.lineitem(s, d)
+        .withColumn("x",
+          floor(col("l_extendedprice") + 0.5).cast("long"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_h"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("s_units", sqrt(
+          (col("n_h").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+          / (col("n_h").cast("double") * (col("n_h") - 1).cast("double"))))
+        .withColumn("w_u",
+          floor(col("n_h").cast("double") * col("s_units") + 0.5)
+            .cast("long"))
+      val tot = st.agg(sum("w_u").as("w_total"))
+      val appo = st.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($B * w_u) DIV w_total"))
+        .withColumn("rem", expr(s"($B * w_u) % w_total"))
+      val baseSum = appo.agg(sum("base").as("base_sum"))
+      appo.crossJoin(broadcast(baseSum))
+        .withColumn("rk", row_number().over(W))
+        .withColumn("extra",
+          when(col("rk") <= lit(B) - col("base_sum"), 1L).otherwise(0L))
+        .select(col("l_returnflag"), col("n_h"),
+          r4(col("s_units")).as("s_units"), col("w_u"),
+          (col("base") + col("extra")).as("n_alloc"))
+        .orderBy("l_returnflag")
+    }),
+
     // BALANCED DOWNSAMPLING (round 8): cap every class at the
     // minority class's size by keeping each lang's `cap` smallest
     // md5-rank docs — the class-balancing pass before training a
@@ -1029,6 +1076,41 @@ object Curation {
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
     // Same all-integer apportionment (// and % on BIGINTs), same
     // largest-remainder rank with lang tie-break.
+    // Same whole-unit sufficient stats + IEEE-sqrt S_h + Hamilton
+    // apportionment (identical op order).
+    "sample_neyman_allocation" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    floor(l_extendedprice + 0.5)::BIGINT AS x
+        |  FROM lineitem),
+        |st AS (
+        |  SELECT l_returnflag, count(*)::BIGINT AS n_h,
+        |    sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx
+        |  FROM li GROUP BY 1),
+        |s2 AS (
+        |  SELECT *, sqrt((n_h::DOUBLE * sxx::DOUBLE
+        |      - sx::DOUBLE * sx::DOUBLE)
+        |    / (n_h::DOUBLE * (n_h - 1)::DOUBLE)) AS s_units
+        |  FROM st),
+        |w AS (
+        |  SELECT *, floor(n_h::DOUBLE * s_units + 0.5)::BIGINT AS w_u
+        |  FROM s2),
+        |t AS (SELECT sum(w_u)::BIGINT AS w_total FROM w),
+        |a AS (
+        |  SELECT l_returnflag, n_h, s_units, w_u,
+        |    ((10000 * w_u) // w_total)::BIGINT AS base,
+        |    ((10000 * w_u) % w_total)::BIGINT AS rem
+        |  FROM w CROSS JOIN t),
+        |b AS (SELECT sum(base)::BIGINT AS base_sum FROM a),
+        |r AS (
+        |  SELECT a.*, base_sum,
+        |    row_number() OVER (ORDER BY rem DESC, l_returnflag) AS rk
+        |  FROM a CROSS JOIN b)
+        |SELECT l_returnflag, n_h,
+        |  floor(s_units * 10000 + 0.5) / 10000 AS s_units, w_u,
+        |  (base + CASE WHEN rk <= 10000 - base_sum THEN 1 ELSE 0 END
+        |    )::BIGINT AS n_alloc
+        |FROM r ORDER BY l_returnflag""".stripMargin,
     "pipeline_mix_epoch_schedule" ->
       """WITH per AS (
         |  SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens

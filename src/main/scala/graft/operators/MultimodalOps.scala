@@ -104,6 +104,44 @@ object MultimodalOps {
         .select("doc_id", "frame_ts_ms")
         .orderBy("doc_id", "frame_ts_ms")),
 
+    // ASPECT-RATIO BUCKETING (round 10): assign every image to the
+    // nearest standard training bucket {9:16, 3:4, 1:1, 4:3, 16:9} —
+    // the batch-shape grouping an image-training pipeline does so a
+    // batch shares one resize target (mixed aspect ratios waste
+    // padding). ALL-INTEGER nearest-anchor: the ratio is scaled to
+    // 720ths ((w·720) DIV h — 720 is divisible by every anchor
+    // denominator, so anchors are exact integers) and the argmin is
+    // a rank over the 5-row broadcast anchor table partitioned per
+    // image (5 rows per image, never corpus-wide); ties break to the
+    // smaller anchor. No logs, no floats until the per-bucket avg
+    // readout (r4). The truncating DIV is part of the spec — both
+    // engines mirror it exactly.
+    "multimodal_aspect_bucket" -> ((s, d) => {
+      import s.implicits._
+      val anchors = Seq((405L, "9:16"), (540L, "3:4"), (720L, "1:1"),
+        (960L, "4:3"), (1280L, "16:9")).toDF("anchor", "bucket")
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(abs(col("ar_u") - col("anchor")), col("anchor"))
+      Multimodal.fromDocuments(TestData.documents(s, d))
+        .filter(col("mime") === "image/png")
+        .select(col("doc_id"), col("width").cast("long").as("w"),
+          col("height").cast("long").as("h"))
+        .withColumn("ar_u", expr("(w * 720) DIV h"))
+        .crossJoin(broadcast(anchors))
+        .withColumn("rn", row_number().over(W))
+        .filter(col("rn") === 1)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_images"),
+          sum("w").as("sw"), sum("h").as("sh"))
+        .withColumn("avg_width",
+          TestData.r4(col("sw").cast("double") / col("n_images")))
+        .withColumn("avg_height",
+          TestData.r4(col("sh").cast("double") / col("n_images")))
+        .select("bucket", "n_images", "avg_width", "avg_height")
+        .orderBy("bucket")
+    }),
+
     // Bounded-fit resize to 320×240: the metadata arithmetic (scale
     // factor, ceil'd output dims) is the verifiable part — the pixel
     // re-encode is the documented stub. Aspect ratio preserved by a
@@ -257,6 +295,27 @@ object MultimodalOps {
         |  ((n_chars % 480) + 1)::INT AS height,
         |  n_chars * 40 AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same 720ths integer ratio + 5-row anchor rank, mirrored DIV.
+    "multimodal_aspect_bucket" ->
+      """WITH img AS (
+        |  SELECT doc_id, ((n_chars % 640) + 1)::BIGINT AS w,
+        |    ((n_chars % 480) + 1)::BIGINT AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ar AS (SELECT doc_id, w, h, ((w * 720) // h)::BIGINT AS ar_u
+        |       FROM img),
+        |an AS (SELECT * FROM (VALUES (405, '9:16'), (540, '3:4'),
+        |  (720, '1:1'), (960, '4:3'), (1280, '16:9')) t(anchor, bucket)),
+        |rk AS (
+        |  SELECT ar.doc_id, ar.w, ar.h, an.bucket,
+        |    row_number() OVER (PARTITION BY ar.doc_id
+        |      ORDER BY abs(ar.ar_u - an.anchor), an.anchor) AS rn
+        |  FROM ar CROSS JOIN an)
+        |SELECT bucket, count(*)::BIGINT AS n_images,
+        |  floor(sum(w)::DOUBLE / count(*)::DOUBLE * 10000 + 0.5) / 10000
+        |    AS avg_width,
+        |  floor(sum(h)::DOUBLE / count(*)::DOUBLE * 10000 + 0.5) / 10000
+        |    AS avg_height
+        |FROM rk WHERE rn = 1 GROUP BY 1 ORDER BY bucket""".stripMargin,
     "multimodal_frame_sample" ->
       """SELECT doc_id, unnest(range(0, n_chars * 40, 1000)) AS frame_ts_ms
         |FROM documents WHERE (doc_id % 3) = 2

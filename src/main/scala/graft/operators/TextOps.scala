@@ -471,6 +471,42 @@ object TextOps {
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)),
 
+    // CONDITIONAL BIGRAM ENTROPY (round 10): H(w₂|w₁) per language —
+    // the corpus-level predictability profile (low = repetitive /
+    // boilerplate-heavy, high = diverse) that text_bigram_lm_score
+    // scores DOCS against; this ranks LANGUAGE SLICES for mix
+    // design. H(w₂|w₁) = (1/N)·Σ_bigram c_b·ln(c_{w₁}/c_b), every
+    // ln term ≥ 0 and quantized to integer MICRO-NATS before the
+    // sum (entropy/PSI protocol; c_b·ln(N)·1e6 < 2^63 ⇒ N ≲ 2e11
+    // bigrams/lang — documented). Vocabulary-shaped: one bigram
+    // fold, one (lang, w₁)-marginal fold, one equi-join of the two
+    // DISTINCT tables — corpus grain is touched exactly once.
+    "text_conditional_entropy" -> ((s, d) => {
+      val bi = TestData.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(0, size(toks)-2)," +
+            " i -> concat(toks[i], ' ', toks[i+1]))")).as("bg"))
+        .groupBy("lang", "bg").agg(count(lit(1)).as("c_b"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+      val marg = bi.groupBy("lang", "w1").agg(sum("c_b").as("c_1"))
+      bi.join(marg, Seq("lang", "w1"))
+        .withColumn("t_u", floor(col("c_b").cast("double")
+          * log(col("c_1").cast("double") / col("c_b").cast("double"))
+          * 1000000 + 0.5).cast("long"))
+        .groupBy("lang")
+        .agg(sum("c_b").as("n_bigrams"),
+          count(lit(1)).as("n_distinct_bigrams"),
+          sum("t_u").as("h_sum_u"))
+        .withColumn("cond_entropy_nats", r4(
+          col("h_sum_u").cast("double")
+            / (lit(1000000.0) * col("n_bigrams").cast("double"))))
+        .select("lang", "n_bigrams", "n_distinct_bigrams",
+          "cond_entropy_nats")
+        .orderBy("lang")
+    }),
+
     "dedup_exact_hash" -> ((s, d) =>
       TestData.documents(s, d)
         .withColumn("h", contentHash)
@@ -678,6 +714,30 @@ object TextOps {
       """SELECT min(doc_id) AS survivor_id, count(*) AS group_size
         |FROM documents GROUP BY md5(lower(trim(text)))
         |ORDER BY survivor_id""".stripMargin,
+    // Same micro-nat per-term quantization over the (lang, bigram)
+    // fold; identical op order in the readout division.
+    "text_conditional_entropy" ->
+      """WITH bi AS (
+        |  SELECT lang, bg, count(*)::BIGINT AS c_b FROM (
+        |    SELECT lang, unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |    FROM (SELECT lang, string_split(text, ' ') AS toks
+        |          FROM documents)
+        |    WHERE len(toks) >= 2)
+        |  GROUP BY 1, 2),
+        |b2 AS (SELECT *, split_part(bg, ' ', 1) AS w1 FROM bi),
+        |marg AS (SELECT lang, w1, sum(c_b)::BIGINT AS c_1
+        |         FROM b2 GROUP BY 1, 2),
+        |j AS (
+        |  SELECT b2.lang, b2.c_b, marg.c_1
+        |  FROM b2 JOIN marg ON b2.lang = marg.lang AND b2.w1 = marg.w1)
+        |SELECT lang, sum(c_b)::BIGINT AS n_bigrams,
+        |  count(*)::BIGINT AS n_distinct_bigrams,
+        |  floor(sum(floor(c_b::DOUBLE * ln(c_1::DOUBLE / c_b::DOUBLE)
+        |      * 1000000 + 0.5)::BIGINT)::DOUBLE
+        |    / (1000000.0 * sum(c_b)::DOUBLE) * 10000 + 0.5) / 10000
+        |    AS cond_entropy_nats
+        |FROM j GROUP BY 1 ORDER BY lang""".stripMargin,
     "text_normalize_dedup" ->
       """WITH u AS (
         |  SELECT doc_id, text FROM documents

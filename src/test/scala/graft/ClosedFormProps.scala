@@ -514,6 +514,65 @@ object ClosedFormProps extends Properties("graft.closedforms") {
         negOk :| "bits of v and -v must be complementary off zero"
     }
 
+  // sample_neyman_allocation: Hamilton apportionment of the Neyman
+  // weights is exact (Σ alloc = B) and proportional within one unit
+  // of the real-valued quota.
+  property("Neyman apportionment sums to budget, within 1 of real quota") =
+    Prop.forAll(Gen.zip(Gen.choose(100L, 100000L),
+        Gen.choose(2, 8).flatMap(k =>
+          Gen.listOfN(k, Gen.choose(1L, 5000L))))) { case (b, ws) =>
+      val wTot = ws.sum
+      val base = ws.map(w => b * w / wTot)
+      val rem = ws.map(w => b * w % wTot)
+      val leftover = (b - base.sum).toInt
+      val order = rem.zipWithIndex
+        .sortBy { case (r, i) => (-r, i) }.map(_._2).take(leftover).toSet
+      val alloc = base.zipWithIndex.map { case (q, i) =>
+        q + (if (order(i)) 1L else 0L) }
+      val propOk = alloc.zip(ws).forall { case (a, w) =>
+        math.abs(a - b.toDouble * w / wTot) <= 1.0 }
+      (alloc.sum == b) :| s"sum ${alloc.sum} != budget $b" &&
+        propOk :| "each allocation must sit within 1 of its real quota"
+    }
+
+  // multimodal_aspect_bucket: the 720ths integer ratio is invariant
+  // under common scaling of (w, h) — the same image at 2x resolution
+  // lands in the same bucket — and every anchor is itself exact.
+  property("aspect 720ths ratio scale-invariant; anchors exact") =
+    Prop.forAll(Gen.zip(Gen.choose(1L, 4000L), Gen.choose(1L, 4000L),
+        Gen.choose(2L, 7L))) { case (w, h, k) =>
+      val anchors = Seq((9L, 16L, 405L), (3L, 4L, 540L), (1L, 1L, 720L),
+        (4L, 3L, 960L), (16L, 9L, 1280L))
+      val anchorOk = anchors.forall { case (aw, ah, u) =>
+        aw * 720 / ah == u && (aw * 720) % ah == 0 }
+      ((w * 720) / h == (w * k * 720) / (h * k)) :|
+        "integer ratio must be scale-invariant" &&
+        anchorOk :| "all five anchors must be exact multiples of 720ths"
+    }
+
+  // text_conditional_entropy: H(w2|w1) = H(bigram) − H(first-token
+  // marginal) on exact doubles, and 0 ≤ H ≤ ln(#distinct followers).
+  property("conditional entropy obeys the chain rule and its bounds") =
+    Prop.forAll(Gen.choose(2, 60).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0, 5)))) { toks =>
+      val bigrams = toks.zip(toks.tail)
+      val n = bigrams.length.toDouble
+      def h(counts: Iterable[Int]): Double =
+        counts.filter(_ > 0)
+          .map(c => -(c / n) * math.log(c / n)).sum
+      val bc = bigrams.groupBy(identity).view.mapValues(_.size)
+      val mc = bigrams.groupBy(_._1).view.mapValues(_.size)
+      val cond = bc.map { case ((w1, _), cb) =>
+        cb * math.log(mc(w1).toDouble / cb) }.sum / n
+      val chain = h(bc.values) - h(mc.values)
+      val maxFollow = bc.keys.map(_._2).toSet.size
+      (math.abs(cond - chain) <= 1e-9 * (1 + h(bc.values))) :|
+        s"chain rule: $cond vs $chain" &&
+        (cond >= -1e-9) :| "conditional entropy must be non-negative" &&
+        (cond <= math.log(maxFollow.toDouble.max(1.0)) + 1e-9) :|
+          "conditional entropy must not exceed ln(#followers)"
+    }
+
   // ts_mann_kendall: anchor cases + tie-variance non-negativity.
   property("Mann-Kendall S: monotone series saturate, ties only shrink Var") =
     Prop.forAll(Gen.choose(2, 60).flatMap(n =>

@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 127, "documented facade count drifted; methods: "
+    assert(names.length === 130, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1453,6 +1453,40 @@ class EngineApiSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     val viaApi = engine.hyperplaneLsh(
         TestData.embeddings(spark, d), "vec_id", "embedding")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("neymanAllocation facade matches the sample_neyman_allocation key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("sample_neyman_allocation")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val li = TestData.lineitem(spark, d)
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") + 0.5).cast("long").as("x"))
+    val viaApi = engine.neymanAllocation(li, "l_returnflag", "x", 10000L)
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("aspectBucket facade matches the multimodal_aspect_bucket key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("multimodal_aspect_bucket")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val imgs = graft.multimodal.Multimodal
+      .fromDocuments(TestData.documents(spark, d))
+      .filter(col("mime") === "image/png")
+    val viaApi = engine.aspectBucket(imgs, "doc_id", "width", "height")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("conditionalEntropy facade matches the text_conditional_entropy key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("text_conditional_entropy")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.conditionalEntropy(
+        TestData.documents(spark, d), "lang", "text")
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
   }

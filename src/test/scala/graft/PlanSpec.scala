@@ -546,6 +546,48 @@ class PlanSpec extends SparkSpec {
       s"js_divergence: expected only the scalar BNLJ, got $bnlj")
   }
 
+  test("wave 5-8 keys: corpus-grain joins stay equi; scalar broadcasts counted") {
+    // These keys join/aggregate at cell/edge/vocabulary grain — a
+    // nested loop or cartesian anywhere means a corpus-grain pairing
+    // leaked in.
+    for (k <- Seq("agg_kendall_tau", "agg_cohens_d", "agg_welch_t",
+        "graph_reciprocity", "text_conditional_entropy")) {
+      val p = plan(k)
+      assert(!p.contains("BroadcastNestedLoopJoin")
+          && !p.contains("CartesianProduct"),
+        s"$k must not plan a nested-loop/cartesian:\n${p.take(700)}")
+    }
+    // 1-row scalar broadcasts are intended (the r8 "assert the BNLJ
+    // IS the intended one" lesson): runs_test carries the h_cnt and
+    // med2 scalars, spectral_peak the totals scalar. Anything above
+    // the expected count is a corpus-grain nested loop.
+    // neyman: the strata-sized `appo` subtree (with its w_total
+    // scalar cross) appears under BOTH the base_sum branch and the
+    // main branch (3 strata — recompute is cheaper than a
+    // checkpoint), plus the base_sum scalar itself = 3.
+    for ((k, maxBnlj) <- Seq("ts_runs_test" -> 2,
+        "ts_spectral_peak" -> 1, "agg_mutual_information" -> 2,
+        "sample_neyman_allocation" -> 3)) {
+      val p = plan(k)
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+      assert(bnlj <= maxBnlj && !p.contains("CartesianProduct"),
+        s"$k: expected at most $maxBnlj scalar BNLJs, got $bnlj")
+    }
+    // The contingency grid completion is the ONE intended tiny
+    // cross join (distinct-rows × distinct-cols).
+    val pc = plan("agg_contingency_stdres")
+    val crosses = "BroadcastNestedLoopJoin".r.findAllIn(pc).length +
+      "CartesianProduct".r.findAllIn(pc).length
+    assert(crosses === 1,
+      s"contingency_stdres: expected exactly the grid cross, got $crosses")
+  }
+
+  test("vec_hyperplane_lsh is one map-side pass — no join, no aggregate") {
+    val p = plan("vec_hyperplane_lsh")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"hyperplane signatures must not shuffle before the sort:\n${p.take(700)}")
+  }
+
   test("vec_mahalanobis_outlier plans TakeOrderedAndProject, not a rank window") {
     val p = plan("vec_mahalanobis_outlier")
     assert(p.contains("TakeOrderedAndProject"), p.take(700))
