@@ -1973,17 +1973,27 @@ class GraftEngine(val spark: SparkSession) {
       .agg(sum("cc").as("n_control"), sum("ct").as("n_treatment"),
         sum(col("ct") * (lit(2L) * col("cum_cc_lt") + col("cc")))
           .as("u2_treatment"),
-        sum((col("cc") + col("ct")) * (col("cc") + col("ct"))
-          * (col("cc") + col("ct")) - (col("cc") + col("ct")))
-          .as("tie_sum"))
+        // t³ < 2^63 needs t < 2^21 per cell — overflow mode is an
+        // explicit NULL tie_sum/z, never an ANSI throw (key parity).
+        sum(when(col("cc") + col("ct") < lit(2097152L),
+          (col("cc") + col("ct")) * (col("cc") + col("ct"))
+            * (col("cc") + col("ct")) - (col("cc") + col("ct"))))
+          .as("tie_raw"),
+        max(col("cc") + col("ct")).as("t_max"))
+      .withColumn("tie_sum",
+        when(col("t_max") < lit(2097152L), col("tie_raw")))
+      // N ≤ 1 ⇒ the tie-correction divides by N(N−1) = 0, an ANSI
+      // throw in Spark 4 (double x/0 errors under ANSI) but NULL in
+      // DuckDB — guard so both engines read NULL var_u ⇒ NULL z.
       .withColumn("var_u",
-        (col("n_control") * col("n_treatment")).cast("double")
-          * ((col("n_control") + col("n_treatment") + 1).cast("double")
-            - col("tie_sum").cast("double")
-              / ((col("n_control") + col("n_treatment"))
-                * (col("n_control") + col("n_treatment") - 1))
-                .cast("double"))
-          / 12.0)
+        when(col("n_control") + col("n_treatment") > 1,
+          (col("n_control") * col("n_treatment")).cast("double")
+            * ((col("n_control") + col("n_treatment") + 1).cast("double")
+              - col("tie_sum").cast("double")
+                / ((col("n_control") + col("n_treatment"))
+                  * (col("n_control") + col("n_treatment") - 1))
+                  .cast("double"))
+            / 12.0))
       .withColumn("z", when(col("var_u") > 0, TestData.r4(
         ((col("u2_treatment") - col("n_control") * col("n_treatment"))
           .cast("double") / 2.0) / sqrt(col("var_u")))))
@@ -2008,14 +2018,20 @@ class GraftEngine(val spark: SparkSession) {
       .agg(max("n_c").as("n_control"), max("n_t").as("n_treatment"),
         max(abs(col("cum_cc") * col("n_t") - col("cum_ct") * col("n_c")))
           .as("d_num"))
-      .withColumn("d_stat", TestData.r4(col("d_num").cast("double")
-        / (col("n_control") * col("n_treatment")).cast("double")))
-      .withColumn("p_approx", TestData.r4(least(lit(1.0),
-        lit(2.0) * exp(lit(-2.0)
-          * pow(col("d_num").cast("double")
-              / (col("n_control") * col("n_treatment")).cast("double"), 2)
-          * (col("n_control") * col("n_treatment")).cast("double")
-          / (col("n_control") + col("n_treatment")).cast("double")))))
+      .withColumn("d_stat",
+        when(col("n_control") > 0 && col("n_treatment") > 0,
+          TestData.r4(col("d_num").cast("double")
+            / (col("n_control") * col("n_treatment")).cast("double"))))
+      .withColumn("p_approx",
+        when(col("n_control") > 0 && col("n_treatment") > 0,
+          TestData.r4(least(lit(1.0),
+            lit(2.0) * exp(lit(-2.0)
+              * pow(col("d_num").cast("double")
+                  / (col("n_control") * col("n_treatment"))
+                    .cast("double"), 2)
+              * (col("n_control") * col("n_treatment")).cast("double")
+              / (col("n_control") + col("n_treatment"))
+                .cast("double"))))))
       .select("n_control", "n_treatment", "d_num", "d_stat", "p_approx")
   }
 
@@ -2042,10 +2058,16 @@ class GraftEngine(val spark: SparkSession) {
           * 1000000 + 0.5).cast("long"))
       .agg(max("n").as("n_rows"), countDistinct("ka").as("n_r"),
         countDistinct("kb").as("n_c"), sum("term_u").as("chi2_micro"))
-      .withColumn("cramers_v", TestData.r4(sqrt(
-        (col("chi2_micro").cast("double") / 1000000.0)
-          / (col("n_rows")
-            * least(col("n_r") - 1, col("n_c") - 1)).cast("double"))))
+      // Single-category dimension ⇒ min(r,c)−1 = 0 ⇒ V undefined:
+      // NULL, never an ANSI x/0 throw (DegenerateSpec pins).
+      .withColumn("cramers_v",
+        when(col("n_rows") > 0
+          && least(col("n_r") - 1, col("n_c") - 1) > 0,
+          TestData.r4(sqrt(
+            (col("chi2_micro").cast("double") / 1000000.0)
+              / (col("n_rows")
+                * least(col("n_r") - 1, col("n_c") - 1))
+                .cast("double")))))
       .select("n_rows", "n_r", "n_c", "chi2_micro", "cramers_v")
   }
 
@@ -2147,7 +2169,8 @@ class GraftEngine(val spark: SparkSession) {
       .withColumn("ssw",
         col("sxx_all").cast("double") - col("t_sum_u").cast("double"))
       .withColumn("f_stat", when(
-        col("ssw") > 0 && col("n_total") > col("k_groups"),
+        col("ssw") > 0 && col("n_total") > col("k_groups")
+          && col("k_groups") > 1,
         TestData.r4((col("ssb") / (col("k_groups") - 1).cast("double"))
           / (col("ssw")
             / (col("n_total") - col("k_groups")).cast("double")))))
@@ -2170,18 +2193,24 @@ class GraftEngine(val spark: SparkSession) {
         sum(col("ct") * col("x")).as("sx_t"),
         sum(col("cc") * col("x") * col("x")).as("sxx_c"),
         sum(col("ct") * col("x") * col("x")).as("sxx_t"))
-      .withColumn("m_c",
-        col("sx_c").cast("double") / col("n_c").cast("double"))
-      .withColumn("m_t",
-        col("sx_t").cast("double") / col("n_t").cast("double"))
-      .withColumn("v_c", (col("sxx_c").cast("double")
-        - col("sx_c").cast("double") * col("sx_c").cast("double")
-          / col("n_c").cast("double"))
-        / (col("n_c") - 1).cast("double"))
-      .withColumn("v_t", (col("sxx_t").cast("double")
-        - col("sx_t").cast("double") * col("sx_t").cast("double")
-          / col("n_t").cast("double"))
-        / (col("n_t") - 1).cast("double"))
+      // n = 0 / n = 1 guards at DEFINITION, not just at the readout:
+      // Spark 4 ANSI throws on double x/0, so the bare division may
+      // not even be constructed for a degenerate group (DuckDB reads
+      // NULL in the same place — NULL-propagation keeps t/df NULL).
+      .withColumn("m_c", when(col("n_c") > 0,
+        col("sx_c").cast("double") / col("n_c").cast("double")))
+      .withColumn("m_t", when(col("n_t") > 0,
+        col("sx_t").cast("double") / col("n_t").cast("double")))
+      .withColumn("v_c", when(col("n_c") > 1,
+        (col("sxx_c").cast("double")
+          - col("sx_c").cast("double") * col("sx_c").cast("double")
+            / col("n_c").cast("double"))
+          / (col("n_c") - 1).cast("double")))
+      .withColumn("v_t", when(col("n_t") > 1,
+        (col("sxx_t").cast("double")
+          - col("sx_t").cast("double") * col("sx_t").cast("double")
+            / col("n_t").cast("double"))
+          / (col("n_t") - 1).cast("double")))
       .withColumn("se2", col("v_c") / col("n_c").cast("double")
         + col("v_t") / col("n_t").cast("double"))
       .withColumn("t_stat", when(col("v_c") > 0 && col("v_t") > 0,
@@ -2193,8 +2222,8 @@ class GraftEngine(val spark: SparkSession) {
             + col("v_t") / col("n_t") * (col("v_t") / col("n_t"))
               / (col("n_t") - 1).cast("double")))))
       .select(col("n_c").as("n_control"), col("n_t").as("n_treatment"),
-        TestData.r4(col("m_c")).as("mean_control"),
-        TestData.r4(col("m_t")).as("mean_treatment"),
+        when(col("n_c") > 0, TestData.r4(col("m_c"))).as("mean_control"),
+        when(col("n_t") > 0, TestData.r4(col("m_t"))).as("mean_treatment"),
         col("t_stat"), col("df_welch"))
 
   /** PACF at lags 1..3 (see `ts_pacf`) of an integer-valued series
@@ -2260,27 +2289,34 @@ class GraftEngine(val spark: SparkSession) {
         sum(col("ct") * col("x")).as("sx_t"),
         sum(col("cc") * col("x") * col("x")).as("sxx_c"),
         sum(col("ct") * col("x") * col("x")).as("sxx_t"))
-      .withColumn("m_c",
-        col("sx_c").cast("double") / col("n_c").cast("double"))
-      .withColumn("m_t",
-        col("sx_t").cast("double") / col("n_t").cast("double"))
-      .withColumn("ss_c", col("sxx_c").cast("double")
-        - col("sx_c").cast("double") * col("sx_c").cast("double")
-          / col("n_c").cast("double"))
-      .withColumn("ss_t", col("sxx_t").cast("double")
-        - col("sx_t").cast("double") * col("sx_t").cast("double")
-          / col("n_t").cast("double"))
-      .withColumn("sp2", (col("ss_c") + col("ss_t"))
-        / (col("n_c") + col("n_t") - 2).cast("double"))
-      .withColumn("cohens_d", when(col("sp2") > 0,
+      // Definition-site ANSI guards: double x/0 throws in Spark 4
+      // (NULL in DuckDB) — degenerate groups must NULL-propagate.
+      .withColumn("m_c", when(col("n_c") > 0,
+        col("sx_c").cast("double") / col("n_c").cast("double")))
+      .withColumn("m_t", when(col("n_t") > 0,
+        col("sx_t").cast("double") / col("n_t").cast("double")))
+      .withColumn("ss_c", when(col("n_c") > 0,
+        col("sxx_c").cast("double")
+          - col("sx_c").cast("double") * col("sx_c").cast("double")
+            / col("n_c").cast("double")))
+      .withColumn("ss_t", when(col("n_t") > 0,
+        col("sxx_t").cast("double")
+          - col("sx_t").cast("double") * col("sx_t").cast("double")
+            / col("n_t").cast("double")))
+      .withColumn("sp2", when(col("n_c") + col("n_t") > 2,
+        (col("ss_c") + col("ss_t"))
+          / (col("n_c") + col("n_t") - 2).cast("double")))
+      .withColumn("ok", col("n_c") > 0 && col("n_t") > 0
+        && col("n_c") + col("n_t") > 2)
+      .withColumn("cohens_d", when(col("ok") && col("sp2") > 0,
         TestData.r4((col("m_t") - col("m_c")) / sqrt(col("sp2")))))
-      .withColumn("hedges_g", when(col("sp2") > 0,
+      .withColumn("hedges_g", when(col("ok") && col("sp2") > 0,
         TestData.r4((col("m_t") - col("m_c")) / sqrt(col("sp2"))
           * (lit(1.0) - lit(3.0)
             / ((col("n_c") + col("n_t")) * 4 - 9).cast("double")))))
       .select(col("n_c").as("n_control"), col("n_t").as("n_treatment"),
-        TestData.r4(col("sp2")).as("pooled_var"), col("cohens_d"),
-        col("hedges_g"))
+        when(col("ok"), TestData.r4(col("sp2"))).as("pooled_var"),
+        col("cohens_d"), col("hedges_g"))
 
   /** Wald–Wolfowitz runs test (see `ts_runs_test`) of an integer
     * series around its exact median: doubled-median order-stat
@@ -3005,8 +3041,10 @@ class GraftEngine(val spark: SparkSession) {
       (1 to lags).map(k =>
         pow(col(s"num$k").cast("double") / col("den").cast("double"), 2)
           / (col("n_points") - k).cast("double")).reduce(_ + _)
+    // Constant-series guard: den = 0 ⇒ NULL q (never NaN) — the
+    // ts_pacf den>0 discipline, mirrored in the declared key.
     led.agg(aggs.head, aggs.tail: _*)
-      .withColumn("q_stat", TestData.r4(q))
+      .withColumn("q_stat", when(col("den") > 0, TestData.r4(q)))
       .select("n_points", "den", "q_stat")
   }
 
@@ -3279,17 +3317,23 @@ class GraftEngine(val spark: SparkSession) {
     val prevS = series.select((col(xCol) + seasonLag).as(xCol),
       col(yCol).as("fc"))
     series.join(prevS, xCol)
-      .withColumn("term_u", floor(
-        lit(2.0) * abs(col(yCol) - col("fc")).cast("double")
-          / (col(yCol) + col("fc")).cast("double") * 1000000 + 0.5)
-        .cast("long"))
+      // sMAPE's general form divides by |a|+|f| (identical to a+f on
+      // the count-valued key, where both are ≥ 1): a zero-magnitude
+      // pair contributes 0 by convention instead of an ANSI x/0
+      // throw, and sign-mixed series stay in [0, 2].
+      .withColumn("term_u", when(
+        abs(col(yCol)) + abs(col("fc")) > 0,
+        floor(lit(2.0) * abs(col(yCol) - col("fc")).cast("double")
+          / (abs(col(yCol)) + abs(col("fc"))).cast("double")
+          * 1000000 + 0.5).cast("long")).otherwise(0L))
       .agg(count(lit(1)).as("n_scored"),
         sum(abs(col(yCol) - col("fc"))).as("abs_err_sum"),
         sum("term_u").as("smape_sum_u"))
-      .withColumn("mae", TestData.r4(col("abs_err_sum").cast("double")
-        / col("n_scored")))
-      .withColumn("smape", TestData.r4(col("smape_sum_u").cast("double")
-        / col("n_scored") / 1000000.0))
+      .withColumn("mae", when(col("n_scored") > 0,
+        TestData.r4(col("abs_err_sum").cast("double") / col("n_scored"))))
+      .withColumn("smape", when(col("n_scored") > 0,
+        TestData.r4(col("smape_sum_u").cast("double")
+          / col("n_scored") / 1000000.0)))
       .select("n_scored", "abs_err_sum", "mae", "smape")
   }
 
@@ -3314,5 +3358,94 @@ class GraftEngine(val spark: SparkSession) {
         / (col("df") + 1).cast("double"))))
       .select("rk", "tok", "cf", "df", "burstiness", "idf")
       .orderBy("rk")
+  }
+
+  /** Log-rank test (see `events_logrank`) between the survival
+    * curves of the two groups of a per-subject (`durCol`,
+    * `eventCol` 0/1, `groupCol`) frame — group 1 is `aLabel`.
+    * Per-time E/V terms are micro-quantized before the sums;
+    * n_t = 1 ⇒ variance term 0; V = 0 ⇒ NULL z and chi2.
+    */
+  def logRank(durations: DataFrame, durCol: String, eventCol: String,
+              groupCol: String, aLabel: String = "control"): DataFrame = {
+    val risk = durations
+      .select(col(durCol).as("dur_hr"),
+        col(eventCol).cast("long").as("event"),
+        when(col(groupCol) === aLabel, 1L).otherwise(0L).as("g1"))
+      .groupBy("dur_hr")
+      .agg(sum(col("event") * col("g1")).as("d1_t"),
+        sum("event").as("d_t"), sum("g1").as("a1_t"),
+        count(lit(1)).as("a_t"))
+      .withColumn("n_risk", sum("a_t").over(Window.partitionBy())
+        - coalesce(sum("a_t").over(Window.orderBy("dur_hr")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n1_risk", sum("a1_t").over(Window.partitionBy())
+        - coalesce(sum("a1_t").over(Window.orderBy("dur_hr")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    risk.filter(col("d_t") > 0)
+      .withColumn("e_u", floor(col("d_t").cast("double")
+        * col("n1_risk").cast("double") / col("n_risk").cast("double")
+        * 1000000 + 0.5).cast("long"))
+      .withColumn("v_u", when(col("n_risk") > 1,
+        floor(col("d_t").cast("double")
+          * (col("n1_risk").cast("double") / col("n_risk").cast("double"))
+          * (lit(1.0) - col("n1_risk").cast("double")
+              / col("n_risk").cast("double"))
+          * (col("n_risk") - col("d_t")).cast("double")
+          / (col("n_risk") - 1).cast("double")
+          * 1000000 + 0.5).cast("long")).otherwise(0L))
+      .agg(count(lit(1)).as("n_times"), sum("d1_t").as("o1"),
+        sum("e_u").as("e1_u"), sum("v_u").as("v_u"))
+      .withColumn("e1",
+        TestData.r4(col("e1_u").cast("double") / 1000000.0))
+      .withColumn("z_logrank", when(col("v_u") > 0,
+        TestData.r4((col("o1").cast("double")
+            - col("e1_u").cast("double") / 1000000.0)
+          / sqrt(col("v_u").cast("double") / 1000000.0))))
+      .withColumn("chi2", when(col("v_u") > 0,
+        TestData.r4((col("o1").cast("double")
+            - col("e1_u").cast("double") / 1000000.0)
+          * (col("o1").cast("double")
+            - col("e1_u").cast("double") / 1000000.0)
+          / (col("v_u").cast("double") / 1000000.0))))
+      .select("n_times", "o1", "e1_u", "e1", "v_u", "z_logrank", "chi2")
+  }
+
+  /** SES one-step backtest (see `ts_ses_backtest`) of an integer
+    * series on an integer grid: α = 1/2 unrolled to exact ×128
+    * binary-fraction taps, gap-safe equi-join fan-out (a target
+    * scores only when all 8 taps exist), sMAPE/MAE readout.
+    */
+  def sesBacktest(series: DataFrame, xCol: String,
+                  yCol: String): DataFrame = {
+    import series.sparkSession.implicits._
+    val hourly = series.select(col(xCol).as("hr"), col(yCol).as("cnt"))
+      .localCheckpoint()
+    val weights = Seq((1, 64L), (2, 32L), (3, 16L), (4, 8L),
+      (5, 4L), (6, 2L), (7, 1L), (8, 1L)).toDF("tap", "w128")
+    val fc = hourly.crossJoin(broadcast(weights))
+      .select((col("hr") + col("tap")).as("hr"),
+        (col("cnt") * col("w128")).as("c128"))
+      .groupBy("hr")
+      .agg(sum("c128").as("fc128"), count(lit(1)).as("n_taps"))
+      .filter(col("n_taps") === 8)
+    hourly.join(fc, "hr")
+      .withColumn("y128", col("cnt") * 128)
+      .withColumn("term_u", when(
+        abs(col("y128")) + abs(col("fc128")) > 0,
+        floor(lit(2.0)
+          * abs(col("y128") - col("fc128")).cast("double")
+          / (abs(col("y128")) + abs(col("fc128"))).cast("double")
+          * 1000000 + 0.5).cast("long")).otherwise(0L))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("y128") - col("fc128"))).as("abs_err128_sum"),
+        sum("term_u").as("smape_sum_u"))
+      .withColumn("mae", when(col("n_scored") > 0,
+        TestData.r4(col("abs_err128_sum").cast("double") / 128.0
+          / col("n_scored").cast("double"))))
+      .withColumn("smape", when(col("n_scored") > 0,
+        TestData.r4(col("smape_sum_u").cast("double")
+          / col("n_scored").cast("double") / 1000000.0)))
+      .select("n_scored", "abs_err128_sum", "mae", "smape")
   }
 }

@@ -232,9 +232,7 @@ object Scans {
       val tmp = graft.sources.WriteOnce.dirFor(
         "/root/repo/target/tmp/scan_file_provenance", tag0)
       graft.sources.WriteOnce.ensure(tmp, tag0) {
-        TestData.orders(s, d)
-          .withColumn("bucket", pmod(col("o_orderkey"), lit(4L)))
-          .repartition(1)
+        provenanceStage(s, d)
           .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
       }
       // partition-dir read-back infers bucket as INT — cast back to
@@ -250,6 +248,20 @@ object Scans {
         .orderBy("bucket")
     })
   )
+
+  /** The staged frame behind scan_file_provenance's one-time write:
+    * repartition BY THE BUCKET COLUMN (not repartition(1)) — each
+    * bucket's rows land in exactly one task, so every bucket dir
+    * still gets exactly 1 file (the oracle's n_files = 1 contract)
+    * while the write runs one parallel task per bucket instead of
+    * funneling the whole table through a single task (the at-scale
+    * shape; PlanSpec pins no 1-partition exchange feeds this write).
+    */
+  private[graft] def provenanceStage(s: SparkSession,
+                                     d: String): DataFrame =
+    TestData.orders(s, d)
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(4L)))
+      .repartition(col("bucket"))
 
   val oracles: Map[String, String] = Map(
     "scan_project" ->

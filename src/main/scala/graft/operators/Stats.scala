@@ -37,7 +37,14 @@ object Stats {
       .withColumn("variant",
         when(conv(substring(md5(col("user_id").cast("string")), 1, 2),
           16, 10).cast("int") % 2 === 0, "control").otherwise("treatment"))
-      .withColumn("x", expr("sum_u DIV 1000000"))
+      // IEEE floor on the DOUBLE ratio, not integer division: Spark
+      // `DIV` truncates toward zero while DuckDB `//` floors, so they
+      // disagree on every negative non-exact quotient (refund-heavy
+      // users). floor(sum_u/1e6) is exact for |sum_u| < 2^53 µ-units
+      // (~9e9 whole units) and identical in both engines — the
+      // ts_theil_sen quantizer discipline (CLAUDE.md trap).
+      .withColumn("x",
+        floor(col("sum_u").cast("double") / 1000000.0).cast("long"))
       .groupBy("x")
       .agg(sum(when(col("variant") === "control", 1L).otherwise(0L))
              .as("cc"),
@@ -52,12 +59,17 @@ object Stats {
     // value-distinct cell table: U2 = Σ_v ct(v)·(2·cumcc(<v) + cc(v))
     // — 2× units keep the tie half-counts integer. The tie-corrected
     // normal approximation z uses Σ(t³−t) from the same grid.
-    // Bounds: t³ ≤ n_users³ only if ALL users tie on one unit value
-    // — the realistic bound is per-cell counts, documented < 2^21.
+    // Bounds: t³ < 2^63 needs per-cell t < 2^21 (~2.1M users on ONE
+    // unit value). A mass-point cell CAN exceed that in production,
+    // so the cube is guarded per cell and the overflow mode is
+    // EXPLICIT: any cell with t ≥ 2^21 ⇒ tie_sum (and hence z) NULL
+    // in both engines, never an ANSI throw / silent wrap.
     // Shape: user-shard aggregate → domain-sized grid → one window
     // over the grid → 1-row readout. No corpus-grain window.
     "agg_mann_whitney" -> ((s, d) => {
       val W = Window.orderBy("x")
+      val tieLim = lit(2097152L) // 2^21: t³−t < 2^63 per cell
+      val t = col("cc") + col("ct")
       variantUnitCells(s, d)
         .withColumn("cum_cc_lt",
           coalesce(sum("cc").over(
@@ -65,17 +77,20 @@ object Stats {
         .agg(sum("cc").as("n_control"), sum("ct").as("n_treatment"),
           sum(col("ct") * (lit(2L) * col("cum_cc_lt") + col("cc")))
             .as("u2_treatment"),
-          sum((col("cc") + col("ct")) * (col("cc") + col("ct"))
-            * (col("cc") + col("ct")) - (col("cc") + col("ct")))
-            .as("tie_sum"))
+          sum(when(t < tieLim, t * t * t - t)).as("tie_raw"),
+          max(t).as("t_max"))
+        .withColumn("tie_sum", when(col("t_max") < tieLim, col("tie_raw")))
+        // N ≤ 1 ⇒ tie correction divides by N(N−1) = 0 — an ANSI
+        // throw in Spark 4, NULL in DuckDB; guard to NULL (⇒ z NULL).
         .withColumn("var_u",
-          (col("n_control") * col("n_treatment")).cast("double")
-            * ((col("n_control") + col("n_treatment") + 1).cast("double")
-              - col("tie_sum").cast("double")
-                / ((col("n_control") + col("n_treatment"))
-                  * (col("n_control") + col("n_treatment") - 1))
-                  .cast("double"))
-            / 12.0)
+          when(col("n_control") + col("n_treatment") > 1,
+            (col("n_control") * col("n_treatment")).cast("double")
+              * ((col("n_control") + col("n_treatment") + 1).cast("double")
+                - col("tie_sum").cast("double")
+                  / ((col("n_control") + col("n_treatment"))
+                    * (col("n_control") + col("n_treatment") - 1))
+                    .cast("double"))
+              / 12.0))
         .withColumn("z", when(col("var_u") > 0, r4(
           ((col("u2_treatment") - col("n_control") * col("n_treatment"))
             .cast("double") / 2.0) / sqrt(col("var_u")))))
@@ -103,14 +118,23 @@ object Stats {
         .agg(max("n_c").as("n_control"), max("n_t").as("n_treatment"),
           max(abs(col("cum_cc") * col("n_t") - col("cum_ct") * col("n_c")))
             .as("d_num"))
-        .withColumn("d_stat", r4(col("d_num").cast("double")
-          / (col("n_control") * col("n_treatment")).cast("double")))
-        .withColumn("p_approx", r4(least(lit(1.0),
-          lit(2.0) * exp(lit(-2.0)
-            * pow(col("d_num").cast("double")
-                / (col("n_control") * col("n_treatment")).cast("double"), 2)
-            * (col("n_control") * col("n_treatment")).cast("double")
-            / (col("n_control") + col("n_treatment")).cast("double")))))
+        // Empty-variant guard: n_c·n_t = 0 would be NaN in Spark but
+        // NULL in DuckDB (double x/0 diverges cross-engine) — a
+        // degenerate md5 split on a tiny slice must NULL, not NaN.
+        .withColumn("d_stat",
+          when(col("n_control") > 0 && col("n_treatment") > 0,
+            r4(col("d_num").cast("double")
+              / (col("n_control") * col("n_treatment")).cast("double"))))
+        .withColumn("p_approx",
+          when(col("n_control") > 0 && col("n_treatment") > 0,
+            r4(least(lit(1.0),
+              lit(2.0) * exp(lit(-2.0)
+                * pow(col("d_num").cast("double")
+                    / (col("n_control") * col("n_treatment"))
+                      .cast("double"), 2)
+                * (col("n_control") * col("n_treatment")).cast("double")
+                / (col("n_control") + col("n_treatment"))
+                  .cast("double"))))))
         .select("n_control", "n_treatment", "d_num", "d_stat", "p_approx")
     }),
 
@@ -149,10 +173,17 @@ object Stats {
           countDistinct("nationkey").as("n_r"),
           countDistinct("c_mktsegment").as("n_c"),
           sum("term_u").as("chi2_micro"))
-        .withColumn("cramers_v", r4(sqrt(
-          (col("chi2_micro").cast("double") / 1000000.0)
-            / (col("n_rows")
-              * least(col("n_r") - 1, col("n_c") - 1)).cast("double"))))
+        // A single-category dimension has min(r,c)−1 = 0 — V is
+        // undefined (Spark ANSI would throw on the double x/0 where
+        // DuckDB reads NULL): guard to NULL in both engines.
+        .withColumn("cramers_v",
+          when(col("n_rows") > 0
+            && least(col("n_r") - 1, col("n_c") - 1) > 0,
+            r4(sqrt(
+              (col("chi2_micro").cast("double") / 1000000.0)
+                / (col("n_rows")
+                  * least(col("n_r") - 1, col("n_c") - 1))
+                  .cast("double")))))
         .select("n_rows", "n_r", "n_c", "chi2_micro", "cramers_v")
     }),
 
@@ -361,8 +392,11 @@ object Stats {
             / col("n_total").cast("double"))
         .withColumn("ssw",
           col("sxx_all").cast("double") - col("t_sum_u").cast("double"))
+        // k = 1 ⇒ df_between = 0: F undefined (ANSI x/0 throw vs
+        // DuckDB NULL) — the k_groups > 1 clause guards it.
         .withColumn("f_stat", when(
-          col("ssw") > 0 && col("n_total") > col("k_groups"),
+          col("ssw") > 0 && col("n_total") > col("k_groups")
+            && col("k_groups") > 1,
           r4((col("ssb") / (col("k_groups") - 1).cast("double"))
             / (col("ssw")
               / (col("n_total") - col("k_groups")).cast("double")))))
@@ -387,18 +421,23 @@ object Stats {
           sum(col("ct") * col("x")).as("sx_t"),
           sum(col("cc") * col("x") * col("x")).as("sxx_c"),
           sum(col("ct") * col("x") * col("x")).as("sxx_t"))
-        .withColumn("m_c",
-          col("sx_c").cast("double") / col("n_c").cast("double"))
-        .withColumn("m_t",
-          col("sx_t").cast("double") / col("n_t").cast("double"))
-        .withColumn("v_c", (col("sxx_c").cast("double")
-          - col("sx_c").cast("double") * col("sx_c").cast("double")
-            / col("n_c").cast("double"))
-          / (col("n_c") - 1).cast("double"))
-        .withColumn("v_t", (col("sxx_t").cast("double")
-          - col("sx_t").cast("double") * col("sx_t").cast("double")
-            / col("n_t").cast("double"))
-          / (col("n_t") - 1).cast("double"))
+        // n=0 / n=1 guards at DEFINITION: Spark 4 ANSI throws on
+        // double x/0 where DuckDB reads NULL — the guard makes both
+        // engines NULL-propagate identically (DegenerateSpec pins).
+        .withColumn("m_c", when(col("n_c") > 0,
+          col("sx_c").cast("double") / col("n_c").cast("double")))
+        .withColumn("m_t", when(col("n_t") > 0,
+          col("sx_t").cast("double") / col("n_t").cast("double")))
+        .withColumn("v_c", when(col("n_c") > 1,
+          (col("sxx_c").cast("double")
+            - col("sx_c").cast("double") * col("sx_c").cast("double")
+              / col("n_c").cast("double"))
+            / (col("n_c") - 1).cast("double")))
+        .withColumn("v_t", when(col("n_t") > 1,
+          (col("sxx_t").cast("double")
+            - col("sx_t").cast("double") * col("sx_t").cast("double")
+              / col("n_t").cast("double"))
+            / (col("n_t") - 1).cast("double")))
         .withColumn("se2", col("v_c") / col("n_c").cast("double")
           + col("v_t") / col("n_t").cast("double"))
         .withColumn("t_stat", when(col("v_c") > 0 && col("v_t") > 0,
@@ -409,9 +448,12 @@ object Stats {
                 / (col("n_c") - 1).cast("double")
               + col("v_t") / col("n_t") * (col("v_t") / col("n_t"))
                 / (col("n_t") - 1).cast("double")))))
+        // Empty-variant guard: n=0 means 0/0 — NaN in Spark, NULL in
+        // DuckDB. NULL the mean explicitly (t/df are already NULL via
+        // the v>0 guards, which are NaN-false / NULL-propagating).
         .select(col("n_c").as("n_control"), col("n_t").as("n_treatment"),
-          r4(col("m_c")).as("mean_control"),
-          r4(col("m_t")).as("mean_treatment"),
+          when(col("n_c") > 0, r4(col("m_c"))).as("mean_control"),
+          when(col("n_t") > 0, r4(col("m_t"))).as("mean_treatment"),
           col("t_stat"), col("df_welch"))
     }),
 
@@ -434,26 +476,36 @@ object Stats {
           sum(col("ct") * col("x")).as("sx_t"),
           sum(col("cc") * col("x") * col("x")).as("sxx_c"),
           sum(col("ct") * col("x") * col("x")).as("sxx_t"))
-        .withColumn("m_c",
-          col("sx_c").cast("double") / col("n_c").cast("double"))
-        .withColumn("m_t",
-          col("sx_t").cast("double") / col("n_t").cast("double"))
-        .withColumn("ss_c", col("sxx_c").cast("double")
-          - col("sx_c").cast("double") * col("sx_c").cast("double")
-            / col("n_c").cast("double"))
-        .withColumn("ss_t", col("sxx_t").cast("double")
-          - col("sx_t").cast("double") * col("sx_t").cast("double")
-            / col("n_t").cast("double"))
-        .withColumn("sp2", (col("ss_c") + col("ss_t"))
-          / (col("n_c") + col("n_t") - 2).cast("double"))
-        .withColumn("cohens_d", when(col("sp2") > 0,
+        // Definition-site ANSI guards: double x/0 throws in Spark 4
+        // (NULL in DuckDB) — degenerate groups must NULL-propagate.
+        .withColumn("m_c", when(col("n_c") > 0,
+          col("sx_c").cast("double") / col("n_c").cast("double")))
+        .withColumn("m_t", when(col("n_t") > 0,
+          col("sx_t").cast("double") / col("n_t").cast("double")))
+        .withColumn("ss_c", when(col("n_c") > 0,
+          col("sxx_c").cast("double")
+            - col("sx_c").cast("double") * col("sx_c").cast("double")
+              / col("n_c").cast("double")))
+        .withColumn("ss_t", when(col("n_t") > 0,
+          col("sxx_t").cast("double")
+            - col("sx_t").cast("double") * col("sx_t").cast("double")
+              / col("n_t").cast("double")))
+        .withColumn("sp2", when(col("n_c") + col("n_t") > 2,
+          (col("ss_c") + col("ss_t"))
+            / (col("n_c") + col("n_t") - 2).cast("double")))
+        // Degenerate-split guard: one empty variant (m NaN vs NULL)
+        // or N ≤ 2 (sp2 x/0 → ±Inf in Spark, NULL in DuckDB) must
+        // NULL every readout — `ok` makes the failure mode explicit.
+        .withColumn("ok", col("n_c") > 0 && col("n_t") > 0
+          && col("n_c") + col("n_t") > 2)
+        .withColumn("cohens_d", when(col("ok") && col("sp2") > 0,
           r4((col("m_t") - col("m_c")) / sqrt(col("sp2")))))
-        .withColumn("hedges_g", when(col("sp2") > 0,
+        .withColumn("hedges_g", when(col("ok") && col("sp2") > 0,
           r4((col("m_t") - col("m_c")) / sqrt(col("sp2"))
             * (lit(1.0) - lit(3.0)
               / ((col("n_c") + col("n_t")) * 4 - 9).cast("double")))))
         .select(col("n_c").as("n_control"), col("n_t").as("n_treatment"),
-          r4(col("sp2")).as("pooled_var"), col("cohens_d"),
+          when(col("ok"), r4(col("sp2"))).as("pooled_var"), col("cohens_d"),
           col("hedges_g"))
     }),
 
@@ -612,7 +664,7 @@ object Stats {
       |    sum(floor(value * 1000000 + 0.5)::BIGINT)::BIGINT AS sum_u
       |  FROM events GROUP BY 1),
       |v AS (
-      |  SELECT (sum_u // 1000000)::BIGINT AS x,
+      |  SELECT floor(sum_u::DOUBLE / 1000000)::BIGINT AS x,
       |    CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))::INT
       |      % 2 = 0 THEN 'control' ELSE 'treatment' END AS variant
       |  FROM pu),
@@ -633,13 +685,20 @@ object Stats {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
         |      AS cum_cc_lt
         |  FROM cells),
-        |a AS (
+        |a0 AS (
         |  SELECT sum(cc)::BIGINT AS n_control,
         |    sum(ct)::BIGINT AS n_treatment,
         |    sum(ct * (2 * cum_cc_lt + cc))::BIGINT AS u2_treatment,
-        |    sum((cc + ct) * (cc + ct) * (cc + ct) - (cc + ct))::BIGINT
-        |      AS tie_sum
+        |    sum(CASE WHEN cc + ct < 2097152 THEN
+        |      (cc + ct) * (cc + ct) * (cc + ct) - (cc + ct) END)::BIGINT
+        |      AS tie_raw,
+        |    max(cc + ct)::BIGINT AS t_max
         |  FROM cum),
+        |a AS (
+        |  SELECT n_control, n_treatment, u2_treatment,
+        |    (CASE WHEN t_max < 2097152 THEN tie_raw END)::BIGINT
+        |      AS tie_sum
+        |  FROM a0),
         |b AS (
         |  SELECT *,
         |    (n_control * n_treatment)::DOUBLE
@@ -673,13 +732,15 @@ object Stats {
         |    max(abs(cum_cc * n_t - cum_ct * n_c))::BIGINT AS d_num
         |  FROM cum)
         |SELECT n_control, n_treatment, d_num,
-        |  floor(d_num::DOUBLE / (n_control * n_treatment)::DOUBLE
-        |    * 10000 + 0.5) / 10000 AS d_stat,
-        |  floor(least(1.0, 2.0 * exp(-2.0
-        |    * pow(d_num::DOUBLE / (n_control * n_treatment)::DOUBLE, 2)
-        |    * (n_control * n_treatment)::DOUBLE
-        |    / (n_control + n_treatment)::DOUBLE)) * 10000 + 0.5) / 10000
-        |    AS p_approx
+        |  CASE WHEN n_control > 0 AND n_treatment > 0 THEN
+        |    floor(d_num::DOUBLE / (n_control * n_treatment)::DOUBLE
+        |      * 10000 + 0.5) / 10000 END AS d_stat,
+        |  CASE WHEN n_control > 0 AND n_treatment > 0 THEN
+        |    floor(least(1.0, 2.0 * exp(-2.0
+        |      * pow(d_num::DOUBLE / (n_control * n_treatment)::DOUBLE, 2)
+        |      * (n_control * n_treatment)::DOUBLE
+        |      / (n_control + n_treatment)::DOUBLE)) * 10000 + 0.5) / 10000
+        |    END AS p_approx
         |FROM a""".stripMargin,
     "agg_cramers_v" ->
       """WITH f AS (
@@ -713,9 +774,10 @@ object Stats {
         |      * 1000000 + 0.5)::BIGINT)::BIGINT AS chi2_micro
         |  FROM t)
         |SELECT n_rows, n_r, n_c, chi2_micro,
-        |  floor(sqrt((chi2_micro::DOUBLE / 1000000.0)
-        |    / (n_rows * least(n_r - 1, n_c - 1))::DOUBLE) * 10000 + 0.5)
-        |    / 10000 AS cramers_v
+        |  CASE WHEN n_rows > 0 AND least(n_r - 1, n_c - 1) > 0 THEN
+        |    floor(sqrt((chi2_micro::DOUBLE / 1000000.0)
+        |      / (n_rows * least(n_r - 1, n_c - 1))::DOUBLE) * 10000 + 0.5)
+        |      / 10000 END AS cramers_v
         |FROM a""".stripMargin,
     "agg_contingency_stdres" ->
       """WITH f AS (
@@ -963,7 +1025,7 @@ object Stats {
         |SELECT k_groups, n_total, t_sum_u,
         |  floor(ssb * 10000 + 0.5) / 10000 AS ssb,
         |  floor(ssw * 10000 + 0.5) / 10000 AS ssw,
-        |  CASE WHEN ssw > 0 AND n_total > k_groups THEN
+        |  CASE WHEN ssw > 0 AND n_total > k_groups AND k_groups > 1 THEN
         |    floor((ssb / (k_groups - 1)::DOUBLE)
         |      / (ssw / (n_total - k_groups)::DOUBLE) * 10000 + 0.5) / 10000
         |    END AS f_stat
@@ -988,8 +1050,10 @@ object Stats {
         |c AS (
         |  SELECT *, v_c / n_c::DOUBLE + v_t / n_t::DOUBLE AS se2 FROM b)
         |SELECT n_c AS n_control, n_t AS n_treatment,
-        |  floor(m_c * 10000 + 0.5) / 10000 AS mean_control,
-        |  floor(m_t * 10000 + 0.5) / 10000 AS mean_treatment,
+        |  CASE WHEN n_c > 0 THEN
+        |    floor(m_c * 10000 + 0.5) / 10000 END AS mean_control,
+        |  CASE WHEN n_t > 0 THEN
+        |    floor(m_t * 10000 + 0.5) / 10000 END AS mean_treatment,
         |  CASE WHEN v_c > 0 AND v_t > 0 THEN
         |    floor((m_t - m_c) / sqrt(se2) * 10000 + 0.5) / 10000
         |    END AS t_stat,
@@ -1020,11 +1084,14 @@ object Stats {
         |  SELECT *, (ss_c + ss_t) / (n_c + n_t - 2)::DOUBLE AS sp2
         |  FROM b)
         |SELECT n_c AS n_control, n_t AS n_treatment,
-        |  floor(sp2 * 10000 + 0.5) / 10000 AS pooled_var,
-        |  CASE WHEN sp2 > 0 THEN
+        |  CASE WHEN n_c > 0 AND n_t > 0 AND n_c + n_t > 2 THEN
+        |    floor(sp2 * 10000 + 0.5) / 10000 END AS pooled_var,
+        |  CASE WHEN n_c > 0 AND n_t > 0 AND n_c + n_t > 2
+        |      AND sp2 > 0 THEN
         |    floor((m_t - m_c) / sqrt(sp2) * 10000 + 0.5) / 10000
         |    END AS cohens_d,
-        |  CASE WHEN sp2 > 0 THEN
+        |  CASE WHEN n_c > 0 AND n_t > 0 AND n_c + n_t > 2
+        |      AND sp2 > 0 THEN
         |    floor((m_t - m_c) / sqrt(sp2)
         |      * (1.0 - 3.0 / ((n_c + n_t) * 4 - 9)::DOUBLE)
         |      * 10000 + 0.5) / 10000 END AS hedges_g

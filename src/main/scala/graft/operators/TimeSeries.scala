@@ -1684,6 +1684,79 @@ object TimeSeries {
         .orderBy("t_hr")
     }),
 
+    // LOG-RANK TEST (round 11): "do the two variants' survival
+    // curves differ" — the question every experimenter asks right
+    // after events_survival_km draws one curve. Same per-user
+    // (duration, event) fold and the same md5 variant split as the
+    // stats quartet; the statistic needs only the per-variant risk
+    // sets over the DISTINCT duration grid: O1 = Σ d1_t,
+    // E1 = Σ d_t·n1_t/n_t, V = Σ d_t·(n1/n)(1−n1/n)(n−d)/(n−1)
+    // (hypergeometric variance), z = (O1−E1)/√V. Each per-time term
+    // is ONE mirrored IEEE expression quantized to integer
+    // MICRO-units before the sum (PSI/entropy/KM precedent) — no n⁴
+    // integer products, so no overflow bound beyond the grid itself.
+    // Shape: user-shard aggregate → duration grid (observation-
+    // window-bounded) → two cumulative windows → 1-row readout.
+    // Guards: n_t = 1 ⇒ variance term 0; V = 0 (single-variant or
+    // all-tied) ⇒ NULL z/chi2 — pinned in ClosedFormProps (single-
+    // variant ⇒ O1 = E1 exactly) and DegenerateSpec.
+    "events_logrank" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val pu = TestData.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .groupBy("user_id")
+        .agg(min("ts_us").as("t0"),
+          min(when(col("event_type") === "purchase", col("ts_us")))
+            .as("tconv"),
+          max("ts_us").as("tlast"))
+        .withColumn("event",
+          when(col("tconv").isNotNull, 1L).otherwise(0L))
+        .withColumn("dur_hr",
+          when(col("event") === 1, expr("(tconv - t0) DIV 3600000000"))
+            .otherwise(expr("(tlast - t0) DIV 3600000000")))
+        .withColumn("g1",
+          when(conv(substring(md5(col("user_id").cast("string")), 1, 2),
+            16, 10).cast("int") % 2 === 0, 1L).otherwise(0L))
+      val risk = pu.groupBy("dur_hr")
+        .agg(sum(col("event") * col("g1")).as("d1_t"),
+          sum("event").as("d_t"),
+          sum("g1").as("a1_t"),
+          count(lit(1)).as("a_t"))
+        .withColumn("n_risk", sum("a_t").over(W.partitionBy())
+          - coalesce(sum("a_t").over(W.orderBy("dur_hr")
+              .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n1_risk", sum("a1_t").over(W.partitionBy())
+          - coalesce(sum("a1_t").over(W.orderBy("dur_hr")
+              .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      risk.filter(col("d_t") > 0)
+        .withColumn("e_u", floor(col("d_t").cast("double")
+          * col("n1_risk").cast("double") / col("n_risk").cast("double")
+          * 1000000 + 0.5).cast("long"))
+        .withColumn("v_u", when(col("n_risk") > 1,
+          floor(col("d_t").cast("double")
+            * (col("n1_risk").cast("double") / col("n_risk").cast("double"))
+            * (lit(1.0) - col("n1_risk").cast("double")
+                / col("n_risk").cast("double"))
+            * (col("n_risk") - col("d_t")).cast("double")
+            / (col("n_risk") - 1).cast("double")
+            * 1000000 + 0.5).cast("long")).otherwise(0L))
+        .agg(count(lit(1)).as("n_times"), sum("d1_t").as("o1"),
+          sum("e_u").as("e1_u"), sum("v_u").as("v_u"))
+        .withColumn("e1", r4(col("e1_u").cast("double") / 1000000.0))
+        .withColumn("z_logrank", when(col("v_u") > 0,
+          r4((col("o1").cast("double")
+              - col("e1_u").cast("double") / 1000000.0)
+            / sqrt(col("v_u").cast("double") / 1000000.0))))
+        .withColumn("chi2", when(col("v_u") > 0,
+          r4((col("o1").cast("double")
+              - col("e1_u").cast("double") / 1000000.0)
+            * (col("o1").cast("double")
+              - col("e1_u").cast("double") / 1000000.0)
+            / (col("v_u").cast("double") / 1000000.0))))
+        .select("n_times", "o1", "e1_u", "e1", "v_u", "z_logrank",
+          "chi2")
+    }),
+
     // USER LIFECYCLE / GROWTH ACCOUNTING (round 10): per week, the
     // new / retained / resurrected split of actives plus churn into
     // the week — the growth-accounting identity every WAU dashboard
@@ -1794,11 +1867,61 @@ object TimeSeries {
         .agg(count(lit(1)).as("n_scored"),
           sum(abs(col("cnt") - col("fc"))).as("abs_err_sum"),
           sum("term_u").as("smape_sum_u"))
-        .withColumn("mae", r4(col("abs_err_sum").cast("double")
-          / col("n_scored")))
-        .withColumn("smape", r4(col("smape_sum_u").cast("double")
-          / col("n_scored") / 1000000.0))
+        // A series shorter than the seasonal lag scores 0 pairs —
+        // NULL readouts, not an ANSI 0-division throw.
+        .withColumn("mae", when(col("n_scored") > 0,
+          r4(col("abs_err_sum").cast("double") / col("n_scored"))))
+        .withColumn("smape", when(col("n_scored") > 0,
+          r4(col("smape_sum_u").cast("double")
+            / col("n_scored") / 1000000.0)))
         .select("n_scored", "abs_err_sum", "mae", "smape")
+    }),
+
+    // SES ONE-STEP BACKTEST (round 11): the smoothed companion to
+    // ts_snaive_smape — simple exponential smoothing at α = 1/2,
+    // UNROLLED to exact binary-fraction weights so the forecast is
+    // an INTEGER in 1/128 units (ts_ewma_smooth precedent):
+    // ŷ_t·128 = 64·y_{t−1} + 32·y_{t−2} + … + 1·y_{t−7} + 1·y_{t−8}
+    // (the geometric tail mass folds into the last tap; Σw·128 = 128
+    // exactly, pinned in ClosedFormProps). GAP-SAFE BY CONSTRUCTION:
+    // each source hour fans out to its 8 target hours through an
+    // EQUI-join on the hour grid and a target only scores when ALL
+    // 8 taps are present (n_taps = 8) — lag() over rows would
+    // silently read non-adjacent hours across grid gaps (the
+    // ts_snaive_smape trap). sMAPE terms cross-multiplied in ×128
+    // integers, micro-quantized before the sum; MAE numerator is an
+    // exact ×128 BIGINT. Everything after the first aggregate is
+    // hour-grid-sized (observation-window-bounded) at any corpus.
+    "ts_ses_backtest" -> ((s, d) => {
+      import s.implicits._
+      val hourly = TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // consumed twice: tap fan-out + actuals
+      val weights = Seq((1, 64L), (2, 32L), (3, 16L), (4, 8L),
+        (5, 4L), (6, 2L), (7, 1L), (8, 1L)).toDF("tap", "w128")
+      val fc = hourly.crossJoin(broadcast(weights))
+        .select((col("hr") + col("tap")).as("hr"),
+          (col("cnt") * col("w128")).as("c128"))
+        .groupBy("hr")
+        .agg(sum("c128").as("fc128"), count(lit(1)).as("n_taps"))
+        .filter(col("n_taps") === 8)
+      hourly.join(fc, "hr")
+        .withColumn("y128", col("cnt") * 128)
+        .withColumn("term_u", floor(lit(2.0)
+          * abs(col("y128") - col("fc128")).cast("double")
+          / (col("y128") + col("fc128")).cast("double")
+          * 1000000 + 0.5).cast("long"))
+        .agg(count(lit(1)).as("n_scored"),
+          sum(abs(col("y128") - col("fc128"))).as("abs_err128_sum"),
+          sum("term_u").as("smape_sum_u"))
+        .withColumn("mae", when(col("n_scored") > 0,
+          r4(col("abs_err128_sum").cast("double") / 128.0
+            / col("n_scored").cast("double"))))
+        .withColumn("smape", when(col("n_scored") > 0,
+          r4(col("smape_sum_u").cast("double")
+            / col("n_scored").cast("double") / 1000000.0)))
+        .select("n_scored", "abs_err128_sum", "mae", "smape")
     }),
 
     // LJUNG-BOX WHITENESS TEST (round 10): Q = n(n+2)·Σ_{k≤12}
@@ -1830,9 +1953,14 @@ object TimeSeries {
         lags.map(k =>
           pow(col(s"num$k").cast("double") / col("den").cast("double"), 2)
             / (col("n_hours") - k).cast("double")).reduce(_ + _)
+      // Zero-variance guard (the r9 seasonalStrength / ts_pacf
+      // degenerate class): a constant series has den = 0 — Spark
+      // would emit q = NaN / is_white = false while DuckDB's double
+      // division by zero yields NULL. NULL both, in both engines.
       led.agg(aggs.head, aggs.tail: _*)
-        .withColumn("q_stat", r4(q))
-        .withColumn("is_white", col("q_stat") < 21.026)
+        .withColumn("q_stat", when(col("den") > 0, r4(q)))
+        .withColumn("is_white",
+          when(col("den") > 0, col("q_stat") < 21.026))
         .select("n_hours", "den", "q_stat", "is_white")
     }),
 
@@ -3080,6 +3208,68 @@ object TimeSeries {
         |    ELSE floor(exp(cum_u / 1000000.0) * 10000 + 0.5) / 10000 END
         |    AS survival
         |FROM km ORDER BY t_hr""".stripMargin,
+    // Same per-user fold as the KM oracle plus the md5 variant
+    // split; per-time E/V terms mirrored left-to-right and
+    // micro-quantized before the sums.
+    "events_logrank" ->
+      """WITH pu AS (
+        |  SELECT user_id, min(epoch_us(ts))::BIGINT AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      ::BIGINT AS tconv,
+        |    max(epoch_us(ts))::BIGINT AS tlast
+        |  FROM events GROUP BY 1),
+        |du AS (
+        |  SELECT CASE WHEN tconv IS NOT NULL THEN 1 ELSE 0 END AS event,
+        |    CASE WHEN tconv IS NOT NULL
+        |      THEN (tconv - t0) // 3600000000
+        |      ELSE (tlast - t0) // 3600000000 END AS dur_hr,
+        |    CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))
+        |      ::INT % 2 = 0 THEN 1 ELSE 0 END AS g1
+        |  FROM pu),
+        |risk AS (
+        |  SELECT dur_hr, sum(event * g1)::BIGINT AS d1_t,
+        |    sum(event)::BIGINT AS d_t, sum(g1)::BIGINT AS a1_t,
+        |    count(*)::BIGINT AS a_t
+        |  FROM du GROUP BY 1),
+        |rr AS (
+        |  SELECT *,
+        |    (sum(a_t) OVER ())::BIGINT
+        |      - (coalesce(sum(a_t) OVER (ORDER BY dur_hr
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        0))::BIGINT AS n_risk,
+        |    (sum(a1_t) OVER ())::BIGINT
+        |      - (coalesce(sum(a1_t) OVER (ORDER BY dur_hr
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        0))::BIGINT AS n1_risk
+        |  FROM risk),
+        |terms AS (
+        |  SELECT d1_t,
+        |    floor(d_t::DOUBLE * n1_risk::DOUBLE / n_risk::DOUBLE
+        |      * 1000000 + 0.5)::BIGINT AS e_u,
+        |    CASE WHEN n_risk > 1 THEN
+        |      floor(d_t::DOUBLE
+        |        * (n1_risk::DOUBLE / n_risk::DOUBLE)
+        |        * (1.0 - n1_risk::DOUBLE / n_risk::DOUBLE)
+        |        * (n_risk - d_t)::DOUBLE / (n_risk - 1)::DOUBLE
+        |        * 1000000 + 0.5)::BIGINT ELSE 0 END AS v_u
+        |  FROM rr WHERE d_t > 0),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n_times, sum(d1_t)::BIGINT AS o1,
+        |    sum(e_u)::BIGINT AS e1_u, sum(v_u)::BIGINT AS v_u
+        |  FROM terms)
+        |SELECT n_times, o1, e1_u,
+        |  floor((e1_u::DOUBLE / 1000000.0) * 10000 + 0.5) / 10000 AS e1,
+        |  v_u,
+        |  CASE WHEN v_u > 0 THEN
+        |    floor((o1::DOUBLE - e1_u::DOUBLE / 1000000.0)
+        |      / sqrt(v_u::DOUBLE / 1000000.0) * 10000 + 0.5) / 10000
+        |    END AS z_logrank,
+        |  CASE WHEN v_u > 0 THEN
+        |    floor((o1::DOUBLE - e1_u::DOUBLE / 1000000.0)
+        |      * (o1::DOUBLE - e1_u::DOUBLE / 1000000.0)
+        |      / (v_u::DOUBLE / 1000000.0) * 10000 + 0.5) / 10000
+        |    END AS chi2
+        |FROM a""".stripMargin,
     // Same distinct pair grain, same shifted self-joins, same
     // right-censoring of churn past the last observed week.
     "events_user_lifecycle" ->
@@ -3173,10 +3363,44 @@ object TimeSeries {
         |    sum(term_u)::BIGINT AS smape_sum_u
         |  FROM j)
         |SELECT n_scored, abs_err_sum,
-        |  floor((abs_err_sum::DOUBLE / n_scored) * 10000 + 0.5) / 10000
-        |    AS mae,
-        |  floor((smape_sum_u::DOUBLE / n_scored / 1000000.0)
-        |    * 10000 + 0.5) / 10000 AS smape
+        |  CASE WHEN n_scored > 0 THEN
+        |    floor((abs_err_sum::DOUBLE / n_scored) * 10000 + 0.5) / 10000
+        |    END AS mae,
+        |  CASE WHEN n_scored > 0 THEN
+        |    floor((smape_sum_u::DOUBLE / n_scored / 1000000.0)
+        |      * 10000 + 0.5) / 10000 END AS smape
+        |FROM a""".stripMargin,
+    // Same tap fan-out over the hour grid (equi-join, HAVING = 8),
+    // ×128 integer forecast, micro-quantized sMAPE terms.
+    "ts_ses_backtest" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT * FROM (VALUES (1, 64), (2, 32), (3, 16), (4, 8),
+        |  (5, 4), (6, 2), (7, 1), (8, 1)) AS t(tap, w128)),
+        |fc AS (
+        |  SELECT h.hr + w.tap AS hr, sum(h.cnt * w.w128)::BIGINT AS fc128,
+        |    count(*)::BIGINT AS n_taps
+        |  FROM hourly h CROSS JOIN w
+        |  GROUP BY 1 HAVING count(*) = 8),
+        |j AS (
+        |  SELECT (a.cnt * 128)::BIGINT AS y128, fc.fc128,
+        |    floor(2.0 * abs(a.cnt * 128 - fc.fc128)::DOUBLE
+        |      / (a.cnt * 128 + fc.fc128)::DOUBLE * 1000000 + 0.5)::BIGINT
+        |      AS term_u
+        |  FROM hourly a JOIN fc ON a.hr = fc.hr),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n_scored,
+        |    sum(abs(y128 - fc128))::BIGINT AS abs_err128_sum,
+        |    sum(term_u)::BIGINT AS smape_sum_u
+        |  FROM j)
+        |SELECT n_scored, abs_err128_sum,
+        |  CASE WHEN n_scored > 0 THEN
+        |    floor((abs_err128_sum::DOUBLE / 128.0 / n_scored::DOUBLE)
+        |      * 10000 + 0.5) / 10000 END AS mae,
+        |  CASE WHEN n_scored > 0 THEN
+        |    floor((smape_sum_u::DOUBLE / n_scored::DOUBLE / 1000000.0)
+        |      * 10000 + 0.5) / 10000 END AS smape
         |FROM a""".stripMargin,
     // Same integer dev machinery as ts_autocorr, Q as one mirrored
     // left-to-right 12-term expression.
@@ -3211,6 +3435,7 @@ object TimeSeries {
         |  FROM led),
         |q AS (
         |  SELECT n_hours, den,
+        |    CASE WHEN den > 0 THEN
         |    floor(((n_hours * (n_hours + 2))::DOUBLE *
         |      (pow(num1::DOUBLE / den::DOUBLE, 2) / (n_hours - 1)::DOUBLE
         |       + pow(num2::DOUBLE / den::DOUBLE, 2) / (n_hours - 2)::DOUBLE
@@ -3227,9 +3452,10 @@ object TimeSeries {
         |         / (n_hours - 11)::DOUBLE
         |       + pow(num12::DOUBLE / den::DOUBLE, 2)
         |         / (n_hours - 12)::DOUBLE))
-        |      * 10000 + 0.5) / 10000 AS q_stat
+        |      * 10000 + 0.5) / 10000 END AS q_stat
         |  FROM a)
-        |SELECT n_hours, den, q_stat, q_stat < 21.026 AS is_white
+        |SELECT n_hours, den, q_stat,
+        |  CASE WHEN den > 0 THEN q_stat < 21.026 END AS is_white
         |FROM q""".stripMargin,
     // Same trend/seasonal residual quantization as the decompose
     // key, rank-convention median/MAD with (value, hr) tie-break,

@@ -683,4 +683,97 @@ object ClosedFormProps extends Properties("graft.closedforms") {
       thr == thr.sorted && thr.distinct == thr &&
         (math.abs(mean - 1.0) < 0.005) :| s"mean drifted: $mean"
     }
+
+  // variantUnitCells (r11 fix): the whole-unit grid value is now
+  // IEEE floor(sum_u/1e6) in BOTH engines. Property: on doubles it
+  // equals the exact mathematical floor for both signs across the
+  // realistic µ-sum range (exact while |sum_u| < 2^53), i.e. it is
+  // engine-independent — and on negative non-exact quotients it
+  // DIFFERS from truncating division (Spark `DIV`), which is exactly
+  // the latent r10 divergence this fix removes.
+  private val microSum: Gen[Long] = Gen.oneOf(
+    Gen.choose(-4000000000000000L, 4000000000000000L),
+    Gen.choose(-3000000L, 3000000L),
+    Gen.oneOf(-1000000L, -1L, 0L, 1L, 999999L, 1000000L, -999999L,
+      -1000001L, 1000001L))
+
+  property("variant grid quantizer: IEEE floor(x/1e6) = exact floor, both signs") =
+    Prop.forAll(microSum) { su =>
+      val ieee = math.floor(su.toDouble / 1000000.0).toLong
+      val exact = Math.floorDiv(su, 1000000L)
+      val trunc = su / 1000000L // Spark DIV / toward-zero semantics
+      (ieee == exact) :| s"IEEE $ieee != floorDiv $exact for $su" &&
+        (su >= 0 || su % 1000000L == 0 || trunc == exact + 1) :|
+          s"negative non-exact quotient must be where DIV diverged: $su"
+    }
+
+  // events_logrank: the micro-quantized grid statistic's defining
+  // identities. Single-variant: every at-risk set is wholly group 1,
+  // so each E term is EXACTLY d_t (e_u = d_t·1e6, no quantization
+  // error) and every variance term is exactly 0 — O1 = E1, V = 0
+  // (⇒ the key's NULL-z guard is the only correct readout). Label
+  // swap: (O−E) negates and V is invariant up to 1 µ-unit of
+  // quantization per time point.
+  private val survivors: Gen[List[(Int, Int, Int)]] =
+    Gen.choose(2, 80).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0, 20), Gen.choose(0, 1), Gen.choose(0, 1))))
+
+  private def logrankSums(subj: List[(Int, Int, Int)], g1Label: Int)
+      : (Long, Long, Long) = {
+    val times = subj.map(_._1).distinct.sorted
+    var o1 = 0L; var e1u = 0L; var vu = 0L
+    times.foreach { t =>
+      val atRisk = subj.filter(_._1 >= t)
+      val n = atRisk.size.toLong
+      val n1 = atRisk.count(_._3 == g1Label).toLong
+      val deaths = subj.filter(s => s._1 == t && s._2 == 1)
+      val d = deaths.size.toLong
+      val d1 = deaths.count(_._3 == g1Label).toLong
+      if (d > 0) {
+        o1 += d1
+        e1u += math.floor(
+          d.toDouble * n1.toDouble / n.toDouble * 1000000 + 0.5).toLong
+        if (n > 1) vu += math.floor(d.toDouble
+          * (n1.toDouble / n.toDouble)
+          * (1.0 - n1.toDouble / n.toDouble)
+          * (n - d).toDouble / (n - 1).toDouble * 1000000 + 0.5).toLong
+      }
+    }
+    (o1, e1u, vu)
+  }
+
+  property("log-rank: single-variant gives O1 = E1 exactly and V = 0") =
+    Prop.forAll(survivors) { subj0 =>
+      val subj = subj0.map { case (t, e, _) => (t, e, 1) }
+      val (o1, e1u, vu) = logrankSums(subj, 1)
+      (e1u == o1 * 1000000L) :| s"E1 $e1u != O1·1e6 ${o1 * 1000000L}" &&
+        (vu == 0L) :| s"V must vanish, got $vu"
+    }
+
+  property("log-rank: label swap negates O−E and keeps V, within 1µ/time") =
+    Prop.forAll(survivors) { subj =>
+      val nTimes = subj.filter(_._2 == 1).map(_._1).distinct.size.toLong
+      val (o1, e1u, v1) = logrankSums(subj, 1)
+      val (o0, e0u, v0) = logrankSums(subj, 0)
+      val s1 = o1 * 1000000L - e1u
+      val s0 = o0 * 1000000L - e0u
+      (math.abs(s1 + s0) <= nTimes) :| s"antisymmetry broke: $s1 + $s0" &&
+        (math.abs(v1 - v0) <= nTimes) :| s"V asymmetric: $v1 vs $v0"
+    }
+
+  // ts_ses_backtest: the ×128 tap table IS the α = 1/2 SES recursion
+  // unrolled (w_i = α(1−α)^{i−1}, tail mass folded into tap 8), so
+  // the weights sum to exactly 1 and a locally-constant series
+  // forecasts itself exactly (sMAPE term 0).
+  property("SES ×128 taps equal the unrolled recursion and sum to 1") =
+    Prop.forAll(Gen.choose(1L, 1000000L)) { c =>
+      val taps = List(64L, 32L, 16L, 8L, 4L, 2L, 1L, 1L)
+      val recursion = (1 to 7).map(i =>
+        math.round(128 * 0.5 * math.pow(0.5, i - 1))).toList :+
+        math.round(128 * math.pow(0.5, 7))
+      val fc128 = taps.map(_ * c).sum
+      (taps == recursion) :| s"taps $taps != recursion $recursion" &&
+        (taps.sum == 128L) :| "weights must sum to exactly 1" &&
+        (fc128 == 128L * c) :| s"constant series must forecast itself"
+    }
 }

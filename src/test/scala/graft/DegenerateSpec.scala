@@ -1,0 +1,255 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.api.GraftEngine
+
+/** Degenerate-input battery for the round-9/10 facade surface
+  * (VERDICT r10 "What's missing" #5): EngineApiSpec pins parity on
+  * the HEALTHY fixture, so a divergence that only fires on degenerate
+  * input (the r9 seasonalStrength NaN, the r10-flagged ljungBox
+  * den=0 and empty-variant cases) had no systematic net. This spec
+  * runs every generically-shaped stats/TS facade over shared empty /
+  * single-row / constant-column / negative-value / one-sided frames
+  * and asserts the contract the oracles rely on: the facade either
+  * returns NULL readouts or drops rows — it NEVER emits NaN/Infinity
+  * (which DuckDB cannot produce from its NULL-on-x/0 semantics) and
+  * never throws (ANSI overflow / division errors must be guarded).
+  */
+class DegenerateSpec extends SparkSpec {
+
+  private lazy val engine = new GraftEngine(spark)
+
+  /** Collects and asserts no Double/Float NaN or ±Infinity anywhere. */
+  private def assertClean(df: => DataFrame, label: String): Unit = {
+    val rows =
+      try df.collect()
+      catch {
+        case e: Throwable =>
+          fail(s"$label threw on degenerate input: ${e.getMessage}")
+      }
+    rows.foreach { r =>
+      (0 until r.length).foreach { i =>
+        r.get(i) match {
+          case d: java.lang.Double =>
+            assert(!d.isNaN && !d.isInfinite,
+              s"$label col ${r.schema.fieldNames(i)} emitted $d")
+          case f: java.lang.Float =>
+            assert(!f.isNaN && !f.isInfinite,
+              s"$label col ${r.schema.fieldNames(i)} emitted $f")
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  // ---- shared degenerate frames -----------------------------------
+
+  private def valueFrame(rows: Seq[(Long, String)]): DataFrame = {
+    val schema = StructType(Seq(StructField("x", LongType),
+      StructField("variant", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), schema)
+  }
+
+  private lazy val vEmpty = valueFrame(Nil)
+  private lazy val vSingle = valueFrame(Seq((7L, "control")))
+  private lazy val vConstant = valueFrame(
+    (1 to 6).map(i => (5L, if (i % 2 == 0) "control" else "treatment")))
+  private lazy val vNegative = valueFrame(Seq((-3L, "control"),
+    (-1L, "treatment"), (-7L, "control"), (2L, "treatment"),
+    (-2L, "control"), (0L, "treatment")))
+  private lazy val vOneSided = valueFrame(
+    Seq((1L, "control"), (4L, "control"), (9L, "control")))
+
+  private def seriesFrame(rows: Seq[(Long, Long)]): DataFrame = {
+    val schema = StructType(Seq(StructField("hr", LongType),
+      StructField("n", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), schema)
+  }
+
+  private lazy val sEmpty = seriesFrame(Nil)
+  private lazy val sSingle = seriesFrame(Seq((0L, 5L)))
+  private lazy val sConstant = seriesFrame((0L to 30L).map(h => (h, 4L)))
+  private lazy val sNegative = seriesFrame(
+    (0L to 30L).map(h => (h, (h % 5) - 2)))
+
+  private def twoGroupFrames: Seq[(String, DataFrame)] = Seq(
+    "empty" -> vEmpty, "single" -> vSingle, "constant" -> vConstant,
+    "negative" -> vNegative, "one-sided" -> vOneSided)
+
+  private def seriesFrames: Seq[(String, DataFrame)] = Seq(
+    "empty" -> sEmpty, "single" -> sSingle, "constant" -> sConstant,
+    "negative" -> sNegative)
+
+  // ---- two-group stats facades -------------------------------------
+
+  test("mannWhitney survives every degenerate two-group frame") {
+    twoGroupFrames.foreach { case (n, f) =>
+      assertClean(engine.mannWhitney(f, "x", "variant"), s"mannWhitney/$n")
+    }
+  }
+
+  test("ksTest survives every degenerate two-group frame") {
+    twoGroupFrames.foreach { case (n, f) =>
+      assertClean(engine.ksTest(f, "x", "variant"), s"ksTest/$n")
+    }
+  }
+
+  test("welchT survives every degenerate two-group frame") {
+    twoGroupFrames.foreach { case (n, f) =>
+      assertClean(engine.welchT(f, "x", "variant"), s"welchT/$n")
+    }
+  }
+
+  test("cohensD survives every degenerate two-group frame") {
+    twoGroupFrames.foreach { case (n, f) =>
+      assertClean(engine.cohensD(f, "x", "variant"), s"cohensD/$n")
+    }
+  }
+
+  // ---- association facades -----------------------------------------
+
+  private def pairFrame(rows: Seq[(String, Long, Long)]): DataFrame = {
+    val schema = StructType(Seq(StructField("g", StringType),
+      StructField("qx", LongType), StructField("qy", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), schema)
+  }
+
+  test("spearmanRho / kendallTau survive constant and tiny inputs") {
+    val frames = Seq(
+      "empty" -> pairFrame(Nil),
+      "single" -> pairFrame(Seq(("a", 1L, 2L))),
+      "constant-x" -> pairFrame((1L to 5L).map(i => ("a", 3L, i))),
+      "constant-both" -> pairFrame((1L to 5L).map(_ => ("a", 3L, 4L))),
+      "negative" -> pairFrame((1L to 5L).map(i => ("a", -i, i - 3L))))
+    frames.foreach { case (n, f) =>
+      assertClean(engine.spearmanRho(f, "g", "qx", "qy"), s"spearman/$n")
+      assertClean(engine.kendallTau(f, "g", "qx", "qy"), s"kendall/$n")
+    }
+  }
+
+  test("cramersV / contingencyStdres / mutualInformation survive single-category grids") {
+    val schema = StructType(Seq(StructField("a", StringType),
+      StructField("b", StringType)))
+    def cat(rows: Seq[(String, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), schema)
+    val frames = Seq(
+      "empty" -> cat(Nil),
+      "single" -> cat(Seq(("x", "y"))),
+      "one-row-cat" -> cat((1 to 6).map(i => ("x", s"b$i"))),
+      "one-col-cat" -> cat((1 to 6).map(i => (s"a$i", "y"))),
+      "one-cell" -> cat((1 to 6).map(_ => ("x", "y"))))
+    frames.foreach { case (n, f) =>
+      assertClean(engine.cramersV(f, "a", "b"), s"cramersV/$n")
+      assertClean(engine.contingencyStdres(f, "a", "b"), s"stdres/$n")
+      assertClean(engine.mutualInformation(f, "a", "b"), s"mi/$n")
+    }
+  }
+
+  test("anovaF survives one-group / constant / single-row frames") {
+    val schema = StructType(Seq(StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    def g(rows: Seq[(String, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), schema)
+    val frames = Seq(
+      "empty" -> g(Nil),
+      "single" -> g(Seq(("en", 10L))),
+      "one-group" -> g((1L to 5L).map(i => ("en", i * 3))),
+      "constant" -> g((1 to 6).map(i => (s"l${i % 2}", 4L))))
+    frames.foreach { case (n, f) =>
+      assertClean(engine.anovaF(f, "lang", "n_chars"), s"anovaF/$n")
+    }
+  }
+
+  // ---- time-series facades -----------------------------------------
+
+  test("pacfLags3 / ljungBox / mannKendall / runsTest survive constant and tiny series") {
+    seriesFrames.foreach { case (n, f) =>
+      assertClean(engine.pacfLags3(f, "hr", "n"), s"pacf/$n")
+      assertClean(engine.ljungBox(f, "hr", "n"), s"ljungBox/$n")
+      assertClean(engine.mannKendall(f, "hr", "n"), s"mannKendall/$n")
+      assertClean(engine.runsTest(f, "hr", "n"), s"runsTest/$n")
+    }
+  }
+
+  test("spectralPeak / levelShift / seasonalStrength / seasonalAnomaly survive degenerate series") {
+    seriesFrames.foreach { case (n, f) =>
+      assertClean(engine.spectralPeak(f, "hr", "n", Seq(6, 12)),
+        s"spectral/$n")
+      assertClean(engine.levelShift(f, "hr", "n", 4, 3), s"levelShift/$n")
+      assertClean(engine.seasonalStrength(f, "hr", "n", 6, 3),
+        s"seasonalStrength/$n")
+      assertClean(engine.seasonalAnomaly(f, "hr", "n", 6, 3),
+        s"seasonalAnomaly/$n")
+    }
+  }
+
+  test("snaiveBacktest survives too-short series") {
+    seriesFrames.foreach { case (n, f) =>
+      assertClean(engine.snaiveBacktest(f, "hr", "n", 12), s"snaive/$n")
+    }
+  }
+
+  // ---- survival / lifecycle ----------------------------------------
+
+  test("logRank survives empty / single-subject / one-group frames") {
+    val schema = StructType(Seq(StructField("dur", LongType),
+      StructField("ev", LongType), StructField("grp", StringType)))
+    def lr(rows: Seq[(Long, Long, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), schema)
+    val frames = Seq(
+      "empty" -> lr(Nil),
+      "single" -> lr(Seq((3L, 1L, "control"))),
+      "one-group" -> lr((1L to 5L).map(d => (d, 1L, "control"))),
+      "all-censored" -> lr(Seq((2L, 0L, "control"), (4L, 0L, "treatment"))),
+      "tied-times" -> lr((1 to 6).map(i =>
+        (3L, 1L, if (i % 2 == 0) "control" else "treatment"))))
+    frames.foreach { case (n, f) =>
+      assertClean(engine.logRank(f, "dur", "ev", "grp"), s"logRank/$n")
+    }
+  }
+
+  test("sesBacktest survives empty / short / negative series") {
+    seriesFrames.foreach { case (n, f) =>
+      assertClean(engine.sesBacktest(f, "hr", "n"), s"sesBacktest/$n")
+    }
+  }
+
+  test("kaplanMeier survives all-censored, empty and single-duration frames") {
+    val schema = StructType(Seq(StructField("dur", LongType),
+      StructField("ev", LongType)))
+    def km(rows: Seq[(Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), schema)
+    val frames = Seq(
+      "empty" -> km(Nil),
+      "single-event" -> km(Seq((5L, 1L))),
+      "single-censor" -> km(Seq((5L, 0L))),
+      "all-censored" -> km((1L to 6L).map(d => (d, 0L))),
+      "all-events-one-t" -> km((1 to 6).map(_ => (3L, 1L))))
+    frames.foreach { case (n, f) =>
+      assertClean(engine.kaplanMeier(f, "dur", "ev"), s"km/$n")
+    }
+  }
+
+  test("burstiness / transitionEntropy / markovStationary survive single-symbol input") {
+    val gaps = seriesFrame(Seq((1L, 0L))) // one zero gap: σ+μ = 0
+    assertClean(engine.burstiness(gaps, "hr", "n"), "burstiness/zero-gap")
+    assertClean(engine.burstiness(sEmpty, "hr", "n"), "burstiness/empty")
+
+    val schema = StructType(Seq(StructField("f", StringType),
+      StructField("t", StringType)))
+    def tr(rows: Seq[(String, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), schema)
+    val frames = Seq("empty" -> tr(Nil),
+      "self-loop" -> tr(Seq(("a", "a"))),
+      "one-transition" -> tr(Seq(("a", "b"))))
+    frames.foreach { case (n, f) =>
+      assertClean(engine.transitionEntropy(f, "f", "t"), s"transEnt/$n")
+      assertClean(engine.markovStationary(f, "f", "t"), s"markov/$n")
+    }
+  }
+}

@@ -940,8 +940,43 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 130, "documented facade count drifted; methods: "
+    assert(names.length === 132, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
+  }
+
+  test("logRank facade matches the events_logrank declared key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("events_logrank")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val pu = TestData.events(spark, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .groupBy("user_id")
+      .agg(min("ts_us").as("t0"),
+        min(when(col("event_type") === "purchase", col("ts_us")))
+          .as("tconv"),
+        max("ts_us").as("tlast"))
+      .withColumn("event", when(col("tconv").isNotNull, 1L).otherwise(0L))
+      .withColumn("dur_hr",
+        when(col("event") === 1, expr("(tconv - t0) DIV 3600000000"))
+          .otherwise(expr("(tlast - t0) DIV 3600000000")))
+      .withColumn("variant",
+        when(conv(substring(md5(col("user_id").cast("string")), 1, 2),
+          16, 10).cast("int") % 2 === 0, "control").otherwise("treatment"))
+    val viaApi = engine.logRank(pu, "dur_hr", "event", "variant")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("sesBacktest facade matches the ts_ses_backtest declared key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("ts_ses_backtest")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val hourly = TestData.events(spark, d)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val viaApi = engine.sesBacktest(hourly, "hr", "cnt")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
   }
 
   test("srmCheck facade matches the events_ab_srm declared key") {
@@ -1272,7 +1307,8 @@ class EngineApiSpec extends SparkSpec {
       .withColumn("variant",
         when(conv(substring(md5(col("user_id").cast("string")), 1, 2),
           16, 10).cast("int") % 2 === 0, "control").otherwise("treatment"))
-      .withColumn("x", expr("sum_u DIV 1000000"))
+      .withColumn("x",
+        floor(col("sum_u").cast("double") / 1000000.0).cast("long"))
 
   test("mannWhitney facade matches the agg_mann_whitney key") {
     val d = sf("sf0.001")

@@ -600,4 +600,16 @@ class PlanSpec extends SparkSpec {
     assert(idxWindow >= 0 && idxScan > idxWindow,
       "margin windows must consume the contingency cells, not rows")
   }
+
+  test("scan_file_provenance stages its write in parallel, not one task") {
+    // The r10 fixture write funneled the whole table through
+    // repartition(1); the r11 shape repartitions by the bucket
+    // column — 1 file per bucket dir WITHOUT a single-task write.
+    val p = Scans.provenanceStage(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      s"no 1-partition exchange may feed the provenance write:\n${p.take(700)}")
+    assert(p.contains("Exchange hashpartitioning(bucket"),
+      s"the write must cluster by the bucket column:\n${p.take(700)}")
+  }
 }
