@@ -35,7 +35,14 @@ object Bench {
     // even run 1 of that family is near steady state.
     try graft.operators.TrainedQuantize.fixtureCentroids(spark, sfDir, 10).count()
     catch { case _: Throwable => () }
+    // Optional isolation filter (comma-separated key substrings):
+    // the full 361-key board pressures the JVM/GC and state stores
+    // enough to drift individual medians (the r10->r11 watch items);
+    // SPARK_GRAFT_BENCH_KEYS re-measures suspects in isolation.
+    val keyFilter = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val keys = SparkEntry.queries.toSeq
+      .filter { case (n, _) => keyFilter.forall(_.exists(n.contains)) }
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     // A key that throws must NEVER contribute a (tiny) exception-throw
     // latency as if it were a median — record the error class instead

@@ -3360,6 +3360,135 @@ class GraftEngine(val spark: SparkSession) {
       .orderBy("rk")
   }
 
+  /** Data-quality assertion report (see `profile_assert_constraints`):
+    * declarative constraint checks over ONE aggregate scan of `df`,
+    * one report row per constraint (name, table, n_checked,
+    * n_violations, passed). `unique` asserts zero duplicate keys,
+    * `acceptedValues` a literal value domain, `positive` v > 0,
+    * `maxNullRatePct` a null-rate ceiling in whole percent.
+    * Referential integrity is the separate [[assertReferential]]
+    * (it is the one check that needs a second table).
+    */
+  def assertConstraints(df: DataFrame, tableName: String,
+                        unique: Seq[String] = Nil,
+                        acceptedValues: Map[String, Seq[String]] = Map.empty,
+                        positive: Seq[String] = Nil,
+                        maxNullRatePct: Map[String, Int] = Map.empty)
+      : DataFrame = {
+    val nChecks = unique.size + acceptedValues.size + positive.size +
+      maxNullRatePct.size
+    require(nChecks >= 1, "declare at least one constraint")
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      unique.map(c =>
+        (count(lit(1)) - countDistinct(col(c))).as(s"u_$c")) ++
+      acceptedValues.map { case (c, vals) =>
+        sum(when(col(c).isin(vals.map(_.asInstanceOf[Any]): _*), 0L)
+          .otherwise(1L)).as(s"d_$c") } ++
+      positive.map(c =>
+        sum(when(col(c) <= 0, 1L).otherwise(0L)).as(s"p_$c")) ++
+      maxNullRatePct.keys.map(c =>
+        (count(lit(1)) - count(col(c))).as(s"z_$c"))
+    val rows =
+      unique.map(c => s"'unique_$c', n, u_$c, u_$c = 0") ++
+      acceptedValues.keys.map(c =>
+        s"'accepted_values_$c', n, d_$c, d_$c = 0") ++
+      positive.map(c => s"'positive_$c', n, p_$c, p_$c = 0") ++
+      maxNullRatePct.map { case (c, pct) =>
+        s"'null_rate_${c}_le_${pct}pct', n, z_$c, z_$c * 100 <= n * $pct" }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack($nChecks, ${rows.mkString(", ")}) " +
+        "AS (constraint_name, n_checked, n_violations, passed)"))
+      .withColumn("table_name", lit(tableName))
+      .select("constraint_name", "table_name", "n_checked",
+        "n_violations", "passed")
+      .orderBy("constraint_name")
+  }
+
+  /** Referential-integrity report row (see
+    * `profile_assert_constraints`): orphaned `childKey` values with
+    * no match among the DISTINCT `parentKey` values — one LEFT join
+    * probe, one report row named `referential_<child>_<parent>`.
+    */
+  def assertReferential(child: DataFrame, childKey: String,
+                        childName: String, parent: DataFrame,
+                        parentKey: String,
+                        parentName: String): DataFrame =
+    // the parent key is renamed so child and parent may share a
+    // column name without an ambiguous-reference error
+    child
+      .join(parent.select(col(parentKey).as("__parent_key")).distinct()
+          .withColumn("hit", lit(1)),
+        col(childKey) === col("__parent_key"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("orphans"))
+      .select(
+        lit(s"referential_${childName}_$parentName").as("constraint_name"),
+        lit(childName).as("table_name"),
+        col("n").as("n_checked"), col("orphans").as("n_violations"),
+        (col("orphans") === 0).as("passed"))
+
+  /** Two-regressor OLS (see `agg_ols_multi`) of integer-quantized
+    * `yCol` on `x1Col` + `x2Col` per group: exact-BIGINT sufficient
+    * statistics, Cramer's rule on the centered 2×2 normal equations
+    * assembled once per group row. Bound: n·max(y)² < 2^63.
+    * Collinear regressors (det = 0) ⇒ NULL betas/intercept/R²;
+    * constant response ⇒ NULL R².
+    */
+  def olsTwo(df: DataFrame, groupCol: String, x1Col: String,
+             x2Col: String, yCol: String): DataFrame =
+    df.select(col(groupCol).as("flag"), col(x1Col).as("x1"),
+        col(x2Col).as("x2"), col(yCol).as("y"))
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"),
+        sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("cxx1", col("s11").cast("double")
+        - col("s1").cast("double") * col("s1").cast("double")
+          / col("n").cast("double"))
+      .withColumn("cxx2", col("s22").cast("double")
+        - col("s2").cast("double") * col("s2").cast("double")
+          / col("n").cast("double"))
+      .withColumn("cx12", col("s12").cast("double")
+        - col("s1").cast("double") * col("s2").cast("double")
+          / col("n").cast("double"))
+      .withColumn("cx1y", col("s1y").cast("double")
+        - col("s1").cast("double") * col("sy").cast("double")
+          / col("n").cast("double"))
+      .withColumn("cx2y", col("s2y").cast("double")
+        - col("s2").cast("double") * col("sy").cast("double")
+          / col("n").cast("double"))
+      .withColumn("cyy", col("syy").cast("double")
+        - col("sy").cast("double") * col("sy").cast("double")
+          / col("n").cast("double"))
+      .withColumn("det",
+        col("cxx1") * col("cxx2") - col("cx12") * col("cx12"))
+      .withColumn("b1", when(col("det") =!= 0.0,
+        (col("cx1y") * col("cxx2") - col("cx2y") * col("cx12"))
+          / col("det")))
+      .withColumn("b2", when(col("det") =!= 0.0,
+        (col("cx2y") * col("cxx1") - col("cx1y") * col("cx12"))
+          / col("det")))
+      .withColumn("icept", when(col("det") =!= 0.0,
+        col("sy").cast("double") / col("n").cast("double")
+          - col("b1") * (col("s1").cast("double")
+            / col("n").cast("double"))
+          - col("b2") * (col("s2").cast("double")
+            / col("n").cast("double"))))
+      .withColumn("r2", when(col("det") =!= 0.0 && col("cyy") > 0,
+        (col("b1") * col("cx1y") + col("b2") * col("cx2y"))
+          / col("cyy")))
+      .select(col("flag"), col("n"),
+        TestData.r4(col("b1")).as("beta_qty"),
+        TestData.r4(col("b2")).as("beta_disc"),
+        TestData.r4(col("icept")).as("intercept"),
+        TestData.r4(col("r2")).as("r_squared"))
+      .orderBy("flag")
+
   /** Log-rank test (see `events_logrank`) between the survival
     * curves of the two groups of a per-subject (`durCol`,
     * `eventCol` 0/1, `groupCol`) frame — group 1 is `aLabel`.

@@ -483,6 +483,56 @@ object Maintenance {
         .orderBy("col_name")
     }),
 
+    // DATA-QUALITY ASSERTIONS (round 11): the dbt-style constraint
+    // gate the profiler family observes but never ENFORCES — one row
+    // per declared constraint with its violation count and pass/fail
+    // verdict (uniqueness, accepted-value domain, null-rate ceiling,
+    // positivity, referential integrity). Real pipelines run this
+    // far more often than drift scans: it is the publish gate.
+    // Scale shape: ONE aggregate pass per table (the profile_columns
+    // one-scan discipline — both events checks ride one aggregate,
+    // both orders checks another, stacked to rows); the RI check is
+    // the only join and probes the DISTINCT parent-key table. The
+    // fixture exercises both verdicts: 'error' events violate the
+    // accepted-value domain, everything else passes.
+    "profile_assert_constraints" -> ((s, d) => {
+      val ev = TestData.events(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("event_type").isin(
+          "click", "purchase", "signup", "view"), 0L).otherwise(1L))
+          .as("bad_domain"),
+        (count(lit(1)) - count(col("value"))).as("n_null_value"))
+        .select(expr("stack(2, " +
+          "'accepted_values_event_type', n, bad_domain, bad_domain = 0, " +
+          "'null_rate_value_le_1pct', n, n_null_value, " +
+          "n_null_value * 100 <= n) " +
+          "AS (constraint_name, n_checked, n_violations, passed)"))
+        .withColumn("table_name", lit("events"))
+      val od = TestData.orders(s, d).agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_keys"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpos"))
+        .select(expr("stack(2, " +
+          "'unique_o_orderkey', n, dup_keys, dup_keys = 0, " +
+          "'positive_o_totalprice', n, nonpos, nonpos = 0) " +
+          "AS (constraint_name, n_checked, n_violations, passed)"))
+        .withColumn("table_name", lit("orders"))
+      val ri = TestData.orders(s, d)
+        .join(TestData.customer(s, d).select(col("c_custkey")).distinct()
+            .withColumn("hit", lit(1)),
+          col("o_custkey") === col("c_custkey"), "left")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("orphans"))
+        .select(lit("referential_orders_customer").as("constraint_name"),
+          col("n").as("n_checked"), col("orphans").as("n_violations"),
+          (col("orphans") === 0).as("passed"))
+        .withColumn("table_name", lit("orders"))
+      ev.unionByName(od).unionByName(ri)
+        .select("constraint_name", "table_name", "n_checked",
+          "n_violations", "passed")
+        .orderBy("constraint_name")
+    }),
+
     // DRIFT MONITORING via Population Stability Index (round 7): the
     // standard serving/training distribution-shift check — fixed
     // equal-width bins over the monitored metric, reference vs
@@ -607,6 +657,46 @@ object Maintenance {
   }
 
   val oracles: Map[String, String] = Map(
+    // Each constraint re-derived independently: one aggregate per
+    // table, the RI check via LEFT JOIN against DISTINCT parent keys.
+    "profile_assert_constraints" ->
+      """WITH ev AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN event_type IN
+        |      ('click', 'purchase', 'signup', 'view')
+        |      THEN 0 ELSE 1 END)::BIGINT AS bad_domain,
+        |    (count(*) - count(value))::BIGINT AS n_null_value
+        |  FROM events),
+        |od AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    (count(*) - count(DISTINCT o_orderkey))::BIGINT AS dup_keys,
+        |    sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS nonpos
+        |  FROM orders),
+        |ri AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS orphans
+        |  FROM orders o
+        |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey)
+        |SELECT * FROM (
+        |  SELECT 'accepted_values_event_type' AS constraint_name,
+        |    'events' AS table_name, n AS n_checked,
+        |    bad_domain AS n_violations, bad_domain = 0 AS passed FROM ev
+        |  UNION ALL
+        |  SELECT 'null_rate_value_le_1pct', 'events', n, n_null_value,
+        |    n_null_value * 100 <= n FROM ev
+        |  UNION ALL
+        |  SELECT 'unique_o_orderkey', 'orders', n, dup_keys,
+        |    dup_keys = 0 FROM od
+        |  UNION ALL
+        |  SELECT 'positive_o_totalprice', 'orders', n, nonpos,
+        |    nonpos = 0 FROM od
+        |  UNION ALL
+        |  SELECT 'referential_orders_customer', 'orders', n, orphans,
+        |    orphans = 0 FROM ri)
+        |ORDER BY constraint_name""".stripMargin,
     // Identical op order to the Spark side: p = n::DOUBLE / total,
     // term = (p_ref − p_cur)·ln(p_ref/p_cur), floor(·1e6 + 0.5).
     // sum(..) OVER () is HUGEINT in DuckDB → ::BIGINT (CLAUDE.md trap).

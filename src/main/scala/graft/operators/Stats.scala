@@ -509,6 +509,78 @@ object Stats {
           col("hedges_g"))
     }),
 
+    // TWO-REGRESSOR OLS (round 11): l_extendedprice ~ quantity +
+    // discount per return flag — the most-asked analytics question
+    // agg_corr_regr's single regressor can't answer ("how much does
+    // each driver contribute, holding the other fixed"). Pure
+    // sufficient statistics: ONE map-side-combining pass → per-group
+    // (n, Σx1, Σx2, Σy, Σx1², Σx2², Σx1x2, Σx1y, Σx2y, Σy²) exact
+    // BIGINTs in whole-dollar/unit quantization (Σy² ≈ 7.4e14/flag
+    // at sf0.1; bound n·max(y)² < 2^63 ⇒ n ≲ 8e8 rows/flag at
+    // y ≤ 1.1e5 — past that pre-scale y, documented). The normal
+    // equations UNROLL to Cramer's rule on the centered 2×2 system —
+    // a closed form over the sufficient stats, assembled ONCE per
+    // ≤3-row readout in mirrored IEEE op order, r4. Guards:
+    // det = 0 (collinear regressors) ⇒ NULL betas/intercept/R²;
+    // Syy = 0 (constant response) ⇒ NULL R².
+    "agg_ols_multi" -> ((s, d) => {
+      TestData.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          floor(col("l_quantity") + 0.5).cast("long").as("x1"),
+          floor(col("l_discount") * 100 + 0.5).cast("long").as("x2"),
+          floor(col("l_extendedprice") + 0.5).cast("long").as("y"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"),
+          sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+          sum(col("x1") * col("x1")).as("s11"),
+          sum(col("x2") * col("x2")).as("s22"),
+          sum(col("x1") * col("x2")).as("s12"),
+          sum(col("x1") * col("y")).as("s1y"),
+          sum(col("x2") * col("y")).as("s2y"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("cxx1", col("s11").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double")
+            / col("n").cast("double"))
+        .withColumn("cxx2", col("s22").cast("double")
+          - col("s2").cast("double") * col("s2").cast("double")
+            / col("n").cast("double"))
+        .withColumn("cx12", col("s12").cast("double")
+          - col("s1").cast("double") * col("s2").cast("double")
+            / col("n").cast("double"))
+        .withColumn("cx1y", col("s1y").cast("double")
+          - col("s1").cast("double") * col("sy").cast("double")
+            / col("n").cast("double"))
+        .withColumn("cx2y", col("s2y").cast("double")
+          - col("s2").cast("double") * col("sy").cast("double")
+            / col("n").cast("double"))
+        .withColumn("cyy", col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double")
+            / col("n").cast("double"))
+        .withColumn("det",
+          col("cxx1") * col("cxx2") - col("cx12") * col("cx12"))
+        .withColumn("b1", when(col("det") =!= 0.0,
+          (col("cx1y") * col("cxx2") - col("cx2y") * col("cx12"))
+            / col("det")))
+        .withColumn("b2", when(col("det") =!= 0.0,
+          (col("cx2y") * col("cxx1") - col("cx1y") * col("cx12"))
+            / col("det")))
+        .withColumn("icept", when(col("det") =!= 0.0,
+          col("sy").cast("double") / col("n").cast("double")
+            - col("b1") * (col("s1").cast("double")
+              / col("n").cast("double"))
+            - col("b2") * (col("s2").cast("double")
+              / col("n").cast("double"))))
+        .withColumn("r2", when(col("det") =!= 0.0 && col("cyy") > 0,
+          (col("b1") * col("cx1y") + col("b2") * col("cx2y"))
+            / col("cyy")))
+        .select(col("flag"), col("n"),
+          r4(col("b1")).as("beta_qty"),
+          r4(col("b2")).as("beta_disc"),
+          r4(col("icept")).as("intercept"),
+          r4(col("r2")).as("r_squared"))
+        .orderBy("flag")
+    }),
+
     // ADJUSTED STANDARDIZED RESIDUALS (round 10): the per-cell
     // drill-down behind agg_cramers_v — V says "nationkey and
     // segment are associated", this says WHICH cells drive it
@@ -1096,6 +1168,51 @@ object Stats {
         |      * (1.0 - 3.0 / ((n_c + n_t) * 4 - 9)::DOUBLE)
         |      * 10000 + 0.5) / 10000 END AS hedges_g
         |FROM c""".stripMargin,
+    // Same whole-unit quantization, same centered-moment and
+    // Cramer's-rule op order as the Spark readout.
+    "agg_ols_multi" ->
+      """WITH f AS (
+        |  SELECT l_returnflag AS flag,
+        |    floor(l_quantity + 0.5)::BIGINT AS x1,
+        |    floor(l_discount * 100 + 0.5)::BIGINT AS x2,
+        |    floor(l_extendedprice + 0.5)::BIGINT AS y
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT flag, count(*)::BIGINT AS n,
+        |    sum(x1)::BIGINT AS s1, sum(x2)::BIGINT AS s2,
+        |    sum(y)::BIGINT AS sy,
+        |    sum(x1 * x1)::BIGINT AS s11, sum(x2 * x2)::BIGINT AS s22,
+        |    sum(x1 * x2)::BIGINT AS s12, sum(x1 * y)::BIGINT AS s1y,
+        |    sum(x2 * y)::BIGINT AS s2y, sum(y * y)::BIGINT AS syy
+        |  FROM f GROUP BY 1),
+        |c AS (
+        |  SELECT *,
+        |    s11::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE AS cxx1,
+        |    s22::DOUBLE - s2::DOUBLE * s2::DOUBLE / n::DOUBLE AS cxx2,
+        |    s12::DOUBLE - s1::DOUBLE * s2::DOUBLE / n::DOUBLE AS cx12,
+        |    s1y::DOUBLE - s1::DOUBLE * sy::DOUBLE / n::DOUBLE AS cx1y,
+        |    s2y::DOUBLE - s2::DOUBLE * sy::DOUBLE / n::DOUBLE AS cx2y,
+        |    syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE AS cyy
+        |  FROM g),
+        |dd AS (SELECT *, cxx1 * cxx2 - cx12 * cx12 AS det FROM c),
+        |b AS (
+        |  SELECT *,
+        |    CASE WHEN det <> 0.0 THEN
+        |      (cx1y * cxx2 - cx2y * cx12) / det END AS b1,
+        |    CASE WHEN det <> 0.0 THEN
+        |      (cx2y * cxx1 - cx1y * cx12) / det END AS b2
+        |  FROM dd)
+        |SELECT flag, n,
+        |  floor(b1 * 10000 + 0.5) / 10000 AS beta_qty,
+        |  floor(b2 * 10000 + 0.5) / 10000 AS beta_disc,
+        |  CASE WHEN det <> 0.0 THEN
+        |    floor((sy::DOUBLE / n::DOUBLE - b1 * (s1::DOUBLE / n::DOUBLE)
+        |      - b2 * (s2::DOUBLE / n::DOUBLE)) * 10000 + 0.5) / 10000
+        |    END AS intercept,
+        |  CASE WHEN det <> 0.0 AND cyy > 0 THEN
+        |    floor((b1 * cx1y + b2 * cx2y) / cyy * 10000 + 0.5) / 10000
+        |    END AS r_squared
+        |FROM b ORDER BY flag""".stripMargin,
     "sample_bootstrap_ci" ->
       """WITH o AS (
         |  SELECT o_orderkey,

@@ -776,4 +776,42 @@ object ClosedFormProps extends Properties("graft.closedforms") {
         (taps.sum == 128L) :| "weights must sum to exactly 1" &&
         (fc128 == 128L * c) :| s"constant series must forecast itself"
     }
+
+  // agg_ols_multi: Cramer's rule on the centered 2×2 system IS the
+  // least-squares solution — the betas satisfy the normal equations
+  // on arbitrary integer data, and when the regressors are exactly
+  // uncorrelated (cx12 = 0) each beta collapses to its simple
+  // single-regressor slope (the agg_corr_regr reduction).
+  private val olsRows: Gen[List[(Long, Long, Long)]] =
+    Gen.choose(3, 60).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 50L), Gen.choose(0L, 10L),
+        Gen.choose(0L, 1000L))))
+
+  property("two-regressor Cramer betas satisfy the normal equations") =
+    Prop.forAll(olsRows) { rows =>
+      val n = rows.size.toDouble
+      val s1 = rows.map(_._1).sum.toDouble
+      val s2 = rows.map(_._2).sum.toDouble
+      val sy = rows.map(_._3).sum.toDouble
+      val cxx1 = rows.map(r => r._1.toDouble * r._1).sum - s1 * s1 / n
+      val cxx2 = rows.map(r => r._2.toDouble * r._2).sum - s2 * s2 / n
+      val cx12 = rows.map(r => r._1.toDouble * r._2).sum - s1 * s2 / n
+      val cx1y = rows.map(r => r._1.toDouble * r._3).sum - s1 * sy / n
+      val cx2y = rows.map(r => r._2.toDouble * r._3).sum - s2 * sy / n
+      val det = cxx1 * cxx2 - cx12 * cx12
+      if (det == 0.0) Prop.passed // the key's NULL guard branch
+      else {
+        val b1 = (cx1y * cxx2 - cx2y * cx12) / det
+        val b2 = (cx2y * cxx1 - cx1y * cx12) / det
+        val scale = math.max(1.0, math.abs(cx1y) + math.abs(cx2y))
+        val eq1 = math.abs(cxx1 * b1 + cx12 * b2 - cx1y) <= 1e-7 * scale
+        val eq2 = math.abs(cx12 * b1 + cxx2 * b2 - cx2y) <= 1e-7 * scale
+        val reduce = cx12 != 0.0 ||
+          (math.abs(b1 - cx1y / cxx1) <= 1e-9 * math.abs(b1).max(1.0) &&
+           math.abs(b2 - cx2y / cxx2) <= 1e-9 * math.abs(b2).max(1.0))
+        eq1 :| "normal equation 1 violated" &&
+          eq2 :| "normal equation 2 violated" &&
+          reduce :| "orthogonal regressors must give the simple slopes"
+      }
+    }
 }

@@ -196,6 +196,41 @@ class DegenerateSpec extends SparkSpec {
 
   // ---- survival / lifecycle ----------------------------------------
 
+  test("olsTwo survives collinear / constant / tiny frames") {
+    val schema = StructType(Seq(StructField("g", StringType),
+      StructField("x1", LongType), StructField("x2", LongType),
+      StructField("y", LongType)))
+    def ols(rows: Seq[(String, Long, Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), schema)
+    val frames = Seq(
+      "empty" -> ols(Nil),
+      "single" -> ols(Seq(("a", 1L, 2L, 3L))),
+      "collinear" -> ols((1L to 6L).map(i => ("a", i, 2 * i, i + 1))),
+      "constant-x2" -> ols((1L to 6L).map(i => ("a", i, 7L, i * 2))),
+      "constant-y" -> ols((1L to 6L).map(i => ("a", i, 11 - i, 5L))))
+    frames.foreach { case (n, f) =>
+      assertClean(engine.olsTwo(f, "g", "x1", "x2", "y"), s"olsTwo/$n")
+    }
+  }
+
+  test("assertConstraints survives empty and all-null frames") {
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType)))
+    def t(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val frames = Seq(
+      "empty" -> t(Nil),
+      "all-null" -> t((1 to 4).map(_ => Row(null, null))))
+    frames.foreach { case (n, f) =>
+      assertClean(engine.assertConstraints(f, "t",
+        unique = Seq("k"), acceptedValues = Map("v" -> Seq("a", "b")),
+        positive = Seq("k"), maxNullRatePct = Map("v" -> 1)),
+        s"assertConstraints/$n")
+      assertClean(engine.assertReferential(f, "k", "t", f, "k", "t"),
+        s"assertReferential/$n")
+    }
+  }
+
   test("logRank survives empty / single-subject / one-group frames") {
     val schema = StructType(Seq(StructField("dur", LongType),
       StructField("ev", LongType), StructField("grp", StringType)))

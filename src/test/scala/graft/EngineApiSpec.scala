@@ -940,8 +940,45 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 132, "documented facade count drifted; methods: "
+    assert(names.length === 135, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
+  }
+
+  test("assertConstraints + assertReferential compose to the declared key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("profile_assert_constraints")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.assertConstraints(TestData.events(spark, d),
+        "events",
+        acceptedValues = Map("event_type" ->
+          Seq("click", "purchase", "signup", "view")),
+        maxNullRatePct = Map("value" -> 1))
+      .unionByName(engine.assertConstraints(TestData.orders(spark, d),
+        "orders",
+        unique = Seq("o_orderkey"), positive = Seq("o_totalprice")))
+      .unionByName(engine.assertReferential(TestData.orders(spark, d),
+        "o_custkey", "orders", TestData.customer(spark, d), "c_custkey",
+        "customer").select("constraint_name", "table_name", "n_checked",
+        "n_violations", "passed"))
+      .orderBy("constraint_name")
+      .collect().map(_.toSeq).toSeq
+    // the key names its RI row referential_orders_customer — the
+    // facade generates the same name from (childName, parentName)
+    assert(viaApi === declared)
+  }
+
+  test("olsTwo facade matches the agg_ols_multi declared key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("agg_ols_multi")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val li = TestData.lineitem(spark, d)
+      .select(col("l_returnflag").as("f"),
+        floor(col("l_quantity") + 0.5).cast("long").as("q"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("disc"),
+        floor(col("l_extendedprice") + 0.5).cast("long").as("price"))
+    val viaApi = engine.olsTwo(li, "f", "q", "disc", "price")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
   }
 
   test("logRank facade matches the events_logrank declared key") {
