@@ -537,6 +537,42 @@ class PropertySpec extends SparkSpec {
     assert(mean >= 0.3, s"IVF recall collapsed: $mean")
   }
 
+  test("HNSW-lite: layer law holds and search recall@5 vs brute force is real") {
+    // layer membership is the md5 1/16 sample — assert the observed
+    // rate is in a loose binomial band (the "geometric level law"
+    // anchor: 500 nodes, p = 1/16 => ~31 expected, 3sigma ~ 16)
+    val e = TestData.embeddings(spark, sfDir)
+    val n = e.count().toDouble
+    val l1n = AnnSearch.defs("ann_hnsw_build")(spark, sfDir)
+      .select("src").distinct().count().toDouble
+    assert(l1n > 0 && l1n < n / 4,
+      s"layer-1 sample rate broke the level law: $l1n of $n")
+    // build edges connect only layer members and never self
+    val edges = AnnSearch.defs("ann_hnsw_build")(spark, sfDir)
+      .select("src", "nn").as[(Long, Long)].collect()
+    assert(edges.nonEmpty && edges.forall { case (a, b) => a != b })
+    // recall@5 of the layered search vs the brute-force top-5
+    val brute = Vectors.defs("knn_batch_topk")(spark, sfDir)
+      .filter(col("qid") < 3)
+      .select("qid", "nn_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hnsw = AnnSearch.defs("ann_hnsw_topk")(spark, sfDir)
+      .select("qid", "nn_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.keys.toSeq.sorted.map { q =>
+      val b = brute(q)
+      hnsw.getOrElse(q, Set.empty).count(b.contains).toDouble / b.size
+    }
+    val mean = recalls.sum / recalls.length
+    // a 2-hop beam from a 1/16-sampled entry on random vectors is a
+    // routing smoke test, not an exhaustive search: assert a
+    // conservative floor and record the observed value
+    info(s"HNSW recall@5 per query: ${recalls.mkString(", ")} (mean $mean)")
+    assert(mean >= 0.2, s"layered search recall collapsed: $mean")
+    assert(hnsw.keys.toSet === brute.keys.toSet,
+      "every query must produce results")
+  }
+
   test("PQ encode: codes in range, subspace errors bounded by scalar worst case") {
     val rows = ProductQuantize.defs("vec_pq_encode")(spark, sfDir)
       .select("vec_id", "sub", "code", "sub_err")
