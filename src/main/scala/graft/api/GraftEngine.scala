@@ -3360,6 +3360,69 @@ class GraftEngine(val spark: SparkSession) {
       .orderBy("rk")
   }
 
+  /** Benjamini-Hochberg step-up (see `agg_bh_fdr`) over a frame of
+    * per-test micro-quantized p-values (`pMicroCol`, p·1e6 as
+    * BIGINT; NULL = excluded test): ranks the m non-null tests,
+    * flags p_u·m ≤ k·qMicro integer-exactly, rejects ranks ≤ k_max.
+    * qMicro = q·1e6 (default 100000 = FDR 0.10).
+    */
+  def bhStepUp(tests: DataFrame, idCol: String, pMicroCol: String,
+               qMicro: Long = 100000L): DataFrame = {
+    require(qMicro > 0 && qMicro <= 1000000L, "qMicro in (0, 1e6]")
+    val W = Window.partitionBy()
+    val wRank = Window.orderBy(col("p_u").asc_nulls_last, col("id"))
+    tests.select(col(idCol).as("id"), col(pMicroCol).as("p_u"))
+      .withColumn("m_tests",
+        sum(when(col("p_u").isNotNull, 1L).otherwise(0L)).over(W))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("flag", col("p_u").isNotNull
+        && col("p_u") * col("m_tests") <= col("rk") * qMicro)
+      .withColumn("k_max", max(when(col("flag"), col("rk"))).over(W))
+      .withColumn("significant", when(col("p_u").isNotNull,
+        col("k_max").isNotNull && col("rk") <= col("k_max"))
+        .otherwise(lit(false)))
+      .select("id", "p_u", "rk", "significant")
+      .orderBy("id")
+  }
+
+  /** Per-group Kaplan-Meier curves (see `events_km_variants`): the
+    * [[kaplanMeier]] estimator with every window PARTITIONED BY
+    * `groupCol` — risk sets per group over its own distinct-duration
+    * grid, micro-nat quantized ln terms, exact-0 tail.
+    */
+  def kaplanMeierBy(durations: DataFrame, durCol: String,
+                    eventCol: String, groupCol: String): DataFrame = {
+    val W = Window
+    val risk = durations
+      .select(col(groupCol).as("variant"), col(durCol).as("dur"),
+        col(eventCol).cast("long").as("ev"))
+      .groupBy("variant", "dur")
+      .agg(sum("ev").as("d_t"), sum(lit(1L) - col("ev")).as("c_t"))
+      .withColumn("n_total",
+        sum(col("d_t") + col("c_t")).over(W.partitionBy("variant")))
+      .withColumn("n_risk", col("n_total")
+        - coalesce(sum(col("d_t") + col("c_t")).over(
+            W.partitionBy("variant").orderBy("dur")
+              .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    risk.filter(col("d_t") > 0)
+      .withColumn("term_u", when(col("n_risk") > col("d_t"),
+        floor(log((col("n_risk") - col("d_t")).cast("double")
+          / col("n_risk").cast("double")) * 1000000 + 0.5).cast("long")))
+      .withColumn("zero_flag",
+        max(when(col("n_risk") === col("d_t"), 1).otherwise(0)).over(
+          W.partitionBy("variant").orderBy("dur")
+            .rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("cum_u", sum("term_u").over(
+        W.partitionBy("variant").orderBy("dur")
+          .rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("survival", when(col("zero_flag") === 1, lit(0.0))
+        .otherwise(TestData.r4(exp(col("cum_u") / 1000000.0))))
+      .select(col("variant"), col("dur").as("t_hr"), col("n_risk"),
+        col("d_t").as("n_events"), col("c_t").as("n_censored"),
+        col("survival"))
+      .orderBy("variant", "t_hr")
+  }
+
   /** Data-quality assertion report (see `profile_assert_constraints`):
     * declarative constraint checks over ONE aggregate scan of `df`,
     * one report row per constraint (name, table, n_checked,

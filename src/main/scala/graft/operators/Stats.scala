@@ -581,6 +581,89 @@ object Stats {
         .orderBy("flag")
     }),
 
+    // BENJAMINI-HOCHBERG FDR (round 11): the multiple-testing layer
+    // every segment-level experiment readout needs — 25 per-nation
+    // variant tests at α = 0.05 expect ~1 false positive; BH's
+    // step-up rule (largest k with p_(k) ≤ k·q/m, q = 0.10) is the
+    // standard FDR control. The per-nation test is a Welch z on
+    // per-customer total spend (whole dollars via the IEEE-floor
+    // quantizer; n·max(x)² < 2^63 ⇒ n ≲ 3.7e5 customers/nation at
+    // x ≲ 5e6 — document/pre-scale past that) under the md5
+    // customer-key split. p from |z| via the Lin (1989) exponential
+    // approximation 2·exp(−0.717|z| − 0.416z²) — exp is the ONLY
+    // transcendental, mirrored op order, micro-quantized. The
+    // step-up is integer-exact: p_u·m ≤ k·100000 cross-multiplied
+    // (q·1e6 = 1e5), k_max via one window max over the NATION-sized
+    // grid. Degenerate nations (one-sided split, zero variance) get
+    // NULL z/p and drop out of m. Monotone step-up property pinned
+    // in ClosedFormProps.
+    "agg_bh_fdr" -> ((s, d) => {
+      val W = Window.partitionBy()
+      val wRank = Window.orderBy(col("p_u").asc_nulls_last, col("nationkey"))
+      val pu = TestData.orders(s, d)
+        .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5)
+          .cast("long"))
+        .groupBy("o_custkey").agg(sum("cents").as("sum_cents"))
+        .withColumn("x",
+          floor(col("sum_cents").cast("double") / 100.0).cast("long"))
+        .withColumn("variant",
+          when(conv(substring(md5(col("o_custkey").cast("string")), 1, 2),
+            16, 10).cast("int") % 2 === 0, "control").otherwise("treatment"))
+        .join(TestData.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey").cast("long")
+            .as("nationkey")),
+          col("o_custkey") === col("c_custkey"))
+      val cells = pu.groupBy("nationkey")
+        .agg(sum(when(col("variant") === "control", 1L).otherwise(0L))
+            .as("n_c"),
+          sum(when(col("variant") === "treatment", 1L).otherwise(0L))
+            .as("n_t"),
+          sum(when(col("variant") === "control", col("x")).otherwise(0L))
+            .as("sx_c"),
+          sum(when(col("variant") === "treatment", col("x")).otherwise(0L))
+            .as("sx_t"),
+          sum(when(col("variant") === "control", col("x") * col("x"))
+            .otherwise(0L)).as("sxx_c"),
+          sum(when(col("variant") === "treatment", col("x") * col("x"))
+            .otherwise(0L)).as("sxx_t"))
+        .withColumn("m_c", when(col("n_c") > 0,
+          col("sx_c").cast("double") / col("n_c").cast("double")))
+        .withColumn("m_t", when(col("n_t") > 0,
+          col("sx_t").cast("double") / col("n_t").cast("double")))
+        .withColumn("v_c", when(col("n_c") > 1,
+          (col("sxx_c").cast("double")
+            - col("sx_c").cast("double") * col("sx_c").cast("double")
+              / col("n_c").cast("double"))
+            / (col("n_c") - 1).cast("double")))
+        .withColumn("v_t", when(col("n_t") > 1,
+          (col("sxx_t").cast("double")
+            - col("sx_t").cast("double") * col("sx_t").cast("double")
+              / col("n_t").cast("double"))
+            / (col("n_t") - 1).cast("double")))
+        .withColumn("z", when(col("v_c") > 0 && col("v_t") > 0,
+          r4((col("m_t") - col("m_c"))
+            / sqrt(col("v_c") / col("n_c").cast("double")
+              + col("v_t") / col("n_t").cast("double")))))
+        .withColumn("p_u", when(col("z").isNotNull,
+          floor(least(lit(1.0), lit(2.0)
+            * exp(lit(-0.717) * abs(col("z"))
+              - lit(0.416) * col("z") * col("z"))) * 1000000 + 0.5)
+            .cast("long")))
+      cells
+        .withColumn("m_tests",
+          sum(when(col("p_u").isNotNull, 1L).otherwise(0L)).over(W))
+        .withColumn("rk", row_number().over(wRank))
+        .withColumn("flag", col("p_u").isNotNull
+          && col("p_u") * col("m_tests") <= col("rk") * 100000L)
+        .withColumn("k_max", max(when(col("flag"), col("rk"))).over(W))
+        .withColumn("significant", when(col("p_u").isNotNull,
+          col("k_max").isNotNull && col("rk") <= col("k_max"))
+          .otherwise(lit(false)))
+        .select(col("nationkey"), (col("n_c") + col("n_t")).as("n_users"),
+          col("z"), col("p_u"), col("rk"), col("significant"))
+        .orderBy("nationkey")
+    }),
+
     // ADJUSTED STANDARDIZED RESIDUALS (round 10): the per-cell
     // drill-down behind agg_cramers_v — V says "nationkey and
     // segment are associated", this says WHICH cells drive it
@@ -1168,6 +1251,80 @@ object Stats {
         |      * (1.0 - 3.0 / ((n_c + n_t) * 4 - 9)::DOUBLE)
         |      * 10000 + 0.5) / 10000 END AS hedges_g
         |FROM c""".stripMargin,
+    // Same IEEE-floor dollar quantizer, Welch z, Lin p-approximation
+    // and integer cross-multiplied step-up as the Spark side.
+    "agg_bh_fdr" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT
+        |      AS sum_cents
+        |  FROM orders GROUP BY 1),
+        |pu AS (
+        |  SELECT o_custkey,
+        |    floor(sum_cents::DOUBLE / 100.0)::BIGINT AS x,
+        |    CASE WHEN ('0x' || substring(md5(o_custkey::VARCHAR), 1, 2))
+        |      ::INT % 2 = 0 THEN 'control' ELSE 'treatment' END AS variant
+        |  FROM pc),
+        |j AS (
+        |  SELECT c.c_nationkey::BIGINT AS nationkey, pu.x, pu.variant
+        |  FROM pu JOIN customer c ON pu.o_custkey = c.c_custkey),
+        |cells AS (
+        |  SELECT nationkey,
+        |    sum(CASE WHEN variant = 'control' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_c,
+        |    sum(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_t,
+        |    sum(CASE WHEN variant = 'control' THEN x ELSE 0 END)::BIGINT
+        |      AS sx_c,
+        |    sum(CASE WHEN variant = 'treatment' THEN x ELSE 0 END)::BIGINT
+        |      AS sx_t,
+        |    sum(CASE WHEN variant = 'control' THEN x * x ELSE 0 END)
+        |      ::BIGINT AS sxx_c,
+        |    sum(CASE WHEN variant = 'treatment' THEN x * x ELSE 0 END)
+        |      ::BIGINT AS sxx_t
+        |  FROM j GROUP BY 1),
+        |st AS (
+        |  SELECT *,
+        |    CASE WHEN n_c > 0 THEN sx_c::DOUBLE / n_c::DOUBLE END AS m_c,
+        |    CASE WHEN n_t > 0 THEN sx_t::DOUBLE / n_t::DOUBLE END AS m_t,
+        |    CASE WHEN n_c > 1 THEN
+        |      (sxx_c::DOUBLE - sx_c::DOUBLE * sx_c::DOUBLE / n_c::DOUBLE)
+        |        / (n_c - 1)::DOUBLE END AS v_c,
+        |    CASE WHEN n_t > 1 THEN
+        |      (sxx_t::DOUBLE - sx_t::DOUBLE * sx_t::DOUBLE / n_t::DOUBLE)
+        |        / (n_t - 1)::DOUBLE END AS v_t
+        |  FROM cells),
+        |zz AS (
+        |  SELECT *,
+        |    CASE WHEN v_c > 0 AND v_t > 0 THEN
+        |      floor((m_t - m_c)
+        |        / sqrt(v_c / n_c::DOUBLE + v_t / n_t::DOUBLE)
+        |        * 10000 + 0.5) / 10000 END AS z
+        |  FROM st),
+        |pp AS (
+        |  SELECT *,
+        |    CASE WHEN z IS NOT NULL THEN
+        |      floor(least(1.0, 2.0 * exp(-0.717 * abs(z)
+        |        - 0.416 * z * z)) * 1000000 + 0.5)::BIGINT END AS p_u
+        |  FROM zz),
+        |r AS (
+        |  SELECT *,
+        |    (sum(CASE WHEN p_u IS NOT NULL THEN 1 ELSE 0 END) OVER ())
+        |      ::BIGINT AS m_tests,
+        |    row_number() OVER (ORDER BY p_u ASC NULLS LAST, nationkey)
+        |      AS rk
+        |  FROM pp),
+        |f AS (
+        |  SELECT *,
+        |    (p_u IS NOT NULL AND p_u * m_tests <= rk * 100000) AS flag
+        |  FROM r),
+        |k AS (SELECT *, max(CASE WHEN flag THEN rk END) OVER () AS k_max
+        |      FROM f)
+        |SELECT nationkey, (n_c + n_t)::BIGINT AS n_users, z, p_u, rk,
+        |  CASE WHEN p_u IS NOT NULL THEN
+        |    (k_max IS NOT NULL AND rk <= k_max) ELSE false END
+        |    AS significant
+        |FROM k ORDER BY nationkey""".stripMargin,
     // Same whole-unit quantization, same centered-moment and
     // Cramer's-rule op order as the Spark readout.
     "agg_ols_multi" ->

@@ -1684,6 +1684,59 @@ object TimeSeries {
         .orderBy("t_hr")
     }),
 
+    // PER-VARIANT KAPLAN-MEIER (round 11): the two curves behind
+    // events_logrank's verdict — the drill-down an experimenter
+    // reads AFTER the test says the curves differ (which variant
+    // converts faster, and where the curves separate). Identical
+    // machinery to events_survival_km with every window PARTITIONED
+    // BY the md5 variant: risk sets per variant over its distinct
+    // duration grid, micro-nat ln(1−d/n) terms, exact-0 tail flag.
+    // Windows stay observation-window-bounded per variant.
+    "events_km_variants" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val pu = TestData.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .groupBy("user_id")
+        .agg(min("ts_us").as("t0"),
+          min(when(col("event_type") === "purchase", col("ts_us")))
+            .as("tconv"),
+          max("ts_us").as("tlast"))
+        .withColumn("event",
+          when(col("tconv").isNotNull, 1L).otherwise(0L))
+        .withColumn("dur_hr",
+          when(col("event") === 1, expr("(tconv - t0) DIV 3600000000"))
+            .otherwise(expr("(tlast - t0) DIV 3600000000")))
+        .withColumn("variant",
+          when(conv(substring(md5(col("user_id").cast("string")), 1, 2),
+            16, 10).cast("int") % 2 === 0, "control").otherwise("treatment"))
+      val risk = pu.groupBy("variant", "dur_hr")
+        .agg(sum("event").as("d_t"),
+          sum(lit(1L) - col("event")).as("c_t"))
+        .withColumn("n_total",
+          sum(col("d_t") + col("c_t")).over(W.partitionBy("variant")))
+        .withColumn("n_risk", col("n_total")
+          - coalesce(sum(col("d_t") + col("c_t")).over(
+              W.partitionBy("variant").orderBy("dur_hr")
+                .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      risk.filter(col("d_t") > 0)
+        .withColumn("term_u", when(col("n_risk") > col("d_t"),
+          floor(log((col("n_risk") - col("d_t")).cast("double")
+            / col("n_risk").cast("double")) * 1000000 + 0.5).cast("long")))
+        .withColumn("zero_flag",
+          max(when(col("n_risk") === col("d_t"), 1).otherwise(0)).over(
+            W.partitionBy("variant").orderBy("dur_hr")
+              .rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn("cum_u", sum("term_u").over(
+          W.partitionBy("variant").orderBy("dur_hr")
+            .rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn("survival", when(col("zero_flag") === 1, lit(0.0))
+          .otherwise(r4(exp(col("cum_u") / 1000000.0))))
+        .select(col("variant"), col("dur_hr").as("t_hr"), col("n_risk"),
+          col("d_t").as("n_events"), col("c_t").as("n_censored"),
+          col("survival"))
+        .orderBy("variant", "t_hr")
+    }),
+
     // LOG-RANK TEST (round 11): "do the two variants' survival
     // curves differ" — the question every experimenter asks right
     // after events_survival_km draws one curve. Same per-user
@@ -3208,6 +3261,55 @@ object TimeSeries {
         |    ELSE floor(exp(cum_u / 1000000.0) * 10000 + 0.5) / 10000 END
         |    AS survival
         |FROM km ORDER BY t_hr""".stripMargin,
+    // The KM oracle with every window PARTITION BY variant.
+    "events_km_variants" ->
+      """WITH pu AS (
+        |  SELECT user_id, min(epoch_us(ts))::BIGINT AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      ::BIGINT AS tconv,
+        |    max(epoch_us(ts))::BIGINT AS tlast
+        |  FROM events GROUP BY 1),
+        |du AS (
+        |  SELECT CASE WHEN tconv IS NOT NULL THEN 1 ELSE 0 END AS event,
+        |    CASE WHEN tconv IS NOT NULL
+        |      THEN (tconv - t0) // 3600000000
+        |      ELSE (tlast - t0) // 3600000000 END AS dur_hr,
+        |    CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))
+        |      ::INT % 2 = 0 THEN 'control' ELSE 'treatment' END AS variant
+        |  FROM pu),
+        |risk AS (
+        |  SELECT variant, dur_hr, sum(event)::BIGINT AS d_t,
+        |    sum(1 - event)::BIGINT AS c_t
+        |  FROM du GROUP BY 1, 2),
+        |rr AS (
+        |  SELECT *,
+        |    (sum(d_t + c_t) OVER (PARTITION BY variant))::BIGINT
+        |      - (coalesce(sum(d_t + c_t) OVER (PARTITION BY variant
+        |          ORDER BY dur_hr
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        0))::BIGINT AS n_risk
+        |  FROM risk),
+        |ev AS (
+        |  SELECT variant, dur_hr, n_risk, d_t, c_t,
+        |    CASE WHEN n_risk > d_t THEN
+        |      floor(ln((n_risk - d_t)::DOUBLE / n_risk::DOUBLE)
+        |        * 1000000 + 0.5)::BIGINT END AS term_u,
+        |    max(CASE WHEN n_risk = d_t THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY variant ORDER BY dur_hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zf
+        |  FROM rr WHERE d_t > 0),
+        |km AS (
+        |  SELECT variant, dur_hr, n_risk, d_t, c_t, zf,
+        |    (sum(term_u) OVER (PARTITION BY variant ORDER BY dur_hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS cum_u
+        |  FROM ev)
+        |SELECT variant, dur_hr AS t_hr, n_risk, d_t AS n_events,
+        |  c_t AS n_censored,
+        |  CASE WHEN zf = 1 THEN 0.0
+        |    ELSE floor(exp(cum_u / 1000000.0) * 10000 + 0.5) / 10000 END
+        |    AS survival
+        |FROM km ORDER BY variant, t_hr""".stripMargin,
     // Same per-user fold as the KM oracle plus the md5 variant
     // split; per-time E/V terms mirrored left-to-right and
     // micro-quantized before the sums.

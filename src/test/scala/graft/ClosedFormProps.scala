@@ -814,4 +814,31 @@ object ClosedFormProps extends Properties("graft.closedforms") {
           reduce :| "orthogonal regressors must give the simple slopes"
       }
     }
+
+  // agg_bh_fdr: the window step-up (flag each rank, reject ranks ≤
+  // max flagged rank) IS the textbook BH rule — the rejection set is
+  // exactly the first k* = max{k : p_(k) ≤ k·q/m} order statistics
+  // (a PREFIX of the p-sorted tests, even when intermediate ranks
+  // fail their own threshold), and every rejected p ≤ p_(k*).
+  private val pvals: Gen[List[Long]] =
+    Gen.choose(1, 40).flatMap(n => Gen.listOfN(n,
+      Gen.choose(0L, 1000000L)))
+
+  property("BH window step-up equals the textbook rule and rejects a prefix") =
+    Prop.forAll(pvals, Gen.choose(1L, 500000L)) { (ps, qMicro) =>
+      val m = ps.size.toLong
+      val sorted = ps.sorted.zipWithIndex
+        .map { case (p, i) => (p, i + 1L) } // (p_(k), k)
+      val kStar = sorted.filter { case (p, k) => p * m <= k * qMicro }
+        .map(_._2).reduceOption(_ max _)
+      val rejected = kStar match {
+        case None => Nil
+        case Some(k) => sorted.takeWhile(_._2 <= k)
+      }
+      val textbook = kStar.map(k => sorted.take(k.toInt)).getOrElse(Nil)
+      (rejected == textbook) :| "rejection set must be the k* prefix" &&
+        rejected.forall { case (p, _) =>
+          p <= kStar.map(k => sorted(k.toInt - 1)._1).getOrElse(-1L)
+        } :| "every rejected p must be <= p_(k*)"
+    }
 }

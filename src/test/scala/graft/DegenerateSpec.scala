@@ -254,6 +254,27 @@ class DegenerateSpec extends SparkSpec {
     }
   }
 
+  test("bhStepUp / kaplanMeierBy survive empty and all-null frames") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("p_u", LongType)))
+    def bh(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    assertClean(engine.bhStepUp(bh(Nil), "id", "p_u"), "bh/empty")
+    assertClean(engine.bhStepUp(
+      bh((1 to 4).map(i => Row(i.toLong, null))), "id", "p_u"),
+      "bh/all-null")
+    assertClean(engine.bhStepUp(
+      bh(Seq(Row(1L, 0L), Row(2L, 1000000L))), "id", "p_u"),
+      "bh/extremes")
+
+    val kmSchema = StructType(Seq(StructField("dur", LongType),
+      StructField("ev", LongType), StructField("g", StringType)))
+    val kmEmpty = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[Row], 1), kmSchema)
+    assertClean(engine.kaplanMeierBy(kmEmpty, "dur", "ev", "g"),
+      "kmBy/empty")
+  }
+
   test("kaplanMeier survives all-censored, empty and single-duration frames") {
     val schema = StructType(Seq(StructField("dur", LongType),
       StructField("ev", LongType)))

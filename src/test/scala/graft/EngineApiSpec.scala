@@ -940,8 +940,43 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 135, "documented facade count drifted; methods: "
+    assert(names.length === 137, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
+  }
+
+  test("bhStepUp facade reproduces the agg_bh_fdr step-up columns") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("agg_bh_fdr")(spark, d)
+      .select("nationkey", "p_u", "rk", "significant")
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.bhStepUp(
+        SparkEntry.queries("agg_bh_fdr")(spark, d)
+          .select("nationkey", "p_u"), "nationkey", "p_u")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("kaplanMeierBy facade matches the events_km_variants key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("events_km_variants")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val pu = TestData.events(spark, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .groupBy("user_id")
+      .agg(min("ts_us").as("t0"),
+        min(when(col("event_type") === "purchase", col("ts_us")))
+          .as("tconv"),
+        max("ts_us").as("tlast"))
+      .withColumn("event", when(col("tconv").isNotNull, 1L).otherwise(0L))
+      .withColumn("dur_hr",
+        when(col("event") === 1, expr("(tconv - t0) DIV 3600000000"))
+          .otherwise(expr("(tlast - t0) DIV 3600000000")))
+      .withColumn("variant",
+        when(conv(substring(md5(col("user_id").cast("string")), 1, 2),
+          16, 10).cast("int") % 2 === 0, "control").otherwise("treatment"))
+    val viaApi = engine.kaplanMeierBy(pu, "dur_hr", "event", "variant")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
   }
 
   test("assertConstraints + assertReferential compose to the declared key") {
