@@ -3360,6 +3360,18 @@ class GraftEngine(val spark: SparkSession) {
       .orderBy("rk")
   }
 
+  /** DCT perceptual hash (see `multimodal_dct_phash`) of a media
+    * frame's binary `content` column: 8×8 byte tile → integer 2-D
+    * DCT-II (micro-quantized driver-side basis, no transcendental in
+    * the plan) → 15 low-frequency AC sign bits. Map-side only.
+    */
+  def dctPerceptualHash(media: DataFrame): DataFrame =
+    graft.multimodal.Multimodal.dctPhashes(media)
+      .toDF()
+      .select(col("doc_id"), col("mime"),
+        col("n_bytes").cast("long").as("n_bytes"), col("dct_phash"))
+      .orderBy("doc_id")
+
   /** Benjamini-Hochberg step-up (see `agg_bh_fdr`) over a frame of
     * per-test micro-quantized p-values (`pMicroCol`, p·1e6 as
     * BIGINT; NULL = excluded test): ranks the m non-null tests,

@@ -166,6 +166,91 @@ object Multimodal {
       }
   }
 
+  /** DCT-II basis for the 8-point pHash, micro-quantized: entry
+    * (u·8 + r) = floor(cos(π(2r+1)u/16)·1e6 + 0.5) for u ∈ 0..3,
+    * r ∈ 0..7. Evaluated ONCE driver-side and interpolated into BOTH
+    * engines as integer literals (the ts_spectral_peak protocol —
+    * neither engine evaluates a transcendental), which is what makes
+    * the sign tests below engine-identical.
+    */
+  val dctBasisMicro: Array[Long] = {
+    val a = new Array[Long](32)
+    var u = 0
+    while (u < 4) {
+      var r = 0
+      while (r < 8) {
+        a(u * 8 + r) = math.floor(
+          math.cos(math.Pi * (2 * r + 1) * u / 16.0) * 1000000 + 0.5)
+          .toLong
+        r += 1
+      }
+      u += 1
+    }
+    a
+  }
+
+  /** Per-doc DCT perceptual-hash record (see [[dctPhash]]). */
+  case class MediaDctHash(doc_id: Long, mime: String, n_bytes: Int,
+                          dct_phash: Long)
+
+  /** DCT perceptual hash (pHash-style, decode-free): an 8×8 tile of
+    * payload bytes (position i·mod·n — short payloads wrap), the 2-D
+    * DCT-II of the tile via the micro-quantized integer basis, and
+    * one sign bit per low-frequency AC coefficient (u, v ∈ 0..3,
+    * (0,0) DC excluded ⇒ 15 bits). Where blockHash keys on the
+    * coarse luminance LAYOUT, the DCT hash keys on the coarse
+    * frequency SHAPE — the classic pHash pair. All integer: byte ≤
+    * 255 × two 1e6-unit basis factors × 64 terms < 1.6e16 ≪ 2^63;
+    * bit set iff F > 0 strictly (an exactly-zero coefficient — e.g.
+    * every AC term of a constant tile — reads 0, pinned).
+    */
+  def dctPhash(bytes: Array[Byte], basis: Array[Long]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val tile = new Array[Long](64)
+    var i = 0
+    while (i < 64) { tile(i) = bytes(i % n) & 0xff; i += 1 }
+    var hash = 0L
+    var u = 0
+    while (u < 4) {
+      var v = 0
+      while (v < 4) {
+        if (u != 0 || v != 0) {
+          var f = 0L
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 8) {
+              f += tile(r * 8 + c) * basis(u * 8 + r) * basis(v * 8 + c)
+              c += 1
+            }
+            r += 1
+          }
+          if (f > 0) hash |= 1L << (u * 4 + v - 1)
+        }
+        v += 1
+      }
+      u += 1
+    }
+    hash
+  }
+
+  /** Per-partition DCT-hash extraction (same batch shape as
+    * [[blockHashes]]; the pixel decode stays the documented stub,
+    * the frequency-domain hash is real byte work).
+    */
+  def dctPhashes(media: DataFrame): Dataset[MediaDctHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val basis = dctBasisMicro
+    media.select("doc_id", "mime", "content").as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, mime, bytes) =>
+          MediaDctHash(id, mime, bytes.length, dctPhash(bytes, basis))
+        }
+      }
+  }
+
   /** STUB resize: metadata-only transform (a real impl would re-encode
     * content); keeps the binary payload and rewrites dimensions.
     */

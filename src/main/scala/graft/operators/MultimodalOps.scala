@@ -223,6 +223,23 @@ object MultimodalOps {
           col("n_bytes").cast("long").as("n_bytes"), col("blockhash"))
         .orderBy("doc_id")),
 
+    // DCT PERCEPTUAL HASH (round 11): the frequency-domain sibling
+    // of multimodal_blockhash — pHash's recipe (8×8 tile → 2-D
+    // DCT-II → sign of the 15 low-frequency AC coefficients) over
+    // the opaque payload bytes. The trig basis is evaluated ONCE in
+    // Scala, micro-quantized, and interpolated into BOTH engines as
+    // integer literals (ts_spectral_peak protocol), so the whole
+    // hash is exact integer arithmetic end-to-end — map-side only,
+    // one scan at any corpus size; Hamming pairing reuses the
+    // blockHashPairs pigeonhole machinery (15-bit / 3×5-bit bands).
+    "multimodal_dct_phash" -> ((s, d) =>
+      Multimodal.dctPhashes(
+          Multimodal.fromDocuments(TestData.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("mime"),
+          col("n_bytes").cast("long").as("n_bytes"), col("dct_phash"))
+        .orderBy("doc_id")),
+
     // MEDIA NEAR-DUP PAIRS (round 8): Hamming-≤-2 pairs over the
     // block-mean perceptual hash via the 4-band pigeonhole join — see
     // `blockHashPairs`. The signature branch is localCheckpoint'd (a
@@ -370,6 +387,36 @@ object MultimodalOps {
       s"""WITH $blockhashCtes
         |SELECT doc_id, mime, n_bytes, blockhash
         |FROM bh ORDER BY doc_id""".stripMargin,
+    // Byte ≡ char on the all-ASCII fixture; the DCT basis enters as
+    // the SAME Scala-computed integer literals the key uses (no
+    // transcendental in either engine); tile wraps at (p % n) + 1.
+    "multimodal_dct_phash" ->
+      s"""WITH m AS (
+        |  SELECT doc_id,
+        |    ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3)::INT + 1]
+        |      AS mime,
+        |    text, length(text) AS n
+        |  FROM documents),
+        |co AS (SELECT [${graft.multimodal.Multimodal.dctBasisMicro
+                          .mkString(", ")}] AS cu),
+        |pos AS (
+        |  SELECT doc_id, mime, n, p,
+        |    ascii(text[((p % n) + 1)::INT : ((p % n) + 1)::INT])::BIGINT
+        |      AS bv
+        |  FROM m, LATERAL (SELECT unnest(range(0, 64)) AS p)),
+        |f AS (
+        |  SELECT doc_id, mime, n, u, v,
+        |    sum(bv * cu[(u * 8 + (p // 8) + 1)::INT]
+        |           * cu[(v * 8 + (p % 8) + 1)::INT])::BIGINT AS fv
+        |  FROM pos, co,
+        |    LATERAL (SELECT unnest(range(0, 4)) AS u),
+        |    LATERAL (SELECT unnest(range(0, 4)) AS v)
+        |  WHERE u <> 0 OR v <> 0
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT doc_id, mime, n::BIGINT AS n_bytes,
+        |  sum(CASE WHEN fv > 0 THEN 1::BIGINT << (u * 4 + v - 1)::INT
+        |      ELSE 0 END)::BIGINT AS dct_phash
+        |FROM f GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
     // Brute-force popcount pairs over the SAME blockhash CTEs — the
     // Spark side's band blocking is sound (candidates ⊇ matches), so
     // the oracle stays unblocked. bit_count returns TINYINT → ::INT

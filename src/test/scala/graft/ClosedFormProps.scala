@@ -841,4 +841,31 @@ object ClosedFormProps extends Properties("graft.closedforms") {
           p <= kStar.map(k => sorted(k.toInt - 1)._1).getOrElse(-1L)
         } :| "every rejected p must be <= p_(k*)"
     }
+
+  // multimodal_dct_phash anchors. Every AC basis row sums to EXACTLY
+  // zero even after micro-quantization: the 8 cosines pair up as
+  // (θ, θ+π) with exact negation, and round(−y) = −round(y) for any
+  // non-half-integer y, so quantization preserves the cancellation.
+  // Hence a constant tile's F_uv = c·(Σrow_u)·(Σrow_v) = 0 exactly
+  // for every AC coefficient ⇒ hash 0 — and by the same row-sum
+  // identity the hash is invariant under adding a uniform offset to
+  // all bytes (DC shifts never flip frequency sign bits).
+  property("DCT pHash: AC rows cancel exactly; constant tiles hash to 0") =
+    Prop.forAll(Gen.choose(0, 255), Gen.choose(1, 200),
+      Gen.listOfN(64, Gen.choose(0, 127))) { (b, n, tile) =>
+      val M = graft.multimodal.Multimodal
+      val basis = M.dctBasisMicro
+      val rowSumsZero = (1 until 4).forall { u =>
+        (0 until 8).map(r => basis(u * 8 + r)).sum == 0L
+      }
+      val dcRow = (0 until 8).forall(r => basis(r) == 1000000L)
+      val constH = M.dctPhash(Array.fill(n)(b.toByte), basis)
+      val base = tile.map(_.toByte).toArray
+      val shifted = tile.map(x => (x + 100).toByte).toArray
+      (rowSumsZero :| "AC basis rows must cancel exactly") &&
+        (dcRow :| "DC basis row must be 1e6") &&
+        (constH == 0L) :| s"constant tile hashed to $constH" &&
+        (M.dctPhash(base, basis) == M.dctPhash(shifted, basis)) :|
+          "uniform byte offset must not change the hash"
+    }
 }

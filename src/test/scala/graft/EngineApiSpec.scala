@@ -940,8 +940,19 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 137, "documented facade count drifted; methods: "
+    assert(names.length === 138, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
+  }
+
+  test("dctPerceptualHash facade matches the multimodal_dct_phash key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("multimodal_dct_phash")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.dctPerceptualHash(
+        graft.multimodal.Multimodal.fromDocuments(
+          TestData.documents(spark, d)))
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
   }
 
   test("bhStepUp facade reproduces the agg_bh_fdr step-up columns") {
