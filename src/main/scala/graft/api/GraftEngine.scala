@@ -3360,6 +3360,58 @@ class GraftEngine(val spark: SparkSession) {
       .orderBy("rk")
   }
 
+  /** McNemar's paired test (see `agg_mcnemar`) over per-subject 0/1
+    * before/after flags: χ² = (b−c)²/(b+c) on the discordant
+    * counts, exact integers until the one division. b+c = 0 ⇒ NULL.
+    */
+  def mcNemar(df: DataFrame, flag1Col: String,
+              flag2Col: String): DataFrame =
+    df.select(col(flag1Col).cast("int").as("a1"),
+        col(flag2Col).cast("int").as("a2"))
+      .agg(
+        sum(when(col("a1") === 1 && col("a2") === 1, 1L).otherwise(0L))
+          .as("n_11"),
+        sum(when(col("a1") === 1 && col("a2") === 0, 1L).otherwise(0L))
+          .as("n_10"),
+        sum(when(col("a1") === 0 && col("a2") === 1, 1L).otherwise(0L))
+          .as("n_01"),
+        sum(when(col("a1") === 0 && col("a2") === 0, 1L).otherwise(0L))
+          .as("n_00"))
+      .withColumn("chi2", when(col("n_10") + col("n_01") > 0,
+        TestData.r4(((col("n_10") - col("n_01"))
+            * (col("n_10") - col("n_01"))).cast("double")
+          / (col("n_10") + col("n_01")).cast("double"))))
+      .withColumn("significant_95",
+        when(col("n_10") + col("n_01") > 0, col("chi2") > 3.841459))
+      .select("n_11", "n_10", "n_01", "n_00", "chi2", "significant_95")
+
+  /** Paired t (see `agg_paired_t`) over per-subject integer
+    * before/after differences (`dCol`, already whole-unit quantized
+    * — use the IEEE-floor quantizer for negative-safe scaling):
+    * t = mean(d)/(sd(d)/√n) from exact Σd/Σd². n ≤ 1 or zero
+    * variance ⇒ NULL t.
+    */
+  def pairedT(df: DataFrame, dCol: String): DataFrame =
+    df.select(col(dCol).as("d_w"))
+      .agg(count(lit(1)).as("n_users"), sum("d_w").as("sum_d"),
+        sum(col("d_w") * col("d_w")).as("sum_dd"))
+      .withColumn("mean_d", when(col("n_users") > 0,
+        TestData.r4(col("sum_d").cast("double")
+          / col("n_users").cast("double"))))
+      .withColumn("var_d", when(col("n_users") > 1,
+        (col("sum_dd").cast("double")
+          - col("sum_d").cast("double") * col("sum_d").cast("double")
+            / col("n_users").cast("double"))
+          / (col("n_users") - 1).cast("double")))
+      .withColumn("t_paired", when(col("var_d") > 0,
+        TestData.r4((col("sum_d").cast("double")
+            / col("n_users").cast("double"))
+          / sqrt(col("var_d") / col("n_users").cast("double")))))
+      .withColumn("significant_95", when(col("var_d") > 0,
+        abs(col("t_paired")) > 1.959964))
+      .select("n_users", "sum_d", "mean_d", "t_paired",
+        "significant_95")
+
   /** DCT perceptual hash (see `multimodal_dct_phash`) of a media
     * frame's binary `content` column: 8×8 byte tile → integer 2-D
     * DCT-II (micro-quantized driver-side basis, no transcendental in

@@ -77,6 +77,13 @@ object MultimodalOps {
       graft.sources.WriteOnce.inputTag(d, "documents"),
       defs("multimodal_blockhash")(s, d).localCheckpoint())
 
+  private val dctSigsMemo = new graft.SessionMemo[DataFrame]
+
+  private def fixtureDctSigs(s: SparkSession, d: String): DataFrame =
+    dctSigsMemo.getOrElseUpdate(s,
+      graft.sources.WriteOnce.inputTag(d, "documents"),
+      defs("multimodal_dct_phash")(s, d).localCheckpoint())
+
   private def fixtureBlockhashPairs(s: SparkSession, d: String): DataFrame =
     pairsMemo.getOrElseUpdate(s,
       graft.sources.WriteOnce.inputTag(d, "documents"),
@@ -240,6 +247,21 @@ object MultimodalOps {
           col("n_bytes").cast("long").as("n_bytes"), col("dct_phash"))
         .orderBy("doc_id")),
 
+    // DCT-HASH NEAR-DUP PAIRS (round 11): Hamming-≤-2 pairs over the
+    // 15-bit DCT perceptual hash via the same pigeonhole machinery
+    // (3×5-bit bands ⇒ any pair within Hamming ≤ 2 keeps one band
+    // identical — sound candidates, exact popcount verify). The
+    // 5-bit band universe (32 values) is fixture-sized; at 100 TB
+    // compute a 64-bit phash (8×8 AC block) and call blockHashPairs
+    // with bits=64, bands=4 exactly as the blockhash docs say.
+    // Signatures memoized like the blockhash chain.
+    "multimodal_phash_pairs" -> ((s, d) =>
+      blockHashPairs(fixtureDctSigs(s, d)
+          .select(col("doc_id"), col("mime"),
+            col("dct_phash").as("blockhash")),
+        maxHamming = 2, bits = 15, bands = 3)
+        .orderBy("id_a", "id_b")),
+
     // MEDIA NEAR-DUP PAIRS (round 8): Hamming-≤-2 pairs over the
     // block-mean perceptual hash via the 4-band pigeonhole join — see
     // `blockHashPairs`. The signature branch is localCheckpoint'd (a
@@ -280,6 +302,39 @@ object MultimodalOps {
     * feeds both the signature key and the pairs key so they cannot
     * drift.
     */
+  /** Shared DuckDB CTE chain ending in `ph(doc_id, mime, n_bytes,
+    * dct_phash)` — the integer DCT pHash over the wrapped 8×8 byte
+    * tile with the Scala-computed micro basis interpolated in.
+    */
+  private val dctPhashCtes: String =
+    s"""m AS (
+      |  SELECT doc_id,
+      |    ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3)::INT + 1]
+      |      AS mime,
+      |    text, length(text) AS n
+      |  FROM documents),
+      |co AS (SELECT [${graft.multimodal.Multimodal.dctBasisMicro
+                        .mkString(", ")}] AS cu),
+      |pos AS (
+      |  SELECT doc_id, mime, n, p,
+      |    ascii(text[((p % n) + 1)::INT : ((p % n) + 1)::INT])::BIGINT
+      |      AS bv
+      |  FROM m, LATERAL (SELECT unnest(range(0, 64)) AS p)),
+      |f AS (
+      |  SELECT doc_id, mime, n, u, v,
+      |    sum(bv * cu[(u * 8 + (p // 8) + 1)::INT]
+      |           * cu[(v * 8 + (p % 8) + 1)::INT])::BIGINT AS fv
+      |  FROM pos, co,
+      |    LATERAL (SELECT unnest(range(0, 4)) AS u),
+      |    LATERAL (SELECT unnest(range(0, 4)) AS v)
+      |  WHERE u <> 0 OR v <> 0
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |ph AS (
+      |  SELECT doc_id, mime, n::BIGINT AS n_bytes,
+      |    sum(CASE WHEN fv > 0 THEN 1::BIGINT << (u * 4 + v - 1)::INT
+      |        ELSE 0 END)::BIGINT AS dct_phash
+      |  FROM f GROUP BY 1, 2, 3)""".stripMargin
+
   private val blockhashCtes: String =
     """m AS (
       |  SELECT doc_id,
@@ -391,32 +446,20 @@ object MultimodalOps {
     // the SAME Scala-computed integer literals the key uses (no
     // transcendental in either engine); tile wraps at (p % n) + 1.
     "multimodal_dct_phash" ->
-      s"""WITH m AS (
-        |  SELECT doc_id,
-        |    ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3)::INT + 1]
-        |      AS mime,
-        |    text, length(text) AS n
-        |  FROM documents),
-        |co AS (SELECT [${graft.multimodal.Multimodal.dctBasisMicro
-                          .mkString(", ")}] AS cu),
-        |pos AS (
-        |  SELECT doc_id, mime, n, p,
-        |    ascii(text[((p % n) + 1)::INT : ((p % n) + 1)::INT])::BIGINT
-        |      AS bv
-        |  FROM m, LATERAL (SELECT unnest(range(0, 64)) AS p)),
-        |f AS (
-        |  SELECT doc_id, mime, n, u, v,
-        |    sum(bv * cu[(u * 8 + (p // 8) + 1)::INT]
-        |           * cu[(v * 8 + (p % 8) + 1)::INT])::BIGINT AS fv
-        |  FROM pos, co,
-        |    LATERAL (SELECT unnest(range(0, 4)) AS u),
-        |    LATERAL (SELECT unnest(range(0, 4)) AS v)
-        |  WHERE u <> 0 OR v <> 0
-        |  GROUP BY 1, 2, 3, 4, 5)
-        |SELECT doc_id, mime, n::BIGINT AS n_bytes,
-        |  sum(CASE WHEN fv > 0 THEN 1::BIGINT << (u * 4 + v - 1)::INT
-        |      ELSE 0 END)::BIGINT AS dct_phash
-        |FROM f GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+      s"""WITH $dctPhashCtes
+        |SELECT doc_id, mime, n_bytes, dct_phash
+        |FROM ph ORDER BY doc_id""".stripMargin,
+    // Brute-force popcount over the SAME dct-phash CTEs — the Spark
+    // side's 3×5-bit pigeonhole banding is sound (candidates ⊇
+    // matches within Hamming ≤ 2), so the oracle stays unblocked.
+    "multimodal_phash_pairs" ->
+      s"""WITH $dctPhashCtes
+        |SELECT a.mime AS mime, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.dct_phash, b.dct_phash))::INT AS hamming
+        |FROM ph a JOIN ph b
+        |  ON a.mime = b.mime AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dct_phash, b.dct_phash)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     // Brute-force popcount pairs over the SAME blockhash CTEs — the
     // Spark side's band blocking is sound (candidates ⊇ matches), so
     // the oracle stays unblocked. bit_count returns TINYINT → ::INT

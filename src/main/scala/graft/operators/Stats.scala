@@ -581,6 +581,84 @@ object Stats {
         .orderBy("flag")
     }),
 
+    // McNEMAR PAIRED TEST (round 11): did users' purchase behavior
+    // change between the first and second half of the observation
+    // window — the PAIRED nominal test (each user is their own
+    // control) the unpaired quartet can't answer. Split point =
+    // (min+max)/2 of event time (one scalar probe, broadcast);
+    // per-user (purchased-in-H1, purchased-in-H2) flags fold
+    // user-sharded; χ² = (b−c)²/(b+c) over the discordant counts —
+    // EXACT integers until one final division (no transcendental at
+    // all). b+c = 0 (no discordant users) ⇒ NULL χ²/verdict.
+    "agg_mcnemar" -> ((s, d) => {
+      val ev = TestData.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) DIV 2").as("mid"))
+      ev.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase"
+            && col("ts_us") < col("mid"), 1).otherwise(0)).as("a1"),
+          max(when(col("event_type") === "purchase"
+            && col("ts_us") >= col("mid"), 1).otherwise(0)).as("a2"))
+        .agg(
+          sum(when(col("a1") === 1 && col("a2") === 1, 1L).otherwise(0L))
+            .as("n_11"),
+          sum(when(col("a1") === 1 && col("a2") === 0, 1L).otherwise(0L))
+            .as("n_10"),
+          sum(when(col("a1") === 0 && col("a2") === 1, 1L).otherwise(0L))
+            .as("n_01"),
+          sum(when(col("a1") === 0 && col("a2") === 0, 1L).otherwise(0L))
+            .as("n_00"))
+        .withColumn("chi2", when(col("n_10") + col("n_01") > 0,
+          r4(((col("n_10") - col("n_01"))
+              * (col("n_10") - col("n_01"))).cast("double")
+            / (col("n_10") + col("n_01")).cast("double"))))
+        .withColumn("significant_95",
+          when(col("n_10") + col("n_01") > 0, col("chi2") > 3.841459))
+        .select("n_11", "n_10", "n_01", "n_00", "chi2",
+          "significant_95")
+    }),
+
+    // PAIRED t (round 11): the continuous sibling of agg_mcnemar —
+    // per-user H1-vs-H2 value difference, t = mean(d)/(sd(d)/√n).
+    // Differences quantized to WHOLE units via the IEEE-floor
+    // quantizer (negative-safe — the r11 variantUnitCells rule)
+    // BEFORE the sufficient-statistic sums, so Σd/Σd² are exact
+    // BIGINTs (n·max(d)² < 2^63 ⇒ n ≲ 9e14/max(d)² users —
+    // documented); one mirrored readout, r4. n ≤ 1 or zero variance
+    // ⇒ NULL t.
+    "agg_paired_t" -> ((s, d) => {
+      val ev = TestData.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("v_u", floor(col("value") * 1000000 + 0.5)
+          .cast("long"))
+      val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) DIV 2").as("mid"))
+      ev.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(sum(when(col("ts_us") < col("mid"), col("v_u"))
+            .otherwise(0L)).as("s1"),
+          sum(when(col("ts_us") >= col("mid"), col("v_u"))
+            .otherwise(0L)).as("s2"))
+        .withColumn("d_w", floor((col("s1") - col("s2")).cast("double")
+          / 1000000.0).cast("long"))
+        .agg(count(lit(1)).as("n_users"), sum("d_w").as("sum_d"),
+          sum(col("d_w") * col("d_w")).as("sum_dd"))
+        .withColumn("mean_d", when(col("n_users") > 0,
+          r4(col("sum_d").cast("double") / col("n_users").cast("double"))))
+        .withColumn("var_d", when(col("n_users") > 1,
+          (col("sum_dd").cast("double")
+            - col("sum_d").cast("double") * col("sum_d").cast("double")
+              / col("n_users").cast("double"))
+            / (col("n_users") - 1).cast("double")))
+        .withColumn("t_paired", when(col("var_d") > 0,
+          r4((col("sum_d").cast("double") / col("n_users").cast("double"))
+            / sqrt(col("var_d") / col("n_users").cast("double")))))
+        .withColumn("significant_95", when(col("var_d") > 0,
+          abs(col("t_paired")) > 1.959964))
+        .select("n_users", "sum_d", "mean_d", "t_paired",
+          "significant_95")
+    }),
+
     // BENJAMINI-HOCHBERG FDR (round 11): the multiple-testing layer
     // every segment-level experiment readout needs — 25 per-nation
     // variant tests at α = 0.05 expect ~1 false positive; BH's
@@ -1250,6 +1328,82 @@ object Stats {
         |    floor((m_t - m_c) / sqrt(sp2)
         |      * (1.0 - 3.0 / ((n_c + n_t) * 4 - 9)::DOUBLE)
         |      * 10000 + 0.5) / 10000 END AS hedges_g
+        |FROM c""".stripMargin,
+    // Same (min+max)//2 split, per-user flag fold, exact-integer χ².
+    "agg_mcnemar" ->
+      """WITH mid AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        |  FROM events),
+        |pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase'
+        |      AND epoch_us(ts) < mid THEN 1 ELSE 0 END) AS a1,
+        |    max(CASE WHEN event_type = 'purchase'
+        |      AND epoch_us(ts) >= mid THEN 1 ELSE 0 END) AS a2
+        |  FROM events CROSS JOIN mid GROUP BY 1),
+        |a AS (
+        |  SELECT
+        |    sum(CASE WHEN a1 = 1 AND a2 = 1 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_11,
+        |    sum(CASE WHEN a1 = 1 AND a2 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_10,
+        |    sum(CASE WHEN a1 = 0 AND a2 = 1 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_01,
+        |    sum(CASE WHEN a1 = 0 AND a2 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_00
+        |  FROM pu),
+        |b AS (
+        |  SELECT *,
+        |    CASE WHEN n_10 + n_01 > 0 THEN
+        |      floor(((n_10 - n_01) * (n_10 - n_01))::DOUBLE
+        |        / (n_10 + n_01)::DOUBLE * 10000 + 0.5) / 10000 END
+        |      AS chi2
+        |  FROM a)
+        |SELECT n_11, n_10, n_01, n_00, chi2,
+        |  CASE WHEN n_10 + n_01 > 0 THEN chi2 > 3.841459 END
+        |    AS significant_95
+        |FROM b""".stripMargin,
+    // Same split, IEEE-floor whole-unit differences, mirrored t.
+    "agg_paired_t" ->
+      """WITH mid AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        |  FROM events),
+        |pu AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN epoch_us(ts) < mid THEN
+        |      floor(value * 1000000 + 0.5)::BIGINT ELSE 0 END)::BIGINT
+        |      AS s1,
+        |    sum(CASE WHEN epoch_us(ts) >= mid THEN
+        |      floor(value * 1000000 + 0.5)::BIGINT ELSE 0 END)::BIGINT
+        |      AS s2
+        |  FROM events CROSS JOIN mid GROUP BY 1),
+        |dw AS (
+        |  SELECT floor((s1 - s2)::DOUBLE / 1000000.0)::BIGINT AS d_w
+        |  FROM pu),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n_users, sum(d_w)::BIGINT AS sum_d,
+        |    sum(d_w * d_w)::BIGINT AS sum_dd
+        |  FROM dw),
+        |b AS (
+        |  SELECT *,
+        |    CASE WHEN n_users > 1 THEN
+        |      (sum_dd::DOUBLE - sum_d::DOUBLE * sum_d::DOUBLE
+        |        / n_users::DOUBLE) / (n_users - 1)::DOUBLE END AS var_d
+        |  FROM a),
+        |c AS (
+        |  SELECT *,
+        |    CASE WHEN var_d > 0 THEN
+        |      floor((sum_d::DOUBLE / n_users::DOUBLE)
+        |        / sqrt(var_d / n_users::DOUBLE) * 10000 + 0.5) / 10000
+        |      END AS t_paired
+        |  FROM b)
+        |SELECT n_users, sum_d,
+        |  CASE WHEN n_users > 0 THEN
+        |    floor((sum_d::DOUBLE / n_users::DOUBLE) * 10000 + 0.5) / 10000
+        |    END AS mean_d,
+        |  t_paired,
+        |  CASE WHEN var_d > 0 THEN abs(t_paired) > 1.959964 END
+        |    AS significant_95
         |FROM c""".stripMargin,
     // Same IEEE-floor dollar quantizer, Welch z, Lin p-approximation
     // and integer cross-multiplied step-up as the Spark side.

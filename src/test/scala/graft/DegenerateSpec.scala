@@ -254,6 +254,24 @@ class DegenerateSpec extends SparkSpec {
     }
   }
 
+  test("mcNemar / pairedT survive empty, concordant-only and constant frames") {
+    val schema = StructType(Seq(StructField("a1", LongType),
+      StructField("a2", LongType)))
+    def mc(rows: Seq[(Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), schema)
+    assertClean(engine.mcNemar(mc(Nil), "a1", "a2"), "mcNemar/empty")
+    assertClean(engine.mcNemar(
+      mc((1 to 5).map(_ => (1L, 1L))), "a1", "a2"),
+      "mcNemar/concordant-only")
+    val dSchema = StructType(Seq(StructField("d_w", LongType)))
+    def pt(rows: Seq[Long]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row(_)), 1), dSchema)
+    assertClean(engine.pairedT(pt(Nil), "d_w"), "pairedT/empty")
+    assertClean(engine.pairedT(pt(Seq(3L)), "d_w"), "pairedT/single")
+    assertClean(engine.pairedT(pt(Seq.fill(5)(2L)), "d_w"),
+      "pairedT/constant")
+  }
+
   test("bhStepUp / kaplanMeierBy survive empty and all-null frames") {
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("p_u", LongType)))

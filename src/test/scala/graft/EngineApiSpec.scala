@@ -940,8 +940,39 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 138, "documented facade count drifted; methods: "
+    assert(names.length === 140, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
+  }
+
+  test("mcNemar / pairedT facades match the declared paired keys") {
+    val d = sf("sf0.001")
+    val ev = TestData.events(spark, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) DIV 2").as("mid"))
+    val flags = ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase"
+          && col("ts_us") < col("mid"), 1).otherwise(0)).as("a1"),
+        max(when(col("event_type") === "purchase"
+          && col("ts_us") >= col("mid"), 1).otherwise(0)).as("a2"))
+    assert(engine.mcNemar(flags, "a1", "a2")
+        .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("agg_mcnemar")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    val diffs = ev.withColumn("v_u",
+        floor(col("value") * 1000000 + 0.5).cast("long"))
+      .crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(sum(when(col("ts_us") < col("mid"), col("v_u")).otherwise(0L))
+          .as("s1"),
+        sum(when(col("ts_us") >= col("mid"), col("v_u")).otherwise(0L))
+          .as("s2"))
+      .withColumn("d_w", floor((col("s1") - col("s2")).cast("double")
+        / 1000000.0).cast("long"))
+    assert(engine.pairedT(diffs, "d_w")
+        .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("agg_paired_t")(spark, d)
+        .collect().map(_.toSeq).toSeq)
   }
 
   test("dctPerceptualHash facade matches the multimodal_dct_phash key") {
