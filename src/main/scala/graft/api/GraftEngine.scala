@@ -3360,6 +3360,72 @@ class GraftEngine(val spark: SparkSession) {
       .orderBy("rk")
   }
 
+  /** Bollinger bands (see `ts_bollinger_bands`) over an integer
+    * series on an integer grid: rolling `window` mean ± `k`·σ via a
+    * gap-safe RANGE frame, bands on full windows only, breach
+    * decided by the exact-integer cross-multiplied compare
+    * |n·x − S|² > k²·(n·Σx² − S²) — no float boundary.
+    */
+  def bollingerBands(series: DataFrame, xCol: String, yCol: String,
+                     window: Int = 24, k: Int = 2): DataFrame = {
+    require(window >= 2 && k >= 1, "window >= 2, k >= 1")
+    val W = Window.orderBy(xCol).rangeBetween(-(window - 1), 0)
+    val n = window.toLong
+    series.select(col(xCol).as("hr"), col(yCol).as("cnt"))
+      .withColumn("n_win", count(lit(1)).over(W))
+      .withColumn("s_win", sum("cnt").over(W))
+      .withColumn("ss_win", sum(col("cnt") * col("cnt")).over(W))
+      .withColumn("mean_cnt", when(col("n_win") === n,
+        TestData.r4(col("s_win").cast("double") / n.toDouble)))
+      .withColumn("lower", when(col("n_win") === n,
+        TestData.r4(col("s_win").cast("double") / n.toDouble
+          - lit(k.toDouble) * sqrt((col("ss_win") * n
+              - col("s_win") * col("s_win")).cast("double")) / n.toDouble)))
+      .withColumn("upper", when(col("n_win") === n,
+        TestData.r4(col("s_win").cast("double") / n.toDouble
+          + lit(k.toDouble) * sqrt((col("ss_win") * n
+              - col("s_win") * col("s_win")).cast("double")) / n.toDouble)))
+      .withColumn("breach", when(col("n_win") === n,
+        (col("cnt") * n - col("s_win")) * (col("cnt") * n - col("s_win"))
+          > (col("ss_win") * n - col("s_win") * col("s_win"))
+            * (k.toLong * k)))
+      .select("hr", "cnt", "n_win", "mean_cnt", "lower", "upper",
+        "breach")
+      .orderBy("hr")
+  }
+
+  /** Rolling Pearson correlation (see `ts_rolling_corr`) between two
+    * integer series sharing an integer grid: six exact window sums
+    * over a gap-safe RANGE frame, r assembled once per point. Full
+    * windows with both variances positive only.
+    */
+  def rollingCorr(series: DataFrame, xCol: String, aCol: String,
+                  bCol: String, window: Int = 24): DataFrame = {
+    require(window >= 2, "window >= 2")
+    val W = Window.orderBy("hr").rangeBetween(-(window - 1), 0)
+    val n = window.toLong
+    series.select(col(xCol).as("hr"), col(aCol).as("x"),
+        col(bCol).as("y"))
+      .withColumn("n_win", count(lit(1)).over(W))
+      .withColumn("sx", sum("x").over(W))
+      .withColumn("sy", sum("y").over(W))
+      .withColumn("sxx", sum(col("x") * col("x")).over(W))
+      .withColumn("syy", sum(col("y") * col("y")).over(W))
+      .withColumn("sxy", sum(col("x") * col("y")).over(W))
+      .withColumn("num",
+        col("n_win") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("dx",
+        col("n_win") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy",
+        col("n_win") * col("syy") - col("sy") * col("sy"))
+      .withColumn("r_corr", when(
+        col("n_win") === n && col("dx") > 0 && col("dy") > 0,
+        TestData.r4(col("num").cast("double")
+          / sqrt(col("dx").cast("double") * col("dy").cast("double")))))
+      .select("hr", "x", "y", "n_win", "r_corr")
+      .orderBy("hr")
+  }
+
   /** McNemar's paired test (see `agg_mcnemar`) over per-subject 0/1
     * before/after flags: χ² = (b−c)²/(b+c) on the discordant
     * counts, exact integers until the one division. b+c = 0 ⇒ NULL.

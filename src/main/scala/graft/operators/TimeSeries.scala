@@ -1930,6 +1930,83 @@ object TimeSeries {
         .select("n_scored", "abs_err_sum", "mae", "smape")
     }),
 
+    // BOLLINGER BANDS (round 11): rolling 24 h mean ± 2σ envelope
+    // over the hourly series with a breach flag — the volatility-
+    // aware alarm next to events_anomaly_zscore's global z (a level
+    // change widens the local band instead of flagging forever).
+    // RANGE frame over the hour KEY (gap-safe — the lag()-over-rows
+    // trap does not apply to RANGE); bands only on FULL 24-occupied-
+    // hour windows (ts_level_shift convention). The breach verdict
+    // never touches a float: |24x − S|² > 4·(24Σx² − S²) cross-
+    // multiplied in exact BIGINTs (24²·cnt² < 2^63 for cnt < 4e9/h);
+    // the published band edges are one mirrored IEEE expression, r4.
+    "ts_bollinger_bands" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+        .orderBy("hr").rangeBetween(-23, 0)
+      TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("n_win", count(lit(1)).over(W))
+        .withColumn("s_win", sum("cnt").over(W))
+        .withColumn("ss_win", sum(col("cnt") * col("cnt")).over(W))
+        .withColumn("mean_cnt", when(col("n_win") === 24,
+          r4(col("s_win").cast("double") / 24.0)))
+        .withColumn("lower", when(col("n_win") === 24,
+          r4(col("s_win").cast("double") / 24.0
+            - lit(2.0) * sqrt((col("ss_win") * 24
+                - col("s_win") * col("s_win")).cast("double")) / 24.0)))
+        .withColumn("upper", when(col("n_win") === 24,
+          r4(col("s_win").cast("double") / 24.0
+            + lit(2.0) * sqrt((col("ss_win") * 24
+                - col("s_win") * col("s_win")).cast("double")) / 24.0)))
+        .withColumn("breach", when(col("n_win") === 24,
+          (col("cnt") * 24 - col("s_win"))
+            * (col("cnt") * 24 - col("s_win"))
+            > (col("ss_win") * 24 - col("s_win") * col("s_win")) * 4))
+        .select("hr", "cnt", "n_win", "mean_cnt", "lower", "upper",
+          "breach")
+        .orderBy("hr")
+    }),
+
+    // ROLLING CORRELATION (round 11): 24 h windowed Pearson r
+    // between the click and purchase hourly series — the co-movement
+    // monitor behind "did the funnel decouple this afternoon"
+    // (ts_cross_corr gives ONE global number; operations wants the
+    // trajectory). One conditional-aggregate pass builds both series
+    // on the SAME occupied-hour grid; six exact-BIGINT window sums
+    // over a RANGE frame (gap-safe); r assembled once per hour in
+    // mirrored IEEE order, r4. Full 24-hour windows with both
+    // variances positive only — else NULL (constant series have no
+    // correlation). Bounds: 24·Σxy ≤ 24²·cnt² < 2^63 for cnt < 4e9/h.
+    "ts_rolling_corr" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+        .orderBy("hr").rangeBetween(-23, 0)
+      TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+        .withColumn("n_win", count(lit(1)).over(W))
+        .withColumn("sx", sum("x").over(W))
+        .withColumn("sy", sum("y").over(W))
+        .withColumn("sxx", sum(col("x") * col("x")).over(W))
+        .withColumn("syy", sum(col("y") * col("y")).over(W))
+        .withColumn("sxy", sum(col("x") * col("y")).over(W))
+        .withColumn("num",
+          col("n_win") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("dx",
+          col("n_win") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("dy",
+          col("n_win") * col("syy") - col("sy") * col("sy"))
+        .withColumn("r_corr", when(
+          col("n_win") === 24 && col("dx") > 0 && col("dy") > 0,
+          r4(col("num").cast("double")
+            / sqrt(col("dx").cast("double") * col("dy").cast("double")))))
+        .select("hr", "x", "y", "n_win", "r_corr")
+        .orderBy("hr")
+    }),
+
     // SES ONE-STEP BACKTEST (round 11): the smoothed companion to
     // ts_snaive_smape — simple exponential smoothing at α = 1/2,
     // UNROLLED to exact binary-fraction weights so the forecast is
@@ -3472,6 +3549,68 @@ object TimeSeries {
         |    floor((smape_sum_u::DOUBLE / n_scored / 1000000.0)
         |      * 10000 + 0.5) / 10000 END AS smape
         |FROM a""".stripMargin,
+    // Same RANGE frame, full-window gate, integer breach compare
+    // and mirrored band expressions.
+    "ts_bollinger_bands" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT hr, cnt,
+        |    (count(*) OVER win)::BIGINT AS n_win,
+        |    (sum(cnt) OVER win)::BIGINT AS s_win,
+        |    (sum(cnt * cnt) OVER win)::BIGINT AS ss_win
+        |  FROM hourly
+        |  WINDOW win AS (ORDER BY hr
+        |    RANGE BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT hr, cnt, n_win,
+        |  CASE WHEN n_win = 24 THEN
+        |    floor((s_win::DOUBLE / 24.0) * 10000 + 0.5) / 10000 END
+        |    AS mean_cnt,
+        |  CASE WHEN n_win = 24 THEN
+        |    floor((s_win::DOUBLE / 24.0
+        |      - 2.0 * sqrt((ss_win * 24 - s_win * s_win)::DOUBLE) / 24.0)
+        |      * 10000 + 0.5) / 10000 END AS lower,
+        |  CASE WHEN n_win = 24 THEN
+        |    floor((s_win::DOUBLE / 24.0
+        |      + 2.0 * sqrt((ss_win * 24 - s_win * s_win)::DOUBLE) / 24.0)
+        |      * 10000 + 0.5) / 10000 END AS upper,
+        |  CASE WHEN n_win = 24 THEN
+        |    (cnt * 24 - s_win) * (cnt * 24 - s_win)
+        |      > (ss_win * 24 - s_win * s_win) * 4 END AS breach
+        |FROM w ORDER BY hr""".stripMargin,
+    // Same conditional-aggregate grid, six exact window sums,
+    // mirrored Pearson assembly.
+    "ts_rolling_corr" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+        |      AS x,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS y
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT hr, x, y,
+        |    (count(*) OVER win)::BIGINT AS n_win,
+        |    (sum(x) OVER win)::BIGINT AS sx,
+        |    (sum(y) OVER win)::BIGINT AS sy,
+        |    (sum(x * x) OVER win)::BIGINT AS sxx,
+        |    (sum(y * y) OVER win)::BIGINT AS syy,
+        |    (sum(x * y) OVER win)::BIGINT AS sxy
+        |  FROM hourly
+        |  WINDOW win AS (ORDER BY hr
+        |    RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |t AS (
+        |  SELECT *,
+        |    n_win * sxy - sx * sy AS num,
+        |    n_win * sxx - sx * sx AS dx,
+        |    n_win * syy - sy * sy AS dy
+        |  FROM w)
+        |SELECT hr, x, y, n_win,
+        |  CASE WHEN n_win = 24 AND dx > 0 AND dy > 0 THEN
+        |    floor((num::DOUBLE / sqrt(dx::DOUBLE * dy::DOUBLE))
+        |      * 10000 + 0.5) / 10000 END AS r_corr
+        |FROM t ORDER BY hr""".stripMargin,
     // Same tap fan-out over the hour grid (equi-join, HAVING = 8),
     // ×128 integer forecast, micro-quantized sMAPE terms.
     "ts_ses_backtest" ->

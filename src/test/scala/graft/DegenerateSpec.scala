@@ -194,6 +194,16 @@ class DegenerateSpec extends SparkSpec {
     }
   }
 
+  test("bollingerBands / rollingCorr survive degenerate series") {
+    seriesFrames.foreach { case (n, f) =>
+      assertClean(engine.bollingerBands(f, "hr", "n", 4, 2),
+        s"bollinger/$n")
+      val two = f.withColumn("n2", col("n") * 2)
+      assertClean(engine.rollingCorr(two, "hr", "n", "n2", 4),
+        s"rollingCorr/$n")
+    }
+  }
+
   // ---- survival / lifecycle ----------------------------------------
 
   test("olsTwo survives collinear / constant / tiny frames") {

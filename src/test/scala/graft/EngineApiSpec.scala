@@ -940,8 +940,29 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 140, "documented facade count drifted; methods: "
+    assert(names.length === 142, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
+  }
+
+  test("bollingerBands / rollingCorr facades match the declared keys") {
+    val d = sf("sf0.001")
+    val hourly = TestData.events(spark, d)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(engine.bollingerBands(hourly, "hr", "cnt")
+        .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("ts_bollinger_bands")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    val two = TestData.events(spark, d)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("a"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("b"))
+    assert(engine.rollingCorr(two, "hr", "a", "b")
+        .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("ts_rolling_corr")(spark, d)
+        .collect().map(_.toSeq).toSeq)
   }
 
   test("mcNemar / pairedT facades match the declared paired keys") {
