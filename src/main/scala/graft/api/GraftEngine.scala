@@ -3515,6 +3515,35 @@ class GraftEngine(val spark: SparkSession) {
       .orderBy("id")
   }
 
+  /** Holm-Bonferroni step-down (see `agg_holm_bonferroni`) over a
+    * frame of per-test micro-quantized p-values: ranks the m
+    * non-null tests, flags p_u·(m−k+1) ≤ alphaMicro integer-exactly,
+    * rejects strictly BEFORE the first unflagged rank (a later
+    * success cannot rescue earlier ranks — step-down, not BH's
+    * step-up). alphaMicro = α·1e6 (default 50000 = FWER 0.05).
+    */
+  def holmStepDown(tests: DataFrame, idCol: String, pMicroCol: String,
+                   alphaMicro: Long = 50000L): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro <= 1000000L,
+      "alphaMicro in (0, 1e6]")
+    val W = Window.partitionBy()
+    val wRank = Window.orderBy(col("p_u").asc_nulls_last, col("id"))
+    tests.select(col(idCol).as("id"), col(pMicroCol).as("p_u"))
+      .withColumn("m_tests",
+        sum(when(col("p_u").isNotNull, 1L).otherwise(0L)).over(W))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("flag", col("p_u").isNotNull
+        && col("p_u") * (col("m_tests") - col("rk") + 1) <= alphaMicro)
+      .withColumn("k_stop",
+        min(when(!col("flag") && col("rk") <= col("m_tests"),
+          col("rk"))).over(W))
+      .withColumn("significant", when(col("p_u").isNotNull,
+        col("k_stop").isNull || col("rk") < col("k_stop"))
+        .otherwise(lit(false)))
+      .select("id", "p_u", "rk", "significant")
+      .orderBy("id")
+  }
+
   /** Per-group Kaplan-Meier curves (see `events_km_variants`): the
     * [[kaplanMeier]] estimator with every window PARTITIONED BY
     * `groupCol` — risk sets per group over its own distinct-duration

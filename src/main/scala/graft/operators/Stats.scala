@@ -51,6 +51,66 @@ object Stats {
            sum(when(col("variant") === "treatment", 1L).otherwise(0L))
              .as("ct"))
 
+  /** Per-nation Welch-z variant tests shared by the multiple-testing
+    * keys (`agg_bh_fdr`, `agg_holm_bonferroni`): per-customer total
+    * spend in whole dollars via the NEGATIVE-SAFE IEEE-floor
+    * quantizer, md5 customer split, per-nation sufficient stats, z,
+    * and the Lin-approximated micro-quantized p. One row per nation
+    * with (nationkey, n_c, n_t, z, p_u); degenerate nations carry
+    * NULL z/p (and drop out of the procedures' m).
+    */
+  private def nationPValues(s: SparkSession, d: String): DataFrame = {
+    val pu = TestData.orders(s, d)
+      .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5)
+        .cast("long"))
+      .groupBy("o_custkey").agg(sum("cents").as("sum_cents"))
+      .withColumn("x",
+        floor(col("sum_cents").cast("double") / 100.0).cast("long"))
+      .withColumn("variant",
+        when(conv(substring(md5(col("o_custkey").cast("string")), 1, 2),
+          16, 10).cast("int") % 2 === 0, "control").otherwise("treatment"))
+      .join(TestData.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").cast("long")
+          .as("nationkey")),
+        col("o_custkey") === col("c_custkey"))
+    pu.groupBy("nationkey")
+      .agg(sum(when(col("variant") === "control", 1L).otherwise(0L))
+          .as("n_c"),
+        sum(when(col("variant") === "treatment", 1L).otherwise(0L))
+          .as("n_t"),
+        sum(when(col("variant") === "control", col("x")).otherwise(0L))
+          .as("sx_c"),
+        sum(when(col("variant") === "treatment", col("x")).otherwise(0L))
+          .as("sx_t"),
+        sum(when(col("variant") === "control", col("x") * col("x"))
+          .otherwise(0L)).as("sxx_c"),
+        sum(when(col("variant") === "treatment", col("x") * col("x"))
+          .otherwise(0L)).as("sxx_t"))
+      .withColumn("m_c", when(col("n_c") > 0,
+        col("sx_c").cast("double") / col("n_c").cast("double")))
+      .withColumn("m_t", when(col("n_t") > 0,
+        col("sx_t").cast("double") / col("n_t").cast("double")))
+      .withColumn("v_c", when(col("n_c") > 1,
+        (col("sxx_c").cast("double")
+          - col("sx_c").cast("double") * col("sx_c").cast("double")
+            / col("n_c").cast("double"))
+          / (col("n_c") - 1).cast("double")))
+      .withColumn("v_t", when(col("n_t") > 1,
+        (col("sxx_t").cast("double")
+          - col("sx_t").cast("double") * col("sx_t").cast("double")
+            / col("n_t").cast("double"))
+          / (col("n_t") - 1).cast("double")))
+      .withColumn("z", when(col("v_c") > 0 && col("v_t") > 0,
+        r4((col("m_t") - col("m_c"))
+          / sqrt(col("v_c") / col("n_c").cast("double")
+            + col("v_t") / col("n_t").cast("double")))))
+      .withColumn("p_u", when(col("z").isNotNull,
+        floor(least(lit(1.0), lit(2.0)
+          * exp(lit(-0.717) * abs(col("z"))
+            - lit(0.416) * col("z") * col("z"))) * 1000000 + 0.5)
+          .cast("long")))
+  }
+
   val defs: Map[String, Q] = Map(
     // MANN-WHITNEY U (round 10): the nonparametric A/B test the
     // experimentation stack reaches for when per-user value is
@@ -678,56 +738,7 @@ object Stats {
     "agg_bh_fdr" -> ((s, d) => {
       val W = Window.partitionBy()
       val wRank = Window.orderBy(col("p_u").asc_nulls_last, col("nationkey"))
-      val pu = TestData.orders(s, d)
-        .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5)
-          .cast("long"))
-        .groupBy("o_custkey").agg(sum("cents").as("sum_cents"))
-        .withColumn("x",
-          floor(col("sum_cents").cast("double") / 100.0).cast("long"))
-        .withColumn("variant",
-          when(conv(substring(md5(col("o_custkey").cast("string")), 1, 2),
-            16, 10).cast("int") % 2 === 0, "control").otherwise("treatment"))
-        .join(TestData.customer(s, d)
-          .select(col("c_custkey"), col("c_nationkey").cast("long")
-            .as("nationkey")),
-          col("o_custkey") === col("c_custkey"))
-      val cells = pu.groupBy("nationkey")
-        .agg(sum(when(col("variant") === "control", 1L).otherwise(0L))
-            .as("n_c"),
-          sum(when(col("variant") === "treatment", 1L).otherwise(0L))
-            .as("n_t"),
-          sum(when(col("variant") === "control", col("x")).otherwise(0L))
-            .as("sx_c"),
-          sum(when(col("variant") === "treatment", col("x")).otherwise(0L))
-            .as("sx_t"),
-          sum(when(col("variant") === "control", col("x") * col("x"))
-            .otherwise(0L)).as("sxx_c"),
-          sum(when(col("variant") === "treatment", col("x") * col("x"))
-            .otherwise(0L)).as("sxx_t"))
-        .withColumn("m_c", when(col("n_c") > 0,
-          col("sx_c").cast("double") / col("n_c").cast("double")))
-        .withColumn("m_t", when(col("n_t") > 0,
-          col("sx_t").cast("double") / col("n_t").cast("double")))
-        .withColumn("v_c", when(col("n_c") > 1,
-          (col("sxx_c").cast("double")
-            - col("sx_c").cast("double") * col("sx_c").cast("double")
-              / col("n_c").cast("double"))
-            / (col("n_c") - 1).cast("double")))
-        .withColumn("v_t", when(col("n_t") > 1,
-          (col("sxx_t").cast("double")
-            - col("sx_t").cast("double") * col("sx_t").cast("double")
-              / col("n_t").cast("double"))
-            / (col("n_t") - 1).cast("double")))
-        .withColumn("z", when(col("v_c") > 0 && col("v_t") > 0,
-          r4((col("m_t") - col("m_c"))
-            / sqrt(col("v_c") / col("n_c").cast("double")
-              + col("v_t") / col("n_t").cast("double")))))
-        .withColumn("p_u", when(col("z").isNotNull,
-          floor(least(lit(1.0), lit(2.0)
-            * exp(lit(-0.717) * abs(col("z"))
-              - lit(0.416) * col("z") * col("z"))) * 1000000 + 0.5)
-            .cast("long")))
-      cells
+      nationPValues(s, d)
         .withColumn("m_tests",
           sum(when(col("p_u").isNotNull, 1L).otherwise(0L)).over(W))
         .withColumn("rk", row_number().over(wRank))
@@ -736,6 +747,36 @@ object Stats {
         .withColumn("k_max", max(when(col("flag"), col("rk"))).over(W))
         .withColumn("significant", when(col("p_u").isNotNull,
           col("k_max").isNotNull && col("rk") <= col("k_max"))
+          .otherwise(lit(false)))
+        .select(col("nationkey"), (col("n_c") + col("n_t")).as("n_users"),
+          col("z"), col("p_u"), col("rk"), col("significant"))
+        .orderBy("nationkey")
+    }),
+
+    // HOLM-BONFERRONI (round 11): the step-DOWN companion to
+    // agg_bh_fdr — familywise-error control (α = 0.05) over the SAME
+    // per-nation Welch-z p-values: reject in p-ascending order while
+    // p_(k) ≤ α/(m−k+1), STOP at the first failure (unlike BH's
+    // step-up, a later success cannot rescue earlier ranks).
+    // Integer-exact: p_u·(m−k+1) ≤ 50000 cross-multiplied; the stop
+    // rank is one window min over the unflagged ranks. Strictly less
+    // powerful than BH at matching levels — monotone containment of
+    // the rejection sets is the natural cross-key property.
+    "agg_holm_bonferroni" -> ((s, d) => {
+      val W = Window.partitionBy()
+      val wRank = Window.orderBy(col("p_u").asc_nulls_last, col("nationkey"))
+      nationPValues(s, d)
+        .withColumn("m_tests",
+          sum(when(col("p_u").isNotNull, 1L).otherwise(0L)).over(W))
+        .withColumn("rk", row_number().over(wRank))
+        .withColumn("flag", col("p_u").isNotNull
+          && col("p_u") * (col("m_tests") - col("rk") + 1)
+            <= lit(50000L))
+        .withColumn("k_stop",
+          min(when(!col("flag") && col("rk") <= col("m_tests"),
+            col("rk"))).over(W))
+        .withColumn("significant", when(col("p_u").isNotNull,
+          col("k_stop").isNull || col("rk") < col("k_stop"))
           .otherwise(lit(false)))
         .select(col("nationkey"), (col("n_c") + col("n_t")).as("n_users"),
           col("z"), col("p_u"), col("rk"), col("significant"))
@@ -908,6 +949,64 @@ object Stats {
       |    sum(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END)::BIGINT
       |      AS ct
       |  FROM v GROUP BY 1)""".stripMargin
+
+  /** Shared DuckDB CTE chain reproducing [[nationPValues]] — ends in
+    * `pp(nationkey, n_c, n_t, ..., z, p_u)`.
+    */
+  private val NationPCte =
+    """WITH pc AS (
+      |  SELECT o_custkey,
+      |    sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT
+      |      AS sum_cents
+      |  FROM orders GROUP BY 1),
+      |pu AS (
+      |  SELECT o_custkey,
+      |    floor(sum_cents::DOUBLE / 100.0)::BIGINT AS x,
+      |    CASE WHEN ('0x' || substring(md5(o_custkey::VARCHAR), 1, 2))
+      |      ::INT % 2 = 0 THEN 'control' ELSE 'treatment' END AS variant
+      |  FROM pc),
+      |j AS (
+      |  SELECT c.c_nationkey::BIGINT AS nationkey, pu.x, pu.variant
+      |  FROM pu JOIN customer c ON pu.o_custkey = c.c_custkey),
+      |cells AS (
+      |  SELECT nationkey,
+      |    sum(CASE WHEN variant = 'control' THEN 1 ELSE 0 END)::BIGINT
+      |      AS n_c,
+      |    sum(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END)::BIGINT
+      |      AS n_t,
+      |    sum(CASE WHEN variant = 'control' THEN x ELSE 0 END)::BIGINT
+      |      AS sx_c,
+      |    sum(CASE WHEN variant = 'treatment' THEN x ELSE 0 END)::BIGINT
+      |      AS sx_t,
+      |    sum(CASE WHEN variant = 'control' THEN x * x ELSE 0 END)
+      |      ::BIGINT AS sxx_c,
+      |    sum(CASE WHEN variant = 'treatment' THEN x * x ELSE 0 END)
+      |      ::BIGINT AS sxx_t
+      |  FROM j GROUP BY 1),
+      |st AS (
+      |  SELECT *,
+      |    CASE WHEN n_c > 0 THEN sx_c::DOUBLE / n_c::DOUBLE END AS m_c,
+      |    CASE WHEN n_t > 0 THEN sx_t::DOUBLE / n_t::DOUBLE END AS m_t,
+      |    CASE WHEN n_c > 1 THEN
+      |      (sxx_c::DOUBLE - sx_c::DOUBLE * sx_c::DOUBLE / n_c::DOUBLE)
+      |        / (n_c - 1)::DOUBLE END AS v_c,
+      |    CASE WHEN n_t > 1 THEN
+      |      (sxx_t::DOUBLE - sx_t::DOUBLE * sx_t::DOUBLE / n_t::DOUBLE)
+      |        / (n_t - 1)::DOUBLE END AS v_t
+      |  FROM cells),
+      |zz AS (
+      |  SELECT *,
+      |    CASE WHEN v_c > 0 AND v_t > 0 THEN
+      |      floor((m_t - m_c)
+      |        / sqrt(v_c / n_c::DOUBLE + v_t / n_t::DOUBLE)
+      |        * 10000 + 0.5) / 10000 END AS z
+      |  FROM st),
+      |pp AS (
+      |  SELECT *,
+      |    CASE WHEN z IS NOT NULL THEN
+      |      floor(least(1.0, 2.0 * exp(-0.717 * abs(z)
+      |        - 0.416 * z * z)) * 1000000 + 0.5)::BIGINT END AS p_u
+      |  FROM zz)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "agg_mann_whitney" ->
@@ -1408,59 +1507,7 @@ object Stats {
     // Same IEEE-floor dollar quantizer, Welch z, Lin p-approximation
     // and integer cross-multiplied step-up as the Spark side.
     "agg_bh_fdr" ->
-      """WITH pc AS (
-        |  SELECT o_custkey,
-        |    sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT
-        |      AS sum_cents
-        |  FROM orders GROUP BY 1),
-        |pu AS (
-        |  SELECT o_custkey,
-        |    floor(sum_cents::DOUBLE / 100.0)::BIGINT AS x,
-        |    CASE WHEN ('0x' || substring(md5(o_custkey::VARCHAR), 1, 2))
-        |      ::INT % 2 = 0 THEN 'control' ELSE 'treatment' END AS variant
-        |  FROM pc),
-        |j AS (
-        |  SELECT c.c_nationkey::BIGINT AS nationkey, pu.x, pu.variant
-        |  FROM pu JOIN customer c ON pu.o_custkey = c.c_custkey),
-        |cells AS (
-        |  SELECT nationkey,
-        |    sum(CASE WHEN variant = 'control' THEN 1 ELSE 0 END)::BIGINT
-        |      AS n_c,
-        |    sum(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END)::BIGINT
-        |      AS n_t,
-        |    sum(CASE WHEN variant = 'control' THEN x ELSE 0 END)::BIGINT
-        |      AS sx_c,
-        |    sum(CASE WHEN variant = 'treatment' THEN x ELSE 0 END)::BIGINT
-        |      AS sx_t,
-        |    sum(CASE WHEN variant = 'control' THEN x * x ELSE 0 END)
-        |      ::BIGINT AS sxx_c,
-        |    sum(CASE WHEN variant = 'treatment' THEN x * x ELSE 0 END)
-        |      ::BIGINT AS sxx_t
-        |  FROM j GROUP BY 1),
-        |st AS (
-        |  SELECT *,
-        |    CASE WHEN n_c > 0 THEN sx_c::DOUBLE / n_c::DOUBLE END AS m_c,
-        |    CASE WHEN n_t > 0 THEN sx_t::DOUBLE / n_t::DOUBLE END AS m_t,
-        |    CASE WHEN n_c > 1 THEN
-        |      (sxx_c::DOUBLE - sx_c::DOUBLE * sx_c::DOUBLE / n_c::DOUBLE)
-        |        / (n_c - 1)::DOUBLE END AS v_c,
-        |    CASE WHEN n_t > 1 THEN
-        |      (sxx_t::DOUBLE - sx_t::DOUBLE * sx_t::DOUBLE / n_t::DOUBLE)
-        |        / (n_t - 1)::DOUBLE END AS v_t
-        |  FROM cells),
-        |zz AS (
-        |  SELECT *,
-        |    CASE WHEN v_c > 0 AND v_t > 0 THEN
-        |      floor((m_t - m_c)
-        |        / sqrt(v_c / n_c::DOUBLE + v_t / n_t::DOUBLE)
-        |        * 10000 + 0.5) / 10000 END AS z
-        |  FROM st),
-        |pp AS (
-        |  SELECT *,
-        |    CASE WHEN z IS NOT NULL THEN
-        |      floor(least(1.0, 2.0 * exp(-0.717 * abs(z)
-        |        - 0.416 * z * z)) * 1000000 + 0.5)::BIGINT END AS p_u
-        |  FROM zz),
+      s"""$NationPCte,
         |r AS (
         |  SELECT *,
         |    (sum(CASE WHEN p_u IS NOT NULL THEN 1 ELSE 0 END) OVER ())
@@ -1477,6 +1524,31 @@ object Stats {
         |SELECT nationkey, (n_c + n_t)::BIGINT AS n_users, z, p_u, rk,
         |  CASE WHEN p_u IS NOT NULL THEN
         |    (k_max IS NOT NULL AND rk <= k_max) ELSE false END
+        |    AS significant
+        |FROM k ORDER BY nationkey""".stripMargin,
+    // Same shared per-nation p CTE; step-DOWN: stop at the first
+    // rank failing p_u·(m−k+1) ≤ 50000, reject strictly before it.
+    "agg_holm_bonferroni" ->
+      s"""$NationPCte,
+        |r AS (
+        |  SELECT *,
+        |    (sum(CASE WHEN p_u IS NOT NULL THEN 1 ELSE 0 END) OVER ())
+        |      ::BIGINT AS m_tests,
+        |    row_number() OVER (ORDER BY p_u ASC NULLS LAST, nationkey)
+        |      AS rk
+        |  FROM pp),
+        |f AS (
+        |  SELECT *,
+        |    (p_u IS NOT NULL
+        |      AND p_u * (m_tests - rk + 1) <= 50000) AS flag
+        |  FROM r),
+        |k AS (SELECT *,
+        |        min(CASE WHEN NOT flag AND rk <= m_tests THEN rk END)
+        |          OVER () AS k_stop
+        |      FROM f)
+        |SELECT nationkey, (n_c + n_t)::BIGINT AS n_users, z, p_u, rk,
+        |  CASE WHEN p_u IS NOT NULL THEN
+        |    (k_stop IS NULL OR rk < k_stop) ELSE false END
         |    AS significant
         |FROM k ORDER BY nationkey""".stripMargin,
     // Same whole-unit quantization, same centered-moment and

@@ -842,6 +842,34 @@ object ClosedFormProps extends Properties("graft.closedforms") {
         } :| "every rejected p must be <= p_(k*)"
     }
 
+  // agg_holm_bonferroni: step-down semantics — the rejection set is
+  // the maximal prefix where EVERY rank k so far passes
+  // p_(k) ≤ α/(m−k+1) — and Holm at α is always CONTAINED in BH at
+  // q = α (the classical FWER ⊆ FDR power ordering), because Holm's
+  // per-rank threshold α/(m−k+1) ≤ k·α/m for every k ≤ m.
+  property("Holm rejects a prefix and is contained in BH at the same level") =
+    Prop.forAll(pvals, Gen.choose(1L, 500000L)) { (ps, aMicro) =>
+      val m = ps.size.toLong
+      val sorted = ps.sorted.zipWithIndex
+        .map { case (p, i) => (p, i + 1L) }
+      // Holm: first failing rank stops everything after it
+      val kStop = sorted.find { case (p, k) =>
+        p * (m - k + 1) > aMicro
+      }.map(_._2)
+      val holm = kStop match {
+        case None => sorted
+        case Some(k) => sorted.takeWhile(_._2 < k)
+      }
+      // BH at q = α
+      val kStar = sorted.filter { case (p, k) => p * m <= k * aMicro }
+        .map(_._2).reduceOption(_ max _)
+      val bh = kStar.map(k => sorted.take(k.toInt)).getOrElse(Nil)
+      (holm == sorted.takeWhile(h => holm.contains(h))) :|
+        "Holm rejection set must be a prefix" &&
+        holm.forall(bh.contains) :|
+          s"Holm (${holm.size}) must be contained in BH (${bh.size})"
+    }
+
   // multimodal_dct_phash anchors. Every AC basis row sums to EXACTLY
   // zero even after micro-quantization: the 8 cosines pair up as
   // (θ, θ+π) with exact negation, and round(−y) = −round(y) for any

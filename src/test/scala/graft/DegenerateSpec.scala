@@ -294,6 +294,13 @@ class DegenerateSpec extends SparkSpec {
     assertClean(engine.bhStepUp(
       bh(Seq(Row(1L, 0L), Row(2L, 1000000L))), "id", "p_u"),
       "bh/extremes")
+    assertClean(engine.holmStepDown(bh(Nil), "id", "p_u"), "holm/empty")
+    assertClean(engine.holmStepDown(
+      bh((1 to 4).map(i => Row(i.toLong, null))), "id", "p_u"),
+      "holm/all-null")
+    assertClean(engine.holmStepDown(
+      bh(Seq(Row(1L, 0L), Row(2L, 1000000L))), "id", "p_u"),
+      "holm/extremes")
 
     val kmSchema = StructType(Seq(StructField("dur", LongType),
       StructField("ev", LongType), StructField("g", StringType)))

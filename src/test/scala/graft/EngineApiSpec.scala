@@ -940,8 +940,20 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 142, "documented facade count drifted; methods: "
+    assert(names.length === 143, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
+  }
+
+  test("holmStepDown facade reproduces the agg_holm_bonferroni columns") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("agg_holm_bonferroni")(spark, d)
+      .select("nationkey", "p_u", "rk", "significant")
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.holmStepDown(
+        SparkEntry.queries("agg_holm_bonferroni")(spark, d)
+          .select("nationkey", "p_u"), "nationkey", "p_u")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
   }
 
   test("bollingerBands / rollingCorr facades match the declared keys") {
