@@ -3515,6 +3515,43 @@ class GraftEngine(val spark: SparkSession) {
       .orderBy("id")
   }
 
+  /** Newman modularity per community (see `graph_modularity`) from
+    * a node-label frame (`idCol`, `labelCol`) and an undirected
+    * (a, b) edge list: Q_c = e_c/m − (d_c/2m)², micro-quantized per
+    * community (read Q = Σ q_term_u / 1e6). m = 0 ⇒ NULL terms.
+    */
+  def modularity(labels: DataFrame, idCol: String, labelCol: String,
+                 edges: DataFrame): DataFrame = {
+    val l = labels.select(col(idCol).as("id"), col(labelCol).as("label"))
+    val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+    val me = edges.agg(count(lit(1)).as("m"))
+    val deg = adj.groupBy(col("src").as("id2"))
+      .agg(count(lit(1)).as("deg"))
+    val comm = l.join(deg, col("id") === col("id2"), "left")
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("deg"), lit(0L))).as("degree_sum"))
+    val la = l.select(col("id").as("a"), col("label").as("ca"))
+    val lb = l.select(col("id").as("b"), col("label").as("cb"))
+    val ein = edges.join(la, "a").join(lb, "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in"))
+    comm.join(ein, Seq("community"), "left")
+      .crossJoin(broadcast(me))
+      .withColumn("e_internal", coalesce(col("e_in"), lit(0L)))
+      .withColumn("q_term_u", when(col("m") > 0,
+        floor((col("e_internal").cast("double") / col("m").cast("double")
+          - (col("degree_sum").cast("double")
+              / (col("m") * 2).cast("double"))
+            * (col("degree_sum").cast("double")
+              / (col("m") * 2).cast("double")))
+          * 1000000 + 0.5).cast("long")))
+      .select("community", "n_nodes", "e_internal", "degree_sum",
+        "q_term_u")
+      .orderBy("community")
+  }
+
   /** Holm-Bonferroni step-down (see `agg_holm_bonferroni`) over a
     * frame of per-test micro-quantized p-values: ranks the m
     * non-null tests, flags p_u·(m−k+1) ≤ alphaMicro integer-exactly,

@@ -138,6 +138,40 @@ object GraphOps {
       graft.sources.WriteOnce.inputTag(d, "embeddings"),
       knnGraphEdges(s, d).localCheckpoint())
 
+  /** 3 sync rounds of min-count label propagation over the fixture
+    * kNN graph (the `graph_label_propagation` semantics), memoized
+    * per (session, fixture) — consumed by the LPA key AND
+    * `graph_modularity`'s community-quality readout.
+    */
+  private val lpaMemo = new graft.SessionMemo[DataFrame]
+
+  private[graft] def lpaLabels(s: SparkSession, d: String): DataFrame =
+    lpaMemo.getOrElseUpdate(s,
+      graft.sources.WriteOnce.inputTag(d, "embeddings"), {
+        val W = org.apache.spark.sql.expressions.Window
+        val edges = fixtureKnnEdges(s, d)
+        val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+          .union(edges.select(col("b").as("src"), col("a").as("dst")))
+          .localCheckpoint()
+        var labels = TestData.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("vec_id").as("label"))
+          .localCheckpoint()
+        for (_ <- 1 to 3) {
+          val top = adj.join(labels, col("dst") === col("id"))
+            .groupBy(col("src"), col("label"))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("rn", row_number().over(W.partitionBy("src")
+              .orderBy(col("cnt").desc, col("label"))))
+            .filter(col("rn") === 1)
+            .select(col("src"), col("label").as("nl"))
+          labels = labels.join(top, col("id") === col("src"), "left")
+            .select(col("id"),
+              coalesce(col("nl"), col("label")).as("label"))
+            .localCheckpoint()
+        }
+        labels
+      })
+
   /** DIRECTED top-3 kNN edge list (qid, nn, score) over the probed
     * candidate set — the shared stage [[knnGraphEdges]] collapses to
     * its undirected view and `vec_outlier_lof` consumes with scores
@@ -348,29 +382,52 @@ object GraphOps {
     // plan constant (pagerank precedent). Community sizes here are
     // degree-bounded, so the (node,label) aggregate never exceeds
     // |adj| rows.
-    "graph_label_propagation" -> ((s, d) => {
-      val W = org.apache.spark.sql.expressions.Window
+    "graph_label_propagation" -> ((s, d) =>
+      lpaLabels(s, d)
+        .select(col("id").as("vec_id"), col("label").as("community"))
+        .orderBy("vec_id")),
+
+    // MODULARITY (round 11): Newman's Q per LPA community — the
+    // "are these communities real structure or noise" score the
+    // label-propagation output needs before anyone acts on it
+    // (Q_c = e_c/m − (d_c/2m)²; Σ Q_c near 0 ⇒ no better than
+    // random). Consumes the SAME memoized 3-round LPA labels as the
+    // declared key; everything else is degree/edge aggregates on the
+    // edge grain (no new shuffle shape) folded to the COMMUNITY-
+    // sized grid; each community's term is one mirrored IEEE
+    // expression micro-quantized before any downstream sum
+    // (entropy/PSI protocol — a consumer reads Q = Σ q_term_u/1e6).
+    "graph_modularity" -> ((s, d) => {
       val edges = fixtureKnnEdges(s, d)
       val adj = edges.select(col("a").as("src"), col("b").as("dst"))
         .union(edges.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint()
-      var labels = TestData.embeddings(s, d)
-        .select(col("vec_id").as("id"), col("vec_id").as("label"))
-        .localCheckpoint()
-      for (_ <- 1 to 3) {
-        val top = adj.join(labels, col("dst") === col("id"))
-          .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
-          .withColumn("rn", row_number().over(W.partitionBy("src")
-            .orderBy(col("cnt").desc, col("label"))))
-          .filter(col("rn") === 1)
-          .select(col("src"), col("label").as("nl"))
-        labels = labels.join(top, col("id") === col("src"), "left")
-          .select(col("id"),
-            coalesce(col("nl"), col("label")).as("label"))
-          .localCheckpoint()
-      }
-      labels.select(col("id").as("vec_id"), col("label").as("community"))
-        .orderBy("vec_id")
+      val labels = lpaLabels(s, d)
+      val me = edges.agg(count(lit(1)).as("m"))
+      val deg = adj.groupBy(col("src").as("id2"))
+        .agg(count(lit(1)).as("deg"))
+      val comm = labels.join(deg, col("id") === col("id2"), "left")
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(coalesce(col("deg"), lit(0L))).as("degree_sum"))
+      val la = labels.select(col("id").as("a"), col("label").as("ca"))
+      val lb = labels.select(col("id").as("b"), col("label").as("cb"))
+      val ein = edges.join(la, "a").join(lb, "b")
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in"))
+      comm.join(ein, Seq("community"), "left")
+        .crossJoin(broadcast(me))
+        .withColumn("e_internal", coalesce(col("e_in"), lit(0L)))
+        .withColumn("q_term_u", when(col("m") > 0,
+          floor((col("e_internal").cast("double")
+              / col("m").cast("double")
+            - (col("degree_sum").cast("double")
+                / (col("m") * 2).cast("double"))
+              * (col("degree_sum").cast("double")
+                / (col("m") * 2).cast("double")))
+            * 1000000 + 0.5).cast("long")))
+        .select("community", "n_nodes", "e_internal", "degree_sum",
+          "q_term_u")
+        .orderBy("community")
     }),
 
     // K-CORE PRUNING (round 8): 3 fixed rounds of drop-degree-<k
@@ -643,6 +700,31 @@ object GraphOps {
 
   /** DuckDB CTE chain reproducing [[knnGraphEdges]]'s undirected edge
     * list — shared by the triangle-count and pagerank oracles. */
+  /** Shared LPA CTE chain (edges → adj → 3 unrolled rounds, ending
+    * in `l3(id, label)`), consumed by the LPA and modularity oracles.
+    */
+  private lazy val LpaCtes: String = {
+    def round(k: Int): String =
+      s"""n$k AS (
+        |  SELECT adj.src, l.label, count(*)::BIGINT AS cnt
+        |  FROM adj JOIN l${k - 1} l ON adj.dst = l.id GROUP BY 1, 2),
+        |p$k AS (
+        |  SELECT src, label FROM (
+        |    SELECT src, label, row_number() OVER (PARTITION BY src
+        |      ORDER BY cnt DESC, label) AS rn FROM n$k)
+        |  WHERE rn = 1),
+        |l$k AS (
+        |  SELECT l.id, coalesce(p$k.label, l.label) AS label
+        |  FROM l${k - 1} l LEFT JOIN p$k ON l.id = p$k.src)""".stripMargin
+    s"""$EdgesCte,
+      |adj AS (SELECT a AS src, b AS dst FROM edges
+      |        UNION ALL SELECT b, a FROM edges),
+      |l0 AS (SELECT vec_id AS id, vec_id AS label FROM embeddings),
+      |${round(1)},
+      |${round(2)},
+      |${round(3)}""".stripMargin
+  }
+
   private val EdgesCte =
     """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
       |           FROM embeddings WHERE vec_id < 4),
@@ -799,29 +881,37 @@ object GraphOps {
     // Same 3 sync rounds unrolled (round k = neighbor-label counts →
     // per-node mode with min-label tie-break → left join keeps
     // isolated nodes); integer counts only.
-    "graph_label_propagation" -> {
-      def round(k: Int): String =
-        s"""n$k AS (
-          |  SELECT adj.src, l.label, count(*)::BIGINT AS cnt
-          |  FROM adj JOIN l${k - 1} l ON adj.dst = l.id GROUP BY 1, 2),
-          |p$k AS (
-          |  SELECT src, label FROM (
-          |    SELECT src, label, row_number() OVER (PARTITION BY src
-          |      ORDER BY cnt DESC, label) AS rn FROM n$k)
-          |  WHERE rn = 1),
-          |l$k AS (
-          |  SELECT l.id, coalesce(p$k.label, l.label) AS label
-          |  FROM l${k - 1} l LEFT JOIN p$k ON l.id = p$k.src)""".stripMargin
-      s"""$EdgesCte,
-        |adj AS (SELECT a AS src, b AS dst FROM edges
-        |        UNION ALL SELECT b, a FROM edges),
-        |l0 AS (SELECT vec_id AS id, vec_id AS label FROM embeddings),
-        |${round(1)},
-        |${round(2)},
-        |${round(3)}
+    "graph_label_propagation" ->
+      s"""$LpaCtes
         |SELECT id AS vec_id, label AS community
-        |FROM l3 ORDER BY vec_id""".stripMargin
-    },
+        |FROM l3 ORDER BY vec_id""".stripMargin,
+    // Same 3-round LPA CTEs; degrees/edge counts on the edge grain
+    // folded to the community grid, per-community term mirrored and
+    // micro-quantized.
+    "graph_modularity" ->
+      s"""$LpaCtes,
+        |me AS (SELECT count(*)::BIGINT AS m FROM edges),
+        |deg AS (SELECT src AS id, count(*)::BIGINT AS deg
+        |        FROM adj GROUP BY 1),
+        |comm AS (
+        |  SELECT l.label AS community, count(*)::BIGINT AS n_nodes,
+        |    sum(coalesce(deg.deg, 0))::BIGINT AS degree_sum
+        |  FROM l3 l LEFT JOIN deg ON l.id = deg.id GROUP BY 1),
+        |ein AS (
+        |  SELECT la.label AS community, count(*)::BIGINT AS e_in
+        |  FROM edges e JOIN l3 la ON e.a = la.id
+        |  JOIN l3 lb ON e.b = lb.id
+        |  WHERE la.label = lb.label GROUP BY 1)
+        |SELECT c.community, c.n_nodes,
+        |  coalesce(ein.e_in, 0)::BIGINT AS e_internal, c.degree_sum,
+        |  CASE WHEN m > 0 THEN
+        |    floor((coalesce(ein.e_in, 0)::DOUBLE / m::DOUBLE
+        |      - (c.degree_sum::DOUBLE / (m * 2)::DOUBLE)
+        |        * (c.degree_sum::DOUBLE / (m * 2)::DOUBLE))
+        |      * 1000000 + 0.5)::BIGINT END AS q_term_u
+        |FROM comm c CROSS JOIN me
+        |LEFT JOIN ein ON c.community = ein.community
+        |ORDER BY c.community""".stripMargin,
     "graph_triangle_count" ->
       s"""$EdgesCte,
         |tri AS (

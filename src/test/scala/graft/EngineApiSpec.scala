@@ -940,8 +940,26 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 143, "documented facade count drifted; methods: "
+    assert(names.length === 144, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
+  }
+
+  test("modularity facade matches the graft_modularity key; 1-community Q = 0") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("graph_modularity")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val labels = operators.GraphOps.lpaLabels(spark, d)
+    val edges = operators.GraphOps.fixtureKnnEdges(spark, d)
+    val viaApi = engine.modularity(labels, "id", "label", edges)
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+    // all nodes in ONE community: e_c = m and d_c = 2m exactly, so
+    // the micro-quantized term is exactly 0 (Q of the trivial
+    // partition is zero — the "communities are real structure"
+    // baseline the key's readout is compared against)
+    val one = labels.select($"id", lit(0L).as("label"))
+    val rows = engine.modularity(one, "id", "label", edges).collect()
+    assert(rows.length === 1 && rows.head.getAs[Long]("q_term_u") === 0L)
   }
 
   test("holmStepDown facade reproduces the agg_holm_bonferroni columns") {
