@@ -3515,6 +3515,49 @@ class GraftEngine(val spark: SparkSession) {
       .orderBy("id")
   }
 
+  /** RAKE keyword extraction (see `text_rake_keywords`) over
+    * (doc_id, `textCol`) rows: maximal stopword-free token runs,
+    * word score deg/freq (DIV-quantized to 1e-6), phrase score =
+    * exact Σ of word scores, distinct-phrase top-`k` via
+    * sort + limit (never a corpus-grain rank window).
+    */
+  def rakeKeywords(docs: DataFrame, textCol: String,
+                   stopWords: Seq[String], k: Int = 20): DataFrame = {
+    require(k >= 1 && stopWords.nonEmpty, "k >= 1, stopwords nonempty")
+    val toks = docs
+      .select(col("doc_id"), posexplode(
+        regexp_extract_all(col(textCol), lit("[a-z0-9]+"), lit(0))))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      .withColumn("is_stop", col("tok").isin(stopWords: _*).cast("int"))
+    val wPos = Window.partitionBy("doc_id").orderBy("pos")
+    val cand = toks
+      .withColumn("pid", sum("is_stop").over(
+        wPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("is_stop") === 0)
+      .localCheckpoint()
+    val plen = cand.groupBy("doc_id", "pid")
+      .agg(count(lit(1)).as("plen"))
+    val occ = cand.join(plen, Seq("doc_id", "pid"))
+    val ratios = occ.groupBy("tok")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .withColumn("ratio_u", expr("deg * 1000000 DIV freq"))
+      .select("tok", "ratio_u")
+    occ.join(ratios, "tok")
+      .groupBy("doc_id", "pid")
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok"))))
+          .as("pt"),
+        sum("ratio_u").as("score_u"),
+        count(lit(1)).as("n_words"))
+      .withColumn("phrase",
+        concat_ws(" ", expr("transform(pt, x -> x.tok)")))
+      .select("phrase", "n_words", "score_u").distinct()
+      .orderBy(col("score_u").desc, col("phrase")).limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score_u").desc, col("phrase"))))
+      .select("rk", "phrase", "n_words", "score_u")
+      .orderBy("rk")
+  }
+
   /** Newman modularity per community (see `graph_modularity`) from
     * a node-label frame (`idCol`, `labelCol`) and an undirected
     * (a, b) edge list: Q_c = e_c/m − (d_c/2m)², micro-quantized per

@@ -477,6 +477,11 @@ object AnnSearch {
     // alongside the layer-law sample-rate pin.
     "ann_hnsw_topk" -> ((s, d) => {
       val e = TestData.embeddings(s, d)
+      // routing cuts score against the LAYER subset, not the corpus
+      // — every routing candidate id is a layer-1 member, so the
+      // result is identical and the 3 routing jobs scan |corpus|/16
+      // (measured: the full-corpus form was the slowest new r11 key)
+      val l1 = hnswLayer1(e).localCheckpoint()
       val l1e = hnswL1Edges(s, d)
       val l1adj = l1e.select(col("src"), col("nn").as("dst"))
         .union(l1e.select(col("nn").as("src"), col("src").as("dst")))
@@ -487,20 +492,21 @@ object AnnSearch {
       val queries = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val apex = hnswLayer1(e).agg(min("vec_id").as("id"))
-      def hop(beam: DataFrame, adj: DataFrame, b: Int): DataFrame = {
+      def hop(corpus: DataFrame, beam: DataFrame, adj: DataFrame,
+              b: Int): DataFrame = {
         val nbrs = beam.join(adj, col("id") === col("src"))
           .select(col("qid"), col("dst").as("id"))
         val cands = beam.select("qid", "id").union(nbrs)
           .filter(col("id") =!= col("qid")).distinct()
-        beamCut(e, queries, cands, b).localCheckpoint()
+        beamCut(corpus, queries, cands, b).localCheckpoint()
       }
       // the apex seed may BE a query id — keep it (a routing
       // waypoint, dropped from candidates at the next hop and absent
       // from the readout); filtering it here would orphan that query
-      var route = beamCut(e, queries,
+      var route = beamCut(l1, queries,
         queries.select("qid").crossJoin(broadcast(apex)), 4)
         .localCheckpoint()
-      for (_ <- 1 to 2) route = hop(route, l1adj, 4)
+      for (_ <- 1 to 2) route = hop(l1, route, l1adj, 4)
       val wBest = Window.partitionBy("qid")
         .orderBy(col("qscore").desc, col("id"))
       // hand the TWO best layer-1 nodes down (a single entry starves
@@ -510,7 +516,7 @@ object AnnSearch {
       val entry = route.withColumn("rn", row_number().over(wBest))
         .filter(col("rn") <= 2).select("qid", "id")
       var beam = beamCut(e, queries, entry, 8).localCheckpoint()
-      for (_ <- 1 to 3) beam = hop(beam, l0adj, 8)
+      for (_ <- 1 to 3) beam = hop(e, beam, l0adj, 8)
       beam.withColumn("rnk", row_number().over(wBest))
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("rnk"), col("id").as("nn_id"),

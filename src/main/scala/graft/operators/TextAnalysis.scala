@@ -371,6 +371,59 @@ object TextAnalysis {
     // regression (the corr/regr precedent) and the slope r4'd after.
     // Ranks via Curation.rangedRank — a web-scale single-language
     // vocabulary is 10^8+ rows, too big for a per-lang one-task sort.
+    // RAKE KEYWORD EXTRACTION (round 11): Rapid Automatic Keyword
+    // Extraction (Rose et al. 2010) — candidate phrases are maximal
+    // stopword-free token runs; word score = deg/freq (deg = Σ
+    // phrase-length over the word's occurrences — words living in
+    // long phrases score high); phrase score = Σ word scores. The
+    // corpus-level keyword list a dataset card or topic drill-down
+    // publishes, the extraction step between wordcount_topk's
+    // unigrams and collocations_pmi's bigrams. Scale shape: tokens
+    // shuffle once to (doc, phrase) grain; word stats fold to the
+    // VOCABULARY; top-20 via sort+limit (TakeOrderedAndProject, the
+    // mahalanobis rule — never a corpus-grain rank window; the rank
+    // column is assigned on the 20-row result). Determinism: ratio =
+    // deg·1e6 DIV freq (positive ⇒ DIV ≡ //), phrase scores are
+    // exact BIGINT sums, phrase text assembled in POSITION order via
+    // sort_array(struct) (collect_list alone is order-unstable),
+    // ties broken on the phrase string. Identical phrases dedupe
+    // (corpus-level scores ⇒ identical rows) per RAKE convention.
+    "text_rake_keywords" -> ((s, d) => {
+      val toks = TestData.documents(s, d)
+        .select(col("doc_id"), posexplode(
+          regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))))
+        .select(col("doc_id"), col("pos"), col("col").as("tok"))
+        .withColumn("is_stop",
+          col("tok").isin(stopwords: _*).cast("int"))
+      val wPos = Window.partitionBy("doc_id").orderBy("pos")
+      val cand = toks
+        .withColumn("pid", sum("is_stop").over(
+          wPos.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("is_stop") === 0)
+        .localCheckpoint() // consumed by word stats AND phrase build
+      val plen = cand.groupBy("doc_id", "pid")
+        .agg(count(lit(1)).as("plen"))
+      val occ = cand.join(plen, Seq("doc_id", "pid"))
+      val ratios = occ.groupBy("tok")
+        .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+        .withColumn("ratio_u", expr("deg * 1000000 DIV freq"))
+        .select("tok", "ratio_u")
+      occ.join(ratios, "tok")
+        .groupBy("doc_id", "pid")
+        .agg(sort_array(collect_list(struct(col("pos"), col("tok"))))
+            .as("pt"),
+          sum("ratio_u").as("score_u"),
+          count(lit(1)).as("n_words"))
+        .withColumn("phrase",
+          concat_ws(" ", expr("transform(pt, x -> x.tok)")))
+        .select("phrase", "n_words", "score_u").distinct()
+        .orderBy(col("score_u").desc, col("phrase")).limit(20)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("score_u").desc, col("phrase"))))
+        .select("rk", "phrase", "n_words", "score_u")
+        .orderBy("rk")
+    }),
+
     "text_zipf_slope" -> ((s, d) => {
       val freq = TestData.documents(s, d)
         .select(col("lang"), explode(split(col("text"), " ")).as("token"))
@@ -796,6 +849,45 @@ object TextAnalysis {
         |SELECT doc_id,
         |  sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Same stopword split, position-ordered phrase assembly, DIV
+    // ratios and DISTINCT-phrase top-20.
+    "text_rake_keywords" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, i AS pos, toks[i] AS tok,
+        |    CASE WHEN toks[i] IN (${stopwords.map(w => s"'$w'")
+                                     .mkString(", ")})
+        |      THEN 1 ELSE 0 END AS is_stop
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)),
+        |ph AS (
+        |  SELECT doc_id, pos, tok, is_stop,
+        |    sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+        |  FROM tok),
+        |cand AS (SELECT doc_id, pid, pos, tok FROM ph WHERE is_stop = 0),
+        |plen AS (SELECT doc_id, pid, count(*)::BIGINT AS plen
+        |         FROM cand GROUP BY 1, 2),
+        |occ AS (SELECT c.doc_id, c.pid, c.pos, c.tok, plen.plen
+        |        FROM cand c JOIN plen
+        |          ON c.doc_id = plen.doc_id AND c.pid = plen.pid),
+        |wr AS (SELECT tok,
+        |         (sum(plen) * 1000000 // count(*))::BIGINT AS ratio_u
+        |       FROM occ GROUP BY 1),
+        |phr AS (
+        |  SELECT occ.doc_id, occ.pid,
+        |    string_agg(occ.tok, ' ' ORDER BY occ.pos) AS phrase,
+        |    count(*)::BIGINT AS n_words,
+        |    sum(wr.ratio_u)::BIGINT AS score_u
+        |  FROM occ JOIN wr ON occ.tok = wr.tok
+        |  GROUP BY 1, 2),
+        |u AS (SELECT DISTINCT phrase, n_words, score_u FROM phr)
+        |SELECT rk, phrase, n_words, score_u FROM (
+        |  SELECT *, row_number() OVER (ORDER BY score_u DESC, phrase)
+        |    AS rk
+        |  FROM u)
+        |WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "text_zipf_slope" ->
       """WITH wf AS (
         |  SELECT lang, token, count(*)::BIGINT AS n

@@ -940,8 +940,18 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 144, "documented facade count drifted; methods: "
+    assert(names.length === 145, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
+  }
+
+  test("rakeKeywords facade matches the text_rake_keywords key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("text_rake_keywords")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.rakeKeywords(TestData.documents(spark, d),
+        "text", Seq("the", "a", "of", "and", "in"))
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
   }
 
   test("modularity facade matches the graft_modularity key; 1-community Q = 0") {
