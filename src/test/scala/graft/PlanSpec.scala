@@ -601,6 +601,44 @@ class PlanSpec extends SparkSpec {
       "margin windows must consume the contingency cells, not rows")
   }
 
+  test("round-11 stats keys: windows ride domain grids; scalar BNLJs counted") {
+    // bh_fdr / holm: the rank/step windows must consume the 25-row
+    // nation grid (aggregate below, window above — never corpus rows)
+    Seq("agg_bh_fdr", "agg_holm_bonferroni").foreach { k =>
+      val p = plan(k)
+      val idxWindow = p.indexOf("Window")
+      val idxScan = p.indexOf("FileScan")
+      assert(idxWindow >= 0 && idxScan > idxWindow,
+        s"$k step-up/down windows must sit above the nation aggregate")
+    }
+    // mcnemar / paired_t: exactly ONE nested-loop join — the 1-row
+    // (min+max)/2 scalar broadcast (the text_js_divergence rule:
+    // count the intended scalar joins, don't blanket-ban BNLJ)
+    Seq("agg_mcnemar", "agg_paired_t").foreach { k =>
+      val p = plan(k)
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+      assert(bnlj == 1, s"$k expects exactly the scalar-mid BNLJ, got $bnlj")
+      assert(!p.contains("CartesianProduct"), k)
+    }
+  }
+
+  test("ts_ses_backtest fans taps out through an equi-join, not a range probe") {
+    val p = plan("ts_ses_backtest")
+    // the 8-row weight table is the only nested-loop (scalar) join;
+    // the target-hour match must be a hash equi-join
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"only the weights cross join may nest, got $bnlj")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"),
+      s"tap targets must equi-join:\n${p.take(700)}")
+  }
+
+  test("text_rake_keywords top-20 plans TakeOrderedAndProject") {
+    val p = plan("text_rake_keywords")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the distinct-phrase top-k must be sort+limit, not a rank window:\n${p.take(700)}")
+  }
+
   test("scan_file_provenance stages its write in parallel, not one task") {
     // The r10 fixture write funneled the whole table through
     // repartition(1); the r11 shape repartitions by the bucket
