@@ -3515,6 +3515,33 @@ class GraftEngine(val spark: SparkSession) {
       .orderBy("id")
   }
 
+  /** Capture-recapture dedup audit (see `dedup_capture_recapture`):
+    * Chapman's estimator of the total target-pair population from
+    * two independent detector pair lists (id_a, id_b). Correlated
+    * detectors bias the estimate LOW (documented caveat) — read it
+    * as a lower bound on the residual population.
+    */
+  def captureRecapture(pairsA: DataFrame,
+                       pairsB: DataFrame): DataFrame = {
+    val a = pairsA.select(col("id_a"), col("id_b"), lit(1L).as("in_a"))
+    val b = pairsB.select(col("id_a"), col("id_b"), lit(1L).as("in_b"))
+    a.join(b, Seq("id_a", "id_b"), "full_outer")
+      .agg(sum(coalesce(col("in_a"), lit(0L))).as("n_a"),
+        sum(coalesce(col("in_b"), lit(0L))).as("n_b"),
+        sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"))
+      .withColumn("n_hat",
+        expr("(n_a + 1) * (n_b + 1) DIV (n_both + 1) - 1"))
+      .withColumn("coverage_a", when(col("n_b") > 0,
+        TestData.r4(col("n_both").cast("double")
+          / col("n_b").cast("double"))))
+      .withColumn("coverage_b", when(col("n_a") > 0,
+        TestData.r4(col("n_both").cast("double")
+          / col("n_a").cast("double"))))
+      .select("n_a", "n_b", "n_both", "n_hat", "coverage_a",
+        "coverage_b")
+  }
+
   /** RAKE keyword extraction (see `text_rake_keywords`) over
     * (doc_id, `textCol`) rows: maximal stopword-free token runs,
     * word score deg/freq (DIV-quantized to 1e-6), phrase score =

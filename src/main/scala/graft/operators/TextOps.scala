@@ -547,6 +547,41 @@ object TextOps {
         .select(col("id_a"), col("id_b"), r4(col("jac")).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // CAPTURE-RECAPTURE DEDUP AUDIT (round 11): Chapman's estimator
+    // of the TOTAL near-dup pair population from two independent
+    // detectors — simhash Hamming ≤ 3 (bit-level) and token-set
+    // Jaccard > 0.9 (set-level). N̂ = (n_A+1)(n_B+1)/(m+1) − 1 where
+    // m = pairs both detectors caught; coverage_X = m/n_other is
+    // each detector's estimated recall. This is the residual-dup
+    // risk number a dedup pipeline owner actually reports ("how many
+    // near-dup pairs do we estimate NEITHER pass caught") — the
+    // wildlife-census trick applied to dedup QA. Caveat documented:
+    // correlated detectors (both keyed on token content) bias N̂
+    // LOW, so it is a lower bound on the residual population. Both
+    // detector frames are memoized/banded (no new pair machinery);
+    // the readout is three counts + one integer Chapman division
+    // (all positive ⇒ DIV ≡ //). Chapman ≥ observed-union and
+    // identical-detectors ⇒ N̂ = union pinned in ClosedFormProps.
+    "dedup_capture_recapture" -> ((s, d) => {
+      val a = TextAnalysis.defs("dedup_simhash_pairs")(s, d)
+        .select(col("id_a"), col("id_b"), lit(1L).as("in_a"))
+      val b = fixtureJaccardPairs(s, d)
+        .select(col("id_a"), col("id_b"), lit(1L).as("in_b"))
+      a.join(b, Seq("id_a", "id_b"), "full_outer")
+        .agg(sum(coalesce(col("in_a"), lit(0L))).as("n_a"),
+          sum(coalesce(col("in_b"), lit(0L))).as("n_b"),
+          sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"))
+        .withColumn("n_hat",
+          expr("(n_a + 1) * (n_b + 1) DIV (n_both + 1) - 1"))
+        .withColumn("coverage_a", when(col("n_b") > 0,
+          r4(col("n_both").cast("double") / col("n_b").cast("double"))))
+        .withColumn("coverage_b", when(col("n_a") > 0,
+          r4(col("n_both").cast("double") / col("n_a").cast("double"))))
+        .select("n_a", "n_b", "n_both", "n_hat", "coverage_a",
+          "coverage_b")
+    }),
+
     // Character-3-gram Jaccard near-dup pairs (> 0.7): catches
     // near-dups that word tokenization misses (joined/split words,
     // punctuation edits) — the n-gram member of the dedup family.
@@ -750,6 +785,60 @@ object TextOps {
         |  FROM u)
         |SELECT min(doc_id) AS canonical_id, count(*)::BIGINT AS n_variants
         |FROM n GROUP BY h ORDER BY canonical_id""".stripMargin,
+    // Both detector CTE chains re-derived independently (simhash
+    // banding and jaccard blocking are sound, so the unblocked
+    // brute-force forms ARE the detector populations); Chapman is
+    // one integer division over the three counts.
+    "dedup_capture_recapture" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(token), 1, 15))::BIGINT AS hv
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS w
+        |  FROM h, LATERAL (SELECT unnest(range(0, 60)) AS b)
+        |  GROUP BY doc_id, b),
+        |sh AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+        |      AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |da AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |t2 AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM t2 GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM t2 a JOIN t2 b ON a.token = b.token AND a.lang = b.lang
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |db AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) > 0.9),
+        |c AS (
+        |  SELECT (SELECT count(*) FROM da)::BIGINT AS n_a,
+        |    (SELECT count(*) FROM db)::BIGINT AS n_b,
+        |    (SELECT count(*) FROM da JOIN db USING (id_a, id_b))::BIGINT
+        |      AS n_both)
+        |SELECT n_a, n_b, n_both,
+        |  ((n_a + 1) * (n_b + 1) // (n_both + 1) - 1)::BIGINT AS n_hat,
+        |  CASE WHEN n_b > 0 THEN
+        |    floor(n_both::DOUBLE / n_b::DOUBLE * 10000 + 0.5) / 10000 END
+        |    AS coverage_a,
+        |  CASE WHEN n_a > 0 THEN
+        |    floor(n_both::DOUBLE / n_a::DOUBLE * 10000 + 0.5) / 10000 END
+        |    AS coverage_b
+        |FROM c""".stripMargin,
     "dedup_jaccard_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token

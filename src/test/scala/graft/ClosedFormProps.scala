@@ -870,6 +870,25 @@ object ClosedFormProps extends Properties("graft.closedforms") {
           s"Holm (${holm.size}) must be contained in BH (${bh.size})"
     }
 
+  // dedup_capture_recapture: Chapman's estimator never undercounts
+  // the OBSERVED union (N̂ ≥ n_A + n_B − m − 1 in the floored integer
+  // form, exact when detectors coincide) and two identical detectors
+  // estimate exactly their own population (nothing unseen).
+  private val captures: Gen[(Long, Long, Long)] = for {
+    m <- Gen.choose(0L, 200L)
+    ea <- Gen.choose(0L, 300L)
+    eb <- Gen.choose(0L, 300L)
+  } yield (m + ea, m + eb, m)
+
+  property("Chapman estimate covers the observed union; identical detectors close") =
+    Prop.forAll(captures) { case (na, nb, m) =>
+      val nHat = (na + 1) * (nb + 1) / (m + 1) - 1
+      val union = na + nb - m
+      val identical = (m + 1) * (m + 1) / (m + 1) - 1
+      (nHat >= union - 1) :| s"estimate $nHat below union $union" &&
+        (identical == m) :| "identical detectors must estimate themselves"
+    }
+
   // multimodal_dct_phash anchors. Every AC basis row sums to EXACTLY
   // zero even after micro-quantization: the 8 cosines pair up as
   // (θ, θ+π) with exact negation, and round(−y) = −round(y) for any

@@ -940,8 +940,21 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 145, "documented facade count drifted; methods: "
+    assert(names.length === 146, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
+  }
+
+  test("captureRecapture facade matches the dedup_capture_recapture key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("dedup_capture_recapture")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.captureRecapture(
+        SparkEntry.queries("dedup_simhash_pairs")(spark, d)
+          .select("id_a", "id_b"),
+        SparkEntry.queries("dedup_jaccard_pairs")(spark, d)
+          .select("id_a", "id_b"))
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
   }
 
   test("rakeKeywords facade matches the text_rake_keywords key") {
