@@ -326,6 +326,37 @@ class DegenerateSpec extends SparkSpec {
     }
   }
 
+  test("modularity / captureRecapture / rakeKeywords survive empty inputs") {
+    val lSchema = StructType(Seq(StructField("id", LongType),
+      StructField("label", LongType)))
+    val eSchema = StructType(Seq(StructField("a", LongType),
+      StructField("b", LongType)))
+    def fr(schema: StructType, rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    // nodes but no edges: m = 0 must NULL the q terms, never divide
+    assertClean(engine.modularity(
+      fr(lSchema, (1L to 4L).map(i => Row(i, i % 2))), "id", "label",
+      fr(eSchema, Nil)), "modularity/no-edges")
+    assertClean(engine.modularity(fr(lSchema, Nil), "id", "label",
+      fr(eSchema, Nil)), "modularity/empty")
+
+    val pSchema = StructType(Seq(StructField("id_a", LongType),
+      StructField("id_b", LongType)))
+    assertClean(engine.captureRecapture(fr(pSchema, Nil),
+      fr(pSchema, Nil)), "captureRecapture/both-empty")
+    assertClean(engine.captureRecapture(
+      fr(pSchema, Seq(Row(1L, 2L))), fr(pSchema, Nil)),
+      "captureRecapture/one-empty")
+
+    val dSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    assertClean(engine.rakeKeywords(fr(dSchema, Nil), "text",
+      Seq("the", "a")), "rake/empty")
+    assertClean(engine.rakeKeywords(
+      fr(dSchema, Seq(Row(1L, "the a the a"))), "text", Seq("the", "a")),
+      "rake/all-stopwords")
+  }
+
   test("burstiness / transitionEntropy / markovStationary survive single-symbol input") {
     val gaps = seriesFrame(Seq((1L, 0L))) // one zero gap: σ+μ = 0
     assertClean(engine.burstiness(gaps, "hr", "n"), "burstiness/zero-gap")
