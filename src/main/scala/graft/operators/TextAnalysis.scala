@@ -20,6 +20,42 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and", "in")
 
+  /** Hamming-≤-3 simhash pair list, memoized per (session, fixture)
+    * — TWO declared keys consume it (`dedup_simhash_pairs` and
+    * `dedup_capture_recapture`'s detector A), the jaccard-pair-memo
+    * convention. The band self-join references the signatures twice,
+    * so they are checkpointed before banding.
+    */
+  private val simhashPairsMemo = new graft.SessionMemo[
+    org.apache.spark.sql.DataFrame]
+
+  private[graft] def fixtureSimhashPairs(s: SparkSession,
+                                         d: String): DataFrame =
+    simhashPairsMemo.getOrElseUpdate(s,
+      graft.sources.WriteOnce.inputTag(d, "documents"), {
+        val sims = defs("dedup_simhash")(s, d).localCheckpoint()
+        val banded = sims.select(col("doc_id"), col("simhash"),
+          posexplode(expr(
+            "transform(sequence(0, 3), " +
+              "i -> shiftright(simhash, 15 * i) & 32767)")))
+          .select(col("doc_id"), col("simhash"),
+            col("pos").as("band_i"), col("col").as("band_v"))
+        val a = banded.select(col("doc_id").as("id_a"),
+          col("simhash").as("sa"), col("band_i"), col("band_v"))
+        val b = banded.select(col("doc_id").as("id_b"),
+          col("simhash").as("sb"), col("band_i").as("bi2"),
+          col("band_v").as("bv2"))
+        a.join(b, col("band_i") === col("bi2")
+            && col("band_v") === col("bv2")
+            && col("id_a") < col("id_b"))
+          .select("id_a", "id_b", "sa", "sb").distinct()
+          .withColumn("hamming",
+            bit_count(col("sa").bitwiseXOR(col("sb"))))
+          .filter(col("hamming") <= 3)
+          .select(col("id_a"), col("id_b"), col("hamming"))
+          .localCheckpoint()
+      })
+
   /** Edit-distance (≤ 20) near-dup pairs, blocked on
     * (lang, length-bucket).
     *
@@ -453,28 +489,8 @@ object TextAnalysis {
     // the same equi-join shape, smaller quadratic cells. Oracle stays
     // UNBLOCKED (brute-force pairs over the simhash CTE) per the
     // blocking-soundness rule.
-    "dedup_simhash_pairs" -> ((s, d) => {
-      // the band self-join references the signatures twice — without
-      // materialization the 60-bit fold pipeline runs per branch
-      val sims = defs("dedup_simhash")(s, d).localCheckpoint()
-      val banded = sims.select(col("doc_id"), col("simhash"),
-        posexplode(expr(
-          "transform(sequence(0, 3), i -> shiftright(simhash, 15 * i) & 32767)")))
-        .select(col("doc_id"), col("simhash"),
-          col("pos").as("band_i"), col("col").as("band_v"))
-      val a = banded.select(col("doc_id").as("id_a"),
-        col("simhash").as("sa"), col("band_i"), col("band_v"))
-      val b = banded.select(col("doc_id").as("id_b"),
-        col("simhash").as("sb"), col("band_i").as("bi2"),
-        col("band_v").as("bv2"))
-      a.join(b, col("band_i") === col("bi2") && col("band_v") === col("bv2")
-          && col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "sa", "sb").distinct()
-        .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
-        .filter(col("hamming") <= 3)
-        .select(col("id_a"), col("id_b"), col("hamming"))
-        .orderBy("id_a", "id_b")
-    }),
+    "dedup_simhash_pairs" -> ((s, d) =>
+      fixtureSimhashPairs(s, d).orderBy("id_a", "id_b")),
 
     // HASHING-TRICK featurization: token → md5-prefix bucket (mod 32),
     // per-doc bucket counts — the fixed-width sparse featurizer behind

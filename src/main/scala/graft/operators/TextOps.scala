@@ -563,7 +563,7 @@ object TextOps {
     // (all positive ⇒ DIV ≡ //). Chapman ≥ observed-union and
     // identical-detectors ⇒ N̂ = union pinned in ClosedFormProps.
     "dedup_capture_recapture" -> ((s, d) => {
-      val a = TextAnalysis.defs("dedup_simhash_pairs")(s, d)
+      val a = TextAnalysis.fixtureSimhashPairs(s, d)
         .select(col("id_a"), col("id_b"), lit(1L).as("in_a"))
       val b = fixtureJaccardPairs(s, d)
         .select(col("id_a"), col("id_b"), lit(1L).as("in_b"))
