@@ -3515,6 +3515,37 @@ class GraftEngine(val spark: SparkSession) {
       .orderBy("id")
   }
 
+  /** A/B odds ratio (see `events_ab_odds_ratio`) over rows carrying
+    * a 0/1 treatment flag and a 0/1 success flag: Haldane-corrected
+    * OR (+0.5 per cell — always defined, even with zero cells) with
+    * the 95 % log-normal CI; significant ⇔ the CI excludes 1.
+    */
+  def oddsRatio(df: DataFrame, treatCol: String,
+                successCol: String): DataFrame =
+    df.select(col(treatCol).cast("int").as("t"),
+        col(successCol).cast("long").as("purch"))
+      .agg(
+        sum(when(col("t") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("t") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("t") === 0, col("purch")).otherwise(0L)).as("x_c"),
+        sum(when(col("t") === 1, col("purch")).otherwise(0L)).as("x_t"))
+      .withColumn("a", col("x_t").cast("double") + 0.5)
+      .withColumn("b", (col("n_t") - col("x_t")).cast("double") + 0.5)
+      .withColumn("c2", col("x_c").cast("double") + 0.5)
+      .withColumn("d2", (col("n_c") - col("x_c")).cast("double") + 0.5)
+      .withColumn("or_", col("a") * col("d2") / (col("b") * col("c2")))
+      .withColumn("se", sqrt(lit(1.0) / col("a") + lit(1.0) / col("b")
+        + lit(1.0) / col("c2") + lit(1.0) / col("d2")))
+      .withColumn("ci_lo", TestData.r4(exp(log(col("or_"))
+        - lit(1.959964) * col("se"))))
+      .withColumn("ci_hi", TestData.r4(exp(log(col("or_"))
+        + lit(1.959964) * col("se"))))
+      .withColumn("odds_ratio", TestData.r4(col("or_")))
+      .withColumn("significant_95",
+        col("ci_lo") > 1.0 || col("ci_hi") < 1.0)
+      .select("n_c", "n_t", "x_c", "x_t", "odds_ratio", "ci_lo",
+        "ci_hi", "significant_95")
+
   /** Capture-recapture dedup audit (see `dedup_capture_recapture`):
     * Chapman's estimator of the total target-pair population from
     * two independent detector pair lists (id_a, id_b). Correlated

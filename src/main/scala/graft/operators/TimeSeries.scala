@@ -1088,6 +1088,44 @@ object TimeSeries {
           r4(col("z")).as("z_score"),
           (abs(col("z")) > lit(1.959964)).as("significant_95"))),
 
+    // A/B ODDS RATIO (round 11): the effect-size readout published
+    // next to events_ab_significance's z — OR of purchase odds under
+    // treatment vs control with a 95 % log-normal CI. Zero cells are
+    // handled by the HALDANE-ANSCOMBE +0.5 correction (deterministic,
+    // always defined — the standard small-sample fix, stated), so no
+    // x/0 guard gymnastics: OR = (a+½)(d+½)/((b+½)(c+½)), se =
+    // √(Σ 1/(cell+½)), CI = exp(ln OR ± 1.96·se). ONE aggregate over
+    // the corpus → 1-row readout in mirrored IEEE op order, r4;
+    // significant_95 ⇔ the CI excludes 1.
+    "events_ab_odds_ratio" -> ((s, d) =>
+      TestData.events(s, d)
+        .withColumn("t",
+          (conv(substring(md5(col("user_id").cast("string")), 1, 2),
+            16, 10).cast("int") % 2 =!= 0).cast("int"))
+        .withColumn("purch",
+          when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .agg(
+          sum(when(col("t") === 0, 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("t") === 1, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("t") === 0, col("purch")).otherwise(0L)).as("x_c"),
+          sum(when(col("t") === 1, col("purch")).otherwise(0L)).as("x_t"))
+        .withColumn("a", col("x_t").cast("double") + 0.5)
+        .withColumn("b", (col("n_t") - col("x_t")).cast("double") + 0.5)
+        .withColumn("c2", col("x_c").cast("double") + 0.5)
+        .withColumn("d2", (col("n_c") - col("x_c")).cast("double") + 0.5)
+        .withColumn("or_", col("a") * col("d2") / (col("b") * col("c2")))
+        .withColumn("se", sqrt(lit(1.0) / col("a") + lit(1.0) / col("b")
+          + lit(1.0) / col("c2") + lit(1.0) / col("d2")))
+        .withColumn("ci_lo", r4(exp(log(col("or_"))
+          - lit(1.959964) * col("se"))))
+        .withColumn("ci_hi", r4(exp(log(col("or_"))
+          + lit(1.959964) * col("se"))))
+        .withColumn("odds_ratio", r4(col("or_")))
+        .withColumn("significant_95",
+          col("ci_lo") > 1.0 || col("ci_hi") < 1.0)
+        .select("n_c", "n_t", "x_c", "x_t", "odds_ratio", "ci_lo",
+          "ci_hi", "significant_95")),
+
     // EVENT-TIME LATENESS PROFILE (round 8): how late do events
     // arrive relative to the stream's high-water mark? — the readout
     // that CHOOSES the Structured Streaming watermark delay (too
@@ -2878,6 +2916,43 @@ object TimeSeries {
         |  floor(z*10000 + 0.5)/10000 AS z_score,
         |  abs(z) > 1.959964 AS significant_95
         |FROM z""".stripMargin,
+    // Same 2×2 cells, Haldane +0.5 correction, mirrored log-normal CI.
+    "events_ab_odds_ratio" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))::INT
+        |    % 2 = 0 THEN 0 ELSE 1 END AS t,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS purch
+        |  FROM events),
+        |s AS (
+        |  SELECT
+        |    sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+        |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+        |    sum(CASE WHEN t = 0 THEN purch ELSE 0 END)::BIGINT AS x_c,
+        |    sum(CASE WHEN t = 1 THEN purch ELSE 0 END)::BIGINT AS x_t
+        |  FROM v),
+        |h AS (
+        |  SELECT *,
+        |    x_t::DOUBLE + 0.5 AS a,
+        |    (n_t - x_t)::DOUBLE + 0.5 AS b,
+        |    x_c::DOUBLE + 0.5 AS c2,
+        |    (n_c - x_c)::DOUBLE + 0.5 AS d2
+        |  FROM s),
+        |o AS (
+        |  SELECT *,
+        |    a * d2 / (b * c2) AS or_,
+        |    sqrt(1.0 / a + 1.0 / b + 1.0 / c2 + 1.0 / d2) AS se
+        |  FROM h),
+        |r AS (
+        |  SELECT *,
+        |    floor(exp(ln(or_) - 1.959964 * se) * 10000 + 0.5) / 10000
+        |      AS ci_lo,
+        |    floor(exp(ln(or_) + 1.959964 * se) * 10000 + 0.5) / 10000
+        |      AS ci_hi
+        |  FROM o)
+        |SELECT n_c, n_t, x_c, x_t,
+        |  floor(or_ * 10000 + 0.5) / 10000 AS odds_ratio, ci_lo, ci_hi,
+        |  (ci_lo > 1.0 OR ci_hi < 1.0) AS significant_95
+        |FROM r""".stripMargin,
     // Exact integer-µs delays; discrete percentiles via the same
     // rank-at-⌈p·n⌉ form as agg_percentile_disc.
     "events_conversion_ttc" ->

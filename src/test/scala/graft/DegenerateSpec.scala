@@ -264,6 +264,21 @@ class DegenerateSpec extends SparkSpec {
     }
   }
 
+  test("oddsRatio survives empty / one-armed / all-success frames") {
+    val schema = StructType(Seq(StructField("t", LongType),
+      StructField("s", LongType)))
+    def orf(rows: Seq[(Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), schema)
+    // Haldane +0.5 keeps every cell positive: no NaN/throw anywhere
+    Seq("empty" -> orf(Nil),
+      "one-armed" -> orf((1 to 5).map(_ => (1L, 1L))),
+      "all-success" -> orf(Seq((0L, 1L), (1L, 1L))),
+      "no-success" -> orf(Seq((0L, 0L), (1L, 0L)))).foreach {
+      case (n, f) => assertClean(engine.oddsRatio(f, "t", "s"),
+        s"oddsRatio/$n")
+    }
+  }
+
   test("mcNemar / pairedT survive empty, concordant-only and constant frames") {
     val schema = StructType(Seq(StructField("a1", LongType),
       StructField("a2", LongType)))

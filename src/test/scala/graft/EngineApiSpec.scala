@@ -940,8 +940,23 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 146, "documented facade count drifted; methods: "
+    assert(names.length === 147, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
+  }
+
+  test("oddsRatio facade matches the events_ab_odds_ratio key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("events_ab_odds_ratio")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val flags = TestData.events(spark, d)
+      .withColumn("t",
+        (conv(substring(md5(col("user_id").cast("string")), 1, 2),
+          16, 10).cast("int") % 2 =!= 0).cast("int"))
+      .withColumn("purch",
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+    val viaApi = engine.oddsRatio(flags, "t", "purch")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
   }
 
   test("captureRecapture facade matches the dedup_capture_recapture key") {
