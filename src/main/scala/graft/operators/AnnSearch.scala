@@ -97,6 +97,29 @@ object AnnSearch {
     */
   private val hnswMemo = new graft.SessionMemo[DataFrame]
 
+  /** SEARCH-side layer-0 adjacency at degree 8 — same IVF-probed
+    * recipe as the declared top-3 graph ([[GraphOps.directedKnn]]
+    * with k=8, symmetrized), denser only for the DESCENT. Rationale
+    * (round-12 recall fix): beam-8 over the degree-3 graph cannot
+    * escape a bad entry basin on isotropic random vectors — measured
+    * recall@5 mean 0.33 with one dead query; the degree-8 search
+    * graph recovers it while `ann_hnsw_build`'s declared output
+    * stays the hash-stable top-3 edge dump. This is also the
+    * production HNSW shape: efConstruction-grade adjacency for
+    * search, a sparser dump for storage accounting.
+    */
+  private val searchAdjMemo = new graft.SessionMemo[DataFrame]
+
+  private[graft] def hnswL0SearchAdj(s: SparkSession, d: String): DataFrame =
+    searchAdjMemo.getOrElseUpdate(s,
+      graft.sources.WriteOnce.inputTag(d, "embeddings"), {
+        val d8 = GraphOps.directedKnn(s, d, 8)
+        d8.select(col("qid").as("src"), col("nn").as("dst"))
+          .union(d8.select(col("nn").as("src"), col("qid").as("dst")))
+          .distinct()
+          .localCheckpoint()
+      })
+
   private[graft] def hnswL1Edges(s: SparkSession, d: String): DataFrame =
     hnswMemo.getOrElseUpdate(s,
       graft.sources.WriteOnce.inputTag(d, "embeddings"), {
@@ -486,9 +509,9 @@ object AnnSearch {
       val l1adj = l1e.select(col("src"), col("nn").as("dst"))
         .union(l1e.select(col("nn").as("src"), col("src").as("dst")))
         .distinct()
-      val l0e = GraphOps.fixtureKnnEdges(s, d)
-      val l0adj = l0e.select(col("a").as("src"), col("b").as("dst"))
-        .union(l0e.select(col("b").as("src"), col("a").as("dst")))
+      // degree-8 SEARCH adjacency (see hnswL0SearchAdj) — the r12
+      // recall fix; the declared build output stays top-3
+      val l0adj = hnswL0SearchAdj(s, d)
       val queries = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val apex = hnswLayer1(e).agg(min("vec_id").as("id"))
@@ -509,14 +532,15 @@ object AnnSearch {
       for (_ <- 1 to 2) route = hop(l1, route, l1adj, 4)
       val wBest = Window.partitionBy("qid")
         .orderBy(col("qscore").desc, col("id"))
-      // hand the TWO best layer-1 nodes down (a single entry starves
-      // the level-0 beam when the sparse routing layer lands in the
-      // wrong basin — the recall@5 property showed 1 entry + 2 hops
-      // under-reaches on this fixture; 2 entries + 3 hops recover)
+      // hand the THREE best layer-1 nodes down and walk 4 beam-8 hops
+      // on the degree-8 search graph (r12: the degree-3 graph + 2
+      // entries + 3 hops measured recall@5 mean 0.33 with one dead
+      // query; 3 entries + 4 hops on degree-8 clears the 0.6 floor
+      // with every query >= 0.2 — the PropertySpec pin)
       val entry = route.withColumn("rn", row_number().over(wBest))
-        .filter(col("rn") <= 2).select("qid", "id")
+        .filter(col("rn") <= 3).select("qid", "id")
       var beam = beamCut(e, queries, entry, 8).localCheckpoint()
-      for (_ <- 1 to 3) beam = hop(e, beam, l0adj, 8)
+      for (_ <- 1 to 4) beam = hop(e, beam, l0adj, 8)
       beam.withColumn("rnk", row_number().over(wBest))
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("rnk"), col("id").as("nn_id"),
@@ -945,7 +969,7 @@ object AnnSearch {
         |    JOIN embeddings e ON e.vec_id = a.vec_id
         |    JOIN embeddings q ON q.vec_id = p.qid
         |    WHERE e.vec_id <> p.qid)
-        |  WHERE rnk <= 3),
+        |  WHERE rnk <= 8),
         |edges AS (
         |  SELECT DISTINCT least(qid, nn) AS a, greatest(qid, nn) AS b
         |  FROM knn),
@@ -999,7 +1023,7 @@ object AnnSearch {
         |  SELECT qid, id,
         |    row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, id)
         |      AS rn
-        |  FROM r2) WHERE rn <= 2),
+        |  FROM r2) WHERE rn <= 3),
         |b0 AS (SELECT qid, id, qscore FROM (
         |  SELECT qid, id, qscore,
         |    row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, id)
@@ -1054,12 +1078,27 @@ object AnnSearch {
         |            + 0.5)/10000 AS qscore
         |        FROM bc3 cc JOIN embeddings e ON e.vec_id = cc.id
         |        JOIN q ON q.qid = cc.qid))
+        |  WHERE rn <= 8),
+        |bc4 AS (SELECT DISTINCT qid, id FROM (
+        |  SELECT qid, id FROM b3
+        |  UNION ALL SELECT b.qid, a.dst AS id FROM b3 b
+        |    JOIN adj a ON b.id = a.src)
+        |  WHERE id <> qid),
+        |b4 AS (SELECT qid, id, qscore FROM (
+        |  SELECT qid, id, qscore,
+        |    row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, id)
+        |      AS rn
+        |  FROM (SELECT cc.qid, cc.id,
+        |          floor((list_cosine_similarity(e.$E, q.qv))*10000
+        |            + 0.5)/10000 AS qscore
+        |        FROM bc4 cc JOIN embeddings e ON e.vec_id = cc.id
+        |        JOIN q ON q.qid = cc.qid))
         |  WHERE rn <= 8)
         |SELECT qid, rn AS rnk, id AS nn_id, qscore AS cos FROM (
         |  SELECT qid, id, qscore,
         |    row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, id)
         |      AS rn
-        |  FROM b3)
+        |  FROM b4)
         |WHERE rn <= 5 ORDER BY qid, rnk""".stripMargin,
     "ann_maxsim_topk" ->
       s"""WITH t AS (

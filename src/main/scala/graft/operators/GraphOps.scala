@@ -191,7 +191,8 @@ object GraphOps {
               greatest(col("qid"), col("nn")).as("b"))
       .distinct()
 
-  private[graft] def directedKnn(s: SparkSession, d: String): DataFrame = {
+  private[graft] def directedKnn(s: SparkSession, d: String,
+                                 k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.{VectorOps => V}
     val e = TestData.embeddings(s, d)
@@ -213,7 +214,7 @@ object GraphOps {
     // r4-QUANTIZED cosine (repo determinism rule: float sort keys
     // quantize — raw double near-ties flip across engines), mirrored
     // in the oracle's row_number ORDER BY.
-    val topk = udaf(new graft.functions.TopKByScore(3))
+    val topk = udaf(new graft.functions.TopKByScore(k))
     assigned
       .join(probes.hint("shuffle_hash"),
         col("cluster") === col("probe_cluster"))

@@ -564,11 +564,13 @@ class PropertySpec extends SparkSpec {
       hnsw.getOrElse(q, Set.empty).count(b.contains).toDouble / b.size
     }
     val mean = recalls.sum / recalls.length
-    // a 2-hop beam from a 1/16-sampled entry on random vectors is a
-    // routing smoke test, not an exhaustive search: assert a
-    // conservative floor and record the observed value
+    // the degree-8 SEARCH adjacency (r12 fix) must find most true
+    // neighbors AND no query may come back dead — the r11 floor of
+    // mean >= 0.2 let a 0.0-recall query pass
     info(s"HNSW recall@5 per query: ${recalls.mkString(", ")} (mean $mean)")
-    assert(mean >= 0.2, s"layered search recall collapsed: $mean")
+    assert(mean >= 0.6, s"layered search recall collapsed: $mean")
+    assert(recalls.forall(_ >= 0.2),
+      s"a query retrieved (almost) none of its true top-5: $recalls")
     assert(hnsw.keys.toSet === brute.keys.toSet,
       "every query must produce results")
   }
