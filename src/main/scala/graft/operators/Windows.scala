@@ -81,16 +81,47 @@ object Windows {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // GLOBAL cumulative analytics WITHOUT the single-task window
+    // (r12 re-plan; the r11 verdict's scale grade): the total order
+    // (o_orderdate, o_orderkey) is reconstructed hierarchically —
+    // Curation.rangedRank gives the global row rank (range-exchange
+    // + per-slice local rank + broadcast offsets), then
+    // shardedPrefixSum over that rank gives the exact running sum.
+    // Every corpus-grain window partitions on (g, slice); only the
+    // slice-count-sized offset windows order a whole partition
+    // (PlanSpec pins this shape). The summed measure is integer
+    // CENTS before any sum (repo determinism rule — sharded partial
+    // sums reassociate, so only exact integers reconstruct the
+    // sequential total bit-for-bit), and percent_rank / cume_dist /
+    // ntile(4) are closed forms over (rank, N): with a unique total
+    // order, pct = (r-1)/(N-1), cdist = r/N, and ntile's first N%4
+    // buckets carry N DIV 4 + 1 rows — all integer arithmetic on
+    // non-negative quantities (DIV == // there).
     "win_cumulative" -> ((s, d) => {
-      val w = Window.orderBy("o_orderdate", "o_orderkey")
-      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      TestData.orders(s, d)
+      val base = TestData.orders(s, d)
         .filter(col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
         .select(col("o_orderkey"), col("o_orderdate"),
-          r4(sum("o_totalprice").over(wf)).as("running_total"),
-          r4(percent_rank().over(w)).as("pct_rank"),
-          r4(cume_dist().over(w)).as("cdist"),
-          ntile(4).over(w).as("quartile"))
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("g", lit(0))
+      val ranked = graft.operators.Curation.rangedRank(base, "g",
+        Seq(col("o_orderdate"), col("o_orderkey")), "rnk")
+      val run = graft.operators.Curation.shardedPrefixSum(
+        ranked, "g", "rnk", "cents", "rc0")
+      val n = base.groupBy("g").agg(count(lit(1)).as("n_tot"))
+      val b1 = expr("n_tot DIV 4 + 1") // size of the first N%4 buckets
+      run.join(broadcast(n), "g")
+        .withColumn("rc", col("rc0") + col("cents"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          r4(col("rc").cast("double") / 100.0).as("running_total"),
+          when(col("n_tot") > 1,
+            r4((col("rnk") - 1).cast("double") / (col("n_tot") - 1)))
+            .otherwise(lit(0.0)).as("pct_rank"),
+          r4(col("rnk").cast("double") / col("n_tot")).as("cdist"),
+          when(col("rnk") <= (col("n_tot") % 4) * b1,
+            expr("(rnk - 1) DIV (n_tot DIV 4 + 1) + 1"))
+            .otherwise((col("n_tot") % 4) + expr(
+              "(rnk - (n_tot % 4) * (n_tot DIV 4 + 1) - 1) DIV greatest(n_tot DIV 4, 1) + 1"))
+            .cast("int").as("quartile"))
         .orderBy("o_orderkey")
     }),
 
@@ -208,17 +239,33 @@ object Windows {
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts, event_id""".stripMargin,
+    // cents-exact running sum (the sharded reconstruction only
+    // matches a sequential sum on exact integers); rank functions via
+    // the same closed forms the Spark side computes from (rank, N) —
+    // DuckDB's native ntile/percent_rank agree, the closed form just
+    // keeps both engines on ONE definition.
     "win_cumulative" ->
-      """SELECT o_orderkey, o_orderdate,
-        |  floor((sum(o_totalprice) OVER (ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))*10000 + 0.5)/10000
-        |    AS running_total,
-        |  floor((percent_rank() OVER w)*10000 + 0.5)/10000 AS pct_rank,
-        |  floor((cume_dist() OVER w)*10000 + 0.5)/10000 AS cdist,
-        |  ntile(4) OVER w AS quartile
-        |FROM orders WHERE o_orderdate < TIMESTAMP '1995-04-01'
-        |WINDOW w AS (ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin,
+      """WITH f AS (
+        |  SELECT o_orderkey, o_orderdate,
+        |    floor(o_totalprice*100 + 0.5)::BIGINT AS cents
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1995-04-01'),
+        |r AS (
+        |  SELECT o_orderkey, o_orderdate,
+        |    row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rnk,
+        |    (sum(cents) OVER (ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS rc,
+        |    count(*) OVER () AS n FROM f)
+        |SELECT o_orderkey, o_orderdate,
+        |  floor((rc::DOUBLE / 100.0)*10000 + 0.5)/10000 AS running_total,
+        |  CASE WHEN n > 1
+        |    THEN floor(((rnk - 1)::DOUBLE / (n - 1))*10000 + 0.5)/10000
+        |    ELSE 0.0 END AS pct_rank,
+        |  floor((rnk::DOUBLE / n)*10000 + 0.5)/10000 AS cdist,
+        |  (CASE WHEN rnk <= (n % 4) * (n // 4 + 1)
+        |    THEN (rnk - 1) // (n // 4 + 1) + 1
+        |    ELSE (n % 4) + (rnk - (n % 4) * (n // 4 + 1) - 1)
+        |      // greatest(n // 4, 1) + 1 END)::INT AS quartile
+        |FROM r ORDER BY o_orderkey""".stripMargin,
     "win_first_last" ->
       """SELECT c_custkey, c_nationkey,
         |  first_value(c_name) OVER w AS richest,

@@ -226,6 +226,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("win_cumulative is hierarchical — no single-partition corpus window") {
+    // r12 re-plan (the r11 verdict's scale grade): the global
+    // running-sum/rank semantics must come from rangedRank +
+    // shardedPrefixSum. Corpus-grain windows partition on
+    // (g, grr_pid) / (g, gpfx_shard); the only windows allowed to
+    // order a whole partition are the slice-count-sized offset
+    // windows (order key grr_pid / gpfx_shard). An unpartitioned
+    // window ordered by the data columns is the single-task
+    // anti-pattern this pin exists to kill.
+    val p = plan("win_cumulative")
+    assert("windowspecdefinition\\(g#\\d+, grr_pid#\\d+".r
+        .findFirstIn(p).isDefined,
+      s"rank must come from rangedRank's (g, grr_pid) window:\n${p.take(1200)}")
+    assert("windowspecdefinition\\(g#\\d+, gpfx_shard#\\d+".r
+        .findFirstIn(p).isDefined,
+      s"running sum must come from shardedPrefixSum:\n${p.take(1200)}")
+    assert("windowspecdefinition\\(o_orderdate#\\d+".r
+        .findFirstIn(p).isEmpty,
+      s"found an unpartitioned corpus-ordered window:\n${p.take(1200)}")
+  }
+
   test("transition top-k plans TakeOrderedAndProject, not a global sort") {
     val p = plan("events_transition_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
