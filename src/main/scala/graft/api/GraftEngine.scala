@@ -3653,6 +3653,21 @@ class GraftEngine(val spark: SparkSession) {
       .orderBy("community")
   }
 
+  /** One Louvain refinement level (see `graph_louvain_refine`):
+    * `rounds` rounds, each applying the single globally-best
+    * strictly-positive-ΔQ node move over the exact-integer gain
+    * 2m²·ΔQ = 2m(k_iB − k_iA) − d_i(Σtot_B − Σtot_A + d_i).
+    * Monotone in Q by construction; a labeling with no positive
+    * move (e.g. one community) is a fixpoint.
+    */
+  def louvainRefine(labels: DataFrame, idCol: String, labelCol: String,
+                    edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "rounds in [1, 16]")
+    graft.operators.GraphOps.louvainRefine(
+      labels.select(col(idCol).as("id"), col(labelCol).as("label")),
+      edges, rounds)
+  }
+
   /** Holm-Bonferroni step-down (see `agg_holm_bonferroni`) over a
     * frame of per-test micro-quantized p-values: ranks the m
     * non-null tests, flags p_u·(m−k+1) ≤ alphaMicro integer-exactly,

@@ -226,6 +226,60 @@ object GraphOps {
       .select(col("qid"), col("e._1").as("nn"), col("e._2").as("score"))
   }
 
+  /** One Louvain level over (`id`, `label`) node labels and an
+    * undirected (a, b) edge list: `rounds` rounds, each applying the
+    * single globally-best strictly-positive-ΔQ node move (see the
+    * declared key's scaladoc for the exact-integer gain algebra and
+    * why one-move-per-round is the monotone form). Shared by the
+    * declared key and the `GraftEngine.louvainRefine` facade.
+    */
+  private[graft] def louvainRefine(labels0: DataFrame, edges: DataFrame,
+                                   rounds: Int): DataFrame = {
+    val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val me = edges.agg(count(lit(1)).as("m"))
+    val deg = adj.groupBy(col("src").as("did"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    var labels = labels0.select(col("id"), col("label")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val tot = labels.join(deg, col("id") === col("did"), "left")
+        .groupBy(col("label").as("tl"))
+        .agg(sum(coalesce(col("deg"), lit(0L))).as("tot"))
+      val kic = adj
+        .join(labels.select(col("id").as("d2"), col("label").as("dl")),
+          col("dst") === col("d2"))
+        .groupBy(col("src"), col("dl")).agg(count(lit(1)).as("k"))
+        .localCheckpoint() // consumed twice (candidates + own-k side)
+      val own = kic.select(col("src").as("osrc"), col("dl").as("ol"),
+        col("k").as("k_own"))
+      val move = kic
+        .join(labels.select(col("id").as("s2"), col("label").as("sl")),
+          col("src") === col("s2"))
+        .filter(col("dl") =!= col("sl"))
+        .join(own, col("src") === col("osrc") && col("sl") === col("ol"),
+          "left")
+        .join(deg, col("src") === col("did"))
+        .join(tot.select(col("tl").as("tb"), col("tot").as("tot_b")),
+          col("dl") === col("tb"))
+        .join(tot.select(col("tl").as("ta"), col("tot").as("tot_a")),
+          col("sl") === col("ta"))
+        .crossJoin(broadcast(me))
+        .withColumn("gain",
+          lit(2L) * col("m") * (col("k") - coalesce(col("k_own"), lit(0L)))
+            - col("deg") * (col("tot_b") - col("tot_a") + col("deg")))
+        .filter(col("gain") > 0)
+        .orderBy(col("gain").desc, col("src"), col("dl"))
+        .limit(1)
+        .select(col("src").as("mid"), col("dl").as("nl"))
+      labels = labels
+        .join(broadcast(move), col("id") === col("mid"), "left")
+        .select(col("id"), coalesce(col("nl"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** `rounds` rounds of k-core peeling (drop degree-<k nodes and
     * their edges) over the fixture kNN graph; see the declared key's
     * scaladoc. Exposed with the round count as a parameter so the
@@ -429,6 +483,32 @@ object GraphOps {
         .select("community", "n_nodes", "e_internal", "degree_sum",
           "q_term_u")
         .orderBy("community")
+    }),
+
+    // LOUVAIN REFINEMENT (round 12): modularity-OPTIMIZING community
+    // detection — the r11 verdict's top missing capability (LPA's
+    // labels are noisy on kNN graphs and graph_modularity now proves
+    // it; nothing OPTIMIZED Q). One Louvain level as 3 fixed rounds
+    // of the single GLOBALLY best positive-ΔQ node move: per round,
+    // every node scores every adjacent foreign community with the
+    // exact-integer gain 2m²·ΔQ = 2m(k_iB − k_iA) − d_i(Σtot_B −
+    // Σtot_A + d_i) (all edge counts/degrees — no float, no
+    // quantization), the top gain moves (gain DESC, node, community
+    // tie-break), labels re-checkpoint. One move per round keeps the
+    // sweep deterministic, oracle-unrollable, AND monotone (each
+    // applied move strictly raises Q; parallel per-node moves can
+    // swap and LOWER it — the classic sync-Louvain oscillation).
+    // Shape per round: two edge-grain aggregates + a community-sized
+    // total + a TakeOrdered(1) — no corpus window, no broadcast of
+    // anything data-sized. ANSI bound: 2m·k — safe to m ~ 7e13
+    // edges at fixture degree; beyond that quantize ΔQ to micro
+    // units per the PSI protocol. Property: Q_refined ≥ Q_lpa with
+    // strict increase iff a move applied; a single-community input
+    // is a fixpoint (ClosedFormProps).
+    "graph_louvain_refine" -> ((s, d) => {
+      louvainRefine(lpaLabels(s, d), fixtureKnnEdges(s, d), 3)
+        .select(col("id").as("vec_id"), col("label").as("community"))
+        .orderBy("vec_id")
     }),
 
     // K-CORE PRUNING (round 8): 3 fixed rounds of drop-degree-<k
@@ -726,6 +806,51 @@ object GraphOps {
       |${round(3)}""".stripMargin
   }
 
+  /** The Louvain-refine descent unrolled: LPA labels (l3) seed lv0,
+    * then 3 one-move rounds (see the declared key's gain algebra).
+    * Each round's label/count CTEs are MATERIALIZED — every round
+    * references its predecessor 4× and DuckDB inlines plain CTEs, so
+    * the un-materialized tree re-expands the whole LPA descent 4^k
+    * times (measured: fd exhaustion on the parquet view before any
+    * rows flow).
+    */
+  private lazy val LouvainCtes: String = {
+    def round(k: Int): String =
+      s"""tot$k AS MATERIALIZED (
+        |  SELECT l.label AS tl, sum(coalesce(d.deg, 0))::BIGINT AS tot
+        |  FROM lv${k - 1} l LEFT JOIN dg d ON l.id = d.src GROUP BY 1),
+        |kic$k AS MATERIALIZED (
+        |  SELECT adj.src, l.label AS dl, count(*)::BIGINT AS k
+        |  FROM adj JOIN lv${k - 1} l ON adj.dst = l.id GROUP BY 1, 2),
+        |mv$k AS (
+        |  SELECT src, dl FROM (
+        |    SELECT c.src, c.dl, row_number() OVER (ORDER BY
+        |      2*m.m*(c.k - coalesce(o.k, 0))
+        |        - d.deg*(tb.tot - ta.tot + d.deg) DESC, c.src, c.dl) AS rn
+        |    FROM kic$k c
+        |    JOIN lv${k - 1} sl ON c.src = sl.id
+        |    LEFT JOIN kic$k o ON o.src = c.src AND o.dl = sl.label
+        |    JOIN dg d ON d.src = c.src
+        |    JOIN tot$k tb ON tb.tl = c.dl
+        |    JOIN tot$k ta ON ta.tl = sl.label
+        |    CROSS JOIN mm m
+        |    WHERE c.dl <> sl.label
+        |      AND 2*m.m*(c.k - coalesce(o.k, 0))
+        |        - d.deg*(tb.tot - ta.tot + d.deg) > 0)
+        |  WHERE rn = 1),
+        |lv$k AS MATERIALIZED (
+        |  SELECT l.id, coalesce(mv.dl, l.label) AS label
+        |  FROM lv${k - 1} l LEFT JOIN mv$k mv ON l.id = mv.src)""".stripMargin
+    s"""$LpaCtes,
+      |mm AS MATERIALIZED (SELECT count(*)::BIGINT AS m FROM edges),
+      |dg AS MATERIALIZED (
+      |  SELECT src, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+      |lv0 AS MATERIALIZED (SELECT id, label FROM l3),
+      |${round(1)},
+      |${round(2)},
+      |${round(3)}""".stripMargin
+  }
+
   private val EdgesCte =
     """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
       |           FROM embeddings WHERE vec_id < 4),
@@ -913,6 +1038,15 @@ object GraphOps {
         |FROM comm c CROSS JOIN me
         |LEFT JOIN ein ON c.community = ein.community
         |ORDER BY c.community""".stripMargin,
+    // 3 unrolled one-move rounds on top of the LPA CTEs: per round,
+    // community degree totals + node→community edge counts, the
+    // exact-integer gain 2m(k_iB − k_iA) − d_i(tot_B − tot_A + d_i)
+    // argmax'd with (gain DESC, src, dl) tie-break, one label
+    // rewritten via a ≤1-row left join.
+    "graph_louvain_refine" ->
+      s"""$LouvainCtes
+        |SELECT id AS vec_id, label AS community
+        |FROM lv3 ORDER BY vec_id""".stripMargin,
     "graph_triangle_count" ->
       s"""$EdgesCte,
         |tri AS (

@@ -370,6 +370,18 @@ class DegenerateSpec extends SparkSpec {
     assertClean(engine.rakeKeywords(
       fr(dSchema, Seq(Row(1L, "the a the a"))), "text", Seq("the", "a")),
       "rake/all-stopwords")
+
+    // louvainRefine: all-integer gain algebra, so the risk is empty
+    // frames and isolated nodes (deg = 0) rather than x/0 — assert
+    // the no-op contract on each
+    assertClean(engine.louvainRefine(fr(lSchema, Nil), "id", "label",
+      fr(eSchema, Nil)), "louvain/empty")
+    assertClean(engine.louvainRefine(
+      fr(lSchema, (1L to 4L).map(i => Row(i, i % 2))), "id", "label",
+      fr(eSchema, Nil)), "louvain/no-edges")
+    assertClean(engine.louvainRefine(
+      fr(lSchema, Seq(Row(1L, 1L))), "id", "label",
+      fr(eSchema, Nil)), "louvain/single-node")
   }
 
   test("burstiness / transitionEntropy / markovStationary survive single-symbol input") {

@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 147, "documented facade count drifted; methods: "
+    assert(names.length === 148, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -998,6 +998,19 @@ class EngineApiSpec extends SparkSpec {
     val one = labels.select($"id", lit(0L).as("label"))
     val rows = engine.modularity(one, "id", "label", edges).collect()
     assert(rows.length === 1 && rows.head.getAs[Long]("q_term_u") === 0L)
+  }
+
+  test("louvainRefine facade matches the graph_louvain_refine key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("graph_louvain_refine")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.louvainRefine(
+        operators.GraphOps.lpaLabels(spark, d), "id", "label",
+        operators.GraphOps.fixtureKnnEdges(spark, d))
+      .select($"id".as("vec_id"), $"label".as("community"))
+      .orderBy("vec_id")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
   }
 
   test("holmStepDown facade reproduces the agg_holm_bonferroni columns") {

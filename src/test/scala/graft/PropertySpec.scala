@@ -575,6 +575,41 @@ class PropertySpec extends SparkSpec {
       "every query must produce results")
   }
 
+  test("Louvain refine: Q strictly improves over LPA; one-community input is a fixpoint") {
+    // Q·4m² = Σ_c (4m·e_c − tot_c²) — exact integers, so the
+    // monotonicity claim needs no quantization tolerance.
+    val edges = GraphOps.fixtureKnnEdges(spark, sfDir)
+      .select("a", "b").as[(Long, Long)].collect()
+    val lpa = GraphOps.defs("graph_label_propagation")(spark, sfDir)
+      .select("vec_id", "community").as[(Long, Long)].collect().toMap
+    val ref = GraphOps.defs("graph_louvain_refine")(spark, sfDir)
+      .select("vec_id", "community").as[(Long, Long)].collect().toMap
+    def q4m2(labels: Map[Long, Long]): Long = {
+      val m = edges.length.toLong
+      val deg = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+      val ein = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (a, b) =>
+        if (labels(a) == labels(b)) ein(labels(a)) += 1 }
+      val tot = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      labels.foreach { case (id, l) => tot(l) += deg(id) }
+      labels.values.toSet.toSeq
+        .map((c: Long) => 4L * m * ein(c) - tot(c) * tot(c)).sum
+    }
+    val moved = ref.count { case (id, l) => lpa(id) != l }
+    info(s"louvain moved $moved nodes; Q*4m^2 ${q4m2(lpa)} -> ${q4m2(ref)}")
+    assert(moved > 0, "the fixture admits positive moves; refine must move")
+    assert(q4m2(ref) > q4m2(lpa),
+      s"each applied move must strictly raise Q: ${q4m2(lpa)} -> ${q4m2(ref)}")
+    // all-one-community labels expose no foreign neighbor: a fixpoint
+    val one = TestData.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), lit(0L).as("label"))
+    val out = GraphOps.louvainRefine(one,
+      GraphOps.fixtureKnnEdges(spark, sfDir), 3)
+    assert(out.filter(col("label") =!= 0L).count() === 0,
+      "refining a single-community labeling must be a no-op")
+  }
+
   test("PQ encode: codes in range, subspace errors bounded by scalar worst case") {
     val rows = ProductQuantize.defs("vec_pq_encode")(spark, sfDir)
       .select("vec_id", "sub", "code", "sub_err")
