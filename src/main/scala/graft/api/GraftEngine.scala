@@ -3952,4 +3952,45 @@ class GraftEngine(val spark: SparkSession) {
           / col("n_scored").cast("double") / 1000000.0)))
       .select("n_scored", "abs_err128_sum", "mae", "smape")
   }
+
+  /** Holt level+trend one-step backtest (see `ts_holt_backtest`):
+    * α = β = 1/2 over a trailing 12-point window unrolled to exact
+    * ×4^11 taps (lag-j numerators n_{j+2} = 5n_{j+1} − 8n_j; the
+    * window seed absorbs the residual mass so Σ taps = 4^11).
+    * Gap-safe fan-out: a target scores only when all 12 taps exist.
+    */
+  def holtBacktest(series: DataFrame, xCol: String,
+                   yCol: String): DataFrame = {
+    import series.sparkSession.implicits._
+    val hourly = series.select(col(xCol).as("hr"), col(yCol).as("cnt"))
+      .localCheckpoint()
+    val weights = Seq((1, 3145728L), (2, 1835008L), (3, 720896L),
+      (4, -16384L), (5, -380928L), (6, -467968L), (7, -394496L),
+      (8, -259136L), (9, -126672L), (10, -28772L), (11, 27371L),
+      (12, 139657L)).toDF("tap", "w4m")
+    val fc = hourly.crossJoin(broadcast(weights))
+      .select((col("hr") + col("tap")).as("hr"),
+        (col("cnt") * col("w4m")).as("c4m"))
+      .groupBy("hr")
+      .agg(sum("c4m").as("fc4m"), count(lit(1)).as("n_taps"))
+      .filter(col("n_taps") === 12)
+    hourly.join(fc, "hr")
+      .withColumn("y4m", col("cnt") * 4194304L)
+      .withColumn("term_u", when(
+        abs(col("y4m")) + abs(col("fc4m")) > 0,
+        floor(lit(2.0)
+          * abs(col("y4m") - col("fc4m")).cast("double")
+          / (abs(col("y4m")) + abs(col("fc4m"))).cast("double")
+          * 1000000 + 0.5).cast("long")).otherwise(0L))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("y4m") - col("fc4m"))).as("abs_err4m_sum"),
+        sum("term_u").as("smape_sum_u"))
+      .withColumn("mae", when(col("n_scored") > 0,
+        TestData.r4(col("abs_err4m_sum").cast("double") / 4194304.0
+          / col("n_scored").cast("double"))))
+      .withColumn("smape", when(col("n_scored") > 0,
+        TestData.r4(col("smape_sum_u").cast("double")
+          / col("n_scored").cast("double") / 1000000.0)))
+      .select("n_scored", "abs_err4m_sum", "mae", "smape")
+  }
 }

@@ -2092,6 +2092,59 @@ object TimeSeries {
         .select("n_scored", "abs_err128_sum", "mae", "smape")
     }),
 
+    // HOLT (LEVEL+TREND) ONE-STEP BACKTEST (round 12): the r11
+    // verdict's missing trend-capable forecast — snaive and flat SES
+    // both lose to any trending series. Holt α=β=1/2 initialized at
+    // (l = oldest window obs, b = 0) and run over the trailing 12
+    // hours unrolls to EXACT ×4^11 binary-fraction taps: lag-j tap
+    // n_j/4^j with n_{j+2} = 5n_{j+1} − 8n_j (n_1=3, n_2=7; the
+    // companion-matrix impulse response), and the window seed takes
+    // the remaining mass so the taps sum to exactly 4^11 — a
+    // constant series forecasts ITSELF exactly, and a linear trend
+    // backtests with |Σ j·w_j|/4^11 ≈ 0.02 hours of residual lag
+    // (vs snaive's 168). Same gap-safe equi-join fan-out as
+    // ts_ses_backtest (a target scores only when all 12 taps
+    // exist — lag() over the gappy grid silently misaligns). Trend
+    // extrapolation can cross zero, so the sMAPE denominator is the
+    // |y|+|fc| variant (y ≥ 1 here ⇒ never 0, but the guard stays
+    // at the definition site). Taps-equal-recursion, sum-to-1 and
+    // beats-snaive-on-trend pinned in ClosedFormProps.
+    "ts_holt_backtest" -> ((s, d) => {
+      import s.implicits._
+      val hourly = TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // consumed twice: tap fan-out + actuals
+      val weights = Seq((1, 3145728L), (2, 1835008L), (3, 720896L),
+        (4, -16384L), (5, -380928L), (6, -467968L), (7, -394496L),
+        (8, -259136L), (9, -126672L), (10, -28772L), (11, 27371L),
+        (12, 139657L)).toDF("tap", "w4m")
+      val fc = hourly.crossJoin(broadcast(weights))
+        .select((col("hr") + col("tap")).as("hr"),
+          (col("cnt") * col("w4m")).as("c4m"))
+        .groupBy("hr")
+        .agg(sum("c4m").as("fc4m"), count(lit(1)).as("n_taps"))
+        .filter(col("n_taps") === 12)
+      hourly.join(fc, "hr")
+        .withColumn("y4m", col("cnt") * 4194304L)
+        .withColumn("term_u", when(
+          abs(col("y4m")) + abs(col("fc4m")) > 0,
+          floor(lit(2.0)
+            * abs(col("y4m") - col("fc4m")).cast("double")
+            / (abs(col("y4m")) + abs(col("fc4m"))).cast("double")
+            * 1000000 + 0.5).cast("long")).otherwise(0L))
+        .agg(count(lit(1)).as("n_scored"),
+          sum(abs(col("y4m") - col("fc4m"))).as("abs_err4m_sum"),
+          sum("term_u").as("smape_sum_u"))
+        .withColumn("mae", when(col("n_scored") > 0,
+          r4(col("abs_err4m_sum").cast("double") / 4194304.0
+            / col("n_scored").cast("double"))))
+        .withColumn("smape", when(col("n_scored") > 0,
+          r4(col("smape_sum_u").cast("double")
+            / col("n_scored").cast("double") / 1000000.0)))
+        .select("n_scored", "abs_err4m_sum", "mae", "smape")
+    }),
+
     // LJUNG-BOX WHITENESS TEST (round 10): Q = n(n+2)·Σ_{k≤12}
     // r_k²/(n−k) over the hourly series — the "is anything left"
     // gate run after deseasonalizing/whitening: if Q clears the
@@ -3713,6 +3766,42 @@ object TimeSeries {
         |SELECT n_scored, abs_err128_sum,
         |  CASE WHEN n_scored > 0 THEN
         |    floor((abs_err128_sum::DOUBLE / 128.0 / n_scored::DOUBLE)
+        |      * 10000 + 0.5) / 10000 END AS mae,
+        |  CASE WHEN n_scored > 0 THEN
+        |    floor((smape_sum_u::DOUBLE / n_scored::DOUBLE / 1000000.0)
+        |      * 10000 + 0.5) / 10000 END AS smape
+        |FROM a""".stripMargin,
+    // Same fan-out as the SES oracle with the ×4^11 Holt taps and
+    // the |y|+|fc| sMAPE denominator (negative forecasts possible).
+    "ts_holt_backtest" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT * FROM (VALUES (1, 3145728), (2, 1835008),
+        |  (3, 720896), (4, -16384), (5, -380928), (6, -467968),
+        |  (7, -394496), (8, -259136), (9, -126672), (10, -28772),
+        |  (11, 27371), (12, 139657)) AS t(tap, w4m)),
+        |fc AS (
+        |  SELECT h.hr + w.tap AS hr, sum(h.cnt * w.w4m)::BIGINT AS fc4m,
+        |    count(*)::BIGINT AS n_taps
+        |  FROM hourly h CROSS JOIN w
+        |  GROUP BY 1 HAVING count(*) = 12),
+        |j AS (
+        |  SELECT (a.cnt * 4194304)::BIGINT AS y4m, fc.fc4m,
+        |    CASE WHEN abs(a.cnt * 4194304) + abs(fc.fc4m) > 0 THEN
+        |      floor(2.0 * abs(a.cnt * 4194304 - fc.fc4m)::DOUBLE
+        |        / (abs(a.cnt * 4194304) + abs(fc.fc4m))::DOUBLE
+        |        * 1000000 + 0.5)::BIGINT
+        |    ELSE 0 END AS term_u
+        |  FROM hourly a JOIN fc ON a.hr = fc.hr),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n_scored,
+        |    sum(abs(y4m - fc4m))::BIGINT AS abs_err4m_sum,
+        |    sum(term_u)::BIGINT AS smape_sum_u
+        |  FROM j)
+        |SELECT n_scored, abs_err4m_sum,
+        |  CASE WHEN n_scored > 0 THEN
+        |    floor((abs_err4m_sum::DOUBLE / 4194304.0 / n_scored::DOUBLE)
         |      * 10000 + 0.5) / 10000 END AS mae,
         |  CASE WHEN n_scored > 0 THEN
         |    floor((smape_sum_u::DOUBLE / n_scored::DOUBLE / 1000000.0)

@@ -777,6 +777,49 @@ object ClosedFormProps extends Properties("graft.closedforms") {
         (fc128 == 128L * c) :| s"constant series must forecast itself"
     }
 
+  // ts_holt_backtest: the ×4^11 tap table IS Holt α = β = 1/2 with
+  // (l = oldest window obs, b = 0) init run over the trailing 12
+  // points. All quantities are binary fractions with ≤ 52 mantissa
+  // bits, so the double recursion is EXACT and the comparison needs
+  // no tolerance. Taps sum to 4^11 ⇒ a constant series forecasts
+  // itself; and on a planted linear trend Holt's sMAPE beats the
+  // seasonal-naive lag-168 forecast (the capability the key exists
+  // to add over ts_snaive_smape / ts_ses_backtest).
+  private val holtTaps = List(3145728L, 1835008L, 720896L, -16384L,
+    -380928L, -467968L, -394496L, -259136L, -126672L, -28772L,
+    27371L, 139657L)
+
+  property("Holt ×4^11 taps equal the level+trend recursion and sum to 1") =
+    Prop.forAll(Gen.listOfN(12, Gen.choose(1L, 1000L))) { ys =>
+      // ys.head is the window seed y_{h-12}; ys.last is y_{h-1}
+      var l = ys.head.toDouble
+      var b = 0.0
+      ys.tail.foreach { y =>
+        val lp = l
+        l = y / 2.0 + (l + b) / 2.0
+        b = (l - lp) / 2.0 + b / 2.0
+      }
+      val fcRec = l + b
+      val fcTap = (1 to 12).map(j => holtTaps(j - 1) * ys(12 - j)).sum /
+        4194304.0
+      (holtTaps.sum == 4194304L) :| "taps must sum to exactly 4^11" &&
+        (fcRec == fcTap) :| s"recursion $fcRec != taps $fcTap"
+    }
+
+  property("Holt backtest beats seasonal-naive on a planted linear trend") =
+    Prop.forAll(Gen.choose(1L, 50L), Gen.choose(100L, 1000L)) { (slope, base) =>
+      val ys = (0 until 400).map(t => (base + slope * t).toDouble)
+      def smape(a: Double, f: Double) =
+        2 * math.abs(a - f) / (math.abs(a) + math.abs(f))
+      val hs = (200 until 400).map { t =>
+        smape(ys(t),
+          (1 to 12).map(j => holtTaps(j - 1) * ys(t - j)).sum / 4194304.0)
+      }
+      val ss = (200 until 400).map(t => smape(ys(t), ys(t - 168)))
+      (hs.sum < ss.sum) :|
+        s"holt ${hs.sum / hs.size} must beat snaive ${ss.sum / ss.size}"
+    }
+
   // agg_ols_multi: Cramer's rule on the centered 2×2 system IS the
   // least-squares solution — the betas satisfy the normal equations
   // on arbitrary integer data, and when the regressors are exactly

@@ -264,6 +264,12 @@ class DegenerateSpec extends SparkSpec {
     }
   }
 
+  test("holtBacktest survives empty / short / negative series") {
+    seriesFrames.foreach { case (n, f) =>
+      assertClean(engine.holtBacktest(f, "hr", "n"), s"holtBacktest/$n")
+    }
+  }
+
   test("oddsRatio survives empty / one-armed / all-success frames") {
     val schema = StructType(Seq(StructField("t", LongType),
       StructField("s", LongType)))
