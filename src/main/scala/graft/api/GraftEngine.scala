@@ -3953,6 +3953,60 @@ class GraftEngine(val spark: SparkSession) {
       .select("n_scored", "abs_err128_sum", "mae", "smape")
   }
 
+  /** mSPRT always-valid sequential A/B p-value (see
+    * `events_ab_sequential`) over an event-grain frame: `lookCol`
+    * orders the looks, `tCol` is the 0/1 arm flag, `succCol` the 0/1
+    * success flag. Per look the cumulative cells give θ̂ and pooled
+    * V; ln Λ = ½ln(V/(V+τ²)) + θ̂²τ²/(2V(V+τ²)) micro-quantized at
+    * the definition site; p_k = exp(−max_{j≤k} max(lnΛ_j, 0)) is
+    * monotone non-increasing by construction (ClosedFormProps pin).
+    */
+  def msprtSequential(df: DataFrame, lookCol: String, tCol: String,
+                      succCol: String, tau2: Double = 0.0001): DataFrame = {
+    require(tau2 > 0, "mixture prior variance tau2 must be positive")
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(lookCol).as("day"), col(tCol).as("t"),
+        col(succCol).as("purch"))
+      .groupBy("day")
+      .agg(
+        sum(when(col("t") === 0, 1L).otherwise(0L)).as("d_nc"),
+        sum(when(col("t") =!= 0, 1L).otherwise(0L)).as("d_nt"),
+        sum(when(col("t") === 0, col("purch")).otherwise(0L)).as("d_sc"),
+        sum(when(col("t") =!= 0, col("purch")).otherwise(0L)).as("d_st"))
+      .select(col("day"),
+        sum("d_nc").over(wCum).cast("long").as("n_c"),
+        sum("d_nt").over(wCum).cast("long").as("n_t"),
+        sum("d_sc").over(wCum).cast("long").as("s_c"),
+        sum("d_st").over(wCum).cast("long").as("s_t"))
+      .withColumn("pbar", when(col("n_c") + col("n_t") > 0,
+        (col("s_c") + col("s_t")).cast("double")
+          / (col("n_c") + col("n_t")).cast("double")))
+      .withColumn("theta", when(col("n_c") > 0 && col("n_t") > 0,
+        col("s_t").cast("double") / col("n_t").cast("double")
+          - col("s_c").cast("double") / col("n_c").cast("double")))
+      .withColumn("v", when(col("n_c") > 0 && col("n_t") > 0
+          && col("s_c") + col("s_t") > 0
+          && col("s_c") + col("s_t") < col("n_c") + col("n_t"),
+        col("pbar") * (lit(1.0) - col("pbar"))
+          * (lit(1.0) / col("n_c").cast("double")
+            + lit(1.0) / col("n_t").cast("double"))))
+      .withColumn("llr_u", when(col("v") > 0,
+        floor((lit(0.5) * log(col("v") / (col("v") + lit(tau2)))
+          + col("theta") * col("theta") * lit(tau2)
+            / (lit(2.0) * col("v") * (col("v") + lit(tau2))))
+          * 1000000 + 0.5).cast("long")))
+      .withColumn("mx_u",
+        greatest(coalesce(max("llr_u").over(wCum), lit(0L)), lit(0L)))
+      .withColumn("p_seq_u",
+        floor(exp(-col("mx_u").cast("double") / 1000000.0)
+          * 1000000 + 0.5).cast("long"))
+      .withColumn("significant", col("p_seq_u") < 50000L)
+      .select("day", "n_c", "n_t", "s_c", "s_t", "llr_u",
+        "p_seq_u", "significant")
+      .orderBy("day")
+  }
+
   /** Holt level+trend one-step backtest (see `ts_holt_backtest`):
     * α = β = 1/2 over a trailing 12-point window unrolled to exact
     * ×4^11 taps (lag-j numerators n_{j+2} = 5n_{j+1} − 8n_j; the

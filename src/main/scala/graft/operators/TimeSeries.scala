@@ -1126,6 +1126,75 @@ object TimeSeries {
         .select("n_c", "n_t", "x_c", "x_t", "odds_ratio", "ci_lo",
           "ci_hi", "significant_95")),
 
+    // mSPRT ALWAYS-VALID A/B (round 12): the experiment stack was
+    // entirely fixed-horizon (z, Welch, MW-U, KS, CUPED, SRM, BH/
+    // Holm, log-rank, OR) and real experiment owners PEEK — the
+    // normal-mixture sequential probability ratio test gives a
+    // p-value that stays valid under continuous monitoring. Looks =
+    // days; per look the CUMULATIVE event-grain purchase-share cells
+    // (the events_ab_significance design — per-user conversion is
+    // degenerate on this fixture) give θ̂ = p_t − p_c with pooled
+    // variance V; the N(0, τ²=1e-4) mixture likelihood ratio is one
+    // closed form per look, ln Λ = ½ln(V/(V+τ²)) + θ̂²τ²/(2V(V+τ²)),
+    // micro-quantized at its definition site (the ONLY transcendental
+    // sites are this ln and the final exp — both mirrored op-for-op,
+    // the Lin-p precedent). p_k = exp(−max_{j≤k} max(lnΛ_j, 0)) —
+    // the RUNNING MAX is what makes the p always-valid and monotone
+    // non-increasing (pinned in ClosedFormProps + on the key output).
+    // Degenerate looks (one-armed, all/none converted ⇒ V = 0) carry
+    // NULL lnΛ and drop out of the max. Shape: map-side flags → one
+    // day-grid aggregate → windows over the ~365-row grid (documented
+    // tiny-table tail) → day-grain readout.
+    "events_ab_sequential" -> ((s, d) => {
+      val Wc = org.apache.spark.sql.expressions.Window
+      val wCum = Wc.orderBy("day")
+        .rowsBetween(Wc.unboundedPreceding, Wc.currentRow)
+      val tau2 = 0.0001
+      TestData.events(s, d)
+        .withColumn("t",
+          (conv(substring(md5(col("user_id").cast("string")), 1, 2),
+            16, 10).cast("int") % 2 =!= 0).cast("int"))
+        .withColumn("purch",
+          when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(
+          sum(when(col("t") === 0, 1L).otherwise(0L)).as("d_nc"),
+          sum(when(col("t") === 1, 1L).otherwise(0L)).as("d_nt"),
+          sum(when(col("t") === 0, col("purch")).otherwise(0L)).as("d_sc"),
+          sum(when(col("t") === 1, col("purch")).otherwise(0L)).as("d_st"))
+        .select(col("day"),
+          sum("d_nc").over(wCum).cast("long").as("n_c"),
+          sum("d_nt").over(wCum).cast("long").as("n_t"),
+          sum("d_sc").over(wCum).cast("long").as("s_c"),
+          sum("d_st").over(wCum).cast("long").as("s_t"))
+        .withColumn("pbar", when(col("n_c") + col("n_t") > 0,
+          (col("s_c") + col("s_t")).cast("double")
+            / (col("n_c") + col("n_t")).cast("double")))
+        .withColumn("theta", when(col("n_c") > 0 && col("n_t") > 0,
+          col("s_t").cast("double") / col("n_t").cast("double")
+            - col("s_c").cast("double") / col("n_c").cast("double")))
+        .withColumn("v", when(col("n_c") > 0 && col("n_t") > 0
+            && col("s_c") + col("s_t") > 0
+            && col("s_c") + col("s_t") < col("n_c") + col("n_t"),
+          col("pbar") * (lit(1.0) - col("pbar"))
+            * (lit(1.0) / col("n_c").cast("double")
+              + lit(1.0) / col("n_t").cast("double"))))
+        .withColumn("llr_u", when(col("v") > 0,
+          floor((lit(0.5) * log(col("v") / (col("v") + lit(tau2)))
+            + col("theta") * col("theta") * lit(tau2)
+              / (lit(2.0) * col("v") * (col("v") + lit(tau2))))
+            * 1000000 + 0.5).cast("long")))
+        .withColumn("mx_u",
+          greatest(coalesce(max("llr_u").over(wCum), lit(0L)), lit(0L)))
+        .withColumn("p_seq_u",
+          floor(exp(-col("mx_u").cast("double") / 1000000.0)
+            * 1000000 + 0.5).cast("long"))
+        .withColumn("significant", col("p_seq_u") < 50000L)
+        .select("day", "n_c", "n_t", "s_c", "s_t", "llr_u",
+          "p_seq_u", "significant")
+        .orderBy("day")
+    }),
+
     // EVENT-TIME LATENESS PROFILE (round 8): how late do events
     // arrive relative to the stream's high-water mark? — the readout
     // that CHOOSES the Structured Streaming watermark delay (too
@@ -2969,6 +3038,64 @@ object TimeSeries {
         |  floor(z*10000 + 0.5)/10000 AS z_score,
         |  abs(z) > 1.959964 AS significant_95
         |FROM z""".stripMargin,
+    // Day-grid cumulative cells; ln Λ mirrored op-for-op and
+    // micro-quantized at its definition site; running max + exp.
+    "events_ab_sequential" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))::INT
+        |      % 2 = 0 THEN 0 ELSE 1 END AS t,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS purch
+        |  FROM events),
+        |daily AS (
+        |  SELECT day,
+        |    sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)::BIGINT AS d_nc,
+        |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)::BIGINT AS d_nt,
+        |    sum(CASE WHEN t = 0 THEN purch ELSE 0 END)::BIGINT AS d_sc,
+        |    sum(CASE WHEN t = 1 THEN purch ELSE 0 END)::BIGINT AS d_st
+        |  FROM e GROUP BY 1),
+        |looks AS (
+        |  SELECT day,
+        |    (sum(d_nc) OVER w)::BIGINT AS n_c,
+        |    (sum(d_nt) OVER w)::BIGINT AS n_t,
+        |    (sum(d_sc) OVER w)::BIGINT AS s_c,
+        |    (sum(d_st) OVER w)::BIGINT AS s_t
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |stats AS (
+        |  SELECT day, n_c, n_t, s_c, s_t,
+        |    CASE WHEN n_c + n_t > 0 THEN
+        |      (s_c + s_t)::DOUBLE / (n_c + n_t)::DOUBLE END AS pbar,
+        |    CASE WHEN n_c > 0 AND n_t > 0 THEN
+        |      s_t::DOUBLE / n_t::DOUBLE - s_c::DOUBLE / n_c::DOUBLE
+        |      END AS theta
+        |  FROM looks),
+        |vv AS (
+        |  SELECT *, CASE WHEN n_c > 0 AND n_t > 0
+        |      AND s_c + s_t > 0 AND s_c + s_t < n_c + n_t THEN
+        |    pbar * (1.0 - pbar)
+        |      * (1.0 / n_c::DOUBLE + 1.0 / n_t::DOUBLE) END AS v
+        |  FROM stats),
+        |llr AS (
+        |  SELECT day, n_c, n_t, s_c, s_t,
+        |    CASE WHEN v > 0 THEN
+        |      floor((0.5 * ln(v / (v + 0.0001))
+        |        + theta * theta * 0.0001
+        |          / (2.0 * v * (v + 0.0001))) * 1000000 + 0.5)::BIGINT
+        |      END AS llr_u
+        |  FROM vv),
+        |mx AS (
+        |  SELECT *, greatest(coalesce((max(llr_u) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT,
+        |    0), 0) AS mx_u
+        |  FROM llr)
+        |SELECT day, n_c, n_t, s_c, s_t, llr_u,
+        |  floor(exp(-(mx_u::DOUBLE) / 1000000.0) * 1000000 + 0.5)::BIGINT
+        |    AS p_seq_u,
+        |  floor(exp(-(mx_u::DOUBLE) / 1000000.0) * 1000000 + 0.5)::BIGINT
+        |    < 50000 AS significant
+        |FROM mx ORDER BY day""".stripMargin,
     // Same 2×2 cells, Haldane +0.5 correction, mirrored log-normal CI.
     "events_ab_odds_ratio" ->
       """WITH v AS (

@@ -820,6 +820,44 @@ object ClosedFormProps extends Properties("graft.closedforms") {
         s"holt ${hs.sum / hs.size} must beat snaive ${ss.sum / ss.size}"
     }
 
+  // events_ab_sequential: the always-valid p is exp(−running max of
+  // max(lnΛ, 0)) — more evidence can only grow the running max, so
+  // the p sequence is monotone non-increasing and stays in (0, 1]
+  // on ANY cumulative cell stream (the property that makes peeking
+  // safe; a refactor that drops the running max breaks this first).
+  private val lookStream: Gen[List[(Long, Long, Long, Long)]] =
+    Gen.choose(1, 40).flatMap(n => Gen.listOfN(n,
+      for {
+        nc <- Gen.choose(0L, 50L); nt <- Gen.choose(0L, 50L)
+        sc <- Gen.choose(0L, nc); st <- Gen.choose(0L, nt)
+      } yield (nc, nt, sc, st)))
+
+  property("mSPRT always-valid p is monotone non-increasing in looks") =
+    Prop.forAll(lookStream) { incs =>
+      val tau2 = 0.0001
+      val cum = incs.scanLeft((0L, 0L, 0L, 0L)) { case ((a, b, c, d), i) =>
+        (a + i._1, b + i._2, c + i._3, d + i._4)
+      }.tail
+      val llrU = cum.map { case (nc, nt, sc, st) =>
+        if (nc > 0 && nt > 0 && sc + st > 0 && sc + st < nc + nt) {
+          val pbar = (sc + st).toDouble / (nc + nt)
+          val v = pbar * (1.0 - pbar) * (1.0 / nc + 1.0 / nt)
+          val theta = st.toDouble / nt - sc.toDouble / nc
+          val llr = 0.5 * math.log(v / (v + tau2)) +
+            theta * theta * tau2 / (2.0 * v * (v + tau2))
+          Some(math.floor(llr * 1000000 + 0.5).toLong)
+        } else None
+      }
+      val ps = llrU.scanLeft(0L) { (mx, l) =>
+        math.max(mx, l.getOrElse(Long.MinValue))
+      }.tail.map(mx => math.floor(
+        math.exp(-math.max(mx, 0L).toDouble / 1000000.0) * 1000000 + 0.5)
+        .toLong)
+      val mono = ps.zip(ps.tail).forall { case (a, b) => b <= a }
+      mono :| s"p rose under more evidence: $ps" &&
+        ps.forall(p => p > 0 && p <= 1000000) :| s"p out of (0,1]: $ps"
+    }
+
   // agg_ols_multi: Cramer's rule on the centered 2×2 system IS the
   // least-squares solution — the betas satisfy the normal equations
   // on arbitrary integer data, and when the regressors are exactly

@@ -270,6 +270,23 @@ class DegenerateSpec extends SparkSpec {
     }
   }
 
+  test("msprtSequential survives empty / one-armed / all-success looks") {
+    val schema = StructType(Seq(StructField("day", LongType),
+      StructField("t", LongType), StructField("s", LongType)))
+    def fr(rows: Seq[(Long, Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), schema)
+    val frames = Seq(
+      "empty" -> fr(Nil),
+      "one-armed" -> fr((1L to 6L).map(d => (d, 1L, d % 2))),
+      "all-success" -> fr((1L to 6L).map(d => (d, d % 2, 1L))),
+      "no-success" -> fr((1L to 6L).map(d => (d, d % 2, 0L))),
+      "single-look" -> fr(Seq((1L, 0L, 1L), (1L, 1L, 0L))))
+    frames.foreach { case (n, f) =>
+      assertClean(engine.msprtSequential(f, "day", "t", "s"),
+        s"msprt/$n")
+    }
+  }
+
   test("oddsRatio survives empty / one-armed / all-success frames") {
     val schema = StructType(Seq(StructField("t", LongType),
       StructField("s", LongType)))

@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 149, "documented facade count drifted; methods: "
+    assert(names.length === 150, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1205,6 +1205,25 @@ class EngineApiSpec extends SparkSpec {
     val viaApi = engine.holtBacktest(hourly, "hr", "cnt")
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
+  }
+
+  test("msprtSequential facade matches the events_ab_sequential key; p monotone") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("events_ab_sequential")(spark, d)
+      .collect()
+    val flags = TestData.events(spark, d)
+      .withColumn("day", expr("unix_micros(ts) DIV 86400000000"))
+      .withColumn("t",
+        (conv(substring(md5(col("user_id").cast("string")), 1, 2),
+          16, 10).cast("int") % 2 =!= 0).cast("int"))
+      .withColumn("purch",
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+    val viaApi = engine.msprtSequential(flags, "day", "t", "purch")
+      .collect()
+    assert(viaApi.map(_.toSeq).toSeq === declared.map(_.toSeq).toSeq)
+    val ps = declared.map(_.getAs[Long]("p_seq_u"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a },
+      s"always-valid p rose on the fixture: ${ps.mkString(",")}")
   }
 
   test("srmCheck facade matches the events_ab_srm declared key") {
