@@ -210,6 +210,20 @@ class GraftEngine(val spark: SparkSession) {
                       seed: Long): DataFrame =
     TrainedQuantize.trainedCodebook(embeddings, seed, codewords)
 
+  /** OPQ encode (see `vec_opq_encode`): eigen-allocated PCA rotation
+    * (micro-quantized basis — the distributed rotation and the
+    * driver-side sample rotation are the same exact integer-term
+    * arithmetic), then per-subspace trained PQ on the rotated
+    * coordinates. Input (vec_id, embedding ARRAY<DOUBLE>[64]);
+    * output (vec_id, sub, code, dist). Requires a trainable corpus
+    * (≥ codewords sample vectors), like `trainPqCodebook`.
+    */
+  def opqEncode(embeddings: DataFrame, codewords: Int = 4,
+                seed: Long = 42L): DataFrame = {
+    require(codewords >= 2 && codewords <= 256, "codewords in [2, 256]")
+    TrainedQuantize.opqEncodeGeneric(embeddings, codewords, seed)
+  }
+
   /** Embedding-cosine near-duplicate pairs via banded hyperplane-LSH
     * candidates + exact cosine re-check (precision 1; recall set by
     * the banding, ≈ 0.999 at cosine 0.99). The scale path for

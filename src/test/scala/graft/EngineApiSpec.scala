@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 150, "documented facade count drifted; methods: "
+    assert(names.length === 151, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -998,6 +998,18 @@ class EngineApiSpec extends SparkSpec {
     val one = labels.select($"id", lit(0L).as("label"))
     val rows = engine.modularity(one, "id", "label", edges).collect()
     assert(rows.length === 1 && rows.head.getAs[Long]("q_term_u") === 0L)
+  }
+
+  test("opqEncode facade matches the vec_opq_encode key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("vec_opq_encode")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.opqEncode(TestData.embeddings(spark, d))
+      .groupBy("vec_id")
+      .agg(TestData.r4(sqrt(sum(col("dist")))).as("recon_err"))
+      .orderBy("vec_id")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
   }
 
   test("louvainRefine facade matches the graph_louvain_refine key") {

@@ -36,6 +36,29 @@ class TrainedSpec extends SparkSpec {
       s"trained PQ distortion $trained must be <= fixed $fixed")
   }
 
+  test("OPQ rotation is orthogonal and reduces PQ distortion vs plain trained") {
+    val e = TestData.embeddings(spark, sfDir)
+    val rot = TrainedQuantize.opqRotation(e)
+    // the micro-quantized eigen basis must still be an (approximate)
+    // rotation — that is what makes rotated distortion comparable to
+    // unrotated distortion (L2 preserved)
+    val R = rot.map(_.map(_.toDouble / 1e6))
+    for (i <- R.indices; j <- i until R.length) {
+      val dot = R(i).zip(R(j)).map { case (a, b) => a * b }.sum
+      val target = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - target) < 0.01,
+        s"basis not orthogonal at ($i,$j): $dot")
+    }
+    val plain = TrainedQuantize.encodeErr(e,
+        TrainedQuantize.trainedCodebook(e, 42L))
+      .agg(sum(col("dist"))).first().getDouble(0)
+    val opq = TrainedQuantize.opqEncodeGeneric(e, 4, 42L)
+      .agg(sum(col("dist"))).first().getDouble(0)
+    info(s"OPQ distortion $opq vs plain trained $plain")
+    assert(opq <= plain,
+      s"rotating first must not raise PQ distortion: $opq vs $plain")
+  }
+
   test("trained IVF-PQ search recalls the exact neighbors at least as well as the fixed-codebook path") {
     val e = TestData.embeddings(spark, sfDir)
     // Exact L2 top-10 for query 42 — the ground truth.
