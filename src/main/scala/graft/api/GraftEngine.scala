@@ -3967,6 +3967,21 @@ class GraftEngine(val spark: SparkSession) {
       .select("n_scored", "abs_err128_sum", "mae", "smape")
   }
 
+  /** Markov removal-effect attribution (see
+    * `events_attribution_markov`): per-user journeys up to the first
+    * `convType` event, 3 integer value-iteration rounds per removal
+    * variant, all variants in one channels-sized frame. Output one
+    * row per channel: (channel, last_touch_convs, removal_u,
+    * share_u).
+    */
+  def markovAttribution(events: DataFrame, userCol: String,
+                        tsCol: String, tieCol: String, typeCol: String,
+                        convType: String): DataFrame =
+    graft.operators.TimeSeries.markovAttribution(
+      events.select(col(userCol).as("user_id"), col(tsCol).as("ts"),
+        col(tieCol).as("event_id"), col(typeCol).as("event_type")),
+      convType)
+
   /** mSPRT always-valid sequential A/B p-value (see
     * `events_ab_sequential`) over an event-grain frame: `lookCol`
     * orders the looks, `tCol` is the 0/1 arm flag, `succCol` the 0/1

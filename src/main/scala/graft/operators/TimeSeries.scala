@@ -71,6 +71,107 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** Markov removal-effect attribution core (see the declared key's
+    * scaladoc): journeys = per-user event prefix up to and including
+    * the first `convType` event; 3 unrolled integer value-iteration
+    * rounds per removal variant, all variants in one frame. Input
+    * needs (user_id, ts, event_id, event_type). Shared by
+    * `events_attribution_markov` and `GraftEngine.markovAttribution`.
+    */
+  private[graft] def markovAttribution(events: DataFrame,
+                                       convType: String): DataFrame = {
+    val s = events.sparkSession
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = events
+      .withColumn("purch",
+        when(col("event_type") === convType, 1L).otherwise(0L))
+      .withColumn("pre", coalesce(sum("purch").over(
+        w.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("pre") === 0)
+    val steps = ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .localCheckpoint() // two consumers: mid transitions + starts
+    val mids = steps.filter(col("event_type") =!= convType)
+      .select(col("event_type").as("from_type"),
+        when(col("next_type").isNull, lit("END"))
+          .when(col("next_type") === convType, lit("CONV"))
+          .otherwise(col("next_type")).as("to_type"))
+    val starts = steps.filter(col("rn") === 1)
+      .select(lit("START").as("from_type"),
+        when(col("event_type") === convType, lit("CONV"))
+          .otherwise(col("event_type")).as("to_type"))
+    val p = mids.union(starts)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("c"))
+      .withColumn("rt", sum("c").over(W.partitionBy("from_type")))
+      .withColumn("p_u", expr("(c * 1000000) DIV rt"))
+      .select("from_type", "to_type", "p_u", "c")
+      .localCheckpoint()
+    import s.implicits._
+    val channels = p.select(col("from_type").as("ch"))
+      .union(p.select(col("to_type").as("ch")))
+      .filter(!col("ch").isin("START", "CONV", "END")).distinct()
+      .localCheckpoint()
+    val variants = channels.select(col("ch").as("removed"))
+      .union(Seq("(none)").toDF("removed"))
+    val pv = variants.crossJoin(p)
+      .filter(col("from_type") =!= col("removed")
+        && col("to_type") =!= col("removed"))
+      .localCheckpoint()
+    val statesV = variants.crossJoin(
+        channels.select(col("ch").as("st"))
+          .union(Seq("START").toDF("st")))
+      .filter(col("st") =!= col("removed"))
+      .localCheckpoint()
+    val direct = pv.filter(col("to_type") === "CONV")
+      .select(col("removed"), col("from_type").as("st"),
+        col("p_u").as("dc"))
+    var v = statesV.join(direct, Seq("removed", "st"), "left")
+      .select(col("removed"), col("st"),
+        coalesce(col("dc"), lit(0L)).as("v"))
+      .localCheckpoint()
+    for (_ <- 1 to 3) {
+      val nxt = pv
+        .filter(col("to_type") =!= "CONV" && col("to_type") =!= "END")
+        .join(v.select(col("removed"), col("st").as("to_type"),
+          col("v").as("vn")), Seq("removed", "to_type"))
+        .groupBy(col("removed"), col("from_type").as("st"))
+        .agg(sum(col("p_u") * col("vn")).as("acc"))
+      v = statesV
+        .join(direct, Seq("removed", "st"), "left")
+        .join(nxt, Seq("removed", "st"), "left")
+        .select(col("removed"), col("st"),
+          (coalesce(col("dc"), lit(0L))
+            + expr("coalesce(acc, 0) DIV 1000000")).as("v"))
+        .localCheckpoint()
+    }
+    val vstart = v.filter(col("st") === "START")
+      .select(col("removed"), col("v"))
+      .localCheckpoint()
+    val full = vstart.filter(col("removed") === "(none)")
+      .select(col("v").as("v_full"))
+    val lastTouch = p
+      .filter(col("to_type") === "CONV" && col("from_type") =!= "START")
+      .select(col("from_type").as("channel"),
+        col("c").as("last_touch_convs"))
+    val eff = vstart.filter(col("removed") =!= "(none)")
+      .crossJoin(broadcast(full))
+      .select(col("removed").as("channel"),
+        greatest(lit(0L), col("v_full") - col("v")).as("removal_u"))
+      .localCheckpoint()
+    val totEff = eff.agg(sum("removal_u").as("te"))
+    eff.crossJoin(broadcast(totEff))
+      .join(lastTouch, Seq("channel"), "left")
+      .select(col("channel"),
+        coalesce(col("last_touch_convs"), lit(0L))
+          .as("last_touch_convs"),
+        col("removal_u"),
+        expr("CASE WHEN te > 0 THEN removal_u * 1000000 DIV te"
+          + " ELSE CAST(0 AS BIGINT) END").as("share_u"))
+      .orderBy("channel")
+  }
+
   val defs: Map[String, Q] = Map(
     "ts_gap_fill" -> ((s, d) => {
       val daily = TestData.orders(s, d)
@@ -564,6 +665,29 @@ object TimeSeries {
       pi.select(col("event_type"), col("pi").as("pi_micro"))
         .orderBy("event_type")
     }),
+
+    // MARKOV REMOVAL-EFFECT ATTRIBUTION (round 12): attribution was
+    // last-touch only — the r11 verdict's missing multi-touch model.
+    // Journeys = each user's event prefix up to and including the
+    // FIRST purchase (START → touches → CONV; non-converters end at
+    // END). Conversion probability from START is estimated by 3
+    // unrolled rounds of integer value iteration (P(convert within
+    // ≤ 4 steps), micro-unit DIV arithmetic on non-negative counts —
+    // Spark DIV ≡ DuckDB // there); channel c's REMOVAL EFFECT is
+    // v_full(START) − v_without_c(START), where "without c" drops
+    // c's row and sends transitions INTO c to non-conversion (the
+    // standard removal semantics — no renormalization). All removal
+    // variants run in ONE frame (variant column × channels-sized
+    // transition table — everything after the one corpus pass is
+    // channels²-sized). Published next to the last-touch conversion
+    // counts for the same journeys; share_u = removal mass
+    // normalized to 1e6. Σ removal_u > 0 pinned in PropertySpec
+    // (every journey's conversion rides through SOME channel unless
+    // all conversions are first-event purchases).
+    "events_attribution_markov" -> ((s, d) =>
+      markovAttribution(TestData.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type")), "purchase")),
 
     // SEASONAL DECOMPOSITION, STL-lite (round 7): hourly click counts
     // split into trend + seasonal + remainder — the classical
@@ -2641,6 +2765,106 @@ object TimeSeries {
         |${round(3)}
         |SELECT event_type, pi AS pi_micro FROM pi3
         |ORDER BY event_type""".stripMargin
+    },
+    // Journey-prefix transitions, then 3 unrolled integer
+    // value-iteration rounds per removal variant (channels-sized;
+    // MATERIALIZED CTEs — every round references its predecessor and
+    // the shared tables multiple times).
+    "events_attribution_markov" -> {
+      def round(k: Int): String = {
+        val prev = if (k == 1) "v0" else s"v${k - 1}"
+        s"""n$k AS (
+          |  SELECT pv.removed, pv.from_type AS st,
+          |    sum(pv.p_u * vp.v)::BIGINT AS acc
+          |  FROM pv JOIN $prev vp
+          |    ON pv.removed = vp.removed AND pv.to_type = vp.st
+          |  GROUP BY 1, 2),
+          |v$k AS MATERIALIZED (
+          |  SELECT sv.removed, sv.st,
+          |    (coalesce(dc.dc, 0)
+          |      + (coalesce(n$k.acc, 0) // 1000000))::BIGINT AS v
+          |  FROM sv
+          |  LEFT JOIN dc ON sv.removed = dc.removed AND sv.st = dc.st
+          |  LEFT JOIN n$k ON sv.removed = n$k.removed
+          |    AND sv.st = n$k.st)""".stripMargin
+      }
+      s"""WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1
+        |        ELSE 0 END) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS pre
+        |  FROM events),
+        |steps AS MATERIALIZED (
+        |  SELECT user_id, event_type, row_number() OVER w AS rn,
+        |    lead(event_type) OVER w AS next_type
+        |  FROM ev WHERE pre = 0
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |tr AS (
+        |  SELECT event_type AS from_type,
+        |    CASE WHEN next_type IS NULL THEN 'END'
+        |         WHEN next_type = 'purchase' THEN 'CONV'
+        |         ELSE next_type END AS to_type
+        |  FROM steps WHERE event_type <> 'purchase'
+        |  UNION ALL
+        |  SELECT 'START',
+        |    CASE WHEN event_type = 'purchase' THEN 'CONV'
+        |         ELSE event_type END
+        |  FROM steps WHERE rn = 1),
+        |tc AS (
+        |  SELECT from_type, to_type, count(*)::BIGINT AS c
+        |  FROM tr GROUP BY 1, 2),
+        |p AS MATERIALIZED (
+        |  SELECT from_type, to_type, c,
+        |    ((c * 1000000)
+        |      // (sum(c) OVER (PARTITION BY from_type)))::BIGINT AS p_u
+        |  FROM tc),
+        |ch AS MATERIALIZED (
+        |  SELECT DISTINCT ch FROM (
+        |    SELECT from_type AS ch FROM p
+        |    UNION ALL SELECT to_type FROM p)
+        |  WHERE ch NOT IN ('START', 'CONV', 'END')),
+        |vr AS MATERIALIZED (
+        |  SELECT ch AS removed FROM ch UNION ALL SELECT '(none)'),
+        |pv AS MATERIALIZED (
+        |  SELECT vr.removed, p.from_type, p.to_type, p.p_u, p.c
+        |  FROM vr CROSS JOIN p
+        |  WHERE p.from_type <> vr.removed AND p.to_type <> vr.removed),
+        |sv AS MATERIALIZED (
+        |  SELECT vr.removed, s.st FROM vr CROSS JOIN
+        |    (SELECT ch AS st FROM ch UNION ALL SELECT 'START') s
+        |  WHERE s.st <> vr.removed),
+        |dc AS MATERIALIZED (
+        |  SELECT removed, from_type AS st, p_u AS dc FROM pv
+        |  WHERE to_type = 'CONV'),
+        |v0 AS MATERIALIZED (
+        |  SELECT sv.removed, sv.st, coalesce(dc.dc, 0)::BIGINT AS v
+        |  FROM sv
+        |  LEFT JOIN dc ON sv.removed = dc.removed AND sv.st = dc.st),
+        |${round(1)},
+        |${round(2)},
+        |${round(3)},
+        |vs AS MATERIALIZED (
+        |  SELECT removed, v FROM v3 WHERE st = 'START'),
+        |lt AS (
+        |  SELECT from_type AS channel, c AS last_touch_convs FROM p
+        |  WHERE to_type = 'CONV' AND from_type <> 'START'),
+        |ef AS MATERIALIZED (
+        |  SELECT removed AS channel,
+        |    greatest(0, (SELECT v FROM vs WHERE removed = '(none)')
+        |      - v)::BIGINT AS removal_u
+        |  FROM vs WHERE removed <> '(none)'),
+        |te AS (SELECT sum(removal_u)::BIGINT AS te FROM ef)
+        |SELECT ef.channel,
+        |  coalesce(lt.last_touch_convs, 0)::BIGINT AS last_touch_convs,
+        |  ef.removal_u,
+        |  CASE WHEN te.te > 0 THEN
+        |    (ef.removal_u * 1000000 // te.te)::BIGINT
+        |  ELSE 0::BIGINT END AS share_u
+        |FROM ef CROSS JOIN te
+        |LEFT JOIN lt ON ef.channel = lt.channel
+        |ORDER BY ef.channel""".stripMargin
     },
     // Same prefix-sum closed form, all-BIGINT scaled deviations;
     // every windowed sum ::BIGINT (DuckDB HUGEINT trap).

@@ -270,6 +270,24 @@ class DegenerateSpec extends SparkSpec {
     }
   }
 
+  test("markovAttribution survives empty / no-conversion / all-conversion journeys") {
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", LongType), StructField("event_id", LongType),
+      StructField("event_type", StringType)))
+    def fr(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val frames = Seq(
+      "empty" -> fr(Nil),
+      "no-conv" -> fr((1L to 6L).map(i =>
+        Row(i % 2, i, i, if (i % 3 == 0) "a" else "b"))),
+      "all-first-conv" -> fr((1L to 4L).map(i => Row(i, i, i, "buy"))),
+      "single-event" -> fr(Seq(Row(1L, 1L, 1L, "a"))))
+    frames.foreach { case (n, f) =>
+      assertClean(engine.markovAttribution(f, "user_id", "ts",
+        "event_id", "event_type", "buy"), s"markovAttr/$n")
+    }
+  }
+
   test("msprtSequential survives empty / one-armed / all-success looks") {
     val schema = StructType(Seq(StructField("day", LongType),
       StructField("t", LongType), StructField("s", LongType)))

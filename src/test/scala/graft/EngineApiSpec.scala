@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 151, "documented facade count drifted; methods: "
+    assert(names.length === 152, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1010,6 +1010,24 @@ class EngineApiSpec extends SparkSpec {
       .orderBy("vec_id")
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
+  }
+
+  test("markovAttribution facade matches the key; removal mass is positive") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("events_attribution_markov")(spark, d)
+      .collect()
+    val viaApi = engine.markovAttribution(TestData.events(spark, d),
+        "user_id", "ts", "event_id", "event_type", "purchase")
+      .collect()
+    assert(viaApi.map(_.toSeq).toSeq === declared.map(_.toSeq).toSeq)
+    // Σ removal effects > 0: conversions ride through SOME channel
+    // (unless every conversion were a first-event purchase)
+    assert(declared.map(_.getAs[Long]("removal_u")).sum > 0L,
+      "removal-effect mass collapsed to zero")
+    // shares normalize to 1e6 up to DIV floor truncation
+    val shares = declared.map(_.getAs[Long]("share_u")).sum
+    assert(shares > 1000000L - declared.length && shares <= 1000000L,
+      s"shares must sum to ~1e6: $shares")
   }
 
   test("louvainRefine facade matches the graph_louvain_refine key") {
