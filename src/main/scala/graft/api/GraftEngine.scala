@@ -3967,6 +3967,32 @@ class GraftEngine(val spark: SparkSession) {
       .select("n_scored", "abs_err128_sum", "mae", "smape")
   }
 
+  /** Exact-k weighted sampling without replacement (see
+    * `sample_weighted_topk`, Efraimidis–Spirakis): md5-uniform
+    * u ∈ (0,1] per id, key u^(1/w) ranked in log space
+    * (nano-quantized), top-k by key. Deterministic across engines,
+    * runs, and cluster sizes; rows with weight ≤ 0 are dropped.
+    */
+  def weightedTopK(df: DataFrame, idCol: String, weightCol: String,
+                   k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val w = Window.orderBy(col("key_n").desc, col("id"))
+    df.select(col(idCol).as("id"),
+        col(weightCol).cast("double").as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("u28",
+        conv(substring(md5(col("id").cast("string")), 1, 7), 16, 10)
+          .cast("long"))
+      .withColumn("key_n",
+        floor(log((col("u28") + 1).cast("double") / lit(268435456.0))
+          / col("weight") * 1000000000 + 0.5).cast("long"))
+      .orderBy(col("key_n").desc, col("id"))
+      .limit(k)
+      .withColumn("rk", row_number().over(w))
+      .select("rk", "id", "weight", "key_n")
+      .orderBy("rk")
+  }
+
   /** Markov removal-effect attribution (see
     * `events_attribution_markov`): per-user journeys up to the first
     * `convType` event, 3 integer value-iteration rounds per removal

@@ -225,6 +225,40 @@ object ScalePatterns {
           col("u28"))
         .orderBy("o_orderkey")),
 
+    // EXACT-k WEIGHTED SAMPLING WITHOUT REPLACEMENT (round 12,
+    // Efraimidis–Spirakis): the missing member of the sampling
+    // family — sample_weighted is Bernoulli (random output size);
+    // this draws EXACTLY k rows with inclusion probability ∝ weight.
+    // Per row: u = (u28+1)/2^28 from the same md5 machinery (never
+    // 0, so ln is defined), E-S key u^(1/w) compared in LOG space —
+    // ln(u)/w, nano-quantized at the definition site (ln(u)/w spans
+    // ~1e-6..1e-3 at fixture weights; micro units would collapse
+    // ranks — the one transcendental, mirrored op-for-op; ties break
+    // on the unique id). Top-k via sort+limit (TakeOrderedAndProject
+    // — one map-side key computation + a k-row heap per partition at
+    // any corpus size, never a corpus-grain rank window). w ≤ 0 rows
+    // are dropped at the definition site (ln(u)/w undefined — stated,
+    // mirrored). Higher weight ⇒ rank never worse on the same
+    // uniform: pinned in ClosedFormProps.
+    "sample_weighted_topk" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      TestData.orders(s, d)
+        .filter(col("o_totalprice") > 0)
+        .withColumn("u28",
+          conv(substring(md5(col("o_orderkey").cast("string")), 1, 7),
+            16, 10).cast("long"))
+        .withColumn("key_n",
+          floor(log((col("u28") + 1).cast("double") / lit(268435456.0))
+            / col("o_totalprice") * 1000000000 + 0.5).cast("long"))
+        .orderBy(col("key_n").desc, col("o_orderkey"))
+        .limit(20)
+        .withColumn("rk", row_number().over(
+          W.orderBy(col("key_n").desc, col("o_orderkey"))))
+        .select(col("rk"), col("o_orderkey"),
+          col("o_totalprice").as("weight"), col("key_n"))
+        .orderBy("rk")
+    }),
+
     // Salted join: the skew remedy when BOTH join sides are too large
     // to broadcast and a hot key would pin one reducer. The fact side
     // carries salt = pmod(row id, S); the other side is replicated
@@ -365,6 +399,23 @@ object ScalePatterns {
         |WHERE ('0x' || substring(md5(o_orderkey::VARCHAR), 1, 7))::BIGINT
         |  < floor(o_totalprice * 67.108864)::BIGINT
         |ORDER BY o_orderkey""".stripMargin,
+    // Same md5 uniform, E-S key in log space nano-quantized, top-20.
+    "sample_weighted_topk" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_totalprice AS weight,
+        |    ('0x' || substring(md5(o_orderkey::VARCHAR), 1, 7))::BIGINT
+        |      AS u28
+        |  FROM orders WHERE o_totalprice > 0),
+        |k AS (
+        |  SELECT o_orderkey, weight,
+        |    floor(ln((u28 + 1)::DOUBLE / 268435456.0)
+        |      / weight * 1000000000 + 0.5)::BIGINT AS key_n
+        |  FROM t),
+        |top AS (
+        |  SELECT * FROM k ORDER BY key_n DESC, o_orderkey LIMIT 20)
+        |SELECT row_number() OVER (ORDER BY key_n DESC, o_orderkey) AS rk,
+        |  o_orderkey, weight, key_n
+        |FROM top ORDER BY rk""".stripMargin,
     "join_skew_salted" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  floor((sum(value))*10000 + 0.5)/10000 AS sum_value

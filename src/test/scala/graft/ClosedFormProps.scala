@@ -858,6 +858,23 @@ object ClosedFormProps extends Properties("graft.closedforms") {
         ps.forall(p => p > 0 && p <= 1000000) :| s"p out of (0,1]: $ps"
     }
 
+  // sample_weighted_topk: the Efraimidis–Spirakis key u^(1/w) is
+  // monotone in w for a fixed uniform (ln u < 0 ⇒ ln(u)/w increases
+  // with w), so raising a row's weight NEVER worsens its rank on the
+  // same uniforms — the inclusion-monotonicity that makes the top-k
+  // a weighted sample. Pinned on the nano-quantized key the engines
+  // actually compare.
+  property("E-S weighted key is monotone in weight on a fixed uniform") =
+    Prop.forAll(Gen.choose(0L, 268435455L),
+        Gen.choose(1L, 500000L), Gen.choose(1L, 500000L)) { (u28, w1, w2) =>
+      def keyN(w: Long): Long =
+        math.floor(math.log((u28 + 1).toDouble / 268435456.0)
+          / w * 1000000000 + 0.5).toLong
+      val (lo, hi) = (math.min(w1, w2), math.max(w1, w2))
+      (keyN(lo) <= keyN(hi)) :|
+        s"key fell as weight rose: w=$lo -> ${keyN(lo)}, w=$hi -> ${keyN(hi)}"
+    }
+
   // agg_ols_multi: Cramer's rule on the centered 2×2 system IS the
   // least-squares solution — the betas satisfy the normal equations
   // on arbitrary integer data, and when the regressors are exactly

@@ -288,6 +288,21 @@ class DegenerateSpec extends SparkSpec {
     }
   }
 
+  test("weightedTopK survives empty / zero-weight / k-exceeds-rows frames") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("w", DoubleType)))
+    def fr(rows: Seq[(Long, Double)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), schema)
+    assertClean(engine.weightedTopK(fr(Nil), "id", "w", 5),
+      "weightedTopK/empty")
+    assertClean(engine.weightedTopK(
+      fr(Seq((1L, 0.0), (2L, -3.0))), "id", "w", 5),
+      "weightedTopK/nonpositive-weights")
+    val small = engine.weightedTopK(
+      fr(Seq((1L, 2.0), (2L, 5.0))), "id", "w", 10).collect()
+    assert(small.length === 2, "k > n must return all weighted rows")
+  }
+
   test("msprtSequential survives empty / one-armed / all-success looks") {
     val schema = StructType(Seq(StructField("day", LongType),
       StructField("t", LongType), StructField("s", LongType)))

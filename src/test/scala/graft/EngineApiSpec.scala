@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 152, "documented facade count drifted; methods: "
+    assert(names.length === 153, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1028,6 +1028,17 @@ class EngineApiSpec extends SparkSpec {
     val shares = declared.map(_.getAs[Long]("share_u")).sum
     assert(shares > 1000000L - declared.length && shares <= 1000000L,
       s"shares must sum to ~1e6: $shares")
+  }
+
+  test("weightedTopK facade matches the sample_weighted_topk key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("sample_weighted_topk")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.weightedTopK(TestData.orders(spark, d),
+        "o_orderkey", "o_totalprice", 20)
+      .select($"rk", $"id".as("o_orderkey"), $"weight", $"key_n")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
   }
 
   test("louvainRefine facade matches the graph_louvain_refine key") {
