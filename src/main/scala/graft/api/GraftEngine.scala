@@ -3504,6 +3504,19 @@ class GraftEngine(val spark: SparkSession) {
         col("n_bytes").cast("long").as("n_bytes"), col("dct_phash"))
       .orderBy("doc_id")
 
+  /** Haar wavelet perceptual hash (see `multimodal_wavelet_hash`):
+    * 16 bits from two levels of unnormalized 2-D Haar over the
+    * wrapped 8×8 byte tile — exact integer arithmetic end-to-end
+    * (no basis literals). Pairs at scale via the 16-bit/4-band
+    * pigeonhole join.
+    */
+  def waveletHash(media: DataFrame): DataFrame =
+    graft.multimodal.Multimodal.waveletHashes(media)
+      .toDF()
+      .select(col("doc_id"), col("mime"),
+        col("n_bytes").cast("long").as("n_bytes"), col("whash"))
+      .orderBy("doc_id")
+
   /** Benjamini-Hochberg step-up (see `agg_bh_fdr`) over a frame of
     * per-test micro-quantized p-values (`pMicroCol`, p·1e6 as
     * BIGINT; NULL = excluded test): ranks the m non-null tests,

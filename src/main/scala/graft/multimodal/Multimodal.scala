@@ -251,6 +251,73 @@ object Multimodal {
       }
   }
 
+  /** Per-doc Haar wavelet-hash record (see [[waveletHash]]). */
+  case class MediaWaveletHash(doc_id: Long, mime: String, n_bytes: Int,
+                              whash: Long)
+
+  /** Haar wavelet perceptual hash (wHash-style, decode-free): the
+    * same wrapped 8×8 byte tile as [[dctPhash]], two levels of
+    * UNNORMALIZED 2-D Haar (sums/differences only — the whole hash
+    * is EXACT integer arithmetic, no basis literals needed, the
+    * property that distinguishes it from the DCT sibling). Each
+    * level-2 coefficient is a ±1-weighted sum over one 4×4 pixel
+    * quadrant: LL2 = plain sum, HL2/LH2/HH2 weight by the column/
+    * row half signs. 16 bits: 4 quadrant-vs-global-mean bits
+    * (4·LL2 > total, cross-multiplied — no division) + 12 detail
+    * sign bits (> 0 strictly; a constant tile reads EXACTLY 0 on
+    * every band, pinned). Where blockhash keys on the 1-D byte
+    * LAYOUT and dctPhash on the frequency SHAPE, the Haar hash keys
+    * on the 2-D multiresolution EDGE structure — the third member
+    * of the classic perceptual-hash family. Detail bits are
+    * DC-shift invariant (each ±1 weight set sums to 0 — pinned).
+    * Pairing at scale: `blockHashPairs(bits = 16, bands = 4)`
+    * exactly like the block-mean hash.
+    */
+  def waveletHash(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val t = new Array[Long](64)
+    var i = 0
+    while (i < 64) { t(i) = bytes(i % n) & 0xff; i += 1 }
+    val ll = new Array[Long](4); val hl = new Array[Long](4)
+    val lh = new Array[Long](4); val hh = new Array[Long](4)
+    var total = 0L
+    i = 0
+    while (i < 64) {
+      val r = i / 8; val c = i % 8
+      val q = (r / 4) * 2 + (c / 4)
+      val sh = if (c % 4 < 2) 1L else -1L
+      val sv = if (r % 4 < 2) 1L else -1L
+      ll(q) += t(i); hl(q) += sh * t(i); lh(q) += sv * t(i)
+      hh(q) += sh * sv * t(i); total += t(i)
+      i += 1
+    }
+    var hash = 0L
+    var q = 0
+    while (q < 4) {
+      if (4L * ll(q) > total) hash |= 1L << q
+      if (hl(q) > 0) hash |= 1L << (4 + q)
+      if (lh(q) > 0) hash |= 1L << (8 + q)
+      if (hh(q) > 0) hash |= 1L << (12 + q)
+      q += 1
+    }
+    hash
+  }
+
+  /** Per-partition wavelet-hash extraction (same batch shape as
+    * [[dctPhashes]]).
+    */
+  def waveletHashes(media: DataFrame): Dataset[MediaWaveletHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "mime", "content").as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, mime, bytes) =>
+          MediaWaveletHash(id, mime, bytes.length, waveletHash(bytes))
+        }
+      }
+  }
+
   /** STUB resize: metadata-only transform (a real impl would re-encode
     * content); keeps the binary payload and rewrites dimensions.
     */

@@ -247,6 +247,26 @@ object MultimodalOps {
           col("n_bytes").cast("long").as("n_bytes"), col("dct_phash"))
         .orderBy("doc_id")),
 
+    // HAAR WAVELET HASH (round 12): the third perceptual-hash family
+    // member — blockhash keys on the 1-D byte layout, dctPhash on
+    // the frequency shape, the Haar hash on 2-D multiresolution EDGE
+    // structure (which quadrant is brighter, where the level-2
+    // detail energy points). Two levels of unnormalized Haar =
+    // sums/differences ONLY, so unlike the DCT there is no basis to
+    // quantize — the hash is exact integer arithmetic end-to-end in
+    // both engines. 16 bits: 4 quadrant-vs-global (4·LL2 > total,
+    // cross-multiplied) + 12 level-2 detail signs. Map-side one
+    // scan; pairs at scale via blockHashPairs(bits=16, bands=4).
+    // Constant-tile-0 + DC-shift detail invariance pinned in
+    // ClosedFormProps.
+    "multimodal_wavelet_hash" -> ((s, d) =>
+      Multimodal.waveletHashes(
+          Multimodal.fromDocuments(TestData.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("mime"),
+          col("n_bytes").cast("long").as("n_bytes"), col("whash"))
+        .orderBy("doc_id")),
+
     // DCT-HASH NEAR-DUP PAIRS (round 11): Hamming-≤-2 pairs over the
     // 15-bit DCT perceptual hash via the same pigeonhole machinery
     // (3×5-bit bands ⇒ any pair within Hamming ≤ 2 keeps one band
@@ -449,6 +469,46 @@ object MultimodalOps {
       s"""WITH $dctPhashCtes
         |SELECT doc_id, mime, n_bytes, dct_phash
         |FROM ph ORDER BY doc_id""".stripMargin,
+    // Unnormalized Haar = integer sums/differences only: each level-2
+    // coefficient is a ±1-weighted quadrant sum; the quadrant bit is
+    // the cross-multiplied 4·LL2 > total compare. Tile wraps at
+    // (p % n) + 1 like the DCT oracle.
+    "multimodal_wavelet_hash" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3)::INT + 1]
+        |      AS mime,
+        |    text, length(text) AS n
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, mime, n,
+        |    ascii(text[((p % n) + 1)::INT : ((p % n) + 1)::INT])::BIGINT
+        |      AS bv,
+        |    ((p // 8) // 4) * 2 + ((p % 8) // 4) AS q,
+        |    CASE WHEN (p % 8) % 4 < 2 THEN 1 ELSE -1 END AS sh,
+        |    CASE WHEN (p // 8) % 4 < 2 THEN 1 ELSE -1 END AS sv
+        |  FROM m, LATERAL (SELECT unnest(range(0, 64)) AS p)),
+        |qs AS (
+        |  SELECT doc_id, mime, n, q,
+        |    sum(bv)::BIGINT AS ll, sum(sh * bv)::BIGINT AS hl,
+        |    sum(sv * bv)::BIGINT AS lh, sum(sh * sv * bv)::BIGINT AS hh,
+        |    (sum(sum(bv)) OVER (PARTITION BY doc_id))::BIGINT AS total
+        |  FROM pos GROUP BY 1, 2, 3, 4),
+        |wh AS (
+        |  SELECT doc_id, mime, n::BIGINT AS n_bytes,
+        |    sum(
+        |      (CASE WHEN 4 * ll > total
+        |         THEN 1::BIGINT << q::INT ELSE 0 END)
+        |      + (CASE WHEN hl > 0
+        |         THEN 1::BIGINT << (4 + q)::INT ELSE 0 END)
+        |      + (CASE WHEN lh > 0
+        |         THEN 1::BIGINT << (8 + q)::INT ELSE 0 END)
+        |      + (CASE WHEN hh > 0
+        |         THEN 1::BIGINT << (12 + q)::INT ELSE 0 END))::BIGINT
+        |      AS whash
+        |  FROM qs GROUP BY 1, 2, 3)
+        |SELECT doc_id, mime, n_bytes, whash
+        |FROM wh ORDER BY doc_id""".stripMargin,
     // Brute-force popcount over the SAME dct-phash CTEs — the Spark
     // side's 3×5-bit pigeonhole banding is sound (candidates ⊇
     // matches within Hamming ≤ 2), so the oracle stays unblocked.

@@ -875,6 +875,24 @@ object ClosedFormProps extends Properties("graft.closedforms") {
         s"key fell as weight rose: w=$lo -> ${keyN(lo)}, w=$hi -> ${keyN(hi)}"
     }
 
+  // multimodal_wavelet_hash: the Haar-hash invariants that make it a
+  // PERCEPTUAL signature — a constant tile has exactly-zero detail
+  // coefficients on every band and every quadrant exactly at the
+  // global mean (strict > reads 0 ⇒ whash 0), and the 12 detail
+  // bits are DC-shift invariant (each ±1 weight set sums to 0 per
+  // quadrant, so adding a constant to every byte cancels exactly).
+  property("Haar hash: constant tile is 0; detail bits DC-shift invariant") =
+    Prop.forAll(Gen.listOfN(64, Gen.choose(0, 200)),
+        Gen.choose(1, 55), Gen.choose(0, 255)) { (px, shift, cv) =>
+      import graft.multimodal.Multimodal.waveletHash
+      val constant = waveletHash(Array.fill(64)(cv.toByte))
+      val base = waveletHash(px.map(_.toByte).toArray)
+      val shifted = waveletHash(px.map(v => (v + shift).toByte).toArray)
+      (constant == 0L) :| s"constant tile must hash to 0: $constant" &&
+        ((base >> 4) == (shifted >> 4)) :|
+          s"detail bits moved under DC shift: $base vs $shifted"
+    }
+
   // agg_ols_multi: Cramer's rule on the centered 2×2 system IS the
   // least-squares solution — the betas satisfy the normal equations
   // on arbitrary integer data, and when the regressors are exactly

@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 153, "documented facade count drifted; methods: "
+    assert(names.length === 154, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1037,6 +1037,17 @@ class EngineApiSpec extends SparkSpec {
     val viaApi = engine.weightedTopK(TestData.orders(spark, d),
         "o_orderkey", "o_totalprice", 20)
       .select($"rk", $"id".as("o_orderkey"), $"weight", $"key_n")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("waveletHash facade matches the multimodal_wavelet_hash key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("multimodal_wavelet_hash")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.waveletHash(
+        graft.multimodal.Multimodal.fromDocuments(
+          TestData.documents(spark, d)))
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
   }
