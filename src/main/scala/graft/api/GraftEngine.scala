@@ -4006,6 +4006,18 @@ class GraftEngine(val spark: SparkSession) {
       .orderBy("rk")
   }
 
+  /** Heaps'-law vocabulary-growth fit (see `text_heaps_law`):
+    * V = K·N^β over the corpus in `idCol` order — rangedRank +
+    * shardedPrefixSum for the token counts, first-occurrence ranks
+    * for the vocabulary, power-of-2 checkpoints, micro-quantized
+    * log-log OLS. Returns one row (n_points, sx, sy, beta, k_coef);
+    * ≤1-point fits NULL out.
+    */
+  def heapsLaw(docs: DataFrame, idCol: String,
+               textCol: String): DataFrame =
+    graft.operators.TextAnalysis.heapsFit(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
   /** Markov removal-effect attribution (see
     * `events_attribution_markov`): per-user journeys up to the first
     * `convType` event, 3 integer value-iteration rounds per removal

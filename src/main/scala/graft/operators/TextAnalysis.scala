@@ -171,6 +171,59 @@ object TextAnalysis {
     out
   }
 
+  /** Heaps'-law fit core (see the declared key's scaladoc): input
+    * (doc_id, text); shared by `text_heaps_law` and
+    * `GraftEngine.heapsLaw`.
+    */
+  private[graft] def heapsFit(docs0: DataFrame): DataFrame = {
+    val docs = docs0
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .withColumn("g", lit(0))
+    val ranked = Curation.rangedRank(docs, "g", Seq(col("doc_id")), "rnk")
+      .localCheckpoint() // three consumers: cumsum, tokens, total
+    val cum = Curation.shardedPrefixSum(ranked, "g", "rnk", "ntok", "ct0")
+      .withColumn("tokens_seen", col("ct0") + col("ntok"))
+    val nd = ranked.groupBy("g").agg(max("rnk").as("nd"))
+    val cp = cum.join(broadcast(nd), "g")
+      .filter(expr("(rnk & (rnk - 1)) = 0") || col("rnk") === col("nd"))
+      .select(col("rnk").as("rnk_c"), col("tokens_seen").as("n_tokens"))
+      .localCheckpoint()
+    val tokFirst = ranked
+      .select(col("rnk"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(min("rnk").as("frnk"))
+    val vocab = tokFirst
+      .join(broadcast(cp.select("rnk_c")), col("frnk") <= col("rnk_c"))
+      .groupBy("rnk_c").agg(count(lit(1)).as("vocab"))
+    cp.join(vocab, "rnk_c")
+      .withColumn("x_u",
+        floor(log(col("n_tokens").cast("double")) * 1000000 + 0.5)
+          .cast("long"))
+      .withColumn("y_u",
+        floor(log(col("vocab").cast("double")) * 1000000 + 0.5)
+          .cast("long"))
+      .agg(count(lit(1)).as("n_points"),
+        sum("x_u").as("sx"), sum("y_u").as("sy"),
+        sum(col("x_u") * col("y_u")).as("sxy"),
+        sum(col("x_u") * col("x_u")).as("sxx"))
+      .withColumn("beta", when(
+        col("n_points") * col("sxx") - col("sx") * col("sx") > 0, r4(
+        (col("n_points") * col("sxy") - col("sx") * col("sy"))
+          .cast("double")
+          / (col("n_points") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"))))
+      .withColumn("k_coef", when(
+        col("n_points") * col("sxx") - col("sx") * col("sx") > 0, r4(
+        exp(((col("sy").cast("double")
+          - (col("n_points") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / (col("n_points") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")
+            * col("sx").cast("double"))
+          / col("n_points").cast("double")) / 1000000.0))))
+      .select("n_points", "sx", "sy", "beta", "k_coef")
+  }
+
   val defs: Map[String, Q] = Map(
     // Naive-Bayes-style language ID: per-language token log-frequency
     // profiles (a 155-row broadcast) scored against each doc; output
@@ -459,6 +512,25 @@ object TextAnalysis {
         .select("rk", "phrase", "n_words", "score_u")
         .orderBy("rk")
     }),
+
+    // HEAPS' LAW FIT (round 12): vocabulary growth V = K·N^β over the
+    // corpus in doc_id order — the scaling readout that answers "how
+    // big does the tokenizer vocabulary get at 100× this corpus"
+    // (natural text runs β ≈ 0.5–0.8; β near 1 ⇒ noise/unique-id
+    // contamination, the dataset-card number next to text_zipf_slope's
+    // frequency slope). Shape: the doc rank comes from rangedRank
+    // (never a corpus-grain row_number window) and the cumulative
+    // token count from shardedPrefixSum; checkpoints are the
+    // power-of-2 ranks + the final doc (log₂ n rows — the log-log fit
+    // wants geometric spacing anyway); vocabulary at each checkpoint
+    // counts tokens by FIRST-occurrence rank via a broadcast theta
+    // join (corpus × log n, map-side partial aggregation — no
+    // shuffle). Both logs micro-quantized before the exact-BIGINT OLS
+    // sums (the retention_halflife discipline; x_u·y_u ≤ ~3e14·30
+    // documented); degenerate ≤1-point fits NULL out.
+    "text_heaps_law" -> ((s, d) =>
+      heapsFit(TestData.documents(s, d)
+        .select(col("doc_id"), col("text")))),
 
     "text_zipf_slope" -> ((s, d) => {
       val freq = TestData.documents(s, d)
@@ -904,6 +976,58 @@ object TextAnalysis {
         |    AS rk
         |  FROM u)
         |WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    // The oracle ranks docs with a plain window (single-node DuckDB);
+    // the Spark side's rangedRank/shardedPrefixSum reconstruction is
+    // bit-identical by contract. Both logs micro-quantized before
+    // the exact-BIGINT OLS sums; intercept mirrored op-for-op.
+    "text_heaps_law" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(text, ' '))::BIGINT AS ntok,
+        |    row_number() OVER (ORDER BY doc_id) AS rnk
+        |  FROM documents),
+        |nn AS (SELECT max(rnk)::BIGINT AS nd FROM d),
+        |cum AS (
+        |  SELECT rnk, text,
+        |    (sum(ntok) OVER (ORDER BY rnk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS tokens_seen
+        |  FROM d),
+        |cp AS MATERIALIZED (
+        |  SELECT rnk AS rnk_c, tokens_seen AS n_tokens
+        |  FROM cum CROSS JOIN nn
+        |  WHERE (rnk & (rnk - 1)) = 0 OR rnk = nd),
+        |tf AS (
+        |  SELECT tok, min(rnk) AS frnk FROM (
+        |    SELECT rnk, unnest(string_split(text, ' ')) AS tok FROM d)
+        |  GROUP BY tok),
+        |vc AS (
+        |  SELECT cp.rnk_c, count(*)::BIGINT AS vocab
+        |  FROM tf JOIN cp ON tf.frnk <= cp.rnk_c
+        |  GROUP BY 1),
+        |pts AS (
+        |  SELECT floor(ln(cp.n_tokens::DOUBLE) * 1000000 + 0.5)::BIGINT
+        |      AS x_u,
+        |    floor(ln(vc.vocab::DOUBLE) * 1000000 + 0.5)::BIGINT AS y_u
+        |  FROM cp JOIN vc USING (rnk_c)),
+        |s AS (
+        |  SELECT count(*)::BIGINT AS n_points, sum(x_u)::BIGINT AS sx,
+        |    sum(y_u)::BIGINT AS sy, sum(x_u * y_u)::BIGINT AS sxy,
+        |    sum(x_u * x_u)::BIGINT AS sxx
+        |  FROM pts)
+        |SELECT n_points, sx, sy,
+        |  CASE WHEN n_points * sxx - sx * sx > 0 THEN
+        |    floor((n_points * sxy - sx * sy)::DOUBLE
+        |      / (n_points * sxx - sx * sx)::DOUBLE * 10000 + 0.5) / 10000
+        |    END AS beta,
+        |  CASE WHEN n_points * sxx - sx * sx > 0 THEN
+        |    floor(exp(((sy::DOUBLE
+        |      - (n_points * sxy - sx * sy)::DOUBLE
+        |        / (n_points * sxx - sx * sx)::DOUBLE
+        |        * sx::DOUBLE) / n_points::DOUBLE) / 1000000.0)
+        |      * 10000 + 0.5) / 10000
+        |    END AS k_coef
+        |FROM s""".stripMargin,
     "text_zipf_slope" ->
       """WITH wf AS (
         |  SELECT lang, token, count(*)::BIGINT AS n

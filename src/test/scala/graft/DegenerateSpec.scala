@@ -303,6 +303,19 @@ class DegenerateSpec extends SparkSpec {
     assert(small.length === 2, "k > n must return all weighted rows")
   }
 
+  test("heapsLaw survives empty / single-doc / empty-text corpora") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def fr(rows: Seq[(Long, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), schema)
+    assertClean(engine.heapsLaw(fr(Nil), "doc_id", "text"),
+      "heaps/empty")
+    assertClean(engine.heapsLaw(fr(Seq((1L, "a b"))), "doc_id", "text"),
+      "heaps/single-doc")
+    assertClean(engine.heapsLaw(fr(Seq((1L, ""), (2L, ""))),
+      "doc_id", "text"), "heaps/empty-text")
+  }
+
   test("msprtSequential survives empty / one-armed / all-success looks") {
     val schema = StructType(Seq(StructField("day", LongType),
       StructField("t", LongType), StructField("s", LongType)))

@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 154, "documented facade count drifted; methods: "
+    assert(names.length === 155, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1050,6 +1050,27 @@ class EngineApiSpec extends SparkSpec {
           TestData.documents(spark, d)))
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
+  }
+
+  test("heapsLaw facade matches the key; beta exact on planted corpora") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("text_heaps_law")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.heapsLaw(TestData.documents(spark, d),
+      "doc_id", "text").collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+    // every doc all-new tokens: V = N at every checkpoint => beta = 1
+    val disjoint = (1L to 8L).map(i =>
+      (i, (1 to 4).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val b1 = engine.heapsLaw(disjoint, "doc_id", "text")
+      .select("beta").head().getDouble(0)
+    assert(b1 === 1.0, s"disjoint-token corpus must fit beta = 1: $b1")
+    // single repeated token: V = 1 at every checkpoint => beta = 0
+    val constant = (1L to 8L).map(i => (i, "a a a")).toDF("doc_id", "text")
+    val b0 = engine.heapsLaw(constant, "doc_id", "text")
+      .select("beta").head().getDouble(0)
+    assert(b0 === 0.0, s"constant-vocab corpus must fit beta = 0: $b0")
   }
 
   test("louvainRefine facade matches the graph_louvain_refine key") {
