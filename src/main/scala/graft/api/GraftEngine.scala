@@ -4006,6 +4006,22 @@ class GraftEngine(val spark: SparkSession) {
       .orderBy("rk")
   }
 
+  /** Randomized-response (Warner local-DP) debiased rate estimate
+    * (see `privacy_rr_estimate`): each unit's 0/1 `truthCol` is
+    * flipped by a salted md5 coin with probability flipNum/2^28
+    * (< 1/2 required), and the per-`groupCol` aggregate debiases
+    * π̂ = (p̂ − (1−p))/(2p−1) with its standard error. The raw
+    * unbiased estimate may leave [0, 1] on small groups — that is
+    * the estimator, not a bug.
+    */
+  def rrEstimate(df: DataFrame, idCol: String, truthCol: String,
+                 groupCol: String,
+                 flipNum: Long = 67108864L): DataFrame =
+    graft.operators.Curation.rrEstimate(
+      df.select(col(idCol).as("user_id"),
+        col(truthCol).cast("long").as("truth"),
+        col(groupCol).as("variant")), flipNum)
+
   /** Heaps'-law vocabulary-growth fit (see `text_heaps_law`):
     * V = K·N^β over the corpus in `idCol` order — rangedRank +
     * shardedPrefixSum for the token counts, first-occurrence ranks

@@ -204,6 +204,36 @@ object Curation {
       .select("doc_id", "span_start", "span_end", "span_len", "n_windows")
   }
 
+  /** Randomized-response debiasing core (see `privacy_rr_estimate`):
+    * input one row per unit with (`user_id`, `truth` 0/1, `variant`);
+    * `flipNum` of 2^28 is the flip probability (must stay < 2^27 so
+    * 2p − 1 > 0 and the estimator is defined). Shared by the
+    * declared key and `GraftEngine.rrEstimate`.
+    */
+  private[graft] def rrEstimate(users: DataFrame,
+                                flipNum: Long): DataFrame = {
+    require(flipNum >= 0 && flipNum < 134217728L,
+      "flip probability must be < 1/2 (flipNum < 2^27)")
+    val p = 1.0 - flipNum.toDouble / 268435456.0
+    val flip = conv(substring(md5(concat(lit("rr|"),
+      col("user_id").cast("string"))), 1, 7), 16, 10)
+      .cast("long") < flipNum
+    users
+      .withColumn("reported",
+        when(flip, lit(1L) - col("truth")).otherwise(col("truth")))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n_users"), sum("reported").as("n_reported"))
+      .withColumn("ph", col("n_reported").cast("double")
+        / col("n_users").cast("double"))
+      .select(col("variant"), col("n_users"), col("n_reported"),
+        r4(col("ph")).as("p_hat"),
+        r4((col("ph") - lit(1.0 - p)) / lit(2.0 * p - 1.0)).as("pi_est"),
+        r4(sqrt(col("ph") * (lit(1.0) - col("ph"))
+            / col("n_users").cast("double")) / lit(2.0 * p - 1.0))
+          .as("se"))
+      .orderBy("variant")
+  }
+
   val defs: Map[String, Q] = Map(
     // Benchmark DECONTAMINATION: flag corpus documents sharing any
     // 5-token shingle with the held-out evaluation set (here: a
@@ -576,6 +606,33 @@ object Curation {
         .orderBy("lang")
     }),
 
+    // RANDOMIZED RESPONSE ESTIMATE (round 12): Warner's local-DP
+    // survey mechanism — each user reports their sensitive bit (did
+    // they purchase) TRUTHFULLY with probability p = 3/4 and FLIPPED
+    // with 1/4, so no individual report reveals the bit; the
+    // aggregate debiases exactly: π̂ = (p̂_obs − (1−p))/(2p−1). The
+    // local-DP member of the privacy family (k-anon/l-div/t-close
+    // audit the TABLE, dp_noise perturbs the AGGREGATE, this
+    // perturbs the INPUT). The flip coin is a SALTED md5 uniform
+    // ('rr|' + user_id — independent of the variant hash by salt),
+    // so both engines derive the same coins and the released counts
+    // are exact integers; the estimator and its se are one mirrored
+    // readout each, r4. Per md5-variant cohort; one user-shard
+    // aggregate + a 2-row readout at any corpus size. The pin
+    // (EngineApiSpec): the debiased estimate lands within 4·se of
+    // the true (non-private) rate on the fixture, and p = 1 (no
+    // flips) recovers the true rate exactly.
+    "privacy_rr_estimate" -> ((s, d) =>
+      rrEstimate(TestData.events(s, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("truth"))
+        .withColumn("variant",
+          when(conv(substring(md5(col("user_id").cast("string")), 1, 2),
+            16, 10).cast("int") % 2 === 0, "control")
+            .otherwise("treatment")),
+        67108864L)),
+
     // T-CLOSENESS AUDIT (round 8): l-diversity's distributional
     // sharper sibling — a QI group with all l values present can
     // still leak if its sensitive-value DISTRIBUTION skews far from
@@ -901,6 +958,35 @@ object Curation {
         |SELECT lang, true_count, noise_u,
         |  (true_count * 1000000 + noise_u)::BIGINT AS released_count_u
         |FROM n ORDER BY lang""".stripMargin,
+    // Salted rr-coin ('rr|' + user_id md5) mirrored; 0.25 and 0.5
+    // are exact binary-fraction literals in both engines; estimator
+    // and se one mirrored readout each, r4.
+    "privacy_rr_estimate" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS truth
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT CASE WHEN ('0x' || substring(md5(user_id::VARCHAR),
+        |      1, 2))::INT % 2 = 0 THEN 'control' ELSE 'treatment' END
+        |      AS variant,
+        |    CASE WHEN ('0x' || substring(md5('rr|' || user_id::VARCHAR),
+        |      1, 7))::BIGINT < 67108864
+        |    THEN 1 - truth ELSE truth END AS reported
+        |  FROM u),
+        |g AS (
+        |  SELECT variant, count(*)::BIGINT AS n_users,
+        |    sum(reported)::BIGINT AS n_reported
+        |  FROM r GROUP BY 1),
+        |e AS (
+        |  SELECT *, n_reported::DOUBLE / n_users::DOUBLE AS ph FROM g)
+        |SELECT variant, n_users, n_reported,
+        |  floor(ph*10000 + 0.5)/10000 AS p_hat,
+        |  floor(((ph - 0.25) / 0.5)*10000 + 0.5)/10000 AS pi_est,
+        |  floor((sqrt(ph * (1.0 - ph) / n_users::DOUBLE) / 0.5)
+        |    *10000 + 0.5)/10000 AS se
+        |FROM e ORDER BY variant""".stripMargin,
     // Identical op order to the Spark side: d_i = c_i/n_g − g_i/N
     // (each division DOUBLE), cumulative sums in fixed i order, abs
     // terms summed left-to-right, /4, then r4. All counts ::BIGINT

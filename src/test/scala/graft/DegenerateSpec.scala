@@ -316,6 +316,20 @@ class DegenerateSpec extends SparkSpec {
       "doc_id", "text"), "heaps/empty-text")
   }
 
+  test("rrEstimate survives empty / single-user / all-true frames") {
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("truth", LongType), StructField("variant", StringType)))
+    def fr(rows: Seq[(Long, Long, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), schema)
+    assertClean(engine.rrEstimate(fr(Nil), "user_id", "truth", "variant"),
+      "rr/empty")
+    assertClean(engine.rrEstimate(fr(Seq((1L, 1L, "a"))),
+      "user_id", "truth", "variant"), "rr/single")
+    assertClean(engine.rrEstimate(
+      fr((1L to 6L).map(i => (i, 1L, "a"))),
+      "user_id", "truth", "variant"), "rr/all-true")
+  }
+
   test("msprtSequential survives empty / one-armed / all-success looks") {
     val schema = StructType(Seq(StructField("day", LongType),
       StructField("t", LongType), StructField("s", LongType)))

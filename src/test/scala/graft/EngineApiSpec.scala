@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 155, "documented facade count drifted; methods: "
+    assert(names.length === 156, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1071,6 +1071,42 @@ class EngineApiSpec extends SparkSpec {
     val b0 = engine.heapsLaw(constant, "doc_id", "text")
       .select("beta").head().getDouble(0)
     assert(b0 === 0.0, s"constant-vocab corpus must fit beta = 0: $b0")
+  }
+
+  test("rrEstimate facade matches the key; debias tracks truth; p=1 exact") {
+    val d = sf("sf0.001")
+    val users = TestData.events(spark, d)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("truth"))
+      .withColumn("variant",
+        when(conv(substring(md5(col("user_id").cast("string")), 1, 2),
+          16, 10).cast("int") % 2 === 0, "control").otherwise("treatment"))
+    val declared = SparkEntry.queries("privacy_rr_estimate")(spark, d)
+      .collect()
+    val viaApi = engine.rrEstimate(users, "user_id", "truth", "variant")
+      .collect()
+    assert(viaApi.map(_.toSeq).toSeq === declared.map(_.toSeq).toSeq)
+    // the debiased estimate must land within 4 se of the true
+    // (non-private) per-variant rate — the point of the mechanism
+    val truthRates = users.groupBy("variant")
+      .agg((sum("truth").cast("double") / count(lit(1))).as("tr"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    declared.foreach { r =>
+      val v = r.getString(0)
+      val err = math.abs(r.getAs[Double]("pi_est") - truthRates(v))
+      assert(err <= 4 * r.getAs[Double]("se"),
+        s"$v: debiased estimate off by $err > 4*se")
+    }
+    // flipNum = 0 (p = 1): no coin fires, the estimate IS the rate
+    val exact = engine.rrEstimate(users, "user_id", "truth", "variant", 0L)
+      .collect()
+    def r4d(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    exact.foreach { r =>
+      assert(math.abs(r.getAs[Double]("pi_est")
+        - r4d(truthRates(r.getString(0)))) < 1e-9,
+        "p = 1 must recover the exact rate")
+    }
   }
 
   test("louvainRefine facade matches the graph_louvain_refine key") {
