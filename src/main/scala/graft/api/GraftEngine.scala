@@ -4022,6 +4022,17 @@ class GraftEngine(val spark: SparkSession) {
         col(truthCol).cast("long").as("truth"),
         col(groupCol).as("variant")), flipNum)
 
+  /** Hurst exponent via rescaled-range analysis (see
+    * `ts_hurst_exponent`): window sizes {16, 32, 64, 128} over an
+    * integer grid series, full blocks only, exact scaled-integer
+    * deviations, micro-quantized log-log OLS. H ≈ 0.5 no memory,
+    * → 1 persistent, → 0 mean-reverting.
+    */
+  def hurstExponent(series: DataFrame, xCol: String,
+                    yCol: String): DataFrame =
+    graft.operators.TimeSeries.hurstFit(
+      series.select(col(xCol).as("hr"), col(yCol).as("y")))
+
   /** Heaps'-law vocabulary-growth fit (see `text_heaps_law`):
     * V = K·N^β over the corpus in `idCol` order — rangedRank +
     * shardedPrefixSum for the token counts, first-occurrence ranks

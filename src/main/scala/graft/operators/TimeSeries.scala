@@ -71,6 +71,60 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** Hurst R/S fit core (see `ts_hurst_exponent`): input one row per
+    * integer grid point (`hr`, `y`). Per window size s ∈ {16, 32,
+    * 64, 128}: full blocks only (gap-safe), deviations SCALED by s
+    * (dv = y·s − blocktotal — exact integers, Σdv = 0 so the
+    * cumulative range needs no explicit Z₀), R = max Z − min Z,
+    * R/S = R_scaled/√(Σdv²/s) micro-quantized per block (the one
+    * sqrt); per-size mean, then micro-quantized log-log OLS over the
+    * 4 (ln s, ln R/S) points. Shared by the declared key and
+    * `GraftEngine.hurstExponent`.
+    */
+  private[graft] def hurstFit(series: DataFrame): DataFrame = {
+    val s = series.sparkSession
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val sizes = Seq(16L, 32L, 64L, 128L).toDF("ws")
+    val blk = series.crossJoin(broadcast(sizes))
+      .withColumn("blk", expr("hr DIV ws"))
+      .localCheckpoint() // two consumers: block totals + deviations
+    val tot = blk.groupBy("ws", "blk")
+      .agg(count(lit(1)).as("n_in"), sum("y").as("t"))
+      .filter(col("n_in") === col("ws"))
+    val wCum = W.partitionBy("ws", "blk").orderBy("hr")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val rs = blk.join(tot, Seq("ws", "blk"))
+      .withColumn("dv", col("y") * col("ws") - col("t"))
+      .withColumn("z", sum("dv").over(wCum))
+      .groupBy("ws", "blk")
+      .agg((max("z") - min("z")).as("r_scaled"),
+        sum(col("dv") * col("dv")).as("sdd"))
+      .filter(col("sdd") > 0)
+      .withColumn("rs_u", floor(col("r_scaled").cast("double")
+        / sqrt(col("sdd").cast("double") / col("ws").cast("double"))
+        * 1000000 + 0.5).cast("long"))
+    rs.groupBy("ws")
+      .agg(count(lit(1)).as("n_blocks"), sum("rs_u").as("rs_sum_u"))
+      .withColumn("x_u",
+        floor(log(col("ws").cast("double")) * 1000000 + 0.5).cast("long"))
+      .withColumn("y_u",
+        floor(log(col("rs_sum_u").cast("double")
+          / col("n_blocks").cast("double") / 1000000.0) * 1000000 + 0.5)
+          .cast("long"))
+      .agg(count(lit(1)).as("n_sizes"),
+        sum("x_u").as("sx"), sum("y_u").as("sy"),
+        sum(col("x_u") * col("y_u")).as("sxy"),
+        sum(col("x_u") * col("x_u")).as("sxx"))
+      .withColumn("hurst", when(
+        col("n_sizes") * col("sxx") - col("sx") * col("sx") > 0, TestData.r4(
+        (col("n_sizes") * col("sxy") - col("sx") * col("sy"))
+          .cast("double")
+          / (col("n_sizes") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"))))
+      .select("n_sizes", "sx", "sy", "hurst")
+  }
+
   /** Markov removal-effect attribution core (see the declared key's
     * scaladoc): journeys = per-user event prefix up to and including
     * the first `convType` event; 3 unrolled integer value-iteration
@@ -2338,6 +2392,24 @@ object TimeSeries {
         .select("n_scored", "abs_err4m_sum", "mae", "smape")
     }),
 
+    // HURST EXPONENT (round 12): rescaled-range (R/S) analysis of
+    // the hourly series — the long-memory readout (H ≈ 0.5 random
+    // walk / no memory, H → 1 persistent trends, H → 0 mean-
+    // reverting) that says whether ts_holt_backtest's trend term or
+    // ts_snaive_smape's seasonal lag is the right model family.
+    // Per window size s ∈ {16,32,64,128}: FULL blocks only
+    // (gap-safe), deviations scaled ×s so everything before the one
+    // per-block sqrt is exact BIGINT (Σdv = 0 exactly, so the
+    // cumulative-range window needs no synthetic Z₀ row); per-size
+    // mean R/S; Hurst = micro-quantized log-log OLS slope over the
+    // 4 points. Windows partition on (size, block) — grid-sized
+    // tasks at any corpus. Planted-series pins in EngineApiSpec:
+    // a monotone ramp fits H ≈ 1, an alternating series H ≈ 0.
+    "ts_hurst_exponent" -> ((s, d) =>
+      hurstFit(TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(count(lit(1)).as("y")))),
+
     // LJUNG-BOX WHITENESS TEST (round 10): Q = n(n+2)·Σ_{k≤12}
     // r_k²/(n−k) over the hourly series — the "is anything left"
     // gate run after deseasonalizing/whitening: if Q clears the
@@ -4157,6 +4229,56 @@ object TimeSeries {
         |  CASE WHEN n_scored > 0 THEN
         |    floor((smape_sum_u::DOUBLE / n_scored::DOUBLE / 1000000.0)
         |      * 10000 + 0.5) / 10000 END AS smape
+        |FROM a""".stripMargin,
+    // Scaled integer deviations (Σdv = 0 per block), one sqrt per
+    // block micro-quantized, per-size means, micro log-log OLS.
+    "ts_hurst_exponent" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1),
+        |szs AS (SELECT unnest([16, 32, 64, 128])::BIGINT AS ws),
+        |b AS (
+        |  SELECT ws, hr // ws AS blk, hr, y
+        |  FROM hourly CROSS JOIN szs),
+        |tot AS (
+        |  SELECT ws, blk, count(*)::BIGINT AS n_in, sum(y)::BIGINT AS t
+        |  FROM b GROUP BY 1, 2 HAVING count(*) = max(ws)),
+        |z AS (
+        |  SELECT b.ws, b.blk, (b.y * b.ws - tot.t)::BIGINT AS dv,
+        |    (sum(b.y * b.ws - tot.t) OVER (PARTITION BY b.ws, b.blk
+        |      ORDER BY b.hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS zz
+        |  FROM b JOIN tot ON b.ws = tot.ws AND b.blk = tot.blk),
+        |rsb AS (
+        |  SELECT ws, blk,
+        |    (max(zz) - min(zz))::BIGINT AS r_scaled,
+        |    sum(dv * dv)::BIGINT AS sdd
+        |  FROM z GROUP BY 1, 2 HAVING sum(dv * dv) > 0),
+        |rsq AS (
+        |  SELECT ws,
+        |    floor(r_scaled::DOUBLE / sqrt(sdd::DOUBLE / ws::DOUBLE)
+        |      * 1000000 + 0.5)::BIGINT AS rs_u
+        |  FROM rsb),
+        |pts AS (
+        |  SELECT ws, count(*)::BIGINT AS n_blocks,
+        |    sum(rs_u)::BIGINT AS rs_sum_u
+        |  FROM rsq GROUP BY 1),
+        |xy AS (
+        |  SELECT floor(ln(ws::DOUBLE) * 1000000 + 0.5)::BIGINT AS x_u,
+        |    floor(ln(rs_sum_u::DOUBLE / n_blocks::DOUBLE / 1000000.0)
+        |      * 1000000 + 0.5)::BIGINT AS y_u
+        |  FROM pts),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n_sizes, sum(x_u)::BIGINT AS sx,
+        |    sum(y_u)::BIGINT AS sy, sum(x_u * y_u)::BIGINT AS sxy,
+        |    sum(x_u * x_u)::BIGINT AS sxx
+        |  FROM xy)
+        |SELECT n_sizes, sx, sy,
+        |  CASE WHEN n_sizes * sxx - sx * sx > 0 THEN
+        |    floor((n_sizes * sxy - sx * sy)::DOUBLE
+        |      / (n_sizes * sxx - sx * sx)::DOUBLE * 10000 + 0.5) / 10000
+        |    END AS hurst
         |FROM a""".stripMargin,
     // Same integer dev machinery as ts_autocorr, Q as one mirrored
     // left-to-right 12-term expression.

@@ -330,6 +330,15 @@ class DegenerateSpec extends SparkSpec {
       "user_id", "truth", "variant"), "rr/all-true")
   }
 
+  test("hurstExponent survives empty / short / constant series") {
+    seriesFrames.foreach { case (n, f) =>
+      assertClean(engine.hurstExponent(f, "hr", "n"), s"hurst/$n")
+    }
+    // a constant 64-point series: every block filtered by sdd > 0
+    val const = seriesFrame((0L until 64L).map(t => (t, 5L)))
+    assertClean(engine.hurstExponent(const, "hr", "n"), "hurst/constant")
+  }
+
   test("msprtSequential survives empty / one-armed / all-success looks") {
     val schema = StructType(Seq(StructField("day", LongType),
       StructField("t", LongType), StructField("s", LongType)))

@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 156, "documented facade count drifted; methods: "
+    assert(names.length === 157, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1107,6 +1107,31 @@ class EngineApiSpec extends SparkSpec {
         - r4d(truthRates(r.getString(0)))) < 1e-9,
         "p = 1 must recover the exact rate")
     }
+  }
+
+  test("hurstExponent facade matches the key; planted series bracket it") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("ts_hurst_exponent")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val hourly = TestData.events(spark, d)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("y"))
+    val viaApi = engine.hurstExponent(hourly, "hr", "y")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+    // a monotone ramp is maximally persistent: H near 1
+    val ramp = (0L until 512L).map(t => (t, 100L + 3L * t))
+      .toDF("hr", "y")
+    val hRamp = engine.hurstExponent(ramp, "hr", "y")
+      .select("hurst").head().getDouble(0)
+    assert(hRamp > 0.9, s"ramp must fit H near 1: $hRamp")
+    // a strict alternation is maximally mean-reverting: H near 0
+    val alt = (0L until 512L).map(t => (t, if (t % 2 == 0) 100L else 104L))
+      .toDF("hr", "y")
+    val hAlt = engine.hurstExponent(alt, "hr", "y")
+      .select("hurst").head().getDouble(0)
+    assert(hAlt < 0.2, s"alternation must fit H near 0: $hAlt")
+    assert(hAlt < hRamp, "persistence ordering must hold")
   }
 
   test("louvainRefine facade matches the graph_louvain_refine key") {
