@@ -319,6 +319,35 @@ object TrainedQuantize {
         .orderBy("vec_id")
     }),
 
+    // OPQ ADC SEARCH (round 12): the search half of vec_opq_encode —
+    // rotate once at index-build time, store only the rotated codes,
+    // and at query time rotate the QUERY (the corpus stays code-only;
+    // here the query rides the memoized rotated corpus since it is a
+    // corpus member). Rotation is (near-)orthogonal, so rotated-space
+    // ADC distances estimate original-space L2 and recall is measured
+    // against the ORIGINAL-space exact top-10. Same ADC shape as
+    // ann_pq_adc_topk: 32-row distance-table broadcast + one
+    // code-only scan. TrainedSpec pins recall >= the fixed-codebook
+    // unrotated ADC and run-to-run determinism.
+    "ann_opq_adc_topk" -> ((s, d) => {
+      val rotated = rotatedCorpus(s, d)
+      val cb = fixtureOpqCodebook(s, d)
+      val codes = encodeErr(rotated, cb).select("vec_id", "sub", "code")
+      val qsubs = ProductQuantize.subSplit(
+          rotated.filter(col("vec_id") === 42))
+        .select(col("sub"), col("sv").as("qsv"))
+      val dtable = qsubs.join(cb, "sub")
+        .select(col("sub"), col("code"),
+          V.sqDist(col("qsv"), col("cw")).as("dq"))
+      codes.join(broadcast(dtable), Seq("sub", "code"))
+        .groupBy("vec_id")
+        .agg(r4(sqrt(sum("dq"))).as("approx_dist"))
+        .filter(col("vec_id") =!= 42)
+        .orderBy(col("approx_dist").asc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("approx_dist"))
+    }),
+
     // PQ with per-subspace trained codebooks: same M=8 subspace
     // split / nearest-codeword encode as `vec_pq_encode`, but each
     // subspace's 4 codewords come from a seeded k-means over that

@@ -87,6 +87,58 @@ class TrainedSpec extends SparkSpec {
     assert(trained >= 0.3, s"trained recall $trained below sanity floor")
   }
 
+  test("OPQ ADC search: mean recall tracks same-K unrotated ADC; deterministic") {
+    // Single-query recall@10 at 2-bit codes is resolution noise on
+    // 500 near-uniform vectors (the documented ADC limiter), so the
+    // pin averages 5 queries and compares ROTATION ON vs OFF with
+    // the SAME trained-K codebook recipe — one query's worth of
+    // slack; the hard OPQ guarantee is the distortion pin above.
+    val e = TestData.embeddings(spark, sfDir).localCheckpoint()
+    val queries = Seq(42L, 7L, 100L, 200L, 300L)
+    val exactOf = queries.map { q =>
+      val qv = e.filter(col("vec_id") === q)
+        .select(col("embedding").as("qv"))
+      q -> e.crossJoin(qv)
+        .withColumn("dist", V.sqDist(col("embedding"), col("qv")))
+        .filter(col("vec_id") =!= q)
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+        .select("vec_id").as[Long].collect().toSet
+    }.toMap
+    def adcMeanRecall(corpus: org.apache.spark.sql.DataFrame,
+                      cb: org.apache.spark.sql.DataFrame): Double = {
+      val codes = TrainedQuantize.encodeErr(corpus, cb)
+        .select("vec_id", "sub", "code").localCheckpoint()
+      queries.map { q =>
+        val qsubs = ProductQuantize.subSplit(
+            corpus.filter(col("vec_id") === q))
+          .select(col("sub"), col("sv").as("qsv"))
+        val dtable = qsubs.join(cb, "sub")
+          .select(col("sub"), col("code"),
+            V.sqDist(col("qsv"), col("cw")).as("dq"))
+        val got = codes.join(broadcast(dtable), Seq("sub", "code"))
+          .groupBy("vec_id")
+          .agg(TestData.r4(sqrt(sum("dq"))).as("ad"))
+          .filter(col("vec_id") =!= q)
+          .orderBy(col("ad").asc, col("vec_id")).limit(10)
+          .select("vec_id").as[Long].collect().toSet
+        exactOf(q).intersect(got).size.toDouble / 10.0
+      }.sum / queries.size
+    }
+    val rotated = TrainedQuantize.rotatedCorpus(spark, sfDir)
+    val opq = adcMeanRecall(rotated,
+      TrainedQuantize.fixtureOpqCodebook(spark, sfDir))
+    val plain = adcMeanRecall(e, TrainedQuantize.trainedCodebook(e, 42L))
+    info(s"mean recall@10 over ${queries.size} queries: opq=$opq plain=$plain")
+    assert(opq >= plain - 0.1,
+      s"rotated ADC recall $opq fell more than one query below plain $plain")
+    assert(opq >= 0.1, s"OPQ ADC recall collapsed: $opq")
+    val a = SparkEntry.queries("ann_opq_adc_topk")(spark, sfDir)
+      .collect().toSeq
+    val b = SparkEntry.queries("ann_opq_adc_topk")(spark, sfDir)
+      .collect().toSeq
+    assert(a == b, "OPQ search must be deterministic across invocations")
+  }
+
   test("trained keys are deterministic across invocations (seeded)") {
     val a = SparkEntry.queries("ivf_trained_stats")(spark, sfDir).collect().toSeq
     val b = SparkEntry.queries("ivf_trained_stats")(spark, sfDir).collect().toSeq
