@@ -4022,6 +4022,76 @@ class GraftEngine(val spark: SparkSession) {
         col(truthCol).cast("long").as("truth"),
         col(groupCol).as("variant")), flipNum)
 
+  /** Wilson 95 % score interval per group (see `agg_wilson_ci`) over
+    * an event-grain frame with a group column and a 0/1 success
+    * column. Never leaves [0, 1] and always contains p̂
+    * (ClosedFormProps pins).
+    */
+  def wilsonCi(df: DataFrame, groupCol: String,
+               succCol: String): DataFrame = {
+    val z = 1.959964
+    val z2 = z * z
+    df.select(col(groupCol).as("variant"),
+        col(succCol).cast("long").as("purch"))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("purch").as("x"))
+      .withColumn("ph", col("x").cast("double") / col("n").cast("double"))
+      .withColumn("center",
+        (col("ph") + lit(z2) / (lit(2.0) * col("n").cast("double")))
+          / (lit(1.0) + lit(z2) / col("n").cast("double")))
+      .withColumn("half",
+        lit(z) * sqrt(col("ph") * (lit(1.0) - col("ph"))
+            / col("n").cast("double")
+          + lit(z2) / (lit(4.0) * col("n").cast("double")
+            * col("n").cast("double")))
+          / (lit(1.0) + lit(z2) / col("n").cast("double")))
+      .select(col("variant"), col("n"), col("x"),
+        TestData.r4(col("ph")).as("p_hat"),
+        TestData.r4(col("center") - col("half")).as("ci_lo"),
+        TestData.r4(col("center") + col("half")).as("ci_hi"))
+      .orderBy("variant")
+  }
+
+  /** Empirical-Bayes beta-binomial shrinkage (see `agg_eb_shrinkage`)
+    * over a pre-aggregated (group, n, x) frame: method-of-moments
+    * Beta prior on micro-quantized group rates, shrunk rate
+    * (x+α)/(n+α+β) — always between the raw rate and the prior mean
+    * (ClosedFormProps pin). Degenerate moments fall back to the raw
+    * rate.
+    */
+  def ebShrink(df: DataFrame, groupCol: String, nCol: String,
+               xCol: String): DataFrame = {
+    val g = df.select(col(groupCol).as("nationkey"),
+        col(nCol).cast("long").as("n"), col(xCol).cast("long").as("x"))
+      .withColumn("p_u", expr("x * 1000000 DIV n"))
+      .localCheckpoint()
+    val mom = g.agg(count(lit(1)).as("k"),
+      sum("p_u").as("sp"), sum(col("p_u") * col("p_u")).as("spp"))
+    g.crossJoin(broadcast(mom))
+      .withColumn("m", col("sp").cast("double")
+        / (col("k").cast("double") * 1000000.0))
+      .withColumn("v",
+        (col("k").cast("double") * col("spp").cast("double")
+          - col("sp").cast("double") * col("sp").cast("double"))
+          / (col("k").cast("double") * col("k").cast("double")
+            * 1000000000000.0))
+      .withColumn("ok", col("v") > 0 && col("m") > 0
+        && col("m") < 1 && col("m") * (lit(1.0) - col("m")) > col("v"))
+      .withColumn("common", when(col("ok"),
+        col("m") * (lit(1.0) - col("m")) / col("v") - lit(1.0)))
+      .withColumn("alpha", when(col("ok"), col("m") * col("common")))
+      .withColumn("beta",
+        when(col("ok"), (lit(1.0) - col("m")) * col("common")))
+      .select(col("nationkey"), col("n"), col("x"), col("p_u"),
+        when(col("ok"), TestData.r4(
+            (col("x").cast("double") + col("alpha"))
+            / (col("n").cast("double") + col("alpha") + col("beta"))))
+          .otherwise(TestData.r4(
+            col("x").cast("double") / col("n").cast("double")))
+          .as("shrunk"))
+      .orderBy("nationkey")
+  }
+
   /** Hurst exponent via rescaled-range analysis (see
     * `ts_hurst_exponent`): window sizes {16, 32, 64, 128} over an
     * integer grid series, full blocks only, exact scaled-integer

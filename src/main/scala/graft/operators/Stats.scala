@@ -247,6 +247,92 @@ object Stats {
         .select("n_rows", "n_r", "n_c", "chi2_micro", "cramers_v")
     }),
 
+    // WILSON SCORE INTERVAL (round 12): the per-arm 95 % rate CI the
+    // experiment readouts publish next to the z/OR effect tests —
+    // Wilson, not Wald, because it never leaves [0, 1] and stays
+    // calibrated at extreme rates/small n (the two places Wald CIs
+    // lie; containment pinned in ClosedFormProps on arbitrary (n, x)).
+    // Inputs are the exact event-grain purchase cells; the interval
+    // is one mirrored IEEE expression per arm (z = 1.959964, z² a
+    // plain literal product), r4. One aggregate + 2-row readout.
+    "agg_wilson_ci" -> ((s, d) => {
+      val z = 1.959964
+      val z2 = z * z
+      TestData.events(s, d)
+        .withColumn("t",
+          (conv(substring(md5(col("user_id").cast("string")), 1, 2),
+            16, 10).cast("int") % 2 =!= 0).cast("int"))
+        .withColumn("purch",
+          when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .groupBy(when(col("t") === 0, "control").otherwise("treatment")
+          .as("variant"))
+        .agg(count(lit(1)).as("n"), sum("purch").as("x"))
+        .withColumn("ph", col("x").cast("double") / col("n").cast("double"))
+        .withColumn("center",
+          (col("ph") + lit(z2) / (lit(2.0) * col("n").cast("double")))
+            / (lit(1.0) + lit(z2) / col("n").cast("double")))
+        .withColumn("half",
+          lit(z) * sqrt(col("ph") * (lit(1.0) - col("ph"))
+              / col("n").cast("double")
+            + lit(z2) / (lit(4.0) * col("n").cast("double")
+              * col("n").cast("double")))
+            / (lit(1.0) + lit(z2) / col("n").cast("double")))
+        .select(col("variant"), col("n"), col("x"),
+          r4(col("ph")).as("p_hat"),
+          r4(col("center") - col("half")).as("ci_lo"),
+          r4(col("center") + col("half")).as("ci_hi"))
+        .orderBy("variant")
+    }),
+
+    // EMPIRICAL-BAYES SHRINKAGE (round 12): beta-binomial shrinkage
+    // of per-nation urgent-order rates — the small-n leaderboard fix
+    // (a 3-order nation at 100 % must not outrank a 300-order nation
+    // at 40 %). Method-of-moments Beta prior from the 25 group
+    // rates, fit on MICRO-quantized rates so the moment sums are
+    // exact BIGINTs (Σp_u, Σp_u² — no float accumulation over
+    // groups); α, β and each shrunken rate are one mirrored IEEE
+    // readout. shrunk = (x+α)/(n+α+β) is EXACTLY the convex mix
+    // w·raw + (1−w)·priormean with w = n/(n+α+β) — between-ness
+    // pinned in ClosedFormProps. Degenerate moments (zero variance,
+    // v ≥ m(1−m), m ∈ {0,1}) fall back to the raw rate, stated.
+    // Shape: one group aggregate + a 1-row moment broadcast.
+    "agg_eb_shrinkage" -> ((s, d) => {
+      val g = TestData.orders(s, d)
+        .join(broadcast(TestData.customer(s, d)
+            .select(col("c_custkey"),
+              col("c_nationkey").cast("long").as("nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderpriority") === "1-URGENT", 1L)
+            .otherwise(0L)).as("x"))
+        .withColumn("p_u", expr("x * 1000000 DIV n"))
+        .localCheckpoint() // two consumers: moments + readout
+      val mom = g.agg(count(lit(1)).as("k"),
+        sum("p_u").as("sp"), sum(col("p_u") * col("p_u")).as("spp"))
+      g.crossJoin(broadcast(mom))
+        .withColumn("m", col("sp").cast("double")
+          / (col("k").cast("double") * 1000000.0))
+        .withColumn("v",
+          (col("k").cast("double") * col("spp").cast("double")
+            - col("sp").cast("double") * col("sp").cast("double"))
+            / (col("k").cast("double") * col("k").cast("double")
+              * 1000000000000.0))
+        .withColumn("ok", col("v") > 0 && col("m") > 0
+          && col("m") < 1 && col("m") * (lit(1.0) - col("m")) > col("v"))
+        .withColumn("common", when(col("ok"),
+          col("m") * (lit(1.0) - col("m")) / col("v") - lit(1.0)))
+        .withColumn("alpha", when(col("ok"), col("m") * col("common")))
+        .withColumn("beta",
+          when(col("ok"), (lit(1.0) - col("m")) * col("common")))
+        .select(col("nationkey"), col("n"), col("x"), col("p_u"),
+          when(col("ok"), r4((col("x").cast("double") + col("alpha"))
+              / (col("n").cast("double") + col("alpha") + col("beta"))))
+            .otherwise(r4(col("x").cast("double") / col("n").cast("double")))
+            .as("shrunk"))
+        .orderBy("nationkey")
+    }),
+
     // SPEARMAN ρ (round 10): rank correlation of quantity vs
     // discount per return flag — the monotone-association readout
     // that survives nonlinearity and outliers where Pearson lies.
@@ -1074,6 +1160,74 @@ object Stats {
         |      / (n_control + n_treatment)::DOUBLE)) * 10000 + 0.5) / 10000
         |    END AS p_approx
         |FROM a""".stripMargin,
+    // z² written as the literal product so both engines compute the
+    // identical IEEE value; interval one mirrored expression per arm.
+    "agg_wilson_ci" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN ('0x' || substring(md5(user_id::VARCHAR),
+        |      1, 2))::INT % 2 = 0 THEN 'control' ELSE 'treatment' END
+        |      AS variant,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS purch
+        |  FROM events),
+        |g AS (
+        |  SELECT variant, count(*)::BIGINT AS n, sum(purch)::BIGINT AS x
+        |  FROM v GROUP BY 1),
+        |e AS (
+        |  SELECT *, x::DOUBLE / n::DOUBLE AS ph,
+        |    1.959964 * 1.959964 AS z2
+        |  FROM g),
+        |c AS (
+        |  SELECT *,
+        |    (ph + z2 / (2.0 * n::DOUBLE)) / (1.0 + z2 / n::DOUBLE)
+        |      AS center,
+        |    1.959964 * sqrt(ph * (1.0 - ph) / n::DOUBLE
+        |        + z2 / (4.0 * n::DOUBLE * n::DOUBLE))
+        |      / (1.0 + z2 / n::DOUBLE) AS half
+        |  FROM e)
+        |SELECT variant, n, x,
+        |  floor(ph*10000 + 0.5)/10000 AS p_hat,
+        |  floor((center - half)*10000 + 0.5)/10000 AS ci_lo,
+        |  floor((center + half)*10000 + 0.5)/10000 AS ci_hi
+        |FROM c ORDER BY variant""".stripMargin,
+    // Micro-quantized rates before the moment sums; α/β and each
+    // shrunken rate mirrored op-for-op; degenerate moments fall back
+    // to the raw rate.
+    "agg_eb_shrinkage" ->
+      """WITH g AS (
+        |  SELECT c_nationkey::BIGINT AS nationkey,
+        |    count(*)::BIGINT AS n,
+        |    sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+        |      END)::BIGINT AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |p AS (SELECT *, (x * 1000000 // n)::BIGINT AS p_u FROM g),
+        |mom AS (
+        |  SELECT count(*)::BIGINT AS k, sum(p_u)::BIGINT AS sp,
+        |    sum(p_u * p_u)::BIGINT AS spp
+        |  FROM p),
+        |e AS (
+        |  SELECT p.*, mom.k, mom.sp, mom.spp,
+        |    sp::DOUBLE / (k::DOUBLE * 1000000.0) AS m,
+        |    (k::DOUBLE * spp::DOUBLE - sp::DOUBLE * sp::DOUBLE)
+        |      / (k::DOUBLE * k::DOUBLE * 1000000000000.0) AS v
+        |  FROM p CROSS JOIN mom),
+        |c AS (
+        |  SELECT *,
+        |    v > 0 AND m > 0 AND m < 1 AND m * (1.0 - m) > v AS ok,
+        |    CASE WHEN v > 0 AND m > 0 AND m < 1 AND m * (1.0 - m) > v
+        |      THEN m * (1.0 - m) / v - 1.0 END AS com
+        |  FROM e),
+        |ab AS (
+        |  SELECT *, CASE WHEN ok THEN m * com END AS alpha,
+        |    CASE WHEN ok THEN (1.0 - m) * com END AS beta
+        |  FROM c)
+        |SELECT nationkey, n, x, p_u,
+        |  CASE WHEN ok THEN
+        |    floor((x::DOUBLE + alpha) / (n::DOUBLE + alpha + beta)
+        |      * 10000 + 0.5) / 10000
+        |  ELSE floor(x::DOUBLE / n::DOUBLE * 10000 + 0.5) / 10000
+        |  END AS shrunk
+        |FROM ab ORDER BY nationkey""".stripMargin,
     "agg_cramers_v" ->
       """WITH f AS (
         |  SELECT c_nationkey::BIGINT AS nationkey, c_mktsegment

@@ -893,6 +893,56 @@ object ClosedFormProps extends Properties("graft.closedforms") {
           s"detail bits moved under DC shift: $base vs $shifted"
     }
 
+  // agg_wilson_ci: the Wilson interval never leaves [0, 1] and always
+  // contains the point estimate — the two properties Wald CIs lose at
+  // extreme rates / small n, and the reason this key exists.
+  property("Wilson CI stays in [0,1] and contains p-hat on any cells") =
+    Prop.forAll(Gen.choose(1L, 100000L).flatMap(n =>
+        Gen.choose(0L, n).map(x => (n, x)))) { case (n, x) =>
+      val z = 1.959964
+      val z2 = z * z
+      val ph = x.toDouble / n
+      val center = (ph + z2 / (2.0 * n)) / (1.0 + z2 / n)
+      val half = z * math.sqrt(ph * (1.0 - ph) / n
+        + z2 / (4.0 * n.toDouble * n)) / (1.0 + z2 / n)
+      val (lo, hi) = (center - half, center + half)
+      (lo >= 0.0 && hi <= 1.0) :| s"CI left [0,1]: [$lo, $hi]" &&
+        (lo <= ph && ph >= lo && hi >= ph) :| s"CI lost p-hat: [$lo, $hi] vs $ph"
+    }
+
+  // agg_eb_shrinkage: (x+α)/(n+α+β) is exactly the convex mix
+  // w·raw + (1−w)·priormean with w = n/(n+α+β), so every shrunken
+  // rate lies BETWEEN its raw rate and the prior mean — shrinkage
+  // can only pull toward the pool, never past it.
+  private val ebGroups: Gen[List[(Long, Long)]] =
+    Gen.choose(3, 30).flatMap(k => Gen.listOfN(k,
+      Gen.choose(1L, 1000L).flatMap(n =>
+        Gen.choose(0L, n).map(x => (n, x)))))
+
+  property("EB shrinkage lands between the raw rate and the prior mean") =
+    Prop.forAll(ebGroups) { gs =>
+      val pu = gs.map { case (n, x) => x * 1000000L / n }
+      val k = pu.size
+      val m = pu.sum.toDouble / (k * 1000000.0)
+      val v = (k.toDouble * pu.map(p => p.toDouble * p).sum
+        - pu.sum.toDouble * pu.sum) / (k.toDouble * k * 1.0e12)
+      val ok = v > 0 && m > 0 && m < 1 && m * (1.0 - m) > v
+      if (!ok) Prop.passed
+      else {
+        val common = m * (1.0 - m) / v - 1.0
+        val alpha = m * common
+        val beta = (1.0 - m) * common
+        val prior = alpha / (alpha + beta)
+        Prop.all(gs.map { case (n, x) =>
+          val raw = x.toDouble / n
+          val shrunk = (x + alpha) / (n + alpha + beta)
+          val (lo, hi) = (math.min(raw, prior), math.max(raw, prior))
+          (shrunk >= lo - 1e-9 && shrunk <= hi + 1e-9) :|
+            s"shrunk $shrunk escaped [$lo, $hi] (raw $raw prior $prior)"
+        }: _*)
+      }
+    }
+
   // agg_ols_multi: Cramer's rule on the centered 2×2 system IS the
   // least-squares solution — the betas satisfy the normal equations
   // on arbitrary integer data, and when the regressors are exactly

@@ -316,6 +316,29 @@ class DegenerateSpec extends SparkSpec {
       "doc_id", "text"), "heaps/empty-text")
   }
 
+  test("wilsonCi / ebShrink survive empty / extreme-rate / one-group frames") {
+    val wSchema = StructType(Seq(StructField("variant", StringType),
+      StructField("s", LongType)))
+    def wf(rows: Seq[(String, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), wSchema)
+    assertClean(engine.wilsonCi(wf(Nil), "variant", "s"), "wilson/empty")
+    assertClean(engine.wilsonCi(wf(Seq(("a", 0L))), "variant", "s"),
+      "wilson/all-fail")
+    assertClean(engine.wilsonCi(wf(Seq(("a", 1L), ("a", 1L))),
+      "variant", "s"), "wilson/all-succeed")
+
+    val eSchema = StructType(Seq(StructField("g", StringType),
+      StructField("n", LongType), StructField("x", LongType)))
+    def ef(rows: Seq[(String, Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), eSchema)
+    assertClean(engine.ebShrink(ef(Nil), "g", "n", "x"), "eb/empty")
+    assertClean(engine.ebShrink(ef(Seq(("a", 5L, 2L))), "g", "n", "x"),
+      "eb/one-group")
+    assertClean(engine.ebShrink(
+      ef(Seq(("a", 5L, 2L), ("b", 10L, 4L))), "g", "n", "x"),
+      "eb/equal-rates-zero-variance")
+  }
+
   test("rrEstimate survives empty / single-user / all-true frames") {
     val schema = StructType(Seq(StructField("user_id", LongType),
       StructField("truth", LongType), StructField("variant", StringType)))

@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 157, "documented facade count drifted; methods: "
+    assert(names.length === 159, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1132,6 +1132,38 @@ class EngineApiSpec extends SparkSpec {
       .select("hurst").head().getDouble(0)
     assert(hAlt < 0.2, s"alternation must fit H near 0: $hAlt")
     assert(hAlt < hRamp, "persistence ordering must hold")
+  }
+
+  test("wilsonCi facade matches the agg_wilson_ci key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("agg_wilson_ci")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val flags = TestData.events(spark, d)
+      .withColumn("variant",
+        when(conv(substring(md5(col("user_id").cast("string")), 1, 2),
+          16, 10).cast("int") % 2 === 0, "control").otherwise("treatment"))
+      .withColumn("purch",
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+    val viaApi = engine.wilsonCi(flags, "variant", "purch")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("ebShrink facade matches the agg_eb_shrinkage key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("agg_eb_shrinkage")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val g = TestData.orders(spark, d)
+      .join(broadcast(TestData.customer(spark, d)
+          .select($"c_custkey", $"c_nationkey".cast("long").as("nk"))),
+        $"o_custkey" === $"c_custkey")
+      .groupBy("nk")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L))
+          .as("x"))
+    val viaApi = engine.ebShrink(g, "nk", "n", "x")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
   }
 
   test("louvainRefine facade matches the graph_louvain_refine key") {
