@@ -4022,6 +4022,18 @@ class GraftEngine(val spark: SparkSession) {
         col(truthCol).cast("long").as("truth"),
         col(groupCol).as("variant")), flipNum)
 
+  /** Raking / iterative proportional fitting to uniform marginals
+    * (see `sample_raking_ipf`) over a (rowCol, colCol, cntCol) cell
+    * table: 3 rounds (row, col, row) of integer micro-weight
+    * scaling. A row round lands every row marginal within DIV
+    * truncation of its target (ClosedFormProps pin).
+    */
+  def rakeWeights(cells: DataFrame, rowCol: String, colCol: String,
+                  cntCol: String): DataFrame =
+    graft.operators.Curation.rakeIpf(
+      cells.select(col(rowCol).as("row_key"), col(colCol).as("col_key"),
+        col(cntCol).cast("long").as("cnt")))
+
   /** Wilson 95 % score interval per group (see `agg_wilson_ci`) over
     * an event-grain frame with a group column and a 0/1 success
     * column. Never leaves [0, 1] and always contains p̂

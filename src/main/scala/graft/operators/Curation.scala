@@ -234,6 +234,48 @@ object Curation {
       .orderBy("variant")
   }
 
+  /** Raking / iterative proportional fitting core (see
+    * `sample_raking_ipf`): input a (row_key, col_key, cnt) cell
+    * table; 3 unrolled rounds (row, col, row) scale integer MICRO
+    * weights so both marginals approach UNIFORM targets (the
+    * balancing spec a training mix runs to equalize strata). All
+    * arithmetic is non-negative integer DIV in micro units: mass
+    * m = cnt·w_u, factor = (target·1e6) DIV marginal-sum, w' =
+    * w·factor DIV 1e6 — deterministic in both engines, and a row
+    * round leaves every row marginal within DIV truncation of its
+    * target (pinned in ClosedFormProps). Bounds: cnt·w_u ≤ ~2^43 at
+    * fixture scale; document at 1e9+ cells, scale to milli units.
+    */
+  private[graft] def rakeIpf(cells: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    var t = cells.withColumn("w_u", lit(1000000L)).localCheckpoint()
+    val tot = cells.agg(sum("cnt").as("tt"),
+      countDistinct("row_key").as("nr"),
+      countDistinct("col_key").as("nc"))
+    def round(keyCol: String, nCol: String): Unit = {
+      val mSum = W.partitionBy(keyCol)
+      t = t.crossJoin(broadcast(tot))
+        .withColumn("m", col("cnt") * col("w_u"))
+        .withColumn("msum", sum("m").over(mSum))
+        .withColumn("tgt_u", expr(s"tt * 1000000 DIV $nCol"))
+        // zero-mass marginal (all-zero cnt in a stratum — facade
+        // input only; the declared key's counts are ≥ 1): identity
+        // factor, never an ANSI integral-division throw
+        .withColumn("factor_u", expr(
+          "CASE WHEN msum > 0 THEN tgt_u * 1000000 DIV msum"
+            + " ELSE CAST(1000000 AS BIGINT) END"))
+        .withColumn("w_u", expr("w_u * factor_u DIV 1000000"))
+        .select("row_key", "col_key", "cnt", "w_u")
+        .localCheckpoint()
+    }
+    round("row_key", "nr")
+    round("col_key", "nc")
+    round("row_key", "nr")
+    t.withColumn("weighted_u", col("cnt") * col("w_u"))
+      .select("row_key", "col_key", "cnt", "w_u", "weighted_u")
+      .orderBy("row_key", "col_key")
+  }
+
   val defs: Map[String, Q] = Map(
     // Benchmark DECONTAMINATION: flag corpus documents sharing any
     // 5-token shingle with the held-out evaluation set (here: a
@@ -606,6 +648,27 @@ object Curation {
         .orderBy("lang")
     }),
 
+    // RAKING / ITERATIVE PROPORTIONAL FITTING (round 12): balance
+    // the (mktsegment × region) customer table so BOTH marginals
+    // approach uniform targets — the survey-weighting/training-mix
+    // move when two stratification dimensions must be equalized at
+    // once and per-cell resampling (sample_balanced_downsample's
+    // one-dimension answer) can't satisfy both. 3 unrolled rounds
+    // (row, col, row) of integer micro-weight scaling; every op is
+    // non-negative DIV so the engines agree exactly; the cell grid
+    // is DOMAIN-sized (5×5), so the per-round windows are tiny at
+    // any corpus and the one corpus pass is the initial count.
+    // A row round lands every row marginal within DIV truncation of
+    // its target (ClosedFormProps); facade `rakeWeights`.
+    "sample_raking_ipf" -> ((s, d) =>
+      rakeIpf(TestData.customer(s, d)
+        .join(broadcast(TestData.nation(s, d)
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_mktsegment").as("row_key"),
+          col("n_regionkey").cast("long").as("col_key"))
+        .agg(count(lit(1)).as("cnt")))),
+
     // RANDOMIZED RESPONSE ESTIMATE (round 12): Warner's local-DP
     // survey mechanism — each user reports their sensitive bit (did
     // they purchase) TRUTHFULLY with probability p = 3/4 and FLIPPED
@@ -958,6 +1021,38 @@ object Curation {
         |SELECT lang, true_count, noise_u,
         |  (true_count * 1000000 + noise_u)::BIGINT AS released_count_u
         |FROM n ORDER BY lang""".stripMargin,
+    // 3 unrolled integer rounds; every windowed sum ::BIGINT (HUGEINT
+    // trap); op order w·((tgt·1e6)//msum)//1e6 mirrored verbatim.
+    "sample_raking_ipf" -> {
+      def round(k: Int, keyCol: String, nCol: String): String = {
+        val prev = if (k == 1) "w0" else s"r${k - 1}"
+        s"""r$k AS MATERIALIZED (
+          |  SELECT row_key, col_key, cnt,
+          |    (w_u * ((tt * 1000000 // $nCol) * 1000000
+          |      // (sum(cnt * w_u) OVER (PARTITION BY $keyCol))::BIGINT)
+          |      // 1000000)::BIGINT AS w_u
+          |  FROM $prev CROSS JOIN tot)""".stripMargin
+      }
+      s"""WITH cells AS (
+        |  SELECT c_mktsegment AS row_key, n_regionkey::BIGINT AS col_key,
+        |    count(*)::BIGINT AS cnt
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT sum(cnt)::BIGINT AS tt,
+        |    count(DISTINCT row_key)::BIGINT AS nr,
+        |    count(DISTINCT col_key)::BIGINT AS nc
+        |  FROM cells),
+        |w0 AS MATERIALIZED (
+        |  SELECT row_key, col_key, cnt, 1000000::BIGINT AS w_u
+        |  FROM cells),
+        |${round(1, "row_key", "nr")},
+        |${round(2, "col_key", "nc")},
+        |${round(3, "row_key", "nr")}
+        |SELECT row_key, col_key, cnt, w_u,
+        |  (cnt * w_u)::BIGINT AS weighted_u
+        |FROM r3 ORDER BY row_key, col_key""".stripMargin
+    },
     // Salted rr-coin ('rr|' + user_id md5) mirrored; 0.25 and 0.5
     // are exact binary-fraction literals in both engines; estimator
     // and se one mirrored readout each, r4.

@@ -943,6 +943,39 @@ object ClosedFormProps extends Properties("graft.closedforms") {
       }
     }
 
+  // sample_raking_ipf: one integer-DIV row round lands every row
+  // marginal within truncation of its uniform target — the invariant
+  // that makes 3 alternating rounds converge (each round re-solves
+  // its own dimension exactly up to micro truncation).
+  private val ipfCells: Gen[List[(Int, Int, Long)]] =
+    for {
+      nr <- Gen.choose(2, 5); nc <- Gen.choose(2, 5)
+      cs <- Gen.listOfN(nr * nc, Gen.choose(1L, 1000L))
+    } yield (for (i <- 0 until nr; j <- 0 until nc)
+      yield (i, j, cs(i * nc + j))).toList
+
+  property("IPF row round lands row marginals on target up to truncation") =
+    Prop.forAll(ipfCells) { cells =>
+      val nr = cells.map(_._1).distinct.size
+      val tt = cells.map(_._3).sum
+      val tgtU = tt * 1000000L / nr
+      val w0 = 1000000L
+      val rowSum = cells.groupBy(_._1).view
+        .mapValues(_.map(c => c._3 * w0).sum).toMap
+      val after = cells.map { case (r, _, cnt) =>
+        val f = tgtU * 1000000L / rowSum(r)
+        (r, cnt * (w0 * f / 1000000L))
+      }
+      Prop.all(after.groupBy(_._1).toSeq.map { case (r, ms) =>
+        val got = ms.map(_._2).sum
+        // per-cell weight truncation ≤ 1 micro-unit ⇒ marginal error
+        // ≤ Σ cnt of the row (plus the factor's own DIV truncation)
+        val bound = cells.filter(_._1 == r).map(_._3).sum * 2 + 1000000L
+        (math.abs(got - tgtU) <= bound) :|
+          s"row $r marginal $got vs target $tgtU (bound $bound)"
+      }: _*)
+    }
+
   // agg_ols_multi: Cramer's rule on the centered 2×2 system IS the
   // least-squares solution — the betas satisfy the normal equations
   // on arbitrary integer data, and when the regressors are exactly

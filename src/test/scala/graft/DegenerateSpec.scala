@@ -339,6 +339,20 @@ class DegenerateSpec extends SparkSpec {
       "eb/equal-rates-zero-variance")
   }
 
+  test("rakeWeights survives empty / single-cell / zero-count frames") {
+    val schema = StructType(Seq(StructField("r", StringType),
+      StructField("c", LongType), StructField("cnt", LongType)))
+    def fr(rows: Seq[(String, Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), schema)
+    assertClean(engine.rakeWeights(fr(Nil), "r", "c", "cnt"),
+      "rake/empty")
+    assertClean(engine.rakeWeights(fr(Seq(("a", 0L, 7L))), "r", "c", "cnt"),
+      "rake/single-cell")
+    assertClean(engine.rakeWeights(
+      fr(Seq(("a", 0L, 0L), ("b", 1L, 5L))), "r", "c", "cnt"),
+      "rake/zero-count-stratum")
+  }
+
   test("rrEstimate survives empty / single-user / all-true frames") {
     val schema = StructType(Seq(StructField("user_id", LongType),
       StructField("truth", LongType), StructField("variant", StringType)))

@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 159, "documented facade count drifted; methods: "
+    assert(names.length === 160, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1164,6 +1164,34 @@ class EngineApiSpec extends SparkSpec {
     val viaApi = engine.ebShrink(g, "nk", "n", "x")
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
+  }
+
+  test("rakeWeights facade matches the key; marginals converge to target") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("sample_raking_ipf")(spark, d)
+      .collect()
+    val cells = TestData.customer(spark, d)
+      .join(broadcast(TestData.nation(spark, d)
+        .select($"n_nationkey", $"n_regionkey")),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_mktsegment".as("r"), $"n_regionkey".cast("long").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val viaApi = engine.rakeWeights(cells, "r", "c", "cnt").collect()
+    assert(viaApi.map(_.toSeq).toSeq === declared.map(_.toSeq).toSeq)
+    // the final (row) round must land row marginals essentially on
+    // target; col marginals within 1% after 3 rounds on this table
+    val rows = declared.groupBy(_.getString(0))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("weighted_u")).sum }
+    val cols = declared.groupBy(_.getLong(1))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("weighted_u")).sum }
+    val tgt = declared.map(_.getAs[Long]("cnt")).sum * 1000000L /
+      rows.size
+    rows.foreach(rm => assert(math.abs(rm - tgt).toDouble / tgt < 1e-4,
+      s"row marginal $rm far from target $tgt"))
+    val tgtC = declared.map(_.getAs[Long]("cnt")).sum * 1000000L /
+      cols.size
+    cols.foreach(cm => assert(math.abs(cm - tgtC).toDouble / tgtC < 0.01,
+      s"col marginal $cm not within 1% of target $tgtC"))
   }
 
   test("louvainRefine facade matches the graph_louvain_refine key") {
