@@ -247,6 +247,48 @@ class PlanSpec extends SparkSpec {
       s"found an unpartitioned corpus-ordered window:\n${p.take(1200)}")
   }
 
+  test("weighted top-k samples via TakeOrderedAndProject, not a rank window") {
+    // sample_weighted_topk's whole point at scale: the E-S key is
+    // computed map-side and the top-k is a per-partition heap —
+    // a corpus-grain row_number window here would be the single-task
+    // anti-pattern.
+    val p = plan("sample_weighted_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted sample must plan a distributed top-k:\n${p.take(800)}")
+  }
+
+  test("hurst R/S windows partition on (size, block) — never the raw grid") {
+    val p = plan("ts_hurst_exponent")
+    assert("windowspecdefinition\\(ws#\\d+L?, blk#\\d+L?".r
+        .findFirstIn(p).isDefined,
+      s"cumulative-deviation window must partition on (ws, blk):\n${p.take(1200)}")
+    assert("windowspecdefinition\\(hr#\\d+L? ASC".r.findFirstIn(p).isEmpty,
+      s"found an unpartitioned window over the hour grid:\n${p.take(1200)}")
+  }
+
+  test("heaps-law ranks are hierarchical — no corpus-grain doc window") {
+    // heapsFit localCheckpoints its ranked/checkpoint stages, so the
+    // key's FINAL plan only shows the readout — pin the rank stage's
+    // own plan (the exact frame the key builds pre-checkpoint) plus
+    // the negative assertion on the visible readout plan.
+    import org.apache.spark.sql.functions._
+    val docs = TestData.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .withColumn("g", lit(0))
+    val ranked = Curation.rangedRank(
+      docs, "g", Seq(col("doc_id")), "rnk")
+    val rp = ranked.queryExecution.optimizedPlan.toString
+    assert("windowspecdefinition\\(g#\\d+, grr_pid#\\d+".r
+        .findFirstIn(rp).isDefined,
+      s"doc rank must come from rangedRank's (g, grr_pid) window:\n${rp.take(1200)}")
+    assert("windowspecdefinition\\(doc_id#\\d+".r.findFirstIn(rp).isEmpty,
+      s"found a corpus-grain doc_id window in the rank stage:\n${rp.take(1200)}")
+    val p = plan("text_heaps_law")
+    assert("windowspecdefinition\\(doc_id#\\d+".r.findFirstIn(p).isEmpty,
+      s"found a corpus-grain doc_id window in the readout:\n${p.take(1200)}")
+  }
+
   test("transition top-k plans TakeOrderedAndProject, not a global sort") {
     val p = plan("events_transition_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
