@@ -4034,6 +4034,56 @@ class GraftEngine(val spark: SparkSession) {
       cells.select(col(rowCol).as("row_key"), col(colCol).as("col_key"),
         col(cntCol).cast("long").as("cnt")))
 
+  /** Permutation test of a two-arm mean difference (see
+    * `agg_permutation_pvalue`) over a per-unit frame (`idCol`,
+    * 0/1 `armCol`, integer `valCol`): B salted-hash label
+    * permutations, exact cross-multiplied ≥ comparison, add-one p
+    * (never 0; zero observed difference reads 1 —
+    * ClosedFormProps pins).
+    */
+  def permutationTest(df: DataFrame, idCol: String, armCol: String,
+                      valCol: String, b: Int = 32): DataFrame = {
+    require(b >= 1 && b <= 1024, "replicates in [1, 1024]")
+    val pu = df.select(col(idCol).as("id"),
+        col(armCol).cast("long").as("t"),
+        col(valCol).cast("long").as("x"))
+      .withColumn("h28",
+        conv(substring(md5(concat(lit("pm|"), col("id").cast("string"))),
+          1, 7), 16, 10).cast("long"))
+      .localCheckpoint()
+    val obs = pu.agg(
+      sum(when(col("t") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("t") =!= 0, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("t") === 0, col("x")).otherwise(0L)).as("s0"),
+      sum(when(col("t") =!= 0, col("x")).otherwise(0L)).as("s1"))
+    val reps = pu.select(col("x"), col("h28"),
+        explode(lit((0 until b).toArray)).as("b"))
+      .withColumn("arm",
+        ((col("h28") * (lit(2654435761L) + col("b") * lit(96542L)))
+          % 268435456L) % 2)
+      .groupBy("b")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nb0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb1"),
+        sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sb0"),
+        sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sb1"))
+      .filter(col("nb0") > 0 && col("nb1") > 0)
+    reps.crossJoin(broadcast(obs))
+      .withColumn("ge",
+        (abs(col("sb1") * col("nb0") - col("sb0") * col("nb1"))
+          * (col("n1") * col("n0")))
+          >= (abs(col("s1") * col("n0") - col("s0") * col("n1"))
+            * (col("nb1") * col("nb0"))))
+      .agg(count(lit(1)).as("b_used"),
+        sum(when(col("ge"), 1L).otherwise(0L)).as("n_ge"),
+        max("n0").as("n0"), max("n1").as("n1"),
+        max("s0").as("s0"), max("s1").as("s1"))
+      .withColumn("diff_obs", when(col("n0") > 0 && col("n1") > 0,
+        TestData.r4(col("s1").cast("double") / col("n1").cast("double")
+          - col("s0").cast("double") / col("n0").cast("double"))))
+      .withColumn("p_u", expr("(1 + n_ge) * 1000000 DIV (b_used + 1)"))
+      .select("b_used", "n0", "n1", "diff_obs", "n_ge", "p_u")
+  }
+
   /** Wilson 95 % score interval per group (see `agg_wilson_ci`) over
     * an event-grain frame with a group column and a 0/1 success
     * column. Never leaves [0, 1] and always contains p̂

@@ -957,6 +957,70 @@ object Stats {
         .select("n", "mi_nats", "h_row", "h_col", "nmi")
     }),
 
+    // PERMUTATION TEST (round 12): the distribution-free companion
+    // to the Welch/MW-U parametric family — p = share of B = 32
+    // label permutations whose |mean difference| reaches the
+    // observed one (add-one convention: p = (1 + #≥)/(B + 1), so p
+    // is never 0 and a zero observed difference reads exactly 1).
+    // Permuted arms come from ONE salted md5 per user ('pm|' + id —
+    // independent of the observed variant hash by salt) re-mixed
+    // per replicate with the bootstrap's odd-multiplier constants
+    // (product < 2^60, ANSI-safe; PlanSpec-pinned single-hash-site
+    // precedent). The ≥ comparison never touches a float:
+    // |s1·n0 − s0·n1|·(n1ᵒn0ᵒ) vs the observed cross-product —
+    // exact BIGINTs (bound n²·Σ|x| < 2^63 ⇒ ~1e5 users at fixture
+    // values; past that compare in doubles, stated). One-armed
+    // replicates are skipped and b_used reported. Shape: user-shard
+    // fold → ×B map-side explode → B-group aggregate → 1-row
+    // readout. p ∈ [1/(B+1), 1] + zero-diff ⇒ p = 1 pinned in
+    // ClosedFormProps.
+    "agg_permutation_pvalue" -> ((s, d) => {
+      val B = 32
+      val pu = TestData.events(s, d)
+        .withColumn("v_u", floor(col("value") * 1000000 + 0.5).cast("long"))
+        .groupBy("user_id").agg(sum("v_u").as("sum_u"))
+        .withColumn("x",
+          floor(col("sum_u").cast("double") / 1000000.0).cast("long"))
+        .withColumn("t",
+          (conv(substring(md5(col("user_id").cast("string")), 1, 2),
+            16, 10).cast("int") % 2 =!= 0).cast("long"))
+        .withColumn("h28",
+          conv(substring(md5(concat(lit("pm|"),
+            col("user_id").cast("string"))), 1, 7), 16, 10).cast("long"))
+        .localCheckpoint() // two consumers: observed + replicates
+      val obs = pu.agg(
+        sum(when(col("t") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("t") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("t") === 0, col("x")).otherwise(0L)).as("s0"),
+        sum(when(col("t") === 1, col("x")).otherwise(0L)).as("s1"))
+      val reps = pu.select(col("x"), col("h28"),
+          explode(lit((0 until B).toArray)).as("b"))
+        .withColumn("arm",
+          ((col("h28") * (lit(2654435761L) + col("b") * lit(96542L)))
+            % 268435456L) % 2)
+        .groupBy("b")
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nb0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb1"),
+          sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sb0"),
+          sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sb1"))
+        .filter(col("nb0") > 0 && col("nb1") > 0)
+      reps.crossJoin(broadcast(obs))
+        .withColumn("ge",
+          (abs(col("sb1") * col("nb0") - col("sb0") * col("nb1"))
+            * (col("n1") * col("n0")))
+            >= (abs(col("s1") * col("n0") - col("s0") * col("n1"))
+              * (col("nb1") * col("nb0"))))
+        .agg(count(lit(1)).as("b_used"),
+          sum(when(col("ge"), 1L).otherwise(0L)).as("n_ge"),
+          max("n0").as("n0"), max("n1").as("n1"),
+          max("s0").as("s0"), max("s1").as("s1"))
+        .withColumn("diff_obs", when(col("n0") > 0 && col("n1") > 0,
+          r4(col("s1").cast("double") / col("n1").cast("double")
+            - col("s0").cast("double") / col("n0").cast("double"))))
+        .withColumn("p_u", expr("(1 + n_ge) * 1000000 DIV (b_used + 1)"))
+        .select("b_used", "n0", "n1", "diff_obs", "n_ge", "p_u")
+    }),
+
     // POISSON-BOOTSTRAP CI (round 10): the resampling confidence
     // interval for the mean order value — the scale-correct
     // bootstrap (each row draws an independent Poisson(1) replicate
@@ -1750,6 +1814,56 @@ object Stats {
         |    floor((b1 * cx1y + b2 * cx2y) / cyy * 10000 + 0.5) / 10000
         |    END AS r_squared
         |FROM b ORDER BY flag""".stripMargin,
+    // Salted per-user hash, bootstrap remix constants, exact
+    // cross-multiplied >= comparison, add-one p.
+    "agg_permutation_pvalue" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    sum(floor(value * 1000000 + 0.5)::BIGINT)::BIGINT AS sum_u
+        |  FROM events GROUP BY 1),
+        |u AS (
+        |  SELECT floor(sum_u::DOUBLE / 1000000)::BIGINT AS x,
+        |    CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))
+        |      ::INT % 2 = 0 THEN 0 ELSE 1 END AS t,
+        |    ('0x' || substring(md5('pm|' || user_id::VARCHAR), 1, 7))
+        |      ::BIGINT AS h28
+        |  FROM pu),
+        |obs AS (
+        |  SELECT
+        |    sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN t = 0 THEN x ELSE 0 END)::BIGINT AS s0,
+        |    sum(CASE WHEN t = 1 THEN x ELSE 0 END)::BIGINT AS s1
+        |  FROM u),
+        |reps AS (
+        |  SELECT b,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS nb0,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS nb1,
+        |    sum(CASE WHEN arm = 0 THEN x ELSE 0 END)::BIGINT AS sb0,
+        |    sum(CASE WHEN arm = 1 THEN x ELSE 0 END)::BIGINT AS sb1
+        |  FROM (
+        |    SELECT u.x, t.b,
+        |      ((u.h28 * (2654435761 + t.b * 96542)) % 268435456) % 2
+        |        AS arm
+        |    FROM u CROSS JOIN range(32) AS t(b)) q
+        |  GROUP BY b
+        |  HAVING sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) > 0
+        |    AND sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 0),
+        |g AS (
+        |  SELECT count(*)::BIGINT AS b_used,
+        |    sum(CASE WHEN abs(sb1 * nb0 - sb0 * nb1) * (n1 * n0)
+        |      >= abs(s1 * n0 - s0 * n1) * (nb1 * nb0)
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_ge,
+        |    max(n0)::BIGINT AS n0, max(n1)::BIGINT AS n1,
+        |    max(s0)::BIGINT AS s0, max(s1)::BIGINT AS s1
+        |  FROM reps CROSS JOIN obs)
+        |SELECT b_used, n0, n1,
+        |  CASE WHEN n0 > 0 AND n1 > 0 THEN
+        |    floor((s1::DOUBLE / n1::DOUBLE - s0::DOUBLE / n0::DOUBLE)
+        |      * 10000 + 0.5) / 10000 END AS diff_obs,
+        |  n_ge,
+        |  ((1 + n_ge) * 1000000 // (b_used + 1))::BIGINT AS p_u
+        |FROM g""".stripMargin,
     "sample_bootstrap_ci" ->
       """WITH o AS (
         |  SELECT o_orderkey,

@@ -976,6 +976,48 @@ object ClosedFormProps extends Properties("graft.closedforms") {
       }: _*)
     }
 
+  // agg_permutation_pvalue: the add-one convention bounds p away
+  // from 0 (p ∈ [1/(B+1), 1]) and a ZERO observed difference reads
+  // exactly 1 — every permutation's |diff| trivially clears 0, so a
+  // null effect can never look significant.
+  private val permCells: Gen[(List[(Long, Long, Long)], Int)] =
+    for {
+      n <- Gen.choose(4, 60)
+      rows <- Gen.listOfN(n, for {
+        x <- Gen.choose(-1000L, 1000L)
+        t <- Gen.choose(0L, 1L)
+        h <- Gen.choose(0L, 268435455L)
+      } yield (x, t, h))
+    } yield (rows, 32)
+
+  property("permutation p stays in [1/(B+1), 1]; zero diff reads 1") =
+    Prop.forAll(permCells) { case (rows, bTot) =>
+      val n0 = rows.count(_._2 == 0L); val n1 = rows.count(_._2 == 1L)
+      val s0 = rows.filter(_._2 == 0L).map(_._1).sum
+      val s1 = rows.filter(_._2 == 1L).map(_._1).sum
+      val obsNum = math.abs(s1 * n0 - s0 * n1)
+      val obsDen = n1.toLong * n0
+      val reps = (0 until bTot).flatMap { b =>
+        val arms = rows.map { case (x, _, h) =>
+          (x, ((h * (2654435761L + b * 96542L)) % 268435456L) % 2) }
+        val (a0, a1) = (arms.filter(_._2 == 0L), arms.filter(_._2 == 1L))
+        if (a0.isEmpty || a1.isEmpty) None
+        else Some((math.abs(a1.map(_._1).sum * a0.size.toLong
+            - a0.map(_._1).sum * a1.size.toLong),
+          a1.size.toLong * a0.size))
+      }
+      if (reps.isEmpty || obsDen == 0) Prop.passed
+      else {
+        val nGe = reps.count { case (num, den) =>
+          num * obsDen >= obsNum * den }
+        val pU = (1L + nGe) * 1000000L / (reps.size + 1)
+        val inRange = pU >= 1000000L / (reps.size + 1) && pU <= 1000000L
+        (inRange :| s"p left its range: $pU") &&
+          ((obsNum != 0L || nGe == reps.size) :|
+            s"zero observed diff must make every replicate >=: $nGe/${reps.size}")
+      }
+    }
+
   // agg_ols_multi: Cramer's rule on the centered 2×2 system IS the
   // least-squares solution — the betas satisfy the normal equations
   // on arbitrary integer data, and when the regressors are exactly

@@ -353,6 +353,21 @@ class DegenerateSpec extends SparkSpec {
       "rake/zero-count-stratum")
   }
 
+  test("permutationTest survives empty / one-armed / constant frames") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("arm", LongType), StructField("v", LongType)))
+    def fr(rows: Seq[(Long, Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), schema)
+    assertClean(engine.permutationTest(fr(Nil), "id", "arm", "v"),
+      "perm/empty")
+    assertClean(engine.permutationTest(
+      fr((1L to 6L).map(i => (i, 1L, i))), "id", "arm", "v"),
+      "perm/one-armed")
+    assertClean(engine.permutationTest(
+      fr((1L to 6L).map(i => (i, i % 2, 5L))), "id", "arm", "v"),
+      "perm/constant")
+  }
+
   test("rrEstimate survives empty / single-user / all-true frames") {
     val schema = StructType(Seq(StructField("user_id", LongType),
       StructField("truth", LongType), StructField("variant", StringType)))

@@ -929,7 +929,7 @@ class EngineApiSpec extends SparkSpec {
     assert(c3.subsetOf(c2), "k-cores must be nested: 3-core within 2-core")
   }
 
-  test("facade surface: the public method count matches the documented 87") {
+  test("facade surface: the public method count matches the documented total") {
     // The r8 docs drifted (claimed 74, grep said 73, neither defined
     // "method"): the canonical count is PUBLIC USER-FACING methods —
     // reflection minus the `spark` constructor accessor and the
@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 160, "documented facade count drifted; methods: "
+    assert(names.length === 161, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1192,6 +1192,33 @@ class EngineApiSpec extends SparkSpec {
       cols.size
     cols.foreach(cm => assert(math.abs(cm - tgtC).toDouble / tgtC < 0.01,
       s"col marginal $cm not within 1% of target $tgtC"))
+  }
+
+  test("permutationTest facade matches the key; planted shift is significant") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("agg_permutation_pvalue")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val pu = TestData.events(spark, d)
+      .withColumn("v_u", floor(col("value") * 1000000 + 0.5).cast("long"))
+      .groupBy("user_id").agg(sum("v_u").as("sum_u"))
+      .withColumn("x",
+        floor(col("sum_u").cast("double") / 1000000.0).cast("long"))
+      .withColumn("t",
+        (conv(substring(md5(col("user_id").cast("string")), 1, 2),
+          16, 10).cast("int") % 2 =!= 0).cast("long"))
+    val viaApi = engine.permutationTest(pu, "user_id", "t", "x")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+    // a planted massive shift must be detected at the resolution
+    // floor: every arm-1 unit's value dwarfs arm 0's, so NO
+    // permutation (which mixes arms) reaches the observed split
+    val planted = (1L to 40L).map(i =>
+      (i, i % 2, if (i % 2 == 1) 1000000L else 0L))
+      .toDF("id", "arm", "v")
+    val p = engine.permutationTest(planted, "id", "arm", "v")
+      .select("p_u", "n_ge").head()
+    assert(p.getLong(0) <= 200000L,
+      s"planted shift must be rare under permutation: p_u=${p.getLong(0)}")
   }
 
   test("louvainRefine facade matches the graph_louvain_refine key") {
