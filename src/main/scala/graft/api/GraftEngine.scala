@@ -4034,6 +4034,17 @@ class GraftEngine(val spark: SparkSession) {
       cells.select(col(rowCol).as("row_key"), col(colCol).as("col_key"),
         col(cntCol).cast("long").as("cnt")))
 
+  /** KS test of per-key inter-arrival gaps against Exp(λ̂) — "is the
+    * traffic Poisson" (see `events_interarrival_ks`). Input an
+    * event frame with key/timestamp/tie-break columns; output one
+    * row (n_gaps, sum_gap_s, lambda_per_hr, d_u, reject_95).
+    */
+  def exponentialityKs(events: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String): DataFrame =
+    graft.operators.TimeSeries.interarrivalKs(
+      events.select(col(keyCol).as("user_id"), col(tsCol).as("ts"),
+        col(tieCol).as("event_id")))
+
   /** Permutation test of a two-arm mean difference (see
     * `agg_permutation_pvalue`) over a per-unit frame (`idCol`,
     * 0/1 `armCol`, integer `valCol`): B salted-hash label

@@ -125,6 +125,44 @@ object TimeSeries {
       .select("n_sizes", "sx", "sy", "hurst")
   }
 
+  /** Exponentiality-KS core (see `events_interarrival_ks`): input
+    * (user_id, ts, event_id); user-sharded integer-second gaps, KS
+    * distance of their ECDF from Exp(λ̂) over the distinct-gap grid.
+    * Shared by the declared key and `GraftEngine.exponentialityKs`.
+    */
+  private[graft] def interarrivalKs(events: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wU = W.partitionBy("user_id").orderBy("ts", "event_id")
+    val wg = W.orderBy("g")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val gaps = events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev", lag(col("us"), 1).over(wU))
+      .filter(col("prev").isNotNull)
+      .withColumn("g", expr("(us - prev) DIV 1000000"))
+      .localCheckpoint() // two consumers: cells + totals
+    val cells = gaps.groupBy("g").agg(count(lit(1)).as("c"))
+    val tot = gaps.agg(count(lit(1)).as("n"), sum("g").as("sg"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("cum", sum("c").over(wg))
+      .withColumn("cum_u", expr("cum * 1000000 DIV n"))
+      .withColumn("cumprev_u", expr("(cum - c) * 1000000 DIV n"))
+      .withColumn("f_u", when(col("sg") > 0, floor(
+        (lit(1.0) - exp(-(col("n").cast("double")
+            / col("sg").cast("double")) * col("g").cast("double")))
+          * 1000000 + 0.5).cast("long")))
+      .agg(max("n").as("n_gaps"), max("sg").as("sum_gap_s"),
+        max(greatest(abs(col("cum_u") - col("f_u")),
+          abs(col("cumprev_u") - col("f_u")))).as("d_u"))
+      .withColumn("lambda_per_hr", when(col("sum_gap_s") > 0,
+        r4(col("n_gaps").cast("double") * 3600.0
+          / col("sum_gap_s").cast("double"))))
+      .withColumn("reject_95", when(col("d_u").isNotNull,
+        col("d_u") * col("d_u") * col("n_gaps") > 1849600000000L))
+      .select("n_gaps", "sum_gap_s", "lambda_per_hr", "d_u",
+        "reject_95")
+  }
+
   /** Markov removal-effect attribution core (see the declared key's
     * scaladoc): journeys = per-user event prefix up to and including
     * the first `convType` event; 3 unrolled integer value-iteration
@@ -2547,6 +2585,25 @@ object TimeSeries {
     // < 2^63 ⇒ gaps to ~30 days safe to ~1e9 gaps/type; past that
     // quantize to minutes). One sqrt + two divisions at the end,
     // mirrored, r4'd.
+    // INTER-ARRIVAL EXPONENTIALITY KS (round 12): is per-user traffic
+    // Poisson? — KS distance between the empirical inter-arrival-gap
+    // distribution and Exp(λ̂), λ̂ = n/Σgap (the MLE). The parametric
+    // GOODNESS-OF-FIT sibling of agg_ks_test's two-sample form and
+    // the model check behind events_burstiness's B statistic (B ≈ 0
+    // claims Poisson; this tests it). Gaps fold user-sharded in
+    // integer seconds (the burstiness machinery); the comparison
+    // grid is the DISTINCT gap-value domain (bounded by the value
+    // range, never event count — the agg_ks_test contract), ECDF
+    // steps exact ×1e6 integers, and the exponential CDF is the one
+    // transcendental, micro-quantized per grid row with mirrored op
+    // order. Two-sided D checks both jump edges. The √n rejection
+    // band is integer cross-multiplied: d_u²·n > 1.8496e12 (Spark
+    // ANSI-safe: ≤ 1e12·n). All-zero gaps ⇒ λ undefined ⇒ NULL
+    // readouts, stated.
+    "events_interarrival_ks" -> ((s, d) =>
+      interarrivalKs(TestData.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id")))),
+
     "events_burstiness" -> ((s, d) => {
       val W = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id", "event_type").orderBy("ts", "event_id")
@@ -4405,6 +4462,49 @@ object TimeSeries {
     // Same user-sharded gap window (the events_gap_histogram one),
     // second-quantized gaps, n·Σx²−(Σx)² closed form, mirrored
     // σ/μ op order.
+    // User-sharded integer-second gaps; ECDF exact ×1e6 over the
+    // distinct-gap grid; Exp CDF the one transcendental, mirrored
+    // op-for-op; rejection band cross-multiplied.
+    "events_interarrival_ks" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |gaps AS (
+        |  SELECT (us - prev) // 1000000 AS g FROM e
+        |  WHERE prev IS NOT NULL),
+        |cells AS (SELECT g, count(*)::BIGINT AS c FROM gaps GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS n, sum(g)::BIGINT AS sg
+        |        FROM gaps),
+        |grid AS (
+        |  SELECT g, c, n, sg,
+        |    (sum(c) OVER (ORDER BY g
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS cum
+        |  FROM cells CROSS JOIN tot),
+        |t AS (
+        |  SELECT n, sg,
+        |    (cum * 1000000 // n)::BIGINT AS cum_u,
+        |    ((cum - c) * 1000000 // n)::BIGINT AS cumprev_u,
+        |    CASE WHEN sg > 0 THEN
+        |      floor((1.0 - exp(-(n::DOUBLE / sg::DOUBLE) * g::DOUBLE))
+        |        * 1000000 + 0.5)::BIGINT END AS f_u
+        |  FROM grid),
+        |a AS (
+        |  SELECT max(n)::BIGINT AS n_gaps, max(sg)::BIGINT AS sum_gap_s,
+        |    max(greatest(abs(cum_u - f_u), abs(cumprev_u - f_u)))::BIGINT
+        |      AS d_u
+        |  FROM t)
+        |SELECT n_gaps, sum_gap_s,
+        |  CASE WHEN sum_gap_s > 0 THEN
+        |    floor(n_gaps::DOUBLE * 3600.0 / sum_gap_s::DOUBLE
+        |      * 10000 + 0.5)/10000
+        |    END AS lambda_per_hr,
+        |  d_u,
+        |  CASE WHEN d_u IS NOT NULL THEN
+        |    d_u * d_u * n_gaps > 1849600000000 END AS reject_95
+        |FROM a""".stripMargin,
     "events_burstiness" ->
       """WITH g AS (
         |  SELECT event_type,

@@ -353,6 +353,22 @@ class DegenerateSpec extends SparkSpec {
       "rake/zero-count-stratum")
   }
 
+  test("exponentialityKs survives empty / single-event / zero-gap frames") {
+    val schema = StructType(Seq(StructField("u", LongType),
+      StructField("ts", TimestampType), StructField("tie", LongType)))
+    def fr(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    assertClean(engine.exponentialityKs(fr(Nil), "u", "ts", "tie"),
+      "expks/empty")
+    assertClean(engine.exponentialityKs(
+      fr(Seq(Row(1L, t(1000L), 1L))), "u", "ts", "tie"),
+      "expks/single-event")
+    assertClean(engine.exponentialityKs(
+      fr((1L to 5L).map(i => Row(1L, t(1000L), i))), "u", "ts", "tie"),
+      "expks/all-zero-gaps")
+  }
+
   test("permutationTest survives empty / one-armed / constant frames") {
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("arm", LongType), StructField("v", LongType)))

@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 161, "documented facade count drifted; methods: "
+    assert(names.length === 162, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1219,6 +1219,34 @@ class EngineApiSpec extends SparkSpec {
       .select("p_u", "n_ge").head()
     assert(p.getLong(0) <= 200000L,
       s"planted shift must be rare under permutation: p_u=${p.getLong(0)}")
+  }
+
+  test("exponentialityKs facade matches the key; planted gaps bracket it") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("events_interarrival_ks")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.exponentialityKs(TestData.events(spark, d),
+      "user_id", "ts", "event_id").collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+    // planted EXPONENTIAL-QUANTILE gaps (one user, 512 events at the
+    // inverse-CDF grid points of Exp(1/100)) must NOT reject
+    def frame(gaps: Seq[Long]) = {
+      val ts = gaps.scanLeft(0L)(_ + _)
+      ts.zipWithIndex.map { case (t, i) =>
+        (1L, new java.sql.Timestamp(t * 1000L), i.toLong) }
+        .toDF("u", "ts", "tie")
+    }
+    val expGaps = (1 to 512).map(i =>
+      math.round(-100.0 * math.log(1.0 - (i - 0.5) / 512.0)))
+    val dExp = engine.exponentialityKs(frame(expGaps), "u", "ts", "tie")
+      .head()
+    assert(!dExp.getAs[Boolean]("reject_95"),
+      s"planted exponential gaps must pass: d_u=${dExp.getAs[Long]("d_u")}")
+    // planted CONSTANT gaps are maximally non-exponential: reject
+    val dConst = engine.exponentialityKs(
+      frame(Seq.fill(512)(100L)), "u", "ts", "tie").head()
+    assert(dConst.getAs[Boolean]("reject_95"),
+      s"constant gaps must reject: d_u=${dConst.getAs[Long]("d_u")}")
   }
 
   test("louvainRefine facade matches the graph_louvain_refine key") {
