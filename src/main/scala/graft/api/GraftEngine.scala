@@ -4134,11 +4134,14 @@ class GraftEngine(val spark: SparkSession) {
     */
   def ebShrink(df: DataFrame, groupCol: String, nCol: String,
                xCol: String): DataFrame = {
+    // n = 0 groups carry no rate: p_u NULL (the DIV sits inside the
+    // guard branch, so ANSI never sees x DIV 0), excluded from the
+    // prior moments, shrunk NULL (definition-site guard rule).
     val g = df.select(col(groupCol).as("nationkey"),
         col(nCol).cast("long").as("n"), col(xCol).cast("long").as("x"))
-      .withColumn("p_u", expr("x * 1000000 DIV n"))
+      .withColumn("p_u", when(col("n") > 0, expr("x * 1000000 DIV n")))
       .localCheckpoint()
-    val mom = g.agg(count(lit(1)).as("k"),
+    val mom = g.filter(col("n") > 0).agg(count(lit(1)).as("k"),
       sum("p_u").as("sp"), sum(col("p_u") * col("p_u")).as("spp"))
     g.crossJoin(broadcast(mom))
       .withColumn("m", col("sp").cast("double")
@@ -4156,11 +4159,12 @@ class GraftEngine(val spark: SparkSession) {
       .withColumn("beta",
         when(col("ok"), (lit(1.0) - col("m")) * col("common")))
       .select(col("nationkey"), col("n"), col("x"), col("p_u"),
-        when(col("ok"), TestData.r4(
-            (col("x").cast("double") + col("alpha"))
-            / (col("n").cast("double") + col("alpha") + col("beta"))))
-          .otherwise(TestData.r4(
-            col("x").cast("double") / col("n").cast("double")))
+        when(col("n") > 0,
+          when(col("ok"), TestData.r4(
+              (col("x").cast("double") + col("alpha"))
+              / (col("n").cast("double") + col("alpha") + col("beta"))))
+            .otherwise(TestData.r4(
+              col("x").cast("double") / col("n").cast("double"))))
           .as("shrunk"))
       .orderBy("nationkey")
   }

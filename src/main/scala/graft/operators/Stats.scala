@@ -968,8 +968,11 @@ object Stats {
     // (product < 2^60, ANSI-safe; PlanSpec-pinned single-hash-site
     // precedent). The ≥ comparison never touches a float:
     // |s1·n0 − s0·n1|·(n1ᵒn0ᵒ) vs the observed cross-product —
-    // exact BIGINTs (bound n²·Σ|x| < 2^63 ⇒ ~1e5 users at fixture
-    // values; past that compare in doubles, stated). One-armed
+    // exact BIGINTs. Worst-case bound is n³-scaled, not n²:
+    // |s1·n0 − s0·n1| ≤ Σ|x|·n and the ×(n1·n0) ≤ n²/4 factor give
+    // ~Σ|x|·n³/4 < 2^63 ⇒ ANSI Long overflow begins around
+    // ~1.5e4 users at fixture per-user sums (~25k micro-unit-floored
+    // values); past that compare in doubles. One-armed
     // replicates are skipped and b_used reported. Shape: user-shard
     // fold → ×B map-side explode → B-group aggregate → 1-row
     // readout. p ∈ [1/(B+1), 1] + zero-diff ⇒ p = 1 pinned in

@@ -157,8 +157,13 @@ object TimeSeries {
       .withColumn("lambda_per_hr", when(col("sum_gap_s") > 0,
         r4(col("n_gaps").cast("double") * 3600.0
           / col("sum_gap_s").cast("double"))))
+      // λ̂ is FITTED from the same sample, so the simple-hypothesis
+      // KS constant 1.36/√n would be materially conservative; use
+      // the Lilliefors exponential 5% value ≈ 1.08/√n, cross-
+      // multiplied exactly: d² · n > 1.08² = 1.1664 ⇒ micro-unit
+      // d_u² · n > 1.1664e12 (r13, closing the r12 advice item).
       .withColumn("reject_95", when(col("d_u").isNotNull,
-        col("d_u") * col("d_u") * col("n_gaps") > 1849600000000L))
+        col("d_u") * col("d_u") * col("n_gaps") > 1166400000000L))
       .select("n_gaps", "sum_gap_s", "lambda_per_hr", "d_u",
         "reject_95")
   }
@@ -4503,7 +4508,7 @@ object TimeSeries {
         |    END AS lambda_per_hr,
         |  d_u,
         |  CASE WHEN d_u IS NOT NULL THEN
-        |    d_u * d_u * n_gaps > 1849600000000 END AS reject_95
+        |    d_u * d_u * n_gaps > 1166400000000 END AS reject_95
         |FROM a""".stripMargin,
     "events_burstiness" ->
       """WITH g AS (

@@ -337,6 +337,13 @@ class DegenerateSpec extends SparkSpec {
     assertClean(engine.ebShrink(
       ef(Seq(("a", 5L, 2L), ("b", 10L, 4L))), "g", "n", "x"),
       "eb/equal-rates-zero-variance")
+    // zero-n group: p_u DIV and the raw-rate fallback must both stay
+    // behind the n > 0 guard (NULL shrunk, no ANSI divide-by-zero)
+    assertClean(engine.ebShrink(
+      ef(Seq(("a", 0L, 0L), ("b", 10L, 4L), ("c", 8L, 1L))),
+      "g", "n", "x"), "eb/zero-n-group")
+    assertClean(engine.ebShrink(ef(Seq(("a", 0L, 0L))), "g", "n", "x"),
+      "eb/all-zero-n")
   }
 
   test("rakeWeights survives empty / single-cell / zero-count frames") {
