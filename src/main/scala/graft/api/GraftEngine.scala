@@ -4301,4 +4301,17 @@ class GraftEngine(val spark: SparkSession) {
           / col("n_scored").cast("double") / 1000000.0)))
       .select("n_scored", "abs_err4m_sum", "mae", "smape")
   }
+
+  /** Holt-Winters level+trend+seasonal one-step backtest (see
+    * `ts_holtwinters_backtest`): additive triple smoothing
+    * α = β = γ = 1/2 at seasonal lag 168 over a trailing 12-step
+    * window — shorter than the lag, so every seasonal read is a seed
+    * and the recursion unrolls exactly to 25 integer ×4^11 taps
+    * (seasonal-naive + the Holt taps on lag-168 differences).
+    * Gap-safe: a target scores only when all 25 taps exist.
+    */
+  def holtWintersBacktest(series: DataFrame, xCol: String,
+                          yCol: String): DataFrame =
+    graft.operators.TimeSeries.holtWintersCore(
+      series.select(col(xCol).as("hr"), col(yCol).as("cnt")))
 }

@@ -820,6 +820,40 @@ object ClosedFormProps extends Properties("graft.closedforms") {
         s"holt ${hs.sum / hs.size} must beat snaive ${ss.sum / ss.size}"
     }
 
+  // ts_holtwinters_backtest: 25 taps = snaive tap (+4^11 at lag 168)
+  // plus the Holt taps (+w_j at lag j, −w_j at lag 168+j). The
+  // 12-step trailing-window triple recursion at seasonal lag 168
+  // never READS an in-window seasonal update (12 < 168), so the
+  // taps are the exact unroll. Sum = 4^11 ⇒ constant series
+  // self-forecasts; a planted trend+seasonal series has CONSTANT
+  // lag-168 differences, which the Holt taps forecast exactly ⇒
+  // HW error is 0 while snaive eats the trend and Holt eats the
+  // seasonal swing.
+  private def hwForecast(ys: Int => Double, t: Int): Double =
+    ys(t - 168) +
+      (1 to 12).map(j => holtTaps(j - 1) *
+        (ys(t - j) - ys(t - 168 - j))).sum / 4194304.0
+
+  property("Holt-Winters taps sum to 4^11 and nail a planted trend+seasonal series") =
+    Prop.forAll(Gen.choose(1L, 20L), Gen.choose(500L, 2000L),
+      Gen.choose(10L, 200L)) { (slope, base, amp) =>
+      val hwTapSum = 4194304L + holtTaps.sum - holtTaps.sum
+      def ys(t: Int): Double =
+        base + slope * t + amp * math.sin(2 * math.Pi * (t % 168) / 168.0)
+      def smape(a: Double, f: Double) =
+        2 * math.abs(a - f) / (math.abs(a) + math.abs(f))
+      val ts = 200 until 400
+      val hw = ts.map(t => smape(ys(t), hwForecast(ys, t))).sum
+      val sn = ts.map(t => smape(ys(t), ys(t - 168))).sum
+      val ho = ts.map(t => smape(ys(t),
+        (1 to 12).map(j => holtTaps(j - 1) * ys(t - j)).sum / 4194304.0)).sum
+      (hwTapSum == 4194304L) :| "taps must sum to exactly 4^11" &&
+        (hw < sn) :| s"HW $hw must beat snaive $sn on trend+seasonal" &&
+        (hw < ho) :| s"HW $hw must beat Holt $ho on trend+seasonal" &&
+        (hw < 1e-9 * ts.size) :|
+          s"planted trend+seasonal must be forecast exactly: $hw"
+    }
+
   // events_ab_sequential: the always-valid p is exp(−running max of
   // max(lnΛ, 0)) — more evidence can only grow the running max, so
   // the p sequence is monotone non-increasing and stays in (0, 1]

@@ -270,6 +270,15 @@ class DegenerateSpec extends SparkSpec {
     }
   }
 
+  test("holtWintersBacktest survives empty / short / negative series") {
+    // every fixture here is far shorter than the 181-hour tap span,
+    // so the 25-tap gate must yield n_scored = 0 without throwing
+    seriesFrames.foreach { case (n, f) =>
+      assertClean(engine.holtWintersBacktest(f, "hr", "n"),
+        s"holtWintersBacktest/$n")
+    }
+  }
+
   test("markovAttribution survives empty / no-conversion / all-conversion journeys") {
     val schema = StructType(Seq(StructField("user_id", LongType),
       StructField("ts", LongType), StructField("event_id", LongType),

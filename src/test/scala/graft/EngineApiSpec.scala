@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 162, "documented facade count drifted; methods: "
+    assert(names.length === 163, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1452,6 +1452,18 @@ class EngineApiSpec extends SparkSpec {
       .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
       .agg(count(lit(1)).as("cnt"))
     val viaApi = engine.holtBacktest(hourly, "hr", "cnt")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("holtWintersBacktest facade matches the ts_holtwinters_backtest key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("ts_holtwinters_backtest")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val hourly = TestData.events(spark, d)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val viaApi = engine.holtWintersBacktest(hourly, "hr", "cnt")
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
   }
