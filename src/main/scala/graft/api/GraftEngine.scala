@@ -4314,4 +4314,15 @@ class GraftEngine(val spark: SparkSession) {
                           yCol: String): DataFrame =
     graft.operators.TimeSeries.holtWintersCore(
       series.select(col(xCol).as("hr"), col(yCol).as("cnt")))
+
+  /** AR(2) one-step backtest (see `ts_ar2_backtest`): gap-safe lag
+    * equi-joins, exact-BIGINT sufficient stats, Cramer's rule on the
+    * centered 2×2 (det = 0 ⇒ NULL φ and scores), fitted coefficients
+    * broadcast back for in-sample one-step scoring with per-row
+    * micro-quantized error terms. Use `ts_pacf` to choose the order.
+    */
+  def ar2Backtest(series: DataFrame, xCol: String,
+                  yCol: String): DataFrame =
+    graft.operators.TimeSeries.ar2Core(
+      series.select(col(xCol).as("hr"), col(yCol).as("cnt")))
 }

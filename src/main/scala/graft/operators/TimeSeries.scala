@@ -225,6 +225,100 @@ object TimeSeries {
       .select("n_scored", "abs_err4m_sum", "mae", "smape")
   }
 
+  /** AR(2) one-step backtest core (see `ts_ar2_backtest`): input an
+    * (hr, cnt) integer-grid series. Lag design rows come from
+    * GAP-SAFE equi-joins on hr−1 / hr−2 (never lag() over the gappy
+    * grid — the ts_snaive_smape trap); the fit is the agg_ols_multi
+    * recipe applied to the lags: one pass of exact-BIGINT sufficient
+    * stats (n, Σ, Σ², cross-sums; bound n·max(y)² < 2^63,
+    * documented), Cramer's rule on the centered 2×2 assembled once
+    * on the 1-row readout in mirrored IEEE op order, det = 0
+    * (constant/collinear lags) ⇒ NULL φ and NULL scores. The fitted
+    * coefficients broadcast back onto the SAME lag rows for in-
+    * sample one-step scoring: fc = c + φ₁y_{t−1} + φ₂y_{t−2}
+    * evaluated in identical op order in both engines (ratios of
+    * exact BIGINTs are correctly-rounded doubles ⇒ engine-
+    * identical), |err| and sMAPE terms micro-quantized per row
+    * BEFORE the sum. `ts_pacf` is the order-selection companion
+    * (its lag-2 partial autocorrelation is what says AR(2) is the
+    * right cut). Shared by the declared key and
+    * `GraftEngine.ar2Backtest`.
+    */
+  private[graft] def ar2Core(series: DataFrame): DataFrame = {
+    val hourly = series.select(col("hr"), col("cnt"))
+      .localCheckpoint() // three consumers: target + two lag sides
+    val rows = hourly
+      .join(hourly.select((col("hr") + 1).as("hr"),
+        col("cnt").as("y1")), "hr")
+      .join(hourly.select((col("hr") + 2).as("hr"),
+        col("cnt").as("y2")), "hr")
+      .select(col("hr"), col("cnt").as("y"), col("y1"), col("y2"))
+      .localCheckpoint() // two consumers: fit stats + scoring
+    val fit = rows.agg(count(lit(1)).as("n"),
+        sum("y1").as("s1"), sum("y2").as("s2"), sum("y").as("sy"),
+        sum(col("y1") * col("y1")).as("s11"),
+        sum(col("y2") * col("y2")).as("s22"),
+        sum(col("y1") * col("y2")).as("s12"),
+        sum(col("y1") * col("y")).as("s1y"),
+        sum(col("y2") * col("y")).as("s2y"))
+      .withColumn("cxx1", col("s11").cast("double")
+        - col("s1").cast("double") * col("s1").cast("double")
+          / col("n").cast("double"))
+      .withColumn("cxx2", col("s22").cast("double")
+        - col("s2").cast("double") * col("s2").cast("double")
+          / col("n").cast("double"))
+      .withColumn("cx12", col("s12").cast("double")
+        - col("s1").cast("double") * col("s2").cast("double")
+          / col("n").cast("double"))
+      .withColumn("cx1y", col("s1y").cast("double")
+        - col("s1").cast("double") * col("sy").cast("double")
+          / col("n").cast("double"))
+      .withColumn("cx2y", col("s2y").cast("double")
+        - col("s2").cast("double") * col("sy").cast("double")
+          / col("n").cast("double"))
+      .withColumn("det",
+        col("cxx1") * col("cxx2") - col("cx12") * col("cx12"))
+      .withColumn("phi1", when(col("det") =!= 0.0,
+        (col("cx1y") * col("cxx2") - col("cx2y") * col("cx12"))
+          / col("det")))
+      .withColumn("phi2", when(col("det") =!= 0.0,
+        (col("cx2y") * col("cxx1") - col("cx1y") * col("cx12"))
+          / col("det")))
+      .withColumn("icept", when(col("det") =!= 0.0,
+        col("sy").cast("double") / col("n").cast("double")
+          - col("phi1") * (col("s1").cast("double")
+            / col("n").cast("double"))
+          - col("phi2") * (col("s2").cast("double")
+            / col("n").cast("double"))))
+      .select("phi1", "phi2", "icept")
+    rows.crossJoin(broadcast(fit))
+      .withColumn("fc", col("icept")
+        + col("phi1") * col("y1").cast("double")
+        + col("phi2") * col("y2").cast("double"))
+      .withColumn("err_u", when(col("fc").isNotNull,
+        floor(abs(col("y").cast("double") - col("fc"))
+          * 1000000 + 0.5).cast("long")))
+      .withColumn("term_u", when(col("fc").isNotNull,
+        when(abs(col("y").cast("double")) + abs(col("fc")) > 0,
+          floor(lit(2.0)
+            * abs(col("y").cast("double") - col("fc"))
+            / (abs(col("y").cast("double")) + abs(col("fc")))
+            * 1000000 + 0.5).cast("long")).otherwise(0L)))
+      .agg(count(lit(1)).as("n_scored"),
+        max(r4(col("phi1"))).as("phi1"),
+        max(r4(col("phi2"))).as("phi2"),
+        max(r4(col("icept"))).as("intercept"),
+        sum("err_u").as("abs_err_sum_u"),
+        sum("term_u").as("smape_sum_u"))
+      .withColumn("mae", when(col("n_scored") > 0,
+        r4(col("abs_err_sum_u").cast("double") / 1000000.0
+          / col("n_scored").cast("double"))))
+      .withColumn("smape", when(col("n_scored") > 0,
+        r4(col("smape_sum_u").cast("double")
+          / col("n_scored").cast("double") / 1000000.0)))
+      .select("n_scored", "phi1", "phi2", "intercept", "mae", "smape")
+  }
+
   /** Markov removal-effect attribution core (see the declared key's
     * scaladoc): journeys = per-user event prefix up to and including
     * the first `convType` event; 3 unrolled integer value-iteration
@@ -2515,6 +2609,26 @@ object TimeSeries {
         .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
         .agg(count(lit(1)).as("cnt")))),
 
+    // AR(2) ONE-STEP BACKTEST (round 13): the autoregressive
+    // forecast that CONSUMES ts_pacf's order selection — PACF's
+    // lag-2 cut says AR(2), and until now nothing fit or scored it.
+    // Fit = agg_ols_multi's recipe on the lag design (exact-BIGINT
+    // sufficient stats in ONE pass, Cramer's rule on the centered
+    // 2×2 assembled once on the 1-row readout, det = 0 ⇒ NULL);
+    // lag rows via gap-safe hr−1/hr−2 equi-joins; in-sample
+    // one-step scores with per-row micro-quantized |err|/sMAPE
+    // terms. Emits (n_scored, phi1, phi2, intercept, mae, smape).
+    // Scale shape: one corpus aggregate + an hour-grid-sized
+    // 3-way self-join + a 1-row broadcast back — grid-bounded at
+    // any corpus. Bound: n·max(y)² < 2^63 ⇒ ~8e8 grid rows at
+    // y ≤ 1e5/hr (pre-scale y past that, documented). Property:
+    // beats the SES taps on a planted AR(2) series and recovers
+    // planted coefficients (ClosedFormProps).
+    "ts_ar2_backtest" -> ((s, d) =>
+      ar2Core(TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(count(lit(1)).as("cnt")))),
+
     // HURST EXPONENT (round 12): rescaled-range (R/S) analysis of
     // the hourly series — the long-memory readout (H ≈ 0.5 random
     // walk / no memory, H → 1 persistent trends, H → 0 mean-
@@ -4413,6 +4527,83 @@ object TimeSeries {
         |      * 10000 + 0.5) / 10000 END AS smape
         |FROM a""".stripMargin
     },
+    // Lag design via hr−1/hr−2 equi-joins, exact-BIGINT sufficient
+    // stats, centered-2×2 Cramer in mirrored double op order, and
+    // the same per-row micro-quantized scoring as the Spark side.
+    "ts_ar2_backtest" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1),
+        |rows_l AS (
+        |  SELECT t.hr, t.cnt AS y, a.cnt AS y1, b.cnt AS y2
+        |  FROM hourly t
+        |  JOIN hourly a ON t.hr = a.hr + 1
+        |  JOIN hourly b ON t.hr = b.hr + 2),
+        |st AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(y1)::BIGINT AS s1, sum(y2)::BIGINT AS s2,
+        |    sum(y)::BIGINT AS sy,
+        |    sum(y1 * y1)::BIGINT AS s11, sum(y2 * y2)::BIGINT AS s22,
+        |    sum(y1 * y2)::BIGINT AS s12, sum(y1 * y)::BIGINT AS s1y,
+        |    sum(y2 * y)::BIGINT AS s2y
+        |  FROM rows_l),
+        |ctr AS (
+        |  SELECT
+        |    s11::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE AS cxx1,
+        |    s22::DOUBLE - s2::DOUBLE * s2::DOUBLE / n::DOUBLE AS cxx2,
+        |    s12::DOUBLE - s1::DOUBLE * s2::DOUBLE / n::DOUBLE AS cx12,
+        |    s1y::DOUBLE - s1::DOUBLE * sy::DOUBLE / n::DOUBLE AS cx1y,
+        |    s2y::DOUBLE - s2::DOUBLE * sy::DOUBLE / n::DOUBLE AS cx2y,
+        |    n, s1, s2, sy
+        |  FROM st),
+        |cf AS (
+        |  SELECT
+        |    CASE WHEN cxx1 * cxx2 - cx12 * cx12 <> 0 THEN
+        |      (cx1y * cxx2 - cx2y * cx12) / (cxx1 * cxx2 - cx12 * cx12)
+        |    END AS phi1,
+        |    CASE WHEN cxx1 * cxx2 - cx12 * cx12 <> 0 THEN
+        |      (cx2y * cxx1 - cx1y * cx12) / (cxx1 * cxx2 - cx12 * cx12)
+        |    END AS phi2, n, s1, s2, sy
+        |  FROM ctr),
+        |cf2 AS (
+        |  SELECT phi1, phi2,
+        |    CASE WHEN phi1 IS NOT NULL THEN
+        |      sy::DOUBLE / n::DOUBLE - phi1 * (s1::DOUBLE / n::DOUBLE)
+        |        - phi2 * (s2::DOUBLE / n::DOUBLE) END AS icept
+        |  FROM cf),
+        |sc AS (
+        |  SELECT r.y, cf2.phi1, cf2.phi2, cf2.icept,
+        |    cf2.icept + cf2.phi1 * r.y1::DOUBLE
+        |      + cf2.phi2 * r.y2::DOUBLE AS fc
+        |  FROM rows_l r CROSS JOIN cf2),
+        |sc2 AS (
+        |  SELECT phi1, phi2, icept,
+        |    CASE WHEN fc IS NOT NULL THEN
+        |      floor(abs(y::DOUBLE - fc) * 1000000 + 0.5)::BIGINT
+        |    END AS err_u,
+        |    CASE WHEN fc IS NOT NULL THEN
+        |      CASE WHEN abs(y::DOUBLE) + abs(fc) > 0 THEN
+        |        floor(2.0 * abs(y::DOUBLE - fc)
+        |          / (abs(y::DOUBLE) + abs(fc)) * 1000000 + 0.5)::BIGINT
+        |      ELSE 0 END
+        |    END AS term_u
+        |  FROM sc),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n_scored,
+        |    max(floor(phi1 * 10000 + 0.5) / 10000) AS phi1,
+        |    max(floor(phi2 * 10000 + 0.5) / 10000) AS phi2,
+        |    max(floor(icept * 10000 + 0.5) / 10000) AS intercept,
+        |    sum(err_u)::BIGINT AS abs_err_sum_u,
+        |    sum(term_u)::BIGINT AS smape_sum_u
+        |  FROM sc2)
+        |SELECT n_scored, phi1, phi2, intercept,
+        |  CASE WHEN n_scored > 0 THEN
+        |    floor((abs_err_sum_u::DOUBLE / 1000000.0 / n_scored::DOUBLE)
+        |      * 10000 + 0.5) / 10000 END AS mae,
+        |  CASE WHEN n_scored > 0 THEN
+        |    floor((smape_sum_u::DOUBLE / n_scored::DOUBLE / 1000000.0)
+        |      * 10000 + 0.5) / 10000 END AS smape
+        |FROM a""".stripMargin,
     // Scaled integer deviations (Σdv = 0 per block), one sqrt per
     // block micro-quantized, per-size means, micro log-log OLS.
     "ts_hurst_exponent" ->

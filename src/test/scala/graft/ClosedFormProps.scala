@@ -854,6 +854,47 @@ object ClosedFormProps extends Properties("graft.closedforms") {
           s"planted trend+seasonal must be forecast exactly: $hw"
     }
 
+  // ts_ar2_backtest: the centered-2×2 Cramer fit over exact lag
+  // sufficient stats approximately recovers planted AR(2)
+  // coefficients from a noise-driven stationary series, and the
+  // fitted one-step forecast beats the SES taps on it (an
+  // oscillatory AR(2) is exactly what one-sided exponential
+  // smoothing cannot track — the capability the key adds).
+  property("AR(2) fit recovers planted coefficients and beats SES on AR(2) data") =
+    Prop.forAll(Gen.choose(0L, 1000L)) { seed =>
+      val (p1, p2, c) = (1.2, -0.5, 60.0)
+      val rnd = new scala.util.Random(seed)
+      val ys = Array.iterate((200.0, 200.0), 500) { case (a, b) =>
+        (c + p1 * a + p2 * b + (rnd.nextDouble() - 0.5) * 10.0, a)
+      }.map(_._1).drop(100)
+      val n = ys.length - 2
+      val rows = (2 until ys.length).map(t => (ys(t), ys(t - 1), ys(t - 2)))
+      val (sy, s1, s2) = (rows.map(_._1).sum, rows.map(_._2).sum,
+        rows.map(_._3).sum)
+      val s11 = rows.map(r => r._2 * r._2).sum
+      val s22 = rows.map(r => r._3 * r._3).sum
+      val s12 = rows.map(r => r._2 * r._3).sum
+      val s1y = rows.map(r => r._2 * r._1).sum
+      val s2y = rows.map(r => r._3 * r._1).sum
+      val (cxx1, cxx2, cx12) = (s11 - s1 * s1 / n, s22 - s2 * s2 / n,
+        s12 - s1 * s2 / n)
+      val (cx1y, cx2y) = (s1y - s1 * sy / n, s2y - s2 * sy / n)
+      val det = cxx1 * cxx2 - cx12 * cx12
+      val f1 = (cx1y * cxx2 - cx2y * cx12) / det
+      val f2 = (cx2y * cxx1 - cx1y * cx12) / det
+      val ic = sy / n - f1 * (s1 / n) - f2 * (s2 / n)
+      val maeAr = rows.map { case (y, y1, y2) =>
+        math.abs(y - (ic + f1 * y1 + f2 * y2)) }.sum / n
+      val sesTaps = List(64L, 32L, 16L, 8L, 4L, 2L, 1L, 1L)
+      val maeSes = (8 until ys.length).map { t =>
+        math.abs(ys(t) -
+          (1 to 8).map(j => sesTaps(j - 1) * ys(t - j)).sum / 128.0)
+      }.sum / (ys.length - 8)
+      (math.abs(f1 - p1) < 0.25) :| s"phi1 $f1 far from planted $p1" &&
+        (math.abs(f2 - p2) < 0.25) :| s"phi2 $f2 far from planted $p2" &&
+        (maeAr < maeSes) :| s"AR(2) mae $maeAr must beat SES $maeSes"
+    }
+
   // events_ab_sequential: the always-valid p is exp(−running max of
   // max(lnΛ, 0)) — more evidence can only grow the running max, so
   // the p sequence is monotone non-increasing and stays in (0, 1]

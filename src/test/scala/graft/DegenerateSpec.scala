@@ -270,6 +270,17 @@ class DegenerateSpec extends SparkSpec {
     }
   }
 
+  test("ar2Backtest survives empty / short / constant / negative series") {
+    // constant series ⇒ centered moments all 0 ⇒ det = 0 ⇒ NULL phi
+    // and NULL scores, never a divide; empty ⇒ n = 0 with NULL
+    // sufficient sums (NULL propagates past every division)
+    seriesFrames.foreach { case (n, f) =>
+      assertClean(engine.ar2Backtest(f, "hr", "n"), s"ar2Backtest/$n")
+    }
+    val const = seriesFrame((1L to 40L).map(h => (h, 7L)))
+    assertClean(engine.ar2Backtest(const, "hr", "n"), "ar2Backtest/constant")
+  }
+
   test("holtWintersBacktest survives empty / short / negative series") {
     // every fixture here is far shorter than the 181-hour tap span,
     // so the 25-tap gate must yield n_scored = 0 without throwing

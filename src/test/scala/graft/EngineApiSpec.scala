@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 163, "documented facade count drifted; methods: "
+    assert(names.length === 164, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1464,6 +1464,18 @@ class EngineApiSpec extends SparkSpec {
       .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
       .agg(count(lit(1)).as("cnt"))
     val viaApi = engine.holtWintersBacktest(hourly, "hr", "cnt")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("ar2Backtest facade matches the ts_ar2_backtest declared key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("ts_ar2_backtest")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val hourly = TestData.events(spark, d)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val viaApi = engine.ar2Backtest(hourly, "hr", "cnt")
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
   }
