@@ -4325,4 +4325,22 @@ class GraftEngine(val spark: SparkSession) {
                   yCol: String): DataFrame =
     graft.operators.TimeSeries.ar2Core(
       series.select(col(xCol).as("hr"), col(yCol).as("cnt")))
+
+  /** Shard-merged approximate quantiles (see `profile_quantile_merge`):
+    * per-shard equi-depth histograms (`buckets` bounds, rangedRank —
+    * no single-task sort at any shard skew) merged by a weighted
+    * cumulative to global quantiles at integer percentiles `pcts`.
+    * All-integer closed form — exactly reproducible, unlike GK.
+    * `tieCols` must make (valCol ++ tieCols) a total order per shard.
+    */
+  def mergedQuantiles(df: DataFrame, shardCol: String, valCol: String,
+                      tieCols: Seq[String], buckets: Int = 32,
+                      pcts: Seq[Int] = Seq(25, 50, 75, 90, 99)): DataFrame = {
+    require(tieCols.size == 2, "exactly two tie-break columns")
+    graft.operators.Maintenance.mergedQuantiles(
+      df.select(col(shardCol).as("shard"),
+        col(valCol).cast("long").as("v"),
+        col(tieCols.head).as("tb1"), col(tieCols(1)).as("tb2")),
+      buckets, pcts)
+  }
 }

@@ -604,6 +604,28 @@ object Maintenance {
         .orderBy("col_name")
     }),
 
+    // SHARD-MERGEABLE QUANTILE PROFILE (round 13): the 100 TB
+    // profile story profile_columns_quantiles (GK, oracle-omitted)
+    // could not give an EXACT contract for — per-shard equi-depth
+    // histograms (32 bounds each, integer ranks via rangedRank so no
+    // shard ever funnels through one task) merged to global
+    // approximate quantiles by a weighted cumulative over the
+    // 32·|shards|-row bound table. Everything is closed-form integer
+    // arithmetic (bound ranks r_i = ⌈i·n_s/32⌉ via DIV, weights
+    // r_i − r_{i−1}, quantile pick by cum·100 ≥ p·n cross-multiply),
+    // so unlike GK the result is EXACTLY reproducible and oracle-
+    // checkable — and the per-shard histograms are the mergeable
+    // artifact a fleet of profilers ships to a coordinator (the
+    // agg_sketch_merge analog for quantiles). Rank-ε property: each
+    // returned value's exact rank is within Σ_s ⌈n_s/32⌉ of p·n/100
+    // (PropertySpec). Shards here are l_orderkey mod 8 (any
+    // partition key works; at 100 TB they are the parquet shards).
+    "profile_quantile_merge" -> ((s, d) =>
+      mergedQuantiles(TestData.lineitem(s, d)
+        .select((col("l_orderkey") % 8).as("shard"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("v"),
+          col("l_orderkey").as("tb1"), col("l_linenumber").as("tb2")))),
+
     // QUANTILE-SHIFT DRIFT (round 9, r8 verdict item 6): distribution
     // drift WITHOUT fixed bins — profile_drift_psi needs a binning
     // that was chosen when the reference was profiled, and a shift
@@ -623,6 +645,52 @@ object Maintenance {
         Seq("l_quantity", "l_extendedprice", "l_discount"),
         Seq(0.25, 0.5, 0.75, 0.9), 1000))
   )
+
+  /** Shard-merged approximate quantiles (see `profile_quantile_merge`):
+    * input (shard, v BIGINT, tb1, tb2) with (v, tb1, tb2) a total
+    * order within shard. Per shard: global integer rank via
+    * `Curation.rangedRank` (bounded task size at any shard skew),
+    * equi-depth bounds at ranks ⌈i·n_s/`buckets`⌉ with exact integer
+    * weights r_i − r_{i−1}; merge: weighted cumulative over the
+    * buckets·|shards|-row bound table (a domain-bounded unpartitioned
+    * window), quantile p picked by the integer cross-multiply
+    * cum·100 ≥ p·n_total. No division anywhere ⇒ nothing to guard
+    * and the result is bit-identical across engines. Output one row
+    * per requested percentile: (p, value_cents = min qualifying
+    * bound, n_total). Shared by the declared key and
+    * `GraftEngine.mergedQuantiles`.
+    */
+  private[graft] def mergedQuantiles(values: DataFrame, buckets: Int = 32,
+      pcts: Seq[Int] = Seq(25, 50, 75, 90, 99)): DataFrame = {
+    require(buckets >= 1 && pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "buckets >= 1, pcts in [1, 100]")
+    val s = values.sparkSession
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val ranked = graft.operators.Curation.rangedRank(values, "shard",
+        Seq(col("v"), col("tb1"), col("tb2")), "rk")
+      .localCheckpoint() // two consumers: shard sizes + bound pick
+    val targets = ranked.groupBy("shard").agg(max("rk").as("n_s"))
+      .crossJoin(broadcast((1 to buckets).toDF("i")))
+      .withColumn("r_i", expr(s"(i * n_s + ${buckets - 1}) DIV $buckets"))
+      .withColumnRenamed("shard", "t_shard")
+    val bounds = ranked
+      .join(broadcast(targets),
+        col("shard") === col("t_shard") && col("rk") === col("r_i"))
+      .select(col("shard"), col("i"), col("r_i"), col("v"))
+    val wI = W.partitionBy("shard").orderBy("i")
+    val merged = bounds
+      .withColumn("w",
+        col("r_i") - coalesce(lag("r_i", 1).over(wI), lit(0L)))
+      .withColumn("cum", sum("w").over(W.orderBy("v", "shard", "i")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("n_total", sum("w").over(W.partitionBy()))
+    merged.crossJoin(broadcast(pcts.toDF("p")))
+      .filter(col("cum") * 100 >= col("p") * col("n_total"))
+      .groupBy("p")
+      .agg(min("v").as("value_cents"), max("n_total").as("n_total"))
+      .orderBy("p")
+  }
 
   /** Conditional one-scan quantile-drift sweep: for every column in
     * `cols` and percentile in `ps`, GK estimates over the rows where
@@ -720,6 +788,41 @@ object Maintenance {
         |      * 1000000 + 0.5)::BIGINT
         |  END AS psi_term_u
         |FROM t ORDER BY bin""".stripMargin,
+    // Monolithic per-shard rank (bit-identical to rangedRank by
+    // construction), same integer bound/weight/cross-multiply algebra.
+    "profile_quantile_merge" ->
+      """WITH v AS (
+        |  SELECT l_orderkey % 8 AS shard,
+        |    floor(l_extendedprice * 100 + 0.5)::BIGINT AS v,
+        |    l_orderkey AS tb1, l_linenumber AS tb2
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT shard, v, row_number() OVER (
+        |    PARTITION BY shard ORDER BY v, tb1, tb2)::BIGINT AS rk
+        |  FROM v),
+        |ns AS (SELECT shard, count(*)::BIGINT AS n_s FROM v GROUP BY 1),
+        |tgt AS (
+        |  SELECT ns.shard, i.i, ((i.i * ns.n_s + 31) // 32)::BIGINT AS r_i
+        |  FROM ns CROSS JOIN (SELECT unnest(range(1, 33)) AS i) i),
+        |b AS (
+        |  SELECT t.shard, t.i, t.r_i, r.v
+        |  FROM tgt t JOIN r ON r.shard = t.shard AND r.rk = t.r_i),
+        |w AS (
+        |  SELECT shard, i, v,
+        |    (r_i - coalesce(lag(r_i) OVER (
+        |      PARTITION BY shard ORDER BY i), 0))::BIGINT AS w
+        |  FROM b),
+        |m AS (
+        |  SELECT v, shard, i, w,
+        |    (sum(w) OVER (ORDER BY v, shard, i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS cum,
+        |    (sum(w) OVER ())::BIGINT AS n_total
+        |  FROM w)
+        |SELECT p.p, min(m.v) AS value_cents, max(m.n_total) AS n_total
+        |FROM m CROSS JOIN (SELECT unnest([25, 50, 75, 90, 99]) AS p) p
+        |WHERE m.cum * 100 >= p.p * m.n_total
+        |GROUP BY p.p ORDER BY p.p""".stripMargin,
     // The published snapshot must equal the source transform exactly.
     "sink_write_audit_publish" ->
       """SELECT lang, count(*)::BIGINT AS n_docs,

@@ -270,6 +270,26 @@ class DegenerateSpec extends SparkSpec {
     }
   }
 
+  test("mergedQuantiles survives empty / single-row / constant / one-shard frames") {
+    val schema = StructType(Seq(StructField("sh", LongType),
+      StructField("cents", LongType), StructField("k1", LongType),
+      StructField("k2", LongType)))
+    def fr(rows: Seq[(Long, Long, Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), schema)
+    // all-integer closed form: no division to guard anywhere; the
+    // contract is "no throw, no NaN" on degenerate shard shapes
+    assertClean(engine.mergedQuantiles(fr(Nil), "sh", "cents",
+      Seq("k1", "k2")), "mergedQuantiles/empty")
+    assertClean(engine.mergedQuantiles(fr(Seq((0L, 7L, 1L, 1L))),
+      "sh", "cents", Seq("k1", "k2")), "mergedQuantiles/single")
+    assertClean(engine.mergedQuantiles(
+      fr((1L to 40L).map(i => (i % 3, 5L, i, 1L))),
+      "sh", "cents", Seq("k1", "k2")), "mergedQuantiles/constant")
+    assertClean(engine.mergedQuantiles(
+      fr((1L to 40L).map(i => (0L, i * 10, i, 1L))),
+      "sh", "cents", Seq("k1", "k2")), "mergedQuantiles/one-shard")
+  }
+
   test("ar2Backtest survives empty / short / constant / negative series") {
     // constant series ⇒ centered moments all 0 ⇒ det = 0 ⇒ NULL phi
     // and NULL scores, never a divide; empty ⇒ n = 0 with NULL

@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 164, "documented facade count drifted; methods: "
+    assert(names.length === 165, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1476,6 +1476,20 @@ class EngineApiSpec extends SparkSpec {
       .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
       .agg(count(lit(1)).as("cnt"))
     val viaApi = engine.ar2Backtest(hourly, "hr", "cnt")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("mergedQuantiles facade matches the profile_quantile_merge key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("profile_quantile_merge")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.mergedQuantiles(
+      TestData.lineitem(spark, d)
+        .select((col("l_orderkey") % 8).as("sh"),
+          floor(col("l_extendedprice") * 100 + 0.5).as("cents"),
+          col("l_orderkey"), col("l_linenumber")),
+      "sh", "cents", Seq("l_orderkey", "l_linenumber"))
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
   }

@@ -246,6 +246,33 @@ class PropertySpec extends SparkSpec {
     } finally li.unpersist()
   }
 
+  test("merged shard quantiles satisfy the histogram rank-eps contract") {
+    // theory bound: each shard's contribution to the merged cumulative
+    // is off its true ≤-count by at most one bucket width ⌈n_s/32⌉,
+    // so every returned value's exact rank band must intersect
+    // [p·n/100 − ε, p·n/100 + ε] with ε = Σ_s ⌈n_s/32⌉; the pick rule
+    // (first cum ≥ target) additionally makes rank_hi ≥ target exact.
+    val got = Maintenance.defs("profile_quantile_merge")(spark, sfDir)
+      .as[(Int, Long, Long)].collect()
+    assert(got.length === 5)
+    val vals = TestData.lineitem(spark, sfDir)
+      .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long"),
+        (col("l_orderkey") % 8).as("shard"))
+      .as[(Long, Long)].collect()
+    val n = vals.length.toLong
+    val eps = vals.groupBy(_._2).values.map(g => (g.size + 31) / 32).sum
+    got.foreach { case (p, v, nTot) =>
+      assert(nTot === n, s"p$p: n_total $nTot != $n")
+      val lo = vals.count(_._1 < v).toLong
+      val hi = vals.count(_._1 <= v).toLong
+      val target = (p * n + 99) / 100
+      assert(hi >= target,
+        s"p$p: value $v rank_hi $hi below target $target")
+      assert(lo + 1 <= target + eps,
+        s"p$p: value $v rank_lo ${lo + 1} beyond target $target + eps $eps")
+    }
+  }
+
   test("quantile-drift sweep satisfies the GK rank-eps contract on BOTH halves") {
     val drift = Maintenance.defs("profile_drift_quantile")(spark, sfDir)
       .as[(String, Double, Long, Long, Double, Double, Double)].collect()
