@@ -548,6 +548,104 @@ object AnnSearch {
         .orderBy("qid", "rnk")
     }),
 
+    // HNSW SEARCH-PARAMETER SWEEP (round 13): the tuning curve the
+    // flagship HNSW family lacked — ann_probe_sweep gives IVF's
+    // recall/cost trade, but a user tuning ann_hnsw_topk's beam
+    // width / entry count was blind. Sweeps beam ∈ {4, 8, 16} ×
+    // entries ∈ {1, 3} against the SAME memoized layer graphs and
+    // reports recall@5 vs r4-quantized brute force plus the scanned-
+    // candidate count (entry seeds + every hop's candidate set — the
+    // cost axis). ALL SIX settings ride ONE tagged frame: (b, ent)
+    // are columns, the per-hop cut is row_number ≤ col(b), so the
+    // sweep costs the SAME five beam jobs as a single search instead
+    // of 6 × 5 (the events_attribution_markov all-variants-in-one-
+    // frame discipline); frontier state ≤ |settings|·|queries|·16
+    // rows at any corpus size. Routing (2 beam-4 layer-1 hops) is
+    // shared across settings — only the hand-down width and layer-0
+    // beam vary, exactly HNSW's ef-search knobs. Monotone properties
+    // pinned in PropertySpec: n_scanned strictly increases in beam
+    // and recall@5 is non-decreasing in beam at fixed entries.
+    "ann_hnsw_sweep" -> ((s, d) => {
+      import s.implicits._
+      val e = TestData.embeddings(s, d)
+      val l1 = hnswLayer1(e).localCheckpoint()
+      val l1e = hnswL1Edges(s, d)
+      val l1adj = l1e.select(col("src"), col("nn").as("dst"))
+        .union(l1e.select(col("nn").as("src"), col("src").as("dst")))
+        .distinct()
+      val l0adj = hnswL0SearchAdj(s, d)
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val apex = hnswLayer1(e).agg(min("vec_id").as("id"))
+      def hop(corpus: DataFrame, beam: DataFrame, adj: DataFrame,
+              b: Int): DataFrame = {
+        val nbrs = beam.join(adj, col("id") === col("src"))
+          .select(col("qid"), col("dst").as("id"))
+        val cands = beam.select("qid", "id").union(nbrs)
+          .filter(col("id") =!= col("qid")).distinct()
+        beamCut(corpus, queries, cands, b).localCheckpoint()
+      }
+      var route = beamCut(l1, queries,
+        queries.select("qid").crossJoin(broadcast(apex)), 4)
+        .localCheckpoint()
+      for (_ <- 1 to 2) route = hop(l1, route, l1adj, 4)
+      val wBest = Window.partitionBy("qid")
+        .orderBy(col("qscore").desc, col("id"))
+      val settings = Seq((4, 1), (4, 3), (8, 1), (8, 3), (16, 1),
+        (16, 3)).toDF("b", "ent")
+      val entries = route.withColumn("rn", row_number().over(wBest))
+        .crossJoin(broadcast(settings))
+        .filter(col("rn") <= col("ent"))
+        .select("b", "ent", "qid", "id")
+        .localCheckpoint() // two consumers: first cut + scan count
+      val wS = Window.partitionBy("b", "ent", "qid")
+        .orderBy(col("qscore").desc, col("id"))
+      def cutS(cands: DataFrame): DataFrame =
+        e.join(broadcast(cands), col("vec_id") === col("id"))
+          .join(broadcast(queries), "qid")
+          .withColumn("qscore", r4(V.cosine(col("embedding"), col("qv"))))
+          .withColumn("rn", row_number().over(wS))
+          .filter(col("rn") <= col("b"))
+          .select("b", "ent", "qid", "id", "qscore")
+      var scanned = entries.groupBy("b", "ent")
+        .agg(count(lit(1)).as("nc"))
+      var beam = cutS(entries).localCheckpoint()
+      for (_ <- 1 to 4) {
+        val nbrs = beam.join(l0adj, col("id") === col("src"))
+          .select(col("b"), col("ent"), col("qid"), col("dst").as("id"))
+        val cands = beam.select("b", "ent", "qid", "id").union(nbrs)
+          .filter(col("id") =!= col("qid")).distinct()
+          .localCheckpoint() // two consumers: cut + scan count
+        scanned = scanned.union(
+          cands.groupBy("b", "ent").agg(count(lit(1)).as("nc")))
+        beam = cutS(cands).localCheckpoint()
+      }
+      val nScan = scanned.groupBy("b", "ent")
+        .agg(sum("nc").as("n_scanned"))
+      val wTruth = Window.partitionBy("qid")
+        .orderBy(col("qscore").desc, col("vec_id"))
+      val truth = e.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("qscore", r4(V.cosine(col("embedding"), col("qv"))))
+        .withColumn("rnk", row_number().over(wTruth))
+        .filter(col("rnk") <= 5)
+        .select(col("qid").as("tqid"), col("vec_id").as("tid"))
+      beam.withColumn("rn2", row_number().over(wS))
+        .filter(col("rn2") <= 5)
+        .join(truth, col("qid") === col("tqid")
+          && col("id") === col("tid"), "left")
+        .groupBy("b", "ent")
+        .agg(count(col("tid")).as("hits_at_5"),
+          countDistinct("qid").as("n_queries"))
+        .join(nScan, Seq("b", "ent"))
+        .select(col("b").as("beam"), col("ent").as("n_entries"),
+          col("n_queries"), col("n_scanned"), col("hits_at_5"),
+          when(col("n_queries") > 0, r4(col("hits_at_5").cast("double")
+            / (lit(5.0) * col("n_queries").cast("double"))))
+            .as("recall"))
+        .orderBy("beam", "n_entries")
+    }),
+
     // MULTI-VECTOR LATE INTERACTION (ColBERT-style MaxSim): documents
     // carry a SET of token vectors (here 4 per doc, did = vec_id DIV 4);
     // score(q, d) = Σ_{qt∈q} max_{dt∈d} cos(qt, dt). The query side
@@ -582,6 +680,201 @@ object AnnSearch {
   )
 
   private val E = "embedding::DOUBLE[]"
+
+  /** `ann_hnsw_sweep` unrolled: the ann_hnsw_topk routing prefix
+    * (layer-1 sample/edges, degree-8 layer-0 adjacency, apex seed,
+    * 2 beam-4 routing hops) shared across settings, then the six
+    * (beam, entries) settings ride one tagged chain of 5 hop CTEs —
+    * the same all-settings-in-one-frame shape as the Spark side, the
+    * per-hop cut being `rn <= b`. Per-round CTEs MATERIALIZED (the
+    * r12 Louvain lesson: an inline chain referencing its predecessor
+    * twice re-expands the upstream tree exponentially).
+    */
+  private lazy val HnswSweepOracle: String = {
+    def hop(k: Int): String =
+      s"""bc$k AS MATERIALIZED (SELECT DISTINCT b, ent, qid, id FROM (
+        |  SELECT b, ent, qid, id FROM sb${k - 1}
+        |  UNION ALL SELECT bb.b, bb.ent, bb.qid, a.dst AS id
+        |    FROM sb${k - 1} bb JOIN adj a ON bb.id = a.src)
+        |  WHERE id <> qid),
+        |sb$k AS MATERIALIZED (SELECT b, ent, qid, id, qscore FROM (
+        |  SELECT b, ent, qid, id, qscore,
+        |    row_number() OVER (PARTITION BY b, ent, qid
+        |      ORDER BY qscore DESC, id) AS rn
+        |  FROM (SELECT cc.b, cc.ent, cc.qid, cc.id,
+        |          floor((list_cosine_similarity(e.$E, q.qv))*10000
+        |            + 0.5)/10000 AS qscore
+        |        FROM bc$k cc JOIN embeddings e ON e.vec_id = cc.id
+        |        JOIN q ON q.qid = cc.qid))
+        |  WHERE rn <= b)""".stripMargin
+    s"""WITH l1 AS (
+      |  SELECT vec_id, $E AS v FROM embeddings
+      |  WHERE ('0x' || substring(md5(vec_id::VARCHAR), 1, 2))::INT
+      |    % 16 = 0),
+      |c AS (SELECT vec_id AS cid, $E AS cv FROM embeddings
+      |      WHERE vec_id < 4),
+      |l1a AS (
+      |  SELECT vec_id, v, cluster FROM (
+      |    SELECT l.vec_id, l.v, c.cid AS cluster,
+      |      row_number() OVER (PARTITION BY l.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(l.v, c.cv),
+      |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+      |    FROM l1 l CROSS JOIN c)
+      |  WHERE rn = 1),
+      |l1p AS (
+      |  SELECT qid, qv, cid AS probe_cluster FROM (
+      |    SELECT q.vec_id AS qid, q.v AS qv, c.cid,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(q.v, c.cv),
+      |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS pr
+      |    FROM l1 q CROSS JOIN c)
+      |  WHERE pr <= 2),
+      |l1e AS (
+      |  SELECT src, nn FROM (
+      |    SELECT p.qid AS src, a.vec_id AS nn,
+      |      row_number() OVER (PARTITION BY p.qid ORDER BY
+      |        floor((list_cosine_similarity(a.v, p.qv))*10000
+      |          + 0.5)/10000 DESC, a.vec_id) AS rnk
+      |    FROM l1a a JOIN l1p p ON a.cluster = p.probe_cluster
+      |    WHERE a.vec_id <> p.qid)
+      |  WHERE rnk <= 3),
+      |l1adj AS (SELECT DISTINCT src, dst FROM (
+      |  SELECT src, nn AS dst FROM l1e
+      |  UNION ALL SELECT nn AS src, src AS dst FROM l1e)),
+      |fa AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT e.vec_id, c.cid AS cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(e.$E, c.cv),
+      |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+      |    FROM embeddings e CROSS JOIN c)
+      |  WHERE rn = 1),
+      |fp AS (
+      |  SELECT qid, cid AS probe_cluster FROM (
+      |    SELECT q.vec_id AS qid, c.cid,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(q.$E, c.cv),
+      |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS pr
+      |    FROM embeddings q CROSS JOIN c)
+      |  WHERE pr <= 2),
+      |knn AS MATERIALIZED (
+      |  SELECT qid, vec_id AS nn FROM (
+      |    SELECT p.qid, e.vec_id,
+      |      row_number() OVER (PARTITION BY p.qid ORDER BY
+      |        floor((list_cosine_similarity(e.$E,
+      |                               q.$E))*10000 + 0.5)/10000 DESC,
+      |        e.vec_id) AS rnk
+      |    FROM fa a
+      |    JOIN fp p ON a.cluster = p.probe_cluster
+      |    JOIN embeddings e ON e.vec_id = a.vec_id
+      |    JOIN embeddings q ON q.vec_id = p.qid
+      |    WHERE e.vec_id <> p.qid)
+      |  WHERE rnk <= 8),
+      |edges AS (
+      |  SELECT DISTINCT least(qid, nn) AS a, greatest(qid, nn) AS b
+      |  FROM knn),
+      |adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges
+      |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+      |q AS (SELECT vec_id AS qid, $E AS qv FROM embeddings
+      |      WHERE vec_id < 3),
+      |apex AS (SELECT min(vec_id) AS id FROM l1),
+      |s0 AS (SELECT q.qid, apex.id FROM q CROSS JOIN apex),
+      |r0 AS (SELECT qid, id, qscore FROM (
+      |  SELECT qid, id, qscore,
+      |    row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, id)
+      |      AS rn
+      |  FROM (SELECT cc.qid, cc.id,
+      |          floor((list_cosine_similarity(e.$E, q.qv))*10000
+      |            + 0.5)/10000 AS qscore
+      |        FROM s0 cc JOIN embeddings e ON e.vec_id = cc.id
+      |        JOIN q ON q.qid = cc.qid))
+      |  WHERE rn <= 4),
+      |rc1 AS (SELECT DISTINCT qid, id FROM (
+      |  SELECT qid, id FROM r0
+      |  UNION ALL SELECT b.qid, a.dst AS id FROM r0 b
+      |    JOIN l1adj a ON b.id = a.src)
+      |  WHERE id <> qid),
+      |r1 AS (SELECT qid, id, qscore FROM (
+      |  SELECT qid, id, qscore,
+      |    row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, id)
+      |      AS rn
+      |  FROM (SELECT cc.qid, cc.id,
+      |          floor((list_cosine_similarity(e.$E, q.qv))*10000
+      |            + 0.5)/10000 AS qscore
+      |        FROM rc1 cc JOIN embeddings e ON e.vec_id = cc.id
+      |        JOIN q ON q.qid = cc.qid))
+      |  WHERE rn <= 4),
+      |rc2 AS (SELECT DISTINCT qid, id FROM (
+      |  SELECT qid, id FROM r1
+      |  UNION ALL SELECT b.qid, a.dst AS id FROM r1 b
+      |    JOIN l1adj a ON b.id = a.src)
+      |  WHERE id <> qid),
+      |r2 AS MATERIALIZED (SELECT qid, id, qscore FROM (
+      |  SELECT qid, id, qscore,
+      |    row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, id)
+      |      AS rn
+      |  FROM (SELECT cc.qid, cc.id,
+      |          floor((list_cosine_similarity(e.$E, q.qv))*10000
+      |            + 0.5)/10000 AS qscore
+      |        FROM rc2 cc JOIN embeddings e ON e.vec_id = cc.id
+      |        JOIN q ON q.qid = cc.qid))
+      |  WHERE rn <= 4),
+      |settings AS (SELECT * FROM (VALUES (4, 1), (4, 3), (8, 1),
+      |  (8, 3), (16, 1), (16, 3)) AS t(b, ent)),
+      |entry AS MATERIALIZED (
+      |  SELECT s.b, s.ent, rr.qid, rr.id FROM (
+      |    SELECT qid, id, row_number() OVER (PARTITION BY qid
+      |      ORDER BY qscore DESC, id) AS rn FROM r2) rr
+      |  CROSS JOIN settings s WHERE rr.rn <= s.ent),
+      |sb0 AS MATERIALIZED (SELECT b, ent, qid, id, qscore FROM (
+      |  SELECT b, ent, qid, id, qscore,
+      |    row_number() OVER (PARTITION BY b, ent, qid
+      |      ORDER BY qscore DESC, id) AS rn
+      |  FROM (SELECT cc.b, cc.ent, cc.qid, cc.id,
+      |          floor((list_cosine_similarity(e.$E, q.qv))*10000
+      |            + 0.5)/10000 AS qscore
+      |        FROM entry cc JOIN embeddings e ON e.vec_id = cc.id
+      |        JOIN q ON q.qid = cc.qid))
+      |  WHERE rn <= b),
+      |${hop(1)},
+      |${hop(2)},
+      |${hop(3)},
+      |${hop(4)},
+      |truth AS MATERIALIZED (
+      |  SELECT qid AS tqid, vec_id AS tid FROM (
+      |    SELECT q.qid, e.vec_id,
+      |      row_number() OVER (PARTITION BY q.qid ORDER BY
+      |        floor((list_cosine_similarity(e.$E, q.qv))*10000
+      |          + 0.5)/10000 DESC, e.vec_id) AS rnk
+      |    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+      |  WHERE rnk <= 5),
+      |sc AS (
+      |  SELECT b, ent, count(*)::BIGINT AS nc FROM entry GROUP BY 1, 2
+      |  UNION ALL SELECT b, ent, count(*) FROM bc1 GROUP BY 1, 2
+      |  UNION ALL SELECT b, ent, count(*) FROM bc2 GROUP BY 1, 2
+      |  UNION ALL SELECT b, ent, count(*) FROM bc3 GROUP BY 1, 2
+      |  UNION ALL SELECT b, ent, count(*) FROM bc4 GROUP BY 1, 2),
+      |ns AS (SELECT b, ent, sum(nc)::BIGINT AS n_scanned
+      |       FROM sc GROUP BY 1, 2),
+      |t5 AS (SELECT b, ent, qid, id FROM (
+      |  SELECT b, ent, qid, id, row_number() OVER (
+      |    PARTITION BY b, ent, qid ORDER BY qscore DESC, id) AS rn2
+      |  FROM sb4) WHERE rn2 <= 5),
+      |hits AS (
+      |  SELECT t5.b, t5.ent, count(tr.tid)::BIGINT AS hits_at_5,
+      |    count(DISTINCT t5.qid)::BIGINT AS n_queries
+      |  FROM t5 LEFT JOIN truth tr
+      |    ON t5.qid = tr.tqid AND t5.id = tr.tid
+      |  GROUP BY 1, 2)
+      |SELECT h.b AS beam, h.ent AS n_entries, h.n_queries,
+      |  ns.n_scanned, h.hits_at_5,
+      |  CASE WHEN h.n_queries > 0 THEN
+      |    floor((h.hits_at_5::DOUBLE
+      |      / (5.0 * h.n_queries::DOUBLE))*10000 + 0.5)/10000
+      |  END AS recall
+      |FROM hits h JOIN ns ON h.b = ns.b AND h.ent = ns.ent
+      |ORDER BY beam, n_entries""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "ann_ivf_topk" ->
@@ -1100,6 +1393,7 @@ object AnnSearch {
         |      AS rn
         |  FROM b4)
         |WHERE rn <= 5 ORDER BY qid, rnk""".stripMargin,
+    "ann_hnsw_sweep" -> HnswSweepOracle,
     "ann_maxsim_topk" ->
       s"""WITH t AS (
         |  SELECT vec_id // 4 AS did, vec_id, $E AS v FROM embeddings),

@@ -602,6 +602,27 @@ class PropertySpec extends SparkSpec {
       "every query must produce results")
   }
 
+  test("HNSW sweep: cost strictly rises in beam, recall never falls in beam") {
+    val sweep = AnnSearch.defs("ann_hnsw_sweep")(spark, sfDir)
+      .as[(Int, Int, Long, Long, Long, Double)].collect()
+    assert(sweep.length === 6, "3 beams x 2 entry widths")
+    sweep.groupBy(_._2).foreach { case (ent, rows) =>
+      val byBeam = rows.sortBy(_._1)
+      assert(byBeam.map(_._1).toSeq === Seq(4, 8, 16))
+      // the cost axis must be real: wider beams scan strictly more
+      assert(byBeam.map(_._4).sliding(2).forall(p => p(0) < p(1)),
+        s"ent=$ent: n_scanned not strictly increasing: ${byBeam.toSeq}")
+      // the quality axis must not invert: recall@5 non-decreasing in
+      // beam at fixed entries (the reading that makes the sweep a
+      // tuning curve rather than noise)
+      assert(byBeam.map(_._6).sliding(2).forall(p => p(0) <= p(1)),
+        s"ent=$ent: recall decreasing in beam: ${byBeam.toSeq}")
+    }
+    // the widest setting clears the declared key's recall floor
+    assert(sweep.filter(_._1 == 16).map(_._6).max >= 0.6,
+      s"beam-16 recall below the hnsw_topk floor: ${sweep.toSeq}")
+  }
+
   test("Louvain refine: Q strictly improves over LPA; one-community input is a fixpoint") {
     // Q·4m² = Σ_c (4m·e_c − tot_c²) — exact integers, so the
     // monotonicity claim needs no quantization tolerance.
