@@ -4343,4 +4343,22 @@ class GraftEngine(val spark: SparkSession) {
         col(tieCols.head).as("tb1"), col(tieCols(1)).as("tb2")),
       buckets, pcts)
   }
+
+  /** Seeded-sample Brandes betweenness (see `graph_betweenness_sample`):
+    * BFS from the seed set truncated at `depth`, exact integer path
+    * counts, backward dependency passes micro-quantized via integer
+    * DIV. Returns (id, bc_u) for every node (0 when unreached);
+    * seeds accumulate no score (endpoints excluded, the standard
+    * convention).
+    */
+  def sampledBetweenness(nodes: DataFrame, idCol: String,
+                         edges: DataFrame, aCol: String, bCol: String,
+                         seeds: DataFrame, seedCol: String,
+                         depth: Int = 4): DataFrame = {
+    require(depth >= 1 && depth <= 8, "depth in [1, 8]")
+    graft.operators.GraphOps.sampledBetweenness(
+      nodes.select(col(idCol).as("id")),
+      edges.select(col(aCol).as("a"), col(bCol).as("b")),
+      seeds.select(col(seedCol).as("seed")), depth)
+  }
 }

@@ -314,6 +314,84 @@ object GraphOps {
     labels
   }
 
+  /** Seeded-sample Brandes betweenness (see `graph_betweenness_sample`):
+    * `nodes` (id), undirected `edges` (a, b), `seeds` (seed), BFS
+    * truncated at `depth`. ALL seeds ride one tagged frame (seed is
+    * a column — the all-variants-in-one-frame discipline). Forward:
+    * `depth` sync rounds build (seed, id, dist, sigma) with EXACT
+    * integer shortest-path counts (new level = neighbors of the
+    * previous level anti-joined against everything seen; sigma =
+    * sum of parent sigmas). Backward: Brandes' dependency
+    * accumulation unrolled over distance levels d = depth−1 .. 1,
+    * each δ term micro-quantized by the integer floor DIV
+    * σ_u·(1e6 + δ_child) DIV σ_child (positive ints ⇒ Spark DIV =
+    * DuckDB // — engine-identical; ANSI bound σ·(1e6+δ) ≲
+    * σ_max·1e6·|reach| ≈ 5e13 on the fixture, documented).
+    * Endpoint convention: seeds accumulate no score (standard
+    * betweenness excludes endpoints). Output (id, bc_u) for every
+    * node, 0 when unreached. Each round is one frontier join — the
+    * loop state is level-sized at any corpus.
+    */
+  private[graft] def sampledBetweenness(nodes: DataFrame, edges: DataFrame,
+      seeds: DataFrame, depth: Int = 4): DataFrame = {
+    val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    // forward: levels(d) = (seed, id, sigma); seen = all assigned
+    var levels = Vector(
+      seeds.select(col("seed"), col("seed").as("id"),
+        lit(1L).as("sigma")).localCheckpoint())
+    var seen = levels(0)
+    for (_ <- 1 to depth) {
+      val prev = levels.last
+      val cand = prev.join(adj, col("id") === col("src"))
+        .groupBy(col("seed"), col("dst").as("id"))
+        .agg(sum("sigma").as("sigma"))
+      val next = cand.join(seen.select(col("seed").as("s2"),
+          col("id").as("i2")),
+          col("seed") === col("s2") && col("id") === col("i2"),
+          "left_anti")
+        .localCheckpoint()
+      levels = levels :+ next
+      seen = seen.union(next).localCheckpoint()
+    }
+    // backward: delta(d) over levels depth-1 .. 1; children at the
+    // deepest level carry delta = 0
+    var childDelta: DataFrame = null
+    var acc: DataFrame = null
+    for (d <- (depth - 1) to 1 by -1) {
+      val parent = levels(d)
+      val child = levels(d + 1)
+      val childD =
+        if (childDelta == null)
+          child.select(col("seed"), col("id"), col("sigma"),
+            lit(0L).as("delta"))
+        else child.join(childDelta.select(col("seed").as("ds"),
+            col("id").as("di"), col("delta")),
+            col("seed") === col("ds") && col("id") === col("di"),
+            "left")
+          .select(col("seed"), col("id"), col("sigma"),
+            coalesce(col("delta"), lit(0L)).as("delta"))
+      val dlt = parent
+        .join(adj, col("id") === col("src"))
+        .join(childD.select(col("seed").as("cs"), col("id").as("ci"),
+            col("sigma").as("csig"), col("delta").as("cdlt")),
+          col("seed") === col("cs") && col("dst") === col("ci"))
+        .groupBy(col("seed"), col("id"))
+        .agg(sum(expr("sigma * (1000000 + cdlt) DIV csig")).as("delta"))
+        .localCheckpoint()
+      childDelta = dlt
+      acc = if (acc == null) dlt else acc.union(dlt)
+    }
+    // depth = 1: no backward pass ran (length-1 paths have no
+    // interior node) — every score is 0 by definition
+    if (acc == null)
+      return nodes.select(col("id"), lit(0L).as("bc_u"))
+    val bc = acc.groupBy("id").agg(sum("delta").as("bc_u"))
+    nodes.join(bc, nodes("id") === bc("id"), "left")
+      .select(nodes("id"), coalesce(col("bc_u"), lit(0L)).as("bc_u"))
+  }
+
   /** `rounds` rounds of k-core peeling (drop degree-<k nodes and
     * their edges) over the fixture kNN graph; see the declared key's
     * scaladoc. Exposed with the round count as a parameter so the
@@ -679,6 +757,27 @@ object GraphOps {
         .orderBy("vec_id")
     }),
 
+    // SAMPLED BETWEENNESS (round 13): the path-based centrality the
+    // graph family lacked — degree/eigen measures (pagerank, HITS)
+    // score POPULARITY, betweenness scores BROKERAGE: the bridge
+    // nodes every inter-community shortest path crosses, invisible
+    // to degree measures. Brandes' algorithm from k = 8 seed
+    // sources (the standard sampling estimator: exact betweenness is
+    // all-pairs), BFS truncated at depth 4, all seeds in ONE tagged
+    // frame; forward sigma path counts exact integers, backward
+    // dependency passes unrolled per distance level with the micro-
+    // quantized integer-DIV delta (see sampledBetweenness). Property:
+    // on a planted star the center dominates every leaf
+    // (PropertySpec — the definitional sanity check).
+    "graph_betweenness_sample" -> ((s, d) => {
+      val nodes = TestData.embeddings(s, d).select(col("vec_id").as("id"))
+      val seeds = TestData.embeddings(s, d).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("seed"))
+      sampledBetweenness(nodes, fixtureKnnEdges(s, d), seeds, 4)
+        .select(col("id").as("vec_id"), col("bc_u"))
+        .orderBy("vec_id")
+    }),
+
     // PAGERANK over the kNN graph, 3 fixed iterations in EXACT integer
     // arithmetic: ranks are micro-units (start 1e6), each step is
     // r' = 150000 + (85 · Σ_{src→dst} r(src) DIV deg(src)) DIV 100 —
@@ -934,7 +1033,58 @@ object GraphOps {
       |edges AS (
       |  SELECT DISTINCT least(qid, nn) AS a, greatest(qid, nn) AS b FROM knn)""".stripMargin
 
+  /** `graph_betweenness_sample` unrolled: 4 forward BFS levels
+    * (sigma = exact path counts, anti-joined against everything
+    * seen) then 3 backward Brandes passes with the integer-DIV
+    * micro delta. Level/seen/delta CTEs MATERIALIZED (each is
+    * referenced by both its successor level and the backward pass —
+    * the r12 inline-expansion lesson).
+    */
+  private lazy val BetweennessCtes: String = {
+    def lv(k: Int): String =
+      s"""lv$k AS MATERIALIZED (
+        |  SELECT c.seed, c.id, c.sigma FROM (
+        |    SELECT l.seed, a.dst AS id, sum(l.sigma)::BIGINT AS sigma
+        |    FROM lv${k - 1} l JOIN adj a ON l.id = a.src GROUP BY 1, 2) c
+        |  LEFT JOIN seen${k - 1} s ON c.seed = s.seed AND c.id = s.id
+        |  WHERE s.id IS NULL),
+        |seen$k AS MATERIALIZED (
+        |  SELECT seed, id FROM seen${k - 1}
+        |  UNION ALL SELECT seed, id FROM lv$k)""".stripMargin
+    def bwd(d: Int, prev: String): String =
+      s"""d$d AS MATERIALIZED (
+        |  SELECT p.seed, p.id,
+        |    sum((p.sigma * (1000000 + $prev)) // c.sigma)::BIGINT AS delta
+        |  FROM lv$d p JOIN adj a ON p.id = a.src
+        |  JOIN lv${d + 1} c ON c.seed = p.seed AND c.id = a.dst
+        |  ${if (prev == "0") ""
+           else s"LEFT JOIN d${d + 1} dd ON dd.seed = c.seed AND dd.id = c.id"}
+        |  GROUP BY 1, 2)""".stripMargin
+    s"""$EdgesCte,
+      |adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges
+      |        UNION ALL SELECT b, a FROM edges),
+      |lv0 AS (SELECT vec_id AS seed, vec_id AS id, 1::BIGINT AS sigma
+      |        FROM embeddings WHERE vec_id < 8),
+      |seen0 AS (SELECT seed, id FROM lv0),
+      |${lv(1)},
+      |${lv(2)},
+      |${lv(3)},
+      |${lv(4)},
+      |${bwd(3, "0")},
+      |${bwd(2, "coalesce(dd.delta, 0)")},
+      |${bwd(1, "coalesce(dd.delta, 0)")},
+      |bc AS (SELECT id, sum(delta)::BIGINT AS bc_u FROM (
+      |  SELECT seed, id, delta FROM d1
+      |  UNION ALL SELECT seed, id, delta FROM d2
+      |  UNION ALL SELECT seed, id, delta FROM d3) GROUP BY 1)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_betweenness_sample" ->
+      s"""$BetweennessCtes
+        |SELECT e.vec_id, coalesce(bc.bc_u, 0)::BIGINT AS bc_u
+        |FROM embeddings e LEFT JOIN bc ON e.vec_id = bc.id
+        |ORDER BY e.vec_id""".stripMargin,
     "graph_degree_assortativity" ->
       s"""$EdgesCte,
         |adj AS (

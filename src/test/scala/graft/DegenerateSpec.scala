@@ -270,6 +270,33 @@ class DegenerateSpec extends SparkSpec {
     }
   }
 
+  test("sampledBetweenness survives empty / edgeless / isolated-seed graphs") {
+    val nSchema = StructType(Seq(StructField("id", LongType)))
+    val eSch = StructType(Seq(StructField("a", LongType),
+      StructField("b", LongType)))
+    val sSch = StructType(Seq(StructField("seed", LongType)))
+    def fr(sch: StructType, rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), sch)
+    // all-integer algebra: the risks are empty frontiers and
+    // unreached nodes (bc_u = 0), never a divide (sigma >= 1 on
+    // every reached child by construction)
+    assertClean(engine.sampledBetweenness(fr(nSchema, Nil), "id",
+      fr(eSch, Nil), "a", "b", fr(sSch, Nil), "seed"),
+      "betweenness/empty")
+    assertClean(engine.sampledBetweenness(
+      fr(nSchema, (1L to 4L).map(Row(_))), "id", fr(eSch, Nil), "a", "b",
+      fr(sSch, Seq(Row(1L))), "seed"), "betweenness/edgeless")
+    assertClean(engine.sampledBetweenness(
+      fr(nSchema, (1L to 4L).map(Row(_))), "id",
+      fr(eSch, Seq(Row(2L, 3L))), "a", "b",
+      fr(sSch, Seq(Row(1L))), "seed"), "betweenness/isolated-seed")
+    // depth = 1: no interior nodes exist — all-zero scores, no NPE
+    assertClean(engine.sampledBetweenness(
+      fr(nSchema, (1L to 4L).map(Row(_))), "id",
+      fr(eSch, Seq(Row(1L, 2L), Row(2L, 3L))), "a", "b",
+      fr(sSch, Seq(Row(1L))), "seed", depth = 1), "betweenness/depth-1")
+  }
+
   test("mergedQuantiles survives empty / single-row / constant / one-shard frames") {
     val schema = StructType(Seq(StructField("sh", LongType),
       StructField("cents", LongType), StructField("k1", LongType),

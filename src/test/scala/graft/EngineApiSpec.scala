@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 165, "documented facade count drifted; methods: "
+    assert(names.length === 166, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1490,6 +1490,21 @@ class EngineApiSpec extends SparkSpec {
           floor(col("l_extendedprice") * 100 + 0.5).as("cents"),
           col("l_orderkey"), col("l_linenumber")),
       "sh", "cents", Seq("l_orderkey", "l_linenumber"))
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("sampledBetweenness facade matches the graph_betweenness_sample key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("graph_betweenness_sample")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val emb = TestData.embeddings(spark, d)
+    val viaApi = engine.sampledBetweenness(
+        emb.select(col("vec_id")), "vec_id",
+        operators.GraphOps.fixtureKnnEdges(spark, d), "a", "b",
+        emb.filter(col("vec_id") < 8).select(col("vec_id")), "vec_id")
+      .select(col("id").as("vec_id"), col("bc_u"))
+      .orderBy("vec_id")
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
   }

@@ -602,6 +602,22 @@ class PropertySpec extends SparkSpec {
       "every query must produce results")
   }
 
+  test("sampled betweenness: star center dominates every leaf") {
+    // planted star: center 0, leaves 1..20, seeds = leaves 1..8.
+    // Every leaf-leaf shortest path crosses the center; no leaf lies
+    // on any shortest path — the definitional betweenness contrast.
+    val nodes = (0L to 20L).toDF("id")
+    val edges = (1L to 20L).map(l => (0L, l)).toDF("a", "b")
+    val seeds = (1L to 8L).toDF("seed")
+    val bc = GraphOps.sampledBetweenness(nodes, edges, seeds, 4)
+      .as[(Long, Long)].collect().toMap
+    val leaves = (1L to 20L).map(bc)
+    assert(bc(0L) > leaves.max * 10,
+      s"center ${bc(0L)} must dominate leaves (max ${leaves.max})")
+    assert(leaves.forall(_ === 0L),
+      s"no leaf lies on any shortest path: ${leaves}")
+  }
+
   test("HNSW sweep: cost strictly rises in beam, recall never falls in beam") {
     val sweep = AnnSearch.defs("ann_hnsw_sweep")(spark, sfDir)
       .as[(Int, Int, Long, Long, Long, Double)].collect()
