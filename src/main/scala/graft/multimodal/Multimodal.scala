@@ -304,6 +304,54 @@ object Multimodal {
     hash
   }
 
+  case class MediaDHash(doc_id: Long, mime: String, n_bytes: Int,
+                        dhash: Long)
+
+  /** Gradient-direction hash (dHash-style, decode-free): the same
+    * wrapped 8×8 byte tile, bit r·7+c set iff t(r, c+1) > t(r, c) —
+    * 56 bits of pure integer comparisons, the CHEAPEST member of
+    * the perceptual family (no sums, no basis, one pass over the
+    * tile) and the most robust to uniform brightness shifts, which
+    * cancel in every difference (shift invariance pinned in
+    * ClosedFormProps alongside the constant-tile-0 pin). Where
+    * blockhash keys on block MEANS, dctPhash on frequency SHAPE and
+    * the Haar hash on multiresolution EDGES, dHash keys on local
+    * gradient DIRECTION. Pairing at scale:
+    * `blockHashPairs(bits = 56, bands = 4)`.
+    */
+  def dHash(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val t = new Array[Int](64)
+    var i = 0
+    while (i < 64) { t(i) = bytes(i % n) & 0xff; i += 1 }
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 7) {
+        if (t(r * 8 + c + 1) > t(r * 8 + c)) hash |= 1L << (r * 7 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Per-partition dHash extraction (same batch shape as
+    * [[dctPhashes]]).
+    */
+  def dHashes(media: DataFrame): Dataset[MediaDHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "mime", "content").as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, mime, bytes) =>
+          MediaDHash(id, mime, bytes.length, dHash(bytes))
+        }
+      }
+  }
+
   /** Per-partition wavelet-hash extraction (same batch shape as
     * [[dctPhashes]]).
     */

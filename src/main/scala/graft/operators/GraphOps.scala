@@ -757,6 +757,39 @@ object GraphOps {
         .orderBy("vec_id")
     }),
 
+    // SEEDED ECCENTRICITY (round 13): per-seed max BFS distance +
+    // reach within the truncation depth — the diameter/radius
+    // sampling readout (max over seeds lower-bounds the graph
+    // diameter; small reach flags a fragmented graph before any
+    // community job runs on it). Same 8-seed sample and 4-round
+    // tagged-frame BFS as graph_betweenness_sample, min-dist closure
+    // per round (exact integers end to end); eccentricity is CAPPED
+    // at the depth — a seed whose true eccentricity exceeds 4 reads
+    // 4, stated. Each round is one frontier join + a (seed, id)
+    // min — level-sized state at any corpus.
+    "graph_eccentricity_sample" -> ((s, d) => {
+      val edges = fixtureKnnEdges(s, d)
+      val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint()
+      val seeds = TestData.embeddings(s, d).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("seed"))
+      var dist = seeds.select(col("seed"), col("seed").as("id"),
+        lit(0L).as("dist"))
+      for (_ <- 1 to 4) {
+        val next = dist.join(adj, col("id") === col("src"))
+          .select(col("seed"), col("dst").as("id"),
+            (col("dist") + lit(1L)).as("dist"))
+        dist = dist.union(next)
+          .groupBy("seed", "id").agg(min("dist").as("dist"))
+          .localCheckpoint()
+      }
+      dist.groupBy("seed")
+        .agg(max("dist").as("eccentricity_capped"),
+          count(lit(1)).as("n_reached"))
+        .orderBy("seed")
+    }),
+
     // SAMPLED BETWEENNESS (round 13): the path-based centrality the
     // graph family lacked — degree/eigen measures (pagerank, HITS)
     // score POPULARITY, betweenness scores BROKERAGE: the bridge
@@ -1079,7 +1112,35 @@ object GraphOps {
       |  UNION ALL SELECT seed, id, delta FROM d3) GROUP BY 1)""".stripMargin
   }
 
+  /** `graph_eccentricity_sample` unrolled: 4 min-dist closure rounds
+    * over the tagged (seed, id, dist) frame, MATERIALIZED per round.
+    */
+  private lazy val EccentricityCtes: String = {
+    def rd(k: Int): String =
+      s"""dd$k AS MATERIALIZED (
+        |  SELECT seed, id, min(dist)::BIGINT AS dist FROM (
+        |    SELECT seed, id, dist FROM dd${k - 1}
+        |    UNION ALL
+        |    SELECT d.seed, a.dst AS id, d.dist + 1
+        |    FROM dd${k - 1} d JOIN adj a ON d.id = a.src)
+        |  GROUP BY 1, 2)""".stripMargin
+    s"""$EdgesCte,
+      |adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges
+      |        UNION ALL SELECT b, a FROM edges),
+      |dd0 AS (SELECT vec_id AS seed, vec_id AS id, 0::BIGINT AS dist
+      |        FROM embeddings WHERE vec_id < 8),
+      |${rd(1)},
+      |${rd(2)},
+      |${rd(3)},
+      |${rd(4)}""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_eccentricity_sample" ->
+      s"""$EccentricityCtes
+        |SELECT seed, max(dist)::BIGINT AS eccentricity_capped,
+        |  count(*)::BIGINT AS n_reached
+        |FROM dd4 GROUP BY 1 ORDER BY seed""".stripMargin,
     "graph_betweenness_sample" ->
       s"""$BetweennessCtes
         |SELECT e.vec_id, coalesce(bc.bc_u, 0)::BIGINT AS bc_u

@@ -267,6 +267,23 @@ object MultimodalOps {
           col("n_bytes").cast("long").as("n_bytes"), col("whash"))
         .orderBy("doc_id")),
 
+    // GRADIENT DIFFERENCE HASH (round 13): the fourth perceptual-
+    // hash family member — dHash keys on local gradient DIRECTION
+    // (bit = right neighbor brighter), the cheapest and the most
+    // brightness-shift-robust signature (a uniform DC shift cancels
+    // in every difference, unlike block means). 56 bits of pure
+    // integer comparisons over the wrapped 8×8 tile — no sums, no
+    // basis, map-side one scan at any corpus; pairs at scale via
+    // blockHashPairs(bits = 56, bands = 4). Shift invariance +
+    // constant-tile-0 pinned in ClosedFormProps.
+    "multimodal_dhash" -> ((s, d) =>
+      Multimodal.dHashes(
+          Multimodal.fromDocuments(TestData.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("mime"),
+          col("n_bytes").cast("long").as("n_bytes"), col("dhash"))
+        .orderBy("doc_id")),
+
     // DCT-HASH NEAR-DUP PAIRS (round 11): Hamming-≤-2 pairs over the
     // 15-bit DCT perceptual hash via the same pigeonhole machinery
     // (3×5-bit bands ⇒ any pair within Hamming ≤ 2 keeps one band
@@ -509,6 +526,31 @@ object MultimodalOps {
         |  FROM qs GROUP BY 1, 2, 3)
         |SELECT doc_id, mime, n_bytes, whash
         |FROM wh ORDER BY doc_id""".stripMargin,
+    // Pure integer neighbor compares over the wrapped tile; bit
+    // index r·7+c from the 0..55 gradient positions.
+    "multimodal_dhash" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3)::INT + 1]
+        |      AS mime,
+        |    text, length(text) AS n
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, mime, n,
+        |    (p // 8) * 7 + (p % 8) AS bitpos,
+        |    ascii(text[((p % n) + 1)::INT : ((p % n) + 1)::INT])::BIGINT
+        |      AS bv,
+        |    ascii(text[(((p + 1) % n) + 1)::INT
+        |      : (((p + 1) % n) + 1)::INT])::BIGINT AS bnext
+        |  FROM m, LATERAL (SELECT unnest(range(0, 64)) AS p)
+        |  WHERE p % 8 < 7),
+        |dh AS (
+        |  SELECT doc_id, mime, n::BIGINT AS n_bytes,
+        |    sum(CASE WHEN bnext > bv
+        |      THEN 1::BIGINT << bitpos::INT ELSE 0 END)::BIGINT AS dhash
+        |  FROM pos GROUP BY 1, 2, 3)
+        |SELECT doc_id, mime, n_bytes, dhash
+        |FROM dh ORDER BY doc_id""".stripMargin,
     // Brute-force popcount over the SAME dct-phash CTEs — the Spark
     // side's 3×5-bit pigeonhole banding is sound (candidates ⊇
     // matches within Hamming ≤ 2), so the oracle stays unblocked.

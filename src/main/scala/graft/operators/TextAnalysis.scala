@@ -676,6 +676,36 @@ object TextAnalysis {
         .select("lang", "n_tokens", "n_types", "s2", "yule_k")
         .orderBy("lang")),
 
+    // SIMPSON DIVERSITY (round 13): the collision view of lexical
+    // richness per language — D = Σf(f−1)/(N(N−1)) is the exact
+    // probability two tokens drawn without replacement are the SAME
+    // type (0 all-distinct, →1 one token repeated), and 1/D is the
+    // "effective vocabulary size" a tokenizer designer reads next
+    // to text_heaps_law's growth curve. Complements yule_k (a
+    // variance-form constant) with the unbiased probability form.
+    // Shape: identical to yule_k — vocabulary-sized type table,
+    // lang-grain exact-BIGINT rollup, one mirrored division r4'd at
+    // the readout; N ≤ 1 ⇒ NULL D (definition-site guard),
+    // Σf(f−1) = 0 (all types distinct) ⇒ D = 0 and NULL inverse.
+    // Bound: Σf² ≤ N² < 2^63 for N ≲ 3e9 tokens/lang (yule_k's).
+    "text_simpson_diversity" -> ((s, d) =>
+      TestData.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("f"))
+        .groupBy("lang")
+        .agg(sum("f").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(col("f") * (col("f") - 1)).as("s_ff1"))
+        .withColumn("simpson_d", when(col("n_tokens") > 1,
+          r4(col("s_ff1").cast("double")
+            / (col("n_tokens") * (col("n_tokens") - 1)).cast("double"))))
+        .withColumn("inv_simpson",
+          when(col("n_tokens") > 1 && col("s_ff1") > 0,
+            r4((col("n_tokens") * (col("n_tokens") - 1)).cast("double")
+              / col("s_ff1").cast("double"))))
+        .select("lang", "n_tokens", "n_types", "s_ff1", "simpson_d",
+          "inv_simpson")
+        .orderBy("lang")),
+
     // JENSEN-SHANNON DIVERGENCE (round 10): JSD(lang ‖ corpus) over
     // token distributions per language — the bounded, symmetric
     // "how far is this slice from the mix" readout a training-mix
@@ -1136,6 +1166,29 @@ object TextAnalysis {
         |  floor(10000.0 * (s2 - n_tokens)::DOUBLE
         |    / (n_tokens::DOUBLE * n_tokens::DOUBLE) * 10000 + 0.5) / 10000
         |    AS yule_k
+        |FROM a ORDER BY lang""".stripMargin,
+    // Same lang-grain exact-BIGINT rollup as yule_k; both divisions
+    // guarded and r4'd at the readout.
+    "text_simpson_diversity" ->
+      """WITH f AS (
+        |  SELECT lang, tok, count(*)::BIGINT AS f
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |a AS (
+        |  SELECT lang, sum(f)::BIGINT AS n_tokens,
+        |    count(*)::BIGINT AS n_types,
+        |    sum(f * (f - 1))::BIGINT AS s_ff1
+        |  FROM f GROUP BY 1)
+        |SELECT lang, n_tokens, n_types, s_ff1,
+        |  CASE WHEN n_tokens > 1 THEN
+        |    floor(s_ff1::DOUBLE
+        |      / (n_tokens * (n_tokens - 1))::DOUBLE * 10000 + 0.5) / 10000
+        |  END AS simpson_d,
+        |  CASE WHEN n_tokens > 1 AND s_ff1 > 0 THEN
+        |    floor((n_tokens * (n_tokens - 1))::DOUBLE
+        |      / s_ff1::DOUBLE * 10000 + 0.5) / 10000
+        |  END AS inv_simpson
         |FROM a ORDER BY lang""".stripMargin,
     // Same vocabulary-shaped algebra: present-token terms micro-nat
     // quantized, absent-token mass as the (1 − Σq)·ln2 closure.

@@ -122,6 +122,50 @@ object Vectors {
              r4(max(col("v"))).as("mx"))
         .orderBy("dim")),
 
+    // ANISOTROPY DIAGNOSTIC (round 13): the "is this embedding space
+    // collapsed" readout (Ethayarajh's anisotropy: contextual
+    // embeddings often occupy a narrow cone — average pairwise
+    // cosine ≫ 0 — which silently breaks cosine thresholds tuned on
+    // isotropic assumptions, i.e. every dedup_embedding/semantic
+    // cutoff). Closed form in ONE pass: for unit vectors,
+    // Σ_{i≠j} cos(u_i, u_j) = ‖Σu‖² − Σ‖u‖², so the whole corpus
+    // readout needs only per-dimension sums. Determinism: each
+    // vector's coords normalize by a left-fold norm (identical fold
+    // in both engines) and quantize to integer MICRO units BEFORE
+    // any cross-row sum — per-dim sums, ‖S‖² and Σ‖u‖² are then
+    // exact BIGINTs (bound: dim·(n·1e6)² < 2^63 ⇒ n ≲ 1e3 at
+    // dim 8; past that sum S_d² in doubles, stated). Two readouts:
+    // avg_pairwise_cos (≈0 isotropic) and mean_norm = ‖mean u‖
+    // (→1 fully collapsed cone).
+    "vec_anisotropy" -> ((s, d) => {
+      val u = TestData.embeddings(s, d)
+        .withColumn("norm2", expr("aggregate(embedding, " +
+          "cast(0.0 as double), (acc, x) -> acc + " +
+          "cast(x as double) * cast(x as double))"))
+        .filter(col("norm2") > 0)
+        .select(col("vec_id"), col("norm2"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("u", floor(col("x").cast("double")
+          / sqrt(col("norm2")) * 1000000 + 0.5).cast("long"))
+        .localCheckpoint() // two consumers: per-vec + per-dim sums
+      val perVec = u.groupBy("vec_id")
+        .agg(sum(col("u") * col("u")).as("uu"))
+        .agg(count(lit(1)).as("n_vecs"), sum("uu").as("su2"))
+      val dims = u.groupBy("pos").agg(sum("u").as("s_d"))
+        .agg(count(lit(1)).as("dim"),
+          sum(col("s_d") * col("s_d")).as("ss"))
+      perVec.crossJoin(broadcast(dims))
+        .select(col("n_vecs"), col("dim"),
+          when(col("n_vecs") > 1, r4(
+            (col("ss") - col("su2")).cast("double")
+              / (col("n_vecs") * (col("n_vecs") - 1)).cast("double")
+              / 1000000000000.0)).as("avg_pairwise_cos"),
+          when(col("n_vecs") > 0, r4(
+            sqrt(col("ss").cast("double"))
+              / (col("n_vecs").cast("double") * 1000000.0)))
+            .as("mean_norm"))
+    }),
+
     "vec_normalize" -> ((s, d) =>
       TestData.embeddings(s, d)
         .withColumn("nrm", V.l2norm(col("embedding")))
@@ -565,6 +609,41 @@ object Vectors {
   )
 
   val oracles: Map[String, String] = Map(
+    // Left-fold norm (list_reduce seeds with the first element —
+    // same order as Spark's aggregate with a 0.0 seed), coords
+    // micro-quantized BEFORE any cross-row sum, exact-BIGINT
+    // ‖S‖²/Σ‖u‖², mirrored divisions r4'd at the readout.
+    "vec_anisotropy" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, $E AS v FROM embeddings),
+        |nn AS (
+        |  SELECT vec_id, v,
+        |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)
+        |      AS norm2
+        |  FROM e),
+        |u AS (
+        |  SELECT vec_id, p AS pos,
+        |    floor(v[(p + 1)::INT] / sqrt(norm2) * 1000000 + 0.5)::BIGINT
+        |      AS u
+        |  FROM nn, LATERAL (SELECT unnest(range(0, len(v))) AS p)
+        |  WHERE norm2 > 0),
+        |pv AS (
+        |  SELECT count(*)::BIGINT AS n_vecs, sum(uu)::BIGINT AS su2 FROM (
+        |    SELECT vec_id, sum(u * u)::BIGINT AS uu FROM u GROUP BY 1)),
+        |dm AS (
+        |  SELECT count(*)::BIGINT AS dim, sum(s_d * s_d)::BIGINT AS ss
+        |  FROM (SELECT pos, sum(u)::BIGINT AS s_d FROM u GROUP BY 1))
+        |SELECT pv.n_vecs, dm.dim,
+        |  CASE WHEN pv.n_vecs > 1 THEN
+        |    floor((dm.ss - pv.su2)::DOUBLE
+        |      / (pv.n_vecs * (pv.n_vecs - 1))::DOUBLE
+        |      / 1000000000000.0 * 10000 + 0.5) / 10000
+        |  END AS avg_pairwise_cos,
+        |  CASE WHEN pv.n_vecs > 0 THEN
+        |    floor(sqrt(dm.ss::DOUBLE) / (pv.n_vecs::DOUBLE * 1000000.0)
+        |      * 10000 + 0.5) / 10000
+        |  END AS mean_norm
+        |FROM pv CROSS JOIN dm""".stripMargin,
     "vec_l2_norm" ->
       s"""SELECT vec_id,
         |  floor((sqrt(list_sum(list_transform($E, x -> x*x))))*10000 + 0.5)/10000 AS nrm

@@ -968,6 +968,23 @@ object ClosedFormProps extends Properties("graft.closedforms") {
           s"detail bits moved under DC shift: $base vs $shifted"
     }
 
+  // multimodal_dhash — the gradient hash's two definitional pins: a
+  // constant tile has no gradient anywhere (strict > reads 0), and a
+  // uniform brightness shift cancels in EVERY difference, so the
+  // whole 56-bit hash (not just detail bits) is DC-shift invariant
+  // as long as no byte wraps mod 256.
+  property("dHash: constant tile is 0; whole hash DC-shift invariant") =
+    Prop.forAll(Gen.listOfN(64, Gen.choose(0, 127)),
+        Gen.choose(1, 127), Gen.choose(0, 255)) { (px, shift, cv) =>
+      import graft.multimodal.Multimodal.dHash
+      val constant = dHash(Array.fill(64)(cv.toByte))
+      val base = dHash(px.map(_.toByte).toArray)
+      val shifted = dHash(px.map(v => (v + shift).toByte).toArray)
+      (constant == 0L) :| s"constant tile must hash to 0: $constant" &&
+        (base == shifted) :|
+          s"gradient bits moved under DC shift: $base vs $shifted"
+    }
+
   // agg_wilson_ci: the Wilson interval never leaves [0, 1] and always
   // contains the point estimate — the two properties Wald CIs lose at
   // extreme rates / small n, and the reason this key exists.
