@@ -183,6 +183,25 @@ object ScalePatterns {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // SYSTEMATIC (every-k-th) SAMPLING (round 13): the ordered
+    // sampling discipline the hash family cannot express — every
+    // 10th document per language in doc_id order, the equal-spacing
+    // guarantee a curriculum/eval slice wants (hash sampling
+    // clusters by chance; systematic sampling NEVER takes two
+    // adjacent rows). Rank via Curation.rangedRank — bounded task
+    // size at any language skew, bit-identical to the monolithic
+    // window (no single-task sort; the dedup_sorted_neighborhood
+    // discipline) — then one map-side rk % 10 = 1 filter. Output
+    // carries the rank so the caller can verify the spacing.
+    "sample_systematic" -> ((s, d) => {
+      val ranked = graft.operators.Curation.rangedRank(
+        TestData.documents(s, d).select("doc_id", "lang"),
+        "lang", Seq(col("doc_id")), "rk")
+      ranked.filter(col("rk") % 10 === 1)
+        .select("lang", "doc_id", "rk")
+        .orderBy("lang", "doc_id")
+    }),
+
     // TRAIN/VAL/TEST SPLIT (round 7): the 80/10/10 split every
     // training pipeline runs, with the same deterministic md5
     // discipline as sample_hash — a document's split is a pure
@@ -381,6 +400,14 @@ object ScalePatterns {
         |WHERE substring(md5(doc_id::VARCHAR), 1, 2)
         |  < CASE WHEN lang = 'en' THEN '80' ELSE '20' END
         |ORDER BY doc_id""".stripMargin,
+    // Monolithic per-lang rank (bit-identical to rangedRank by
+    // construction), same % 10 pick.
+    "sample_systematic" ->
+      """SELECT lang, doc_id, rk FROM (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang ORDER BY doc_id)::BIGINT AS rk
+        |  FROM documents)
+        |WHERE rk % 10 = 1 ORDER BY lang, doc_id""".stripMargin,
     "sample_train_split" ->
       """WITH s AS (
         |  SELECT lang, n_chars,

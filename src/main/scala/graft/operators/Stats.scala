@@ -247,6 +247,46 @@ object Stats {
         .select("n_rows", "n_r", "n_c", "chi2_micro", "cramers_v")
     }),
 
+    // G-TEST OF INDEPENDENCE (round 13): the likelihood-ratio
+    // sibling of agg_cramers_v's Pearson χ² over the SAME
+    // nation × segment contingency — G = 2·Σ O·ln(O/E) is additive
+    // across nested partitions (a table collapse decomposes G
+    // exactly, which χ² does not), the property that makes it the
+    // right independence test for hierarchical slice audits. Zero
+    // cells contribute EXACTLY 0 (lim x·ln x = 0), so unlike the χ²
+    // no zero-cell grid completion join exists anywhere — observed
+    // cells only. Each term micro-nat quantized in identical op
+    // order before the one BIGINT sum (PSI/entropy protocol);
+    // marginals via windows over the CELL grid (category²-sized).
+    // df = (r−1)(c−1); the 95 % verdict is left to the caller (χ²
+    // critical values are df-dependent — publishing G + df is the
+    // decomposable artifact).
+    "agg_g_test" -> ((s, d) => {
+      val f = TestData.customer(s, d)
+        .select(col("c_nationkey").cast("long").as("nationkey"),
+          col("c_mktsegment"))
+      val cells = f.groupBy("nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))
+      cells
+        .withColumn("r_i", sum("cnt").over(Window.partitionBy("nationkey")))
+        .withColumn("c_j", sum("cnt").over(
+          Window.partitionBy("c_mktsegment")))
+        .withColumn("n", sum("cnt").over(Window.partitionBy()))
+        .withColumn("term_u", floor(
+          col("cnt").cast("double")
+            * log(col("cnt").cast("double") * col("n").cast("double")
+              / (col("r_i").cast("double") * col("c_j").cast("double")))
+            * 1000000 + 0.5).cast("long"))
+        .agg(max("n").as("n_rows"),
+          countDistinct("nationkey").as("n_r"),
+          countDistinct("c_mktsegment").as("n_c"),
+          sum("term_u").as("g_half_micro"))
+        .withColumn("df", (col("n_r") - 1) * (col("n_c") - 1))
+        .withColumn("g_stat", r4(lit(2.0)
+          * col("g_half_micro").cast("double") / 1000000.0))
+        .select("n_rows", "n_r", "n_c", "df", "g_half_micro", "g_stat")
+    }),
+
     // WILSON SCORE INTERVAL (round 12): the per-arm 95 % rate CI the
     // experiment readouts publish next to the z/OR effect tests —
     // Wilson, not Wald, because it never leaves [0, 1] and stays
@@ -1295,6 +1335,35 @@ object Stats {
         |  ELSE floor(x::DOUBLE / n::DOUBLE * 10000 + 0.5) / 10000
         |  END AS shrunk
         |FROM ab ORDER BY nationkey""".stripMargin,
+    // Observed cells only (zero cells contribute exactly 0 to G);
+    // identical op order inside the micro-nat term.
+    "agg_g_test" ->
+      """WITH f AS (
+        |  SELECT c_nationkey::BIGINT AS nationkey, c_mktsegment
+        |  FROM customer),
+        |cells AS (
+        |  SELECT nationkey, c_mktsegment, count(*)::BIGINT AS cnt
+        |  FROM f GROUP BY 1, 2),
+        |m AS (
+        |  SELECT *,
+        |    (sum(cnt) OVER (PARTITION BY nationkey))::BIGINT AS r_i,
+        |    (sum(cnt) OVER (PARTITION BY c_mktsegment))::BIGINT AS c_j,
+        |    (sum(cnt) OVER ())::BIGINT AS n
+        |  FROM cells),
+        |a AS (
+        |  SELECT max(n)::BIGINT AS n_rows,
+        |    count(DISTINCT nationkey)::BIGINT AS n_r,
+        |    count(DISTINCT c_mktsegment)::BIGINT AS n_c,
+        |    sum(floor(cnt::DOUBLE
+        |      * ln(cnt::DOUBLE * n::DOUBLE
+        |        / (r_i::DOUBLE * c_j::DOUBLE))
+        |      * 1000000 + 0.5)::BIGINT)::BIGINT AS g_half_micro
+        |  FROM m)
+        |SELECT n_rows, n_r, n_c,
+        |  ((n_r - 1) * (n_c - 1))::BIGINT AS df, g_half_micro,
+        |  floor(2.0 * g_half_micro::DOUBLE / 1000000.0 * 10000 + 0.5)
+        |    / 10000 AS g_stat
+        |FROM a""".stripMargin,
     "agg_cramers_v" ->
       """WITH f AS (
         |  SELECT c_nationkey::BIGINT AS nationkey, c_mktsegment

@@ -2609,6 +2609,54 @@ object TimeSeries {
         .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
         .agg(count(lit(1)).as("cnt")))),
 
+    // VARIANCE-RATIO TEST (round 13): Lo–MacKinlay's random-walk
+    // diagnostic — VR(q) = Var(y_t − y_{t−q}) / (q·Var(y_t −
+    // y_{t−1})) reads 1 for a random walk, < 1 mean-reverting, > 1
+    // trending; the hypothesis-shaped companion to ts_hurst_exponent
+    // (H estimates a law, VR tests one per horizon). ALL horizons
+    // q ∈ {1, 2, 4, 8} ride one frame: the lagged side is
+    // hourly × q-table equi-joined on hr = hr₀ + q (gap-safe — a
+    // lag() over the gappy grid silently misaligns; the
+    // ts_snaive_smape trap), differences are exact integer counts,
+    // per-q sufficient stats (n, Σd, Σd²) exact BIGINTs, sample
+    // variances assembled once on the 3-row readout in mirrored IEEE
+    // op order (agg_ols_multi protocol). Guards: n ≤ 1 or var₁ ≤ 0
+    // ⇒ NULL vr. Bound: Σd² ≤ n·(Δmax)² — document past ~1e5-count
+    // hourly swings.
+    "ts_variance_ratio" -> ((s, d) => {
+      import s.implicits._
+      val hourly = TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // two consumers: target + lagged side
+      val qs = Seq(1, 2, 4, 8).toDF("q")
+      val lagged = hourly.crossJoin(broadcast(qs))
+        .select((col("hr") + col("q")).as("hr"), col("q"),
+          col("cnt").as("y0"))
+      val st = hourly.join(lagged, "hr")
+        .withColumn("dv", col("cnt") - col("y0"))
+        .groupBy("q")
+        .agg(count(lit(1)).as("n"), sum("dv").as("sd"),
+          sum(col("dv") * col("dv")).as("sdd"))
+        .withColumn("variance", when(col("n") > 1,
+          (col("sdd").cast("double")
+            - col("sd").cast("double") * col("sd").cast("double")
+              / col("n").cast("double"))
+            / (col("n") - 1).cast("double")))
+        .localCheckpoint() // consumed twice: readout + base row
+      val base = st.filter(col("q") === 1)
+        .select(col("variance").as("var1"))
+      st.filter(col("q") > 1)
+        .crossJoin(broadcast(base))
+        .select(col("q"), col("n").as("n_diffs"),
+          when(col("variance").isNotNull, r4(col("variance")))
+            .as("var_q"),
+          when(col("variance").isNotNull && col("var1") > 0,
+            r4(col("variance") / (col("q") * col("var1"))))
+            .as("vr"))
+        .orderBy("q")
+    }),
+
     // AR(2) ONE-STEP BACKTEST (round 13): the autoregressive
     // forecast that CONSUMES ts_pacf's order selection — PACF's
     // lag-2 cut says AR(2), and until now nothing fit or scored it.
@@ -4527,6 +4575,36 @@ object TimeSeries {
         |      * 10000 + 0.5) / 10000 END AS smape
         |FROM a""".stripMargin
     },
+    // All horizons from one hourly × q-table equi-join; exact-BIGINT
+    // difference stats, mirrored sample-variance assembly, guarded
+    // ratio r4'd.
+    "ts_variance_ratio" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1),
+        |qs AS (SELECT unnest([1, 2, 4, 8]) AS q),
+        |lagged AS (
+        |  SELECT h.hr + q.q AS hr, q.q, h.cnt AS y0
+        |  FROM hourly h CROSS JOIN qs q),
+        |st AS (
+        |  SELECT q, count(*)::BIGINT AS n,
+        |    sum(t.cnt - l.y0)::BIGINT AS sd,
+        |    sum((t.cnt - l.y0) * (t.cnt - l.y0))::BIGINT AS sdd
+        |  FROM hourly t JOIN lagged l ON t.hr = l.hr GROUP BY 1),
+        |v AS (
+        |  SELECT q, n,
+        |    CASE WHEN n > 1 THEN
+        |      (sdd::DOUBLE - sd::DOUBLE * sd::DOUBLE / n::DOUBLE)
+        |        / (n - 1)::DOUBLE END AS variance
+        |  FROM st),
+        |b AS (SELECT variance AS var1 FROM v WHERE q = 1)
+        |SELECT v.q, v.n AS n_diffs,
+        |  CASE WHEN v.variance IS NOT NULL THEN
+        |    floor(v.variance * 10000 + 0.5) / 10000 END AS var_q,
+        |  CASE WHEN v.variance IS NOT NULL AND b.var1 > 0 THEN
+        |    floor(v.variance / (v.q * b.var1) * 10000 + 0.5) / 10000
+        |  END AS vr
+        |FROM v CROSS JOIN b WHERE v.q > 1 ORDER BY v.q""".stripMargin,
     // Lag design via hr−1/hr−2 equi-joins, exact-BIGINT sufficient
     // stats, centered-2×2 Cramer in mirrored double op order, and
     // the same per-row micro-quantized scoring as the Spark side.
