@@ -591,6 +591,65 @@ object Stats {
           col("f_stat"))
     }),
 
+    // BROWN–FORSYTHE (LEVENE) TEST (round 13): variance homogeneity
+    // across languages — agg_anova_f compares MEANS assuming equal
+    // spread; this is the gate that checks the assumption (and a
+    // dispersion-difference detector in its own right: same median
+    // length, wildly different tails). Brown–Forsythe = one-way
+    // ANOVA F on z = |x − median_g| — the median variant is the
+    // robust form. Exactness: per-group DOUBLED median m2 =
+    // x_(⌈n/2⌉) + x_(⌈(n+1)/2⌉) (the runs-test order-stat trick)
+    // keeps z2 = |2x − m2| an exact integer — the ×2 scale cancels
+    // in F; ranks via rangedRank (no single-task sort at language
+    // skew), then the agg_anova_f sufficient-stats assembly verbatim
+    // on z2 (whole-unit t_u terms, readout-only divisions, k ≤ 1 /
+    // ssw ≤ 0 guards). Bound: z2² ≤ (2·max x)² per row — Σ exact to
+    // ~5e9 rows at x ~ 2e4, documented.
+    "agg_levene_test" -> ((s, d) => {
+      val ranked = graft.operators.Curation.rangedRank(
+        TestData.documents(s, d).select("lang", "n_chars", "doc_id"),
+        "lang", Seq(col("n_chars"), col("doc_id")), "rk")
+        .localCheckpoint() // three consumers: sizes + lo/hi picks + z
+      val sizes = ranked.groupBy("lang").agg(count(lit(1)).as("n_l"))
+        .withColumn("r_lo", expr("(n_l + 1) DIV 2"))
+        .withColumn("r_hi", expr("(n_l + 2) DIV 2"))
+      val lo = ranked.join(
+          broadcast(sizes.select(col("lang").as("ll"), col("r_lo"))),
+          col("lang") === col("ll") && col("rk") === col("r_lo"))
+        .select(col("lang"), col("n_chars").as("v_lo"))
+      val hi = ranked.join(
+          broadcast(sizes.select(col("lang").as("lh"), col("r_hi"))),
+          col("lang") === col("lh") && col("rk") === col("r_hi"))
+        .select(col("lang"), col("n_chars").as("v_hi"))
+      val m2 = lo.join(hi, "lang")
+        .select(col("lang"), (col("v_lo") + col("v_hi")).as("m2"))
+      val g = ranked.join(broadcast(m2), "lang")
+        .withColumn("z2", abs(col("n_chars") * 2 - col("m2")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_g"), sum("z2").as("sx"),
+          sum(col("z2") * col("z2")).as("sxx"))
+        .withColumn("t_u", floor(col("sx").cast("double")
+          * col("sx").cast("double") / col("n_g").cast("double") + 0.5)
+          .cast("long"))
+      g.agg(count(lit(1)).as("k_groups"), sum("n_g").as("n_total"),
+          sum("sx").as("sum_all"), sum("sxx").as("sxx_all"),
+          sum("t_u").as("t_sum_u"))
+        .withColumn("ssb", col("t_sum_u").cast("double")
+          - col("sum_all").cast("double") * col("sum_all").cast("double")
+            / col("n_total").cast("double"))
+        .withColumn("ssw",
+          col("sxx_all").cast("double") - col("t_sum_u").cast("double"))
+        .withColumn("bf_stat", when(
+          col("ssw") > 0 && col("n_total") > col("k_groups")
+            && col("k_groups") > 1,
+          r4((col("ssb") / (col("k_groups") - 1).cast("double"))
+            / (col("ssw")
+              / (col("n_total") - col("k_groups")).cast("double")))))
+        .select(col("k_groups"), col("n_total"), col("t_sum_u"),
+          r4(col("ssb")).as("ssb"), r4(col("ssw")).as("ssw"),
+          col("bf_stat"))
+    }),
+
     // WELCH'S t (round 10): the unequal-variance two-sample t on
     // per-user total value — the parametric companion the MW-U /
     // KS readouts are compared against (same md5 variant split,
@@ -1651,6 +1710,49 @@ object Stats {
         |    floor((ssb / (k_groups - 1)::DOUBLE)
         |      / (ssw / (n_total - k_groups)::DOUBLE) * 10000 + 0.5) / 10000
         |    END AS f_stat
+        |FROM b""".stripMargin,
+    // Doubled-median z2 = |2x − m2| exact integers, then the anova_f
+    // assembly verbatim; monolithic per-lang rank ≡ rangedRank.
+    "agg_levene_test" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars, row_number() OVER (
+        |    PARTITION BY lang ORDER BY n_chars, doc_id)::BIGINT AS rk
+        |  FROM documents),
+        |sz AS (SELECT lang, count(*)::BIGINT AS n_l FROM documents
+        |       GROUP BY 1),
+        |lo AS (SELECT r.lang, r.n_chars AS v_lo FROM r JOIN sz
+        |       ON r.lang = sz.lang AND r.rk = (sz.n_l + 1) // 2),
+        |hi AS (SELECT r.lang, r.n_chars AS v_hi FROM r JOIN sz
+        |       ON r.lang = sz.lang AND r.rk = (sz.n_l + 2) // 2),
+        |m2 AS (SELECT lo.lang, (v_lo + v_hi)::BIGINT AS m2
+        |       FROM lo JOIN hi ON lo.lang = hi.lang),
+        |z AS (
+        |  SELECT r.lang, abs(r.n_chars * 2 - m2.m2)::BIGINT AS z2
+        |  FROM r JOIN m2 ON r.lang = m2.lang),
+        |g AS (
+        |  SELECT lang, count(*)::BIGINT AS n_g, sum(z2)::BIGINT AS sx,
+        |    sum(z2 * z2)::BIGINT AS sxx,
+        |    floor(sum(z2)::DOUBLE * sum(z2)::DOUBLE
+        |      / count(*)::DOUBLE + 0.5)::BIGINT AS t_u
+        |  FROM z GROUP BY 1),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS k_groups, sum(n_g)::BIGINT AS n_total,
+        |    sum(sx)::BIGINT AS sum_all, sum(sxx)::BIGINT AS sxx_all,
+        |    sum(t_u)::BIGINT AS t_sum_u
+        |  FROM g),
+        |b AS (
+        |  SELECT *,
+        |    t_sum_u::DOUBLE
+        |      - sum_all::DOUBLE * sum_all::DOUBLE / n_total::DOUBLE AS ssb,
+        |    sxx_all::DOUBLE - t_sum_u::DOUBLE AS ssw
+        |  FROM a)
+        |SELECT k_groups, n_total, t_sum_u,
+        |  floor(ssb * 10000 + 0.5) / 10000 AS ssb,
+        |  floor(ssw * 10000 + 0.5) / 10000 AS ssw,
+        |  CASE WHEN ssw > 0 AND n_total > k_groups AND k_groups > 1 THEN
+        |    floor((ssb / (k_groups - 1)::DOUBLE)
+        |      / (ssw / (n_total - k_groups)::DOUBLE) * 10000 + 0.5) / 10000
+        |    END AS bf_stat
         |FROM b""".stripMargin,
     "agg_welch_t" ->
       s"""$CellsCte,
