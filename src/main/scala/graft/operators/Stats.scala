@@ -650,6 +650,69 @@ object Stats {
           col("bf_stat"))
     }),
 
+    // KRUSKAL-WALLIS H (round 13): the k-group generalization of the
+    // Mann-Whitney U — does document length DISTRIBUTION differ by
+    // language when tails make agg_anova_f's means untrustworthy.
+    // The whole corpus folds to the VALUE-DISTINCT cell grid (lang ×
+    // n_chars cells, then the n_chars value domain for ranks — the
+    // agg_mann_whitney move at k groups): midranks come from one
+    // domain-grid window as DOUBLED integers R2(v) = 2·cum<(v) +
+    // c(v) + 1 (the Spearman doubling — ties stay exact), per-group
+    // rank sums R2_g = Σ cnt·R2 are exact BIGINTs, and each group's
+    // R_g²/n_g term is quantized to a whole unit at the k-row
+    // readout (the anova t_u pattern; term = R2_g²/n_g, the ×4
+    // deferred to the H assembly). Tie correction Σ(t³−t) reuses the
+    // MW per-cell 2^21 cube guard (overflow ⇒ NULL, never a wrap).
+    // Bounds: cnt·R2 ≤ 2N·n_g per cell ⇒ R2_g exact to N ≲ 2e9 rows
+    // (documented); R2_g² runs in IEEE doubles, mirrored op order.
+    // All-one-value corpus ⇒ tie denom 0 ⇒ H NULL in both engines.
+    "agg_kruskal_wallis" -> ((s, d) => {
+      val W = Window.orderBy("x")
+      val tieLim = lit(2097152L) // 2^21: t³−t < 2^63 per value cell
+      val cells = TestData.documents(s, d)
+        .select(col("lang"), col("n_chars").cast("long").as("x"))
+        .groupBy("lang", "x").agg(count(lit(1)).as("cg"))
+        .localCheckpoint() // consumed by the value grid AND the join
+      val vals = cells.groupBy("x").agg(sum("cg").as("c"))
+        .withColumn("cum_lt",
+          coalesce(sum("c").over(
+            W.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("r2", lit(2L) * col("cum_lt") + col("c") + 1)
+        .localCheckpoint() // consumed by ranks AND the tie rollup
+      val groups = cells
+        .join(broadcast(vals.select("x", "r2")), "x")
+        .groupBy("lang")
+        .agg(sum("cg").as("n_g"), sum(col("cg") * col("r2")).as("r2_g"))
+        .withColumn("term_u", floor(col("r2_g").cast("double")
+          * col("r2_g").cast("double") / col("n_g").cast("double") + 0.5)
+          .cast("long"))
+      val ties = vals.agg(
+        sum(when(col("c") < tieLim,
+          col("c") * col("c") * col("c") - col("c"))).as("tie_raw"),
+        max("c").as("c_max"))
+      groups
+        .agg(count(lit(1)).as("k_groups"), sum("n_g").as("n_total"),
+          sum("term_u").as("t_sum_u"))
+        .crossJoin(ties)
+        .withColumn("tie_sum", when(col("c_max") < tieLim, col("tie_raw")))
+        // n_total = 1 ⇒ N³−N = 0: the tie-denominator division is an
+        // ANSI double x/0 throw in Spark, NULL in DuckDB — guard at
+        // the DEFINITION site (DegenerateSpec discipline).
+        .withColumn("tie_denom", when(col("n_total") > 1,
+          lit(1.0) - col("tie_sum").cast("double")
+            / (col("n_total").cast("double") * col("n_total").cast("double")
+              * col("n_total").cast("double")
+              - col("n_total").cast("double"))))
+        .withColumn("h_stat", when(
+          col("k_groups") > 1 && col("tie_denom") > 0,
+          r4((lit(12.0) / (col("n_total").cast("double")
+              * (col("n_total") + 1).cast("double"))
+            * (col("t_sum_u").cast("double") / 4.0)
+            - lit(3.0) * (col("n_total") + 1).cast("double"))
+            / col("tie_denom"))))
+        .select("k_groups", "n_total", "t_sum_u", "tie_sum", "h_stat")
+    }),
+
     // WELCH'S t (round 10): the unequal-variance two-sample t on
     // per-user total value — the parametric companion the MW-U /
     // KS readouts are compared against (same md5 variant split,
@@ -824,6 +887,45 @@ object Stats {
           r4(col("icept")).as("intercept"),
           r4(col("r2")).as("r_squared"))
         .orderBy("flag")
+    }),
+
+    // COCHRAN'S Q (round 13): the k-treatment extension of McNemar —
+    // do the three funnel actions (click, purchase, error) have the
+    // same per-user incidence, with each user as their own block.
+    // The identity Q = (k−1)(k·ΣG_j² − T²)/(k·T − ΣL_i²) keeps
+    // EVERYTHING integer until one readout division: G_j = users
+    // doing action j, L_i = per-user action count, T = ΣG = ΣL.
+    // Universe = users with ≥1 of the three actions — an all-zero
+    // row adds 0 to every term (and an all-k row adds k² to both
+    // k·T and ΣL²), so Q is invariant to the universe choice;
+    // documented rather than completed with a users-dimension join.
+    // One user-sharded fold, a 1-row readout; G² ≤ n² exact to
+    // ~3e9 users. All-concordant rows ⇒ denominator 0 ⇒ NULL.
+    "agg_cochran_q" -> ((s, d) => {
+      val b = TestData.events(s, d)
+        .filter(col("event_type").isin("click", "purchase", "error"))
+        .groupBy("user_id")
+        .agg(
+          max(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("b1"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("b2"),
+          max(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("b3"))
+      val l = col("b1") + col("b2") + col("b3")
+      b.agg(count(lit(1)).as("n_users"),
+          sum("b1").as("g1"), sum("b2").as("g2"), sum("b3").as("g3"),
+          sum(l * l).as("l2_sum"))
+        .withColumn("t_total", col("g1") + col("g2") + col("g3"))
+        .withColumn("q_num", lit(2L)
+          * (lit(3L) * (col("g1") * col("g1") + col("g2") * col("g2")
+            + col("g3") * col("g3"))
+            - col("t_total") * col("t_total")))
+        .withColumn("q_den", lit(3L) * col("t_total") - col("l2_sum"))
+        .withColumn("q_stat", when(col("q_den") > 0,
+          r4(col("q_num").cast("double") / col("q_den").cast("double"))))
+        .select("n_users", "g1", "g2", "g3", "t_total", "l2_sum",
+          "q_num", "q_den", "q_stat")
     }),
 
     // McNEMAR PAIRED TEST (round 11): did users' purchase behavior
@@ -1754,6 +1856,56 @@ object Stats {
         |      / (ssw / (n_total - k_groups)::DOUBLE) * 10000 + 0.5) / 10000
         |    END AS bf_stat
         |FROM b""".stripMargin,
+    // Doubled midranks R2 = 2·cum< + c + 1 off the value grid, exact
+    // BIGINT group rank sums, anova-style whole-unit R2²/n terms,
+    // MW tie-cube guard; the ×4 deferred to the H assembly.
+    "agg_kruskal_wallis" ->
+      """WITH cells AS (
+        |  SELECT lang, n_chars::BIGINT AS x, count(*)::BIGINT AS cg
+        |  FROM documents GROUP BY 1, 2),
+        |vals AS (
+        |  SELECT x, c,
+        |    (coalesce(sum(c) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+        |      AS cum_lt
+        |  FROM (SELECT x, sum(cg)::BIGINT AS c FROM cells GROUP BY 1)),
+        |r AS (SELECT x, (2 * cum_lt + c + 1)::BIGINT AS r2 FROM vals),
+        |g AS (
+        |  SELECT cells.lang, sum(cg)::BIGINT AS n_g,
+        |    sum(cg * r2)::BIGINT AS r2_g
+        |  FROM cells JOIN r ON cells.x = r.x GROUP BY 1),
+        |gu AS (
+        |  SELECT lang, n_g,
+        |    floor(r2_g::DOUBLE * r2_g::DOUBLE / n_g::DOUBLE + 0.5)::BIGINT
+        |      AS term_u
+        |  FROM g),
+        |t AS (
+        |  SELECT sum(CASE WHEN c < 2097152 THEN c * c * c - c END)::BIGINT
+        |      AS tie_raw,
+        |    max(c)::BIGINT AS c_max
+        |  FROM vals),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS k_groups, sum(n_g)::BIGINT AS n_total,
+        |    sum(term_u)::BIGINT AS t_sum_u
+        |  FROM gu),
+        |b AS (
+        |  SELECT k_groups, n_total, t_sum_u,
+        |    CASE WHEN c_max < 2097152 THEN tie_raw END AS tie_sum
+        |  FROM a CROSS JOIN t),
+        |h AS (
+        |  SELECT *,
+        |    CASE WHEN n_total > 1 THEN
+        |      1.0 - tie_sum::DOUBLE
+        |        / (n_total::DOUBLE * n_total::DOUBLE * n_total::DOUBLE
+        |          - n_total::DOUBLE) END AS tie_denom
+        |  FROM b)
+        |SELECT k_groups, n_total, t_sum_u, tie_sum,
+        |  CASE WHEN k_groups > 1 AND tie_denom > 0 THEN
+        |    floor((12.0 / (n_total::DOUBLE * (n_total + 1)::DOUBLE)
+        |      * (t_sum_u::DOUBLE / 4.0)
+        |      - 3.0 * (n_total + 1)::DOUBLE) / tie_denom
+        |      * 10000 + 0.5) / 10000 END AS h_stat
+        |FROM h""".stripMargin,
     "agg_welch_t" ->
       s"""$CellsCte,
         |a AS (
@@ -1821,6 +1973,39 @@ object Stats {
         |      * 10000 + 0.5) / 10000 END AS hedges_g
         |FROM c""".stripMargin,
     // Same (min+max)//2 split, per-user flag fold, exact-integer χ².
+    // Integer identity Q = (k−1)(kΣG² − T²)/(kT − ΣL²), k = 3;
+    // universe-invariant (all-zero and all-k rows cancel).
+    "agg_cochran_q" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+        |      AS b1,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |      AS b2,
+        |    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+        |      AS b3
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase', 'error')
+        |  GROUP BY 1),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n_users,
+        |    sum(b1)::BIGINT AS g1, sum(b2)::BIGINT AS g2,
+        |    sum(b3)::BIGINT AS g3,
+        |    sum((b1 + b2 + b3) * (b1 + b2 + b3))::BIGINT AS l2_sum
+        |  FROM b),
+        |c AS (
+        |  SELECT *, (g1 + g2 + g3)::BIGINT AS t_total FROM a),
+        |e AS (
+        |  SELECT *,
+        |    (2 * (3 * (g1 * g1 + g2 * g2 + g3 * g3)
+        |      - t_total * t_total))::BIGINT AS q_num,
+        |    (3 * t_total - l2_sum)::BIGINT AS q_den
+        |  FROM c)
+        |SELECT n_users, g1, g2, g3, t_total, l2_sum, q_num, q_den,
+        |  CASE WHEN q_den > 0 THEN
+        |    floor(q_num::DOUBLE / q_den::DOUBLE * 10000 + 0.5) / 10000
+        |    END AS q_stat
+        |FROM e""".stripMargin,
     "agg_mcnemar" ->
       """WITH mid AS (
         |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid

@@ -650,6 +650,35 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // GUNNING FOG (round 13): the second standard readability index,
+    // published next to Flesch because the two disagree exactly where
+    // it matters — fog weights the COMPLEX-word RATE (≥3 vowel-group
+    // syllables) while Flesch weights total syllable density, so
+    // polysyllable-heavy technical text scores differently under
+    // each. Same doc-local HOF fold as text_readability (one
+    // filter() over the word array instead of a transform-sum); the
+    // 0.4·(words/sentences + 100·complex/words) assembly is one
+    // mirrored double expression r4'd, n_words > 0 filtered so no
+    // division guard is needed. Embarrassingly parallel at any scale.
+    "text_gunning_fog" -> ((s, d) => {
+      val words = regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))
+      TestData.documents(s, d)
+        .withColumn("n_words", size(words).cast("long"))
+        .withColumn("n_sentences", greatest(lit(1L),
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+            .cast("long")))
+        .withColumn("n_complex", size(filter(words, w =>
+          size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))) >= 3))
+          .cast("long"))
+        .filter(col("n_words") > 0)
+        .withColumn("fog", r4(lit(0.4)
+          * (col("n_words").cast("double") / col("n_sentences").cast("double")
+            + lit(100.0) * (col("n_complex").cast("double")
+              / col("n_words").cast("double")))))
+        .select("doc_id", "n_words", "n_sentences", "n_complex", "fog")
+        .orderBy("doc_id")
+    }),
+
     // YULE'S K (round 10): the sample-size-invariant vocabulary-
     // richness constant per language — K = 10⁴·(Σf² − N)/N² over the
     // token frequency spectrum (0 for all-distinct text, →10⁴ for
@@ -1150,6 +1179,23 @@ object TextAnalysis {
         |    - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
         |    - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE))
         |    * 10000 + 0.5) / 10000 AS flesch
+        |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+    // Complex = ≥3 vowel-group syllables via list_filter; same
+    // word/sentence extraction as the Flesch oracle.
+    "text_gunning_fog" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS n_words,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+        |      AS n_sentences,
+        |    len(list_filter(regexp_extract_all(text, '[a-z0-9]+'),
+        |      w -> len(regexp_extract_all(w, '[aeiouy]+')) >= 3))::BIGINT
+        |      AS n_complex
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_complex,
+        |  floor(0.4 * (n_words::DOUBLE / n_sentences::DOUBLE
+        |    + 100.0 * (n_complex::DOUBLE / n_words::DOUBLE))
+        |    * 10000 + 0.5) / 10000 AS fog
         |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
     "text_yule_k" ->
       """WITH f AS (

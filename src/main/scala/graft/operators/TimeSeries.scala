@@ -2073,6 +2073,54 @@ object TimeSeries {
         .select("n_hours", "n_pairs", "s_stat", "tie_term", "var_num", "z")
     }),
 
+    // PETTITT TEST (round 13): the RANK-based single-changepoint
+    // test — ts_changepoint_cusum reacts to mean shifts in raw
+    // units, Pettitt asks the distribution-free question "is there a
+    // point where the BEFORE and AFTER samples stochastically
+    // differ", robust to the heavy-tailed hourly counts. The O(n²)
+    // pair definition U_t = Σ_{i≤t}Σ_{j>t} sgn(x_i−x_j) collapses to
+    // an EXACT prefix-sum closed form over doubled midranks (CUSUM
+    // precedent — prefer the closed form, it oracles exactly):
+    // within-prefix pairs cancel by antisymmetry, so U_t = S2_t −
+    // t(N+1) where S2_t is the running sum of R2_i = 2·cum<(v) +
+    // c(v) + 1 off the value grid — every term an exact BIGINT.
+    // K = max|U_t| over t < N, changepoint = earliest argmax hour,
+    // p ≈ 2·exp(−6K²/(N²(N+1))). Two domain-bounded windows (value
+    // grid for ranks, hour grid for the prefix), no corpus-grain
+    // shuffle. Bound: S2 ≤ 2N² ⇒ exact to N ≲ 2e9 hours, documented.
+    "ts_pettitt_test" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val hourly = TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("xh"))
+        .agg(count(lit(1)).as("v"))
+        .localCheckpoint() // consumed by the value grid AND the join
+      val r2v = hourly.groupBy("v").agg(count(lit(1)).as("c"))
+        .withColumn("cum_lt",
+          coalesce(sum("c").over(W.orderBy("v")
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .select(col("v"),
+          (lit(2L) * col("cum_lt") + col("c") + 1).as("r2"))
+      val seq = hourly.join(broadcast(r2v), "v")
+        .withColumn("t", row_number().over(W.orderBy("xh")).cast("long"))
+        .withColumn("n_hours", count(lit(1)).over(W.partitionBy()))
+        .withColumn("s2", sum("r2").over(W.orderBy("xh")
+          .rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn("u_t", col("s2") - col("t") * (col("n_hours") + 1))
+        .filter(col("t") < col("n_hours")) // U_N ≡ 0 by construction
+      seq
+        .withColumn("rk", row_number().over(
+          W.orderBy(abs(col("u_t")).desc, col("xh"))))
+        .filter(col("rk") === 1)
+        .withColumn("k_stat", abs(col("u_t")))
+        .withColumn("p_approx", r4(least(lit(1.0), lit(2.0)
+          * exp(lit(-6.0) * col("k_stat").cast("double")
+              * col("k_stat").cast("double")
+            / (col("n_hours").cast("double") * col("n_hours").cast("double")
+              * (col("n_hours") + 1).cast("double"))))))
+        .select(col("n_hours"), col("xh").as("cp_hour"),
+          col("u_t").as("u_at_cp"), col("k_stat"), col("p_approx"))
+    }),
+
     // LEVEL-SHIFT SCAN (round 10): the step-change detector that
     // complements ts_changepoint_cusum — at every hour boundary,
     // compare the mean of the NEXT 24 occupied hours against the
@@ -4115,6 +4163,39 @@ object TimeSeries {
         |    floor((s_stat - sign(s_stat))::DOUBLE
         |      / sqrt(var_num::DOUBLE / 18.0) * 10000 + 0.5) / 10000 END AS z
         |FROM a""".stripMargin,
+    // U_t = S2_t − t(N+1) over doubled midranks (within-prefix pairs
+    // cancel by antisymmetry); earliest-argmax tie-break mirrored.
+    "ts_pettitt_test" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS xh, count(*)::BIGINT AS v
+        |  FROM events GROUP BY 1),
+        |r2v AS (
+        |  SELECT v,
+        |    (2 * (coalesce(sum(c) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        0))::BIGINT
+        |      + c + 1)::BIGINT AS r2
+        |  FROM (SELECT v, count(*)::BIGINT AS c FROM hourly GROUP BY 1)),
+        |seq AS (
+        |  SELECT xh,
+        |    row_number() OVER (ORDER BY xh)::BIGINT AS t,
+        |    (count(*) OVER ())::BIGINT AS n_hours,
+        |    (sum(r2) OVER (ORDER BY xh
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS s2
+        |  FROM hourly JOIN r2v ON hourly.v = r2v.v),
+        |u AS (
+        |  SELECT xh, n_hours, (s2 - t * (n_hours + 1))::BIGINT AS u_t
+        |  FROM seq WHERE t < n_hours),
+        |best AS (
+        |  SELECT *, abs(u_t)::BIGINT AS k_stat,
+        |    row_number() OVER (ORDER BY abs(u_t) DESC, xh) AS rk
+        |  FROM u)
+        |SELECT n_hours, xh AS cp_hour, u_t AS u_at_cp, k_stat,
+        |  floor(least(1.0, 2.0 * exp(-6.0 * k_stat::DOUBLE * k_stat::DOUBLE
+        |    / (n_hours::DOUBLE * n_hours::DOUBLE * (n_hours + 1)::DOUBLE)))
+        |    * 10000 + 0.5) / 10000 AS p_approx
+        |FROM best WHERE rk = 1""".stripMargin,
     // Same RANGE frames over the hour grid, full-window boundaries
     // only, micro-quantized sort key with the (|shift| DESC, hr)
     // tie-break.

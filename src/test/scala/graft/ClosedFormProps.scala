@@ -1248,4 +1248,58 @@ object ClosedFormProps extends Properties("graft.closedforms") {
         (M.dctPhash(base, basis) == M.dctPhash(shifted, basis)) :|
           "uniform byte offset must not change the hash"
     }
+
+  // ts_pettitt_test: within-prefix pairs cancel by antisymmetry, so
+  // U_t = Σ_{i≤t}Σ_{j>t} sgn(x_i−x_j) = S2_t − t(N+1) where S2 runs
+  // over doubled midranks R2(v) = 2·cum<(v) + c(v) + 1 — the identity
+  // that turns the O(n²) pair scan into one prefix sum.
+  property("Pettitt prefix closed form equals the pairwise sgn definition") =
+    Prop.forAll(series) { xs =>
+      val n = xs.length
+      def r2(v: Long): Long =
+        2L * xs.count(_ < v) + xs.count(_ == v) + 1
+      val s2 = xs.map(r2).scanLeft(0L)(_ + _).tail
+      val closed = (1 to n).map(t => s2(t - 1) - t.toLong * (n + 1))
+      val brute = (1 to n).map(t =>
+        (for (i <- 0 until t; j <- t until n)
+          yield java.lang.Long.signum(xs(i) - xs(j)).toLong).sum)
+      (closed == brute) :| s"closed $closed != brute $brute"
+    }
+
+  // agg_kruskal_wallis's rank source: the doubled grid midrank
+  // R2(v) = 2·cum<(v) + c(v) + 1 is exactly twice the average of the
+  // 1-based positions value v occupies in the sorted pooled sample —
+  // the identity that keeps tied ranks integer on the value grid.
+  property("doubled grid midranks equal twice the pooled average rank") =
+    Prop.forAll(series) { xs =>
+      val withRank = xs.sorted.zipWithIndex
+      xs.distinct.forall { v =>
+        val pos = withRank.collect { case (x, i) if x == v => i + 1L }
+        val r2 = 2L * xs.count(_ < v) + xs.count(_ == v) + 1
+        r2 * pos.length == 2L * pos.sum
+      } :| "R2 * count must equal 2 * sum(positions)"
+    }
+
+  // agg_cochran_q: the all-integer identity
+  // (k−1)(kΣG² − T²) / (kT − ΣL²) equals the textbook
+  // k(k−1)Σ_j(G_j − T/k)² / (kT − ΣL²) — expand the square and
+  // ΣG = T collapses the cross term.
+  property("Cochran Q integer identity equals the textbook form") =
+    Prop.forAll(Gen.choose(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.listOfN(3, Gen.choose(0L, 1L))))) { rows =>
+      val k = 3
+      val g = (0 until k).map(j => rows.map(_(j)).sum)
+      val t = g.sum
+      val l2 = rows.map(r => r.sum * r.sum).sum
+      val den = k * t - l2
+      (den > 0) ==> {
+        val intQ = ((k - 1) * (k * g.map(x => x * x).sum - t * t)).toDouble /
+          den.toDouble
+        val textQ = k * (k - 1) *
+          g.map(x => math.pow(x.toDouble - t.toDouble / k, 2)).sum /
+          den.toDouble
+        (math.abs(intQ - textQ) < 1e-6 * math.max(1.0, math.abs(textQ))) :|
+          s"integer $intQ != textbook $textQ"
+      }
+    }
 }
