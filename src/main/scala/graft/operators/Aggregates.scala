@@ -403,6 +403,44 @@ object Aggregates {
         .orderBy("nationkey")
     }),
 
+    // LORENZ DECILES (round 13): the CURVE behind the gini scalar —
+    // per nation, the cumulative revenue share held by the bottom
+    // 10%, 20%, … of orders; the readout an inequality analysis
+    // publishes next to agg_gini_concentration when one number isn't
+    // enough ("the bottom half holds 9%" is a Lorenz point). Decile
+    // assignment is pure integer arithmetic off the same per-nation
+    // rank window gini already rides: bucket = (i−1)·10 DIV n + 1
+    // (sizes within 1 of n/10, Σ = n exactly); cumulative cents are
+    // exact BIGINTs over the ≤10-row per-nation bucket grid; ONE
+    // r4'd division per output row. total = 0 would be an ANSI x/0
+    // throw vs DuckDB NULL — guarded at the definition site.
+    "agg_lorenz_deciles" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val wr = W.partitionBy("nationkey").orderBy("cents", "o_orderkey")
+      val o = TestData.orders(s, d)
+        .join(broadcast(TestData.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").cast("long").as("nationkey"),
+          col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      o.withColumn("i", row_number().over(wr).cast("long"))
+        .withColumn("n", count(lit(1)).over(W.partitionBy("nationkey")))
+        .withColumn("decile", expr("((i - 1) * 10) DIV n + 1"))
+        .groupBy("nationkey", "decile")
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("bucket_cents"))
+        .withColumn("cum_cents", sum("bucket_cents").over(
+          W.partitionBy("nationkey").orderBy("decile")
+            .rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn("total_cents", sum("bucket_cents").over(
+          W.partitionBy("nationkey")))
+        .withColumn("cum_share", when(col("total_cents") > 0,
+          r4(col("cum_cents").cast("double")
+            / col("total_cents").cast("double"))))
+        .select("nationkey", "decile", "n_rows", "bucket_cents",
+          "cum_cents", "cum_share")
+        .orderBy("nationkey", "decile")
+    }),
+
     // HERFINDAHL–HIRSCHMAN INDEX (round 9): market concentration per
     // nation over customer revenue shares — the antitrust-style
     // readout next to Gini/Theil/Pareto, and the one regulators
@@ -649,6 +687,37 @@ object Aggregates {
         |  floor(((2 * rank_sum - (n_orders + 1) * sum_cents)::DOUBLE
         |    / (n_orders * sum_cents))*10000 + 0.5)/10000 AS gini
         |FROM g ORDER BY nationkey""".stripMargin,
+    // Same per-nation rank window as gini; bucket = (i−1)·10 // n + 1
+    // integer deciles; exact BIGINT cumulatives, one r4'd share.
+    "agg_lorenz_deciles" ->
+      """WITH o AS (
+        |  SELECT c_nationkey::BIGINT AS nationkey, o_orderkey,
+        |    floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT nationkey, cents,
+        |    row_number() OVER (PARTITION BY nationkey
+        |      ORDER BY cents, o_orderkey)::BIGINT AS i,
+        |    (count(*) OVER (PARTITION BY nationkey))::BIGINT AS n
+        |  FROM o),
+        |b AS (
+        |  SELECT nationkey, ((i - 1) * 10) // n + 1 AS decile,
+        |    count(*)::BIGINT AS n_rows, sum(cents)::BIGINT AS bucket_cents
+        |  FROM r GROUP BY 1, 2),
+        |c AS (
+        |  SELECT *,
+        |    (sum(bucket_cents) OVER (PARTITION BY nationkey
+        |      ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS cum_cents,
+        |    (sum(bucket_cents) OVER (PARTITION BY nationkey))::BIGINT
+        |      AS total_cents
+        |  FROM b)
+        |SELECT nationkey, decile, n_rows, bucket_cents, cum_cents,
+        |  CASE WHEN total_cents > 0 THEN
+        |    floor(cum_cents::DOUBLE / total_cents::DOUBLE * 10000 + 0.5)
+        |      / 10000 END AS cum_share
+        |FROM c ORDER BY nationkey, decile""".stripMargin,
     // cents·1e6 // S exact per customer; Σ share² // 1e6 exact; the
     // only float is the final effective-n division, r4'd.
     "agg_hhi_concentration" ->

@@ -713,6 +713,79 @@ object Stats {
         .select("k_groups", "n_total", "t_sum_u", "tie_sum", "h_stat")
     }),
 
+    // JONCKHEERE-TERPSTRA (round 13): the ORDERED-alternative k-group
+    // trend test — Kruskal-Wallis asks "do the groups differ AT ALL";
+    // J-T asks "do they INCREASE along a known ordering" (here:
+    // account balance across the ordinal nation index), with far more
+    // power when the ordering is real. J = Σ_{g<g'} U(g,g') would be
+    // k² Mann-Whitney passes; instead the whole statistic is ONE
+    // 2-D dominance prefix over the COMPLETED (group × value) grid:
+    // J2 = Σ_cells c·(2·T_lt + S_eq), T_lt(v,g) = Σ_{w<v,g'<g} c —
+    // two stacked windows (value order within group, then group order
+    // within value), every term an exact BIGINT. The grid is
+    // domain-bounded: distinct cents values × k groups (the cramers_v
+    // zero-cell completion move — absent cells must contribute their
+    // cumulative position). Doubling keeps tie half-counts integer:
+    // E[J2] = (N² − Σn²) DIV 2 is exact (the difference is even).
+    // The tie-corrected variance assembles three guarded BIGINT sums
+    // (per-group and per-value cubes under a 2^20 cap — overflow ⇒
+    // NULL z, never a wrap) in mirrored doubles at the 1-row readout.
+    "agg_jonckheere_terpstra" -> ((s, d) => {
+      val lim = lit(1048576L) // 2^20: 2n³ < 2^63 per group/value
+      val cu = TestData.customer(s, d)
+        .select(col("c_nationkey").cast("long").as("g"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("v"))
+      val cells = cu.groupBy("g", "v").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // grid completion + two marginal rollups
+      val grid = cells.select("v").distinct()
+        .crossJoin(broadcast(cells.select("g").distinct()))
+        .join(cells, Seq("g", "v"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val wV = Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wG = Window.partitionBy("v").orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val j2 = grid
+        .withColumn("cumlt", coalesce(sum("c").over(wV), lit(0L)))
+        .withColumn("t_lt", coalesce(sum("cumlt").over(wG), lit(0L)))
+        .withColumn("s_eq", coalesce(sum("c").over(wG), lit(0L)))
+        .agg(sum(col("c") * (lit(2L) * col("t_lt") + col("s_eq")))
+          .as("j2"))
+      val gs = cells.groupBy("g").agg(sum("c").as("n_g"))
+        .agg(count(lit(1)).as("k_groups"), sum("n_g").as("n_total"),
+          sum(col("n_g") * col("n_g")).as("sum_n2"),
+          sum(when(col("n_g") < lim, col("n_g") * (col("n_g") - 1)
+            * (lit(2L) * col("n_g") + 5))).as("g1"),
+          sum(when(col("n_g") < lim, col("n_g") * (col("n_g") - 1)
+            * (col("n_g") - 2))).as("g2"),
+          sum(col("n_g") * (col("n_g") - 1)).as("g3"),
+          max("n_g").as("g_max"))
+      val vs = cells.groupBy("v").agg(sum("c").as("t_v"))
+        .agg(sum(when(col("t_v") < lim, col("t_v") * (col("t_v") - 1)
+            * (lit(2L) * col("t_v") + 5))).as("t1"),
+          sum(when(col("t_v") < lim, col("t_v") * (col("t_v") - 1)
+            * (col("t_v") - 2))).as("t2"),
+          sum(col("t_v") * (col("t_v") - 1)).as("t3"),
+          max("t_v").as("t_max"))
+      val nD = col("n_total").cast("double")
+      j2.crossJoin(gs).crossJoin(vs)
+        .withColumn("e2",
+          expr("(n_total * n_total - sum_n2) DIV 2"))
+        .withColumn("var_j", when(
+          col("g_max") < lim && col("t_max") < lim && col("n_total") > 2,
+          (nD * (nD - 1.0) * (lit(2.0) * nD + 5.0)
+            - col("g1").cast("double") - col("t1").cast("double")) / 72.0
+            + col("g2").cast("double") * col("t2").cast("double")
+              / (lit(36.0) * nD * (nD - 1.0) * (nD - 2.0))
+            + col("g3").cast("double") * col("t3").cast("double")
+              / (lit(8.0) * nD * (nD - 1.0))))
+        .withColumn("z", when(col("var_j") > 0, r4(
+          ((col("j2") - col("e2")).cast("double") / 2.0)
+            / sqrt(col("var_j")))))
+        .select(col("k_groups"), col("n_total"), col("j2"), col("e2"),
+          col("sum_n2"), r4(col("var_j")).as("var_j"), col("z"))
+    }),
+
     // WELCH'S t (round 10): the unequal-variance two-sample t on
     // per-user total value — the parametric companion the MW-U /
     // KS readouts are compared against (same md5 variant split,
@@ -926,6 +999,59 @@ object Stats {
           r4(col("q_num").cast("double") / col("q_den").cast("double"))))
         .select("n_users", "g1", "g2", "g3", "t_total", "l2_sum",
           "q_num", "q_den", "q_stat")
+    }),
+
+    // FRIEDMAN TEST (round 13): the within-block RANK companion to
+    // agg_cochran_q — Cochran asks "same incidence" on binary flags,
+    // Friedman asks "same MAGNITUDE ordering" on the three per-user
+    // action COUNTS, robust to users whose overall volume differs by
+    // orders of magnitude (each user is ranked against only itself).
+    // k = 3 treatments ⇒ the within-row midranks are a CLOSED FORM:
+    // R2_j = 2·#{l: x_l<x_j} + #{l: x_l=x_j} + 1 (doubled — ties stay
+    // integer; ΣR2 = 12 per row by construction). The tie-corrected
+    // statistic collapses to all-integers: χ² = 2·Σ_j(R2_j − 4n)² /
+    // (A2 − 48n) with A2 = ΣR2², one division at the 1-row readout.
+    // Fully-tied rows shift every term equally ⇒ χ² is invariant to
+    // the all-zero-user universe choice (documented, as cochran_q).
+    // All-rows-fully-tied ⇒ denominator 0 ⇒ NULL. Bound: Σ(R2−4n)²
+    // ≤ 12n² ⇒ exact to n ≲ 8e8 users, documented.
+    "agg_friedman_test" -> ((s, d) => {
+      val b = TestData.events(s, d)
+        .filter(col("event_type").isin("click", "purchase", "error"))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("x1"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("x2"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("x3"))
+      def r2(j: Column, a: Column, b2: Column): Column =
+        lit(2L) * (when(a < j, 1L).otherwise(0L)
+          + when(b2 < j, 1L).otherwise(0L)) +
+          (lit(1L) + when(a === j, 1L).otherwise(0L)
+            + when(b2 === j, 1L).otherwise(0L)) + 1L
+      val ranked = b
+        .withColumn("r1", r2(col("x1"), col("x2"), col("x3")))
+        .withColumn("r2", r2(col("x2"), col("x1"), col("x3")))
+        .withColumn("r3", r2(col("x3"), col("x1"), col("x2")))
+      ranked.agg(count(lit(1)).as("n_users"),
+          sum("r1").as("rs1"), sum("r2").as("rs2"), sum("r3").as("rs3"),
+          sum(col("r1") * col("r1") + col("r2") * col("r2")
+            + col("r3") * col("r3")).as("a2"))
+        .withColumn("chi2_num", lit(2L)
+          * ((col("rs1") - lit(4L) * col("n_users"))
+              * (col("rs1") - lit(4L) * col("n_users"))
+            + (col("rs2") - lit(4L) * col("n_users"))
+              * (col("rs2") - lit(4L) * col("n_users"))
+            + (col("rs3") - lit(4L) * col("n_users"))
+              * (col("rs3") - lit(4L) * col("n_users"))))
+        .withColumn("chi2_den", col("a2") - lit(48L) * col("n_users"))
+        .withColumn("chi2_f", when(col("chi2_den") > 0,
+          r4(col("chi2_num").cast("double")
+            / col("chi2_den").cast("double"))))
+        .select("n_users", "rs1", "rs2", "rs3", "a2",
+          "chi2_num", "chi2_den", "chi2_f")
     }),
 
     // McNEMAR PAIRED TEST (round 11): did users' purchase behavior
@@ -1906,6 +2032,80 @@ object Stats {
         |      - 3.0 * (n_total + 1)::DOUBLE) / tie_denom
         |      * 10000 + 0.5) / 10000 END AS h_stat
         |FROM h""".stripMargin,
+    // The 2-D dominance prefix over the completed (group × value)
+    // grid; doubled J2, exact-even E[J2], guarded cube sums, variance
+    // assembled in mirrored doubles.
+    "agg_jonckheere_terpstra" ->
+      """WITH cu AS (
+        |  SELECT c_nationkey::BIGINT AS g,
+        |    floor(c_acctbal * 100 + 0.5)::BIGINT AS v
+        |  FROM customer),
+        |cells AS (SELECT g, v, count(*)::BIGINT AS c FROM cu GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT gg.g, vv.v, coalesce(cells.c, 0)::BIGINT AS c
+        |  FROM (SELECT DISTINCT v FROM cells) vv
+        |  CROSS JOIN (SELECT DISTINCT g FROM cells) gg
+        |  LEFT JOIN cells ON cells.g = gg.g AND cells.v = vv.v),
+        |p1 AS (
+        |  SELECT g, v, c,
+        |    (coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0))::BIGINT AS cumlt
+        |  FROM grid),
+        |p2 AS (
+        |  SELECT g, v, c,
+        |    (coalesce(sum(cumlt) OVER (PARTITION BY v ORDER BY g
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0))::BIGINT AS t_lt,
+        |    (coalesce(sum(c) OVER (PARTITION BY v ORDER BY g
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0))::BIGINT AS s_eq
+        |  FROM p1),
+        |j AS (SELECT sum(c * (2 * t_lt + s_eq))::BIGINT AS j2 FROM p2),
+        |gsz AS (SELECT g, sum(c)::BIGINT AS n_g FROM cells GROUP BY 1),
+        |gs AS (
+        |  SELECT count(*)::BIGINT AS k_groups, sum(n_g)::BIGINT AS n_total,
+        |    sum(n_g * n_g)::BIGINT AS sum_n2,
+        |    sum(CASE WHEN n_g < 1048576
+        |      THEN n_g * (n_g - 1) * (2 * n_g + 5) END)::BIGINT AS g1,
+        |    sum(CASE WHEN n_g < 1048576
+        |      THEN n_g * (n_g - 1) * (n_g - 2) END)::BIGINT AS g2,
+        |    sum(n_g * (n_g - 1))::BIGINT AS g3,
+        |    max(n_g)::BIGINT AS g_max
+        |  FROM gsz),
+        |vsz AS (SELECT v, sum(c)::BIGINT AS t_v FROM cells GROUP BY 1),
+        |vs AS (
+        |  SELECT
+        |    sum(CASE WHEN t_v < 1048576
+        |      THEN t_v * (t_v - 1) * (2 * t_v + 5) END)::BIGINT AS t1,
+        |    sum(CASE WHEN t_v < 1048576
+        |      THEN t_v * (t_v - 1) * (t_v - 2) END)::BIGINT AS t2,
+        |    sum(t_v * (t_v - 1))::BIGINT AS t3,
+        |    max(t_v)::BIGINT AS t_max
+        |  FROM vsz),
+        |a AS (
+        |  SELECT *, ((n_total * n_total - sum_n2) // 2)::BIGINT AS e2
+        |  FROM j CROSS JOIN gs CROSS JOIN vs),
+        |b AS (
+        |  SELECT *,
+        |    CASE WHEN g_max < 1048576 AND t_max < 1048576
+        |        AND n_total > 2 THEN
+        |      (n_total::DOUBLE * (n_total::DOUBLE - 1.0)
+        |          * (2.0 * n_total::DOUBLE + 5.0)
+        |        - g1::DOUBLE - t1::DOUBLE) / 72.0
+        |      + g2::DOUBLE * t2::DOUBLE
+        |        / (36.0 * n_total::DOUBLE * (n_total::DOUBLE - 1.0)
+        |          * (n_total::DOUBLE - 2.0))
+        |      + g3::DOUBLE * t3::DOUBLE
+        |        / (8.0 * n_total::DOUBLE * (n_total::DOUBLE - 1.0))
+        |      END AS var_j
+        |  FROM a)
+        |SELECT k_groups, n_total, j2, e2, sum_n2,
+        |  floor(var_j * 10000 + 0.5) / 10000 AS var_j,
+        |  CASE WHEN var_j > 0 THEN
+        |    floor(((j2 - e2)::DOUBLE / 2.0) / sqrt(var_j) * 10000 + 0.5)
+        |      / 10000 END AS z
+        |FROM b""".stripMargin,
     "agg_welch_t" ->
       s"""$CellsCte,
         |a AS (
@@ -1973,6 +2173,54 @@ object Stats {
         |      * 10000 + 0.5) / 10000 END AS hedges_g
         |FROM c""".stripMargin,
     // Same (min+max)//2 split, per-user flag fold, exact-integer χ².
+    // Closed-form doubled midranks within the 3-value row, then the
+    // all-integer tie-corrected χ² = 2Σ(R2_j−4n)²/(A2−48n).
+    "agg_friedman_test" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+        |      AS x1,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |      AS x2,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+        |      AS x3
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase', 'error')
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT
+        |    (2 * ((CASE WHEN x2 < x1 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN x3 < x1 THEN 1 ELSE 0 END))
+        |      + (1 + (CASE WHEN x2 = x1 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN x3 = x1 THEN 1 ELSE 0 END)) + 1)::BIGINT AS r1,
+        |    (2 * ((CASE WHEN x1 < x2 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN x3 < x2 THEN 1 ELSE 0 END))
+        |      + (1 + (CASE WHEN x1 = x2 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN x3 = x2 THEN 1 ELSE 0 END)) + 1)::BIGINT AS r2,
+        |    (2 * ((CASE WHEN x1 < x3 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN x2 < x3 THEN 1 ELSE 0 END))
+        |      + (1 + (CASE WHEN x1 = x3 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN x2 = x3 THEN 1 ELSE 0 END)) + 1)::BIGINT AS r3
+        |  FROM b),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n_users,
+        |    sum(r1)::BIGINT AS rs1, sum(r2)::BIGINT AS rs2,
+        |    sum(r3)::BIGINT AS rs3,
+        |    sum(r1 * r1 + r2 * r2 + r3 * r3)::BIGINT AS a2
+        |  FROM r),
+        |c AS (
+        |  SELECT *,
+        |    (2 * ((rs1 - 4 * n_users) * (rs1 - 4 * n_users)
+        |      + (rs2 - 4 * n_users) * (rs2 - 4 * n_users)
+        |      + (rs3 - 4 * n_users) * (rs3 - 4 * n_users)))::BIGINT
+        |      AS chi2_num,
+        |    (a2 - 48 * n_users)::BIGINT AS chi2_den
+        |  FROM a)
+        |SELECT n_users, rs1, rs2, rs3, a2, chi2_num, chi2_den,
+        |  CASE WHEN chi2_den > 0 THEN
+        |    floor(chi2_num::DOUBLE / chi2_den::DOUBLE * 10000 + 0.5) / 10000
+        |    END AS chi2_f
+        |FROM c""".stripMargin,
     // Integer identity Q = (k−1)(kΣG² − T²)/(kT − ΣL²), k = 3;
     // universe-invariant (all-zero and all-k rows cancel).
     "agg_cochran_q" ->

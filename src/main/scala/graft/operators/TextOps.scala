@@ -582,6 +582,53 @@ object TextOps {
           "coverage_b")
     }),
 
+    // DETECTOR KAPPA (round 13): Cohen's κ between the simhash and
+    // jaccard near-dup detectors at DOC grain — capture-recapture
+    // estimates how many dups BOTH miss; κ asks whether the two
+    // detectors even agree on which docs are dup-involved beyond
+    // chance (κ ≈ 0 ⇒ the "two independent detectors" assumption
+    // behind the Chapman estimate is plausible; κ ≈ 1 ⇒ they're the
+    // same detector twice and the audit is circular — the companion
+    // diagnostic). A doc is flagged by a detector iff it appears in
+    // any of its pairs; both pair lists ride the SessionMemo'd
+    // fixture stages, so this key adds two tiny distinct-explodes.
+    // κ = (n(a+d) − pe_num)/(n² − pe_num) with pe_num =
+    // (a+b)(a+c) + (c+d)(b+d) — ALL integer until one r4'd division
+    // (products ≤ n², exact to ~3e9 docs). Constant detectors
+    // (pe = 1) ⇒ denominator 0 ⇒ NULL.
+    "dedup_detector_kappa" -> ((s, d) => {
+      val fa = TextAnalysis.fixtureSimhashPairs(s, d)
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct().withColumn("f_a", lit(1L))
+      val fb = fixtureJaccardPairs(s, d)
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct().withColumn("f_b", lit(1L))
+      TestData.documents(s, d).select("doc_id")
+        .join(broadcast(fa), Seq("doc_id"), "left")
+        .join(broadcast(fb), Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("f_a").isNotNull && col("f_b").isNotNull, 1L)
+            .otherwise(0L)).as("n11"),
+          sum(when(col("f_a").isNotNull && col("f_b").isNull, 1L)
+            .otherwise(0L)).as("n10"),
+          sum(when(col("f_a").isNull && col("f_b").isNotNull, 1L)
+            .otherwise(0L)).as("n01"))
+        .withColumn("n00",
+          col("n_docs") - col("n11") - col("n10") - col("n01"))
+        .withColumn("pe_num",
+          (col("n11") + col("n10")) * (col("n11") + col("n01"))
+            + (col("n01") + col("n00")) * (col("n10") + col("n00")))
+        .withColumn("kappa_num",
+          col("n_docs") * (col("n11") + col("n00")) - col("pe_num"))
+        .withColumn("kappa_den",
+          col("n_docs") * col("n_docs") - col("pe_num"))
+        .withColumn("kappa", when(col("kappa_den") > 0,
+          r4(col("kappa_num").cast("double")
+            / col("kappa_den").cast("double"))))
+        .select("n_docs", "n11", "n10", "n01", "n00",
+          "kappa_num", "kappa_den", "kappa")
+    }),
+
     // Character-3-gram Jaccard near-dup pairs (> 0.7): catches
     // near-dups that word tokenization misses (joined/split words,
     // punctuation edits) — the n-gram member of the dedup family.
@@ -839,6 +886,80 @@ object TextOps {
         |    floor(n_both::DOUBLE / n_a::DOUBLE * 10000 + 0.5) / 10000 END
         |    AS coverage_b
         |FROM c""".stripMargin,
+    // Same brute-forced detector pair lists as capture_recapture,
+    // collapsed to doc-grain flags; κ all-integer until one division.
+    "dedup_detector_kappa" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(token), 1, 15))::BIGINT AS hv
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS w
+        |  FROM h, LATERAL (SELECT unnest(range(0, 60)) AS b)
+        |  GROUP BY doc_id, b),
+        |sh AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+        |      AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |da AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |t2 AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM t2 GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM t2 a JOIN t2 b ON a.token = b.token AND a.lang = b.lang
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |db AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) > 0.9),
+        |fa AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT id_a AS doc_id FROM da
+        |    UNION ALL SELECT id_b FROM da)),
+        |fb AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT id_a AS doc_id FROM db
+        |    UNION ALL SELECT id_b FROM db)),
+        |u AS (
+        |  SELECT count(*)::BIGINT AS n_docs,
+        |    sum(CASE WHEN fa.doc_id IS NOT NULL AND fb.doc_id IS NOT NULL
+        |      THEN 1 ELSE 0 END)::BIGINT AS n11,
+        |    sum(CASE WHEN fa.doc_id IS NOT NULL AND fb.doc_id IS NULL
+        |      THEN 1 ELSE 0 END)::BIGINT AS n10,
+        |    sum(CASE WHEN fa.doc_id IS NULL AND fb.doc_id IS NOT NULL
+        |      THEN 1 ELSE 0 END)::BIGINT AS n01
+        |  FROM documents d
+        |  LEFT JOIN fa ON d.doc_id = fa.doc_id
+        |  LEFT JOIN fb ON d.doc_id = fb.doc_id),
+        |v AS (
+        |  SELECT *, (n_docs - n11 - n10 - n01)::BIGINT AS n00 FROM u),
+        |w2 AS (
+        |  SELECT *,
+        |    ((n11 + n10) * (n11 + n01)
+        |      + (n01 + n00) * (n10 + n00))::BIGINT AS pe_num
+        |  FROM v),
+        |x AS (
+        |  SELECT *,
+        |    (n_docs * (n11 + n00) - pe_num)::BIGINT AS kappa_num,
+        |    (n_docs * n_docs - pe_num)::BIGINT AS kappa_den
+        |  FROM w2)
+        |SELECT n_docs, n11, n10, n01, n00, kappa_num, kappa_den,
+        |  CASE WHEN kappa_den > 0 THEN
+        |    floor(kappa_num::DOUBLE / kappa_den::DOUBLE * 10000 + 0.5)
+        |      / 10000 END AS kappa
+        |FROM x""".stripMargin,
     "dedup_jaccard_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token

@@ -1280,6 +1280,31 @@ object ClosedFormProps extends Properties("graft.closedforms") {
       } :| "R2 * count must equal 2 * sum(positions)"
     }
 
+  // agg_jonckheere_terpstra: the doubled statistic J2 =
+  // Σ_{g<g'} (2·#{x<y} + #{x=y}) over cross-group pairs equals the
+  // 2-D dominance prefix Σ_cells c·(2·T_lt + S_eq) over the COMPLETED
+  // (group × value) grid — the identity that replaces k² Mann-Whitney
+  // passes with two stacked windows.
+  property("Jonckheere dominance-prefix form equals the pairwise definition") =
+    Prop.forAll(Gen.choose(1, 120).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 4L), Gen.choose(-6L, 6L))))) { rows =>
+      val brute = (for ((g1, x1) <- rows; (g2, x2) <- rows if g1 < g2)
+        yield (if (x1 < x2) 2L else if (x1 == x2) 1L else 0L)).sum
+      val cMap = rows.groupBy(identity).map { case (k, l) =>
+        (k, l.size.toLong)
+      }.withDefaultValue(0L)
+      val gs = rows.map(_._1).distinct.sorted
+      val vs = rows.map(_._2).distinct.sorted
+      def cumlt(g: Long, v: Long): Long =
+        vs.filter(_ < v).map(w => cMap((g, w))).sum
+      val closed = (for (g <- gs; v <- vs) yield {
+        val tLt = gs.filter(_ < g).map(gp => cumlt(gp, v)).sum
+        val sEq = gs.filter(_ < g).map(gp => cMap((gp, v))).sum
+        cMap((g, v)) * (2L * tLt + sEq)
+      }).sum
+      (closed == brute) :| s"closed $closed != brute $brute"
+    }
+
   // agg_cochran_q: the all-integer identity
   // (k−1)(kΣG² − T²) / (kT − ΣL²) equals the textbook
   // k(k−1)Σ_j(G_j − T/k)² / (kT − ΣL²) — expand the square and
