@@ -159,6 +159,31 @@ object ScalePatterns {
     // across engines, runs, AND cluster sizes — the only sampling
     // discipline usable in a verified training-data pipeline; the
     // filter is map-side, so sampling 100 TB costs one scan.
+    // TWO-STAGE CLUSTER SAMPLE (round 13): the survey-sampling
+    // workhorse for when element frames are too big to touch — stage
+    // 1 selects whole nations (primary sampling units) at ~40% by a
+    // salted md5 on the CLUSTER key, stage 2 subsamples customers
+    // within selected nations at ~25% by a differently-salted md5 on
+    // the ELEMENT key (distinct salts keep the stages independent;
+    // same-key hashes would correlate them). Both predicates are
+    // map-side CASE-free filters — content-derived, reproducible
+    // across engines/runs/cluster sizes, no driver-side PSU list —
+    // and the readout is one nation-grain aggregate. The design
+    // weight is the constant 1/(0.4·0.25) = 10 (documented, not a
+    // column). Output: per-PSU frame totals vs stage-2 takes.
+    "sample_two_stage" -> ((s, d) =>
+      TestData.customer(s, d)
+        .select(col("c_nationkey").cast("long").as("nationkey"),
+          col("c_custkey"))
+        .filter(substring(md5(concat(lit("n1|"),
+          col("nationkey").cast("string"))), 1, 2) < "66")
+        .groupBy("nationkey")
+        .agg(count(lit(1)).as("total_customers"),
+          sum(when(substring(md5(concat(lit("c2|"),
+            col("c_custkey").cast("string"))), 1, 2) < "40", 1L)
+            .otherwise(0L)).as("sampled_customers"))
+        .orderBy("nationkey")),
+
     "sample_hash" -> ((s, d) =>
       TestData.lineitem(s, d)
         .filter(substring(md5(concat_ws("|",
@@ -389,6 +414,17 @@ object ScalePatterns {
         |  floor((sum(o_totalprice))*10000 + 0.5)/10000 AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // Salted md5 per stage: 'n1|' on the cluster key, 'c2|' on the
+    // element key.
+    "sample_two_stage" ->
+      """SELECT c_nationkey::BIGINT AS nationkey,
+        |  count(*)::BIGINT AS total_customers,
+        |  sum(CASE WHEN substring(md5('c2|' || c_custkey::VARCHAR), 1, 2)
+        |    < '40' THEN 1 ELSE 0 END)::BIGINT AS sampled_customers
+        |FROM customer
+        |WHERE substring(md5('n1|' || c_nationkey::BIGINT::VARCHAR), 1, 2)
+        |  < '66'
+        |GROUP BY 1 ORDER BY nationkey""".stripMargin,
     "sample_hash" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem

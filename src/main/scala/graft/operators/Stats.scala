@@ -1054,6 +1054,53 @@ object Stats {
           "chi2_num", "chi2_den", "chi2_f")
     }),
 
+    // PAGE TREND TEST (round 13): the ORDERED-alternative version of
+    // agg_friedman_test — Friedman asks "do the three actions differ
+    // per user at all"; Page asks "do per-user counts INCREASE along
+    // the funnel order view < click < purchase", the within-block
+    // analog of what Jonckheere-Terpstra does across groups. L2 =
+    // Σ_j j·R2_j over the same closed-form doubled within-row
+    // midranks. The variance is NOT the textbook no-tie constant:
+    // under row-wise permutation exchangeability the EXACT
+    // tie-aware conditional moments collapse to E[L2] = 24n and
+    // Var(L2) = A2 − 48n — the same A2 = ΣR2² as Friedman's
+    // denominator (for k = 3: Σj² = 14, Σ_{j≠j'}jj' = 22, ΣR2 = 12
+    // per row ⇒ per-row variance Q4 − 48; property-pinned in
+    // ClosedFormProps by exhaustive 3! permutation). All integers
+    // until the final z; fully-tied rows cancel in BOTH moments ⇒
+    // universe-invariant; all-tied corpus ⇒ Var 0 ⇒ NULL z.
+    "agg_page_trend" -> ((s, d) => {
+      val b = TestData.events(s, d)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("x1"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("x2"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("x3"))
+      def r2(j: Column, a: Column, b2: Column): Column =
+        lit(2L) * (when(a < j, 1L).otherwise(0L)
+          + when(b2 < j, 1L).otherwise(0L)) +
+          (lit(1L) + when(a === j, 1L).otherwise(0L)
+            + when(b2 === j, 1L).otherwise(0L)) + 1L
+      b.withColumn("r1", r2(col("x1"), col("x2"), col("x3")))
+        .withColumn("r2", r2(col("x2"), col("x1"), col("x3")))
+        .withColumn("r3", r2(col("x3"), col("x1"), col("x2")))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("r1") + lit(2L) * col("r2") + lit(3L) * col("r3"))
+            .as("l2"),
+          sum(col("r1") * col("r1") + col("r2") * col("r2")
+            + col("r3") * col("r3")).as("a2"))
+        .withColumn("e2", lit(24L) * col("n_users"))
+        .withColumn("var_l2", col("a2") - lit(48L) * col("n_users"))
+        .withColumn("z", when(col("var_l2") > 0,
+          r4((col("l2") - col("e2")).cast("double")
+            / sqrt(col("var_l2").cast("double")))))
+        .select("n_users", "l2", "e2", "var_l2", "z")
+    }),
+
     // McNEMAR PAIRED TEST (round 11): did users' purchase behavior
     // change between the first and second half of the observation
     // window — the PAIRED nominal test (each user is their own
@@ -2173,6 +2220,49 @@ object Stats {
         |      * 10000 + 0.5) / 10000 END AS hedges_g
         |FROM c""".stripMargin,
     // Same (min+max)//2 split, per-user flag fold, exact-integer χ².
+    // Same doubled within-row midranks as friedman on the funnel
+    // triple; exact conditional moments E=24n, Var=A2−48n.
+    "agg_page_trend" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+        |      AS x1,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+        |      AS x2,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |      AS x3
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT
+        |    (2 * ((CASE WHEN x2 < x1 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN x3 < x1 THEN 1 ELSE 0 END))
+        |      + (1 + (CASE WHEN x2 = x1 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN x3 = x1 THEN 1 ELSE 0 END)) + 1)::BIGINT AS r1,
+        |    (2 * ((CASE WHEN x1 < x2 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN x3 < x2 THEN 1 ELSE 0 END))
+        |      + (1 + (CASE WHEN x1 = x2 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN x3 = x2 THEN 1 ELSE 0 END)) + 1)::BIGINT AS r2,
+        |    (2 * ((CASE WHEN x1 < x3 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN x2 < x3 THEN 1 ELSE 0 END))
+        |      + (1 + (CASE WHEN x1 = x3 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN x2 = x3 THEN 1 ELSE 0 END)) + 1)::BIGINT AS r3
+        |  FROM b),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n_users,
+        |    sum(r1 + 2 * r2 + 3 * r3)::BIGINT AS l2,
+        |    sum(r1 * r1 + r2 * r2 + r3 * r3)::BIGINT AS a2
+        |  FROM r),
+        |c AS (
+        |  SELECT *, (24 * n_users)::BIGINT AS e2,
+        |    (a2 - 48 * n_users)::BIGINT AS var_l2
+        |  FROM a)
+        |SELECT n_users, l2, e2, var_l2,
+        |  CASE WHEN var_l2 > 0 THEN
+        |    floor((l2 - e2)::DOUBLE / sqrt(var_l2::DOUBLE) * 10000 + 0.5)
+        |      / 10000 END AS z
+        |FROM c""".stripMargin,
     // Closed-form doubled midranks within the 3-value row, then the
     // all-integer tie-corrected χ² = 2Σ(R2_j−4n)²/(A2−48n).
     "agg_friedman_test" ->

@@ -679,6 +679,39 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // LEXICAL DENSITY (round 13): per-language content-word share at
+    // BOTH grains — token occurrences (how much of the running text
+    // is content) and vocabulary types (how much of the lexicon is) —
+    // the corpus-mix readout next to yule_k/simpson when comparing
+    // languages whose function-word rates differ structurally.
+    // text_quality_score reads a per-DOC stopword ratio; this is the
+    // lang-level rollup off the VOCABULARY-SHAPED (lang, token) type
+    // table (the marginals fold: corpus → type table once, everything
+    // after is vocabulary-sized). Same 5-word stopword list as RAKE /
+    // quality_rules, interpolated into both engines. Exact BIGINT
+    // counts; two r4'd divisions on the lang-grain readout, guarded.
+    "text_lexical_density" -> ((s, d) =>
+      TestData.documents(s, d)
+        .select(col("lang"),
+          explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+            .as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("f"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_types"), sum("f").as("n_tokens"),
+          sum(when(!col("tok").isin(stopwords: _*), col("f"))
+            .otherwise(0L)).as("n_content_tokens"),
+          sum(when(!col("tok").isin(stopwords: _*), 1L).otherwise(0L))
+            .as("n_content_types"))
+        .withColumn("token_density", when(col("n_tokens") > 0,
+          r4(col("n_content_tokens").cast("double")
+            / col("n_tokens").cast("double"))))
+        .withColumn("type_density", when(col("n_types") > 0,
+          r4(col("n_content_types").cast("double")
+            / col("n_types").cast("double"))))
+        .select("lang", "n_types", "n_tokens", "n_content_types",
+          "n_content_tokens", "token_density", "type_density")
+        .orderBy("lang")),
+
     // YULE'S K (round 10): the sample-size-invariant vocabulary-
     // richness constant per language — K = 10⁴·(Σf² − N)/N² over the
     // token frequency spectrum (0 for all-distinct text, →10⁴ for
@@ -1197,6 +1230,31 @@ object TextAnalysis {
         |    + 100.0 * (n_complex::DOUBLE / n_words::DOUBLE))
         |    * 10000 + 0.5) / 10000 AS fog
         |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+    // Same (lang, token) type-table fold as yule_k; shared stopword
+    // list interpolated.
+    "text_lexical_density" ->
+      s"""WITH f AS (
+        |  SELECT lang, tok, count(*)::BIGINT AS f
+        |  FROM (SELECT lang, unnest(regexp_extract_all(text, '[a-z0-9]+'))
+        |          AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |a AS (
+        |  SELECT lang, count(*)::BIGINT AS n_types,
+        |    sum(f)::BIGINT AS n_tokens,
+        |    sum(CASE WHEN tok NOT IN $stopSql THEN f ELSE 0 END)::BIGINT
+        |      AS n_content_tokens,
+        |    sum(CASE WHEN tok NOT IN $stopSql THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_content_types
+        |  FROM f GROUP BY 1)
+        |SELECT lang, n_types, n_tokens, n_content_types, n_content_tokens,
+        |  CASE WHEN n_tokens > 0 THEN
+        |    floor(n_content_tokens::DOUBLE / n_tokens::DOUBLE
+        |      * 10000 + 0.5) / 10000 END AS token_density,
+        |  CASE WHEN n_types > 0 THEN
+        |    floor(n_content_types::DOUBLE / n_types::DOUBLE
+        |      * 10000 + 0.5) / 10000 END AS type_density
+        |FROM a ORDER BY lang""".stripMargin,
     "text_yule_k" ->
       """WITH f AS (
         |  SELECT lang, tok, count(*)::BIGINT AS f

@@ -1121,6 +1121,49 @@ object TimeSeries {
     // Markov-chain view of the event stream that complements the
     // funnel keys. Window shuffle + partial-agg groupBy +
     // TakeOrderedAndProject: every stage map-side-combines.
+    // BOWKER SYMMETRY TEST (round 13): the k×k generalization of
+    // agg_mcnemar applied to the behavioral transition matrix — is
+    // traffic between every pair of event types BALANCED (n_ij ≈
+    // n_ji), or are there directed flows (view→purchase ≫
+    // purchase→view) the Markov model must keep asymmetric. B =
+    // Σ_{i<j}(n_ij − n_ji)²/(n_ij + n_ji), df = pairs with traffic.
+    // Same one-exchange (user; ts, event_id) lead as the transition
+    // keys; the pair fold is |types|²-bounded; each pair's ratio is
+    // quantized to integer MICRO-units before the cross-pair sum
+    // (PSI/entropy precedent) so the only floats are per-pair
+    // mirrored expressions. A pair row exists only if it has
+    // traffic ⇒ the n_ij + n_ji > 0 guard is structural; kept at the
+    // definition site anyway (DegenerateSpec discipline).
+    "events_bowker_symmetry" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = TestData.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull
+          && col("event_type") =!= col("next_type"))
+        .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+        .agg(count(lit(1)).as("n"))
+      trans
+        .groupBy(least(col("a"), col("b")).as("t1"),
+          greatest(col("a"), col("b")).as("t2"))
+        .agg(sum(when(col("a") < col("b"), col("n")).otherwise(0L))
+            .as("n_ij"),
+          sum(when(col("a") > col("b"), col("n")).otherwise(0L))
+            .as("n_ji"))
+        .withColumn("term_u", when(col("n_ij") + col("n_ji") > 0,
+          floor((col("n_ij") - col("n_ji")).cast("double")
+            * (col("n_ij") - col("n_ji")).cast("double")
+            / (col("n_ij") + col("n_ji")).cast("double")
+            * 1000000 + 0.5).cast("long")).otherwise(0L))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("n_ij") + col("n_ji")).as("n_transitions"),
+          sum("term_u").as("b_micro"))
+        .withColumn("b_stat",
+          r4(col("b_micro").cast("double") / 1000000.0))
+    }),
+
     "events_transition_topk" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("ts", "event_id")
@@ -2725,6 +2768,68 @@ object TimeSeries {
         .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
         .agg(count(lit(1)).as("cnt")))),
 
+    // GRANGER F (round 13): does the lagged VIEW rate carry
+    // predictive information about the PURCHASE rate beyond the
+    // purchase series' own lag — the lead-indicator test a funnel
+    // monitor runs before wiring view volume into a purchase
+    // forecast. Restricted model y_t ~ 1 + y_{t−1} vs full
+    // y_t ~ 1 + y_{t−1} + x_{t−1}; F = (RSS_r − RSS_f)/(RSS_f/(n−3)).
+    // Both fits are pure sufficient statistics on exact-BIGINT
+    // hourly counts (the agg_ols_multi / ar2Core recipe: centered
+    // 2×2 via Cramer's rule, divisions once on the 1-row readout in
+    // mirrored IEEE order). Lag rows come from an hr−1 EQUI-join on
+    // the occupied-hour grid — never lag() over a gappy grid (the
+    // ts_snaive_smape trap). Guards: det = 0, zero restricted
+    // variance, RSS_f ≤ 0, or n ≤ 3 ⇒ NULL F (never an ANSI throw).
+    "ts_granger_f" -> ((s, d) => {
+      val hourly = TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("yc"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("xc"))
+        .localCheckpoint() // two consumers: target side + lag side
+      val rows = hourly.select(col("hr"), col("yc").as("y"))
+        .join(hourly.select((col("hr") + 1).as("hr"),
+          col("yc").as("y1"), col("xc").as("x1")), "hr")
+      def ctr(sab: Column, sa: Column, sb: Column, n: Column): Column =
+        sab.cast("double") - (sa.cast("double") * sb.cast("double")
+          / n.cast("double"))
+      rows.agg(count(lit(1)).as("n"),
+          sum("y").as("sy"), sum("y1").as("s1"), sum("x1").as("sx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("y1") * col("y1")).as("s11"),
+          sum(col("x1") * col("x1")).as("sxx"),
+          sum(col("y1") * col("y")).as("s1y"),
+          sum(col("x1") * col("y")).as("sxy"),
+          sum(col("y1") * col("x1")).as("s1x"))
+        .withColumn("cyy", ctr(col("syy"), col("sy"), col("sy"), col("n")))
+        .withColumn("c11", ctr(col("s11"), col("s1"), col("s1"), col("n")))
+        .withColumn("cxx", ctr(col("sxx"), col("sx"), col("sx"), col("n")))
+        .withColumn("c1y", ctr(col("s1y"), col("s1"), col("sy"), col("n")))
+        .withColumn("cxy", ctr(col("sxy"), col("sx"), col("sy"), col("n")))
+        .withColumn("c1x", ctr(col("s1x"), col("s1"), col("sx"), col("n")))
+        .withColumn("rss_r", when(col("c11") > 0,
+          col("cyy") - col("c1y") * col("c1y") / col("c11")))
+        .withColumn("det",
+          col("c11") * col("cxx") - col("c1x") * col("c1x"))
+        .withColumn("rss_f", when(col("det") =!= 0.0,
+          col("cyy")
+            - (col("c1y") * col("cxx") - col("cxy") * col("c1x"))
+              / col("det") * col("c1y")
+            - (col("cxy") * col("c11") - col("c1y") * col("c1x"))
+              / col("det") * col("cxy")))
+        .withColumn("f_stat", when(
+          col("rss_r").isNotNull && col("rss_f") > 0 && col("n") > 3,
+          (col("rss_r") - col("rss_f"))
+            / (col("rss_f") / (col("n") - 3).cast("double"))))
+        .withColumn("granger_causal",
+          when(col("f_stat").isNotNull, col("f_stat") > 3.84))
+        .select(col("n").as("n_hours"), r4(col("rss_r")).as("rss_r"),
+          r4(col("rss_f")).as("rss_f"), r4(col("f_stat")).as("f_stat"),
+          col("granger_causal"))
+    }),
+
     // HURST EXPONENT (round 12): rescaled-range (R/S) analysis of
     // the hourly series — the long-memory readout (H ≈ 0.5 random
     // walk / no memory, H → 1 persistent trends, H → 0 mean-
@@ -4018,6 +4123,39 @@ object TimeSeries {
         |  FROM e)
         |SELECT cohort, wk, count(DISTINCT user_id)::BIGINT AS n_users
         |FROM c GROUP BY 1, 2 ORDER BY cohort, wk""".stripMargin,
+    // Off-diagonal transition pairs keyed (least, greatest); micro
+    // per-pair terms before the sum.
+    "events_bowker_symmetry" ->
+      """WITH t AS (
+        |  SELECT event_type AS a,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS b
+        |  FROM events),
+        |tr AS (
+        |  SELECT a, b, count(*)::BIGINT AS n
+        |  FROM t WHERE b IS NOT NULL AND a <> b
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT least(a, b) AS t1, greatest(a, b) AS t2,
+        |    sum(CASE WHEN a < b THEN n ELSE 0 END)::BIGINT AS n_ij,
+        |    sum(CASE WHEN a > b THEN n ELSE 0 END)::BIGINT AS n_ji
+        |  FROM tr GROUP BY 1, 2),
+        |u AS (
+        |  SELECT *,
+        |    CASE WHEN n_ij + n_ji > 0 THEN
+        |      floor((n_ij - n_ji)::DOUBLE * (n_ij - n_ji)::DOUBLE
+        |        / (n_ij + n_ji)::DOUBLE * 1000000 + 0.5)::BIGINT
+        |      ELSE 0 END AS term_u
+        |  FROM p),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n_pairs,
+        |    sum(n_ij + n_ji)::BIGINT AS n_transitions,
+        |    sum(term_u)::BIGINT AS b_micro
+        |  FROM u)
+        |SELECT n_pairs, n_transitions, b_micro,
+        |  floor(b_micro::DOUBLE / 1000000.0 * 10000 + 0.5) / 10000
+        |    AS b_stat
+        |FROM a""".stripMargin,
     "events_transition_topk" ->
       """WITH t AS (
         |  SELECT user_id, event_type,
@@ -4763,6 +4901,59 @@ object TimeSeries {
         |    floor((smape_sum_u::DOUBLE / n_scored::DOUBLE / 1000000.0)
         |      * 10000 + 0.5) / 10000 END AS smape
         |FROM a""".stripMargin,
+    // Restricted-vs-full OLS F off exact BIGINT sufficient stats;
+    // hr−1 equi-join lag rows; mirrored Cramer readout.
+    "ts_granger_f" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS yc,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS xc
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT t.yc AS y, l.yc AS y1, l.xc AS x1
+        |  FROM hourly t JOIN hourly l ON t.hr = l.hr + 1),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(y)::BIGINT AS sy, sum(y1)::BIGINT AS s1,
+        |    sum(x1)::BIGINT AS sx,
+        |    sum(y * y)::BIGINT AS syy, sum(y1 * y1)::BIGINT AS s11,
+        |    sum(x1 * x1)::BIGINT AS sxx, sum(y1 * y)::BIGINT AS s1y,
+        |    sum(x1 * y)::BIGINT AS sxy, sum(y1 * x1)::BIGINT AS s1x
+        |  FROM r),
+        |c AS (
+        |  SELECT n,
+        |    syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE AS cyy,
+        |    s11::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE AS c11,
+        |    sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE AS cxx,
+        |    s1y::DOUBLE - s1::DOUBLE * sy::DOUBLE / n::DOUBLE AS c1y,
+        |    sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE AS cxy,
+        |    s1x::DOUBLE - s1::DOUBLE * sx::DOUBLE / n::DOUBLE AS c1x
+        |  FROM a),
+        |e AS (
+        |  SELECT *,
+        |    CASE WHEN c11 > 0 THEN cyy - c1y * c1y / c11 END AS rss_r,
+        |    c11 * cxx - c1x * c1x AS det
+        |  FROM c),
+        |f AS (
+        |  SELECT *,
+        |    CASE WHEN det <> 0.0 THEN
+        |      cyy - (c1y * cxx - cxy * c1x) / det * c1y
+        |        - (cxy * c11 - c1y * c1x) / det * cxy END AS rss_f
+        |  FROM e),
+        |g AS (
+        |  SELECT *,
+        |    CASE WHEN rss_r IS NOT NULL AND rss_f > 0 AND n > 3 THEN
+        |      (rss_r - rss_f) / (rss_f / (n - 3)::DOUBLE) END AS f_stat
+        |  FROM f)
+        |SELECT n AS n_hours,
+        |  floor(rss_r * 10000 + 0.5) / 10000 AS rss_r,
+        |  floor(rss_f * 10000 + 0.5) / 10000 AS rss_f,
+        |  floor(f_stat * 10000 + 0.5) / 10000 AS f_stat,
+        |  CASE WHEN f_stat IS NOT NULL THEN f_stat > 3.84 END
+        |    AS granger_causal
+        |FROM g""".stripMargin,
     // Scaled integer deviations (Σdv = 0 per block), one sqrt per
     // block micro-quantized, per-size means, micro log-log OLS.
     "ts_hurst_exponent" ->

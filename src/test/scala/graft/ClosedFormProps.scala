@@ -1280,6 +1280,23 @@ object ClosedFormProps extends Properties("graft.closedforms") {
       } :| "R2 * count must equal 2 * sum(positions)"
     }
 
+  // agg_page_trend: under row-wise permutation exchangeability the
+  // exact tie-aware conditional moments of L2 = Σ_j j·R2_j are
+  // E = 24 and Var = ΣR2² − 48 PER ROW (k = 3) — proven here by
+  // exhaustive enumeration of the 3! assignments, including ties.
+  property("Page L2 moments: E=24 and Var=Q4-48 per row, any ties") =
+    Prop.forAll(Gen.listOfN(3, Gen.choose(0L, 5L))) { xs =>
+      def r2(v: Long): Long = 2L * xs.count(_ < v) + xs.count(_ == v) + 1
+      val rs = xs.map(r2)
+      val ls = rs.permutations.toList.map(p => p(0) + 2 * p(1) + 3 * p(2))
+      val mean = ls.sum.toDouble / ls.size
+      val varL = ls.map(l => math.pow(l - mean, 2)).sum / ls.size
+      val q4 = rs.map(r => r * r).sum
+      (math.abs(mean - 24.0) < 1e-9) :| s"mean $mean != 24" &&
+        (math.abs(varL - (q4 - 48.0)) < 1e-9) :|
+          s"var $varL != ${q4 - 48}"
+    }
+
   // agg_jonckheere_terpstra: the doubled statistic J2 =
   // Σ_{g<g'} (2·#{x<y} + #{x=y}) over cross-group pairs equals the
   // 2-D dominance prefix Σ_cells c·(2·T_lt + S_eq) over the COMPLETED
