@@ -200,6 +200,149 @@ object AnnSearch {
     // costs one candidate join however many widths are tested. This
     // is the tuning curve every IVF deployment reads before fixing
     // nProbe; at 100 TB it runs on a query SAMPLE with the same plan.
+    // MATRYOSHKA SWEEP (round 13): the dimension-budget curve behind
+    // ann_matryoshka_topk — coarse-rank with the FIRST d dims
+    // (d ∈ {8, 16, 32}), rerank the top-50 at full width, report
+    // recall@10 per d. This is the capacity-planning readout for
+    // MRL-style embeddings: how many prefix dims does the coarse
+    // stage need before the rerank stage stops losing truth. All
+    // three settings ride ONE tagged pair frame (explode over the
+    // dim literals — the ann_hnsw_sweep protocol: 1 corpus pass, not
+    // 3); the coarse cut keeps 50 candidates per (dim, query) via
+    // the r4-quantized sort (float-sort-key rule), the rerank and
+    // the brute-force truth both use full-width cosine with the same
+    // tie-break. At 100 TB the coarse stage is the IVF-probed scan
+    // of a d-dim PREFIX column (narrower reads scale linearly in d).
+    "ann_matryoshka_sweep" -> ((s, d) => {
+      import s.implicits._
+      val e = TestData.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .localCheckpoint() // corpus pairs + truth
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val tagged = e.select(col("vec_id").as("cid"),
+          col("embedding").as("cv"))
+        .crossJoin(broadcast(queries))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("cid"), col("cv"), col("qid"), col("qv"),
+          explode(array(Seq(8, 16, 32).map(lit): _*)).as("dim"))
+        .withColumn("coarse", V.cosine(
+          slice(col("cv"), lit(1), col("dim")),
+          slice(col("qv"), lit(1), col("dim"))))
+      val cand = tagged.withColumn("crk", row_number().over(
+          Window.partitionBy("dim", "qid")
+            .orderBy(r4(col("coarse")).desc, col("cid"))))
+        .filter(col("crk") <= 50)
+      val top = cand
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("dim", "qid")
+            .orderBy(r4(V.cosine(col("cv"), col("qv"))).desc, col("cid"))))
+        .filter(col("rnk") <= 10)
+        .select("dim", "qid", "cid")
+      val brute = e.select(col("vec_id").as("cid"),
+          col("embedding").as("cv"))
+        .crossJoin(broadcast(queries))
+        .filter(col("cid") =!= col("qid"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid")
+            .orderBy(r4(V.cosine(col("cv"), col("qv"))).desc, col("cid"))))
+        .filter(col("rnk") <= 10)
+        .select("qid", "cid")
+        .localCheckpoint() // per-dim hit joins + the truth count
+      val truth = brute.agg(count(lit(1)).as("n_truth"))
+      val hits = top.join(brute, Seq("qid", "cid"))
+        .groupBy("dim").agg(count(lit(1)).as("n_hits"))
+      Seq(8, 16, 32).toDF("dim")
+        .join(hits, Seq("dim"), "left")
+        .crossJoin(broadcast(truth))
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("recall", when(col("n_truth") > 0,
+          r4(col("n_hits").cast("double") / col("n_truth").cast("double"))))
+        .select("dim", "n_truth", "n_hits", "recall")
+        .orderBy("dim")
+    }),
+
+    // SRP MULTIPROBE (round 13): the OTHER way to buy LSH recall —
+    // instead of more hash tables (more memory) or shorter codes
+    // (more collisions), probe the query's bucket AND its 1-bit-flip
+    // neighbors in ONE table (Lv et al.'s multi-probe insight: the
+    // next-most-likely buckets differ from the query's in exactly
+    // the lowest-confidence bits). Settings ride one tagged frame
+    // (the ann_hnsw_sweep protocol): every (query, candidate) pair
+    // is computed ONCE with min_flip = the cheapest probe reaching
+    // it; "p1" (exact bucket) filters min_flip = −1, "p7" (exact +
+    // all 6 flips) takes all. 6-bit signatures off the SAME seeded
+    // SRP planes as vec_hyperplane_lsh (driver-quantized literals —
+    // bit-identical across engines/parallelism); candidates come
+    // from a signature EQUI-join (shuffle on the bucket key — never
+    // an all-pairs scan); recall@10 against the brute-force truth
+    // with the r4-quantized sort-key tie-break. Probe count is a
+    // constant ×9 on the query side only — corpus is scanned once.
+    "ann_lsh_multiprobe" -> ((s, d) => {
+      import s.implicits._
+      val planes = Vectors.srpPlanes(6, 64)
+      def sig(c: org.apache.spark.sql.Column) =
+        planes.zipWithIndex.map { case (pl, i) =>
+          val plArr = array(pl.map(v => lit(v.toDouble)): _*)
+          when(floor(V.dot(c, plArr) * 10000 + 0.5) > 0, lit(1L << i))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+      val e = TestData.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("sig", sig(col("embedding")))
+        .localCheckpoint() // corpus side + query side + brute truth
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("sig").as("qsig"))
+      val probes = queries
+        .select(col("qid"), col("qsig"),
+          explode(array((-1 to 5).map(f => lit(f)): _*)).as("flip"))
+        .withColumn("psig", when(col("flip") === -1, col("qsig"))
+          .otherwise(expr("qsig ^ shiftleft(CAST(1 AS BIGINT), flip)")))
+      val perCand = probes
+        .join(e.select(col("vec_id").as("cid"), col("sig").as("csig")),
+          col("psig") === col("csig") && col("cid") =!= col("qid"))
+        .groupBy("qid", "cid").agg(min("flip").as("min_flip"))
+      val scored = perCand.filter(col("min_flip") === -1)
+        .withColumn("setting", lit("p1"))
+        .unionByName(perCand.withColumn("setting", lit("p7")))
+        .join(e.select(col("vec_id").as("cid"), col("embedding").as("cv")),
+          "cid")
+        .join(broadcast(queries.select(col("qid"), col("qv"))), "qid")
+        .withColumn("cos", V.cosine(col("cv"), col("qv")))
+        .localCheckpoint() // candidate counts + top-k ranking
+      val top = scored.withColumn("rnk", row_number().over(
+          Window.partitionBy("setting", "qid")
+            .orderBy(r4(col("cos")).desc, col("cid"))))
+        .filter(col("rnk") <= 10)
+      val brute = e.select(col("vec_id").as("cid"),
+          col("embedding").as("cv"))
+        .crossJoin(broadcast(queries.select(col("qid"), col("qv"))))
+        .filter(col("cid") =!= col("qid"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid")
+            .orderBy(r4(V.cosine(col("cv"), col("qv"))).desc, col("cid"))))
+        .filter(col("rnk") <= 10)
+        .select("qid", "cid")
+        .localCheckpoint() // joined per setting + the truth count
+      val truth = brute.agg(count(lit(1)).as("n_truth"))
+      val settings = Seq("p1", "p7").toDF("setting")
+      val cands = scored.groupBy("setting")
+        .agg(count(lit(1)).as("n_candidates"))
+      val hits = top.join(brute, Seq("qid", "cid"))
+        .groupBy("setting").agg(count(lit(1)).as("n_hits"))
+      settings
+        .join(cands, Seq("setting"), "left")
+        .join(hits, Seq("setting"), "left")
+        .crossJoin(broadcast(truth))
+        .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("recall", when(col("n_truth") > 0,
+          r4(col("n_hits").cast("double") / col("n_truth").cast("double"))))
+        .select("setting", "n_truth", "n_candidates", "n_hits", "recall")
+        .orderBy("setting")
+    }),
+
     "ann_probe_sweep" -> ((s, d) => {
       val e = TestData.embeddings(s, d)
       val cents = Vectors.fixedCentroids(e)
@@ -1444,6 +1587,123 @@ object AnnSearch {
         |          ORDER BY score DESC, vec_id) AS rnk
         |      FROM hits)
         |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    // Tagged-frame dim sweep: coarse top-50 on the prefix slice,
+    // full-width rerank and truth, per-dim recall.
+    "ann_matryoshka_sweep" ->
+      s"""WITH q AS (
+        |  SELECT vec_id AS qid, $E AS qv FROM embeddings WHERE vec_id < 5),
+        |pairs AS (
+        |  SELECT e.vec_id AS cid, e.$E AS cv, q.qid, q.qv, dim
+        |  FROM embeddings e, q,
+        |    LATERAL (SELECT unnest([8, 16, 32]) AS dim)
+        |  WHERE e.vec_id <> q.qid),
+        |coarse AS (
+        |  SELECT *, list_cosine_similarity(
+        |      list_slice(cv, 1, dim), list_slice(qv, 1, dim)) AS coarse
+        |  FROM pairs),
+        |cand AS (
+        |  SELECT dim, qid, cid, cv, qv FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY dim, qid
+        |      ORDER BY floor(coarse * 10000 + 0.5) / 10000 DESC, cid)
+        |      AS crk
+        |    FROM coarse)
+        |  WHERE crk <= 50),
+        |top AS (
+        |  SELECT dim, qid, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY dim, qid
+        |      ORDER BY floor(list_cosine_similarity(cv, qv) * 10000 + 0.5)
+        |        / 10000 DESC, cid) AS rnk
+        |    FROM cand)
+        |  WHERE rnk <= 10),
+        |brute AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, e.vec_id AS cid,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        floor(list_cosine_similarity(e.$E, q.qv) * 10000 + 0.5)
+        |          / 10000 DESC, e.vec_id) AS rnk
+        |    FROM embeddings e, q WHERE e.vec_id <> q.qid)
+        |  WHERE rnk <= 10),
+        |truth AS (SELECT count(*)::BIGINT AS n_truth FROM brute),
+        |dims AS (SELECT unnest([8, 16, 32]) AS dim),
+        |ht AS (
+        |  SELECT dim, count(*)::BIGINT AS n_hits
+        |  FROM top JOIN brute USING (qid, cid) GROUP BY 1)
+        |SELECT dims.dim, truth.n_truth,
+        |  coalesce(ht.n_hits, 0)::BIGINT AS n_hits,
+        |  CASE WHEN truth.n_truth > 0 THEN
+        |    floor(coalesce(ht.n_hits, 0)::DOUBLE / truth.n_truth::DOUBLE
+        |      * 10000 + 0.5) / 10000 END AS recall
+        |FROM dims LEFT JOIN ht ON dims.dim = ht.dim CROSS JOIN truth
+        |ORDER BY dims.dim""".stripMargin,
+    // Same seeded 6-bit SRP literals; min_flip tags the cheapest
+    // probe per candidate; settings expand from one frame.
+    "ann_lsh_multiprobe" -> {
+      val sigTerms = Vectors.srpPlanes(6, 64).zipWithIndex.map {
+        case (pl, i) =>
+          s"(CASE WHEN floor(list_dot_product($E, " +
+            s"${pl.mkString("[", ", ", "]")}::DOUBLE[]) * 10000 + 0.5)" +
+            s" > 0 THEN ${1L << i} ELSE 0 END)"
+      }
+      s"""WITH sg AS (
+        |  SELECT vec_id, $E AS v,
+        |    (${sigTerms.mkString("\n  + ")})::BIGINT AS sig
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS qid, v AS qv, sig AS qsig
+        |  FROM sg WHERE vec_id < 5),
+        |pr AS (
+        |  SELECT qid, qsig,
+        |    flip,
+        |    CASE WHEN flip = -1 THEN qsig
+        |      ELSE xor(qsig, (1::BIGINT << flip)) END AS psig
+        |  FROM q, LATERAL (SELECT unnest(range(-1, 6)) AS flip)),
+        |pc AS (
+        |  SELECT pr.qid, sg.vec_id AS cid, min(pr.flip)::BIGINT AS min_flip
+        |  FROM pr JOIN sg ON pr.psig = sg.sig AND sg.vec_id <> pr.qid
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT 'p1' AS setting, qid, cid FROM pc WHERE min_flip = -1
+        |  UNION ALL
+        |  SELECT 'p7' AS setting, qid, cid FROM pc),
+        |scored AS (
+        |  SELECT sc.setting, sc.qid, sc.cid,
+        |    list_cosine_similarity(sg.v, q.qv) AS cos
+        |  FROM sc JOIN sg ON sg.vec_id = sc.cid
+        |    JOIN q ON q.qid = sc.qid),
+        |top AS (
+        |  SELECT setting, qid, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY setting, qid
+        |      ORDER BY floor(cos * 10000 + 0.5) / 10000 DESC, cid) AS rnk
+        |    FROM scored)
+        |  WHERE rnk <= 10),
+        |brute AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, sg.vec_id AS cid,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        floor(list_cosine_similarity(sg.v, q.qv) * 10000 + 0.5)
+        |          / 10000 DESC, sg.vec_id) AS rnk
+        |    FROM sg, q WHERE sg.vec_id <> q.qid)
+        |  WHERE rnk <= 10),
+        |truth AS (SELECT count(*)::BIGINT AS n_truth FROM brute),
+        |st AS (SELECT 'p1' AS setting UNION ALL SELECT 'p7'),
+        |cd AS (
+        |  SELECT setting, count(*)::BIGINT AS n_candidates
+        |  FROM scored GROUP BY 1),
+        |ht AS (
+        |  SELECT setting, count(*)::BIGINT AS n_hits
+        |  FROM top JOIN brute USING (qid, cid) GROUP BY 1)
+        |SELECT st.setting, truth.n_truth,
+        |  coalesce(cd.n_candidates, 0)::BIGINT AS n_candidates,
+        |  coalesce(ht.n_hits, 0)::BIGINT AS n_hits,
+        |  CASE WHEN truth.n_truth > 0 THEN
+        |    floor(coalesce(ht.n_hits, 0)::DOUBLE / truth.n_truth::DOUBLE
+        |      * 10000 + 0.5) / 10000 END AS recall
+        |FROM st
+        |LEFT JOIN cd ON st.setting = cd.setting
+        |LEFT JOIN ht ON st.setting = ht.setting
+        |CROSS JOIN truth
+        |ORDER BY st.setting""".stripMargin
+    },
     "ann_probe_sweep" ->
       s"""WITH c AS (SELECT vec_id AS cid, $E AS cv FROM embeddings WHERE vec_id < 4),
         |q AS (SELECT vec_id AS qid, $E AS qv FROM embeddings WHERE vec_id < 5),

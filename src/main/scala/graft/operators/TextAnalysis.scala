@@ -532,6 +532,38 @@ object TextAnalysis {
       heapsFit(TestData.documents(s, d)
         .select(col("doc_id"), col("text")))),
 
+    // VOCAB COVERAGE (round 13): the tokenizer-budget curve — what
+    // fraction of RUNNING TEXT does the top-N vocabulary cover, per
+    // language, at N ∈ {10, 100, 1000}. This is the readout that
+    // sizes a vocab: zipf_slope says the law, heaps_law says growth,
+    // coverage says where the OOV mass actually lands for a concrete
+    // budget (saturates at 1.0 once N ≥ vocab — expected, not a bug).
+    // Frequency ranks ride Curation.rangedRank (no single-task vocab
+    // sort — the zipf/heaps discipline; oracle uses the equivalent
+    // monolithic per-lang rank); the three cuts expand from ONE
+    // ranked frame (vocabulary-sized ×3); exact BIGINT token masses,
+    // one r4'd division per output row.
+    "text_vocab_coverage" -> ((s, d) => {
+      val freq = TestData.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      Curation.rangedRank(
+          freq, "lang", Seq(col("n").desc, col("token")), "rnk")
+        .select(col("lang"), col("n"), col("rnk"),
+          explode(array(Seq(10, 100, 1000).map(c => lit(c.toLong)): _*))
+            .as("cut"))
+        .groupBy("lang", "cut")
+        .agg(count(lit(1)).as("n_vocab"), sum("n").as("total_tokens"),
+          sum(when(col("rnk") <= col("cut"), col("n")).otherwise(0L))
+            .as("covered_tokens"))
+        .withColumn("coverage", when(col("total_tokens") > 0,
+          r4(col("covered_tokens").cast("double")
+            / col("total_tokens").cast("double"))))
+        .select("lang", "cut", "n_vocab", "total_tokens",
+          "covered_tokens", "coverage")
+        .orderBy("lang", "cut")
+    }),
+
     "text_zipf_slope" -> ((s, d) => {
       val freq = TestData.documents(s, d)
         .select(col("lang"), explode(split(col("text"), " ")).as("token"))
@@ -1120,6 +1152,33 @@ object TextAnalysis {
         |      * 10000 + 0.5) / 10000
         |    END AS k_coef
         |FROM s""".stripMargin,
+    // Monolithic per-lang frequency rank ≡ rangedRank; cuts unnest
+    // from one ranked frame.
+    "text_vocab_coverage" ->
+      """WITH wf AS (
+        |  SELECT lang, token, count(*)::BIGINT AS n
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, n,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n DESC, token)::BIGINT AS rnk
+        |  FROM wf),
+        |x AS (
+        |  SELECT lang, n, rnk, cut
+        |  FROM r, LATERAL (SELECT unnest([10, 100, 1000]) AS cut)),
+        |a AS (
+        |  SELECT lang, cut::BIGINT AS cut, count(*)::BIGINT AS n_vocab,
+        |    sum(n)::BIGINT AS total_tokens,
+        |    sum(CASE WHEN rnk <= cut THEN n ELSE 0 END)::BIGINT
+        |      AS covered_tokens
+        |  FROM x GROUP BY 1, 2)
+        |SELECT lang, cut, n_vocab, total_tokens, covered_tokens,
+        |  CASE WHEN total_tokens > 0 THEN
+        |    floor(covered_tokens::DOUBLE / total_tokens::DOUBLE
+        |      * 10000 + 0.5) / 10000 END AS coverage
+        |FROM a ORDER BY lang, cut""".stripMargin,
     "text_zipf_slope" ->
       """WITH wf AS (
         |  SELECT lang, token, count(*)::BIGINT AS n

@@ -696,6 +696,56 @@ object TimeSeries {
         .orderBy("lag")
     }),
 
+    // ACF BARTLETT BANDS (round 13): ts_autocorr's readout upgraded
+    // with the decision rule — Bartlett's large-lag standard error
+    // se_k = √((1 + 2Σ_{j<k} r_j²)/n) is the band an analyst actually
+    // draws on the ACF plot (the naive 1/√n band is only valid at
+    // lag 1; later lags inherit variance from earlier correlation).
+    // Reuses the exact-BIGINT dev-product machinery verbatim; each
+    // r_j is MICRO-quantized BEFORE the cumulative Σr² (the drift
+    // rule — r_micro² ≤ 1e12 ⇒ the 12-lag sum is exact BIGINT), the
+    // cumulative is a 12-row window, and se/significance are mirrored
+    // IEEE readouts. Constant series (den = 0) ⇒ all NULLs.
+    "ts_acf_bartlett_ci" -> ((s, d) => {
+      val lags = 1 to 12
+      val W = org.apache.spark.sql.expressions.Window
+      val wH = W.orderBy("hour")
+      val hourly = TestData.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val tot = hourly.agg(sum("n").as("t_total"),
+                           count(lit(1)).as("n_hours"))
+      val dv = hourly.crossJoin(broadcast(tot))
+        .withColumn("dev", col("n") * col("n_hours") - col("t_total"))
+      val led = lags.foldLeft(dv) { (df, k) =>
+        df.withColumn(s"l$k", lead("dev", k).over(wH))
+      }
+      val aggs = max("n_hours").as("n_hours") +:
+        sum(col("dev") * col("dev")).as("den") +:
+        lags.map(k => sum(col("dev") * col(s"l$k")).as(s"num$k"))
+      val stackArgs = lags.map(k => s"$k, num$k").mkString(", ")
+      val wCum = W.orderBy("lag").rowsBetween(W.unboundedPreceding, -1)
+      led.agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${lags.size}, $stackArgs) AS (lag, num)"),
+          col("den"), col("n_hours"))
+        .withColumn("r_micro", when(col("den") > 0,
+          floor(col("num").cast("double") / col("den") * 1000000 + 0.5)
+            .cast("long")))
+        .withColumn("cum_r2", coalesce(
+          sum(col("r_micro") * col("r_micro")).over(wCum), lit(0L)))
+        .withColumn("acf", when(col("den") > 0,
+          r4(col("num").cast("double") / col("den"))))
+        .withColumn("se_raw", when(col("den") > 0, sqrt(
+          (lit(1.0) + lit(2.0) * col("cum_r2").cast("double")
+            / 1000000000000.0) / col("n_hours").cast("double"))))
+        .withColumn("significant", when(col("se_raw").isNotNull,
+          abs(col("r_micro").cast("double") / 1000000.0)
+            > lit(1.96) * col("se_raw")))
+        .select(col("lag"), col("r_micro"), col("acf"),
+          r4(col("se_raw")).as("se_bartlett"), col("significant"))
+        .orderBy("lag")
+    }),
+
     // PARTIAL AUTOCORRELATION (round 10): PACF at lags 1..3 via the
     // Durbin–Levinson closed forms — the AR-order readout an ARIMA
     // fit starts from (ACF says "correlated at lag k", PACF says
@@ -3121,6 +3171,61 @@ object TimeSeries {
         |SELECT lag, num, den,
         |  floor((num::DOUBLE / den)*10000 + 0.5)/10000 AS acf
         |FROM u ORDER BY lag""".stripMargin
+    },
+    // Same dev-product CTEs; micro r before the cumulative Σr²;
+    // mirrored se/significance readout.
+    "ts_acf_bartlett_ci" -> {
+      val lags = 1 to 12
+      val leadCols = lags.map(k => s"lead(dev, $k) OVER w AS l$k")
+        .mkString(",\n        |    ")
+      val numCols = lags.map(k => s"sum(dev * l$k)::BIGINT AS num$k")
+        .mkString(",\n        |    ")
+      val rows = lags.map(k =>
+        s"SELECT $k AS lag, num$k AS num, den, n_hours FROM ag")
+        .mkString("\n        |  UNION ALL ")
+      s"""WITH hourly AS (
+        |  SELECT date_trunc('hour', ts)::TIMESTAMP AS hour,
+        |         count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS t_total,
+        |             count(*)::BIGINT AS n_hours FROM hourly),
+        |dv AS (SELECT hour, n_hours,
+        |         (n * n_hours - t_total)::BIGINT AS dev
+        |       FROM hourly CROSS JOIN t),
+        |ld AS (SELECT dev, n_hours,
+        |    $leadCols
+        |  FROM dv WINDOW w AS (ORDER BY hour)),
+        |ag AS (SELECT max(n_hours)::BIGINT AS n_hours,
+        |    sum(dev * dev)::BIGINT AS den,
+        |    $numCols
+        |  FROM ld),
+        |u AS ($rows),
+        |r AS (
+        |  SELECT lag, num, den, n_hours,
+        |    CASE WHEN den > 0 THEN
+        |      floor(num::DOUBLE / den * 1000000 + 0.5)::BIGINT END
+        |      AS r_micro
+        |  FROM u),
+        |c AS (
+        |  SELECT *,
+        |    (coalesce(sum(r_micro * r_micro) OVER (ORDER BY lag
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0))::BIGINT AS cum_r2
+        |  FROM r),
+        |e AS (
+        |  SELECT *,
+        |    CASE WHEN den > 0 THEN
+        |      sqrt((1.0 + 2.0 * cum_r2::DOUBLE / 1000000000000.0)
+        |        / n_hours::DOUBLE) END AS se_raw
+        |  FROM c)
+        |SELECT lag, r_micro,
+        |  CASE WHEN den > 0 THEN
+        |    floor(num::DOUBLE / den * 10000 + 0.5) / 10000 END AS acf,
+        |  floor(se_raw * 10000 + 0.5) / 10000 AS se_bartlett,
+        |  CASE WHEN se_raw IS NOT NULL THEN
+        |    abs(r_micro::DOUBLE / 1000000.0) > 1.96 * se_raw END
+        |    AS significant
+        |FROM e ORDER BY lag""".stripMargin
     },
     // Durbin–Levinson unrolled over the same exact-BIGINT ACF terms;
     // micro-quantized ratios, every product < 2^53 so the DOUBLE

@@ -639,6 +639,32 @@ class PropertySpec extends SparkSpec {
       s"beam-16 recall below the hnsw_topk floor: ${sweep.toSeq}")
   }
 
+  test("LSH multiprobe: p7 dominates p1 on both axes of the curve") {
+    val rows = AnnSearch.defs("ann_lsh_multiprobe")(spark, sfDir)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.keySet === Set("p1", "p7"))
+    // more probes must scan strictly more candidates (the cost axis
+    // is real) and must never LOSE hits (p1's bucket is probed by p7
+    // too — containment makes this structural, so a violation means
+    // the min_flip tagging broke)
+    assert(rows("p7")._3 > rows("p1")._3,
+      s"p7 candidates not above p1: $rows")
+    assert(rows("p7")._4 >= rows("p1")._4, s"p7 lost hits vs p1: $rows")
+    assert(rows("p7")._4 > 0, s"multiprobe found no truth at all: $rows")
+  }
+
+  test("matryoshka sweep: recall never falls as the prefix widens") {
+    val rows = AnnSearch.defs("ann_matryoshka_sweep")(spark, sfDir)
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(8, 16, 32))
+    assert(rows.map(_._3).sliding(2).forall(p => p(0) <= p(1)),
+      s"recall hits decreasing in dim: ${rows.toSeq}")
+    // the widest prefix must be genuinely useful, not noise
+    assert(rows.last._4 >= 0.5,
+      s"dim-32 recall below 0.5: ${rows.toSeq}")
+  }
+
   test("Louvain refine: Q strictly improves over LPA; one-community input is a fixpoint") {
     // Q·4m² = Σ_c (4m·e_c − tot_c²) — exact integers, so the
     // monotonicity claim needs no quantization tolerance.
