@@ -463,6 +463,98 @@ object Stats {
         .orderBy("l_returnflag")
     }),
 
+    // RATIO ESTIMATOR (round 13): the survey-sampling estimator of
+    // spend-per-order by market segment with its LINEARIZED (Taylor)
+    // variance — the companion readout to sample_two_stage /
+    // sample_neyman_allocation: a design-based CI on a ratio of two
+    // totals, which a naive per-row mean gets wrong (customers are
+    // the sampling units, orders are not independent draws).
+    // Var(R̂) ≈ Σ(y_i − R̂x_i)²/((n−1)·n·x̄²) expands to pure
+    // sufficient statistics (Syy − 2R̂Sxy + R̂²Sxx) — one user-grain
+    // fold, exact BIGINT sums (y in WHOLE DOLLARS: Σy² exact to
+    // ~1e6 customers at ~1e6 dollars each, documented — pre-scale
+    // past that, the anova rule), divisions once per segment row in
+    // mirrored order, fpc omitted (n ≪ N at scale, stated).
+    // Guards: n ≤ 1 or Σx = 0 ⇒ NULL ratio/CI.
+    "agg_ratio_estimator" -> ((s, d) => {
+      val cu = TestData.orders(s, d)
+        .join(broadcast(TestData.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("c_custkey"))
+        .agg(count(lit(1)).as("x"),
+          sum(floor(col("o_totalprice") + 0.5).cast("long")).as("y"))
+      cu.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("ratio_raw", when(col("sx") > 0,
+          col("sy").cast("double") / col("sx").cast("double")))
+        .withColumn("se_raw", when(
+          col("ratio_raw").isNotNull && col("n_customers") > 1,
+          sqrt((col("syy").cast("double")
+            - lit(2.0) * col("ratio_raw") * col("sxy").cast("double")
+            + col("ratio_raw") * col("ratio_raw")
+              * col("sxx").cast("double"))
+            / (col("n_customers") - 1).cast("double")
+            / col("n_customers").cast("double")
+            / ((col("sx").cast("double") / col("n_customers").cast("double"))
+              * (col("sx").cast("double")
+                / col("n_customers").cast("double"))))))
+        .select(col("c_mktsegment"), col("n_customers"), col("sx"),
+          col("sy"), r4(col("ratio_raw")).as("ratio"),
+          r4(col("se_raw")).as("se"),
+          r4(col("ratio_raw") - lit(1.96) * col("se_raw")).as("ci_lo"),
+          r4(col("ratio_raw") + lit(1.96) * col("se_raw")).as("ci_hi"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // PERCENTILE_CONT (round 13): the INTERPOLATED percentile family
+    // (SQL-standard PERCENTILE_CONT semantics) next to the
+    // discontinuous agg_percentile_disc/exact — the convention BI
+    // tools and pandas default to, and the one that differs exactly
+    // when (n−1)·p is fractional. The interpolation is ALL-INTEGER:
+    // h = (n−1)p + 1 with p = k/100 gives lo = (n−1)k DIV 100 + 1,
+    // rem = (n−1)k MOD 100, and the interpolated value ×100 =
+    // 100·x_lo + rem·(x_hi − x_lo) — exact BIGINT centi-cents, no
+    // float boundary anywhere (the order stats come from the same
+    // rank-convention window as trimmed_mean). Four percentiles ride
+    // ONE window pass + ONE aggregate per flag.
+    "agg_percentile_cont" -> ((s, d) => {
+      val W = Window.partitionBy("l_returnflag")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+      val li = TestData.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+            .as("cents"))
+        .withColumn("rn", row_number().over(W).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("l_returnflag")))
+      val ks = Seq(25, 50, 75, 90)
+      val aggs = max("n").as("n_rows") +: ks.flatMap { k =>
+        Seq(
+          max(when(col("rn") ===
+            expr(s"((n - 1) * $k) DIV 100 + 1"), col("cents")))
+            .as(s"lo$k"),
+          max(when(col("rn") ===
+            expr(s"((n - 1) * $k) DIV 100 + 1"
+              + s" + (CASE WHEN ((n - 1) * $k) % 100 > 0"
+              + " THEN 1 ELSE 0 END)"), col("cents"))).as(s"hi$k"),
+          max(expr(s"((n - 1) * $k) % 100")).as(s"rem$k"))
+      }
+      val base = li.groupBy("l_returnflag").agg(aggs.head, aggs.tail: _*)
+      ks.foldLeft(base) { (df, k) =>
+        df.withColumn(s"p${k}_x100",
+          lit(100L) * col(s"lo$k")
+            + col(s"rem$k") * (col(s"hi$k") - col(s"lo$k")))
+      }
+        .select((col("l_returnflag") +: col("n_rows") +:
+          ks.map(k => col(s"p${k}_x100"))): _*)
+        .orderBy("l_returnflag")
+    }),
+
     // TRIMMED MEAN (round 10): the winsorized mean's sibling — DROP
     // the tails outside the exact p05/p95 order statistics instead
     // of clamping them (the robust-metrics pair every platform
@@ -711,6 +803,77 @@ object Stats {
             - lit(3.0) * (col("n_total") + 1).cast("double"))
             / col("tie_denom"))))
         .select("k_groups", "n_total", "t_sum_u", "tie_sum", "h_stat")
+    }),
+
+    // DUNN POST-HOC (round 13): the pairwise follow-up to
+    // agg_kruskal_wallis — KW says "SOME language differs"; Dunn says
+    // WHICH pairs, on the same pooled midranks, with a Bonferroni
+    // family correction. Same value-grid machinery (doubled midranks
+    // off the domain-bounded grid, exact BIGINT per-group rank sums);
+    // z_ij = (R̄_i − R̄_j)/√(V(1/n_i + 1/n_j)) with the tie-corrected
+    // V = (N(N+1) − Σ(t³−t)/(N−1))/12 assembled once in mirrored
+    // doubles, and the k²-sized pair frame comes from one theta
+    // self-join of the k-row group table. The Bonferroni decision is
+    // ALL-INTEGER: p is the same exp-approximation micro-unit the
+    // Welch readout uses, and significance is p_micro·n_pairs <
+    // 50000 (α = 0.05) — integer cross-multiplication, no float
+    // boundary. Tie-cube overflow or N ≤ 1 ⇒ NULL z (never a throw).
+    "agg_dunn_posthoc" -> ((s, d) => {
+      val W = Window.orderBy("x")
+      val tieLim = lit(2097152L)
+      val cells = TestData.documents(s, d)
+        .select(col("lang"), col("n_chars").cast("long").as("x"))
+        .groupBy("lang", "x").agg(count(lit(1)).as("cg"))
+        .localCheckpoint()
+      val vals = cells.groupBy("x").agg(sum("cg").as("c"))
+        .withColumn("cum_lt",
+          coalesce(sum("c").over(
+            W.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("r2", lit(2L) * col("cum_lt") + col("c") + 1)
+        .localCheckpoint()
+      val groups = cells
+        .join(broadcast(vals.select("x", "r2")), "x")
+        .groupBy("lang")
+        .agg(sum("cg").as("n_g"), sum(col("cg") * col("r2")).as("r2_g"))
+        .localCheckpoint() // self-joined for pairs + the N rollup
+      val ties = vals.agg(
+        sum(when(col("c") < tieLim,
+          col("c") * col("c") * col("c") - col("c"))).as("tie_raw"),
+        max("c").as("c_max"))
+      val tot = groups.agg(sum("n_g").as("n_total"),
+        count(lit(1)).as("k_groups"))
+      val nD = col("n_total").cast("double")
+      val pairs = groups.select(col("lang").as("lang_a"),
+          col("n_g").as("n_a"), col("r2_g").as("r2_a"))
+        .join(groups.select(col("lang").as("lang_b"),
+          col("n_g").as("n_b"), col("r2_g").as("r2_b")),
+          col("lang_a") < col("lang_b"))
+        .crossJoin(broadcast(ties)).crossJoin(broadcast(tot))
+      pairs
+        .withColumn("tie_sum", when(col("c_max") < tieLim, col("tie_raw")))
+        .withColumn("v_pool", when(col("n_total") > 1,
+          (nD * (col("n_total") + 1).cast("double")
+            - col("tie_sum").cast("double")
+              / (col("n_total") - 1).cast("double")) / 12.0))
+        .withColumn("z", when(col("v_pool") > 0,
+          r4(((col("r2_a").cast("double") / col("n_a").cast("double")
+            - col("r2_b").cast("double") / col("n_b").cast("double"))
+            / 2.0)
+            / sqrt(col("v_pool")
+              * (lit(1.0) / col("n_a").cast("double")
+                + lit(1.0) / col("n_b").cast("double"))))))
+        .withColumn("p_micro", when(col("z").isNotNull,
+          floor(least(lit(1.0), lit(2.0)
+            * exp(lit(-0.717) * abs(col("z"))
+              - lit(0.416) * col("z") * col("z"))) * 1000000 + 0.5)
+            .cast("long")))
+        .withColumn("n_pairs",
+          expr("k_groups * (k_groups - 1) DIV 2"))
+        .withColumn("significant", when(col("p_micro").isNotNull,
+          col("p_micro") * col("n_pairs") < 50000L))
+        .select("lang_a", "lang_b", "n_a", "n_b", "z", "p_micro",
+          "significant")
+        .orderBy("lang_a", "lang_b")
     }),
 
     // JONCKHEERE-TERPSTRA (round 13): the ORDERED-alternative k-group
@@ -1889,6 +2052,73 @@ object Stats {
         |    * 10000 + 0.5) / 10000 AS outlier_frac
         |FROM li JOIN c2 USING (l_returnflag)
         |GROUP BY li.l_returnflag ORDER BY li.l_returnflag""".stripMargin,
+    // Sufficient-stats Taylor variance; whole-dollar y; mirrored
+    // readout order.
+    "agg_ratio_estimator" ->
+      """WITH cu AS (
+        |  SELECT c_mktsegment, c_custkey, count(*)::BIGINT AS x,
+        |    sum(floor(o_totalprice + 0.5)::BIGINT)::BIGINT AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |a AS (
+        |  SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy,
+        |    sum(y * y)::BIGINT AS syy
+        |  FROM cu GROUP BY 1),
+        |b AS (
+        |  SELECT *,
+        |    CASE WHEN sx > 0 THEN sy::DOUBLE / sx::DOUBLE END AS ratio_raw
+        |  FROM a),
+        |c AS (
+        |  SELECT *,
+        |    CASE WHEN ratio_raw IS NOT NULL AND n_customers > 1 THEN
+        |      sqrt((syy::DOUBLE - 2.0 * ratio_raw * sxy::DOUBLE
+        |          + ratio_raw * ratio_raw * sxx::DOUBLE)
+        |        / (n_customers - 1)::DOUBLE / n_customers::DOUBLE
+        |        / ((sx::DOUBLE / n_customers::DOUBLE)
+        |          * (sx::DOUBLE / n_customers::DOUBLE)))
+        |      END AS se_raw
+        |  FROM b)
+        |SELECT c_mktsegment, n_customers, sx, sy,
+        |  floor(ratio_raw * 10000 + 0.5) / 10000 AS ratio,
+        |  floor(se_raw * 10000 + 0.5) / 10000 AS se,
+        |  floor((ratio_raw - 1.96 * se_raw) * 10000 + 0.5) / 10000 AS ci_lo,
+        |  floor((ratio_raw + 1.96 * se_raw) * 10000 + 0.5) / 10000 AS ci_hi
+        |FROM c ORDER BY c_mktsegment""".stripMargin,
+    // Integer PERCENTILE_CONT: lo/hi order stats + rem off one rank
+    // window; value ×100 = 100·lo + rem·(hi − lo), exact.
+    "agg_percentile_cont" -> {
+      val ks = Seq(25, 50, 75, 90)
+      val picks = ks.map { k =>
+        s"""    max(CASE WHEN rn = ((n - 1) * $k) // 100 + 1
+           |      THEN cents END)::BIGINT AS lo$k,
+           |    max(CASE WHEN rn = ((n - 1) * $k) // 100 + 1
+           |        + (CASE WHEN ((n - 1) * $k) % 100 > 0 THEN 1 ELSE 0 END)
+           |      THEN cents END)::BIGINT AS hi$k,
+           |    max(((n - 1) * $k) % 100)::BIGINT AS rem$k""".stripMargin
+      }.mkString(",\n")
+      val outs = ks.map(k =>
+        s"(100 * lo$k + rem$k * (hi$k - lo$k))::BIGINT AS p${k}_x100")
+        .mkString(",\n  ")
+      s"""WITH li AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    floor(l_extendedprice * 100 + 0.5)::BIGINT AS cents
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, cents,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cents, l_orderkey, l_linenumber)::BIGINT AS rn,
+        |    (count(*) OVER (PARTITION BY l_returnflag))::BIGINT AS n
+        |  FROM li),
+        |a AS (
+        |  SELECT l_returnflag, max(n)::BIGINT AS n_rows,
+        |$picks
+        |  FROM r GROUP BY 1)
+        |SELECT l_returnflag, n_rows,
+        |  $outs
+        |FROM a ORDER BY l_returnflag""".stripMargin
+    },
     "agg_trimmed_mean" ->
       """WITH li AS (
         |  SELECT l_returnflag, l_orderkey, l_linenumber,
@@ -2079,6 +2309,67 @@ object Stats {
         |      - 3.0 * (n_total + 1)::DOUBLE) / tie_denom
         |      * 10000 + 0.5) / 10000 END AS h_stat
         |FROM h""".stripMargin,
+    // Same doubled-midrank grid as kruskal_wallis; pairwise z off the
+    // k-row self-join; integer Bonferroni on the micro p.
+    "agg_dunn_posthoc" ->
+      """WITH cells AS (
+        |  SELECT lang, n_chars::BIGINT AS x, count(*)::BIGINT AS cg
+        |  FROM documents GROUP BY 1, 2),
+        |vals AS (
+        |  SELECT x, c,
+        |    (coalesce(sum(c) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+        |      AS cum_lt
+        |  FROM (SELECT x, sum(cg)::BIGINT AS c FROM cells GROUP BY 1)),
+        |r AS (SELECT x, (2 * cum_lt + c + 1)::BIGINT AS r2 FROM vals),
+        |g AS (
+        |  SELECT cells.lang, sum(cg)::BIGINT AS n_g,
+        |    sum(cg * r2)::BIGINT AS r2_g
+        |  FROM cells JOIN r ON cells.x = r.x GROUP BY 1),
+        |t AS (
+        |  SELECT sum(CASE WHEN c < 2097152 THEN c * c * c - c END)::BIGINT
+        |      AS tie_raw,
+        |    max(c)::BIGINT AS c_max
+        |  FROM vals),
+        |tt AS (
+        |  SELECT sum(n_g)::BIGINT AS n_total, count(*)::BIGINT AS k_groups
+        |  FROM g),
+        |p AS (
+        |  SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |    a.n_g AS n_a, b.n_g AS n_b, a.r2_g AS r2_a, b.r2_g AS r2_b,
+        |    t.tie_raw, t.c_max, tt.n_total, tt.k_groups
+        |  FROM g a JOIN g b ON a.lang < b.lang
+        |  CROSS JOIN t CROSS JOIN tt),
+        |q AS (
+        |  SELECT *,
+        |    CASE WHEN c_max < 2097152 THEN tie_raw END AS tie_sum
+        |  FROM p),
+        |v AS (
+        |  SELECT *,
+        |    CASE WHEN n_total > 1 THEN
+        |      (n_total::DOUBLE * (n_total + 1)::DOUBLE
+        |        - tie_sum::DOUBLE / (n_total - 1)::DOUBLE) / 12.0
+        |      END AS v_pool
+        |  FROM q),
+        |z AS (
+        |  SELECT *,
+        |    CASE WHEN v_pool > 0 THEN
+        |      floor(((r2_a::DOUBLE / n_a::DOUBLE
+        |        - r2_b::DOUBLE / n_b::DOUBLE) / 2.0)
+        |        / sqrt(v_pool * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE))
+        |        * 10000 + 0.5) / 10000 END AS z
+        |  FROM v),
+        |w2 AS (
+        |  SELECT *,
+        |    CASE WHEN z IS NOT NULL THEN
+        |      floor(least(1.0, 2.0 * exp(-0.717 * abs(z)
+        |        - 0.416 * z * z)) * 1000000 + 0.5)::BIGINT END AS p_micro,
+        |    (k_groups * (k_groups - 1) // 2)::BIGINT AS n_pairs
+        |  FROM z)
+        |SELECT lang_a, lang_b, n_a, n_b, z, p_micro,
+        |  CASE WHEN p_micro IS NOT NULL THEN
+        |    p_micro * n_pairs < 50000 END AS significant
+        |FROM w2 ORDER BY lang_a, lang_b""".stripMargin,
     // The 2-D dominance prefix over the completed (group × value)
     // grid; doubled J2, exact-even E[J2], guarded cube sums, variance
     // assembled in mirrored doubles.
