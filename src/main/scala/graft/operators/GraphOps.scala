@@ -652,6 +652,75 @@ object GraphOps {
     // numerator/denominator from mean-centered doubles instead; one
     // sqrt + division at the end, r4'd. Shape: degree aggregate +
     // one edges-grain join on each endpoint, corpus never broadcast.
+    // RICH-CLUB COEFFICIENT (round 13): do high-degree vectors link
+    // to EACH OTHER more than chance — φ(k) = 2·E_{>k}/(N_{>k}(N_{>k}
+    // −1)) for k ∈ {2,4,8}; the hub-interconnection readout next to
+    // assortativity (assortativity is one corpus-wide correlation;
+    // the rich-club CURVE localizes it to the hub tier, where a
+    // dense club means one similarity neighborhood dominates the
+    // index). All integers until one r4'd division per k: the three
+    // thresholds expand from ONE degree-joined edge frame (tagged-
+    // frame protocol) and a k-row dimension left-join keeps empty
+    // clubs as explicit zeros. Degree table is node-sized; edge join
+    // shuffles on endpoint ids — never all-pairs.
+    "graph_rich_club" -> ((s, d) => {
+      import s.implicits._
+      val edges = fixtureKnnEdges(s, d).select("a", "b")
+      val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+        .localCheckpoint() // two edge-side joins + the node expansion
+      val ks = Seq(2L, 4L, 8L)
+      val eRich = edges
+        .join(deg.select(col("src").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("src").as("b"), col("deg").as("db")), "b")
+        .select(col("da"), col("db"),
+          explode(array(ks.map(lit): _*)).as("k"))
+        .filter(col("da") > col("k") && col("db") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("e_rich"))
+      val nRich = deg
+        .select(col("deg"), explode(array(ks.map(lit): _*)).as("k"))
+        .filter(col("deg") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_rich"))
+      ks.toDF("k")
+        .join(nRich, Seq("k"), "left")
+        .join(eRich, Seq("k"), "left")
+        .withColumn("n_rich", coalesce(col("n_rich"), lit(0L)))
+        .withColumn("e_rich", coalesce(col("e_rich"), lit(0L)))
+        .withColumn("phi", when(col("n_rich") > 1, graft.TestData.r4(
+          lit(2.0) * col("e_rich").cast("double")
+            / (col("n_rich") * (col("n_rich") - 1)).cast("double"))))
+        .select("k", "n_rich", "e_rich", "phi")
+        .orderBy("k")
+    }),
+
+    // DEGREE GINI (round 13): inequality of the kNN degree
+    // distribution — the one-number hub-concentration readout
+    // (gini 0 = perfectly even neighborhoods, → 1 = a few vectors
+    // absorb all similarity edges; high values say the IVF lists
+    // will skew and the agg_skew_salted tactics apply to the GRAPH
+    // keys too). Same rank-sum gini identity as the revenue key,
+    // ranks via Curation.rangedRank over (deg, src) — node-sized,
+    // no single-task sort; exact BIGINT rank sums, one r4'd readout.
+    // Nodes with zero edges are absent from the edge fold (stated).
+    "graph_degree_gini" -> ((s, d) => {
+      val edges = fixtureKnnEdges(s, d).select("a", "b")
+      val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+        .withColumn("g", lit(1))
+      graft.operators.Curation.rangedRank(
+          deg, "g", Seq(col("deg"), col("src")), "i")
+        .agg(count(lit(1)).as("n_nodes"), sum("deg").as("sum_degree"),
+          sum(col("i") * col("deg")).as("rank_sum"))
+        .withColumn("degree_gini", when(col("sum_degree") > 0,
+          graft.TestData.r4(
+            (lit(2L) * col("rank_sum")
+              - (col("n_nodes") + 1L) * col("sum_degree")).cast("double")
+              / (col("n_nodes") * col("sum_degree")).cast("double"))))
+        .select("n_nodes", "sum_degree", "rank_sum", "degree_gini")
+    }),
+
     "graph_degree_assortativity" -> ((s, d) => {
       val edges = fixtureKnnEdges(s, d)
       val adj = edges.select(col("a").as("src"), col("b").as("dst"))
@@ -1146,6 +1215,58 @@ object GraphOps {
         |SELECT e.vec_id, coalesce(bc.bc_u, 0)::BIGINT AS bc_u
         |FROM embeddings e LEFT JOIN bc ON e.vec_id = bc.id
         |ORDER BY e.vec_id""".stripMargin,
+    // Tagged-frame k expansion over the degree-joined edge list;
+    // k-row dimension keeps empty clubs explicit.
+    "graph_rich_club" ->
+      s"""$EdgesCte,
+        |adj AS (
+        |  SELECT a AS src, b AS dst FROM edges
+        |  UNION ALL SELECT b, a FROM edges),
+        |deg AS (SELECT src, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+        |er AS (
+        |  SELECT k, count(*)::BIGINT AS e_rich
+        |  FROM edges
+        |  JOIN deg da ON edges.a = da.src
+        |  JOIN deg db ON edges.b = db.src,
+        |  LATERAL (SELECT unnest([2, 4, 8]) AS k)
+        |  WHERE da.deg > k AND db.deg > k
+        |  GROUP BY 1),
+        |nr AS (
+        |  SELECT k, count(*)::BIGINT AS n_rich
+        |  FROM deg, LATERAL (SELECT unnest([2, 4, 8]) AS k)
+        |  WHERE deg > k GROUP BY 1),
+        |ks AS (SELECT unnest([2, 4, 8]) AS k)
+        |SELECT ks.k::BIGINT AS k,
+        |  coalesce(nr.n_rich, 0)::BIGINT AS n_rich,
+        |  coalesce(er.e_rich, 0)::BIGINT AS e_rich,
+        |  CASE WHEN coalesce(nr.n_rich, 0) > 1 THEN
+        |    floor(2.0 * coalesce(er.e_rich, 0)::DOUBLE
+        |      / (nr.n_rich * (nr.n_rich - 1))::DOUBLE * 10000 + 0.5)
+        |      / 10000 END AS phi
+        |FROM ks LEFT JOIN nr ON ks.k = nr.k LEFT JOIN er ON ks.k = er.k
+        |ORDER BY ks.k""".stripMargin,
+    // Monolithic (deg, src) rank ≡ rangedRank; the revenue-gini
+    // rank-sum identity.
+    "graph_degree_gini" ->
+      s"""$EdgesCte,
+        |adj AS (
+        |  SELECT a AS src, b AS dst FROM edges
+        |  UNION ALL SELECT b, a FROM edges),
+        |deg AS (SELECT src, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+        |r AS (
+        |  SELECT deg,
+        |    row_number() OVER (ORDER BY deg, src)::BIGINT AS i
+        |  FROM deg),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n_nodes, sum(deg)::BIGINT AS sum_degree,
+        |    sum(i * deg)::BIGINT AS rank_sum
+        |  FROM r)
+        |SELECT n_nodes, sum_degree, rank_sum,
+        |  CASE WHEN sum_degree > 0 THEN
+        |    floor((2 * rank_sum - (n_nodes + 1) * sum_degree)::DOUBLE
+        |      / (n_nodes * sum_degree)::DOUBLE * 10000 + 0.5) / 10000
+        |    END AS degree_gini
+        |FROM a""".stripMargin,
     "graph_degree_assortativity" ->
       s"""$EdgesCte,
         |adj AS (

@@ -322,6 +322,37 @@ object MultimodalOps {
         .select(col("id").as("doc_id"), col("comp").as("component"))
         .orderBy("doc_id")),
 
+    // DEDUP SAVINGS (round 13): the storage-ROI line a media-dedup
+    // run reports — if every perceptual-dup component collapses to
+    // its min-id survivor (the dedup_survivors convention), how many
+    // bytes disappear. Consumes the SAME memoized component labels as
+    // multimodal_dedup_components (zero extra blockhash work);
+    // survivor bytes come from one min(struct(id, bytes)) per
+    // component — struct ordering puts min id first, so the pick is
+    // the canonical member without a second join. Exact BIGINT byte
+    // sums; one r4'd percentage.
+    "multimodal_dedup_savings" -> ((s, d) => {
+      val sizes = Multimodal.fromDocuments(TestData.documents(s, d))
+        .select(col("doc_id").as("id"),
+          length(col("content")).cast("long").as("n_bytes"))
+      fixtureMediaComponents(s, d)
+        .join(sizes, "id")
+        .groupBy("comp")
+        .agg(count(lit(1)).as("n_items"), sum("n_bytes").as("bytes"),
+          min(struct(col("id"), col("n_bytes"))).getField("n_bytes")
+            .as("kept"))
+        .agg(sum("n_items").as("n_items"),
+          count(lit(1)).as("n_components"),
+          sum("bytes").as("total_bytes"),
+          sum("kept").as("kept_bytes"))
+        .withColumn("saved_bytes", col("total_bytes") - col("kept_bytes"))
+        .withColumn("savings_pct", when(col("total_bytes") > 0,
+          TestData.r4(col("saved_bytes").cast("double")
+            / col("total_bytes").cast("double"))))
+        .select("n_items", "n_components", "total_bytes", "kept_bytes",
+          "saved_bytes", "savings_pct")
+    }),
+
     "multimodal_features" -> ((s, d) =>
       Multimodal.extractFeatures(
           Multimodal.fromDocuments(TestData.documents(s, d)))
@@ -577,6 +608,40 @@ object MultimodalOps {
     // Transitive closure over the same brute-force pair edges
     // (dedup_components recursive-CTE precedent); edges stay
     // intra-mime by construction.
+    // Same recursive component closure; survivor = min doc_id member;
+    // byte ≡ char on the all-ASCII fixture (the features precedent).
+    "multimodal_dedup_savings" ->
+      s"""WITH RECURSIVE $blockhashCtes,
+        |edges AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM bh a JOIN bh b ON a.mime = b.mime AND a.doc_id <> b.doc_id
+        |  WHERE bit_count(xor(a.blockhash, b.blockhash)) <= 2),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
+        |sz AS (SELECT doc_id AS id, length(text)::BIGINT AS n_bytes
+        |       FROM documents),
+        |j AS (SELECT comp.comp, comp.id, sz.n_bytes
+        |      FROM comp JOIN sz USING (id)),
+        |per AS (
+        |  SELECT comp, count(*)::BIGINT AS n_items,
+        |    sum(n_bytes)::BIGINT AS bytes,
+        |    arg_min(n_bytes, id)::BIGINT AS kept
+        |  FROM j GROUP BY 1),
+        |a AS (
+        |  SELECT sum(n_items)::BIGINT AS n_items,
+        |    count(*)::BIGINT AS n_components,
+        |    sum(bytes)::BIGINT AS total_bytes,
+        |    sum(kept)::BIGINT AS kept_bytes
+        |  FROM per)
+        |SELECT n_items, n_components, total_bytes, kept_bytes,
+        |  (total_bytes - kept_bytes)::BIGINT AS saved_bytes,
+        |  CASE WHEN total_bytes > 0 THEN
+        |    floor((total_bytes - kept_bytes)::DOUBLE / total_bytes::DOUBLE
+        |      * 10000 + 0.5) / 10000 END AS savings_pct
+        |FROM a""".stripMargin,
     "multimodal_dedup_components" ->
       s"""WITH RECURSIVE $blockhashCtes,
         |edges AS (

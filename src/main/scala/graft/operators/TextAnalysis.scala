@@ -711,6 +711,30 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // GOOD-TURING MASS (round 13): the frequency-of-frequencies
+    // readout per language — hapax count N₁, dis legomena N₂, and
+    // the Good-Turing unseen-probability estimate p₀ = N₁/N: the
+    // number a language model's smoothing layer and a corpus-growth
+    // plan both start from ("how much probability mass belongs to
+    // words we have not seen yet"). Complements heaps_law (growth
+    // CURVE) with the single-sample point estimate. Vocabulary-folded
+    // type table, exact BIGINT spectrum counts, one r4'd division.
+    "text_good_turing" -> ((s, d) =>
+      TestData.documents(s, d)
+        .select(col("lang"),
+          explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+            .as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("f"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_types"), sum("f").as("n_tokens"),
+          sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          sum(when(col("f") === 2, 1L).otherwise(0L)).as("n_dis"))
+        .withColumn("p_unseen", when(col("n_tokens") > 0,
+          r4(col("n_hapax").cast("double") / col("n_tokens").cast("double"))))
+        .select("lang", "n_types", "n_tokens", "n_hapax", "n_dis",
+          "p_unseen")
+        .orderBy("lang")),
+
     // LEXICAL DENSITY (round 13): per-language content-word share at
     // BOTH grains — token occurrences (how much of the running text
     // is content) and vocabulary types (how much of the lexicon is) —
@@ -1289,6 +1313,25 @@ object TextAnalysis {
         |    + 100.0 * (n_complex::DOUBLE / n_words::DOUBLE))
         |    * 10000 + 0.5) / 10000 AS fog
         |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+    // Same type-table fold; exact spectrum counts.
+    "text_good_turing" ->
+      """WITH f AS (
+        |  SELECT lang, tok, count(*)::BIGINT AS f
+        |  FROM (SELECT lang, unnest(regexp_extract_all(text, '[a-z0-9]+'))
+        |          AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |a AS (
+        |  SELECT lang, count(*)::BIGINT AS n_types,
+        |    sum(f)::BIGINT AS n_tokens,
+        |    sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+        |    sum(CASE WHEN f = 2 THEN 1 ELSE 0 END)::BIGINT AS n_dis
+        |  FROM f GROUP BY 1)
+        |SELECT lang, n_types, n_tokens, n_hapax, n_dis,
+        |  CASE WHEN n_tokens > 0 THEN
+        |    floor(n_hapax::DOUBLE / n_tokens::DOUBLE * 10000 + 0.5) / 10000
+        |    END AS p_unseen
+        |FROM a ORDER BY lang""".stripMargin,
     // Same (lang, token) type-table fold as yule_k; shared stopword
     // list interpolated.
     "text_lexical_density" ->
