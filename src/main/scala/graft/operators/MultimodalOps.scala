@@ -322,6 +322,32 @@ object MultimodalOps {
         .select(col("id").as("doc_id"), col("comp").as("component"))
         .orderBy("doc_id")),
 
+    // HAMMING THRESHOLD SWEEP (round 13): how many near-dup pairs
+    // does each blockhash radius admit, per mime — the
+    // threshold-tuning curve a media-dedup rollout reads before
+    // picking its radius (the dedup_lsh_tuning analog for Hamming
+    // space). Rides the MEMOIZED banded pair frame (sound for the
+    // swept radii: 4-band pigeonhole covers Hamming ≤ 3 ⊇ {0,1,2});
+    // thresholds expand from that one frame, and a (mime × radius)
+    // dimension join keeps empty cells as explicit zeros. Counts are
+    // exact integers — nothing to quantize.
+    "multimodal_hamming_sweep" -> ((s, d) => {
+      import s.implicits._
+      val tagged = fixtureBlockhashPairs(s, d)
+        .select(col("mime"), col("hamming"),
+          explode(array(Seq(0, 1, 2).map(t => lit(t.toLong)): _*))
+            .as("radius"))
+        .filter(col("hamming") <= col("radius"))
+        .groupBy("mime", "radius").agg(count(lit(1)).as("n_pairs"))
+      Multimodal.fromDocuments(TestData.documents(s, d))
+        .select("mime").distinct()
+        .crossJoin(Seq(0L, 1L, 2L).toDF("radius"))
+        .join(tagged, Seq("mime", "radius"), "left")
+        .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+        .select("mime", "radius", "n_pairs")
+        .orderBy("mime", "radius")
+    }),
+
     // DEDUP SAVINGS (round 13): the storage-ROI line a media-dedup
     // run reports — if every perceptual-dup component collapses to
     // its min-id survivor (the dedup_survivors convention), how many
@@ -608,6 +634,31 @@ object MultimodalOps {
     // Transitive closure over the same brute-force pair edges
     // (dedup_components recursive-CTE precedent); edges stay
     // intra-mime by construction.
+    // UNBLOCKED brute-force pairs per the blocking-soundness rule;
+    // mime dimension from the fixture's mime expression.
+    "multimodal_hamming_sweep" ->
+      s"""WITH $blockhashCtes,
+        |pairs AS (
+        |  SELECT a.mime,
+        |    bit_count(xor(a.blockhash, b.blockhash)) AS hamming
+        |  FROM bh a JOIN bh b ON a.mime = b.mime AND a.doc_id < b.doc_id),
+        |tg AS (
+        |  SELECT mime, radius, count(*)::BIGINT AS n_pairs
+        |  FROM pairs, LATERAL (SELECT unnest([0, 1, 2]) AS radius)
+        |  WHERE hamming <= radius GROUP BY 1, 2),
+        |md AS (
+        |  SELECT DISTINCT
+        |    ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3)::INT + 1]
+        |      AS mime
+        |  FROM documents),
+        |dim AS (
+        |  SELECT mime, radius
+        |  FROM md, LATERAL (SELECT unnest([0, 1, 2]) AS radius))
+        |SELECT dim.mime, dim.radius::BIGINT AS radius,
+        |  coalesce(tg.n_pairs, 0)::BIGINT AS n_pairs
+        |FROM dim LEFT JOIN tg
+        |  ON dim.mime = tg.mime AND dim.radius = tg.radius
+        |ORDER BY dim.mime, dim.radius""".stripMargin,
     // Same recursive component closure; survivor = min doc_id member;
     // byte ≡ char on the all-ASCII fixture (the features precedent).
     "multimodal_dedup_savings" ->

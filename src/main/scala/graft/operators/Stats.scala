@@ -1376,6 +1376,42 @@ object Stats {
         .orderBy("nationkey")
     }),
 
+    // BENJAMINI-YEKUTIELI (round 13): BH's dependence-safe sibling —
+    // the same step-up over the SAME per-nation Welch-z p-values,
+    // with the threshold deflated by the harmonic factor c(m) =
+    // Σ_{j≤m} 1/j, which makes FDR control valid under ARBITRARY
+    // dependence between the tests (correlated nations are the rule,
+    // not the exception, when segments share customers). The harmonic
+    // sum is defined in integer MICRO-units as Σ(1e6 DIV j) —
+    // computed from the rank rows themselves (one window sum, no
+    // literal table) and identical in both engines by integer-DIV
+    // construction (documented as the spec). Decision stays all
+    // integer: p_u·m·c_micro ≤ rk·1e5·1e6 (α = 0.1, matching BH's) —
+    // LHS ≤ 1e6·m·(m·1e6) bounds fine for m ≲ 3e3 tests. BY ⊆ BH
+    // rejection containment holds by c(m) ≥ 1.
+    "agg_benjamini_yekutieli" -> ((s, d) => {
+      val W = Window.partitionBy()
+      val wRank = Window.orderBy(col("p_u").asc_nulls_last, col("nationkey"))
+      nationPValues(s, d)
+        .withColumn("m_tests",
+          sum(when(col("p_u").isNotNull, 1L).otherwise(0L)).over(W))
+        .withColumn("rk", row_number().over(wRank))
+        .withColumn("c_micro",
+          sum(when(col("rk") <= col("m_tests"),
+            expr("1000000 DIV rk"))).over(W))
+        .withColumn("flag", col("p_u").isNotNull
+          && col("p_u") * col("m_tests") * col("c_micro")
+            <= col("rk") * lit(100000L) * lit(1000000L))
+        .withColumn("k_max", max(when(col("flag"), col("rk"))).over(W))
+        .withColumn("significant", when(col("p_u").isNotNull,
+          col("k_max").isNotNull && col("rk") <= col("k_max"))
+          .otherwise(lit(false)))
+        .select(col("nationkey"), (col("n_c") + col("n_t")).as("n_users"),
+          col("z"), col("p_u"), col("rk"), col("c_micro"),
+          col("significant"))
+        .orderBy("nationkey")
+    }),
+
     // HOLM-BONFERRONI (round 11): the step-DOWN companion to
     // agg_bh_fdr — familywise-error control (α = 0.05) over the SAME
     // per-nation Welch-z p-values: reject in p-ascending order while
@@ -2712,6 +2748,35 @@ object Stats {
         |FROM c""".stripMargin,
     // Same IEEE-floor dollar quantizer, Welch z, Lin p-approximation
     // and integer cross-multiplied step-up as the Spark side.
+    // Same shared p CTE; micro-harmonic c(m) = Σ(1e6 // j) summed
+    // from the rank rows; all-integer step-up.
+    "agg_benjamini_yekutieli" ->
+      s"""$NationPCte,
+        |r AS (
+        |  SELECT *,
+        |    (sum(CASE WHEN p_u IS NOT NULL THEN 1 ELSE 0 END) OVER ())
+        |      ::BIGINT AS m_tests,
+        |    row_number() OVER (ORDER BY p_u ASC NULLS LAST, nationkey)
+        |      AS rk
+        |  FROM pp),
+        |h AS (
+        |  SELECT *,
+        |    (sum(CASE WHEN rk <= m_tests THEN 1000000 // rk END) OVER ())
+        |      ::BIGINT AS c_micro
+        |  FROM r),
+        |f AS (
+        |  SELECT *,
+        |    (p_u IS NOT NULL AND p_u * m_tests * c_micro
+        |      <= rk * 100000 * 1000000) AS flag
+        |  FROM h),
+        |k AS (SELECT *, max(CASE WHEN flag THEN rk END) OVER () AS k_max
+        |      FROM f)
+        |SELECT nationkey, (n_c + n_t)::BIGINT AS n_users, z, p_u, rk,
+        |  c_micro,
+        |  CASE WHEN p_u IS NOT NULL THEN
+        |    (k_max IS NOT NULL AND rk <= k_max) ELSE false END
+        |    AS significant
+        |FROM k ORDER BY nationkey""".stripMargin,
     "agg_bh_fdr" ->
       s"""$NationPCte,
         |r AS (

@@ -1504,6 +1504,71 @@ object TimeSeries {
     // One shuffle on user_id; the report is variant-sized. Hash
     // assignment means the split is stable across reruns, engines,
     // and cluster sizes — the property an experiment framework needs.
+    // DIFFERENCE-IN-DIFFERENCES (round 13): the quasi-experimental
+    // estimator for when assignment isn't random-at-treatment-time —
+    // compare each variant's CHANGE in per-user activity across the
+    // window midpoint, so any level difference that predates the
+    // split cancels. Algebra: DiD = mean_t(Δ) − mean_c(Δ) with Δ =
+    // after − before per user, i.e. a two-sample Welch on per-user
+    // differences — pure sufficient statistics (Δ can be negative;
+    // ΣΔ, ΣΔ² exact BIGINTs), the same md5 user split as the ab_*
+    // family and the same (min+max)/2 scalar midpoint as agg_mcnemar
+    // (one broadcast probe). Divisions and the z/p readout happen on
+    // the 1-row aggregate in mirrored IEEE order; n ≤ 1 or zero
+    // variance ⇒ NULL z/p, never a throw.
+    "events_ab_did" -> ((s, d) => {
+      val ev = TestData.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) DIV 2").as("mid"))
+      val per = ev.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(sum(when(col("ts_us") <= col("mid"), 1L).otherwise(0L))
+            .as("x1"),
+          sum(when(col("ts_us") > col("mid"), 1L).otherwise(0L))
+            .as("x2"))
+        .withColumn("t",
+          conv(substring(md5(col("user_id").cast("string")), 1, 2),
+            16, 10).cast("int") % 2)
+        .withColumn("dd", col("x2") - col("x1"))
+      per.agg(
+          sum(when(col("t") === 0, 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("t") === 1, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("t") === 0, col("dd")).otherwise(0L)).as("s_c"),
+          sum(when(col("t") === 1, col("dd")).otherwise(0L)).as("s_t"),
+          sum(when(col("t") === 0, col("dd") * col("dd")).otherwise(0L))
+            .as("ss_c"),
+          sum(when(col("t") === 1, col("dd") * col("dd")).otherwise(0L))
+            .as("ss_t"))
+        .withColumn("mean_c", when(col("n_c") > 0,
+          col("s_c").cast("double") / col("n_c").cast("double")))
+        .withColumn("mean_t", when(col("n_t") > 0,
+          col("s_t").cast("double") / col("n_t").cast("double")))
+        .withColumn("v_c", when(col("n_c") > 1,
+          (col("ss_c").cast("double")
+            - col("s_c").cast("double") * col("s_c").cast("double")
+              / col("n_c").cast("double"))
+            / (col("n_c") - 1).cast("double")))
+        .withColumn("v_t", when(col("n_t") > 1,
+          (col("ss_t").cast("double")
+            - col("s_t").cast("double") * col("s_t").cast("double")
+              / col("n_t").cast("double"))
+            / (col("n_t") - 1).cast("double")))
+        .withColumn("z", when(col("v_c") > 0 && col("v_t") > 0,
+          r4((col("mean_t") - col("mean_c"))
+            / sqrt(col("v_c") / col("n_c").cast("double")
+              + col("v_t") / col("n_t").cast("double")))))
+        .withColumn("p_u", when(col("z").isNotNull,
+          floor(least(lit(1.0), lit(2.0)
+            * exp(lit(-0.717) * abs(col("z"))
+              - lit(0.416) * col("z") * col("z"))) * 1000000 + 0.5)
+            .cast("long")))
+        .select(col("n_c").as("n_control"), col("n_t").as("n_treatment"),
+          r4(col("mean_c")).as("mean_diff_control"),
+          r4(col("mean_t")).as("mean_diff_treatment"),
+          r4(col("mean_t") - col("mean_c")).as("did"),
+          col("z"), col("p_u"))
+    }),
+
     "events_ab_lift" -> ((s, d) =>
       TestData.events(s, d)
         .groupBy("user_id")
@@ -3597,6 +3662,60 @@ object TimeSeries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0)
         |    AS locf_v
         |FROM e ORDER BY event_id""".stripMargin,
+    // Welch on per-user Δ = after − before; same md5 split + scalar
+    // midpoint; mirrored z/p readout.
+    "events_ab_did" ->
+      """WITH mid AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        |  FROM events),
+        |per AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN epoch_us(ts) <= mid THEN 1 ELSE 0 END)::BIGINT
+        |      AS x1,
+        |    sum(CASE WHEN epoch_us(ts) > mid THEN 1 ELSE 0 END)::BIGINT
+        |      AS x2
+        |  FROM events CROSS JOIN mid GROUP BY 1),
+        |dd AS (
+        |  SELECT (('0x' || substring(md5(user_id::VARCHAR), 1, 2))::INT
+        |      % 2) AS t,
+        |    (x2 - x1)::BIGINT AS dd
+        |  FROM per),
+        |a AS (
+        |  SELECT
+        |    sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+        |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+        |    sum(CASE WHEN t = 0 THEN dd ELSE 0 END)::BIGINT AS s_c,
+        |    sum(CASE WHEN t = 1 THEN dd ELSE 0 END)::BIGINT AS s_t,
+        |    sum(CASE WHEN t = 0 THEN dd * dd ELSE 0 END)::BIGINT AS ss_c,
+        |    sum(CASE WHEN t = 1 THEN dd * dd ELSE 0 END)::BIGINT AS ss_t
+        |  FROM dd),
+        |b AS (
+        |  SELECT *,
+        |    CASE WHEN n_c > 0 THEN s_c::DOUBLE / n_c::DOUBLE END AS mean_c,
+        |    CASE WHEN n_t > 0 THEN s_t::DOUBLE / n_t::DOUBLE END AS mean_t,
+        |    CASE WHEN n_c > 1 THEN
+        |      (ss_c::DOUBLE - s_c::DOUBLE * s_c::DOUBLE / n_c::DOUBLE)
+        |        / (n_c - 1)::DOUBLE END AS v_c,
+        |    CASE WHEN n_t > 1 THEN
+        |      (ss_t::DOUBLE - s_t::DOUBLE * s_t::DOUBLE / n_t::DOUBLE)
+        |        / (n_t - 1)::DOUBLE END AS v_t
+        |  FROM a),
+        |c AS (
+        |  SELECT *,
+        |    CASE WHEN v_c > 0 AND v_t > 0 THEN
+        |      floor((mean_t - mean_c)
+        |        / sqrt(v_c / n_c::DOUBLE + v_t / n_t::DOUBLE)
+        |        * 10000 + 0.5) / 10000 END AS z
+        |  FROM b)
+        |SELECT n_c AS n_control, n_t AS n_treatment,
+        |  floor(mean_c * 10000 + 0.5) / 10000 AS mean_diff_control,
+        |  floor(mean_t * 10000 + 0.5) / 10000 AS mean_diff_treatment,
+        |  floor((mean_t - mean_c) * 10000 + 0.5) / 10000 AS did,
+        |  z,
+        |  CASE WHEN z IS NOT NULL THEN
+        |    floor(least(1.0, 2.0 * exp(-0.717 * abs(z) - 0.416 * z * z))
+        |      * 1000000 + 0.5)::BIGINT END AS p_u
+        |FROM c""".stripMargin,
     "events_ab_lift" ->
       """WITH u AS (
         |  SELECT user_id,
