@@ -711,6 +711,80 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // LOG-ODDS WORDS (round 13): Monroe et al.'s "Fightin' Words" —
+    // which tokens distinguish English text from the rest of the
+    // corpus, with the Dirichlet-prior z-score that fixes both raw
+    // log-odds (explodes on rare words) and PMI (ignores evidence
+    // volume). δ_w = ln((y1+1)/(n1+V−y1−1)) − ln((y2+1)/(n2+V−y2−1)),
+    // z = δ/√(1/(y1+1) + 1/(y2+1)) with a flat α = 1 prior (α₀ = V).
+    // Vocabulary-shaped: the corpus folds to per-token group counts
+    // once; scalars (n1, n2, V) broadcast from a 1-row aggregate;
+    // every transcendental is per-ROW closed form in mirrored order
+    // (no float accumulation anywhere); top-20 by the r4-QUANTIZED
+    // |z| sort key (float-sort rule) via TakeOrderedAndProject.
+    "text_log_odds_words" -> ((s, d) => {
+      val f = TestData.documents(s, d)
+        .select(col("lang"),
+          explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+            .as("tok"))
+        .groupBy("tok")
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("y1"),
+          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("y2"))
+        .localCheckpoint() // scalar totals + the per-token readout
+      val tot = f.agg(sum("y1").as("n1"), sum("y2").as("n2"),
+        count(lit(1)).as("v"))
+      val d1 = col("n1") + col("v") - col("y1") - 1
+      val d2 = col("n2") + col("v") - col("y2") - 1
+      f.crossJoin(broadcast(tot))
+        .withColumn("delta", when(d1 > 0 && d2 > 0,
+          log((col("y1") + 1).cast("double") / d1.cast("double"))
+            - log((col("y2") + 1).cast("double") / d2.cast("double"))))
+        .withColumn("z_raw", col("delta")
+          / sqrt(lit(1.0) / (col("y1") + 1).cast("double")
+            + lit(1.0) / (col("y2") + 1).cast("double")))
+        .filter(col("z_raw").isNotNull)
+        .orderBy(r4(abs(col("z_raw"))).desc, col("tok"))
+        .limit(20)
+        .select(col("tok"), col("y1"), col("y2"),
+          r4(col("delta")).as("log_odds"), r4(col("z_raw")).as("z"))
+        .orderBy(r4(abs(col("z_raw"))).desc, col("tok"))
+    }),
+
+    // LANG VOCAB OVERLAP (round 13): pairwise Jaccard of the DISTINCT
+    // token vocabularies across languages — the contamination /
+    // shared-loanword readout next to text_js_divergence (JS compares
+    // DISTRIBUTIONS; this compares SUPPORTS, which is what a
+    // per-lang tokenizer-sharing decision reads). Vocabulary-shaped:
+    // one distinct fold, a token equi-join for intersections (k²/2
+    // output rows), a lang×lang dimension join keeps disjoint pairs
+    // as explicit zeros; exact integers until one r4'd division.
+    "text_lang_vocab_overlap" -> ((s, d) => {
+      val types = TestData.documents(s, d)
+        .select(col("lang"),
+          explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+            .as("tok"))
+        .distinct()
+        .localCheckpoint() // sizes + both sides of the pair join
+      val sz = types.groupBy("lang").agg(count(lit(1)).as("sz"))
+      val inter = types.select(col("lang").as("lang_a"), col("tok"))
+        .join(types.select(col("lang").as("lang_b"), col("tok")), "tok")
+        .filter(col("lang_a") < col("lang_b"))
+        .groupBy("lang_a", "lang_b").agg(count(lit(1)).as("n_inter"))
+      sz.select(col("lang").as("lang_a"), col("sz").as("size_a"))
+        .join(sz.select(col("lang").as("lang_b"), col("sz").as("size_b")),
+          col("lang_a") < col("lang_b"))
+        .join(inter, Seq("lang_a", "lang_b"), "left")
+        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+        .withColumn("jaccard", when(
+          col("size_a") + col("size_b") - col("n_inter") > 0,
+          r4(col("n_inter").cast("double")
+            / (col("size_a") + col("size_b") - col("n_inter"))
+              .cast("double"))))
+        .select("lang_a", "lang_b", "size_a", "size_b", "n_inter",
+          "jaccard")
+        .orderBy("lang_a", "lang_b")
+    }),
+
     // GOOD-TURING MASS (round 13): the frequency-of-frequencies
     // readout per language — hapax count N₁, dis legomena N₂, and
     // the Good-Turing unseen-probability estimate p₀ = N₁/N: the
@@ -1313,6 +1387,69 @@ object TextAnalysis {
         |    + 100.0 * (n_complex::DOUBLE / n_words::DOUBLE))
         |    * 10000 + 0.5) / 10000 AS fog
         |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+    // Per-row closed-form δ/z with the flat prior; quantized |z|
+    // sort key; top-20.
+    "text_log_odds_words" ->
+      """WITH f AS (
+        |  SELECT tok,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS y1,
+        |    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::BIGINT AS y2
+        |  FROM (SELECT lang, unnest(regexp_extract_all(text, '[a-z0-9]+'))
+        |          AS tok
+        |        FROM documents)
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT sum(y1)::BIGINT AS n1, sum(y2)::BIGINT AS n2,
+        |    count(*)::BIGINT AS v
+        |  FROM f),
+        |z AS (
+        |  SELECT tok, y1, y2,
+        |    CASE WHEN n1 + v - y1 - 1 > 0 AND n2 + v - y2 - 1 > 0 THEN
+        |      ln((y1 + 1)::DOUBLE / (n1 + v - y1 - 1)::DOUBLE)
+        |        - ln((y2 + 1)::DOUBLE / (n2 + v - y2 - 1)::DOUBLE)
+        |      END AS delta
+        |  FROM f CROSS JOIN t),
+        |w AS (
+        |  SELECT *,
+        |    delta / sqrt(1.0 / (y1 + 1)::DOUBLE + 1.0 / (y2 + 1)::DOUBLE)
+        |      AS z_raw
+        |  FROM z),
+        |top AS (
+        |  SELECT * FROM w WHERE z_raw IS NOT NULL
+        |  ORDER BY floor(abs(z_raw) * 10000 + 0.5) / 10000 DESC, tok
+        |  LIMIT 20)
+        |SELECT tok, y1, y2,
+        |  floor(delta * 10000 + 0.5) / 10000 AS log_odds,
+        |  floor(z_raw * 10000 + 0.5) / 10000 AS z
+        |FROM top
+        |ORDER BY floor(abs(z_raw) * 10000 + 0.5) / 10000 DESC, tok""".stripMargin,
+    // Distinct-type fold, token equi-join intersections, lang×lang
+    // dimension completion.
+    "text_lang_vocab_overlap" ->
+      """WITH ty AS (
+        |  SELECT DISTINCT lang, tok
+        |  FROM (SELECT lang, unnest(regexp_extract_all(text, '[a-z0-9]+'))
+        |          AS tok
+        |        FROM documents)),
+        |sz AS (SELECT lang, count(*)::BIGINT AS sz FROM ty GROUP BY 1),
+        |inter AS (
+        |  SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |    count(*)::BIGINT AS n_inter
+        |  FROM ty a JOIN ty b ON a.tok = b.tok AND a.lang < b.lang
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |    a.sz AS size_a, b.sz AS size_b
+        |  FROM sz a JOIN sz b ON a.lang < b.lang)
+        |SELECT p.lang_a, p.lang_b, p.size_a, p.size_b,
+        |  coalesce(inter.n_inter, 0)::BIGINT AS n_inter,
+        |  CASE WHEN p.size_a + p.size_b - coalesce(inter.n_inter, 0) > 0
+        |    THEN floor(coalesce(inter.n_inter, 0)::DOUBLE
+        |      / (p.size_a + p.size_b - coalesce(inter.n_inter, 0))::DOUBLE
+        |      * 10000 + 0.5) / 10000 END AS jaccard
+        |FROM p LEFT JOIN inter
+        |  ON p.lang_a = inter.lang_a AND p.lang_b = inter.lang_b
+        |ORDER BY p.lang_a, p.lang_b""".stripMargin,
     // Same type-table fold; exact spectrum counts.
     "text_good_turing" ->
       """WITH f AS (

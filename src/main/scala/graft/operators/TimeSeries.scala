@@ -1504,6 +1504,52 @@ object TimeSeries {
     // One shuffle on user_id; the report is variant-sized. Hash
     // assignment means the split is stable across reruns, engines,
     // and cluster sizes — the property an experiment framework needs.
+    // MANTEL-HAENSZEL ODDS RATIO (round 13): the STRATIFIED pooled
+    // odds ratio across market segments — the Simpson's-paradox-safe
+    // aggregate of events_ab_odds_ratio (a marginal OR can invert
+    // when segment mix differs between variants; MH pools the
+    // per-stratum 2×2s with n_i weights instead). OR_MH =
+    // Σ(a_i·d_i/n_i)/Σ(b_i·c_i/n_i) over the segment-grain 2×2
+    // table (event-grain purchase outcome, the ab_significance
+    // convention; md5 user split). Each stratum's ratio term is
+    // quantized to integer MICRO-units before the cross-stratum sum
+    // (PSI precedent) — the only floats are per-stratum mirrored
+    // expressions; one guarded division at the 1-row readout.
+    "events_ab_odds_mh" -> ((s, d) => {
+      val seg = TestData.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val cells = TestData.events(s, d)
+        .withColumn("t",
+          (conv(substring(md5(col("user_id").cast("string")), 1, 2),
+            16, 10).cast("int") % 2 =!= 0).cast("int"))
+        .withColumn("purch",
+          when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .join(broadcast(seg), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+          sum(when(col("t") === 1, col("purch")).otherwise(0L)).as("a"),
+          sum(when(col("t") === 1, lit(1L) - col("purch")).otherwise(0L))
+            .as("b"),
+          sum(when(col("t") === 0, col("purch")).otherwise(0L)).as("c"),
+          sum(when(col("t") === 0, lit(1L) - col("purch")).otherwise(0L))
+            .as("dd"))
+        .withColumn("n", col("a") + col("b") + col("c") + col("dd"))
+        .withColumn("num_u", when(col("n") > 0,
+          floor(col("a").cast("double") * col("dd").cast("double")
+            / col("n").cast("double") * 1000000 + 0.5).cast("long"))
+          .otherwise(0L))
+        .withColumn("den_u", when(col("n") > 0,
+          floor(col("b").cast("double") * col("c").cast("double")
+            / col("n").cast("double") * 1000000 + 0.5).cast("long"))
+          .otherwise(0L))
+      cells.agg(count(lit(1)).as("n_strata"),
+          sum("num_u").as("mh_num_u"), sum("den_u").as("mh_den_u"))
+        .withColumn("or_mh", when(col("mh_den_u") > 0,
+          r4(col("mh_num_u").cast("double")
+            / col("mh_den_u").cast("double"))))
+        .select("n_strata", "mh_num_u", "mh_den_u", "or_mh")
+    }),
+
     // DIFFERENCE-IN-DIFFERENCES (round 13): the quasi-experimental
     // estimator for when assignment isn't random-at-treatment-time —
     // compare each variant's CHANGE in per-user activity across the
@@ -3662,6 +3708,43 @@ object TimeSeries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0)
         |    AS locf_v
         |FROM e ORDER BY event_id""".stripMargin,
+    // Event-grain segment 2×2s; micro per-stratum ratio terms before
+    // the sums; one guarded readout division.
+    "events_ab_odds_mh" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))::INT
+        |      % 2 <> 0 THEN 1 ELSE 0 END AS t,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS purch
+        |  FROM events),
+        |cells AS (
+        |  SELECT c_mktsegment,
+        |    sum(CASE WHEN t = 1 THEN purch ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN t = 1 THEN 1 - purch ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN t = 0 THEN purch ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN t = 0 THEN 1 - purch ELSE 0 END)::BIGINT AS dd
+        |  FROM e JOIN customer ON e.user_id = c_custkey
+        |  GROUP BY 1),
+        |u AS (
+        |  SELECT *, (a + b + c + dd)::BIGINT AS n FROM cells),
+        |v AS (
+        |  SELECT *,
+        |    CASE WHEN n > 0 THEN
+        |      floor(a::DOUBLE * dd::DOUBLE / n::DOUBLE * 1000000 + 0.5)
+        |        ::BIGINT ELSE 0 END AS num_u,
+        |    CASE WHEN n > 0 THEN
+        |      floor(b::DOUBLE * c::DOUBLE / n::DOUBLE * 1000000 + 0.5)
+        |        ::BIGINT ELSE 0 END AS den_u
+        |  FROM u),
+        |a2 AS (
+        |  SELECT count(*)::BIGINT AS n_strata,
+        |    sum(num_u)::BIGINT AS mh_num_u, sum(den_u)::BIGINT AS mh_den_u
+        |  FROM v)
+        |SELECT n_strata, mh_num_u, mh_den_u,
+        |  CASE WHEN mh_den_u > 0 THEN
+        |    floor(mh_num_u::DOUBLE / mh_den_u::DOUBLE * 10000 + 0.5)
+        |      / 10000 END AS or_mh
+        |FROM a2""".stripMargin,
     // Welch on per-user Δ = after − before; same md5 split + scalar
     // midpoint; mirrored z/p readout.
     "events_ab_did" ->
