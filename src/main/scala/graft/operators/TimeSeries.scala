@@ -2661,6 +2661,48 @@ object TimeSeries {
         .select("n_scored", "abs_err_sum", "mae", "smape")
     }),
 
+    // SNAIVE PREDICTION INTERVAL (round 13): the interval the
+    // backtest family stops short of — wrap the seasonal-naive point
+    // forecast in EMPIRICAL residual quantiles (q05/q95 of the
+    // historical y_t − y_{t−168} errors) and grade the last 24
+    // scored hours against it. Distribution-free, and ALL-INTEGER:
+    // residuals are count differences, the quantile cut is the
+    // rank-convention order statistic ((n+1) DIV 20 / 19(n+1) DIV
+    // 20), the band is fc + q, and coverage is an integer BETWEEN —
+    // no float anywhere. Same gap-safe hr−168 equi-join as
+    // ts_snaive_smape; the residual rank window rides the hour grid
+    // (domain-bounded); the 1-row quantile table broadcasts back.
+    "ts_snaive_interval" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val hourly = TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val scored = hourly
+        .join(hourly.select((col("hr") + 168).as("hr"),
+          col("cnt").as("fc")), "hr")
+        .withColumn("resid", col("cnt") - col("fc"))
+        .localCheckpoint() // quantile branch + the last-24 readout
+      val q = scored
+        .withColumn("rn", row_number().over(W.orderBy("resid", "hr"))
+          .cast("long"))
+        .withColumn("n", count(lit(1)).over(W.partitionBy()))
+        .agg(max("n").as("n_resid"),
+          max(when(col("rn") === expr("(n + 1) DIV 20"), col("resid")))
+            .as("q05"),
+          max(when(col("rn") === expr("(19 * (n + 1)) DIV 20"),
+            col("resid"))).as("q95"))
+      scored
+        .withColumn("rk", row_number().over(W.orderBy(col("hr").desc)))
+        .filter(col("rk") <= 24)
+        .crossJoin(broadcast(q))
+        .withColumn("lo", col("fc") + col("q05"))
+        .withColumn("hi", col("fc") + col("q95"))
+        .withColumn("covered", col("cnt").between(col("lo"), col("hi")))
+        .select(col("hr"), col("cnt").as("actual"), col("fc"),
+          col("n_resid"), col("lo"), col("hi"), col("covered"))
+        .orderBy("hr")
+    }),
+
     // BOLLINGER BANDS (round 11): rolling 24 h mean ± 2σ envelope
     // over the hourly series with a breach flag — the volatility-
     // aware alarm next to events_anomaly_zscore's global z (a level
@@ -4908,6 +4950,36 @@ object TimeSeries {
         |FROM b""".stripMargin,
     // Same hr−168 equi-join over the occupied grid, micro-quantized
     // sMAPE terms, exact-integer MAE numerator.
+    // Same hr−168 equi-join; rank-convention residual quantiles;
+    // integer band + BETWEEN coverage.
+    "ts_snaive_interval" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1),
+        |sc AS (
+        |  SELECT t.hr, t.cnt, l.cnt AS fc, (t.cnt - l.cnt)::BIGINT AS resid
+        |  FROM hourly t JOIN hourly l ON t.hr = l.hr + 168),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (ORDER BY resid, hr)::BIGINT AS rn,
+        |    (count(*) OVER ())::BIGINT AS n
+        |  FROM sc),
+        |q AS (
+        |  SELECT max(n)::BIGINT AS n_resid,
+        |    max(CASE WHEN rn = (n + 1) // 20 THEN resid END)::BIGINT AS q05,
+        |    max(CASE WHEN rn = (19 * (n + 1)) // 20 THEN resid END)::BIGINT
+        |      AS q95
+        |  FROM r),
+        |last24 AS (
+        |  SELECT * FROM (
+        |    SELECT hr, cnt, fc,
+        |      row_number() OVER (ORDER BY hr DESC) AS rk
+        |    FROM sc)
+        |  WHERE rk <= 24)
+        |SELECT hr, cnt AS actual, fc, q.n_resid,
+        |  (fc + q.q05)::BIGINT AS lo, (fc + q.q95)::BIGINT AS hi,
+        |  cnt BETWEEN fc + q.q05 AND fc + q.q95 AS covered
+        |FROM last24 CROSS JOIN q ORDER BY hr""".stripMargin,
     "ts_snaive_smape" ->
       """WITH hourly AS (
         |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*)::BIGINT AS cnt
