@@ -3600,6 +3600,18 @@ class GraftEngine(val spark: SparkSession) {
         "coverage_b")
   }
 
+  /** Exact ROC-AUC + step-form PR-AUC (average precision) per
+    * detector (see `eval_detector_auc`). Input columns: (detector:
+    * STRING, score_u: BIGINT quantized score — higher = more
+    * positive, is_pos: BIGINT 0/1 ground truth). AUC is exact via
+    * the Mann-Whitney rank-sum identity over the score-distinct
+    * cell grid (ties = ½); PR-AUC is micro-quantized step-form
+    * average precision. One-class inputs read NULL (never a throw);
+    * auc2_num stays < 2^63 to ~2e9 scored pairs.
+    */
+  def detectorAuc(scored: DataFrame): DataFrame =
+    TextOps.detectorAuc(scored)
+
   /** RAKE keyword extraction (see `text_rake_keywords`) over
     * (doc_id, `textCol`) rows: maximal stopword-free token runs,
     * word score deg/freq (DIV-quantized to 1e-6), phrase score =
@@ -3693,6 +3705,55 @@ class GraftEngine(val spark: SparkSession) {
     graft.operators.GraphOps.louvainRefine(
       labels.select(col(idCol).as("id"), col(labelCol).as("label")),
       edges, rounds)
+  }
+
+  /** TWO-NN intrinsic-dimensionality MLE (see `vec_intrinsic_dim`):
+    * d̂ = n/Σ ln(r2/r1) over each query's two nearest candidates in
+    * `cands` (qid, nn) — supply exact or blocked-kNN candidates; the
+    * two smallest exact distances become r1 ≤ r2. Duplicate vectors
+    * (r1 = 0) are excluded (n_queries − n_used). Returns 1 row
+    * (n_queries, n_used, sum_u, d_hat); all-duplicate or one-
+    * candidate inputs read NULL d_hat, never a throw.
+    */
+  def intrinsicDim(vectors: DataFrame, idCol: String, vecCol: String,
+                   cands: DataFrame): DataFrame =
+    graft.operators.GraphOps.intrinsicDim(
+      vectors.select(col(idCol).as("vec_id"),
+        col(vecCol).as("embedding")), cands)
+
+  /** Personalized PageRank / random-walk-with-restart (see
+    * `graph_pagerank_personalized`): `rounds` unrolled integer
+    * micro-unit iterations with ALL teleport/start mass on the seed
+    * set — rank decays with walk distance from the seeds and
+    * unreachable nodes read exactly 0. Empty seed set ⇒ all-zero
+    * ranks (guarded, never a DIV-by-zero). Returns (id, r) in
+    * 1e-6 mass units (Σr ≈ n·1e6).
+    */
+  def personalizedPagerank(nodes: DataFrame, idCol: String,
+      edges: DataFrame, seeds: DataFrame, seedCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "rounds in [1, 16]")
+    graft.operators.GraphOps.personalizedPagerank(
+      nodes.select(col(idCol).as("id")), edges,
+      seeds.select(col(seedCol).as("id")), rounds)
+  }
+
+  /** Full two-phase Louvain step (see `graph_louvain_coarsen`):
+    * `fineRounds` node-grain batched sweeps, then an EXACT community
+    * contraction (weighted super-edges/self-loops, Σdeg and m
+    * conserved ⇒ coarse Q ≡ fine Q) and `coarseRounds` weighted
+    * sweeps at the COMMUNITY grain — reaching the whole-community
+    * merges phase 1 cannot. Returns node-grain (id, label);
+    * monotone in Q end-to-end.
+    */
+  def louvainCoarsen(labels: DataFrame, idCol: String, labelCol: String,
+                     edges: DataFrame, fineRounds: Int = 3,
+                     coarseRounds: Int = 1): DataFrame = {
+    require(fineRounds >= 1 && fineRounds <= 16
+      && coarseRounds >= 1 && coarseRounds <= 16, "rounds in [1, 16]")
+    graft.operators.GraphOps.louvainCoarsen(
+      labels.select(col(idCol).as("id"), col(labelCol).as("label")),
+      edges, fineRounds, coarseRounds)
   }
 
   /** Holm-Bonferroni step-down (see `agg_holm_bonferroni`) over a

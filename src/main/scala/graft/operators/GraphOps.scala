@@ -246,13 +246,31 @@ object GraphOps {
     */
   private[graft] def louvainRefine(labels0: DataFrame, edges: DataFrame,
                                    rounds: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val adj = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .withColumn("w", lit(1L))
       .localCheckpoint()
     val me = edges.agg(count(lit(1)).as("m"))
     val deg = adj.groupBy(col("src").as("did"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint()
+      .agg(sum("w").as("deg")).localCheckpoint()
+    louvainSweeps(labels0, adj, deg, me, rounds)
+  }
+
+  /** The WEIGHTED sweep core behind [[louvainRefine]] (w ≡ 1) and the
+    * phase-2 coarse grain (`graph_louvain_coarsen`, round 14), where
+    * super-edges carry inter-community edge counts. Inputs: `adj` =
+    * (src, dst, w) in BOTH directions with NO self-loops (a
+    * super-node's self-loop moves with it, so it cancels out of every
+    * gain — it enters only through `deg`); `deg` = (did, deg) the
+    * weighted degree INCLUDING 2× any self-loop weight (so Σdeg = 2m
+    * is conserved across coarsening); `me` = 1-row (m) total edge
+    * weight. The exact-BIGINT gain 2m(k_iB − k_iA) − d_i(tot_B −
+    * tot_A + d_i) is unchanged — only the k's are now weight sums.
+    */
+  private[graft] def louvainSweeps(labels0: DataFrame, adj: DataFrame,
+                                   deg: DataFrame, me: DataFrame,
+                                   rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     var labels = labels0.select(col("id"), col("label")).localCheckpoint()
     for (_ <- 1 to rounds) {
       val tot = labels.join(deg, col("id") === col("did"), "left")
@@ -261,7 +279,7 @@ object GraphOps {
       val kic = adj
         .join(labels.select(col("id").as("d2"), col("label").as("dl")),
           col("dst") === col("d2"))
-        .groupBy(col("src"), col("dl")).agg(count(lit(1)).as("k"))
+        .groupBy(col("src"), col("dl")).agg(sum("w").as("k"))
         .localCheckpoint() // consumed twice (candidates + own-k side)
       val own = kic.select(col("src").as("osrc"), col("dl").as("ol"),
         col("k").as("k_own"))
@@ -312,6 +330,157 @@ object GraphOps {
         .localCheckpoint()
     }
     labels
+  }
+
+  /** Full two-phase Louvain step (round 14, VERDICT r13 missing #2):
+    * `fineRounds` batched sweeps at node grain ([[louvainRefine]]),
+    * then CONTRACT communities to super-nodes and re-sweep
+    * `coarseRounds` times at the coarse grain — the move class the
+    * one-level refine cannot reach (merging WHOLE communities), which
+    * is what makes Louvain converge in practice. Coarsening is exact:
+    * super-edge weight = inter-community edge count, self-loop weight
+    * = intra count, super-degree = Σ member degrees (enters `deg` as
+    * inter-weight + 2·self-loop, conserving Σdeg = 2m), total m
+    * UNCHANGED — so coarse-partition Q ≡ fine-partition Q and every
+    * coarse gain is an exact node-partition ΔQ. The weighted gain
+    * rides [[louvainSweeps]] unchanged (2m·k ≤ 2m² < 2^63 to ~2e9
+    * edges, the refine key's documented bound). Scale shape: the
+    * coarse graph is COMMUNITY-sized (≤ distinct labels), every stage
+    * an aggregate or equi-join on community ids; project-back is one
+    * label-grain equi-join. Returns node-grain (id, label).
+    */
+  private[graft] def louvainCoarsen(labels0: DataFrame, edges: DataFrame,
+                                    fineRounds: Int = 3,
+                                    coarseRounds: Int = 1): DataFrame = {
+    val fine = louvainRefine(labels0, edges, fineRounds)
+      .localCheckpoint() // consumed by coarsen (2 endpoint sides) + project-back
+    val la = fine.select(col("id").as("a"), col("label").as("ca"))
+    val lb = fine.select(col("id").as("b"), col("label").as("cb"))
+    val ew = edges.join(la, "a").join(lb, "b")
+      .groupBy("ca", "cb").agg(count(lit(1)).as("w"))
+      .localCheckpoint() // 3 consumers: 2 adj directions + self-loops
+    val inter = ew.filter(col("ca") =!= col("cb"))
+    val cadj = inter
+      .select(col("ca").as("src"), col("cb").as("dst"), col("w"))
+      .union(inter
+        .select(col("cb").as("src"), col("ca").as("dst"), col("w")))
+      .localCheckpoint()
+    val cself = ew.filter(col("ca") === col("cb"))
+      .select(col("ca").as("sid"), col("w").as("ws"))
+    val cnodes = fine.select(col("label").as("cid")).distinct()
+    val cdeg = cnodes
+      .join(cadj.groupBy(col("src").as("aid")).agg(sum("w").as("dw")),
+        col("cid") === col("aid"), "left")
+      .join(cself, col("cid") === col("sid"), "left")
+      .select(col("cid").as("did"),
+        (coalesce(col("dw"), lit(0L))
+          + lit(2L) * coalesce(col("ws"), lit(0L))).as("deg"))
+      .localCheckpoint()
+    val me = edges.agg(count(lit(1)).as("m"))
+    val cl0 = cnodes.select(col("cid").as("id"), col("cid").as("label"))
+    val coarse = louvainSweeps(cl0, cadj, cdeg, me, coarseRounds)
+    fine.join(coarse.select(col("id").as("cl"),
+        col("label").as("clabel")), col("label") === col("cl"))
+      .select(col("id"), col("clabel").as("label"))
+  }
+
+  /** Personalized PageRank / random-walk-with-restart (round 14,
+    * VERDICT r13 missing #3): the `graph_pagerank` recipe with ALL
+    * teleport mass restarting at the SEED set — the "what is near
+    * THESE nodes" expansion/recommendation readout, vs global PR's
+    * corpus-wide importance. Same 3 unrolled integer micro-unit sync
+    * rounds: total mass n·1e6 starts on the seeds (1e6·n DIV |S|
+    * each), each round r(v) = tele(v) + 85·Σ_{u→v}(r_u DIV d_u) DIV
+    * 100 with tele concentrated on seeds (150000·n DIV |S|). All
+    * quantities nonnegative BIGINTs (DIV ≡ //); 85·csum ≤ 85·n·1e6 —
+    * safe to ~10^11 nodes. Nodes unreachable from the seed set read
+    * EXACTLY 0 (no teleport, no inflow — pinned in PropertySpec).
+    * Empty seed set ⇒ all-zero ranks (guarded at the definition
+    * site, never an ANSI DIV-by-zero). Shape: per round one
+    * degree-join + one edge-grain shuffle + a node-grain aggregate —
+    * the frontier is 2 longs/node; seeds/counts ride a broadcast
+    * 1-row scalar.
+    */
+  private[graft] def personalizedPagerank(nodes: DataFrame,
+      edges: DataFrame, seeds: DataFrame, rounds: Int = 3): DataFrame = {
+    val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val sfl = seeds.select(col("id").as("sid")).distinct()
+      .withColumn("is_seed", lit(1L))
+    val flagged = nodes.select(col("id"))
+      .join(sfl, col("id") === col("sid"), "left")
+      .select(col("id"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+    val counts = flagged.agg(count(lit(1)).as("n_nodes"),
+      sum("is_seed").as("n_seeds"))
+    val base = flagged.crossJoin(broadcast(counts))
+      .select(col("id"),
+        expr("CASE WHEN is_seed = 1 AND n_seeds > 0 " +
+          "THEN 150000 * n_nodes DIV n_seeds ELSE 0 END").as("tele"),
+        expr("CASE WHEN is_seed = 1 AND n_seeds > 0 " +
+          "THEN 1000000 * n_nodes DIV n_seeds ELSE 0 END").as("r0"))
+      .localCheckpoint() // consumed every round (tele) + as r0
+    var ranks = base.select(col("id"), col("r0").as("r"))
+    for (_ <- 1 to rounds) {
+      val contribs = ranks.withColumnRenamed("id", "src")
+        .join(deg, "src")
+        .select(col("src"), expr("r DIV deg").as("c"))
+        .join(adj, "src")
+        .select(col("dst").as("id"), col("c"))
+        .groupBy("id").agg(sum(col("c")).as("csum"))
+      ranks = base.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (col("tele") + expr("85 * coalesce(csum, 0L) DIV 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** TWO-NN intrinsic-dimensionality MLE (Facco et al. 2017, round
+    * 14 — VERDICT r13 missing #5): d̂ = n / Σ ln(r2/r1) over each
+    * query's two nearest neighbors — the other half of the
+    * embedding-health profile next to `vec_anisotropy` (anisotropy
+    * says whether the space COLLAPSED; d̂ says whether dim-64 is
+    * over- or under-provisioned for the data's actual manifold).
+    * `cands` supplies neighbor CANDIDATES (here: the memoized probed
+    * kNN top-3) — exact distances re-rank them and the two smallest
+    * become r1 ≤ r2, so ln(r2/r1) ≥ 0 by construction. Duplicate
+    * vectors (r1 = 0) are excluded per the estimator's definition
+    * (counted in n_queries − n_used). Each per-query term is
+    * micro-nat-quantized BEFORE the sum (ln(r2/r1) = ½·ln(sq2/sq1),
+    * identical op order both engines — the PSI/entropy protocol).
+    * Shape: candidate-grain join + a per-query (≤3-row) window +
+    * 1-row readout; no new pair machinery.
+    */
+  private[graft] def intrinsicDim(vectors: DataFrame,
+                                  cands: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{VectorOps => V}
+    val qv = vectors.select(col("vec_id").as("qid2"),
+      col("embedding").as("qv"))
+    val nv = vectors.select(col("vec_id").as("nn2"),
+      col("embedding").as("nv"))
+    val W = Window.partitionBy("qid").orderBy(col("sq"), col("nn"))
+    cands.select("qid", "nn")
+      .join(qv, col("qid") === col("qid2"))
+      .join(nv, col("nn") === col("nn2"))
+      .withColumn("sq", V.sqDist(col("qv"), col("nv")))
+      .withColumn("rk", row_number().over(W))
+      .filter(col("rk") <= 2)
+      .groupBy("qid")
+      .agg(min(when(col("rk") === 1, col("sq"))).as("sq1"),
+        min(when(col("rk") === 2, col("sq"))).as("sq2"))
+      .withColumn("term_u", when(col("sq1") > 0 && col("sq2").isNotNull,
+        floor(log(col("sq2") / col("sq1")) * 500000 + 0.5).cast("long")))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("term_u").isNotNull, 1L).otherwise(0L)).as("n_used"),
+        sum("term_u").as("sum_u"))
+      .withColumn("d_hat", when(col("sum_u") > 0,
+        graft.TestData.r4(col("n_used").cast("double") * 1000000.0
+          / col("sum_u").cast("double"))))
+      .select("n_queries", "n_used", "sum_u", "d_hat")
   }
 
   /** Seeded-sample Brandes betweenness (see `graph_betweenness_sample`):
@@ -626,6 +795,27 @@ object GraphOps {
         .orderBy("vec_id")
     }),
 
+    // LOUVAIN PHASE 2 (round 14): community COARSENING + coarse
+    // re-sweep — the other half of Blondel et al.'s alternation and
+    // the move class refinement alone cannot reach: merging WHOLE
+    // communities (a community only merges node-by-node under
+    // phase 1, and intermediate single-node moves usually have
+    // negative ΔQ, so the refine stalls at a local optimum the
+    // coarse grain escapes in one move). Communities contract to
+    // super-nodes (weighted super-edges = inter-community counts,
+    // self-loops = intra counts, Σdeg and m conserved ⇒ coarse Q ≡
+    // fine Q exactly), one batched conflict-free sweep runs at the
+    // coarse grain via the SAME exact-BIGINT weighted gain, labels
+    // project back to nodes. Oracle unrolls coarsening + the
+    // weighted sweep on top of the refine CTEs (MATERIALIZED, per
+    // the 4^k re-expansion lesson). Monotone Q ≥ the one-level
+    // refine's Q pinned in PropertySpec (strict on the fixture).
+    "graph_louvain_coarsen" -> ((s, d) => {
+      louvainCoarsen(lpaLabels(s, d), fixtureKnnEdges(s, d), 3, 1)
+        .select(col("id").as("vec_id"), col("label").as("community"))
+        .orderBy("vec_id")
+    }),
+
     // K-CORE PRUNING (round 8): 3 fixed rounds of drop-degree-<k
     // (k=2) over the kNN graph — the standard densest-region filter
     // that strips leaf/whisker noise before community or motif
@@ -916,6 +1106,36 @@ object GraphOps {
           (col("r").cast("double") / 1000000.0).as("rank"))
         .orderBy("vec_id")
     }),
+
+    // PERSONALIZED PAGERANK (round 14): random-walk-with-restart
+    // from the BFS key's seed convention (vec_id % 50 = 0) — "what
+    // is near THESE nodes", the recommendation/neighborhood-
+    // expansion readout global PR cannot give (its teleport
+    // uniformly re-inflates the whole corpus every round; here ALL
+    // restart mass returns to the seeds, so rank decays with
+    // random-walk distance from the seed set and unreachable nodes
+    // read EXACTLY 0). Same unrolled 3-round integer micro-unit
+    // machinery as graph_pagerank (see personalizedPagerank's
+    // scaladoc for bounds/guards); oracle unrolls identically.
+    "graph_pagerank_personalized" -> ((s, d) => {
+      val nodes = TestData.embeddings(s, d)
+        .select(col("vec_id").as("id"))
+      personalizedPagerank(nodes, fixtureKnnEdges(s, d),
+          nodes.filter(col("id") % 50 === 0), 3)
+        .select(col("id").as("vec_id"), col("r").as("rank_u"),
+          (col("r").cast("double") / 1000000.0).as("rank"))
+        .orderBy("vec_id")
+    }),
+
+    // INTRINSIC DIMENSIONALITY (round 14): two-NN MLE d̂ =
+    // n/Σ ln(r2/r1) off the memoized kNN candidates (see
+    // intrinsicDim's scaladoc) — the dimensionality half of the
+    // embedding-health profile (vec_anisotropy is the collapse
+    // half). Planted-manifold brackets pinned in PropertySpec
+    // (2-D manifold ≪ ambient, full-rank gaussian near ambient).
+    "vec_intrinsic_dim" -> ((s, d) =>
+      intrinsicDim(TestData.embeddings(s, d),
+        directedKnnEdges(s, d).select("qid", "nn"))),
 
     // LOCAL CLUSTERING COEFFICIENT (round 10): per node, the
     // fraction of its neighbor pairs that are themselves connected
@@ -1427,6 +1647,68 @@ object GraphOps {
       s"""$LouvainCtes
         |SELECT id AS vec_id, label AS community
         |FROM lv3 ORDER BY vec_id""".stripMargin,
+    // Phase 2 on top of the refine CTEs: exact contraction (weighted
+    // super-edges, self-loops, conserved degrees/m), then ONE
+    // weighted conflict-free sweep — the same gain/accept SQL with
+    // count(*) replaced by weight sums — and the node-grain
+    // project-back join. MATERIALIZED per the 4^k lesson.
+    "graph_louvain_coarsen" ->
+      s"""$LouvainCtes,
+        |ew AS MATERIALIZED (
+        |  SELECT la.label AS ca, lb.label AS cb, count(*)::BIGINT AS w
+        |  FROM edges e JOIN lv3 la ON e.a = la.id
+        |  JOIN lv3 lb ON e.b = lb.id
+        |  GROUP BY 1, 2),
+        |cadj AS MATERIALIZED (
+        |  SELECT ca AS src, cb AS dst, w FROM ew WHERE ca <> cb
+        |  UNION ALL SELECT cb, ca, w FROM ew WHERE ca <> cb),
+        |cnodes AS MATERIALIZED (SELECT DISTINCT label AS cid FROM lv3),
+        |cdeg AS MATERIALIZED (
+        |  SELECT n.cid AS src,
+        |    (coalesce(a.dw, 0) + 2 * coalesce(s.ws, 0))::BIGINT AS deg
+        |  FROM cnodes n
+        |  LEFT JOIN (SELECT src, sum(w)::BIGINT AS dw FROM cadj
+        |             GROUP BY 1) a ON n.cid = a.src
+        |  LEFT JOIN (SELECT ca AS sid, w AS ws FROM ew WHERE ca = cb) s
+        |    ON n.cid = s.sid),
+        |cl0 AS MATERIALIZED (SELECT cid AS id, cid AS label FROM cnodes),
+        |ctot AS MATERIALIZED (
+        |  SELECT l.label AS tl, sum(coalesce(d.deg, 0))::BIGINT AS tot
+        |  FROM cl0 l LEFT JOIN cdeg d ON l.id = d.src GROUP BY 1),
+        |ckic AS MATERIALIZED (
+        |  SELECT cadj.src, l.label AS dl, sum(cadj.w)::BIGINT AS k
+        |  FROM cadj JOIN cl0 l ON cadj.dst = l.id GROUP BY 1, 2),
+        |ccand AS MATERIALIZED (
+        |  SELECT src, sl, dl, gain FROM (
+        |    SELECT src, sl, dl, gain, row_number() OVER (
+        |      PARTITION BY sl, dl ORDER BY gain DESC, src, dl) AS rn1
+        |    FROM (
+        |      SELECT c.src AS src, s.label AS sl, c.dl AS dl,
+        |        2*m.m*(c.k - coalesce(o.k, 0))
+        |          - d.deg*(tb.tot - ta.tot + d.deg) AS gain
+        |      FROM ckic c
+        |      JOIN cl0 s ON c.src = s.id
+        |      LEFT JOIN ckic o ON o.src = c.src AND o.dl = s.label
+        |      JOIN cdeg d ON d.src = c.src
+        |      JOIN ctot tb ON tb.tl = c.dl
+        |      JOIN ctot ta ON ta.tl = s.label
+        |      CROSS JOIN mm m
+        |      WHERE c.dl <> s.label)
+        |    WHERE gain > 0)
+        |  WHERE rn1 = 1),
+        |cacc AS (
+        |  SELECT src, dl FROM (
+        |    SELECT src, dl, row_number() OVER (
+        |      PARTITION BY comm ORDER BY gain DESC, src, dl) AS rc
+        |    FROM (SELECT src, dl, gain, sl AS comm FROM ccand
+        |          UNION ALL SELECT src, dl, gain, dl FROM ccand))
+        |  GROUP BY src, dl HAVING max(rc) = 1),
+        |cl1 AS MATERIALIZED (
+        |  SELECT l.id, coalesce(a.dl, l.label) AS label
+        |  FROM cl0 l LEFT JOIN cacc a ON l.id = a.src)
+        |SELECT f.id AS vec_id, cl1.label AS community
+        |FROM lv3 f JOIN cl1 ON f.label = cl1.id
+        |ORDER BY vec_id""".stripMargin,
     "graph_triangle_count" ->
       s"""$EdgesCte,
         |tri AS (
@@ -1509,6 +1791,87 @@ object GraphOps {
         |  ON n.vec_id = c.dst)
         |SELECT vec_id, r::BIGINT AS rank_u, (r::DOUBLE / 1000000.0) AS rank
         |FROM r3 ORDER BY vec_id""".stripMargin,
+    // Same unrolled integer chain as graph_pagerank, with the
+    // teleport/start mass concentrated on the % 50 seed set; all
+    // quantities nonnegative so // ≡ DIV throughout.
+    "graph_pagerank_personalized" ->
+      s"""$EdgesCte,
+        |adj AS (
+        |  SELECT a AS src, b AS dst FROM edges
+        |  UNION ALL SELECT b, a FROM edges),
+        |deg AS (SELECT src, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+        |n AS (SELECT vec_id FROM embeddings),
+        |cnt AS (
+        |  SELECT count(*)::BIGINT AS n_nodes,
+        |    sum(CASE WHEN vec_id % 50 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_seeds
+        |  FROM n),
+        |base AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 50 = 0 AND c.n_seeds > 0
+        |      THEN 150000 * c.n_nodes // c.n_seeds ELSE 0 END AS tele,
+        |    CASE WHEN vec_id % 50 = 0 AND c.n_seeds > 0
+        |      THEN 1000000 * c.n_nodes // c.n_seeds ELSE 0 END AS r0
+        |  FROM n CROSS JOIN cnt c),
+        |p0 AS (SELECT vec_id, r0 AS r FROM base),
+        |p1 AS (
+        |  SELECT b.vec_id, b.tele + 85 * coalesce(c.csum, 0) // 100 AS r
+        |  FROM base b LEFT JOIN (
+        |    SELECT adj.dst, sum(p0.r // deg.deg)::BIGINT AS csum
+        |    FROM p0 JOIN deg ON p0.vec_id = deg.src
+        |    JOIN adj ON deg.src = adj.src GROUP BY 1) c
+        |  ON b.vec_id = c.dst),
+        |p2 AS (
+        |  SELECT b.vec_id, b.tele + 85 * coalesce(c.csum, 0) // 100 AS r
+        |  FROM base b LEFT JOIN (
+        |    SELECT adj.dst, sum(p1.r // deg.deg)::BIGINT AS csum
+        |    FROM p1 JOIN deg ON p1.vec_id = deg.src
+        |    JOIN adj ON deg.src = adj.src GROUP BY 1) c
+        |  ON b.vec_id = c.dst),
+        |p3 AS (
+        |  SELECT b.vec_id, b.tele + 85 * coalesce(c.csum, 0) // 100 AS r
+        |  FROM base b LEFT JOIN (
+        |    SELECT adj.dst, sum(p2.r // deg.deg)::BIGINT AS csum
+        |    FROM p2 JOIN deg ON p2.vec_id = deg.src
+        |    JOIN adj ON deg.src = adj.src GROUP BY 1) c
+        |  ON b.vec_id = c.dst)
+        |SELECT vec_id, r::BIGINT AS rank_u, (r::DOUBLE / 1000000.0) AS rank
+        |FROM p3 ORDER BY vec_id""".stripMargin,
+    // Exact-distance re-rank of the knn candidates (ORDER BY raw
+    // list_sum sq — the assigned-cluster precedent), micro-nat
+    // ln-ratio terms in identical op order, 1-row readout.
+    "vec_intrinsic_dim" ->
+      s"""$EdgesCte,
+        |dst AS (
+        |  SELECT k.qid, k.nn,
+        |    list_sum(list_transform(
+        |      list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS sq
+        |  FROM knn k JOIN embeddings a ON k.qid = a.vec_id
+        |  JOIN embeddings b ON k.nn = b.vec_id),
+        |rk AS (
+        |  SELECT qid, sq, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sq, nn) AS rk
+        |  FROM dst),
+        |pr AS (
+        |  SELECT qid, min(CASE WHEN rk = 1 THEN sq END) AS sq1,
+        |    min(CASE WHEN rk = 2 THEN sq END) AS sq2
+        |  FROM rk WHERE rk <= 2 GROUP BY 1),
+        |tm AS (
+        |  SELECT qid, CASE WHEN sq1 > 0 AND sq2 IS NOT NULL
+        |    THEN floor(ln(sq2 / sq1) * 500000 + 0.5)::BIGINT END AS term_u
+        |  FROM pr),
+        |agg AS (
+        |  SELECT count(*)::BIGINT AS n_queries,
+        |    sum(CASE WHEN term_u IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_used,
+        |    sum(term_u)::BIGINT AS sum_u
+        |  FROM tm)
+        |SELECT n_queries, n_used, sum_u,
+        |  CASE WHEN sum_u > 0 THEN
+        |    floor(n_used::DOUBLE * 1000000.0 / sum_u::DOUBLE
+        |      * 10000 + 0.5) / 10000 END AS d_hat
+        |FROM agg""".stripMargin,
     "graph_bfs_distance" ->
       s"""$EdgesCte,
         |adj AS (

@@ -678,6 +678,14 @@ object Maintenance {
       .join(broadcast(targets),
         col("shard") === col("t_shard") && col("rk") === col("r_i"))
       .select(col("shard"), col("i"), col("r_i"), col("v"))
+    // SCALE NOTE: the weighted-cumulative merge below rides one
+    // unpartitioned window over the bound table, i.e. ONE task sees
+    // buckets·|shards| rows (8 shards × 32 buckets = 256 here). Each
+    // row is 4 small columns, so this stays trivially fine up to
+    // ~10^5 shards (≈ 3M tiny rows); past that, re-plan onto the
+    // house shardedPrefixSum (or a two-level merge: merge groups of
+    // ~1k shards, then merge the group summaries) before believing
+    // the single-task stage at fleet scale.
     val wI = W.partitionBy("shard").orderBy("i")
     val merged = bounds
       .withColumn("w",

@@ -1387,7 +1387,9 @@ object Stats {
     // literal table) and identical in both engines by integer-DIV
     // construction (documented as the spec). Decision stays all
     // integer: p_u·m·c_micro ≤ rk·1e5·1e6 (α = 0.1, matching BH's) —
-    // LHS ≤ 1e6·m·(m·1e6) bounds fine for m ≲ 3e3 tests. BY ⊆ BH
+    // c_micro is a HARMONIC micro-sum ≈ 1e6·ln(m), so the LHS is
+    // bounded by 1e6·m·1e6·ln(m) = 1e12·m·ln(m) < 2^63 for m into
+    // the hundreds of millions of tests. BY ⊆ BH
     // rejection containment holds by c(m) ≥ 1.
     "agg_benjamini_yekutieli" -> ((s, d) => {
       val W = Window.partitionBy()

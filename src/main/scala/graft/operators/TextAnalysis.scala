@@ -29,6 +29,32 @@ object TextAnalysis {
   private val simhashPairsMemo = new graft.SessionMemo[
     org.apache.spark.sql.DataFrame]
 
+  /** 60-bit SimHash signatures over whitespace tokens (duplicates
+    * counted — token FREQUENCY weights the bit sums, per Charikar).
+    * Input: (doc_id, text, …); output (doc_id, simhash). Extracted
+    * from `dedup_simhash` (round 14) so detector-evaluation keys can
+    * sign an arbitrary (e.g. planted-dup) corpus, not just the
+    * fixture. One token-grain aggregate, 60 codegen'd conditional
+    * sums — no per-pair work here.
+    */
+  private[graft] def simhashOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+              explode(split(col("text"), " ")).as("token"))
+      .withColumn("h", conv(substring(md5(col("token")), 1, 15), 16, 10)
+        .cast("long"))
+    val bitSums = (0 until 60).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val sim = (0 until 60).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sim.as("simhash"))
+  }
+
   private[graft] def fixtureSimhashPairs(s: SparkSession,
                                          d: String): DataFrame =
     simhashPairsMemo.getOrElseUpdate(s,
@@ -433,24 +459,8 @@ object TextAnalysis {
     // the hex→int fold is a DuckDB list comprehension over exact
     // BIGINT shifts (4·(15−i) ≤ 56 stays clear of the bit-63 range
     // check), the same technique that oracled ann_hamming_topk.
-    "dedup_simhash" -> ((s, d) => {
-      val toks = TestData.documents(s, d)
-        .select(col("doc_id"),
-                explode(split(col("text"), " ")).as("token"))
-        .withColumn("h", conv(substring(md5(col("token")), 1, 15), 16, 10)
-          .cast("long"))
-      val bitSums = (0 until 60).map { b =>
-        sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1)
-          .otherwise(-1)).as(s"b$b")
-      }
-      val sim = (0 until 60).map { b =>
-        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      toks.groupBy("doc_id")
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"), sim.as("simhash"))
-        .orderBy("doc_id")
-    }),
+    "dedup_simhash" -> ((s, d) =>
+      simhashOf(TestData.documents(s, d)).orderBy("doc_id")),
 
     // ZIPF EXPONENT per language: regression slope of ln(freq) on
     // ln(rank) over the word-frequency table — the distributional

@@ -440,6 +440,53 @@ object TextOps {
         graft.functions.MinHashLsh.nearDupPairs(docs, 0.9).localCheckpoint()
       })
 
+  /** Exact ROC-AUC + step-form PR-AUC (average precision) per
+    * detector, from a scored-pair frame with columns
+    * (detector: STRING, score_u: BIGINT — quantized score, higher =
+    * more positive, is_pos: BIGINT 0/1). AUC via the Mann-Whitney
+    * rank-sum identity over the score-DISTINCT cell grid: in 2×
+    * units (ties count 1), auc2_num = Σ_v pos(v)·(2·cum_neg(<v) +
+    * neg(v)) — exact BIGINT, grid bounded by the score DOMAIN.
+    * PR-AUC = Σ_v (pos(v)/n_pos)·precision(≥v) with the per-cell
+    * term micro-quantized before the sum (PSI/entropy precedent);
+    * the precision denominator cum_pos_ge + cum_neg_ge ≥ 1 on every
+    * grid row by construction (a cell exists ⇒ ≥ 1 pair), so no x/0
+    * site. Degenerate one-class inputs ⇒ auc NULL (pr_auc NULL when
+    * n_pos = 0). Shared by `eval_detector_auc` and the facade's
+    * `detectorAuc` (parity-pinned in EngineApiSpec); the grid ≡
+    * brute-force-pairwise identity is pinned in ClosedFormProps.
+    */
+  private[graft] def detectorAuc(scored: DataFrame): DataFrame = {
+    val W = Window.partitionBy("detector").orderBy("score_u")
+    val Wd = Window.partitionBy("detector").orderBy(col("score_u").desc)
+    scored
+      .groupBy("detector", "score_u")
+      .agg(sum("is_pos").as("pos"),
+        sum(lit(1L) - col("is_pos")).as("neg"))
+      .withColumn("cum_neg_lt", coalesce(sum("neg").over(
+        W.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cum_pos_ge", sum("pos").over(
+        Wd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_neg_ge", sum("neg").over(
+        Wd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("ap_term_u",
+        floor(col("pos").cast("double") * col("cum_pos_ge").cast("double")
+            / (col("cum_pos_ge") + col("cum_neg_ge")).cast("double")
+            * 1000000 + 0.5).cast("long"))
+      .groupBy("detector")
+      .agg(sum("pos").as("n_pos"), sum("neg").as("n_neg"),
+        sum(col("pos") * (lit(2L) * col("cum_neg_lt") + col("neg")))
+          .as("auc2_num"),
+        sum("ap_term_u").as("ap_sum_u"))
+      .withColumn("auc", when(col("n_pos") > 0 && col("n_neg") > 0,
+        r4(col("auc2_num").cast("double")
+          / (lit(2.0) * (col("n_pos") * col("n_neg")).cast("double")))))
+      .withColumn("pr_auc", when(col("n_pos") > 0,
+        r4(col("ap_sum_u").cast("double")
+          / (lit(1000000.0) * col("n_pos").cast("double")))))
+      .select("detector", "n_pos", "n_neg", "auc", "pr_auc")
+  }
+
   val defs: Map[String, Q] = Map(
     "text_tokenize_stats" -> ((s, d) =>
       TestData.documents(s, d)
@@ -627,6 +674,71 @@ object TextOps {
             / col("kappa_den").cast("double"))))
         .select("n_docs", "n11", "n10", "n01", "n00",
           "kappa_num", "kappa_den", "kappa")
+    }),
+
+    // DETECTOR ROC-AUC / PR-AUC (round 14): the threshold-FREE
+    // detector evaluation the whole dedup family was missing —
+    // kappa (above) compares two detectors at fixed thresholds;
+    // this key ranks the detectors BEFORE any threshold is picked.
+    // Ground truth is PLANTED (the fixture has zero exact dups —
+    // probed): every 5th doc gets a near-dup variant (3 appended
+    // novel tokens, id + 1e6), so positives are (x, x+1e6) pairs and
+    // every other same-lang pair is a negative. Both detectors score
+    // ALL same-lang pairs of the planted corpus: token-set Jaccard
+    // (1e-4 units) and SimHash bit agreement (60 − Hamming). AUC is
+    // EXACT via the Mann-Whitney rank-sum identity over the
+    // score-DISTINCT cell grid (ties = ½, 2× units keep it integer;
+    // grid ≤ 10001 + 61 rows regardless of pair count); PR-AUC is
+    // step-form average precision over the same grid, per-cell term
+    // micro-quantized before the sum (identical op order both
+    // engines). auc2_num ≤ 2·n_pos·n_neg < 2^63 to ~2e9 pairs.
+    // Scale shape: AUC evaluation runs on a LABELED EVAL SAMPLE (the
+    // fixture is the sample) — the per-lang all-pairs join is
+    // O(sample²) by design, never applied to the full corpus; the
+    // readout itself is domain-bounded. See detectorAuc for the
+    // reusable readout (facade parity-pinned).
+    "eval_detector_auc" -> ((s, d) => {
+      import org.apache.spark.sql.graft.Bridge
+      import graft.functions.SortedIntersectCount
+      val docs = TestData.documents(s, d).select("doc_id", "lang", "text")
+      val planted = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          concat(col("text"), lit(" zq1 zq2 zq3")).as("text"))
+      // two detectors × two join sides consume the planted corpus
+      val corpus = docs.unionAll(planted).localCheckpoint()
+      val toks = corpus.select(col("doc_id"), col("lang"),
+          array_sort(transform(array_distinct(split(col("text"), " ")),
+            t => xxhash64(t))).as("th"))
+        .withColumn("nt", size(col("th")))
+      val ta = toks.select(col("doc_id").as("id_a"), col("lang").as("la"),
+        col("th").as("ha"), col("nt").as("na"))
+      val tb = toks.select(col("doc_id").as("id_b"), col("lang").as("lb"),
+        col("th").as("hb"), col("nt").as("nb"))
+      val isect = Bridge.column(SortedIntersectCount(
+        Bridge.expression(col("ha")), Bridge.expression(col("hb"))))
+      val jacPairs = ta.join(tb.hint("shuffle_hash"),
+          col("la") === col("lb") && col("id_a") < col("id_b"))
+        .withColumn("inter", isect)
+        .select(col("id_a"), col("id_b"), lit("jaccard").as("detector"),
+          floor(col("inter").cast("double")
+              / (col("na") + col("nb") - col("inter")) * 10000 + 0.5)
+            .cast("long").as("score_u"))
+      val sims = TextAnalysis.simhashOf(corpus)
+        .join(corpus.select("doc_id", "lang"), Seq("doc_id"))
+      val sa = sims.select(col("doc_id").as("id_a"), col("lang").as("la"),
+        col("simhash").as("sha"))
+      val sb = sims.select(col("doc_id").as("id_b"), col("lang").as("lb"),
+        col("simhash").as("shb"))
+      val simPairs = sa.join(sb.hint("shuffle_hash"),
+          col("la") === col("lb") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit("simhash").as("detector"),
+          (lit(60L) - bit_count(col("sha").bitwiseXOR(col("shb")))
+            .cast("long")).as("score_u"))
+      val scored = jacPairs.unionByName(simPairs)
+        .withColumn("is_pos",
+          when(col("id_b") === col("id_a") + 1000000L
+            && col("id_a") % 5 === 0, 1L).otherwise(0L))
+      detectorAuc(scored).orderBy("detector")
     }),
 
     // Character-3-gram Jaccard near-dup pairs (> 0.7): catches
@@ -888,6 +1000,99 @@ object TextOps {
         |FROM c""".stripMargin,
     // Same brute-forced detector pair lists as capture_recapture,
     // collapsed to doc-grain flags; κ all-integer until one division.
+    // Mirrors the WHOLE pipeline: planted corpus (every 5th doc +3
+    // novel tokens, id + 1e6), all same-lang pairs, token-equality
+    // Jaccard (LEFT JOIN — zero-intersection pairs score 0), the
+    // proven simhash fold, then the cell-grid MW identity and the
+    // micro-quantized AP terms in identical op order. Every windowed
+    // sum ::BIGINT (HUGEINT→pandas float trap).
+    "eval_detector_auc" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, text || ' zq1 zq2 zq3'
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |t AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM corpus),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY 1),
+        |allp AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM corpus a JOIN corpus b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM t a JOIN t b ON a.token = b.token AND a.lang = b.lang
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT p.id_a, p.id_b, 'jaccard' AS detector,
+        |    floor(coalesce(i.inter, 0)::DOUBLE
+        |      / (sa.sz + sb.sz - coalesce(i.inter, 0)) * 10000 + 0.5)
+        |      ::BIGINT AS score_u
+        |  FROM allp p
+        |  LEFT JOIN inter i ON p.id_a = i.id_a AND p.id_b = i.id_b
+        |  JOIN sz sa ON sa.doc_id = p.id_a
+        |  JOIN sz sb ON sb.doc_id = p.id_b),
+        |h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(token), 1, 15))::BIGINT AS hv
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM corpus)),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS w
+        |  FROM h, LATERAL (SELECT unnest(range(0, 60)) AS b)
+        |  GROUP BY doc_id, b),
+        |sim AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+        |      AS sh
+        |  FROM bits GROUP BY 1),
+        |simp AS (
+        |  SELECT p.id_a, p.id_b, 'simhash' AS detector,
+        |    (60 - bit_count(xor(a.sh, b.sh)))::BIGINT AS score_u
+        |  FROM allp p JOIN sim a ON a.doc_id = p.id_a
+        |  JOIN sim b ON b.doc_id = p.id_b),
+        |scored AS (
+        |  SELECT detector, score_u,
+        |    CASE WHEN id_b = id_a + 1000000 AND id_a % 5 = 0
+        |      THEN 1 ELSE 0 END AS is_pos
+        |  FROM (SELECT * FROM jac UNION ALL SELECT * FROM simp)),
+        |cells AS (
+        |  SELECT detector, score_u, sum(is_pos)::BIGINT AS pos,
+        |    sum(1 - is_pos)::BIGINT AS neg
+        |  FROM scored GROUP BY 1, 2),
+        |w AS (
+        |  SELECT detector, pos, neg,
+        |    (coalesce(sum(neg) OVER (PARTITION BY detector ORDER BY score_u
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+        |      AS cum_neg_lt,
+        |    (sum(pos) OVER (PARTITION BY detector ORDER BY score_u DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS cum_pos_ge,
+        |    (sum(neg) OVER (PARTITION BY detector ORDER BY score_u DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS cum_neg_ge
+        |  FROM cells),
+        |agg AS (
+        |  SELECT detector, sum(pos)::BIGINT AS n_pos,
+        |    sum(neg)::BIGINT AS n_neg,
+        |    sum(pos * (2 * cum_neg_lt + neg))::BIGINT AS auc2_num,
+        |    sum(floor(pos::DOUBLE * cum_pos_ge::DOUBLE
+        |      / (cum_pos_ge + cum_neg_ge)::DOUBLE * 1000000 + 0.5)::BIGINT)
+        |      ::BIGINT AS ap_sum_u
+        |  FROM w GROUP BY 1)
+        |SELECT detector, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    floor(auc2_num::DOUBLE / (2.0 * (n_pos * n_neg)::DOUBLE)
+        |      * 10000 + 0.5) / 10000 END AS auc,
+        |  CASE WHEN n_pos > 0 THEN
+        |    floor(ap_sum_u::DOUBLE / (1000000.0 * n_pos::DOUBLE)
+        |      * 10000 + 0.5) / 10000 END AS pr_auc
+        |FROM agg ORDER BY detector""".stripMargin,
+
     "dedup_detector_kappa" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -837,7 +837,12 @@ object ClosedFormProps extends Properties("graft.closedforms") {
   property("Holt-Winters taps sum to 4^11 and nail a planted trend+seasonal series") =
     Prop.forAll(Gen.choose(1L, 20L), Gen.choose(500L, 2000L),
       Gen.choose(10L, 200L)) { (slope, base, amp) =>
-      val hwTapSum = 4194304L + holtTaps.sum - holtTaps.sum
+      // The 25 HW taps are (snaive base = 4^11) + holtTaps − holtTaps
+      // on the seasonal difference, so the meaningful exactness checks
+      // are: the 12 Holt taps themselves sum to 4^11 (each seasonal
+      // difference enters with total weight 1), hence the full HW tap
+      // set also sums to 4^11.
+      val hwTapSum = holtTaps.sum
       def ys(t: Int): Double =
         base + slope * t + amp * math.sin(2 * math.Pi * (t % 168) / 168.0)
       def smape(a: Double, f: Double) =
@@ -1320,6 +1325,65 @@ object ClosedFormProps extends Properties("graft.closedforms") {
         cMap((g, v)) * (2L * tLt + sEq)
       }).sum
       (closed == brute) :| s"closed $closed != brute $brute"
+    }
+
+  // eval_detector_auc: the score-DISTINCT cell-grid Mann-Whitney
+  // identity (2×-unit auc2 = Σ_v pos(v)·(2·cum_neg(<v) + neg(v)))
+  // equals the brute-force pairwise count (2 per win, 1 per tie),
+  // and the grid's step-form average precision equals a direct
+  // descending-threshold evaluation from the raw list — so the
+  // oracle's grid agreement isn't a fixture accident. Exactness
+  // pins: perfect separation reads AUC = AP = 1, and pos/neg score
+  // distributions that are IDENTICAL multiset-wise read AUC = 0.5
+  // exactly.
+  property("detector AUC grid ≡ brute-force pairwise; AP ≡ direct eval") =
+    Prop.forAll(Gen.choose(2, 60).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 12L), Gen.oneOf(0, 1))))) { sl =>
+      val pos = sl.filter(_._2 == 1).map(_._1)
+      val neg = sl.filter(_._2 == 0).map(_._1)
+      (pos.nonEmpty && neg.nonEmpty) ==> {
+        val brute2 = (for (p <- pos; n <- neg) yield
+          if (p > n) 2L else if (p == n) 1L else 0L).sum
+        val cells = sl.groupBy(_._1).toList.sortBy(_._1).map {
+          case (v, xs) => (v, xs.count(_._2 == 1).toLong,
+            xs.count(_._2 == 0).toLong)
+        }
+        val grid2 = cells.zipWithIndex.map { case ((_, p, n), i) =>
+          p * (2L * cells.take(i).map(_._3).sum + n)
+        }.sum
+        val desc = cells.reverse
+        val apGrid = desc.zipWithIndex.map { case ((_, p, _), i) =>
+          val cp = desc.take(i + 1).map(_._2).sum
+          val ct = cp + desc.take(i + 1).map(_._3).sum
+          p.toDouble / pos.size * (cp.toDouble / ct)
+        }.sum
+        val apDirect = sl.map(_._1).distinct.sorted.reverse.map { v =>
+          val cp = pos.count(_ >= v)
+          pos.count(_ == v).toDouble / pos.size *
+            (cp.toDouble / sl.count(_._1 >= v))
+        }.sum
+        (grid2 == brute2) :| s"grid $grid2 != brute $brute2" &&
+          (math.abs(apGrid - apDirect) < 1e-12) :|
+            s"AP grid $apGrid != direct $apDirect"
+      }
+    }
+
+  property("detector AUC exactness: perfect = 1, identical distributions = 0.5") =
+    Prop.forAll(Gen.choose(1, 20), Gen.choose(1, 20)) { (np, nn) =>
+      def auc2(sl: List[(Long, Int)]): (Long, Long, Long) = {
+        val pos = sl.filter(_._2 == 1).map(_._1)
+        val neg = sl.filter(_._2 == 0).map(_._1)
+        ((for (p <- pos; n <- neg) yield
+          if (p > n) 2L else if (p == n) 1L else 0L).sum,
+          pos.size.toLong, neg.size.toLong)
+      }
+      val perfect = List.fill(np)((9L, 1)) ++ List.fill(nn)((1L, 0))
+      val (p2, pp, pn) = auc2(perfect)
+      val coin = (1 to np).toList.flatMap(i =>
+        List((i.toLong % 4, 1), (i.toLong % 4, 0)))
+      val (c2, cp, cn) = auc2(coin)
+      (p2 == 2L * pp * pn) :| "perfect detector must read exactly 1" &&
+        (2L * c2 == 2L * cp * cn) :| "identical distributions must read 0.5"
     }
 
   // agg_cochran_q: the all-integer identity

@@ -618,6 +618,66 @@ class DegenerateSpec extends SparkSpec {
       fr(eSchema, Nil)), "louvain/single-node")
   }
 
+  test("intrinsicDim / personalizedPagerank / louvainCoarsen survive degenerate inputs") {
+    val vschema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    def vf(rows: Seq[(Long, Seq[Double])]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1),
+      vschema)
+    val pschema = StructType(Seq(StructField("qid", LongType),
+      StructField("nn", LongType)))
+    def pf(rows: Seq[(Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), pschema)
+    assertClean(engine.intrinsicDim(vf(Nil), "vec_id", "embedding",
+      pf(Nil)), "intrinsicDim/empty")
+    // all-duplicate vectors: every r1 = 0 ⇒ d_hat NULL, never a
+    // log(0)/x-over-0 throw
+    val dups = vf((0L to 3L).map(i => (i, Seq(1.0, 2.0))))
+    val dupC = pf(Seq((0L, 1L), (0L, 2L), (1L, 0L), (1L, 2L),
+      (2L, 0L), (2L, 1L), (3L, 0L), (3L, 1L)))
+    val r = engine.intrinsicDim(dups, "vec_id", "embedding", dupC)
+      .collect()
+    assert(r(0).isNullAt(r(0).fieldIndex("d_hat")))
+    assert(r(0).getAs[Long]("n_used") === 0L)
+
+    val nschema = StructType(Seq(StructField("id", LongType)))
+    def nf(rows: Seq[Long]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row(_)), 1), nschema)
+    val eschema = StructType(Seq(StructField("a", LongType),
+      StructField("b", LongType)))
+    def ef(rows: Seq[(Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), eschema)
+    assertClean(engine.personalizedPagerank(nf(Nil), "id", ef(Nil),
+      nf(Nil), "id"), "ppr/empty")
+    assertClean(engine.personalizedPagerank(nf(Seq(1L, 2L)), "id",
+      ef(Seq((1L, 2L))), nf(Nil), "id"), "ppr/no-seeds")
+    assertClean(engine.louvainCoarsen(
+      nf(Seq(1L, 2L)).select(col("id"), col("id").as("label")), "id",
+      "label", ef(Nil)), "louvainCoarsen/no-edges")
+  }
+
+  test("detectorAuc survives empty / one-class / single-score frames") {
+    val schema = StructType(Seq(StructField("detector", StringType),
+      StructField("score_u", LongType), StructField("is_pos", LongType)))
+    def sc(rows: Seq[(String, Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), schema)
+    assertClean(engine.detectorAuc(sc(Nil)), "detectorAuc/empty")
+    // all-positive: n_neg = 0 ⇒ auc NULL (never a throw or NaN)
+    val allPos = engine.detectorAuc(
+      sc(Seq(("d", 3L, 1L), ("d", 5L, 1L)))).collect()
+    assert(allPos(0).isNullAt(allPos(0).fieldIndex("auc")))
+    assert(allPos(0).getAs[Double]("pr_auc") === 1.0)
+    // all-negative: n_pos = 0 ⇒ both NULL
+    val allNeg = engine.detectorAuc(
+      sc(Seq(("d", 3L, 0L), ("d", 5L, 0L)))).collect()
+    assert(allNeg(0).isNullAt(allNeg(0).fieldIndex("auc")))
+    assert(allNeg(0).isNullAt(allNeg(0).fieldIndex("pr_auc")))
+    // single score value for everything: AUC is the pure-tie 0.5
+    val oneScore = engine.detectorAuc(
+      sc(Seq(("d", 4L, 1L), ("d", 4L, 0L)))).collect()
+    assert(oneScore(0).getAs[Double]("auc") === 0.5)
+  }
+
   test("burstiness / transitionEntropy / markovStationary survive single-symbol input") {
     val gaps = seriesFrame(Seq((1L, 0L))) // one zero gap: σ+μ = 0
     assertClean(engine.burstiness(gaps, "hr", "n"), "burstiness/zero-gap")

@@ -940,8 +940,32 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 166, "documented facade count drifted; methods: "
+    assert(names.length === 170, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
+  }
+
+  test("detectorAuc facade: exact hand-computed values, 1.0 on perfect separation") {
+    // 3 pos at {5,4,4}, 3 neg at {4,2,1}: pairwise 2×-units AUC =
+    // 6 + 5 + 5 = 16 of 18 → 0.8889; step-form AP = 1·(1/3) +
+    // (3/4)·(2/3) = 5/6 → 0.8333 (micro terms 1e6 + 1.5e6 over 3e6).
+    val scored = Seq(("d", 5L, 1L), ("d", 4L, 1L), ("d", 4L, 1L),
+      ("d", 4L, 0L), ("d", 2L, 0L), ("d", 1L, 0L))
+      .toDF("detector", "score_u", "is_pos")
+    val r = engine.detectorAuc(scored).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Double]("auc") === 0.8889)
+    assert(r(0).getAs[Double]("pr_auc") === 0.8333)
+    // perfect separation reads exactly 1.0 on both metrics
+    val perfect = Seq(("p", 9L, 1L), ("p", 8L, 1L), ("p", 1L, 0L),
+      ("p", 0L, 0L)).toDF("detector", "score_u", "is_pos")
+    val pr = engine.detectorAuc(perfect).collect()
+    assert(pr(0).getAs[Double]("auc") === 1.0)
+    assert(pr(0).getAs[Double]("pr_auc") === 1.0)
+    // identical pos/neg score distributions read exactly 0.5 AUC
+    val coin = Seq(("c", 3L, 1L), ("c", 7L, 1L), ("c", 3L, 0L),
+      ("c", 7L, 0L)).toDF("detector", "score_u", "is_pos")
+    assert(engine.detectorAuc(coin).collect()(0)
+      .getAs[Double]("auc") === 0.5)
   }
 
   test("oddsRatio facade matches the events_ab_odds_ratio key") {
@@ -1254,6 +1278,45 @@ class EngineApiSpec extends SparkSpec {
     val declared = SparkEntry.queries("graph_louvain_refine")(spark, d)
       .collect().map(_.toSeq).toSeq
     val viaApi = engine.louvainRefine(
+        operators.GraphOps.lpaLabels(spark, d), "id", "label",
+        operators.GraphOps.fixtureKnnEdges(spark, d))
+      .select($"id".as("vec_id"), $"label".as("community"))
+      .orderBy("vec_id")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("personalizedPagerank facade matches the graph_pagerank_personalized key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("graph_pagerank_personalized")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val nodes = TestData.embeddings(spark, d).select($"vec_id".as("id"))
+    val viaApi = engine.personalizedPagerank(nodes, "id",
+        operators.GraphOps.fixtureKnnEdges(spark, d),
+        nodes.filter($"id" % 50 === 0), "id")
+      .select($"id".as("vec_id"), $"r".as("rank_u"),
+        ($"r".cast("double") / 1000000.0).as("rank"))
+      .orderBy("vec_id")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("intrinsicDim facade matches the vec_intrinsic_dim key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("vec_intrinsic_dim")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.intrinsicDim(TestData.embeddings(spark, d),
+        "vec_id", "embedding",
+        operators.GraphOps.directedKnnEdges(spark, d).select("qid", "nn"))
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("louvainCoarsen facade matches the graph_louvain_coarsen key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("graph_louvain_coarsen")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val viaApi = engine.louvainCoarsen(
         operators.GraphOps.lpaLabels(spark, d), "id", "label",
         operators.GraphOps.fixtureKnnEdges(spark, d))
       .select($"id".as("vec_id"), $"label".as("community"))
