@@ -3692,6 +3692,17 @@ class GraftEngine(val spark: SparkSession) {
       .orderBy("community")
   }
 
+  /** Per-community conductance (see `graph_conductance`): the
+    * boundary-quality curve next to `modularity` — cut /
+    * min(vol, 2m − vol) per community, ∈ [0, 1], NULL for isolated
+    * communities. All integer until one guarded r4 division.
+    */
+  def conductance(labels: DataFrame, idCol: String, labelCol: String,
+                  edges: DataFrame): DataFrame =
+    graft.operators.GraphOps.conductance(
+      labels.select(col(idCol).as("id"), col(labelCol).as("label")),
+      edges)
+
   /** One Louvain refinement level (see `graph_louvain_refine`):
     * `rounds` rounds, each applying the single globally-best
     * strictly-positive-ΔQ node move over the exact-integer gain
@@ -4374,6 +4385,42 @@ class GraftEngine(val spark: SparkSession) {
   def holtWintersBacktest(series: DataFrame, xCol: String,
                           yCol: String): DataFrame =
     graft.operators.TimeSeries.holtWintersCore(
+      series.select(col(xCol).as("hr"), col(yCol).as("cnt")))
+
+  /** Fisher exact two-sided 2×2 test (see `events_ab_fisher_exact`)
+    * over (variant 0/1, success 0/1) rows — exact at any cell size,
+    * unlike the z/χ² keys. Ratio-recursion hypergeometric: micro-nat
+    * integer log-weights make the two-sided decision an exact
+    * integer comparison; support is min-margin-bounded (use the
+    * normal-approximation keys for margins in the millions).
+    */
+  def fisherExact(flags: DataFrame, variantCol: String,
+                  successCol: String): DataFrame =
+    graft.operators.TimeSeries.fisherExactCore(
+      flags.select(col(variantCol).cast("int").as("t"),
+        col(successCol).cast("long").as("purch")))
+
+  /** Nelson-Aalen cumulative hazard + Fleming–Harrington survival
+    * (see `events_nelson_aalen`) over (duration, event 0/1) rows —
+    * the estimator published next to Kaplan-Meier; every hazard term
+    * is an exact integer ratio (d·1e6 DIV n), no transcendental
+    * before the readouts.
+    */
+  def nelsonAalen(durations: DataFrame, durCol: String,
+                  eventCol: String): DataFrame =
+    graft.operators.TimeSeries.nelsonAalenCore(
+      durations.select(col(durCol).as("dur"),
+        col(eventCol).cast("long").as("ev")))
+
+  /** Residual-quantile prediction band on the Holt-Winters forecast
+    * (see `ts_holtwinters_interval`): exact ×4^11 integer one-step
+    * residuals, empirical 5th/95th order statistics, band + exact-
+    * integer covered flag on the last 24 fully-tapped points.
+    * Under-20-point series read a NULL band, never a throw.
+    */
+  def holtWintersInterval(series: DataFrame, xCol: String,
+                          yCol: String): DataFrame =
+    graft.operators.TimeSeries.hwIntervalCore(
       series.select(col(xCol).as("hr"), col(yCol).as("cnt")))
 
   /** AR(2) one-step backtest (see `ts_ar2_backtest`): gap-safe lag

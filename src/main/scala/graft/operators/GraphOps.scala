@@ -384,6 +384,40 @@ object GraphOps {
       .select(col("id"), col("clabel").as("label"))
   }
 
+  /** Per-community conductance (see `graph_conductance`): input
+    * (id, label) node labels and an undirected (a, b) edge list;
+    * output one row per community with cut / min(vol, 2m − vol).
+    * All integer until one guarded r4 division; shared by the
+    * declared key and `GraftEngine.conductance`.
+    */
+  private[graft] def conductance(labels: DataFrame,
+                                 edges: DataFrame): DataFrame = {
+    val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+    val deg = adj.groupBy(col("src").as("id2"))
+      .agg(count(lit(1)).as("deg"))
+    val me = edges.agg(count(lit(1)).as("m"))
+    val comm = labels.join(deg, col("id") === col("id2"), "left")
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("deg"), lit(0L))).as("vol"))
+    val la = labels.select(col("id").as("a"), col("label").as("ca"))
+    val lb = labels.select(col("id").as("b"), col("label").as("cb"))
+    val cut = edges.join(la, "a").join(lb, "b")
+      .filter(col("ca") =!= col("cb"))
+      .select(explode(array(col("ca"), col("cb"))).as("community"))
+      .groupBy("community").agg(count(lit(1)).as("cut"))
+    comm.join(cut, Seq("community"), "left")
+      .crossJoin(broadcast(me))
+      .withColumn("cut", coalesce(col("cut"), lit(0L)))
+      .withColumn("denom",
+        least(col("vol"), lit(2L) * col("m") - col("vol")))
+      .withColumn("conductance", when(col("denom") > 0,
+        TestData.r4(col("cut").cast("double")
+          / col("denom").cast("double"))))
+      .select("community", "n_nodes", "vol", "cut", "conductance")
+  }
+
   /** Personalized PageRank / random-walk-with-restart (round 14,
     * VERDICT r13 missing #3): the `graph_pagerank` recipe with ALL
     * teleport mass restarting at the SEED set — the "what is near
@@ -765,6 +799,22 @@ object GraphOps {
           "q_term_u")
         .orderBy("community")
     }),
+
+    // COMMUNITY CONDUCTANCE (round 14): the cut-quality readout
+    // NEXT TO modularity — Q rewards internal density vs a random
+    // null; conductance φ(c) = cut_c / min(vol_c, 2m − vol_c)
+    // measures the BOUNDARY (how leaky each community is), the
+    // number partition-placement and sharding decisions actually
+    // read (a low-Q-contribution community can still be cleanly
+    // separable and vice versa). Same memoized LPA labels + kNN
+    // edges; cut via one endpoint-label join exploded to both sides;
+    // ALL integer until one guarded r4 division per community
+    // (cut ≤ min(vol, 2m−vol) ⇒ φ ∈ [0, 1], pinned in PropertySpec
+    // with the Σcut = 2·inter-edges identity). Degenerate: an
+    // isolated community (vol = 0) reads NULL.
+    "graph_conductance" -> ((s, d) =>
+      conductance(lpaLabels(s, d), fixtureKnnEdges(s, d))
+        .orderBy("community")),
 
     // LOUVAIN REFINEMENT (round 12, batched r13): modularity-
     // OPTIMIZING community detection — LPA's labels are noisy on kNN
@@ -1637,6 +1687,33 @@ object GraphOps {
         |      * 1000000 + 0.5)::BIGINT END AS q_term_u
         |FROM comm c CROSS JOIN me
         |LEFT JOIN ein ON c.community = ein.community
+        |ORDER BY c.community""".stripMargin,
+    // Same LPA label + degree CTEs; cut via the label-mismatch edge
+    // join exploded to both endpoint communities; guarded r4 ratio.
+    "graph_conductance" ->
+      s"""$LpaCtes,
+        |me AS (SELECT count(*)::BIGINT AS m FROM edges),
+        |deg AS (SELECT src AS id, count(*)::BIGINT AS deg
+        |        FROM adj GROUP BY 1),
+        |comm AS (
+        |  SELECT l.label AS community, count(*)::BIGINT AS n_nodes,
+        |    sum(coalesce(deg.deg, 0))::BIGINT AS vol
+        |  FROM l3 l LEFT JOIN deg ON l.id = deg.id GROUP BY 1),
+        |cut AS (
+        |  SELECT community, count(*)::BIGINT AS cut FROM (
+        |    SELECT unnest([la.label, lb.label]) AS community
+        |    FROM edges e JOIN l3 la ON e.a = la.id
+        |    JOIN l3 lb ON e.b = lb.id
+        |    WHERE la.label <> lb.label)
+        |  GROUP BY 1)
+        |SELECT c.community, c.n_nodes, c.vol,
+        |  coalesce(t.cut, 0)::BIGINT AS cut,
+        |  CASE WHEN least(c.vol, 2 * me.m - c.vol) > 0 THEN
+        |    floor(coalesce(t.cut, 0)::DOUBLE
+        |      / least(c.vol, 2 * me.m - c.vol)::DOUBLE * 10000 + 0.5)
+        |      / 10000 END AS conductance
+        |FROM comm c LEFT JOIN cut t ON c.community = t.community
+        |CROSS JOIN me
         |ORDER BY c.community""".stripMargin,
     // 3 unrolled one-move rounds on top of the LPA CTEs: per round,
     // community degree totals + node→community edge counts, the

@@ -227,6 +227,51 @@ object ScalePatterns {
         .orderBy("lang", "doc_id")
     }),
 
+    // HORVITZ-THOMPSON ESTIMATOR (round 14): the unequal-probability
+    // companion the sample_* family was missing — every sampler here
+    // DRAWS deterministically, but nothing yet ESTIMATED a population
+    // total from a weighted draw. Design: equal-allocation strata
+    // π_h = min(1, K/N_h), K = 30 docs per lang (oversamples rare
+    // languages — the multilingual-rebalance draw), inclusion via
+    // the exact integer test h28·N_h < K·2^28 on the md5-28-bit hash
+    // (sample_hash discipline: reproducible across engines, runs,
+    // cluster sizes). HT total = Σ y_i/π_i, kept EXACT: strata with
+    // N_h ≤ K are full-census (estimate ≡ truth, the built-in
+    // self-check pinned in PropertySpec); sampled strata accumulate
+    // Σ y·N_h as BIGINT with ONE integer DIV K on the readout.
+    // Bound: y·N_h ≤ max_chars·N_h — document past ~1e6-char docs ×
+    // 1e9-doc strata. One map-side scan + a strata-sized aggregate.
+    "sample_horvitz_thompson" -> ((s, d) => {
+      val k = 30L
+      val docs = TestData.documents(s, d)
+        .select("doc_id", "lang", "n_chars")
+      val nh = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_pop"),
+          sum("n_chars").as("true_total_chars"))
+      docs.join(broadcast(nh), "lang")
+        .withColumn("h28",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+            .cast("long"))
+        .withColumn("sampled", col("n_pop") <= k
+          || col("h28") * col("n_pop") < lit(k * (1L << 28)))
+        .groupBy("lang")
+        .agg(max("n_pop").as("n_pop"),
+          max("true_total_chars").as("true_total_chars"),
+          sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+          sum(when(col("sampled") && col("n_pop") > k,
+            col("n_chars") * col("n_pop")).otherwise(0L)).as("wsum"),
+          sum(when(col("sampled") && col("n_pop") <= k, col("n_chars"))
+            .otherwise(0L)).as("censum"))
+        .withColumn("ht_total_chars",
+          expr(s"wsum DIV $k") + col("censum"))
+        .withColumn("rel_err", when(col("true_total_chars") > 0,
+          TestData.r4((col("ht_total_chars") - col("true_total_chars"))
+            .cast("double") / col("true_total_chars").cast("double"))))
+        .select("lang", "n_pop", "n_sampled", "ht_total_chars",
+          "true_total_chars", "rel_err")
+        .orderBy("lang")
+    }),
+
     // TRAIN/VAL/TEST SPLIT (round 7): the 80/10/10 split every
     // training pipeline runs, with the same deterministic md5
     // discipline as sample_hash — a document's split is a pure
@@ -436,6 +481,38 @@ object ScalePatterns {
         |WHERE substring(md5(doc_id::VARCHAR), 1, 2)
         |  < CASE WHEN lang = 'en' THEN '80' ELSE '20' END
         |ORDER BY doc_id""".stripMargin,
+    // Exact integer inclusion test + one // K on the readout;
+    // full-census strata bypass the hash entirely.
+    "sample_horvitz_thompson" ->
+      """WITH nh AS (
+        |  SELECT lang, count(*)::BIGINT AS n_pop,
+        |    sum(n_chars)::BIGINT AS true_total_chars
+        |  FROM documents GROUP BY 1),
+        |f AS (
+        |  SELECT d.lang, d.n_chars, nh.n_pop, nh.true_total_chars,
+        |    CASE WHEN nh.n_pop <= 30
+        |      OR ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 7))::BIGINT
+        |         * nh.n_pop < 30 * (1::BIGINT << 28)
+        |      THEN 1 ELSE 0 END AS sampled
+        |  FROM documents d JOIN nh USING (lang)),
+        |agg AS (
+        |  SELECT lang, max(n_pop)::BIGINT AS n_pop,
+        |    max(true_total_chars)::BIGINT AS true_total_chars,
+        |    sum(sampled)::BIGINT AS n_sampled,
+        |    sum(CASE WHEN sampled = 1 AND n_pop > 30
+        |      THEN n_chars * n_pop ELSE 0 END)::BIGINT AS wsum,
+        |    sum(CASE WHEN sampled = 1 AND n_pop <= 30
+        |      THEN n_chars ELSE 0 END)::BIGINT AS censum
+        |  FROM f GROUP BY 1),
+        |ht AS (
+        |  SELECT *, (wsum // 30 + censum)::BIGINT AS ht_total_chars
+        |  FROM agg)
+        |SELECT lang, n_pop, n_sampled, ht_total_chars, true_total_chars,
+        |  CASE WHEN true_total_chars > 0 THEN
+        |    floor((ht_total_chars - true_total_chars)::DOUBLE
+        |      / true_total_chars::DOUBLE * 10000 + 0.5) / 10000
+        |  END AS rel_err
+        |FROM ht ORDER BY lang""".stripMargin,
     // Monolithic per-lang rank (bit-identical to rangedRank by
     // construction), same % 10 pick.
     "sample_systematic" ->

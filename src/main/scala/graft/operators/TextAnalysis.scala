@@ -951,6 +951,42 @@ object TextAnalysis {
         .orderBy("lang")
     }),
 
+    // KL DIVERGENCE lang ‖ corpus (round 14): the DIRECTED
+    // divergence next to text_js_divergence's symmetric one — KL is
+    // what importance-weighting / domain-reweighting actually uses
+    // (DSIR-style mixing weights are likelihood ratios against the
+    // corpus-wide distribution; JS can rank drift but cannot weight
+    // it). Direction matters and is the cheap one: every token of
+    // the lang EXISTS in the corpus distribution (q > 0 on every
+    // p > 0 row by construction), so there is NO absent-mass closure
+    // term — the sum lives entirely on the lang's own vocabulary
+    // rows. Each p·ln(p/q) term micro-nat-quantized BEFORE the sum
+    // (PSI protocol); vocabulary-shaped grid, never corpus-grain.
+    "text_kl_divergence" -> ((s, d) => {
+      val c = TestData.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val nl = c.groupBy("lang").agg(sum("c").as("n_lang"))
+      val ct = c.groupBy("tok").agg(sum("c").as("c_tok"))
+      val nAll = nl.agg(sum("n_lang").as("n_corpus"))
+      c.join(broadcast(nl), "lang")
+        .join(ct, "tok")
+        .crossJoin(broadcast(nAll))
+        .withColumn("p", col("c").cast("double")
+          / col("n_lang").cast("double"))
+        .withColumn("q", col("c_tok").cast("double")
+          / col("n_corpus").cast("double"))
+        .withColumn("term_u",
+          floor(col("p") * log(col("p") / col("q")) * 1000000 + 0.5)
+            .cast("long"))
+        .groupBy("lang")
+        .agg(max("n_lang").as("n_lang"), sum("term_u").as("sum_term_u"))
+        .withColumn("kl_nats", r4(col("sum_term_u") / 1000000.0))
+        .select("lang", "n_lang", "sum_term_u", "kl_nats")
+        .orderBy("lang")
+    }),
+
     // CHARACTER ENTROPY (round 10): per-doc Shannon entropy of the
     // character distribution — the Gopher-style quality gate that
     // catches what token-level stats miss (key-mash noise scores
@@ -1545,6 +1581,31 @@ object TextAnalysis {
         |FROM a ORDER BY lang""".stripMargin,
     // Same vocabulary-shaped algebra: present-token terms micro-nat
     // quantized, absent-token mass as the (1 − Σq)·ln2 closure.
+    // No closure term (q > 0 wherever p > 0); micro-nat terms in
+    // identical op order, one r4 readout per lang.
+    "text_kl_divergence" ->
+      """WITH c AS (
+        |  SELECT lang, tok, count(*)::BIGINT AS c FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |nl AS (SELECT lang, sum(c)::BIGINT AS n_lang FROM c GROUP BY 1),
+        |ct AS (SELECT tok, sum(c)::BIGINT AS c_tok FROM c GROUP BY 1),
+        |na AS (SELECT sum(n_lang)::BIGINT AS n_corpus FROM nl),
+        |t AS (
+        |  SELECT c.lang, nl.n_lang,
+        |    floor((c.c::DOUBLE / nl.n_lang::DOUBLE)
+        |      * ln((c.c::DOUBLE / nl.n_lang::DOUBLE)
+        |        / (ct.c_tok::DOUBLE / na.n_corpus::DOUBLE))
+        |      * 1000000 + 0.5)::BIGINT AS term_u
+        |  FROM c JOIN nl USING (lang) JOIN ct USING (tok) CROSS JOIN na),
+        |agg AS (
+        |  SELECT lang, max(n_lang)::BIGINT AS n_lang,
+        |    sum(term_u)::BIGINT AS sum_term_u
+        |  FROM t GROUP BY 1)
+        |SELECT lang, n_lang, sum_term_u,
+        |  floor(sum_term_u / 1000000.0 * 10000 + 0.5) / 10000 AS kl_nats
+        |FROM agg ORDER BY lang""".stripMargin,
     "text_js_divergence" ->
       """WITH c AS (
         |  SELECT lang, tok, count(*)::BIGINT AS c

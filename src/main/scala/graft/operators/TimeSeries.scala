@@ -187,7 +187,13 @@ object TimeSeries {
     * guard at the definition site. Shared by the declared key and
     * `GraftEngine.holtWintersBacktest`.
     */
-  private[graft] def holtWintersCore(series: DataFrame): DataFrame = {
+  /** The Holt-Winters 25-tap one-step forecast at exact ×4^11 scale
+    * (see `ts_holtwinters_backtest` for the tap algebra): input an
+    * (hr, cnt) integer-grid series, output (hr, cnt, fc4m) for every
+    * FULLY-tapped hour. Shared by the backtest readout and the
+    * round-14 prediction band (`ts_holtwinters_interval`).
+    */
+  private[graft] def hwForecast4m(series: DataFrame): DataFrame = {
     val s = series.sparkSession
     import s.implicits._
     val hourly = series.select(col("hr"), col("cnt"))
@@ -205,7 +211,133 @@ object TimeSeries {
       .groupBy("hr")
       .agg(sum("c4m").as("fc4m"), count(lit(1)).as("n_taps"))
       .filter(col("n_taps") === 25)
-    hourly.join(fc, "hr")
+    hourly.join(fc, "hr").select(col("hr"), col("cnt"), col("fc4m"))
+  }
+
+  /** Residual-quantile prediction band on the HW forecast (see
+    * `ts_holtwinters_interval`): in-sample one-step residuals in
+    * exact ×4^11 integers, empirical 5th/95th order statistics at
+    * rank (n+1) DIV 20 / 19(n+1) DIV 20, band + exact-integer
+    * covered flag on the last 24 fully-tapped hours. Under-20-point
+    * series read a NULL band (no rank hit), never a throw. Shared by
+    * the declared key and `GraftEngine.holtWintersInterval`.
+    */
+  private[graft] def hwIntervalCore(series: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val scored = hwForecast4m(series)
+      .withColumn("resid", col("cnt") * 4194304L - col("fc4m"))
+      .localCheckpoint() // quantile branch + the last-24 readout
+    val q = scored
+      .withColumn("rn", row_number().over(W.orderBy("resid", "hr"))
+        .cast("long"))
+      .withColumn("n", count(lit(1)).over(W.partitionBy()))
+      .agg(max("n").as("n_resid"),
+        max(when(col("rn") === expr("(n + 1) DIV 20"), col("resid")))
+          .as("q05_4m"),
+        max(when(col("rn") === expr("(19 * (n + 1)) DIV 20"),
+          col("resid"))).as("q95_4m"))
+    scored
+      .withColumn("rk", row_number().over(W.orderBy(col("hr").desc)))
+      .filter(col("rk") <= 24)
+      .crossJoin(broadcast(q))
+      .withColumn("fc", r4(col("fc4m").cast("double") / 4194304.0))
+      .withColumn("lo", r4((col("fc4m") + col("q05_4m")).cast("double")
+        / 4194304.0))
+      .withColumn("hi", r4((col("fc4m") + col("q95_4m")).cast("double")
+        / 4194304.0))
+      .withColumn("covered", (col("cnt") * 4194304L)
+        .between(col("fc4m") + col("q05_4m"),
+          col("fc4m") + col("q95_4m")))
+      .select(col("hr"), col("cnt").as("actual"), col("fc"),
+        col("n_resid"), col("lo"), col("hi"), col("covered"))
+      .orderBy("hr")
+  }
+
+  /** Nelson-Aalen cumulative hazard core (see `events_nelson_aalen`):
+    * input (dur, ev: 0/1) per-subject rows; output one row per event
+    * duration with the all-integer cumulative hazard (d·1e6 DIV n),
+    * its Poisson-type variance (d·1e12 DIV n²) and the Fleming–
+    * Harrington survival exp(−H). Duration-grid-bounded windows (the
+    * KM precedent). Shared with `GraftEngine.nelsonAalen`.
+    */
+  private[graft] def nelsonAalenCore(durations: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val risk = durations
+      .select(col("dur").as("dur_hr"), col("ev").cast("long").as("event"))
+      .groupBy("dur_hr")
+      .agg(sum("event").as("d_t"),
+        sum(lit(1L) - col("event")).as("c_t"))
+      .withColumn("n_total",
+        sum(col("d_t") + col("c_t")).over(W.partitionBy()))
+      .withColumn("n_risk", col("n_total")
+        - coalesce(sum(col("d_t") + col("c_t")).over(
+            W.orderBy("dur_hr")
+              .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    risk.filter(col("d_t") > 0)
+      .withColumn("h_u", expr("d_t * 1000000 DIV n_risk"))
+      .withColumn("v_u",
+        expr("d_t * 1000000000000 DIV (n_risk * n_risk)"))
+      .withColumn("cum_h_u", sum("h_u").over(
+        W.orderBy("dur_hr").rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("cum_v_u", sum("v_u").over(
+        W.orderBy("dur_hr").rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("cum_hazard",
+        r4(col("cum_h_u").cast("double") / 1000000.0))
+      .withColumn("hazard_var",
+        r4(col("cum_v_u").cast("double") / 1000000000000.0))
+      .withColumn("surv_fh", r4(exp(col("cum_h_u") / -1000000.0)))
+      .select(col("dur_hr").as("t_hr"), col("n_risk"),
+        col("d_t").as("n_events"), col("cum_hazard"),
+        col("hazard_var"), col("surv_fh"))
+  }
+
+  /** Fisher exact two-sided test core (see `events_ab_fisher_exact`):
+    * input a frame of (t: 0/1 variant, purch: 0/1 success) rows,
+    * output the 2×2 margins + support size + exact two-sided p.
+    * See the declared key's scaladoc for the ratio-recursion
+    * construction and determinism protocol. Shared with
+    * `GraftEngine.fisherExact`.
+    */
+  private[graft] def fisherExactCore(flags: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val sup = flags
+      .agg(sum(when(col("t") === 0, lit(1L)).otherwise(0L)).as("n_c"),
+        sum(when(col("t") === 1, lit(1L)).otherwise(0L)).as("n_t"),
+        sum(when(col("t") === 0, col("purch")).otherwise(0L)).as("x_c"),
+        sum(when(col("t") === 1, col("purch")).otherwise(0L)).as("x_t"))
+      .withColumn("r1", col("x_c") + col("x_t"))
+      .withColumn("k_min", greatest(lit(0L), col("r1") - col("n_c")))
+      .withColumn("k_max", least(col("n_t"), col("r1")))
+      .select(col("n_c"), col("n_t"), col("x_c"), col("x_t"),
+        col("r1"), col("k_min"),
+        explode(sequence(col("k_min"), col("k_max"))).as("k"))
+    val lw = sup
+      .withColumn("step_u", when(col("k") > col("k_min"),
+        floor(log(((col("n_t") - col("k") + 1) * (col("r1") - col("k") + 1))
+            .cast("double")
+          / (col("k") * (col("n_c") - col("r1") + col("k"))).cast("double"))
+          * 1000000 + 0.5).cast("long")).otherwise(0L))
+      .withColumn("lw_u", sum("step_u").over(
+        W.orderBy("k").rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("mx", max("lw_u").over(W.partitionBy()))
+      .withColumn("t9", floor(exp((col("lw_u") - col("mx")).cast("double")
+        / 1000000.0) * 1000000000 + 0.5).cast("long"))
+      .localCheckpoint() // consumed by the observed row + the sums
+    val obs = lw.filter(col("k") === col("x_t"))
+      .select(col("lw_u").as("lw_obs"))
+    lw.crossJoin(broadcast(obs))
+      .groupBy("n_c", "n_t", "x_c", "x_t")
+      .agg(count(lit(1)).as("support_n"),
+        sum(when(col("lw_u") <= col("lw_obs"), col("t9")).otherwise(0L))
+          .as("num9"),
+        sum("t9").as("den9"))
+      .withColumn("p_two_sided", when(col("den9") > 0,
+        r4(col("num9").cast("double") / col("den9").cast("double"))))
+      .select("n_c", "n_t", "x_c", "x_t", "support_n", "p_two_sided")
+  }
+
+  private[graft] def holtWintersCore(series: DataFrame): DataFrame = {
+    hwForecast4m(series)
       .withColumn("y4m", col("cnt") * 4194304L)
       .withColumn("term_u", when(
         abs(col("y4m")) + abs(col("fc4m")) > 0,
@@ -1673,6 +1805,33 @@ object TimeSeries {
     // √(Σ 1/(cell+½)), CI = exp(ln OR ± 1.96·se). ONE aggregate over
     // the corpus → 1-row readout in mirrored IEEE op order, r4;
     // significant_95 ⇔ the CI excludes 1.
+    // FISHER EXACT TEST (round 14): the EXACT 2×2 test the A/B
+    // family was missing — χ²/z (events_ab_significance) and the
+    // Haldane OR CI are asymptotic and silently wrong on sparse
+    // cells; Fisher conditions on both margins and is exact at any
+    // cell size. NO factorial table: the hypergeometric pmf over the
+    // support k ∈ [max(0, r1−n_c), min(n_t, r1)] is built from the
+    // RATIO recursion P(k)/P(k−1) = (n_t−k+1)(r1−k+1)/(k(n_c−r1+k))
+    // — each ln-step micro-quantized at its definition site, the
+    // cumulative log-weight an exact BIGINT, so the two-sided
+    // decision P(k) ≤ P(k_obs) is an exact INTEGER comparison in
+    // both engines (the spec: ties at the observed pmf are included,
+    // in micro-nats). p = Σ_{lw≤lw_obs} e^{lw−max} / Σ e^{lw−max},
+    // each exp term quantized ×1e9 before the BIGINT sums (mSPRT
+    // exp precedent). Shape: one corpus aggregate → a support-sized
+    // explode (≤ min-margin rows; the one window is support-bounded,
+    // not corpus-bounded — for margins in the millions use the
+    // normal approximation key instead, documented). Zero-margin
+    // tables have a 1-point support ⇒ p = 1 exactly.
+    "events_ab_fisher_exact" -> ((s, d) =>
+      fisherExactCore(TestData.events(s, d)
+        .withColumn("t",
+          (conv(substring(md5(col("user_id").cast("string")), 1, 2),
+            16, 10).cast("int") % 2 =!= 0).cast("int"))
+        .withColumn("purch",
+          when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .select("t", "purch"))),
+
     "events_ab_odds_ratio" -> ((s, d) =>
       TestData.events(s, d)
         .withColumn("t",
@@ -2415,6 +2574,38 @@ object TimeSeries {
         .orderBy("t_hr")
     }),
 
+    // NELSON-AALEN CUMULATIVE HAZARD (round 14): the estimator the
+    // survival family publishes NEXT TO Kaplan-Meier — H(t) =
+    // Σ_{s≤t} d_s/n_s with the Poisson-type variance Σ d_s/n_s²;
+    // KM answers "what fraction survives", NA answers "how much
+    // hazard has accumulated" (the input to hazard-ratio eyeballing
+    // and the Fleming–Harrington survival exp(−H), which this key
+    // also emits). DETERMINISM UPGRADE over KM's ln terms: every NA
+    // term is a RATIO OF INTEGERS — d·1e6 DIV n and d·1e12 DIV n²
+    // (positive ⇒ DIV ≡ //), so the cumulative hazard is an exact
+    // BIGINT with NO transcendental anywhere before the final
+    // readouts. Same risk-set machinery (duration-grid-bounded
+    // windows, the KM precedent); n² < 2^63/1e12 bounds n_risk to
+    // ~3e9 users — past that drop the variance to doubles
+    // (documented). Property: exp(−H) ≥ KM survival at every grid
+    // point (−ln(1−x) ≥ x), pinned in PropertySpec on the fixture.
+    "events_nelson_aalen" -> ((s, d) => {
+      val pu = TestData.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .groupBy("user_id")
+        .agg(min("ts_us").as("t0"),
+          min(when(col("event_type") === "purchase", col("ts_us")))
+            .as("tconv"),
+          max("ts_us").as("tlast"))
+        .withColumn("event",
+          when(col("tconv").isNotNull, 1L).otherwise(0L))
+        .withColumn("dur_hr",
+          when(col("event") === 1, expr("(tconv - t0) DIV 3600000000"))
+            .otherwise(expr("(tlast - t0) DIV 3600000000")))
+      nelsonAalenCore(pu.select(col("dur_hr").as("dur"),
+        col("event").as("ev"))).orderBy("t_hr")
+    }),
+
     // PER-VARIANT KAPLAN-MEIER (round 11): the two curves behind
     // events_logrank's verdict — the drill-down an experimenter
     // reads AFTER the test says the curves differ (which variant
@@ -2900,6 +3091,25 @@ object TimeSeries {
     // aggregate is hour-grid-sized at any corpus.
     "ts_holtwinters_backtest" -> ((s, d) =>
       holtWintersCore(TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(count(lit(1)).as("cnt")))),
+
+    // HOLT-WINTERS PREDICTION INTERVAL (round 14, VERDICT r13
+    // missing #6): the empirical residual-quantile band on the BEST
+    // forecaster in the family — ts_snaive_interval bands the naive
+    // baseline, but alerting pages on the model it trusts, and that
+    // is the HW backtest. Same recipe: in-sample one-step residuals
+    // (exact ×4^11 integers — y·4^11 − fc4m, no division anywhere
+    // before the readout), empirical 5th/95th percentiles via the
+    // (n+1) DIV 20 order statistics, band published on the LAST 24
+    // fully-tapped hours with an exact-integer covered flag. Series
+    // shorter than 20 scored hours ⇒ NULL band (the rank hits no
+    // row), never a throw. Property: on a planted trend+seasonal
+    // series the HW band is strictly narrower than snaive's
+    // (ClosedFormProps — HW forecasts it exactly, snaive eats the
+    // trend).
+    "ts_holtwinters_interval" -> ((s, d) =>
+      hwIntervalCore(TestData.events(s, d)
         .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
         .agg(count(lit(1)).as("cnt")))),
 
@@ -4199,6 +4409,59 @@ object TimeSeries {
         |    < 50000 AS significant
         |FROM mx ORDER BY day""".stripMargin,
     // Same 2×2 cells, Haldane +0.5 correction, mirrored log-normal CI.
+    // Ratio-recursion hypergeometric: micro-nat ln steps, exact
+    // BIGINT cumulative log-weights (integer two-sided decision),
+    // ×1e9-quantized exp terms.
+    "events_ab_fisher_exact" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))::INT
+        |    % 2 = 0 THEN 0 ELSE 1 END AS t,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS purch
+        |  FROM events),
+        |s AS (
+        |  SELECT
+        |    sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+        |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+        |    sum(CASE WHEN t = 0 THEN purch ELSE 0 END)::BIGINT AS x_c,
+        |    sum(CASE WHEN t = 1 THEN purch ELSE 0 END)::BIGINT AS x_t
+        |  FROM v),
+        |sup AS (
+        |  SELECT n_c, n_t, x_c, x_t, x_c + x_t AS r1,
+        |    greatest(0, x_c + x_t - n_c) AS k_min
+        |  FROM s),
+        |ks AS (
+        |  SELECT sup.*, k
+        |  FROM sup, LATERAL (SELECT unnest(range(sup.k_min,
+        |    least(sup.n_t, sup.r1) + 1)) AS k) r),
+        |st AS (
+        |  SELECT *, CASE WHEN k > k_min THEN
+        |    floor(ln(((n_t - k + 1) * (r1 - k + 1))::DOUBLE
+        |      / (k * (n_c - r1 + k))::DOUBLE) * 1000000 + 0.5)::BIGINT
+        |    ELSE 0 END AS step_u
+        |  FROM ks),
+        |lw AS (
+        |  SELECT *, (sum(step_u) OVER (ORDER BY k
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |    AS lw_u
+        |  FROM st),
+        |mlw AS (SELECT *, (max(lw_u) OVER ())::BIGINT AS mx FROM lw),
+        |tt AS (
+        |  SELECT *, floor(exp((lw_u - mx)::DOUBLE / 1000000.0)
+        |    * 1000000000 + 0.5)::BIGINT AS t9
+        |  FROM mlw),
+        |obs AS (SELECT lw_u AS lw_obs FROM tt WHERE k = x_t),
+        |agg AS (
+        |  SELECT n_c, n_t, x_c, x_t, count(*)::BIGINT AS support_n,
+        |    sum(CASE WHEN lw_u <= o.lw_obs THEN t9 ELSE 0 END)::BIGINT
+        |      AS num9,
+        |    sum(t9)::BIGINT AS den9
+        |  FROM tt CROSS JOIN obs o
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT n_c, n_t, x_c, x_t, support_n,
+        |  CASE WHEN den9 > 0 THEN
+        |    floor(num9::DOUBLE / den9::DOUBLE * 10000 + 0.5) / 10000
+        |  END AS p_two_sided
+        |FROM agg""".stripMargin,
     "events_ab_odds_ratio" ->
       """WITH v AS (
         |  SELECT CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))::INT
@@ -4761,6 +5024,53 @@ object TimeSeries {
         |    ELSE floor(exp(cum_u / 1000000.0) * 10000 + 0.5) / 10000 END
         |    AS survival
         |FROM km ORDER BY t_hr""".stripMargin,
+    // The KM risk-set CTEs with all-integer DIV hazard terms.
+    "events_nelson_aalen" ->
+      """WITH pu AS (
+        |  SELECT user_id, min(epoch_us(ts))::BIGINT AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      ::BIGINT AS tconv,
+        |    max(epoch_us(ts))::BIGINT AS tlast
+        |  FROM events GROUP BY 1),
+        |du AS (
+        |  SELECT CASE WHEN tconv IS NOT NULL THEN 1 ELSE 0 END AS event,
+        |    CASE WHEN tconv IS NOT NULL
+        |      THEN (tconv - t0) // 3600000000
+        |      ELSE (tlast - t0) // 3600000000 END AS dur_hr
+        |  FROM pu),
+        |risk AS (
+        |  SELECT dur_hr, sum(event)::BIGINT AS d_t,
+        |    sum(1 - event)::BIGINT AS c_t
+        |  FROM du GROUP BY 1),
+        |rr AS (
+        |  SELECT *,
+        |    (sum(d_t + c_t) OVER ())::BIGINT
+        |      - (coalesce(sum(d_t + c_t) OVER (ORDER BY dur_hr
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        0))::BIGINT AS n_risk
+        |  FROM risk),
+        |ev AS (
+        |  SELECT dur_hr, n_risk, d_t,
+        |    d_t * 1000000 // n_risk AS h_u,
+        |    d_t * 1000000000000 // (n_risk * n_risk) AS v_u
+        |  FROM rr WHERE d_t > 0),
+        |na AS (
+        |  SELECT dur_hr, n_risk, d_t,
+        |    (sum(h_u) OVER (ORDER BY dur_hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS cum_h_u,
+        |    (sum(v_u) OVER (ORDER BY dur_hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS cum_v_u
+        |  FROM ev)
+        |SELECT dur_hr AS t_hr, n_risk, d_t AS n_events,
+        |  floor(cum_h_u::DOUBLE / 1000000.0 * 10000 + 0.5) / 10000
+        |    AS cum_hazard,
+        |  floor(cum_v_u::DOUBLE / 1000000000000.0 * 10000 + 0.5) / 10000
+        |    AS hazard_var,
+        |  floor(exp(cum_h_u / -1000000.0) * 10000 + 0.5) / 10000
+        |    AS surv_fh
+        |FROM na ORDER BY t_hr""".stripMargin,
     // The KM oracle with every window PARTITION BY variant.
     "events_km_variants" ->
       """WITH pu AS (
@@ -5172,6 +5482,59 @@ object TimeSeries {
         |    floor((smape_sum_u::DOUBLE / n_scored::DOUBLE / 1000000.0)
         |      * 10000 + 0.5) / 10000 END AS smape
         |FROM a""".stripMargin
+    },
+    // The HW tap CTE + the snaive-interval band recipe: exact ×4^11
+    // integer residuals, (n+1)//20 order statistics, integer covered
+    // flag, r4'd published edges.
+    "ts_holtwinters_interval" -> {
+      val holt = Seq((1, 3145728L), (2, 1835008L), (3, 720896L),
+        (4, -16384L), (5, -380928L), (6, -467968L), (7, -394496L),
+        (8, -259136L), (9, -126672L), (10, -28772L), (11, 27371L),
+        (12, 139657L))
+      val taps = (holt ++ Seq((168, 4194304L)) ++
+        holt.map { case (j, w) => (168 + j, -w) })
+        .map { case (t, w) => s"($t, $w)" }.mkString(", ")
+      s"""WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT * FROM (VALUES $taps) AS t(tap, w4m)),
+        |fc AS (
+        |  SELECT h.hr + w.tap AS hr, sum(h.cnt * w.w4m)::BIGINT AS fc4m,
+        |    count(*)::BIGINT AS n_taps
+        |  FROM hourly h CROSS JOIN w
+        |  GROUP BY 1 HAVING count(*) = 25),
+        |sc AS (
+        |  SELECT a.hr, a.cnt, fc.fc4m,
+        |    (a.cnt * 4194304 - fc.fc4m)::BIGINT AS resid
+        |  FROM hourly a JOIN fc ON a.hr = fc.hr),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (ORDER BY resid, hr)::BIGINT AS rn,
+        |    (count(*) OVER ())::BIGINT AS n
+        |  FROM sc),
+        |q AS (
+        |  SELECT max(n)::BIGINT AS n_resid,
+        |    max(CASE WHEN rn = (n + 1) // 20 THEN resid END)::BIGINT
+        |      AS q05_4m,
+        |    max(CASE WHEN rn = (19 * (n + 1)) // 20 THEN resid END)::BIGINT
+        |      AS q95_4m
+        |  FROM r),
+        |last24 AS (
+        |  SELECT * FROM (
+        |    SELECT hr, cnt, fc4m,
+        |      row_number() OVER (ORDER BY hr DESC) AS rk
+        |    FROM sc)
+        |  WHERE rk <= 24)
+        |SELECT hr, cnt AS actual,
+        |  floor(fc4m::DOUBLE / 4194304.0 * 10000 + 0.5) / 10000 AS fc,
+        |  q.n_resid,
+        |  floor((fc4m + q.q05_4m)::DOUBLE / 4194304.0 * 10000 + 0.5)
+        |    / 10000 AS lo,
+        |  floor((fc4m + q.q95_4m)::DOUBLE / 4194304.0 * 10000 + 0.5)
+        |    / 10000 AS hi,
+        |  cnt * 4194304 BETWEEN fc4m + q.q05_4m AND fc4m + q.q95_4m
+        |    AS covered
+        |FROM last24 CROSS JOIN q ORDER BY hr""".stripMargin
     },
     // All horizons from one hourly × q-table equi-join; exact-BIGINT
     // difference stats, mirrored sample-variance assembly, guarded

@@ -116,6 +116,46 @@ object Tokenize {
         .agg(count(lit(1)).as("n_words"),
              sum(col("n_sym").cast("long")).as("n_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // TOKENIZER FERTILITY (round 14): tokens-per-word and chars-per-
+    // token PER LANGUAGE under the learned BPE — the tokenizer-
+    // equity readout a multilingual pipeline publishes (a tokenizer
+    // trained lopsidedly fragments some languages into 2–3× the
+    // tokens, which directly inflates their training/serving cost —
+    // the "tokenizer tax"). Same vocab-level apply + broadcast-join
+    // shape as pipeline_bpe_apply, folded to the LANG grain with
+    // exact integer token/char sums; two guarded r4 ratios on the
+    // |langs|-row readout. Property: Σ per-lang words/tokens equals
+    // the corpus totals of pipeline_bpe_apply (BpeSpec).
+    "pipeline_tokenizer_fertility" -> ((s, d) => {
+      val docs = TestData.documents(s, d)
+      val mseq = bpeMerges(docs, rounds = 3).orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2)))
+      val dw = docs
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val vocabTok = dw.select("word").distinct()
+        .withColumn("syms", expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      val enc = mseq.foldLeft(vocabTok) { case (df, (a, b)) =>
+        df.withColumn("syms", applyMerge(col("syms"), a, b))
+      }.select(col("word"), size(col("syms")).as("n_sym"),
+        length(col("word")).as("n_ch"))
+      dw.join(broadcast(enc), "word")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_sym").cast("long")).as("n_tokens"),
+          sum(col("n_ch").cast("long")).as("n_chars"))
+        .withColumn("fertility", when(col("n_words") > 0,
+          TestData.r4(col("n_tokens").cast("double")
+            / col("n_words").cast("double"))))
+        .withColumn("chars_per_token", when(col("n_tokens") > 0,
+          TestData.r4(col("n_chars").cast("double")
+            / col("n_tokens").cast("double"))))
+        .select("lang", "n_words", "n_tokens", "n_chars",
+          "fertility", "chars_per_token")
+        .orderBy("lang")
     })
   )
 
@@ -183,6 +223,47 @@ object Tokenize {
         |  sum(len(syms))::BIGINT AS n_tokens
         |FROM dw JOIN as3 USING (word)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The apply oracle folded to LANG grain with char sums and the
+    // two guarded r4 ratios.
+    "pipeline_tokenizer_fertility" ->
+      s"""WITH w AS (
+        |  SELECT word, count(*)::BIGINT AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE length(word) > 0 GROUP BY 1),
+        |v0 AS (
+        |  SELECT list_transform(range(1, length(word) + 1),
+        |           i -> substring(word, i, 1)) AS syms, n
+        |  FROM w),
+        |${roundCtes("v0", "1", "v1")},
+        |${roundCtes("v1", "2", "v2")},
+        |${roundCtes("v2", "3", "v3")},
+        |as0 AS (
+        |  SELECT word, list_transform(range(1, length(word) + 1),
+        |           i -> substring(word, i, 1)) AS syms
+        |  FROM w),
+        |${applyCte("as0", "1", "as1")},
+        |${applyCte("as1", "2", "as2")},
+        |${applyCte("as2", "3", "as3")},
+        |dw AS (
+        |  SELECT lang, word
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE length(word) > 0),
+        |agg AS (
+        |  SELECT lang, count(*)::BIGINT AS n_words,
+        |    sum(len(syms))::BIGINT AS n_tokens,
+        |    sum(length(word))::BIGINT AS n_chars
+        |  FROM dw JOIN as3 USING (word)
+        |  GROUP BY lang)
+        |SELECT lang, n_words, n_tokens, n_chars,
+        |  CASE WHEN n_words > 0 THEN
+        |    floor(n_tokens::DOUBLE / n_words::DOUBLE * 10000 + 0.5) / 10000
+        |  END AS fertility,
+        |  CASE WHEN n_tokens > 0 THEN
+        |    floor(n_chars::DOUBLE / n_tokens::DOUBLE * 10000 + 0.5) / 10000
+        |  END AS chars_per_token
+        |FROM agg ORDER BY lang""".stripMargin,
     "pipeline_bpe_merges" ->
       s"""WITH w AS (
         |  SELECT word, count(*)::BIGINT AS n

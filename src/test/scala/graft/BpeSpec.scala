@@ -95,4 +95,22 @@ class BpeSpec extends SparkSpec {
     val totalChars = charCounts.values.map(_._2).sum
     assert(totalTok < totalChars, s"merges must compress: $totalTok vs $totalChars")
   }
+
+  test("tokenizer fertility: per-lang sums reconcile with the doc-grain apply") {
+    val dir = sf("sf0.001")
+    val fert = Tokenize.defs("pipeline_tokenizer_fertility")(spark, dir)
+      .select("lang", "n_words", "n_tokens", "fertility")
+      .as[(String, Long, Long, Double)].collect()
+    assert(fert.nonEmpty)
+    val apply = Tokenize.defs("pipeline_bpe_apply")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    // same corpus, same merges, different grain: totals must match
+    assert(fert.map(_._2).sum === apply.map(_._2).sum, "word totals")
+    assert(fert.map(_._3).sum === apply.map(_._3).sum, "token totals")
+    // fertility is tokens/words: >= 1 always (a word is >= 1 token),
+    // and < the raw chars/word bound because the merges compress
+    fert.foreach { case (lang, nw, nt, f) =>
+      assert(nt >= nw && f >= 1.0, s"$lang fertility below 1: $f")
+    }
+  }
 }

@@ -859,6 +859,38 @@ object ClosedFormProps extends Properties("graft.closedforms") {
           s"planted trend+seasonal must be forecast exactly: $hw"
     }
 
+  // ts_holtwinters_interval: the 5–95 residual-quantile band covers
+  // ≥ 90% − 2 ranks of the in-sample residuals BY CONSTRUCTION (the
+  // order statistics bound it), and on a planted trend+seasonal(+
+  // deterministic pseudo-noise) series the HW band is CENTERED while
+  // snaive's band center carries the full 168·slope trend bias —
+  // the alerting-relevant contrast (a biased band pages on every
+  // in-trend hour; width alone cannot show this because a constant
+  // bias shifts the band without widening it).
+  property("HW interval: in-sample coverage by construction, band centered vs snaive bias") =
+    Prop.forAll(Gen.choose(1L, 20L), Gen.choose(500L, 2000L),
+      Gen.choose(10L, 200L)) { (slope, base, amp) =>
+      def ys(t: Int): Double =
+        base + slope * t + amp * math.sin(2 * math.Pi * (t % 168) / 168.0) +
+          ((t * 7919) % 13).toDouble
+      val ts = 200 until 400
+      def band(resid: Seq[Double]): (Double, Double) = {
+        val s = resid.sorted
+        val n = s.size
+        (s((n + 1) / 20 - 1), s(19 * (n + 1) / 20 - 1))
+      }
+      val hwR = ts.map(t => ys(t) - hwForecast(ys, t))
+      val snR = ts.map(t => ys(t) - ys(t - 168))
+      val (hq5, hq95) = band(hwR)
+      val (sq5, sq95) = band(snR)
+      val covered = hwR.count(r => r >= hq5 && r <= hq95)
+      (covered >= (9 * ts.size) / 10 - 2) :|
+        s"in-sample coverage $covered of ${ts.size}" &&
+        (math.abs(hq5 + hq95) < math.abs(sq5 + sq95)) :|
+          s"HW band center ${(hq5 + hq95) / 2} must be less biased " +
+            s"than snaive's ${(sq5 + sq95) / 2}"
+    }
+
   // ts_ar2_backtest: the centered-2×2 Cramer fit over exact lag
   // sufficient stats approximately recovers planted AR(2)
   // coefficients from a noise-driven stationary series, and the
@@ -1384,6 +1416,51 @@ object ClosedFormProps extends Properties("graft.closedforms") {
       val (c2, cp, cn) = auc2(coin)
       (p2 == 2L * pp * pn) :| "perfect detector must read exactly 1" &&
         (2L * c2 == 2L * cp * cn) :| "identical distributions must read 0.5"
+    }
+
+  // events_ab_fisher_exact: the ratio-recursion hypergeometric (log
+  // weights built from P(k)/P(k−1) steps, normalized by the max)
+  // equals the direct factorial pmf, and the two-sided p from the
+  // micro-nat decision matches a brute-force enumeration over the
+  // support — the closed form the oracle mirrors isn't a fixture
+  // accident. Degenerate one-point supports read exactly p = 1.
+  property("Fisher exact: ratio recursion ≡ factorial pmf; two-sided p matches brute force") =
+    Prop.forAll(Gen.choose(0, 12), Gen.choose(0, 12),
+      Gen.choose(0, 12), Gen.choose(0, 12)) { (a, b, c, dd) =>
+      val (nT, nC) = (a + b, c + dd)
+      val r1 = a + c
+      (nT + nC > 0) ==> {
+        def lnFact(n: Int): Double =
+          (1 to n).map(j => math.log(j.toDouble)).sum
+        def lnPmf(k: Int): Double =
+          lnFact(nT) - lnFact(k) - lnFact(nT - k) +
+            lnFact(nC) - lnFact(r1 - k) - lnFact(nC - r1 + k) -
+            (lnFact(nT + nC) - lnFact(r1) - lnFact(nT + nC - r1))
+        val kMin = math.max(0, r1 - nC)
+        val kMax = math.min(nT, r1)
+        val ks = (kMin to kMax).toList
+        // the recursion form (what the engines compute)
+        val lw = ks.tail.scanLeft(0.0) { (acc, k) =>
+          acc + math.log(((nT - k + 1).toDouble * (r1 - k + 1)) /
+            (k.toDouble * (nC - r1 + k)))
+        }
+        // recursion ≡ factorial pmf up to the common normalizer
+        val shift = lnPmf(kMin)
+        val maxDiff = ks.zip(lw).map { case (k, w) =>
+          math.abs(w + shift - lnPmf(k)) }.max
+        val pObs = lnPmf(a)
+        val pBrute = ks.filter(k => lnPmf(k) <= pObs + 1e-9)
+          .map(k => math.exp(lnPmf(k))).sum
+        val mx = lw.max
+        val den = lw.map(w => math.exp(w - mx)).sum
+        val num = ks.zip(lw)
+          .filter { case (_, w) => w <= lw(a - kMin) + 1e-9 }
+          .map { case (_, w) => math.exp(w - mx) }.sum
+        (maxDiff < 1e-9) :| s"recursion drift $maxDiff" &&
+          (math.abs(num / den - pBrute) < 1e-9) :|
+            s"p ${num / den} != brute $pBrute" &&
+          (num / den <= 1.0 + 1e-12) :| "p must be a probability"
+      }
     }
 
   // agg_cochran_q: the all-integer identity

@@ -472,6 +472,22 @@ class DegenerateSpec extends SparkSpec {
       "user_id", "truth", "variant"), "rr/all-true")
   }
 
+  test("holtWintersInterval survives empty / short / constant series") {
+    // under 20 scored points the band ranks hit no row ⇒ NULL band,
+    // and a fully-tapped constant series reads resid ≡ 0 everywhere
+    assertClean(engine.holtWintersInterval(sEmpty, "hr", "n"),
+      "hwInterval/empty")
+    assertClean(engine.holtWintersInterval(sSingle, "hr", "n"),
+      "hwInterval/single")
+    assertClean(engine.holtWintersInterval(sConstant, "hr", "n"),
+      "hwInterval/short-constant")
+    val longConstant = seriesFrame((0L to 400L).map(h => (h, 4L)))
+    val rows = engine.holtWintersInterval(longConstant, "hr", "n")
+      .collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("covered")),
+      "constant series: zero residuals must cover everywhere")
+  }
+
   test("hurstExponent survives empty / short / constant series") {
     seriesFrames.foreach { case (n, f) =>
       assertClean(engine.hurstExponent(f, "hr", "n"), s"hurst/$n")
@@ -616,6 +632,43 @@ class DegenerateSpec extends SparkSpec {
     assertClean(engine.louvainRefine(
       fr(lSchema, Seq(Row(1L, 1L))), "id", "label",
       fr(eSchema, Nil)), "louvain/single-node")
+  }
+
+  test("fisherExact / nelsonAalen survive empty / one-armed / all-success frames") {
+    val fschema = StructType(Seq(StructField("t", IntegerType),
+      StructField("purch", LongType)))
+    def ff(rows: Seq[(Int, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), fschema)
+    assertClean(engine.fisherExact(ff(Nil), "t", "purch"),
+      "fisher/empty")
+    // one-armed: support has the single point k = r1 ⇒ p = 1 exactly
+    val oneArm = engine.fisherExact(
+      ff(Seq((1, 1L), (1, 0L), (1, 1L))), "t", "purch").collect()
+    assert(oneArm(0).getAs[Double]("p_two_sided") === 1.0)
+    // all-success: zero-failure margin ⇒ 1-point support ⇒ p = 1
+    val allS = engine.fisherExact(
+      ff(Seq((0, 1L), (0, 1L), (1, 1L))), "t", "purch").collect()
+    assert(allS(0).getAs[Double]("p_two_sided") === 1.0)
+    // a textbook 2x2: must be strictly inside (0, 1)
+    val mid = engine.fisherExact(
+      ff(Seq.fill(8)((0, 1L)) ++ Seq.fill(2)((0, 0L))
+        ++ Seq.fill(2)((1, 1L)) ++ Seq.fill(8)((1, 0L))), "t", "purch")
+      .collect()
+    val p = mid(0).getAs[Double]("p_two_sided")
+    assert(p > 0.0 && p < 0.05, s"8/2 vs 2/8 must be significant: $p")
+
+    val dschema = StructType(Seq(StructField("dur", LongType),
+      StructField("ev", LongType)))
+    def df(rows: Seq[(Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), dschema)
+    assertClean(engine.nelsonAalen(df(Nil), "dur", "ev"), "na/empty")
+    // all-censored: no event rows survive the d_t > 0 filter
+    assert(engine.nelsonAalen(df(Seq((3L, 0L), (5L, 0L))), "dur", "ev")
+      .count() === 0L)
+    // single subject with an event: H = d/n = 1 exactly
+    val single = engine.nelsonAalen(df(Seq((4L, 1L))), "dur", "ev")
+      .collect()
+    assert(single(0).getAs[Double]("cum_hazard") === 1.0)
   }
 
   test("intrinsicDim / personalizedPagerank / louvainCoarsen survive degenerate inputs") {

@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 170, "documented facade count drifted; methods: "
+    assert(names.length === 174, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1297,6 +1297,55 @@ class EngineApiSpec extends SparkSpec {
       .select($"id".as("vec_id"), $"r".as("rank_u"),
         ($"r".cast("double") / 1000000.0).as("rank"))
       .orderBy("vec_id")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("fisherExact / nelsonAalen / conductance facades match their keys") {
+    val d = sf("sf0.001")
+    val fisherDecl = SparkEntry.queries("events_ab_fisher_exact")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val flags = TestData.events(spark, d)
+      .withColumn("t",
+        (conv(substring(md5(col("user_id").cast("string")), 1, 2),
+          16, 10).cast("int") % 2 =!= 0).cast("int"))
+      .withColumn("purch",
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+    assert(engine.fisherExact(flags, "t", "purch")
+      .collect().map(_.toSeq).toSeq === fisherDecl)
+
+    val naDecl = SparkEntry.queries("events_nelson_aalen")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val pu = TestData.events(spark, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .groupBy("user_id")
+      .agg(min("ts_us").as("t0"),
+        min(when(col("event_type") === "purchase", col("ts_us")))
+          .as("tconv"),
+        max("ts_us").as("tlast"))
+      .withColumn("ev", when(col("tconv").isNotNull, 1L).otherwise(0L))
+      .withColumn("dur", when(col("ev") === 1,
+        expr("(tconv - t0) DIV 3600000000"))
+        .otherwise(expr("(tlast - t0) DIV 3600000000")))
+    assert(engine.nelsonAalen(pu, "dur", "ev").orderBy("t_hr")
+      .collect().map(_.toSeq).toSeq === naDecl)
+
+    val condDecl = SparkEntry.queries("graph_conductance")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(engine.conductance(operators.GraphOps.lpaLabels(spark, d),
+        "id", "label", operators.GraphOps.fixtureKnnEdges(spark, d))
+      .orderBy("community")
+      .collect().map(_.toSeq).toSeq === condDecl)
+  }
+
+  test("holtWintersInterval facade matches the ts_holtwinters_interval key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("ts_holtwinters_interval")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val hourly = TestData.events(spark, d)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val viaApi = engine.holtWintersInterval(hourly, "hr", "cnt")
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
   }

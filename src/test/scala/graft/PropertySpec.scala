@@ -743,6 +743,65 @@ class PropertySpec extends SparkSpec {
     assert(dFull > 2.0 * d2, "the estimator must separate the two by a wide margin")
   }
 
+  test("Nelson-Aalen dominates KM: exp(-H) >= survival at every grid point") {
+    // −ln(1−x) ≥ x ⇒ the Fleming–Harrington survival exp(−H_NA)
+    // upper-bounds the KM product-limit estimate on the SAME risk
+    // sets — the textbook inequality, checked on the fixture grid.
+    val na = TimeSeries.defs("events_nelson_aalen")(spark, sfDir)
+      .select("t_hr", "surv_fh").as[(Long, Double)].collect().toMap
+    val km = TimeSeries.defs("events_survival_km")(spark, sfDir)
+      .select("t_hr", "survival").as[(Long, Double)].collect().toMap
+    assert(na.keySet === km.keySet, "same event-duration grid")
+    // quantization slack: both sides round at 1e-4 (r4) on top of
+    // micro-unit terms, so allow one ulp of the published precision
+    assert(na.forall { case (t, s) => s >= km(t) - 2e-4 },
+      s"exp(-H) must dominate KM: ${na.toSeq.sorted} vs ${km.toSeq.sorted}")
+  }
+
+  test("conductance: phi in [0,1], cut identity, one community cuts nothing") {
+    val edges = GraphOps.fixtureKnnEdges(spark, sfDir)
+      .select("a", "b").as[(Long, Long)].collect()
+    val labels = GraphOps.defs("graph_label_propagation")(spark, sfDir)
+      .select("vec_id", "community").as[(Long, Long)].collect().toMap
+    val rows = GraphOps.defs("graph_conductance")(spark, sfDir)
+      .select("community", "vol", "cut", "conductance")
+      .collect()
+    rows.foreach { r =>
+      if (!r.isNullAt(3)) {
+        val phi = r.getDouble(3)
+        assert(phi >= 0.0 && phi <= 1.0, s"phi out of range: $r")
+      }
+      assert(r.getLong(2) <= r.getLong(1), "cut cannot exceed volume")
+    }
+    val interEdges = edges.count { case (a, b) => labels(a) != labels(b) }
+    assert(rows.map(_.getLong(2)).sum === 2L * interEdges,
+      "each inter-community edge contributes to exactly two cuts")
+    // all-one-community labels: zero cut everywhere
+    val one = TestData.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), lit(0L).as("label"))
+    val oneRows = GraphOps.conductance(one,
+      GraphOps.fixtureKnnEdges(spark, sfDir)).collect()
+    assert(oneRows.length === 1 && oneRows(0).getAs[Long]("cut") === 0L)
+  }
+
+  test("Horvitz-Thompson: full-census strata estimate exactly; sampled strata bounded") {
+    val rows = ScalePatterns.defs("sample_horvitz_thompson")(spark, sfDir)
+      .select("lang", "n_pop", "n_sampled", "ht_total_chars",
+        "true_total_chars")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (np, ns, ht, tt) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      if (np <= 30) {
+        assert(ns === np, s"census stratum must sample everything: $r")
+        assert(ht === tt, s"census stratum must estimate exactly: $r")
+      } else {
+        assert(ns <= np && ht >= 0, s"sane sampled stratum: $r")
+      }
+    }
+  }
+
   test("personalized PageRank: seed component dominates, unreachable reads exactly 0") {
     import spark.implicits._
     // two 5-node paths, seeds only in the first: no teleport + no
@@ -804,6 +863,24 @@ class PropertySpec extends SparkSpec {
       "the fixture admits whole-community merges; coarse sweep must merge")
     assert(q4m2(coar) > q4m2(ref),
       s"coarse moves must strictly raise Q: ${q4m2(ref)} -> ${q4m2(coar)}")
+  }
+
+  test("PQ sweep: distortion strictly decreases with subquantizer count; recall floor") {
+    // Finer sub-splits strictly REFINE the code: choosing the same
+    // codeword for both halves of a split subspace reproduces the
+    // coarser assignment, so each per-sub min can only improve —
+    // distortion is non-increasing by construction, strict on this
+    // corpus. Recall@10 at the fixture's 2-bit (K=4) codebook is
+    // noise-level (the ann_opq_adc_topk lesson: 0.26/0.20/0.22 at
+    // sf0.001) — pin a floor, not monotonicity; the sweep's decision
+    // value is the distortion column at constant query cost.
+    val rows = ProductQuantize.defs("ann_pq_sweep")(spark, sfDir)
+      .select("m", "distortion_sum_u", "recall")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(4, 8, 16))
+    assert(rows.map(_._2).sliding(2).forall(p => p(0) > p(1)),
+      s"finer sub-splits must strictly refine the code: ${rows.toSeq}")
+    assert(rows.forall(_._3 >= 0.1), s"recall floor 0.1: ${rows.toSeq}")
   }
 
   test("PQ encode: codes in range, subspace errors bounded by scalar worst case") {
