@@ -4400,6 +4400,19 @@ class GraftEngine(val spark: SparkSession) {
       flags.select(col(variantCol).cast("int").as("t"),
         col(successCol).cast("long").as("purch")))
 
+  /** Bayesian A/B probability-to-beat-control (see `events_ab_bayes`)
+    * over (variant 0/1, success 0/1) rows: exact
+    * P(p_t > p_c | Beta(1,1) posteriors) via the closed-form Beta
+    * sum — no Monte Carlo, no quadrature. Count-bounded explodes;
+    * use the normal approximation past tens of millions of
+    * successes.
+    */
+  def bayesAb(flags: DataFrame, variantCol: String,
+              successCol: String): DataFrame =
+    graft.operators.TimeSeries.bayesAbCore(
+      flags.select(col(variantCol).cast("int").as("t"),
+        col(successCol).cast("long").as("purch")))
+
   /** Nelson-Aalen cumulative hazard + Fleming–Harrington survival
     * (see `events_nelson_aalen`) over (duration, event 0/1) rows —
     * the estimator published next to Kaplan-Meier; every hazard term

@@ -951,6 +951,64 @@ object TextAnalysis {
         .orderBy("lang")
     }),
 
+    // BURROWS DELTA (round 14): the stylometric distance between
+    // language sub-corpora over the top-50 corpus words — the
+    // authorship-attribution workhorse (Burrows 2002) repurposed as
+    // the domain-similarity MATRIX a mixing pipeline reads
+    // (lang_vocab_overlap counts shared types; Delta weighs shared
+    // FUNCTION-WORD usage, which is what actually separates styles/
+    // domains). Algebra win: z_a − z_b = (F_a − F_b)/σ_F — the mean
+    // CANCELS in the pairwise delta, so no mean column exists
+    // anywhere. Frequencies are integer micro-rates (c·1e6 DIV
+    // n_lang — DIV ≡ // on nonnegatives), per-word variance an exact
+    // BIGINT (L·ΣF² − (ΣF)²), and each |ΔF|/σ term micro-quantized
+    // before the sum. Grid: 50 words × L langs completed by a
+    // broadcast cross join (absent word ⇒ F = 0); pairs = C(L,2).
+    // Zero-variance words contribute 0 and are excluded from the
+    // divisor (n_scored). Top-50 via sort+limit
+    // (TakeOrderedAndProject).
+    "text_burrows_delta" -> ((s, d) => {
+      val c = TestData.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // three consumers: totals, top-50, grid
+      val nl = c.groupBy("lang").agg(sum("c").as("n_lang"))
+      val top = c.groupBy("tok").agg(sum("c").as("ct"))
+        .orderBy(col("ct").desc, col("tok")).limit(50).select("tok")
+      val grid = top.crossJoin(broadcast(nl))
+        .join(c, Seq("lang", "tok"), "left")
+        .withColumn("f_u", expr("coalesce(c, 0L) * 1000000 DIV n_lang"))
+        .select("tok", "lang", "f_u")
+        .localCheckpoint() // stats + both pair sides
+      val stats = grid.groupBy("tok")
+        .agg(count(lit(1)).as("l"), sum("f_u").as("sf"),
+          sum(col("f_u") * col("f_u")).as("sff"))
+        .withColumn("var_num",
+          col("l") * col("sff") - col("sf") * col("sf"))
+        .select("tok", "l", "var_num")
+      val ga = grid.select(col("tok"), col("lang").as("lang_a"),
+        col("f_u").as("fa"))
+      val gb = grid.select(col("tok").as("tok2"),
+        col("lang").as("lang_b"), col("f_u").as("fb"))
+      ga.join(gb, col("tok") === col("tok2")
+          && col("lang_a") < col("lang_b"))
+        .join(broadcast(stats), Seq("tok"))
+        .withColumn("term_u", when(col("var_num") > 0,
+          floor(abs(col("fa") - col("fb")).cast("double")
+            / sqrt(col("var_num").cast("double")
+              / (col("l") * (col("l") - 1)).cast("double"))
+            * 1000000 + 0.5).cast("long")).otherwise(0L))
+        .groupBy("lang_a", "lang_b")
+        .agg(count(lit(1)).as("n_words"),
+          sum(when(col("var_num") > 0, 1L).otherwise(0L)).as("n_scored"),
+          sum("term_u").as("delta_sum_u"))
+        .withColumn("delta", when(col("n_scored") > 0,
+          r4(col("delta_sum_u").cast("double")
+            / (lit(1000000.0) * col("n_scored").cast("double")))))
+        .select("lang_a", "lang_b", "n_words", "n_scored", "delta")
+        .orderBy("lang_a", "lang_b")
+    }),
+
     // KL DIVERGENCE lang ‖ corpus (round 14): the DIRECTED
     // divergence next to text_js_divergence's symmetric one — KL is
     // what importance-weighting / domain-reweighting actually uses
@@ -1581,6 +1639,51 @@ object TextAnalysis {
         |FROM a ORDER BY lang""".stripMargin,
     // Same vocabulary-shaped algebra: present-token terms micro-nat
     // quantized, absent-token mass as the (1 − Σq)·ln2 closure.
+    // Mean-cancelled pairwise z: integer micro-rates, exact variance
+    // numerator, micro-quantized |dF|/sigma terms, guarded divisor.
+    "text_burrows_delta" ->
+      """WITH c AS (
+        |  SELECT lang, tok, count(*)::BIGINT AS c FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |nl AS (SELECT lang, sum(c)::BIGINT AS n_lang FROM c GROUP BY 1),
+        |top AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, sum(c)::BIGINT AS ct FROM c GROUP BY 1
+        |    ORDER BY ct DESC, tok LIMIT 50)),
+        |grid AS (
+        |  SELECT t.tok, l.lang,
+        |    (coalesce(c.c, 0) * 1000000 // l.n_lang)::BIGINT AS f_u
+        |  FROM top t CROSS JOIN nl l
+        |  LEFT JOIN c ON c.lang = l.lang AND c.tok = t.tok),
+        |st AS (
+        |  SELECT tok, count(*)::BIGINT AS l, sum(f_u)::BIGINT AS sf,
+        |    sum(f_u * f_u)::BIGINT AS sff
+        |  FROM grid GROUP BY 1),
+        |stv AS (
+        |  SELECT tok, l, (l * sff - sf * sf)::BIGINT AS var_num
+        |  FROM st),
+        |tm AS (
+        |  SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |    CASE WHEN s.var_num > 0 THEN
+        |      floor(abs(a.f_u - b.f_u)::DOUBLE
+        |        / sqrt(s.var_num::DOUBLE / (s.l * (s.l - 1))::DOUBLE)
+        |        * 1000000 + 0.5)::BIGINT
+        |    ELSE 0 END AS term_u,
+        |    CASE WHEN s.var_num > 0 THEN 1 ELSE 0 END AS scored
+        |  FROM grid a JOIN grid b ON a.tok = b.tok AND a.lang < b.lang
+        |  JOIN stv s ON s.tok = a.tok),
+        |agg AS (
+        |  SELECT lang_a, lang_b, count(*)::BIGINT AS n_words,
+        |    sum(scored)::BIGINT AS n_scored,
+        |    sum(term_u)::BIGINT AS delta_sum_u
+        |  FROM tm GROUP BY 1, 2)
+        |SELECT lang_a, lang_b, n_words, n_scored,
+        |  CASE WHEN n_scored > 0 THEN
+        |    floor(delta_sum_u::DOUBLE / (1000000.0 * n_scored::DOUBLE)
+        |      * 10000 + 0.5) / 10000 END AS delta
+        |FROM agg ORDER BY lang_a, lang_b""".stripMargin,
     // No closure term (q > 0 wherever p > 0); micro-nat terms in
     // identical op order, one r4 readout per lang.
     "text_kl_divergence" ->

@@ -440,6 +440,66 @@ object TextOps {
         graft.functions.MinHashLsh.nearDupPairs(docs, 0.9).localCheckpoint()
       })
 
+  /** Memoized planted-dup detector evaluation corpus (round 14):
+    * every 5th doc gets a near-dup variant (3 appended novel tokens,
+    * id + 1e6), then BOTH detectors score ALL same-lang pairs —
+    * token-set Jaccard (1e-4 units) and SimHash bit agreement (60 −
+    * Hamming) — with is_pos = (id_b = id_a + 1e6 ∧ id_a % 5 = 0).
+    * Shared by `eval_detector_auc` and `dedup_threshold_sweep` (the
+    * two pair joins are the expensive stage; the readouts are
+    * grid-sized). Columns: (id_a, id_b, detector, score_u, is_pos).
+    * Evaluation-sample shape by design: the per-lang all-pairs join
+    * runs on the labeled eval corpus, never the full corpus.
+    */
+  private val detectorScoresMemo = new graft.SessionMemo[DataFrame]
+
+  private[graft] def plantedDetectorScores(s: SparkSession,
+                                           d: String): DataFrame =
+    detectorScoresMemo.getOrElseUpdate(s,
+      graft.sources.WriteOnce.inputTag(d, "documents"), {
+        import org.apache.spark.sql.graft.Bridge
+        import graft.functions.SortedIntersectCount
+        val docs = TestData.documents(s, d).select("doc_id", "lang", "text")
+        val planted = docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            concat(col("text"), lit(" zq1 zq2 zq3")).as("text"))
+        // two detectors × two join sides consume the planted corpus
+        val corpus = docs.unionAll(planted).localCheckpoint()
+        val toks = corpus.select(col("doc_id"), col("lang"),
+            array_sort(transform(array_distinct(split(col("text"), " ")),
+              t => xxhash64(t))).as("th"))
+          .withColumn("nt", size(col("th")))
+        val ta = toks.select(col("doc_id").as("id_a"), col("lang").as("la"),
+          col("th").as("ha"), col("nt").as("na"))
+        val tb = toks.select(col("doc_id").as("id_b"), col("lang").as("lb"),
+          col("th").as("hb"), col("nt").as("nb"))
+        val isect = Bridge.column(SortedIntersectCount(
+          Bridge.expression(col("ha")), Bridge.expression(col("hb"))))
+        val jacPairs = ta.join(tb.hint("shuffle_hash"),
+            col("la") === col("lb") && col("id_a") < col("id_b"))
+          .withColumn("inter", isect)
+          .select(col("id_a"), col("id_b"), lit("jaccard").as("detector"),
+            floor(col("inter").cast("double")
+                / (col("na") + col("nb") - col("inter")) * 10000 + 0.5)
+              .cast("long").as("score_u"))
+        val sims = TextAnalysis.simhashOf(corpus)
+          .join(corpus.select("doc_id", "lang"), Seq("doc_id"))
+        val sa = sims.select(col("doc_id").as("id_a"), col("lang").as("la"),
+          col("simhash").as("sha"))
+        val sb = sims.select(col("doc_id").as("id_b"), col("lang").as("lb"),
+          col("simhash").as("shb"))
+        val simPairs = sa.join(sb.hint("shuffle_hash"),
+            col("la") === col("lb") && col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), lit("simhash").as("detector"),
+            (lit(60L) - bit_count(col("sha").bitwiseXOR(col("shb")))
+              .cast("long")).as("score_u"))
+        jacPairs.unionByName(simPairs)
+          .withColumn("is_pos",
+            when(col("id_b") === col("id_a") + 1000000L
+              && col("id_a") % 5 === 0, 1L).otherwise(0L))
+          .localCheckpoint()
+      })
+
   /** Exact ROC-AUC + step-form PR-AUC (average precision) per
     * detector, from a scored-pair frame with columns
     * (detector: STRING, score_u: BIGINT — quantized score, higher =
@@ -697,48 +757,46 @@ object TextOps {
     // O(sample²) by design, never applied to the full corpus; the
     // readout itself is domain-bounded. See detectorAuc for the
     // reusable readout (facade parity-pinned).
-    "eval_detector_auc" -> ((s, d) => {
-      import org.apache.spark.sql.graft.Bridge
-      import graft.functions.SortedIntersectCount
-      val docs = TestData.documents(s, d).select("doc_id", "lang", "text")
-      val planted = docs.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
-          concat(col("text"), lit(" zq1 zq2 zq3")).as("text"))
-      // two detectors × two join sides consume the planted corpus
-      val corpus = docs.unionAll(planted).localCheckpoint()
-      val toks = corpus.select(col("doc_id"), col("lang"),
-          array_sort(transform(array_distinct(split(col("text"), " ")),
-            t => xxhash64(t))).as("th"))
-        .withColumn("nt", size(col("th")))
-      val ta = toks.select(col("doc_id").as("id_a"), col("lang").as("la"),
-        col("th").as("ha"), col("nt").as("na"))
-      val tb = toks.select(col("doc_id").as("id_b"), col("lang").as("lb"),
-        col("th").as("hb"), col("nt").as("nb"))
-      val isect = Bridge.column(SortedIntersectCount(
-        Bridge.expression(col("ha")), Bridge.expression(col("hb"))))
-      val jacPairs = ta.join(tb.hint("shuffle_hash"),
-          col("la") === col("lb") && col("id_a") < col("id_b"))
-        .withColumn("inter", isect)
-        .select(col("id_a"), col("id_b"), lit("jaccard").as("detector"),
-          floor(col("inter").cast("double")
-              / (col("na") + col("nb") - col("inter")) * 10000 + 0.5)
-            .cast("long").as("score_u"))
-      val sims = TextAnalysis.simhashOf(corpus)
-        .join(corpus.select("doc_id", "lang"), Seq("doc_id"))
-      val sa = sims.select(col("doc_id").as("id_a"), col("lang").as("la"),
-        col("simhash").as("sha"))
-      val sb = sims.select(col("doc_id").as("id_b"), col("lang").as("lb"),
-        col("simhash").as("shb"))
-      val simPairs = sa.join(sb.hint("shuffle_hash"),
-          col("la") === col("lb") && col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), lit("simhash").as("detector"),
-          (lit(60L) - bit_count(col("sha").bitwiseXOR(col("shb")))
-            .cast("long")).as("score_u"))
-      val scored = jacPairs.unionByName(simPairs)
-        .withColumn("is_pos",
-          when(col("id_b") === col("id_a") + 1000000L
-            && col("id_a") % 5 === 0, 1L).otherwise(0L))
-      detectorAuc(scored).orderBy("detector")
+    "eval_detector_auc" -> ((s, d) =>
+      detectorAuc(plantedDetectorScores(s, d)).orderBy("detector")),
+
+    // THRESHOLD SWEEP (round 14): the operational companion to the
+    // AUC key — AUC ranks detectors threshold-free; this key PICKS
+    // the threshold for the chosen one. Over the SAME planted-dup
+    // evaluation corpus (memoized — the scored-pair stage is built
+    // once per fixture), the jaccard detector's precision / recall /
+    // F1 at θ ∈ {0.50, 0.70, 0.80, 0.90, 0.95}: every cut is two
+    // conditional sums over the score-DISTINCT cell grid (never a
+    // rescan of the pairs), and F1 = 2·tp/(n_flagged + n_pos) stays
+    // a ratio of exact integers. Flagged and recall monotone
+    // non-increasing in θ by construction (PropertySpec).
+    "dedup_threshold_sweep" -> ((s, d) => {
+      import s.implicits._
+      val cells = plantedDetectorScores(s, d)
+        .filter(col("detector") === "jaccard")
+        .groupBy("score_u")
+        .agg(sum("is_pos").as("pos"),
+          sum(lit(1L) - col("is_pos")).as("neg"))
+      val thr = Seq(5000L, 7000L, 8000L, 9000L, 9500L)
+        .toDF("threshold_u")
+      cells.crossJoin(broadcast(thr))
+        .groupBy("threshold_u")
+        .agg(sum(when(col("score_u") >= col("threshold_u"), col("pos"))
+            .otherwise(0L)).as("tp"),
+          sum(when(col("score_u") >= col("threshold_u"), col("neg"))
+            .otherwise(0L)).as("fp"),
+          sum("pos").as("n_pos"))
+        .withColumn("n_flagged", col("tp") + col("fp"))
+        .withColumn("precision", when(col("n_flagged") > 0,
+          r4(col("tp").cast("double") / col("n_flagged").cast("double"))))
+        .withColumn("recall", when(col("n_pos") > 0,
+          r4(col("tp").cast("double") / col("n_pos").cast("double"))))
+        .withColumn("f1", when(col("n_flagged") + col("n_pos") > 0,
+          r4(lit(2.0) * col("tp").cast("double")
+            / (col("n_flagged") + col("n_pos")).cast("double"))))
+        .select("threshold_u", "n_flagged", "tp", "fp", "n_pos",
+          "precision", "recall", "f1")
+        .orderBy("threshold_u")
     }),
 
     // Character-3-gram Jaccard near-dup pairs (> 0.7): catches
@@ -885,7 +943,77 @@ object TextOps {
     })
   )
 
+  /** Shared oracle CTEs for the planted-dup evaluation corpus and
+    * its jaccard-scored pairs (see plantedDetectorScores) — used by
+    * both `eval_detector_auc` and `dedup_threshold_sweep`.
+    */
+  private val PlantedJacCtes =
+    """WITH corpus AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, text || ' zq1 zq2 zq3'
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |t AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_distinct(string_split(text, ' '))) AS token
+      |  FROM corpus),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY 1),
+      |allp AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM corpus a JOIN corpus b
+      |    ON a.lang = b.lang AND a.doc_id < b.doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM t a JOIN t b ON a.token = b.token AND a.lang = b.lang
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT p.id_a, p.id_b, 'jaccard' AS detector,
+      |    floor(coalesce(i.inter, 0)::DOUBLE
+      |      / (sa.sz + sb.sz - coalesce(i.inter, 0)) * 10000 + 0.5)
+      |      ::BIGINT AS score_u
+      |  FROM allp p
+      |  LEFT JOIN inter i ON p.id_a = i.id_a AND p.id_b = i.id_b
+      |  JOIN sz sa ON sa.doc_id = p.id_a
+      |  JOIN sz sb ON sb.doc_id = p.id_b)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // Same jac CTEs; per-threshold conditional sums over the cell
+    // grid; F1 as 2·tp/(n_flagged + n_pos).
+    "dedup_threshold_sweep" ->
+      s"""$PlantedJacCtes,
+        |lab AS (
+        |  SELECT score_u,
+        |    CASE WHEN id_b = id_a + 1000000 AND id_a % 5 = 0
+        |      THEN 1 ELSE 0 END AS is_pos
+        |  FROM jac),
+        |cells AS (
+        |  SELECT score_u, sum(is_pos)::BIGINT AS pos,
+        |    sum(1 - is_pos)::BIGINT AS neg
+        |  FROM lab GROUP BY 1),
+        |thr AS (SELECT unnest([5000, 7000, 8000, 9000, 9500])
+        |        AS threshold_u),
+        |agg AS (
+        |  SELECT threshold_u,
+        |    sum(CASE WHEN score_u >= threshold_u THEN pos ELSE 0 END)
+        |      ::BIGINT AS tp,
+        |    sum(CASE WHEN score_u >= threshold_u THEN neg ELSE 0 END)
+        |      ::BIGINT AS fp,
+        |    sum(pos)::BIGINT AS n_pos
+        |  FROM cells CROSS JOIN thr GROUP BY 1)
+        |SELECT threshold_u::BIGINT AS threshold_u, tp + fp AS n_flagged,
+        |  tp, fp, n_pos,
+        |  CASE WHEN tp + fp > 0 THEN
+        |    floor(tp::DOUBLE / (tp + fp)::DOUBLE * 10000 + 0.5) / 10000
+        |  END AS precision,
+        |  CASE WHEN n_pos > 0 THEN
+        |    floor(tp::DOUBLE / n_pos::DOUBLE * 10000 + 0.5) / 10000
+        |  END AS recall,
+        |  CASE WHEN tp + fp + n_pos > 0 THEN
+        |    floor(2.0 * tp::DOUBLE / (tp + fp + n_pos)::DOUBLE
+        |      * 10000 + 0.5) / 10000
+        |  END AS f1
+        |FROM agg ORDER BY threshold_u""".stripMargin,
     "text_tokenize_stats" ->
       """SELECT doc_id, len(toks) AS n_tokens,
         |  len(list_distinct(toks)) AS n_distinct,
@@ -1005,36 +1133,10 @@ object TextOps {
     // Jaccard (LEFT JOIN — zero-intersection pairs score 0), the
     // proven simhash fold, then the cell-grid MW identity and the
     // micro-quantized AP terms in identical op order. Every windowed
-    // sum ::BIGINT (HUGEINT→pandas float trap).
+    // sum ::BIGINT (HUGEINT→pandas float trap). Shared jac CTEs with
+    // the threshold sweep (PlantedJacCtes below the map).
     "eval_detector_auc" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, lang, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, lang, text || ' zq1 zq2 zq3'
-        |  FROM documents WHERE doc_id % 5 = 0),
-        |t AS (
-        |  SELECT doc_id, lang,
-        |    unnest(list_distinct(string_split(text, ' '))) AS token
-        |  FROM corpus),
-        |sz AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY 1),
-        |allp AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM corpus a JOIN corpus b
-        |    ON a.lang = b.lang AND a.doc_id < b.doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM t a JOIN t b ON a.token = b.token AND a.lang = b.lang
-        |    AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |jac AS (
-        |  SELECT p.id_a, p.id_b, 'jaccard' AS detector,
-        |    floor(coalesce(i.inter, 0)::DOUBLE
-        |      / (sa.sz + sb.sz - coalesce(i.inter, 0)) * 10000 + 0.5)
-        |      ::BIGINT AS score_u
-        |  FROM allp p
-        |  LEFT JOIN inter i ON p.id_a = i.id_a AND p.id_b = i.id_b
-        |  JOIN sz sa ON sa.doc_id = p.id_a
-        |  JOIN sz sb ON sb.doc_id = p.id_b),
+      s"""$PlantedJacCtes,
         |h AS (
         |  SELECT doc_id,
         |    ('0x' || substring(md5(token), 1, 15))::BIGINT AS hv

@@ -253,6 +253,51 @@ object TimeSeries {
       .orderBy("hr")
   }
 
+  /** Bayesian A/B core (see `events_ab_bayes`): input (t: 0/1,
+    * purch: 0/1) rows, output the 2×2 + exact
+    * P(p_treatment > p_control) under Beta(1,1) priors. Shared with
+    * `GraftEngine.bayesAb`.
+    */
+  private[graft] def bayesAbCore(flags: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val tbl = flags
+      .agg(sum(when(col("t") === 0, lit(1L)).otherwise(0L)).as("n_c"),
+        sum(when(col("t") === 1, lit(1L)).otherwise(0L)).as("n_t"),
+        sum(when(col("t") === 0, col("purch")).otherwise(0L)).as("x_c"),
+        sum(when(col("t") === 1, col("purch")).otherwise(0L)).as("x_t"))
+      .withColumn("ac", col("x_c") + 1)
+      .withColumn("bc", col("n_c") - col("x_c") + 1)
+      .withColumn("at", col("x_t") + 1)
+      .withColumn("bt", col("n_t") - col("x_t") + 1)
+      .localCheckpoint() // two explodes consume the 1-row table
+    val lnh0 = tbl.select(col("ac"), col("bc"),
+        explode(sequence(lit(0L), col("bt") - 1)).as("j"))
+      .withColumn("t_u", floor(log((col("bc") + col("j")).cast("double")
+        / (col("ac") + col("bc") + col("j")).cast("double"))
+        * 1000000 + 0.5).cast("long"))
+      .agg(sum("t_u").as("lnh0_u"))
+    tbl.crossJoin(broadcast(lnh0))
+      .select(col("n_c"), col("n_t"), col("x_c"), col("x_t"),
+        col("ac"), col("bc"), col("at"), col("bt"), col("lnh0_u"),
+        explode(sequence(lit(0L), col("at") - 1)).as("i"))
+      .withColumn("step_u", when(col("i") > 0,
+        floor(log(((col("ac") + col("i") - 1) * (col("bt") + col("i") - 1))
+            .cast("double")
+          / ((col("ac") + col("bc") + col("bt") + col("i") - 1)
+            * col("i")).cast("double")) * 1000000 + 0.5).cast("long"))
+        .otherwise(0L))
+      .withColumn("lw_u", col("lnh0_u") + sum("step_u").over(
+        W.orderBy("i").rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("t9",
+        floor(exp(col("lw_u").cast("double") / 1000000.0)
+          * 1000000000 + 0.5).cast("long"))
+      .groupBy("n_c", "n_t", "x_c", "x_t")
+      .agg(sum("t9").as("p9"))
+      .withColumn("p_beats_control", r4(least(lit(1.0),
+        col("p9").cast("double") / 1000000000.0)))
+      .select("n_c", "n_t", "x_c", "x_t", "p_beats_control")
+  }
+
   /** Nelson-Aalen cumulative hazard core (see `events_nelson_aalen`):
     * input (dur, ev: 0/1) per-subject rows; output one row per event
     * duration with the all-integer cumulative hazard (d·1e6 DIV n),
@@ -1805,6 +1850,31 @@ object TimeSeries {
     // √(Σ 1/(cell+½)), CI = exp(ln OR ± 1.96·se). ONE aggregate over
     // the corpus → 1-row readout in mirrored IEEE op order, r4;
     // significant_95 ⇔ the CI excludes 1.
+    // BAYESIAN A/B (round 14): P(p_treatment > p_control) under
+    // independent Beta(1,1)-prior posteriors — the number a Bayesian
+    // experiment dashboard leads with, complementing the
+    // frequentist z/Fisher/mSPRT family (it answers "how likely is
+    // treatment better", not "how surprising is the data"). EXACT
+    // closed form (no MC, no quadrature): with integer posteriors
+    // α = x+1, β = n−x+1, P = Σ_{i<α_t} h(i) where
+    // ln h(0) = Σ_{j<β_t} ln((β_c+j)/(α_c+β_c+j)) and
+    // h(i)/h(i−1) = (α_c+i−1)(β_t+i−1)/((α_c+β_c+β_t+i−1)·i) — the
+    // Fisher-key protocol: every ln step micro-quantized at its
+    // definition site, cumulative log-weights exact BIGINTs, exp
+    // terms ×1e9-quantized before the BIGINT sum. Both explodes are
+    // COUNT-bounded (β_t and α_t rows; the one window is
+    // support-bounded — for counts in the tens of millions use the
+    // normal approximation, documented). Swap-symmetry
+    // P(t>c) + P(c>t) = 1 pinned in ClosedFormProps.
+    "events_ab_bayes" -> ((s, d) =>
+      bayesAbCore(TestData.events(s, d)
+        .withColumn("t",
+          (conv(substring(md5(col("user_id").cast("string")), 1, 2),
+            16, 10).cast("int") % 2 =!= 0).cast("int"))
+        .withColumn("purch",
+          when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .select("t", "purch"))),
+
     // FISHER EXACT TEST (round 14): the EXACT 2×2 test the A/B
     // family was missing — χ²/z (events_ab_significance) and the
     // Haldane OR CI are asymptotic and silently wrong on sparse
@@ -4409,6 +4479,55 @@ object TimeSeries {
         |    < 50000 AS significant
         |FROM mx ORDER BY day""".stripMargin,
     // Same 2×2 cells, Haldane +0.5 correction, mirrored log-normal CI.
+    // The Fisher protocol on the Beta sum: micro-nat ln(h0) terms +
+    // ratio-recursion steps, exact BIGINT log-weights, 1e9 exp terms.
+    "events_ab_bayes" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))::INT
+        |    % 2 = 0 THEN 0 ELSE 1 END AS t,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS purch
+        |  FROM events),
+        |s AS (
+        |  SELECT
+        |    sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+        |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+        |    sum(CASE WHEN t = 0 THEN purch ELSE 0 END)::BIGINT AS x_c,
+        |    sum(CASE WHEN t = 1 THEN purch ELSE 0 END)::BIGINT AS x_t
+        |  FROM v),
+        |pr AS (
+        |  SELECT n_c, n_t, x_c, x_t, x_c + 1 AS ac, n_c - x_c + 1 AS bc,
+        |    x_t + 1 AS at2, n_t - x_t + 1 AS bt
+        |  FROM s),
+        |h0 AS (
+        |  SELECT sum(floor(ln((p.bc + j)::DOUBLE
+        |    / (p.ac + p.bc + j)::DOUBLE) * 1000000 + 0.5)::BIGINT)
+        |    ::BIGINT AS lnh0_u
+        |  FROM pr p, LATERAL (SELECT unnest(range(0, p.bt)) AS j) r),
+        |tm AS (
+        |  SELECT p.n_c, p.n_t, p.x_c, p.x_t, p.ac, p.bc, p.bt,
+        |    h0.lnh0_u, i,
+        |    CASE WHEN i > 0 THEN
+        |      floor(ln(((p.ac + i - 1) * (p.bt + i - 1))::DOUBLE
+        |        / ((p.ac + p.bc + p.bt + i - 1) * i)::DOUBLE)
+        |        * 1000000 + 0.5)::BIGINT
+        |    ELSE 0 END AS step_u
+        |  FROM pr p CROSS JOIN h0,
+        |    LATERAL (SELECT unnest(range(0, p.at2)) AS i) r),
+        |lw AS (
+        |  SELECT n_c, n_t, x_c, x_t,
+        |    (lnh0_u + sum(step_u) OVER (ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS lw_u
+        |  FROM tm),
+        |agg AS (
+        |  SELECT n_c, n_t, x_c, x_t,
+        |    sum(floor(exp(lw_u::DOUBLE / 1000000.0) * 1000000000 + 0.5)
+        |      ::BIGINT)::BIGINT AS p9
+        |  FROM lw GROUP BY 1, 2, 3, 4)
+        |SELECT n_c, n_t, x_c, x_t,
+        |  floor(least(1.0, p9::DOUBLE / 1000000000.0) * 10000 + 0.5)
+        |    / 10000 AS p_beats_control
+        |FROM agg""".stripMargin,
     // Ratio-recursion hypergeometric: micro-nat ln steps, exact
     // BIGINT cumulative log-weights (integer two-sided decision),
     // ×1e9-quantized exp terms.

@@ -1463,6 +1463,32 @@ object ClosedFormProps extends Properties("graft.closedforms") {
       }
     }
 
+  // events_ab_bayes: the Beta closed-form sum (ratio-recursion log
+  // weights seeded by the h(0) product) satisfies the swap symmetry
+  // P(t>c) + P(c>t) = 1 (continuous posteriors never tie) and the
+  // uniform-treatment base case P = β_c/(α_c+β_c) = E[1 − p_c] —
+  // so the engine formula is the right hypergeometric-free identity,
+  // not a fixture accident.
+  property("Bayesian A/B closed form: swap symmetry and uniform base case") =
+    Prop.forAll(Gen.choose(0, 30), Gen.choose(0, 30),
+      Gen.choose(0, 30), Gen.choose(0, 30)) { (xc, fc, xt, ft) =>
+      def pBeats(ac: Int, bc: Int, at: Int, bt: Int): Double = {
+        val lnh0 = (0 until bt)
+          .map(j => math.log((bc + j).toDouble / (ac + bc + j))).sum
+        val steps = (1 until at).map(i =>
+          math.log(((ac + i - 1).toDouble * (bt + i - 1))
+            / ((ac + bc + bt + i - 1).toDouble * i)))
+        steps.scanLeft(lnh0)(_ + _).map(math.exp).sum
+      }
+      val (ac, bc, at, bt) = (xc + 1, fc + 1, xt + 1, ft + 1)
+      val p1 = pBeats(ac, bc, at, bt)
+      val p2 = pBeats(at, bt, ac, bc)
+      (math.abs(p1 + p2 - 1.0) < 1e-9) :| s"swap symmetry: $p1 + $p2" &&
+        (p1 >= 0.0 && p1 <= 1.0 + 1e-12) :| s"range: $p1" &&
+        (math.abs(pBeats(ac, bc, 1, 1) - bc.toDouble / (ac + bc)) < 1e-12) :|
+          "uniform-treatment base case E[1 - p_c]"
+    }
+
   // agg_cochran_q: the all-integer identity
   // (k−1)(kΣG² − T²) / (kT − ΣL²) equals the textbook
   // k(k−1)Σ_j(G_j − T/k)² / (kT − ΣL²) — expand the square and

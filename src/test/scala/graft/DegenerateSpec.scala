@@ -657,6 +657,19 @@ class DegenerateSpec extends SparkSpec {
     val p = mid(0).getAs[Double]("p_two_sided")
     assert(p > 0.0 && p < 0.05, s"8/2 vs 2/8 must be significant: $p")
 
+    // bayesAb on the same degenerate frames: empty ⇒ empty output;
+    // one-armed treatment (uniform posterior) ⇒ P = E[1 − p_c]
+    assertClean(engine.bayesAb(ff(Nil), "t", "purch"), "bayes/empty")
+    val oneArmB = engine.bayesAb(
+      ff(Seq((0, 1L), (0, 1L), (0, 0L))), "t", "purch").collect()
+    // control posterior Beta(3, 2): E[1 - p_c] = 2/5 = 0.4
+    assert(oneArmB(0).getAs[Double]("p_beats_control") === 0.4)
+    // dominant treatment must read near 1, dominant control near 0
+    val dom = engine.bayesAb(
+      ff(Seq.fill(20)((1, 1L)) ++ Seq.fill(20)((0, 0L))), "t", "purch")
+      .collect()(0).getAs[Double]("p_beats_control")
+    assert(dom > 0.99, s"dominant treatment: $dom")
+
     val dschema = StructType(Seq(StructField("dur", LongType),
       StructField("ev", LongType)))
     def df(rows: Seq[(Long, Long)]) = spark.createDataFrame(

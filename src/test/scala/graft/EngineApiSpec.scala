@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 174, "documented facade count drifted; methods: "
+    assert(names.length === 175, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1313,6 +1313,10 @@ class EngineApiSpec extends SparkSpec {
         when(col("event_type") === "purchase", 1L).otherwise(0L))
     assert(engine.fisherExact(flags, "t", "purch")
       .collect().map(_.toSeq).toSeq === fisherDecl)
+    assert(engine.bayesAb(flags, "t", "purch")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("events_ab_bayes")(spark, d)
+        .collect().map(_.toSeq).toSeq)
 
     val naDecl = SparkEntry.queries("events_nelson_aalen")(spark, d)
       .collect().map(_.toSeq).toSeq

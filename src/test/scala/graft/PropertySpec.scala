@@ -743,6 +743,39 @@ class PropertySpec extends SparkSpec {
     assert(dFull > 2.0 * d2, "the estimator must separate the two by a wide margin")
   }
 
+  test("Burrows Delta: full pair grid, nonnegative, languages separate") {
+    val langs = TestData.documents(spark, sfDir)
+      .select("lang").distinct().count()
+    val rows = TextAnalysis.defs("text_burrows_delta")(spark, sfDir)
+      .select("lang_a", "lang_b", "n_words", "n_scored", "delta")
+      .collect()
+    assert(rows.length === langs * (langs - 1) / 2,
+      "one row per unordered lang pair")
+    // the fixture vocabulary is smaller than the top-50 cut (31
+    // distinct tokens) — the basis is min(50, |vocab|), same for
+    // every pair
+    val vocab = TestData.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .distinct().count()
+    val expected = math.min(50L, vocab)
+    rows.foreach { r =>
+      assert(r.getLong(2) === expected, s"word basis must be $expected: $r")
+      assert(r.getLong(3) > 0L, "the fixture langs differ on top words")
+      assert(r.getDouble(4) > 0.0, s"distinct langs must separate: $r")
+    }
+  }
+
+  test("threshold sweep: flagged and recall non-increasing in the threshold") {
+    val rows = TextOps.defs("dedup_threshold_sweep")(spark, sfDir)
+      .select("threshold_u", "n_flagged", "recall")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.length === 5)
+    assert(rows.map(_._2).sliding(2).forall(p => p(0) >= p(1)),
+      s"flagged must shrink as the threshold rises: ${rows.toSeq}")
+    assert(rows.map(_._3).sliding(2).forall(p => p(0) >= p(1)),
+      s"recall must shrink as the threshold rises: ${rows.toSeq}")
+  }
+
   test("Nelson-Aalen dominates KM: exp(-H) >= survival at every grid point") {
     // −ln(1−x) ≥ x ⇒ the Fleming–Harrington survival exp(−H_NA)
     // upper-bounds the KM product-limit estimate on the SAME risk
