@@ -284,6 +284,53 @@ object MultimodalOps {
           col("n_bytes").cast("long").as("n_bytes"), col("dhash"))
         .orderBy("doc_id")),
 
+    // MEDIA DETECTOR AUC (round 14): the eval_detector_auc protocol
+    // applied to the PERCEPTUAL-HASH family — which of blockhash
+    // (16-bit brightness means) and dhash (56-bit gradients) better
+    // separates planted byte-level near-dup media from random
+    // same-mime pairs, ranked threshold-free by exact ROC-AUC +
+    // step-form PR-AUC. Planting: every 5th doc's payload gets 12
+    // appended bytes (id + 1.5e6 — ≡ 0 mod 3, so the variant KEEPS
+    // its mime and the positive pair survives the same-mime pair
+    // population). Scores are bit-agreement (bits − Hamming); the
+    // readout is the shared TextOps.detectorAuc cell grid. Same
+    // eval-sample shape as the text AUC (all same-mime pairs of the
+    // labeled corpus). The dhash-beats-blockhash ordering on this
+    // corpus is pinned in PropertySpec (56 gradient bits vs 16 mean
+    // bits — more bits, locality-sensitive to byte edits).
+    "eval_media_detector_auc" -> ((s, d) => {
+      val docs = TestData.documents(s, d)
+        .select("doc_id", "text", "n_chars")
+      val planted = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1500000L).as("doc_id"),
+          concat(col("text"), lit(" zq1 zq2 zq3")).as("text"),
+          (col("n_chars") + 12).as("n_chars"))
+      val media = Multimodal.fromDocuments(docs.unionAll(planted))
+        .localCheckpoint() // two hash extractions
+      def scoredPairs(sig: DataFrame, hcol: String, bits: Int,
+                      name: String): DataFrame = {
+        val a = sig.select(col("doc_id").as("id_a"),
+          col("mime").as("ma"), col(hcol).as("ha"))
+        val b = sig.select(col("doc_id").as("id_b"),
+          col("mime").as("mb"), col(hcol).as("hb"))
+        a.join(b.hint("shuffle_hash"),
+            col("ma") === col("mb") && col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), lit(name).as("detector"),
+            (lit(bits.toLong) - bit_count(col("ha")
+              .bitwiseXOR(col("hb"))).cast("long")).as("score_u"))
+      }
+      val bh = Multimodal.blockHashes(media, 16).toDF()
+        .select("doc_id", "mime", "blockhash")
+      val dh = Multimodal.dHashes(media).toDF()
+        .select("doc_id", "mime", "dhash")
+      val scored = scoredPairs(bh, "blockhash", 16, "blockhash")
+        .unionByName(scoredPairs(dh, "dhash", 56, "dhash"))
+        .withColumn("is_pos",
+          when(col("id_b") === col("id_a") + 1500000L
+            && col("id_a") % 5 === 0, 1L).otherwise(0L))
+      TextOps.detectorAuc(scored).orderBy("detector")
+    }),
+
     // DCT-HASH NEAR-DUP PAIRS (round 11): Hamming-≤-2 pairs over the
     // 15-bit DCT perceptual hash via the same pigeonhole machinery
     // (3×5-bit bands ⇒ any pair within Hamming ≤ 2 keeps one band
@@ -429,14 +476,40 @@ object MultimodalOps {
       |        ELSE 0 END)::BIGINT AS dct_phash
       |  FROM f GROUP BY 1, 2, 3)""".stripMargin
 
-  private val blockhashCtes: String =
-    """m AS (
+  /** dHash oracle CTEs (gradient hash, 56 bits), parameterized by
+    * the (doc_id, text) source CTE so the planted media-AUC corpus
+    * can reuse them verbatim.
+    */
+  private def dhashCtes(src: String = "documents"): String =
+    s"""dm AS (
+      |  SELECT doc_id,
+      |    ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3)::INT + 1]
+      |      AS mime,
+      |    text, length(text) AS n
+      |  FROM $src),
+      |dpos AS (
+      |  SELECT doc_id, mime, n,
+      |    (p // 8) * 7 + (p % 8) AS bitpos,
+      |    ascii(text[((p % n) + 1)::INT : ((p % n) + 1)::INT])::BIGINT
+      |      AS bv,
+      |    ascii(text[(((p + 1) % n) + 1)::INT
+      |      : (((p + 1) % n) + 1)::INT])::BIGINT AS bnext
+      |  FROM dm, LATERAL (SELECT unnest(range(0, 64)) AS p)
+      |  WHERE p % 8 < 7),
+      |dh AS (
+      |  SELECT doc_id, mime, n::BIGINT AS n_bytes,
+      |    sum(CASE WHEN bnext > bv
+      |      THEN 1::BIGINT << bitpos::INT ELSE 0 END)::BIGINT AS dhash
+      |  FROM dpos GROUP BY 1, 2, 3)""".stripMargin
+
+  private def blockhashCtes(src: String = "documents"): String =
+    s"""m AS (
       |  SELECT doc_id,
       |    ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3)::INT + 1] AS mime,
       |    text, length(text) AS n,
       |    list_sum(list_transform(range(1, length(text) + 1),
       |      j -> ascii(text[j:j])))::BIGINT AS tsum
-      |  FROM documents),
+      |  FROM $src),
       |s AS (
       |  SELECT doc_id, mime, n, tsum, i,
       |    ((i + 1) * n) // 16 - (i * n) // 16 AS blen,
@@ -533,7 +606,7 @@ object MultimodalOps {
     // arithmetic on both engines. list_sum floats through DOUBLE in
     // DuckDB → ::BIGINT at every sum (values ≪ 2^53, exact).
     "multimodal_blockhash" ->
-      s"""WITH $blockhashCtes
+      s"""WITH ${blockhashCtes()}
         |SELECT doc_id, mime, n_bytes, blockhash
         |FROM bh ORDER BY doc_id""".stripMargin,
     // Byte ≡ char on the all-ASCII fixture; the DCT basis enters as
@@ -586,28 +659,36 @@ object MultimodalOps {
     // Pure integer neighbor compares over the wrapped tile; bit
     // index r·7+c from the 0..55 gradient positions.
     "multimodal_dhash" ->
-      """WITH m AS (
-        |  SELECT doc_id,
-        |    ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3)::INT + 1]
-        |      AS mime,
-        |    text, length(text) AS n
-        |  FROM documents),
-        |pos AS (
-        |  SELECT doc_id, mime, n,
-        |    (p // 8) * 7 + (p % 8) AS bitpos,
-        |    ascii(text[((p % n) + 1)::INT : ((p % n) + 1)::INT])::BIGINT
-        |      AS bv,
-        |    ascii(text[(((p + 1) % n) + 1)::INT
-        |      : (((p + 1) % n) + 1)::INT])::BIGINT AS bnext
-        |  FROM m, LATERAL (SELECT unnest(range(0, 64)) AS p)
-        |  WHERE p % 8 < 7),
-        |dh AS (
-        |  SELECT doc_id, mime, n::BIGINT AS n_bytes,
-        |    sum(CASE WHEN bnext > bv
-        |      THEN 1::BIGINT << bitpos::INT ELSE 0 END)::BIGINT AS dhash
-        |  FROM pos GROUP BY 1, 2, 3)
+      s"""WITH ${dhashCtes()}
         |SELECT doc_id, mime, n_bytes, dhash
         |FROM dh ORDER BY doc_id""".stripMargin,
+    // Planted byte-variant corpus (offset 1.5e6 keeps the mime),
+    // both hash CTEs re-run over it, bit-agreement scores, then the
+    // shared detector-AUC cell-grid readout.
+    "eval_media_detector_auc" ->
+      s"""WITH pcorpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1500000, text || ' zq1 zq2 zq3'
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |${blockhashCtes("pcorpus")},
+        |${dhashCtes("pcorpus")},
+        |bp AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    'blockhash' AS detector,
+        |    (16 - bit_count(xor(a.blockhash, b.blockhash)))::BIGINT
+        |      AS score_u
+        |  FROM bh a JOIN bh b ON a.mime = b.mime AND a.doc_id < b.doc_id),
+        |dp AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, 'dhash' AS detector,
+        |    (56 - bit_count(xor(a.dhash, b.dhash)))::BIGINT AS score_u
+        |  FROM dh a JOIN dh b ON a.mime = b.mime AND a.doc_id < b.doc_id),
+        |scored AS (
+        |  SELECT detector, score_u,
+        |    CASE WHEN id_b = id_a + 1500000 AND id_a % 5 = 0
+        |      THEN 1 ELSE 0 END AS is_pos
+        |  FROM (SELECT * FROM bp UNION ALL SELECT * FROM dp))
+        |${TextOps.DetectorAucReadoutSql}""".stripMargin,
     // Brute-force popcount over the SAME dct-phash CTEs — the Spark
     // side's 3×5-bit pigeonhole banding is sound (candidates ⊇
     // matches within Hamming ≤ 2), so the oracle stays unblocked.
@@ -624,7 +705,7 @@ object MultimodalOps {
     // the oracle stays unblocked. bit_count returns TINYINT → ::INT
     // to match Spark's int.
     "multimodal_blockhash_pairs" ->
-      s"""WITH $blockhashCtes
+      s"""WITH ${blockhashCtes()}
         |SELECT a.mime AS mime, a.doc_id AS id_a, b.doc_id AS id_b,
         |  bit_count(xor(a.blockhash, b.blockhash))::INT AS hamming
         |FROM bh a JOIN bh b
@@ -637,7 +718,7 @@ object MultimodalOps {
     // UNBLOCKED brute-force pairs per the blocking-soundness rule;
     // mime dimension from the fixture's mime expression.
     "multimodal_hamming_sweep" ->
-      s"""WITH $blockhashCtes,
+      s"""WITH ${blockhashCtes()},
         |pairs AS (
         |  SELECT a.mime,
         |    bit_count(xor(a.blockhash, b.blockhash)) AS hamming
@@ -662,7 +743,7 @@ object MultimodalOps {
     // Same recursive component closure; survivor = min doc_id member;
     // byte ≡ char on the all-ASCII fixture (the features precedent).
     "multimodal_dedup_savings" ->
-      s"""WITH RECURSIVE $blockhashCtes,
+      s"""WITH RECURSIVE ${blockhashCtes()},
         |edges AS (
         |  SELECT a.doc_id AS src, b.doc_id AS dst
         |  FROM bh a JOIN bh b ON a.mime = b.mime AND a.doc_id <> b.doc_id
@@ -694,7 +775,7 @@ object MultimodalOps {
         |      * 10000 + 0.5) / 10000 END AS savings_pct
         |FROM a""".stripMargin,
     "multimodal_dedup_components" ->
-      s"""WITH RECURSIVE $blockhashCtes,
+      s"""WITH RECURSIVE ${blockhashCtes()},
         |edges AS (
         |  SELECT a.doc_id AS src, b.doc_id AS dst
         |  FROM bh a JOIN bh b ON a.mime = b.mime AND a.doc_id <> b.doc_id

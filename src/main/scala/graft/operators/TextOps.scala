@@ -943,6 +943,47 @@ object TextOps {
     })
   )
 
+  /** Shared oracle SUFFIX for the detector-AUC readout: expects a
+    * `scored(detector, score_u, is_pos)` CTE upstream and emits the
+    * cell-grid Mann-Whitney AUC + micro-quantized step AP. Used by
+    * `eval_detector_auc` (text detectors) and MultimodalOps'
+    * `eval_media_detector_auc` (perceptual-hash detectors). Every
+    * windowed sum ::BIGINT (HUGEINT→pandas float trap).
+    */
+  private[graft] val DetectorAucReadoutSql: String =
+    """,cells AS (
+      |  SELECT detector, score_u, sum(is_pos)::BIGINT AS pos,
+      |    sum(1 - is_pos)::BIGINT AS neg
+      |  FROM scored GROUP BY 1, 2),
+      |w AS (
+      |  SELECT detector, pos, neg,
+      |    (coalesce(sum(neg) OVER (PARTITION BY detector ORDER BY score_u
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+      |      AS cum_neg_lt,
+      |    (sum(pos) OVER (PARTITION BY detector ORDER BY score_u DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+      |      AS cum_pos_ge,
+      |    (sum(neg) OVER (PARTITION BY detector ORDER BY score_u DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+      |      AS cum_neg_ge
+      |  FROM cells),
+      |agg AS (
+      |  SELECT detector, sum(pos)::BIGINT AS n_pos,
+      |    sum(neg)::BIGINT AS n_neg,
+      |    sum(pos * (2 * cum_neg_lt + neg))::BIGINT AS auc2_num,
+      |    sum(floor(pos::DOUBLE * cum_pos_ge::DOUBLE
+      |      / (cum_pos_ge + cum_neg_ge)::DOUBLE * 1000000 + 0.5)::BIGINT)
+      |      ::BIGINT AS ap_sum_u
+      |  FROM w GROUP BY 1)
+      |SELECT detector, n_pos, n_neg,
+      |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+      |    floor(auc2_num::DOUBLE / (2.0 * (n_pos * n_neg)::DOUBLE)
+      |      * 10000 + 0.5) / 10000 END AS auc,
+      |  CASE WHEN n_pos > 0 THEN
+      |    floor(ap_sum_u::DOUBLE / (1000000.0 * n_pos::DOUBLE)
+      |      * 10000 + 0.5) / 10000 END AS pr_auc
+      |FROM agg ORDER BY detector""".stripMargin
+
   /** Shared oracle CTEs for the planted-dup evaluation corpus and
     * its jaccard-scored pairs (see plantedDetectorScores) — used by
     * both `eval_detector_auc` and `dedup_threshold_sweep`.
@@ -1161,39 +1202,8 @@ object TextOps {
         |  SELECT detector, score_u,
         |    CASE WHEN id_b = id_a + 1000000 AND id_a % 5 = 0
         |      THEN 1 ELSE 0 END AS is_pos
-        |  FROM (SELECT * FROM jac UNION ALL SELECT * FROM simp)),
-        |cells AS (
-        |  SELECT detector, score_u, sum(is_pos)::BIGINT AS pos,
-        |    sum(1 - is_pos)::BIGINT AS neg
-        |  FROM scored GROUP BY 1, 2),
-        |w AS (
-        |  SELECT detector, pos, neg,
-        |    (coalesce(sum(neg) OVER (PARTITION BY detector ORDER BY score_u
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
-        |      AS cum_neg_lt,
-        |    (sum(pos) OVER (PARTITION BY detector ORDER BY score_u DESC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
-        |      AS cum_pos_ge,
-        |    (sum(neg) OVER (PARTITION BY detector ORDER BY score_u DESC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
-        |      AS cum_neg_ge
-        |  FROM cells),
-        |agg AS (
-        |  SELECT detector, sum(pos)::BIGINT AS n_pos,
-        |    sum(neg)::BIGINT AS n_neg,
-        |    sum(pos * (2 * cum_neg_lt + neg))::BIGINT AS auc2_num,
-        |    sum(floor(pos::DOUBLE * cum_pos_ge::DOUBLE
-        |      / (cum_pos_ge + cum_neg_ge)::DOUBLE * 1000000 + 0.5)::BIGINT)
-        |      ::BIGINT AS ap_sum_u
-        |  FROM w GROUP BY 1)
-        |SELECT detector, n_pos, n_neg,
-        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-        |    floor(auc2_num::DOUBLE / (2.0 * (n_pos * n_neg)::DOUBLE)
-        |      * 10000 + 0.5) / 10000 END AS auc,
-        |  CASE WHEN n_pos > 0 THEN
-        |    floor(ap_sum_u::DOUBLE / (1000000.0 * n_pos::DOUBLE)
-        |      * 10000 + 0.5) / 10000 END AS pr_auc
-        |FROM agg ORDER BY detector""".stripMargin,
+        |  FROM (SELECT * FROM jac UNION ALL SELECT * FROM simp))
+        |$DetectorAucReadoutSql""".stripMargin,
 
     "dedup_detector_kappa" ->
       """WITH tok AS (

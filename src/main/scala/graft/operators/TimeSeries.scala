@@ -253,6 +253,43 @@ object TimeSeries {
       .orderBy("hr")
   }
 
+  /** Ljung-Box Q (lags 1..12) core over an integer series (x, v):
+    * exact-BIGINT centered dev products (dev = v·n − Σv), one double
+    * assembly of Q at the readout, den = 0 (constant series) ⇒ NULL
+    * in both engines. Shared by `ts_ljung_box` (raw hourly counts)
+    * and `ts_hw_residual_diag` (HW one-step residuals). Bound:
+    * dev² ≤ (|v|·n)²·n — at count-scale v and ~10^4 points this
+    * stays far inside 2^63; rescale v first beyond that (the HW key
+    * descales its ×4^11 residuals for exactly this reason).
+    */
+  private[graft] def ljungBoxCore(series: DataFrame): DataFrame = {
+    val lags = 1 to 12
+    val W = org.apache.spark.sql.expressions.Window.orderBy("x")
+    val tot = series.agg(sum("v").as("t_total"),
+                         count(lit(1)).as("n_hours"))
+    val dv = series.crossJoin(broadcast(tot))
+      .withColumn("dev", col("v") * col("n_hours") - col("t_total"))
+    val led = lags.foldLeft(dv) { (df, k) =>
+      df.withColumn(s"l$k", lead("dev", k).over(W))
+    }
+    val aggs = (max("n_hours").as("n_hours") +:
+      sum(col("dev") * col("dev")).as("den") +:
+      lags.map(k => sum(col("dev") * col(s"l$k")).as(s"num$k")))
+    val q = (col("n_hours") * (col("n_hours") + 2)).cast("double") *
+      lags.map(k =>
+        pow(col(s"num$k").cast("double") / col("den").cast("double"), 2)
+          / (col("n_hours") - k).cast("double")).reduce(_ + _)
+    // Zero-variance guard (the r9 seasonalStrength / ts_pacf
+    // degenerate class): a constant series has den = 0 — Spark
+    // would emit q = NaN / is_white = false while DuckDB's double
+    // division by zero yields NULL. NULL both, in both engines.
+    led.agg(aggs.head, aggs.tail: _*)
+      .withColumn("q_stat", when(col("den") > 0, r4(q)))
+      .withColumn("is_white",
+        when(col("den") > 0, col("q_stat") < 21.026))
+      .select("n_hours", "den", "q_stat", "is_white")
+  }
+
   /** Bayesian A/B core (see `events_ab_bayes`): input (t: 0/1,
     * purch: 0/1) rows, output the 2×2 + exact
     * P(p_treatment > p_control) under Beta(1,1) priors. Shared with
@@ -3340,36 +3377,30 @@ object TimeSeries {
     // num_k/den is two exact integers); Q is ONE mirrored
     // left-to-right 12-term IEEE expression (the t_closeness
     // single-expression precedent), r4'd. Grid-sized at any corpus.
-    "ts_ljung_box" -> ((s, d) => {
-      val lags = 1 to 12
-      val W = org.apache.spark.sql.expressions.Window.orderBy("hour")
-      val hourly = TestData.events(s, d)
-        .groupBy(date_trunc("hour", col("ts")).as("hour"))
-        .agg(count(lit(1)).as("n"))
-      val tot = hourly.agg(sum("n").as("t_total"),
-                           count(lit(1)).as("n_hours"))
-      val dv = hourly.crossJoin(broadcast(tot))
-        .withColumn("dev", col("n") * col("n_hours") - col("t_total"))
-      val led = lags.foldLeft(dv) { (df, k) =>
-        df.withColumn(s"l$k", lead("dev", k).over(W))
-      }
-      val aggs = (max("n_hours").as("n_hours") +:
-        sum(col("dev") * col("dev")).as("den") +:
-        lags.map(k => sum(col("dev") * col(s"l$k")).as(s"num$k")))
-      val q = (col("n_hours") * (col("n_hours") + 2)).cast("double") *
-        lags.map(k =>
-          pow(col(s"num$k").cast("double") / col("den").cast("double"), 2)
-            / (col("n_hours") - k).cast("double")).reduce(_ + _)
-      // Zero-variance guard (the r9 seasonalStrength / ts_pacf
-      // degenerate class): a constant series has den = 0 — Spark
-      // would emit q = NaN / is_white = false while DuckDB's double
-      // division by zero yields NULL. NULL both, in both engines.
-      led.agg(aggs.head, aggs.tail: _*)
-        .withColumn("q_stat", when(col("den") > 0, r4(q)))
-        .withColumn("is_white",
-          when(col("den") > 0, col("q_stat") < 21.026))
-        .select("n_hours", "den", "q_stat", "is_white")
-    }),
+    "ts_ljung_box" -> ((s, d) =>
+      ljungBoxCore(TestData.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("x"))
+        .agg(count(lit(1)).as("v")))),
+
+    // HW RESIDUAL WHITENESS (round 14): the Ljung-Box portmanteau on
+    // the Holt-Winters one-step residuals — the MODEL-ADEQUACY check
+    // that closes the forecasting loop (ts_ljung_box asks "is the
+    // raw series autocorrelated"; this asks "did the model EAT that
+    // structure" — leftover residual autocorrelation means the lag/
+    // window choice is wrong and the prediction band understates).
+    // Residuals come off the shared hwForecast4m stage, descaled
+    // from ×4^11 by the negative-safe IEEE floor(x + 0.5) quantizer
+    // (DIV truncates toward zero and // floors — they disagree on
+    // every negative non-exact quotient, the ts_theil_sen trap),
+    // keeping the dev products inside the ljung-box core's 2^63
+    // bound. Same core, same χ²₁₂ 5% verdict.
+    "ts_hw_residual_diag" -> ((s, d) =>
+      ljungBoxCore(hwForecast4m(TestData.events(s, d)
+          .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+          .agg(count(lit(1)).as("cnt")))
+        .select(col("hr").as("x"),
+          floor((col("cnt") * 4194304L - col("fc4m")).cast("double")
+            / 4194304.0 + 0.5).cast("long").as("v")))),
 
     // SEASONAL ANOMALY (round 10): the readout ts_decompose_seasonal
     // exists to feed — hours whose deseasonalized residual sits
@@ -3532,6 +3563,61 @@ object TimeSeries {
       |  coalesce(lead(vf) OVER w, -1) = -1 AS is_current
       |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY vf, event_id)
       |ORDER BY user_id, version""".stripMargin
+
+  /** Shared oracle SUFFIX for the Ljung-Box chain: expects an
+    * `lbsrc(x, v)` CTE upstream (integer series), emits
+    * (n_hours, den, q_stat, is_white). Used by `ts_ljung_box` and
+    * `ts_hw_residual_diag`.
+    */
+  private val LjungBoxSqlSuffix: String =
+    """,tot AS (SELECT sum(v)::BIGINT AS t_total,
+      |               count(*)::BIGINT AS n_hours FROM lbsrc),
+      |dv AS (
+      |  SELECT x, (v * n_hours - t_total)::BIGINT AS dev, n_hours
+      |  FROM lbsrc CROSS JOIN tot),
+      |led AS (
+      |  SELECT *,
+      |    lead(dev, 1) OVER w AS l1, lead(dev, 2) OVER w AS l2,
+      |    lead(dev, 3) OVER w AS l3, lead(dev, 4) OVER w AS l4,
+      |    lead(dev, 5) OVER w AS l5, lead(dev, 6) OVER w AS l6,
+      |    lead(dev, 7) OVER w AS l7, lead(dev, 8) OVER w AS l8,
+      |    lead(dev, 9) OVER w AS l9, lead(dev, 10) OVER w AS l10,
+      |    lead(dev, 11) OVER w AS l11, lead(dev, 12) OVER w AS l12
+      |  FROM dv WINDOW w AS (ORDER BY x)),
+      |a AS (
+      |  SELECT max(n_hours)::BIGINT AS n_hours,
+      |    sum(dev * dev)::BIGINT AS den,
+      |    sum(dev * l1)::BIGINT AS num1, sum(dev * l2)::BIGINT AS num2,
+      |    sum(dev * l3)::BIGINT AS num3, sum(dev * l4)::BIGINT AS num4,
+      |    sum(dev * l5)::BIGINT AS num5, sum(dev * l6)::BIGINT AS num6,
+      |    sum(dev * l7)::BIGINT AS num7, sum(dev * l8)::BIGINT AS num8,
+      |    sum(dev * l9)::BIGINT AS num9, sum(dev * l10)::BIGINT AS num10,
+      |    sum(dev * l11)::BIGINT AS num11, sum(dev * l12)::BIGINT AS num12
+      |  FROM led),
+      |q AS (
+      |  SELECT n_hours, den,
+      |    CASE WHEN den > 0 THEN
+      |    floor(((n_hours * (n_hours + 2))::DOUBLE *
+      |      (pow(num1::DOUBLE / den::DOUBLE, 2) / (n_hours - 1)::DOUBLE
+      |       + pow(num2::DOUBLE / den::DOUBLE, 2) / (n_hours - 2)::DOUBLE
+      |       + pow(num3::DOUBLE / den::DOUBLE, 2) / (n_hours - 3)::DOUBLE
+      |       + pow(num4::DOUBLE / den::DOUBLE, 2) / (n_hours - 4)::DOUBLE
+      |       + pow(num5::DOUBLE / den::DOUBLE, 2) / (n_hours - 5)::DOUBLE
+      |       + pow(num6::DOUBLE / den::DOUBLE, 2) / (n_hours - 6)::DOUBLE
+      |       + pow(num7::DOUBLE / den::DOUBLE, 2) / (n_hours - 7)::DOUBLE
+      |       + pow(num8::DOUBLE / den::DOUBLE, 2) / (n_hours - 8)::DOUBLE
+      |       + pow(num9::DOUBLE / den::DOUBLE, 2) / (n_hours - 9)::DOUBLE
+      |       + pow(num10::DOUBLE / den::DOUBLE, 2)
+      |         / (n_hours - 10)::DOUBLE
+      |       + pow(num11::DOUBLE / den::DOUBLE, 2)
+      |         / (n_hours - 11)::DOUBLE
+      |       + pow(num12::DOUBLE / den::DOUBLE, 2)
+      |         / (n_hours - 12)::DOUBLE))
+      |      * 10000 + 0.5) / 10000 END AS q_stat
+      |  FROM a)
+      |SELECT n_hours, den, q_stat,
+      |  CASE WHEN den > 0 THEN q_stat < 21.026 END AS is_white
+      |FROM q""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Same micro-unit anchors (integer // floors), same
@@ -5868,58 +5954,37 @@ object TimeSeries {
     // Same integer dev machinery as ts_autocorr, Q as one mirrored
     // left-to-right 12-term expression.
     "ts_ljung_box" ->
-      """WITH hourly AS (
-        |  SELECT date_trunc('hour', ts)::TIMESTAMP AS hour,
-        |    count(*)::BIGINT AS n
+      s"""WITH lbsrc AS (
+        |  SELECT date_trunc('hour', ts)::TIMESTAMP AS x,
+        |    count(*)::BIGINT AS v
+        |  FROM events GROUP BY 1)
+        |$LjungBoxSqlSuffix""".stripMargin,
+    // The HW tap CTEs feed the residual series (negative-safe IEEE
+    // floor descale from x4^11), then the shared Ljung-Box chain.
+    "ts_hw_residual_diag" -> {
+      val holt = Seq((1, 3145728L), (2, 1835008L), (3, 720896L),
+        (4, -16384L), (5, -380928L), (6, -467968L), (7, -394496L),
+        (8, -259136L), (9, -126672L), (10, -28772L), (11, 27371L),
+        (12, 139657L))
+      val taps = (holt ++ Seq((168, 4194304L)) ++
+        holt.map { case (j, w) => (168 + j, -w) })
+        .map { case (t, w) => s"($t, $w)" }.mkString(", ")
+      s"""WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*)::BIGINT AS cnt
         |  FROM events GROUP BY 1),
-        |tot AS (SELECT sum(n)::BIGINT AS t_total,
-        |               count(*)::BIGINT AS n_hours FROM hourly),
-        |dv AS (
-        |  SELECT hour, (n * n_hours - t_total)::BIGINT AS dev, n_hours
-        |  FROM hourly CROSS JOIN tot),
-        |led AS (
-        |  SELECT *,
-        |    lead(dev, 1) OVER w AS l1, lead(dev, 2) OVER w AS l2,
-        |    lead(dev, 3) OVER w AS l3, lead(dev, 4) OVER w AS l4,
-        |    lead(dev, 5) OVER w AS l5, lead(dev, 6) OVER w AS l6,
-        |    lead(dev, 7) OVER w AS l7, lead(dev, 8) OVER w AS l8,
-        |    lead(dev, 9) OVER w AS l9, lead(dev, 10) OVER w AS l10,
-        |    lead(dev, 11) OVER w AS l11, lead(dev, 12) OVER w AS l12
-        |  FROM dv WINDOW w AS (ORDER BY hour)),
-        |a AS (
-        |  SELECT max(n_hours)::BIGINT AS n_hours,
-        |    sum(dev * dev)::BIGINT AS den,
-        |    sum(dev * l1)::BIGINT AS num1, sum(dev * l2)::BIGINT AS num2,
-        |    sum(dev * l3)::BIGINT AS num3, sum(dev * l4)::BIGINT AS num4,
-        |    sum(dev * l5)::BIGINT AS num5, sum(dev * l6)::BIGINT AS num6,
-        |    sum(dev * l7)::BIGINT AS num7, sum(dev * l8)::BIGINT AS num8,
-        |    sum(dev * l9)::BIGINT AS num9, sum(dev * l10)::BIGINT AS num10,
-        |    sum(dev * l11)::BIGINT AS num11, sum(dev * l12)::BIGINT AS num12
-        |  FROM led),
-        |q AS (
-        |  SELECT n_hours, den,
-        |    CASE WHEN den > 0 THEN
-        |    floor(((n_hours * (n_hours + 2))::DOUBLE *
-        |      (pow(num1::DOUBLE / den::DOUBLE, 2) / (n_hours - 1)::DOUBLE
-        |       + pow(num2::DOUBLE / den::DOUBLE, 2) / (n_hours - 2)::DOUBLE
-        |       + pow(num3::DOUBLE / den::DOUBLE, 2) / (n_hours - 3)::DOUBLE
-        |       + pow(num4::DOUBLE / den::DOUBLE, 2) / (n_hours - 4)::DOUBLE
-        |       + pow(num5::DOUBLE / den::DOUBLE, 2) / (n_hours - 5)::DOUBLE
-        |       + pow(num6::DOUBLE / den::DOUBLE, 2) / (n_hours - 6)::DOUBLE
-        |       + pow(num7::DOUBLE / den::DOUBLE, 2) / (n_hours - 7)::DOUBLE
-        |       + pow(num8::DOUBLE / den::DOUBLE, 2) / (n_hours - 8)::DOUBLE
-        |       + pow(num9::DOUBLE / den::DOUBLE, 2) / (n_hours - 9)::DOUBLE
-        |       + pow(num10::DOUBLE / den::DOUBLE, 2)
-        |         / (n_hours - 10)::DOUBLE
-        |       + pow(num11::DOUBLE / den::DOUBLE, 2)
-        |         / (n_hours - 11)::DOUBLE
-        |       + pow(num12::DOUBLE / den::DOUBLE, 2)
-        |         / (n_hours - 12)::DOUBLE))
-        |      * 10000 + 0.5) / 10000 END AS q_stat
-        |  FROM a)
-        |SELECT n_hours, den, q_stat,
-        |  CASE WHEN den > 0 THEN q_stat < 21.026 END AS is_white
-        |FROM q""".stripMargin,
+        |w0 AS (SELECT * FROM (VALUES $taps) AS t(tap, w4m)),
+        |fc AS (
+        |  SELECT h.hr + w0.tap AS hr, sum(h.cnt * w0.w4m)::BIGINT AS fc4m,
+        |    count(*)::BIGINT AS n_taps
+        |  FROM hourly h CROSS JOIN w0
+        |  GROUP BY 1 HAVING count(*) = 25),
+        |lbsrc AS (
+        |  SELECT a.hr AS x,
+        |    floor((a.cnt * 4194304 - fc.fc4m)::DOUBLE / 4194304.0 + 0.5)
+        |      ::BIGINT AS v
+        |  FROM hourly a JOIN fc ON a.hr = fc.hr)
+        |$LjungBoxSqlSuffix""".stripMargin
+    },
     // Same trend/seasonal residual quantization as the decompose
     // key, rank-convention median/MAD with (value, hr) tie-break,
     // integer ×10⁴ cross-multiplied threshold, MAD-0 guard.

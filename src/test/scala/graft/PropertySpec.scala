@@ -743,6 +743,24 @@ class PropertySpec extends SparkSpec {
     assert(dFull > 2.0 * d2, "the estimator must separate the two by a wide margin")
   }
 
+  test("media detector AUC: dhash dominates blockhash on byte-level near-dups") {
+    // 56 locality-sensitive gradient bits vs 16 coarse mean bits:
+    // the gradient hash must rank planted byte-variants far better —
+    // the decision the key exists to inform. Deterministic fixture ⇒
+    // hard pins, not tolerances (sf0.001 reads 0.9999 vs 0.7495).
+    val rows = MultimodalOps.defs("eval_media_detector_auc")(spark, sfDir)
+      .select("detector", "auc", "pr_auc")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rows.keySet === Set("blockhash", "dhash"))
+    assert(rows("dhash")._1 > rows("blockhash")._1,
+      s"dhash must out-rank blockhash: $rows")
+    assert(rows("dhash")._1 >= 0.95,
+      s"dhash must be near-perfect on appended-byte variants: $rows")
+    assert(rows("dhash")._2 > rows("blockhash")._2,
+      s"and dominate on average precision too: $rows")
+  }
+
   test("Burrows Delta: full pair grid, nonnegative, languages separate") {
     val langs = TestData.documents(spark, sfDir)
       .select("lang").distinct().count()
