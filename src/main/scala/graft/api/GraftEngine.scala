@@ -3718,6 +3718,18 @@ class GraftEngine(val spark: SparkSession) {
       edges, rounds)
   }
 
+  /** Székely energy distance between two embedding samples (see
+    * `vec_energy_distance`): the distribution-level two-sample drift
+    * test (zero iff equal distributions) — supply EVAL SAMPLES; all
+    * three pair aggregates are O(|ref|·|cur|). A side with < 2 rows
+    * reads NULL, never a throw.
+    */
+  def energyDistance(ref: DataFrame, cur: DataFrame, idCol: String,
+                     vecCol: String): DataFrame =
+    graft.operators.Vectors.energyDistance(
+      ref.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+      cur.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")))
+
   /** TWO-NN intrinsic-dimensionality MLE (see `vec_intrinsic_dim`):
     * d̂ = n/Σ ln(r2/r1) over each query's two nearest candidates in
     * `cands` (qid, nn) — supply exact or blocked-kNN candidates; the
@@ -4397,6 +4409,19 @@ class GraftEngine(val spark: SparkSession) {
   def fisherExact(flags: DataFrame, variantCol: String,
                   successCol: String): DataFrame =
     graft.operators.TimeSeries.fisherExactCore(
+      flags.select(col(variantCol).cast("int").as("t"),
+        col(successCol).cast("long").as("purch")))
+
+  /** Schuirmann TOST equivalence (see `events_ab_tost`) over
+    * (variant 0/1, success 0/1) rows at margin δ = 0.01 absolute
+    * rate difference — "is treatment EQUIVALENT within δ", the
+    * non-inferiority sign-off absence-of-significance cannot give.
+    * equivalent ⇔ p_tost < 0.05 (the 90% CI inside ±δ); one-armed /
+    * degenerate inputs read NULL.
+    */
+  def tostEquivalence(flags: DataFrame, variantCol: String,
+                      successCol: String): DataFrame =
+    graft.operators.TimeSeries.tostCore(
       flags.select(col(variantCol).cast("int").as("t"),
         col(successCol).cast("long").as("purch")))
 

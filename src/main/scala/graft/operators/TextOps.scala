@@ -799,6 +799,41 @@ object TextOps {
         .orderBy("threshold_u")
     }),
 
+    // SCORE CALIBRATION (round 14): the third leg of the eval
+    // family — AUC ranks detectors, the threshold sweep picks the
+    // operating point, and THIS key asks whether the jaccard score
+    // can be read as a PROBABILITY (a dedup pipeline that gates
+    // human review on "0.9 ≈ 90% dup" needs the reliability curve,
+    // not just the ranking). Scores bucket into 10 deciles
+    // (score_u DIV 1000); per bin the observed positive rate vs the
+    // mean score, and the expected calibration error. EXACT
+    // algebra win: n_b·|acc_b − conf_b| = |pos_b·1e4 − s_b| / 1e4
+    // where s_b = Σ score_u — the per-bin ECE numerators are exact
+    // BIGINTs with NO division before the readout. Same memoized
+    // planted scored-pair stage; grid = ≤ 11 bins.
+    "eval_score_calibration" -> ((s, d) => {
+      val W = Window.partitionBy(lit(1))
+      plantedDetectorScores(s, d)
+        .filter(col("detector") === "jaccard")
+        .withColumn("bin", expr("score_u DIV 1000"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_pairs"), sum("is_pos").as("n_pos"),
+          sum("score_u").as("s_u"))
+        .withColumn("gap_num",
+          abs(col("n_pos") * 10000L - col("s_u")))
+        .withColumn("pos_rate", r4(col("n_pos").cast("double")
+          / col("n_pairs").cast("double")))
+        .withColumn("mean_score", r4(col("s_u").cast("double")
+          / (col("n_pairs") * 10000L).cast("double")))
+        .withColumn("gap", r4(col("gap_num").cast("double")
+          / (col("n_pairs") * 10000L).cast("double")))
+        .withColumn("ece", r4(sum("gap_num").over(W).cast("double")
+          / (sum("n_pairs").over(W) * 10000L).cast("double")))
+        .select("bin", "n_pairs", "n_pos", "pos_rate", "mean_score",
+          "gap", "ece")
+        .orderBy("bin")
+    }),
+
     // Character-3-gram Jaccard near-dup pairs (> 0.7): catches
     // near-dups that word tokenization misses (joined/split words,
     // punctuation edits) — the n-gram member of the dedup family.
@@ -1019,6 +1054,34 @@ object TextOps {
       |  JOIN sz sb ON sb.doc_id = p.id_b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same jac CTEs; exact BIGINT ECE numerators |pos·1e4 − Σscore|,
+    // bin-grid windows ::BIGINT.
+    "eval_score_calibration" ->
+      s"""$PlantedJacCtes,
+        |lab AS (
+        |  SELECT score_u // 1000 AS bin, score_u,
+        |    CASE WHEN id_b = id_a + 1000000 AND id_a % 5 = 0
+        |      THEN 1 ELSE 0 END AS is_pos
+        |  FROM jac),
+        |bins AS (
+        |  SELECT bin, count(*)::BIGINT AS n_pairs,
+        |    sum(is_pos)::BIGINT AS n_pos, sum(score_u)::BIGINT AS s_u
+        |  FROM lab GROUP BY 1),
+        |g AS (
+        |  SELECT *, abs(n_pos * 10000 - s_u)::BIGINT AS gap_num,
+        |    (sum(abs(n_pos * 10000 - s_u)) OVER ())::BIGINT AS tot_gap,
+        |    (sum(n_pairs) OVER ())::BIGINT AS tot_n
+        |  FROM bins)
+        |SELECT bin, n_pairs, n_pos,
+        |  floor(n_pos::DOUBLE / n_pairs::DOUBLE * 10000 + 0.5) / 10000
+        |    AS pos_rate,
+        |  floor(s_u::DOUBLE / (n_pairs * 10000)::DOUBLE * 10000 + 0.5)
+        |    / 10000 AS mean_score,
+        |  floor(gap_num::DOUBLE / (n_pairs * 10000)::DOUBLE
+        |    * 10000 + 0.5) / 10000 AS gap,
+        |  floor(tot_gap::DOUBLE / (tot_n * 10000)::DOUBLE
+        |    * 10000 + 0.5) / 10000 AS ece
+        |FROM g ORDER BY bin""".stripMargin,
     // Same jac CTEs; per-threshold conditional sums over the cell
     // grid; F1 as 2·tp/(n_flagged + n_pos).
     "dedup_threshold_sweep" ->

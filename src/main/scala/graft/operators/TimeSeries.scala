@@ -290,6 +290,53 @@ object TimeSeries {
       .select("n_hours", "den", "q_stat", "is_white")
   }
 
+  /** Schuirmann TOST equivalence core (see `events_ab_tost`): input
+    * (t: 0/1, purch: 0/1) rows; margin δ = 0.01 absolute rate
+    * difference. One-sided p's via the Lin approximation halves on
+    * the r4-QUANTIZED z's (deterministic transcendental input).
+    * Shared with `GraftEngine.tostEquivalence`.
+    */
+  private[graft] def tostCore(flags: DataFrame): DataFrame = {
+    val lin = (z: org.apache.spark.sql.Column) =>
+      least(lit(1.0), lit(2.0) * exp(lit(-0.717) * z
+        - lit(0.416) * z * z))
+    val oneSided = (z: org.apache.spark.sql.Column) =>
+      when(z >= 0, lin(z) / 2.0).otherwise(lit(1.0) - lin(-z) / 2.0)
+    flags
+      .agg(
+        sum(when(col("t") === 0, lit(1L)).otherwise(0L)).as("n_c"),
+        sum(when(col("t") === 1, lit(1L)).otherwise(0L)).as("n_t"),
+        sum(when(col("t") === 0, col("purch")).otherwise(0L)).as("x_c"),
+        sum(when(col("t") === 1, col("purch")).otherwise(0L)).as("x_t"))
+      .withColumn("se", when(col("n_c") > 0 && col("n_t") > 0,
+        sqrt((col("x_c").cast("double") / col("n_c").cast("double"))
+            * (lit(1.0) - col("x_c").cast("double")
+              / col("n_c").cast("double"))
+            / col("n_c").cast("double")
+          + (col("x_t").cast("double") / col("n_t").cast("double"))
+            * (lit(1.0) - col("x_t").cast("double")
+              / col("n_t").cast("double"))
+            / col("n_t").cast("double"))))
+      .withColumn("delta", when(col("n_c") > 0 && col("n_t") > 0,
+        r4(col("x_t").cast("double") / col("n_t").cast("double")
+          - col("x_c").cast("double") / col("n_c").cast("double"))))
+      .withColumn("z_lower", when(col("se") > 0, r4(
+        (col("x_t").cast("double") / col("n_t").cast("double")
+          - col("x_c").cast("double") / col("n_c").cast("double")
+          + 0.01) / col("se"))))
+      .withColumn("z_upper", when(col("se") > 0, r4(
+        (lit(0.01) - (col("x_t").cast("double")
+            / col("n_t").cast("double")
+          - col("x_c").cast("double") / col("n_c").cast("double")))
+          / col("se"))))
+      .withColumn("p_tost", when(col("se") > 0, r4(
+        greatest(oneSided(col("z_lower")), oneSided(col("z_upper"))))))
+      .withColumn("equivalent",
+        when(col("p_tost").isNotNull, col("p_tost") < 0.05))
+      .select("n_c", "n_t", "x_c", "x_t", "delta", "z_lower",
+        "z_upper", "p_tost", "equivalent")
+  }
+
   /** Bayesian A/B core (see `events_ab_bayes`): input (t: 0/1,
     * purch: 0/1) rows, output the 2×2 + exact
     * P(p_treatment > p_control) under Beta(1,1) priors. Shared with
@@ -1887,6 +1934,26 @@ object TimeSeries {
     // √(Σ 1/(cell+½)), CI = exp(ln OR ± 1.96·se). ONE aggregate over
     // the corpus → 1-row readout in mirrored IEEE op order, r4;
     // significant_95 ⇔ the CI excludes 1.
+    // TOST EQUIVALENCE (round 14): the test the family still
+    // lacked — significance keys ask "is treatment DIFFERENT";
+    // launch reviews just as often need "is it EQUIVALENT within
+    // δ" (no-regression / non-inferiority sign-off), and absence of
+    // significance is NOT evidence of equivalence. Schuirmann's two
+    // one-sided tests at margin δ = 0.01 absolute rate difference:
+    // z_lower = (Δ+δ)/se, z_upper = (δ−Δ)/se, p_tost = max of the
+    // two one-sided p's (each the Lin-approximation half, reflected
+    // for negative z — the only transcendental, mirrored op-for-op);
+    // equivalent ⇔ p_tost < 0.05 (≡ the 90% CI inside ±δ). One
+    // corpus aggregate + a 1-row readout; se = 0 / one-armed ⇒ NULL.
+    "events_ab_tost" -> ((s, d) =>
+      tostCore(TestData.events(s, d)
+        .withColumn("t",
+          (conv(substring(md5(col("user_id").cast("string")), 1, 2),
+            16, 10).cast("int") % 2 =!= 0).cast("int"))
+        .withColumn("purch",
+          when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .select("t", "purch"))),
+
     // BAYESIAN A/B (round 14): P(p_treatment > p_control) under
     // independent Beta(1,1)-prior posteriors — the number a Bayesian
     // experiment dashboard leads with, complementing the
@@ -4565,6 +4632,63 @@ object TimeSeries {
         |    < 50000 AS significant
         |FROM mx ORDER BY day""".stripMargin,
     // Same 2×2 cells, Haldane +0.5 correction, mirrored log-normal CI.
+    // Mirrored pooled-rate se, r4-quantized z's feeding the Lin
+    // one-sided halves (reflected for negative z), max + r4.
+    "events_ab_tost" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))::INT
+        |    % 2 = 0 THEN 0 ELSE 1 END AS t,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS purch
+        |  FROM events),
+        |s AS (
+        |  SELECT
+        |    sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+        |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+        |    sum(CASE WHEN t = 0 THEN purch ELSE 0 END)::BIGINT AS x_c,
+        |    sum(CASE WHEN t = 1 THEN purch ELSE 0 END)::BIGINT AS x_t
+        |  FROM v),
+        |m AS (
+        |  SELECT *,
+        |    CASE WHEN n_c > 0 AND n_t > 0 THEN
+        |      sqrt((x_c::DOUBLE / n_c::DOUBLE)
+        |          * (1.0 - x_c::DOUBLE / n_c::DOUBLE) / n_c::DOUBLE
+        |        + (x_t::DOUBLE / n_t::DOUBLE)
+        |          * (1.0 - x_t::DOUBLE / n_t::DOUBLE) / n_t::DOUBLE)
+        |    END AS se
+        |  FROM s),
+        |z AS (
+        |  SELECT *,
+        |    CASE WHEN n_c > 0 AND n_t > 0 THEN
+        |      floor((x_t::DOUBLE / n_t::DOUBLE - x_c::DOUBLE / n_c::DOUBLE)
+        |        * 10000 + 0.5) / 10000 END AS delta,
+        |    CASE WHEN se > 0 THEN
+        |      floor(((x_t::DOUBLE / n_t::DOUBLE
+        |        - x_c::DOUBLE / n_c::DOUBLE + 0.01) / se)
+        |        * 10000 + 0.5) / 10000 END AS z_lower,
+        |    CASE WHEN se > 0 THEN
+        |      floor(((0.01 - (x_t::DOUBLE / n_t::DOUBLE
+        |        - x_c::DOUBLE / n_c::DOUBLE)) / se)
+        |        * 10000 + 0.5) / 10000 END AS z_upper
+        |  FROM m),
+        |p AS (
+        |  SELECT *,
+        |    CASE WHEN se > 0 THEN floor(greatest(
+        |      CASE WHEN z_lower >= 0 THEN
+        |        least(1.0, 2.0 * exp(-0.717 * z_lower
+        |          - 0.416 * z_lower * z_lower)) / 2.0
+        |      ELSE 1.0 - least(1.0, 2.0 * exp(-0.717 * (-z_lower)
+        |          - 0.416 * (-z_lower) * (-z_lower))) / 2.0 END,
+        |      CASE WHEN z_upper >= 0 THEN
+        |        least(1.0, 2.0 * exp(-0.717 * z_upper
+        |          - 0.416 * z_upper * z_upper)) / 2.0
+        |      ELSE 1.0 - least(1.0, 2.0 * exp(-0.717 * (-z_upper)
+        |          - 0.416 * (-z_upper) * (-z_upper))) / 2.0 END)
+        |      * 10000 + 0.5) / 10000 END AS p_tost
+        |  FROM z)
+        |SELECT n_c, n_t, x_c, x_t, delta, z_lower, z_upper, p_tost,
+        |  CASE WHEN p_tost IS NOT NULL THEN p_tost < 0.05 END
+        |    AS equivalent
+        |FROM p""".stripMargin,
     // The Fisher protocol on the Beta sum: micro-nat ln(h0) terms +
     // ratio-recursion steps, exact BIGINT log-weights, 1e9 exp terms.
     "events_ab_bayes" ->

@@ -74,6 +74,53 @@ object Vectors {
       .select("cluster", "n", "target", "skew_pct", "n_splits", "action")
   }
 
+  /** Székely energy distance between two (vec_id, embedding) frames
+    * (see `vec_energy_distance`): E = 2·E‖X−Y‖ − E‖X−X'‖ − E‖Y−Y'‖
+    * with every pairwise distance micro-quantized before the exact
+    * BIGINT sums. Inputs are EVAL SAMPLES — all three pair
+    * aggregates are O(|a|·|b|) by design. A side with < 2 rows reads
+    * NULL (its within-mean is undefined). Shared with
+    * `GraftEngine.energyDistance`.
+    */
+  private[graft] def energyDistance(a: DataFrame, b: DataFrame): DataFrame = {
+    def du(x: Column, y: Column): Column =
+      floor(sqrt(V.sqDist(x, y)) * 1000000 + 0.5).cast("long")
+    val ar = a.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val br = b.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val ar2 = a.select(col("vec_id").as("ia2"), col("embedding").as("va2"))
+    val br2 = b.select(col("vec_id").as("ib2"), col("embedding").as("vb2"))
+    val ab = ar.crossJoin(br)
+      .agg(coalesce(sum(du(col("va"), col("vb"))), lit(0L)).as("s_ab"))
+    val aa = ar.crossJoin(ar2).filter(col("ia") < col("ia2"))
+      .agg(coalesce(sum(du(col("va"), col("va2"))), lit(0L)).as("s_aa"))
+    val bb = br.crossJoin(br2).filter(col("ib") < col("ib2"))
+      .agg(coalesce(sum(du(col("vb"), col("vb2"))), lit(0L)).as("s_bb"))
+    val na = a.agg(count(lit(1)).as("n_ref"))
+    val nb = b.agg(count(lit(1)).as("n_cur"))
+    na.crossJoin(nb).crossJoin(ab).crossJoin(aa).crossJoin(bb)
+      .withColumn("mean_cross", when(col("n_ref") * col("n_cur") > 0,
+        r4(col("s_ab").cast("double")
+          / (col("n_ref") * col("n_cur")).cast("double") / 1000000.0)))
+      .withColumn("mean_ref", when(col("n_ref") > 1,
+        r4(lit(2.0) * col("s_aa").cast("double")
+          / (col("n_ref") * (col("n_ref") - 1)).cast("double")
+          / 1000000.0)))
+      .withColumn("mean_cur", when(col("n_cur") > 1,
+        r4(lit(2.0) * col("s_bb").cast("double")
+          / (col("n_cur") * (col("n_cur") - 1)).cast("double")
+          / 1000000.0)))
+      .withColumn("energy", when(col("n_ref") > 1 && col("n_cur") > 1,
+        r4((lit(2.0) * col("s_ab").cast("double")
+            / (col("n_ref") * col("n_cur")).cast("double")
+          - lit(2.0) * col("s_aa").cast("double")
+            / (col("n_ref") * (col("n_ref") - 1)).cast("double")
+          - lit(2.0) * col("s_bb").cast("double")
+            / (col("n_cur") * (col("n_cur") - 1)).cast("double"))
+          / 1000000.0)))
+      .select("n_ref", "n_cur", "mean_cross", "mean_ref", "mean_cur",
+        "energy")
+  }
+
   val defs: Map[String, Q] = Map(
     "vec_l2_norm" -> ((s, d) =>
       TestData.embeddings(s, d)
@@ -483,6 +530,27 @@ object Vectors {
     // tripwire run on every embedding refresh. One explode + one
     // grouped aggregate (dim-sized output); means and std r4-quantized
     // BEFORE the ratio so the top-10 cut can't flip cross-engine.
+    // ENERGY DISTANCE (round 14): the DISTRIBUTION-level two-sample
+    // drift test — vec_drift_detect ranks per-DIMENSION mean shifts,
+    // which misses covariance/shape drift entirely; Székely's energy
+    // statistic E = 2·E‖X−Y‖ − E‖X−X'‖ − E‖Y−Y'‖ is zero iff the
+    // distributions are EQUAL, catching anything. Ref/cur = the %2
+    // split of an md5-hash EVAL SAMPLE (1/8 of the corpus — the
+    // pairwise stage is O(sample²) by design and documented; at
+    // 100 TB the sample rate is the knob, the statistic's power
+    // grows with n² pairs). Every pairwise distance micro-quantized
+    // BEFORE the exact BIGINT sums; one mirrored readout expression.
+    // Property: a planted +5 shift reads energy ≫ the exchangeable
+    // parity split's ≈ 0 (PropertySpec).
+    "vec_energy_distance" -> ((s, d) => {
+      val sample = TestData.embeddings(s, d)
+        .filter(substring(md5(col("vec_id").cast("string")), 1, 2) < "20")
+        .select(col("vec_id"), col("embedding"))
+        .localCheckpoint() // two sides × three pair aggregates
+      energyDistance(sample.filter(col("vec_id") % 2 === 0),
+        sample.filter(col("vec_id") % 2 === 1))
+    }),
+
     "vec_drift_detect" -> ((s, d) =>
       TestData.embeddings(s, d)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
@@ -609,6 +677,49 @@ object Vectors {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same md5 sample + %2 split; per-pair micro-quantized distances,
+    // exact BIGINT sums, one mirrored readout expression.
+    "vec_energy_distance" ->
+      """WITH sam AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings
+        |  WHERE substring(md5(vec_id::VARCHAR), 1, 2) < '20'),
+        |a AS (SELECT vec_id, v FROM sam WHERE vec_id % 2 = 0),
+        |b AS (SELECT vec_id, v FROM sam WHERE vec_id % 2 = 1),
+        |ab AS (
+        |  SELECT coalesce(sum(floor(sqrt(list_sum(list_transform(
+        |    list_zip(x.v, y.v), p -> (p[1]-p[2])*(p[1]-p[2]))))
+        |    * 1000000 + 0.5)::BIGINT), 0)::BIGINT AS s_ab
+        |  FROM a x CROSS JOIN b y),
+        |aa AS (
+        |  SELECT coalesce(sum(floor(sqrt(list_sum(list_transform(
+        |    list_zip(x.v, y.v), p -> (p[1]-p[2])*(p[1]-p[2]))))
+        |    * 1000000 + 0.5)::BIGINT), 0)::BIGINT AS s_aa
+        |  FROM a x JOIN a y ON x.vec_id < y.vec_id),
+        |bb AS (
+        |  SELECT coalesce(sum(floor(sqrt(list_sum(list_transform(
+        |    list_zip(x.v, y.v), p -> (p[1]-p[2])*(p[1]-p[2]))))
+        |    * 1000000 + 0.5)::BIGINT), 0)::BIGINT AS s_bb
+        |  FROM b x JOIN b y ON x.vec_id < y.vec_id),
+        |na AS (SELECT count(*)::BIGINT AS n_ref FROM a),
+        |nb AS (SELECT count(*)::BIGINT AS n_cur FROM b)
+        |SELECT n_ref, n_cur,
+        |  CASE WHEN n_ref * n_cur > 0 THEN
+        |    floor(s_ab::DOUBLE / (n_ref * n_cur)::DOUBLE / 1000000.0
+        |      * 10000 + 0.5) / 10000 END AS mean_cross,
+        |  CASE WHEN n_ref > 1 THEN
+        |    floor(2.0 * s_aa::DOUBLE / (n_ref * (n_ref - 1))::DOUBLE
+        |      / 1000000.0 * 10000 + 0.5) / 10000 END AS mean_ref,
+        |  CASE WHEN n_cur > 1 THEN
+        |    floor(2.0 * s_bb::DOUBLE / (n_cur * (n_cur - 1))::DOUBLE
+        |      / 1000000.0 * 10000 + 0.5) / 10000 END AS mean_cur,
+        |  CASE WHEN n_ref > 1 AND n_cur > 1 THEN
+        |    floor((2.0 * s_ab::DOUBLE / (n_ref * n_cur)::DOUBLE
+        |      - 2.0 * s_aa::DOUBLE / (n_ref * (n_ref - 1))::DOUBLE
+        |      - 2.0 * s_bb::DOUBLE / (n_cur * (n_cur - 1))::DOUBLE)
+        |      / 1000000.0 * 10000 + 0.5) / 10000 END AS energy
+        |FROM na CROSS JOIN nb CROSS JOIN ab CROSS JOIN aa
+        |CROSS JOIN bb""".stripMargin,
     // Left-fold norm (list_reduce seeds with the first element —
     // same order as Spark's aggregate with a 0.0 seed), coords
     // micro-quantized BEFORE any cross-row sum, exact-BIGINT

@@ -657,6 +657,33 @@ class DegenerateSpec extends SparkSpec {
     val p = mid(0).getAs[Double]("p_two_sided")
     assert(p > 0.0 && p < 0.05, s"8/2 vs 2/8 must be significant: $p")
 
+    // TOST on the same frames: empty/one-armed ⇒ NULL p, no throw;
+    // two large identical arms must read EQUIVALENT (the test's
+    // whole point: equivalence is positively demonstrated)
+    assertClean(engine.tostEquivalence(ff(Nil), "t", "purch"),
+      "tost/empty")
+    assertClean(engine.tostEquivalence(
+      ff(Seq((1, 1L), (1, 0L))), "t", "purch"), "tost/one-armed")
+    // identical 30% arms at n=2000/side: Δ = 0 exactly and the two
+    // one-sided z's coincide — but 2000/side is UNDERPOWERED for a
+    // δ=0.01 margin at p=0.3 (se ≈ 0.0145 > δ), so equivalence must
+    // honestly read FALSE (absence of evidence, correctly reported)
+    val same = ff((0 until 4000).map(i =>
+      (i % 2, if ((i / 2) % 10 < 3) 1L else 0L)))
+    val eq = engine.tostEquivalence(same, "t", "purch").collect()(0)
+    assert(eq.getAs[Double]("delta") === 0.0)
+    assert(eq.getAs[Double]("z_lower") === eq.getAs[Double]("z_upper"))
+    assert(!eq.getAs[Boolean]("equivalent"),
+      s"underpowered identical arms must NOT claim equivalence: $eq")
+    // a POWERED case: identical 0.5% arms at n=60000/side
+    // (se ≈ 4.1e-4 ≪ δ) must positively demonstrate equivalence
+    val powered = spark.range(120000)
+      .select((col("id") % 2).cast("int").as("t"),
+        when((col("id") / 2) % 200 < 1, 1L).otherwise(0L).as("purch"))
+    val eq2 = engine.tostEquivalence(powered, "t", "purch").collect()(0)
+    assert(eq2.getAs[Boolean]("equivalent"),
+      s"powered identical arms must read equivalent: $eq2")
+
     // bayesAb on the same degenerate frames: empty ⇒ empty output;
     // one-armed treatment (uniform posterior) ⇒ P = E[1 − p_c]
     assertClean(engine.bayesAb(ff(Nil), "t", "purch"), "bayes/empty")
@@ -696,6 +723,17 @@ class DegenerateSpec extends SparkSpec {
       spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), pschema)
     assertClean(engine.intrinsicDim(vf(Nil), "vec_id", "embedding",
       pf(Nil)), "intrinsicDim/empty")
+    // energyDistance: empty / single sides read NULL, never a throw
+    assertClean(engine.energyDistance(vf(Nil), vf(Nil),
+      "vec_id", "embedding"), "energy/empty")
+    val one = vf(Seq((1L, Seq(1.0, 2.0))))
+    val two = vf(Seq((2L, Seq(0.0, 0.0)), (3L, Seq(1.0, 1.0))))
+    assertClean(engine.energyDistance(one, two,
+      "vec_id", "embedding"), "energy/single-ref")
+    val r1 = engine.energyDistance(one, two, "vec_id", "embedding")
+      .collect()(0)
+    assert(r1.isNullAt(r1.fieldIndex("energy")),
+      "a 1-row side has no within-mean: energy must be NULL")
     // all-duplicate vectors: every r1 = 0 ⇒ d_hat NULL, never a
     // log(0)/x-over-0 throw
     val dups = vf((0L to 3L).map(i => (i, Seq(1.0, 2.0))))

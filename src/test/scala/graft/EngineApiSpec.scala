@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 175, "documented facade count drifted; methods: "
+    assert(names.length === 177, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1350,6 +1350,19 @@ class EngineApiSpec extends SparkSpec {
       .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
       .agg(count(lit(1)).as("cnt"))
     val viaApi = engine.holtWintersInterval(hourly, "hr", "cnt")
+      .collect().map(_.toSeq).toSeq
+    assert(viaApi === declared)
+  }
+
+  test("energyDistance facade matches the vec_energy_distance key") {
+    val d = sf("sf0.001")
+    val declared = SparkEntry.queries("vec_energy_distance")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val sample = TestData.embeddings(spark, d)
+      .filter(substring(md5($"vec_id".cast("string")), 1, 2) < "20")
+    val viaApi = engine.energyDistance(
+        sample.filter($"vec_id" % 2 === 0),
+        sample.filter($"vec_id" % 2 === 1), "vec_id", "embedding")
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
   }

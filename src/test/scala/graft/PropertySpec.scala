@@ -743,6 +743,47 @@ class PropertySpec extends SparkSpec {
     assert(dFull > 2.0 * d2, "the estimator must separate the two by a wide margin")
   }
 
+  test("score calibration: ECE reconciles with per-bin gaps and pair totals") {
+    val rows = TextOps.defs("eval_score_calibration")(spark, sfDir)
+      .select("bin", "n_pairs", "n_pos", "gap", "ece")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.nonEmpty && rows.forall(r => r._1 >= 0 && r._1 <= 10))
+    val ece = rows.head._5
+    assert(rows.forall(_._5 === ece), "ECE is one corpus-level number")
+    assert(ece >= 0.0 && ece <= 1.0)
+    // ECE is the pair-weighted mean of the per-bin gaps: recompute
+    // from the published columns (r4 slack: each gap is rounded)
+    val n = rows.map(_._2).sum
+    val recomputed = rows.map(r => r._2.toDouble * r._4).sum / n
+    assert(math.abs(recomputed - ece) < 1e-3,
+      s"ECE $ece must reconcile with per-bin gaps $recomputed")
+    // the scored-pair population is the jaccard detector's
+    val jac = TextOps.plantedDetectorScores(spark, sfDir)
+      .filter(col("detector") === "jaccard").count()
+    assert(n === jac, "calibration bins must cover every scored pair")
+  }
+
+  test("energy distance: exchangeable split reads ~0, planted shift dominates") {
+    val sample = TestData.embeddings(spark, sfDir)
+      .filter(substring(md5(col("vec_id").cast("string")), 1, 2) < "20")
+      .select("vec_id", "embedding")
+    val a = sample.filter(col("vec_id") % 2 === 0)
+    val b = sample.filter(col("vec_id") % 2 === 1)
+    val base = Vectors.energyDistance(a, b).collect()(0)
+    val e0 = base.getAs[Double]("energy")
+    val mc = base.getAs[Double]("mean_cross")
+    assert(math.abs(e0) < 0.1 * mc,
+      s"exchangeable halves must read near-zero energy: $e0 vs mean $mc")
+    // +5 per coordinate: a pure location shift per-dim drift also
+    // sees — but energy must catch it at full magnitude too
+    val shifted = b.withColumn("embedding",
+      transform(col("embedding"), x => x + lit(5.0)))
+    val e1 = Vectors.energyDistance(a, shifted).collect()(0)
+      .getAs[Double]("energy")
+    assert(e1 > 1.0 && e1 > 10 * math.abs(e0),
+      s"planted shift must dominate: $e1 vs $e0")
+  }
+
   test("media detector AUC: dhash dominates blockhash on byte-level near-dups") {
     // 56 locality-sensitive gradient bits vs 16 coarse mean bits:
     // the gradient hash must rank planted byte-variants far better —
