@@ -4412,6 +4412,19 @@ class GraftEngine(val spark: SparkSession) {
       flags.select(col(variantCol).cast("int").as("t"),
         col(successCol).cast("long").as("purch")))
 
+  /** ICC + Kish design effect (see `agg_design_effect`) over
+    * (cluster, y) unit rows: how much cluster sampling inflates
+    * variance vs SRS — n_effective = n/DEFF. Pure exact-BIGINT
+    * sufficient statistics; k ≤ 1 / degenerate denominators read
+    * NULL. Use integer y units (cents); the Σy² bound is the
+    * ratio_estimator precedent.
+    */
+  def designEffect(units: DataFrame, clusterCol: String,
+                   yCol: String): DataFrame =
+    graft.operators.Stats.designEffect(
+      units.select(col(clusterCol).as("cluster"),
+        col(yCol).cast("long").as("y")))
+
   /** Schuirmann TOST equivalence (see `events_ab_tost`) over
     * (variant 0/1, success 0/1) rows at margin δ = 0.01 absolute
     * rate difference — "is treatment EQUIVALENT within δ", the

@@ -111,6 +111,51 @@ object Stats {
           .cast("long")))
   }
 
+  /** ICC + Kish design effect core (see `agg_design_effect`): input
+    * (cluster, y: integer units) rows, output the 1-row
+    * (k_clusters, n_units, m0, icc, deff) readout. Shared with
+    * `GraftEngine.designEffect`.
+    */
+  private[graft] def designEffect(units: DataFrame): DataFrame = {
+    val g = units.groupBy("cluster")
+      .agg(count(lit(1)).as("n_g"), sum("y").as("sx"),
+        sum(col("y") * col("y")).as("sxx"))
+      .withColumn("t_u", floor(col("sx").cast("double")
+        * col("sx").cast("double") / col("n_g").cast("double") + 0.5)
+        .cast("long"))
+    g.agg(count(lit(1)).as("k_clusters"), sum("n_g").as("n_units"),
+        sum("sx").as("sum_all"), sum("sxx").as("sxx_all"),
+        sum("t_u").as("t_sum_u"),
+        sum(col("n_g") * col("n_g")).as("nn_sum"))
+      .withColumn("ssb", when(col("n_units") > 0,
+        col("t_sum_u").cast("double")
+          - col("sum_all").cast("double") * col("sum_all").cast("double")
+            / col("n_units").cast("double")))
+      .withColumn("ssw",
+        col("sxx_all").cast("double") - col("t_sum_u").cast("double"))
+      .withColumn("msb", when(col("k_clusters") > 1,
+        col("ssb") / (col("k_clusters") - 1).cast("double")))
+      .withColumn("msw", when(col("n_units") > col("k_clusters"),
+        col("ssw") / (col("n_units") - col("k_clusters")).cast("double")))
+      .withColumn("m0_raw", when(col("k_clusters") > 1
+          && col("n_units") > 0,
+        (col("n_units").cast("double") - col("nn_sum").cast("double")
+          / col("n_units").cast("double"))
+          / (col("k_clusters") - 1).cast("double")))
+      .withColumn("icc", when(col("msb").isNotNull
+          && col("msw").isNotNull
+          && col("msb") + (col("m0_raw") - 1.0) * col("msw") > 0,
+        TestData.r4((col("msb") - col("msw"))
+          / (col("msb") + (col("m0_raw") - 1.0) * col("msw")))))
+      .withColumn("deff", when(col("icc").isNotNull,
+        TestData.r4(lit(1.0) + (col("n_units").cast("double")
+          / col("k_clusters").cast("double") - 1.0) * col("icc"))))
+      .select(col("k_clusters"), col("n_units"),
+        when(col("m0_raw").isNotNull, TestData.r4(col("m0_raw")))
+          .as("m0"),
+        col("icc"), col("deff"))
+  }
+
   val defs: Map[String, Q] = Map(
     // MANN-WHITNEY U (round 10): the nonparametric A/B test the
     // experimentation stack reaches for when per-user value is
@@ -654,6 +699,26 @@ object Stats {
     // to WHOLE units before the cross-group sum (entropy/PSI
     // precedent; unit choice documented: term < 2^63 needs
     // mean²·n_g < 9.2e18). F assembled once in doubles, r4.
+    // DESIGN EFFECT (round 14): ICC + Kish DEFF over the natural
+    // nation clustering of customer balances — the number that
+    // prices `sample_two_stage`'s cluster draws ("how much does
+    // sampling whole clusters inflate variance vs SRS"; n_effective
+    // = n/DEFF is the sample-size answer every survey plan needs).
+    // Pure ANOVA sufficient statistics (the agg_anova_f machinery:
+    // per-cluster (n, Σy, Σy²) exact BIGINTs in cents, divisions
+    // once on the 1-row readout): ICC = (MSB − MSW)/(MSB +
+    // (m0 − 1)·MSW) with the unequal-cluster m0 = (N − Σn²/N)/(k−1),
+    // DEFF = 1 + (m̄ − 1)·ICC on the r4'd ICC. Bound: Σy² in cents —
+    // fine to ~9e6 units at 1e6-cent balances; switch to whole
+    // dollars past that (the ratio_estimator precedent). Guards:
+    // k ≤ 1, N ≤ k, or a non-positive ICC denominator ⇒ NULL.
+    // Planted perfect-clustering ICC ≈ 1 / shuffled ICC ≈ 0 pinned
+    // in PropertySpec via the generic core.
+    "agg_design_effect" -> ((s, d) =>
+      designEffect(TestData.customer(s, d)
+        .select(col("c_nationkey").as("cluster"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("y")))),
+
     "agg_anova_f" -> ((s, d) => {
       val g = TestData.documents(s, d)
         .groupBy("lang")
@@ -2227,6 +2292,60 @@ object Stats {
         |FROM nn JOIN cd ON nn.flag = cd.flag
         |JOIN tx ON nn.flag = tx.flag JOIN ty ON nn.flag = ty.flag
         |ORDER BY nn.flag""".stripMargin,
+    // ANOVA sufficient stats in cents, unequal-cluster m0, r4'd ICC
+    // feeding the Kish DEFF — all divisions on the 1-row readout.
+    "agg_design_effect" ->
+      """WITH u AS (
+        |  SELECT c_nationkey AS cluster,
+        |    floor(c_acctbal * 100 + 0.5)::BIGINT AS y
+        |  FROM customer),
+        |g AS (
+        |  SELECT cluster, count(*)::BIGINT AS n_g, sum(y)::BIGINT AS sx,
+        |    sum(y * y)::BIGINT AS sxx
+        |  FROM u GROUP BY 1),
+        |g2 AS (
+        |  SELECT *, floor(sx::DOUBLE * sx::DOUBLE / n_g::DOUBLE + 0.5)
+        |    ::BIGINT AS t_u
+        |  FROM g),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS k_clusters,
+        |    sum(n_g)::BIGINT AS n_units,
+        |    sum(sx)::BIGINT AS sum_all, sum(sxx)::BIGINT AS sxx_all,
+        |    sum(t_u)::BIGINT AS t_sum_u,
+        |    sum(n_g * n_g)::BIGINT AS nn_sum
+        |  FROM g2),
+        |b AS (
+        |  SELECT *,
+        |    CASE WHEN n_units > 0 THEN t_sum_u::DOUBLE
+        |      - sum_all::DOUBLE * sum_all::DOUBLE / n_units::DOUBLE
+        |    END AS ssb,
+        |    sxx_all::DOUBLE - t_sum_u::DOUBLE AS ssw
+        |  FROM a),
+        |c AS (
+        |  SELECT *,
+        |    CASE WHEN k_clusters > 1 THEN
+        |      ssb / (k_clusters - 1)::DOUBLE END AS msb,
+        |    CASE WHEN n_units > k_clusters THEN
+        |      ssw / (n_units - k_clusters)::DOUBLE END AS msw,
+        |    CASE WHEN k_clusters > 1 AND n_units > 0 THEN
+        |      (n_units::DOUBLE - nn_sum::DOUBLE / n_units::DOUBLE)
+        |        / (k_clusters - 1)::DOUBLE END AS m0_raw
+        |  FROM b),
+        |e AS (
+        |  SELECT *,
+        |    CASE WHEN msb IS NOT NULL AND msw IS NOT NULL
+        |      AND msb + (m0_raw - 1.0) * msw > 0 THEN
+        |      floor((msb - msw) / (msb + (m0_raw - 1.0) * msw)
+        |        * 10000 + 0.5) / 10000 END AS icc
+        |  FROM c)
+        |SELECT k_clusters, n_units,
+        |  CASE WHEN m0_raw IS NOT NULL THEN
+        |    floor(m0_raw * 10000 + 0.5) / 10000 END AS m0,
+        |  icc,
+        |  CASE WHEN icc IS NOT NULL THEN
+        |    floor((1.0 + (n_units::DOUBLE / k_clusters::DOUBLE - 1.0)
+        |      * icc) * 10000 + 0.5) / 10000 END AS deff
+        |FROM e""".stripMargin,
     "agg_anova_f" ->
       """WITH g AS (
         |  SELECT lang, count(*)::BIGINT AS n_g,

@@ -743,6 +743,28 @@ class PropertySpec extends SparkSpec {
     assert(dFull > 2.0 * d2, "the estimator must separate the two by a wide margin")
   }
 
+  test("design effect: perfect clustering reads ICC = 1 / DEFF = m, mixed reads ~0") {
+    import spark.implicits._
+    // 20 balanced clusters of 50, zero within-cluster variance:
+    // MSW = 0 ⇒ ICC = 1 exactly, DEFF = 1 + (m̄−1) = 50 exactly
+    val perfect = (0 until 1000).map(i => (i % 20L, 1000L * (i % 20)))
+      .toDF("cluster", "y")
+    val p = Stats.designEffect(perfect).collect()(0)
+    assert(p.getAs[Double]("icc") === 1.0, s"perfect clustering: $p")
+    assert(p.getAs[Double]("deff") === 50.0, s"DEFF = m̄ exactly: $p")
+    // same values scattered across coprime clusters: every cluster
+    // sees a near-uniform mix ⇒ ICC near 0 (slightly negative is the
+    // finite-sample expectation), DEFF near 1
+    val mixed = (0 until 1000).map(i => (i % 23L, 1000L * (i % 20)))
+      .toDF("cluster", "y")
+    val q = Stats.designEffect(mixed).collect()(0)
+    assert(math.abs(q.getAs[Double]("icc")) < 0.1, s"mixed clusters: $q")
+    // empty / single-cluster inputs read NULL, never a throw
+    val one = (0 until 10).map(i => (0L, i.toLong)).toDF("cluster", "y")
+    val r = Stats.designEffect(one).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("icc")))
+  }
+
   test("score calibration: ECE reconciles with per-bin gaps and pair totals") {
     val rows = TextOps.defs("eval_score_calibration")(spark, sfDir)
       .select("bin", "n_pairs", "n_pos", "gap", "ece")
