@@ -4412,6 +4412,19 @@ class GraftEngine(val spark: SparkSession) {
       flags.select(col(variantCol).cast("int").as("t"),
         col(successCol).cast("long").as("purch")))
 
+  /** Huber M-estimator of location (see `agg_huber_mean`) per group
+    * over (group, tie, y-integer-units) rows: 3 unrolled clipped-
+    * mean rounds at the MAD-scaled width (c = 1.345) — inliers
+    * contribute their value, outliers clip. MAD = 0 groups read the
+    * median (a fixpoint, no guard needed); every mean is an exact
+    * long-sum divide.
+    */
+  def huberMean(units: DataFrame, groupCol: String, tieCol: String,
+                yCol: String): DataFrame =
+    graft.operators.Stats.huberMean(
+      units.select(col(groupCol).as("seg"), col(tieCol).as("tie"),
+        col(yCol).cast("long").as("cents")))
+
   /** ICC + Kish design effect (see `agg_design_effect`) over
     * (cluster, y) unit rows: how much cluster sampling inflates
     * variance vs SRS — n_effective = n/DEFF. Pure exact-BIGINT

@@ -111,6 +111,55 @@ object Stats {
           .cast("long")))
   }
 
+  /** Huber M-estimator core (see `agg_huber_mean`): input
+    * (seg, tie, cents) rows — `tie` makes (cents, tie) a total order
+    * per segment for the rank-based median/MAD. 3 unrolled clipped-
+    * mean rounds, every mean an exact long-sum divide, every m_k
+    * IEEE-floor re-quantized to integer cents. Shared with
+    * `GraftEngine.huberMean`.
+    */
+  private[graft] def huberMean(units: DataFrame): DataFrame = {
+    val W = Window.partitionBy("seg").orderBy("cents", "tie")
+    val base = units.localCheckpoint() // median + MAD + 3 round means
+    val med = base
+      .withColumn("rn", row_number().over(W))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("seg")))
+      .groupBy("seg")
+      .agg(max("n").as("n_rows"),
+        max(when(col("rn") === expr("(n + 1) DIV 2"), col("cents")))
+          .as("m0"),
+        r4(sum(col("cents")).cast("double") / count(lit(1)))
+          .as("mean_cents"))
+    val Wd = Window.partitionBy("seg").orderBy("adev", "tie")
+    val mad = base.join(broadcast(med), "seg")
+      .withColumn("adev", abs(col("cents") - col("m0")))
+      .withColumn("rn", row_number().over(Wd))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("seg")))
+      .groupBy("seg")
+      .agg(max("n_rows").as("n_rows"), max("m0").as("m0"),
+        max("mean_cents").as("mean_cents"),
+        max(when(col("rn") === expr("(n + 1) DIV 2"), col("adev")))
+          .as("mad_cents"))
+      .withColumn("h", floor(lit(1.345)
+        * (lit(1.4826) * col("mad_cents").cast("double")) + 0.5)
+        .cast("long"))
+    var cur = mad.withColumn("m", col("m0"))
+    for (_ <- 1 to 3) {
+      cur = base.join(broadcast(cur), "seg")
+        .withColumn("cl", greatest(col("m") - col("h"),
+          least(col("m") + col("h"), col("cents"))))
+        .groupBy("seg")
+        .agg(max("n_rows").as("n_rows"), max("m0").as("m0"),
+          max("mean_cents").as("mean_cents"),
+          max("mad_cents").as("mad_cents"), max("h").as("h"),
+          floor(sum(col("cl")).cast("double") / count(lit(1)) + 0.5)
+            .cast("long").as("m"))
+    }
+    cur.select(col("seg"), col("n_rows"), col("m0").as("median_cents"),
+      col("mad_cents"), col("h").as("halfwidth_cents"),
+      col("m").as("huber_cents"), col("mean_cents"))
+  }
+
   /** ICC + Kish design effect core (see `agg_design_effect`): input
     * (cluster, y: integer units) rows, output the 1-row
     * (k_clusters, n_units, m0, icc, deff) readout. Shared with
@@ -699,6 +748,30 @@ object Stats {
     // to WHOLE units before the cross-group sum (entropy/PSI
     // precedent; unit choice documented: term < 2^63 needs
     // mean²·n_g < 9.2e18). F assembled once in doubles, r4.
+    // HUBER M-ESTIMATOR (round 14): the robust location estimate
+    // completing the family — median (fully robust, throws away
+    // magnitude), trimmed/winsorized (fixed cut fractions), and now
+    // Huber (adaptive: inliers contribute their VALUE, outliers clip
+    // to a MAD-scaled bound — the statistics a balance/revenue
+    // dashboard wants when tails are real but heavy). 3 UNROLLED
+    // clipped-mean rounds per market segment: m_k = round(mean(
+    // clip(y, m_{k−1} ± h))), h = round(1.345·1.4826·MAD) cents;
+    // m_0 = the lower median, both order statistics via the
+    // trimmed-mean rank convention (windows PARTITIONED by segment).
+    // Determinism: cents in, every mean is an EXACT long-sum divide
+    // (avg over BIGINT in both engines), every m_k re-quantized to
+    // integer cents by the negative-safe IEEE floor(x+0.5). MAD = 0
+    // ⇒ h = 0 ⇒ the recursion is a fixpoint at the median — no
+    // division, no guard needed. One-outlier insensitivity
+    // (|Δhuber| ≤ 3h/n + rounding vs the mean's unbounded shift)
+    // pinned in ClosedFormProps on the same recursion.
+    "agg_huber_mean" -> ((s, d) =>
+      huberMean(TestData.customer(s, d)
+        .select(col("c_mktsegment").as("seg"),
+          col("c_custkey").as("tie"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents")))
+        .orderBy("seg")),
+
     // DESIGN EFFECT (round 14): ICC + Kish DEFF over the natural
     // nation clustering of customer balances — the number that
     // prices `sample_two_stage`'s cluster draws ("how much does
@@ -2292,6 +2365,63 @@ object Stats {
         |FROM nn JOIN cd ON nn.flag = cd.flag
         |JOIN tx ON nn.flag = tx.flag JOIN ty ON nn.flag = ty.flag
         |ORDER BY nn.flag""".stripMargin,
+    // Rank-convention median/MAD per segment, 3 unrolled clipped
+    // exact-BIGINT-avg rounds, IEEE floor(x+0.5) re-quantization.
+    "agg_huber_mean" ->
+      """WITH base AS (
+        |  SELECT c_mktsegment AS seg, c_custkey,
+        |    floor(c_acctbal * 100 + 0.5)::BIGINT AS cents
+        |  FROM customer),
+        |r0 AS (
+        |  SELECT seg, c_custkey, cents,
+        |    row_number() OVER (PARTITION BY seg
+        |      ORDER BY cents, c_custkey) AS rn,
+        |    count(*) OVER (PARTITION BY seg) AS n
+        |  FROM base),
+        |med AS (
+        |  SELECT seg, max(n)::BIGINT AS n_rows,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN cents END)::BIGINT AS m0,
+        |    floor(sum(cents)::DOUBLE / count(*) * 10000 + 0.5) / 10000
+    |      AS mean_cents
+        |  FROM r0 GROUP BY 1),
+        |d1 AS (
+        |  SELECT b.seg, b.c_custkey, abs(b.cents - m.m0) AS adev,
+        |    row_number() OVER (PARTITION BY b.seg
+        |      ORDER BY abs(b.cents - m.m0), b.c_custkey) AS rn,
+        |    count(*) OVER (PARTITION BY b.seg) AS n
+        |  FROM base b JOIN med m ON b.seg = m.seg),
+        |mad AS (
+        |  SELECT seg,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN adev END)::BIGINT
+        |      AS mad_cents
+        |  FROM d1 GROUP BY 1),
+        |h0 AS (
+        |  SELECT med.seg, med.n_rows, med.m0, med.mean_cents,
+        |    mad.mad_cents,
+        |    floor(1.345 * (1.4826 * mad.mad_cents::DOUBLE) + 0.5)::BIGINT
+        |      AS h
+        |  FROM med JOIN mad ON med.seg = mad.seg),
+        |m1 AS (
+        |  SELECT b.seg,
+        |    floor(sum(greatest(t.m0 - t.h, least(t.m0 + t.h, b.cents)))
+        |      ::DOUBLE / count(*) + 0.5)::BIGINT AS m
+        |  FROM base b JOIN h0 t ON b.seg = t.seg GROUP BY 1),
+        |m2 AS (
+        |  SELECT b.seg,
+        |    floor(sum(greatest(p.m - t.h, least(p.m + t.h, b.cents)))
+        |      ::DOUBLE / count(*) + 0.5)::BIGINT AS m
+        |  FROM base b JOIN h0 t ON b.seg = t.seg
+        |  JOIN m1 p ON b.seg = p.seg GROUP BY 1),
+        |m3 AS (
+        |  SELECT b.seg,
+        |    floor(sum(greatest(p.m - t.h, least(p.m + t.h, b.cents)))
+        |      ::DOUBLE / count(*) + 0.5)::BIGINT AS m
+        |  FROM base b JOIN h0 t ON b.seg = t.seg
+        |  JOIN m2 p ON b.seg = p.seg GROUP BY 1)
+        |SELECT t.seg, t.n_rows, t.m0 AS median_cents, t.mad_cents,
+        |  t.h AS halfwidth_cents, m3.m AS huber_cents, t.mean_cents
+        |FROM h0 t JOIN m3 ON t.seg = m3.seg
+        |ORDER BY t.seg""".stripMargin,
     // ANOVA sufficient stats in cents, unequal-cluster m0, r4'd ICC
     // feeding the Kish DEFF — all divisions on the 1-row readout.
     "agg_design_effect" ->

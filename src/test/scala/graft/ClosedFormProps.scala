@@ -1463,6 +1463,37 @@ object ClosedFormProps extends Properties("graft.closedforms") {
       }
     }
 
+  // agg_huber_mean: the 3-round clipped-mean recursion (lower-median
+  // start, MAD-scaled clip width, IEEE re-quantization each round)
+  // is INSENSITIVE to a single gross outlier — its shift is bounded
+  // by the median/MAD order-stat movement plus 3h/n, while the plain
+  // mean absorbs the outlier's full mass / n. The margins below are
+  // generous versions of those bounds for values ≤ 1e4 and an 1e9
+  // outlier.
+  property("Huber clipped-mean recursion: one gross outlier barely moves it") =
+    Prop.forAll(Gen.choose(5, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-10000L, 10000L)))) { ys =>
+      def lowerMedian(xs: List[Long]): Long =
+        xs.sorted.apply((xs.size + 1) / 2 - 1)
+      def huber(xs: List[Long]): Long = {
+        val m0 = lowerMedian(xs)
+        val mad = lowerMedian(xs.map(x => math.abs(x - m0)))
+        val h = math.floor(1.345 * (1.4826 * mad.toDouble) + 0.5).toLong
+        (1 to 3).foldLeft(m0) { (m, _) =>
+          val cl = xs.map(x => math.max(m - h, math.min(m + h, x)))
+          math.floor(cl.sum.toDouble / xs.size + 0.5).toLong
+        }
+      }
+      def mean(xs: List[Long]): Double = xs.sum.toDouble / xs.size
+      val out = ys :+ 1000000000L
+      val dHuber = math.abs(huber(out) - huber(ys))
+      val dMean = math.abs(mean(out) - mean(ys))
+      (dHuber <= 200000L) :| s"huber shift $dHuber must stay bounded" &&
+        (dMean >= 1000000.0) :| s"mean shift $dMean absorbs the outlier" &&
+        (dHuber.toDouble < dMean / 10.0) :|
+          s"huber $dHuber must be far more robust than mean $dMean"
+    }
+
   // events_ab_bayes: the Beta closed-form sum (ratio-recursion log
   // weights seeded by the h(0) product) satisfies the swap symmetry
   // P(t>c) + P(c>t) = 1 (continuous posteriors never tie) and the

@@ -760,6 +760,26 @@ class DegenerateSpec extends SparkSpec {
       "label", ef(Nil)), "louvainCoarsen/no-edges")
   }
 
+  test("huberMean survives empty / constant / single-row groups") {
+    val hschema = StructType(Seq(StructField("seg", StringType),
+      StructField("tie", LongType), StructField("cents", LongType)))
+    def hf(rows: Seq[(String, Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), hschema)
+    assertClean(engine.huberMean(hf(Nil), "seg", "tie", "cents"),
+      "huber/empty")
+    // constant group: MAD = 0 ⇒ h = 0 ⇒ the recursion is a fixpoint
+    // at the median — exact, no guard path
+    val const = engine.huberMean(
+      hf(Seq(("a", 1L, 7L), ("a", 2L, 7L), ("a", 3L, 7L))),
+      "seg", "tie", "cents").collect()(0)
+    assert(const.getAs[Long]("huber_cents") === 7L)
+    assert(const.getAs[Long]("halfwidth_cents") === 0L)
+    // single row: median = the value, MAD = 0, huber = the value
+    val single = engine.huberMean(hf(Seq(("b", 1L, -42L))),
+      "seg", "tie", "cents").collect()(0)
+    assert(single.getAs[Long]("huber_cents") === -42L)
+  }
+
   test("detectorAuc survives empty / one-class / single-score frames") {
     val schema = StructType(Seq(StructField("detector", StringType),
       StructField("score_u", LongType), StructField("is_pos", LongType)))

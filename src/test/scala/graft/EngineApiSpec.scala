@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 178, "documented facade count drifted; methods: "
+    assert(names.length === 179, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1352,6 +1352,24 @@ class EngineApiSpec extends SparkSpec {
     val viaApi = engine.holtWintersInterval(hourly, "hr", "cnt")
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
+  }
+
+  test("huberMean / designEffect facades match their keys") {
+    val d = sf("sf0.001")
+    val units = TestData.customer(spark, d)
+      .select($"c_mktsegment".as("g"), $"c_custkey".as("k"),
+        floor($"c_acctbal" * 100 + 0.5).cast("long").as("y"))
+    assert(engine.huberMean(units, "g", "k", "y").orderBy("seg")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("agg_huber_mean")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    val cl = TestData.customer(spark, d)
+      .select($"c_nationkey".as("c"),
+        floor($"c_acctbal" * 100 + 0.5).cast("long").as("y"))
+    assert(engine.designEffect(cl, "c", "y")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("agg_design_effect")(spark, d)
+        .collect().map(_.toSeq).toSeq)
   }
 
   test("energyDistance facade matches the vec_energy_distance key") {
