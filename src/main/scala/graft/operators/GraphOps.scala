@@ -687,6 +687,30 @@ object GraphOps {
         .orderBy("lang")
     }),
 
+    // DEDUP STORAGE SAVINGS (round 14): the document-corpus sibling
+    // of multimodal_dedup_savings — the storage-ROI line a dedup
+    // proposal leads with ("dropping near-dup members saves X% of
+    // bytes"). Survivor = the min-label member (its id equals its
+    // component label by min-propagation construction — the
+    // dedup_survivors convention); savings = Σ n_chars over
+    // non-survivors. Rides the memoized component frame; one
+    // doc-grain join + a 1-row readout with one guarded r4 ratio.
+    "dedup_storage_savings" -> ((s, d) => {
+      val docs = TestData.documents(s, d).select("doc_id", "n_chars")
+      val comp = fixtureComponents(s, d)
+      docs.join(comp, docs("doc_id") === comp("id"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("comp")).as("n_survivors"),
+          sum("n_chars").as("bytes_total"),
+          sum(when(col("doc_id") =!= col("comp"), col("n_chars"))
+            .otherwise(0L)).as("bytes_saved"))
+        .withColumn("savings_ratio", when(col("bytes_total") > 0,
+          TestData.r4(col("bytes_saved").cast("double")
+            / col("bytes_total").cast("double"))))
+        .select("n_docs", "n_survivors", "bytes_total", "bytes_saved",
+          "savings_ratio")
+    }),
+
     // Triangle counting over the k-NN similarity graph — the
     // graph-analytics summary of embedding-space structure (triangle
     // density separates tight semantic clusters from hub-and-spoke
@@ -1630,6 +1654,38 @@ object GraphOps {
         |  (count(*) - count(DISTINCT c.component))::BIGINT AS n_removed
         |FROM documents d JOIN comp c ON d.doc_id = c.doc_id
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    // The survivors reachability CTE with the bytes aggregate; the
+    // survivor predicate doc_id = component is the min-label
+    // convention.
+    "dedup_storage_savings" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |edges AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        |        > 0.9),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |comp AS (
+        |  SELECT a AS doc_id, min(b) AS component
+        |  FROM reach GROUP BY a),
+        |agg AS (
+        |  SELECT count(*)::BIGINT AS n_docs,
+        |    count(DISTINCT c.component)::BIGINT AS n_survivors,
+        |    sum(d.n_chars)::BIGINT AS bytes_total,
+        |    sum(CASE WHEN c.doc_id <> c.component THEN d.n_chars
+        |      ELSE 0 END)::BIGINT AS bytes_saved
+        |  FROM documents d JOIN comp c ON d.doc_id = c.doc_id)
+        |SELECT n_docs, n_survivors, bytes_total, bytes_saved,
+        |  CASE WHEN bytes_total > 0 THEN
+        |    floor(bytes_saved::DOUBLE / bytes_total::DOUBLE
+        |      * 10000 + 0.5) / 10000 END AS savings_ratio
+        |FROM agg""".stripMargin,
     // Same 3 pruning rounds unrolled: degrees over the surviving
     // edge set, keep deg ≥ 2, filter edges to kept nodes.
     "graph_k_core" -> {

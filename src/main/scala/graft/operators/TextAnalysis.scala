@@ -951,6 +951,39 @@ object TextAnalysis {
         .orderBy("lang")
     }),
 
+    // DISTINCT-N DIVERSITY (round 14): distinct n-grams / total
+    // n-grams for n ∈ {1, 2, 3} per language — the standard
+    // generation-diversity metric (Li et al. 2016) a synthetic-data
+    // pipeline reads before mixing model-generated text in (mode
+    // collapse reads as a cratered distinct-2/3; TTR is its n=1
+    // special case at corpus grain). ALL n's ride one tagged frame
+    // (the sweep discipline): tokens n-gram via one array transform
+    // per (doc, n) — no positional self-join; the count is a
+    // vocabulary-shaped aggregate per (lang, n); one guarded r4
+    // ratio. Exact countDistinct (no sketch — the ratio IS the
+    // metric; at 100 TB swap in approx_count_distinct and declare
+    // the rsd, the dau_sketch precedent).
+    "text_distinct_n" -> ((s, d) => {
+      import s.implicits._
+      val base = TestData.documents(s, d)
+        .select(col("lang"), split(col("text"), " ").as("toks"))
+      val tagged = base
+        .crossJoin(broadcast(Seq(1, 2, 3).toDF("n")))
+        .select(col("lang"), col("n"), explode(expr(
+          "CASE WHEN size(toks) < n THEN array() " +
+            "ELSE transform(sequence(1, size(toks) - n + 1), " +
+            "i -> array_join(slice(toks, i, n), ' ')) END")).as("g"))
+      tagged.groupBy("lang", "n")
+        .agg(count(lit(1)).as("total_ngrams"),
+          countDistinct(col("g")).as("distinct_ngrams"))
+        .withColumn("distinct_ratio", when(col("total_ngrams") > 0,
+          r4(col("distinct_ngrams").cast("double")
+            / col("total_ngrams").cast("double"))))
+        .select("lang", "n", "total_ngrams", "distinct_ngrams",
+          "distinct_ratio")
+        .orderBy("lang", "n")
+    }),
+
     // BURROWS DELTA (round 14): the stylometric distance between
     // language sub-corpora over the top-50 corpus words — the
     // authorship-attribution workhorse (Burrows 2002) repurposed as
@@ -1639,6 +1672,25 @@ object TextAnalysis {
         |FROM a ORDER BY lang""".stripMargin,
     // Same vocabulary-shaped algebra: present-token terms micro-nat
     // quantized, absent-token mass as the (1 − Σq)·ln2 closure.
+    // One tagged frame over n in {1,2,3}; DuckDB list slices are
+    // 1-based inclusive so toks[i : i+n-1] is the n-gram.
+    "text_distinct_n" ->
+      """WITH t AS (
+        |  SELECT lang, string_split(text, ' ') AS toks FROM documents),
+        |tn AS (
+        |  SELECT lang, toks, n
+        |  FROM t, (SELECT unnest([1, 2, 3]) AS n) ns
+        |  WHERE len(toks) >= n),
+        |tagged AS (
+        |  SELECT lang, n, array_to_string(toks[i : i + n - 1], ' ') AS g
+        |  FROM tn,
+        |    LATERAL (SELECT unnest(range(1, len(toks) - n + 2)) AS i) r)
+        |SELECT lang, n, count(*)::BIGINT AS total_ngrams,
+        |  count(DISTINCT g)::BIGINT AS distinct_ngrams,
+        |  CASE WHEN count(*) > 0 THEN
+        |    floor(count(DISTINCT g)::DOUBLE / count(*)::DOUBLE
+        |      * 10000 + 0.5) / 10000 END AS distinct_ratio
+        |FROM tagged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Mean-cancelled pairwise z: integer micro-rates, exact variance
     // numerator, micro-quantized |dF|/sigma terms, guarded divisor.
     "text_burrows_delta" ->

@@ -765,6 +765,32 @@ class PropertySpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("icc")))
   }
 
+  test("distinct-n rises with n on the fixture; storage savings reconcile with survivors") {
+    val dn = TextAnalysis.defs("text_distinct_n")(spark, sfDir)
+      .select("lang", "n", "total_ngrams", "distinct_ngrams",
+        "distinct_ratio")
+      .as[(String, Int, Long, Long, Double)].collect()
+      .groupBy(_._1)
+    dn.values.foreach { rows =>
+      val byN = rows.sortBy(_._2)
+      assert(byN.map(_._2).toSeq === Seq(1, 2, 3))
+      byN.foreach { r =>
+        assert(r._4 <= r._3 && r._5 > 0.0 && r._5 <= 1.0, s"$r")
+      }
+      assert(byN.map(_._5).sliding(2).forall(p => p(0) <= p(1)),
+        s"templated text: longer n-grams must be more distinct: ${byN.toSeq}")
+    }
+    val sv = GraphOps.defs("dedup_storage_savings")(spark, sfDir)
+      .collect()(0)
+    val surv = GraphOps.defs("dedup_survivors")(spark, sfDir)
+      .select("n_docs", "n_survivors").as[(Long, Long)].collect()
+    assert(sv.getAs[Long]("n_docs") === surv.map(_._1).sum,
+      "doc total must reconcile with the per-lang survivors key")
+    assert(sv.getAs[Long]("n_survivors") === surv.map(_._2).sum,
+      "survivor total must reconcile with the per-lang survivors key")
+    assert(sv.getAs[Long]("bytes_saved") < sv.getAs[Long]("bytes_total"))
+  }
+
   test("score calibration: ECE reconciles with per-bin gaps and pair totals") {
     val rows = TextOps.defs("eval_score_calibration")(spark, sfDir)
       .select("bin", "n_pairs", "n_pos", "gap", "ece")
