@@ -4438,6 +4438,41 @@ class GraftEngine(val spark: SparkSession) {
       units.select(col(clusterCol).as("cluster"),
         col(yCol).cast("long").as("y")))
 
+  /** Cliff's delta ordinal effect size (see `agg_cliffs_delta`)
+    * between two groups of a value column: δ = (gt − lt)/(n_a·n_b)
+    * with exact pair counts off the value-distinct cell grid, plus
+    * the Romano magnitude band. One-sided / empty inputs read NULL
+    * delta, never a throw.
+    */
+  def cliffsDelta(df: DataFrame, valueCol: String, groupCol: String,
+                  aLabel: String = "control",
+                  bLabel: String = "treatment"): DataFrame =
+    graft.operators.Stats.cliffsDelta(
+      twoGroupCells(df, valueCol, groupCol, aLabel, bLabel))
+
+  /** Mood's median test (see `agg_mood_median`) between two groups:
+    * 2×2 above/not-above the grand lower median with exact counts
+    * and the Pearson χ² (1 df) verdict at 95 %. Zero marginals read
+    * NULL χ².
+    */
+  def moodMedianTest(df: DataFrame, valueCol: String, groupCol: String,
+                     aLabel: String = "control",
+                     bLabel: String = "treatment"): DataFrame =
+    graft.operators.Stats.moodMedian(
+      twoGroupCells(df, valueCol, groupCol, aLabel, bLabel))
+
+  /** Jarque-Bera normality test (see `agg_jarque_bera`) per group
+    * over integer-unit values: skewness, excess kurtosis, JB and
+    * the χ²₂ 5 % verdict from one pass of exact-BIGINT raw moments
+    * (n·max(x)⁴ < 2^63 — pre-scale x past that). Constant groups
+    * read NULL.
+    */
+  def jarqueBera(df: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame =
+    graft.operators.Stats.jarqueBera(
+      df.select(col(groupCol).as("flag"),
+        col(valueCol).cast("long").as("x")))
+
   /** Schuirmann TOST equivalence (see `events_ab_tost`) over
     * (variant 0/1, success 0/1) rows at margin δ = 0.01 absolute
     * rate difference — "is treatment EQUIVALENT within δ", the

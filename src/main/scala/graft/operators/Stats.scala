@@ -205,7 +205,185 @@ object Stats {
         col("icc"), col("deff"))
   }
 
+  /** Cliff's delta core (see `agg_cliffs_delta`): input the
+    * (x, cc, ct) value-distinct two-group cell grid, output the
+    * 1-row ordinal-effect-size readout. gt/lt/tie pair counts are
+    * exact BIGINTs off one cumulative window over the grid
+    * (ct·cum_cc < n_c·n_t < 2^63 to ~3e9 users — the KS bound);
+    * delta and the Romano magnitude band are the only readout
+    * floats. Shared with `GraftEngine.cliffsDelta`.
+    */
+  private[graft] def cliffsDelta(cells: DataFrame): DataFrame = {
+    val W = Window.orderBy("x")
+    cells
+      .withColumn("cum_cc_lt",
+        coalesce(sum("cc").over(
+          W.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .agg(sum("cc").as("n_control"), sum("ct").as("n_treatment"),
+        sum(col("ct") * col("cum_cc_lt")).as("n_gt"),
+        sum(col("ct") * col("cc")).as("n_tie"))
+      .withColumn("n_lt", col("n_control") * col("n_treatment")
+        - col("n_gt") - col("n_tie"))
+      .withColumn("delta",
+        when(col("n_control") * col("n_treatment") > 0,
+          TestData.r4((col("n_gt") - col("n_lt")).cast("double")
+            / (col("n_control") * col("n_treatment")).cast("double"))))
+      // Romano et al. bands on the r4'd delta — the quantized value
+      // is what both engines band, so the boundary is engine-stable.
+      .withColumn("magnitude",
+        when(col("delta").isNull, lit(null).cast("string"))
+          .when(abs(col("delta")) < 0.147, "negligible")
+          .when(abs(col("delta")) < 0.33, "small")
+          .when(abs(col("delta")) < 0.474, "medium")
+          .otherwise("large"))
+      .select("n_control", "n_treatment", "n_gt", "n_tie", "n_lt",
+        "delta", "magnitude")
+  }
+
+  /** Mood's median test core (see `agg_mood_median`): input the
+    * (x, cc, ct) cell grid, output the 1-row 2×2 above/not-above
+    * grand-median readout. The grand median is the LOWER median by
+    * rank over the grid (cum_n·2 ≥ n+1 — the trimmed-mean rank
+    * convention); all four cell counts are exact BIGINTs; the
+    * Pearson χ² assembles once in doubles on the 1-row readout
+    * (N·det² overflows BIGINT at ~5e4 users, so the float readout
+    * is the spec — mirrored op order, r4). Any zero marginal ⇒
+    * NULL χ² (the x/0 definition-site guard). Shared with
+    * `GraftEngine.moodMedianTest`.
+    */
+  private[graft] def moodMedian(cells: DataFrame): DataFrame = {
+    val W = Window.orderBy("x")
+    val Wall = Window.partitionBy()
+    cells
+      .withColumn("cum_n", sum(col("cc") + col("ct")).over(
+        W.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("cc") + col("ct")).over(Wall))
+      .withColumn("m",
+        min(when(col("cum_n") * 2 >= col("n") + 1, col("x"))).over(Wall))
+      .agg(max("m").as("grand_median"),
+        sum(when(col("x") > col("m"), col("cc")).otherwise(0L))
+          .as("c_above"),
+        sum(when(col("x") <= col("m"), col("cc")).otherwise(0L))
+          .as("c_below"),
+        sum(when(col("x") > col("m"), col("ct")).otherwise(0L))
+          .as("t_above"),
+        sum(when(col("x") <= col("m"), col("ct")).otherwise(0L))
+          .as("t_below"))
+      .withColumn("chi2",
+        when((col("c_above") + col("c_below")) > 0
+            && (col("t_above") + col("t_below")) > 0
+            && (col("c_above") + col("t_above")) > 0
+            && (col("c_below") + col("t_below")) > 0,
+          TestData.r4(
+            (col("c_above") + col("c_below") + col("t_above")
+              + col("t_below")).cast("double")
+              * (col("c_above").cast("double")
+                  * col("t_below").cast("double")
+                - col("c_below").cast("double")
+                  * col("t_above").cast("double"))
+              * (col("c_above").cast("double")
+                  * col("t_below").cast("double")
+                - col("c_below").cast("double")
+                  * col("t_above").cast("double"))
+              / ((col("c_above") + col("c_below")).cast("double")
+                * (col("t_above") + col("t_below")).cast("double")
+                * (col("c_above") + col("t_above")).cast("double")
+                * (col("c_below") + col("t_below")).cast("double")))))
+      .withColumn("reject_95",
+        when(col("chi2").isNotNull, col("chi2") > 3.841459))
+      .select("grand_median", "c_above", "c_below", "t_above",
+        "t_below", "chi2", "reject_95")
+  }
+
+  /** Jarque-Bera normality core (see `agg_jarque_bera`): input
+    * (flag, x: integer units) rows, output per-flag skewness /
+    * excess kurtosis / JB with the χ²₂ 5 % verdict. Pure sufficient
+    * statistics — one map-side-combining pass collects (n, Σx..Σx⁴)
+    * exact BIGINTs (Σx⁴ < 2^63 needs n·max(x)⁴ < 9.2e18: fine to
+    * ~1.5e12 rows at x ≤ 50, pre-scale x past that); central
+    * moments and JB assemble once in doubles on the group-count
+    * readout, mirrored op order, r4. m2 ≤ 0 (constant group) and
+    * n = 0 read NULL at the definition site — never an ANSI throw.
+    */
+  private[graft] def jarqueBera(units: DataFrame): DataFrame =
+    units.groupBy("flag")
+      .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+      .withColumn("mean", when(col("n") > 0,
+        col("s1").cast("double") / col("n").cast("double")))
+      .withColumn("m2", when(col("n") > 0,
+        col("s2").cast("double") / col("n").cast("double")
+          - col("mean") * col("mean")))
+      .withColumn("m3", when(col("n") > 0,
+        col("s3").cast("double") / col("n").cast("double")
+          - lit(3.0) * col("mean")
+            * (col("s2").cast("double") / col("n").cast("double"))
+          + lit(2.0) * col("mean") * col("mean") * col("mean")))
+      .withColumn("m4", when(col("n") > 0,
+        col("s4").cast("double") / col("n").cast("double")
+          - lit(4.0) * col("mean")
+            * (col("s3").cast("double") / col("n").cast("double"))
+          + lit(6.0) * col("mean") * col("mean")
+            * (col("s2").cast("double") / col("n").cast("double"))
+          - lit(3.0) * col("mean") * col("mean") * col("mean")
+            * col("mean")))
+      .withColumn("skewness", when(col("m2") > 0,
+        TestData.r4(col("m3") / (col("m2") * sqrt(col("m2"))))))
+      .withColumn("kurtosis_excess", when(col("m2") > 0,
+        TestData.r4(col("m4") / (col("m2") * col("m2")) - 3.0)))
+      .withColumn("jb", when(col("m2") > 0,
+        TestData.r4(col("n").cast("double") / 6.0
+          * (col("skewness") * col("skewness")
+            + col("kurtosis_excess") * col("kurtosis_excess") / 4.0))))
+      .withColumn("normal_rejected_95",
+        when(col("jb").isNotNull, col("jb") > 5.991465))
+      .select(col("flag"), col("n"),
+        when(col("mean").isNotNull, TestData.r4(col("mean")))
+          .as("mean"),
+        col("skewness"), col("kurtosis_excess"), col("jb"),
+        col("normal_rejected_95"))
+      .orderBy("flag")
+
   val defs: Map[String, Q] = Map(
+    // CLIFF'S DELTA (round 15): the ordinal effect size published
+    // next to agg_mann_whitney's p — "what FRACTION of cross-variant
+    // pairs does treatment win, net of losses" (δ = (gt−lt)/(n_c·n_t),
+    // the quantity a heavy-tailed experiment readout trusts when
+    // Cohen's d's means are unstable). Same value-distinct cell grid
+    // as the U test: gt = Σ ct·cumcc(<v), tie = Σ ct·cc, lt by the
+    // pair-count identity — all exact BIGINTs (bounded by n_c·n_t,
+    // the KS cross-multiplication bound). Romano magnitude bands on
+    // the r4'd delta. Identities 2·gt + tie = U2 and
+    // gt+lt+tie = n_c·n_t pinned in EngineApiSpec against the MW key.
+    "agg_cliffs_delta" -> ((s, d) => cliffsDelta(variantUnitCells(s, d))),
+
+    // MOOD'S MEDIAN TEST (round 15): the coarsest, most robust
+    // two-sample location test — "do the variants straddle the grand
+    // median equally" — the sanity gate a skew-heavy metric review
+    // runs when even rank tests feel fragile. Grand median = lower
+    // median by rank over the SAME cell grid (cum·2 ≥ n+1); the 2×2
+    // above/not-above counts are exact window-free aggregates of the
+    // grid; Pearson χ² (1 df) assembles once in doubles (N·det²
+    // passes 2^63 only to ~5e4 users — the documented reason the χ²
+    // is a float readout, not a cross-multiplied integer), mirrored,
+    // r4; any zero marginal ⇒ NULL χ² at the definition site.
+    "agg_mood_median" -> ((s, d) => moodMedian(variantUnitCells(s, d))),
+
+    // JARQUE-BERA (round 15): the normality gate per lineitem return
+    // flag — "can the t/z machinery downstream assume Gaussian tails
+    // on this segment's quantities" (JB = n/6·(g₁² + g₂²/4) against
+    // χ²₂). Whole-unit quantities via the floor(x+0.5) quantizer;
+    // ONE pass of exact-BIGINT raw moments n, Σx..Σx⁴ (bound
+    // documented on the core); moments→JB assembled once in doubles
+    // on the 3-row readout, r4'd skew/kurt feed JB so both engines
+    // band the identical quantized value.
+    "agg_jarque_bera" -> ((s, d) =>
+      jarqueBera(TestData.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          floor(col("l_quantity") + 0.5).cast("long").as("x")))),
+
     // MANN-WHITNEY U (round 10): the nonparametric A/B test the
     // experimentation stack reaches for when per-user value is
     // heavy-tailed and the t-test's mean is untrustworthy. U counts
@@ -1875,6 +2053,138 @@ object Stats {
       |  FROM zz)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same cells grid as the U test; gt/tie exact, lt by identity.
+    "agg_cliffs_delta" ->
+      s"""$CellsCte,
+        |cum AS (
+        |  SELECT *,
+        |    (coalesce(sum(cc) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+        |      AS cum_cc_lt
+        |  FROM cells),
+        |a AS (
+        |  SELECT sum(cc)::BIGINT AS n_control,
+        |    sum(ct)::BIGINT AS n_treatment,
+        |    sum(ct * cum_cc_lt)::BIGINT AS n_gt,
+        |    sum(ct * cc)::BIGINT AS n_tie
+        |  FROM cum),
+        |b AS (
+        |  SELECT *,
+        |    (n_control * n_treatment - n_gt - n_tie)::BIGINT AS n_lt,
+        |    CASE WHEN n_control * n_treatment > 0 THEN
+        |      floor((n_gt - (n_control * n_treatment - n_gt - n_tie))
+        |        ::DOUBLE / (n_control * n_treatment)::DOUBLE
+        |        * 10000 + 0.5) / 10000 END AS delta
+        |  FROM a)
+        |SELECT n_control, n_treatment, n_gt, n_tie, n_lt, delta,
+        |  CASE WHEN delta IS NULL THEN NULL
+        |    WHEN abs(delta) < 0.147 THEN 'negligible'
+        |    WHEN abs(delta) < 0.33 THEN 'small'
+        |    WHEN abs(delta) < 0.474 THEN 'medium'
+        |    ELSE 'large' END AS magnitude
+        |FROM b""".stripMargin,
+    // Lower median by rank over the grid, 2×2 exact counts, float
+    // Pearson χ² on the 1-row readout (mirrored op order).
+    "agg_mood_median" ->
+      s"""$CellsCte,
+        |cum AS (
+        |  SELECT *,
+        |    (sum(cc + ct) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS cum_n,
+        |    (sum(cc + ct) OVER ())::BIGINT AS n
+        |  FROM cells),
+        |md AS (
+        |  SELECT *,
+        |    (min(CASE WHEN cum_n * 2 >= n + 1 THEN x END) OVER ())
+        |      ::BIGINT AS m
+        |  FROM cum),
+        |a AS (
+        |  SELECT max(m)::BIGINT AS grand_median,
+        |    sum(CASE WHEN x > m THEN cc ELSE 0 END)::BIGINT AS c_above,
+        |    sum(CASE WHEN x <= m THEN cc ELSE 0 END)::BIGINT AS c_below,
+        |    sum(CASE WHEN x > m THEN ct ELSE 0 END)::BIGINT AS t_above,
+        |    sum(CASE WHEN x <= m THEN ct ELSE 0 END)::BIGINT AS t_below
+        |  FROM md),
+        |b AS (
+        |  SELECT *,
+        |    CASE WHEN c_above + c_below > 0 AND t_above + t_below > 0
+        |        AND c_above + t_above > 0 AND c_below + t_below > 0 THEN
+        |      floor((c_above + c_below + t_above + t_below)::DOUBLE
+        |        * (c_above::DOUBLE * t_below::DOUBLE
+        |          - c_below::DOUBLE * t_above::DOUBLE)
+        |        * (c_above::DOUBLE * t_below::DOUBLE
+        |          - c_below::DOUBLE * t_above::DOUBLE)
+        |        / ((c_above + c_below)::DOUBLE
+        |          * (t_above + t_below)::DOUBLE
+        |          * (c_above + t_above)::DOUBLE
+        |          * (c_below + t_below)::DOUBLE) * 10000 + 0.5) / 10000
+        |    END AS chi2
+        |  FROM a)
+        |SELECT grand_median, c_above, c_below, t_above, t_below, chi2,
+        |  CASE WHEN chi2 IS NOT NULL THEN chi2 > 3.841459 END
+        |    AS reject_95
+        |FROM b""".stripMargin,
+    // Exact-BIGINT raw moments per flag; moments → JB in doubles on
+    // the 3-row readout; r4'd skew/kurt feed JB (both engines band
+    // the identical quantized value).
+    "agg_jarque_bera" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS flag,
+        |    floor(l_quantity + 0.5)::BIGINT AS x
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT flag, count(*)::BIGINT AS n, sum(x)::BIGINT AS s1,
+        |    sum(x * x)::BIGINT AS s2, sum(x * x * x)::BIGINT AS s3,
+        |    sum(x * x * x * x)::BIGINT AS s4
+        |  FROM base GROUP BY 1),
+        |m AS (
+        |  SELECT flag, n,
+        |    CASE WHEN n > 0 THEN s1::DOUBLE / n::DOUBLE END AS mean,
+        |    CASE WHEN n > 0 THEN s2::DOUBLE / n::DOUBLE
+        |      - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)
+        |    END AS m2,
+        |    CASE WHEN n > 0 THEN s3::DOUBLE / n::DOUBLE
+        |      - 3.0 * (s1::DOUBLE / n::DOUBLE)
+        |        * (s2::DOUBLE / n::DOUBLE)
+        |      + 2.0 * (s1::DOUBLE / n::DOUBLE)
+        |        * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)
+        |    END AS m3,
+        |    CASE WHEN n > 0 THEN s4::DOUBLE / n::DOUBLE
+        |      - 4.0 * (s1::DOUBLE / n::DOUBLE)
+        |        * (s3::DOUBLE / n::DOUBLE)
+        |      + 6.0 * (s1::DOUBLE / n::DOUBLE)
+        |        * (s1::DOUBLE / n::DOUBLE) * (s2::DOUBLE / n::DOUBLE)
+        |      - 3.0 * (s1::DOUBLE / n::DOUBLE)
+        |        * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)
+        |        * (s1::DOUBLE / n::DOUBLE)
+        |    END AS m4
+        |  FROM g),
+        |sk AS (
+        |  SELECT flag, n, mean, m2,
+        |    CASE WHEN m2 > 0 THEN
+        |      floor(m3 / (m2 * sqrt(m2)) * 10000 + 0.5) / 10000
+        |    END AS skewness,
+        |    CASE WHEN m2 > 0 THEN
+        |      floor((m4 / (m2 * m2) - 3.0) * 10000 + 0.5) / 10000
+        |    END AS kurtosis_excess
+        |  FROM m),
+        |jb AS (
+        |  SELECT *,
+        |    CASE WHEN m2 > 0 THEN
+        |      floor(n::DOUBLE / 6.0 * (skewness * skewness
+        |        + kurtosis_excess * kurtosis_excess / 4.0)
+        |        * 10000 + 0.5) / 10000
+        |    END AS jb
+        |  FROM sk)
+        |SELECT flag, n,
+        |  CASE WHEN mean IS NOT NULL THEN
+        |    floor(mean * 10000 + 0.5) / 10000 END AS mean,
+        |  skewness, kurtosis_excess, jb,
+        |  CASE WHEN jb IS NOT NULL THEN jb > 5.991465 END
+        |    AS normal_rejected_95
+        |FROM jb
+        |ORDER BY flag""".stripMargin,
     "agg_mann_whitney" ->
       s"""$CellsCte,
         |cum AS (

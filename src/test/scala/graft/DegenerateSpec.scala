@@ -760,6 +760,36 @@ class DegenerateSpec extends SparkSpec {
       "label", ef(Nil)), "louvainCoarsen/no-edges")
   }
 
+  test("cliffsDelta / moodMedianTest / jarqueBera survive degenerate frames") {
+    val schema = StructType(Seq(StructField("g", StringType),
+      StructField("v", LongType)))
+    def f(rows: Seq[(String, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), schema)
+    assertClean(engine.cliffsDelta(f(Nil), "v", "g"), "cliffs/empty")
+    // one-sided split: n_t = 0 ⇒ delta and magnitude NULL
+    val oneSided = engine.cliffsDelta(
+      f(Seq(("control", 1L), ("control", 2L))), "v", "g").collect()(0)
+    assert(oneSided.isNullAt(oneSided.fieldIndex("delta")))
+    assert(oneSided.isNullAt(oneSided.fieldIndex("magnitude")))
+    assertClean(engine.moodMedianTest(f(Nil), "v", "g"), "mood/empty")
+    // single row: a zero marginal ⇒ NULL χ², never a throw
+    val single = engine.moodMedianTest(
+      f(Seq(("control", 5L))), "v", "g").collect()(0)
+    assert(single.isNullAt(single.fieldIndex("chi2")))
+    assertClean(engine.moodMedianTest(
+      f(Seq(("control", -5L), ("treatment", -5L))), "v", "g"),
+      "mood/constant-negative")
+    assertClean(engine.jarqueBera(f(Nil), "g", "v"), "jb/empty")
+    // constant group: m2 = 0 ⇒ NULL skew/kurt/jb at the definition
+    // site (the x/0 guard), n and mean still read
+    val cjb = engine.jarqueBera(
+      f(Seq(("a", 7L), ("a", 7L), ("a", 7L))), "g", "v").collect()(0)
+    assert(cjb.isNullAt(cjb.fieldIndex("jb")))
+    assert(cjb.getAs[Double]("mean") === 7.0)
+    assertClean(engine.jarqueBera(f(Seq(("b", -3L))), "g", "v"),
+      "jb/single-negative")
+  }
+
   test("huberMean survives empty / constant / single-row groups") {
     val hschema = StructType(Seq(StructField("seg", StringType),
       StructField("tie", LongType), StructField("cents", LongType)))

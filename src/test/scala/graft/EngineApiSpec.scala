@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 179, "documented facade count drifted; methods: "
+    assert(names.length === 182, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1352,6 +1352,43 @@ class EngineApiSpec extends SparkSpec {
     val viaApi = engine.holtWintersInterval(hourly, "hr", "cnt")
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
+  }
+
+  test("cliffsDelta / moodMedianTest / jarqueBera facades match their keys") {
+    val d = sf("sf0.001")
+    // the declared keys' per-user whole-unit value + md5 split,
+    // reconstructed as the facade's (value, group) input
+    val pu = TestData.events(spark, d)
+      .withColumn("v_u", floor($"value" * 1000000 + 0.5).cast("long"))
+      .groupBy("user_id").agg(sum("v_u").as("sum_u"))
+      .withColumn("variant",
+        when(conv(substring(md5($"user_id".cast("string")), 1, 2),
+          16, 10).cast("int") % 2 === 0, "control").otherwise("treatment"))
+      .withColumn("x",
+        floor($"sum_u".cast("double") / 1000000.0).cast("long"))
+    val cdRows = SparkEntry.queries("agg_cliffs_delta")(spark, d).collect()
+    assert(engine.cliffsDelta(pu, "x", "variant")
+      .collect().map(_.toSeq).toSeq === cdRows.map(_.toSeq).toSeq)
+    // pair-count identities against the Mann-Whitney key on the
+    // same grid: gt+lt+tie = n_c·n_t and 2·gt + tie = U2.
+    val cd = cdRows(0)
+    val mw = SparkEntry.queries("agg_mann_whitney")(spark, d).collect()(0)
+    val (gt, lt, tie) = (cd.getAs[Long]("n_gt"), cd.getAs[Long]("n_lt"),
+      cd.getAs[Long]("n_tie"))
+    assert(gt + lt + tie ===
+      cd.getAs[Long]("n_control") * cd.getAs[Long]("n_treatment"))
+    assert(2 * gt + tie === mw.getAs[Long]("u2_treatment"))
+    assert(engine.moodMedianTest(pu, "x", "variant")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("agg_mood_median")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    val li = TestData.lineitem(spark, d)
+      .select($"l_returnflag".as("g"),
+        floor($"l_quantity" + 0.5).cast("long").as("q"))
+    assert(engine.jarqueBera(li, "g", "q")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("agg_jarque_bera")(spark, d)
+        .collect().map(_.toSeq).toSeq)
   }
 
   test("huberMean / designEffect facades match their keys") {
