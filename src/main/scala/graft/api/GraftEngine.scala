@@ -4473,6 +4473,88 @@ class GraftEngine(val spark: SparkSession) {
       df.select(col(groupCol).as("flag"),
         col(valueCol).cast("long").as("x")))
 
+  /** Turning point randomness test (see `ts_turning_points`) over
+    * an ordered (orderCol, valueCol) series: strict local extrema
+    * vs Kendall's iid moments. Series shorter than 3 reads NULL z.
+    */
+  def turningPointTest(series: DataFrame, orderCol: String,
+                       valueCol: String): DataFrame =
+    graft.operators.TimeSeries.turningPointCore(
+      series.select(col(orderCol).as("hr"),
+        col(valueCol).cast("long").as("n")))
+
+  /** Order-3 Bandt-Pompe permutation entropy (see
+    * `ts_permutation_entropy`) over an ordered (orderCol, valueCol)
+    * series: pattern-histogram entropy in nats + the ln(6)-
+    * normalized h ∈ [0,1]. Ties rank by time.
+    */
+  def permutationEntropy(series: DataFrame, orderCol: String,
+                         valueCol: String): DataFrame =
+    graft.operators.TimeSeries.permutationEntropyCore(
+      series.select(col(orderCol).as("hr"),
+        col(valueCol).cast("long").as("a")))
+
+  /** Brier score + Murphy decomposition (see `eval_brier_score`)
+    * over (score 1e-4-unit BIGINT, label 0/1) rows: the proper-
+    * scoring-rule verdict on whether a detector score is calibrated
+    * AND discriminating. Empty input reads NULL.
+    */
+  def brierScore(scored: DataFrame, scoreCol: String,
+                 labelCol: String): DataFrame =
+    graft.operators.TextOps.brierScore(
+      scored.select(col(scoreCol).cast("long").as("score_u"),
+        col(labelCol).cast("long").as("is_pos")))
+
+  /** Coleman-Liau index (see `text_coleman_liau`) of (`id`, `text`)
+    * rows — the character-based readability grade (no syllable
+    * heuristic). Zero-word docs are dropped.
+    */
+  def colemanLiau(docs: DataFrame): DataFrame = {
+    val words = regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))
+    docs
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("n_sentences", greatest(lit(1L),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .cast("long")))
+      .withColumn("n_letters", aggregate(
+        transform(words, w => length(w).cast("long")),
+        lit(0L), (acc, x) => acc + x))
+      .filter(col("n_words") > 0)
+      .withColumn("cli", TestData.r4(lit(0.0588)
+        * (lit(100.0) * col("n_letters").cast("double")
+          / col("n_words").cast("double"))
+        - lit(0.296) * (lit(100.0) * col("n_sentences").cast("double")
+          / col("n_words").cast("double"))
+        - lit(15.8)))
+      .select("id", "n_words", "n_sentences", "n_letters", "cli")
+      .orderBy("id")
+  }
+
+  /** Automated Readability Index (see `text_ari`) of (`id`, `text`)
+    * rows — the second character-based grade, weighting
+    * words-per-sentence where CLI weights letters-per-word.
+    */
+  def ariIndex(docs: DataFrame): DataFrame = {
+    val words = regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))
+    docs
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("n_sentences", greatest(lit(1L),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .cast("long")))
+      .withColumn("n_letters", aggregate(
+        transform(words, w => length(w).cast("long")),
+        lit(0L), (acc, x) => acc + x))
+      .filter(col("n_words") > 0)
+      .withColumn("ari", TestData.r4(lit(4.71)
+        * (col("n_letters").cast("double")
+          / col("n_words").cast("double"))
+        + lit(0.5) * (col("n_words").cast("double")
+          / col("n_sentences").cast("double"))
+        - lit(21.43)))
+      .select("id", "n_words", "n_sentences", "n_letters", "ari")
+      .orderBy("id")
+  }
+
   /** Schuirmann TOST equivalence (see `events_ab_tost`) over
     * (variant 0/1, success 0/1) rows at margin δ = 0.01 absolute
     * rate difference — "is treatment EQUIVALENT within δ", the

@@ -721,6 +721,64 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // COLEMAN-LIAU INDEX (round 15): the CHARACTER-based readability
+    // grade — unlike Flesch/fog it needs no syllable heuristic (the
+    // weakest part of both), so it is the cross-check a text-quality
+    // gate publishes when the vowel-group syllable proxy is suspect
+    // (code-mixed or transliterated text). CLI = 0.0588·L − 0.296·S
+    // − 15.8 with L = letters per 100 words, S = sentences per 100
+    // words; letters = Σ len(word) over the same [a-z0-9]+ word
+    // extraction as Flesch (one doc-local HOF fold) — all-integer
+    // per-doc counts, ONE mirrored double expression r4'd,
+    // embarrassingly parallel at any scale.
+    "text_coleman_liau" -> ((s, d) => {
+      val words = regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))
+      TestData.documents(s, d)
+        .withColumn("n_words", size(words).cast("long"))
+        .withColumn("n_sentences", greatest(lit(1L),
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+            .cast("long")))
+        .withColumn("n_letters", aggregate(
+          transform(words, w => length(w).cast("long")),
+          lit(0L), (acc, x) => acc + x))
+        .filter(col("n_words") > 0)
+        .withColumn("cli", r4(lit(0.0588)
+          * (lit(100.0) * col("n_letters").cast("double")
+            / col("n_words").cast("double"))
+          - lit(0.296) * (lit(100.0) * col("n_sentences").cast("double")
+            / col("n_words").cast("double"))
+          - lit(15.8)))
+        .select("doc_id", "n_words", "n_sentences", "n_letters", "cli")
+        .orderBy("doc_id")
+    }),
+
+    // AUTOMATED READABILITY INDEX (round 15): the second character-
+    // based grade, published next to CLI because they weight
+    // OPPOSITE ratios (ARI leans on words-per-sentence, CLI on
+    // letters-per-word) — together with Flesch/fog they bracket the
+    // readability spread a corpus-quality dashboard reports. ARI =
+    // 4.71·(letters/words) + 0.5·(words/sentences) − 21.43; same
+    // integer per-doc counts, one mirrored expression, r4.
+    "text_ari" -> ((s, d) => {
+      val words = regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))
+      TestData.documents(s, d)
+        .withColumn("n_words", size(words).cast("long"))
+        .withColumn("n_sentences", greatest(lit(1L),
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+            .cast("long")))
+        .withColumn("n_letters", aggregate(
+          transform(words, w => length(w).cast("long")),
+          lit(0L), (acc, x) => acc + x))
+        .filter(col("n_words") > 0)
+        .withColumn("ari", r4(lit(4.71)
+          * (col("n_letters").cast("double") / col("n_words").cast("double"))
+          + lit(0.5) * (col("n_words").cast("double")
+            / col("n_sentences").cast("double"))
+          - lit(21.43)))
+        .select("doc_id", "n_words", "n_sentences", "n_letters", "ari")
+        .orderBy("doc_id")
+    }),
+
     // LOG-ODDS WORDS (round 13): Monroe et al.'s "Fightin' Words" —
     // which tokens distinguish English text from the rest of the
     // corpus, with the Dirichlet-prior z-score that fixes both raw
@@ -1523,6 +1581,39 @@ object TextAnalysis {
         |  floor(0.4 * (n_words::DOUBLE / n_sentences::DOUBLE
         |    + 100.0 * (n_complex::DOUBLE / n_words::DOUBLE))
         |    * 10000 + 0.5) / 10000 AS fog
+        |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+    // Letters via list_transform len + list_sum; same word/sentence
+    // extraction as the Flesch oracle; one mirrored expression.
+    "text_coleman_liau" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS n_words,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+        |      AS n_sentences,
+        |    coalesce(list_sum(list_transform(
+        |      regexp_extract_all(text, '[a-z0-9]+'), w -> len(w))),
+        |      0)::BIGINT AS n_letters
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_letters,
+        |  floor((0.0588 * (100.0 * n_letters::DOUBLE / n_words::DOUBLE)
+        |    - 0.296 * (100.0 * n_sentences::DOUBLE / n_words::DOUBLE)
+        |    - 15.8) * 10000 + 0.5) / 10000 AS cli
+        |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+    // Same counts, opposite ratio weights (ARI formula), mirrored.
+    "text_ari" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS n_words,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+        |      AS n_sentences,
+        |    coalesce(list_sum(list_transform(
+        |      regexp_extract_all(text, '[a-z0-9]+'), w -> len(w))),
+        |      0)::BIGINT AS n_letters
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_letters,
+        |  floor((4.71 * (n_letters::DOUBLE / n_words::DOUBLE)
+        |    + 0.5 * (n_words::DOUBLE / n_sentences::DOUBLE)
+        |    - 21.43) * 10000 + 0.5) / 10000 AS ari
         |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
     // Per-row closed-form δ/z with the flat prior; quantized |z|
     // sort key; top-20.

@@ -516,6 +516,54 @@ object TextOps {
     * `detectorAuc` (parity-pinned in EngineApiSpec); the grid ≡
     * brute-force-pairwise identity is pinned in ClosedFormProps.
     */
+  /** Brier score + Murphy decomposition core (see
+    * `eval_brier_score`): input (score_u: BIGINT 1e-4-unit score,
+    * is_pos: BIGINT 0/1) rows, output the 1-row readout. BS
+    * numerator Σ(score_u − y·1e4)² exact BIGINT (term ≤ 1e8 ⇒ safe
+    * to ~9e10 pairs); reliability = Σ gap²//n_b over DIV-1000 bins
+    * (all positive ⇒ Spark DIV ≡ DuckDB //; needs n_b < 3e5 — split
+    * bins past that); resolution terms micro-quantized per bin
+    * before the sum. Shared with `GraftEngine.brierScore`.
+    */
+  private[graft] def brierScore(scored: DataFrame): DataFrame = {
+    val W = Window.partitionBy(lit(1))
+    scored
+      .withColumn("bin", expr("score_u DIV 1000"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_b"), sum("is_pos").as("pos_b"),
+        sum("score_u").as("s_b"),
+        sum((col("score_u") - col("is_pos") * 10000L)
+          * (col("score_u") - col("is_pos") * 10000L)).as("sq_b"))
+      .withColumn("gap_num", abs(col("pos_b") * 10000L - col("s_b")))
+      .withColumn("rel_t", expr("(gap_num * gap_num) DIV n_b"))
+      .withColumn("nn", sum("n_b").over(W))
+      .withColumn("pp", sum("pos_b").over(W))
+      .withColumn("res_u", floor(col("n_b").cast("double")
+        * (col("pos_b").cast("double") / col("n_b").cast("double")
+          - col("pp").cast("double") / col("nn").cast("double"))
+        * (col("pos_b").cast("double") / col("n_b").cast("double")
+          - col("pp").cast("double") / col("nn").cast("double"))
+        * 1000000 + 0.5).cast("long"))
+      .agg(max("nn").as("n_pairs"), max("pp").as("n_pos"),
+        sum("sq_b").as("bs_num"), sum("rel_t").as("rel_num"),
+        sum("res_u").as("res_micro"))
+      .withColumn("brier", when(col("n_pairs") > 0,
+        r4(col("bs_num").cast("double")
+          / (col("n_pairs") * 100000000L).cast("double"))))
+      .withColumn("reliability", when(col("n_pairs") > 0,
+        r4(col("rel_num").cast("double")
+          / (col("n_pairs") * 100000000L).cast("double"))))
+      .withColumn("resolution", when(col("n_pairs") > 0,
+        r4(col("res_micro").cast("double")
+          / (col("n_pairs").cast("double") * 1000000.0))))
+      .withColumn("uncertainty", when(col("n_pairs") > 0,
+        r4(col("n_pos").cast("double") / col("n_pairs").cast("double")
+          * (lit(1.0) - col("n_pos").cast("double")
+            / col("n_pairs").cast("double")))))
+      .select("n_pairs", "n_pos", "brier", "reliability",
+        "resolution", "uncertainty")
+  }
+
   private[graft] def detectorAuc(scored: DataFrame): DataFrame = {
     val W = Window.partitionBy("detector").orderBy("score_u")
     val Wd = Window.partitionBy("detector").orderBy(col("score_u").desc)
@@ -834,6 +882,25 @@ object TextOps {
         .orderBy("bin")
     }),
 
+    // BRIER SCORE + MURPHY DECOMPOSITION (round 15): the proper-
+    // scoring-rule closer of the eval family — AUC ranks, the sweep
+    // picks a threshold, calibration draws the reliability curve,
+    // and Brier = reliability − resolution + uncertainty says in ONE
+    // number whether the score is both calibrated AND discriminating
+    // (a detector can ace AUC yet carry a uselessly flat score).
+    // Exactness: BS numerator Σ(score_u − y·1e4)² is an exact BIGINT
+    // (term ≤ 1e8 ⇒ safe to ~9e10 pairs — documented); reliability
+    // reuses calibration's exact |pos·1e4 − Σscore| bin numerators
+    // as gap² DIV n_b (all positive ⇒ Spark DIV ≡ DuckDB //; gap² <
+    // 2^63 needs n_b < 3e5 — documented, split bins past that);
+    // resolution terms n_b·(acc_b − ȳ)² are per-bin closed forms
+    // micro-quantized BEFORE the sum (PSI protocol). Same memoized
+    // planted scored-pair stage; grid = ≤ 11 bins.
+    "eval_brier_score" -> ((s, d) =>
+      brierScore(plantedDetectorScores(s, d)
+        .filter(col("detector") === "jaccard")
+        .select("score_u", "is_pos"))),
+
     // Character-3-gram Jaccard near-dup pairs (> 0.7): catches
     // near-dups that word tokenization misses (joined/split words,
     // punctuation edits) — the n-gram member of the dedup family.
@@ -1082,6 +1149,55 @@ object TextOps {
         |  floor(tot_gap::DOUBLE / (tot_n * 10000)::DOUBLE
         |    * 10000 + 0.5) / 10000 AS ece
         |FROM g ORDER BY bin""".stripMargin,
+    // Same jac CTEs; exact BIGINT BS numerator + gap²//n_b
+    // reliability terms; resolution terms micro-quantized per bin
+    // before the sum (mirrored op order).
+    "eval_brier_score" ->
+      s"""$PlantedJacCtes,
+        |lab AS (
+        |  SELECT score_u // 1000 AS bin, score_u,
+        |    CASE WHEN id_b = id_a + 1000000 AND id_a % 5 = 0
+        |      THEN 1 ELSE 0 END AS is_pos
+        |  FROM jac),
+        |bins AS (
+        |  SELECT bin, count(*)::BIGINT AS n_b,
+        |    sum(is_pos)::BIGINT AS pos_b, sum(score_u)::BIGINT AS s_b,
+        |    sum((score_u - is_pos * 10000) * (score_u - is_pos * 10000))
+        |      ::BIGINT AS sq_b
+        |  FROM lab GROUP BY 1),
+        |g AS (
+        |  SELECT *, abs(pos_b * 10000 - s_b)::BIGINT AS gap_num,
+        |    (sum(n_b) OVER ())::BIGINT AS nn,
+        |    (sum(pos_b) OVER ())::BIGINT AS pp
+        |  FROM bins),
+        |h AS (
+        |  SELECT *,
+        |    ((gap_num * gap_num) // n_b)::BIGINT AS rel_t,
+        |    floor(n_b::DOUBLE
+        |      * (pos_b::DOUBLE / n_b::DOUBLE - pp::DOUBLE / nn::DOUBLE)
+        |      * (pos_b::DOUBLE / n_b::DOUBLE - pp::DOUBLE / nn::DOUBLE)
+        |      * 1000000 + 0.5)::BIGINT AS res_u
+        |  FROM g),
+        |a AS (
+        |  SELECT max(nn)::BIGINT AS n_pairs, max(pp)::BIGINT AS n_pos,
+        |    sum(sq_b)::BIGINT AS bs_num, sum(rel_t)::BIGINT AS rel_num,
+        |    sum(res_u)::BIGINT AS res_micro
+        |  FROM h)
+        |SELECT n_pairs, n_pos,
+        |  CASE WHEN n_pairs > 0 THEN
+        |    floor(bs_num::DOUBLE / (n_pairs * 100000000)::DOUBLE
+        |      * 10000 + 0.5) / 10000 END AS brier,
+        |  CASE WHEN n_pairs > 0 THEN
+        |    floor(rel_num::DOUBLE / (n_pairs * 100000000)::DOUBLE
+        |      * 10000 + 0.5) / 10000 END AS reliability,
+        |  CASE WHEN n_pairs > 0 THEN
+        |    floor(res_micro::DOUBLE / (n_pairs::DOUBLE * 1000000.0)
+        |      * 10000 + 0.5) / 10000 END AS resolution,
+        |  CASE WHEN n_pairs > 0 THEN
+        |    floor(n_pos::DOUBLE / n_pairs::DOUBLE
+        |      * (1.0 - n_pos::DOUBLE / n_pairs::DOUBLE)
+        |      * 10000 + 0.5) / 10000 END AS uncertainty
+        |FROM a""".stripMargin,
     // Same jac CTEs; per-threshold conditional sums over the cell
     // grid; F1 as 2·tp/(n_flagged + n_pos).
     "dedup_threshold_sweep" ->

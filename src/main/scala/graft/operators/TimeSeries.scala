@@ -22,6 +22,75 @@ import graft.TestData.r4
 object TimeSeries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** ln(6), evaluated once here and interpolated into BOTH engines
+    * as a literal (spectral-peak protocol) — the permutation-entropy
+    * normalizer for order-3 patterns.
+    */
+  private[graft] val PermEntLn6: Double = math.log(6.0)
+
+  /** Turning point test core (see `ts_turning_points`): input an
+    * ordered (hr, n: BIGINT) series, output the 1-row strict-extrema
+    * randomness readout with Kendall's E[T] = 2(n−2)/3 and
+    * Var[T] = (16n−29)/90. Row adjacency over the observed grid IS
+    * the definition (ts_runs_test precedent); ties produce no
+    * turning point. Shared with `GraftEngine.turningPointTest`.
+    */
+  private[graft] def turningPointCore(series: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window.orderBy("hr")
+    series
+      .withColumn("prev", lag("n", 1).over(W))
+      .withColumn("nxt", lead("n", 1).over(W))
+      .filter(col("prev").isNotNull && col("nxt").isNotNull)
+      .agg(count(lit(1)).as("n_interior"),
+        sum(when((col("n") > col("prev") && col("n") > col("nxt"))
+          || (col("n") < col("prev") && col("n") < col("nxt")), 1L)
+          .otherwise(0L)).as("n_turning"))
+      .withColumn("expected", when(col("n_interior") > 0,
+        TestData.r4(lit(2.0) * col("n_interior").cast("double") / 3.0)))
+      // Var > 0 for any n ≥ 3 (16n−29 ≥ 19), so n_interior ≥ 1 is
+      // the only guard the z needs.
+      .withColumn("z_tp", when(col("n_interior") > 0,
+        TestData.r4((col("n_turning").cast("double")
+          - lit(2.0) * col("n_interior").cast("double") / 3.0)
+          / sqrt((lit(16.0) * (col("n_interior") + 2).cast("double")
+            - lit(29.0)) / 90.0))))
+      .select("n_interior", "n_turning", "expected", "z_tp")
+  }
+
+  /** Order-3 permutation entropy core (see `ts_permutation_entropy`):
+    * input an ordered (hr, a: BIGINT) series, output the 1-row
+    * Bandt-Pompe readout (pattern code 4·[b≥a]+2·[c≥a]+[c≥b], ties
+    * rank by time). Micro-nat terms before the sum; ln(6) from
+    * [[PermEntLn6]]. Shared with `GraftEngine.permutationEntropy`.
+    */
+  private[graft] def permutationEntropyCore(series: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window.orderBy("hr")
+    val pat = series
+      .withColumn("b", lead("a", 1).over(W))
+      .withColumn("c", lead("a", 2).over(W))
+      .filter(col("b").isNotNull && col("c").isNotNull)
+      .withColumn("pat",
+        when(col("b") >= col("a"), lit(4L)).otherwise(lit(0L))
+          + when(col("c") >= col("a"), lit(2L)).otherwise(lit(0L))
+          + when(col("c") >= col("b"), lit(1L)).otherwise(lit(0L)))
+      .groupBy("pat").agg(count(lit(1)).as("cnt"))
+    val tot = pat.agg(sum("cnt").as("n_triples"))
+    pat.crossJoin(broadcast(tot))
+      .withColumn("p", col("cnt").cast("double")
+        / col("n_triples").cast("double"))
+      .withColumn("term_u",
+        floor(-(col("p") * log(col("p"))) * 1000000 + 0.5).cast("long"))
+      .agg(max("n_triples").as("n_triples"),
+        count(lit(1)).as("n_patterns"),
+        sum("term_u").as("entropy_micro"))
+      .withColumn("h_nats",
+        TestData.r4(col("entropy_micro") / 1000000.0))
+      .withColumn("h_norm",
+        TestData.r4(col("entropy_micro") / 1000000.0 / lit(PermEntLn6)))
+      .select("n_triples", "n_patterns", "entropy_micro", "h_nats",
+        "h_norm")
+  }
+
   /** Micro-quantized single-period trig basis, evaluated ONCE here
     * and interpolated into BOTH engines as literal lookup arrays
     * (`ts_spectral_peak`) — neither engine evaluates cos/sin, so the
@@ -1082,6 +1151,40 @@ object TimeSeries {
     // order, r4; one-sided degenerate splits (n1·n2 = 0) ⇒ NULL.
     // Shape: corpus → hour grid aggregate; everything after is
     // time-sized. 2n1n2 ≤ N²/2 < 2^63 for N < 4.2e9 hours.
+    // TURNING POINT TEST (round 15): the cheapest randomness gate on
+    // the hourly ops series — count strict local extrema among
+    // interior points; under iid, E[T] = 2(n−2)/3 and
+    // Var[T] = (16n−29)/90 (Kendall). Row adjacency over the
+    // observed hourly grid IS the definition (the ts_runs_test
+    // precedent — a gap means the neighboring OBSERVED hours are
+    // compared, which is the test's contract on an observed series).
+    // Ties produce NO turning point (strict comparisons on integer
+    // counts — engine-identical). All counts exact integers; E and z
+    // assemble once on the 1-row readout, mirrored op order, r4.
+    "ts_turning_points" -> ((s, d) =>
+      turningPointCore(TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(count(lit(1)).as("n")))),
+
+    // PERMUTATION ENTROPY (round 15): Bandt-Pompe order-3 ordinal
+    // complexity of the hourly series — the model-free "how
+    // predictable is this signal" readout (h→0 monotone/periodic,
+    // h→1 white noise) that complements ts_hurst_exponent's
+    // long-memory view. Triples via two leads over the observed
+    // hourly grid (row adjacency IS the definition, the runs_test
+    // precedent); ties rank by TIME (the later element ranks
+    // higher — the standard Bandt-Pompe tie rule), so the pattern id
+    // 4·[b≥a] + 2·[c≥a] + [c≥b] is an exact integer on integer
+    // counts (6 of the 8 codes are realizable). Pattern histogram =
+    // one 6-row grid; entropy terms micro-nat-quantized BEFORE the
+    // sum (PSI/entropy protocol); ln(6) evaluated once in Scala and
+    // interpolated into BOTH engines as a literal (spectral-peak
+    // protocol).
+    "ts_permutation_entropy" -> ((s, d) =>
+      permutationEntropyCore(TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(count(lit(1)).as("a")))),
+
     "ts_runs_test" -> ((s, d) => {
       val W = org.apache.spark.sql.expressions.Window
       val hourly = TestData.events(s, d)
@@ -3870,6 +3973,70 @@ object TimeSeries {
         |      floor(num33::DOUBLE / den33::DOUBLE * 10000 + 0.5) / 10000 END
         |  FROM p5)
         |SELECT lag, acf_micro, pacf FROM u ORDER BY lag""".stripMargin,
+    // Strict-extrema counts over lag/lead row adjacency; Kendall
+    // moments assembled once on the 1-row readout, mirrored.
+    "ts_turning_points" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |adj AS (
+        |  SELECT n, lag(n) OVER (ORDER BY hr) AS prev,
+        |    lead(n) OVER (ORDER BY hr) AS nxt
+        |  FROM hourly),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n_interior,
+        |    sum(CASE WHEN (n > prev AND n > nxt)
+        |      OR (n < prev AND n < nxt) THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_turning
+        |  FROM adj WHERE prev IS NOT NULL AND nxt IS NOT NULL)
+        |SELECT n_interior, n_turning,
+        |  CASE WHEN n_interior > 0 THEN
+        |    floor(2.0 * n_interior::DOUBLE / 3.0 * 10000 + 0.5) / 10000
+        |  END AS expected,
+        |  CASE WHEN n_interior > 0 THEN
+        |    floor((n_turning::DOUBLE - 2.0 * n_interior::DOUBLE / 3.0)
+        |      / sqrt((16.0 * (n_interior + 2)::DOUBLE - 29.0) / 90.0)
+        |      * 10000 + 0.5) / 10000
+        |  END AS z_tp
+        |FROM a""".stripMargin,
+    // Order-3 Bandt-Pompe codes via two leads; 6-row pattern grid;
+    // micro-nat terms before the sum; ln(6) interpolated as a
+    // literal from the Scala constant (neither engine evaluates it).
+    "ts_permutation_entropy" ->
+      s"""WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr,
+        |    count(*)::BIGINT AS a
+        |  FROM events GROUP BY 1),
+        |tri AS (
+        |  SELECT a, lead(a, 1) OVER (ORDER BY hr) AS b,
+        |    lead(a, 2) OVER (ORDER BY hr) AS c
+        |  FROM hourly),
+        |pat AS (
+        |  SELECT (CASE WHEN b >= a THEN 4 ELSE 0 END
+        |    + CASE WHEN c >= a THEN 2 ELSE 0 END
+        |    + CASE WHEN c >= b THEN 1 ELSE 0 END)::BIGINT AS pat,
+        |    count(*)::BIGINT AS cnt
+        |  FROM tri WHERE b IS NOT NULL AND c IS NOT NULL
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(cnt)::BIGINT AS n_triples FROM pat),
+        |u AS (
+        |  SELECT pat.cnt, tot.n_triples,
+        |    floor(-((pat.cnt::DOUBLE / tot.n_triples::DOUBLE)
+        |      * ln(pat.cnt::DOUBLE / tot.n_triples::DOUBLE))
+        |      * 1000000 + 0.5)::BIGINT AS term_u
+        |  FROM pat CROSS JOIN tot),
+        |agg AS (
+        |  SELECT max(n_triples)::BIGINT AS n_triples,
+        |    count(*)::BIGINT AS n_patterns,
+        |    sum(term_u)::BIGINT AS entropy_micro
+        |  FROM u)
+        |SELECT n_triples, n_patterns, entropy_micro,
+        |  floor((entropy_micro / 1000000.0) * 10000 + 0.5) / 10000
+        |    AS h_nats,
+        |  floor((entropy_micro / 1000000.0 / ${PermEntLn6})
+        |    * 10000 + 0.5) / 10000 AS h_norm
+        |FROM agg""".stripMargin,
     // Doubled-median order-stat selection, one lag over the nonzero
     // sub-grid, all-integer until the final z assembly (mirrored op
     // order).

@@ -760,6 +760,46 @@ class DegenerateSpec extends SparkSpec {
       "label", ef(Nil)), "louvainCoarsen/no-edges")
   }
 
+  test("turningPointTest / permutationEntropy / brierScore / readability survive degenerate frames") {
+    val ts = StructType(Seq(StructField("t", LongType),
+      StructField("v", LongType)))
+    def sf2(rows: Seq[(Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), ts)
+    assertClean(engine.turningPointTest(sf2(Nil), "t", "v"), "tp/empty")
+    assertClean(engine.turningPointTest(sf2(Seq((1L, 5L), (2L, 5L))),
+      "t", "v"), "tp/too-short")
+    // constant series: zero turning points, z well-defined negative
+    val const = engine.turningPointTest(
+      sf2(Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L))), "t", "v")
+      .collect()(0)
+    assert(const.getAs[Long]("n_turning") === 0L)
+    assertClean(engine.permutationEntropy(sf2(Nil), "t", "v"),
+      "pe/empty")
+    assertClean(engine.permutationEntropy(sf2(Seq((1L, 3L), (2L, 9L))),
+      "t", "v"), "pe/too-short")
+    // constant series: one pattern (code 7) ⇒ entropy exactly 0
+    val pe = engine.permutationEntropy(
+      sf2(Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L))), "t", "v")
+      .collect()(0)
+    assert(pe.getAs[Long]("entropy_micro") === 0L)
+    assert(pe.getAs[Long]("n_patterns") === 1L)
+    assertClean(engine.brierScore(sf2(Nil), "t", "v"), "brier/empty")
+    // all-positive labels at a perfect score: BS = 0, UNC = 0
+    val perfect = engine.brierScore(
+      sf2(Seq((10000L, 1L), (10000L, 1L))), "t", "v").collect()(0)
+    assert(perfect.getAs[Double]("brier") === 0.0)
+    assert(perfect.getAs[Double]("uncertainty") === 0.0)
+    val ds = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+    def df2(rows: Seq[(Long, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), ds)
+    assertClean(engine.colemanLiau(df2(Nil)), "cli/empty")
+    assertClean(engine.ariIndex(df2(Nil)), "ari/empty")
+    // zero-word docs are dropped, not divided by
+    assert(engine.colemanLiau(df2(Seq((1L, "!!!")))).count() === 0L)
+    assert(engine.ariIndex(df2(Seq((1L, "   ")))).count() === 0L)
+  }
+
   test("cliffsDelta / moodMedianTest / jarqueBera survive degenerate frames") {
     val schema = StructType(Seq(StructField("g", StringType),
       StructField("v", LongType)))

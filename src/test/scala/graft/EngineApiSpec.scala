@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 182, "documented facade count drifted; methods: "
+    assert(names.length === 187, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1352,6 +1352,48 @@ class EngineApiSpec extends SparkSpec {
     val viaApi = engine.holtWintersInterval(hourly, "hr", "cnt")
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
+  }
+
+  test("turningPointTest / permutationEntropy / brierScore facades match their keys") {
+    val d = sf("sf0.001")
+    val hourly = TestData.events(spark, d)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .agg(count(lit(1)).as("v"))
+    assert(engine.turningPointTest(hourly, "h", "v")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("ts_turning_points")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    assert(engine.permutationEntropy(hourly, "h", "v")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("ts_permutation_entropy")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    val scored = graft.operators.TextOps.plantedDetectorScores(spark, d)
+      .filter($"detector" === "jaccard")
+    assert(engine.brierScore(scored, "score_u", "is_pos")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("eval_brier_score")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // decomposition sanity on the fixture: BS, REL, RES, UNC all
+    // non-negative and BS ≈ REL − RES + UNC within binning slack
+    val b = SparkEntry.queries("eval_brier_score")(spark, d).collect()(0)
+    val (bs, rel, res, unc) = (b.getAs[Double]("brier"),
+      b.getAs[Double]("reliability"), b.getAs[Double]("resolution"),
+      b.getAs[Double]("uncertainty"))
+    assert(bs >= 0 && rel >= 0 && res >= 0 && unc >= 0)
+    assert(math.abs(bs - (rel - res + unc)) < 0.05,
+      s"Murphy decomposition drifted: $bs vs ${rel - res + unc}")
+  }
+
+  test("colemanLiau / ariIndex facades match their keys") {
+    val d = sf("sf0.001")
+    val docs = TestData.documents(spark, d)
+      .select($"doc_id".as("id"), $"text")
+    assert(engine.colemanLiau(docs).collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("text_coleman_liau")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    assert(engine.ariIndex(docs).collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("text_ari")(spark, d)
+        .collect().map(_.toSeq).toSeq)
   }
 
   test("cliffsDelta / moodMedianTest / jarqueBera facades match their keys") {
