@@ -4505,6 +4505,48 @@ class GraftEngine(val spark: SparkSession) {
       scored.select(col(scoreCol).cast("long").as("score_u"),
         col(labelCol).cast("long").as("is_pos")))
 
+  /** Sampled harmonic closeness (see `graph_closeness_sample`):
+    * undirected (a, b) edges + seed rows → per-seed Σ 1/dist over a
+    * depth-truncated BFS, normalized by (N−1). Unreached nodes
+    * contribute exactly 0 (the harmonic form's point).
+    */
+  def harmonicCloseness(nodes: DataFrame, idCol: String,
+                        edges: DataFrame, seeds: DataFrame,
+                        seedCol: String, depth: Int = 4): DataFrame =
+    GraphOps.closenessCore(
+      GraphOps.bfsFrom(edges, seeds.select(col(seedCol).as("seed")),
+        depth),
+      nodes.agg(count(lit(1)).as("n_nodes")))
+
+  /** Adamic-Adar link prediction (see `graph_adamic_adar`) over
+    * undirected (a, b) edges: top-k non-edge pairs by
+    * Σ 1/ln(deg) over common neighbors — the evidence-weighted
+    * alternative to [[linkPredict]]'s jaccard.
+    */
+  def adamicAdar(edges: DataFrame, topK: Int = 20): DataFrame =
+    GraphOps.adamicAdarCore(edges, topK)
+
+  /** K-occurrence hubness (see `vec_hubness`): in-degree skewness
+    * of a directed kNN list (`targetCol` = the neighbor column) over
+    * the node set — the embedding-space pathology detector (hubs
+    * poison ANN recall; antihubs are unreachable).
+    */
+  def hubness(nodes: DataFrame, idCol: String, directedEdges: DataFrame,
+              targetCol: String): DataFrame =
+    GraphOps.hubnessCore(nodes.select(col(idCol).as("id")),
+      directedEdges.select(col(targetCol).as("nn")))
+
+  /** Cumulative gains/lift by score band (see `eval_lift_curve`)
+    * over (score 1e-4-unit BIGINT, label 0/1) rows — the review-
+    * budget planner: what fraction of true positives sits above
+    * each score band, at what concentration vs random.
+    */
+  def liftCurve(scored: DataFrame, scoreCol: String,
+                labelCol: String): DataFrame =
+    graft.operators.TextOps.liftCurve(
+      scored.select(col(scoreCol).cast("long").as("score_u"),
+        col(labelCol).cast("long").as("is_pos")))
+
   /** Coleman-Liau index (see `text_coleman_liau`) of (`id`, `text`)
     * rows — the character-based readability grade (no syllable
     * heuristic). Zero-word docs are dropped.

@@ -191,6 +191,125 @@ object GraphOps {
               greatest(col("qid"), col("nn")).as("b"))
       .distinct()
 
+  /** Shared 8-seed depth-4 BFS distance frame (seed, id, dist) over
+    * the mirrored kNN adjacency — consumed by
+    * `graph_eccentricity_sample` AND `graph_closeness_sample` (the
+    * betweenness key runs its own sigma-weighted variant). 4 min-
+    * dist closure rounds, localCheckpoint per round (loop-state
+    * discipline); exact integers end to end.
+    */
+  private[graft] def seededBfsDistances(s: SparkSession,
+                                        d: String): DataFrame =
+    bfsFrom(fixtureKnnEdges(s, d),
+      TestData.embeddings(s, d).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("seed")), 4)
+
+  /** Generic multi-seed BFS closure: undirected (a, b) edges +
+    * (seed) rows → (seed, id, dist) min-distance frame truncated at
+    * `depth`. One frontier join + (seed, id) min per round,
+    * localCheckpoint per round (loop-state discipline).
+    */
+  private[graft] def bfsFrom(edges: DataFrame, seeds: DataFrame,
+                             depth: Int): DataFrame = {
+    val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var dist = seeds.select(col("seed"), col("seed").as("id"),
+      lit(0L).as("dist"))
+    for (_ <- 1 to depth) {
+      val next = dist.join(adj, col("id") === col("src"))
+        .select(col("seed"), col("dst").as("id"),
+          (col("dist") + lit(1L)).as("dist"))
+      dist = dist.union(next)
+        .groupBy("seed", "id").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** Harmonic closeness readout (see `graph_closeness_sample`):
+    * (seed, id, dist) BFS frame + 1-row (n_nodes) → per-seed
+    * Σ 1e6 DIV dist with the guarded (N−1) normalization. Shared
+    * with `GraftEngine.harmonicCloseness`.
+    */
+  private[graft] def closenessCore(dist: DataFrame,
+                                   n: DataFrame): DataFrame =
+    dist.groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(when(col("dist") > 0, expr("1000000 DIV dist"))
+          .otherwise(0L)).as("hc_micro"))
+      .crossJoin(broadcast(n))
+      .withColumn("harmonic_closeness", when(col("n_nodes") > 1,
+        TestData.r4(col("hc_micro").cast("double") / 1000000.0
+          / (col("n_nodes") - 1).cast("double"))))
+      .select("seed", "n_reached", "hc_micro", "harmonic_closeness")
+      .orderBy("seed")
+
+  /** Adamic-Adar core (see `graph_adamic_adar`): undirected (a, b)
+    * edges → top-`topK` non-edge pairs by Σ 1e6/ln(deg(z)) over
+    * common neighbors z. Weight guarded at its definition site
+    * (deg-1 rows exist in the deg frame even though a common
+    * neighbor always has deg ≥ 2). Shared with
+    * `GraftEngine.adamicAdar`.
+    */
+  private[graft] def adamicAdarCore(edges: DataFrame,
+                                    topK: Int): DataFrame = {
+    val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val wz = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+      .withColumn("w_u", when(col("deg") >= 2,
+        floor(lit(1000000.0) / log(col("deg").cast("double")) + 0.5)
+          .cast("long")))
+    val e1 = adj.select(col("src").as("z"), col("dst").as("x"))
+    val e2 = adj.select(col("src").as("z2"), col("dst").as("y"))
+    e1.join(e2, col("z") === col("z2") && col("x") < col("y"))
+      .join(edges, col("x") === col("a") && col("y") === col("b"),
+        "left_anti")
+      .join(wz.select(col("src").as("z"), col("w_u")), Seq("z"))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("n_common"), sum("w_u").as("aa_micro"))
+      .withColumn("aa_score",
+        TestData.r4(col("aa_micro") / 1000000.0))
+      .orderBy(col("aa_micro").desc, col("x"), col("y"))
+      .limit(topK)
+      .select("x", "y", "n_common", "aa_micro", "aa_score")
+  }
+
+  /** K-occurrence hubness core (see `vec_hubness`): (id) nodes +
+    * (nn) directed-edge targets → the 1-row in-degree-skewness
+    * readout (zero in-degree nodes included). Shared with
+    * `GraftEngine.hubness`.
+    */
+  private[graft] def hubnessCore(nodes: DataFrame,
+                                 targets: DataFrame): DataFrame = {
+    val ind = nodes
+      .join(targets, col("id") === col("nn"), "left")
+      .groupBy("id").agg(count(col("nn")).as("ind"))
+    ind.agg(count(lit(1)).as("n_nodes"), sum("ind").as("s1"),
+        sum(col("ind") * col("ind")).as("s2"),
+        sum(col("ind") * col("ind") * col("ind")).as("s3"),
+        max("ind").as("max_in"),
+        sum(when(col("ind") === 0L, 1L).otherwise(0L))
+          .as("n_antihubs"))
+      .withColumn("mean", when(col("n_nodes") > 0,
+        col("s1").cast("double") / col("n_nodes").cast("double")))
+      .withColumn("m2", when(col("n_nodes") > 0,
+        col("s2").cast("double") / col("n_nodes").cast("double")
+          - col("mean") * col("mean")))
+      .withColumn("m3", when(col("n_nodes") > 0,
+        col("s3").cast("double") / col("n_nodes").cast("double")
+          - lit(3.0) * col("mean")
+            * (col("s2").cast("double") / col("n_nodes").cast("double"))
+          + lit(2.0) * col("mean") * col("mean") * col("mean")))
+      .withColumn("mean_in",
+        when(col("mean").isNotNull, TestData.r4(col("mean"))))
+      .withColumn("hubness_skew", when(col("m2") > 0,
+        TestData.r4(col("m3") / (col("m2") * sqrt(col("m2"))))))
+      .select("n_nodes", "max_in", "n_antihubs", "mean_in",
+        "hubness_skew")
+  }
+
   private[graft] def directedKnn(s: SparkSession, d: String,
                                  k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1100,28 +1219,57 @@ object GraphOps {
     // at the depth — a seed whose true eccentricity exceeds 4 reads
     // 4, stated. Each round is one frontier join + a (seed, id)
     // min — level-sized state at any corpus.
-    "graph_eccentricity_sample" -> ((s, d) => {
-      val edges = fixtureKnnEdges(s, d)
-      val adj = edges.select(col("a").as("src"), col("b").as("dst"))
-        .union(edges.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint()
-      val seeds = TestData.embeddings(s, d).filter(col("vec_id") < 8)
-        .select(col("vec_id").as("seed"))
-      var dist = seeds.select(col("seed"), col("seed").as("id"),
-        lit(0L).as("dist"))
-      for (_ <- 1 to 4) {
-        val next = dist.join(adj, col("id") === col("src"))
-          .select(col("seed"), col("dst").as("id"),
-            (col("dist") + lit(1L)).as("dist"))
-        dist = dist.union(next)
-          .groupBy("seed", "id").agg(min("dist").as("dist"))
-          .localCheckpoint()
-      }
-      dist.groupBy("seed")
+    "graph_eccentricity_sample" -> ((s, d) =>
+      seededBfsDistances(s, d)
+        .groupBy("seed")
         .agg(max("dist").as("eccentricity_capped"),
           count(lit(1)).as("n_reached"))
-        .orderBy("seed")
-    }),
+        .orderBy("seed")),
+
+    // SAMPLED HARMONIC CLOSENESS (round 15): the third readout off
+    // the SAME 8-seed depth-4 BFS frame as eccentricity/betweenness
+    // — "how near is everything to this seed" (harmonic form: the
+    // unreached contribute exactly 0, so truncation and fragments
+    // need no ∞ gymnastics — the reason harmonic, not classic,
+    // closeness is the distributed-sampling standard). Every term is
+    // the exact integer 1e6 DIV dist (dist ∈ 1..4, positive ⇒ Spark
+    // DIV ≡ DuckDB //); the only division is the (N−1) normalization
+    // on the 8-row readout, guarded, mirrored, r4.
+    "graph_closeness_sample" -> ((s, d) =>
+      closenessCore(seededBfsDistances(s, d),
+        TestData.embeddings(s, d).agg(count(lit(1)).as("n_nodes")))),
+
+    // ADAMIC-ADAR LINK PREDICTION (round 15): the evidence-weighted
+    // sibling of graph_link_predict's jaccard — a shared RARE
+    // neighbor (1/ln deg) is strong evidence, a shared hub is weak;
+    // AA is the standard fix for hub-dominated candidate lists. One
+    // wedge join over the mirrored kNN adjacency (deg ≤ 2k ⇒ wedge
+    // volume Σdeg² stays ~k²·n at any corpus — cap the hub side à la
+    // cappedTwoHop past that), anti-joined against existing edges.
+    // A common neighbor has deg ≥ 2 BY CONSTRUCTION (it touches both
+    // endpoints), so ln(deg) > 0 on every consumed row — but the
+    // weight column is still guarded at its DEFINITION site because
+    // deg-1 nodes exist in the deg frame (the ANSI x/0 trap). Per-
+    // node weight micro-quantized BEFORE the sum; top-20 by the
+    // integer aa_micro (TakeOrderedAndProject).
+    "graph_adamic_adar" -> ((s, d) =>
+      adamicAdarCore(fixtureKnnEdges(s, d), 20)),
+
+    // K-OCCURRENCE HUBNESS (round 15): the skewness of the DIRECTED
+    // kNN in-degree ("how many top-3 lists does this vector sit
+    // in") — the standard high-dimensionality pathology detector for
+    // an embedding space (hubs poison ANN recall and dedup alike;
+    // antihubs are unreachable). Completes the embedding-health trio
+    // with vec_anisotropy / vec_intrinsic_dim, off the SAME memoized
+    // directed list. In-degrees via one left join + count (zero
+    // in-degree nodes INCLUDED — the antihub count is the point);
+    // skewness from one pass of exact-BIGINT raw moments (the
+    // agg_jarque_bera machinery; n·max_in³ < 2^63 documented — a
+    // worst-case all-point hub needs n ≤ 2e6 at max_in = 1e4).
+    "vec_hubness" -> ((s, d) =>
+      hubnessCore(
+        TestData.embeddings(s, d).select(col("vec_id").as("id")),
+        directedKnnEdges(s, d).select(col("nn")))),
 
     // SAMPLED BETWEENNESS (round 13): the path-based centrality the
     // graph family lacked — degree/eigen measures (pagerank, HITS)
@@ -1509,6 +1657,86 @@ object GraphOps {
         |SELECT e.vec_id, coalesce(bc.bc_u, 0)::BIGINT AS bc_u
         |FROM embeddings e LEFT JOIN bc ON e.vec_id = bc.id
         |ORDER BY e.vec_id""".stripMargin,
+    // Same unrolled BFS closure as eccentricity; 1e6 // dist terms,
+    // one guarded (N−1) division on the 8-row readout.
+    "graph_closeness_sample" ->
+      s"""$EccentricityCtes,
+        |nn AS (SELECT count(*)::BIGINT AS n_nodes FROM embeddings),
+        |hc AS (
+        |  SELECT seed, count(*)::BIGINT AS n_reached,
+        |    sum(CASE WHEN dist > 0 THEN 1000000 // dist ELSE 0 END)
+        |      ::BIGINT AS hc_micro
+        |  FROM dd4 GROUP BY 1)
+        |SELECT seed, n_reached, hc_micro,
+        |  CASE WHEN n_nodes > 1 THEN
+        |    floor(hc_micro::DOUBLE / 1000000.0
+        |      / (n_nodes - 1)::DOUBLE * 10000 + 0.5) / 10000
+        |  END AS harmonic_closeness
+        |FROM hc CROSS JOIN nn ORDER BY seed""".stripMargin,
+    // Wedge join over the mirrored adjacency, anti-join vs existing
+    // edges, guarded 1e6/ln(deg) micro weights, top-20 by aa_micro.
+    "graph_adamic_adar" ->
+      s"""$EdgesCte,
+        |adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges
+        |        UNION ALL SELECT b, a FROM edges),
+        |wz AS (
+        |  SELECT src, CASE WHEN deg >= 2 THEN
+        |    floor(1000000.0 / ln(deg::DOUBLE) + 0.5)::BIGINT END AS w_u
+        |  FROM (SELECT src, count(*)::BIGINT AS deg FROM adj
+        |        GROUP BY 1)),
+        |wed AS (
+        |  SELECT e1.dst AS x, e2.dst AS y, e1.src AS z
+        |  FROM adj e1 JOIN adj e2
+        |    ON e1.src = e2.src AND e1.dst < e2.dst),
+        |ne AS (
+        |  SELECT w.x, w.y, w.z FROM wed w
+        |  LEFT JOIN edges ed ON w.x = ed.a AND w.y = ed.b
+        |  WHERE ed.a IS NULL),
+        |sc AS (
+        |  SELECT x, y, count(*)::BIGINT AS n_common,
+        |    sum(wz.w_u)::BIGINT AS aa_micro
+        |  FROM ne JOIN wz ON ne.z = wz.src GROUP BY 1, 2)
+        |SELECT x, y, n_common, aa_micro,
+        |  floor((aa_micro / 1000000.0) * 10000 + 0.5) / 10000
+        |    AS aa_score
+        |FROM sc ORDER BY aa_micro DESC, x, y LIMIT 20""".stripMargin,
+    // Directed-list in-degrees with zero-degree nodes included;
+    // jarque_bera m2/m3 op order on the 1-row readout.
+    "vec_hubness" ->
+      s"""$EdgesCte,
+        |ind AS (
+        |  SELECT e.vec_id, count(k.qid)::BIGINT AS ind
+        |  FROM embeddings e LEFT JOIN knn k ON e.vec_id = k.nn
+        |  GROUP BY 1),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n_nodes, sum(ind)::BIGINT AS s1,
+        |    sum(ind * ind)::BIGINT AS s2,
+        |    sum(ind * ind * ind)::BIGINT AS s3,
+        |    max(ind)::BIGINT AS max_in,
+        |    sum(CASE WHEN ind = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_antihubs
+        |  FROM ind),
+        |m AS (
+        |  SELECT *,
+        |    CASE WHEN n_nodes > 0 THEN s1::DOUBLE / n_nodes::DOUBLE
+        |      END AS mean,
+        |    CASE WHEN n_nodes > 0 THEN s2::DOUBLE / n_nodes::DOUBLE
+        |      - (s1::DOUBLE / n_nodes::DOUBLE)
+        |        * (s1::DOUBLE / n_nodes::DOUBLE) END AS m2,
+        |    CASE WHEN n_nodes > 0 THEN s3::DOUBLE / n_nodes::DOUBLE
+        |      - 3.0 * (s1::DOUBLE / n_nodes::DOUBLE)
+        |        * (s2::DOUBLE / n_nodes::DOUBLE)
+        |      + 2.0 * (s1::DOUBLE / n_nodes::DOUBLE)
+        |        * (s1::DOUBLE / n_nodes::DOUBLE)
+        |        * (s1::DOUBLE / n_nodes::DOUBLE) END AS m3
+        |  FROM a)
+        |SELECT n_nodes, max_in, n_antihubs,
+        |  CASE WHEN mean IS NOT NULL THEN
+        |    floor(mean * 10000 + 0.5) / 10000 END AS mean_in,
+        |  CASE WHEN m2 > 0 THEN
+        |    floor(m3 / (m2 * sqrt(m2)) * 10000 + 0.5) / 10000
+        |  END AS hubness_skew
+        |FROM m""".stripMargin,
     // Tagged-frame k expansion over the degree-joined edge list;
     // k-row dimension keeps empty clubs explicit.
     "graph_rich_club" ->

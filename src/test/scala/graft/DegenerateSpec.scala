@@ -760,6 +760,40 @@ class DegenerateSpec extends SparkSpec {
       "label", ef(Nil)), "louvainCoarsen/no-edges")
   }
 
+  test("harmonicCloseness / adamicAdar / hubness / liftCurve survive degenerate frames") {
+    val es = StructType(Seq(StructField("a", LongType),
+      StructField("b", LongType)))
+    def ef2(rows: Seq[(Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), es)
+    val ns = StructType(Seq(StructField("x", LongType)))
+    def nf2(rows: Seq[Long]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row(_)), 1), ns)
+    // empty graph, one seed: reaches only itself, hc = 0, zero-node
+    // normalization reads NULL (never a throw)
+    assertClean(engine.harmonicCloseness(nf2(Nil), "x", ef2(Nil),
+      nf2(Seq(1L)), "x"), "closeness/empty-graph")
+    // deg-1 endpoints exist in the weight frame: the guarded
+    // 1e6/ln(deg) definition site must not ANSI-throw
+    assertClean(engine.adamicAdar(ef2(Seq((1L, 2L)))), "aa/one-edge")
+    val path = engine.adamicAdar(ef2(Seq((1L, 2L), (2L, 3L))))
+      .collect()
+    assert(path.length === 1 && path(0).getAs[Long]("x") === 1L
+      && path(0).getAs[Long]("y") === 3L
+      && path(0).getAs[Long]("n_common") === 1L)
+    assertClean(engine.adamicAdar(ef2(Nil)), "aa/empty")
+    // no directed edges: every node an antihub, m2 = 0 ⇒ NULL skew
+    val hub = engine.hubness(nf2(Seq(1L, 2L, 3L)), "x",
+      ef2(Nil).select(col("a").as("t")), "t").collect()(0)
+    assert(hub.getAs[Long]("n_antihubs") === 3L)
+    assert(hub.isNullAt(hub.fieldIndex("hubness_skew")))
+    assertClean(engine.hubness(nf2(Nil), "x",
+      ef2(Nil).select(col("a").as("t")), "t"), "hubness/empty")
+    // all-negative labels: pp = 0 ⇒ gain/lift NULL per band
+    assertClean(engine.liftCurve(ef2(Seq((5000L, 0L), (9000L, 0L))),
+      "a", "b"), "lift/no-positives")
+    assertClean(engine.liftCurve(ef2(Nil), "a", "b"), "lift/empty")
+  }
+
   test("turningPointTest / permutationEntropy / brierScore / readability survive degenerate frames") {
     val ts = StructType(Seq(StructField("t", LongType),
       StructField("v", LongType)))

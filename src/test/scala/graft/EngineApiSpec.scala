@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 187, "documented facade count drifted; methods: "
+    assert(names.length === 191, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1352,6 +1352,37 @@ class EngineApiSpec extends SparkSpec {
     val viaApi = engine.holtWintersInterval(hourly, "hr", "cnt")
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
+  }
+
+  test("harmonicCloseness / adamicAdar / hubness / liftCurve facades match their keys") {
+    val d = sf("sf0.001")
+    val edges = graft.operators.GraphOps.fixtureKnnEdges(spark, d)
+    val nodes = TestData.embeddings(spark, d)
+    assert(engine.harmonicCloseness(nodes, "vec_id", edges,
+        nodes.filter($"vec_id" < 8).select($"vec_id".as("s")), "s")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("graph_closeness_sample")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    assert(engine.adamicAdar(edges).collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("graph_adamic_adar")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    val directed = graft.operators.GraphOps.directedKnnEdges(spark, d)
+    assert(engine.hubness(nodes, "vec_id", directed, "nn")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("vec_hubness")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    val scored = graft.operators.TextOps.plantedDetectorScores(spark, d)
+      .filter($"detector" === "jaccard")
+    assert(engine.liftCurve(scored, "score_u", "is_pos")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("eval_lift_curve")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // lift-curve invariants: gain monotone non-decreasing down the
+    // bands, top band lift ≥ 1 when any positive exists there
+    val lc = SparkEntry.queries("eval_lift_curve")(spark, d).collect()
+    val gains = lc.map(_.getAs[Double]("gain"))
+    assert(gains.zip(gains.tail).forall { case (a, b) => a <= b + 1e-9 })
+    assert(gains.last === 1.0)
   }
 
   test("turningPointTest / permutationEntropy / brierScore facades match their keys") {
