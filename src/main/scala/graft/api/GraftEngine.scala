@@ -4473,6 +4473,25 @@ class GraftEngine(val spark: SparkSession) {
       df.select(col(groupCol).as("flag"),
         col(valueCol).cast("long").as("x")))
 
+  /** Wilcoxon signed-rank test (see `agg_wilcoxon_signed_rank`)
+    * over integer paired-delta rows: magnitude-aware nonparametric
+    * paired test; zeros dropped, doubled midranks over the
+    * |d|-distinct grid, tie-corrected normal z. Overflowing tie
+    * cells read NULL, never a throw.
+    */
+  def wilcoxonSignedRank(df: DataFrame, deltaCol: String): DataFrame =
+    graft.operators.Stats.wilcoxonSignedRank(
+      df.select(col(deltaCol).cast("long").as("d_w")))
+
+  /** Exact two-sided sign test (see `agg_sign_test`) over integer
+    * paired-delta rows: assumption-free paired verdict under the
+    * exact Binomial(n, 1/2) null (Fisher ratio-recursion protocol
+    * — no factorial table, integer decision rule).
+    */
+  def signTestExact(df: DataFrame, deltaCol: String): DataFrame =
+    graft.operators.Stats.signTestExact(
+      df.select(col(deltaCol).cast("long").as("d_w")))
+
   /** Turning point randomness test (see `ts_turning_points`) over
     * an ordered (orderCol, valueCol) series: strict local extrema
     * vs Kendall's iid moments. Series shorter than 3 reads NULL z.

@@ -205,6 +205,117 @@ object Stats {
         col("icc"), col("deff"))
   }
 
+  /** Per-user paired before/after delta in whole units (the
+    * `agg_paired_t` stage shared by the round-15 paired tests):
+    * (min+max)/2 timestamp split, micro-quantized values BEFORE the
+    * per-half sums, negative-safe IEEE-floor descale. One row per
+    * user: (user_id, d_w).
+    */
+  private def pairedUserDeltas(s: SparkSession, d: String): DataFrame = {
+    val ev = TestData.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("v_u", floor(col("value") * 1000000 + 0.5)
+        .cast("long"))
+    val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) DIV 2").as("mid"))
+    ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(sum(when(col("ts_us") < col("mid"), col("v_u"))
+          .otherwise(0L)).as("s1"),
+        sum(when(col("ts_us") >= col("mid"), col("v_u"))
+          .otherwise(0L)).as("s2"))
+      .withColumn("d_w", floor((col("s1") - col("s2")).cast("double")
+        / 1000000.0).cast("long"))
+      .select("user_id", "d_w")
+  }
+
+  /** Wilcoxon signed-rank core (see `agg_wilcoxon_signed_rank`):
+    * input (d_w) paired-delta rows; zeros dropped per the standard
+    * procedure; midranks of |d| in 2× units over the |d|-DISTINCT
+    * cell grid (r2 = 2·cum_lt + t + 1 — the doubled-midrank
+    * machinery); 2W⁺ exact BIGINT (bound ~2n² < 2^63 ⇒ n ≲ 2e9);
+    * tie cube guarded per cell at t < 2^21 (explicit NULL overflow
+    * mode, the Mann-Whitney protocol); normal-approximation z
+    * assembled once in doubles, mirrored, r4. Shared with
+    * `GraftEngine.wilcoxonSignedRank`.
+    */
+  private[graft] def wilcoxonSignedRank(deltas: DataFrame): DataFrame = {
+    val W = Window.orderBy("adev")
+    val tieLim = lit(2097152L) // 2^21: t³−t < 2^63 per cell
+    deltas.filter(col("d_w") =!= 0)
+      .withColumn("adev", abs(col("d_w")))
+      .groupBy("adev")
+      .agg(sum(when(col("d_w") > 0, 1L).otherwise(0L)).as("np"),
+        count(lit(1)).as("t"))
+      .withColumn("cum_lt", coalesce(sum("t").over(
+        W.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .agg(sum("t").as("n_nonzero"),
+        sum(col("np") * (lit(2L) * col("cum_lt") + col("t")
+          + lit(1L))).as("w2_plus"),
+        sum(when(col("t") < tieLim,
+          col("t") * col("t") * col("t") - col("t"))).as("tie_raw"),
+        max("t").as("t_max"))
+      .withColumn("tie_sum",
+        when(col("t_max") < tieLim, col("tie_raw")))
+      .withColumn("e2", expr("n_nonzero * (n_nonzero + 1) DIV 2"))
+      .withColumn("var2", when(col("n_nonzero") > 0
+          && col("tie_sum").isNotNull,
+        col("n_nonzero").cast("double")
+          * (col("n_nonzero") + lit(1L)).cast("double")
+          * (lit(2L) * col("n_nonzero") + lit(1L)).cast("double")
+          / 6.0
+          - col("tie_sum").cast("double") / 12.0))
+      .withColumn("z_wilcoxon", when(col("var2") > 0,
+        r4((col("w2_plus") - col("e2")).cast("double")
+          / sqrt(col("var2")))))
+      .withColumn("significant_95", when(col("z_wilcoxon").isNotNull,
+        abs(col("z_wilcoxon")) > 1.959964))
+      .select("n_nonzero", "w2_plus", "tie_sum", "z_wilcoxon",
+        "significant_95")
+  }
+
+  /** Exact two-sided sign test core (see `agg_sign_test`): input
+    * (d_w) paired-delta rows; zeros dropped; p = min(1, 2·min(P(X ≤
+    * k), P(X ≥ k))) under Binomial(n, 1/2) via the Fisher ratio-
+    * recursion protocol — ln C(n,j) accumulated from micro-quantized
+    * steps ln((n−j+1)/j) (exact-BIGINT prefix over the j-grid),
+    * exp terms nano-quantized BEFORE the tail sums, decision an
+    * exact integer comparison. Bounds: n·693147 and Σ lnC steps
+    * < 2^63 to n ~ 1e12; tail sums ≤ (n+1)·1e9 ⇒ n ≲ 9e9 —
+    * documented. Shared with `GraftEngine.signTestExact`.
+    */
+  private[graft] def signTestExact(deltas: DataFrame): DataFrame = {
+    val WJ = Window.orderBy("j")
+    // ln2 micro-quantized once (floor(ln 2 · 1e6 + 0.5) = 693147) —
+    // a literal in BOTH engines, the spectral-peak protocol.
+    val ln2u = 693147L
+    deltas.filter(col("d_w") =!= 0)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("d_w") > 0, 1L).otherwise(0L)), lit(0L))
+          .as("k_pos"))
+      .select(col("n"), col("k_pos"),
+        explode(sequence(lit(0L), col("n"))).as("j"))
+      .withColumn("step_u", when(col("j") > 0,
+        floor(log((col("n") - col("j") + lit(1L)).cast("double")
+          / col("j").cast("double")) * 1000000 + 0.5).cast("long"))
+        .otherwise(0L))
+      .withColumn("lnc_u", sum("step_u").over(
+        WJ.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("term_n",
+        floor(exp((col("lnc_u") - col("n") * lit(ln2u)).cast("double")
+          / 1000000.0) * 1000000000L + 0.5).cast("long"))
+      .agg(max("n").as("n_nonzero"), max("k_pos").as("k_pos"),
+        sum(when(col("j") <= col("k_pos"), col("term_n"))
+          .otherwise(0L)).as("p_le_nano"),
+        sum(when(col("j") >= col("k_pos"), col("term_n"))
+          .otherwise(0L)).as("p_ge_nano"))
+      .withColumn("p_two_nano", least(lit(1000000000L),
+        lit(2L) * least(col("p_le_nano"), col("p_ge_nano"))))
+      .withColumn("p_two", r4(col("p_two_nano") / 1000000000.0))
+      .withColumn("significant_95", col("p_two_nano") < 50000000L)
+      .select("n_nonzero", "k_pos", "p_le_nano", "p_ge_nano",
+        "p_two", "significant_95")
+  }
+
   /** Cliff's delta core (see `agg_cliffs_delta`): input the
     * (x, cc, ct) value-distinct two-group cell grid, output the
     * 1-row ordinal-effect-size readout. gt/lt/tie pair counts are
@@ -383,6 +494,25 @@ object Stats {
       jarqueBera(TestData.lineitem(s, d)
         .select(col("l_returnflag").as("flag"),
           floor(col("l_quantity") + 0.5).cast("long").as("x")))),
+
+    // WILCOXON SIGNED-RANK (round 15): the nonparametric member of
+    // the PAIRED family (mcnemar = binary, paired_t = normal-theory,
+    // THIS = magnitude-aware rank) — the within-user before/after
+    // test that survives heavy-tailed deltas where the t's variance
+    // is untrustworthy. Shared pairedUserDeltas stage; zeros dropped
+    // (the standard procedure); the |d|-distinct cell grid carries
+    // the doubled midranks — never a user-grain rank window.
+    "agg_wilcoxon_signed_rank" -> ((s, d) =>
+      wilcoxonSignedRank(pairedUserDeltas(s, d))),
+
+    // EXACT SIGN TEST (round 15): the assumption-FREE paired test —
+    // only the SIGN of each user's delta counts, so it is valid
+    // under any delta distribution (the court-of-last-resort when
+    // even Wilcoxon's symmetry assumption is suspect), and the
+    // binomial null is EXACT (the Fisher ratio-recursion recipe,
+    // third reuse). Same shared delta stage; (n+1)-row j-grid.
+    "agg_sign_test" -> ((s, d) =>
+      signTestExact(pairedUserDeltas(s, d))),
 
     // MANN-WHITNEY U (round 10): the nonparametric A/B test the
     // experimentation stack reaches for when per-user value is
@@ -2052,7 +2182,118 @@ object Stats {
       |        - 0.416 * z * z)) * 1000000 + 0.5)::BIGINT END AS p_u
       |  FROM zz)""".stripMargin
 
+  /** Shared DuckDB CTE chain reproducing [[pairedUserDeltas]] —
+    * ends in `dw(user_id, d_w)`. Consumed by the round-15 paired
+    * tests (the paired_t oracle predates it and stays standalone).
+    */
+  private val PairedDeltaCte =
+    """WITH mid AS (
+      |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+      |  FROM events),
+      |pu AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN epoch_us(ts) < mid THEN
+      |      floor(value * 1000000 + 0.5)::BIGINT ELSE 0 END)::BIGINT
+      |      AS s1,
+      |    sum(CASE WHEN epoch_us(ts) >= mid THEN
+      |      floor(value * 1000000 + 0.5)::BIGINT ELSE 0 END)::BIGINT
+      |      AS s2
+      |  FROM events CROSS JOIN mid GROUP BY 1),
+      |dw AS (
+      |  SELECT user_id,
+      |    floor((s1 - s2)::DOUBLE / 1000000.0)::BIGINT AS d_w
+      |  FROM pu)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // Shared delta CTE; doubled midranks over the |d|-distinct grid,
+    // guarded tie cube, mirrored z assembly.
+    "agg_wilcoxon_signed_rank" ->
+      s"""$PairedDeltaCte,
+        |cells AS (
+        |  SELECT abs(d_w) AS adev,
+        |    sum(CASE WHEN d_w > 0 THEN 1 ELSE 0 END)::BIGINT AS np,
+        |    count(*)::BIGINT AS t
+        |  FROM dw WHERE d_w <> 0 GROUP BY 1),
+        |cum AS (
+        |  SELECT *,
+        |    (coalesce(sum(t) OVER (ORDER BY adev
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |      ::BIGINT AS cum_lt
+        |  FROM cells),
+        |a0 AS (
+        |  SELECT sum(t)::BIGINT AS n_nonzero,
+        |    sum(np * (2 * cum_lt + t + 1))::BIGINT AS w2_plus,
+        |    sum(CASE WHEN t < 2097152 THEN t * t * t - t END)::BIGINT
+        |      AS tie_raw,
+        |    max(t)::BIGINT AS t_max
+        |  FROM cum),
+        |a AS (
+        |  SELECT n_nonzero, w2_plus,
+        |    (CASE WHEN t_max < 2097152 THEN tie_raw END)::BIGINT
+        |      AS tie_sum,
+        |    (n_nonzero * (n_nonzero + 1) // 2)::BIGINT AS e2
+        |  FROM a0),
+        |b AS (
+        |  SELECT *,
+        |    CASE WHEN n_nonzero > 0 AND tie_sum IS NOT NULL THEN
+        |      n_nonzero::DOUBLE * (n_nonzero + 1)::DOUBLE
+        |        * (2 * n_nonzero + 1)::DOUBLE / 6.0
+        |        - tie_sum::DOUBLE / 12.0 END AS var2
+        |  FROM a),
+        |c AS (
+        |  SELECT *,
+        |    CASE WHEN var2 > 0 THEN
+        |      floor((w2_plus - e2)::DOUBLE / sqrt(var2)
+        |        * 10000 + 0.5) / 10000 END AS z_wilcoxon
+        |  FROM b)
+        |SELECT n_nonzero, w2_plus, tie_sum, z_wilcoxon,
+        |  CASE WHEN z_wilcoxon IS NOT NULL THEN
+        |    abs(z_wilcoxon) > 1.959964 END AS significant_95
+        |FROM c""".stripMargin,
+    // Shared delta CTE; Fisher ratio-recursion binomial: micro-
+    // quantized ln steps, exact-BIGINT lnC prefix, nano-quantized
+    // exp terms, integer tail sums and decision.
+    "agg_sign_test" ->
+      s"""$PairedDeltaCte,
+        |nk AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    coalesce(sum(CASE WHEN d_w > 0 THEN 1 ELSE 0 END), 0)
+        |      ::BIGINT AS k_pos
+        |  FROM dw WHERE d_w <> 0),
+        |grid AS (
+        |  SELECT n, k_pos, unnest(range(0, n + 1)) AS j FROM nk),
+        |st AS (
+        |  SELECT *, CASE WHEN j > 0 THEN
+        |      floor(ln((n - j + 1)::DOUBLE / j::DOUBLE)
+        |        * 1000000 + 0.5)::BIGINT
+        |    ELSE 0 END AS step_u
+        |  FROM grid),
+        |cu AS (
+        |  SELECT *, (sum(step_u) OVER (ORDER BY j
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS lnc_u
+        |  FROM st),
+        |tm AS (
+        |  SELECT *, floor(exp((lnc_u - n * 693147)::DOUBLE / 1000000.0)
+        |    * 1000000000 + 0.5)::BIGINT AS term_n
+        |  FROM cu),
+        |a AS (
+        |  SELECT max(n)::BIGINT AS n_nonzero,
+        |    max(k_pos)::BIGINT AS k_pos,
+        |    sum(CASE WHEN j <= k_pos THEN term_n ELSE 0 END)::BIGINT
+        |      AS p_le_nano,
+        |    sum(CASE WHEN j >= k_pos THEN term_n ELSE 0 END)::BIGINT
+        |      AS p_ge_nano
+        |  FROM tm),
+        |b AS (
+        |  SELECT *, least(1000000000,
+        |    2 * least(p_le_nano, p_ge_nano))::BIGINT AS p_two_nano
+        |  FROM a)
+        |SELECT n_nonzero, k_pos, p_le_nano, p_ge_nano,
+        |  floor((p_two_nano / 1000000000.0) * 10000 + 0.5) / 10000
+        |    AS p_two,
+        |  p_two_nano < 50000000 AS significant_95
+        |FROM b""".stripMargin,
     // Same cells grid as the U test; gt/tie exact, lt by identity.
     "agg_cliffs_delta" ->
       s"""$CellsCte,

@@ -760,6 +760,28 @@ class DegenerateSpec extends SparkSpec {
       "label", ef(Nil)), "louvainCoarsen/no-edges")
   }
 
+  test("wilcoxonSignedRank / signTestExact survive degenerate frames") {
+    val ds = StructType(Seq(StructField("d", LongType)))
+    def df1(rows: Seq[Long]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row(_)), 1), ds)
+    assertClean(engine.wilcoxonSignedRank(df1(Nil), "d"), "wsr/empty")
+    // all-zero deltas: everything drops, n_nonzero NULL sums, no z
+    assertClean(engine.wilcoxonSignedRank(df1(Seq(0L, 0L)), "d"),
+      "wsr/all-zero")
+    // single nonzero delta: Var2 > 0 (no ties), z defined
+    assertClean(engine.wilcoxonSignedRank(df1(Seq(-7L)), "d"),
+      "wsr/single")
+    assertClean(engine.signTestExact(df1(Nil), "d"), "sign/empty")
+    // all-zero deltas: n = 0 ⇒ the j-grid is {0}, p reads exactly 1
+    val z = engine.signTestExact(df1(Seq(0L, 0L)), "d").collect()(0)
+    assert(z.getAs[Double]("p_two") === 1.0)
+    assert(z.getAs[Boolean]("significant_95") === false)
+    // one-sided: n = 3 all negative ⇒ p = 2/8 = 0.25
+    val neg = engine.signTestExact(df1(Seq(-1L, -2L, -3L)), "d")
+      .collect()(0)
+    assert(neg.getAs[Double]("p_two") === 0.25)
+  }
+
   test("harmonicCloseness / adamicAdar / hubness / liftCurve survive degenerate frames") {
     val es = StructType(Seq(StructField("a", LongType),
       StructField("b", LongType)))

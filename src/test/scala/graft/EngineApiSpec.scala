@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 191, "documented facade count drifted; methods: "
+    assert(names.length === 193, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1352,6 +1352,40 @@ class EngineApiSpec extends SparkSpec {
     val viaApi = engine.holtWintersInterval(hourly, "hr", "cnt")
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
+  }
+
+  test("wilcoxonSignedRank / signTestExact facades match their keys + hand-computed pins") {
+    val d = sf("sf0.001")
+    // the keys' paired-delta stage reconstructed as facade input
+    val ev = TestData.events(spark, d)
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .withColumn("v_u", floor($"value" * 1000000 + 0.5).cast("long"))
+    val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) DIV 2").as("mid"))
+    val deltas = ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(sum(when($"ts_us" < $"mid", $"v_u").otherwise(0L)).as("s1"),
+        sum(when($"ts_us" >= $"mid", $"v_u").otherwise(0L)).as("s2"))
+      .withColumn("d_w", floor(($"s1" - $"s2").cast("double")
+        / 1000000.0).cast("long"))
+    assert(engine.wilcoxonSignedRank(deltas, "d_w")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("agg_wilcoxon_signed_rank")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    assert(engine.signTestExact(deltas, "d_w")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("agg_sign_test")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // hand-computed pins on tiny frames: deltas {1,2,3,−4,5} ⇒
+    // 2W⁺ = 22, E2 = 15, Var2 = 55, z = 7/√55 ≈ 0.9439;
+    // all-positive n = 5 ⇒ exact sign p = 2·(1/32) = 0.0625.
+    val tiny = Seq(1L, 2L, 3L, -4L, 5L).toDF("d_w")
+    val w = engine.wilcoxonSignedRank(tiny, "d_w").collect()(0)
+    assert(w.getAs[Long]("w2_plus") === 22L)
+    assert(w.getAs[Double]("z_wilcoxon") === 0.9439)
+    val sg = engine.signTestExact(
+      Seq(1L, 2L, 3L, 4L, 5L).toDF("d_w"), "d_w").collect()(0)
+    assert(sg.getAs[Double]("p_two") === 0.0625)
+    assert(sg.getAs[Boolean]("significant_95") === false)
   }
 
   test("harmonicCloseness / adamicAdar / hubness / liftCurve facades match their keys") {
