@@ -4502,6 +4502,28 @@ class GraftEngine(val spark: SparkSession) {
       series.select(col(orderCol).as("hr"),
         col(valueCol).cast("long").as("n")))
 
+  /** ADF(1) unit-root test (see `ts_adf_test`) over an integer-
+    * keyed (orderCol, valueCol) series: Dickey-Fuller t on γ in
+    * Δy = α + γ·y₋₁ + φ·Δy₋₁, gap-safe equi-join lags. Collinear /
+    * constant series read NULL.
+    */
+  def adfTest(series: DataFrame, orderCol: String,
+              valueCol: String): DataFrame =
+    graft.operators.TimeSeries.adfCore(
+      series.select(col(orderCol).cast("long").as("xh"),
+        col(valueCol).cast("long").as("y")))
+
+  /** KPSS level-stationarity test (see `ts_kpss_test`) over an
+    * ordered (orderCol, valueCol) series — the complement of
+    * [[adfTest]] (null = stationary). Bartlett bandwidth-4 long-run
+    * variance; constant series read NULL.
+    */
+  def kpssTest(series: DataFrame, orderCol: String,
+               valueCol: String): DataFrame =
+    graft.operators.TimeSeries.kpssCore(
+      series.select(col(orderCol).as("hr"),
+        col(valueCol).cast("long").as("y")))
+
   /** Order-3 Bandt-Pompe permutation entropy (see
     * `ts_permutation_entropy`) over an ordered (orderCol, valueCol)
     * series: pattern-histogram entropy in nats + the ln(6)-

@@ -28,6 +28,120 @@ object TimeSeries {
     */
   private[graft] val PermEntLn6: Double = math.log(6.0)
 
+  /** ADF(1) unit-root test core (see `ts_adf_test`): input
+    * (xh: integer time key, y: BIGINT) series rows. Regression
+    * Δy_t = α + γ·y_{t−1} + φ·Δy_{t−1} via GAP-SAFE x−k equi-joins
+    * (the ts_snaive_smape lesson — lag() silently misaligns across
+    * grid gaps), then the agg_ols_multi sufficient-statistic recipe:
+    * exact-BIGINT sums, Cramer's rule on the centered 2×2, and the
+    * Dickey-Fuller t on γ from SE(γ̂)² = s²·cxx2/det. Critical value
+    * −2.86 (constant case, 5 %, asymptotic) is the literal spec.
+    * Bound: y²·n < 2^63 ⇒ y ≲ 3e9/√n — pre-scale y past that.
+    * Shared with `GraftEngine.adfTest`.
+    */
+  private[graft] def adfCore(series: DataFrame): DataFrame = {
+    val l1 = series.select((col("xh") + 1).as("xh"), col("y").as("y1"))
+    val l2 = series.select((col("xh") + 2).as("xh"), col("y").as("y2"))
+    series.join(l1, "xh").join(l2, "xh")
+      .select((col("y") - col("y1")).as("dy"),
+        col("y1").as("x1"), (col("y1") - col("y2")).as("x2"))
+      .agg(count(lit(1)).as("n"),
+        sum("x1").as("s1"), sum("x2").as("s2"), sum("dy").as("sy"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x1") * col("dy")).as("s1y"),
+        sum(col("x2") * col("dy")).as("s2y"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .withColumn("cxx1", when(col("n") > 0, col("s11").cast("double")
+        - col("s1").cast("double") * col("s1").cast("double")
+          / col("n").cast("double")))
+      .withColumn("cxx2", when(col("n") > 0, col("s22").cast("double")
+        - col("s2").cast("double") * col("s2").cast("double")
+          / col("n").cast("double")))
+      .withColumn("cx12", when(col("n") > 0, col("s12").cast("double")
+        - col("s1").cast("double") * col("s2").cast("double")
+          / col("n").cast("double")))
+      .withColumn("cx1y", when(col("n") > 0, col("s1y").cast("double")
+        - col("s1").cast("double") * col("sy").cast("double")
+          / col("n").cast("double")))
+      .withColumn("cx2y", when(col("n") > 0, col("s2y").cast("double")
+        - col("s2").cast("double") * col("sy").cast("double")
+          / col("n").cast("double")))
+      .withColumn("cyy", when(col("n") > 0, col("syy").cast("double")
+        - col("sy").cast("double") * col("sy").cast("double")
+          / col("n").cast("double")))
+      .withColumn("det",
+        col("cxx1") * col("cxx2") - col("cx12") * col("cx12"))
+      .withColumn("b1", when(col("det") =!= 0.0,
+        (col("cx1y") * col("cxx2") - col("cx2y") * col("cx12"))
+          / col("det")))
+      .withColumn("b2", when(col("det") =!= 0.0,
+        (col("cx2y") * col("cxx1") - col("cx1y") * col("cx12"))
+          / col("det")))
+      .withColumn("s2e", when(col("det") =!= 0.0 && col("n") > 3,
+        (col("cyy") - col("b1") * col("cx1y")
+          - col("b2") * col("cx2y")) / (col("n") - 3).cast("double")))
+      .withColumn("varb1", when(col("s2e").isNotNull,
+        col("s2e") * col("cxx2") / col("det")))
+      .withColumn("t_gamma", when(col("varb1") > 0,
+        TestData.r4(col("b1") / sqrt(col("varb1")))))
+      .select(col("n").as("n_obs"),
+        when(col("b1").isNotNull, TestData.r4(col("b1"))).as("gamma"),
+        when(col("b2").isNotNull, TestData.r4(col("b2"))).as("phi"),
+        col("t_gamma"),
+        when(col("t_gamma").isNotNull, col("t_gamma") < -2.86)
+          .as("unit_root_rejected_95"))
+  }
+
+  /** KPSS level-stationarity core (see `ts_kpss_test`): input
+    * hour-ORDERED (hr, y: BIGINT) rows. Scaled deviations
+    * D_t = y_t·H − T (the ts_autocorr machinery — row adjacency over
+    * the observed grid IS the lag definition at small lags); partial
+    * sums C_t exact-BIGINT prefix, per-row S_t² = (C_t/H)² quantized
+    * to whole units BEFORE the sum (PSI protocol); Bartlett
+    * bandwidth-4 long-run variance combined EXACTLY as slr5 =
+    * 5·g0 + 2·(4g1+3g2+2g3+g4); η = 5·H·ΣS²u / slr5 assembled once,
+    * mirrored, r4. Constant series (slr5 = 0) ⇒ NULL. Bound: the
+    * autocorr dev-product bound (|D| ≲ 2^31). Shared with
+    * `GraftEngine.kpssTest`.
+    */
+  private[graft] def kpssCore(series: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window.orderBy("hr")
+    val tot = series.agg(sum("y").as("t_total"),
+      count(lit(1)).as("n_hours"))
+    val dv = series.crossJoin(broadcast(tot))
+      .withColumn("dev", col("y") * col("n_hours") - col("t_total"))
+      .withColumn("cum", sum("dev").over(
+        W.rowsBetween(org.apache.spark.sql.expressions
+          .Window.unboundedPreceding, 0)))
+      .withColumn("s2_u", floor(
+        (col("cum").cast("double") / col("n_hours").cast("double"))
+          * (col("cum").cast("double") / col("n_hours").cast("double"))
+        + 0.5).cast("long"))
+    val led = (1 to 4).foldLeft(dv) { (df, k) =>
+      df.withColumn(s"l$k", lead("dev", k).over(W))
+    }
+    led.agg(max("n_hours").as("n_hours"),
+        sum("s2_u").as("sum_s2_u"),
+        sum(col("dev") * col("dev")).as("g0"),
+        sum(col("dev") * col("l1")).as("g1"),
+        sum(col("dev") * col("l2")).as("g2"),
+        sum(col("dev") * col("l3")).as("g3"),
+        sum(col("dev") * col("l4")).as("g4"))
+      .withColumn("slr5", lit(5L) * col("g0")
+        + lit(2L) * (lit(4L) * col("g1") + lit(3L) * col("g2")
+          + lit(2L) * col("g3") + col("g4")))
+      .withColumn("eta", when(col("slr5") > 0,
+        TestData.r4(lit(5.0) * col("n_hours").cast("double")
+          * col("sum_s2_u").cast("double")
+          / col("slr5").cast("double"))))
+      .withColumn("stationarity_rejected_95",
+        when(col("eta").isNotNull, col("eta") > 0.463))
+      .select("n_hours", "sum_s2_u", "slr5", "eta",
+        "stationarity_rejected_95")
+  }
+
   /** Turning point test core (see `ts_turning_points`): input an
     * ordered (hr, n: BIGINT) series, output the 1-row strict-extrema
     * randomness readout with Kendall's E[T] = 2(n−2)/3 and
@@ -1165,6 +1279,29 @@ object TimeSeries {
       turningPointCore(TestData.events(s, d)
         .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
         .agg(count(lit(1)).as("n")))),
+
+    // ADF UNIT-ROOT TEST (round 15): "is the hourly volume series
+    // mean-reverting or a random walk" — the stationarity gate every
+    // downstream model here silently assumes (AR2 backtest, ACF
+    // bands, anomaly z-scores are all meaningless on an integrated
+    // series). Augmented with one lag; gap-safe x−k equi-joins feed
+    // the agg_ols_multi sufficient-statistic machinery; DF t on γ
+    // against the −2.86 constant-case literal.
+    "ts_adf_test" -> ((s, d) =>
+      adfCore(TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("xh"))
+        .agg(count(lit(1)).as("y")))),
+
+    // KPSS STATIONARITY TEST (round 15): the COMPLEMENT of ADF —
+    // null = stationary (ADF's null = unit root), so the pair
+    // resolves the low-power limbo: ADF-reject + KPSS-accept is firm
+    // stationarity, both-reject flags structure neither model fits.
+    // Partial-sum statistic with Bartlett bandwidth-4 long-run
+    // variance, all sums exact or per-row quantized (see kpssCore).
+    "ts_kpss_test" -> ((s, d) =>
+      kpssCore(TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(count(lit(1)).as("y")))),
 
     // PERMUTATION ENTROPY (round 15): Bandt-Pompe order-3 ordinal
     // complexity of the hourly series — the model-free "how
@@ -3973,6 +4110,126 @@ object TimeSeries {
         |      floor(num33::DOUBLE / den33::DOUBLE * 10000 + 0.5) / 10000 END
         |  FROM p5)
         |SELECT lag, acf_micro, pacf FROM u ORDER BY lag""".stripMargin,
+    // Gap-safe x−k equi-joins; ols_multi sufficient stats + Cramer;
+    // DF t on γ with SE² = s²·cxx2/det; mirrored op order.
+    "ts_adf_test" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS xh,
+        |    count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1),
+        |j AS (
+        |  SELECT (h0.y - h1.y)::BIGINT AS dy, h1.y::BIGINT AS x1,
+        |    (h1.y - h2.y)::BIGINT AS x2
+        |  FROM hourly h0
+        |  JOIN hourly h1 ON h0.xh = h1.xh + 1
+        |  JOIN hourly h2 ON h0.xh = h2.xh + 2),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(x1)::BIGINT AS s1, sum(x2)::BIGINT AS s2,
+        |    sum(dy)::BIGINT AS sy,
+        |    sum(x1 * x1)::BIGINT AS s11, sum(x2 * x2)::BIGINT AS s22,
+        |    sum(x1 * x2)::BIGINT AS s12, sum(x1 * dy)::BIGINT AS s1y,
+        |    sum(x2 * dy)::BIGINT AS s2y, sum(dy * dy)::BIGINT AS syy
+        |  FROM j),
+        |c AS (
+        |  SELECT *,
+        |    CASE WHEN n > 0 THEN s11::DOUBLE
+        |      - s1::DOUBLE * s1::DOUBLE / n::DOUBLE END AS cxx1,
+        |    CASE WHEN n > 0 THEN s22::DOUBLE
+        |      - s2::DOUBLE * s2::DOUBLE / n::DOUBLE END AS cxx2,
+        |    CASE WHEN n > 0 THEN s12::DOUBLE
+        |      - s1::DOUBLE * s2::DOUBLE / n::DOUBLE END AS cx12,
+        |    CASE WHEN n > 0 THEN s1y::DOUBLE
+        |      - s1::DOUBLE * sy::DOUBLE / n::DOUBLE END AS cx1y,
+        |    CASE WHEN n > 0 THEN s2y::DOUBLE
+        |      - s2::DOUBLE * sy::DOUBLE / n::DOUBLE END AS cx2y,
+        |    CASE WHEN n > 0 THEN syy::DOUBLE
+        |      - sy::DOUBLE * sy::DOUBLE / n::DOUBLE END AS cyy
+        |  FROM a),
+        |dt AS (
+        |  SELECT *, cxx1 * cxx2 - cx12 * cx12 AS det FROM c),
+        |bb AS (
+        |  SELECT *,
+        |    CASE WHEN det <> 0.0 THEN
+        |      (cx1y * cxx2 - cx2y * cx12) / det END AS b1,
+        |    CASE WHEN det <> 0.0 THEN
+        |      (cx2y * cxx1 - cx1y * cx12) / det END AS b2
+        |  FROM dt),
+        |se AS (
+        |  SELECT *,
+        |    CASE WHEN det <> 0.0 AND n > 3 THEN
+        |      (cyy - b1 * cx1y - b2 * cx2y) / (n - 3)::DOUBLE
+        |    END AS s2e
+        |  FROM bb),
+        |vb AS (
+        |  SELECT *,
+        |    CASE WHEN s2e IS NOT NULL THEN s2e * cxx2 / det END
+        |      AS varb1
+        |  FROM se),
+        |tg AS (
+        |  SELECT *,
+        |    CASE WHEN varb1 > 0 THEN
+        |      floor(b1 / sqrt(varb1) * 10000 + 0.5) / 10000 END
+        |      AS t_gamma
+        |  FROM vb)
+        |SELECT n AS n_obs,
+        |  CASE WHEN b1 IS NOT NULL THEN
+        |    floor(b1 * 10000 + 0.5) / 10000 END AS gamma,
+        |  CASE WHEN b2 IS NOT NULL THEN
+        |    floor(b2 * 10000 + 0.5) / 10000 END AS phi,
+        |  t_gamma,
+        |  CASE WHEN t_gamma IS NOT NULL THEN t_gamma < -2.86 END
+        |    AS unit_root_rejected_95
+        |FROM tg""".stripMargin,
+    // Scaled-dev partial sums (prefix BIGINT, per-row quantized S²),
+    // exact Bartlett slr5 combination, one mirrored η.
+    "ts_kpss_test" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr,
+        |    count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT sum(y)::BIGINT AS t_total,
+        |        count(*)::BIGINT AS n_hours FROM hourly),
+        |dv AS (
+        |  SELECT hr, (y * n_hours - t_total)::BIGINT AS dev, n_hours
+        |  FROM hourly CROSS JOIN tot),
+        |cm AS (
+        |  SELECT *,
+        |    (sum(dev) OVER (ORDER BY hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS cum,
+        |    lead(dev, 1) OVER (ORDER BY hr) AS l1,
+        |    lead(dev, 2) OVER (ORDER BY hr) AS l2,
+        |    lead(dev, 3) OVER (ORDER BY hr) AS l3,
+        |    lead(dev, 4) OVER (ORDER BY hr) AS l4
+        |  FROM dv),
+        |sq AS (
+        |  SELECT *,
+        |    floor((cum::DOUBLE / n_hours::DOUBLE)
+        |      * (cum::DOUBLE / n_hours::DOUBLE) + 0.5)::BIGINT AS s2_u
+        |  FROM cm),
+        |a AS (
+        |  SELECT max(n_hours)::BIGINT AS n_hours,
+        |    sum(s2_u)::BIGINT AS sum_s2_u,
+        |    sum(dev * dev)::BIGINT AS g0,
+        |    sum(dev * l1)::BIGINT AS g1, sum(dev * l2)::BIGINT AS g2,
+        |    sum(dev * l3)::BIGINT AS g3, sum(dev * l4)::BIGINT AS g4
+        |  FROM sq),
+        |b AS (
+        |  SELECT *,
+        |    (5 * g0 + 2 * (4 * g1 + 3 * g2 + 2 * g3 + g4))::BIGINT
+        |      AS slr5
+        |  FROM a),
+        |e AS (
+        |  SELECT *,
+        |    CASE WHEN slr5 > 0 THEN
+        |      floor(5.0 * n_hours::DOUBLE * sum_s2_u::DOUBLE
+        |        / slr5::DOUBLE * 10000 + 0.5) / 10000 END AS eta
+        |  FROM b)
+        |SELECT n_hours, sum_s2_u, slr5, eta,
+        |  CASE WHEN eta IS NOT NULL THEN eta > 0.463 END
+        |    AS stationarity_rejected_95
+        |FROM e""".stripMargin,
     // Strict-extrema counts over lag/lead row adjacency; Kendall
     // moments assembled once on the 1-row readout, mirrored.
     "ts_turning_points" ->

@@ -760,6 +760,30 @@ class DegenerateSpec extends SparkSpec {
       "label", ef(Nil)), "louvainCoarsen/no-edges")
   }
 
+  test("adfTest / kpssTest survive degenerate frames") {
+    val ts2 = StructType(Seq(StructField("t", LongType),
+      StructField("v", LongType)))
+    def s2(rows: Seq[(Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), ts2)
+    assertClean(engine.adfTest(s2(Nil), "t", "v"), "adf/empty")
+    assertClean(engine.adfTest(s2(Seq((1L, 5L), (2L, 7L))), "t", "v"),
+      "adf/too-short")
+    // constant series: cxx1 = 0 ⇒ det = 0 ⇒ every readout NULL
+    val const = engine.adfTest(
+      s2((1L to 10L).map(t => (t, 5L))), "t", "v").collect()(0)
+    assert(const.isNullAt(const.fieldIndex("t_gamma")))
+    // exact ramp: Δy and Δy₋₁ constant ⇒ collinear ⇒ NULL, no throw
+    assertClean(engine.adfTest(
+      s2((1L to 20L).map(t => (t, 5L * t))), "t", "v"), "adf/ramp")
+    assertClean(engine.kpssTest(s2(Nil), "t", "v"), "kpss/empty")
+    // constant series: zero deviations ⇒ slr5 = 0 ⇒ NULL η
+    val kc = engine.kpssTest(
+      s2((1L to 10L).map(t => (t, 5L))), "t", "v").collect()(0)
+    assert(kc.isNullAt(kc.fieldIndex("eta")))
+    assertClean(engine.kpssTest(s2(Seq((1L, -3L))), "t", "v"),
+      "kpss/single")
+  }
+
   test("wilcoxonSignedRank / signTestExact survive degenerate frames") {
     val ds = StructType(Seq(StructField("d", LongType)))
     def df1(rows: Seq[Long]) = spark.createDataFrame(

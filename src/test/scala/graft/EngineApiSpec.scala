@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 193, "documented facade count drifted; methods: "
+    assert(names.length === 195, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1352,6 +1352,36 @@ class EngineApiSpec extends SparkSpec {
     val viaApi = engine.holtWintersInterval(hourly, "hr", "cnt")
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
+  }
+
+  test("adfTest / kpssTest facades match their keys + planted stationarity behavior") {
+    val d = sf("sf0.001")
+    val hourly = TestData.events(spark, d)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .agg(count(lit(1)).as("v"))
+    assert(engine.adfTest(hourly, "h", "v")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("ts_adf_test")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    assert(engine.kpssTest(hourly, "h", "v")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("ts_kpss_test")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // planted mean-reverting series (period-2 square + period-3
+    // wobble, no exact collinearity): ADF strongly rejects the unit
+    // root, KPSS does NOT reject stationarity — the firm-stationary
+    // quadrant of the ADF×KPSS decision table
+    val mr = (0 until 300).map(t =>
+      (t.toLong, ((t % 2) * 10 + (t % 3)).toLong)).toDF("t", "y")
+    val adfMr = engine.adfTest(mr, "t", "y").collect()(0)
+    assert(adfMr.getAs[Boolean]("unit_root_rejected_95") === true)
+    assert(adfMr.getAs[Double]("t_gamma") < -5.0)
+    val kpssMr = engine.kpssTest(mr, "t", "y").collect()(0)
+    assert(kpssMr.getAs[Boolean]("stationarity_rejected_95") === false)
+    // planted trend: KPSS rejects level stationarity decisively
+    val ramp = (0 until 300).map(t => (t.toLong, 5L * t)).toDF("t", "y")
+    val kpssRamp = engine.kpssTest(ramp, "t", "y").collect()(0)
+    assert(kpssRamp.getAs[Boolean]("stationarity_rejected_95") === true)
   }
 
   test("wilcoxonSignedRank / signTestExact facades match their keys + hand-computed pins") {
