@@ -4502,6 +4502,39 @@ class GraftEngine(val spark: SparkSession) {
       series.select(col(orderCol).as("hr"),
         col(valueCol).cast("long").as("n")))
 
+  /** Bowley skew + Moors kurtosis (see `agg_quantile_skew`) per
+    * group over integer-unit values: the quantile-based shape
+    * profile that stays defined on heavy tails where 3rd/4th
+    * moments explode. Zero IQR reads NULL.
+    */
+  def quantileShape(df: DataFrame, groupCol: String, tieCol: String,
+                    valueCol: String): DataFrame =
+    graft.operators.Stats.quantileShape(
+      df.select(col(groupCol).as("seg"), col(tieCol).as("tie"),
+        col(valueCol).cast("long").as("cents")))
+
+  /** Bartlett's equal-variance test (see `agg_bartlett_test`) per
+    * group: the sharp (normality-assuming) sibling of
+    * [[Stats]] Levene — emits T and df; any n < 2 or zero-variance
+    * group reads NULL T.
+    */
+  def bartlettTest(df: DataFrame, groupCol: String,
+                   valueCol: String): DataFrame =
+    graft.operators.Stats.bartlettCore(
+      df.select(col(groupCol).as("lang"),
+        col(valueCol).cast("long").as("x")))
+
+  /** Aalen-Johansen competing risks (see `events_competing_risks`)
+    * over (duration, cause 0 = censored / 1 / 2) rows: cumulative
+    * incidence per cause — the correct replacement for running two
+    * separate 1−KM curves when causes compete.
+    */
+  def competingRisks(df: DataFrame, durationCol: String,
+                     causeCol: String): DataFrame =
+    graft.operators.TimeSeries.aalenJohansen(
+      df.select(col(durationCol).cast("long").as("dur"),
+        col(causeCol).cast("long").as("cause")))
+
   /** ADF(1) unit-root test (see `ts_adf_test`) over an integer-
     * keyed (orderCol, valueCol) series: Dickey-Fuller t on γ in
     * Δy = α + γ·y₋₁ + φ·Δy₋₁, gap-safe equi-join lags. Collinear /

@@ -205,6 +205,92 @@ object Stats {
         col("icc"), col("deff"))
   }
 
+  /** Bowley skew + Moors kurtosis core (see `agg_quantile_skew`):
+    * input (seg, tie, cents) rows; octiles E1..E7 by the rank
+    * convention rk = max(1, (n+1)·k DIV 8) off one per-segment
+    * rangedRank; both shape statistics are ratios of exact integer
+    * cents with ONE guarded division each, r4. Shared with
+    * `GraftEngine.quantileShape`.
+    */
+  private[graft] def quantileShape(units: DataFrame): DataFrame = {
+    val ranked = graft.operators.Curation.rangedRank(
+      units.select("seg", "cents", "tie"), "seg",
+      Seq(col("cents"), col("tie")), "rk")
+      .localCheckpoint() // two consumers: sizes + the octile picks
+    val sizes = (1 to 7).foldLeft(
+        ranked.groupBy("seg").agg(count(lit(1)).as("n_s"))) {
+      (df, k) => df.withColumn(s"r$k",
+        greatest(lit(1L), expr(s"((n_s + 1) * $k) DIV 8")))
+    }
+    val octAggs = max("n_s").as("n") +:
+      (1 to 7).map(k =>
+        max(when(col("rk") === col(s"r$k"), col("cents"))).as(s"e$k"))
+    ranked.join(broadcast(sizes), "seg")
+      .groupBy("seg")
+      .agg(octAggs.head, octAggs.tail: _*)
+      .withColumn("bowley", when(col("e6") - col("e2") > 0,
+        r4((col("e6") + col("e2") - lit(2L) * col("e4"))
+          .cast("double")
+          / (col("e6") - col("e2")).cast("double"))))
+      .withColumn("moors", when(col("e6") - col("e2") > 0,
+        r4(((col("e7") - col("e5")) + (col("e3") - col("e1")))
+          .cast("double")
+          / (col("e6") - col("e2")).cast("double"))))
+      .select(col("seg"), col("n"), col("e2").as("q1_cents"),
+        col("e4").as("median_cents"), col("e6").as("q3_cents"),
+        col("bowley"), col("moors"))
+      .orderBy("seg")
+  }
+
+  /** Bartlett equal-variance core (see `agg_bartlett_test`): input
+    * (lang, x: BIGINT) rows, output the 1-row (k, N, df, T)
+    * readout. Per-group transcendentals micro-quantized BEFORE the
+    * k-row sums; pooled numerator in whole units; 1/(n−1) nano via
+    * integer DIV; ln(s²_p) the single readout transcendental,
+    * mirrored. Shared with `GraftEngine.bartlettTest`.
+    */
+  private[graft] def bartlettCore(units: DataFrame): DataFrame = {
+    val g = units
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_g"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("s2", when(col("n_g") > 1,
+        (col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double")
+            / col("n_g").cast("double"))
+          / (col("n_g") - 1).cast("double")))
+      .withColumn("ln_s2_u", when(col("s2") > 0,
+        floor(log(col("s2")) * 1000000 + 0.5).cast("long")))
+      .withColumn("w_u", when(col("s2") > 0,
+        floor((col("n_g") - 1).cast("double") * col("s2") + 0.5)
+          .cast("long")))
+      .withColumn("inv_n", when(col("n_g") > 1,
+        expr("1000000000 DIV (n_g - 1)")))
+    g.agg(count(lit(1)).as("k_groups"), sum("n_g").as("n_total"),
+        sum(when(col("ln_s2_u").isNull, 1L).otherwise(0L))
+          .as("n_degenerate"),
+        sum((col("n_g") - 1) * col("ln_s2_u")).as("lnterm_u"),
+        sum("w_u").as("w_sum"), sum("inv_n").as("inv_sum_n"))
+      .withColumn("df", col("k_groups") - 1)
+      .withColumn("s2p", when(col("n_degenerate") === 0
+          && col("n_total") > col("k_groups"),
+        col("w_sum").cast("double")
+          / (col("n_total") - col("k_groups")).cast("double")))
+      .withColumn("t_raw", when(col("s2p") > 0,
+        (col("n_total") - col("k_groups")).cast("double")
+          * log(col("s2p"))
+          - col("lnterm_u").cast("double") / 1000000.0))
+      .withColumn("c_corr", when(col("t_raw").isNotNull
+          && col("k_groups") > 1,
+        lit(1.0) + (col("inv_sum_n").cast("double") / 1.0e9
+          - lit(1.0) / (col("n_total") - col("k_groups"))
+            .cast("double"))
+          / (lit(3.0) * (col("k_groups") - 1).cast("double"))))
+      .withColumn("bartlett_t", when(col("c_corr").isNotNull,
+        r4(col("t_raw") / col("c_corr"))))
+      .select("k_groups", "n_total", "df", "bartlett_t")
+  }
+
   /** Per-user paired before/after delta in whole units (the
     * `agg_paired_t` stage shared by the round-15 paired tests):
     * (min+max)/2 timestamp split, micro-quantized values BEFORE the
@@ -494,6 +580,42 @@ object Stats {
       jarqueBera(TestData.lineitem(s, d)
         .select(col("l_returnflag").as("flag"),
           floor(col("l_quantity") + 0.5).cast("long").as("x")))),
+
+    // BOWLEY SKEW + MOORS KURTOSIS (round 15): the QUANTILE-based
+    // shape profile next to agg_jarque_bera's moment-based one —
+    // octile statistics are defined (and stable) on the heavy-tailed
+    // balance distributions where 3rd/4th moments explode; the pair
+    // is the robust "is this segment's distribution lopsided/fat-
+    // tailed" dashboard line. Octiles E1..E7 by the rank convention
+    // rk = max(1, (n+1)·k DIV 8) over the per-segment rangedRank
+    // (exact order statistics, integer cents); Bowley =
+    // (E6+E2−2·E4)/(E6−E2) and Moors = ((E7−E5)+(E3−E1))/(E6−E2)
+    // are ratios of EXACT integers — one guarded division each on
+    // the segment-count readout, r4. Zero IQR ⇒ NULL.
+    "agg_quantile_skew" -> ((s, d) =>
+      quantileShape(TestData.customer(s, d)
+        .select(col("c_mktsegment").as("seg"),
+          col("c_custkey").as("tie"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long")
+            .as("cents")))),
+
+    // BARTLETT'S TEST (round 15): the VARIANCE-homogeneity gate with
+    // power under normality — published next to agg_levene_test
+    // (Levene is the robust one; when agg_jarque_bera clears the
+    // groups, Bartlett is the sharper instrument; disagreement
+    // between them is itself the tail-heaviness signal). Sufficient
+    // stats per lang (n, Σx, Σx² exact BIGINTs on n_chars); per-
+    // group transcendentals micro-quantized BEFORE the k-row sums:
+    // (n_i−1)·ln(s²_i) in micro-nats and the pooled-numerator
+    // (n_i−1)·s²_i in whole units (float accumulation over groups is
+    // engine-order-specific even at k = dozens); 1/(n_i−1) in nano
+    // units via integer DIV. ln(s²_p) is the single readout
+    // transcendental, mirrored. Emits T and df (the χ²_{k−1}
+    // comparison is the consumer's, as with agg_anova_f); any
+    // zero-variance or n < 2 group ⇒ NULL T.
+    "agg_bartlett_test" -> ((s, d) =>
+      bartlettCore(TestData.documents(s, d)
+        .select(col("lang"), col("n_chars").cast("long").as("x")))),
 
     // WILCOXON SIGNED-RANK (round 15): the nonparametric member of
     // the PAIRED family (mcnemar = binary, paired_t = normal-theory,
@@ -2205,6 +2327,99 @@ object Stats {
       |  FROM pu)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Per-segment row_number rank (≡ rangedRank), octile rank picks
+    // with the max(1, (n+1)k//8) convention, exact-integer ratios.
+    "agg_quantile_skew" ->
+      """WITH base AS (
+        |  SELECT c_mktsegment AS seg, c_custkey AS tie,
+        |    floor(c_acctbal * 100 + 0.5)::BIGINT AS cents
+        |  FROM customer),
+        |r0 AS (
+        |  SELECT seg, cents,
+        |    row_number() OVER (PARTITION BY seg
+        |      ORDER BY cents, tie) AS rk,
+        |    count(*) OVER (PARTITION BY seg) AS n_s
+        |  FROM base),
+        |oct AS (
+        |  SELECT seg, max(n_s)::BIGINT AS n,
+        |    max(CASE WHEN rk = greatest(1, ((n_s + 1) * 1) // 8)
+        |      THEN cents END)::BIGINT AS e1,
+        |    max(CASE WHEN rk = greatest(1, ((n_s + 1) * 2) // 8)
+        |      THEN cents END)::BIGINT AS e2,
+        |    max(CASE WHEN rk = greatest(1, ((n_s + 1) * 3) // 8)
+        |      THEN cents END)::BIGINT AS e3,
+        |    max(CASE WHEN rk = greatest(1, ((n_s + 1) * 4) // 8)
+        |      THEN cents END)::BIGINT AS e4,
+        |    max(CASE WHEN rk = greatest(1, ((n_s + 1) * 5) // 8)
+        |      THEN cents END)::BIGINT AS e5,
+        |    max(CASE WHEN rk = greatest(1, ((n_s + 1) * 6) // 8)
+        |      THEN cents END)::BIGINT AS e6,
+        |    max(CASE WHEN rk = greatest(1, ((n_s + 1) * 7) // 8)
+        |      THEN cents END)::BIGINT AS e7
+        |  FROM r0 GROUP BY 1)
+        |SELECT seg, n, e2 AS q1_cents, e4 AS median_cents,
+        |  e6 AS q3_cents,
+        |  CASE WHEN e6 - e2 > 0 THEN
+        |    floor((e6 + e2 - 2 * e4)::DOUBLE / (e6 - e2)::DOUBLE
+        |      * 10000 + 0.5) / 10000 END AS bowley,
+        |  CASE WHEN e6 - e2 > 0 THEN
+        |    floor(((e7 - e5) + (e3 - e1))::DOUBLE / (e6 - e2)::DOUBLE
+        |      * 10000 + 0.5) / 10000 END AS moors
+        |FROM oct ORDER BY seg""".stripMargin,
+    // Sufficient stats per lang; micro-nat (n−1)·ln s², whole-unit
+    // pooled numerator, nano 1/(n−1); one readout ln + C correction.
+    "agg_bartlett_test" ->
+      """WITH g AS (
+        |  SELECT lang, count(*)::BIGINT AS n_g,
+        |    sum(n_chars)::BIGINT AS sx,
+        |    sum(n_chars * n_chars)::BIGINT AS sxx
+        |  FROM documents GROUP BY 1),
+        |v AS (
+        |  SELECT *,
+        |    CASE WHEN n_g > 1 THEN
+        |      (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n_g::DOUBLE)
+        |        / (n_g - 1)::DOUBLE END AS s2
+        |  FROM g),
+        |u AS (
+        |  SELECT *,
+        |    CASE WHEN s2 > 0 THEN
+        |      floor(ln(s2) * 1000000 + 0.5)::BIGINT END AS ln_s2_u,
+        |    CASE WHEN s2 > 0 THEN
+        |      floor((n_g - 1)::DOUBLE * s2 + 0.5)::BIGINT END AS w_u,
+        |    CASE WHEN n_g > 1 THEN (1000000000 // (n_g - 1))::BIGINT
+        |      END AS inv_n
+        |  FROM v),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS k_groups,
+        |    sum(n_g)::BIGINT AS n_total,
+        |    sum(CASE WHEN ln_s2_u IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_degenerate,
+        |    sum((n_g - 1) * ln_s2_u)::BIGINT AS lnterm_u,
+        |    sum(w_u)::BIGINT AS w_sum, sum(inv_n)::BIGINT AS inv_sum_n
+        |  FROM u),
+        |b AS (
+        |  SELECT *, (k_groups - 1)::BIGINT AS df,
+        |    CASE WHEN n_degenerate = 0 AND n_total > k_groups THEN
+        |      w_sum::DOUBLE / (n_total - k_groups)::DOUBLE END AS s2p
+        |  FROM a),
+        |c AS (
+        |  SELECT *,
+        |    CASE WHEN s2p > 0 THEN
+        |      (n_total - k_groups)::DOUBLE * ln(s2p)
+        |        - lnterm_u::DOUBLE / 1000000.0 END AS t_raw
+        |  FROM b),
+        |e AS (
+        |  SELECT *,
+        |    CASE WHEN t_raw IS NOT NULL AND k_groups > 1 THEN
+        |      1.0 + (inv_sum_n::DOUBLE / 1.0e9
+        |        - 1.0 / (n_total - k_groups)::DOUBLE)
+        |        / (3.0 * (k_groups - 1)::DOUBLE) END AS c_corr
+        |  FROM c)
+        |SELECT k_groups, n_total, df,
+        |  CASE WHEN c_corr IS NOT NULL THEN
+        |    floor(t_raw / c_corr * 10000 + 0.5) / 10000 END
+        |    AS bartlett_t
+        |FROM e""".stripMargin,
     // Shared delta CTE; doubled midranks over the |d|-distinct grid,
     // guarded tie cube, mirrored z assembly.
     "agg_wilcoxon_signed_rank" ->

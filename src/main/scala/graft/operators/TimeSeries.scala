@@ -28,6 +28,59 @@ object TimeSeries {
     */
   private[graft] val PermEntLn6: Double = math.log(6.0)
 
+  /** Aalen-Johansen competing-risks core (see
+    * `events_competing_risks`): input (dur: BIGINT, cause: 0 =
+    * censored / 1 / 2) unit rows, output the event-time grid with
+    * cumulative incidence per cause. All-cause KM ln terms micro-
+    * nat quantized; risk-set-death zero flag applies to S(s−) one
+    * row later; AJ increments exp(cum−)·d_k/n quantized to integer
+    * micro BEFORE the cumulative. Shared with
+    * `GraftEngine.competingRisks`.
+    */
+  private[graft] def aalenJohansen(units: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val risk = units.groupBy("dur")
+      .agg(sum(when(col("cause") === 1L, 1L).otherwise(0L)).as("d_p"),
+        sum(when(col("cause") === 2L, 1L).otherwise(0L)).as("d_e"),
+        sum(when(col("cause") === 0L, 1L).otherwise(0L)).as("c_t"))
+      .withColumn("n_total", sum(col("d_p") + col("d_e")
+        + col("c_t")).over(W.partitionBy()))
+      .withColumn("n_risk", col("n_total")
+        - coalesce(sum(col("d_p") + col("d_e") + col("c_t")).over(
+            W.orderBy("dur")
+              .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    risk.filter(col("d_p") + col("d_e") > 0)
+      .withColumn("d_all", col("d_p") + col("d_e"))
+      .withColumn("term_u", when(col("n_risk") > col("d_all"),
+        floor(log((col("n_risk") - col("d_all")).cast("double")
+          / col("n_risk").cast("double")) * 1000000 + 0.5)
+          .cast("long")).otherwise(0L))
+      .withColumn("zero_prev", coalesce(
+        max(when(col("n_risk") === col("d_all"), 1).otherwise(0))
+          .over(W.orderBy("dur")
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0)))
+      .withColumn("cum_prev_u", coalesce(sum("term_u").over(
+        W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("s_prev", when(col("zero_prev") === 1, lit(0.0))
+        .otherwise(exp(col("cum_prev_u") / 1000000.0)))
+      .withColumn("tp_u", floor(col("s_prev")
+        * col("d_p").cast("double") / col("n_risk").cast("double")
+        * 1000000 + 0.5).cast("long"))
+      .withColumn("te_u", floor(col("s_prev")
+        * col("d_e").cast("double") / col("n_risk").cast("double")
+        * 1000000 + 0.5).cast("long"))
+      .withColumn("cif_p_u", sum("tp_u").over(W.orderBy("dur")
+        .rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("cif_e_u", sum("te_u").over(W.orderBy("dur")
+        .rowsBetween(W.unboundedPreceding, 0)))
+      .select(col("dur").as("t_hr"), col("n_risk"),
+        col("d_p").as("d_purchase"), col("d_e").as("d_error"),
+        TestData.r4(col("cif_p_u") / 1000000.0).as("cif_purchase"),
+        TestData.r4(col("cif_e_u") / 1000000.0).as("cif_error"))
+      .orderBy("t_hr")
+  }
+
   /** ADF(1) unit-root test core (see `ts_adf_test`): input
     * (xh: integer time key, y: BIGINT) series rows. Regression
     * Δy_t = α + γ·y_{t−1} + φ·Δy_{t−1} via GAP-SAFE x−k equi-joins
@@ -3020,6 +3073,44 @@ object TimeSeries {
         col("event").as("ev"))).orderBy("t_hr")
     }),
 
+    // COMPETING RISKS / AALEN-JOHANSEN (round 15): cumulative
+    // incidence of purchase vs error as FIRST terminal event — the
+    // estimator that fixes the classic bias of running two separate
+    // KMs ("1 − KM per cause" over-counts because it treats the
+    // competing cause as censoring; AJ's CIF_k(t) = Σ S(s−)·d_k/n_s
+    // partitions the probability mass correctly, CIF_p + CIF_e =
+    // 1 − S by construction). Same duration-grid risk-set machinery
+    // as KM/NA; all-cause KM ln terms micro-nat quantized (the KM
+    // protocol, with the risk-set-death zero flag applied to S(s−)
+    // one row LATER — the dying row still consumes its own pre-death
+    // S); each CIF increment exp(cum−)·d_k/n is quantized to integer
+    // micro BEFORE its cumulative sum (per-row transcendental
+    // protocol). Additivity CIF_p + CIF_e ≈ 1 − S pinned in
+    // EngineApiSpec within micro slack.
+    "events_competing_risks" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val pu = TestData.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .groupBy("user_id")
+        .agg(min("ts_us").as("t0"),
+          min(when(col("event_type") === "purchase", col("ts_us")))
+            .as("tp"),
+          min(when(col("event_type") === "error", col("ts_us")))
+            .as("te"),
+          max("ts_us").as("tlast"))
+        .withColumn("cause",
+          when(col("tp").isNotNull
+            && (col("te").isNull || col("tp") <= col("te")), 1L)
+          .when(col("te").isNotNull, 2L)
+          .otherwise(0L))
+        .withColumn("tev",
+          when(col("cause") === 1L, col("tp"))
+          .when(col("cause") === 2L, col("te"))
+          .otherwise(col("tlast")))
+        .withColumn("dur_hr", expr("(tev - t0) DIV 3600000000"))
+      aalenJohansen(pu.select(col("dur_hr").as("dur"), col("cause")))
+    }),
+
     // PER-VARIANT KAPLAN-MEIER (round 11): the two curves behind
     // events_logrank's verdict — the drill-down an experimenter
     // reads AFTER the test says the curves differ (which variant
@@ -5825,6 +5916,89 @@ object TimeSeries {
         |    AS surv_fh
         |FROM na ORDER BY t_hr""".stripMargin,
     // The KM oracle with every window PARTITION BY variant.
+    // First-terminal-event cause assignment, all-cause KM risk sets
+    // (micro-nat ln, one-row-later zero flag), per-row quantized
+    // AJ increments exp(cum−)·d_k/n before the cumulative.
+    "events_competing_risks" ->
+      """WITH pu AS (
+        |  SELECT user_id, min(epoch_us(ts))::BIGINT AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      ::BIGINT AS tp,
+        |    min(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+        |      ::BIGINT AS te,
+        |    max(epoch_us(ts))::BIGINT AS tlast
+        |  FROM events GROUP BY 1),
+        |cz AS (
+        |  SELECT *,
+        |    CASE WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te)
+        |      THEN 1 WHEN te IS NOT NULL THEN 2 ELSE 0 END AS cause
+        |  FROM pu),
+        |du AS (
+        |  SELECT cause,
+        |    ((CASE WHEN cause = 1 THEN tp WHEN cause = 2 THEN te
+        |      ELSE tlast END) - t0) // 3600000000 AS dur_hr
+        |  FROM cz),
+        |risk0 AS (
+        |  SELECT dur_hr,
+        |    sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END)::BIGINT AS d_p,
+        |    sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END)::BIGINT AS d_e,
+        |    sum(CASE WHEN cause = 0 THEN 1 ELSE 0 END)::BIGINT AS c_t
+        |  FROM du GROUP BY 1),
+        |risk AS (
+        |  SELECT *,
+        |    (sum(d_p + d_e + c_t) OVER ())::BIGINT AS n_total,
+        |    ((sum(d_p + d_e + c_t) OVER ())
+        |      - coalesce(sum(d_p + d_e + c_t) OVER (ORDER BY dur_hr
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        0))::BIGINT AS n_risk
+        |  FROM risk0),
+        |ev AS (
+        |  SELECT *, (d_p + d_e)::BIGINT AS d_all FROM risk
+        |  WHERE d_p + d_e > 0),
+        |tm AS (
+        |  SELECT *,
+        |    (CASE WHEN n_risk > d_all THEN
+        |      floor(ln((n_risk - d_all)::DOUBLE / n_risk::DOUBLE)
+        |        * 1000000 + 0.5) ELSE 0 END)::BIGINT AS term_u
+        |  FROM ev),
+        |zz AS (
+        |  SELECT *,
+        |    coalesce(max(CASE WHEN n_risk = d_all THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY dur_hr
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS zero_prev,
+        |    (coalesce(sum(term_u) OVER (ORDER BY dur_hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |      ::BIGINT AS cum_prev_u
+        |  FROM tm),
+        |sp AS (
+        |  SELECT *,
+        |    CASE WHEN zero_prev = 1 THEN 0.0
+        |      ELSE exp(cum_prev_u / 1000000.0) END AS s_prev
+        |  FROM zz),
+        |inc AS (
+        |  SELECT *,
+        |    floor(s_prev * d_p::DOUBLE / n_risk::DOUBLE
+        |      * 1000000 + 0.5)::BIGINT AS tp_u,
+        |    floor(s_prev * d_e::DOUBLE / n_risk::DOUBLE
+        |      * 1000000 + 0.5)::BIGINT AS te_u
+        |  FROM sp),
+        |cif AS (
+        |  SELECT *,
+        |    (sum(tp_u) OVER (ORDER BY dur_hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS cif_p_u,
+        |    (sum(te_u) OVER (ORDER BY dur_hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS cif_e_u
+        |  FROM inc)
+        |SELECT dur_hr AS t_hr, n_risk, d_p AS d_purchase,
+        |  d_e AS d_error,
+        |  floor((cif_p_u / 1000000.0) * 10000 + 0.5) / 10000
+        |    AS cif_purchase,
+        |  floor((cif_e_u / 1000000.0) * 10000 + 0.5) / 10000
+        |    AS cif_error
+        |FROM cif ORDER BY t_hr""".stripMargin,
     "events_km_variants" ->
       """WITH pu AS (
         |  SELECT user_id, min(epoch_us(ts))::BIGINT AS t0,

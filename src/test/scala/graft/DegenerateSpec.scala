@@ -760,6 +760,49 @@ class DegenerateSpec extends SparkSpec {
       "label", ef(Nil)), "louvainCoarsen/no-edges")
   }
 
+  test("quantileShape / bartlettTest / competingRisks survive degenerate frames") {
+    val qs = StructType(Seq(StructField("g", StringType),
+      StructField("k", LongType), StructField("y", LongType)))
+    def qf(rows: Seq[(String, Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), qs)
+    assertClean(engine.quantileShape(qf(Nil), "g", "k", "y"),
+      "qshape/empty")
+    // single row: all octiles collapse to the value, IQR 0 ⇒ NULLs
+    val single = engine.quantileShape(
+      qf(Seq(("a", 1L, -42L))), "g", "k", "y").collect()(0)
+    assert(single.getAs[Long]("median_cents") === -42L)
+    assert(single.isNullAt(single.fieldIndex("bowley")))
+    assertClean(engine.quantileShape(
+      qf(Seq(("a", 1L, 5L), ("a", 2L, 5L), ("a", 3L, 5L))),
+      "g", "k", "y"), "qshape/constant")
+    val bs = StructType(Seq(StructField("g", StringType),
+      StructField("y", LongType)))
+    def bf(rows: Seq[(String, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), bs)
+    assertClean(engine.bartlettTest(bf(Nil), "g", "y"),
+      "bartlett/empty")
+    // a constant group poisons the whole T (ln 0) ⇒ NULL, no throw
+    val bc = engine.bartlettTest(bf(Seq(("a", 5L), ("a", 5L),
+      ("b", 1L), ("b", 9L))), "g", "y").collect()(0)
+    assert(bc.isNullAt(bc.fieldIndex("bartlett_t")))
+    assertClean(engine.bartlettTest(bf(Seq(("a", 1L))), "g", "y"),
+      "bartlett/single")
+    val cs = StructType(Seq(StructField("dur", LongType),
+      StructField("cz", LongType)))
+    def cf(rows: Seq[(Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), cs)
+    assertClean(engine.competingRisks(cf(Nil), "dur", "cz"),
+      "cr/empty")
+    // all censored: no event rows survive the grid filter
+    assert(engine.competingRisks(
+      cf(Seq((1L, 0L), (2L, 0L))), "dur", "cz").count() === 0L)
+    // one event of each cause at the same hour: CIFs split 50/50
+    val both = engine.competingRisks(
+      cf(Seq((3L, 1L), (3L, 2L))), "dur", "cz").collect()(0)
+    assert(both.getAs[Double]("cif_purchase") === 0.5)
+    assert(both.getAs[Double]("cif_error") === 0.5)
+  }
+
   test("adfTest / kpssTest survive degenerate frames") {
     val ts2 = StructType(Seq(StructField("t", LongType),
       StructField("v", LongType)))

@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 195, "documented facade count drifted; methods: "
+    assert(names.length === 198, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1352,6 +1352,50 @@ class EngineApiSpec extends SparkSpec {
     val viaApi = engine.holtWintersInterval(hourly, "hr", "cnt")
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
+  }
+
+  test("quantileShape / bartlettTest / competingRisks facades match their keys") {
+    val d = sf("sf0.001")
+    val cust = TestData.customer(spark, d)
+      .select($"c_mktsegment".as("g"), $"c_custkey".as("k"),
+        floor($"c_acctbal" * 100 + 0.5).cast("long").as("y"))
+    assert(engine.quantileShape(cust, "g", "k", "y")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("agg_quantile_skew")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    val docs = TestData.documents(spark, d)
+      .select($"lang".as("g"), $"n_chars".as("y"))
+    assert(engine.bartlettTest(docs, "g", "y")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("agg_bartlett_test")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // competing risks: facade parity on the keys' cause/duration
+    // frame, plus the AJ additivity identity CIF_p + CIF_e ≈ 1 − S
+    val pu = TestData.events(spark, d)
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .groupBy("user_id")
+      .agg(min("ts_us").as("t0"),
+        min(when($"event_type" === "purchase", $"ts_us")).as("tp"),
+        min(when($"event_type" === "error", $"ts_us")).as("te"),
+        max("ts_us").as("tlast"))
+      .withColumn("cause",
+        when($"tp".isNotNull && ($"te".isNull || $"tp" <= $"te"), 1L)
+        .when($"te".isNotNull, 2L).otherwise(0L))
+      .withColumn("tev", when($"cause" === 1L, $"tp")
+        .when($"cause" === 2L, $"te").otherwise($"tlast"))
+      .withColumn("dur", expr("(tev - t0) DIV 3600000000"))
+    val viaApi = engine.competingRisks(pu, "dur", "cause")
+      .collect().map(_.toSeq).toSeq
+    val declared = SparkEntry.queries("events_competing_risks")(spark, d)
+      .collect()
+    assert(viaApi === declared.map(_.toSeq).toSeq)
+    // additivity + monotonicity: CIFs never decrease and never sum
+    // past 1 (within micro-quantization slack)
+    val cifP = declared.map(_.getAs[Double]("cif_purchase"))
+    val cifE = declared.map(_.getAs[Double]("cif_error"))
+    assert(cifP.zip(cifP.tail).forall { case (a, b) => a <= b + 1e-9 })
+    assert(cifE.zip(cifE.tail).forall { case (a, b) => a <= b + 1e-9 })
+    assert(cifP.zip(cifE).forall { case (p, e) => p + e <= 1.001 })
   }
 
   test("adfTest / kpssTest facades match their keys + planted stationarity behavior") {
