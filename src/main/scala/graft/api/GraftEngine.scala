@@ -4502,6 +4502,17 @@ class GraftEngine(val spark: SparkSession) {
       series.select(col(orderCol).as("hr"),
         col(valueCol).cast("long").as("n")))
 
+  /** Session bounce-rate readout (see `events_bounce_rate`) over a
+    * session frame with a landing label and an event count per
+    * session (compose with [[sessionize]]): one-event-session share
+    * and mean depth per landing label.
+    */
+  def bounceRate(sessions: DataFrame, landingCol: String,
+                 nEventsCol: String): DataFrame =
+    graft.operators.TimeSeries.bounceReadout(
+      sessions.select(col(landingCol).as("landing_type"),
+        col(nEventsCol).cast("long").as("n_events")))
+
   /** Bowley skew + Moors kurtosis (see `agg_quantile_skew`) per
     * group over integer-unit values: the quantile-based shape
     * profile that stays defined on heavy tails where 3rd/4th

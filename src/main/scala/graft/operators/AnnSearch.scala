@@ -452,6 +452,44 @@ object AnnSearch {
         .orderBy("qid")
     }),
 
+    // MRR OF THE TRUE NEAREST NEIGHBOR (round 15): the third leg of
+    // the index-quality triad — recall@5 counts set overlap, NDCG
+    // weights order over the whole list, MRR answers the sharpest
+    // question a similarity-search SLA asks: "where does the ONE
+    // true nearest neighbor land in the served ranking" (rank 1 =
+    // perfect, absent = 0). Same two arms as ann_recall_eval (shared
+    // broadcast query set, map-side brute scan); reciprocal ranks
+    // are EXACT integer micro units (1e6 DIV rank — positive DIV ≡
+    // //), so the MRR aggregate is an exact-BIGINT sum with one
+    // mirrored division, immune to float summation order.
+    "ann_mrr_eval" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val wTop = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("vec_id"))
+      val brute1 = e.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score", V.cosine(col("embedding"), col("qv")))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") === 1)
+        .select(col("qid"), col("vec_id").as("true_nn"))
+      val ivf = ivfTop5(e)
+        .select(col("qid").as("iqid"), col("rnk"), col("nn_id"))
+      val W = Window.partitionBy(lit(1))
+      brute1.join(ivf, col("qid") === col("iqid")
+          && col("true_nn") === col("nn_id"), "left")
+        .select(col("qid"), col("true_nn"),
+          col("rnk").cast("long").as("found_rank"))
+        .withColumn("rr_u",
+          coalesce(expr("1000000 DIV found_rank"), lit(0L)))
+        .withColumn("rr", r4(col("rr_u") / 1000000.0))
+        .withColumn("mrr", r4(sum("rr_u").over(W).cast("double")
+          / (count(lit(1)).over(W) * 1000000L).cast("double")))
+        .select("qid", "true_nn", "found_rank", "rr", "mrr")
+        .orderBy("qid")
+    }),
+
     // NDCG@5 of the IVF probe vs exact brute force — recall@5 treats
     // every hit equally; NDCG discounts late ranks (1/log2(rnk+1)),
     // so it additionally penalizes an index that finds the right
@@ -1055,6 +1093,63 @@ object AnnSearch {
         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     // IVF arm = the ann_ivf_topk CTEs; brute arm = unprobed top-5;
     // recall = matched/5 per query.
+    // Same IVF/brute CTE pair as recall_eval; brute rank-1 row only,
+    // exact 1e6//rank reciprocal units, one mirrored MRR division.
+    "ann_mrr_eval" ->
+      s"""WITH c AS (SELECT vec_id AS cid, $E AS cv FROM embeddings WHERE vec_id < 4),
+        |assigned AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cid AS cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(e.$E, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN c)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, cid AS probe_cluster FROM (
+        |    SELECT q.vec_id AS qid, c.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.$E, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS pr
+        |    FROM embeddings q CROSS JOIN c WHERE q.vec_id < 5)
+        |  WHERE pr <= 2),
+        |hits AS (
+        |  SELECT p.qid, e.vec_id,
+        |    list_cosine_similarity(e.$E, q.$E) AS score
+        |  FROM assigned a
+        |  JOIN probes p ON a.cluster = p.probe_cluster
+        |  JOIN embeddings e ON e.vec_id = a.vec_id
+        |  JOIN embeddings q ON q.vec_id = p.qid
+        |  WHERE e.vec_id <> p.qid),
+        |ivfr AS (
+        |  SELECT qid, vec_id, rnk FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, vec_id) AS rnk FROM hits)
+        |  WHERE rnk <= 5),
+        |bq AS (SELECT vec_id AS qid, $E AS qv FROM embeddings WHERE vec_id < 5),
+        |bhits AS (
+        |  SELECT bq.qid, e.vec_id,
+        |    list_cosine_similarity(e.$E, bq.qv) AS score
+        |  FROM embeddings e CROSS JOIN bq WHERE e.vec_id <> bq.qid),
+        |brute1 AS (
+        |  SELECT qid, vec_id AS true_nn FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, vec_id) AS rnk FROM bhits)
+        |  WHERE rnk = 1),
+        |sel AS (
+        |  SELECT b.qid, b.true_nn, i.rnk::BIGINT AS found_rank
+        |  FROM brute1 b LEFT JOIN ivfr i
+        |    ON b.qid = i.qid AND b.true_nn = i.vec_id),
+        |rr AS (
+        |  SELECT *,
+        |    coalesce(1000000 // found_rank, 0)::BIGINT AS rr_u
+        |  FROM sel)
+        |SELECT qid, true_nn, found_rank,
+        |  floor((rr_u / 1000000.0) * 10000 + 0.5) / 10000 AS rr,
+        |  floor((sum(rr_u) OVER ())::DOUBLE
+        |    / ((count(*) OVER ()) * 1000000)::DOUBLE
+        |    * 10000 + 0.5) / 10000 AS mrr
+        |FROM rr ORDER BY qid""".stripMargin,
     "ann_recall_eval" ->
       s"""WITH c AS (SELECT vec_id AS cid, $E AS cv FROM embeddings WHERE vec_id < 4),
         |assigned AS (

@@ -28,6 +28,26 @@ object TimeSeries {
     */
   private[graft] val PermEntLn6: Double = math.log(6.0)
 
+  /** Bounce-rate readout core (see `events_bounce_rate`): input
+    * (landing_type, n_events) session rows, output the per-landing
+    * engagement table. Shared with `GraftEngine.bounceRate`.
+    */
+  private[graft] def bounceReadout(sess: DataFrame): DataFrame =
+    sess.groupBy("landing_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L))
+          .as("n_bounces"),
+        sum("n_events").as("n_events_total"))
+      .withColumn("bounce_rate", when(col("n_sessions") > 0,
+        TestData.r4(col("n_bounces").cast("double")
+          / col("n_sessions").cast("double"))))
+      .withColumn("avg_events", when(col("n_sessions") > 0,
+        TestData.r4(col("n_events_total").cast("double")
+          / col("n_sessions").cast("double"))))
+      .select("landing_type", "n_sessions", "n_bounces",
+        "bounce_rate", "avg_events")
+      .orderBy("landing_type")
+
   /** Aalen-Johansen competing-risks core (see
     * `events_competing_risks`): input (dur: BIGINT, cause: 0 =
     * censored / 1 / 2) unit rows, output the event-time grid with
@@ -1702,6 +1722,37 @@ object TimeSeries {
              max("ts").as("session_end"),
              r4(sum("value")).as("sum_value"))
         .orderBy("user_id", "session_id")
+    }),
+
+    // SESSION BOUNCE RATE BY LANDING EVENT (round 15): the
+    // engagement-quality readout on top of ts_sessionize's session
+    // frame — which entry behavior produces one-event sessions
+    // ("bounces") vs engaged runs; the per-landing-type split is
+    // what an activation review acts on. Same 30-min-gap user-
+    // sharded sessionization (never a global ordering); landing
+    // type via rn = 1 inside the session (deterministic on the
+    // unique (ts, event_id) order); all counts exact, two guarded
+    // per-group divisions, r4.
+    "events_bounce_rate" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = w.rowsBetween(W.unboundedPreceding, 0)
+      val sess = TestData.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+               col("us") - col("prev_us") > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum("new_sess").over(wRun))
+        .withColumn("rn", row_number().over(
+          W.partitionBy("user_id", "session_id")
+            .orderBy("ts", "event_id")))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          max(when(col("rn") === 1, col("event_type")))
+            .as("landing_type"))
+      bounceReadout(sess.select("landing_type", "n_events"))
     }),
 
     // Cohort retention: users grouped by first-seen ISO week × the
@@ -4201,6 +4252,46 @@ object TimeSeries {
         |      floor(num33::DOUBLE / den33::DOUBLE * 10000 + 0.5) / 10000 END
         |  FROM p5)
         |SELECT lag, acf_micro, pacf FROM u ORDER BY lag""".stripMargin,
+    // Same user-sharded sessionization as ts_sessionize; rn=1
+    // landing pick; exact counts, guarded per-group divisions.
+    "events_bounce_rate" ->
+      """WITH e AS (
+        |  SELECT *, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |    OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |s AS (
+        |  SELECT *, (sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |    AS session_id
+        |  FROM m),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+        |    ORDER BY ts, event_id) AS rn
+        |  FROM s),
+        |g AS (
+        |  SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+        |    max(CASE WHEN rn = 1 THEN event_type END) AS landing_type
+        |  FROM r GROUP BY 1, 2),
+        |a AS (
+        |  SELECT landing_type, count(*)::BIGINT AS n_sessions,
+        |    sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_bounces,
+        |    sum(n_events)::BIGINT AS n_events_total
+        |  FROM g GROUP BY 1)
+        |SELECT landing_type, n_sessions, n_bounces,
+        |  CASE WHEN n_sessions > 0 THEN
+        |    floor(n_bounces::DOUBLE / n_sessions::DOUBLE
+        |      * 10000 + 0.5) / 10000 END AS bounce_rate,
+        |  CASE WHEN n_sessions > 0 THEN
+        |    floor(n_events_total::DOUBLE / n_sessions::DOUBLE
+        |      * 10000 + 0.5) / 10000 END AS avg_events
+        |FROM a ORDER BY landing_type""".stripMargin,
     // Gap-safe x−k equi-joins; ols_multi sufficient stats + Cramer;
     // DF t on γ with SE² = s²·cxx2/det; mirrored op order.
     "ts_adf_test" ->

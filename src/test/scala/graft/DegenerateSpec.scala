@@ -760,6 +760,18 @@ class DegenerateSpec extends SparkSpec {
       "label", ef(Nil)), "louvainCoarsen/no-edges")
   }
 
+  test("bounceRate survives degenerate frames") {
+    val ss = StructType(Seq(StructField("lt", StringType),
+      StructField("ne", LongType)))
+    def sf3(rows: Seq[(String, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), ss)
+    assertClean(engine.bounceRate(sf3(Nil), "lt", "ne"),
+      "bounce/empty")
+    val all = engine.bounceRate(
+      sf3(Seq(("view", 1L), ("view", 1L))), "lt", "ne").collect()(0)
+    assert(all.getAs[Double]("bounce_rate") === 1.0)
+  }
+
   test("quantileShape / bartlettTest / competingRisks survive degenerate frames") {
     val qs = StructType(Seq(StructField("g", StringType),
       StructField("k", LongType), StructField("y", LongType)))

@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 198, "documented facade count drifted; methods: "
+    assert(names.length === 199, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1352,6 +1352,39 @@ class EngineApiSpec extends SparkSpec {
     val viaApi = engine.holtWintersInterval(hourly, "hr", "cnt")
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
+  }
+
+  test("bounceRate facade matches the key; MRR consistent with recall") {
+    val d = sf("sf0.001")
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = TestData.events(spark, d)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("new_sess", when($"prev_us".isNull
+        || $"us" - $"prev_us" > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum("new_sess").over(
+        w.rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("rn", row_number().over(
+        W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("ne"),
+        max(when($"rn" === 1, $"event_type")).as("lt"))
+    assert(engine.bounceRate(sess, "lt", "ne")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("events_bounce_rate")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // MRR sanity vs recall: a query with recall@5 = 1 found its true
+    // NN somewhere in the list ⇒ rr > 0; rr ∈ {0, 1/k} exactly
+    val mrr = SparkEntry.queries("ann_mrr_eval")(spark, d).collect()
+    val recall = SparkEntry.queries("ann_recall_eval")(spark, d)
+      .collect().map(r => r.getAs[Long]("qid")
+        -> r.getAs[Double]("recall")).toMap
+    mrr.foreach { r =>
+      val rr = r.getAs[Double]("rr")
+      assert(rr >= 0.0 && rr <= 1.0)
+      if (recall(r.getAs[Long]("qid")) === 1.0) assert(rr > 0.0)
+    }
   }
 
   test("quantileShape / bartlettTest / competingRisks facades match their keys") {
