@@ -4535,6 +4535,38 @@ class GraftEngine(val spark: SparkSession) {
       df.select(col(groupCol).as("lang"),
         col(valueCol).cast("long").as("x")))
 
+  /** Welch's ANOVA (see `agg_welch_anova`) per group over integer
+    * values: the k-group mean test WITHOUT the equal-variance
+    * assumption — what you run when [[bartlettTest]] rejects.
+    * Degenerate groups (n < 2, zero variance) read NULL F.
+    */
+  def welchAnova(df: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame =
+    graft.operators.Stats.welchAnovaCore(
+      df.select(col(groupCol).as("lang"),
+        col(valueCol).cast("long").as("x")))
+
+  /** Engle's ARCH-LM test (see `ts_arch_lm`) over an integer-keyed
+    * series: is the variance autocorrelated (volatility
+    * clustering). Constant / too-short series read NULL.
+    */
+  def archLmTest(series: DataFrame, orderCol: String,
+                 valueCol: String): DataFrame =
+    graft.operators.TimeSeries.archLmCore(
+      series.select(col(orderCol).cast("long").as("xh"),
+        col(valueCol).cast("long").as("y")))
+
+  /** Equal-weight forecast-combination backtest (see
+    * `ts_forecast_combination`) over an (hour-key, count) series:
+    * snaive / Holt / Holt-Winters / combo MAE + sMAPE from one
+    * 25-tap pass.
+    */
+  def forecastCombination(series: DataFrame, hourCol: String,
+                          valueCol: String): DataFrame =
+    graft.operators.TimeSeries.forecastCombinationCore(
+      series.select(col(hourCol).cast("long").as("hr"),
+        col(valueCol).cast("long").as("cnt")))
+
   /** Aalen-Johansen competing risks (see `events_competing_risks`)
     * over (duration, cause 0 = censored / 1 / 2) rows: cumulative
     * incidence per cause — the correct replacement for running two

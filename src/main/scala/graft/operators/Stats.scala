@@ -242,6 +242,69 @@ object Stats {
       .orderBy("seg")
   }
 
+  /** Welch's ANOVA core (see `agg_welch_anova`): input (lang, x:
+    * BIGINT) rows, output the 1-row (k, N, f_welch, df1, df2)
+    * readout. Quantization: w in nano units (n/s²·1e9), w·m in nano,
+    * the A-numerator terms w·(m−m̄_w)² in nano, the Λ terms
+    * (1−w/W)²/(n−1) in pico (1e12) — each per-group term is ONE
+    * mirrored expression floored before its sum. Shared with
+    * `GraftEngine.welchAnova`.
+    */
+  private[graft] def welchAnovaCore(units: DataFrame): DataFrame = {
+    val g = units.groupBy("lang")
+      .agg(count(lit(1)).as("n_g"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("m", when(col("n_g") > 0,
+        col("sx").cast("double") / col("n_g").cast("double")))
+      .withColumn("s2", when(col("n_g") > 1,
+        (col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double")
+            / col("n_g").cast("double"))
+          / (col("n_g") - 1).cast("double")))
+      .withColumn("w_u", when(col("s2") > 0,
+        floor(col("n_g").cast("double") / col("s2") * 1.0e9 + 0.5)
+          .cast("long")))
+      .withColumn("wm_u", when(col("s2") > 0,
+        floor(col("n_g").cast("double") / col("s2") * col("m")
+          * 1.0e9 + 0.5).cast("long")))
+      .localCheckpoint() // scalar totals + the per-group terms
+    val tot = g.agg(count(lit(1)).as("k_groups"),
+      sum("n_g").as("n_total"),
+      sum(when(col("w_u").isNull, 1L).otherwise(0L))
+        .as("n_degenerate"),
+      sum("w_u").as("w_sum_u"), sum("wm_u").as("wm_sum_u"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("mw", when(col("n_degenerate") === 0
+          && col("w_sum_u") > 0,
+        col("wm_sum_u").cast("double") / col("w_sum_u").cast("double")))
+      .withColumn("num_u", when(col("mw").isNotNull,
+        floor(col("w_u").cast("double") * (col("m") - col("mw"))
+          * (col("m") - col("mw")) + 0.5).cast("long")))
+      .withColumn("lam_u", when(col("mw").isNotNull,
+        floor((lit(1.0) - col("w_u").cast("double")
+            / col("w_sum_u").cast("double"))
+          * (lit(1.0) - col("w_u").cast("double")
+            / col("w_sum_u").cast("double"))
+          / (col("n_g") - 1).cast("double") * 1.0e12 + 0.5)
+          .cast("long")))
+      .groupBy("k_groups", "n_total", "n_degenerate")
+      .agg(sum("num_u").as("num_sum_u"), sum("lam_u").as("lam_sum_u"))
+      .withColumn("df1", col("k_groups") - 1)
+      .withColumn("s_l", when(col("n_degenerate") === 0,
+        col("lam_sum_u").cast("double") / 1.0e12))
+      .withColumn("f_welch", when(col("s_l").isNotNull
+          && col("k_groups") > 1,
+        r4((col("num_sum_u").cast("double") / 1.0e9
+            / (col("k_groups") - 1).cast("double"))
+          / (lit(1.0) + lit(2.0) * (col("k_groups") - 2).cast("double")
+            / (col("k_groups") * col("k_groups") - 1).cast("double")
+            * col("s_l")))))
+      .withColumn("df2", when(col("s_l") > 0 && col("k_groups") > 1,
+        r4((col("k_groups") * col("k_groups") - 1).cast("double")
+          / (lit(3.0) * col("s_l")))))
+      .select("k_groups", "n_total", "df1", "f_welch", "df2")
+  }
+
   /** Bartlett equal-variance core (see `agg_bartlett_test`): input
     * (lang, x: BIGINT) rows, output the 1-row (k, N, df, T)
     * readout. Per-group transcendentals micro-quantized BEFORE the
@@ -580,6 +643,22 @@ object Stats {
       jarqueBera(TestData.lineitem(s, d)
         .select(col("l_returnflag").as("flag"),
           floor(col("l_quantity") + 0.5).cast("long").as("x")))),
+
+    // WELCH'S ANOVA (round 15): the k-group mean test that does NOT
+    // assume equal variances — the missing middle of the family
+    // (agg_anova_f assumes homogeneity, agg_welch_t is 2-group only;
+    // when agg_bartlett_test/levene REJECT homogeneity, this is the
+    // test you are allowed to run). Per-group sufficient stats exact;
+    // every per-group ratio (w = n/s², w·m, w·(m−m̄_w)²,
+    // (1−w/W)²/(n−1)) quantized to integer units in ONE mirrored
+    // expression BEFORE its k-row sum (float accumulation across
+    // groups is engine-order-specific); the two scalar divisions
+    // (m̄_w, F) happen once on the 1-row readout. Any n < 2 or
+    // zero-variance group ⇒ NULL F (the Bartlett degenerate
+    // protocol). Emits F, df1 = k−1 and the Welch df2.
+    "agg_welch_anova" -> ((s, d) =>
+      welchAnovaCore(TestData.documents(s, d)
+        .select(col("lang"), col("n_chars").cast("long").as("x")))),
 
     // BOWLEY SKEW + MOORS KURTOSIS (round 15): the QUANTILE-based
     // shape profile next to agg_jarque_bera's moment-based one —
@@ -2327,6 +2406,68 @@ object Stats {
       |  FROM pu)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Per-group nano/pico-quantized terms before every k-row sum;
+    // two scalar divisions on the 1-row readout, mirrored.
+    "agg_welch_anova" ->
+      """WITH g0 AS (
+        |  SELECT lang, count(*)::BIGINT AS n_g, sum(x)::BIGINT AS sx,
+        |    sum(x * x)::BIGINT AS sxx
+        |  FROM (SELECT lang, n_chars::BIGINT AS x FROM documents)
+        |  GROUP BY 1),
+        |g1 AS (
+        |  SELECT *,
+        |    CASE WHEN n_g > 0 THEN sx::DOUBLE / n_g::DOUBLE END AS m,
+        |    CASE WHEN n_g > 1 THEN
+        |      (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n_g::DOUBLE)
+        |        / (n_g - 1)::DOUBLE END AS s2
+        |  FROM g0),
+        |g2 AS (
+        |  SELECT *,
+        |    CASE WHEN s2 > 0 THEN
+        |      floor(n_g::DOUBLE / s2 * 1.0e9 + 0.5)::BIGINT END AS w_u,
+        |    CASE WHEN s2 > 0 THEN
+        |      floor(n_g::DOUBLE / s2 * m * 1.0e9 + 0.5)::BIGINT END
+        |      AS wm_u
+        |  FROM g1),
+        |tot AS (
+        |  SELECT count(*)::BIGINT AS k_groups, sum(n_g)::BIGINT
+        |      AS n_total,
+        |    sum(CASE WHEN w_u IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_degenerate,
+        |    sum(w_u)::BIGINT AS w_sum_u, sum(wm_u)::BIGINT AS wm_sum_u
+        |  FROM g2),
+        |j AS (
+        |  SELECT g2.*, tot.*,
+        |    CASE WHEN n_degenerate = 0 AND w_sum_u > 0 THEN
+        |      wm_sum_u::DOUBLE / w_sum_u::DOUBLE END AS mw
+        |  FROM g2 CROSS JOIN tot),
+        |t2 AS (
+        |  SELECT k_groups, n_total, n_degenerate,
+        |    sum(CASE WHEN mw IS NOT NULL THEN
+        |      floor(w_u::DOUBLE * (m - mw) * (m - mw) + 0.5)::BIGINT
+        |      END)::BIGINT AS num_sum_u,
+        |    sum(CASE WHEN mw IS NOT NULL THEN
+        |      floor((1.0 - w_u::DOUBLE / w_sum_u::DOUBLE)
+        |        * (1.0 - w_u::DOUBLE / w_sum_u::DOUBLE)
+        |        / (n_g - 1)::DOUBLE * 1.0e12 + 0.5)::BIGINT
+        |      END)::BIGINT AS lam_sum_u
+        |  FROM j GROUP BY 1, 2, 3),
+        |t3 AS (
+        |  SELECT *,
+        |    CASE WHEN n_degenerate = 0 THEN
+        |      lam_sum_u::DOUBLE / 1.0e12 END AS s_l
+        |  FROM t2)
+        |SELECT k_groups, n_total, (k_groups - 1)::BIGINT AS df1,
+        |  CASE WHEN s_l IS NOT NULL AND k_groups > 1 THEN
+        |    floor((num_sum_u::DOUBLE / 1.0e9
+        |        / (k_groups - 1)::DOUBLE)
+        |      / (1.0 + 2.0 * (k_groups - 2)::DOUBLE
+        |        / (k_groups * k_groups - 1)::DOUBLE * s_l)
+        |      * 10000 + 0.5) / 10000 END AS f_welch,
+        |  CASE WHEN s_l > 0 AND k_groups > 1 THEN
+        |    floor((k_groups * k_groups - 1)::DOUBLE / (3.0 * s_l)
+        |      * 10000 + 0.5) / 10000 END AS df2
+        |FROM t3""".stripMargin,
     // Per-segment row_number rank (≡ rangedRank), octile rank picks
     // with the max(1, (n+1)k//8) convention, exact-integer ratios.
     "agg_quantile_skew" ->

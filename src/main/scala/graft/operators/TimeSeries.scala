@@ -28,6 +28,27 @@ object TimeSeries {
     */
   private[graft] val PermEntLn6: Double = math.log(6.0)
 
+  /** DuckDB VALUES rows for the combination key's 25-tap × 3-weight
+    * table, generated from [[HoltTaps4m]] (spectral-peak protocol —
+    * one source of truth for both engines).
+    */
+  private lazy val ComboTapValues: String =
+    (HoltTaps4m.map { case (j, w) => s"($j, $w, 0, $w)" } ++
+      Seq("(168, 4194304, 4194304, 0)") ++
+      HoltTaps4m.map { case (j, w) => s"(${168 + j}, ${-w}, 0, 0)" })
+      .mkString(", ")
+
+  /** The 12 exact ×4^11 Holt (α = β = 1/2) one-step taps (see
+    * `ts_holtwinters_backtest` for the derivation) — shared by
+    * [[hwForecast4m]] and the round-15 forecast-combination key
+    * (hoisted so the two never drift).
+    */
+  private[graft] val HoltTaps4m: Seq[(Int, Long)] =
+    Seq((1, 3145728L), (2, 1835008L), (3, 720896L),
+      (4, -16384L), (5, -380928L), (6, -467968L), (7, -394496L),
+      (8, -259136L), (9, -126672L), (10, -28772L), (11, 27371L),
+      (12, 139657L))
+
   /** Bounce-rate readout core (see `events_bounce_rate`): input
     * (landing_type, n_events) session rows, output the per-landing
     * engagement table. Shared with `GraftEngine.bounceRate`.
@@ -47,6 +68,136 @@ object TimeSeries {
       .select("landing_type", "n_sessions", "n_bounces",
         "bounce_rate", "avg_events")
       .orderBy("landing_type")
+
+  /** ARCH-LM heteroskedasticity core (see `ts_arch_lm`): input
+    * (xh, y) series rows; e = y − round(mean) in whole units (keeps
+    * e⁴·n < 2^63 to |e| ≲ 5600 at 9e3 hours — documented), then the
+    * 2-lag Engle regression e²_t ~ e²_{t−1} + e²_{t−2} via gap-safe
+    * equi-joins and the agg_ols_multi centered algebra; LM = n·R²
+    * against χ²₂ = 5.991465. Shared with `GraftEngine.archLmTest`.
+    */
+  private[graft] def archLmCore(series: DataFrame): DataFrame = {
+    val tot = series.agg(sum("y").as("t_total"),
+      count(lit(1)).as("n_hours"))
+    val e = series.crossJoin(broadcast(tot))
+      .withColumn("mu", floor(col("t_total").cast("double")
+        / col("n_hours").cast("double") + 0.5).cast("long"))
+      .withColumn("e2", (col("y") - col("mu")) * (col("y") - col("mu")))
+      .select("xh", "e2")
+    val l1 = e.select((col("xh") + 1).as("xh"), col("e2").as("x1"))
+    val l2 = e.select((col("xh") + 2).as("xh"), col("e2").as("x2"))
+    e.join(l1, "xh").join(l2, "xh")
+      .select(col("e2").as("dy"), col("x1"), col("x2"))
+      .agg(count(lit(1)).as("n"),
+        sum("x1").as("s1"), sum("x2").as("s2"), sum("dy").as("sy"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x1") * col("dy")).as("s1y"),
+        sum(col("x2") * col("dy")).as("s2y"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .withColumn("cxx1", when(col("n") > 0, col("s11").cast("double")
+        - col("s1").cast("double") * col("s1").cast("double")
+          / col("n").cast("double")))
+      .withColumn("cxx2", when(col("n") > 0, col("s22").cast("double")
+        - col("s2").cast("double") * col("s2").cast("double")
+          / col("n").cast("double")))
+      .withColumn("cx12", when(col("n") > 0, col("s12").cast("double")
+        - col("s1").cast("double") * col("s2").cast("double")
+          / col("n").cast("double")))
+      .withColumn("cx1y", when(col("n") > 0, col("s1y").cast("double")
+        - col("s1").cast("double") * col("sy").cast("double")
+          / col("n").cast("double")))
+      .withColumn("cx2y", when(col("n") > 0, col("s2y").cast("double")
+        - col("s2").cast("double") * col("sy").cast("double")
+          / col("n").cast("double")))
+      .withColumn("cyy", when(col("n") > 0, col("syy").cast("double")
+        - col("sy").cast("double") * col("sy").cast("double")
+          / col("n").cast("double")))
+      .withColumn("det",
+        col("cxx1") * col("cxx2") - col("cx12") * col("cx12"))
+      .withColumn("b1", when(col("det") =!= 0.0,
+        (col("cx1y") * col("cxx2") - col("cx2y") * col("cx12"))
+          / col("det")))
+      .withColumn("b2", when(col("det") =!= 0.0,
+        (col("cx2y") * col("cxx1") - col("cx1y") * col("cx12"))
+          / col("det")))
+      .withColumn("r2", when(col("det") =!= 0.0 && col("cyy") > 0,
+        (col("b1") * col("cx1y") + col("b2") * col("cx2y"))
+          / col("cyy")))
+      .withColumn("lm", when(col("r2").isNotNull,
+        TestData.r4(col("n").cast("double") * col("r2"))))
+      .select(col("n").as("n_obs"),
+        when(col("r2").isNotNull, TestData.r4(col("r2"))).as("r2"),
+        col("lm"),
+        when(col("lm").isNotNull, col("lm") > 5.991465)
+          .as("arch_present_95"))
+  }
+
+  /** Equal-weight forecast-combination backtest core (see
+    * `ts_forecast_combination`): input an (hr, cnt) integer-grid
+    * series; ONE 25-tap fan-out carries THREE weight columns
+    * (Holt-Winters / seasonal-naive / Holt), so all three individual
+    * forecasts and their equal-weight combination come from a single
+    * join pass. MAE numerators exact BIGINTs at ×4^11 (combo at
+    * ×3·4^11 — no division before the readout); sMAPE terms
+    * micro-quantized per row. Combination MAE ≤ mean of individual
+    * MAEs by the triangle inequality (pinned). Shared with
+    * `GraftEngine.forecastCombination`.
+    */
+  private[graft] def forecastCombinationCore(series: DataFrame)
+      : DataFrame = {
+    val s = series.sparkSession
+    import s.implicits._
+    val hourly = series.select(col("hr"), col("cnt"))
+      .localCheckpoint() // tap fan-out + actuals
+    val taps = (HoltTaps4m.map { case (j, w) => (j, w, 0L, w) } ++
+      Seq((168, 4194304L, 4194304L, 0L)) ++
+      HoltTaps4m.map { case (j, w) => (168 + j, -w, 0L, 0L) })
+      .toDF("tap", "w_hw", "w_sn", "w_ho")
+    val fc = hourly.crossJoin(broadcast(taps))
+      .select((col("hr") + col("tap")).as("hr"),
+        (col("cnt") * col("w_hw")).as("chw"),
+        (col("cnt") * col("w_sn")).as("csn"),
+        (col("cnt") * col("w_ho")).as("cho"))
+      .groupBy("hr")
+      .agg(sum("chw").as("hw"), sum("csn").as("sn"),
+        sum("cho").as("ho"), count(lit(1)).as("n_taps"))
+      .filter(col("n_taps") === 25)
+    val scored = hourly.join(fc, "hr")
+      .withColumn("y4m", col("cnt") * 4194304L)
+      .withColumn("c3", col("hw") + col("sn") + col("ho"))
+    def smU(err: Column, den: Column): Column =
+      when(den > 0, floor(lit(2.0) * err.cast("double")
+        / den.cast("double") * 1000000 + 0.5).cast("long"))
+        .otherwise(0L)
+    scored.agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("y4m") - col("hw"))).as("ae_hw"),
+        sum(abs(col("y4m") - col("sn"))).as("ae_sn"),
+        sum(abs(col("y4m") - col("ho"))).as("ae_ho"),
+        sum(abs(lit(3L) * col("y4m") - col("c3"))).as("ae_cb"),
+        sum(smU(abs(col("y4m") - col("hw")),
+          col("y4m") + abs(col("hw")))).as("sm_hw"),
+        sum(smU(abs(col("y4m") - col("sn")),
+          col("y4m") + abs(col("sn")))).as("sm_sn"),
+        sum(smU(abs(col("y4m") - col("ho")),
+          col("y4m") + abs(col("ho")))).as("sm_ho"),
+        sum(smU(abs(lit(3L) * col("y4m") - col("c3")),
+          lit(3L) * col("y4m") + abs(col("c3")))).as("sm_cb"))
+      .select(expr("stack(4, 'combo', ae_cb, sm_cb, 3," +
+        " 'holt', ae_ho, sm_ho, 1, 'holtwinters', ae_hw, sm_hw, 1," +
+        " 'snaive', ae_sn, sm_sn, 1) AS (model, ae, sm_u, scale3)"),
+        col("n_scored"))
+      .withColumn("mae", when(col("n_scored") > 0,
+        TestData.r4(col("ae").cast("double")
+          / (col("n_scored") * col("scale3") * 4194304L)
+            .cast("double"))))
+      .withColumn("smape", when(col("n_scored") > 0,
+        TestData.r4(col("sm_u").cast("double") / 1000000.0
+          / col("n_scored").cast("double"))))
+      .select("model", "n_scored", "mae", "smape")
+      .orderBy("model")
+  }
 
   /** Aalen-Johansen competing-risks core (see
     * `events_competing_risks`): input (dur: BIGINT, cause: 0 =
@@ -454,10 +605,7 @@ object TimeSeries {
     import s.implicits._
     val hourly = series.select(col("hr"), col("cnt"))
       .localCheckpoint() // two consumers: tap fan-out + actuals
-    val holt = Seq((1, 3145728L), (2, 1835008L), (3, 720896L),
-      (4, -16384L), (5, -380928L), (6, -467968L), (7, -394496L),
-      (8, -259136L), (9, -126672L), (10, -28772L), (11, 27371L),
-      (12, 139657L))
+    val holt = HoltTaps4m
     val weights = (holt.map { case (j, w) => (j, w) } ++
       Seq((168, 4194304L)) ++
       holt.map { case (j, w) => (168 + j, -w) }).toDF("tap", "w4m")
@@ -1364,6 +1512,31 @@ object TimeSeries {
       adfCore(TestData.events(s, d)
         .groupBy(expr("unix_micros(ts) DIV 3600000000").as("xh"))
         .agg(count(lit(1)).as("y")))),
+
+    // ARCH-LM TEST (round 15): Engle's volatility-clustering gate —
+    // "is the hourly series' VARIANCE itself autocorrelated" (the
+    // property that invalidates every constant-σ band upstream:
+    // bollinger, anomaly z, the HW interval). Whole-unit residuals
+    // vs the rounded mean keep e⁴·n < 2^63; 2-lag squared-residual
+    // regression on the gap-safe equi-join + ols_multi algebra;
+    // LM = n·R² against χ²₂.
+    "ts_arch_lm" -> ((s, d) =>
+      archLmCore(TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("xh"))
+        .agg(count(lit(1)).as("y")))),
+
+    // FORECAST COMBINATION (round 15): the "just average them"
+    // baseline every forecasting bake-off must include — equal-
+    // weight snaive+Holt+HW, scored on the SAME fully-tapped hours
+    // as the individual models, from ONE 25-tap fan-out carrying
+    // three weight columns. The triangle inequality makes the combo
+    // MAE ≤ the mean of individual MAEs by construction (pinned);
+    // whether it beats the BEST individual is the empirical question
+    // the table answers.
+    "ts_forecast_combination" -> ((s, d) =>
+      forecastCombinationCore(TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(count(lit(1)).as("cnt")))),
 
     // KPSS STATIONARITY TEST (round 15): the COMPLEMENT of ADF —
     // null = stationary (ADF's null = unit root), so the pair
@@ -4363,6 +4536,133 @@ object TimeSeries {
         |  CASE WHEN t_gamma IS NOT NULL THEN t_gamma < -2.86 END
         |    AS unit_root_rejected_95
         |FROM tg""".stripMargin,
+    // Whole-unit residuals vs the rounded mean; 2-lag squared-
+    // residual regression via equi-joins; mirrored LM = n·R².
+    "ts_arch_lm" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS xh,
+        |    count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT sum(y)::BIGINT AS t_total,
+        |        count(*)::BIGINT AS n_hours FROM hourly),
+        |e AS (
+        |  SELECT xh,
+        |    (y - floor(t_total::DOUBLE / n_hours::DOUBLE + 0.5)::BIGINT)
+        |      * (y - floor(t_total::DOUBLE / n_hours::DOUBLE + 0.5)
+        |        ::BIGINT) AS e2
+        |  FROM hourly CROSS JOIN tot),
+        |j AS (
+        |  SELECT h0.e2 AS dy, h1.e2 AS x1, h2.e2 AS x2
+        |  FROM e h0
+        |  JOIN e h1 ON h0.xh = h1.xh + 1
+        |  JOIN e h2 ON h0.xh = h2.xh + 2),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(x1)::BIGINT AS s1, sum(x2)::BIGINT AS s2,
+        |    sum(dy)::BIGINT AS sy,
+        |    sum(x1 * x1)::BIGINT AS s11, sum(x2 * x2)::BIGINT AS s22,
+        |    sum(x1 * x2)::BIGINT AS s12, sum(x1 * dy)::BIGINT AS s1y,
+        |    sum(x2 * dy)::BIGINT AS s2y, sum(dy * dy)::BIGINT AS syy
+        |  FROM j),
+        |c AS (
+        |  SELECT *,
+        |    CASE WHEN n > 0 THEN s11::DOUBLE
+        |      - s1::DOUBLE * s1::DOUBLE / n::DOUBLE END AS cxx1,
+        |    CASE WHEN n > 0 THEN s22::DOUBLE
+        |      - s2::DOUBLE * s2::DOUBLE / n::DOUBLE END AS cxx2,
+        |    CASE WHEN n > 0 THEN s12::DOUBLE
+        |      - s1::DOUBLE * s2::DOUBLE / n::DOUBLE END AS cx12,
+        |    CASE WHEN n > 0 THEN s1y::DOUBLE
+        |      - s1::DOUBLE * sy::DOUBLE / n::DOUBLE END AS cx1y,
+        |    CASE WHEN n > 0 THEN s2y::DOUBLE
+        |      - s2::DOUBLE * sy::DOUBLE / n::DOUBLE END AS cx2y,
+        |    CASE WHEN n > 0 THEN syy::DOUBLE
+        |      - sy::DOUBLE * sy::DOUBLE / n::DOUBLE END AS cyy
+        |  FROM a),
+        |dt AS (SELECT *, cxx1 * cxx2 - cx12 * cx12 AS det FROM c),
+        |bb AS (
+        |  SELECT *,
+        |    CASE WHEN det <> 0.0 THEN
+        |      (cx1y * cxx2 - cx2y * cx12) / det END AS b1,
+        |    CASE WHEN det <> 0.0 THEN
+        |      (cx2y * cxx1 - cx1y * cx12) / det END AS b2
+        |  FROM dt),
+        |rr AS (
+        |  SELECT *,
+        |    CASE WHEN det <> 0.0 AND cyy > 0 THEN
+        |      (b1 * cx1y + b2 * cx2y) / cyy END AS r2
+        |  FROM bb),
+        |lm AS (
+        |  SELECT *,
+        |    CASE WHEN r2 IS NOT NULL THEN
+        |      floor(n::DOUBLE * r2 * 10000 + 0.5) / 10000 END AS lm
+        |  FROM rr)
+        |SELECT n AS n_obs,
+        |  CASE WHEN r2 IS NOT NULL THEN
+        |    floor(r2 * 10000 + 0.5) / 10000 END AS r2,
+        |  lm,
+        |  CASE WHEN lm IS NOT NULL THEN lm > 5.991465 END
+        |    AS arch_present_95
+        |FROM lm""".stripMargin,
+    // One 25-tap fan-out with three weight columns (taps VALUES
+    // interpolated from the shared Scala constant); exact MAE
+    // numerators, per-row micro sMAPE terms, 4-row model table.
+    "ts_forecast_combination" ->
+      s"""WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1),
+        |taps(tap, w_hw, w_sn, w_ho) AS (VALUES $ComboTapValues),
+        |fc AS (
+        |  SELECT hourly.hr + tap AS hr,
+        |    sum(cnt * w_hw)::BIGINT AS hw,
+        |    sum(cnt * w_sn)::BIGINT AS sn,
+        |    sum(cnt * w_ho)::BIGINT AS ho,
+        |    count(*)::BIGINT AS n_taps
+        |  FROM hourly CROSS JOIN taps GROUP BY 1),
+        |sc AS (
+        |  SELECT h.hr, (h.cnt * 4194304)::BIGINT AS y4m, f.hw, f.sn,
+        |    f.ho, (f.hw + f.sn + f.ho)::BIGINT AS c3
+        |  FROM hourly h JOIN fc f ON h.hr = f.hr
+        |  WHERE f.n_taps = 25),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n_scored,
+        |    sum(abs(y4m - hw))::BIGINT AS ae_hw,
+        |    sum(abs(y4m - sn))::BIGINT AS ae_sn,
+        |    sum(abs(y4m - ho))::BIGINT AS ae_ho,
+        |    sum(abs(3 * y4m - c3))::BIGINT AS ae_cb,
+        |    sum(CASE WHEN y4m + abs(hw) > 0 THEN
+        |      floor(2.0 * abs(y4m - hw)::DOUBLE
+        |        / (y4m + abs(hw))::DOUBLE * 1000000 + 0.5)::BIGINT
+        |      ELSE 0 END)::BIGINT AS sm_hw,
+        |    sum(CASE WHEN y4m + abs(sn) > 0 THEN
+        |      floor(2.0 * abs(y4m - sn)::DOUBLE
+        |        / (y4m + abs(sn))::DOUBLE * 1000000 + 0.5)::BIGINT
+        |      ELSE 0 END)::BIGINT AS sm_sn,
+        |    sum(CASE WHEN y4m + abs(ho) > 0 THEN
+        |      floor(2.0 * abs(y4m - ho)::DOUBLE
+        |        / (y4m + abs(ho))::DOUBLE * 1000000 + 0.5)::BIGINT
+        |      ELSE 0 END)::BIGINT AS sm_ho,
+        |    sum(CASE WHEN 3 * y4m + abs(c3) > 0 THEN
+        |      floor(2.0 * abs(3 * y4m - c3)::DOUBLE
+        |        / (3 * y4m + abs(c3))::DOUBLE * 1000000 + 0.5)::BIGINT
+        |      ELSE 0 END)::BIGINT AS sm_cb
+        |  FROM sc),
+        |st AS (
+        |  SELECT 'combo' AS model, ae_cb AS ae, sm_cb AS sm_u,
+        |    3 AS scale3, n_scored FROM a
+        |  UNION ALL SELECT 'holt', ae_ho, sm_ho, 1, n_scored FROM a
+        |  UNION ALL SELECT 'holtwinters', ae_hw, sm_hw, 1, n_scored
+        |    FROM a
+        |  UNION ALL SELECT 'snaive', ae_sn, sm_sn, 1, n_scored FROM a)
+        |SELECT model, n_scored,
+        |  CASE WHEN n_scored > 0 THEN
+        |    floor(ae::DOUBLE / (n_scored * scale3 * 4194304)::DOUBLE
+        |      * 10000 + 0.5) / 10000 END AS mae,
+        |  CASE WHEN n_scored > 0 THEN
+        |    floor(sm_u::DOUBLE / 1000000.0 / n_scored::DOUBLE
+        |      * 10000 + 0.5) / 10000 END AS smape
+        |FROM st ORDER BY model""".stripMargin,
     // Scaled-dev partial sums (prefix BIGINT, per-row quantized S²),
     // exact Bartlett slr5 combination, one mirrored η.
     "ts_kpss_test" ->

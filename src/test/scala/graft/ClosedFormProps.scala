@@ -945,8 +945,18 @@ object ClosedFormProps extends Properties("graft.closedforms") {
       } yield (nc, nt, sc, st)))
 
   property("mSPRT always-valid p is monotone non-increasing in looks") =
-    Prop.forAll(lookStream) { incs =>
+    Prop.forAll(lookStream) { incs0 =>
       val tau2 = 0.0001
+      // ScalaCheck shrinking does NOT respect the generator's domain
+      // (it once minimized to nc = −1 with sc = 2, i.e. successes
+      // exceeding trials, which manufactures impossible θ > 1
+      // evidence) — re-clamp to the generator's own invariants so a
+      // shrunk counterexample is still a VALID cell stream.
+      val incs = incs0.map { case (nc, nt, sc, st) =>
+        val (c, t) = (math.max(0L, nc), math.max(0L, nt))
+        (c, t, math.min(math.max(0L, sc), c),
+          math.min(math.max(0L, st), t))
+      }
       val cum = incs.scanLeft((0L, 0L, 0L, 0L)) { case ((a, b, c, d), i) =>
         (a + i._1, b + i._2, c + i._3, d + i._4)
       }.tail
@@ -966,8 +976,17 @@ object ClosedFormProps extends Properties("graft.closedforms") {
         math.exp(-math.max(mx, 0L).toDouble / 1000000.0) * 1000000 + 0.5)
         .toLong)
       val mono = ps.zip(ps.tail).forall { case (a, b) => b <= a }
+      // p = 0 is reachable as micro-quantization UNDERFLOW of a
+      // legitimate overwhelming-evidence stream (exp(−mx) < 5e-7 at
+      // lnΛ > ~14.5) — allow it, but only when the running max is in
+      // the underflow regime; any other zero is a real bug.
+      val mxs = llrU.scanLeft(0L) { (mx, l) =>
+        math.max(mx, l.getOrElse(Long.MinValue))
+      }.tail
       mono :| s"p rose under more evidence: $ps" &&
-        ps.forall(p => p > 0 && p <= 1000000) :| s"p out of (0,1]: $ps"
+        ps.zip(mxs).forall { case (p, mx) =>
+          p <= 1000000 && (p > 0 || mx > 14000000L)
+        } :| s"p out of (0,1] without underflow evidence: $ps"
     }
 
   // sample_weighted_topk: the Efraimidis–Spirakis key u^(1/w) is

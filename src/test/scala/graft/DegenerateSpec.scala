@@ -760,6 +760,36 @@ class DegenerateSpec extends SparkSpec {
       "label", ef(Nil)), "louvainCoarsen/no-edges")
   }
 
+  test("welchAnova / archLmTest / forecastCombination survive degenerate frames") {
+    val ws = StructType(Seq(StructField("g", StringType),
+      StructField("y", LongType)))
+    def wf(rows: Seq[(String, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), ws)
+    assertClean(engine.welchAnova(wf(Nil), "g", "y"), "welchA/empty")
+    // a constant group poisons F (zero variance ⇒ infinite weight)
+    val wa = engine.welchAnova(wf(Seq(("a", 5L), ("a", 5L),
+      ("b", 1L), ("b", 9L))), "g", "y").collect()(0)
+    assert(wa.isNullAt(wa.fieldIndex("f_welch")))
+    assertClean(engine.welchAnova(wf(Seq(("a", 1L), ("a", 2L))),
+      "g", "y"), "welchA/one-group")
+    val ts3 = StructType(Seq(StructField("t", LongType),
+      StructField("v", LongType)))
+    def s3(rows: Seq[(Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), ts3)
+    assertClean(engine.archLmTest(s3(Nil), "t", "v"), "arch/empty")
+    // constant series: every e² = 0 ⇒ cyy = 0 ⇒ NULL, never a throw
+    val ac = engine.archLmTest(
+      s3((1L to 10L).map(t => (t, 7L))), "t", "v").collect()(0)
+    assert(ac.isNullAt(ac.fieldIndex("lm")))
+    assertClean(engine.forecastCombination(s3(Nil), "t", "v"),
+      "combo/empty")
+    // under 181 hours nothing is fully tapped: 4 NULL rows, no throw
+    val fc = engine.forecastCombination(
+      s3((1L to 50L).map(t => (t, t % 7))), "t", "v").collect()
+    assert(fc.length === 4 && fc.forall(_.isNullAt(
+      fc(0).fieldIndex("mae"))))
+  }
+
   test("bounceRate survives degenerate frames") {
     val ss = StructType(Seq(StructField("lt", StringType),
       StructField("ne", LongType)))

@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 199, "documented facade count drifted; methods: "
+    assert(names.length === 202, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1352,6 +1352,36 @@ class EngineApiSpec extends SparkSpec {
     val viaApi = engine.holtWintersInterval(hourly, "hr", "cnt")
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
+  }
+
+  test("welchAnova / archLmTest / forecastCombination facades match their keys") {
+    val d = sf("sf0.001")
+    val docs = TestData.documents(spark, d)
+      .select($"lang".as("g"), $"n_chars".as("y"))
+    assert(engine.welchAnova(docs, "g", "y")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("agg_welch_anova")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    val hourly = TestData.events(spark, d)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .agg(count(lit(1)).as("v"))
+    assert(engine.archLmTest(hourly, "h", "v")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("ts_arch_lm")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    val combo = engine.forecastCombination(hourly, "h", "v").collect()
+    assert(combo.map(_.toSeq).toSeq ===
+      SparkEntry.queries("ts_forecast_combination")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // triangle-inequality pin: combo MAE ≤ mean of the three
+    // individual MAEs (+ quantization slack)
+    val mae = combo.map(r => r.getAs[String]("model")
+      -> r.getAs[Double]("mae")).toMap
+    if (mae.values.forall(_ != null)) {
+      val meanInd = (mae("snaive") + mae("holt") + mae("holtwinters")) / 3.0
+      assert(mae("combo") <= meanInd + 1e-3,
+        s"combo ${mae("combo")} vs mean $meanInd")
+    }
   }
 
   test("bounceRate facade matches the key; MRR consistent with recall") {
