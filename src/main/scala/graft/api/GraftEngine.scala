@@ -4535,6 +4535,29 @@ class GraftEngine(val spark: SparkSession) {
       df.select(col(groupCol).as("lang"),
         col(valueCol).cast("long").as("x")))
 
+  /** Hodges-Lehmann two-sample shift (see `agg_hodges_lehmann`):
+    * the median of all bLabel−aLabel differences — the robust
+    * effect-size AMOUNT that belongs to [[mannWhitney]]'s verdict.
+    * Differences on the cell-grid cross product (domain², never
+    * user²).
+    */
+  def hodgesLehmann(df: DataFrame, valueCol: String, groupCol: String,
+                    aLabel: String = "control",
+                    bLabel: String = "treatment"): DataFrame =
+    graft.operators.Stats.hodgesLehmannCore(
+      twoGroupCells(df, valueCol, groupCol, aLabel, bLabel))
+
+  /** Distribution-free 95 % median CI (see `agg_median_ci`) per
+    * group over integer-unit values: sign-test-inversion order
+    * statistics — the error bar a median dashboard publishes where
+    * parametric ±1.96·SE is invalid.
+    */
+  def medianCi(df: DataFrame, groupCol: String, tieCol: String,
+               valueCol: String): DataFrame =
+    graft.operators.Stats.medianCiCore(
+      df.select(col(groupCol).as("seg"), col(tieCol).as("tie"),
+        col(valueCol).cast("long").as("cents")))
+
   /** Welch's ANOVA (see `agg_welch_anova`) per group over integer
     * values: the k-group mean test WITHOUT the equal-variance
     * assumption — what you run when [[bartlettTest]] rejects.

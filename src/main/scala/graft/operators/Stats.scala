@@ -242,6 +242,63 @@ object Stats {
       .orderBy("seg")
   }
 
+  /** Hodges-Lehmann two-sample shift core (see `agg_hodges_lehmann`):
+    * input the (x, cc, ct) cell grid; output the 1-row (n_pairs,
+    * hl_shift) readout — the weighted lower median of all
+    * treatment−control differences over the domain² diff grid.
+    * Weights ct·cc ≤ n_t·n_c < 2^63 (the KS bound). Shared with
+    * `GraftEngine.hodgesLehmann`.
+    */
+  private[graft] def hodgesLehmannCore(cells: DataFrame): DataFrame = {
+    val W = Window.orderBy("diff")
+    val cc = cells.localCheckpoint() // both sides of the cross join
+    val t = cc.select(col("x").as("xt"), col("ct"))
+      .filter(col("ct") > 0)
+    val c = cc.select(col("x").as("xc"), col("cc"))
+      .filter(col("cc") > 0)
+    t.crossJoin(broadcast(c))
+      .select((col("xt") - col("xc")).as("diff"),
+        (col("ct") * col("cc")).as("w"))
+      .groupBy("diff").agg(sum("w").as("w"))
+      .withColumn("wtot", sum("w").over(Window.partitionBy()))
+      .withColumn("cumw", sum("w").over(
+        W.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cumw") * 2 >= col("wtot") + 1)
+      .agg(max("wtot").as("n_pairs"), min("diff").as("hl_shift"))
+  }
+
+  /** Distribution-free median CI core (see `agg_median_ci`): input
+    * (seg, tie, cents) rows; per-segment median + the sign-test-
+    * inversion 95 % bounds at ranks clamp([1,n], (n ∓ 1.96√n)/2 and
+    * 1 + (n + 1.96√n)/2). Exact order statistics off one rangedRank;
+    * the only float is the engine-identical IEEE sqrt. Shared with
+    * `GraftEngine.medianCi`.
+    */
+  private[graft] def medianCiCore(units: DataFrame): DataFrame = {
+    val ranked = graft.operators.Curation.rangedRank(
+      units.select("seg", "cents", "tie"), "seg",
+      Seq(col("cents"), col("tie")), "rk")
+      .localCheckpoint() // sizes + the three rank picks
+    val sizes = ranked.groupBy("seg").agg(count(lit(1)).as("n_s"))
+      .withColumn("r_med", expr("(n_s + 1) DIV 2"))
+      .withColumn("r_lo", greatest(lit(1L),
+        floor((col("n_s").cast("double") - lit(1.959964)
+          * sqrt(col("n_s").cast("double"))) / 2.0).cast("long")))
+      .withColumn("r_hi", least(col("n_s"),
+        ceil((col("n_s").cast("double") + 1.0 + lit(1.959964)
+          * sqrt(col("n_s").cast("double"))) / 2.0).cast("long")))
+    ranked.join(broadcast(sizes), "seg")
+      .groupBy("seg")
+      .agg(max("n_s").as("n"),
+        max(when(col("rk") === col("r_med"), col("cents")))
+          .as("median_cents"),
+        max(when(col("rk") === col("r_lo"), col("cents")))
+          .as("ci_lo_cents"),
+        max(when(col("rk") === col("r_hi"), col("cents")))
+          .as("ci_hi_cents"))
+      .orderBy("seg")
+  }
+
   /** Welch's ANOVA core (see `agg_welch_anova`): input (lang, x:
     * BIGINT) rows, output the 1-row (k, N, f_welch, df1, df2)
     * readout. Quantization: w in nano units (n/s²·1e9), w·m in nano,
@@ -643,6 +700,36 @@ object Stats {
       jarqueBera(TestData.lineitem(s, d)
         .select(col("l_returnflag").as("flag"),
           floor(col("l_quantity") + 0.5).cast("long").as("x")))),
+
+    // HODGES-LEHMANN SHIFT (round 15): the effect-size ESTIMATE that
+    // belongs to the Mann-Whitney test — the median of all
+    // treatment−control differences ("how much did the experiment
+    // move a typical user", robust where the mean difference is
+    // hostage to tails; δ/U say direction and significance, HL says
+    // the AMOUNT in value units). Differences live on the CELL-GRID
+    // CROSS PRODUCT (domain², never user²) with weight ct·cc — the
+    // ts_theil_sen pairwise-domain precedent; weighted lower median
+    // via one cumulative over the diff-distinct grid (2·cumw ≥ W+1).
+    // All integers end to end. Planted-shift exactness pinned in
+    // DegenerateSpec.
+    "agg_hodges_lehmann" -> ((s, d) =>
+      hodgesLehmannCore(variantUnitCells(s, d))),
+
+    // MEDIAN CI (round 15): the distribution-free 95 % confidence
+    // interval on each segment's median (order-statistic inversion
+    // of the sign test: ranks (n ∓ 1.96√n)/2) — the error bar the
+    // agg_median / quantile dashboards publish; parametric ±1.96·SE
+    // is wrong exactly where medians are used (skewed balances).
+    // Exact order statistics off the SAME per-segment rangedRank as
+    // agg_quantile_skew; IEEE sqrt is correctly rounded and engine-
+    // identical (the Neyman precedent); rank picks clamped to
+    // [1, n]. All integer cents.
+    "agg_median_ci" -> ((s, d) =>
+      medianCiCore(TestData.customer(s, d)
+        .select(col("c_mktsegment").as("seg"),
+          col("c_custkey").as("tie"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long")
+            .as("cents")))),
 
     // WELCH'S ANOVA (round 15): the k-group mean test that does NOT
     // assume equal variances — the missing middle of the family
@@ -2406,6 +2493,47 @@ object Stats {
       |  FROM pu)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same cells grid; domain² diff grid with ct·cc weights;
+    // weighted lower median by one cumulative.
+    "agg_hodges_lehmann" ->
+      s"""$CellsCte,
+        |t AS (SELECT x AS xt, ct FROM cells WHERE ct > 0),
+        |c2 AS (SELECT x AS xc, cc FROM cells WHERE cc > 0),
+        |dg AS (
+        |  SELECT xt - xc AS diff, sum(ct * cc)::BIGINT AS w
+        |  FROM t CROSS JOIN c2 GROUP BY 1),
+        |cw AS (
+        |  SELECT *, (sum(w) OVER ())::BIGINT AS wtot,
+        |    (sum(w) OVER (ORDER BY diff
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS cumw
+        |  FROM dg)
+        |SELECT max(wtot)::BIGINT AS n_pairs,
+        |  min(diff)::BIGINT AS hl_shift
+        |FROM cw WHERE cumw * 2 >= wtot + 1""".stripMargin,
+    // Per-segment row_number rank; sign-test-inversion rank picks
+    // with the clamped IEEE-sqrt bounds; exact integer cents.
+    "agg_median_ci" ->
+      """WITH base AS (
+        |  SELECT c_mktsegment AS seg, c_custkey AS tie,
+        |    floor(c_acctbal * 100 + 0.5)::BIGINT AS cents
+        |  FROM customer),
+        |r0 AS (
+        |  SELECT seg, cents,
+        |    row_number() OVER (PARTITION BY seg
+        |      ORDER BY cents, tie) AS rk,
+        |    count(*) OVER (PARTITION BY seg) AS n_s
+        |  FROM base)
+        |SELECT seg, max(n_s)::BIGINT AS n,
+        |  max(CASE WHEN rk = (n_s + 1) // 2 THEN cents END)::BIGINT
+        |    AS median_cents,
+        |  max(CASE WHEN rk = greatest(1,
+        |    floor((n_s::DOUBLE - 1.959964 * sqrt(n_s::DOUBLE)) / 2.0)
+        |      ::BIGINT) THEN cents END)::BIGINT AS ci_lo_cents,
+        |  max(CASE WHEN rk = least(n_s,
+        |    ceil((n_s::DOUBLE + 1.0 + 1.959964 * sqrt(n_s::DOUBLE))
+        |      / 2.0)::BIGINT) THEN cents END)::BIGINT AS ci_hi_cents
+        |FROM r0 GROUP BY seg ORDER BY seg""".stripMargin,
     // Per-group nano/pico-quantized terms before every k-row sum;
     // two scalar divisions on the 1-row readout, mirrored.
     "agg_welch_anova" ->

@@ -760,6 +760,29 @@ class DegenerateSpec extends SparkSpec {
       "label", ef(Nil)), "louvainCoarsen/no-edges")
   }
 
+  test("hodgesLehmann / medianCi survive degenerate frames") {
+    val hs = StructType(Seq(StructField("g", StringType),
+      StructField("v", LongType)))
+    def hf2(rows: Seq[(String, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), hs)
+    assertClean(engine.hodgesLehmann(hf2(Nil), "v", "g"), "hl/empty")
+    // one-sided split: no cross pairs ⇒ empty diff grid, NULL readout
+    assertClean(engine.hodgesLehmann(
+      hf2(Seq(("control", 1L), ("control", 2L))), "v", "g"),
+      "hl/one-sided")
+    val ms = StructType(Seq(StructField("g", StringType),
+      StructField("k", LongType), StructField("y", LongType)))
+    def mf(rows: Seq[(String, Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), ms)
+    assertClean(engine.medianCi(mf(Nil), "g", "k", "y"), "mci/empty")
+    // single row: median = lo = hi = the value (clamped ranks)
+    val one = engine.medianCi(mf(Seq(("a", 1L, -7L))), "g", "k", "y")
+      .collect()(0)
+    assert(one.getAs[Long]("median_cents") === -7L)
+    assert(one.getAs[Long]("ci_lo_cents") === -7L)
+    assert(one.getAs[Long]("ci_hi_cents") === -7L)
+  }
+
   test("welchAnova / archLmTest / forecastCombination survive degenerate frames") {
     val ws = StructType(Seq(StructField("g", StringType),
       StructField("y", LongType)))

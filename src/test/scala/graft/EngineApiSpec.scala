@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 202, "documented facade count drifted; methods: "
+    assert(names.length === 204, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1352,6 +1352,40 @@ class EngineApiSpec extends SparkSpec {
     val viaApi = engine.holtWintersInterval(hourly, "hr", "cnt")
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
+  }
+
+  test("hodgesLehmann / medianCi facades match their keys") {
+    val d = sf("sf0.001")
+    val pu = TestData.events(spark, d)
+      .withColumn("v_u", floor($"value" * 1000000 + 0.5).cast("long"))
+      .groupBy("user_id").agg(sum("v_u").as("sum_u"))
+      .withColumn("variant",
+        when(conv(substring(md5($"user_id".cast("string")), 1, 2),
+          16, 10).cast("int") % 2 === 0, "control").otherwise("treatment"))
+      .withColumn("x",
+        floor($"sum_u".cast("double") / 1000000.0).cast("long"))
+    assert(engine.hodgesLehmann(pu, "x", "variant")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("agg_hodges_lehmann")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    val cust = TestData.customer(spark, d)
+      .select($"c_mktsegment".as("g"), $"c_custkey".as("k"),
+        floor($"c_acctbal" * 100 + 0.5).cast("long").as("y"))
+    val ci = engine.medianCi(cust, "g", "k", "y").collect()
+    assert(ci.map(_.toSeq).toSeq ===
+      SparkEntry.queries("agg_median_ci")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // the CI brackets the median in every segment
+    ci.foreach { r =>
+      assert(r.getAs[Long]("ci_lo_cents") <= r.getAs[Long]("median_cents"))
+      assert(r.getAs[Long]("median_cents") <= r.getAs[Long]("ci_hi_cents"))
+    }
+    // planted-shift exactness: HL of {11,12,13} vs {1,2,3} is 10
+    val tiny = Seq(("b", 11L), ("b", 12L), ("b", 13L),
+      ("a", 1L), ("a", 2L), ("a", 3L)).toDF("g", "v")
+    val hl = engine.hodgesLehmann(tiny, "v", "g", "a", "b").collect()(0)
+    assert(hl.getAs[Long]("hl_shift") === 10L)
+    assert(hl.getAs[Long]("n_pairs") === 9L)
   }
 
   test("welchAnova / archLmTest / forecastCombination facades match their keys") {
