@@ -4569,6 +4569,15 @@ class GraftEngine(val spark: SparkSession) {
       df.select(col(groupCol).as("lang"),
         col(valueCol).cast("long").as("x")))
 
+  /** Poisson dispersion test (see `ts_poisson_dispersion`) over
+    * count rows: D = (n−1)s²/x̄ with the √(2D) − √(2df−1) normal
+    * approximation — are arrivals Poisson or over-dispersed.
+    * Constant / empty input reads NULL.
+    */
+  def poissonDispersion(df: DataFrame, countCol: String): DataFrame =
+    graft.operators.TimeSeries.poissonDispersionCore(
+      df.select(col(countCol).cast("long").as("y")))
+
   /** Engle's ARCH-LM test (see `ts_arch_lm`) over an integer-keyed
     * series: is the variance autocorrelated (volatility
     * clustering). Constant / too-short series read NULL.

@@ -701,6 +701,20 @@ object Stats {
         .select(col("l_returnflag").as("flag"),
           floor(col("l_quantity") + 0.5).cast("long").as("x")))),
 
+    // EXACT SRM CHECK (round 15): sample-ratio-mismatch under the
+    // EXACT Binomial(n, ½) null — events_ab_srm's χ² is asymptotic
+    // and silently wrong exactly where SRM matters most (small
+    // slices, early ramp); this is the sign-test machinery's FOURTH
+    // reuse (variant indicator = the sign). One ±1 row per user
+    // through the SAME exact chain — k_pos reads "control users".
+    "events_ab_srm_exact" -> ((s, d) =>
+      signTestExact(TestData.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("n_ev"))
+        .withColumn("d_w",
+          when(conv(substring(md5(col("user_id").cast("string")), 1, 2),
+            16, 10).cast("int") % 2 === 0, 1L).otherwise(-1L))
+        .select("d_w"))),
+
     // HODGES-LEHMANN SHIFT (round 15): the effect-size ESTIMATE that
     // belongs to the Mann-Whitney test — the median of all
     // treatment−control differences ("how much did the experiment
@@ -2492,6 +2506,52 @@ object Stats {
       |    floor((s1 - s2)::DOUBLE / 1000000.0)::BIGINT AS d_w
       |  FROM pu)""".stripMargin
 
+  /** The exact-binomial sign-test chain (Fisher ratio-recursion
+    * protocol) as a DuckDB CTE suffix expecting a preceding
+    * `dw(..., d_w)` CTE — shared by `agg_sign_test` and
+    * `events_ab_srm_exact`.
+    */
+  private val SignTestChainSql =
+    """|nk AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    coalesce(sum(CASE WHEN d_w > 0 THEN 1 ELSE 0 END), 0)
+        |      ::BIGINT AS k_pos
+        |  FROM dw WHERE d_w <> 0),
+        |grid AS (
+        |  SELECT n, k_pos, unnest(range(0, n + 1)) AS j FROM nk),
+        |st AS (
+        |  SELECT *, CASE WHEN j > 0 THEN
+        |      floor(ln((n - j + 1)::DOUBLE / j::DOUBLE)
+        |        * 1000000 + 0.5)::BIGINT
+        |    ELSE 0 END AS step_u
+        |  FROM grid),
+        |cu AS (
+        |  SELECT *, (sum(step_u) OVER (ORDER BY j
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS lnc_u
+        |  FROM st),
+        |tm AS (
+        |  SELECT *, floor(exp((lnc_u - n * 693147)::DOUBLE / 1000000.0)
+        |    * 1000000000 + 0.5)::BIGINT AS term_n
+        |  FROM cu),
+        |a AS (
+        |  SELECT max(n)::BIGINT AS n_nonzero,
+        |    max(k_pos)::BIGINT AS k_pos,
+        |    sum(CASE WHEN j <= k_pos THEN term_n ELSE 0 END)::BIGINT
+        |      AS p_le_nano,
+        |    sum(CASE WHEN j >= k_pos THEN term_n ELSE 0 END)::BIGINT
+        |      AS p_ge_nano
+        |  FROM tm),
+        |b AS (
+        |  SELECT *, least(1000000000,
+        |    2 * least(p_le_nano, p_ge_nano))::BIGINT AS p_two_nano
+        |  FROM a)
+        |SELECT n_nonzero, k_pos, p_le_nano, p_ge_nano,
+        |  floor((p_two_nano / 1000000000.0) * 10000 + 0.5) / 10000
+        |    AS p_two,
+        |  p_two_nano < 50000000 AS significant_95
+        |FROM b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // Same cells grid; domain² diff grid with ct·cc weights;
     // weighted lower median by one cumulative.
@@ -2739,45 +2799,17 @@ object Stats {
     // exp terms, integer tail sums and decision.
     "agg_sign_test" ->
       s"""$PairedDeltaCte,
-        |nk AS (
-        |  SELECT count(*)::BIGINT AS n,
-        |    coalesce(sum(CASE WHEN d_w > 0 THEN 1 ELSE 0 END), 0)
-        |      ::BIGINT AS k_pos
-        |  FROM dw WHERE d_w <> 0),
-        |grid AS (
-        |  SELECT n, k_pos, unnest(range(0, n + 1)) AS j FROM nk),
-        |st AS (
-        |  SELECT *, CASE WHEN j > 0 THEN
-        |      floor(ln((n - j + 1)::DOUBLE / j::DOUBLE)
-        |        * 1000000 + 0.5)::BIGINT
-        |    ELSE 0 END AS step_u
-        |  FROM grid),
-        |cu AS (
-        |  SELECT *, (sum(step_u) OVER (ORDER BY j
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
-        |      AS lnc_u
-        |  FROM st),
-        |tm AS (
-        |  SELECT *, floor(exp((lnc_u - n * 693147)::DOUBLE / 1000000.0)
-        |    * 1000000000 + 0.5)::BIGINT AS term_n
-        |  FROM cu),
-        |a AS (
-        |  SELECT max(n)::BIGINT AS n_nonzero,
-        |    max(k_pos)::BIGINT AS k_pos,
-        |    sum(CASE WHEN j <= k_pos THEN term_n ELSE 0 END)::BIGINT
-        |      AS p_le_nano,
-        |    sum(CASE WHEN j >= k_pos THEN term_n ELSE 0 END)::BIGINT
-        |      AS p_ge_nano
-        |  FROM tm),
-        |b AS (
-        |  SELECT *, least(1000000000,
-        |    2 * least(p_le_nano, p_ge_nano))::BIGINT AS p_two_nano
-        |  FROM a)
-        |SELECT n_nonzero, k_pos, p_le_nano, p_ge_nano,
-        |  floor((p_two_nano / 1000000000.0) * 10000 + 0.5) / 10000
-        |    AS p_two,
-        |  p_two_nano < 50000000 AS significant_95
-        |FROM b""".stripMargin,
+        |$SignTestChainSql""".stripMargin,
+    // Variant-indicator signs (+1 control / −1 treatment) through
+    // the SAME exact-binomial chain — the exact SRM verdict.
+    "events_ab_srm_exact" ->
+      s"""WITH pu AS (SELECT user_id FROM events GROUP BY 1),
+        |dw AS (
+        |  SELECT user_id,
+        |    CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))
+        |      ::INT % 2 = 0 THEN 1 ELSE -1 END AS d_w
+        |  FROM pu),
+        |$SignTestChainSql""".stripMargin,
     // Same cells grid as the U test; gt/tie exact, lt by identity.
     "agg_cliffs_delta" ->
       s"""$CellsCte,

@@ -69,6 +69,41 @@ object TimeSeries {
         "bounce_rate", "avg_events")
       .orderBy("landing_type")
 
+  /** Poisson dispersion core (see `ts_poisson_dispersion`): input
+    * (y: BIGINT) count rows; D = (n−1)·s²/x̄, variance ratio, and
+    * the √(2D) − √(2df−1) z — exact sufficient stats, one mirrored
+    * readout. Shared with `GraftEngine.poissonDispersion`.
+    */
+  private[graft] def poissonDispersionCore(series: DataFrame)
+      : DataFrame =
+    series.agg(count(lit(1)).as("n_hours"), sum("y").as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("mean", when(col("n_hours") > 0,
+        col("sy").cast("double") / col("n_hours").cast("double")))
+      .withColumn("s2", when(col("n_hours") > 1,
+        (col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double")
+            / col("n_hours").cast("double"))
+          / (col("n_hours") - 1).cast("double")))
+      .withColumn("var_ratio", when(col("mean") > 0
+          && col("s2").isNotNull,
+        TestData.r4(col("s2") / col("mean"))))
+      .withColumn("d_stat", when(col("mean") > 0
+          && col("s2").isNotNull,
+        (col("n_hours") - 1).cast("double")
+          * (col("s2") / col("mean"))))
+      .withColumn("z", when(col("d_stat").isNotNull
+          && col("n_hours") > 1,
+        TestData.r4(sqrt(lit(2.0) * col("d_stat"))
+          - sqrt(lit(2.0) * (col("n_hours") - 1).cast("double")
+            - lit(1.0)))))
+      .withColumn("overdispersed_95",
+        when(col("z").isNotNull, col("z") > 1.644854))
+      .select(col("n_hours"),
+        when(col("mean").isNotNull, TestData.r4(col("mean")))
+          .as("mean"),
+        col("var_ratio"), col("z"), col("overdispersed_95"))
+
   /** ARCH-LM heteroskedasticity core (see `ts_arch_lm`): input
     * (xh, y) series rows; e = y − round(mean) in whole units (keeps
     * e⁴·n < 2^63 to |e| ≲ 5600 at 9e3 hours — documented), then the
@@ -1511,6 +1546,21 @@ object TimeSeries {
     "ts_adf_test" -> ((s, d) =>
       adfCore(TestData.events(s, d)
         .groupBy(expr("unix_micros(ts) DIV 3600000000").as("xh"))
+        .agg(count(lit(1)).as("y")))),
+
+    // POISSON DISPERSION (round 15): the index-of-dispersion gate —
+    // "are hourly arrivals Poisson, or over-dispersed" (the
+    // modelling fork every capacity plan hits: Poisson ⇒ √-scaling
+    // headroom works; over-dispersed ⇒ it under-provisions).
+    // Completes the arrival-process trio with events_burstiness
+    // (per-user gaps) and events_interarrival_ks (gap shape).
+    // Sufficient stats exact; D = (n−1)·s²/x̄ with the Wilson-
+    // Hilferty-free √(2D) − √(2df−1) normal approximation — one
+    // mirrored readout, r4; constant/empty ⇒ NULL (definition-site
+    // guards).
+    "ts_poisson_dispersion" -> ((s, d) =>
+      poissonDispersionCore(TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
         .agg(count(lit(1)).as("y")))),
 
     // ARCH-LM TEST (round 15): Engle's volatility-clustering gate —
@@ -4536,6 +4586,46 @@ object TimeSeries {
         |  CASE WHEN t_gamma IS NOT NULL THEN t_gamma < -2.86 END
         |    AS unit_root_rejected_95
         |FROM tg""".stripMargin,
+    // Exact sufficient stats; D = (n−1)s²/x̄; √(2D) − √(2df−1)
+    // normal approximation, one mirrored readout.
+    "ts_poisson_dispersion" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr,
+        |    count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n_hours, sum(y)::BIGINT AS sy,
+        |    sum(y * y)::BIGINT AS syy
+        |  FROM hourly),
+        |m AS (
+        |  SELECT *,
+        |    CASE WHEN n_hours > 0 THEN sy::DOUBLE / n_hours::DOUBLE
+        |      END AS mean,
+        |    CASE WHEN n_hours > 1 THEN
+        |      (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n_hours::DOUBLE)
+        |        / (n_hours - 1)::DOUBLE END AS s2
+        |  FROM a),
+        |dd AS (
+        |  SELECT *,
+        |    CASE WHEN mean > 0 AND s2 IS NOT NULL THEN
+        |      (n_hours - 1)::DOUBLE * (s2 / mean) END AS d_stat
+        |  FROM m),
+        |zz AS (
+        |  SELECT *,
+        |    CASE WHEN d_stat IS NOT NULL AND n_hours > 1 THEN
+        |      floor((sqrt(2.0 * d_stat)
+        |        - sqrt(2.0 * (n_hours - 1)::DOUBLE - 1.0))
+        |        * 10000 + 0.5) / 10000 END AS z
+        |  FROM dd)
+        |SELECT n_hours,
+        |  CASE WHEN mean IS NOT NULL THEN
+        |    floor(mean * 10000 + 0.5) / 10000 END AS mean,
+        |  CASE WHEN mean > 0 AND s2 IS NOT NULL THEN
+        |    floor(s2 / mean * 10000 + 0.5) / 10000 END AS var_ratio,
+        |  z,
+        |  CASE WHEN z IS NOT NULL THEN z > 1.644854 END
+        |    AS overdispersed_95
+        |FROM zz""".stripMargin,
     // Whole-unit residuals vs the rounded mean; 2-lag squared-
     // residual regression via equi-joins; mirrored LM = n·R².
     "ts_arch_lm" ->

@@ -760,6 +760,23 @@ class DegenerateSpec extends SparkSpec {
       "label", ef(Nil)), "louvainCoarsen/no-edges")
   }
 
+  test("poissonDispersion survives degenerate frames") {
+    val ps = StructType(Seq(StructField("y", LongType)))
+    def pf(rows: Seq[Long]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row(_)), 1), ps)
+    assertClean(engine.poissonDispersion(pf(Nil), "y"), "pd/empty")
+    assertClean(engine.poissonDispersion(pf(Seq(5L)), "y"),
+      "pd/single")
+    // constant counts: s² = 0 ⇒ ratio 0, z defined and negative
+    val c = engine.poissonDispersion(pf(Seq(4L, 4L, 4L, 4L)), "y")
+      .collect()(0)
+    assert(c.getAs[Double]("var_ratio") === 0.0)
+    assert(c.getAs[Boolean]("overdispersed_95") === false)
+    // all-zero counts: mean 0 ⇒ NULL ratio (x/0 guard), no throw
+    assertClean(engine.poissonDispersion(pf(Seq(0L, 0L)), "y"),
+      "pd/zeros")
+  }
+
   test("hodgesLehmann / medianCi survive degenerate frames") {
     val hs = StructType(Seq(StructField("g", StringType),
       StructField("v", LongType)))

@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 204, "documented facade count drifted; methods: "
+    assert(names.length === 205, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1352,6 +1352,29 @@ class EngineApiSpec extends SparkSpec {
     val viaApi = engine.holtWintersInterval(hourly, "hr", "cnt")
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
+  }
+
+  test("poissonDispersion facade + exact SRM consistency") {
+    val d = sf("sf0.001")
+    val hourly = TestData.events(spark, d)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .agg(count(lit(1)).as("v"))
+    assert(engine.poissonDispersion(hourly, "v")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("ts_poisson_dispersion")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // exact SRM key = signTestExact over the ±1 variant indicator:
+    // k_pos must equal the control-user count of the md5 split
+    val srm = SparkEntry.queries("events_ab_srm_exact")(spark, d)
+      .collect()(0)
+    val nControl = TestData.events(spark, d)
+      .select("user_id").distinct()
+      .filter(conv(substring(md5($"user_id".cast("string")), 1, 2),
+        16, 10).cast("int") % 2 === 0)
+      .count()
+    assert(srm.getAs[Long]("k_pos") === nControl)
+    assert(srm.getAs[Double]("p_two") > 0.0
+      && srm.getAs[Double]("p_two") <= 1.0)
   }
 
   test("hodgesLehmann / medianCi facades match their keys") {
