@@ -244,8 +244,9 @@ object Stats {
 
   /** Hodges-Lehmann two-sample shift core (see `agg_hodges_lehmann`):
     * input the (x, cc, ct) cell grid; output the 1-row (n_pairs,
-    * hl_shift) readout — the weighted lower median of all
-    * treatment−control differences over the domain² diff grid.
+    * hl_shift) readout — the weighted median (rank ⌈(W+1)/2⌉ —
+    * upper-middle on even pair counts) of all treatment−control
+    * differences over the domain² diff grid.
     * Weights ct·cc ≤ n_t·n_c < 2^63 (the KS bound). Shared with
     * `GraftEngine.hodgesLehmann`.
     */
@@ -559,9 +560,10 @@ object Stats {
 
   /** Mood's median test core (see `agg_mood_median`): input the
     * (x, cc, ct) cell grid, output the 1-row 2×2 above/not-above
-    * grand-median readout. The grand median is the LOWER median by
-    * rank over the grid (cum_n·2 ≥ n+1 — the trimmed-mean rank
-    * convention); all four cell counts are exact BIGINTs; the
+    * grand-median readout. The grand median is the rank-⌈(n+1)/2⌉
+    * order statistic over the grid (cum_n·2 ≥ n+1; the median —
+    * upper-middle on even n — deterministic and engine-identical);
+    * all four cell counts are exact BIGINTs; the
     * Pearson χ² assembles once in doubles on the 1-row readout
     * (N·det² overflows BIGINT at ~5e4 users, so the float readout
     * is the spec — mirrored op order, r4). Any zero marginal ⇒

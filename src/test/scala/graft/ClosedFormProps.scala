@@ -944,6 +944,98 @@ object ClosedFormProps extends Properties("graft.closedforms") {
         sc <- Gen.choose(0L, nc); st <- Gen.choose(0L, nt)
       } yield (nc, nt, sc, st)))
 
+  // agg_sign_test: the quantized ratio-recursion pipeline (micro-
+  // quantized ln steps → BIGINT lnC prefix → nano-quantized exp
+  // terms → integer tail sums) must reproduce the EXACT binomial
+  // two-sided p within its documented quantization slack. The exact
+  // reference is BigInt arithmetic — no floats at all.
+  property("sign test: quantized recursion matches exact binomial tails") =
+    Prop.forAll(Gen.choose(1, 60).flatMap(n =>
+        Gen.choose(0, n).map(k => (n, k)))) { case (n, k) =>
+      // the pipeline, verbatim in Scala
+      val steps = (1 to n).map(j =>
+        math.floor(math.log((n - j + 1).toDouble / j) * 1000000 + 0.5)
+          .toLong)
+      val lnc = steps.scanLeft(0L)(_ + _)
+      val terms = (0 to n).map(j => math.floor(
+        math.exp((lnc(j) - n * 693147L).toDouble / 1000000.0)
+          * 1000000000L + 0.5).toLong)
+      val pLe = terms.take(k + 1).sum
+      val pGe = terms.drop(k).sum
+      val pTwo = math.min(1000000000L, 2L * math.min(pLe, pGe)) / 1.0e9
+      // exact reference in BigInt
+      def choose(n: Int, j: Int): BigInt =
+        (1 to j).foldLeft(BigInt(1))((a, i) => a * (n - i + 1) / i)
+      val tot = BigInt(2).pow(n)
+      val exLe = (0 to k).map(choose(n, _)).sum
+      val exGe = (k to n).map(choose(n, _)).sum
+      val exTwo = math.min(1.0,
+        2.0 * (exLe.min(exGe)).toDouble / tot.toDouble)
+      (math.abs(pTwo - exTwo) < 2e-4) :|
+        s"quantized p $pTwo vs exact $exTwo at n=$n k=$k"
+    }
+
+  // agg_hodges_lehmann: the weighted lower median over the cell-grid
+  // diff table is EXACTLY the lower median of the multiset of all
+  // pairwise b−a differences.
+  property("Hodges-Lehmann grid median equals brute-force pairwise median") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-20L, 20L)),
+        Gen.nonEmptyListOf(Gen.choose(-20L, 20L))) { (as, bs) =>
+      val diffs = (for (b <- bs; a <- as) yield b - a).sorted
+      // the key's rule 2·cumw ≥ W+1 selects rank ⌈(W+1)/2⌉, i.e.
+      // 0-based index ⌊W/2⌋ (the median; upper-middle on even W)
+      val brute = diffs(diffs.length / 2)
+      // grid form: distinct diffs with weights, cumulative rule
+      val grid = diffs.groupBy(identity).view.mapValues(_.length.toLong)
+        .toSeq.sortBy(_._1)
+      val wtot = grid.map(_._2).sum
+      val cum = grid.scanLeft(0L)(_ + _._2).tail
+      val hl = grid.zip(cum).collectFirst {
+        case ((d, _), c) if c * 2 >= wtot + 1 => d
+      }.get
+      (hl == brute) :| s"grid $hl vs brute $brute"
+    }
+
+  // agg_wilcoxon_signed_rank: the doubled-midrank cell-grid 2W⁺
+  // equals the textbook W⁺ (midranks of |d|, summed over positive
+  // deltas) computed directly — ties and zeros handled per the
+  // standard procedure.
+  property("Wilcoxon signed-rank grid 2W+ equals brute-force midranks") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-8L, 8L))) { ds0 =>
+      val ds = ds0.filter(_ != 0L)
+      val byAdev = ds.groupBy(d => math.abs(d)).toSeq.sortBy(_._1)
+      // brute: midrank of each |d| tie group in 2× units
+      var below = 0L
+      var w2Brute = 0L
+      byAdev.foreach { case (_, grp) =>
+        val t = grp.length.toLong
+        val r2 = 2 * below + t + 1 // doubled midrank
+        w2Brute += grp.count(_ > 0) * r2
+        below += t
+      }
+      // grid form (the key's algebra)
+      var cumLt = 0L
+      var w2Grid = 0L
+      byAdev.foreach { case (_, grp) =>
+        val t = grp.length.toLong
+        val np = grp.count(_ > 0).toLong
+        w2Grid += np * (2 * cumLt + t + 1)
+        cumLt += t
+      }
+      (w2Grid == w2Brute) :| s"grid $w2Grid vs brute $w2Brute" &&
+        (ds.isEmpty || {
+          // midrank sum identity: Σ over ALL deltas of r2 = n(n+1)
+          val n = ds.length.toLong
+          var cum = 0L
+          var tot = 0L
+          byAdev.foreach { case (_, grp) =>
+            val t = grp.length.toLong
+            tot += t * (2 * cum + t + 1); cum += t
+          }
+          tot == n * (n + 1)
+        }) :| "midrank-sum identity n(n+1) failed"
+    }
+
   property("mSPRT always-valid p is monotone non-increasing in looks") =
     Prop.forAll(lookStream) { incs0 =>
       val tau2 = 0.0001
