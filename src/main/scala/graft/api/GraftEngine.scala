@@ -3547,6 +3547,76 @@ class GraftEngine(val spark: SparkSession) {
     * OR (+0.5 per cell — always defined, even with zero cells) with
     * the 95 % log-normal CI; significant ⇔ the CI excludes 1.
     */
+  /** Theil-Sen slope with Gilbert's nonparametric 95 % CI (see
+    * `ts_sen_slope_ci`) over an integer-keyed series — closes the
+    * trend trio (Mann-Kendall verdict, Sen point estimate, THIS
+    * interval). All-tied series read NULL CI.
+    */
+  def senSlopeCi(series: DataFrame, orderCol: String,
+                 valueCol: String): DataFrame =
+    graft.operators.TimeSeries.senSlopeCore(
+      series.select(col(orderCol).cast("long").as("xh"),
+        col(valueCol).cast("long").as("n")))
+
+  /** Relative risk with the Katz log-normal 95 % CI (see
+    * `events_ab_risk_ratio`) over (treat 0/1, success 0/1) rows:
+    * the RATE-ratio effect size next to [[oddsRatio]]; Walter +0.5
+    * adjustment keeps it defined on zero cells.
+    */
+  def riskRatio(df: DataFrame, treatCol: String,
+                successCol: String): DataFrame =
+    df.select(col(treatCol).cast("int").as("t"),
+        col(successCol).cast("long").as("purch"))
+      .agg(
+        sum(when(col("t") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("t") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("t") === 0, col("purch")).otherwise(0L)).as("x_c"),
+        sum(when(col("t") === 1, col("purch")).otherwise(0L)).as("x_t"))
+      .withColumn("rr_", (col("x_t").cast("double") + 0.5)
+        / (col("n_t").cast("double") + 0.5)
+        / ((col("x_c").cast("double") + 0.5)
+          / (col("n_c").cast("double") + 0.5)))
+      .withColumn("se", sqrt(
+        lit(1.0) / (col("x_t").cast("double") + 0.5)
+          - lit(1.0) / (col("n_t").cast("double") + 0.5)
+          + lit(1.0) / (col("x_c").cast("double") + 0.5)
+          - lit(1.0) / (col("n_c").cast("double") + 0.5)))
+      .withColumn("ci_lo", TestData.r4(exp(log(col("rr_"))
+        - lit(1.959964) * col("se"))))
+      .withColumn("ci_hi", TestData.r4(exp(log(col("rr_"))
+        + lit(1.959964) * col("se"))))
+      .withColumn("risk_ratio", TestData.r4(col("rr_")))
+      .withColumn("significant_95",
+        col("ci_lo") > 1.0 || col("ci_hi") < 1.0)
+      .select("n_c", "n_t", "x_c", "x_t", "risk_ratio", "ci_lo",
+        "ci_hi", "significant_95")
+
+  /** Cohen's h arcsine effect size (see `events_ab_cohens_h`) over
+    * (treat 0/1, success 0/1) rows — the sample-size-free magnitude
+    * a power calculation consumes. Empty arm reads NULL.
+    */
+  def cohensH(df: DataFrame, treatCol: String,
+              successCol: String): DataFrame =
+    df.select(col(treatCol).cast("int").as("t"),
+        col(successCol).cast("long").as("purch"))
+      .agg(
+        sum(when(col("t") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("t") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("t") === 0, col("purch")).otherwise(0L)).as("x_c"),
+        sum(when(col("t") === 1, col("purch")).otherwise(0L)).as("x_t"))
+      .withColumn("h", when(col("n_c") > 0 && col("n_t") > 0,
+        TestData.r4(lit(2.0) * asin(sqrt(col("x_t").cast("double")
+            / col("n_t").cast("double")))
+          - lit(2.0) * asin(sqrt(col("x_c").cast("double")
+            / col("n_c").cast("double"))))))
+      .withColumn("magnitude",
+        when(col("h").isNull, lit(null).cast("string"))
+          .when(abs(col("h")) < 0.2, "negligible")
+          .when(abs(col("h")) < 0.5, "small")
+          .when(abs(col("h")) < 0.8, "medium")
+          .otherwise("large"))
+      .select("n_c", "n_t", "x_c", "x_t", "h", "magnitude")
+
   def oddsRatio(df: DataFrame, treatCol: String,
                 successCol: String): DataFrame =
     df.select(col(treatCol).cast("int").as("t"),

@@ -104,6 +104,60 @@ object TimeSeries {
           .as("mean"),
         col("var_ratio"), col("z"), col("overdispersed_95"))
 
+  /** Sen slope + Gilbert rank CI core (see `ts_sen_slope_ci`):
+    * input (xh: integer time key, n: BIGINT) series rows. Shared
+    * with `GraftEngine.senSlopeCi`.
+    */
+  private[graft] def senSlopeCore(series: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val hourly = series.localCheckpoint() // slopes + ties
+    val b = hourly.select(col("xh").as("x2"), col("n").as("n2"))
+    val slopes = hourly.join(b, col("x2") > col("xh"))
+      .select(floor((col("n2") - col("n")) * lit(10000.0)
+        / (col("x2") - col("xh")) + lit(0.5)).cast("long")
+        .as("slope_q"))
+      .groupBy("slope_q").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // the N total + the rank scan
+    val ties = hourly.groupBy("n").agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * (col("t") - 1)
+        * (lit(2L) * col("t") + 5)).as("tie_term"),
+        sum("t").as("n_hours"))
+    val stats = slopes.agg(sum("c").as("np"))
+      .crossJoin(broadcast(ties))
+      .withColumn("var_num", col("n_hours") * (col("n_hours") - 1)
+        * (lit(2L) * col("n_hours") + 5) - col("tie_term"))
+      .withColumn("c_alpha", when(col("var_num") > 0,
+        lit(1.959964) * sqrt(col("var_num").cast("double") / 18.0)))
+      .withColumn("r_med", expr("(np + 1) DIV 2"))
+      .withColumn("r_lo", when(col("c_alpha").isNotNull,
+        greatest(lit(1L), floor((col("np").cast("double")
+          - col("c_alpha")) / 2.0).cast("long"))))
+      .withColumn("r_hi", when(col("c_alpha").isNotNull,
+        least(col("np"), ceil((col("np").cast("double")
+          + col("c_alpha")) / 2.0).cast("long") + lit(1L))))
+    slopes
+      .withColumn("cum", sum("c").over(W.orderBy("slope_q")))
+      .crossJoin(broadcast(stats))
+      .agg(max("np").as("n_pairs"),
+        min(when(col("cum") >= col("r_med"), col("slope_q")))
+          .as("med_q"),
+        min(when(col("cum") >= col("r_lo"), col("slope_q")))
+          .as("lo_q"),
+        min(when(col("cum") >= col("r_hi"), col("slope_q")))
+          .as("hi_q"))
+      .withColumn("slope_per_hour",
+        when(col("med_q").isNotNull, r4(col("med_q") / 10000.0)))
+      .withColumn("slope_lo",
+        when(col("lo_q").isNotNull, r4(col("lo_q") / 10000.0)))
+      .withColumn("slope_hi",
+        when(col("hi_q").isNotNull, r4(col("hi_q") / 10000.0)))
+      .withColumn("trend_significant_95",
+        when(col("lo_q").isNotNull && col("hi_q").isNotNull,
+          col("lo_q") > 0 || col("hi_q") < 0))
+      .select("n_pairs", "slope_per_hour", "slope_lo", "slope_hi",
+        "trend_significant_95")
+    }
+
   /** ARCH-LM heteroskedasticity core (see `ts_arch_lm`): input
     * (xh, y) series rows; e = y − round(mean) in whole units (keeps
     * e⁴·n < 2^63 to |e| ≲ 5600 at 9e3 hours — documented), then the
@@ -2602,6 +2656,78 @@ object TimeSeries {
         .select("n_c", "n_t", "x_c", "x_t", "odds_ratio", "ci_lo",
           "ci_hi", "significant_95")),
 
+    // RELATIVE RISK (round 15): the RATE-ratio effect size next to
+    // the odds ratio — "treatment converts at X× the control rate",
+    // the number a product review quotes (OR ≈ RR only at rare
+    // outcomes; at these conversion rates they visibly differ, which
+    // is why both belong on the readout). Walter +0.5 adjustment
+    // keeps RR and its Katz log-normal CI defined on zero cells (the
+    // Haldane OR precedent — no x/0 guard gymnastics); ONE aggregate
+    // → 1-row readout, mirrored IEEE op order, r4.
+    "events_ab_risk_ratio" -> ((s, d) =>
+      TestData.events(s, d)
+        .withColumn("t",
+          (conv(substring(md5(col("user_id").cast("string")), 1, 2),
+            16, 10).cast("int") % 2 =!= 0).cast("int"))
+        .withColumn("purch",
+          when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .agg(
+          sum(when(col("t") === 0, 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("t") === 1, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("t") === 0, col("purch")).otherwise(0L)).as("x_c"),
+          sum(when(col("t") === 1, col("purch")).otherwise(0L)).as("x_t"))
+        .withColumn("rr_", (col("x_t").cast("double") + 0.5)
+          / (col("n_t").cast("double") + 0.5)
+          / ((col("x_c").cast("double") + 0.5)
+            / (col("n_c").cast("double") + 0.5)))
+        .withColumn("se", sqrt(
+          lit(1.0) / (col("x_t").cast("double") + 0.5)
+            - lit(1.0) / (col("n_t").cast("double") + 0.5)
+            + lit(1.0) / (col("x_c").cast("double") + 0.5)
+            - lit(1.0) / (col("n_c").cast("double") + 0.5)))
+        .withColumn("ci_lo", r4(exp(log(col("rr_"))
+          - lit(1.959964) * col("se"))))
+        .withColumn("ci_hi", r4(exp(log(col("rr_"))
+          + lit(1.959964) * col("se"))))
+        .withColumn("risk_ratio", r4(col("rr_")))
+        .withColumn("significant_95",
+          col("ci_lo") > 1.0 || col("ci_hi") < 1.0)
+        .select("n_c", "n_t", "x_c", "x_t", "risk_ratio", "ci_lo",
+          "ci_hi", "significant_95")),
+
+    // COHEN'S H (round 15): the arcsine effect size for two
+    // proportions — the sample-size-FREE magnitude the power
+    // calculation (events_power_mde) consumes, published next to
+    // the z/OR/RR so "significant" never masquerades as "large".
+    // h = 2·asin√p_t − 2·asin√p_c; the per-arm transcendental is
+    // evaluated on identical IEEE inputs in both engines (the
+    // ndcg/log per-row precedent), one mirrored expression, r4;
+    // Cohen's 0.2/0.5/0.8 bands on the r4'd |h|; empty arm ⇒ NULL.
+    "events_ab_cohens_h" -> ((s, d) =>
+      TestData.events(s, d)
+        .withColumn("t",
+          (conv(substring(md5(col("user_id").cast("string")), 1, 2),
+            16, 10).cast("int") % 2 =!= 0).cast("int"))
+        .withColumn("purch",
+          when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .agg(
+          sum(when(col("t") === 0, 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("t") === 1, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("t") === 0, col("purch")).otherwise(0L)).as("x_c"),
+          sum(when(col("t") === 1, col("purch")).otherwise(0L)).as("x_t"))
+        .withColumn("h", when(col("n_c") > 0 && col("n_t") > 0,
+          r4(lit(2.0) * asin(sqrt(col("x_t").cast("double")
+              / col("n_t").cast("double")))
+            - lit(2.0) * asin(sqrt(col("x_c").cast("double")
+              / col("n_c").cast("double"))))))
+        .withColumn("magnitude",
+          when(col("h").isNull, lit(null).cast("string"))
+            .when(abs(col("h")) < 0.2, "negligible")
+            .when(abs(col("h")) < 0.5, "small")
+            .when(abs(col("h")) < 0.8, "medium")
+            .otherwise("large"))
+        .select("n_c", "n_t", "x_c", "x_t", "h", "magnitude")),
+
     // mSPRT ALWAYS-VALID A/B (round 12): the experiment stack was
     // entirely fixed-horizon (z, Welch, MW-U, KS, CUPED, SRM, BH/
     // Holm, log-rank, OR) and real experiment owners PEEK — the
@@ -3151,6 +3277,22 @@ object TimeSeries {
     // continuity-corrected z = (S − sign(S))/√Var, mirrored op
     // order, r4'd. n³ stays tiny at any corpus size (n = grid
     // hours, not rows).
+    // SEN SLOPE CI (round 15): the confidence interval that belongs
+    // to ts_theil_sen's point estimate — Gilbert's nonparametric
+    // rank bounds on the pairwise-slope distribution (ranks
+    // (N ∓ C_α)/2 with C_α = 1.96·√Var(S) from ts_mann_kendall's
+    // tie-corrected variance), closing the trend trio: MK answers
+    // "is there a trend", Theil-Sen "how steep", THIS "how sure".
+    // Same domain-bounded slope grid (slopes quantized ×1e4 BEFORE
+    // the grid — the float-sort rule); var_num stays the exact
+    // BIGINT of the MK key; rank picks are three conditional mins
+    // over one cumulative. Zero-variance (all-tied) series ⇒ NULL
+    // CI, median still reads.
+    "ts_sen_slope_ci" -> ((s, d) =>
+      senSlopeCore(TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("xh"))
+        .agg(count(lit(1)).as("n")))),
+
     "ts_mann_kendall" -> ((s, d) => {
       val hourly = TestData.events(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("hour"))
@@ -5787,6 +5929,68 @@ object TimeSeries {
         |    floor(num9::DOUBLE / den9::DOUBLE * 10000 + 0.5) / 10000
         |  END AS p_two_sided
         |FROM agg""".stripMargin,
+    // Walter +0.5-adjusted RR + Katz log CI, mirrored IEEE op order.
+    "events_ab_risk_ratio" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))::INT
+        |    % 2 = 0 THEN 0 ELSE 1 END AS t,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS purch
+        |  FROM events),
+        |s AS (
+        |  SELECT
+        |    sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+        |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+        |    sum(CASE WHEN t = 0 THEN purch ELSE 0 END)::BIGINT AS x_c,
+        |    sum(CASE WHEN t = 1 THEN purch ELSE 0 END)::BIGINT AS x_t
+        |  FROM v),
+        |o AS (
+        |  SELECT *,
+        |    (x_t::DOUBLE + 0.5) / (n_t::DOUBLE + 0.5)
+        |      / ((x_c::DOUBLE + 0.5) / (n_c::DOUBLE + 0.5)) AS rr_,
+        |    sqrt(1.0 / (x_t::DOUBLE + 0.5) - 1.0 / (n_t::DOUBLE + 0.5)
+        |      + 1.0 / (x_c::DOUBLE + 0.5)
+        |      - 1.0 / (n_c::DOUBLE + 0.5)) AS se
+        |  FROM s),
+        |r AS (
+        |  SELECT *,
+        |    floor(exp(ln(rr_) - 1.959964 * se) * 10000 + 0.5) / 10000
+        |      AS ci_lo,
+        |    floor(exp(ln(rr_) + 1.959964 * se) * 10000 + 0.5) / 10000
+        |      AS ci_hi
+        |  FROM o)
+        |SELECT n_c, n_t, x_c, x_t,
+        |  floor(rr_ * 10000 + 0.5) / 10000 AS risk_ratio, ci_lo, ci_hi,
+        |  (ci_lo > 1.0 OR ci_hi < 1.0) AS significant_95
+        |FROM r""".stripMargin,
+    // Arcsine effect size; per-arm asin on identical IEEE inputs in
+    // both engines; Cohen bands on the r4'd |h|.
+    "events_ab_cohens_h" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))::INT
+        |    % 2 = 0 THEN 0 ELSE 1 END AS t,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS purch
+        |  FROM events),
+        |s AS (
+        |  SELECT
+        |    sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+        |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+        |    sum(CASE WHEN t = 0 THEN purch ELSE 0 END)::BIGINT AS x_c,
+        |    sum(CASE WHEN t = 1 THEN purch ELSE 0 END)::BIGINT AS x_t
+        |  FROM v),
+        |h AS (
+        |  SELECT *,
+        |    CASE WHEN n_c > 0 AND n_t > 0 THEN
+        |      floor((2.0 * asin(sqrt(x_t::DOUBLE / n_t::DOUBLE))
+        |        - 2.0 * asin(sqrt(x_c::DOUBLE / n_c::DOUBLE)))
+        |        * 10000 + 0.5) / 10000 END AS h
+        |  FROM s)
+        |SELECT n_c, n_t, x_c, x_t, h,
+        |  CASE WHEN h IS NULL THEN NULL
+        |    WHEN abs(h) < 0.2 THEN 'negligible'
+        |    WHEN abs(h) < 0.5 THEN 'small'
+        |    WHEN abs(h) < 0.8 THEN 'medium'
+        |    ELSE 'large' END AS magnitude
+        |FROM h""".stripMargin,
     "events_ab_odds_ratio" ->
       """WITH v AS (
         |  SELECT CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))::INT
@@ -6214,6 +6418,72 @@ object TimeSeries {
         |FROM m ORDER BY lag""".stripMargin,
     // Same pair table as ts_theil_sen, same sign convention; tie
     // table over the value-distinct grid; z's op order mirrored.
+    // Same ×1e4-quantized slope grid as theil_sen + the MK exact
+    // var_num; Gilbert rank bounds as three conditional mins.
+    "ts_sen_slope_ci" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS xh,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |sl AS (
+        |  SELECT floor((b.n - a.n) * 10000.0 / (b.xh - a.xh) + 0.5)
+        |    ::BIGINT AS slope_q, count(*)::BIGINT AS c
+        |  FROM hourly a JOIN hourly b ON b.xh > a.xh
+        |  GROUP BY 1),
+        |ties AS (
+        |  SELECT sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term,
+        |    sum(t)::BIGINT AS n_hours
+        |  FROM (SELECT n, count(*)::BIGINT AS t FROM hourly
+        |        GROUP BY 1)),
+        |st AS (
+        |  SELECT np, tie_term, n_hours,
+        |    (n_hours * (n_hours - 1) * (2 * n_hours + 5) - tie_term)
+        |      ::BIGINT AS var_num
+        |  FROM (SELECT sum(c)::BIGINT AS np FROM sl)
+        |  CROSS JOIN ties),
+        |st2 AS (
+        |  SELECT *,
+        |    CASE WHEN var_num > 0 THEN
+        |      1.959964 * sqrt(var_num::DOUBLE / 18.0) END AS c_alpha,
+        |    ((np + 1) // 2)::BIGINT AS r_med
+        |  FROM st),
+        |st3 AS (
+        |  SELECT *,
+        |    CASE WHEN c_alpha IS NOT NULL THEN
+        |      greatest(1, floor((np::DOUBLE - c_alpha) / 2.0)::BIGINT)
+        |    END AS r_lo,
+        |    CASE WHEN c_alpha IS NOT NULL THEN
+        |      least(np, ceil((np::DOUBLE + c_alpha) / 2.0)::BIGINT + 1)
+        |    END AS r_hi
+        |  FROM st2),
+        |cw AS (
+        |  SELECT *,
+        |    (sum(c) OVER (ORDER BY slope_q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS cum
+        |  FROM sl),
+        |a AS (
+        |  SELECT max(st3.np)::BIGINT AS n_pairs,
+        |    min(CASE WHEN cum >= r_med THEN slope_q END)::BIGINT
+        |      AS med_q,
+        |    min(CASE WHEN cum >= r_lo THEN slope_q END)::BIGINT
+        |      AS lo_q,
+        |    min(CASE WHEN cum >= r_hi THEN slope_q END)::BIGINT
+        |      AS hi_q
+        |  FROM cw CROSS JOIN st3)
+        |SELECT n_pairs,
+        |  CASE WHEN med_q IS NOT NULL THEN
+        |    floor((med_q / 10000.0) * 10000 + 0.5) / 10000 END
+        |    AS slope_per_hour,
+        |  CASE WHEN lo_q IS NOT NULL THEN
+        |    floor((lo_q / 10000.0) * 10000 + 0.5) / 10000 END
+        |    AS slope_lo,
+        |  CASE WHEN hi_q IS NOT NULL THEN
+        |    floor((hi_q / 10000.0) * 10000 + 0.5) / 10000 END
+        |    AS slope_hi,
+        |  CASE WHEN lo_q IS NOT NULL AND hi_q IS NOT NULL THEN
+        |    lo_q > 0 OR hi_q < 0 END AS trend_significant_95
+        |FROM a""".stripMargin,
     "ts_mann_kendall" ->
       """WITH hourly AS (
         |  SELECT epoch_us(date_trunc('hour', ts)::TIMESTAMP)

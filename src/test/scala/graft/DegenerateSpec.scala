@@ -760,6 +760,42 @@ class DegenerateSpec extends SparkSpec {
       "label", ef(Nil)), "louvainCoarsen/no-edges")
   }
 
+  test("riskRatio / cohensH / senSlopeCi survive degenerate frames") {
+    val fs = StructType(Seq(StructField("t", IntegerType),
+      StructField("p", LongType)))
+    def ff(rows: Seq[(Int, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), fs)
+    // zero cells everywhere: the +0.5 adjustments keep RR defined
+    assertClean(engine.riskRatio(ff(Seq((0, 0L), (1, 0L))), "t", "p"),
+      "rr/no-successes")
+    assertClean(engine.riskRatio(ff(Nil), "t", "p"), "rr/empty")
+    // one-armed: cohensH reads NULL h and NULL magnitude
+    val oneArm = engine.cohensH(ff(Seq((1, 1L), (1, 0L))), "t", "p")
+      .collect()(0)
+    assert(oneArm.isNullAt(oneArm.fieldIndex("h")))
+    assert(oneArm.isNullAt(oneArm.fieldIndex("magnitude")))
+    // perfect split: h = ±π within rounding
+    val full = engine.cohensH(ff(Seq((1, 1L), (0, 0L))), "t", "p")
+      .collect()(0)
+    assert(math.abs(full.getAs[Double]("h") - math.Pi) < 1e-3)
+    val ss = StructType(Seq(StructField("t", LongType),
+      StructField("v", LongType)))
+    def sf4(rows: Seq[(Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), ss)
+    assertClean(engine.senSlopeCi(sf4(Nil), "t", "v"), "sen/empty")
+    assertClean(engine.senSlopeCi(sf4(Seq((1L, 5L))), "t", "v"),
+      "sen/single")
+    // constant series: every slope 0, var_num 0 ⇒ NULL CI, median 0
+    val const = engine.senSlopeCi(
+      sf4((1L to 10L).map(t => (t, 5L))), "t", "v").collect()(0)
+    assert(const.getAs[Double]("slope_per_hour") === 0.0)
+    assert(const.isNullAt(const.fieldIndex("slope_lo")))
+    // exact ramp: slope 5 with a tight all-equal slope grid
+    val ramp = engine.senSlopeCi(
+      sf4((1L to 12L).map(t => (t, 5L * t))), "t", "v").collect()(0)
+    assert(ramp.getAs[Double]("slope_per_hour") === 5.0)
+  }
+
   test("poissonDispersion survives degenerate frames") {
     val ps = StructType(Seq(StructField("y", LongType)))
     def pf(rows: Seq[Long]) = spark.createDataFrame(

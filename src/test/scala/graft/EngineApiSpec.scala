@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 205, "documented facade count drifted; methods: "
+    assert(names.length === 208, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1352,6 +1352,37 @@ class EngineApiSpec extends SparkSpec {
     val viaApi = engine.holtWintersInterval(hourly, "hr", "cnt")
       .collect().map(_.toSeq).toSeq
     assert(viaApi === declared)
+  }
+
+  test("riskRatio / cohensH / senSlopeCi facades match their keys") {
+    val d = sf("sf0.001")
+    val flags = TestData.events(spark, d)
+      .withColumn("tt",
+        (conv(substring(md5($"user_id".cast("string")), 1, 2),
+          16, 10).cast("int") % 2 =!= 0).cast("int"))
+      .withColumn("pp",
+        when($"event_type" === "purchase", 1L).otherwise(0L))
+    assert(engine.riskRatio(flags, "tt", "pp")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("events_ab_risk_ratio")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    assert(engine.cohensH(flags, "tt", "pp")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("events_ab_cohens_h")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    val hourly = TestData.events(spark, d)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .agg(count(lit(1)).as("v"))
+    val ci = engine.senSlopeCi(hourly, "h", "v").collect()(0)
+    assert(ci.toSeq ===
+      SparkEntry.queries("ts_sen_slope_ci")(spark, d).collect()(0).toSeq)
+    // the CI brackets the Sen point estimate, and the point estimate
+    // agrees with the standalone theil_sen key
+    val sen = SparkEntry.queries("ts_theil_sen")(spark, d).collect()(0)
+    assert(ci.getAs[Double]("slope_per_hour") ===
+      sen.getAs[Double]("slope_per_hour"))
+    assert(ci.getAs[Double]("slope_lo") <= ci.getAs[Double]("slope_per_hour"))
+    assert(ci.getAs[Double]("slope_per_hour") <= ci.getAs[Double]("slope_hi"))
   }
 
   test("poissonDispersion facade + exact SRM consistency") {
