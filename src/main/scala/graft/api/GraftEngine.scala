@@ -4791,6 +4791,29 @@ class GraftEngine(val spark: SparkSession) {
       .orderBy("id")
   }
 
+  /** SMOG grade (see `text_smog`) of (`id`, `text`) rows — the
+    * polysyllable-density √-law readability; with Flesch/fog/CLI/ARI
+    * completes the panel. Zero-word docs are dropped.
+    */
+  def smogGrade(docs: DataFrame): DataFrame = {
+    val words = regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))
+    docs
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("n_sentences", greatest(lit(1L),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .cast("long")))
+      .withColumn("n_poly", size(filter(words, w =>
+        size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))) >= 3))
+        .cast("long"))
+      .filter(col("n_words") > 0)
+      .withColumn("smog", TestData.r4(lit(1.043)
+        * sqrt(col("n_poly").cast("double") * 30.0
+          / col("n_sentences").cast("double"))
+        + lit(3.1291)))
+      .select("id", "n_words", "n_sentences", "n_poly", "smog")
+      .orderBy("id")
+  }
+
   /** Automated Readability Index (see `text_ari`) of (`id`, `text`)
     * rows — the second character-based grade, weighting
     * words-per-sentence where CLI weights letters-per-word.

@@ -721,6 +721,34 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // SMOG GRADE (round 15): the polysyllable-count readability used
+    // by health/legal-literacy guidelines — fog RATES complex words,
+    // SMOG counts their DENSITY per 30 sentences with a √ law, so
+    // the two diverge on long-sentence technical text; with Flesch/
+    // fog/CLI/ARI this completes the readability panel (the spread
+    // across five formulas IS the quality signal). Same [a-z0-9]+ /
+    // [.!?]+ extraction; SMOG = 1.043·√(poly·30/sentences) + 3.1291
+    // — the √ is IEEE correctly-rounded on an identical quotient in
+    // both engines (Neyman precedent); one mirrored expression, r4.
+    "text_smog" -> ((s, d) => {
+      val words = regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))
+      TestData.documents(s, d)
+        .withColumn("n_words", size(words).cast("long"))
+        .withColumn("n_sentences", greatest(lit(1L),
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+            .cast("long")))
+        .withColumn("n_poly", size(filter(words, w =>
+          size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))) >= 3))
+          .cast("long"))
+        .filter(col("n_words") > 0)
+        .withColumn("smog", TestData.r4(lit(1.043)
+          * sqrt(col("n_poly").cast("double") * 30.0
+            / col("n_sentences").cast("double"))
+          + lit(3.1291)))
+        .select("doc_id", "n_words", "n_sentences", "n_poly", "smog")
+        .orderBy("doc_id")
+    }),
+
     // COLEMAN-LIAU INDEX (round 15): the CHARACTER-based readability
     // grade — unlike Flesch/fog it needs no syllable heuristic (the
     // weakest part of both), so it is the cross-check a text-quality
@@ -1581,6 +1609,23 @@ object TextAnalysis {
         |  floor(0.4 * (n_words::DOUBLE / n_sentences::DOUBLE
         |    + 100.0 * (n_complex::DOUBLE / n_words::DOUBLE))
         |    * 10000 + 0.5) / 10000 AS fog
+        |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+    // Same complex-word filter as the fog oracle; IEEE sqrt on the
+    // identical quotient; one mirrored expression.
+    "text_smog" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS n_words,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+        |      AS n_sentences,
+        |    len(list_filter(regexp_extract_all(text, '[a-z0-9]+'),
+        |      w -> len(regexp_extract_all(w, '[aeiouy]+')) >= 3))::BIGINT
+        |      AS n_poly
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_poly,
+        |  floor((1.043 * sqrt(n_poly::DOUBLE * 30.0
+        |    / n_sentences::DOUBLE) + 3.1291) * 10000 + 0.5) / 10000
+        |    AS smog
         |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
     // Letters via list_transform len + list_sum; same word/sentence
     // extraction as the Flesch oracle; one mirrored expression.

@@ -930,6 +930,48 @@ object TextOps {
         .filter(col("detector") === "jaccard")
         .select("score_u", "is_pos"))),
 
+    // MCC THRESHOLD SWEEP (round 15): Matthews correlation at the
+    // same five jaccard cuts as dedup_threshold_sweep — the one
+    // single-number confusion metric that stays honest under the
+    // extreme class imbalance of dedup (F1 ignores true negatives,
+    // which here are 99.8 % of pairs; a detector can game F1 and
+    // still have near-zero MCC). tp/fp/tn/fn are exact BIGINTs off
+    // the same score cell grid (numerator tp·tn − fp·fn < n² —
+    // n ≲ 3e9 pairs documented); the denominator √ of four factor
+    // products assembles in doubles on the 5-row readout, mirrored,
+    // r4; any zero marginal ⇒ NULL MCC at the definition site.
+    "eval_mcc_sweep" -> ((s, d) => {
+      import s.implicits._
+      val cells = plantedDetectorScores(s, d)
+        .filter(col("detector") === "jaccard")
+        .groupBy("score_u")
+        .agg(sum("is_pos").as("pos"),
+          sum(lit(1L) - col("is_pos")).as("neg"))
+      val thr = Seq(5000L, 7000L, 8000L, 9000L, 9500L)
+        .toDF("threshold_u")
+      cells.crossJoin(broadcast(thr))
+        .groupBy("threshold_u")
+        .agg(sum(when(col("score_u") >= col("threshold_u"), col("pos"))
+            .otherwise(0L)).as("tp"),
+          sum(when(col("score_u") >= col("threshold_u"), col("neg"))
+            .otherwise(0L)).as("fp"),
+          sum("pos").as("n_pos"), sum("neg").as("n_neg"))
+        .withColumn("fn", col("n_pos") - col("tp"))
+        .withColumn("tn", col("n_neg") - col("fp"))
+        .withColumn("mcc", when(
+          (col("tp") + col("fp")) > 0 && (col("tp") + col("fn")) > 0
+            && (col("tn") + col("fp")) > 0
+            && (col("tn") + col("fn")) > 0,
+          r4((col("tp") * col("tn") - col("fp") * col("fn"))
+            .cast("double")
+            / sqrt((col("tp") + col("fp")).cast("double")
+              * (col("tp") + col("fn")).cast("double")
+              * (col("tn") + col("fp")).cast("double")
+              * (col("tn") + col("fn")).cast("double")))))
+        .select("threshold_u", "tp", "fp", "tn", "fn", "mcc")
+        .orderBy("threshold_u")
+    }),
+
     // CUMULATIVE GAINS / LIFT BY SCORE BAND (round 15): the
     // review-budget planner of the eval family — "if reviewers only
     // look at pairs scoring ≥ θ, what fraction of true dups do they
@@ -1193,6 +1235,41 @@ object TextOps {
         |  floor(tot_gap::DOUBLE / (tot_n * 10000)::DOUBLE
         |    * 10000 + 0.5) / 10000 AS ece
         |FROM g ORDER BY bin""".stripMargin,
+    // Same jac CTEs + threshold tags; exact confusion cells, the
+    // guarded 4-factor √ denominator on the 5-row readout.
+    "eval_mcc_sweep" ->
+      s"""$PlantedJacCtes,
+        |lab AS (
+        |  SELECT score_u,
+        |    CASE WHEN id_b = id_a + 1000000 AND id_a % 5 = 0
+        |      THEN 1 ELSE 0 END AS is_pos
+        |  FROM jac),
+        |cells AS (
+        |  SELECT score_u, sum(is_pos)::BIGINT AS pos,
+        |    sum(1 - is_pos)::BIGINT AS neg
+        |  FROM lab GROUP BY 1),
+        |thr AS (SELECT unnest([5000, 7000, 8000, 9000, 9500])
+        |        AS threshold_u),
+        |agg AS (
+        |  SELECT threshold_u,
+        |    sum(CASE WHEN score_u >= threshold_u THEN pos ELSE 0 END)
+        |      ::BIGINT AS tp,
+        |    sum(CASE WHEN score_u >= threshold_u THEN neg ELSE 0 END)
+        |      ::BIGINT AS fp,
+        |    sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg
+        |  FROM cells CROSS JOIN thr GROUP BY 1),
+        |cf AS (
+        |  SELECT threshold_u::BIGINT AS threshold_u, tp, fp,
+        |    (n_neg - fp)::BIGINT AS tn, (n_pos - tp)::BIGINT AS fn
+        |  FROM agg)
+        |SELECT threshold_u, tp, fp, tn, fn,
+        |  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0
+        |      AND tn + fn > 0 THEN
+        |    floor((tp * tn - fp * fn)::DOUBLE
+        |      / sqrt((tp + fp)::DOUBLE * (tp + fn)::DOUBLE
+        |        * (tn + fp)::DOUBLE * (tn + fn)::DOUBLE)
+        |      * 10000 + 0.5) / 10000 END AS mcc
+        |FROM cf ORDER BY threshold_u""".stripMargin,
     // Same jac CTEs; two descending cumulative windows over the
     // ≤ 11-bin grid; guarded gain/lift divisions per row.
     "eval_lift_curve" ->

@@ -1036,6 +1036,11 @@ class DegenerateSpec extends SparkSpec {
       spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), ds)
     assertClean(engine.colemanLiau(df2(Nil)), "cli/empty")
     assertClean(engine.ariIndex(df2(Nil)), "ari/empty")
+    assertClean(engine.smogGrade(df2(Nil)), "smog/empty")
+    // no polysyllables: smog reads exactly the 3.1291 intercept
+    val simple = engine.smogGrade(df2(Seq((1L, "a b c."))))
+      .collect()(0)
+    assert(simple.getAs[Double]("smog") === 3.1291)
     // zero-word docs are dropped, not divided by
     assert(engine.colemanLiau(df2(Seq((1L, "!!!")))).count() === 0L)
     assert(engine.ariIndex(df2(Seq((1L, "   ")))).count() === 0L)

@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 208, "documented facade count drifted; methods: "
+    assert(names.length === 209, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1674,7 +1674,7 @@ class EngineApiSpec extends SparkSpec {
       s"Murphy decomposition drifted: $bs vs ${rel - res + unc}")
   }
 
-  test("colemanLiau / ariIndex facades match their keys") {
+  test("colemanLiau / ariIndex / smogGrade facades match their keys") {
     val d = sf("sf0.001")
     val docs = TestData.documents(spark, d)
       .select($"doc_id".as("id"), $"text")
@@ -1684,6 +1684,21 @@ class EngineApiSpec extends SparkSpec {
     assert(engine.ariIndex(docs).collect().map(_.toSeq).toSeq ===
       SparkEntry.queries("text_ari")(spark, d)
         .collect().map(_.toSeq).toSeq)
+    assert(engine.smogGrade(docs).collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("text_smog")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // MCC sanity vs the threshold sweep: same confusion cells, so
+    // tp/fp agree per threshold; MCC ∈ [−1, 1]
+    val mcc = SparkEntry.queries("eval_mcc_sweep")(spark, d).collect()
+    val sweep = SparkEntry.queries("dedup_threshold_sweep")(spark, d)
+      .collect().map(r => r.getAs[Long]("threshold_u")
+        -> (r.getAs[Long]("tp"), r.getAs[Long]("fp"))).toMap
+    mcc.foreach { r =>
+      val (tp, fp) = sweep(r.getAs[Long]("threshold_u"))
+      assert(r.getAs[Long]("tp") === tp && r.getAs[Long]("fp") === fp)
+      val m = r.getAs[Double]("mcc")
+      assert(m >= -1.0 && m <= 1.0)
+    }
   }
 
   test("cliffsDelta / moodMedianTest / jarqueBera facades match their keys") {
