@@ -319,10 +319,24 @@ object Stats {
           - col("sx").cast("double") * col("sx").cast("double")
             / col("n_g").cast("double"))
           / (col("n_g") - 1).cast("double")))
-      .withColumn("w_u", when(col("s2") > 0,
+      // Overflow guard (ADVICE r14): near-zero variance (s² ≈ 1/n_g
+      // for integer data with one deviating row) drives w = n_g/s²
+      // toward n_g² — w_u·1e9 and wm_u = w_u·m must stay < 2^63 or
+      // the cast throws under ANSI. NULL-out BOTH nano terms past
+      // 4.6e18 (< 2^62) — the group then counts as degenerate and
+      // the readout degrades to NULL F per the protocol, mirroring
+      // the tie-cube 2^21 guard pattern. Bound: s² ≳ n_g·1e9/2^62.
+      // (the cap comparisons live INSIDE the s2 > 0 branch — &&
+      // does not short-circuit, so a bare conjunction would divide
+      // by a zero-variance group's s2: the definition-site rule)
+      .withColumn("w_ok", when(col("s2") > 0,
+        col("n_g").cast("double") / col("s2") * 1.0e9 < 4.6e18
+          && abs(col("n_g").cast("double") / col("s2") * col("m")
+            * 1.0e9) < 4.6e18).otherwise(false))
+      .withColumn("w_u", when(col("w_ok"),
         floor(col("n_g").cast("double") / col("s2") * 1.0e9 + 0.5)
           .cast("long")))
-      .withColumn("wm_u", when(col("s2") > 0,
+      .withColumn("wm_u", when(col("w_ok"),
         floor(col("n_g").cast("double") / col("s2") * col("m")
           * 1.0e9 + 0.5).cast("long")))
       .localCheckpoint() // scalar totals + the per-group terms
@@ -486,27 +500,46 @@ object Stats {
     * recursion protocol — ln C(n,j) accumulated from micro-quantized
     * steps ln((n−j+1)/j) (exact-BIGINT prefix over the j-grid),
     * exp terms nano-quantized BEFORE the tail sums, decision an
-    * exact integer comparison. Bounds: n·693147 and Σ lnC steps
-    * < 2^63 to n ~ 1e12; tail sums ≤ (n+1)·1e9 ⇒ n ≲ 9e9 —
-    * documented. Shared with `GraftEngine.signTestExact`.
+    * exact integer comparison. Arithmetic bounds: n·693147 and Σ lnC
+    * steps < 2^63 to n ~ 1e12; tail sums ≤ (n+1)·1e9 ⇒ n ≲ 9e9.
+    *
+    * Scale shape (VERDICT r14 #1): the (n+1)-row j-grid is CORPUS-
+    * sized (n = paired users), so it is generated TWO-LEVEL
+    * (j = jb·2^16 + jo; the largest materialized array is
+    * max(n/2^16 + 1, 2^16) elements, never one (n+1)-element row) with
+    * blocks spread across tasks, and the lnC cumulative runs on
+    * [[Curation.shardedPrefixSum]] — bit-identical to the monolithic
+    * window (integer addition is associative; the unchanged DuckDB
+    * oracle computes exactly that), but every window task holds a
+    * bounded shard instead of the whole grid. Practical reach is the
+    * arithmetic ~9e9-user tail-sum bound, not task memory.
+    * Shared with `GraftEngine.signTestExact`.
     */
   private[graft] def signTestExact(deltas: DataFrame): DataFrame = {
-    val WJ = Window.orderBy("j")
     // ln2 micro-quantized once (floor(ln 2 · 1e6 + 0.5) = 693147) —
     // a literal in BOTH engines, the spectral-peak protocol.
     val ln2u = 693147L
-    deltas.filter(col("d_w") =!= 0)
+    val B = 65536L // j-grid block width (see scaladoc)
+    val grid = deltas.filter(col("d_w") =!= 0)
       .agg(count(lit(1)).as("n"),
         coalesce(sum(when(col("d_w") > 0, 1L).otherwise(0L)), lit(0L))
           .as("k_pos"))
       .select(col("n"), col("k_pos"),
-        explode(sequence(lit(0L), col("n"))).as("j"))
+        explode(sequence(lit(0L), expr(s"n DIV ${B}L"))).as("jb"))
+      // one task per block: the 1-row aggregate parent would
+      // otherwise expand the WHOLE grid inside a single task
+      .repartition(col("jb"))
+      .select(col("n"), col("k_pos"), col("jb"),
+        explode(sequence(lit(0L),
+          least(lit(B - 1L), col("n") - col("jb") * lit(B)))).as("jo"))
+      .withColumn("j", col("jb") * lit(B) + col("jo"))
       .withColumn("step_u", when(col("j") > 0,
         floor(log((col("n") - col("j") + lit(1L)).cast("double")
           / col("j").cast("double")) * 1000000 + 0.5).cast("long"))
         .otherwise(0L))
-      .withColumn("lnc_u", sum("step_u").over(
-        WJ.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("g", lit(0))
+    Curation.shardedPrefixSum(grid, "g", "j", "step_u", "lnc_x")
+      .withColumn("lnc_u", col("lnc_x") + col("step_u"))
       .withColumn("term_n",
         floor(exp((col("lnc_u") - col("n") * lit(ln2u)).cast("double")
           / 1000000.0) * 1000000000L + 0.5).cast("long"))
@@ -2611,14 +2644,20 @@ object Stats {
         |      (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n_g::DOUBLE)
         |        / (n_g - 1)::DOUBLE END AS s2
         |  FROM g0),
+        |g1b AS (
+        |  SELECT *, CASE WHEN s2 > 0 THEN
+        |      n_g::DOUBLE / s2 * 1.0e9 < 4.6e18
+        |      AND abs(n_g::DOUBLE / s2 * m * 1.0e9) < 4.6e18
+        |    ELSE false END AS w_ok
+        |  FROM g1),
         |g2 AS (
         |  SELECT *,
-        |    CASE WHEN s2 > 0 THEN
+        |    CASE WHEN w_ok THEN
         |      floor(n_g::DOUBLE / s2 * 1.0e9 + 0.5)::BIGINT END AS w_u,
-        |    CASE WHEN s2 > 0 THEN
+        |    CASE WHEN w_ok THEN
         |      floor(n_g::DOUBLE / s2 * m * 1.0e9 + 0.5)::BIGINT END
         |      AS wm_u
-        |  FROM g1),
+        |  FROM g1b),
         |tot AS (
         |  SELECT count(*)::BIGINT AS k_groups, sum(n_g)::BIGINT
         |      AS n_total,

@@ -848,6 +848,13 @@ class DegenerateSpec extends SparkSpec {
     assert(wa.isNullAt(wa.fieldIndex("f_welch")))
     assertClean(engine.welchAnova(wf(Seq(("a", 1L), ("a", 2L))),
       "g", "y"), "welchA/one-group")
+    // NEAR-zero variance (ADVICE r14): one deviating row among 4000
+    // identical ⇒ s² ≈ 1/n_g ⇒ w ≈ n_g²·1e9 > 2^62 — must take the
+    // w_ok NULL branch (degenerate F), never an ANSI cast overflow
+    val nz = engine.welchAnova(wf(
+      (1 to 4000).map(_ => ("a", 1000000L)) ++ Seq(("a", 1000001L),
+        ("b", 1L), ("b", 9L))), "g", "y").collect()(0)
+    assert(nz.isNullAt(nz.fieldIndex("f_welch")))
     val ts3 = StructType(Seq(StructField("t", LongType),
       StructField("v", LongType)))
     def s3(rows: Seq[(Long, Long)]) = spark.createDataFrame(

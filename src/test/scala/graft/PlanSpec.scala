@@ -702,6 +702,25 @@ class PlanSpec extends SparkSpec {
       s"the distinct-phrase top-k must be sort+limit, not a rank window:\n${p.take(700)}")
   }
 
+  test("exact-test j-grid prefix is sharded — no unpartitioned user-grain window") {
+    // VERDICT r14 #1: the sign-test lnC cumulative ran through ONE
+    // unpartitioned ORDER BY j window over a corpus-sized grid. The
+    // r15 rewrite puts it on shardedPrefixSum; this pin rejects any
+    // window whose spec starts at the grid column j (the single-task
+    // anti-pattern) and requires the (g, gpfx_shard) local window in
+    // BOTH consumers of the chain.
+    for (k <- Seq("agg_sign_test", "events_ab_srm_exact")) {
+      val p = plan(k)
+      assert("windowspecdefinition\\(j#\\d+".r.findFirstIn(p).isEmpty,
+        s"$k: unpartitioned j-grid window:\n${p.take(1200)}")
+      // the constant part key g folds away, leaving the local window
+      // partitioned by the shard id — the bounded-task shape
+      assert("windowspecdefinition\\(gpfx_shard#\\d+L?, j#\\d+".r
+          .findFirstIn(p).isDefined,
+        s"$k: lnC prefix must ride shardedPrefixSum:\n${p.take(1200)}")
+    }
+  }
+
   test("scan_file_provenance stages its write in parallel, not one task") {
     // The r10 fixture write funneled the whole table through
     // repartition(1); the r11 shape repartitions by the bucket

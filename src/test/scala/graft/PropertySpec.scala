@@ -924,6 +924,30 @@ class PropertySpec extends SparkSpec {
     assert(oneRows.length === 1 && oneRows(0).getAs[Long]("cut") === 0L)
   }
 
+  test("sign-test sharded lnC prefix is bit-identical to the monolithic window") {
+    // VERDICT r14 #1 done-criterion: shardedPrefixSum(j-grid) ≡ the
+    // monolithic unpartitioned cumulative at arbitrary n, including
+    // n that is not a multiple of the 64-row shard or the 2^16 block
+    // (boundary shards exercise the offset reconstruction).
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(1, 63, 64, 65, 200, 1021)) {
+      val base = spark.range(0, n + 1).toDF("j")
+        .withColumn("step_u",
+          when(col("j") > 0, floor(log((lit(n.toLong) - col("j") + 1L)
+            .cast("double") / col("j").cast("double")) * 1000000 + 0.5)
+            .cast("long")).otherwise(0L))
+        .withColumn("g", lit(0))
+      val mono = base.withColumn("lnc_u", sum("step_u").over(
+          Window.orderBy("j").rowsBetween(Window.unboundedPreceding, 0)))
+        .select("j", "lnc_u")
+      val shard = Curation.shardedPrefixSum(base, "g", "j", "step_u", "x")
+        .withColumn("lnc_u", col("x") + col("step_u"))
+        .select("j", "lnc_u")
+      assert(mono.exceptAll(shard).isEmpty && shard.exceptAll(mono).isEmpty,
+        s"sharded prefix diverged from monolithic at n=$n")
+    }
+  }
+
   test("Horvitz-Thompson: full-census strata estimate exactly; sampled strata bounded") {
     val rows = ScalePatterns.defs("sample_horvitz_thompson")(spark, sfDir)
       .select("lang", "n_pop", "n_sampled", "ht_total_chars",
