@@ -4877,6 +4877,20 @@ class GraftEngine(val spark: SparkSession) {
       durations.select(col(durCol).as("dur"),
         col(eventCol).cast("long").as("ev")))
 
+  /** Cox proportional hazards with ONE binary covariate and Breslow
+    * ties (see `events_cox_ph`): 3 unrolled Newton rounds on
+    * risk-set sufficient statistics over the distinct duration grid;
+    * returns the 1-row (n_times, n_events, d1_total, beta,
+    * hazard_ratio, se_beta, z_cox) readout. Degenerate inputs (no
+    * events, single group, zero information) read NULL, never throw.
+    */
+  def coxPh(durations: DataFrame, durCol: String, eventCol: String,
+            groupCol: String): DataFrame =
+    graft.operators.TimeSeries.coxPhCore(
+      durations.select(col(durCol).as("dur"),
+        col(eventCol).cast("long").as("ev"),
+        col(groupCol).cast("long").as("g1")))
+
   /** Residual-quantile prediction band on the Holt-Winters forecast
     * (see `ts_holtwinters_interval`): exact ×4^11 integer one-step
     * residuals, empirical 5th/95th order statistics, band + exact-

@@ -885,6 +885,29 @@ class DegenerateSpec extends SparkSpec {
     assert(all.getAs[Double]("bounce_rate") === 1.0)
   }
 
+  test("coxPh survives degenerate frames") {
+    val cx = StructType(Seq(StructField("dur", LongType),
+      StructField("ev", LongType), StructField("g1", LongType)))
+    def xf(rows: Seq[(Long, Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), cx)
+    assertClean(engine.coxPh(xf(Nil), "dur", "ev", "g1"), "cox/empty")
+    // no events: empty grid ⇒ NULL readout, never a throw
+    val ne = engine.coxPh(xf(Seq((1L, 0L), (2L, 0L), (3L, 0L))
+      .map(t => (t._1, t._2, t._1 % 2))), "dur", "ev", "g1").collect()(0)
+    assert(ne.isNullAt(ne.fieldIndex("beta")))
+    // single group: information is exactly 0 at every round ⇒ NULL
+    val sg = engine.coxPh(xf(Seq((1L, 1L, 1L), (2L, 1L, 1L),
+      (3L, 1L, 1L))), "dur", "ev", "g1").collect()(0)
+    assert(sg.isNullAt(sg.fieldIndex("beta")))
+    // perfectly separated one-sided events: the clamp keeps e^β
+    // finite and the readout clean (β runs toward the ±13 rail)
+    assertClean(engine.coxPh(xf(Seq((1L, 1L, 1L), (2L, 1L, 1L),
+      (3L, 0L, 0L), (4L, 0L, 0L))), "dur", "ev", "g1"), "cox/onesided")
+    // all tied at one hour, both groups: estimable, finite
+    assertClean(engine.coxPh(xf(Seq((5L, 1L, 0L), (5L, 1L, 1L),
+      (5L, 1L, 0L), (5L, 1L, 1L))), "dur", "ev", "g1"), "cox/tied")
+  }
+
   test("quantileShape / bartlettTest / competingRisks survive degenerate frames") {
     val qs = StructType(Seq(StructField("g", StringType),
       StructField("k", LongType), StructField("y", LongType)))

@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 209, "documented facade count drifted; methods: "
+    assert(names.length === 210, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1611,6 +1611,47 @@ class EngineApiSpec extends SparkSpec {
       Seq(1L, 2L, 3L, 4L, 5L).toDF("d_w"), "d_w").collect()(0)
     assert(sg.getAs[Double]("p_two") === 0.0625)
     assert(sg.getAs[Boolean]("significant_95") === false)
+  }
+
+  test("coxPh facade matches its key; planted hazard ratio recovered; label-swap antisymmetry") {
+    val d = sf("sf0.001")
+    val pu = TestData.events(spark, d)
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .groupBy("user_id")
+      .agg(min("ts_us").as("t0"),
+        min(when($"event_type" === "purchase", $"ts_us")).as("tconv"),
+        max("ts_us").as("tlast"))
+      .withColumn("ev", when($"tconv".isNotNull, 1L).otherwise(0L))
+      .withColumn("dur", when($"ev" === 1,
+          expr("(tconv - t0) DIV 3600000000"))
+        .otherwise(expr("(tlast - t0) DIV 3600000000")))
+      .withColumn("g1",
+        when(conv(substring(md5($"user_id".cast("string")), 1, 2),
+          16, 10).cast("int") % 2 === 0, 1L).otherwise(0L))
+    assert(engine.coxPh(pu, "dur", "ev", "g1")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("events_cox_ph")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // Planted hazard ratio 2: inverse-CDF exponential on a
+    // deterministic uniform grid; the treated arm's scale is halved
+    // (hazard doubled). All events, integer-hour durations — Breslow
+    // ties and discretization allow a loose band around exp(β)=2.
+    val planted = (1 to 200).flatMap { i =>
+      val u = (i - 0.5) / 200.0
+      Seq((math.floor(-math.log(u) * 100).toLong, 1L, 0L),
+        (math.floor(-math.log(u) * 50).toLong, 1L, 1L))
+    }.toDF("dur", "ev", "g1")
+    val r = engine.coxPh(planted, "dur", "ev", "g1").collect()(0)
+    val hr = r.getAs[Double]("hazard_ratio")
+    assert(hr > 1.5 && hr < 2.6, s"planted HR 2 not recovered: $hr")
+    assert(r.getAs[Double]("z_cox") > 2.0, "planted effect must be significant")
+    // swapping the covariate labels negates β (the partial
+    // likelihood is invariant up to β → −β for a binary covariate)
+    val swapped = engine.coxPh(planted.withColumn("g1", lit(1L) - $"g1"),
+      "dur", "ev", "g1").collect()(0)
+    assert(math.abs(r.getAs[Double]("beta")
+      + swapped.getAs[Double]("beta")) < 0.02,
+      "label swap must negate beta")
   }
 
   test("harmonicCloseness / adamicAdar / hubness / liftCurve facades match their keys") {
