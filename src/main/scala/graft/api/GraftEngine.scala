@@ -4891,6 +4891,19 @@ class GraftEngine(val spark: SparkSession) {
         col(eventCol).cast("long").as("ev"),
         col(groupCol).cast("long").as("g1")))
 
+  /** Two-regressor logistic regression via 3 unrolled IRLS rounds
+    * (see `agg_logistic_irls`): returns the 1-row (n, n_pos, beta0,
+    * beta1, beta2, brier) readout. Collinear or degenerate inputs
+    * read NULL betas, never throw; features should be sanely scaled
+    * (|x| ≲ 1e4 — the documented sufficient-stat bound).
+    */
+  def logisticIrls(df: DataFrame, yCol: String, x1Col: String,
+                   x2Col: String): DataFrame =
+    graft.operators.Stats.logisticIrlsCore(
+      df.select(col(yCol).cast("long").as("y"),
+        col(x1Col).cast("long").as("x1"),
+        col(x2Col).cast("long").as("x2")))
+
   /** Residual-quantile prediction band on the Holt-Winters forecast
     * (see `ts_holtwinters_interval`): exact ×4^11 integer one-step
     * residuals, empirical 5th/95th order statistics, band + exact-

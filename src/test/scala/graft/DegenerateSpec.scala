@@ -885,6 +885,27 @@ class DegenerateSpec extends SparkSpec {
     assert(all.getAs[Double]("bounce_rate") === 1.0)
   }
 
+  test("logisticIrls survives degenerate frames") {
+    val ls = StructType(Seq(StructField("y", LongType),
+      StructField("x1", LongType), StructField("x2", LongType)))
+    def lf(rows: Seq[(Long, Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), ls)
+    assertClean(engine.logisticIrls(lf(Nil), "y", "x1", "x2"),
+      "irls/empty")
+    // constant regressors: the 3×3 is singular ⇒ det 0 ⇒ NULL betas
+    val const = engine.logisticIrls(lf(Seq((1L, 5L, 3L), (0L, 5L, 3L),
+      (1L, 5L, 3L))), "y", "x1", "x2").collect()(0)
+    assert(const.isNullAt(const.fieldIndex("beta1")))
+    // one-class responses: finite intercept-ish fit, never a throw
+    assertClean(engine.logisticIrls(lf(Seq((1L, 1L, 2L), (1L, 2L, 1L),
+      (1L, 3L, 3L))), "y", "x1", "x2"), "irls/all-pos")
+    assertClean(engine.logisticIrls(lf(Seq((0L, 1L, 2L), (0L, 2L, 1L),
+      (0L, 3L, 3L))), "y", "x1", "x2"), "irls/all-neg")
+    // perfect separation: the ±30 step clamp keeps η bounded
+    assertClean(engine.logisticIrls(lf(Seq((1L, 10L, 1L), (1L, 9L, 2L),
+      (0L, 1L, 1L), (0L, 2L, 2L))), "y", "x1", "x2"), "irls/separated")
+  }
+
   test("coxPh survives degenerate frames") {
     val cx = StructType(Seq(StructField("dur", LongType),
       StructField("ev", LongType), StructField("g1", LongType)))

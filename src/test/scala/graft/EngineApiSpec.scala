@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 210, "documented facade count drifted; methods: "
+    assert(names.length === 211, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1611,6 +1611,47 @@ class EngineApiSpec extends SparkSpec {
       Seq(1L, 2L, 3L, 4L, 5L).toDF("d_w"), "d_w").collect()(0)
     assert(sg.getAs[Double]("p_two") === 0.0625)
     assert(sg.getAs[Boolean]("significant_95") === false)
+  }
+
+  test("logisticIrls facade matches its key; planted coefficients + fitted AUC recovered") {
+    val d = sf("sf0.001")
+    val units = TestData.events(spark, d)
+      .groupBy("user_id")
+      .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("np"),
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x1"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("x2"))
+      .withColumn("y", when($"np" >= 14, 1L).otherwise(0L))
+    assert(engine.logisticIrls(units, "y", "x1", "x2")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("agg_logistic_irls")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // Planted β = (−1, 0.5, −0.3) with deterministic Knuth-hash
+    // pseudo-uniform noise; 3 IRLS rounds must land within 0.15 of
+    // each planted coefficient on n = 2000.
+    val planted = (1 to 2000).map { i =>
+      val x1 = i % 20L; val x2 = (i * 7) % 13L
+      val p = 1.0 / (1.0 + math.exp(-(-1.0 + 0.5 * x1 - 0.3 * x2)))
+      val u = ((i.toLong * 2654435761L) % 4294967296L) / 4294967296.0
+      (if (u < p) 1L else 0L, x1, x2)
+    }.toDF("y", "x1", "x2")
+    val r = engine.logisticIrls(planted, "y", "x1", "x2").collect()(0)
+    val (b0, b1, b2) = (r.getAs[Double]("beta0"),
+      r.getAs[Double]("beta1"), r.getAs[Double]("beta2"))
+    assert(math.abs(b0 + 1.0) < 0.15, s"beta0 $b0 vs planted -1")
+    assert(math.abs(b1 - 0.5) < 0.15, s"beta1 $b1 vs planted 0.5")
+    assert(math.abs(b2 + 0.3) < 0.15, s"beta2 $b2 vs planted -0.3")
+    // the fit → score → evaluate loop: fitted scores through the
+    // r14 detectorAuc core must clear 0.9 AUC on this separation
+    val scored = planted
+      .withColumn("detector", lit("irls"))
+      .withColumn("score_u", floor(lit(1.0) / (lit(1.0)
+        + exp(-(lit(b0) + lit(b1) * $"x1" + lit(b2) * $"x2")))
+        * 1000000 + 0.5).cast("long"))
+      .select($"detector", $"score_u", $"y".as("is_pos"))
+    val auc = engine.detectorAuc(scored).collect()(0)
+      .getAs[Double]("auc")
+    assert(auc > 0.9, s"fitted AUC $auc must clear 0.9")
   }
 
   test("coxPh facade matches its key; planted hazard ratio recovered; label-swap antisymmetry") {
