@@ -4904,6 +4904,17 @@ class GraftEngine(val spark: SparkSession) {
         col(x1Col).cast("long").as("x1"),
         col(x2Col).cast("long").as("x2")))
 
+  /** Two-way ANOVA with interaction (see `agg_two_way_anova`):
+    * sequential (Type-I-style) decomposition over the a × b cell
+    * grid; SS_A + SS_B + SS_AB + SS_W = SS_T exactly in quantized
+    * units by construction. Degenerate inputs read NULL F's.
+    */
+  def twoWayAnova(df: DataFrame, aCol: String, bCol: String,
+                  yCol: String): DataFrame =
+    graft.operators.Stats.twoWayAnovaCore(
+      df.select(col(aCol).as("a"), col(bCol).as("b"),
+        col(yCol).cast("long").as("y")))
+
   /** Residual-quantile prediction band on the Holt-Winters forecast
     * (see `ts_holtwinters_interval`): exact ×4^11 integer one-step
     * residuals, empirical 5th/95th order statistics, band + exact-

@@ -507,6 +507,69 @@ object Stats {
       .select("n", "n_pos", "beta0", "beta1", "beta2", "brier")
   }
 
+  /** Two-way ANOVA core (see `agg_two_way_anova`): input (a, b, y:
+    * BIGINT) rows, output the 1-row decomposition + three F
+    * readouts. Sufficient statistics only: per-cell / per-level
+    * (n, Σy) exact BIGINTs; every s²/n ratio is floored to WHOLE
+    * quantized units in ONE mirrored expression before its sum
+    * (the k-group protocol), and the correction term C = S²/N is
+    * quantized ONCE — so the sequential decomposition
+    * SS_A + SS_B + SS_AB + SS_W = SS_T holds EXACTLY in quantized
+    * units by construction (SS_AB is the between-cells remainder;
+    * on unbalanced designs it is the Type-I-style interaction and
+    * may go slightly negative — F_AB is NULL there). Bounds:
+    * Σy² < 2^63 ⇒ n ≲ 7.6e10 at |y| ≤ 1e4 (whole dollars) —
+    * pre-scale y past that, documented. Shared with
+    * `GraftEngine.twoWayAnova`.
+    */
+  private[graft] def twoWayAnovaCore(units0: DataFrame): DataFrame = {
+    val units = units0.select(col("a"), col("b"),
+      col("y").cast("long").as("y"))
+      .localCheckpoint() // 4 grouping passes
+    def q(sCol: Column, nCol: Column): Column =
+      floor(sCol.cast("double") * sCol.cast("double")
+        / nCol.cast("double") + 0.5).cast("long")
+    val cellAgg = units.groupBy("a", "b")
+      .agg(count(lit(1)).as("n_ab"), sum("y").as("s_ab"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(q(col("s_ab"), col("n_ab"))).as("ssq_ab_u"))
+    val aAgg = units.groupBy("a")
+      .agg(count(lit(1)).as("n_a"), sum("y").as("s_a"))
+      .agg(count(lit(1)).as("k_a"),
+        sum(q(col("s_a"), col("n_a"))).as("ssq_a_u"))
+    val bAgg = units.groupBy("b")
+      .agg(count(lit(1)).as("n_b"), sum("y").as("s_b"))
+      .agg(count(lit(1)).as("k_b"),
+        sum(q(col("s_b"), col("n_b"))).as("ssq_b_u"))
+    units.agg(count(lit(1)).as("n"), sum("y").as("s"),
+        sum(col("y") * col("y")).as("syy"))
+      .crossJoin(broadcast(cellAgg)).crossJoin(broadcast(aAgg))
+      .crossJoin(broadcast(bAgg))
+      .withColumn("c_u", when(col("n") > 0, q(col("s"), col("n"))))
+      .withColumn("ss_a", col("ssq_a_u") - col("c_u"))
+      .withColumn("ss_b", col("ssq_b_u") - col("c_u"))
+      .withColumn("ss_ab", col("ssq_ab_u") - col("ssq_a_u")
+        - col("ssq_b_u") + col("c_u"))
+      .withColumn("ss_w", col("syy") - col("ssq_ab_u"))
+      .withColumn("ss_t", col("syy") - col("c_u"))
+      .withColumn("df_w", col("n") - col("n_cells"))
+      .withColumn("msw", when(col("df_w") > 0 && col("ss_w") > 0,
+        col("ss_w").cast("double") / col("df_w").cast("double")))
+      .withColumn("f_a", when(col("msw").isNotNull && col("k_a") > 1,
+        r4(col("ss_a").cast("double") / (col("k_a") - 1).cast("double")
+          / col("msw"))))
+      .withColumn("f_b", when(col("msw").isNotNull && col("k_b") > 1,
+        r4(col("ss_b").cast("double") / (col("k_b") - 1).cast("double")
+          / col("msw"))))
+      .withColumn("f_ab", when(col("msw").isNotNull && col("k_a") > 1
+          && col("k_b") > 1 && col("ss_ab") > 0,
+        r4(col("ss_ab").cast("double")
+          / ((col("k_a") - 1) * (col("k_b") - 1)).cast("double")
+          / col("msw"))))
+      .select("n", "k_a", "k_b", "n_cells", "ss_a", "ss_b", "ss_ab",
+        "ss_w", "ss_t", "f_a", "f_b", "f_ab")
+  }
+
   /** Bartlett equal-variance core (see `agg_bartlett_test`): input
     * (lang, x: BIGINT) rows, output the 1-row (k, N, df, T)
     * readout. Per-group transcendentals micro-quantized BEFORE the
@@ -950,6 +1013,19 @@ object Stats {
         .withColumn("y", when(col("np") >= 14, 1L).otherwise(0L))
       logisticIrlsCore(u.select("y", "x1", "x2"))
     }),
+
+    // TWO-WAY ANOVA (round 15, VERDICT r14 #8): the two-factor test
+    // with interaction that completes the k-group family (one-way F,
+    // Welch, Bartlett/Levene, KW/Friedman are all single-factor) —
+    // "does balance differ by nation, by segment, and does the
+    // nation effect DEPEND on the segment". Whole-dollar response;
+    // the sequential decomposition and its exact-identity guarantee
+    // live on [[twoWayAnovaCore]].
+    "agg_two_way_anova" -> ((s, d) =>
+      twoWayAnovaCore(TestData.customer(s, d)
+        .select(col("c_nationkey").cast("long").as("a"),
+          col("c_mktsegment").as("b"),
+          floor(col("c_acctbal") + 0.5).cast("long").as("y")))),
 
     // BOWLEY SKEW + MOORS KURTOSIS (round 15): the QUANTILE-based
     // shape profile next to agg_jarque_bera's moment-based one —
@@ -2864,6 +2940,65 @@ object Stats {
         |    floor(sse_u::DOUBLE / 1000000.0 / n::DOUBLE * 10000 + 0.5)
         |      / 10000 END AS brier
         |FROM fe""".stripMargin,
+    // Two-way ANOVA: the four sufficient-stat groupings as CTEs over
+    // the MATERIALIZED base; per-group s²/n floored to whole units,
+    // the correction quantized once, F readouts mirrored.
+    "agg_two_way_anova" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT c_nationkey::BIGINT AS a, c_mktsegment AS b,
+        |    floor(c_acctbal + 0.5)::BIGINT AS y
+        |  FROM customer),
+        |cg AS (
+        |  SELECT count(*)::BIGINT AS n_cells,
+        |    sum(floor(s_ab::DOUBLE * s_ab::DOUBLE / n_ab::DOUBLE + 0.5)
+        |      ::BIGINT)::BIGINT AS ssq_ab_u
+        |  FROM (SELECT count(*)::BIGINT AS n_ab, sum(y)::BIGINT AS s_ab
+        |        FROM base GROUP BY a, b)),
+        |ag AS (
+        |  SELECT count(*)::BIGINT AS k_a,
+        |    sum(floor(s_a::DOUBLE * s_a::DOUBLE / n_a::DOUBLE + 0.5)
+        |      ::BIGINT)::BIGINT AS ssq_a_u
+        |  FROM (SELECT count(*)::BIGINT AS n_a, sum(y)::BIGINT AS s_a
+        |        FROM base GROUP BY a)),
+        |bg AS (
+        |  SELECT count(*)::BIGINT AS k_b,
+        |    sum(floor(s_b::DOUBLE * s_b::DOUBLE / n_b::DOUBLE + 0.5)
+        |      ::BIGINT)::BIGINT AS ssq_b_u
+        |  FROM (SELECT count(*)::BIGINT AS n_b, sum(y)::BIGINT AS s_b
+        |        FROM base GROUP BY b)),
+        |tg AS (
+        |  SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS s,
+        |    sum(y * y)::BIGINT AS syy
+        |  FROM base),
+        |j AS (
+        |  SELECT *, CASE WHEN n > 0 THEN
+        |      floor(s::DOUBLE * s::DOUBLE / n::DOUBLE + 0.5)::BIGINT
+        |    END AS c_u
+        |  FROM tg CROSS JOIN cg CROSS JOIN ag CROSS JOIN bg),
+        |k AS (
+        |  SELECT *, (ssq_a_u - c_u)::BIGINT AS ss_a,
+        |    (ssq_b_u - c_u)::BIGINT AS ss_b,
+        |    (ssq_ab_u - ssq_a_u - ssq_b_u + c_u)::BIGINT AS ss_ab,
+        |    (syy - ssq_ab_u)::BIGINT AS ss_w,
+        |    (syy - c_u)::BIGINT AS ss_t,
+        |    (n - n_cells)::BIGINT AS df_w
+        |  FROM j),
+        |m AS (
+        |  SELECT *, CASE WHEN df_w > 0 AND ss_w > 0 THEN
+        |      ss_w::DOUBLE / df_w::DOUBLE END AS msw
+        |  FROM k)
+        |SELECT n, k_a, k_b, n_cells, ss_a, ss_b, ss_ab, ss_w, ss_t,
+        |  CASE WHEN msw IS NOT NULL AND k_a > 1 THEN
+        |    floor(ss_a::DOUBLE / (k_a - 1)::DOUBLE / msw * 10000 + 0.5)
+        |      / 10000 END AS f_a,
+        |  CASE WHEN msw IS NOT NULL AND k_b > 1 THEN
+        |    floor(ss_b::DOUBLE / (k_b - 1)::DOUBLE / msw * 10000 + 0.5)
+        |      / 10000 END AS f_b,
+        |  CASE WHEN msw IS NOT NULL AND k_a > 1 AND k_b > 1
+        |      AND ss_ab > 0 THEN
+        |    floor(ss_ab::DOUBLE / ((k_a - 1) * (k_b - 1))::DOUBLE / msw
+        |      * 10000 + 0.5) / 10000 END AS f_ab
+        |FROM m""".stripMargin,
     // Same cells grid; domain² diff grid with ct·cc weights;
     // weighted lower median by one cumulative.
     "agg_hodges_lehmann" ->

@@ -906,6 +906,27 @@ class DegenerateSpec extends SparkSpec {
       (0L, 1L, 1L), (0L, 2L, 2L))), "y", "x1", "x2"), "irls/separated")
   }
 
+  test("twoWayAnova survives degenerate frames") {
+    val ws2 = StructType(Seq(StructField("a", LongType),
+      StructField("b", StringType), StructField("y", LongType)))
+    def wf2(rows: Seq[(Long, String, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), ws2)
+    assertClean(engine.twoWayAnova(wf2(Nil), "a", "b", "y"),
+      "twa/empty")
+    // one observation per cell: df_w = 0 => NULL F's, no throw
+    assertClean(engine.twoWayAnova(wf2(Seq((0L, "u", 1L),
+      (0L, "v", 2L), (1L, "u", 3L), (1L, "v", 4L))), "a", "b", "y"),
+      "twa/saturated")
+    // single level of each factor, constant y
+    val c = engine.twoWayAnova(wf2(Seq((0L, "u", 5L), (0L, "u", 5L))),
+      "a", "b", "y").collect()(0)
+    assert(c.isNullAt(c.fieldIndex("f_a")))
+    // negative values flow through the whole-unit quantization
+    assertClean(engine.twoWayAnova(wf2(Seq((0L, "u", -7L),
+      (0L, "v", -3L), (1L, "u", -9L), (1L, "v", -1L),
+      (0L, "u", -6L), (1L, "v", -2L))), "a", "b", "y"), "twa/negative")
+  }
+
   test("coxPh survives degenerate frames") {
     val cx = StructType(Seq(StructField("dur", LongType),
       StructField("ev", LongType), StructField("g1", LongType)))

