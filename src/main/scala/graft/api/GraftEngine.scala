@@ -4904,6 +4904,16 @@ class GraftEngine(val spark: SparkSession) {
         col(x1Col).cast("long").as("x1"),
         col(x2Col).cast("long").as("x2")))
 
+  /** Interpolated Kneser-Ney bigram perplexity (see
+    * `text_kn_perplexity`): trains on the given corpus, scores each
+    * document — per-doc (n_bigrams, avg_logp_kn, ppl_kn). The
+    * beyond-add-one quality-filter LM.
+    */
+  def knPerplexity(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame =
+    graft.operators.Relevance.knPerplexityCore(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
   /** Two-way ANOVA with interaction (see `agg_two_way_anova`):
     * sequential (Type-I-style) decomposition over the a × b cell
     * grid; SS_A + SS_B + SS_AB + SS_W = SS_T exactly in quantized

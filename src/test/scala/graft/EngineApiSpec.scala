@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 212, "documented facade count drifted; methods: "
+    assert(names.length === 213, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
