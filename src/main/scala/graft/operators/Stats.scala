@@ -244,18 +244,38 @@ object Stats {
 
   /** Hodges-Lehmann two-sample shift core (see `agg_hodges_lehmann`):
     * input the (x, cc, ct) cell grid; output the 1-row (n_pairs,
-    * hl_shift) readout — the weighted median (rank ⌈(W+1)/2⌉ —
-    * upper-middle on even pair counts) of all treatment−control
-    * differences over the domain² diff grid.
-    * Weights ct·cc ≤ n_t·n_c < 2^63 (the KS bound). Shared with
+    * hl_shift, quantizer) readout — the weighted median (rank
+    * ⌈(W+1)/2⌉ — upper-middle on even pair counts) of all
+    * treatment−control differences over the domain² diff grid.
+    * Weights ct·cc ≤ n_t·n_c < 2^63 (the KS bound).
+    *
+    * The diff grid is quadratic in the value DOMAIN (constant in
+    * rows), so the domain is AUTO-COARSENED (VERDICT r14 #4): with m
+    * distinct cells, the quantizer f = 10^⌈log10(m/1e5)⌉ (1 when
+    * m ≤ 1e5) regroups the grid on floor(x/f) — the negative-safe
+    * IEEE floor, mirrored — bounding the cross product at ~1e10
+    * pairs of cells regardless of the raw domain. hl_shift is
+    * reported back in ORIGINAL units (coarse median × f, exact
+    * within one quantizer step — the property-pinned contract);
+    * `quantizer` makes the resolution explicit. Shared with
     * `GraftEngine.hodgesLehmann`.
     */
   private[graft] def hodgesLehmannCore(cells: DataFrame): DataFrame = {
     val W = Window.orderBy("diff")
-    val cc = cells.localCheckpoint() // both sides of the cross join
-    val t = cc.select(col("x").as("xt"), col("ct"))
+    val cc0 = cells.localCheckpoint() // quantizer + regroup branches
+    val fRow = cc0.agg(count(lit(1)).as("m"))
+      .select(when(col("m") > 100000L,
+        pow(lit(10.0), ceil(log10(col("m").cast("double") / 100000.0)))
+          .cast("long")).otherwise(1L).as("f"))
+    val coarse = cc0.crossJoin(broadcast(fRow))
+      .withColumn("xq", floor(col("x").cast("double")
+        / col("f").cast("double")).cast("long"))
+      .groupBy("xq")
+      .agg(sum("cc").as("cc"), sum("ct").as("ct"))
+      .localCheckpoint() // both sides of the cross join
+    val t = coarse.select(col("xq").as("xt"), col("ct"))
       .filter(col("ct") > 0)
-    val c = cc.select(col("x").as("xc"), col("cc"))
+    val c = coarse.select(col("xq").as("xc"), col("cc"))
       .filter(col("cc") > 0)
     t.crossJoin(broadcast(c))
       .select((col("xt") - col("xc")).as("diff"),
@@ -265,7 +285,10 @@ object Stats {
       .withColumn("cumw", sum("w").over(
         W.rowsBetween(Window.unboundedPreceding, 0)))
       .filter(col("cumw") * 2 >= col("wtot") + 1)
-      .agg(max("wtot").as("n_pairs"), min("diff").as("hl_shift"))
+      .agg(max("wtot").as("n_pairs"), min("diff").as("hl_q"))
+      .crossJoin(broadcast(fRow))
+      .select(col("n_pairs"), (col("hl_q") * col("f")).as("hl_shift"),
+        col("f").as("quantizer"))
   }
 
   /** Distribution-free median CI core (see `agg_median_ci`): input
@@ -3003,8 +3026,18 @@ object Stats {
     // weighted lower median by one cumulative.
     "agg_hodges_lehmann" ->
       s"""$CellsCte,
-        |t AS (SELECT x AS xt, ct FROM cells WHERE ct > 0),
-        |c2 AS (SELECT x AS xc, cc FROM cells WHERE cc > 0),
+        |fz AS (
+        |  SELECT CASE WHEN count(*) > 100000 THEN
+        |      power(10, ceil(log10(count(*)::DOUBLE / 100000.0)))
+        |        ::BIGINT
+        |    ELSE 1 END AS f
+        |  FROM cells),
+        |qc AS (
+        |  SELECT floor(x::DOUBLE / f::DOUBLE)::BIGINT AS xq,
+        |    sum(cc)::BIGINT AS cc, sum(ct)::BIGINT AS ct
+        |  FROM cells CROSS JOIN fz GROUP BY 1),
+        |t AS (SELECT xq AS xt, ct FROM qc WHERE ct > 0),
+        |c2 AS (SELECT xq AS xc, cc FROM qc WHERE cc > 0),
         |dg AS (
         |  SELECT xt - xc AS diff, sum(ct * cc)::BIGINT AS w
         |  FROM t CROSS JOIN c2 GROUP BY 1),
@@ -3015,7 +3048,8 @@ object Stats {
         |      AS cumw
         |  FROM dg)
         |SELECT max(wtot)::BIGINT AS n_pairs,
-        |  min(diff)::BIGINT AS hl_shift
+        |  (min(diff) * (SELECT max(f) FROM fz))::BIGINT AS hl_shift,
+        |  (SELECT max(f) FROM fz)::BIGINT AS quantizer
         |FROM cw WHERE cumw * 2 >= wtot + 1""".stripMargin,
     // Per-segment row_number rank; sign-test-inversion rank picks
     // with the clamped IEEE-sqrt bounds; exact integer cents.

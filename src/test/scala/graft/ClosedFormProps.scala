@@ -996,6 +996,27 @@ object ClosedFormProps extends Properties("graft.closedforms") {
       (hl == brute) :| s"grid $hl vs brute $brute"
     }
 
+  // agg_hodges_lehmann auto-coarsening (VERDICT r14 #4): regrouping
+  // the cell grid on floor(x/f) and rescaling the coarse weighted
+  // median by f lands within ONE quantizer step of the fine HL, for
+  // any factor f — the contract that makes the domain-bounded grid
+  // safe at any raw domain width.
+  property("Hodges-Lehmann coarsened median is within one quantizer step of fine") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-500L, 500L)),
+        Gen.nonEmptyListOf(Gen.choose(-500L, 500L)),
+        Gen.oneOf(1L, 10L, 100L)) { (as, bs, f) =>
+      def hl(xs: Seq[Long], ys: Seq[Long]): Long = {
+        val diffs = (for (b <- ys; a <- xs) yield b - a).sorted
+        diffs(diffs.length / 2)
+      }
+      val fine = hl(as, bs)
+      // the pipeline's coarse form: floor(x/f) per the IEEE rule
+      def q(x: Long): Long = math.floor(x.toDouble / f).toLong
+      val coarse = hl(as.map(q), bs.map(q)) * f
+      (math.abs(coarse - fine) <= f) :|
+        s"coarse $coarse vs fine $fine at f=$f"
+    }
+
   // agg_wilcoxon_signed_rank: the doubled-midrank cell-grid 2W⁺
   // equals the textbook W⁺ (midranks of |d|, summed over positive
   // deltas) computed directly — ties and zeros handled per the
