@@ -26,6 +26,16 @@ def main():
     qs = {k: v for k, v in board["queries"].items() if "median" in v}
     top = sorted(qs.items(), key=lambda kv: -kv[1]["median"])[:top_n]
     keys = [k for k, _ in top]
+    # Blind-spot rule (VERDICT r14 #5): a one-run load spike inflates
+    # a 3-run median without putting the key in the top-N — any key
+    # whose board median exceeds 2x its own board best is
+    # spike-suspect and joins the floor set for this round.
+    spiky = [k for k, v in qs.items()
+             if k not in keys and "best" in v and v["best"] > 0
+             and v["median"] > 2 * v["best"]]
+    if spiky:
+        print(f"# spike-suspect keys added: {sorted(spiky)}")
+        keys += sorted(spiky)
     backup = FULL + ".board"
     shutil.copy(FULL, backup)
     try:

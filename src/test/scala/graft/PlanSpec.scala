@@ -12,6 +12,13 @@ class PlanSpec extends SparkSpec {
 
   private val sfDir = sf("sf0.001")
 
+  /** Pinned count of unpartitioned window sites across all declared
+    * keys' visible optimized plans (see the audit test). Every one
+    * of these rides a documented bounded frame; re-pin only after
+    * verifying the new site is grid-bounded, never corpus-grain.
+    */
+  private val UNPARTITIONED_WINDOW_SITES = 122 // r15 audited inventory
+
   private def plan(key: String): String = {
     val df = SparkEntry.queries(key)(spark, sfDir)
     df.queryExecution.executedPlan.toString
@@ -719,6 +726,48 @@ class PlanSpec extends SparkSpec {
           .findFirstIn(p).isDefined,
         s"$k: lnC prefix must ride shardedPrefixSum:\n${p.take(1200)}")
     }
+  }
+
+  test("unpartitioned-window audit: the waived-site inventory is pinned") {
+    // VERDICT r14 #3/#9: ~20 unpartitioned Window.orderBy sites ride
+    // documented tiny frames (hour grids, value-domain cells,
+    // limit-k arms, shard-offset tables). That invariant was
+    // comment-enforced; this audit makes it mechanical: walk EVERY
+    // declared key's optimized logical plan, inventory window
+    // operators with an empty partition spec (keyed by their order
+    // columns; "(global)" for whole-frame aggregate windows), and
+    // pin the total. A new key adding an unpartitioned window fails
+    // here until its site is consciously re-pinned as bounded.
+    // (localCheckpointed stages truncate lineage, so sites inside
+    // them are covered by their own dedicated pins, not this sweep.)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val hits = scala.collection.mutable.SortedMap[String, Seq[String]]()
+    for ((k, q) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val sites =
+        try {
+          q(spark, sfDir).queryExecution.optimizedPlan.collect {
+            case w: LWindow if w.partitionSpec.isEmpty =>
+              if (w.orderSpec.isEmpty) "(global)"
+              else w.orderSpec.map(
+                _.child.references.map(_.name).toSeq.sorted
+                  .mkString("+")).mkString(",")
+          }
+        } catch {
+          case e: Exception => fail(s"$k failed to plan: $e")
+        }
+      if (sites.nonEmpty) hits(k) = sites.sorted
+    }
+    val total = hits.valuesIterator.map(_.size).sum
+    val inventory = hits.map { case (k, s) =>
+      s"$k: ${s.mkString(" | ")}" }.mkString("\n")
+    // j-grid windows must stay extinct (the r15 sign-test re-plan)
+    val jGrid = hits.exists { case (k, s) =>
+      (k == "agg_sign_test" || k == "events_ab_srm_exact") &&
+        s.exists(_.contains("j"))
+    }
+    assert(!jGrid, inventory)
+    assert(total === UNPARTITIONED_WINDOW_SITES,
+      s"unpartitioned-window inventory drifted (got $total):\n$inventory")
   }
 
   test("scan_file_provenance stages its write in parallel, not one task") {
