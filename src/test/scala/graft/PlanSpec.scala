@@ -728,6 +728,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ann_hnsw_insert links through the probed join with a batch-filtered query side") {
+    // the no-rebuild pin: the probe side carries the batch filter
+    // (cost ∝ |batch|), candidates arrive through the shuffle-hash
+    // probed-cluster join — never a corpus × corpus pass
+    val p = plan("ann_hnsw_insert")
+    assert("\\(vec_id#\\d+L % 10\\) = 7".r.findFirstIn(p).isDefined,
+      s"probe side must be batch-filtered:\n${p.take(1000)}")
+    assert(p.contains("ShuffledHashJoin"),
+      s"links must ride the probed-cluster equi-join:\n${p.take(1000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"no all-pairs pass in the insert plan:\n${p.take(1000)}")
+  }
+
   test("unpartitioned-window audit: the waived-site inventory is pinned") {
     // VERDICT r14 #3/#9: ~20 unpartitioned Window.orderBy sites ride
     // documented tiny frames (hour grids, value-domain cells,

@@ -924,6 +924,36 @@ class PropertySpec extends SparkSpec {
     assert(oneRows.length === 1 && oneRows(0).getAs[Long]("cut") === 0L)
   }
 
+  test("HNSW incremental insert equals the rebuild restricted to the batch") {
+    // The index-maintenance contract (VERDICT r14 #6): because level
+    // assignment is content-derived and the link recipe probes the
+    // same centroids over the same post-insert corpus, an
+    // insert-then-read index is BIT-IDENTICAL to a full rebuild on
+    // the batch nodes — and the insert emits ONLY batch-src rows
+    // (existing rows untouched).
+    val inserted = SparkEntry.queries("ann_hnsw_insert")(spark, sfDir)
+      .collect()
+    assert(inserted.nonEmpty, "fixture batch must be non-empty")
+    assert(inserted.forall(_.getAs[Long]("src") % 10 == 7),
+      "insert must only emit batch-src edges")
+    val insL0 = inserted.filter(_.getAs[Long]("layer") == 0L)
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("nn"),
+        r.getAs[Double]("cos"))).sorted.toSeq
+    val rebuildL0 = GraphOps.directedKnn(spark, sfDir, 3)
+      .filter(col("qid") % 10 === 7)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn"),
+        r.getAs[Double]("score"))).sorted.toSeq
+    assert(insL0 === rebuildL0, "layer-0 insert must equal rebuild")
+    val insL1 = inserted.filter(_.getAs[Long]("layer") == 1L)
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("nn"),
+        r.getAs[Double]("cos"))).sorted.toSeq
+    val rebuildL1 = AnnSearch.hnswL1Edges(spark, sfDir)
+      .filter(col("src") % 10 === 7)
+      .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("nn"),
+        r.getAs[Double]("score"))).sorted.toSeq
+    assert(insL1 === rebuildL1, "layer-1 insert must equal rebuild")
+  }
+
   test("KN perplexity separates repetitive < natural < unique-heavy docs") {
     import spark.implicits._
     val engine = new graft.api.GraftEngine(spark)
