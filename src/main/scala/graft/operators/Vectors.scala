@@ -473,6 +473,64 @@ object Vectors {
         .orderBy("anchor_id")
     }),
 
+    // BUCKETED TRIPLET MINING (round 15, VERDICT r14 #10): the
+    // reference's S1 at scale. The declared triplet_mine
+    // brute-forces < 100 anchors (fine for the fixture, dead at
+    // 100× anchors); this form mines candidates from each anchor's
+    // 2 IVF-probed clusters — positives are the same-label
+    // max-cosine among probed candidates, negatives the
+    // different-label MIN-cosine among probed candidates, which at
+    // scale is the SEMI-HARD negative (a nearby-cluster impostor)
+    // rather than brute-force's trivially-easy global minimum —
+    // the negative a metric-learning recipe actually wants. Cost:
+    // anchors probe 2 clusters each; never anchors × corpus.
+    // Positive-recall vs brute force + label invariants pinned in
+    // PropertySpec; anchors whose probed clusters hold no same-label
+    // candidate drop (the inner join, mirrored).
+    "triplet_mine_bucketed" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val cents = fixedCentroids(e)
+      val assigned = V.assignToCentroids(e, cents,
+          Seq("vec_id", "embedding", "label"))
+        .select(col("vec_id"), col("embedding"), col("label"),
+          col("cluster"))
+      val anchors = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("aid"), col("label").as("albl"),
+          col("embedding").as("av"))
+      val wProbe = Window.partitionBy("aid")
+        .orderBy(col("qdist"), col("cid"))
+      val probes = anchors.crossJoin(broadcast(cents))
+        .withColumn("qdist", V.sqDist(col("av"), col("cv")))
+        .withColumn("pr", row_number().over(wProbe))
+        .filter(col("pr") <= 2)
+        .select(col("aid"), col("albl"), col("av"),
+          col("cid").as("probe_cluster"))
+      val scored = assigned
+        .join(probes.hint("shuffle_hash"),
+          col("cluster") === col("probe_cluster"))
+        .filter(col("vec_id") =!= col("aid"))
+        .withColumn("score", r4(V.cosine(col("embedding"), col("av"))))
+        .localCheckpoint() // positive + negative branches
+      val wPos = Window.partitionBy("aid")
+        .orderBy(col("score").desc, col("vec_id"))
+      val wNeg = Window.partitionBy("aid")
+        .orderBy(col("score").asc, col("vec_id"))
+      val pos = scored.filter(col("label") === col("albl"))
+        .withColumn("rn", row_number().over(wPos))
+        .filter(col("rn") === 1)
+        .select(col("aid"), col("vec_id").as("pos_id"),
+          col("score").as("pos_cos"))
+      val neg = scored.filter(col("label") =!= col("albl"))
+        .withColumn("rn", row_number().over(wNeg))
+        .filter(col("rn") === 1)
+        .select(col("aid").as("aid2"), col("vec_id").as("neg_id"),
+          col("score").as("neg_cos"))
+      pos.join(neg, col("aid") === col("aid2"))
+        .select(col("aid").as("anchor_id"), col("pos_id"),
+          col("pos_cos"), col("neg_id"), col("neg_cos"))
+        .orderBy("anchor_id")
+    }),
+
     // Full Lloyd's k-means — oracle-omitted (iterative/
     // init-dependent); property-tested in the suite. The fit runs on
     // the bounded 4096-row training sample (one TakeOrdered pass +
@@ -981,6 +1039,50 @@ object Vectors {
         |  FROM scored WHERE label <> albl)
         |SELECT pos.aid AS anchor_id, pos_id, pos_cos, neg_id, neg_cos
         |FROM pos JOIN neg ON pos.aid = neg.aid AND pos.rn = 1 AND neg.rn = 1
+        |ORDER BY anchor_id""".stripMargin,
+    // Bucketed S1: same probed assign/probe blocks as the ANN
+    // oracles, r4-quantized window sort keys, inner pos×neg join.
+    "triplet_mine_bucketed" ->
+      s"""WITH c AS (SELECT vec_id AS cid, $E AS cv FROM embeddings
+        |      WHERE vec_id < 4),
+        |f0 AS (SELECT vec_id, label, $E AS v FROM embeddings),
+        |a0 AS (
+        |  SELECT vec_id, label, v, cluster FROM (
+        |    SELECT l.vec_id, l.label, l.v, c.cid AS cluster,
+        |      row_number() OVER (PARTITION BY l.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(l.v, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+        |    FROM f0 l CROSS JOIN c)
+        |  WHERE rn = 1),
+        |an AS (SELECT vec_id AS aid, label AS albl, v AS av
+        |       FROM f0 WHERE vec_id < 100),
+        |pb AS (
+        |  SELECT aid, albl, av, cid AS probe_cluster FROM (
+        |    SELECT q.aid, q.albl, q.av, c.cid,
+        |      row_number() OVER (PARTITION BY q.aid ORDER BY
+        |        list_sum(list_transform(list_zip(q.av, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS prn
+        |    FROM an q CROSS JOIN c)
+        |  WHERE prn <= 2),
+        |sc AS (
+        |  SELECT p.aid, p.albl, a.vec_id, a.label,
+        |    floor((list_cosine_similarity(a.v, p.av))*10000 + 0.5)/10000
+        |      AS score
+        |  FROM a0 a JOIN pb p ON a.cluster = p.probe_cluster
+        |  WHERE a.vec_id <> p.aid),
+        |pos AS (
+        |  SELECT aid, vec_id AS pos_id, score AS pos_cos,
+        |    row_number() OVER (PARTITION BY aid
+        |      ORDER BY score DESC, vec_id) AS rn
+        |  FROM sc WHERE label = albl),
+        |neg AS (
+        |  SELECT aid, vec_id AS neg_id, score AS neg_cos,
+        |    row_number() OVER (PARTITION BY aid
+        |      ORDER BY score ASC, vec_id) AS rn
+        |  FROM sc WHERE label <> albl)
+        |SELECT pos.aid AS anchor_id, pos_id, pos_cos, neg_id, neg_cos
+        |FROM pos JOIN neg ON pos.aid = neg.aid
+        |  AND pos.rn = 1 AND neg.rn = 1
         |ORDER BY anchor_id""".stripMargin,
     // Same milli-quantized coordinates, same exact-integer variance
     // closed form, micro-quantized z² terms, sort+limit top-20.
