@@ -4914,6 +4914,42 @@ class GraftEngine(val spark: SparkSession) {
     graft.operators.Relevance.knPerplexityCore(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
+  /** Log loss / cross-entropy of 1e-4-unit scores vs binary labels
+    * (see `eval_log_loss`), with the climatology baseline and skill.
+    */
+  def logLoss(scored: DataFrame, scoreCol: String,
+              labelCol: String): DataFrame =
+    graft.operators.TextOps.logLossCore(
+      scored.select(col(scoreCol).cast("long").as("score_u"),
+        col(labelCol).cast("long").as("is_pos")))
+
+  /** Durbin-Watson residual-autocorrelation test after an OLS
+    * detrend (see `ts_durbin_watson`) over (t, y) integer-grid
+    * points. Degenerate series read NULL.
+    */
+  def durbinWatson(series: DataFrame, tCol: String,
+                   yCol: String): DataFrame =
+    graft.operators.TimeSeries.durbinWatsonCore(
+      series.select(col(tCol).cast("long").as("t"),
+        col(yCol).cast("long").as("n")))
+
+  /** Partial correlation corr(x, y | z) per group (see
+    * `agg_partial_corr`), next to the marginal corr(x, y).
+    */
+  def partialCorr(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String, zCol: String): DataFrame =
+    graft.operators.Stats.partialCorrCore(
+      df.select(col(groupCol).as("flag"),
+        col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"),
+        col(zCol).cast("long").as("z")))
+
+  /** Cronbach's alpha over k item columns of a subject-wide frame
+    * (see `agg_cronbach_alpha`). Requires k ≥ 2 items.
+    */
+  def cronbachAlpha(wide: DataFrame, items: Seq[String]): DataFrame =
+    graft.operators.Stats.cronbachAlphaCore(wide, items)
+
   /** Two-way ANOVA with interaction (see `agg_two_way_anova`):
     * sequential (Type-I-style) decomposition over the a × b cell
     * grid; SS_A + SS_B + SS_AB + SS_W = SS_T exactly in quantized

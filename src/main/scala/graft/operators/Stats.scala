@@ -530,6 +530,87 @@ object Stats {
       .select("n", "n_pos", "beta0", "beta1", "beta2", "brier")
   }
 
+  /** Partial-correlation core (see `agg_partial_corr`): input
+    * (flag, x, y, z) rows, output per-flag corr(x,y) and
+    * corr(x,y | z). Shared with `GraftEngine.partialCorr`.
+    */
+  private[graft] def partialCorrCore(units: DataFrame): DataFrame =
+    units.groupBy("flag")
+        .agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("z") * col("z")).as("szz"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("z")).as("sxz"),
+          sum(col("y") * col("z")).as("syz"))
+        .withColumn("cxx", col("n").cast("double")
+          * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+        .withColumn("cyy", col("n").cast("double")
+          * col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double"))
+        .withColumn("czz", col("n").cast("double")
+          * col("szz").cast("double")
+          - col("sz").cast("double") * col("sz").cast("double"))
+        .withColumn("cxy", col("n").cast("double")
+          * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+        .withColumn("cxz", col("n").cast("double")
+          * col("sxz").cast("double")
+          - col("sx").cast("double") * col("sz").cast("double"))
+        .withColumn("cyz", col("n").cast("double")
+          * col("syz").cast("double")
+          - col("sy").cast("double") * col("sz").cast("double"))
+        .withColumn("rxy", when(col("cxx") > 0 && col("cyy") > 0,
+          col("cxy") / sqrt(col("cxx") * col("cyy"))))
+        .withColumn("rxz", when(col("cxx") > 0 && col("czz") > 0,
+          col("cxz") / sqrt(col("cxx") * col("czz"))))
+        .withColumn("ryz", when(col("cyy") > 0 && col("czz") > 0,
+          col("cyz") / sqrt(col("cyy") * col("czz"))))
+        .withColumn("pden", when(col("rxz").isNotNull
+            && col("ryz").isNotNull,
+          (lit(1.0) - col("rxz") * col("rxz"))
+            * (lit(1.0) - col("ryz") * col("ryz"))))
+        .withColumn("partial", when(col("rxy").isNotNull
+            && col("pden") > 0,
+          (col("rxy") - col("rxz") * col("ryz")) / sqrt(col("pden"))))
+        .select(col("flag"), col("n"), r4(col("rxy")).as("corr_xy"),
+          r4(col("partial")).as("partial_xy_given_z"))
+        .orderBy("flag")
+
+  /** Cronbach's alpha core (see `agg_cronbach_alpha`): input a
+    * subject-wide frame with the k item columns, output the 1-row
+    * (n_users, k_items, sum_item_var, total_var, alpha) readout.
+    * Item variances sum in the FIXED order of `items` in one
+    * mirrored expression. Shared with `GraftEngine.cronbachAlpha`.
+    */
+  private[graft] def cronbachAlphaCore(wide: DataFrame,
+                                       items: Seq[String]): DataFrame = {
+    val k = items.size
+    val pu = wide.withColumn("tot", items.map(col).reduce(_ + _))
+    val aggs = (count(lit(1)).as("n") +:
+      items.flatMap(t => Seq(sum(col(t)).as(s"s_$t"),
+        sum(col(t) * col(t)).as(s"ss_$t")))) ++
+      Seq(sum("tot").as("s_tot"),
+        sum(col("tot") * col("tot")).as("ss_tot"))
+    def v(sc: String, ssc: String): Column =
+      ((col("n").cast("double") * col(ssc).cast("double")
+        - col(sc).cast("double") * col(sc).cast("double"))
+        / (col("n").cast("double") * (col("n") - 1).cast("double")))
+    pu.agg(aggs.head, aggs.tail: _*)
+      .withColumn("v_items", when(col("n") > 1,
+        items.map(t => v(s"s_$t", s"ss_$t")).reduce(_ + _)))
+      .withColumn("v_total", when(col("n") > 1,
+        v("s_tot", "ss_tot")))
+      .withColumn("alpha", when(col("v_total") > 0,
+        r4(lit(k.toDouble) / (k - 1).toDouble
+          * (lit(1.0) - col("v_items") / col("v_total")))))
+      .select(col("n").as("n_users"), lit(k.toLong).as("k_items"),
+        r4(col("v_items")).as("sum_item_var"),
+        r4(col("v_total")).as("total_var"), col("alpha"))
+  }
+
   /** Two-way ANOVA core (see `agg_two_way_anova`): input (a, b, y:
     * BIGINT) rows, output the 1-row decomposition + three F
     * readouts. Sufficient statistics only: per-cell / per-level
@@ -1049,6 +1130,41 @@ object Stats {
         .select(col("c_nationkey").cast("long").as("a"),
           col("c_mktsegment").as("b"),
           floor(col("c_acctbal") + 0.5).cast("long").as("y")))),
+
+    // PARTIAL CORRELATION (round 15 continuation): corr(quantity,
+    // price | discount) per return flag — the "does the raw
+    // correlation survive holding the confounder fixed" readout that
+    // sits between agg_corr_regr (marginal) and agg_ols_multi
+    // (fully-adjusted betas). Exact BIGINT sufficient stats in ONE
+    // map-side pass; the three pairwise r's and the partial assemble
+    // once on the ≤3-row readout in mirrored doubles (products taken
+    // double-first — no n·Σx² BIGINT overflow), r4. Zero-variance or
+    // |r| = 1 control ⇒ NULL at the definition site.
+    "agg_partial_corr" -> ((s, d) =>
+      partialCorrCore(TestData.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          floor(col("l_quantity") + 0.5).cast("long").as("x"),
+          floor(col("l_extendedprice") + 0.5).cast("long").as("y"),
+          floor(col("l_discount") * 100 + 0.5).cast("long").as("z")))),
+
+    // CRONBACH'S ALPHA (round 15 continuation): internal-consistency
+    // reliability of the 5 per-user event-type counts as a scale
+    // ("do these activity items measure one underlying engagement
+    // trait") — the classical-test-theory member the k-group family
+    // lacked. α = k/(k−1)·(1 − Σᵢvarᵢ/var_total). Exact BIGINT
+    // sufficient stats for the 5 items + the per-user total in ONE
+    // pass; the 5 item variances sum in a FIXED-ORDER single
+    // mirrored expression (k is a literal — no data-order float
+    // drift), divisions once on the 1-row readout, r4. n < 2 or
+    // zero total variance ⇒ NULL.
+    "agg_cronbach_alpha" -> ((s, d) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val cnts = types.map(t =>
+        sum(when(col("event_type") === t, 1L).otherwise(0L))
+          .as(s"c_$t"))
+      cronbachAlphaCore(TestData.events(s, d).groupBy("user_id")
+        .agg(cnts.head, cnts.tail: _*), types.map(t => s"c_$t"))
+    }),
 
     // BOWLEY SKEW + MOORS KURTOSIS (round 15): the QUANTILE-based
     // shape profile next to agg_jarque_bera's moment-based one —
@@ -3022,6 +3138,117 @@ object Stats {
         |    floor(ss_ab::DOUBLE / ((k_a - 1) * (k_b - 1))::DOUBLE / msw
         |      * 10000 + 0.5) / 10000 END AS f_ab
         |FROM m""".stripMargin,
+    // Partial correlation: exact sufficient stats, mirrored
+    // double-first readout assembly.
+    "agg_partial_corr" ->
+      """WITH b0 AS (
+        |  SELECT l_returnflag AS flag,
+        |    floor(l_quantity + 0.5)::BIGINT AS x,
+        |    floor(l_extendedprice + 0.5)::BIGINT AS y,
+        |    floor(l_discount * 100 + 0.5)::BIGINT AS z
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT flag, count(*)::BIGINT AS n,
+        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(z)::BIGINT AS sz,
+        |    sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+        |    sum(z * z)::BIGINT AS szz,
+        |    sum(x * y)::BIGINT AS sxy, sum(x * z)::BIGINT AS sxz,
+        |    sum(y * z)::BIGINT AS syz
+        |  FROM b0 GROUP BY 1),
+        |c AS (
+        |  SELECT *,
+        |    n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS cxx,
+        |    n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS cyy,
+        |    n::DOUBLE * szz::DOUBLE - sz::DOUBLE * sz::DOUBLE AS czz,
+        |    n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS cxy,
+        |    n::DOUBLE * sxz::DOUBLE - sx::DOUBLE * sz::DOUBLE AS cxz,
+        |    n::DOUBLE * syz::DOUBLE - sy::DOUBLE * sz::DOUBLE AS cyz
+        |  FROM g),
+        |r AS (
+        |  SELECT *,
+        |    CASE WHEN cxx > 0 AND cyy > 0 THEN
+        |      cxy / sqrt(cxx * cyy) END AS rxy,
+        |    CASE WHEN cxx > 0 AND czz > 0 THEN
+        |      cxz / sqrt(cxx * czz) END AS rxz,
+        |    CASE WHEN cyy > 0 AND czz > 0 THEN
+        |      cyz / sqrt(cyy * czz) END AS ryz
+        |  FROM c),
+        |p AS (
+        |  SELECT *, CASE WHEN rxz IS NOT NULL AND ryz IS NOT NULL THEN
+        |    (1.0 - rxz * rxz) * (1.0 - ryz * ryz) END AS pden
+        |  FROM r),
+        |q AS (
+        |  SELECT *, CASE WHEN rxy IS NOT NULL AND pden > 0 THEN
+        |    (rxy - rxz * ryz) / sqrt(pden) END AS partial
+        |  FROM p)
+        |SELECT flag, n,
+        |  floor(rxy * 10000 + 0.5) / 10000 AS corr_xy,
+        |  floor(partial * 10000 + 0.5) / 10000 AS partial_xy_given_z
+        |FROM q ORDER BY flag""".stripMargin,
+    // Cronbach: 5 fixed items, fixed-order variance sum, one-row
+    // mirrored readout.
+    "agg_cronbach_alpha" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS c_click,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS c_view,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS c_purchase,
+        |    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS c_signup,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS c_error
+        |  FROM events GROUP BY 1),
+        |pt AS (SELECT *, (c_click + c_view + c_purchase + c_signup
+        |  + c_error)::BIGINT AS tot FROM pu),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(c_click)::BIGINT AS s_click,
+        |    sum(c_click * c_click)::BIGINT AS ss_click,
+        |    sum(c_view)::BIGINT AS s_view,
+        |    sum(c_view * c_view)::BIGINT AS ss_view,
+        |    sum(c_purchase)::BIGINT AS s_purchase,
+        |    sum(c_purchase * c_purchase)::BIGINT AS ss_purchase,
+        |    sum(c_signup)::BIGINT AS s_signup,
+        |    sum(c_signup * c_signup)::BIGINT AS ss_signup,
+        |    sum(c_error)::BIGINT AS s_error,
+        |    sum(c_error * c_error)::BIGINT AS ss_error,
+        |    sum(tot)::BIGINT AS s_tot, sum(tot * tot)::BIGINT AS ss_tot
+        |  FROM pt),
+        |v AS (
+        |  SELECT *,
+        |    CASE WHEN n > 1 THEN
+        |      (n::DOUBLE * ss_click::DOUBLE
+        |        - s_click::DOUBLE * s_click::DOUBLE)
+        |        / (n::DOUBLE * (n - 1)::DOUBLE)
+        |      + (n::DOUBLE * ss_view::DOUBLE
+        |        - s_view::DOUBLE * s_view::DOUBLE)
+        |        / (n::DOUBLE * (n - 1)::DOUBLE)
+        |      + (n::DOUBLE * ss_purchase::DOUBLE
+        |        - s_purchase::DOUBLE * s_purchase::DOUBLE)
+        |        / (n::DOUBLE * (n - 1)::DOUBLE)
+        |      + (n::DOUBLE * ss_signup::DOUBLE
+        |        - s_signup::DOUBLE * s_signup::DOUBLE)
+        |        / (n::DOUBLE * (n - 1)::DOUBLE)
+        |      + (n::DOUBLE * ss_error::DOUBLE
+        |        - s_error::DOUBLE * s_error::DOUBLE)
+        |        / (n::DOUBLE * (n - 1)::DOUBLE)
+        |      END AS v_items,
+        |    CASE WHEN n > 1 THEN
+        |      (n::DOUBLE * ss_tot::DOUBLE
+        |        - s_tot::DOUBLE * s_tot::DOUBLE)
+        |        / (n::DOUBLE * (n - 1)::DOUBLE) END AS v_total
+        |  FROM a)
+        |SELECT n AS n_users, 5::BIGINT AS k_items,
+        |  floor(v_items * 10000 + 0.5) / 10000 AS sum_item_var,
+        |  floor(v_total * 10000 + 0.5) / 10000 AS total_var,
+        |  CASE WHEN v_total > 0 THEN
+        |    floor((5.0 / 4.0 * (1.0 - v_items / v_total))
+        |      * 10000 + 0.5) / 10000 END AS alpha
+        |FROM v""".stripMargin,
     // Same cells grid; domain² diff grid with ct·cc weights;
     // weighted lower median by one cumulative.
     "agg_hodges_lehmann" ->

@@ -624,6 +624,42 @@ object TextOps {
       .select("detector", "n_pos", "n_neg", "auc", "pr_auc")
   }
 
+  /** Log-loss / cross-entropy core (see `eval_log_loss`): input
+    * (score_u: 1e-4 units, is_pos: 0/1) rows; cell-grid ε-clipped
+    * ln terms micro-quantized once per distinct score. Shared with
+    * `GraftEngine.logLoss`.
+    */
+  private[graft] def logLossCore(scored: DataFrame): DataFrame = {
+      val cells = scored
+        .groupBy("score_u")
+        .agg(sum("is_pos").as("pos"),
+          sum(lit(1L) - col("is_pos")).as("neg"))
+        .withColumn("pc",
+          least(greatest(col("score_u"), lit(1L)), lit(9999L))
+            .cast("double") / 10000.0)
+        .withColumn("lnp_u",
+          floor(log(col("pc")) * 1000000 + 0.5).cast("long"))
+        .withColumn("ln1p_u",
+          floor(log(lit(1.0) - col("pc")) * 1000000 + 0.5).cast("long"))
+      cells.agg(sum(col("pos") + col("neg")).as("n_pairs"),
+          sum("pos").as("n_pos"),
+          sum(col("pos") * col("lnp_u") + col("neg") * col("ln1p_u"))
+            .as("ll_su"))
+        .withColumn("log_loss", when(col("n_pairs") > 0,
+          r4(-(col("ll_su").cast("double") / 1.0e6
+            / col("n_pairs").cast("double")))))
+        .withColumn("br", when(col("n_pairs") > 0,
+          col("n_pos").cast("double") / col("n_pairs").cast("double")))
+        .withColumn("log_loss_base", when(col("br") > 0 && col("br") < 1,
+          r4(-(col("br") * log(col("br"))
+            + (lit(1.0) - col("br")) * log(lit(1.0) - col("br"))))))
+        .withColumn("skill", when(col("log_loss_base") > 0,
+          r4(lit(1.0) - col("log_loss") / col("log_loss_base"))))
+        .select(col("n_pairs"), col("n_pos"), col("log_loss"),
+          col("log_loss_base"), col("skill"))
+  }
+
+
   val defs: Map[String, Q] = Map(
     "text_tokenize_stats" -> ((s, d) =>
       TestData.documents(s, d)
@@ -930,6 +966,22 @@ object TextOps {
         .filter(col("detector") === "jaccard")
         .select("score_u", "is_pos"))),
 
+    // LOG LOSS / CROSS-ENTROPY (round 15 continuation): the SECOND
+    // proper scoring rule next to Brier — log loss punishes
+    // confident wrong scores unboundedly where Brier saturates, so
+    // the pair together tells whether a detector's tail confidence
+    // can be trusted. Cell-grid form (score-DISTINCT rows, never
+    // pair count): scores clipped to [1, 9999] 1e-4 units before the
+    // ln (the standard ε-clip — a 0/1e4 score would be ±∞), each
+    // cell's ln term micro-quantized once, weighted by exact
+    // pos/neg counts. Emits the detector's log loss, the base-rate
+    // (climatology) log loss, and the skill score 1 − LL/LL_base —
+    // positive skill means the scores beat always-predict-the-rate.
+    "eval_log_loss" -> ((s, d) =>
+      logLossCore(plantedDetectorScores(s, d)
+        .filter(col("detector") === "jaccard")
+        .select("score_u", "is_pos"))),
+
     // MCC THRESHOLD SWEEP (round 15): Matthews correlation at the
     // same five jaccard cuts as dedup_threshold_sweep — the one
     // single-number confusion metric that stays honest under the
@@ -1207,6 +1259,52 @@ object TextOps {
       |  JOIN sz sb ON sb.doc_id = p.id_b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same jac CTEs; ε-clipped ln terms micro-quantized per
+    // score-distinct cell, exact pos/neg weights.
+    "eval_log_loss" ->
+      s"""$PlantedJacCtes,
+        |lab AS (
+        |  SELECT score_u,
+        |    CASE WHEN id_b = id_a + 1000000 AND id_a % 5 = 0
+        |      THEN 1 ELSE 0 END AS is_pos
+        |  FROM jac),
+        |cells AS (
+        |  SELECT score_u, sum(is_pos)::BIGINT AS pos,
+        |    sum(1 - is_pos)::BIGINT AS neg
+        |  FROM lab GROUP BY 1),
+        |q AS (
+        |  SELECT *,
+        |    least(greatest(score_u, 1), 9999)::DOUBLE / 10000.0 AS pc
+        |  FROM cells),
+        |w AS (
+        |  SELECT *,
+        |    floor(ln(pc) * 1000000 + 0.5)::BIGINT AS lnp_u,
+        |    floor(ln(1.0 - pc) * 1000000 + 0.5)::BIGINT AS ln1p_u
+        |  FROM q),
+        |a AS (
+        |  SELECT sum(pos + neg)::BIGINT AS n_pairs,
+        |    sum(pos)::BIGINT AS n_pos,
+        |    sum(pos * lnp_u + neg * ln1p_u)::BIGINT AS ll_su
+        |  FROM w),
+        |b AS (
+        |  SELECT *,
+        |    CASE WHEN n_pairs > 0 THEN
+        |      floor(-(ll_su::DOUBLE / 1.0e6 / n_pairs::DOUBLE)
+        |        * 10000 + 0.5) / 10000 END AS log_loss,
+        |    CASE WHEN n_pairs > 0 THEN
+        |      n_pos::DOUBLE / n_pairs::DOUBLE END AS br
+        |  FROM a),
+        |c2 AS (
+        |  SELECT *,
+        |    CASE WHEN br > 0 AND br < 1 THEN
+        |      floor(-(br * ln(br) + (1.0 - br) * ln(1.0 - br))
+        |        * 10000 + 0.5) / 10000 END AS log_loss_base
+        |  FROM b)
+        |SELECT n_pairs, n_pos, log_loss, log_loss_base,
+        |  CASE WHEN log_loss_base > 0 THEN
+        |    floor((1.0 - log_loss / log_loss_base) * 10000 + 0.5)
+        |      / 10000 END AS skill
+        |FROM c2""".stripMargin,
     // Same jac CTEs; exact BIGINT ECE numerators |pos·1e4 − Σscore|,
     // bin-grid windows ::BIGINT.
     "eval_score_calibration" ->

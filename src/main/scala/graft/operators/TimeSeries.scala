@@ -913,6 +913,54 @@ object TimeSeries {
         col("hazard_var"), col("surv_fh"))
   }
 
+  /** Durbin-Watson core (see `ts_durbin_watson`): input (t, n)
+    * points on an integer time grid; OLS detrend + whole-unit
+    * IEEE-floored residuals + gap-safe adjacent equi-join.
+    * Shared with `GraftEngine.durbinWatson`.
+    */
+  private[graft] def durbinWatsonCore(points: DataFrame): DataFrame = {
+      val hourly = points
+      val t0 = hourly.agg(min("t").as("t_min"))
+      val base = hourly.crossJoin(broadcast(t0))
+        .withColumn("ti", col("t") - col("t_min"))
+        .select("ti", "n")
+        .localCheckpoint() // sufficient stats + residual pass
+      val fit = base.agg(count(lit(1)).as("nh"), sum("ti").as("st"),
+          sum(col("ti") * col("ti")).as("stt"), sum("n").as("sy"),
+          sum(col("ti") * col("n")).as("sty"))
+        .withColumn("det", col("nh").cast("double")
+          * col("stt").cast("double")
+          - col("st").cast("double") * col("st").cast("double"))
+        .withColumn("b", when(col("det") =!= 0.0,
+          (col("nh").cast("double") * col("sty").cast("double")
+            - col("st").cast("double") * col("sy").cast("double"))
+            / col("det")))
+        .withColumn("a", when(col("b").isNotNull,
+          (col("sy").cast("double") - col("b")
+            * col("st").cast("double")) / col("nh").cast("double")))
+        .select("a", "b")
+      val res = base.crossJoin(broadcast(fit))
+        .withColumn("e", floor(col("n").cast("double")
+          - (col("a") + col("b") * col("ti").cast("double")) + 0.5)
+          .cast("long"))
+        .select("ti", "e")
+        .localCheckpoint() // adjacent pairs + the denominator
+      val prev = res.select((col("ti") + 1L).as("ti"),
+        col("e").as("e_prev"))
+      val pairs = res.join(prev, "ti")
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum((col("e") - col("e_prev"))
+            * (col("e") - col("e_prev"))), lit(0L)).as("num"))
+      res.agg(count(lit(1)).as("n_hours"),
+          sum(col("e") * col("e")).as("den"))
+        .crossJoin(broadcast(pairs))
+        .withColumn("dw", when(col("den") > 0 && col("n_pairs") > 0,
+          r4(col("num").cast("double") / col("den").cast("double"))))
+        .withColumn("rho1_approx", when(col("dw").isNotNull,
+          r4(lit(1.0) - col("dw") / 2.0)))
+        .select("n_hours", "n_pairs", "dw", "rho1_approx")
+  }
+
   /** Cox proportional-hazards core (see `events_cox_ph`): input
     * (dur, ev: 0/1, g1: 0/1) per-subject rows — ONE binary covariate
     * (the A/B variant), Breslow tie handling. Three unrolled Newton
@@ -1536,6 +1584,28 @@ object TimeSeries {
         .select("lag", "num", "den", "acf")
         .orderBy("lag")
     }),
+
+    // DURBIN-WATSON (round 15 continuation): the REGRESSION-residual
+    // autocorrelation test the diagnostics family lacked —
+    // Ljung-Box/ACF test the raw series, DW tests what remains AFTER
+    // a trend fit (serially-correlated residuals invalidate every
+    // OLS standard error upstream). Detrend the hourly count series
+    // with the exact-sufficient-stat OLS line (slope/intercept
+    // assembled once in mirrored doubles — products taken double-
+    // first, so no n·Σt² BIGINT overflow at any horizon), quantize
+    // residuals to WHOLE units via the negative-safe IEEE floor (the
+    // ARCH-LM recipe; e² ≤ 1e12 bounds the sums to ~9e6 hours —
+    // plenty for any hourly horizon), pair adjacent hours by an
+    // EQUI-JOIN on t−1 (the gap-safe form; lag() over a gappy grid
+    // silently compares non-adjacent hours — the ts_snaive trap).
+    // DW = Σ(e_t − e_{t−1})²/Σe², ρ̂₁ ≈ 1 − DW/2. Constant/1-row
+    // series read NULL.
+    "ts_durbin_watson" -> ((s, d) =>
+      durbinWatsonCore(TestData.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("t", expr("unix_micros(hour) DIV 3600000000"))
+        .select("t", "n"))),
 
     // ACF BARTLETT BANDS (round 13): ts_autocorr's readout upgraded
     // with the decision rule — Bartlett's large-lag standard error
@@ -4629,6 +4699,51 @@ object TimeSeries {
         |ORDER BY hour""".stripMargin,
     // Same integer deviations; every sum-of-products ::BIGINT; one
     // trailing r4 division.
+    // Durbin-Watson: same hourly count series; OLS detrend assembled
+    // in mirrored doubles, whole-unit IEEE-floored residuals,
+    // adjacent pairs by the t−1 equi-join.
+    "ts_durbin_watson" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts)::TIMESTAMP AS hour,
+        |         count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |h2 AS (SELECT epoch_us(hour) // 3600000000 AS t, n FROM hourly),
+        |t0 AS (SELECT min(t)::BIGINT AS t_min FROM h2),
+        |base AS MATERIALIZED (
+        |  SELECT (t - t_min)::BIGINT AS ti, n FROM h2 CROSS JOIN t0),
+        |f0 AS (SELECT count(*)::BIGINT AS nh, sum(ti)::BIGINT AS st,
+        |       sum(ti * ti)::BIGINT AS stt, sum(n)::BIGINT AS sy,
+        |       sum(ti * n)::BIGINT AS sty FROM base),
+        |f1 AS (SELECT *,
+        |  nh::DOUBLE * stt::DOUBLE - st::DOUBLE * st::DOUBLE AS det
+        |  FROM f0),
+        |f2 AS (SELECT *, CASE WHEN det != 0 THEN
+        |    (nh::DOUBLE * sty::DOUBLE - st::DOUBLE * sy::DOUBLE) / det
+        |    END AS b FROM f1),
+        |fit AS (SELECT b, CASE WHEN b IS NOT NULL THEN
+        |    (sy::DOUBLE - b * st::DOUBLE) / nh::DOUBLE END AS a
+        |  FROM f2),
+        |res AS MATERIALIZED (
+        |  SELECT ti,
+        |    floor(n::DOUBLE - (a + b * ti::DOUBLE) + 0.5)::BIGINT AS e
+        |  FROM base CROSS JOIN fit),
+        |pairs AS (
+        |  SELECT count(*)::BIGINT AS n_pairs,
+        |    coalesce(sum((r.e - p.e) * (r.e - p.e)), 0)::BIGINT AS num
+        |  FROM res r JOIN res p ON r.ti = p.ti + 1),
+        |dd AS (SELECT count(*)::BIGINT AS n_hours,
+        |       sum(e * e)::BIGINT AS den FROM res),
+        |rr2 AS (
+        |  SELECT n_hours, n_pairs,
+        |    CASE WHEN den > 0 AND n_pairs > 0 THEN
+        |      floor(num::DOUBLE / den::DOUBLE * 10000 + 0.5) / 10000
+        |      END AS dw
+        |  FROM dd CROSS JOIN pairs)
+        |SELECT n_hours, n_pairs, dw,
+        |  CASE WHEN dw IS NOT NULL THEN
+        |    floor((1.0 - dw / 2.0) * 10000 + 0.5) / 10000
+        |    END AS rho1_approx
+        |FROM rr2""".stripMargin,
     "ts_autocorr" -> {
       val lags = 1 to 12
       val leadCols = lags.map(k => s"lead(dev, $k) OVER w AS l$k")

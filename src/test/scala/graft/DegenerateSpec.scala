@@ -906,6 +906,57 @@ class DegenerateSpec extends SparkSpec {
       (0L, 1L, 1L), (0L, 2L, 2L))), "y", "x1", "x2"), "irls/separated")
   }
 
+  test("logLoss / durbinWatson / partialCorr / cronbachAlpha survive degenerate frames") {
+    val sc2 = StructType(Seq(StructField("s", LongType),
+      StructField("y", LongType)))
+    def sf4(rows: Seq[(Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), sc2)
+    assertClean(engine.logLoss(sf4(Nil), "s", "y"), "ll/empty")
+    // saturated scores (0 and 1e4) take the epsilon clip, no ln(0)
+    assertClean(engine.logLoss(sf4(Seq((0L, 0L), (10000L, 1L))),
+      "s", "y"), "ll/saturated")
+    // one-class labels: base rate 0 or 1 => NULL baseline/skill
+    val oc = engine.logLoss(sf4(Seq((5000L, 1L), (7000L, 1L))),
+      "s", "y").collect()(0)
+    assert(oc.isNullAt(oc.fieldIndex("log_loss_base")))
+    assertClean(engine.durbinWatson(sf4(Nil), "s", "y"), "dw/empty")
+    // single point: det = 0 => NULL fit => NULL dw
+    val dw1 = engine.durbinWatson(sf4(Seq((5L, 3L))), "s", "y")
+      .collect()(0)
+    assert(dw1.isNullAt(dw1.fieldIndex("dw")))
+    // perfectly linear series: residuals all 0 => den 0 => NULL dw
+    assertClean(engine.durbinWatson(
+      sf4((1L to 10L).map(t => (t, 2 * t + 1))), "s", "y"), "dw/linear")
+    val pc4 = StructType(Seq(StructField("g", StringType),
+      StructField("x", LongType), StructField("y", LongType),
+      StructField("z", LongType)))
+    def pf(rows: Seq[(String, Long, Long, Long)]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), pc4)
+    assertClean(engine.partialCorr(pf(Nil), "g", "x", "y", "z"),
+      "pc/empty")
+    // constant control: czz = 0 => NULL partial, corr_xy intact
+    val cc = engine.partialCorr(pf(Seq(("a", 1L, 2L, 7L),
+      ("a", 2L, 4L, 7L), ("a", 3L, 6L, 7L))), "g", "x", "y", "z")
+      .collect()(0)
+    assert(cc.getAs[Double]("corr_xy") === 1.0)
+    assert(cc.isNullAt(cc.fieldIndex("partial_xy_given_z")))
+    // |r_xz| = 1: the partial denominator hits 0 => NULL, no throw
+    assertClean(engine.partialCorr(pf(Seq(("a", 1L, 5L, 1L),
+      ("a", 2L, 9L, 2L), ("a", 3L, 2L, 3L))), "g", "x", "y", "z"),
+      "pc/collinear")
+    val cw = StructType(Seq(StructField("i1", LongType),
+      StructField("i2", LongType)))
+    def cf2(rows: Seq[(Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), cw)
+    assertClean(engine.cronbachAlpha(cf2(Nil), Seq("i1", "i2")),
+      "ca/empty")
+    // constant items: zero total variance => NULL alpha
+    val ca = engine.cronbachAlpha(cf2(Seq((5L, 5L), (5L, 5L))),
+      Seq("i1", "i2")).collect()(0)
+    assert(ca.isNullAt(ca.fieldIndex("alpha")))
+  }
+
   test("twoWayAnova survives degenerate frames") {
     val ws2 = StructType(Seq(StructField("a", LongType),
       StructField("b", StringType), StructField("y", LongType)))

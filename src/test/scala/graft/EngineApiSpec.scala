@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 213, "documented facade count drifted; methods: "
+    assert(names.length === 217, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1652,6 +1652,54 @@ class EngineApiSpec extends SparkSpec {
     val auc = engine.detectorAuc(scored).collect()(0)
       .getAs[Double]("auc")
     assert(auc > 0.9, s"fitted AUC $auc must clear 0.9")
+  }
+
+  test("logLoss / durbinWatson / partialCorr / cronbachAlpha facades match their keys") {
+    val d = sf("sf0.001")
+    assert(engine.logLoss(graft.operators.TextOps
+        .plantedDetectorScores(spark, d)
+        .filter($"detector" === "jaccard"), "score_u", "is_pos")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("eval_log_loss")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    assert(engine.durbinWatson(TestData.events(spark, d)
+        .groupBy(date_trunc("hour", $"ts").as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("t", expr("unix_micros(hour) DIV 3600000000")),
+        "t", "n")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("ts_durbin_watson")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    assert(engine.partialCorr(TestData.lineitem(spark, d)
+        .select($"l_returnflag".as("g"),
+          floor($"l_quantity" + 0.5).cast("long").as("x"),
+          floor($"l_extendedprice" + 0.5).cast("long").as("y"),
+          floor($"l_discount" * 100 + 0.5).cast("long").as("z")),
+        "g", "x", "y", "z")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("agg_partial_corr")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val cnts = types.map(t =>
+      sum(when($"event_type" === t, 1L).otherwise(0L)).as(s"c_$t"))
+    assert(engine.cronbachAlpha(TestData.events(spark, d)
+        .groupBy("user_id").agg(cnts.head, cnts.tail: _*),
+        types.map(t => s"c_$t"))
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("agg_cronbach_alpha")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // hand pin: perfectly-correlated 2-item scale has alpha 1
+    val perfect = engine.cronbachAlpha(
+      Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("i1", "i2"),
+      Seq("i1", "i2")).collect()(0)
+    assert(perfect.getAs[Double]("alpha") === 1.0)
+    // hand pin: two perfectly correlated vars, z independent-ish —
+    // partial correlation stays defined and near the marginal
+    val pc = engine.partialCorr(
+      Seq(("a", 1L, 2L, 5L), ("a", 2L, 4L, 1L), ("a", 3L, 6L, 9L),
+        ("a", 4L, 8L, 4L)).toDF("g", "x", "y", "z"),
+      "g", "x", "y", "z").collect()(0)
+    assert(pc.getAs[Double]("corr_xy") === 1.0)
   }
 
   test("twoWayAnova facade matches its key; balanced-design textbook cross-check") {
