@@ -4950,6 +4950,16 @@ class GraftEngine(val spark: SparkSession) {
   def cronbachAlpha(wide: DataFrame, items: Seq[String]): DataFrame =
     graft.operators.Stats.cronbachAlphaCore(wide, items)
 
+  /** Best single-threshold split of x for binary y by information
+    * gain (see `agg_decision_stump`) — the 1-split learner / tree
+    * primitive. Empty or unsplittable input returns 0 rows.
+    */
+  def decisionStump(df: DataFrame, yCol: String,
+                    xCol: String): DataFrame =
+    graft.operators.Stats.decisionStumpCore(
+      df.select(col(yCol).cast("long").as("y"),
+        col(xCol).cast("long").as("x")))
+
   /** Two-way ANOVA with interaction (see `agg_two_way_anova`):
     * sequential (Type-I-style) decomposition over the a × b cell
     * grid; SS_A + SS_B + SS_AB + SS_W = SS_T exactly in quantized

@@ -1219,6 +1219,31 @@ object GraphOps {
     // at the depth — a seed whose true eccentricity exceeds 4 reads
     // 4, stated. Each round is one frontier join + a (seed, id)
     // min — level-sized state at any corpus.
+    // PATH-LENGTH DISTRIBUTION (round 15 continuation): the
+    // small-world readout next to eccentricity/closeness — "how many
+    // hops separate a typical pair" — off the SAME memoized seeded
+    // BFS stage (its third consumer; zero new graph passes). Exact
+    // integer histogram over the (seed, id, dist) closure, share of
+    // reached pairs per hop count, and the sampled mean path length
+    // (one guarded division on the depth-sized grid, r4).
+    "graph_path_length_dist" -> ((s, d) => {
+      val dist = seededBfsDistances(s, d)
+        .localCheckpoint() // histogram + totals branches
+      val na = dist.agg(count(lit(1)).as("n_all"))
+      val mp = dist.filter(col("dist") > 0)
+        .agg(count(lit(1)).as("n_paths"), sum("dist").as("sum_dist"))
+      dist.groupBy("dist").agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(na)).crossJoin(broadcast(mp))
+        .withColumn("pct", when(col("n_all") > 0,
+          TestData.r4(col("n_pairs").cast("double")
+            / col("n_all").cast("double"))))
+        .withColumn("mean_path_len", when(col("n_paths") > 0,
+          TestData.r4(col("sum_dist").cast("double")
+            / col("n_paths").cast("double"))))
+        .select("dist", "n_pairs", "pct", "mean_path_len")
+        .orderBy("dist")
+    }),
+
     "graph_eccentricity_sample" -> ((s, d) =>
       seededBfsDistances(s, d)
         .groupBy("seed")
@@ -1657,6 +1682,23 @@ object GraphOps {
         |SELECT e.vec_id, coalesce(bc.bc_u, 0)::BIGINT AS bc_u
         |FROM embeddings e LEFT JOIN bc ON e.vec_id = bc.id
         |ORDER BY e.vec_id""".stripMargin,
+    // Same unrolled BFS closure; exact histogram + two scalar
+    // cross joins.
+    "graph_path_length_dist" ->
+      s"""$EccentricityCtes,
+        |na AS (SELECT count(*)::BIGINT AS n_all FROM dd4),
+        |mp AS (SELECT count(*)::BIGINT AS n_paths,
+        |       sum(dist)::BIGINT AS sum_dist FROM dd4 WHERE dist > 0)
+        |SELECT dist, count(*)::BIGINT AS n_pairs,
+        |  CASE WHEN n_all > 0 THEN
+        |    floor(count(*)::DOUBLE / n_all::DOUBLE * 10000 + 0.5)
+        |      / 10000 END AS pct,
+        |  CASE WHEN n_paths > 0 THEN
+        |    floor(sum_dist::DOUBLE / n_paths::DOUBLE * 10000 + 0.5)
+        |      / 10000 END AS mean_path_len
+        |FROM dd4 CROSS JOIN na CROSS JOIN mp
+        |GROUP BY dist, n_all, n_paths, sum_dist
+        |ORDER BY dist""".stripMargin,
     // Same unrolled BFS closure as eccentricity; 1e6 // dist terms,
     // one guarded (N−1) division on the 8-row readout.
     "graph_closeness_sample" ->

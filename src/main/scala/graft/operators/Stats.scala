@@ -611,6 +611,55 @@ object Stats {
         r4(col("v_total")).as("total_var"), col("alpha"))
   }
 
+  /** Decision-stump core (see `agg_decision_stump`): input (y: 0/1,
+    * x: BIGINT) rows; candidate cuts on the x-DISTINCT cell grid,
+    * one cumulative window, per-cut information gain as ONE mirrored
+    * guarded-p·ln(p) expression micro-nat-quantized for the argmax
+    * (ig_u is the sort key — float argmax flips across engines);
+    * TakeOrderedAndProject winner. Empty input ⇒ 0 rows. Shared
+    * with `GraftEngine.decisionStump`.
+    */
+  private[graft] def decisionStumpCore(units: DataFrame): DataFrame = {
+    val W = Window.orderBy("x")
+    def h(a: Column, b: Column): Column = {
+      val s = (a + b).cast("double")
+      (when(a > 0, -(a.cast("double") / s) * log(a.cast("double") / s))
+        .otherwise(0.0)
+        + when(b > 0, -(b.cast("double") / s)
+          * log(b.cast("double") / s)).otherwise(0.0))
+    }
+    val cells = units.groupBy("x")
+      .agg(sum("y").as("pos"), sum(lit(1L) - col("y")).as("neg"))
+      .localCheckpoint() // totals + the cut grid
+    val tot = cells.agg(sum("pos").as("tp"), sum("neg").as("tn"))
+    cells
+      .withColumn("pos_le", sum("pos").over(
+        W.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("neg_le", sum("neg").over(
+        W.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot))
+      .withColumn("n", col("tp") + col("tn"))
+      .filter(col("pos_le") + col("neg_le") < col("n"))
+      .withColumn("pos_gt", col("tp") - col("pos_le"))
+      .withColumn("neg_gt", col("tn") - col("neg_le"))
+      .withColumn("s_le", col("pos_le") + col("neg_le"))
+      .withColumn("s_gt", col("pos_gt") + col("neg_gt"))
+      .withColumn("ig", h(col("tp"), col("tn"))
+        - (col("s_le").cast("double") / col("n").cast("double")
+            * h(col("pos_le"), col("neg_le"))
+          + col("s_gt").cast("double") / col("n").cast("double")
+            * h(col("pos_gt"), col("neg_gt"))))
+      .withColumn("ig_u", floor(col("ig") * 1000000 + 0.5).cast("long"))
+      .orderBy(col("ig_u").desc, col("x"))
+      .limit(1)
+      .select(col("x").as("threshold"), col("pos_le"), col("neg_le"),
+        col("pos_gt"), col("neg_gt"), col("ig_u"),
+        r4(col("ig")).as("info_gain"),
+        r4((greatest(col("pos_le"), col("neg_le"))
+          + greatest(col("pos_gt"), col("neg_gt"))).cast("double")
+          / col("n").cast("double")).as("train_accuracy"))
+  }
+
   /** Two-way ANOVA core (see `agg_two_way_anova`): input (a, b, y:
     * BIGINT) rows, output the 1-row decomposition + three F
     * readouts. Sufficient statistics only: per-cell / per-level
@@ -2455,6 +2504,55 @@ object Stats {
           "significant_95")
     }),
 
+    // EXACT McNEMAR (round 15 continuation): the asymptotic χ²
+    // above is silently wrong exactly where paired designs need it
+    // most (few discordant users — the b+c that drives the test is
+    // routinely tiny even on a huge corpus). Discordant users map to
+    // ±1 deltas (H1-only purchase = +1, H2-only = −1; concordant
+    // users are the zeros the chain drops), then the EXACT
+    // Binomial(b+c, ½) sign-test machinery — its FIFTH reuse — gives
+    // the p the χ² approximates: k_pos reads b, n_nonzero reads
+    // b+c. Identical output contract to agg_sign_test.
+    "agg_mcnemar_exact" -> ((s, d) => {
+      val ev = TestData.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) DIV 2").as("mid"))
+      signTestExact(ev.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase"
+            && col("ts_us") < col("mid"), 1L).otherwise(0L)).as("a1"),
+          max(when(col("event_type") === "purchase"
+            && col("ts_us") >= col("mid"), 1L).otherwise(0L)).as("a2"))
+        .withColumn("d_w", col("a1") - col("a2"))
+        .select("d_w"))
+    }),
+
+    // DECISION STUMP (round 15 continuation): the 1-split learner —
+    // "what single activity threshold best separates heavy
+    // purchasers", the interpretable baseline every fitted model
+    // (agg_logistic_irls) should beat, and the primitive a
+    // distributed tree learner evaluates millions of times. Candidate
+    // cuts live on the value-DISTINCT grid (never user count): one
+    // cumulative window over the ordered cells gives every cut's
+    // (pos≤, neg≤) exactly; each cut's information gain is ONE
+    // mirrored expression of guarded p·ln(p) terms, quantized to
+    // integer micro-nats as the argmax sort key (float argmax flips
+    // across engines — the pagerank lesson); the winner is a
+    // TakeOrderedAndProject, never a rank window. Max-x cut excluded
+    // (empty right child). Emits the best threshold, its gain and
+    // the stump's training accuracy (exact-integer majority counts).
+    "agg_decision_stump" -> ((s, d) => {
+      val u = TestData.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("np"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("x"))
+        .select(when(col("np") >= 14, 1L).otherwise(0L).as("y"),
+          col("x"))
+      decisionStumpCore(u)
+    }),
+
     // PAIRED t (round 11): the continuous sibling of agg_mcnemar —
     // per-user H1-vs-H2 value difference, t = mean(d)/(sd(d)/√n).
     // Differences quantized to WHOLE units via the IEEE-floor
@@ -2957,6 +3055,16 @@ object Stats {
         |  p_two_nano < 50000000 AS significant_95
         |FROM b""".stripMargin
 
+  /** The stump's guarded two-class entropy as DuckDB SQL — mirrors
+    * [[decisionStumpCore]]'s h() token for token.
+    */
+  private def stumpHSql(a: String, b: String): String =
+    s"""(CASE WHEN $a > 0 THEN -($a::DOUBLE / ($a + $b)::DOUBLE)
+       |      * ln($a::DOUBLE / ($a + $b)::DOUBLE) ELSE 0.0 END
+       |    + CASE WHEN $b > 0 THEN -($b::DOUBLE / ($a + $b)::DOUBLE)
+       |      * ln($b::DOUBLE / ($a + $b)::DOUBLE) ELSE 0.0 END)"""
+      .stripMargin
+
   /** One unrolled IRLS round as a DuckDB CTE block (see the
     * `agg_logistic_irls` oracle): `cur`{a,b,c} stage η, the
     * micro-quantized sigmoid and the residual; `cur`{d,e,f}
@@ -3138,6 +3246,66 @@ object Stats {
         |    floor(ss_ab::DOUBLE / ((k_a - 1) * (k_b - 1))::DOUBLE / msw
         |      * 10000 + 0.5) / 10000 END AS f_ab
         |FROM m""".stripMargin,
+    // Exact McNemar: the paired flags fold to ±1 deltas, then the
+    // shared exact-binomial chain.
+    "agg_mcnemar_exact" ->
+      s"""WITH mid AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        |  FROM events),
+        |pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase'
+        |      AND epoch_us(ts) < mid THEN 1 ELSE 0 END) AS a1,
+        |    max(CASE WHEN event_type = 'purchase'
+        |      AND epoch_us(ts) >= mid THEN 1 ELSE 0 END) AS a2
+        |  FROM events CROSS JOIN mid GROUP BY 1),
+        |dw AS (SELECT user_id, (a1 - a2)::BIGINT AS d_w FROM pu),
+        |$SignTestChainSql""".stripMargin,
+    // Decision stump: same heavy-purchaser units, cut grid cum
+    // window, mirrored guarded-entropy gain, micro-nat argmax.
+    "agg_decision_stump" ->
+      s"""WITH u AS (
+        |  SELECT CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END::BIGINT AS y,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS x
+        |  FROM events GROUP BY user_id),
+        |cells AS (
+        |  SELECT x, sum(y)::BIGINT AS pos, sum(1 - y)::BIGINT AS neg
+        |  FROM u GROUP BY 1),
+        |tot AS (SELECT sum(pos)::BIGINT AS tp, sum(neg)::BIGINT AS tn
+        |        FROM cells),
+        |cum AS (
+        |  SELECT x, pos, neg,
+        |    (sum(pos) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW))::BIGINT AS pos_le,
+        |    (sum(neg) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW))::BIGINT AS neg_le
+        |  FROM cells),
+        |j AS (
+        |  SELECT cum.*, tot.tp, tot.tn, (tp + tn)::BIGINT AS n
+        |  FROM cum CROSS JOIN tot),
+        |g AS (
+        |  SELECT *, (tp - pos_le)::BIGINT AS pos_gt,
+        |    (tn - neg_le)::BIGINT AS neg_gt,
+        |    (pos_le + neg_le)::BIGINT AS s_le,
+        |    (tp - pos_le + tn - neg_le)::BIGINT AS s_gt
+        |  FROM j WHERE pos_le + neg_le < n),
+        |e AS (
+        |  SELECT *, ${stumpHSql("tp", "tn")}
+        |    - (s_le::DOUBLE / n::DOUBLE
+        |        * ${stumpHSql("pos_le", "neg_le")}
+        |      + s_gt::DOUBLE / n::DOUBLE
+        |        * ${stumpHSql("pos_gt", "neg_gt")}) AS ig
+        |  FROM g),
+        |q AS (SELECT *, floor(ig * 1000000 + 0.5)::BIGINT AS ig_u
+        |      FROM e)
+        |SELECT x AS threshold, pos_le, neg_le, pos_gt, neg_gt, ig_u,
+        |  floor(ig * 10000 + 0.5) / 10000 AS info_gain,
+        |  floor((greatest(pos_le, neg_le) + greatest(pos_gt, neg_gt))
+        |    ::DOUBLE / n::DOUBLE * 10000 + 0.5) / 10000
+        |    AS train_accuracy
+        |FROM q ORDER BY ig_u DESC, x LIMIT 1""".stripMargin,
     // Partial correlation: exact sufficient stats, mirrored
     // double-first readout assembly.
     "agg_partial_corr" ->

@@ -957,6 +957,23 @@ class DegenerateSpec extends SparkSpec {
     assert(ca.isNullAt(ca.fieldIndex("alpha")))
   }
 
+  test("decisionStump survives degenerate frames") {
+    val ds = StructType(Seq(StructField("y", LongType),
+      StructField("x", LongType)))
+    def df2(rows: Seq[(Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), ds)
+    // empty and single-distinct-x inputs: no valid cut => 0 rows
+    assert(engine.decisionStump(df2(Nil), "y", "x").count() === 0L)
+    assert(engine.decisionStump(df2(Seq((1L, 5L), (0L, 5L))),
+      "y", "x").count() === 0L)
+    // one-class y: every cut has zero gain; the argmax still returns
+    // a clean row (smallest x) with ig 0
+    val oc = engine.decisionStump(df2(Seq((1L, 1L), (1L, 2L),
+      (1L, 3L))), "y", "x").collect()(0)
+    assert(oc.getAs[Long]("ig_u") === 0L)
+    assert(oc.getAs[Double]("train_accuracy") === 1.0)
+  }
+
   test("twoWayAnova survives degenerate frames") {
     val ws2 = StructType(Seq(StructField("a", LongType),
       StructField("b", StringType), StructField("y", LongType)))

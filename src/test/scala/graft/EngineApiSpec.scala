@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 217, "documented facade count drifted; methods: "
+    assert(names.length === 218, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1700,6 +1700,44 @@ class EngineApiSpec extends SparkSpec {
         ("a", 4L, 8L, 4L)).toDF("g", "x", "y", "z"),
       "g", "x", "y", "z").collect()(0)
     assert(pc.getAs[Double]("corr_xy") === 1.0)
+  }
+
+  test("decisionStump facade matches its key; hand-computed split; exact McNemar parity") {
+    val d = sf("sf0.001")
+    val units = TestData.events(spark, d)
+      .groupBy("user_id")
+      .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("np"),
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"))
+      .select(when($"np" >= 14, 1L).otherwise(0L).as("y"), $"x")
+    assert(engine.decisionStump(units, "y", "x")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("agg_decision_stump")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // hand case: y perfectly separated at x <= 2 — the stump must
+    // find threshold 2 with gain = parent entropy and accuracy 1
+    val toy = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (0L, 2L)).toDF("y", "x")
+    val st = engine.decisionStump(toy, "y", "x").collect()(0)
+    assert(st.getAs[Long]("threshold") === 2L)
+    assert(st.getAs[Double]("train_accuracy") === 1.0)
+    assert(st.getAs[Double]("info_gain") === 0.6931)
+    // exact McNemar == the sign-test chain over the +/-1 discordant
+    // deltas (its fifth reuse) — parity against the composition
+    val ev = TestData.events(spark, d)
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+    val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) DIV 2").as("mid"))
+    val deltas = ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(max(when($"event_type" === "purchase"
+          && $"ts_us" < $"mid", 1L).otherwise(0L)).as("a1"),
+        max(when($"event_type" === "purchase"
+          && $"ts_us" >= $"mid", 1L).otherwise(0L)).as("a2"))
+      .withColumn("d_w", $"a1" - $"a2")
+    assert(engine.signTestExact(deltas, "d_w")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("agg_mcnemar_exact")(spark, d)
+        .collect().map(_.toSeq).toSeq)
   }
 
   test("twoWayAnova facade matches its key; balanced-design textbook cross-check") {

@@ -17,7 +17,10 @@ class PlanSpec extends SparkSpec {
     * of these rides a documented bounded frame; re-pin only after
     * verifying the new site is grid-bounded, never corpus-grain.
     */
-  private val UNPARTITIONED_WINDOW_SITES = 122 // r15 audited inventory
+  // r15 audited inventory; +2 late-r15: agg_decision_stump's
+  // x-value-grid cumulative and agg_mcnemar_exact's shard-offset
+  // window (both bounded grids, verified at re-pin time)
+  private val UNPARTITIONED_WINDOW_SITES = 124
 
   private def plan(key: String): String = {
     val df = SparkEntry.queries(key)(spark, sfDir)

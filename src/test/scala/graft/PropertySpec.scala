@@ -924,6 +924,21 @@ class PropertySpec extends SparkSpec {
     assert(oneRows.length === 1 && oneRows(0).getAs[Long]("cut") === 0L)
   }
 
+  test("path-length distribution: shares sum to 1, mean consistent, seeds at dist 0") {
+    val rows = SparkEntry.queries("graph_path_length_dist")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val totalPct = rows.map(_.getAs[Double]("pct")).sum
+    assert(math.abs(totalPct - 1.0) < 1e-2, s"pct sum $totalPct")
+    val d0 = rows.find(_.getAs[Long]("dist") == 0L).get
+    assert(d0.getAs[Long]("n_pairs") === 8L, "8 seeds at distance 0")
+    // histogram-derived mean equals the emitted mean within r4 slack
+    val nz = rows.filter(_.getAs[Long]("dist") > 0L)
+    val m = nz.map(r => r.getAs[Long]("dist").toDouble
+      * r.getAs[Long]("n_pairs")).sum / nz.map(_.getAs[Long]("n_pairs")).sum
+    assert(math.abs(m - rows.head.getAs[Double]("mean_path_len")) < 1e-3)
+  }
+
   test("bucketed triplets: label invariants + positive recall vs brute force") {
     val rows = SparkEntry.queries("triplet_mine_bucketed")(spark, sfDir)
       .collect()
