@@ -2681,6 +2681,62 @@ object TimeSeries {
     // the oracle — no order-dependent float aggregation anywhere, so
     // both engines agree bit-for-bit before the r4 quantize. One
     // map-side flag + a 2-group aggregate at any scale.
+    // GROUP-SEQUENTIAL A/B (round 15 continuation): the SCHEDULED-
+    // looks complement of events_ab_sequential's always-valid mSPRT —
+    // five equally-spaced interim analyses against the O'Brien-
+    // Fleming two-sided α = 0.05 boundaries (4.8769, 3.3569, 2.6803,
+    // 2.2898, 2.0310 — published constants, literals in BOTH
+    // engines), the design every clinical/launch review board
+    // recognizes. User grain: first-seen day gates look membership,
+    // first purchase day gates conversion-by-look; each look's
+    // pooled two-proportion z is ONE mirrored guarded expression.
+    // Early looks with an empty arm or degenerate pooled rate read
+    // NULL z / no crossing.
+    "events_ab_group_sequential" -> ((s, d) => {
+      import s.implicits._
+      val pu = TestData.events(s, d)
+        .withColumn("day", expr("unix_micros(ts) DIV 86400000000"))
+        .groupBy("user_id")
+        .agg(min("day").as("fd"),
+          min(when(col("event_type") === "purchase", col("day")))
+            .as("pd"))
+        .withColumn("t",
+          when(conv(substring(md5(col("user_id").cast("string")), 1, 2),
+            16, 10).cast("int") % 2 === 0, 0L).otherwise(1L))
+      val span = pu.agg(min("fd").as("d0"), max("fd").as("d1"))
+      val looks = Seq(1L, 2L, 3L, 4L, 5L).toDF("look")
+      val bnd = element_at(array(lit(4.8769), lit(3.3569), lit(2.6803),
+        lit(2.2898), lit(2.0310)), col("look").cast("int"))
+      pu.crossJoin(broadcast(span)).crossJoin(broadcast(looks))
+        .withColumn("cut", col("d0")
+          + expr("(d1 - d0 + 1) * look DIV 5"))
+        .filter(col("fd") < col("cut"))
+        .groupBy("look")
+        .agg(
+          sum(when(col("t") === 0, 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("t") === 1, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("t") === 0 && col("pd").isNotNull
+            && col("pd") < col("cut"), 1L).otherwise(0L)).as("x_c"),
+          sum(when(col("t") === 1 && col("pd").isNotNull
+            && col("pd") < col("cut"), 1L).otherwise(0L)).as("x_t"))
+        .withColumn("p_pool", when(col("n_c") + col("n_t") > 0,
+          (col("x_c") + col("x_t")).cast("double")
+            / (col("n_c") + col("n_t")).cast("double")))
+        .withColumn("z", when(col("n_c") > 0 && col("n_t") > 0
+            && col("p_pool") > 0 && col("p_pool") < 1,
+          r4((col("x_t").cast("double") / col("n_t").cast("double")
+              - col("x_c").cast("double") / col("n_c").cast("double"))
+            / sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
+              * (lit(1.0) / col("n_c").cast("double")
+                + lit(1.0) / col("n_t").cast("double"))))))
+        .withColumn("obf_boundary", bnd)
+        .withColumn("crossed", when(col("z").isNotNull,
+          abs(col("z")) > col("obf_boundary")))
+        .select("look", "n_c", "n_t", "x_c", "x_t", "z",
+          "obf_boundary", "crossed")
+        .orderBy("look")
+    }),
+
     "events_ab_significance" -> ((s, d) =>
       TestData.events(s, d)
         .withColumn("t",
@@ -3449,6 +3505,52 @@ object TimeSeries {
       senSlopeCore(TestData.events(s, d)
         .groupBy(expr("unix_micros(ts) DIV 3600000000").as("xh"))
         .agg(count(lit(1)).as("n")))),
+
+    // SEASONAL MANN-KENDALL (round 15 continuation): Hirsch-Slack —
+    // the trend test a DIURNAL series actually needs: plain MK reads
+    // the hour-of-day cycle as massive S noise; the seasonal form
+    // compares only LIKE hours (pairs within each of the 24
+    // hour-of-day strata), then sums per-season S and tie-corrected
+    // variances. Same pairwise value-grid machinery as
+    // ts_mann_kendall with a season key on the join; continuity
+    // correction on the TOTAL S (the standard form). Seasons with
+    // one observation contribute zero pairs and zero variance.
+    "ts_seasonal_mk" -> ((s, d) => {
+      val hourly = TestData.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("xh", expr("unix_micros(hour) DIV 3600000000"))
+        .withColumn("season", expr("xh % 24"))
+        .select("season", "xh", "n")
+        .localCheckpoint() // pair join + tie terms
+      val b = hourly.select(col("season").as("sz2"),
+        col("xh").as("x2"), col("n").as("n2"))
+      val sSeason = hourly
+        .join(b, col("sz2") === col("season") && col("x2") > col("xh"))
+        .groupBy("season")
+        .agg(count(lit(1)).as("np"),
+          sum(signum(col("n2") - col("n")).cast("long")).as("s_s"))
+      val ties = hourly.groupBy("season", "n")
+        .agg(count(lit(1)).as("t"))
+        .groupBy("season")
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+            .as("tie_term"),
+          sum("t").as("n_h"))
+      ties.join(sSeason, Seq("season"), "left")
+        .withColumn("var_num", col("n_h") * (col("n_h") - 1)
+          * (lit(2L) * col("n_h") + 5) - col("tie_term"))
+        .agg(sum("n_h").as("n_hours"),
+          count(lit(1)).as("n_seasons"),
+          coalesce(sum("np"), lit(0L)).as("n_pairs"),
+          coalesce(sum("s_s"), lit(0L)).as("s_total"),
+          sum("var_num").as("var_total"))
+        .withColumn("z", when(col("var_total") > 0, r4(
+          (col("s_total") - signum(col("s_total")).cast("long"))
+            .cast("double")
+            / sqrt(col("var_total").cast("double") / 18.0))))
+        .select("n_hours", "n_seasons", "n_pairs", "s_total",
+          "var_total", "z")
+    }),
 
     "ts_mann_kendall" -> ((s, d) => {
       val hourly = TestData.events(s, d)
@@ -4699,6 +4801,98 @@ object TimeSeries {
         |ORDER BY hour""".stripMargin,
     // Same integer deviations; every sum-of-products ::BIGINT; one
     // trailing r4 division.
+    // Seasonal MK: within-season pair join over the hourly grid,
+    // per-season tie terms, continuity correction on the total S.
+    "ts_seasonal_mk" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts)::TIMESTAMP AS hour,
+        |         count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |h2 AS MATERIALIZED (
+        |  SELECT (epoch_us(hour) // 3600000000) % 24 AS season,
+        |    epoch_us(hour) // 3600000000 AS xh, n
+        |  FROM hourly),
+        |sp AS (
+        |  SELECT a.season, count(*)::BIGINT AS np,
+        |    sum(sign(b.n - a.n))::BIGINT AS s_s
+        |  FROM h2 a JOIN h2 b ON b.season = a.season AND b.xh > a.xh
+        |  GROUP BY 1),
+        |ti AS (
+        |  SELECT season,
+        |    sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term,
+        |    sum(t)::BIGINT AS n_h
+        |  FROM (SELECT season, n, count(*)::BIGINT AS t FROM h2
+        |        GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT ti.season, ti.tie_term, ti.n_h, spp.np, spp.s_s,
+        |    (n_h * (n_h - 1) * (2 * n_h + 5) - tie_term)::BIGINT
+        |      AS var_num
+        |  FROM ti LEFT JOIN sp spp ON ti.season = spp.season),
+        |a AS (
+        |  SELECT sum(n_h)::BIGINT AS n_hours,
+        |    count(*)::BIGINT AS n_seasons,
+        |    coalesce(sum(np), 0)::BIGINT AS n_pairs,
+        |    coalesce(sum(s_s), 0)::BIGINT AS s_total,
+        |    sum(var_num)::BIGINT AS var_total
+        |  FROM j)
+        |SELECT n_hours, n_seasons, n_pairs, s_total, var_total,
+        |  CASE WHEN var_total > 0 THEN
+        |    floor((s_total - sign(s_total))::DOUBLE
+        |      / sqrt(var_total::DOUBLE / 18.0) * 10000 + 0.5) / 10000
+        |    END AS z
+        |FROM a""".stripMargin,
+    // Group-sequential: user-grain look membership, mirrored pooled
+    // z, OBF boundary CASE literals.
+    "events_ab_group_sequential" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    min(epoch_us(ts) // 86400000000)::BIGINT AS fd,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_us(ts) // 86400000000 END)::BIGINT AS pd,
+        |    CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))
+        |      ::INT % 2 = 0 THEN 0 ELSE 1 END AS t
+        |  FROM events GROUP BY user_id),
+        |sp AS (SELECT min(fd)::BIGINT AS d0, max(fd)::BIGINT AS d1
+        |       FROM pu),
+        |lk AS (SELECT unnest([1, 2, 3, 4, 5]) AS look),
+        |j AS (
+        |  SELECT pu.*, lk.look,
+        |    (d0 + (d1 - d0 + 1) * look // 5)::BIGINT AS cut
+        |  FROM pu CROSS JOIN sp CROSS JOIN lk
+        |  WHERE fd < d0 + (d1 - d0 + 1) * look // 5),
+        |g AS (
+        |  SELECT look,
+        |    sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+        |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+        |    sum(CASE WHEN t = 0 AND pd IS NOT NULL AND pd < cut
+        |      THEN 1 ELSE 0 END)::BIGINT AS x_c,
+        |    sum(CASE WHEN t = 1 AND pd IS NOT NULL AND pd < cut
+        |      THEN 1 ELSE 0 END)::BIGINT AS x_t
+        |  FROM j GROUP BY 1),
+        |p AS (
+        |  SELECT *, CASE WHEN n_c + n_t > 0 THEN
+        |    (x_c + x_t)::DOUBLE / (n_c + n_t)::DOUBLE END AS p_pool
+        |  FROM g),
+        |q AS (
+        |  SELECT *, CASE WHEN n_c > 0 AND n_t > 0 AND p_pool > 0
+        |      AND p_pool < 1 THEN
+        |    floor((x_t::DOUBLE / n_t::DOUBLE - x_c::DOUBLE
+        |        / n_c::DOUBLE)
+        |      / sqrt(p_pool * (1.0 - p_pool)
+        |        * (1.0 / n_c::DOUBLE + 1.0 / n_t::DOUBLE))
+        |      * 10000 + 0.5) / 10000 END AS z
+        |  FROM p),
+        |r AS (
+        |  SELECT *, CASE look WHEN 1 THEN 4.8769 WHEN 2 THEN 3.3569
+        |    WHEN 3 THEN 2.6803 WHEN 4 THEN 2.2898 ELSE 2.0310 END
+        |    AS obf_boundary
+        |  FROM q)
+        |SELECT look::BIGINT AS look, n_c, n_t, x_c, x_t, z,
+        |  obf_boundary,
+        |  CASE WHEN z IS NOT NULL THEN abs(z) > obf_boundary END
+        |    AS crossed
+        |FROM r ORDER BY look""".stripMargin,
     // Durbin-Watson: same hourly count series; OLS detrend assembled
     // in mirrored doubles, whole-unit IEEE-floored residuals,
     // adjacent pairs by the t−1 equi-join.
