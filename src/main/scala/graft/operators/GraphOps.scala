@@ -1219,6 +1219,44 @@ object GraphOps {
     // at the depth — a seed whose true eccentricity exceeds 4 reads
     // 4, stated. Each round is one frontier join + a (seed, id)
     // min — level-sized state at any corpus.
+    // LABEL HOMOPHILY (round 15 continuation): Newman's categorical
+    // assortativity over the kNN graph's labels — "do same-label
+    // vectors link more than chance", the embedding-space quality
+    // check that degree assortativity can't see (labels, not
+    // degrees). Closed integer form: with m edges, same-label count
+    // S and endpoint label counts c_i (over the mirrored 2m ends),
+    // r = (4m·S − Σc_i²)/(4m² − Σc_i²) — EXACT BIGINT numerator and
+    // denominator (Σc_i² ≤ 4m² < 2^63 to m ~ 1.5e9 — past that
+    // divide the mixing matrix through by 2m first, documented);
+    // one guarded division, r4. Single-label graph ⇒ den 0 ⇒ NULL.
+    "graph_label_homophily" -> ((s, d) => {
+      val lbl = TestData.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("lbl"))
+      val e = fixtureKnnEdges(s, d)
+        .join(lbl.select(col("vec_id").as("a"), col("lbl").as("la")),
+          Seq("a"))
+        .join(lbl.select(col("vec_id").as("b"), col("lbl").as("lb")),
+          Seq("b"))
+        .localCheckpoint() // totals + the ends histogram
+      val tot = e.agg(count(lit(1)).as("m"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L))
+          .as("n_same"))
+      val ends = e.select(col("la").as("l"))
+        .union(e.select(col("lb").as("l")))
+        .groupBy("l").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_labels"),
+          sum(col("c") * col("c")).as("sum_c_sq"))
+      tot.crossJoin(broadcast(ends))
+        .withColumn("num",
+          lit(4L) * col("m") * col("n_same") - col("sum_c_sq"))
+        .withColumn("den",
+          lit(4L) * col("m") * col("m") - col("sum_c_sq"))
+        .withColumn("homophily", when(col("den") > 0,
+          TestData.r4(col("num").cast("double")
+            / col("den").cast("double"))))
+        .select("m", "n_same", "n_labels", "sum_c_sq", "homophily")
+    }),
+
     // PATH-LENGTH DISTRIBUTION (round 15 continuation): the
     // small-world readout next to eccentricity/closeness — "how many
     // hops separate a typical pair" — off the SAME memoized seeded
@@ -1682,6 +1720,30 @@ object GraphOps {
         |SELECT e.vec_id, coalesce(bc.bc_u, 0)::BIGINT AS bc_u
         |FROM embeddings e LEFT JOIN bc ON e.vec_id = bc.id
         |ORDER BY e.vec_id""".stripMargin,
+    // Newman categorical assortativity: exact integer closed form
+    // over the labeled edge list + the mirrored ends histogram.
+    "graph_label_homophily" ->
+      s"""$EdgesCte,
+        |lbt AS (SELECT vec_id, label::BIGINT AS lbl FROM embeddings),
+        |el AS MATERIALIZED (
+        |  SELECT e.a, e.b, ja.lbl AS la, jb.lbl AS lb
+        |  FROM edges e JOIN lbt ja ON e.a = ja.vec_id
+        |    JOIN lbt jb ON e.b = jb.vec_id),
+        |tot AS (SELECT count(*)::BIGINT AS m,
+        |  sum(CASE WHEN la = lb THEN 1 ELSE 0 END)::BIGINT AS n_same
+        |  FROM el),
+        |ends AS (
+        |  SELECT count(*)::BIGINT AS n_labels,
+        |    sum(c * c)::BIGINT AS sum_c_sq
+        |  FROM (SELECT l, count(*)::BIGINT AS c FROM (
+        |    SELECT la AS l FROM el UNION ALL SELECT lb FROM el)
+        |    GROUP BY 1))
+        |SELECT m, n_same, n_labels, sum_c_sq,
+        |  CASE WHEN 4 * m * m - sum_c_sq > 0 THEN
+        |    floor((4 * m * n_same - sum_c_sq)::DOUBLE
+        |      / (4 * m * m - sum_c_sq)::DOUBLE * 10000 + 0.5) / 10000
+        |    END AS homophily
+        |FROM tot CROSS JOIN ends""".stripMargin,
     // Same unrolled BFS closure; exact histogram + two scalar
     // cross joins.
     "graph_path_length_dist" ->

@@ -1180,6 +1180,66 @@ object Stats {
           col("c_mktsegment").as("b"),
           floor(col("c_acctbal") + 0.5).cast("long").as("y")))),
 
+    // TUKEY HSD (round 15 continuation): the post-hoc pairwise
+    // comparison that belongs to agg_anova_f's verdict (Dunn exists
+    // for the rank world; this is its parametric sibling) — WHICH
+    // language pairs differ, with the studentized-range correction
+    // that keeps the familywise α honest. Tukey-Kramer form for
+    // unequal n: q_ij = |m_i − m_j| / √(MSE/2·(1/n_i + 1/n_j));
+    // critical values are the ∞-df studentized-range 0.05 constants
+    // for k = 2..10 (published Harter table; a CASE ladder literal
+    // in BOTH engines — df here is corpus-sized so ∞-df is the
+    // honest row; NULL beyond k = 10, documented). Sufficient stats
+    // exact (the anova_f t_u protocol); MSE once on the 1-row
+    // totals; pairs via a self-join of the k-row group frame.
+    "agg_tukey_hsd" -> ((s, d) => {
+      val g = TestData.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_g"), sum("n_chars").as("sx"),
+          sum(col("n_chars") * col("n_chars")).as("sxx"))
+        .withColumn("t_u", floor(col("sx").cast("double")
+          * col("sx").cast("double") / col("n_g").cast("double") + 0.5)
+          .cast("long"))
+        .withColumn("m", col("sx").cast("double")
+          / col("n_g").cast("double"))
+        .localCheckpoint() // totals + both sides of the pair join
+      val tot = g.agg(count(lit(1)).as("k_groups"),
+          sum("n_g").as("n_total"), sum("sxx").as("sxx_all"),
+          sum("t_u").as("t_sum_u"))
+        .withColumn("ssw_u", col("sxx_all") - col("t_sum_u"))
+        .withColumn("mse", when(col("n_total") > col("k_groups"),
+          col("ssw_u").cast("double")
+            / (col("n_total") - col("k_groups")).cast("double")))
+        .withColumn("q_crit",
+          when(col("k_groups") === 2, 2.772)
+            .when(col("k_groups") === 3, 3.314)
+            .when(col("k_groups") === 4, 3.633)
+            .when(col("k_groups") === 5, 3.858)
+            .when(col("k_groups") === 6, 4.030)
+            .when(col("k_groups") === 7, 4.170)
+            .when(col("k_groups") === 8, 4.286)
+            .when(col("k_groups") === 9, 4.387)
+            .when(col("k_groups") === 10, 4.474))
+      val b = g.select(col("lang").as("lang_b"), col("n_g").as("n_b"),
+        col("m").as("m_b"))
+      g.select(col("lang").as("lang_a"), col("n_g").as("n_a"),
+          col("m").as("m_a"))
+        .join(b, col("lang_a") < col("lang_b"))
+        .crossJoin(broadcast(tot))
+        .withColumn("q_stat", when(col("mse") > 0,
+          r4(abs(col("m_a") - col("m_b"))
+            / sqrt(col("mse") / 2.0
+              * (lit(1.0) / col("n_a").cast("double")
+                + lit(1.0) / col("n_b").cast("double"))))))
+        .withColumn("significant_95",
+          when(col("q_stat").isNotNull && col("q_crit").isNotNull,
+            col("q_stat") > col("q_crit")))
+        .select(col("lang_a"), col("lang_b"), col("n_a"), col("n_b"),
+          r4(col("m_a") - col("m_b")).as("mean_diff"), col("q_stat"),
+          col("q_crit"), col("significant_95"))
+        .orderBy("lang_a", "lang_b")
+    }),
+
     // PARTIAL CORRELATION (round 15 continuation): corr(quantity,
     // price | discount) per return flag — the "does the raw
     // correlation survive holding the confounder fixed" readout that
@@ -3246,6 +3306,49 @@ object Stats {
         |    floor(ss_ab::DOUBLE / ((k_a - 1) * (k_b - 1))::DOUBLE / msw
         |      * 10000 + 0.5) / 10000 END AS f_ab
         |FROM m""".stripMargin,
+    // Tukey-Kramer HSD: anova_f sufficient stats, pair self-join of
+    // the k-row group frame, infinite-df studentized-range literals.
+    "agg_tukey_hsd" ->
+      """WITH g AS (
+        |  SELECT lang, count(*)::BIGINT AS n_g,
+        |    sum(n_chars)::BIGINT AS sx,
+        |    sum(n_chars * n_chars)::BIGINT AS sxx
+        |  FROM documents GROUP BY 1),
+        |g2 AS MATERIALIZED (
+        |  SELECT *, floor(sx::DOUBLE * sx::DOUBLE / n_g::DOUBLE + 0.5)
+        |      ::BIGINT AS t_u,
+        |    sx::DOUBLE / n_g::DOUBLE AS m
+        |  FROM g),
+        |tot AS (
+        |  SELECT count(*)::BIGINT AS k_groups,
+        |    sum(n_g)::BIGINT AS n_total,
+        |    (sum(sxx) - sum(t_u))::BIGINT AS ssw_u
+        |  FROM g2),
+        |t2 AS (
+        |  SELECT *, CASE WHEN n_total > k_groups THEN
+        |      ssw_u::DOUBLE / (n_total - k_groups)::DOUBLE END AS mse,
+        |    CASE k_groups WHEN 2 THEN 2.772 WHEN 3 THEN 3.314
+        |      WHEN 4 THEN 3.633 WHEN 5 THEN 3.858 WHEN 6 THEN 4.030
+        |      WHEN 7 THEN 4.170 WHEN 8 THEN 4.286 WHEN 9 THEN 4.387
+        |      WHEN 10 THEN 4.474 END AS q_crit
+        |  FROM tot),
+        |p AS (
+        |  SELECT a.lang AS lang_a, b.lang AS lang_b, a.n_g AS n_a,
+        |    b.n_g AS n_b, a.m AS m_a, b.m AS m_b
+        |  FROM g2 a JOIN g2 b ON a.lang < b.lang),
+        |q AS (
+        |  SELECT p.*, t2.mse, t2.q_crit,
+        |    CASE WHEN mse > 0 THEN
+        |      floor(abs(m_a - m_b) / sqrt(mse / 2.0
+        |        * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE))
+        |        * 10000 + 0.5) / 10000 END AS q_stat
+        |  FROM p CROSS JOIN t2)
+        |SELECT lang_a, lang_b, n_a, n_b,
+        |  floor((m_a - m_b) * 10000 + 0.5) / 10000 AS mean_diff,
+        |  q_stat, q_crit,
+        |  CASE WHEN q_stat IS NOT NULL AND q_crit IS NOT NULL THEN
+        |    q_stat > q_crit END AS significant_95
+        |FROM q ORDER BY lang_a, lang_b""".stripMargin,
     // Exact McNemar: the paired flags fold to ±1 deltas, then the
     // shared exact-binomial chain.
     "agg_mcnemar_exact" ->

@@ -3716,6 +3716,74 @@ object TimeSeries {
         .orderBy("t_hr")
     }),
 
+    // KM GREENWOOD CI (round 15 continuation): the error band the
+    // bare Kaplan-Meier curve lacked — Greenwood's variance
+    // Var(S) = S²·Σ d/(n(n−d)) is what makes two KM curves readable
+    // as DIFFERENT (the drill-down before logrank's verdict). Same
+    // duration-grid machinery as events_survival_km; each Greenwood
+    // increment is a RATIO OF INTEGERS d·1e12 DIV (n(n−d)) (positive
+    // ⇒ DIV ≡ //; n(n−d)·1e12 < 2^63 bounds n to ~3e9 — the NA
+    // bound), so the cumulative is an exact BIGINT; SE/CI assemble
+    // once per grid row in mirrored doubles off the micro-nat S,
+    // clamped to [0, 1]. Risk-set-death rows (n = d) read S = 0 and
+    // a NULL band (the variance denominator is 0 there — standard).
+    "events_km_ci" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val pu = TestData.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .groupBy("user_id")
+        .agg(min("ts_us").as("t0"),
+          min(when(col("event_type") === "purchase", col("ts_us")))
+            .as("tconv"),
+          max("ts_us").as("tlast"))
+        .withColumn("event",
+          when(col("tconv").isNotNull, 1L).otherwise(0L))
+        .withColumn("dur_hr",
+          when(col("event") === 1, expr("(tconv - t0) DIV 3600000000"))
+            .otherwise(expr("(tlast - t0) DIV 3600000000")))
+      val risk = pu.groupBy("dur_hr")
+        .agg(sum("event").as("d_t"),
+          sum(lit(1L) - col("event")).as("c_t"))
+        .withColumn("n_total",
+          sum(col("d_t") + col("c_t")).over(W.partitionBy()))
+        .withColumn("n_risk", col("n_total")
+          - coalesce(sum(col("d_t") + col("c_t")).over(
+              W.orderBy("dur_hr")
+                .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      risk.filter(col("d_t") > 0)
+        .withColumn("term_u", when(col("n_risk") > col("d_t"),
+          floor(log((col("n_risk") - col("d_t")).cast("double")
+            / col("n_risk").cast("double")) * 1000000 + 0.5)
+            .cast("long")))
+        .withColumn("g_t", when(col("n_risk") > col("d_t"),
+          expr("d_t * 1000000000000 DIV (n_risk * (n_risk - d_t))"))
+          .otherwise(0L))
+        .withColumn("zero_flag",
+          max(when(col("n_risk") === col("d_t"), 1).otherwise(0)).over(
+            W.orderBy("dur_hr").rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn("cum_u", sum("term_u").over(
+          W.orderBy("dur_hr").rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn("cum_g", sum("g_t").over(
+          W.orderBy("dur_hr").rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn("survival", when(col("zero_flag") === 1, lit(0.0))
+          .otherwise(r4(exp(col("cum_u") / 1000000.0))))
+        .withColumn("se", when(col("zero_flag") === 0,
+          r4(exp(col("cum_u") / 1000000.0)
+            * sqrt(col("cum_g").cast("double") / 1.0e12))))
+        .withColumn("ci_lo", when(col("se").isNotNull,
+          r4(greatest(lit(0.0), exp(col("cum_u") / 1000000.0)
+            - lit(1.959964) * exp(col("cum_u") / 1000000.0)
+            * sqrt(col("cum_g").cast("double") / 1.0e12)))))
+        .withColumn("ci_hi", when(col("se").isNotNull,
+          r4(least(lit(1.0), exp(col("cum_u") / 1000000.0)
+            + lit(1.959964) * exp(col("cum_u") / 1000000.0)
+            * sqrt(col("cum_g").cast("double") / 1.0e12)))))
+        .select(col("dur_hr").as("t_hr"), col("n_risk"),
+          col("d_t").as("n_events"), col("survival"), col("se"),
+          col("ci_lo"), col("ci_hi"))
+        .orderBy("t_hr")
+    }),
+
     // NELSON-AALEN CUMULATIVE HAZARD (round 14): the estimator the
     // survival family publishes NEXT TO Kaplan-Meier — H(t) =
     // Σ_{s≤t} d_s/n_s with the Poisson-type variance Σ d_s/n_s²;
@@ -4801,6 +4869,70 @@ object TimeSeries {
         |ORDER BY hour""".stripMargin,
     // Same integer deviations; every sum-of-products ::BIGINT; one
     // trailing r4 division.
+    // KM + Greenwood: same risk-set chain as survival_km with the
+    // exact integer-ratio variance increments.
+    "events_km_ci" ->
+      """WITH pu AS (
+        |  SELECT user_id, min(epoch_us(ts))::BIGINT AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      ::BIGINT AS tconv,
+        |    max(epoch_us(ts))::BIGINT AS tlast
+        |  FROM events GROUP BY 1),
+        |du AS (
+        |  SELECT CASE WHEN tconv IS NOT NULL THEN 1 ELSE 0 END AS event,
+        |    CASE WHEN tconv IS NOT NULL
+        |      THEN (tconv - t0) // 3600000000
+        |      ELSE (tlast - t0) // 3600000000 END AS dur_hr
+        |  FROM pu),
+        |risk AS (
+        |  SELECT dur_hr, sum(event)::BIGINT AS d_t,
+        |    sum(1 - event)::BIGINT AS c_t
+        |  FROM du GROUP BY 1),
+        |rr AS (
+        |  SELECT *,
+        |    (sum(d_t + c_t) OVER ())::BIGINT
+        |      - (coalesce(sum(d_t + c_t) OVER (ORDER BY dur_hr
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        0))::BIGINT AS n_risk
+        |  FROM risk),
+        |t AS (
+        |  SELECT *,
+        |    CASE WHEN n_risk > d_t THEN
+        |      floor(ln((n_risk - d_t)::DOUBLE / n_risk::DOUBLE)
+        |        * 1000000 + 0.5)::BIGINT END AS term_u,
+        |    CASE WHEN n_risk > d_t THEN
+        |      d_t * 1000000000000 // (n_risk * (n_risk - d_t))
+        |      ELSE 0 END AS g_t
+        |  FROM rr WHERE d_t > 0),
+        |c AS (
+        |  SELECT *,
+        |    (max(CASE WHEN n_risk = d_t THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY dur_hr ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND CURRENT ROW)) AS zero_flag,
+        |    (sum(term_u) OVER (ORDER BY dur_hr ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW))::BIGINT AS cum_u,
+        |    (sum(g_t) OVER (ORDER BY dur_hr ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW))::BIGINT AS cum_g
+        |  FROM t)
+        |SELECT dur_hr AS t_hr, n_risk, d_t AS n_events,
+        |  CASE WHEN zero_flag = 1 THEN 0.0 ELSE
+        |    floor(exp(cum_u / 1000000.0) * 10000 + 0.5) / 10000 END
+        |    AS survival,
+        |  CASE WHEN zero_flag = 0 THEN
+        |    floor(exp(cum_u / 1000000.0)
+        |      * sqrt(cum_g::DOUBLE / 1.0e12) * 10000 + 0.5) / 10000
+        |    END AS se,
+        |  CASE WHEN zero_flag = 0 THEN
+        |    floor(greatest(0.0, exp(cum_u / 1000000.0)
+        |      - 1.959964 * exp(cum_u / 1000000.0)
+        |      * sqrt(cum_g::DOUBLE / 1.0e12)) * 10000 + 0.5) / 10000
+        |    END AS ci_lo,
+        |  CASE WHEN zero_flag = 0 THEN
+        |    floor(least(1.0, exp(cum_u / 1000000.0)
+        |      + 1.959964 * exp(cum_u / 1000000.0)
+        |      * sqrt(cum_g::DOUBLE / 1.0e12)) * 10000 + 0.5) / 10000
+        |    END AS ci_hi
+        |FROM c ORDER BY t_hr""".stripMargin,
     // Seasonal MK: within-season pair join over the hourly grid,
     // per-season tie terms, continuity correction on the total S.
     "ts_seasonal_mk" ->

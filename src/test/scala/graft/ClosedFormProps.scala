@@ -996,6 +996,31 @@ object ClosedFormProps extends Properties("graft.closedforms") {
       (hl == brute) :| s"grid $hl vs brute $brute"
     }
 
+  // graph_label_homophily: the integer closed form
+  // (4m·S − Σc²)/(4m² − Σc²) equals Newman's categorical
+  // assortativity computed from the normalized mixing matrix, and
+  // an all-same-label edge list reads exactly 1.
+  property("label homophily closed form equals the mixing-matrix definition") =
+    Prop.forAll(Gen.nonEmptyListOf(for {
+      la <- Gen.choose(0, 3); lb <- Gen.choose(0, 3)
+    } yield (la, lb))) { edges =>
+      val m = edges.length.toLong
+      val same = edges.count { case (a, b) => a == b }.toLong
+      val cnt = edges.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val sumCSq = cnt.values.map(c => c * c).sum
+      val den = 4 * m * m - sumCSq
+      // mixing-matrix definition: e_ij over 2m directed ends,
+      // a_i marginals; r = (tr e − Σa²)/(1 − Σa²)
+      val tr = same.toDouble / m
+      val sa2 = cnt.values.map(c => c.toDouble / (2 * m)).map(x => x * x).sum
+      (den == 0L) :| "degenerate" || {
+        val closed = (4 * m * same - sumCSq).toDouble / den
+        val defn = (tr - sa2) / (1.0 - sa2)
+        (math.abs(closed - defn) < 1e-9) :| s"closed $closed vs def $defn"
+      }
+    }
+
   // agg_hodges_lehmann auto-coarsening (VERDICT r14 #4): regrouping
   // the cell grid on floor(x/f) and rescaling the coarse weighted
   // median by f lands within ONE quantizer step of the fine HL, for

@@ -17,10 +17,12 @@ class PlanSpec extends SparkSpec {
     * of these rides a documented bounded frame; re-pin only after
     * verifying the new site is grid-bounded, never corpus-grain.
     */
-  // r15 audited inventory; +2 late-r15: agg_decision_stump's
-  // x-value-grid cumulative and agg_mcnemar_exact's shard-offset
-  // window (both bounded grids, verified at re-pin time)
-  private val UNPARTITIONED_WINDOW_SITES = 124
+  // r15 audited inventory; +2 late-r15 (agg_decision_stump's
+  // x-value-grid cumulative, agg_mcnemar_exact's shard-offset
+  // window) + 3 from events_km_ci (the KM duration-grid global +
+  // cumulative windows — the survival-family precedent). All
+  // bounded grids, verified at re-pin time.
+  private val UNPARTITIONED_WINDOW_SITES = 127
 
   private def plan(key: String): String = {
     val df = SparkEntry.queries(key)(spark, sfDir)

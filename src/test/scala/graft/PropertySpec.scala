@@ -924,6 +924,22 @@ class PropertySpec extends SparkSpec {
     assert(oneRows.length === 1 && oneRows(0).getAs[Long]("cut") === 0L)
   }
 
+  test("KM Greenwood CI brackets the curve; survival matches the bare KM key") {
+    val ci = SparkEntry.queries("events_km_ci")(spark, sfDir).collect()
+    assert(ci.nonEmpty)
+    ci.filter(!_.isNullAt(4)).foreach { r =>
+      val (s, lo, hi) = (r.getAs[Double]("survival"),
+        r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+      assert(lo <= s + 1e-9 && s <= hi + 1e-9, s"CI [$lo,$hi] vs $s")
+      assert(r.getAs[Double]("se") > 0)
+    }
+    val km = SparkEntry.queries("events_survival_km")(spark, sfDir)
+      .select($"t_hr", $"survival").as[(Long, Double)].collect().toMap
+    ci.foreach(r => assert(
+      km(r.getAs[Long]("t_hr")) === r.getAs[Double]("survival"),
+      "km_ci survival must equal the bare KM key"))
+  }
+
   test("path-length distribution: shares sum to 1, mean consistent, seeds at dist 0") {
     val rows = SparkEntry.queries("graph_path_length_dist")(spark, sfDir)
       .collect()
