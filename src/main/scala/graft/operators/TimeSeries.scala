@@ -2349,24 +2349,46 @@ object TimeSeries {
     // a user tie-break. ntile here is a global sort — fine for a
     // user-dimension table (users ≪ events); at 100 TB the cuts come
     // from approx_percentile and the bucketing goes map-side.
+    // r15 post-audit re-plan: the three ntile(4) quartiles ran
+    // through USER-GRAIN unpartitioned windows (the one family the
+    // mechanized window audit surfaced). They now ride three
+    // rangedRank passes (hierarchical global rank — the
+    // win_cumulative recipe) + the exact ntile closed form over
+    // (rank, N): the first N%4 buckets carry N DIV 4 + 1 rows, all
+    // integer arithmetic on non-negative quantities. Bit-identical
+    // to ntile (the oracle keeps DuckDB's native ntile); desc orders
+    // become negated r4-quantized sort keys.
     "events_rfm_segments" -> ((s, d) => {
-      val W = org.apache.spark.sql.expressions.Window
       val ev = TestData.events(s, d)
       val user = ev.groupBy("user_id")
         .agg(max(col("ts")).as("last_ts"),
              count(lit(1)).as("freq"),
              r4(sum(col("value"))).as("mon4"))
       val tot = ev.agg(max(col("ts")).as("corpus_max"))
-      user.crossJoin(broadcast(tot))
+      val base = user.crossJoin(broadcast(tot))
         .withColumn("recency_us",
           unix_micros(col("corpus_max")) - unix_micros(col("last_ts")))
-        .withColumn("r",
-          ntile(4).over(W.orderBy(col("recency_us"), col("user_id"))))
-        .withColumn("f",
-          ntile(4).over(W.orderBy(col("freq").desc, col("user_id"))))
-        .withColumn("m",
-          ntile(4).over(W.orderBy(col("mon4").desc, col("user_id"))))
-        .groupBy((col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
+        .withColumn("nfreq", -col("freq"))
+        .withColumn("nmon", -col("mon4"))
+        .withColumn("g", lit(0))
+        .localCheckpoint() // three rank passes + the count
+      val n = base.groupBy("g").agg(count(lit(1)).as("n_tot"))
+      val ranked = graft.operators.Curation.rangedRank(
+        graft.operators.Curation.rangedRank(
+          graft.operators.Curation.rangedRank(base, "g",
+            Seq(col("recency_us"), col("user_id")), "rk_r"), "g",
+          Seq(col("nfreq"), col("user_id")), "rk_f"), "g",
+        Seq(col("nmon"), col("user_id")), "rk_m")
+      def nt(rk: String): Column =
+        (when(col(rk) <= (col("n_tot") % 4)
+            * expr("n_tot DIV 4 + 1"),
+          expr(s"($rk - 1) DIV (n_tot DIV 4 + 1) + 1"))
+          .otherwise((col("n_tot") % 4) + expr(
+            s"($rk - (n_tot % 4) * (n_tot DIV 4 + 1) - 1)" +
+              " DIV greatest(n_tot DIV 4, 1) + 1"))).cast("int")
+      ranked.join(broadcast(n), "g")
+        .groupBy((nt("rk_r") * 100 + nt("rk_f") * 10 + nt("rk_m"))
+          .as("segment"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy("segment")
     }),

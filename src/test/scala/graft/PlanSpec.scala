@@ -20,9 +20,12 @@ class PlanSpec extends SparkSpec {
   // r15 audited inventory; +2 late-r15 (agg_decision_stump's
   // x-value-grid cumulative, agg_mcnemar_exact's shard-offset
   // window) + 3 from events_km_ci (the KM duration-grid global +
-  // cumulative windows — the survival-family precedent). All
+  // cumulative windows — the survival-family precedent) − 3 from
+  // the events_rfm_segments re-plan (its user-grain ntile windows
+  // now ride rangedRank; the rank stages checkpoint internally so
+  // only their dedicated pins see them). All remaining sites are
   // bounded grids, verified at re-pin time.
-  private val UNPARTITIONED_WINDOW_SITES = 127
+  private val UNPARTITIONED_WINDOW_SITES = 124
 
   private def plan(key: String): String = {
     val df = SparkEntry.queries(key)(spark, sfDir)
