@@ -975,8 +975,9 @@ object TimeSeries {
     * mirrored IEEE expression floored to micro BEFORE its grid sum
     * (Σd·1e6 ≤ n·1e6 bounds e_su/i_su to ~1e15 at 1e9 subjects); the
     * Newton step floor(U/I·1e6 + 0.5) is the negative-safe IEEE-floor
-    * quantizer, so β is an exact micro BIGINT between rounds in both
-    * engines. Degenerate inputs (no events, single variant ⇒ I = 0)
+    * quantizer, clamped to ±30e6 micro (the IRLS guard) so a
+    * near-singular information can never overflow the long cast, and
+    * β is an exact micro BIGINT between rounds in both engines. Degenerate inputs (no events, single variant ⇒ I = 0)
     * carry okl = 0 through the rounds and read out NULL. Four passes
     * over the localCheckpointed grid; the oracle unrolls the rounds
     * as MATERIALIZED CTEs (the Louvain precedent). Shared with
@@ -1019,9 +1020,16 @@ object TimeSeries {
         .agg(max("b_u").as("b_prev"), max("okl").as("ok_prev"),
           sum("d1_t").as("o1"), sum(eT).as("e_su"), sum(iT).as("i_su"))
         .select(
+          // step clamp ±30e6 micro (the logisticIrlsCore guard,
+          // ADVICE r15): a near-singular quantized information with a
+          // large one-sided score must degrade, not overflow the long
+          // cast under ANSI. Behavior-neutral on sane data — β is
+          // already railed at ±13 where it is consumed.
           (col("b_prev") + when(col("i_su") > 0,
-            floor((col("o1") * lit(1000000L) - col("e_su")).cast("double")
-              / col("i_su").cast("double") * 1000000 + 0.5).cast("long"))
+            least(lit(30000000L), greatest(lit(-30000000L),
+              floor((col("o1") * lit(1000000L) - col("e_su")).cast("double")
+                / col("i_su").cast("double") * 1000000 + 0.5)))
+              .cast("long"))
             .otherwise(0L)).as("b_u"),
           when(col("i_su") > 0, col("ok_prev")).otherwise(0L).as("okl"))
     val seed = subjects.sparkSession.range(1)
@@ -4839,8 +4847,9 @@ object TimeSeries {
        |  FROM ${cur}b),
        |$cur AS (
        |  SELECT (max(b_u) + CASE WHEN sum(i_t) > 0 THEN
-       |      floor((sum(d1_t) * 1000000 - sum(e_t))::DOUBLE
-       |        / sum(i_t)::DOUBLE * 1000000 + 0.5)::BIGINT
+       |      least(30000000.0, greatest(-30000000.0,
+       |        floor((sum(d1_t) * 1000000 - sum(e_t))::DOUBLE
+       |          / sum(i_t)::DOUBLE * 1000000 + 0.5)))::BIGINT
        |    ELSE 0 END)::BIGINT AS b_u,
        |    (CASE WHEN sum(i_t) > 0 THEN max(okl) ELSE 0 END)::BIGINT
        |      AS okl
