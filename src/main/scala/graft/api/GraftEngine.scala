@@ -4724,6 +4724,19 @@ class GraftEngine(val spark: SparkSession) {
       scored.select(col(scoreCol).cast("long").as("score_u"),
         col(labelCol).cast("long").as("is_pos")))
 
+  /** Isotonic calibration fit (see `eval_calibration_fit`) over
+    * (quantized score BIGINT, label 0/1) rows: the PAVA monotone
+    * regression of label on score via the minimax closed form over
+    * the score-distinct grid — the map that CORRECTS a
+    * mis-calibrated detector score. fit_u is floor(1e6 · exact fit);
+    * output is monotone non-decreasing in score by construction.
+    */
+  def isotonicFit(scored: DataFrame, scoreCol: String,
+                  labelCol: String): DataFrame =
+    graft.operators.TextOps.isotonicFitCore(
+      scored.select(col(scoreCol).cast("long").as("score_u"),
+        col(labelCol).cast("long").as("is_pos")))
+
   /** Sampled harmonic closeness (see `graph_closeness_sample`):
     * undirected (a, b) edges + seed rows → per-seed Σ 1/dist over a
     * depth-truncated BFS, normalized by (N−1). Unreached nodes

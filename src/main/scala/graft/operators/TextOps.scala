@@ -659,6 +659,54 @@ object TextOps {
           col("log_loss_base"), col("skill"))
   }
 
+  /** Isotonic calibration fit core (see `eval_calibration_fit`):
+    * input (score_u: BIGINT quantized score, is_pos: BIGINT 0/1)
+    * rows; output the score-DISTINCT grid with the PAVA-fitted
+    * monotone probability, via the minimax CLOSED FORM
+    * fit(k) = max_{i≤k} min_{j≥k} avg(y_i..y_j) — no pooling
+    * iteration, so it oracles exactly. Interval averages come off
+    * one cumulative (pos, n) prefix over the grid; each ratio is
+    * quantized to micro by INTEGER division (nonnegative ⇒ Spark DIV
+    * ≡ DuckDB //), and because floor is monotone it COMMUTES with
+    * the min/max extremes: fit_u = floor(1e6 · exact PAVA fit),
+    * bit-identical in both engines (ClosedFormProps pins the grid
+    * form ≡ the classic pool-adjacent-violators algorithm).
+    * Scale shape: the interval grid is quadratic in the score
+    * DOMAIN (≤ 1e4+1 distinct 1e-4-unit scores ⇒ ≤ ~5e7 interval
+    * rows), CONSTANT in pair count — the rank-test cell-grid
+    * discipline; the suffix-min window is partitioned by interval
+    * start. (pos·1e6 < 2^63 bounds the eval sample at ~9e12
+    * positives — documented.) Shared with `GraftEngine.isotonicFit`.
+    */
+  private[graft] def isotonicFitCore(scored: DataFrame): DataFrame = {
+    // grid-sized unpartitioned prefix (score DOMAIN, bounded)
+    val W = Window.orderBy("score_u")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cells = scored
+      .groupBy("score_u")
+      .agg(count(lit(1)).as("n_b"), sum("is_pos").as("pos_b"))
+      .withColumn("cp", sum("pos_b").over(W))
+      .withColumn("cn", sum("n_b").over(W))
+      .localCheckpoint() // i side, j side, readout
+    val ci = cells.select(col("score_u").as("si"),
+      (col("cp") - col("pos_b")).as("cpe"),
+      (col("cn") - col("n_b")).as("cne"))
+    val cj = cells.select(col("score_u").as("sj"), col("cp"), col("cn"))
+    val Wsm = Window.partitionBy("si").orderBy(col("sj").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fit = ci.crossJoin(broadcast(cj))
+      .filter(col("si") <= col("sj"))
+      .withColumn("r_u", expr("((cp - cpe) * 1000000L) DIV (cn - cne)"))
+      .withColumn("g", min("r_u").over(Wsm))
+      .groupBy(col("sj").as("score_u"))
+      .agg(max("g").as("fit_u"))
+    cells.join(broadcast(fit), Seq("score_u"))
+      .select(col("score_u"), col("n_b").as("n_pairs"),
+        col("pos_b").as("n_pos"), col("fit_u"),
+        r4(col("fit_u").cast("double") / 1000000.0).as("fit"))
+      .orderBy("score_u")
+  }
+
 
   val defs: Map[String, Q] = Map(
     "text_tokenize_stats" -> ((s, d) =>
@@ -946,6 +994,23 @@ object TextOps {
           "gap", "ece")
         .orderBy("bin")
     }),
+
+    // ISOTONIC CALIBRATION FIT (round 16, VERDICT r15 top_next): the
+    // eval family could MEASURE mis-calibration (reliability curve,
+    // ECE, Brier) but not FIX it — this key completes measure → fit →
+    // CORRECT. PAVA isotonic regression of is_pos on the jaccard
+    // score via the minimax closed form max_{i≤k} min_{j≥k}
+    // avg(y_i..y_j) over the score-DISTINCT grid (see
+    // isotonicFitCore): interval averages off one prefix pass,
+    // micro-quantized by integer division (floor commutes with the
+    // extremes ⇒ fit_u = floor(1e6·exact fit), engine-identical).
+    // Output monotone in score BY CONSTRUCTION (pinned); fitted ECE
+    // ≤ raw ECE pinned in EngineApiSpec on these planted scores.
+    // Same memoized planted scored-pair stage.
+    "eval_calibration_fit" -> ((s, d) =>
+      isotonicFitCore(plantedDetectorScores(s, d)
+        .filter(col("detector") === "jaccard")
+        .select("score_u", "is_pos"))),
 
     // BRIER SCORE + MURPHY DECOMPOSITION (round 15): the proper-
     // scoring-rule closer of the eval family — AUC ranks, the sweep
@@ -1305,6 +1370,47 @@ object TextOps {
         |    floor((1.0 - log_loss / log_loss_base) * 10000 + 0.5)
         |      / 10000 END AS skill
         |FROM c2""".stripMargin,
+    // Same jac CTEs; minimax PAVA over the score-distinct grid —
+    // interval averages off one cumulative prefix, micro integer
+    // division, suffix-min per interval start, max per end.
+    "eval_calibration_fit" ->
+      s"""$PlantedJacCtes,
+        |lab AS (
+        |  SELECT score_u,
+        |    CASE WHEN id_b = id_a + 1000000 AND id_a % 5 = 0
+        |      THEN 1 ELSE 0 END AS is_pos
+        |  FROM jac),
+        |cells AS (
+        |  SELECT score_u, count(*)::BIGINT AS n_b,
+        |    sum(is_pos)::BIGINT AS pos_b
+        |  FROM lab GROUP BY 1),
+        |cum AS (
+        |  SELECT score_u, n_b, pos_b,
+        |    (sum(pos_b) OVER (ORDER BY score_u ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW))::BIGINT AS cp,
+        |    (sum(n_b) OVER (ORDER BY score_u ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW))::BIGINT AS cn
+        |  FROM cells),
+        |pr AS (
+        |  SELECT i.score_u AS si, j.score_u AS sj,
+        |    ((j.cp - (i.cp - i.pos_b)) * 1000000)
+        |      // (j.cn - (i.cn - i.n_b)) AS r_u
+        |  FROM cum i JOIN cum j ON i.score_u <= j.score_u),
+        |sm AS (
+        |  SELECT si, sj,
+        |    (min(r_u) OVER (PARTITION BY si ORDER BY sj DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      ::BIGINT AS g
+        |  FROM pr),
+        |ft AS (
+        |  SELECT sj AS score_u, max(g)::BIGINT AS fit_u
+        |  FROM sm GROUP BY 1)
+        |SELECT c.score_u, c.n_b AS n_pairs, c.pos_b AS n_pos,
+        |  f.fit_u,
+        |  floor(f.fit_u::DOUBLE / 1000000.0 * 10000 + 0.5) / 10000
+        |    AS fit
+        |FROM cells c JOIN ft f ON c.score_u = f.score_u
+        |ORDER BY c.score_u""".stripMargin,
     // Same jac CTEs; exact BIGINT ECE numerators |pos·1e4 − Σscore|,
     // bin-grid windows ::BIGINT.
     "eval_score_calibration" ->

@@ -1042,6 +1042,46 @@ object ClosedFormProps extends Properties("graft.closedforms") {
         s"coarse $coarse vs fine $fine at f=$f"
     }
 
+  // eval_calibration_fit: the minimax closed form
+  // fit(k) = max_{i≤k} min_{j≥k} avg(y_i..y_j) over the score grid,
+  // with every interval average floored to micro by integer division,
+  // equals the classic pool-adjacent-violators algorithm's fit
+  // floored to micro — floor is monotone, so it commutes with the
+  // extremes, making the grid form EXACTLY floor(1e6·PAVA).
+  property("isotonic minimax grid form equals pool-adjacent-violators") =
+    Prop.forAll(Gen.nonEmptyListOf(
+        Gen.zip(Gen.choose(0L, 12L), Gen.oneOf(0L, 1L)))) { pts =>
+      val cells = pts.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (s, g) => (s, g.map(_._2).sum, g.length.toLong) }
+      val m = cells.length
+      // classic PAVA: merge adjacent blocks while avg decreases
+      // (exact rational compare by cross-multiplication)
+      val blocks = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Int)] // (pos, n, cellCount)
+      cells.foreach { case (_, pos, n) =>
+        blocks += ((pos, n, 1))
+        while (blocks.length > 1 && {
+          val a = blocks(blocks.length - 2); val b = blocks.last
+          a._1 * b._2 >= b._1 * a._2
+        }) {
+          val b = blocks.remove(blocks.length - 1)
+          val a = blocks.remove(blocks.length - 1)
+          blocks += ((a._1 + b._1, a._2 + b._2, a._3 + b._3))
+        }
+      }
+      val pava = blocks.flatMap { case (pos, n, c) =>
+        Seq.fill(c)(pos * 1000000L / n) }.toSeq
+      // minimax grid form (the key's algebra)
+      val pref = cells.scanLeft((0L, 0L)) { case ((p, n), (_, pos, cnt)) =>
+        (p + pos, n + cnt) }
+      def r(i: Int, j: Int): Long =
+        (pref(j + 1)._1 - pref(i)._1) * 1000000L /
+          (pref(j + 1)._2 - pref(i)._2)
+      val minimax = (0 until m).map(k =>
+        (0 to k).map(i => (k until m).map(j => r(i, j)).min).max)
+      (minimax == pava) :| s"minimax $minimax vs pava $pava"
+    }
+
   // agg_wilcoxon_signed_rank: the doubled-midrank cell-grid 2W⁺
   // equals the textbook W⁺ (midranks of |d|, summed over positive
   // deltas) computed directly — ties and zeros handled per the

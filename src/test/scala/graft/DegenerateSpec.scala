@@ -1107,6 +1107,29 @@ class DegenerateSpec extends SparkSpec {
     assert(neg.getAs[Double]("p_two") === 0.25)
   }
 
+  test("isotonicFit survives degenerate frames") {
+    val ss = StructType(Seq(StructField("s", LongType),
+      StructField("y", LongType)))
+    def sf2(rows: Seq[(Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), ss)
+    assertClean(engine.isotonicFit(sf2(Nil), "s", "y"), "iso/empty")
+    // single cell: fit = its own rate
+    val one = engine.isotonicFit(sf2(Seq((5L, 1L))), "s", "y").collect()
+    assert(one.length === 1 && one(0).getAs[Long]("fit_u") === 1000000L)
+    // constant score, mixed labels: one pooled cell at the mean
+    val const = engine.isotonicFit(
+      sf2(Seq((3L, 0L), (3L, 1L))), "s", "y").collect()
+    assert(const.length === 1 && const(0).getAs[Long]("fit_u") === 500000L)
+    // one-class (all negative): fit identically 0
+    val neg = engine.isotonicFit(
+      sf2(Seq((1L, 0L), (2L, 0L), (9L, 0L))), "s", "y").collect()
+    assert(neg.forall(_.getAs[Long]("fit_u") === 0L))
+    // anti-monotone input pools to the global mean everywhere
+    val anti = engine.isotonicFit(
+      sf2(Seq((1L, 1L), (2L, 0L))), "s", "y").collect()
+    assert(anti.forall(_.getAs[Long]("fit_u") === 500000L))
+  }
+
   test("harmonicCloseness / adamicAdar / hubness / liftCurve survive degenerate frames") {
     val es = StructType(Seq(StructField("a", LongType),
       StructField("b", LongType)))

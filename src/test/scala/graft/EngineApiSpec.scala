@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 218, "documented facade count drifted; methods: "
+    assert(names.length === 219, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1842,6 +1842,37 @@ class EngineApiSpec extends SparkSpec {
     val gains = lc.map(_.getAs[Double]("gain"))
     assert(gains.zip(gains.tail).forall { case (a, b) => a <= b + 1e-9 })
     assert(gains.last === 1.0)
+  }
+
+  test("isotonicFit facade matches its key; monotone; fitted ECE <= raw ECE") {
+    val d = sf("sf0.001")
+    val scored = graft.operators.TextOps.plantedDetectorScores(spark, d)
+      .filter($"detector" === "jaccard")
+    val rows = SparkEntry.queries("eval_calibration_fit")(spark, d).collect()
+    assert(engine.isotonicFit(scored, "score_u", "is_pos")
+      .collect().map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
+    // monotone non-decreasing in score — the isotonic contract
+    val fits = rows.map(_.getAs[Long]("fit_u"))
+    assert(fits.zip(fits.tail).forall { case (a, b) => a <= b },
+      "isotonic fit not monotone")
+    // grid-level fitted ECE <= raw ECE on the planted scores (the
+    // VERDICT r15 done-criterion): the fit corrects calibration
+    val n = rows.map(_.getAs[Long]("n_pairs")).sum.toDouble
+    def ece(conf: org.apache.spark.sql.Row => Double) =
+      rows.map(r => math.abs(r.getAs[Long]("n_pos")
+        - r.getAs[Long]("n_pairs") * conf(r))).sum / n
+    val raw = ece(r => r.getAs[Long]("score_u") / 10000.0)
+    val fitted = ece(r => r.getAs[Long]("fit_u") / 1e6)
+    assert(fitted <= raw + 1e-9, s"fitted ECE $fitted > raw $raw")
+    // pool-boundary hand case: cells (1:[0,1]) (2:[1,0,0]) (3:[0])
+    // (4:[1,1]) pool the first three at 2/6, leave 4 at 1
+    import spark.implicits._
+    val tiny = Seq((1L, 0L), (1L, 1L), (2L, 1L), (2L, 0L), (2L, 0L),
+      (3L, 0L), (4L, 1L), (4L, 1L)).toDF("s", "y")
+    val hand = engine.isotonicFit(tiny, "s", "y").collect()
+      .map(r => (r.getAs[Long]("score_u"), r.getAs[Long]("fit_u")))
+    assert(hand.toSeq === Seq((1L, 333333L), (2L, 333333L),
+      (3L, 333333L), (4L, 1000000L)))
   }
 
   test("turningPointTest / permutationEntropy / brierScore facades match their keys") {
