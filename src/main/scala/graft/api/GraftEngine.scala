@@ -4917,6 +4917,19 @@ class GraftEngine(val spark: SparkSession) {
         col(x1Col).cast("long").as("x1"),
         col(x2Col).cast("long").as("x2")))
 
+  /** One-regressor Poisson regression (log link) via 3 unrolled IRLS
+    * rounds from the ln-mean seed (see `agg_poisson_glm`): returns
+    * the 1-row (n, sum_y, beta0, beta1, rate_ratio, dispersion)
+    * readout. Degenerate inputs read NULL, never throw; dispersion
+    * > 1 is the overdispersion flag (`ts_poisson_dispersion`'s
+    * in-model sibling). Features should be sanely scaled (the
+    * documented Σμx² bound).
+    */
+  def poissonGlm(df: DataFrame, yCol: String, xCol: String): DataFrame =
+    graft.operators.Stats.poissonIrlsCore(
+      df.select(col(yCol).cast("long").as("y"),
+        col(xCol).cast("long").as("x")))
+
   /** Interpolated Kneser-Ney bigram perplexity (see
     * `text_kn_perplexity`): trains on the given corpus, scores each
     * document — per-doc (n_bigrams, avg_logp_kn, ppl_kn). The

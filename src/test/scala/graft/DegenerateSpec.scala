@@ -1107,6 +1107,26 @@ class DegenerateSpec extends SparkSpec {
     assert(neg.getAs[Double]("p_two") === 0.25)
   }
 
+  test("poissonGlm survives degenerate frames") {
+    val ss = StructType(Seq(StructField("y", LongType),
+      StructField("x", LongType)))
+    def pf2(rows: Seq[(Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), ss)
+    assertClean(engine.poissonGlm(pf2(Nil), "y", "x"), "pois/empty")
+    // all-zero counts: ln-mean seed guard, det = 0 ⇒ NULL betas
+    assertClean(engine.poissonGlm(pf2(Seq((0L, 1L), (0L, 2L))), "y", "x"),
+      "pois/all-zero")
+    // constant regressor: collinear with intercept ⇒ det = 0 ⇒ NULL
+    val cr = engine.poissonGlm(pf2(Seq((3L, 5L), (7L, 5L))), "y", "x")
+      .collect()(0)
+    assert(cr.isNullAt(cr.fieldIndex("beta1")))
+    assertClean(engine.poissonGlm(pf2(Seq((2L, 1L))), "y", "x"),
+      "pois/single")
+    // negative regressor values: DIV-free quantizers stay safe
+    assertClean(engine.poissonGlm(
+      pf2(Seq((1L, -3L), (4L, -1L), (9L, 2L))), "y", "x"), "pois/neg-x")
+  }
+
   test("isotonicFit survives degenerate frames") {
     val ss = StructType(Seq(StructField("s", LongType),
       StructField("y", LongType)))

@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 219, "documented facade count drifted; methods: "
+    assert(names.length === 220, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1842,6 +1842,39 @@ class EngineApiSpec extends SparkSpec {
     val gains = lc.map(_.getAs[Double]("gain"))
     assert(gains.zip(gains.tail).forall { case (a, b) => a <= b + 1e-9 })
     assert(gains.last === 1.0)
+  }
+
+  test("poissonGlm facade matches its key; planted recovery; dispersion verdicts") {
+    val d = sf("sf0.001")
+    import spark.implicits._
+    val u = TestData.events(spark, d)
+      .groupBy("user_id")
+      .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("y"),
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"))
+    assert(engine.poissonGlm(u, "y", "x").collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("agg_poisson_glm")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // the fixture is synthetic-Poisson: near-equidispersed
+    val fx = SparkEntry.queries("agg_poisson_glm")(spark, d).collect()(0)
+    val disp = fx.getAs[Double]("dispersion")
+    assert(disp > 0.5 && disp < 1.5, s"fixture dispersion drifted: $disp")
+    // planted exact-rate recovery: y = 4·2^x at x ∈ {0,1,2} has MLE
+    // exactly (ln 4, ln 2); 3 rounds from the ln-mean seed land
+    // within 2e-4 (measured), rate ratio reads 2 to r4, and the
+    // exact fit has Pearson dispersion exactly 0
+    val planted = Seq((4L, 0L), (8L, 1L), (16L, 2L)).toDF("y", "x")
+    val p = engine.poissonGlm(planted, "y", "x").collect()(0)
+    assert(math.abs(p.getAs[Double]("beta0") - math.log(4)) < 0.001)
+    assert(math.abs(p.getAs[Double]("beta1") - math.log(2)) < 0.001)
+    assert(math.abs(p.getAs[Double]("rate_ratio") - 2.0) < 0.01)
+    assert(p.getAs[Double]("dispersion") === 0.0)
+    // planted overdispersion (half zeros, half 2μ): dispersion ≫ 1 —
+    // the readout ts_poisson_dispersion flags marginally
+    val over = (1 to 5).flatMap(_ => Seq((0L, 0L), (28L, 0L),
+      (0L, 1L), (28L, 1L), (0L, 2L), (28L, 2L))).toDF("y", "x")
+    val o = engine.poissonGlm(over, "y", "x").collect()(0)
+    assert(o.getAs[Double]("dispersion") > 5.0)
   }
 
   test("isotonicFit facade matches its key; monotone; fitted ECE <= raw ECE") {
