@@ -81,7 +81,7 @@ object AnnSearch {
     * derived, so both engines derive the same layer), and the
     * expected layer sizes follow HNSW's geometric level law.
     */
-  private def hnswLayer1(e: DataFrame): DataFrame =
+  private[graft] def hnswLayer1(e: DataFrame): DataFrame =
     e.filter(conv(substring(md5(col("vec_id").cast("string")), 1, 2),
       16, 10).cast("int") % 16 === 0)
 
@@ -894,6 +894,54 @@ object AnnSearch {
         .orderBy("layer", "src", "rnk")
     }),
 
+    // HNSW DELETE + COMPACT (round 16, VERDICT r15 #4): the other
+    // half of daily index maintenance next to ann_hnsw_insert —
+    // tombstone a set of vectors (vec_id % 10 = 6 plays the deleted
+    // batch; disjoint from insert's 7, and the fixed centroids
+    // vec_id < 4 all survive, so probe geometry is unchanged) and
+    // REPAIR exactly the survivors whose current neighbor list
+    // references a tombstone. Repair = [[probedLink]] of the
+    // affected nodes against the post-delete corpus (layer 0) /
+    // post-delete layer-1 subset (layer 1) — the SAME recipe the
+    // build and the insert use, so a repaired row is BIT-IDENTICAL
+    // to a full rebuild's row for that node, and an UNTOUCHED
+    // survivor's old list is also the rebuild's list (deleting
+    // vectors only shrinks its candidate set, and none of its top-3
+    // were deleted). compact(old index) ≡ rebuild-without-deleted is
+    // pinned in PropertySpec for BOTH layers. ONLY repaired-src rows
+    // are emitted (the insert contract: existing rows untouched).
+    // Cost: the affected scan reads the EXISTING index (memoized
+    // here, stored in production); the repair probe side is
+    // |affected| rows — never corpus².
+    "ann_hnsw_delete" -> ((s, d) => {
+      val e = TestData.embeddings(s, d)
+      val cents = Vectors.fixedCentroids(e)
+      val live = e.filter(col("vec_id") % 10 =!= 6)
+      val l1All = hnswLayer1(e)
+      val l1Live = l1All.filter(col("vec_id") % 10 =!= 6)
+      val idx0 = GraphOps.directedKnnEdges(s, d) // the stored layer-0 index
+      val idx1 = hnswL1Edges(s, d)               // the stored layer-1 index
+      val aff0 = idx0
+        .filter(col("nn") % 10 === 6 && col("qid") % 10 =!= 6)
+        .select(col("qid").as("aid")).distinct()
+      val aff1 = idx1
+        .filter(col("nn") % 10 === 6 && col("src") % 10 =!= 6)
+        .select(col("src").as("aid")).distinct()
+      val q0 = e.join(broadcast(aff0), col("vec_id") === col("aid"))
+        .select("vec_id", "embedding")
+      val q1 = l1All.join(broadcast(aff1), col("vec_id") === col("aid"))
+        .select("vec_id", "embedding")
+      val wE = Window.partitionBy("layer", "src")
+        .orderBy(col("score").desc, col("nn"))
+      probedLink(q0, live, cents, 3).withColumn("layer", lit(0L))
+        .union(probedLink(q1, l1Live, cents, 3)
+          .withColumn("layer", lit(1L)))
+        .withColumn("rnk", row_number().over(wE))
+        .select(col("layer"), col("src"), col("rnk"), col("nn"),
+          col("score").as("cos"))
+        .orderBy("layer", "src", "rnk")
+    }),
+
     // MULTI-VECTOR LATE INTERACTION (ColBERT-style MaxSim): documents
     // carry a SET of token vectors (here 4 per doc, did = vec_id DIV 4);
     // score(q, d) = Σ_{qt∈q} max_{dt∈d} cos(qt, dt). The query side
@@ -1505,6 +1553,115 @@ object AnnSearch {
     // same fixed centroids; layer-0 candidates are the FULL
     // post-insert corpus, layer-1 candidates the post-insert layer-1
     // subset — the two probed link blocks mirror ann_hnsw_build's.
+    // Delete+compact mirrored: the stored indexes re-derived (old0 =
+    // full-corpus top-3 links, old1 = the layer-1 edge list), the
+    // affected sets from tombstoned neighbors, repairs via the same
+    // probed join against the live subsets. Index CTEs MATERIALIZED.
+    "ann_hnsw_delete" ->
+      s"""WITH c AS (SELECT vec_id AS cid, $E AS cv FROM embeddings
+        |      WHERE vec_id < 4),
+        |f0 AS (SELECT vec_id, $E AS v FROM embeddings),
+        |lv AS (SELECT * FROM f0 WHERE vec_id % 10 <> 6),
+        |l1 AS (SELECT * FROM f0
+        |  WHERE ('0x' || substring(md5(vec_id::VARCHAR), 1, 2))::INT
+        |    % 16 = 0),
+        |l1lv AS (SELECT * FROM l1 WHERE vec_id % 10 <> 6),
+        |a0f AS MATERIALIZED (
+        |  SELECT vec_id, v, cluster FROM (
+        |    SELECT l.vec_id, l.v, c.cid AS cluster,
+        |      row_number() OVER (PARTITION BY l.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(l.v, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+        |    FROM f0 l CROSS JOIN c)
+        |  WHERE rn = 1),
+        |p0f AS MATERIALIZED (
+        |  SELECT qid, qv, cid AS probe_cluster FROM (
+        |    SELECT q.vec_id AS qid, q.v AS qv, c.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.v, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS pr
+        |    FROM f0 q CROSS JOIN c)
+        |  WHERE pr <= 2),
+        |old0 AS MATERIALIZED (
+        |  SELECT src, nn FROM (
+        |    SELECT p.qid AS src, a.vec_id AS nn,
+        |      row_number() OVER (PARTITION BY p.qid ORDER BY
+        |        floor((list_cosine_similarity(a.v, p.qv))*10000 + 0.5)
+        |          /10000 DESC, a.vec_id) AS rnk
+        |    FROM a0f a JOIN p0f p ON a.cluster = p.probe_cluster
+        |    WHERE a.vec_id <> p.qid)
+        |  WHERE rnk <= 3),
+        |aff0 AS (SELECT DISTINCT src AS aid FROM old0
+        |  WHERE nn % 10 = 6 AND src % 10 <> 6),
+        |a0l AS (
+        |  SELECT vec_id, v, cluster FROM (
+        |    SELECT l.vec_id, l.v, c.cid AS cluster,
+        |      row_number() OVER (PARTITION BY l.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(l.v, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+        |    FROM lv l CROSS JOIN c)
+        |  WHERE rn = 1),
+        |p0r AS (SELECT p.* FROM p0f p JOIN aff0 ON p.qid = aff0.aid),
+        |e0 AS (
+        |  SELECT 0::BIGINT AS layer, src, rnk, nn, cos FROM (
+        |    SELECT p.qid AS src, a.vec_id AS nn,
+        |      floor((list_cosine_similarity(a.v, p.qv))*10000 + 0.5)
+        |        /10000 AS cos,
+        |      row_number() OVER (PARTITION BY p.qid ORDER BY
+        |        floor((list_cosine_similarity(a.v, p.qv))*10000 + 0.5)
+        |          /10000 DESC, a.vec_id) AS rnk
+        |    FROM a0l a JOIN p0r p ON a.cluster = p.probe_cluster
+        |    WHERE a.vec_id <> p.qid)
+        |  WHERE rnk <= 3),
+        |a1f AS MATERIALIZED (
+        |  SELECT vec_id, v, cluster FROM (
+        |    SELECT l.vec_id, l.v, c.cid AS cluster,
+        |      row_number() OVER (PARTITION BY l.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(l.v, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+        |    FROM l1 l CROSS JOIN c)
+        |  WHERE rn = 1),
+        |p1f AS MATERIALIZED (
+        |  SELECT qid, qv, cid AS probe_cluster FROM (
+        |    SELECT q.vec_id AS qid, q.v AS qv, c.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.v, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS pr
+        |    FROM l1 q CROSS JOIN c)
+        |  WHERE pr <= 2),
+        |old1 AS MATERIALIZED (
+        |  SELECT src, nn FROM (
+        |    SELECT p.qid AS src, a.vec_id AS nn,
+        |      row_number() OVER (PARTITION BY p.qid ORDER BY
+        |        floor((list_cosine_similarity(a.v, p.qv))*10000 + 0.5)
+        |          /10000 DESC, a.vec_id) AS rnk
+        |    FROM a1f a JOIN p1f p ON a.cluster = p.probe_cluster
+        |    WHERE a.vec_id <> p.qid)
+        |  WHERE rnk <= 3),
+        |aff1 AS (SELECT DISTINCT src AS aid FROM old1
+        |  WHERE nn % 10 = 6 AND src % 10 <> 6),
+        |a1l AS (
+        |  SELECT vec_id, v, cluster FROM (
+        |    SELECT l.vec_id, l.v, c.cid AS cluster,
+        |      row_number() OVER (PARTITION BY l.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(l.v, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+        |    FROM l1lv l CROSS JOIN c)
+        |  WHERE rn = 1),
+        |p1r AS (SELECT p.* FROM p1f p JOIN aff1 ON p.qid = aff1.aid),
+        |e1 AS (
+        |  SELECT 1::BIGINT AS layer, src, rnk, nn, cos FROM (
+        |    SELECT p.qid AS src, a.vec_id AS nn,
+        |      floor((list_cosine_similarity(a.v, p.qv))*10000 + 0.5)
+        |        /10000 AS cos,
+        |      row_number() OVER (PARTITION BY p.qid ORDER BY
+        |        floor((list_cosine_similarity(a.v, p.qv))*10000 + 0.5)
+        |          /10000 DESC, a.vec_id) AS rnk
+        |    FROM a1l a JOIN p1r p ON a.cluster = p.probe_cluster
+        |    WHERE a.vec_id <> p.qid)
+        |  WHERE rnk <= 3)
+        |SELECT * FROM (SELECT * FROM e0 UNION ALL SELECT * FROM e1)
+        |ORDER BY layer, src, rnk""".stripMargin,
     "ann_hnsw_insert" ->
       s"""WITH c AS (SELECT vec_id AS cid, $E AS cv FROM embeddings
         |      WHERE vec_id < 4),

@@ -749,6 +749,22 @@ class PlanSpec extends SparkSpec {
       s"no all-pairs pass in the insert plan:\n${p.take(1000)}")
   }
 
+  test("ann_hnsw_delete repairs through the probed join, no corpus x corpus relink") {
+    // the compact pin (VERDICT r15 #4): the repair probe side is the
+    // affected-survivor list (broadcast-joined back to vectors), the
+    // candidate side is the tombstone-filtered live corpus arriving
+    // through the shuffle-hash probed-cluster join — never an
+    // all-pairs relink
+    val p = plan("ann_hnsw_delete")
+    assert("NOT \\(\\(vec_id#\\d+L? % 10\\) = 6\\)".r.findFirstIn(p)
+      .isDefined,
+      s"candidate side must be tombstone-filtered:\n${p.take(1200)}")
+    assert(p.contains("ShuffledHashJoin"),
+      s"repairs must ride the probed-cluster equi-join:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"),
+      s"no all-pairs relink in the delete plan:\n${p.take(1200)}")
+  }
+
   test("unpartitioned-window audit: the waived-site inventory is pinned") {
     // VERDICT r14 #3/#9: ~20 unpartitioned Window.orderBy sites ride
     // documented tiny frames (hour grids, value-domain cells,

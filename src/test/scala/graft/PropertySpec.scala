@@ -1010,6 +1010,63 @@ class PropertySpec extends SparkSpec {
     assert(insL1 === rebuildL1, "layer-1 insert must equal rebuild")
   }
 
+  test("HNSW delete+compact equals the rebuild without the deleted vectors") {
+    // The delete contract (VERDICT r15 #4): repaired rows are the
+    // rebuild's rows for the affected nodes (same probes, same live
+    // candidate clusters), and an UNTOUCHED survivor's old list is
+    // also the rebuild's list (its candidate set only shrank, and
+    // none of its top-3 were deleted) — so compact(old index) is
+    // BIT-IDENTICAL to a full rebuild on the live corpus, per layer.
+    val e = TestData.embeddings(spark, sfDir)
+    val cents = graft.operators.Vectors.fixedCentroids(e)
+    val live = e.filter(col("vec_id") % 10 =!= 6)
+    val out = SparkEntry.queries("ann_hnsw_delete")(spark, sfDir).collect()
+    assert(out.nonEmpty, "fixture must have affected survivors")
+    assert(out.forall(r => r.getAs[Long]("src") % 10 != 6),
+      "delete must only repair surviving srcs")
+    assert(out.forall(r => r.getAs[Long]("nn") % 10 != 6),
+      "repaired lists must not reference tombstones")
+    def key(src: Long, nn: Long, c: Double) = (src, nn, c)
+    // layer 0: untouched old rows + repaired rows == rebuild on live
+    val old0 = GraphOps.directedKnnEdges(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn"),
+        r.getAs[Double]("score")))
+    val aff0 = old0.filter(t => t._2 % 10 == 6 && t._1 % 10 != 6)
+      .map(_._1).toSet
+    val untouched0 = old0.filter(t =>
+      t._1 % 10 != 6 && !aff0.contains(t._1))
+    val rep0 = out.filter(_.getAs[Long]("layer") == 0L)
+      .map(r => key(r.getAs[Long]("src"), r.getAs[Long]("nn"),
+        r.getAs[Double]("cos")))
+    assert(rep0.map(_._1).toSet === aff0,
+      "layer-0 repair set must be exactly the affected survivors")
+    val rebuild0 = AnnSearch.probedLink(live, live, cents, 3)
+      .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("nn"),
+        r.getAs[Double]("score")))
+    assert((untouched0 ++ rep0).sorted.toSeq === rebuild0.sorted.toSeq,
+      "layer-0 compacted index must equal the rebuild")
+    // layer 1: same contract on the sparse routing layer
+    val old1 = AnnSearch.hnswL1Edges(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("nn"),
+        r.getAs[Double]("score")))
+    val aff1 = old1.filter(t => t._2 % 10 == 6 && t._1 % 10 != 6)
+      .map(_._1).toSet
+    val untouched1 = old1.filter(t =>
+      t._1 % 10 != 6 && !aff1.contains(t._1))
+    val rep1 = out.filter(_.getAs[Long]("layer") == 1L)
+      .map(r => key(r.getAs[Long]("src"), r.getAs[Long]("nn"),
+        r.getAs[Double]("cos")))
+    assert(rep1.map(_._1).toSet === aff1,
+      "layer-1 repair set must be exactly the affected survivors")
+    val l1Live = AnnSearch.hnswLayer1(e)
+      .filter(col("vec_id") % 10 =!= 6)
+    val rebuild1 = AnnSearch.probedLink(l1Live, l1Live, cents, 3)
+      .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("nn"),
+        r.getAs[Double]("score")))
+    assert((untouched1 ++ rep1).sorted.toSeq === rebuild1.sorted.toSeq,
+      "layer-1 compacted index must equal the rebuild")
+  }
+
   test("KN perplexity separates repetitive < natural < unique-heavy docs") {
     import spark.implicits._
     val engine = new graft.api.GraftEngine(spark)
