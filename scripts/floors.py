@@ -11,7 +11,10 @@ writes the floors to bench_floors.json plus a markdown table on stdout
 bench_full.json is preserved (Bench overwrites it under a key filter;
 we restore it).
 
-Usage: python3 scripts/floors.py [topN=20]
+Usage: python3 scripts/floors.py [topN=20] [extraKey ...]
+
+Extra positional args force-include named keys in the floor set (for
+keys the judge flagged that are outside the top-N — VERDICT r15 #9).
 """
 import json, os, shutil, subprocess, sys
 
@@ -21,11 +24,16 @@ OUT = os.path.join(REPO, "bench_floors.json")
 
 def main():
     top_n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    extra = [k for k in sys.argv[2:]]
     with open(FULL) as f:
         board = json.load(f)
     qs = {k: v for k, v in board["queries"].items() if "median" in v}
     top = sorted(qs.items(), key=lambda kv: -kv[1]["median"])[:top_n]
     keys = [k for k, _ in top]
+    forced = [k for k in extra if k not in keys]
+    if forced:
+        print(f"# force-included keys: {forced}")
+        keys += forced
     # Blind-spot rule (VERDICT r14 #5): a one-run load spike inflates
     # a 3-run median without putting the key in the top-N — any key
     # whose board median exceeds 2x its own board best is

@@ -1,5 +1,7 @@
 package graft.api
 
+import graft.CkptOps
+
 import graft.TestData
 import graft.functions.{MinHashLsh, VectorOps => V}
 import graft.operators.{EmbedDedup, GraphOps, TextAnalysis, TextOps, TrainedQuantize, Vectors}
@@ -253,7 +255,7 @@ class GraftEngine(val spark: SparkSession) {
         vectors.select(col("id"), col("embedding")), cents,
         Seq("id", "embedding"))
       .select(col("id"), col("embedding"), col("cluster"))
-      .localCheckpoint() // the self-join would re-run the assignment
+      .ckpt() // the self-join would re-run the assignment
     val a = assigned.select(col("id").as("id_a"),
       col("embedding").as("va"), col("cluster"))
     val b = assigned.select(col("id").as("id_b"),
@@ -284,13 +286,13 @@ class GraftEngine(val spark: SparkSession) {
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
     var beam = graft.operators.AnnSearch
       .beamCut(e, q, entry.select(col("qid"), col("id")), beamWidth)
-      .localCheckpoint()
+      .ckpt()
     for (_ <- 1 to hops) {
       val nbrs = beam.join(adj, col("id") === col("src"))
         .select(col("qid"), col("dst").as("id"))
       val cands = beam.select("qid", "id").union(nbrs).distinct()
       beam = graft.operators.AnnSearch
-        .beamCut(e, q, cands, beamWidth).localCheckpoint()
+        .beamCut(e, q, cands, beamWidth).ckpt()
     }
     val w = Window.partitionBy("qid")
       .orderBy(col("qscore").desc, col("id"))
@@ -501,7 +503,7 @@ class GraftEngine(val spark: SparkSession) {
     // Materialize before overwriting the partitions being read
     // (staged-commit stand-in; O(touched partitions) in memory).
     mergeUpsert(scoped, updates, keyCol)
-      .localCheckpoint()
+      .ckpt()
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(ptCol).parquet(snapshotDir)
@@ -671,7 +673,7 @@ class GraftEngine(val spark: SparkSession) {
       ranks = n.join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit(150000L) + expr("85 * coalesce(csum, 0L) DIV 100")).as("r"))
-        .localCheckpoint()
+        .ckpt()
     }
     ranks.select(col("id"), col("r").as("rank_u"),
       (col("r").cast("double") / 1000000.0).as("rank"))
@@ -803,7 +805,7 @@ class GraftEngine(val spark: SparkSession) {
     val sims = toks.groupBy("id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"), sim.as("simhash"))
-      .localCheckpoint()
+      .ckpt()
     val bandCols = (0 until nBands).map { i =>
       val lo = i * width
       val bits = math.min(width, 60 - lo)
@@ -871,16 +873,16 @@ class GraftEngine(val spark: SparkSession) {
         floor(V.cosine(col("embedding"), col("qv")) * 10000 + 0.5).cast("long"))
       .orderBy(col("rel").desc, col("id")).limit(candidates)
       .select(col("id"), col("embedding"), col("rel"))
-      .localCheckpoint()
+      .ckpt()
     val sims = cands.select(col("id").as("ia"), col("embedding").as("ea"))
       .crossJoin(cands.select(col("id").as("ib"), col("embedding").as("eb")))
       .filter(col("ia") =!= col("ib"))
       .withColumn("sim",
         floor(V.cosine(col("ea"), col("eb")) * 10000 + 0.5).cast("long"))
-      .select("ia", "ib", "sim").localCheckpoint()
+      .select("ia", "ib", "sim").ckpt()
     var selected = cands.orderBy(col("rel").desc, col("id")).limit(1)
       .select(col("id"), lit(1).as("rnk"), (col("rel") * lam).as("mmr_u"))
-      .localCheckpoint()
+      .ckpt()
     for (r <- 2 to k) {
       val pick = cands
         .join(selected.select(col("id").as("sv")),
@@ -893,7 +895,7 @@ class GraftEngine(val spark: SparkSession) {
           col("rel") * lam - col("msim") * (10L - lam))
         .orderBy(col("mmr_u").desc, col("id")).limit(1)
         .select(col("id"), lit(r).as("rnk"), col("mmr_u"))
-      selected = selected.union(pick).localCheckpoint()
+      selected = selected.union(pick).ckpt()
     }
     selected.select(col("rnk"), col("id"), col("mmr_u"))
   }
@@ -1055,7 +1057,7 @@ class GraftEngine(val spark: SparkSession) {
     */
   def mediaNearDupPairs(media: DataFrame, maxHamming: Int = 2): DataFrame =
     graft.operators.MultimodalOps.blockHashPairs(
-      mediaBlockHashes(media).localCheckpoint(), maxHamming)
+      mediaBlockHashes(media).ckpt(), maxHamming)
 
   /** URL canonicalization (see `dedup_url_canonical`): lowercase
     * scheme+host, strip default :443 port, drop utm_* params, sort
@@ -1329,9 +1331,9 @@ class GraftEngine(val spark: SparkSession) {
                        rounds: Int = 3): DataFrame = {
     val adj = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .ckpt()
     var labels = nodes.select(col("id"), col("id").as("label"))
-      .localCheckpoint()
+      .ckpt()
     for (_ <- 1 to rounds) {
       val top = adj.join(labels, col("dst") === col("id"))
         .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
@@ -1341,7 +1343,7 @@ class GraftEngine(val spark: SparkSession) {
         .select(col("src"), col("label").as("nl"))
       labels = labels.join(top, col("id") === col("src"), "left")
         .select(col("id"), coalesce(col("nl"), col("label")).as("label"))
-        .localCheckpoint()
+        .ckpt()
     }
     labels.select(col("id"), col("label").as("community"))
   }
@@ -1360,7 +1362,7 @@ class GraftEngine(val spark: SparkSession) {
     require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
     var adj = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .ckpt()
     for (_ <- 1 to rounds) {
       val keep = adj.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("kid"))
@@ -1368,7 +1370,7 @@ class GraftEngine(val spark: SparkSession) {
         .select(col("src"), col("dst"))
         .join(keep.select(col("kid").as("kid2")), col("dst") === col("kid2"))
         .select(col("src"), col("dst"))
-        .localCheckpoint()
+        .ckpt()
     }
     val coreDeg = adj.groupBy(col("src").as("cid"))
       .agg(count(lit(1)).as("core_degree"))
@@ -2094,7 +2096,7 @@ class GraftEngine(val spark: SparkSession) {
     val li = df.select(col(groupCol).as("g"), col(xCol).as("qx"),
       col(yCol).as("qy"))
     val cells = li.groupBy("g", "qx", "qy").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .ckpt()
     def marginalRank(valCol: String): DataFrame = {
       val w = Window.partitionBy("g").orderBy(valCol)
       cells.groupBy("g", valCol).agg(sum("c").as("cm"))
@@ -2132,7 +2134,7 @@ class GraftEngine(val spark: SparkSession) {
     val li = df.select(col(groupCol).as("g"), col(xCol).as("qx"),
       col(yCol).as("qy"))
     val cells = li.groupBy("g", "qx", "qy").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .ckpt()
     val cd = cells.as("a").join(cells.as("b"),
         col("a.g") === col("b.g")
           && col("a.qx") < col("b.qx") && col("a.qy") =!= col("b.qy"))
@@ -2341,7 +2343,7 @@ class GraftEngine(val spark: SparkSession) {
   def runsTest(series: DataFrame, orderCol: String,
                valueCol: String): DataFrame = {
     val base = series.select(col(orderCol).as("hr"),
-      col(valueCol).as("n")).localCheckpoint()
+      col(valueCol).as("n")).ckpt()
     val tot = base.agg(count(lit(1)).as("h_cnt"))
     val med2 = base.crossJoin(broadcast(tot))
       .withColumn("rn", row_number().over(Window.orderBy("n", "hr")))
@@ -2512,11 +2514,11 @@ class GraftEngine(val spark: SparkSession) {
       .withColumn("rt", sum("c").over(Window.partitionBy("from_s")))
       .withColumn("p_u", expr("(c * 1000000) DIV rt"))
       .select("from_s", "to_s", "p_u")
-      .localCheckpoint()
+      .ckpt()
     val states = transitions
       .select(col(fromCol).as("state"))
       .union(transitions.select(col(toCol).as("state")))
-      .distinct().localCheckpoint()
+      .distinct().ckpt()
     val k = states.agg(count(lit(1)).as("k"))
     var pi = states.crossJoin(broadcast(k))
       .select(col("state"), expr("1000000 DIV k").as("pi"))
@@ -2533,7 +2535,7 @@ class GraftEngine(val spark: SparkSession) {
         .select(col("state"),
           expr("CASE WHEN tr > 0 THEN r * 1000000 DIV tr" +
             " ELSE CAST(0 AS BIGINT) END").as("pi"))
-        .localCheckpoint()
+        .ckpt()
     }
     pi.select(col("state"), col("pi").as("pi_micro")).orderBy("state")
   }
@@ -2659,7 +2661,7 @@ class GraftEngine(val spark: SparkSession) {
   def mannKendall(series: DataFrame, xCol: String,
                   yCol: String): DataFrame = {
     val a = series.select(col(xCol).as("xh"), col(yCol).as("n"))
-      .localCheckpoint()
+      .ckpt()
     val b = a.select(col("xh").as("x2"), col("n").as("n2"))
     val sPairs = a.join(b, col("x2") > col("xh"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -2801,7 +2803,7 @@ class GraftEngine(val spark: SparkSession) {
   def hits(nodes: DataFrame, edges: DataFrame,
            rounds: Int = 3): DataFrame = {
     require(rounds >= 1, "rounds must be positive")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).ckpt()
     val n = nodes.select(col("id"))
     var hub = n.select(col("id"), lit(1000000L).as("h"))
     var auth = n.select(col("id"), lit(0L).as("a"))
@@ -2814,7 +2816,7 @@ class GraftEngine(val spark: SparkSession) {
       val sa = araw.agg(sum("ar").as("sa"))
       auth = araw.crossJoin(broadcast(sa))
         .select(col("id"), expr("ar * 1000000 DIV sa").as("a"))
-        .localCheckpoint()
+        .ckpt()
       val hraw = n.join(
           auth.withColumnRenamed("id", "dst").join(e, "dst")
             .groupBy(col("src").as("id")).agg(sum("a").as("hr")),
@@ -2823,7 +2825,7 @@ class GraftEngine(val spark: SparkSession) {
       val sh = hraw.agg(sum("hr").as("sh"))
       hub = hraw.crossJoin(broadcast(sh))
         .select(col("id"), expr("hr * 1000000 DIV sh").as("h"))
-        .localCheckpoint()
+        .ckpt()
     }
     hub.join(auth, "id")
       .select(col("id"), col("h").as("hub_u"), col("a").as("auth_u"))
@@ -2842,7 +2844,7 @@ class GraftEngine(val spark: SparkSession) {
         floor(sqrt(V.sqDist(col("embedding"), col("cv"))) * 1000000
           + 0.5).cast("long"))
       .select("id", "cid", "d_u")
-      .localCheckpoint()
+      .ckpt()
     val own = dists.groupBy("id")
       .agg(min(struct(col("d_u"), col("cid"))).as("m"))
       .select(col("id"), col("m.cid").as("cluster"),
@@ -3081,7 +3083,7 @@ class GraftEngine(val spark: SparkSession) {
       .withColumn("seas", sum(col("r_u")).over(wS) / count(lit(1)).over(wS))
       .withColumn("r2_u", floor(col("r_u") - col("seas") + 0.5).cast("long"))
       .select(col(xCol), col(yCol), col("r2_u"))
-      .localCheckpoint()
+      .ckpt()
     def rankStat(df: DataFrame, valCol: String): DataFrame =
       df.withColumn("rn", row_number().over(
           Window.orderBy(col(valCol), col(xCol))))
@@ -3188,7 +3190,7 @@ class GraftEngine(val spark: SparkSession) {
   def userLifecycle(pairs: DataFrame, idCol: String,
                     periodCol: String): DataFrame = {
     val uw = pairs.select(col(idCol).as("u"), col(periodCol).as("wk"))
-      .distinct().localCheckpoint()
+      .distinct().ckpt()
     val first = uw.groupBy("u").agg(min("wk").as("first_wk"))
     val prev = uw.select(col("u"), (col("wk") + 1).as("wk"),
       lit(1).as("was_prev"))
@@ -3228,7 +3230,7 @@ class GraftEngine(val spark: SparkSession) {
       .select(col(groupCol).as("g"),
         explode(split(col("text"), " ")).as("tok"))
       .groupBy("g", "tok").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .ckpt()
     val nl = c.groupBy("g").agg(sum("c").as("n_g"))
     val ct = c.groupBy("tok").agg(sum("c").as("c_tok"))
     val nAll = nl.agg(sum("n_g").as("n_corpus"))
@@ -3701,7 +3703,7 @@ class GraftEngine(val spark: SparkSession) {
       .withColumn("pid", sum("is_stop").over(
         wPos.rowsBetween(Window.unboundedPreceding, 0)))
       .filter(col("is_stop") === 0)
-      .localCheckpoint()
+      .ckpt()
     val plen = cand.groupBy("doc_id", "pid")
       .agg(count(lit(1)).as("plen"))
     val occ = cand.join(plen, Seq("doc_id", "pid"))
@@ -4105,7 +4107,7 @@ class GraftEngine(val spark: SparkSession) {
                   yCol: String): DataFrame = {
     import series.sparkSession.implicits._
     val hourly = series.select(col(xCol).as("hr"), col(yCol).as("cnt"))
-      .localCheckpoint()
+      .ckpt()
     val weights = Seq((1, 64L), (2, 32L), (3, 16L), (4, 8L),
       (5, 4L), (6, 2L), (7, 1L), (8, 1L)).toDF("tap", "w128")
     val fc = hourly.crossJoin(broadcast(weights))
@@ -4215,7 +4217,7 @@ class GraftEngine(val spark: SparkSession) {
       .withColumn("h28",
         conv(substring(md5(concat(lit("pm|"), col("id").cast("string"))),
           1, 7), 16, 10).cast("long"))
-      .localCheckpoint()
+      .ckpt()
     val obs = pu.agg(
       sum(when(col("t") === 0, 1L).otherwise(0L)).as("n0"),
       sum(when(col("t") =!= 0, 1L).otherwise(0L)).as("n1"),
@@ -4294,7 +4296,7 @@ class GraftEngine(val spark: SparkSession) {
     val g = df.select(col(groupCol).as("nationkey"),
         col(nCol).cast("long").as("n"), col(xCol).cast("long").as("x"))
       .withColumn("p_u", when(col("n") > 0, expr("x * 1000000 DIV n")))
-      .localCheckpoint()
+      .ckpt()
     val mom = g.filter(col("n") > 0).agg(count(lit(1)).as("k"),
       sum("p_u").as("sp"), sum(col("p_u") * col("p_u")).as("spp"))
     g.crossJoin(broadcast(mom))
@@ -4425,7 +4427,7 @@ class GraftEngine(val spark: SparkSession) {
                    yCol: String): DataFrame = {
     import series.sparkSession.implicits._
     val hourly = series.select(col(xCol).as("hr"), col(yCol).as("cnt"))
-      .localCheckpoint()
+      .ckpt()
     val weights = Seq((1, 3145728L), (2, 1835008L), (3, 720896L),
       (4, -16384L), (5, -380928L), (6, -467968L), (7, -394496L),
       (8, -259136L), (9, -126672L), (10, -28772L), (11, 27371L),
@@ -4938,6 +4940,17 @@ class GraftEngine(val spark: SparkSession) {
   def knPerplexity(docs: DataFrame, idCol: String,
                    textCol: String): DataFrame =
     graft.operators.Relevance.knPerplexityCore(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
+  /** Interpolated trigram Kneser-Ney perplexity (see
+    * `text_kn3_perplexity`): order-3 KN interpolating into the
+    * bigram KN backoff — the curation-grade fluency score (a bigram
+    * model under-penalizes locally-fluent incoherence). Per-doc
+    * (n_trigrams, avg_logp_kn3, ppl_kn3); docs under 3 tokens drop.
+    */
+  def knPerplexity3(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    graft.operators.Relevance.kn3PerplexityCore(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
   /** Log loss / cross-entropy of 1e-4-unit scores vs binary labels

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -117,7 +119,7 @@ object AnnSearch {
         d8.select(col("qid").as("src"), col("nn").as("dst"))
           .union(d8.select(col("nn").as("src"), col("qid").as("dst")))
           .distinct()
-          .localCheckpoint()
+          .ckpt()
       })
 
   /** The IVF-probed kNN link step parameterized by (queries, corpus)
@@ -182,7 +184,7 @@ object AnnSearch {
           .agg(topk(col("vec_id"), col("score")).as("tk"))
           .select(col("qid").as("src"), explode(col("tk")).as("t"))
           .select(col("src"), col("t._1").as("nn"), col("t._2").as("score"))
-          .localCheckpoint()
+          .ckpt()
       })
 
   val defs: Map[String, Q] = Map(
@@ -251,7 +253,7 @@ object AnnSearch {
       import s.implicits._
       val e = TestData.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
-        .localCheckpoint() // corpus pairs + truth
+        .ckpt() // corpus pairs + truth
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val tagged = e.select(col("vec_id").as("cid"),
@@ -282,7 +284,7 @@ object AnnSearch {
             .orderBy(r4(V.cosine(col("cv"), col("qv"))).desc, col("cid"))))
         .filter(col("rnk") <= 10)
         .select("qid", "cid")
-        .localCheckpoint() // per-dim hit joins + the truth count
+        .ckpt() // per-dim hit joins + the truth count
       val truth = brute.agg(count(lit(1)).as("n_truth"))
       val hits = top.join(brute, Seq("qid", "cid"))
         .groupBy("dim").agg(count(lit(1)).as("n_hits"))
@@ -324,7 +326,7 @@ object AnnSearch {
       val e = TestData.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
         .withColumn("sig", sig(col("embedding")))
-        .localCheckpoint() // corpus side + query side + brute truth
+        .ckpt() // corpus side + query side + brute truth
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           col("sig").as("qsig"))
@@ -344,7 +346,7 @@ object AnnSearch {
           "cid")
         .join(broadcast(queries.select(col("qid"), col("qv"))), "qid")
         .withColumn("cos", V.cosine(col("cv"), col("qv")))
-        .localCheckpoint() // candidate counts + top-k ranking
+        .ckpt() // candidate counts + top-k ranking
       val top = scored.withColumn("rnk", row_number().over(
           Window.partitionBy("setting", "qid")
             .orderBy(r4(col("cos")).desc, col("cid"))))
@@ -358,7 +360,7 @@ object AnnSearch {
             .orderBy(r4(V.cosine(col("cv"), col("qv"))).desc, col("cid"))))
         .filter(col("rnk") <= 10)
         .select("qid", "cid")
-        .localCheckpoint() // joined per setting + the truth count
+        .ckpt() // joined per setting + the truth count
       val truth = brute.agg(count(lit(1)).as("n_truth"))
       val settings = Seq("p1", "p7").toDF("setting")
       val cands = scored.groupBy("setting")
@@ -433,16 +435,16 @@ object AnnSearch {
             .cast("long"))
         .orderBy(col("rel").desc, col("vec_id")).limit(10)
         .select(col("vec_id"), col("embedding"), col("rel"))
-        .localCheckpoint()
+        .ckpt()
       val sims = cands.select(col("vec_id").as("ia"), col("embedding").as("ea"))
         .crossJoin(cands.select(col("vec_id").as("ib"), col("embedding").as("eb")))
         .filter(col("ia") =!= col("ib"))
         .withColumn("sim",
           floor(V.cosine(col("ea"), col("eb")) * 10000 + 0.5).cast("long"))
-        .select("ia", "ib", "sim").localCheckpoint()
+        .select("ia", "ib", "sim").ckpt()
       var selected = cands.orderBy(col("rel").desc, col("vec_id")).limit(1)
         .select(col("vec_id"), lit(1).as("rnk"), (col("rel") * 7L).as("mmr_u"))
-        .localCheckpoint()
+        .ckpt()
       for (r <- 2 to 4) {
         val pick = cands
           .join(selected.select(col("vec_id").as("sv")),
@@ -455,7 +457,7 @@ object AnnSearch {
           .withColumn("mmr_u", col("rel") * 7L - col("msim") * 3L)
           .orderBy(col("mmr_u").desc, col("vec_id")).limit(1)
           .select(col("vec_id"), lit(r).as("rnk"), col("mmr_u"))
-        selected = selected.union(pick).localCheckpoint()
+        selected = selected.union(pick).ckpt()
       }
       selected.select(col("rnk"), col("vec_id"), col("mmr_u")).orderBy("rnk")
     }),
@@ -665,13 +667,13 @@ object AnnSearch {
       // the final plan recomputes beam 0 2^H times. The beam is ≤
       // |queries|·B rows, so checkpointing it per hop is the 100 TB
       // shape too (graph searches carry tiny frontier state).
-      var beam = cut(entry, 8).localCheckpoint()
+      var beam = cut(entry, 8).ckpt()
       for (_ <- 1 to 3) {
         val nbrs = beam.join(adj, col("id") === col("src"))
           .select(col("qid"), col("dst").as("id"))
         val cands = beam.select("qid", "id").union(nbrs)
           .filter(col("id") =!= col("qid")).distinct()
-        beam = cut(cands, 8).localCheckpoint()
+        beam = cut(cands, 8).ckpt()
       }
       beam.withColumn("rnk", row_number().over(wBeam))
         .filter(col("rnk") <= 5)
@@ -719,7 +721,7 @@ object AnnSearch {
       // — every routing candidate id is a layer-1 member, so the
       // result is identical and the 3 routing jobs scan |corpus|/16
       // (measured: the full-corpus form was the slowest new r11 key)
-      val l1 = hnswLayer1(e).localCheckpoint()
+      val l1 = hnswLayer1(e).ckpt()
       val l1e = hnswL1Edges(s, d)
       val l1adj = l1e.select(col("src"), col("nn").as("dst"))
         .union(l1e.select(col("nn").as("src"), col("src").as("dst")))
@@ -736,14 +738,14 @@ object AnnSearch {
           .select(col("qid"), col("dst").as("id"))
         val cands = beam.select("qid", "id").union(nbrs)
           .filter(col("id") =!= col("qid")).distinct()
-        beamCut(corpus, queries, cands, b).localCheckpoint()
+        beamCut(corpus, queries, cands, b).ckpt()
       }
       // the apex seed may BE a query id — keep it (a routing
       // waypoint, dropped from candidates at the next hop and absent
       // from the readout); filtering it here would orphan that query
       var route = beamCut(l1, queries,
         queries.select("qid").crossJoin(broadcast(apex)), 4)
-        .localCheckpoint()
+        .ckpt()
       for (_ <- 1 to 2) route = hop(l1, route, l1adj, 4)
       val wBest = Window.partitionBy("qid")
         .orderBy(col("qscore").desc, col("id"))
@@ -754,7 +756,7 @@ object AnnSearch {
       // with every query >= 0.2 — the PropertySpec pin)
       val entry = route.withColumn("rn", row_number().over(wBest))
         .filter(col("rn") <= 3).select("qid", "id")
-      var beam = beamCut(e, queries, entry, 8).localCheckpoint()
+      var beam = beamCut(e, queries, entry, 8).ckpt()
       for (_ <- 1 to 4) beam = hop(e, beam, l0adj, 8)
       beam.withColumn("rnk", row_number().over(wBest))
         .filter(col("rnk") <= 5)
@@ -783,7 +785,7 @@ object AnnSearch {
     "ann_hnsw_sweep" -> ((s, d) => {
       import s.implicits._
       val e = TestData.embeddings(s, d)
-      val l1 = hnswLayer1(e).localCheckpoint()
+      val l1 = hnswLayer1(e).ckpt()
       val l1e = hnswL1Edges(s, d)
       val l1adj = l1e.select(col("src"), col("nn").as("dst"))
         .union(l1e.select(col("nn").as("src"), col("src").as("dst")))
@@ -798,11 +800,11 @@ object AnnSearch {
           .select(col("qid"), col("dst").as("id"))
         val cands = beam.select("qid", "id").union(nbrs)
           .filter(col("id") =!= col("qid")).distinct()
-        beamCut(corpus, queries, cands, b).localCheckpoint()
+        beamCut(corpus, queries, cands, b).ckpt()
       }
       var route = beamCut(l1, queries,
         queries.select("qid").crossJoin(broadcast(apex)), 4)
-        .localCheckpoint()
+        .ckpt()
       for (_ <- 1 to 2) route = hop(l1, route, l1adj, 4)
       val wBest = Window.partitionBy("qid")
         .orderBy(col("qscore").desc, col("id"))
@@ -812,7 +814,7 @@ object AnnSearch {
         .crossJoin(broadcast(settings))
         .filter(col("rn") <= col("ent"))
         .select("b", "ent", "qid", "id")
-        .localCheckpoint() // two consumers: first cut + scan count
+        .ckpt() // two consumers: first cut + scan count
       val wS = Window.partitionBy("b", "ent", "qid")
         .orderBy(col("qscore").desc, col("id"))
       def cutS(cands: DataFrame): DataFrame =
@@ -824,16 +826,16 @@ object AnnSearch {
           .select("b", "ent", "qid", "id", "qscore")
       var scanned = entries.groupBy("b", "ent")
         .agg(count(lit(1)).as("nc"))
-      var beam = cutS(entries).localCheckpoint()
+      var beam = cutS(entries).ckpt()
       for (_ <- 1 to 4) {
         val nbrs = beam.join(l0adj, col("id") === col("src"))
           .select(col("b"), col("ent"), col("qid"), col("dst").as("id"))
         val cands = beam.select("b", "ent", "qid", "id").union(nbrs)
           .filter(col("id") =!= col("qid")).distinct()
-          .localCheckpoint() // two consumers: cut + scan count
+          .ckpt() // two consumers: cut + scan count
         scanned = scanned.union(
           cands.groupBy("b", "ent").agg(count(lit(1)).as("nc")))
-        beam = cutS(cands).localCheckpoint()
+        beam = cutS(cands).ckpt()
       }
       val nScan = scanned.groupBy("b", "ent")
         .agg(sum("nc").as("n_scanned"))

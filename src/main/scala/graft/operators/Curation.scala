@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.TestData
@@ -143,7 +145,7 @@ object Curation {
     // recomputed corpus passes it replaces cost more.
     val parted = df.repartitionByRange(n, (col(partCol) +: orderCols): _*)
       .withColumn("grr_pid", spark_partition_id())
-      .localCheckpoint()
+      .ckpt()
     val wLocal = W.partitionBy(col(partCol), col("grr_pid"))
       .orderBy(orderCols: _*)
     val local = parted.withColumn("grr_local",
@@ -248,7 +250,7 @@ object Curation {
     */
   private[graft] def rakeIpf(cells: DataFrame): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    var t = cells.withColumn("w_u", lit(1000000L)).localCheckpoint()
+    var t = cells.withColumn("w_u", lit(1000000L)).ckpt()
     val tot = cells.agg(sum("cnt").as("tt"),
       countDistinct("row_key").as("nr"),
       countDistinct("col_key").as("nc"))
@@ -266,7 +268,7 @@ object Curation {
             + " ELSE CAST(1000000 AS BIGINT) END"))
         .withColumn("w_u", expr("w_u * factor_u DIV 1000000"))
         .select("row_key", "col_key", "cnt", "w_u")
-        .localCheckpoint()
+        .ckpt()
     }
     round("row_key", "nr")
     round("col_key", "nc")

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
@@ -49,7 +51,7 @@ object EmbedDedup {
     // pipeline runs once, not once per join branch.
     val sigs = vecs.select(col("id"),
         signature(col("embedding"), dim, seed).as("sig"))
-      .localCheckpoint()
+      .ckpt()
     val banded = sigs.select(col("id"), explode(array(
         (0 until Bands).map(b => struct(lit(b).as("band"),
           shiftright(col("sig"), b * BitsPerBand)
@@ -104,7 +106,7 @@ object EmbedDedup {
           e, Vectors.fixedCentroids(e), Seq("vec_id", "embedding"))
         .select(col("vec_id"), col("embedding"), col("cluster"))
         // the a/b self-join below would re-run the assignment per branch
-        .localCheckpoint()
+        .ckpt()
       val a = assigned.select(col("vec_id").as("ida"),
         col("embedding").as("va"), col("cluster").as("ca"))
       val b = assigned.select(col("vec_id").as("idb"),
@@ -114,7 +116,7 @@ object EmbedDedup {
         .withColumn("cos", r4(V.cosine(col("va"), col("vb"))))
         .filter(col("cos") > 0.4)
         .select(col("ca").as("cluster"), col("ida"), col("idb"))
-        .localCheckpoint() // consumed twice (pair count + drop set)
+        .ckpt() // consumed twice (pair count + drop set)
       val members = assigned.groupBy("cluster")
         .agg(count(lit(1)).as("n_members"))
       val np = pairs.groupBy("cluster")

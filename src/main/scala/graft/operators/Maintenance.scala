@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.TestData
@@ -156,7 +158,7 @@ object Maintenance {
         // reads the target path). O(touched partitions) in memory —
         // the small-scale stand-in for a lakehouse staged commit
         // (write new files, then swap the manifest).
-        merged.localCheckpoint().write.mode("overwrite")
+        merged.ckpt().write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("pt").parquet(snapDir)
         // commit the applied marker (ensure() then stamps _GRAFT_TAG)
@@ -669,7 +671,7 @@ object Maintenance {
     val W = org.apache.spark.sql.expressions.Window
     val ranked = graft.operators.Curation.rangedRank(values, "shard",
         Seq(col("v"), col("tb1"), col("tb2")), "rk")
-      .localCheckpoint() // two consumers: shard sizes + bound pick
+      .ckpt() // two consumers: shard sizes + bound pick
     val targets = ranked.groupBy("shard").agg(max("rk").as("n_s"))
       .crossJoin(broadcast((1 to buckets).toDF("i")))
       .withColumn("r_i", expr(s"(i * n_s + ${buckets - 1}) DIV $buckets"))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.TestData
@@ -75,19 +77,19 @@ object MultimodalOps {
   private def fixtureBlockhashSigs(s: SparkSession, d: String): DataFrame =
     sigsMemo.getOrElseUpdate(s,
       graft.sources.WriteOnce.inputTag(d, "documents"),
-      defs("multimodal_blockhash")(s, d).localCheckpoint())
+      defs("multimodal_blockhash")(s, d).ckpt())
 
   private val dctSigsMemo = new graft.SessionMemo[DataFrame]
 
   private def fixtureDctSigs(s: SparkSession, d: String): DataFrame =
     dctSigsMemo.getOrElseUpdate(s,
       graft.sources.WriteOnce.inputTag(d, "documents"),
-      defs("multimodal_dct_phash")(s, d).localCheckpoint())
+      defs("multimodal_dct_phash")(s, d).ckpt())
 
   private def fixtureBlockhashPairs(s: SparkSession, d: String): DataFrame =
     pairsMemo.getOrElseUpdate(s,
       graft.sources.WriteOnce.inputTag(d, "documents"),
-      blockHashPairs(fixtureBlockhashSigs(s, d), 2).localCheckpoint())
+      blockHashPairs(fixtureBlockhashSigs(s, d), 2).ckpt())
 
   private def fixtureMediaComponents(s: SparkSession, d: String): DataFrame =
     componentsMemo.getOrElseUpdate(s,
@@ -306,7 +308,7 @@ object MultimodalOps {
           concat(col("text"), lit(" zq1 zq2 zq3")).as("text"),
           (col("n_chars") + 12).as("n_chars"))
       val media = Multimodal.fromDocuments(docs.unionAll(planted))
-        .localCheckpoint() // two hash extractions
+        .ckpt() // two hash extractions
       def scoredPairs(sig: DataFrame, hcol: String, bits: Int,
                       name: String): DataFrame = {
         val a = sig.select(col("doc_id").as("id_a"),

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.TestData
@@ -111,7 +113,7 @@ object ProductQuantize {
       import s.implicits._
       val e = TestData.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
-        .localCheckpoint() // tagged sub-split + brute-force truth
+        .ckpt() // tagged sub-split + brute-force truth
       val ms = Seq(4, 8, 16).toDF("m")
       val sub = e.crossJoin(broadcast(ms))
         .select(col("vec_id"), col("m"), explode(expr(
@@ -119,7 +121,7 @@ object ProductQuantize {
             "slice(embedding, j * (64 DIV m) + 1, 64 DIV m) AS sv))"))
           .as("x"))
         .select(col("vec_id"), col("m"), col("x.sub"), col("x.sv"))
-        .localCheckpoint() // consumers: codebook, assignment, queries
+        .ckpt() // consumers: codebook, assignment, queries
       val cb = sub.filter(col("vec_id") < K)
         .select(col("m").as("cm"), col("sub").as("csub"),
           col("vec_id").as("code"), col("sv").as("cw"))
@@ -130,7 +132,7 @@ object ProductQuantize {
         .agg(min(struct(col("dd"), col("code"))).as("best"))
         .select(col("m"), col("vec_id"), col("sub"),
           col("best.code").as("code"), col("best.dd").as("dist"))
-        .localCheckpoint() // consumers: distortion + ADC codes
+        .ckpt() // consumers: distortion + ADC codes
       val distortion = asg
         .withColumn("d_u", floor(col("dist") * 1000000 + 0.5).cast("long"))
         .groupBy("m").agg(sum("d_u").as("distortion_sum_u"))
@@ -158,7 +160,7 @@ object ProductQuantize {
           .orderBy(r4(sqrt(V.sqDist(col("cv"), col("qv")))), col("cid"))))
         .filter(col("rnk") <= 10)
         .select("qid", "cid")
-        .localCheckpoint() // per-m hit joins + the truth count
+        .ckpt() // per-m hit joins + the truth count
       val truth = brute.agg(count(lit(1)).as("n_truth"))
       val hits = approx.join(brute, Seq("qid", "cid"))
         .groupBy("m").agg(count(lit(1)).as("n_hits"))

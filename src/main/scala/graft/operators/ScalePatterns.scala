@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.TestData
@@ -382,7 +384,7 @@ object ScalePatterns {
     // return would run under whatever conf the caller holds);
     // PlanSpec pins the skew=true split on the pre-checkpoint plan.
     "join_skew_aqe" -> ((s, d) =>
-      withSkewJoinConf(s) { skewAqeJoin(s, d).localCheckpoint() }
+      withSkewJoinConf(s) { skewAqeJoin(s, d).ckpt() }
         .orderBy("c_mktsegment")),
 
     // BUCKETED interval join: the scale shape for temporal range

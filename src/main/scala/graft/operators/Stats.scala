@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -120,7 +122,7 @@ object Stats {
     */
   private[graft] def huberMean(units: DataFrame): DataFrame = {
     val W = Window.partitionBy("seg").orderBy("cents", "tie")
-    val base = units.localCheckpoint() // median + MAD + 3 round means
+    val base = units.ckpt() // median + MAD + 3 round means
     val med = base
       .withColumn("rn", row_number().over(W))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("seg")))
@@ -216,7 +218,7 @@ object Stats {
     val ranked = graft.operators.Curation.rangedRank(
       units.select("seg", "cents", "tie"), "seg",
       Seq(col("cents"), col("tie")), "rk")
-      .localCheckpoint() // two consumers: sizes + the octile picks
+      .ckpt() // two consumers: sizes + the octile picks
     val sizes = (1 to 7).foldLeft(
         ranked.groupBy("seg").agg(count(lit(1)).as("n_s"))) {
       (df, k) => df.withColumn(s"r$k",
@@ -265,7 +267,7 @@ object Stats {
     */
   private[graft] def hodgesLehmannCore(cells: DataFrame): DataFrame = {
     val W = Window.orderBy("diff")
-    val cc0 = cells.localCheckpoint() // quantizer + regroup branches
+    val cc0 = cells.ckpt() // quantizer + regroup branches
     val fRow = cc0.agg((max("x") - min("x") + lit(1L)).as("m"))
       .select(when(col("m") > 100000L,
         pow(lit(10.0), ceil(log10(col("m").cast("double") / 100000.0)))
@@ -275,7 +277,7 @@ object Stats {
         / col("f").cast("double")).cast("long"))
       .groupBy("xq")
       .agg(sum("cc").as("cc"), sum("ct").as("ct"))
-      .localCheckpoint() // both sides of the cross join
+      .ckpt() // both sides of the cross join
     val t = coarse.select(col("xq").as("xt"), col("ct"))
       .filter(col("ct") > 0)
     val c = coarse.select(col("xq").as("xc"), col("cc"))
@@ -305,7 +307,7 @@ object Stats {
     val ranked = graft.operators.Curation.rangedRank(
       units.select("seg", "cents", "tie"), "seg",
       Seq(col("cents"), col("tie")), "rk")
-      .localCheckpoint() // sizes + the three rank picks
+      .ckpt() // sizes + the three rank picks
     val sizes = ranked.groupBy("seg").agg(count(lit(1)).as("n_s"))
       .withColumn("r_med", expr("(n_s + 1) DIV 2"))
       .withColumn("r_lo", greatest(lit(1L),
@@ -365,7 +367,7 @@ object Stats {
       .withColumn("wm_u", when(col("w_ok"),
         floor(col("n_g").cast("double") / col("s2") * col("m")
           * 1.0e9 + 0.5).cast("long")))
-      .localCheckpoint() // scalar totals + the per-group terms
+      .ckpt() // scalar totals + the per-group terms
     val tot = g.agg(count(lit(1)).as("k_groups"),
       sum("n_g").as("n_total"),
       sum(when(col("w_u").isNull, 1L).otherwise(0L))
@@ -425,7 +427,7 @@ object Stats {
     val units = units0
       .select(col("y").cast("long").as("y"),
         col("x1").cast("long").as("x1"), col("x2").cast("long").as("x2"))
-      .localCheckpoint() // 3 IRLS rounds + the readout
+      .ckpt() // 3 IRLS rounds + the readout
     def pd: Column = col("p_u").cast("double") / 1000000.0
     def wErr: Column = col("y") * lit(1000000L) - col("p_u")
     def withP(df: DataFrame): DataFrame = df
@@ -561,7 +563,7 @@ object Stats {
   private[graft] def poissonIrlsCore(units0: DataFrame): DataFrame = {
     val units = units0
       .select(col("y").cast("long").as("y"), col("x").cast("long").as("x"))
-      .localCheckpoint() // seed + 3 IRLS rounds + the readout
+      .ckpt() // seed + 3 IRLS rounds + the readout
     def we: Column = col("y") * lit(1000000L) - col("mu_u")
     def withMu(df: DataFrame): DataFrame = df
       .withColumn("eta_u", col("b0") + col("b1") * col("x"))
@@ -723,7 +725,7 @@ object Stats {
     }
     val cells = units.groupBy("x")
       .agg(sum("y").as("pos"), sum(lit(1L) - col("y")).as("neg"))
-      .localCheckpoint() // totals + the cut grid
+      .ckpt() // totals + the cut grid
     val tot = cells.agg(sum("pos").as("tp"), sum("neg").as("tn"))
     cells
       .withColumn("pos_le", sum("pos").over(
@@ -771,7 +773,7 @@ object Stats {
   private[graft] def twoWayAnovaCore(units0: DataFrame): DataFrame = {
     val units = units0.select(col("a"), col("b"),
       col("y").cast("long").as("y"))
-      .localCheckpoint() // 4 grouping passes
+      .ckpt() // 4 grouping passes
     def q(sCol: Column, nCol: Column): Column =
       floor(sCol.cast("double") * sCol.cast("double")
         / nCol.cast("double") + 0.5).cast("long")
@@ -1326,7 +1328,7 @@ object Stats {
           .cast("long"))
         .withColumn("m", col("sx").cast("double")
           / col("n_g").cast("double"))
-        .localCheckpoint() // totals + both sides of the pair join
+        .ckpt() // totals + both sides of the pair join
       val tot = g.agg(count(lit(1)).as("k_groups"),
           sum("n_g").as("n_total"), sum("sxx").as("sxx_all"),
           sum("t_u").as("t_sum_u"))
@@ -1689,7 +1691,7 @@ object Stats {
           sum(when(col("o_orderpriority") === "1-URGENT", 1L)
             .otherwise(0L)).as("x"))
         .withColumn("p_u", expr("x * 1000000 DIV n"))
-        .localCheckpoint() // two consumers: moments + readout
+        .ckpt() // two consumers: moments + readout
       val mom = g.agg(count(lit(1)).as("k"),
         sum("p_u").as("sp"), sum(col("p_u") * col("p_u")).as("spp"))
       g.crossJoin(broadcast(mom))
@@ -1736,7 +1738,7 @@ object Stats {
       // the tiny cell table once instead of re-scanning lineitem 3×.
       val cells = li.groupBy("flag", "qx", "qy")
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint()
+        .ckpt()
       def marginalRank(valCol: String): DataFrame = {
         val w = Window.partitionBy("flag").orderBy(valCol)
         cells.groupBy("flag", valCol).agg(sum("c").as("cm"))
@@ -1957,7 +1959,7 @@ object Stats {
           floor(col("l_discount") * 100 + 0.5).cast("long").as("qy"))
       val cells = li.groupBy("flag", "qx", "qy")
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint()
+        .ckpt()
       val cd = cells.as("a").join(cells.as("b"),
           col("a.flag") === col("b.flag")
             && col("a.qx") < col("b.qx") && col("a.qy") =!= col("b.qy"))
@@ -2087,7 +2089,7 @@ object Stats {
       val ranked = graft.operators.Curation.rangedRank(
         TestData.documents(s, d).select("lang", "n_chars", "doc_id"),
         "lang", Seq(col("n_chars"), col("doc_id")), "rk")
-        .localCheckpoint() // three consumers: sizes + lo/hi picks + z
+        .ckpt() // three consumers: sizes + lo/hi picks + z
       val sizes = ranked.groupBy("lang").agg(count(lit(1)).as("n_l"))
         .withColumn("r_lo", expr("(n_l + 1) DIV 2"))
         .withColumn("r_hi", expr("(n_l + 2) DIV 2"))
@@ -2150,13 +2152,13 @@ object Stats {
       val cells = TestData.documents(s, d)
         .select(col("lang"), col("n_chars").cast("long").as("x"))
         .groupBy("lang", "x").agg(count(lit(1)).as("cg"))
-        .localCheckpoint() // consumed by the value grid AND the join
+        .ckpt() // consumed by the value grid AND the join
       val vals = cells.groupBy("x").agg(sum("cg").as("c"))
         .withColumn("cum_lt",
           coalesce(sum("c").over(
             W.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .withColumn("r2", lit(2L) * col("cum_lt") + col("c") + 1)
-        .localCheckpoint() // consumed by ranks AND the tie rollup
+        .ckpt() // consumed by ranks AND the tie rollup
       val groups = cells
         .join(broadcast(vals.select("x", "r2")), "x")
         .groupBy("lang")
@@ -2210,18 +2212,18 @@ object Stats {
       val cells = TestData.documents(s, d)
         .select(col("lang"), col("n_chars").cast("long").as("x"))
         .groupBy("lang", "x").agg(count(lit(1)).as("cg"))
-        .localCheckpoint()
+        .ckpt()
       val vals = cells.groupBy("x").agg(sum("cg").as("c"))
         .withColumn("cum_lt",
           coalesce(sum("c").over(
             W.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .withColumn("r2", lit(2L) * col("cum_lt") + col("c") + 1)
-        .localCheckpoint()
+        .ckpt()
       val groups = cells
         .join(broadcast(vals.select("x", "r2")), "x")
         .groupBy("lang")
         .agg(sum("cg").as("n_g"), sum(col("cg") * col("r2")).as("r2_g"))
-        .localCheckpoint() // self-joined for pairs + the N rollup
+        .ckpt() // self-joined for pairs + the N rollup
       val ties = vals.agg(
         sum(when(col("c") < tieLim,
           col("c") * col("c") * col("c") - col("c"))).as("tie_raw"),
@@ -2285,7 +2287,7 @@ object Stats {
         .select(col("c_nationkey").cast("long").as("g"),
           floor(col("c_acctbal") * 100 + 0.5).cast("long").as("v"))
       val cells = cu.groupBy("g", "v").agg(count(lit(1)).as("c"))
-        .localCheckpoint() // grid completion + two marginal rollups
+        .ckpt() // grid completion + two marginal rollups
       val grid = cells.select("v").distinct()
         .crossJoin(broadcast(cells.select("g").distinct()))
         .join(cells, Seq("g", "v"), "left")
@@ -3000,7 +3002,7 @@ object Stats {
         .withColumn("h28",
           conv(substring(md5(concat(lit("pm|"),
             col("user_id").cast("string"))), 1, 7), 16, 10).cast("long"))
-        .localCheckpoint() // two consumers: observed + replicates
+        .ckpt() // two consumers: observed + replicates
       val obs = pu.agg(
         sum(when(col("t") === 0, 1L).otherwise(0L)).as("n0"),
         sum(when(col("t") === 1, 1L).otherwise(0L)).as("n1"),

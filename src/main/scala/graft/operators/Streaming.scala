@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.TestData
@@ -324,7 +326,7 @@ object Streaming {
                   .groupBy("event_type")
                   .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
               else partial
-            merged.localCheckpoint().write.mode("overwrite").parquet(snap)
+            merged.ckpt().write.mode("overwrite").parquet(snap)
           }
           .trigger(Trigger.AvailableNow()).start()
         try q.awaitTermination(120000) finally q.stop()
@@ -409,7 +411,7 @@ object Streaming {
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
           .writeStream
           .foreachBatch { (b: DataFrame, _: Long) =>
-            val rows = b.localCheckpoint()
+            val rows = b.ckpt()
             val g = rows.agg(max("gen")).head().getInt(0)
             Maintenance.publishSnapshot(snapBase, g, rows.drop("gen"),
               tag, "doc_id", retain = 3)

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -59,7 +61,7 @@ object TextAnalysis {
                                          d: String): DataFrame =
     simhashPairsMemo.getOrElseUpdate(s,
       graft.sources.WriteOnce.inputTag(d, "documents"), {
-        val sims = defs("dedup_simhash")(s, d).localCheckpoint()
+        val sims = defs("dedup_simhash")(s, d).ckpt()
         val banded = sims.select(col("doc_id"), col("simhash"),
           posexplode(expr(
             "transform(sequence(0, 3), " +
@@ -79,7 +81,7 @@ object TextAnalysis {
             bit_count(col("sa").bitwiseXOR(col("sb"))))
           .filter(col("hamming") <= 3)
           .select(col("id_a"), col("id_b"), col("hamming"))
-          .localCheckpoint()
+          .ckpt()
       })
 
   /** Edit-distance (≤ 20) near-dup pairs, blocked on
@@ -207,14 +209,14 @@ object TextAnalysis {
         size(split(col("text"), " ")).cast("long").as("ntok"))
       .withColumn("g", lit(0))
     val ranked = Curation.rangedRank(docs, "g", Seq(col("doc_id")), "rnk")
-      .localCheckpoint() // three consumers: cumsum, tokens, total
+      .ckpt() // three consumers: cumsum, tokens, total
     val cum = Curation.shardedPrefixSum(ranked, "g", "rnk", "ntok", "ct0")
       .withColumn("tokens_seen", col("ct0") + col("ntok"))
     val nd = ranked.groupBy("g").agg(max("rnk").as("nd"))
     val cp = cum.join(broadcast(nd), "g")
       .filter(expr("(rnk & (rnk - 1)) = 0") || col("rnk") === col("nd"))
       .select(col("rnk").as("rnk_c"), col("tokens_seen").as("n_tokens"))
-      .localCheckpoint()
+      .ckpt()
     val tokFirst = ranked
       .select(col("rnk"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("tok").agg(min("rnk").as("frnk"))
@@ -499,7 +501,7 @@ object TextAnalysis {
         .withColumn("pid", sum("is_stop").over(
           wPos.rowsBetween(Window.unboundedPreceding, 0)))
         .filter(col("is_stop") === 0)
-        .localCheckpoint() // consumed by word stats AND phrase build
+        .ckpt() // consumed by word stats AND phrase build
       val plen = cand.groupBy("doc_id", "pid")
         .agg(count(lit(1)).as("plen"))
       val occ = cand.join(plen, Seq("doc_id", "pid"))
@@ -826,7 +828,7 @@ object TextAnalysis {
         .groupBy("tok")
         .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("y1"),
           sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("y2"))
-        .localCheckpoint() // scalar totals + the per-token readout
+        .ckpt() // scalar totals + the per-token readout
       val tot = f.agg(sum("y1").as("n1"), sum("y2").as("n2"),
         count(lit(1)).as("v"))
       val d1 = col("n1") + col("v") - col("y1") - 1
@@ -860,7 +862,7 @@ object TextAnalysis {
           explode(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
             .as("tok"))
         .distinct()
-        .localCheckpoint() // sizes + both sides of the pair join
+        .ckpt() // sizes + both sides of the pair join
       val sz = types.groupBy("lang").agg(count(lit(1)).as("sz"))
       val inter = types.select(col("lang").as("lang_a"), col("tok"))
         .join(types.select(col("lang").as("lang_b"), col("tok")), "tok")
@@ -1009,7 +1011,7 @@ object TextAnalysis {
       val c = TestData.documents(s, d)
         .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
-        .localCheckpoint()
+        .ckpt()
       val nl = c.groupBy("lang").agg(sum("c").as("n_lang"))
       val ct = c.groupBy("tok").agg(sum("c").as("c_tok"))
       val nAll = nl.agg(sum("n_lang").as("n_corpus"))
@@ -1090,7 +1092,7 @@ object TextAnalysis {
       val c = TestData.documents(s, d)
         .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
-        .localCheckpoint() // three consumers: totals, top-50, grid
+        .ckpt() // three consumers: totals, top-50, grid
       val nl = c.groupBy("lang").agg(sum("c").as("n_lang"))
       val top = c.groupBy("tok").agg(sum("c").as("ct"))
         .orderBy(col("ct").desc, col("tok")).limit(50).select("tok")
@@ -1098,7 +1100,7 @@ object TextAnalysis {
         .join(c, Seq("lang", "tok"), "left")
         .withColumn("f_u", expr("coalesce(c, 0L) * 1000000 DIV n_lang"))
         .select("tok", "lang", "f_u")
-        .localCheckpoint() // stats + both pair sides
+        .ckpt() // stats + both pair sides
       val stats = grid.groupBy("tok")
         .agg(count(lit(1)).as("l"), sum("f_u").as("sf"),
           sum(col("f_u") * col("f_u")).as("sff"))
@@ -1143,7 +1145,7 @@ object TextAnalysis {
       val c = TestData.documents(s, d)
         .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
-        .localCheckpoint()
+        .ckpt()
       val nl = c.groupBy("lang").agg(sum("c").as("n_lang"))
       val ct = c.groupBy("tok").agg(sum("c").as("c_tok"))
       val nAll = nl.agg(sum("n_lang").as("n_corpus"))

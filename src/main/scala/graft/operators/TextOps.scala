@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -245,7 +247,7 @@ object TextOps {
         Bridge.expression(col("idxs")), Bridge.expression(col("nwords")))))
       .withColumn("n", size(col("idxs")))
       .select("doc_id", "lang", "bm", "n")
-      .localCheckpoint()
+      .ckpt()
   }
 
   /** Directional CONTAINMENT pairs |A∩B|/|A| ≥ `threshold` over an
@@ -419,7 +421,7 @@ object TextOps {
   def fixtureJaccardPairs(s: SparkSession, d: String): DataFrame =
     pairsMemo.getOrElseUpdate(s,
       graft.sources.WriteOnce.inputTag(d, "documents"),
-      jaccardPairs(TestData.documents(s, d)).localCheckpoint())
+      jaccardPairs(TestData.documents(s, d)).ckpt())
 
   /** Memoized MinHash-LSH near-dup pairs over the documents fixture —
     * shared by `dedup_minhash_lsh` and the component/cluster consumers
@@ -437,7 +439,7 @@ object TextOps {
           .select(col("doc_id").as("id"), col("lang").as("blockKey"),
             graft.functions.MinHashLsh.shinglesFromTokens(col("toks"))
               .as("shingles"))
-        graft.functions.MinHashLsh.nearDupPairs(docs, 0.9).localCheckpoint()
+        graft.functions.MinHashLsh.nearDupPairs(docs, 0.9).ckpt()
       })
 
   /** Memoized planted-dup detector evaluation corpus (round 14):
@@ -464,7 +466,7 @@ object TextOps {
           .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
             concat(col("text"), lit(" zq1 zq2 zq3")).as("text"))
         // two detectors × two join sides consume the planted corpus
-        val corpus = docs.unionAll(planted).localCheckpoint()
+        val corpus = docs.unionAll(planted).ckpt()
         val toks = corpus.select(col("doc_id"), col("lang"),
             array_sort(transform(array_distinct(split(col("text"), " ")),
               t => xxhash64(t))).as("th"))
@@ -497,7 +499,7 @@ object TextOps {
           .withColumn("is_pos",
             when(col("id_b") === col("id_a") + 1000000L
               && col("id_a") % 5 === 0, 1L).otherwise(0L))
-          .localCheckpoint()
+          .ckpt()
       })
 
   /** Exact ROC-AUC + step-form PR-AUC (average precision) per
@@ -687,7 +689,7 @@ object TextOps {
       .agg(count(lit(1)).as("n_b"), sum("is_pos").as("pos_b"))
       .withColumn("cp", sum("pos_b").over(W))
       .withColumn("cn", sum("n_b").over(W))
-      .localCheckpoint() // i side, j side, readout
+      .ckpt() // i side, j side, readout
     val ci = cells.select(col("score_u").as("si"),
       (col("cp") - col("pos_b")).as("cpe"),
       (col("cn") - col("n_b")).as("cne"))
@@ -1165,8 +1167,8 @@ object TextOps {
         element_at(col("mhs"), k + 1).as(s"mh$k"))
       val sigs = hashed
         .select(col("id") +: col("blockKey") +: sigCols: _*)
-        .localCheckpoint()
-      val sh = docs.select(col("id"), col("shingles")).localCheckpoint()
+        .ckpt()
+      val sh = docs.select(col("id"), col("shingles")).ckpt()
       val perR = Seq(2, 3, 6).map { r =>
         val bands = numPerm / r
         val bandKeys = (0 until bands).map { j =>
@@ -1183,7 +1185,7 @@ object TextOps {
               && col("x.id") < col("y.id"))
           .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
           .dropDuplicates("id_a", "id_b")
-          .localCheckpoint()
+          .ckpt()
         val nVer = cand
           .join(sh.select(col("id").as("id_a"), col("shingles").as("sa")),
             "id_a")

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.TestData
@@ -110,14 +112,14 @@ object TimeSeries {
     */
   private[graft] def senSlopeCore(series: DataFrame): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val hourly = series.localCheckpoint() // slopes + ties
+    val hourly = series.ckpt() // slopes + ties
     val b = hourly.select(col("xh").as("x2"), col("n").as("n2"))
     val slopes = hourly.join(b, col("x2") > col("xh"))
       .select(floor((col("n2") - col("n")) * lit(10000.0)
         / (col("x2") - col("xh")) + lit(0.5)).cast("long")
         .as("slope_q"))
       .groupBy("slope_q").agg(count(lit(1)).as("c"))
-      .localCheckpoint() // the N total + the rank scan
+      .ckpt() // the N total + the rank scan
     val ties = hourly.groupBy("n").agg(count(lit(1)).as("t"))
       .agg(sum(col("t") * (col("t") - 1)
         * (lit(2L) * col("t") + 5)).as("tie_term"),
@@ -239,7 +241,7 @@ object TimeSeries {
     val s = series.sparkSession
     import s.implicits._
     val hourly = series.select(col("hr"), col("cnt"))
-      .localCheckpoint() // tap fan-out + actuals
+      .ckpt() // tap fan-out + actuals
     val taps = (HoltTaps4m.map { case (j, w) => (j, w, 0L, w) } ++
       Seq((168, 4194304L, 4194304L, 0L)) ++
       HoltTaps4m.map { case (j, w) => (168 + j, -w, 0L, 0L) })
@@ -584,7 +586,7 @@ object TimeSeries {
     val sizes = Seq(16L, 32L, 64L, 128L).toDF("ws")
     val blk = series.crossJoin(broadcast(sizes))
       .withColumn("blk", expr("hr DIV ws"))
-      .localCheckpoint() // two consumers: block totals + deviations
+      .ckpt() // two consumers: block totals + deviations
     val tot = blk.groupBy("ws", "blk")
       .agg(count(lit(1)).as("n_in"), sum("y").as("t"))
       .filter(col("n_in") === col("ws"))
@@ -636,7 +638,7 @@ object TimeSeries {
       .withColumn("prev", lag(col("us"), 1).over(wU))
       .filter(col("prev").isNotNull)
       .withColumn("g", expr("(us - prev) DIV 1000000"))
-      .localCheckpoint() // two consumers: cells + totals
+      .ckpt() // two consumers: cells + totals
     val cells = gaps.groupBy("g").agg(count(lit(1)).as("c"))
     val tot = gaps.agg(count(lit(1)).as("n"), sum("g").as("sg"))
     cells.crossJoin(broadcast(tot))
@@ -693,7 +695,7 @@ object TimeSeries {
     val s = series.sparkSession
     import s.implicits._
     val hourly = series.select(col("hr"), col("cnt"))
-      .localCheckpoint() // two consumers: tap fan-out + actuals
+      .ckpt() // two consumers: tap fan-out + actuals
     val holt = HoltTaps4m
     val weights = (holt.map { case (j, w) => (j, w) } ++
       Seq((168, 4194304L)) ++
@@ -719,7 +721,7 @@ object TimeSeries {
     val W = org.apache.spark.sql.expressions.Window
     val scored = hwForecast4m(series)
       .withColumn("resid", col("cnt") * 4194304L - col("fc4m"))
-      .localCheckpoint() // quantile branch + the last-24 readout
+      .ckpt() // quantile branch + the last-24 readout
     val q = scored
       .withColumn("rn", row_number().over(W.orderBy("resid", "hr"))
         .cast("long"))
@@ -846,7 +848,7 @@ object TimeSeries {
       .withColumn("bc", col("n_c") - col("x_c") + 1)
       .withColumn("at", col("x_t") + 1)
       .withColumn("bt", col("n_t") - col("x_t") + 1)
-      .localCheckpoint() // two explodes consume the 1-row table
+      .ckpt() // two explodes consume the 1-row table
     val lnh0 = tbl.select(col("ac"), col("bc"),
         explode(sequence(lit(0L), col("bt") - 1)).as("j"))
       .withColumn("t_u", floor(log((col("bc") + col("j")).cast("double")
@@ -924,7 +926,7 @@ object TimeSeries {
       val base = hourly.crossJoin(broadcast(t0))
         .withColumn("ti", col("t") - col("t_min"))
         .select("ti", "n")
-        .localCheckpoint() // sufficient stats + residual pass
+        .ckpt() // sufficient stats + residual pass
       val fit = base.agg(count(lit(1)).as("nh"), sum("ti").as("st"),
           sum(col("ti") * col("ti")).as("stt"), sum("n").as("sy"),
           sum(col("ti") * col("n")).as("sty"))
@@ -944,7 +946,7 @@ object TimeSeries {
           - (col("a") + col("b") * col("ti").cast("double")) + 0.5)
           .cast("long"))
         .select("ti", "e")
-        .localCheckpoint() // adjacent pairs + the denominator
+        .ckpt() // adjacent pairs + the denominator
       val prev = res.select((col("ti") + 1L).as("ti"),
         col("e").as("e_prev"))
       val pairs = res.join(prev, "ti")
@@ -1001,7 +1003,7 @@ object TimeSeries {
     val grid = risk.filter(col("d_t") > 0)
       .withColumn("n0_risk", col("n_risk") - col("n1_risk"))
       .select("dur_hr", "d1_t", "d_t", "n0_risk", "n1_risk")
-      .localCheckpoint() // consumed by 3 Newton rounds + the readout
+      .ckpt() // consumed by 3 Newton rounds + the readout
     // quantized e^β (micro) off the carried scalar; clamp ±13
     def eH: Column = floor(exp(least(greatest(
       coalesce(col("b_u"), lit(0L)).cast("double") / 1.0e6,
@@ -1087,7 +1089,7 @@ object TimeSeries {
       .withColumn("mx", max("lw_u").over(W.partitionBy()))
       .withColumn("t9", floor(exp((col("lw_u") - col("mx")).cast("double")
         / 1000000.0) * 1000000000 + 0.5).cast("long"))
-      .localCheckpoint() // consumed by the observed row + the sums
+      .ckpt() // consumed by the observed row + the sums
     val obs = lw.filter(col("k") === col("x_t"))
       .select(col("lw_u").as("lw_obs"))
     lw.crossJoin(broadcast(obs))
@@ -1143,14 +1145,14 @@ object TimeSeries {
     */
   private[graft] def ar2Core(series: DataFrame): DataFrame = {
     val hourly = series.select(col("hr"), col("cnt"))
-      .localCheckpoint() // three consumers: target + two lag sides
+      .ckpt() // three consumers: target + two lag sides
     val rows = hourly
       .join(hourly.select((col("hr") + 1).as("hr"),
         col("cnt").as("y1")), "hr")
       .join(hourly.select((col("hr") + 2).as("hr"),
         col("cnt").as("y2")), "hr")
       .select(col("hr"), col("cnt").as("y"), col("y1"), col("y2"))
-      .localCheckpoint() // two consumers: fit stats + scoring
+      .ckpt() // two consumers: fit stats + scoring
     val fit = rows.agg(count(lit(1)).as("n"),
         sum("y1").as("s1"), sum("y2").as("s2"), sum("y").as("sy"),
         sum(col("y1") * col("y1")).as("s11"),
@@ -1237,7 +1239,7 @@ object TimeSeries {
     val steps = ev
       .withColumn("rn", row_number().over(w))
       .withColumn("next_type", lead("event_type", 1).over(w))
-      .localCheckpoint() // two consumers: mid transitions + starts
+      .ckpt() // two consumers: mid transitions + starts
     val mids = steps.filter(col("event_type") =!= convType)
       .select(col("event_type").as("from_type"),
         when(col("next_type").isNull, lit("END"))
@@ -1252,30 +1254,30 @@ object TimeSeries {
       .withColumn("rt", sum("c").over(W.partitionBy("from_type")))
       .withColumn("p_u", expr("(c * 1000000) DIV rt"))
       .select("from_type", "to_type", "p_u", "c")
-      .localCheckpoint()
+      .ckpt()
     import s.implicits._
     val channels = p.select(col("from_type").as("ch"))
       .union(p.select(col("to_type").as("ch")))
       .filter(!col("ch").isin("START", "CONV", "END")).distinct()
-      .localCheckpoint()
+      .ckpt()
     val variants = channels.select(col("ch").as("removed"))
       .union(Seq("(none)").toDF("removed"))
     val pv = variants.crossJoin(p)
       .filter(col("from_type") =!= col("removed")
         && col("to_type") =!= col("removed"))
-      .localCheckpoint()
+      .ckpt()
     val statesV = variants.crossJoin(
         channels.select(col("ch").as("st"))
           .union(Seq("START").toDF("st")))
       .filter(col("st") =!= col("removed"))
-      .localCheckpoint()
+      .ckpt()
     val direct = pv.filter(col("to_type") === "CONV")
       .select(col("removed"), col("from_type").as("st"),
         col("p_u").as("dc"))
     var v = statesV.join(direct, Seq("removed", "st"), "left")
       .select(col("removed"), col("st"),
         coalesce(col("dc"), lit(0L)).as("v"))
-      .localCheckpoint()
+      .ckpt()
     for (_ <- 1 to 3) {
       val nxt = pv
         .filter(col("to_type") =!= "CONV" && col("to_type") =!= "END")
@@ -1289,11 +1291,11 @@ object TimeSeries {
         .select(col("removed"), col("st"),
           (coalesce(col("dc"), lit(0L))
             + expr("coalesce(acc, 0) DIV 1000000")).as("v"))
-        .localCheckpoint()
+        .ckpt()
     }
     val vstart = v.filter(col("st") === "START")
       .select(col("removed"), col("v"))
-      .localCheckpoint()
+      .ckpt()
     val full = vstart.filter(col("removed") === "(none)")
       .select(col("v").as("v_full"))
     val lastTouch = p
@@ -1304,7 +1306,7 @@ object TimeSeries {
       .crossJoin(broadcast(full))
       .select(col("removed").as("channel"),
         greatest(lit(0L), col("v_full") - col("v")).as("removal_u"))
-      .localCheckpoint()
+      .ckpt()
     val totEff = eff.agg(sum("removal_u").as("te"))
     eff.crossJoin(broadcast(totEff))
       .join(lastTouch, Seq("channel"), "left")
@@ -1842,7 +1844,7 @@ object TimeSeries {
       val hourly = TestData.events(s, d)
         .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint()
+        .ckpt()
       val tot = hourly.agg(count(lit(1)).as("h_cnt"))
       val med2 = hourly.crossJoin(broadcast(tot))
         .withColumn("rn",
@@ -1955,9 +1957,9 @@ object TimeSeries {
           org.apache.spark.sql.expressions.Window.partitionBy("from_type")))
         .withColumn("p_u", expr("(c * 1000000) DIV rt"))
         .select("from_type", "to_type", "p_u")
-        .localCheckpoint()
+        .ckpt()
       val states = TestData.events(s, d).select("event_type").distinct()
-        .localCheckpoint()
+        .ckpt()
       val k = states.agg(count(lit(1)).as("k"))
       var pi = states.crossJoin(broadcast(k))
         .select(col("event_type"), expr("1000000 DIV k").as("pi"))
@@ -1974,7 +1976,7 @@ object TimeSeries {
           .select(col("event_type"),
             expr("CASE WHEN tr > 0 THEN r * 1000000 DIV tr" +
               " ELSE CAST(0 AS BIGINT) END").as("pi"))
-          .localCheckpoint()
+          .ckpt()
       }
       pi.select(col("event_type"), col("pi").as("pi_micro"))
         .orderBy("event_type")
@@ -2379,7 +2381,7 @@ object TimeSeries {
         .withColumn("nfreq", -col("freq"))
         .withColumn("nmon", -col("mon4"))
         .withColumn("g", lit(0))
-        .localCheckpoint() // three rank passes + the count
+        .ckpt() // three rank passes + the count
       val n = base.groupBy("g").agg(count(lit(1)).as("n_tot"))
       val ranked = graft.operators.Curation.rangedRank(
         graft.operators.Curation.rangedRank(
@@ -3552,7 +3554,7 @@ object TimeSeries {
         .withColumn("xh", expr("unix_micros(hour) DIV 3600000000"))
         .withColumn("season", expr("xh % 24"))
         .select("season", "xh", "n")
-        .localCheckpoint() // pair join + tie terms
+        .ckpt() // pair join + tie terms
       val b = hourly.select(col("season").as("sz2"),
         col("xh").as("x2"), col("n").as("n2"))
       val sSeason = hourly
@@ -3588,7 +3590,7 @@ object TimeSeries {
         .agg(count(lit(1)).as("n"))
         .withColumn("xh", expr("unix_micros(hour) DIV 3600000000"))
         .select("xh", "n")
-        .localCheckpoint()
+        .ckpt()
       val b = hourly.select(col("xh").as("x2"), col("n").as("n2"))
       val sPairs = hourly.join(b, col("x2") > col("xh"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -3628,7 +3630,7 @@ object TimeSeries {
       val hourly = TestData.events(s, d)
         .groupBy(expr("unix_micros(ts) DIV 3600000000").as("xh"))
         .agg(count(lit(1)).as("v"))
-        .localCheckpoint() // consumed by the value grid AND the join
+        .ckpt() // consumed by the value grid AND the join
       val r2v = hourly.groupBy("v").agg(count(lit(1)).as("c"))
         .withColumn("cum_lt",
           coalesce(sum("c").over(W.orderBy("v")
@@ -4055,7 +4057,7 @@ object TimeSeries {
         .select(col("user_id"),
           expr("unix_micros(ts) DIV 86400000000 DIV 7").as("wk"))
         .distinct()
-        .localCheckpoint()
+        .ckpt()
       val first = uw.groupBy("user_id").agg(min("wk").as("first_wk"))
       val prev = uw.select(col("user_id"), (col("wk") + 1).as("wk"),
         lit(1).as("was_prev"))
@@ -4180,7 +4182,7 @@ object TimeSeries {
         .join(hourly.select((col("hr") + 168).as("hr"),
           col("cnt").as("fc")), "hr")
         .withColumn("resid", col("cnt") - col("fc"))
-        .localCheckpoint() // quantile branch + the last-24 readout
+        .ckpt() // quantile branch + the last-24 readout
       val q = scored
         .withColumn("rn", row_number().over(W.orderBy("resid", "hr"))
           .cast("long"))
@@ -4299,7 +4301,7 @@ object TimeSeries {
       val hourly = TestData.events(s, d)
         .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
         .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint() // consumed twice: tap fan-out + actuals
+        .ckpt() // consumed twice: tap fan-out + actuals
       val weights = Seq((1, 64L), (2, 32L), (3, 16L), (4, 8L),
         (5, 4L), (6, 2L), (7, 1L), (8, 1L)).toDF("tap", "w128")
       val fc = hourly.crossJoin(broadcast(weights))
@@ -4348,7 +4350,7 @@ object TimeSeries {
       val hourly = TestData.events(s, d)
         .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
         .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint() // consumed twice: tap fan-out + actuals
+        .ckpt() // consumed twice: tap fan-out + actuals
       val weights = Seq((1, 3145728L), (2, 1835008L), (3, 720896L),
         (4, -16384L), (5, -380928L), (6, -467968L), (7, -394496L),
         (8, -259136L), (9, -126672L), (10, -28772L), (11, 27371L),
@@ -4440,7 +4442,7 @@ object TimeSeries {
       val hourly = TestData.events(s, d)
         .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
         .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint() // two consumers: target + lagged side
+        .ckpt() // two consumers: target + lagged side
       val qs = Seq(1, 2, 4, 8).toDF("q")
       val lagged = hourly.crossJoin(broadcast(qs))
         .select((col("hr") + col("q")).as("hr"), col("q"),
@@ -4455,7 +4457,7 @@ object TimeSeries {
             - col("sd").cast("double") * col("sd").cast("double")
               / col("n").cast("double"))
             / (col("n") - 1).cast("double")))
-        .localCheckpoint() // consumed twice: readout + base row
+        .ckpt() // consumed twice: readout + base row
       val base = st.filter(col("q") === 1)
         .select(col("variance").as("var1"))
       st.filter(col("q") > 1)
@@ -4509,7 +4511,7 @@ object TimeSeries {
             .as("yc"),
           sum(when(col("event_type") === "view", 1L).otherwise(0L))
             .as("xc"))
-        .localCheckpoint() // two consumers: target side + lag side
+        .ckpt() // two consumers: target side + lag side
       val rows = hourly.select(col("hr"), col("yc").as("y"))
         .join(hourly.select((col("hr") + 1).as("hr"),
           col("yc").as("y1"), col("xc").as("x1")), "hr")
@@ -4630,7 +4632,7 @@ object TimeSeries {
         .withColumn("r2_u", floor(col("r_u") - col("seas") + 0.5)
           .cast("long"))
         .select("hr", "cnt", "r2_u")
-        .localCheckpoint()
+        .ckpt()
       def rankStat(df: DataFrame, valCol: String): DataFrame =
         df.withColumn("rn", row_number().over(
             W.orderBy(col(valCol), col("hr"))))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.TestData
@@ -57,7 +59,7 @@ object Tokenize {
       .withColumn("syms", expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
       .select("syms", "n")
-      .localCheckpoint()
+      .ckpt()
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     for (r <- 1 to rounds) {
       val top = vocab
@@ -77,7 +79,7 @@ object Tokenize {
       merges += ((r, top._1, top._2, top._1 + top._2, top._3))
       vocab = vocab
         .select(applyMerge(col("syms"), top._1, top._2).as("syms"), col("n"))
-        .localCheckpoint()
+        .ckpt()
     }
     merges.result()
       .toDF("round", "sym_a", "sym_b", "merged", "pair_count")

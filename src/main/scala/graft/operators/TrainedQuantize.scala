@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.TestData
@@ -264,7 +266,7 @@ object TrainedQuantize {
   private[graft] def rotatedCorpus(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate(s, memoKey(d, "opqcorpus"),
       rotateDf(TestData.embeddings(s, d), fixtureRotation(s, d))
-        .localCheckpoint())
+        .ckpt())
 
   /** Generic OPQ encode (facade surface): derive the rotation from
     * the input's own covariance, rotate, train codebooks on the
@@ -275,7 +277,7 @@ object TrainedQuantize {
                                       seed: Long): DataFrame = {
     val e = e0.select(col("vec_id"), col("embedding"))
     val rot = opqRotation(e)
-    val rotated = rotateDf(e, rot).localCheckpoint()
+    val rotated = rotateDf(e, rot).ckpt()
     val cb = codebookDf(e.sparkSession,
       rotateSample(trainingSample(e), rot), codewords, seed)
     encodeErr(rotated, cb)

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -194,7 +196,7 @@ object Vectors {
           posexplode(col("embedding")).as(Seq("pos", "x")))
         .withColumn("u", floor(col("x").cast("double")
           / sqrt(col("norm2")) * 1000000 + 0.5).cast("long"))
-        .localCheckpoint() // two consumers: per-vec + per-dim sums
+        .ckpt() // two consumers: per-vec + per-dim sums
       val perVec = u.groupBy("vec_id")
         .agg(sum(col("u") * col("u")).as("uu"))
         .agg(count(lit(1)).as("n_vecs"), sum("uu").as("su2"))
@@ -510,7 +512,7 @@ object Vectors {
           col("cluster") === col("probe_cluster"))
         .filter(col("vec_id") =!= col("aid"))
         .withColumn("score", r4(V.cosine(col("embedding"), col("av"))))
-        .localCheckpoint() // positive + negative branches
+        .ckpt() // positive + negative branches
       val wPos = Window.partitionBy("aid")
         .orderBy(col("score").desc, col("vec_id"))
       val wNeg = Window.partitionBy("aid")
@@ -604,7 +606,7 @@ object Vectors {
       val sample = TestData.embeddings(s, d)
         .filter(substring(md5(col("vec_id").cast("string")), 1, 2) < "20")
         .select(col("vec_id"), col("embedding"))
-        .localCheckpoint() // two sides × three pair aggregates
+        .ckpt() // two sides × three pair aggregates
       energyDistance(sample.filter(col("vec_id") % 2 === 0),
         sample.filter(col("vec_id") % 2 === 1))
     }),
@@ -716,7 +718,7 @@ object Vectors {
           floor(sqrt(V.sqDist(col("embedding"), col("cv"))) * 1000000
             + 0.5).cast("long"))
         .select("vec_id", "cid", "d_u")
-        .localCheckpoint()
+        .ckpt()
       val own = dists.groupBy("vec_id")
         .agg(min(struct(col("d_u"), col("cid"))).as("m"))
         .select(col("vec_id"), col("m.cid").as("cluster"),

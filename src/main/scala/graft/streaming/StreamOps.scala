@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.CkptOps
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
@@ -209,7 +211,7 @@ object StreamOps {
                       indexPath: String): Unit = {
     val snap = spark.read.parquet(indexPath)
       .select(col("vec_id"), col("embedding"), col("cluster"), col("batch"))
-      .localCheckpoint()
+      .ckpt()
     // Partition-value inference may type `batch` as INT — cast before
     // getLong.
     val maxBatchRow = snap.agg(

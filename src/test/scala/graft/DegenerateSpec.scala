@@ -1107,6 +1107,24 @@ class DegenerateSpec extends SparkSpec {
     assert(neg.getAs[Double]("p_two") === 0.25)
   }
 
+  test("knPerplexity3 survives degenerate frames") {
+    val ss = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def df2(rows: Seq[(Long, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), ss)
+    assertClean(engine.knPerplexity3(df2(Nil), "doc_id", "text"),
+      "kn3/empty")
+    // all docs under 3 tokens: every doc drops, empty output
+    assert(engine.knPerplexity3(
+      df2(Seq((1L, "a"), (2L, "a b"))), "doc_id", "text").count() === 0L)
+    // single 3-token doc: one trigram, c3 = c12 = 1, defined
+    assertClean(engine.knPerplexity3(
+      df2(Seq((1L, "a b c"))), "doc_id", "text"), "kn3/single")
+    // constant-token doc: trigram (x,x,x) with itself as backoff
+    assertClean(engine.knPerplexity3(
+      df2(Seq((1L, "x x x x x"))), "doc_id", "text"), "kn3/constant")
+  }
+
   test("poissonGlm survives degenerate frames") {
     val ss = StructType(Seq(StructField("y", LongType),
       StructField("x", LongType)))

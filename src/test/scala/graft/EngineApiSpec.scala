@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 220, "documented facade count drifted; methods: "
+    assert(names.length === 221, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 

@@ -27,6 +27,18 @@ class PlanSpec extends SparkSpec {
   // bounded grids, verified at re-pin time.
   private val UNPARTITIONED_WINDOW_SITES = 124
 
+  /** Pinned count of unpartitioned window sites recorded INSIDE
+    * checkpointed stages by the `.ckpt()` interceptor during the
+    * audit (the r15 blind spot, now mechanical). r16 inventory, each
+    * verified bounded at pin time: (global) x3 — 1-row/whole-frame
+    * readout aggregates; dur_hr x2 — the survival family's
+    * duration-DISTINCT risk-set cumulatives; hr x1 — an hour grid;
+    * k x1 — a k-row arm table; score_u x1 — eval_calibration_fit's
+    * score-domain prefix; x x2 — value-domain cell grids (the
+    * rank-test discipline). None is corpus-grain.
+    */
+  private val CKPT_WINDOW_SITES = 10
+
   private def plan(key: String): String = {
     val df = SparkEntry.queries(key)(spark, sfDir)
     df.queryExecution.executedPlan.toString
@@ -766,34 +778,40 @@ class PlanSpec extends SparkSpec {
   }
 
   test("unpartitioned-window audit: the waived-site inventory is pinned") {
-    // VERDICT r14 #3/#9: ~20 unpartitioned Window.orderBy sites ride
-    // documented tiny frames (hour grids, value-domain cells,
-    // limit-k arms, shard-offset tables). That invariant was
-    // comment-enforced; this audit makes it mechanical: walk EVERY
-    // declared key's optimized logical plan, inventory window
-    // operators with an empty partition spec (keyed by their order
-    // columns; "(global)" for whole-frame aggregate windows), and
-    // pin the total. A new key adding an unpartitioned window fails
-    // here until its site is consciously re-pinned as bounded.
-    // (localCheckpointed stages truncate lineage, so sites inside
-    // them are covered by their own dedicated pins, not this sweep.)
+    // VERDICT r14 #3/#9 + r15 "what's wrong" #1: unpartitioned
+    // Window.orderBy sites ride documented tiny frames (hour grids,
+    // value-domain cells, limit-k arms, shard-offset tables). This
+    // audit makes the invariant mechanical AND closes the
+    // checkpoint blind spot: every `.ckpt()` call (the repo's
+    // localCheckpoint interceptor, graft.CkptOps) records its
+    // PRE-checkpoint optimized plan while the audit runs, so windows
+    // INSIDE checkpointed/memoized stages are swept alongside the
+    // keys' visible plans. The sweep runs in a FRESH session so
+    // SessionMemo'd stages rebuild through the interceptor instead
+    // of silently reusing frames built before recording started.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    def windowSites(p: org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan): Seq[String] =
+      p.collect {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          if (w.orderSpec.isEmpty) "(global)"
+          else w.orderSpec.map(
+            _.child.references.map(_.name).toSeq.sorted
+              .mkString("+")).mkString(",")
+      }
+    val s2 = spark.newSession()
+    val rec = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
     val hits = scala.collection.mutable.SortedMap[String, Seq[String]]()
-    for ((k, q) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val sites =
-        try {
-          q(spark, sfDir).queryExecution.optimizedPlan.collect {
-            case w: LWindow if w.partitionSpec.isEmpty =>
-              if (w.orderSpec.isEmpty) "(global)"
-              else w.orderSpec.map(
-                _.child.references.map(_.name).toSeq.sorted
-                  .mkString("+")).mkString(",")
-          }
-        } catch {
-          case e: Exception => fail(s"$k failed to plan: $e")
-        }
-      if (sites.nonEmpty) hits(k) = sites.sorted
-    }
+    CkptAudit.sink = rec
+    try {
+      for ((k, q) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+        val sites =
+          try windowSites(q(s2, sfDir).queryExecution.optimizedPlan)
+          catch { case e: Exception => fail(s"$k failed to plan: $e") }
+        if (sites.nonEmpty) hits(k) = sites.sorted
+      }
+    } finally CkptAudit.sink = null
     val total = hits.valuesIterator.map(_.size).sum
     val inventory = hits.map { case (k, s) =>
       s"$k: ${s.mkString(" | ")}" }.mkString("\n")
@@ -805,6 +823,16 @@ class PlanSpec extends SparkSpec {
     assert(!jGrid, inventory)
     assert(total === UNPARTITIONED_WINDOW_SITES,
       s"unpartitioned-window inventory drifted (got $total):\n$inventory")
+    // the formerly-hidden sites: unpartitioned windows inside
+    // checkpointed stages, keyed by order-column signature. Each
+    // signature is a bounded frame verified at pin time (duration /
+    // value / score grids, shard-offset tables, k-row arms).
+    val staged = rec.toSeq.flatMap(windowSites)
+      .groupBy(identity).view.mapValues(_.size).toSeq.sorted
+    val stagedTotal = staged.map(_._2).sum
+    val stagedInv = staged.map { case (s, n) => s"$s x$n" }.mkString("\n")
+    assert(stagedTotal === CKPT_WINDOW_SITES,
+      s"checkpointed-stage window inventory drifted (got $stagedTotal):\n$stagedInv")
   }
 
   test("scan_file_provenance stages its write in parallel, not one task") {
