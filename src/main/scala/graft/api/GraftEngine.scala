@@ -4619,6 +4619,37 @@ class GraftEngine(val spark: SparkSession) {
     graft.operators.Stats.hodgesLehmannCore(
       twoGroupCells(df, valueCol, groupCol, aLabel, bLabel))
 
+  /** Hodges-Lehmann shift with its Moses rank-based 95 % CI (see
+    * `agg_hodges_lehmann_ci`): the k-th / (N+1−k)-th order
+    * statistics of the pairwise differences at the normal-
+    * approximation rank — the error bar [[hodgesLehmann]]'s point
+    * estimate needs. ci_lo ≤ hl_shift ≤ ci_hi by construction.
+    */
+  def hodgesLehmannCi(df: DataFrame, valueCol: String, groupCol: String,
+                      aLabel: String = "control",
+                      bLabel: String = "treatment"): DataFrame =
+    graft.operators.Stats.hodgesLehmannCiCore(
+      twoGroupCells(df, valueCol, groupCol, aLabel, bLabel))
+
+  /** Fisher's combined-probability test (see `agg_fisher_combined`)
+    * over micro-unit (1e-6) p values: X² = −2Σln p ~ χ²(2m), with
+    * the Wilson-Hilferty normal verdict — pools weak consistent
+    * signals across tests. Null p rows should be filtered first.
+    */
+  def fisherCombined(df: DataFrame, pMicroCol: String): DataFrame =
+    graft.operators.Stats.fisherCombinedCore(
+      df.filter(col(pMicroCol).isNotNull)
+        .select(col(pMicroCol).cast("long").as("p_u")))
+
+  /** Storey λ = ½ null-fraction estimate (see `agg_storey_pi0`) over
+    * micro-unit p values: π̂0 = 2·#{p > ½}/m clamped to 1 — how much
+    * of the test family is truly null (BH assumes all of it).
+    */
+  def storeyPi0(df: DataFrame, pMicroCol: String): DataFrame =
+    graft.operators.Stats.storeyPi0Core(
+      df.filter(col(pMicroCol).isNotNull)
+        .select(col(pMicroCol).cast("long").as("p_u")))
+
   /** Distribution-free 95 % median CI (see `agg_median_ci`) per
     * group over integer-unit values: sign-test-inversion order
     * statistics — the error bar a median dashboard publishes where

@@ -113,6 +113,44 @@ object Stats {
           .cast("long")))
   }
 
+  /** Fisher's combined-probability core (see `agg_fisher_combined`):
+    * input (p_u: micro-unit p values, non-null), output the 1-row
+    * X² = −2Σln p readout with df = 2m and the Wilson-Hilferty
+    * normal verdict. ln terms ε-clipped (p_u ≥ 1) and
+    * micro-quantized at the definition site; the cube root is
+    * exp(ln(x)/3) in BOTH engines. Shared with
+    * `GraftEngine.fisherCombined`.
+    */
+  private[graft] def fisherCombinedCore(ps: DataFrame): DataFrame =
+    ps
+      .withColumn("lnp_u",
+        floor(log(greatest(col("p_u"), lit(1L)).cast("double")
+          / 1000000.0) * 1000000 + 0.5).cast("long"))
+      .agg(count(lit(1)).as("m_tests"), sum("lnp_u").as("ln_su"))
+      .withColumn("x2", when(col("m_tests") > 0,
+        r4(lit(-2.0) * col("ln_su").cast("double") / 1000000.0)))
+      .withColumn("df", lit(2L) * col("m_tests"))
+      .withColumn("z_wh", when(col("x2") > 0 && col("df") > 0,
+        r4((exp(log(col("x2") / col("df").cast("double")) / 3.0)
+          - (lit(1.0) - lit(2.0) / (lit(9.0) * col("df").cast("double"))))
+          / sqrt(lit(2.0) / (lit(9.0) * col("df").cast("double"))))))
+      .withColumn("significant_95",
+        when(col("z_wh").isNotNull, col("z_wh") > 1.644854))
+      .select("m_tests", "x2", "df", "z_wh", "significant_95")
+
+  /** Storey λ = ½ null-fraction core (see `agg_storey_pi0`): input
+    * (p_u) micro-unit p values; π̂0 = 2·#{p > ½}/m clamped to 1.
+    * Shared with `GraftEngine.storeyPi0`.
+    */
+  private[graft] def storeyPi0Core(ps: DataFrame): DataFrame =
+    ps
+      .agg(count(lit(1)).as("m_tests"),
+        sum(when(col("p_u") > 500000L, 1L).otherwise(0L)).as("n_above"))
+      .withColumn("pi0", when(col("m_tests") > 0,
+        r4(least(lit(1.0), lit(2.0) * col("n_above").cast("double")
+          / col("m_tests").cast("double")))))
+      .select("m_tests", "n_above", "pi0")
+
   /** Huber M-estimator core (see `agg_huber_mean`): input
     * (seg, tie, cents) rows — `tie` makes (cents, tie) a total order
     * per segment for the rank-based median/MAD. 3 unrolled clipped-
@@ -265,7 +303,16 @@ object Stats {
     * `quantizer` makes the resolution explicit. Shared with
     * `GraftEngine.hodgesLehmann`.
     */
-  private[graft] def hodgesLehmannCore(cells: DataFrame): DataFrame = {
+  /** The shared coarse weighted diff grid behind [[hodgesLehmannCore]]
+    * and [[hodgesLehmannCiCore]]: returns (grid, fRow) where grid =
+    * (diff, w, wtot, cumw, nc, nt) over the auto-coarsened domain²
+    * cross product and fRow carries the quantizer f. Order statistics
+    * of the coarse diffs commute with the monotone floor(·/f), so any
+    * rank pick off this grid is within one quantizer step of its
+    * fine-grid value (the property-pinned contract).
+    */
+  private[graft] def hlDiffGrid(
+      cells: DataFrame): (DataFrame, DataFrame) = {
     val W = Window.orderBy("diff")
     val cc0 = cells.ckpt() // quantizer + regroup branches
     val fRow = cc0.agg((max("x") - min("x") + lit(1L)).as("m"))
@@ -277,22 +324,65 @@ object Stats {
         / col("f").cast("double")).cast("long"))
       .groupBy("xq")
       .agg(sum("cc").as("cc"), sum("ct").as("ct"))
-      .ckpt() // both sides of the cross join
+      .ckpt() // both sides of the cross join + the group sizes
+    val sizes = coarse.agg(sum("cc").as("nc"), sum("ct").as("nt"))
     val t = coarse.select(col("xq").as("xt"), col("ct"))
       .filter(col("ct") > 0)
     val c = coarse.select(col("xq").as("xc"), col("cc"))
       .filter(col("cc") > 0)
-    t.crossJoin(broadcast(c))
+    val grid = t.crossJoin(broadcast(c))
       .select((col("xt") - col("xc")).as("diff"),
         (col("ct") * col("cc")).as("w"))
       .groupBy("diff").agg(sum("w").as("w"))
       .withColumn("wtot", sum("w").over(Window.partitionBy()))
       .withColumn("cumw", sum("w").over(
         W.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(sizes))
+    (grid, fRow)
+  }
+
+  private[graft] def hodgesLehmannCore(cells: DataFrame): DataFrame = {
+    val (grid, fRow) = hlDiffGrid(cells)
+    grid
       .filter(col("cumw") * 2 >= col("wtot") + 1)
       .agg(max("wtot").as("n_pairs"), min("diff").as("hl_q"))
       .crossJoin(broadcast(fRow))
       .select(col("n_pairs"), (col("hl_q") * col("f")).as("hl_shift"),
+        col("f").as("quantizer"))
+  }
+
+  /** Moses rank-based 95 % CI for the Hodges-Lehmann shift (see
+    * `agg_hodges_lehmann_ci`): over the same weighted diff grid, the
+    * bounds are the k-th and (N+1−k)-th order statistics of the
+    * N = n_c·n_t pairwise differences with
+    * k = max(1, ⌊N/2 − 1.959964·√(n_c·n_t·(n_c+n_t+1)/12)⌋) — the
+    * normal-approximation rank inversion (ties make it mildly
+    * conservative, documented). The only float is the engine-
+    * identical IEEE sqrt; rank picks are conditional min/max over
+    * the cumulative weights. Bounds are reported in original units
+    * (×f) — order statistics commute with the monotone coarsening,
+    * so each bound is within one quantizer step of the fine value.
+    * Shared with `GraftEngine.hodgesLehmannCi`.
+    */
+  private[graft] def hodgesLehmannCiCore(cells: DataFrame): DataFrame = {
+    val (grid, fRow) = hlDiffGrid(cells)
+    grid
+      .withColumn("k_lo", greatest(lit(1L),
+        floor(col("wtot").cast("double") / 2.0
+          - lit(1.959964) * sqrt(col("nc").cast("double")
+            * col("nt").cast("double")
+            * (col("nc") + col("nt") + lit(1L)).cast("double") / 12.0))
+          .cast("long")))
+      .withColumn("k_hi", col("wtot") + 1L - col("k_lo"))
+      .agg(max("wtot").as("n_pairs"),
+        min(when(col("cumw") * 2 >= col("wtot") + 1, col("diff")))
+          .as("hl_q"),
+        min(when(col("cumw") >= col("k_lo"), col("diff"))).as("lo_q"),
+        min(when(col("cumw") >= col("k_hi"), col("diff"))).as("hi_q"))
+      .crossJoin(broadcast(fRow))
+      .select(col("n_pairs"), (col("hl_q") * col("f")).as("hl_shift"),
+        (col("lo_q") * col("f")).as("ci_lo"),
+        (col("hi_q") * col("f")).as("ci_hi"),
         col("f").as("quantizer"))
   }
 
@@ -1210,6 +1300,18 @@ object Stats {
     // DegenerateSpec.
     "agg_hodges_lehmann" -> ((s, d) =>
       hodgesLehmannCore(variantUnitCells(s, d))),
+
+    // HODGES-LEHMANN 95% CI (round 16): the error bar on the shift —
+    // a point estimate without its Moses rank interval is a number
+    // nobody can act on (is +3 units real or noise?). Bounds = the
+    // k-th / (N+1−k)-th order statistics of the pairwise differences
+    // at the normal-approximation rank k = ⌊N/2 − 1.96·√(n_c·n_t·
+    // (n_c+n_t+1)/12)⌋ — THREE conditional rank picks over the SAME
+    // weighted diff grid one pass builds (see [[hodgesLehmannCiCore]]
+    // for why coarsened order statistics stay within one quantizer
+    // step). ci_lo ≤ hl_shift ≤ ci_hi by construction (pinned).
+    "agg_hodges_lehmann_ci" -> ((s, d) =>
+      hodgesLehmannCiCore(variantUnitCells(s, d))),
 
     // MEDIAN CI (round 15): the distribution-free 95 % confidence
     // interval on each segment's median (order-statistic inversion
@@ -2851,6 +2953,31 @@ object Stats {
         .orderBy("nationkey")
     }),
 
+    // FISHER'S COMBINED TEST (round 16): the other direction of the
+    // multiple-testing family — BH/BY/Holm ask WHICH nations moved;
+    // Fisher's method asks whether the experiment moved ANYTHING
+    // (X² = −2Σln p ~ χ²(2m) pools weak consistent signals the
+    // per-test procedures all miss). Same shared per-nation Welch-z
+    // p stage. Each ln term is micro-quantized at its definition
+    // site (ε-clip p_u ≥ 1 micro — a saturated test would be −∞);
+    // the global verdict via the Wilson-Hilferty cube-root normal
+    // approximation, expressed as exp(ln(x)/3) (ln/exp are the
+    // precedented transcendentals; a bare pow(x, 1/3) is not
+    // engine-identical). 1-row readout.
+    "agg_fisher_combined" -> ((s, d) =>
+      fisherCombinedCore(nationPValues(s, d)
+        .filter(col("p_u").isNotNull).select("p_u"))),
+
+    // STOREY π0 (round 16): the fraction of tests that are truly
+    // null — BH controls FDR assuming π0 = 1 (all null), which
+    // over-corrects exactly when many nations DID move; Storey's
+    // λ = ½ estimator π̂0 = #{p > λ}/((1−λ)m) measures the excess
+    // mass in the flat half of the p distribution. All integer
+    // counts off the same shared p stage; one clamped r4 ratio.
+    "agg_storey_pi0" -> ((s, d) =>
+      storeyPi0Core(nationPValues(s, d)
+        .filter(col("p_u").isNotNull).select("p_u"))),
+
     // HOLM-BONFERRONI (round 11): the step-DOWN companion to
     // agg_bh_fdr — familywise-error control (α = 0.05) over the SAME
     // per-nation Welch-z p-values: reject in p-ascending order while
@@ -3768,6 +3895,48 @@ object Stats {
         |  (min(diff) * (SELECT max(f) FROM fz))::BIGINT AS hl_shift,
         |  (SELECT max(f) FROM fz)::BIGINT AS quantizer
         |FROM cw WHERE cumw * 2 >= wtot + 1""".stripMargin,
+    // Same grid; three conditional rank picks (median + the Moses
+    // k / N+1−k bounds), IEEE sqrt the only float.
+    "agg_hodges_lehmann_ci" ->
+      s"""$CellsCte,
+        |fz AS (
+        |  SELECT CASE WHEN (max(x) - min(x) + 1) > 100000 THEN
+        |      power(10, ceil(log10((max(x) - min(x) + 1)::DOUBLE
+        |        / 100000.0)))::BIGINT
+        |    ELSE 1 END AS f
+        |  FROM cells),
+        |qc AS (
+        |  SELECT floor(x::DOUBLE / f::DOUBLE)::BIGINT AS xq,
+        |    sum(cc)::BIGINT AS cc, sum(ct)::BIGINT AS ct
+        |  FROM cells CROSS JOIN fz GROUP BY 1),
+        |sz AS (SELECT sum(cc)::BIGINT AS nc, sum(ct)::BIGINT AS nt
+        |       FROM qc),
+        |t AS (SELECT xq AS xt, ct FROM qc WHERE ct > 0),
+        |c2 AS (SELECT xq AS xc, cc FROM qc WHERE cc > 0),
+        |dg AS (
+        |  SELECT xt - xc AS diff, sum(ct * cc)::BIGINT AS w
+        |  FROM t CROSS JOIN c2 GROUP BY 1),
+        |cw AS (
+        |  SELECT *, (sum(w) OVER ())::BIGINT AS wtot,
+        |    (sum(w) OVER (ORDER BY diff
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS cumw
+        |  FROM dg),
+        |ck AS (
+        |  SELECT *,
+        |    greatest(1, floor(wtot::DOUBLE / 2.0 - 1.959964
+        |      * sqrt(nc::DOUBLE * nt::DOUBLE
+        |        * (nc + nt + 1)::DOUBLE / 12.0))::BIGINT) AS k_lo
+        |  FROM cw CROSS JOIN sz)
+        |SELECT max(wtot)::BIGINT AS n_pairs,
+        |  (min(CASE WHEN cumw * 2 >= wtot + 1 THEN diff END)
+        |    * (SELECT max(f) FROM fz))::BIGINT AS hl_shift,
+        |  (min(CASE WHEN cumw >= k_lo THEN diff END)
+        |    * (SELECT max(f) FROM fz))::BIGINT AS ci_lo,
+        |  (min(CASE WHEN cumw >= wtot + 1 - k_lo THEN diff END)
+        |    * (SELECT max(f) FROM fz))::BIGINT AS ci_hi,
+        |  (SELECT max(f) FROM fz)::BIGINT AS quantizer
+        |FROM ck""".stripMargin,
     // Per-segment row_number rank; sign-test-inversion rank picks
     // with the clamped IEEE-sqrt bounds; exact integer cents.
     "agg_median_ci" ->
@@ -5318,6 +5487,50 @@ object Stats {
         |    (k_max IS NOT NULL AND rk <= k_max) ELSE false END
         |    AS significant
         |FROM k ORDER BY nationkey""".stripMargin,
+    // Same shared p CTE; ε-clipped micro ln terms, Wilson-Hilferty
+    // cube root as exp(ln(x)/3) — mirrored transcendentals only.
+    "agg_fisher_combined" ->
+      s"""$NationPCte,
+        |t AS (
+        |  SELECT floor(ln(greatest(p_u, 1)::DOUBLE / 1000000.0)
+        |    * 1000000 + 0.5)::BIGINT AS lnp_u
+        |  FROM pp WHERE p_u IS NOT NULL),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS m_tests,
+        |    sum(lnp_u)::BIGINT AS ln_su
+        |  FROM t),
+        |b AS (
+        |  SELECT m_tests,
+        |    CASE WHEN m_tests > 0 THEN
+        |      floor(-2.0 * ln_su::DOUBLE / 1000000.0 * 10000 + 0.5)
+        |        / 10000 END AS x2,
+        |    (2 * m_tests)::BIGINT AS df
+        |  FROM a),
+        |c3 AS (
+        |  SELECT *,
+        |    CASE WHEN x2 > 0 AND df > 0 THEN
+        |      floor((exp(ln(x2 / df::DOUBLE) / 3.0)
+        |        - (1.0 - 2.0 / (9.0 * df::DOUBLE)))
+        |        / sqrt(2.0 / (9.0 * df::DOUBLE)) * 10000 + 0.5)
+        |        / 10000 END AS z_wh
+        |  FROM b)
+        |SELECT m_tests, x2, df, z_wh,
+        |  CASE WHEN z_wh IS NOT NULL THEN z_wh > 1.644854 END
+        |    AS significant_95
+        |FROM c3""".stripMargin,
+    // Same shared p CTE; integer counts, one clamped r4 ratio.
+    "agg_storey_pi0" ->
+      s"""$NationPCte,
+        |a AS (
+        |  SELECT count(*)::BIGINT AS m_tests,
+        |    sum(CASE WHEN p_u > 500000 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_above
+        |  FROM pp WHERE p_u IS NOT NULL)
+        |SELECT m_tests, n_above,
+        |  CASE WHEN m_tests > 0 THEN
+        |    floor(least(1.0, 2.0 * n_above::DOUBLE / m_tests::DOUBLE)
+        |      * 10000 + 0.5) / 10000 END AS pi0
+        |FROM a""".stripMargin,
     // Same shared per-nation p CTE; step-DOWN: stop at the first
     // rank failing p_u·(m−k+1) ≤ 50000, reject strictly before it.
     "agg_holm_bonferroni" ->

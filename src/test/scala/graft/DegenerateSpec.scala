@@ -1107,6 +1107,47 @@ class DegenerateSpec extends SparkSpec {
     assert(neg.getAs[Double]("p_two") === 0.25)
   }
 
+  test("fisherCombined / storeyPi0 survive degenerate frames") {
+    val ss = StructType(Seq(StructField("p_u", LongType)))
+    def pf(rows: Seq[Long]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row(_)), 1), ss)
+    assertClean(engine.fisherCombined(pf(Nil), "p_u"), "fisher/empty")
+    assertClean(engine.storeyPi0(pf(Nil), "p_u"), "storey/empty")
+    // saturated p = 0 (a micro-floored exp underflow): the ε-clip
+    // makes the term ln(1e-6), never −∞
+    assertClean(engine.fisherCombined(pf(Seq(0L)), "p_u"),
+      "fisher/zero-p")
+    assertClean(engine.fisherCombined(pf(Seq(1000000L)), "p_u"),
+      "fisher/single-flat")
+    assertClean(engine.storeyPi0(pf(Seq(500000L)), "p_u"),
+      "storey/boundary")
+  }
+
+  test("hodgesLehmannCi survives degenerate frames") {
+    val ss = StructType(Seq(StructField("v", LongType),
+      StructField("g", StringType)))
+    def hf(rows: Seq[(Long, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), ss)
+    assertClean(engine.hodgesLehmannCi(hf(Nil), "v", "g"), "hlci/empty")
+    // one-sided input: no (t, c) pairs ⇒ empty grid ⇒ NULL readout
+    assertClean(engine.hodgesLehmannCi(
+      hf(Seq((1L, "control"), (2L, "control"))), "v", "g"),
+      "hlci/one-sided")
+    // single pair: every pick is the one diff
+    val one = engine.hodgesLehmannCi(
+      hf(Seq((3L, "control"), (8L, "treatment"))), "v", "g").collect()(0)
+    assert(one.getAs[Long]("hl_shift") === 5L
+      && one.getAs[Long]("ci_lo") === 5L
+      && one.getAs[Long]("ci_hi") === 5L)
+    // constant identical groups: shift and both bounds exactly 0
+    val cst = engine.hodgesLehmannCi(
+      hf(Seq((4L, "control"), (4L, "treatment"), (4L, "control"),
+        (4L, "treatment"))), "v", "g").collect()(0)
+    assert(cst.getAs[Long]("hl_shift") === 0L
+      && cst.getAs[Long]("ci_lo") === 0L
+      && cst.getAs[Long]("ci_hi") === 0L)
+  }
+
   test("knPerplexity3 survives degenerate frames") {
     val ss = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))

@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 221, "documented facade count drifted; methods: "
+    assert(names.length === 224, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1842,6 +1842,64 @@ class EngineApiSpec extends SparkSpec {
     val gains = lc.map(_.getAs[Double]("gain"))
     assert(gains.zip(gains.tail).forall { case (a, b) => a <= b + 1e-9 })
     assert(gains.last === 1.0)
+  }
+
+  test("fisherCombined / storeyPi0 facades match their keys + hand pins") {
+    val d = sf("sf0.001")
+    import spark.implicits._
+    val ps = graft.operators.Stats.defs("agg_bh_fdr")(spark, d)
+      .select($"p_u")
+    assert(engine.fisherCombined(ps, "p_u").collect().map(_.toSeq).toSeq
+      === SparkEntry.queries("agg_fisher_combined")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    assert(engine.storeyPi0(ps, "p_u").collect().map(_.toSeq).toSeq
+      === SparkEntry.queries("agg_storey_pi0")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // hand pins: p = (0.01, 0.02) ⇒ X² = −2(ln.01 + ln.02) ≈ 17.034,
+    // df 4, Wilson-Hilferty z ≈ 2.87 ⇒ significant
+    val f = engine.fisherCombined(
+      Seq(10000L, 20000L).toDF("p_u"), "p_u").collect()(0)
+    assert(math.abs(f.getAs[Double]("x2") - 17.0344) < 0.01)
+    assert(f.getAs[Long]("df") === 4L)
+    assert(f.getAs[Boolean]("significant_95"))
+    // all-flat p = 1 twice: X² = 0, verdict NULL (undefined, not sig)
+    val f1 = engine.fisherCombined(
+      Seq(1000000L, 1000000L).toDF("p_u"), "p_u").collect()(0)
+    assert(f1.getAs[Double]("x2") === 0.0)
+    assert(f1.isNullAt(f1.fieldIndex("z_wh")))
+    // Storey: 1 of 4 p's above ½ ⇒ π̂0 = 2·1/4 = 0.5; all above ⇒ 1
+    val s1 = engine.storeyPi0(
+      Seq(100000L, 200000L, 300000L, 900000L).toDF("p_u"), "p_u")
+      .collect()(0)
+    assert(s1.getAs[Double]("pi0") === 0.5)
+    val s2 = engine.storeyPi0(
+      Seq(600000L, 900000L).toDF("p_u"), "p_u").collect()(0)
+    assert(s2.getAs[Double]("pi0") === 1.0)
+  }
+
+  test("hodgesLehmannCi facade matches its key; bounds bracket the shift; hand case") {
+    val d = sf("sf0.001")
+    import spark.implicits._
+    val rows = SparkEntry.queries("agg_hodges_lehmann_ci")(spark, d)
+      .collect()
+    val r = rows(0)
+    // the CI must bracket the point estimate, and the point estimate
+    // must agree with the standalone HL key
+    assert(r.getAs[Long]("ci_lo") <= r.getAs[Long]("hl_shift"))
+    assert(r.getAs[Long]("hl_shift") <= r.getAs[Long]("ci_hi"))
+    val hl = SparkEntry.queries("agg_hodges_lehmann")(spark, d)
+      .collect()(0)
+    assert(r.getAs[Long]("hl_shift") === hl.getAs[Long]("hl_shift"))
+    assert(r.getAs[Long]("n_pairs") === hl.getAs[Long]("n_pairs"))
+    // hand case: c = [1,2,3], t = [4,5,10] ⇒ sorted diffs
+    // [1,2,2,3,3,4,7,8,9]; median 3; k_lo = max(1, ⌊4.5 −
+    // 1.96·√5.25⌋) = 1 ⇒ CI = (1st, 9th) = (1, 9)
+    val tiny = (Seq((1L, "control"), (2L, "control"), (3L, "control"),
+      (4L, "treatment"), (5L, "treatment"), (10L, "treatment")))
+      .toDF("v", "g")
+    val h = engine.hodgesLehmannCi(tiny, "v", "g").collect()(0)
+    assert((h.getAs[Long]("hl_shift"), h.getAs[Long]("ci_lo"),
+      h.getAs[Long]("ci_hi")) === ((3L, 1L, 9L)))
   }
 
   test("poissonGlm facade matches its key; planted recovery; dispersion verdicts") {

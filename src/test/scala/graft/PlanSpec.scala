@@ -23,9 +23,11 @@ class PlanSpec extends SparkSpec {
   // cumulative windows — the survival-family precedent) − 3 from
   // the events_rfm_segments re-plan (its user-grain ntile windows
   // now ride rangedRank; the rank stages checkpoint internally so
-  // only their dedicated pins see them). All remaining sites are
-  // bounded grids, verified at re-pin time.
-  private val UNPARTITIONED_WINDOW_SITES = 124
+  // only their dedicated pins see them). r16: +2 from
+  // agg_hodges_lehmann_ci (the shared diff-grid wtot/cumw windows —
+  // domain-bounded, the same sites the HL key already carries). All
+  // remaining sites are bounded grids, verified at re-pin time.
+  private val UNPARTITIONED_WINDOW_SITES = 126
 
   /** Pinned count of unpartitioned window sites recorded INSIDE
     * checkpointed stages by the `.ckpt()` interceptor during the
