@@ -4984,6 +4984,18 @@ class GraftEngine(val spark: SparkSession) {
     graft.operators.Relevance.kn3PerplexityCore(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
+  /** Spectral entropy over the 7 candidate periods (see
+    * `ts_spectral_entropy`) of an (hour, value) series: how
+    * concentrated the periodic energy is — near 0 means one clean
+    * season worth modeling, near 1 means broadband noise. Returns
+    * the 7-row period table with shares and the global entropy.
+    */
+  def spectralEntropy(series: DataFrame, hrCol: String,
+                      valueCol: String): DataFrame =
+    graft.operators.TimeSeries.spectralEntropyCore(
+      series.select(col(hrCol).cast("long").as("hr"),
+        col(valueCol).cast("long").as("n")))
+
   /** Log loss / cross-entropy of 1e-4-unit scores vs binary labels
     * (see `eval_log_loss`), with the climatology baseline and skill.
     */

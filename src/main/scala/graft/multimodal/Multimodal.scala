@@ -352,6 +352,51 @@ object Multimodal {
       }
   }
 
+  case class MediaAHash(doc_id: Long, mime: String, n_bytes: Int,
+                        ahash: Long)
+
+  /** Average hash (aHash-style, decode-free): the same wrapped 8×8
+    * byte tile, bit p set iff t(p)·64 > Σtile — strict comparison
+    * against the tile MEAN, cross-multiplied so no division ever
+    * happens. 63 bits (bit 63 stays clear — it is the BIGINT sign
+    * bit in both engines; cell 63 still enters the mean), the
+    * classic baseline of the perceptual family: where blockhash
+    * keys on 16 BLOCK means, aHash keys on every cell against the
+    * GLOBAL mean — coarser than dHash's gradients, more detail than
+    * blockhash. A uniform non-wrapping byte shift moves every cell
+    * and the mean together, so the hash is DC-shift invariant
+    * (pinned in ClosedFormProps with the constant-tile-0 pin).
+    */
+  def aHash(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val t = new Array[Int](64)
+    var i = 0
+    var s = 0L
+    while (i < 64) { t(i) = bytes(i % n) & 0xff; s += t(i); i += 1 }
+    var hash = 0L
+    i = 0
+    while (i < 63) {
+      if (t(i) * 64L > s) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** Per-partition aHash extraction (same batch shape as
+    * [[dctPhashes]]).
+    */
+  def aHashes(media: DataFrame): Dataset[MediaAHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "mime", "content").as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, mime, bytes) =>
+          MediaAHash(id, mime, bytes.length, aHash(bytes))
+        }
+      }
+  }
+
   /** Per-partition wavelet-hash extraction (same batch shape as
     * [[dctPhashes]]).
     */

@@ -269,6 +269,23 @@ object MultimodalOps {
           col("n_bytes").cast("long").as("n_bytes"), col("whash"))
         .orderBy("doc_id")),
 
+    // AVERAGE HASH (round 16): the fifth perceptual-hash member and
+    // the family's classic baseline — every wrapped-tile cell
+    // compared against the GLOBAL tile mean (cross-multiplied
+    // t·64 > Σ, no division), 63 bits (bit 63 = the BIGINT sign bit
+    // stays clear; the cell still enters the mean). Sits between
+    // blockhash (16 block means) and dhash (56 gradients) on the
+    // detail/robustness curve; DC-shift invariant like both.
+    // Constant-tile-0 + shift invariance pinned in ClosedFormProps;
+    // pairs at scale via blockHashPairs(bits = 63, bands = 4).
+    "multimodal_ahash" -> ((s, d) =>
+      Multimodal.aHashes(
+          Multimodal.fromDocuments(TestData.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("mime"),
+          col("n_bytes").cast("long").as("n_bytes"), col("ahash"))
+        .orderBy("doc_id")),
+
     // GRADIENT DIFFERENCE HASH (round 13): the fourth perceptual-
     // hash family member — dHash keys on local gradient DIRECTION
     // (bit = right neighbor brighter), the cheapest and the most
@@ -664,6 +681,29 @@ object MultimodalOps {
       s"""WITH ${dhashCtes()}
         |SELECT doc_id, mime, n_bytes, dhash
         |FROM dh ORDER BY doc_id""".stripMargin,
+    // Wrapped tile, cell-vs-global-mean cross-multiplied, 63 bits.
+    "multimodal_ahash" ->
+      """WITH am AS (
+        |  SELECT doc_id,
+        |    ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3)::INT + 1]
+        |      AS mime,
+        |    text, length(text) AS n,
+        |    list_sum(list_transform(range(0, 64),
+        |      p -> ascii(text[((p % length(text)) + 1)::INT
+        |        : ((p % length(text)) + 1)::INT])))::BIGINT AS ts64
+        |  FROM documents),
+        |apos AS (
+        |  SELECT doc_id, mime, n, ts64, p,
+        |    ascii(text[((p % n) + 1)::INT : ((p % n) + 1)::INT])::BIGINT
+        |      AS bv
+        |  FROM am, LATERAL (SELECT unnest(range(0, 63)) AS p)),
+        |ah AS (
+        |  SELECT doc_id, mime, n::BIGINT AS n_bytes,
+        |    sum(CASE WHEN bv * 64 > ts64
+        |      THEN 1::BIGINT << p::INT ELSE 0 END)::BIGINT AS ahash
+        |  FROM apos GROUP BY 1, 2, 3)
+        |SELECT doc_id, mime, n_bytes, ahash
+        |FROM ah ORDER BY doc_id""".stripMargin,
     // Planted byte-variant corpus (offset 1.5e6 keeps the mime),
     // both hash CTEs re-run over it, bit-agreement scores, then the
     // shared detector-AUC cell-grid readout.

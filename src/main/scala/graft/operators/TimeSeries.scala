@@ -531,6 +531,58 @@ object TimeSeries {
     (0 until t).map(k =>
       math.floor(f(2 * math.Pi * k / t) * 1000000 + 0.5).toLong)
 
+  /** ln 7, Scala-evaluated once and interpolated into BOTH engines
+    * (`ts_spectral_entropy`'s normalizer — the PermEntLn6 protocol).
+    */
+  private[graft] val SpecEntLn7: Double = math.log(7.0)
+
+  /** Spectral-entropy core (see `ts_spectral_entropy`): input an
+    * (hr, n) hourly series, output the 7-row candidate-period table
+    * with integer power units, shares, and the global entropy.
+    * Shared with `GraftEngine.spectralEntropy`.
+    */
+  private[graft] def spectralEntropyCore(hourly: DataFrame): DataFrame = {
+    val periods = Seq(6, 8, 12, 24, 56, 84, 168)
+    val tot = hourly.agg(sum("n").as("t_total"),
+                         count(lit(1)).as("n_hours"))
+    val dv = hourly.crossJoin(broadcast(tot))
+      .withColumn("dev", col("n") * col("n_hours") - col("t_total"))
+    def basis(t: Int, f: Double => Double): Column =
+      element_at(array(trigU(t, f).map(lit(_)): _*),
+        (col("hr") % t).cast("int") + 1)
+    val aggs = periods.flatMap(t => Seq(
+      sum(col("dev") * basis(t, math.cos)).as(s"sc$t"),
+      sum(col("dev") * basis(t, math.sin)).as(s"ss$t")))
+    val stackArgs =
+      periods.map(t => s"$t, sc$t, ss$t").mkString(", ")
+    val W = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    dv.agg(aggs.head, (aggs.tail :+ max("n_hours").as("h_cnt")): _*)
+      .select(expr(s"stack(${periods.size}, $stackArgs)" +
+        " AS (period, s_cos, s_sin)"), col("h_cnt"))
+      .withColumn("amp", r4(
+        sqrt(col("s_cos").cast("double") * col("s_cos").cast("double")
+          + col("s_sin").cast("double") * col("s_sin").cast("double"))
+        * 2.0 / (col("h_cnt").cast("double")
+          * col("h_cnt").cast("double") * 1000000.0)))
+      .withColumn("w_u",
+        floor(col("amp") * col("amp") * 100000000.0 + 0.5)
+          .cast("long"))
+      .withColumn("w_tot", sum("w_u").over(W))
+      .withColumn("p_share", when(col("w_tot") > 0,
+        r4(col("w_u").cast("double") / col("w_tot").cast("double"))))
+      .withColumn("term_u", when(col("w_u") > 0 && col("w_tot") > 0,
+        floor(-(col("w_u").cast("double") / col("w_tot").cast("double"))
+          * log(col("w_u").cast("double") / col("w_tot").cast("double"))
+          * 1000000 + 0.5).cast("long")).otherwise(0L))
+      .withColumn("h_nats", when(col("w_tot") > 0,
+        r4(sum("term_u").over(W).cast("double") / 1000000.0)))
+      .withColumn("h_norm", when(col("w_tot") > 0,
+        r4(sum("term_u").over(W).cast("double") / 1000000.0
+          / lit(SpecEntLn7))))
+      .select("period", "w_u", "p_share", "h_nats", "h_norm")
+      .orderBy("period")
+  }
+
   /** Sketch-path DAU/WAU/MAU (the 100 TB form of
     * `events_dau_wau_mau`): ONE user-distinct pass folds each day to
     * a fixed-size HLL sketch of its active users (DAYS-sized table,
@@ -1926,6 +1978,26 @@ object TimeSeries {
         .select("period", "s_cos", "s_sin", "amplitude")
         .orderBy("period")
     }),
+
+    // SPECTRAL ENTROPY (round 16): how CONCENTRATED the series'
+    // periodic energy is — one number distinguishing "one strong
+    // season" (low entropy: ops load with a clean daily cycle) from
+    // "broadband noise" (high: no period worth modeling), the
+    // regime gate in front of ts_spectral_peak's which-period
+    // readout and the HW forecasting family. Periodogram power at
+    // SEVEN candidate periods (6/8/12/24/56/84/168 h) via the same
+    // literal micro-quantized trig basis (neither engine evaluates
+    // cos/sin); per-period amplitude is the r4'd engine-identical
+    // readout, squared into integer power units w_u = ⌊A²·1e8⌋
+    // (A < 9.6e5 per-hour amplitude keeps w_u < 2^63 — documented),
+    // so the share distribution is a ratio of exact integers and
+    // each −p·ln p term micro-quantizes identically. h_norm divides
+    // by ln 7 (Scala-evaluated literal in both engines). Emits the
+    // 7-row period table with shares and the global entropy.
+    "ts_spectral_entropy" -> ((s, d) =>
+      spectralEntropyCore(TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(count(lit(1)).as("n")))),
 
     // MARKOV STATIONARY DISTRIBUTION (round 10): the long-run
     // occupancy of the event-type transition chain — "where do user
@@ -5708,6 +5780,68 @@ object TimeSeries {
         |    * 2.0 / (h_cnt::DOUBLE * h_cnt::DOUBLE * 1000000.0)
         |    * 10000 + 0.5) / 10000 AS amplitude
         |FROM u ORDER BY period""".stripMargin
+    },
+    // Same literal trig bases at 7 periods; amplitude r4'd, squared
+    // to integer power units, entropy over the 7-row share table.
+    "ts_spectral_entropy" -> {
+      def arr(t: Int, f: Double => Double): String =
+        trigU(t, f).mkString("[", ", ", "]")
+      def pick(t: Int, f: Double => Double): String =
+        s"(${arr(t, f)})[(hr % $t) + 1]"
+      val periods = Seq(6, 8, 12, 24, 56, 84, 168)
+      val sums = periods.map(t =>
+        s"""    sum(dev * ${pick(t, math.cos)})::BIGINT AS sc$t,
+           |    sum(dev * ${pick(t, math.sin)})::BIGINT AS ss$t""".stripMargin)
+        .mkString(",\n")
+      val unions = periods.map(t =>
+        s"SELECT $t AS period, sc$t AS s_cos, ss$t AS s_sin, h_cnt FROM ag")
+        .mkString("\n  UNION ALL ")
+      s"""WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS t_total,
+        |             count(*)::BIGINT AS n_hours FROM hourly),
+        |dv AS (SELECT hr, (n * n_hours - t_total)::BIGINT AS dev,
+        |         n_hours
+        |       FROM hourly CROSS JOIN t),
+        |ag AS (SELECT
+        |$sums,
+        |    max(n_hours)::BIGINT AS h_cnt
+        |  FROM dv),
+        |u AS (
+        |  $unions),
+        |w AS (
+        |  SELECT period,
+        |    floor(sqrt(s_cos::DOUBLE * s_cos::DOUBLE
+        |        + s_sin::DOUBLE * s_sin::DOUBLE)
+        |      * 2.0 / (h_cnt::DOUBLE * h_cnt::DOUBLE * 1000000.0)
+        |      * 10000 + 0.5) / 10000 AS amp
+        |  FROM u),
+        |wu AS (
+        |  SELECT period,
+        |    floor(amp * amp * 100000000.0 + 0.5)::BIGINT AS w_u,
+        |    (sum(floor(amp * amp * 100000000.0 + 0.5)::BIGINT) OVER ())
+        |      ::BIGINT AS w_tot
+        |  FROM w),
+        |tm AS (
+        |  SELECT *,
+        |    CASE WHEN w_u > 0 AND w_tot > 0 THEN
+        |      floor(-(w_u::DOUBLE / w_tot::DOUBLE)
+        |        * ln(w_u::DOUBLE / w_tot::DOUBLE) * 1000000 + 0.5)
+        |        ::BIGINT
+        |    ELSE 0 END AS term_u
+        |  FROM wu)
+        |SELECT period, w_u,
+        |  CASE WHEN w_tot > 0 THEN
+        |    floor(w_u::DOUBLE / w_tot::DOUBLE * 10000 + 0.5) / 10000
+        |    END AS p_share,
+        |  CASE WHEN w_tot > 0 THEN
+        |    floor((sum(term_u) OVER ())::DOUBLE / 1000000.0
+        |      * 10000 + 0.5) / 10000 END AS h_nats,
+        |  CASE WHEN w_tot > 0 THEN
+        |    floor((sum(term_u) OVER ())::DOUBLE / 1000000.0
+        |      / $SpecEntLn7 * 10000 + 0.5) / 10000 END AS h_norm
+        |FROM tm ORDER BY period""".stripMargin
     },
     // 3 unrolled power-iteration rounds over the TYPE×TYPE micro-unit
     // transition matrix — identical op order to the Spark loop

@@ -1219,6 +1219,24 @@ object ClosedFormProps extends Properties("graft.closedforms") {
           s"gradient bits moved under DC shift: $base vs $shifted"
     }
 
+  // multimodal_ahash — the average hash's definitional pins: a
+  // constant tile has no cell strictly above the mean (0), and a
+  // uniform non-wrapping byte shift moves every cell AND the mean
+  // together, so the whole 63-bit hash is DC-shift invariant. The
+  // sign bit (bit 63) is structurally clear.
+  property("aHash: constant tile is 0; whole hash DC-shift invariant; sign clear") =
+    Prop.forAll(Gen.listOfN(64, Gen.choose(0, 127)),
+        Gen.choose(1, 127), Gen.choose(0, 255)) { (px, shift, cv) =>
+      import graft.multimodal.Multimodal.aHash
+      val constant = aHash(Array.fill(64)(cv.toByte))
+      val base = aHash(px.map(_.toByte).toArray)
+      val shifted = aHash(px.map(v => (v + shift).toByte).toArray)
+      (constant == 0L) :| s"constant tile must hash to 0: $constant" &&
+        (base == shifted) :|
+          s"mean bits moved under DC shift: $base vs $shifted" &&
+        (base >= 0L) :| s"sign bit must stay clear: $base"
+    }
+
   // agg_wilson_ci: the Wilson interval never leaves [0, 1] and always
   // contains the point estimate — the two properties Wald CIs lose at
   // extreme rates / small n, and the reason this key exists.

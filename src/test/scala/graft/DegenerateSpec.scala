@@ -1107,6 +1107,22 @@ class DegenerateSpec extends SparkSpec {
     assert(neg.getAs[Double]("p_two") === 0.25)
   }
 
+  test("spectralEntropy survives degenerate frames") {
+    val ss = StructType(Seq(StructField("hr", LongType),
+      StructField("n", LongType)))
+    def sf2(rows: Seq[(Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), ss)
+    assertClean(engine.spectralEntropy(sf2(Nil), "hr", "n"),
+      "spent/empty")
+    assertClean(engine.spectralEntropy(sf2(Seq((5L, 3L))), "hr", "n"),
+      "spent/single")
+    // constant series: all deviations 0 ⇒ zero power everywhere ⇒
+    // shares and entropy read NULL, never a throw
+    val cst = engine.spectralEntropy(
+      sf2((0L until 48L).map(h => (h, 7L))), "hr", "n").collect()
+    assert(cst.forall(_.isNullAt(2)), "constant series must read NULL")
+  }
+
   test("fisherCombined / storeyPi0 survive degenerate frames") {
     val ss = StructType(Seq(StructField("p_u", LongType)))
     def pf(rows: Seq[Long]) = spark.createDataFrame(

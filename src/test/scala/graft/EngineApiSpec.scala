@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 224, "documented facade count drifted; methods: "
+    assert(names.length === 225, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1842,6 +1842,39 @@ class EngineApiSpec extends SparkSpec {
     val gains = lc.map(_.getAs[Double]("gain"))
     assert(gains.zip(gains.tail).forall { case (a, b) => a <= b + 1e-9 })
     assert(gains.last === 1.0)
+  }
+
+  test("spectralEntropy facade matches its key; planted concentration ordering") {
+    val d = sf("sf0.001")
+    import spark.implicits._
+    val hourly = TestData.events(spark, d)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    assert(engine.spectralEntropy(hourly, "hr", "n")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("ts_spectral_entropy")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // planted 24h square wave: period 24 dominates and entropy is
+    // LOW; pseudo-noise spreads power and entropy is HIGH
+    val square = (0L until 336L).map(h =>
+      (h, if (h % 24 < 12) 1200L else 800L)).toDF("hr", "n")
+    val sq = engine.spectralEntropy(square, "hr", "n").collect()
+    val sqBest = sq.maxBy(_.getAs[Long]("w_u"))
+    assert(sqBest.getAs[Int]("period") === 24,
+      s"square-24 peak at ${sqBest.getAs[Int]("period")}")
+    assert(sqBest.getAs[Double]("p_share") > 0.7)
+    // four equal-amplitude square components at candidate periods:
+    // power spreads over >= 4 cells, entropy must exceed the
+    // single-season series by a wide margin
+    def sqw(h: Long, t: Long): Long = if (h % t < t / 2) 100L else -100L
+    val mixed = (0L until 336L).map(h =>
+      (h, 1000L + sqw(h, 6) + sqw(h, 24) + sqw(h, 56) + sqw(h, 168)))
+      .toDF("hr", "n")
+    val nz = engine.spectralEntropy(mixed, "hr", "n").collect()
+    assert(sq.head.getAs[Double]("h_norm")
+      < nz.head.getAs[Double]("h_norm"),
+      s"square ${sq.head.getAs[Double]("h_norm")} !< " +
+        s"mixed ${nz.head.getAs[Double]("h_norm")}")
   }
 
   test("fisherCombined / storeyPi0 facades match their keys + hand pins") {

@@ -25,9 +25,11 @@ class PlanSpec extends SparkSpec {
   // now ride rangedRank; the rank stages checkpoint internally so
   // only their dedicated pins see them). r16: +2 from
   // agg_hodges_lehmann_ci (the shared diff-grid wtot/cumw windows —
-  // domain-bounded, the same sites the HL key already carries). All
-  // remaining sites are bounded grids, verified at re-pin time.
-  private val UNPARTITIONED_WINDOW_SITES = 126
+  // domain-bounded, the same sites the HL key already carries) and
+  // +2 from ts_spectral_entropy (w_tot + entropy sums over the
+  // 7-row candidate-period frame). All remaining sites are bounded
+  // grids, verified at re-pin time.
+  private val UNPARTITIONED_WINDOW_SITES = 128
 
   /** Pinned count of unpartitioned window sites recorded INSIDE
     * checkpointed stages by the `.ckpt()` interceptor during the
