@@ -4963,6 +4963,16 @@ class GraftEngine(val spark: SparkSession) {
       df.select(col(yCol).cast("long").as("y"),
         col(xCol).cast("long").as("x")))
 
+  /** Negative-binomial method-of-moments fit (see
+    * `agg_negative_binomial`) over count rows: r̂ = m²/(s²−m),
+    * p̂ = m/s² — the model that absorbs the overdispersion
+    * [[poissonGlm]]'s dispersion readout detects. s² ≤ m reads NULL
+    * r̂ with overdispersed = false (NB degenerates to Poisson).
+    */
+  def negativeBinomialFit(df: DataFrame, countCol: String): DataFrame =
+    graft.operators.Stats.negBinomialCore(
+      df.select(col(countCol).cast("long").as("y")))
+
   /** Interpolated Kneser-Ney bigram perplexity (see
     * `text_kn_perplexity`): trains on the given corpus, scores each
     * document — per-doc (n_bigrams, avg_logp_kn, ppl_kn). The

@@ -151,6 +151,39 @@ object Stats {
           / col("m_tests").cast("double")))))
       .select("m_tests", "n_above", "pi0")
 
+  /** Negative-binomial method-of-moments core (see
+    * `agg_negative_binomial`): input (y: count) rows; r̂ = m²/(s²−m),
+    * p̂ = m/s² from EXACT (n, Σy, Σy²) sufficient stats — the count
+    * model you reach for when `agg_poisson_glm`/`ts_poisson_
+    * dispersion` read overdispersed (NB ≡ gamma-mixed Poisson; its
+    * extra r parameter absorbs the excess variance). s² ≤ m (equi-/
+    * under-dispersed) ⇒ r̂ NULL — NB degenerates to Poisson there,
+    * honestly reported via the flag. Divisions once on the 1-row
+    * readout. Shared with `GraftEngine.negativeBinomialFit`.
+    */
+  private[graft] def negBinomialCore(units: DataFrame): DataFrame =
+    units
+      .agg(count(lit(1)).as("n"), coalesce(sum("y"), lit(0L)).as("sy"),
+        coalesce(sum(col("y") * col("y")), lit(0L)).as("syy"))
+      .withColumn("mean_y", when(col("n") > 0,
+        col("sy").cast("double") / col("n").cast("double")))
+      .withColumn("var_y", when(col("n") > 1,
+        (col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double")
+            / col("n").cast("double"))
+          / (col("n") - 1).cast("double")))
+      .withColumn("overdispersed",
+        when(col("var_y").isNotNull && col("mean_y") > 0,
+          col("var_y") > col("mean_y")))
+      .withColumn("r_hat", when(col("overdispersed") === true,
+        r4(col("mean_y") * col("mean_y")
+          / (col("var_y") - col("mean_y")))))
+      .withColumn("p_hat", when(col("var_y") > 0,
+        r4(col("mean_y") / col("var_y"))))
+      .select(col("n"), r4(col("mean_y")).as("mean_y"),
+        r4(col("var_y")).as("var_y"), col("overdispersed"),
+        col("r_hat"), col("p_hat"))
+
   /** Huber M-estimator core (see `agg_huber_mean`): input
     * (seg, tie, cents) rows — `tie` makes (cents, tie) a total order
     * per segment for the rank-based median/MAD. 3 unrolled clipped-
@@ -1394,6 +1427,19 @@ object Stats {
             .as("x"))
       poissonIrlsCore(u.select("y", "x"))
     }),
+
+    // NEGATIVE-BINOMIAL FIT (round 16): the count model the Poisson
+    // family hands off to — agg_poisson_glm's dispersion readout and
+    // ts_poisson_dispersion DETECT overdispersion; this key FITS the
+    // model that absorbs it (NB = gamma-mixed Poisson; method of
+    // moments r̂ = m²/(s²−m), p̂ = m/s²). Per-user TOTAL event counts
+    // (user activity heterogeneity makes the fixture genuinely
+    // overdispersed, probed); exact sufficient stats, divisions once
+    // on the 1-row readout, honest NULL r̂ when s² ≤ m.
+    "agg_negative_binomial" -> ((s, d) =>
+      negBinomialCore(TestData.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("y"))
+        .select("y"))),
 
     // TWO-WAY ANOVA (round 15, VERDICT r14 #8): the two-factor test
     // with interaction that completes the k-group family (one-way F,
@@ -3492,6 +3538,38 @@ object Stats {
        |  FROM ${cur}e)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Exact sufficient stats, same readout op order, NULL r on
+    // non-overdispersed input.
+    "agg_negative_binomial" ->
+      """WITH u AS (
+        |  SELECT count(*)::BIGINT AS y FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    coalesce(sum(y), 0)::BIGINT AS sy,
+        |    coalesce(sum(y * y), 0)::BIGINT AS syy
+        |  FROM u),
+        |b AS (
+        |  SELECT n, sy, syy,
+        |    CASE WHEN n > 0 THEN sy::DOUBLE / n::DOUBLE END AS mean_y,
+        |    CASE WHEN n > 1 THEN
+        |      (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE)
+        |        / (n - 1)::DOUBLE END AS var_y
+        |  FROM a),
+        |c2 AS (
+        |  SELECT *,
+        |    CASE WHEN var_y IS NOT NULL AND mean_y > 0 THEN
+        |      var_y > mean_y END AS overdispersed
+        |  FROM b)
+        |SELECT n,
+        |  floor(mean_y * 10000 + 0.5) / 10000 AS mean_y,
+        |  floor(var_y * 10000 + 0.5) / 10000 AS var_y,
+        |  overdispersed,
+        |  CASE WHEN overdispersed THEN
+        |    floor(mean_y * mean_y / (var_y - mean_y) * 10000 + 0.5)
+        |      / 10000 END AS r_hat,
+        |  CASE WHEN var_y > 0 THEN
+        |    floor(mean_y / var_y * 10000 + 0.5) / 10000 END AS p_hat
+        |FROM c2""".stripMargin,
     // Poisson IRLS: the per-user units CTE MATERIALIZED, the ln-mean
     // seed, three generated identical Newton rounds, readout
     // mirrored (Pearson terms per-row-floored micro).

@@ -2054,6 +2054,57 @@ object TimeSeries {
         .orderBy("event_type")
     }),
 
+    // MARKOV ABSORPTION PROBABILITY (round 16): the state-level
+    // complement of the stationary distribution and the removal-
+    // effect model — "from HERE, how likely does a journey reach
+    // purchase within 3 transitions". The same TYPE×TYPE micro-unit
+    // transition matrix; absorption value iteration a_{k+1}(s) =
+    // Σ p_u(s→s')·a_k(s') DIV 1e6 with the purchase row pinned at
+    // 1e6 (absorbing), 3 FIXED rounds from the indicator vector —
+    // all non-negative integer DIV arithmetic (Spark DIV ≡ DuckDB
+    // //), Σp_u·a ≤ 1e12 < 2^63 at any state count. Dangling states
+    // read exactly 0. a(purchase) = 1e6 and monotone-in-horizon by
+    // construction (a_k grows with k: each round adds longer paths).
+    // Oracle unrolls the 3 rounds (the stationary template).
+    "events_markov_absorption" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val tr = TestData.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("c"))
+      val p = tr
+        .withColumn("rt", sum("c").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("from_type")))
+        .withColumn("p_u", expr("(c * 1000000) DIV rt"))
+        .select("from_type", "to_type", "p_u")
+        .ckpt()
+      val states = TestData.events(s, d).select("event_type").distinct()
+        .ckpt()
+      var a = states.select(col("event_type"),
+        when(col("event_type") === "purchase", 1000000L).otherwise(0L)
+          .as("a"))
+      for (_ <- 1 to 3) {
+        val raw = states.join(
+            p.join(a.select(col("event_type").as("to_type"), col("a")),
+                "to_type")
+              .groupBy(col("from_type").as("event_type"))
+              .agg(sum(col("p_u") * col("a")).as("ra")),
+            Seq("event_type"), "left")
+        a = raw.select(col("event_type"),
+          when(col("event_type") === "purchase", 1000000L)
+            .otherwise(expr("coalesce(ra, CAST(0 AS BIGINT)) DIV 1000000"))
+            .as("a"))
+          .ckpt()
+      }
+      a.select(col("event_type"), col("a").as("absorb_micro"))
+        .orderBy("event_type")
+    }),
+
     // MARKOV REMOVAL-EFFECT ATTRIBUTION (round 12): attribution was
     // last-touch only — the r11 verdict's missing multi-touch model.
     // Journeys = each user's event prefix up to and including the
@@ -5842,6 +5893,43 @@ object TimeSeries {
         |    floor((sum(term_u) OVER ())::DOUBLE / 1000000.0
         |      / $SpecEntLn7 * 10000 + 0.5) / 10000 END AS h_norm
         |FROM tm ORDER BY period""".stripMargin
+    },
+    // 3 unrolled absorption rounds: purchase row pinned at 1e6, the
+    // rest Σ p·a // 1e6 off the left join — identical op order.
+    "events_markov_absorption" -> {
+      def round(i: Int): String =
+        s"""a$i AS (
+          |  SELECT st.event_type,
+          |    (CASE WHEN st.event_type = 'purchase' THEN 1000000
+          |     ELSE coalesce(x.ra, 0) // 1000000 END)::BIGINT AS a
+          |  FROM st LEFT JOIN (
+          |    SELECT p.from_type AS event_type,
+          |      sum(p.p_u * a${i - 1}.a)::BIGINT AS ra
+          |    FROM p JOIN a${i - 1} ON p.to_type = a${i - 1}.event_type
+          |    GROUP BY 1) x USING (event_type))""".stripMargin
+      s"""WITH seq AS (
+        |  SELECT event_type, lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |    count(*)::BIGINT AS c
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |p AS (
+        |  SELECT from_type, to_type,
+        |    ((c * 1000000)
+        |      // (sum(c) OVER (PARTITION BY from_type)))::BIGINT AS p_u
+        |  FROM tr),
+        |st AS (SELECT DISTINCT event_type FROM events),
+        |a0 AS (SELECT event_type,
+        |  (CASE WHEN event_type = 'purchase' THEN 1000000 ELSE 0 END)
+        |    ::BIGINT AS a
+        |  FROM st),
+        |${round(1)},
+        |${round(2)},
+        |${round(3)}
+        |SELECT event_type, a AS absorb_micro FROM a3
+        |ORDER BY event_type""".stripMargin
     },
     // 3 unrolled power-iteration rounds over the TYPE×TYPE micro-unit
     // transition matrix — identical op order to the Spark loop

@@ -1107,6 +1107,17 @@ class DegenerateSpec extends SparkSpec {
     assert(neg.getAs[Double]("p_two") === 0.25)
   }
 
+  test("negativeBinomialFit survives degenerate frames") {
+    val ss = StructType(Seq(StructField("y", LongType)))
+    def nf(rows: Seq[Long]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row(_)), 1), ss)
+    assertClean(engine.negativeBinomialFit(nf(Nil), "y"), "nb/empty")
+    assertClean(engine.negativeBinomialFit(nf(Seq(5L)), "y"),
+      "nb/single")
+    assertClean(engine.negativeBinomialFit(nf(Seq(0L, 0L, 0L)), "y"),
+      "nb/all-zero")
+  }
+
   test("spectralEntropy survives degenerate frames") {
     val ss = StructType(Seq(StructField("hr", LongType),
       StructField("n", LongType)))

@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 225, "documented facade count drifted; methods: "
+    assert(names.length === 226, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1842,6 +1842,44 @@ class EngineApiSpec extends SparkSpec {
     val gains = lc.map(_.getAs[Double]("gain"))
     assert(gains.zip(gains.tail).forall { case (a, b) => a <= b + 1e-9 })
     assert(gains.last === 1.0)
+  }
+
+  test("negativeBinomialFit facade matches its key; dispersion verdicts") {
+    val d = sf("sf0.001")
+    import spark.implicits._
+    val u = TestData.events(spark, d)
+      .groupBy("user_id").agg(count(lit(1)).as("y"))
+    assert(engine.negativeBinomialFit(u, "y")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("agg_negative_binomial")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // planted overdispersed (half 0, half 28): r defined and small,
+    // p in (0,1)
+    val over = engine.negativeBinomialFit(
+      (1 to 10).flatMap(_ => Seq(0L, 28L)).toDF("y"), "y").collect()(0)
+    assert(over.getAs[Boolean]("overdispersed"))
+    assert(over.getAs[Double]("r_hat") > 0
+      && over.getAs[Double]("r_hat") < 5)
+    assert(over.getAs[Double]("p_hat") > 0
+      && over.getAs[Double]("p_hat") < 1)
+    // constant counts: zero variance ⇒ under-dispersed, NULL r
+    val cst = engine.negativeBinomialFit(
+      Seq(7L, 7L, 7L).toDF("y"), "y").collect()(0)
+    assert(cst.getAs[Boolean]("overdispersed") === false)
+    assert(cst.isNullAt(cst.fieldIndex("r_hat")))
+  }
+
+  test("markov absorption: purchase absorbing at 1e6; probabilities in range") {
+    val d = sf("sf0.001")
+    val rows = SparkEntry.queries("events_markov_absorption")(spark, d)
+      .collect()
+    val byType = rows.map(r => (r.getAs[String]("event_type"),
+      r.getAs[Long]("absorb_micro"))).toMap
+    assert(byType("purchase") === 1000000L,
+      "the absorbing state must read exactly 1e6")
+    assert(byType.values.forall(a => a >= 0L && a <= 1000000L))
+    // some non-purchase state reaches purchase within 3 transitions
+    assert(byType.exists { case (t, a) => t != "purchase" && a > 0L })
   }
 
   test("spectralEntropy facade matches its key; planted concentration ordering") {
