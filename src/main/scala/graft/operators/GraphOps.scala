@@ -1073,6 +1073,51 @@ object GraphOps {
     // surviving degree.
     "graph_k_core" -> ((s, d) => kCore(s, d, k = 2, rounds = 3)),
 
+    // K-CORE PROFILE (round 16): the full peel CURVE next to the
+    // single-k flag — core sizes at k ∈ {2, 3, 4} say how the
+    // similarity graph's density decays (a cliff between k = 2 and
+    // k = 3 means the index is whiskers around one dense nucleus;
+    // a flat curve means uniform density — different partitioning
+    // strategies). ALL THREE k's peel in ONE tagged frame (the
+    // rich-club/ann_hnsw_sweep protocol): the mirrored adjacency
+    // crossJoins the 3-row k dimension, each of the 3 sync rounds
+    // drops (k, node) pairs with deg < k — one degree aggregate +
+    // two semi-joins per round regardless of how many k's ride.
+    // The k-row dimension left-join keeps empty cores as explicit
+    // zeros. Containment (core(k+1) ⊆ core(k)) and single-k
+    // consistency with graph_k_core pinned in PropertySpec.
+    "graph_kcore_profile" -> ((s, d) => {
+      import s.implicits._
+      val edges0 = fixtureKnnEdges(s, d)
+      val ks = Seq(2L, 3L, 4L).toDF("k")
+      var adj = edges0.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges0.select(col("b").as("src"), col("a").as("dst")))
+        .crossJoin(broadcast(ks))
+        .select("k", "src", "dst")
+        .ckpt()
+      for (_ <- 1 to 3) {
+        val keep = adj.groupBy("k", "src").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= col("k"))
+          .select(col("k").as("kk"), col("src").as("kid"))
+          .ckpt() // both endpoint semi-joins
+        adj = adj
+          .join(keep,
+            col("k") === col("kk") && col("src") === col("kid"))
+          .select("k", "src", "dst")
+          .join(keep.select(col("kk").as("kk2"), col("kid").as("kid2")),
+            col("k") === col("kk2") && col("dst") === col("kid2"))
+          .select("k", "src", "dst")
+          .ckpt()
+      }
+      val prof = adj.groupBy("k")
+        .agg(countDistinct("src").as("nn"), count(lit(1)).as("dir"))
+      ks.join(prof, Seq("k"), "left")
+        .select(col("k"),
+          coalesce(col("nn"), lit(0L)).as("n_core_nodes"),
+          coalesce(expr("dir DIV 2"), lit(0L)).as("n_core_edges"))
+        .orderBy("k")
+    }),
+
     // DEGREE ASSORTATIVITY (round 9): Pearson correlation of the
     // endpoint degrees over the directed edge view — do high-degree
     // nodes attach to high-degree nodes (r > 0, social) or to leaves
@@ -2159,6 +2204,35 @@ object GraphOps {
         |  cd.id IS NOT NULL AS in_core
         |FROM embeddings v LEFT JOIN cd ON v.vec_id = cd.id
         |ORDER BY v.vec_id""".stripMargin
+    },
+    // Tagged-frame peel: the k dimension rides every round's degree
+    // aggregate and endpoint semi-joins; empty cores explicit zeros.
+    "graph_kcore_profile" -> {
+      def round(i: Int): String =
+        s"""d$i AS (
+          |  SELECT k, src, count(*)::BIGINT AS deg FROM e${i - 1}
+          |  GROUP BY k, src),
+          |k$i AS (SELECT k, src AS id FROM d$i WHERE deg >= k),
+          |e$i AS (
+          |  SELECT e.k, e.src, e.dst FROM e${i - 1} e
+          |  JOIN k$i a ON e.k = a.k AND e.src = a.id
+          |  JOIN k$i b ON e.k = b.k AND e.dst = b.id)""".stripMargin
+      s"""$EdgesCte,
+        |ks AS (SELECT unnest([2, 3, 4])::BIGINT AS k),
+        |e0 AS (SELECT k, src, dst FROM (
+        |  SELECT a AS src, b AS dst FROM edges
+        |  UNION ALL SELECT b, a FROM edges) CROSS JOIN ks),
+        |${round(1)},
+        |${round(2)},
+        |${round(3)},
+        |pr AS (
+        |  SELECT k, count(DISTINCT src)::BIGINT AS nn,
+        |    count(*)::BIGINT AS dir
+        |  FROM e3 GROUP BY k)
+        |SELECT ks.k, coalesce(pr.nn, 0)::BIGINT AS n_core_nodes,
+        |  coalesce(pr.dir // 2, 0)::BIGINT AS n_core_edges
+        |FROM ks LEFT JOIN pr ON ks.k = pr.k
+        |ORDER BY ks.k""".stripMargin
     },
     // Same 3 sync rounds unrolled (round k = neighbor-label counts →
     // per-node mode with min-label tie-break → left join keeps

@@ -1010,6 +1010,27 @@ class PropertySpec extends SparkSpec {
     assert(insL1 === rebuildL1, "layer-1 insert must equal rebuild")
   }
 
+  test("k-core profile: monotone in k and consistent with the single-k key") {
+    // peeling at a larger k can only shrink the core (containment),
+    // and the k = 2 row must reproduce graph_k_core's census exactly
+    val prof = SparkEntry.queries("graph_kcore_profile")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("k"),
+        r.getAs[Long]("n_core_nodes"), r.getAs[Long]("n_core_edges")))
+    assert(prof.map(_._1).toSeq === Seq(2L, 3L, 4L))
+    prof.sliding(2).foreach { w =>
+      assert(w(0)._2 >= w(1)._2 && w(0)._3 >= w(1)._3,
+        s"core must shrink with k: $w")
+    }
+    val single = SparkEntry.queries("graph_k_core")(spark, sfDir)
+      .collect()
+    val inCore = single.count(_.getAs[Boolean]("in_core")).toLong
+    val degSum = single.map(_.getAs[Long]("core_degree")).sum
+    assert(prof(0)._2 === inCore,
+      s"k=2 node census drifted: ${prof(0)._2} vs $inCore")
+    assert(prof(0)._3 === degSum / 2,
+      s"k=2 edge census drifted: ${prof(0)._3} vs ${degSum / 2}")
+  }
+
   test("HNSW delete+compact equals the rebuild without the deleted vectors") {
     // The delete contract (VERDICT r15 #4): repaired rows are the
     // rebuild's rows for the affected nodes (same probes, same live
