@@ -2123,6 +2123,32 @@ class GraftEngine(val spark: SparkSession) {
       .orderBy(groupCol)
   }
 
+  /** Spearman ρ with its Fisher-z 95 % CI per group (see
+    * `agg_spearman_ci`): z = atanh(ρ) ± 1.96/√(n−3), tanh expressed
+    * as (e^{2x}−1)/(e^{2x}+1) on the r4'd ρ — mirrored
+    * transcendentals only. |ρ| = 1 or n ≤ 3 reads NULL bounds.
+    */
+  def spearmanCi(df: DataFrame, groupCol: String, xCol: String,
+                 yCol: String): DataFrame = {
+    def tanhE(x: Column): Column =
+      (exp(lit(2.0) * x) - 1.0) / (exp(lit(2.0) * x) + 1.0)
+    spearmanRho(df, groupCol, xCol, yCol)
+      .withColumn("zr", when(col("rho").isNotNull
+          && abs(col("rho")) < 1.0,
+        lit(0.5) * log((lit(1.0) + col("rho"))
+          / (lit(1.0) - col("rho")))))
+      .withColumn("se", when(col("n") > 3,
+        lit(1.0) / sqrt((col("n") - 3).cast("double"))))
+      .select(col(groupCol), col("n"), col("rho"),
+        when(col("zr").isNotNull && col("se").isNotNull,
+          TestData.r4(tanhE(col("zr") - lit(1.959964) * col("se"))))
+          .as("ci_lo"),
+        when(col("zr").isNotNull && col("se").isNotNull,
+          TestData.r4(tanhE(col("zr") + lit(1.959964) * col("se"))))
+          .as("ci_hi"))
+      .orderBy(groupCol)
+  }
+
   /** Kendall τ-b per group (see `agg_kendall_tau`) over two
     * integer-quantized columns: concordant/discordant counts from a
     * theta self-join of the bounded joint-value grid, tie terms from

@@ -113,6 +113,43 @@ object Stats {
           .cast("long")))
   }
 
+  /** Shared per-flag Spearman sufficient-stat stage (see
+    * `agg_spearman_rho` / `agg_spearman_ci`): joint-domain cell grid
+    * → tie-aware doubled marginal ranks → exact BIGINT (n, sxy, sxx,
+    * syy) + the r4'd ρ. Three consumers of the tiny cell table —
+    * checkpointed once.
+    */
+  private def spearmanStats(s: SparkSession, d: String): DataFrame = {
+    val li = TestData.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"),
+        floor(col("l_quantity") + 0.5).cast("long").as("qx"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("qy"))
+    val cells = li.groupBy("flag", "qx", "qy")
+      .agg(count(lit(1)).as("c"))
+      .ckpt()
+    def marginalRank(valCol: String): DataFrame = {
+      val w = Window.partitionBy("flag").orderBy(valCol)
+      cells.groupBy("flag", valCol).agg(sum("c").as("cm"))
+        .withColumn("cum_lt", coalesce(sum("cm").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum("cm").over(Window.partitionBy("flag")))
+        .withColumn(s"d_$valCol",
+          lit(2L) * col("cum_lt") + col("cm") + 1 - (col("n") + 1))
+        .select(col("flag"), col(valCol), col(s"d_$valCol"))
+    }
+    cells
+      .join(marginalRank("qx"), Seq("flag", "qx"))
+      .join(marginalRank("qy"), Seq("flag", "qy"))
+      .groupBy("flag")
+      .agg(sum("c").as("n"),
+        sum(col("c") * col("d_qx") * col("d_qy")).as("sxy"),
+        sum(col("c") * col("d_qx") * col("d_qx")).as("sxx"),
+        sum(col("c") * col("d_qy") * col("d_qy")).as("syy"))
+      .withColumn("rho", when(col("sxx") > 0 && col("syy") > 0,
+        r4(col("sxy").cast("double")
+          / sqrt(col("sxx").cast("double") * col("syy").cast("double")))))
+  }
+
   /** Fisher's combined-probability core (see `agg_fisher_combined`):
     * input (p_u: micro-unit p values, non-null), output the 1-row
     * X² = −2Σln p readout with df = 2m and the Wilson-Hilferty
@@ -1877,38 +1914,35 @@ object Stats {
     // d = 2r − (n+1) (Σ c·d = 0 exactly, so ρ = Sxy/√(Sxx·Syy)
     // directly). Bound: |d| ≤ 2n ⇒ Sxy ≤ 4n³ < 2^63 for n ≲ 1.3e6
     // rows per group; past that, scale d to doubles first.
-    "agg_spearman_rho" -> ((s, d) => {
-      val li = TestData.lineitem(s, d)
-        .select(col("l_returnflag").as("flag"),
-          floor(col("l_quantity") + 0.5).cast("long").as("qx"),
-          floor(col("l_discount") * 100 + 0.5).cast("long").as("qy"))
-      // Three consumers (the joint join + both marginals) — checkpoint
-      // the tiny cell table once instead of re-scanning lineitem 3×.
-      val cells = li.groupBy("flag", "qx", "qy")
-        .agg(count(lit(1)).as("c"))
-        .ckpt()
-      def marginalRank(valCol: String): DataFrame = {
-        val w = Window.partitionBy("flag").orderBy(valCol)
-        cells.groupBy("flag", valCol).agg(sum("c").as("cm"))
-          .withColumn("cum_lt", coalesce(sum("cm").over(
-            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .withColumn("n", sum("cm").over(Window.partitionBy("flag")))
-          .withColumn(s"d_$valCol",
-            lit(2L) * col("cum_lt") + col("cm") + 1 - (col("n") + 1))
-          .select(col("flag"), col(valCol), col(s"d_$valCol"))
-      }
-      cells
-        .join(marginalRank("qx"), Seq("flag", "qx"))
-        .join(marginalRank("qy"), Seq("flag", "qy"))
-        .groupBy("flag")
-        .agg(sum("c").as("n"),
-          sum(col("c") * col("d_qx") * col("d_qy")).as("sxy"),
-          sum(col("c") * col("d_qx") * col("d_qx")).as("sxx"),
-          sum(col("c") * col("d_qy") * col("d_qy")).as("syy"))
-        .withColumn("rho", when(col("sxx") > 0 && col("syy") > 0,
-          r4(col("sxy").cast("double")
-            / sqrt(col("sxx").cast("double") * col("syy").cast("double")))))
+    "agg_spearman_rho" -> ((s, d) =>
+      spearmanStats(s, d)
         .select("flag", "n", "sxy", "sxx", "syy", "rho")
+        .orderBy("flag")),
+
+    // SPEARMAN ρ FISHER-z CI (round 16): the error bar on the rank
+    // correlation — z = atanh(ρ) = ½·ln((1+ρ)/(1−ρ)) is approximately
+    // normal with SE 1/√(n−3), back-transformed by tanh expressed as
+    // (e^{2x}−1)/(e^{2x}+1) — ln/exp/sqrt only, mirrored, applied to
+    // the ALREADY-r4'd ρ so both engines transform the identical
+    // value. |ρ| = 1 or n ≤ 3 reads NULL bounds (atanh diverges /
+    // SE undefined). Same cell-grid stage as the ρ key.
+    "agg_spearman_ci" -> ((s, d) => {
+      def tanhE(x: Column): Column =
+        (exp(lit(2.0) * x) - 1.0) / (exp(lit(2.0) * x) + 1.0)
+      spearmanStats(s, d)
+        .withColumn("zr", when(col("rho").isNotNull
+            && abs(col("rho")) < 1.0,
+          lit(0.5) * log((lit(1.0) + col("rho"))
+            / (lit(1.0) - col("rho")))))
+        .withColumn("se", when(col("n") > 3,
+          lit(1.0) / sqrt((col("n") - 3).cast("double"))))
+        .select(col("flag"), col("n"), col("rho"),
+          when(col("zr").isNotNull && col("se").isNotNull,
+            r4(tanhE(col("zr") - lit(1.959964) * col("se"))))
+            .as("ci_lo"),
+          when(col("zr").isNotNull && col("se").isNotNull,
+            r4(tanhE(col("zr") + lit(1.959964) * col("se"))))
+            .as("ci_hi"))
         .orderBy("flag")
     }),
 
@@ -4710,6 +4744,66 @@ object Stats {
         |    floor(sxy::DOUBLE / sqrt(sxx::DOUBLE * syy::DOUBLE)
         |      * 10000 + 0.5) / 10000 END AS rho
         |FROM a ORDER BY flag""".stripMargin,
+    // Same cell-grid CTEs; Fisher z on the r4'd rho, tanh as
+    // (e^2x - 1)/(e^2x + 1) — mirrored transcendentals.
+    "agg_spearman_ci" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag,
+        |    floor(l_quantity + 0.5)::BIGINT AS qx,
+        |    floor(l_discount * 100 + 0.5)::BIGINT AS qy
+        |  FROM lineitem),
+        |cells AS (
+        |  SELECT flag, qx, qy, count(*)::BIGINT AS c
+        |  FROM li GROUP BY 1, 2, 3),
+        |xm AS (
+        |  SELECT flag, qx,
+        |    2 * (coalesce(sum(cm) OVER (PARTITION BY flag ORDER BY qx
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0))::BIGINT
+        |      + cm + 1
+        |      - ((sum(cm) OVER (PARTITION BY flag))::BIGINT + 1) AS d_qx
+        |  FROM (SELECT flag, qx, sum(c)::BIGINT AS cm FROM cells
+        |        GROUP BY 1, 2)),
+        |ym AS (
+        |  SELECT flag, qy,
+        |    2 * (coalesce(sum(cm) OVER (PARTITION BY flag ORDER BY qy
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0))::BIGINT
+        |      + cm + 1
+        |      - ((sum(cm) OVER (PARTITION BY flag))::BIGINT + 1) AS d_qy
+        |  FROM (SELECT flag, qy, sum(c)::BIGINT AS cm FROM cells
+        |        GROUP BY 1, 2)),
+        |a AS (
+        |  SELECT cells.flag, sum(c)::BIGINT AS n,
+        |    sum(c * d_qx * d_qy)::BIGINT AS sxy,
+        |    sum(c * d_qx * d_qx)::BIGINT AS sxx,
+        |    sum(c * d_qy * d_qy)::BIGINT AS syy
+        |  FROM cells
+        |  JOIN xm ON cells.flag = xm.flag AND cells.qx = xm.qx
+        |  JOIN ym ON cells.flag = ym.flag AND cells.qy = ym.qy
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT flag, n,
+        |    CASE WHEN sxx > 0 AND syy > 0 THEN
+        |      floor(sxy::DOUBLE / sqrt(sxx::DOUBLE * syy::DOUBLE)
+        |        * 10000 + 0.5) / 10000 END AS rho
+        |  FROM a),
+        |c2 AS (
+        |  SELECT *,
+        |    CASE WHEN rho IS NOT NULL AND abs(rho) < 1.0 THEN
+        |      0.5 * ln((1.0 + rho) / (1.0 - rho)) END AS zr,
+        |    CASE WHEN n > 3 THEN 1.0 / sqrt((n - 3)::DOUBLE) END AS se
+        |  FROM b)
+        |SELECT flag, n, rho,
+        |  CASE WHEN zr IS NOT NULL AND se IS NOT NULL THEN
+        |    floor((exp(2.0 * (zr - 1.959964 * se)) - 1.0)
+        |      / (exp(2.0 * (zr - 1.959964 * se)) + 1.0) * 10000 + 0.5)
+        |      / 10000 END AS ci_lo,
+        |  CASE WHEN zr IS NOT NULL AND se IS NOT NULL THEN
+        |    floor((exp(2.0 * (zr + 1.959964 * se)) - 1.0)
+        |      / (exp(2.0 * (zr + 1.959964 * se)) + 1.0) * 10000 + 0.5)
+        |      / 10000 END AS ci_hi
+        |FROM c2 ORDER BY flag""".stripMargin,
     "agg_tukey_fences" ->
       """WITH li AS (
         |  SELECT l_returnflag, l_orderkey, l_linenumber,

@@ -77,6 +77,52 @@ object Streaming {
         .orderBy("key")
     }),
 
+    // FUNNEL DROP-OFF WITH WILSON CIs (round 16): the error bars the
+    // raw step counts need — "step 2→3 converts at 41% ± what?"
+    // decides whether a funnel change is signal. Rides the SAME
+    // FunnelMatch custom operator (one clustering shuffle + state
+    // machine), then per step i the conversion n_reached(i)/
+    // n_reached(i−1) with the Wilson 95% interval (the agg_wilson_ci
+    // formula — never leaves [0,1], valid at extreme rates where
+    // Wald collapses). Exact integer step census; the 3-row stack +
+    // Wilson readout are the only floats, mirrored.
+    "events_funnel_dropoff_ci" -> ((s, d) => {
+      if (!s.experimental.extraStrategies.contains(graft.plans.FunnelStrategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ graft.plans.FunnelStrategy
+      val ev = TestData.events(s, d)
+        .select("user_id", "ts", "event_id", "event_type")
+      val z = 1.959964
+      val z2 = z * z
+      graft.plans.FunnelMatch.of(ev, "user_id", "ts", "event_id",
+          "event_type", Seq("signup", "click", "purchase"))
+        .agg(count(lit(1)).as("n0"),
+          sum(when(col("steps_completed") >= 1, 1L).otherwise(0L))
+            .as("n1"),
+          sum(when(col("steps_completed") >= 2, 1L).otherwise(0L))
+            .as("n2"),
+          sum(when(col("steps_completed") >= 3, 1L).otherwise(0L))
+            .as("n3"))
+        .select(expr("stack(3, 1L, n0, n1, 2L, n1, n2, 3L, n2, n3)" +
+          " AS (step, n_prev, n_reached)"))
+        .withColumn("ph", when(col("n_prev") > 0,
+          col("n_reached").cast("double") / col("n_prev").cast("double")))
+        .withColumn("center", when(col("n_prev") > 0,
+          (col("ph") + lit(z2) / (lit(2.0) * col("n_prev").cast("double")))
+            / (lit(1.0) + lit(z2) / col("n_prev").cast("double"))))
+        .withColumn("half", when(col("n_prev") > 0,
+          lit(z) * sqrt(col("ph") * (lit(1.0) - col("ph"))
+              / col("n_prev").cast("double")
+            + lit(z2) / (lit(4.0) * col("n_prev").cast("double")
+              * col("n_prev").cast("double")))
+            / (lit(1.0) + lit(z2) / col("n_prev").cast("double"))))
+        .select(col("step"), col("n_prev"), col("n_reached"),
+          TestData.r4(col("ph")).as("conv"),
+          TestData.r4(col("center") - col("half")).as("ci_lo"),
+          TestData.r4(col("center") + col("half")).as("ci_hi"))
+        .orderBy("step")
+    }),
+
     // Same custom operator with a CONVERSION WINDOW: steps past the
     // first only match within 3 days of the step-0 anchor (greedy, no
     // re-anchor). Still ONE clustering shuffle at any step count —
@@ -740,6 +786,71 @@ object Streaming {
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |  LEFT JOIN s3 USING (user_id)
         |ORDER BY key""".stripMargin,
+    // Same greedy ladder; 3-row step census + the Wilson readout
+    // (z² as the literal product — the agg_wilson_ci mirror).
+    "events_funnel_dropoff_ci" ->
+      """WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events),
+        |s1 AS (SELECT user_id, ts AS t1, event_id AS e1 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS rn
+        |  FROM ev WHERE event_type = 'signup') WHERE rn = 1),
+        |s2 AS (SELECT user_id, ts AS t2, event_id AS e2 FROM (
+        |  SELECT ev.user_id, ev.ts, ev.event_id,
+        |    row_number() OVER (PARTITION BY ev.user_id
+        |      ORDER BY ev.ts, ev.event_id) AS rn
+        |  FROM ev JOIN s1 USING (user_id)
+        |  WHERE ev.event_type = 'click'
+        |    AND (ev.ts, ev.event_id) > (s1.t1, s1.e1)) WHERE rn = 1),
+        |s3 AS (SELECT user_id FROM (
+        |  SELECT ev.user_id,
+        |    row_number() OVER (PARTITION BY ev.user_id
+        |      ORDER BY ev.ts, ev.event_id) AS rn
+        |  FROM ev JOIN s2 USING (user_id)
+        |  WHERE ev.event_type = 'purchase'
+        |    AND (ev.ts, ev.event_id) > (s2.t2, s2.e2)) WHERE rn = 1),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |sc AS (
+        |  SELECT u.user_id,
+        |    CASE WHEN s3.user_id IS NOT NULL THEN 3
+        |         WHEN s2.user_id IS NOT NULL THEN 2
+        |         WHEN s1.user_id IS NOT NULL THEN 1
+        |         ELSE 0 END AS steps_completed
+        |  FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |    LEFT JOIN s3 USING (user_id)),
+        |cn AS (
+        |  SELECT count(*)::BIGINT AS n0,
+        |    sum(CASE WHEN steps_completed >= 1 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n1,
+        |    sum(CASE WHEN steps_completed >= 2 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n2,
+        |    sum(CASE WHEN steps_completed >= 3 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n3
+        |  FROM sc),
+        |st AS (
+        |  SELECT 1::BIGINT AS step, n0 AS n_prev, n1 AS n_reached FROM cn
+        |  UNION ALL SELECT 2::BIGINT, n1, n2 FROM cn
+        |  UNION ALL SELECT 3::BIGINT, n2, n3 FROM cn),
+        |e AS (
+        |  SELECT *,
+        |    CASE WHEN n_prev > 0 THEN
+        |      n_reached::DOUBLE / n_prev::DOUBLE END AS ph,
+        |    1.959964 * 1.959964 AS z2
+        |  FROM st),
+        |c AS (
+        |  SELECT *,
+        |    CASE WHEN n_prev > 0 THEN
+        |      (ph + z2 / (2.0 * n_prev::DOUBLE))
+        |        / (1.0 + z2 / n_prev::DOUBLE) END AS center,
+        |    CASE WHEN n_prev > 0 THEN
+        |      1.959964 * sqrt(ph * (1.0 - ph) / n_prev::DOUBLE
+        |          + z2 / (4.0 * n_prev::DOUBLE * n_prev::DOUBLE))
+        |        / (1.0 + z2 / n_prev::DOUBLE) END AS half
+        |  FROM e)
+        |SELECT step, n_prev, n_reached,
+        |  floor(ph * 10000 + 0.5) / 10000 AS conv,
+        |  floor((center - half) * 10000 + 0.5) / 10000 AS ci_lo,
+        |  floor((center + half) * 10000 + 0.5) / 10000 AS ci_hi
+        |FROM c ORDER BY step""".stripMargin,
     // Same greedy ladder bounded to the 3-day anchor window
     // (259_200_000_000 µs); epoch_us keeps the gap check in exact
     // integer micros on both engines.

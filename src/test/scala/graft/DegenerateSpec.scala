@@ -1107,6 +1107,22 @@ class DegenerateSpec extends SparkSpec {
     assert(neg.getAs[Double]("p_two") === 0.25)
   }
 
+  test("spearmanCi survives degenerate frames") {
+    val ss = StructType(Seq(StructField("g", StringType),
+      StructField("x", LongType), StructField("y", LongType)))
+    def sf3(rows: Seq[(String, Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), ss)
+    assertClean(engine.spearmanCi(sf3(Nil), "g", "x", "y"), "sci/empty")
+    // n <= 3: SE undefined, NULL bounds, no throw
+    assertClean(engine.spearmanCi(
+      sf3(Seq(("a", 1L, 2L), ("a", 2L, 1L))), "g", "x", "y"),
+      "sci/tiny")
+    // constant x: zero rank variance, NULL rho and bounds
+    assertClean(engine.spearmanCi(
+      sf3((1L to 6L).map(i => ("a", 5L, i))), "g", "x", "y"),
+      "sci/const-x")
+  }
+
   test("negativeBinomialFit survives degenerate frames") {
     val ss = StructType(Seq(StructField("y", LongType)))
     def nf(rows: Seq[Long]) = spark.createDataFrame(

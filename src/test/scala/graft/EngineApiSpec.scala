@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 226, "documented facade count drifted; methods: "
+    assert(names.length === 227, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1842,6 +1842,50 @@ class EngineApiSpec extends SparkSpec {
     val gains = lc.map(_.getAs[Double]("gain"))
     assert(gains.zip(gains.tail).forall { case (a, b) => a <= b + 1e-9 })
     assert(gains.last === 1.0)
+  }
+
+  test("spearmanCi facade matches its key; bounds bracket rho; funnel CI sane") {
+    val d = sf("sf0.001")
+    import spark.implicits._
+    val li = TestData.lineitem(spark, d)
+      .select($"l_returnflag".as("flag"),
+        floor($"l_quantity" + 0.5).cast("long").as("qx"),
+        floor($"l_discount" * 100 + 0.5).cast("long").as("qy"))
+    assert(engine.spearmanCi(li, "flag", "qx", "qy")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("agg_spearman_ci")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // the CI must bracket rho on every group
+    SparkEntry.queries("agg_spearman_ci")(spark, d).collect()
+      .foreach { r =>
+        if (!r.isNullAt(r.fieldIndex("ci_lo"))) {
+          assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("rho")
+            + 1e-9)
+          assert(r.getAs[Double]("rho") <= r.getAs[Double]("ci_hi")
+            + 1e-9)
+        }
+      }
+    // perfectly monotone pairs: rho = 1, bounds NULL (atanh diverges)
+    val mono = (1L to 10L).map(i => ("g", i, i * 2)).toDF("g", "x", "y")
+    val m = engine.spearmanCi(mono, "g", "x", "y").collect()(0)
+    assert(m.getAs[Double]("rho") === 1.0)
+    assert(m.isNullAt(m.fieldIndex("ci_lo")))
+    // funnel dropoff: counts monotone down the ladder, CI brackets
+    // the conversion, step-1 base = the distinct-user census
+    val f = SparkEntry.queries("events_funnel_dropoff_ci")(spark, d)
+      .collect()
+    assert(f.map(_.getAs[Long]("step")).toSeq === Seq(1L, 2L, 3L))
+    f.foreach { r =>
+      assert(r.getAs[Long]("n_reached") <= r.getAs[Long]("n_prev"))
+      assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("conv") + 1e-9)
+      assert(r.getAs[Double]("conv") <= r.getAs[Double]("ci_hi") + 1e-9)
+    }
+    val nUsers = TestData.events(spark, d)
+      .select("user_id").distinct().count()
+    assert(f(0).getAs[Long]("n_prev") === nUsers)
+    // the ladder chains: step i's base is step i-1's reached
+    assert(f(1).getAs[Long]("n_prev") === f(0).getAs[Long]("n_reached"))
+    assert(f(2).getAs[Long]("n_prev") === f(1).getAs[Long]("n_reached"))
   }
 
   test("negativeBinomialFit facade matches its key; dispersion verdicts") {
