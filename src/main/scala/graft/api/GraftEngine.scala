@@ -4783,6 +4783,18 @@ class GraftEngine(val spark: SparkSession) {
       scored.select(col(scoreCol).cast("long").as("score_u"),
         col(labelCol).cast("long").as("is_pos")))
 
+  /** KS separation per detector (see `eval_ks_separation`) over
+    * (detector, quantized score, label 0/1) rows: max |F_pos −
+    * F_neg| with its argmax threshold — the largest achievable
+    * TPR − FPR and the cut that achieves it. One-class reads NULL.
+    */
+  def ksSeparation(scored: DataFrame, detectorCol: String,
+                   scoreCol: String, labelCol: String): DataFrame =
+    graft.operators.TextOps.ksSeparationCore(
+      scored.select(col(detectorCol).as("detector"),
+        col(scoreCol).cast("long").as("score_u"),
+        col(labelCol).cast("long").as("is_pos")))
+
   /** Isotonic calibration fit (see `eval_calibration_fit`) over
     * (quantized score BIGINT, label 0/1) rows: the PAVA monotone
     * regression of label on score via the minimax closed form over

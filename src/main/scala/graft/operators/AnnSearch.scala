@@ -488,6 +488,47 @@ object AnnSearch {
         .orderBy("qid")
     }),
 
+    // RECALL@K CURVE (round 16): recall at k ∈ {1, 3, 5} off the
+    // SAME two arms as ann_recall_eval — the single recall@5 number
+    // hides WHERE an index loses neighbors (great @5 / poor @1 means
+    // the true best lands mid-list: a rerank fixes it; uniformly low
+    // means the probes miss whole clusters: wider nprobe fixes it).
+    // Both rank columns ride the one 25-row join; the 3-row k
+    // dimension expands from it (tagged-frame protocol) and a k-row
+    // left join keeps zero-hit cuts explicit. An id in both top-k
+    // lists is in both top-5 lists, so the inner join loses nothing.
+    "ann_recall_curve" -> ((s, d) => {
+      import s.implicits._
+      val e = TestData.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val wTop = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("vec_id"))
+      val brute = e.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score", V.cosine(col("embedding"), col("qv")))
+        .withColumn("brnk", row_number().over(wTop))
+        .filter(col("brnk") <= 5)
+        .select(col("qid"), col("vec_id").as("nn_id"), col("brnk"))
+      val ivf = ivfTop5(e).select(col("qid").as("iqid"),
+        col("nn_id").as("inn"), col("rnk").as("irnk"))
+      val ks = Seq(1L, 3L, 5L).toDF("k")
+      val nq = queries.agg(count(lit(1)).as("n_queries"))
+      val hits = brute
+        .join(ivf, col("qid") === col("iqid") && col("nn_id") === col("inn"))
+        .crossJoin(broadcast(ks))
+        .groupBy("k")
+        .agg(sum(when(col("brnk") <= col("k") && col("irnk") <= col("k"),
+          1L).otherwise(0L)).as("n_hits"))
+      ks.join(hits, Seq("k"), "left")
+        .crossJoin(broadcast(nq))
+        .select(col("k"), col("n_queries"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          r4(coalesce(col("n_hits"), lit(0L)).cast("double")
+            / (col("k") * col("n_queries")).cast("double")).as("recall"))
+        .orderBy("k")
+    }),
+
     // MRR OF THE TRUE NEAREST NEIGHBOR (round 15): the third leg of
     // the index-quality triad — recall@5 counts set overlap, NDCG
     // weights order over the whole list, MRR answers the sharpest
@@ -1312,6 +1353,64 @@ object AnnSearch {
         |  floor((count(i.vec_id) / 5.0)*10000 + 0.5)/10000 AS recall
         |FROM brute b LEFT JOIN ivf i ON b.qid = i.qid AND b.vec_id = i.vec_id
         |GROUP BY b.qid ORDER BY b.qid""".stripMargin,
+    // Same two arms with both rank columns kept; the 3-row k
+    // dimension expands from the 25-row join, zero-hit cuts explicit.
+    "ann_recall_curve" ->
+      s"""WITH c AS (SELECT vec_id AS cid, $E AS cv FROM embeddings WHERE vec_id < 4),
+        |assigned AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cid AS cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(e.$E, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN c)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, cid AS probe_cluster FROM (
+        |    SELECT q.vec_id AS qid, c.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.$E, c.cv),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS pr
+        |    FROM embeddings q CROSS JOIN c WHERE q.vec_id < 5)
+        |  WHERE pr <= 2),
+        |hits AS (
+        |  SELECT p.qid, e.vec_id,
+        |    list_cosine_similarity(e.$E, q.$E) AS score
+        |  FROM assigned a
+        |  JOIN probes p ON a.cluster = p.probe_cluster
+        |  JOIN embeddings e ON e.vec_id = a.vec_id
+        |  JOIN embeddings q ON q.vec_id = p.qid
+        |  WHERE e.vec_id <> p.qid),
+        |ivf AS (
+        |  SELECT qid, vec_id, rnk AS irnk FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, vec_id) AS rnk FROM hits)
+        |  WHERE rnk <= 5),
+        |bq AS (SELECT vec_id AS qid, $E AS qv FROM embeddings WHERE vec_id < 5),
+        |bhits AS (
+        |  SELECT bq.qid, e.vec_id,
+        |    list_cosine_similarity(e.$E, bq.qv) AS score
+        |  FROM embeddings e CROSS JOIN bq WHERE e.vec_id <> bq.qid),
+        |brute AS (
+        |  SELECT qid, vec_id, rnk AS brnk FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, vec_id) AS rnk FROM bhits)
+        |  WHERE rnk <= 5),
+        |ks AS (SELECT unnest([1, 3, 5])::BIGINT AS k),
+        |nq AS (SELECT count(*)::BIGINT AS n_queries FROM bq),
+        |hk AS (
+        |  SELECT k, sum(CASE WHEN brnk <= k AND irnk <= k THEN 1
+        |    ELSE 0 END)::BIGINT AS n_hits
+        |  FROM brute b JOIN ivf i ON b.qid = i.qid
+        |    AND b.vec_id = i.vec_id
+        |  CROSS JOIN ks GROUP BY k)
+        |SELECT ks.k, nq.n_queries,
+        |  coalesce(hk.n_hits, 0)::BIGINT AS n_hits,
+        |  floor(coalesce(hk.n_hits, 0)::DOUBLE
+        |    / (ks.k * nq.n_queries)::DOUBLE * 10000 + 0.5) / 10000
+        |    AS recall
+        |FROM ks LEFT JOIN hk ON ks.k = hk.k CROSS JOIN nq
+        |ORDER BY ks.k""".stripMargin,
     // Same relational semantics as ann_ivf_topk — the stored index is
     // just a materialization of `assigned`; the oracle recomputes it.
     "ann_ivf_pruned_topk" ->

@@ -661,6 +661,44 @@ object TextOps {
           col("log_loss_base"), col("skill"))
   }
 
+  /** KS separation core (see `eval_ks_separation`): input (detector,
+    * score_u, is_pos) scored pairs; per detector the Kolmogorov-
+    * Smirnov distance between the positive and negative score ECDFs
+    * — max |F_pos − F_neg| over the score-DISTINCT grid, every gap
+    * an exact cross-multiplied integer |cum_pos·n_neg − cum_neg·
+    * n_pos| ≤ n_pos·n_neg < 2^63 (the cell-grid KS bound). Also
+    * emits the argmax score (min tie-break) — the KS-optimal
+    * threshold, the decision-theoretic companion to AUC's ranking
+    * verdict. One-class inputs read NULL ks. Shared with
+    * `GraftEngine.ksSeparation`.
+    */
+  private[graft] def ksSeparationCore(scored: DataFrame): DataFrame = {
+    val W = Window.partitionBy("detector").orderBy("score_u")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val Wd = Window.partitionBy("detector")
+    scored
+      .groupBy("detector", "score_u")
+      .agg(sum("is_pos").as("pos"),
+        sum(lit(1L) - col("is_pos")).as("neg"))
+      .withColumn("cum_pos", sum("pos").over(W))
+      .withColumn("cum_neg", sum("neg").over(W))
+      .withColumn("n_pos", sum("pos").over(Wd))
+      .withColumn("n_neg", sum("neg").over(Wd))
+      .withColumn("gap_num", abs(col("cum_pos") * col("n_neg")
+        - col("cum_neg") * col("n_pos")))
+      .withColumn("max_gap", max("gap_num").over(Wd))
+      .groupBy("detector")
+      .agg(max("n_pos").as("n_pos"), max("n_neg").as("n_neg"),
+        max("gap_num").as("gap_num"),
+        min(when(col("gap_num") === col("max_gap"), col("score_u")))
+          .as("ks_threshold_u"))
+      .withColumn("ks", when(col("n_pos") > 0 && col("n_neg") > 0,
+        r4(col("gap_num").cast("double")
+          / (col("n_pos") * col("n_neg")).cast("double"))))
+      .select("detector", "n_pos", "n_neg", "gap_num",
+        "ks_threshold_u", "ks")
+  }
+
   /** Isotonic calibration fit core (see `eval_calibration_fit`):
     * input (score_u: BIGINT quantized score, is_pos: BIGINT 0/1)
     * rows; output the score-DISTINCT grid with the PAVA-fitted
@@ -922,6 +960,20 @@ object TextOps {
     // reusable readout (facade parity-pinned).
     "eval_detector_auc" -> ((s, d) =>
       detectorAuc(plantedDetectorScores(s, d)).orderBy("detector")),
+
+    // KS SEPARATION (round 16): the decision-theoretic member of the
+    // detector-eval triad — AUC ranks (average over all thresholds),
+    // the sweep inspects FIXED thresholds, KS finds the SINGLE best
+    // one: max |F_pos − F_neg| over the score grid IS the largest
+    // achievable (TPR − FPR), and its argmax score is the optimal
+    // flag cut under symmetric costs. Every gap an exact
+    // cross-multiplied integer over the same memoized scored-pair
+    // stage; emits the per-detector KS + the KS-optimal threshold.
+    // KS ≥ AUC − ½ on every detector (pinned — KS is the MAX of
+    // TPR − FPR, AUC − ½ its mean over FPR, and max ≥ mean).
+    "eval_ks_separation" -> ((s, d) =>
+      ksSeparationCore(plantedDetectorScores(s, d))
+        .orderBy("detector")),
 
     // THRESHOLD SWEEP (round 14): the operational companion to the
     // AUC key — AUC ranks detectors threshold-free; this key PICKS
@@ -1325,6 +1377,39 @@ object TextOps {
       |  JOIN sz sa ON sa.doc_id = p.id_a
       |  JOIN sz sb ON sb.doc_id = p.id_b)""".stripMargin
 
+  /** Both-detector scored-pair oracle CTEs (jaccard + simhash over
+    * the planted corpus), ending with `scored(detector, score_u,
+    * is_pos)` — shared by `eval_detector_auc` and
+    * `eval_ks_separation`.
+    */
+  private lazy val PlantedScoredCtes: String =
+    s"""$PlantedJacCtes,
+      |h AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5(token), 1, 15))::BIGINT AS hv
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM corpus)),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS w
+      |  FROM h, LATERAL (SELECT unnest(range(0, 60)) AS b)
+      |  GROUP BY doc_id, b),
+      |sim AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+      |      AS sh
+      |  FROM bits GROUP BY 1),
+      |simp AS (
+      |  SELECT p.id_a, p.id_b, 'simhash' AS detector,
+      |    (60 - bit_count(xor(a.sh, b.sh)))::BIGINT AS score_u
+      |  FROM allp p JOIN sim a ON a.doc_id = p.id_a
+      |  JOIN sim b ON b.doc_id = p.id_b),
+      |scored AS (
+      |  SELECT detector, score_u,
+      |    CASE WHEN id_b = id_a + 1000000 AND id_a % 5 = 0
+      |      THEN 1 ELSE 0 END AS is_pos
+      |  FROM (SELECT * FROM jac UNION ALL SELECT * FROM simp))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // Same jac CTEs; ε-clipped ln terms micro-quantized per
     // score-distinct cell, exact pos/neg weights.
@@ -1716,33 +1801,45 @@ object TextOps {
     // sum ::BIGINT (HUGEINT→pandas float trap). Shared jac CTEs with
     // the threshold sweep (PlantedJacCtes below the map).
     "eval_detector_auc" ->
-      s"""$PlantedJacCtes,
-        |h AS (
-        |  SELECT doc_id,
-        |    ('0x' || substring(md5(token), 1, 15))::BIGINT AS hv
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |        FROM corpus)),
-        |bits AS (
-        |  SELECT doc_id, b,
-        |    sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS w
-        |  FROM h, LATERAL (SELECT unnest(range(0, 60)) AS b)
-        |  GROUP BY doc_id, b),
-        |sim AS (
-        |  SELECT doc_id,
-        |    sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
-        |      AS sh
-        |  FROM bits GROUP BY 1),
-        |simp AS (
-        |  SELECT p.id_a, p.id_b, 'simhash' AS detector,
-        |    (60 - bit_count(xor(a.sh, b.sh)))::BIGINT AS score_u
-        |  FROM allp p JOIN sim a ON a.doc_id = p.id_a
-        |  JOIN sim b ON b.doc_id = p.id_b),
-        |scored AS (
-        |  SELECT detector, score_u,
-        |    CASE WHEN id_b = id_a + 1000000 AND id_a % 5 = 0
-        |      THEN 1 ELSE 0 END AS is_pos
-        |  FROM (SELECT * FROM jac UNION ALL SELECT * FROM simp))
+      s"""$PlantedScoredCtes
         |$DetectorAucReadoutSql""".stripMargin,
+    // Same scored CTEs; the KS gap is an exact cross-multiplied
+    // integer per cell, argmax threshold by min-score tie-break.
+    "eval_ks_separation" ->
+      s"""$PlantedScoredCtes,
+        |cells AS (
+        |  SELECT detector, score_u, sum(is_pos)::BIGINT AS pos,
+        |    sum(1 - is_pos)::BIGINT AS neg
+        |  FROM scored GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT detector, score_u,
+        |    (sum(pos) OVER (PARTITION BY detector ORDER BY score_u
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS cum_pos,
+        |    (sum(neg) OVER (PARTITION BY detector ORDER BY score_u
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS cum_neg,
+        |    (sum(pos) OVER (PARTITION BY detector))::BIGINT AS n_pos,
+        |    (sum(neg) OVER (PARTITION BY detector))::BIGINT AS n_neg
+        |  FROM cells),
+        |g AS (
+        |  SELECT *,
+        |    abs(cum_pos * n_neg - cum_neg * n_pos)::BIGINT AS gap_num,
+        |    (max(abs(cum_pos * n_neg - cum_neg * n_pos))
+        |      OVER (PARTITION BY detector))::BIGINT AS max_gap
+        |  FROM cw),
+        |a AS (
+        |  SELECT detector, max(n_pos)::BIGINT AS n_pos,
+        |    max(n_neg)::BIGINT AS n_neg,
+        |    max(gap_num)::BIGINT AS gap_num,
+        |    min(CASE WHEN gap_num = max_gap THEN score_u END)::BIGINT
+        |      AS ks_threshold_u
+        |  FROM g GROUP BY 1)
+        |SELECT detector, n_pos, n_neg, gap_num, ks_threshold_u,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    floor(gap_num::DOUBLE / (n_pos * n_neg)::DOUBLE
+        |      * 10000 + 0.5) / 10000 END AS ks
+        |FROM a ORDER BY detector""".stripMargin,
 
     "dedup_detector_kappa" ->
       """WITH tok AS (

@@ -1107,6 +1107,25 @@ class DegenerateSpec extends SparkSpec {
     assert(neg.getAs[Double]("p_two") === 0.25)
   }
 
+  test("ksSeparation survives degenerate frames") {
+    val ss = StructType(Seq(StructField("det", StringType),
+      StructField("s", LongType), StructField("y", LongType)))
+    def kf(rows: Seq[(String, Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), ss)
+    assertClean(engine.ksSeparation(kf(Nil), "det", "s", "y"),
+      "ksd/empty")
+    // one-class: n_neg = 0 ⇒ NULL ks, never a throw
+    assertClean(engine.ksSeparation(
+      kf(Seq(("a", 1L, 1L), ("a", 2L, 1L))), "det", "s", "y"),
+      "ksd/one-class")
+    // perfectly separated: KS exactly 1 at the boundary score
+    val sep = engine.ksSeparation(
+      kf(Seq(("a", 1L, 0L), ("a", 2L, 0L), ("a", 8L, 1L),
+        ("a", 9L, 1L))), "det", "s", "y").collect()(0)
+    assert(sep.getAs[Double]("ks") === 1.0)
+    assert(sep.getAs[Long]("ks_threshold_u") === 2L)
+  }
+
   test("spearmanCi survives degenerate frames") {
     val ss = StructType(Seq(StructField("g", StringType),
       StructField("x", LongType), StructField("y", LongType)))

@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 227, "documented facade count drifted; methods: "
+    assert(names.length === 228, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1842,6 +1842,39 @@ class EngineApiSpec extends SparkSpec {
     val gains = lc.map(_.getAs[Double]("gain"))
     assert(gains.zip(gains.tail).forall { case (a, b) => a <= b + 1e-9 })
     assert(gains.last === 1.0)
+  }
+
+  test("ksSeparation facade matches its key; KS >= |2AUC-1|; recall curve sane") {
+    val d = sf("sf0.001")
+    val scored = graft.operators.TextOps.plantedDetectorScores(spark, d)
+    assert(engine.ksSeparation(scored, "detector", "score_u", "is_pos")
+      .orderBy("detector").collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("eval_ks_separation")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // the classic inequality KS >= AUC - 1/2 per detector (KS is the
+    // MAX of TPR - FPR over thresholds; AUC - 1/2 is its integral
+    // over FPR, and max >= mean on a unit interval)
+    val ks = SparkEntry.queries("eval_ks_separation")(spark, d)
+      .collect().map(r => r.getAs[String]("detector") ->
+        (r.getAs[Double]("ks"), r.getAs[Long]("ks_threshold_u"))).toMap
+    val auc = SparkEntry.queries("eval_detector_auc")(spark, d)
+      .collect().map(r => r.getAs[String]("detector") ->
+        r.getAs[Double]("auc")).toMap
+    auc.foreach { case (det, a) =>
+      assert(ks(det)._1 >= a - 0.5 - 1e-3,
+        s"$det: KS ${ks(det)._1} < $a - 0.5")
+    }
+    // recall@k curve: values in [0,1], k=5 row consistent with
+    // ann_recall_eval's per-query hits
+    val curve = SparkEntry.queries("ann_recall_curve")(spark, d)
+      .collect()
+    assert(curve.map(_.getAs[Long]("k")).toSeq === Seq(1L, 3L, 5L))
+    curve.foreach(r => assert(r.getAs[Double]("recall") >= 0
+      && r.getAs[Double]("recall") <= 1.0))
+    val hits5 = SparkEntry.queries("ann_recall_eval")(spark, d)
+      .collect().map(_.getAs[Long]("n_hit")).sum
+    assert(curve(2).getAs[Long]("n_hits") === hits5,
+      "k=5 census must match ann_recall_eval")
   }
 
   test("spearmanCi facade matches its key; bounds bracket rho; funnel CI sane") {
