@@ -4975,6 +4975,19 @@ class GraftEngine(val spark: SparkSession) {
         col(eventCol).cast("long").as("ev"),
         col(groupCol).cast("long").as("g1")))
 
+  /** Harrell C-index for a binary risk score (see
+    * `events_cox_cindex`): concordance of "group 1 converts first"
+    * over the comparable pairs, ties ½ — the ranking-quality verdict
+    * on the model [[coxPh]] fits. C < ½ means group 0 is riskier
+    * (exactly 1 − C of the swapped coding).
+    */
+  def coxCIndex(durations: DataFrame, durCol: String, eventCol: String,
+                groupCol: String): DataFrame =
+    graft.operators.TimeSeries.cIndexCore(
+      durations.select(col(durCol).as("dur"),
+        col(eventCol).cast("long").as("ev"),
+        col(groupCol).cast("long").as("g1")))
+
   /** Two-regressor logistic regression via 3 unrolled IRLS rounds
     * (see `agg_logistic_irls`): returns the 1-row (n, n_pos, beta0,
     * beta1, beta2, brier) readout. Collinear or degenerate inputs

@@ -2253,6 +2253,46 @@ object Stats {
           col("f_stat"))
     }),
 
+    // ANOVA EFFECT SIZES (round 16): the F statistic says WHETHER
+    // language means differ; η² = SSB/SST says HOW MUCH of the
+    // variance the grouping explains (the number a curation decision
+    // actually needs — a significant-but-η²=0.01 effect is ignorable
+    // at corpus scale), with the small-sample-honest ω² =
+    // (SSB − (k−1)·MSW)/(SST + MSW) (can be ≤ 0 — reported, not
+    // clipped) and Cohen's f = √(η²/(1−η²)) for power work. Same
+    // exact sufficient stats as agg_anova_f, three mirrored readout
+    // divisions on the 1-row frame.
+    "agg_eta_squared" -> ((s, d) => {
+      val g = TestData.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_g"), sum("n_chars").as("sx"),
+          sum(col("n_chars") * col("n_chars")).as("sxx"))
+        .withColumn("t_u", floor(col("sx").cast("double")
+          * col("sx").cast("double") / col("n_g").cast("double") + 0.5)
+          .cast("long"))
+      g.agg(count(lit(1)).as("k_groups"), sum("n_g").as("n_total"),
+          sum("sx").as("sum_all"), sum("sxx").as("sxx_all"),
+          sum("t_u").as("t_sum_u"))
+        .withColumn("ssb", col("t_sum_u").cast("double")
+          - col("sum_all").cast("double") * col("sum_all").cast("double")
+            / col("n_total").cast("double"))
+        .withColumn("ssw",
+          col("sxx_all").cast("double") - col("t_sum_u").cast("double"))
+        .withColumn("sst", col("ssb") + col("ssw"))
+        .withColumn("msw", when(col("n_total") > col("k_groups"),
+          col("ssw") / (col("n_total") - col("k_groups")).cast("double")))
+        .withColumn("eta2", when(col("sst") > 0,
+          r4(col("ssb") / col("sst"))))
+        .withColumn("omega2", when(col("msw").isNotNull
+            && col("sst") + col("msw") > 0,
+          r4((col("ssb") - (col("k_groups") - 1).cast("double")
+            * col("msw")) / (col("sst") + col("msw")))))
+        .withColumn("cohens_f", when(col("eta2").isNotNull
+            && col("eta2") < 1.0 && col("eta2") >= 0.0,
+          r4(sqrt(col("eta2") / (lit(1.0) - col("eta2"))))))
+        .select("k_groups", "n_total", "eta2", "omega2", "cohens_f")
+    }),
+
     // BROWN–FORSYTHE (LEVENE) TEST (round 13): variance homogeneity
     // across languages — agg_anova_f compares MEANS assuming equal
     // spread; this is the gate that checks the assumption (and a
@@ -5114,6 +5154,47 @@ object Stats {
         |      / (ssw / (n_total - k_groups)::DOUBLE) * 10000 + 0.5) / 10000
         |    END AS f_stat
         |FROM b""".stripMargin,
+    // Same anova sufficient stats; eta2/omega2/f on the 1-row frame
+    // in mirrored op order (eta2 computed from the RAW ssb/sst, the
+    // readout r4's only the outputs).
+    "agg_eta_squared" ->
+      """WITH g AS (
+        |  SELECT lang, count(*)::BIGINT AS n_g,
+        |    sum(n_chars)::BIGINT AS sx,
+        |    sum(n_chars * n_chars)::BIGINT AS sxx,
+        |    floor(sum(n_chars)::DOUBLE * sum(n_chars)::DOUBLE
+        |      / count(*)::DOUBLE + 0.5)::BIGINT AS t_u
+        |  FROM documents GROUP BY 1),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS k_groups, sum(n_g)::BIGINT AS n_total,
+        |    sum(sx)::BIGINT AS sum_all, sum(sxx)::BIGINT AS sxx_all,
+        |    sum(t_u)::BIGINT AS t_sum_u
+        |  FROM g),
+        |b AS (
+        |  SELECT *,
+        |    t_sum_u::DOUBLE
+        |      - sum_all::DOUBLE * sum_all::DOUBLE / n_total::DOUBLE AS ssb,
+        |    sxx_all::DOUBLE - t_sum_u::DOUBLE AS ssw
+        |  FROM a),
+        |c2 AS (
+        |  SELECT *, ssb + ssw AS sst,
+        |    CASE WHEN n_total > k_groups THEN
+        |      ssw / (n_total - k_groups)::DOUBLE END AS msw
+        |  FROM b),
+        |e AS (
+        |  SELECT *,
+        |    CASE WHEN sst > 0 THEN
+        |      floor(ssb / sst * 10000 + 0.5) / 10000 END AS eta2
+        |  FROM c2)
+        |SELECT k_groups, n_total, eta2,
+        |  CASE WHEN msw IS NOT NULL AND sst + msw > 0 THEN
+        |    floor((ssb - (k_groups - 1)::DOUBLE * msw) / (sst + msw)
+        |      * 10000 + 0.5) / 10000 END AS omega2,
+        |  CASE WHEN eta2 IS NOT NULL AND eta2 < 1.0
+        |      AND eta2 >= 0.0 THEN
+        |    floor(sqrt(eta2 / (1.0 - eta2)) * 10000 + 0.5)
+        |      / 10000 END AS cohens_f
+        |FROM e""".stripMargin,
     // Doubled-median z2 = |2x − m2| exact integers, then the anova_f
     // assembly verbatim; monolithic per-lang rank ≡ rangedRank.
     "agg_levene_test" ->

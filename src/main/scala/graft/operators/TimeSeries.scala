@@ -1110,6 +1110,51 @@ object TimeSeries {
         "hazard_ratio", "se_beta", "z_cox")
   }
 
+  /** Harrell C-index core for a binary risk score (see
+    * `events_cox_cindex`): input (dur, ev, g1) subjects; C over the
+    * comparable pairs (an event at t vs every subject still at risk
+    * STRICTLY after t) with the group indicator as the score —
+    * concordant when the event subject is in g1 and the survivor in
+    * g0, tied-score pairs count ½ (Harrell's convention). Everything
+    * rides the SAME duration-grid risk-set cumulatives as
+    * [[coxPhCore]]; counts stay exact BIGINTs in 2× units
+    * (d_t·n_after ≤ n² < 2^63 to ~3e9 subjects — the KS bound), one
+    * guarded division at the readout. C is for the "g1 is riskier"
+    * coding: C < ½ means g0 converts faster — exactly 1 − C of the
+    * swapped coding (antisymmetry pinned in EngineApiSpec). Shared
+    * with `GraftEngine.coxCIndex`.
+    */
+  private[graft] def cIndexCore(subjects: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    subjects
+      .select(col("dur").as("dur_hr"), col("ev").cast("long").as("event"),
+        col("g1").cast("long").as("g1"))
+      .groupBy("dur_hr")
+      .agg(sum(col("event") * col("g1")).as("d1_t"),
+        sum("event").as("d_t"), sum("g1").as("a1_t"),
+        count(lit(1)).as("a_t"))
+      .withColumn("n_risk", sum("a_t").over(W.partitionBy())
+        - coalesce(sum("a_t").over(W.orderBy("dur_hr")
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n1_risk", sum("a1_t").over(W.partitionBy())
+        - coalesce(sum("a1_t").over(W.orderBy("dur_hr")
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("d_t") > 0)
+      .withColumn("n_after", col("n_risk") - col("a_t"))
+      .withColumn("n1_after", col("n1_risk") - col("a1_t"))
+      .withColumn("n0_after", col("n_after") - col("n1_after"))
+      .withColumn("d0_t", col("d_t") - col("d1_t"))
+      .agg(sum("d_t").as("n_events"),
+        sum(col("d_t") * col("n_after")).as("n_comparable"),
+        sum(lit(2L) * col("d1_t") * col("n0_after")
+          + col("d1_t") * col("n1_after")
+          + col("d0_t") * col("n0_after")).as("c2_num"))
+      .withColumn("c_index", when(col("n_comparable") > 0,
+        r4(col("c2_num").cast("double")
+          / (lit(2.0) * col("n_comparable").cast("double")))))
+      .select("n_events", "n_comparable", "c2_num", "c_index")
+  }
+
   /** Fisher exact two-sided test core (see `events_ab_fisher_exact`):
     * input a frame of (t: 0/1 variant, purch: 0/1 success) rows,
     * output the 2×2 margins + support size + exact two-sided p.
@@ -4163,6 +4208,36 @@ object TimeSeries {
           when(conv(substring(md5(col("user_id").cast("string")), 1, 2),
             16, 10).cast("int") % 2 === 0, 1L).otherwise(0L))
       coxPhCore(pu.select("dur", "ev", "g1"))
+    }),
+
+    // HARRELL C-INDEX (round 16): the evaluation number for the
+    // survival model the family now fits — events_cox_ph estimates
+    // the hazard ratio; C says how well the group score actually
+    // RANKS who converts first (0.5 = coin flip, 1 = perfect).
+    // Comparable pairs = each conversion vs every subject still at
+    // risk strictly later, concordant when the converter carries the
+    // higher score, tied scores ½ — all exact 2×-unit integers off
+    // the same duration-grid risk-set cumulatives Cox uses (see
+    // [[cIndexCore]] for the coding convention and the antisymmetry
+    // pin). Same md5 split and first-purchase durations as the Cox
+    // key, so C evaluates exactly the model that key fits.
+    "events_cox_cindex" -> ((s, d) => {
+      val pu = TestData.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .groupBy("user_id")
+        .agg(min("ts_us").as("t0"),
+          min(when(col("event_type") === "purchase", col("ts_us")))
+            .as("tconv"),
+          max("ts_us").as("tlast"))
+        .withColumn("ev",
+          when(col("tconv").isNotNull, 1L).otherwise(0L))
+        .withColumn("dur",
+          when(col("ev") === 1, expr("(tconv - t0) DIV 3600000000"))
+            .otherwise(expr("(tlast - t0) DIV 3600000000")))
+        .withColumn("g1",
+          when(conv(substring(md5(col("user_id").cast("string")), 1, 2),
+            16, 10).cast("int") % 2 === 0, 1L).otherwise(0L))
+      cIndexCore(pu.select("dur", "ev", "g1"))
     }),
 
     // USER LIFECYCLE / GROWTH ACCOUNTING (round 10): per week, the
@@ -7653,6 +7728,56 @@ object TimeSeries {
     // (coxRoundSql) over the MATERIALIZED grid — the Louvain
     // unrolled-oracle precedent. Every round expression mirrors the
     // Scala core token for token.
+    // Same pu/du/risk-grid prefix as the Cox oracle; exact 2×-unit
+    // concordance counts, one guarded readout division.
+    "events_cox_cindex" ->
+      s"""WITH pu AS (
+        |  SELECT user_id, min(epoch_us(ts))::BIGINT AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      ::BIGINT AS tconv,
+        |    max(epoch_us(ts))::BIGINT AS tlast
+        |  FROM events GROUP BY 1),
+        |du AS (
+        |  SELECT CASE WHEN tconv IS NOT NULL THEN 1 ELSE 0 END AS event,
+        |    CASE WHEN tconv IS NOT NULL
+        |      THEN (tconv - t0) // 3600000000
+        |      ELSE (tlast - t0) // 3600000000 END AS dur_hr,
+        |    CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))
+        |      ::INT % 2 = 0 THEN 1 ELSE 0 END AS g1
+        |  FROM pu),
+        |risk AS (
+        |  SELECT dur_hr, sum(event * g1)::BIGINT AS d1_t,
+        |    sum(event)::BIGINT AS d_t, sum(g1)::BIGINT AS a1_t,
+        |    count(*)::BIGINT AS a_t
+        |  FROM du GROUP BY 1),
+        |rr AS (
+        |  SELECT *,
+        |    (sum(a_t) OVER ())::BIGINT
+        |      - (coalesce(sum(a_t) OVER (ORDER BY dur_hr
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        0))::BIGINT AS n_risk,
+        |    (sum(a1_t) OVER ())::BIGINT
+        |      - (coalesce(sum(a1_t) OVER (ORDER BY dur_hr
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        0))::BIGINT AS n1_risk
+        |  FROM risk),
+        |f AS (
+        |  SELECT *, (n_risk - a_t)::BIGINT AS n_after,
+        |    (n1_risk - a1_t)::BIGINT AS n1_after,
+        |    ((n_risk - a_t) - (n1_risk - a1_t))::BIGINT AS n0_after,
+        |    (d_t - d1_t)::BIGINT AS d0_t
+        |  FROM rr WHERE d_t > 0),
+        |a AS (
+        |  SELECT sum(d_t)::BIGINT AS n_events,
+        |    sum(d_t * n_after)::BIGINT AS n_comparable,
+        |    sum(2 * d1_t * n0_after + d1_t * n1_after
+        |      + d0_t * n0_after)::BIGINT AS c2_num
+        |  FROM f)
+        |SELECT n_events, n_comparable, c2_num,
+        |  CASE WHEN n_comparable > 0 THEN
+        |    floor(c2_num::DOUBLE / (2.0 * n_comparable::DOUBLE)
+        |      * 10000 + 0.5) / 10000 END AS c_index
+        |FROM a""".stripMargin,
     "events_cox_ph" ->
       s"""WITH pu AS (
         |  SELECT user_id, min(epoch_us(ts))::BIGINT AS t0,

@@ -1107,6 +1107,29 @@ class DegenerateSpec extends SparkSpec {
     assert(neg.getAs[Double]("p_two") === 0.25)
   }
 
+  test("coxCIndex survives degenerate frames") {
+    val ss = StructType(Seq(StructField("dur", LongType),
+      StructField("ev", LongType), StructField("g1", LongType)))
+    def cf3(rows: Seq[(Long, Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), ss)
+    assertClean(engine.coxCIndex(cf3(Nil), "dur", "ev", "g1"),
+      "cidx/empty")
+    // no events: zero comparable pairs, NULL c
+    assertClean(engine.coxCIndex(
+      cf3(Seq((5L, 0L, 1L), (7L, 0L, 0L))), "dur", "ev", "g1"),
+      "cidx/no-events")
+    // all same duration: nobody at risk strictly after ⇒ NULL c
+    val tied = engine.coxCIndex(
+      cf3(Seq((5L, 1L, 1L), (5L, 1L, 0L))), "dur", "ev", "g1")
+      .collect()(0)
+    assert(tied.isNullAt(tied.fieldIndex("c_index")))
+    // single variant: every comparable pair is score-tied ⇒ C = 1/2
+    val one = engine.coxCIndex(
+      cf3(Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))),
+      "dur", "ev", "g1").collect()(0)
+    assert(one.getAs[Double]("c_index") === 0.5)
+  }
+
   test("ksSeparation survives degenerate frames") {
     val ss = StructType(Seq(StructField("det", StringType),
       StructField("s", LongType), StructField("y", LongType)))

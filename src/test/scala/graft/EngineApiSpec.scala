@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 228, "documented facade count drifted; methods: "
+    assert(names.length === 229, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -1842,6 +1842,52 @@ class EngineApiSpec extends SparkSpec {
     val gains = lc.map(_.getAs[Double]("gain"))
     assert(gains.zip(gains.tail).forall { case (a, b) => a <= b + 1e-9 })
     assert(gains.last === 1.0)
+  }
+
+  test("coxCIndex facade matches its key; antisymmetry; planted ordering; eta2 sane") {
+    val d = sf("sf0.001")
+    import spark.implicits._
+    val pu = TestData.events(spark, d)
+      .withColumn("ts_us", unix_micros($"ts"))
+      .groupBy("user_id")
+      .agg(min("ts_us").as("t0"),
+        min(when($"event_type" === "purchase", $"ts_us")).as("tconv"),
+        max("ts_us").as("tlast"))
+      .withColumn("ev", when($"tconv".isNotNull, 1L).otherwise(0L))
+      .withColumn("dur", when($"ev" === 1,
+        expr("(tconv - t0) DIV 3600000000"))
+        .otherwise(expr("(tlast - t0) DIV 3600000000")))
+      .withColumn("g1",
+        when(conv(substring(md5($"user_id".cast("string")), 1, 2),
+          16, 10).cast("int") % 2 === 0, 1L).otherwise(0L))
+    assert(engine.coxCIndex(pu, "dur", "ev", "g1")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("events_cox_cindex")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // label-swap antisymmetry: C(g) + C(1-g) = 1 exactly (concordant
+    // pairs swap roles, tied-score pairs stay tied)
+    val c1 = engine.coxCIndex(pu, "dur", "ev", "g1").collect()(0)
+    val swapped = pu.withColumn("g1", lit(1L) - $"g1")
+    val c0 = engine.coxCIndex(swapped, "dur", "ev", "g1").collect()(0)
+    assert(c1.getAs[Long]("c2_num") + c0.getAs[Long]("c2_num")
+      === 2 * c1.getAs[Long]("n_comparable"),
+      "C(g) + C(1-g) must equal 1 in exact 2x units")
+    // planted perfect ranking: ONE g1 conversion with only g0
+    // subjects at risk after it ⇒ every comparable pair concordant,
+    // C = 1 exactly (multiple g1 events would create score-tied
+    // within-group pairs, capping C below 1 by construction)
+    val planted = Seq((1L, 1L, 1L)) ++
+      (11L to 15L).map(i => (i + 10, 0L, 0L))
+    val p = engine.coxCIndex(planted.toDF("dur", "ev", "g1"),
+      "dur", "ev", "g1").collect()(0)
+    assert(p.getAs[Double]("c_index") === 1.0)
+    assert(p.getAs[Long]("n_comparable") === 5L)
+    // eta2 effect sizes: 0 <= omega2 <= eta2 <= 1 on the fixture
+    val e2 = SparkEntry.queries("agg_eta_squared")(spark, d)
+      .collect()(0)
+    val (eta, om) = (e2.getAs[Double]("eta2"), e2.getAs[Double]("omega2"))
+    assert(eta >= 0 && eta <= 1 && om <= eta,
+      s"effect sizes inconsistent: eta2 $eta omega2 $om")
   }
 
   test("ksSeparation facade matches its key; KS >= |2AUC-1|; recall curve sane") {

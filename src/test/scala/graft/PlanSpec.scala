@@ -27,9 +27,11 @@ class PlanSpec extends SparkSpec {
   // agg_hodges_lehmann_ci (the shared diff-grid wtot/cumw windows —
   // domain-bounded, the same sites the HL key already carries) and
   // +2 from ts_spectral_entropy (w_tot + entropy sums over the
-  // 7-row candidate-period frame). All remaining sites are bounded
-  // grids, verified at re-pin time.
-  private val UNPARTITIONED_WINDOW_SITES = 128
+  // 7-row candidate-period frame) and +4 from events_cox_cindex
+  // (the duration-grid risk-set global + cumulative windows — the
+  // same survival-family sites the Cox/KM keys carry). All
+  // remaining sites are bounded grids, verified at re-pin time.
+  private val UNPARTITIONED_WINDOW_SITES = 132
 
   /** Pinned count of unpartitioned window sites recorded INSIDE
     * checkpointed stages by the `.ckpt()` interceptor during the
