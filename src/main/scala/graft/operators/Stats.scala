@@ -2568,6 +2568,48 @@ object Stats {
     // Welch–Satterthwaite df happen once on the 1-row readout in
     // mirrored op order, r4. Degenerate guard: either variance 0 ⇒
     // NULL t and df (a constant-metric variant is a broken assign).
+    // MEAN-DIFFERENCE CI (round 16): the effect-size interval every
+    // A/B readout publishes next to the Welch verdict — t says
+    // whether the means differ; this says BY HOW MUCH, with the
+    // error bar (diff ± 1.96·SE_Welch at the corpus-scale ∞-df z —
+    // the Tukey convention). Same variantUnitCells sufficient stats
+    // as agg_welch_t; significance ⇔ 0 outside the interval.
+    "agg_mean_diff_ci" -> ((s, d) => {
+      variantUnitCells(s, d)
+        .agg(sum("cc").as("n_c"), sum("ct").as("n_t"),
+          sum(col("cc") * col("x")).as("sx_c"),
+          sum(col("ct") * col("x")).as("sx_t"),
+          sum(col("cc") * col("x") * col("x")).as("sxx_c"),
+          sum(col("ct") * col("x") * col("x")).as("sxx_t"))
+        .withColumn("m_c", when(col("n_c") > 0,
+          col("sx_c").cast("double") / col("n_c").cast("double")))
+        .withColumn("m_t", when(col("n_t") > 0,
+          col("sx_t").cast("double") / col("n_t").cast("double")))
+        .withColumn("v_c", when(col("n_c") > 1,
+          (col("sxx_c").cast("double")
+            - col("sx_c").cast("double") * col("sx_c").cast("double")
+              / col("n_c").cast("double"))
+            / (col("n_c") - 1).cast("double")))
+        .withColumn("v_t", when(col("n_t") > 1,
+          (col("sxx_t").cast("double")
+            - col("sx_t").cast("double") * col("sx_t").cast("double")
+              / col("n_t").cast("double"))
+            / (col("n_t") - 1).cast("double")))
+        .withColumn("se", when(col("v_c") > 0 && col("v_t") > 0,
+          sqrt(col("v_c") / col("n_c").cast("double")
+            + col("v_t") / col("n_t").cast("double"))))
+        .withColumn("diff", col("m_t") - col("m_c"))
+        .select(col("n_c").as("n_control"), col("n_t").as("n_treatment"),
+          r4(col("diff")).as("mean_diff"),
+          when(col("se").isNotNull,
+            r4(col("diff") - lit(1.959964) * col("se"))).as("ci_lo"),
+          when(col("se").isNotNull,
+            r4(col("diff") + lit(1.959964) * col("se"))).as("ci_hi"),
+          when(col("se").isNotNull,
+            abs(col("diff")) > lit(1.959964) * col("se"))
+            .as("significant_95"))
+    }),
+
     "agg_welch_t" -> ((s, d) => {
       variantUnitCells(s, d)
         .agg(sum("cc").as("n_c"), sum("ct").as("n_t"),
@@ -5423,6 +5465,40 @@ object Stats {
         |    floor(((j2 - e2)::DOUBLE / 2.0) / sqrt(var_j) * 10000 + 0.5)
         |      / 10000 END AS z
         |FROM b""".stripMargin,
+    // Same cell sufficient stats; diff ± 1.96·SE_Welch, mirrored.
+    "agg_mean_diff_ci" ->
+      s"""$CellsCte,
+        |a AS (
+        |  SELECT sum(cc)::BIGINT AS n_c, sum(ct)::BIGINT AS n_t,
+        |    sum(cc * x)::BIGINT AS sx_c, sum(ct * x)::BIGINT AS sx_t,
+        |    sum(cc * x * x)::BIGINT AS sxx_c,
+        |    sum(ct * x * x)::BIGINT AS sxx_t
+        |  FROM cells),
+        |b AS (
+        |  SELECT *,
+        |    sx_c::DOUBLE / n_c::DOUBLE AS m_c,
+        |    sx_t::DOUBLE / n_t::DOUBLE AS m_t,
+        |    (sxx_c::DOUBLE - sx_c::DOUBLE * sx_c::DOUBLE / n_c::DOUBLE)
+        |      / (n_c - 1)::DOUBLE AS v_c,
+        |    (sxx_t::DOUBLE - sx_t::DOUBLE * sx_t::DOUBLE / n_t::DOUBLE)
+        |      / (n_t - 1)::DOUBLE AS v_t
+        |  FROM a),
+        |c AS (
+        |  SELECT *, m_t - m_c AS diff,
+        |    CASE WHEN v_c > 0 AND v_t > 0 THEN
+        |      sqrt(v_c / n_c::DOUBLE + v_t / n_t::DOUBLE) END AS se
+        |  FROM b)
+        |SELECT n_c AS n_control, n_t AS n_treatment,
+        |  floor(diff * 10000 + 0.5) / 10000 AS mean_diff,
+        |  CASE WHEN se IS NOT NULL THEN
+        |    floor((diff - 1.959964 * se) * 10000 + 0.5) / 10000
+        |    END AS ci_lo,
+        |  CASE WHEN se IS NOT NULL THEN
+        |    floor((diff + 1.959964 * se) * 10000 + 0.5) / 10000
+        |    END AS ci_hi,
+        |  CASE WHEN se IS NOT NULL THEN
+        |    abs(diff) > 1.959964 * se END AS significant_95
+        |FROM c""".stripMargin,
     "agg_welch_t" ->
       s"""$CellsCte,
         |a AS (

@@ -3416,6 +3416,43 @@ object TimeSeries {
           r4(col("p_pool")).as("p_pool"), col("mde_abs"),
           col("n_per_arm_10pct"))),
 
+    // SAMPLE-SIZE SWEEP (round 16): the pre-experiment planning
+    // table — events_power_mde answers one point (MDE at current n,
+    // n at 10% relative); this sweeps the per-arm n required for
+    // relative lifts {5%, 10%, 20%} at 80% power / α = .05
+    // (n = 2·7.8489·p̄(1−p̄)/δ², δ = r·p̄ — the same constants), so
+    // an experiment owner reads duration-vs-sensitivity directly.
+    // One user-grain aggregate + a 3-row sweep; degenerate pooled
+    // rates read NULL (the power_mde guard).
+    "events_ab_sample_size" -> ((s, d) => {
+      import s.implicits._
+      val base = TestData.events(s, d)
+        .withColumn("t",
+          (conv(substring(md5(col("user_id").cast("string")), 1, 2), 16, 10)
+            .cast("int") % 2 =!= 0).cast("int"))
+        .groupBy("user_id", "t")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .agg(count(lit(1)).as("n_users"),
+          sum("conv").as("x_all"))
+        .withColumn("p_pool",
+          when(col("n_users") > 0,
+            col("x_all").cast("double") / col("n_users").cast("double")))
+      val rels = Seq(5L, 10L, 20L).toDF("rel_mde_pct")
+      base.crossJoin(broadcast(rels))
+        .withColumn("delta", when(col("p_pool") > 0,
+          col("rel_mde_pct").cast("double") / 100.0 * col("p_pool")))
+        .withColumn("n_per_arm", when(col("delta") > 0,
+          ceil(lit(2.0) * lit(7.8489) * col("p_pool")
+            * (lit(1.0) - col("p_pool"))
+            / (col("delta") * col("delta")))))
+        .select(col("rel_mde_pct"), col("n_users"),
+          r4(col("p_pool")).as("p_pool"),
+          when(col("delta").isNotNull, r4(col("delta"))).as("delta_abs"),
+          col("n_per_arm"))
+        .orderBy("rel_mde_pct")
+    }),
+
     // CUPED VARIANCE REDUCTION (round 8): the adjusted experiment
     // readout (Deng et al. 2013) every mature platform reports next
     // to the raw means — y_adj = y − θ(x − x̄) with the pre-period
@@ -6551,6 +6588,36 @@ object TimeSeries {
         |      / (0.1 * p_pool * 0.1 * p_pool))::BIGINT END
         |    AS n_per_arm_10pct
         |FROM p""".stripMargin,
+    // Same user-grain conversion aggregate; the 3-row relative-MDE
+    // sweep with the power_mde constants, ceil::BIGINT.
+    "events_ab_sample_size" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS conv
+        |  FROM events GROUP BY 1),
+        |agg AS (
+        |  SELECT count(*)::BIGINT AS n_users,
+        |    sum(conv)::BIGINT AS x_all
+        |  FROM pu),
+        |p AS (
+        |  SELECT *, CASE WHEN n_users > 0 THEN
+        |    x_all::DOUBLE / n_users::DOUBLE END AS p_pool
+        |  FROM agg),
+        |rels AS (SELECT unnest([5, 10, 20])::BIGINT AS rel_mde_pct),
+        |s AS (
+        |  SELECT rel_mde_pct, n_users, p_pool,
+        |    CASE WHEN p_pool > 0 THEN
+        |      rel_mde_pct::DOUBLE / 100.0 * p_pool END AS delta
+        |  FROM p CROSS JOIN rels)
+        |SELECT rel_mde_pct, n_users,
+        |  floor(p_pool * 10000 + 0.5) / 10000 AS p_pool,
+        |  CASE WHEN delta IS NOT NULL THEN
+        |    floor(delta * 10000 + 0.5) / 10000 END AS delta_abs,
+        |  CASE WHEN delta > 0 THEN
+        |    ceil(2.0 * 7.8489 * p_pool * (1.0 - p_pool)
+        |      / (delta * delta))::BIGINT END AS n_per_arm
+        |FROM s ORDER BY rel_mde_pct""".stripMargin,
     // θ and both means from the same BIGINT sums, identical op
     // order; lazy CASE keeps the constant-covariate NULL path.
     "events_ab_cuped" ->

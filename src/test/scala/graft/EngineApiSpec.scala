@@ -1844,6 +1844,34 @@ class EngineApiSpec extends SparkSpec {
     assert(gains.last === 1.0)
   }
 
+  test("mean-diff CI brackets the difference; sample-size sweep monotone") {
+    val d = sf("sf0.001")
+    val ci = SparkEntry.queries("agg_mean_diff_ci")(spark, d).collect()(0)
+    assert(ci.getAs[Double]("ci_lo") <= ci.getAs[Double]("mean_diff"))
+    assert(ci.getAs[Double]("mean_diff") <= ci.getAs[Double]("ci_hi"))
+    // significance ⇔ zero outside the interval (same SE, same z)
+    val sig = ci.getAs[Boolean]("significant_95")
+    val zeroOutside = (ci.getAs[Double]("ci_lo") > 0
+      || ci.getAs[Double]("ci_hi") < 0)
+    assert(sig === zeroOutside,
+      s"CI/flag disagree: $ci")
+    // the Welch t verdict and the CI verdict must agree at z=1.96
+    val t = SparkEntry.queries("agg_welch_t")(spark, d).collect()(0)
+      .getAs[Double]("t_stat")
+    assert((math.abs(t) > 1.959964) === sig,
+      s"t $t vs CI flag $sig")
+    // sample-size sweep: n_per_arm strictly decreasing in the
+    // relative MDE (quadratically — a 2x easier target needs ~4x
+    // fewer users)
+    val ss = SparkEntry.queries("events_ab_sample_size")(spark, d)
+      .collect().map(r => (r.getAs[Long]("rel_mde_pct"),
+        r.getAs[Long]("n_per_arm")))
+    assert(ss.map(_._1).toSeq === Seq(5L, 10L, 20L))
+    assert(ss(0)._2 > ss(1)._2 && ss(1)._2 > ss(2)._2)
+    assert(ss(0)._2 >= 3 * ss(1)._2,
+      s"halving the MDE must roughly quadruple n: $ss")
+  }
+
   test("coxCIndex facade matches its key; antisymmetry; planted ordering; eta2 sane") {
     val d = sf("sf0.001")
     import spark.implicits._
