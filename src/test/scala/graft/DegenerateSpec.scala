@@ -1271,6 +1271,34 @@ class DegenerateSpec extends SparkSpec {
       pf2(Seq((1L, -3L), (4L, -1L), (9L, 2L))), "y", "x"), "pois/neg-x")
   }
 
+  test("abSampleSizeCore one-class / empty reads NULL n_per_arm") {
+    val cs = StructType(Seq(StructField("conv", LongType)))
+    def cf(rows: Seq[Long]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(v => Row(v)), 1), cs)
+    // one-class (every unit converts — the r16 events_ab_sample_size
+    // degeneracy): zero binomial variance ⇒ NULL, never 0
+    val ones = operators.TimeSeries.abSampleSizeCore(
+      spark, cf(Seq(1L, 1L, 1L))).collect()
+    assert(ones.length === 3)
+    ones.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("n_per_arm")), s"one-class: $r")
+      assert(r.isNullAt(r.fieldIndex("delta_abs")))
+    }
+    // one-class all-zero: same guard, NULL
+    val zeros = operators.TimeSeries.abSampleSizeCore(
+      spark, cf(Seq(0L, 0L))).collect()
+    assert(zeros.forall(r => r.isNullAt(r.fieldIndex("n_per_arm"))))
+    // empty: p_pool NULL ⇒ NULL sweep, no throw
+    assertClean(operators.TimeSeries.abSampleSizeCore(spark, cf(Nil)),
+      "ssz/empty")
+    // balanced: finite, quadratic in the relative MDE
+    val bal = operators.TimeSeries.abSampleSizeCore(
+      spark, cf(Seq(0L, 1L, 0L, 1L))).collect()
+      .map(r => (r.getAs[Long]("rel_mde_pct"), r.getAs[Long]("n_per_arm")))
+      .sortBy(_._1)
+    assert(bal(0)._2 > bal(1)._2 && bal(1)._2 > bal(2)._2)
+  }
+
   test("isotonicFit survives degenerate frames") {
     val ss = StructType(Seq(StructField("s", LongType),
       StructField("y", LongType)))
