@@ -3710,6 +3710,16 @@ class GraftEngine(val spark: SparkSession) {
   def detectorAuc(scored: DataFrame): DataFrame =
     TextOps.detectorAuc(scored)
 
+  /** DeLong 95 % CI on the ROC-AUC (see `eval_auc_ci`) over the same
+    * (detector, score_u, is_pos) shape as [[detectorAuc]]: variance
+    * from per-positive/per-negative placement values on the
+    * score-distinct cell grid, exact integer deviation numerators,
+    * nano-quantized squared terms. Needs ≥ 2 positives AND ≥ 2
+    * negatives per detector — degenerate inputs read NULL se/CI.
+    */
+  def delongAucCi(scored: DataFrame): DataFrame =
+    TextOps.delongAucCi(scored)
+
   /** RAKE keyword extraction (see `text_rake_keywords`) over
     * (doc_id, `textCol`) rows: maximal stopword-free token runs,
     * word score deg/freq (DIV-quantized to 1e-6), phrase score =
@@ -5011,6 +5021,19 @@ class GraftEngine(val spark: SparkSession) {
     */
   def poissonGlm(df: DataFrame, yCol: String, xCol: String): DataFrame =
     graft.operators.Stats.poissonIrlsCore(
+      df.select(col(yCol).cast("long").as("y"),
+        col(xCol).cast("long").as("x")))
+
+  /** One-regressor Gamma regression, log link (see `agg_gamma_glm`):
+    * 3 unrolled IRLS rounds from the ln-mean seed over POSITIVE
+    * integer responses (e.g. spend cents) — the fitter for positive
+    * skewed continuous outcomes where Poisson/NB (counts) misfit.
+    * Non-positive y rows are excluded (the Gamma domain). Returns
+    * the 1-row (n, sum_y, beta0, beta1, rate_ratio, dispersion,
+    * shape_hat) readout; degenerate inputs read NULL, never throw.
+    */
+  def gammaGlm(df: DataFrame, yCol: String, xCol: String): DataFrame =
+    graft.operators.Stats.gammaIrlsCore(
       df.select(col(yCol).cast("long").as("y"),
         col(xCol).cast("long").as("x")))
 

@@ -626,6 +626,82 @@ object TextOps {
       .select("detector", "n_pos", "n_neg", "auc", "pr_auc")
   }
 
+  /** DeLong 95 % confidence interval on the ROC-AUC (see
+    * `eval_auc_ci`, VERDICT r16 #3): the error bar the point AUCs
+    * of [[detectorAuc]] lack. DeLong's estimator builds the variance
+    * from PLACEMENT values — for each positive, the fraction of
+    * negatives it outranks (V10); for each negative, the fraction of
+    * positives outranking it (V01) — and those are exactly the
+    * cell-grid cumulatives the AUC identity already computes: every
+    * positive at score v shares v10_2 = 2·cum_neg_lt + neg (2n
+    * units, ties ½), every negative v01_2 = 2·cum_pos_gt + pos (2m
+    * units). Per-cell squared deviations from the pooled AUC keep an
+    * EXACT integer numerator (m·v10_2 − auc2_num, |·| ≤ 2mn — the
+    * same < 2^63 bound as auc2_num, needs m·n < 2^62 and exact-
+    * double mn < 2^53 — ~9e7×9e7 pairs, far past any fixture) and
+    * are nano-quantized (×1e9, ≤ pos·1e9 per cell ⇒ Σ ≤ m·1e9)
+    * BEFORE the per-detector sum — float accumulation across the
+    * grid is engine-order-specific. S10 = Σ/1e9/(m−1),
+    * S01 = Σ/1e9/(n−1), Var = S10/m + S01/n, CI = AUC ± 1.96·√Var
+    * clamped to [0, 1]. Needs m ≥ 2 AND n ≥ 2 — degenerate inputs
+    * read NULL (DegenerateSpec). Shared by `eval_auc_ci` and
+    * `GraftEngine.delongAucCi`.
+    */
+  private[graft] def delongAucCi(scored: DataFrame): DataFrame = {
+    val W = Window.partitionBy("detector").orderBy("score_u")
+    val Wd = Window.partitionBy("detector").orderBy(col("score_u").desc)
+    val Wp = Window.partitionBy("detector")
+    val cells = scored
+      .groupBy("detector", "score_u")
+      .agg(sum("is_pos").as("pos"),
+        sum(lit(1L) - col("is_pos")).as("neg"))
+      .withColumn("cum_neg_lt", coalesce(sum("neg").over(
+        W.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cum_pos_gt", coalesce(sum("pos").over(
+        Wd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("m", sum("pos").over(Wp))
+      .withColumn("n", sum("neg").over(Wp))
+      .withColumn("auc2_num",
+        sum(col("pos") * (lit(2L) * col("cum_neg_lt") + col("neg")))
+          .over(Wp))
+    val dev10 = ((col("m") * (lit(2L) * col("cum_neg_lt") + col("neg"))
+        - col("auc2_num")).cast("double")
+      / (lit(2.0) * (col("m") * col("n")).cast("double")))
+    val dev01 = ((col("n") * (lit(2L) * col("cum_pos_gt") + col("pos"))
+        - col("auc2_num")).cast("double")
+      / (lit(2.0) * (col("m") * col("n")).cast("double")))
+    val terms = cells
+      .withColumn("t10_u", when(col("m") > 0 && col("n") > 0,
+        floor(col("pos").cast("double") * dev10 * dev10
+          * 1000000000L + 0.5).cast("long")).otherwise(0L))
+      .withColumn("t01_u", when(col("m") > 0 && col("n") > 0,
+        floor(col("neg").cast("double") * dev01 * dev01
+          * 1000000000L + 0.5).cast("long")).otherwise(0L))
+      .groupBy("detector")
+      .agg(max("m").as("m"), max("n").as("n"),
+        max("auc2_num").as("auc2_num"),
+        sum("t10_u").as("s10_u"), sum("t01_u").as("s01_u"))
+    val aucRaw = (col("auc2_num").cast("double")
+      / (lit(2.0) * (col("m") * col("n")).cast("double")))
+    val seRaw = sqrt(
+      col("s10_u").cast("double") / 1.0e9
+          / (col("m") - 1L).cast("double") / col("m").cast("double")
+        + col("s01_u").cast("double") / 1.0e9
+          / (col("n") - 1L).cast("double") / col("n").cast("double"))
+    terms
+      .withColumn("auc", when(col("m") > 0 && col("n") > 0, r4(aucRaw)))
+      .withColumn("se_auc",
+        when(col("m") > 1 && col("n") > 1, r4(seRaw)))
+      .withColumn("ci_lo", when(col("m") > 1 && col("n") > 1,
+        r4(greatest(lit(0.0), aucRaw - lit(1.96) * seRaw))))
+      .withColumn("ci_hi", when(col("m") > 1 && col("n") > 1,
+        r4(least(lit(1.0), aucRaw + lit(1.96) * seRaw))))
+      .select(col("detector"), col("m").as("n_pos"),
+        col("n").as("n_neg"), col("auc"), col("se_auc"),
+        col("ci_lo"), col("ci_hi"))
+      .orderBy("detector")
+  }
+
   /** Log-loss / cross-entropy core (see `eval_log_loss`): input
     * (score_u: 1e-4 units, is_pos: 0/1) rows; cell-grid ε-clipped
     * ln terms micro-quantized once per distinct score. Shared with
@@ -960,6 +1036,19 @@ object TextOps {
     // reusable readout (facade parity-pinned).
     "eval_detector_auc" -> ((s, d) =>
       detectorAuc(plantedDetectorScores(s, d)).orderBy("detector")),
+
+    // DELONG AUC CONFIDENCE INTERVAL (round 17, VERDICT r16 #3):
+    // every detector comparison the eval family publishes (simhash
+    // vs jaccard here, dhash vs blockhash in media) was a POINT
+    // estimate — this adds the error bar, so "0.9999 vs 0.75" is
+    // formally interpretable. DeLong variance from per-positive /
+    // per-negative placement values, which are the SAME cell-grid
+    // cumulatives the MW AUC identity already walks (one extra
+    // descending cumulative for cum_pos_gt); exact integer deviation
+    // numerators, nano-quantized squared terms before the
+    // per-detector sum. Rides the memoized scored-pair stage.
+    "eval_auc_ci" -> ((s, d) =>
+      delongAucCi(plantedDetectorScores(s, d))),
 
     // KS SEPARATION (round 16): the decision-theoretic member of the
     // detector-eval triad — AUC ranks (average over all thresholds),
@@ -1803,6 +1892,77 @@ object TextOps {
     "eval_detector_auc" ->
       s"""$PlantedScoredCtes
         |$DetectorAucReadoutSql""".stripMargin,
+    // Same scored CTEs + cell grid; placement deviations keep exact
+    // integer numerators (m·v10_2 − auc2_num), squared terms
+    // nano-quantized per cell in identical op order, one readout row
+    // per detector. Every windowed sum ::BIGINT.
+    "eval_auc_ci" ->
+      s"""$PlantedScoredCtes,
+        |dlcells AS (
+        |  SELECT detector, score_u, sum(is_pos)::BIGINT AS pos,
+        |    sum(1 - is_pos)::BIGINT AS neg
+        |  FROM scored GROUP BY 1, 2),
+        |dlw AS (
+        |  SELECT detector, score_u, pos, neg,
+        |    (coalesce(sum(neg) OVER (PARTITION BY detector
+        |      ORDER BY score_u
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |      ::BIGINT AS cum_neg_lt,
+        |    (coalesce(sum(pos) OVER (PARTITION BY detector
+        |      ORDER BY score_u DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |      ::BIGINT AS cum_pos_gt,
+        |    (sum(pos) OVER (PARTITION BY detector))::BIGINT AS m,
+        |    (sum(neg) OVER (PARTITION BY detector))::BIGINT AS n
+        |  FROM dlcells),
+        |dlw2 AS (
+        |  SELECT *, (sum(pos * (2 * cum_neg_lt + neg))
+        |    OVER (PARTITION BY detector))::BIGINT AS auc2_num
+        |  FROM dlw),
+        |dlt AS (
+        |  SELECT detector, m, n, auc2_num,
+        |    CASE WHEN m > 0 AND n > 0 THEN
+        |      floor(pos::DOUBLE
+        |        * ((m * (2 * cum_neg_lt + neg) - auc2_num)::DOUBLE
+        |          / (2.0 * (m * n)::DOUBLE))
+        |        * ((m * (2 * cum_neg_lt + neg) - auc2_num)::DOUBLE
+        |          / (2.0 * (m * n)::DOUBLE))
+        |        * 1000000000 + 0.5)::BIGINT ELSE 0 END AS t10_u,
+        |    CASE WHEN m > 0 AND n > 0 THEN
+        |      floor(neg::DOUBLE
+        |        * ((n * (2 * cum_pos_gt + pos) - auc2_num)::DOUBLE
+        |          / (2.0 * (m * n)::DOUBLE))
+        |        * ((n * (2 * cum_pos_gt + pos) - auc2_num)::DOUBLE
+        |          / (2.0 * (m * n)::DOUBLE))
+        |        * 1000000000 + 0.5)::BIGINT ELSE 0 END AS t01_u
+        |  FROM dlw2),
+        |dlagg AS (
+        |  SELECT detector, max(m)::BIGINT AS m, max(n)::BIGINT AS n,
+        |    max(auc2_num)::BIGINT AS auc2_num,
+        |    sum(t10_u)::BIGINT AS s10_u, sum(t01_u)::BIGINT AS s01_u
+        |  FROM dlt GROUP BY 1)
+        |SELECT detector, m AS n_pos, n AS n_neg,
+        |  CASE WHEN m > 0 AND n > 0 THEN
+        |    floor((auc2_num::DOUBLE / (2.0 * (m * n)::DOUBLE))
+        |      * 10000 + 0.5) / 10000 END AS auc,
+        |  CASE WHEN m > 1 AND n > 1 THEN
+        |    floor(sqrt(s10_u::DOUBLE / 1.0e9 / (m - 1)::DOUBLE
+        |        / m::DOUBLE
+        |      + s01_u::DOUBLE / 1.0e9 / (n - 1)::DOUBLE / n::DOUBLE)
+        |      * 10000 + 0.5) / 10000 END AS se_auc,
+        |  CASE WHEN m > 1 AND n > 1 THEN
+        |    floor(greatest(0.0, auc2_num::DOUBLE / (2.0 * (m * n)::DOUBLE)
+        |      - 1.96 * sqrt(s10_u::DOUBLE / 1.0e9 / (m - 1)::DOUBLE
+        |          / m::DOUBLE
+        |        + s01_u::DOUBLE / 1.0e9 / (n - 1)::DOUBLE / n::DOUBLE))
+        |      * 10000 + 0.5) / 10000 END AS ci_lo,
+        |  CASE WHEN m > 1 AND n > 1 THEN
+        |    floor(least(1.0, auc2_num::DOUBLE / (2.0 * (m * n)::DOUBLE)
+        |      + 1.96 * sqrt(s10_u::DOUBLE / 1.0e9 / (m - 1)::DOUBLE
+        |          / m::DOUBLE
+        |        + s01_u::DOUBLE / 1.0e9 / (n - 1)::DOUBLE / n::DOUBLE))
+        |      * 10000 + 0.5) / 10000 END AS ci_hi
+        |FROM dlagg ORDER BY detector""".stripMargin,
     // Same scored CTEs; the KS gap is an exact cross-multiplied
     // integer per cell, argmax threshold by min-score tie-break.
     "eval_ks_separation" ->

@@ -1299,6 +1299,33 @@ class DegenerateSpec extends SparkSpec {
     assert(bal(0)._2 > bal(1)._2 && bal(1)._2 > bal(2)._2)
   }
 
+  test("gammaGlm survives degenerate frames") {
+    val ss = StructType(Seq(StructField("y", LongType),
+      StructField("x", LongType)))
+    def gf2(rows: Seq[(Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), ss)
+    assertClean(engine.gammaGlm(gf2(Nil), "y", "x"), "gamma/empty")
+    // all-non-positive y: the Gamma domain filter leaves an empty
+    // frame — NULL readout, never a throw
+    assertClean(engine.gammaGlm(gf2(Seq((0L, 1L), (-5L, 2L))), "y", "x"),
+      "gamma/non-positive")
+    // constant regressor: collinear with intercept ⇒ det = 0 ⇒ NULL
+    val cr = engine.gammaGlm(gf2(Seq((300L, 5L), (700L, 5L))), "y", "x")
+      .collect()(0)
+    assert(cr.isNullAt(cr.fieldIndex("beta1")))
+    assertClean(engine.gammaGlm(gf2(Seq((200L, 1L))), "y", "x"),
+      "gamma/single")
+    // negative regressor values: micro z quantizer is negative-safe
+    assertClean(engine.gammaGlm(
+      gf2(Seq((100L, -3L), (400L, -1L), (900L, 2L))), "y", "x"),
+      "gamma/neg-x")
+    // constant y over varying x: slope exactly 0, dispersion 0
+    val cy = engine.gammaGlm(
+      gf2(Seq((500L, 0L), (500L, 1L), (500L, 2L))), "y", "x").collect()(0)
+    assert(cy.getAs[Double]("beta1") === 0.0)
+    assert(cy.getAs[Double]("dispersion") === 0.0)
+  }
+
   test("isotonicFit survives degenerate frames") {
     val ss = StructType(Seq(StructField("s", LongType),
       StructField("y", LongType)))
@@ -1471,6 +1498,33 @@ class DegenerateSpec extends SparkSpec {
     val oneScore = engine.detectorAuc(
       sc(Seq(("d", 4L, 1L), ("d", 4L, 0L)))).collect()
     assert(oneScore(0).getAs[Double]("auc") === 0.5)
+  }
+
+  test("delongAucCi survives empty / one-class / tiny frames") {
+    val schema = StructType(Seq(StructField("detector", StringType),
+      StructField("score_u", LongType), StructField("is_pos", LongType)))
+    def sc(rows: Seq[(String, Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), schema)
+    assertClean(engine.delongAucCi(sc(Nil)), "delong/empty")
+    // one-class: auc and CI all NULL, never a throw
+    val allPos = engine.delongAucCi(
+      sc(Seq(("d", 3L, 1L), ("d", 5L, 1L)))).collect()(0)
+    assert(allPos.isNullAt(allPos.fieldIndex("auc")))
+    assert(allPos.isNullAt(allPos.fieldIndex("se_auc")))
+    assert(allPos.isNullAt(allPos.fieldIndex("ci_lo")))
+    // m = 1 (one positive): point AUC defined, variance needs m ≥ 2
+    // ⇒ NULL se/CI — (m−1) in the denominator, no throw either way
+    val onePos = engine.delongAucCi(
+      sc(Seq(("d", 3L, 1L), ("d", 1L, 0L), ("d", 2L, 0L)))).collect()(0)
+    assert(onePos.getAs[Double]("auc") === 1.0)
+    assert(onePos.isNullAt(onePos.fieldIndex("se_auc")))
+    // pure ties everywhere: AUC 0.5, variance 0, CI = [0.5, 0.5]
+    val ties = engine.delongAucCi(
+      sc(Seq(("d", 4L, 1L), ("d", 4L, 1L), ("d", 4L, 0L),
+        ("d", 4L, 0L)))).collect()(0)
+    assert(ties.getAs[Double]("auc") === 0.5)
+    assert(ties.getAs[Double]("ci_lo") === 0.5
+      && ties.getAs[Double]("ci_hi") === 0.5)
   }
 
   test("burstiness / transitionEntropy / markovStationary survive single-symbol input") {

@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 229, "documented facade count drifted; methods: "
+    assert(names.length === 231, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -966,6 +966,49 @@ class EngineApiSpec extends SparkSpec {
       ("c", 7L, 0L)).toDF("detector", "score_u", "is_pos")
     assert(engine.detectorAuc(coin).collect()(0)
       .getAs[Double]("auc") === 0.5)
+  }
+
+  test("delongAucCi: brackets the AUC, width shrinks with n, matches its key") {
+    val d = sf("sf0.001")
+    // facade ≡ key on the fixture scored stage
+    val declared = SparkEntry.queries("eval_auc_ci")(spark, d)
+      .collect()
+    val viaApi = engine.delongAucCi(
+        operators.TextOps.plantedDetectorScores(spark, d))
+      .collect()
+    assert(viaApi.map(_.toSeq).toSeq === declared.map(_.toSeq).toSeq)
+    declared.foreach { r =>
+      val (auc, lo, hi) = (r.getAs[Double]("auc"),
+        r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+      // CI contains the point estimate and stays in [0, 1]
+      assert(lo <= auc && auc <= hi, s"CI misses the point: $r")
+      assert(lo >= 0.0 && hi <= 1.0)
+      assert(r.getAs[Double]("se_auc") > 0.0)
+    }
+    // width monotone ↓ in n: the same planted generator at 4× the
+    // units must read a strictly narrower interval (same AUC regime)
+    def planted(nn: Int, det: String) = {
+      val rows = (0 until nn).flatMap { i =>
+        // noisy-but-separating scores: pos ~ 6..9, neg ~ 1..6
+        Seq((det, 6L + (i % 4), 1L), (det, 1L + (i % 6), 0L))
+      }
+      rows.toDF("detector", "score_u", "is_pos")
+    }
+    val small = engine.delongAucCi(planted(25, "s")).collect()(0)
+    val big = engine.delongAucCi(planted(100, "s")).collect()(0)
+    def width(r: org.apache.spark.sql.Row) =
+      r.getAs[Double]("ci_hi") - r.getAs[Double]("ci_lo")
+    assert(width(big) < width(small),
+      s"CI width must shrink with n: big $big vs small $small")
+    // hand case: perfect separation ⇒ every placement = 1 ⇒ zero
+    // DeLong variance ⇒ degenerate width-0 interval at AUC 1
+    val perfect = Seq(("p", 9L, 1L), ("p", 8L, 1L), ("p", 1L, 0L),
+      ("p", 0L, 0L)).toDF("detector", "score_u", "is_pos")
+    val pr = engine.delongAucCi(perfect).collect()(0)
+    assert(pr.getAs[Double]("auc") === 1.0)
+    assert(pr.getAs[Double]("se_auc") === 0.0)
+    assert(pr.getAs[Double]("ci_lo") === 1.0
+      && pr.getAs[Double]("ci_hi") === 1.0)
   }
 
   test("oddsRatio facade matches the events_ab_odds_ratio key") {
@@ -2155,6 +2198,92 @@ class EngineApiSpec extends SparkSpec {
       (0L, 1L), (28L, 1L), (0L, 2L), (28L, 2L))).toDF("y", "x")
     val o = engine.poissonGlm(over, "y", "x").collect()(0)
     assert(o.getAs[Double]("dispersion") > 5.0)
+  }
+
+  test("events_km_rmst: monotone in tau, capped by tau, equals mean duration uncensored") {
+    val d = sf("sf0.001")
+    import spark.implicits._
+    val rows = SparkEntry.queries("events_km_rmst")(spark, d)
+      .collect().sortBy(_.getAs[Long]("tau"))
+    assert(rows.map(_.getAs[Long]("tau")).toSeq === Seq(168L, 336L, 100000L))
+    // RMST(τ) ≤ τ and strictly monotone ↑ in τ while S > 0
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rmst_control") <= r.getAs[Long]("tau"))
+      assert(r.getAs[Double]("rmst_treatment") <= r.getAs[Long]("tau"))
+      assert(r.getAs[Double]("se_control") >= 0.0)
+      // diff is exactly treatment − control (integer micro subtraction)
+      assert(math.abs(r.getAs[Double]("rmst_diff")
+        - (r.getAs[Double]("rmst_treatment")
+          - r.getAs[Double]("rmst_control"))) < 2e-4)
+    }
+    assert(rows(0).getAs[Double]("rmst_control")
+      <= rows(1).getAs[Double]("rmst_control"))
+    assert(rows(1).getAs[Double]("rmst_control")
+      <= rows(2).getAs[Double]("rmst_control"))
+    // uncensored fixture (every user converts): RMST at τ ≥ max
+    // duration IS the mean time-to-convert per variant, up to the
+    // micro-nat KM quantization (~1e-4 relative)
+    val pu = TestData.events(spark, d)
+      .withColumn("ts_us", unix_micros($"ts"))
+      .groupBy("user_id")
+      .agg(min("ts_us").as("t0"),
+        min(when($"event_type" === "purchase", $"ts_us")).as("tconv"),
+        max("ts_us").as("tlast"))
+      .filter($"tconv".isNotNull)
+      .withColumn("dur_hr", expr("(tconv - t0) DIV 3600000000"))
+      .withColumn("variant",
+        when(conv(substring(md5($"user_id".cast("string")), 1, 2),
+          16, 10).cast("int") % 2 === 0, "control").otherwise("treatment"))
+    val means = pu.groupBy("variant")
+      .agg(avg($"dur_hr".cast("double")).as("mean_dur"))
+      .collect().map(r => r.getAs[String]("variant")
+        -> r.getAs[Double]("mean_dur")).toMap
+    val far = rows(2)
+    assert(math.abs(far.getAs[Double]("rmst_control")
+      - means("control")) < 0.05 * means("control") + 0.5,
+      s"RMST(inf) vs mean: $far vs $means")
+    assert(math.abs(far.getAs[Double]("rmst_treatment")
+      - means("treatment")) < 0.05 * means("treatment") + 0.5)
+  }
+
+  test("gammaGlm facade matches its key; planted recovery; Poisson misfits spend") {
+    val d = sf("sf0.001")
+    import spark.implicits._
+    val u = TestData.events(spark, d)
+      .groupBy("user_id")
+      .agg(sum(when($"event_type" === "purchase",
+          floor($"value" * 100 + 0.5).cast("long")).otherwise(0L)).as("y"),
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"))
+    assert(engine.gammaGlm(u, "y", "x").collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("agg_gamma_glm")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // planted exact-rate recovery: y = 400·2^x at x ∈ {0,1,2} fits
+    // exactly (ln 400, ln 2); exact fit ⇒ Pearson dispersion 0
+    val planted = Seq((400L, 0L), (800L, 1L), (1600L, 2L)).toDF("y", "x")
+    val p = engine.gammaGlm(planted, "y", "x").collect()(0)
+    assert(math.abs(p.getAs[Double]("beta0") - math.log(400)) < 0.001, p)
+    assert(math.abs(p.getAs[Double]("beta1") - math.log(2)) < 0.001, p)
+    assert(math.abs(p.getAs[Double]("rate_ratio") - 2.0) < 0.01)
+    assert(p.getAs[Double]("dispersion") === 0.0)
+    // the honesty pin (the overdispersion lesson in reverse): cent-
+    // scale spend run through the COUNT model reads dispersion ≫ 1
+    // (Poisson variance = μ but spend variance ~ μ²/shape ≫ μ at
+    // cent scale), while the Gamma fit's dispersion stays O(1) —
+    // fitting spend with poissonGlm is a model error the readouts
+    // expose. Multiplicative ±60 % noise around 2000·2^x:
+    val noisy = (1 to 10).flatMap(i => Seq(
+      (if (i % 2 == 0) 3200L else 800L, 0L),
+      (if (i % 2 == 0) 6400L else 1600L, 1L),
+      (if (i % 2 == 0) 12800L else 3200L, 2L))).toDF("y", "x")
+    val g = engine.gammaGlm(noisy, "y", "x").collect()(0)
+    val pois = engine.poissonGlm(noisy, "y", "x").collect()(0)
+    assert(g.getAs[Double]("dispersion") < 1.0,
+      s"gamma dispersion should be O(1): $g")
+    assert(pois.getAs[Double]("dispersion") > 100.0,
+      s"poisson on spend should read huge dispersion: $pois")
+    // scale-free: the Gamma relative-residual dispersion is the same
+    // whatever the cent multiplier (the shape readout is unitless)
+    assert(g.getAs[Double]("shape_hat") > 1.0)
   }
 
   test("isotonicFit facade matches its key; monotone; fitted ECE <= raw ECE") {
