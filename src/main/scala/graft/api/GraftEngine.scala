@@ -5099,6 +5099,19 @@ class GraftEngine(val spark: SparkSession) {
       series.select(col(tCol).cast("long").as("t"),
         col(yCol).cast("long").as("n")))
 
+  /** Cross-correlation function r_xy(k), k ∈ −6..6 (see `ts_ccf`)
+    * over (t, x, y) integer-grid rows: which series leads which, by
+    * how many periods (a positive-lag peak means x leads y). Exact
+    * integer deviations, gap-safe lag equi-joins; constant series
+    * read NULL ccf.
+    */
+  def crossCorrelation(series: DataFrame, tCol: String, xCol: String,
+                       yCol: String): DataFrame =
+    graft.operators.TimeSeries.ccfCore(
+      series.select(col(tCol).cast("long").as("t"),
+        col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y")))
+
   /** Partial correlation corr(x, y | z) per group (see
     * `agg_partial_corr`), next to the marginal corr(x, y).
     */

@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 231, "documented facade count drifted; methods: "
+    assert(names.length === 232, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -2198,6 +2198,43 @@ class EngineApiSpec extends SparkSpec {
       (0L, 1L), (28L, 1L), (0L, 2L), (28L, 2L))).toDF("y", "x")
     val o = engine.poissonGlm(over, "y", "x").collect()(0)
     assert(o.getAs[Double]("dispersion") > 5.0)
+  }
+
+  test("crossCorrelation: matches its key, planted lag argmax, lag-0 symmetry") {
+    val d = sf("sf0.001")
+    import spark.implicits._
+    val hourly = TestData.events(spark, d)
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+      .withColumn("t", expr("unix_micros(hour) DIV 3600000000"))
+    assert(engine.crossCorrelation(hourly, "t", "x", "y")
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("ts_ccf")(spark, d).collect().map(_.toSeq).toSeq)
+    // planted lag: y_t = x_{t-3} exactly ⇒ r(k) peaks at k = +3
+    // (x LEADS y by 3 periods) and reads exactly 1 there
+    val xs = (0L until 60L).map(t => (t, 10L + (t * 7 % 13)))
+    val planted = xs.map { case (t, x) =>
+      (t, x, xs.find(_._1 == t - 3).map(_._2).getOrElse(0L))
+    }.toDF("t", "x", "y").filter($"t" >= 3)
+    val r = engine.crossCorrelation(planted, "t", "x", "y")
+      .collect().map(row => (row.getAs[Long]("lag"),
+        Option(row.getAs[Any]("ccf")).map(_.asInstanceOf[Double])))
+    val best = r.filter(_._2.isDefined).maxBy(_._2.get)
+    assert(best._1 === 3L, s"planted lag must argmax at +3: ${r.toSeq}")
+    // the standard estimator keeps the FULL-series denominator, so a
+    // finite exact shift reads < 1 (n−k of n pairs + window-mean
+    // mismatch at the boundary) — 0.94 measured; pin a 0.9 floor
+    assert(best._2.get > 0.9, s"exact shift must read near 1: $best")
+    // x-vs-x CCF is symmetric: r(k) = r(-k)
+    val sym = engine.crossCorrelation(
+        planted.select($"t", $"x", $"x".as("y2")), "t", "x", "y2")
+      .collect().map(row => row.getAs[Long]("lag")
+        -> row.getAs[Double]("ccf")).toMap
+    (1L to 6L).foreach { k =>
+      assert(math.abs(sym(k) - sym(-k)) < 2e-4, s"symmetry at $k: $sym")
+    }
+    assert(sym(0L) === 1.0)
   }
 
   test("events_km_rmst: monotone in tau, capped by tau, equals mean duration uncensored") {

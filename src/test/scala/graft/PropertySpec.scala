@@ -1266,6 +1266,37 @@ class PropertySpec extends SparkSpec {
     assert(rows.forall(_._3 >= 0.1), s"recall floor 0.1: ${rows.toSeq}")
   }
 
+  test("neighbor preservation: sq8 near-lossless, shape + floors per method") {
+    // The readout's decision value: int8 SQ preserves the top-10
+    // almost exactly (it quantizes VALUES, not structure) while the
+    // 2-bit-codebook PQ arms and the 16/32-dim prefixes sit at the
+    // noise floor on this isotropic unit-norm fixture — within-family
+    // monotonicity is NOT pinned for the tiny-codebook arms (the
+    // ann_pq_sweep / opq lesson: K=4 recall is noise; 0.26 vs 0.20
+    // at sf0.001), floors are.
+    val rows = ProductQuantize.defs("vec_neighbor_preservation")(
+        spark, sfDir)
+      .select("method", "bits_per_vec", "n_truth", "n_hits", "overlap")
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq ===
+      Seq("bin1", "mat16", "mat32", "pq4", "pq8", "sq8"))
+    rows.foreach { r =>
+      assert(r._3 === 50L, s"truth census drifted: $r")
+      assert(r._4 >= 0L && r._4 <= r._3, s"hits outside [0, truth]: $r")
+      assert(r._5 >= 0.0 && r._5 <= 1.0)
+    }
+    val byM = rows.map(r => r._1 -> r._5).toMap
+    assert(byM("sq8") >= 0.8,
+      s"int8 SQ must be near-lossless on neighbors: $byM")
+    // every lossy arm still beats the random-overlap floor
+    // (10/corpus would be ~0.02 at sf0.001)
+    assert(rows.forall(_._5 >= 0.05), s"noise floor: $byM")
+    // bits ordering sanity: the readout's ranking context column
+    assert(rows.map(r => r._1 -> r._2).toMap ===
+      Map("bin1" -> 64L, "mat16" -> 512L, "mat32" -> 1024L,
+        "pq4" -> 8L, "pq8" -> 16L, "sq8" -> 512L))
+  }
+
   test("PQ encode: codes in range, subspace errors bounded by scalar worst case") {
     val rows = ProductQuantize.defs("vec_pq_encode")(spark, sfDir)
       .select("vec_id", "sub", "code", "sub_err")
