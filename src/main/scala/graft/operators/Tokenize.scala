@@ -158,8 +158,144 @@ object Tokenize {
         .select("lang", "n_words", "n_tokens", "n_chars",
           "fertility", "chars_per_token")
         .orderBy("lang")
+    }),
+
+    // UNIGRAM-LM TOKENIZER STAND-IN (round 17, VERDICT r16 #8):
+    // SentencePiece-style unigram next to BPE — modern pipelines
+    // compare BOTH families' fertility before committing a vocab.
+    // Candidate pieces = chars + ALIGNED char bigrams, and the
+    // segmentation lattice is restricted to the aligned-pair tiling
+    // (per 2-char slot: one bigram piece OR two char pieces) — the
+    // documented simplification (the KN3 doc-initial-bigram class):
+    // within this family the per-slot argmax IS the Viterbi
+    // segmentation, decisions are independent, everything is
+    // set-wise (no folds), and hard-EM is PROVABLY monotone in the
+    // corpus likelihood (M maximizes Σ n_p·ln p for the fixed
+    // segmentation, E re-segments to the argmax) — pinned per round
+    // within 1 micro-nat/token quantization slack in BpeSpec.
+    // 3 E-steps over the DISTINCT-WORD slot table (vocabulary-sized)
+    // with 2 M-steps between; piece scores are exact micro-nat
+    // BIGINTs (floor(ln(cnt/tot)·1e6 + 0.5)), slot choices exact
+    // integer comparisons, corpus ll an exact BIGINT sum. Piece
+    // tables stay broadcast-sized at any corpus (bounded by the
+    // char-bigram domain). Emits per-round ll, active-piece and
+    // token counts, and tokens/word — the unigram fertility to read
+    // against pipeline_tokenizer_fertility's BPE numbers.
+    "pipeline_unigram_lm" -> ((s, d) => {
+      val docs = TestData.documents(s, d)
+      val words = docs
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .ckpt() // slots + n_words readout
+      val slots = words
+        .select(col("word"), col("n"), posexplode(expr(
+          "transform(sequence(0, (length(word) + 1) DIV 2 - 1), " +
+            "j -> struct(substring(word, 2*j + 1, 1) AS c1, " +
+            "CASE WHEN 2*j + 2 <= length(word) " +
+            "THEN substring(word, 2*j + 2, 1) END AS c2))")))
+        .select(col("word"), col("n"), col("pos").as("slot"),
+          col("col.c1").as("c1"), col("col.c2").as("c2"))
+        .withColumn("b", when(col("c2").isNotNull,
+          concat(col("c1"), col("c2"))))
+        .ckpt() // init counts + 3 E-step joins
+      def renorm(cnts: DataFrame): DataFrame = {
+        val tot = cnts.agg(sum("cnt").as("tot"))
+        cnts.crossJoin(broadcast(tot))
+          .select(col("piece"),
+            floor(log(col("cnt").cast("double") / col("tot").cast("double"))
+              * 1000000 + 0.5).cast("long").as("lnp_u"))
+          .ckpt() // three piece-keyed join probes
+      }
+      val probs0 = renorm(
+        slots.select(col("c1").as("piece"), col("n"))
+          .unionAll(slots.filter(col("c2").isNotNull)
+            .select(col("c2").as("piece"), col("n")))
+          .unionAll(slots.filter(col("b").isNotNull)
+            .select(col("b").as("piece"), col("n")))
+          .groupBy("piece").agg(sum("n").as("cnt")))
+      def eStep(probs: DataFrame): DataFrame = slots
+        .join(broadcast(probs.select(col("piece").as("k1"),
+          col("lnp_u").as("s1"))), col("c1") === col("k1"), "left")
+        .join(broadcast(probs.select(col("piece").as("k2"),
+          col("lnp_u").as("s2"))), col("c2") === col("k2"), "left")
+        .join(broadcast(probs.select(col("piece").as("kb"),
+          col("lnp_u").as("sb"))), col("b") === col("kb"), "left")
+        .withColumn("chars_s",
+          when(col("c2").isNull, col("s1"))
+            .otherwise(col("s1") + col("s2")))
+        .withColumn("use_big", col("sb").isNotNull
+          && (col("chars_s").isNull || col("sb") > col("chars_s")))
+        .withColumn("score_u",
+          when(col("use_big"), col("sb")).otherwise(col("chars_s")))
+        .withColumn("toks", when(col("use_big"), 1L)
+          .otherwise(when(col("c2").isNull, 1L).otherwise(2L)))
+        .ckpt() // counts + the round readout
+      def counts(ch: DataFrame): DataFrame = ch
+        .filter(col("use_big")).select(col("b").as("piece"), col("n"))
+        .unionAll(ch.filter(!col("use_big"))
+          .select(col("c1").as("piece"), col("n")))
+        .unionAll(ch.filter(!col("use_big") && col("c2").isNotNull)
+          .select(col("c2").as("piece"), col("n")))
+        .groupBy("piece").agg(sum("n").as("cnt"))
+      val nw = words.agg(sum("n").as("n_words"))
+      def readout(round: Int, ch: DataFrame, cnt: DataFrame): DataFrame =
+        ch.agg(sum(col("n") * col("score_u")).as("ll_u"),
+            sum(col("n") * col("toks")).as("n_tokens"))
+          .crossJoin(broadcast(cnt.agg(count(lit(1)).as("n_pieces"))))
+          .crossJoin(broadcast(nw))
+          .select(lit(round.toLong).as("round"), col("ll_u"),
+            col("n_tokens"), col("n_pieces"), col("n_words"),
+            TestData.r4(col("n_tokens").cast("double")
+              / col("n_words").cast("double")).as("tokens_per_word"))
+      val ch1 = eStep(probs0)
+      val cnt1 = counts(ch1)
+      val ch2 = eStep(renorm(cnt1))
+      val cnt2 = counts(ch2)
+      val ch3 = eStep(renorm(cnt2))
+      val cnt3 = counts(ch3)
+      readout(1, ch1, cnt1)
+        .unionByName(readout(2, ch2, cnt2))
+        .unionByName(readout(3, ch3, cnt3))
+        .orderBy("round")
     })
   )
+
+  /** One unigram hard-EM round in DuckDB (mirrors the Spark eStep +
+    * counts + renorm token for token): three piece-table probes on
+    * the slot grid, the exact-integer slot argmax, chosen-piece
+    * counts, and the re-normalized micro-nat scores. Index CTEs
+    * MATERIALIZED (the LPA re-expansion lesson).
+    */
+  private def unigramRoundSql(cur: String, prev: String): String =
+    s"""${cur}ch AS MATERIALIZED (
+       |  SELECT *, CASE WHEN use_big THEN sb ELSE chars_s END AS score_u,
+       |    (CASE WHEN use_big THEN 1 WHEN c2 IS NULL THEN 1
+       |      ELSE 2 END)::BIGINT AS toks
+       |  FROM (
+       |    SELECT *, (sb IS NOT NULL AND (chars_s IS NULL
+       |      OR sb > chars_s)) AS use_big
+       |    FROM (
+       |      SELECT s.*, p1.lnp_u AS s1, p2.lnp_u AS s2, pb.lnp_u AS sb,
+       |        CASE WHEN s.c2 IS NULL THEN p1.lnp_u
+       |          ELSE p1.lnp_u + p2.lnp_u END AS chars_s
+       |      FROM slots s
+       |      LEFT JOIN $prev p1 ON s.c1 = p1.piece
+       |      LEFT JOIN $prev p2 ON s.c2 = p2.piece
+       |      LEFT JOIN $prev pb ON s.b = pb.piece))),
+       |${cur}cnt AS MATERIALIZED (
+       |  SELECT piece, sum(n)::BIGINT AS cnt FROM (
+       |    SELECT b AS piece, n FROM ${cur}ch WHERE use_big
+       |    UNION ALL SELECT c1 AS piece, n FROM ${cur}ch
+       |      WHERE NOT use_big
+       |    UNION ALL SELECT c2 AS piece, n FROM ${cur}ch
+       |      WHERE NOT use_big AND c2 IS NOT NULL)
+       |  GROUP BY 1),
+       |${cur}tot AS (SELECT sum(cnt)::BIGINT AS tot FROM ${cur}cnt),
+       |$cur AS MATERIALIZED (
+       |  SELECT piece, floor(ln(cnt::DOUBLE / tot::DOUBLE)
+       |    * 1000000 + 0.5)::BIGINT AS lnp_u
+       |  FROM ${cur}cnt CROSS JOIN ${cur}tot)""".stripMargin
 
   /** One merge round in DuckDB: pair-count the current vocabulary,
     * take the (cnt DESC, a, b) top pair, and apply it with the
@@ -193,6 +329,59 @@ object Tokenize {
        |  FROM $prev CROSS JOIN t$t)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Aligned-pair unigram EM mirrored: the slot grid from the
+    // distinct-word table, init scores over the full candidate
+    // inventory, three generated identical E/M round blocks, the
+    // per-round (ll, tokens, pieces, fertility) readout.
+    "pipeline_unigram_lm" ->
+      s"""WITH words AS MATERIALIZED (
+        |  SELECT word, count(*)::BIGINT AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word
+        |    FROM documents)
+        |  WHERE length(word) > 0 GROUP BY 1),
+        |slots AS MATERIALIZED (
+        |  SELECT word, n, j AS slot,
+        |    substring(word, 2*j + 1, 1) AS c1,
+        |    CASE WHEN 2*j + 2 <= length(word)
+        |      THEN substring(word, 2*j + 2, 1) END AS c2,
+        |    CASE WHEN 2*j + 2 <= length(word)
+        |      THEN substring(word, 2*j + 1, 2) END AS b
+        |  FROM words, LATERAL (SELECT
+        |    unnest(range(0, (length(word) + 1) // 2)) AS j) r),
+        |p0cnt AS (
+        |  SELECT piece, sum(n)::BIGINT AS cnt FROM (
+        |    SELECT c1 AS piece, n FROM slots
+        |    UNION ALL SELECT c2 AS piece, n FROM slots
+        |      WHERE c2 IS NOT NULL
+        |    UNION ALL SELECT b AS piece, n FROM slots
+        |      WHERE b IS NOT NULL)
+        |  GROUP BY 1),
+        |p0tot AS (SELECT sum(cnt)::BIGINT AS tot FROM p0cnt),
+        |p0 AS MATERIALIZED (
+        |  SELECT piece, floor(ln(cnt::DOUBLE / tot::DOUBLE)
+        |    * 1000000 + 0.5)::BIGINT AS lnp_u
+        |  FROM p0cnt CROSS JOIN p0tot),
+        |${unigramRoundSql("u1", "p0")},
+        |${unigramRoundSql("u2", "u1")},
+        |${unigramRoundSql("u3", "u2")},
+        |nw AS (SELECT sum(n)::BIGINT AS n_words FROM words),
+        |ro AS (
+        |  SELECT 1::BIGINT AS round,
+        |    (SELECT sum(n * score_u) FROM u1ch)::BIGINT AS ll_u,
+        |    (SELECT sum(n * toks) FROM u1ch)::BIGINT AS n_tokens,
+        |    (SELECT count(*) FROM u1cnt)::BIGINT AS n_pieces
+        |  UNION ALL SELECT 2::BIGINT,
+        |    (SELECT sum(n * score_u) FROM u2ch)::BIGINT,
+        |    (SELECT sum(n * toks) FROM u2ch)::BIGINT,
+        |    (SELECT count(*) FROM u2cnt)::BIGINT
+        |  UNION ALL SELECT 3::BIGINT,
+        |    (SELECT sum(n * score_u) FROM u3ch)::BIGINT,
+        |    (SELECT sum(n * toks) FROM u3ch)::BIGINT,
+        |    (SELECT count(*) FROM u3cnt)::BIGINT)
+        |SELECT round, ll_u, n_tokens, n_pieces, nw.n_words,
+        |  floor(n_tokens::DOUBLE / nw.n_words::DOUBLE * 10000 + 0.5)
+        |    / 10000 AS tokens_per_word
+        |FROM ro CROSS JOIN nw ORDER BY round""".stripMargin,
     // Learn t1..t3 with the SAME CTEs as pipeline_bpe_merges, apply
     // them per DISTINCT word, then join back to the (doc, word)
     // stream — mirroring the Spark vocab-level apply exactly.

@@ -96,6 +96,42 @@ class BpeSpec extends SparkSpec {
     assert(totalTok < totalChars, s"merges must compress: $totalTok vs $totalChars")
   }
 
+  test("unigram LM: EM likelihood monotone per round; fertility bounded by chars") {
+    val dir = sf("sf0.001")
+    val rows = Tokenize.defs("pipeline_unigram_lm")(spark, dir)
+      .select("round", "ll_u", "n_tokens", "n_pieces", "n_words",
+        "tokens_per_word")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    // hard-EM monotone: within the aligned-pair family the E-step is
+    // the exact argmax and the M-step maximizes the fixed-segmentation
+    // likelihood — ll non-decreasing up to the micro-nat quantization
+    // slack (≤ 1 micro-nat per token)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2 - a._3,
+        s"EM likelihood must not decrease: ${rows.toSeq}")
+    }
+    // measured on the fixture: round 2 strictly improves over round 1
+    assert(rows(1)._2 > rows(0)._2, s"r2 must strictly improve: ${rows.toSeq}")
+    rows.foreach { r =>
+      // a token covers 1 or 2 chars ⇒ fertility between L/2-ish and L
+      assert(r._6 >= 1.0, s"tokens/word >= 1: $r")
+      assert(r._4 > 0 && r._3 >= r._5, s"tokens >= words: $r")
+      assert(r._2 < 0, s"log-likelihood must be negative: $r")
+    }
+    // the unigram fertility is comparable to (here: better than) the
+    // 3-merge BPE fertility — the cross-family readout the key exists
+    // to provide
+    val bpe = Tokenize.defs("pipeline_bpe_apply")(spark, dir)
+      .agg(sum("n_words").cast("double").as("w"),
+        sum("n_tokens").cast("double").as("t"))
+      .as[(Double, Double)].collect()(0)
+    val bpeFert = bpe._2 / bpe._1
+    assert(rows.last._6 < bpeFert,
+      s"aligned-pair unigram should out-compress 3-merge BPE: " +
+        s"${rows.last._6} vs $bpeFert")
+  }
+
   test("tokenizer fertility: per-lang sums reconcile with the doc-grain apply") {
     val dir = sf("sf0.001")
     val fert = Tokenize.defs("pipeline_tokenizer_fertility")(spark, dir)
