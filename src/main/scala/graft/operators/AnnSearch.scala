@@ -78,14 +78,24 @@ object AnnSearch {
       .select(col("qid"), col("id"), col("qscore"))
   }
 
-  /** HNSW-lite layer-1 membership: an md5 hash-sample keeps 1/16 of
-    * the nodes — membership is a pure function of the id (content-
-    * derived, so both engines derive the same layer), and the
-    * expected layer sizes follow HNSW's geometric level law.
+  /** HNSW-lite LEVEL-PARAMETERIZED membership (round 17, VERDICT r16
+    * #7 — the hierarchy was hard-wired at 2 layers; at 100× corpus
+    * the descent wants ⌈log_M n⌉ levels): level k keeps the nodes
+    * whose md5 hex digits 2..k+1 are all zero — a NESTED
+    * (L_{k+1} ⊆ L_k) geometric 1/16-per-level ladder, membership a
+    * pure function of the id so both engines derive the same layers,
+    * and level 1 is BIT-IDENTICAL to the original layer-1 sample
+    * (digit 2 == 0 ⇔ the historical 2-digit value % 16 == 0).
     */
+  private[graft] def hnswLayer(e: DataFrame, lvl: Int): DataFrame = {
+    val m = math.pow(16, lvl).toLong
+    e.filter(conv(substring(md5(col("vec_id").cast("string")), 1, lvl + 1),
+      16, 10).cast("long") % m === 0)
+  }
+
+  /** Level-1 membership (1/16 hash sample — see [[hnswLayer]]). */
   private[graft] def hnswLayer1(e: DataFrame): DataFrame =
-    e.filter(conv(substring(md5(col("vec_id").cast("string")), 1, 2),
-      16, 10).cast("int") % 16 === 0)
+    hnswLayer(e, 1)
 
   /** HNSW-lite layer-1 directed top-3 edge list (src, nn, score),
     * memoized per (session, fixture) like [[GraphOps.fixtureKnnEdges]]
@@ -156,36 +166,23 @@ object AnnSearch {
       .select(col("src"), col("t._1").as("nn"), col("t._2").as("score"))
   }
 
-  private[graft] def hnswL1Edges(s: SparkSession, d: String): DataFrame =
+  /** Level-k directed top-3 edge list (src, nn, score), memoized per
+    * (session, fixture, level): [[probedLink]] of the level's node
+    * subset against itself — each level recurses the ONE IVF-probed
+    * scale-safe recipe, only the node subset shrinks 16× per level.
+    */
+  private[graft] def hnswLayerEdges(s: SparkSession, d: String,
+                                    lvl: Int): DataFrame =
     hnswMemo.getOrElseUpdate(s,
-      graft.sources.WriteOnce.inputTag(d, "embeddings"), {
+      graft.sources.WriteOnce.inputTag(d, "embeddings") + s"#l$lvl", {
         val e = TestData.embeddings(s, d)
-        val l1 = hnswLayer1(e)
+        val ln = hnswLayer(e, lvl)
         val cents = Vectors.fixedCentroids(e)
-        val assigned = V.assignToCentroids(l1, cents,
-            Seq("vec_id", "embedding"))
-          .select(col("vec_id"), col("embedding"), col("cluster"))
-        val wProbe = Window.partitionBy("qid")
-          .orderBy(col("qdist"), col("cid"))
-        val probes = l1
-          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-          .crossJoin(broadcast(cents))
-          .withColumn("qdist", V.sqDist(col("qv"), col("cv")))
-          .withColumn("pr", row_number().over(wProbe))
-          .filter(col("pr") <= 2)
-          .select(col("qid"), col("qv"), col("cid").as("probe_cluster"))
-        val topk = udaf(new graft.functions.TopKByScore(3))
-        assigned
-          .join(probes.hint("shuffle_hash"),
-            col("cluster") === col("probe_cluster"))
-          .filter(col("vec_id") =!= col("qid"))
-          .withColumn("score", r4(V.cosine(col("embedding"), col("qv"))))
-          .groupBy("qid")
-          .agg(topk(col("vec_id"), col("score")).as("tk"))
-          .select(col("qid").as("src"), explode(col("tk")).as("t"))
-          .select(col("src"), col("t._1").as("nn"), col("t._2").as("score"))
-          .ckpt()
+        probedLink(ln, ln, cents, 3).ckpt()
       })
+
+  private[graft] def hnswL1Edges(s: SparkSession, d: String): DataFrame =
+    hnswLayerEdges(s, d, 1)
 
   val defs: Map[String, Q] = Map(
     "ann_ivf_topk" -> ((s, d) =>
@@ -723,24 +720,26 @@ object AnnSearch {
         .orderBy("qid", "rnk")
     }),
 
-    // HNSW-LITE BUILD (round 11): the layered kNN graph — the
-    // production ANN family (hierarchical navigable small world)
-    // not yet represented next to IVF/PQ/graph-beam. Layer 1 is a
-    // content-derived md5 1/16 hash sample (HNSW's geometric level
-    // law; membership a pure function of the id, so both engines
-    // derive it); its top-3 edges are built with the SAME IVF-probed
-    // blocking as the layer-0 graph — each level recurses one
-    // identical scale-safe recipe, only the node subset shrinks.
-    // Output: the directed layer-1 edge dump (the routing layer
-    // ann_hnsw_topk descends through).
+    // HNSW-LITE BUILD (round 11; LEVEL-PARAMETERIZED round 17,
+    // VERDICT r16 #7): the layered kNN graph — the production ANN
+    // family (hierarchical navigable small world) next to
+    // IVF/PQ/graph-beam. Levels are nested content-derived md5
+    // hash samples shrinking 16× per level (HNSW's geometric level
+    // law; see [[hnswLayer]]); EVERY level's top-3 edges recurse the
+    // ONE IVF-probed [[probedLink]] recipe — only the node subset
+    // changes, so the build that ships 2 routing levels here is the
+    // build you'd run with ⌈log₁₆ n⌉ levels at 100× corpus. Output:
+    // the directed edge dump for routing levels 1 and 2 (level 2 is
+    // 1/256 of the corpus — the apex level the search enters).
     "ann_hnsw_build" -> ((s, d) => {
-      val wE = Window.partitionBy("src")
+      val wE = Window.partitionBy("layer", "src")
         .orderBy(col("score").desc, col("nn"))
-      hnswL1Edges(s, d)
+      hnswLayerEdges(s, d, 1).withColumn("layer", lit(1L))
+        .unionByName(hnswLayerEdges(s, d, 2).withColumn("layer", lit(2L)))
         .withColumn("rnk", row_number().over(wE))
-        .select(col("src"), col("rnk"), col("nn"),
+        .select(col("layer"), col("src"), col("rnk"), col("nn"),
           col("score").as("cos"))
-        .orderBy("src", "rnk")
+        .orderBy("layer", "src", "rnk")
     }),
 
     // HNSW-LITE SEARCH (round 11): layered beam descent — start at
@@ -758,21 +757,31 @@ object AnnSearch {
     // alongside the layer-law sample-rate pin.
     "ann_hnsw_topk" -> ((s, d) => {
       val e = TestData.embeddings(s, d)
-      // routing cuts score against the LAYER subset, not the corpus
-      // — every routing candidate id is a layer-1 member, so the
-      // result is identical and the 3 routing jobs scan |corpus|/16
-      // (measured: the full-corpus form was the slowest new r11 key)
-      val l1 = hnswLayer1(e).ckpt()
-      val l1e = hnswL1Edges(s, d)
-      val l1adj = l1e.select(col("src"), col("nn").as("dst"))
-        .union(l1e.select(col("nn").as("src"), col("src").as("dst")))
-        .distinct()
+      // routing cuts score against each LAYER subset, not the corpus
+      // — every routing candidate id is a member of its level, so a
+      // level's routing jobs scan |corpus|/16^level (measured: the
+      // full-corpus form was the slowest new r11 key). The descent
+      // is LEVEL-PARAMETERIZED (round 17, VERDICT r16 #7): enter at
+      // the TOP level's apex, per level walk 2 beam-4 hops on that
+      // level's top-3 adjacency, hand the best nodes down one level
+      // (1 seed between routing levels, 3 into layer 0 — the r12
+      // recall calibration), finish with 4 beam-8 hops on the
+      // degree-8 layer-0 search graph. Beam-job count is
+      // levels × (1 seed + hops) — structural, never data-sized.
+      val levels = List(2, 1) // top → bottom routing levels
+      val layers = levels.map(l => l -> hnswLayer(e, l).ckpt()).toMap
+      val adjs = levels.map { l =>
+        val le = hnswLayerEdges(s, d, l)
+        l -> le.select(col("src"), col("nn").as("dst"))
+          .union(le.select(col("nn").as("src"), col("src").as("dst")))
+          .distinct()
+      }.toMap
       // degree-8 SEARCH adjacency (see hnswL0SearchAdj) — the r12
       // recall fix; the declared build output stays top-3
       val l0adj = hnswL0SearchAdj(s, d)
       val queries = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val apex = hnswLayer1(e).agg(min("vec_id").as("id"))
+      val apex = layers(levels.head).agg(min("vec_id").as("id"))
       def hop(corpus: DataFrame, beam: DataFrame, adj: DataFrame,
               b: Int): DataFrame = {
         val nbrs = beam.join(adj, col("id") === col("src"))
@@ -781,23 +790,26 @@ object AnnSearch {
           .filter(col("id") =!= col("qid")).distinct()
         beamCut(corpus, queries, cands, b).ckpt()
       }
+      val wBest = Window.partitionBy("qid")
+        .orderBy(col("qscore").desc, col("id"))
       // the apex seed may BE a query id — keep it (a routing
       // waypoint, dropped from candidates at the next hop and absent
       // from the readout); filtering it here would orphan that query
-      var route = beamCut(l1, queries,
-        queries.select("qid").crossJoin(broadcast(apex)), 4)
-        .ckpt()
-      for (_ <- 1 to 2) route = hop(l1, route, l1adj, 4)
-      val wBest = Window.partitionBy("qid")
-        .orderBy(col("qscore").desc, col("id"))
-      // hand the THREE best layer-1 nodes down and walk 4 beam-8 hops
-      // on the degree-8 search graph (r12: the degree-3 graph + 2
+      var entrySeed: DataFrame =
+        queries.select("qid").crossJoin(broadcast(apex))
+      for (l <- levels) {
+        var route = beamCut(layers(l), queries, entrySeed, 4).ckpt()
+        for (_ <- 1 to 2) route = hop(layers(l), route, adjs(l), 4)
+        // hand down: 1 best node between routing levels, 3 into L0
+        val width = if (l == levels.last) 3 else 1
+        entrySeed = route.withColumn("rn", row_number().over(wBest))
+          .filter(col("rn") <= width).select("qid", "id")
+      }
+      // 3 entries + 4 hops on degree-8 (r12: the degree-3 graph + 2
       // entries + 3 hops measured recall@5 mean 0.33 with one dead
-      // query; 3 entries + 4 hops on degree-8 clears the 0.6 floor
-      // with every query >= 0.2 — the PropertySpec pin)
-      val entry = route.withColumn("rn", row_number().over(wBest))
-        .filter(col("rn") <= 3).select("qid", "id")
-      var beam = beamCut(e, queries, entry, 8).ckpt()
+      // query; this shape clears the 0.6 floor with every query
+      // >= 0.2 — the PropertySpec pin)
+      var beam = beamCut(e, queries, entrySeed, 8).ckpt()
       for (_ <- 1 to 4) beam = hop(e, beam, l0adj, 8)
       beam.withColumn("rnk", row_number().over(wBest))
         .filter(col("rnk") <= 5)
@@ -1019,6 +1031,75 @@ object AnnSearch {
   )
 
   private val E = "embedding::DOUBLE[]"
+
+  /** Level-k membership predicate (mirrors [[hnswLayer]]: md5 hex
+    * digits 2..k+1 all zero — nested, 1/16 per level; level 1 is the
+    * historical 2-digit % 16 sample bit for bit).
+    */
+  private def hnswLevelPredSql(l: Int): String =
+    s"('0x' || substring(md5(vec_id::VARCHAR), 1, ${l + 1}))::BIGINT" +
+      s" % ${math.pow(16, l).toLong} = 0"
+
+  /** Level-k node set + probed top-3 edge CTEs (l$l/a$l/p$l/e$l),
+    * mirroring [[probedLink]] on the level subset — one generated
+    * block per level of the `ann_hnsw_build` dump. Expects the
+    * shared centroid CTE `c`.
+    */
+  private def hnswLevelEdgeSql(l: Int): String =
+    s"""l$l AS (
+       |  SELECT vec_id, $E AS v FROM embeddings
+       |  WHERE ${hnswLevelPredSql(l)}),
+       |a$l AS (
+       |  SELECT vec_id, v, cluster FROM (
+       |    SELECT l.vec_id, l.v, c.cid AS cluster,
+       |      row_number() OVER (PARTITION BY l.vec_id ORDER BY
+       |        list_sum(list_transform(list_zip(l.v, c.cv),
+       |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+       |    FROM l$l l CROSS JOIN c)
+       |  WHERE rn = 1),
+       |p$l AS (
+       |  SELECT qid, qv, cid AS probe_cluster FROM (
+       |    SELECT q.vec_id AS qid, q.v AS qv, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_sum(list_transform(list_zip(q.v, c.cv),
+       |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS pr
+       |    FROM l$l q CROSS JOIN c)
+       |  WHERE pr <= 2),
+       |e$l AS (
+       |  SELECT $l::BIGINT AS layer, src, rnk, nn, cos FROM (
+       |    SELECT p.qid AS src, a.vec_id AS nn,
+       |      floor((list_cosine_similarity(a.v, p.qv))*10000 + 0.5)/10000
+       |        AS cos,
+       |      row_number() OVER (PARTITION BY p.qid ORDER BY
+       |        floor((list_cosine_similarity(a.v, p.qv))*10000
+       |          + 0.5)/10000 DESC, a.vec_id) AS rnk
+       |    FROM a$l a JOIN p$l p ON a.cluster = p.probe_cluster
+       |    WHERE a.vec_id <> p.qid)
+       |  WHERE rnk <= 3)""".stripMargin
+
+  /** One routing beam cut (beam 4) against the full-id score join —
+    * mirrors `beamCut` for the descent oracle. */
+  private def hnswCutSql(cur: String, from: String): String =
+    s"""$cur AS (SELECT qid, id, qscore FROM (
+       |  SELECT qid, id, qscore,
+       |    row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, id)
+       |      AS rn
+       |  FROM (SELECT cc.qid, cc.id,
+       |          floor((list_cosine_similarity(e.$E, q.qv))*10000
+       |            + 0.5)/10000 AS qscore
+       |        FROM $from cc JOIN embeddings e ON e.vec_id = cc.id
+       |        JOIN q ON q.qid = cc.qid))
+       |  WHERE rn <= 4)""".stripMargin
+
+  /** One neighbor expansion (beam ∪ adjacency, self-free) — mirrors
+    * the descent `hop`'s candidate set. */
+  private def hnswExpandSql(cur: String, prev: String,
+                            adjT: String): String =
+    s"""$cur AS (SELECT DISTINCT qid, id FROM (
+       |  SELECT qid, id FROM $prev
+       |  UNION ALL SELECT b.qid, a.dst AS id FROM $prev b
+       |    JOIN $adjT a ON b.id = a.src)
+       |  WHERE id <> qid)""".stripMargin
 
   /** `ann_hnsw_sweep` unrolled: the ann_hnsw_topk routing prefix
     * (layer-1 sample/edges, degree-8 layer-0 adjacency, apex seed,
@@ -1618,38 +1699,13 @@ object AnnSearch {
     // Layer-1 = md5 1/16 hash sample; same probed-cluster blocking
     // and r4-quantized top-3 protocol as the layer-0 graph oracle.
     "ann_hnsw_build" ->
-      s"""WITH l1 AS (
-        |  SELECT vec_id, $E AS v FROM embeddings
-        |  WHERE ('0x' || substring(md5(vec_id::VARCHAR), 1, 2))::INT
-        |    % 16 = 0),
-        |c AS (SELECT vec_id AS cid, $E AS cv FROM embeddings
+      s"""WITH c AS (SELECT vec_id AS cid, $E AS cv FROM embeddings
         |      WHERE vec_id < 4),
-        |assigned AS (
-        |  SELECT vec_id, v, cluster FROM (
-        |    SELECT l.vec_id, l.v, c.cid AS cluster,
-        |      row_number() OVER (PARTITION BY l.vec_id ORDER BY
-        |        list_sum(list_transform(list_zip(l.v, c.cv),
-        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
-        |    FROM l1 l CROSS JOIN c)
-        |  WHERE rn = 1),
-        |probes AS (
-        |  SELECT qid, qv, cid AS probe_cluster FROM (
-        |    SELECT q.vec_id AS qid, q.v AS qv, c.cid,
-        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |        list_sum(list_transform(list_zip(q.v, c.cv),
-        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS pr
-        |    FROM l1 q CROSS JOIN c)
-        |  WHERE pr <= 2)
-        |SELECT src, rnk, nn, cos FROM (
-        |  SELECT p.qid AS src, a.vec_id AS nn,
-        |    floor((list_cosine_similarity(a.v, p.qv))*10000 + 0.5)/10000
-        |      AS cos,
-        |    row_number() OVER (PARTITION BY p.qid ORDER BY
-        |      floor((list_cosine_similarity(a.v, p.qv))*10000 + 0.5)/10000
-        |        DESC, a.vec_id) AS rnk
-        |  FROM assigned a JOIN probes p ON a.cluster = p.probe_cluster
-        |  WHERE a.vec_id <> p.qid)
-        |WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin,
+        |${hnswLevelEdgeSql(1)},
+        |${hnswLevelEdgeSql(2)}
+        |SELECT layer, src, rnk, nn, cos FROM (
+        |  SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+        |ORDER BY layer, src, rnk""".stripMargin,
     // Incremental insert: the batch (vec_id % 10 = 7) probes the
     // same fixed centroids; layer-0 candidates are the FULL
     // post-insert corpus, layer-1 candidates the post-insert layer-1
@@ -1832,40 +1888,16 @@ object AnnSearch {
     // layer-1 edges -> best node becomes the layer-0 entry -> 2
     // beam-8 hops on the layer-0 kNN graph -> true-cosine top-5.
     "ann_hnsw_topk" ->
-      s"""WITH l1 AS (
-        |  SELECT vec_id, $E AS v FROM embeddings
-        |  WHERE ('0x' || substring(md5(vec_id::VARCHAR), 1, 2))::INT
-        |    % 16 = 0),
-        |c AS (SELECT vec_id AS cid, $E AS cv FROM embeddings
+      s"""WITH c AS (SELECT vec_id AS cid, $E AS cv FROM embeddings
         |      WHERE vec_id < 4),
-        |l1a AS (
-        |  SELECT vec_id, v, cluster FROM (
-        |    SELECT l.vec_id, l.v, c.cid AS cluster,
-        |      row_number() OVER (PARTITION BY l.vec_id ORDER BY
-        |        list_sum(list_transform(list_zip(l.v, c.cv),
-        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
-        |    FROM l1 l CROSS JOIN c)
-        |  WHERE rn = 1),
-        |l1p AS (
-        |  SELECT qid, qv, cid AS probe_cluster FROM (
-        |    SELECT q.vec_id AS qid, q.v AS qv, c.cid,
-        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |        list_sum(list_transform(list_zip(q.v, c.cv),
-        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS pr
-        |    FROM l1 q CROSS JOIN c)
-        |  WHERE pr <= 2),
-        |l1e AS (
-        |  SELECT src, nn FROM (
-        |    SELECT p.qid AS src, a.vec_id AS nn,
-        |      row_number() OVER (PARTITION BY p.qid ORDER BY
-        |        floor((list_cosine_similarity(a.v, p.qv))*10000
-        |          + 0.5)/10000 DESC, a.vec_id) AS rnk
-        |    FROM l1a a JOIN l1p p ON a.cluster = p.probe_cluster
-        |    WHERE a.vec_id <> p.qid)
-        |  WHERE rnk <= 3),
+        |${hnswLevelEdgeSql(1)},
+        |${hnswLevelEdgeSql(2)},
         |l1adj AS (SELECT DISTINCT src, dst FROM (
-        |  SELECT src, nn AS dst FROM l1e
-        |  UNION ALL SELECT nn AS src, src AS dst FROM l1e)),
+        |  SELECT src, nn AS dst FROM e1
+        |  UNION ALL SELECT nn AS src, src AS dst FROM e1)),
+        |l2adj AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT src, nn AS dst FROM e2
+        |  UNION ALL SELECT nn AS src, src AS dst FROM e2)),
         |fa AS (
         |  SELECT vec_id, cluster FROM (
         |    SELECT e.vec_id, c.cid AS cluster,
@@ -1902,48 +1934,23 @@ object AnnSearch {
         |        UNION ALL SELECT b AS src, a AS dst FROM edges),
         |q AS (SELECT vec_id AS qid, $E AS qv FROM embeddings
         |      WHERE vec_id < 3),
-        |apex AS (SELECT min(vec_id) AS id FROM l1),
-        |s0 AS (SELECT q.qid, apex.id FROM q CROSS JOIN apex),
-        |r0 AS (SELECT qid, id, qscore FROM (
-        |  SELECT qid, id, qscore,
+        |apex AS (SELECT min(vec_id) AS id FROM l2),
+        |t0 AS (SELECT q.qid, apex.id FROM q CROSS JOIN apex),
+        |${hnswCutSql("u0", "t0")},
+        |${hnswExpandSql("tc1", "u0", "l2adj")},
+        |${hnswCutSql("u1", "tc1")},
+        |${hnswExpandSql("tc2", "u1", "l2adj")},
+        |${hnswCutSql("u2", "tc2")},
+        |s0 AS (SELECT qid, id FROM (
+        |  SELECT qid, id,
         |    row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, id)
         |      AS rn
-        |  FROM (SELECT cc.qid, cc.id,
-        |          floor((list_cosine_similarity(e.$E, q.qv))*10000
-        |            + 0.5)/10000 AS qscore
-        |        FROM s0 cc JOIN embeddings e ON e.vec_id = cc.id
-        |        JOIN q ON q.qid = cc.qid))
-        |  WHERE rn <= 4),
-        |rc1 AS (SELECT DISTINCT qid, id FROM (
-        |  SELECT qid, id FROM r0
-        |  UNION ALL SELECT b.qid, a.dst AS id FROM r0 b
-        |    JOIN l1adj a ON b.id = a.src)
-        |  WHERE id <> qid),
-        |r1 AS (SELECT qid, id, qscore FROM (
-        |  SELECT qid, id, qscore,
-        |    row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, id)
-        |      AS rn
-        |  FROM (SELECT cc.qid, cc.id,
-        |          floor((list_cosine_similarity(e.$E, q.qv))*10000
-        |            + 0.5)/10000 AS qscore
-        |        FROM rc1 cc JOIN embeddings e ON e.vec_id = cc.id
-        |        JOIN q ON q.qid = cc.qid))
-        |  WHERE rn <= 4),
-        |rc2 AS (SELECT DISTINCT qid, id FROM (
-        |  SELECT qid, id FROM r1
-        |  UNION ALL SELECT b.qid, a.dst AS id FROM r1 b
-        |    JOIN l1adj a ON b.id = a.src)
-        |  WHERE id <> qid),
-        |r2 AS (SELECT qid, id, qscore FROM (
-        |  SELECT qid, id, qscore,
-        |    row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, id)
-        |      AS rn
-        |  FROM (SELECT cc.qid, cc.id,
-        |          floor((list_cosine_similarity(e.$E, q.qv))*10000
-        |            + 0.5)/10000 AS qscore
-        |        FROM rc2 cc JOIN embeddings e ON e.vec_id = cc.id
-        |        JOIN q ON q.qid = cc.qid))
-        |  WHERE rn <= 4),
+        |  FROM u2) WHERE rn <= 1),
+        |${hnswCutSql("r0", "s0")},
+        |${hnswExpandSql("rc1", "r0", "l1adj")},
+        |${hnswCutSql("r1", "rc1")},
+        |${hnswExpandSql("rc2", "r1", "l1adj")},
+        |${hnswCutSql("r2", "rc2")},
         |entry AS (SELECT qid, id FROM (
         |  SELECT qid, id,
         |    row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, id)

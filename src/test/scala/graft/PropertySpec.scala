@@ -602,6 +602,24 @@ class PropertySpec extends SparkSpec {
       "every query must produce results")
   }
 
+  test("HNSW descent job count is structural: levels x (seed + hops) + layer cuts") {
+    // VERDICT r16 #7: the level-parameterized descent's cost is a
+    // FIXED number of frontier-sized beam jobs — never data-sized.
+    // Each beamCut/hop/layer-subset checkpoints exactly once, so the
+    // CkptAudit interceptor counts the structure: 2 routing levels x
+    // (1 seed cut + 2 hops) + layer-0 (1 entry cut + 4 hops) + the 2
+    // layer-subset checkpoints = 13. Memos are warmed first so only
+    // the key's own lambda records.
+    AnnSearch.defs("ann_hnsw_topk")(spark, sfDir) // warm the memos
+    val buf = scala.collection.mutable.Buffer[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
+    CkptAudit.sink = buf
+    try AnnSearch.defs("ann_hnsw_topk")(spark, sfDir)
+    finally CkptAudit.sink = null
+    assert(buf.length === 13,
+      s"descent checkpoint count drifted (structure changed?): ${buf.length}")
+  }
+
   test("sampled betweenness: star center dominates every leaf") {
     // planted star: center 0, leaves 1..20, seeds = leaves 1..8.
     // Every leaf-leaf shortest path crosses the center; no leaf lies
