@@ -5037,6 +5037,27 @@ class GraftEngine(val spark: SparkSession) {
       df.select(col(yCol).cast("long").as("y"),
         col(xCol).cast("long").as("x")))
 
+  /** One-covariate ANCOVA (see `agg_ancova`): per-group adjusted
+    * means ȳ_g − b_w(x̄_g − x̄) under the pooled within-group slope
+    * — the group comparison net of a covariate. Zero pooled
+    * covariate variance reads NULL slope/adjusted means.
+    */
+  def ancova(df: DataFrame, groupCol: String, yCol: String,
+             xCol: String): DataFrame =
+    graft.operators.Stats.ancovaCore(
+      df.select(col(groupCol).as("g"), col(yCol).cast("long").as("y"),
+        col(xCol).cast("long").as("x")))
+
+  /** Zipf rank-frequency log-log fit (see `text_zipf_fit`) over a
+    * (term, frequency) table: OLS slope (≈ −1 under Zipf), intercept
+    * in ln-units, r². Single-type tables read NULL.
+    */
+  def zipfFit(freqs: DataFrame, termCol: String,
+              freqCol: String): DataFrame =
+    graft.operators.TextAnalysis.zipfCore(
+      freqs.select(col(termCol).as("word"),
+        col(freqCol).cast("long").as("n")))
+
   /** Negative-binomial method-of-moments fit (see
     * `agg_negative_binomial`) over count rows: r̂ = m²/(s²−m),
     * p̂ = m/s² — the model that absorbs the overdispersion

@@ -1487,6 +1487,46 @@ object GraphOps {
         .orderBy("vec_id")
     }),
 
+    // KATZ CENTRALITY (round 17): the path-counting centrality next
+    // to PageRank — c(v) = Σ_k α^k (#walks of length k into v),
+    // which weights ALL walks instead of PageRank's degree-diluted
+    // random surfer (a node pointed at by well-connected nodes
+    // scores high even when those nodes have many other edges).
+    // 3 unrolled sync rounds in exact micro units over the memoized
+    // kNN adjacency: c_{r+1} = 1e6 + (Σ_{u→v} c_r(u)) DIV 32 —
+    // α = 1/32 is an exact binary fraction (positive ints ⇒ Spark
+    // DIV ≡ DuckDB //), chosen below 1/max-degree so the series
+    // contracts on this graph family (the α < 1/λ_max condition);
+    // at Δ = max in-degree the round-3 bound is 1e6·Σ(Δ/32)^k — no
+    // overflow before Δ ~ 10^4. Top-20 via sort+limit
+    // (TakeOrderedAndProject, never a corpus rank window). Star
+    // center-vs-leaf ordering pinned in PropertySpec.
+    "graph_katz_centrality" -> ((s, d) => {
+      val edges = fixtureKnnEdges(s, d)
+      val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      val nodes = TestData.embeddings(s, d).select(col("vec_id"))
+      var c = nodes.select(col("vec_id"), lit(1000000L).as("c"))
+      for (_ <- 1 to 3) {
+        val contribs = c.withColumnRenamed("vec_id", "src")
+          .join(adj, "src")
+          .select(col("dst").as("vec_id"), col("c"))
+          .groupBy("vec_id").agg(sum("c").as("csum"))
+        c = nodes.join(contribs, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            (lit(1000000L) + expr("coalesce(csum, 0L) DIV 32")).as("c"))
+          .ckpt()
+      }
+      val deg = adj.groupBy("src").agg(count(lit(1)).as("degree"))
+      c.join(deg.withColumnRenamed("src", "vec_id"),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("degree"), lit(0L)).as("degree"),
+          col("c").as("katz_u"),
+          TestData.r4(col("c").cast("double") / 1000000.0).as("katz"))
+        .orderBy(col("katz_u").desc, col("vec_id")).limit(20)
+    }),
+
     // PERSONALIZED PAGERANK (round 14): random-walk-with-restart
     // from the BFS key's seed convention (vec_id % 50 = 0) — "what
     // is near THESE nodes", the recommendation/neighborhood-
@@ -2404,6 +2444,42 @@ object GraphOps {
         |  ON n.vec_id = c.dst)
         |SELECT vec_id, r::BIGINT AS rank_u, (r::DOUBLE / 1000000.0) AS rank
         |FROM r3 ORDER BY vec_id""".stripMargin,
+    // Katz: 3 unrolled integer rounds, alpha = 1/32 as positive-int
+    // DIV, top-20 by (katz_u DESC, vec_id).
+    "graph_katz_centrality" ->
+      s"""$EdgesCte,
+        |adj AS (
+        |  SELECT a AS src, b AS dst FROM edges
+        |  UNION ALL SELECT b, a FROM edges),
+        |n AS (SELECT vec_id FROM embeddings),
+        |k0 AS (SELECT vec_id, 1000000::BIGINT AS c FROM n),
+        |k1 AS (
+        |  SELECT n.vec_id,
+        |    (1000000 + coalesce(s.csum, 0) // 32)::BIGINT AS c
+        |  FROM n LEFT JOIN (
+        |    SELECT adj.dst, sum(k0.c)::BIGINT AS csum
+        |    FROM k0 JOIN adj ON k0.vec_id = adj.src GROUP BY 1) s
+        |  ON n.vec_id = s.dst),
+        |k2 AS (
+        |  SELECT n.vec_id,
+        |    (1000000 + coalesce(s.csum, 0) // 32)::BIGINT AS c
+        |  FROM n LEFT JOIN (
+        |    SELECT adj.dst, sum(k1.c)::BIGINT AS csum
+        |    FROM k1 JOIN adj ON k1.vec_id = adj.src GROUP BY 1) s
+        |  ON n.vec_id = s.dst),
+        |k3 AS (
+        |  SELECT n.vec_id,
+        |    (1000000 + coalesce(s.csum, 0) // 32)::BIGINT AS c
+        |  FROM n LEFT JOIN (
+        |    SELECT adj.dst, sum(k2.c)::BIGINT AS csum
+        |    FROM k2 JOIN adj ON k2.vec_id = adj.src GROUP BY 1) s
+        |  ON n.vec_id = s.dst),
+        |dg AS (SELECT src, count(*)::BIGINT AS degree FROM adj GROUP BY 1)
+        |SELECT k3.vec_id, coalesce(dg.degree, 0)::BIGINT AS degree,
+        |  k3.c::BIGINT AS katz_u,
+        |  floor(k3.c::DOUBLE / 1000000.0 * 10000 + 0.5) / 10000 AS katz
+        |FROM k3 LEFT JOIN dg ON k3.vec_id = dg.src
+        |ORDER BY katz_u DESC, k3.vec_id LIMIT 20""".stripMargin,
     // Same unrolled integer chain as graph_pagerank, with the
     // teleport/start mass concentrated on the % 50 seed set; all
     // quantities nonnegative so // ≡ DIV throughout.

@@ -881,6 +881,55 @@ object Stats {
         "dispersion", "shape_hat")
   }
 
+  /** One-covariate ANCOVA core (see `agg_ancova`): input (g, y, x)
+    * rows, output per-group adjusted means under the pooled
+    * within-group slope — "do the groups differ AFTER adjusting for
+    * the covariate", the question raw group means can't answer when
+    * the covariate is unbalanced across groups. All within-group
+    * centered moments are exact BIGINTs (cxy_g = n·Σxy − ΣxΣy;
+    * bound n·Σ|xy| < 2^63 — ~9e3 groups-rows at raw scale 1e3·1e3·
+    * 1e9, standardize larger features first, the GLM protocol);
+    * Sxy_g = cxy_g/n_g is micro-quantized at its group row
+    * (negative-safe IEEE floor — covariances CAN be negative), the
+    * pooled slope ΣSxy_u/ΣSxx_u is ONE readout division, and the
+    * adjusted mean ȳ_g − b_w·(x̄_g − x̄) assembles in mirrored
+    * doubles. Zero pooled covariate variance ⇒ NULL slope and
+    * adjusted ≡ raw semantics read through the NULL (DegenerateSpec).
+    * Shared with `GraftEngine.ancova`.
+    */
+  private[graft] def ancovaCore(units: DataFrame): DataFrame = {
+    val g = units.groupBy("g")
+      .agg(count(lit(1)).as("n_g"), sum("y").as("sy"),
+        sum("x").as("sx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("sxy_u", floor(
+        (col("n_g") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / col("n_g").cast("double") * 1000000 + 0.5).cast("long"))
+      .withColumn("sxx_u", floor(
+        (col("n_g") * col("sxx") - col("sx") * col("sx")).cast("double")
+          / col("n_g").cast("double") * 1000000 + 0.5).cast("long"))
+    val tot = g.agg(sum("n_g").as("nn"), sum("sx").as("sx_all"),
+      sum("sxy_u").as("ssxy_u"), sum("sxx_u").as("ssxx_u"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("slope", when(col("ssxx_u") > 0,
+        col("ssxy_u").cast("double") / col("ssxx_u").cast("double")))
+      .select(col("g"), col("n_g"),
+        r4(col("sy").cast("double") / col("n_g").cast("double"))
+          .as("mean_y"),
+        r4(col("sx").cast("double") / col("n_g").cast("double"))
+          .as("mean_x"),
+        when(col("slope").isNotNull, r4(col("slope")))
+          .as("slope_within"),
+        when(col("slope").isNotNull, r4(
+          col("sy").cast("double") / col("n_g").cast("double")
+            - col("slope")
+              * (col("sx").cast("double") / col("n_g").cast("double")
+                - col("sx_all").cast("double") / col("nn").cast("double"))))
+          .as("adj_mean_y"))
+      .orderBy("g")
+  }
+
   /** Partial-correlation core (see `agg_partial_corr`): input
     * (flag, x, y, z) rows, output per-flag corr(x,y) and
     * corr(x,y | z). Shared with `GraftEngine.partialCorr`.
@@ -1551,6 +1600,18 @@ object Stats {
     // synthetic-Poisson; pinned in band), β1 ≈ 0 (clicks don't drive
     // purchases there). Planted-rate-ratio recovery AND planted
     // overdispersion > 1 pinned in EngineApiSpec.
+    // ONE-COVARIATE ANCOVA (round 17): per-lang chars-per-doc
+    // ADJUSTED for token count — the anova_f family's answer to
+    // "does the group effect survive the covariate" (a language can
+    // read char-heavy only because its docs are longer). Pooled
+    // within-group slope + adjusted means on [[ancovaCore]]; exact
+    // within-group moments, micro-quantized per-group covariances,
+    // one readout division.
+    "agg_ancova" -> ((s, d) =>
+      ancovaCore(TestData.documents(s, d)
+        .select(col("lang").as("g"), col("n_chars").as("y"),
+          size(split(col("text"), " ")).cast("long").as("x")))),
+
     // ONE-REGRESSOR GAMMA GLM (round 17, VERDICT r16 #5): the
     // revenue-per-user model — per-user purchase spend (EXACT
     // integer cents, per-event floor(value·100 + 0.5) BEFORE the
@@ -3821,6 +3882,45 @@ object Stats {
        |  FROM ${cur}e)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // ANCOVA mirrored: exact within-group moments, per-group
+    // micro-quantized covariances (negative-safe floor), one pooled
+    // readout division, adjusted means in identical op order.
+    "agg_ancova" ->
+      """WITH u AS (
+        |  SELECT lang AS g, n_chars AS y,
+        |    len(string_split(text, ' '))::BIGINT AS x
+        |  FROM documents),
+        |grp AS (
+        |  SELECT g, count(*)::BIGINT AS n_g, sum(y)::BIGINT AS sy,
+        |    sum(x)::BIGINT AS sx, sum(x * y)::BIGINT AS sxy,
+        |    sum(x * x)::BIGINT AS sxx
+        |  FROM u GROUP BY 1),
+        |gq AS (
+        |  SELECT *,
+        |    floor((n_g * sxy - sx * sy)::DOUBLE / n_g::DOUBLE
+        |      * 1000000 + 0.5)::BIGINT AS sxy_u,
+        |    floor((n_g * sxx - sx * sx)::DOUBLE / n_g::DOUBLE
+        |      * 1000000 + 0.5)::BIGINT AS sxx_u
+        |  FROM grp),
+        |tot AS (
+        |  SELECT sum(n_g)::BIGINT AS nn, sum(sx)::BIGINT AS sx_all,
+        |    sum(sxy_u)::BIGINT AS ssxy_u, sum(sxx_u)::BIGINT AS ssxx_u
+        |  FROM gq)
+        |SELECT g, n_g,
+        |  floor(sy::DOUBLE / n_g::DOUBLE * 10000 + 0.5) / 10000
+        |    AS mean_y,
+        |  floor(sx::DOUBLE / n_g::DOUBLE * 10000 + 0.5) / 10000
+        |    AS mean_x,
+        |  CASE WHEN ssxx_u > 0 THEN
+        |    floor(ssxy_u::DOUBLE / ssxx_u::DOUBLE * 10000 + 0.5) / 10000
+        |    END AS slope_within,
+        |  CASE WHEN ssxx_u > 0 THEN
+        |    floor((sy::DOUBLE / n_g::DOUBLE
+        |      - (ssxy_u::DOUBLE / ssxx_u::DOUBLE)
+        |        * (sx::DOUBLE / n_g::DOUBLE
+        |          - sx_all::DOUBLE / nn::DOUBLE)) * 10000 + 0.5) / 10000
+        |    END AS adj_mean_y
+        |FROM gq CROSS JOIN tot ORDER BY g""".stripMargin,
     // Gamma IRLS: per-user spend-cents units MATERIALIZED (per-event
     // cent floors BEFORE the user sum), ln-mean seed, three
     // generated identical rounds, mirrored readout.

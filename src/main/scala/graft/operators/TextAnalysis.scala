@@ -203,6 +203,53 @@ object TextAnalysis {
     * (doc_id, text); shared by `text_heaps_law` and
     * `GraftEngine.heapsLaw`.
     */
+  /** Zipf rank-frequency fit core (see `text_zipf_fit`): input a
+    * (word, n) frequency table, output the log-log OLS slope (≈ −1
+    * under Zipf's law), ln-intercept and r² — the corpus-shape
+    * readout next to [[heapsFit]]'s vocabulary growth (a corpus
+    * whose slope drifts shallow is template/boilerplate-heavy; a
+    * steep one is dominated by few types). Ranks ride
+    * [[Curation.rangedRank]] (bounded task size at any vocab — a
+    * monolithic vocab window is the skewed-window killer the r12
+    * win_cumulative re-plan removed); both logs quantized ×1e4 at
+    * their definition sites (the bound: types·(ln V·1e4)² < 2^63 ⇒
+    * V ≤ ~2e8 types — far past any real vocabulary), centered
+    * moments assembled double-first (no n·Σx² BIGINT overflow, the
+    * durbin_watson recipe). Degenerate single-type tables read NULL.
+    * Shared with `GraftEngine.zipfFit`.
+    */
+  private[graft] def zipfCore(freqs: DataFrame): DataFrame = {
+    val ranked = Curation.rangedRank(
+      freqs.withColumn("g", lit(0)), "g",
+      Seq(col("n").desc, col("word")), "rank")
+    val pts = ranked
+      .withColumn("x_u",
+        floor(log(col("rank").cast("double")) * 10000 + 0.5).cast("long"))
+      .withColumn("y_u",
+        floor(log(col("n").cast("double")) * 10000 + 0.5).cast("long"))
+    val a = pts.agg(count(lit(1)).as("nt"),
+      sum("x_u").as("sx"), sum("y_u").as("sy"),
+      sum(col("x_u") * col("y_u")).as("sxy"),
+      sum(col("x_u") * col("x_u")).as("sxx"),
+      sum(col("y_u") * col("y_u")).as("syy"))
+    val cxy = col("nt").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val cxx = col("nt").cast("double") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val cyy = col("nt").cast("double") * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    a.withColumn("slope", when(cxx > 0, cxy / cxx))
+      .select(col("nt").as("n_types"),
+        when(col("slope").isNotNull, r4(col("slope"))).as("slope"),
+        when(col("slope").isNotNull, r4(
+          (col("sy").cast("double") / col("nt").cast("double")
+            - col("slope")
+              * (col("sx").cast("double") / col("nt").cast("double")))
+            / 10000.0)).as("intercept_ln"),
+        when(col("slope").isNotNull && cyy > 0,
+          r4(cxy * cxy / (cxx * cyy))).as("r2"))
+  }
+
   private[graft] def heapsFit(docs0: DataFrame): DataFrame = {
     val docs = docs0
       .select(col("doc_id"), col("text"),
@@ -543,6 +590,19 @@ object TextAnalysis {
     "text_heaps_law" -> ((s, d) =>
       heapsFit(TestData.documents(s, d)
         .select(col("doc_id"), col("text")))),
+
+    // ZIPF RANK-FREQUENCY FIT (round 17): the law heaps_law's growth
+    // curve presumes — log-log OLS slope over the word frequency
+    // table's (rank, freq) points (≈ −1 on natural text; shallow =
+    // boilerplate-heavy, steep = few-types-dominate). Full protocol
+    // on [[zipfCore]] (rangedRank, ×1e4 log quantizers, double-first
+    // centered moments). Planted exact power law recovers its slope
+    // to r4 (PropertySpec).
+    "text_zipf_fit" -> ((s, d) =>
+      zipfCore(TestData.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("n")))),
 
     // VOCAB COVERAGE (round 13): the tokenizer-budget curve — what
     // fraction of RUNNING TEXT does the top-N vocabulary cover, per
@@ -1427,6 +1487,44 @@ object TextAnalysis {
     // the Spark side's rangedRank/shardedPrefixSum reconstruction is
     // bit-identical by contract. Both logs micro-quantized before
     // the exact-BIGINT OLS sums; intercept mirrored op-for-op.
+    // Zipf mirrored: monolithic rank window (bit-identical to
+    // rangedRank by its contract), x1e4 log quantizers, double-first
+    // centered moments, guarded readout.
+    "text_zipf_fit" ->
+      """WITH w AS (
+        |  SELECT word, count(*)::BIGINT AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word
+        |    FROM documents)
+        |  WHERE length(word) > 0 GROUP BY 1),
+        |r AS (
+        |  SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rank
+        |  FROM w),
+        |p AS (
+        |  SELECT floor(ln(rank::DOUBLE) * 10000 + 0.5)::BIGINT AS x_u,
+        |    floor(ln(n::DOUBLE) * 10000 + 0.5)::BIGINT AS y_u
+        |  FROM r),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS nt, sum(x_u)::BIGINT AS sx,
+        |    sum(y_u)::BIGINT AS sy, sum(x_u * y_u)::BIGINT AS sxy,
+        |    sum(x_u * x_u)::BIGINT AS sxx, sum(y_u * y_u)::BIGINT AS syy
+        |  FROM p),
+        |b AS (
+        |  SELECT *,
+        |    nt::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS cxy,
+        |    nt::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS cxx,
+        |    nt::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS cyy
+        |  FROM a)
+        |SELECT nt AS n_types,
+        |  CASE WHEN cxx > 0 THEN
+        |    floor(cxy / cxx * 10000 + 0.5) / 10000 END AS slope,
+        |  CASE WHEN cxx > 0 THEN
+        |    floor((sy::DOUBLE / nt::DOUBLE
+        |      - (cxy / cxx) * (sx::DOUBLE / nt::DOUBLE)) / 10000.0
+        |      * 10000 + 0.5) / 10000 END AS intercept_ln,
+        |  CASE WHEN cxx > 0 AND cyy > 0 THEN
+        |    floor(cxy * cxy / (cxx * cyy) * 10000 + 0.5) / 10000
+        |    END AS r2
+        |FROM b""".stripMargin,
     "text_heaps_law" ->
       """WITH d AS (
         |  SELECT doc_id, text,

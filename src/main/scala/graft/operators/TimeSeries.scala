@@ -4729,6 +4729,53 @@ object TimeSeries {
     // integers, micro-quantized before the sum; MAE numerator is an
     // exact ×128 BIGINT. Everything after the first aggregate is
     // hour-grid-sized (observation-window-bounded) at any corpus.
+    // EWMA CONTROL CHART (round 17): the monitoring member between
+    // bollinger (rolling bands) and cusum (drift accumulator) — the
+    // exponentially-weighted mean with ±3σ·√(λ/(2−λ)) steady-state
+    // control limits (λ = 1/2 ⇒ the band is √3·σ), the standard
+    // small-shift detector (Roberts '59). z_t unrolls to EXACT ×256
+    // binary-fraction taps (128, 64, …, 2 with the tail absorbing
+    // the seed mass — the SES recipe), fanned out by the gap-safe
+    // (hr + tap) shift with the all-8-taps gate; μ/σ from exact
+    // global sufficient stats; the flag compares mirrored doubles.
+    // Emits only breach hours (empty result = healthy series).
+    "ts_ewma_anomaly" -> ((s, d) => {
+      import s.implicits._
+      val hourly = TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+        .ckpt() // tap fan-out + stats + the current-hour join
+      val weights = Seq((0, 128L), (1, 64L), (2, 32L), (3, 16L),
+        (4, 8L), (5, 4L), (6, 2L), (7, 2L)).toDF("tap", "w256")
+      val z = hourly.crossJoin(broadcast(weights))
+        .select((col("hr") + col("tap")).as("hr"),
+          (col("cnt") * col("w256")).as("c256"))
+        .groupBy("hr")
+        .agg(sum("c256").as("z256"), count(lit(1)).as("n_taps"))
+        .filter(col("n_taps") === 8)
+      val st = hourly.agg(count(lit(1)).as("n"), sum("cnt").as("sx"),
+        sum(col("cnt") * col("cnt")).as("sxx"))
+      val mean = col("sx").cast("double") / col("n").cast("double")
+      val va = ((col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double")
+          / col("n").cast("double"))
+        / (col("n") - 1).cast("double"))
+      hourly.join(z, "hr")
+        .crossJoin(broadcast(st))
+        .withColumn("sd", when(col("n") > 1 && va > 0, sqrt(va)))
+        .withColumn("lcl", when(col("sd").isNotNull,
+          mean - col("sd") * sqrt(lit(3.0))))
+        .withColumn("ucl", when(col("sd").isNotNull,
+          mean + col("sd") * sqrt(lit(3.0))))
+        .filter(col("sd").isNotNull
+          && (col("z256").cast("double") / 256.0 > col("ucl")
+            || col("z256").cast("double") / 256.0 < col("lcl")))
+        .select(col("hr"), col("cnt"),
+          r4(col("z256").cast("double") / 256.0).as("ewma"),
+          r4(col("lcl")).as("lcl"), r4(col("ucl")).as("ucl"))
+        .orderBy("hr")
+    }),
+
     "ts_ses_backtest" -> ((s, d) => {
       import s.implicits._
       val hourly = TestData.events(s, d)
@@ -8546,6 +8593,45 @@ object TimeSeries {
         |FROM t ORDER BY hr""".stripMargin,
     // Same tap fan-out over the hour grid (equi-join, HAVING = 8),
     // ×128 integer forecast, micro-quantized sMAPE terms.
+    // EWMA chart mirrored: (hr + tap) fan-out, all-8-taps gate,
+    // sufficient-stat mu/sigma, the sqrt(3)*sigma band comparison on
+    // identical doubles; only breach hours emitted.
+    "ts_ewma_anomaly" ->
+      """WITH h AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT * FROM (VALUES (0, 128), (1, 64), (2, 32),
+        |  (3, 16), (4, 8), (5, 4), (6, 2), (7, 2)) AS t(tap, w256)),
+        |z AS (
+        |  SELECT hr, sum(c256)::BIGINT AS z256,
+        |    count(*)::BIGINT AS n_taps
+        |  FROM (SELECT h.hr + w.tap AS hr,
+        |          (h.cnt * w.w256)::BIGINT AS c256
+        |        FROM h CROSS JOIN w)
+        |  GROUP BY 1 HAVING count(*) = 8),
+        |st AS (
+        |  SELECT count(*)::BIGINT AS n, sum(cnt)::BIGINT AS sx,
+        |    sum(cnt * cnt)::BIGINT AS sxx
+        |  FROM h),
+        |fl AS (
+        |  SELECT h.hr, h.cnt, z.z256,
+        |    CASE WHEN st.n > 1
+        |      AND (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)
+        |        / (n - 1)::DOUBLE > 0 THEN
+        |      sqrt((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)
+        |        / (n - 1)::DOUBLE) END AS sd,
+        |    sx::DOUBLE / n::DOUBLE AS mean
+        |  FROM h JOIN z ON h.hr = z.hr CROSS JOIN st)
+        |SELECT hr, cnt,
+        |  floor(z256::DOUBLE / 256.0 * 10000 + 0.5) / 10000 AS ewma,
+        |  floor((mean - sd * sqrt(3.0)) * 10000 + 0.5) / 10000 AS lcl,
+        |  floor((mean + sd * sqrt(3.0)) * 10000 + 0.5) / 10000 AS ucl
+        |FROM fl
+        |WHERE sd IS NOT NULL
+        |  AND (z256::DOUBLE / 256.0 > mean + sd * sqrt(3.0)
+        |    OR z256::DOUBLE / 256.0 < mean - sd * sqrt(3.0))
+        |ORDER BY hr""".stripMargin,
     "ts_ses_backtest" ->
       """WITH hourly AS (
         |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*)::BIGINT AS cnt

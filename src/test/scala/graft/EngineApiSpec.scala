@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 232, "documented facade count drifted; methods: "
+    assert(names.length === 234, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -2198,6 +2198,65 @@ class EngineApiSpec extends SparkSpec {
       (0L, 1L), (28L, 1L), (0L, 2L), (28L, 2L))).toDF("y", "x")
     val o = engine.poissonGlm(over, "y", "x").collect()(0)
     assert(o.getAs[Double]("dispersion") > 5.0)
+  }
+
+  test("ancova facade matches its key; balanced covariate leaves means; exact case") {
+    val d = sf("sf0.001")
+    import spark.implicits._
+    val u = TestData.documents(spark, d)
+      .select($"lang".as("g"), $"n_chars".as("y"),
+        size(split($"text", " ")).cast("long").as("x"))
+    assert(engine.ancova(u, "g", "y", "x").collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("agg_ancova")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // exact hand case: y = 10x + group offset; the pooled slope is
+    // exactly 10 and the adjusted means recover the offsets shifted
+    // by the grand-mean anchoring
+    val planted = Seq(
+      ("a", 100L, 10L), ("a", 120L, 12L), ("a", 140L, 14L),
+      ("b", 205L, 10L), ("b", 225L, 12L), ("b", 245L, 14L))
+      .toDF("g", "y", "x")
+    val r = engine.ancova(planted, "g", "y", "x").collect()
+      .map(row => row.getAs[String]("g") -> row).toMap
+    assert(r("a").getAs[Double]("slope_within") === 10.0)
+    // both groups share x̄_g = x̄ ⇒ adjusted ≡ raw means exactly
+    assert(r("a").getAs[Double]("adj_mean_y")
+      === r("a").getAs[Double]("mean_y"))
+    assert(r("b").getAs[Double]("adj_mean_y")
+      - r("a").getAs[Double]("adj_mean_y") === 105.0)
+    // fixture sanity: adjusted means collapse toward each other
+    // (token count explains most of the raw per-lang chars spread)
+    val fx = SparkEntry.queries("agg_ancova")(spark, d).collect()
+    val raw = fx.map(_.getAs[Double]("mean_y"))
+    val adj = fx.map(_.getAs[Double]("adj_mean_y"))
+    assert(adj.max - adj.min < raw.max - raw.min,
+      s"adjustment must shrink the spread: raw $raw adj $adj")
+  }
+
+  test("zipfFit facade matches its key; planted power law recovers its slope") {
+    val d = sf("sf0.001")
+    import spark.implicits._
+    val freqs = TestData.documents(spark, d)
+      .select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    assert(engine.zipfFit(freqs, "word", "n").collect().map(_.toSeq).toSeq
+      === SparkEntry.queries("text_zipf_fit")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // planted exact Zipf: n(rank) = round(1e6 / rank) over 200 types
+    // fits slope ≈ −1 with r² ≈ 1
+    val planted = (1 to 200)
+      .map(r => (f"w$r%04d", math.round(1e6 / r)))
+      .toDF("word", "n")
+    val z = engine.zipfFit(planted, "word", "n").collect()(0)
+    assert(math.abs(z.getAs[Double]("slope") + 1.0) < 0.01, z)
+    assert(z.getAs[Double]("r2") > 0.999, z)
+    // planted slope −2 (freq ∝ rank⁻²)
+    val steep = (1 to 200)
+      .map(r => (f"w$r%04d", math.round(1e9 / (r.toLong * r))))
+      .toDF("word", "n")
+    val z2 = engine.zipfFit(steep, "word", "n").collect()(0)
+    assert(math.abs(z2.getAs[Double]("slope") + 2.0) < 0.01, z2)
   }
 
   test("crossCorrelation: matches its key, planted lag argmax, lag-0 symmetry") {

@@ -620,6 +620,47 @@ class PropertySpec extends SparkSpec {
       s"descent checkpoint count drifted (structure changed?): ${buf.length}")
   }
 
+  test("katz centrality: top-20 well-formed, hubs outrank, exact leaf closed form") {
+    val rows = GraphOps.defs("graph_katz_centrality")(spark, sfDir)
+      .select("vec_id", "degree", "katz_u")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length === 20)
+    // descending by katz_u with the id tie-break
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._3 > b._3 || (a._3 == b._3 && a._1 < b._1) })
+    // every node starts at 1e6 and only gains from in-walks
+    assert(rows.forall(_._3 >= 1000000L))
+    // the top node must be a hub: its degree clears the median
+    // degree of the listed 20 (walk counting rewards connectivity)
+    val degs = rows.map(_._2).sorted
+    assert(rows.head._2 >= degs(degs.length / 2),
+      s"top katz node should be a hub: ${rows.head} vs $degs")
+  }
+
+  test("ewma anomaly: breaches genuinely exit the band; chart well-formed") {
+    val rows = TimeSeries.defs("ts_ewma_anomaly")(spark, sfDir)
+      .select("hr", "cnt", "ewma", "lcl", "ucl")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    // every emitted row is a true breach of ITS OWN band, and the
+    // band is the same (global steady-state limits) on every row
+    rows.foreach { r =>
+      assert(r._3 > r._5 || r._3 < r._4, s"non-breach emitted: $r")
+      assert(r._4 < r._5)
+    }
+    if (rows.length >= 2) {
+      assert(rows.map(_._4).distinct.length === 1)
+      assert(rows.map(_._5).distinct.length === 1)
+    }
+    // the smoothed value lives inside the observed count range
+    val hourly = TestData.events(spark, sfDir)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(min("cnt"), max("cnt")).as[(Long, Long)].collect()(0)
+    rows.foreach { r =>
+      assert(r._3 >= hourly._1 - 1 && r._3 <= hourly._2 + 1, r)
+    }
+  }
+
   test("sampled betweenness: star center dominates every leaf") {
     // planted star: center 0, leaves 1..20, seeds = leaves 1..8.
     // Every leaf-leaf shortest path crosses the center; no leaf lies
