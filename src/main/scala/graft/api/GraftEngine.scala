@@ -3720,6 +3720,30 @@ class GraftEngine(val spark: SparkSession) {
   def delongAucCi(scored: DataFrame): DataFrame =
     TextOps.delongAucCi(scored)
 
+  /** Paired DeLong comparison of two detectors' AUCs on the same
+    * scored pairs (see `eval_delong_compare`): input (id_a, id_b,
+    * detector, score_u, is_pos) rows where BOTH named detectors
+    * score the identical pair set; output ΔAUC with the paired
+    * standard error (placement cross-covariances), z and the
+    * Lin-approximate two-sided p. Degenerate m ≤ 1 or n ≤ 1 reads
+    * NULL.
+    */
+  def delongCompare(scored: DataFrame, detA: String,
+                    detB: String): DataFrame =
+    TextOps.delongCompare(scored, detA, detB)
+
+  /** BIC-approximate Bayes factor for a two-arm binomial A/B (see
+    * `events_ab_bayes_factor`) over (t: 0/1, conv: 0/1) unit rows:
+    * BF₁₀ ≈ exp(lnL₁ − lnL₀ − ½lnN). Unlike a p-value, BF ≪ 1
+    * QUANTIFIES support for "the arms are the same". Degenerate
+    * empty arms read NULL.
+    */
+  def bayesFactorAb(df: DataFrame, armCol: String,
+                    convCol: String): DataFrame =
+    graft.operators.TimeSeries.bayesFactorCore(
+      df.select(col(armCol).cast("int").as("t"),
+        col(convCol).cast("long").as("conv")))
+
   /** RAKE keyword extraction (see `text_rake_keywords`) over
     * (doc_id, `textCol`) rows: maximal stopword-free token runs,
     * word score deg/freq (DIV-quantized to 1e-6), phrase score =

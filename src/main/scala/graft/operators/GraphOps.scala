@@ -1413,6 +1413,37 @@ object GraphOps {
     "graph_adamic_adar" -> ((s, d) =>
       adamicAdarCore(fixtureKnnEdges(s, d), 20)),
 
+    // NEIGHBOR JACCARD SIMILARITY (round 17): structural node
+    // similarity over the kNN graph — J(x, y) = |N(x) ∩ N(y)| /
+    // |N(x) ∪ N(y)| for every co-neighbor pair (the SimRank-lite
+    // readout; adamic_adar weights the same wedges for LINK
+    // PREDICTION, this scores SIMILARITY including already-linked
+    // pairs). Same bounded wedge join off the memoized adjacency;
+    // the union size is the exact integer dx + dy − common, J is a
+    // positive-int DIV micro ratio, top-20 via sort+limit
+    // (TakeOrderedAndProject).
+    "graph_neighbor_jaccard" -> ((s, d) => {
+      val edges = fixtureKnnEdges(s, d)
+      val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+        .ckpt() // degrees + both wedge sides
+      val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+      val e1 = adj.select(col("src").as("z"), col("dst").as("x"))
+      val e2 = adj.select(col("src").as("z2"), col("dst").as("y"))
+      e1.join(e2, col("z") === col("z2") && col("x") < col("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("n_common"))
+        .join(deg.select(col("src").as("x"), col("deg").as("dx")),
+          Seq("x"))
+        .join(deg.select(col("src").as("y"), col("deg").as("dy")),
+          Seq("y"))
+        .withColumn("j_u",
+          expr("n_common * 1000000 DIV (dx + dy - n_common)"))
+        .withColumn("jaccard", TestData.r4(col("j_u") / 1000000.0))
+        .orderBy(col("j_u").desc, col("x"), col("y"))
+        .limit(20)
+        .select("x", "y", "n_common", "dx", "dy", "j_u", "jaccard")
+    }),
+
     // K-OCCURRENCE HUBNESS (round 15): the skewness of the DIRECTED
     // kNN in-degree ("how many top-3 lists does this vector sit
     // in") — the standard high-dimensionality pathology detector for
@@ -2444,6 +2475,29 @@ object GraphOps {
         |  ON n.vec_id = c.dst)
         |SELECT vec_id, r::BIGINT AS rank_u, (r::DOUBLE / 1000000.0) AS rank
         |FROM r3 ORDER BY vec_id""".stripMargin,
+    // Neighbor Jaccard mirrored: the same wedge join, exact union
+    // size, positive-int // micro ratio, top-20 by (j_u DESC, x, y).
+    "graph_neighbor_jaccard" ->
+      s"""$EdgesCte,
+        |adj AS (
+        |  SELECT a AS src, b AS dst FROM edges
+        |  UNION ALL SELECT b, a FROM edges),
+        |dg AS (SELECT src, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+        |pr AS (
+        |  SELECT e1.dst AS x, e2.dst AS y, count(*)::BIGINT AS n_common
+        |  FROM adj e1 JOIN adj e2
+        |    ON e1.src = e2.src AND e1.dst < e2.dst
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT pr.x, pr.y, pr.n_common,
+        |    dx.deg AS dx, dy.deg AS dy,
+        |    (pr.n_common * 1000000
+        |      // (dx.deg + dy.deg - pr.n_common))::BIGINT AS j_u
+        |  FROM pr JOIN dg dx ON pr.x = dx.src
+        |  JOIN dg dy ON pr.y = dy.src)
+        |SELECT x, y, n_common, dx, dy, j_u,
+        |  floor(j_u / 1000000.0 * 10000 + 0.5) / 10000 AS jaccard
+        |FROM j ORDER BY j_u DESC, x, y LIMIT 20""".stripMargin,
     // Katz: 3 unrolled integer rounds, alpha = 1/32 as positive-int
     // DIV, top-20 by (katz_u DESC, vec_id).
     "graph_katz_centrality" ->

@@ -702,6 +702,120 @@ object TextOps {
       .orderBy("detector")
   }
 
+  /** PAIRED DeLong comparison of two detectors' AUCs on the SAME
+    * scored pairs (see `eval_delong_compare`): [[delongAucCi]] gives
+    * each detector an error bar, but "is simhash better than
+    * jaccard" needs the PAIRED variance — the two detectors score
+    * identical pairs, so their placement values are correlated and
+    * Var(Â₁−Â₂) = [S10₁+S10₂−2S10₁₂]/m + [S01₁+S01₂−2S01₁₂]/n with
+    * the cross-covariances S₁₂ over per-pair placement PAIRS. Each
+    * pair's placement (2n-unit v10 for positives, 2m-unit v01 for
+    * negatives) comes from its detector's cell grid; the wide
+    * per-pair frame carries both detectors' placements; deviation
+    * products are nano-quantized per pair (negative-safe IEEE floor
+    * — cross products CAN be negative) before the exact BIGINT sums.
+    * z = ΔAUC/se; two-sided p via the Lin exp approximation (the
+    * bh_fdr protocol — the only transcendental). Degenerate m ≤ 1 or
+    * n ≤ 1 reads NULL. Requires both detectors to score EXACTLY the
+    * same pair set with the same labels (the planted corpus does).
+    * Shared with `GraftEngine.delongCompare`.
+    */
+  private[graft] def delongCompare(scored: DataFrame, detA: String,
+                                   detB: String): DataFrame = {
+    val W = Window.partitionBy("detector").orderBy("score_u")
+    val Wd = Window.partitionBy("detector").orderBy(col("score_u").desc)
+    val grid = scored
+      .filter(col("detector").isin(detA, detB))
+      .groupBy("detector", "score_u")
+      .agg(sum("is_pos").as("pos"),
+        sum(lit(1L) - col("is_pos")).as("neg"))
+      .withColumn("cum_neg_lt", coalesce(sum("neg").over(
+        W.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cum_pos_gt", coalesce(sum("pos").over(
+        Wd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("detector").as("gdet"), col("score_u").as("gs"),
+        (lit(2L) * col("cum_neg_lt") + col("neg")).as("v10_2"),
+        (lit(2L) * col("cum_pos_gt") + col("pos")).as("v01_2"))
+    val wide = scored
+      .filter(col("detector").isin(detA, detB))
+      .join(broadcast(grid),
+        col("detector") === col("gdet") && col("score_u") === col("gs"))
+      .select(col("id_a"), col("id_b"), col("detector"), col("is_pos"),
+        when(col("is_pos") === 1, col("v10_2")).otherwise(col("v01_2"))
+          .as("v2"))
+      .groupBy("id_a", "id_b", "is_pos")
+      .agg(max(when(col("detector") === detA, col("v2"))).as("va"),
+        max(when(col("detector") === detB, col("v2"))).as("vb"))
+      .ckpt() // the (m, n, auc2) aggregate + the dev-product pass
+    val tot = wide.agg(
+      sum(col("is_pos")).as("m"),
+      sum(lit(1L) - col("is_pos")).as("n"),
+      sum(when(col("is_pos") === 1, col("va")).otherwise(0L)).as("a2a"),
+      sum(when(col("is_pos") === 1, col("vb")).otherwise(0L)).as("a2b"))
+    def dev(v: org.apache.spark.sql.Column,
+            a2: org.apache.spark.sql.Column,
+            scaleBy: org.apache.spark.sql.Column) =
+      ((scaleBy * v - a2).cast("double")
+        / (lit(2.0) * (col("m") * col("n")).cast("double")))
+    val t = wide.crossJoin(broadcast(tot))
+      .withColumn("da", when(col("is_pos") === 1,
+        dev(col("va"), col("a2a"), col("m")))
+        .otherwise(dev(col("va"), col("a2a"), col("n"))))
+      .withColumn("db", when(col("is_pos") === 1,
+        dev(col("vb"), col("a2b"), col("m")))
+        .otherwise(dev(col("vb"), col("a2b"), col("n"))))
+      .select(col("is_pos"),
+        floor(col("da") * col("da") * 1000000000L + 0.5).cast("long")
+          .as("taa"),
+        floor(col("db") * col("db") * 1000000000L + 0.5).cast("long")
+          .as("tbb"),
+        floor(col("da") * col("db") * 1000000000L + 0.5).cast("long")
+          .as("tab"))
+      .groupBy("is_pos")
+      .agg(sum("taa").as("saa"), sum("tbb").as("sbb"),
+        sum("tab").as("sab"))
+    val piv = t.agg(
+        max(when(col("is_pos") === 1, col("saa"))).as("s10a"),
+        max(when(col("is_pos") === 1, col("sbb"))).as("s10b"),
+        max(when(col("is_pos") === 1, col("sab"))).as("s10ab"),
+        max(when(col("is_pos") === 0, col("saa"))).as("s01a"),
+        max(when(col("is_pos") === 0, col("sbb"))).as("s01b"),
+        max(when(col("is_pos") === 0, col("sab"))).as("s01ab"))
+      .crossJoin(broadcast(tot))
+    val varRaw = ((col("s10a") + col("s10b") - lit(2L) * col("s10ab"))
+        .cast("double") / 1.0e9
+        / (col("m") - 1L).cast("double") / col("m").cast("double")
+      + (col("s01a") + col("s01b") - lit(2L) * col("s01ab"))
+        .cast("double") / 1.0e9
+        / (col("n") - 1L).cast("double") / col("n").cast("double"))
+    val diffRaw = ((col("a2a") - col("a2b")).cast("double")
+      / (lit(2.0) * (col("m") * col("n")).cast("double")))
+    val seRaw = sqrt(greatest(varRaw, lit(0.0)))
+    val zRaw = diffRaw / seRaw
+    piv
+      .withColumn("auc_a", when(col("m") > 0 && col("n") > 0,
+        r4(col("a2a").cast("double")
+          / (lit(2.0) * (col("m") * col("n")).cast("double")))))
+      .withColumn("auc_b", when(col("m") > 0 && col("n") > 0,
+        r4(col("a2b").cast("double")
+          / (lit(2.0) * (col("m") * col("n")).cast("double")))))
+      .withColumn("auc_diff",
+        when(col("m") > 0 && col("n") > 0, r4(diffRaw)))
+      .withColumn("se_diff",
+        when(col("m") > 1 && col("n") > 1, r4(seRaw)))
+      .withColumn("z", when(col("m") > 1 && col("n") > 1
+        && seRaw > 0, r4(zRaw)))
+      .withColumn("p_approx", when(col("m") > 1 && col("n") > 1
+        && seRaw > 0, r4(least(lit(1.0),
+          lit(2.0) * exp(lit(-0.717) * abs(zRaw)
+            - lit(0.416) * zRaw * zRaw)))))
+      .withColumn("significant_95",
+        when(col("p_approx").isNotNull, col("p_approx") < 0.05))
+      .select(col("m").as("n_pos"), col("n").as("n_neg"),
+        col("auc_a"), col("auc_b"), col("auc_diff"), col("se_diff"),
+        col("z"), col("p_approx"), col("significant_95"))
+  }
+
   /** Log-loss / cross-entropy core (see `eval_log_loss`): input
     * (score_u: 1e-4 units, is_pos: 0/1) rows; cell-grid ε-clipped
     * ln terms micro-quantized once per distinct score. Shared with
@@ -1049,6 +1163,16 @@ object TextOps {
     // per-detector sum. Rides the memoized scored-pair stage.
     "eval_auc_ci" -> ((s, d) =>
       delongAucCi(plantedDetectorScores(s, d))),
+
+    // PAIRED DeLong AUC COMPARISON (round 17): the verdict the CI
+    // key stops short of — jaccard and simhash score the SAME pairs,
+    // so "which detector is better" is a PAIRED test (placement
+    // values are correlated; unpaired CIs overlap long after the
+    // paired difference is significant). Cross-covariances from the
+    // per-pair placement frame; see [[delongCompare]]. Rides the
+    // memoized scored-pair stage.
+    "eval_delong_compare" -> ((s, d) =>
+      delongCompare(plantedDetectorScores(s, d), "jaccard", "simhash")),
 
     // KS SEPARATION (round 16): the decision-theoretic member of the
     // detector-eval triad — AUC ranks (average over all thresholds),
@@ -1896,6 +2020,109 @@ object TextOps {
     // integer numerators (m·v10_2 − auc2_num), squared terms
     // nano-quantized per cell in identical op order, one readout row
     // per detector. Every windowed sum ::BIGINT.
+    // Paired DeLong mirrored: id-carrying scored pairs from the same
+    // jac/simp CTEs, per-detector placement grid, the wide per-pair
+    // frame, nano-quantized deviation products, mirrored readout
+    // (the significance flag compares the r4'd p on both sides).
+    "eval_delong_compare" ->
+      s"""$PlantedScoredCtes,
+        |sp AS (
+        |  SELECT id_a, id_b, detector, score_u,
+        |    CASE WHEN id_b = id_a + 1000000 AND id_a % 5 = 0
+        |      THEN 1 ELSE 0 END AS is_pos
+        |  FROM (SELECT * FROM jac UNION ALL SELECT * FROM simp)),
+        |cells2 AS (
+        |  SELECT detector, score_u, sum(is_pos)::BIGINT AS pos,
+        |    sum(1 - is_pos)::BIGINT AS neg
+        |  FROM sp GROUP BY 1, 2),
+        |g2 AS (
+        |  SELECT detector AS gdet, score_u AS gs,
+        |    (2 * (coalesce(sum(neg) OVER (PARTITION BY detector
+        |      ORDER BY score_u
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |      ::BIGINT + neg)::BIGINT AS v10_2,
+        |    (2 * (coalesce(sum(pos) OVER (PARTITION BY detector
+        |      ORDER BY score_u DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |      ::BIGINT + pos)::BIGINT AS v01_2
+        |  FROM cells2),
+        |wd AS (
+        |  SELECT sp.id_a, sp.id_b, sp.is_pos,
+        |    max(CASE WHEN sp.detector = 'jaccard' THEN
+        |      CASE WHEN sp.is_pos = 1 THEN g2.v10_2 ELSE g2.v01_2 END
+        |      END)::BIGINT AS va,
+        |    max(CASE WHEN sp.detector = 'simhash' THEN
+        |      CASE WHEN sp.is_pos = 1 THEN g2.v10_2 ELSE g2.v01_2 END
+        |      END)::BIGINT AS vb
+        |  FROM sp JOIN g2
+        |    ON sp.detector = g2.gdet AND sp.score_u = g2.gs
+        |  GROUP BY 1, 2, 3),
+        |tt AS (
+        |  SELECT sum(is_pos)::BIGINT AS m,
+        |    sum(1 - is_pos)::BIGINT AS n,
+        |    sum(CASE WHEN is_pos = 1 THEN va ELSE 0 END)::BIGINT AS a2a,
+        |    sum(CASE WHEN is_pos = 1 THEN vb ELSE 0 END)::BIGINT AS a2b
+        |  FROM wd),
+        |dvx AS (
+        |  SELECT is_pos,
+        |    CASE WHEN is_pos = 1
+        |      THEN (m * va - a2a)::DOUBLE / (2.0 * (m * n)::DOUBLE)
+        |      ELSE (n * va - a2a)::DOUBLE / (2.0 * (m * n)::DOUBLE)
+        |      END AS da,
+        |    CASE WHEN is_pos = 1
+        |      THEN (m * vb - a2b)::DOUBLE / (2.0 * (m * n)::DOUBLE)
+        |      ELSE (n * vb - a2b)::DOUBLE / (2.0 * (m * n)::DOUBLE)
+        |      END AS db
+        |  FROM wd CROSS JOIN tt),
+        |tq AS (
+        |  SELECT is_pos,
+        |    sum(floor(da * da * 1000000000 + 0.5)::BIGINT)::BIGINT
+        |      AS saa,
+        |    sum(floor(db * db * 1000000000 + 0.5)::BIGINT)::BIGINT
+        |      AS sbb,
+        |    sum(floor(da * db * 1000000000 + 0.5)::BIGINT)::BIGINT
+        |      AS sab
+        |  FROM dvx GROUP BY 1),
+        |pv AS (
+        |  SELECT
+        |    max(CASE WHEN is_pos = 1 THEN saa END)::BIGINT AS s10a,
+        |    max(CASE WHEN is_pos = 1 THEN sbb END)::BIGINT AS s10b,
+        |    max(CASE WHEN is_pos = 1 THEN sab END)::BIGINT AS s10ab,
+        |    max(CASE WHEN is_pos = 0 THEN saa END)::BIGINT AS s01a,
+        |    max(CASE WHEN is_pos = 0 THEN sbb END)::BIGINT AS s01b,
+        |    max(CASE WHEN is_pos = 0 THEN sab END)::BIGINT AS s01ab
+        |  FROM tq),
+        |rd AS (
+        |  SELECT *,
+        |    (a2a - a2b)::DOUBLE / (2.0 * (m * n)::DOUBLE) AS diffr,
+        |    sqrt(greatest(
+        |      (s10a + s10b - 2 * s10ab)::DOUBLE / 1.0e9
+        |        / (m - 1)::DOUBLE / m::DOUBLE
+        |      + (s01a + s01b - 2 * s01ab)::DOUBLE / 1.0e9
+        |        / (n - 1)::DOUBLE / n::DOUBLE, 0.0)) AS ser
+        |  FROM pv CROSS JOIN tt)
+        |SELECT m AS n_pos, n AS n_neg,
+        |  CASE WHEN m > 0 AND n > 0 THEN
+        |    floor(a2a::DOUBLE / (2.0 * (m * n)::DOUBLE) * 10000 + 0.5)
+        |      / 10000 END AS auc_a,
+        |  CASE WHEN m > 0 AND n > 0 THEN
+        |    floor(a2b::DOUBLE / (2.0 * (m * n)::DOUBLE) * 10000 + 0.5)
+        |      / 10000 END AS auc_b,
+        |  CASE WHEN m > 0 AND n > 0 THEN
+        |    floor(diffr * 10000 + 0.5) / 10000 END AS auc_diff,
+        |  CASE WHEN m > 1 AND n > 1 THEN
+        |    floor(ser * 10000 + 0.5) / 10000 END AS se_diff,
+        |  CASE WHEN m > 1 AND n > 1 AND ser > 0 THEN
+        |    floor(diffr / ser * 10000 + 0.5) / 10000 END AS z,
+        |  CASE WHEN m > 1 AND n > 1 AND ser > 0 THEN
+        |    floor(least(1.0, 2.0 * exp(-0.717 * abs(diffr / ser)
+        |      - 0.416 * (diffr / ser) * (diffr / ser)))
+        |      * 10000 + 0.5) / 10000 END AS p_approx,
+        |  CASE WHEN m > 1 AND n > 1 AND ser > 0 THEN
+        |    floor(least(1.0, 2.0 * exp(-0.717 * abs(diffr / ser)
+        |      - 0.416 * (diffr / ser) * (diffr / ser)))
+        |      * 10000 + 0.5) / 10000 < 0.05 END AS significant_95
+        |FROM rd""".stripMargin,
     "eval_auc_ci" ->
       s"""$PlantedScoredCtes,
         |dlcells AS (

@@ -918,6 +918,48 @@ object TimeSeries {
       .orderBy("rel_mde_pct")
   }
 
+  /** BIC-approximate Bayes factor core (see
+    * `events_ab_bayes_factor`): input (t: 0/1 arm, conv: 0/1) unit
+    * rows, output the 1-row BF readout — exact micro-nat lnL sums,
+    * explicit 0·ln0 CASE zeros, ½lnN via positive-int DIV. Shared
+    * with `GraftEngine.bayesFactorAb`.
+    */
+  private[graft] def bayesFactorCore(u: DataFrame): DataFrame = {
+    def lnu(p: Column) =
+      floor(log(p) * 1000000 + 0.5).cast("long")
+    def llArm(x: Column, n: Column): Column = {
+      val p = x.cast("double") / n.cast("double")
+      (when(x > 0, x * lnu(p)).otherwise(0L)
+        + when(n - x > 0, (n - x) * lnu(lit(1.0) - p)).otherwise(0L))
+    }
+    u.agg(
+          sum(when(col("t") === 0, 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("t") === 1, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("t") === 0, col("conv")).otherwise(0L)).as("x_c"),
+          sum(when(col("t") === 1, col("conv")).otherwise(0L)).as("x_t"))
+        .withColumn("ll1_u", when(col("n_c") > 0 && col("n_t") > 0,
+          llArm(col("x_c"), col("n_c")) + llArm(col("x_t"), col("n_t"))))
+        .withColumn("ll0_u", when(col("n_c") + col("n_t") > 0,
+          llArm(col("x_c") + col("x_t"), col("n_c") + col("n_t"))))
+        .withColumn("lnn_u", when(col("n_c") + col("n_t") > 0,
+          floor(log((col("n_c") + col("n_t")).cast("double"))
+            * 1000000 + 0.5).cast("long")))
+        .withColumn("ln_bf10_u",
+          when(col("ll1_u").isNotNull && col("ll0_u").isNotNull,
+            col("ll1_u") - col("ll0_u") - expr("lnn_u DIV 2")))
+        .select(col("n_c"), col("n_t"), col("x_c"), col("x_t"),
+          col("ln_bf10_u"),
+          when(col("ln_bf10_u").isNotNull,
+            r4(col("ln_bf10_u").cast("double") / 1000000.0))
+            .as("ln_bf10"),
+          when(col("ln_bf10_u").isNotNull,
+            r4(exp(least(greatest(
+              col("ln_bf10_u").cast("double") / 1000000.0,
+              lit(-30.0)), lit(30.0))))).as("bf10"),
+          when(col("ln_bf10_u").isNotNull, col("ln_bf10_u") > 0)
+            .as("favors_effect"))
+    }
+
   /** Bayesian A/B core (see `events_ab_bayes`): input (t: 0/1,
     * purch: 0/1) rows, output the 2×2 + exact
     * P(p_treatment > p_control) under Beta(1,1) priors. Shared with
@@ -3537,6 +3579,29 @@ object TimeSeries {
             .as("np"))
           .select(when(col("np") >= 14, 1L).otherwise(0L).as("conv")))),
 
+    // BIC-APPROXIMATE BAYES FACTOR (round 17): the model-comparison
+    // verdict next to events_ab_significance's p-value — BF₁₀ ≈
+    // exp((BIC₀ − BIC₁)/2) = exp(lnL₁ − lnL₀ − ½lnN) (Wagenmakers
+    // '07), comparing the two-rate binomial model against the pooled
+    // one on the heavy-purchaser (≥14) response (class-balanced —
+    // the sample-size lesson). Unlike a p-value this can QUANTIFY
+    // SUPPORT FOR THE NULL (BF ≪ 1 = the arms really are the same).
+    // Every lnL term is x·(micro-nat ln p̂) with the ln quantized at
+    // its definition site and the x·ln products exact BIGINTs; the
+    // 0·ln0 limits are explicit CASE zeros (no ln(0) ever evaluated
+    // — ANSI cast of −Inf throws); ½lnN via positive-int DIV 2.
+    // ln BF₁₀ is an exact BIGINT difference; BF exponentiates the
+    // ±30-clamped micro value.
+    "events_ab_bayes_factor" -> ((s, d) =>
+      bayesFactorCore(TestData.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("np"))
+        .withColumn("t",
+          (conv(substring(md5(col("user_id").cast("string")), 1, 2),
+            16, 10).cast("int") % 2 =!= 0).cast("int"))
+        .select(col("t"),
+          when(col("np") >= 14, 1L).otherwise(0L).as("conv")))),
     // CUPED VARIANCE REDUCTION (round 8): the adjusted experiment
     // readout (Deng et al. 2013) every mature platform reports next
     // to the raw means — y_adj = y − θ(x − x̄) with the pre-period
@@ -6908,6 +6973,69 @@ object TimeSeries {
         |FROM s ORDER BY rel_mde_pct""".stripMargin,
     // θ and both means from the same BIGINT sums, identical op
     // order; lazy CASE keeps the constant-covariate NULL path.
+    // BIC Bayes factor mirrored: heavy-purchaser response, explicit
+    // 0*ln0 CASE zeros, micro-nat ln quantizers at definition sites,
+    // exact BIGINT lnL sums, // 2 on the positive lnN.
+    "events_ab_bayes_factor" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END
+        |      ::BIGINT AS conv,
+        |    CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))
+        |      ::INT % 2 <> 0 THEN 1 ELSE 0 END AS t
+        |  FROM events GROUP BY user_id),
+        |agg AS (
+        |  SELECT
+        |    sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+        |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+        |    sum(CASE WHEN t = 0 THEN conv ELSE 0 END)::BIGINT AS x_c,
+        |    sum(CASE WHEN t = 1 THEN conv ELSE 0 END)::BIGINT AS x_t
+        |  FROM pu),
+        |ll AS (
+        |  SELECT *,
+        |    CASE WHEN n_c > 0 AND n_t > 0 THEN
+        |      (CASE WHEN x_c > 0 THEN x_c * floor(ln(x_c::DOUBLE
+        |          / n_c::DOUBLE) * 1000000 + 0.5)::BIGINT ELSE 0 END
+        |       + CASE WHEN n_c - x_c > 0 THEN (n_c - x_c)
+        |          * floor(ln(1.0 - x_c::DOUBLE / n_c::DOUBLE)
+        |            * 1000000 + 0.5)::BIGINT ELSE 0 END
+        |       + CASE WHEN x_t > 0 THEN x_t * floor(ln(x_t::DOUBLE
+        |          / n_t::DOUBLE) * 1000000 + 0.5)::BIGINT ELSE 0 END
+        |       + CASE WHEN n_t - x_t > 0 THEN (n_t - x_t)
+        |          * floor(ln(1.0 - x_t::DOUBLE / n_t::DOUBLE)
+        |            * 1000000 + 0.5)::BIGINT ELSE 0 END)
+        |      END AS ll1_u,
+        |    CASE WHEN n_c + n_t > 0 THEN
+        |      (CASE WHEN x_c + x_t > 0 THEN (x_c + x_t)
+        |          * floor(ln((x_c + x_t)::DOUBLE
+        |            / (n_c + n_t)::DOUBLE) * 1000000 + 0.5)::BIGINT
+        |        ELSE 0 END
+        |       + CASE WHEN (n_c + n_t) - (x_c + x_t) > 0 THEN
+        |          ((n_c + n_t) - (x_c + x_t))
+        |          * floor(ln(1.0 - (x_c + x_t)::DOUBLE
+        |            / (n_c + n_t)::DOUBLE) * 1000000 + 0.5)::BIGINT
+        |        ELSE 0 END)
+        |      END AS ll0_u,
+        |    CASE WHEN n_c + n_t > 0 THEN
+        |      floor(ln((n_c + n_t)::DOUBLE) * 1000000 + 0.5)::BIGINT
+        |      END AS lnn_u
+        |  FROM agg),
+        |bf AS (
+        |  SELECT *,
+        |    CASE WHEN ll1_u IS NOT NULL AND ll0_u IS NOT NULL THEN
+        |      (ll1_u - ll0_u - lnn_u // 2)::BIGINT END AS ln_bf10_u
+        |  FROM ll)
+        |SELECT n_c, n_t, x_c, x_t, ln_bf10_u,
+        |  CASE WHEN ln_bf10_u IS NOT NULL THEN
+        |    floor(ln_bf10_u::DOUBLE / 1000000.0 * 10000 + 0.5) / 10000
+        |    END AS ln_bf10,
+        |  CASE WHEN ln_bf10_u IS NOT NULL THEN
+        |    floor(exp(least(greatest(ln_bf10_u::DOUBLE / 1000000.0,
+        |      -30.0), 30.0)) * 10000 + 0.5) / 10000 END AS bf10,
+        |  CASE WHEN ln_bf10_u IS NOT NULL THEN ln_bf10_u > 0
+        |    END AS favors_effect
+        |FROM bf""".stripMargin,
     "events_ab_cuped" ->
       """WITH pu AS (
         |  SELECT user_id,

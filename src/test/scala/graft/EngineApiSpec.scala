@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 234, "documented facade count drifted; methods: "
+    assert(names.length === 236, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -2198,6 +2198,66 @@ class EngineApiSpec extends SparkSpec {
       (0L, 1L), (28L, 1L), (0L, 2L), (28L, 2L))).toDF("y", "x")
     val o = engine.poissonGlm(over, "y", "x").collect()(0)
     assert(o.getAs[Double]("dispersion") > 5.0)
+  }
+
+  test("delongCompare: paired verdict, antisymmetry, matches the per-detector AUCs") {
+    val d = sf("sf0.001")
+    val scored = operators.TextOps.plantedDetectorScores(spark, d)
+    val r = engine.delongCompare(scored, "jaccard", "simhash").collect()(0)
+    assert(r.toSeq === SparkEntry.queries("eval_delong_compare")(spark, d)
+      .collect()(0).toSeq)
+    // the paired AUCs must equal the per-detector point AUCs
+    val cis = SparkEntry.queries("eval_auc_ci")(spark, d).collect()
+      .map(x => x.getAs[String]("detector") -> x.getAs[Double]("auc"))
+      .toMap
+    assert(r.getAs[Double]("auc_a") === cis("jaccard"))
+    assert(r.getAs[Double]("auc_b") === cis("simhash"))
+    // simhash dominates jaccard on the planted dups — significantly
+    assert(r.getAs[Double]("auc_diff") < 0)
+    assert(r.getAs[Boolean]("significant_95"))
+    // swapping the detectors negates the difference and z exactly
+    val sw = engine.delongCompare(scored, "simhash", "jaccard").collect()(0)
+    assert(math.abs(sw.getAs[Double]("auc_diff")
+      + r.getAs[Double]("auc_diff")) < 2e-4)
+    assert(math.abs(sw.getAs[Double]("z") + r.getAs[Double]("z")) < 2e-3)
+    assert(sw.getAs[Double]("se_diff") === r.getAs[Double]("se_diff"))
+    // a detector against itself: zero difference, zero variance
+    val self = engine.delongCompare(scored, "jaccard", "jaccard").collect()(0)
+    assert(self.getAs[Double]("auc_diff") === 0.0)
+    assert(self.getAs[Double]("se_diff") === 0.0)
+    assert(self.isNullAt(self.fieldIndex("z")))
+  }
+
+  test("bayesFactorAb: matches its key; planted effect/null verdicts") {
+    val d = sf("sf0.001")
+    import spark.implicits._
+    val u = TestData.events(spark, d)
+      .groupBy("user_id")
+      .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("np"))
+      .withColumn("t",
+        (conv(substring(md5($"user_id".cast("string")), 1, 2), 16, 10)
+          .cast("int") % 2 =!= 0).cast("int"))
+      .select($"t", when($"np" >= 14, 1L).otherwise(0L).as("conv"))
+    assert(engine.bayesFactorAb(u, "t", "conv").collect().map(_.toSeq).toSeq
+      === SparkEntry.queries("events_ab_bayes_factor")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // planted strong effect (5% vs 60% on 100/arm): BF >> 1
+    val eff = ((0 until 100).map(i => (0, if (i < 5) 1L else 0L))
+      ++ (0 until 100).map(i => (1, if (i < 60) 1L else 0L)))
+      .toDF("t", "conv")
+    val be = engine.bayesFactorAb(eff, "t", "conv").collect()(0)
+    assert(be.getAs[Boolean]("favors_effect"), be)
+    assert(be.getAs[Double]("ln_bf10") > 3.0, be)
+    // identical arms: BF < 1 (evidence FOR the null — the readout a
+    // p-value cannot give)
+    val same = (0 until 100).flatMap(i =>
+      Seq((0, if (i % 4 == 0) 1L else 0L),
+        (1, if (i % 4 == 0) 1L else 0L)))
+    val sm = engine.bayesFactorAb(same.toDF("t", "conv"), "t", "conv")
+      .collect()(0)
+    assert(!sm.getAs[Boolean]("favors_effect"), sm)
+    assert(sm.getAs[Double]("bf10") < 1.0, sm)
   }
 
   test("ancova facade matches its key; balanced covariate leaves means; exact case") {

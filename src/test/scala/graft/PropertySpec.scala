@@ -620,6 +620,23 @@ class PropertySpec extends SparkSpec {
       s"descent checkpoint count drifted (structure changed?): ${buf.length}")
   }
 
+  test("neighbor jaccard: bounded by min degree, in (0, 1], consistent with wedges") {
+    val rows = GraphOps.defs("graph_neighbor_jaccard")(spark, sfDir)
+      .select("x", "y", "n_common", "dx", "dy", "j_u")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r._1 < r._2)
+      assert(r._3 >= 1 && r._3 <= math.min(r._4, r._5),
+        s"common neighbors exceed a degree: $r")
+      assert(r._6 > 0 && r._6 <= 1000000L, s"J outside (0, 1]: $r")
+    }
+    // descending with the (x, y) tie-break
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._6 > b._6 || (a._6 == b._6
+        && (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2))) })
+  }
+
   test("katz centrality: top-20 well-formed, hubs outrank, exact leaf closed form") {
     val rows = GraphOps.defs("graph_katz_centrality")(spark, sfDir)
       .select("vec_id", "degree", "katz_u")
