@@ -5157,6 +5157,16 @@ class GraftEngine(val spark: SparkSession) {
         col(xCol).cast("long").as("x"),
         col(yCol).cast("long").as("y")))
 
+  /** Box-Cox λ selection over positive values (see
+    * `ts_box_cox_lambda`): profile log-likelihood on the λ grid
+    * {−1, −½, 0, ½, 1} with the argmax flagged — which variance-
+    * stabilizing transform to model on. Non-positive rows are
+    * excluded (the Box-Cox domain).
+    */
+  def boxCoxLambda(df: DataFrame, yCol: String): DataFrame =
+    graft.operators.TimeSeries.boxCoxCore(
+      df.select(col(yCol).cast("long").as("y")))
+
   /** Partial correlation corr(x, y | z) per group (see
     * `agg_partial_corr`), next to the marginal corr(x, y).
     */

@@ -3241,6 +3241,64 @@ object Stats {
     // grid. Degenerate nations (one-sided split, zero variance) get
     // NULL z/p and drop out of m. Monotone step-up property pinned
     // in ClosedFormProps.
+    // MANY-VS-CONTROL COMPARISONS (round 17): the Dunnett-style
+    // question — "which nations differ from the REFERENCE nation in
+    // customer spend" — with Bonferroni family-wise control (the
+    // exact Dunnett distribution needs correlation-adjusted tables;
+    // Bonferroni is the standard conservative closed form, and the
+    // critical value comes from INVERTING the Lin p≈2e^(−0.717z
+    // −0.416z²) approximation the p-value family already uses:
+    // z* = (−0.717 + √(0.717² − 4·0.416·ln(p*/2)))/(2·0.416) with
+    // p* = α/k — sqrt is the only non-arithmetic op, mirrored).
+    // Per-nation Welch z vs nation 0 from exact whole-dollar
+    // sufficient stats (the bh_fdr quantizer); k counts the defined
+    // comparisons. Bonferroni-vs-percomparison containment pinned.
+    "agg_many_vs_control" -> ((s, d) => {
+      val stats = TestData.orders(s, d)
+        .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5)
+          .cast("long"))
+        .groupBy("o_custkey").agg(sum("cents").as("sum_cents"))
+        .withColumn("x",
+          floor(col("sum_cents").cast("double") / 100.0).cast("long"))
+        .join(TestData.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey").cast("long")
+            .as("nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("nationkey")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("m",
+          col("sx").cast("double") / col("n").cast("double"))
+        .withColumn("v", when(col("n") > 1,
+          (col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")
+              / col("n").cast("double"))
+            / (col("n") - 1).cast("double")))
+        .ckpt() // the control row + the comparison rows
+      val ctrl = stats.filter(col("nationkey") === 0)
+        .select(col("n").as("n0"), col("m").as("m0"),
+          col("v").as("v0"))
+      val cmp = stats.filter(col("nationkey") =!= 0)
+        .crossJoin(broadcast(ctrl))
+        .withColumn("z", when(col("v") > 0 && col("v0") > 0,
+          r4((col("m") - col("m0"))
+            / sqrt(col("v") / col("n").cast("double")
+              + col("v0") / col("n0").cast("double")))))
+      val k = cmp.agg(
+        sum(when(col("z").isNotNull, 1L).otherwise(0L)).as("k"))
+      cmp.crossJoin(broadcast(k))
+        .withColumn("z_crit", when(col("k") > 0,
+          r4((lit(-0.717) + sqrt(lit(0.717) * lit(0.717)
+            - lit(4.0) * lit(0.416)
+              * log(lit(0.05) / col("k").cast("double") / lit(2.0))))
+            / (lit(2.0) * lit(0.416)))))
+        .withColumn("significant_fw", when(col("z").isNotNull,
+          abs(col("z")) > col("z_crit")).otherwise(lit(false)))
+        .select(col("nationkey"), col("n"), r4(col("m")).as("mean_x"),
+          col("z"), col("k"), col("z_crit"), col("significant_fw"))
+        .orderBy("nationkey")
+    }),
+
     "agg_bh_fdr" -> ((s, d) => {
       val W = Window.partitionBy()
       val wRank = Window.orderBy(col("p_u").asc_nulls_last, col("nationkey"))
@@ -6124,6 +6182,58 @@ object Stats {
         |    (k_max IS NOT NULL AND rk <= k_max) ELSE false END
         |    AS significant
         |FROM k ORDER BY nationkey""".stripMargin,
+    // Many-vs-control mirrored: whole-dollar sufficient stats per
+    // nation, Welch z against nation 0, the Lin-inverse Bonferroni
+    // critical (sqrt only), r4'd-z vs r4'd-critical comparison.
+    "agg_many_vs_control" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT
+        |      AS sum_cents
+        |  FROM orders GROUP BY 1),
+        |pu AS (
+        |  SELECT o_custkey,
+        |    floor(sum_cents::DOUBLE / 100.0)::BIGINT AS x
+        |  FROM pc),
+        |j AS (
+        |  SELECT c.c_nationkey::BIGINT AS nationkey, pu.x
+        |  FROM pu JOIN customer c ON pu.o_custkey = c.c_custkey),
+        |st AS (
+        |  SELECT nationkey, count(*)::BIGINT AS n,
+        |    sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx
+        |  FROM j GROUP BY 1),
+        |sv AS (
+        |  SELECT *, sx::DOUBLE / n::DOUBLE AS m,
+        |    CASE WHEN n > 1 THEN
+        |      (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)
+        |        / (n - 1)::DOUBLE END AS v
+        |  FROM st),
+        |ctl AS (SELECT n AS n0, m AS m0, v AS v0 FROM sv
+        |        WHERE nationkey = 0),
+        |cmp AS (
+        |  SELECT sv.*, ctl.n0, ctl.m0, ctl.v0,
+        |    CASE WHEN sv.v > 0 AND ctl.v0 > 0 THEN
+        |      floor((sv.m - ctl.m0)
+        |        / sqrt(sv.v / sv.n::DOUBLE + ctl.v0 / ctl.n0::DOUBLE)
+        |        * 10000 + 0.5) / 10000 END AS z
+        |  FROM sv CROSS JOIN ctl WHERE sv.nationkey <> 0),
+        |kk AS (
+        |  SELECT sum(CASE WHEN z IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS k
+        |  FROM cmp),
+        |fin AS (
+        |  SELECT cmp.*, kk.k,
+        |    CASE WHEN kk.k > 0 THEN
+        |      floor((-0.717 + sqrt(0.717 * 0.717
+        |        - 4.0 * 0.416 * ln(0.05 / kk.k::DOUBLE / 2.0)))
+        |        / (2.0 * 0.416) * 10000 + 0.5) / 10000 END AS z_crit
+        |  FROM cmp CROSS JOIN kk)
+        |SELECT nationkey, n,
+        |  floor(m * 10000 + 0.5) / 10000 AS mean_x,
+        |  z, k, z_crit,
+        |  CASE WHEN z IS NOT NULL THEN abs(z) > z_crit
+        |    ELSE false END AS significant_fw
+        |FROM fin ORDER BY nationkey""".stripMargin,
     "agg_bh_fdr" ->
       s"""$NationPCte,
         |r AS (

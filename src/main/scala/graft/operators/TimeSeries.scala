@@ -884,6 +884,71 @@ object TimeSeries {
         "z_upper", "p_tost", "equivalent")
   }
 
+  /** Box-Cox λ-selection core (see `ts_box_cox_lambda`): input
+    * positive (y) rows, output the 5-row λ-grid profile LL with the
+    * argmax flag. Full determinism protocol in the key comment.
+    * Shared with `GraftEngine.boxCoxLambda`.
+    */
+  private[graft] def boxCoxCore(series: DataFrame): DataFrame = {
+    val s = series.sparkSession
+    import s.implicits._
+    val hourly = series.filter(col("y") > 0).ckpt()
+    val lams = boxCoxLams.toDF("lam10", "c", "ln_c", "ln_l2")
+      val tv = hourly.crossJoin(broadcast(lams))
+        .withColumn("t_raw",
+          when(col("lam10") === -10L, lit(1.0) / col("y").cast("double"))
+          .when(col("lam10") === -5L,
+            lit(1.0) / sqrt(col("y").cast("double")))
+          .when(col("lam10") === 0L, log(col("y").cast("double")))
+          .when(col("lam10") === 5L, sqrt(col("y").cast("double")))
+          .otherwise(col("y").cast("double")))
+        .withColumn("tv_u",
+          floor(col("t_raw") * col("c") + 0.5).cast("long"))
+      val lny = hourly.agg(count(lit(1)).as("n"),
+        sum(floor(log(col("y").cast("double")) * 1000000 + 0.5)
+          .cast("long")).as("slny_u"))
+      val va = ((col("s2").cast("double")
+        - col("s1").cast("double") * col("s1").cast("double")
+          / col("n").cast("double"))
+        / (col("n") - 1).cast("double"))
+      val res = tv.groupBy("lam10", "ln_c", "ln_l2")
+        .agg(sum("tv_u").as("s1"),
+          sum(col("tv_u") * col("tv_u")).as("s2"))
+        .crossJoin(broadcast(lny))
+        // plain powers stand in for (y^λ−1)/λ: the affine shift is
+        // variance-free and the 1/λ scale is restored EXACTLY by
+        // +ln λ² inside the parens (Scala literal; 0 at λ ∈
+        // {0, ±1}) — without it the ±½ rows read (n/2)·ln 4 high
+        .withColumn("ll", when(col("n") > 1 && va > 0,
+          r4(lit(-0.5) * col("n").cast("double")
+            * (log(va) - lit(2.0) * col("ln_c") - col("ln_l2"))
+            + (col("lam10").cast("double") / 10.0 - 1.0)
+              * (col("slny_u").cast("double") / 1000000.0))))
+        .select("lam10", "ll")
+      val mll = res.agg(max("ll").as("mll"))
+      val withM = res.crossJoin(broadcast(mll))
+      val blam = withM.filter(col("ll") === col("mll"))
+        .agg(min("lam10").as("best_lam"))
+      withM.crossJoin(broadcast(blam))
+        .select(r4(col("lam10").cast("double") / 10.0).as("lam"),
+          col("ll"),
+          (col("ll").isNotNull && col("ll") === col("mll")
+            && col("lam10") === col("best_lam")).as("is_best"))
+        .orderBy("lam")
+    }
+
+  /** Box-Cox λ grid: (λ·10, per-λ quantizer c, ln c) — ln c
+    * Scala-evaluated once and shared by the Spark frame AND the
+    * generated oracle literals (the spectral protocol). Coarser c
+    * for larger-magnitude transforms keeps Σ(tv·c)² < 2^63.
+    */
+  private[graft] val boxCoxLams: Seq[(Long, Long, Double, Double)] = Seq(
+    (-10L, 1000000L, math.log(1e6), 0.0),
+    (-5L, 1000000L, math.log(1e6), math.log(0.25)),
+    (0L, 1000000L, math.log(1e6), 0.0),
+    (5L, 10000L, math.log(1e4), math.log(0.25)),
+    (10L, 1000L, math.log(1e3), 0.0))
+
   /** Sample-size-sweep core (see `events_ab_sample_size`): input one
     * `conv` (0/1) row per unit, output the per-arm n required to
     * detect relative lifts {5, 10, 20}% of the pooled rate at 80%
@@ -4794,6 +4859,23 @@ object TimeSeries {
     // integers, micro-quantized before the sum; MAE numerator is an
     // exact ×128 BIGINT. Everything after the first aggregate is
     // hour-grid-sized (observation-window-bounded) at any corpus.
+    // BOX-COX LAMBDA SELECTION (round 17): which variance-
+    // stabilizing transform should the forecasting family run on —
+    // profile log-likelihood over the λ grid {−1, −½, 0, ½, 1}:
+    // LL(λ) = −(n/2)·ln σ̂²_λ + (λ−1)·Σln y, transforms as explicit
+    // engine-identical forms (1/y, 1/√y, ln y, √y, y — bare pow is
+    // NOT engine-identical, the cube-root lesson). Each transform is
+    // quantized to integer units at a PER-λ scale c (coarser for
+    // large-magnitude transforms — the documented n·(y_max·c)² <
+    // 2^63 bound) and the scale is corrected EXACTLY in the readout
+    // by +n·ln c (ln c Scala-evaluated into both engines — the
+    // spectral literal protocol); σ̂² from exact integer sums. The
+    // argmax row is flagged via max + min-λ tie-break (no window).
+    "ts_box_cox_lambda" -> ((s, d) =>
+      boxCoxCore(TestData.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+        .agg(count(lit(1)).as("y"))
+        .select("y"))),
     // EWMA CONTROL CHART (round 17): the monitoring member between
     // bollinger (rolling bands) and cusum (drift accumulator) — the
     // exponentially-weighted mean with ±3σ·√(λ/(2−λ)) steady-state
@@ -8721,6 +8803,57 @@ object TimeSeries {
         |FROM t ORDER BY hr""".stripMargin,
     // Same tap fan-out over the hour grid (equi-join, HAVING = 8),
     // ×128 integer forecast, micro-quantized sMAPE terms.
+    // Box-Cox mirrored: generated λ VALUES with the SAME Scala ln c
+    // literals, explicit transform forms, per-λ integer sums, the
+    // exact +n·ln c scale correction, max + min-λ argmax flag.
+    "ts_box_cox_lambda" -> {
+      val vals = boxCoxLams.map { case (l, c, lnc, lnl2) =>
+        s"($l, $c, $lnc, $lnl2)" }.mkString(", ")
+      s"""WITH h AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hr,
+        |    count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1),
+        |lams AS (SELECT * FROM (VALUES $vals)
+        |  AS t(lam10, c, ln_c, ln_l2)),
+        |tv AS (
+        |  SELECT l.lam10, l.ln_c, l.ln_l2,
+        |    floor((CASE WHEN l.lam10 = -10 THEN 1.0 / y::DOUBLE
+        |      WHEN l.lam10 = -5 THEN 1.0 / sqrt(y::DOUBLE)
+        |      WHEN l.lam10 = 0 THEN ln(y::DOUBLE)
+        |      WHEN l.lam10 = 5 THEN sqrt(y::DOUBLE)
+        |      ELSE y::DOUBLE END) * l.c + 0.5)::BIGINT AS tv_u
+        |  FROM h CROSS JOIN lams l),
+        |ag AS (
+        |  SELECT lam10, ln_c, ln_l2, sum(tv_u)::BIGINT AS s1,
+        |    sum(tv_u * tv_u)::BIGINT AS s2
+        |  FROM tv GROUP BY 1, 2, 3),
+        |st AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(floor(ln(y::DOUBLE) * 1000000 + 0.5)::BIGINT)::BIGINT
+        |      AS slny_u
+        |  FROM h),
+        |res AS (
+        |  SELECT lam10,
+        |    CASE WHEN n > 1 AND
+        |      (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)
+        |        / (n - 1)::DOUBLE > 0 THEN
+        |      floor((-0.5 * n::DOUBLE
+        |        * (ln((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)
+        |            / (n - 1)::DOUBLE) - 2.0 * ln_c - ln_l2)
+        |        + (lam10::DOUBLE / 10.0 - 1.0)
+        |          * (slny_u::DOUBLE / 1000000.0)) * 10000 + 0.5) / 10000
+        |      END AS ll
+        |  FROM ag CROSS JOIN st),
+        |m AS (SELECT max(ll) AS mll FROM res),
+        |b AS (
+        |  SELECT min(lam10) AS best_lam
+        |  FROM res CROSS JOIN m WHERE ll = mll)
+        |SELECT floor(lam10::DOUBLE / 10.0 * 10000 + 0.5) / 10000 AS lam,
+        |  ll,
+        |  (ll IS NOT NULL AND ll = m.mll AND lam10 = b.best_lam)
+        |    AS is_best
+        |FROM res CROSS JOIN m CROSS JOIN b ORDER BY lam""".stripMargin
+    },
     // EWMA chart mirrored: (hr + tap) fan-out, all-8-taps gate,
     // sufficient-stat mu/sigma, the sqrt(3)*sigma band comparison on
     // identical doubles; only breach hours emitted.

@@ -940,7 +940,7 @@ class EngineApiSpec extends SparkSpec {
       .filter(m => m.getDeclaringClass == classOf[GraftEngine]
         && !m.getName.contains("$"))
       .map(_.getName).distinct.filterNot(internal)
-    assert(names.length === 236, "documented facade count drifted; methods: "
+    assert(names.length === 237, "documented facade count drifted; methods: "
       + names.sorted.mkString(", "))
   }
 
@@ -2198,6 +2198,56 @@ class EngineApiSpec extends SparkSpec {
       (0L, 1L), (28L, 1L), (0L, 2L), (28L, 2L))).toDF("y", "x")
     val o = engine.poissonGlm(over, "y", "x").collect()(0)
     assert(o.getAs[Double]("dispersion") > 5.0)
+  }
+
+  test("many-vs-control: Bonferroni stricter than per-comparison, k counts defined z") {
+    val d = sf("sf0.001")
+    val rows = SparkEntry.queries("agg_many_vs_control")(spark, d).collect()
+    assert(rows.length === 24) // 25 nations minus the reference
+    val k = rows(0).getAs[Long]("k")
+    assert(k === rows.count(!_.isNullAt(rows(0).fieldIndex("z"))))
+    // the family-wise critical is strictly stricter than the
+    // per-comparison 1.96 (containment: fw-significant ⊆ raw)
+    val zc = rows(0).getAs[Double]("z_crit")
+    assert(zc > 1.96, s"Bonferroni critical must exceed 1.96: $zc")
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("significant_fw"))
+        assert(math.abs(r.getAs[Double]("z")) > 1.96)
+    }
+    // the md5 split carries no real nation effect — no nation should
+    // clear the family-wise bar on this fixture
+    assert(!rows.exists(_.getAs[Boolean]("significant_fw")))
+  }
+
+  test("boxCoxLambda: matches its key; planted transforms pick their own lambda") {
+    val d = sf("sf0.001")
+    import spark.implicits._
+    val hourly = TestData.events(spark, d)
+      .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("y"))
+    assert(engine.boxCoxLambda(hourly, "y").collect().map(_.toSeq).toSeq
+      === SparkEntry.queries("ts_box_cox_lambda")(spark, d)
+        .collect().map(_.toSeq).toSeq)
+    // exactly one argmax row flagged, and it carries the max ll
+    val fx = SparkEntry.queries("ts_box_cox_lambda")(spark, d).collect()
+    assert(fx.count(_.getAs[Boolean]("is_best")) === 1)
+    val best = fx.filter(_.getAs[Boolean]("is_best"))(0)
+    assert(fx.filter(!_.isNullAt(1))
+      .forall(_.getAs[Double]("ll") <= best.getAs[Double]("ll")))
+    // planted scale recovery (margins verified ≫ quantization noise
+    // against an exact reference): squared-uniform data picks the
+    // √ transform, multiplicative data picks ln
+    def pick(ys: Seq[Long]): Double = {
+      val r = engine.boxCoxLambda(ys.toDF("y"), "y").collect()
+      r.filter(_.getAs[Boolean]("is_best"))(0).getAs[Double]("lam")
+    }
+    val squared = (0 until 400).map(i => (5L + i * 37 % 100)
+      * (5L + i * 37 % 100))
+    assert(pick(squared) === 0.5, "squared scale should pick sqrt")
+    val lognormalish = (0 until 400)
+      .map(i => math.round(math.exp(3.0 + (i * 37 % 100) / 16.0)))
+    assert(pick(lognormalish) === 0.0,
+      "multiplicative data should pick ln")
   }
 
   test("delongCompare: paired verdict, antisymmetry, matches the per-detector AUCs") {
