@@ -3644,6 +3644,60 @@ object TimeSeries {
             .as("np"))
           .select(when(col("np") >= 14, 1L).otherwise(0L).as("conv")))),
 
+    // NEWCOMBE HYBRID DIFFERENCE CI (round 17): the interval on
+    // p_t − p_c itself — the A/B family had the ratio (risk_ratio),
+    // the odds (odds_ratio), the effect size (cohens_h) and the mean
+    // difference (agg_mean_diff_ci) but NOT the proportion
+    // difference's CI, which is what a launch doc quotes. Newcombe's
+    // method 10: Wilson limits per arm (the agg_wilson_ci formula
+    // verbatim), then CI = d ∓ √((p̂_c−l_c)² + (u_t−p̂_t)²) /
+    // d ± √((u_c−p̂_c)² + (p̂_t−l_t)²) — never collapses at p̂ ∈
+    // {0,1} (unlike the Wald interval) and respects [−1, 1] by
+    // construction. Heavy-purchaser (≥14) response (class-balanced
+    // — the sample-size lesson); everything one mirrored IEEE
+    // expression over exact BIGINT counts.
+    "events_ab_diff_ci" -> ((s, d) => {
+      val z = 1.959964
+      val z2 = z * z
+      def wils(x: Column, n: Column): (Column, Column, Column) = {
+        val ph = x.cast("double") / n.cast("double")
+        val center = (ph + lit(z2) / (lit(2.0) * n.cast("double"))) /
+          (lit(1.0) + lit(z2) / n.cast("double"))
+        val half = (lit(z) * sqrt(ph * (lit(1.0) - ph)
+            / n.cast("double")
+          + lit(z2) / (lit(4.0) * n.cast("double") * n.cast("double")))
+          / (lit(1.0) + lit(z2) / n.cast("double")))
+        (ph, center - half, center + half)
+      }
+      val agg = TestData.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("np"))
+        .withColumn("t",
+          (conv(substring(md5(col("user_id").cast("string")), 1, 2),
+            16, 10).cast("int") % 2 =!= 0).cast("int"))
+        .select(col("t"),
+          when(col("np") >= 14, 1L).otherwise(0L).as("conv"))
+        .agg(
+          sum(when(col("t") === 0, 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("t") === 1, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("t") === 0, col("conv")).otherwise(0L)).as("x_c"),
+          sum(when(col("t") === 1, col("conv")).otherwise(0L)).as("x_t"))
+      val (pc, lc, uc) = wils(col("x_c"), col("n_c"))
+      val (pt, lt, ut) = wils(col("x_t"), col("n_t"))
+      agg.withColumn("ok", col("n_c") > 0 && col("n_t") > 0)
+        .select(col("n_c"), col("n_t"), col("x_c"), col("x_t"),
+          when(col("ok"), r4(pc)).as("p_c"),
+          when(col("ok"), r4(pt)).as("p_t"),
+          when(col("ok"), r4(pt - pc)).as("diff"),
+          when(col("ok"), r4(pt - pc
+            - sqrt((pc - lc) * (pc - lc) + (ut - pt) * (ut - pt))))
+            .as("ci_lo"),
+          when(col("ok"), r4(pt - pc
+            + sqrt((uc - pc) * (uc - pc) + (pt - lt) * (pt - lt))))
+            .as("ci_hi"))
+    }),
+
     // BIC-APPROXIMATE BAYES FACTOR (round 17): the model-comparison
     // verdict next to events_ab_significance's p-value — BF₁₀ ≈
     // exp((BIC₀ − BIC₁)/2) = exp(lnL₁ − lnL₀ − ½lnN) (Wagenmakers
@@ -7055,6 +7109,56 @@ object TimeSeries {
         |FROM s ORDER BY rel_mde_pct""".stripMargin,
     // θ and both means from the same BIGINT sums, identical op
     // order; lazy CASE keeps the constant-covariate NULL path.
+    // Newcombe mirrored: the Wilson per-arm limits verbatim, the
+    // hybrid radicals in identical op order over exact counts.
+    "events_ab_diff_ci" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END
+        |      ::BIGINT AS conv,
+        |    CASE WHEN ('0x' || substring(md5(user_id::VARCHAR), 1, 2))
+        |      ::INT % 2 <> 0 THEN 1 ELSE 0 END AS t
+        |  FROM events GROUP BY user_id),
+        |agg AS (
+        |  SELECT
+        |    sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+        |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+        |    sum(CASE WHEN t = 0 THEN conv ELSE 0 END)::BIGINT AS x_c,
+        |    sum(CASE WHEN t = 1 THEN conv ELSE 0 END)::BIGINT AS x_t
+        |  FROM pu),
+        |w AS (
+        |  SELECT *,
+        |    x_c::DOUBLE / n_c::DOUBLE AS pc,
+        |    x_t::DOUBLE / n_t::DOUBLE AS pt,
+        |    (x_c::DOUBLE / n_c::DOUBLE
+        |      + 3.841458881296 / (2.0 * n_c::DOUBLE))
+        |      / (1.0 + 3.841458881296 / n_c::DOUBLE) AS cc,
+        |    (1.959964 * sqrt((x_c::DOUBLE / n_c::DOUBLE)
+        |        * (1.0 - x_c::DOUBLE / n_c::DOUBLE) / n_c::DOUBLE
+        |      + 3.841458881296
+        |        / (4.0 * n_c::DOUBLE * n_c::DOUBLE))
+        |      / (1.0 + 3.841458881296 / n_c::DOUBLE)) AS hc,
+        |    (x_t::DOUBLE / n_t::DOUBLE
+        |      + 3.841458881296 / (2.0 * n_t::DOUBLE))
+        |      / (1.0 + 3.841458881296 / n_t::DOUBLE) AS ct,
+        |    (1.959964 * sqrt((x_t::DOUBLE / n_t::DOUBLE)
+        |        * (1.0 - x_t::DOUBLE / n_t::DOUBLE) / n_t::DOUBLE
+        |      + 3.841458881296
+        |        / (4.0 * n_t::DOUBLE * n_t::DOUBLE))
+        |      / (1.0 + 3.841458881296 / n_t::DOUBLE)) AS ht
+        |  FROM agg WHERE n_c > 0 AND n_t > 0)
+        |SELECT n_c, n_t, x_c, x_t,
+        |  floor(pc * 10000 + 0.5) / 10000 AS p_c,
+        |  floor(pt * 10000 + 0.5) / 10000 AS p_t,
+        |  floor((pt - pc) * 10000 + 0.5) / 10000 AS diff,
+        |  floor((pt - pc - sqrt((pc - (cc - hc)) * (pc - (cc - hc))
+        |    + ((ct + ht) - pt) * ((ct + ht) - pt))) * 10000 + 0.5)
+        |    / 10000 AS ci_lo,
+        |  floor((pt - pc + sqrt(((cc + hc) - pc) * ((cc + hc) - pc)
+        |    + (pt - (ct - ht)) * (pt - (ct - ht)))) * 10000 + 0.5)
+        |    / 10000 AS ci_hi
+        |FROM w""".stripMargin,
     // BIC Bayes factor mirrored: heavy-purchaser response, explicit
     // 0*ln0 CASE zeros, micro-nat ln quantizers at definition sites,
     // exact BIGINT lnL sums, // 2 on the positive lnN.
