@@ -722,36 +722,65 @@ object TextOps {
     */
   private[graft] def delongCompare(scored: DataFrame, detA: String,
                                    detB: String): DataFrame = {
-    val W = Window.partitionBy("detector").orderBy("score_u")
-    val Wd = Window.partitionBy("detector").orderBy(col("score_u").desc)
-    val grid = scored
-      .filter(col("detector").isin(detA, detB))
-      .groupBy("detector", "score_u")
-      .agg(sum("is_pos").as("pos"),
-        sum(lit(1L) - col("is_pos")).as("neg"))
-      .withColumn("cum_neg_lt", coalesce(sum("neg").over(
-        W.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("cum_pos_gt", coalesce(sum("pos").over(
-        Wd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("detector").as("gdet"), col("score_u").as("gs"),
-        (lit(2L) * col("cum_neg_lt") + col("neg")).as("v10_2"),
-        (lit(2L) * col("cum_pos_gt") + col("pos")).as("v01_2"))
-    val wide = scored
-      .filter(col("detector").isin(detA, detB))
-      .join(broadcast(grid),
-        col("detector") === col("gdet") && col("score_u") === col("gs"))
-      .select(col("id_a"), col("id_b"), col("detector"), col("is_pos"),
-        when(col("is_pos") === 1, col("v10_2")).otherwise(col("v01_2"))
-          .as("v2"))
-      .groupBy("id_a", "id_b", "is_pos")
-      .agg(max(when(col("detector") === detA, col("v2"))).as("va"),
-        max(when(col("detector") === detB, col("v2"))).as("vb"))
-      .ckpt() // the (m, n, auc2) aggregate + the dev-product pass
+    // ONE pair-grain shuffle total (the A-side/B-side score join),
+    // immediately collapsed to the JOINT RAW-SCORE cell grid
+    // (sa, sb, is_pos) — the aggregate is map-side combinable, so
+    // the shuffle after the join carries only cell-count rows. The
+    // per-detector placement grids are then the MARGINALS of the
+    // joint cells (score-domain-bounded windows), joined back
+    // broadcast-style — deviations are cell-constant and quantize-
+    // then-multiply-by-count is EXACTLY the per-pair sum, so the
+    // whole restructure is bit-identical to the per-pair original
+    // (the r17 8 s → cell-grain fix; pair-grain work is irreducible
+    // to one join because the joint distribution does not factor).
+    val sideA = scored.filter(col("detector") === detA)
+      .select(col("id_a"), col("id_b"), col("score_u").as("sa"),
+        col("is_pos"))
+    val sideB = scored.filter(col("detector") === detB)
+      .select(col("id_a").as("ba"), col("id_b").as("bb"),
+        col("score_u").as("sb"))
+    val joint = sideA.join(sideB.hint("shuffle_hash"),
+        col("id_a") === col("ba") && col("id_b") === col("bb"))
+      .groupBy("sa", "sb", "is_pos")
+      .agg(count(lit(1)).as("cnt"))
+      .ckpt() // marginal grids + the placement join
+    def marginal(sCol: String): DataFrame = {
+      val Wm = Window.orderBy(col("s"))
+      val Wmd = Window.orderBy(col("s").desc)
+      joint.groupBy(col(sCol).as("s"))
+        .agg(sum(when(col("is_pos") === 1, col("cnt")).otherwise(0L))
+          .as("pos"),
+          sum(when(col("is_pos") === 0, col("cnt")).otherwise(0L))
+            .as("neg"))
+        .withColumn("cum_neg_lt", coalesce(sum("neg").over(
+          Wm.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("cum_pos_gt", coalesce(sum("pos").over(
+          Wmd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("s"),
+          (lit(2L) * col("cum_neg_lt") + col("neg")).as("v10_2"),
+          (lit(2L) * col("cum_pos_gt") + col("pos")).as("v01_2"))
+    }
+    val ga = marginal("sa").select(col("s").as("gsa"),
+      col("v10_2").as("va10"), col("v01_2").as("va01"))
+    val gb = marginal("sb").select(col("s").as("gsb"),
+      col("v10_2").as("vb10"), col("v01_2").as("vb01"))
+    val wide = joint
+      .join(broadcast(ga), col("sa") === col("gsa"))
+      .join(broadcast(gb), col("sb") === col("gsb"))
+      .select(col("is_pos"), col("cnt"),
+        when(col("is_pos") === 1, col("va10")).otherwise(col("va01"))
+          .as("va"),
+        when(col("is_pos") === 1, col("vb10")).otherwise(col("vb01"))
+          .as("vb"))
+      .ckpt() // tot + the dev-product pass (un-checkpointed, the
+              // marginal windows would replicate into every branch)
     val tot = wide.agg(
-      sum(col("is_pos")).as("m"),
-      sum(lit(1L) - col("is_pos")).as("n"),
-      sum(when(col("is_pos") === 1, col("va")).otherwise(0L)).as("a2a"),
-      sum(when(col("is_pos") === 1, col("vb")).otherwise(0L)).as("a2b"))
+      sum(when(col("is_pos") === 1, col("cnt")).otherwise(0L)).as("m"),
+      sum(when(col("is_pos") === 0, col("cnt")).otherwise(0L)).as("n"),
+      sum(when(col("is_pos") === 1, col("cnt") * col("va"))
+        .otherwise(0L)).as("a2a"),
+      sum(when(col("is_pos") === 1, col("cnt") * col("vb"))
+        .otherwise(0L)).as("a2b"))
     def dev(v: org.apache.spark.sql.Column,
             a2: org.apache.spark.sql.Column,
             scaleBy: org.apache.spark.sql.Column) =
@@ -765,12 +794,12 @@ object TextOps {
         dev(col("vb"), col("a2b"), col("m")))
         .otherwise(dev(col("vb"), col("a2b"), col("n"))))
       .select(col("is_pos"),
-        floor(col("da") * col("da") * 1000000000L + 0.5).cast("long")
-          .as("taa"),
-        floor(col("db") * col("db") * 1000000000L + 0.5).cast("long")
-          .as("tbb"),
-        floor(col("da") * col("db") * 1000000000L + 0.5).cast("long")
-          .as("tab"))
+        (col("cnt") * floor(col("da") * col("da") * 1000000000L + 0.5)
+          .cast("long")).as("taa"),
+        (col("cnt") * floor(col("db") * col("db") * 1000000000L + 0.5)
+          .cast("long")).as("tbb"),
+        (col("cnt") * floor(col("da") * col("db") * 1000000000L + 0.5)
+          .cast("long")).as("tab"))
       .groupBy("is_pos")
       .agg(sum("taa").as("saa"), sum("tbb").as("sbb"),
         sum("tab").as("sab"))

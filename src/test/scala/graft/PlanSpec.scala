@@ -41,9 +41,13 @@ class PlanSpec extends SparkSpec {
     * duration-DISTINCT risk-set cumulatives; hr x1 — an hour grid;
     * k x1 — a k-row arm table; score_u x1 — eval_calibration_fit's
     * score-domain prefix; x x2 — value-domain cell grids (the
-    * rank-test discipline). None is corpus-grain.
+    * rank-test discipline). r17 adds s x4 —
+    * eval_delong_compare's two marginal placement grids (2
+    * cumulatives each) inside the checkpointed cell-grain wide
+    * stage: score-DOMAIN-bounded, never pair-grain. None is
+    * corpus-grain.
     */
-  private val CKPT_WINDOW_SITES = 10
+  private val CKPT_WINDOW_SITES = 14
 
   private def plan(key: String): String = {
     val df = SparkEntry.queries(key)(spark, sfDir)
