@@ -885,6 +885,33 @@ object GraphOps {
       edges.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
     }),
 
+    // GLOBAL TRANSITIVITY (round 17): 3·triangles / wedges — the
+    // whole-graph closure probability next to the per-node local
+    // clustering coefficient (the two DISAGREE on hub-heavy graphs:
+    // transitivity weights hubs by their wedge count, the local mean
+    // doesn't — reading both is the standard diagnostic). Triangles
+    // from the existing ordered three-way self-join; wedges
+    // Σ deg(deg−1)/2 from one degree aggregate — all exact integers,
+    // ONE readout division. Bound: deg² < 2^63 trivially.
+    "graph_transitivity" -> ((s, d) => {
+      val edges = fixtureKnnEdges(s, d)
+      val tri = edges.select(col("a").as("x"), col("b").as("y"))
+        .join(edges.select(col("a").as("y2"), col("b").as("z2")),
+          col("y") === col("y2"))
+        .join(edges.select(col("a").as("x3"), col("b").as("z3")),
+          col("x") === col("x3") && col("z2") === col("z3"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      val wedges = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+        .agg(sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
+      tri.crossJoin(broadcast(wedges))
+        .select(col("n_triangles"), col("n_wedges"),
+          when(col("n_wedges") > 0,
+            TestData.r4(lit(3.0) * col("n_triangles").cast("double")
+              / col("n_wedges").cast("double"))).as("transitivity"))
+    }),
+
     // INCREMENTAL kNN-GRAPH MAINTENANCE: when a batch of new vectors
     // arrives (vec_id % 97 = 0 plays the arriving batch — ~1 % of the
     // corpus at every scale factor), compute ONLY
@@ -2402,6 +2429,28 @@ object GraphOps {
         |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
         |SELECT (SELECT count(*)::BIGINT FROM edges) AS n_edges, n_triangles
         |FROM tri""".stripMargin,
+    // Transitivity mirrored: same ordered triangle join, wedges from
+    // the symmetric degree aggregate with positive-int // 2, one
+    // guarded readout division.
+    "graph_transitivity" ->
+      s"""$EdgesCte,
+        |tri AS (
+        |  SELECT count(*)::BIGINT AS n_triangles
+        |  FROM edges e1
+        |  JOIN edges e2 ON e1.b = e2.a
+        |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |adj AS (
+        |  SELECT a AS src, b AS dst FROM edges
+        |  UNION ALL SELECT b, a FROM edges),
+        |wg AS (
+        |  SELECT sum(deg * (deg - 1) // 2)::BIGINT AS n_wedges
+        |  FROM (SELECT src, count(*)::BIGINT AS deg FROM adj
+        |        GROUP BY 1))
+        |SELECT tri.n_triangles, wg.n_wedges,
+        |  CASE WHEN wg.n_wedges > 0 THEN
+        |    floor(3.0 * tri.n_triangles::DOUBLE / wg.n_wedges::DOUBLE
+        |      * 10000 + 0.5) / 10000 END AS transitivity
+        |FROM tri CROSS JOIN wg""".stripMargin,
     "graph_incremental_edges" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv

@@ -3636,6 +3636,45 @@ object TimeSeries {
     // a one-class response has zero binomial variance and NO finite
     // sample size answers the question. One user-grain aggregate +
     // a 3-row sweep.
+    // CONTINUOUS-OUTCOME SAMPLE SIZE (round 17): the spend-metric
+    // complement of the binary sweep below — per-arm n for relative
+    // mean-lift MDEs {5, 10, 20}% at 80 % power / α = .05:
+    // n = 2·(z_{α/2}+z_β)²·σ²/δ² with the SAME 7.8489 constant and
+    // δ = r·mean. Per-user spend in whole dollars (the bh_fdr
+    // quantizer: exact cents, one IEEE floor); σ² from exact
+    // sufficient stats; degenerate zero-variance/zero-mean inputs
+    // read NULL (the binary key's guard discipline).
+    "events_ab_sample_size_means" -> ((s, d) => {
+      import s.implicits._
+      val st = TestData.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L))
+          .as("cents"))
+        .withColumn("x",
+          floor(col("cents").cast("double") / 100.0).cast("long"))
+        .agg(count(lit(1)).as("n_users"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+      val mean = col("sx").cast("double") / col("n_users").cast("double")
+      val va = ((col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double")
+          / col("n_users").cast("double"))
+        / (col("n_users") - 1).cast("double"))
+      val rels = Seq(5L, 10L, 20L).toDF("rel_mde_pct")
+      st.crossJoin(broadcast(rels))
+        .withColumn("delta",
+          when(col("n_users") > 1 && mean > 0 && va > 0,
+            col("rel_mde_pct").cast("double") / 100.0 * mean))
+        .withColumn("n_per_arm", when(col("delta") > 0,
+          ceil(lit(2.0) * lit(7.8489) * va
+            / (col("delta") * col("delta")))))
+        .select(col("rel_mde_pct"), col("n_users"),
+          r4(mean).as("mean_spend"),
+          when(col("delta").isNotNull, r4(col("delta"))).as("delta_abs"),
+          col("n_per_arm"))
+        .orderBy("rel_mde_pct")
+    }),
+
     "events_ab_sample_size" -> ((s, d) =>
       abSampleSizeCore(s,
         TestData.events(s, d)
@@ -7074,6 +7113,43 @@ object TimeSeries {
         |      / (0.1 * p_pool * 0.1 * p_pool))::BIGINT END
         |    AS n_per_arm_10pct
         |FROM p""".stripMargin,
+    // Mean-spend sweep mirrored: whole-dollar per-user quantizer,
+    // exact sufficient stats, identical mean/variance op order,
+    // ceil::BIGINT; degenerate reads NULL.
+    "events_ab_sample_size_means" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' THEN
+        |      floor(value * 100 + 0.5)::BIGINT ELSE 0 END)
+        |      ::BIGINT AS cents
+        |  FROM events GROUP BY user_id),
+        |px AS (
+        |  SELECT floor(cents::DOUBLE / 100.0)::BIGINT AS x FROM pu),
+        |st AS (
+        |  SELECT count(*)::BIGINT AS n_users, sum(x)::BIGINT AS sx,
+        |    sum(x * x)::BIGINT AS sxx
+        |  FROM px),
+        |rels AS (SELECT unnest([5, 10, 20])::BIGINT AS rel_mde_pct),
+        |sw AS (
+        |  SELECT rel_mde_pct, n_users, sx, sxx,
+        |    sx::DOUBLE / n_users::DOUBLE AS mean,
+        |    (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n_users::DOUBLE)
+        |      / (n_users - 1)::DOUBLE AS va,
+        |    CASE WHEN n_users > 1
+        |      AND sx::DOUBLE / n_users::DOUBLE > 0
+        |      AND (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE
+        |          / n_users::DOUBLE) / (n_users - 1)::DOUBLE > 0 THEN
+        |      rel_mde_pct::DOUBLE / 100.0
+        |        * (sx::DOUBLE / n_users::DOUBLE) END AS delta
+        |  FROM st CROSS JOIN rels)
+        |SELECT rel_mde_pct, n_users,
+        |  floor(mean * 10000 + 0.5) / 10000 AS mean_spend,
+        |  CASE WHEN delta IS NOT NULL THEN
+        |    floor(delta * 10000 + 0.5) / 10000 END AS delta_abs,
+        |  CASE WHEN delta > 0 THEN
+        |    ceil(2.0 * 7.8489 * va / (delta * delta))::BIGINT
+        |    END AS n_per_arm
+        |FROM sw ORDER BY rel_mde_pct""".stripMargin,
     // Heavy-purchaser (≥14) user-grain response — class-balanced on
     // this fixture; the 3-row relative-MDE sweep with the power_mde
     // constants, ceil::BIGINT. δ NULL unless 0 < p̄ < 1 (one-class

@@ -2200,6 +2200,25 @@ class EngineApiSpec extends SparkSpec {
     assert(o.getAs[Double]("dispersion") > 5.0)
   }
 
+  test("mean sample-size sweep quadratic; transitivity in [0,1] and wedge-consistent") {
+    val d = sf("sf0.001")
+    val ss = SparkEntry.queries("events_ab_sample_size_means")(spark, d)
+      .collect().map(r => (r.getAs[Long]("rel_mde_pct"),
+        r.getAs[Long]("n_per_arm"))).sortBy(_._1)
+    assert(ss.map(_._1).toSeq === Seq(5L, 10L, 20L))
+    // strictly decreasing, roughly quadratic (2x easier MDE ≈ 4x
+    // fewer users; ceil slack bounded by one unit per step)
+    assert(ss(0)._2 > ss(1)._2 && ss(1)._2 > ss(2)._2, ss.toSeq)
+    assert(ss(0)._2 >= 3 * ss(1)._2, ss.toSeq)
+    val t = SparkEntry.queries("graph_transitivity")(spark, d).collect()(0)
+    val (tri, wed) = (t.getAs[Long]("n_triangles"), t.getAs[Long]("n_wedges"))
+    val trans = t.getAs[Double]("transitivity")
+    assert(trans >= 0.0 && trans <= 1.0)
+    assert(math.abs(trans - 3.0 * tri / wed.toDouble) < 2e-4)
+    // every triangle closes three wedges: 3T <= W always
+    assert(3 * tri <= wed, s"3T > W impossible: $t")
+  }
+
   test("Newcombe diff CI: brackets the difference, inside [-1, 1], counts reconcile") {
     val d = sf("sf0.001")
     val r = SparkEntry.queries("events_ab_diff_ci")(spark, d).collect()(0)
