@@ -1271,6 +1271,62 @@ class DegenerateSpec extends SparkSpec {
       pf2(Seq((1L, -3L), (4L, -1L), (9L, 2L))), "y", "x"), "pois/neg-x")
   }
 
+  test("r17 facades survive degenerate frames (ccf/zipf/ancova/boxcox/bayesFactor)") {
+    import org.apache.spark.sql.functions.{col => c}
+    // crossCorrelation: empty, single-period, constant series
+    val ts3 = StructType(Seq(StructField("t", LongType),
+      StructField("x", LongType), StructField("y", LongType)))
+    def tf(rows: Seq[(Long, Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), ts3)
+    assertClean(engine.crossCorrelation(tf(Nil), "t", "x", "y"),
+      "ccf/empty")
+    assertClean(engine.crossCorrelation(tf(Seq((1L, 5L, 7L))),
+      "t", "x", "y"), "ccf/single")
+    val const = engine.crossCorrelation(
+      tf((1L to 20L).map(t => (t, 4L, t))), "t", "x", "y").collect()
+    // constant x: denx = 0 ⇒ every ccf NULL, never a throw
+    assert(const.forall(_.isNullAt(3)), "ccf/constant-x must be NULL")
+    // zipfFit: empty and single-type tables
+    val fs = StructType(Seq(StructField("word", StringType),
+      StructField("n", LongType)))
+    def ff(rows: Seq[(String, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), fs)
+    assertClean(engine.zipfFit(ff(Nil), "word", "n"), "zipf/empty")
+    val one = engine.zipfFit(ff(Seq(("a", 7L))), "word", "n").collect()(0)
+    assert(one.isNullAt(one.fieldIndex("slope")), "zipf/single ⇒ NULL")
+    // ancova: empty, one group, zero covariate variance
+    val as3 = StructType(Seq(StructField("g", StringType),
+      StructField("y", LongType), StructField("x", LongType)))
+    def af(rows: Seq[(String, Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), as3)
+    assertClean(engine.ancova(af(Nil), "g", "y", "x"), "ancova/empty")
+    val zv = engine.ancova(
+      af(Seq(("a", 3L, 5L), ("a", 9L, 5L), ("b", 4L, 5L))),
+      "g", "y", "x").collect()
+    assert(zv.forall(_.isNullAt(zv(0).fieldIndex("slope_within"))),
+      "ancova/zero covariate variance ⇒ NULL slope")
+    // boxCoxLambda: empty, constant, non-positive rows excluded
+    val ys = StructType(Seq(StructField("y", LongType)))
+    def yf(rows: Seq[Long]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(v => Row(v)), 1), ys)
+    assertClean(engine.boxCoxLambda(yf(Nil), "y"), "boxcox/empty")
+    val cst = engine.boxCoxLambda(yf(Seq(7L, 7L, 7L)), "y").collect()
+    assert(cst.length === 5 && cst.forall(_.isNullAt(1)),
+      "boxcox/constant ⇒ NULL ll rows")
+    assertClean(engine.boxCoxLambda(yf(Seq(-3L, 0L)), "y"),
+      "boxcox/non-positive")
+    // bayesFactorAb: empty and one-armed inputs
+    val bs = StructType(Seq(StructField("t", IntegerType),
+      StructField("conv", LongType)))
+    def bf(rows: Seq[(Int, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), bs)
+    assertClean(engine.bayesFactorAb(bf(Nil), "t", "conv"), "bf/empty")
+    val oneArm = engine.bayesFactorAb(
+      bf(Seq((0, 1L), (0, 0L))), "t", "conv").collect()(0)
+    assert(oneArm.isNullAt(oneArm.fieldIndex("ln_bf10")),
+      "bf/one-arm ⇒ NULL")
+  }
+
   test("abSampleSizeCore one-class / empty reads NULL n_per_arm") {
     val cs = StructType(Seq(StructField("conv", LongType)))
     def cf(rows: Seq[Long]) = spark.createDataFrame(
