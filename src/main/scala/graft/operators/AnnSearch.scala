@@ -707,7 +707,7 @@ object AnnSearch {
       // shape too (graph searches carry tiny frontier state).
       var beam = cut(entry, 8).ckpt()
       for (_ <- 1 to 3) {
-        val nbrs = beam.join(adj, col("id") === col("src"))
+        val nbrs = broadcast(beam).join(adj, col("id") === col("src"))
           .select(col("qid"), col("dst").as("id"))
         val cands = beam.select("qid", "id").union(nbrs)
           .filter(col("id") =!= col("qid")).distinct()
@@ -775,6 +775,8 @@ object AnnSearch {
         l -> le.select(col("src"), col("nn").as("dst"))
           .union(le.select(col("nn").as("src"), col("src").as("dst")))
           .distinct()
+          .ckpt() // 2 hop consumers per level (r18): un-checkpointed,
+                  // the symmetrize+distinct exchange re-ran per hop
       }.toMap
       // degree-8 SEARCH adjacency (see hnswL0SearchAdj) — the r12
       // recall fix; the declared build output stays top-3
@@ -784,7 +786,12 @@ object AnnSearch {
       val apex = layers(levels.head).agg(min("vec_id").as("id"))
       def hop(corpus: DataFrame, beam: DataFrame, adj: DataFrame,
               b: Int): DataFrame = {
-        val nbrs = beam.join(adj, col("id") === col("src"))
+        // broadcast(beam) (r18, guide §3.1): the frontier is ≤
+        // |queries|·b rows but rides a checkpoint (LogicalRDD, no
+        // size stats), so without the hint the planner sort-merges
+        // and SHUFFLES THE ADJACENCY every hop — the offsets-only
+        // broadcast pattern applied to the beam.
+        val nbrs = broadcast(beam).join(adj, col("id") === col("src"))
           .select(col("qid"), col("dst").as("id"))
         val cands = beam.select("qid", "id").union(nbrs)
           .filter(col("id") =!= col("qid")).distinct()
@@ -843,13 +850,14 @@ object AnnSearch {
       val l1adj = l1e.select(col("src"), col("nn").as("dst"))
         .union(l1e.select(col("nn").as("src"), col("src").as("dst")))
         .distinct()
+        .ckpt() // 2 hop consumers (r18) — see ann_hnsw_topk's adjs
       val l0adj = hnswL0SearchAdj(s, d)
       val queries = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val apex = hnswLayer1(e).agg(min("vec_id").as("id"))
       def hop(corpus: DataFrame, beam: DataFrame, adj: DataFrame,
               b: Int): DataFrame = {
-        val nbrs = beam.join(adj, col("id") === col("src"))
+        val nbrs = broadcast(beam).join(adj, col("id") === col("src"))
           .select(col("qid"), col("dst").as("id"))
         val cands = beam.select("qid", "id").union(nbrs)
           .filter(col("id") =!= col("qid")).distinct()
@@ -881,7 +889,7 @@ object AnnSearch {
         .agg(count(lit(1)).as("nc"))
       var beam = cutS(entries).ckpt()
       for (_ <- 1 to 4) {
-        val nbrs = beam.join(l0adj, col("id") === col("src"))
+        val nbrs = broadcast(beam).join(l0adj, col("id") === col("src"))
           .select(col("b"), col("ent"), col("qid"), col("dst").as("id"))
         val cands = beam.select("b", "ent", "qid", "id").union(nbrs)
           .filter(col("id") =!= col("qid")).distinct()

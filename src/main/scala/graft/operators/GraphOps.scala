@@ -397,19 +397,27 @@ object GraphOps {
       val tot = labels.join(deg, col("id") === col("did"), "left")
         .groupBy(col("label").as("tl"))
         .agg(sum(coalesce(col("deg"), lit(0L))).as("tot"))
+      // k_own (weight into the node's OWN community) via a
+      // src-partitioned window over the SAME grouped frame instead of
+      // the former kic-vs-own self-join (r18, guide §2.4): the join
+      // needed a ckpt (kic consumed twice) plus a (src, sl)=(osrc, ol)
+      // exchange of both sides; the window rides the partitioning the
+      // labels join just established. sum(when(dl=sl, k)) is NULL when
+      // the node has no intra-community edge — exactly the old left
+      // join's NULL — and at most one row per (src, dl) exists, so
+      // sum ≡ that row's k. Values identical, one ckpt and two
+      // exchanges fewer per sweep round.
       val kic = adj
         .join(labels.select(col("id").as("d2"), col("label").as("dl")),
           col("dst") === col("d2"))
         .groupBy(col("src"), col("dl")).agg(sum("w").as("k"))
-        .ckpt() // consumed twice (candidates + own-k side)
-      val own = kic.select(col("src").as("osrc"), col("dl").as("ol"),
-        col("k").as("k_own"))
+      val wOwn = Window.partitionBy("src")
       val cand = kic
         .join(labels.select(col("id").as("s2"), col("label").as("sl")),
           col("src") === col("s2"))
+        .withColumn("k_own",
+          sum(when(col("dl") === col("sl"), col("k"))).over(wOwn))
         .filter(col("dl") =!= col("sl"))
-        .join(own, col("src") === col("osrc") && col("sl") === col("ol"),
-          "left")
         .join(deg, col("src") === col("did"))
         .join(tot.select(col("tl").as("tb"), col("tot").as("tot_b")),
           col("dl") === col("tb"))
@@ -474,7 +482,7 @@ object GraphOps {
                                     fineRounds: Int = 3,
                                     coarseRounds: Int = 1): DataFrame =
     coarsenStep(louvainRefine(labels0, edges, fineRounds), edges,
-      coarseRounds)
+      coarseRounds, inputCkpted = true)
 
   /** Multi-level Louvain (round 16, VERDICT r15 #6): a SECOND
     * contraction + coarse sweep on top of [[louvainCoarsen]]'s one —
@@ -491,7 +499,8 @@ object GraphOps {
                                        edges: DataFrame,
                                        fineRounds: Int = 3): DataFrame =
     coarsenStep(
-      coarsenStep(louvainRefine(labels0, edges, fineRounds), edges, 1),
+      coarsenStep(louvainRefine(labels0, edges, fineRounds), edges, 1,
+        inputCkpted = true),
       edges, 1)
 
   /** One Louvain contraction level: contract the node-grain `fine0`
@@ -501,9 +510,12 @@ object GraphOps {
     * ([[louvainMultilevel]]).
     */
   private[graft] def coarsenStep(fine0: DataFrame, edges: DataFrame,
-                                 coarseRounds: Int): DataFrame = {
-    val fine = fine0
-      .ckpt() // consumed by coarsen (2 endpoint sides) + project-back
+                                 coarseRounds: Int,
+                                 inputCkpted: Boolean = false): DataFrame = {
+    // consumed by coarsen (2 endpoint sides) + project-back; callers
+    // whose fine0 is ALREADY a checkpoint (louvainSweeps output) pass
+    // inputCkpted=true so it is not re-copied/re-persisted (r18).
+    val fine = if (inputCkpted) fine0 else fine0.ckpt()
     val la = fine.select(col("id").as("a"), col("label").as("ca"))
     val lb = fine.select(col("id").as("b"), col("label").as("cb"))
     val ew = edges.join(la, "a").join(lb, "b")

@@ -733,6 +733,11 @@ object TextOps {
     // whole restructure is bit-identical to the per-pair original
     // (the r17 8 s → cell-grain fix; pair-grain work is irreducible
     // to one join because the joint distribution does not factor).
+    // (r18 note: a pair-grain PIVOT — groupBy(id_a, id_b) with
+    // max(when(detector=X, score)) — was tried here to fold the two
+    // exchanges into one, and MEASURED 5.0 s vs this join's 2.75 s:
+    // the high-cardinality pair-key hash aggregate loses to
+    // shuffle_hash. Kept the join.)
     val sideA = scored.filter(col("detector") === detA)
       .select(col("id_a"), col("id_b"), col("score_u").as("sa"),
         col("is_pos"))
@@ -811,7 +816,16 @@ object TextOps {
         max(when(col("is_pos") === 0, col("sbb"))).as("s01b"),
         max(when(col("is_pos") === 0, col("sab"))).as("s01ab"))
       .crossJoin(broadcast(tot))
-    val varRaw = ((col("s10a") + col("s10b") - lit(2L) * col("s10ab"))
+    // Definition-site guard (r18 ADVICE): the /(m−1) and /(n−1) live
+    // inside a when VALUE branch — with a one-positive (or
+    // one-negative) input the old bare ratio divided by zero inside
+    // the z/p_approx when CONDITIONS (`seRaw > 0` — ANSI throws on
+    // DOUBLE x/0 and && does not short-circuit). seRaw is NULL
+    // exactly when m ≤ 1 or n ≤ 1, so every seRaw > 0 condition
+    // reads null → not-true, and the m > 1 && n > 1 readouts are
+    // unchanged where they were defined.
+    val varRaw = when(col("m") > 1 && col("n") > 1,
+      (col("s10a") + col("s10b") - lit(2L) * col("s10ab"))
         .cast("double") / 1.0e9
         / (col("m") - 1L).cast("double") / col("m").cast("double")
       + (col("s01a") + col("s01b") - lit(2L) * col("s01ab"))
@@ -819,7 +833,8 @@ object TextOps {
         / (col("n") - 1L).cast("double") / col("n").cast("double"))
     val diffRaw = ((col("a2a") - col("a2b")).cast("double")
       / (lit(2.0) * (col("m") * col("n")).cast("double")))
-    val seRaw = sqrt(greatest(varRaw, lit(0.0)))
+    val seRaw = when(varRaw.isNotNull,
+      sqrt(greatest(varRaw, lit(0.0))))
     val zRaw = diffRaw / seRaw
     piv
       .withColumn("auc_a", when(col("m") > 0 && col("n") > 0,

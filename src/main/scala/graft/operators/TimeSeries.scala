@@ -907,10 +907,16 @@ object TimeSeries {
       val lny = hourly.agg(count(lit(1)).as("n"),
         sum(floor(log(col("y").cast("double")) * 1000000 + 0.5)
           .cast("long")).as("slny_u"))
-      val va = ((col("s2").cast("double")
-        - col("s1").cast("double") * col("s1").cast("double")
-          / col("n").cast("double"))
-        / (col("n") - 1).cast("double"))
+      // Definition-site guard (r18 ADVICE): the /n and /(n−1) live
+      // INSIDE the when value branch — with exactly one positive row
+      // (reachable via the public boxCoxLambda facade) the old bare
+      // ratio divided by zero inside the ll when CONDITION (Spark-4
+      // ANSI throws on DOUBLE x/0 and && does not short-circuit).
+      val va = when(col("n") > 1,
+        (col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double")
+            / col("n").cast("double"))
+          / (col("n") - 1).cast("double"))
       val res = tv.groupBy("lam10", "ln_c", "ln_l2")
         .agg(sum("tv_u").as("s1"),
           sum(col("tv_u") * col("tv_u")).as("s2"))
@@ -981,6 +987,44 @@ object TimeSeries {
         when(col("delta").isNotNull, r4(col("delta"))).as("delta_abs"),
         col("n_per_arm"))
       .orderBy("rel_mde_pct")
+  }
+
+  /** Newcombe method-10 difference-CI readout (see
+    * `events_ab_diff_ci`): input a 1-row (n_c, n_t, x_c, x_t) count
+    * frame; Wilson limits per arm, then for d = p̂_t − p̂_c:
+    * ci_lo = d − √((p̂_t−l_t)² + (u_c−p̂_c)²),
+    * ci_hi = d + √((u_t−p̂_t)² + (p̂_c−l_c)²) — the lower limit takes
+    * the treatment's LOWER tail and the control's UPPER tail
+    * (radical pairs corrected r18 per ADVICE; small-n asymmetric
+    * tail pinned in DegenerateSpec). Extracted from the declared key
+    * so the tail asymmetry is testable on constructed counts.
+    */
+  private[graft] def newcombeDiffCi(counts: DataFrame): DataFrame = {
+    val z = 1.959964
+    val z2 = z * z
+    def wils(x: Column, n: Column): (Column, Column, Column) = {
+      val ph = x.cast("double") / n.cast("double")
+      val center = (ph + lit(z2) / (lit(2.0) * n.cast("double"))) /
+        (lit(1.0) + lit(z2) / n.cast("double"))
+      val half = (lit(z) * sqrt(ph * (lit(1.0) - ph)
+          / n.cast("double")
+        + lit(z2) / (lit(4.0) * n.cast("double") * n.cast("double")))
+        / (lit(1.0) + lit(z2) / n.cast("double")))
+      (ph, center - half, center + half)
+    }
+    val (pc, lc, uc) = wils(col("x_c"), col("n_c"))
+    val (pt, lt, ut) = wils(col("x_t"), col("n_t"))
+    counts.withColumn("ok", col("n_c") > 0 && col("n_t") > 0)
+      .select(col("n_c"), col("n_t"), col("x_c"), col("x_t"),
+        when(col("ok"), r4(pc)).as("p_c"),
+        when(col("ok"), r4(pt)).as("p_t"),
+        when(col("ok"), r4(pt - pc)).as("diff"),
+        when(col("ok"), r4(pt - pc
+          - sqrt((pt - lt) * (pt - lt) + (uc - pc) * (uc - pc))))
+          .as("ci_lo"),
+        when(col("ok"), r4(pt - pc
+          + sqrt((ut - pt) * (ut - pt) + (pc - lc) * (pc - lc))))
+          .as("ci_hi"))
   }
 
   /** BIC-approximate Bayes factor core (see
@@ -3656,10 +3700,15 @@ object TimeSeries {
         .agg(count(lit(1)).as("n_users"), sum("x").as("sx"),
           sum(col("x") * col("x")).as("sxx"))
       val mean = col("sx").cast("double") / col("n_users").cast("double")
-      val va = ((col("sxx").cast("double")
-        - col("sx").cast("double") * col("sx").cast("double")
-          / col("n_users").cast("double"))
-        / (col("n_users") - 1).cast("double"))
+      // Definition-site guard (r18 ADVICE): /(n_users − 1) inside the
+      // when value branch — a single-user input previously divided by
+      // zero inside the delta when CONDITION (ANSI throw, no
+      // short-circuit &&). NULL va falls through to NULL delta.
+      val va = when(col("n_users") > 1,
+        (col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double")
+            / col("n_users").cast("double"))
+          / (col("n_users") - 1).cast("double"))
       val rels = Seq(5L, 10L, 20L).toDF("rel_mde_pct")
       st.crossJoin(broadcast(rels))
         .withColumn("delta",
@@ -3689,26 +3738,16 @@ object TimeSeries {
     // difference (agg_mean_diff_ci) but NOT the proportion
     // difference's CI, which is what a launch doc quotes. Newcombe's
     // method 10: Wilson limits per arm (the agg_wilson_ci formula
-    // verbatim), then CI = d ∓ √((p̂_c−l_c)² + (u_t−p̂_t)²) /
-    // d ± √((u_c−p̂_c)² + (p̂_t−l_t)²) — never collapses at p̂ ∈
+    // verbatim), then for d = p̂_t − p̂_c: CI = d −
+    // √((p̂_t−l_t)² + (u_c−p̂_c)²) / d + √((u_t−p̂_t)² + (p̂_c−l_c)²)
+    // (radical pairs corrected r18 per ADVICE — the r17 form had
+    // them transposed) — never collapses at p̂ ∈
     // {0,1} (unlike the Wald interval) and respects [−1, 1] by
     // construction. Heavy-purchaser (≥14) response (class-balanced
     // — the sample-size lesson); everything one mirrored IEEE
     // expression over exact BIGINT counts.
-    "events_ab_diff_ci" -> ((s, d) => {
-      val z = 1.959964
-      val z2 = z * z
-      def wils(x: Column, n: Column): (Column, Column, Column) = {
-        val ph = x.cast("double") / n.cast("double")
-        val center = (ph + lit(z2) / (lit(2.0) * n.cast("double"))) /
-          (lit(1.0) + lit(z2) / n.cast("double"))
-        val half = (lit(z) * sqrt(ph * (lit(1.0) - ph)
-            / n.cast("double")
-          + lit(z2) / (lit(4.0) * n.cast("double") * n.cast("double")))
-          / (lit(1.0) + lit(z2) / n.cast("double")))
-        (ph, center - half, center + half)
-      }
-      val agg = TestData.events(s, d)
+    "events_ab_diff_ci" -> ((s, d) =>
+      newcombeDiffCi(TestData.events(s, d)
         .groupBy("user_id")
         .agg(sum(when(col("event_type") === "purchase", 1L)
           .otherwise(0L)).as("np"))
@@ -3722,20 +3761,7 @@ object TimeSeries {
           sum(when(col("t") === 1, 1L).otherwise(0L)).as("n_t"),
           sum(when(col("t") === 0, col("conv")).otherwise(0L)).as("x_c"),
           sum(when(col("t") === 1, col("conv")).otherwise(0L)).as("x_t"))
-      val (pc, lc, uc) = wils(col("x_c"), col("n_c"))
-      val (pt, lt, ut) = wils(col("x_t"), col("n_t"))
-      agg.withColumn("ok", col("n_c") > 0 && col("n_t") > 0)
-        .select(col("n_c"), col("n_t"), col("x_c"), col("x_t"),
-          when(col("ok"), r4(pc)).as("p_c"),
-          when(col("ok"), r4(pt)).as("p_t"),
-          when(col("ok"), r4(pt - pc)).as("diff"),
-          when(col("ok"), r4(pt - pc
-            - sqrt((pc - lc) * (pc - lc) + (ut - pt) * (ut - pt))))
-            .as("ci_lo"),
-          when(col("ok"), r4(pt - pc
-            + sqrt((uc - pc) * (uc - pc) + (pt - lt) * (pt - lt))))
-            .as("ci_hi"))
-    }),
+      )),
 
     // BIC-APPROXIMATE BAYES FACTOR (round 17): the model-comparison
     // verdict next to events_ab_significance's p-value — BF₁₀ ≈
@@ -7228,11 +7254,11 @@ object TimeSeries {
         |  floor(pc * 10000 + 0.5) / 10000 AS p_c,
         |  floor(pt * 10000 + 0.5) / 10000 AS p_t,
         |  floor((pt - pc) * 10000 + 0.5) / 10000 AS diff,
-        |  floor((pt - pc - sqrt((pc - (cc - hc)) * (pc - (cc - hc))
-        |    + ((ct + ht) - pt) * ((ct + ht) - pt))) * 10000 + 0.5)
+        |  floor((pt - pc - sqrt((pt - (ct - ht)) * (pt - (ct - ht))
+        |    + ((cc + hc) - pc) * ((cc + hc) - pc))) * 10000 + 0.5)
         |    / 10000 AS ci_lo,
-        |  floor((pt - pc + sqrt(((cc + hc) - pc) * ((cc + hc) - pc)
-        |    + (pt - (ct - ht)) * (pt - (ct - ht)))) * 10000 + 0.5)
+        |  floor((pt - pc + sqrt(((ct + ht) - pt) * ((ct + ht) - pt)
+        |    + (pc - (cc - hc)) * (pc - (cc - hc)))) * 10000 + 0.5)
         |    / 10000 AS ci_hi
         |FROM w""".stripMargin,
     // BIC Bayes factor mirrored: heavy-purchaser response, explicit

@@ -18,7 +18,16 @@ package object graft {
       if (rec ne null) rec.synchronized {
         rec += df.queryExecution.optimizedPlan
       }
-      df.localCheckpoint()
+      // eager=false (r18 optimization): an eager localCheckpoint costs
+      // one dedicated Spark job per site (232 sites — the fixed-cost
+      // floor of every iterative key). A LAZY local checkpoint still
+      // truncates the Catalyst plan immediately (LogicalRDD) and still
+      // persists each partition the first time it is computed — the
+      // materialization simply rides the first CONSUMING job instead
+      // of a job of its own, and LocalRDDCheckpointData completes any
+      // missing partitions at that job's end. Values are identical;
+      // multi-consumer reuse is identical after the first action.
+      df.localCheckpoint(eager = false)
     }
   }
 }

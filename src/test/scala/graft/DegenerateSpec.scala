@@ -1583,6 +1583,65 @@ class DegenerateSpec extends SparkSpec {
       && ties.getAs[Double]("ci_hi") === 0.5)
   }
 
+  test("delongCompare one-positive/one-negative; newcombe tail side; " +
+      "boxcox single positive row (r18 ADVICE)") {
+    // delongCompare with m = 1 (one positive pair): the paired
+    // variance needs m ≥ 2 — se/z/p read NULL, never a
+    // condition-site divide-by-zero (the r18 definition-site guard;
+    // the scaladoc claimed this contract untested before).
+    val ps = StructType(Seq(StructField("id_a", LongType),
+      StructField("id_b", LongType), StructField("detector", StringType),
+      StructField("score_u", LongType), StructField("is_pos", LongType)))
+    def pf(rows: Seq[(Long, Long, String, Long, Long)]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(Row.fromTuple), 1), ps)
+    val onePos = engine.delongCompare(pf(Seq(
+      (1L, 2L, "a", 5L, 1L), (1L, 3L, "a", 2L, 0L),
+      (1L, 4L, "a", 3L, 0L),
+      (1L, 2L, "b", 4L, 1L), (1L, 3L, "b", 1L, 0L),
+      (1L, 4L, "b", 2L, 0L))), "a", "b").collect()(0)
+    assert(onePos.getAs[Double]("auc_a") === 1.0)
+    assert(onePos.isNullAt(onePos.fieldIndex("se_diff")))
+    assert(onePos.isNullAt(onePos.fieldIndex("z")))
+    val oneNeg = engine.delongCompare(pf(Seq(
+      (1L, 2L, "a", 5L, 1L), (1L, 5L, "a", 6L, 1L),
+      (1L, 3L, "a", 2L, 0L),
+      (1L, 2L, "b", 4L, 1L), (1L, 5L, "b", 5L, 1L),
+      (1L, 3L, "b", 1L, 0L))), "a", "b").collect()(0)
+    assert(oneNeg.isNullAt(oneNeg.fieldIndex("z")))
+    assertClean(engine.delongCompare(pf(Nil), "a", "b"),
+      "delongcmp/empty")
+    // Newcombe method 10 at x_t = n_t small-n (p̂_t = 1 ⇒ Wilson
+    // u_t = 1 exactly): the WIDER tail must be the LOWER one —
+    // radical (p_t−l_t)² + (u_c−p_c)². The r17 transposed form put
+    // the wide treatment term in the UPPER radical (and pushed
+    // ci_hi above 1 on this input).
+    val ns = StructType(Seq("n_c", "n_t", "x_c", "x_t")
+      .map(f => StructField(f, LongType)))
+    val nc = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(10L, 10L, 3L, 10L)), 1), ns)
+    val nr = operators.TimeSeries.newcombeDiffCi(nc).collect()(0)
+    val nd = nr.getAs[Double]("diff")
+    val nlo = nr.getAs[Double]("ci_lo")
+    val nhi = nr.getAs[Double]("ci_hi")
+    assert(nd - nlo > (nhi - nd) + 1e-9,
+      s"lower tail must be the wide one at p_t = 1: $nr")
+    assert(nhi <= 1.0 + 1e-9, s"ci_hi must respect [−1, 1]: $nr")
+    assert(nlo <= nd && nd <= nhi)
+    // boxCoxLambda with exactly ONE positive row (n = 1 after the
+    // y > 0 filter): the va = …/(n−1) ratio now lives inside its
+    // when value branch — NULL ll, no ANSI x/0 throw (r18 ADVICE).
+    val ys = StructType(Seq(StructField("y", LongType)))
+    def yf(rows: Seq[Long]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(v => Row(v)), 1), ys)
+    val single = engine.boxCoxLambda(yf(Seq(5L)), "y").collect()
+    assert(single.length === 5 && single.forall(_.isNullAt(1)),
+      "boxcox/single-positive ⇒ NULL ll rows")
+    assertClean(engine.boxCoxLambda(yf(Seq(-3L, 7L)), "y"),
+      "boxcox/one-positive-after-filter")
+  }
+
   test("burstiness / transitionEntropy / markovStationary survive single-symbol input") {
     val gaps = seriesFrame(Seq((1L, 0L))) // one zero gap: σ+μ = 0
     assertClean(engine.burstiness(gaps, "hr", "n"), "burstiness/zero-gap")

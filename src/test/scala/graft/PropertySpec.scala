@@ -608,15 +608,19 @@ class PropertySpec extends SparkSpec {
     // Each beamCut/hop/layer-subset checkpoints exactly once, so the
     // CkptAudit interceptor counts the structure: 2 routing levels x
     // (1 seed cut + 2 hops) + layer-0 (1 entry cut + 4 hops) + the 2
-    // layer-subset checkpoints = 13. Memos are warmed first so only
-    // the key's own lambda records.
+    // layer-subset checkpoints + the 2 routing-adjacency checkpoints
+    // (r18) = 15. Memos are warmed first so only the key's own
+    // lambda records.
     AnnSearch.defs("ann_hnsw_topk")(spark, sfDir) // warm the memos
     val buf = scala.collection.mutable.Buffer[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
     CkptAudit.sink = buf
     try AnnSearch.defs("ann_hnsw_topk")(spark, sfDir)
     finally CkptAudit.sink = null
-    assert(buf.length === 13,
+    // r18: +2 — the two routing-level adjacencies checkpoint once
+    // each (their symmetrize+distinct exchange previously re-ran in
+    // every hop); still structural, never data-sized.
+    assert(buf.length === 15,
       s"descent checkpoint count drifted (structure changed?): ${buf.length}")
   }
 
