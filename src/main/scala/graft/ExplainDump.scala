@@ -27,12 +27,22 @@ object ExplainDump {
       filter.isEmpty || filter.exists(n.contains) }
     for ((name, fn) <- keys) {
       try {
-        val df = fn(spark, sfDir)
+        // Record the pre-checkpoint optimized plans of every ckpt'd
+        // stage too — declared keys truncate at LogicalRDD, which
+        // hides exactly the stages optimization rounds change.
+        val rec = scala.collection.mutable.ArrayBuffer[
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
+        CkptAudit.sink = rec
+        val df = try fn(spark, sfDir) finally CkptAudit.sink = null
         val txt = df.queryExecution.explainString(FormattedMode)
+        val stages = rec.zipWithIndex.map { case (p, i) =>
+          s"=== checkpointed stage $i (optimized logical) ===\n$p" }
+          .mkString("\n")
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"),
-          txt.getBytes("UTF-8"))
-        println(s"wrote $outDir/${name}_$suffix.txt")
+          (txt + (if (stages.nonEmpty) s"\n\n$stages" else ""))
+            .getBytes("UTF-8"))
+        println(s"wrote $outDir/${name}_$suffix.txt (${rec.size} stages)")
       } catch { case e: Throwable =>
         println(s"FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
