@@ -103,7 +103,29 @@ object TextAnalysis {
     * oracle uses the plain unblocked join. Input columns:
     * (doc_id, lang, text, n_chars).
     */
-  def fuzzyPairs(documents: DataFrame, maxEdits: Int = 20): DataFrame = {
+  def fuzzyPairs(documents: DataFrame, maxEdits: Int = 20): DataFrame =
+    // r18: the DP projection sits BEHIND a checkpoint. Filtering
+    // `lev >= 0` directly on the join output let the optimizer
+    // substitute the alias and push the DP into the JOIN CONDITION,
+    // where left-to-right evaluation ran it FIRST -- before the
+    // cheap id_a < id_b and length conjuncts -- i.e. the banded DP
+    // executed on ~2x the candidate set and re-ran in the survivor
+    // projection (plan showed bounded_levenshtein in Join condition
+    // AND Project). The checkpoint is a deliberate optimizer fence:
+    // the DP runs exactly once per candidate and the readout filter
+    // reads the materialized column. Persisted state is
+    // (id_a, id_b, lev) -- candidate-pair-sized, never corpus text.
+    fuzzyScored(documents, maxEdits)
+      .ckpt()
+      .filter(col("lev") >= 0)
+      .orderBy("id_a", "id_b")
+
+  /** [[fuzzyPairs]]'s candidate join + one-shot DP projection,
+    * PRE-checkpoint -- exposed so PlanSpec can pin the shuffle-join
+    * shape the fence hides from the declared key's plan.
+    */
+  private[graft] def fuzzyScored(documents: DataFrame,
+                                 maxEdits: Int): DataFrame = {
     val width = math.max(32, maxEdits + 1) // must exceed the threshold
     val docs = documents
       .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
@@ -136,10 +158,7 @@ object TextAnalysis {
         col("la") === col("lb") && col("bk") === col("bb")
           && col("id_a") < col("id_b")
           && abs(col("ca") - col("cb")) <= maxEdits)
-      .withColumn("lev", blev)
-      .filter(col("lev") >= 0)
-      .select(col("id_a"), col("id_b"), col("lev"))
-      .orderBy("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), blev.as("lev"))
   }
 
   /** Sorted-neighborhood dedup (SNM): sort each lang block by a
@@ -160,7 +179,21 @@ object TextAnalysis {
     * (id_a, id_b, lev) with id_a < id_b. Input columns:
     * (doc_id, lang, text).
     */
-  def snmPairs(documents: DataFrame, window: Int, maxEdits: Int): DataFrame = {
+  def snmPairs(documents: DataFrame, window: Int, maxEdits: Int): DataFrame =
+    // r18: same optimizer fence as [[fuzzyPairs]] — un-fenced, the
+    // lev >= 0 readout was substituted into the join condition and
+    // the DP ran twice per rank-adjacent candidate (join condition +
+    // survivor projection).
+    snmScored(documents, window, maxEdits)
+      .ckpt()
+      .filter(col("lev") >= 0)
+
+  /** [[snmPairs]]'s ranked candidate join + one-shot DP projection,
+    * PRE-checkpoint — exposed so PlanSpec can pin the shuffle-join
+    * and rangedRank window shapes the fence hides from the key.
+    */
+  private[graft] def snmScored(documents: DataFrame, window: Int,
+                               maxEdits: Int): DataFrame = {
     val norm = trim(regexp_replace(regexp_replace(
       lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
     val keyed = documents
@@ -179,10 +212,9 @@ object TextAnalysis {
       Bridge.expression(lit(maxEdits))))
     a.join(b.hint("shuffle_hash"),
         col("la") === col("lb") && col("rb") === col("rnk_b"))
-      .withColumn("lev", blev)
-      .filter(col("lev") >= 0)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
-              greatest(col("id_a"), col("id_b")).as("id_b"), col("lev"))
+              greatest(col("id_a"), col("id_b")).as("id_b"),
+              blev.as("lev"))
   }
 
   /** Deflated byte count of `in` via the caller's (reused) Deflater —

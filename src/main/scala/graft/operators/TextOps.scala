@@ -66,7 +66,32 @@ object TextOps {
     * once per doc (`xxhash64`, sorted), so each candidate pair costs
     * one codegen'd sorted-merge intersect on fixed-width longs.
     */
-  def jaccardSetPairs(sets: DataFrame, threshold: Double): DataFrame = {
+  def jaccardSetPairs(sets: DataFrame, threshold: Double): DataFrame =
+    // r18: intersect ONCE in a projection behind a checkpoint fence —
+    // un-fenced, the jac > t readout was substituted into the JOIN
+    // CONDITION where its ratio ran sorted_intersect_count TWICE per
+    // hash-matched pair, FIRST in the conjunct list (the
+    // dedup_fuzzy_pairs plan pathology). The fence pays here because
+    // the kernel is an O(|a|+|b|) merge over token-hash arrays
+    // (measured: memo build 2.13 → 1.39 s); the CHEAP kernels
+    // (bitmap popcount, cosine — see jaccardBitmapSetPairs /
+    // containmentBitmapPairs / dup_pairs_cosine) measured WORSE
+    // fenced (e.g. ngram 2.27 → 2.63 s: persisting the candidate set
+    // costs more than their duplicated evaluation) and stay
+    // un-fenced.
+    jaccardSetScored(sets, threshold)
+      .ckpt()
+      .withColumn("jac", col("inter").cast("double")
+        / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") > threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+
+  /** [[jaccardSetPairs]]'s blocked candidate join + one-shot
+    * intersect projection, PRE-checkpoint — exposed so PlanSpec can
+    * pin the shuffle-join shape the fence hides from the keys.
+    */
+  private[graft] def jaccardSetScored(sets: DataFrame,
+                                      threshold: Double): DataFrame = {
     import graft.functions.SortedIntersectCount
     import org.apache.spark.sql.graft.Bridge
     def isect(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -88,11 +113,8 @@ object TextOps {
           && col("id_a") < col("id_b")
           && least(col("na"), col("nb")).cast("double")
                > greatest(col("na"), col("nb")) * threshold)
-      .withColumn("inter", isect(col("ta"), col("tb")))
-      .withColumn("jac", col("inter").cast("double")
-        / (col("na") + col("nb") - col("inter")))
-      .filter(col("jac") > threshold)
-      .select(col("id_a"), col("id_b"), col("jac"))
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"),
+        isect(col("ta"), col("tb")).as("inter"))
   }
 
   /** PREFIX-FILTERED exact Jaccard set-similarity self-join (the

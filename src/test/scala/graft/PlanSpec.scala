@@ -123,11 +123,18 @@ class PlanSpec extends SparkSpec {
     // pipeline's shape is pinned on the pipeline function itself —
     // it still covers all three round-1 corpus-broadcast sites
     // (VERDICT r1 #3). dedup_fuzzy_pairs stays pinned via its key.
+    // r18: the fuzzy/jaccard joins sit behind the expensive-kernel-
+    // once checkpoint fences, so the pins read the PRE-checkpoint
+    // stages (fuzzyScored / jaccardSetScored).
+    import org.apache.spark.sql.functions.{array_distinct, col, split}
+    def wordSets = TestData.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), " ")).as("elems"))
     val pipelines = Seq(
-      "jaccardPairs" ->
-        TextOps.jaccardPairs(TestData.documents(spark, sfDir)),
-      "dedup_fuzzy_pairs" ->
-        SparkEntry.queries("dedup_fuzzy_pairs")(spark, sfDir))
+      "jaccardSetScored" ->
+        TextOps.jaccardSetScored(wordSets, 0.9),
+      "fuzzyScored" ->
+        TextAnalysis.fuzzyScored(TestData.documents(spark, sfDir), 20))
     for ((k, df) <- pipelines) {
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("BroadcastExchange"),
@@ -135,6 +142,14 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
         s"$k must shuffle-join on the block key:\n${p.take(800)}")
     }
+    // and the DP must appear exactly ONCE in the stage — in the
+    // projection, never duplicated into the join condition (the r18
+    // double-evaluation fix)
+    val fp = TextAnalysis.fuzzyScored(TestData.documents(spark, sfDir), 20)
+      .queryExecution.executedPlan.toString
+    val nBlev = "bounded_levenshtein".r.findAllIn(fp).length
+    assert(nBlev == 1,
+      s"bounded_levenshtein must evaluate once (projection only), saw $nBlev:\n${fp.take(900)}")
   }
 
   test("stored IVF search partition-prunes the index read via the probe join") {
@@ -230,7 +245,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("SNM dedup shuffle-joins on (lang, rank) — no corpus broadcast") {
-    val p = plan("dedup_sorted_neighborhood")
+    // r18: read the PRE-fence stage — the declared key's plan
+    // truncates at the DP-once checkpoint (see snmPairs).
+    val p = TextAnalysis.snmScored(TestData.documents(spark, sfDir), 4, 20)
+      .queryExecution.executedPlan.toString
     // The hierarchical rank (Curation.rangedRank) legitimately
     // broadcasts the RANGES-sized per-(lang, partition) offset table
     // (grr_off) back onto the corpus; any OTHER broadcast would be
@@ -252,8 +270,14 @@ class PlanSpec extends SparkSpec {
     // corpus/vocabulary-sized window must partition on
     // (lang, grr_pid); only the ranges-sized offsets window may
     // partition on lang alone (its order key is grr_pid).
-    for (k <- Seq("dedup_sorted_neighborhood", "text_zipf_slope")) {
-      val p = plan(k)
+    // r18: the SNM rank window sits inside the DP-once checkpoint
+    // fence — read the pre-fence stage for that key.
+    val staged = Seq(
+      "dedup_sorted_neighborhood(snmScored)" ->
+        TextAnalysis.snmScored(TestData.documents(spark, sfDir), 4, 20)
+          .queryExecution.executedPlan.toString,
+      "text_zipf_slope" -> plan("text_zipf_slope"))
+    for ((k, p) <- staged) {
       assert("windowspecdefinition\\(lang#\\d+, grr_pid#\\d+, ".r
           .findFirstIn(p).isDefined,
         s"$k: rank window must partition on (lang, grr_pid):\n${p.take(1200)}")
